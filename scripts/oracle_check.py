@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf parquet tables and compare (schema, rows, values) against
+the Spark result parquet written by graft.Verify.
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize dtypes for compare
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("boolean")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif df[c].dtype == object:
+            pass
+    return df.reset_index(drop=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"[MISS] {name}: no spark output"); n_bad += 1; continue
+        try:
+            duck = con.execute(sql).df()
+        except Exception as e:
+            print(f"[SQLERR] {name}: {e}"); n_bad += 1; continue
+        spark = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
+        d, s = norm(duck), norm(spark)
+        if list(d.columns) != list(s.columns):
+            print(f"[COLS] {name}: duck={list(d.columns)} spark={list(s.columns)}")
+            n_bad += 1; continue
+        if len(d) != len(s):
+            print(f"[ROWS] {name}: duck={len(d)} spark={len(s)}"); n_bad += 1; continue
+        bad_cols = []
+        for c in d.columns:
+            a, b = d[c], s[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                eq = (a.isna() & b.isna()) | (a == b)
+            else:
+                eq = (a.isna() & b.isna()) | (a.astype(object) == b.astype(object))
+            if not eq.all():
+                i = int(np.flatnonzero(~eq.values)[0])
+                bad_cols.append((c, i, a.iloc[i], b.iloc[i]))
+        if bad_cols:
+            c, i, av, bv = bad_cols[0]
+            print(f"[VAL] {name}: {len(bad_cols)} col(s) differ; first {c}[{i}]: duck={av!r} spark={bv!r}")
+            n_bad += 1
+        else:
+            print(f"[OK] {name} ({len(d)} rows)"); n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

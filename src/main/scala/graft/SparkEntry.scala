@@ -1,13 +1,477 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.config.SiteConfig
+import graft.ops.{TimeSeries, WaterYear}
+import graft.pipeline.Aggregate
+import graft.testkit.Toa5Fixture
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 has a probe query here over the driver's
+  * TPC-H-ish testdata, paired (where ANSI-SQL-expressible) with a DuckDB
+  * oracle in [[oracleSql]]. Oracle-parity conventions, chosen so exact
+  * hash-compare is meaningful:
+  *
+  *   - aggregation of doubles goes through exact DECIMAL(18,2) sums, cast to
+  *     double at the end (float summation order would otherwise diverge);
+  *   - `events.ts` is nanosecond-precision parquet: Spark truncates to µs,
+  *     DuckDB keeps ns — every emitted/compared timestamp is truncated to
+  *     the second on both sides;
+  *   - every query ends in a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is nanosecond parquet: with
+    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as long ns. Keep the
+    * raw ns (`ts_ns`) for DuckDB-exact ordering and expose a µs `ts`
+    * TimestampType for datetime functions.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
+  }
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the full
+    * reference pipeline — TOA5 scan → union → dedup-most-complete →
+    * time-grid fill → Met QC — over a deterministic synthetic logger
+    * fixture (SURVEY.md §7.2).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = sys.props("java.io.tmpdir") + "/graft-toa5-fixture-met"
+    val files = Toa5Fixture.writeMet(dir)
+    Aggregate.run(spark, "Met", SiteConfig("CookEast"), files).df
+  }
+
+  // ---------------------------------------------------------------------
+  // Queries — one per implemented operator (SURVEY.md §2)
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // W2/agg headline: pricing summary (exact-decimal sums → double)
+    "q1_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // D1 — dedup keep-most-complete over constructed duplicate timestamps
+    "q2_dedup_most_complete" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val base = ev.select(
+        date_trunc("second", col("ts")).as("ts"),
+        col("event_id").as("record"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      // same record, sparser row → original wins on null count
+      val dupSameRecord = ev.filter(col("event_id") % 10 === 0).select(
+        date_trunc("second", col("ts")).as("ts"),
+        col("event_id").as("record"), col("user_id"),
+        lit(null).cast("string").as("event_type"),
+        lit(null).cast("double").as("value"), col("props"))
+      // lower record, sparser row → duplicate wins on record order
+      val dupLowRecord = ev.filter(col("event_id") % 17 === 0).select(
+        date_trunc("second", col("ts")).as("ts"),
+        (col("event_id") - 10000000L).as("record"), col("user_id"),
+        col("event_type"), lit(null).cast("double").as("value"),
+        lit(null).cast("string").as("props"))
+      val u = base.unionByName(dupSameRecord).unionByName(dupLowRecord)
+      TimeSeries.dedupKeepMostComplete(u, tsCol = "ts", recordCol = "record")
+        .orderBy(col("ts"), col("record"))
+    },
+
+    // F3 — time-grid gap fill of a sparse hourly rollup
+    "q3_regrid_gapfill" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .filter(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("TIMESTAMP"))
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("v"))
+      TimeSeries.regrid(hourly, stepSeconds = 3600)
+        .orderBy(col("TIMESTAMP"))
+    },
+
+    // W1 — per-key time-ordered lag difference
+    "q4_lag_diff" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("d"))
+        .orderBy(col("event_id"))
+    },
+
+    // Q2 quirk — Tair-style change mask: ~(d >= 15) & (d != 0), null passes
+    "q5_change_mask" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val d = col("value") - lag(col("value"), 1).over(w)
+      events(s, dir)
+        .select(col("event_id"),
+          (!coalesce(d >= 15d, lit(false)) &&
+            coalesce(d =!= 0d, lit(true))).as("change_ok"))
+        .orderBy(col("event_id"))
+    },
+
+    // W2 — daily tumbling mean
+    "q6_daily_mean" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          (sumd(col("value")) / count(lit(1))).as("avg_value"))
+        .orderBy(col("day"))
+    },
+
+    // water-year bucketing (reference wateryear, AzureDataLakeAccess.py:282)
+    "q7_water_year" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(WaterYear.waterYear(col("o_orderdate")).as("water_year"))
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+        .orderBy(col("water_year"))
+    },
+
+    // D4 — union by name with null fill for missing columns
+    "q8_union_by_name" -> { (s, dir) =>
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("qty"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("k"), col("price").asc_nulls_first,
+          col("qty").asc_nulls_first)
+    },
+
+    // Q-C core — hard-limit mask + filtered value + clamp replace (P6/P8)
+    "q9_hard_limit_filter" -> { (s, dir) =>
+      val v = col("value")
+      val hl = coalesce(v >= 0d && v <= 25d, lit(false))
+      val filtered = when(hl, v)
+      events(s, dir)
+        .select(col("event_id"), hl.as("hard_limit"),
+          when(filtered >= 20d && filtered <= 25d, 20d)
+            .otherwise(filtered).as("value_filtered"))
+        .orderBy(col("event_id"))
+    },
+
+    // Q-B analog — positional-digit flag string + graded copy
+    "q10_flag_string" -> { (s, dir) =>
+      def digit(pass: Column) = when(pass, "0").otherwise("1")
+      val li = t(s, dir, "lineitem")
+      val checks = Seq(
+        coalesce(col("l_quantity") >= 5d && col("l_quantity") <= 45d,
+          lit(false)),
+        coalesce(col("l_discount") <= 0.05d, lit(false)),
+        coalesce(col("l_tax") > 0.04d, lit(false)),
+        col("l_returnflag") === "R")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          concat(checks.map(digit): _*).as("flags"),
+          when(checks.reduce(_ && _), col("l_extendedprice")).as("graded"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // scalar-expression catalog — the MSLP derivation (exp/arith), rounded
+    // to absorb cross-libm ulp differences
+    "q11_mslp_expr" -> { (s, dir) =>
+      val tair = col("l_quantity")
+      val p = col("l_extendedprice") / 1000d
+      val h = (lit(8.314) * (tair + 273.15d)) / (0.029 * 9.81) / 1000d
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(p / exp(lit(-0.777) / h), 6).as("mslp"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // P3/P4/W3 — open range + anchored trailing window slice
+    "q12_between_slice" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("event_id"), date_trunc("second", col("ts")).as("tss"),
+          col("value"))
+      ev.join(ev.agg(max(col("tss")).as("anchor")),
+          col("tss") >= col("anchor") - expr("INTERVAL 1 DAY") &&
+            col("tss") <= col("anchor"))
+        .select(col("event_id"), col("value"))
+        .orderBy(col("event_id"))
+    },
+
+    // S10 analog — latest row per key (max-by over files → max-by over keys)
+    "q13_latest_per_key" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // joins — broadcast dims through a star join
+    "q14_join_agg" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("rev"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // A1 — incremental merge: union ∪ overlap → drop null-RECORD → dedup
+    "q15_incremental_merge" -> { (s, dir) =>
+      val ev = events(s, dir).select(
+        date_trunc("second", col("ts")).as("ts"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val prev = ev.filter(col("event_id") < 6000).select(
+        col("ts"),
+        when(col("event_id") % 25 === 0, lit(null).cast("long"))
+          .otherwise(col("event_id")).as("record"),
+        col("user_id"), col("event_type"),
+        when(col("event_id") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+      val fresh = ev.filter(col("event_id") >= 5000).select(
+        col("ts"), col("event_id").as("record"), col("user_id"),
+        col("event_type"), col("value"))
+      val merged = TimeSeries.unionMerge(prev, fresh)
+        .na.drop(Seq("record"))
+      TimeSeries.dedupKeepMostComplete(merged, tsCol = "ts",
+        recordCol = "record")
+        .orderBy(col("ts"), col("record"))
+    },
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles — same semantics in ANSI SQL (column names must match)
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_dedup_most_complete" ->
+      """WITH base AS (
+        |  SELECT CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+        |         event_id AS record, user_id, event_type, value, props
+        |  FROM events
+        |), dup_same AS (
+        |  SELECT CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+        |         event_id AS record, user_id,
+        |         CAST(NULL AS VARCHAR) AS event_type,
+        |         CAST(NULL AS DOUBLE) AS value, props
+        |  FROM events WHERE event_id % 10 = 0
+        |), dup_low AS (
+        |  SELECT CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+        |         event_id - 10000000 AS record, user_id, event_type,
+        |         CAST(NULL AS DOUBLE) AS value,
+        |         CAST(NULL AS VARCHAR) AS props
+        |  FROM events WHERE event_id % 17 = 0
+        |), u AS (
+        |  SELECT * FROM base UNION ALL
+        |  SELECT * FROM dup_same UNION ALL
+        |  SELECT * FROM dup_low
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY ts
+        |    ORDER BY record ASC NULLS LAST,
+        |      ((CASE WHEN record IS NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN value IS NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN props IS NULL THEN 1 ELSE 0 END)) ASC) AS rn
+        |  FROM u
+        |)
+        |SELECT ts, record, user_id, event_type, value, props
+        |FROM ranked WHERE rn = 1
+        |ORDER BY ts, record""".stripMargin,
+
+    "q3_regrid_gapfill" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS t,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'error' GROUP BY 1
+        |), b AS (
+        |  SELECT date_trunc('day', min(t)) AS lo,
+        |         CASE WHEN date_trunc('day', max(t)) = max(t) THEN max(t)
+        |              ELSE date_trunc('day', max(t)) + INTERVAL 1 DAY END AS hi
+        |  FROM h
+        |), g AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS "TIMESTAMP"
+        |  FROM b
+        |)
+        |SELECT g."TIMESTAMP", h.n, h.v
+        |FROM g LEFT JOIN h ON h.t = g."TIMESTAMP"
+        |ORDER BY g."TIMESTAMP"""".stripMargin,
+
+    "q4_lag_diff" ->
+      """SELECT event_id, user_id,
+        |  value - lag(value) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS d
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q5_change_mask" ->
+      """WITH d AS (
+        |  SELECT event_id,
+        |    value - lag(value) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS diff
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  (NOT COALESCE(diff >= 15, FALSE)) AND COALESCE(diff <> 0, TRUE)
+        |    AS change_ok
+        |FROM d ORDER BY event_id""".stripMargin,
+
+    "q6_daily_mean" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS avg_value
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q7_water_year" ->
+      """SELECT CASE WHEN month(o_orderdate) < 10 THEN year(o_orderdate)
+        |            ELSE year(o_orderdate) + 1 END AS water_year,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY water_year""".stripMargin,
+
+    "q8_union_by_name" ->
+      """SELECT o_orderkey AS k, o_totalprice AS price,
+        |       CAST(NULL AS DOUBLE) AS qty
+        |FROM orders
+        |UNION ALL
+        |SELECT l_orderkey, CAST(NULL AS DOUBLE), l_quantity FROM lineitem
+        |ORDER BY k, price ASC NULLS FIRST, qty ASC NULLS FIRST""".stripMargin,
+
+    "q9_hard_limit_filter" ->
+      """WITH f AS (
+        |  SELECT event_id,
+        |    COALESCE(value >= 0 AND value <= 25, FALSE) AS hard_limit,
+        |    CASE WHEN COALESCE(value >= 0 AND value <= 25, FALSE)
+        |         THEN value END AS filtered
+        |  FROM events
+        |)
+        |SELECT event_id, hard_limit,
+        |  CASE WHEN filtered >= 20 AND filtered <= 25 THEN 20
+        |       ELSE filtered END AS value_filtered
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q10_flag_string" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  (CASE WHEN COALESCE(l_quantity >= 5 AND l_quantity <= 45, FALSE)
+        |        THEN '0' ELSE '1' END ||
+        |   CASE WHEN COALESCE(l_discount <= 0.05, FALSE)
+        |        THEN '0' ELSE '1' END ||
+        |   CASE WHEN COALESCE(l_tax > 0.04, FALSE) THEN '0' ELSE '1' END ||
+        |   CASE WHEN l_returnflag = 'R' THEN '0' ELSE '1' END) AS flags,
+        |  CASE WHEN COALESCE(l_quantity >= 5 AND l_quantity <= 45, FALSE)
+        |        AND COALESCE(l_discount <= 0.05, FALSE)
+        |        AND COALESCE(l_tax > 0.04, FALSE)
+        |        AND l_returnflag = 'R'
+        |       THEN l_extendedprice END AS graded
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q11_mslp_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round((l_extendedprice / 1000) /
+        |        exp(-0.777 / ((8.314 * (l_quantity + 273.15))
+        |                      / (0.029 * 9.81) / 1000)), 6) AS mslp
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q12_between_slice" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss,
+        |         value
+        |  FROM events
+        |), a AS (SELECT max(tss) AS anchor FROM ev)
+        |SELECT event_id, value
+        |FROM ev, a
+        |WHERE tss >= a.anchor - INTERVAL 1 DAY AND tss <= a.anchor
+        |ORDER BY event_id""".stripMargin,
+
+    "q13_latest_per_key" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id,
+        |         CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, tss AS ts, value
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q14_join_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q15_incremental_merge" ->
+      """WITH ev AS (
+        |  SELECT CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+        |         event_id, user_id, event_type, value
+        |  FROM events
+        |), prev AS (
+        |  SELECT ts,
+        |    CASE WHEN event_id % 25 = 0 THEN NULL ELSE event_id END AS record,
+        |    user_id, event_type,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+        |  FROM ev WHERE event_id < 6000
+        |), fresh AS (
+        |  SELECT ts, event_id AS record, user_id, event_type, value
+        |  FROM ev WHERE event_id >= 5000
+        |), u AS (
+        |  SELECT * FROM prev UNION ALL SELECT * FROM fresh
+        |), nodrop AS (
+        |  SELECT * FROM u WHERE record IS NOT NULL
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY ts
+        |    ORDER BY record ASC NULLS LAST,
+        |      ((CASE WHEN record IS NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN value IS NULL THEN 1 ELSE 0 END)) ASC) AS rn
+        |  FROM nodrop
+        |)
+        |SELECT ts, record, user_id, event_type, value
+        |FROM ranked WHERE rn = 1
+        |ORDER BY ts, record""".stripMargin,
+  )
 }

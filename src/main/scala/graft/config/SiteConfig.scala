@@ -1,0 +1,66 @@
+package graft.config
+
+/** Per-(site, table) QC configuration.
+  *
+  * Replaces the reference's Excel config workbook (one sheet per site, rows
+  * A2..A18 — reference src/LTARCAFTowerReport.py:61 and `readinfo`,
+  * src/AzureDataLakeAccess.py:521-530). Azure connection fields are dropped:
+  * Spark reads the lake natively (`abfss://` + account OAuth confs), so the
+  * engine only needs the QC thresholds and the column-name indirection.
+  *
+  * @param grade  max acceptable turbulence grade (1..9), `readinfo` :523
+  * @param leB    latent-heat-flux hard bounds [lo, hi], :524
+  * @param hB     sensible-heat-flux hard bounds, :525
+  * @param fB     CO2-flux hard bounds, :526
+  * @param ustar  friction-velocity floor (must be >= 0), :527
+  * @param cls    flux column names, positional (H, LE, Fc), :529
+  * @param gg     QC-grade column names, positional w.r.t. `cls`, :528
+  * @param z      station elevation in km for MSLP (fixed 0.777 in METQC, :625)
+  */
+final case class SiteConfig(
+    site: String,
+    grade: Int = 7,
+    leB: (Double, Double) = (-150d, 1000d),
+    hB: (Double, Double) = (-150d, 1000d),
+    fB: (Double, Double) = (-60d, 20d),
+    ustar: Double = 0d,
+    cls: Seq[String] = Seq("H", "LE", "Fc_molar"),
+    gg: Seq[String] = Seq("H_qc_grade", "LE_qc_grade", "Fc_qc_grade"),
+    z: Double = 0.777) {
+
+  require(grade >= 1 && grade <= 9, "Grade number must be between 1-9.")
+  require(ustar >= 0, "u-star must be a positive number.")
+  require(cls.length == 3 && gg.length == 3, "cls/gg must name (H, LE, Fc)")
+}
+
+object SiteConfig {
+
+  /** Loads site configs from a simple CSV
+    * (site,grade,le_lo,le_hi,h_lo,h_hi,f_lo,f_hi,ustar,cls,gg,z with `|`-
+    * separated lists) — driver-side, tiny, no Spark job. The Excel workbook
+    * of the reference is incidental storage; CSV keeps the engine dependency-
+    * free.
+    */
+  def fromCsv(path: String): Map[String, SiteConfig] = {
+    val src = scala.io.Source.fromFile(path)
+    try {
+      val lines = src.getLines().toList
+      val header = lines.head.split(",").map(_.trim).zipWithIndex.toMap
+      lines.tail.filter(_.nonEmpty).map { line =>
+        val f = line.split(",").map(_.trim)
+        def at(k: String) = f(header(k))
+        val cfg = SiteConfig(
+          site = at("site"),
+          grade = at("grade").toInt,
+          leB = (at("le_lo").toDouble, at("le_hi").toDouble),
+          hB = (at("h_lo").toDouble, at("h_hi").toDouble),
+          fB = (at("f_lo").toDouble, at("f_hi").toDouble),
+          ustar = at("ustar").toDouble,
+          cls = at("cls").split('|').toSeq,
+          gg = at("gg").split('|').toSeq,
+          z = at("z").toDouble)
+        cfg.site -> cfg
+      }.toMap
+    } finally src.close()
+  }
+}

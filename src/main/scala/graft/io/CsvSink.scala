@@ -1,0 +1,52 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** S7 — ordered single-file CSV sink with the reference's naming convention
+  * (reference src/AzureDataLakeAccess.py:473-486):
+  * `{Site}_{col}_AggregateQC_CY{wateryear}_{Ver}_{YYYYMMDD}.csv` under
+  * `output/{Site}/{col}/`.
+  *
+  * Fidelity wants one chronologically-ordered file per site-wateryear, so we
+  * accept the single-writer tail (`coalesce(1)`) — bounded at ~35k rows per
+  * site-WY (SURVEY.md §4.3). For lake-scale output use
+  * `df.write.partitionBy("site","wateryear").parquet(...)` instead; this sink
+  * is the compatibility path.
+  */
+object CsvSink {
+
+  private val ymd = DateTimeFormatter.ofPattern("yyyyMMdd")
+
+  /** Build the reference's aggregate filename (reference :479). */
+  def aggregateFileName(
+      site: String, table: String, waterYear: Int, ver: String,
+      today: LocalDate): String =
+    s"${site}_${table}_AggregateQC_CY${waterYear}_${ver}_${today.format(ymd)}.csv"
+
+  /** Write `df` as ONE ordered, headered CSV file at `outFile`. */
+  def writeSingleCsv(
+      df: DataFrame,
+      outFile: String,
+      orderCol: String = "TIMESTAMP"): Unit = {
+    val tmp = outFile + ".__tmp__"
+    df.orderBy(col(orderCol))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray
+      .map(_.toString).find(p => p.endsWith(".csv"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    Files.createDirectories(Paths.get(outFile).getParent)
+    Files.move(Paths.get(part), Paths.get(outFile),
+      StandardCopyOption.REPLACE_EXISTING)
+    // clean the temp dir (part checksum/_SUCCESS files)
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+}

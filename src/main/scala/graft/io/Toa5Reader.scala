@@ -1,0 +1,100 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+/** S1/S2/S3 — Campbell Scientific TOA5 logger-CSV source and the 1-header
+  * aggregated-CSV source (reference `Fast_Read`,
+  * src/AzureDataLakeAccess.py:67-105).
+  *
+  * TOA5 layout: physical line 0 is the environment record
+  * (`"TOA5","CookEast","CR6",...`), line 1 the column names, lines 2–3 the
+  * units/aggregation rows; data rows follow. The reference reads with
+  * `header=1, skiprows=[2,3], na_values='NAN'` (:74).
+  *
+  * Spark's CSV reader has no per-file "skip N lines" that survives file
+  * splitting, so the scalable approach is structural: read as text and keep
+  * exactly the rows whose first field is a timestamp — TOA5 header/units/agg
+  * rows never are. The filter and the `from_csv` parse are both
+  * codegen-friendly, line-parallel, and splittable; no `wholeTextFiles`, no
+  * driver-side preprocessing.
+  *
+  * Fidelity notes:
+  *   - `nullValue = "NAN"` maps the logger's `"NAN"` literal to null (:74).
+  *   - Unparseable data lines yield null fields (PERMISSIVE), matching the
+  *     reference's per-file try/except-skip tolerance (:73-76) at row grain.
+  *   - A `_source_file` column is exposed on demand for lineage (the
+  *     reference's filename-date logic, :303-312).
+  */
+object Toa5Reader {
+
+  /** `"2021-01-15 00:30:00",...` — a data row starts with an (optionally
+    * quoted) timestamp; header rows start with `"TOA5"`, `"TIMESTAMP"`,
+    * `"TS"`, `""`.
+    */
+  private val dataRowPattern = """^"?\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}.*"""
+
+  private val csvOptions = Map(
+    "nullValue" -> "NAN",
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss",
+    "mode" -> "PERMISSIVE")
+
+  /** Read raw TOA5 files (reference hdr=4 path, :67-90). `paths` may be
+    * globs; many files stream through one scan (S3's union comes free).
+    */
+  def readRaw(
+      spark: SparkSession,
+      paths: Seq[String],
+      schema: StructType,
+      withSourceFile: Boolean = false): DataFrame = {
+    require(paths.nonEmpty, "No Files in directory, check the path name.")
+    val lines = spark.read.text(paths: _*)
+    val parsed = lines
+      .filter(col("value").rlike(dataRowPattern))
+      .select(
+        from_csv(col("value"), schema, csvOptions).as("r"),
+        input_file_name().as("_source_file"))
+      .select((schema.fieldNames.map(f => col(s"r.`$f`")) :+
+        col("_source_file")).toIndexedSeq: _*)
+    if (withSourceFile) parsed else parsed.drop("_source_file")
+  }
+
+  /** Read a previously-written aggregate CSV (reference hdr=1 path,
+    * :91-105): one header line, explicit schema, no inference pass.
+    */
+  def readAggregated(
+      spark: SparkSession,
+      paths: Seq[String],
+      schema: StructType): DataFrame = {
+    require(paths.nonEmpty, "No Files in directory, check the path name.")
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("nullValue", "")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("mode", "PERMISSIVE")
+      .csv(paths: _*)
+  }
+
+  /** S10 — among files, pick the newest by the trailing `_YYYYMMDD` stem
+    * token (reference `get_latest_file`/`get_datetime_from_filename`,
+    * :291-312). Driver-side over a file listing.
+    */
+  def latestFile(files: Seq[String]): Option[String] = {
+    val stamped = files.flatMap { f =>
+      dateFromFilename(f).map(d => (d, f))
+    }
+    if (stamped.isEmpty) None else Some(stamped.maxBy(_._1.toEpochDay)._2)
+  }
+
+  /** Parse the ISO date from a `..._YYYYMMDD.csv` filename (reference :303-312). */
+  def dateFromFilename(path: String): Option[java.time.LocalDate] = {
+    val stem = new java.io.File(path).getName.replaceAll("\\.[^.]*$", "")
+    val tok = stem.split('_').lastOption.getOrElse("")
+    if (tok.matches("\\d{8}"))
+      Some(java.time.LocalDate.parse(tok,
+        java.time.format.DateTimeFormatter.BASIC_ISO_DATE))
+    else None
+  }
+}

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core time-series operators (SURVEY.md §2.3/§2.4).
+  *
+  * All operators are pure DataFrame transformations (Catalyst-optimizable,
+  * whole-stage-codegen-friendly) and are keyed by an optional `keys` list
+  * (e.g. `site`) so one plan scales out across sites × years instead of the
+  * reference's per-site driver loop.
+  */
+object TimeSeries {
+
+  /** Row-wise null count across `cols` as a single projection — the
+    * completeness score of the reference's dedup
+    * (`pd.isna(df).sum(1)`, reference src/AzureDataLakeAccess.py:51).
+    * One fold of `when`s, not N separate columns (SURVEY.md §7.4.4).
+    */
+  def nullCount(cols: Seq[String]): Column =
+    cols.map(c => when(col(c).isNull, 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+
+  /** D1 — dedup keep-most-complete.
+    *
+    * One row per (`keys`, `tsCol`); among duplicates prefer the lowest
+    * `recordCol`, then the row with the fewest nulls (reference `indx_fill`
+    * sorts by `['RECORD','nan_count']` ascending, NaN last, and keeps the
+    * first duplicate — src/AzureDataLakeAccess.py:50-54).
+    *
+    * Scale: shuffles once on (`keys`, ts) — the same hash partitioning the
+    * grid-fill join reuses, so dedup + regrid cost a single exchange of the
+    * big side.
+    */
+  def dedupKeepMostComplete(
+      df: DataFrame,
+      tsCol: String = "TIMESTAMP",
+      recordCol: String = "RECORD",
+      keys: Seq[String] = Nil): DataFrame = {
+    val dataCols = df.columns.filterNot(c => c == tsCol || keys.contains(c))
+    val w = Window
+      .partitionBy((keys :+ tsCol).map(col): _*)
+      .orderBy(
+        (if (df.columns.contains(recordCol))
+           Seq(col(recordCol).asc_nulls_last) else Nil) :+
+          nullCount(dataCols.toIndexedSeq).asc: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Midnight floor of a timestamp (pandas `.floor('D')`). */
+  def floorDay(c: Column): Column = date_trunc("DAY", c)
+
+  /** Midnight ceil (pandas `.ceil('D')`): identity when already midnight. */
+  def ceilDay(c: Column): Column = {
+    val fl = date_trunc("DAY", c)
+    when(fl === c, c).otherwise(fl + expr("INTERVAL 1 DAY"))
+  }
+
+  /** F3 — time-grid reindex / gap fill (the reference's signature operator,
+    * `indx_fill` src/AzureDataLakeAccess.py:57-59).
+    *
+    * Materializes the dense grid `[floor(min ts, day), ceil(max ts, day)]`
+    * at `stepSeconds` cadence per key group, left-joins the data onto it:
+    * absent timestamps become all-null rows and — matching pandas
+    * `reindex` — rows whose timestamp is NOT on the grid are dropped.
+    *
+    * Scale notes: the grid is generated per key with `sequence()` + explode
+    * (bounded by time span — ~35k rows per site-wateryear at 15-min cadence,
+    * independent of data volume); the join keys equal the dedup window keys
+    * so Spark reuses the existing hash partitioning of the big side and only
+    * the small grid side shuffles.
+    */
+  def regrid(
+      df: DataFrame,
+      stepSeconds: Long,
+      tsCol: String = "TIMESTAMP",
+      keys: Seq[String] = Nil): DataFrame = {
+    val keyCols = keys.map(col)
+    val bounds = df
+      .groupBy(keyCols: _*)
+      .agg(
+        floorDay(min(col(tsCol))).as("__start"),
+        ceilDay(max(col(tsCol))).as("__end"))
+    val grid = bounds.select(
+      keyCols :+ explode(
+        sequence(
+          col("__start"), col("__end"),
+          expr(s"INTERVAL $stepSeconds SECONDS"))).as(tsCol): _*)
+    grid.join(df, keys :+ tsCol, "left")
+  }
+
+  /** D4 — union by name with null fill for missing columns
+    * (`pd.concat(..., sort=False)`, reference src/AzureDataLakeAccess.py:458).
+    */
+  def unionMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
+  /** A1 — incremental aggregate: previous aggregate ∪ new raw batch →
+    * drop grid-padding rows (null RECORD) → dedup → regrid
+    * (reference `AccessAzure` src/AzureDataLakeAccess.py:449-462).
+    * Idempotent by construction: re-running over overlapping days dedups
+    * (quirk Q10 — the deliberate 1-day re-download overlap).
+    */
+  def mergeIncremental(
+      prev: Option[DataFrame],
+      fresh: DataFrame,
+      stepSeconds: Long,
+      tsCol: String = "TIMESTAMP",
+      recordCol: String = "RECORD",
+      keys: Seq[String] = Nil): DataFrame = {
+    val unioned = prev.map(unionMerge(_, fresh)).getOrElse(fresh)
+    val noPadding = unioned.na.drop(Seq(recordCol))
+    val deduped = dedupKeepMostComplete(noPadding, tsCol, recordCol, keys)
+    regrid(deduped, stepSeconds, tsCol, keys)
+  }
+
+  /** Shared window spec for all per-key time-ordered lags: every `diff`
+    * column must reuse ONE spec so Catalyst plans a single WindowExec
+    * (SURVEY.md §4.1).
+    */
+  def timeWindow(tsCol: String = "TIMESTAMP", keys: Seq[String] = Nil) =
+    Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+
+  /** W1 — step-to-step change, pandas `Series.diff()`
+    * (reference src/AzureDataLakeAccess.py:643 et al.). Null at the first
+    * row of each key group.
+    */
+  def lagDiff(c: Column, tsCol: String = "TIMESTAMP",
+      keys: Seq[String] = Nil): Column =
+    c - lag(c, 1).over(timeWindow(tsCol, keys))
+
+  /** W2 — daily tumbling mean (`resample('D').mean()`, reference
+    * src/AzureDataLakeAccess.py:644 et al.), kept at row grain via a
+    * day-partitioned window so masks stay row-aligned.
+    */
+  def dailyMean(c: Column, tsCol: String = "TIMESTAMP",
+      keys: Seq[String] = Nil): Column =
+    avg(c).over(Window.partitionBy(
+      (keys.map(col) :+ date_trunc("DAY", col(tsCol))): _*))
+}

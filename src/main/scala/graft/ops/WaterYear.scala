@@ -1,0 +1,42 @@
+package graft.ops
+
+import java.time.LocalDate
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Water-year (Oct 1 – Sep 30) calendar logic, reference `wateryear`
+  * (src/AzureDataLakeAccess.py:282-289) and the range invariants of
+  * `AccessAzure` (quirk Q9, :385-394, :412-415).
+  */
+object WaterYear {
+
+  /** Column form: month < 10 → year, else year + 1. Pure built-ins — no UDF. */
+  def waterYear(d: Column): Column =
+    when(month(d) < 10, year(d)).otherwise(year(d) + 1)
+
+  /** Driver-side scalar form. */
+  def of(d: LocalDate): Int =
+    if (d.getMonthValue < 10) d.getYear else d.getYear + 1
+
+  /** Oct 1 preceding the water year (reference :330-332). */
+  def firstDate(wy: Int): LocalDate = LocalDate.of(wy - 1, 10, 1)
+
+  /** Sep 30 closing the water year (reference :324-327). */
+  def lastDate(wy: Int): LocalDate = LocalDate.of(wy, 9, 30)
+
+  /** The reference refuses ranges spanning water years
+    * (src/AzureDataLakeAccess.py:393-394) — aggregates are WY-scoped files.
+    */
+  def validateRange(start: LocalDate, end: LocalDate): Unit = {
+    require(!end.isBefore(start), s"end $end before start $start")
+    require(of(start) == of(end),
+      s"Date range cannot span water years: $start (WY ${of(start)}) .. " +
+        s"$end (WY ${of(end)})")
+  }
+
+  /** Clamp an end date into its start's water year (reference :363, :415). */
+  def clampToWaterYear(start: LocalDate, end: LocalDate): LocalDate = {
+    val wyEnd = lastDate(of(start))
+    if (end.isAfter(wyEnd)) wyEnd else end
+  }
+}

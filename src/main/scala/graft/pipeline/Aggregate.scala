@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.config.SiteConfig
+import graft.io.{CsvSink, Toa5Reader}
+import graft.ops.{TimeSeries, WaterYear}
+import graft.qc.Qc
+import graft.schema.Schemas
+
+/** §3.1 — the flagship pipeline: the reference's `AccessAzure`
+  * (src/AzureDataLakeAccess.py:334-494) as one composable function.
+  *
+  *   1. resolve date range / water year (driver-side, quirks Q9/Q10)
+  *   2. read newest prior aggregate (S2 + S10)
+  *   3. read new raw TOA5 batch (S1/S3)
+  *   4. merge: union-by-name → drop null-RECORD padding → dedup-most-
+  *      complete → time-grid fill (D4, P5, D1, F3)
+  *   5. optional QC (Grade_cs + METQC for Flux; METQC for Met)
+  *   6. ordered CSV sink with the reference filename convention (S7)
+  *
+  * The Azure download/upload steps (S5/S8) vanish: Spark reads/writes the
+  * lake directly (`abfss://` paths work wherever local paths do).
+  */
+object Aggregate {
+
+  /** Table cadences (reference src/LTARCAFTowerReport.py:24-25). */
+  def stepSeconds(table: String): Long = table match {
+    case "Flux" => 30 * 60
+    case "Met"  => 15 * 60
+    case other  => throw new IllegalArgumentException(s"unknown table: $other")
+  }
+
+  final case class Result(df: DataFrame, waterYear: Int)
+
+  /** Run the aggregate pipeline for one (site, table).
+    *
+    * @param rawPaths   new-raw TOA5 files/globs (already date-filtered by
+    *                   the caller's listing, mirroring the reference's
+    *                   filename-date predicate)
+    * @param priorAggregates candidate previous aggregate CSVs; the newest by
+    *                   trailing `_YYYYMMDD` is used (S10)
+    * @param qc         run the QC stage (the reference driver currently
+    *                   passes QC=False — src/LTARCAFTowerReport.py:82)
+    * @param endDate    labels the output water year (reference :475)
+    */
+  def run(
+      spark: SparkSession,
+      table: String,
+      cfg: SiteConfig,
+      rawPaths: Seq[String],
+      priorAggregates: Seq[String] = Nil,
+      qc: Boolean = true,
+      endDate: LocalDate = LocalDate.now()): Result = {
+
+    val rawSchema = Schemas(s"${table}Raw")
+    val aggSchema = Schemas(s"${table}Aggregated")
+
+    val prev = Toa5Reader.latestFile(priorAggregates)
+      .map(f => Toa5Reader.readAggregated(spark, Seq(f), aggSchema)
+        // prior QC columns are recomputed downstream; keep the raw surface
+        .select(rawSchema.fieldNames.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*))
+
+    val fresh = Toa5Reader.readRaw(spark, rawPaths, rawSchema)
+
+    val merged = TimeSeries.mergeIncremental(
+      prev, fresh, stepSeconds(table))
+
+    val out = if (qc) Qc.qcFor(merged, table, cfg) else merged
+    Result(out, WaterYear.of(endDate))
+  }
+
+  /** S7 — write the aggregate with the reference's filename convention. */
+  def save(
+      result: Result, outputDir: String, site: String, table: String,
+      ver: String, today: LocalDate = LocalDate.now()): String = {
+    val fname = CsvSink.aggregateFileName(
+      site, table, result.waterYear, ver, today)
+    val path = s"$outputDir/$site/$table/$fname"
+    CsvSink.writeSingleCsv(result.df, path)
+    path
+  }
+}

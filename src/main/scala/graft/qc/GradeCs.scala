@@ -1,0 +1,94 @@
+package graft.qc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.config.SiteConfig
+
+/** Q-B — `Grade_cs` flux grading (reference
+  * src/AzureDataLakeAccess.py:532-615).
+  *
+  * For each flux k ∈ (H, LE, Fc) — physical names from `cfg.cls`, grade
+  * columns from `cfg.gg` — emits:
+  *
+  *   - `{H,LE,Fc}_Flags`: a positional-digit string; digits are appended in
+  *     the reference's exact order (quirk Q3) and only for checks whose
+  *     input column exists in the schema:
+  *     [hard-limit, turbulence-grade, precip?, co2-signal?, h2o-signal?,
+  *      sonic-samples?, irga-samples?, door?] — '1' = check failed.
+  *   - `{cls(k)}_Graded`: the flux value, nulled where the combined `Good`
+  *     mask fails. Good (door present, :605-609) =
+  *     precip & grade & door & ¬HL & co2sig & h2osig & (sonic | irga);
+  *     without door = grade & ¬HL & (sonic | irga).
+  *
+  * Quirk Q4: the reference crashes (NameError) when sample/sig columns are
+  * absent; here absent checks pass (`lit(true)`) — documented divergence.
+  * Null handling matches pandas: a null input fails its check (comparisons
+  * with NaN are False), and a null flux value IS a hard-limit failure
+  * (`isnull` is OR'd into HL, :550-554).
+  */
+object GradeCs {
+
+  private val flagCols = Seq("H_Flags", "LE_Flags", "Fc_Flags")
+
+  /** 80% of 18,000 samples (10 Hz × 30 min) — reference :587, :593. */
+  val MinSamples = 14400
+
+  def apply(df: DataFrame, cfg: SiteConfig): DataFrame = {
+    val has = df.columns.toSet
+    def in(name: String): Column = col(name).cast("double")
+
+    val bounds = Seq(cfg.hB, cfg.leB, cfg.fB) // positional: H, LE, Fc (:550-554)
+
+    // presence-dependent shared checks (computed once, reused per k)
+    val precipOpt = if (has("Precipitation_Tot"))
+      Some(coalesce(in("Precipitation_Tot") < 0.001, lit(false))) else None
+    val cSigOpt = if (has("CO2_sig_strgth_Min"))
+      Some(coalesce(in("CO2_sig_strgth_Min") > 0.7, lit(false))) else None
+    val wSigOpt = if (has("H2O_sig_strgth_Min"))
+      Some(coalesce(in("H2O_sig_strgth_Min") > 0.7, lit(false))) else None
+    val sonicOpt = if (has("sonic_samples_Tot"))
+      Some(coalesce(in("sonic_samples_Tot") > MinSamples, lit(false))) else None
+    val irgaOpt = if (has("Fc_samples_Tot"))
+      Some(coalesce(in("Fc_samples_Tot") > MinSamples, lit(false))) else None
+    val doorOpt = if (has("door_is_open_Hst"))
+      Some(coalesce(in("door_is_open_Hst") === 0d, lit(false))) else None
+
+    def digit(pass: Column): Column = when(pass, "0").otherwise("1")
+
+    (0 until 3).foldLeft(df) { (acc, k) =>
+      val flux = cfg.cls(k)
+      val (lo, hi) = bounds(k)
+      val v = in(flux)
+      // HL = out-of-bounds OR null (:550-554); true = FAIL
+      val hl = coalesce(v < lo, lit(false)) ||
+        coalesce(v > hi, lit(false)) || v.isNull
+      val grade = coalesce(in(cfg.gg(k)) <= cfg.grade, lit(false))
+
+      // flag string: sequential digit appends, presence-dependent (Q3)
+      val digits: Seq[Column] =
+        Seq(digit(!hl), digit(grade)) ++
+          precipOpt.map(digit) ++ cSigOpt.map(digit) ++ wSigOpt.map(digit) ++
+          sonicOpt.map(digit) ++ irgaOpt.map(digit) ++ doorOpt.map(digit)
+      val flags = concat(digits: _*)
+
+      // combined Good mask (:605-609); absent checks pass (Q4 divergence)
+      val samples = (sonicOpt, irgaOpt) match {
+        case (Some(s), Some(i)) => s || i
+        case (Some(s), None)    => s
+        case (None, Some(i))    => i
+        case _                  => lit(true)
+      }
+      val good = doorOpt match {
+        case Some(door) =>
+          precipOpt.getOrElse(lit(true)) && grade && door && !hl &&
+            cSigOpt.getOrElse(lit(true)) && wSigOpt.getOrElse(lit(true)) &&
+            samples
+        case None => grade && !hl && samples
+      }
+
+      acc
+        .withColumn(s"${flux}_Graded", when(good, col(flux)))
+        .withColumn(flagCols(k), flags)
+    }
+  }
+}

@@ -1,0 +1,238 @@
+package graft.qc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.TimeSeries
+
+/** Q-C — `Met_QAQC` meteorology QC (reference
+  * src/AzureDataLakeAccess.py:637-804), as one `withColumns` block of pure
+  * built-in Column expressions — no UDFs, fully codegen'd.
+  *
+  * Per variable: `{v}_Hard_Limit` (bounds pass), `{v}_Change` (step-change
+  * pass), for some `{v}_Day_Change`, and `{v}_Filtered` (value where all
+  * masks pass, else null). Reference-compatible semantics are encoded
+  * deliberately (SURVEY.md §2.6):
+  *
+  *   - Q1: every `*_Day_Change` in the reference is all-True (a missing `()`
+  *     turns the daily-mean check into `bound-method != 0`). Default mode
+  *     reproduces `lit(true)`; `dayChangeIntent = true` implements the
+  *     written intent (daily-mean flatline detection).
+  *   - Q2: `Tair_Change` is `~(diff >= 15) & (diff != 0)` — the `~` binds
+  *     the comparison, so the negative-spike bound is dropped, and a null
+  *     diff (first row) PASSES. All other variables use `(diff <= bound)`
+  *     [no `~`], where a null diff FAILS; `WD` checks only `diff != 0`;
+  *     `PAR` only `diff <= 1500`. Reproduced exactly, per variable.
+  *   - RH clamp: `RH_Filtered` values in [100, 103] → 100 (reference :660;
+  *     the pandas value-list `replace` artifact that can also rewrite NaNs
+  *     is NOT reproduced — intent clamp only, documented divergence).
+  *   - Q7 precip gating: nonzero precip survives only when RH_Filtered ≥ 90
+  *     and not (Tair_Filtered < 0); everything else → 0 in compat mode
+  *     (the reference's NaN→0 `replace` fires for every NaN once any
+  *     zero-precip row exists — effectively always). `strictReplace = true`
+  *     restores zeros only at actual zero rows and keeps filtered-out rows
+  *     null.
+  */
+object MetQaqc {
+
+  /** Input column names for the met variables (reference `Met_QAQC` kwargs).
+    * `None` = variable absent (reference prints a warning and skips).
+    */
+  final case class MetColumns(
+      tair: Option[String] = None,
+      rh: Option[String] = None,
+      p: Option[String] = None,
+      ws: Option[String] = None,
+      wd: Option[String] = None,
+      precip: Option[String] = None,
+      par: Option[String] = None,
+      rn: Option[String] = None,
+      vpd: Option[String] = None,
+      e: Option[String] = None,
+      eS: Option[String] = None)
+
+  /** Every column name Met_QAQC may emit, in reference emission order. */
+  val outputColumns: Seq[String] = Seq(
+    "Tair_Hard_Limit", "Tair_Change", "Tair_Day_Change", "Tair_Filtered",
+    "RH_Hard_Limit", "RH_gt_100", "RH_Change", "RH_Day_Change", "RH_Filtered",
+    "P_Hard_Limit", "P_Change", "P_Filtered",
+    "MSLP", "MSLP_Hard_Limit", "MSLP_Change", "MSLP_Filtered",
+    "WS_Hard_Limit", "WS_Change", "WS_Day_Change", "WS_Filtered",
+    "WD_Hard_Limit", "WD_Change", "WD_Filtered",
+    "PAR_Hard_Limit", "PAR_Change", "PAR_Day_Change", "PAR_Filtered",
+    "Rn_Hard_Limit", "Rn_Change", "Rn_Day_Change", "Rn_Filtered",
+    "Precip_Hard_Limit", "Precip_RH_gt_90", "Precip_Tair_lt_Zero",
+    "Precip_Filtered",
+    "VPD_Hard_Limit", "VPD_Change", "VPD_Day_Change", "VPD_Filtered",
+    "e_Hard_Limit", "e_Change", "e_Day_Change", "e_Filtered",
+    "e_s_Hard_Limit", "e_s_Change", "e_s_Day_Change", "e_s_Filtered")
+
+  /** Bounds pass: null value fails (pandas NaN comparisons are False). */
+  private def hardLimit(v: Column, lo: Double, hi: Double,
+      loStrict: Boolean = false, hiStrict: Boolean = false): Column = {
+    val loOk = if (loStrict) v > lo else v >= lo
+    val hiOk = if (hiStrict) v < hi else v <= hi
+    coalesce(loOk && hiOk, lit(false))
+  }
+
+  /** `(diff <= bound) [& (diff != 0)]` — null diff FAILS the bound check
+    * (`NaN <= b` is False in pandas) but PASSES `!= 0` (`NaN != 0` is True).
+    */
+  private def changeLe(d: Column, bound: Double,
+      requireNonZero: Boolean = true): Column = {
+    val le = coalesce(d <= bound, lit(false))
+    if (requireNonZero) le && coalesce(d =!= 0d, lit(true)) else le
+  }
+
+  /** Tair's quirk-Q2 form: `~(diff >= 15) & (diff != 0)` — null diff passes
+    * both terms; a −20 step passes (negative bound dropped).
+    */
+  private def changeTair(d: Column): Column =
+    !coalesce(d >= 15d, lit(false)) && coalesce(d =!= 0d, lit(true))
+
+  def apply(
+      df: DataFrame,
+      cols: MetColumns,
+      z: Double = 0.777,
+      tsCol: String = "TIMESTAMP",
+      keys: Seq[String] = Nil,
+      dayChangeIntent: Boolean = false,
+      strictReplace: Boolean = false): DataFrame = {
+
+    def in(name: String): Column = col(name).cast("double")
+    def diff(name: String): Column = TimeSeries.lagDiff(in(name), tsCol, keys)
+
+    /** Q1: reference-compatible Day_Change is all-True; intent mode checks
+      * whether the daily mean differs from the previous calendar day's
+      * (a pure range-window — no extra join).
+      */
+    def dayChange(name: String): Column =
+      if (!dayChangeIntent) lit(true)
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val dayNum = datediff(col(tsCol), lit("1970-01-01"))
+        val dm = avg(in(name)).over(
+          Window.partitionBy((keys.map(col) :+ dayNum): _*))
+        val prevDm = avg(in(name)).over(
+          Window.partitionBy(keys.map(col): _*).orderBy(dayNum)
+            .rangeBetween(-1, -1))
+        coalesce(dm =!= prevDm, lit(true))
+      }
+
+    var out = df
+    def emit(name: String, c: Column): Unit = { out = out.withColumn(name, c) }
+
+    // ---- Tair (:639-646)
+    cols.tair.foreach { t =>
+      emit("Tair_Hard_Limit", hardLimit(in(t), -40, 50))
+      emit("Tair_Change", changeTair(diff(t)))
+      emit("Tair_Day_Change", dayChange(t))
+      emit("Tair_Filtered",
+        when(col("Tair_Hard_Limit") && col("Tair_Change") &&
+          col("Tair_Day_Change"), in(t)))
+    }
+
+    // ---- RH (:650-663)
+    cols.rh.foreach { r =>
+      emit("RH_Hard_Limit", hardLimit(in(r), 0, 103))
+      emit("RH_gt_100", coalesce(in(r) >= 100 && in(r) <= 103, lit(false)))
+      emit("RH_Change", changeLe(diff(r), 50))
+      emit("RH_Day_Change", dayChange(r))
+      val filtered = when(col("RH_Hard_Limit") && col("RH_Change") &&
+        col("RH_Day_Change"), in(r))
+      // clamp [100,103] → 100 (reference :660-661)
+      emit("RH_Filtered",
+        when(filtered >= 100 && filtered <= 103, 100d).otherwise(filtered))
+    }
+
+    // ---- P + derived MSLP (:667-688)
+    cols.p.foreach { p =>
+      emit("P_Hard_Limit", hardLimit(in(p), 80, 100))
+      emit("P_Change", changeLe(diff(p), 3.1))
+      emit("P_Filtered", when(col("P_Hard_Limit") && col("P_Change"), in(p)))
+      cols.tair.foreach { t =>
+        // scale height H = 8.314 (Tair+273.15) / (0.029 · 9.81) / 1000 [km];
+        // MSLP = P / exp(−z/H)   (reference :678-680)
+        val h = (lit(8.314) * (in(t) + 273.15)) / (0.029 * 9.81) / 1000d
+        emit("MSLP", in(p) / exp(lit(-z) / h))
+        emit("MSLP_Hard_Limit", hardLimit(col("MSLP"), 80, 110))
+        emit("MSLP_Change",
+          changeLe(TimeSeries.lagDiff(col("MSLP"), tsCol, keys), 31))
+        emit("MSLP_Filtered",
+          when(col("MSLP_Hard_Limit") && col("MSLP_Change"), col("MSLP")))
+      }
+    }
+
+    // ---- WS (:693-702)
+    cols.ws.foreach { w =>
+      emit("WS_Hard_Limit", hardLimit(in(w), 0, 60, hiStrict = true))
+      emit("WS_Change", changeLe(diff(w), 15))
+      emit("WS_Day_Change", dayChange(w))
+      emit("WS_Filtered", when(col("WS_Hard_Limit") && col("WS_Change") &&
+        col("WS_Day_Change"), in(w)))
+    }
+
+    // ---- WD (:706-714) — change check is only `diff != 0`
+    cols.wd.foreach { w =>
+      emit("WD_Hard_Limit", hardLimit(in(w), 0, 360, hiStrict = true))
+      emit("WD_Change", coalesce(diff(w) =!= 0d, lit(true)))
+      emit("WD_Filtered",
+        when(col("WD_Hard_Limit") && col("WD_Change"), in(w)))
+    }
+
+    // ---- PAR (:718-727) — change check has no `!= 0` term
+    cols.par.foreach { p =>
+      emit("PAR_Hard_Limit", hardLimit(in(p), 0, 5000, hiStrict = true))
+      emit("PAR_Change", changeLe(diff(p), 1500, requireNonZero = false))
+      emit("PAR_Day_Change", dayChange(p))
+      emit("PAR_Filtered", when(col("PAR_Hard_Limit") && col("PAR_Change") &&
+        col("PAR_Day_Change"), in(p)))
+    }
+
+    // ---- Rn (:731-740)
+    cols.rn.foreach { r =>
+      emit("Rn_Hard_Limit", hardLimit(in(r), -150, 1500))
+      emit("Rn_Change", changeLe(diff(r), 500))
+      emit("Rn_Day_Change", dayChange(r))
+      emit("Rn_Filtered", when(col("Rn_Hard_Limit") && col("Rn_Change") &&
+        col("Rn_Day_Change"), in(r)))
+    }
+
+    // ---- Precip (:744-770) — cross-checks against the already-filtered
+    // RH/Tair series (quirk Q7)
+    cols.precip.foreach { pr =>
+      emit("Precip_Hard_Limit", hardLimit(in(pr), 0, 100, hiStrict = true))
+      val hasRh = cols.rh.isDefined
+      val hasTair = cols.tair.isDefined
+      if (hasRh)
+        emit("Precip_RH_gt_90",
+          coalesce(in(pr) > 0 && col("RH_Filtered") >= 90, lit(false)))
+      if (hasTair)
+        emit("Precip_Tair_lt_Zero",
+          coalesce(in(pr) > 0 && col("Tair_Filtered") < 0, lit(false)))
+      val pass = Seq(
+        Some(col("Precip_Hard_Limit")),
+        if (hasRh) Some(col("Precip_RH_gt_90")) else None,
+        if (hasTair) Some(!col("Precip_Tair_lt_Zero")) else None
+      ).flatten.reduce(_ && _)
+      val kept = when(pass, in(pr))
+      emit("Precip_Filtered",
+        if (strictReplace) when(pass, in(pr)).otherwise(when(in(pr) === 0d, 0d))
+        else coalesce(kept, lit(0d)))
+    }
+
+    // ---- VPD / e / e_s (:774-803)
+    Seq(("VPD", cols.vpd), ("e", cols.e), ("e_s", cols.eS)).foreach {
+      case (nm, colOpt) =>
+        colOpt.foreach { c =>
+          emit(s"${nm}_Hard_Limit", hardLimit(in(c), 0, 50, hiStrict = true))
+          emit(s"${nm}_Change", changeLe(diff(c), 10))
+          emit(s"${nm}_Day_Change", dayChange(c))
+          emit(s"${nm}_Filtered",
+            when(col(s"${nm}_Hard_Limit") && col(s"${nm}_Change") &&
+              col(s"${nm}_Day_Change"), in(c)))
+        }
+    }
+
+    out
+  }
+}

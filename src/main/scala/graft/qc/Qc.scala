@@ -1,0 +1,62 @@
+package graft.qc
+
+import org.apache.spark.sql.DataFrame
+import graft.config.SiteConfig
+
+/** Q-D/Q-E — `METQC` wrapper and the flux/met QC composition
+  * (reference src/AzureDataLakeAccess.py:619-634, :465-472).
+  *
+  * The Flux and Met tables name the vapor-pressure columns differently
+  * (`e_Avg`/`e_sat_Avg` vs `e`/`e_sat`, :622-628); station elevation is
+  * fixed at z = 0.777 km (:625). Re-QC of an already-aggregated table drops
+  * the previous QC output columns before recomputing (:629-632).
+  */
+object Qc {
+
+  /** Column mapping for `Met_QAQC` per table kind (reference :622-628). */
+  def metColumnsFor(table: String): MetQaqc.MetColumns = {
+    val base = MetQaqc.MetColumns(
+      tair = Some("amb_tmpr_Avg"),
+      rh = Some("RH_Avg"),
+      p = Some("amb_press_Avg"),
+      ws = Some("rslt_wnd_spd"),
+      wd = Some("wnd_dir_compass"),
+      precip = Some("Precipitation_Tot"),
+      par = Some("PAR_density_Avg"),
+      rn = Some("Rn_meas_Avg"),
+      vpd = Some("VPD_air"))
+    table match {
+      case "Flux" => base.copy(e = Some("e_Avg"), eS = Some("e_sat_Avg"))
+      case "Met"  => base.copy(e = Some("e"), eS = Some("e_sat"))
+      case other  => throw new IllegalArgumentException(s"unknown table: $other")
+    }
+  }
+
+  /** METQC: drop any previous QC output (re-QC path), then append fresh
+    * Met_QAQC columns in place — the reference's index-aligned
+    * `pd.concat(axis=1)` disappears into `withColumn`s (SURVEY.md §2.3 D5).
+    */
+  def metQc(df: DataFrame, table: String, z: Double = 0.777,
+      tsCol: String = "TIMESTAMP", keys: Seq[String] = Nil,
+      dayChangeIntent: Boolean = false,
+      strictReplace: Boolean = false): DataFrame = {
+    val cleaned =
+      if (df.columns.contains("Tair_Filtered"))
+        df.drop(MetQaqc.outputColumns: _*)
+      else df
+    MetQaqc(cleaned, metColumnsFor(table), z, tsCol, keys,
+      dayChangeIntent, strictReplace)
+  }
+
+  /** Q-E composition (reference `AccessAzure` :465-472): Flux tables get
+    * `Grade_cs` then `METQC` (flux tables embed the met block); Met tables
+    * get only `METQC`.
+    */
+  def qcFor(df: DataFrame, table: String, cfg: SiteConfig,
+      tsCol: String = "TIMESTAMP", keys: Seq[String] = Nil): DataFrame =
+    table match {
+      case "Flux" => metQc(GradeCs(df, cfg), table, cfg.z, tsCol, keys)
+      case "Met"  => metQc(df, table, cfg.z, tsCol, keys)
+      case other  => throw new IllegalArgumentException(s"unknown table: $other")
+    }
+}

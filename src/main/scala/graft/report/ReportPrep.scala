@@ -1,0 +1,54 @@
+package graft.report
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Toa5Reader
+import graft.schema.Schemas
+
+/** §3.2 — data prep for the tower report (reference
+  * src/TowerReportPlots.py:18-128). The matplotlib/PDF rendering itself is
+  * out of engine scope (SURVEY.md §2.1 S11): the engine's job is the data —
+  * newest aggregate per station, sanity date filters, the trailing-N-day
+  * window, and the plotted column groups — ending in a tiny `collect()`able
+  * frame (≤ ~480 rows × ~20 of ~250 columns; column pruning reaches the
+  * scan).
+  */
+object ReportPrep {
+
+  /** The plotted variable groups (reference :75-85). */
+  val variableGroups: Map[String, Seq[String]] = Map(
+    "Fluxes" -> Seq("Fc_molar", "LE", "H"),
+    "Met" -> Seq("amb_tmpr_Avg", "RH_Avg", "amb_press_Avg",
+      "Precipitation_Tot"),
+    "Wind" -> Seq("rslt_wnd_spd", "wnd_dir_compass"),
+    "Radiation" -> Seq("PAR_density_Avg", "Rn_meas_Avg"),
+    "Humidity" -> Seq("VPD_air", "e_Avg", "e_sat_Avg"))
+
+  /** Read the newest aggregate for a station and slice the last `days`
+    * anchored at the series' own max timestamp (reference :46-62):
+    * open-range sanity filters, then `[max − days, max]`.
+    */
+  def lastDays(
+      spark: SparkSession,
+      aggregateFiles: Seq[String],
+      table: String = "Flux",
+      days: Int = 10,
+      notBefore: Option[String] = None): DataFrame = {
+    val latest = Toa5Reader.latestFile(aggregateFiles)
+      .getOrElse(throw new IllegalArgumentException("no aggregate files"))
+    val df0 = Toa5Reader.readAggregated(
+      spark, Seq(latest), Schemas(s"${table}Aggregated"))
+    val df = notBefore.fold(df0)(d => df0.filter(col("TIMESTAMP") > lit(d)))
+    // anchor = max(TIMESTAMP): a scalar agg, then a between-filter (P4/W3)
+    df.join(
+        df.agg(max(col("TIMESTAMP")).as("__anchor")),
+        expr(s"TIMESTAMP BETWEEN __anchor - INTERVAL $days DAYS AND __anchor"))
+      .drop("__anchor")
+  }
+
+  /** Project one plot group's columns (P1), keeping only those present. */
+  def group(df: DataFrame, groupName: String): DataFrame = {
+    val want = variableGroups(groupName).filter(df.columns.contains)
+    df.select(("TIMESTAMP" +: want).map(col): _*)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Dataset-type schema registry.
+  *
+  * Re-expresses the reference's hand-written dtype registry
+  * (`get_dtypes`, reference src/AzureDataLakeAccess.py:806-1719) as Spark
+  * `StructType`s. Type mapping (SURVEY.md §1.2):
+  *   - pandas `float`          → `DoubleType` (nullable)
+  *   - pandas `'Int64'`        → `LongType` (nullable) — RECORD, `*_samples_Tot`,
+  *                               `*_qc_grade`, door histogram
+  *   - pandas `object` / `str` → `StringType`
+  *   - `TIMESTAMP` index       → `TimestampType` column (event time)
+  *
+  * The reference registry enumerates ~190 columns for `FluxRaw_V40826`; this
+  * registry carries the full QC-load-bearing surface (every column any operator
+  * reads: fluxes + grades + samples + signal strengths + door + the met block)
+  * and composes the *Aggregated* schemas programmatically as
+  * raw ++ QC-output columns — mirroring how the reference's aggregated dtypes
+  * are raw dtypes + QC columns (src/AzureDataLakeAccess.py:1151-1448).
+  * Additional passthrough sensor columns are schema-on-read: `Toa5Reader`
+  * accepts any user StructType, so wider logger programs drop in unchanged.
+  */
+object Schemas {
+
+  private def d(n: String)  = StructField(n, DoubleType,    nullable = true)
+  private def l(n: String)  = StructField(n, LongType,      nullable = true)
+  private def s(n: String)  = StructField(n, StringType,    nullable = true)
+  private def b(n: String)  = StructField(n, BooleanType,   nullable = true)
+  private def ts(n: String) = StructField(n, TimestampType, nullable = true)
+
+  /** Raw 30-min flux table (reference `FluxRaw_V40826`,
+    * src/AzureDataLakeAccess.py:809-1054 — QC-relevant surface).
+    */
+  val fluxRaw: StructType = StructType(Seq(
+    ts("TIMESTAMP"), l("RECORD"),
+    // fluxes + turbulence grades (read by Grade_cs, :532-615)
+    d("Fc_molar"), d("Fc_mass"), l("Fc_qc_grade"),
+    d("LE"), l("LE_qc_grade"),
+    d("H"), l("H_qc_grade"),
+    d("tau"), l("tau_qc_grade"), d("u_star"),
+    // sample coverage + signal strength + door (Grade_cs digit checks)
+    l("H_samples_Tot"), l("LE_samples_Tot"), l("Fc_samples_Tot"),
+    l("sonic_samples_Tot"),
+    d("CO2_sig_strgth_Min"), d("H2O_sig_strgth_Min"),
+    l("door_is_open_Hst"),
+    // met block (read by METQC('Flux'), :622-625)
+    d("Precipitation_Tot"), d("amb_tmpr_Avg"), d("RH_Avg"), d("amb_press_Avg"),
+    d("rslt_wnd_spd"), d("wnd_dir_compass"), d("PAR_density_Avg"),
+    d("Rn_meas_Avg"), d("VPD_air"), d("e_Avg"), d("e_sat_Avg"),
+    // representative extras from the V40826 set (:888-1054)
+    d("Rn_Avg"), d("G_surface"), d("energy_closure"), d("Bowen_ratio"),
+    d("TKE"), d("T_star"), d("batt_volt_Avg"), d("panel_tmpr_Avg"),
+    s("FP_Equation"), d("FP_max"), d("FP_90"),
+  ) ++ (1 to 6).flatMap(i => Seq(
+    d(s"profile_tdr31X_wc_Avg($i)"), d(s"profile_tdr31X_ec_Avg($i)"),
+    d(s"profile_tdr31X_tmpr_Avg($i)"))))
+
+  /** Raw 15-min met table (reference `MetRaw_V40826`,
+    * src/AzureDataLakeAccess.py:1546-1601).
+    */
+  val metRaw: StructType = StructType(Seq(
+    ts("TIMESTAMP"), l("RECORD"),
+    d("amb_tmpr_Avg"), d("rslt_wnd_spd"), d("wnd_dir_compass"), d("RH_Avg"),
+    d("Precipitation_Tot"), d("amb_press_Avg"), d("PAR_density_Avg"),
+    d("Rn_meas_Avg"), d("VPD_air"), d("e"), d("e_sat"), d("std_wnd_dir"),
+    d("batt_volt_Avg"), d("panel_tmpr_Avg"), d("Tsoil_Avg"),
+    d("tdr31X_wc_Avg"), d("tdr31X_ec_Avg"), d("tdr31X_tmpr_Avg"),
+    d("shf_plate_avg"), d("SHFP_1_SENS"),
+  ) ++ (1 to 6).flatMap(i => Seq(
+    d(s"profile_tdr31X_wc_Avg($i)"), d(s"profile_tdr31X_ec_Avg($i)"),
+    d(s"profile_tdr31X_tmpr_Avg($i)"))))
+
+  /** QC output columns appended by Met_QAQC (reference
+    * src/AzureDataLakeAccess.py:637-804): per variable
+    * `{var}_Hard_Limit, {var}_Change[, {var}_Day_Change], {var}_Filtered`,
+    * plus RH's `RH_gt_100`, derived `MSLP*`, precip cross-checks.
+    * Mask columns are BooleanType here (the reference stores them as
+    * `object`; write as strings at the CSV sink for byte fidelity).
+    */
+  val metQcColumns: Seq[StructField] = Seq(
+    b("Tair_Hard_Limit"), b("Tair_Change"), b("Tair_Day_Change"), d("Tair_Filtered"),
+    b("RH_Hard_Limit"), b("RH_gt_100"), b("RH_Change"), b("RH_Day_Change"), d("RH_Filtered"),
+    b("P_Hard_Limit"), b("P_Change"), d("P_Filtered"),
+    d("MSLP"), b("MSLP_Hard_Limit"), b("MSLP_Change"), d("MSLP_Filtered"),
+    b("WS_Hard_Limit"), b("WS_Change"), b("WS_Day_Change"), d("WS_Filtered"),
+    b("WD_Hard_Limit"), b("WD_Change"), d("WD_Filtered"),
+    b("PAR_Hard_Limit"), b("PAR_Change"), b("PAR_Day_Change"), d("PAR_Filtered"),
+    b("Rn_Hard_Limit"), b("Rn_Change"), b("Rn_Day_Change"), d("Rn_Filtered"),
+    b("Precip_Hard_Limit"), b("Precip_RH_gt_90"), b("Precip_Tair_lt_Zero"), d("Precip_Filtered"),
+    b("VPD_Hard_Limit"), b("VPD_Change"), b("VPD_Day_Change"), d("VPD_Filtered"),
+    b("e_Hard_Limit"), b("e_Change"), b("e_Day_Change"), d("e_Filtered"),
+    b("e_s_Hard_Limit"), b("e_s_Change"), b("e_s_Day_Change"), d("e_s_Filtered"),
+  )
+
+  /** Flag/graded columns appended by Grade_cs (reference
+    * src/AzureDataLakeAccess.py:532-615): positional-digit flag strings and
+    * `*_Graded` copies.
+    */
+  val gradeCsColumns: Seq[StructField] = Seq(
+    s("H_Flags"), s("LE_Flags"), s("Fc_Flags"),
+    d("H_Graded"), d("LE_Graded"), d("Fc_molar_Graded"),
+  )
+
+  /** Aggregated = raw + QC outputs (reference `FluxAggregated_V40826`,
+    * src/AzureDataLakeAccess.py:1151-1448).
+    */
+  val fluxAggregated: StructType =
+    StructType(fluxRaw.fields ++ gradeCsColumns ++ metQcColumns)
+
+  /** Aggregated met (reference `MetAggregated`, src/AzureDataLakeAccess.py:1661-1717). */
+  val metAggregated: StructType =
+    StructType(metRaw.fields ++ metQcColumns)
+
+  /** Registry lookup keyed like the reference's `get_dtypes(dataset_type)`. */
+  def apply(datasetType: String): StructType = datasetType match {
+    case "FluxRaw" | "FluxRaw_V40826"               => fluxRaw
+    case "MetRaw" | "MetRaw_V40826"                 => metRaw
+    case "FluxAggregated" | "FluxAggregated_V40826" => fluxAggregated
+    case "MetAggregated"                            => metAggregated
+    case other =>
+      throw new IllegalArgumentException(s"unknown dataset type: $other")
+  }
+}

