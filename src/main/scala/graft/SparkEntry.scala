@@ -262,6 +262,128 @@ object SparkEntry {
         recordCol = "record")
         .orderBy(col("ts"), col("record"))
     },
+
+    // ---- extension operators: training-data pipeline ----
+
+    // exact dedup — hash-groupBy on normalized-content fingerprint
+    "q16_dedup_exact" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val dups = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(dups)
+      graft.dedup.Dedup.exactGroups(corpus, "text", "doc_id")
+        .orderBy(col("fp"))
+    },
+
+    // MinHash + LSH near-dup candidate pairs, Jaccard-verified
+    "q17_minhash_lsh" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val nearDups = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(nearDups)
+      val pairs = graft.dedup.Dedup.minhashLshPairs(
+        corpus, "text", "doc_id", shingleN = 3, numHashes = 32, bands = 16)
+      graft.dedup.Dedup.verifiedNearDups(
+          pairs, corpus, "text", "doc_id", shingleN = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash 64-bit fingerprints
+    "q18_simhash" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.dedup.Dedup.simhashBits(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // n-gram (unigram-set) Jaccard similarity within a blocking key
+    "q19_ngram_jaccard" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        graft.dedup.Dedup.shingles(col("text"), 1).as("sh"))
+      val l = d.select(col("source"), col("doc_id").as("id_a"),
+        col("sh").as("sh_a"))
+      val r = d.select(col("source"), col("doc_id").as("id_b"),
+        col("sh").as("sh_b"))
+      l.join(r, Seq("source"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.dedup.Dedup.jaccard(col("sh_a"), col("sh_b")), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // brute-force cosine top-k against a query vector
+    "q20_cosine_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      graft.similarity.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") =!= 0), q, "embedding", "vec_id", 10)
+    },
+
+    // sign-LSH-bucketed ANN top-k (the scale path: prunes to ~n/2^planes)
+    "q21_ann_lsh" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      graft.similarity.Similarity.annTopK(
+        e.filter(col("vec_id") =!= 0), q, "embedding", "vec_id",
+        dims = 64, k = 10, planes = 8)
+    },
+
+    // language-ID heuristic (stopword-lexicon argmax + CJK check)
+    "q22_lang_id" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    },
+
+    // composite quality score
+    "q23_quality_score" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // token counting: whitespace + BPE-ish regex
+    "q24_token_count" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.tokenCount(col("text")).as("n_ws"),
+          graft.text.TextFunctions.bpeishTokenCount(col("text"))
+            .as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    },
+
+    // document fingerprinting
+    "q25_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // multimodal: binary container pack → codegen'd header decode +
+    // frame sampling (oracle checks against doc-derived ground truth)
+    "q26_media_decode" -> { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents").select(
+        col("doc_id"),
+        Multimodal.packFake(
+          lit(64) + col("doc_id") % 192,
+          lit(64) + (col("doc_id") * 7) % 128,
+          col("text")).as("bytes"))
+      media.select(col("doc_id"),
+          Multimodal.decodeMeta(col("bytes")).as("m"),
+          size(Multimodal.frameSample(col("bytes"), 2)).as("n_sampled"))
+        .select(col("doc_id"), col("m.width"), col("m.height"),
+          col("m.payload_bytes"), col("m.n_frames"), col("n_sampled"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   // ---------------------------------------------------------------------

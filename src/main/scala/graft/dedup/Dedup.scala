@@ -1,0 +1,137 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around Spark's shuffle model:
+  *
+  *   - exact: hash-groupBy on a content fingerprint — one shuffle on the
+  *     fingerprint, map-side combine does the heavy lifting;
+  *   - MinHash + LSH: shingle → k minhashes → b bands → equi-join on
+  *     (band, bandKey). The candidate join is a plain shuffled equi-join on
+  *     the band key (linear, no O(n²) cross product); exact Jaccard
+  *     verification runs only on candidates;
+  *   - SimHash: 64-bit fingerprint via per-token md5 nibble votes — near-dup
+  *     detection by Hamming distance on candidates;
+  *   - n-gram Jaccard: exact set similarity for candidate verification or
+  *     small blocked groups.
+  *
+  * Hashing is md5-based (portable: identical in any engine), so results are
+  * reproducible and oracle-checkable; a production fleet can swap in
+  * xxhash64 for speed without changing shapes.
+  */
+object Dedup {
+
+  /** Exact dedup: groups by normalized-content fingerprint; keeps the
+    * lowest id per group and counts members.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-gram shingles of the normalized text. Guarded:
+    * Spark's `sequence(1, k)` DESCENDS for k < 1, so short docs get an
+    * explicit empty array.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(TextFunctions.normalized(text))
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, n)))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** k-element MinHash signature: for seed j, the lexicographic min of
+    * md5(shingle + "#" + j). A lexicographic min over md5 hex strings is a
+    * valid random-permutation min and is engine-portable.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(sh,
+        x => md5(concat(x, lit("#"), j.cast("string"))))))
+
+  /** LSH banding: (id, band, bandKey) rows — md5 over each r-slice of the
+    * signature. Candidates are ids sharing any (band, bandKey).
+    */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rows: Int): DataFrame =
+    df.select(col(idCol), explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            md5(concat_ws("|", slice(col(sigCol), b * rows + 1, rows)))
+              .as("band_key")))).as("b"))
+      .select(col(idCol), col("b.band"), col("b.band_key"))
+
+  /** Candidate pairs from MinHash-LSH: shingle → sign → band → self-join.
+    * Returns distinct (id_a < id_b) pairs. The self-join shuffles on
+    * (band, band_key) — linear in data, skew-bounded by band width.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol),
+      minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
+    val b = lshBands(sigs, idCol, "sig", bands, rows)
+    val l = b.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val r = b.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, inter / union).otherwise(0d)
+  }
+
+  /** Verify LSH candidates with exact Jaccard ≥ threshold. `texts` must
+    * carry (idCol, textCol); broadcast-join-able when the candidate set is
+    * small, else a shuffled equi-join on id.
+    */
+  def verifiedNearDups(pairs: DataFrame, texts: DataFrame, textCol: String,
+      idCol: String, shingleN: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sh = texts.select(col(idCol),
+      shingles(col(textCol), shingleN).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash as a '0'/'1' bit string (string form sidesteps signed-
+    * long overflow and is engine-portable). Bit i's vote sums ±1 per token
+    * from bit (i mod 4) of hex nibble (i div 4) of md5(token).
+    */
+  def simhashBits(text: Column): Column = {
+    val toks = TextFunctions.tokens(TextFunctions.normalized(text))
+    val hexes = transform(toks, t => md5(t))
+    def nibbleVal(h: Column, i: Column): Column = {
+      val c = ascii(substr(h, (i / lit(4)).cast("int") + 1, lit(1)))
+      when(c <= 57, c - 48).otherwise(c - 87)
+    }
+    def bitAt(h: Column, i: Column): Column =
+      floor(nibbleVal(h, i) / pow(lit(2d), (i % 4).cast("double")))
+        .cast("int") % 2
+    val bits = transform(sequence(lit(0), lit(63)), i => {
+      val vote = aggregate(hexes, lit(0),
+        (acc, h) => acc + when(bitAt(h, i) === 1, 1).otherwise(-1))
+      when(vote > 0, "1").otherwise("0")
+    })
+    concat_ws("", bits)
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""),
+        (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+}

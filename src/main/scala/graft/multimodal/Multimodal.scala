@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata, plus the Spark-side plumbing for decode / feature-extract
+  * / frame-sample at scale.
+  *
+  * The container has no image/audio codecs, so the byte-level "codec" here
+  * is a deterministic fake container format (documented below) — but the
+  * engine surface is real: binary column schema, header parsing as codegen'd
+  * expressions, batched `mapPartitions` decode (the JVM analog of arrow-
+  * batched Pandas UDFs: per-partition iterator, amortized codec init), and
+  * frame sampling via binary slicing.
+  *
+  * Fake container layout (big-endian):
+  *   bytes 0-3  = width  (uint32)
+  *   bytes 4-7  = height (uint32)
+  *   bytes 8-   = payload
+  */
+object Multimodal {
+
+  val HeaderBytes = 8
+  val FrameBytes = 256
+
+  /** Pack a deterministic fake media blob: header from (w, h) + the UTF-8
+    * payload. Pure expressions (hex/unhex), so fixtures build in-plan.
+    */
+  def packFake(width: Column, height: Column, payload: Column): Column =
+    unhex(concat(
+      lpad(hex(width), 8, "0"),
+      lpad(hex(height), 8, "0"),
+      hex(payload)))
+
+  /** Parse a big-endian uint32 at `pos` (1-based) from a binary column. */
+  private def beUint32(bytes: Column, pos: Int): Column =
+    conv(hex(substring(bytes, pos, 4)), 16, 10).cast("long")
+
+  /** Decode the fake header into typed metadata — stays inside whole-stage
+    * codegen (hex/conv/substring are all codegen'd expressions).
+    */
+  def decodeMeta(bytes: Column): Column = struct(
+    beUint32(bytes, 1).as("width"),
+    beUint32(bytes, 5).as("height"),
+    (length(bytes) - HeaderBytes).as("payload_bytes"),
+    ceil((length(bytes) - lit(HeaderBytes)).cast("double") / FrameBytes)
+      .cast("long").as("n_frames"))
+
+  /** Sample every `everyK`-th fixed-size frame from the payload — binary
+    * slicing in-plan, no driver round-trip.
+    */
+  def frameSample(bytes: Column, everyK: Int): Column = {
+    val nFrames = ceil((length(bytes) - lit(HeaderBytes)).cast("double")
+      / FrameBytes).cast("int")
+    transform(
+      sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(everyK)),
+      i => substr(bytes, lit(HeaderBytes + 1) + i * FrameBytes,
+        lit(FrameBytes)))
+  }
+
+  /** The decode boundary a real deployment would fill with an actual codec
+    * (libjpeg/ffmpeg/...). Batched per partition so codec initialization is
+    * amortized — the JVM analog of `mapInPandas`.
+    */
+  trait Codec extends Serializable {
+    def decode(bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic fake "feature extractor": 16-bin byte histogram of the
+    * payload, L1-normalized. A real image featurizer is out of scope in
+    * this container — plug one in via [[Codec]]; the plumbing (schema,
+    * batching, partitioning) is what this exercises.
+    */
+  object FakeCodec extends Codec {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](16)
+      var i = HeaderBytes
+      while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+      val total = math.max(1f, (bytes.length - HeaderBytes).toFloat)
+      hist.map(_ / total)
+    }
+  }
+
+  final case class MediaFeature(media_id: Long, feature: Array[Float])
+
+  /** Batched decode: one codec instance per partition, iterator-streamed
+    * (never materializes a partition in memory).
+    */
+  def extractFeatures(df: DataFrame, idCol: String, bytesCol: String,
+      codec: Codec = FakeCodec): Dataset[MediaFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val c = codec // per-partition init point for real codecs
+        it.map { case (id, bytes) => MediaFeature(id, c.decode(bytes)) }
+      }
+  }
+}

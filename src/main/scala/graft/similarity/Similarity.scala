@@ -1,0 +1,88 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — one scan, no shuffle until the
+  * final top-k (a driver-bounded `orderBy ... limit k`, which Spark executes
+  * as per-partition top-k + merge, i.e. TakeOrderedAndProject).
+  *
+  * Scale path: sign-LSH (random hyperplanes) bucketing — candidates share
+  * the query's bucket, so the scan prunes to ~n/2^planes before scoring;
+  * bucketing is deterministic arithmetic (no RNG state) so it's
+  * reproducible across engines and re-runs, and the bucket id can be
+  * precomputed and used as a partition/cluster key at the 100 TB layer.
+  *
+  * All vector math is fold-left double arithmetic over the array — fully
+  * codegen'd, bit-reproducible, portable to the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Cast a float vector to double (exact) for stable arithmetic. */
+  def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  /** Sequential-fold dot product (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2Norm(a); val nb = l2Norm(b)
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(0d)
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane j,
+    * dim i): integer-exact ((j·73856093 + i·19349663) mod 10007)/10007 − 0.5.
+    */
+  private def planeCoef(j: Column, i: Column): Column =
+    ((j * lit(73856093L) + i * lit(19349663L)) % 10007L).cast("double") /
+      10007d - 0.5d
+
+  /** Sign-LSH bucket id over `planes` deterministic hyperplanes:
+    * bit j = [dot(vec, plane_j) ≥ 0], bucket = Σ bit_j · 2^j.
+    */
+  def lshBucket(vec: Column, dims: Int, planes: Int = 8): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), j => {
+        val plane = transform(sequence(lit(0), lit(dims - 1)),
+          i => planeCoef(j, i))
+        val bit = when(dot(vec, plane) >= 0d, 1L).otherwise(0L)
+        bit * pow(lit(2d), j.cast("double")).cast("long")
+      }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k of `df`'s `vecCol` against the single-row
+    * `query` frame (columns: `qvec`). The query side is broadcast.
+    */
+  def bruteForceTopK(df: DataFrame, query: DataFrame, vecCol: String,
+      idCol: String, k: Int): DataFrame =
+    df.crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), asDouble(col("qvec"))), 6)
+          .as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
+  /** LSH-bucketed ANN top-k: prune to the query's bucket, then brute-force
+    * within. Same output schema as [[bruteForceTopK]]; recall < 1 by
+    * construction (bucket boundaries), which is the documented trade.
+    */
+  def annTopK(df: DataFrame, query: DataFrame, vecCol: String, idCol: String,
+      dims: Int, k: Int, planes: Int = 8): DataFrame = {
+    val bucketed = df.withColumn("__bucket",
+      lshBucket(asDouble(col(vecCol)), dims, planes))
+    val q = query.withColumn("__qbucket",
+      lshBucket(asDouble(col("qvec")), dims, planes))
+    bucketed.join(broadcast(q), col("__bucket") === col("__qbucket"))
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), asDouble(col("qvec"))), 6)
+          .as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

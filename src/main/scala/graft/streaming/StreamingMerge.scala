@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.ops.TimeSeries
+
+/** Structured-Streaming variant of the incremental aggregate (SURVEY.md
+  * §2.7): the reference's batch-incremental loop (discover new files →
+  * merge → dedup → regrid) becomes a file-source stream.
+  *
+  *   - file source with `maxFilesPerTrigger` ≈ the reference's month-walk
+  *     discovery of new logger files;
+  *   - `dropDuplicates` under a 1-day watermark ≈ the deliberate 1-day
+  *     re-download overlap removed by D1 (quirk Q10);
+  *   - the time-grid fill (F3) needs a closed interval, so it runs as batch
+  *     finalization inside `foreachBatch` against the accumulated state —
+  *     exactly the reference's "re-grid the whole water-year file each run".
+  */
+object StreamingMerge {
+
+  /** Stream TOA5-style CSV lines from `inputDir`, keep data rows (a data
+    * row starts with a quoted timestamp — same structural filter as the
+    * batch Toa5Reader), parse, watermark, dedup, and foreachBatch-merge
+    * into an in-memory/parquet aggregate via `mergeBatch`.
+    */
+  def run(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      stepSeconds: Long,
+      mergeBatch: (DataFrame, Long) => Unit,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(inputDir)
+
+    val parsed = lines
+      .filter(col("value").rlike("""^"?\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}.*"""))
+      .select(from_csv(col("value"), schema, Map(
+        "nullValue" -> "NAN",
+        "timestampFormat" -> "yyyy-MM-dd HH:mm:ss")).as("r"))
+      .select(schema.fieldNames.map(f => col(s"r.`$f`")).toIndexedSeq: _*)
+
+    parsed
+      .withWatermark("TIMESTAMP", "1 day")
+      .dropDuplicates("TIMESTAMP")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch, id)
+      }
+      .start()
+  }
+
+  /** Batch finalization: merge new rows into the previous aggregate state
+    * (union → drop padding → dedup → regrid) — reusable from foreachBatch.
+    */
+  def finalize(prev: Option[DataFrame], batch: DataFrame,
+      stepSeconds: Long): DataFrame =
+    TimeSeries.mergeIncremental(prev, batch, stepSeconds)
+}

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language-ID heuristic, quality scoring,
+  * and document fingerprinting. All pure built-in Column expressions —
+  * codegen'd, no UDFs — so they survive 100 TB scans inside whole-stage
+  * codegen.
+  *
+  * Every function has an exact ANSI-SQL mirror (DuckDB oracle) in
+  * SparkEntry; formulas avoid engine-specific regex/float behavior.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Plain whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric glyphs each count as one token (a portable
+    * approximation of byte-pair pretokenizers).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and fixed: the operator's shape (score
+    * per language over a broadcast lexicon, argmax with deterministic
+    * tie-break) is what scales, not the lexicon.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "den", "mit", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"))
+
+  /** Fraction of tokens that are stopwords of `lang`. Null-safe: 0.0 for
+    * empty documents.
+    */
+  def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => array_contains(typedLit(words), t)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(0d)
+  }
+
+  /** Language-ID heuristic: CJK codepoints → "zh"; otherwise the language
+    * with the highest stopword ratio, ties broken by fixed order
+    * (en, es, de, fr); all-zero scores → "und".
+    */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (l, ws) => l -> stopwordRatio(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, l).otherwise(acc)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh").otherwise(pick)
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.4·min(1, tokens/100) + 0.3·en-stopword-ratio +
+    * 0.3·(1 − min(1, punct/tokens)). Deterministic double arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val punct = size(regexp_extract_all(text,
+      lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val lenScore = least(lit(1d), n / 100d)
+    val stopScore = stopwordRatio(text, stopwords.head._2)
+    val punctScore = lit(1d) - least(lit(1d), when(n > 0, punct / n).otherwise(1d))
+    round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * punctScore, 6)
+  }
+
+  /** Whitespace/case-normalized form used by fingerprints and exact dedup. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Content fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+}
