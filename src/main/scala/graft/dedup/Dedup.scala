@@ -39,7 +39,7 @@ object Dedup {
     val toks = TextFunctions.tokens(TextFunctions.normalized(text))
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, n)))
+      i => concat_ws(" ", slice(toks, i, lit(n))))
     when(size(toks) >= n, array_distinct(grams))
       .otherwise(array().cast("array<string>"))
   }
@@ -61,7 +61,7 @@ object Dedup {
     df.select(col(idCol), explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
-            md5(concat_ws("|", slice(col(sigCol), b * rows + 1, rows)))
+            md5(concat_ws("|", slice(col(sigCol), b * rows + 1, lit(rows))))
               .as("band_key")))).as("b"))
       .select(col(idCol), col("b.band"), col("b.band_key"))
 
