@@ -1,10 +1,11 @@
 package graft.io
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.time.LocalDate
 import java.time.format.DateTimeFormatter
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.types.BooleanType
 
 /** S7 — ordered single-file CSV sink with the reference's naming convention
   * (reference src/AzureDataLakeAccess.py:473-486):
@@ -16,6 +17,14 @@ import org.apache.spark.sql.functions.col
   * site-WY (SURVEY.md §4.3). For lake-scale output use
   * `df.write.partitionBy("site","wateryear").parquet(...)` instead; this sink
   * is the compatibility path.
+  *
+  * The part-file move uses the Hadoop `FileSystem` API resolved from the
+  * output URI, so the sink works identically for `file://`, `abfss://`, and
+  * `s3a://` destinations (java.nio would be local-only).
+  *
+  * Boolean QC-mask columns are serialized as `True`/`False` (nulls stay
+  * empty), matching the reference's pandas CSV form so outputs are drop-in
+  * compatible with reference-produced aggregate checkpoints.
   */
 object CsvSink {
 
@@ -27,26 +36,47 @@ object CsvSink {
       today: LocalDate): String =
     s"${site}_${table}_AggregateQC_CY${waterYear}_${ver}_${today.format(ymd)}.csv"
 
-  /** Write `df` as ONE ordered, headered CSV file at `outFile`. */
+  /** Cast BooleanType columns to pandas-style 'True'/'False' strings,
+    * preserving nulls (reference aggregate CSVs carry pandas bool reprs).
+    */
+  def booleansAsPandasStrings(df: DataFrame): DataFrame = {
+    val boolCols = df.schema.fields.collect {
+      case f if f.dataType == BooleanType => f.name
+    }
+    boolCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, when(col(c), "True")
+        .when(!col(c), "False"))
+    }
+  }
+
+  /** Write `df` as ONE ordered, headered CSV file at `outFile` (any Hadoop-
+    * supported filesystem: local, abfss, s3a).
+    */
   def writeSingleCsv(
       df: DataFrame,
       outFile: String,
       orderCol: String = "TIMESTAMP"): Unit = {
     val tmp = outFile + ".__tmp__"
-    df.orderBy(col(orderCol))
+    booleansAsPandasStrings(df)
+      .orderBy(col(orderCol))
       .coalesce(1)
       .write.mode("overwrite")
       .option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(tmp)
-    val part = Files.list(Paths.get(tmp)).toArray
-      .map(_.toString).find(p => p.endsWith(".csv"))
+
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val tmpPath = new Path(tmp)
+    val outPath = new Path(outFile)
+    val fs = FileSystem.get(outPath.toUri, conf)
+    val part = fs.listStatus(tmpPath)
+      .map(_.getPath)
+      .find(_.getName.endsWith(".csv"))
       .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-    Files.createDirectories(Paths.get(outFile).getParent)
-    Files.move(Paths.get(part), Paths.get(outFile),
-      StandardCopyOption.REPLACE_EXISTING)
-    // clean the temp dir (part checksum/_SUCCESS files)
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    Option(outPath.getParent).foreach(fs.mkdirs(_))
+    if (fs.exists(outPath)) fs.delete(outPath, false)
+    if (!fs.rename(part, outPath))
+      throw new IllegalStateException(s"rename $part -> $outPath failed")
+    fs.delete(tmpPath, true)
   }
 }

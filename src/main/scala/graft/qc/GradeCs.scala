@@ -55,7 +55,7 @@ object GradeCs {
 
     def digit(pass: Column): Column = when(pass, "0").otherwise("1")
 
-    (0 until 3).foldLeft(df) { (acc, k) =>
+    val perK = (0 until 3).map { k =>
       val flux = cfg.cls(k)
       val (lo, hi) = bounds(k)
       val v = in(flux)
@@ -85,10 +85,18 @@ object GradeCs {
             samples
         case None => grade && !hl && samples
       }
+      (flux, flags, when(good, col(flux)))
+    }
 
-      acc
-        .withColumn(s"${flux}_Graded", when(good, col(flux)))
-        .withColumn(flagCols(k), flags)
+    // Append in the reference registry's column order — all three *_Flags,
+    // then all three *_Graded (FluxAggregated_V40826, :1395-1400) — so a
+    // written aggregate round-trips through the positional CSV schema
+    // (Schemas.gradeCsColumns) without column mis-assignment.
+    val withFlags = perK.zipWithIndex.foldLeft(df) {
+      case (acc, ((_, flags, _), k)) => acc.withColumn(flagCols(k), flags)
+    }
+    perK.foldLeft(withFlags) { case (acc, (flux, _, graded)) =>
+      acc.withColumn(s"${flux}_Graded", graded)
     }
   }
 }

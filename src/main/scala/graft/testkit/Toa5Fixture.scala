@@ -75,4 +75,62 @@ object Toa5Fixture {
       path
     }
   }
+
+  /** Write `nFiles` Flux-table TOA5 files under `dir` (30-min cadence, full
+    * Grade_cs input surface: grades, sample totals, signal strengths, door).
+    */
+  def writeFlux(dir: String, nFiles: Int = 2, rowsPerFile: Int = 48,
+      seed: Long = 42L): Seq[String] = {
+    Files.createDirectories(Paths.get(dir))
+    val cols = Schemas.fluxRaw.fieldNames
+    val rnd = new Random(seed)
+    var t = LocalDateTime.of(2021, 1, 15, 0, 0)
+    var record = 2000L
+    (0 until nFiles).map { f =>
+      val sb = new StringBuilder
+      sb ++= "\"TOA5\",\"CookEast\",\"CR6\",\"1234\",\"CR6.Std.07\"," +
+        "\"CPU:Flux.CR6\",\"40826\",\"Flux_30Min\"\n"
+      sb ++= cols.map(c => s""""$c"""").mkString(",") + "\n"
+      sb ++= cols.map(_ => "\"unit\"").mkString(",") + "\n"
+      sb ++= cols.map(_ => "\"Avg\"").mkString(",") + "\n"
+      var i = 0
+      while (i < rowsPerFile) {
+        def num(base: Double, spread: Double): String =
+          f"${base + (rnd.nextDouble() - 0.5) * spread}%.3f"
+        val vals = cols.map {
+          case "TIMESTAMP" => s""""${t.format(fmt)}""""
+          case "RECORD" => record.toString
+          case "H" => if (i % 17 == 2) "1500" else num(50, 200) // HL trip
+          case "LE" => if (i % 19 == 4) "NAN" else num(80, 200)
+          case "Fc_molar" => if (i % 23 == 6) "-100" else num(-5, 20)
+          case c if c.endsWith("_qc_grade") => (1 + rnd.nextInt(9)).toString
+          case c if c.endsWith("_samples_Tot") =>
+            (13000 + rnd.nextInt(5000)).toString
+          case c if c.endsWith("_sig_strgth_Min") => num(0.8, 0.3)
+          case "door_is_open_Hst" => if (i % 13 == 0) "1" else "0"
+          case "FP_Equation" => "\"KM2001\""
+          case "amb_tmpr_Avg" => if (i % 37 == 5) "NAN" else num(5, 10)
+          case "RH_Avg" => if (i % 29 == 3) num(101.5, 2) else num(70, 30)
+          case "amb_press_Avg" => num(92, 2)
+          case "Precipitation_Tot" => if (i % 11 == 0) num(0.4, 0.4) else "0"
+          case _ => num(10, 5)
+        }
+        sb ++= vals.mkString(",") + "\n"
+        if (i % 31 == 7) { // duplicate timestamp, sparser row (D1)
+          val sparse = cols.map {
+            case "TIMESTAMP" => s""""${t.format(fmt)}""""
+            case "RECORD" => record.toString
+            case _ => "NAN"
+          }
+          sb ++= sparse.mkString(",") + "\n"
+        }
+        t = t.plusMinutes(if (i == rowsPerFile / 2) 180 else 30)
+        record += 1
+        i += 1
+      }
+      val path = s"$dir/CookEast_Flux_V40826_2021_01_${15 + f}_0000.dat"
+      Files.writeString(Paths.get(path), sb.toString)
+      path
+    }
+  }
 }

@@ -45,6 +45,28 @@ class PipelineSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Flux aggregate write→read round-trip: positional CSV layout intact") {
+    val fdir = java.nio.file.Files.createTempDirectory("graft-toa5-flux").toString
+    val ffiles = Toa5Fixture.writeFlux(fdir)
+    val res = Aggregate.run(spark, "Flux", SiteConfig("CookEast"), ffiles)
+    // emission order must equal the positional read schema, or the QC block
+    // silently mis-assigns on read-back (ADVICE r01, Schemas.gradeCsColumns)
+    assert(res.df.columns.toSeq == Schemas.fluxAggregated.fieldNames.toSeq)
+    val out = java.nio.file.Files.createTempDirectory("graft-agg-flux").toString
+    val path = Aggregate.save(res, out, "CookEast", "Flux", "V40826",
+      java.time.LocalDate.of(2021, 1, 20))
+    val back = Toa5Reader.readAggregated(spark, Seq(path),
+      Schemas.fluxAggregated)
+    // flag strings stay digit strings; graded doubles and boolean masks
+    // round-trip exactly (booleans serialized as pandas True/False)
+    assert(back.filter(!$"H_Flags".rlike("^[01]+$")).count() == 0)
+    val cols = res.df.columns.map(col).toIndexedSeq
+    val a = res.df.select(cols: _*)
+    val b = back.select(cols: _*)
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+  }
+
   test("pipeline is idempotent when re-run over its own output (Q10)") {
     val res1 = Aggregate.run(spark, "Met", SiteConfig("CookEast"), files,
       qc = false)
