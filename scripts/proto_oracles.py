@@ -1,0 +1,298 @@
+#!/usr/bin/env python3
+"""Scratch harness: iterate on candidate DuckDB oracle SQL for the extension
+queries (q16+) by comparing against the Spark parquet already dumped by
+graft.Verify. Same normalization/compare as oracle_check.py.
+
+Usage: python3 scripts/proto_oracles.py <sfDir> <verifyOutDir> [names...]
+"""
+import sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+CAND = {}
+
+CAND["q25_fingerprint"] = r"""
+SELECT doc_id,
+  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+CAND["q16_dedup_exact"] = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+  min(doc_id) AS keep_id, count(*) AS n_dups
+FROM corpus GROUP BY 1 ORDER BY fp
+"""
+
+CAND["q24_token_count"] = r"""
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_ws,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+FROM documents ORDER BY doc_id
+"""
+
+CAND["q23_quality_score"] = r"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+      AS DOUBLE) AS n,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct,
+    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t)))
+      AS DOUBLE) AS hits
+  FROM documents
+)
+SELECT doc_id,
+  round(0.4 * least(1.0, n / 100.0)
+      + 0.3 * (CASE WHEN n > 0 THEN hits / n ELSE 0.0 END)
+      + 0.3 * (1.0 - least(1.0, CASE WHEN n > 0 THEN punct / n ELSE 1.0 END)),
+      6) AS quality
+FROM t ORDER BY doc_id
+"""
+
+CAND["q22_lang_id"] = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM documents
+), scores AS (
+  SELECT doc_id, text,
+    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+      t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_en,
+    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+      t -> list_contains(['el','la','de','que','y','en','un','los','se','no'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_es,
+    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+      t -> list_contains(['der','die','und','das','ist','ein','zu','den','mit','nicht'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_de,
+    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+      t -> list_contains(['le','la','de','et','les','des','un','une','est','que'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_fr
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
+       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'es'
+       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'de'
+       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'fr'
+       ELSE 'und' END AS lang_guess
+FROM scores ORDER BY doc_id
+"""
+
+CAND["q19_ngram_jaccard"] = r"""
+WITH sh AS (
+  SELECT doc_id, source,
+    list_distinct(list_filter(
+      string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+      t -> t <> '')) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) AS inter,
+    CAST(len(a.s) + len(b.s)
+      - len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) AS uni
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) AS jaccard
+FROM pairs
+WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+CAND["q26_media_decode"] = r"""
+WITH m AS (
+  SELECT doc_id,
+    64 + doc_id % 192 AS width,
+    64 + (doc_id * 7) % 128 AS height,
+    octet_length(encode(text)) AS payload_bytes
+  FROM documents
+), f AS (
+  SELECT *, CAST(ceil(payload_bytes / 256.0) AS BIGINT) AS n_frames FROM m
+)
+SELECT doc_id, width, height, payload_bytes, n_frames,
+  CAST(greatest(n_frames - 1, 0) // 2 + 1 AS INT) AS n_sampled
+FROM f ORDER BY doc_id
+"""
+
+CAND["q20_cosine_topk"] = r"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT vec_id,
+    list_reduce(list_transform(list_zip(
+      list_transform(embedding, x -> CAST(x AS DOUBLE)), qv),
+      s -> struct_extract(s, 1) * struct_extract(s, 2)), (a, b) -> a + b) AS dp,
+    sqrt(list_reduce(list_transform(
+      list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x),
+      (a, b) -> a + b)) AS na,
+    sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)) AS nb
+  FROM embeddings, q WHERE vec_id <> 0
+)
+SELECT vec_id,
+  round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb) ELSE 0.0 END, 6) AS cos
+FROM scored
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+CAND["q18_simhash"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_transform(list_filter(string_split_regex(text, '\s+'),
+      t -> t <> ''), t -> md5(t)) AS hx
+  FROM documents
+)
+SELECT doc_id,
+  array_to_string(list_transform(generate_series(0, 63), i ->
+    CASE WHEN (CASE WHEN len(hx) = 0 THEN 0 ELSE
+      list_reduce(list_transform(hx, h ->
+        CASE WHEN ((CASE WHEN ascii(substr(h, i // 4 + 1, 1)) <= 57
+                         THEN ascii(substr(h, i // 4 + 1, 1)) - 48
+                         ELSE ascii(substr(h, i // 4 + 1, 1)) - 87 END
+                    >> (i % 4)) & 1) = 1 THEN 1 ELSE -1 END),
+        (a, b) -> a + b) END) > 0 THEN '1' ELSE '0' END), '') AS simhash
+FROM toks ORDER BY doc_id
+"""
+
+CAND["q21_ann_lsh"] = r"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v,
+    list_reduce(list_transform(generate_series(0, 7), j ->
+      CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
+          v[i + 1] * (CAST((j * 73856093 + i * 19349663) % 10007 AS DOUBLE)
+                      / 10007.0 - 0.5)),
+        (a, b) -> a + b) >= 0
+      THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END),
+      (a, b) -> a + b) AS bucket
+  FROM e
+), q AS (
+  SELECT v AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0
+), scored AS (
+  SELECT vec_id,
+    list_reduce(list_transform(list_zip(v, qv),
+      s -> struct_extract(s, 1) * struct_extract(s, 2)), (a, b) -> a + b) AS dp,
+    sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS na,
+    sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b)) AS nb
+  FROM bucketed, q WHERE vec_id <> 0 AND bucket = qbucket
+)
+SELECT vec_id,
+  round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb) ELSE 0.0 END, 6) AS cos
+FROM scored
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+CAND["q17_minhash_lsh"] = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+  FROM documents WHERE doc_id % 11 = 0
+), sh AS (
+  SELECT doc_id,
+    (WITH t2 AS (SELECT list_filter(string_split_regex(
+        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        t -> t <> '') AS tk)
+     SELECT CASE WHEN len(tk) >= 3 THEN list_distinct(
+       list_transform(generate_series(1, len(tk) - 2),
+         i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+       ELSE [] END FROM t2) AS s
+  FROM corpus
+), sig AS (
+  SELECT doc_id, s,
+    list_transform(generate_series(0, 31), j ->
+      list_aggregate(list_transform(s,
+        x -> md5(x || '#' || CAST(j AS VARCHAR))), 'min')) AS sg
+  FROM sh
+), bands AS (
+  SELECT doc_id, b.band,
+    md5(array_to_string(sg[(2 * b.band + 1):(2 * b.band + 2)], '|')) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 15)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT id_a, id_b,
+    CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE) AS inter,
+    CAST(len(sa.s) + len(sb.s)
+      - len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE) AS uni
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b,
+  round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) AS jaccard
+FROM verified
+WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("boolean")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir, out_dir, names):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    n_ok = n_bad = 0
+    for name, sql in sorted(CAND.items()):
+        if names and name not in names:
+            continue
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"[MISS] {name}"); n_bad += 1; continue
+        try:
+            duck = con.execute(sql).df()
+        except Exception as e:
+            print(f"[SQLERR] {name}: {e}"); n_bad += 1; continue
+        spark = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
+        d, s = norm(duck), norm(spark)
+        if list(d.columns) != list(s.columns):
+            print(f"[COLS] {name}: duck={list(d.columns)} spark={list(s.columns)}")
+            n_bad += 1; continue
+        if len(d) != len(s):
+            print(f"[ROWS] {name}: duck={len(d)} spark={len(s)}"); n_bad += 1; continue
+        bad = []
+        for c in d.columns:
+            a, b = d[c], s[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                eq = (a.isna() & b.isna()) | (a == b)
+            else:
+                eq = (a.isna() & b.isna()) | (a.astype(object) == b.astype(object))
+            if not eq.all():
+                i = int(np.flatnonzero(~eq.values)[0])
+                bad.append((c, i, a.iloc[i], b.iloc[i]))
+        if bad:
+            c, i, av, bv = bad[0]
+            print(f"[VAL] {name}: {len(bad)} col(s); first {c}[{i}]: duck={av!r} spark={bv!r}")
+            n_bad += 1
+        else:
+            print(f"[OK] {name} ({len(d)} rows)"); n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], set(sys.argv[3:]))

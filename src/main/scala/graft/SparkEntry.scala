@@ -323,14 +323,15 @@ object SparkEntry {
         e.filter(col("vec_id") =!= 0), q, "embedding", "vec_id", 10)
     },
 
-    // sign-LSH-bucketed ANN top-k (the scale path: prunes to ~n/2^planes)
+    // sign-LSH-bucketed ANN top-k (the scale path: prunes to ~n/2^planes;
+    // 4 planes keeps the query's bucket populated at small SF)
     "q21_ann_lsh" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qvec"))
       graft.similarity.Similarity.annTopK(
         e.filter(col("vec_id") =!= 0), q, "embedding", "vec_id",
-        dims = 64, k = 10, planes = 8)
+        dims = 64, k = 10, planes = 4)
     },
 
     // language-ID heuristic (stopword-lexicon argmax + CJK check)
@@ -365,6 +366,34 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // embedding-cosine near-dup pairs: LSH-bucket blocking + exact cosine.
+    // Near-dups are constructed by double-arithmetic perturbation rounded
+    // to float — bit-identical in any IEEE engine.
+    "q27_embedding_neardup" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val mut = e.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * 1.01d + 0.05d).cast("float"))
+            .as("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(mut)
+      graft.dedup.Dedup.embeddingNearDups(corpus, "embedding", "vec_id",
+          dims = 64, planes = 4, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash near-dup pairs: band-blocked Hamming verification
+    "q28_simhash_neardup" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val mut = d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zzz extra")).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(mut)
+      graft.dedup.Dedup.simhashNearDups(corpus, "text", "doc_id",
+          bands = 4, maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // multimodal: binary container pack → codegen'd header decode +
@@ -595,5 +624,330 @@ object SparkEntry {
         |SELECT ts, record, user_id, event_type, value
         |FROM ranked WHERE rn = 1
         |ORDER BY ts, record""".stripMargin,
+
+    // ---- extension operators (training-data pipeline) ----
+
+    "q16_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |)
+        |SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q17_minhash_lsh" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' extra token' AS text
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), sh AS (
+        |  SELECT doc_id,
+        |    (WITH t2 AS (SELECT list_filter(string_split_regex(
+        |        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |        t -> t <> '') AS tk)
+        |     SELECT CASE WHEN len(tk) >= 3 THEN list_distinct(
+        |       list_transform(generate_series(1, len(tk) - 2),
+        |         i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+        |       ELSE [] END FROM t2) AS s
+        |  FROM corpus
+        |), sig AS (
+        |  SELECT doc_id, s,
+        |    list_transform(generate_series(0, 31), j ->
+        |      list_aggregate(list_transform(s,
+        |        x -> md5(x || '#' || CAST(j AS VARCHAR))), 'min')) AS sg
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, b.band,
+        |    md5(array_to_string(sg[(2 * b.band + 1):(2 * b.band + 2)], '|'))
+        |      AS band_key
+        |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS band) b
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id
+        |), verified AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x)))
+        |      AS DOUBLE) AS inter,
+        |    CAST(len(sa.s) + len(sb.s)
+        |      - len(list_filter(sa.s, x -> list_contains(sb.s, x)))
+        |      AS DOUBLE) AS uni
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = id_a
+        |  JOIN sh sb ON sb.doc_id = id_b
+        |)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) AS jaccard
+        |FROM verified
+        |WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q18_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(string_split_regex(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |      t -> t <> ''), t -> md5(t)) AS hx
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(generate_series(0, 63), i ->
+        |    CASE WHEN (CASE WHEN len(hx) = 0 THEN 0 ELSE
+        |      list_reduce(list_transform(hx, h ->
+        |        CASE WHEN ((CASE WHEN ascii(substr(h, i // 4 + 1, 1)) <= 57
+        |                         THEN ascii(substr(h, i // 4 + 1, 1)) - 48
+        |                         ELSE ascii(substr(h, i // 4 + 1, 1)) - 87 END
+        |                    >> (i % 4)) & 1) = 1 THEN 1 ELSE -1 END),
+        |        (a, b) -> a + b) END) > 0 THEN '1' ELSE '0' END), '')
+        |    AS simhash
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q19_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ',
+        |        'g'))), '\s+'),
+        |      t -> t <> '')) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS inter,
+        |    CAST(len(a.s) + len(b.s)
+        |      - len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS uni
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) AS jaccard
+        |FROM pairs
+        |WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q20_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0
+        |), scored AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(list_zip(
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)), qv),
+        |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (a, b) -> a + b) AS dp,
+        |    sqrt(list_reduce(list_transform(
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x),
+        |      (a, b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_transform(qv, x -> x * x),
+        |      (a, b) -> a + b)) AS nb
+        |  FROM embeddings, q WHERE vec_id <> 0
+        |)
+        |SELECT vec_id,
+        |  round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb) ELSE 0.0 END,
+        |    6) AS cos
+        |FROM scored
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q21_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), bucketed AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_transform(generate_series(0, 3), j ->
+        |      CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
+        |          v[i + 1] * (CAST((j * 73856093 + i * 19349663) % 10007
+        |                      AS DOUBLE) / 10007.0 - 0.5)),
+        |        (a, b) -> a + b) >= 0
+        |      THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END),
+        |      (a, b) -> a + b) AS bucket
+        |  FROM e
+        |), q AS (
+        |  SELECT v AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0
+        |), scored AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(list_zip(v, qv),
+        |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (a, b) -> a + b) AS dp,
+        |    sqrt(list_reduce(list_transform(v, x -> x * x),
+        |      (a, b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_transform(qv, x -> x * x),
+        |      (a, b) -> a + b)) AS nb
+        |  FROM bucketed, q WHERE vec_id <> 0 AND bucket = qbucket
+        |)
+        |SELECT vec_id,
+        |  round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb) ELSE 0.0 END,
+        |    6) AS cos
+        |FROM scored
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q22_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+        |  FROM documents
+        |), scores AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_en,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['el','la','de','que','y','en','un','los','se','no'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_es,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['der','die','und','das','ist','ein','zu','den','mit','nicht'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_de,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['le','la','de','et','les','des','un','une','est','que'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_fr
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr)
+        |         AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr)
+        |         AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr)
+        |         AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr)
+        |         AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_guess
+        |FROM scores ORDER BY doc_id""".stripMargin,
+
+    "q23_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> '')) AS DOUBLE) AS n,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |      AS DOUBLE) AS punct,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t)))
+        |      AS DOUBLE) AS hits
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  round(0.4 * least(1.0, n / 100.0)
+        |      + 0.3 * (CASE WHEN n > 0 THEN hits / n ELSE 0.0 END)
+        |      + 0.3 * (1.0 - least(1.0,
+        |          CASE WHEN n > 0 THEN punct / n ELSE 1.0 END)),
+        |      6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q24_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+        |    AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_media_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    64 + doc_id % 192 AS width,
+        |    64 + (doc_id * 7) % 128 AS height,
+        |    octet_length(encode(text)) AS payload_bytes
+        |  FROM documents
+        |), f AS (
+        |  SELECT *, CAST(ceil(payload_bytes / 256.0) AS BIGINT) AS n_frames
+        |  FROM m
+        |)
+        |SELECT doc_id, width, height, payload_bytes, n_frames,
+        |  CAST(greatest(n_frames - 1, 0) // 2 + 1 AS INT) AS n_sampled
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q27_embedding_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) * 1.01
+        |      + 0.05 AS REAL) AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id % 13 = 0
+        |), bucketed AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_transform(generate_series(0, 3), j ->
+        |      CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
+        |          v[i + 1] * (CAST((j * 73856093 + i * 19349663) % 10007
+        |                      AS DOUBLE) / 10007.0 - 0.5)),
+        |        (a, b) -> a + b) >= 0
+        |      THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END),
+        |      (a, b) -> a + b) AS bucket
+        |  FROM corpus
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+        |  FROM bucketed a JOIN bucketed b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), scored AS (
+        |  SELECT id_a, id_b,
+        |    list_reduce(list_transform(list_zip(va, vb),
+        |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (a, b) -> a + b) AS dp,
+        |    sqrt(list_reduce(list_transform(va, x -> x * x),
+        |      (a, b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_transform(vb, x -> x * x),
+        |      (a, b) -> a + b)) AS nb
+        |  FROM pairs
+        |)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb) ELSE 0.0 END,
+        |    6) AS cos
+        |FROM scored
+        |WHERE round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
+        |  ELSE 0.0 END, 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q28_simhash_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' zzz extra' AS text
+        |  FROM documents WHERE doc_id % 9 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(string_split_regex(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |      t -> t <> ''), t -> md5(t)) AS hx
+        |  FROM corpus
+        |), sims AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(generate_series(0, 63), i ->
+        |      CASE WHEN (CASE WHEN len(hx) = 0 THEN 0 ELSE
+        |        list_reduce(list_transform(hx, h ->
+        |          CASE WHEN ((CASE WHEN ascii(substr(h, i // 4 + 1, 1)) <= 57
+        |                           THEN ascii(substr(h, i // 4 + 1, 1)) - 48
+        |                           ELSE ascii(substr(h, i // 4 + 1, 1)) - 87
+        |                      END >> (i % 4)) & 1) = 1
+        |          THEN 1 ELSE -1 END),
+        |          (a, b) -> a + b) END) > 0 THEN '1' ELSE '0' END), '')
+        |      AS sim
+        |  FROM toks
+        |), banded AS (
+        |  SELECT doc_id, sim, b.band,
+        |    substr(sim, 16 * b.band + 1, 16) AS key
+        |  FROM sims, (SELECT unnest(generate_series(0, 3)) AS band) b
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.sim AS sa, b.sim AS sb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |), ham AS (
+        |  SELECT id_a, id_b,
+        |    len(list_filter(generate_series(1, 64),
+        |      i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS hamming
+        |  FROM cand
+        |)
+        |SELECT id_a, id_b, hamming
+        |FROM ham WHERE hamming <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

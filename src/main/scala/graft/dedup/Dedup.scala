@@ -134,4 +134,60 @@ object Dedup {
       zip_with(split(a, ""), split(b, ""),
         (x, y) => when(x =!= y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into `bands`
+    * contiguous segments, equi-join on any shared (band, segment) — a
+    * linear shuffle, no O(n²) cross product — then verify candidates by
+    * exact Hamming distance ≤ `maxHamming`. Any pair within `maxHamming`
+    * ≤ 64·(bands−1)/bands bits shares at least one exact band
+    * (pigeonhole), so recall is 1 for maxHamming ≤ 48 at bands = 4.
+    */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      bands: Int = 4, maxHamming: Int = 8): DataFrame = {
+    val width = 64 / bands
+    val sims = df.select(col(idCol), simhashBits(col(textCol)).as("__sim"))
+    val banded = sims.select(col(idCol), col("__sim"), explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            substr(col("__sim"), b * width + 1, lit(width)).as("key"))))
+        .as("b"))
+      .select(col(idCol), col("__sim"), col("b.band"), col("b.key"))
+    val l = banded.select(col(idCol).as("id_a"), col("__sim").as("__sa"),
+      col("band"), col("key"))
+    val r = banded.select(col(idCol).as("id_b"), col("__sim").as("__sb"),
+      col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("__sa"), col("__sb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs: block by sign-LSH bucket (vectors
+    * within a tight cosine ball share signs on most hyperplanes), then
+    * exact cosine ≥ `threshold` within buckets. The bucket join is a
+    * linear shuffled equi-join; at the 100 TB layer the bucket id doubles
+    * as a cluster/partition key. Recall < 1 across bucket boundaries —
+    * the documented LSH trade.
+    */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+      dims: Int, planes: Int = 4, threshold: Double = 0.9): DataFrame = {
+    import graft.similarity.Similarity
+    val b = df.select(col(idCol), col(vecCol),
+      Similarity.lshBucket(Similarity.asDouble(col(vecCol)), dims, planes)
+        .as("__bucket"))
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("__bucket"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(
+          Similarity.asDouble(col("__va")),
+          Similarity.asDouble(col("__vb"))), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }
