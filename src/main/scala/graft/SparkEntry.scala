@@ -289,24 +289,29 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash 64-bit fingerprints
+    // SimHash 64-bit fingerprints (exploded/codegen'd scale path)
     "q18_simhash" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.dedup.Dedup.simhashBits(col("text")).as("simhash"))
+      graft.dedup.Dedup.simhashDf(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id")
         .orderBy(col("doc_id"))
     },
 
-    // n-gram (unigram-set) Jaccard similarity within a blocking key
+    // n-gram (unigram-set) Jaccard similarity within a blocking key.
+    // Two exact-preserving optimizations: the size-ratio prefilter
+    // (jaccard >= 0.5 forces min(|A|,|B|) >= max(|A|,|B|)/2) kills pairs
+    // before the set intersection, and shingles are hashed to 60-bit longs
+    // so the intersection compares longs, not strings.
     "q19_ngram_jaccard" -> { (s, dir) =>
       val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        graft.dedup.Dedup.shingles(col("text"), 1).as("sh"))
+        graft.dedup.Dedup.hashedShingles(col("text"), 1).as("sh"))
       val l = d.select(col("source"), col("doc_id").as("id_a"),
-        col("sh").as("sh_a"))
+        col("sh").as("sh_a"), size(col("sh")).as("__na"))
       val r = d.select(col("source"), col("doc_id").as("id_b"),
-        col("sh").as("sh_b"))
+        col("sh").as("sh_b"), size(col("sh")).as("__nb"))
       l.join(r, Seq("source"))
-        .filter(col("id_a") < col("id_b"))
+        .filter(col("id_a") < col("id_b") &&
+          col("__na") * 2 >= col("__nb") && col("__nb") * 2 >= col("__na"))
         .select(col("id_a"), col("id_b"),
           round(graft.dedup.Dedup.jaccard(col("sh_a"), col("sh_b")), 6)
             .as("jaccard"))
@@ -366,6 +371,17 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // IVF-style ANN: nearest-centroid assignment (broadcast codebook) +
+    // nprobe-limited search — the partition-pruning scale path
+    "q29_ivf_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      graft.similarity.Similarity.ivfTopK(
+        e.filter(col("vec_id") =!= 0), q, "embedding", "vec_id",
+        k = 10, centroidStep = 45, nprobe = 8)
     },
 
     // embedding-cosine near-dup pairs: LSH-bucket blocking + exact cosine.
@@ -654,16 +670,31 @@ object SparkEntry {
         |         i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
         |       ELSE [] END FROM t2) AS s
         |  FROM corpus
+        |), hp AS (
+        |  SELECT doc_id, s,
+        |    list_transform(list_transform(s, x -> md5(x)), h -> struct_pack(
+        |      h1 := list_reduce(list_transform(generate_series(1, 15), ii ->
+        |        CAST(CASE WHEN ascii(substr(h, ii, 1)) <= 57
+        |             THEN ascii(substr(h, ii, 1)) - 48
+        |             ELSE ascii(substr(h, ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b) % 1000000007,
+        |      h2 := list_reduce(list_transform(generate_series(16, 30), ii ->
+        |        CAST(CASE WHEN ascii(substr(h, ii, 1)) <= 57
+        |             THEN ascii(substr(h, ii, 1)) - 48
+        |             ELSE ascii(substr(h, ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b) % 1000000007)) AS ps
+        |  FROM sh
         |), sig AS (
         |  SELECT doc_id, s,
         |    list_transform(generate_series(0, 31), j ->
-        |      list_aggregate(list_transform(s,
-        |        x -> md5(x || '#' || CAST(j AS VARCHAR))), 'min')) AS sg
-        |  FROM sh
+        |      list_aggregate(list_transform(ps,
+        |        p -> (p.h1 + j * p.h2) % 1000000007), 'min')) AS sg
+        |  FROM hp
         |), bands AS (
         |  SELECT doc_id, b.band,
-        |    md5(array_to_string(sg[(2 * b.band + 1):(2 * b.band + 2)], '|'))
-        |      AS band_key
+        |    md5(array_to_string(list_transform(
+        |      sg[(2 * b.band + 1):(2 * b.band + 2)],
+        |      v -> CAST(v AS VARCHAR)), '|')) AS band_key
         |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS band) b
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -710,10 +741,15 @@ object SparkEntry {
     "q19_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, source,
-        |    list_distinct(list_filter(
+        |    list_transform(list_distinct(list_filter(
         |      string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ',
         |        'g'))), '\s+'),
-        |      t -> t <> '')) AS s
+        |      t -> t <> '')), x ->
+        |      list_reduce(list_transform(generate_series(1, 15), ii ->
+        |        CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |             THEN ascii(substr(md5(x), ii, 1)) - 48
+        |             ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b)) AS s
         |  FROM documents
         |), pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -863,6 +899,65 @@ object SparkEntry {
         |SELECT doc_id, width, height, payload_bytes, n_frames,
         |  CAST(greatest(n_frames - 1, 0) // 2 + 1 AS INT) AS n_sampled
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q29_ivf_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id <> 0
+        |), q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0
+        |), cents AS (
+        |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 45 = 0
+        |), assign0 AS (
+        |  SELECT e.vec_id, e.v, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(CASE WHEN sqrt(list_reduce(list_transform(e.v,
+        |          x -> x * x), (a, b) -> a + b)) > 0
+        |        AND sqrt(list_reduce(list_transform(c.cv, x -> x * x),
+        |          (a, b) -> a + b)) > 0
+        |        THEN list_reduce(list_transform(list_zip(e.v, c.cv),
+        |          s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |          (a, b) -> a + b)
+        |          / (sqrt(list_reduce(list_transform(e.v, x -> x * x),
+        |              (a, b) -> a + b))
+        |             * sqrt(list_reduce(list_transform(c.cv, x -> x * x),
+        |              (a, b) -> a + b)))
+        |        ELSE 0.0 END, 9) DESC, c.cent_id DESC) AS rn
+        |  FROM e, cents c
+        |), assigned AS (
+        |  SELECT vec_id, v, cent_id AS cluster FROM assign0 WHERE rn = 1
+        |), probes AS (
+        |  SELECT c.cent_id
+        |  FROM cents c, q
+        |  ORDER BY round(CASE WHEN sqrt(list_reduce(list_transform(c.cv,
+        |      x -> x * x), (a, b) -> a + b)) > 0
+        |    AND sqrt(list_reduce(list_transform(qv, x -> x * x),
+        |      (a, b) -> a + b)) > 0
+        |    THEN list_reduce(list_transform(list_zip(c.cv, qv),
+        |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(c.cv, x -> x * x),
+        |          (a, b) -> a + b))
+        |         * sqrt(list_reduce(list_transform(qv, x -> x * x),
+        |          (a, b) -> a + b)))
+        |    ELSE 0.0 END, 9) DESC, c.cent_id LIMIT 8
+        |), scored AS (
+        |  SELECT a.vec_id,
+        |    list_reduce(list_transform(list_zip(a.v, qv),
+        |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (a2, b2) -> a2 + b2) AS dp,
+        |    sqrt(list_reduce(list_transform(a.v, x -> x * x),
+        |      (a2, b2) -> a2 + b2)) AS na,
+        |    sqrt(list_reduce(list_transform(qv, x -> x * x),
+        |      (a2, b2) -> a2 + b2)) AS nb
+        |  FROM assigned a JOIN probes p ON a.cluster = p.cent_id, q
+        |)
+        |SELECT vec_id,
+        |  round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb) ELSE 0.0 END,
+        |    6) AS cos
+        |FROM scored
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "q27_embedding_neardup" ->
       """WITH corpus AS (

@@ -33,48 +33,79 @@ object Dedup {
 
   /** Distinct word n-gram shingles of the normalized text. Guarded:
     * Spark's `sequence(1, k)` DESCENDS for k < 1, so short docs get an
-    * explicit empty array.
+    * explicit empty array. The token array is let-bound
+    * ([[TextFunctions.once]]) — naively capturing the tokenization inside
+    * the per-gram lambda would re-tokenize the document per gram (O(n²)).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(TextFunctions.normalized(text))
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    when(size(toks) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    TextFunctions.once(
+      TextFunctions.tokens(TextFunctions.normalized(text)),
+      toks => {
+        val grams = transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))
+        when(size(toks) >= n, array_distinct(grams))
+          .otherwise(array().cast("array<string>"))
+      })
 
-  /** k-element MinHash signature: for seed j, the lexicographic min of
-    * md5(shingle + "#" + j). A lexicographic min over md5 hex strings is a
-    * valid random-permutation min and is engine-portable.
+  /** Carter-Wegman modulus for MinHash permutations. */
+  val MinhashP = 1000000007L
+
+  /** MinHash permutation inputs from ONE md5 per shingle: h1 = hex chars
+    * 1-15, h2 = chars 16-30 (60-bit ints), both mod p. Permutation j is
+    * `(h1 + j·h2) mod p` — integer arithmetic, exact in any engine. (A
+    * per-seed `md5(shingle#j)` would cost k hashes per shingle — 32× the
+    * scan's hash work — and Spark evaluates higher-order-function lambdas
+    * interpreted, so the hash dominates.)
+    */
+  private def cwHash(h: Column): (Column, Column) = (
+    conv(substring(h, 1, 15), 16, 10).cast("long") % MinhashP,
+    conv(substring(h, 16, 15), 16, 10).cast("long") % MinhashP)
+
+  /** k-element MinHash signature of a shingle array (array-form API; the
+    * scale path is [[minhashLshPairs]]'s exploded row pipeline). Empty
+    * shingle arrays yield an all-null signature.
     */
   def minhashSignature(sh: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(sh,
-        x => md5(concat(x, lit("#"), j.cast("string"))))))
-
-  /** LSH banding: (id, band, bandKey) rows — md5 over each r-slice of the
-    * signature. Candidates are ids sharing any (band, bandKey).
-    */
-  def lshBands(df: DataFrame, idCol: String, sigCol: String,
-      bands: Int, rows: Int): DataFrame =
-    df.select(col(idCol), explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            md5(concat_ws("|", slice(col(sigCol), b * rows + 1, lit(rows))))
-              .as("band_key")))).as("b"))
-      .select(col(idCol), col("b.band"), col("b.band_key"))
+      j => array_min(transform(sh, x => {
+        val (a, b) = cwHash(md5(x))
+        (a + j.cast("long") * b) % MinhashP
+      })))
 
   /** Candidate pairs from MinHash-LSH: shingle → sign → band → self-join.
-    * Returns distinct (id_a < id_b) pairs. The self-join shuffles on
-    * (band, band_key) — linear in data, skew-bounded by band width.
+    * Returns distinct (id_a < id_b) pairs.
+    *
+    * Shape (100 TB-ready, all codegen'd row work — no interpreted lambda
+    * hot path): explode shingles to rows → one md5 + two 60-bit ints per
+    * shingle → explode k permutation seeds → two-level partial aggregation
+    * (min per (id, seed), then band keys per (id, band)) → shuffled
+    * equi-join on (band, band_key), linear in data, skew-bounded by band
+    * width. Docs with no shingles (shorter than the shingle width) emit no
+    * bands and thus no candidates.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
-    val sigs = df.select(col(idCol),
-      minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
-    val b = lshBands(sigs, idCol, "sig", bands, rows)
+    val shRows = df.select(col(idCol),
+      explode(shingles(col(textCol), shingleN)).as("__s"))
+    val (h1, h2) = cwHash(md5(col("__s")))
+    val hashed = shRows.select(col(idCol), h1.as("__h1"), h2.as("__h2"))
+    val perms = hashed
+      .select(col(idCol), col("__h1"), col("__h2"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("__j"))
+      .select(col(idCol), col("__j"),
+        ((col("__h1") + col("__j") * col("__h2")) % MinhashP).as("__perm"))
+    val mins = perms.groupBy(col(idCol), col("__j"))
+      .agg(min(col("__perm")).as("__m"))
+    val b = mins
+      .groupBy(col(idCol),
+        floor(col("__j") / rows).cast("int").as("band"))
+      .agg(md5(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__j").as("j"),
+            col("__m").as("m")))),
+          s => s.getField("m").cast("string")), "|")).as("band_key"))
     val l = b.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val r = b.select(col(idCol).as("id_b"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key"))
@@ -83,10 +114,26 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity of two shingle arrays. */
+  /** Distinct shingles hashed to 60-bit longs (first 15 hex chars of md5).
+    * Set-similarity counts (intersection/union/Jaccard) over the hashed
+    * sets equal those over the string sets w.h.p. (collision odds
+    * ~n²/2^61), and long equality is several times cheaper than string
+    * equality inside `array_intersect` — the win that matters when a
+    * blocked pairwise verify touches 10^5..10^6 pairs per block.
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    transform(shingles(text, n),
+      x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))
+
+  /** Exact Jaccard similarity of two DISTINCT-element arrays (shingle sets
+    * are distinct by construction): |A∩B| / (|A|+|B|−|A∩B|). The inclusion-
+    * exclusion denominator saves the second per-pair hash-set build an
+    * `array_union` would cost — this runs 10^5..10^6 times per block in
+    * pairwise verification.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(array_union(a, b)).cast("double")
+    val union = size(a).cast("double") + size(b).cast("double") - inter
     when(union > 0, inter / union).otherwise(0d)
   }
 
@@ -106,9 +153,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** DataFrame-level SimHash: (idCol, simhash) with one 64-char bit string
+    * per row. Same bit semantics as [[simhashBits]], but shaped for scale:
+    * explode tokens to rows (md5 runs once per token inside whole-stage
+    * codegen), split the 16 hex chars into two 32-bit words, explode the 64
+    * bit positions, and two-level partial aggregation (vote per (id, bit),
+    * then fingerprint per id). Token-less docs get the all-zero fingerprint.
+    */
+  def simhashDf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
+    val tokRows = df.select(col(idCol), explode(toks).as("__t"))
+    val words = tokRows.select(col(idCol),
+      conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long").as("__hi"),
+      conv(substring(md5(col("__t")), 9, 8), 16, 10).cast("long").as("__lo"))
+    // bit i reads hex char i/4 (chars 1-8 → __hi, 9-16 → __lo), bit i%4 of
+    // the nibble — identical to simhashBits. The word is < 2^32, so the
+    // shift is exact double arithmetic (codegen'd; shiftright needs a
+    // static shift count).
+    val word = when(col("__i") < 32, col("__hi")).otherwise(col("__lo"))
+    val shift = (when(col("__i") < 32, 7).otherwise(15)
+      - floor(col("__i") / 4)) * 4 + col("__i") % 4
+    val bit = (floor(word / pow(lit(2d), shift.cast("double"))).cast("long")
+      % 2).cast("int")
+    val votes = words
+      .select(col(idCol), col("__hi"), col("__lo"),
+        explode(sequence(lit(0), lit(63))).as("__i"))
+      .select(col(idCol), col("__i"), (bit * 2 - 1).as("__v"))
+      .groupBy(col(idCol), col("__i"))
+      .agg(sum(col("__v")).as("__vote"))
+    val sims = votes.groupBy(col(idCol))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("__i").as("i"),
+          col("__vote").as("v")))),
+        s => when(s.getField("v") > 0, "1").otherwise("0"))).as("simhash"))
+    df.select(col(idCol)).join(sims, Seq(idCol), "left")
+      .withColumn("simhash", coalesce(col("simhash"), lit("0" * 64)))
+  }
+
   /** 64-bit SimHash as a '0'/'1' bit string (string form sidesteps signed-
     * long overflow and is engine-portable). Bit i's vote sums ±1 per token
-    * from bit (i mod 4) of hex nibble (i div 4) of md5(token).
+    * from bit (i mod 4) of hex nibble (i div 4) of md5(token). Array-form
+    * API — [[simhashDf]] is the codegen'd scale path.
     */
   def simhashBits(text: Column): Column = {
     val toks = TextFunctions.tokens(TextFunctions.normalized(text))
@@ -145,7 +230,8 @@ object Dedup {
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
       bands: Int = 4, maxHamming: Int = 8): DataFrame = {
     val width = 64 / bands
-    val sims = df.select(col(idCol), simhashBits(col(textCol)).as("__sim"))
+    val sims = simhashDf(df, textCol, idCol)
+      .select(col(idCol), col("simhash").as("__sim"))
     val banded = sims.select(col(idCol), col("__sim"), explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -175,19 +261,23 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
       dims: Int, planes: Int = 4, threshold: Double = 0.9): DataFrame = {
     import graft.similarity.Similarity
+    // bucket AND norm are computed once per vector, not once per pair —
+    // the pair stage then only pays for the dot product
     val b = df.select(col(idCol), col(vecCol),
       Similarity.lshBucket(Similarity.asDouble(col(vecCol)), dims, planes)
-        .as("__bucket"))
+        .as("__bucket"),
+      Similarity.l2Norm(Similarity.asDouble(col(vecCol))).as("__norm"))
     val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      col("__bucket"))
+      col("__bucket"), col("__norm").as("__na"))
     val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-      col("__bucket"))
+      col("__bucket"), col("__norm").as("__nb"))
+    val dp = Similarity.dot(
+      Similarity.asDouble(col("__va")), Similarity.asDouble(col("__vb")))
     l.join(r, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosine(
-          Similarity.asDouble(col("__va")),
-          Similarity.asDouble(col("__vb"))), 6).as("cos"))
+        round(when(col("__na") > 0 && col("__nb") > 0,
+          dp / (col("__na") * col("__nb"))).otherwise(0d), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

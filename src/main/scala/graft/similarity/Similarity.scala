@@ -85,4 +85,45 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** IVF-style ANN top-k: coarse-quantize every vector to its nearest
+    * centroid (cosine argmax over a small deterministic centroid set —
+    * here every `centroidStep`-th id, standing in for a k-means codebook),
+    * then probe only the `nprobe` centroids closest to the query.
+    *
+    * Scale shape: the centroid table is broadcast to the assignment scan
+    * (no shuffle on the big side); the cluster id is a first-class column
+    * a 100 TB deployment persists and partitions/clusters by, so a query
+    * touches only `nprobe`/C of the data. Assignment ties break toward the
+    * higher centroid id (max over (cos, cent_id) structs — deterministic).
+    */
+  def ivfTopK(df: DataFrame, query: DataFrame, vecCol: String, idCol: String,
+      k: Int, centroidStep: Int, nprobe: Int): DataFrame = {
+    val cents = df.filter(col(idCol) % centroidStep === 0)
+      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent_vec"))
+    // nearest-centroid assignment: argmax_{centroid} cosine
+    val assigned = df.crossJoin(broadcast(cents))
+      .groupBy(col(idCol))
+      .agg(
+        max(struct(
+          round(cosine(asDouble(col(vecCol)), asDouble(col("__cent_vec"))), 9)
+            .as("c"),
+          col("__cent_id").as("id"))).as("__best"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol), col("__best.id").as("__cluster"))
+    // the query's nprobe nearest centroids
+    val probes = query.crossJoin(broadcast(cents))
+      .select(col("qvec"), col("__cent_id"),
+        round(cosine(asDouble(col("__cent_vec")), asDouble(col("qvec"))), 9)
+          .as("__qc"))
+      .orderBy(col("__qc").desc, col("__cent_id"))
+      .limit(nprobe)
+      .select(col("qvec"), col("__cent_id"))
+    assigned.join(broadcast(probes), col("__cluster") === col("__cent_id"))
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), asDouble(col("qvec"))), 6)
+          .as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
 }

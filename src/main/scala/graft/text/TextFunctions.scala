@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Let-binding for Column expressions: evaluate `v` ONCE per row and pass
+    * it to `f` as a lambda variable. Spark evaluates higher-order-function
+    * lambda bodies per invocation, so an expression captured inside a
+    * lambda (e.g. a tokenization) is otherwise recomputed per element —
+    * quadratic blowup for per-gram/per-bit loops. `transform` over a
+    * one-element array turns the value into a cheap variable lookup.
+    */
+  def once(v: Column, f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
@@ -40,25 +50,34 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "den", "mit", "nicht"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"))
 
+  /** Stopword-hit ratio over an already-bound token array. */
+  private def ratioOf(tk: Column, words: Seq[String]): Column = {
+    val hits = size(filter(tk, t => array_contains(typedLit(words), t)))
+    when(size(tk) > 0, hits.cast("double") / size(tk)).otherwise(0d)
+  }
+
   /** Fraction of tokens that are stopwords of `lang`. Null-safe: 0.0 for
     * empty documents.
     */
-  def stopwordRatio(text: Column, words: Seq[String]): Column = {
-    val toks = tokens(text)
-    val hits = size(filter(toks, t => array_contains(typedLit(words), t)))
-    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(0d)
-  }
+  def stopwordRatio(text: Column, words: Seq[String]): Column =
+    once(tokens(text), tk => ratioOf(tk, words))
 
   /** Language-ID heuristic: CJK codepoints → "zh"; otherwise the language
     * with the highest stopword ratio, ties broken by fixed order
-    * (en, es, de, fr); all-zero scores → "und".
+    * (en, es, de, fr); all-zero scores → "und". Tokenization and the four
+    * ratios are each evaluated once per row (let-bound).
     */
   def langId(text: Column): Column = {
-    val scores = stopwords.map { case (l, ws) => l -> stopwordRatio(text, ws) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
-      when(s === best && best > 0, l).otherwise(acc)
-    }
+    val pick = once(tokens(text), tk =>
+      once(array(stopwords.map { case (_, ws) => ratioOf(tk, ws) }: _*),
+        sc => {
+          val scores = stopwords.indices.map(i => element_at(sc, i + 1))
+          val best = scores.reduce((a, b) => greatest(a, b))
+          stopwords.map(_._1).zip(scores)
+            .foldRight(lit("und")) { case ((l, s), acc) =>
+              when(s === best && best > 0, l).otherwise(acc)
+            }
+        }))
     when(text.rlike("[\\u4e00-\\u9fff]"), "zh").otherwise(pick)
   }
 
@@ -66,15 +85,18 @@ object TextFunctions {
     * 0.4·min(1, tokens/100) + 0.3·en-stopword-ratio +
     * 0.3·(1 − min(1, punct/tokens)). Deterministic double arithmetic.
     */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text).cast("double")
-    val punct = size(regexp_extract_all(text,
-      lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
-    val lenScore = least(lit(1d), n / 100d)
-    val stopScore = stopwordRatio(text, stopwords.head._2)
-    val punctScore = lit(1d) - least(lit(1d), when(n > 0, punct / n).otherwise(1d))
-    round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * punctScore, 6)
-  }
+  def qualityScore(text: Column): Column =
+    once(tokens(text), tk => {
+      val n = size(tk).cast("double")
+      val punct = size(regexp_extract_all(text,
+        lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+      val lenScore = least(lit(1d), n / 100d)
+      val stopScore = ratioOf(tk, stopwords.head._2)
+      val punctScore =
+        lit(1d) - least(lit(1d), when(n > 0, punct / n).otherwise(1d))
+      round(lit(0.4) * lenScore + lit(0.3) * stopScore +
+        lit(0.3) * punctScore, 6)
+    })
 
   /** Whitespace/case-normalized form used by fingerprints and exact dedup. */
   def normalized(text: Column): Column =

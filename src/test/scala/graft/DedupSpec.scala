@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "THE  Quick   Brown fox jumps over the lazy dog"), // normalized dup
+    (4L, "a completely different document about spark engines"),
+    (5L, "the quick brown fox jumps over the lazy cat")     // near dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses exact and normalized duplicates") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    val big = g.find(_.getAs[Long]("n_dups") == 3)
+    assert(big.isDefined && big.get.getAs[Long]("keep_id") == 1L)
+    assert(g.length == 3) // {1,2,3}, {4}, {5}
+  }
+
+  test("shingles: n-grams, distinct, empty for short docs") {
+    val sh = docs.select(Dedup.shingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).contains("the quick brown"))
+    assert(sh(0).distinct.length == sh(0).length)
+    val short1 = Seq((1L, "just two")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .head().getSeq[String](0)
+    assert(short1.isEmpty)
+  }
+
+  test("jaccard: identity 1, disjoint 0, empty-empty 0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")), (Seq[String](), Seq[String]()))
+      .toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y")).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(j.toSeq == Seq(1d, 0d, 0d))
+  }
+
+  test("minhashLshPairs finds the near-dup pair and not the unrelated one") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      shingleN = 3, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("hammingDistance counts differing bit positions") {
+    val df = Seq(("0000", "0000"), ("0101", "0000"), ("1111", "0000"))
+      .toDF("x", "y")
+    val h = df.select(Dedup.hammingDistance(col("x"), col("y")).as("h"))
+      .collect().map(_.getInt(0))
+    assert(h.toSeq == Seq(0, 2, 4))
+  }
+
+  test("simhash: 64 bits, equal for dups, close for near-dups") {
+    val sims = docs.select(col("doc_id"),
+      Dedup.simhashBits(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sims.values.forall(s => s.length == 64 && s.matches("[01]+")))
+    assert(sims(1L) == sims(2L) && sims(1L) == sims(3L))
+    val hamNear = sims(1L).zip(sims(5L)).count { case (a, b) => a != b }
+    val hamFar = sims(1L).zip(sims(4L)).count { case (a, b) => a != b }
+    assert(hamNear < hamFar)
+  }
+
+  test("simhashDf (exploded scale path) equals simhashBits (array form)") {
+    val viaDf = Dedup.simhashDf(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaBits = docs.select(col("doc_id"),
+      Dedup.simhashBits(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaDf == viaBits)
+    val empty = Seq((9L, "   ")).toDF("doc_id", "text")
+    assert(Dedup.simhashDf(empty, "text", "doc_id")
+      .head().getString(1) == "0" * 64)
+  }
+
+  test("simhashNearDups: banded blocking keeps near pairs, drops far ones") {
+    val nd = Dedup.simhashNearDups(docs, "text", "doc_id",
+      bands = 4, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 2L)) && nd.contains((1L, 3L)))
+    assert(!nd.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("embeddingNearDups: scaled copy pairs at cos 1, orthogonal absent") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),   // same direction as 1
+      (3L, Array(0f, 1f, 0f, 0f)),   // orthogonal
+      (4L, Array(-1f, 0f, 0f, 0f))   // opposite
+    ).toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDups(vecs, "embedding", "vec_id",
+      dims = 4, planes = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd == Set((1L, 2L)))
+  }
+
+  test("fingerprint is whitespace/case-insensitive md5") {
+    val fp = docs.select(TextFunctions.fingerprint(col("text")).as("f"))
+      .collect().map(_.getString(0))
+    assert(fp(0) == fp(1) && fp(0) == fp(2) && fp(0) != fp(3))
+    assert(fp(0).matches("[0-9a-f]{32}"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.config.SiteConfig
+import graft.pipeline.Aggregate
+import graft.schema.Schemas
+import graft.streaming.StreamingMerge
+import graft.testkit.Toa5Fixture
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming merge converges to the batch pipeline's grid") {
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val files = Toa5Fixture.writeMet(dir)
+
+    // accumulate state exactly as a foreachBatch deployment would
+    var state: Option[DataFrame] = None
+    val q = StreamingMerge.run(
+      spark, dir, Schemas.metRaw, stepSeconds = 15 * 60,
+      mergeBatch = (batch, _) => {
+        val merged = StreamingMerge.finalize(state, batch, 15 * 60)
+        // materialize: foreachBatch frames are only valid within the batch
+        state = Some(merged.localCheckpoint(true))
+      },
+      maxFilesPerTrigger = 1)
+    q.awaitTermination(120000L)
+
+    val streamed = state.getOrElse(fail("no batches processed"))
+    val batch = Aggregate.run(
+      spark, "Met", SiteConfig("CookEast"), files, qc = false).df
+
+    // same dense grid: identical timestamp set, one row per tick
+    assert(streamed.count() == batch.count())
+    assert(streamed.select($"TIMESTAMP").exceptAll(
+      batch.select($"TIMESTAMP")).count() == 0)
+    assert(streamed.select($"TIMESTAMP").distinct().count()
+      == streamed.count())
+    // non-padding rows carry the same records
+    assert(streamed.filter($"RECORD".isNotNull)
+      .select($"TIMESTAMP", $"RECORD")
+      .exceptAll(batch.filter($"RECORD".isNotNull)
+        .select($"TIMESTAMP", $"RECORD")).count() == 0)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+import graft.text.TextFunctions
+
+class TextSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq("hello, world! x2", "", "   ").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount(col("text")).as("ws"),
+      TextFunctions.bpeishTokenCount(col("text")).as("bp")).collect()
+    assert(r(0).getInt(0) == 3)       // hello, world! x2
+    assert(r(0).getInt(1) == 6)       // hello , world ! x 2
+    assert(r(1).getInt(0) == 0 && r(2).getInt(0) == 0)
+  }
+
+  test("langId picks the dominant stopword language; CJK wins outright") {
+    val df = Seq(
+      "the cat sat on the mat and it was happy",
+      "el perro y la casa de los vecinos no se ve",
+      "der hund und die katze ist ein tier mit fell",
+      "le chat et les chiens est une bête de la maison",
+      "你好 world",
+      "xyzzy plugh").toDF("text")
+    val got = df.select(TextFunctions.langId(col("text"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("en", "es", "de", "fr", "zh", "und"))
+  }
+
+  test("qualityScore is bounded and ranks clean text above noise") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and it was a fine day",
+      "@@@ ### !!! %%% ^^^ &&&").toDF("text")
+    val q = df.select(TextFunctions.qualityScore(col("text"))).collect()
+      .map(_.getDouble(0))
+    assert(q.forall(v => v >= 0 && v <= 1))
+    assert(q(0) > q(1))
+  }
+
+  test("dot/cosine: exact on unit vectors, zero-norm guarded") {
+    val df = Seq(
+      (Seq(1d, 0d), Seq(1d, 0d)),
+      (Seq(1d, 0d), Seq(0d, 1d)),
+      (Seq(0d, 0d), Seq(1d, 0d))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    assert(c.toSeq == Seq(1d, 0d, 0d))
+  }
+
+  test("lshBucket: deterministic, stable for scaled vectors") {
+    val df = Seq(
+      (1L, Seq(1d, 2d, 3d, 4d)),
+      (2L, Seq(2d, 4d, 6d, 8d)),    // same direction → same signs
+      (3L, Seq(-1d, -2d, -3d, -4d)) // opposite → complementary bits
+    ).toDF("id", "v")
+    val b = df.select(Similarity.lshBucket(col("v"), dims = 4, planes = 4))
+      .collect().map(_.getLong(0))
+    assert(b(0) == b(1))
+    assert(b(0) == (~b(2) & 0xfL))
+    assert(b.forall(x => x >= 0 && x < 16))
+  }
+
+  test("ivfTopK returns the true nearest neighbors when nprobe covers all") {
+    val vecs = (0 until 40).map { i =>
+      val ang = i * 0.15
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val ivf = Similarity.ivfTopK(vecs.filter($"vec_id" =!= 0), q,
+      "embedding", "vec_id", k = 5, centroidStep = 7, nprobe = 6)
+      .collect().map(_.getLong(0)).toSet
+    val brute = Similarity.bruteForceTopK(vecs.filter($"vec_id" =!= 0), q,
+      "embedding", "vec_id", 5).collect().map(_.getLong(0)).toSet
+    assert(ivf == brute) // full probe ⇒ exact
+  }
+}
