@@ -1,0 +1,39 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev audit: dump physical plans for the load-bearing shapes (SURVEY §4):
+  * shared WindowExec for QC lags, exchange reuse between dedup and grid
+  * join, scan pruning for report prep.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    val files = graft.testkit.Toa5Fixture.writeMet(dir)
+    val res = graft.pipeline.Aggregate.run(spark, "Met",
+      graft.config.SiteConfig("CookEast"), files)
+
+    println("==== PIPELINE (Met, QC) ====")
+    println(res.df.queryExecution.executedPlan.toString
+      .linesIterator.map(_.take(150)).mkString("\n"))
+
+    println("==== REPORT PREP scan ====")
+    val out = java.nio.file.Files.createTempDirectory("graft-audit-o").toString
+    val p = graft.pipeline.Aggregate.save(res, out, "CookEast", "Met",
+      "V1", java.time.LocalDate.of(2021, 1, 20))
+    val rep = graft.report.ReportPrep.group(
+      graft.report.ReportPrep.lastDays(spark, Seq(p), "Met", 10,
+        notBefore = Some("2021-01-01")), "Met")
+    println(rep.queryExecution.executedPlan.toString
+      .linesIterator.map(_.take(150)).mkString("\n"))
+
+    spark.stop()
+  }
+}

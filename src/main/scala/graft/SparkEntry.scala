@@ -309,13 +309,19 @@ object SparkEntry {
         col("sh").as("sh_a"), size(col("sh")).as("__na"))
       val r = d.select(col("source"), col("doc_id").as("id_b"),
         col("sh").as("sh_b"), size(col("sh")).as("__nb"))
+      // The selection predicate runs in INTEGER form inside the join
+      // (round(i/u, 6) >= 0.5 ⟺ 2e6·i >= 999999·u for set sizes far below
+      // the 2e6-denominator boundary), so the double jaccard is computed
+      // exactly once, for survivors only.
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val union = col("__na") + col("__nb") - inter
       l.join(r, Seq("source"))
         .filter(col("id_a") < col("id_b") &&
-          col("__na") * 2 >= col("__nb") && col("__nb") * 2 >= col("__na"))
+          col("__na") * 2 >= col("__nb") && col("__nb") * 2 >= col("__na") &&
+          union > 0 && inter * 2000000L >= union * 999999L)
         .select(col("id_a"), col("id_b"),
           round(graft.dedup.Dedup.jaccard(col("sh_a"), col("sh_b")), 6)
             .as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
 

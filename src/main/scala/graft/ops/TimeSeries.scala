@@ -77,9 +77,16 @@ object TimeSeries {
       df: DataFrame,
       stepSeconds: Long,
       tsCol: String = "TIMESTAMP",
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil,
+      boundsFrom: Option[DataFrame] = None): DataFrame = {
     val keyCols = keys.map(col)
-    val bounds = df
+    // Bounds need only (keys, ts): selecting them explicitly lets column
+    // pruning reach the scan, and callers whose `df` is itself an expensive
+    // subplan (e.g. the dedup window) can pass a cheaper upstream frame
+    // with the same timestamp extremes via `boundsFrom` so the plan doesn't
+    // evaluate the expensive branch twice.
+    val bounds = boundsFrom.getOrElse(df)
+      .select((keyCols :+ col(tsCol)).toIndexedSeq: _*)
       .groupBy(keyCols: _*)
       .agg(
         floorDay(min(col(tsCol))).as("__start"),
@@ -114,7 +121,10 @@ object TimeSeries {
     val unioned = prev.map(unionMerge(_, fresh)).getOrElse(fresh)
     val noPadding = unioned.na.drop(Seq(recordCol))
     val deduped = dedupKeepMostComplete(noPadding, tsCol, recordCol, keys)
-    regrid(deduped, stepSeconds, tsCol, keys)
+    // dedup keeps >= 1 row per timestamp, so the grid bounds over the
+    // pre-dedup frame are identical — and cost a timestamp-only scan
+    // instead of a second pass through the dedup shuffle.
+    regrid(deduped, stepSeconds, tsCol, keys, boundsFrom = Some(noPadding))
   }
 
   /** Shared window spec for all per-key time-ordered lags: every `diff`

@@ -99,7 +99,55 @@ object MetQaqc {
       strictReplace: Boolean = false): DataFrame = {
 
     def in(name: String): Column = col(name).cast("double")
-    def diff(name: String): Column = TimeSeries.lagDiff(in(name), tsCol, keys)
+
+    // Derived MSLP (pure expression) goes in first so its step-diff can
+    // join the shared window pass below.
+    val hasMslp = cols.p.isDefined && cols.tair.isDefined
+    val withMslp = (cols.p, cols.tair) match {
+      case (Some(p), Some(t)) =>
+        // scale height H = 8.314 (Tair+273.15) / (0.029 · 9.81) / 1000 [km];
+        // MSLP = P / exp(−z/H)   (reference :678-680)
+        val h = (lit(8.314) * (in(t) + 273.15)) / (0.029 * 9.81) / 1000d
+        df.withColumn("__MSLP", in(p) / exp(lit(-z) / h))
+      case _ => df
+    }
+
+    // ONE window pass: every step-diff (`Series.diff()`) lives in a single
+    // projection over a single WindowSpec, so Catalyst plans exactly one
+    // WindowExec and one sort for the whole QC block (SURVEY §4.1) —
+    // interleaving them with the mask projections would otherwise plan a
+    // Window node per variable.
+    val diffSrcs: Seq[(String, Column)] = Seq(
+      cols.tair.map(t => "Tair" -> in(t)),
+      cols.rh.map(r => "RH" -> in(r)),
+      cols.p.map(p => "P" -> in(p)),
+      if (hasMslp) Some("MSLP" -> col("__MSLP")) else None,
+      cols.ws.map(w => "WS" -> in(w)),
+      cols.wd.map(w => "WD" -> in(w)),
+      cols.par.map(p => "PAR" -> in(p)),
+      cols.rn.map(r => "Rn" -> in(r)),
+      cols.vpd.map(v => "VPD" -> in(v)),
+      cols.e.map(c => "e" -> in(c)),
+      cols.eS.map(c => "e_s" -> in(c))).flatten
+    val w = TimeSeries.timeWindow(tsCol, keys)
+    val withDiffs = withMslp.select(
+      (col("*") +: diffSrcs.map { case (n, c) =>
+        (c - lag(c, 1).over(w)).as(s"__d_$n")
+      }): _*)
+    def diff(name: String): Column = name match {
+      case n if cols.tair.contains(n) => col("__d_Tair")
+      case n if cols.rh.contains(n)   => col("__d_RH")
+      case n if cols.p.contains(n)    => col("__d_P")
+      case n if cols.ws.contains(n)   => col("__d_WS")
+      case n if cols.wd.contains(n)   => col("__d_WD")
+      case n if cols.par.contains(n)  => col("__d_PAR")
+      case n if cols.rn.contains(n)   => col("__d_Rn")
+      case n if cols.vpd.contains(n)  => col("__d_VPD")
+      case n if cols.e.contains(n)    => col("__d_e")
+      case n if cols.eS.contains(n)   => col("__d_e_s")
+      case other =>
+        throw new IllegalArgumentException(s"no diff source for: $other")
+    }
 
     /** Q1: reference-compatible Day_Change is all-True; intent mode checks
       * whether the daily mean differs from the previous calendar day's
@@ -118,7 +166,7 @@ object MetQaqc {
         coalesce(dm =!= prevDm, lit(true))
       }
 
-    var out = df
+    var out = withDiffs
     def emit(name: String, c: Column): Unit = { out = out.withColumn(name, c) }
 
     // ---- Tair (:639-646)
@@ -149,14 +197,10 @@ object MetQaqc {
       emit("P_Hard_Limit", hardLimit(in(p), 80, 100))
       emit("P_Change", changeLe(diff(p), 3.1))
       emit("P_Filtered", when(col("P_Hard_Limit") && col("P_Change"), in(p)))
-      cols.tair.foreach { t =>
-        // scale height H = 8.314 (Tair+273.15) / (0.029 · 9.81) / 1000 [km];
-        // MSLP = P / exp(−z/H)   (reference :678-680)
-        val h = (lit(8.314) * (in(t) + 273.15)) / (0.029 * 9.81) / 1000d
-        emit("MSLP", in(p) / exp(lit(-z) / h))
+      if (hasMslp) {
+        emit("MSLP", col("__MSLP"))
         emit("MSLP_Hard_Limit", hardLimit(col("MSLP"), 80, 110))
-        emit("MSLP_Change",
-          changeLe(TimeSeries.lagDiff(col("MSLP"), tsCol, keys), 31))
+        emit("MSLP_Change", changeLe(col("__d_MSLP"), 31))
         emit("MSLP_Filtered",
           when(col("MSLP_Hard_Limit") && col("MSLP_Change"), col("MSLP")))
       }
@@ -225,7 +269,7 @@ object MetQaqc {
       case (nm, colOpt) =>
         colOpt.foreach { c =>
           emit(s"${nm}_Hard_Limit", hardLimit(in(c), 0, 50, hiStrict = true))
-          emit(s"${nm}_Change", changeLe(diff(c), 10))
+          emit(s"${nm}_Change", changeLe(col(s"__d_$nm"), 10))
           emit(s"${nm}_Day_Change", dayChange(c))
           emit(s"${nm}_Filtered",
             when(col(s"${nm}_Hard_Limit") && col(s"${nm}_Change") &&
@@ -233,6 +277,6 @@ object MetQaqc {
         }
     }
 
-    out
+    out.drop(out.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
   }
 }
