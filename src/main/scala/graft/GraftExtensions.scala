@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, DotProduct}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions for SQL use
+  * (`spark.sql.extensions=graft.GraftExtensions`):
+  *
+  *   - `vec_dot(a, b)`     — codegen'd dot product over array<double>
+  *   - `vec_cosine(a, b)`  — codegen'd single-pass cosine similarity
+  *
+  * The Scala API ([[graft.functions.VectorExpressions]]) builds the same
+  * expressions directly and does not need the extension installed.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def binary(name: String, usage: String,
+      make: (Expression, Expression) => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"$name expects exactly 2 arguments")
+      make(args(0), args(1))
+    })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(binary("vec_dot",
+      "vec_dot(a, b) - dot product of two array<double> vectors",
+      DotProduct(_, _)))
+    ext.injectFunction(binary("vec_cosine",
+      "vec_cosine(a, b) - cosine similarity of two array<double> vectors",
+      CosineSimilarity(_, _)))
+  }
+}

@@ -24,37 +24,38 @@ object Similarity {
   /** Cast a float vector to double (exact) for stable arithmetic. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  /** Sequential-fold dot product (deterministic order). */
+  /** Sequential-fold dot product — a native codegen'd Catalyst expression
+    * ([[graft.functions.DotProduct]]); bit-identical to the interpreted
+    * `aggregate(zip_with(...))` fold it replaces.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.vecDot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either side has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val na = l2Norm(a); val nb = l2Norm(b)
-    when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(0d)
-  }
+  /** Cosine similarity; 0 when either side has zero norm. Single-pass
+    * codegen'd expression ([[graft.functions.CosineSimilarity]]).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecCosine(a, b)
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane j,
     * dim i): integer-exact ((j·73856093 + i·19349663) mod 10007)/10007 − 0.5.
     */
-  private def planeCoef(j: Column, i: Column): Column =
-    ((j * lit(73856093L) + i * lit(19349663L)) % 10007L).cast("double") /
-      10007d - 0.5d
+  private def planeCoef(j: Int, i: Int): Double =
+    ((j * 73856093L + i * 19349663L) % 10007L).toDouble / 10007d - 0.5d
 
   /** Sign-LSH bucket id over `planes` deterministic hyperplanes:
-    * bit j = [dot(vec, plane_j) ≥ 0], bucket = Σ bit_j · 2^j.
+    * bit j = [dot(vec, plane_j) ≥ 0], bucket = Σ bit_j · 2^j. The planes
+    * are plan-time ARRAY LITERALS (the coefficient formula is pure integer
+    * math), so each bucket id costs `planes` codegen'd dot products — no
+    * interpreted per-element lambda work at all.
     */
   def lshBucket(vec: Column, dims: Int, planes: Int = 8): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), j => {
-        val plane = transform(sequence(lit(0), lit(dims - 1)),
-          i => planeCoef(j, i))
-        val bit = when(dot(vec, plane) >= 0d, 1L).otherwise(0L)
-        bit * pow(lit(2d), j.cast("double")).cast("long")
-      }),
-      lit(0L), (acc, x) => acc + x)
+    (0 until planes).map { j =>
+      val plane = typedLit((0 until dims).map(i => planeCoef(j, i)).toArray)
+      when(dot(vec, plane) >= 0d, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
 
   /** Brute-force cosine top-k of `df`'s `vecCol` against the single-row
     * `query` frame (columns: `qvec`). The query side is broadcast.

@@ -63,6 +63,16 @@ class TextSimilaritySpec extends SparkSpec {
     assert(b.forall(x => x >= 0 && x < 16))
   }
 
+  test("vec_dot / vec_cosine are SQL-registered via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1d,2d), array(3d,4d)) AS d, " +
+        "vec_cosine(array(1d,0d), array(1d,0d)) AS c, " +
+        "vec_cosine(array(0d,0d), array(1d,0d)) AS z").head()
+    assert(r.getDouble(0) == 11d)
+    assert(r.getDouble(1) == 1d)
+    assert(r.getDouble(2) == 0d)
+  }
+
   test("ivfTopK returns the true nearest neighbors when nprobe covers all") {
     val vecs = (0 until 40).map { i =>
       val ang = i * 0.15
