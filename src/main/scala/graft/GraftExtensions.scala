@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, HammingDistance, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use
@@ -33,5 +33,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(binary("vec_cosine",
       "vec_cosine(a, b) - cosine similarity of two array<double> vectors",
       CosineSimilarity(_, _)))
+    ext.injectFunction(binary("hamming",
+      "hamming(a, b) - Hamming distance of two equal-length bit strings",
+      HammingDistance(_, _)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "simhash64",
+        "simhash64(tokens) - 64-bit SimHash bit string of a token array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64 expects exactly 1 argument")
+        SimHash64(args.head)
+      }))
   }
 }

@@ -154,41 +154,18 @@ object Dedup {
   }
 
   /** DataFrame-level SimHash: (idCol, simhash) with one 64-char bit string
-    * per row. Same bit semantics as [[simhashBits]], but shaped for scale:
-    * explode tokens to rows (md5 runs once per token inside whole-stage
-    * codegen), split the 16 hex chars into two 32-bit words, explode the 64
-    * bit positions, and two-level partial aggregation (vote per (id, bit),
-    * then fingerprint per id). Token-less docs get the all-zero fingerprint.
+    * per row. Same bit semantics as [[simhashBits]] (unit-tested
+    * equivalent), computed by the native [[graft.functions.SimHash64]]
+    * expression — one tight JVM loop per document (md5 per token + 64 vote
+    * counters), no per-token×per-bit interpreted lambda dispatch and no
+    * explode/aggregate shuffle. Token-less docs get the all-zero
+    * fingerprint.
     */
-  def simhashDf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
-    val tokRows = df.select(col(idCol), explode(toks).as("__t"))
-    val words = tokRows.select(col(idCol),
-      conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long").as("__hi"),
-      conv(substring(md5(col("__t")), 9, 8), 16, 10).cast("long").as("__lo"))
-    // bit i reads hex char i/4 (chars 1-8 → __hi, 9-16 → __lo), bit i%4 of
-    // the nibble — identical to simhashBits. The word is < 2^32, so the
-    // shift is exact double arithmetic (codegen'd; shiftright needs a
-    // static shift count).
-    val word = when(col("__i") < 32, col("__hi")).otherwise(col("__lo"))
-    val shift = (when(col("__i") < 32, 7).otherwise(15)
-      - floor(col("__i") / 4)) * 4 + col("__i") % 4
-    val bit = (floor(word / pow(lit(2d), shift.cast("double"))).cast("long")
-      % 2).cast("int")
-    val votes = words
-      .select(col(idCol), col("__hi"), col("__lo"),
-        explode(sequence(lit(0), lit(63))).as("__i"))
-      .select(col(idCol), col("__i"), (bit * 2 - 1).as("__v"))
-      .groupBy(col(idCol), col("__i"))
-      .agg(sum(col("__v")).as("__vote"))
-    val sims = votes.groupBy(col(idCol))
-      .agg(concat_ws("", transform(
-        array_sort(collect_list(struct(col("__i").as("i"),
-          col("__vote").as("v")))),
-        s => when(s.getField("v") > 0, "1").otherwise("0"))).as("simhash"))
-    df.select(col(idCol)).join(sims, Seq(idCol), "left")
-      .withColumn("simhash", coalesce(col("simhash"), lit("0" * 64)))
-  }
+  def simhashDf(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.TextExpressions.simhash64(
+        TextFunctions.tokens(TextFunctions.normalized(col(textCol))))
+        .as("simhash"))
 
   /** 64-bit SimHash as a '0'/'1' bit string (string form sidesteps signed-
     * long overflow and is engine-portable). Bit i's vote sums ±1 per token
@@ -213,12 +190,11 @@ object Dedup {
     concat_ws("", bits)
   }
 
-  /** Hamming distance between two equal-length bit strings. */
+  /** Hamming distance between two equal-length bit strings — native
+    * byte-compare expression ([[graft.functions.HammingDistance]]).
+    */
   def hammingDistance(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(split(a, ""), split(b, ""),
-        (x, y) => when(x =!= y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
+    graft.functions.TextExpressions.hamming(a, b)
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into `bands`
     * contiguous segments, equi-join on any shared (band, segment) — a

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.commons.codec.digest.DigestUtils
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-fingerprint expressions. Both are CodegenFallback: the work
+  * is a tight per-row JVM loop (md5 per token / byte compare per bit), so
+  * interpreted dispatch happens once per ROW, not once per token×bit as in
+  * the higher-order-function formulation.
+  */
+
+/** 64-bit SimHash of a token array as a '0'/'1' bit string. Bit i's vote
+  * sums ±1 per token from bit (i mod 4) of hex nibble (i div 4) of
+  * md5(token) — identical semantics to `Dedup.simhashBits` (unit-tested
+  * equivalent). Empty/null-element-free input expected; an empty array
+  * yields the all-zero fingerprint.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var t = 0
+    val n = toks.numElements()
+    while (t < n) {
+      val hex = DigestUtils.md5Hex(toks.getUTF8String(t).getBytes)
+      var i = 0
+      while (i < 64) {
+        val c = hex.charAt(i / 4)
+        val nib = if (c <= '9') c - '0' else c - 'a' + 10
+        if (((nib >> (i % 4)) & 1) == 1) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    val bits = new Array[Byte](64)
+    var i = 0
+    while (i < 64) { bits(i) = if (votes(i) > 0) '1' else '0'; i += 1 }
+    UTF8String.fromBytes(bits)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two equal-length ASCII bit strings (byte-wise
+  * compare over the shorter length).
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[UTF8String].getBytes
+    val y = b.asInstanceOf[UTF8String].getBytes
+    val n = math.min(x.length, y.length)
+    var d = 0
+    var i = 0
+    while (i < n) { if (x(i) != y(i)) d += 1; i += 1 }
+    d
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.graft.bridge
+  import org.apache.spark.sql.Column
+
+  def simhash64(tokens: Column): Column =
+    bridge.column(SimHash64(bridge.expression(tokens)))
+
+  def hamming(a: Column, b: Column): Column =
+    bridge.column(HammingDistance(bridge.expression(a), bridge.expression(b)))
+}
