@@ -311,17 +311,18 @@ object SparkEntry {
         col("sh").as("sh_b"), size(col("sh")).as("__nb"))
       // The selection predicate runs in INTEGER form inside the join
       // (round(i/u, 6) >= 0.5 ⟺ 2e6·i >= 999999·u for set sizes far below
-      // the 2e6-denominator boundary), so the double jaccard is computed
-      // exactly once, for survivors only.
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      // the 2e6-denominator boundary); the intersection count is a native
+      // merge walk over the pre-sorted hashed shingles (zero allocation
+      // per pair).
+      val inter = graft.functions.VectorExpressions
+        .sortedIntersectCount(col("sh_a"), col("sh_b"))
       val union = col("__na") + col("__nb") - inter
       l.join(r, Seq("source"))
         .filter(col("id_a") < col("id_b") &&
           col("__na") * 2 >= col("__nb") && col("__nb") * 2 >= col("__na") &&
           union > 0 && inter * 2000000L >= union * 999999L)
         .select(col("id_a"), col("id_b"),
-          round(graft.dedup.Dedup.jaccard(col("sh_a"), col("sh_b")), 6)
-            .as("jaccard"))
+          round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -433,6 +434,25 @@ object SparkEntry {
           size(Multimodal.frameSample(col("bytes"), 2)).as("n_sampled"))
         .select(col("doc_id"), col("m.width"), col("m.height"),
           col("m.payload_bytes"), col("m.n_frames"), col("n_sampled"))
+        .orderBy(col("doc_id"))
+    },
+    // multimodal batched decode: the mapPartitions codec boundary (one
+    // codec instance per partition — the JVM analog of mapInPandas).
+    // HistCodec emits exact integer counts so the oracle is value-exact.
+    "q30_media_features" -> { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents").select(
+        col("doc_id"),
+        Multimodal.packFake(
+          lit(64) + col("doc_id") % 192,
+          lit(64) + (col("doc_id") * 7) % 128,
+          col("text")).as("bytes"))
+      Multimodal.extractFeatures(media, "doc_id", "bytes",
+          Multimodal.HistCodec)
+        .toDF()
+        .select(col("media_id").as("doc_id"),
+          array_join(transform(col("feature"),
+            f => f.cast("int").cast("string")), "|").as("hist"))
         .orderBy(col("doc_id"))
     },
   )
@@ -1006,6 +1026,14 @@ object SparkEntry {
         |WHERE round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
         |  ELSE 0.0 END, 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q30_media_features" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(generate_series(0, 15), h ->
+        |    CAST(len(list_filter(generate_series(1, length(text)),
+        |      i -> (ascii(substr(text, i, 1)) // 16) = h)) AS VARCHAR)),
+        |    '|') AS hist
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q28_simhash_neardup" ->
       """WITH corpus AS (

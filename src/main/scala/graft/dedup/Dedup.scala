@@ -91,21 +91,25 @@ object Dedup {
       explode(shingles(col(textCol), shingleN)).as("__s"))
     val (h1, h2) = cwHash(md5(col("__s")))
     val hashed = shRows.select(col(idCol), h1.as("__h1"), h2.as("__h2"))
-    val perms = hashed
-      .select(col(idCol), col("__h1"), col("__h2"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("__j"))
-      .select(col(idCol), col("__j"),
-        ((col("__h1") + col("__j") * col("__h2")) % MinhashP).as("__perm"))
-    val mins = perms.groupBy(col(idCol), col("__j"))
-      .agg(min(col("__perm")).as("__m"))
-    val b = mins
-      .groupBy(col(idCol),
-        floor(col("__j") / rows).cast("int").as("band"))
-      .agg(md5(array_join(
-        transform(
-          array_sort(collect_list(struct(col("__j").as("j"),
-            col("__m").as("m")))),
-          s => s.getField("m").cast("string")), "|")).as("band_key"))
+    // all k permutations as columns of ONE row per shingle (codegen'd
+    // arithmetic), then a single map-side-combining groupBy(id) with k
+    // min() aggregates — the shuffle carries one 32-column row per doc
+    // instead of doc×k rows
+    val perms = hashed.select(
+      (col(idCol) +: (0 until numHashes).map(j =>
+        ((col("__h1") + lit(j.toLong) * col("__h2")) % MinhashP)
+          .as(s"__p$j"))): _*)
+    val mins = perms.groupBy(col(idCol))
+      .agg(min(col("__p0")).as("__m0"),
+        (1 until numHashes).map(j => min(col(s"__p$j")).as(s"__m$j")): _*)
+    val b = mins.select(col(idCol), explode(array(
+        (0 until bands).map { band =>
+          struct(lit(band).as("band"),
+            md5(concat_ws("|",
+              (band * rows until (band + 1) * rows)
+                .map(j => col(s"__m$j").cast("string")): _*)).as("band_key"))
+        }: _*)).as("__b"))
+      .select(col(idCol), col("__b.band"), col("__b.band_key"))
     val l = b.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val r = b.select(col(idCol).as("id_b"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key"))
@@ -122,8 +126,8 @@ object Dedup {
     * blocked pairwise verify touches 10^5..10^6 pairs per block.
     */
   def hashedShingles(text: Column, n: Int): Column =
-    transform(shingles(text, n),
-      x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))
+    array_sort(transform(shingles(text, n),
+      x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
 
   /** Exact Jaccard similarity of two DISTINCT-element arrays (shingle sets
     * are distinct by construction): |A∩B| / (|A|+|B|−|A∩B|). The inclusion-

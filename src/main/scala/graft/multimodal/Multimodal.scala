@@ -82,6 +82,19 @@ object Multimodal {
     }
   }
 
+  /** Raw 16-bin byte histogram (counts, not normalized) — exact integers
+    * in float, so downstream comparisons (and the DuckDB oracle) are
+    * value-exact. [[FakeCodec]] is the L1-normalized variant.
+    */
+  object HistCodec extends Codec {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](16)
+      var i = HeaderBytes
+      while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+      hist
+    }
+  }
+
   final case class MediaFeature(media_id: Long, feature: Array[Float])
 
   /** Batched decode: one codec instance per partition, iterator-streamed
