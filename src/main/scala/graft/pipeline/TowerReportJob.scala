@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import org.apache.spark.sql.SparkSession
+import graft.config.SiteConfig
+import graft.report.ReportPrep
+
+/** The reference's production batch driver re-expressed
+  * (src/LTARCAFTowerReport.py:54-88): for each table (Flux 30-min, Met
+  * 15-min) × site, resolve the newest prior aggregate, merge the new raw
+  * TOA5 batch, QC, and write the water-year aggregate; then prepare the
+  * report window from the freshly written Flux aggregates.
+  *
+  * Layout convention (mirrors the reference's working/output trees):
+  * {{{
+  *   <root>/raw/<Site>/<Table>/      new logger .dat files
+  *   <root>/output/<Site>/<Table>/   aggregate .csv files (S7 naming)
+  *   <root>/config/sites.csv         SiteConfig.fromCsv input
+  * }}}
+  *
+  * Usage: `runMain graft.pipeline.TowerReportJob <root> [endDate]`
+  * — a user of the reference points this at the same tree they feed the
+  * Python driver today. Paths may be any Hadoop filesystem (local,
+  * abfss://, s3a://).
+  */
+object TowerReportJob {
+
+  val Tables = Seq("Flux", "Met")
+  val DefaultSites = Seq("CookEast", "CookWest", "BoydNorth", "BoydSouth")
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(
+      throw new IllegalArgumentException("usage: TowerReportJob <root> [endDate]"))
+    val endDate = args.lift(1).map(LocalDate.parse).getOrElse(LocalDate.now())
+
+    // reuse an ambient session (tests, notebooks); only stop one we created
+    val hadSession = SparkSession.getDefaultSession.isDefined
+    val spark = SparkSession.builder()
+      .appName("graft-tower-report")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+
+    val configs: Map[String, SiteConfig] = {
+      val p = s"$root/config/sites.csv"
+      if (new java.io.File(p).exists()) SiteConfig.fromCsv(p)
+      else DefaultSites.map(s => s -> SiteConfig(s)).toMap
+    }
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sessionState.newHadoopConf())
+    def ls(dir: String, suffix: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).map(_.getPath.toString)
+        .filter(_.endsWith(suffix)).toSeq.sorted
+    }
+
+    for (table <- Tables; (site, cfg) <- configs.toSeq.sortBy(_._1)) {
+      val raw = ls(s"$root/raw/$site/$table", ".dat")
+      if (raw.isEmpty) {
+        System.err.println(s"[job] $site/$table: no raw files, skipping")
+      } else {
+        val prior = ls(s"$root/output/$site/$table", ".csv")
+        val res = Aggregate.run(spark, table, cfg, raw,
+          priorAggregates = prior, qc = true, endDate = endDate)
+        val out = Aggregate.save(res, s"$root/output", site, table,
+          ver = "V40826", today = endDate)
+        System.err.println(s"[job] $site/$table -> $out")
+      }
+    }
+
+    // report prep over the freshly written Flux aggregates (reference
+    // TowerReport; rendering stays driver-side, the data prep is engine
+    // work — SURVEY §2.1 S11)
+    for ((site, _) <- configs.toSeq.sortBy(_._1)) {
+      val aggs = ls(s"$root/output/$site/Flux", ".csv")
+      if (aggs.nonEmpty) {
+        val window = ReportPrep.lastDays(spark, aggs, "Flux", days = 10)
+        System.err.println(
+          s"[job] report window $site: ${window.count()} rows")
+      }
+    }
+    if (!hadSession) spark.stop()
+  }
+}

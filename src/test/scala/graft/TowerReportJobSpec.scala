@@ -1,0 +1,32 @@
+package graft
+
+import graft.testkit.Toa5Fixture
+
+/** End-to-end driver-loop test: fixture raw trees for two tables → job →
+  * aggregates exist with the reference naming; re-run picks up the prior
+  * aggregate (idempotent growth).
+  */
+class TowerReportJobSpec extends SparkSpec {
+
+  test("TowerReportJob runs the full site×table loop over a fixture tree") {
+    spark // force shared session creation before the job's getOrCreate
+    val root = java.nio.file.Files.createTempDirectory("graft-job").toString
+    Toa5Fixture.writeMet(s"$root/raw/CookEast/Met")
+    Toa5Fixture.writeFlux(s"$root/raw/CookEast/Flux")
+
+    graft.pipeline.TowerReportJob.main(Array(root, "2021-01-20"))
+
+    val fluxOut = new java.io.File(s"$root/output/CookEast/Flux").listFiles()
+    val metOut = new java.io.File(s"$root/output/CookEast/Met").listFiles()
+    assert(fluxOut != null && fluxOut.exists(
+      _.getName == "CookEast_Flux_AggregateQC_CY2021_V40826_20210120.csv"))
+    assert(metOut != null && metOut.exists(
+      _.getName == "CookEast_Met_AggregateQC_CY2021_V40826_20210120.csv"))
+
+    // second run with the first run's aggregate as prior state
+    graft.pipeline.TowerReportJob.main(Array(root, "2021-01-21"))
+    val again = new java.io.File(s"$root/output/CookEast/Met").listFiles()
+    assert(again.exists(
+      _.getName == "CookEast_Met_AggregateQC_CY2021_V40826_20210121.csv"))
+  }
+}
