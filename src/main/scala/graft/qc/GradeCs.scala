@@ -33,11 +33,46 @@ object GradeCs {
   /** 80% of 18,000 samples (10 Hz × 30 min) — reference :587, :593. */
   val MinSamples = 14400
 
-  def apply(df: DataFrame, cfg: SiteConfig): DataFrame = {
+  def apply(df: DataFrame, cfg: SiteConfig): DataFrame =
+    applyWithBounds(df,
+      Seq(cfg.hB, cfg.leB, cfg.fB).map { case (lo, hi) => (lit(lo), lit(hi)) },
+      lit(cfg.grade), cfg.cls, cfg.gg)
+
+  /** One-plan multi-site grading: thresholds come from a tiny broadcast
+    * (site → grade/bounds) join instead of plan-time literals, so a single
+    * Spark job grades every site — the scale-out path that replaces the
+    * reference's per-site driver loop. `cls`/`gg` column indirection must
+    * be uniform across sites (it is, in the reference template workbook).
+    */
+  def multiSite(df: DataFrame, configs: Map[String, SiteConfig],
+      siteCol: String = "site"): DataFrame = {
+    require(configs.nonEmpty, "no site configs")
+    val cls = configs.values.head.cls
+    val gg = configs.values.head.gg
+    require(configs.values.forall(c => c.cls == cls && c.gg == gg),
+      "cls/gg column indirection must be uniform across sites")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cfgDf = configs.values.toSeq.map(c =>
+      (c.site, c.grade, c.hB._1, c.hB._2, c.leB._1, c.leB._2,
+        c.fB._1, c.fB._2))
+      .toDF(siteCol, "__grade", "__h_lo", "__h_hi", "__le_lo", "__le_hi",
+        "__f_lo", "__f_hi")
+    val joined = df.join(broadcast(cfgDf), Seq(siteCol), "left")
+    val bounds = Seq(
+      (col("__h_lo"), col("__h_hi")),
+      (col("__le_lo"), col("__le_hi")),
+      (col("__f_lo"), col("__f_hi")))
+    applyWithBounds(joined, bounds, col("__grade"), cls, gg)
+      .drop("__grade", "__h_lo", "__h_hi", "__le_lo", "__le_hi",
+        "__f_lo", "__f_hi")
+  }
+
+  private def applyWithBounds(df: DataFrame,
+      bounds: Seq[(Column, Column)], gradeMax: Column,
+      cls: Seq[String], gg: Seq[String]): DataFrame = {
     val has = df.columns.toSet
     def in(name: String): Column = col(name).cast("double")
-
-    val bounds = Seq(cfg.hB, cfg.leB, cfg.fB) // positional: H, LE, Fc (:550-554)
 
     // presence-dependent shared checks (computed once, reused per k)
     val precipOpt = if (has("Precipitation_Tot"))
@@ -56,13 +91,13 @@ object GradeCs {
     def digit(pass: Column): Column = when(pass, "0").otherwise("1")
 
     val perK = (0 until 3).map { k =>
-      val flux = cfg.cls(k)
+      val flux = cls(k)
       val (lo, hi) = bounds(k)
       val v = in(flux)
       // HL = out-of-bounds OR null (:550-554); true = FAIL
       val hl = coalesce(v < lo, lit(false)) ||
         coalesce(v > hi, lit(false)) || v.isNull
-      val grade = coalesce(in(cfg.gg(k)) <= cfg.grade, lit(false))
+      val grade = coalesce(in(gg(k)) <= gradeMax, lit(false))
 
       // flag string: sequential digit appends, presence-dependent (Q3)
       val digits: Seq[Column] =

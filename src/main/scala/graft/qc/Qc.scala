@@ -59,4 +59,21 @@ object Qc {
       case "Met"  => metQc(df, table, cfg.z, tsCol, keys)
       case other  => throw new IllegalArgumentException(s"unknown table: $other")
     }
+
+  /** One-plan multi-site QC: Grade_cs thresholds resolve per site via a
+    * broadcast config join; the Met_QAQC windows partition by `siteCol`, so
+    * every site's series is QC'd independently inside a single job.
+    * (Station elevation z is the reference's fixed 0.777 km for all sites.)
+    */
+  def qcForMultiSite(df: DataFrame, table: String,
+      configs: Map[String, SiteConfig], tsCol: String = "TIMESTAMP",
+      siteCol: String = "site"): DataFrame = {
+    val z = configs.values.headOption.map(_.z).getOrElse(0.777)
+    table match {
+      case "Flux" => metQc(GradeCs.multiSite(df, configs, siteCol), table,
+        z, tsCol, Seq(siteCol))
+      case "Met"  => metQc(df, table, z, tsCol, Seq(siteCol))
+      case other  => throw new IllegalArgumentException(s"unknown table: $other")
+    }
+  }
 }

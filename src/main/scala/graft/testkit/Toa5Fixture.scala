@@ -22,7 +22,7 @@ object Toa5Fixture {
 
   /** Write `nFiles` Met-table TOA5 files under `dir`; returns their paths. */
   def writeMet(dir: String, nFiles: Int = 2, rowsPerFile: Int = 96,
-      seed: Long = 42L): Seq[String] = {
+      seed: Long = 42L, site: String = "CookEast"): Seq[String] = {
     Files.createDirectories(Paths.get(dir))
     val cols = Schemas.metRaw.fieldNames
     val rnd = new Random(seed)
@@ -30,7 +30,7 @@ object Toa5Fixture {
     var record = 1000L
     (0 until nFiles).map { f =>
       val sb = new StringBuilder
-      sb ++= "\"TOA5\",\"CookEast\",\"CR6\",\"1234\",\"CR6.Std.07\"," +
+      sb ++= s"\"TOA5\",\"$site\",\"CR6\",\"1234\",\"CR6.Std.07\"," +
         "\"CPU:Met.CR6\",\"40826\",\"Met_15Min\"\n"
       sb ++= cols.map(c => s""""$c"""").mkString(",") + "\n"
       sb ++= cols.map(_ => "\"unit\"").mkString(",") + "\n"
@@ -70,7 +70,7 @@ object Toa5Fixture {
         record += 1
         i += 1
       }
-      val path = s"$dir/CookEast_Met_V40826_2021_01_${15 + f}_0000.dat"
+      val path = s"$dir/${site}_Met_V40826_2021_01_${15 + f}_0000.dat"
       Files.writeString(Paths.get(path), sb.toString)
       path
     }
@@ -80,7 +80,7 @@ object Toa5Fixture {
     * Grade_cs input surface: grades, sample totals, signal strengths, door).
     */
   def writeFlux(dir: String, nFiles: Int = 2, rowsPerFile: Int = 48,
-      seed: Long = 42L): Seq[String] = {
+      seed: Long = 42L, site: String = "CookEast"): Seq[String] = {
     Files.createDirectories(Paths.get(dir))
     val cols = Schemas.fluxRaw.fieldNames
     val rnd = new Random(seed)
@@ -88,7 +88,7 @@ object Toa5Fixture {
     var record = 2000L
     (0 until nFiles).map { f =>
       val sb = new StringBuilder
-      sb ++= "\"TOA5\",\"CookEast\",\"CR6\",\"1234\",\"CR6.Std.07\"," +
+      sb ++= s"\"TOA5\",\"$site\",\"CR6\",\"1234\",\"CR6.Std.07\"," +
         "\"CPU:Flux.CR6\",\"40826\",\"Flux_30Min\"\n"
       sb ++= cols.map(c => s""""$c"""").mkString(",") + "\n"
       sb ++= cols.map(_ => "\"unit\"").mkString(",") + "\n"
@@ -128,7 +128,7 @@ object Toa5Fixture {
         record += 1
         i += 1
       }
-      val path = s"$dir/CookEast_Flux_V40826_2021_01_${15 + f}_0000.dat"
+      val path = s"$dir/${site}_Flux_V40826_2021_01_${15 + f}_0000.dat"
       Files.writeString(Paths.get(path), sb.toString)
       path
     }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.config.SiteConfig
+import graft.pipeline.Aggregate
+import graft.testkit.Toa5Fixture
+
+/** One-plan multi-site pipeline: a single job over every site's raw batch
+  * must match the per-site runs row-for-row and apply per-site Grade_cs
+  * thresholds from the broadcast config join.
+  */
+class MultiSiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multi-site Met pipeline equals the per-site runs") {
+    val dirA = java.nio.file.Files.createTempDirectory("ms-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("ms-b").toString
+    val filesA = Toa5Fixture.writeMet(dirA)
+    val filesB = Toa5Fixture.writeMet(dirB, seed = 77L, site = "BoydNorth")
+    val configs = Map(
+      "CookEast" -> SiteConfig("CookEast"),
+      "BoydNorth" -> SiteConfig("BoydNorth"))
+
+    val multi = Aggregate.runMultiSite(spark, "Met", configs,
+      filesA ++ filesB).df.cache()
+    val perSite = multi.groupBy($"site").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val soloA = Aggregate.run(spark, "Met", configs("CookEast"), filesA).df
+    val soloB = Aggregate.run(spark, "Met", configs("BoydNorth"), filesB).df
+    assert(perSite("CookEast") == soloA.count())
+    assert(perSite("BoydNorth") == soloB.count())
+
+    // QC values equal the solo run (windows partition by site)
+    val cols = Seq("TIMESTAMP", "RECORD", "Tair_Filtered", "Precip_Filtered")
+    assert(multi.filter($"site" === "CookEast")
+      .select(cols.map(col): _*)
+      .exceptAll(soloA.select(cols.map(col): _*)).count() == 0)
+    multi.unpersist()
+  }
+
+  test("multi-site Flux grading applies per-site thresholds") {
+    val dirA = java.nio.file.Files.createTempDirectory("ms-fa").toString
+    val dirB = java.nio.file.Files.createTempDirectory("ms-fb").toString
+    // identical data (same seed) → any flag difference comes from config
+    val filesA = Toa5Fixture.writeFlux(dirA)
+    val filesB = Toa5Fixture.writeFlux(dirB, site = "BoydNorth")
+    val configs = Map(
+      "CookEast" -> SiteConfig("CookEast"),                  // H in [-150,1000]
+      "BoydNorth" -> SiteConfig("BoydNorth", hB = (-150d, 100d)))
+
+    val multi = Aggregate.runMultiSite(spark, "Flux", configs,
+      filesA ++ filesB).df.cache()
+    def hlFails(site: String): Long = multi
+      .filter($"site" === site && substring($"H_Flags", 1, 1) === "1")
+      .count()
+    // tighter BoydNorth bound flags H in (100, 1000] too
+    assert(hlFails("BoydNorth") > hlFails("CookEast"))
+    assert(hlFails("CookEast") > 0) // the 1500 spikes
+    multi.unpersist()
+  }
+}
