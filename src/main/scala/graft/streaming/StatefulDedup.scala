@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming keep-most-complete dedup as custom state
+  * (`KeyValueGroupedDataset.mapGroupsWithState`, SURVEY §2.7).
+  *
+  * The batch D1 operator resolves duplicate timestamps by keeping the
+  * "best" row (lowest RECORD, then fewest nulls). In a stream the
+  * duplicates arrive across micro-batches (the reference's deliberate
+  * 1-day overlap, quirk Q10), so the winner is STATE: per key, remember
+  * the best row seen and emit it whenever it improves (Update mode
+  * semantics).
+  *
+  * `better` is the same comparator the batch window sort encodes; keeping
+  * it caller-supplied makes this a generic streaming argmin operator.
+  * With watermarked keys, pass an event-time timeout and drop state for
+  * closed keys; NoTimeout suits bounded replays (AvailableNow).
+  */
+object StatefulDedup {
+
+  def keepBest[K, T](
+      grouped: KeyValueGroupedDataset[K, T],
+      better: (T, T) => T,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit e: Encoder[T]): Dataset[T] =
+    grouped.mapGroupsWithState[T, T](timeout) {
+      (_: K, rows: Iterator[T], state: GroupState[T]) =>
+        val incoming = rows.reduce(better)
+        val best = state.getOption
+          .map(prev => better(prev, incoming))
+          .getOrElse(incoming)
+        state.update(best)
+        best
+    }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StatefulDedup
+
+case class Obs(ts: Timestamp, record: Option[Long], a: Option[Double],
+    b: Option[Double])
+
+object Obs {
+  private def nulls(o: Obs) = Seq(o.record, o.a, o.b).count(_.isEmpty)
+
+  /** batch D1 ordering: lowest RECORD (nulls last), then fewest nulls */
+  def better(x: Obs, y: Obs): Obs = {
+    val byRecord = (x.record, y.record) match {
+      case (Some(rx), Some(ry)) => rx.compareTo(ry)
+      case (Some(_), None)      => -1
+      case (None, Some(_))      => 1
+      case _                    => 0
+    }
+    if (byRecord < 0) x
+    else if (byRecord > 0) y
+    else if (nulls(x) <= nulls(y)) x else y
+  }
+}
+
+class StatefulDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mapGroupsWithState keeps the most-complete row across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Obs]
+    val q = StatefulDedup.keepBest(
+        in.toDS().groupByKey(_.ts), Obs.better)
+      .writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode(StatefulDedup.outputMode)
+      .start()
+
+    val t1 = Timestamp.valueOf("2021-01-15 00:00:00")
+    val t2 = Timestamp.valueOf("2021-01-15 00:15:00")
+    // batch 1: sparse row for t1, complete row for t2
+    in.addData(Obs(t1, Some(10L), None, None), Obs(t2, Some(11L), Some(2d), Some(3d)))
+    q.processAllAvailable()
+    // batch 2 (the overlap re-read): complete row for t1 with same record,
+    // and a WORSE (higher-record) duplicate for t2 that must lose
+    in.addData(Obs(t1, Some(10L), Some(1d), Some(1d)),
+      Obs(t2, Some(99L), Some(9d), Some(9d)))
+    q.processAllAvailable()
+
+    val best = spark.table("dedup_out").as[Obs].collect()
+      .groupBy(_.ts).map { case (ts, rows) => ts -> rows.last }
+    assert(best(t1) == Obs(t1, Some(10L), Some(1d), Some(1d)))
+    assert(best(t2) == Obs(t2, Some(11L), Some(2d), Some(3d)))
+    q.stop()
+  }
+}
