@@ -114,6 +114,22 @@ object Aggregate {
     Result(out, WaterYear.of(endDate))
   }
 
+  /** Lake-scale sink: Hive-partitioned parquet by (site, wateryear), the
+    * layout that makes partition pruning work for incremental reads and
+    * reports (SURVEY §4). The reference's single-CSV convention stays
+    * available via [[save]] as the compatibility path.
+    */
+  def saveLake(result: Result, path: String,
+      siteCol: String = "site", tsCol: String = "TIMESTAMP"): Unit = {
+    import org.apache.spark.sql.functions.col
+    result.df
+      .withColumn("wateryear", WaterYear.waterYear(col(tsCol)))
+      .write
+      .partitionBy(siteCol, "wateryear")
+      .mode("append")
+      .parquet(path)
+  }
+
   /** S7 — write the aggregate with the reference's filename convention. */
   def save(
       result: Result, outputDir: String, site: String, table: String,

@@ -38,6 +38,22 @@ class MultiSiteSpec extends SparkSpec {
     multi.unpersist()
   }
 
+  test("saveLake writes site/wateryear-partitioned parquet that prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("ms-lake").toString
+    val files = Toa5Fixture.writeMet(dir)
+    val res = Aggregate.runMultiSite(spark, "Met",
+      Map("CookEast" -> SiteConfig("CookEast")), files, qc = false)
+    val lake = java.nio.file.Files.createTempDirectory("ms-out").toString
+    Aggregate.saveLake(res, lake)
+    assert(new java.io.File(s"$lake/site=CookEast/wateryear=2021").exists())
+    val back = spark.read.parquet(lake)
+      .filter($"site" === "CookEast" && $"wateryear" === 2021)
+    assert(back.count() == res.df.count())
+    // partition pruning reaches the scan
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("partitionFilters"))
+  }
+
   test("multi-site Flux grading applies per-site thresholds") {
     val dirA = java.nio.file.Files.createTempDirectory("ms-fa").toString
     val dirB = java.nio.file.Files.createTempDirectory("ms-fb").toString

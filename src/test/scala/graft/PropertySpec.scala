@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{TimeSeries, WaterYear}
+
+/** Property-based invariants (SURVEY §5.1/§5.4), driven by seeded
+  * ScalaCheck generators (the scalatest–scalacheck integration artifact is
+  * not on the offline classpath, so sampling is explicit and
+  * deterministic).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("water year: Oct 1 rolls forward, Sep 30 closes; scalar == column") {
+    val dateGen = for {
+      y <- Gen.choose(1990, 2040)
+      m <- Gen.choose(1, 12)
+      d <- Gen.choose(1, 28)
+    } yield LocalDate.of(y, m, d)
+    samples(dateGen, 200).foreach { date =>
+      val expected = if (date.getMonthValue < 10) date.getYear
+        else date.getYear + 1
+      assert(WaterYear.of(date) == expected)
+      assert(WaterYear.firstDate(expected).isBefore(date.plusDays(1)))
+      assert(!WaterYear.lastDate(expected).isBefore(date))
+    }
+    // column form agrees with the scalar form over a date range
+    val dates = (0 until 800).map(i =>
+      java.sql.Date.valueOf(LocalDate.of(2020, 1, 1).plusDays(i)))
+    val rows = dates.toDF("d")
+      .select(col("d"), WaterYear.waterYear(col("d")).as("wy"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == WaterYear.of(r.getDate(0).toLocalDate))
+    }
+  }
+
+  private val tsGen: Gen[Seq[(Int, Long, Boolean)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      slot <- Gen.choose(0, 40)      // 15-min slot within a day
+      record <- Gen.choose(1L, 50L)
+      sparse <- Gen.oneOf(true, false)
+    } yield (slot, record, sparse))
+  } yield rows
+
+  test("dedup: one row per timestamp; idempotent; prefers low record") {
+    samples(tsGen, 12).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.map { case (slot, rec, sparse) =>
+        (Timestamp.valueOf(f"2021-01-15 ${slot / 4}%02d:${slot % 4 * 15}%02d:00"),
+          rec, if (sparse) None else Some(1.0))
+      }.toDF("TIMESTAMP", "RECORD", "v")
+      val once = TimeSeries.dedupKeepMostComplete(df)
+      val n = once.count()
+      assert(once.select($"TIMESTAMP").distinct().count() == n)
+      assert(n == rows.map(_._1).distinct.size.toLong)
+      // idempotent
+      assert(TimeSeries.dedupKeepMostComplete(once).count() == n)
+      // winner carries the group's minimum RECORD (sort key #1)
+      val minRec = rows.groupBy(_._1).map { case (s, rs) =>
+        s -> rs.map(_._2).min }
+      once.collect().foreach { r =>
+        val slot = r.getTimestamp(0).toLocalDateTime
+        val s = slot.getHour * 4 + slot.getMinute / 15
+        assert(r.getLong(1) == minRec(s))
+      }
+    }
+  }
+
+  test("regrid: count == span/step + 1; padding rows null; data preserved") {
+    samples(Gen.nonEmptyListOf(Gen.choose(0, 95)), 12).foreach { slots =>
+      val df = slots.distinct.map { s =>
+        (Timestamp.valueOf(f"2021-01-15 ${s / 4}%02d:${s % 4 * 15}%02d:00"),
+          s.toLong, 1.0)
+      }.toDF("TIMESTAMP", "RECORD", "v")
+      val g = TimeSeries.regrid(df, stepSeconds = 15 * 60)
+      // floor(min,'D') .. ceil(max,'D') at 15-min cadence; a lone-midnight
+      // max is already day-aligned (pandas .ceil identity)
+      val expected = if (slots.distinct.max == 0) 1 else 96 + 1
+      assert(g.count() == expected)
+      assert(g.filter($"RECORD".isNull).count()
+        == expected - slots.distinct.size)
+      assert(g.filter($"RECORD".isNotNull).count() == slots.distinct.size)
+    }
+  }
+}
