@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import graft.ops.WaterYear
+
+/** The reference's 4-way incremental date-range resolution
+  * (`AccessAzure`, reference src/AzureDataLakeAccess.py:349-418) — the
+  * backfill API's driver logic (SURVEY §3.3), as a pure function.
+  *
+  * `lastAggregated` is the date of the newest aggregate's final timestamp
+  * MINUS ONE DAY (the deliberate overlap re-read, quirk Q10 —
+  * `get_latest_date_from_file`, reference :315-322); `None` when no prior
+  * aggregate exists.
+  *
+  * Branches:
+  *   - (start, None): end = today if same water year, else the start's
+  *     water-year end (:355-363).
+  *   - (None, end): start = lastAggregated, falling back to the end's
+  *     water-year start when absent or in a different water year
+  *     (:368-383).
+  *   - (start, end): both used as given; differing water years raise
+  *     (:387-394, quirk Q9).
+  *   - (None, None): start = lastAggregated (or the current water-year
+  *     start); end = today if start shares its water year, else the
+  *     start's water-year end (:397-415).
+  */
+object DateRange {
+
+  def resolve(
+      startDate: Option[LocalDate],
+      endDate: Option[LocalDate],
+      lastAggregated: Option[LocalDate],
+      today: LocalDate = LocalDate.now()): (LocalDate, LocalDate) =
+    (startDate, endDate) match {
+      case (Some(start), None) =>
+        val end =
+          if (WaterYear.of(today) == WaterYear.of(start)) today
+          else WaterYear.lastDate(WaterYear.of(start))
+        (start, end)
+
+      case (None, Some(end)) =>
+        val wy = WaterYear.of(end)
+        val start = lastAggregated
+          .filter(d => WaterYear.of(d) == wy)
+          .getOrElse(WaterYear.firstDate(wy))
+        (start, end)
+
+      case (Some(start), Some(end)) =>
+        WaterYear.validateRange(start, end)
+        (start, end)
+
+      case (None, None) =>
+        val start = lastAggregated
+          .getOrElse(WaterYear.firstDate(WaterYear.of(today)))
+        val end =
+          if (WaterYear.of(today) == WaterYear.of(start)) today
+          else WaterYear.lastDate(WaterYear.of(start))
+        (start, end)
+    }
+
+  /** Overlap start from the newest aggregate's last timestamp: its date
+    * minus one day (reference :319-320) — re-read + D1 dedup makes the
+    * incremental run self-healing (quirk Q10).
+    */
+  def overlapStart(lastTimestamp: java.time.LocalDateTime): LocalDate =
+    lastTimestamp.toLocalDate.minusDays(1)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.time.{LocalDate, LocalDateTime}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.DateRange
+
+class DateRangeSpec extends AnyFunSuite {
+  private val today = LocalDate.of(2021, 1, 20) // water year 2021
+
+  test("start only: end = today in same WY, else WY end") {
+    assert(DateRange.resolve(Some(LocalDate.of(2021, 1, 1)), None, None, today)
+      == (LocalDate.of(2021, 1, 1), today))
+    // start in WY2020 (Jan 2020), today in WY2021 → clamp to 2020-09-30
+    assert(DateRange.resolve(Some(LocalDate.of(2020, 1, 1)), None, None, today)
+      == (LocalDate.of(2020, 1, 1), LocalDate.of(2020, 9, 30)))
+  }
+
+  test("end only: start = lastAggregated in the end's WY, else WY start") {
+    val end = LocalDate.of(2021, 1, 15)
+    assert(DateRange.resolve(None, Some(end),
+      Some(LocalDate.of(2021, 1, 10)), today)
+      == (LocalDate.of(2021, 1, 10), end))
+    // no prior aggregate → Oct 1 preceding
+    assert(DateRange.resolve(None, Some(end), None, today)
+      == (LocalDate.of(2020, 10, 1), end))
+    // prior aggregate from an older water year → WY start of end
+    assert(DateRange.resolve(None, Some(end),
+      Some(LocalDate.of(2020, 5, 1)), today)
+      == (LocalDate.of(2020, 10, 1), end))
+  }
+
+  test("both: used as-is; cross-water-year raises (Q9)") {
+    val s = LocalDate.of(2020, 11, 1); val e = LocalDate.of(2021, 2, 1)
+    assert(DateRange.resolve(Some(s), Some(e), None, today) == (s, e))
+    intercept[IllegalArgumentException] {
+      DateRange.resolve(Some(LocalDate.of(2020, 9, 1)),
+        Some(LocalDate.of(2020, 10, 2)), None, today)
+    }
+  }
+
+  test("neither: incremental from lastAggregated (or WY start) to today") {
+    assert(DateRange.resolve(None, None,
+      Some(LocalDate.of(2021, 1, 10)), today)
+      == (LocalDate.of(2021, 1, 10), today))
+    assert(DateRange.resolve(None, None, None, today)
+      == (LocalDate.of(2020, 10, 1), today))
+    // stale aggregate from the prior WY → run to that WY's end
+    assert(DateRange.resolve(None, None,
+      Some(LocalDate.of(2020, 5, 1)), today)
+      == (LocalDate.of(2020, 5, 1), LocalDate.of(2020, 9, 30)))
+  }
+
+  test("overlapStart: one day before the newest aggregate's last timestamp") {
+    assert(DateRange.overlapStart(LocalDateTime.of(2021, 1, 15, 23, 30))
+      == LocalDate.of(2021, 1, 14))
+  }
+}

@@ -77,6 +77,44 @@ class QcSpec extends SparkSpec {
     assert(out.toSeq == Seq(0.0, 2.0, 0.0, 0.0))
   }
 
+  test("dayChangeIntent: daily-mean flatline detection (Q1 intended form)") {
+    // day1 mean = 5.5, day2 mean = 5.5 (flat) → day2 rows fail Day_Change;
+    // step diffs all nonzero and < 15 so the Change mask passes throughout
+    val df = Seq(
+      (Timestamp.valueOf("2021-01-15 00:00:00"), 5.0),
+      (Timestamp.valueOf("2021-01-15 12:00:00"), 6.0),
+      (Timestamp.valueOf("2021-01-16 00:00:00"), 4.0),
+      (Timestamp.valueOf("2021-01-16 12:00:00"), 7.0),
+    ).toDF("TIMESTAMP", "amb_tmpr_Avg")
+    val out = MetQaqc(df, MetQaqc.MetColumns(tair = Some("amb_tmpr_Avg")),
+      dayChangeIntent = true)
+      .orderBy($"TIMESTAMP")
+      .select($"Tair_Day_Change", $"Tair_Filtered").collect()
+    assert(out.map(_.getBoolean(0)).toSeq
+      == Seq(true, true, false, false))
+    assert(out.map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+      .toSeq == Seq(Some(5.0), Some(6.0), None, None))
+    // reference-compatible default: all-true mask
+    val compat = MetQaqc(df, MetQaqc.MetColumns(tair = Some("amb_tmpr_Avg")))
+      .select($"Tair_Day_Change").collect()
+    assert(compat.forall(_.getBoolean(0)))
+  }
+
+  test("strictReplace: filtered-out precip stays null, true zeros stay 0") {
+    val df = Seq(
+      (ts(0), 0.0, 95.0, 5.0),   // zero → 0
+      (ts(30), 2.0, 96.0, 6.0),  // kept
+      (ts(60), 2.0, 50.0, 7.0),  // false tip → null (compat mode: 0)
+      (ts(90), 2.0, 97.0, -5.0), // freezing rain → null (compat mode: 0)
+    ).toDF("TIMESTAMP", "Precipitation_Tot", "RH_Avg", "amb_tmpr_Avg")
+    val out = MetQaqc(df, MetQaqc.MetColumns(
+      tair = Some("amb_tmpr_Avg"), rh = Some("RH_Avg"),
+      precip = Some("Precipitation_Tot")), strictReplace = true)
+      .orderBy($"TIMESTAMP").select($"Precip_Filtered").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(0.0), Some(2.0), None, None))
+  }
+
   test("MetQaqc MSLP derivation and bounds") {
     val df = Seq(
       (ts(0), 15.0, 92.0),
