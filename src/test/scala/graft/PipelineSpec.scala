@@ -33,9 +33,8 @@ class PipelineSpec extends SparkSpec {
     assert(n > 0)
     // dense 15-min grid: one row per grid tick, no duplicates
     assert(df.select($"TIMESTAMP").distinct().count() == n)
-    // QC output columns exist
-    assert(df.columns.contains("Tair_Filtered"))
-    assert(df.columns.contains("Precip_Filtered"))
+    // QC output columns exist, in the registry's positional order
+    assert(df.columns.toSeq == Schemas.metAggregated.fieldNames.toSeq)
     // gap rows exist (the fixture has a 3h hole) and are null-padded
     assert(df.filter($"RECORD".isNull).count() > 0)
     df.unpersist()

@@ -1,0 +1,28 @@
+package graft
+
+import graft.config.SiteConfig
+import graft.pipeline.Aggregate
+import graft.testkit.Toa5Fixture
+
+/** Plan-shape regressions (SURVEY §4): the QC block must plan exactly ONE
+  * WindowExec for all its lag columns (plus one for the dedup row_number),
+  * and the dedup subplan must appear once (grid bounds come from the
+  * cheaper pre-dedup frame).
+  */
+class PlanSpec extends SparkSpec {
+
+  test("Met pipeline plans 2 Window nodes and 1 dedup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    val files = Toa5Fixture.writeMet(dir)
+    val df = Aggregate.run(spark, "Met", SiteConfig("CookEast"), files).df
+    val plan = df.queryExecution.executedPlan.toString
+    val windows = "\\bWindow \\[".r.findAllIn(plan).size
+    val rowNumbers = "row_number".r.findAllIn(plan).size
+    assert(windows == 2, s"expected 2 Window nodes (QC lags + dedup), got "
+      + s"$windows:\n${plan.take(2000)}")
+    // one dedup window (appears once in the plan, not re-computed for the
+    // grid bounds); row_number is referenced by the Window node and its
+    // WindowGroupLimit pushdown pair
+    assert(rowNumbers <= 4, s"dedup subplan duplicated? $rowNumbers")
+  }
+}

@@ -4,6 +4,23 @@ import java.time.LocalDate
 import org.apache.spark.sql.functions._
 import graft.ops.WaterYear
 
+class SiteConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("fromCsv parses thresholds and pipe-separated column lists") {
+    val p = java.nio.file.Files.createTempFile("sites", ".csv")
+    java.nio.file.Files.writeString(p,
+      """site,grade,le_lo,le_hi,h_lo,h_hi,f_lo,f_hi,ustar,cls,gg,z
+        |CookEast,7,-150,1000,-150,1000,-60,20,0,H|LE|Fc_molar,H_qc_grade|LE_qc_grade|Fc_qc_grade,0.777
+        |BoydNorth,5,-100,900,-120,800,-50,15,0.1,H|LE|Fc_molar,H_qc_grade|LE_qc_grade|Fc_qc_grade,0.8
+        |""".stripMargin)
+    val cfgs = graft.config.SiteConfig.fromCsv(p.toString)
+    assert(cfgs.keySet == Set("CookEast", "BoydNorth"))
+    assert(cfgs("BoydNorth").grade == 5)
+    assert(cfgs("BoydNorth").hB == (-120d, 800d))
+    assert(cfgs("CookEast").cls == Seq("H", "LE", "Fc_molar"))
+    assert(cfgs("BoydNorth").z == 0.8)
+  }
+}
+
 class WaterYearSpec extends SparkSpec {
   import spark.implicits._
 
