@@ -436,6 +436,22 @@ object SparkEntry {
           col("m.payload_bytes"), col("m.n_frames"), col("n_sampled"))
         .orderBy(col("doc_id"))
     },
+    // as-of (backward) join — the time-series join Spark lacks, composed
+    // from a union + running last() window (TimeSeries.asofJoinBackward)
+    "q31_asof_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val left = ev.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+      val right = ev.filter(col("event_id") % 5 === 0)
+        .groupBy(col("user_id"), col("ts_ns"))
+        .agg(max(col("value")).as("ref_value"))
+      TimeSeries.asofJoinBackward(left, right, "ts_ns", Seq("user_id"),
+          Seq("ref_value"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("ref_value_asof"))
+        .orderBy(col("event_id"))
+    },
+
     // multimodal batched decode: the mapPartitions codec boundary (one
     // codec instance per partition — the JVM analog of mapInPandas).
     // HistCodec emits exact integer counts so the oracle is value-exact.
@@ -1026,6 +1042,20 @@ object SparkEntry {
         |WHERE round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
         |  ELSE 0.0 END, 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q31_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_id % 5 <> 0
+        |), r AS (
+        |  SELECT user_id, ts, max(value) AS ref_value FROM events
+        |  WHERE event_id % 5 = 0 GROUP BY 1, 2
+        |)
+        |SELECT l.event_id, l.user_id, l.value,
+        |       r.ref_value AS ref_value_asof
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q30_media_features" ->
       """SELECT doc_id,

@@ -150,4 +150,42 @@ object TimeSeries {
       keys: Seq[String] = Nil): Column =
     avg(c).over(Window.partitionBy(
       (keys.map(col) :+ date_trunc("DAY", col(tsCol))): _*))
+
+  /** As-of (backward) join: for every left row, attach the right row with
+    * the greatest time ≤ the left row's time within the same key group
+    * (left-outer semantics: no earlier right row → nulls).
+    *
+    * The reference never needs one (its only join key is the identity time
+    * index), but an as-of join is THE missing time-series join in Spark —
+    * composed here from built-ins per the extension preference order
+    * (SURVEY §7.3a): tag and union both sides, run ONE running
+    * `last(ignoreNulls)` window ordered by (time, right-first), keep left
+    * rows. Cost = one shuffle on `keys` — same partitioning the other
+    * time ops use — instead of a per-row range probe; no custom strategy.
+    *
+    * Right-side (keys, time) duplicates must be pre-aggregated by the
+    * caller (which also pins tie semantics explicitly).
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      rightCols: Seq[String],
+      suffix: String = "_asof"): DataFrame = {
+    val rvType = right.select(rightCols.map(col): _*).schema
+    val r = right.select((keys :+ tsCol).map(col) ++ Seq(
+      struct(rightCols.map(col): _*).as("__rv"), lit(1).as("__isr")): _*)
+    val leftCols = left.columns.toSeq
+    val l = left.select(col("*"), lit(null).cast(rvType).as("__rv"),
+      lit(0).as("__isr"))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__isr").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("__latest", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__isr") === 0)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__latest.$c").as(s"$c$suffix")): _*)
+  }
 }
