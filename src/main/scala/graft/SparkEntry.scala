@@ -419,6 +419,51 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // gap-based sessionization: boundary flag → running session id →
+    // per-session rollup (pure windows, the event-stream classic)
+    "q32_sessionize" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val gapNs = col("ts_ns") - lag(col("ts_ns"), 1).over(w)
+      val newSession = when(
+        gapNs.isNull || gapNs > lit(30L * 60 * 1000 * 1000 * 1000), 1)
+        .otherwise(0)
+      events(s, dir)
+        .withColumn("__sess", sum(newSession).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("__sess").as("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_trunc("second", timestamp_micros(
+            (min(col("ts_ns")) / 1000L).cast("long"))).as("session_start"),
+          sumd(col("value")).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // ROLLUP subtotal hierarchy (free from Spark; absent in the reference)
+    "q33_rollup" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sumd(col("c_acctbal")).as("bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    // conditional pivot: per-user wide metrics via filtered aggregation
+    "q34_pivot" -> { (s, dir) =>
+      val ev = events(s, dir)
+      def typed(tp: String) = when(col("event_type") === tp, dec(col("value")))
+      ev.groupBy(col("user_id"))
+        .agg(
+          sum(typed("click")).cast("double").as("click_value"),
+          sum(typed("view")).cast("double").as("view_value"),
+          count(when(col("event_type") === "error", 1)).as("n_errors"))
+        .orderBy(col("user_id"))
+    },
+
     // multimodal: binary container pack → codegen'd header decode +
     // frame sampling (oracle checks against doc-derived ground truth)
     "q26_media_decode" -> { (s, dir) =>
@@ -1042,6 +1087,47 @@ object SparkEntry {
         |WHERE round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
         |  ELSE 0.0 END, 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q32_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q33_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q34_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (event_type = 'click') AS DOUBLE) AS click_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (event_type = 'view') AS DOUBLE) AS view_value,
+        |  count(*) FILTER (event_type = 'error') AS n_errors
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q31_asof_join" ->
       """WITH l AS (
