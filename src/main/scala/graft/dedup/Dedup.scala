@@ -241,18 +241,18 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
       dims: Int, planes: Int = 4, threshold: Double = 0.9): DataFrame = {
     import graft.similarity.Similarity
-    // bucket AND norm are computed once per vector, not once per pair —
-    // the pair stage then only pays for the dot product
-    val b = df.select(col(idCol), col(vecCol),
-      Similarity.lshBucket(Similarity.asDouble(col(vecCol)), dims, planes)
-        .as("__bucket"),
-      Similarity.l2Norm(Similarity.asDouble(col(vecCol))).as("__norm"))
-    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+    // double-cast, bucket, AND norm are computed once per vector, not once
+    // per pair — the pair stage then only pays for the codegen'd dot
+    val b = df.select(col(idCol),
+      Similarity.asDouble(col(vecCol)).as("__vd"))
+      .select(col(idCol), col("__vd"),
+        Similarity.lshBucket(col("__vd"), dims, planes).as("__bucket"),
+        Similarity.l2Norm(col("__vd")).as("__norm"))
+    val l = b.select(col(idCol).as("id_a"), col("__vd").as("__va"),
       col("__bucket"), col("__norm").as("__na"))
-    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+    val r = b.select(col(idCol).as("id_b"), col("__vd").as("__vb"),
       col("__bucket"), col("__norm").as("__nb"))
-    val dp = Similarity.dot(
-      Similarity.asDouble(col("__va")), Similarity.asDouble(col("__vb")))
+    val dp = Similarity.dot(col("__va"), col("__vb"))
     l.join(r, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -58,14 +58,16 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Brute-force cosine top-k of `df`'s `vecCol` against the single-row
-    * `query` frame (columns: `qvec`). The query side is broadcast.
+    * `query` frame (columns: `qvec`). The query side is broadcast. Both
+    * sides are cast to double ONCE before the join — `asDouble` is an
+    * interpreted per-element lambda, so leaving it inside the pair-wise
+    * cosine would cost 2×dims interpreted casts per scored pair.
     */
   def bruteForceTopK(df: DataFrame, query: DataFrame, vecCol: String,
       idCol: String, k: Int): DataFrame =
-    df.crossJoin(broadcast(query))
-      .select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), asDouble(col("qvec"))), 6)
-          .as("cos"))
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(query.select(asDouble(col("qvec")).as("__q"))))
+      .select(col(idCol), round(cosine(col("__v"), col("__q")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
@@ -75,14 +77,12 @@ object Similarity {
     */
   def annTopK(df: DataFrame, query: DataFrame, vecCol: String, idCol: String,
       dims: Int, k: Int, planes: Int = 8): DataFrame = {
-    val bucketed = df.withColumn("__bucket",
-      lshBucket(asDouble(col(vecCol)), dims, planes))
-    val q = query.withColumn("__qbucket",
-      lshBucket(asDouble(col("qvec")), dims, planes))
+    val bucketed = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__bucket", lshBucket(col("__v"), dims, planes))
+    val q = query.select(asDouble(col("qvec")).as("__q"))
+      .withColumn("__qbucket", lshBucket(col("__q"), dims, planes))
     bucketed.join(broadcast(q), col("__bucket") === col("__qbucket"))
-      .select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), asDouble(col("qvec"))), 6)
-          .as("cos"))
+      .select(col(idCol), round(cosine(col("__v"), col("__q")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -100,30 +100,28 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, query: DataFrame, vecCol: String, idCol: String,
       k: Int, centroidStep: Int, nprobe: Int): DataFrame = {
-    val cents = df.filter(col(idCol) % centroidStep === 0)
-      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent_vec"))
+    val d = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val cents = d.filter(col(idCol) % centroidStep === 0)
+      .select(col(idCol).as("__cent_id"), col("__v").as("__cent_vec"))
     // nearest-centroid assignment: argmax_{centroid} cosine
-    val assigned = df.crossJoin(broadcast(cents))
+    val assigned = d.crossJoin(broadcast(cents))
       .groupBy(col(idCol))
       .agg(
         max(struct(
-          round(cosine(asDouble(col(vecCol)), asDouble(col("__cent_vec"))), 9)
-            .as("c"),
+          round(cosine(col("__v"), col("__cent_vec")), 9).as("c"),
           col("__cent_id").as("id"))).as("__best"),
-        first(col(vecCol)).as(vecCol))
-      .select(col(idCol), col(vecCol), col("__best.id").as("__cluster"))
+        first(col("__v")).as("__v"))
+      .select(col(idCol), col("__v"), col("__best.id").as("__cluster"))
     // the query's nprobe nearest centroids
-    val probes = query.crossJoin(broadcast(cents))
-      .select(col("qvec"), col("__cent_id"),
-        round(cosine(asDouble(col("__cent_vec")), asDouble(col("qvec"))), 9)
-          .as("__qc"))
+    val probes = query.select(asDouble(col("qvec")).as("__q"))
+      .crossJoin(broadcast(cents))
+      .select(col("__q"), col("__cent_id"),
+        round(cosine(col("__cent_vec"), col("__q")), 9).as("__qc"))
       .orderBy(col("__qc").desc, col("__cent_id"))
       .limit(nprobe)
-      .select(col("qvec"), col("__cent_id"))
+      .select(col("__q"), col("__cent_id"))
     assigned.join(broadcast(probes), col("__cluster") === col("__cent_id"))
-      .select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), asDouble(col("qvec"))), 6)
-          .as("cos"))
+      .select(col(idCol), round(cosine(col("__v"), col("__q")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
