@@ -51,10 +51,11 @@ object Aggregate {
       rawPaths: Seq[String],
       priorAggregates: Seq[String] = Nil,
       qc: Boolean = true,
-      endDate: LocalDate = LocalDate.now()): Result = {
+      endDate: LocalDate = LocalDate.now(),
+      naming: String = "V40826"): Result = {
 
-    val rawSchema = Schemas(s"${table}Raw")
-    val aggSchema = Schemas(s"${table}Aggregated")
+    val rawSchema = Schemas.raw(table, naming)
+    val aggSchema = Schemas.aggregated(table, naming)
 
     val prev = Toa5Reader.latestFile(priorAggregates)
       .map(f => Toa5Reader.readAggregated(spark, Seq(f), aggSchema)
@@ -67,7 +68,8 @@ object Aggregate {
     val merged = TimeSeries.mergeIncremental(
       prev, fresh, stepSeconds(table))
 
-    val out = if (qc) Qc.qcFor(merged, table, cfg) else merged
+    val out = if (qc) Qc.qcFor(merged, table, cfg, naming = naming)
+      else merged
     Result(out, WaterYear.of(endDate))
   }
 
@@ -92,10 +94,11 @@ object Aggregate {
       rawPaths: Seq[String],
       priorAggregates: Seq[String] = Nil,
       qc: Boolean = true,
-      endDate: LocalDate = LocalDate.now()): Result = {
+      endDate: LocalDate = LocalDate.now(),
+      naming: String = "V40826"): Result = {
     import org.apache.spark.sql.functions.{col, input_file_name}
-    val rawSchema = Schemas(s"${table}Raw")
-    val aggSchema = Schemas(s"${table}Aggregated")
+    val rawSchema = Schemas.raw(table, naming)
+    val aggSchema = Schemas.aggregated(table, naming)
 
     val fresh = Toa5Reader.readRaw(spark, rawPaths, rawSchema,
         withSourceFile = true)

@@ -91,7 +91,7 @@ object MetQaqc {
 
   def apply(
       df: DataFrame,
-      cols: MetColumns,
+      cols0: MetColumns,
       z: Double = 0.777,
       tsCol: String = "TIMESTAMP",
       keys: Seq[String] = Nil,
@@ -99,6 +99,20 @@ object MetQaqc {
       strictReplace: Boolean = false): DataFrame = {
 
     def in(name: String): Column = col(name).cast("double")
+
+    // Presence check at plan-build time: a configured variable whose
+    // physical column is absent from the schema is skipped (the reference
+    // intends a warn-and-skip for absent kwargs; pandas would KeyError on
+    // an absent hardcoded column — documented divergence toward the
+    // intent, mirroring Grade_cs's schema introspection).
+    val present = df.columns.toSet
+    def avail(o: Option[String]): Option[String] = o.filter(present.contains)
+    val cols = MetColumns(
+      tair = avail(cols0.tair), rh = avail(cols0.rh), p = avail(cols0.p),
+      ws = avail(cols0.ws), wd = avail(cols0.wd),
+      precip = avail(cols0.precip), par = avail(cols0.par),
+      rn = avail(cols0.rn), vpd = avail(cols0.vpd), e = avail(cols0.e),
+      eS = avail(cols0.eS))
 
     // Derived MSLP (pure expression) goes in first so its step-diff can
     // join the shared window pass below.

@@ -13,23 +13,40 @@ import graft.config.SiteConfig
   */
 object Qc {
 
-  /** Column mapping for `Met_QAQC` per table kind (reference :622-628). */
-  def metColumnsFor(table: String): MetQaqc.MetColumns = {
-    val base = MetQaqc.MetColumns(
-      tair = Some("amb_tmpr_Avg"),
-      rh = Some("RH_Avg"),
-      p = Some("amb_press_Avg"),
-      ws = Some("rslt_wnd_spd"),
-      wd = Some("wnd_dir_compass"),
-      precip = Some("Precipitation_Tot"),
-      par = Some("PAR_density_Avg"),
-      rn = Some("Rn_meas_Avg"),
-      vpd = Some("VPD_air"))
-    table match {
-      case "Flux" => base.copy(e = Some("e_Avg"), eS = Some("e_sat_Avg"))
-      case "Met"  => base.copy(e = Some("e"), eS = Some("e_sat"))
-      case other  => throw new IllegalArgumentException(s"unknown table: $other")
-    }
+  /** Column mapping for `Met_QAQC` per table kind and schema naming.
+    * `"V40826"` is the reference's hardcoded mapping (:622-628); the
+    * reference never wires QC for the modern (EasyFlux/AmeriFlux-style)
+    * naming — its production path runs QC=False — so the `"Modern"`
+    * mapping is this engine's extension onto the same physics.
+    */
+  def metColumnsFor(table: String,
+      naming: String = "V40826"): MetQaqc.MetColumns = (naming, table) match {
+    case ("V40826", "Flux" | "Met") =>
+      val base = MetQaqc.MetColumns(
+        tair = Some("amb_tmpr_Avg"),
+        rh = Some("RH_Avg"),
+        p = Some("amb_press_Avg"),
+        ws = Some("rslt_wnd_spd"),
+        wd = Some("wnd_dir_compass"),
+        precip = Some("Precipitation_Tot"),
+        par = Some("PAR_density_Avg"),
+        rn = Some("Rn_meas_Avg"),
+        vpd = Some("VPD_air"))
+      if (table == "Flux") base.copy(e = Some("e_Avg"), eS = Some("e_sat_Avg"))
+      else base.copy(e = Some("e"), eS = Some("e_sat"))
+    case ("Modern", "Flux") => MetQaqc.MetColumns(
+      tair = Some("TA_1_1_1"), rh = Some("RH_1_1_1"), p = Some("PA"),
+      ws = Some("WS"), wd = Some("WD"), precip = Some("P"),
+      par = Some("PPFD_IN"), rn = Some("NETRAD"), vpd = Some("VPD"),
+      e = Some("e"), eS = Some("e_sat"))
+    case ("Modern", "Met") => MetQaqc.MetColumns(
+      tair = Some("amb_tmpr_Avg"), rh = Some("RH_Avg"),
+      p = Some("press_amb_Avg"), ws = Some("rslt_wnd_spd"),
+      wd = Some("wnd_dir_compass"), precip = Some("Precipitation"),
+      par = Some("PAR_density"), rn = Some("Rn"), vpd = Some("VPD_air"),
+      e = Some("e"), eS = Some("e_sat"))
+    case (n, t) =>
+      throw new IllegalArgumentException(s"unknown naming/table: $n/$t")
   }
 
   /** METQC: drop any previous QC output (re-QC path), then append fresh
@@ -39,12 +56,13 @@ object Qc {
   def metQc(df: DataFrame, table: String, z: Double = 0.777,
       tsCol: String = "TIMESTAMP", keys: Seq[String] = Nil,
       dayChangeIntent: Boolean = false,
-      strictReplace: Boolean = false): DataFrame = {
+      strictReplace: Boolean = false,
+      naming: String = "V40826"): DataFrame = {
     val cleaned =
       if (df.columns.contains("Tair_Filtered"))
         df.drop(MetQaqc.outputColumns: _*)
       else df
-    MetQaqc(cleaned, metColumnsFor(table), z, tsCol, keys,
+    MetQaqc(cleaned, metColumnsFor(table, naming), z, tsCol, keys,
       dayChangeIntent, strictReplace)
   }
 
@@ -53,10 +71,12 @@ object Qc {
     * get only `METQC`.
     */
   def qcFor(df: DataFrame, table: String, cfg: SiteConfig,
-      tsCol: String = "TIMESTAMP", keys: Seq[String] = Nil): DataFrame =
+      tsCol: String = "TIMESTAMP", keys: Seq[String] = Nil,
+      naming: String = "V40826"): DataFrame =
     table match {
-      case "Flux" => metQc(GradeCs(df, cfg), table, cfg.z, tsCol, keys)
-      case "Met"  => metQc(df, table, cfg.z, tsCol, keys)
+      case "Flux" => metQc(GradeCs(df, cfg), table, cfg.z, tsCol, keys,
+        naming = naming)
+      case "Met"  => metQc(df, table, cfg.z, tsCol, keys, naming = naming)
       case other  => throw new IllegalArgumentException(s"unknown table: $other")
     }
 

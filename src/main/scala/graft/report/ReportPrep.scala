@@ -33,11 +33,12 @@ object ReportPrep {
       aggregateFiles: Seq[String],
       table: String = "Flux",
       days: Int = 10,
-      notBefore: Option[String] = None): DataFrame = {
+      notBefore: Option[String] = None,
+      naming: String = "V40826"): DataFrame = {
     val latest = Toa5Reader.latestFile(aggregateFiles)
       .getOrElse(throw new IllegalArgumentException("no aggregate files"))
     val df0 = Toa5Reader.readAggregated(
-      spark, Seq(latest), Schemas(s"${table}Aggregated"))
+      spark, Seq(latest), Schemas.aggregated(table, naming))
     val df = notBefore.fold(df0)(d => df0.filter(col("TIMESTAMP") > lit(d)))
     // anchor = max(TIMESTAMP): a scalar agg, then a between-filter (P4/W3)
     df.join(

@@ -113,13 +113,93 @@ object Schemas {
   val metAggregated: StructType =
     StructType(metRaw.fields ++ metQcColumns)
 
-  /** Registry lookup keyed like the reference's `get_dtypes(dataset_type)`. */
+  /** Modern (EasyFlux/AmeriFlux-style) raw flux table — the reference's
+    * UNSUFFIXED `FluxRaw` (src/AzureDataLakeAccess.py:1055-1149), which the
+    * production driver path reads (`get_dtypes(f'{col}Raw')`, :456).
+    */
+  val fluxRawModern: StructType = StructType(Seq(
+    ts("TIMESTAMP"), l("RECORD"),
+    d("FC_mass"), l("FC_QC"), l("FC_samples"),
+    d("LE"), l("LE_QC"), l("LE_samples"),
+    d("H"), l("H_QC"), l("H_samples"),
+    d("NETRAD"), d("G"), d("SG"), d("energy_closure"), s("poor_enrg_clsur"),
+    d("Bowen_ratio"), d("TAU"), l("TAU_QC"), d("USTAR"), d("TSTAR"), d("TKE"),
+    d("TA_1_1_1"), d("RH_1_1_1"), d("T_DP_1_1_1"), d("e_amb"), d("e_sat_amb"),
+    d("TA_1_1_2"), d("RH_1_1_2"), d("T_DP_1_1_2"), d("e"), d("e_sat"),
+    d("TA_1_1_3"), d("RH_1_1_3"), d("T_DP_1_1_3"), d("e_probe"),
+    d("e_sat_probe"), d("H2O_density_probe"),
+    d("PA"), d("VPD"),
+    d("Ux"), d("Ux_SIGMA"), d("Uy"), d("Uy_SIGMA"), d("Uz"), d("Uz_SIGMA"),
+    d("T_SONIC"), d("T_SONIC_SIGMA"), d("sonic_azimuth"),
+    d("WS"), d("WS_RSLT"), d("WD_SONIC"), d("WD_SIGMA"), d("WD"), d("WS_MAX"),
+    d("CO2_density"), d("CO2_density_SIGMA"),
+    d("H2O_density"), d("H2O_density_SIGMA"),
+    d("CO2_sig_strgth_Min"), d("H2O_sig_strgth_Min"),
+    d("P"), d("ALB"),
+    d("SW_IN"), d("SW_OUT"), d("LW_IN"), d("LW_OUT"),
+    d("T_nr_in"), d("T_nr_out"), d("PPFD_IN"),
+    d("sun_azimuth"), d("sun_elevation"), d("hour_angle"),
+    d("sun_declination"), d("air_mass_coeff"), d("daytime"),
+    d("TS_1_1_1"), d("SWC_1_1_1"), d("TS_TDR31X_1_1_1"),
+    d("tdr31x_E_1_1_1"), d("tdr31x_ec_1_1_1"), d("tdr31x_ec_pore_1_1_1"),
+    d("G_plate_1_1_1"), d("G_1_1_1"), d("SG_1_1_1"),
+    d("FETCH_MAX"), d("FETCH_90"), d("FETCH_55"), d("FETCH_40"),
+    d("UPWND_DIST_INTRST"), d("FP_DIST_INTRST"), s("FP_EQUATION")))
+
+  /** Modern raw met table (reference `MetRaw`,
+    * src/AzureDataLakeAccess.py:1603-1659). The reference types `RECORD`
+    * as float here — kept for fidelity (dedup ordering works unchanged).
+    */
+  val metRawModern: StructType = StructType(Seq(
+    ts("TIMESTAMP"), d("RECORD"),
+    d("amb_tmpr_Avg"), d("rslt_wnd_spd"), d("wnd_dir_compass"), d("RH_Avg"),
+    d("Precipitation"), d("press_amb_Avg"), d("PAR_density"),
+    d("ShortWaveIn"), d("LongWaveIn"), d("batt_volt"), d("panel_tmpr"),
+    d("std_wnd_dir"), d("VPD_air"), d("Rn"), d("e_sat"), d("e"),
+    d("tdr31X_wc_Avg"), d("tdr31X_tmpr_Avg"), d("tdr31X_E_Avg"),
+    d("tdr31X_bulkEC_Avg"), d("tdr31X_poreEC_Avg"), d("Tsoil_Avg"))
+    ++ (1 to 6).map(i => d(s"profile_tdr31X_wc_Avg($i)"))
+    ++ (1 to 6).map(i => d(s"profile_tdr31X_tmpr_Avg($i)"))
+    ++ (1 to 6).map(i => d(s"profile_tdr31X_E_Avg($i)"))
+    ++ (1 to 6).map(i => d(s"profile_tdr31X_bulkEC_Avg($i)"))
+    ++ (1 to 6).map(i => d(s"profile_tdr31X_poreEC_Avg($i)"))
+    :+ d("shf_plate_avg"))
+
+  /** Modern aggregated layouts equal the raw layouts (the reference's
+    * unsuffixed `FluxAggregated`/`MetAggregated`, :1450-1544/:1661-1717,
+    * carry NO QC columns — the production driver runs with QC=False).
+    * Running our QC over modern tables appends columns schema-on-write.
+    */
+  val fluxAggregatedModern: StructType = fluxRawModern
+  val metAggregatedModern: StructType = metRawModern
+
+  /** Registry lookup keyed like the reference's `get_dtypes(dataset_type)`:
+    * unsuffixed keys are the modern naming (what the reference production
+    * path reads); `_V40826` keys are the legacy logger program.
+    * (`MetAggregated_V40826` is this engine's QC'd aggregate layout — the
+    * reference has no legacy met aggregate registry entry.)
+    */
   def apply(datasetType: String): StructType = datasetType match {
-    case "FluxRaw" | "FluxRaw_V40826"               => fluxRaw
-    case "MetRaw" | "MetRaw_V40826"                 => metRaw
-    case "FluxAggregated" | "FluxAggregated_V40826" => fluxAggregated
-    case "MetAggregated"                            => metAggregated
+    case "FluxRaw"                 => fluxRawModern
+    case "FluxRaw_V40826"          => fluxRaw
+    case "MetRaw"                  => metRawModern
+    case "MetRaw_V40826"           => metRaw
+    case "FluxAggregated"          => fluxAggregatedModern
+    case "FluxAggregated_V40826"   => fluxAggregated
+    case "MetAggregated"           => metAggregatedModern
+    case "MetAggregated_V40826"    => metAggregated
     case other =>
       throw new IllegalArgumentException(s"unknown dataset type: $other")
   }
+
+  /** Version-aware helpers: `naming` is `"V40826"` (legacy logger program,
+    * the QC-bearing layout this engine's pipeline defaults to) or
+    * `"Modern"` (unsuffixed EasyFlux-style).
+    */
+  def raw(table: String, naming: String = "V40826"): StructType =
+    apply(if (naming == "Modern") s"${table}Raw" else s"${table}Raw_$naming")
+
+  def aggregated(table: String, naming: String = "V40826"): StructType =
+    apply(if (naming == "Modern") s"${table}Aggregated"
+      else s"${table}Aggregated_$naming")
 }

@@ -164,6 +164,29 @@ class QcSpec extends SparkSpec {
     assert(row(out(8)) == ("10000000", None))
   }
 
+  test("Modern-naming QC: EasyFlux-style columns map onto the same physics") {
+    import graft.schema.Schemas
+    // registry: unsuffixed = modern, _V40826 = legacy
+    assert(Schemas("FluxRaw").fieldNames.contains("TA_1_1_1"))
+    assert(Schemas("FluxRaw_V40826").fieldNames.contains("amb_tmpr_Avg"))
+    assert(Schemas.raw("Met", "Modern").fieldNames.contains("press_amb_Avg"))
+    assert(Schemas("MetRaw").length == 55)
+    assert(Schemas("FluxRaw").length == 92)
+
+    val df = Seq(
+      (ts(0), 15.0, 60.0, 92.0),
+      (ts(30), 16.0, 102.0, 93.0), // RH in clamp band
+      (ts(60), 60.0, 55.0, 92.5),  // Tair HL fail
+    ).toDF("TIMESTAMP", "TA_1_1_1", "RH_1_1_1", "PA")
+    val out = Qc.metQc(df, "Flux", naming = "Modern")
+      .orderBy($"TIMESTAMP")
+      .select($"Tair_Hard_Limit", $"RH_Filtered", $"MSLP_Hard_Limit")
+      .collect()
+    assert(out.map(_.getBoolean(0)).toSeq == Seq(true, true, false))
+    assert(out(1).getDouble(1) == 100.0) // clamped from 102
+    assert(out.forall(!_.isNullAt(2)))   // MSLP derived from PA + TA_1_1_1
+  }
+
   test("METQC re-QC drops prior QC columns before recomputing (Q-D)") {
     val df = Seq((ts(0), 5.0, 50.0, 92.0, 3.0, 180.0, 0.0, 400.0, 50.0,
       0.5, 0.6, 1.1)).toDF(
