@@ -419,6 +419,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // SQL surface of the native expressions (GraftExtensions): the same
+    // top-k as q20, written in SQL against the registered vec_cosine
+    "q35_sql_functions" -> { (s, dir) =>
+      t(s, dir, "embeddings").createOrReplaceTempView("emb")
+      s.sql(
+        """SELECT e.vec_id,
+          |  round(vec_cosine(
+          |    transform(e.embedding, x -> CAST(x AS DOUBLE)),
+          |    transform(q.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+          |FROM emb e
+          |CROSS JOIN (SELECT embedding FROM emb WHERE vec_id = 0) q
+          |WHERE e.vec_id <> 0
+          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin)
+    },
+
     // gap-based sessionization: boundary flag → running session id →
     // per-session rollup (pure windows, the event-stream classic)
     "q32_sessionize" -> { (s, dir) =>
@@ -1087,6 +1102,29 @@ object SparkEntry {
         |WHERE round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
         |  ELSE 0.0 END, 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q35_sql_functions" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0
+        |), scored AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(list_zip(
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)), qv),
+        |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (a, b) -> a + b) AS dp,
+        |    sqrt(list_reduce(list_transform(
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x),
+        |      (a, b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_transform(qv, x -> x * x),
+        |      (a, b) -> a + b)) AS nb
+        |  FROM embeddings, q WHERE vec_id <> 0
+        |)
+        |SELECT vec_id,
+        |  round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb) ELSE 0.0 END,
+        |    6) AS cos
+        |FROM scored
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "q32_sessionize" ->
       """WITH g AS (
