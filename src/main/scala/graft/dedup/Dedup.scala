@@ -31,22 +31,15 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word n-gram shingles of the normalized text. Guarded:
-    * Spark's `sequence(1, k)` DESCENDS for k < 1, so short docs get an
-    * explicit empty array. The token array is let-bound
-    * ([[TextFunctions.once]]) — naively capturing the tokenization inside
-    * the per-gram lambda would re-tokenize the document per gram (O(n²)).
+  /** Distinct word n-gram shingles of the normalized text, first-
+    * occurrence order; shorter-than-n docs get an empty array. The gram
+    * build runs as the native [[graft.functions.WordShingles]] expression
+    * — one JVM loop per document (an interpreted `concat_ws(slice(...))`
+    * lambda per gram costs ~10× on a corpus scan).
     */
   def shingles(text: Column, n: Int): Column =
-    TextFunctions.once(
-      TextFunctions.tokens(TextFunctions.normalized(text)),
-      toks => {
-        val grams = transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))
-        when(size(toks) >= n, array_distinct(grams))
-          .otherwise(array().cast("array<string>"))
-      })
+    graft.functions.TextExpressions.wordShingles(
+      TextFunctions.tokens(TextFunctions.normalized(text)), n)
 
   /** Carter-Wegman modulus for MinHash permutations. */
   val MinhashP = 1000000007L

@@ -77,6 +77,44 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct word n-gram shingles of a token array, first-occurrence order
+  * (matching `array_distinct`), space-joined — one JVM loop per document
+  * instead of an interpreted `concat_ws(slice(...))` lambda per gram.
+  * Shorter-than-n docs yield an empty array.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "word_shingles"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= m) {
+      var s = toks.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = UTF8String.concat(s, space, toks.getUTF8String(i + j))
+        j += 1
+      }
+      out.add(s)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.bridge
   import org.apache.spark.sql.Column
@@ -86,4 +124,7 @@ object TextExpressions {
 
   def hamming(a: Column, b: Column): Column =
     bridge.column(HammingDistance(bridge.expression(a), bridge.expression(b)))
+
+  def wordShingles(tokens: Column, n: Int): Column =
+    bridge.column(WordShingles(bridge.expression(tokens), n))
 }
