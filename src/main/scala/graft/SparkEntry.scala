@@ -372,11 +372,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
-    // document fingerprinting
+    // document fingerprinting: content md5 + Rabin–Karp rolling hash
     "q25_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+          graft.text.TextFunctions.fingerprint(col("text")).as("fp"),
+          graft.text.TextFunctions.rollingHash(col("text")).as("rolling_fp"))
         .orderBy(col("doc_id"))
     },
 
@@ -529,6 +530,25 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"),
           array_join(transform(col("feature"),
             f => f.cast("int").cast("string")), "|").as("hist"))
+        .orderBy(col("doc_id"))
+    },
+    // multimodal resize: nearest-neighbor kernel over the fake container
+    // (the real-codec analog of an image downscale), checksum-verified
+    "q36_media_resize" -> { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents").select(
+        col("doc_id"),
+        Multimodal.packFake(
+          lit(64) + col("doc_id") % 192,
+          lit(64) + (col("doc_id") * 7) % 128,
+          col("text")).as("bytes"))
+      media.select(col("doc_id"),
+          Multimodal.resizeNearest(col("bytes"), 32, 24).as("small"))
+        .select(col("doc_id"),
+          Multimodal.decodeMeta(col("small")).as("m"),
+          Multimodal.byteSum(col("small")).as("checksum"))
+        .select(col("doc_id"), col("m.width"), col("m.height"),
+          col("m.payload_bytes"), col("checksum"))
         .orderBy(col("doc_id"))
     },
   )
@@ -983,9 +1003,35 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q25_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(norm) AS fp,
+        |  CASE WHEN length(norm) = 0 THEN 0 ELSE
+        |    list_reduce(list_transform(generate_series(1, length(norm)),
+        |      i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)),
+        |      (a, b) -> (a * 257 + b) % 1000000007) END AS rolling_fp
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q36_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    64 + doc_id % 192 AS w,
+        |    64 + (doc_id * 7) % 128 AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id, 32 AS width, 24 AS height, 768 AS payload_bytes,
+        |  list_reduce(list_transform(generate_series(0, 767), p ->
+        |    CAST(CASE WHEN ((p // 32) * h // 24) * w + ((p % 32) * w // 32)
+        |                   < length(text)
+        |         THEN ascii(substr(text,
+        |           CAST(((p // 32) * h // 24) * w + ((p % 32) * w // 32)
+        |             AS INT) + 1, 1))
+        |         ELSE 0 END AS BIGINT)),
+        |    (a, b) -> a + b) AS checksum
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q26_media_decode" ->
       """WITH m AS (

@@ -4,7 +4,7 @@ import org.apache.commons.codec.digest.DigestUtils
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-fingerprint expressions. Both are CodegenFallback: the work
@@ -115,9 +115,82 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Nearest-neighbor resize of a fake media container (big-endian uint32
+  * w, h header + row-major byte payload; indexes past the payload read as
+  * 0) to fixed (w2, h2). Emits a new container with the (w2, h2) header.
+  */
+case class ResizeNearest(child: Expression, w2: Int, h2: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(w2 > 0 && h2 > 0, "target dims must be positive")
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "resize_nearest"
+
+  private def beUint32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  override def nullSafeEval(input: Any): Any = {
+    val src = input.asInstanceOf[Array[Byte]]
+    val header = 8
+    val w = beUint32(src, 0)
+    val h = beUint32(src, 4)
+    val payloadLen = src.length - header
+    val out = new Array[Byte](header + w2 * h2)
+    out(0) = (w2 >>> 24).toByte; out(1) = (w2 >>> 16).toByte
+    out(2) = (w2 >>> 8).toByte; out(3) = w2.toByte
+    out(4) = (h2 >>> 24).toByte; out(5) = (h2 >>> 16).toByte
+    out(6) = (h2 >>> 8).toByte; out(7) = h2.toByte
+    var y = 0
+    while (y < h2) {
+      val sy = y * h / h2
+      var x = 0
+      while (x < w2) {
+        val sx = x * w / w2
+        val idx = sy * w + sx
+        out(header + y * w2 + x) =
+          if (idx < payloadLen) src(header + idx.toInt) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ResizeNearest =
+    copy(child = newChild)
+}
+
+/** Sum of payload byte values (unsigned) past the 8-byte header. */
+case class PayloadByteSum(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "payload_byte_sum"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    var s = 0L
+    var i = 8
+    while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+    s
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PayloadByteSum =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.bridge
   import org.apache.spark.sql.Column
+
+  def resizeNearest(bytes: Column, w2: Int, h2: Int): Column =
+    bridge.column(ResizeNearest(bridge.expression(bytes), w2, h2))
+
+  def byteSum(bytes: Column): Column =
+    bridge.column(PayloadByteSum(bridge.expression(bytes)))
 
   def simhash64(tokens: Column): Column =
     bridge.column(SimHash64(bridge.expression(tokens)))

@@ -59,6 +59,20 @@ object Multimodal {
         lit(FrameBytes)))
   }
 
+  /** Nearest-neighbor resize of a fake-container image to (w2, h2): the
+    * payload is read as a row-major w×h byte grid (indexes past the
+    * payload read as 0) and sampled at `sx = x2·w/w2, sy = y2·h/h2`; the
+    * result is a new container with the (w2, h2) header. One JVM loop per
+    * row via [[graft.functions.ResizeNearest]] — the real-codec analog
+    * plugs libjpeg/swscale into the same expression boundary.
+    */
+  def resizeNearest(bytes: Column, w2: Int, h2: Int): Column =
+    graft.functions.TextExpressions.resizeNearest(bytes, w2, h2)
+
+  /** Sum of payload byte values (checksum for resize verification). */
+  def byteSum(bytes: Column): Column =
+    graft.functions.TextExpressions.byteSum(bytes)
+
   /** The decode boundary a real deployment would fill with an actual codec
     * (libjpeg/ffmpeg/...). Batched per partition so codec initialization is
     * amortized — the JVM analog of `mapInPandas`.

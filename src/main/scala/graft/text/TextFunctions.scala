@@ -104,4 +104,14 @@ object TextFunctions {
 
   /** Content fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Rabin–Karp rolling-hash fingerprint of the normalized text:
+    * fold of `h = (h·257 + codepoint) mod (10^9+7)` over characters —
+    * integer-exact in any engine, and the building block for windowed
+    * substring fingerprinting at scale.
+    */
+  def rollingHash(text: Column): Column =
+    once(split(normalized(text), ""), cs =>
+      aggregate(cs, lit(0L),
+        (acc, c) => (acc * 257L + ascii(c)) % 1000000007L))
 }
