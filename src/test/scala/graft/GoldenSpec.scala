@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import graft.config.SiteConfig
+import graft.pipeline.Aggregate
+import graft.testkit.Toa5Fixture
+
+/** Golden end-to-end byte comparison (SURVEY §5.2): the seeded Met fixture
+  * through the full pipeline (union → dedup → regrid → QC → ordered
+  * single-file CSV) must reproduce the committed golden output
+  * byte-for-byte — locking the sink format (header, float rendering,
+  * True/False booleans, null rendering, row order) as well as the QC
+  * values. Regenerate intentionally with GRAFT_REGEN_GOLDEN=1 sbt test.
+  */
+class GoldenSpec extends SparkSpec {
+
+  private val goldenPath: Path =
+    Paths.get("src/test/resources/golden/CookEast_Met_golden.csv")
+
+  test("Met pipeline output is byte-identical to the committed golden CSV") {
+    val dir = Files.createTempDirectory("graft-golden").toString
+    val files = Toa5Fixture.writeMet(dir)
+    val res = Aggregate.run(spark, "Met", SiteConfig("CookEast"), files)
+    val out = Files.createTempDirectory("graft-golden-out").toString
+    val written = Aggregate.save(res, out, "CookEast", "Met", "V40826",
+      java.time.LocalDate.of(2021, 1, 20))
+    val got = Files.readString(Paths.get(written))
+
+    if (sys.env.contains("GRAFT_REGEN_GOLDEN")) {
+      Files.createDirectories(goldenPath.getParent)
+      Files.writeString(goldenPath, got)
+      info(s"regenerated golden (${got.length} bytes)")
+    } else {
+      assert(Files.exists(goldenPath),
+        "golden file missing — run with GRAFT_REGEN_GOLDEN=1 to create it")
+      val want = Files.readString(goldenPath)
+      assert(got.length == want.length,
+        s"golden length mismatch: got ${got.length}, want ${want.length}")
+      assert(got == want, {
+        val i = got.zip(want).indexWhere { case (a, b) => a != b }
+        s"first divergence at byte $i: ...${got.slice(i - 40, i + 40)}..."
+      })
+    }
+  }
+}
