@@ -27,6 +27,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Exact long ns → µs. Spark's `/` is double division; at ~1.8e18 ns the
+    * operand exceeds 2^53 so the quotient's ulp is 0.25 µs and a value just
+    * below an integer can round up before `cast("long")` truncates. Integral
+    * `div` keeps the whole computation in long arithmetic.
+    */
+  private def nsToMicros(c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(new IntegralDivide(bridge.expression(c), Literal(1000L)))
+  }
+
   /** `events.ts` is nanosecond parquet: with
     * `spark.sql.legacy.parquet.nanosAsLong` it arrives as long ns. Keep the
     * raw ns (`ts_ns`) for DuckDB-exact ordering and expose a µs `ts`
@@ -37,7 +48,7 @@ object SparkEntry {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts_ns", col("ts"))
-          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+          .withColumn("ts", timestamp_micros(nsToMicros(col("ts"))))
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }
@@ -297,32 +308,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
-    // n-gram (unigram-set) Jaccard similarity within a blocking key.
-    // Two exact-preserving optimizations: the size-ratio prefilter
-    // (jaccard >= 0.5 forces min(|A|,|B|) >= max(|A|,|B|)/2) kills pairs
-    // before the set intersection, and shingles are hashed to 60-bit longs
-    // so the intersection compares longs, not strings.
+    // n-gram (unigram-set) Jaccard similarity within a blocking key —
+    // the bounded-block O(B²) verify tier (guarded; the linear 100 TB
+    // path is q17's minhash LSH). Selection runs in integer form and
+    // the size-ratio prefilter is derived from the same rounded bound —
+    // see Dedup.blockedJaccardPairs scaladoc.
     "q19_ngram_jaccard" -> { (s, dir) =>
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        graft.dedup.Dedup.hashedShingles(col("text"), 1).as("sh"))
-      val l = d.select(col("source"), col("doc_id").as("id_a"),
-        col("sh").as("sh_a"), size(col("sh")).as("__na"))
-      val r = d.select(col("source"), col("doc_id").as("id_b"),
-        col("sh").as("sh_b"), size(col("sh")).as("__nb"))
-      // The selection predicate runs in INTEGER form inside the join
-      // (round(i/u, 6) >= 0.5 ⟺ 2e6·i >= 999999·u for set sizes far below
-      // the 2e6-denominator boundary); the intersection count is a native
-      // merge walk over the pre-sorted hashed shingles (zero allocation
-      // per pair).
-      val inter = graft.functions.VectorExpressions
-        .sortedIntersectCount(col("sh_a"), col("sh_b"))
-      val union = col("__na") + col("__nb") - inter
-      l.join(r, Seq("source"))
-        .filter(col("id_a") < col("id_b") &&
-          col("__na") * 2 >= col("__nb") && col("__nb") * 2 >= col("__na") &&
-          union > 0 && inter * 2000000L >= union * 999999L)
-        .select(col("id_a"), col("id_b"),
-          round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
+      graft.dedup.Dedup.blockedJaccardPairs(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("text")),
+          "text", "doc_id", "source", shingleN = 1, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -451,7 +446,7 @@ object SparkEntry {
         .groupBy(col("user_id"), col("__sess").as("session_id"))
         .agg(count(lit(1)).as("n_events"),
           date_trunc("second", timestamp_micros(
-            (min(col("ts_ns")) / 1000L).cast("long"))).as("session_start"),
+            nsToMicros(min(col("ts_ns"))))).as("session_start"),
           sumd(col("value")).as("session_value"))
         .orderBy(col("user_id"), col("session_id"))
     },
@@ -1184,9 +1179,10 @@ object SparkEntry {
         |  FROM events
         |), s AS (
         |  SELECT user_id, ts, value,
-        |    sum(new_session) OVER (PARTITION BY user_id
-        |                           ORDER BY ts, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS session_id
         |  FROM g
         |)
         |SELECT user_id, session_id, count(*) AS n_events,

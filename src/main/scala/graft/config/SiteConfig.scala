@@ -39,10 +39,16 @@ object SiteConfig {
     * (site,grade,le_lo,le_hi,h_lo,h_hi,f_lo,f_hi,ustar,cls,gg,z with `|`-
     * separated lists) — driver-side, tiny, no Spark job. The Excel workbook
     * of the reference is incidental storage; CSV keeps the engine dependency-
-    * free.
+    * free. The path resolves through the Hadoop filesystem layer, so local
+    * paths, `file:`, `hdfs://`, `abfss://`, `s3a://` all work — pass the
+    * session's Hadoop conf when the scheme needs credentials.
     */
-  def fromCsv(path: String): Map[String, SiteConfig] = {
-    val src = scala.io.Source.fromFile(path)
+  def fromCsv(path: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Map[String, SiteConfig] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try {
       val lines = src.getLines().toList
       val header = lines.head.split(",").map(_.trim).zipWithIndex.toMap

@@ -150,6 +150,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard ≥ `threshold` over all pairs WITHIN a blocking
+    * key: (id_a, id_b, jaccard), id_a < id_b, jaccard rounded to 6 dp.
+    *
+    * ⚠ Scale bound — this operator is **O(B²) in block size B** (all-pairs
+    * join within each block). It is the bounded-block verify tier: right
+    * when a natural key (source, crawl shard, cluster id) caps blocks at
+    * ~10³ rows. For open-ended corpora the linear path is
+    * [[minhashLshPairs]] → [[verifiedNearDups]]. `maxBlockSize` enforces
+    * the bound at runtime: an oversized block fails the job fast (with
+    * that pointer) instead of silently going quadratic. The guard is one
+    * map-side-combined count per block plus a broadcast join — linear.
+    *
+    * Selection runs in integer form inside the join:
+    * `round(i/u, 6) ≥ t ⟺ 2e6·i ≥ (2·round(1e6·t) − 1)·u`, and the same
+    * bound applied to (min size, max size) gives a provably-implied size
+    * prefilter (i ≤ min, u ≥ max) that kills pairs before the set
+    * intersection. The rational-vs-double boundary is exact for set sizes
+    * u ≲ 1e9: distinct rationals i/u are ≥ 1/(2e6·u) apart while the
+    * double quotient's error is ~1e-16, so the integer and rounded-double
+    * predicates cannot disagree. Intersections are native sorted-merge
+    * walks over 60-bit hashed shingles ([[hashedShingles]]).
+    */
+  def blockedJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, shingleN: Int = 1, threshold: Double = 0.5,
+      maxBlockSize: Int = 10000): DataFrame = {
+    val tNum = 2L * math.round(threshold * 1e6) - 1 // 2e6·i >= tNum·u
+    val d = df.select(col(blockCol).as("__blk"), col(idCol),
+      hashedShingles(col(textCol), shingleN).as("sh"))
+    val blockCounts = broadcast(
+      d.groupBy(col("__blk")).agg(count(lit(1)).as("__bn")))
+    val l = d.join(blockCounts, "__blk").select(col("__blk"),
+      col("__bn"), col(idCol).as("id_a"), col("sh").as("sh_a"),
+      size(col("sh")).cast("long").as("__na"))
+    val r = d.select(col("__blk"), col(idCol).as("id_b"),
+      col("sh").as("sh_b"), size(col("sh")).cast("long").as("__nb"))
+    // The guard rides the pair filter as an atomic Or: blocks within
+    // bound short-circuit it; the first row of an oversized block raises.
+    // (A standalone guard column would be pruned away by Catalyst.)
+    val guard = (col("__bn") <= maxBlockSize) ||
+      coalesce(raise_error(concat(
+        lit("Dedup.blockedJaccardPairs: block '"),
+        col("__blk").cast("string"), lit("' has "),
+        col("__bn").cast("string"),
+        lit(s" rows > maxBlockSize=$maxBlockSize; all-pairs verify is " +
+          "O(B²) - use minhashLshPairs + verifiedNearDups for " +
+          "unbounded blocks"))).cast("boolean"), lit(true))
+    val inter = graft.functions.VectorExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
+    val union = col("__na") + col("__nb") - inter
+    l.join(r, Seq("__blk"))
+      .filter(guard && col("id_a") < col("id_b") &&
+        col("__na") * 2000000L >= col("__nb") * tNum &&
+        col("__nb") * 2000000L >= col("__na") * tNum &&
+        union > 0 && inter * 2000000L >= union * tNum)
+      .select(col("id_a"), col("id_b"),
+        round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
+  }
+
   /** DataFrame-level SimHash: (idCol, simhash) with one 64-char bit string
     * per row. Same bit semantics as [[simhashBits]] (unit-tested
     * equivalent), computed by the native [[graft.functions.SimHash64]]
@@ -196,32 +254,49 @@ object Dedup {
   /** SimHash near-dup pairs: band the 64-bit fingerprint into `bands`
     * contiguous segments, equi-join on any shared (band, segment) — a
     * linear shuffle, no O(n²) cross product — then verify candidates by
-    * exact Hamming distance ≤ `maxHamming`. Any pair within `maxHamming`
-    * ≤ 64·(bands−1)/bands bits shares at least one exact band
-    * (pigeonhole), so recall is 1 for maxHamming ≤ 48 at bands = 4.
+    * exact Hamming distance ≤ `maxHamming`.
+    *
+    * Recall: by pigeonhole, a pair with Hamming distance ≤ `bands − 1`
+    * always shares at least one exact band, so recall is 1 **only for
+    * maxHamming ≤ bands − 1**. Beyond that the band join is an
+    * approximate LSH blocker — e.g. at the (bands = 4, maxHamming = 8)
+    * defaults, a pair with 2 differing bits in each band shares no band
+    * and is missed. For guaranteed recall at a given radius pass
+    * `bands = maxHamming + 1` (widths need not divide 64: the first
+    * `64 mod bands` bands are one bit wider), at the cost of a
+    * proportionally larger candidate join.
     */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
       bands: Int = 4, maxHamming: Int = 8): DataFrame = {
-    val width = 64 / bands
+    require(bands >= 1 && bands <= 64, s"bands must be in [1, 64]: $bands")
+    // near-equal band widths: first `rem` bands are (base+1) bits wide,
+    // so any bands value in [1, 64] partitions all 64 bits
+    val base = 64 / bands
+    val rem = 64 % bands
+    def bandStart(b: Int): Int = b * base + math.min(b, rem)
+    def bandWidth(b: Int): Int = base + (if (b < rem) 1 else 0)
     val sims = simhashDf(df, textCol, idCol)
       .select(col(idCol), col("simhash").as("__sim"))
-    val banded = sims.select(col(idCol), col("__sim"), explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            substr(col("__sim"), b * width + 1, lit(width)).as("key"))))
+    val banded = sims.select(col(idCol), col("__sim"), explode(array(
+        (0 until bands).map(b => struct(lit(b).as("band"),
+          substr(col("__sim"), lit(bandStart(b) + 1), lit(bandWidth(b)))
+            .as("key"))): _*))
         .as("b"))
       .select(col(idCol), col("__sim"), col("b.band"), col("b.key"))
     val l = banded.select(col(idCol).as("id_a"), col("__sim").as("__sa"),
       col("band"), col("key"))
     val r = banded.select(col(idCol).as("id_b"), col("__sim").as("__sb"),
       col("band"), col("key"))
+    // Hamming (native byte-compare) runs BEFORE the distinct: a pair found
+    // in k bands costs k cheap re-computations, but the distinct shuffle
+    // then carries (long, long, int) instead of two 64-char fingerprints,
+    // and the ≤ maxHamming filter prunes its input to matching pairs only.
     l.join(r, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
-      .distinct()
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("__sa"), col("__sb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs: block by sign-LSH bucket (vectors

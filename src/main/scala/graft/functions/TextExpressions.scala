@@ -118,13 +118,20 @@ case class WordShingles(child: Expression, n: Int)
 /** Nearest-neighbor resize of a fake media container (big-endian uint32
   * w, h header + row-major byte payload; indexes past the payload read as
   * 0) to fixed (w2, h2). Emits a new container with the (w2, h2) header.
+  * A container too short to hold the 8-byte header is malformed → null
+  * (mirrors the reference's skip-bad-input posture rather than failing
+  * the whole job mid-scan).
   */
 case class ResizeNearest(child: Expression, w2: Int, h2: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   require(w2 > 0 && h2 > 0, "target dims must be positive")
+  require(w2.toLong * h2 + 8 <= Int.MaxValue,
+    s"target $w2 x $h2 overflows a JVM byte array")
 
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
+  // malformed (short) containers map to null even when the child can't
+  override def nullable: Boolean = true
   override def prettyName: String = "resize_nearest"
 
   private def beUint32(b: Array[Byte], off: Int): Long =
@@ -133,6 +140,7 @@ case class ResizeNearest(child: Expression, w2: Int, h2: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val src = input.asInstanceOf[Array[Byte]]
+    if (src.length < 8) return null
     val header = 8
     val w = beUint32(src, 0)
     val h = beUint32(src, 4)

@@ -41,15 +41,18 @@ object TowerReportJob {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
 
-    val configs: Map[String, SiteConfig] = {
-      val p = s"$root/config/sites.csv"
-      if (new java.io.File(p).exists()) SiteConfig.fromCsv(p)
-      else DefaultSites.map(s => s -> SiteConfig(s)).toMap
-    }
-
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(root).toUri,
       spark.sessionState.newHadoopConf())
+
+    // probe through the Hadoop FS (not java.io.File) so an abfss:// or
+    // s3a:// root finds its sites.csv instead of silently falling back
+    // to default thresholds
+    val configs: Map[String, SiteConfig] = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/config/sites.csv")
+      if (fs.exists(p)) SiteConfig.fromCsv(p.toString, fs.getConf)
+      else DefaultSites.map(s => s -> SiteConfig(s)).toMap
+    }
     def ls(dir: String, suffix: String): Seq[String] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       if (!fs.exists(p)) Nil
