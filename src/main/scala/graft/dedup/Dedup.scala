@@ -267,7 +267,18 @@ object Dedup {
     * proportionally larger candidate join.
     */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-      bands: Int = 4, maxHamming: Int = 8): DataFrame = {
+      bands: Int = 4, maxHamming: Int = 8): DataFrame =
+    simhashBandPairs(simhashDf(df, textCol, idCol), "simhash", idCol,
+      bands, maxHamming)
+
+  /** Band-blocked Hamming pair search over PRECOMPUTED 64-char SimHash bit
+    * strings (`simhashCol`) — the fingerprint-level stage of
+    * [[simhashNearDups]] (same recall contract: guaranteed only for
+    * maxHamming ≤ bands − 1). Useful when fingerprints are persisted once
+    * and re-blocked under several radii.
+    */
+  def simhashBandPairs(sims0: DataFrame, simhashCol: String, idCol: String,
+      bands: Int, maxHamming: Int): DataFrame = {
     require(bands >= 1 && bands <= 64, s"bands must be in [1, 64]: $bands")
     // near-equal band widths: first `rem` bands are (base+1) bits wide,
     // so any bands value in [1, 64] partitions all 64 bits
@@ -275,8 +286,7 @@ object Dedup {
     val rem = 64 % bands
     def bandStart(b: Int): Int = b * base + math.min(b, rem)
     def bandWidth(b: Int): Int = base + (if (b < rem) 1 else 0)
-    val sims = simhashDf(df, textCol, idCol)
-      .select(col(idCol), col("simhash").as("__sim"))
+    val sims = sims0.select(col(idCol), col(simhashCol).as("__sim"))
     val banded = sims.select(col(idCol), col("__sim"), explode(array(
         (0 until bands).map(b => struct(lit(b).as("band"),
           substr(col("__sim"), lit(bandStart(b) + 1), lit(bandWidth(b)))

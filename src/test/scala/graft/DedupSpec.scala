@@ -89,6 +89,49 @@ class DedupSpec extends SparkSpec {
     assert(!nd.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("simhashBandPairs recall: bands = maxHamming+1 catches the spread " +
+      "pair the default banding misses") {
+    // hamming = 4, one differing bit inside EACH default 16-bit band →
+    // no shared band at bands = 4, so the pair is (documentedly) missed
+    val a = "0" * 64
+    val b = (0 until 64).map(i => if (i % 16 == 0) '1' else '0').mkString
+    val sims = Seq((1L, a), (2L, b)).toDF("doc_id", "simhash")
+    def pairs(bands: Int) =
+      Dedup.simhashBandPairs(sims, "simhash", "doc_id",
+        bands = bands, maxHamming = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(4).isEmpty)           // approximate blocking: miss
+    assert(pairs(5) == Set((1L, 2L)))  // pigeonhole: 4 <= bands-1 → found
+  }
+
+  test("simhashNearDups accepts non-divisor band counts (widths tile 64)") {
+    val nd = Dedup.simhashNearDups(docs, "text", "doc_id",
+      bands = 9, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 2L)) && nd.contains((1L, 3L)))
+    assert(!nd.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("blockedJaccardPairs: exact pairs within blocks, guard fails fast " +
+      "on an oversized block") {
+    val blocked = docs.withColumn("blk", lit("one"))
+    val got = Dedup.blockedJaccardPairs(blocked, "text", "doc_id", "blk",
+      shingleN = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1/2/3 are identical after normalization (jaccard 1); doc 5
+    // shares 7 of 9 distinct unigrams with them (7/9 ≈ 0.78); doc 4 is
+    // disjoint
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 5L), (2L, 5L), (3L, 5L)))
+    val err = intercept[Exception] {
+      Dedup.blockedJaccardPairs(blocked, "text", "doc_id", "blk",
+        shingleN = 1, threshold = 0.5, maxBlockSize = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("maxBlockSize")))
+  }
+
   test("embeddingNearDups: scaled copy pairs at cos 1, orthogonal absent") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),

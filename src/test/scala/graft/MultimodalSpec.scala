@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Byte-level contract of the fake-container multimodal surface —
+  * malformed-input posture of the native resize expression plus the
+  * pack → decode round trip it feeds.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resizeNearest: sub-header container → null, not a job failure") {
+    val df = Seq(
+      (1L, Array[Byte](1, 2, 3)),        // shorter than the 8-byte header
+      (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "media")
+    val out = df.select(col("id"),
+      Multimodal.resizeNearest(col("media"), 2, 2).as("r"))
+      .orderBy(col("id")).collect()
+    assert(out.forall(_.isNullAt(1)))
+  }
+
+  test("resizeNearest rejects target dims that overflow a byte array") {
+    intercept[IllegalArgumentException] {
+      graft.functions.ResizeNearest(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 42)),
+        w2 = 65536, h2 = 65536)
+    }
+  }
+
+  test("resizeNearest: header-only container resizes to all-zero payload") {
+    val packed = Seq((1L, 2L, 2L, "")).toDF("id", "w", "h", "p")
+      .select(col("id"),
+        Multimodal.packFake(col("w"), col("h"), col("p")).as("media"))
+    val r = packed.select(
+      Multimodal.resizeNearest(col("media"), 2, 2).as("r"),
+      Multimodal.byteSum(
+        Multimodal.resizeNearest(col("media"), 2, 2)).as("s")).head()
+    assert(r.getAs[Array[Byte]](0).length == 8 + 4)
+    assert(r.getLong(1) == 0L)
+  }
+}

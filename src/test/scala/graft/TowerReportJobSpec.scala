@@ -29,4 +29,36 @@ class TowerReportJobSpec extends SparkSpec {
     assert(again.exists(
       _.getName == "CookEast_Met_AggregateQC_CY2021_V40826_20210121.csv"))
   }
+
+  test("TowerReportJob resolves a URI-scheme root and its sites.csv " +
+      "through the Hadoop filesystem") {
+    spark
+    val local = java.nio.file.Files.createTempDirectory("graft-job-uri")
+    Toa5Fixture.writeMet(s"$local/raw/CookEast/Met")
+    // a sites.csv that only defines CookEast — if Hadoop-FS discovery
+    // works, the job loops over exactly this one site instead of the
+    // four DefaultSites
+    java.nio.file.Files.createDirectories(local.resolve("config"))
+    java.nio.file.Files.writeString(local.resolve("config/sites.csv"),
+      """site,grade,le_lo,le_hi,h_lo,h_hi,f_lo,f_hi,ustar,cls,gg,z
+        |CookEast,7,-150,1000,-150,1000,-60,20,0,H|LE|Fc_molar,H_qc_grade|LE_qc_grade|Fc_qc_grade,0.777
+        |""".stripMargin)
+
+    graft.pipeline.TowerReportJob.main(Array(s"file:$local", "2021-01-20"))
+
+    val metOut = new java.io.File(s"$local/output/CookEast/Met").listFiles()
+    assert(metOut != null && metOut.exists(
+      _.getName == "CookEast_Met_AggregateQC_CY2021_V40826_20210120.csv"))
+  }
+
+  test("SiteConfig.fromCsv reads through the Hadoop FS (file: URI)") {
+    val p = java.nio.file.Files.createTempFile("sites", ".csv")
+    java.nio.file.Files.writeString(p,
+      """site,grade,le_lo,le_hi,h_lo,h_hi,f_lo,f_hi,ustar,cls,gg,z
+        |BoydNorth,5,-100,900,-120,800,-50,10,0.1,H|LE|Fc_molar,H_qc_grade|LE_qc_grade|Fc_qc_grade,0.5
+        |""".stripMargin)
+    val cfgs = graft.config.SiteConfig.fromCsv(s"file:$p")
+    assert(cfgs.keySet == Set("BoydNorth"))
+    assert(cfgs("BoydNorth").grade == 5 && cfgs("BoydNorth").ustar == 0.1)
+  }
 }
