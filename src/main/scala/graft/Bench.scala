@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark main: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
@@ -8,8 +10,65 @@ import org.apache.spark.sql.SparkSession
   * would let Catalyst prune projected columns and under-measure (a
   * fingerprint query would never hash anything). One warm-up query runs
   * first (untimed) so JIT/codegen compilation doesn't land on q1.
+  *
+  * The line also carries a `pipeline` block: the flagship multi-site
+  * aggregate (4 sites × a multi-month TOA5 corpus spanning a water-year
+  * boundary) through `Aggregate.runMultiSite` + `saveLake`, recording
+  * wall time, input/output rows, rows/sec, and total shuffle bytes — the
+  * empirical sample behind the "one plan over all sites scales out"
+  * claim (SURVEY §4). Set SPARK_GRAFT_SKIP_PIPELINE=1 to run queries only.
   */
 object Bench {
+
+  /** Sums shuffle write bytes across all completed stages. */
+  private final class ShuffleMeter extends SparkListener {
+    val bytes = new AtomicLong(0L)
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  /** Multi-site multi-wateryear corpus → one-plan aggregate → partitioned
+    * lake write. ~25× the unit fixture per site; Aug 15 start rolls over
+    * the Oct 1 water-year boundary so saveLake exercises both partition
+    * keys.
+    */
+  private def pipelineBench(spark: SparkSession): String = {
+    import graft.config.SiteConfig
+    import graft.pipeline.Aggregate
+    import graft.testkit.Toa5Fixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bench-corpus").toString
+    val sites = Seq("CookEast", "CookWest", "BoydNorth", "BoydSouth")
+    val files = sites.flatMap { s =>
+      Toa5Fixture.writeMet(s"$dir/raw/$s", nFiles = 12, rowsPerFile = 960,
+        seed = s.hashCode.toLong, site = s,
+        start = java.time.LocalDateTime.of(2021, 8, 15, 0, 0))
+    }
+    val configs = sites.map(s => s -> SiteConfig(s)).toMap
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val t0 = System.nanoTime()
+    val res = Aggregate.runMultiSite(spark, "Met", configs, files,
+      endDate = java.time.LocalDate.of(2021, 12, 15))
+    Aggregate.saveLake(res, s"$dir/lake")
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(meter)
+    // counts run after the clock stops — they re-scan, they aren't the
+    // pipeline's work
+    val outRows = spark.read.parquet(s"$dir/lake").count()
+    val inRows = graft.io.Toa5Reader
+      .readRaw(spark, files, graft.schema.Schemas.raw("Met", "V40826"))
+      .count()
+    val wys = spark.read.parquet(s"$dir/lake")
+      .select("wateryear").distinct().count()
+    System.err.println(f"[bench] pipeline_multisite    $sec%8.2f s " +
+      f"($inRows raw -> $outRows grid rows, $wys water years, " +
+      f"${meter.bytes.get} shuffle bytes)")
+    s"""{"sec":$sec,"rows_in":$inRows,"rows_out":$outRows,""" +
+      s""""rows_per_sec":${(inRows / sec).toLong},"sites":${sites.length},""" +
+      s""""wateryears":$wys,"shuffle_bytes":${meter.bytes.get}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -43,7 +102,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val pipeline =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE")) "null"
+      else try pipelineBench(spark) catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+        "null"
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline":$pipeline,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,15 +20,20 @@ object Toa5Fixture {
 
   private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 
-  /** Write `nFiles` Met-table TOA5 files under `dir`; returns their paths. */
+  /** Write `nFiles` Met-table TOA5 files under `dir`; returns their paths.
+    * `start` sets the first timestamp — a long-enough run (Bench's scale
+    * corpus) rolls over the Oct 1 water-year boundary naturally.
+    */
   def writeMet(dir: String, nFiles: Int = 2, rowsPerFile: Int = 96,
-      seed: Long = 42L, site: String = "CookEast"): Seq[String] = {
+      seed: Long = 42L, site: String = "CookEast",
+      start: LocalDateTime = LocalDateTime.of(2021, 1, 15, 0, 0)): Seq[String] = {
     Files.createDirectories(Paths.get(dir))
     val cols = Schemas.metRaw.fieldNames
     val rnd = new Random(seed)
-    var t = LocalDateTime.of(2021, 1, 15, 0, 0)
+    var t = start
     var record = 1000L
-    (0 until nFiles).map { f =>
+    (0 until nFiles).map { _ =>
+      val fileDate = t.format(DateTimeFormatter.ofPattern("yyyy_MM_dd"))
       val sb = new StringBuilder
       sb ++= s"\"TOA5\",\"$site\",\"CR6\",\"1234\",\"CR6.Std.07\"," +
         "\"CPU:Met.CR6\",\"40826\",\"Met_15Min\"\n"
@@ -70,7 +75,7 @@ object Toa5Fixture {
         record += 1
         i += 1
       }
-      val path = s"$dir/${site}_Met_V40826_2021_01_${15 + f}_0000.dat"
+      val path = s"$dir/${site}_Met_V40826_${fileDate}_0000.dat"
       Files.writeString(Paths.get(path), sb.toString)
       path
     }
@@ -80,13 +85,15 @@ object Toa5Fixture {
     * Grade_cs input surface: grades, sample totals, signal strengths, door).
     */
   def writeFlux(dir: String, nFiles: Int = 2, rowsPerFile: Int = 48,
-      seed: Long = 42L, site: String = "CookEast"): Seq[String] = {
+      seed: Long = 42L, site: String = "CookEast",
+      start: LocalDateTime = LocalDateTime.of(2021, 1, 15, 0, 0)): Seq[String] = {
     Files.createDirectories(Paths.get(dir))
     val cols = Schemas.fluxRaw.fieldNames
     val rnd = new Random(seed)
-    var t = LocalDateTime.of(2021, 1, 15, 0, 0)
+    var t = start
     var record = 2000L
-    (0 until nFiles).map { f =>
+    (0 until nFiles).map { _ =>
+      val fileDate = t.format(DateTimeFormatter.ofPattern("yyyy_MM_dd"))
       val sb = new StringBuilder
       sb ++= s"\"TOA5\",\"$site\",\"CR6\",\"1234\",\"CR6.Std.07\"," +
         "\"CPU:Flux.CR6\",\"40826\",\"Flux_30Min\"\n"
@@ -128,7 +135,7 @@ object Toa5Fixture {
         record += 1
         i += 1
       }
-      val path = s"$dir/${site}_Flux_V40826_2021_01_${15 + f}_0000.dat"
+      val path = s"$dir/${site}_Flux_V40826_${fileDate}_0000.dat"
       Files.writeString(Paths.get(path), sb.toString)
       path
     }

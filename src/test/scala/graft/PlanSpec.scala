@@ -25,4 +25,29 @@ class PlanSpec extends SparkSpec {
     // WindowGroupLimit pushdown pair
     assert(rowNumbers <= 4, s"dedup subplan duplicated? $rowNumbers")
   }
+
+  test("multi-site pipeline keeps the single-site plan shape at width") {
+    import java.time.LocalDateTime
+    def planFor(sites: Seq[String]): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-plan-width").toString
+      val files = sites.flatMap(s => Toa5Fixture.writeMet(
+        s"$dir/$s", site = s, seed = s.hashCode.toLong,
+        start = LocalDateTime.of(2021, 9, 28, 0, 0)))
+      val cfgs = sites.map(s => s -> SiteConfig(s)).toMap
+      Aggregate.runMultiSite(spark, "Met", cfgs, files)
+        .df.queryExecution.executedPlan.toString
+    }
+    def count(plan: String, re: String) = re.r.findAllIn(plan).size
+    val narrow = planFor(Seq("CookEast"))
+    val wide = planFor(Seq("CookEast", "CookWest", "BoydNorth", "BoydSouth"))
+    // widening the data (4 sites instead of 1, spanning a water-year
+    // boundary) must not add plan nodes: same window count, same number
+    // of exchanges — `site` rides the existing partitioning keys
+    assert(count(wide, "\\bWindow \\[") == count(narrow, "\\bWindow \\["),
+      s"multi-site added Window nodes:\n${wide.take(2000)}")
+    assert(count(wide, "Exchange ") == count(narrow, "Exchange "),
+      s"multi-site added exchanges:\n${wide.take(2000)}")
+    assert(count(wide, "\\bWindow \\[") == 2)
+  }
 }
