@@ -314,10 +314,14 @@ object SparkEntry {
     // the size-ratio prefilter is derived from the same rounded bound —
     // see Dedup.blockedJaccardPairs scaladoc.
     "q19_ngram_jaccard" -> { (s, dir) =>
+      // maxBlockSize is explicit: `source` block sizes grow ~linearly with
+      // SF (250 docs at sf0.1), so the library default (10k) would start
+      // raising around sf10 — the probe must behave identically at any SF
       graft.dedup.Dedup.blockedJaccardPairs(
           t(s, dir, "documents").select(col("doc_id"), col("source"),
             col("text")),
-          "text", "doc_id", "source", shingleN = 1, threshold = 0.5)
+          "text", "doc_id", "source", shingleN = 1, threshold = 0.5,
+          maxBlockSize = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b"))
     },
 

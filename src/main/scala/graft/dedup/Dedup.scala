@@ -171,6 +171,11 @@ object Dedup {
     * double quotient's error is ~1e-16, so the integer and rounded-double
     * predicates cannot disagree. Intersections are native sorted-merge
     * walks over 60-bit hashed shingles ([[hashedShingles]]).
+    *
+    * The guard's own count is a window over `__blk` — the same hash
+    * partitioning the pair join needs anyway. (A driver-side
+    * collect/broadcast of per-block counts would itself break first on a
+    * corpus with unboundedly many blocks.)
     */
   def blockedJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, shingleN: Int = 1, threshold: Double = 0.5,
@@ -178,9 +183,9 @@ object Dedup {
     val tNum = 2L * math.round(threshold * 1e6) - 1 // 2e6·i >= tNum·u
     val d = df.select(col(blockCol).as("__blk"), col(idCol),
       hashedShingles(col(textCol), shingleN).as("sh"))
-    val blockCounts = broadcast(
-      d.groupBy(col("__blk")).agg(count(lit(1)).as("__bn")))
-    val l = d.join(blockCounts, "__blk").select(col("__blk"),
+    val l = d.withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__blk"))))
+      .select(col("__blk"),
       col("__bn"), col(idCol).as("id_a"), col("sh").as("sh_a"),
       size(col("sh")).cast("long").as("__na"))
     val r = d.select(col("__blk"), col(idCol).as("id_b"),

@@ -32,7 +32,7 @@ object Toa5Fixture {
     val rnd = new Random(seed)
     var t = start
     var record = 1000L
-    (0 until nFiles).map { _ =>
+    (0 until nFiles).map { f =>
       val fileDate = t.format(DateTimeFormatter.ofPattern("yyyy_MM_dd"))
       val sb = new StringBuilder
       sb ++= s"\"TOA5\",\"$site\",\"CR6\",\"1234\",\"CR6.Std.07\"," +
@@ -75,7 +75,9 @@ object Toa5Fixture {
         record += 1
         i += 1
       }
-      val path = s"$dir/${site}_Met_V40826_${fileDate}_0000.dat"
+      // the trailing token carries the file index: files shorter than a
+      // day would otherwise share a start date and silently overwrite
+      val path = f"$dir/${site}_Met_V40826_${fileDate}_$f%04d.dat"
       Files.writeString(Paths.get(path), sb.toString)
       path
     }
@@ -92,7 +94,7 @@ object Toa5Fixture {
     val rnd = new Random(seed)
     var t = start
     var record = 2000L
-    (0 until nFiles).map { _ =>
+    (0 until nFiles).map { f =>
       val fileDate = t.format(DateTimeFormatter.ofPattern("yyyy_MM_dd"))
       val sb = new StringBuilder
       sb ++= s"\"TOA5\",\"$site\",\"CR6\",\"1234\",\"CR6.Std.07\"," +
@@ -135,7 +137,7 @@ object Toa5Fixture {
         record += 1
         i += 1
       }
-      val path = s"$dir/${site}_Flux_V40826_${fileDate}_0000.dat"
+      val path = f"$dir/${site}_Flux_V40826_${fileDate}_$f%04d.dat"
       Files.writeString(Paths.get(path), sb.toString)
       path
     }

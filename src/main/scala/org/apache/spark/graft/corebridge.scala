@@ -1,0 +1,13 @@
+package org.apache.spark.graft
+
+import org.apache.spark.SparkContext
+
+/** `private[spark]` access shim (same pattern as [[org.apache.spark.sql.graft.bridge]]):
+  * the listener bus is asynchronous, so metrics listeners must be drained
+  * before their counters are read or late stage-completed events are lost.
+  */
+object corebridge {
+  /** Block until every queued listener event has been delivered. */
+  def drainListenerBus(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}
