@@ -95,11 +95,15 @@ object Bench {
     // min of two timed runs: a single sample conflates steady-state cost
     // with whatever else the machine was doing that second (and run 1
     // additionally carries plan compilation), which round-3 numbers showed
-    // can triple a sub-second query
+    // can triple a sub-second query. Queries whose first run exceeds 5 s
+    // keep that sample — long runs amortize noise, and re-running them
+    // would double the suite's wall clock for little precision
     def exec(name: String): Double = {
       val dt =
-        try math.min(once(name), once(name))
-        catch { case e: Throwable =>
+        try {
+          val first = once(name)
+          if (first < 5.0) math.min(first, once(name)) else first
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return -1.0
         }

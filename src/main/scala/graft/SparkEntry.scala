@@ -550,6 +550,100 @@ object SparkEntry {
           col("m.payload_bytes"), col("checksum"))
         .orderBy(col("doc_id"))
     },
+
+    // connected components over near-dup pairs: the transitive closure
+    // that turns a pair list into per-document cluster labels + a
+    // canonical keep-one-per-group decision (Graph.connectedComponents —
+    // iterative min-label propagation, O(diameter) shuffled rounds)
+    "q37_dedup_clusters" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = graft.dedup.Dedup.blockedJaccardPairs(
+        docs.select(col("doc_id"), col("source"), col("text")),
+        "text", "doc_id", "source", shingleN = 1, threshold = 0.5,
+        maxBlockSize = Int.MaxValue)
+      graft.ops.Graph.canonicalize(
+          graft.ops.Graph.connectedComponents(
+            docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // salted equi-join: the skew-safe join shape — result provably equals
+    // the plain join (the oracle IS the plain join), salt only spreads a
+    // hot key over `salt` reducers
+    "q38_salted_join" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.ops.Relational.saltedJoin(li, p, Seq("l_partkey"), salt = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("p_brand"))
+    },
+
+    // top-k per group: rank-limited window (WindowGroupLimit caps
+    // per-group state at k rows before the shuffle)
+    "q39_topk_per_group" -> { (s, dir) =>
+      graft.ops.Relational.topKPerGroup(
+          t(s, dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber"), col("l_extendedprice")),
+          Seq("l_suppkey"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber")), k = 3)
+        .orderBy(col("l_suppkey"), col("rank"))
+    },
+
+    // corpus TF-IDF: per-document top terms by linear-idf score
+    // (explode → two hash aggs → broadcast-back join → ranked window)
+    "q40_tfidf_top_terms" -> { (s, dir) =>
+      graft.text.Corpus.tfidfTopTerms(
+          t(s, dir, "documents"), "text", "doc_id", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // deterministic Bernoulli sampling: md5-hash predicate — same rows on
+    // any partitioning/engine, pushed into the scan (rate 1/8 so the
+    // keep-bound is an exact power of two in both engines)
+    "q41_hash_sample" -> { (s, dir) =>
+      graft.ops.Relational.hashSample(
+          events(s, dir).select(col("event_id"), col("user_id"),
+            col("value")),
+          col("event_id"), rate = 0.125)
+        .orderBy(col("event_id"))
+    },
+
+    // deterministic stratified sampling: exactly k rows per stratum by
+    // hash order
+    "q42_stratified_sample" -> { (s, dir) =>
+      graft.ops.Relational.stratifiedSample(
+          events(s, dir).select(col("event_id"), col("event_type"),
+            col("value")),
+          Seq("event_type"), col("event_id"), k = 5)
+        .orderBy(col("event_type"), col("event_id"))
+    },
+
+    // kNN join (every row → its k nearest neighbors), LSH-bucketed scale
+    // shape: pair count ~ n²/2^planes instead of n²
+    "q43_knn_join" -> { (s, dir) =>
+      graft.similarity.Similarity.knnJoinLsh(
+          t(s, dir, "embeddings"), "embedding", "vec_id",
+          dims = 64, k = 3, planes = 4)
+        .orderBy(col("id_a"), col("rank"))
+    },
+
+    // exact per-group discrete quantiles, aggregate-first shape (counts
+    // per distinct value, then a cumulative window over the distinct
+    // values only; long-exact ceil(q·n) pick ranks; no interpolation →
+    // engine-portable values)
+    "q44_group_quantiles" -> { (s, dir) =>
+      graft.ops.Relational.quantilesDisc(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_quantity")),
+          Seq("l_returnflag"), col("l_quantity"),
+          Seq(0.25, 0.5, 0.75, 0.99))
+        .orderBy(col("l_returnflag"), col("q"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -1278,5 +1372,181 @@ object SparkEntry {
         |SELECT id_a, id_b, hamming
         |FROM ham WHERE hamming <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure of the q19 near-dup pairs: recursive reachability
+    // (UNION dedups states), then min reachable id = cluster label
+    "q37_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, source,
+        |    list_transform(list_distinct(list_filter(
+        |      string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ',
+        |        'g'))), '\s+'),
+        |      t -> t <> '')), x ->
+        |      list_reduce(list_transform(generate_series(1, 15), ii ->
+        |        CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |             THEN ascii(substr(md5(x), ii, 1)) - 48
+        |             ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b)) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS inter,
+        |    CAST(len(a.s) + len(b.s)
+        |      - len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS uni
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |), e0 AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6)
+        |    >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM e0
+        |  UNION SELECT id_b, id_a FROM e0
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        |), comp AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  doc_id = cluster_id AS is_canonical
+        |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // the salted join's contract: identical to the PLAIN join
+    "q38_salted_join" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q39_topk_per_group" ->
+      """WITH ranked AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |      AS INTEGER) AS rank
+        |  FROM lineitem
+        |)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY l_suppkey, rank""".stripMargin,
+
+    "q40_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(CAST(tf.tf AS DOUBLE) / dfreq.df, 6) AS score,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(CAST(tf.tf AS DOUBLE) / dfreq.df, 6) DESC,
+        |        tf.term) AS INTEGER) AS rank
+        |  FROM tf JOIN dfreq USING (term)
+        |)
+        |SELECT doc_id, term, tf, df, score, rank
+        |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // keep-bound 2^57 = rint(0.125 · 2^60), exact in both engines
+    "q41_hash_sample" ->
+      """WITH h AS (
+        |  SELECT event_id, user_id, value,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5(CAST(event_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5(CAST(event_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5(CAST(event_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, value FROM h
+        |WHERE hv < 144115188075855872
+        |ORDER BY event_id""".stripMargin,
+
+    "q42_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY
+        |      list_reduce(list_transform(generate_series(1, 15), ii ->
+        |        CAST(CASE
+        |          WHEN ascii(substr(md5(CAST(event_id AS VARCHAR)), ii, 1))
+        |            <= 57
+        |          THEN ascii(substr(md5(CAST(event_id AS VARCHAR)), ii, 1))
+        |            - 48
+        |          ELSE ascii(substr(md5(CAST(event_id AS VARCHAR)), ii, 1))
+        |            - 87
+        |          END AS BIGINT)),
+        |        (a, b) -> a * 16 + b), event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT event_id, event_type, value FROM h WHERE rn <= 5
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // buckets mirror q21's sign-LSH arithmetic; per-source top-3 within
+    // the shared bucket
+    "q43_knn_join" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), bucketed AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_transform(generate_series(0, 3), j ->
+        |      CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
+        |          v[i + 1] * (CAST((j * 73856093 + i * 19349663) % 10007
+        |                      AS DOUBLE) / 10007.0 - 0.5)),
+        |        (a, b) -> a + b) >= 0
+        |      THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END),
+        |      (a, b) -> a + b) AS bucket
+        |  FROM e
+        |), scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(list_zip(a.v, b.v),
+        |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (x, y) -> x + y) AS dp,
+        |    sqrt(list_reduce(list_transform(a.v, x -> x * x),
+        |      (x, y) -> x + y)) AS na,
+        |    sqrt(list_reduce(list_transform(b.v, x -> x * x),
+        |      (x, y) -> x + y)) AS nb
+        |  FROM bucketed a JOIN bucketed b
+        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT id_a, id_b,
+        |    round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
+        |          ELSE 0.0 END, 6) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY id_a ORDER BY
+        |      round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
+        |            ELSE 0.0 END, 6) DESC, id_b) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT id_a, id_b, cos, rank FROM ranked WHERE rank <= 3
+        |ORDER BY id_a, rank""".stripMargin,
+
+    // pick rank = ceil(q·n) via the same long-exact ppm formula as the
+    // engine ((ppm·n + 999999) // 1e6)
+    "q44_group_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), qs AS (
+        |  SELECT * FROM (VALUES (CAST(0.25 AS DOUBLE), 250000),
+        |    (0.5, 500000), (0.75, 750000), (0.99, 990000)) AS t(q, ppm)
+        |)
+        |SELECT l_returnflag, q, CAST(l_quantity AS DOUBLE) AS value
+        |FROM ranked, qs
+        |WHERE rn = (ppm * n + 999999) // 1000000
+        |ORDER BY l_returnflag, q""".stripMargin,
   )
 }

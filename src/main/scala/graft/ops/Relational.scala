@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational scale patterns a 100 TB pipeline leans on daily: skew-safe
+  * joins, per-group top-k, deterministic (reproducible) sampling, and
+  * exact distributed quantiles. All pure built-in expressions — the value
+  * is the *shape*, chosen so the plan survives hot keys and 1000-executor
+  * fan-out.
+  */
+object Relational {
+
+  /** Inner equi-join hardened against a skewed key distribution on the
+    * probe side: `left` rows get a deterministic salt in [0, salt), the
+    * (smaller, but not broadcast-small) `right` side is replicated once
+    * per salt value, and the join key becomes (keys..., salt) — a hot key's
+    * rows now spread over `salt` reducers instead of one straggler task.
+    * The result set is exactly the plain inner join's for ANY salt
+    * assignment; salting only re-partitions work. (AQE's skew-join split
+    * handles sort-merge stragglers adaptively; explicit salting is the
+    * deterministic form that also covers aggregations downstream and
+    * engines/paths AQE doesn't reach.)
+    *
+    * Cost model: replicates `right` `salt`× through the shuffle — size the
+    * factor to the observed skew (hot-key rows / target task size), not
+    * higher.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      salt: Int): DataFrame = {
+    require(salt >= 1, s"salt factor must be >= 1: $salt")
+    // any deterministic per-row value works (correctness does not depend
+    // on spread); hashing the key columns plus all others avoids a fixed
+    // hot salt when the key itself is constant
+    val l = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col).toSeq: _*), lit(salt)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Top `k` rows per group under an explicit total order (pass enough
+    * order columns to break ties deterministically). One shuffle on the
+    * group key; `row_number` + filter collapses to a single WindowExec
+    * with rank-limit pushdown (WindowGroupLimit) — executors keep only k
+    * rows per group per partition before the shuffle at scale.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], k: Int): DataFrame =
+    df.withColumn("rank", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)))
+      .filter(col("rank") <= k)
+
+  /** 60-bit uniform hash of a key column: the first 15 hex chars of its
+    * md5, as a long in [0, 2^60). Portable (md5 is md5 in every engine)
+    * and stable across runs/partitionings — the foundation for
+    * reproducible sampling.
+    */
+  def hashUnit(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic Bernoulli sample: keep rows whose key-hash falls below
+    * `rate`. Unlike `df.sample` (seeded per-partition RNG: results change
+    * with partitioning), this is a pure row-local predicate — same rows
+    * selected on any cluster, any partition count, any engine; fully
+    * pushed into the scan. The per-key decision also makes it a
+    * consistent sampler: the same key is in or out across every table
+    * hashed on it (join-preserving sampling).
+    */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    val bound = math.rint(rate * (1L << 60)).toLong
+    df.filter(hashUnit(key) < bound)
+  }
+
+  /** Deterministic stratified sample: exactly min(k, |group|) rows per
+    * group, chosen by hash order (ties broken by the key itself). One
+    * shuffle on the group key; WindowGroupLimit caps per-group state at k
+    * before the shuffle, so a giant stratum costs its scan, not its size.
+    */
+  def stratifiedSample(df: DataFrame, groupCols: Seq[String], key: Column,
+      k: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(hashUnit(key), key)))
+      .filter(col("__rn") <= k).drop("__rn")
+
+  /** Exact discrete quantiles per group: for each q in `qs`, the
+    * ceil(q·n)-th smallest value (percentile_disc semantics — an actual
+    * data value, no interpolation, so results are bit-identical in any
+    * engine).
+    *
+    * Scale shape: aggregate FIRST — count per (group, distinct value),
+    * with map-side combine absorbing the row volume — then rank with a
+    * cumulative-count window over the distinct values only. A row-level
+    * rank window would shuffle every raw row into one task per group
+    * (low-cardinality groups serialize the whole dataset); this version's
+    * window input is |distinct values| per group, typically orders of
+    * magnitude smaller. The ceil(q·n)-th smallest raw value is the first
+    * distinct value whose cumulative count reaches the pick rank.
+    *
+    * The pick rank is computed entirely in long arithmetic (ppm = q in
+    * parts-per-million; ceil(ppm·n/1e6) = (ppm·n + 999999) div 1e6) —
+    * double ceil(q·n) rounds wrong exactly at the boundary multiples a
+    * quantile most often lands on. One pass emits every quantile.
+    */
+  def quantilesDisc(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1]: $qs")
+    val gs = groupCols.map(col)
+    val counts = df.groupBy((gs :+ valueCol.as("__val")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val ranked = counts
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(gs: _*).orderBy(col("__val"))))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(gs: _*)))
+    val hits = array(qs.map { q =>
+      val ppm = math.round(q * 1e6)
+      val pick = longDiv(lit(ppm) * col("__n") + 999999L, 1000000L)
+      when(col("__cum") >= pick && col("__cum") - col("__c") < pick,
+        struct(lit(q).as("q"), col("__val").cast("double").as("value")))
+    }: _*)
+    ranked
+      .select((gs :+ explode(filter(hits, h => h.isNotNull)).as("__h")): _*)
+      .select((gs :+ col("__h.q").as("q") :+ col("__h.value").as("value")): _*)
+  }
+
+  /** Exact long integral division (Spark's `/` is double division, lossy
+    * past 2^53).
+    */
+  private def longDiv(a: Column, b: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(new IntegralDivide(bridge.expression(a), Literal(b)))
+  }
+}

@@ -125,4 +125,50 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** Brute-force kNN *join*: for EVERY row, its `k` nearest neighbors by
+    * cosine — (id_a, id_b, cos, rank). ⚠ O(n²) pairs: this is the
+    * verify/oracle tier for bounded inputs; the linear path at corpus
+    * scale is [[knnJoinLsh]]. Vectors are cast to double once per row
+    * (not per pair), and the per-source top-k runs as a rank-limited
+    * window (WindowGroupLimit keeps k rows per source per partition).
+    */
+  def knnJoin(df: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val d = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("__va"))
+    val r = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("__vb"))
+    rankNeighbors(d.crossJoin(r).filter(col("id_a") =!= col("id_b")), k)
+  }
+
+  /** LSH-bucketed kNN join — the scale shape: bucket every vector by
+    * sign-LSH (deterministic hyperplanes), equi-join on the bucket id, and
+    * rank within. Pair count drops from n² to Σ bucket², i.e. ~n²/2^planes
+    * for balanced buckets — linear-izable by choosing `planes` ~ log₂(n/B)
+    * for a target block size B. Recall < 1 across bucket boundaries
+    * (documented ANN trade; multi-probe = union several plane sets).
+    * Neighbors with fewer than k in-bucket companions return what exists.
+    */
+  def knnJoinLsh(df: DataFrame, vecCol: String, idCol: String, dims: Int,
+      k: Int, planes: Int = 8): DataFrame = {
+    val d = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__bucket", lshBucket(col("__v"), dims, planes))
+    val l = d.select(col("__bucket"), col(idCol).as("id_a"),
+      col("__v").as("__va"))
+    val r = d.select(col("__bucket"), col(idCol).as("id_b"),
+      col("__v").as("__vb"))
+    rankNeighbors(
+      l.join(r, Seq("__bucket")).filter(col("id_a") =!= col("id_b")), k)
+  }
+
+  /** Shared tail of the kNN joins: score candidate pairs, keep the top-k
+    * per `id_a` (cos desc, id_b asc — total order).
+    */
+  private def rankNeighbors(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id_a"))
+          .orderBy(col("cos").desc, col("id_b"))))
+      .filter(col("rank") <= k)
 }

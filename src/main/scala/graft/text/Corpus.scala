@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics — the operators that need the whole
+  * corpus, not just the row: term/document frequencies and TF-IDF term
+  * ranking. Tokenization is [[TextFunctions.normalized]] +
+  * [[TextFunctions.tokens]] (whitespace), matching every other text
+  * operator in the engine, so fingerprints, shingles, and term stats all
+  * agree on what a token is.
+  *
+  * Scale shape: one explode over the corpus, then hash aggregations on
+  * (doc, term) and (term) — map-side combine absorbs the per-document
+  * repetition, and nothing is collected to the driver. The IDF side is a
+  * term-keyed aggregate usually small enough to broadcast back onto the
+  * TF side; Spark's join planner does that automatically when it fits
+  * (vocabulary ≪ corpus — Heaps' law).
+  */
+object Corpus {
+
+  /** (id, term, tf): whitespace-token term frequencies per document. */
+  def termFrequencies(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(TextFunctions.tokens(
+          TextFunctions.normalized(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (term, df): number of documents containing each term. Computed from
+    * [[termFrequencies]] output so the explode runs once when both are
+    * needed.
+    */
+  def docFrequencies(tf: DataFrame, idCol: String): DataFrame =
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** TF-IDF score with a LINEAR idf (tf/df): order-equivalent to classic
+    * tf·log(N/df) per fixed tf, and — unlike log — exact in IEEE double
+    * arithmetic (one correctly-rounded division), so scores are
+    * bit-identical in any engine. Emitted rounded to 6 dp.
+    */
+  def linearTfIdf(tf: Column, df: Column): Column =
+    round(tf.cast("double") / df.cast("double"), 6)
+
+  /** Top-`k` characteristic terms per document, ranked by linear TF-IDF
+    * (score desc, then term asc — total order). Output: (id, term, tf,
+    * df, score, rank).
+    *
+    * Plan: explode → (doc,term) agg → term agg → broadcast-back join →
+    * rank-limited window on the doc key. Two shuffles plus the window;
+    * the vocabulary join is broadcast when it fits.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val tf = termFrequencies(df, textCol, idCol)
+    val dfreq = docFrequencies(tf, idCol)
+    tf.join(dfreq, "term")
+      .withColumn("score", linearTfIdf(col("tf"), col("df")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"),
+        col("rank"))
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.text.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark spark engine"),
+    (2L, "spark engine engine tuning"),
+    (3L, "Unrelated   TEXT entirely")
+  ).toDF("doc_id", "text")
+
+  test("termFrequencies: normalized whitespace tokens, per-doc counts") {
+    val tf = Corpus.termFrequencies(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(tf((1L, "spark")) == 2 && tf((1L, "engine")) == 1)
+    assert(tf((2L, "engine")) == 2)
+    assert(tf((3L, "unrelated")) == 1) // lowercased, multi-space collapsed
+  }
+
+  test("tfidfTopTerms: rare terms outrank common ones at equal tf") {
+    val top1 = Corpus.tfidfTopTerms(docs, "text", "doc_id", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: spark tf=2 df=2 → 1.0; engine tf=1 df=2 → 0.5 ⇒ spark
+    // doc 2: engine tf=2 df=2 → 1.0 beats tuning tf=1 df=1 → 1.0 on tie?
+    //   no — equal score ties break on term asc: "engine" < "tuning"
+    assert(top1(1L) == "spark")
+    assert(top1(2L) == "engine")
+  }
+
+  test("tfidfTopTerms: rank is dense per doc and capped at k") {
+    val rows = Corpus.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 2))
+    assert(byDoc(1L).map(_.getInt(5)).sorted.toSeq == Seq(1, 2))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chains, cliques, singletons get min-id labels") {
+    val vertices = (1L to 9L).toDF("id")
+    // component {1,2,3,4} is a chain (diameter 3 — forces >1 round),
+    // {5,6,7} a triangle, {8} and {9} are edge-free singletons
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L)).toDF("a", "b")
+    val got = Graph.connectedComponents(vertices, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
+  test("connectedComponents: a long chain converges (diameter rounds)") {
+    val n = 12L
+    val vertices = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Graph.connectedComponents(vertices, "id", edges, "a", "b")
+      .collect()
+    assert(got.length == n && got.forall(_.getLong(1) == 1L))
+  }
+
+  test("connectedComponents: maxRounds exceeded raises, not silently wrong") {
+    val vertices = (1L to 6L).toDF("id")
+    val edges = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(vertices, "id", edges, "a", "b",
+        maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("canonicalize: sizes and keeper flags per cluster") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("id", "cluster_id")
+    val got = Graph.canonicalize(comps).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((3L, true)) && got(2L) == ((3L, false)) &&
+      got(3L) == ((3L, false)) && got(7L) == ((1L, true)))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fact = Seq(
+    ("k1", 10.0), ("k1", 20.0), ("k1", 30.0), // hot key
+    ("k2", 5.0), ("k3", 7.0), ("kx", 99.0)    // kx has no dim row
+  ).toDF("k", "v")
+  private lazy val dim = Seq(("k1", "A"), ("k2", "B"), ("k3", "B"))
+    .toDF("k", "grp")
+
+  test("saltedJoin equals the plain inner join for any salt factor") {
+    val plain = fact.join(dim, Seq("k"))
+      .collect().map(_.toSeq).toSet
+    for (s <- Seq(1, 3, 16)) {
+      val salted = Relational.saltedJoin(fact, dim, Seq("k"), s)
+        .select(fact.columns.map(col).toSeq :+ col("grp"): _*)
+        .collect().map(_.toSeq).toSet
+      assert(salted == plain, s"salt=$s")
+    }
+  }
+
+  test("topKPerGroup: k rows per group, deterministic order, rank column") {
+    val got = Relational.topKPerGroup(fact, Seq("k"),
+        Seq(col("v").desc, col("k")), k = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    assert(got.count(_._1 == "k1") == 2)
+    assert(got.filter(_._1 == "k1").sortBy(_._3).map(_._2).toSeq ==
+      Seq(30.0, 20.0))
+    assert(got.count(_._1 == "k2") == 1) // smaller group: what exists
+  }
+
+  test("topKPerGroup plans a rank-limited window (WindowGroupLimit)") {
+    val plan = Relational.topKPerGroup(fact, Seq("k"),
+        Seq(col("v").desc, col("k")), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected per-group rank pushdown in:\n$plan")
+  }
+
+  test("hashSample: deterministic, partitioning-independent, ~rate-sized") {
+    val ids = (1L to 4000L).toDF("id")
+    val a = Relational.hashSample(ids, col("id"), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    val b = Relational.hashSample(ids.repartition(13), col("id"), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // same rows regardless of physical layout
+    assert(math.abs(a.size / 4000.0 - 0.25) < 0.03)
+    // nested-rate consistency: a 10% sample is a subset of a 25% one
+    val tiny = Relational.hashSample(ids, col("id"), 0.10)
+      .collect().map(_.getLong(0)).toSet
+    assert(tiny.subsetOf(a))
+  }
+
+  test("stratifiedSample: exactly min(k, |stratum|) rows per stratum") {
+    val df = Seq.tabulate(40)(i => (s"g${i % 3}", i.toLong)) // 14/13/13
+      .toDF("g", "id")
+    val got = Relational.stratifiedSample(df, Seq("g"), col("id"), k = 4)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("g0" -> 4L, "g1" -> 4L, "g2" -> 4L))
+    val small = Relational.stratifiedSample(df.filter(col("id") < 2),
+        Seq("g"), col("id"), k = 4).count()
+    assert(small == 2) // strata smaller than k return what exists
+  }
+
+  test("quantilesDisc: exact ceil(q·n) picks, including boundary multiples") {
+    // group of 10: q=0.5 → 5th smallest, q=0.25 → ceil(2.5)=3rd,
+    // q=1.0 → max; ceil lands exactly ON a multiple for q=0.5 (n·q = 5)
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val got = Relational.quantilesDisc(df, Seq("g"), col("v"),
+        Seq(0.25, 0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(got == Map(0.25 -> 3.0, 0.5 -> 5.0, 1.0 -> 10.0))
+  }
+
+  test("quantilesDisc: duplicate values collapse to one distinct-value row") {
+    // values 1,1,1,2 (n=4): q=0.5 → ceil(2)=2nd smallest = 1;
+    // q=0.75 → 3rd = 1; q=1.0 → 4th = 2
+    val df = Seq(("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 2.0))
+      .toDF("g", "v")
+    val got = Relational.quantilesDisc(df, Seq("g"), col("v"),
+        Seq(0.5, 0.75, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(got == Map(0.5 -> 1.0, 0.75 -> 1.0, 1.0 -> 2.0))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.similarity.Similarity
+
+class SimilarityJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // four 4-d unit-ish vectors: 1≈2 (same direction), 3 orthogonal to
+  // them, 4 opposite to 3
+  private lazy val vecs = Seq(
+    (1L, Array(1f, 0f, 0f, 0f)),
+    (2L, Array(0.9f, 0.1f, 0f, 0f)),
+    (3L, Array(0f, 0f, 1f, 0f)),
+    (4L, Array(0f, 0f, -1f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("knnJoin: every row gets its true nearest neighbor first") {
+    val nn1 = Similarity.knnJoin(vecs, "embedding", "vec_id", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nn1(1L) == 2L && nn1(2L) == 1L)
+    // 3's best is one of the x-axis vectors (cos 0) over 4 (cos −1)
+    assert(nn1(3L) == 1L && nn1(4L) == 1L)
+  }
+
+  test("knnJoin: k caps neighbors and rank is a total order") {
+    val rows = Similarity.knnJoin(vecs, "embedding", "vec_id", k = 2)
+      .collect()
+    val byA = rows.groupBy(_.getLong(0))
+    assert(byA.size == 4 && byA.values.forall(_.length == 2))
+    assert(byA(1L).map(_.getInt(3)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("knnJoinLsh: same top neighbor as brute force within a bucket") {
+    // all four vectors land in a bucket; pairs only form within buckets,
+    // so co-bucketed near-dups (1,2) must find each other
+    val got = Similarity.knnJoinLsh(vecs, "embedding", "vec_id",
+        dims = 4, k = 1, planes = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.get(1L).contains(2L) && got.get(2L).contains(1L))
+  }
+}
