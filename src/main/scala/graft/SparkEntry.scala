@@ -632,6 +632,38 @@ object SparkEntry {
         .orderBy(col("id_a"), col("rank"))
     },
 
+    // range join via bucket blocking: customers whose balance falls in
+    // each supplier's [acctbal, acctbal+100] window — a shuffled
+    // equi-join on bucket ids instead of Spark's BroadcastNestedLoopJoin
+    // for inequality-only predicates; exact containment re-checked
+    "q45_range_join" -> { (s, dir) =>
+      val intervals = t(s, dir, "supplier").select(col("s_suppkey"),
+        col("s_acctbal").as("lo"), (col("s_acctbal") + 100d).as("hi"))
+      val points = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_acctbal"))
+      graft.ops.Relational.rangeJoin(points, "c_acctbal", intervals,
+          "lo", "hi", bucketWidth = 100d)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_cust"), sumd(col("c_acctbal")).as("bal_sum"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // as-of FORWARD join: nearest following reference reading per event
+    // (mirror of q31; DuckDB's native ASOF with <= is the oracle)
+    "q46_asof_forward" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val left = ev.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+      val right = ev.filter(col("event_id") % 5 === 0)
+        .groupBy(col("user_id"), col("ts_ns"))
+        .agg(max(col("value")).as("ref_value"))
+      TimeSeries.asofJoinForward(left, right, "ts_ns", Seq("user_id"),
+          Seq("ref_value"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("ref_value_asof"))
+        .orderBy(col("event_id"))
+    },
+
     // exact per-group discrete quantiles, aggregate-first shape (counts
     // per distinct value, then a cumulative window over the distinct
     // values only; long-exact ceil(q·n) pick ranks; no interpolation →
@@ -1548,5 +1580,27 @@ object SparkEntry {
         |FROM ranked, qs
         |WHERE rn = (ppm * n + 999999) // 1000000
         |ORDER BY l_returnflag, q""".stripMargin,
+
+    // the range join's contract: identical to the plain inequality join
+    "q45_range_join" ->
+      """SELECT s_suppkey, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal AND c_acctbal <= s_acctbal + 100
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    "q46_asof_forward" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_id % 5 <> 0
+        |), r AS (
+        |  SELECT user_id, ts, max(value) AS ref_value FROM events
+        |  WHERE event_id % 5 = 0 GROUP BY 1, 2
+        |)
+        |SELECT l.event_id, l.user_id, l.value,
+        |       r.ref_value AS ref_value_asof
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY l.event_id""".stripMargin,
   )
 }

@@ -40,11 +40,15 @@ object Graph {
   def connectedComponents(vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 30): DataFrame = {
-    val sym = edges
+    // materialize the (possibly expensive — e.g. a near-dup pair search)
+    // edge frame ONCE before symmetrizing: the two union branches would
+    // otherwise each recompute its full lineage
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"),
-        col(srcCol).cast("long").as("dst")))
+      .localCheckpoint(true)
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
     var labels = vertices

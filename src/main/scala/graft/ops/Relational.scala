@@ -127,6 +127,36 @@ object Relational {
       .select((gs :+ col("__h.q").as("q") :+ col("__h.value").as("value")): _*)
   }
 
+  /** Point-in-interval range join: rows of `points` matched to every
+    * interval `[loCol, hiCol]` (inclusive) of `intervals` that contains
+    * `pointCol`. Spark plans a bare inequality join as
+    * BroadcastNestedLoopJoin — O(|P|·|I|) work and a broadcast-sized
+    * build side; this operator turns it into a shuffled EQUI-join by
+    * bucket blocking: every interval is exploded to the buckets
+    * (floor(x/bucketWidth)) it overlaps, points hash straight to their
+    * bucket, and the exact containment predicate re-checks candidates —
+    * results identical to the naive join, cost linear in |P| + Σ interval
+    * spans / bucketWidth.
+    *
+    * Pick `bucketWidth` near the typical interval length: replication per
+    * interval is span/width + 1, while a too-small width multiplies the
+    * interval side and a too-large width degrades candidate selectivity.
+    * Bucket ids are monotone in the value even under double rounding, so
+    * coverage (and thus exactness) doesn't depend on float precision.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String, intervals: DataFrame,
+      loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val b = intervals.withColumn("__bkt", explode(sequence(
+      floor(col(loCol) / bucketWidth).cast("long"),
+      floor(col(hiCol) / bucketWidth).cast("long"))))
+    points.withColumn("__bkt",
+        floor(col(pointCol) / bucketWidth).cast("long"))
+      .join(b, Seq("__bkt"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bkt")
+  }
+
   /** Exact long integral division (Spark's `/` is double division, lossy
     * past 2^53).
     */

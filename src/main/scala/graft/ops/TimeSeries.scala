@@ -172,7 +172,29 @@ object TimeSeries {
       tsCol: String,
       keys: Seq[String],
       rightCols: Seq[String],
-      suffix: String = "_asof"): DataFrame = {
+      suffix: String = "_asof"): DataFrame =
+    asofJoin(left, right, tsCol, keys, rightCols, suffix, forward = false)
+
+  /** As-of FORWARD join: each left row gets the NEAREST FOLLOWING right
+    * row's values (right.ts ≥ left.ts, inclusive) per key — "the next
+    * reference reading after this event". Same single-shuffle union +
+    * running-window shape as [[asofJoinBackward]], mirrored: the window
+    * runs `first(ignoreNulls)` over the FOLLOWING frame, with right rows
+    * sorted after left rows at equal timestamps so inclusive ties are
+    * visible to the frame.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      rightCols: Seq[String],
+      suffix: String = "_asof"): DataFrame =
+    asofJoin(left, right, tsCol, keys, rightCols, suffix, forward = true)
+
+  private def asofJoin(left: DataFrame, right: DataFrame, tsCol: String,
+      keys: Seq[String], rightCols: Seq[String], suffix: String,
+      forward: Boolean): DataFrame = {
     val rvType = right.select(rightCols.map(col): _*).schema
     val r = right.select((keys :+ tsCol).map(col) ++ Seq(
       struct(rightCols.map(col): _*).as("__rv"), lit(1).as("__isr")): _*)
@@ -180,12 +202,23 @@ object TimeSeries {
     val l = left.select(col("*"), lit(null).cast(rvType).as("__rv"),
       lit(0).as("__isr"))
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__isr").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    u.withColumn("__latest", last(col("__rv"), ignoreNulls = true).over(w))
+    // backward: right-first at ties, running last() over the preceding
+    // frame; forward: left-first at ties, running first() over the
+    // following frame — either way a right row at the same timestamp is
+    // inside the left row's frame
+    val base = Window.partitionBy(keys.map(col): _*)
+    val (w, picked) =
+      if (forward) (
+        base.orderBy(col(tsCol).asc, col("__isr").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing),
+        (c: Column) => first(c, ignoreNulls = true))
+      else (
+        base.orderBy(col(tsCol).asc, col("__isr").desc)
+          .rowsBetween(Window.unboundedPreceding, 0),
+        (c: Column) => last(c, ignoreNulls = true))
+    u.withColumn("__pick", picked(col("__rv")).over(w))
       .filter(col("__isr") === 0)
       .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"__latest.$c").as(s"$c$suffix")): _*)
+        rightCols.map(c => col(s"__pick.$c").as(s"$c$suffix")): _*)
   }
 }

@@ -78,6 +78,29 @@ class RelationalSpec extends SparkSpec {
     assert(got == Map(0.25 -> 3.0, 0.5 -> 5.0, 1.0 -> 10.0))
   }
 
+  test("rangeJoin: equals the naive containment join, bounds inclusive") {
+    val pts = Seq((1L, -150.0), (2L, 0.0), (3L, 49.9), (4L, 250.0))
+      .toDF("pid", "p")
+    val ivs = Seq((10L, -200.0, -100.0), (11L, 0.0, 49.9), (12L, 40.0, 260.0))
+      .toDF("iid", "lo", "hi")
+    val got = graft.ops.Relational.rangeJoin(pts, "p", ivs, "lo", "hi",
+        bucketWidth = 50.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // 1∈[−200,−100]; 2∈[0,49.9] (lo inclusive); 3∈[0,49.9] (hi
+    // inclusive) and ∈[40,260]; 4∈[40,260]
+    assert(got == Set((1L, 10L), (2L, 11L), (3L, 11L), (3L, 12L),
+      (4L, 12L)))
+  }
+
+  test("rangeJoin plans a shuffled equi-join, not a nested loop") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    val ivs = Seq((10L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val plan = graft.ops.Relational.rangeJoin(pts, "p", ivs, "lo", "hi", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("quantilesDisc: duplicate values collapse to one distinct-value row") {
     // values 1,1,1,2 (n=4): q=0.5 → ceil(2)=2nd smallest = 1;
     // q=0.75 → 3rd = 1; q=1.0 → 4th = 2

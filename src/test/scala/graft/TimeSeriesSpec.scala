@@ -26,6 +26,28 @@ class TimeSeriesSpec extends SparkSpec {
       ("a", 20L, Some(2.0)),  // latest ≤ 20 is 15
       ("b", 10L, None)))      // b's only right row is later
   }
+
+  test("asofJoinForward: nearest right at-or-after, per key, null after") {
+    import spark.implicits._
+    import graft.ops.TimeSeries
+    val left = Seq(
+      ("a", 5L, "l1"), ("a", 10L, "l2"), ("a", 20L, "l3"),
+      ("b", 10L, "l4"), ("b", 100L, "l5")).toDF("k", "t", "name")
+    val right = Seq(
+      ("a", 10L, 1.0), ("a", 15L, 2.0), ("b", 99L, 9.0))
+      .toDF("k", "t", "ref")
+    val got = TimeSeries.asofJoinForward(left, right, "t", Seq("k"),
+      Seq("ref")).orderBy($"k", $"t")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq(
+      ("a", 5L, Some(1.0)),   // nearest following is t=10
+      ("a", 10L, Some(1.0)),  // inclusive at equal time
+      ("a", 20L, None),       // nothing after 20
+      ("b", 10L, Some(9.0)),  // b's reading at 99
+      ("b", 100L, None)))     // past the last right row
+  }
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
