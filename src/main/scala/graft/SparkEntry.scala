@@ -664,6 +664,46 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // PII redaction scrub pass: emails / IPv4 / long digit runs →
+    // typed placeholders, plus per-pattern match counts. Synthetic PII is
+    // injected deterministically so the scrub provably fires.
+    "q47_pii_redact" -> { (s, dir) =>
+      import graft.text.TextFunctions
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 192.168.0.1 ref "),
+          (col("doc_id") * 1234567L + 100000000L).cast("string")).as("text"))
+      withPii.select(col("doc_id"),
+          TextFunctions.redactPii(col("text")).as("clean"),
+          TextFunctions.piiCount(col("text"),
+            TextFunctions.piiPatterns(0)._1).as("n_email"),
+          TextFunctions.piiCount(col("text"),
+            TextFunctions.piiPatterns(1)._1).as("n_ip"),
+          TextFunctions.piiCount(col("text"),
+            TextFunctions.piiPatterns(2)._1).as("n_num"))
+        .orderBy(col("doc_id"))
+    },
+
+    // concat-then-chunk sequence packing: per-shard token stream cut into
+    // 512-token training sequences (cumulative window + long division)
+    "q48_sequence_packing" -> { (s, dir) =>
+      graft.text.Corpus.packSequences(
+          t(s, dir, "documents"), "text", "doc_id", "source",
+          capacity = 512L)
+        .orderBy(col("source"), col("pack_id"))
+    },
+
+    // benchmark decontamination: trigram-shingle overlap of each training
+    // doc against a (broadcast) eval-set shingle set
+    "q49_contamination" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      graft.text.Corpus.contamination(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0),
+          "text", "doc_id", n = 3)
+        .orderBy(col("doc_id"))
+    },
+
     // exact per-group discrete quantiles, aggregate-first shape (counts
     // per distinct value, then a cumulative window over the distinct
     // values only; long-exact ceil(q·n) pick ranks; no interpolation →
@@ -1602,5 +1642,79 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // DuckDB regexp_replace needs the 'g' flag for replace-all (Spark's
+    // default); patterns are RE2/Java-portable by construction
+    "q47_pii_redact" ->
+      """WITH w AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or 192.168.0.1 ref '
+        |    || CAST(doc_id * 1234567 + 100000000 AS VARCHAR) AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{9,}', '<NUM>', 'g') AS clean,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ip,
+        |  len(regexp_extract_all(text, '[0-9]{9,}')) AS n_num
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // windowed sums in DuckDB widen to HUGEINT — cast back to BIGINT so
+    // the schema matches Spark's long
+    "q48_sequence_packing" ->
+      """WITH tk AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS tk
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, tk,
+        |    sum(tk) OVER (PARTITION BY source ORDER BY doc_id
+        |                  ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tk
+        |)
+        |SELECT source, CAST((cum - tk) // 512 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, min(doc_id) AS first_doc,
+        |  CAST(sum(tk) AS BIGINT) AS tok_sum
+        |FROM c GROUP BY source, pack_id
+        |ORDER BY source, pack_id""".stripMargin,
+
+    "q49_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    (WITH t2 AS (SELECT list_filter(string_split_regex(
+        |        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |        t -> t <> '') AS tk)
+        |     SELECT CASE WHEN len(tk) >= 3 THEN list_distinct(
+        |       list_transform(generate_series(1, len(tk) - 2),
+        |         i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+        |       ELSE [] END FROM t2) AS s
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT doc_id, list_transform(s, x ->
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |           THEN ascii(substr(md5(x), ii, 1)) - 48
+        |           ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |      (a, b) -> a * 16 + b)) AS hs
+        |  FROM sh
+        |), tr AS (
+        |  SELECT doc_id, unnest(hs) AS g FROM hashed WHERE doc_id % 50 <> 0
+        |), bench AS (
+        |  SELECT DISTINCT unnest(hs) AS g FROM hashed WHERE doc_id % 50 = 0
+        |), agg AS (
+        |  SELECT tr.doc_id, count(*) AS n_shingles, count(bench.g) AS n_hit
+        |  FROM tr LEFT JOIN bench ON tr.g = bench.g
+        |  GROUP BY tr.doc_id
+        |)
+        |SELECT doc_id, n_shingles, n_hit,
+        |  round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS contamination
+        |FROM agg ORDER BY doc_id""".stripMargin,
   )
 }

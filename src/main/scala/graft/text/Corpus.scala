@@ -43,6 +43,70 @@ object Corpus {
   def linearTfIdf(tf: Column, df: Column): Column =
     round(tf.cast("double") / df.cast("double"), 6)
 
+  /** Concat-then-chunk sequence packing — the pretraining step that
+    * concatenates documents (per shard, in a deterministic order) into a
+    * token stream and cuts it into `capacity`-token training sequences. A
+    * document's pack id is the chunk its FIRST token lands in:
+    * (cumulativeTokens − ownTokens) div capacity. Output: one row per
+    * (shard, pack) with the documents starting there, their first doc id,
+    * and their token sum.
+    *
+    * Scale shape: one window (cumulative sum) partitioned by shard —
+    * shards are the parallelism unit exactly as in a real packing run —
+    * then a hash aggregation. Division is exact long arithmetic.
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      shardCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+    val tk = TextFunctions.tokenCount(col(textCol)).cast("long")
+    df.select(col(shardCol), col(idCol), tk.as("__tk"))
+      .withColumn("__cum", sum(col("__tk")).over(w))
+      .withColumn("pack_id",
+        longDiv(col("__cum") - col("__tk"), capacity))
+      .groupBy(col(shardCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_doc"),
+        sum(col("__tk")).as("tok_sum"))
+  }
+
+  /** Benchmark decontamination stat: the fraction of each training
+    * document's n-gram shingles that appear anywhere in the `benchmark`
+    * corpus (eval sets leak into crawl data; this is the detection side).
+    * Output: (id, n_shingles, n_hit, contamination ∈ [0,1]).
+    *
+    * Scale shape: explode the training side's shingles; the benchmark's
+    * DISTINCT shingle set — eval suites are tiny next to a crawl — is
+    * broadcast to a left join (hit counting, no shuffle of the corpus
+    * beyond the per-doc aggregation). Documents with fewer tokens than
+    * `n` have no shingles and are absent from the output (nothing to
+    * measure). For a benchmark too large to broadcast, drop the hint and
+    * the same plan runs as a shuffled join.
+    */
+  def contamination(train: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    import graft.dedup.Dedup
+    val tr = train.select(col(idCol),
+      explode(Dedup.hashedShingles(col(textCol), n)).as("__g"))
+    val bench = benchmark
+      .select(explode(Dedup.hashedShingles(col(textCol), n)).as("__g"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    tr.join(broadcast(bench), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hit"))
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / col("n_shingles").cast("double"),
+          6))
+  }
+
+  /** Exact long integral division (Spark's `/` is double division). */
+  private def longDiv(a: Column, b: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(new IntegralDivide(bridge.expression(a), Literal(b)))
+  }
+
   /** Top-`k` characteristic terms per document, ranked by linear TF-IDF
     * (score desc, then term asc — total order). Output: (id, term, tf,
     * df, score, rank).

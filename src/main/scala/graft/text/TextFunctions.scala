@@ -105,6 +105,30 @@ object TextFunctions {
   /** Content fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** PII patterns for [[redactPii]]: deliberately engine-portable regexes
+    * (plain character classes and bounded repetition — identical under
+    * Java regex and RE2) for the highest-yield scrub targets. Order
+    * matters: emails first (their local parts contain digits an IP/number
+    * pass would mangle), then IPv4, then long digit runs.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "[0-9]{9,}" -> "<NUM>")
+
+  /** Redact emails, IPv4 addresses, and ≥9-digit numbers (phone/SSN/card
+    * shaped) with typed placeholders — the standard pre-training scrub
+    * pass. Pure sequential `regexp_replace`, codegen'd, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Count of matches for one PII pattern (pre-redaction). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Rabin–Karp rolling-hash fingerprint of the normalized text:
     * fold of `h = (h·257 + codepoint) mod (10^9+7)` over characters —
     * integer-exact in any engine, and the building block for windowed

@@ -37,4 +37,49 @@ class CorpusSpec extends SparkSpec {
     assert(byDoc.values.forall(_.length <= 2))
     assert(byDoc(1L).map(_.getInt(5)).sorted.toSeq == Seq(1, 2))
   }
+
+  test("packSequences: chunk boundaries by first-token position") {
+    // shard s: docs of 3, 4, 2 tokens, capacity 5 →
+    // doc 1 starts at offset 0 (pack 0), doc 2 at 3 (pack 0),
+    // doc 3 at 7 (pack 1)
+    val df = Seq((1L, "a b c", "s"), (2L, "d e f g", "s"), (3L, "h i", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.packSequences(df, "text", "doc_id", "source", 5L)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(0L -> ((2L, 1L, 7L)), 1L -> ((1L, 3L, 2L))))
+  }
+
+  test("contamination: overlap fraction against a benchmark shingle set") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),     // trigrams: abg, bgd
+      (2L, "nothing shared here at all")) // no benchmark trigram
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma zeta")) // shares "alpha beta gamma"
+      .toDF("doc_id", "text")
+    val got = Corpus.contamination(train, bench, "text", "doc_id", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0.0)
+  }
+
+  test("redactPii: emails, IPs, long numbers scrubbed; counts match") {
+    import org.apache.spark.sql.functions.col
+    import graft.text.TextFunctions
+    val df = Seq((1L, "mail a.b@x.io or 10.0.0.1 card 1234567890 ok"))
+      .toDF("id", "text")
+    val r = df.select(
+      TextFunctions.redactPii(col("text")).as("clean"),
+      TextFunctions.piiCount(col("text"),
+        TextFunctions.piiPatterns(0)._1).as("e"),
+      TextFunctions.piiCount(col("text"),
+        TextFunctions.piiPatterns(1)._1).as("i"),
+      TextFunctions.piiCount(col("text"),
+        TextFunctions.piiPatterns(2)._1).as("n")).head()
+    assert(r.getString(0) == "mail <EMAIL> or <IP> card <NUM> ok")
+    assert((r.getInt(1), r.getInt(2), r.getInt(3)) == ((1, 1, 1)))
+  }
 }
