@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based streaming sessionization — the streaming sibling of the
+  * batch window sessionizer (probe q32): per key, an event within
+  * `gapMs` of the open session's last event extends it; a later event
+  * closes it inline; and the event-time TIMEOUT closes it when the
+  * watermark passes lastEvent + gap, so sessions that simply stop
+  * receiving events still flush. Only CLOSED sessions are emitted —
+  * Append-mode facts a downstream sink can treat as immutable.
+  *
+  * Scale shape: state per key is the open session aggregate (four
+  * numbers), not the event list — state size is O(active keys),
+  * independent of traffic. Events later than the watermark are dropped
+  * by the engine before the state function sees them (the same
+  * bounded-lateness contract as the batch pipeline's 1-day overlap).
+  * Within a micro-batch events are sorted per key before folding, so
+  * out-of-order arrival inside the lateness bound is handled.
+  */
+object StreamingSessionize {
+
+  /** A closed session: [start, end] in µs event time, count, value sum. */
+  case class Session[K](key: K, start_us: Long, end_us: Long,
+      n_events: Long, value_sum: Double)
+
+  /** Open-session state carried between micro-batches. */
+  case class Open(start_us: Long, end_us: Long, n: Long, sum: Double)
+
+  def sessions[K, T](
+      grouped: KeyValueGroupedDataset[K, T],
+      eventTimeUs: T => Long,
+      valueOf: T => Double,
+      gapMs: Long)(implicit es: Encoder[Session[K]],
+      eo: Encoder[Open]): Dataset[Session[K]] =
+    grouped.flatMapGroupsWithState[Open, Session[K]](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: K, rows: Iterator[T], state: GroupState[Open]) =>
+        if (state.hasTimedOut) {
+          val o = state.get
+          state.remove()
+          Iterator.single(Session(key, o.start_us, o.end_us, o.n, o.sum))
+        } else {
+          val sorted = rows.toIndexedSeq.sortBy(eventTimeUs)
+          val closed = IndexedSeq.newBuilder[Session[K]]
+          var open = state.getOption
+          for (e <- sorted) {
+            val t = eventTimeUs(e)
+            val v = valueOf(e)
+            open = open match {
+              case Some(o) if t - o.end_us <= gapMs * 1000L =>
+                Some(Open(o.start_us, math.max(o.end_us, t), o.n + 1,
+                  o.sum + v))
+              case Some(o) =>
+                closed += Session(key, o.start_us, o.end_us, o.n, o.sum)
+                Some(Open(t, t, 1L, v))
+              case None => Some(Open(t, t, 1L, v))
+            }
+          }
+          open.foreach { o =>
+            state.update(o)
+            // flush when the watermark passes the gap horizon
+            state.setTimeoutTimestamp(o.end_us / 1000L + gapMs)
+          }
+          closed.result().iterator
+        }
+    }
+
+  /** The append-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Append()
+}

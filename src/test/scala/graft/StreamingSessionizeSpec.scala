@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingSessionize
+
+case class Evt(user: Long, ts: Timestamp, value: Double)
+
+class StreamingSessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("gap sessions close inline on a late-gap event and via timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val sessions = StreamingSessionize.sessions(
+      in.toDS().withWatermark("ts", "0 seconds").groupByKey(_.user),
+      (e: Evt) => e.ts.getTime * 1000L,
+      (e: Evt) => e.value,
+      gapMs = 30L * 60 * 1000)
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode(StreamingSessionize.outputMode)
+      .start()
+
+    def out() = spark.table("sess_out")
+      .as[StreamingSessionize.Session[Long]].collect().toSeq
+
+    // two events 10 min apart: one open session, nothing emitted
+    in.addData(Evt(1L, t("2021-01-15 10:00:00"), 1.0),
+      Evt(1L, t("2021-01-15 10:10:00"), 2.0))
+    q.processAllAvailable()
+    assert(out().isEmpty)
+
+    // an event past the 30-min gap closes session 1 inline
+    in.addData(Evt(1L, t("2021-01-15 11:30:00"), 5.0))
+    q.processAllAvailable()
+    val s1 = out()
+    assert(s1.map(s => (s.key, s.n_events, s.value_sum)) == Seq((1L, 2L, 3.0)))
+    assert(s1.head.start_us == t("2021-01-15 10:00:00").getTime * 1000L)
+    assert(s1.head.end_us == t("2021-01-15 10:10:00").getTime * 1000L)
+
+    // advance the watermark past 12:00 (11:30 + gap) with another key's
+    // traffic; the open session flushes by EVENT-TIME TIMEOUT. Two
+    // batches: the first sets the watermark, the next applies it to state
+    in.addData(Evt(2L, t("2021-01-15 13:00:00"), 7.0))
+    q.processAllAvailable()
+    in.addData(Evt(2L, t("2021-01-15 13:05:00"), 8.0))
+    q.processAllAvailable()
+    val s2 = out().filter(_.n_events == 1L)
+    assert(s2.map(s => (s.key, s.value_sum)) == Seq((1L, 5.0)))
+    q.stop()
+  }
+}
