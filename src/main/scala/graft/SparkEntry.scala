@@ -664,6 +664,17 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // Z-order (Morton) clustering key: bit-interleaved multi-dimensional
+    // sort key — the lake-layout primitive behind data skipping on
+    // several columns at once
+    "q50_zorder" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          graft.ops.Relational.zOrderKey(
+            Seq(col("l_orderkey"), col("l_partkey")), bits = 16).as("z"))
+        .orderBy(col("z"), col("l_orderkey"), col("l_partkey"))
+    },
+
     // PII redaction scrub pass: emails / IPv4 / long digit runs →
     // typed placeholders, plus per-pattern match counts. Synthetic PII is
     // injected deterministically so the scrub provably fires.
@@ -1716,5 +1727,14 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_hit,
         |  round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS contamination
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q50_zorder" ->
+      """SELECT l_orderkey, l_partkey,
+        |  list_reduce(list_transform(generate_series(0, 15), i ->
+        |    ((l_orderkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+        |    + ((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))),
+        |    (a, b) -> a + b) AS z
+        |FROM lineitem
+        |ORDER BY z, l_orderkey, l_partkey""".stripMargin,
   )
 }

@@ -80,6 +80,22 @@ object Graph {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** End-to-end near-dup corpus dedup: given the corpus and its near-dup
+    * PAIRS (from any detector — minhash LSH, SimHash bands, embedding
+    * buckets), label components and keep exactly one document per
+    * duplicate cluster (the minimum id — deterministic). Returns the
+    * deduplicated corpus with the original columns.
+    */
+  def keepCanonical(corpus: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comps = connectedComponents(
+      corpus.select(col(idCol)), idCol, pairs, aCol, bCol)
+    corpus.join(
+      comps.filter(col("id") === col("cluster_id"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Per-cluster dedup decision over a component labeling: one row per
     * vertex with its cluster id, the cluster's canonical (minimum) member
     * id, cluster size, and whether this row is the keeper. One shuffle on

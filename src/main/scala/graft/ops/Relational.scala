@@ -157,6 +157,33 @@ object Relational {
       .drop("__bkt")
   }
 
+  /** Z-order (Morton) clustering key: interleaves the low `bits` bits of
+    * each column round-robin — bit i of column j lands at position
+    * i·n + j — so rows close in EVERY dimension get close z-values. Sort
+    * or repartitionByRange on this key before writing and parquet
+    * min/max stats prune on all participating columns at once
+    * (multi-dimensional data skipping), where a lexicographic sort only
+    * prunes on its leading column. Pure codegen'd integer arithmetic —
+    * a static sum of shift/mask terms, no lambdas, no UDF.
+    *
+    * Inputs must be non-negative; map values through a rank/bucket first
+    * (e.g. [[hashUnit]] or a width bucket) for arbitrary domains. Bits
+    * beyond `bits` are ignored (equal-prefix collisions only coarsen
+    * clustering, never break correctness).
+    */
+  def zOrderKey(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty, "zOrderKey needs at least one column")
+    require(bits >= 1 && cols.length * bits <= 63,
+      s"${cols.length} cols x $bits bits exceeds a positive long")
+    val n = cols.length
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftright(c.cast("long"), i).bitwiseAND(lit(1L)) *
+      lit(1L << (i * n + j))
+    terms.reduce(_ + _)
+  }
+
   /** Exact long integral division (Spark's `/` is double division, lossy
     * past 2^53).
     */

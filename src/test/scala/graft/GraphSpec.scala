@@ -37,6 +37,15 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("keepCanonical: one document survives per duplicate cluster") {
+    val corpus = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (4L, "b"),
+      (5L, "c")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Graph.keepCanonical(corpus, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("canonicalize: sizes and keeper flags per cluster") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
       .toDF("id", "cluster_id")

@@ -101,6 +101,22 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("zOrderKey: round-robin bit interleave, known values") {
+    // a=1 (bit0), b=2 (bit1): z bit layout [a0,b0,a1,b1] = [1,0,0,1] → 9
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val z2 = df.select(graft.ops.Relational.zOrderKey(
+      Seq(col("a"), col("b")), bits = 2)).head().getLong(0)
+    assert(z2 == 9L)
+    // three columns: a=1,b=0,c=1, bits=1 → positions 0 and 2 → 5
+    val z3 = Seq((1L, 0L, 1L)).toDF("a", "b", "c")
+      .select(graft.ops.Relational.zOrderKey(
+        Seq(col("a"), col("b"), col("c")), bits = 1)).head().getLong(0)
+    assert(z3 == 5L)
+    intercept[IllegalArgumentException] {
+      graft.ops.Relational.zOrderKey(Seq(col("a"), col("b")), bits = 32)
+    }
+  }
+
   test("quantilesDisc: duplicate values collapse to one distinct-value row") {
     // values 1,1,1,2 (n=4): q=0.5 → ceil(2)=2nd smallest = 1;
     // q=0.75 → 3rd = 1; q=1.0 → 4th = 2
