@@ -664,6 +664,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // edit-distance near-dup pairs: length-bucket blocking + banded
+    // levenshtein verify (mutants splice 3 chars inside the compared
+    // prefix, so every constructed pair is within the radius)
+    "q51_edit_distance" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val mut = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+          concat(substring(col("text"), 1, 9), lit("xyz"),
+            substring(col("text"), 13, Int.MaxValue)).as("text"))
+      val corpus = d.select(col("doc_id"), col("source"), col("text"))
+        .unionByName(mut)
+      graft.dedup.Dedup.editDistancePairs(corpus, "text", "doc_id",
+          "source", maxDist = 4, prefixLen = 200)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Z-order (Morton) clustering key: bit-interleaved multi-dimensional
     // sort key — the lake-layout primitive behind data skipping on
     // several columns at once
@@ -1727,6 +1743,34 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_hit,
         |  round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS contamination
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // candidate set = unordered pairs with |length bucket| diff ≤ 1 (the
+    // equi-join + explode form produces exactly that set)
+    "q51_edit_distance" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, source,
+        |    substr(text, 1, 9) || 'xyz' || substr(text, 13) AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), d AS (
+        |  SELECT doc_id, source,
+        |    substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |      1, 200) AS norm
+        |  FROM corpus
+        |), e AS (
+        |  SELECT doc_id, source, norm, length(norm) AS len,
+        |    length(norm) // 4 AS bkt
+        |  FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS dist
+        |  FROM e a JOIN e b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |    AND abs(a.bkt - b.bkt) <= 1 AND abs(a.len - b.len) <= 4
+        |)
+        |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q50_zorder" ->
       """SELECT l_orderkey, l_partkey,

@@ -213,6 +213,46 @@ object Dedup {
         round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
   }
 
+  /** Edit-distance near-dup pairs with LENGTH-BUCKET blocking:
+    * (id_a, id_b, dist), dist = levenshtein ≤ `maxDist` on the normalized
+    * text truncated to `prefixLen` chars.
+    *
+    * Scale shape: a pair within `maxDist` edits differs in length by at
+    * most `maxDist`, so both sides fall in the same or adjacent length
+    * buckets of width `maxDist` — candidates come from an EQUI-join on
+    * (block, bucket), with the probe side exploded to (bucket, bucket+1).
+    * Linear in corpus size; never all-pairs. Verification uses Spark's
+    * banded `levenshtein(l, r, threshold)` (early-exit DP) plus a length
+    * prefilter; the DP is bounded by `prefixLen`² per pair — size it to
+    * the dedup granularity you mean (headers/leads vs whole documents).
+    * Pairs can surface in both bucket directions; dist is computed before
+    * the distinct so the dedup shuffle carries (long, long, int) only.
+    */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, maxDist: Int, prefixLen: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
+    val d = df.select(col(blockCol).as("__blk"), col(idCol),
+        substring(TextFunctions.normalized(col(textCol)), 1, prefixLen)
+          .as("__norm"))
+      .withColumn("__len", length(col("__norm")))
+      .withColumn("__bkt", (col("__len") / maxDist).cast("long"))
+    val probe = d.select(col("__blk"), col(idCol).as("id_a"),
+      col("__norm").as("__na"), col("__len").as("__la"),
+      explode(array(col("__bkt"), col("__bkt") + 1)).as("__bkt"))
+    val build = d.select(col("__blk"), col("__bkt"),
+      col(idCol).as("id_b"), col("__norm").as("__nb"),
+      col("__len").as("__lb"))
+    probe.join(build, Seq("__blk", "__bkt"))
+      .filter(col("id_a") =!= col("id_b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        levenshtein(col("__na"), col("__nb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+      .distinct()
+  }
+
   /** DataFrame-level SimHash: (idCol, simhash) with one 64-char bit string
     * per row. Same bit semantics as [[simhashBits]] (unit-tested
     * equivalent), computed by the native [[graft.functions.SimHash64]]

@@ -66,6 +66,16 @@ class CorpusSpec extends SparkSpec {
     assert(got(2L)._2 == 0L && got(2L)._3 == 0.0)
   }
 
+  test("plan shapes: contamination broadcasts the benchmark; tfidf rank is group-limited") {
+    val bench = Seq((100L, "alpha beta gamma zeta")).toDF("doc_id", "text")
+    val cPlan = Corpus.contamination(docs, bench, "text", "doc_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(cPlan.contains("BroadcastHashJoin"), cPlan)
+    val tPlan = Corpus.tfidfTopTerms(docs, "text", "doc_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(tPlan.contains("WindowGroupLimit"), tPlan)
+  }
+
   test("redactPii: emails, IPs, long numbers scrubbed; counts match") {
     import org.apache.spark.sql.functions.col
     import graft.text.TextFunctions

@@ -33,6 +33,19 @@ class DedupSpec extends SparkSpec {
     assert(short1.isEmpty)
   }
 
+  test("editDistancePairs: finds within-radius pairs across length buckets") {
+    val corpus = Seq(
+      (1L, "b", "abcdefghij"),   // len 10
+      (2L, "b", "abcdefghixx"),  // len 11: 1 sub + 1 insert → dist 2
+      (3L, "b", "completely different text entirely"),
+      (4L, "c", "abcdefghij")    // same text, DIFFERENT block → no pair
+    ).toDF("doc_id", "blk", "text")
+    val got = Dedup.editDistancePairs(corpus, "text", "doc_id", "blk",
+        maxDist = 3, prefixLen = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2)))
+  }
+
   test("jaccard: identity 1, disjoint 0, empty-empty 0") {
     val df = Seq((Seq("a", "b"), Seq("a", "b")),
       (Seq("a"), Seq("b")), (Seq[String](), Seq[String]()))
