@@ -95,14 +95,14 @@ object Bench {
     // min of two timed runs: a single sample conflates steady-state cost
     // with whatever else the machine was doing that second (and run 1
     // additionally carries plan compilation), which round-3 numbers showed
-    // can triple a sub-second query. Queries whose first run exceeds 5 s
+    // can triple a sub-second query. Queries whose first run exceeds 10 s
     // keep that sample — long runs amortize noise, and re-running them
     // would double the suite's wall clock for little precision
     def exec(name: String): Double = {
       val dt =
         try {
           val first = once(name)
-          if (first < 5.0) math.min(first, once(name)) else first
+          if (first < 10.0) math.min(first, once(name)) else first
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return -1.0

@@ -12,30 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components by iterative min-label propagation: every vertex
-    * starts labeled with its own id; each round every vertex takes the min
-    * of its label and its neighbors' labels; at fixpoint the label is the
+  /** Connected components by iterative min-label propagation WITH POINTER
+    * HALVING: every vertex starts labeled with its own id; each round a
+    * vertex takes the min of (its label, its neighbors' labels), then
+    * shortcuts to its label's label — so label chains halve every round
+    * and convergence is O(log diameter) rounds, not O(diameter) (the same
+    * doubling idea as large-star/small-star, Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"). At fixpoint the label is the
     * smallest id reachable — a canonical, deterministic cluster id.
     *
     * Output: (`id`, `cluster_id`) — one row per vertex in `vertices`,
     * vertices with no edges forming singleton clusters.
     *
     * Scale shape: each round is two shuffled joins over the (symmetrized,
-    * deduped, persisted-once) edge list — linear in |E|, partitioned by
-    * vertex id, no driver-side state. Rounds needed = graph diameter + 1;
-    * near-dup graphs are dense clique-ish clusters with tiny diameters, so
-    * this converges in a handful of rounds. (For adversarial long-chain
-    * graphs the O(log n)-round alternating large-star/small-star algorithm
-    * — Kiveris et al., "Connected Components in MapReduce and Beyond" — is
-    * the drop-in upgrade; same API.) Each round `localCheckpoint`s the
-    * label frame: iterative self-joins otherwise double the lineage/plan
-    * per round, and analysis cost goes quadratic. On a cluster, prefer
-    * reliable `checkpoint` with a checkpoint dir for fault tolerance on
-    * long chains.
+    * deduped, persisted-once) edge list plus one label self-join — all
+    * linear in |E| + |V|, partitioned by vertex id, no driver-side state.
+    * Each round `localCheckpoint`s the label frame: iterative self-joins
+    * otherwise double the lineage/plan per round, and analysis cost goes
+    * quadratic. On a cluster, prefer reliable `checkpoint` with a
+    * checkpoint dir for fault tolerance on long chains.
     *
-    * The convergence test (count of changed labels) is one action per
-    * round — inherent to any fixpoint loop; the counted frame is the
-    * already-checkpointed label frame, so nothing is recomputed.
+    * The convergence test is one bounded action per round (`limit(1)` on
+    * the changed-flag filter of the already-checkpointed frame) —
+    * inherent to any fixpoint loop; nothing is recomputed.
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -62,10 +61,22 @@ object Graph {
       // min label among neighbors, one hop
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-          (col("nbr_lbl") < col("lbl")).as("__changed"))
+      // materialized: it feeds BOTH sides of the pointer self-join below,
+      // which would otherwise recompute the neighbor-min join per side
+      val upd = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"), col("lbl").as("__lbl0"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
+            .as("__lbl1"))
+        .localCheckpoint(true)
+      // pointer halving: jump to the label's own (updated) label — labels
+      // only ever decrease, so the jump target is always ≤ the current one
+      val ptr = upd.select(col("id").as("__pid"), col("__lbl1").as("__plbl"))
+      val next = upd.join(ptr, upd("__lbl1") === ptr("__pid"), "left")
+        .select(upd("id"),
+          least(col("__lbl1"), coalesce(col("__plbl"), col("__lbl1")))
+            .as("lbl"),
+          (least(col("__lbl1"), coalesce(col("__plbl"), col("__lbl1")))
+            < col("__lbl0")).as("__changed"))
         .localCheckpoint(true)
       converged = next.filter(col("__changed")).limit(1).isEmpty
       labels = next.drop("__changed")
