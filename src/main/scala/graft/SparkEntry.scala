@@ -664,6 +664,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // per-bucket embedding centroids (the IVF codebook-training reduce):
+    // decimal-quantized sums → order-independent exact means, long form
+    "q52_bucket_centroids" -> { (s, dir) =>
+      import graft.similarity.Similarity
+      val withB = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("__v"))
+        .withColumn("bucket", Similarity.lshBucket(col("__v"), 64, 4))
+      Similarity.groupCentroids(withB, col("bucket"), "__v")
+        .withColumnRenamed("group", "bucket")
+        .orderBy(col("bucket"), col("pos"))
+    },
+
     // edit-distance near-dup pairs: length-bucket blocking + banded
     // levenshtein verify (mutants splice 3 chars inside the compared
     // prefix, so every constructed pair is within the radius)
@@ -1743,6 +1755,32 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_hit,
         |  round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS contamination
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q52_bucket_centroids" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), bucketed AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_transform(generate_series(0, 3), j ->
+        |      CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
+        |          v[i + 1] * (CAST((j * 73856093 + i * 19349663) % 10007
+        |                      AS DOUBLE) / 10007.0 - 0.5)),
+        |        (a, b) -> a + b) >= 0
+        |      THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END),
+        |      (a, b) -> a + b) AS bucket
+        |  FROM e
+        |), x AS (
+        |  SELECT bucket, CAST(p.pos AS INTEGER) AS pos,
+        |    CAST(v[p.pos + 1] AS DECIMAL(18,6)) AS q
+        |  FROM bucketed, (SELECT unnest(generate_series(0, 63)) AS pos) p
+        |)
+        |SELECT bucket, pos,
+        |  CAST(CAST(sum(q) * 1000000 AS BIGINT) AS DOUBLE) / count(*)
+        |    / 1000000.0 AS mean,
+        |  count(*) AS n
+        |FROM x GROUP BY bucket, pos
+        |ORDER BY bucket, pos""".stripMargin,
 
     // candidate set = unordered pairs with |length bucket| diff ≤ 1 (the
     // equi-join + explode form produces exactly that set)

@@ -160,6 +160,93 @@ object Similarity {
       l.join(r, Seq("__bucket")).filter(col("id_a") =!= col("id_b")), k)
   }
 
+  /** Per-group embedding centroids in LONG form: (groupCol, pos, mean,
+    * n) — one row per group × dimension. The mean is exact-deterministic:
+    * components are quantized to DECIMAL(18,6) and summed in decimal
+    * (order-independent, unlike float summation); the sum converts to
+    * micro-unit longs EXACTLY, and the mean is two correctly-rounded
+    * IEEE divisions of exact operands — bit-identical on any
+    * partitioning or engine, with no final `round()` whose half-way
+    * tie-break engines disagree on.
+    *
+    * Scale shape: posexplode → one hash aggregation on (group, pos) with
+    * map-side combine; no collect, no per-group state beyond dims
+    * accumulators. This is the codebook-training step for [[ivfTopK]]
+    * (cluster → centroid) and the reduce step of a k-means iteration.
+    * Long form avoids array re-assembly; `array_agg`-style wide form is
+    * one `sort_array(collect_list(...))` away when needed.
+    */
+  def groupCentroids(df: DataFrame, groupCol: Column,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.select(groupCol.as("group"),
+        posexplode(col(vecCol)).as(Seq("pos", "__x")))
+      .groupBy(col("group"), col("pos"))
+      .agg(sum(col("__x").cast(DecimalType(18, 6))).as("__s"),
+        count(lit(1)).as("n"))
+      .select(col("group"), col("pos"),
+        ((col("__s") * 1000000).cast("long").cast("double") / col("n")
+          / 1000000d).as("mean"),
+        col("n"))
+  }
+
+  /** Deterministic distributed Lloyd's k-means (cosine), the codebook
+    * trainer behind [[ivfTopK]]: init picks the `k` vectors ranked first
+    * in a deterministic md5-hash order (a reproducible pseudo-random
+    * sample via TakeOrderedAndProject — no global sort); each iteration
+    * assigns every vector to its max-cosine centroid (ties to the higher
+    * centroid id, like ivfTopK) and recomputes centroids with the same
+    * decimal-exact mean as [[groupCentroids]] — so the whole run is
+    * bit-reproducible on any partitioning.
+    *
+    * Scale shape per iteration: one broadcast of k·dims doubles to the
+    * assignment scan, one posexplode + hash aggregation for the update,
+    * one tiny collect-free reassembly (sort_array over k·dims rows).
+    * Iteration state is localCheckpoint'ed (lineage truncation — same
+    * lesson as Graph.connectedComponents). Empty clusters keep their
+    * previous centroid.
+    *
+    * Returns assignments (`idCol`, `cluster`) after `iters` iterations.
+    */
+  def kmeansAssign(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1 && iters >= 1, s"k=$k, iters=$iters must be >= 1")
+    val d = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .localCheckpoint(true)
+    val hashKey = graft.ops.Relational.hashUnit(col(idCol))
+    var cents = d.orderBy(hashKey, col(idCol)).limit(k)
+      .withColumn("__cid", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(hashKey, col(idCol))) - 1)
+      .select(col("__cid"), col("__v").as("__cv"))
+      .localCheckpoint(true)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = d.crossJoin(broadcast(cents))
+        .groupBy(col(idCol))
+        .agg(max(struct(round(cosine(col("__v"), col("__cv")), 9).as("c"),
+            col("__cid").as("cid"))).as("__best"),
+          first(col("__v")).as("__v"))
+        .select(col(idCol), col("__v"), col("__best.cid").as("cluster"))
+        .localCheckpoint(true)
+      val means = assigned
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "__x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum(col("__x").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("__m"))
+        .groupBy(col("cluster"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("__m")))),
+          s => s.getField("__m")).as("__newv"))
+      // empty clusters keep their previous centroid
+      cents = cents.join(means, cents("__cid") === means("cluster"), "left")
+        .select(col("__cid"), coalesce(col("__newv"), col("__cv")).as("__cv"))
+        .localCheckpoint(true)
+    }
+    assigned.select(col(idCol), col("cluster"))
+  }
+
   /** Shared tail of the kNN joins: score candidate pairs, keep the top-k
     * per `id_a` (cos desc, id_b asc — total order).
     */

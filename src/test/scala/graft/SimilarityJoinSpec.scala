@@ -30,6 +30,33 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(byA(1L).map(_.getInt(3)).sorted.toSeq == Seq(1, 2))
   }
 
+  test("groupCentroids: exact decimal means in long form") {
+    val df = Seq(
+      ("g1", Array(1f, 3f)), ("g1", Array(3f, 5f)), ("g2", Array(2f, 2f)))
+      .toDF("g", "embedding")
+    val got = Similarity.groupCentroids(df,
+        org.apache.spark.sql.functions.col("g"), "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getDouble(2),
+        r.getLong(3)))).toMap
+    assert(got(("g1", 0)) == ((2.0, 2L)) && got(("g1", 1)) == ((4.0, 2L)))
+    assert(got(("g2", 0)) == ((2.0, 1L)))
+  }
+
+  test("kmeansAssign: separates two well-separated direction clusters") {
+    val vecs = (1L to 4L).map(i =>
+        (i, Array(1f, 0.05f * i, 0f, 0f))) ++
+      (5L to 8L).map(i => (i, Array(0f, 0f, 1f, 0.05f * (i - 4))))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(df, "embedding", "vec_id",
+        k = 2, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = (1L to 4L).map(got).toSet
+    val b = (5L to 8L).map(got).toSet
+    assert(a.size == 1 && b.size == 1 && a != b,
+      s"expected a clean 2-cluster split, got $got")
+  }
+
   test("knnJoinLsh: same top neighbor as brute force within a bucket") {
     // all four vectors land in a bucket; pairs only form within buckets,
     // so co-bucketed near-dups (1,2) must find each other
