@@ -664,6 +664,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // domain mixture sampling: per-source keep rates (ppm) against the
+    // deterministic row hash — the data-mixing step, one pushed predicate
+    "q53_mixture_sample" -> { (s, dir) =>
+      val rated = t(s, dir, "documents").withColumn("rate_ppm",
+        lit(100000L) + length(col("source")) % 5 * 150000L)
+      graft.ops.Relational.mixtureSample(rated, col("doc_id"),
+          col("rate_ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+
+    // repetition quality signal: most-repeated-token fraction per doc
+    "q54_repetition" -> { (s, dir) =>
+      graft.text.Corpus.repetitionRatio(
+          t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // per-bucket embedding centroids (the IVF codebook-training reduce):
     // decimal-quantized sums → order-independent exact means, long form
     "q52_bucket_centroids" -> { (s, dir) =>
@@ -1755,6 +1774,42 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_hit,
         |  round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS contamination
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q53_mixture_sample" ->
+      """WITH rated AS (
+        |  SELECT doc_id, source,
+        |    100000 + (length(source) % 5) * 150000 AS rate_ppm
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, source, rate_ppm,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM rated
+        |)
+        |SELECT source, count(*) AS n_kept FROM h
+        |WHERE (hv >> 20) * 1000000
+        |      < rate_ppm * (CAST(1 AS BIGINT) << 40)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q54_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        |)
+        |SELECT doc_id, max(tf) AS max_tf,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)
+        |    AS repetition
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q52_bucket_centroids" ->
       """WITH e AS (

@@ -74,6 +74,19 @@ object Relational {
     df.filter(hashUnit(key) < bound)
   }
 
+  /** Deterministic MIXTURE sample: per-row keep rates (parts-per-million,
+    * typically joined in from a per-domain rate table) against the same
+    * md5 hash as [[hashSample]] — the data-mixing / domain-reweighting
+    * step of a training pipeline ("2× books, 0.3× crawl") as one pushed-
+    * down predicate. The comparison runs entirely in long arithmetic
+    * (top-40 hash bits × 1e6 vs ppm × 2^40 — both < 2^63), so there is
+    * no float boundary an engine pair could disagree on, and the same
+    * key stays in/out as its rate only widens (nested samples).
+    */
+  def mixtureSample(df: DataFrame, key: Column, ratePpm: Column): DataFrame =
+    df.filter(shiftright(hashUnit(key), 20) * 1000000L <
+      ratePpm.cast("long") * (1L << 40))
+
   /** Deterministic stratified sample: exactly min(k, |group|) rows per
     * group, chosen by hash order (ties broken by the key itself). One
     * shuffle on the group key; WindowGroupLimit caps per-group state at k

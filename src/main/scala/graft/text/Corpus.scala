@@ -100,6 +100,22 @@ object Corpus {
           6))
   }
 
+  /** Repetition quality signal (Gopher-style): the fraction of a
+    * document's tokens taken by its single most repeated token —
+    * max(tf)/Σtf per doc, 6 dp. High values flag boilerplate/spam.
+    * Reuses [[termFrequencies]]' explode + hash-agg shape; the per-doc
+    * reduce is a second map-side-combined aggregation, no windows.
+    * Documents with no tokens are absent (nothing to measure).
+    */
+  def repetitionRatio(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    termFrequencies(df, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(max(col("tf")).as("max_tf"), sum(col("tf")).as("n_tokens"))
+      .select(col(idCol), col("max_tf"), col("n_tokens"),
+        round(col("max_tf").cast("double") / col("n_tokens").cast("double"),
+          6).as("repetition"))
+
   /** Exact long integral division (Spark's `/` is double division). */
   private def longDiv(a: Column, b: Long): Column = {
     import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}

@@ -66,6 +66,17 @@ class CorpusSpec extends SparkSpec {
     assert(got(2L)._2 == 0L && got(2L)._3 == 0.0)
   }
 
+  test("repetitionRatio: most-repeated-token fraction") {
+    val df = Seq((1L, "spam spam spam eggs"), (2L, "all words differ here"))
+      .toDF("doc_id", "text")
+    val got = Corpus.repetitionRatio(df, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 4L, 0.75)))
+    assert(got(2L) == ((1L, 4L, 0.25)))
+  }
+
   test("plan shapes: contamination broadcasts the benchmark; tfidf rank is group-limited") {
     val bench = Seq((100L, "alpha beta gamma zeta")).toDF("doc_id", "text")
     val cPlan = Corpus.contamination(docs, bench, "text", "doc_id", 3)

@@ -56,6 +56,20 @@ class RelationalSpec extends SparkSpec {
     assert(tiny.subsetOf(a))
   }
 
+  test("mixtureSample: ppm-rate endpoints, monotone nesting in the rate") {
+    val ids = (1L to 2000L).toDF("id")
+      .withColumn("r0", lit(0L)).withColumn("r1", lit(1000000L))
+    assert(Relational.mixtureSample(ids, col("id"), col("r0")).count() == 0)
+    assert(Relational.mixtureSample(ids, col("id"), col("r1")).count()
+      == 2000)
+    val lo = Relational.mixtureSample(ids, col("id"), lit(200000L))
+      .collect().map(_.getLong(0)).toSet
+    val hi = Relational.mixtureSample(ids, col("id"), lit(600000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi)) // a row kept at 20% stays kept at 60%
+    assert(math.abs(hi.size / 2000.0 - 0.6) < 0.05)
+  }
+
   test("stratifiedSample: exactly min(k, |stratum|) rows per stratum") {
     val df = Seq.tabulate(40)(i => (s"g${i % 3}", i.toLong)) // 14/13/13
       .toDF("g", "id")
