@@ -43,6 +43,84 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents agrees with a union-find reference on random graphs") {
+    val graphGen = for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(0, 30)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(1L, n.toLong)
+        b <- Gen.choose(1L, n.toLong)
+      } yield (a, b))
+    } yield (n.toLong, edges.filter(e => e._1 != e._2))
+    samples(graphGen, 10).foreach { case (n, edges) =>
+      // reference: naive union-find with min-root canonicalization
+      val parent = scala.collection.mutable.Map((1L to n).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1L to n).map(i => i -> find(i)).toMap
+      val vertices = (1L to n).toDF("id")
+      val e = if (edges.isEmpty) Seq((1L, 1L)).toDF("a", "b").limit(0)
+        else edges.toDF("a", "b")
+      val got = graft.ops.Graph.connectedComponents(vertices, "id", e,
+        "a", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"n=$n edges=$edges")
+    }
+  }
+
+  test("rangeJoin equals the naive containment join on random intervals") {
+    val caseGen = for {
+      np <- Gen.choose(1, 40)
+      ni <- Gen.choose(1, 15)
+      w <- Gen.oneOf(3.0, 7.0, 20.0)
+      pts <- Gen.listOfN(np, Gen.choose(-100.0, 100.0))
+      ivs <- Gen.listOfN(ni, for {
+        lo <- Gen.choose(-120.0, 100.0)
+        len <- Gen.choose(0.0, 50.0)
+      } yield (lo, lo + len))
+    } yield (w, pts, ivs)
+    samples(caseGen, 8).foreach { case (w, pts, ivs) =>
+      val p = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("pid", "p")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) =>
+        (i.toLong, lo, hi) }.toDF("iid", "lo", "hi")
+      val got = graft.ops.Relational.rangeJoin(p, "p", iv, "lo", "hi", w)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (v, i) <- pts.zipWithIndex
+        ((lo, hi), j) <- ivs.zipWithIndex
+        if v >= lo && v <= hi
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == expected, s"w=$w")
+    }
+  }
+
+  test("quantilesDisc matches the sorted-pick reference on random groups") {
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val grpGen = for {
+      n <- Gen.choose(1, 50)
+      vals <- Gen.listOfN(n, Gen.choose(0, 20).map(_.toDouble))
+    } yield vals
+    samples(grpGen, 10).zipWithIndex.foreach { case (vals, gi) =>
+      val df = vals.map(v => (s"g$gi", v)).toDF("g", "v")
+      val got = graft.ops.Relational.quantilesDisc(df, Seq("g"), col("v"), qs)
+        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+      val sorted = vals.sorted
+      qs.foreach { q =>
+        // exact rational ceil(q·n) — double math.ceil(q*n) is WRONG at
+        // e.g. q=0.1, n=30 (0.1*30 == 3.0000000000000004 → 4, not 3)
+        val ppm = math.round(q * 1e6)
+        val pick = ((ppm * sorted.length + 999999L) / 1000000L).toInt.max(1)
+        assert(got(q) == sorted(pick - 1),
+          s"q=$q vals=$sorted got=${got(q)}")
+      }
+    }
+  }
+
   private val tsGen: Gen[Seq[(Int, Long, Boolean)]] = for {
     n <- Gen.choose(1, 60)
     rows <- Gen.listOfN(n, for {
