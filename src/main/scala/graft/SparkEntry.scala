@@ -664,6 +664,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // rolling trailing-hour aggregate (RANGE frame on the ns axis): the
+    // sliding sibling of the tumbling daily mean; both columns share one
+    // window spec → one WindowExec
+    "q55_rolling_window" -> { (s, dir) =>
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      // cast OUTSIDE the agg lambda: `.over` must attach to the aggregate
+      // itself, not to a cast wrapping it
+      val rsum = TimeSeries.rollingAgg(c => sum(dec(c)),
+        col("value"), "ts_ns", hourNs, Seq("user_id")).cast("double")
+      val rcnt = TimeSeries.rollingAgg(c => count(c), lit(1),
+        "ts_ns", hourNs, Seq("user_id"))
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          rsum.as("roll_sum"), rcnt.as("roll_n"))
+        .orderBy(col("event_id"))
+    },
+
     // domain mixture sampling: per-source keep rates (ppm) against the
     // deterministic row hash — the data-mixing step, one pushed predicate
     "q53_mixture_sample" -> { (s, dir) =>
@@ -1774,6 +1791,16 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_hit,
         |  round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS contamination
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q55_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS roll_sum,
+        |  count(*) OVER w AS roll_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q53_mixture_sample" ->
       """WITH rated AS (

@@ -151,6 +151,24 @@ object TimeSeries {
     avg(c).over(Window.partitionBy(
       (keys.map(col) :+ date_trunc("DAY", col(tsCol))): _*))
 
+  /** Rolling trailing-interval aggregate at row grain: `agg` evaluated
+    * over a RANGE frame [ts − window, ts] per key — "mean of the last
+    * hour" for every row, the sliding sibling of the tumbling [[dailyMean]].
+    * `tsCol` must be a monotone numeric time axis (epoch ns/µs/s); range
+    * frames on a numeric ORDER BY are exact and engine-portable where
+    * interval frames on timestamps carry calendar semantics.
+    *
+    * Scale shape: one shuffle on `keys`, one sort per partition, then a
+    * sliding-frame scan — the same WindowExec discipline as every other
+    * time op here (shared spec ⇒ multiple rolling columns collapse into
+    * one window node).
+    */
+  def rollingAgg(agg: Column => Column, c: Column, tsCol: String,
+      windowUnits: Long, keys: Seq[String] = Nil): Column =
+    agg(c).over(Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol))
+      .rangeBetween(-windowUnits, 0))
+
   /** As-of (backward) join: for every left row, attach the right row with
     * the greatest time ≤ the left row's time within the same key group
     * (left-outer semantics: no earlier right row → nulls).

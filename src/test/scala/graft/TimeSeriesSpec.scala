@@ -48,6 +48,24 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", 10L, Some(9.0)),  // b's reading at 99
       ("b", 100L, None)))     // past the last right row
   }
+
+  test("rollingAgg: trailing range frame includes boundary, excludes beyond") {
+    import spark.implicits._
+    import graft.ops.TimeSeries
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    // window of 10 units: at t=20 the frame is [10, 20]
+    val df = Seq(("a", 0L, 1.0), ("a", 10L, 2.0), ("a", 20L, 4.0),
+      ("b", 20L, 8.0)).toDF("k", "t", "v")
+    val got = df.select(col("k"), col("t"),
+        TimeSeries.rollingAgg(c => fsum(c), col("v"), "t", 10L, Seq("k"))
+          .as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got(("a", 0L)) == 1.0)
+    assert(got(("a", 10L)) == 3.0)  // [0,10] inclusive both ends
+    assert(got(("a", 20L)) == 6.0)  // t=0 aged out
+    assert(got(("b", 20L)) == 8.0)  // keys partition
+  }
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
