@@ -99,14 +99,17 @@ object Bench {
     // keep that sample — long runs amortize noise, and re-running them
     // would double the suite's wall clock for little precision
     def exec(name: String): Double = {
-      val dt =
-        try {
-          val first = once(name)
-          if (first < 10.0) math.min(first, once(name)) else first
-        } catch { case e: Throwable =>
+      val first =
+        try once(name)
+        catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return -1.0
         }
+      // a transient failure on the re-run must not discard run 1's
+      // valid sample
+      val dt =
+        if (first >= 10.0) first
+        else try math.min(first, once(name)) catch { case _: Throwable => first }
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       dt
     }

@@ -32,11 +32,8 @@ object SparkEntry {
     * below an integer can round up before `cast("long")` truncates. Integral
     * `div` keeps the whole computation in long arithmetic.
     */
-  private def nsToMicros(c: Column): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
-    import org.apache.spark.sql.graft.bridge
-    bridge.column(new IntegralDivide(bridge.expression(c), Literal(1000L)))
-  }
+  private def nsToMicros(c: Column): Column =
+    graft.functions.Exact.longDiv(c, 1000L)
 
   /** `events.ts` is nanosecond parquet: with
     * `spark.sql.legacy.parquet.nanosAsLong` it arrives as long ns. Keep the
@@ -1733,11 +1730,13 @@ object SparkEntry {
         |    'g'),
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
         |    '[0-9]{9,}', '<NUM>', 'g') AS clean,
-        |  len(regexp_extract_all(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-        |  len(regexp_extract_all(text,
-        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ip,
-        |  len(regexp_extract_all(text, '[0-9]{9,}')) AS n_num
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INTEGER) AS n_ip,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS INTEGER)
+        |    AS n_num
         |FROM w ORDER BY doc_id""".stripMargin,
 
     // windowed sums in DuckDB widen to HUGEINT — cast back to BIGINT so

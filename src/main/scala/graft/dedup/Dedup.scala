@@ -159,8 +159,7 @@ object Dedup {
     * ~10³ rows. For open-ended corpora the linear path is
     * [[minhashLshPairs]] → [[verifiedNearDups]]. `maxBlockSize` enforces
     * the bound at runtime: an oversized block fails the job fast (with
-    * that pointer) instead of silently going quadratic. The guard is one
-    * map-side-combined count per block plus a broadcast join — linear.
+    * that pointer) instead of silently going quadratic.
     *
     * Selection runs in integer form inside the join:
     * `round(i/u, 6) ≥ t ⟺ 2e6·i ≥ (2·round(1e6·t) − 1)·u`, and the same

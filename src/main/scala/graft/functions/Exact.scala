@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+import org.apache.spark.sql.graft.bridge
+
+/** Exact integer arithmetic helpers. Spark's `/` on longs is DOUBLE
+  * division: past 2^53 the quotient's ulp exceeds 1, so a value just
+  * below an integer can round up before a `cast("long")` truncates —
+  * bit us in ns→µs conversion and in quantile pick ranks.
+  */
+object Exact {
+
+  /** `a div b` in pure long arithmetic (truncating integral division). */
+  def longDiv(a: Column, b: Long): Column =
+    bridge.column(new IntegralDivide(bridge.expression(a), Literal(b)))
+}

@@ -104,6 +104,9 @@ object Relational {
     * data value, no interpolation, so results are bit-identical in any
     * engine).
     *
+    * Null values are excluded before counting (`percentile_disc`
+    * semantics: quantiles of the non-null population).
+    *
     * Scale shape: aggregate FIRST — count per (group, distinct value),
     * with map-side combine absorbing the row volume — then rank with a
     * cumulative-count window over the distinct values only. A row-level
@@ -123,7 +126,8 @@ object Relational {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0,1]: $qs")
     val gs = groupCols.map(col)
-    val counts = df.groupBy((gs :+ valueCol.as("__val")): _*)
+    val counts = df.filter(valueCol.isNotNull)
+      .groupBy((gs :+ valueCol.as("__val")): _*)
       .agg(count(lit(1)).as("__c"))
     val ranked = counts
       .withColumn("__cum", sum(col("__c")).over(
@@ -197,12 +201,6 @@ object Relational {
     terms.reduce(_ + _)
   }
 
-  /** Exact long integral division (Spark's `/` is double division, lossy
-    * past 2^53).
-    */
-  private def longDiv(a: Column, b: Long): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
-    import org.apache.spark.sql.graft.bridge
-    bridge.column(new IntegralDivide(bridge.expression(a), Literal(b)))
-  }
+  private def longDiv(a: Column, b: Long): Column =
+    graft.functions.Exact.longDiv(a, b)
 }

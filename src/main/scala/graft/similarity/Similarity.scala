@@ -230,11 +230,14 @@ object Similarity {
           first(col("__v")).as("__v"))
         .select(col(idCol), col("__v"), col("__best.cid").as("cluster"))
         .localCheckpoint(true)
+      // the exact formula of groupCentroids (micro-unit longs, then pure
+      // IEEE divisions) — using it verbatim keeps the k-means reduce step
+      // covered by groupCentroids' oracle and ulp-identical across plans
       val means = assigned
         .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "__x")))
         .groupBy(col("cluster"), col("pos"))
-        .agg((sum(col("__x").cast(DecimalType(18, 6))).cast("double") /
-          count(lit(1))).as("__m"))
+        .agg(((sum(col("__x").cast(DecimalType(18, 6))) * 1000000)
+          .cast("long").cast("double") / count(lit(1)) / 1000000d).as("__m"))
         .groupBy(col("cluster"))
         .agg(transform(
           sort_array(collect_list(struct(col("pos"), col("__m")))),

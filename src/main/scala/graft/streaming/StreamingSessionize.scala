@@ -5,10 +5,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Gap-based streaming sessionization — the streaming sibling of the
   * batch window sessionizer (probe q32): per key, an event within
-  * `gapMs` of the open session's last event extends it; a later event
-  * closes it inline; and the event-time TIMEOUT closes it when the
-  * watermark passes lastEvent + gap, so sessions that simply stop
-  * receiving events still flush. Only CLOSED sessions are emitted —
+  * `gapMs` of EITHER end of the open session's [start, end] interval
+  * merges into it (extending that end — late-but-in-watermark events can
+  * precede the open start); an event past end + gap closes it inline; a
+  * straggler more than the gap BEFORE the open start emits as its own
+  * best-effort singleton session (the single-open-session state bound
+  * cannot re-open history); and the event-time TIMEOUT closes the open
+  * session when the watermark passes end + gap, so sessions that simply
+  * stop receiving events still flush. Only CLOSED sessions are emitted —
   * Append-mode facts a downstream sink can treat as immutable.
   *
   * Scale shape: state per key is the open session aggregate (four
@@ -42,6 +46,7 @@ object StreamingSessionize {
           state.remove()
           Iterator.single(Session(key, o.start_us, o.end_us, o.n, o.sum))
         } else {
+          val gapUs = gapMs * 1000L
           val sorted = rows.toIndexedSeq.sortBy(eventTimeUs)
           val closed = IndexedSeq.newBuilder[Session[K]]
           var open = state.getOption
@@ -49,19 +54,31 @@ object StreamingSessionize {
             val t = eventTimeUs(e)
             val v = valueOf(e)
             open = open match {
-              case Some(o) if t - o.end_us <= gapMs * 1000L =>
-                Some(Open(o.start_us, math.max(o.end_us, t), o.n + 1,
-                  o.sum + v))
-              case Some(o) =>
+              // within the gap of EITHER end of the open interval: merge,
+              // extending both bounds (a late-but-in-watermark event can
+              // legitimately precede the open session's start)
+              case Some(o) if t >= o.start_us - gapUs &&
+                  t <= o.end_us + gapUs =>
+                Some(Open(math.min(o.start_us, t), math.max(o.end_us, t),
+                  o.n + 1, o.sum + v))
+              // past the gap: the open session is complete, start anew
+              case Some(o) if t > o.end_us + gapUs =>
                 closed += Session(key, o.start_us, o.end_us, o.n, o.sum)
                 Some(Open(t, t, 1L, v))
+              // a straggler predating the open session by more than the
+              // gap: its own (best-effort singleton — the single-open-
+              // session state bound can't re-open history) past session
+              case Some(o) =>
+                closed += Session(key, t, t, 1L, v)
+                Some(o)
               case None => Some(Open(t, t, 1L, v))
             }
           }
           open.foreach { o =>
             state.update(o)
-            // flush when the watermark passes the gap horizon
-            state.setTimeoutTimestamp(o.end_us / 1000L + gapMs)
+            // flush when the watermark passes the gap horizon; ms timeout
+            // rounds UP so it can never fire before the µs gap elapses
+            state.setTimeoutTimestamp((o.end_us + 999L) / 1000L + gapMs)
           }
           closed.result().iterator
         }

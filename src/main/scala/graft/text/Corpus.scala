@@ -32,7 +32,7 @@ object Corpus {
     * [[termFrequencies]] output so the explode runs once when both are
     * needed.
     */
-  def docFrequencies(tf: DataFrame, idCol: String): DataFrame =
+  def docFrequencies(tf: DataFrame): DataFrame =
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
   /** TF-IDF score with a LINEAR idf (tf/df): order-equivalent to classic
@@ -116,12 +116,8 @@ object Corpus {
         round(col("max_tf").cast("double") / col("n_tokens").cast("double"),
           6).as("repetition"))
 
-  /** Exact long integral division (Spark's `/` is double division). */
-  private def longDiv(a: Column, b: Long): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
-    import org.apache.spark.sql.graft.bridge
-    bridge.column(new IntegralDivide(bridge.expression(a), Literal(b)))
-  }
+  private def longDiv(a: Column, b: Long): Column =
+    graft.functions.Exact.longDiv(a, b)
 
   /** Top-`k` characteristic terms per document, ranked by linear TF-IDF
     * (score desc, then term asc — total order). Output: (id, term, tf,
@@ -134,7 +130,7 @@ object Corpus {
   def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     val tf = termFrequencies(df, textCol, idCol)
-    val dfreq = docFrequencies(tf, idCol)
+    val dfreq = docFrequencies(tf)
     tf.join(dfreq, "term")
       .withColumn("score", linearTfIdf(col("tf"), col("df")))
       .withColumn("rank", row_number().over(

@@ -131,6 +131,16 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("quantilesDisc: nulls are excluded from ranks and population") {
+    // non-null population [1,2,3]: q=0.5 → 2.0 (a null would otherwise
+    // rank first and shift every pick)
+    val df = Seq(("g", Some(1.0)), ("g", None), ("g", Some(2.0)),
+      ("g", Some(3.0))).toDF("g", "v")
+    val got = Relational.quantilesDisc(df, Seq("g"), col("v"), Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(got == Map(0.5 -> 2.0, 1.0 -> 3.0))
+  }
+
   test("quantilesDisc: duplicate values collapse to one distinct-value row") {
     // values 1,1,1,2 (n=4): q=0.5 → ceil(2)=2nd smallest = 1;
     // q=0.75 → 3rd = 1; q=1.0 → 4th = 2

@@ -52,4 +52,42 @@ class StreamingSessionizeSpec extends SparkSpec {
     assert(s2.map(s => (s.key, s.value_sum)) == Seq((1L, 5.0)))
     q.stop()
   }
+
+  test("late events merge backwards within the gap; far stragglers emit alone") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val sessions = StreamingSessionize.sessions(
+      in.toDS().withWatermark("ts", "3 hours").groupByKey(_.user),
+      (e: Evt) => e.ts.getTime * 1000L,
+      (e: Evt) => e.value,
+      gapMs = 30L * 60 * 1000)
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_late_out")
+      .outputMode(StreamingSessionize.outputMode)
+      .start()
+    def out() = spark.table("sess_late_out")
+      .as[StreamingSessionize.Session[Long]].collect().toSeq
+
+    in.addData(Evt(1L, t("2021-01-15 12:00:00"), 1.0))
+    q.processAllAvailable()
+    // a late event 15 min BEFORE the open start (inside the 3h lateness
+    // bound and within the gap) merges, extending the start backwards
+    in.addData(Evt(1L, t("2021-01-15 11:45:00"), 2.0))
+    q.processAllAvailable()
+    assert(out().isEmpty) // still open — it merged, nothing closed
+    // a straggler 90 min before the open start (past the gap) emits as
+    // its own singleton; the open session is untouched
+    in.addData(Evt(1L, t("2021-01-15 10:15:00"), 7.0))
+    q.processAllAvailable()
+    val s = out()
+    assert(s.map(x => (x.n_events, x.value_sum)) == Seq((1L, 7.0)))
+    // the merged session closes inline past the gap and carries the
+    // backwards-extended start
+    in.addData(Evt(1L, t("2021-01-15 14:00:00"), 9.0))
+    q.processAllAvailable()
+    val closed = out().filter(_.n_events == 2L)
+    assert(closed.map(x => (x.start_us, x.value_sum)) ==
+      Seq((t("2021-01-15 11:45:00").getTime * 1000L, 3.0)))
+    q.stop()
+  }
 }
