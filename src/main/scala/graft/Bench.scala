@@ -28,11 +28,12 @@ object Bench {
   }
 
   /** Multi-site multi-wateryear corpus → one-plan aggregate → partitioned
-    * lake write. ~25× the unit fixture per site; Aug 15 start rolls over
-    * the Oct 1 water-year boundary so saveLake exercises both partition
-    * keys.
+    * lake write, at a given corpus scale (`filesPerSite` TOA5 files per
+    * site; Aug 15 start rolls over the Oct 1 water-year boundary so
+    * saveLake exercises both partition keys).
     */
-  private def pipelineBench(spark: SparkSession): String = {
+  private def pipelineBench(spark: SparkSession, label: String,
+      filesPerSite: Int): String = {
     import graft.config.SiteConfig
     import graft.pipeline.Aggregate
     import graft.testkit.Toa5Fixture
@@ -40,16 +41,18 @@ object Bench {
       .createTempDirectory("graft-bench-corpus").toString
     val sites = Seq("CookEast", "CookWest", "BoydNorth", "BoydSouth")
     val files = sites.flatMap { s =>
-      Toa5Fixture.writeMet(s"$dir/raw/$s", nFiles = 12, rowsPerFile = 960,
-        seed = s.hashCode.toLong, site = s,
+      Toa5Fixture.writeMet(s"$dir/raw/$s", nFiles = filesPerSite,
+        rowsPerFile = 960, seed = s.hashCode.toLong, site = s,
         start = java.time.LocalDateTime.of(2021, 8, 15, 0, 0))
     }
     val configs = sites.map(s => s -> SiteConfig(s)).toMap
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     val t0 = System.nanoTime()
+    // generous end date: neither scale's corpus is clipped, so rows_in
+    // reflects work actually done (1× ends 2021-12, 4× ends 2022-12)
     val res = Aggregate.runMultiSite(spark, "Met", configs, files,
-      endDate = java.time.LocalDate.of(2021, 12, 15))
+      endDate = java.time.LocalDate.of(2022, 12, 31))
     Aggregate.saveLake(res, s"$dir/lake")
     val sec = (System.nanoTime() - t0) / 1e9
     // listener delivery is async: drain the bus before reading the meter,
@@ -64,7 +67,7 @@ object Bench {
       .count()
     val wys = spark.read.parquet(s"$dir/lake")
       .select("wateryear").distinct().count()
-    System.err.println(f"[bench] pipeline_multisite    $sec%8.2f s " +
+    System.err.println(f"[bench] pipeline_$label%-14s $sec%8.2f s " +
       f"($inRows raw -> $outRows grid rows, $wys water years, " +
       f"${meter.bytes.get} shuffle bytes)")
     s"""{"sec":$sec,"rows_in":$inRows,"rows_out":$outRows,""" +
@@ -121,13 +124,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val pipeline =
+    // two corpus scale points (1× and 4×): the rows/sec slope is the
+    // empirical evidence behind the linear-scale-out claim
+    def pipelineAt(label: String, filesPerSite: Int): String =
       if (sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE")) "null"
-      else try pipelineBench(spark) catch { case e: Throwable =>
-        System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+      else try pipelineBench(spark, label, filesPerSite)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline_$label failed: ${e.getMessage}")
         "null"
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline":$pipeline,"sf":"$sfDir"}""")
+    val pipeline = pipelineAt("multisite", 12)
+    val pipeline4x = pipelineAt("multisite_4x", 48)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline":$pipeline,"pipeline_4x":$pipeline4x,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

