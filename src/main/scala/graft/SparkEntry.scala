@@ -661,6 +661,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
 
+    // robust IQR outlier filter (Tukey fences from exact quantile picks;
+    // the data-derived sibling of the reference's configured Hard_Limits)
+    "q56_iqr_filter" -> { (s, dir) =>
+      graft.ops.Relational.iqrFilter(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_extendedprice")),
+          Seq("l_returnflag"), col("l_extendedprice"), factor = 1.5)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"),
+          sumd(col("l_extendedprice")).as("kept_sum"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // rolling trailing-hour aggregate (RANGE frame on the ns axis): the
     // sliding sibling of the tumbling daily mean; both columns share one
     // window spec → one WindowExec
@@ -1790,6 +1803,31 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_hit,
         |  round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS contamination
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // the value at rank ceil(q·n) is unique even under value ties, so the
+    // row-ranked pick here equals the engine's distinct-value formulation
+    "q56_iqr_filter" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), fences AS (
+        |  SELECT l_returnflag,
+        |    min(CASE WHEN rn = (250000 * n + 999999) // 1000000 THEN v END)
+        |      AS q1,
+        |    min(CASE WHEN rn = (750000 * n + 999999) // 1000000 THEN v END)
+        |      AS q3
+        |  FROM ranked GROUP BY l_returnflag
+        |)
+        |SELECT l.l_returnflag, count(*) AS n_kept,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS kept_sum
+        |FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
+        |WHERE l.l_extendedprice >= f.q1 - (f.q3 - f.q1) * 1.5
+        |  AND l.l_extendedprice <= f.q3 + (f.q3 - f.q1) * 1.5
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
     "q55_rolling_window" ->
       """SELECT event_id, user_id,

@@ -174,6 +174,33 @@ object Relational {
       .drop("__bkt")
   }
 
+  /** Robust (IQR) outlier filter per group: keeps rows whose value lies
+    * within [q1 − factor·IQR, q3 + factor·IQR] of their group's
+    * interquartile range — Tukey's fence, the robust sibling of the
+    * reference's fixed Hard_Limit bounds (data-derived instead of
+    * configured). Composes [[quantilesDisc]] (aggregate-first, exact
+    * picks); the per-group fence table is tiny and broadcasts back onto
+    * the scan. Null values never pass (their group membership in the
+    * fence is undefined).
+    *
+    * The fence arithmetic is plain double +/−/× of exact-picked values —
+    * identical in any IEEE engine.
+    */
+  def iqrFilter(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      factor: Double = 1.5): DataFrame = {
+    val qs = quantilesDisc(df, groupCols, valueCol, Seq(0.25, 0.75))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("q") === 0.25, col("value"))).as("__q1"),
+        min(when(col("q") === 0.75, col("value"))).as("__q3"))
+      .withColumn("__lo",
+        col("__q1") - (col("__q3") - col("__q1")) * factor)
+      .withColumn("__hi",
+        col("__q3") + (col("__q3") - col("__q1")) * factor)
+    df.join(broadcast(qs), groupCols)
+      .filter(valueCol >= col("__lo") && valueCol <= col("__hi"))
+      .drop("__q1", "__q3", "__lo", "__hi")
+  }
+
   /** Z-order (Morton) clustering key: interleaves the low `bits` bits of
     * each column round-robin — bit i of column j lands at position
     * i·n + j — so rows close in EVERY dimension get close z-values. Sort

@@ -115,6 +115,16 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("iqrFilter: Tukey fences drop the outlier, keep the body") {
+    // values 1..10 plus 1000: q1=3 (ceil(2.75)), q3=9 (ceil(8.25)),
+    // IQR=6 → fence [3-9, 9+9] = [-6, 18] → 1000 dropped
+    val df = ((1 to 10).map(_.toDouble) :+ 1000.0).map(("g", _))
+      .toDF("g", "v")
+    val kept = Relational.iqrFilter(df, Seq("g"), col("v"), 1.5)
+      .collect().map(_.getDouble(1)).sorted
+    assert(kept.toSeq == (1 to 10).map(_.toDouble))
+  }
+
   test("zOrderKey: round-robin bit interleave, known values") {
     // a=1 (bit0), b=2 (bit1): z bit layout [a0,b0,a1,b1] = [1,0,0,1] → 9
     val df = Seq((1L, 2L)).toDF("a", "b")
