@@ -49,8 +49,8 @@ object Bench {
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
     val t0 = System.nanoTime()
-    // generous end date: neither scale's corpus is clipped, so rows_in
-    // reflects work actually done (1× ends 2021-12, 4× ends 2022-12)
+    // endDate only labels the run's water year (nothing clips rows by
+    // it); pick one past both scales' corpora (1× ends 2021-12, 4× 2022-12)
     val res = Aggregate.runMultiSite(spark, "Met", configs, files,
       endDate = java.time.LocalDate.of(2022, 12, 31))
     Aggregate.saveLake(res, s"$dir/lake")

@@ -135,7 +135,8 @@ object Relational {
       .withColumn("__n", sum(col("__c")).over(Window.partitionBy(gs: _*)))
     val hits = array(qs.map { q =>
       val ppm = math.round(q * 1e6)
-      val pick = longDiv(lit(ppm) * col("__n") + 999999L, 1000000L)
+      val pick = graft.functions.Exact.longDiv(
+            lit(ppm) * col("__n") + 999999L, 1000000L)
       when(col("__cum") >= pick && col("__cum") - col("__c") < pick,
         struct(lit(q).as("q"), col("__val").cast("double").as("value")))
     }: _*)
@@ -196,9 +197,18 @@ object Relational {
         col("__q1") - (col("__q3") - col("__q1")) * factor)
       .withColumn("__hi",
         col("__q3") + (col("__q3") - col("__q1")) * factor)
-    df.join(broadcast(qs), groupCols)
+    // the fence side's keys are RENAMED before the join: qs derives from
+    // df, so df("g")/qs("g") share attribute ids and both expression-
+    // based conditions and drop(qs(c)) misresolve (self-join lineage).
+    // Null-safe equality: a null group key is a group like any other —
+    // plain equi-join would silently drop its rows.
+    val fences = qs.select(
+      groupCols.map(c => col(c).as(s"__fence_$c")) ++
+        Seq(col("__lo"), col("__hi")): _*)
+    df.join(broadcast(fences),
+        groupCols.map(c => col(c) <=> col(s"__fence_$c")).reduce(_ && _))
       .filter(valueCol >= col("__lo") && valueCol <= col("__hi"))
-      .drop("__q1", "__q3", "__lo", "__hi")
+      .drop((groupCols.map(c => s"__fence_$c") ++ Seq("__lo", "__hi")): _*)
   }
 
   /** Z-order (Morton) clustering key: interleaves the low `bits` bits of
@@ -228,6 +238,4 @@ object Relational {
     terms.reduce(_ + _)
   }
 
-  private def longDiv(a: Column, b: Long): Column =
-    graft.functions.Exact.longDiv(a, b)
 }

@@ -47,40 +47,48 @@ object StreamingSessionize {
           Iterator.single(Session(key, o.start_us, o.end_us, o.n, o.sum))
         } else {
           val gapUs = gapMs * 1000L
-          val sorted = rows.toIndexedSeq.sortBy(eventTimeUs)
-          val closed = IndexedSeq.newBuilder[Session[K]]
-          var open = state.getOption
-          for (e <- sorted) {
+          // sweep the batch's events into local sessions FIRST (classic
+          // sorted gap-split), then merge those intervals with the open
+          // state — merging event-by-event against the single open
+          // session would emit co-sessionable in-batch stragglers as
+          // separate singletons, and could emit a straggler before a
+          // later event in the same batch extended the open interval
+          // back over it
+          val locals = scala.collection.mutable.ArrayBuffer.empty[Open]
+          for (e <- rows.toIndexedSeq.sortBy(eventTimeUs)) {
             val t = eventTimeUs(e)
             val v = valueOf(e)
-            open = open match {
-              // within the gap of EITHER end of the open interval: merge,
-              // extending both bounds (a late-but-in-watermark event can
-              // legitimately precede the open session's start)
-              case Some(o) if t >= o.start_us - gapUs &&
-                  t <= o.end_us + gapUs =>
-                Some(Open(math.min(o.start_us, t), math.max(o.end_us, t),
-                  o.n + 1, o.sum + v))
-              // past the gap: the open session is complete, start anew
-              case Some(o) if t > o.end_us + gapUs =>
-                closed += Session(key, o.start_us, o.end_us, o.n, o.sum)
-                Some(Open(t, t, 1L, v))
-              // a straggler predating the open session by more than the
-              // gap: its own (best-effort singleton — the single-open-
-              // session state bound can't re-open history) past session
-              case Some(o) =>
-                closed += Session(key, t, t, 1L, v)
-                Some(o)
-              case None => Some(Open(t, t, 1L, v))
-            }
+            if (locals.nonEmpty && t - locals.last.end_us <= gapUs) {
+              val o = locals.last
+              locals(locals.length - 1) =
+                Open(o.start_us, math.max(o.end_us, t), o.n + 1, o.sum + v)
+            } else locals += Open(t, t, 1L, v)
           }
-          open.foreach { o =>
-            state.update(o)
-            // flush when the watermark passes the gap horizon; ms timeout
-            // rounds UP so it can never fire before the µs gap elapses
-            state.setTimeoutTimestamp((o.end_us + 999L) / 1000L + gapMs)
+          // interval merge: sessions sorted by start (the open state is
+          // just one more interval); adjacent intervals within the gap
+          // coalesce — transitively, so a batch session bridging the gap
+          // to the open one pulls its neighbors in too
+          val merged = scala.collection.mutable.ArrayBuffer.empty[Open]
+          for (s <- (locals ++ state.getOption).sortBy(_.start_us)) {
+            if (merged.nonEmpty && s.start_us - merged.last.end_us <= gapUs) {
+              val o = merged.last
+              merged(merged.length - 1) = Open(o.start_us,
+                math.max(o.end_us, s.end_us), o.n + s.n, o.sum + s.sum)
+            } else merged += s
           }
-          closed.result().iterator
+          // the latest interval stays open (still extendable); every
+          // earlier one is separated from it by more than the gap and
+          // closes. (Best-effort bound: with one open session of state,
+          // a cross-BATCH straggler older than an already-emitted session
+          // still can't reopen history — in-watermark stragglers within
+          // one batch now group correctly.)
+          val o = merged.last
+          state.update(o)
+          // flush when the watermark passes the gap horizon; ms timeout
+          // rounds UP so it can never fire before the µs gap elapses
+          state.setTimeoutTimestamp((o.end_us + 999L) / 1000L + gapMs)
+          merged.init.iterator
+            .map(c => Session(key, c.start_us, c.end_us, c.n, c.sum))
         }
     }
 

@@ -64,7 +64,8 @@ object Corpus {
     df.select(col(shardCol), col(idCol), tk.as("__tk"))
       .withColumn("__cum", sum(col("__tk")).over(w))
       .withColumn("pack_id",
-        longDiv(col("__cum") - col("__tk"), capacity))
+        graft.functions.Exact.longDiv(
+          col("__cum") - col("__tk"), capacity))
       .groupBy(col(shardCol), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_doc"),
         sum(col("__tk")).as("tok_sum"))
@@ -115,9 +116,6 @@ object Corpus {
       .select(col(idCol), col("max_tf"), col("n_tokens"),
         round(col("max_tf").cast("double") / col("n_tokens").cast("double"),
           6).as("repetition"))
-
-  private def longDiv(a: Column, b: Long): Column =
-    graft.functions.Exact.longDiv(a, b)
 
   /** Top-`k` characteristic terms per document, ranked by linear TF-IDF
     * (score desc, then term asc — total order). Output: (id, term, tf,

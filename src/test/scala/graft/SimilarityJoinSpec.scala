@@ -64,17 +64,21 @@ class SimilarityJoinSpec extends SparkSpec {
       base(((i % 4) + 4).toInt) = 0.1f * (i % 7)
       (i, base)
     }.toDF("vec_id", "embedding")
+    // k = 40 ≥ any possible neighbor count, so the ranked output IS the
+    // candidate-pair universe — the superset property becomes assertable
+    // (with a small k, extra candidates could legitimately push a pair
+    // out of the top-k)
     def pairs(probes: Int) =
-      Similarity.knnJoinLsh(many, "embedding", "vec_id", dims = 8, k = 3,
+      Similarity.knnJoinLsh(many, "embedding", "vec_id", dims = 8, k = 40,
           planes = 3, probes = probes)
         .select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val p1 = pairs(1)
     val p3 = pairs(3)
-    // every single-probe neighbor pair stays reachable; more probes can
-    // only add candidate pairs (ranking may swap, so compare candidates
-    // by checking the neighbor-pair universe is a superset)
-    assert(p3.size >= p1.size)
+    assert(p1.subsetOf(p3), // probe 0 IS the single-probe bucketing
+      s"single-probe pairs must survive multi-probe; missing: ${p1 -- p3}")
+    assert(p3.size > p1.size, // the crafted corpus has cross-boundary pairs
+      "multi-probe should recover pairs split by the first bucketing")
   }
 
   test("knnJoinLsh: same top neighbor as brute force within a bucket") {

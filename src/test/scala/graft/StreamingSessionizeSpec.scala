@@ -90,4 +90,33 @@ class StreamingSessionizeSpec extends SparkSpec {
       Seq((t("2021-01-15 11:45:00").getTime * 1000L, 3.0)))
     q.stop()
   }
+
+  test("co-sessionable stragglers in one batch group into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val sessions = StreamingSessionize.sessions(
+      in.toDS().withWatermark("ts", "6 hours").groupByKey(_.user),
+      (e: Evt) => e.ts.getTime * 1000L,
+      (e: Evt) => e.value,
+      gapMs = 30L * 60 * 1000)
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_batch_out")
+      .outputMode(StreamingSessionize.outputMode)
+      .start()
+
+    in.addData(Evt(1L, t("2021-01-15 12:00:00"), 1.0))
+    q.processAllAvailable()
+    // two stragglers 5 min apart, both > gap before the open session,
+    // arriving in ONE batch: one PAST session [10:15, 10:20] n=2 — not
+    // two singletons
+    in.addData(Evt(1L, t("2021-01-15 10:15:00"), 2.0),
+      Evt(1L, t("2021-01-15 10:20:00"), 3.0))
+    q.processAllAvailable()
+    val s = spark.table("sess_batch_out")
+      .as[StreamingSessionize.Session[Long]].collect().toSeq
+    assert(s.map(x => (x.start_us, x.end_us, x.n_events, x.value_sum)) ==
+      Seq((t("2021-01-15 10:15:00").getTime * 1000L,
+        t("2021-01-15 10:20:00").getTime * 1000L, 2L, 5.0)))
+    q.stop()
+  }
 }
