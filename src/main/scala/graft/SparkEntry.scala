@@ -565,6 +565,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // near-dup dedup keeping the BEST doc per cluster (longest by token
+    // count, ties to min id) — the realistic keep decision composed from
+    // pair detection + connected components + a rank-limited window
+    "q57_dedup_keep_best" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = graft.dedup.Dedup.blockedJaccardPairs(
+        docs.select(col("doc_id"), col("source"), col("text")),
+        "text", "doc_id", "source", shingleN = 1, threshold = 0.5,
+        maxBlockSize = Int.MaxValue)
+      graft.ops.Graph.keepBest(
+          docs.select(col("doc_id"), col("text")), "doc_id",
+          pairs, "id_a", "id_b",
+          graft.text.TextFunctions.tokenCount(col("text")))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+
     // salted equi-join: the skew-safe join shape — result provably equals
     // the plain join (the oracle IS the plain join), salt only spreads a
     // hot key over `salt` reducers
@@ -1571,6 +1588,55 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
         |  doc_id = cluster_id AS is_canonical
         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "q57_dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, source,
+        |    list_transform(list_distinct(list_filter(
+        |      string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ',
+        |        'g'))), '\s+'),
+        |      t -> t <> '')), x ->
+        |      list_reduce(list_transform(generate_series(1, 15), ii ->
+        |        CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |             THEN ascii(substr(md5(x), ii, 1)) - 48
+        |             ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b)) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS inter,
+        |    CAST(len(a.s) + len(b.s)
+        |      - len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS uni
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |), e0 AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6)
+        |    >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM e0
+        |  UNION SELECT id_b, id_a FROM e0
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        |), comp AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        |), scored AS (
+        |  SELECT c.doc_id, c.cluster_id,
+        |    len(list_filter(string_split_regex(d.text, '\s+'),
+        |      t -> t <> '')) AS n_ws
+        |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        |), ranked AS (
+        |  SELECT doc_id, cluster_id,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |                       ORDER BY n_ws DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |  FROM scored
+        |)
+        |SELECT doc_id, cluster_id, cluster_size FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // the salted join's contract: identical to the PLAIN join
     "q38_salted_join" ->

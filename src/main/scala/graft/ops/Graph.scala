@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph operators for dedup pipelines. Near-dup detection
@@ -105,6 +105,34 @@ object Graph {
       comps.filter(col("id") === col("cluster_id"))
         .select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
+  }
+
+  /** Near-dup dedup keeping the BEST document per cluster (what a real
+    * pipeline wants — the canonical copy is the longest / highest-quality
+    * one, not the lowest id): label components from the pair list, rank
+    * each cluster by (`score` desc, id asc — deterministic), keep rank 1.
+    * Output: the surviving corpus rows plus their `cluster_id` and
+    * `cluster_size`. One extra shuffle on cluster_id (rank-limited
+    * window, WindowGroupLimit-capped) beyond the component labeling.
+    */
+  def keepBest(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, score: Column): DataFrame = {
+    val comps = connectedComponents(
+      corpus.select(col(idCol)), idCol, pairs, aCol, bCol)
+    // both windows share one ordered spec (the count takes the full
+    // frame) so they collapse into a single sorted WindowExec
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(score.desc, col(idCol))
+    corpus
+      .join(comps, corpus(idCol) === comps("id"))
+      .drop("id")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Per-cluster dedup decision over a component labeling: one row per

@@ -46,6 +46,18 @@ class GraphSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("keepBest: highest score survives per cluster, ties to min id") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Graph.keepBest(corpus, "doc_id", pairs, "id_a", "id_b",
+        col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // cluster {1,2,3}: 2 and 3 tie on 9.0 → 2 wins; {4} is a singleton
+    assert(kept == Map(2L -> 3L, 4L -> 1L))
+  }
+
   test("canonicalize: sizes and keeper flags per cluster") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
       .toDF("id", "cluster_id")
