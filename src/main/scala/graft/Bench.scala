@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import java.util.concurrent.atomic.AtomicLong
 
@@ -75,6 +76,92 @@ object Bench {
       s""""wateryears":$wys,"shuffle_bytes":${meter.bytes.get}}"""
   }
 
+  /** Four replicas of the documents table, each a DISTINCT document set:
+    * a per-replica letter translation destroys cross-replica shingle
+    * overlap (replica copies are NOT near-dups of each other) and a
+    * per-replica source namespace keeps block sizes constant — corpus
+    * growth along the realistic axis (more domains, more distinct docs),
+    * the one a blocked near-dup path must stay linear on.
+    */
+  private def docs4x(d: DataFrame): DataFrame = {
+    val alpha = "etaoins"
+    (0 until 4).map { r =>
+      val rot = alpha.drop(r) + alpha.take(r)
+      d.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        concat(col("source"), lit(s"_r$r")).as("source"),
+        translate(col("text"), alpha, rot).as("text"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Four replicas of the embeddings table with replica-dependent sign
+    * flips (norm-preserving, bucket-rerandomizing — a pure scale of the
+    * vector would keep the sign-LSH bucket identical and fake 4× bucket
+    * density instead of 4× distinct vectors).
+    */
+  private def embs4x(e: DataFrame): DataFrame =
+    (0 until 4).map { r =>
+      e.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(pmod(i, lit(4)) < lit(r), -x).otherwise(x)).as("embedding"))
+    }.reduce(_ unionByName _)
+
+  /** Two-point scale sweep over the heavy bucketed near-dup/ANN paths:
+    * each operator runs on the sf corpus and on a 4× replica-scaled
+    * corpus; the wall-time ratio is the empirical slope (linear ≈ 4,
+    * all-pairs regression ≈ 16). q43's 4× point also applies the
+    * documented LSH scale knob — planes grows with log₄(n) (4 → 6) so
+    * expected bucket occupancy stays constant; the other three scale by
+    * construction (LSH band buckets are sparse in a 64-bit space; the
+    * blocked paths grow in block COUNT, not block size).
+    */
+  private def scaleSweep(spark: SparkSession, sfDir: String): String = {
+    import graft.dedup.Dedup
+    import graft.ops.Graph
+    import graft.similarity.Similarity
+    val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cases: Seq[(String, Int => DataFrame)] = Seq(
+      "q17_minhash_lsh" -> { scale =>
+        val c = if (scale == 1) d1 else docs4x(d1)
+        Dedup.verifiedNearDups(
+          Dedup.minhashLshPairs(c, "text", "doc_id",
+            shingleN = 3, numHashes = 32, bands = 16),
+          c, "text", "doc_id", shingleN = 3, threshold = 0.5)
+      },
+      "q37_dedup_clusters" -> { scale =>
+        val c = if (scale == 1) d1 else docs4x(d1)
+        Graph.canonicalize(Graph.connectedComponents(
+          c.select(col("doc_id")), "doc_id",
+          Dedup.blockedJaccardPairs(c, "text", "doc_id", "source",
+            shingleN = 1, threshold = 0.5, maxBlockSize = Int.MaxValue),
+          "id_a", "id_b"))
+      },
+      "q43_knn_join" -> { scale =>
+        val (e, planes) = if (scale == 1) (e1, 4) else (embs4x(e1), 6)
+        Similarity.knnJoinLsh(e, "embedding", "vec_id",
+          dims = 64, k = 3, planes = planes)
+      },
+      "q51_edit_distance" -> { scale =>
+        val c = if (scale == 1) d1 else docs4x(d1)
+        Dedup.editDistancePairs(c, "text", "doc_id", "source",
+          maxDist = 4, prefixLen = 200)
+      })
+    val entries = cases.map { case (name, mk) =>
+      def run(scale: Int): Double = {
+        val t0 = System.nanoTime()
+        mk(scale).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val x1 = run(1)
+      val x4 = run(4)
+      System.err.println(f"[bench] sweep $name%-24s x1=$x1%6.2f s  " +
+        f"x4=$x4%6.2f s  ratio=${x4 / x1}%5.2f (linear=4, quadratic=16)")
+      s""""$name":{"x1":$x1,"x4":$x4,"ratio":${x4 / x1}}"""
+    }
+    entries.mkString("{", ",", "}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -100,13 +187,15 @@ object Bench {
     // additionally carries plan compilation), which round-3 numbers showed
     // can triple a sub-second query. Queries whose first run exceeds 10 s
     // keep that sample — long runs amortize noise, and re-running them
-    // would double the suite's wall clock for little precision
-    def exec(name: String): Double = {
+    // would double the suite's wall clock for little precision. Returns
+    // (first, min) — both land in the JSON so rounds compare like-for-like
+    // against single-run history.
+    def exec(name: String): (Double, Double) = {
       val first =
         try once(name)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
+          return (-1.0, -1.0)
         }
       // a transient failure on the re-run must not discard run 1's
       // valid sample
@@ -114,16 +203,23 @@ object Bench {
         if (first >= 10.0) first
         else try math.min(first, once(name)) catch { case _: Throwable => first }
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
-      dt
+      (first, dt)
     }
 
     exec("q1_pricing_summary") // warm-up: JIT + codegen + FS metadata
 
+    // SPARK_GRAFT_ONLY=q46_asof_forward,q38_salted_join — iterate on a
+    // subset without paying for the whole suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> exec(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val firsts = results.map { case (k, (f, _)) => "\"" + k + "\":" + f }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._2).filter(_ >= 0).sum
     // two corpus scale points (1× and 4×): the rows/sec slope is the
     // empirical evidence behind the linear-scale-out claim
     def pipelineAt(label: String, filesPerSite: Int): String =
@@ -135,7 +231,14 @@ object Bench {
       }
     val pipeline = pipelineAt("multisite", 12)
     val pipeline4x = pipelineAt("multisite_4x", 48)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline":$pipeline,"pipeline_4x":$pipeline4x,"sf":"$sfDir"}""")
+    val sweep =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SWEEP") || only.isDefined) "null"
+      else try scaleSweep(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] scale sweep failed: ${e.getMessage}")
+        "null"
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"stat":"min","queries":$qs,"first_run":$firsts,"pipeline":$pipeline,"pipeline_4x":$pipeline4x,"scale_sweep":$sweep,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -584,13 +584,15 @@ object SparkEntry {
 
     // salted equi-join: the skew-safe join shape — result provably equals
     // the plain join (the oracle IS the plain join), salt only spreads a
-    // hot key over `salt` reducers
+    // hot key over `salt` reducers. part×8 is still broadcast-sized at
+    // harness SFs, so hint the build side (saltedJoin's broadcast regime)
     "q38_salted_join" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_extendedprice"))
       val p = t(s, dir, "part")
         .select(col("p_partkey").as("l_partkey"), col("p_brand"))
-      graft.ops.Relational.saltedJoin(li, p, Seq("l_partkey"), salt = 8)
+      graft.ops.Relational.saltedJoin(li, p, Seq("l_partkey"), salt = 8,
+          broadcastBuild = true)
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("revenue"))
         .orderBy(col("p_brand"))

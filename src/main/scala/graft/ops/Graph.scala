@@ -24,17 +24,28 @@ object Graph {
     * Output: (`id`, `cluster_id`) — one row per vertex in `vertices`,
     * vertices with no edges forming singleton clusters.
     *
-    * Scale shape: each round is two shuffled joins over the (symmetrized,
-    * deduped, persisted-once) edge list plus one label self-join — all
-    * linear in |E| + |V|, partitioned by vertex id, no driver-side state.
-    * Each round `localCheckpoint`s the label frame: iterative self-joins
-    * otherwise double the lineage/plan per round, and analysis cost goes
-    * quadratic. On a cluster, prefer reliable `checkpoint` with a
-    * checkpoint dir for fault tolerance on long chains.
+    * Scale shape: the symmetrized edge list — the |E|-sized side that
+    * dominates at scale — is deduped, HASH-PARTITIONED ON `dst` AND
+    * SORTED WITHIN PARTITIONS once, then persisted: `InMemoryTableScan`
+    * reports the cached plan's partitioning/ordering, so every round's
+    * edge⋈label join reuses it and only the (|V|-sized, per-round-
+    * changing) label frame shuffles. Each round is then that one big
+    * join + two label-sized joins, all linear in |E| + |V|, no
+    * driver-side state.
     *
-    * The convergence test is one bounded action per round (`limit(1)` on
-    * the changed-flag filter of the already-checkpointed frame) —
-    * inherent to any fixpoint loop; nothing is recomputed.
+    * Two materializations per round, both deliberate: the min-label frame
+    * (`upd`) feeds BOTH sides of the pointer self-join — without
+    * materializing it the |E|-join above it is recomputed per side
+    * (planner-level exchange reuse does not reliably dedupe the two
+    * subtrees; measured) — and the post-jump frame (`next`) truncates
+    * lineage (iterative self-joins otherwise double the plan per round
+    * and analysis cost goes quadratic). On a cluster, prefer reliable
+    * `checkpoint` with a checkpoint dir for fault tolerance on long
+    * chains.
+    *
+    * The convergence test reads the `__changed` flag carried by the
+    * checkpointed frame — a `limit(1)` scan of already-cached blocks, not
+    * a second computation; nothing is recomputed.
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -46,9 +57,13 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .localCheckpoint(true)
+    // partition + sort the big side ONCE: every round's SortMergeJoin on
+    // dst then reads the cached layout instead of re-shuffling |E| rows
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
+      .sortWithinPartitions(col("dst"))
       .persist()
     var labels = vertices
       .select(col(idCol).cast("long").as("id"))
@@ -62,7 +77,8 @@ object Graph {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
       // materialized: it feeds BOTH sides of the pointer self-join below,
-      // which would otherwise recompute the neighbor-min join per side
+      // which would otherwise recompute the |E|-sized neighbor-min join
+      // per side (exchange reuse across the two subtrees is not reliable)
       val upd = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), col("lbl").as("__lbl0"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
@@ -71,6 +87,8 @@ object Graph {
       // pointer halving: jump to the label's own (updated) label — labels
       // only ever decrease, so the jump target is always ≤ the current one
       val ptr = upd.select(col("id").as("__pid"), col("__lbl1").as("__plbl"))
+      // second materialization: lineage truncation, carrying the changed
+      // flag so the convergence check reads cached blocks
       val next = upd.join(ptr, upd("__lbl1") === ptr("__pid"), "left")
         .select(upd("id"),
           least(col("__lbl1"), coalesce(col("__plbl"), col("__lbl1")))

@@ -23,12 +23,28 @@ object Relational {
     * deterministic form that also covers aggregations downstream and
     * engines/paths AQE doesn't reach.)
     *
-    * Cost model: replicates `right` `salt`× through the shuffle — size the
-    * factor to the observed skew (hot-key rows / target task size), not
-    * higher.
+    * Two regimes, and the plan must match the regime:
+    *   - **Shuffle regime** (`broadcastBuild = false`, the default): the
+    *     replicated build side shuffles with the probe side and the plan
+    *     is a sort-merge/shuffled-hash join on (keys, salt). This is the
+    *     operator's reason to exist — the build side is too large to
+    *     broadcast, so skew must be spread across reducers.
+    *   - **Broadcast regime** (`broadcastBuild = true`): when |right|·salt
+    *     still fits the broadcast threshold, hint it — the exploded build
+    *     side defeats Spark's size estimate (Generate inflates stats), so
+    *     without the hint Spark sort-merge-joins a build side it could
+    *     broadcast, paying a full probe-side shuffle+sort for nothing.
+    *     Note a broadcast hash join has no reduce-side skew at all, so in
+    *     this regime the salt is only exercising the shape; a caller who
+    *     KNOWS the build side broadcasts should prefer a plain
+    *     `left.join(broadcast(right), keys)`.
+    *
+    * Cost model (shuffle regime): replicates `right` `salt`× through the
+    * shuffle — size the factor to the observed skew (hot-key rows /
+    * target task size), not higher.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      salt: Int): DataFrame = {
+      salt: Int, broadcastBuild: Boolean = false): DataFrame = {
     require(salt >= 1, s"salt factor must be >= 1: $salt")
     // any deterministic per-row value works (correctness does not depend
     // on spread); hashing the key columns plus all others avoids a fixed
@@ -37,7 +53,8 @@ object Relational {
       pmod(hash(left.columns.map(col).toSeq: _*), lit(salt)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
-    l.join(r, keys :+ "__salt").drop("__salt")
+    l.join(if (broadcastBuild) broadcast(r) else r, keys :+ "__salt")
+      .drop("__salt")
   }
 
   /** Top `k` rows per group under an explicit total order (pass enough

@@ -196,10 +196,15 @@ object TimeSeries {
   /** As-of FORWARD join: each left row gets the NEAREST FOLLOWING right
     * row's values (right.ts ≥ left.ts, inclusive) per key — "the next
     * reference reading after this event". Same single-shuffle union +
-    * running-window shape as [[asofJoinBackward]], mirrored: the window
-    * runs `first(ignoreNulls)` over the FOLLOWING frame, with right rows
-    * sorted after left rows at equal timestamps so inclusive ties are
-    * visible to the frame.
+    * running-window shape as [[asofJoinBackward]], MIRRORED rather than
+    * reflected: the union is ordered by (`ts` DESC, right-first at ties)
+    * and the window is the same running `last(ignoreNulls)` over the
+    * PRECEDING frame. In the reversed order "preceding" IS the future, so
+    * the running frame picks the smallest right.ts ≥ left.ts — and Spark
+    * executes unboundedPreceding..currentRow frames with an O(n)
+    * accumulating scan, where the naive `first() over currentRow..
+    * unboundedFollowing` frame re-scans to the partition end per output
+    * row (UnboundedFollowingWindowFunctionFrame — O(n²) per key).
     */
   def asofJoinForward(
       left: DataFrame,
@@ -220,21 +225,19 @@ object TimeSeries {
     val l = left.select(col("*"), lit(null).cast(rvType).as("__rv"),
       lit(0).as("__isr"))
     val u = l.unionByName(r, allowMissingColumns = true)
-    // backward: right-first at ties, running last() over the preceding
-    // frame; forward: left-first at ties, running first() over the
-    // following frame — either way a right row at the same timestamp is
-    // inside the left row's frame
-    val base = Window.partitionBy(keys.map(col): _*)
-    val (w, picked) =
-      if (forward) (
-        base.orderBy(col(tsCol).asc, col("__isr").asc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing),
-        (c: Column) => first(c, ignoreNulls = true))
-      else (
-        base.orderBy(col(tsCol).asc, col("__isr").desc)
-          .rowsBetween(Window.unboundedPreceding, 0),
-        (c: Column) => last(c, ignoreNulls = true))
-    u.withColumn("__pick", picked(col("__rv")).over(w))
+    // both directions are a running last(ignoreNulls) over the PRECEDING
+    // frame (the only frame Spark executes with an O(n) accumulating
+    // scan); the direction lives entirely in the sort: backward = ts ASC,
+    // forward = ts DESC (so "preceding" is the future). Either way right
+    // rows sort BEFORE left rows at equal timestamps (__isr DESC), which
+    // puts a same-timestamp right row inside the left row's frame —
+    // inclusive-tie semantics in both directions.
+    val ord =
+      if (forward) Seq(col(tsCol).desc, col("__isr").desc)
+      else Seq(col(tsCol).asc, col("__isr").desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("__pick", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__isr") === 0)
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__pick.$c").as(s"$c$suffix")): _*)
