@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Render the tower-report PDF from ReportPrep output — the driver-side
+tail of the reference's report (reference src/TowerReportPlots.py:75-124:
+one page per variable group, one subplot per variable, one line per
+station).
+
+The engine's half is `graft.report.ReportPrep.lastDays` (newest
+aggregate, trailing 10-day slice, ≤ ~480 rows/station); this script is
+the out-of-engine half the reference runs in matplotlib. Feed it one CSV
+per station (the tiny collected frame):
+
+    // Scala, per station: collect the report slice to a local CSV
+    ReportPrep.lastDays(spark, files, table = "Flux")
+      .coalesce(1).write.option("header", true).csv(s"report/$station")
+
+    python3 scripts/render_report.py out.pdf report/CookEast=CookEast.csv \
+        report/CookWest=CookWest.csv
+
+Each argument is `<Station>=<csv-path>` (or just a path, station =
+filename stem). `--groups` picks specific pages; `--dry-run` lists the
+pages/variables without importing matplotlib.
+"""
+
+import argparse
+import sys
+
+import pandas as pd
+
+# ReportPrep.variableGroups (keep in sync — reference :75-85)
+VARIABLE_GROUPS = {
+    "Fluxes": ["Fc_molar", "LE", "H"],
+    "Met": ["amb_tmpr_Avg", "RH_Avg", "amb_press_Avg", "Precipitation_Tot"],
+    "Wind": ["rslt_wnd_spd", "wnd_dir_compass"],
+    "Radiation": ["PAR_density_Avg", "Rn_meas_Avg"],
+    "Humidity": ["VPD_air", "e_Avg", "e_sat_Avg"],
+}
+
+
+def load_frames(specs):
+    """-> {station: DataFrame indexed by TIMESTAMP}."""
+    frames = {}
+    for spec in specs:
+        station, _, path = spec.rpartition("=")
+        if not station:
+            station = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        df = pd.read_csv(path, parse_dates=["TIMESTAMP"])
+        frames[station] = df.set_index("TIMESTAMP").sort_index()
+    return frames
+
+
+def render(frames, out_path, groups):
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib.backends.backend_pdf import PdfPages
+    except ImportError:
+        raise SystemExit(
+            "matplotlib is required to render (pip install matplotlib); "
+            "use --dry-run to check inputs without it")
+    with PdfPages(out_path) as pdf:
+        for label, variables in groups.items():
+            fig = plt.figure(figsize=(8, 8))
+            fig.suptitle(label, fontsize=14, fontweight="bold")
+            page_has_data = False
+            for idx, var in enumerate(variables, 1):
+                ax = plt.subplot(len(variables), 1, idx)
+                for station, df in frames.items():
+                    if var in df.columns and df[var].notna().any():
+                        ax.plot(df.index, df[var].astype(float), label=station)
+                        page_has_data = True
+                ax.set_ylabel(var, fontsize=12)
+                ax.tick_params(axis="x", rotation=45)
+                if ax.has_data():
+                    ax.legend(fontsize=8)
+                else:
+                    print("warning: no data for %s" % var, file=sys.stderr)
+            if page_has_data:
+                fig.tight_layout(rect=[0, 0.03, 1, 0.95])
+                pdf.savefig(fig)
+            plt.close(fig)
+    print("wrote %s" % out_path, file=sys.stderr)
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("out", help="output PDF path")
+    ap.add_argument("csvs", nargs="+", help="<Station>=<csv> per station")
+    ap.add_argument("--groups", nargs="*", choices=sorted(VARIABLE_GROUPS),
+                    help="render only these pages")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="list pages/variables found per station, no PDF")
+    args = ap.parse_args()
+    groups = {k: v for k, v in VARIABLE_GROUPS.items()
+              if not args.groups or k in args.groups}
+    frames = load_frames(args.csvs)
+    if args.dry_run:
+        for label, variables in groups.items():
+            for var in variables:
+                have = [s for s, df in frames.items()
+                        if var in df.columns and df[var].notna().any()]
+                print("%s / %s: %s" % (label, var, ", ".join(have) or "NO DATA"))
+        return
+    render(frames, args.out, groups)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Convert the reference's DataLakeDownload Excel config workbook to the
+sites CSV that graft.config.SiteConfig.fromCsv reads.
+
+The reference loads QC thresholds per site from one workbook sheet per
+site (reference src/LTARCAFTowerReport.py:61 `pd.read_excel(configPath,
+sheet_name=Sites[k], index_col='Variable')`, consumed by `readinfo`,
+src/AzureDataLakeAccess.py:521-530). The engine intentionally does not
+ship an xlsx reader (no extra dependencies on the Spark classpath); this
+driver-side script closes the migration gap with the Python standard
+library only — an .xlsx file is a zip of XML, no openpyxl/pandas needed.
+
+Sheet layout (see DataLakeDownload_TEMPLATE.xlsx; columns B/C/D are the
+'Flux'/'Met'/'Val_3' columns of the reference's dict):
+
+  row 11  grade   B=grade (1..9)
+  row 12  LE_B    B=low, C=high      latent-heat-flux hard bounds
+  row 13  H_B     B=low, C=high      sensible-heat-flux hard bounds
+  row 14  F_B     B=low, C=high      CO2-flux hard bounds
+  row 15  ustar   B=friction-velocity floor
+  row 16  gg      B,C,D = QC-grade column names (H, LE, Fc)
+  row 17  cls     B,C,D = flux column names     (H, LE, Fc)
+
+Azure connection rows (storageaccountname/path/CLIENTID/...) are dropped:
+Spark reads `abfss://` natively with account OAuth confs. Station
+elevation `z` is not in the workbook (the reference hard-codes 0.777 km
+in METQC, src/AzureDataLakeAccess.py:625), so it is emitted as 0.777;
+edit the CSV afterwards for stations at other elevations.
+
+Usage:
+  python3 scripts/xlsx_to_sites_csv.py DataLakeDownload.xlsx sites.csv
+"""
+
+import sys
+import xml.etree.ElementTree as ET
+import zipfile
+
+M = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+HEADER = "site,grade,le_lo,le_hi,h_lo,h_hi,f_lo,f_hi,ustar,cls,gg,z"
+
+
+def sheet_cells(z, target):
+    """-> {'B11': '7', ...} for one worksheet, shared strings resolved."""
+    try:
+        shared = [
+            "".join(t.text or "" for t in si.iter(M + "t"))
+            for si in ET.fromstring(z.read("xl/sharedStrings.xml")).iter(M + "si")
+        ]
+    except KeyError:
+        shared = []
+    cells = {}
+    for c in ET.fromstring(z.read(target)).iter(M + "c"):
+        v = c.find(M + "v")
+        if v is None or v.text is None:
+            continue
+        val = shared[int(v.text)] if c.get("t") == "s" else v.text
+        cells[c.get("r")] = val.strip()
+    return cells
+
+
+def convert(xlsx_path):
+    z = zipfile.ZipFile(xlsx_path)
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    rel_target = {r.get("Id"): r.get("Target") for r in rels}
+    lines = [HEADER]
+    for s in wb.find(M + "sheets"):
+        name = s.get("name")
+        cells = sheet_cells(z, "xl/" + rel_target[s.get(R + "id")].lstrip("/"))
+        # a site sheet carries the QC block; InfoSheet and friends do not
+        rows = {cells.get("A%d" % i): i for i in range(1, 40)}
+        if "grade" not in rows:
+            print("skipping sheet %r (no QC rows)" % name, file=sys.stderr)
+            continue
+
+        def cell(col, var):
+            ref = "%s%d" % (col, rows[var])
+            if ref not in cells:
+                raise SystemExit(
+                    "sheet %r: missing cell %s (%s)" % (name, ref, var))
+            return cells[ref]
+
+        def num(col, var):
+            return float(cell(col, var))
+
+        lines.append(",".join([
+            name,
+            str(int(num("B", "grade"))),
+            str(num("B", "LE_B")), str(num("C", "LE_B")),
+            str(num("B", "H_B")), str(num("C", "H_B")),
+            str(num("B", "F_B")), str(num("C", "F_B")),
+            str(num("B", "ustar")),
+            "|".join(cell(c, "cls") for c in "BCD"),
+            "|".join(cell(c, "gg") for c in "BCD"),
+            "0.777",
+        ]))
+    return "\n".join(lines) + "\n"
+
+
+def main():
+    if len(sys.argv) != 3:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
+    out = convert(sys.argv[1])
+    with open(sys.argv[2], "w") as f:
+        f.write(out)
+    print("wrote %s:\n%s" % (sys.argv[2], out), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

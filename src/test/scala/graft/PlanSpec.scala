@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.config.SiteConfig
 import graft.pipeline.Aggregate
 import graft.testkit.Toa5Fixture
@@ -49,5 +50,34 @@ class PlanSpec extends SparkSpec {
     assert(count(wide, "Exchange ") == count(narrow, "Exchange "),
       s"multi-site added exchanges:\n${wide.take(2000)}")
     assert(count(wide, "\\bWindow \\[") == 2)
+  }
+
+  test("operator shapes are AQE-compatible (SURVEY §4): runtime re-plan") {
+    // the suite session runs with Spark's default AQE=on — the same mode a
+    // cluster runs — so every plan assertion above already holds under AQE;
+    // this pins it (a config regression would silently change all plans)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    import spark.implicits._
+    // the salted join's SHUFFLE regime — the cluster case where the build
+    // side is too big to broadcast (modeled by disabling the static
+    // broadcast threshold): the plan is declarative exchanges only, so AQE
+    // re-plans it at runtime — here by coalescing the post-shuffle
+    // partitions (AQEShuffleRead); on a cluster the same shape also gets
+    // skew-split. collect() finalizes THIS frame's QueryExecution, so the
+    // printed plan is the adaptive final plan, not the static guess.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = (1 to 20000).map(i => (i % 997, i)).toDF("k", "v")
+      val right = (1 to 500).map(i => (i, s"d$i")).toDF("k", "name")
+      val j = graft.ops.Relational.saltedJoin(left, right, Seq("k"), salt = 4)
+        .groupBy(col("name")).count()
+      assert(j.collect().length == 500)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("AdaptiveSparkPlan isFinalPlan=true"),
+        s"expected a finalized adaptive plan:\n${plan.take(1500)}")
+      assert(plan.contains("AQEShuffleRead"),
+        s"AQE did not re-plan the salted join's shuffles:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
