@@ -180,8 +180,15 @@ object Dedup {
       blockCol: String, shingleN: Int = 1, threshold: Double = 0.5,
       maxBlockSize: Int = 10000): DataFrame = {
     val tNum = 2L * math.round(threshold * 1e6) - 1 // 2e6·i >= tNum·u
+    // coalesce to a non-null empty set: a null text can never pass the
+    // threshold filter either way, but a NULLABLE sh column makes the
+    // optimizer infer an IsNotNull(size(sh)) filter from the join's size
+    // predicates and push it below the projection — where predicate
+    // inlining re-expands the whole shingle HOF and the corpus pays the
+    // md5 scan twice on that side (measured in the q19 plan)
     val d = df.select(col(blockCol).as("__blk"), col(idCol),
-      hashedShingles(col(textCol), shingleN).as("sh"))
+      coalesce(hashedShingles(col(textCol), shingleN),
+        typedLit(Array.empty[Long])).as("sh"))
     val l = d.withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__blk"))))
       .select(col("__blk"),

@@ -71,6 +71,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asof joins agree with the per-row scan reference on random series") {
+    // guards the mirrored-window implementation (forward = reversed sort +
+    // running last) against the obvious failure modes: equal-timestamp
+    // ties left/right, duplicate left timestamps, keys with no match,
+    // keys present on only one side
+    val caseGen = for {
+      nl <- Gen.choose(1, 40)
+      nr <- Gen.choose(0, 25)
+      lrows <- Gen.listOfN(nl, for {
+        k <- Gen.choose(1, 4)
+        t <- Gen.choose(0L, 30L) // small domain → frequent ties
+      } yield (k, t))
+      rrows <- Gen.listOfN(nr, for {
+        k <- Gen.choose(1, 5)
+        t <- Gen.choose(0L, 30L)
+      } yield (k, t))
+    } yield (lrows, rrows)
+    samples(caseGen, 12).foreach { case (lrows, rrows) =>
+      val left = lrows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+      // right side deduped on (k, t) as the operator contract requires
+      val right = rrows.distinct.map { case (k, t) => (k, t, k * 100.0 + t) }
+      val ldf = left.toDF("k", "t", "lid")
+      val rdf =
+        if (right.isEmpty) Seq((1, 1L, 1.0)).toDF("k", "t", "ref").limit(0)
+        else right.toDF("k", "t", "ref")
+      def reference(forward: Boolean): Map[Long, Option[Double]] =
+        left.map { case (k, t, lid) =>
+          val cands = right.filter { case (rk, rt, _) =>
+            rk == k && (if (forward) rt >= t else rt <= t) }
+          val pick = if (forward) cands.sortBy(_._2).headOption
+            else cands.sortBy(_._2).lastOption
+          lid -> pick.map(_._3)
+        }.toMap
+      for (forward <- Seq(false, true)) {
+        val got = (if (forward)
+            TimeSeries.asofJoinForward(ldf, rdf, "t", Seq("k"), Seq("ref"))
+          else
+            TimeSeries.asofJoinBackward(ldf, rdf, "t", Seq("k"), Seq("ref")))
+          .collect()
+          .map(r => r.getLong(2) ->
+            (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+          .toMap
+        assert(got == reference(forward),
+          s"forward=$forward left=$left right=$right")
+      }
+    }
+  }
+
   test("rangeJoin equals the naive containment join on random intervals") {
     val caseGen = for {
       np <- Gen.choose(1, 40)
