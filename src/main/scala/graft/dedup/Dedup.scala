@@ -238,11 +238,23 @@ object Dedup {
       blockCol: String, maxDist: Int, prefixLen: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
     require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
-    val d = df.select(col(blockCol).as("__blk"), col(idCol),
-        substring(TextFunctions.normalized(col(textCol)), 1, prefixLen)
-          .as("__norm"))
+    // null-text rows can never pair — filter them on the RAW column (a
+    // pushed parquet filter), then coalesce the normalized text to
+    // non-null (a no-op after the filter). Without the nullability fix the
+    // optimizer infers IsNotNull filters from the __bkt join key and the
+    // length predicates, pushes them below this projection, and predicate
+    // inlining re-expands the normalize-regex chain per inferred filter —
+    // the scan pays the regex several times (seen in the q51 plan).
+    val d = df.filter(col(textCol).isNotNull)
+      .select(col(blockCol).as("__blk"), col(idCol),
+        substring(coalesce(TextFunctions.normalized(col(textCol)), lit("")),
+          1, prefixLen).as("__norm"))
       .withColumn("__len", length(col("__norm")))
-      .withColumn("__bkt", (col("__len") / maxDist).cast("long"))
+      // coalesce because Divide is statically nullable (0-divisor → null)
+      // even with a literal divisor — a nullable __bkt join key re-infers
+      // the IsNotNull filter the coalesce above just removed
+      .withColumn("__bkt",
+        coalesce((col("__len") / maxDist).cast("long"), lit(0L)))
     val probe = d.select(col("__blk"), col(idCol).as("id_a"),
       col("__norm").as("__na"), col("__len").as("__la"),
       explode(array(col("__bkt"), col("__bkt") + 1)).as("__bkt"))

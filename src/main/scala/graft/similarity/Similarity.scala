@@ -160,8 +160,13 @@ object Similarity {
       .withColumn("__buckets", array((0 until probes).map(p =>
         struct(lit(p).as("probe"),
           lshBucketAt(col("__v"), dims, planes, p * planes).as("b"))): _*))
+      // explode_OUTER: the array has a fixed arity ≥ 1, so outer ≡ inner —
+      // but inner explode makes InferFiltersFromGenerate add a
+      // size(__buckets) > 0 filter BELOW the projection, where inlining
+      // re-expands every probe's whole bucket computation (planes dots ×
+      // dims) a second time per row
       .select(col(idCol), col("__v"),
-        explode(col("__buckets")).as("__pb"))
+        explode_outer(col("__buckets")).as("__pb"))
       .select(col(idCol), col("__v"), col("__pb.probe").as("__probe"),
         col("__pb.b").as("__bucket"))
     val l = d.select(col("__probe"), col("__bucket"),
