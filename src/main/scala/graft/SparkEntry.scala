@@ -582,6 +582,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // end-to-end keep-canonical near-dup dedup (X34): pair detection →
+    // connected components → keep the minimum-id doc per cluster — the
+    // one-call corpus dedup (Graph.keepCanonical), oracled directly
+    // against the recursive-CTE reachability + keeper filter
+    "q58_dedup_keep_canonical" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = graft.dedup.Dedup.blockedJaccardPairs(
+        docs.select(col("doc_id"), col("source"), col("text")),
+        "text", "doc_id", "source", shingleN = 1, threshold = 0.5,
+        maxBlockSize = Int.MaxValue)
+      graft.ops.Graph.keepCanonical(
+          docs.select(col("doc_id"), col("source")), "doc_id",
+          pairs, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    },
+
     // salted equi-join: the skew-safe join shape — result provably equals
     // the plain join (the oracle IS the plain join), salt only spreads a
     // hot key over `salt` reducers. part×8 is still broadcast-sized at
@@ -1590,6 +1606,47 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
         |  doc_id = cluster_id AS is_canonical
         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // same labeling as q37; keep exactly the canonical (min-id) member
+    "q58_dedup_keep_canonical" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, source,
+        |    list_transform(list_distinct(list_filter(
+        |      string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ',
+        |        'g'))), '\s+'),
+        |      t -> t <> '')), x ->
+        |      list_reduce(list_transform(generate_series(1, 15), ii ->
+        |        CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |             THEN ascii(substr(md5(x), ii, 1)) - 48
+        |             ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b)) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS inter,
+        |    CAST(len(a.s) + len(b.s)
+        |      - len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS uni
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |), e0 AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6)
+        |    >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM e0
+        |  UNION SELECT id_b, id_a FROM e0
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        |), comp AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id, d.source
+        |FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        |WHERE c.doc_id = c.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q57_dedup_keep_best" ->
       """WITH RECURSIVE sh AS (
