@@ -76,13 +76,15 @@ object TowerReportJob {
 
     // report prep over the freshly written Flux aggregates (reference
     // TowerReport; rendering stays driver-side, the data prep is engine
-    // work — SURVEY §2.1 S11)
+    // work — SURVEY §2.1 S11): one tiny CSV per station under
+    // <root>/report/, the exact input of scripts/render_report.py
     for ((site, _) <- configs.toSeq.sortBy(_._1)) {
       val aggs = ls(s"$root/output/$site/Flux", ".csv")
       if (aggs.nonEmpty) {
         val window = ReportPrep.lastDays(spark, aggs, "Flux", days = 10)
-        System.err.println(
-          s"[job] report window $site: ${window.count()} rows")
+        val out = s"$root/report/$site.csv"
+        graft.io.CsvSink.writeSingleCsv(window, out)
+        System.err.println(s"[job] report window $site -> $out")
       }
     }
     if (!hadSession) spark.stop()

@@ -28,6 +28,13 @@ class TowerReportJobSpec extends SparkSpec {
     val again = new java.io.File(s"$root/output/CookEast/Met").listFiles()
     assert(again.exists(
       _.getName == "CookEast_Met_AggregateQC_CY2021_V40826_20210121.csv"))
+
+    // the render-ready report CSV (scripts/render_report.py input): one
+    // headered file per station, TIMESTAMP first
+    val report = new java.io.File(s"$root/report/CookEast.csv")
+    assert(report.isFile, s"missing report CSV at $report")
+    val header = scala.io.Source.fromFile(report).getLines().next()
+    assert(header.startsWith("TIMESTAMP,"), header)
   }
 
   test("TowerReportJob resolves a URI-scheme root and its sites.csv " +
