@@ -13,12 +13,14 @@ per station (the tiny collected frame):
     ReportPrep.lastDays(spark, files, table = "Flux")
       .coalesce(1).write.option("header", true).csv(s"report/$station")
 
-    python3 scripts/render_report.py out.pdf report/CookEast=CookEast.csv \
-        report/CookWest=CookWest.csv
+    python3 scripts/render_report.py out.pdf CookEast=report/CookEast.csv \
+        CookWest=report/CookWest.csv
 
-Each argument is `<Station>=<csv-path>` (or just a path, station =
-filename stem). `--groups` picks specific pages; `--dry-run` lists the
-pages/variables without importing matplotlib.
+Each argument is `<Station>=<csv-path>` or just a path (station =
+filename stem; a '=' only splits the spec when the station part
+contains no '/', so partition-style paths like `site=CookEast/x.csv`
+pass through whole). `--groups` picks specific pages; `--dry-run`
+lists the pages/variables without importing matplotlib.
 """
 
 import argparse
@@ -41,7 +43,9 @@ def load_frames(specs):
     frames = {}
     for spec in specs:
         station, _, path = spec.rpartition("=")
-        if not station:
+        # a '=' inside a directory name (site=CookEast/...) is not a spec
+        if not station or "/" in station:
+            path = spec
             station = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
         df = pd.read_csv(path, parse_dates=["TIMESTAMP"])
         frames[station] = df.set_index("TIMESTAMP").sort_index()

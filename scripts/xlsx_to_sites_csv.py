@@ -52,10 +52,13 @@ def sheet_cells(z, target):
         shared = []
     cells = {}
     for c in ET.fromstring(z.read(target)).iter(M + "c"):
-        v = c.find(M + "v")
-        if v is None or v.text is None:
-            continue
-        val = shared[int(v.text)] if c.get("t") == "s" else v.text
+        if c.get("t") == "inlineStr":  # POI/SXSSF-style: text in <is><t>
+            val = "".join(t.text or "" for t in c.iter(M + "t"))
+        else:
+            v = c.find(M + "v")
+            if v is None or v.text is None:
+                continue
+            val = shared[int(v.text)] if c.get("t") == "s" else v.text
         cells[c.get("r")] = val.strip()
     return cells
 
@@ -68,7 +71,11 @@ def convert(xlsx_path):
     lines = [HEADER]
     for s in wb.find(M + "sheets"):
         name = s.get("name")
-        cells = sheet_cells(z, "xl/" + rel_target[s.get(R + "id")].lstrip("/"))
+        # relationship targets are workbook-relative ('worksheets/x.xml')
+        # unless absolute ('/xl/worksheets/x.xml' — already rooted)
+        tgt = rel_target[s.get(R + "id")]
+        tgt = tgt.lstrip("/") if tgt.startswith("/") else "xl/" + tgt
+        cells = sheet_cells(z, tgt)
         # a site sheet carries the QC block; InfoSheet and friends do not
         rows = {cells.get("A%d" % i): i for i in range(1, 40)}
         if "grade" not in rows:
@@ -85,7 +92,7 @@ def convert(xlsx_path):
         def num(col, var):
             return float(cell(col, var))
 
-        lines.append(",".join([
+        fields = [
             name,
             str(int(num("B", "grade"))),
             str(num("B", "LE_B")), str(num("C", "LE_B")),
@@ -95,7 +102,15 @@ def convert(xlsx_path):
             "|".join(cell(c, "cls") for c in "BCD"),
             "|".join(cell(c, "gg") for c in "BCD"),
             "0.777",
-        ]))
+        ]
+        # SiteConfig.fromCsv splits naively on ',' — fail loud rather than
+        # emit a row it would misparse
+        bad = [f for f in fields if "," in f]
+        if bad:
+            raise SystemExit(
+                "sheet %r: value(s) %r contain ',' which the sites CSV "
+                "cannot carry; rename the sheet/column" % (name, bad))
+        lines.append(",".join(fields))
     return "\n".join(lines) + "\n"
 
 

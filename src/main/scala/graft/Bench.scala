@@ -153,11 +153,18 @@ object Bench {
         mk(scale).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val x1 = run(1)
-      val x4 = run(4)
-      System.err.println(f"[bench] sweep $name%-24s x1=$x1%6.2f s  " +
-        f"x4=$x4%6.2f s  ratio=${x4 / x1}%5.2f (linear=4, quadratic=16)")
-      s""""$name":{"x1":$x1,"x4":$x4,"ratio":${x4 / x1}}"""
+      // degrade per case (like exec's -1.0) — one failing case must not
+      // discard the other cases' completed samples
+      try {
+        val x1 = run(1)
+        val x4 = run(4)
+        System.err.println(f"[bench] sweep $name%-24s x1=$x1%6.2f s  " +
+          f"x4=$x4%6.2f s  ratio=${x4 / x1}%5.2f (linear=4, quadratic=16)")
+        s""""$name":{"x1":$x1,"x4":$x4,"ratio":${x4 / x1}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sweep $name failed: ${e.getMessage}")
+        s""""$name":null"""
+      }
     }
     entries.mkString("{", ",", "}")
   }
@@ -212,6 +219,9 @@ object Bench {
     // subset without paying for the whole suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY entry '$n' " +
+        "matches no query — typo?")))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> exec(n))

@@ -82,9 +82,17 @@ object TowerReportJob {
       val aggs = ls(s"$root/output/$site/Flux", ".csv")
       if (aggs.nonEmpty) {
         val window = ReportPrep.lastDays(spark, aggs, "Flux", days = 10)
-        val out = s"$root/report/$site.csv"
-        graft.io.CsvSink.writeSingleCsv(window, out)
-        System.err.println(s"[job] report window $site -> $out")
+        // an empty window (e.g. a header-only aggregate from an
+        // interrupted prior run) must not abort the driver after the
+        // aggregation work, nor write a headerless file the renderer
+        // chokes on — log and move on, like the no-raw-files branch
+        if (window.isEmpty) {
+          System.err.println(s"[job] report window $site: empty, skipping")
+        } else {
+          val out = s"$root/report/$site.csv"
+          graft.io.CsvSink.writeSingleCsv(window, out)
+          System.err.println(s"[job] report window $site -> $out")
+        }
       }
     }
     if (!hadSession) spark.stop()
