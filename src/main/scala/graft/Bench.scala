@@ -192,11 +192,14 @@ object Bench {
     // min of two timed runs: a single sample conflates steady-state cost
     // with whatever else the machine was doing that second (and run 1
     // additionally carries plan compilation), which round-3 numbers showed
-    // can triple a sub-second query. Queries whose first run exceeds 10 s
+    // can triple a sub-second query. Queries whose first run exceeds 20 s
     // keep that sample — long runs amortize noise, and re-running them
-    // would double the suite's wall clock for little precision. Returns
-    // (first, min) — both land in the JSON so rounds compare like-for-like
-    // against single-run history.
+    // would double the suite's wall clock for little precision. (The
+    // threshold sits WELL above the slowest query's cold time ~9-12 s: a
+    // threshold near that boundary made the reported number flip between
+    // cold and steady regimes with machine mood — a 2.5× phantom
+    // regression.) Returns (first, min) — both land in the JSON so rounds
+    // compare like-for-like against single-run history.
     def exec(name: String): (Double, Double) = {
       val first =
         try once(name)
@@ -207,7 +210,7 @@ object Bench {
       // a transient failure on the re-run must not discard run 1's
       // valid sample
       val dt =
-        if (first >= 10.0) first
+        if (first >= 20.0) first
         else try math.min(first, once(name)) catch { case _: Throwable => first }
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       (first, dt)
