@@ -1077,6 +1077,14 @@ object SparkEntry {
         |         i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
         |       ELSE [] END FROM t2) AS s
         |  FROM corpus
+        |), hs AS (
+        |  SELECT doc_id, list_transform(s, x ->
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |           THEN ascii(substr(md5(x), ii, 1)) - 48
+        |           ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |      (a, b) -> a * 16 + b)) AS h
+        |  FROM sh
         |), hp AS (
         |  SELECT doc_id, s,
         |    list_transform(list_transform(s, x -> md5(x)), h -> struct_pack(
@@ -1110,14 +1118,14 @@ object SparkEntry {
         |    AND a.doc_id < b.doc_id
         |), verified AS (
         |  SELECT id_a, id_b,
-        |    CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x)))
+        |    CAST(len(list_filter(ha.h, x -> list_contains(hb.h, x)))
         |      AS DOUBLE) AS inter,
-        |    CAST(len(sa.s) + len(sb.s)
-        |      - len(list_filter(sa.s, x -> list_contains(sb.s, x)))
+        |    CAST(len(ha.h) + len(hb.h)
+        |      - len(list_filter(ha.h, x -> list_contains(hb.h, x)))
         |      AS DOUBLE) AS uni
         |  FROM cand
-        |  JOIN sh sa ON sa.doc_id = id_a
-        |  JOIN sh sb ON sb.doc_id = id_b
+        |  JOIN hs ha ON ha.doc_id = id_a
+        |  JOIN hs hb ON hb.doc_id = id_b
         |)
         |SELECT id_a, id_b,
         |  round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) AS jaccard

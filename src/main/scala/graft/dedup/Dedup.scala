@@ -134,20 +134,54 @@ object Dedup {
     when(union > 0, inter / union).otherwise(0d)
   }
 
-  /** Verify LSH candidates with exact Jaccard ≥ threshold. `texts` must
-    * carry (idCol, textCol); broadcast-join-able when the candidate set is
-    * small, else a shuffled equi-join on id.
+  /** Verify LSH candidates with exact Jaccard ≥ threshold (threshold must
+    * be > 0). `texts` must carry (idCol, textCol); broadcast-join-able
+    * when the candidate set is small, else a shuffled equi-join on id.
+    *
+    * The verify tier is the part that touches O(candidates) pairs at
+    * scale, so it runs over 60-bit HASHED shingle sets with the native
+    * sorted-merge intersect ([[hashedShingles]] +
+    * `sortedIntersectCount` — same design as [[blockedJaccardPairs]]):
+    * long equality beats string equality several times over inside the
+    * per-pair walk, and set counts over the hashed sets equal the string
+    * ones w.h.p. (collision odds ~n²/2^61). Selection runs as the exact
+    * integer predicate `2e6·i ≥ (2·round(1e6·t) − 1)·u` ⟺
+    * `round(i/u, 6) ≥ t` — evaluated once per candidate, with the rounded
+    * quotient computed only for survivors.
     */
   def verifiedNearDups(pairs: DataFrame, texts: DataFrame, textCol: String,
       idCol: String, shingleN: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh = texts.select(col(idCol),
-      shingles(col(textCol), shingleN).as("sh"))
-    pairs
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    val tNum = 2L * math.round(threshold * 1e6) - 1
+    // materialize the candidate list ONCE (it is consumed twice below:
+    // the id semi-join reduction and the verify join — lazily it would
+    // recompute the whole LSH candidate generation per use); it is the
+    // small tier of the pipeline by construction. Same discipline as
+    // Graph.connectedComponents' edge materialization.
+    val p = pairs.localCheckpoint(true)
+    // hash only the docs that actually appear in a candidate pair (a
+    // semi-join reduction): the hashed sets cost an md5 pass per doc per
+    // join side, and candidates are typically a small slice of the corpus
+    // — without the reduction the verify tier re-hashes the whole corpus
+    // twice to verify a handful of pairs
+    val ids = p.select(col("id_a").as(idCol))
+      .unionByName(p.select(col("id_b").as(idCol)))
+      .distinct()
+    // non-null coalesce: see blockedJaccardPairs — a nullable shingle
+    // column re-derives IsNotNull filters that inline the whole HOF
+    val sh = texts.join(ids, Seq(idCol), "left_semi").select(col(idCol),
+      coalesce(hashedShingles(col(textCol), shingleN),
+        typedLit(Array.empty[Long])).as("sh"))
+    val inter = graft.functions.VectorExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
+    val union = size(col("sh_a")).cast("long") +
+      size(col("sh_b")).cast("long") - inter
+    p
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(union > 0 && inter * 2000000L >= union * tNum)
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
   }
 
   /** Exact n-gram Jaccard ≥ `threshold` over all pairs WITHIN a blocking
