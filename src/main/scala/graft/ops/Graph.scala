@@ -143,7 +143,10 @@ object Graph {
       .partitionBy(col("cluster_id")).orderBy(score.desc, col(idCol))
     corpus
       .join(comps, corpus(idCol) === comps("id"))
-      .drop("id")
+      // drop by REFERENCE: drop("id") would also drop a corpus id column
+      // named "id" (name-drop removes every match), breaking the window's
+      // order column for exactly that caller
+      .drop(comps("id"))
       .withColumn("__rn", row_number().over(w))
       .withColumn("cluster_size", count(lit(1)).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window

@@ -71,6 +71,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("keepBest agrees with a union-find + max-score reference") {
+    val caseGen = for {
+      n <- Gen.choose(2, 20)
+      m <- Gen.choose(0, 25)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(1L, n.toLong)
+        b <- Gen.choose(1L, n.toLong)
+      } yield (a, b))
+      scores <- Gen.listOfN(n, Gen.choose(0, 5)) // ties are the point
+    } yield (n, edges.filter(e => e._1 != e._2), scores.map(_.toDouble))
+    samples(caseGen, 8).foreach { case (n, edges, scores) =>
+      val score = (1L to n.toLong).zip(scores).toMap
+      val parent = scala.collection.mutable.Map(
+        (1L to n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val byCluster = (1L to n.toLong).groupBy(find)
+      val expected = byCluster.map { case (root, members) =>
+        val keeper = members.minBy(id => (-score(id), id)) // score desc, id asc
+        keeper -> (root, members.size.toLong)
+      }
+      val corpus = (1L to n.toLong).map(i => (i, score(i))).toDF("id", "s")
+      val e = if (edges.isEmpty) Seq((1L, 1L)).toDF("a", "b").limit(0)
+        else edges.toDF("a", "b")
+      val got = graft.ops.Graph.keepBest(corpus, "id", e, "a", "b", col("s"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(2), r.getLong(3))) // id -> (cluster_id, cluster_size)
+        .toMap
+      assert(got == expected, s"n=$n edges=$edges scores=$scores")
+    }
+  }
+
+  test("mixtureSample: nested rates (widening a rate only adds rows)") {
+    // the documented invariant: the same key stays in as its domain's
+    // rate only widens — ppm comparison against one stable hash
+    val df = (1L to 4000L).toDF("k")
+    def kept(ppm: Long): Set[Long] =
+      graft.ops.Relational.mixtureSample(df, col("k"), lit(ppm))
+        .collect().map(_.getLong(0)).toSet
+    val rates = Seq(0L, 50000L, 250000L, 600000L, 1000000L)
+    val sets = rates.map(kept)
+    assert(sets.head.isEmpty && sets.last.size == 4000)
+    sets.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi), "widening a rate removed rows")
+    }
+    // and the keep fraction tracks the rate (hash uniformity, loose band)
+    val frac = sets(2).size / 4000.0
+    assert(frac > 0.2 && frac < 0.3, s"250k ppm kept $frac")
+  }
+
   test("asof joins agree with the per-row scan reference on random series") {
     // guards the mirrored-window implementation (forward = reversed sort +
     // running last) against the obvious failure modes: equal-timestamp
