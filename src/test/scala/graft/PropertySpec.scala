@@ -108,6 +108,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs equals brute-force banded levenshtein per block") {
+    val alphabet = Gen.oneOf("ab ", "abc ")
+    val caseGen = for {
+      n <- Gen.choose(2, 15)
+      texts <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 12)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', ' '))
+      } yield cs.mkString)
+      blocks <- Gen.listOfN(n, Gen.choose(0, 1))
+    } yield texts.zip(blocks).zipWithIndex
+      .map { case ((t, b), i) => (i.toLong, s"blk$b", t) }
+    def norm(s: String) = s.toLowerCase.trim.replaceAll("\\s+", " ")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    samples(caseGen, 8).foreach { rows =>
+      val maxDist = 2
+      // reference: all same-block pairs (null text never pairs; the
+      // operator normalizes then truncates to prefixLen)
+      val expected = (for {
+        (ia, ba, ta) <- rows; (ib, bb, tb) <- rows
+        if ia < ib && ba == bb
+        d = lev(norm(ta).take(50), norm(tb).take(50))
+        if d <= maxDist
+      } yield (ia, ib, d)).toSet
+      val got = graft.dedup.Dedup.editDistancePairs(
+          rows.toDF("id", "blk", "text"), "text", "id", "blk",
+          maxDist = maxDist, prefixLen = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
+  test("rollingAgg trailing range frame equals the per-row scan reference") {
+    val caseGen = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1, 3)
+        t <- Gen.choose(0L, 40L)
+        v <- Gen.choose(-5, 5)
+      } yield (k, t, v.toDouble))
+    } yield rows.zipWithIndex.map { case ((k, t, v), i) =>
+      (i.toLong, k, t, v) }
+    samples(caseGen, 8).foreach { rows =>
+      val win = 7L
+      val expected = rows.map { case (id, k, t, _) =>
+        id -> rows.filter { case (_, k2, t2, _) =>
+          k2 == k && t2 <= t && t2 >= t - win }.map(_._4).sum
+      }.toMap
+      val got = rows.toDF("rid", "k", "t", "v")
+        .select(col("rid"), graft.ops.TimeSeries.rollingAgg(
+          c => sum(c), col("v"), "t", win, Seq("k")).as("rs"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
+  test("zOrderKey interleaves bits exactly as the reference computation") {
+    val caseGen = for {
+      ncols <- Gen.choose(1, 4)
+      bits <- Gen.choose(1, 10)
+      vals <- Gen.listOfN(ncols, Gen.choose(0L, 1L << 12))
+    } yield (ncols, bits, vals)
+    samples(caseGen, 30).foreach { case (ncols, bits, vals) =>
+      val expected = (for {
+        (v, j) <- vals.zipWithIndex
+        i <- 0 until bits
+      } yield ((v >> i) & 1L) << (i * ncols + j)).sum
+      val cols = vals.indices.map(j => col(s"c$j"))
+      val got = Seq(vals).map(v => v.head -> v).toDF("k", "vs")
+        .select(vals.indices.map(j => col("vs")(j).as(s"c$j")): _*)
+        .select(graft.ops.Relational.zOrderKey(cols, bits).as("z"))
+        .head().getLong(0)
+      assert(got == expected, s"ncols=$ncols bits=$bits vals=$vals")
+    }
+  }
+
   test("mixtureSample: nested rates (widening a rate only adds rows)") {
     // the documented invariant: the same key stays in as its domain's
     // rate only widens — ppm comparison against one stable hash
