@@ -22,30 +22,44 @@ object Graph {
     * smallest id reachable — a canonical, deterministic cluster id.
     *
     * Output: (`id`, `cluster_id`) — one row per vertex in `vertices`,
-    * vertices with no edges forming singleton clusters.
+    * vertices with no edges forming singleton clusters. Edge endpoints
+    * must be listed in `vertices` (every caller here derives pairs from
+    * the corpus, so this holds by construction); an unlisted endpoint
+    * still relays connectivity between its neighbors but produces no
+    * output row.
     *
-    * Scale shape: the symmetrized edge list — the |E|-sized side that
-    * dominates at scale — is deduped, HASH-PARTITIONED ON `dst` AND
-    * SORTED WITHIN PARTITIONS once, then persisted: `InMemoryTableScan`
-    * reports the cached plan's partitioning/ordering, so every round's
-    * edge⋈label join reuses it and only the (|V|-sized, per-round-
-    * changing) label frame shuffles. Each round is then that one big
-    * join + two label-sized joins, all linear in |E| + |V|, no
-    * driver-side state.
+    * Scale shape — rounds cost O(|E|), NOT O(|V|): only edge-incident
+    * vertices iterate (a near-dup graph is overwhelmingly singletons —
+    * the pair list is orders of magnitude smaller than the corpus), and
+    * the edge-free majority joins back label = own id in one final
+    * |V|-sized left join that belongs to the CALLER's plan, not the
+    * loop. The symmetrized edge list — augmented with one self-loop per
+    * endpoint so the neighbor-min aggregation ITSELF is the label update
+    * (`min(lbl)` over neighbors ∪ self covers every participant and
+    * already includes its current label) — is hash-partitioned on `dst`
+    * and sorted within partitions once, then persisted:
+    * `InMemoryTableScan` reports the cached plan's partitioning/
+    * ordering, so every round's edge⋈label join reuses it and only the
+    * per-round label frame shuffles. Duplicate edges are harmless (min
+    * is duplicate-insensitive), so no distinct pass is spent on them.
     *
-    * Two materializations per round, both deliberate: the min-label frame
-    * (`upd`) feeds BOTH sides of the pointer self-join — without
-    * materializing it the |E|-join above it is recomputed per side
-    * (planner-level exchange reuse does not reliably dedupe the two
-    * subtrees; measured) — and the post-jump frame (`next`) truncates
-    * lineage (iterative self-joins otherwise double the plan per round
-    * and analysis cost goes quadratic). On a cluster, prefer reliable
-    * `checkpoint` with a checkpoint dir for fault tolerance on long
-    * chains.
+    * One materialization + one tiny aggregate per round: the min-label
+    * frame (`upd`) is checkpointed because it feeds both sides of the
+    * pointer-halving self-join AND truncates lineage (iterative
+    * self-joins otherwise double the plan per round); the halving join
+    * itself stays LAZY — the next round's job computes it from the
+    * cached frame. On a cluster, prefer reliable `checkpoint` with a
+    * checkpoint dir for fault tolerance on long chains.
     *
-    * The convergence test reads the `__changed` flag carried by the
-    * checkpointed frame — a `limit(1)` scan of already-cached blocks, not
-    * a second computation; nothing is recomputed.
+    * Convergence: labels are monotone non-increasing, so `sum(lbl)`
+    * (decimal-exact — 38 digits hold any |V| × id sum) strictly
+    * decreases until fixpoint; a min-step whose sum equals the previous
+    * round's changed nothing, and a min-step stall IS full convergence:
+    * stalled means every label ≤ all its neighbors' labels, i.e. labels
+    * are constant along every edge — per-component constant, and since
+    * the component's min-id vertex only ever keeps a label ≤ its own id,
+    * that constant is the component minimum. Checking the sum PRE-jump
+    * also lets the final (no-op) round skip the halving join entirely.
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -57,47 +71,50 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .localCheckpoint(true)
+    // the vertices that participate in rounds: edge endpoints only
+    val ends = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
     // partition + sort the big side ONCE: every round's SortMergeJoin on
-    // dst then reads the cached layout instead of re-shuffling |E| rows
+    // dst then reads the cached layout instead of re-shuffling it
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .union(ends.select(col("id").as("src"), col("id").as("dst")))
       .repartition(col("dst"))
       .sortWithinPartitions(col("dst"))
       .persist()
-    var labels = vertices
-      .select(col(idCol).cast("long").as("id"))
-      .distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+    def labelSum(df: DataFrame, c: String): java.math.BigDecimal =
+      df.agg(sum(col(c).cast("decimal(38,0)"))).head.getDecimal(0)
+    var labels = ends.withColumn("lbl", col("id"))
+    var stable = labels
+    var lastSum = labelSum(ends, "id")
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // min label among neighbors, one hop
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
-      // materialized: it feeds BOTH sides of the pointer self-join below,
-      // which would otherwise recompute the |E|-sized neighbor-min join
-      // per side (exchange reuse across the two subtrees is not reliable)
-      val upd = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"), col("lbl").as("__lbl0"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
-            .as("__lbl1"))
+      // min label over neighbors ∪ self — the whole update in one join +
+      // aggregate; also computes the PREVIOUS round's lazy halving join
+      // (over cached frames) on its way in
+      val upd = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
+        .select(col("src").as("id"), col("lbl"))
         .localCheckpoint(true)
-      // pointer halving: jump to the label's own (updated) label — labels
-      // only ever decrease, so the jump target is always ≤ the current one
-      val ptr = upd.select(col("id").as("__pid"), col("__lbl1").as("__plbl"))
-      // second materialization: lineage truncation, carrying the changed
-      // flag so the convergence check reads cached blocks
-      val next = upd.join(ptr, upd("__lbl1") === ptr("__pid"), "left")
-        .select(upd("id"),
-          least(col("__lbl1"), coalesce(col("__plbl"), col("__lbl1")))
-            .as("lbl"),
-          (least(col("__lbl1"), coalesce(col("__plbl"), col("__lbl1")))
-            < col("__lbl0")).as("__changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("__changed")).limit(1).isEmpty
-      labels = next.drop("__changed")
+      val s = labelSum(upd, "lbl")
+      converged = (s == null && lastSum == null) ||
+        (s != null && lastSum != null && s.compareTo(lastSum) == 0)
+      if (converged) {
+        stable = upd
+      } else {
+        // pointer halving, LAZY: jump to the label's own (updated)
+        // label. Every label IS an endpoint id and every endpoint has an
+        // upd row (self-loop), so the lookup always hits (inner join) —
+        // and since labels only ever decrease, __plbl ≤ lbl is the new
+        // label outright
+        val ptr = upd.select(col("id").as("__pid"), col("lbl").as("__plbl"))
+        labels = upd.join(ptr, upd("lbl") === ptr("__pid"))
+          .select(upd("id"), col("__plbl").as("lbl"))
+      }
+      lastSum = s
       round += 1
     }
     sym.unpersist()
@@ -106,7 +123,11 @@ object Graph {
         s"connectedComponents did not converge in $maxRounds rounds " +
           "(graph diameter exceeds the bound); raise maxRounds or use a " +
           "large-star/small-star variant for long-chain graphs")
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+    // singletons (the |V|-sized majority) enter here once, lazily — the
+    // caller's action computes this join, no loop-side |V| materialization
+    vertices.select(col(idCol).cast("long").as("id")).distinct()
+      .join(stable.withColumnRenamed("lbl", "__lbl"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__lbl"), col("id")).as("cluster_id"))
   }
 
   /** End-to-end near-dup corpus dedup: given the corpus and its near-dup

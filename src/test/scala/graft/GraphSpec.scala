@@ -27,6 +27,18 @@ class GraphSpec extends SparkSpec {
     assert(got.length == n && got.forall(_.getLong(1) == 1L))
   }
 
+  test("connectedComponents: duplicate, reversed and self edges are harmless") {
+    // min-aggregation is duplicate-insensitive, so the edge list needs no
+    // distinct pass — pin that duplicates, both orientations of the same
+    // pair, and self-loops all yield the plain result
+    val vertices = (1L to 5L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (4L, 4L))
+      .toDF("a", "b")
+    val got = Graph.connectedComponents(vertices, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+  }
+
   test("connectedComponents: maxRounds exceeded raises, not silently wrong") {
     val vertices = (1L to 6L).toDF("id")
     val edges = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b")
