@@ -71,7 +71,7 @@ object Bench {
     System.err.println(f"[bench] pipeline_$label%-14s $sec%8.2f s " +
       f"($inRows raw -> $outRows grid rows, $wys water years, " +
       f"${meter.bytes.get} shuffle bytes)")
-    s"""{"sec":$sec,"rows_in":$inRows,"rows_out":$outRows,""" +
+    s"""{"sec":${f"$sec%.3f"},"rows_in":$inRows,"rows_out":$outRows,""" +
       s""""rows_per_sec":${(inRows / sec).toLong},"sites":${sites.length},""" +
       s""""wateryears":$wys,"shuffle_bytes":${meter.bytes.get}}"""
   }
@@ -148,10 +148,17 @@ object Bench {
           maxDist = 4, prefixLen = 200)
       })
     val entries = cases.map { case (name, mk) =>
+      // min of two runs per scale point, same rationale as exec(): the
+      // r5 sweep reported q51 x1=7.9 s (cold codegen on a fresh plan) vs
+      // the main bench's steady 2.4 s, which inverted the slope (ratio
+      // 0.38 on a linear operator) — a cold sample must not set the slope
       def run(scale: Int): Double = {
-        val t0 = System.nanoTime()
-        mk(scale).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        def one: Double = {
+          val t0 = System.nanoTime()
+          mk(scale).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(one, one)
       }
       // degrade per case (like exec's -1.0) — one failing case must not
       // discard the other cases' completed samples
@@ -228,9 +235,14 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> exec(n))
-    val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + v }
+    // 3-decimal (ms) precision: full-precision doubles made the final
+    // JSON line exceed the harness's 2 KB output-tail capture, so five
+    // rounds of BENCH_r*.json carried "parsed": null — the line was
+    // truncated mid-JSON and unparseable
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val firsts = results.map { case (k, (f, _)) => "\"" + k + "\":" + f }
+    val firsts = results.map { case (k, (f, _)) => "\"" + k + "\":" + r3(f) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._2).filter(_ >= 0).sum
     // two corpus scale points (1× and 4×): the rows/sec slope is the
@@ -251,7 +263,17 @@ object Bench {
         System.err.println(s"[bench] scale sweep failed: ${e.getMessage}")
         "null"
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"stat":"min","queries":$qs,"first_run":$firsts,"pipeline":$pipeline,"pipeline_4x":$pipeline4x,"scale_sweep":$sweep,"sf":"$sfDir"}""")
+    // two lines: a DETAIL line (first-run times, 4x pipeline point, scale
+    // sweep — everything a human reads), then a compact SUMMARY line LAST.
+    // The harness keeps only the final ~2 KB of output and json-parses the
+    // last line shaped like {"metric":...}; the summary line is sized to
+    // survive that window intact (warn loudly if it ever outgrows it)
+    println(s"""{"metric":"detail","first_run":$firsts,"pipeline_4x":$pipeline4x,"scale_sweep":$sweep}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"stat":"min","queries":$qs,"pipeline":$pipeline,"sf":"$sfDir"}"""
+    if (line.length > 1850)
+      System.err.println(s"[bench] WARNING: summary line is ${line.length}" +
+        " chars — may exceed the harness's 2 KB tail capture; trim fields")
+    println(line)
     spark.stop()
   }
 }

@@ -33,8 +33,9 @@ object Graph {
     * the pair list is orders of magnitude smaller than the corpus), and
     * the edge-free majority joins back label = own id in one final
     * |V|-sized left join that belongs to the CALLER's plan, not the
-    * loop. The symmetrized edge list — augmented with one self-loop per
-    * endpoint so the neighbor-min aggregation ITSELF is the label update
+    * loop. The symmetrized edge list — augmented with a self-loop per
+    * endpoint occurrence so the neighbor-min aggregation ITSELF is the
+    * label update
     * (`min(lbl)` over neighbors ∪ self covers every participant and
     * already includes its current label) — is hash-partitioned on `dst`
     * and sorted within partitions once, then persisted:
@@ -71,35 +72,48 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .localCheckpoint(true)
-    // the vertices that participate in rounds: edge endpoints only
-    val ends = e0.select(col("src").as("id"))
-      .union(e0.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint(true)
     // partition + sort the big side ONCE: every round's SortMergeJoin on
-    // dst then reads the cached layout instead of re-shuffling it
+    // dst then reads the cached layout instead of re-shuffling it.
+    // Self-loops come straight from the edge list (one per endpoint
+    // OCCURRENCE, so duplicates — harmless under min, and cheaper than a
+    // distinct-endpoints shuffle + eager materialization just to emit
+    // each exactly once)
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .union(ends.select(col("id").as("src"), col("id").as("dst")))
+      .union(e0.select(col("src"), col("src").as("dst")))
+      .union(e0.select(col("dst").as("src"), col("dst").as("dst")))
       .repartition(col("dst"))
       .sortWithinPartitions(col("dst"))
       .persist()
-    def labelSum(df: DataFrame, c: String): java.math.BigDecimal =
-      df.agg(sum(col(c).cast("decimal(38,0)"))).head.getDecimal(0)
-    var labels = ends.withColumn("lbl", col("id"))
-    var stable = labels
-    var lastSum = labelSum(ends, "id")
+    def decSum(c: String) = sum(col(c).cast("decimal(38,0)"))
+    // null labels == round 1, where lbl(id) = id: the edge⋈label join
+    // degenerates to selecting dst as the label, so round 1 skips the
+    // join (and the separate initial-labels materialization) entirely
+    var labels: DataFrame = null
+    var stable: DataFrame = null
+    var lastSum: java.math.BigDecimal = null
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       // min label over neighbors ∪ self — the whole update in one join +
       // aggregate; also computes the PREVIOUS round's lazy halving join
       // (over cached frames) on its way in
-      val upd = sym.join(labels, sym("dst") === labels("id"))
+      val joined =
+        if (labels == null) sym.select(col("src"), col("dst").as("lbl"))
+        else sym.join(labels, sym("dst") === labels("id"))
+          .select(sym("src"), col("lbl"))
+      val upd = joined
         .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
         .select(col("src").as("id"), col("lbl"))
         .localCheckpoint(true)
-      val s = labelSum(upd, "lbl")
+      val s =
+        if (round == 0) {
+          // one row per endpoint (self-loops guarantee it), so sum(id)
+          // over upd IS the initial label sum — both sums in one job
+          val r = upd.agg(decSum("lbl"), decSum("id")).head
+          lastSum = r.getDecimal(1)
+          r.getDecimal(0)
+        } else upd.agg(decSum("lbl")).head.getDecimal(0)
       converged = (s == null && lastSum == null) ||
         (s != null && lastSum != null && s.compareTo(lastSum) == 0)
       if (converged) {
