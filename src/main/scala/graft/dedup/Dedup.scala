@@ -295,7 +295,16 @@ object Dedup {
     val build = d.select(col("__blk"), col("__bkt"),
       col(idCol).as("id_b"), col("__norm").as("__nb"),
       col("__len").as("__lb"))
-    probe.join(build, Seq("__blk", "__bkt"))
+    // Hash-partition the probe on the join keys BEFORE the join: when the
+    // build side broadcasts (small corpus), the join + banded-levenshtein
+    // verify would otherwise inherit the SCAN's parallelism — a sub-4MB
+    // parquet file is ONE split (openCostInBytes), serializing the whole
+    // O(pairs) verify on one core (measured: sweep x1 ran 2.6× slower
+    // than the same data scanned as a 4-branch union). When the build is
+    // too big to broadcast, the SMJ needs exactly this distribution, so
+    // EnsureRequirements reuses it — the repartition is free there.
+    probe.repartition(col("__blk"), col("__bkt"))
+      .join(build, Seq("__blk", "__bkt"))
       .filter(col("id_a") =!= col("id_b") &&
         abs(col("__la") - col("__lb")) <= maxDist)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
@@ -398,7 +407,12 @@ object Dedup {
     // in k bands costs k cheap re-computations, but the distinct shuffle
     // then carries (long, long, int) instead of two 64-char fingerprints,
     // and the ≤ maxHamming filter prunes its input to matching pairs only.
-    l.join(r, Seq("band", "key"))
+    // probe repartitioned on the join keys: parallelizes the band join +
+    // Hamming verify past the scan's split count when r broadcasts (a
+    // small corpus is ONE parquet split), and is absorbed as the SMJ's
+    // own shuffle when it doesn't — see editDistancePairs
+    l.repartition(col("band"), col("key"))
+      .join(r, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("__sa"), col("__sb")).as("hamming"))
@@ -428,7 +442,11 @@ object Dedup {
     val r = b.select(col(idCol).as("id_b"), col("__vd").as("__vb"),
       col("__bucket"), col("__norm").as("__nb"))
     val dp = Similarity.dot(col("__va"), col("__vb"))
-    l.join(r, Seq("__bucket"))
+    // probe repartitioned on the bucket key: parallelizes the pair join +
+    // exact-cosine verify past the scan's split count when r broadcasts;
+    // absorbed by the SMJ otherwise — see editDistancePairs
+    l.repartition(col("__bucket"))
+      .join(r, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(when(col("__na") > 0 && col("__nb") > 0,

@@ -173,7 +173,13 @@ object Similarity {
       col(idCol).as("id_a"), col("__v").as("__va"))
     val r = d.select(col("__probe"), col("__bucket"),
       col(idCol).as("id_b"), col("__v").as("__vb"))
-    val joined = l.join(r, Seq("__probe", "__bucket"))
+    // probe repartitioned on the join keys: parallelizes the bucket join +
+    // per-pair cosine scoring past the scan's split count when r
+    // broadcasts (a small corpus is one parquet split — the whole verify
+    // would run on one core); absorbed as the SMJ's own shuffle otherwise
+    // — see Dedup.editDistancePairs
+    val joined = l.repartition(col("__probe"), col("__bucket"))
+      .join(r, Seq("__probe", "__bucket"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
     // single-probe candidates are already unique — skip the dedup shuffle
