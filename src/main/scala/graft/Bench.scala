@@ -108,11 +108,11 @@ object Bench {
   /** Two-point scale sweep over the heavy bucketed near-dup/ANN paths:
     * each operator runs on the sf corpus and on a 4× replica-scaled
     * corpus; the wall-time ratio is the empirical slope (linear ≈ 4,
-    * all-pairs regression ≈ 16). q43's 4× point also applies the
+    * all-pairs regression ≈ 16). The q43/q27 4× points also apply the
     * documented LSH scale knob — planes grows with log₄(n) (4 → 6) so
-    * expected bucket occupancy stays constant; the other three scale by
-    * construction (LSH band buckets are sparse in a 64-bit space; the
-    * blocked paths grow in block COUNT, not block size).
+    * expected bucket occupancy stays constant; the other four scale by
+    * construction (LSH/SimHash band buckets are sparse in a 64-bit
+    * space; the blocked paths grow in block COUNT, not block size).
     */
   private def scaleSweep(spark: SparkSession, sfDir: String): String = {
     import graft.dedup.Dedup
@@ -146,6 +146,20 @@ object Bench {
         val c = if (scale == 1) d1 else docs4x(d1)
         Dedup.editDistancePairs(c, "text", "doc_id", "source",
           maxDist = 4, prefixLen = 200)
+      },
+      // the remaining two near-dup blockers: q27 applies the same
+      // planes ~ log₄(n) knob as q43 (sign-LSH occupancy constant);
+      // q28's 16-bit band keys are sparse in a 64-bit space, so distinct
+      // docs stay in distinct buckets by construction
+      "q27_embedding_neardup" -> { scale =>
+        val (e, planes) = if (scale == 1) (e1, 4) else (embs4x(e1), 6)
+        Dedup.embeddingNearDups(e, "embedding", "vec_id",
+          dims = 64, planes = planes, threshold = 0.9)
+      },
+      "q28_simhash_neardup" -> { scale =>
+        val c = if (scale == 1) d1 else docs4x(d1)
+        Dedup.simhashNearDups(c, "text", "doc_id",
+          bands = 4, maxHamming = 8)
       })
     val entries = cases.map { case (name, mk) =>
       // min of two runs per scale point, same rationale as exec(): the

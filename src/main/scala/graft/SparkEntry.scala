@@ -836,6 +836,41 @@ object SparkEntry {
           Seq(0.25, 0.5, 0.75, 0.99))
         .orderBy(col("l_returnflag"), col("q"))
     },
+
+    // incremental new-batch-vs-corpus near-dup dedup: the corpus's band
+    // table is fingerprinted once (minhashBands — the persistable
+    // artifact); the batch probes it with one equi-join, so daily ingest
+    // is linear in the BATCH, not the corpus. Same mutation recipe as
+    // q17 so batch docs have known corpus near-dups.
+    "q59_incremental_dedup" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text"))
+      val batch = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text"))
+      val corpusBands = graft.dedup.Dedup.minhashBands(
+        corpus, "text", "doc_id", shingleN = 3, numHashes = 32, bands = 16)
+      val batchBands = graft.dedup.Dedup.minhashBands(
+        batch, "text", "doc_id", shingleN = 3, numHashes = 32, bands = 16)
+      val cand = graft.dedup.Dedup.incrementalLshPairs(
+          batchBands, corpusBands, "doc_id")
+        .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"))
+      graft.dedup.Dedup.verifiedNearDups(cand,
+          corpus.unionByName(batch), "text", "doc_id",
+          shingleN = 3, threshold = 0.5)
+        .select(col("id_a").as("id_new"), col("id_b").as("id_corpus"),
+          col("jaccard"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    },
+
+    // context-window chunking: raw whitespace tokens, 40-token windows
+    // advancing by 30 (10-token overlap); scan-local, no shuffle
+    "q60_chunking" -> { (s, dir) =>
+      graft.text.Corpus.chunkByTokens(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id", maxTokens = 40, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_ix"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -2070,5 +2105,102 @@ object SparkEntry {
         |    (a, b) -> a + b) AS z
         |FROM lineitem
         |ORDER BY z, l_orderkey, l_partkey""".stripMargin,
+
+    // q17's minhash pipeline with an is_new flag: candidates are the
+    // ASYMMETRIC batch×corpus band join, not the self-join
+    "q59_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, 0 AS is_new FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text || ' extra token' AS text,
+        |    1 AS is_new
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), sh AS (
+        |  SELECT doc_id, is_new,
+        |    (WITH t2 AS (SELECT list_filter(string_split_regex(
+        |        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |        t -> t <> '') AS tk)
+        |     SELECT CASE WHEN len(tk) >= 3 THEN list_distinct(
+        |       list_transform(generate_series(1, len(tk) - 2),
+        |         i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+        |       ELSE [] END FROM t2) AS s
+        |  FROM corpus
+        |), hs AS (
+        |  SELECT doc_id, list_transform(s, x ->
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |           THEN ascii(substr(md5(x), ii, 1)) - 48
+        |           ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |      (a, b) -> a * 16 + b)) AS h
+        |  FROM sh
+        |), hp AS (
+        |  SELECT doc_id, is_new,
+        |    list_transform(list_transform(s, x -> md5(x)), h -> struct_pack(
+        |      h1 := list_reduce(list_transform(generate_series(1, 15), ii ->
+        |        CAST(CASE WHEN ascii(substr(h, ii, 1)) <= 57
+        |             THEN ascii(substr(h, ii, 1)) - 48
+        |             ELSE ascii(substr(h, ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b) % 1000000007,
+        |      h2 := list_reduce(list_transform(generate_series(16, 30), ii ->
+        |        CAST(CASE WHEN ascii(substr(h, ii, 1)) <= 57
+        |             THEN ascii(substr(h, ii, 1)) - 48
+        |             ELSE ascii(substr(h, ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b) % 1000000007)) AS ps
+        |  FROM sh
+        |), sig AS (
+        |  SELECT doc_id, is_new,
+        |    list_transform(generate_series(0, 31), j ->
+        |      list_aggregate(list_transform(ps,
+        |        p -> (p.h1 + j * p.h2) % 1000000007), 'min')) AS sg
+        |  FROM hp
+        |), bands AS (
+        |  SELECT doc_id, is_new, b.band,
+        |    md5(array_to_string(list_transform(
+        |      sg[(2 * b.band + 1):(2 * b.band + 2)],
+        |      v -> CAST(v AS VARCHAR)), '|')) AS band_key
+        |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS band) b
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.is_new = 1 AND b.is_new = 0
+        |), verified AS (
+        |  SELECT id_new, id_corpus,
+        |    CAST(len(list_filter(ha.h, x -> list_contains(hb.h, x)))
+        |      AS DOUBLE) AS inter,
+        |    CAST(len(ha.h) + len(hb.h)
+        |      - len(list_filter(ha.h, x -> list_contains(hb.h, x)))
+        |      AS DOUBLE) AS uni
+        |  FROM cand
+        |  JOIN hs ha ON ha.doc_id = id_new
+        |  JOIN hs hb ON hb.doc_id = id_corpus
+        |)
+        |SELECT id_new, id_corpus,
+        |  round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) AS jaccard
+        |FROM verified
+        |WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) >= 0.5
+        |ORDER BY id_new, id_corpus""".stripMargin,
+
+    "q60_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    coalesce(text, ''), '\s+'), t -> t <> '') AS tk
+        |  FROM documents
+        |), nw AS (
+        |  SELECT doc_id, tk, len(tk) AS n,
+        |    CASE WHEN len(tk) <= 40 THEN 1
+        |         ELSE 1 + (len(tk) - 40 + 29) // 30 END AS nwin
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, tk, n,
+        |    unnest(generate_series(0, nwin - 1)) AS chunk_ix
+        |  FROM nw
+        |)
+        |SELECT doc_id, chunk_ix,
+        |  array_to_string(tk[(chunk_ix * 30 + 1):(chunk_ix * 30 + 40)], ' ')
+        |    AS chunk_text,
+        |  least(40, n - chunk_ix * 30) AS n_tokens
+        |FROM ex
+        |ORDER BY doc_id, chunk_ix""".stripMargin,
   )
 }

@@ -138,4 +138,48 @@ object Corpus {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"),
         col("rank"))
   }
+
+  /** Context-window chunking: split each document's whitespace token
+    * stream into `maxTokens`-token windows advancing by
+    * stride = maxTokens − overlap, so consecutive chunks share `overlap`
+    * tokens — the RAG/fine-tuning preprocessing step ([[packSequences]]
+    * is the concat-then-chunk pretraining sibling). Output: (idCol,
+    * chunk_ix, chunk_text, n_tokens), chunk_ix from 0. Windows are
+    * RAW-token (original case/punctuation — chunk text must reconstruct
+    * the document, unlike the normalized stats tokenizers); the window
+    * count is 1 for n ≤ maxTokens else 1 + ⌈(n − maxTokens)/stride⌉, so
+    * the last window always reaches the final token and no window starts
+    * past the end. Empty/null texts yield one empty chunk (n_tokens = 0)
+    * — every input id appears in the output.
+    *
+    * Scale shape: scan-local — split, one sequence-explode sized by the
+    * window count, and a codegen'd `slice`/`array_join` per chunk; no
+    * shuffle, no window functions, parallel in whatever partitioning the
+    * scan has. Chunk arithmetic is exact integer math (the double
+    * division is exact: both operands ≪ 2⁵³).
+    */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens): $overlap")
+    val stride = maxTokens - overlap
+    // array_remove drops the empty strings split() emits around
+    // leading/trailing whitespace — codegen'd, unlike a filter() lambda
+    val toks = array_remove(
+      split(coalesce(col(textCol), lit("")), "\\s+"), "")
+    val start = col("chunk_ix") * stride
+    df.select(col(idCol), toks.as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+      .withColumn("__nw", when(col("__n") <= maxTokens, lit(1L))
+        .otherwise(lit(1L) + ((col("__n") - lit(maxTokens) +
+          lit(stride - 1)).cast("double") / lit(stride)).cast("long")))
+      .select(col(idCol), col("__tk"), col("__n"),
+        explode(sequence(lit(0L), col("__nw") - 1)).as("chunk_ix"))
+      .select(col(idCol), col("chunk_ix"),
+        array_join(slice(col("__tk"), (start + 1).cast("int"),
+          lit(maxTokens)), " ").as("chunk_text"),
+        least(lit(maxTokens), col("__n") - start).cast("long")
+          .as("n_tokens"))
+  }
 }

@@ -103,4 +103,35 @@ class CorpusSpec extends SparkSpec {
     assert(r.getString(0) == "mail <EMAIL> or <IP> card <NUM> ok")
     assert((r.getInt(1), r.getInt(2), r.getInt(3)) == ((1, 1, 1)))
   }
+
+  test("chunkByTokens: windows, overlap, short tail, empty doc") {
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b c"),                         // fits in one window
+      (3L, "")                               // empty -> one empty chunk
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkByTokens(df, "text", "doc_id",
+        maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // stride 3: starts 0,3,6 cover 10 tokens; last window reaches t9
+    assert(out((1L, 0L)) == ("t0 t1 t2 t3", 4L))
+    assert(out((1L, 1L)) == ("t3 t4 t5 t6", 4L)) // overlap token t3
+    assert(out((1L, 2L)) == ("t6 t7 t8 t9", 4L))
+    assert(!out.contains((1L, 3L))) // no window starts past the end
+    assert(out((2L, 0L)) == ("a b c", 3L))
+    assert(out((3L, 0L)) == ("", 0L))
+  }
+
+  test("chunkByTokens: non-overlapped reconstruction equals the stream") {
+    val text = (0 until 23).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Corpus.chunkByTokens(df, "text", "doc_id",
+        maxTokens = 5, overlap = 0)
+      .orderBy("chunk_ix").collect()
+    // zero overlap: concatenating chunks reproduces the token stream
+    assert(chunks.map(_.getString(2)).mkString(" ") == text)
+    assert(chunks.map(_.getLong(3)).sum == 23L)
+    assert(chunks.last.getLong(3) == 3L) // 23 = 4*5 + 3 short tail
+  }
 }

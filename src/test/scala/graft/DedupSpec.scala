@@ -63,6 +63,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("incrementalLshPairs: batch probes corpus bands, asymmetric only") {
+    val corpus = docs.filter(col("doc_id") =!= 5L)
+    val batch = docs.filter(col("doc_id") === 5L)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashBands(df, "text", "doc_id",
+        shingleN = 3, numHashes = 32, bands = 16)
+    val inc = Dedup.incrementalLshPairs(bands(batch), bands(corpus),
+      "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair is (batch id, corpus id) — never corpus×corpus (the
+    // exact dups 1/2/3 pair with each other only in the self-join path)
+    assert(inc.forall { case (n, c) => n == 105L && c <= 4L })
+    // near-dup of doc 1 must surface; the unrelated doc 4 must not
+    assert(inc.exists(_._2 == 1L))
+    assert(!inc.exists(_._2 == 4L))
+    // consistency with the self-join path on the union: the incremental
+    // candidates are exactly the self-join candidates that cross sides
+    val self = Dedup.minhashLshPairs(corpus.unionByName(batch), "text",
+        "doc_id", shingleN = 3, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossFromSelf = self.collect { case (a, b) if b == 105L => (b, a) }
+    assert(inc == crossFromSelf)
+  }
+
   test("hammingDistance counts differing bit positions") {
     val df = Seq(("0000", "0000"), ("0101", "0000"), ("1111", "0000"))
       .toDF("x", "y")
