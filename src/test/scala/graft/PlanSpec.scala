@@ -80,4 +80,18 @@ class PlanSpec extends SparkSpec {
         s"AQE did not re-plan the salted join's shuffles:\n${plan.take(2000)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("chunkByTokens is scan-local: no shuffle in the plan") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, ("tok " * (i % 90)).trim))
+      .toDF("doc_id", "text")
+    val chunks = graft.text.Corpus.chunkByTokens(df, "text", "doc_id",
+      maxTokens = 8, overlap = 2)
+    assert(chunks.count() > 100) // long docs really split
+    val plan = chunks.queryExecution.executedPlan.toString
+    // per-doc windows need nothing beyond the row: the plan must carry no
+    // Exchange — chunking runs in whatever partitioning the scan has
+    assert(!plan.contains("Exchange"),
+      s"chunkByTokens introduced a shuffle:\n${plan.take(2000)}")
+  }
 }
