@@ -871,6 +871,16 @@ object SparkEntry {
           "text", "doc_id", maxTokens = 40, overlap = 10)
         .orderBy(col("doc_id"), col("chunk_ix"))
     },
+
+    // exact-substring dedup prep: per-doc fraction of positional
+    // trigrams occurring >1 time corpus-wide (two hash aggs + a
+    // shuffled gram-keyed join back — the repeated set is corpus-sized)
+    "q61_repeated_ngrams" -> { (s, dir) =>
+      graft.text.Corpus.repeatedNgrams(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id", n = 3)
+        .orderBy(col("doc_id"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -2202,5 +2212,33 @@ object SparkEntry {
         |  least(40, n - chunk_ix * 30) AS n_tokens
         |FROM ex
         |ORDER BY doc_id, chunk_ix""".stripMargin,
+
+    // gram counts over the gram STRINGS equal the engine's counts over
+    // 60-bit gram hashes w.h.p. — the hashedShingles exactness argument
+    "q61_repeated_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(tk) - 2),
+        |    i -> array_to_string(tk[i:(i + 2)], ' '))) AS g
+        |  FROM toks WHERE len(tk) >= 3
+        |), dg AS (
+        |  SELECT doc_id, g, count(*) AS k FROM grams GROUP BY doc_id, g
+        |), gc AS (
+        |  SELECT g, sum(k) AS c FROM dg GROUP BY g
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(k) AS BIGINT) AS n_ngrams,
+        |  CAST(sum(CASE WHEN c >= 2 THEN k ELSE 0 END) AS BIGINT)
+        |    AS n_repeated,
+        |  round(CAST(sum(CASE WHEN c >= 2 THEN k ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(k) AS DOUBLE), 6) AS dup_ratio
+        |FROM dg JOIN gc USING (g)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -139,6 +139,50 @@ object Corpus {
         col("rank"))
   }
 
+  /** Exact-substring dedup prep (the detection stat of repeated-passage
+    * dedup): per document, the count and fraction of token-position
+    * n-grams that occur MORE THAN ONCE in the whole corpus — including
+    * within the same document (boilerplate repeats itself). Output:
+    * (idCol, n_ngrams, n_repeated, dup_ratio 6 dp); documents with fewer
+    * than `n` tokens are absent (nothing to measure). Unlike
+    * [[contamination]] (train vs a SEPARATE eval corpus), the repeated
+    * set here is corpus-derived, so it is generally NOT broadcastable —
+    * the join back is a shuffled equi-join on the gram hash by design.
+    *
+    * Positional n-grams, not the distinct shingle SETS the Jaccard suite
+    * uses: a phrase repeated k times must count k times. Grams are
+    * hashed to 60-bit longs (md5 prefix — same w.h.p. exactness argument
+    * as [[graft.dedup.Dedup.hashedShingles]]), and position-level rows
+    * collapse to (doc, gram, k) FIRST, so both the global count and the
+    * join run at distinct-gram granularity, with map-side combine
+    * absorbing the per-document repetition.
+    */
+  def repeatedNgrams(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val toks = TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
+    val dg = df.select(col(idCol), toks.as("__tk"))
+      .withColumn("__np", size(col("__tk")) - (n - 1))
+      .filter(col("__np") >= 1)
+      .select(col(idCol),
+        explode(sequence(lit(1), col("__np"))).as("__p"), col("__tk"))
+      .select(col(idCol),
+        conv(substring(md5(array_join(
+          slice(col("__tk"), col("__p"), lit(n)), " ")), 1, 15), 16, 10)
+          .cast("long").as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__k"))
+    val gc = dg.groupBy(col("__g")).agg(sum(col("__k")).as("__c"))
+    dg.join(gc, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_ngrams"),
+        sum(when(col("__c") >= 2, col("__k")).otherwise(0L))
+          .as("n_repeated"))
+      .withColumn("dup_ratio",
+        round(col("n_repeated").cast("double")
+          / col("n_ngrams").cast("double"), 6))
+  }
+
   /** Context-window chunking: split each document's whitespace token
     * stream into `maxTokens`-token windows advancing by
     * stride = maxTokens − overlap, so consecutive chunks share `overlap`

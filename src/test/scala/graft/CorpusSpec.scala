@@ -104,6 +104,25 @@ class CorpusSpec extends SparkSpec {
     assert((r.getInt(1), r.getInt(2), r.getInt(3)) == ((1, 1, 1)))
   }
 
+  test("repeatedNgrams: cross-doc and intra-doc repeats, short docs absent") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),       // trigrams: abc, bcd
+      (2L, "alpha beta gamma epsilon"),     // shares "alpha beta gamma"
+      (3L, "x y z x y z x y"),              // intra-doc repeated trigrams
+      (4L, "one two"),                      // < 3 tokens -> absent
+      (5L, "solo unique trigram here")      // nothing repeated
+    ).toDF("doc_id", "text")
+    val out = Corpus.repeatedNgrams(df, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) == ((2L, 1L, 0.5))) // "alpha beta gamma" repeats in doc 2
+    assert(out(2L)._2 == 1L)
+    // doc 3: 6 trigrams = xyz,yzx,zxy,xyz,yzx,zxy — every one repeated
+    assert(out(3L) == ((6L, 6L, 1.0)))
+    assert(out(5L) == ((2L, 0L, 0.0)))
+  }
+
   test("chunkByTokens: windows, overlap, short tail, empty doc") {
     val df = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
