@@ -166,8 +166,7 @@ object Dedup {
     * blocked pairwise verify touches 10^5..10^6 pairs per block.
     */
   def hashedShingles(text: Column, n: Int): Column =
-    array_sort(transform(shingles(text, n),
-      x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))
+    graft.functions.TextExpressions.hashedSorted60(shingles(text, n))
 
   /** Exact Jaccard similarity of two DISTINCT-element arrays (shingle sets
     * are distinct by construction): |A∩B| / (|A|+|B|−|A∩B|). The inclusion-
@@ -216,9 +215,14 @@ object Dedup {
       .distinct()
     // non-null coalesce: see blockedJaccardPairs — a nullable shingle
     // column re-derives IsNotNull filters that inline the whole HOF
+    // materialized for the same reason as `p`: sh is consumed TWICE (the
+    // id_a and id_b join sides below) and lazily each side would re-run
+    // the whole corpus semi-join + per-doc shingle hashing; it is bounded
+    // by the candidate-id count, i.e. small-tier by construction
     val sh = texts.join(ids, Seq(idCol), "left_semi").select(col(idCol),
       coalesce(hashedShingles(col(textCol), shingleN),
         typedLit(Array.empty[Long])).as("sh"))
+      .localCheckpoint(true)
     val inter = graft.functions.VectorExpressions
       .sortedIntersectCount(col("sh_a"), col("sh_b"))
     val union = size(col("sh_a")).cast("long") +

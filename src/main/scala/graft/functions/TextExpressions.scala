@@ -170,6 +170,47 @@ case class ResizeNearest(child: Expression, w2: Int, h2: Int)
     copy(child = newChild)
 }
 
+/** Sorted 60-bit md5 hashes of a string array — the hashed-shingle-set
+  * builder behind every exact-Jaccard verify tier. Each element hashes to
+  * the top 60 bits of its md5 digest (== parsing the first 15 hex chars
+  * base-16, the engine-portable definition the DuckDB oracles replicate),
+  * and the result is sorted ascending for the sorted-merge intersect
+  * walk. One JVM loop + one primitive sort per ROW — the higher-order
+  * `array_sort(transform(...))` formulation this replaces paid an
+  * interpreted lambda per ELEMENT for the hash chain and per COMPARISON
+  * for the sort. Null elements are not expected (shingle arrays are
+  * built non-null); a null array yields null.
+  */
+case class HashedSorted60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "hashed_sorted60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = DigestUtils.md5(arr.getUTF8String(i).getBytes)
+      // big-endian first 8 bytes >>> 4 == first 15 hex chars base-16
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedSorted60 = copy(child = newChild)
+}
+
 /** Sum of payload byte values (unsigned) past the 8-byte header. */
 case class PayloadByteSum(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -208,4 +249,7 @@ object TextExpressions {
 
   def wordShingles(tokens: Column, n: Int): Column =
     bridge.column(WordShingles(bridge.expression(tokens), n))
+
+  def hashedSorted60(strings: Column): Column =
+    bridge.column(HashedSorted60(bridge.expression(strings)))
 }
