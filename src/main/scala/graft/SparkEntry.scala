@@ -881,6 +881,69 @@ object SparkEntry {
           "text", "doc_id", n = 3)
         .orderBy(col("doc_id"))
     },
+
+    // frequency-ranked vocabulary: top-24 terms (of the corpus's 31 —
+    // exercises the cutoff), ids dense in (count desc, term) order;
+    // TakeOrderedAndProject, never a global sort
+    "q62_vocab_build" -> { (s, dir) =>
+      graft.text.Vocab.buildVocab(
+          t(s, dir, "documents").select(col("text")), "text",
+          vocabSize = 24)
+        .orderBy(col("token_id"))
+    },
+
+    // token-id encoding against the q62 vocabulary: (doc, pos, id) rows,
+    // OOV → −1; scan-local posexplode + broadcast vocab join
+    "q63_vocab_encode" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val vocab = graft.text.Vocab.buildVocab(d, "text", vocabSize = 24)
+      graft.text.Vocab.encodeTokens(
+          d.filter(col("doc_id") % 5 === 0), vocab, "text", "doc_id")
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
+    // segment-level exact dedup (line-dedup analog): 8-token segments,
+    // first corpus-wide occurrence survives, docs reassembled in order
+    "q64_segment_dedup" -> { (s, dir) =>
+      graft.text.Corpus.dedupSegments(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id", segTokens = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // interval-overlap join: user sessions × "hot" 6-hour windows
+    // (count ≥ 90), bucket-blocked equi-join — no nested-loop, each
+    // overlapping pair counted once via its first common bucket
+    "q65_interval_join" -> { (s, dir) =>
+      val winNs = 21600L * 1000000000L // 6 h
+      val ev = events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val gapNs = col("ts_ns") - lag(col("ts_ns"), 1).over(w)
+      val newSession = when(
+        gapNs.isNull || gapNs > lit(30L * 60 * 1000 * 1000 * 1000), 1)
+        .otherwise(0)
+      val sessions = ev
+        .withColumn("__sess", sum(newSession).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("__sess").as("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ns")).as("s_lo"), max(col("ts_ns")).as("s_hi"))
+      val hot = ev
+        .groupBy((graft.functions.Exact.longDiv(col("ts_ns"), winNs)
+          * winNs).as("w_lo"))
+        .agg(count(lit(1)).as("w_events"))
+        .filter(col("w_events") >= 90)
+        .withColumn("w_hi", col("w_lo") + lit(winNs - 1))
+      graft.ops.Relational.intervalOverlapJoin(
+          sessions, "s_lo", "s_hi", hot, "w_lo", "w_hi", winNs)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          timestamp_micros(graft.functions.Exact.longDiv(col("w_lo"),
+            1000L)).as("win_start"),
+          col("w_events"))
+        .orderBy(col("user_id"), col("session_id"), col("win_start"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -2240,5 +2303,114 @@ object SparkEntry {
         |FROM dg JOIN gc USING (g)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q62_vocab_build" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents
+        |), counts AS (
+        |  SELECT term, count(*) AS n FROM toks GROUP BY term
+        |), top AS (
+        |  SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 24
+        |)
+        |SELECT term, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
+        |    AS token_id
+        |FROM top ORDER BY token_id""".stripMargin,
+
+    "q63_vocab_encode" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents
+        |), counts AS (
+        |  SELECT term, count(*) AS n FROM toks GROUP BY term
+        |), top AS (
+        |  SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 24
+        |), vocab AS (
+        |  SELECT term,
+        |    CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
+        |      AS token_id
+        |  FROM top
+        |), d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), p AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk
+        |  FROM d
+        |)
+        |SELECT p.doc_id, CAST(p.i - 1 AS BIGINT) AS pos,
+        |  coalesce(v.token_id, CAST(-1 AS BIGINT)) AS token_id
+        |FROM p LEFT JOIN vocab v ON v.term = p.tk[p.i]
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q64_segment_dedup" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents
+        |), nz AS (
+        |  SELECT doc_id, tk, len(tk) AS n FROM t2 WHERE len(tk) > 0
+        |), c AS (
+        |  SELECT doc_id, unnest(generate_series(0,
+        |    CAST(ceil(CAST(n AS DOUBLE) / 8) AS BIGINT) - 1)) AS chunk_ix,
+        |    tk
+        |  FROM nz
+        |), seg AS (
+        |  SELECT doc_id, chunk_ix, array_to_string(
+        |    tk[(chunk_ix * 8 + 1):(chunk_ix * 8 + 8)], ' ') AS chunk_text
+        |  FROM c
+        |), k AS (
+        |  SELECT doc_id, chunk_ix, chunk_text,
+        |    row_number() OVER (
+        |      PARTITION BY lower(trim(regexp_replace(chunk_text,
+        |        '\s+', ' ', 'g')))
+        |      ORDER BY doc_id, chunk_ix) AS rn
+        |  FROM seg
+        |)
+        |SELECT doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+        |    ORDER BY chunk_ix), '') AS cleaned_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q65_interval_join" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS session_id
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    min(epoch_ns(ts)) AS s_lo, max(epoch_ns(ts)) AS s_hi
+        |  FROM s GROUP BY user_id, session_id
+        |), hot AS (
+        |  SELECT (epoch_ns(ts) // 21600000000000) * 21600000000000
+        |      AS w_lo,
+        |    count(*) AS w_events
+        |  FROM events GROUP BY 1 HAVING count(*) >= 90
+        |)
+        |SELECT user_id, session_id, n_events,
+        |  make_timestamp(w_lo // 1000) AS win_start, w_events
+        |FROM sess JOIN hot
+        |  ON s_lo <= w_lo + 21599999999999 AND w_lo <= s_hi
+        |ORDER BY user_id, session_id, win_start""".stripMargin,
   )
 }

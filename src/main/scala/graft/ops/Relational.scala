@@ -192,6 +192,40 @@ object Relational {
       .drop("__bkt")
   }
 
+  /** Interval-overlap join: every pair of rows (a, b) whose closed
+    * intervals [aLo, aHi] and [bLo, bHi] intersect — the two-sided
+    * sibling of [[rangeJoin]] (sessions × maintenance windows, ad
+    * flights × user activity, shard time-ranges × query windows). A bare
+    * `aLo <= bHi AND bLo <= aHi` join plans as BroadcastNestedLoopJoin
+    * (O(|A|·|B|), broadcast-sized build); this operator makes it a
+    * shuffled EQUI-join by bucket blocking: both sides explode to the
+    * `bucketWidth`-wide buckets their interval covers, candidates meet on
+    * the bucket key, the exact predicate re-checks, and each overlapping
+    * pair is counted ONCE by keeping only its first common bucket —
+    * max(floor(aLo/w), floor(bLo/w)), which both sides provably cover
+    * when the intervals overlap (floor is monotone, so that bucket is
+    * ≤ both hi-buckets) — no distinct pass, no pair blow-up.
+    *
+    * Bounds must be non-negative longs (epoch ns/µs, offsets); pick
+    * `bucketWidth` near the typical interval span — replication per row
+    * is span/width + 1, candidate selectivity degrades as width grows
+    * past the span. Cost: |A| + |B| exploded rows shuffled on the bucket
+    * key, Σ per-bucket |A_b|·|B_b| candidate checks — linear for span-
+    * bounded intervals, vs the nested-loop product.
+    */
+  def intervalOverlapJoin(a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def bkt(c: String) = graft.functions.Exact.longDiv(col(c), bucketWidth)
+    def bkts(lo: String, hi: String) = explode(sequence(bkt(lo), bkt(hi)))
+    val ab = a.withColumn("__bkt", bkts(aLo, aHi))
+    val bb = b.withColumn("__bkt", bkts(bLo, bHi))
+    ab.join(bb, Seq("__bkt"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("__bkt") === greatest(bkt(aLo), bkt(bLo)))
+      .drop("__bkt")
+  }
+
   /** Robust (IQR) outlier filter per group: keeps rows whose value lies
     * within [q1 − factor·IQR, q3 + factor·IQR] of their group's
     * interquartile range — Tukey's fence, the robust sibling of the

@@ -183,6 +183,50 @@ object Corpus {
           / col("n_ngrams").cast("double"), 6))
   }
 
+  /** Segment-level exact dedup (the fixed-window form of line/paragraph
+    * dedup — crawl corpora repeat boilerplate passages across documents;
+    * this removes every later occurrence). Documents are cut into
+    * consecutive `segTokens`-token raw segments ([[chunkByTokens]] with
+    * overlap 0); a segment survives iff it is the FIRST corpus-wide
+    * occurrence of its normalized text, "first" meaning smallest
+    * (idCol, segment index) — a deterministic total order. Output one row
+    * per document: (idCol, n_segments, n_kept, cleaned_text), the kept
+    * segments rejoined in order. Documents with no tokens are absent
+    * (nothing to segment).
+    *
+    * For corpora with real separators (newlines, blank lines), split on
+    * the separator instead of token windows — the dedup core (first-
+    * occurrence window on the normalized segment) is unchanged; fixed
+    * token windows are the separator-free fallback that keeps segment
+    * size bounded either way.
+    *
+    * Scale shape: segmentation is scan-local; the dedup is ONE window —
+    * partitioned by the normalized segment text (so each partition is
+    * one segment's occurrence list, usually length 1; heavy boilerplate
+    * segments are exactly the hot keys worth a single task) — then one
+    * hash aggregation back to document grain. collect_list holds one
+    * document's segments (bounded by document length), sorted in-memory
+    * per group, never a data-sized state.
+    */
+  def dedupSegments(df: DataFrame, textCol: String, idCol: String,
+      segTokens: Int): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1: $segTokens")
+    val segs = chunkByTokens(df, textCol, idCol, segTokens, overlap = 0)
+      .filter(col("n_tokens") > 0)
+    val firstW = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextFunctions.normalized(col("chunk_text")))
+      .orderBy(col(idCol), col("chunk_ix"))
+    segs
+      .withColumn("__keep", row_number().over(firstW) === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("chunk_ix"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("cleaned_text"))
+  }
+
   /** Context-window chunking: split each document's whitespace token
     * stream into `maxTokens`-token windows advancing by
     * stride = maxTokens − overlap, so consecutive chunks share `overlap`

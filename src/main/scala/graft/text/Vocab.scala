@@ -1,0 +1,65 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vocabulary construction and token-id encoding — the step between raw
+  * text and a training run: pick the top-V terms by corpus frequency,
+  * assign dense ids in frequency order, then rewrite every document as
+  * token-id rows. Tokenization is [[TextFunctions.normalized]] +
+  * [[TextFunctions.tokens]], the same convention as every other text
+  * operator (term stats, fingerprints, shingles), so a vocabulary built
+  * here agrees with [[Corpus.termFrequencies]] about what a token is.
+  */
+object Vocab {
+
+  /** Frequency-ranked vocabulary: the `vocabSize` most frequent
+    * normalized whitespace tokens, ids dense from 0 in (count desc, term
+    * asc) order — id order IS frequency order, ties broken by the term
+    * itself so the table is a deterministic function of the corpus.
+    * Output: (term, n, token_id).
+    *
+    * Scale shape: one explode + one map-side-combined hash aggregation on
+    * the term (the combine absorbs per-document repetition; the reduce
+    * side is |vocabulary| ≪ corpus by Heaps' law), then `orderBy.limit`
+    * plans as TakeOrderedAndProject — each task keeps its own top-V and
+    * only V·partitions rows reach the driver-side merge; the full term
+    * table is never globally sorted. The final rank window runs over ≤ V
+    * rows (a bounded, typically ≤ 10⁵-row task) — deliberate, not a scale
+    * risk: vocabulary size is a model constant, not a data-sized value.
+    */
+  def buildVocab(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    df.select(explode(TextFunctions.tokens(
+        TextFunctions.normalized(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(vocabSize)
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("n").desc, col("term"))) - 1)
+          .cast("long"))
+  }
+
+  /** Encode documents against a [[buildVocab]] vocabulary: one row per
+    * token position, (idCol, pos, token_id), pos 0-based over the
+    * normalized whitespace token stream, out-of-vocabulary tokens → −1
+    * (the conventional UNK sentinel; remap downstream if the model wants
+    * a real UNK id). Scalar rows, not array payloads — engine-portable,
+    * and ready for either a collect_list-over-pos reassembly or
+    * [[Corpus.packSequences]]-style packing. Documents with no tokens
+    * produce no rows (nothing to encode).
+    *
+    * Scale shape: posexplode is scan-local; the vocabulary join is a
+    * broadcast hash join by construction (the vocab is bounded at V
+    * rows), so the corpus never shuffles — cost is one scan plus a
+    * per-token probe of a broadcast map.
+    */
+  def encodeTokens(df: DataFrame, vocab: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol), posexplode(TextFunctions.tokens(
+        TextFunctions.normalized(col(textCol)))).as(Seq("pos", "__term")))
+      .join(broadcast(vocab.select(col("term").as("__term"),
+        col("token_id"))), Seq("__term"), "left")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
+}

@@ -153,4 +153,40 @@ class CorpusSpec extends SparkSpec {
     assert(chunks.map(_.getLong(3)).sum == 23L)
     assert(chunks.last.getLong(3) == 3L) // 23 = 4*5 + 3 short tail
   }
+
+  test("dedupSegments: first corpus-wide occurrence survives, later drop") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "a b c d"),          // segments (2-token): "a b", "c d"
+      (2L, "a b x y"),          // "a b" duplicates doc 1's first segment
+      (3L, "A  B c d"),         // both segments duplicate doc 1 (case/ws)
+      (4L, "p q")               // unique
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupSegments(df, "text", "doc_id", segTokens = 2)
+      .orderBy(col("doc_id")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (2L, 2L, "a b c d"))   // first occurrences: all kept
+    assert(out(2L) == (2L, 1L, "x y"))       // "a b" dropped
+    assert(out(3L) == (2L, 0L, ""))          // everything seen before
+    assert(out(4L) == (1L, 1L, "p q"))
+  }
+
+  test("dedupSegments: intra-doc repeats keep only the first occurrence") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((7L, "x y x y x y")).toDF("doc_id", "text")
+    val out = Corpus.dedupSegments(df, "text", "doc_id", segTokens = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.head == (3L, 1L, "x y"))
+  }
+
+  test("dedupSegments: raw segment text survives, dedup is normalized") {
+    import org.apache.spark.sql.functions.col
+    // "P Q" and "p q": the NORMALIZED window treats them as one segment,
+    // the kept text is the raw first occurrence
+    val df = Seq((1L, "P Q"), (2L, "p q")).toDF("doc_id", "text")
+    val out = Corpus.dedupSegments(df, "text", "doc_id", segTokens = 2)
+      .orderBy(col("doc_id")).collect().map(_.getString(3))
+    assert(out.toSeq == Seq("P Q", ""))
+  }
 }

@@ -161,4 +161,45 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
     assert(got == Map(0.5 -> 1.0, 0.75 -> 1.0, 1.0 -> 2.0))
   }
+
+  private lazy val ivA = Seq((1L, 0L, 10L), (2L, 5L, 25L), (3L, 40L, 41L))
+    .toDF("aid", "a_lo", "a_hi")
+  private lazy val ivB = Seq((10L, 8L, 12L), (20L, 30L, 39L), (30L, 0L, 100L))
+    .toDF("bid", "b_lo", "b_hi")
+
+  test("intervalOverlapJoin equals the naive inequality join, any width") {
+    val naive = ivA.crossJoin(ivB)
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // expected: a1-b10, a1-b30, a2-b10, a2-b30, a3-b30 (a?-b20: none)
+    assert(naive == Set((1L, 10L), (1L, 30L), (2L, 10L), (2L, 30L),
+      (3L, 30L)))
+    for (w <- Seq(1L, 3L, 7L, 50L, 1000L)) {
+      val got = Relational.intervalOverlapJoin(
+          ivA, "a_lo", "a_hi", ivB, "b_lo", "b_hi", w)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // exactly once per overlapping pair — the first-common-bucket
+      // filter dedups without a distinct
+      assert(got.length == got.toSet.size, s"width=$w duplicated pairs")
+      assert(got.toSet == naive, s"width=$w")
+    }
+  }
+
+  test("intervalOverlapJoin: touching endpoints count, disjoint do not") {
+    val a = Seq((1L, 0L, 10L)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((1L, 10L, 20L), (2L, 11L, 20L)).toDF("bid", "b_lo", "b_hi")
+    val got = Relational.intervalOverlapJoin(
+        a, "a_lo", "a_hi", b, "b_lo", "b_hi", 4L)
+      .select("bid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L)) // [0,10] touches [10,20]; misses [11,20]
+  }
+
+  test("intervalOverlapJoin plans a shuffled equi-join, not nested-loop") {
+    val plan = Relational.intervalOverlapJoin(
+        ivA, "a_lo", "a_hi", ivB, "b_lo", "b_hi", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Vocab
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "The cat ATE   the rat"),
+    (3L, "dogs bark"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("buildVocab: ids dense in (count desc, term) order, case-folded") {
+    val v = Vocab.buildVocab(docs, "text", vocabSize = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "the" appears 4x (case-folded), everything else less
+    assert(v.head == ("the", 4L, 0L))
+    // dense 0..n-1 ids, rank order = (n desc, term asc)
+    assert(v.map(_._3).toSeq == v.indices.map(_.toLong))
+    assert(v.sortBy(t => (-t._2, t._1)).map(_._3).toSeq ==
+      v.indices.map(_.toLong))
+    // 9 distinct terms total: the cat sat on mat ate rat dogs bark
+    assert(v.length == 9)
+  }
+
+  test("buildVocab: vocabSize truncates at the (count desc, term) cut") {
+    val v = Vocab.buildVocab(docs, "text", vocabSize = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(v.length == 3)
+    assert(v.head == ("the", 0L))
+    assert(v.map(_._2).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("encodeTokens: positions 0-based per doc, OOV is -1, empty absent") {
+    val vocab = Vocab.buildVocab(docs, "text", vocabSize = 3)
+    val enc = Vocab.encodeTokens(docs, vocab, "text", "doc_id")
+      .orderBy(col("doc_id"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every token of docs 1-3 has a row; doc 4 (empty) has none
+    assert(enc.count(_._1 == 1L) == 6)
+    assert(!enc.exists(_._1 == 4L))
+    // positions are 0..n-1 within each doc
+    assert(enc.filter(_._1 == 1L).map(_._2).toSeq == (0L to 5L))
+    // "the" (id 0) is at positions 0 and 4 of doc 1
+    val d1 = enc.filter(_._1 == 1L)
+    assert(d1.filter(_._3 == 0L).map(_._2).toSeq == Seq(0L, 4L))
+    // OOV terms map to -1 (vocab only holds 3 terms)
+    assert(enc.exists(_._3 == -1L))
+    // round trip: ids agree with the vocab's own terms
+    val byTerm = vocab.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(d1.head._3 == byTerm("the"))
+  }
+
+  test("encodeTokens plans a broadcast join and no extra shuffle") {
+    val vocab = Vocab.buildVocab(docs, "text", vocabSize = 3)
+    val plan = Vocab.encodeTokens(docs, vocab, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
