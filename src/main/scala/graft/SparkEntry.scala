@@ -944,6 +944,24 @@ object SparkEntry {
           col("w_events"))
         .orderBy(col("user_id"), col("session_id"), col("win_start"))
     },
+
+    // feature scaling: per-group z-score + min-max from decimal-exact
+    // moments (one agg → broadcast-back; no window over raw rows)
+    "q66_feature_scale" -> { (s, dir) =>
+      graft.ops.Features.scaleFeatures(
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_linenumber"), col("l_returnflag"), col("l_quantity")),
+          Seq("l_returnflag"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // fixed-width histogram: scan-local bin + one <=nBins-key agg,
+    // out-of-range clamped into the edge bins so totals reconcile
+    "q67_histogram" -> { (s, dir) =>
+      graft.ops.Features.histogram(t(s, dir, "lineitem"),
+          col("l_extendedprice"), lo = 0.0, width = 5000.0, nBins = 25)
+        .orderBy(col("bin"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -2412,5 +2430,38 @@ object SparkEntry {
         |FROM sess JOIN hot
         |  ON s_lo <= w_lo + 21599999999999 AND w_lo <= s_hi
         |ORDER BY user_id, session_id, win_start""".stripMargin,
+
+    "q66_feature_scale" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    count(l_quantity) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS mn,
+        |    CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS mx
+        |  FROM lineitem GROUP BY l_returnflag
+        |), mm AS (
+        |  SELECT l_returnflag, n, s / n AS mean,
+        |    sq / n - (s / n) * (s / n) AS var, mn, mx
+        |  FROM m
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+        |  round(CASE WHEN var > 0 THEN
+        |    (CAST(l.l_quantity AS DOUBLE) - mean) / sqrt(var) END, 6)
+        |    AS zscore,
+        |  round(CASE WHEN mx > mn THEN
+        |    (CAST(l.l_quantity AS DOUBLE) - mn) / (mx - mn) END, 6)
+        |    AS minmax
+        |FROM lineitem l JOIN mm USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q67_histogram" ->
+      """SELECT bin, 0.0 + bin * 5000.0 AS bin_lo, count(*) AS n FROM (
+        |  SELECT least(greatest(CAST(floor(
+        |    (CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0) AS BIGINT),
+        |    0), 24) AS bin
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
   )
 }

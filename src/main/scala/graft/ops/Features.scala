@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Feature-preparation operators: per-group normalization and fixed-width
+  * histograms — the scaling/profiling steps between raw columns and a
+  * training run. All moments are computed from DECIMAL-exact sums (order-
+  * independent, so any partitioning/engine produces bit-identical
+  * statistics) and only then divided in IEEE double arithmetic — the same
+  * exactness recipe as [[graft.similarity.Similarity]]'s centroids.
+  */
+object Features {
+
+  /** Per-group z-score and min-max scaling of `valueCol` (quantized at
+    * `scale` decimal places — pick the column's native precision, e.g. 2
+    * for currency): appends `zscore` = (v − mean)/σ (population σ) and
+    * `minmax` = (v − min)/(max − min), both rounded to 6 dp. Rows with a
+    * null value pass through with null scores; a zero-variance (or
+    * single-row) group yields null `zscore`, a constant group null
+    * `minmax` (no spread to scale by).
+    *
+    * Exactness: Σv and Σv² accumulate in decimal (38 digits — exact for
+    * any row count), so mean/σ don't depend on reduction order; the final
+    * per-row arithmetic is a fixed IEEE sequence identical in any engine.
+    *
+    * Scale shape: one map-side-combined aggregation to a per-group
+    * moments table (|groups| rows — broadcast back onto the scan), no
+    * window over raw rows, no second shuffle of the data.
+    */
+  def scaleFeatures(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      scale: Int = 2): DataFrame = {
+    val gs = groupCols.map(col)
+    val v = valueCol.cast(DecimalType(18, scale))
+    val moments = df
+      .groupBy(gs: _*)
+      .agg(count(v).as("__n"),
+        sum(v).cast("double").as("__sum"),
+        sum(v * v).cast("double").as("__sumsq"),
+        min(v).cast("double").as("__min"),
+        max(v).cast("double").as("__max"))
+      .withColumn("__mean", col("__sum") / col("__n"))
+      .withColumn("__var",
+        col("__sumsq") / col("__n") - col("__mean") * col("__mean"))
+    val keyed = moments.select(
+      groupCols.map(c => col(c).as(s"__m_$c")) ++
+        Seq(col("__mean"), col("__var"), col("__min"), col("__max")): _*)
+    df.join(broadcast(keyed),
+        groupCols.map(c => col(c) <=> col(s"__m_$c")).reduce(_ && _), "left")
+      .withColumn("zscore", round(
+        when(col("__var") > 0,
+          (valueCol.cast("double") - col("__mean")) / sqrt(col("__var"))),
+        6))
+      .withColumn("minmax", round(
+        when(col("__max") > col("__min"),
+          (valueCol.cast("double") - col("__min"))
+            / (col("__max") - col("__min"))),
+        6))
+      .drop(groupCols.map(c => s"__m_$c") ++
+        Seq("__mean", "__var", "__min", "__max"): _*)
+  }
+
+  /** Fixed-width histogram of `valueCol`: counts per bin over
+    * [lo, lo + nBins·width), bin = floor((v − lo)/width), with
+    * out-of-range values clamped into the edge bins (so Σcounts = the
+    * non-null row count — profiling wants totals to reconcile). Output:
+    * (bin, bin_lo, n), only non-empty bins, ordered by construction of
+    * the caller's sort. Bin arithmetic uses one IEEE division + floor —
+    * identical in any engine; bins are monotone in the value even under
+    * double rounding, so a boundary value lands in the same bin
+    * everywhere.
+    *
+    * Scale shape: a pure scan-local projection + one map-side-combined
+    * aggregation on ≤ nBins keys — the profiling pass costs one scan.
+    */
+  def histogram(df: DataFrame, valueCol: Column, lo: Double, width: Double,
+      nBins: Int): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    require(nBins >= 1, s"nBins must be >= 1: $nBins")
+    val bin = least(greatest(
+      floor((valueCol.cast("double") - lit(lo)) / lit(width)).cast("long"),
+      lit(0L)), lit(nBins - 1L))
+    df.filter(valueCol.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * lit(width))
+      .select(col("bin"), col("bin_lo"), col("n"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Features
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scaleFeatures: known z-scores and min-max on a tiny group") {
+    // group g: values 1, 2, 3 → mean 2, population var 2/3
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("k", "v")
+    val got = Features.scaleFeatures(df, Seq("k"), col("v"))
+      .orderBy("v").collect()
+      .map(r => (Option(r.get(2)), Option(r.get(3))))
+    val sd = math.sqrt(2.0 / 3.0)
+    assert(got(0)._1.get == math.rint(-1.0 / sd * 1e6) / 1e6)
+    assert(got(1)._1.get == 0.0)
+    assert(got(2)._1.get == math.rint(1.0 / sd * 1e6) / 1e6)
+    assert(got.map(_._2.get).toSeq == Seq(0.0, 0.5, 1.0))
+  }
+
+  test("scaleFeatures: zero-variance group and null values yield nulls") {
+    val df = Seq(("c", Some(5.0)), ("c", Some(5.0)), ("c", None))
+      .toDF("k", "v")
+    val got = Features.scaleFeatures(df, Seq("k"), col("v")).collect()
+    assert(got.length == 3) // null value passes through
+    assert(got.forall(_.isNullAt(2))) // constant group: no z-score
+    assert(got.forall(_.isNullAt(3))) // no spread: no min-max
+  }
+
+  test("scaleFeatures: groups scale independently; moments broadcast") {
+    val df = Seq(("a", 0.0), ("a", 10.0), ("b", 100.0), ("b", 300.0))
+      .toDF("k", "v")
+    val out = Features.scaleFeatures(df, Seq("k"), col("v"))
+    val mm = out.orderBy("k", "v").collect().map(_.getDouble(3))
+    assert(mm.toSeq == Seq(0.0, 1.0, 0.0, 1.0))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("histogram: binning, clamped edges, totals reconcile") {
+    val df = Seq(-5.0, 0.0, 1.0, 9.9, 10.0, 25.0, 99.0, 1000.0).toDF("v")
+    val got = Features.histogram(df, col("v"), lo = 0.0, width = 10.0,
+        nBins = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(got(0L) == ((0.0, 4L))) // -5 clamps up; 0, 1, 9.9 in range
+    assert(got(1L) == ((10.0, 1L)))
+    assert(got(2L) == ((20.0, 1L)))
+    assert(got(4L) == ((40.0, 2L))) // 99 and 1000 clamp into last bin
+    assert(!got.contains(3L)) // empty bins absent
+    assert(got.values.map(_._2).sum == 8L)
+  }
+
+  test("histogram: null values are excluded from every bin") {
+    val df = Seq(Some(1.0), None, Some(2.0)).toDF("v")
+    val got = Features.histogram(df, col("v"), 0.0, 10.0, 2).collect()
+    assert(got.map(_.getLong(2)).sum == 2L)
+  }
+}
