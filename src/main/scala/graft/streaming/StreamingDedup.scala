@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.dedup.Dedup
+
+/** Streaming ingest-time near-dup screening — the streaming face of the
+  * incremental batch-vs-corpus dedup (SURVEY §2 X43): new documents
+  * arrive on a stream; the corpus's MinHash band table — the persistable
+  * artifact, fingerprinted ONCE — is a static frame; every micro-batch
+  * fingerprints only its own documents, probes the store with the same
+  * asymmetric band equi-join, and confirms candidates with the exact-
+  * Jaccard verify tier. Per-batch cost is linear in the BATCH; the
+  * corpus is never re-fingerprinted.
+  *
+  * Why foreachBatch and not a stream-side transform: `minhashBands`
+  * aggregates per document (k min() columns), which as a streaming
+  * transform would force update-mode state for no benefit — a document's
+  * signature is complete within its own micro-batch; there is nothing to
+  * accumulate across batches. foreachBatch hands each micro-batch over
+  * as a bounded DataFrame, the batch operators run unchanged, and the
+  * stream keeps exactly the batch path's scale shape. (This is the
+  * standard Structured Streaming altitude for batch logic whose
+  * internals aggregate.)
+  *
+  * Caller contract: stream ids must be disjoint from corpus ids (ingest
+  * ids are new by definition), and `corpusBands` must come from
+  * [[Dedup.minhashBands]] with the SAME (shingleN, numHashes, bands)
+  * parameterization passed here — band keys are only comparable within
+  * one parameterization.
+  */
+object StreamingDedup {
+
+  /** Start screening `newDocs` (a STREAMING frame of (idCol, textCol))
+    * against the static corpus. Each micro-batch's verified near-dups —
+    * (id_new, id_corpus, jaccard) — are handed to `onAlerts` with the
+    * batch id (sink them, alert on them, or queue the ids for
+    * quarantine). `corpusTexts` backs the verify tier; only rows that
+    * appear in a candidate pair are ever re-read from it.
+    */
+  def run(newDocs: DataFrame, corpusBands: DataFrame,
+      corpusTexts: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.5,
+      onAlerts: (DataFrame, Long) => Unit): StreamingQuery =
+    newDocs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val batchBands = Dedup.minhashBands(batch, textCol, idCol,
+          shingleN, numHashes, bands)
+        val cand = Dedup.incrementalLshPairs(batchBands, corpusBands, idCol)
+          .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"))
+        val alerts = Dedup.verifiedNearDups(cand,
+            corpusTexts.select(col(idCol), col(textCol))
+              .unionByName(batch.select(col(idCol), col(textCol))),
+            textCol, idCol, shingleN, threshold)
+          .select(col("id_a").as("id_new"), col("id_b").as("id_corpus"),
+            col("jaccard"))
+        onAlerts(alerts, batchId)
+      }
+      .start()
+}

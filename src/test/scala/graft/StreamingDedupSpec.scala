@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.dedup.Dedup
+import graft.streaming.StreamingDedup
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def text(words: String*): String = words.mkString(" ")
+
+  test("streaming near-dup screening matches the batch incremental path") {
+    // corpus: two documents; the band table is built ONCE up front
+    val corpus = Seq(
+      (1L, text("alpha", "beta", "gamma", "delta", "epsilon", "zeta")),
+      (2L, text("one", "two", "three", "four", "five", "six"))
+    ).toDF("doc_id", "text")
+    val corpusBands = Dedup.minhashBands(corpus, "text", "doc_id",
+      shingleN = 2, numHashes = 32, bands = 16).localCheckpoint(true)
+
+    // stream: doc 101 near-dups corpus doc 1, 102 near-dups 2, 103 is
+    // novel — split across two micro-batches
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData((101L,
+      text("alpha", "beta", "gamma", "delta", "epsilon", "eta")))
+    in.addData(
+      (102L, text("one", "two", "three", "four", "five", "seven")),
+      (103L, text("totally", "unrelated", "fresh", "document", "words")))
+
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)] // (batchId, id_new, id_corpus)
+    val q = StreamingDedup.run(
+      in.toDF().toDF("doc_id", "text"), corpusBands, corpus,
+      "text", "doc_id", shingleN = 2, threshold = 0.5,
+      onAlerts = (alerts: DataFrame, id: Long) =>
+        alerts.collect().foreach(r =>
+          seen.synchronized {
+            seen += ((id, r.getLong(0), r.getLong(1)))
+          }))
+    q.processAllAvailable()
+    q.stop()
+
+    // both planted near-dups found, the novel doc not flagged
+    assert(seen.map(t => (t._2, t._3)).toSet == Set((101L, 1L), (102L, 2L)))
+    // parity: the batch incremental operator over the same data agrees
+    val all = Seq(
+      (101L, text("alpha", "beta", "gamma", "delta", "epsilon", "eta")),
+      (102L, text("one", "two", "three", "four", "five", "seven")),
+      (103L, text("totally", "unrelated", "fresh", "document", "words"))
+    ).toDF("doc_id", "text")
+    val batchPairs = Dedup.verifiedNearDups(
+        Dedup.incrementalLshPairs(
+          Dedup.minhashBands(all, "text", "doc_id",
+            shingleN = 2, numHashes = 32, bands = 16),
+          corpusBands, "doc_id")
+          .select($"id_new".as("id_a"), $"id_corpus".as("id_b")),
+        corpus.unionByName(all), "text", "doc_id",
+        shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(seen.map(t => (t._2, t._3)).toSet == batchPairs)
+  }
+}
