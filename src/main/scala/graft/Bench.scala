@@ -161,6 +161,13 @@ object Bench {
         val c = if (scale == 1) d1 else docs4x(d1)
         Dedup.simhashNearDups(c, "text", "doc_id",
           bands = 4, maxHamming = 8)
+      },
+      // segment-level dedup: one window keyed by segment content (each
+      // partition is one segment's occurrence list) + one doc-grain agg
+      // — growth is in segment-key COUNT, not occurrence-list size
+      "q64_segment_dedup" -> { scale =>
+        val c = if (scale == 1) d1 else docs4x(d1)
+        graft.text.Corpus.dedupSegments(c, "text", "doc_id", segTokens = 8)
       })
     val entries = cases.map { case (name, mk) =>
       // min of two runs per scale point, same rationale as exec(): the

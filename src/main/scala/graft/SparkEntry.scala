@@ -952,7 +952,11 @@ object SparkEntry {
           t(s, dir, "lineitem").select(col("l_orderkey"),
             col("l_linenumber"), col("l_returnflag"), col("l_quantity")),
           Seq("l_returnflag"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem (11k+ dup pairs) and both engines' joins reshuffle tie
+        // order — sort the full projection so the order is total
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
     },
 
     // fixed-width histogram: scan-local bin + one <=nBins-key agg,
@@ -961,6 +965,18 @@ object SparkEntry {
       graft.ops.Features.histogram(t(s, dir, "lineitem"),
           col("l_extendedprice"), lo = 0.0, width = 5000.0, nBins = 25)
         .orderBy(col("bin"))
+    },
+
+    // equal-frequency discretization: per-group quartile cuts (exact
+    // picks) broadcast back; bucket = cuts strictly below the value
+    "q68_bucketize" -> { (s, dir) =>
+      graft.ops.Relational.bucketize(
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_linenumber"), col("l_returnflag"), col("l_quantity")),
+          Seq("l_returnflag"), col("l_quantity"), nBuckets = 4)
+        // total order over the projection — see q66's ordering note
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
     },
   )
 
@@ -2454,7 +2470,8 @@ object SparkEntry {
         |    (CAST(l.l_quantity AS DOUBLE) - mn) / (mx - mn) END, 6)
         |    AS minmax
         |FROM lineitem l JOIN mm USING (l_returnflag)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"""
+        .stripMargin,
 
     "q67_histogram" ->
       """SELECT bin, 0.0 + bin * 5000.0 AS bin_lo, count(*) AS n FROM (
@@ -2463,5 +2480,33 @@ object SparkEntry {
         |    0), 24) AS bin
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
         |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q68_bucketize" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), qs AS (
+        |  SELECT * FROM (VALUES (250000), (500000), (750000)) AS t(ppm)
+        |), cuts AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS cut
+        |  FROM ranked, qs WHERE rn = (ppm * n + 999999) // 1000000
+        |)
+        |, vals AS (
+        |  SELECT DISTINCT l_returnflag, l_quantity FROM lineitem
+        |), bk AS (
+        |  SELECT v.l_returnflag, v.l_quantity,
+        |    CAST(coalesce(sum(CASE WHEN CAST(v.l_quantity AS DOUBLE)
+        |      > c.cut THEN 1 ELSE 0 END), 0) AS BIGINT) AS bucket
+        |  FROM vals v LEFT JOIN cuts c USING (l_returnflag)
+        |  GROUP BY v.l_returnflag, v.l_quantity
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+        |  b.bucket
+        |FROM lineitem l JOIN bk b USING (l_returnflag, l_quantity)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"""
+        .stripMargin,
   )
 }

@@ -162,6 +162,40 @@ object Relational {
       .select((gs :+ col("__h.q").as("q") :+ col("__h.value").as("value")): _*)
   }
 
+  /** Equal-frequency discretization: append each row's quantile-bucket
+    * index in [0, nBuckets) — bucket = how many of the group's interior
+    * quantile cuts (q = i/nBuckets, [[quantilesDisc]] picks — actual data
+    * values, exact) the value strictly exceeds. The equal-frequency
+    * sibling of [[graft.ops.Features.histogram]]'s equal-width bins, and
+    * the standard feature-bucketization step before hashing/embedding
+    * tabular columns. Null values get a null bucket. With heavy ties,
+    * buckets are unbalanced exactly as percentile_disc dictates (a value
+    * equal to a cut stays LEFT of it — ≤ cut), deterministically in any
+    * engine.
+    *
+    * Scale shape: the cuts table is |groups| × (nBuckets−1) picks
+    * (aggregate-first via quantilesDisc), collapsed to one sorted array
+    * per group and broadcast back onto the scan — the data itself never
+    * shuffles; the per-row bucket is a ≤ nBuckets−1-element array scan.
+    */
+  def bucketize(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = quantilesDisc(df, groupCols, valueCol, qs)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("value"))).as("__cuts"))
+      .select(groupCols.map(c => col(c).as(s"__cut_$c")) :+
+        col("__cuts"): _*)
+    df.join(broadcast(cuts),
+        groupCols.map(c => col(c) <=> col(s"__cut_$c")).reduce(_ && _),
+        "left")
+      .withColumn("bucket", when(valueCol.isNotNull,
+        size(filter(col("__cuts"),
+          c => valueCol.cast("double") > c)).cast("long")))
+      .drop(groupCols.map(c => s"__cut_$c") :+ "__cuts": _*)
+  }
+
   /** Point-in-interval range join: rows of `points` matched to every
     * interval `[loCol, hiCol]` (inclusive) of `intervals` that contains
     * `pointCol`. Spark plans a bare inequality join as

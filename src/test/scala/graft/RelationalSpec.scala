@@ -196,6 +196,27 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set(1L)) // [0,10] touches [10,20]; misses [11,20]
   }
 
+  test("bucketize: quartiles of 1..8 split into four equal buckets") {
+    val df = (1 to 8).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val got = Relational.bucketize(df, Seq("g"), col("v"), nBuckets = 4)
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    // disc cuts: 2, 4, 6 → buckets {1,2}=0 {3,4}=1 {5,6}=2 {7,8}=3
+    assert(got == Map(1.0 -> 0L, 2.0 -> 0L, 3.0 -> 1L, 4.0 -> 1L,
+      5.0 -> 2L, 6.0 -> 2L, 7.0 -> 3L, 8.0 -> 3L))
+  }
+
+  test("bucketize: ties stay left of their cut; nulls get null buckets") {
+    // values 1,1,1,2: cuts (q=.25,.5,.75) = 1,1,1 → v=1 exceeds none
+    // (bucket 0), v=2 exceeds all three (bucket 3)
+    val df = Seq(("g", Some(1.0)), ("g", Some(1.0)), ("g", Some(1.0)),
+      ("g", Some(2.0)), ("g", None)).toDF("g", "v")
+    val got = Relational.bucketize(df, Seq("g"), col("v"), nBuckets = 4)
+      .collect().map(r => Option(r.get(1)) -> Option(r.get(2)))
+    assert(got.filter(_._1.contains(1.0)).forall(_._2.contains(0L)))
+    assert(got.filter(_._1.contains(2.0)).forall(_._2.contains(3L)))
+    assert(got.filter(_._1.isEmpty).forall(_._2.isEmpty))
+  }
+
   test("intervalOverlapJoin plans a shuffled equi-join, not nested-loop") {
     val plan = Relational.intervalOverlapJoin(
         ivA, "a_lo", "a_hi", ivB, "b_lo", "b_hi", 10L)
