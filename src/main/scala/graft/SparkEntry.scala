@@ -195,7 +195,11 @@ object SparkEntry {
       li.select(col("l_orderkey"), col("l_linenumber"),
           concat(checks.map(digit): _*).as("flags"),
           when(checks.reduce(_ && _), col("l_extendedprice")).as("graded"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — sort the whole projection (nulls first on both
+        // engines) so the order is total and ties are identical rows
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("flags"),
+          col("graded").asc_nulls_first)
     },
 
     // scalar-expression catalog — the MSLP derivation (exp/arith), rounded
@@ -207,7 +211,8 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           round(p / exp(lit(-0.777) / h), 6).as("mslp"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // total order — see q10's ordering note
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("mslp"))
     },
 
     // P3/P4/W3 — open range + anchored trailing window slice
@@ -1117,14 +1122,17 @@ object SparkEntry {
         |        AND COALESCE(l_tax > 0.04, FALSE)
         |        AND l_returnflag = 'R'
         |       THEN l_extendedprice END AS graded
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, flags, graded NULLS FIRST"""
+        .stripMargin,
 
     "q11_mslp_expr" ->
       """SELECT l_orderkey, l_linenumber,
         |  round((l_extendedprice / 1000) /
         |        exp(-0.777 / ((8.314 * (l_quantity + 273.15))
         |                      / (0.029 * 9.81) / 1000)), 6) AS mslp
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, mslp""".stripMargin,
 
     "q12_between_slice" ->
       """WITH ev AS (
