@@ -972,6 +972,19 @@ object SparkEntry {
         .orderBy(col("bin"))
     },
 
+    // linear gap interpolation over the q3 grid: two linear running
+    // frames (forward + reversed mirror), exact micros axis, one lerp
+    "q69_interpolate" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .filter(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("TIMESTAMP"))
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("v"))
+      graft.ops.TimeSeries.interpolate(
+          graft.ops.TimeSeries.regrid(hourly, stepSeconds = 3600),
+          "TIMESTAMP", "v")
+        .orderBy(col("TIMESTAMP"))
+    },
+
     // equal-frequency discretization: per-group quartile cuts (exact
     // picks) broadcast back; bucket = cuts strictly below the value
     "q68_bucketize" -> { (s, dir) =>
@@ -2516,5 +2529,44 @@ object SparkEntry {
         |FROM lineitem l JOIN bk b USING (l_returnflag, l_quantity)
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"""
         .stripMargin,
+
+    "q69_interpolate" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS t,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'error' GROUP BY 1
+        |), b AS (
+        |  SELECT date_trunc('day', min(t)) AS lo,
+        |         CASE WHEN date_trunc('day', max(t)) = max(t) THEN max(t)
+        |              ELSE date_trunc('day', max(t)) + INTERVAL 1 DAY END
+        |           AS hi
+        |  FROM h
+        |), g AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gt
+        |  FROM b
+        |), j AS (
+        |  SELECT g.gt, h.n, h.v FROM g LEFT JOIN h ON h.t = g.gt
+        |), w AS (
+        |  SELECT gt, n, v,
+        |    last_value(v IGNORE NULLS) OVER (ORDER BY gt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN epoch_us(gt) END
+        |      IGNORE NULLS) OVER (ORDER BY gt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(v IGNORE NULLS) OVER (ORDER BY gt
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN epoch_us(gt) END
+        |      IGNORE NULLS) OVER (ORDER BY gt
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM j
+        |)
+        |SELECT gt AS "TIMESTAMP", n,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         pv + (nv - pv) * (CAST(epoch_us(gt) - pt AS DOUBLE)
+        |           / CAST(nt - pt AS DOUBLE))
+        |  END AS v
+        |FROM w ORDER BY "TIMESTAMP"""".stripMargin,
   )
 }

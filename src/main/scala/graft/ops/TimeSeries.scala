@@ -169,6 +169,48 @@ object TimeSeries {
       .orderBy(col(tsCol))
       .rangeBetween(-windowUnits, 0))
 
+  /** Linear interpolation of null gaps on a time grid — the resampling
+    * upgrade over [[regrid]]'s null fill (the reference's `indx_fill`
+    * leaves gap rows null; a numeric series usually wants them
+    * interpolated): a null value at tick t with nearest non-null
+    * neighbors (tp, vp) before and (tn, vn) after in its key group
+    * becomes vp + (vn − vp)·(t − tp)/(tn − tp); leading/trailing nulls
+    * stay null (no extrapolation), non-null values pass through.
+    * `tsCol` must be unique within a key group (true for grid output).
+    *
+    * Scale shape: two LINEAR running frames per key — a forward
+    * last(ignoreNulls) over (unboundedPreceding, currentRow) and its
+    * REVERSED-sort mirror (the [[asofJoinForward]] discipline: never an
+    * unbounded-FOLLOWING frame, which Spark executes by re-scanning to
+    * the partition end per row). Cost: one shuffle on `keys`, two sorted
+    * window passes. The gap arithmetic runs on the exact long microsecond
+    * axis and the final lerp is one fixed IEEE sequence — engine-exact.
+    */
+  def interpolate(df: DataFrame, tsCol: String, valueCol: String,
+      keys: Seq[String] = Nil): DataFrame = {
+    val v = col(valueCol)
+    val tsUs = unix_micros(col(tsCol))
+    def running(w: org.apache.spark.sql.expressions.WindowSpec) =
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = running(Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol)))
+    val wB = running(Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).desc))
+    df
+      .withColumn("__pv", last(v, ignoreNulls = true).over(wF))
+      .withColumn("__pt",
+        last(when(v.isNotNull, tsUs), ignoreNulls = true).over(wF))
+      .withColumn("__nv", last(v, ignoreNulls = true).over(wB))
+      .withColumn("__nt",
+        last(when(v.isNotNull, tsUs), ignoreNulls = true).over(wB))
+      .withColumn(valueCol, when(v.isNotNull, v).otherwise(
+        when(col("__pv").isNotNull && col("__nv").isNotNull,
+          col("__pv") + (col("__nv") - col("__pv")) *
+            ((tsUs - col("__pt")).cast("double")
+              / (col("__nt") - col("__pt")).cast("double")))))
+      .drop("__pv", "__pt", "__nv", "__nt")
+  }
+
   /** As-of (backward) join: for every left row, attach the right row with
     * the greatest time ≤ the left row's time within the same key group
     * (left-outer semantics: no earlier right row → nulls).

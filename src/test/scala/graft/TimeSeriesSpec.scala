@@ -144,4 +144,31 @@ class TimeSeriesSpec extends SparkSpec {
       .select($"d").as[Option[Double]].collect()
     assert(out.toSeq == Seq(None, Some(2.0), None))
   }
+
+  test("interpolate: lerp interior gaps, no extrapolation, per key") {
+    val df = Seq(
+      ("a", ts("2021-01-15 00:00:00"), None: Option[Double]), // leading
+      ("a", ts("2021-01-15 01:00:00"), Some(10.0)),
+      ("a", ts("2021-01-15 02:00:00"), None),
+      ("a", ts("2021-01-15 03:00:00"), None),
+      ("a", ts("2021-01-15 04:00:00"), None),
+      ("a", ts("2021-01-15 05:00:00"), Some(2.0)),
+      ("a", ts("2021-01-15 06:00:00"), None), // trailing
+      ("b", ts("2021-01-15 00:00:00"), Some(7.0)) // other key untouched
+    ).toDF("site", "TIMESTAMP", "v")
+    val out = TimeSeries.interpolate(df, "TIMESTAMP", "v", Seq("site"))
+      .orderBy($"site", $"TIMESTAMP")
+      .select($"v").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(
+      None, Some(10.0), Some(8.0), Some(6.0), Some(4.0), Some(2.0), None,
+      Some(7.0)))
+  }
+
+  test("interpolate plans only running frames (no unbounded following)") {
+    val df = Seq(("a", ts("2021-01-15 00:00:00"), Option(1.0)))
+      .toDF("site", "TIMESTAMP", "v")
+    val plan = TimeSeries.interpolate(df, "TIMESTAMP", "v", Seq("site"))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("unboundedfollowing"), plan)
+  }
 }
