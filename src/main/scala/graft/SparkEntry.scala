@@ -985,6 +985,24 @@ object SparkEntry {
         .orderBy(col("TIMESTAMP"))
     },
 
+    // pandas ffill/bfill on the grid: linear running frames only; the
+    // ffill carries a 2-row limit (the row-distance check shares the
+    // forward window spec — one WindowExec per direction)
+    "q70_fill" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .filter(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("TIMESTAMP"))
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("v"))
+      val grid = graft.ops.TimeSeries.regrid(hourly, stepSeconds = 3600)
+      val f = graft.ops.TimeSeries.fillForward(grid, "TIMESTAMP", "v",
+          limit = Some(2))
+        .select(col("TIMESTAMP"), col("n"), col("v").as("v_ffill"))
+      val b = graft.ops.TimeSeries.fillBackward(grid, "TIMESTAMP", "v")
+        .select(col("TIMESTAMP"), col("v").as("v_bfill"))
+      f.join(b, Seq("TIMESTAMP"))
+        .orderBy(col("TIMESTAMP"))
+    },
+
     // equal-frequency discretization: per-group quartile cuts (exact
     // picks) broadcast back; bucket = cuts strictly below the value
     "q68_bucketize" -> { (s, dir) =>
@@ -2567,6 +2585,42 @@ object SparkEntry {
         |         pv + (nv - pv) * (CAST(epoch_us(gt) - pt AS DOUBLE)
         |           / CAST(nt - pt AS DOUBLE))
         |  END AS v
+        |FROM w ORDER BY "TIMESTAMP"""".stripMargin,
+
+    "q70_fill" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS t,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'error' GROUP BY 1
+        |), b AS (
+        |  SELECT date_trunc('day', min(t)) AS lo,
+        |         CASE WHEN date_trunc('day', max(t)) = max(t) THEN max(t)
+        |              ELSE date_trunc('day', max(t)) + INTERVAL 1 DAY END
+        |           AS hi
+        |  FROM h
+        |), g AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gt
+        |  FROM b
+        |), j AS (
+        |  SELECT g.gt, h.n, h.v FROM g LEFT JOIN h ON h.t = g.gt
+        |), r AS (
+        |  SELECT gt, n, v, row_number() OVER (ORDER BY gt) AS rn FROM j
+        |), w AS (
+        |  SELECT gt, n, v, rn,
+        |    last_value(v IGNORE NULLS) OVER (ORDER BY gt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (ORDER BY gt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS frn,
+        |    first_value(v IGNORE NULLS) OVER (ORDER BY gt
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bv
+        |  FROM r
+        |)
+        |SELECT gt AS "TIMESTAMP", n,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN rn - frn <= 2 THEN fv END AS v_ffill,
+        |  coalesce(v, bv) AS v_bfill
         |FROM w ORDER BY "TIMESTAMP"""".stripMargin,
   )
 }

@@ -211,6 +211,47 @@ object TimeSeries {
       .drop("__pv", "__pt", "__nv", "__nt")
   }
 
+  /** Forward fill (pandas `ffill`): nulls take the last preceding
+    * non-null value in their key group — one linear running frame.
+    * `limit` bounds the fill distance in ROWS (pandas' `limit`): a null
+    * more than `limit` rows after its donor stays null. The row-distance
+    * check rides the same two shared window specs (forward frame +
+    * plain row_number), so the whole fill is one WindowExec.
+    */
+  def fillForward(df: DataFrame, tsCol: String, valueCol: String,
+      keys: Seq[String] = Nil, limit: Option[Int] = None): DataFrame =
+    fillDirectional(df, tsCol, valueCol, keys, limit, descending = false)
+
+  /** Backward fill (pandas `bfill`): nulls take the next following
+    * non-null value — [[fillForward]] mirrored via a reversed sort (the
+    * same linear-frame discipline as [[interpolate]]; never an
+    * unbounded-FOLLOWING frame).
+    */
+  def fillBackward(df: DataFrame, tsCol: String, valueCol: String,
+      keys: Seq[String] = Nil, limit: Option[Int] = None): DataFrame =
+    fillDirectional(df, tsCol, valueCol, keys, limit, descending = true)
+
+  private def fillDirectional(df: DataFrame, tsCol: String,
+      valueCol: String, keys: Seq[String], limit: Option[Int],
+      descending: Boolean): DataFrame = {
+    val v = col(valueCol)
+    val order = if (descending) col(tsCol).desc else col(tsCol).asc
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = last(v, ignoreNulls = true).over(run)
+    val within = limit match {
+      case None => lit(true)
+      case Some(n) =>
+        require(n >= 1, s"limit must be >= 1: $n")
+        val rn = row_number().over(w)
+        val donorRn = last(when(v.isNotNull, rn), ignoreNulls = true)
+          .over(run)
+        rn - donorRn <= n
+    }
+    df.withColumn(valueCol,
+      when(v.isNotNull, v).otherwise(when(within, filled)))
+  }
+
   /** As-of (backward) join: for every left row, attach the right row with
     * the greatest time ≤ the left row's time within the same key group
     * (left-outer semantics: no earlier right row → nulls).

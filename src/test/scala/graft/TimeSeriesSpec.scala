@@ -164,6 +164,27 @@ class TimeSeriesSpec extends SparkSpec {
       Some(7.0)))
   }
 
+  test("fillForward/fillBackward: direction, row limit, per key") {
+    val df = Seq(
+      ("a", ts("2021-01-15 00:00:00"), Some(1.0)),
+      ("a", ts("2021-01-15 01:00:00"), None: Option[Double]),
+      ("a", ts("2021-01-15 02:00:00"), None),
+      ("a", ts("2021-01-15 03:00:00"), None), // 3 rows past donor
+      ("a", ts("2021-01-15 04:00:00"), Some(5.0)),
+      ("b", ts("2021-01-15 00:00:00"), None) // no donor in key
+    ).toDF("site", "TIMESTAMP", "v")
+    def vals(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy($"site", $"TIMESTAMP")
+        .select($"v").as[Option[Double]].collect().toSeq
+    assert(vals(TimeSeries.fillForward(df, "TIMESTAMP", "v", Seq("site")))
+      == Seq(Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(5.0), None))
+    assert(vals(TimeSeries.fillForward(df, "TIMESTAMP", "v", Seq("site"),
+        limit = Some(2)))
+      == Seq(Some(1.0), Some(1.0), Some(1.0), None, Some(5.0), None))
+    assert(vals(TimeSeries.fillBackward(df, "TIMESTAMP", "v", Seq("site")))
+      == Seq(Some(1.0), Some(5.0), Some(5.0), Some(5.0), Some(5.0), None))
+  }
+
   test("interpolate plans only running frames (no unbounded following)") {
     val df = Seq(("a", ts("2021-01-15 00:00:00"), Option(1.0)))
       .toDF("site", "TIMESTAMP", "v")
