@@ -355,4 +355,39 @@ class PropertySpec extends SparkSpec {
       assert(g.filter($"RECORD".isNotNull).count() == slots.distinct.size)
     }
   }
+
+  test("interpolate agrees with an in-memory reference on random series") {
+    val seriesGen = for {
+      n <- Gen.choose(2, 40)
+      vals <- Gen.listOfN(n, Gen.option(Gen.choose(-50, 50)
+        .map(_.toDouble)))
+    } yield vals
+    samples(seriesGen, 15).zipWithIndex.foreach { case (vals, i) =>
+      val base = Timestamp.valueOf("2021-03-01 00:00:00").getTime
+      val rows = vals.zipWithIndex.map { case (v, j) =>
+        (new Timestamp(base + j * 3600000L), v)
+      }
+      // reference: scan for each null's nearest non-null neighbors
+      val arr = vals.toArray
+      val expected = arr.zipWithIndex.map {
+        case (Some(v), _) => Some(v)
+        case (None, j) =>
+          val p = (j - 1 to 0 by -1).find(arr(_).isDefined)
+          val nx = (j + 1 until arr.length).find(arr(_).isDefined)
+          (p, nx) match {
+            case (Some(pi), Some(ni)) =>
+              val (vp, vn) = (arr(pi).get, arr(ni).get)
+              // same IEEE tree as the operator: micros axis, one lerp
+              Some(vp + (vn - vp) *
+                ((j - pi) * 3600000000.0 / ((ni - pi) * 3600000000.0)))
+            case _ => None
+          }
+      }.toSeq
+      val got = TimeSeries.interpolate(
+          rows.toDF("TIMESTAMP", "v"), "TIMESTAMP", "v")
+        .orderBy($"TIMESTAMP").select($"v")
+        .as[Option[Double]].collect().toSeq
+      assert(got == expected, s"series $i: $vals")
+    }
+  }
 }
