@@ -1,0 +1,56 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lake layout writers — the write-side half of the engine's scale story.
+  * [[graft.ops.Relational.zOrderKey]] computes a clustering key and
+  * `saveLake` prunes on Hive partitions; these writers lay data out so
+  * the READ side gets its locality for free:
+  *
+  *   - [[saveBucketed]] pays the shuffle ONCE at write time: every later
+  *     equi-join or aggregation on the bucket keys between same-bucketed
+  *     tables plans with NO Exchange — the 100 TB fact-to-fact join
+  *     answer when neither side broadcasts.
+  *   - [[saveZOrdered]] range-partitions and sorts by the Z-order key so
+  *     every parquet file covers a disjoint z-range: file- and
+  *     row-group-level min/max stats then skip on ALL interleaved
+  *     dimensions at once.
+  */
+object LakeLayout {
+
+  /** Write `df` as a bucketed, bucket-sorted table (`buckets` hash
+    * buckets on `keys`, data files sorted by the same keys). Requires a
+    * table name (bucket metadata lives in the catalog); pass `path` to
+    * keep the data external. Joins/aggregations between tables bucketed
+    * the same way on the same keys skip both the shuffle AND the sort —
+    * verified at plan level in the spec.
+    */
+  def saveBucketed(df: DataFrame, tableName: String, keys: Seq[String],
+      buckets: Int, path: Option[String] = None): Unit = {
+    require(keys.nonEmpty, "saveBucketed needs at least one key")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val w = df.write.format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+    path.foreach(p => w.option("path", p))
+    w.saveAsTable(tableName)
+  }
+
+  /** Write `df` z-order-clustered: range-partition on the interleaved
+    * key (so files cover disjoint z-ranges — `outFiles` of them), sort
+    * within each file, drop the key from the payload. The sort is the
+    * price; it buys multi-dimensional data skipping on every query that
+    * filters any subset of `cols`.
+    */
+  def saveZOrdered(df: DataFrame, path: String, cols: Seq[Column],
+      outFiles: Int, bits: Int = 16): Unit = {
+    val z = graft.ops.Relational.zOrderKey(cols, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(outFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.LakeLayout
+
+class LakeLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join and aggregate with no Exchange") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bucketed").toString
+    val a = (1L to 2000L).map(i => (i % 97, i, i * 2.0))
+      .toDF("k", "id", "va")
+    val b = (1L to 1000L).map(i => (i % 97, i * 10.0)).toDF("k", "vb")
+    LakeLayout.saveBucketed(a, "bkt_a", Seq("k"), buckets = 4,
+      path = Some(s"$dir/a"))
+    LakeLayout.saveBucketed(b, "bkt_b", Seq("k"), buckets = 4,
+      path = Some(s"$dir/b"))
+    // force the non-broadcast regime: tables this small broadcast-join,
+    // which is exactly what bucketing exists to avoid NOT needing — the
+    // demonstrated case is two fact tables neither of which fits
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      // the write-time shuffle is the ONLY shuffle: the join plan reads
+      // both bucketed layouts directly, no ShuffleExchange, no re-sort
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("shuffleexchange"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // and the result is the plain join's result
+      assert(joined.count() == a.join(b, "k").count())
+      // aggregation on the bucket key is shuffle-free too
+      val agg = spark.table("bkt_a").groupBy("k").agg(sum("va"))
+      assert(!agg.queryExecution.executedPlan.toString
+        .toLowerCase.contains("shuffleexchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
+  test("z-ordered write: files cover disjoint z-ranges") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString + "/t"
+    val df = (1L to 4000L).map(i => (i % 61, (i * 7) % 53))
+      .toDF("x", "y")
+    LakeLayout.saveZOrdered(df, dir, Seq(col("x"), col("y")),
+      outFiles = 4, bits = 8)
+    // recompute z per row, attach the source file, and check that the
+    // per-file [min, max] z-ranges do not overlap — the precondition
+    // parquet min/max skipping needs to prune on BOTH x and y
+    val back = spark.read.parquet(dir)
+      .withColumn("__z", graft.ops.Relational.zOrderKey(
+        Seq(col("x"), col("y")), bits = 8))
+      .withColumn("__f", input_file_name())
+    val ranges = back.groupBy("__f")
+      .agg(min("__z").as("lo"), max("__z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    assert(back.count() == 4000L)
+  }
+}
