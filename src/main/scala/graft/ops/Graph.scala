@@ -102,10 +102,16 @@ object Graph {
         if (labels == null) sym.select(col("src"), col("dst").as("lbl"))
         else sym.join(labels, sym("dst") === labels("id"))
           .select(sym("src"), col("lbl"))
+      // LAZY checkpoint: the convergence aggregate right below is the
+      // round's one action — it materializes (and persists) this frame
+      // and computes the sum in the SAME job, so a round costs one job,
+      // not a checkpoint job plus an aggregate job. (The EDGE frame e0
+      // stays eager: its four union branches read it within one stage,
+      // where a lazy checkpoint could recompute partitions per branch.)
       val upd = joined
         .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
         .select(col("src").as("id"), col("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s =
         if (round == 0) {
           // one row per endpoint (self-loops guarantee it), so sum(id)
