@@ -985,6 +985,33 @@ object SparkEntry {
         .orderBy(col("TIMESTAMP"))
     },
 
+    // end-to-end curation funnel: quality filter + repetition filter +
+    // exact dedup keep-first → per-source corpus stats. Composes X11,
+    // X39, X1 in one plan — scan-local scoring, one term agg, one
+    // fingerprint window, one final agg; no operator needs the others
+    // materialized
+    "q71_curation" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val rep = graft.text.Corpus.repetitionRatio(d, "text", "doc_id")
+        .select(col("doc_id"), col("repetition"))
+      val kept = d
+        .withColumn("q", graft.text.TextFunctions.qualityScore(col("text")))
+        .join(rep, Seq("doc_id"))
+        .filter(col("q") >= 0.5 && col("repetition") <= 0.11)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__fp")).orderBy(col("doc_id"))
+      kept
+        .withColumn("__fp",
+          graft.text.TextFunctions.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.text.TextFunctions.tokenCount(col("text"))
+            .cast("long")).as("tok_sum"))
+        .orderBy(col("source"))
+    },
+
     // pandas ffill/bfill on the grid: linear running frames only; the
     // ffill carries a 2-row limit (the row-distance check shares the
     // forward window spec — one WindowExec per direction)
@@ -2622,5 +2649,56 @@ object SparkEntry {
         |       WHEN rn - frn <= 2 THEN fv END AS v_ffill,
         |  coalesce(v, bv) AS v_bfill
         |FROM w ORDER BY "TIMESTAMP"""".stripMargin,
+
+    "q71_curation" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> '')) AS DOUBLE) AS n,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |      AS DOUBLE) AS punct,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t)))
+        |      AS DOUBLE) AS hits
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    round(0.4 * least(1.0, n / 100.0)
+        |        + 0.3 * (CASE WHEN n > 0 THEN hits / n ELSE 0.0 END)
+        |        + 0.3 * (1.0 - least(1.0,
+        |            CASE WHEN n > 0 THEN punct / n ELSE 1.0 END)), 6)
+        |      AS qs
+        |  FROM t
+        |), toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  GROUP BY doc_id, term
+        |), rep AS (
+        |  SELECT doc_id,
+        |    round(CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)
+        |      AS repetition
+        |  FROM tf GROUP BY doc_id
+        |), kept AS (
+        |  SELECT d.doc_id, d.source, d.text
+        |  FROM documents d
+        |  JOIN q USING (doc_id) JOIN rep USING (doc_id)
+        |  WHERE q.qs >= 0.5 AND rep.repetition <= 0.11
+        |), canon AS (
+        |  SELECT doc_id, source, text,
+        |    row_number() OVER (
+        |      PARTITION BY md5(lower(trim(regexp_replace(text,
+        |        '\s+', ' ', 'g'))))
+        |      ORDER BY doc_id) AS rn
+        |  FROM kept
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> ''))) AS BIGINT) AS tok_sum
+        |FROM canon WHERE rn = 1
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }
