@@ -985,6 +985,18 @@ object SparkEntry {
         .orderBy(col("TIMESTAMP"))
     },
 
+    // robust (median/MAD) per-group scaling: outlier-immune sibling of
+    // q66's z-score; both stats are exact quantile picks
+    "q72_robust_scale" -> { (s, dir) =>
+      graft.ops.Features.robustScale(
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice")),
+          Seq("l_returnflag"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_returnflag"))
+    },
+
     // end-to-end curation funnel: quality filter + repetition filter +
     // exact dedup keep-first → per-source corpus stats. Composes X11,
     // X39, X1 in one plan — scan-local scoring, one term agg, one
@@ -2700,5 +2712,37 @@ object SparkEntry {
         |    t -> t <> ''))) AS BIGINT) AS tok_sum
         |FROM canon WHERE rn = 1
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q72_robust_scale" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), med AS (
+        |  SELECT l_returnflag, CAST(v AS DOUBLE) AS m
+        |  FROM ranked WHERE rn = (500000 * n + 999999) // 1000000
+        |), ad AS (
+        |  SELECT l.l_returnflag,
+        |    abs(CAST(l.l_extendedprice AS DOUBLE) - med.m) AS dv,
+        |    row_number() OVER (PARTITION BY l.l_returnflag
+        |      ORDER BY abs(CAST(l.l_extendedprice AS DOUBLE) - med.m),
+        |        l.l_orderkey, l.l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l.l_returnflag) AS n
+        |  FROM lineitem l JOIN med USING (l_returnflag)
+        |), mad AS (
+        |  SELECT l_returnflag, dv AS mad
+        |  FROM ad WHERE rn = (500000 * n + 999999) // 1000000
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  l.l_extendedprice,
+        |  round(CASE WHEN mad.mad > 0 THEN
+        |    (CAST(l.l_extendedprice AS DOUBLE) - med.m) / mad.mad END, 6)
+        |    AS robust
+        |FROM lineitem l JOIN med USING (l_returnflag)
+        |  JOIN mad USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_returnflag"""
+        .stripMargin,
   )
 }

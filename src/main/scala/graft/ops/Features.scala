@@ -61,6 +61,44 @@ object Features {
         Seq("__mean", "__var", "__min", "__max"): _*)
   }
 
+  /** Robust per-group scaling: appends `robust` = (v − median)/MAD,
+    * where MAD is the median absolute deviation from the group median —
+    * the outlier-immune sibling of [[scaleFeatures]]' z-score (one wild
+    * value shifts a mean/σ arbitrarily; it moves a median/MAD not at
+    * all). Both statistics are exact [[graft.ops.Relational.quantilesDisc]]
+    * picks (actual data values, no interpolation), so any engine agrees
+    * bit-for-bit; the final division is one IEEE sequence, 6 dp. A group
+    * whose MAD is 0 (over half its values equal the median) yields null,
+    * as do null values.
+    *
+    * Scale shape: two aggregate-first quantile passes (the second over
+    * |v − median|, a scan of the data joined to the tiny median table)
+    * and a broadcast of the |groups|-row fences back onto the scan — the
+    * data shuffles only inside the quantile aggregations, never whole
+    * rows.
+    */
+  def robustScale(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val med = Relational.quantilesDisc(df, groupCols, valueCol, Seq(0.5))
+      .select(groupCols.map(c => col(c).as(s"__r_$c")) :+
+        col("value").as("__med"): _*)
+    def joinKeys(suffix: String) =
+      groupCols.map(c => col(c) <=> col(s"__${suffix}_$c")).reduce(_ && _)
+    val withMed = df.join(broadcast(med), joinKeys("r"), "left")
+    val mad = Relational.quantilesDisc(
+        withMed.select((groupCols.map(col) :+
+          abs(valueCol.cast("double") - col("__med")).as("__ad")): _*),
+        groupCols, col("__ad"), Seq(0.5))
+      .select(groupCols.map(c => col(c).as(s"__m_$c")) :+
+        col("value").as("__mad"): _*)
+    withMed.join(broadcast(mad), joinKeys("m"), "left")
+      .withColumn("robust", round(
+        when(col("__mad") > 0,
+          (valueCol.cast("double") - col("__med")) / col("__mad")), 6))
+      .drop(groupCols.flatMap(c => Seq(s"__r_$c", s"__m_$c")) ++
+        Seq("__med", "__mad"): _*)
+  }
+
   /** Fixed-width histogram of `valueCol`: counts per bin over
     * [lo, lo + nBins·width), bin = floor((v − lo)/width), with
     * out-of-range values clamped into the edge bins (so Σcounts = the

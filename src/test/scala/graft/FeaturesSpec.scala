@@ -38,6 +38,26 @@ class FeaturesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("robustScale: median/MAD known values; outlier immune") {
+    // values 1..5 ∪ {1000}: median pick (disc, n=6) = 3,
+    // deviations {2,1,0,1,2,997} → MAD pick = 1
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 1000.0).map(("g", _))
+      .toDF("k", "v")
+    val got = Features.robustScale(df, Seq("k"), col("v"))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(got(1.0) == -2.0 && got(3.0) == 0.0 && got(5.0) == 2.0)
+    assert(got(1000.0) == 997.0) // the outlier is FAR, the body isn't bent
+  }
+
+  test("robustScale: zero MAD and null values yield nulls") {
+    val df = Seq(("c", Some(5.0)), ("c", Some(5.0)), ("c", Some(9.0)),
+      ("c", None)).toDF("k", "v")
+    // median 5, deviations {0,0,4}: MAD = 0 → no scale
+    val got = Features.robustScale(df, Seq("k"), col("v")).collect()
+    assert(got.length == 4)
+    assert(got.forall(_.isNullAt(2)))
+  }
+
   test("histogram: binning, clamped edges, totals reconcile") {
     val df = Seq(-5.0, 0.0, 1.0, 9.9, 10.0, 25.0, 99.0, 1000.0).toDF("v")
     val got = Features.histogram(df, col("v"), lo = 0.0, width = 10.0,
