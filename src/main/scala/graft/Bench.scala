@@ -180,11 +180,12 @@ object Bench {
           mk(scale).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        // sub-1.5 s points are scheduler-noise-dominated (±50% swings
-        // flipped a 4× ratio past linear in r6 dry runs) — buy them a
-        // third sample; the extra run costs under two seconds
+        // short points are scheduler-noise-dominated (±50% swings flipped
+        // a 4× ratio past linear in r6 dry runs) — buy them a third
+        // sample; every sweep point sits under this bound today, so the
+        // whole sweep runs 3× for ~10 extra seconds of suite time
         val m = math.min(one, one)
-        if (m < 1.5) math.min(m, one) else m
+        if (m < 3.0) math.min(m, one) else m
       }
       // degrade per case (like exec's -1.0) — one failing case must not
       // discard the other cases' completed samples
@@ -298,13 +299,17 @@ object Bench {
     // The harness keeps only the final ~2 KB of output and json-parses the
     // last line shaped like {"metric":...}; the summary line is sized to
     // survive that window intact (warn loudly if it ever outgrows it)
-    println(s"""{"metric":"detail","first_run":$firsts,"pipeline":${pipeline._3},"pipeline_4x":${pipeline4x._3},"scale_sweep":$sweep}""")
-    // full pipeline blocks live on the detail line; the summary keeps the
-    // two headline figures so the parsed JSON still carries the flagship
+    println(s"""{"metric":"detail","runs":2,"stat":"min","first_run":$firsts,"pipeline":${pipeline._3},"pipeline_4x":${pipeline4x._3},"scale_sweep":$sweep}""")
+    // full pipeline blocks and the runs/stat methodology live on the
+    // detail line; the summary keeps the two headline figures so the
+    // parsed JSON still carries the flagship. sf shortened to its basename
+    // — every byte of the summary line competes with the 2 KB tail window
     val pipeSummary =
       if (pipeline._1 < 0) "null"
       else s"""{"sec":${r2(pipeline._1)},"rows_per_sec":${pipeline._2}}"""
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"stat":"min","queries":$qs,"pipeline":$pipeSummary,"sf":"$sfDir"}"""
+    val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption
+      .getOrElse(sfDir)
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"pipeline":$pipeSummary,"sf":"$sfBase"}"""
     if (line.length > 1850)
       System.err.println(s"[bench] WARNING: summary line is ${line.length}" +
         " chars — may exceed the harness's 2 KB tail capture; trim fields")

@@ -11,9 +11,12 @@ import graft.functions.{CosineSimilarity, DotProduct, HammingDistance, SimHash64
   *
   *   - `vec_dot(a, b)`     — codegen'd dot product over array<double>
   *   - `vec_cosine(a, b)`  — codegen'd single-pass cosine similarity
+  *   - `hamming(a, b)`     — Hamming distance of equal-length bit strings
+  *   - `simhash64(tokens)` — 64-bit SimHash bit string of a token array
   *
-  * The Scala API ([[graft.functions.VectorExpressions]]) builds the same
-  * expressions directly and does not need the extension installed.
+  * The Scala API ([[graft.functions.VectorExpressions]] /
+  * [[graft.functions.TextExpressions]]) builds the same expressions
+  * directly and does not need the extension installed.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
