@@ -178,8 +178,11 @@ case class ResizeNearest(child: Expression, w2: Int, h2: Int)
   * walk. One JVM loop + one primitive sort per ROW — the higher-order
   * `array_sort(transform(...))` formulation this replaces paid an
   * interpreted lambda per ELEMENT for the hash chain and per COMPARISON
-  * for the sort. Null elements are not expected (shingle arrays are
-  * built non-null); a null array yields null.
+  * for the sort. Null ELEMENTS are skipped — a null is not a shingle,
+  * and the callers' set semantics (intersection counting) treat it as
+  * absent; a null ARRAY yields null. (The formulation this replaced
+  * sorted a null element to the end instead — no caller builds one, but
+  * a drop-in expression must not turn that input into a task failure.)
   */
 case class HashedSorted60(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -194,17 +197,22 @@ case class HashedSorted60(child: Expression)
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
+    var k = 0
     while (i < n) {
-      val d = DigestUtils.md5(arr.getUTF8String(i).getBytes)
-      // big-endian first 8 bytes >>> 4 == first 15 hex chars base-16
-      var v = 0L
-      var j = 0
-      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-      out(i) = v >>> 4
+      if (!arr.isNullAt(i)) {
+        val d = DigestUtils.md5(arr.getUTF8String(i).getBytes)
+        // big-endian first 8 bytes >>> 4 == first 15 hex chars base-16
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        out(k) = v >>> 4
+        k += 1
+      }
       i += 1
     }
-    java.util.Arrays.sort(out)
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    val res = if (k == n) out else java.util.Arrays.copyOf(out, k)
+    java.util.Arrays.sort(res)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
   }
 
   override protected def withNewChildInternal(

@@ -43,11 +43,9 @@ object Features {
       .withColumn("__mean", col("__sum") / col("__n"))
       .withColumn("__var",
         col("__sumsq") / col("__n") - col("__mean") * col("__mean"))
-    val keyed = moments.select(
-      groupCols.map(c => col(c).as(s"__m_$c")) ++
-        Seq(col("__mean"), col("__var"), col("__min"), col("__max")): _*)
-    df.join(broadcast(keyed),
-        groupCols.map(c => col(c) <=> col(s"__m_$c")).reduce(_ && _), "left")
+    Relational.joinGroupStats(df, groupCols, moments.select(
+        groupCols.map(col) ++ Seq(col("__mean"), col("__var"),
+          col("__min"), col("__max")): _*))
       .withColumn("zscore", round(
         when(col("__var") > 0,
           (valueCol.cast("double") - col("__mean")) / sqrt(col("__var"))),
@@ -57,8 +55,7 @@ object Features {
           (valueCol.cast("double") - col("__min"))
             / (col("__max") - col("__min"))),
         6))
-      .drop(groupCols.map(c => s"__m_$c") ++
-        Seq("__mean", "__var", "__min", "__max"): _*)
+      .drop("__mean", "__var", "__min", "__max")
   }
 
   /** Robust per-group scaling: appends `robust` = (v − median)/MAD,
@@ -80,23 +77,18 @@ object Features {
   def robustScale(df: DataFrame, groupCols: Seq[String],
       valueCol: Column): DataFrame = {
     val med = Relational.quantilesDisc(df, groupCols, valueCol, Seq(0.5))
-      .select(groupCols.map(c => col(c).as(s"__r_$c")) :+
-        col("value").as("__med"): _*)
-    def joinKeys(suffix: String) =
-      groupCols.map(c => col(c) <=> col(s"__${suffix}_$c")).reduce(_ && _)
-    val withMed = df.join(broadcast(med), joinKeys("r"), "left")
+      .select(groupCols.map(col) :+ col("value").as("__med"): _*)
+    val withMed = Relational.joinGroupStats(df, groupCols, med)
     val mad = Relational.quantilesDisc(
         withMed.select((groupCols.map(col) :+
           abs(valueCol.cast("double") - col("__med")).as("__ad")): _*),
         groupCols, col("__ad"), Seq(0.5))
-      .select(groupCols.map(c => col(c).as(s"__m_$c")) :+
-        col("value").as("__mad"): _*)
-    withMed.join(broadcast(mad), joinKeys("m"), "left")
+      .select(groupCols.map(col) :+ col("value").as("__mad"): _*)
+    Relational.joinGroupStats(withMed, groupCols, mad)
       .withColumn("robust", round(
         when(col("__mad") > 0,
           (valueCol.cast("double") - col("__med")) / col("__mad")), 6))
-      .drop(groupCols.flatMap(c => Seq(s"__r_$c", s"__m_$c")) ++
-        Seq("__med", "__mad"): _*)
+      .drop("__med", "__mad")
   }
 
   /** Fixed-width histogram of `valueCol`: counts per bin over

@@ -162,6 +162,33 @@ object Relational {
       .select((gs :+ col("__h.q").as("q") :+ col("__h.value").as("value")): _*)
   }
 
+  /** Null-safe broadcast join of a per-group statistics table back onto
+    * the data — the shared shape behind [[iqrFilter]], [[bucketize]],
+    * and [[graft.ops.Features]]' scalers. `stats` must hold exactly
+    * `groupCols` plus the statistic columns; the result is `df` with the
+    * statistic columns appended (left join: rows whose group is absent
+    * from `stats` get nulls).
+    *
+    * Two subtleties this helper carries ONCE for every caller:
+    *   - the stats side's group keys are RENAMED before the join — stats
+    *     frames derive from `df`, so the two sides share attribute ids
+    *     and both expression-based conditions and `drop(stats(c))`
+    *     misresolve (self-join lineage);
+    *   - the join is null-safe (`<=>`) — a null group key is a group
+    *     like any other, and a plain equi-join would silently drop its
+    *     rows.
+    */
+  def joinGroupStats(df: DataFrame, groupCols: Seq[String],
+      stats: DataFrame): DataFrame = {
+    val keyed = stats.select(
+      groupCols.map(c => col(c).as(s"__grp_$c")) ++
+        stats.columns.filterNot(groupCols.contains).map(col): _*)
+    df.join(broadcast(keyed),
+        groupCols.map(c => col(c) <=> col(s"__grp_$c")).reduce(_ && _),
+        "left")
+      .drop(groupCols.map(c => s"__grp_$c"): _*)
+  }
+
   /** Equal-frequency discretization: append each row's quantile-bucket
     * index in [0, nBuckets) — bucket = how many of the group's interior
     * quantile cuts (q = i/nBuckets, [[quantilesDisc]] picks — actual data
@@ -185,15 +212,11 @@ object Relational {
     val cuts = quantilesDisc(df, groupCols, valueCol, qs)
       .groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(col("value"))).as("__cuts"))
-      .select(groupCols.map(c => col(c).as(s"__cut_$c")) :+
-        col("__cuts"): _*)
-    df.join(broadcast(cuts),
-        groupCols.map(c => col(c) <=> col(s"__cut_$c")).reduce(_ && _),
-        "left")
+    joinGroupStats(df, groupCols, cuts)
       .withColumn("bucket", when(valueCol.isNotNull,
         size(filter(col("__cuts"),
           c => valueCol.cast("double") > c)).cast("long")))
-      .drop(groupCols.map(c => s"__cut_$c") :+ "__cuts": _*)
+      .drop("__cuts")
   }
 
   /** Point-in-interval range join: rows of `points` matched to every
@@ -282,18 +305,14 @@ object Relational {
         col("__q1") - (col("__q3") - col("__q1")) * factor)
       .withColumn("__hi",
         col("__q3") + (col("__q3") - col("__q1")) * factor)
-    // the fence side's keys are RENAMED before the join: qs derives from
-    // df, so df("g")/qs("g") share attribute ids and both expression-
-    // based conditions and drop(qs(c)) misresolve (self-join lineage).
-    // Null-safe equality: a null group key is a group like any other —
-    // plain equi-join would silently drop its rows.
-    val fences = qs.select(
-      groupCols.map(c => col(c).as(s"__fence_$c")) ++
-        Seq(col("__lo"), col("__hi")): _*)
-    df.join(broadcast(fences),
-        groupCols.map(c => col(c) <=> col(s"__fence_$c")).reduce(_ && _))
+    // rename + null-safe join semantics live in joinGroupStats; the
+    // filter then drops rows outside their group's fences (and rows of
+    // fence-less groups — all-null groups — since null comparisons are
+    // never true, matching the inner-join behavior this had before)
+    joinGroupStats(df, groupCols,
+        qs.select(groupCols.map(col) ++ Seq(col("__lo"), col("__hi")): _*))
       .filter(valueCol >= col("__lo") && valueCol <= col("__hi"))
-      .drop((groupCols.map(c => s"__fence_$c") ++ Seq("__lo", "__hi")): _*)
+      .drop("__lo", "__hi")
   }
 
   /** Z-order (Morton) clustering key: interleaves the low `bits` bits of

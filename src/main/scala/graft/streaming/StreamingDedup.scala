@@ -38,14 +38,20 @@ object StreamingDedup {
     * batch id (sink them, alert on them, or queue the ids for
     * quarantine). `corpusTexts` backs the verify tier; only rows that
     * appear in a candidate pair are ever re-read from it.
+    *
+    * `trigger` defaults to AvailableNow — drain the backlog and stop,
+    * the batch-scheduler deployment. Pass
+    * `Trigger.ProcessingTime(...)` (or Continuous) for an always-on
+    * screen of a live source; the per-batch logic is identical.
     */
   def run(newDocs: DataFrame, corpusBands: DataFrame,
       corpusTexts: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16,
       threshold: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow(),
       onAlerts: (DataFrame, Long) => Unit): StreamingQuery =
     newDocs.writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val batchBands = Dedup.minhashBands(batch, textCol, idCol,
           shingleN, numHashes, bands)

@@ -7,6 +7,29 @@ import graft.text.TextFunctions
 class TextSimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("hashedSorted60: 60-bit md5 prefixes, sorted; null elements skip") {
+    import graft.functions.TextExpressions
+    val df = Seq(
+      (Seq[String]("b", "a"), Seq[Option[String]](Some("b"), None,
+        Some("a")))
+    ).toDF("clean", "holey")
+    val r = df.select(
+      TextExpressions.hashedSorted60(col("clean")).as("c"),
+      TextExpressions.hashedSorted60(col("holey")).as("h")).head
+    val clean = r.getSeq[Long](0)
+    // matches the engine-wide definition: first 15 hex chars of md5
+    assert(clean == clean.sorted)
+    assert(clean.head ==
+      java.lang.Long.parseUnsignedLong(
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex("a").take(15), 16)
+      || clean(1) == java.lang.Long.parseUnsignedLong(
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex("a").take(15), 16))
+    // a null element is not a shingle: same hashes as the clean array
+    assert(r.getSeq[Long](1) == clean)
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val df = Seq("hello, world! x2", "", "   ").toDF("text")
     val r = df.select(
