@@ -985,6 +985,15 @@ object SparkEntry {
         .orderBy(col("TIMESTAMP"))
     },
 
+    // repeated-passage removal: the action step of exact-substring
+    // dedup — every token covered by a corpus-repeated trigram is cut
+    "q73_passage_removal" -> { (s, dir) =>
+      graft.text.Corpus.removeRepeatedPassages(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id", n = 3, minCount = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // robust (median/MAD) per-group scaling: outlier-immune sibling of
     // q66's z-score; both stats are exact quantile picks
     "q72_robust_scale" -> { (s, dir) =>
@@ -2744,5 +2753,34 @@ object SparkEntry {
         |  JOIN mad USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_returnflag"""
         .stripMargin,
+
+    "q73_passage_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS p
+        |  FROM t WHERE len(tk) >= 3
+        |), gr AS (
+        |  SELECT doc_id, p,
+        |    lower(array_to_string(tk[p:(p + 2)], ' ')) AS g
+        |  FROM base
+        |), rep AS (
+        |  SELECT g FROM gr GROUP BY g HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(p, p + 2)) AS c
+        |  FROM gr JOIN rep USING (g)
+        |), covset AS (
+        |  SELECT doc_id, list(c) AS cv FROM cov GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(len(cs.cv), 0) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(list_filter(t.tk, (x, i) ->
+        |    NOT coalesce(list_contains(cs.cv, i), false)), ' '), '')
+        |    AS cleaned_text
+        |FROM t LEFT JOIN covset cs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -227,6 +227,60 @@ object Corpus {
           s => s.getField("chunk_text")), " ").as("cleaned_text"))
   }
 
+  /** Repeated-passage REMOVAL — the action step [[repeatedNgrams]] is
+    * the detection stat for (exact-substring dedup: boilerplate that
+    * recurs across a crawl is cut out of every document, including
+    * intra-document repeats): every token position covered by a
+    * positional `n`-gram occurring ≥ `minCount` times corpus-wide
+    * (case-insensitively) is dropped, and the survivors are rejoined in
+    * order. Output: (idCol, n_tokens, n_removed, cleaned_text), one row
+    * per document; documents shorter than `n` tokens pass through
+    * uncut.
+    *
+    * Scale shape: position rows explode once; the global gram count is
+    * one map-side-combined hash agg; the coverage join back is a
+    * shuffled gram-keyed equi-join (the repeated set is corpus-sized by
+    * design — [[contamination]] is the broadcastable sibling); coverage
+    * collapses to a per-doc position set before the rebuild, so the
+    * final pass is doc-grain. Grams travel as 60-bit md5 longs (the
+    * [[graft.dedup.Dedup.hashedShingles]] w.h.p.-exactness argument);
+    * the token-keep filter is a per-doc O(T·|covered|) array probe —
+    * document-sized, never data-sized.
+    */
+  def removeRepeatedPassages(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minCount: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = df.select(col(idCol), toks.as("__tk"))
+      .withColumn("__np", size(col("__tk")) - (n - 1))
+      .filter(col("__np") >= 1)
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(1), col("__np"))).as("__p"))
+      .select(col(idCol), col("__p"),
+        conv(substring(md5(lower(array_join(
+          slice(col("__tk"), col("__p"), lit(n)), " "))), 1, 15), 16, 10)
+          .cast("long").as("__g"))
+    val repeated = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__g"))
+    val coverSets = base.join(repeated, Seq("__g"))
+      .select(col(idCol),
+        explode(sequence(col("__p"), col("__p") + (n - 1))).as("__cov1"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__cov1")).as("__cov"))
+    df.select(col(idCol), toks.as("__tk"))
+      .join(coverSets, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        array_join(filter(col("__tk"), (t, i) =>
+          not(coalesce(array_contains(col("__cov"), i + 1), lit(false)))),
+          " ").as("cleaned_text"))
+  }
+
   /** Context-window chunking: split each document's whitespace token
     * stream into `maxTokens`-token windows advancing by
     * stride = maxTokens − overlap, so consecutive chunks share `overlap`

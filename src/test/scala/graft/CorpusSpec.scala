@@ -154,6 +154,25 @@ class CorpusSpec extends SparkSpec {
     assert(chunks.last.getLong(3) == 3L) // 23 = 4*5 + 3 short tail
   }
 
+  test("removeRepeatedPassages: covered positions cut, short docs pass") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      // "a b c" appears in docs 1 and 2 → its 3 positions are covered
+      (1L, "a b c x y z"),
+      (2L, "p q A B C r"), // case-insensitive match; p q r survive
+      (3L, "u v"),         // shorter than n=3: uncut
+      (4L, "k k k k")      // intra-doc repeat "k k k" at p=1,2 → all cut
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeRepeatedPassages(df, "text", "doc_id", n = 3)
+      .orderBy(col("doc_id")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (6L, 3L, "x y z"))
+    assert(out(2L) == (6L, 3L, "p q r"))
+    assert(out(3L) == (2L, 0L, "u v"))
+    assert(out(4L) == (4L, 4L, ""))
+  }
+
   test("dedupSegments: first corpus-wide occurrence survives, later drop") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
