@@ -287,6 +287,11 @@ object Bench {
       }
     val pipeline = pipelineAt("multisite", 12)
     val pipeline4x = pipelineAt("multisite_4x", 48)
+    // third scale point: a 16× corpus turns the two-point slope into a
+    // line — if rows/sec keeps rising (fixed overhead amortizing) or
+    // holds, the claim "wall grows linearly in rows" is measured, not
+    // extrapolated
+    val pipeline16x = pipelineAt("multisite_16x", 192)
     val sweep =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SWEEP") || only.isDefined) "null"
       else try scaleSweep(spark, sfDir)
@@ -299,17 +304,17 @@ object Bench {
     // The harness keeps only the final ~2 KB of output and json-parses the
     // last line shaped like {"metric":...}; the summary line is sized to
     // survive that window intact (warn loudly if it ever outgrows it)
-    println(s"""{"metric":"detail","runs":2,"stat":"min","first_run":$firsts,"pipeline":${pipeline._3},"pipeline_4x":${pipeline4x._3},"scale_sweep":$sweep}""")
+    println(s"""{"metric":"detail","runs":2,"stat":"min","first_run":$firsts,"pipeline":${pipeline._3},"pipeline_4x":${pipeline4x._3},"pipeline_16x":${pipeline16x._3},"scale_sweep":$sweep}""")
     // full pipeline blocks and the runs/stat methodology live on the
-    // detail line; the summary keeps the two headline figures so the
-    // parsed JSON still carries the flagship. sf shortened to its basename
-    // — every byte of the summary line competes with the 2 KB tail window
+    // detail line; the summary keeps one headline pipeline number. sf is
+    // the basename — every byte of the summary line competes with the
+    // 2 KB tail window (73 queries measured 1849 chars with the full
+    // pipeline block, leaving no margin for the harness epilogue)
     val pipeSummary =
-      if (pipeline._1 < 0) "null"
-      else s"""{"sec":${r2(pipeline._1)},"rows_per_sec":${pipeline._2}}"""
+      if (pipeline._1 < 0) "null" else r2(pipeline._1)
     val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"pipeline":$pipeSummary,"sf":"$sfBase"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"pipeline_sec":$pipeSummary,"sf":"$sfBase"}"""
     if (line.length > 1850)
       System.err.println(s"[bench] WARNING: summary line is ${line.length}" +
         " chars — may exceed the harness's 2 KB tail capture; trim fields")
