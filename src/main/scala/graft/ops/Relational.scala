@@ -137,6 +137,15 @@ object Relational {
     * parts-per-million; ceil(ppm·n/1e6) = (ppm·n + 999999) div 1e6) —
     * double ceil(q·n) rounds wrong exactly at the boundary multiples a
     * quantile most often lands on. One pass emits every quantile.
+    *
+    * Known limit: a DISTINCT-HEAVY column still concentrates one group's
+    * distinct set in one window task. The escape hatch is a two-level
+    * rank (range-bucket the value domain, cumulate the ≤ B bucket
+    * subtotals, rank only inside pick buckets — exact because bucketing
+    * is monotone in the value). Measured here it costs ~2× at bench
+    * scale (three branches over the counts table vs one window chain),
+    * so the single distinct-value window stays the default; switch if a
+    * profile shows the quantile window task dominating.
     */
   def quantilesDisc(df: DataFrame, groupCols: Seq[String], valueCol: Column,
       qs: Seq[Double]): DataFrame = {
