@@ -164,12 +164,96 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** IEEE-754 byte packing of a float vector — the storage-boundary
+  * primitive for embedding columns at scale: a Spark `array<float>`
+  * stores per-element headers and nullability; a `binary` of 4·d
+  * little-endian bytes is the dense form a 100 TB embedding lake wants
+  * on disk (and what parquet compresses best). [[FloatUnpack]] is the
+  * exact inverse — bit-identical round trip, asserted in the spec.
+  * Null elements are not supported (embedding vectors are dense);
+  * CodegenFallback is deliberate: these run once per row at the
+  * storage boundary, not inside a similarity-join loop.
+  */
+case class FloatPack(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{BinaryType, FloatType}
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "vec_pack"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte](n * 4)
+    var i = 0
+    while (i < n) {
+      val bits = java.lang.Float.floatToIntBits(arr.getFloat(i))
+      val o = i * 4
+      out(o) = bits.toByte
+      out(o + 1) = (bits >>> 8).toByte
+      out(o + 2) = (bits >>> 16).toByte
+      out(o + 3) = (bits >>> 24).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FloatPack = copy(child = newChild)
+}
+
+/** Inverse of [[FloatPack]]: 4·d little-endian bytes → `array<float>`.
+  * A length not divisible by 4 is a corrupt payload and fails fast
+  * (truncating silently would mask storage bugs).
+  */
+case class FloatUnpack(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{BinaryType, FloatType}
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_unpack"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    require(b.length % 4 == 0,
+      s"vec_unpack: payload length ${b.length} is not a multiple of 4")
+    val n = b.length / 4
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val o = i * 4
+      val bits = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+      out(i) = java.lang.Float.intBitsToFloat(bits)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FloatUnpack = copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.bridge
 
   /** a·b as a codegen'd Column. */
   def vecDot(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** array<float> → 4·d little-endian binary (storage form). */
+  def vecPack(a: Column): Column =
+    bridge.column(FloatPack(bridge.expression(a)))
+
+  /** 4·d little-endian binary → array<float> (exact inverse). */
+  def vecUnpack(a: Column): Column =
+    bridge.column(FloatUnpack(bridge.expression(a)))
 
   /** cos(a, b) as a codegen'd Column (single pass, zero-norm → 0). */
   def vecCosine(a: Column, b: Column): Column =

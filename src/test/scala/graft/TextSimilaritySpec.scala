@@ -96,6 +96,26 @@ class TextSimilaritySpec extends SparkSpec {
     assert(r.getDouble(2) == 0d)
   }
 
+  test("vecPack/vecUnpack: bit-exact round trip, 4 bytes per element") {
+    import graft.functions.VectorExpressions._
+    val vecs = Seq(
+      (1L, Array(1.5f, -2.25f, Float.MinPositiveValue, 0.0f,
+        Float.MaxValue)),
+      (2L, Array.empty[Float])
+    ).toDF("id", "v")
+    val r = vecs.select(col("id"), vecUnpack(vecPack(col("v"))).as("rt"),
+        length(vecPack(col("v"))).as("bytes"))
+      .orderBy("id").collect()
+    assert(r(0).getSeq[Float](1) ==
+      Seq(1.5f, -2.25f, Float.MinPositiveValue, 0.0f, Float.MaxValue))
+    assert(r(0).getInt(2) == 20) // 4 bytes per element, no headers
+    assert(r(1).getSeq[Float](1).isEmpty)
+    // corrupt payload (length not divisible by 4) fails fast
+    val bad = Seq(Array[Byte](1, 2, 3)).toDF("b")
+      .select(vecUnpack(col("b")))
+    intercept[Exception] { bad.collect() }
+  }
+
   test("ivfTopK returns the true nearest neighbors when nprobe covers all") {
     val vecs = (0 until 40).map { i =>
       val ang = i * 0.15
