@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, HammingDistance, SimHash64}
+import graft.functions.{CosineSimilarity, DotProduct, FloatPack, FloatUnpack, HammingDistance, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use
@@ -13,6 +13,8 @@ import graft.functions.{CosineSimilarity, DotProduct, HammingDistance, SimHash64
   *   - `vec_cosine(a, b)`  — codegen'd single-pass cosine similarity
   *   - `hamming(a, b)`     — Hamming distance of equal-length bit strings
   *   - `simhash64(tokens)` — 64-bit SimHash bit string of a token array
+  *   - `vec_pack(v)`       — array<float> → dense 4·d little-endian binary
+  *   - `vec_unpack(b)`     — exact inverse of vec_pack
   *
   * The Scala API ([[graft.functions.VectorExpressions]] /
   * [[graft.functions.TextExpressions]]) builds the same expressions
@@ -47,5 +49,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "simhash64 expects exactly 1 argument")
         SimHash64(args.head)
       }))
+    def unary(name: String, usage: String,
+        make: Expression => Expression) =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$name expects exactly 1 argument")
+          make(args.head)
+        }))
+    unary("vec_pack",
+      "vec_pack(v) - array<float> to dense 4*d little-endian binary",
+      FloatPack(_))
+    unary("vec_unpack",
+      "vec_unpack(b) - inverse of vec_pack",
+      FloatUnpack(_))
   }
 }

@@ -94,6 +94,11 @@ class TextSimilaritySpec extends SparkSpec {
     assert(r.getDouble(0) == 11d)
     assert(r.getDouble(1) == 1d)
     assert(r.getDouble(2) == 0d)
+    // the codec pair is SQL-visible too
+    val rt = spark.sql(
+      "SELECT vec_unpack(vec_pack(array(CAST(1.5 AS FLOAT)," +
+        "CAST(-2.0 AS FLOAT)))) AS v").head()
+    assert(rt.getSeq[Float](0) == Seq(1.5f, -2.0f))
   }
 
   test("vecPack/vecUnpack: bit-exact round trip, 4 bytes per element") {
