@@ -1062,6 +1062,73 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_returnflag"))
     },
+
+    // per-group exact OLS trend: the per-source drift statistic — one
+    // map-side-combined aggregation to |groups| rows, exact integer
+    // moments, one fixed IEEE tree for slope/intercept/r²
+    "q74_trend" -> { (s, dir) =>
+      graft.ops.Features.groupTrend(
+          t(s, dir, "orders"),
+          Seq("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")),
+          col("o_totalprice"), yScale = 2)
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // content-level removal-list enforcement: every COPY of flagged text
+    // drops (broadcast anti join on the shared normalized fingerprint)
+    "q75_removal" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val removals = docs
+        .filter(col("doc_id") % 97 === 0 || col("source") === "src13")
+        .select(col("text"))
+      graft.text.Corpus.removeListed(docs, "text", removals, "text")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // deterministic weighted upsampling (epoch mixing, weights > 1):
+    // floor(w) copies + an md5-hash coin for the fraction, scan-local
+    "q76_upsample" -> { (s, dir) =>
+      val weighted = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (lit(300000L) + col("doc_id") % 5 * 700000L).as("w_ppm"))
+      graft.ops.Relational.upsampleWeighted(weighted, col("doc_id"),
+          col("w_ppm"))
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    },
+
+    // key-distribution profiler: exact top-k hottest keys + ppm share —
+    // the pre-join skew diagnostic (choose plain vs salted vs broadcast)
+    "q77_keyprof" -> { (s, dir) =>
+      graft.ops.Relational.keyProfile(
+          events(s, dir).select(col("user_id")), col("user_id"), topK = 10)
+        .orderBy(col("rank"))
+    },
+
+    // classic star-join top-k (TPC-H Q3 shape): broadcast the filtered
+    // dimension, shuffle-join the two facts, decimal-exact revenue,
+    // TakeOrderedAndProject for the top 10
+    "q78_star_join" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .groupBy(li("l_orderkey"), ord("o_orderdate"),
+          ord("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -2782,5 +2849,109 @@ object SparkEntry {
         |    AS cleaned_text
         |FROM t LEFT JOIN covset cs USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // exact integer moments in HUGEINT (Spark: decimal(38,0)); both render
+    // the exact integers to text and strtod back — correctly-rounded
+    // doubles on any engine — then one shared IEEE tree
+    "q74_trend" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS x,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |), m AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM b GROUP BY 1
+        |), d AS (
+        |  SELECT o_orderpriority, n,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+        |      AS DOUBLE) AS num,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+        |      AS DOUBLE) AS den,
+        |    CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS VARCHAR)
+        |      AS DOUBLE) AS den2,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd
+        |  FROM m
+        |)
+        |SELECT o_orderpriority, n,
+        |  CASE WHEN den <> 0 THEN num / den / 100.0 END AS slope,
+        |  CASE WHEN den <> 0 THEN
+        |    (syd / 100.0 - num / den / 100.0 * sxd) / CAST(n AS DOUBLE)
+        |    END AS intercept,
+        |  CASE WHEN den <> 0 AND den2 <> 0 THEN
+        |    (num * num) / (den * den2) END AS r2
+        |FROM d ORDER BY o_orderpriority""".stripMargin,
+
+    "q75_removal" ->
+      """WITH rm AS (
+        |  SELECT DISTINCT
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents WHERE doc_id % 97 = 0 OR source = 'src13'
+        |)
+        |SELECT doc_id, source FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.fp =
+        |  md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))))
+        |ORDER BY doc_id""".stripMargin,
+
+    // same md5 top-40-bit coin arithmetic as q41/q53 — all long, no float
+    "q76_upsample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CAST(300000 + (doc_id % 5) * 700000 AS BIGINT) AS w_ppm
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, source, w_ppm,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM w
+        |), c AS (
+        |  SELECT doc_id, source,
+        |    w_ppm // 1000000 + CASE WHEN
+        |      (hv >> 20) * 1000000 < (w_ppm % 1000000) * 1099511627776
+        |      THEN 1 ELSE 0 END AS n_copies
+        |  FROM h
+        |)
+        |SELECT doc_id, source,
+        |  unnest(generate_series(0, n_copies - 1)) AS copy
+        |FROM c WHERE n_copies > 0
+        |ORDER BY doc_id, copy""".stripMargin,
+
+    "q77_keyprof" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1
+        |), t AS (SELECT sum(n) AS total FROM c
+        |), top AS (
+        |  SELECT key, n FROM c ORDER BY n DESC, key NULLS FIRST LIMIT 10
+        |)
+        |SELECT
+        |  row_number() OVER (ORDER BY n DESC, key NULLS FIRST) AS rank,
+        |  key, n, n * 1000000 // total AS share_ppm
+        |FROM top, t
+        |ORDER BY rank""".stripMargin,
+
+    "q78_star_join" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
   )
 }

@@ -91,6 +91,62 @@ object Features {
       .drop("__med", "__mad")
   }
 
+  /** Per-group exact OLS trend line of `yCol` over `xCol`: appends one row
+    * per group with `n`, `slope`, `intercept`, and `r2` — the drift /
+    * quality-over-time statistic a pipeline watches per source (is this
+    * domain's quality decaying? is a sensor drifting?). `xCol` must be
+    * integer-valued (a day number, an epoch count); `yCol` is quantized at
+    * `yScale` decimal places (its native precision).
+    *
+    * Exactness: every moment (Σx, Σy, Σx², Σxy, Σy²) is an integer sum
+    * accumulated in decimal(38,0) — per-row products stay in long range by
+    * the documented domain contract (|x| ≤ 2^20, |y·10^yScale| ≤ 2^41) —
+    * so the closed-form numerators/denominators are EXACT integers,
+    * order- and partitioning-independent. They convert to double through a
+    * decimal-string render (`cast(string).cast(double)`): strtod parsing
+    * is correctly rounded in every engine, sidestepping any
+    * int128/decimal→double conversion quirk. The final slope/intercept/r²
+    * arithmetic is one fixed IEEE tree — identical in any engine. Groups
+    * with zero x-spread (or n < 2) yield null slope/intercept/r²; a
+    * zero-variance y yields null r².
+    *
+    * Scale shape: ONE map-side-combined aggregation down to |groups| rows;
+    * the regression algebra runs on that bounded table. No window, no
+    * second pass over the data.
+    */
+  def groupTrend(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, yScale: Int = 2): DataFrame = {
+    val pow = math.pow(10, yScale).toLong
+    val x = xCol.cast("long")
+    val yI = (yCol.cast(DecimalType(18, yScale)) * lit(pow)).cast("long")
+    val d38 = DecimalType(38, 0)
+    val base = df
+      .filter(x.isNotNull && yI.isNotNull)
+      .select(groupCols.map(col) ++ Seq(x.as("__x"), yI.as("__y")): _*)
+    val m = base.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(d38)).as("__sx"),
+      sum(col("__y").cast(d38)).as("__sy"),
+      sum((col("__x") * col("__x")).cast(d38)).as("__sxx"),
+      sum((col("__x") * col("__y")).cast(d38)).as("__sxy"),
+      sum((col("__y") * col("__y")).cast(d38)).as("__syy"))
+    val nD = col("n").cast(d38)
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val num = dbl(nD * col("__sxy") - col("__sx") * col("__sy"))
+    val den = dbl(nD * col("__sxx") - col("__sx") * col("__sx"))
+    val den2 = dbl(nD * col("__syy") - col("__sy") * col("__sy"))
+    val slope = num / den / lit(pow.toDouble)
+    val intercept =
+      (dbl(col("__sy")) / lit(pow.toDouble) - slope * dbl(col("__sx"))) /
+        col("n").cast("double")
+    m.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      when(den =!= 0d, slope).as("slope"),
+      when(den =!= 0d, intercept).as("intercept"),
+      when(den =!= 0d && den2 =!= 0d, (num * num) / (den * den2))
+        .as("r2")): _*)
+  }
+
   /** Fixed-width histogram of `valueCol`: counts per bin over
     * [lo, lo + nBins·width), bin = floor((v − lo)/width), with
     * out-of-range values clamped into the edge bins (so Σcounts = the

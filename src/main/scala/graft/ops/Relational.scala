@@ -228,6 +228,67 @@ object Relational {
       .drop("__cuts")
   }
 
+  /** Key-distribution profiler: the diagnostic you run BEFORE choosing a
+    * join strategy (plain vs [[saltedJoin]] vs broadcast). Returns the
+    * top-`topK` hottest keys with exact count, rank, and integer
+    * parts-per-million share of all rows — enough to read off the skew
+    * factor (top share × distinct-key count) and spot a single-key
+    * straggler. Null keys profile like any other value (they would all
+    * land on one reducer too — the classic skew cause).
+    *
+    * Exactness: share_ppm = n·10⁶ div total in pure long arithmetic — no
+    * float an engine pair could disagree on. Ties rank by the key itself
+    * (deterministic).
+    *
+    * Scale shape: one map-side-combined aggregation to the distinct-key
+    * table, then TakeOrderedAndProject over it — the full key table is
+    * never globally sorted, the row volume is absorbed by partial
+    * aggregation, and the one-row total broadcasts back onto ≤ topK rows.
+    */
+  def keyProfile(df: DataFrame, key: Column, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    // top-k FIRST (TakeOrderedAndProject — never a global sort of the
+    // distinct-key table); the rank window then runs over ≤ topK rows
+    counts.orderBy(col("n").desc, col("key")).limit(topK)
+      .join(broadcast(total))
+      .withColumn("share_ppm", expr("n * 1000000 div __total"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n").desc, col("key"))).cast("long"))
+      .select(col("rank"), col("key"), col("n"), col("share_ppm"))
+  }
+
+  /** Deterministic WEIGHTED upsampling: each row is emitted
+    * floor(w) + Bernoulli(frac(w)) times, with the fractional coin being
+    * the same md5 unit-hash as [[hashSample]] / [[mixtureSample]] — the
+    * epoch-mixing step of a training run ("2.5× books, 0.3× crawl") where
+    * weights may EXCEED 1, generalizing [[mixtureSample]] (whose keep/drop
+    * is exactly the `weightPpm ≤ 10⁶` case). Weights are parts-per-million
+    * and the coin comparison runs entirely in long arithmetic (top-40 hash
+    * bits × 10⁶ vs ppm remainder × 2^40), so replication is reproducible
+    * on any cluster, partitioning, or engine. Output: one row per copy
+    * with a 0-based `copy` index — downstream shuffling/packing can tell
+    * copies apart deterministically.
+    *
+    * Scale shape: a broadcast-joined (or literal) rate column plus one
+    * scan-local explode — no shuffle; output volume is Σw, the intended
+    * epoch size. Rows with weight 0 vanish (explode of an empty array).
+    */
+  def upsampleWeighted(df: DataFrame, key: Column,
+      weightPpm: Column): DataFrame = {
+    val w = weightPpm.cast("long")
+    val coin = (shiftright(hashUnit(key), 20) * 1000000L <
+      (w % 1000000L) * (1L << 40)).cast("long")
+    val copies = graft.functions.Exact.longDiv(w, 1000000L) + coin
+    df.withColumn("__copies", copies)
+      .withColumn("copy", explode(
+        when(col("__copies") > 0,
+          sequence(lit(0L), col("__copies") - 1L))
+          .otherwise(array().cast("array<long>"))))
+      .drop("__copies")
+  }
+
   /** Point-in-interval range join: rows of `points` matched to every
     * interval `[loCol, hiCol]` (inclusive) of `intervals` that contains
     * `pointCol`. Spark plans a bare inequality join as

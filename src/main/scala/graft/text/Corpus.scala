@@ -324,4 +324,33 @@ object Corpus {
         least(lit(maxTokens), col("__n") - start).cast("long")
           .as("n_tokens"))
   }
+
+  /** Removal-list enforcement at CONTENT level: drop every corpus
+    * document whose normalized-text fingerprint appears in `removals` —
+    * the takedown / copyright-opt-out / GDPR-erasure step a production
+    * corpus must support. Matching on the [[TextFunctions.fingerprint]]
+    * (not the document id) removes every COPY of flagged content, exactly
+    * like the reference list's intent ("this text must not be trained
+    * on"), and is whitespace/case-robust via the shared normalization.
+    * `removals` rows may carry either raw text (`byFingerprint = false`)
+    * or precomputed hex fingerprints — the portable interchange form a
+    * rights-holder list actually ships as.
+    *
+    * Scale shape: a LEFT ANTI join with the (small — thousands of
+    * entries) removal side distinct'd and broadcast: one corpus scan,
+    * zero shuffles of the data. For a removal list too large to
+    * broadcast, drop the hint and the same plan degrades gracefully to a
+    * shuffled anti join — semantics unchanged.
+    */
+  def removeListed(corpus: DataFrame, textCol: String,
+      removals: DataFrame, removalCol: String,
+      byFingerprint: Boolean = false): DataFrame = {
+    val listed = removals.select(
+      (if (byFingerprint) lower(col(removalCol))
+       else TextFunctions.fingerprint(col(removalCol))).as("__rm_fp"))
+      .distinct()
+    corpus.join(broadcast(listed),
+      TextFunctions.fingerprint(col(textCol)) === col("__rm_fp"),
+      "left_anti")
+  }
 }

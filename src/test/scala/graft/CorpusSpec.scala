@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, upper}
 import graft.text.Corpus
 
 class CorpusSpec extends SparkSpec {
@@ -207,5 +208,32 @@ class CorpusSpec extends SparkSpec {
     val out = Corpus.dedupSegments(df, "text", "doc_id", segTokens = 2)
       .orderBy(col("doc_id")).collect().map(_.getString(3))
     assert(out.toSeq == Seq("P Q", ""))
+  }
+
+  test("removeListed drops every copy of flagged content, normalized") {
+    val corpus = Seq(
+      (1L, "Hello  World"), // flagged via doc 3's copy (normalization)
+      (2L, "keep me"),
+      (3L, "hello world"),
+      (4L, "also kept")
+    ).toDF("doc_id", "text")
+    val removals = Seq("HELLO   world").toDF("bad_text")
+    val out = Corpus.removeListed(corpus, "text", removals, "bad_text")
+      .orderBy(col("doc_id")).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(2L, 4L))
+  }
+
+  test("removeListed accepts precomputed fingerprints; broadcast anti plan") {
+    val corpus = Seq((1L, "flag me"), (2L, "survivor"))
+      .toDF("doc_id", "text")
+    val fp = corpus.filter(col("doc_id") === 1)
+      .select(upper(graft.text.TextFunctions.fingerprint(col("text")))
+        .as("fp")) // uppercase hex: the operator lowers it
+    val out = Corpus.removeListed(corpus, "text", fp, "fp",
+      byFingerprint = true)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan)
   }
 }

@@ -77,4 +77,41 @@ class FeaturesSpec extends SparkSpec {
     val got = Features.histogram(df, col("v"), 0.0, 10.0, 2).collect()
     assert(got.map(_.getLong(2)).sum == 2L)
   }
+
+  test("groupTrend: exact slope/intercept/r2 on a perfect line") {
+    // y = 2x + 3 → slope 2, intercept 3, r² 1 — all exact in the
+    // integer-moment closed form
+    val df = (0 to 4).map(x => ("g", x, 2.0 * x + 3.0))
+      .toDF("k", "x", "y")
+    val r = Features.groupTrend(df, Seq("k"), col("x"), col("y")).head
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 2.0)
+    assert(r.getDouble(3) == 3.0)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("groupTrend: zero x-spread and constant y degenerate to nulls") {
+    val flat = Seq(("a", 1, 5.0), ("a", 1, 9.0)).toDF("k", "x", "y")
+    val fr = Features.groupTrend(flat, Seq("k"), col("x"), col("y")).head
+    assert(fr.isNullAt(2) && fr.isNullAt(3) && fr.isNullAt(4))
+    val const = Seq(("b", 1, 7.0), ("b", 2, 7.0), ("b", 3, 7.0))
+      .toDF("k", "x", "y")
+    val cr = Features.groupTrend(const, Seq("k"), col("x"), col("y")).head
+    assert(cr.getDouble(2) == 0.0) // slope of a constant is exactly 0
+    assert(cr.isNullAt(4)) // no y-variance: r² undefined
+  }
+
+  test("groupTrend: nulls excluded; groups independent; one agg, no window") {
+    val df = Seq(
+      ("a", Some(0), Some(1.0)), ("a", Some(1), Some(3.0)),
+      ("a", None, Some(9.0)), ("a", Some(5), None), // dropped
+      ("b", Some(0), Some(10.0)), ("b", Some(2), Some(4.0))
+    ).toDF("k", "x", "y")
+    val out = Features.groupTrend(df, Seq("k"), col("x"), col("y"))
+    val got = out.orderBy("k").collect()
+    assert(got(0).getLong(1) == 2L && got(0).getDouble(2) == 2.0)
+    assert(got(1).getLong(1) == 2L && got(1).getDouble(2) == -3.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan)
+  }
 }

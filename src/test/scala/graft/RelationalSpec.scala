@@ -223,4 +223,53 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("keyProfile: exact counts, ranks, ppm shares, key tie-break") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val got = Relational.keyProfile(df, col("k"), topK = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "a", 5L, 500000L), (2L, "b", 3L, 300000L)))
+    val ties = Seq("y", "x", "y", "x").toDF("k")
+    val t = Relational.keyProfile(ties, col("k"), topK = 2)
+      .collect().map(_.getString(1))
+    assert(t.toSeq == Seq("x", "y")) // equal counts rank by key
+  }
+
+  test("keyProfile: top-k via TakeOrdered, never a global key sort") {
+    val df = (1 to 100).map(i => s"k$i").toDF("k")
+    val plan = Relational.keyProfile(df, col("k"), topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("upsampleWeighted: integral weights replicate exactly") {
+    val df = (1L to 10L).toDF("id")
+    val out = Relational.upsampleWeighted(df, col("id"), lit(2000000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 20)
+    assert(out.groupBy(_._1).forall { case (_, c) =>
+      c.map(_._2).sorted.toSeq == Seq(0L, 1L) })
+    val none = Relational.upsampleWeighted(df, col("id"), lit(0L))
+    assert(none.count() == 0L) // weight 0: the row vanishes
+  }
+
+  test("upsampleWeighted: fractional part is the mixtureSample coin") {
+    // w = 0.4e6 ppm ≤ 1e6: upsample's survivors (all at copy 0) must be
+    // EXACTLY mixtureSample's kept set — same hash, same arithmetic
+    val df = (1L to 500L).toDF("id")
+    val up = Relational.upsampleWeighted(df, col("id"), lit(400000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(up.forall(_._2 == 0L))
+    val mix = Relational.mixtureSample(df, col("id"), lit(400000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(up.map(_._1).toSet == mix)
+    // 2.4e6 ppm on the same keys: everyone gets 2 copies, the SAME
+    // hash-coin winners get a third — weights compose monotonically
+    val up24 = Relational.upsampleWeighted(df, col("id"), lit(2400000L))
+      .collect().map(_.getLong(0)).groupBy(identity)
+    assert(up24.forall { case (k, c) =>
+      c.length == (if (mix(k)) 3 else 2) })
+  }
 }
