@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Loop-width sizing for [[connectedComponents]]: ~256k
+    * symmetrized-adjacency rows (≈16 MB of packed (long, long) rows) per
+    * loop shuffle partition. Deliberately finer than a batch reducer's
+    * capacity: each round's shuffles are label-pair-sized, so the width
+    * trades per-task overhead against parallelism, and a fixed session
+    * width (32 here, hundreds on a cluster) makes every round pay
+    * hundreds of near-empty tasks on a small pair graph — measured 40%
+    * of the operator's wall time at sf0.1. A 10⁹-edge graph still gets
+    * the 4096 cap — cluster-wide width where it matters.
+    */
+  private val loopRowsPerPartition = 262144L
+
   /** Connected components by iterative min-label propagation WITH POINTER
     * HALVING: every vertex starts labeled with its own id; each round a
     * vertex takes the min of (its label, its neighbors' labels), then
@@ -72,6 +84,20 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .localCheckpoint(true)
+    // SIZE THE LOOP'S WIDTH TO THE MEASURED EDGE VOLUME, not to
+    // spark.sql.shuffle.partitions: AQE's coalescing is disabled under
+    // cached plans (canChangeCachedPlanOutputPartitioning=false), so
+    // without an explicit width every per-round shuffle runs at the
+    // session width regardless of the graph's size. The count is free —
+    // e0 is already materialized, and the loop pays a driver action per
+    // round anyway.
+    val p = math.max(1L, math.min(4096L,
+      (4 * e0.count() + loopRowsPerPartition - 1) / loopRowsPerPartition))
+      .toInt
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    def tlog(msg: => String): Unit = if (debug) System.err.println(
+      f"[cc] ${System.nanoTime() / 1e9}%.3f $msg")
+    tlog(s"p=$p after edge materialization+count")
     // partition + sort the big side ONCE: every round's SortMergeJoin on
     // dst then reads the cached layout instead of re-shuffling it.
     // Self-loops come straight from the edge list (one per endpoint
@@ -82,7 +108,7 @@ object Graph {
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .union(e0.select(col("src"), col("src").as("dst")))
       .union(e0.select(col("dst").as("src"), col("dst").as("dst")))
-      .repartition(col("dst"))
+      .repartition(p, col("dst"))
       .sortWithinPartitions(col("dst"))
       .persist()
     def decSum(c: String) = sum(col(c).cast("decimal(38,0)"))
@@ -100,7 +126,8 @@ object Graph {
       // (over cached frames) on its way in
       val joined =
         if (labels == null) sym.select(col("src"), col("dst").as("lbl"))
-        else sym.join(labels, sym("dst") === labels("id"))
+        else sym.join(labels.repartition(p, col("id")),
+            sym("dst") === labels("id"))
           .select(sym("src"), col("lbl"))
       // LAZY checkpoint: the convergence aggregate right below is the
       // round's one action — it materializes (and persists) this frame
@@ -108,7 +135,11 @@ object Graph {
       // not a checkpoint job plus an aggregate job. (The EDGE frame e0
       // stays eager: its four union branches read it within one stage,
       // where a lazy checkpoint could recompute partitions per branch.)
+      // repartition-then-aggregate: the explicit exchange pins the agg's
+      // width to p (groupBy alone would shuffle at the session width);
+      // partial+final aggregation then run in the same stage
       val upd = joined
+        .repartition(p, col("src"))
         .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
         .select(col("src").as("id"), col("lbl"))
         .localCheckpoint(false)
@@ -131,11 +162,14 @@ object Graph {
         // and since labels only ever decrease, __plbl ≤ lbl is the new
         // label outright
         val ptr = upd.select(col("id").as("__pid"), col("lbl").as("__plbl"))
-        labels = upd.join(ptr, upd("lbl") === ptr("__pid"))
-          .select(upd("id"), col("__plbl").as("lbl"))
+          .repartition(p, col("__pid"))
+        val byLbl = upd.repartition(p, col("lbl"))
+        labels = byLbl.join(ptr, byLbl("lbl") === ptr("__pid"))
+          .select(byLbl("id"), col("__plbl").as("lbl"))
       }
       lastSum = s
       round += 1
+      tlog(s"round $round done (sum=$s, converged=$converged)")
     }
     sym.unpersist()
     if (!converged)
