@@ -306,16 +306,18 @@ object Bench {
     // survive that window intact (warn loudly if it ever outgrows it)
     println(s"""{"metric":"detail","runs":2,"stat":"min","first_run":$firsts,"pipeline":${pipeline._3},"pipeline_4x":${pipeline4x._3},"pipeline_16x":${pipeline16x._3},"scale_sweep":$sweep}""")
     // full pipeline blocks and the runs/stat methodology live on the
-    // detail line; the summary keeps one headline pipeline number. sf is
-    // the basename — every byte of the summary line competes with the
-    // 2 KB tail window (73 queries measured 1849 chars with the full
-    // pipeline block, leaving no margin for the harness epilogue)
+    // detail line; the summary keeps one headline pipeline number
+    // ("pipe", seconds). sf is the basename, "unit" is implied (sec) —
+    // every byte of the summary line competes with the harness's 2 KB
+    // tail capture, which must also hold the ~70-char sbt epilogue after
+    // this line (78 queries measured 1921 chars with the pre-trim
+    // format and overflowed; the budget is ~1975)
     val pipeSummary =
       if (pipeline._1 < 0) "null" else r2(pipeline._1)
     val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"pipeline_sec":$pipeSummary,"sf":"$sfBase"}"""
-    if (line.length > 1850)
+    val line = s"""{"metric":"total","value":${r2(total)},"queries":$qs,"pipe":$pipeSummary,"sf":"$sfBase"}"""
+    if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line is ${line.length}" +
         " chars — may exceed the harness's 2 KB tail capture; trim fields")
     println(line)

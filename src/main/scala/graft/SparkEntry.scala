@@ -1129,6 +1129,55 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
+
+    // interpolated (type-7) per-group quantiles: ppm-exact rank picks +
+    // one IEEE lerp; aggregate-first like q44's discrete picks
+    "q79_qcont" -> { (s, dir) =>
+      graft.ops.Relational.quantilesCont(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_quantity")),
+          Seq("l_returnflag"), col("l_quantity"), Seq(0.25, 0.5, 0.9))
+        .orderBy(col("l_returnflag"), col("q"))
+    },
+
+    // exact per-group mode with deterministic tie-break
+    "q80_mode" -> { (s, dir) =>
+      graft.ops.Relational.modePerGroup(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_quantity")),
+          Seq("l_returnflag"), col("l_quantity"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // one-pass column profiling (rows / nulls / exact distinct / min /
+    // max per column) — the data-quality gate before trusting a drop
+    "q81_profile" -> { (s, dir) =>
+      graft.ops.Profile.profileColumns(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy(col("column_name"))
+    },
+
+    // event funnel: first view -> first later click -> first later
+    // purchase per user, collapsed to a per-depth user count. The
+    // deterministic 1-in-13 thinning keeps step events scarce enough
+    // that every depth 0..3 actually occurs (all-dense events would
+    // funnel every user to depth 3 — a non-discriminating probe)
+    "q82_funnel" -> { (s, dir) =>
+      // the µs axis is the exact common denominator: DuckDB reads the
+      // ns parquet truncated to µs, so both thinning and the
+      // strictly-after ordering must run at µs on both sides
+      graft.ops.Funnel.funnelDepth(
+          events(s, dir).select(col("user_id"),
+            nsToMicros(col("ts_ns")).as("ts_us"), col("event_type"))
+            .filter(col("user_id").isNotNull &&
+              pmod(col("ts_us"), lit(13L)) === 0),
+          "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase"))
+        .groupBy(col("steps_done"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("steps_done"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -2953,5 +3002,92 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    // type-7 interpolation with the same ppm rank arithmetic as the
+    // Spark side: exact integer lo-rank + frac, one shared lerp tree
+    "q79_qcont" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_quantity) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |), qq AS (
+        |  SELECT unnest([250000, 500000, 900000]) AS ppm
+        |), params AS (
+        |  SELECT DISTINCT l_returnflag, ppm,
+        |    1 + (ppm * (n - 1)) // 1000000 AS lo_rank,
+        |    (ppm * (n - 1)) % 1000000 AS frac
+        |  FROM ranked, qq
+        |), pick AS (
+        |  SELECT p.l_returnflag, p.ppm, p.frac,
+        |    min(CASE WHEN r.rn = p.lo_rank THEN r.v END) AS vlo,
+        |    min(CASE WHEN r.rn = p.lo_rank + 1 THEN r.v END) AS vhi
+        |  FROM params p JOIN ranked r ON r.l_returnflag = p.l_returnflag
+        |    AND r.rn IN (p.lo_rank, p.lo_rank + 1)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT l_returnflag, CAST(ppm AS DOUBLE) / 1000000.0 AS q,
+        |  CASE WHEN frac = 0 THEN vlo
+        |    ELSE vlo + (vhi - vlo) * (CAST(frac AS DOUBLE) / 1000000.0)
+        |  END AS value
+        |FROM pick
+        |ORDER BY l_returnflag, q""".stripMargin,
+
+    "q80_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity AS mode_value,
+        |    count(*) AS mode_n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY mode_n DESC, mode_value) AS rn
+        |  FROM c
+        |)
+        |SELECT l_returnflag, mode_value, mode_n FROM r WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q81_profile" ->
+      (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .map(c =>
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_str,
+             |  CAST(max($c) AS VARCHAR) AS max_str
+             |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")),
+
+    // strictly-after chaining on the shared µs axis (DuckDB truncates
+    // the ns parquet to µs; the Spark side divides down to match)
+    "q82_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND epoch_us(ts) % 13 = 0
+        |), u AS (SELECT DISTINCT user_id FROM ev
+        |), w1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), w2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+        |  JOIN w1 ON e.user_id = w1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > w1.t1 GROUP BY 1
+        |), w3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+        |  JOIN w2 ON e.user_id = w2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > w2.t2 GROUP BY 1
+        |), d AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN w3.user_id IS NOT NULL THEN 3
+        |         WHEN w2.user_id IS NOT NULL THEN 2
+        |         WHEN w1.user_id IS NOT NULL THEN 1
+        |         ELSE 0 END AS steps_done
+        |  FROM u LEFT JOIN w1 USING (user_id)
+        |    LEFT JOIN w2 USING (user_id)
+        |    LEFT JOIN w3 USING (user_id)
+        |)
+        |SELECT steps_done, count(*) AS n_users FROM d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

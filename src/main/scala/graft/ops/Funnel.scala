@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event funnel analysis: how far does each user get through an ordered
+  * sequence of step events (view → click → purchase)? The conversion
+  * sibling of sessionization — per-user sequential pattern matching
+  * expressed as chained windowed minimums, no per-user state beyond one
+  * timestamp per step.
+  */
+object Funnel {
+
+  /** Per-user funnel completion over `steps` (event-type values, in
+    * funnel order): step 1's timestamp is the user's FIRST step-1 event;
+    * step i+1's is the first step-(i+1) event STRICTLY AFTER step i's —
+    * the standard unordered-window funnel (each step must happen after
+    * the previous, any other events interleave freely). Output: one row
+    * per user with `step_ts_1..k` (null once the funnel stalls —
+    * monotone by construction) and `steps_done`.
+    *
+    * `tsCol` may be any orderable column; pass the raw long-ns axis for
+    * exact same-instant semantics (strictly-greater means an event at
+    * the exact same instant does NOT advance the funnel).
+    *
+    * Scale shape: ONE hash exchange on the user key, then k chained
+    * whole-partition window minimums (no ORDER BY → no sorts) and a
+    * final same-partitioning collapse to user grain — per-user state is
+    * k timestamps regardless of event volume, and a hot user costs its
+    * scan, not a quadratic match.
+    */
+  def funnelDepth(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelDepth needs at least one step")
+    val w = Window.partitionBy(col(userCol))
+    var cur = df
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val cond =
+        if (i == 0) col(typeCol) === s
+        else col(typeCol) === s && col(s"step_ts_$i").isNotNull &&
+          col(tsCol) > col(s"step_ts_$i")
+      cur = cur.withColumn(s"step_ts_${i + 1}",
+        min(when(cond, col(tsCol))).over(w))
+    }
+    val stepCols = steps.indices.map(i => col(s"step_ts_${i + 1}"))
+    val aggs = stepCols.zipWithIndex.map { case (c, i) =>
+      min(c).as(s"step_ts_${i + 1}")
+    }
+    cur.groupBy(col(userCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("steps_done",
+        stepCols.map(c => when(c.isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling: the one-pass column summary a pipeline runs
+  * before trusting a new drop of data (the reference eyeballs its tables
+  * in pandas; at lake scale that becomes a profiling query). Modeled on
+  * the deequ/TFDV statistics pass, kept engine-exact.
+  */
+object Profile {
+
+  /** Per-column profile of `cols`: row count, null count, exact distinct
+    * count, and min/max (rendered to strings so one long-format table
+    * covers every column type — the native min/max is computed first, on
+    * the native type, then cast). Output: one row per column —
+    * (`column_name`, `n_rows`, `n_nulls`, `n_distinct`, `min_str`,
+    * `max_str`).
+    *
+    * Scale shape: ONE aggregation job over one scan. The multi-column
+    * exact `count(distinct)` block is planned through Spark's Expand
+    * (one duplicated stream per distinct aggregate, partially aggregated
+    * map-side) — the standard exact plan; swap in
+    * `approx_count_distinct` for a cheaper sketch when exactness isn't
+    * required. The wide 1-row result unpivots driver-free via a
+    * literal-sized explode.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val aggCols = count(lit(1)).as("__total") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(aggCols.head, aggCols.tail: _*)
+    val entries = array(cols.map { c =>
+      struct(lit(c).as("column_name"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_str"),
+        col(s"__mx_$c").as("max_str"))
+    }: _*)
+    wide.select(explode(entries).as("__e")).select(col("__e.*"))
+  }
+}

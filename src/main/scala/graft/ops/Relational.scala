@@ -171,6 +171,85 @@ object Relational {
       .select((gs :+ col("__h.q").as("q") :+ col("__h.value").as("value")): _*)
   }
 
+  /** Interpolated per-group quantiles (percentile_cont / Hyndman-Fan
+    * type 7, the Postgres/DuckDB/NumPy default): for q over n values the
+    * pick sits at 1-based position h = q·(n−1)+1; a non-integral h lerps
+    * between the neighboring order statistics. Complements
+    * [[quantilesDisc]] (an actual data value) where a smooth estimate is
+    * wanted — the usual choice for latency percentiles and score
+    * calibration curves.
+    *
+    * Exactness: h is computed in PARTS-PER-MILLION LONG arithmetic
+    * (ppm·(n−1) div/mod 10⁶), so the two picked ranks and the fractional
+    * weight are exact integers in any engine; the single lerp
+    * `lo + (hi − lo)·(frac/10⁶)` is one fixed IEEE tree. Nulls are
+    * excluded (percentile semantics of the non-null population).
+    *
+    * Scale shape: identical to [[quantilesDisc]] — aggregate FIRST to
+    * per-(group, distinct value) counts (map-side combine absorbs the row
+    * volume), rank with a cumulative window over distinct values, pick
+    * the two neighbor ranks, and collapse ≤ 2·|qs| hit rows per group.
+    */
+  def quantilesCont(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1]: $qs")
+    val gs = groupCols.map(col)
+    val counts = df.filter(valueCol.isNotNull)
+      .groupBy((gs :+ valueCol.as("__val")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val ranked = counts
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(gs: _*).orderBy(col("__val"))))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(gs: _*)))
+    val hits = array(qs.flatMap { q =>
+      val ppm = math.round(q * 1e6)
+      val hnum = lit(ppm) * (col("__n") - 1L)
+      val loRank = graft.functions.Exact.longDiv(hnum, 1000000L) + 1L
+      val fracPpm = hnum % 1000000L
+      def pick(r: Column) =
+        col("__cum") >= r && col("__cum") - col("__c") < r
+      Seq(
+        when(pick(loRank), struct(lit(q).as("q"), lit(0).as("role"),
+          col("__val").cast("double").as("v"), fracPpm.as("f"))),
+        when(fracPpm > 0 && pick(loRank + 1L),
+          struct(lit(q).as("q"), lit(1).as("role"),
+            col("__val").cast("double").as("v"), fracPpm.as("f"))))
+    }: _*)
+    ranked
+      .select((gs :+ explode(filter(hits, h => h.isNotNull)).as("__h")): _*)
+      .groupBy((gs :+ col("__h.q").as("q")): _*)
+      .agg(min(when(col("__h.role") === 0, col("__h.v"))).as("__lo"),
+        min(when(col("__h.role") === 1, col("__h.v"))).as("__hi"),
+        min(col("__h.f")).as("__f"))
+      .withColumn("value", when(col("__f") === 0, col("__lo"))
+        .otherwise(col("__lo") + (col("__hi") - col("__lo")) *
+          (col("__f").cast("double") / lit(1000000.0))))
+      .select((gs :+ col("q") :+ col("value")): _*)
+  }
+
+  /** Exact per-group mode: the most frequent non-null value, ties broken
+    * by the value itself (deterministic in any engine — unlike a plain
+    * `mode()` whose tie pick is engine-defined). Output: one row per
+    * group with `mode_value` and its count `mode_n`.
+    *
+    * Scale shape: one map-side-combined aggregation to (group, distinct
+    * value) counts, then a rank-1 window that WindowGroupLimit caps
+    * before the shuffle — a giant value domain costs its scan, not its
+    * sort.
+    */
+  def modePerGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val gs = groupCols.map(col)
+    df.filter(valueCol.isNotNull)
+      .groupBy((gs :+ valueCol.as("mode_value")): _*)
+      .agg(count(lit(1)).as("mode_n"))
+      .withColumn("__rn", row_number().over(Window.partitionBy(gs: _*)
+        .orderBy(col("mode_n").desc, col("mode_value"))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Null-safe broadcast join of a per-group statistics table back onto
     * the data — the shared shape behind [[iqrFilter]], [[bucketize]],
     * and [[graft.ops.Features]]' scalers. `stats` must hold exactly

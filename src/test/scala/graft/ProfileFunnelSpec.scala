@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Funnel, Profile}
+
+class ProfileFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profileColumns: counts, nulls, distinct, min/max per column") {
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None), (Some(3L), Some("a"))
+    ).toDF("num", "s")
+    val got = Profile.profileColumns(df, Seq("num", "s"))
+      .orderBy("column_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(got(0) == (("num", 3L, 0L, 2L, "1", "3")))
+    assert(got(1) == (("s", 3L, 1L, 2L, "a", "b")))
+  }
+
+  test("profileColumns runs as one aggregation job over one scan") {
+    val df = Seq((1, "x"), (2, "y")).toDF("a", "b")
+    val plan = Profile.profileColumns(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    // the exact multi-distinct block plans through a single Expand, and
+    // nothing re-reads the source
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Union"), plan)
+  }
+
+  test("funnelDepth: strictly-after chaining, stalls stay null") {
+    val ev = Seq(
+      // u1 completes: view@1, click@5, purchase@9
+      (1L, 1L, "view"), (1L, 5L, "click"), (1L, 9L, "purchase"),
+      // u2 stalls at click: purchase happened BEFORE the click
+      (2L, 1L, "view"), (2L, 7L, "click"), (2L, 3L, "purchase"),
+      // u3: click with no prior view — depth 0
+      (3L, 2L, "click"), (3L, 4L, "purchase"),
+      // u4: same-instant click does NOT advance (strictly after)
+      (4L, 6L, "view"), (4L, 6L, "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnelDepth(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(4)))
+    assert(got.toSeq == Seq((1L, 3), (2L, 2), (3L, 0), (4L, 1)))
+  }
+
+  test("funnelDepth: first-after pick and one exchange on the user key") {
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "view"), // first view wins
+      (1L, 3L, "click"), (1L, 8L, "click") // first after-view click wins
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnelDepth(ev, "user_id", "ts", "event_type",
+      Seq("view", "click"))
+    val r = out.head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 3L && r.getInt(3) == 2)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+}

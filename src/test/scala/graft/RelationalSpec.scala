@@ -255,6 +255,35 @@ class RelationalSpec extends SparkSpec {
     assert(none.count() == 0L) // weight 0: the row vanishes
   }
 
+  test("quantilesCont: type-7 interpolation on known data") {
+    // values 1..4: q=0.5 → h=2.5 → (2+3)/2; q=0.25 → h=1.75 → 1.75
+    val df = Seq(1.0, 2.0, 3.0, 4.0).map(("g", _)).toDF("k", "v")
+    val got = Relational.quantilesCont(df, Seq("k"), col("v"),
+        Seq(0.25, 0.5, 1.0))
+      .orderBy("q").collect().map(r => r.getDouble(1) -> r.getDouble(2))
+    assert(got.toSeq == Seq(0.25 -> 1.75, 0.5 -> 2.5, 1.0 -> 4.0))
+  }
+
+  test("quantilesCont: duplicates rank as a multiset; singleton group") {
+    // 1,1,1,9: q=0.5 → h=2.5 → between ranks 2 and 3 (both 1) → 1.0
+    val df = Seq(1.0, 1.0, 1.0, 9.0).map(("a", _)).toDF("k", "v")
+    val got = Relational.quantilesCont(df, Seq("k"), col("v"), Seq(0.5))
+      .head.getDouble(2)
+    assert(got == 1.0)
+    val one = Seq(("b", 7.0)).toDF("k", "v")
+    assert(Relational.quantilesCont(one, Seq("k"), col("v"), Seq(0.25))
+      .head.getDouble(2) == 7.0)
+  }
+
+  test("modePerGroup: most frequent value, ties to the smaller value") {
+    val df = Seq("a" -> 2.0, "a" -> 2.0, "a" -> 5.0,
+      "b" -> 3.0, "b" -> 1.0).toDF("k", "v")
+    val got = Relational.modePerGroup(df, Seq("k"), col("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 2.0, 2L), ("b", 1.0, 1L)))
+  }
+
   test("upsampleWeighted: fractional part is the mixtureSample coin") {
     // w = 0.4e6 ppm ≤ 1e6: upsample's survivors (all at copy 0) must be
     // EXACTLY mixtureSample's kept set — same hash, same arithmetic
