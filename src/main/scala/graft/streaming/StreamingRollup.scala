@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Watermarked tumbling-window aggregation — the streaming form of the
+  * reference's daily resample (SURVEY §2.4 W2) and the standard
+  * event-stream rollup. Built on Spark's native `window()` + watermark
+  * machinery (state per open (window, key), dropped once the watermark
+  * passes the window end), deliberately NOT hand-rolled state: windowed
+  * aggregation is exactly what Structured Streaming's incremental
+  * planner already does optimally.
+  *
+  * In Append output mode a window emits ONCE, when the watermark closes
+  * it — immutable facts for a downstream sink. Events later than the
+  * watermark are dropped by the engine (the bounded-lateness contract);
+  * in-order and out-of-order arrivals inside the bound land in their
+  * event-time window regardless of arrival order, so the closed-window
+  * results CONVERGE to the batch aggregation over the same data
+  * (asserted by StreamingRollupSpec).
+  *
+  * The same call works on a batch frame (`withWatermark` is a no-op
+  * there) — one definition, two execution modes, which is the whole
+  * point of declaring the rollup rather than imperatively folding it.
+  */
+object StreamingRollup {
+
+  /** Per-(tumbling window, keys) count and sum of `valueCol`. Output:
+    * `win_start`, `win_end`, keys..., `n`, `value_sum`. `width` and
+    * `lateness` are calendar interval strings ("10 minutes").
+    */
+  def tumbling(df: DataFrame, tsCol: String, width: String,
+      lateness: String, keys: Seq[String], valueCol: Column): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width).as("__w") +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("value_sum"))
+      .select(col("__w.start").as("win_start") +:
+        col("__w.end").as("win_end") +:
+        keys.map(col) :+ col("n") :+ col("value_sum"): _*)
+}

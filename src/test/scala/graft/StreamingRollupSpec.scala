@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingRollup
+
+case class REvt(site: String, ts: Timestamp, value: Double)
+
+class StreamingRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("closed windows converge to the batch rollup; late data drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[REvt]
+    val rolled = StreamingRollup.tumbling(in.toDF(), "ts",
+      "10 minutes", "5 minutes", Seq("site"), col("value"))
+    val q = rolled.writeStream
+      .format("memory").queryName("roll_out")
+      .outputMode("append").start()
+
+    def out() = spark.table("roll_out")
+      .select("win_start", "site", "n", "value_sum")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+
+    // out-of-order arrivals WITHIN the 5-min lateness bound, two sites
+    in.addData(
+      REvt("a", t("2021-03-01 10:05:00"), 2.0),
+      REvt("a", t("2021-03-01 10:01:00"), 1.0),
+      REvt("b", t("2021-03-01 10:07:00"), 5.0))
+    q.processAllAvailable()
+    assert(out().isEmpty) // windows still open: nothing emitted yet
+
+    // watermark moves past 10:10 + 5 min -> the 10:00 windows close.
+    // (one batch advances the watermark, the next applies it)
+    in.addData(REvt("a", t("2021-03-01 10:21:00"), 10.0))
+    q.processAllAvailable()
+    in.addData(REvt("b", t("2021-03-01 10:22:00"), 20.0))
+    q.processAllAvailable()
+
+    // an event FAR below the watermark: dropped by the engine, it must
+    // never resurrect its (already closed) window
+    in.addData(REvt("a", t("2021-03-01 10:02:00"), 999.0))
+    q.processAllAvailable()
+
+    val closed = out()
+    q.stop()
+    // batch reference over the same in-watermark data, closed windows
+    val batch = Seq(
+      REvt("a", t("2021-03-01 10:05:00"), 2.0),
+      REvt("a", t("2021-03-01 10:01:00"), 1.0),
+      REvt("b", t("2021-03-01 10:07:00"), 5.0)).toDF()
+    val expect = StreamingRollup.tumbling(batch, "ts", "10 minutes",
+        "5 minutes", Seq("site"), col("value"))
+      .select("win_start", "site", "n", "value_sum")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(closed == expect, s"closed=$closed expect=$expect")
+    assert(closed.map(_._4).sum == 8.0) // the late 999.0 never landed
+  }
+}
