@@ -275,7 +275,6 @@ object Bench {
       .mkString("{", ",", "}")
     val firsts = results.map { case (k, (f, _)) => "\"" + k + "\":" + r3(f) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._2).filter(_ >= 0).sum
     // two corpus scale points (1× and 4×): the rows/sec slope is the
     // empirical evidence behind the linear-scale-out claim
     def pipelineAt(label: String, filesPerSite: Int): (Double, Long, String) =
@@ -312,11 +311,13 @@ object Bench {
     // tail capture, which must also hold the ~70-char sbt epilogue after
     // this line (78 queries measured 1921 chars with the pre-trim
     // format and overflowed; the budget is ~1975)
+    // no "value" (the total is the sum of the queries map) and no "sf"
+    // (the driver's BENCH_r{N}.json wrapper records sf itself) — both
+    // cut to keep the line under the tail budget at 83 queries
     val pipeSummary =
       if (pipeline._1 < 0) "null" else r2(pipeline._1)
-    val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption
-      .getOrElse(sfDir)
-    val line = s"""{"metric":"total","value":${r2(total)},"queries":$qs,"pipe":$pipeSummary,"sf":"$sfBase"}"""
+    val line =
+      s"""{"metric":"total","queries":$qs,"pipe":$pipeSummary}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line is ${line.length}" +
         " chars — may exceed the harness's 2 KB tail capture; trim fields")

@@ -1178,6 +1178,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("steps_done"))
     },
+
+    // nearest-direction as-of join with tolerance (pandas merge_asof
+    // nearest): two running-frame passes + a scan-local pick; ties
+    // prefer the backward candidate
+    "q83_asof_near" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val left = ev.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+          col("value"))
+      val right = ev.filter(col("event_id") % 5 === 0)
+        .groupBy(col("user_id"), col("ts_ns"))
+        .agg(max(col("value")).as("ref_value"))
+      TimeSeries.asofJoinNearest(left, right, "ts_ns", Seq("user_id"),
+          Seq("ref_value"), tolerance = 7200L * 1000000000L) // 2 h (ns)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("ref_value_asof"))
+        .orderBy(col("event_id"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -3089,5 +3107,29 @@ object SparkEntry {
         |)
         |SELECT steps_done, count(*) AS n_users FROM d
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // nearest = the closer of the two directional winners; equidistant
+    // ties take the backward (<=) row. µs arithmetic — exact, and the
+    // ns values in this corpus are µs-aligned so scales agree
+    "q83_asof_near" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_id % 5 <> 0
+        |), r AS (
+        |  SELECT user_id, ts, max(value) AS ref_value FROM events
+        |  WHERE event_id % 5 = 0 GROUP BY 1, 2
+        |), c AS (
+        |  SELECT l.event_id, r.ref_value,
+        |    row_number() OVER (PARTITION BY l.event_id ORDER BY
+        |      abs(epoch_us(l.ts) - epoch_us(r.ts)),
+        |      CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |    AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 7200000000
+        |)
+        |SELECT l.event_id, l.user_id, l.value,
+        |  c.ref_value AS ref_value_asof
+        |FROM l LEFT JOIN (SELECT event_id, ref_value FROM c WHERE rn = 1)
+        |  c ON l.event_id = c.event_id
+        |ORDER BY l.event_id""".stripMargin,
   )
 }

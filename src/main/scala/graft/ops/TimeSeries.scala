@@ -298,6 +298,42 @@ object TimeSeries {
       suffix: String = "_asof"): DataFrame =
     asofJoin(left, right, tsCol, keys, rightCols, suffix, forward = true)
 
+  /** As-of NEAREST join (pandas `merge_asof(direction='nearest')`): each
+    * left row gets the right row with the smallest |Δt| within
+    * `tolerance`, equidistant ties preferring the BACKWARD (≤) candidate
+    * — deterministic, documented, engine-independent. `tsCol` must be a
+    * NUMERIC axis (e.g. epoch µs — the engine's exactness convention);
+    * `tolerance` is in the same units, `Long.MaxValue` = unbounded.
+    *
+    * Composed from the two directional passes — one backward + one
+    * forward running-frame window (2 shuffles on `keys`, each O(n)) —
+    * then a scan-local pick. Never a per-row range probe, never a
+    * BroadcastNestedLoopJoin. Same right-side precondition as the
+    * directional joins: (keys, time) duplicates pre-aggregated.
+    */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      rightCols: Seq[String],
+      suffix: String = "_asof",
+      tolerance: Long = Long.MaxValue): DataFrame = {
+    val rc = (tsCol +: rightCols).distinct
+    val b = asofJoin(left, right, tsCol, keys, rc, "__b", forward = false)
+    val bf = asofJoin(b, right, tsCol, keys, rc, "__f", forward = true)
+    val lts = col(tsCol).cast("long")
+    val db = lts - col(s"${tsCol}__b").cast("long") // ≥ 0 when present
+    val df = col(s"${tsCol}__f").cast("long") - lts
+    val bOk = col(s"${tsCol}__b").isNotNull && db <= tolerance
+    val fOk = col(s"${tsCol}__f").isNotNull && df <= tolerance
+    val useB = bOk && (!fOk || db <= df)
+    val picks = rightCols.map(c =>
+      when(useB, col(s"${c}__b")).when(fOk, col(s"${c}__f"))
+        .as(s"$c$suffix"))
+    bf.select(left.columns.toSeq.map(col) ++ picks: _*)
+  }
+
   private def asofJoin(left: DataFrame, right: DataFrame, tsCol: String,
       keys: Seq[String], rightCols: Seq[String], suffix: String,
       forward: Boolean): DataFrame = {

@@ -185,6 +185,30 @@ class TimeSeriesSpec extends SparkSpec {
       == Seq(Some(1.0), Some(5.0), Some(5.0), Some(5.0), Some(5.0), None))
   }
 
+  test("asofJoinNearest: closest either side, backward ties, tolerance") {
+    import spark.implicits._
+    import graft.ops.TimeSeries
+    val left = Seq(
+      ("a", 12L, "l1"),  // 10 is 2 back, 15 is 3 ahead → backward
+      ("a", 14L, "l2"),  // 15 is 1 ahead, 10 is 4 back → forward
+      ("a", 40L, "l3"),  // nearest (15) is 25 away → outside tol 20
+      ("b", 50L, "l4")). // equidistant 40/60 → backward wins
+      toDF("k", "t", "name")
+    val right = Seq(
+      ("a", 10L, 1.0), ("a", 15L, 2.0), ("b", 40L, 3.0), ("b", 60L, 4.0))
+      .toDF("k", "t", "ref")
+    val got = TimeSeries.asofJoinNearest(left, right, "t", Seq("k"),
+        Seq("ref"), tolerance = 20L).orderBy($"k", $"t")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq(
+      ("a", 12L, Some(1.0)),
+      ("a", 14L, Some(2.0)),
+      ("a", 40L, None),
+      ("b", 50L, Some(3.0))))
+  }
+
   test("interpolate plans only running frames (no unbounded following)") {
     val df = Seq(("a", ts("2021-01-15 00:00:00"), Option(1.0)))
       .toDF("site", "TIMESTAMP", "v")
