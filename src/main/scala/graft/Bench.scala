@@ -263,15 +263,17 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> exec(n))
     // reduced precision: full-precision doubles made the final JSON line
-    // exceed the harness's 2 KB output-tail capture, so five rounds of
+    // exceed the harness's output-tail capture (measured: the tail keeps
+    // exactly 2000 chars and sbt's epilogue takes ~73 of them, so the
+    // SUMMARY line must stay under ~1920), and five rounds of
     // BENCH_r*.json carried "parsed": null — the line was truncated
-    // mid-JSON and unparseable. 2 dp (10 ms) on the 65 per-query entries
-    // keeps the SUMMARY line ~1.8 KB with sbt's epilogue still inside the
-    // window; the DETAIL line (read by humans, not the tail parser) keeps
-    // ms precision
+    // mid-JSON and unparseable. 1 dp (100 ms) on the 85 per-query
+    // entries keeps the line ~1.85 KB; the DETAIL line (read by humans,
+    // not the tail parser) keeps ms precision for every query
     def r3(v: Double): String = f"$v%.3f"
     def r2(v: Double): String = f"$v%.2f"
-    val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + r2(v) }
+    def r1(v: Double): String = f"$v%.1f"
+    val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + r1(v) }
       .mkString("{", ",", "}")
     val firsts = results.map { case (k, (f, _)) => "\"" + k + "\":" + r3(f) }
       .mkString("{", ",", "}")
@@ -303,7 +305,9 @@ object Bench {
     // The harness keeps only the final ~2 KB of output and json-parses the
     // last line shaped like {"metric":...}; the summary line is sized to
     // survive that window intact (warn loudly if it ever outgrows it)
-    println(s"""{"metric":"detail","runs":2,"stat":"min","first_run":$firsts,"pipeline":${pipeline._3},"pipeline_4x":${pipeline4x._3},"pipeline_16x":${pipeline16x._3},"scale_sweep":$sweep}""")
+    val mins = results.map { case (k, (_, v)) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"detail","runs":2,"stat":"min","min":$mins,"first_run":$firsts,"pipeline":${pipeline._3},"pipeline_4x":${pipeline4x._3},"pipeline_16x":${pipeline16x._3},"scale_sweep":$sweep}""")
     // full pipeline blocks and the runs/stat methodology live on the
     // detail line; the summary keeps one headline pipeline number
     // ("pipe", seconds). sf is the basename, "unit" is implied (sec) —

@@ -1196,6 +1196,30 @@ object SparkEntry {
           col("ref_value_asof"))
         .orderBy(col("event_id"))
     },
+
+    // first-order event-transition matrix (Markov counts): lag window
+    // per user on a total order, then a tiny |types|^2 aggregation
+    "q84_transitions" -> { (s, dir) =>
+      graft.ops.Funnel.transitionCounts(
+          events(s, dir).select(col("user_id"), col("ts_ns"),
+            col("event_id"), col("event_type")),
+          "user_id", Seq("ts_ns", "event_id"), "event_type")
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // mergeable HLL distinct sketches: estimates from the stored
+    // artifact (no SQL-expressible oracle — DuckDB has no DataSketches
+    // HLL; the merge-algebra identity and accuracy bound are spec-pinned
+    // in SketchesSpec, and the driver records a rows-only check)
+    "q85_sketch_distinct" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val sk = Sketches.distinctSketch(
+        events(s, dir).select(col("event_type"), col("user_id")),
+        Seq("event_type"), col("user_id"))
+      sk.select(col("event_type"),
+          Sketches.estimate(col("sketch")).as("est_users"))
+        .orderBy(col("event_type"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -3131,5 +3155,19 @@ object SparkEntry {
         |FROM l LEFT JOIN (SELECT event_id, ref_value FROM c WHERE rn = 1)
         |  c ON l.event_id = c.event_id
         |ORDER BY l.event_id""".stripMargin,
+
+    // lag over the same (ts, event_id) total order (ns values are
+    // µs-aligned in this corpus, so the µs axis orders identically)
+    "q84_transitions" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events
+        |)
+        |SELECT from_type, event_type AS to_type, count(*) AS n
+        |FROM l WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY from_type, to_type""".stripMargin,
   )
 }

@@ -53,4 +53,27 @@ object Funnel {
         stepCols.map(c => when(c.isNotNull, 1).otherwise(0))
           .reduce(_ + _))
   }
+
+  /** Event-transition counts (the first-order Markov statistic behind
+    * next-event features and behavioral anomaly baselines): for each
+    * consecutive pair of events per key — consecutive in
+    * (`orderCols`...) order, which must be a TOTAL order within a key
+    * for determinism (add a unique id as the last column) — count
+    * (`from_type`, `to_type`) occurrences corpus-wide. Each key's first
+    * event has no predecessor and contributes nothing.
+    *
+    * Scale shape: one shuffle on the key for the lag window, then one
+    * map-side-combined aggregation on ≤ |types|² keys — per-key state is
+    * one row (the lag), output is the tiny transition matrix.
+    */
+  def transitionCounts(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"),
+        col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -46,6 +46,19 @@ class ProfileFunnelSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3), (2L, 2), (3L, 0), (4L, 1)))
   }
 
+  test("transitionCounts: consecutive pairs per key, firsts excluded") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 1L, "a"), (2L, 5L, "b"),
+      (3L, 9L, "c") // single event: no transition
+    ).toDF("user_id", "ts", "t")
+    val got = graft.ops.Funnel.transitionCounts(ev, "user_id",
+        Seq("ts"), "t")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
   test("funnelDepth: first-after pick and one exchange on the user key") {
     val ev = Seq(
       (1L, 1L, "view"), (1L, 2L, "view"), // first view wins
