@@ -1220,6 +1220,29 @@ object SparkEntry {
           Sketches.estimate(col("sketch")).as("est_users"))
         .orderBy(col("event_type"))
     },
+
+    // relational set operations (composition probe): EXCEPT/INTERSECT
+    // in both DISTINCT and ALL (bag) forms — per-branch aggregate so
+    // every op emits exactly one row even when empty
+    "q86_setops" -> { (s, dir) =>
+      val a = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k"))
+      val b = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k"))
+      def stats(df: DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .withColumn("op", lit(op))
+          .select(col("op"), col("n"), col("min_k"), col("max_k"))
+      Seq(stats(a.except(b), "except"),
+          stats(a.intersect(b), "intersect"),
+          stats(a.exceptAll(b), "except_all"),
+          stats(a.intersectAll(b), "intersect_all"))
+        .reduce(_ unionByName _)
+        .orderBy(col("op"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -3169,5 +3192,25 @@ object SparkEntry {
         |FROM l WHERE from_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q86_setops" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |), b AS (
+        |  SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'
+        |)
+        |SELECT 'except' AS op, count(*) AS n, min(k) AS min_k,
+        |  max(k) AS max_k
+        |FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'intersect', count(*), min(k), max(k)
+        |FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'except_all', count(*), min(k), max(k)
+        |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all', count(*), min(k), max(k)
+        |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        |ORDER BY op""".stripMargin,
   )
 }
