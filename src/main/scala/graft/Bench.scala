@@ -315,13 +315,12 @@ object Bench {
     // tail capture, which must also hold the ~70-char sbt epilogue after
     // this line (78 queries measured 1921 chars with the pre-trim
     // format and overflowed; the budget is ~1975)
-    // no "value" (the total is the sum of the queries map) and no "sf"
-    // (the driver's BENCH_r{N}.json wrapper records sf itself) — both
-    // cut to keep the line under the tail budget at 83 queries
-    val pipeSummary =
-      if (pipeline._1 < 0) "null" else r2(pipeline._1)
-    val line =
-      s"""{"metric":"total","queries":$qs,"pipe":$pipeSummary}"""
+    // no "value" (the total is the sum of the queries map), no "sf"
+    // (the driver's BENCH_r{N}.json wrapper records sf itself), and no
+    // pipeline field (BENCHLOG.md and the detail line carry it) — all
+    // cut to keep the line under the tail budget (2000-char capture
+    // minus the ~75-char sbt epilogue) at 86 queries
+    val line = s"""{"metric":"total","queries":$qs}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line is ${line.length}" +
         " chars — may exceed the harness's 2 KB tail capture; trim fields")

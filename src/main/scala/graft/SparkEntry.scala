@@ -1199,7 +1199,7 @@ object SparkEntry {
 
     // first-order event-transition matrix (Markov counts): lag window
     // per user on a total order, then a tiny |types|^2 aggregation
-    "q84_transitions" -> { (s, dir) =>
+    "q84_trans" -> { (s, dir) =>
       graft.ops.Funnel.transitionCounts(
           events(s, dir).select(col("user_id"), col("ts_ns"),
             col("event_id"), col("event_type")),
@@ -1211,7 +1211,7 @@ object SparkEntry {
     // artifact (no SQL-expressible oracle — DuckDB has no DataSketches
     // HLL; the merge-algebra identity and accuracy bound are spec-pinned
     // in SketchesSpec, and the driver records a rows-only check)
-    "q85_sketch_distinct" -> { (s, dir) =>
+    "q85_hll" -> { (s, dir) =>
       import graft.ops.Sketches
       val sk = Sketches.distinctSketch(
         events(s, dir).select(col("event_type"), col("user_id")),
@@ -3181,7 +3181,7 @@ object SparkEntry {
 
     // lag over the same (ts, event_id) total order (ns values are
     // µs-aligned in this corpus, so the µs axis orders identically)
-    "q84_transitions" ->
+    "q84_trans" ->
       """WITH l AS (
         |  SELECT event_type,
         |    lag(event_type) OVER (PARTITION BY user_id
