@@ -320,7 +320,10 @@ object Bench {
     // pipeline field (BENCHLOG.md and the detail line carry it) — all
     // cut to keep the line under the tail budget (2000-char capture
     // minus the ~75-char sbt epilogue) at 86 queries
-    val line = s"""{"metric":"total","queries":$qs}"""
+    // "t"/"q" key minification buys the last bytes of headroom — the
+    // tail window is hard (2000 chars incl. a ~75-char variable-width
+    // sbt epilogue), and 87 query entries leave nothing to spare
+    val line = s"""{"metric":"t","q":$qs}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line is ${line.length}" +
         " chars — may exceed the harness's 2 KB tail capture; trim fields")

@@ -1243,6 +1243,15 @@ object SparkEntry {
         .reduce(_ unionByName _)
         .orderBy(col("op"))
     },
+
+    // deterministic training-order shuffle + sharding: shard and
+    // within-shard position are pure functions of (seed, key)
+    "q87_shard" -> { (s, dir) =>
+      graft.ops.Relational.shuffleShard(
+          t(s, dir, "documents").select(col("doc_id")),
+          col("doc_id"), nShards = 8, seed = "ep1")
+        .orderBy(col("shard"), col("pos"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -3212,5 +3221,28 @@ object SparkEntry {
         |SELECT 'intersect_all', count(*), min(k), max(k)
         |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
         |ORDER BY op""".stripMargin,
+
+    // same md5-unit-hash arithmetic as q41/q53/q76, seeded via the
+    // \x01-separated concat the Spark side builds
+    "q87_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5('ep1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5('ep1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5('ep1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents
+        |)
+        |SELECT doc_id, hv % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hv % 8
+        |    ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+        |FROM h
+        |ORDER BY shard, pos""".stripMargin,
   )
 }

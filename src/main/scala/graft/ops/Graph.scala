@@ -64,6 +64,15 @@ object Graph {
     * cached frame. On a cluster, prefer reliable `checkpoint` with a
     * checkpoint dir for fault tolerance on long chains.
     *
+    * Why the loop stays DECLARATIVE (DataFrame, not RDD): a GraphX-style
+    * rewrite on co-partitioned primitive-pair RDDs — zero per-round
+    * Catalyst planning — was implemented and measured SLOWER end-to-end:
+    * each round still shuffles an adjacency-sized candidate list, and
+    * Tungsten's packed rows + codegen beat Java tuple serialization by
+    * more than the planning overhead they cost. The per-round constant
+    * that DID matter was exchange WIDTH (see the loop-width comment
+    * below), not the planner.
+    *
     * Convergence: labels are monotone non-increasing, so `sum(lbl)`
     * (decimal-exact — 38 digits hold any |V| × id sum) strictly
     * decreases until fixpoint; a min-step whose sum equals the previous

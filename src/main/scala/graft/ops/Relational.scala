@@ -250,6 +250,29 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Deterministic training-order shuffle + sharding: assigns every row
+    * a `shard` in [0, nShards) and a dense 0-based `pos` within its
+    * shard, both pure functions of (`seed`, `key`) via the engine's md5
+    * unit hash — the reproducible global shuffle a training run needs
+    * (data order affects the model; "shuffle" must mean the same
+    * permutation on any cluster, any partitioning, any engine, and a new
+    * `seed` — "epoch 2" — must give an independent permutation).
+    *
+    * Scale shape: one hash exchange on `shard` + one per-shard sort —
+    * the same cost as the `repartition(shard).sortWithinPartitions`
+    * write every sharded export pays anyway; no global single-partition
+    * sort. Hash-order ties break by the key itself (total order).
+    */
+  def shuffleShard(df: DataFrame, key: Column, nShards: Int,
+      seed: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val h = hashUnit(concat(lit(seed), lit("\u0001"), key.cast("string")))
+    df.withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("shard")).orderBy(h, key)) - 1)
+        .cast("long"))
+  }
+
   /** Null-safe broadcast join of a per-group statistics table back onto
     * the data — the shared shape behind [[iqrFilter]], [[bucketize]],
     * and [[graft.ops.Features]]' scalers. `stats` must hold exactly

@@ -284,6 +284,21 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 2.0, 2L), ("b", 1.0, 1L)))
   }
 
+  test("shuffleShard: deterministic permutation, dense positions, seeded") {
+    val df = (1L to 500L).toDF("id")
+    def run(seed: String) = Relational.shuffleShard(df, col("id"), 4, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run("ep1"); val b = run("ep1"); val c = run("ep2")
+    assert(a.sorted.toSeq == b.sorted.toSeq) // same seed: same assignment
+    assert(a.sorted.toSeq != c.sorted.toSeq) // new seed: new permutation
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 4 })
+    // positions are dense 0..n-1 within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    assert(a.map(_._1).toSet == (1L to 500L).toSet)
+  }
+
   test("upsampleWeighted: fractional part is the mixtureSample coin") {
     // w = 0.4e6 ppm ≤ 1e6: upsample's survivors (all at copy 0) must be
     // EXACTLY mixtureSample's kept set — same hash, same arithmetic
