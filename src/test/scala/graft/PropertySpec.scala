@@ -390,4 +390,32 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"series $i: $vals")
     }
   }
+
+  test("quantilesCont matches a local type-7 reference on random multisets") {
+    // reference: h = q(n-1)+1 (1-based), lerp between floor/ceil order
+    // stats — the NumPy/Postgres default, computed here with the same
+    // exact ppm arithmetic the operator uses
+    def ref(sorted: Vector[Double], q: Double): Double = {
+      val ppm = math.round(q * 1e6)
+      val hnum = ppm * (sorted.length - 1)
+      val lo = (hnum / 1000000L).toInt
+      val frac = hnum % 1000000L
+      if (frac == 0) sorted(lo)
+      else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (frac / 1000000.0)
+    }
+    val listGen = for {
+      n <- Gen.choose(1, 40)
+      vs <- Gen.listOfN(n, Gen.choose(-50, 50))
+    } yield vs.map(_.toDouble)
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    samples(listGen, 60).zipWithIndex.foreach { case (vals, i) =>
+      val got = graft.ops.Relational.quantilesCont(
+          vals.map(("g", _)).toDF("k", "v"), Seq("k"), col("v"), qs)
+        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+      val sorted = vals.sorted.toVector
+      qs.foreach { q =>
+        assert(got(q) == ref(sorted, q), s"case $i q=$q vals=$vals")
+      }
+    }
+  }
 }
