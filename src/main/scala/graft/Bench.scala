@@ -262,19 +262,8 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> exec(n))
-    // reduced precision: full-precision doubles made the final JSON line
-    // exceed the harness's output-tail capture (measured: the tail keeps
-    // exactly 2000 chars and sbt's epilogue takes ~73 of them, so the
-    // SUMMARY line must stay under ~1920), and five rounds of
-    // BENCH_r*.json carried "parsed": null — the line was truncated
-    // mid-JSON and unparseable. 1 dp (100 ms) on the 85 per-query
-    // entries keeps the line ~1.85 KB; the DETAIL line (read by humans,
-    // not the tail parser) keeps ms precision for every query
     def r3(v: Double): String = f"$v%.3f"
     def r2(v: Double): String = f"$v%.2f"
-    def r1(v: Double): String = f"$v%.1f"
-    val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + r1(v) }
-      .mkString("{", ",", "}")
     val firsts = results.map { case (k, (f, _)) => "\"" + k + "\":" + r3(f) }
       .mkString("{", ",", "}")
     // two corpus scale points (1× and 4×): the rows/sec slope is the
@@ -308,22 +297,20 @@ object Bench {
     val mins = results.map { case (k, (_, v)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"detail","runs":2,"stat":"min","min":$mins,"first_run":$firsts,"pipeline":${pipeline._3},"pipeline_4x":${pipeline4x._3},"pipeline_16x":${pipeline16x._3},"scale_sweep":$sweep}""")
-    // full pipeline blocks and the runs/stat methodology live on the
-    // detail line; the summary keeps one headline pipeline number
-    // ("pipe", seconds). sf is the basename, "unit" is implied (sec) —
-    // every byte of the summary line competes with the harness's 2 KB
-    // tail capture, which must also hold the ~70-char sbt epilogue after
-    // this line (78 queries measured 1921 chars with the pre-trim
-    // format and overflowed; the budget is ~1975)
-    // no "value" (the total is the sum of the queries map), no "sf"
-    // (the driver's BENCH_r{N}.json wrapper records sf itself), and no
-    // pipeline field (BENCHLOG.md and the detail line carry it) — all
-    // cut to keep the line under the tail budget (2000-char capture
-    // minus the ~75-char sbt epilogue) at 86 queries
-    // "t"/"q" key minification buys the last bytes of headroom — the
-    // tail window is hard (2000 chars incl. a ~75-char variable-width
-    // sbt epilogue), and 87 query entries leave nothing to spare
-    val line = s"""{"metric":"t","q":$qs}"""
+    // The harness tail keeps exactly 2000 chars (incl. a ~75-char sbt
+    // epilogue); a full per-query map stopped fitting at ~85 probes and
+    // every added probe re-fought the window. The summary line instead
+    // carries the headline aggregates and the 12 slowest queries (the
+    // actionable tail), and the FULL per-query table lives in the
+    // committed BENCHLOG.md (builder-refreshed each round from this
+    // same binary, ms precision) plus this run's detail line above.
+    val totalSec = results.map(_._2._2).filter(_ >= 0).sum
+    val pipeSummary =
+      if (pipeline._1 < 0) "null" else r2(pipeline._1)
+    val slow = results.sortBy(-_._2._2).take(12)
+      .map { case (k, (_, v)) => "\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","total_sec":${r2(totalSec)},"n_queries":${results.length},"pipeline_sec":$pipeSummary,"slowest":$slow,"per_query":"see BENCHLOG.md"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line is ${line.length}" +
         " chars — may exceed the harness's 2 KB tail capture; trim fields")

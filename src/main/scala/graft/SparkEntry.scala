@@ -1252,6 +1252,38 @@ object SparkEntry {
           col("doc_id"), nShards = 8, seed = "ep1")
         .orderBy(col("shard"), col("pos"))
     },
+
+    // semi-structured extraction: schema-projected JSON parse of the
+    // props column (from_json → typed field), then an exact aggregate
+    "q88_json" -> { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // SCD-2 history build: per-key validity intervals from an update
+    // stream (valid_from = update ts, valid_to = next update's ts,
+    // open-ended for the current row) — one lead window per key
+    "q89_scd2" -> { (s, dir) =>
+      graft.ops.TimeSeries.buildHistory(
+          events(s, dir)
+            .filter(col("event_type") === "signup" &&
+              pmod(col("event_id"), lit(3L)) === 0)
+            .select(col("user_id"),
+              nsToMicros(col("ts_ns")).as("ts_us"), col("value"),
+              col("event_id")),
+          keyCol = "user_id", tsCol = "ts_us",
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("ts_us"), col("valid_to"),
+          col("is_current"), col("value"), col("event_id"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -3244,5 +3276,31 @@ object SparkEntry {
         |    ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
         |FROM h
         |ORDER BY shard, pos""".stripMargin,
+
+    "q88_json" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q89_scd2" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value, event_id
+        |  FROM events
+        |  WHERE event_type = 'signup' AND event_id % 3 = 0
+        |)
+        |SELECT user_id, ts_us,
+        |  lead(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS valid_to,
+        |  lead(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) IS NULL AS is_current,
+        |  value, event_id
+        |FROM u
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
   )
 }

@@ -298,6 +298,28 @@ object TimeSeries {
       suffix: String = "_asof"): DataFrame =
     asofJoin(left, right, tsCol, keys, rightCols, suffix, forward = true)
 
+  /** SCD Type-2 history build: turn an UPDATE STREAM (one row per change
+    * per key) into a validity-interval dimension table — each row gains
+    * `valid_to` (the next update's time, null while current) and
+    * `is_current`; `tsCol` itself is the `valid_from`. The standard
+    * point-in-time dimension shape: join facts with
+    * `fact.ts >= valid_from AND (valid_to IS NULL OR fact.ts <
+    * valid_to)` — or, cheaper, [[asofJoinBackward]] on the same key.
+    *
+    * `tieBreak` columns must make (key, ts, tieBreak...) a total order
+    * (same-instant updates otherwise have engine-dependent interval
+    * chaining). One shuffle on the key, one lead window — per-key state
+    * is a single row.
+    */
+  def buildHistory(updates: DataFrame, keyCol: String, tsCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol) +: tieBreak.map(col): _*)
+    updates
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** As-of NEAREST join (pandas `merge_asof(direction='nearest')`): each
     * left row gets the right row with the smallest |Δt| within
     * `tolerance`, equidistant ties preferring the BACKWARD (≤) candidate

@@ -185,6 +185,28 @@ class TimeSeriesSpec extends SparkSpec {
       == Seq(Some(1.0), Some(5.0), Some(5.0), Some(5.0), Some(5.0), None))
   }
 
+  test("buildHistory: SCD-2 intervals chain per key, last row current") {
+    import spark.implicits._
+    import graft.ops.TimeSeries
+    val updates = Seq(
+      ("u1", 10L, "a"), ("u1", 20L, "b"), ("u1", 30L, "c"),
+      ("u2", 5L, "x")).toDF("k", "t", "v")
+    val got = TimeSeries.buildHistory(updates, "k", "t")
+      .orderBy($"k", $"t").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("u1", 10L, Some(20L), false),
+      ("u1", 20L, Some(30L), false),
+      ("u1", 30L, None, true),
+      ("u2", 5L, None, true)))
+    // point-in-time correctness: the interval covering t=25 for u1 is b
+    val hist = TimeSeries.buildHistory(updates, "k", "t")
+    val at25 = hist.filter($"k" === "u1" && $"t" <= 25 &&
+      ($"valid_to".isNull || $"valid_to" > 25))
+    assert(at25.select($"v").head.getString(0) == "b")
+  }
+
   test("asofJoinNearest: closest either side, backward ties, tolerance") {
     import spark.implicits._
     import graft.ops.TimeSeries
