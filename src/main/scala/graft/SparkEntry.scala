@@ -1284,6 +1284,29 @@ object SparkEntry {
           col("is_current"), col("value"), col("event_id"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     },
+
+    // point-in-time join (the feature-store lookup): facts pick the
+    // dimension version valid AT their timestamp. Composed as the as-of
+    // backward join against the SCD-2 update stream — provably equal to
+    // the interval-containment join the oracle runs, at one running
+    // window instead of a range probe. Dimension (user, ts) is unique
+    // by construction (event_id-distinct signups collapse by max)
+    "q90_pit" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val dim = ev
+        .filter(col("event_type") === "signup" &&
+          pmod(col("event_id"), lit(3L)) === 0)
+        .groupBy(col("user_id"), nsToMicros(col("ts_ns")).as("ts_us"))
+        .agg(max(col("value")).as("dim_value"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          nsToMicros(col("ts_ns")).as("ts_us"))
+      TimeSeries.asofJoinBackward(facts, dim, "ts_us", Seq("user_id"),
+          Seq("dim_value"), suffix = "_pit")
+        .select(col("event_id"), col("user_id"),
+          col("dim_value_pit"))
+        .orderBy(col("event_id"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -3302,5 +3325,29 @@ object SparkEntry {
         |  value, event_id
         |FROM u
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // the oracle is the INTERVAL-CONTAINMENT form over the SCD-2 table
+    // (valid_from <= fact.ts < valid_to, open-ended current): the as-of
+    // backward join must produce exactly this
+    "q90_pit" ->
+      """WITH dim0 AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS dim_value
+        |  FROM events
+        |  WHERE event_type = 'signup' AND event_id % 3 = 0
+        |  GROUP BY 1, 2
+        |), dim AS (
+        |  SELECT user_id, ts_us AS valid_from, dim_value,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |      AS valid_to
+        |  FROM dim0
+        |), f AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT f.event_id, f.user_id, d.dim_value AS dim_value_pit
+        |FROM f LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND d.valid_from <= f.ts_us
+        |  AND (d.valid_to IS NULL OR f.ts_us < d.valid_to)
+        |ORDER BY f.event_id""".stripMargin,
   )
 }
