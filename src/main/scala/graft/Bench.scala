@@ -310,7 +310,11 @@ object Bench {
     val slow = results.sortBy(-_._2._2).take(12)
       .map { case (k, (_, v)) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","total_sec":${r2(totalSec)},"n_queries":${results.length},"pipeline_sec":$pipeSummary,"slowest":$slow,"per_query":"see BENCHLOG.md"}"""
+    // sf is run provenance: a bench accidentally pointed at the wrong
+    // corpus must be distinguishable in the captured tail
+    val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption
+      .getOrElse(sfDir)
+    val line = s"""{"metric":"total","sf":"$sfBase","total_sec":${r2(totalSec)},"n_queries":${results.length},"pipeline_sec":$pipeSummary,"slowest":$slow,"per_query":"see BENCHLOG.md"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line is ${line.length}" +
         " chars — may exceed the harness's 2 KB tail capture; trim fields")

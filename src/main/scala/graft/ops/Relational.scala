@@ -147,18 +147,26 @@ object Relational {
     * so the single distinct-value window stays the default; switch if a
     * profile shows the quantile window task dominating.
     */
+  /** Shared aggregate-first ranking prelude of [[quantilesDisc]] /
+    * [[quantilesCont]]: per-(group, distinct non-null value) counts with
+    * a cumulative count (`__cum`) over value order and the group total
+    * (`__n`) — the multiset's order statistics in |distinct| rows.
+    */
+  private def rankedCounts(df: DataFrame, gs: Seq[Column],
+      valueCol: Column): DataFrame =
+    df.filter(valueCol.isNotNull)
+      .groupBy((gs :+ valueCol.as("__val")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(gs: _*).orderBy(col("__val"))))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(gs: _*)))
+
   def quantilesDisc(df: DataFrame, groupCols: Seq[String], valueCol: Column,
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0,1]: $qs")
     val gs = groupCols.map(col)
-    val counts = df.filter(valueCol.isNotNull)
-      .groupBy((gs :+ valueCol.as("__val")): _*)
-      .agg(count(lit(1)).as("__c"))
-    val ranked = counts
-      .withColumn("__cum", sum(col("__c")).over(
-        Window.partitionBy(gs: _*).orderBy(col("__val"))))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(gs: _*)))
+    val ranked = rankedCounts(df, gs, valueCol)
     val hits = array(qs.map { q =>
       val ppm = math.round(q * 1e6)
       val pick = graft.functions.Exact.longDiv(
@@ -195,13 +203,7 @@ object Relational {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
       s"quantiles must be in [0,1]: $qs")
     val gs = groupCols.map(col)
-    val counts = df.filter(valueCol.isNotNull)
-      .groupBy((gs :+ valueCol.as("__val")): _*)
-      .agg(count(lit(1)).as("__c"))
-    val ranked = counts
-      .withColumn("__cum", sum(col("__c")).over(
-        Window.partitionBy(gs: _*).orderBy(col("__val"))))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(gs: _*)))
+    val ranked = rankedCounts(df, gs, valueCol)
     val hits = array(qs.flatMap { q =>
       val ppm = math.round(q * 1e6)
       val hnum = lit(ppm) * (col("__n") - 1L)

@@ -339,17 +339,18 @@ object Corpus {
     * Scale shape: a LEFT ANTI join with the (small — thousands of
     * entries) removal side distinct'd and broadcast: one corpus scan,
     * zero shuffles of the data. For a removal list too large to
-    * broadcast, drop the hint and the same plan degrades gracefully to a
-    * shuffled anti join — semantics unchanged.
+    * broadcast, pass `broadcastList = false` and the same plan degrades
+    * gracefully to a shuffled anti join — semantics unchanged.
     */
   def removeListed(corpus: DataFrame, textCol: String,
       removals: DataFrame, removalCol: String,
-      byFingerprint: Boolean = false): DataFrame = {
+      byFingerprint: Boolean = false,
+      broadcastList: Boolean = true): DataFrame = {
     val listed = removals.select(
       (if (byFingerprint) lower(col(removalCol))
        else TextFunctions.fingerprint(col(removalCol))).as("__rm_fp"))
       .distinct()
-    corpus.join(broadcast(listed),
+    corpus.join(if (broadcastList) broadcast(listed) else listed,
       TextFunctions.fingerprint(col(textCol)) === col("__rm_fp"),
       "left_anti")
   }

@@ -50,27 +50,28 @@ class GraphSpec extends SparkSpec {
   }
 
   test("connectedComponents: multi-partition loop width (p > 1) is exact") {
-    // 80k pair edges → 320k adjacency rows → loop width p = 2: exercises
-    // the co-partitioned join/aggregate path the tiny fixtures never
-    // reach (they all land on p = 1). 40k two-vertex clusters plus one
-    // 5-vertex chain across the partition boundary.
+    // 80k pair edges → 320k adjacency rows → loop width p = 2 (above
+    // the 262144 rows-per-partition target): exercises the
+    // co-partitioned join/aggregate path the tiny fixtures never reach
+    // (they all land on p = 1). 80k two-vertex clusters plus one
+    // 5-vertex chain (ids above the pair range) across the boundary.
     import org.apache.spark.sql.functions.{col, expr}
-    val pairs = spark.range(40000L)
+    val pairs = spark.range(80000L)
       .select((col("id") * 2).as("src"), (col("id") * 2 + 1).as("dst"))
       .unionByName(Seq(
-        (100001L, 100003L), (100003L, 100005L), (100005L, 100007L),
-        (100007L, 100009L)).toDF("src", "dst"))
-    val verts = spark.range(80000L).select(col("id"))
-      .unionByName(spark.range(100001L, 100010L, 2).select(col("id")))
+        (200001L, 200003L), (200003L, 200005L), (200005L, 200007L),
+        (200007L, 200009L)).toDF("src", "dst"))
+    val verts = spark.range(160000L).select(col("id"))
+      .unionByName(spark.range(200001L, 200010L, 2).select(col("id")))
     val comps = Graph.connectedComponents(verts, "id", pairs, "src", "dst")
     // every even id labels itself; every odd id labels its even partner;
-    // the chain collapses to 100001
+    // the chain collapses to 200001
     val bad = comps.filter(
       expr("""NOT (cluster_id = CASE
-        WHEN id >= 100001 THEN 100001
+        WHEN id >= 200001 THEN 200001
         WHEN id % 2 = 0 THEN id ELSE id - 1 END)""")).count()
     assert(bad == 0L)
-    assert(comps.count() == 80000L + 5L)
+    assert(comps.count() == 160000L + 5L)
   }
 
   test("keepCanonical: one document survives per duplicate cluster") {
