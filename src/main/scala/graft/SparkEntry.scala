@@ -1307,6 +1307,38 @@ object SparkEntry {
           col("dim_value_pit"))
         .orderBy(col("event_id"))
     },
+
+    // deterministic train/val/test split: cumulative ppm ranges over the
+    // shared md5 unit hash; the 5% weight shortfall exercises the null
+    // holdout path
+    "q91_split" -> { (s, dir) =>
+      graft.ops.Relational.splitAssign(
+          t(s, dir, "documents").select(col("doc_id")),
+          col("doc_id"),
+          Seq("train" -> 800000L, "val" -> 100000L, "test" -> 50000L))
+        .orderBy(col("doc_id"))
+    },
+
+    // cross-split contamination (leakage) check: exact-dup fingerprint
+    // groups spanning BOTH train and test — the eval-hygiene gate run
+    // before any benchmark number is trusted. Same planted-dup corpus
+    // as q16 so leakage actually occurs at small SF
+    "q92_leakage" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val split = graft.ops.Relational.splitAssign(corpus, col("doc_id"),
+        Seq("train" -> 900000L, "test" -> 100000L))
+      split
+        .groupBy(graft.text.TextFunctions.fingerprint(col("text"))
+          .as("fp"))
+        .agg(
+          count(when(col("split") === "train", 1)).as("n_train"),
+          count(when(col("split") === "test", 1)).as("n_test"))
+        .filter(col("n_train") > 0 && col("n_test") > 0)
+        .orderBy(col("fp"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -3349,5 +3381,67 @@ object SparkEntry {
         |  ON f.user_id = d.user_id AND d.valid_from <= f.ts_us
         |  AND (d.valid_to IS NULL OR f.ts_us < d.valid_to)
         |ORDER BY f.event_id""".stripMargin,
+
+    // same top-40-bit x 1e6 vs cumulative-ppm x 2^40 long comparison
+    // chain as the Spark side
+    "q91_split" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN (hv >> 20) * 1000000 < 800000 * 1099511627776
+        |      THEN 'train'
+        |    WHEN (hv >> 20) * 1000000 < 900000 * 1099511627776
+        |      THEN 'val'
+        |    WHEN (hv >> 20) * 1000000 < 950000 * 1099511627776
+        |      THEN 'test'
+        |  END AS split
+        |FROM h
+        |ORDER BY doc_id""".stripMargin,
+
+    "q92_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |), h AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM corpus
+        |), s AS (
+        |  SELECT doc_id, text,
+        |    CASE
+        |      WHEN (hv >> 20) * 1000000 < 900000 * 1099511627776
+        |        THEN 'train'
+        |      WHEN (hv >> 20) * 1000000 < 1000000 * 1099511627776
+        |        THEN 'test'
+        |    END AS split
+        |  FROM h
+        |)
+        |SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    AS fp,
+        |  count(CASE WHEN split = 'train' THEN 1 END) AS n_train,
+        |  count(CASE WHEN split = 'test' THEN 1 END) AS n_test
+        |FROM s
+        |GROUP BY 1
+        |HAVING count(CASE WHEN split = 'train' THEN 1 END) > 0
+        |   AND count(CASE WHEN split = 'test' THEN 1 END) > 0
+        |ORDER BY fp""".stripMargin,
   )
 }

@@ -252,6 +252,38 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Deterministic dataset split (train/val/test): assigns every row a
+    * named split by where its [[hashUnit]] falls among cumulative
+    * ppm-weighted ranges — reproducible on any cluster/partitioning/
+    * engine, join-consistent (every table hashed on the same key splits
+    * identically — features and labels can't straddle), and STABLE
+    * UNDER RESIZING in the prefix sense: growing a leading split's
+    * weight only MOVES keys into it from later splits, never reshuffles
+    * membership among untouched boundaries (the same monotonicity as
+    * [[mixtureSample]]). Weights are (name, ppm) pairs summing to ≤ 10⁶
+    * (a shortfall leaves a holdout assigned null).
+    *
+    * Scale shape: one scan-local predicate chain per row — no shuffle,
+    * no state; the assignment can be computed at INGEST and stored as a
+    * partition column.
+    */
+  def splitAssign(df: DataFrame, key: Column,
+      weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
+      weights.map(_._2).sum <= 1000000L,
+      s"weights must be non-negative ppm summing to <= 1e6: $weights")
+    // hashUnit < cum_i * 2^40 / 1e6-style exact long arithmetic: compare
+    // the top 40 hash bits x 1e6 against cumulative ppm x 2^40 — the
+    // mixtureSample comparison, per boundary
+    val h40 = shiftright(hashUnit(key), 20) * 1000000L
+    val cums = weights.scanLeft(0L)(_ + _._2).tail
+    val split = weights.zip(cums).foldRight(lit(null).cast("string")) {
+      case (((name, _), cum), rest) =>
+        when(h40 < lit(cum) * (1L << 40), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
   /** Deterministic training-order shuffle + sharding: assigns every row
     * a `shard` in [0, nShards) and a dense 0-based `pos` within its
     * shard, both pure functions of (`seed`, `key`) via the engine's md5

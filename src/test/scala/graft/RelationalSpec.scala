@@ -284,6 +284,34 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 2.0, 2L), ("b", 1.0, 1L)))
   }
 
+  test("splitAssign: ratios, holdout nulls, monotone under resizing") {
+    val df = (1L to 2000L).toDF("id")
+    val got = Relational.splitAssign(df, col("id"),
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 50000L))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val byName = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    // ~80/10/5/5 with hash noise
+    assert(byName("train") > 1500 && byName("train") < 1700, byName)
+    assert(byName("val") > 140 && byName("val") < 260, byName)
+    assert(byName(null) > 50 && byName(null) < 160, byName)
+    // growing the leading split only PROMOTES keys into it: every key
+    // that was train stays train
+    val grown = Relational.splitAssign(df, col("id"),
+        Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got.filter(_._2 == "train").keySet
+      .subsetOf(grown.filter(_._2 == "train").keySet))
+    // join-consistency: the same key gets the same split in any frame
+    val other = (1500L to 2500L).toDF("id")
+    val o = Relational.splitAssign(other, col("id"),
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 50000L))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    (1500L to 2000L).foreach(k => assert(o(k) == got(k)))
+  }
+
   test("shuffleShard: deterministic permutation, dense positions, seeded") {
     val df = (1L to 500L).toDF("id")
     def run(seed: String) = Relational.shuffleShard(df, col("id"), 4, seed)
