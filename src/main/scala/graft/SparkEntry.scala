@@ -1339,6 +1339,16 @@ object SparkEntry {
         .filter(col("n_train") > 0 && col("n_test") > 0)
         .orderBy(col("fp"))
     },
+
+    // term-frequency drift between two corpus slices: integer-ppm share
+    // deltas (deliberately not a log divergence — ln isn't bit-portable)
+    "q93_drift" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.text.Corpus.termDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0),
+        "text", topK = 15)
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -3443,5 +3453,33 @@ object SparkEntry {
         |HAVING count(CASE WHEN split = 'train' THEN 1 END) > 0
         |   AND count(CASE WHEN split = 'test' THEN 1 END) > 0
         |ORDER BY fp""".stripMargin,
+
+    "q93_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), tb AS (
+        |  SELECT unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents WHERE doc_id % 2 <> 0
+        |), ca AS (SELECT term, count(*) AS n_a FROM ta GROUP BY 1
+        |), cb AS (SELECT term, count(*) AS n_b FROM tb GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT sum(n_a) FROM ca) AS t_a,
+        |         (SELECT sum(n_b) FROM cb) AS t_b
+        |)
+        |SELECT coalesce(ca.term, cb.term) AS term,
+        |  coalesce(n_a, 0) * 1000000 // t_a AS share_a_ppm,
+        |  coalesce(n_b, 0) * 1000000 // t_b AS share_b_ppm,
+        |  coalesce(n_b, 0) * 1000000 // t_b
+        |    - coalesce(n_a, 0) * 1000000 // t_a AS drift_ppm
+        |FROM ca FULL OUTER JOIN cb ON ca.term = cb.term, tot
+        |ORDER BY abs(coalesce(n_b, 0) * 1000000 // t_b
+        |    - coalesce(n_a, 0) * 1000000 // t_a) DESC,
+        |  coalesce(ca.term, cb.term)
+        |LIMIT 15""".stripMargin,
   )
 }

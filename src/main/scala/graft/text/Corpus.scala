@@ -325,6 +325,48 @@ object Corpus {
           .as("n_tokens"))
   }
 
+  /** Term-frequency DRIFT between two corpus slices — the
+    * distribution-shift monitor a pipeline runs between crawls / before
+    * and after a filter change ("which words got more/less common?").
+    * For each term: its parts-per-million share of all token occurrences
+    * in `a` and in `b` (0 when absent), and the signed difference; the
+    * `topK` largest absolute movers are returned, ties by term.
+    *
+    * Exactness: shares are integer ppm (count·10⁶ div total) — no float
+    * an engine pair could disagree on, and deliberately NOT a
+    * log-divergence (ln is not bit-identical across engines; the ppm
+    * delta ranks the same movers).
+    *
+    * Scale shape: one explode + map-side-combined term count per side,
+    * a term-keyed full-outer join of two vocabulary-sized tables
+    * (Heaps' law: ≪ corpus), one-row totals broadcast back, and a
+    * TakeOrderedAndProject for the top movers — the corpora themselves
+    * never shuffle.
+    */
+  def termDrift(a: DataFrame, b: DataFrame, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    def counts(df: DataFrame, nCol: String) =
+      df.select(explode(TextFunctions.tokens(
+          TextFunctions.normalized(col(textCol)))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(nCol))
+    val ca = counts(a, "n_a")
+    val cb = counts(b, "n_b")
+    val totals = ca.agg(sum(col("n_a")).as("__ta"))
+      .join(cb.agg(sum(col("n_b")).as("__tb")))
+    ca.join(cb, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .join(broadcast(totals))
+      .withColumn("share_a_ppm", expr("n_a * 1000000 div __ta"))
+      .withColumn("share_b_ppm", expr("n_b * 1000000 div __tb"))
+      .withColumn("drift_ppm",
+        col("share_b_ppm") - col("share_a_ppm"))
+      .orderBy(abs(col("drift_ppm")).desc, col("term"))
+      .limit(topK)
+      .select(col("term"), col("share_a_ppm"), col("share_b_ppm"),
+        col("drift_ppm"))
+  }
+
   /** Removal-list enforcement at CONTENT level: drop every corpus
     * document whose normalized-text fingerprint appears in `removals` —
     * the takedown / copyright-opt-out / GDPR-erasure step a production

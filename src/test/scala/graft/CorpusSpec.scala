@@ -210,6 +210,24 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq("P Q", ""))
   }
 
+  test("termDrift: exact ppm shares, absent terms at 0, top movers") {
+    val a = Seq((1L, "x x x y"), (2L, "x z")).toDF("doc_id", "text")
+    val b = Seq((3L, "y y z z z w")).toDF("doc_id", "text")
+    // totals: a=6 tokens, b=6 tokens
+    // x: 4/6 vs 0 → -666666; y: 1/6 vs 2/6 → +166667...
+    val got = Corpus.termDrift(a, b, "text", topK = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("x") == ((666666L, 0L, -666666L)))
+    assert(got("w") == ((0L, 166666L, 166666L)))
+    assert(got("z") == ((166666L, 500000L, 333334L)))
+    assert(got("y") == ((166666L, 333333L, 166667L)))
+    // top mover ordering: x first (largest |drift|)
+    val first = Corpus.termDrift(a, b, "text", topK = 1)
+      .head.getString(0)
+    assert(first == "x")
+  }
+
   test("removeListed drops every copy of flagged content, normalized") {
     val corpus = Seq(
       (1L, "Hello  World"), // flagged via doc 3's copy (normalization)
