@@ -3151,7 +3151,7 @@ object SparkEntry {
     "q77_keyprof" ->
       """WITH c AS (
         |  SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1
-        |), t AS (SELECT sum(n) AS total FROM c
+        |), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c
         |), top AS (
         |  SELECT key, n FROM c ORDER BY n DESC, key NULLS FIRST LIMIT 10
         |)
@@ -3468,8 +3468,8 @@ object SparkEntry {
         |), ca AS (SELECT term, count(*) AS n_a FROM ta GROUP BY 1
         |), cb AS (SELECT term, count(*) AS n_b FROM tb GROUP BY 1
         |), tot AS (
-        |  SELECT (SELECT sum(n_a) FROM ca) AS t_a,
-        |         (SELECT sum(n_b) FROM cb) AS t_b
+        |  SELECT (SELECT CAST(sum(n_a) AS BIGINT) FROM ca) AS t_a,
+        |         (SELECT CAST(sum(n_b) AS BIGINT) FROM cb) AS t_b
         |)
         |SELECT coalesce(ca.term, cb.term) AS term,
         |  coalesce(n_a, 0) * 1000000 // t_a AS share_a_ppm,
