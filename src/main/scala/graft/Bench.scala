@@ -34,7 +34,7 @@ object Bench {
     * saveLake exercises both partition keys).
     */
   private def pipelineBench(spark: SparkSession, label: String,
-      filesPerSite: Int): (Double, Long, String) = {
+      filesPerSite: Int, runs: Int): (Double, Long, String) = {
     import graft.config.SiteConfig
     import graft.pipeline.Aggregate
     import graft.testkit.Toa5Fixture
@@ -47,34 +47,44 @@ object Bench {
         start = java.time.LocalDateTime.of(2021, 8, 15, 0, 0))
     }
     val configs = sites.map(s => s -> SiteConfig(s)).toMap
-    val meter = new ShuffleMeter
-    spark.sparkContext.addSparkListener(meter)
-    val t0 = System.nanoTime()
-    // endDate only labels the run's water year (nothing clips rows by
-    // it); pick one past both scales' corpora (1× ends 2021-12, 4× 2022-12)
-    val res = Aggregate.runMultiSite(spark, "Met", configs, files,
-      endDate = java.time.LocalDate.of(2022, 12, 31))
-    Aggregate.saveLake(res, s"$dir/lake")
-    val sec = (System.nanoTime() - t0) / 1e9
-    // listener delivery is async: drain the bus before reading the meter,
-    // or stage-completed events still queued here are silently dropped
-    org.apache.spark.graft.corebridge.drainListenerBus(spark.sparkContext)
-    spark.sparkContext.removeSparkListener(meter)
+    // min of `runs` samples, same rationale as exec(): a single sample
+    // conflates the pipeline with machine mood — BENCH_r06's driver run
+    // reported 6.16 s for a pipeline the same commit measures at 3.8 s
+    // min-of-2 (identical shuffle bytes), and the single-sample headline
+    // carried that noise straight into the round comparison. saveLake is
+    // mode("append"), so each sample writes its own lake dir.
+    def one(i: Int): (Double, Long, String) = {
+      val meter = new ShuffleMeter
+      spark.sparkContext.addSparkListener(meter)
+      val t0 = System.nanoTime()
+      // endDate only labels the run's water year (nothing clips rows by
+      // it); pick one past both scales' corpora (1× ends 2021-12, 4× 2022-12)
+      val res = Aggregate.runMultiSite(spark, "Met", configs, files,
+        endDate = java.time.LocalDate.of(2022, 12, 31))
+      Aggregate.saveLake(res, s"$dir/lake$i")
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener delivery is async: drain the bus before reading the meter,
+      // or stage-completed events still queued here are silently dropped
+      org.apache.spark.graft.corebridge.drainListenerBus(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(meter)
+      (sec, meter.bytes.get, s"$dir/lake$i")
+    }
+    val (sec, bytes, lake) = (1 to runs).map(one).minBy(_._1)
     // counts run after the clock stops — they re-scan, they aren't the
     // pipeline's work
-    val outRows = spark.read.parquet(s"$dir/lake").count()
+    val outRows = spark.read.parquet(lake).count()
     val inRows = graft.io.Toa5Reader
       .readRaw(spark, files, graft.schema.Schemas.raw("Met", "V40826"))
       .count()
-    val wys = spark.read.parquet(s"$dir/lake")
+    val wys = spark.read.parquet(lake)
       .select("wateryear").distinct().count()
     System.err.println(f"[bench] pipeline_$label%-14s $sec%8.2f s " +
       f"($inRows raw -> $outRows grid rows, $wys water years, " +
-      f"${meter.bytes.get} shuffle bytes)")
+      f"$bytes shuffle bytes, min of $runs)")
     (sec, (inRows / sec).toLong,
       s"""{"sec":${f"$sec%.3f"},"rows_in":$inRows,"rows_out":$outRows,""" +
         s""""rows_per_sec":${(inRows / sec).toLong},"sites":${sites.length},""" +
-        s""""wateryears":$wys,"shuffle_bytes":${meter.bytes.get}}""")
+        s""""wateryears":$wys,"shuffle_bytes":$bytes}""")
   }
 
   /** Four replicas of the documents table, each a DISTINCT document set:
@@ -252,6 +262,32 @@ object Bench {
 
     exec("q1_pricing_summary") // warm-up: JIT + codegen + FS metadata
 
+    // pipeline points run FIRST (right after warm-up), not after the
+    // 90-odd-query loop: BENCH_r06 measured the 1× pipeline at 6.16 s when
+    // it timed behind a 93-query session in the same JVM, vs 3.77 s for
+    // the identical commit in a younger JVM — heap/codegen-cache pressure
+    // accumulated by the loop lands on whatever times after it. The
+    // headline number should measure the pipeline, not the session age.
+    // Two corpus scale points (1× and 4×) plus a 16× point: the rows/sec
+    // slope is the empirical evidence behind the linear-scale-out claim.
+    def pipelineAt(label: String, filesPerSite: Int,
+        runs: Int): (Double, Long, String) =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE")) (-1.0, -1L, "null")
+      else try pipelineBench(spark, label, filesPerSite, runs)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline_$label failed: ${e.getMessage}")
+        (-1.0, -1L, "null")
+      }
+    val pipeline = pipelineAt("multisite", 12, runs = 2)
+    val pipeline4x = pipelineAt("multisite_4x", 48, runs = 2)
+    // third scale point: a 16× corpus turns the two-point slope into a
+    // line — if rows/sec keeps rising (fixed overhead amortizing) or
+    // holds, the claim "wall grows linearly in rows" is measured, not
+    // extrapolated. One sample: at ~13 s it amortizes noise on its own
+    // (same regime as exec's >=20 s rule, and its slot in the suite
+    // budget is already the largest).
+    val pipeline16x = pipelineAt("multisite_16x", 192, runs = 1)
+
     // SPARK_GRAFT_ONLY=q46_asof_forward,q38_salted_join — iterate on a
     // subset without paying for the whole suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -266,22 +302,6 @@ object Bench {
     def r2(v: Double): String = f"$v%.2f"
     val firsts = results.map { case (k, (f, _)) => "\"" + k + "\":" + r3(f) }
       .mkString("{", ",", "}")
-    // two corpus scale points (1× and 4×): the rows/sec slope is the
-    // empirical evidence behind the linear-scale-out claim
-    def pipelineAt(label: String, filesPerSite: Int): (Double, Long, String) =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE")) (-1.0, -1L, "null")
-      else try pipelineBench(spark, label, filesPerSite)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] pipeline_$label failed: ${e.getMessage}")
-        (-1.0, -1L, "null")
-      }
-    val pipeline = pipelineAt("multisite", 12)
-    val pipeline4x = pipelineAt("multisite_4x", 48)
-    // third scale point: a 16× corpus turns the two-point slope into a
-    // line — if rows/sec keeps rising (fixed overhead amortizing) or
-    // holds, the claim "wall grows linearly in rows" is measured, not
-    // extrapolated
-    val pipeline16x = pipelineAt("multisite_16x", 192)
     val sweep =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SWEEP") || only.isDefined) "null"
       else try scaleSweep(spark, sfDir)
