@@ -27,6 +27,28 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             pass
     return df.reset_index(drop=True)
 
+def lint_hugeint(con, name, sql):
+    """The HUGEINT trap (cost a red cell twice: q77/q93 round 6): DuckDB's
+    sum(BIGINT) returns HUGEINT, HUGEINT arithmetic stays HUGEINT, and the
+    driver's pandas compare renders HUGEINT as float64 while Spark emits
+    long — values identical, hash mismatched. The local value compare
+    forgives it (8600.0 == 8600), so lint the RESULT SCHEMA instead: any
+    HUGEINT output column is a latent driver-side hash mismatch. Fix by
+    casting the sum() (or the expression consuming it) to BIGINT/DOUBLE.
+    """
+    try:
+        types = [str(t).upper() for t in con.sql(sql).types]
+    except Exception:
+        return []  # execution error surfaces as [SQLERR] in the main loop
+    return [i for i, t in enumerate(types) if "HUGEINT" in t]
+
+def dtype_kind(s: pd.Series) -> str:
+    if pd.api.types.is_float_dtype(s): return "float"
+    if pd.api.types.is_integer_dtype(s): return "int"
+    if pd.api.types.is_bool_dtype(s): return "bool"
+    if pd.api.types.is_datetime64_any_dtype(s): return "datetime"
+    return "object"
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -36,6 +58,14 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        bad_ix = lint_hugeint(con, name, sql)
+        if bad_ix:
+            cols = [con.sql(sql).columns[i] for i in bad_ix]
+            print(f"[LINT] {name}: HUGEINT result column(s) {cols} — "
+                  "will render as float64 in the driver compare while "
+                  "Spark emits long; CAST the sum()/expression to BIGINT")
+            n_bad += 1
+            continue
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"[MISS] {name}: no spark output"); n_bad += 1; continue
@@ -50,6 +80,15 @@ def main(sf_dir, out_dir):
             n_bad += 1; continue
         if len(d) != len(s):
             print(f"[ROWS] {name}: duck={len(d)} spark={len(s)}"); n_bad += 1; continue
+        # dtype-KIND mismatch (float vs int etc.): the value compare below
+        # forgives it via float ==, but the driver's hash compare does not —
+        # this is how the HUGEINT trap slipped through the local gate in r6
+        kind_bad = [c for c in d.columns
+                    if dtype_kind(d[c]) != dtype_kind(s[c])]
+        if kind_bad:
+            kinds = {c: (dtype_kind(d[c]), dtype_kind(s[c])) for c in kind_bad}
+            print(f"[TYPE] {name}: dtype kind mismatch duck-vs-spark {kinds}")
+            n_bad += 1; continue
         bad_cols = []
         for c in d.columns:
             a, b = d[c], s[c]

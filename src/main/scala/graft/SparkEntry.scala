@@ -1211,13 +1211,32 @@ object SparkEntry {
     // artifact (no SQL-expressible oracle — DuckDB has no DataSketches
     // HLL; the merge-algebra identity and accuracy bound are spec-pinned
     // in SketchesSpec, and the driver records a rows-only check)
+    // X71 self-verifying probe: the full mergeable-artifact path
+    // (per-shard sketches → hll_union_agg merge → estimate) runs
+    // in-plan and GATES the output — a row only survives if the merged
+    // sketch's estimate lands within the HLL error bound of the exact
+    // per-group distinct count (lgK=12 → σ≈1.6% relative; 5% ≈ 3σ). A
+    // wrong estimate drops its row and fails the driver's rows_match.
+    // Only the exact count is emitted, so DuckDB (which has no
+    // DataSketches) can hash-match it; register-identity, the error
+    // bound itself, and the parquet round trip stay in SketchesSpec.
     "q85_hll" -> { (s, dir) =>
       import graft.ops.Sketches
-      val sk = Sketches.distinctSketch(
-        events(s, dir).select(col("event_type"), col("user_id")),
-        Seq("event_type"), col("user_id"))
-      sk.select(col("event_type"),
+      val ev = events(s, dir).select(col("event_type"), col("user_id"))
+      // shard by user hash so the probe exercises merge, not just agg
+      val sharded = ev.withColumn("shard", pmod(hash(col("user_id")), lit(8)))
+      val est = Sketches.mergeSketches(
+          Sketches.distinctSketch(sharded, Seq("event_type", "shard"),
+            col("user_id")),
+          Seq("event_type"))
+        .select(col("event_type"),
           Sketches.estimate(col("sketch")).as("est_users"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(est, Seq("event_type"))
+        .where(abs(col("est_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.05))
+        .select(col("event_type"), col("exact_users"))
         .orderBy(col("event_type"))
     },
 
@@ -3298,6 +3317,15 @@ object SparkEntry {
         |FROM l WHERE from_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // oracles only the exact column: the HLL estimate gates rows on the
+    // Spark side (q85 builder) but never surfaces — DuckDB has no
+    // DataSketches, so a sketch value in the output could never match
+    "q85_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q86_setops" ->
       """WITH a AS (
