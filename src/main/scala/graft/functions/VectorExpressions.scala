@@ -170,7 +170,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * little-endian bytes is the dense form a 100 TB embedding lake wants
   * on disk (and what parquet compresses best). [[FloatUnpack]] is the
   * exact inverse — bit-identical round trip, asserted in the spec.
-  * Null elements are not supported (embedding vectors are dense);
+  * Null elements are rejected with an error (embedding vectors are
+  * dense; packing a null as anything would corrupt the artifact);
   * CodegenFallback is deliberate: these run once per row at the
   * storage boundary, not inside a similarity-join loop.
   */
@@ -190,6 +191,12 @@ case class FloatPack(child: Expression)
     val out = new Array[Byte](n * 4)
     var i = 0
     while (i < n) {
+      // a null slot would read back as 0.0f bits from ArrayData — a
+      // corrupt embedding silently round-tripping as dense zeros; fail
+      // fast instead, mirroring FloatUnpack's bad-payload-length check
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"vec_pack: null element at index $i — embedding vectors are dense")
       val bits = java.lang.Float.floatToIntBits(arr.getFloat(i))
       val o = i * 4
       out(o) = bits.toByte

@@ -413,7 +413,15 @@ object Relational {
     */
   def upsampleWeighted(df: DataFrame, key: Column,
       weightPpm: Column): DataFrame = {
-    val w = weightPpm.cast("long")
+    // a negative weight is always a caller bug, and without this guard it
+    // fails SILENTLY (long % keeps the sign, the coin never fires, copies
+    // goes negative → zero rows) — fail loudly instead, matching
+    // mixtureSample/splitAssign's require() contract on their literal
+    // rates (the weight here is a Column, so the check must run in-plan)
+    val wRaw = weightPpm.cast("long")
+    val w = when(wRaw < 0, raise_error(concat(
+        lit("upsampleWeighted: negative weightPpm "), wRaw.cast("string"))))
+      .otherwise(wRaw)
     val coin = (shiftright(hashUnit(key), 20) * 1000000L <
       (w % 1000000L) * (1L << 40)).cast("long")
     val copies = graft.functions.Exact.longDiv(w, 1000000L) + coin
@@ -445,13 +453,24 @@ object Relational {
   def rangeJoin(points: DataFrame, pointCol: String, intervals: DataFrame,
       loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    val b = intervals.withColumn("__bkt", explode(sequence(
-      floor(col(loCol) / bucketWidth).cast("long"),
-      floor(col(hiCol) / bucketWidth).cast("long"))))
+    // an inverted closed interval [lo, hi], lo > hi, is empty — drop it
+    // up front: sequence() would otherwise step DOWNWARD through it and
+    // emit a descending bucket list (spurious candidates, all surviving
+    // re-check removal only by luck of the exact predicate)
+    val b = intervals.filter(col(loCol) <= col(hiCol))
+      .withColumn("__bkt", explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+      .alias("__iv")
+    // side aliases keep the containment predicate unambiguous when the
+    // two inputs share column names (the output then carries duplicate
+    // names for the caller to project, same as any Spark join)
     points.withColumn("__bkt",
         floor(col(pointCol) / bucketWidth).cast("long"))
+      .alias("__pt")
       .join(b, Seq("__bkt"))
-      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .filter(col(s"__pt.$pointCol") >= col(s"__iv.$loCol") &&
+        col(s"__pt.$pointCol") <= col(s"__iv.$hiCol"))
       .drop("__bkt")
   }
 
@@ -469,7 +488,11 @@ object Relational {
     * when the intervals overlap (floor is monotone, so that bucket is
     * ≤ both hi-buckets) — no distinct pass, no pair blow-up.
     *
-    * Bounds must be non-negative longs (epoch ns/µs, offsets); pick
+    * Bounds must be non-negative longs (epoch ns/µs, offsets); inverted
+    * intervals (lo > hi) denote the empty interval and match nothing; the
+    * two inputs MAY share column names (bound references are qualified
+    * internally; the output then carries duplicate names for the caller
+    * to project, like any Spark join). Pick
     * `bucketWidth` near the typical interval span — replication per row
     * is span/width + 1, candidate selectivity degrades as width grows
     * past the span. Cost: |A| + |B| exploded rows shuffled on the bucket
@@ -479,13 +502,23 @@ object Relational {
   def intervalOverlapJoin(a: DataFrame, aLo: String, aHi: String,
       b: DataFrame, bLo: String, bHi: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    def bkt(c: String) = graft.functions.Exact.longDiv(col(c), bucketWidth)
-    def bkts(lo: String, hi: String) = explode(sequence(bkt(lo), bkt(hi)))
-    val ab = a.withColumn("__bkt", bkts(aLo, aHi))
-    val bb = b.withColumn("__bkt", bkts(bLo, bHi))
+    def bkt(c: Column) = graft.functions.Exact.longDiv(c, bucketWidth)
+    def bkts(lo: String, hi: String) =
+      explode(sequence(bkt(col(lo)), bkt(col(hi))))
+    // inverted intervals (lo > hi) are empty — drop them before the
+    // explode, where sequence() would step DOWNWARD and emit spurious
+    // descending buckets; side aliases keep every bound reference
+    // unambiguous when a and b share column names (e.g. both sides
+    // carry `start`/`end`)
+    val ab = a.filter(col(aLo) <= col(aHi))
+      .withColumn("__bkt", bkts(aLo, aHi)).alias("__a")
+    val bb = b.filter(col(bLo) <= col(bHi))
+      .withColumn("__bkt", bkts(bLo, bHi)).alias("__b")
+    def av(c: String) = col(s"__a.$c")
+    def bv(c: String) = col(s"__b.$c")
     ab.join(bb, Seq("__bkt"))
-      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
-      .filter(col("__bkt") === greatest(bkt(aLo), bkt(bLo)))
+      .filter(av(aLo) <= bv(bHi) && bv(bLo) <= av(aHi))
+      .filter(col("__bkt") === greatest(bkt(av(aLo)), bkt(bv(bLo))))
       .drop("__bkt")
   }
 

@@ -81,6 +81,64 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("funnelDepth plans exactly one hash exchange") {
+    import spark.implicits._
+    val ev = (1 to 2000).map(i => (i % 50L, i.toLong,
+      Seq("view", "click", "purchase")(i % 3))).toDF("user_id", "ts", "tpe")
+    val f = graft.ops.Funnel.funnelDepth(ev, "user_id", "ts", "tpe",
+      Seq("view", "click", "purchase"))
+    val plan = f.queryExecution.executedPlan.toString
+    // one shuffle on the user key feeds the k chained window minimums AND
+    // the final user-grain collapse (same partitioning, no re-exchange);
+    // the windows are whole-partition (no ORDER BY), so no sorts either
+    assert("Exchange ".r.findAllIn(plan).size == 1,
+      s"funnelDepth should shuffle exactly once:\n${plan.take(2500)}")
+    // WindowExec always sorts its partition LOCALLY on the grouping key
+    // (prints as `Sort [...], false`); what must not appear is a global
+    // sort (`Sort [...], true`) — there is no ORDER BY anywhere
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      s"funnelDepth planned a global sort:\n${plan.take(2500)}")
+  }
+
+  test("profileColumns is one aggregation job: Expand over one scan") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, s"doc $i", i % 7))
+      .toDF("doc_id", "text", "grp")
+    val p = graft.ops.Profile.profileColumns(docs,
+      Seq("doc_id", "text", "grp"))
+    val plan = p.queryExecution.executedPlan.toString
+    // the multi-column exact count(distinct) block plans through Expand
+    // (duplicated stream per distinct aggregate, partial-agg'd map-side):
+    // ONE job over ONE scan, with the standard two exchanges — the
+    // distinct-key repartition (volume already collapsed by the partial
+    // agg) and the SinglePartition collapse of the merged 1-row result
+    assert(plan.contains("Expand"),
+      s"exact multi-distinct should plan Expand:\n${plan.take(2500)}")
+    assert("Scan".r.findAllIn(plan).size == 1,
+      s"profileColumns should read its input once:\n${plan.take(2500)}")
+    assert("Exchange ".r.findAllIn(plan).size == 2,
+      s"profileColumns should plan exactly the two multi-distinct " +
+        s"exchanges:\n${plan.take(2500)}")
+  }
+
+  test("buildVocab and keyProfile top-k plan TakeOrdered, no global sort") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, s"tok$i common words here"))
+      .toDF("doc_id", "text")
+    val vp = graft.text.Vocab.buildVocab(docs, "text", 10)
+      .queryExecution.executedPlan.toString
+    // orderBy.limit over the term table must plan TakeOrderedAndProject —
+    // per-task top-V, never a full sort of the term table; the only Sort
+    // allowed is the rank window's, which runs over ≤ V already-taken rows
+    assert(vp.contains("TakeOrderedAndProject"),
+      s"buildVocab should TakeOrdered the term table:\n${vp.take(2500)}")
+    val ev = (1 to 2000).map(i => i % 97L).toDF("user_id")
+    val kp = graft.ops.Relational.keyProfile(ev, col("user_id"), 10)
+      .queryExecution.executedPlan.toString
+    assert(kp.contains("TakeOrderedAndProject"),
+      s"keyProfile should TakeOrdered the count table:\n${kp.take(2500)}")
+  }
+
   test("chunkByTokens is scan-local: no shuffle in the plan") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, ("tok " * (i % 90)).trim))

@@ -224,6 +224,29 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("intervalOverlapJoin: shared column names resolve unambiguously") {
+    // both sides carry lo/hi under the SAME names — bound references
+    // are qualified internally, so this must neither throw
+    // AMBIGUOUS_REFERENCE nor mis-resolve a filter to the wrong side
+    val a = Seq((1L, 0L, 10L), (2L, 50L, 60L)).toDF("id", "lo", "hi")
+    val b = Seq((10L, 8L, 12L), (20L, 61L, 70L)).toDF("id", "lo", "hi")
+    val got = Relational.intervalOverlapJoin(a, "lo", "hi", b, "lo", "hi", 5L)
+    assert(got.count() == 1L) // only [0,10] × [8,12] overlap
+  }
+
+  test("intervalOverlapJoin/rangeJoin: inverted intervals match nothing") {
+    // [20, 10] is the empty interval — sequence() would otherwise step
+    // DOWNWARD through it and emit spurious descending buckets
+    val a = Seq((1L, 20L, 10L)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 0L, 100L)).toDF("bid", "b_lo", "b_hi")
+    assert(Relational.intervalOverlapJoin(
+      a, "a_lo", "a_hi", b, "b_lo", "b_hi", 5L).count() == 0L)
+    val pts = Seq((1L, 15.0)).toDF("pid", "p")
+    val ivs = Seq((10L, 20.0, 10.0)).toDF("iid", "lo", "hi")
+    assert(Relational.rangeJoin(pts, "p", ivs, "lo", "hi", 5.0)
+      .count() == 0L)
+  }
+
   test("keyProfile: exact counts, ranks, ppm shares, key tie-break") {
     val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
       .toDF("k")
@@ -253,6 +276,17 @@ class RelationalSpec extends SparkSpec {
       c.map(_._2).sorted.toSeq == Seq(0L, 1L) })
     val none = Relational.upsampleWeighted(df, col("id"), lit(0L))
     assert(none.count() == 0L) // weight 0: the row vanishes
+  }
+
+  test("upsampleWeighted: negative weight fails loudly, not silently") {
+    // pre-guard behavior was zero rows (long % keeps the sign, the coin
+    // never fires) — a caller bug must surface, like splitAssign's require
+    val df = (1L to 3L).toDF("id")
+    val e = intercept[Exception] {
+      Relational.upsampleWeighted(df, col("id"), lit(-500000L)).collect()
+    }
+    assert(e.getMessage.contains("negative weightPpm"),
+      s"unexpected error: ${e.getMessage}")
   }
 
   test("quantilesCont: type-7 interpolation on known data") {

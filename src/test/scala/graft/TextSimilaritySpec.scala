@@ -119,6 +119,13 @@ class TextSimilaritySpec extends SparkSpec {
     val bad = Seq(Array[Byte](1, 2, 3)).toDF("b")
       .select(vecUnpack(col("b")))
     intercept[Exception] { bad.collect() }
+    // a null ELEMENT fails fast too — ArrayData would otherwise read it
+    // back as 0.0f bits, silently round-tripping corruption as zeros
+    val nullElem = Seq(Tuple1(Array(Some(1.0f), None)))
+      .toDF("v").select(vecPack(col("v")))
+    val e = intercept[Exception] { nullElem.collect() }
+    assert(e.getMessage != null && e.getMessage.contains("null element"),
+      s"unexpected error: ${e.getMessage}")
   }
 
   test("ivfTopK returns the true nearest neighbors when nprobe covers all") {
