@@ -87,43 +87,52 @@ object Bench {
         s""""wateryears":$wys,"shuffle_bytes":$bytes}""")
   }
 
-  /** Four replicas of the documents table, each a DISTINCT document set:
+  /** `n` replicas of the documents table, each a DISTINCT document set:
     * a per-replica letter translation destroys cross-replica shingle
     * overlap (replica copies are NOT near-dups of each other) and a
     * per-replica source namespace keeps block sizes constant — corpus
     * growth along the realistic axis (more domains, more distinct docs),
-    * the one a blocked near-dup path must stay linear on.
+    * the one a blocked near-dup path must stay linear on. Two DISJOINT
+    * rotation alphabets give 7×7 = 49 distinct transforms (n ≤ 49);
+    * replica r applies rotation r%7 of the first and r/7 of the second,
+    * so any two replicas differ in at least one letter mapping. n ≤ 7
+    * reduces to the single-alphabet construction (second rotation 0).
     */
-  private def docs4x(d: DataFrame): DataFrame = {
-    val alpha = "etaoins"
-    (0 until 4).map { r =>
-      val rot = alpha.drop(r) + alpha.take(r)
+  private def docsNx(d: DataFrame, n: Int): DataFrame = {
+    val a1 = "etaoins"; val a2 = "rhldcum"
+    require(n <= 49, s"docsNx supports at most 49 replicas: $n")
+    (0 until n).map { r =>
+      val rot1 = a1.drop(r % 7) + a1.take(r % 7)
+      val rot2 = a2.drop(r / 7) + a2.take(r / 7)
       d.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
         concat(col("source"), lit(s"_r$r")).as("source"),
-        translate(col("text"), alpha, rot).as("text"))
+        translate(translate(col("text"), a1, rot1), a2, rot2).as("text"))
     }.reduce(_ unionByName _)
   }
 
-  /** Four replicas of the embeddings table with replica-dependent sign
+  /** `n` replicas of the embeddings table with replica-dependent sign
     * flips (norm-preserving, bucket-rerandomizing — a pure scale of the
-    * vector would keep the sign-LSH bucket identical and fake 4× bucket
-    * density instead of 4× distinct vectors).
+    * vector would keep the sign-LSH bucket identical and fake n× bucket
+    * density instead of n× distinct vectors): replica r flips the
+    * dimensions whose index mod n is below r — n distinct patterns.
     */
-  private def embs4x(e: DataFrame): DataFrame =
-    (0 until 4).map { r =>
+  private def embsNx(e: DataFrame, n: Int): DataFrame =
+    (0 until n).map { r =>
       e.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
-          when(pmod(i, lit(4)) < lit(r), -x).otherwise(x)).as("embedding"))
+          when(pmod(i, lit(n)) < lit(r), -x).otherwise(x)).as("embedding"))
     }.reduce(_ unionByName _)
 
-  /** Two-point scale sweep over the heavy bucketed near-dup/ANN paths:
-    * each operator runs on the sf corpus and on a 4× replica-scaled
-    * corpus; the wall-time ratio is the empirical slope (linear ≈ 4,
-    * all-pairs regression ≈ 16). The q43/q27 4× points also apply the
-    * documented LSH scale knob — planes grows with log₄(n) (4 → 6) so
-    * expected bucket occupancy stays constant; the other four scale by
-    * construction (LSH/SimHash band buckets are sparse in a 64-bit
-    * space; the blocked paths grow in block COUNT, not block size).
+  /** Scale sweep over the heavy bucketed near-dup/ANN paths: each
+    * operator runs on the sf corpus and on a 4× replica-scaled corpus
+    * (the two highest-ratio cases, q37/q27, get a third 16× point); the
+    * wall-time ratio per 4× step is the empirical slope (linear ≈ 4,
+    * all-pairs regression ≈ 16). The q43/q27 scaled points also apply
+    * the documented LSH scale knob — planes grows with log₄(n)
+    * (4 → 6 → 8) so expected bucket occupancy stays constant; the other
+    * four scale by construction (LSH/SimHash band buckets are sparse in
+    * a 64-bit space; the blocked paths grow in block COUNT, not block
+    * size).
     */
   private def scaleSweep(spark: SparkSession, sfDir: String): String = {
     import graft.dedup.Dedup
@@ -132,16 +141,22 @@ object Bench {
     val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("source"), col("text"))
     val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def docsAt(scale: Int) = if (scale == 1) d1 else docsNx(d1, scale)
+    // the LSH scale knob: planes grows with log₄(n) so expected bucket
+    // occupancy stays constant — 4 at 1×, 6 at 4×, 8 at 16×
+    def embsAt(scale: Int): (DataFrame, Int) =
+      if (scale == 1) (e1, 4)
+      else (embsNx(e1, scale), 4 + (31 - Integer.numberOfLeadingZeros(scale)))
     val cases: Seq[(String, Int => DataFrame)] = Seq(
       "q17_minhash_lsh" -> { scale =>
-        val c = if (scale == 1) d1 else docs4x(d1)
+        val c = docsAt(scale)
         Dedup.verifiedNearDups(
           Dedup.minhashLshPairs(c, "text", "doc_id",
             shingleN = 3, numHashes = 32, bands = 16),
           c, "text", "doc_id", shingleN = 3, threshold = 0.5)
       },
       "q37_dedup_clusters" -> { scale =>
-        val c = if (scale == 1) d1 else docs4x(d1)
+        val c = docsAt(scale)
         Graph.canonicalize(Graph.connectedComponents(
           c.select(col("doc_id")), "doc_id",
           Dedup.blockedJaccardPairs(c, "text", "doc_id", "source",
@@ -149,12 +164,12 @@ object Bench {
           "id_a", "id_b"))
       },
       "q43_knn_join" -> { scale =>
-        val (e, planes) = if (scale == 1) (e1, 4) else (embs4x(e1), 6)
+        val (e, planes) = embsAt(scale)
         Similarity.knnJoinLsh(e, "embedding", "vec_id",
           dims = 64, k = 3, planes = planes)
       },
       "q51_edit_distance" -> { scale =>
-        val c = if (scale == 1) d1 else docs4x(d1)
+        val c = docsAt(scale)
         Dedup.editDistancePairs(c, "text", "doc_id", "source",
           maxDist = 4, prefixLen = 200)
       },
@@ -163,12 +178,12 @@ object Bench {
       // q28's 16-bit band keys are sparse in a 64-bit space, so distinct
       // docs stay in distinct buckets by construction
       "q27_embedding_neardup" -> { scale =>
-        val (e, planes) = if (scale == 1) (e1, 4) else (embs4x(e1), 6)
+        val (e, planes) = embsAt(scale)
         Dedup.embeddingNearDups(e, "embedding", "vec_id",
           dims = 64, planes = planes, threshold = 0.9)
       },
       "q28_simhash_neardup" -> { scale =>
-        val c = if (scale == 1) d1 else docs4x(d1)
+        val c = docsAt(scale)
         Dedup.simhashNearDups(c, "text", "doc_id",
           bands = 4, maxHamming = 8)
       },
@@ -176,35 +191,68 @@ object Bench {
       // partition is one segment's occurrence list) + one doc-grain agg
       // — growth is in segment-key COUNT, not occurrence-list size
       "q64_segment_dedup" -> { scale =>
-        val c = if (scale == 1) d1 else docs4x(d1)
+        val c = docsAt(scale)
         graft.text.Corpus.dedupSegments(c, "text", "doc_id", segTokens = 8)
       })
-    val entries = cases.map { case (name, mk) =>
+    // the two cases whose 4× ratio ran closest to linear get a THIRD
+    // scale point: one point can't distinguish "sub-linear" from "got
+    // lucky once" — the 16× ratio-per-4×-step must also stay < 4
+    val threePoint = Set("q37_dedup_clusters", "q27_embedding_neardup")
+    // SPARK_GRAFT_SWEEP_CASES=q37_dedup_clusters — iterate on a sweep
+    // subset without paying for the other cases
+    val caseFilter = sys.env.get("SPARK_GRAFT_SWEEP_CASES")
+      .map(_.split(",").map(_.trim).toSet)
+    val active = cases.filter(c => caseFilter.forall(_.contains(c._1)))
+    val entries = active.map { case (name, mk) =>
       // min of two runs per scale point, same rationale as exec(): the
       // r5 sweep reported q51 x1=7.9 s (cold codegen on a fresh plan) vs
       // the main bench's steady 2.4 s, which inverted the slope (ratio
       // 0.38 on a linear operator) — a cold sample must not set the slope
-      def run(scale: Int): Double = {
-        def one: Double = {
+      // each point returns (wall seconds, shuffle bytes): wall measures
+      // THIS box, bytes measure the WORK — on a fixed 32-core machine the
+      // 16× wall ratio converges to 4 (linear work at CPU saturation)
+      // and can't stay below it, while the bytes ratio is the
+      // partitioning-independent evidence a cluster scales on
+      def run(scale: Int): (Double, Long) = {
+        def one: (Double, Long) = {
+          val meter = new ShuffleMeter
+          spark.sparkContext.addSparkListener(meter)
           val t0 = System.nanoTime()
           mk(scale).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graft.corebridge
+            .drainListenerBus(spark.sparkContext)
+          spark.sparkContext.removeSparkListener(meter)
+          (sec, meter.bytes.get)
         }
         // short points are scheduler-noise-dominated (±50% swings flipped
         // a 4× ratio past linear in r6 dry runs) — buy them a third
-        // sample; every sweep point sits under this bound today, so the
-        // whole sweep runs 3× for ~10 extra seconds of suite time
-        val m = math.min(one, one)
-        if (m < 3.0) math.min(m, one) else m
+        // sample; long points amortize noise on their own (exec's >=20 s
+        // rule), so a 16× CC run doesn't pay for two extra ~25 s samples
+        val first = one
+        if (first._1 >= 20.0) first
+        else {
+          val m = Seq(first, one).minBy(_._1)
+          if (m._1 < 3.0) Seq(m, one).minBy(_._1) else m
+        }
       }
       // degrade per case (like exec's -1.0) — one failing case must not
       // discard the other cases' completed samples
       try {
-        val x1 = run(1)
-        val x4 = run(4)
+        val (x1, b1) = run(1)
+        val (x4, b4) = run(4)
+        val x16 = if (threePoint.contains(name)) Some(run(16)) else None
+        val tail = x16.map { case (v, b16) =>
+          s""","x16":$v,"ratio16":${v / x4},"bytes_x16":$b16""" }
+          .getOrElse("")
         System.err.println(f"[bench] sweep $name%-24s x1=$x1%6.2f s  " +
-          f"x4=$x4%6.2f s  ratio=${x4 / x1}%5.2f (linear=4, quadratic=16)")
-        s""""$name":{"x1":$x1,"x4":$x4,"ratio":${x4 / x1}}"""
+          f"x4=$x4%6.2f s  ratio=${x4 / x1}%5.2f" +
+          x16.map { case (v, b16) =>
+            f"  x16=$v%6.2f s  ratio16=${v / x4}%5.2f  " +
+              f"bytes16/4=${b16.toDouble / b4}%5.2f" }.getOrElse("") +
+          " (linear=4, quadratic=16)")
+        s""""$name":{"x1":$x1,"x4":$x4,"ratio":${x4 / x1},""" +
+          s""""bytes_x1":$b1,"bytes_x4":$b4$tail}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sweep $name failed: ${e.getMessage}")
         s""""$name":null"""
@@ -302,8 +350,13 @@ object Bench {
     def r2(v: Double): String = f"$v%.2f"
     val firsts = results.map { case (k, (f, _)) => "\"" + k + "\":" + r3(f) }
       .mkString("{", ",", "}")
+    // ONLY-mode skips the sweep (subset iteration shouldn't pay for it)
+    // unless FORCE_SWEEP asks for it — the knob that lets the sweep run
+    // by itself: ONLY=<warm-up query> FORCE_SWEEP=1 SKIP_PIPELINE=1
     val sweep =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_SWEEP") || only.isDefined) "null"
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SWEEP") ||
+          (only.isDefined && !sys.env.contains("SPARK_GRAFT_FORCE_SWEEP")))
+        "null"
       else try scaleSweep(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scale sweep failed: ${e.getMessage}")

@@ -1368,6 +1368,76 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 =!= 0),
         "text", topK = 15)
     },
+
+    // X80 — weighted quantiles: line counts weight the quantity
+    // distribution (an importance-weighted median/percentile)
+    "q94_weighted_quantiles" -> { (s, dir) =>
+      graft.ops.Relational.weightedQuantiles(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_quantity"), col("l_linenumber")),
+          Seq("l_returnflag"), col("l_quantity"), col("l_linenumber"),
+          Seq(0.25, 0.5, 0.9))
+        .orderBy(col("l_returnflag"), col("q"))
+    },
+
+    // X81 — sketch quantiles gated in-plan against the exact picks
+    // (the q85 self-verification pattern: a sketch regression drops
+    // rows and fails rows_match; only exact values surface)
+    "q95_approx_quantiles" -> { (s, dir) =>
+      graft.ops.Relational.approxQuantilesGated(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_quantity")),
+          Seq("l_returnflag"), col("l_quantity"),
+          Seq(0.5, 0.9), eps = 0.05)
+        .orderBy(col("l_returnflag"), col("q"))
+    },
+
+    // X82 — debounce: suppress same-(user, type) events arriving
+    // within 1 h of their predecessor; µs axis per the q82 convention
+    "q96_debounce" -> { (s, dir) =>
+      graft.ops.TimeSeries.debounce(
+          events(s, dir).select(col("event_id"), col("user_id"),
+            col("event_type"), nsToMicros(col("ts_ns")).as("ts_us")),
+          Seq(col("user_id"), col("event_type")), col("ts_us"),
+          windowUs = 3600L * 1000000L, tie = col("event_id"))
+        .orderBy(col("event_id"))
+    },
+
+    // X83 — per-document rare-token profile (df ≤ 2 ⇒ rare)
+    "q97_rare_tokens" -> { (s, dir) =>
+      graft.text.Corpus.rareTokenProfile(
+          t(s, dir, "documents"), "text", "doc_id", dfMax = 2)
+        .orderBy(col("doc_id"))
+    },
+
+    // X84 — stopword discovery: terms present in ≥ 40% of documents
+    "q98_stopwords" -> { (s, dir) =>
+      graft.text.Corpus.stopwordDiscovery(
+          t(s, dir, "documents"), "text", "doc_id", minDfPpm = 400000L)
+        .orderBy(col("df").desc, col("term"))
+    },
+
+    // X85 — exponential time-decay aggregate: 7-day half-life, anchor
+    // fixed just past the corpus end (anchors are run provenance —
+    // parameters, never computed in-plan)
+    "q99_decay" -> { (s, dir) =>
+      graft.ops.Features.decayedSum(
+          events(s, dir).select(col("event_type"),
+            nsToMicros(col("ts_ns")).as("ts_us"), col("value")),
+          Seq("event_type"), col("ts_us"), col("value"),
+          halfLifeUs = 7L * 86400L * 1000000L,
+          anchorUs = 1706745600000000L) // 2024-02-01T00:00:00Z
+        .orderBy(col("event_type"))
+    },
+
+    // X86 — deterministic proportional source interleave, per shard
+    "q100_interleave" -> { (s, dir) =>
+      graft.ops.Relational.shardInterleave(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("doc_id"), col("source"), nShards = 8, seed = "ep1")
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -3509,5 +3579,145 @@ object SparkEntry {
         |    - coalesce(n_a, 0) * 1000000 // t_a) DESC,
         |  coalesce(ca.term, cb.term)
         |LIMIT 15""".stripMargin,
+
+    // window sums cast to BIGINT (the q77/q93 HUGEINT lesson — also
+    // enforced by oracle_check's schema lint)
+    "q94_weighted_quantiles" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, l_quantity AS v,
+        |    CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT l_returnflag, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY v)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM agg
+        |), qs AS (
+        |  SELECT * FROM (VALUES (CAST(0.25 AS DOUBLE), 250000),
+        |    (0.5, 500000), (0.9, 900000)) AS t(q, ppm)
+        |)
+        |SELECT l_returnflag, q, CAST(v AS DOUBLE) AS value
+        |FROM ranked, qs
+        |WHERE cum >= (ppm * n + 999999) // 1000000
+        |  AND cum - c < (ppm * n + 999999) // 1000000
+        |ORDER BY l_returnflag, q""".stripMargin,
+
+    // oracle covers only the EXACT picks — the sketch gates rows on the
+    // Spark side and never surfaces (q85 pattern)
+    "q95_approx_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), qs AS (
+        |  SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE), 500000),
+        |    (0.9, 900000)) AS t(q, ppm)
+        |)
+        |SELECT l_returnflag, q, CAST(l_quantity AS DOUBLE) AS value
+        |FROM ranked, qs
+        |WHERE rn = (ppm * n + 999999) // 1000000
+        |ORDER BY l_returnflag, q""".stripMargin,
+
+    "q96_debounce" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, event_type, ts_us
+        |FROM e
+        |WHERE prev IS NULL OR ts_us - prev > 3600000000
+        |ORDER BY event_id""".stripMargin,
+
+    "q97_rare_tokens" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfx AS (
+        |  SELECT term, count(*) AS dfc FROM tf GROUP BY 1
+        |), agg AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(CASE WHEN d.dfc <= 2 THEN tf.tf
+        |      ELSE 0 END), 0) AS BIGINT) AS n_rare
+        |  FROM tf JOIN dfx d USING (term) GROUP BY 1
+        |)
+        |SELECT doc_id, n_tokens, n_rare,
+        |  n_rare * 1000000 // n_tokens AS rare_ppm
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
+
+    "q98_stopwords" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents
+        |), dfx AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+        |  WHERE text IS NOT NULL
+        |)
+        |SELECT term, df, df * 1000000 // nd AS df_ppm
+        |FROM dfx, tot
+        |WHERE df * 1000000 >= 400000 * nd
+        |ORDER BY df DESC, term""".stripMargin,
+
+    // weight quantized to DECIMAL(18,9) and products summed in exact
+    // decimal on BOTH sides — the sum is order-independent, only the
+    // final render is double
+    "q99_decay" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(power(0.5,
+        |      CAST(1706745600000000 - epoch_us(ts) AS DOUBLE)
+        |        / 604800000000.0) AS DECIMAL(18,9))
+        |    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS decayed_sum,
+        |  count(*) AS n
+        |FROM events
+        |WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  AND epoch_us(ts) <= 1706745600000000
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q100_interleave" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5('ep1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5('ep1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5('ep1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, source, hv, hv % 8 AS shard FROM h
+        |), r AS (
+        |  SELECT doc_id, source, hv, shard,
+        |    row_number() OVER (PARTITION BY shard, source
+        |      ORDER BY hv, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY shard, source) AS n
+        |  FROM s
+        |), f AS (
+        |  SELECT doc_id, source, shard,
+        |    CAST(2 * r - 1 AS DOUBLE) / CAST(2 * n AS DOUBLE) AS frac, r
+        |  FROM r
+        |)
+        |SELECT doc_id, source, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY frac, source, r) - 1 AS BIGINT) AS pos
+        |FROM f
+        |ORDER BY shard, pos""".stripMargin,
   )
 }

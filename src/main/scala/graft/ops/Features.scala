@@ -173,4 +173,41 @@ object Features {
       .withColumn("bin_lo", lit(lo) + col("bin") * lit(width))
       .select(col("bin"), col("bin_lo"), col("n"))
   }
+
+  /** Exponential time-decay aggregate per group: Σ v·2^(−age/halfLife),
+    * age = anchor − t — the recency-weighted engagement/importance score
+    * behind freshness features and decayed counters, computed in ONE
+    * pass (no per-event loop, no state). `anchorUs` is an explicit
+    * parameter — "now" is run provenance, never computed inside the
+    * plan — and events after the anchor are excluded (their age is
+    * negative; a scoring run must not see the future). Output: group
+    * cols + `decayed_sum` (double) + `n` (events scored).
+    *
+    * Exactness: age/halfLife is one IEEE division of exact longs and
+    * 2^(−x) one `pow` — both correctly rounded; the weight is then
+    * QUANTIZED to DECIMAL(18,9) and the weight·value products accumulate
+    * in exact decimal, so the SUM is order/partitioning-independent (the
+    * usual float-sum reassociation hazard is gone) and only the final
+    * render casts to double. `tsUs` must be a µs-resolution long (the
+    * portable cross-engine time axis).
+    *
+    * Scale shape: scan-local weight arithmetic + one map-side-combined
+    * aggregation to |groups| rows — the same envelope as a plain
+    * group-sum; halving the half-life or moving the anchor re-runs one
+    * scan, never a backfill loop.
+    */
+  def decayedSum(df: DataFrame, groupCols: Seq[String], tsUs: Column,
+      valueCol: Column, halfLifeUs: Long, anchorUs: Long,
+      valueScale: Int = 2): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be positive: $halfLifeUs")
+    val age = (lit(anchorUs) - tsUs.cast("long")).cast("double") /
+      lit(halfLifeUs.toDouble)
+    val weight = pow(lit(0.5), age).cast(DecimalType(18, 9))
+    val v = valueCol.cast(DecimalType(18, valueScale))
+    df.filter(tsUs.isNotNull && valueCol.isNotNull &&
+        tsUs.cast("long") <= anchorUs)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(weight * v).cast("double").as("decayed_sum"),
+        count(lit(1)).as("n"))
+  }
 }

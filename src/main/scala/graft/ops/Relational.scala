@@ -179,6 +179,99 @@ object Relational {
       .select((gs :+ col("__h.q").as("q") :+ col("__h.value").as("value")): _*)
   }
 
+  /** Weighted per-group quantiles: the smallest value whose CUMULATIVE
+    * WEIGHT reaches q·(total weight) — importance-weighted medians /
+    * percentiles (docs weighted by token count, events by duration),
+    * reducing to [[quantilesDisc]] when every weight is 1. Weights are
+    * non-negative longs (ppm/counts/bytes — the same integer-weight
+    * convention as [[upsampleWeighted]]); zero-weight rows are inert.
+    *
+    * Exactness: the threshold is ceil(ppm·totW/10⁶) in long arithmetic,
+    * and cumulative weight through the END of a value's tie block is
+    * order-independent, so the pick is engine/partitioning-exact like
+    * the unweighted version. Nulls (value or weight) are excluded.
+    *
+    * Scale shape: identical to [[quantilesDisc]] — aggregate FIRST to
+    * per-(group, distinct value) weight sums (map-side combine absorbs
+    * row volume), one cumulative window over distinct values, ≤ |qs|
+    * hit rows per group.
+    */
+  def weightedQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, weightCol: Column, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1]: $qs")
+    val gs = groupCols.map(col)
+    val w = weightCol.cast("long")
+    val guarded = when(w < 0, raise_error(concat(
+        lit("weightedQuantiles: negative weight "), w.cast("string"))))
+      .otherwise(w)
+    // keep nonzero weights: zero rows are inert by contract, but a
+    // NEGATIVE weight must reach the in-plan guard and raise — a `w > 0`
+    // filter would silently discard the caller bug instead
+    val ranked = df
+      .filter(valueCol.isNotNull && w.isNotNull && w =!= 0)
+      .groupBy((gs :+ valueCol.as("__val")): _*)
+      .agg(sum(guarded).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(gs: _*).orderBy(col("__val"))))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(gs: _*)))
+    val hits = array(qs.map { q =>
+      val ppm = math.round(q * 1e6)
+      val pick = graft.functions.Exact.longDiv(
+        lit(ppm) * col("__n") + 999999L, 1000000L)
+      when(col("__cum") >= pick && col("__cum") - col("__c") < pick,
+        struct(lit(q).as("q"), col("__val").cast("double").as("value")))
+    }: _*)
+    ranked
+      .select((gs :+ explode(filter(hits, h => h.isNotNull)).as("__h")): _*)
+      .select((gs :+ col("__h.q").as("q") :+ col("__h.value").as("value")): _*)
+  }
+
+  /** Sketch-based per-group quantiles, SELF-VERIFIED in-plan: Spark's
+    * `percentile_approx` (a mergeable KLL-style sketch — ONE pass, no
+    * per-group sort, the 100 TB path when [[quantilesDisc]]'s
+    * distinct-value window is too heavy) gated row-by-row against the
+    * exact picks: each output row survives only if the sketch's answer
+    * lands between the exact quantiles at q∓eps — the rank-error bound
+    * the sketch guarantees by construction (accuracy ≥ 1/eps). A sketch
+    * regression DROPS rows. Output: (group, q, value) with `value` the
+    * EXACT disc quantile — engine-portable; the sketch gates, never
+    * surfaces (same pattern as the HLL probe).
+    */
+  def approxQuantilesGated(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, qs: Seq[Double], eps: Double = 0.05): DataFrame = {
+    require(eps > 0 && eps < 0.5, s"eps must be in (0, 0.5): $eps")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1]: $qs")
+    val gs = groupCols.map(col)
+    val bounds = qs.map(q =>
+      q -> (math.max(q - eps, 1e-6), math.min(q + eps, 1.0)))
+    val allQs = bounds.flatMap { case (q, (lo, hi)) => Seq(lo, q, hi) }
+      .distinct
+    // exact picks for targets AND their eps-bounds, one aggregate-first
+    // pass; per-group ≤ 3|qs| rows collapse to a tiny lookup map
+    val exact = quantilesDisc(df, groupCols, valueCol, allQs)
+      .groupBy(gs: _*)
+      .agg(map_from_entries(collect_list(struct(col("q"), col("value"))))
+        .as("__m"))
+    val acc = math.ceil(1.0 / eps).toInt * 20 // rank error ≪ eps·n
+    val approx = df.groupBy(gs: _*).agg(percentile_approx(
+      valueCol.cast("double"),
+      array(qs.map(lit): _*), lit(acc)).as("__a"))
+    val rows = array(bounds.zipWithIndex.map { case ((q, (lo, hi)), i) =>
+      struct(lit(q).as("q"), element_at(col("__m"), lit(q)).as("value"),
+        element_at(col("__m"), lit(lo)).as("lo"),
+        element_at(col("__m"), lit(hi)).as("hi"),
+        element_at(col("__a"), i + 1).as("approx"))
+    }: _*)
+    exact.join(approx, groupCols)
+      .select((gs :+ explode(rows).as("__r")): _*)
+      .filter(col("__r.approx") >= col("__r.lo") &&
+        col("__r.approx") <= col("__r.hi"))
+      .select((gs :+ col("__r.q").as("q") :+
+        col("__r.value").as("value")): _*)
+  }
+
   /** Interpolated per-group quantiles (percentile_cont / Hyndman-Fan
     * type 7, the Postgres/DuckDB/NumPy default): for q over n values the
     * pick sits at 1-based position h = q·(n−1)+1; a non-integral h lerps
@@ -305,6 +398,43 @@ object Relational {
       .withColumn("pos", (row_number().over(
         Window.partitionBy(col("shard")).orderBy(h, key)) - 1)
         .cast("long"))
+  }
+
+  /** Deterministic PROPORTIONAL source interleave, per shard — the
+    * training-order step after mixing: within each shard, documents from
+    * every source appear evenly spread (a source holding 10% of the
+    * shard occupies every ~10th position), so a sequential reader sees a
+    * stationary mixture instead of source-clustered runs. Builds on
+    * [[shuffleShard]]'s hash order: rank r of n same-source rows sits at
+    * fractional position (2r−1)/(2n) — the midpoint rule, which spreads
+    * every source across (0,1) regardless of size — and `pos` is the
+    * rank of that fraction within the shard, ties broken by
+    * (source, rank). Output: input columns + `shard` + `pos` (dense
+    * 0-based within shard).
+    *
+    * Exactness: the fraction is one IEEE division of exact longs —
+    * identical in any engine; ordering and tie-breaks are total.
+    *
+    * Scale shape: NO global order anywhere — both windows partition by
+    * shard (a global interleave would serialize the corpus through one
+    * task; sharded training reads don't need it). Cost is one hash
+    * exchange on the shard key + two per-shard sorts, the same envelope
+    * as the sharded export write itself.
+    */
+  def shardInterleave(df: DataFrame, key: Column, sourceCol: Column,
+      nShards: Int, seed: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val h = hashUnit(concat(lit(seed), lit("\u0001"), key.cast("string")))
+    val wSrc = Window.partitionBy(col("shard"), sourceCol)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("__r", row_number().over(wSrc.orderBy(col("__h"), key)))
+      .withColumn("__n", count(lit(1)).over(wSrc))
+      .withColumn("__frac", (col("__r") * 2 - 1).cast("double") /
+        (col("__n") * 2).cast("double"))
+      .withColumn("pos", (row_number().over(Window.partitionBy(col("shard"))
+        .orderBy(col("__frac"), sourceCol, col("__r"))) - 1).cast("long"))
+      .drop("__h", "__r", "__n", "__frac")
   }
 
   /** Null-safe broadcast join of a per-group statistics table back onto

@@ -356,6 +356,35 @@ object TimeSeries {
     bf.select(left.columns.toSeq.map(col) ++ picks: _*)
   }
 
+  /** Debounce filter: suppress an event when the IMMEDIATELY PRECEDING
+    * event with the same keys is closer than `windowUs` — retry storms,
+    * duplicate webhooks, and sensor chatter collapse to their first
+    * occurrence (windowUs = 0 still drops exact same-instant repeats).
+    * Put the payload identity in `keys` to suppress only IDENTICAL
+    * repeats, or just the entity key to rate-limit everything it emits.
+    *
+    * Semantics are gap-from-previous-RAW-event (the same gap rule
+    * sessionization uses for boundaries): a suppressed event still
+    * resets the clock for the next one. That makes the predicate one
+    * `lag` — order-independent and exact in any engine — where the
+    * "gap from last KEPT event" variant is inherently a stateful scan
+    * (use the streaming dedup for that contract). `tsUs` must be a
+    * µs-resolution long (the portable cross-engine time axis); `tie`
+    * must complete a total order for same-instant events.
+    *
+    * Scale shape: one hash exchange on the keys + per-key sort, lag
+    * window, filter — per-row state is one timestamp.
+    */
+  def debounce(df: DataFrame, keys: Seq[Column], tsUs: Column,
+      windowUs: Long, tie: Column): DataFrame = {
+    require(windowUs >= 0, s"windowUs must be >= 0: $windowUs")
+    val w = Window.partitionBy(keys: _*).orderBy(tsUs, tie)
+    df.withColumn("__prev_ts", lag(tsUs, 1).over(w))
+      .filter(col("__prev_ts").isNull ||
+        tsUs - col("__prev_ts") > windowUs)
+      .drop("__prev_ts")
+  }
+
   private def asofJoin(left: DataFrame, right: DataFrame, tsCol: String,
       keys: Seq[String], rightCols: Seq[String], suffix: String,
       forward: Boolean): DataFrame = {

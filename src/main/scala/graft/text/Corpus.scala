@@ -367,6 +367,61 @@ object Corpus {
         col("drift_ppm"))
   }
 
+  /** Per-document rare-token profile — the vocabulary-coverage quality
+    * signal (a doc full of tokens the corpus has barely seen is OCR
+    * noise, a rare language, or gibberish; a doc with none is boilerplate):
+    * (id, n_tokens, n_rare, rare_ppm) where a token is RARE when its
+    * document frequency is ≤ `dfMax`. Deliberately integer-only (counts
+    * and a ppm division) — no log-probability, which isn't bit-portable
+    * across engines.
+    *
+    * Scale shape: the rare set is the Zipf TAIL — most of the
+    * vocabulary — so membership is tested against the COMMON head
+    * instead (df > dfMax, at most Σtokens/dfMax terms — bounded and
+    * broadcastable by construction): a token is rare iff it misses the
+    * broadcast head. One term-stats aggregation, one broadcast join,
+    * one per-doc aggregation; the corpus text never shuffles. Documents
+    * with zero tokens emit no row (no population to profile).
+    */
+  def rareTokenProfile(df: DataFrame, textCol: String, idCol: String,
+      dfMax: Long): DataFrame = {
+    require(dfMax >= 1, s"dfMax must be >= 1: $dfMax")
+    val tf = termFrequencies(df, textCol, idCol)
+    val common = docFrequencies(tf).filter(col("df") > dfMax)
+      .select(col("term"), lit(1L).as("__common"))
+    tf.join(broadcast(common), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        coalesce(sum(when(col("__common").isNull, col("tf"))), lit(0L))
+          .as("n_rare"))
+      .withColumn("rare_ppm", expr("n_rare * 1000000 div n_tokens"))
+  }
+
+  /** Corpus-driven stopword discovery: terms whose DOCUMENT frequency
+    * ratio reaches `minDfPpm` (parts-per-million of documents) — the
+    * data-derived analog of a hand-curated stopword list, fed to
+    * [[rareTokenProfile]]'s complement, retrieval indexing, or the
+    * quality scorer. Output: (term, df, df_ppm), highest-df first.
+    * Integer-exact throughout (ppm division, long counts).
+    *
+    * Scale shape: one term-stats aggregation to the vocabulary grain, a
+    * one-row total broadcast, a threshold filter — the result is the
+    * Zipf HEAD, ≤ 10⁶/minDfPpm · (docs per term appearance) terms, tiny
+    * by construction.
+    */
+  def stopwordDiscovery(df: DataFrame, textCol: String, idCol: String,
+      minDfPpm: Long): DataFrame = {
+    require(minDfPpm >= 1 && minDfPpm <= 1000000L,
+      s"minDfPpm must be in [1, 1e6]: $minDfPpm")
+    val total = df.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("__nd"))
+    docFrequencies(termFrequencies(df, textCol, idCol))
+      .join(broadcast(total))
+      .filter(col("df") * 1000000L >= lit(minDfPpm) * col("__nd"))
+      .withColumn("df_ppm", expr("df * 1000000 div __nd"))
+      .select(col("term"), col("df"), col("df_ppm"))
+  }
+
   /** Removal-list enforcement at CONTENT level: drop every corpus
     * document whose normalized-text fingerprint appears in `removals` —
     * the takedown / copyright-opt-out / GDPR-erasure step a production

@@ -254,4 +254,34 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       plan)
   }
+
+  test("rareTokenProfile: head-complement membership, ppm, zero-token") {
+    // df counts over `docs`: spark=2, engine=2, tuning=1, unrelated=1,
+    // text=1, entirely=1 — with dfMax=1 the common head is {spark,
+    // engine}; doc 2 has tokens [spark, engine, engine, tuning] → 4
+    // tokens, 1 rare (tuning) → 250000 ppm
+    val got = Corpus.rareTokenProfile(docs, "text", "doc_id", dfMax = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0L, 0L),            // spark spark engine — all common
+      (2L, 4L, 1L, 250000L),       // tuning is rare
+      (3L, 3L, 3L, 1000000L)))     // unrelated text entirely — all rare
+    // a document with no tokens emits no row
+    val empty = docs.unionByName(Seq((4L, "   ")).toDF("doc_id", "text"))
+    assert(Corpus.rareTokenProfile(empty, "text", "doc_id", 1)
+      .count() == 3L)
+  }
+
+  test("stopwordDiscovery: df-ratio threshold, integer ppm") {
+    // 3 docs: spark df=2 (666666 ppm), engine df=2, others df=1 (333333)
+    val got = Corpus.stopwordDiscovery(docs, "text", "doc_id",
+        minDfPpm = 600000L)
+      .orderBy(col("term")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("engine", 2L, 666666L), ("spark", 2L, 666666L)))
+    // threshold at 300000 admits everything
+    assert(Corpus.stopwordDiscovery(docs, "text", "doc_id", 300000L)
+      .count() == 6L)
+  }
 }

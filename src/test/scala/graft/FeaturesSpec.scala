@@ -114,4 +114,24 @@ class FeaturesSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("WindowExec"), plan)
   }
+
+  test("decayedSum: half-life weights, future exclusion, exact halves") {
+    // anchor 100, half-life 10: ages 0, 10, 20 → weights 1, 0.5, 0.25
+    // (exact in DECIMAL(18,9)); the t=110 row is after the anchor and
+    // must not score
+    val df = Seq(("g", 100L, 8.0), ("g", 90L, 8.0), ("g", 80L, 8.0),
+      ("g", 110L, 999.0)).toDF("k", "t", "v")
+    val got = Features.decayedSum(df, Seq("k"), col("t"), col("v"),
+      halfLifeUs = 10L, anchorUs = 100L).collect()
+    assert(got.length == 1)
+    assert(got(0).getDouble(1) == 8.0 + 4.0 + 2.0)
+    assert(got(0).getLong(2) == 3L)
+    // null value/ts rows are excluded, not zero-scored
+    val n = Seq(("g", Some(100L), Option.empty[Double]),
+      ("g", Option.empty[Long], Some(1.0)), ("g", Some(95L), Some(2.0)))
+      .toDF("k", "t", "v")
+    val g2 = Features.decayedSum(n, Seq("k"), col("t"), col("v"),
+      halfLifeUs = 10L, anchorUs = 100L).collect()
+    assert(g2(0).getLong(2) == 1L)
+  }
 }

@@ -378,4 +378,72 @@ class RelationalSpec extends SparkSpec {
     assert(up24.forall { case (k, c) =>
       c.length == (if (mix(k)) 3 else 2) })
   }
+
+  test("weightedQuantiles: cumulative-weight picks; unit weights reduce") {
+    // g: (v=1, w=1), (v=2, w=3), (v=3, w=1) → total 5; q=0.5 needs
+    // cum ≥ 3 → v=2; q=0.2 needs cum ≥ 1 → v=1; q=1.0 → v=3
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 3L), ("g", 3.0, 1L))
+      .toDF("k", "v", "w")
+    val got = Relational.weightedQuantiles(df, Seq("k"), col("v"),
+        col("w"), Seq(0.2, 0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(got == Map(0.2 -> 1.0, 0.5 -> 2.0, 1.0 -> 3.0))
+    // all weights 1 ⇒ identical to quantilesDisc
+    val u = (1 to 10).map(i => ("g", i.toDouble, 1L)).toDF("k", "v", "w")
+    val wq = Relational.weightedQuantiles(u, Seq("k"), col("v"), col("w"),
+      Seq(0.25, 0.5, 1.0)).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val dq = Relational.quantilesDisc(u, Seq("k"), col("v"),
+      Seq(0.25, 0.5, 1.0)).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(wq == dq)
+    // zero-weight rows are inert; negative weights fail loudly
+    val z = Seq(("g", 99.0, 0L), ("g", 1.0, 1L)).toDF("k", "v", "w")
+    val zq = Relational.weightedQuantiles(z, Seq("k"), col("v"), col("w"),
+      Seq(1.0)).collect()
+    assert(zq.length == 1 && zq(0).getDouble(2) == 1.0)
+    val neg = Seq(("g", 1.0, -1L)).toDF("k", "v", "w")
+    val e = intercept[Exception] {
+      Relational.weightedQuantiles(neg, Seq("k"), col("v"), col("w"),
+        Seq(0.5)).collect()
+    }
+    assert(e.getMessage.contains("negative weight"), e.getMessage)
+  }
+
+  test("approxQuantilesGated: emits exact picks; sketch gate holds") {
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val got = Relational.approxQuantilesGated(df, Seq("k"), col("v"),
+        Seq(0.5, 0.9), eps = 0.05)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // values are the EXACT disc picks (ceil(q·n)-th smallest), and the
+    // gate must pass on well-formed data — a dropped row here would
+    // mean the sketch missed its own error bound
+    assert(got == Map(0.5 -> 500.0, 0.9 -> 900.0))
+  }
+
+  test("shardInterleave: proportional spread, dense pos, deterministic") {
+    // two sources, 4:1 ratio — in each shard, consecutive runs of the
+    // big source must stay short (proportional interleave ⇒ the small
+    // source appears roughly every 5 positions, never all-at-the-end)
+    val df = (1L to 500L).map(i =>
+      (i, if (i % 5 == 0) "small" else "big")).toDF("id", "src")
+    def run() = Relational.shardInterleave(df, col("id"), col("src"),
+        nShards = 4, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val a = run()
+    assert(a.sorted.toSeq == run().sorted.toSeq) // deterministic
+    a.groupBy(_._3).foreach { case (_, rows) =>
+      // dense 0..n-1 positions within the shard
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.length).toSeq)
+      // longest same-source run stays near the 4:1 mixing ratio — a
+      // source-clustered order would have runs the size of the source
+      val bySrc = rows.sortBy(_._4).map(_._2)
+      val maxRun = bySrc.foldLeft((0, 0, "")) { case ((best, cur, prev), s) =>
+        val c = if (s == prev) cur + 1 else 1
+        (math.max(best, c), c, s)
+      }._1
+      assert(maxRun <= 8, s"interleave clustered: run of $maxRun")
+    }
+  }
 }

@@ -238,4 +238,23 @@ class TimeSeriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.toLowerCase
     assert(!plan.contains("unboundedfollowing"), plan)
   }
+
+  test("debounce: raw-predecessor gaps, chains, same-instant repeats") {
+    // key a at t = 0, 5, 11: 5 is within W=5 of 0 → dropped, but 11 is
+    // 6 after RAW predecessor 5 → kept (suppressed events reset the
+    // clock — the documented raw-gap semantics); t = 11 twice → the
+    // event-id tie-break keeps the first, drops the same-instant repeat
+    // even though W would allow it at gap 0 only if W < 0
+    val df = Seq(("a", 0L, 1L), ("a", 5L, 2L), ("a", 11L, 3L),
+      ("a", 11L, 4L), ("b", 100L, 5L)).toDF("k", "t", "id")
+    val kept = TimeSeries.debounce(df, Seq($"k"), $"t",
+        windowUs = 5L, tie = $"id")
+      .orderBy($"id").collect().map(_.getLong(2))
+    assert(kept.toSeq == Seq(1L, 3L, 5L))
+    // W = 0 still suppresses exact same-instant duplicates
+    val zero = TimeSeries.debounce(df, Seq($"k"), $"t",
+        windowUs = 0L, tie = $"id")
+      .orderBy($"id").collect().map(_.getLong(2))
+    assert(zero.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
 }
