@@ -1438,6 +1438,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("shard"), col("pos"))
         .orderBy(col("shard"), col("pos"))
     },
+
+    // X87 — signed per-group correlation from exact integer moments
+    "q101_corr" -> { (s, dir) =>
+      graft.ops.Features.groupCorr(
+          t(s, dir, "lineitem"), Seq("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"),
+          xScale = 2, yScale = 2)
+        .orderBy(col("l_returnflag"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -3719,5 +3728,36 @@ object SparkEntry {
         |    ORDER BY frac, source, r) - 1 AS BIGINT) AS pos
         |FROM f
         |ORDER BY shard, pos""".stripMargin,
+
+    // same HUGEINT-moment + VARCHAR→DOUBLE render recipe as q74_trend
+    "q101_corr" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM b GROUP BY 1
+        |), d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+        |      AS DOUBLE) AS num,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+        |      AS DOUBLE) AS den,
+        |    CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS VARCHAR)
+        |      AS DOUBLE) AS den2
+        |  FROM m
+        |)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN den <> 0 AND den2 <> 0 THEN
+        |    num / sqrt(den * den2) END AS corr
+        |FROM d ORDER BY l_returnflag""".stripMargin,
   )
 }

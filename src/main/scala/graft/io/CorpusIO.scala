@@ -1,0 +1,59 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSONL corpus interchange — the format LLM-pipeline corpora actually
+  * ship as (one JSON document per line, gzip-sharded). Parquet remains
+  * the engine's working format (columnar pruning, stats, bucketing —
+  * see [[LakeLayout]]); this is the BOUNDARY layer for corpora arriving
+  * from or leaving to external tooling.
+  *
+  * Sharding rides [[graft.ops.Relational.shuffleShard]]: deterministic
+  * hash sharding plus dense in-shard positions, written as one
+  * `shard=K` directory per shard with rows in position order — a
+  * reader that streams shard files in filename order replays the exact
+  * deterministic order the shard was built with (training-order
+  * reproducibility end to end).
+  *
+  * Scale shape: the write is one hash exchange + per-shard sort — the
+  * same envelope the sharded export pays in any engine; gzip codec
+  * because JSONL interchange is line-oriented (splittable compression
+  * matters for the PARQUET side, not the export). The read side is
+  * schema-EXPLICIT (`readJsonl` takes the expected schema): schema
+  * inference on 100 TB of JSONL is a full extra pass, and a drifting
+  * inferred type (a shard where every `doc_id` happens to be small
+  * enough for INT) is a silent downstream break.
+  */
+object CorpusIO {
+
+  /** Write `df` as gzip JSONL, hash-sharded on `key` into `nShards`
+    * `shard=K` directories, rows within a shard in the deterministic
+    * [[graft.ops.Relational.shuffleShard]] position order.
+    */
+  def writeJsonlShards(df: DataFrame, path: String, key: String,
+      nShards: Int, seed: String = ""): Unit = {
+    val sharded = graft.ops.Relational
+      .shuffleShard(df, col(key), nShards, seed)
+    sharded
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .drop("pos")
+      .write
+      .partitionBy("shard")
+      .option("compression", "gzip")
+      .mode("overwrite")
+      .json(path)
+  }
+
+  /** Read a JSONL corpus with an EXPLICIT schema (no inference pass —
+    * see the object doc). Rows failing the schema land in
+    * `_corrupt_record` when the schema declares it (PERMISSIVE mode,
+    * Spark's default), so a dirty interchange file is visible instead
+    * of silently null-padded.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -174,6 +174,49 @@ object Features {
       .select(col("bin"), col("bin_lo"), col("n"))
   }
 
+  /** Per-group Pearson correlation of two metric columns — the SIGNED
+    * association [[groupTrend]]'s r² can't carry (feature-drift checks
+    * care whether the relationship flipped). Same exactness recipe as
+    * the trend: both columns quantize to scaled longs, all five moments
+    * accumulate as exact decimal(38,0) integers (order- and
+    * partitioning-independent), integers render to double through the
+    * correctly-rounded string path, and the final
+    * num / sqrt(den·den₂) is one fixed IEEE tree — identical in any
+    * engine (the 10^scale factors cancel in r by construction). Domain
+    * contract as groupTrend: per-row scaled magnitudes ≤ ~2^31 so
+    * products stay in long. Groups with n < 2 or zero spread in either
+    * column yield null `corr`.
+    *
+    * Scale shape: ONE map-side-combined aggregation down to |groups|
+    * rows; the correlation algebra runs on that bounded table.
+    */
+  def groupCorr(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, xScale: Int = 2, yScale: Int = 2): DataFrame = {
+    val xI = (xCol.cast(DecimalType(18, xScale)) *
+      lit(math.pow(10, xScale).toLong)).cast("long")
+    val yI = (yCol.cast(DecimalType(18, yScale)) *
+      lit(math.pow(10, yScale).toLong)).cast("long")
+    val d38 = DecimalType(38, 0)
+    val base = df.filter(xI.isNotNull && yI.isNotNull)
+      .select(groupCols.map(col) ++ Seq(xI.as("__x"), yI.as("__y")): _*)
+    val m = base.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(d38)).as("__sx"),
+      sum(col("__y").cast(d38)).as("__sy"),
+      sum((col("__x") * col("__x")).cast(d38)).as("__sxx"),
+      sum((col("__x") * col("__y")).cast(d38)).as("__sxy"),
+      sum((col("__y") * col("__y")).cast(d38)).as("__syy"))
+    val nD = col("n").cast(d38)
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val num = dbl(nD * col("__sxy") - col("__sx") * col("__sy"))
+    val den = dbl(nD * col("__sxx") - col("__sx") * col("__sx"))
+    val den2 = dbl(nD * col("__syy") - col("__sy") * col("__sy"))
+    m.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      when(den =!= 0d && den2 =!= 0d, num / sqrt(den * den2))
+        .as("corr")): _*)
+  }
+
   /** Exponential time-decay aggregate per group: Σ v·2^(−age/halfLife),
     * age = anchor − t — the recency-weighted engagement/importance score
     * behind freshness features and decayed counters, computed in ONE

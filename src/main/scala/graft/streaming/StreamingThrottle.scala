@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Streaming throttle: gap-from-last-KEPT suppression as custom state
+  * (`KeyValueGroupedDataset.flatMapGroupsWithState`, SURVEY §2.7) — the
+  * stateful contract the batch [[graft.ops.TimeSeries.debounce]]
+  * deliberately does NOT implement: there, a suppressed event still
+  * resets the clock (gap-from-raw-predecessor, one lag window); here the
+  * clock only advances when an event is EMITTED, so a sustained burst
+  * emits exactly one event per `windowUs` regardless of burst rate —
+  * the alerting/notification rate-limit semantics.
+  *
+  * Within a micro-batch the iterator is not ordering-guaranteed, so the
+  * operator sorts the batch's rows per key by (ts, tie) before the scan
+  * — per-key batch volume is the working set, the same envelope as any
+  * grouped-state operator. State is ONE long (the last emitted ts).
+  * Late events (ts ≤ last kept) are suppressed by the same predicate —
+  * a replayed or out-of-order event can never re-open a closed window.
+  * With watermarked input, pass an event-time timeout to drop state for
+  * quiesced keys; NoTimeout suits bounded replays (AvailableNow).
+  */
+object StreamingThrottle {
+
+  def throttle[K, T](
+      grouped: KeyValueGroupedDataset[K, T],
+      tsUs: T => Long,
+      tie: T => Long,
+      windowUs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit e: Encoder[T]): Dataset[T] = {
+    require(windowUs >= 0, s"windowUs must be >= 0: $windowUs")
+    implicit val stateEncoder: Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    grouped.flatMapGroupsWithState[Long, T](
+      OutputMode.Append(), timeout) {
+      (_: K, rows: Iterator[T], state: GroupState[Long]) =>
+        val ordered = rows.toSeq.sortBy(r => (tsUs(r), tie(r)))
+        var last = state.getOption.getOrElse(Long.MinValue)
+        val kept = Seq.newBuilder[T]
+        ordered.foreach { r =>
+          val t = tsUs(r)
+          // emit iff strictly more than windowUs after the last EMIT
+          // (Long.MinValue sentinel: the first event always emits —
+          // t − MinValue overflows, so compare against the sentinel
+          // explicitly rather than arithmetically)
+          if (last == Long.MinValue || t - last > windowUs) {
+            kept += r
+            last = t
+          }
+        }
+        if (last != Long.MinValue) state.update(last)
+        kept.result().iterator
+    }
+  }
+
+  /** The append-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Append()
+}

@@ -115,6 +115,20 @@ class FeaturesSpec extends SparkSpec {
     assert(!plan.contains("WindowExec"), plan)
   }
 
+  test("groupCorr: sign, perfect lines, degenerate spreads") {
+    val df = Seq(
+      ("up", 1.0, 10.0), ("up", 2.0, 20.0), ("up", 3.0, 30.0),
+      ("down", 1.0, 30.0), ("down", 2.0, 20.0), ("down", 3.0, 10.0),
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0)
+    ).toDF("k", "x", "y")
+    val got = Features.groupCorr(df, Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got("up").exists(v => math.abs(v - 1.0) < 1e-12))
+    assert(got("down").exists(v => math.abs(v + 1.0) < 1e-12))
+    assert(got("flat").isEmpty) // zero y-spread: no correlation defined
+  }
+
   test("decayedSum: half-life weights, future exclusion, exact halves") {
     // anchor 100, half-life 10: ages 0, 10, 20 → weights 1, 0.5, 0.25
     // (exact in DECIMAL(18,9)); the t=110 row is after the anchor and

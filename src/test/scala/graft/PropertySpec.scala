@@ -307,6 +307,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weightedQuantiles matches the expanded-multiset reference") {
+    // a weight-w row is semantically w copies of the value: the weighted
+    // quantile must equal quantilesDisc's pick over the EXPANDED multiset
+    val qs = Seq(0.1, 0.5, 0.9, 1.0)
+    val grpGen = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        v <- Gen.choose(0, 15).map(_.toDouble)
+        w <- Gen.choose(0L, 5L)
+      } yield (v, w))
+    } yield rows
+    samples(grpGen, 10).zipWithIndex
+      .filter(_._1.exists(_._2 > 0)).foreach { case (rows, gi) =>
+        val df = rows.map { case (v, w) => (s"g$gi", v, w) }
+          .toDF("g", "v", "w")
+        val got = graft.ops.Relational.weightedQuantiles(
+            df, Seq("g"), col("v"), col("w"), qs)
+          .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+        val expanded = rows.flatMap { case (v, w) =>
+          Seq.fill(w.toInt)(v) }.sorted
+        qs.foreach { q =>
+          val ppm = math.round(q * 1e6)
+          val pick =
+            ((ppm * expanded.length + 999999L) / 1000000L).toInt.max(1)
+          assert(got(q) == expanded(pick - 1),
+            s"q=$q rows=$rows expanded=$expanded got=${got(q)}")
+        }
+      }
+  }
+
   private val tsGen: Gen[Seq[(Int, Long, Boolean)]] = for {
     n <- Gen.choose(1, 60)
     rows <- Gen.listOfN(n, for {

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingThrottle
+
+case class Ping(key: String, tsUs: Long, id: Long)
+
+class StreamingThrottleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap-from-last-KEPT: bursts emit one event per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ping]
+    val q = StreamingThrottle.throttle(
+        in.toDS().groupByKey(_.key),
+        (p: Ping) => p.tsUs, (p: Ping) => p.id, windowUs = 10L)
+      .writeStream.format("memory").queryName("throttle_out")
+      .outputMode(StreamingThrottle.outputMode)
+      .start()
+
+    // batch 1 — a burst at 0, 5, 9, 11, 25:
+    //   0 emits; 5 and 9 are within 10 of KEPT 0 (batch debounce would
+    //   re-anchor on raw 5 and 9 and also drop 11 — here 11 is 11 > 10
+    //   after kept 0 so it EMITS); 25 is 14 after kept 11 → emits
+    in.addData(Ping("a", 0L, 1), Ping("a", 5L, 2), Ping("a", 9L, 3),
+      Ping("a", 11L, 4), Ping("a", 25L, 5))
+    q.processAllAvailable()
+    // batch 2 — state carries across micro-batches: 30 is 5 after kept
+    // 25 → suppressed; a LATE replay at 20 (≤ last kept) suppressed;
+    // 40 emits; key b is independent state
+    in.addData(Ping("a", 30L, 6), Ping("a", 20L, 7), Ping("a", 40L, 8),
+      Ping("b", 1L, 9))
+    q.processAllAvailable()
+
+    val got = spark.table("throttle_out").as[Ping].collect()
+      .map(_.id).sorted.toSeq
+    assert(got == Seq(1L, 4L, 5L, 8L, 9L))
+    q.stop()
+  }
+
+  test("same-instant repeats: tie order keeps exactly the first") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ping]
+    val q = StreamingThrottle.throttle(
+        in.toDS().groupByKey(_.key),
+        (p: Ping) => p.tsUs, (p: Ping) => p.id, windowUs = 0L)
+      .writeStream.format("memory").queryName("throttle_ties")
+      .outputMode(StreamingThrottle.outputMode)
+      .start()
+    // W=0: same-instant duplicates suppressed (gap 0 is not > 0), a
+    // 1-tick-later event passes
+    in.addData(Ping("a", 7L, 2), Ping("a", 7L, 1), Ping("a", 8L, 3))
+    q.processAllAvailable()
+    val got = spark.table("throttle_ties").as[Ping].collect()
+      .map(_.id).sorted.toSeq
+    assert(got == Seq(1L, 3L))
+    q.stop()
+  }
+}
