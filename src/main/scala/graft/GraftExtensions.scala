@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, FloatPack, FloatUnpack, HammingDistance, SimHash64}
+import graft.functions.{CosineSimilarity, DotProduct, FloatPack, FloatUnpack, HammingDistance, NfcNormalize, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use
@@ -15,6 +15,7 @@ import graft.functions.{CosineSimilarity, DotProduct, FloatPack, FloatUnpack, Ha
   *   - `simhash64(tokens)` — 64-bit SimHash bit string of a token array
   *   - `vec_pack(v)`       — array<float> → dense 4·d little-endian binary
   *   - `vec_unpack(b)`     — exact inverse of vec_pack
+  *   - `nfc(s)`            — Unicode NFC canonical normalization
   *
   * The Scala API ([[graft.functions.VectorExpressions]] /
   * [[graft.functions.TextExpressions]]) builds the same expressions
@@ -64,5 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("vec_unpack",
       "vec_unpack(b) - inverse of vec_pack",
       FloatUnpack(_))
+    unary("nfc",
+      "nfc(s) - Unicode NFC canonical normalization of a string",
+      NfcNormalize(_))
   }
 }

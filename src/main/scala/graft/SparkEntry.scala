@@ -1447,6 +1447,72 @@ object SparkEntry {
           xScale = 2, yScale = 2)
         .orderBy(col("l_returnflag"))
     },
+
+    // X90 — target-proportion rebalancing: keep rates COMPUTED from
+    // observed counts vs a target mixture, then the q53 hash predicate
+    "q102_rebalance" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val targets = docs.select(col("source")).distinct()
+        .withColumn("weight_ppm",
+          expr("50000 * (1 + CAST(substring(source, 4) AS INT) % 7)"))
+      graft.ops.Relational.rebalanceToTarget(
+          docs, col("doc_id"), "source", targets)
+        .groupBy(col("source"), col("rate_ppm"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+
+    // X93 — Unicode NFC canonicalization (codegen'd native expression);
+    // a DECOMPOSED suffix (e + U+0301) is appended in-probe so the fold
+    // is exercised for real: post-NFC 'é' is ONE char on both engines
+    "q103_normalize" -> { (s, dir) =>
+      val canon = graft.text.TextFunctions.canonicalText(
+        concat(col("text"), lit(" Cafe\u0301")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(canon).as("canon_fp"),
+          length(canon).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X94 — bloom semi-join reduction: lineitem sheds non-URGENT rows
+    // at its scan (might_contain over a build-side bloom subquery)
+    // BEFORE the join shuffle; result is exactly the plain inner join
+    "q104_bloom_join" -> { (s, dir) =>
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_returnflag"), col("l_quantity"))
+      graft.ops.BloomJoin.bloomPrefilterJoin(li, urgent,
+          Seq("o_orderkey"), expectedItems = 4000L, fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sumd(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // X92 — CMS heavy hitters, self-verifying like q85: each top-k row
+    // must satisfy the sketch contract (exact ≤ est ≤ exact + ε·N) or
+    // it drops and the driver's rows_match fails
+    "q105_cms" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val ev = events(s, dir).select(col("user_id"))
+      val sk = Sketches.freqSketch(ev, Seq.empty, col("user_id"),
+        eps = 0.001)
+      val tot = ev.agg(count(lit(1)).as("total_n"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+        .limit(10)
+        .join(broadcast(sk)).join(broadcast(tot))
+        .withColumn("est", Sketches.estimateFreq(
+          col("sketch"), col("user_id")))
+        .where(col("est") >= col("exact_n") &&
+          col("est") <= col("exact_n") + ceil(col("total_n") * lit(0.001)))
+        .select(col("user_id"), col("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -3759,5 +3825,72 @@ object SparkEntry {
         |  CASE WHEN den <> 0 AND den2 <> 0 THEN
         |    num / sqrt(den * den2) END AS corr
         |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    // rate algebra in exact integers (ratio_q = w·2^40 // n, rate =
+    // ratio_q·10^6 // max in HUGEINT → BIGINT), then q53's md5 predicate
+    "q102_rebalance" ->
+      """WITH tgt AS (
+        |  SELECT DISTINCT source,
+        |    50000 * (1 + CAST(substr(source, 4) AS INT) % 7) AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT c.source,
+        |    CAST(w AS BIGINT) * 1099511627776 // n AS ratio_q
+        |  FROM c JOIN tgt USING (source)
+        |), mx AS (
+        |  SELECT max(ratio_q) AS mx FROM r
+        |), rates AS (
+        |  SELECT source,
+        |    CAST((CAST(ratio_q AS HUGEINT) * 1000000) // mx AS BIGINT)
+        |      AS rate_ppm
+        |  FROM r, mx
+        |), h AS (
+        |  SELECT d.doc_id, d.source, rates.rate_ppm,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents d JOIN rates USING (source)
+        |)
+        |SELECT source, rate_ppm, count(*) AS n_kept FROM h
+        |WHERE (hv >> 20) * 1000000
+        |      < rate_ppm * (CAST(1 AS BIGINT) << 40)
+        |GROUP BY 1, 2 ORDER BY source""".stripMargin,
+
+    // chr(769) = U+0301 combining acute: the decomposed suffix NFC must
+    // fold; post-fold 'é' counts as ONE char in both engines
+    "q103_normalize" ->
+      """WITH c AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(
+        |    nfc_normalize(text || ' Cafe' || chr(769)),
+        |    '\s+', ' ', 'g'))) AS canon
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(canon) AS canon_fp,
+        |  CAST(length(canon) AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the bloom is a pure work-shedder: the oracle is the PLAIN join
+    "q104_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // the sketch gate is engine-side (q85 pattern): the oracle checks
+    // the exact top-k the gated rows must equal
+    "q105_cms" ->
+      """SELECT user_id, count(*) AS exact_n
+        |FROM events GROUP BY user_id
+        |ORDER BY exact_n DESC, user_id LIMIT 10""".stripMargin,
   )
 }

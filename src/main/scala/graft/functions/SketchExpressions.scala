@@ -1,0 +1,65 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Point-query side of Spark's `count_min_sketch` aggregate (which ships
+  * the BUILD but no way to READ the sketch in-plan). `CmsEstimate(sketch,
+  * value)` returns the CMS frequency estimate, mirroring the aggregate's
+  * add paths exactly so build and probe hash identically: StringType
+  * values query by UTF-8 bytes (the agg's `addBinary` path), integral
+  * types by long (`addLong`).
+  *
+  * CodegenFallback is the RIGHT tier here (same argument as SimHash64):
+  * estimates run at CANDIDATE grain — dozens of heavy-hitter rows against
+  * a one-row sketch — never per corpus row, and the deserialized sketch
+  * is cached per (task, sketch-buffer) so repeated candidates don't
+  * re-parse the binary.
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate: sketch must be BINARY, got ${left.dataType}")
+    else if (!Seq(StringType, LongType, IntegerType)
+        .contains(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate: value must be STRING/LONG/INT, got " +
+          s"${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  // one-slot deserialization cache: candidate batches probe the SAME
+  // sketch bytes row after row (reference equality is the fast common
+  // case; a different buffer just re-parses)
+  @transient private var cachedRef: AnyRef = _
+  @transient private var cachedSketch: CountMinSketch = _
+
+  override def nullSafeEval(sketchBytes: Any, value: Any): Any = {
+    val bytes = sketchBytes.asInstanceOf[Array[Byte]]
+    if (!(bytes.asInstanceOf[AnyRef] eq cachedRef)) {
+      cachedSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+      cachedRef = bytes
+    }
+    value match {
+      case s: UTF8String => cachedSketch.estimateCount(s.getBytes)
+      case i: java.lang.Integer =>
+        cachedSketch.estimateCount(java.lang.Long.valueOf(i.longValue()))
+      case l => cachedSketch.estimateCount(l)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}

@@ -239,6 +239,51 @@ case class PayloadByteSum(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization — the canonicalization step every
+  * cross-source text pipeline needs before hashing/dedup (café as
+  * e+COMBINING ACUTE vs precomposed é must fingerprint identically;
+  * Spark ships no Unicode-normalization builtin). Stays inside
+  * whole-stage codegen: the generated code is one
+  * `java.text.Normalizer` call, with an `isNormalized` fast path so the
+  * (overwhelmingly common at corpus scale) already-NFC row costs a
+  * quick-check scan and ZERO allocation.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc"
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      s"""
+         |String $s = $c.toString();
+         |${ev.value} = java.text.Normalizer.isNormalized(
+         |    $s, java.text.Normalizer.Form.NFC)
+         |  ? $c
+         |  : org.apache.spark.unsafe.types.UTF8String.fromString(
+         |      java.text.Normalizer.normalize(
+         |        $s, java.text.Normalizer.Form.NFC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.bridge
   import org.apache.spark.sql.Column
@@ -260,4 +305,7 @@ object TextExpressions {
 
   def hashedSorted60(strings: Column): Column =
     bridge.column(HashedSorted60(bridge.expression(strings)))
+
+  def nfc(text: Column): Column =
+    bridge.column(NfcNormalize(bridge.expression(text)))
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+
+/** Bloom-filter semi-join reduction — the shuffle-volume lever for the
+  * 100 TB join regime InjectRuntimeFilter does NOT reach on its own
+  * (Spark's optimizer only injects a runtime bloom when the build side
+  * carries a selective predicate it can see; a build side that is small
+  * because of its NATURE — this quarter's partition, yesterday's delta,
+  * a curated id list — gets no filter, and the full probe table pays the
+  * join shuffle).
+  *
+  * Mechanics, all engine-native: the build side aggregates its join-key
+  * `xxhash64` into one bloom filter (`BloomFilterAggregate` — mergeable
+  * partials, so the build is one map-side-combined pass), that one-row
+  * result rides a scalar subquery (planned once, result broadcast to
+  * every probe task exactly like a runtime filter), and the probe scans
+  * through `might_contain` BEFORE its exchange — rows that cannot match
+  * never enter the shuffle. Blooms have no false negatives and the
+  * equi-join re-checks survivors, so the result is EXACTLY the plain
+  * join for any fpp; the filter only sheds work.
+  *
+  * Scale shape: probe-side shuffle bytes drop to (build reach + fpp) of
+  * the table; the bloom itself is the only extra cost — size it with
+  * `expectedItems` ≈ build-side distinct keys (bits follow the standard
+  * −n·ln(p)/ln²2 formula, ~9.2 bits/key at 1% — a 10⁸-key build side is
+  * a ~110 MB bloom, still far cheaper than shuffling a 100 TB probe).
+  */
+object BloomJoin {
+
+  /** Inner equi-join on `keys` with the probe side pre-reduced by a
+    * build-side bloom. Result is exactly `probe.join(build, keys)`.
+    */
+  def bloomPrefilterJoin(probe: DataFrame, build: DataFrame,
+      keys: Seq[String], expectedItems: Long,
+      fpp: Double = 0.01): DataFrame =
+    bloomReduce(probe, build, keys, expectedItems, fpp).join(build, keys)
+
+  /** Just the reduction: `probe` rows whose key-hash might be present in
+    * `build`'s key set (a superset of the semi-join by ≤ fpp). Use
+    * directly when the consumer is not a join — e.g. shedding log lines
+    * against a deny-list before an aggregation.
+    */
+  def bloomReduce(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(keys.nonEmpty, "bloomReduce: at least one join key")
+    require(expectedItems > 0,
+      s"bloomReduce: expectedItems must be > 0: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"bloomReduce: fpp must be in (0,1): $fpp")
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloomAgg = build.select(bridge.column(
+      new BloomFilterAggregate(
+          bridge.expression(xxhash64(keys.map(build(_)): _*)),
+          Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression()).as("__bloom"))
+    val bloomSub = ScalarSubquery(bloomAgg.queryExecution.analyzed)
+    probe.filter(bridge.column(BloomFilterMightContain(bloomSub,
+      bridge.expression(xxhash64(keys.map(probe(_)): _*)))))
+  }
+}

@@ -104,6 +104,51 @@ object Relational {
     df.filter(shiftright(hashUnit(key), 20) * 1000000L <
       ratePpm.cast("long") * (1L << 40))
 
+  /** Target-proportion corpus rebalancing: COMPUTE the per-group keep
+    * rates [[mixtureSample]] consumes from observed group counts and a
+    * target mixture ("the output should be 40% books / 10% crawl / ...").
+    * A filter can only downsample, so rates normalize against the most
+    * under-represented group relative to its target (that group keeps
+    * everything, rate 10⁶ ppm); every other group is thinned toward the
+    * target proportions: rate_g = 10⁶ · (w_g/n_g) / max_h(w_h/n_h).
+    *
+    * Exactness (the cross-engine contract): the per-group target/count
+    * ratio is quantized once to `ratio_q = (w·2⁴⁰) div n` — pure long
+    * arithmetic (weights are ppm-bounded, so w·2⁴⁰ < 2⁶³) — and the rate
+    * is `(ratio_q·10⁶) div max(ratio_q)` in exact decimal(38,0): every
+    * engine computes identical integers, and the ~2⁻⁴⁰ quantization is
+    * orders below any sampling-rate granularity that matters.
+    *
+    * `targets` rows: (group value, weight in (0, 10⁶]) — weights are
+    * RELATIVE (only ratios matter); groups absent from `targets` are
+    * dropped (a curation mixture enumerates what it wants). A
+    * non-positive or over-bound weight is a caller bug and raises
+    * in-plan, matching [[upsampleWeighted]]'s contract.
+    *
+    * Scale shape: one map-side-combined count to the |groups| grain, the
+    * rate algebra on that tiny table (one-row max broadcast back), then
+    * one broadcast join of rates onto the corpus feeding the pushed-down
+    * [[mixtureSample]] predicate — the corpus itself never shuffles.
+    */
+  def rebalanceToTarget(df: DataFrame, key: Column, groupCol: String,
+      targets: DataFrame, weightCol: String = "weight_ppm"): DataFrame = {
+    val wRaw = col(weightCol).cast("long")
+    val w = when(wRaw <= 0L || wRaw > 1000000L, raise_error(concat(
+        lit("rebalanceToTarget: weight out of (0, 1e6]: "),
+        wRaw.cast("string"))))
+      .otherwise(wRaw)
+    val ratios = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .join(targets.select(col(groupCol), w.as("__w")), Seq(groupCol))
+      .withColumn("__ratio_q", expr(s"__w * ${1L << 40} div __n"))
+    val mx = ratios.agg(max(col("__ratio_q")).as("__mx"))
+    val rates = ratios.join(broadcast(mx))
+      .withColumn("rate_ppm",
+        expr("CAST(__ratio_q AS DECIMAL(38,0)) * 1000000 div __mx"))
+      .select(col(groupCol), col("rate_ppm"))
+    mixtureSample(
+      df.join(broadcast(rates), Seq(groupCol)), key, col("rate_ppm"))
+  }
+
   /** Deterministic stratified sample: exactly min(k, |group|) rows per
     * group, chosen by hash order (ties broken by the key itself). One
     * shuffle on the group key; WindowGroupLimit caps per-group state at k

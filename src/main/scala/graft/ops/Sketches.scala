@@ -43,4 +43,33 @@ object Sketches {
   /** Estimated distinct count of a sketch column (long — Spark rounds
     * the HLL estimator's output). */
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  /** Per-group count-min FREQUENCY sketch of `valueCol` (binary column
+    * `sketch`) — the mergeable heavy-hitter/frequency artifact: HLL
+    * answers "how many distinct", CMS answers "how often does THIS value
+    * occur" in ε·N slack without a per-key aggregation. Built with
+    * Spark's native `count_min_sketch` aggregate (partials merge
+    * map-side like any agg). The seed is an explicit parameter —
+    * estimates are only reproducible against a sketch built with the
+    * same (eps, confidence, seed).
+    */
+  def freqSketch(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      eps: Double = 0.0001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val agg = count_min_sketch(valueCol, lit(eps), lit(confidence),
+      lit(seed)).as("sketch")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** CMS point query: estimated occurrence count of `value` in the data
+    * `sketch` was built over. Always ≥ the true count; ≤ true + ε·N with
+    * the sketch's configured confidence. Runs at candidate grain via the
+    * native [[graft.functions.CmsEstimate]] expression.
+    */
+  def estimateFreq(sketch: Column, value: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.CmsEstimate(
+      bridge.expression(sketch), bridge.expression(value)))
+  }
 }

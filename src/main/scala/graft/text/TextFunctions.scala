@@ -105,6 +105,16 @@ object TextFunctions {
   /** Content fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Full cross-source canonical form: Unicode NFC (combining sequences
+    * fold to precomposed — café is café however it was typed), then the
+    * [[normalized]] case/whitespace pass. Use this (not [[normalized]])
+    * when corpora mix sources/encoders, so fingerprint-keyed dedup and
+    * removal lists match content across them. Scan-local and codegen'd
+    * end to end ([[graft.functions.NfcNormalize]]).
+    */
+  def canonicalText(text: Column): Column =
+    normalized(graft.functions.TextExpressions.nfc(text))
+
   /** PII patterns for [[redactPii]]: deliberately engine-portable regexes
     * (plain character classes and bounded repetition — identical under
     * Java regex and RE2) for the highest-yield scrub targets. Order

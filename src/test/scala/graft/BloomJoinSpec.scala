@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.BloomJoin
+
+class BloomJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloomPrefilterJoin equals the plain inner join exactly") {
+    val probe = (1L to 5000L).map(i => (i, s"p$i")).toDF("k", "pv")
+    val build = (1L to 5000L by 17).map(i => (i, s"b$i")).toDF("k", "bv")
+    val expected = probe.join(build, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    // tiny bloom (high fpp) on purpose: false positives MUST be cleaned
+    // up by the join re-check, so the result is identical at any sizing
+    val got = BloomJoin.bloomPrefilterJoin(probe, build, Seq("k"),
+        expectedItems = 300L, fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("bloomReduce: superset of semi-join, sheds most non-matching rows") {
+    val probe = (1L to 20000L).toDF("k")
+    val build = (1L to 20000L by 100).toDF("k") // 200 keys
+    val kept = BloomJoin.bloomReduce(probe, build, Seq("k"),
+        expectedItems = 200L, fpp = 0.01)
+      .collect().map(_.getLong(0)).toSet
+    val matching = build.collect().map(_.getLong(0)).toSet
+    assert(matching.subsetOf(kept)) // no false negatives, ever
+    // at fpp=1% the pass-through of the 19,800 non-matching rows should
+    // be a few hundred at most (generous bound: 5%)
+    assert(kept.size - matching.size <= 1000,
+      s"bloom shed too little: ${kept.size} kept of 20000")
+  }
+
+  test("plan: might_contain runs as a probe-side filter with a subquery") {
+    val probe = (1L to 100L).map(i => (i, i % 7)).toDF("k", "v")
+    val build = (1L to 10L).toDF("k")
+    val plan = BloomJoin.bloomPrefilterJoin(probe, build, Seq("k"),
+        expectedItems = 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("Subquery") || plan.contains("subquery"), plan)
+  }
+
+  test("multi-column keys and sizing guards") {
+    val probe = Seq((1L, "a", 10), (1L, "b", 20), (2L, "a", 30))
+      .toDF("k1", "k2", "v")
+    val build = Seq((1L, "a"), (2L, "b")).toDF("k1", "k2")
+    val got = BloomJoin.bloomPrefilterJoin(probe, build, Seq("k1", "k2"),
+        expectedItems = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, "a", 10))) // (1,b)/(2,a) don't match
+    intercept[IllegalArgumentException] {
+      BloomJoin.bloomReduce(probe, build, Seq.empty, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      BloomJoin.bloomReduce(probe, build, Seq("k1"), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      BloomJoin.bloomReduce(probe, build, Seq("k1"), 10L, fpp = 1.5)
+    }
+  }
+}

@@ -289,6 +289,40 @@ class RelationalSpec extends SparkSpec {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("rebalanceToTarget: anchor group keeps all, others thin to ratio") {
+    // a: 4000 rows, b: 1000 rows, equal target weights → b is the most
+    // under-represented (keeps everything, rate 1e6); a thins to 1/4
+    val df = ((1L to 4000L).map(("a", _)) ++ (9001L to 10000L).map(("b", _)))
+      .toDF("g", "id")
+    val targets = Seq(("a", 500000L), ("b", 500000L), ("zz", 500000L))
+      .toDF("g", "weight_ppm")
+    val out = Relational.rebalanceToTarget(df, col("id"), "g", targets)
+    val rates = out.select("g", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("b") == 1000000L)
+    assert(rates("a") == 250000L)
+    val kept = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("b") == 1000L)             // rate 1e6 keeps every row
+    assert(math.abs(kept("a") - 1000L) < 120) // ~25% of 4000
+    assert(!kept.contains("zz"))           // target with no rows: absent
+    // group with no target row is dropped, not passed through
+    val noTgt = Relational.rebalanceToTarget(
+      df, col("id"), "g", targets.filter(col("g") === "b"))
+    assert(noTgt.select("g").distinct().collect().map(_.getString(0))
+      .toSeq == Seq("b"))
+  }
+
+  test("rebalanceToTarget: out-of-range weight fails loudly") {
+    val df = Seq(("a", 1L)).toDF("g", "id")
+    val bad = Seq(("a", 0L)).toDF("g", "weight_ppm")
+    val e = intercept[Exception] {
+      Relational.rebalanceToTarget(df, col("id"), "g", bad).collect()
+    }
+    assert(e.getMessage.contains("weight out of"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("quantilesCont: type-7 interpolation on known data") {
     // values 1..4: q=0.5 → h=2.5 → (2+3)/2; q=0.25 → h=1.75 → 1.75
     val df = Seq(1.0, 2.0, 3.0, 4.0).map(("g", _)).toDF("k", "v")

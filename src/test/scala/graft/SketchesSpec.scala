@@ -40,4 +40,43 @@ class SketchesSpec extends SparkSpec {
       .orderBy("k").collect().map(r => r.getString(0) -> r.getLong(1))
     assert(back.length == 2 && back.forall(_._2 == 50L))
   }
+
+  test("cms: estimate ≥ exact, within eps·N; long and string paths") {
+    // skewed longs: value v occurs v times, N = 1+2+..+100 = 5050
+    val rows = (1L to 100L).flatMap(v => Seq.fill(v.toInt)(v))
+    val df = rows.toDF("v")
+    val sk = Sketches.freqSketch(df, Seq.empty, col("v"), eps = 0.001)
+    val est = df.select(col("v")).distinct()
+      .join(broadcast(sk))
+      .select(col("v"), Sketches.estimateFreq(col("sketch"), col("v"))
+        .as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 100L).foreach { v =>
+      assert(est(v) >= v, s"underestimate at $v: ${est(v)}")
+      assert(est(v) <= v + math.ceil(5050 * 0.001).toLong + 1,
+        s"overestimate at $v: ${est(v)}")
+    }
+    // string build path (agg addBinary) must match the probe's byte path
+    val sdf = Seq("a", "a", "a", "b").toDF("s")
+    val ssk = Sketches.freqSketch(sdf, Seq.empty, col("s"), eps = 0.01)
+    val sest = sdf.distinct().join(broadcast(ssk))
+      .select(col("s"), Sketches.estimateFreq(col("sketch"), col("s"))
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sest("a") == 3L && sest("b") == 1L)
+    // an absent value estimates near zero (≤ eps·N collisions)
+    val absent = Seq("zzz").toDF("s").join(broadcast(ssk))
+      .select(Sketches.estimateFreq(col("sketch"), col("s")))
+      .head.getLong(0)
+    assert(absent <= 1L, s"absent=$absent")
+  }
+
+  test("cms: per-group sketches keep group counts separate") {
+    val df = Seq(("g1", 7L), ("g1", 7L), ("g2", 7L)).toDF("k", "v")
+    val sk = Sketches.freqSketch(df, Seq("k"), col("v"), eps = 0.01)
+    val got = sk.select(col("k"),
+        Sketches.estimateFreq(col("sketch"), lit(7L)).as("est"))
+      .orderBy("k").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq == Seq("g1" -> 2L, "g2" -> 1L))
+  }
 }

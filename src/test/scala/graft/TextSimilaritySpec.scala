@@ -30,6 +30,44 @@ class TextSimilaritySpec extends SparkSpec {
     assert(r.getSeq[Long](1) == clean)
   }
 
+  test("nfc: decomposed folds to precomposed, identity stays, null safe") {
+    import graft.functions.TextExpressions
+    val df = Seq(
+      ("decomposed", "Cafe\u0301"),         // e + U+0301
+      ("precomposed", "Caf\u00e9"),         // precomposed
+      ("ascii", "plain text"),
+      ("null", null: String)
+    ).toDF("k", "s")
+    val got = df.select(col("k"), TextExpressions.nfc(col("s")).as("n"),
+        length(TextExpressions.nfc(col("s"))).as("len"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .toMap
+    assert(got("decomposed") == (Some("Caf\u00e9"), 4)) // folded, 4 chars
+    assert(got("precomposed") == (Some("Caf\u00e9"), 4))
+    assert(got("ascii") == (Some("plain text"), 10))
+    assert(got("null") == (None, -1))
+    // canonicalText makes the two typings fingerprint-identical
+    val fp = df.filter(col("s").isNotNull)
+      .select(md5(TextFunctions.canonicalText(col("s"))).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fp(0) == fp(1))
+    // the expression stays inside whole-stage codegen (no fallback);
+    // a range source keeps the projection in the plan (a local Seq
+    // collapses to LocalTableScan and proves nothing)
+    val plan = spark.range(2)
+      .select(TextExpressions.nfc(concat(lit("x"), col("id"))))
+      .queryExecution.executedPlan.toString
+    // "*(1) Project" = codegen'd stage; a CodegenFallback expression
+    // would print a bare (un-starred) Project
+    assert(plan.contains("*(1) Project"), plan)
+    // and is SQL-registered via GraftExtensions (NB: Spark's chr() is
+    // mod-256 ASCII unlike DuckDB's codepoint chr \u2014 pass the combining
+    // mark as a literal)
+    assert(spark.sql("SELECT nfc('Cafe\u0301')").head.getString(0)
+      == "Caf\u00e9")
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val df = Seq("hello, world! x2", "", "   ").toDF("text")
     val r = df.select(
