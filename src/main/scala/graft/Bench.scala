@@ -114,13 +114,23 @@ object Bench {
     * flips (norm-preserving, bucket-rerandomizing — a pure scale of the
     * vector would keep the sign-LSH bucket identical and fake n× bucket
     * density instead of n× distinct vectors): replica r flips the
-    * dimensions whose index mod n is below r — n distinct patterns.
+    * dimensions a Murmur3 parity of (r, dim) selects — ~half the dims,
+    * and any two replicas differ in ~half as well (i.i.d. parities), so
+    * cross-replica cosine of the same base vector concentrates near 0
+    * REGARDLESS of n. The earlier `i mod n < r` pattern violated that at
+    * n=16: adjacent replicas differed in only 4/64 dims (cosine ≈ 0.87 ±
+    * mass noise), so the scale-up itself MANUFACTURED ≥0.9 near-dup
+    * pairs (measured: 0 → 1 → 6,473 pairs at 1×/4×/16×) and the sweep
+    * conflated answer-size growth with operator cost. Sign flips applied
+    * uniformly within a replica preserve all intra-replica cosines, so
+    * the true answer scales exactly linearly: n × the base answer.
     */
   private def embsNx(e: DataFrame, n: Int): DataFrame =
     (0 until n).map { r =>
       e.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
-          when(pmod(i, lit(n)) < lit(r), -x).otherwise(x)).as("embedding"))
+          when(pmod(hash(lit(r), i), lit(2)) === 1, -x).otherwise(x))
+          .as("embedding"))
     }.reduce(_ unionByName _)
 
   /** Scale sweep over the heavy bucketed near-dup/ANN paths: each
@@ -173,14 +183,20 @@ object Bench {
         Dedup.editDistancePairs(c, "text", "doc_id", "source",
           maxDist = 4, prefixLen = 200)
       },
-      // the remaining two near-dup blockers: q27 applies the same
-      // planes ~ log₄(n) knob as q43 (sign-LSH occupancy constant);
-      // q28's 16-bit band keys are sparse in a 64-bit space, so distinct
-      // docs stay in distinct buckets by construction
+      // the remaining two near-dup blockers. q27 runs the OCCUPANCY-
+      // CAPPED adaptive variant with IDENTICAL parameters at every scale
+      // — that is the point being measured: the r7 diagnosis showed the
+      // planes ~ log₄(n) knob under-compensates on correlated embeddings
+      // (each hyperplane bit carries < 1 bit of bucket entropy, measured
+      // candidate growth ×5.3/×5.9 per 4× step), while the cap bounds
+      // candidate volume at n·cap/2 with no per-scale tuning. q28's
+      // 16-bit band keys are sparse in a 64-bit space, so distinct docs
+      // stay in distinct buckets by construction
       "q27_embedding_neardup" -> { scale =>
-        val (e, planes) = embsAt(scale)
-        Dedup.embeddingNearDups(e, "embedding", "vec_id",
-          dims = 64, planes = planes, threshold = 0.9)
+        val (e, _) = embsAt(scale)
+        Dedup.embeddingNearDupsAdaptive(e, "embedding", "vec_id",
+          dims = 64, basePlanes = 4, maxPlanes = 16, bucketCap = 512,
+          threshold = 0.9)
       },
       "q28_simhash_neardup" -> { scale =>
         val c = docsAt(scale)
@@ -208,22 +224,30 @@ object Bench {
       // r5 sweep reported q51 x1=7.9 s (cold codegen on a fresh plan) vs
       // the main bench's steady 2.4 s, which inverted the slope (ratio
       // 0.38 on a linear operator) — a cold sample must not set the slope
-      // each point returns (wall seconds, shuffle bytes): wall measures
-      // THIS box, bytes measure the WORK — on a fixed 32-core machine the
-      // 16× wall ratio converges to 4 (linear work at CPU saturation)
-      // and can't stay below it, while the bytes ratio is the
-      // partitioning-independent evidence a cluster scales on
-      def run(scale: Int): (Double, Long) = {
-        def one: (Double, Long) = {
+      // each point returns (wall seconds, shuffle bytes, output rows):
+      // wall measures THIS box, bytes measure the WORK — on a fixed
+      // 32-core machine the 16× wall ratio converges to 4 (linear work
+      // at CPU saturation) and can't stay below it, while the bytes
+      // ratio is the partitioning-independent evidence a cluster scales
+      // on — and rows measure the ANSWER, separating inherent
+      // output-size growth from operator overhead (the r7 q27 lesson:
+      // a replica construction that manufactures near-dups makes any
+      // correct detector look superlinear)
+      def run(scale: Int): (Double, Long, Long) = {
+        def one: (Double, Long, Long) = {
           val meter = new ShuffleMeter
           spark.sparkContext.addSparkListener(meter)
+          // answer size rides an Observation (CollectMetrics inside the
+          // same action — no second job, unlike a .count())
+          val obs = org.apache.spark.sql.Observation(s"sweep_$name")
           val t0 = System.nanoTime()
-          mk(scale).write.format("noop").mode("overwrite").save()
+          mk(scale).observe(obs, count(lit(1)).as("rows"))
+            .write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
           org.apache.spark.graft.corebridge
             .drainListenerBus(spark.sparkContext)
           spark.sparkContext.removeSparkListener(meter)
-          (sec, meter.bytes.get)
+          (sec, meter.bytes.get, obs.get("rows").asInstanceOf[Long])
         }
         // short points are scheduler-noise-dominated (±50% swings flipped
         // a 4× ratio past linear in r6 dry runs) — buy them a third
@@ -239,20 +263,23 @@ object Bench {
       // degrade per case (like exec's -1.0) — one failing case must not
       // discard the other cases' completed samples
       try {
-        val (x1, b1) = run(1)
-        val (x4, b4) = run(4)
+        val (x1, b1, r1) = run(1)
+        val (x4, b4, r4) = run(4)
         val x16 = if (threePoint.contains(name)) Some(run(16)) else None
-        val tail = x16.map { case (v, b16) =>
-          s""","x16":$v,"ratio16":${v / x4},"bytes_x16":$b16""" }
+        val tail = x16.map { case (v, b16, r16) =>
+          s""","x16":$v,"ratio16":${v / x4},"bytes_x16":$b16""" +
+            s""","rows_x16":$r16""" }
           .getOrElse("")
         System.err.println(f"[bench] sweep $name%-24s x1=$x1%6.2f s  " +
-          f"x4=$x4%6.2f s  ratio=${x4 / x1}%5.2f" +
-          x16.map { case (v, b16) =>
+          f"x4=$x4%6.2f s  ratio=${x4 / x1}%5.2f  rows=$r1%d/$r4%d" +
+          x16.map { case (v, b16, r16) =>
             f"  x16=$v%6.2f s  ratio16=${v / x4}%5.2f  " +
-              f"bytes16/4=${b16.toDouble / b4}%5.2f" }.getOrElse("") +
+              f"bytes16/4=${b16.toDouble / b4}%5.2f  rows16=$r16%d" }
+            .getOrElse("") +
           " (linear=4, quadratic=16)")
         s""""$name":{"x1":$x1,"x4":$x4,"ratio":${x4 / x1},""" +
-          s""""bytes_x1":$b1,"bytes_x4":$b4$tail}"""
+          s""""bytes_x1":$b1,"bytes_x4":$b4,""" +
+          s""""rows_x1":$r1,"rows_x4":$r4$tail}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sweep $name failed: ${e.getMessage}")
         s""""$name":null"""

@@ -1513,6 +1513,24 @@ object SparkEntry {
         .select(col("user_id"), col("exact_n"))
         .orderBy(col("exact_n").desc, col("user_id"))
     },
+
+    // X94 — occupancy-capped adaptive sign-LSH near-dups: every vector's
+    // 16-bit code computed once, depth = first ladder prefix whose
+    // global bucket count <= cap (24, small enough to force refinement
+    // at harness SFs), pairs within (depth, prefix), exact-cosine verify
+    "q106_adaptive_neardup" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val mut = e.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * 1.01d + 0.05d).cast("float"))
+            .as("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(mut)
+      graft.dedup.Dedup.embeddingNearDupsAdaptive(corpus, "embedding",
+          "vec_id", dims = 64, basePlanes = 4, maxPlanes = 16,
+          bucketCap = 24, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -3892,5 +3910,64 @@ object SparkEntry {
       """SELECT user_id, count(*) AS exact_n
         |FROM events GROUP BY user_id
         |ORDER BY exact_n DESC, user_id LIMIT 10""".stripMargin,
+
+    // the adaptive depth rule in SQL: prefix counts are non-increasing
+    // in depth, so depth = min ladder d with count <= cap (else the
+    // 16-bit floor); buckets are (depth, code mod 2^depth)
+    "q106_adaptive_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) * 1.01
+        |      + 0.05 AS REAL) AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id % 13 = 0
+        |), codes AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_transform(generate_series(0, 15), j ->
+        |      CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
+        |          v[i + 1] * (CAST((j * 73856093 + i * 19349663) % 10007
+        |                      AS DOUBLE) / 10007.0 - 0.5)),
+        |        (a, b) -> a + b) >= 0
+        |      THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END),
+        |      (a, b) -> a + b) AS code
+        |  FROM corpus
+        |), ladder AS (
+        |  SELECT unnest([4, 6, 8, 10, 12, 14]) AS d
+        |), hist AS (
+        |  SELECT d, code % (CAST(1 AS BIGINT) << d) AS k, count(*) AS c
+        |  FROM codes, ladder GROUP BY 1, 2
+        |), vdepth AS (
+        |  SELECT c.vec_id, coalesce(min(h.d), 16) AS depth
+        |  FROM codes c LEFT JOIN hist h
+        |    ON h.c <= 24 AND h.k = c.code % (CAST(1 AS BIGINT) << h.d)
+        |  GROUP BY c.vec_id
+        |), assigned AS (
+        |  SELECT codes.vec_id, v, depth,
+        |    code % (CAST(1 AS BIGINT) << depth) AS bk
+        |  FROM codes JOIN vdepth USING (vec_id)
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+        |  FROM assigned a JOIN assigned b
+        |    ON a.depth = b.depth AND a.bk = b.bk AND a.vec_id < b.vec_id
+        |), scored AS (
+        |  SELECT id_a, id_b,
+        |    list_reduce(list_transform(list_zip(va, vb),
+        |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (a, b) -> a + b) AS dp,
+        |    sqrt(list_reduce(list_transform(va, x -> x * x),
+        |      (a, b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_transform(vb, x -> x * x),
+        |      (a, b) -> a + b)) AS nb
+        |  FROM pairs
+        |)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb) ELSE 0.0 END,
+        |    6) AS cos
+        |FROM scored
+        |WHERE round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
+        |  ELSE 0.0 END, 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

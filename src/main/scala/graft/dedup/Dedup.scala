@@ -504,4 +504,93 @@ object Dedup {
           dp / (col("__na") * col("__nb"))).otherwise(0d), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Occupancy-capped adaptive sign-LSH near-dup pairs — the
+    * scale-robust variant of [[embeddingNearDups]]. Fixed-plane sign-LSH
+    * has a measured flaw at scale: on real (correlated) embeddings each
+    * hyperplane bit carries LESS than one bit of bucket entropy, so
+    * growing `planes` with log₄(n) under-compensates and candidate
+    * volume Σ c_b² creeps superlinear (measured on the bench corpus:
+    * occupancy skew max/mean 3× at 4 planes → 9× at 8 planes; candidate
+    * pairs ×5.3 and ×5.9 per 4× data step). The fix is to spend bits
+    * only where the data is dense: every vector's `maxPlanes`-bit code
+    * is computed ONCE (scan-local codegen'd dot products), and a vector
+    * settles at the FIRST ladder depth d ∈ {base, base+2, …} whose
+    * global d-bit-prefix bucket holds ≤ `bucketCap` vectors (prefix
+    * counts are non-increasing in d, so "first" is well-defined and the
+    * resulting (depth, prefix) buckets form the leaves of a prefix
+    * tree — a partition). Dense regions refine deeper, sparse regions
+    * stay shallow, and candidate volume is ≤ n·bucketCap/2 + the
+    * maxPlanes floor — LINEAR in n for a fixed cap, with no per-scale
+    * knob to hand-tune.
+    *
+    * Recall contract: refinement only splits buckets ABOVE the cap, so
+    * it loses exactly the cross-child pairs a globally-deeper `planes`
+    * would lose, but only in dense regions — recall elsewhere is that of
+    * `basePlanes`. Identical/near-identical vectors agree on all bits
+    * and keep colliding at any depth.
+    *
+    * Scale shape: one histogram aggregation at (ladder × prefix) grain
+    * (map-side combined; ≤ Σ min(2^d, n) rows — bucket-grain, broadcast
+    * back per depth, no vector-side shuffle), then the usual bucket
+    * equi-join + exact-cosine verify. For maxPlanes ≳ 20 the histogram's
+    * deep levels should be pruned to children of oversized parents
+    * (bounded by 4·n/bucketCap rows) before broadcast; at the default 16
+    * the full ladder is already bucket-grain.
+    */
+  def embeddingNearDupsAdaptive(df: DataFrame, vecCol: String,
+      idCol: String, dims: Int, basePlanes: Int = 4, maxPlanes: Int = 16,
+      bucketCap: Int = 512, threshold: Double = 0.9): DataFrame = {
+    import graft.similarity.Similarity
+    require(basePlanes >= 1 && basePlanes <= maxPlanes && maxPlanes <= 62,
+      s"embeddingNearDupsAdaptive: need 1 <= basePlanes <= maxPlanes " +
+        s"<= 62, got ($basePlanes, $maxPlanes)")
+    require((maxPlanes - basePlanes) % 2 == 0,
+      s"embeddingNearDupsAdaptive: ladder steps by 2, so maxPlanes - " +
+        s"basePlanes must be even: got ($basePlanes, $maxPlanes)")
+    require(bucketCap > 0,
+      s"embeddingNearDupsAdaptive: bucketCap must be > 0: $bucketCap")
+    // depths that can STOP a vector early; maxPlanes is the floor
+    val ladder = basePlanes until maxPlanes by 2
+    val b = df.select(col(idCol),
+        Similarity.asDouble(col(vecCol)).as("__vd"))
+      .select(col(idCol), col("__vd"),
+        Similarity.lshBucket(col("__vd"), dims, maxPlanes).as("__code"),
+        Similarity.l2Norm(col("__vd")).as("__norm"))
+    val hist = b.select(explode(array(ladder.map(d =>
+        struct(lit(d).as("__d"),
+          col("__code").bitwiseAND(lit((1L << d) - 1)).as("__k"))): _*))
+        .as("__dk"))
+      .select(col("__dk.__d").as("__d"), col("__dk.__k").as("__k"))
+      .groupBy(col("__d"), col("__k")).agg(count(lit(1)).as("__c"))
+    // per-depth counts ride broadcast joins onto the vector stream — the
+    // histogram is bucket-grain, the vectors never shuffle for this
+    var cur = b
+    for (d <- ladder) {
+      val h = broadcast(hist.filter(col("__d") === d)
+        .select(col("__k").as(s"__k$d"), col("__c").as(s"__c$d")))
+      cur = cur.join(h,
+        cur("__code").bitwiseAND(lit((1L << d) - 1)) === h(s"__k$d"))
+    }
+    val depth = ladder.foldRight(lit(maxPlanes): Column)((d, deeper) =>
+      when(col(s"__c$d") <= bucketCap, lit(d)).otherwise(deeper))
+    val bk = ladder.foldRight(
+        col("__code").bitwiseAND(lit((1L << maxPlanes) - 1)): Column)(
+      (d, deeper) => when(col(s"__c$d") <= bucketCap,
+        col("__code").bitwiseAND(lit((1L << d) - 1))).otherwise(deeper))
+    val assigned = cur.select(col(idCol), col("__vd"), col("__norm"),
+      depth.as("__depth"), bk.as("__bk"))
+    val l = assigned.select(col(idCol).as("id_a"), col("__vd").as("__va"),
+      col("__depth"), col("__bk"), col("__norm").as("__na"))
+    val r = assigned.select(col(idCol).as("id_b"), col("__vd").as("__vb"),
+      col("__depth"), col("__bk"), col("__norm").as("__nb"))
+    val dp = Similarity.dot(col("__va"), col("__vb"))
+    l.repartition(col("__depth"), col("__bk"))
+      .join(r, Seq("__depth", "__bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(when(col("__na") > 0 && col("__nb") > 0,
+          dp / (col("__na") * col("__nb"))).otherwise(0d), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

@@ -182,6 +182,47 @@ class DedupSpec extends SparkSpec {
     assert(nd == Set((1L, 2L)))
   }
 
+  test("embeddingNearDupsAdaptive: cap off == fixed basePlanes; dense " +
+      "buckets refine under the cap; guards raise") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    // 40 random 8-dim vectors + 3 exact copies of the first → a corpus
+    // with one duplicate family and generic occupancy elsewhere
+    val base = (1L to 40L).map(id =>
+      (id, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val dups = (101L to 103L).map(id => (id, base.head._2.clone()))
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    // cap larger than n: nothing refines, result == fixed-plane variant
+    val fixed = Dedup.embeddingNearDups(vecs, "embedding", "vec_id",
+      dims = 8, planes = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lazyCap = Dedup.embeddingNearDupsAdaptive(vecs, "embedding",
+      "vec_id", dims = 8, basePlanes = 3, maxPlanes = 11,
+      bucketCap = 1000, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lazyCap == fixed)
+    // cap 1: everything refines to the floor, yet identical vectors
+    // share all 11 bits and still pair — the recall contract's fixed
+    // point (and the result is a subset of the lazy-cap pairs)
+    val tight = Dedup.embeddingNearDupsAdaptive(vecs, "embedding",
+      "vec_id", dims = 8, basePlanes = 3, maxPlanes = 11,
+      bucketCap = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dupPairs = Set((1L, 101L), (1L, 102L), (1L, 103L),
+      (101L, 102L), (101L, 103L), (102L, 103L))
+    assert(dupPairs.subsetOf(tight))
+    assert(tight.subsetOf(lazyCap))
+    // parameter guards fail fast
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsAdaptive(vecs, "embedding", "vec_id",
+        dims = 8, basePlanes = 4, maxPlanes = 7)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsAdaptive(vecs, "embedding", "vec_id",
+        dims = 8, bucketCap = 0)
+    }
+  }
+
   test("fingerprint is whitespace/case-insensitive md5") {
     val fp = docs.select(TextFunctions.fingerprint(col("text")).as("f"))
       .collect().map(_.getString(0))

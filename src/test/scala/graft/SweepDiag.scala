@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporary diagnostic: sign-LSH bucket occupancy skew under the sweep's
+  * replica scaling — candidate volume is Σ c_b² over bucket counts c_b.
+  */
+object SweepDiag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    def embsNx(e: DataFrame, n: Int): DataFrame =
+      (0 until n).map { r =>
+        e.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(pmod(hash(lit(r), i), lit(2)) === 1, -x).otherwise(x))
+            .as("embedding"))
+      }.reduce(_ unionByName _)
+
+    for ((scale, planes) <- Seq((1, 4), (4, 6), (16, 8), (16, 10))) {
+      val e = if (scale == 1) e1 else embsNx(e1, scale)
+      val b = e.select(graft.similarity.Similarity.lshBucket(
+        graft.similarity.Similarity.asDouble(col("embedding")), 64, planes)
+        .as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+      val row = b.agg(count(lit(1)).as("nb"), max("c").as("mx"),
+        sum(col("c") * col("c")).as("cand"), sum("c").as("n")).head
+      println(s"[diag] scale=$scale planes=$planes buckets=${row.getLong(0)} " +
+        s"max_occ=${row.getLong(1)} cand_pairs=${row.getLong(2)} " +
+        s"n=${row.getLong(3)}")
+    }
+    spark.stop()
+  }
+}
