@@ -1531,6 +1531,28 @@ object SparkEntry {
           bucketCap = 24, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))
     },
+
+    // X95 — max-containment pairs: the asymmetric dup signal (short doc
+    // quoted inside a long one) threshold-Jaccard structurally misses;
+    // same source-blocked verify tier as q19, min-size denominator
+    "q107_containment" -> { (s, dir) =>
+      graft.dedup.Dedup.blockedContainmentPairs(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("text")),
+          "text", "doc_id", "source", shingleN = 1, threshold = 0.8,
+          maxBlockSize = Int.MaxValue)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // X96 — winnowing fingerprint selection (SIGMOD'03): positional
+    // 3-gram hashes, min per 4-gram window, distinct kept per doc —
+    // the local-guarantee index for partial-overlap matching
+    "q108_winnow" -> { (s, dir) =>
+      graft.text.Corpus.winnowFingerprints(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id", shingleN = 3, window = 4)
+        .orderBy(col("doc_id"), col("fp"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -3969,5 +3991,69 @@ object SparkEntry {
         |WHERE round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
         |  ELSE 0.0 END, 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q19's shingle-hash CTE with the max-containment selection:
+    // denominator = least set size instead of inclusion-exclusion union
+    "q107_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    list_transform(list_distinct(list_filter(
+        |      string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ',
+        |        'g'))), '\s+'),
+        |      t -> t <> '')), x ->
+        |      list_reduce(list_transform(generate_series(1, 15), ii ->
+        |        CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |             THEN ascii(substr(md5(x), ii, 1)) - 48
+        |             ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b)) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS inter,
+        |    CAST(least(len(a.s), len(b.s)) AS DOUBLE) AS m
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  round(inter / m, 6) AS containment
+        |FROM pairs
+        |WHERE m > 0 AND round(inter / m, 6) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // winnowing in SQL: positional gram hash sequence (q19's 60-bit md5
+    // nibble fold), list_min per sliding window, distinct per doc; docs
+    // shorter than one window keep their single minimum
+    "q108_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(generate_series(0, len(tk) - 3), i ->
+        |        list_reduce(list_transform(generate_series(1, 15), ii ->
+        |          CAST(CASE WHEN ascii(substr(md5(
+        |              array_to_string(tk[i + 1:i + 3], ' ')), ii, 1)) <= 57
+        |            THEN ascii(substr(md5(
+        |              array_to_string(tk[i + 1:i + 3], ' ')), ii, 1)) - 48
+        |            ELSE ascii(substr(md5(
+        |              array_to_string(tk[i + 1:i + 3], ' ')), ii, 1)) - 87
+        |            END AS BIGINT)),
+        |          (a, b) -> a * 16 + b))
+        |    ELSE CAST([] AS BIGINT[]) END AS h
+        |  FROM toks
+        |), wm AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(h) >= 4 THEN
+        |      list_distinct(list_transform(generate_series(0, len(h) - 4),
+        |        j -> list_min(h[j + 1:j + 4])))
+        |    WHEN len(h) > 0 THEN [list_min(h)]
+        |    ELSE CAST([] AS BIGINT[]) END AS fps
+        |  FROM grams
+        |)
+        |SELECT doc_id, unnest(fps) AS fp FROM wm
+        |ORDER BY doc_id, fp""".stripMargin,
   )
 }

@@ -304,6 +304,61 @@ object Dedup {
         round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
   }
 
+  /** Containment near-dup pairs within a blocking key: (id_a, id_b,
+    * containment), id_a < id_b, containment = |A∩B| / min(|A|, |B|)
+    * rounded to 6 dp — the ASYMMETRIC dup signal Jaccard misses. A short
+    * document quoted whole inside a long one has |A∩B| = |A|, so
+    * containment = 1 while Jaccard = |A|/|B| → 0 as the host grows;
+    * threshold-Jaccard dedup structurally cannot catch subset duplication
+    * (quotes, abstracts embedded in full texts, page boilerplate around a
+    * syndicated article). Broder's max-containment form (both directions
+    * folded into the min-denominator) keeps the pair relation symmetric.
+    *
+    * Same blocked-pairwise scale shape, guard, and integer selection as
+    * [[blockedJaccardPairs]] (O(B²) verify tier inside bounded blocks —
+    * for open-ended corpora generate candidates with [[minhashLshPairs]]
+    * and verify with this predicate): `round(i/m, 6) ≥ t ⟺ 2e6·i ≥
+    * tNum·m` with m = min(|A|, |B|), plus the implied prefilter m > 0.
+    * The only size prefilter Jaccard gets from its threshold
+    * (size-ratio bounds) does NOT apply — containment is exactly the
+    * regime where set sizes differ wildly — so every in-block pair pays
+    * the sorted-merge intersect; bound blocks accordingly.
+    */
+  def blockedContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, shingleN: Int = 1, threshold: Double = 0.8,
+      maxBlockSize: Int = 10000): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    val tNum = 2L * math.round(threshold * 1e6) - 1 // 2e6·i >= tNum·m
+    // non-null empty-set coalesce: same optimizer trap as
+    // blockedJaccardPairs (nullable sh re-derives IsNotNull below the
+    // projection and predicate inlining doubles the md5 scan)
+    val d = df.select(col(blockCol).as("__blk"), col(idCol),
+      coalesce(hashedShingles(col(textCol), shingleN),
+        typedLit(Array.empty[Long])).as("sh"))
+    val l = d.withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__blk"))))
+      .select(col("__blk"), col("__bn"), col(idCol).as("id_a"),
+        col("sh").as("sh_a"), size(col("sh")).cast("long").as("__na"))
+    val r = d.select(col("__blk"), col(idCol).as("id_b"),
+      col("sh").as("sh_b"), size(col("sh")).cast("long").as("__nb"))
+    val guard = (col("__bn") <= maxBlockSize) ||
+      coalesce(raise_error(concat(
+        lit("Dedup.blockedContainmentPairs: block '"),
+        col("__blk").cast("string"), lit("' has "),
+        col("__bn").cast("string"),
+        lit(s" rows > maxBlockSize=$maxBlockSize; all-pairs verify is " +
+          "O(B²) - generate candidates with minhashLshPairs for " +
+          "unbounded blocks"))).cast("boolean"), lit(true))
+    val inter = graft.functions.VectorExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
+    val m = least(col("__na"), col("__nb"))
+    l.join(r, Seq("__blk"))
+      .filter(guard && col("id_a") < col("id_b") &&
+        m > 0 && inter * 2000000L >= m * tNum)
+      .select(col("id_a"), col("id_b"),
+        round(inter.cast("double") / m.cast("double"), 6).as("containment"))
+  }
+
   /** Edit-distance near-dup pairs with LENGTH-BUCKET blocking:
     * (id_a, id_b, dist), dist = levenshtein ≤ `maxDist` on the normalized
     * text truncated to `prefixLen` chars.

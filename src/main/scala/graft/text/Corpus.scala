@@ -451,4 +451,54 @@ object Corpus {
       TextFunctions.fingerprint(col(textCol)) === col("__rm_fp"),
       "left_anti")
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003): hash the POSITIONAL token `shingleN`-gram sequence, slide a
+    * `window`-gram window over it, keep each window's minimum hash, emit
+    * the distinct kept hashes per document → (id, fp).
+    *
+    * Why not MinHash: winnowing's guarantee is LOCAL — every window of
+    * `window` consecutive grams contributes a fingerprint, so any shared
+    * run of `window + shingleN − 1` tokens between two documents yields
+    * at least one shared fingerprint, whatever the rest of the documents
+    * look like. That makes the selected set the right index for partial
+    * overlap / plagiarism-style matching, where MinHash (a GLOBAL sample
+    * of the whole shingle set) dilutes a short shared passage to
+    * invisibility. Expected density is 2/(window+1) of all grams — the
+    * storage knob. Documents shorter than one window keep their single
+    * minimum (the paper's boundary rule), so every non-empty document
+    * fingerprints.
+    *
+    * Scale shape: entirely scan-local — tokenization, gram hashing
+    * (60-bit md5 prefix, the [[graft.dedup.Dedup.hashedShingles]]
+    * convention), window minima, and the distinct fold are one codegen'd
+    * higher-order-function chain per row; the only shuffle is whatever
+    * the caller does with the (id, fp) rows (typically a fp-keyed
+    * equi-join — the linear-candidate index that replaces all-pairs
+    * matching). Work per doc is O(grams · window); for the classic O(1)
+    * amortized rolling minimum trade the HOF for a mapPartitions deque —
+    * at window ≲ 16 the fused codegen loop wins.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, window: Int = 4): DataFrame = {
+    require(shingleN >= 1, s"shingleN must be >= 1: $shingleN")
+    require(window >= 1, s"window must be >= 1: $window")
+    val toks = TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
+    // positional gram hashes — NOT distinct, winnowing is positional
+    val grams = when(size(toks) >= shingleN,
+        transform(sequence(lit(0), size(toks) - shingleN),
+          i => conv(substring(md5(concat_ws(" ",
+            slice(toks, i + 1, lit(shingleN)))), 1, 15), 16, 10).cast("long")))
+      .otherwise(typedLit(Array.empty[Long]))
+    val h = col("__h")
+    val m = size(h)
+    val wmins = when(m >= window,
+        transform(sequence(lit(0), m - window),
+          j => array_min(slice(h, j + 1, lit(window)))))
+      .otherwise(when(m > 0, array(array_min(h)))
+        .otherwise(typedLit(Array.empty[Long])))
+    df.select(col(idCol), grams.as("__h"))
+      .select(col(idCol), explode(array_distinct(wmins)).as("fp"))
+  }
 }

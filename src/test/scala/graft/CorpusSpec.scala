@@ -284,4 +284,37 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.stopwordDiscovery(docs, "text", "doc_id", 300000L)
       .count() == 6L)
   }
+
+  test("winnowFingerprints: local guarantee, density, boundary rules") {
+    val w = 4; val n = 3
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen"),
+      // doc 2 shares the run "five six seven eight nine ten" (6 tokens =
+      // w + n - 1) with doc 1 inside otherwise-disjoint text
+      (2L, "alpha beta gamma delta five six seven eight nine ten " +
+        "epsilon zeta eta theta iota kappa"),
+      (3L, "tiny doc"),       // < n tokens → 0 grams → no rows
+      (4L, "just three words")) // 1 gram < w → its own min survives
+      .toDF("doc_id", "text")
+    val fps = Corpus.winnowFingerprints(corpus, "text", "doc_id",
+        shingleN = n, window = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the SIGMOD'03 local guarantee: a shared w+n-1-token run implies at
+    // least one shared fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).size == 1)
+    // density: ≤ one fp per window position, ≥ one per w consecutive
+    // windows (each doc 1/2 has 14 grams → 11 windows → 3..11 fps)
+    assert(byDoc(1L).size >= 3 && byDoc(1L).size <= 11)
+    // exact dups fingerprint identically
+    val dup = Seq((9L, "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val dupFps = Corpus.winnowFingerprints(dup, "text", "doc_id", n, w)
+      .collect().map(_.getLong(1)).toSet
+    assert(dupFps == byDoc(1L))
+  }
 }

@@ -46,6 +46,33 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 2)))
   }
 
+  test("blockedContainmentPairs: catches the subset dup Jaccard misses; " +
+      "oversized block raises") {
+    // doc 2 is doc 1's text quoted whole inside a much longer host:
+    // containment = 1.0 but unigram Jaccard = 8/23 < 0.5
+    val corpus = Seq(
+      (1L, "b", "the quick brown fox jumps over the lazy dog"),
+      (2L, "b", "the quick brown fox jumps over the lazy dog " +
+        "surrounded by fifteen extra words of host page boilerplate " +
+        "navigation footer copyright subscribe banner"),
+      (3L, "b", "a completely different document about spark engines"),
+      (4L, "c", "the quick brown fox jumps over the lazy dog") // other blk
+    ).toDF("doc_id", "blk", "text")
+    val cont = Dedup.blockedContainmentPairs(corpus, "text", "doc_id",
+        "blk", shingleN = 1, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.blockedJaccardPairs(corpus, "text", "doc_id", "blk",
+        shingleN = 1, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty) // the same pair is invisible to Jaccard at 0.5
+    val err = intercept[Exception] {
+      Dedup.blockedContainmentPairs(corpus, "text", "doc_id", "blk",
+        shingleN = 1, threshold = 0.8, maxBlockSize = 2).collect()
+    }
+    assert(err.getMessage.contains("maxBlockSize"))
+  }
+
   test("jaccard: identity 1, disjoint 0, empty-empty 0") {
     val df = Seq((Seq("a", "b"), Seq("a", "b")),
       (Seq("a"), Seq("b")), (Seq[String](), Seq[String]()))
