@@ -1553,6 +1553,29 @@ object SparkEntry {
           "text", "doc_id", shingleN = 3, window = 4)
         .orderBy(col("doc_id"), col("fp"))
     },
+
+    // X97 — time-weighted average over the irregular per-user event
+    // series: step (LOCF) + trapezoidal integrals / span, decimal-exact
+    // segment sums, event_id completes the total order
+    "q109_twa" -> { (s, dir) =>
+      graft.ops.TimeSeries.timeWeightedAvg(
+          events(s, dir).select(col("user_id"), col("event_id"),
+            nsToMicros(col("ts_ns")).as("ts_us"), col("value")),
+          Seq("user_id"), col("ts_us"), col("value"), col("event_id"))
+        .orderBy(col("user_id"))
+    },
+
+    // X98 — exact trailing-7-day distinct active users per day (the
+    // WAU curve), latest-in-window attribution + bounded explode; the
+    // oracle recomputes it by brute-force window containment
+    "q110_rolling_distinct" -> { (s, dir) =>
+      graft.ops.Relational.rollingDistinct(
+          events(s, dir).select(col("user_id"), col("ts")),
+          col("user_id"), col("ts"), windowDays = 7)
+        // DATE → TIMESTAMP: the board's day convention (see q6)
+        .select(col("day").cast("timestamp").as("day"), col("n_distinct"))
+        .orderBy(col("day"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4055,5 +4078,54 @@ object SparkEntry {
         |)
         |SELECT doc_id, unnest(fps) AS fp FROM wm
         |ORDER BY doc_id, fp""".stripMargin,
+
+    // decimal-exact segment sums (value DECIMAL(18,2) × Δt µs), then the
+    // same fixed IEEE tree: sum → double, /2, /span; null at span 0
+    "q109_twa" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(value AS DECIMAL(18, 2)) AS v,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS tn,
+        |    lead(CAST(value AS DECIMAL(18, 2))) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS vn
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), agg AS (
+        |  SELECT user_id, count(*) AS n, max(t) - min(t) AS span_us,
+        |    CAST(sum(CASE WHEN tn IS NOT NULL
+        |      THEN v * CAST(tn - t AS DECIMAL(20, 0)) END) AS DOUBLE)
+        |      AS locf,
+        |    CAST(sum(CASE WHEN tn IS NOT NULL
+        |      THEN (v + vn) * CAST(tn - t AS DECIMAL(20, 0)) END)
+        |      AS DOUBLE) AS trap,
+        |    CAST(max(t) - min(t) AS DOUBLE) AS span
+        |  FROM e GROUP BY user_id
+        |)
+        |SELECT user_id, n, span_us,
+        |  round(CASE WHEN span > 0 THEN locf / span END, 6) AS twa_locf,
+        |  round(CASE WHEN span > 0 THEN trap / 2 / span END, 6) AS twa_trap
+        |FROM agg
+        |ORDER BY user_id""".stripMargin,
+
+    // brute-force containment formulation — a deliberately DIFFERENT
+    // algorithm from the engine's latest-in-window explode, so the
+    // compare checks the semantics, not a shared derivation
+    "q110_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS e, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), b AS (
+        |  SELECT min(d) AS lo, max(d) AS hi FROM ud
+        |), days AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+        |    AS DATE) AS day
+        |  FROM b
+        |)
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |  count(DISTINCT e) AS n_distinct
+        |FROM days LEFT JOIN ud
+        |  ON ud.d <= days.day AND ud.d > days.day - 7
+        |GROUP BY day
+        |ORDER BY day""".stripMargin,
   )
 }

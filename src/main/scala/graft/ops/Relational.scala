@@ -756,4 +756,51 @@ object Relational {
     terms.reduce(_ + _)
   }
 
+  /** EXACT rolling distinct count at daily grain — "distinct active
+    * entities in the trailing `windowDays`-day window", for every day
+    * from the first to the last observed. The metric behind DAU/WAU/MAU
+    * dashboards and rolling-unique-contributor curves; a RANGE-frame
+    * `count(distinct)` doesn't exist in SQL window functions, and the
+    * naive day × window-slice join re-scans each event `windowDays`
+    * times.
+    *
+    * Shape: collapse to distinct (entity, day) rows, take each row's NEXT
+    * same-entity day with one lead window, and explode each row to the
+    * days it is the entity's LATEST in-window occurrence for — exactly
+    * `[day, min(day + windowDays − 1, next − 1, last_day)]`, ≤
+    * `windowDays` rows — so each (window-day, entity) pair surfaces
+    * exactly once and a plain `count` per day IS the distinct count. A
+    * day-spine left join fills quiet days with 0.
+    *
+    * Scale shape: the event stream reduces to entity-day grain in one
+    * map-side-combined distinct, one keyed lead window, then a bounded
+    * ≤ `windowDays`× explode that immediately re-aggregates map-side to
+    * |days| rows — work is O(entity-days · windowDays) independent of
+    * raw event volume, and nothing ever holds a per-window entity set.
+    * The global (min, max) day rides a one-row broadcast.
+    */
+  def rollingDistinct(df: DataFrame, entityCol: Column, dateCol: Column,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val epoch = lit("1970-01-01").cast("date")
+    val ud = df.filter(entityCol.isNotNull && dateCol.isNotNull)
+      .select(entityCol.as("__e"),
+        datediff(dateCol.cast("date"), epoch).as("__d"))
+      .distinct()
+    val nxt = lead(col("__d"), 1)
+      .over(Window.partitionBy(col("__e")).orderBy(col("__d")))
+    val bounds = ud.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+    val counts = ud.select(col("__d"), nxt.as("__nxt"))
+      .join(broadcast(bounds))
+      .select(explode(sequence(col("__d"), least(
+        col("__d") + lit(windowDays - 1),
+        coalesce(col("__nxt") - 1, lit(Int.MaxValue)),
+        col("__hi")))).as("__day"))
+      .groupBy(col("__day")).agg(count(lit(1)).as("n_distinct"))
+    bounds.select(explode(sequence(col("__lo"), col("__hi"))).as("__day"))
+      .join(counts, Seq("__day"), "left")
+      .select(date_add(epoch, col("__day")).as("day"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+  }
+
 }

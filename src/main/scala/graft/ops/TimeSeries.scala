@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Core time-series operators (SURVEY.md §2.3/§2.4).
   *
@@ -383,6 +384,62 @@ object TimeSeries {
       .filter(col("__prev_ts").isNull ||
         tsUs - col("__prev_ts") > windowUs)
       .drop("__prev_ts")
+  }
+
+  /** Per-key time-weighted average of an IRREGULARLY sampled series —
+    * the statistic a plain `avg` gets wrong whenever sampling density
+    * correlates with the value (sensors report faster when something is
+    * happening; sparse quiet periods are underweighted ~in proportion).
+    * Two estimators per key, both integrals over [first, last] divided by
+    * the span: `twa_locf` holds each reading until the next (the step /
+    * last-observation-carried-forward integral — meters, prices, state
+    * gauges) and `twa_trap` joins readings linearly (trapezoidal —
+    * continuously varying physical signals). Output: keys, `n`,
+    * `span_us`, `twa_locf`, `twa_trap` (6 dp; null when span = 0 — a
+    * single reading has no time extent to weight).
+    *
+    * Exactness: values quantize to DECIMAL(18, `valueScale`) and each
+    * segment contributes `v · Δt` (locf) / `(v + v_next) · Δt` (trap) in
+    * exact decimal — Δt is exact long µs — so the sums are
+    * order/partitioning-independent; the only IEEE steps are the final
+    * fixed tree (sum → double, ÷2, ÷span), bit-identical in any engine.
+    * `tie` must complete a total order for same-instant readings: Δt = 0
+    * segments contribute nothing, but WHICH reading spans onward to the
+    * next distinct instant depends on the order, so ties must break the
+    * same way everywhere.
+    *
+    * Scale shape: one hash exchange on the keys + per-key sort for the
+    * single lead window, then a map-side-combined aggregation to
+    * |keys| rows — the envelope of any keyed window op. No RANGE frames,
+    * no second pass, no driver state.
+    */
+  def timeWeightedAvg(df: DataFrame, keys: Seq[String], tsUs: Column,
+      valueCol: Column, tie: Column, valueScale: Int = 2): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tsUs, tie)
+    val vq = valueCol.cast(DecimalType(18, valueScale))
+    val base = df.filter(tsUs.isNotNull && valueCol.isNotNull)
+      .select(keys.map(col) ++ Seq(tsUs.cast("long").as("__t"),
+        vq.as("__v"), tie.as("__tie")): _*)
+    val seg = base.select(keys.map(col) ++ Seq(col("__t"), col("__v"),
+      lead(col("__t"), 1).over(Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("__t"), col("__tie"))).as("__tn"),
+      lead(col("__v"), 1).over(Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("__t"), col("__tie"))).as("__vn")): _*)
+    val dt = (col("__tn") - col("__t")).cast(DecimalType(20, 0))
+    val span = (max(col("__t")) - min(col("__t"))).cast("double")
+    seg.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (max(col("__t")) - min(col("__t"))).as("span_us"),
+        sum(when(col("__tn").isNotNull, col("__v") * dt)).cast("double")
+          .as("__locf"),
+        sum(when(col("__tn").isNotNull, (col("__v") + col("__vn")) * dt))
+          .cast("double").as("__trap"),
+        span.as("__span"))
+      .select(keys.map(col) ++ Seq(col("n"), col("span_us"),
+        round(when(col("__span") > 0, col("__locf") / col("__span")), 6)
+          .as("twa_locf"),
+        round(when(col("__span") > 0,
+          col("__trap") / 2d / col("__span")), 6).as("twa_trap")): _*)
   }
 
   private def asofJoin(left: DataFrame, right: DataFrame, tsCol: String,

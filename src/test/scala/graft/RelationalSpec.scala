@@ -480,4 +480,31 @@ class RelationalSpec extends SparkSpec {
       assert(maxRun <= 8, s"interleave clustered: run of $maxRun")
     }
   }
+
+  test("rollingDistinct: exact window counts, quiet-day zeros, revisits") {
+    // entity u1 on days 0 and 9, u2 on day 1; w=3 windows (D-2..D):
+    // d0:{u1} d1:{u1,u2} d2:{u1,u3?,u2} ... spelled out below
+    val df = Seq(("u1", "2024-01-01"), ("u1", "2024-01-10"),
+      ("u1", "2024-01-10"),            // same-day repeat — dedups
+      ("u2", "2024-01-02"), ("u3", "2024-01-03"))
+      .toDF("e", "d").select(col("e"), col("d").cast("date").as("d"))
+    val got = Relational.rollingDistinct(df, col("e"), col("d"), 3)
+      .orderBy(col("day")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 1L), // {u1}
+      ("2024-01-02", 2L), // {u1,u2}
+      ("2024-01-03", 3L), // {u1,u2,u3}
+      ("2024-01-04", 2L), // {u2,u3} — u1's day-1 visit aged out
+      ("2024-01-05", 1L), // {u3}
+      ("2024-01-06", 0L), // quiet gap — explicit zero row
+      ("2024-01-07", 0L),
+      ("2024-01-08", 0L),
+      ("2024-01-09", 0L),
+      ("2024-01-10", 1L))) // u1 returns — revisit counted once
+    val err = intercept[IllegalArgumentException] {
+      Relational.rollingDistinct(df, col("e"), col("d"), 0)
+    }
+    assert(err.getMessage.contains("windowDays"))
+  }
 }

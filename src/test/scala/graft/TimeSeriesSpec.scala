@@ -257,4 +257,27 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy($"id").collect().map(_.getLong(2))
     assert(zero.toSeq == Seq(1L, 2L, 3L, 5L))
   }
+
+  test("timeWeightedAvg: locf vs trapezoid by hand, ties, single point") {
+    // key a: readings 10@0, 20@10, 0@30 → span 30;
+    // locf = (10·10 + 20·20)/30 = 16.666667 (≠ naive mean 10)
+    // trap = ((10+20)·10 + (20+0)·20)/2/30 = 11.666667
+    val df = Seq(("a", 0L, 10.0, 1L), ("a", 10L, 20.0, 2L),
+      ("a", 30L, 0.0, 3L),
+      // key t: two same-instant readings — the tie order (id) decides
+      // which value spans on: 5@0(id1), 7@0(id2), 9@10(id3) → 7 spans
+      ("t", 0L, 5.0, 1L), ("t", 0L, 7.0, 2L), ("t", 10L, 9.0, 3L),
+      ("s", 42L, 99.0, 1L)) // single reading → span 0 → null twa
+      .toDF("k", "t", "v", "id")
+    val got = TimeSeries.timeWeightedAvg(df, Seq("k"), $"t", $"v", $"id")
+      .orderBy($"k").collect()
+    val a = got(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 3 &&
+      a.getLong(2) == 30L && a.getDouble(3) == 16.666667 &&
+      a.getDouble(4) == 11.666667)
+    val s = got(1)
+    assert(s.getString(0) == "s" && s.isNullAt(3) && s.isNullAt(4))
+    val t = got(2)
+    assert(t.getDouble(3) == 7.0) // id-2's 7 spans the whole interval
+  }
 }
