@@ -1576,6 +1576,16 @@ object SparkEntry {
         .select(col("day").cast("timestamp").as("day"), col("n_distinct"))
         .orderBy(col("day"))
     },
+
+    // X99 — deterministic in-batch negative sampling: 2 negatives per
+    // anchor from the anchor's own shard, every choice a pure function
+    // of (seed, doc_id) — reproducible on any cluster or engine
+    "q111_negatives" -> { (s, dir) =>
+      graft.ops.Relational.negativePairs(
+          t(s, dir, "documents").select(col("doc_id")),
+          col("doc_id"), k = 2, nShards = 8, seed = "neg1")
+        .orderBy(col("anchor"), col("neg_idx"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4127,5 +4137,51 @@ object SparkEntry {
         |  ON ud.d <= days.day AND ud.d > days.day - 7
         |GROUP BY day
         |ORDER BY day""".stripMargin,
+
+    // q87's shard/pos CTE + the per-draw offset hash: partner pos =
+    // (pos + 1 + h(seed, i, key) mod (n-1)) mod n, joined back on
+    // (shard, pos); single-row shards pair with no one
+    "q111_negatives" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5('neg1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5('neg1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5('neg1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, hv % 8 AS shard,
+        |    CAST(row_number() OVER (PARTITION BY hv % 8
+        |      ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos,
+        |    count(*) OVER (PARTITION BY hv % 8) AS n
+        |  FROM h
+        |), draws AS (
+        |  SELECT a.doc_id AS anchor, a.shard, i AS neg_idx,
+        |    (a.pos + 1 + (list_reduce(list_transform(
+        |      generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5('neg1' || chr(1) ||
+        |          CAST(i AS VARCHAR) || chr(1) ||
+        |          CAST(a.doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5('neg1' || chr(1) ||
+        |          CAST(i AS VARCHAR) || chr(1) ||
+        |          CAST(a.doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5('neg1' || chr(1) ||
+        |          CAST(i AS VARCHAR) || chr(1) ||
+        |          CAST(a.doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % (a.n - 1))) % a.n AS ppos
+        |  FROM sp a CROSS JOIN (SELECT unnest([1, 2]) AS i)
+        |  WHERE a.n >= 2
+        |)
+        |SELECT d.anchor, d.neg_idx, b.doc_id AS negative, d.shard
+        |FROM draws d JOIN sp b ON b.shard = d.shard AND b.pos = d.ppos
+        |ORDER BY anchor, neg_idx""".stripMargin,
   )
 }

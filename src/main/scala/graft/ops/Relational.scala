@@ -756,6 +756,54 @@ object Relational {
     terms.reduce(_ + _)
   }
 
+  /** Deterministic in-batch negative sampling — the contrastive-training
+    * step that pairs every anchor with `k` pseudo-random non-matching
+    * partners (triplet/InfoNCE negatives, hard-negative seeding,
+    * link-prediction counterexamples). A seeded RNG sampler is
+    * partitioning-dependent and a uniform cross join is quadratic; here
+    * every choice is a pure function of (seed, key), so the same pairs
+    * come out on any cluster, any partition count, any engine — and a
+    * different `seed` is an independent redraw (epoch semantics, exactly
+    * [[shuffleShard]]'s contract, whose shard/pos assignment this
+    * composes).
+    *
+    * Construction: rows land in [[shuffleShard]]'s (shard, pos ∈ [0,n))
+    * order; draw `i` for an anchor at `pos` picks the partner at
+    * `(pos + 1 + (h(seed, i, key) mod (n−1))) mod n` — offsets in
+    * [1, n−1] can never select the anchor itself. Draws are WITH
+    * replacement across `i` (two draws may collide on a partner —
+    * standard for negatives); partners come from the anchor's own shard
+    * (in-batch negatives — shards ARE the batch structure; use more
+    * shards for smaller pools). Single-row shards emit nothing (no one
+    * to pair with). Output: (anchor, neg_idx ∈ [1,k], negative, shard).
+    *
+    * Scale shape: one shard exchange + the two shard-local windows
+    * shuffleShard already pays, a ≤ k-row explode, then an equi-join on
+    * (shard, pos) — co-partitioned with the exchange that produced it,
+    * so the join adds no new shuffle of the corpus; never a cross join.
+    */
+  def negativePairs(df: DataFrame, key: Column, k: Int, nShards: Int,
+      seed: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val sharded = shuffleShard(df.select(key.as("__k")), col("__k"),
+      nShards, seed)
+    val withN = sharded.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(col("shard"))))
+    val draws = withN.filter(col("__n") >= 2)
+      .select(col("__k").as("anchor"), col("shard"), col("pos"), col("__n"),
+        explode(transform(sequence(lit(1), lit(k)), i =>
+          struct(i.as("neg_idx"),
+            pmod(col("pos") + 1L + pmod(
+              hashUnit(concat(lit(seed), lit("\u0001"), i.cast("string"),
+                lit("\u0001"), col("__k").cast("string"))),
+              col("__n") - 1L), col("__n")).as("__ppos")))).as("__d"))
+      .select(col("anchor"), col("shard"),
+        col("__d.neg_idx").as("neg_idx"), col("__d.__ppos").as("__ppos"))
+    draws.join(sharded.select(col("shard"), col("pos").as("__ppos"),
+        col("__k").as("negative")), Seq("shard", "__ppos"))
+      .select(col("anchor"), col("neg_idx"), col("negative"), col("shard"))
+  }
+
   /** EXACT rolling distinct count at daily grain — "distinct active
     * entities in the trailing `windowDays`-day window", for every day
     * from the first to the last observed. The metric behind DAU/WAU/MAU

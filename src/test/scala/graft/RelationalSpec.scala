@@ -507,4 +507,25 @@ class RelationalSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("windowDays"))
   }
+
+  test("negativePairs: k per anchor, never self, partition-independent, " +
+      "seeded redraw, lonely shard") {
+    val ids = (1L to 60L).toDF("id")
+    def run(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Relational.negativePairs(df, col("id"), k = 2, nShards = 4, seed)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val a = run(ids, "s1")
+    // every anchor draws exactly k negatives, none of them itself
+    assert(a.length == 60 * 2)
+    assert(a.forall { case (anc, _, neg) => anc != neg })
+    assert(a.groupBy(_._1).forall(_._2.map(_._2).sorted.sameElements(
+      Seq(1, 2))))
+    // pure function of (seed, key): any partitioning gives the same pairs
+    assert(run(ids.repartition(13), "s1").sorted.toSeq == a.sorted.toSeq)
+    // a different seed is an independent redraw
+    assert(run(ids, "s2").sorted.toSeq != a.sorted.toSeq)
+    // a single-row pool has no one to pair with → no rows, not self-pairs
+    assert(Relational.negativePairs(Seq(7L).toDF("id"), col("id"),
+      k = 2, nShards = 1).count() == 0)
+  }
 }
