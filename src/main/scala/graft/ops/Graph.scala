@@ -12,17 +12,40 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Loop-width sizing for [[connectedComponents]]: ~256k
-    * symmetrized-adjacency rows (≈16 MB of packed (long, long) rows) per
-    * loop shuffle partition. Deliberately finer than a batch reducer's
-    * capacity: each round's shuffles are label-pair-sized, so the width
-    * trades per-task overhead against parallelism, and a fixed session
-    * width (32 here, hundreds on a cluster) makes every round pay
-    * hundreds of near-empty tasks on a small pair graph — measured 40%
-    * of the operator's wall time at sf0.1. A 10⁹-edge graph still gets
-    * the 4096 cap — cluster-wide width where it matters.
+  /** Loop-width sizing for [[connectedComponents]] — three regimes, from
+    * two measured failure modes and one designed-against one:
+    *
+    *   - **Small graphs** want FEWER partitions than the session width:
+    *     at sf0.1 1× (1.8M adjacency rows) a fixed 32-wide loop paid 40%
+    *     of wall in near-empty tasks; ~256k rows (≈16 MB packed
+    *     (long, long)) per partition is the measured sweet spot →
+    *     `pVol = rows / 256k`.
+    *   - **Mid graphs** must not outgrow the EXECUTION's parallelism:
+    *     per-task fixed costs (sort-buffer setup, codegen dispatch, task
+    *     (de)serialization) scale with TASK COUNT × rounds, so
+    *     volume-driven width past the core count buys nothing and bills
+    *     every round for it. Measured on the 16× sweep point (28.5M
+    *     adjacency rows, 3 interleaved samples per width, two sweeps):
+    *     pVol = 109 → 32.0/33.5 s min/med; every width ≤ the 32-core
+    *     count → 10.6–19.6 s with the differences inside machine noise.
+    *     Cap: `defaultParallelism` — each per-round stage fills the
+    *     execution exactly once (on 1000 executors the cap is the full
+    *     fleet's cores, so the cap scales with the cluster).
+    *   - **Huge graphs** override the cap for memory: a partition must
+    *     stay sort-in-RAM-sized whatever the core count, so an 8M-row
+    *     (~512 MB loose UnsafeRow) floor `pMem = rows / 8M` reopens the
+    *     width before a 10⁹-edge graph serializes through core-count
+    *     spilling tasks; 4096 stays the global ceiling.
     */
-  private val loopRowsPerPartition = 262144L
+  private def loopWidth(adjacencyRows: Long,
+      defaultParallelism: Int): Int =
+    // diagnostic override for width sweeps (CcDiag); unset in production
+    sys.props.get("graft.cc.width").map(_.toInt).getOrElse {
+      val pVol = (adjacencyRows + 262143L) / 262144L
+      val pMem = (adjacencyRows + (8L << 20) - 1) / (8L << 20)
+      math.max(1L, math.min(4096L,
+        math.max(pMem, math.min(pVol, defaultParallelism.toLong)))).toInt
+    }
 
   /** Connected components by iterative min-label propagation WITH POINTER
     * HALVING: every vertex starts labeled with its own id; each round a
@@ -100,9 +123,8 @@ object Graph {
     // session width regardless of the graph's size. The count is free —
     // e0 is already materialized, and the loop pays a driver action per
     // round anyway.
-    val p = math.max(1L, math.min(4096L,
-      (4 * e0.count() + loopRowsPerPartition - 1) / loopRowsPerPartition))
-      .toInt
+    val p = loopWidth(4 * e0.count(),
+      vertices.sparkSession.sparkContext.defaultParallelism)
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     def tlog(msg: => String): Unit = if (debug) System.err.println(
       f"[cc] ${System.nanoTime() / 1e9}%.3f $msg")

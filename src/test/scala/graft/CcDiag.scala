@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ops.Graph
+
+/** Diagnostic: q37 sweep point anatomy — where does the 16× wall go?
+  * Splits the pair-generation tier from the CC loop and logs per-round
+  * times (GRAFT_CC_DEBUG). */
+object CcDiag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scale = args.lift(1).map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+
+    def docsNx(d: DataFrame, n: Int): DataFrame = {
+      val a1 = "etaoins"; val a2 = "rhldcum"
+      (0 until n).map { r =>
+        val rot1 = a1.drop(r % 7) + a1.take(r % 7)
+        val rot2 = a2.drop(r / 7) + a2.take(r / 7)
+        d.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          concat(col("source"), lit(s"_r$r")).as("source"),
+          translate(translate(col("text"), a1, rot1), a2, rot2).as("text"))
+      }.reduce(_ unionByName _)
+    }
+
+    val c = if (scale == 1) d1 else docsNx(d1, scale)
+    val stages = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Int)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          stages.synchronized { stages += ((sc.stageInfo.stageId,
+            m.shuffleWriteMetrics.bytesWritten,
+            m.executorCpuTime / 1000000 + m.jvmGCTime * 0,
+            m.executorRunTime, sc.stageInfo.numTasks)) }
+          println(f"[gc] id=${sc.stageInfo.stageId}%4d gc=${m.jvmGCTime/1e3}%6.1f s " +
+            f"cpu=${m.executorCpuTime/1e9}%7.1f s run=${m.executorRunTime/1e3}%7.1f s " +
+            f"deser=${m.executorDeserializeTime/1e3}%6.1f s tasks=${sc.stageInfo.numTasks}")
+        }
+      })
+    var t0 = System.nanoTime()
+    val pairs = Dedup.blockedJaccardPairs(c, "text", "doc_id", "source",
+      shingleN = 1, threshold = 0.5, maxBlockSize = Int.MaxValue)
+      .localCheckpoint(true)
+    val nPairs = pairs.count()
+    println(f"[ccdiag] scale=$scale pairs=$nPairs pairgen=${(System.nanoTime()-t0)/1e9}%.2f s")
+    // Width sweep: args(2) = comma-separated widths (e.g. "109,64,55,32"),
+    // args(3) = samples per width (interleaved round-robin so JIT warmup
+    // spreads evenly). No widths arg → one run at the production width.
+    val widths: Seq[Option[Int]] =
+      args.lift(2).map(_.split(',').toSeq.map(w => Some(w.trim.toInt)))
+        .getOrElse(Seq(None))
+    val samples = args.lift(3).map(_.toInt).getOrElse(1)
+    val times = scala.collection.mutable.Map.empty[Option[Int], List[Double]]
+    for (s <- 1 to samples; w <- widths) {
+      w.foreach(v => sys.props("graft.cc.width") = v.toString)
+      t0 = System.nanoTime()
+      val cc = Graph.canonicalize(Graph.connectedComponents(
+        c.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b"))
+      cc.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      times(w) = dt :: times.getOrElse(w, Nil)
+      println(f"[ccdiag] scale=$scale width=${w.getOrElse(-1)} sample=$s cc=$dt%.2f s")
+    }
+    for (w <- widths) {
+      val ts = times(w)
+      println(f"[ccsweep] width=${w.getOrElse(-1)} min=${ts.min}%.2f s " +
+        f"med=${ts.sorted.apply(ts.size / 2)}%.2f s n=${ts.size}")
+    }
+    Thread.sleep(2000)
+    stages.synchronized {
+      stages.sortBy(_._1).foreach { case (id, w, r, rt, nt) =>
+        if (w + r > 0 || rt > 2000)
+          println(f"[stage] id=$id%4d tasks=$nt%4d write=${w/1e6}%9.1f MB " +
+            f"read=${r/1e6}%9.1f MB runtime=${rt/1e3}%7.1f s")
+      }
+    }
+    spark.stop()
+  }
+}
