@@ -1586,6 +1586,48 @@ object SparkEntry {
           col("doc_id"), k = 2, nShards = 8, seed = "neg1")
         .orderBy(col("anchor"), col("neg_idx"))
     },
+
+    // X100 — PMI-argument collocation mining: exact integer ppm, the
+    // unigram/bigram tables are token-type-grain, corpus never shuffles
+    "q112_collocations" -> { (s, dir) =>
+      graft.text.Corpus.collocations(
+          t(s, dir, "documents").select(col("text")), "text", minCount = 3)
+        .orderBy(col("assoc_ppm").desc, col("term_a"), col("term_b"))
+    },
+
+    // X101 — token-budget prefix selection in deterministic-hash order
+    // (budget-capped uniform sample per source); one window per stratum
+    "q113_budget_select" -> { (s, dir) =>
+      graft.text.Corpus.selectToBudget(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("text")),
+          "text", "doc_id", "source",
+          graft.ops.Relational.hashUnit(col("doc_id")),
+          budgetTokens = 20000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+    },
+
+    // X103 — sparse lexical cosine pairs: inverted-index self-join,
+    // df-capped postings, exact integer weights, fixed final IEEE tree
+    "q115_tfidf_pairs" -> { (s, dir) =>
+      graft.text.Corpus.tfidfCosinePairs(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id", threshold = 0.6, dfMax = 100)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // X102 — latest-non-null snapshot: per-column independent picks via
+    // one struct-max aggregation, no window, no sort. µs order axis on
+    // both sides (DuckDB truncates the ns parquet to µs), event_id ties
+    "q114_snapshot" -> { (s, dir) =>
+      graft.ops.TimeSeries.snapshotLatest(
+          events(s, dir), Seq("user_id"),
+          Seq(nsToMicros(col("ts_ns")), col("event_id")),
+          Seq("value", "event_type", "props"))
+        .orderBy(col("user_id"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4183,5 +4225,112 @@ object SparkEntry {
         |SELECT d.anchor, d.neg_idx, b.doc_id AS negative, d.shard
         |FROM draws d JOIN sp b ON b.shard = d.shard AND b.pos = d.ppos
         |ORDER BY anchor, neg_idx""".stripMargin,
+
+    "q112_collocations" ->
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS arr
+        |  FROM documents
+        |), big AS (
+        |  SELECT unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)]))
+        |    AS pr
+        |  FROM tok WHERE len(arr) >= 2
+        |), bc AS (
+        |  SELECT struct_extract(pr, 1) AS term_a,
+        |    struct_extract(pr, 2) AS term_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM big GROUP BY 1, 2 HAVING count(*) >= 3
+        |), uc AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(arr) AS term FROM tok) GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn FROM uc
+        |)
+        |SELECT term_a, term_b, n_ab, a.n AS n_a, b.n AS n_b,
+        |  CAST(CAST(n_ab AS HUGEINT) * nn * 1000000 //
+        |    (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS assoc_ppm
+        |FROM bc
+        |JOIN uc a ON bc.term_a = a.term
+        |JOIN uc b ON bc.term_b = b.term
+        |CROSS JOIN tot
+        |ORDER BY assoc_ppm DESC, term_a, term_b""".stripMargin,
+
+    "q113_budget_select" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS n_tokens,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY hv DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM h
+        |)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 20000
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+
+    "q115_tfidf_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2
+        |), dfx AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY 1
+        |), p AS (
+        |  SELECT tf.term, tf.doc_id, tf.tf * 1000000 // d.dfc AS w
+        |  FROM tf JOIN dfx d USING (term)
+        |  WHERE d.dfc BETWEEN 2 AND 100
+        |), nrm AS (
+        |  SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
+        |  FROM p GROUP BY 1
+        |), dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS shared_terms,
+        |    sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+        |  FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT id_a, id_b, shared_terms,
+        |    CAST(CAST(dot AS VARCHAR) AS DOUBLE) /
+        |      sqrt(CAST(CAST(na.n2 AS VARCHAR) AS DOUBLE) *
+        |           CAST(CAST(nb.n2 AS VARCHAR) AS DOUBLE)) AS cosv
+        |  FROM dots JOIN nrm na ON dots.id_a = na.doc_id
+        |            JOIN nrm nb ON dots.id_b = nb.doc_id
+        |)
+        |SELECT id_a, id_b, shared_terms, round(cosv, 6) AS cos
+        |FROM c WHERE cosv >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q114_snapshot" ->
+      """SELECT user_id,
+        |  struct_extract(max(struct_pack(t := epoch_us(ts),
+        |    e := event_id, v := value))
+        |    FILTER (WHERE value IS NOT NULL), 'v') AS value,
+        |  struct_extract(max(struct_pack(t := epoch_us(ts),
+        |    e := event_id, v := event_type))
+        |    FILTER (WHERE event_type IS NOT NULL), 'v') AS event_type,
+        |  struct_extract(max(struct_pack(t := epoch_us(ts),
+        |    e := event_id, v := props))
+        |    FILTER (WHERE props IS NOT NULL), 'v') AS props
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -442,6 +442,43 @@ object TimeSeries {
           col("__trap") / 2d / col("__span")), 6).as("twa_trap")): _*)
   }
 
+  /** Latest-non-null snapshot: collapse an update/event stream to ONE row
+    * per key holding, for each value column INDEPENDENTLY, the most
+    * recent non-null observation — the "current state" table behind
+    * feature-store serving and CDC compaction. Sparse streams update
+    * different columns at different times, so per-column independence is
+    * the point: a row `(ts=9, a=1, b=null)` after `(ts=5, a=null, b=2)`
+    * snapshots to `(a=1, b=2)` — neither plain `last()` over the row nor
+    * a keep-latest-row dedup (D1/X42 shapes) gives that. Keys with no
+    * non-null observation for a column get null there.
+    *
+    * Ordering: lexicographic over `orderCols` (pass a tiebreaker — e.g.
+    * (ts, event_id) — whenever the timestamp alone isn't a total order
+    * per key; same contract as [[timeWeightedAvg]]'s `tie`).
+    *
+    * Scale shape: ONE map-side-combined aggregation — per column,
+    * `max(struct(orderCols…, v))` over non-null-v rows, struct
+    * comparison being lexicographic so the max IS the latest — and a
+    * scan-local field extraction. No time-ordered window: the partial
+    * aggregate keeps one struct per (partition, key, column), so a
+    * 10¹²-event stream collapses map-side before one |keys|-grain
+    * exchange. (Struct max isn't hash-aggregable, so Spark plans
+    * SortAggregate — but its sorts are on the KEY alone for grouping,
+    * both sides of an exchange that carries only the collapsed partials;
+    * [[ffill]] by contrast shuffles and time-sorts every raw row through
+    * a running window to materialize states nobody reads.)
+    */
+  def snapshotLatest(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[Column], valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "snapshotLatest: no value columns")
+    val picks = valueCols.map { v =>
+      max(when(col(v).isNotNull,
+        struct(orderCols :+ col(v).as("__v"): _*)))
+        .getField("__v").as(v)
+    }
+    df.groupBy(keys.map(col): _*).agg(picks.head, picks.tail: _*)
+  }
+
   private def asofJoin(left: DataFrame, right: DataFrame, tsCol: String,
       keys: Seq[String], rightCols: Seq[String], suffix: String,
       forward: Boolean): DataFrame = {

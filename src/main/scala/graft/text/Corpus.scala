@@ -1,7 +1,9 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-level text statistics — the operators that need the whole
   * corpus, not just the row: term/document frequencies and TF-IDF term
@@ -450,6 +452,159 @@ object Corpus {
     corpus.join(if (broadcastList) broadcast(listed) else listed,
       TextFunctions.fingerprint(col(textCol)) === col("__rm_fp"),
       "left_anti")
+  }
+
+  /** PMI-style collocation mining: adjacent-bigram association scores
+    * over the corpus token stream — the statistic behind multi-word
+    * expression discovery ("new york", "machine learning"), tokenizer
+    * merge candidates, and phrase-aware indexing. For bigram (a, b) with
+    * bigram count n_ab, unigram counts n_a/n_b and total token count N,
+    * emits `assoc_ppm = ⌊n_ab·N·10⁶ / (n_a·n_b)⌋` — the PMI argument
+    * before the log, in exact integer ppm (log is monotone, so ranking
+    * by assoc_ppm IS ranking by PMI, and > 10⁶ ⇔ PMI > 0; the log
+    * itself is deliberately not taken — ln isn't bit-portable across
+    * engines, the X79 discipline). `minCount` filters the unstable
+    * low-count tail (textbook PMI degenerates at n_ab = 1).
+    * Output: (term_a, term_b, n_ab, n_a, n_b, assoc_ppm).
+    *
+    * Scale shape: bigram extraction is scan-local (zip of the token
+    * array with its own tail — no positional self-join); one map-side-
+    * combined aggregation each to the bigram and unigram grains (both
+    * token-TYPE-sized, orders below the corpus by Heaps' law); the
+    * count lookups are term-grain equi-joins between those two small
+    * tables and the total rides a one-row broadcast. The corpus itself
+    * is scanned twice (bigram and unigram branches — a single-column
+    * parquet read each; fusing them would cost an explode-grain cache)
+    * and never shuffled; the unigram table is materialized ONCE
+    * (localCheckpoint) because three consumers read it (n_a, n_b, N) —
+    * left lazy, Catalyst would re-run its corpus scan per consumer. All
+    * arithmetic in decimal(38,0): n_ab·N·10⁶ ≤ 10³⁰ at a 10¹²-token
+    * corpus.
+    */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long = 2): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val toks = TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
+    val arr = df.select(toks.as("__arr"))
+    val n1 = size(col("__arr")) - 1
+    val bigrams = arr.filter(size(col("__arr")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__arr"), lit(1), n1), slice(col("__arr"), lit(2), n1),
+        (a, b) => struct(a.as("term_a"), b.as("term_b")))).as("__bg"))
+      .groupBy(col("__bg.term_a").as("term_a"),
+        col("__bg.term_b").as("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val uni = arr.select(explode(col("__arr")).as("__term"))
+      .groupBy(col("__term")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val total = uni.agg(sum(col("__n")).as("__nn"))
+    bigrams
+      .join(uni.select(col("__term").as("term_a"), col("__n").as("n_a")),
+        Seq("term_a"))
+      .join(uni.select(col("__term").as("term_b"), col("__n").as("n_b")),
+        Seq("term_b"))
+      .join(broadcast(total))
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * __nn * 1000000 div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("assoc_ppm"))
+  }
+
+  /** Token-budget corpus selection: walk the corpus in `priority` order
+    * (highest first, `idCol` tiebreak) within each `groupCol` stratum and
+    * keep the longest PREFIX whose cumulative token count stays ≤
+    * `budgetTokens` — "give me the best 2B tokens per source", the
+    * final sizing step between a scored corpus and a training mix.
+    * Output: the kept rows plus (n_tokens, cum_tokens). The rule is the
+    * prefix rule: the first document that would overflow the budget is
+    * dropped and so is everything after it — deliberately NOT
+    * "skip-and-continue" (that greedy knapsack is inherently sequential
+    * state — each keep depends on every earlier decision — and its
+    * budget-packing gain over the prefix is at most one document's
+    * tokens, noise at corpus scale).
+    *
+    * Scale shape: one exchange on `groupCol` + one sorted running-frame
+    * window per stratum (sum to current row), a filter — no joins, no
+    * second pass. Skew note: a stratum is a SOURCE, so per-stratum
+    * volume is bounded by source size; for a single-source corpus this
+    * is one sorted partition — shard the source key upstream if that
+    * ever binds.
+    */
+  def selectToBudget(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, priority: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1: $budgetTokens")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(priority.desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens",
+        TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
+  /** TF-IDF cosine similarity pairs WITHOUT embeddings — the sparse
+    * lexical complement to the dense-vector detectors (X6/X7): document
+    * pairs whose TF-IDF cosine reaches `threshold`, found through an
+    * inverted-index self-join (Bayardo, Ma & Srikant, "Scaling Up All
+    * Pairs Similarity Search", WWW 2007 — this is that family's
+    * df-filter baseline: a term's posting list pairs only within
+    * itself, so candidate volume is Σ_t df_t² ≤ dfMax·Σ_t df_t, the
+    * `dfMax` knob; an all-pairs cross join never exists). Terms with
+    * df > dfMax — the stopword head, which carries no discriminative
+    * signal and would quadratically dominate the join — and df = 1
+    * terms (no pair can share them) are pruned; cosine is defined in
+    * the pruned space, norms included (standard for the family).
+    * Output: (id_a < id_b, shared_terms, cos 6 dp).
+    *
+    * Exactness: weights are exact integers `w = tf·10⁶ div df` (linear
+    * idf — [[linearTfIdf]]'s rational form, engine-portable; w ≤ 10¹⁰
+    * at a 10⁴-token document), dot products and squared norms
+    * accumulate in decimal(38,0) (≤ 10²⁴ — order/partitioning
+    * independent), and cosine is one fixed IEEE tree over
+    * correctly-rounded string→double renders of those integers (the
+    * X60/X87 recipe) — the threshold compare sees bit-identical values
+    * in any engine.
+    *
+    * Scale shape: term-grain aggregations (map-side combined), the
+    * posting-list self-join shuffles POSTINGS (not documents) on the
+    * term, partial aggregation collapses pair dots before the (a, b)
+    * exchange, and two doc-grain joins attach norms. The corpus text
+    * itself is never in the join — only (term, id, w) rows.
+    */
+  def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, dfMax: Long): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    require(dfMax >= 2, s"dfMax must be >= 2: $dfMax")
+    val d38 = DecimalType(38, 0)
+    val tf = termFrequencies(df, textCol, idCol)
+    val keep = docFrequencies(tf)
+      .filter(col("df") >= 2 && col("df") <= dfMax)
+    val postings = tf.join(keep, Seq("term"))
+      .select(col("term"), col(idCol).as("__id"),
+        expr("tf * 1000000 div df").as("__w"))
+      .localCheckpoint(true) // three consumers: norms + both join sides
+    val norms = postings.groupBy(col("__id"))
+      .agg(sum((col("__w") * col("__w")).cast(d38)).as("__n2"))
+    val a = postings.select(col("term"), col("__id").as("id_a"),
+      col("__w").as("__wa"))
+    val b = postings.select(col("term"), col("__id").as("id_b"),
+      col("__w").as("__wb"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    a.join(b, a("term") === b("term") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_terms"),
+        sum((col("__wa") * col("__wb")).cast(d38)).as("__dot"))
+      .join(norms.select(col("__id").as("id_a"), col("__n2").as("__na2")),
+        Seq("id_a"))
+      .join(norms.select(col("__id").as("id_b"), col("__n2").as("__nb2")),
+        Seq("id_b"))
+      .withColumn("__cos",
+        dbl(col("__dot")) / sqrt(dbl(col("__na2")) * dbl(col("__nb2"))))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared_terms"),
+        round(col("__cos"), 6).as("cos"))
   }
 
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,

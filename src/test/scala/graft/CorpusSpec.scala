@@ -317,4 +317,71 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(dupFps == byDoc(1L))
   }
+
+  test("collocations: exact ppm association, adjacency only, minCount") {
+    // corpus: "a b" ×3, "b a" ×1, "c" ×1 (one-token doc: unigrams only)
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "b a"),
+      (5L, "c")).toDF("doc_id", "text")
+    val got = Corpus.collocations(corpus, "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // N=9 tokens, n_a=4, n_b=4, n_ab("a","b")=3:
+    // assoc = 3·9·1e6 / 16 = 1_687_500
+    assert(got(("a", "b")) == ((3L, 4L, 4L, 1687500L)))
+    // "b a" count 1 < minCount; "c" never forms a bigram
+    assert(got.size == 1)
+  }
+
+  test("collocations: one-token and empty docs contribute no bigrams") {
+    val corpus = Seq((1L, "x"), (2L, ""), (3L, "x y"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val got = Corpus.collocations(corpus, "text", minCount = 1).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // N=5 (x,x,y,x,y), n_x=3, n_y=2, n_xy=2 → 2·5·1e6/6 = 1_666_666
+    assert(r.getString(0) == "x" && r.getString(1) == "y" &&
+      r.getLong(2) == 2 && r.getLong(5) == 1666666L)
+  }
+
+  test("tfidfCosinePairs: exact weights, pruned space, hand-checked cos") {
+    val corpus = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana durian"),
+      (3L, "zebra yak xylo"),          // all df=1 terms → pruned out
+      (4L, "apple apple banana"))
+      .toDF("doc_id", "text")
+    val got = Corpus.tfidfCosinePairs(corpus, "text", "doc_id",
+        threshold = 0.9, dfMax = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // kept terms: apple (df 3), banana (df 3); w = tf·1e6 div 3
+    // (1,2): identical pruned vectors → cos 1.0
+    assert(got((1L, 2L)) == ((2L, 1.0)))
+    // (1,4): dot 3w², norms 2w²/5w² → 3/√10 = 0.948683
+    assert(got((1L, 4L)) == ((2L, 0.948683)))
+    assert(got((2L, 4L)) == ((2L, 0.948683)))
+    assert(got.size == 3) // doc 3 pairs with nobody
+    // tighter threshold drops the non-identical pairs
+    val tight = Corpus.tfidfCosinePairs(corpus, "text", "doc_id",
+      threshold = 0.95, dfMax = 10).collect()
+    assert(tight.length == 1)
+  }
+
+  test("selectToBudget: prefix rule truncates at the budget per stratum") {
+    val corpus = Seq(
+      (1L, "s1", "one two three"),        // 3 tokens
+      (2L, "s1", "four five"),            // 2
+      (3L, "s1", "six seven eight nine"),  // 4
+      (4L, "s2", "a b c d e f g h i j"))  // 10 — overflows s2's budget
+      .toDF("doc_id", "source", "text")
+    val got = Corpus.selectToBudget(corpus, "text", "doc_id", "source",
+        col("doc_id"), budgetTokens = 5L) // priority: highest doc_id first
+      .select(col("doc_id"), col("cum_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // s1 order: 3 (4 tok, cum 4), 2 (2 tok, cum 6 > 5 → dropped), and the
+    // PREFIX rule also drops doc 1 (cum 9) even though 4+3 < ... no: cum
+    // is cumulative in walk order — doc1 cum = 4+2+3 = 9 > 5 → dropped
+    assert(got == Map(3L -> 4L))
+  }
 }

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: physical plans of the X100-X102 probes at sf0.01. */
+object NewOpPlans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (q <- Seq("q112_collocations", "q113_budget_select",
+        "q114_snapshot")) {
+      println(s"==== $q ====")
+      val df = SparkEntry.queries(q)(spark, dir)
+      println(df.queryExecution.executedPlan.toString
+        .linesIterator.map(_.take(120)).mkString("\n"))
+      println(s"rows=${df.count()}")
+    }
+    spark.stop()
+  }
+}

@@ -280,4 +280,29 @@ class TimeSeriesSpec extends SparkSpec {
     val t = got(2)
     assert(t.getDouble(3) == 7.0) // id-2's 7 spans the whole interval
   }
+
+  test("snapshotLatest: per-column independent latest-non-null picks") {
+    val df = Seq[(String, Long, Long, Option[Double], Option[String])](
+      ("u1", 5L, 1L, None, Some("b")),
+      ("u1", 9L, 2L, Some(1.5), None),    // latest v, but ty is null here
+      ("u1", 7L, 3L, Some(0.5), Some("a")),
+      ("u2", 1L, 1L, None, None))          // nothing non-null → nulls
+      .toDF("k", "t", "id", "v", "ty")
+    val got = TimeSeries.snapshotLatest(df, Seq("k"),
+        Seq($"t", $"id"), Seq("v", "ty"))
+      .orderBy($"k").collect()
+    val u1 = got(0)
+    assert(u1.getString(0) == "u1" && u1.getDouble(1) == 1.5 &&
+      u1.getString(2) == "a") // v from t=9, ty from t=7 — independent
+    val u2 = got(1)
+    assert(u2.getString(0) == "u2" && u2.isNullAt(1) && u2.isNullAt(2))
+  }
+
+  test("snapshotLatest: tiebreaker decides same-instant updates") {
+    val df = Seq(("k", 5L, 1L, "first"), ("k", 5L, 2L, "second"))
+      .toDF("k", "t", "id", "v")
+    val got = TimeSeries.snapshotLatest(df, Seq("k"),
+      Seq($"t", $"id"), Seq("v")).collect()
+    assert(got.head.getString(1) == "second")
+  }
 }
