@@ -1628,6 +1628,35 @@ object SparkEntry {
           Seq("value", "event_type", "props"))
         .orderBy(col("user_id"))
     },
+
+    // X104 — integer-exact PageRank over the user↔event_type bipartite
+    // co-occurrence graph (symmetrized, so no dangling nodes here; the
+    // dangling path is spec-pinned). 4 synchronous rounds.
+    "q116_pagerank" -> { (s, dir) =>
+      val pairs = events(s, dir)
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
+          concat(lit("t:"), col("event_type")).as("t"))
+        .distinct()
+      val edges = pairs.select(col("u").as("src"), col("t").as("dst"))
+        .union(pairs.select(col("t").as("src"), col("u").as("dst")))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 4)
+        .orderBy(col("rank_mass").desc, col("node"))
+    },
+
+    // X105 — forward-algorithm triangle counts over the co-purchase
+    // graph: parts are adjacent when some order contains both (≤ 7
+    // lineitems per order bounds the per-order pair fan-out at C(7,2))
+    "q117_triangles" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = op.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(op.select(col("l_orderkey"), col("l_partkey").as("b")),
+          Seq("l_orderkey"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      graft.ops.Graph.triangleCounts(e, "a", "b")
+        .orderBy(col("triangles").desc, col("node"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4332,5 +4361,95 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // 4 unrolled synchronous rounds of the exact integer recurrence —
+    // the symmetrized bipartite graph has no dangling nodes, so the
+    // teleport term is the constant base 150000 (C=1e6, damping 850000)
+    "q116_pagerank" ->
+      """WITH p AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+        |    't:' || event_type AS t
+        |  FROM events
+        |), ed AS (
+        |  SELECT u AS src, t AS dst FROM p
+        |  UNION ALL SELECT t, u FROM p
+        |), deg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY 1
+        |), n AS (
+        |  SELECT src AS node FROM deg
+        |), r1 AS (
+        |  SELECT n.node, CAST(150000 + COALESCE(s.m, 0) AS BIGINT) AS r
+        |  FROM n LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(sum(
+        |      CAST(1000000 AS HUGEINT) * 850000 // (1000000 * d.d))
+        |      AS BIGINT) AS m
+        |    FROM ed JOIN deg d ON d.src = ed.src
+        |    GROUP BY 1) s USING (node)
+        |), r2 AS (
+        |  SELECT n.node, CAST(150000 + COALESCE(s.m, 0) AS BIGINT) AS r
+        |  FROM n LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(sum(
+        |      CAST(r.r AS HUGEINT) * 850000 // (1000000 * d.d))
+        |      AS BIGINT) AS m
+        |    FROM r1 r JOIN ed ON ed.src = r.node
+        |    JOIN deg d ON d.src = r.node
+        |    GROUP BY 1) s USING (node)
+        |), r3 AS (
+        |  SELECT n.node, CAST(150000 + COALESCE(s.m, 0) AS BIGINT) AS r
+        |  FROM n LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(sum(
+        |      CAST(r.r AS HUGEINT) * 850000 // (1000000 * d.d))
+        |      AS BIGINT) AS m
+        |    FROM r2 r JOIN ed ON ed.src = r.node
+        |    JOIN deg d ON d.src = r.node
+        |    GROUP BY 1) s USING (node)
+        |), r4 AS (
+        |  SELECT n.node, CAST(150000 + COALESCE(s.m, 0) AS BIGINT) AS r
+        |  FROM n LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(sum(
+        |      CAST(r.r AS HUGEINT) * 850000 // (1000000 * d.d))
+        |      AS BIGINT) AS m
+        |    FROM r3 r JOIN ed ON ed.src = r.node
+        |    JOIN deg d ON d.src = r.node
+        |    GROUP BY 1) s USING (node)
+        |)
+        |SELECT node, r AS rank_mass FROM r4
+        |ORDER BY rank_mass DESC, node""".stripMargin,
+
+    "q117_triangles" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+        |    (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1
+        |), o AS (
+        |  SELECT
+        |    CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+        |      THEN e.a ELSE e.b END AS src,
+        |    CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+        |      THEN e.b ELSE e.a END AS dst,
+        |    CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+        |      THEN db.degree ELSE da.degree END AS dd
+        |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+        |), tri AS (
+        |  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |    AND (o1.dd, o1.dst) < (o2.dd, o2.dst)
+        |  JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+        |), cnt AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM
+        |    (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+        |     UNION ALL SELECT w FROM tri)
+        |  GROUP BY 1
+        |)
+        |SELECT d.node, d.degree,
+        |  CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles
+        |FROM deg d LEFT JOIN cnt c ON c.node = d.node
+        |ORDER BY triangles DESC, d.node""".stripMargin,
   )
 }

@@ -273,4 +273,147 @@ object Graph {
       count(lit(1)).over(w).as("cluster_size"),
       (col("id") === col("cluster_id")).as("is_canonical"))
   }
+
+  /** PageRank in exact integer arithmetic — link-authority scoring for
+    * corpus curation (domain/host authority as a quality prior, entity
+    * salience over co-occurrence graphs). Every node starts with
+    * C = 10⁶ mass units and `iterations` synchronous rounds apply
+    *
+    * {{{
+    * r'(v) = base + (dampingPpm · dang) div (10⁶ · N)
+    *              + Σ_{u→v} (r(u) · dampingPpm) div (10⁶ · outdeg(u))
+    * }}}
+    *
+    * with `base = C·(10⁶ − dampingPpm) div 10⁶` and `dang` the summed
+    * mass of out-degree-0 nodes — the standard damped recurrence with
+    * uniform teleport and dangling redistribution, except every term is
+    * a FLOOR division over integers: per-edge terms floor independently
+    * and integer sums are order/partitioning-independent, so the result
+    * is bit-identical in any engine (the X79/X100 discipline — ranks are
+    * what PageRank is FOR, and floor-vs-float changes no ranking beyond
+    * the mass quantum). Mass leaks ≤ 1 unit per term per round —
+    * deterministic, and irrelevant at C = 10⁶. Multigraph semantics:
+    * parallel edges multiply both outdeg and contribution; self-loops
+    * feed a node back to itself; callers wanting simple-graph semantics
+    * dedupe first. Output: (node, rank_mass) over all edge endpoints.
+    * Bounds: exact while N·C < 2⁶³ (≈ 9·10¹² nodes); per-term products
+    * ride decimal(38,0).
+    *
+    * Scale shape: the CC loop discipline — edges+outdeg are partitioned
+    * and sorted on src ONCE ([[loopWidth]]-sized) and every round's
+    * SortMergeJoin reads that cached layout; ranks are node-grain,
+    * localCheckpoint'd each round (constant-depth plans, k jobs total);
+    * the contribution aggregate is map-side combined at |nodes| grain;
+    * the dangling scalar rides a one-row broadcast, never a driver
+    * round-trip per rank row. Per round: one ranks exchange + one
+    * node-grain aggregate exchange — the minimum for synchronous PR.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampingPpm: Long = 850000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100]: $iterations")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      s"dampingPpm must be in [0, 1000000]: $dampingPpm")
+    val C = 1000000L
+    val base = C * (1000000L - dampingPpm) / 1000000L
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint(true)
+    val p = loopWidth(e.count(),
+      edges.sparkSession.sparkContext.defaultParallelism)
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__d"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    // edge list with out-degree attached, laid out once for k reads
+    val withDeg = e.join(deg, Seq("__src"))
+      .repartition(p, col("__src")).sortWithinPartitions(col("__src"))
+      .persist()
+    val dangling = nodes.join(deg, nodes("node") === deg("__src"),
+      "left_anti").localCheckpoint(true)
+    var ranks = nodes.select(col("node"), lit(C).as("rank_mass"))
+    for (_ <- 1 to iterations) {
+      val dang = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank_mass")), lit(0L)).as("__dang"))
+      val contrib = withDeg
+        .join(ranks.repartition(p, col("node")),
+          col("__src") === col("node"))
+        .select(col("__dst").as("node"),
+          expr(s"CAST(rank_mass AS DECIMAL(38,0)) * $dampingPpm div " +
+            "(1000000 * __d)").as("__m"))
+        .groupBy(col("node"))
+        .agg(sum(col("__m").cast("decimal(38,0)")).as("__m"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) +
+            expr(s"CAST(__dang AS DECIMAL(38,0)) * $dampingPpm div " +
+              s"(1000000 * $n)") +
+            coalesce(col("__m"), lit(0L))).cast("long").as("rank_mass"))
+        .localCheckpoint(true)
+    }
+    withDeg.unpersist()
+    ranks
+  }
+
+  /** Exact per-node triangle counts by the degree-ordered FORWARD
+    * algorithm (Schank & Wagner, "Finding, Counting and Listing All
+    * Triangles in Large Graphs", WEA 2005) — the local-clustering /
+    * community-density signal over near-dup and co-occurrence graphs.
+    * Input edges are canonicalized to a simple undirected graph
+    * (self-loops and parallel edges dropped); each edge is then oriented
+    * from the (degree, id)-SMALLER endpoint to the larger, a total
+    * acyclic order under which every triangle survives as exactly one
+    * wedge (u→v, u→w with π(v) < π(w)) closed by the oriented edge v→w —
+    * counted once, no 3!-fold overcount, no post-dedup. Output: (node,
+    * degree, triangles) for every edge endpoint (isolated vertices are
+    * not in the edge list's universe); `triangles` is the number of
+    * distinct triangles through the node.
+    *
+    * Scale shape: the orientation is WHY this scales — out-degree in the
+    * oriented graph is bounded by O(√m) (a node beats only
+    * lower-(degree, id) neighbors), so the wedge self-join on src emits
+    * O(Σ d_out²) = O(m^1.5) candidates worst case and far fewer on
+    * power-law graphs, against the unoriented join's Σ d² blow-up
+    * (hub-quadratic). Everything is equi-joins and map-side-combined
+    * counts: canonicalize (one distinct), degree (one agg), orient (two
+    * degree joins), wedge join on src + closing-edge equi-join on
+    * (v, w), explode-by-3 + count. The oriented table is materialized
+    * once (localCheckpoint) for its three wedge-join consumers.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true) // consumers: two orientation joins + output
+    val lower = struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
+    val o = e
+      .join(deg.select(col("node").as("a"), col("degree").as("__da")),
+        Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("__db")),
+        Seq("b"))
+      .select(when(lower, col("a")).otherwise(col("b")).as("src"),
+        when(lower, col("b")).otherwise(col("a")).as("dst"),
+        when(lower, col("__db")).otherwise(col("__da")).as("__dd"))
+      .localCheckpoint(true) // consumers: both wedge sides + closing edge
+    val tris = o.select(col("src"), col("dst").as("v"), col("__dd").as("__dv"))
+      .join(o.select(col("src"), col("dst").as("w"), col("__dd").as("__dw")),
+        Seq("src"))
+      .filter(struct(col("__dv"), col("v")) < struct(col("__dw"), col("w")))
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val cnt = tris
+      .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(cnt, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

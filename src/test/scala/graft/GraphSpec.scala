@@ -103,4 +103,44 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) == ((3L, true)) && got(2L) == ((3L, false)) &&
       got(3L) == ((3L, false)) && got(7L) == ((1L, true)))
   }
+  test("pageRank: floor-exact masses, dangling redistribution, 3 rounds") {
+    // A<->B, C->A, B->D; D is DANGLING — its mass redistributes evenly.
+    val edges = Seq(("A", "B"), ("B", "A"), ("C", "A"), ("B", "D"))
+      .toDF("s", "d")
+    def run(k: Int) = Graph.pageRank(edges, "s", "d", iterations = k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hand-traced with the exact integer recurrence (C=1e6, d=850000):
+    assert(run(1) == Map("A" -> 1637500L, "B" -> 1212500L,
+      "C" -> 362500L, "D" -> 787500L))
+    assert(run(3) == Map("A" -> 1323097L, "B" -> 1296602L,
+      "C" -> 326939L, "D" -> 1053356L))
+    // floor leak only: total within 8 units of 4e6 after 3 rounds
+    assert(math.abs(run(3).values.sum - 4000000L) <= 8)
+  }
+
+  test("pageRank: damping 0 is pure teleport — uniform base mass") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", 2, dampingPpm = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  test("triangleCounts: triangle + pendant; self/parallel edges ignored") {
+    // triangle {1,2,3}, pendant 3-4, and noise: self-loop, dup, reversed
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (2L, 1L), (2L, 2L), (1L, 2L)).toDF("a", "b")
+    val got = Graph.triangleCounts(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)),
+      3L -> ((3L, 1L)), 4L -> ((1L, 0L))))
+  }
+
+  test("triangleCounts: K4 ties break by id — 3 triangles per node") {
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val edges = (for (a <- vs; b <- vs if a < b) yield (a, b))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == vs.map(_ -> ((3L, 3L))).toMap)
+  }
 }
