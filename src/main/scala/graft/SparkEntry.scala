@@ -1657,6 +1657,28 @@ object SparkEntry {
       graft.ops.Graph.triangleCounts(e, "a", "b")
         .orderBy(col("triangles").desc, col("node"))
     },
+
+    // X106 — skip-gram co-occurrence: scan-local tail-zips, one
+    // pair-type-grain count agg; the word2vec/GloVe count matrix
+    "q118_skipgrams" -> { (s, dir) =>
+      graft.text.Corpus.skipgrams(
+          t(s, dir, "documents").select(col("text")),
+          "text", window = 3, minCount = 2)
+        .orderBy(col("term_a"), col("term_b"))
+    },
+
+    // X107 — minhash estimate gated vs exact Jaccard in-plan (q85/q95
+    // self-verify pattern): a broken estimator drops rows → rows_mismatch.
+    // Oracle is the exact-Jaccard universe only. maxBlockSize explicit as
+    // in q19 (source blocks grow with SF)
+    "q119_minhash_gate" -> { (s, dir) =>
+      graft.dedup.Dedup.minhashGatedPairs(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("text")),
+          "text", "doc_id", "source", shingleN = 1, threshold = 0.3,
+          numHashes = 64, tolPpm = 250000L, maxBlockSize = Int.MaxValue)
+        .orderBy(col("id_a"), col("id_b"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4451,5 +4473,55 @@ object SparkEntry {
         |  CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles
         |FROM deg d LEFT JOIN cnt c ON c.node = d.node
         |ORDER BY triangles DESC, d.node""".stripMargin,
+
+    "q118_skipgrams" ->
+      """WITH arr AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS a
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(a) AS term,
+        |    generate_subscripts(a, 1) AS pos
+        |  FROM arr
+        |)
+        |SELECT a.term AS term_a, b.term AS term_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+        |  AND b.pos - a.pos BETWEEN 1 AND 3
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2
+        |ORDER BY term_a, term_b""".stripMargin,
+
+    // the ORACLE is the exact-Jaccard side only — the minhash estimate is
+    // an in-plan gate (rows drop if it strays > 0.25 from exact), so a
+    // broken estimator shows up as rows_mismatch here
+    "q119_minhash_gate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    list_transform(list_distinct(list_filter(
+        |      string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ',
+        |        'g'))), '\s+'),
+        |      t -> t <> '')), x ->
+        |      list_reduce(list_transform(generate_series(1, 15), ii ->
+        |        CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |             THEN ascii(substr(md5(x), ii, 1)) - 48
+        |             ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b)) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS inter,
+        |    CAST(len(a.s) + len(b.s)
+        |      - len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS uni
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) AS jaccard
+        |FROM pairs
+        |WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

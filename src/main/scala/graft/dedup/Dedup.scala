@@ -359,6 +359,74 @@ object Dedup {
         round(inter.cast("double") / m.cast("double"), 6).as("containment"))
   }
 
+  /** MinHash-ESTIMATED Jaccard pairs, self-verified in-plan against the
+    * exact value — the probe that keeps the signature estimator honest.
+    * Same universe and selection as [[blockedJaccardPairs]] (all pairs
+    * within a bounded block, exact hashed-shingle Jaccard ≥ `threshold`),
+    * but every surviving row ALSO requires the k-permutation MinHash
+    * estimate (matching signature components / k) to sit within
+    * `tolPpm` of the exact value:
+    * `|m/k − i/u| ≤ tol ⟺ |m·u − i·k|·10⁶ ≤ tolPpm·k·u` — pure long
+    * arithmetic, no float compare. A broken estimator (bad permutation
+    * mixing, band/row confusion, signature truncation) DROPS rows and
+    * fails the oracle's rows_match instead of silently shipping wrong
+    * similarity — the q85/q95 self-gating pattern. Only exact values
+    * surface; the estimate is the gate, not the result. (Estimator
+    * stderr is √(J(1−J)/k) — k = 64 puts 4σ ≈ 0.25; the gate is
+    * deterministic for fixed data since the permutations are seeded by
+    * content md5, so a pass locally is a pass anywhere.)
+    *
+    * Scale note: signatures ride [[minhashSignature]]'s array form
+    * (interpreted HOF lambdas) — right for a verification probe over
+    * bounded blocks; the 100 TB candidate-generation path stays
+    * [[minhashBands]]' exploded codegen pipeline.
+    */
+  def minhashGatedPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, shingleN: Int = 1, threshold: Double = 0.5,
+      numHashes: Int = 64, tolPpm: Long = 250000L,
+      maxBlockSize: Int = 10000): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+    require(tolPpm >= 0, s"tolPpm must be >= 0: $tolPpm")
+    val tNum = 2L * math.round(threshold * 1e6) - 1
+    val d = df.select(col(blockCol).as("__blk"), col(idCol),
+      coalesce(hashedShingles(col(textCol), shingleN),
+        typedLit(Array.empty[Long])).as("sh"),
+      coalesce(minhashSignature(shingles(col(textCol), shingleN), numHashes),
+        typedLit(Array.empty[Long])).as("__sig"))
+    val l = d.withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__blk"))))
+      .select(col("__blk"), col("__bn"), col(idCol).as("id_a"),
+        col("sh").as("sh_a"), col("__sig").as("__sig_a"),
+        size(col("sh")).cast("long").as("__na"))
+    val r = d.select(col("__blk"), col(idCol).as("id_b"),
+      col("sh").as("sh_b"), col("__sig").as("__sig_b"),
+      size(col("sh")).cast("long").as("__nb"))
+    val guard = (col("__bn") <= maxBlockSize) ||
+      coalesce(raise_error(concat(
+        lit("Dedup.minhashGatedPairs: block '"),
+        col("__blk").cast("string"), lit("' has "),
+        col("__bn").cast("string"),
+        lit(s" rows > maxBlockSize=$maxBlockSize; all-pairs verify is " +
+          "O(B²) - use minhashLshPairs + verifiedNearDups for " +
+          "unbounded blocks"))).cast("boolean"), lit(true))
+    val inter = graft.functions.VectorExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
+    val union = col("__na") + col("__nb") - inter
+    val matches = size(filter(
+      zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x <=> y),
+      b => b)).cast("long")
+    val gate = abs(matches * union - inter * numHashes) * 1000000L <=
+      lit(tolPpm) * numHashes * union
+    l.join(r, Seq("__blk"))
+      .filter(guard && col("id_a") < col("id_b") &&
+        col("__na") * 2000000L >= col("__nb") * tNum &&
+        col("__nb") * 2000000L >= col("__na") * tNum &&
+        union > 0 && inter * 2000000L >= union * tNum && gate)
+      .select(col("id_a"), col("id_b"),
+        round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
+  }
+
   /** Edit-distance near-dup pairs with LENGTH-BUCKET blocking:
     * (id_a, id_b, dist), dist = levenshtein ≤ `maxDist` on the normalized
     * text truncated to `prefixLen` chars.

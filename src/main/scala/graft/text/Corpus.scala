@@ -511,6 +511,48 @@ object Corpus {
           "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("assoc_ppm"))
   }
 
+  /** Skip-gram co-occurrence counts: directed (left, right) token pairs
+    * within positional distance ≤ `window` — the co-occurrence matrix
+    * behind word2vec/SGNS and GloVe embedding training, collected as
+    * exact integer counts. [[collocations]] is the `window = 1`
+    * association special case; this is the raw count table an embedding
+    * pipeline consumes (symmetrize or distance-weight downstream —
+    * word2vec's dynamic-window 1/d weighting is a caller-side reweight
+    * of the same pairs, deliberately not baked in because the exact
+    * counts are the reusable artifact). `minCount` trims the unstable
+    * singleton tail (SGNS discards it anyway). Output: (term_a, term_b,
+    * n_pairs) with term_a positionally BEFORE term_b.
+    *
+    * Scale shape: pair extraction is scan-local — per document one
+    * `transform` over distances 1..window of tail-zips of the token
+    * array (no positional self-join, no explode-then-join; the
+    * window·|tokens| pair stream flows straight into the aggregation's
+    * map-side combine) and the only exchange is the final pair-TYPE-
+    * grain count aggregation, orders below the corpus by Heaps' law.
+    * The corpus never shuffles. Pair volume is window-linear in corpus
+    * tokens — window is capped at 32 because beyond sentence range the
+    * counts stop meaning co-occurrence.
+    */
+  def skipgrams(df: DataFrame, textCol: String, window: Int,
+      minCount: Long = 1): DataFrame = {
+    require(window >= 1 && window <= 32,
+      s"window must be in [1, 32]: $window")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val toks = TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
+    val arr = df.select(toks.as("__arr")).filter(size(col("__arr")) >= 2)
+    val n = size(col("__arr"))
+    arr.select(explode(flatten(transform(
+        sequence(lit(1), least(lit(window), n - 1)),
+        d => zip_with(
+          slice(col("__arr"), lit(1), n - d),
+          slice(col("__arr"), d + lit(1), n - d),
+          (a, b) => struct(a.as("term_a"), b.as("term_b")))))).as("__p"))
+      .groupBy(col("__p.term_a").as("term_a"),
+        col("__p.term_b").as("term_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+  }
+
   /** Token-budget corpus selection: walk the corpus in `priority` order
     * (highest first, `idCol` tiebreak) within each `groupCol` stratum and
     * keep the longest PREFIX whose cumulative token count stays ≤

@@ -343,6 +343,26 @@ class CorpusSpec extends SparkSpec {
       r.getLong(2) == 2 && r.getLong(5) == 1666666L)
   }
 
+  test("skipgrams: window-bounded directed pairs, exact counts") {
+    // "a b a b c": d=1 → (a,b),(b,a),(a,b),(b,c); d=2 → (a,a),(b,b),(a,c)
+    val corpus = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val got = Corpus.skipgrams(corpus, "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("a", "a") -> 1L, ("b", "b") -> 1L, ("a", "c") -> 1L))
+  }
+
+  test("skipgrams: window=1 is adjacency; minCount trims; short docs ok") {
+    val corpus = Seq((1L, "x y"), (2L, "x y"), (3L, "y x"), (4L, "x"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = Corpus.skipgrams(corpus, "text", window = 1, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // (x,y)×2 survives; (y,x)×1 trimmed; one-token/empty docs contribute 0
+    assert(got == Map(("x", "y") -> 2L))
+  }
+
   test("tfidfCosinePairs: exact weights, pruned space, hand-checked cos") {
     val corpus = Seq(
       (1L, "apple banana cherry"),

@@ -196,6 +196,29 @@ class DedupSpec extends SparkSpec {
     assert(messages(err).exists(_.contains("maxBlockSize")))
   }
 
+  test("minhashGatedPairs: exact values match blockedJaccardPairs; the " +
+      "estimate gate drops imperfect pairs at tolPpm 0") {
+    val blocked = docs.withColumn("blk", lit("one"))
+    val exact = Dedup.blockedJaccardPairs(blocked, "text", "doc_id", "blk",
+      shingleN = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val gated = Dedup.minhashGatedPairs(blocked, "text", "doc_id", "blk",
+      shingleN = 1, threshold = 0.5, numHashes = 64, tolPpm = 250000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // within tolerance the gate is invisible: same pairs, same exact values
+    assert(gated == exact)
+    // at zero tolerance only estimate-perfect pairs survive: identical
+    // docs (jaccard 1 → all signature components equal) always do; the
+    // 7/9-overlap pair (1,5) needs est == 7/9 exactly, impossible at k=64
+    val strict = Dedup.minhashGatedPairs(blocked, "text", "doc_id", "blk",
+      shingleN = 1, threshold = 0.5, numHashes = 64, tolPpm = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.contains((1L, 2L)) && strict.contains((2L, 3L)))
+    assert(!strict.contains((1L, 5L)))
+  }
+
   test("embeddingNearDups: scaled copy pairs at cos 1, orthogonal absent") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
