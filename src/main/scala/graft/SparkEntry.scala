@@ -1679,6 +1679,20 @@ object SparkEntry {
           numHashes = 64, tolPpm = 250000L, maxBlockSize = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b"))
     },
+
+    // X108 — leakage-safe temporal split: scan-local two-comparison
+    // labeling; probe aggregates per split with exact µs boundaries
+    "q120_temporal_split" -> { (s, dir) =>
+      graft.ops.Relational.temporalSplit(
+          events(s, dir), col("ts"),
+          lit("2024-01-22 00:00:00").cast("timestamp"),
+          expr("INTERVAL 2 DAYS"))
+        .groupBy(coalesce(col("split"), lit("embargo")).as("split"))
+        .agg(count(lit(1)).as("n"),
+          min(nsToMicros(col("ts_ns"))).as("min_us"),
+          max(nsToMicros(col("ts_ns"))).as("max_us"))
+        .orderBy(col("split"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4523,5 +4537,19 @@ object SparkEntry {
         |FROM pairs
         |WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q120_temporal_split" ->
+      """WITH s AS (
+        |  SELECT CASE
+        |    WHEN ts < TIMESTAMP '2024-01-22 00:00:00' - INTERVAL 2 DAY
+        |      THEN 'train'
+        |    WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+        |    ELSE 'embargo' END AS split,
+        |    epoch_us(ts) AS us
+        |  FROM events
+        |)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n,
+        |  min(us) AS min_us, max(us) AS max_us
+        |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
   )
 }

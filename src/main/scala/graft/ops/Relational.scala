@@ -422,6 +422,32 @@ object Relational {
     df.withColumn("split", split)
   }
 
+  /** Leakage-safe TEMPORAL train/test split with an embargo gap — the
+    * time-ordered sibling of [[splitAssign]]'s hash split, for data
+    * where evaluation must be strictly out-of-time (user logs, market
+    * series, any drifting corpus). `train` = rows strictly before
+    * `cutoff − embargo`; `test` = rows at or after `cutoff`; rows
+    * inside the embargo window get a NULL split — quarantined, not
+    * silently trained on. The embargo is what makes walk-forward
+    * evaluation honest when features come from trailing windows
+    * (rolling aggregates X40, lagged series, decayed sums X85): a train
+    * row closer than `embargo` to the cutoff has feature windows
+    * overlapping test time — the classic look-ahead leak the purge
+    * removes (the purging/embargo discipline of financial ML).
+    *
+    * Scale shape: two scan-local comparisons per row — no shuffle, no
+    * state; computable at ingest and storable as a partition column.
+    * train < cutoff−embargo ≤ cutoff ≤ test by construction, so no row
+    * can land on both sides; `embargo = 0` degenerates to a plain
+    * cutoff split; a null timestamp quarantines (null split).
+    */
+  def temporalSplit(df: DataFrame, ts: Column, cutoff: Column,
+      embargo: Column): DataFrame =
+    df.withColumn("split",
+      when(ts < cutoff - embargo, lit("train"))
+        .when(ts >= cutoff, lit("test"))
+        .otherwise(lit(null).cast("string")))
+
   /** Deterministic training-order shuffle + sharding: assigns every row
     * a `shard` in [0, nShards) and a dense 0-based `pos` within its
     * shard, both pure functions of (`seed`, `key`) via the engine's md5

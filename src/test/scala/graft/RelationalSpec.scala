@@ -380,6 +380,33 @@ class RelationalSpec extends SparkSpec {
     (1500L to 2000L).foreach(k => assert(o(k) == got(k)))
   }
 
+  test("temporalSplit: boundary semantics, embargo quarantine, null ts") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2024-01-10 00:00:00")),   // train
+      (2L, t("2024-01-19 23:59:59")),   // train (strictly before purge)
+      (3L, t("2024-01-20 00:00:00")),   // embargo (== cutoff - embargo)
+      (4L, t("2024-01-21 12:00:00")),   // embargo
+      (5L, t("2024-01-22 00:00:00")),   // test (== cutoff)
+      (6L, t("2024-01-25 00:00:00")),   // test
+      (7L, null.asInstanceOf[Timestamp]) // null ts -> quarantined
+    ).toDF("id", "ts")
+    val got = Relational.temporalSplit(df, col("ts"),
+        lit("2024-01-22 00:00:00").cast("timestamp"),
+        expr("INTERVAL 2 DAYS"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(got == Map(1L -> "train", 2L -> "train", 3L -> null, 4L -> null,
+      5L -> "test", 6L -> "test", 7L -> null))
+    // embargo 0 degenerates to a plain cutoff split: nothing quarantined
+    val plain = Relational.temporalSplit(df.filter(col("ts").isNotNull),
+        col("ts"), lit("2024-01-22 00:00:00").cast("timestamp"),
+        expr("INTERVAL 0 DAYS"))
+      .collect().map(r => r.getString(2))
+    assert(!plain.contains(null))
+  }
+
   test("shuffleShard: deterministic permutation, dense positions, seeded") {
     val df = (1L to 500L).toDF("id")
     def run(seed: String) = Relational.shuffleShard(df, col("id"), 4, seed)
