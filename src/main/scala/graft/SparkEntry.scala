@@ -1693,6 +1693,19 @@ object SparkEntry {
           max(nsToMicros(col("ts_ns"))).as("max_us"))
         .orderBy(col("split"))
     },
+
+    // X109 — rank normalization: one exchange, both windows share it;
+    // integer ppm percent-rank, competition-rank ties
+    "q121_rank_norm" -> { (s, dir) =>
+      graft.ops.Features.rankNormalize(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice")),
+          Seq("o_orderpriority"), col("o_totalprice"))
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("value_rank"), col("rank_ppm"))
+        .orderBy(col("o_orderpriority"), col("value_rank"),
+          col("o_orderkey"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4551,5 +4564,21 @@ object SparkEntry {
         |SELECT split, CAST(count(*) AS BIGINT) AS n,
         |  min(us) AS min_us, max(us) AS max_us
         |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q121_rank_norm" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice) AS BIGINT) AS value_rank,
+        |    CAST(count(*) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |)
+        |SELECT o_orderpriority, o_orderkey, value_rank,
+        |  CASE WHEN n > 1
+        |    THEN (value_rank - 1) * 1000000 // (n - 1)
+        |    ELSE 0 END AS rank_ppm
+        |FROM r
+        |ORDER BY o_orderpriority, value_rank, o_orderkey""".stripMargin,
   )
 }

@@ -174,6 +174,41 @@ object Features {
       .select(col("bin"), col("bin_lo"), col("n"))
   }
 
+  /** Per-group RANK normalization: maps each value to its integer-ppm
+    * percent rank `rank_ppm = (rank − 1)·10⁶ div (n − 1)` — the
+    * distribution-free scaling that survives what breaks [[scaleFeatures]]
+    * (heavy tails, outliers) and [[robustScale]] (multimodal spread):
+    * ranks are invariant under ANY monotone transform of the raw values,
+    * and the output is uniform on [0, 10⁶] by construction — the first
+    * half of quantile normalization, and the feature form tree models
+    * and calibration layers consume directly. `value_rank` is standard
+    * competition rank (ties share the smallest rank — deterministic and
+    * engine-portable where average-rank's .5 fractions are not);
+    * single-row groups emit 0; null values are EXCLUDED (a null carries
+    * no rank — fill upstream if null must mean something).
+    *
+    * Scale shape: one exchange on the group key, then BOTH windows (the
+    * sorted rank and the unsorted count) reuse that one partitioning —
+    * no second shuffle, no joins; the integer division is scan-local.
+    * Per-group volume rides one partition — the [[graft.ops.TimeSeries]]
+    * per-key window caveat applies (shard hot groups upstream if a
+    * single group outgrows an executor).
+    */
+  def rankNormalize(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val gs = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+    df.filter(valueCol.isNotNull)
+      .withColumn("value_rank",
+        rank().over(w.partitionBy(gs: _*).orderBy(valueCol)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(w.partitionBy(gs: _*)))
+      .withColumn("rank_ppm",
+        when(col("__n") > 1,
+          expr("(value_rank - 1) * 1000000 div (__n - 1)"))
+        .otherwise(lit(0L)))
+      .drop("__n")
+  }
+
   /** Per-group Pearson correlation of two metric columns — the SIGNED
     * association [[groupTrend]]'s r² can't carry (feature-drift checks
     * care whether the relationship flipped). Same exactness recipe as

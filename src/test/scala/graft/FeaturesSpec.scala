@@ -78,6 +78,31 @@ class FeaturesSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).sum == 2L)
   }
 
+  test("rankNormalize: competition ranks, integer ppm, ties, singleton") {
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 20.0), ("g", 30.0),
+      ("solo", 7.0)).toDF("grp", "v")
+    val got = Features.rankNormalize(df, Seq("grp"), col("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3)))
+    val byKey = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // ranks 1,2,2,4 over n=4: ppm 0, 333333, 333333, 1000000
+    assert(byKey(("g", 10.0)) == Set((1L, 0L)))
+    assert(byKey(("g", 20.0)) == Set((2L, 333333L)))
+    assert(byKey(("g", 30.0)) == Set((4L, 1000000L)))
+    assert(byKey(("solo", 7.0)) == Set((1L, 0L))) // n=1 -> 0
+  }
+
+  test("rankNormalize: nulls excluded; monotone-transform invariant") {
+    val df = Seq(("g", Some(1.0)), ("g", Some(100.0)), ("g", None),
+      ("g", Some(10000.0))).toDF("grp", "v")
+    val got = Features.rankNormalize(df, Seq("grp"), col("v")).collect()
+    assert(got.length == 3) // the null row carries no rank
+    // log-transforming the values changes nothing: ranks are order-only
+    val logd = Features.rankNormalize(df, Seq("grp"), log(col("v")))
+      .collect().map(r => r.getLong(3)).sorted
+    assert(logd.toSeq == got.map(_.getLong(3)).sorted.toSeq)
+  }
+
   test("groupTrend: exact slope/intercept/r2 on a perfect line") {
     // y = 2x + 3 → slope 2, intercept 3, r² 1 — all exact in the
     // integer-moment closed form
