@@ -1706,6 +1706,29 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("value_rank"),
           col("o_orderkey"))
     },
+
+    // X110 — reciprocal-rank fusion: two per-brand part rankings (price
+    // vs size, top 10 each) fused by integer RRF at k=60
+    "q122_rrf" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val p = t(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          col("p_size"))
+      val byPrice = p.withColumn("rnk", row_number().over(
+          w.partitionBy(col("p_brand"))
+            .orderBy(col("p_retailprice").desc, col("p_partkey"))))
+        .filter(col("rnk") <= 10)
+      val bySize = p.withColumn("rnk", row_number().over(
+          w.partitionBy(col("p_brand"))
+            .orderBy(col("p_size").desc, col("p_partkey"))))
+        .filter(col("rnk") <= 10)
+      graft.ops.Relational.rrfFuse(
+          byPrice.select(col("p_brand"), col("p_partkey"), col("rnk"))
+            .unionByName(bySize.select(col("p_brand"), col("p_partkey"),
+              col("rnk"))),
+          Seq("p_brand"), "p_partkey", col("rnk"))
+        .orderBy(col("p_brand"), col("fused_rank"), col("p_partkey"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4580,5 +4603,30 @@ object SparkEntry {
         |    ELSE 0 END AS rank_ppm
         |FROM r
         |ORDER BY o_orderpriority, value_rank, o_orderkey""".stripMargin,
+
+    "q122_rrf" ->
+      """WITH byprice AS (
+        |  SELECT p_brand, p_partkey, CAST(row_number() OVER (
+        |    PARTITION BY p_brand
+        |    ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
+        |  FROM part
+        |), bysize AS (
+        |  SELECT p_brand, p_partkey, CAST(row_number() OVER (
+        |    PARTITION BY p_brand
+        |    ORDER BY p_size DESC, p_partkey) AS BIGINT) AS rnk
+        |  FROM part
+        |), lists AS (
+        |  SELECT * FROM byprice WHERE rnk <= 10
+        |  UNION ALL SELECT * FROM bysize WHERE rnk <= 10
+        |), fused AS (
+        |  SELECT p_brand, p_partkey,
+        |    CAST(sum(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_score
+        |  FROM lists GROUP BY 1, 2
+        |)
+        |SELECT p_brand, p_partkey, rrf_score,
+        |  CAST(rank() OVER (PARTITION BY p_brand
+        |    ORDER BY rrf_score DESC, p_partkey) AS BIGINT) AS fused_rank
+        |FROM fused
+        |ORDER BY p_brand, fused_rank, p_partkey""".stripMargin,
   )
 }

@@ -69,6 +69,43 @@ object Relational {
         Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)))
       .filter(col("rank") <= k)
 
+  /** Reciprocal-rank fusion of multiple rankings into one — the
+    * retrieval-blending step of a RAG / search pipeline (fuse dense-ANN
+    * and lexical-BM25 hit lists, or several prompts' retrievals) and of
+    * ensemble candidate ranking generally (Cormack, Clarke & Büttcher,
+    * SIGIR'09). Input is the LONG form every ranker already emits: one
+    * row per (query…, item) per source list carrying that list's 1-based
+    * rank (the list's identity doesn't enter the formula — only how many
+    * lists surfaced the item and at what ranks). Each appearance
+    * contributes `10⁹ div (k + rank)` — the RRF term ⌊10⁹/(k+r)⌋ in
+    * exact integer nano-units, no float sum to disagree on; `k = 60` is
+    * the paper's constant (damps the head so one ranker's #1 can't
+    * dominate consensus). Output: (query…, item, rrf_score, fused_rank)
+    * with `fused_rank` a competition rank per query, score-desc then
+    * item-asc — total order, engine-portable. Items missing from a list
+    * simply lack that term; rows with null/0/negative ranks are dropped
+    * (no rank — no vote). With empty `queryCols` it fuses one global
+    * ranking (single window partition — fine for one result list, shard
+    * upstream for a global catalog).
+    *
+    * Scale shape: one map-side-combined aggregation to (query, item)
+    * grain — the shuffle carries candidate rows, never corpus rows —
+    * then one window per query partition over its own candidates for
+    * the fused rank; no joins, no global sort.
+    */
+  def rrfFuse(rankings: DataFrame, queryCols: Seq[String], itemCol: String,
+      rankCol: Column, k: Long = 60L): DataFrame = {
+    require(k >= 0, s"k must be >= 0: $k")
+    val gs = queryCols.map(col)
+    rankings.withColumn("__rank", rankCol.cast("long"))
+      .filter(col("__rank") >= 1)
+      .groupBy((gs :+ col(itemCol)): _*)
+      .agg(sum(expr(s"1000000000 div ($k + __rank)")).as("rrf_score"))
+      .withColumn("fused_rank", rank().over(
+        Window.partitionBy(gs: _*)
+          .orderBy(col("rrf_score").desc, col(itemCol))).cast("long"))
+  }
+
   /** 60-bit uniform hash of a key column: the first 15 hex chars of its
     * md5, as a long in [0, 2^60). Portable (md5 is md5 in every engine)
     * and stable across runs/partitionings — the foundation for

@@ -380,6 +380,35 @@ class RelationalSpec extends SparkSpec {
     (1500L to 2000L).foreach(k => assert(o(k) == got(k)))
   }
 
+  test("rrfFuse: integer RRF terms, consensus beats one #1, ties by item") {
+    // L1: a=1, b=2 ; L2: b=1, c=2 — with k=0: a=1e9, b=1.5e9, c=5e8
+    val lists = Seq(("q", "a", 1L), ("q", "b", 2L),
+      ("q", "b", 1L), ("q", "c", 2L)).toDF("query", "item", "rnk")
+    val got = Relational.rrfFuse(lists, Seq("query"), "item", col("rnk"),
+        k = 0L)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("b") == ((1500000000L, 1L))) // in both lists: consensus wins
+    assert(got("a") == ((1000000000L, 2L)))
+    assert(got("c") == ((500000000L, 3L)))
+    // default k=60: floor terms 1e9/61, 1e9/62
+    val k60 = Relational.rrfFuse(lists, Seq("query"), "item", col("rnk"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(k60("a") == 1000000000L / 61)
+    assert(k60("b") == 1000000000L / 61 + 1000000000L / 62)
+    // equal scores tie-break on item ascending
+    val tied = Relational.rrfFuse(
+        Seq(("q", "y", 1L), ("q", "x", 1L)).toDF("query", "item", "rnk"),
+        Seq("query"), "item", col("rnk"))
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(tied == Map("x" -> 1L, "y" -> 2L))
+    // rankless rows (null / 0) carry no vote
+    val dropped = Relational.rrfFuse(
+        Seq(("q", "a", 0L), ("q", "b", 1L)).toDF("query", "item", "rnk"),
+        Seq("query"), "item", col("rnk")).collect()
+    assert(dropped.map(_.getString(1)).toSeq == Seq("b"))
+  }
+
   test("temporalSplit: boundary semantics, embargo quarantine, null ts") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)
