@@ -1729,6 +1729,19 @@ object SparkEntry {
           Seq("p_brand"), "p_partkey", col("rnk"))
         .orderBy(col("p_brand"), col("fused_rank"), col("p_partkey"))
     },
+
+    // X111 — CUBE composition probe (all 2^d subtotal combinations +
+    // grouping_id lattice level), complementing X18's ROLLUP hierarchy:
+    // Spark's native Expand-based grouping-sets planning
+    "q123_cube" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumd(col("o_totalprice")).as("total"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4628,5 +4641,16 @@ object SparkEntry {
         |    ORDER BY rrf_score DESC, p_partkey) AS BIGINT) AS fused_rank
         |FROM fused
         |ORDER BY p_brand, fused_rank, p_partkey""".stripMargin,
+
+    "q123_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority)
+        |    AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
   )
 }
