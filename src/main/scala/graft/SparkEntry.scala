@@ -1742,6 +1742,16 @@ object SparkEntry {
         .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     },
+
+    // X112 — LOCF time-in-state: one lead window per user, (key, type)
+    // grain aggregate; last event's open spell excluded
+    "q124_dwell" -> { (s, dir) =>
+      graft.ops.Funnel.dwellTimes(
+          events(s, dir).withColumn("ts_us", nsToMicros(col("ts_ns"))),
+          "user_id", Seq("ts_us", "event_id"), "event_type",
+          col("ts_us"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4652,5 +4662,19 @@ object SparkEntry {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST,
         |  o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q124_dwell" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events
+        |)
+        |SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_spells,
+        |  CAST(sum(nxt - us) AS BIGINT) AS dwell_us
+        |FROM e WHERE nxt IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY user_id, event_type""".stripMargin,
   )
 }

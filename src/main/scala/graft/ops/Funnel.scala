@@ -76,4 +76,34 @@ object Funnel {
         col(typeCol).as("to_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Per-key time-in-state: total µs each key spends in each event type
+    * under LOCF semantics — an event's state holds until the key's NEXT
+    * event (session composition, UI screen time, device/sensor mode
+    * residency; the duration sibling of [[transitionCounts]], which
+    * counts the same transitions this one times). `orderCols` must be a
+    * TOTAL order per key whose leading axis agrees with `tsUs` (put the
+    * event time first, a unique id last — the [[graft.ops.TimeSeries]]
+    * tie contract), so spells are non-negative by construction. Each
+    * key's LAST event opens a spell that never closes — excluded, not
+    * guessed (pass a synthetic end-of-observation event per key to
+    * close the tail at an anchor). Output: (key, type, n_spells,
+    * dwell_us) — n_spells counts closed spells, so transition row sums
+    * reconcile: Σ n_spells per key = events(key) − 1.
+    *
+    * Scale shape: one shuffle on the key for the lead window, then one
+    * map-side-combined aggregation to (key, type) grain — per-key
+    * window state is one row, integer µs sums are exact longs.
+    */
+  def dwellTimes(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      typeCol: String, tsUs: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__ts", tsUs.cast("long"))
+      .withColumn("__next", lead(col("__ts"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(keyCol), col(typeCol))
+      .agg(count(lit(1)).as("n_spells"),
+        sum(col("__next") - col("__ts")).as("dwell_us"))
+  }
 }

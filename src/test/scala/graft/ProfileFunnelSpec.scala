@@ -59,6 +59,29 @@ class ProfileFunnelSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "b", 2L), ("b", "a", 1L)))
   }
 
+  test("dwellTimes: LOCF spells, open tail excluded, sums reconcile") {
+    // user u: a@0 -> b@10 -> a@15 -> c@40 (open): spells a=10, b=5, a=25
+    // user v: single event -> no closed spell at all
+    val df = Seq(
+      ("u", 0L, 1L, "a"), ("u", 10L, 2L, "b"), ("u", 15L, 3L, "a"),
+      ("u", 40L, 4L, "c"), ("v", 5L, 5L, "a"))
+      .toDF("k", "ts_us", "id", "tp")
+    val got = Funnel.dwellTimes(df, "k", Seq("ts_us", "id"), "tp",
+        col("ts_us"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(("u", "a") -> ((2L, 35L)), ("u", "b") -> ((1L, 5L))))
+    // closed spells per key = events - 1 (c's open spell never counts)
+    assert(got.collect { case (("u", _), (n, _)) => n }.sum == 3L)
+    // same-instant events: the id tiebreak closes a zero-length spell
+    val tie = Funnel.dwellTimes(
+        Seq(("w", 7L, 1L, "x"), ("w", 7L, 2L, "y")).toDF(
+          "k", "ts_us", "id", "tp"),
+        "k", Seq("ts_us", "id"), "tp", col("ts_us"))
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(tie == Map("x" -> 0L))
+  }
+
   test("funnelDepth: first-after pick and one exchange on the user key") {
     val ev = Seq(
       (1L, 1L, "view"), (1L, 2L, "view"), // first view wins
