@@ -1752,6 +1752,15 @@ object SparkEntry {
           col("ts_us"))
         .orderBy(col("user_id"), col("event_type"))
     },
+
+    // X113 — rendezvous (HRW) consistent sharding: scan-local argmax of
+    // 8 per-(key, shard) md5 hashes; minimal movement under resizing
+    "q125_rendezvous" -> { (s, dir) =>
+      graft.ops.Relational.rendezvousShard(
+          t(s, dir, "customer").select(col("c_custkey")),
+          col("c_custkey"), nShards = 8)
+        .orderBy(col("c_custkey"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4676,5 +4685,25 @@ object SparkEntry {
         |FROM e WHERE nxt IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q125_rendezvous" ->
+      """WITH a AS (
+        |  SELECT c_custkey, CAST(t.s AS BIGINT) AS s,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE WHEN ascii(substr(md5(
+        |          CAST(c_custkey AS VARCHAR) || chr(1) ||
+        |          CAST(t.s AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5(CAST(c_custkey AS VARCHAR) || chr(1)
+        |          || CAST(t.s AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5(CAST(c_custkey AS VARCHAR) || chr(1)
+        |          || CAST(t.s AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (x, y) -> x * 16 + y) AS h
+        |  FROM customer, generate_series(0, 7) AS t(s)
+        |)
+        |SELECT c_custkey,
+        |  struct_extract(max(struct_pack(h := h, s := s)), 's') AS shard
+        |FROM a GROUP BY 1
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

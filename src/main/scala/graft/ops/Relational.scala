@@ -485,6 +485,36 @@ object Relational {
         .when(ts >= cutoff, lit("test"))
         .otherwise(lit(null).cast("string")))
 
+  /** Rendezvous (highest-random-weight) consistent sharding: shard =
+    * argmax over s ∈ [0, nShards) of the 60-bit md5 hash of (key, s) —
+    * the MINIMAL-MOVEMENT shard assignment for a corpus lake that
+    * resizes (Thaler & Ravishankar '96, the scheme behind consistent
+    * object placement). Growing nShards → nShards+1 moves a key ONLY if
+    * the new shard wins its argmax — an expected 1/(n+1) of keys, all
+    * moving TO the new shard; keys never reshuffle among existing
+    * shards (mod-hash resharding moves (n−1)/n of the corpus — at
+    * 100 TB that difference is the whole migration bill). Same
+    * determinism contract as [[shuffleShard]]: a pure function of the
+    * key, reproducible on any engine/partitioning; unlike shuffleShard
+    * there is no global position — this is PLACEMENT, not ordering.
+    *
+    * Scale shape: scan-local — one struct-array argmax per row, no
+    * shuffle, no state; computable at ingest as a partition column.
+    * Cost is nShards md5s per row (HRW's regime is ten-to-hundreds of
+    * shards — size-tier it; argmax ties break to the larger shard id,
+    * though 60-bit ties are vanishing).
+    */
+  def rendezvousShard(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"nShards must be in [1, 4096]: $nShards")
+    val scored = transform(sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        hashUnit(concat(key.cast("string"), lit("\u0001"),
+          s.cast("long").cast("string"))).as("h"),
+        s.cast("long").as("s")))
+    df.withColumn("shard", array_max(scored).getField("s"))
+  }
+
   /** Deterministic training-order shuffle + sharding: assigns every row
     * a `shard` in [0, nShards) and a dense 0-based `pos` within its
     * shard, both pure functions of (`seed`, `key`) via the engine's md5

@@ -436,6 +436,23 @@ class RelationalSpec extends SparkSpec {
     assert(!plain.contains(null))
   }
 
+  test("rendezvousShard: deterministic, roughly uniform, minimal movement") {
+    val df = (1L to 1200L).toDF("id")
+    def assign(n: Int) = Relational.rendezvousShard(df, col("id"), n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a5 = assign(5)
+    assert(assign(5) == a5) // pure function of the key
+    assert(a5.values.toSet == (0L until 5L).toSet)
+    val byShard = a5.values.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.values.forall(n => n > 120 && n < 360)) // ~240 each
+    // growing 5 -> 6 shards: every moved key lands on the NEW shard, and
+    // about 1/6 of keys move (the HRW minimal-movement contract)
+    val a6 = assign(6)
+    val moved = a5.keys.filter(k => a5(k) != a6(k)).toSeq
+    assert(moved.forall(k => a6(k) == 5L))
+    assert(moved.size > 120 && moved.size < 280, moved.size) // ~200
+  }
+
   test("shuffleShard: deterministic permutation, dense positions, seeded") {
     val df = (1L to 500L).toDF("id")
     def run(seed: String) = Relational.shuffleShard(df, col("id"), 4, seed)
