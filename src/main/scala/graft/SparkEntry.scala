@@ -1761,6 +1761,22 @@ object SparkEntry {
           col("c_custkey"), nShards = 8)
         .orderBy(col("c_custkey"))
     },
+
+    // X114 — per-row OLS residuals vs the q74 trend line: decimal-exact
+    // moments broadcast back, bit-identical IEEE fitted/residual
+    "q126_residuals" -> { (s, dir) =>
+      graft.ops.Features.residuals(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderpriority"), col("o_orderdate"),
+            col("o_totalprice")),
+          Seq("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")),
+          col("o_totalprice"), yScale = 2)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("fitted"),
+          col("residual"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4705,5 +4721,46 @@ object SparkEntry {
         |  struct_extract(max(struct_pack(h := h, s := s)), 's') AS shard
         |FROM a GROUP BY 1
         |ORDER BY c_custkey""".stripMargin,
+
+    // same moment/render recipe as q74, joined back per row; the orders
+    // table has no null date/price at any SF (verified), so the moment
+    // CTE's null filter cannot desync row counts
+    "q126_residuals" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS x,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |), m AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM b GROUP BY 1
+        |), d AS (
+        |  SELECT o_orderpriority, n,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+        |      AS DOUBLE) AS num,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+        |      AS DOUBLE) AS den,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd
+        |  FROM m
+        |), f AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN den <> 0 THEN num / den / 100.0 END AS slope,
+        |    CASE WHEN den <> 0 THEN
+        |      (syd / 100.0 - num / den / 100.0 * sxd) / CAST(n AS DOUBLE)
+        |      END AS intercept
+        |  FROM d
+        |)
+        |SELECT b.o_orderpriority, b.o_orderkey,
+        |  f.intercept + f.slope * CAST(b.x AS DOUBLE) AS fitted,
+        |  CAST(b.y AS DOUBLE) / 100.0 -
+        |    (f.intercept + f.slope * CAST(b.x AS DOUBLE)) AS residual
+        |FROM b JOIN f USING (o_orderpriority)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
   )
 }

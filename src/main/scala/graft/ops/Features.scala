@@ -147,6 +147,43 @@ object Features {
         .as("r2")): _*)
   }
 
+  /** Per-row OLS fit and residual against the group's [[groupTrend]]
+    * line — the drift/anomaly DETECTOR to groupTrend's drift STATISTIC:
+    * a sensor stream whose residuals blow up has left its trend, a
+    * feature whose residual distribution shifts has drifted even when
+    * the slope hasn't. Appends `fitted` = intercept + slope·x and
+    * `residual` = y − fitted to every row (threshold or aggregate
+    * downstream — the residual itself is the reusable artifact).
+    *
+    * Exactness: slope/intercept come from groupTrend's decimal(38,0)
+    * integer moments through the correctly-rounded string→double
+    * render, x and the quantized y render long→double (also correctly
+    * rounded), and fitted/residual are one fixed IEEE tree each — so
+    * every engine computes bit-identical residuals, which is what makes
+    * a residual threshold portable at all. Rows with null x/y get null
+    * fitted/residual; so do degenerate groups (n < 2 or zero x-spread —
+    * no line, no residual, nothing silently zeroed).
+    *
+    * Scale shape: groupTrend's one map-side-combined aggregation to
+    * |groups| rows, broadcast back onto the scan, then scan-local
+    * arithmetic — the data shuffles zero times.
+    */
+  def residuals(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, yScale: Int = 2): DataFrame = {
+    val pow = math.pow(10, yScale).toLong
+    val fit = groupTrend(df, groupCols, xCol, yCol, yScale)
+      .select(groupCols.map(col) ++
+        Seq(col("slope"), col("intercept")): _*)
+    val x = xCol.cast("long")
+    val yI = (yCol.cast(DecimalType(18, yScale)) * lit(pow)).cast("long")
+    df.join(broadcast(fit), groupCols, "left")
+      .withColumn("fitted",
+        col("intercept") + col("slope") * x.cast("double"))
+      .withColumn("residual",
+        yI.cast("double") / lit(pow.toDouble) - col("fitted"))
+      .drop("slope", "intercept")
+  }
+
   /** Fixed-width histogram of `valueCol`: counts per bin over
     * [lo, lo + nBins·width), bin = floor((v − lo)/width), with
     * out-of-range values clamped into the edge bins (so Σcounts = the

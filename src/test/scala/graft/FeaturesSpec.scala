@@ -103,6 +103,36 @@ class FeaturesSpec extends SparkSpec {
     assert(logd.toSeq == got.map(_.getLong(3)).sorted.toSeq)
   }
 
+  test("residuals: zero on a perfect line, hand-checked off-line values") {
+    // g1 is exactly y = 2x + 1; g2 is x=0,1,2 / y=1,3,6
+    val df = Seq(("g1", 0L, 1.0), ("g1", 1L, 3.0), ("g1", 2L, 5.0),
+      ("g2", 0L, 1.0), ("g2", 1L, 3.0), ("g2", 2L, 6.0))
+      .toDF("grp", "x", "y")
+    val got = Features.residuals(df, Seq("grp"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    (0L to 2L).foreach { x =>
+      assert(math.abs(got(("g1", x))._2) < 1e-9) // perfect fit
+    }
+    // g2: slope 2.5, intercept 5/6 -> residuals 1/6, -1/3, 1/6
+    assert(math.abs(got(("g2", 0L))._2 - 1.0 / 6) < 1e-9)
+    assert(math.abs(got(("g2", 1L))._2 + 1.0 / 3) < 1e-9)
+    assert(math.abs(got(("g2", 2L))._2 - 1.0 / 6) < 1e-9)
+  }
+
+  test("residuals: degenerate groups and null inputs yield null, not 0") {
+    val df = Seq(("solo", Some(1L), Some(5.0)), ("flat", Some(3L), Some(1.0)),
+      ("flat", Some(3L), Some(9.0)), ("ok", Some(0L), Some(0.0)),
+      ("ok", Some(1L), Some(2.0)), ("ok", None, Some(7.0)))
+      .toDF("grp", "x", "y")
+    val got = Features.residuals(df, Seq("grp"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(4))
+    // single row, zero x-spread, and a null x all surface as null
+    assert(got.count { case ("solo", isNull) => isNull; case _ => false } == 1)
+    assert(got.filter(_._1 == "flat").forall(_._2))
+    assert(got.count { case ("ok", true) => true; case _ => false } == 1)
+  }
+
   test("groupTrend: exact slope/intercept/r2 on a perfect line") {
     // y = 2x + 3 → slope 2, intercept 3, r² 1 — all exact in the
     // integer-moment closed form
