@@ -1777,6 +1777,23 @@ object SparkEntry {
           col("residual"))
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     },
+
+    // X115 — binned two-sample KS drift in exact integer ppm: one count
+    // agg to <= nBins rows, CDF gap cross-multiplied in decimal(38,0)
+    "q127_ks_drift" -> { (s, dir) =>
+      graft.ops.Features.ksDrift(
+          events(s, dir), Nil, col("value"), col("event_type"),
+          "click", "purchase", lo = 0.0, width = 10.0, nBins = 50)
+    },
+
+    // X116 — exact-ppm Gini impurity: two map-side-combined aggs,
+    // rational class-balance signal (no log, bit-portable)
+    "q128_gini" -> { (s, dir) =>
+      graft.ops.Features.giniImpurity(
+          t(s, dir, "orders"), Seq("o_orderpriority"),
+          col("o_orderstatus"))
+        .orderBy(col("o_orderpriority"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4762,5 +4779,51 @@ object SparkEntry {
         |    (f.intercept + f.slope * CAST(b.x AS DOUBLE)) AS residual
         |FROM b JOIN f USING (o_orderpriority)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q127_ks_drift" ->
+      """WITH f AS (
+        |  SELECT least(greatest(
+        |      CAST(floor((value - 0.0) / 10.0) AS BIGINT), 0), 49) AS bin,
+        |    event_type
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+        |), c AS (
+        |  SELECT bin,
+        |    CAST(count(*) FILTER (WHERE event_type = 'click')
+        |      AS BIGINT) AS ca,
+        |    CAST(count(*) FILTER (WHERE event_type = 'purchase')
+        |      AS BIGINT) AS cb
+        |  FROM f GROUP BY 1
+        |), g AS (
+        |  SELECT
+        |    sum(ca) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    sum(ca) OVER () AS na,
+        |    sum(cb) OVER () AS nb
+        |  FROM c
+        |)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(max(abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT)
+        |      * na) * 1000000)
+        |    // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS ks_ppm
+        |FROM g""".stripMargin,
+
+    "q128_gini" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST((CAST(sum(n) AS HUGEINT) * sum(n)
+        |      - sum(CAST(n AS HUGEINT) * n)) * 1000000
+        |    // (CAST(sum(n) AS HUGEINT) * sum(n)) AS BIGINT) AS gini_ppm
+        |FROM c GROUP BY 1
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -246,6 +246,93 @@ object Features {
       .drop("__n")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic over shared
+    * fixed-width bins, in EXACT integer ppm — the distribution-shift
+    * gate between two data slices (yesterday's vs today's feature, A/B
+    * arms, train vs serving) that X79's term-drift runs for text.
+    * Slices `aVal`/`bVal` of `sliceCol` bin by [[histogram]]'s clamped
+    * rule; the statistic is the sup over bin boundaries of the empirical
+    * CDF gap, cross-multiplied so no float CDF ever exists:
+    * `ks_ppm = max_bins ⌊|cumA·nB − cumB·nA|·10⁶ / (nA·nB)⌋` — products
+    * in decimal(38,0), identical in any engine. Binned KS deliberately:
+    * the raw-order statistic needs a per-group sort of BOTH slices and
+    * resolves differences your bins can't see anyway — bin width IS the
+    * sensitivity dial, and the sup over a step CDF is attained at an
+    * occupied bin, so unoccupied bins need never materialize. A group
+    * missing either slice yields null `ks_ppm` (no comparison, not
+    * agreement). Output: (group…, n_a, n_b, ks_ppm).
+    *
+    * Scale shape: one map-side-combined count aggregation to
+    * (group, bin) grain — ≤ nBins rows per group regardless of data
+    * volume — then windows and the final max run over that bounded
+    * table; the data itself is scanned once and never re-shuffled.
+    */
+  def ksDrift(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      sliceCol: Column, aVal: String, bVal: String, lo: Double,
+      width: Double, nBins: Int): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    require(nBins >= 1, s"nBins must be >= 1: $nBins")
+    require(aVal != bVal, s"slices must differ: $aVal")
+    val gs = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+    val bin = least(greatest(
+      floor((valueCol.cast("double") - lit(lo)) / lit(width)).cast("long"),
+      lit(0L)), lit(nBins - 1L))
+    val counts = df
+      .filter(valueCol.isNotNull && (sliceCol === aVal || sliceCol === bVal))
+      .groupBy((gs :+ bin.as("bin")): _*)
+      .agg(count(when(sliceCol === aVal, 1)).as("__ca"),
+        count(when(sliceCol === bVal, 1)).as("__cb"))
+    val wCum = w.partitionBy(gs: _*).orderBy(col("bin"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val wAll = w.partitionBy(gs: _*)
+    val d38 = DecimalType(38, 0)
+    val gap = counts
+      .withColumn("__cuma", sum(col("__ca")).over(wCum))
+      .withColumn("__cumb", sum(col("__cb")).over(wCum))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__gap", when(col("__na") > 0 && col("__nb") > 0,
+        abs(col("__cuma").cast(d38) * col("__nb") -
+          col("__cumb").cast(d38) * col("__na")) * 1000000L))
+    gap.groupBy(gs: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        when(max(col("__na")) > 0 && max(col("__nb")) > 0,
+          expr("CAST(max(__gap) div (CAST(max(__na) AS DECIMAL(38,0)) " +
+            "* max(__nb)) AS BIGINT)")).as("ks_ppm"))
+  }
+
+  /** Per-group Gini impurity of a label column in EXACT integer ppm —
+    * the class-balance signal over training labels (a stratum whose
+    * impurity collapsed is one class repeated; one whose impurity
+    * drifted got a new label mix), and the split criterion form tree
+    * models use. `gini_ppm = ⌊(N² − Σnᵢ²)·10⁶ / N²⌋` with per-class
+    * counts nᵢ — a pure rational in integer counts, so it is exact
+    * where the entropy alternative's `ln` is not bit-portable (the X79
+    * discipline: ranking and thresholding behave identically, no log
+    * needed before a comparison). 0 = pure, (1−1/k)·10⁶ = uniform over
+    * k classes. Null labels are excluded (count them upstream if null
+    * is a class). Output: (group…, n_classes, n_rows, gini_ppm).
+    *
+    * Scale shape: two map-side-combined aggregations — raw rows
+    * collapse to (group, label) grain at the scan, then to |groups|;
+    * the decimal(38,0) algebra runs on the bounded class table. Exact
+    * while N < 10¹⁹ (N² in 38 digits).
+    */
+  def giniImpurity(df: DataFrame, groupCols: Seq[String],
+      labelCol: Column): DataFrame = {
+    val gs = groupCols.map(col)
+    df.filter(labelCol.isNotNull)
+      .groupBy((gs :+ labelCol.as("__label")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_classes"), sum(col("__n")).as("n_rows"),
+        expr("CAST((CAST(sum(__n) AS DECIMAL(38,0)) * sum(__n) " +
+          "- sum(CAST(__n AS DECIMAL(38,0)) * __n)) * 1000000 " +
+          "div (CAST(sum(__n) AS DECIMAL(38,0)) * sum(__n)) AS BIGINT)")
+          .as("gini_ppm"))
+  }
+
   /** Per-group Pearson correlation of two metric columns — the SIGNED
     * association [[groupTrend]]'s r² can't carry (feature-drift checks
     * care whether the relationship flipped). Same exactness recipe as

@@ -103,6 +103,38 @@ class FeaturesSpec extends SparkSpec {
     assert(logd.toSeq == got.map(_.getLong(3)).sorted.toSeq)
   }
 
+  test("ksDrift: hand-checked sup gap, identical slices 0, missing null") {
+    val df = Seq(
+      ("g", "a", 0.5), ("g", "a", 1.5), ("g", "a", 2.5),
+      ("g", "b", 2.5), ("g", "b", 2.5), ("g", "b", 2.5),
+      ("same", "a", 4.5), ("same", "b", 4.5),
+      ("lone", "a", 1.0)).toDF("grp", "slice", "v")
+    val got = Features.ksDrift(df, Seq("grp"), col("v"), col("slice"),
+        "a", "b", lo = 0.0, width = 1.0, nBins = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // g: CDF gaps 1/3, 2/3, 0 -> sup 2/3
+    assert(got("g") == ((3L, 3L, 666666L)))
+    assert(got("same") == ((1L, 1L, 0L)))
+    assert(got("lone") == ((1L, 0L, -1L))) // no b slice: null, not 0
+  }
+
+  test("giniImpurity: pure 0, uniform (1-1/k), hand-checked mix, nulls") {
+    val df = Seq(
+      ("pure", Some("x")), ("pure", Some("x")), ("pure", Some("x")),
+      ("uni", Some("x")), ("uni", Some("y")), ("uni", Some("z")),
+      ("mix", Some("x")), ("mix", Some("x")), ("mix", Some("x")),
+      ("mix", Some("y")), ("mix", None)).toDF("grp", "label")
+    val got = Features.giniImpurity(df, Seq("grp"), col("label"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("pure") == ((1L, 3L, 0L)))
+    assert(got("uni") == ((3L, 3L, 666666L))) // 1 - 1/3
+    // mix: null excluded -> N=4, counts 3,1: (16-10)/16 = 375000
+    assert(got("mix") == ((2L, 4L, 375000L)))
+  }
+
   test("residuals: zero on a perfect line, hand-checked off-line values") {
     // g1 is exactly y = 2x + 1; g2 is x=0,1,2 / y=1,3,6
     val df = Seq(("g1", 0L, 1.0), ("g1", 1L, 3.0), ("g1", 2L, 5.0),
