@@ -1794,6 +1794,26 @@ object SparkEntry {
           col("o_orderstatus"))
         .orderBy(col("o_orderpriority"))
     },
+
+    // X117 — trigram novelty of candidate docs vs the standing corpus:
+    // contamination's complement, integer ppm, broadcast reference
+    "q129_novelty" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      graft.text.Corpus.ngramNovelty(
+          d.filter(col("doc_id") % 7 === 0),
+          d.filter(col("doc_id") % 7 =!= 0),
+          "text", "doc_id", n = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // X118 — per-source lexical richness: token -> type-grain collapse,
+    // integer-ppm TTR and hapax share
+    "q130_lexical" -> { (s, dir) =>
+      graft.text.Corpus.lexicalStats(
+          t(s, dir, "documents").select(col("source"), col("text")),
+          "text", "source")
+        .orderBy(col("source"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -4825,5 +4845,58 @@ object SparkEntry {
         |    // (CAST(sum(n) AS HUGEINT) * sum(n)) AS BIGINT) AS gini_ppm
         |FROM c GROUP BY 1
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q129_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    (WITH t2 AS (SELECT list_filter(string_split_regex(
+        |        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |        t -> t <> '') AS tk)
+        |     SELECT CASE WHEN len(tk) >= 3 THEN list_distinct(
+        |       list_transform(generate_series(1, len(tk) - 2),
+        |         i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+        |       ELSE [] END FROM t2) AS s
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT doc_id, list_transform(s, x ->
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |           THEN ascii(substr(md5(x), ii, 1)) - 48
+        |           ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |      (a, b) -> a * 16 + b)) AS hs
+        |  FROM sh
+        |), cand AS (
+        |  SELECT doc_id, unnest(hs) AS g FROM hashed WHERE doc_id % 7 = 0
+        |), ref AS (
+        |  SELECT DISTINCT unnest(hs) AS g FROM hashed WHERE doc_id % 7 <> 0
+        |), agg AS (
+        |  SELECT cand.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(ref.g) AS BIGINT) AS n_seen
+        |  FROM cand LEFT JOIN ref ON cand.g = ref.g
+        |  GROUP BY cand.doc_id
+        |)
+        |SELECT doc_id, n_grams, n_seen,
+        |  (n_grams - n_seen) * 1000000 // n_grams AS novelty_ppm
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q130_lexical" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS n
+        |  FROM tok GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax
+        |  FROM tf GROUP BY 1
+        |)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  n_types * 1000000 // n_tokens AS ttr_ppm,
+        |  n_hapax * 1000000 // n_types AS hapax_ppm
+        |FROM agg ORDER BY source""".stripMargin,
   )
 }

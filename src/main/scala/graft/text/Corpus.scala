@@ -103,6 +103,73 @@ object Corpus {
           6))
   }
 
+  /** N-gram NOVELTY against a reference corpus, in exact integer ppm —
+    * [[contamination]]'s complement pointed at curation instead of eval
+    * hygiene: how much of each candidate document's n-gram vocabulary is
+    * NEW relative to what the corpus already holds? Dedup asks "is this
+    * a copy"; novelty asks "does this add anything" — low-novelty
+    * documents are re-crawls, templates, and syndication that near-dup
+    * thresholds just miss, and novelty-weighted selection (pair with
+    * [[selectToBudget]] as the priority) is the data-efficiency lever.
+    * `novelty_ppm = (n_grams − n_seen)·10⁶ div n_grams` over the doc's
+    * DISTINCT hashed n-grams — integer exact, no float fraction.
+    * Documents shorter than `n` tokens have no grams and are absent.
+    *
+    * Scale shape: [[contamination]]'s — candidates explode to hashed
+    * grams and aggregate straight back to doc grain; the reference's
+    * distinct gram set broadcasts when `broadcastRef` (drop the hint
+    * for a reference too big — same plan, shuffled join; for repeated
+    * scoring persist that distinct-gram table once, the X43 artifact
+    * discipline).
+    */
+  def ngramNovelty(df: DataFrame, reference: DataFrame, textCol: String,
+      idCol: String, n: Int, broadcastRef: Boolean = true): DataFrame = {
+    import graft.dedup.Dedup
+    val d = df.select(col(idCol),
+      explode(Dedup.hashedShingles(col(textCol), n)).as("__g"))
+    val ref = reference
+      .select(explode(Dedup.hashedShingles(col(textCol), n)).as("__g"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    d.join(if (broadcastRef) broadcast(ref) else ref, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_seen"))
+      .withColumn("novelty_ppm",
+        expr("(n_grams - n_seen) * 1000000 div n_grams"))
+  }
+
+  /** Per-group lexical-richness statistics — type-token ratio and hapax
+    * share in exact integer ppm, the vocabulary-health gauge over a
+    * corpus slice (a source whose TTR collapsed turned into templated
+    * boilerplate; one whose hapax share exploded is OCR noise or spam —
+    * both invisible to per-doc signals like [[repetitionRatio]] because
+    * they live at the SLICE grain). Output per group: `n_tokens`,
+    * `n_types` (distinct terms), `n_hapax` (terms occurring once),
+    * `ttr_ppm = n_types·10⁶ div n_tokens`, `hapax_ppm = n_hapax·10⁶ div
+    * n_types` — all integer-exact, no float ratios. TTR is
+    * length-sensitive (Heaps' law: types grow sublinearly) — compare
+    * like-sized slices or sample to a fixed token budget upstream
+    * ([[selectToBudget]]). Groups with no tokens are absent.
+    *
+    * Scale shape: tokens collapse to (group, term)-TYPE grain in one
+    * map-side-combined aggregation — orders below the corpus by Heaps'
+    * law — then one more aggregation to |groups| rows; the corpus never
+    * shuffles, integer divisions run on the bounded group table.
+    */
+  def lexicalStats(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
+    df.select(col(groupCol), explode(toks).as("__term"))
+      .groupBy(col(groupCol), col("__term"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("__n") === 1, 1)).as("n_hapax"))
+      .withColumn("ttr_ppm", expr("n_types * 1000000 div n_tokens"))
+      .withColumn("hapax_ppm", expr("n_hapax * 1000000 div n_types"))
+  }
+
   /** Repetition quality signal (Gopher-style): the fraction of a
     * document's tokens taken by its single most repeated token —
     * max(tf)/Σtf per doc, 6 dp. High values flag boilerplate/spam.

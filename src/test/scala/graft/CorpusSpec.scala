@@ -343,6 +343,37 @@ class CorpusSpec extends SparkSpec {
       r.getLong(2) == 2 && r.getLong(5) == 1666666L)
   }
 
+  test("ngramNovelty: ppm over distinct grams, full/zero/partial overlap") {
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    // trigrams of ref: {a b c, b c d}
+    val cand = Seq(
+      (1L, "a b c d"),        // both trigrams seen -> novelty 0
+      (2L, "x y z w"),        // none seen -> 1e6
+      (3L, "a b c q"),        // {a b c seen, b c q new} -> 500000
+      (4L, "a b")             // shorter than n: absent from output
+    ).toDF("doc_id", "text")
+    val got = Corpus.ngramNovelty(cand, ref, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> ((2L, 2L, 0L)), 2L -> ((2L, 0L, 1000000L)),
+      3L -> ((2L, 1L, 500000L))))
+  }
+
+  test("lexicalStats: hand-checked TTR and hapax share per group") {
+    val df = Seq(
+      ("s1", "a a b"), ("s1", "b c"),      // tokens 5, types {a,b,c}, hapax {c}
+      ("s2", "x y z"),                     // all hapax
+      ("s3", "")                           // no tokens: absent
+    ).toDF("src", "text")
+    val got = Corpus.lexicalStats(df, "text", "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got("s1") == ((5L, 3L, 1L, 600000L, 333333L)))
+    assert(got("s2") == ((3L, 3L, 3L, 1000000L, 1000000L)))
+    assert(!got.contains("s3"))
+  }
+
   test("skipgrams: window-bounded directed pairs, exact counts") {
     // "a b a b c": d=1 → (a,b),(b,a),(a,b),(b,c); d=2 → (a,a),(b,b),(a,c)
     val corpus = Seq((1L, "a b a b c")).toDF("doc_id", "text")
