@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, FloatPack, FloatUnpack, HammingDistance, NfcNormalize, SimHash64}
+import graft.functions.{CosineSimilarity, DeflateSize, DotProduct, FloatPack, FloatUnpack, HammingDistance, NfcNormalize, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use
@@ -16,6 +16,7 @@ import graft.functions.{CosineSimilarity, DotProduct, FloatPack, FloatUnpack, Ha
   *   - `vec_pack(v)`       — array<float> → dense 4·d little-endian binary
   *   - `vec_unpack(b)`     — exact inverse of vec_pack
   *   - `nfc(s)`            — Unicode NFC canonical normalization
+  *   - `deflate_size(s)`   — raw-DEFLATE byte length (level 6)
   *
   * The Scala API ([[graft.functions.VectorExpressions]] /
   * [[graft.functions.TextExpressions]]) builds the same expressions
@@ -68,5 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("nfc",
       "nfc(s) - Unicode NFC canonical normalization of a string",
       NfcNormalize(_))
+    unary("deflate_size",
+      "deflate_size(s) - raw-DEFLATE byte length of s's UTF-8 bytes " +
+        "(level 6); the compression-ratio quality primitive",
+      DeflateSize(_, 6))
   }
 }

@@ -284,6 +284,43 @@ case class NfcNormalize(child: Expression)
       newChild: Expression): NfcNormalize = copy(child = newChild)
 }
 
+/** DEFLATE-compressed byte length of a string's UTF-8 bytes (raw deflate,
+  * no zlib/gzip framing, fixed compression `level`, no preset dictionary)
+  * — the primitive behind the compression-ratio text-quality signal: a
+  * document that deflates to a tiny fraction of its size is repeated
+  * boilerplate; one that barely deflates is noise/binary-in-text (both
+  * tails are what corpus filters drop — the Gopher/RefinedWeb recipe).
+  * One `java.util.zip.Deflater` per row over a stack buffer; the cost is
+  * the deflate itself, so CodegenFallback's once-per-row dispatch is
+  * noise. Deterministic for a fixed zlib: same bytes → same length on
+  * every executor of a cluster (pin JVM major versions across a fleet —
+  * the usual deployment invariant — and it is stable across runs).
+  */
+case class DeflateSize(child: Expression, level: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(level >= 1 && level <= 9, s"level must be in [1, 9]: $level")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "deflate_size"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateSize =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.bridge
   import org.apache.spark.sql.Column
@@ -308,4 +345,7 @@ object TextExpressions {
 
   def nfc(text: Column): Column =
     bridge.column(NfcNormalize(bridge.expression(text)))
+
+  def deflateSize(text: Column, level: Int = 6): Column =
+    bridge.column(DeflateSize(bridge.expression(text), level))
 }

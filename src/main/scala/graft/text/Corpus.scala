@@ -170,6 +170,32 @@ object Corpus {
       .withColumn("hapax_ppm", expr("n_hapax * 1000000 div n_types"))
   }
 
+  /** Compression-ratio quality signal: per-document DEFLATE size over
+    * raw UTF-8 size in exact integer ppm — the whole-document
+    * redundancy gauge the token-level signals miss ([[repetitionRatio]]
+    * sees one hot token, [[repeatedNgrams]] sees literal n-gram copies;
+    * deflate sees ALL of it at once — templating, paraphrase-free
+    * boilerplate, long-range repeats). Both tails get dropped in corpus
+    * curation (the Gopher/RefinedWeb recipe): very low `ratio_ppm` is
+    * machine-repeated filler, near/above 10⁶ is noise or
+    * binary-in-text. Output: (id, n_bytes, deflate_bytes, ratio_ppm);
+    * empty documents are absent (no bytes, no ratio). Spec-verified —
+    * a DEFLATE length has no SQL oracle surface (DuckDB ships no zlib
+    * function), same standing as the X59 codec.
+    *
+    * Scale shape: pure scan-local — one [[graft.functions.DeflateSize]]
+    * native expression per row (the deflate dominates; dispatch is
+    * per-row), no shuffle, no state; the integer div is exact.
+    */
+  def compressionSignal(df: DataFrame, textCol: String, idCol: String,
+      level: Int = 6): DataFrame =
+    df.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        graft.functions.TextExpressions.deflateSize(col(textCol), level)
+          .cast("long").as("deflate_bytes"))
+      .filter(col("n_bytes") > 0)
+      .withColumn("ratio_ppm", expr("deflate_bytes * 1000000 div n_bytes"))
+
   /** Repetition quality signal (Gopher-style): the fraction of a
     * document's tokens taken by its single most repeated token —
     * max(tf)/Σtf per doc, 6 dp. High values flag boilerplate/spam.

@@ -359,6 +359,32 @@ class CorpusSpec extends SparkSpec {
       3L -> ((2L, 1L, 500000L))))
   }
 
+  test("compressionSignal: boilerplate compresses, noise doesn't, " +
+      "deterministic, empty absent, SQL-registered") {
+    val boiler = ("lorem ipsum dolor sit amet " * 40).trim
+    val noise = (1 to 200).map(i =>
+      Integer.toString(i * 2654435761L.toInt, 36)).mkString(" ")
+    val df = Seq((1L, boiler), (2L, noise), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Corpus.compressionSignal(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!got.contains(3L)) // empty doc: no bytes, no ratio
+    // 40x-repeated text deflates away; incompressible junk stays large
+    assert(got(1L)._3 < 100000L, got(1L))
+    assert(got(2L)._3 > 400000L, got(2L))
+    // ratio_ppm is the exact integer div of the emitted counts
+    got.values.foreach { case (n, d, ppm) => assert(ppm == d * 1000000 / n) }
+    // deterministic across evaluations
+    val again = Corpus.compressionSignal(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got.view.mapValues(_._2).toMap)
+    // SQL surface via GraftExtensions
+    val sql = spark.sql(
+      s"SELECT deflate_size('aaaaaaaaaaaaaaaaaaaaaaaa')").collect()(0).getInt(0)
+    assert(sql > 0 && sql < 24)
+  }
+
   test("lexicalStats: hand-checked TTR and hapax share per group") {
     val df = Seq(
       ("s1", "a a b"), ("s1", "b c"),      // tokens 5, types {a,b,c}, hapax {c}
