@@ -152,4 +152,55 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"chunkByTokens introduced a shuffle:\n${plan.take(2000)}")
   }
+
+  test("round-8 ops: scan-local labeling/sharding plan zero exchanges") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    // temporalSplit and rendezvousShard are ingest-time row labels: any
+    // Exchange would mean they can't ride the scan as partition columns
+    val ts = graft.ops.Relational.temporalSplit(
+      df.withColumn("ts", to_timestamp(lit("2024-01-15"))), col("ts"),
+      lit("2024-01-22 00:00:00").cast("timestamp"),
+      expr("INTERVAL 2 DAYS"))
+    assert(!ts.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rv = graft.ops.Relational.rendezvousShard(df, col("id"), 8)
+    assert(!rv.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("skipgrams shuffles once; rankNormalize's windows share one " +
+      "exchange") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i => (i.toLong, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val sg = graft.text.Corpus.skipgrams(docs, "text", window = 3)
+      .queryExecution.executedPlan.toString
+    // pair extraction is scan-local; the ONLY exchange is the final
+    // pair-type-grain count aggregation (map-side combined)
+    assert("Exchange ".r.findAllIn(sg).size == 1,
+      s"skipgrams should shuffle exactly once:\n${sg.take(2500)}")
+    val rn = graft.ops.Features.rankNormalize(
+        (1 to 500).map(i => (i % 5, i.toDouble)).toDF("g", "v"),
+        Seq("g"), col("v"))
+      .queryExecution.executedPlan.toString
+    // the sorted rank window and the unsorted count window both hash by
+    // the group key: one exchange serves both WindowExecs
+    assert("Exchange ".r.findAllIn(rn).size == 1,
+      s"rankNormalize should shuffle exactly once:\n${rn.take(2500)}")
+  }
+
+  test("residuals broadcasts the trend line back; no data-side shuffle") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i % 5, i.toLong, i.toDouble))
+      .toDF("g", "x", "y")
+    val plan = graft.ops.Features.residuals(df, Seq("g"), col("x"),
+      col("y")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"residuals should broadcast the |groups| fit table:\n" +
+        plan.take(2500))
+    // the only Exchanges allowed are inside the moments aggregation
+    // branch (group grain); the probe side must join in scan order —
+    // no SortMergeJoin, which would sort+shuffle the data itself
+    assert(!plan.contains("SortMergeJoin"),
+      s"residuals must not shuffle the data side:\n${plan.take(2500)}")
+  }
 }
