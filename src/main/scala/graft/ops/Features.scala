@@ -333,6 +333,54 @@ object Features {
           .as("gini_ppm"))
   }
 
+  /** Quantile NORMALIZATION against a reference distribution — the
+    * second half of the [[rankNormalize]] story: each value maps to the
+    * reference's type-7 quantile at its own within-group percent rank,
+    * so every group leaves with the SAME marginal distribution (batch-
+    * effect removal across sources/sensors/feature versions; genomics'
+    * quantile normalization, ML's CDF matching). Rank side is
+    * [[rankNormalize]]'s integer contract exactly (competition rank,
+    * `(rank−1)·10⁶ div (n−1)`, singleton → 0); the reference pick is
+    * [[quantilesCont]]'s Hyndman–Fan type-7 arithmetic: `h_ppm =
+    * (n_ref−1)·rank_ppm`, neighbor order statistics at ⌊h⌋ and ⌊h⌋+1,
+    * one shared IEEE lerp — every step before that lerp is exact long
+    * arithmetic, so the result is bit-identical in any engine. Output:
+    * input + (value_rank, rank_ppm, qnorm); null values carry no rank
+    * (absent), an EMPTY reference leaves qnorm null.
+    *
+    * Scale shape: one exchange on the group key for the rank windows
+    * (shared, as in rankNormalize) + two broadcast joins against the
+    * reference's order-statistic table. The reference is a CALIBRATION
+    * distribution — sample it upstream ([[graft.ops.Relational
+    * .hashSample]]) to a bounded size; its order statistics come from
+    * one sort of that bounded table (single-partition window by
+    * construction of the contract — a corpus-sized reference would be
+    * the wrong tool, not a missing optimization).
+    */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, reference: DataFrame,
+      refCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val ranked = rankNormalize(df, groupCols, valueCol)
+    val refStats = reference.filter(refCol.isNotNull)
+      .select(refCol.cast("double").as("__rv"))
+      .withColumn("__k", row_number().over(w.orderBy(col("__rv")))
+        .cast("long"))
+      .withColumn("__nr", count(lit(1)).over(w.partitionBy()))
+    val hPpm = (col("__nr") - 1) * col("rank_ppm")
+    val lo = ranked
+      .join(broadcast(refStats.select(col("__k"), col("__nr"),
+        col("__rv").as("__vlo"))), expr("__k = (" +
+        "(__nr - 1) * rank_ppm div 1000000) + 1"), "left")
+    lo.join(broadcast(refStats.select(col("__k").as("__k2"),
+        col("__rv").as("__vhi"))),
+        col("__k2") === least(col("__k") + 1, col("__nr")), "left")
+      .withColumn("qnorm",
+        col("__vlo") + (hPpm % 1000000L).cast("double") / 1000000d *
+          (coalesce(col("__vhi"), col("__vlo")) - col("__vlo")))
+      .drop("__k", "__k2", "__nr", "__vlo", "__vhi")
+  }
+
   /** Per-group Pearson correlation of two metric columns — the SIGNED
     * association [[groupTrend]]'s r² can't carry (feature-drift checks
     * care whether the relationship flipped). Same exactness recipe as
