@@ -46,6 +46,11 @@ object SparkEntry {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(nsToMicros(col("ts"))))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs NTZ parquet: interpret the wall-clock instant in the session
+        // zone (Verify/Bench pin UTC), matching DuckDB's epoch_us
+        raw.withColumn("ts_ns",
+          unix_micros(col("ts").cast("timestamp")) * 1000L)
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }
@@ -1812,6 +1817,102 @@ object SparkEntry {
       graft.text.Corpus.lexicalStats(
           t(s, dir, "documents").select(col("source"), col("text")),
           "text", "source")
+        .orderBy(col("source"))
+    },
+
+    // X120 — keyed snapshot diff (CDC delta): one full-outer join on the
+    // key, delta-sized output; two deterministic synthetic snapshots
+    "q131_snapshot_diff" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val snapA = o.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val snapB = o.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.5d)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+      graft.ops.Relational.snapshotDiff(snapA, snapB, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // X121 — cohort retention matrix: events collapse to distinct
+    // (user, day) first, then one user-key window min, then the tiny
+    // cohort x offset count
+    "q132_cohort" -> { (s, dir) =>
+      graft.ops.Funnel.cohortRetention(events(s, dir), col("user_id"),
+          col("ts"))
+        // DATE → TIMESTAMP: the board's day convention (see q6)
+        .withColumn("cohort_day", col("cohort_day").cast("timestamp"))
+        .orderBy(col("cohort_day"), col("offset_days"))
+    },
+
+    // X122 — k-anonymity audit: one map-side-combined agg to
+    // equivalence-class grain, n < k flagged
+    "q133_kanon" -> { (s, dir) =>
+      graft.ops.Profile.kAnonymity(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    },
+
+    // X123 — per-key CUSUM changepoint: argmax |n*S_i - i*S_n| in
+    // decimal(38,0), one key exchange, three windows over one sort
+    "q134_cusum" -> { (s, dir) =>
+      graft.ops.TimeSeries.cusumChangepoint(
+          events(s, dir)
+            .withColumn("__us", nsToMicros(col("ts_ns")))
+            .withColumn("__cents",
+              (dec(col("value")) * 100).cast("long")),
+          Seq("user_id"), col("__us"), col("__cents"))
+        .orderBy(col("user_id"))
+    },
+
+    // X124 — exact quantized Gram/covariance moments: scan-local outer
+    // product, one collapse to d(d+1)/2 moment rows
+    "q135_cov" -> { (s, dir) =>
+      graft.similarity.Similarity.covarianceMatrix(
+          t(s, dir, "embeddings"), "embedding")
+        .orderBy(col("i"), col("j"))
+    },
+
+    // X125 — exact-proportion stratified split: per-stratum total order
+    // by md5 hash, floor cut points in pure long arithmetic
+    "q136_prop_split" -> { (s, dir) =>
+      graft.ops.Relational.proportionalSplit(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderpriority")),
+          Seq("o_orderpriority"), col("o_orderkey"),
+          Seq(("train", 800000L), ("val", 100000L), ("test", 100000L)))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // X126 — symmetric int8 quantization: scan-local array max +
+    // posexplode, floor of one fixed IEEE tree — no exchange at all
+    "q137_int8" -> { (s, dir) =>
+      graft.similarity.Similarity.quantizeInt8(
+          t(s, dir, "embeddings"), "embedding", "vec_id")
+        .orderBy(col("vec_id"), col("dim"))
+    },
+
+    // X127 — kNN label agreement (label-noise detection) over the LSH
+    // kNN join's pairs: two id-grain joins + one collapse to id grain
+    "q138_label_agree" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val pairs = graft.similarity.Similarity.knnJoinLsh(
+        emb, "embedding", "vec_id", dims = 64, k = 5, planes = 4)
+      graft.similarity.Similarity.labelAgreement(pairs, emb, "vec_id",
+          "label", minAgreePpm = 400000L)
+        .orderBy(col("vec_id"))
+    },
+
+    // X128 — static mixture-weight solve: one agg to source grain,
+    // long-exact keep rates feeding mixtureSample
+    "q139_mixture_weights" -> { (s, dir) =>
+      graft.text.Corpus.mixtureWeights(
+          t(s, dir, "documents"), "text", "source",
+          Seq(("src0", 300000L), ("src1", 200000L), ("src2", 100000L),
+            ("src3", 50000L)),
+          budgetTokens = 20000L)
         .orderBy(col("source"))
     },
   )
@@ -4898,5 +4999,204 @@ object SparkEntry {
         |  n_types * 1000000 // n_tokens AS ttr_ppm,
         |  n_hapax * 1000000 // n_types AS hapax_ppm
         |FROM agg ORDER BY source""".stripMargin,
+
+    "q131_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |), b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 89 <> 0
+        |), d AS (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    a.o_totalprice AS old_o_totalprice,
+        |    a.o_orderstatus AS old_o_orderstatus,
+        |    b.o_totalprice AS new_o_totalprice,
+        |    b.o_orderstatus AS new_o_orderstatus,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+        |           OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+        |         THEN 'changed' END AS change
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        |)
+        |SELECT * FROM d WHERE change IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q132_cohort" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), c AS (
+        |  SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cd
+        |  FROM ud
+        |)
+        |SELECT CAST(cd AS TIMESTAMP) AS cohort_day,
+        |  date_diff('day', cd, d) AS offset_days,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2
+        |ORDER BY cohort_day, offset_days""".stripMargin,
+
+    "q133_kanon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  count(*) < 10 AS at_risk
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q134_cusum" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, us,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY us)
+        |      AS BIGINT) AS i,
+        |    CAST(sum(v) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS si,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |    CAST(sum(v) OVER (PARTITION BY user_id) AS BIGINT) AS sn
+        |  FROM b
+        |), r AS (
+        |  SELECT user_id, n, us, i, abs(n * si - i * sn) AS dev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY abs(n * si - i * sn) DESC, us) AS rk
+        |  FROM w
+        |)
+        |SELECT user_id, n, us AS cp_at, i AS cp_index,
+        |  CAST(dev AS BIGINT) AS max_dev
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "q135_cov" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+        |      AS BIGINT) AS q
+        |  FROM embeddings
+        |)
+        |SELECT a.i AS i, b.i AS j,
+        |  CAST(sum(a.q * b.q) AS BIGINT) AS s_xy,
+        |  CAST(sum(a.q) AS BIGINT) AS s_x,
+        |  CAST(sum(b.q) AS BIGINT) AS s_y,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+
+    "q136_prop_split" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15),
+        |        o_orderkey) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS n
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN rn <= (800000 * n) // 1000000 THEN 'train'
+        |       WHEN rn <= (900000 * n) // 1000000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY o_orderkey""".stripMargin,
+
+    "q137_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM e
+        |), u AS (
+        |  SELECT vec_id, scale, generate_subscripts(v, 1) AS dim,
+        |    unnest(v) AS x
+        |  FROM m
+        |)
+        |SELECT vec_id, dim,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END AS q,
+        |  scale
+        |FROM u ORDER BY vec_id, dim""".stripMargin,
+
+    "q138_label_agree" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), bucketed AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_transform(generate_series(0, 3), j ->
+        |      CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
+        |          v[i + 1] * (CAST((j * 73856093 + i * 19349663) % 10007
+        |                      AS DOUBLE) / 10007.0 - 0.5)),
+        |        (a, b) -> a + b) >= 0
+        |      THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END),
+        |      (a, b) -> a + b) AS bucket
+        |  FROM e
+        |), scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(list_zip(a.v, b.v),
+        |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (x, y) -> x + y) AS dp,
+        |    sqrt(list_reduce(list_transform(a.v, x -> x * x),
+        |      (x, y) -> x + y)) AS na,
+        |    sqrt(list_reduce(list_transform(b.v, x -> x * x),
+        |      (x, y) -> x + y)) AS nb
+        |  FROM bucketed a JOIN bucketed b
+        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT id_a, id_b,
+        |    row_number() OVER (PARTITION BY id_a ORDER BY
+        |      round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
+        |            ELSE 0.0 END, 6) DESC, id_b) AS rank
+        |  FROM scored
+        |), p AS (
+        |  SELECT id_a, id_b FROM ranked WHERE rank <= 5
+        |), j AS (
+        |  SELECT p.id_a, ea.label AS la, eb.label AS lb
+        |  FROM p
+        |  JOIN embeddings ea ON p.id_a = ea.vec_id
+        |  JOIN embeddings eb ON p.id_b = eb.vec_id
+        |), a AS (
+        |  SELECT id_a AS vec_id, min(la) AS label,
+        |    CAST(count(*) AS BIGINT) AS k_found,
+        |    CAST(sum(CASE WHEN la IS NOT DISTINCT FROM lb
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT vec_id, label, k_found, n_agree,
+        |  (n_agree * 1000000) // k_found AS agree_ppm,
+        |  ((n_agree * 1000000) // k_found) < 400000 AS suspect
+        |FROM a ORDER BY vec_id""".stripMargin,
+
+    "q139_mixture_weights" ->
+      """WITH h AS (
+        |  SELECT source, CAST(len(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM h GROUP BY 1
+        |), t AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(CASE source WHEN 'src0' THEN 300000 WHEN 'src1' THEN 200000
+        |      WHEN 'src2' THEN 100000 WHEN 'src3' THEN 50000
+        |      ELSE 0 END AS BIGINT) AS target_ppm
+        |  FROM g
+        |), w AS (
+        |  SELECT *, (20000 * target_ppm) // 1000000 AS want FROM t
+        |)
+        |SELECT source, n_docs, n_tokens, target_ppm,
+        |  CAST(least(1000000, (want * 1000000) // n_tokens) AS BIGINT)
+        |    AS rate_ppm,
+        |  CAST(greatest(want - n_tokens, 0) AS BIGINT) AS deficit_tokens
+        |FROM w ORDER BY source""".stripMargin,
   )
 }

@@ -14,4 +14,9 @@ object Exact {
   /** `a div b` in pure long arithmetic (truncating integral division). */
   def longDiv(a: Column, b: Long): Column =
     bridge.column(new IntegralDivide(bridge.expression(a), Literal(b)))
+
+  /** `a div b` with a column divisor (same truncating integral division). */
+  def longDiv(a: Column, b: Column): Column =
+    bridge.column(new IntegralDivide(bridge.expression(a),
+      bridge.expression(b)))
 }

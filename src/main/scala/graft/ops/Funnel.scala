@@ -106,4 +106,32 @@ object Funnel {
       .agg(count(lit(1)).as("n_spells"),
         sum(col("__next") - col("__ts")).as("dwell_us"))
   }
+
+  /** Cohort retention matrix — the product-analytics standard: users are
+    * cohorted by their FIRST active day, and each later active day
+    * counts them once at `offset_days` = activity − cohort. Output:
+    * (`cohort_day`, `offset_days`, `n_users`) — offset 0 is the cohort
+    * size, and a user contributes at most once per (cohort, offset)
+    * regardless of event volume. Null users/timestamps are dropped
+    * (they cohort nothing).
+    *
+    * Scale shape: raw events collapse to DISTINCT (user, day) grain
+    * FIRST (one exchange, map-side combined — the only stage that sees
+    * event volume), the per-user first day is one whole-partition
+    * window minimum on the user key (no ORDER BY → no sort), and the
+    * final count collapses to the tiny (cohort × offset) matrix with
+    * map-side combine. Per-user state is one date; a hot user costs its
+    * scan, never a cross join.
+    */
+  def cohortRetention(df: DataFrame, userCol: Column,
+      tsCol: Column): DataFrame = {
+    val ud = df.filter(userCol.isNotNull && tsCol.isNotNull)
+      .select(userCol.as("__u"), tsCol.cast("date").as("__d"))
+      .distinct()
+    val cohort = min(col("__d")).over(Window.partitionBy(col("__u")))
+    ud.withColumn("__c", cohort)
+      .groupBy(col("__c").as("cohort_day"),
+        datediff(col("__d"), col("__c")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -44,4 +44,28 @@ object Profile {
     }: _*)
     wide.select(explode(entries).as("__e")).select(col("__e.*"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns — the privacy gate
+    * a training-data release runs before shipping records containing
+    * demographic-ish attributes: every equivalence class (distinct
+    * combination of `quasiCols`, nulls forming their own class like SQL
+    * GROUP BY) is emitted with its population `n` and `at_risk` =
+    * (n < k) — a class small enough to re-identify its members. The
+    * caller suppresses/generalizes the flagged classes;
+    * [[graft.text.TextFunctions]]' PII redaction is the free-text
+    * sibling of this structured-column gate.
+    *
+    * Scale shape: ONE map-side-combined hash aggregation to class grain
+    * — the output is |classes|-sized, never data-sized, and the flag is
+    * a row-local literal comparison. At 100 TB the same audit runs
+    * per-partition-pruned slice by slice; counts add, so partial audits
+    * merge by summing `n` before re-flagging.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one column")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+  }
 }

@@ -944,4 +944,90 @@ object Relational {
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
   }
 
+  /** Keyed snapshot diff — the CDC/delta-detection step between two
+    * versions of a keyed table (yesterday's lake snapshot vs today's,
+    * a re-crawl vs the standing corpus): emit only the rows that
+    * differ, labeled `added` (key only in `newDf`), `removed` (only in
+    * `oldDf`), or `changed` (present in both, at least one of
+    * `valueCols` differs under null-safe compare). Output: the key
+    * columns (coalesced), `change`, and `old_<c>` / `new_<c>` for each
+    * value column; identical rows — the overwhelming majority in real
+    * snapshots — never leave the join.
+    *
+    * Contract: keys must be unique within each snapshot (they are
+    * primary keys of a snapshot by definition); duplicate keys would
+    * fan out the join.
+    *
+    * Scale shape: ONE full-outer SortMergeJoin on the key — each side
+    * shuffles once at key grain, and with both snapshots bucketed by
+    * key ([[graft.io.LakeLayout.saveBucketed]]) even that exchange
+    * disappears. The change predicate is row-local, so the output is
+    * delta-sized, not snapshot-sized; no driver-side state anywhere.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(valueCols.nonEmpty, "snapshotDiff needs at least one value column")
+    val o = oldDf.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"old_$c")) :+
+      lit(1).as("__in_old"): _*)
+    val n = newDf.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"new_$c")) :+
+      lit(1).as("__in_new"): _*)
+    val changed = valueCols
+      .map(c => not(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("change").isNotNull)
+      .drop("__in_old", "__in_new")
+  }
+
+  /** Exact-proportion stratified split: within every stratum
+    * (`groupCols`), rows are totally ordered by (md5-unit hash of
+    * `key`, `key`) and the first ⌊cum₁·n/10⁶⌋ go to split 1, the next
+    * up to ⌊cum₂·n/10⁶⌋ to split 2, … — so per-stratum split SIZES are
+    * exact to the floor (a 100-row stratum at 800000 ppm train gets
+    * exactly 80 rows), unlike [[splitAssign]] whose hash-threshold
+    * sizes are only exact in expectation. The price is a per-stratum
+    * total order; use this when strata are few and split-size contracts
+    * are hard ("exactly 10% held out per language"), and
+    * [[splitAssign]] when strata are unbounded or rows must be
+    * assignable scan-locally at ingest. `splits` are (name, ppm) with
+    * ppm summing to exactly 1,000,000; assignment is deterministic in
+    * the key alone, so re-runs and engines agree.
+    *
+    * Scale shape: ONE hash exchange on the stratum key; the rank and
+    * count windows share its sort/partitioning (a stratum is one
+    * partition — strata here are coarse slices like language or source,
+    * not unbounded keys). Cut points are exact long arithmetic
+    * (`cum·n div 10⁶` — no float boundary), computed in-plan from the
+    * count window: no driver-side pass, no collect.
+    */
+  def proportionalSplit(df: DataFrame, groupCols: Seq[String], key: Column,
+      splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty, "proportionalSplit needs at least one split")
+    require(splits.map(_._2).sum == 1000000L,
+      s"split ppm must sum to 1000000: ${splits.map(_._2).sum}")
+    require(splits.forall(_._2 > 0), "split ppm must be positive")
+    val part = if (groupCols.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(groupCols.map(col): _*)
+    val rn = row_number().over(part.orderBy(hashUnit(key), key))
+    val n = count(lit(1)).over(part)
+    val cums = splits.scanLeft(0L)(_ + _._2).tail
+    val label = splits.zip(cums).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), cum)) =>
+        coalesce(acc, when(col("__rn") <=
+          graft.functions.Exact.longDiv(lit(cum) * col("__n"), 1000000L),
+          lit(name)))
+    }
+    df.withColumn("__rn", rn.cast("long"))
+      .withColumn("__n", n)
+      .withColumn("split", label)
+      .drop("__rn", "__n")
+  }
+
 }

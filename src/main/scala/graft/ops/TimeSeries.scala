@@ -506,4 +506,55 @@ object TimeSeries {
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__pick.$c").as(s"$c$suffix")): _*)
   }
+
+  /** Per-key CUSUM changepoint: the single most likely level-shift
+    * point in each key's series — argmax over positions i of
+    * `dev_i = |n·S_i − i·S_n|` (the cumulative-sum deviation from the
+    * zero-drift line; maximizing it is the classic single-changepoint
+    * CUSUM statistic, cross-multiplied so no float mean ever exists).
+    * The monitoring sibling of [[graft.ops.Features.ksDrift]] —
+    * KS asks "did the distribution move between two slices", CUSUM asks
+    * "WHEN did the level move within one series". Inputs: `orderUs` a
+    * long ordering axis (µs timestamps), `valueCol` a long in exact
+    * integer units (cents etc. — callers convert via DECIMAL, the
+    * established double→units discipline). Output per key: `n`,
+    * `cp_at` (the order value at the argmax, EARLIEST on dev ties —
+    * deterministic), `cp_index` (its 1-based position) and `max_dev`
+    * (raw units × n). Products run in decimal(38,0); the emitted
+    * `max_dev` is cast to long — exact while n·Σ|v| < 2⁶³, which holds
+    * for any realistic per-key series (the per-KEY row count is the n
+    * here, not the corpus).
+    *
+    * Scale shape: ONE hash exchange on the key; the running sum /
+    * row-number / whole-partition totals are three window passes over
+    * the SAME sort, each O(n) accumulating scans (the PRECEDING frame),
+    * and the argmax collapses to key grain via one max(struct) — per-key
+    * state is a single running pair, never a materialized series.
+    */
+  def cusumChangepoint(df: DataFrame, keyCols: Seq[String],
+      orderUs: Column, valueCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "cusumChangepoint needs at least one key")
+    val d38 = DecimalType(38, 0)
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val run = part.orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = df
+      .withColumn("__ord", orderUs.cast("long"))
+      .withColumn("__v", valueCol.cast("long").cast(d38))
+      .withColumn("__i", row_number().over(part.orderBy(col("__ord")))
+        .cast("long"))
+      .withColumn("__si", sum(col("__v")).over(run))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__sn", sum(col("__v")).over(part))
+      .withColumn("__dev",
+        abs(col("__n").cast(d38) * col("__si")
+          - col("__i").cast(d38) * col("__sn")))
+    staged.groupBy(keyCols.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        max(struct(col("__dev").as("d"), (-col("__ord")).as("no"),
+          col("__ord").as("o"), col("__i").as("i"))).as("__b"))
+      .select(keyCols.map(col) ++ Seq(col("n"),
+        col("__b.o").as("cp_at"), col("__b.i").as("cp_index"),
+        col("__b.d").cast("long").as("max_dev")): _*)
+  }
 }

@@ -300,4 +300,105 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.partitionBy(col("id_a"))
           .orderBy(col("cos").desc, col("id_b"))))
       .filter(col("rank") <= k)
+
+  /** Exact quantized Gram/covariance-moment matrix of the embedding
+    * column — the whitening/PCA-prep statistic (d×d second moments; the
+    * caller derives covariance as `(n·s_xy − s_x·s_y)/n²` in whatever
+    * precision it wants). Components are quantized to EXACT integer
+    * milli-units first — `q = ⌊1000·double(v)⌋`; 1000·float-as-double is
+    * exact (24-bit mantissa + 10 bits ≪ 53) and `floor` is engine-
+    * portable where `round`'s half-way ties are not — so every emitted
+    * sum is an exact long and the result is bit-identical on any
+    * partitioning or engine. Output: one row per UPPER-triangle dim pair
+    * (`i` ≤ `j`, 1-based), with `s_xy` = Σqᵢqⱼ, `s_x` = Σqᵢ,
+    * `s_y` = Σqⱼ, `n`.
+    *
+    * Scale shape: the outer product is SCAN-LOCAL (per row: one
+    * quantized array, one posexplode to d rows each carrying its tail
+    * slice, one inner posexplode → d(d+1)/2 product rows), and the only
+    * exchange is the map-side-combined collapse to the d(d+1)/2-sized
+    * moment grain — shuffle bytes are O(partitions·d²), independent of
+    * corpus size. CPU is O(n·d²), which is the exact-Gram lower bound.
+    * Long sums hold while n·10⁶·max|v|² < 2⁶³ — i.e. quintillions of
+    * unit-scale rows.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * 1000d).cast("long"))
+    df.select(q.as("__q"))
+      .select(posexplode(col("__q")).as(Seq("__i0", "__qi")), col("__q"))
+      .select(col("__i0"), col("__qi"),
+        posexplode(slice(col("__q"), col("__i0") + 1,
+          greatest(size(col("__q")) - col("__i0"), lit(0))))
+          .as(Seq("__j0", "__qj")))
+      .groupBy((col("__i0") + 1).as("i"),
+        (col("__i0") + 1 + col("__j0")).as("j"))
+      .agg(sum(col("__qi") * col("__qj")).as("s_xy"),
+        sum(col("__qi")).as("s_x"),
+        sum(col("__qj")).as("s_y"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * memory/bandwidth saver ANN serving layers store vectors in: per
+    * vector, `scale` = max |component| (as double — exact for float
+    * inputs) and each component maps to `q = ⌊double(v)·127/scale⌋`
+    * ∈ [−127, 127] (`floor` of one fixed IEEE expression tree —
+    * engine-portable where `round` half-way ties are not; an all-zero
+    * vector quantizes to zeros with scale 0). Output LONG form: one row
+    * per (`idCol`, `dim` 1-based, `q`) plus the per-vector `scale` —
+    * the join-free layout for SQL probes; packing the int8s into a
+    * binary column is [[graft.functions.VectorExpressions]]' FloatPack
+    * sibling territory.
+    *
+    * Scale shape: entirely SCAN-LOCAL — one array max + one posexplode
+    * per row, no exchange at all; the quantization runs at ingest and
+    * persists next to (or instead of) the float vectors.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val dv = asDouble(col(vecCol))
+    val scale = array_max(transform(dv, x => abs(x)))
+    df.select(col(idCol), dv.as("__v"), scale.as("scale"))
+      .select(col(idCol), col("scale"),
+        posexplode(col("__v")).as(Seq("__d0", "__x")))
+      .select(col(idCol), (col("__d0") + 1).as("dim"),
+        when(col("scale") === 0d, 0L)
+          .otherwise(floor(col("__x") * 127d / col("scale")).cast("long"))
+          .as("q"),
+        col("scale"))
+  }
+
+  /** kNN label agreement — the confident-learning label-noise detector
+    * for classification corpora: for each vector, the share (exact
+    * integer ppm) of its k nearest neighbors carrying the SAME label;
+    * a row whose neighborhood overwhelmingly disagrees
+    * (`agree_ppm < minAgreePpm` → `suspect`) is a likely mislabel.
+    * Takes the neighbor PAIRS frame — compose with [[knnJoin]] (exact,
+    * verify tier) or [[knnJoinLsh]] (bucketed, corpus tier); rows with
+    * no neighbors (empty LSH bucket) are absent, not zero-scored.
+    *
+    * Scale shape: two broadcast-or-shuffled equi-joins of the
+    * pairs frame against the (id, label) projection — the k·n pairs
+    * table is the big side and shuffles at most twice at key grain —
+    * then one map-side-combined collapse to id grain. The ppm is
+    * `agree·10⁶ div k_found` in pure long arithmetic.
+    */
+  def labelAgreement(pairs: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String, minAgreePpm: Long): DataFrame = {
+    require(minAgreePpm >= 0 && minAgreePpm <= 1000000L,
+      s"minAgreePpm must be in [0, 1e6]: $minAgreePpm")
+    val la = labels.select(col(idCol).as("id_a"),
+      col(labelCol).as("__label_a"))
+    val lb = labels.select(col(idCol).as("id_b"),
+      col(labelCol).as("__label_b"))
+    pairs.join(la, Seq("id_a")).join(lb, Seq("id_b"))
+      .groupBy(col("id_a").as(idCol))
+      .agg(first(col("__label_a")).as("label"),
+        count(lit(1)).as("k_found"),
+        sum(when(col("__label_a") <=> col("__label_b"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_ppm", graft.functions.Exact.longDiv(
+        col("n_agree") * 1000000L, col("k_found")))
+      .withColumn("suspect", col("agree_ppm") < minAgreePpm)
+  }
 }

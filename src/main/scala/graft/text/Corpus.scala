@@ -678,6 +678,49 @@ object Corpus {
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
+  /** Static mixture-weight solve — the data-mixing planning step
+    * ("books 30%, crawl 50%, code 20% of a B-token budget"): given the
+    * corpus and per-source target shares (ppm of `budgetTokens`),
+    * compute each source's available token mass and the per-source KEEP
+    * RATE (ppm, capped at 10⁶) that hits its target —
+    * `rate = min(10⁶, (budget·share div 10⁶)·10⁶ div tokens)`, pure
+    * long arithmetic throughout. A rate of 10⁶ with
+    * `deficit_tokens > 0` flags an under-supplied source (the caller
+    * re-normalizes or upsamples — [[graft.ops.Relational.upsampleWeighted]]);
+    * sources absent from `targets` get share 0 → rate 0. Output per
+    * source present in the corpus: (`n_docs`, `n_tokens`,
+    * `target_ppm`, `rate_ppm`, `deficit_tokens`). The rates feed
+    * [[graft.ops.Relational.mixtureSample]] as its per-key ppm table —
+    * solve once, sample scan-locally everywhere.
+    *
+    * Scale shape: ONE map-side-combined aggregation to source grain
+    * (output is |sources|-sized — broadcast territory); the target map
+    * is a plan-time literal. Token counting is scan-local.
+    */
+  def mixtureWeights(df: DataFrame, textCol: String, groupCol: String,
+      targets: Seq[(String, Long)], budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1: $budgetTokens")
+    require(targets.map(_._2).sum <= 1000000L,
+      s"target ppm must sum to <= 1000000: ${targets.map(_._2).sum}")
+    require(targets.forall(_._2 >= 0), "target ppm must be >= 0")
+    val tmap = map(targets.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    import graft.functions.Exact.longDiv
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .as("n_tokens"))
+      .withColumn("target_ppm",
+        coalesce(element_at(tmap, col(groupCol)), lit(0L)))
+      .withColumn("__want", longDiv(lit(budgetTokens) * col("target_ppm"),
+        1000000L))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        longDiv(col("__want") * 1000000L, col("n_tokens"))))
+      .withColumn("deficit_tokens",
+        greatest(col("__want") - col("n_tokens"), lit(0L)))
+      .drop("__want")
+  }
+
   /** TF-IDF cosine similarity pairs WITHOUT embeddings — the sparse
     * lexical complement to the dense-vector detectors (X6/X7): document
     * pairs whose TF-IDF cosine reaches `threshold`, found through an

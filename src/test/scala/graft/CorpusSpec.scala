@@ -461,4 +461,22 @@ class CorpusSpec extends SparkSpec {
     // is cumulative in walk order — doc1 cum = 4+2+3 = 9 > 5 → dropped
     assert(got == Map(3L -> 4L))
   }
+
+  test("mixtureWeights: long-exact keep rates, cap at 1e6 with deficit, " +
+      "unlisted source -> rate 0") {
+    val corpus = Seq(
+      ("x", "a b c"), ("x", "d e f"),  // 6 tokens
+      ("y", "g h"),                     // 2 tokens
+      ("z", "i j k"))                   // unlisted
+      .toDF("source", "text")
+    val got = Corpus.mixtureWeights(corpus, "text", "source",
+        Seq(("x", 500000L), ("y", 300000L)), budgetTokens = 10L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // x: want 5 of 6 → 833333 ppm; y: want 3 of 2 → capped, deficit 1
+    assert(got == Map(
+      "x" -> (2L, 6L, 500000L, 833333L, 0L),
+      "y" -> (1L, 2L, 300000L, 1000000L, 1L),
+      "z" -> (1L, 3L, 0L, 0L, 0L)))
+  }
 }

@@ -96,4 +96,34 @@ class ProfileFunnelSpec extends SparkSpec {
       .findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
   }
+
+  test("kAnonymity: classes under k flagged, nulls form their own class") {
+    val df = Seq(("US", Some(30)), ("US", Some(30)), ("US", Some(31)),
+      ("DE", None: Option[Int]), ("DE", None))
+      .toDF("country", "age")
+    val got = graft.ops.Profile.kAnonymity(df, Seq("country", "age"), 2)
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1))
+        -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(("US", 30) -> (2L, false),
+      ("US", 31) -> (1L, true), ("DE", -1) -> (2L, false)))
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Profile.kAnonymity(df, Seq("country"), 1)
+    }
+    assert(err.getMessage.contains("k must be"))
+  }
+
+  test("cohortRetention: cohort = first day, one count per user-day, " +
+      "offset 0 is the cohort size") {
+    val ev = Seq(
+      ("u1", "2024-01-01 08:00:00"), ("u1", "2024-01-01 09:00:00"),
+      ("u1", "2024-01-03 10:00:00"), // two day-1 events count once
+      ("u2", "2024-01-01 23:00:00"), ("u3", "2024-01-02 01:00:00"))
+      .toDF("u", "ts").withColumn("ts", $"ts".cast("timestamp"))
+    val got = Funnel.cohortRetention(ev, $"u", $"ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1))
+        -> r.getLong(2)).toMap
+    assert(got == Map(("2024-01-01", 0) -> 2L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-02", 0) -> 1L))
+  }
 }

@@ -601,4 +601,45 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.negativePairs(Seq(7L).toDF("id"), col("id"),
       k = 2, nShards = 1).count() == 0)
   }
+
+  test("snapshotDiff: added/removed/changed, identical rows dropped, " +
+      "null-safe value compare") {
+    val a = Seq((1L, Some(10.0), "x"), (2L, Some(20.0), "y"),
+      (3L, None: Option[Double], "z"), (4L, Some(40.0), "w"))
+      .toDF("id", "v", "s")
+    val b = Seq((1L, Some(10.0), "x"), (2L, Some(21.0), "y"),
+      (3L, None: Option[Double], "z"), (5L, Some(50.0), "v"))
+      .toDF("id", "v", "s")
+    val got = Relational.snapshotDiff(a, b, Seq("id"), Seq("v", "s"))
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(5)))
+    // 1 identical, 3 identical THROUGH null v (null-safe) → both absent
+    assert(got.toSeq == Seq((2L, "changed"), (4L, "removed"),
+      (5L, "added")))
+  }
+
+  test("proportionalSplit: exact per-stratum sizes, deterministic in " +
+      "the key, ppm-sum guard") {
+    val df = (1L to 100L).map(i => (i, if (i <= 60) "a" else "b"))
+      .toDF("id", "g")
+    val splits = Seq(("train", 800000L), ("val", 100000L),
+      ("test", 100000L))
+    val got = Relational.proportionalSplit(df, Seq("g"), $"id", splits)
+    val sizes = got.groupBy($"g", $"split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // floor cut points: 60 → 48/6/6, 40 → 32/4/4 — exact, not expected
+    assert(sizes == Map(("a", "train") -> 48L, ("a", "val") -> 6L,
+      ("a", "test") -> 6L, ("b", "train") -> 32L, ("b", "val") -> 4L,
+      ("b", "test") -> 4L))
+    // pure function of the key: partitioning never changes assignment
+    val again = Relational.proportionalSplit(df.repartition(7), Seq("g"),
+      $"id", splits).collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(again.sorted.toSeq ==
+      got.collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq)
+    val err = intercept[IllegalArgumentException] {
+      Relational.proportionalSplit(df, Seq("g"), $"id",
+        Seq(("a", 500000L)))
+    }
+    assert(err.getMessage.contains("1000000"))
+  }
 }

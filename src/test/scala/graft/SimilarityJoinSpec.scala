@@ -89,4 +89,47 @@ class SimilarityJoinSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.get(1L).contains(2L) && got.get(2L).contains(1L))
   }
+
+  test("covarianceMatrix: exact milli-quantized moments, upper triangle, " +
+      "partition-independent") {
+    val df = Seq(Tuple1(Array(1f, 2f)), Tuple1(Array(3f, -1f)))
+      .toDF("embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.covarianceMatrix(d, "embedding")
+        .orderBy($"i", $"j").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+    val got = run(df)
+    assert(got.toSeq == Seq(
+      (1, 1, 10000000L, 4000L, 4000L, 2L),
+      (1, 2, -1000000L, 4000L, 1000L, 2L),
+      (2, 2, 5000000L, 1000L, 1000L, 2L)))
+    assert(run(df.repartition(3)).toSeq == got.toSeq)
+  }
+
+  test("quantizeInt8: floor to [-127,127], zero vector -> zeros, " +
+      "scale is max abs") {
+    val df = Seq((1L, Array(0.5f, -1.0f)), (2L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "embedding", "vec_id")
+      .orderBy($"vec_id", $"dim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 1, 63L, 1.0), (1L, 2, -127L, 1.0),
+      (2L, 1, 0L, 0.0), (2L, 2, 0L, 0.0)))
+  }
+
+  test("labelAgreement: ppm share of same-label neighbors, suspect flag") {
+    val pairs = Seq((1L, 2L, 0.9, 1), (1L, 3L, 0.8, 2), (2L, 1L, 0.9, 1))
+      .toDF("id_a", "id_b", "cos", "rank")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("vec_id", "label")
+    val got = Similarity.labelAgreement(pairs, labels, "vec_id", "label",
+        minAgreePpm = 600000L)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, "A", 2L, 1L, 500000L, true),   // one of two neighbors agrees
+      (2L, "A", 1L, 1L, 1000000L, false)))
+  }
 }

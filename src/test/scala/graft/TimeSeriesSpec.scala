@@ -305,4 +305,24 @@ class TimeSeriesSpec extends SparkSpec {
       Seq($"t", $"id"), Seq("v")).collect()
     assert(got.head.getString(1) == "second")
   }
+
+  test("cusumChangepoint: level shift found at the shift point, " +
+      "earliest wins dev ties, partition-independent") {
+    // key a: 0,0,0,10,10,10 — max |n*S_i - i*S_n| at i=3 (the last
+    // pre-shift row): dev = |6*0 - 3*30| = 90
+    val a = Seq(0L, 0L, 0L, 10L, 10L, 10L).zipWithIndex
+      .map { case (v, i) => ("a", (i + 1).toLong, v) }
+    // key b: constant series — every dev is 0, tie → earliest order
+    val b = (1L to 4L).map(t => ("b", t, 5L))
+    val df = (a ++ b).toDF("k", "t", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.cusumChangepoint(d, Seq("k"), $"t", $"v")
+        .orderBy($"k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    val got = run(df)
+    assert(got(0) == ("a", 6L, 3L, 3L, 90L))
+    assert(got(1) == ("b", 4L, 1L, 1L, 0L))
+    assert(run(df.repartition(5)).toSeq == got.toSeq)
+  }
 }
