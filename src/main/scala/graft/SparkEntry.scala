@@ -1915,6 +1915,61 @@ object SparkEntry {
           budgetTokens = 20000L)
         .orderBy(col("source"))
     },
+
+    // X129 — item co-occurrence (bipartite projection): distinct
+    // (basket, item) grain, scan-local tail-slice pairs, one pair-grain
+    // collapse; oversized baskets excluded by the market-basket guard
+    "q140_cooccur" -> { (s, dir) =>
+      graft.ops.Graph.coOccurrence(
+          t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"),
+          minSupport = 2L, maxBasketSize = 20)
+        .orderBy(col("item_a"), col("item_b"))
+    },
+
+    // X130 — l-diversity audit: one Expand-planned exact distinct agg
+    // to equivalence-class grain
+    "q141_ldiversity" -> { (s, dir) =>
+      graft.ops.Profile.lDiversity(t(s, dir, "customer"),
+          Seq("c_nationkey"), "c_mktsegment", l = 5)
+        .orderBy(col("c_nationkey"))
+    },
+
+    // X131 — order-independent content checksum: scan-local 60-bit row
+    // hashes summed in decimal(38,0) per group, digest rendered as text
+    "q142_checksum" -> { (s, dir) =>
+      graft.ops.Profile.contentChecksum(t(s, dir, "customer"),
+          Seq("c_mktsegment"), Seq("c_custkey", "c_name", "c_nationkey"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // X132 — blocked record-linkage scoring: one equi-join on the
+    // blocking key, codegen'd weighted field agreement, match-sized out
+    "q143_linkage" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val dirty = c.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"),
+        when(col("c_custkey") % 7 === 0, upper(col("c_name")))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("c_custkey") % 11 === 0, col("c_acctbal") + 1d)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      graft.ops.Relational.linkageScore(
+          c, "c_custkey", dirty, "c_custkey",
+          Seq("c_nationkey", "c_mktsegment"),
+          Seq(("c_name", 5L), ("c_acctbal", 2L)), minScore = 5L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // X133 — funnel with a conversion window: funnelDepth's plan (one
+    // user exchange, chained window minimums) plus the within-gap bound
+    "q144_funnel_window" -> { (s, dir) =>
+      graft.ops.Funnel.funnelDepthWithin(
+          events(s, dir).select(col("user_id"),
+            nsToMicros(col("ts_ns")).as("ts_us"), col("event_type")),
+          "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase"),
+          maxGap = 172800000000L) // 48 h in µs
+        .orderBy(col("user_id"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -5198,5 +5253,107 @@ object SparkEntry {
         |    AS rate_ppm,
         |  CAST(greatest(want - n_tokens, 0) AS BIGINT) AS deficit_tokens
         |FROM w ORDER BY source""".stripMargin,
+
+    "q140_cooccur" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), sized AS (
+        |  SELECT b FROM d GROUP BY b HAVING count(*) BETWEEN 2 AND 20
+        |), p AS (
+        |  SELECT a.i AS item_a, c.i AS item_b
+        |  FROM d a
+        |  JOIN d c ON a.b = c.b AND a.i < c.i
+        |  JOIN sized s ON a.b = s.b
+        |)
+        |SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_baskets
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "q141_ldiversity" ->
+      """SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+        |  count(DISTINCT c_mktsegment) < 5 AS at_risk
+        |FROM customer GROUP BY 1
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q142_checksum" ->
+      """WITH k AS (
+        |  SELECT c_mktsegment, concat_ws(chr(1),
+        |    coalesce(CAST(c_custkey AS VARCHAR), chr(2)),
+        |    coalesce(c_name, chr(2)),
+        |    coalesce(CAST(c_nationkey AS VARCHAR), chr(2))) AS key
+        |  FROM customer
+        |), h AS (
+        |  SELECT c_mktsegment,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE WHEN ascii(substr(md5(key), ii, 1)) <= 57
+        |        THEN ascii(substr(md5(key), ii, 1)) - 48
+        |        ELSE ascii(substr(md5(key), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (x, y) -> x * 16 + y) AS hv
+        |  FROM k
+        |)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(hv) AS VARCHAR) AS checksum
+        |FROM h GROUP BY 1
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q143_linkage" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN upper(c_name)
+        |         ELSE c_name END AS c_name,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 1
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer
+        |), scored AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    CAST((CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+        |            THEN 1 ELSE 0 END)
+        |       + (CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |    CAST((CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+        |            THEN 5 ELSE 0 END)
+        |       + (CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+        |            THEN 2 ELSE 0 END) AS BIGINT) AS score
+        |  FROM customer a JOIN dirty b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_mktsegment = b.c_mktsegment
+        |)
+        |SELECT * FROM scored WHERE score >= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q144_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |), s1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS t1
+        |  FROM e GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND s1.t1 IS NOT NULL
+        |      AND e.us > s1.t1 AND e.us <= s1.t1 + 172800000000
+        |      THEN e.us END) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND s2.t2 IS NOT NULL
+        |      AND e.us > s2.t2 AND e.us <= s2.t2 + 172800000000
+        |      THEN e.us END) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1
+        |)
+        |SELECT s1.user_id AS user_id, t1 AS step_ts_1, t2 AS step_ts_2,
+        |  t3 AS step_ts_3,
+        |  CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+        |     + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |     + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS steps_done
+        |FROM s1
+        |JOIN s2 ON s1.user_id = s2.user_id
+        |JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY 1""".stripMargin,
   )
 }

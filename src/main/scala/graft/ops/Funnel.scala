@@ -134,4 +134,43 @@ object Funnel {
         datediff(col("__d"), col("__c")).as("offset_days"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** [[funnelDepth]] with a CONVERSION WINDOW: step i+1 must occur
+    * strictly after step i AND within `maxGap` of it (same units as
+    * `tsCol` — pass long µs), the "converted within 7 days" semantic
+    * every funnel product defaults to. Matching stays greedy-earliest
+    * (step 1 anchors at the user's FIRST step-1 event — the standard
+    * convention; a later anchor that would convert where the first does
+    * not is deliberately not searched, same as [[funnelDepth]]'s
+    * documented greedy contract).
+    *
+    * Scale shape: identical to [[funnelDepth]] — one exchange on the
+    * user key, k chained whole-partition window minimums, no sorts,
+    * O(k) state per user.
+    */
+  def funnelDepthWithin(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxGap: Long): DataFrame = {
+    require(steps.nonEmpty, "funnelDepthWithin needs at least one step")
+    require(maxGap > 0, s"maxGap must be > 0: $maxGap")
+    val w = Window.partitionBy(col(userCol))
+    var cur = df
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val cond =
+        if (i == 0) col(typeCol) === s
+        else col(typeCol) === s && col(s"step_ts_$i").isNotNull &&
+          col(tsCol) > col(s"step_ts_$i") &&
+          col(tsCol) <= col(s"step_ts_$i") + maxGap
+      cur = cur.withColumn(s"step_ts_${i + 1}",
+        min(when(cond, col(tsCol))).over(w))
+    }
+    val stepCols = steps.indices.map(i => col(s"step_ts_${i + 1}"))
+    val aggs = stepCols.zipWithIndex.map { case (c, i) =>
+      min(c).as(s"step_ts_${i + 1}")
+    }
+    cur.groupBy(col(userCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("steps_done",
+        stepCols.map(c => when(c.isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+  }
 }

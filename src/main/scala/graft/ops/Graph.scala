@@ -416,4 +416,47 @@ object Graph {
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
+
+  /** Item co-occurrence counts — the bipartite-graph projection behind
+    * "frequently bought/viewed together", co-citation, and co-engagement
+    * features: for every unordered item pair sharing a basket (order,
+    * session, document), the number of DISTINCT baskets containing both
+    * (an item counts once per basket regardless of quantity lines).
+    * Output: (`item_a` < `item_b`, `n_baskets`), pairs below
+    * `minSupport` dropped. Baskets larger than `maxBasketSize` are
+    * EXCLUDED ENTIRELY (the standard market-basket guard: a 10⁵-item
+    * basket would alone emit 5·10⁹ pairs and its pairs carry no signal —
+    * at 100 TB this cap is the difference between a bounded job and a
+    * quadratic blow-up; count excluded baskets from the size agg if the
+    * drop rate needs monitoring).
+    *
+    * Scale shape: (basket, item) rows collapse to DISTINCT grain
+    * map-side, ONE exchange to basket grain builds the sorted item
+    * array, pair generation is SCAN-LOCAL (tail-slice posexplode — the
+    * [[graft.similarity.Similarity.covarianceMatrix]] pattern, O(d²)
+    * per basket bounded by the cap), and the final count collapses to
+    * pair grain with map-side combine before its exchange.
+    */
+  def coOccurrence(df: DataFrame, basketCol: Column, itemCol: Column,
+      minSupport: Long, maxBasketSize: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
+    val baskets = df
+      .select(basketCol.as("__b"), itemCol.as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_list(col("__i"))).as("__items"))
+      .filter(size(col("__items")).between(2, maxBasketSize))
+    baskets
+      .select(posexplode(col("__items")).as(Seq("__p", "item_a")),
+        col("__items"))
+      .select(col("item_a"),
+        explode(slice(col("__items"), col("__p") + 2,
+          greatest(size(col("__items")) - col("__p") - 1, lit(0))))
+          .as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minSupport)
+  }
 }

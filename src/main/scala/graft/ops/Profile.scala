@@ -68,4 +68,67 @@ object Profile {
       .agg(count(lit(1)).as("n"))
       .withColumn("at_risk", col("n") < k)
   }
+
+  /** l-diversity audit — [[kAnonymity]]'s stronger sibling: a class can
+    * be large (k-anonymous) yet still leak if everyone in it shares the
+    * same SENSITIVE value (the homogeneity attack — "all 50 patients in
+    * this zip+age class have the same diagnosis"). Per equivalence
+    * class: population `n`, `n_sensitive` = exact distinct count of
+    * `sensitiveCol` (nulls don't count as a value), and `at_risk` =
+    * (n_sensitive < l). Run both audits; release requires passing both.
+    *
+    * Scale shape: one exact distinct aggregation — planned through
+    * Spark's Expand with map-side partial aggregation, the [[profileColumns]]
+    * plan — to class grain; output is |classes|-sized. Unlike counts,
+    * distinct audits do NOT merge by summing — re-run over the union or
+    * keep per-slice HLL sketches ([[graft.ops.Sketches]]) when slices
+    * must combine.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs at least one column")
+    require(l >= 2, s"l must be >= 2: $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
+
+  /** Order-independent content checksum per group — the replication /
+    * migration / versioning integrity gate ("is the copy byte-equal to
+    * the source?") that never needs a sort: each row hashes to a 60-bit
+    * md5 unit ([[graft.ops.Relational.hashUnit]] of the chr(1)-joined
+    * string render of `cols`, nulls marked chr(2) so (null) ≠ ("") —
+    * pick columns whose string render is engine-canonical: strings,
+    * integers; double/timestamp renders vary by engine),
+    * and a group's checksum is the SUM of its row hashes in
+    * decimal(38,0) — commutative, so any partitioning, engine, or row
+    * order yields the identical digest, and two tables compare by
+    * joining their |groups|-sized digest frames. Output: (`groupCols`,
+    * `n_rows`, `checksum` — the exact integer rendered as a string,
+    * engine-portable where DECIMAL/HUGEINT physical types are not).
+    *
+    * A sum of 60-bit hashes is forgery-sensitive only to ~2⁻⁶⁰
+    * collisions per row pair — integrity-check strength (bit rot, lost
+    * rows, double-applied CDC), not cryptographic commitment.
+    *
+    * Scale shape: hashing is SCAN-LOCAL; the only exchange is the
+    * map-side-combined collapse to group grain. Checksums of disjoint
+    * slices ADD — partition-level digests roll up to table digests for
+    * free (sum the decimals), the property sorting-based digests lack.
+    */
+  def contentChecksum(df: DataFrame, groupCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "contentChecksum needs at least one column")
+    import org.apache.spark.sql.types.DecimalType
+    val key = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    val h = graft.ops.Relational.hashUnit(key).cast(DecimalType(38, 0))
+    val grouped =
+      if (groupCols.isEmpty) df.select(h.as("__h")).groupBy()
+      else df.withColumn("__h", h).groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__h")).cast("string").as("checksum"))
+  }
 }

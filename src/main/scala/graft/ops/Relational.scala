@@ -1030,4 +1030,49 @@ object Relational {
       .drop("__rn", "__n")
   }
 
+  /** Blocked record-linkage scoring — the Fellegi–Sunter-style entity
+    * resolution step for STRUCTURED records (the near-dup detectors
+    * handle free text; this handles (name, city, balance) tuples):
+    * candidate pairs share a blocking key (never all-pairs — the X2/X5
+    * blocking discipline), each compared field contributes its integer
+    * weight when the two sides agree under null-safe compare, and pairs
+    * scoring below `minScore` are dropped. Output: (`id_a`, `id_b`,
+    * `n_match`, `score`); matched pairs feed
+    * [[graft.ops.Graph.connectedComponents]] → keep-canonical exactly
+    * like the text near-dup pipeline. Self-linkage (deduping one table
+    * against itself): pass the same frame twice and keep `id_a` <
+    * `id_b` downstream.
+    *
+    * Scale shape: ONE equi-join on the blocking key (shuffled or
+    * broadcast by size — Spark's choice); per-pair work is a fixed
+    * literal-width comparison chain, codegen'd; the score filter runs
+    * inside the join projection so the output is match-sized. Skewed
+    * blocks are the caller's knob: block on higher-cardinality keys or
+    * pre-salt with [[saltedJoin]].
+    */
+  def linkageScore(a: DataFrame, idA: String, b: DataFrame, idB: String,
+      blockCols: Seq[String], fieldWeights: Seq[(String, Long)],
+      minScore: Long): DataFrame = {
+    require(blockCols.nonEmpty, "linkageScore needs a blocking key")
+    require(fieldWeights.nonEmpty, "linkageScore needs scored fields")
+    require(fieldWeights.forall(_._2 > 0), "field weights must be > 0")
+    val left = a.select(col(idA).as("id_a") +:
+      blockCols.map(col) ++: fieldWeights.map { case (f, _) =>
+        col(f).as(s"__a_$f") }: _*)
+    val right = b.select(col(idB).as("id_b") +:
+      blockCols.map(col) ++: fieldWeights.map { case (f, _) =>
+        col(f).as(s"__b_$f") }: _*)
+    val matches = fieldWeights.map { case (f, w) =>
+      when(col(s"__a_$f") <=> col(s"__b_$f"), lit(w)).otherwise(lit(0L))
+    }
+    val nMatch = fieldWeights.map { case (f, _) =>
+      when(col(s"__a_$f") <=> col(s"__b_$f"), lit(1L)).otherwise(lit(0L))
+    }
+    left.join(right, blockCols)
+      .select(col("id_a"), col("id_b"),
+        nMatch.reduce(_ + _).as("n_match"),
+        matches.reduce(_ + _).as("score"))
+      .filter(col("score") >= minScore)
+  }
+
 }

@@ -143,4 +143,22 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == vs.map(_ -> ((3L, 3L))).toMap)
   }
+
+  test("coOccurrence: once per basket, unordered pairs, support and " +
+      "basket-size guards") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 2L), (10L, 3L), // dup line counts once
+      (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L), (30L, 3L), (30L, 4L), // over cap → excluded
+      (40L, 9L))                                  // singleton → no pairs
+      .toDF("b", "i")
+    val got = Graph.coOccurrence(rows, col("b"), col("i"),
+        minSupport = 2L, maxBasketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // (1,2) in baskets 10+20; (1,3)/(2,3) only in 10 → below support;
+    // basket 30's pairs never materialize (size 4 > cap 3)
+    assert(got == Map((1L, 2L) -> 2L))
+  }
 }

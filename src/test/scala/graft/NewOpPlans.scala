@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratch: physical plans of the X100-X102 probes at sf0.01. */
+/** Dev scratch: physical plans of the newest probes at sf0.01. */
 object NewOpPlans {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -13,8 +13,7 @@ object NewOpPlans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q112_collocations", "q113_budget_select",
-        "q114_snapshot")) {
+    for (q <- Seq("q135_cov", "q137_int8", "q136_prop_split", "q134_cusum", "q132_cohort", "q131_snapshot_diff", "q138_label_agree")) {
       println(s"==== $q ====")
       val df = SparkEntry.queries(q)(spark, dir)
       println(df.queryExecution.executedPlan.toString

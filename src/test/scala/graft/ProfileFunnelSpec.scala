@@ -113,6 +113,59 @@ class ProfileFunnelSpec extends SparkSpec {
     assert(err.getMessage.contains("k must be"))
   }
 
+  test("lDiversity: homogeneous class flagged even when k-anonymous") {
+    val df = Seq(("Z1", "flu"), ("Z1", "flu"), ("Z1", "flu"),
+      ("Z2", "flu"), ("Z2", "cold"))
+      .toDF("zip", "dx")
+    val got = graft.ops.Profile.lDiversity(df, Seq("zip"), "dx", 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    // Z1 is 3-anonymous but 1-diverse → at risk; Z2 is small but diverse
+    assert(got == Map("Z1" -> ((3L, 1L, true)), "Z2" -> ((2L, 2L, false))))
+  }
+
+  test("contentChecksum: order/partition-independent, row-sensitive, " +
+      "null distinct from empty string") {
+    val df = Seq((1L, Some("a"), "g"), (2L, Some("b"), "g"),
+      (3L, None: Option[String], "h"), (4L, Some(""), "h"))
+      .toDF("id", "v", "grp")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Profile.contentChecksum(d, Seq("grp"), Seq("id", "v"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getString(2)))).toMap
+    val got = run(df)
+    assert(run(df.repartition(5)) == got) // commutative digest
+    assert(got("g")._1 == 2L && got("h")._1 == 2L)
+    // null marker: (3, null) and (3, "") must digest differently
+    val n = graft.ops.Profile.contentChecksum(
+      Seq((3L, None: Option[String])).toDF("id", "v"), Nil, Seq("id", "v"))
+      .collect().head.getString(1)
+    val e = graft.ops.Profile.contentChecksum(
+      Seq((3L, Some(""))).toDF("id", "v"), Nil, Seq("id", "v"))
+      .collect().head.getString(1)
+    assert(n != e)
+    // a dropped row changes the digest (integrity property)
+    assert(run(df.filter($"id" =!= 2L)).get("g") != got.get("g"))
+  }
+
+  test("funnelDepthWithin: conversion window bounds each step, " +
+      "greedy-earliest anchor") {
+    val gap = 10L
+    val ev = Seq(
+      // u1: click at +5 within gap, purchase at +30 outside click's gap
+      ("u1", 100L, "view"), ("u1", 105L, "click"), ("u1", 135L, "purchase"),
+      // u2: click outside the view gap → funnel stalls at step 1
+      ("u2", 100L, "view"), ("u2", 150L, "click"),
+      // u3: full conversion, each hop within the gap
+      ("u3", 10L, "view"), ("u3", 15L, "click"), ("u3", 22L, "purchase"))
+      .toDF("user_id", "ts_us", "event_type")
+    val got = Funnel.funnelDepthWithin(ev, "user_id", "ts_us",
+        "event_type", Seq("view", "click", "purchase"), gap)
+      .collect().map(r => r.getString(0) -> r.getInt(4)).toMap
+    assert(got == Map("u1" -> 2, "u2" -> 1, "u3" -> 3))
+  }
+
   test("cohortRetention: cohort = first day, one count per user-day, " +
       "offset 0 is the cohort size") {
     val ev = Seq(

@@ -642,4 +642,23 @@ class RelationalSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("1000000"))
   }
+
+  test("linkageScore: weighted agreement within blocks, null-safe, " +
+      "threshold filter") {
+    val a = Seq((1L, "B1", Some("ann"), Some(10.0)),
+      (2L, "B1", Some("bob"), None: Option[Double]),
+      (3L, "B2", Some("cyd"), Some(30.0)))
+      .toDF("id", "blk", "name", "bal")
+    val b = Seq((11L, "B1", Some("ann"), Some(99.0)), // name only: 5
+      (12L, "B1", None: Option[String], None: Option[Double]), // bal null=null: 2
+      (13L, "B9", Some("cyd"), Some(30.0)))           // other block
+      .toDF("id", "blk", "name", "bal")
+    val got = Relational.linkageScore(a, "id", b, "id", Seq("blk"),
+        Seq(("name", 5L), ("bal", 2L)), minScore = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // (1,11) name agrees → 5; (2,12) null-safe bal agreement → 2;
+    // (3,13) would score 7 but blocks differ → never a candidate
+    assert(got == Map((1L, 11L) -> ((1L, 5L)), (2L, 12L) -> ((1L, 2L))))
+  }
 }
