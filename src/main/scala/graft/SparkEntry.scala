@@ -1970,6 +1970,32 @@ object SparkEntry {
           maxGap = 172800000000L) // 48 h in µs
         .orderBy(col("user_id"))
     },
+
+    // X134 — Benford first-digit audit: scan-local digit extraction on
+    // exact cents, counts collapse to <= 9 rows, ppm over a window
+    "q145_benford" -> { (s, dir) =>
+      graft.ops.Profile.benford(
+          t(s, dir, "orders").withColumn("__cents",
+            (dec(col("o_totalprice")) * 100).cast("long")),
+          Nil, col("__cents"))
+        .orderBy(col("digit"))
+    },
+
+    // composition probe: X131 digests of two snapshot versions fed into
+    // X120's diff — the anti-entropy "which partitions need re-sync"
+    // plan, |groups|-sized end to end
+    "q146_repair_plan" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val fields = Seq("c_custkey", "c_name", "c_nationkey")
+      val live = graft.ops.Profile.contentChecksum(
+        c, Seq("c_mktsegment"), fields)
+      val replica = graft.ops.Profile.contentChecksum(
+        c.filter(col("c_custkey") % 101 =!= 0), // replica lost rows
+        Seq("c_mktsegment"), fields)
+      graft.ops.Relational.snapshotDiff(live, replica,
+          Seq("c_mktsegment"), Seq("n_rows", "checksum"))
+        .orderBy(col("c_mktsegment"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -5355,5 +5381,73 @@ object SparkEntry {
         |JOIN s2 ON s1.user_id = s2.user_id
         |JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY 1""".stripMargin,
+
+    "q145_benford" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS v
+        |  FROM orders
+        |), d AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM b WHERE v > 0 GROUP BY 1
+        |)
+        |SELECT digit, n,
+        |  (n * 1000000) // CAST(sum(n) OVER () AS BIGINT) AS share_ppm
+        |FROM d ORDER BY digit""".stripMargin,
+
+    "q146_repair_plan" ->
+      """WITH live_k AS (
+        |  SELECT c_mktsegment, concat_ws(chr(1),
+        |    coalesce(CAST(c_custkey AS VARCHAR), chr(2)),
+        |    coalesce(c_name, chr(2)),
+        |    coalesce(CAST(c_nationkey AS VARCHAR), chr(2))) AS key
+        |  FROM customer
+        |), repl_k AS (
+        |  SELECT c_mktsegment, concat_ws(chr(1),
+        |    coalesce(CAST(c_custkey AS VARCHAR), chr(2)),
+        |    coalesce(c_name, chr(2)),
+        |    coalesce(CAST(c_nationkey AS VARCHAR), chr(2))) AS key
+        |  FROM customer WHERE c_custkey % 101 <> 0
+        |), live_h AS (
+        |  SELECT c_mktsegment,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE WHEN ascii(substr(md5(key), ii, 1)) <= 57
+        |        THEN ascii(substr(md5(key), ii, 1)) - 48
+        |        ELSE ascii(substr(md5(key), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (x, y) -> x * 16 + y) AS hv
+        |  FROM live_k
+        |), repl_h AS (
+        |  SELECT c_mktsegment,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE WHEN ascii(substr(md5(key), ii, 1)) <= 57
+        |        THEN ascii(substr(md5(key), ii, 1)) - 48
+        |        ELSE ascii(substr(md5(key), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (x, y) -> x * 16 + y) AS hv
+        |  FROM repl_k
+        |), a AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(hv) AS VARCHAR) AS checksum
+        |  FROM live_h GROUP BY 1
+        |), b AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(hv) AS VARCHAR) AS checksum
+        |  FROM repl_h GROUP BY 1
+        |), d AS (
+        |  SELECT COALESCE(a.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+        |    a.n_rows AS old_n_rows, a.checksum AS old_checksum,
+        |    b.n_rows AS new_n_rows, b.checksum AS new_checksum,
+        |    CASE WHEN a.c_mktsegment IS NULL THEN 'added'
+        |         WHEN b.c_mktsegment IS NULL THEN 'removed'
+        |         WHEN (a.n_rows IS DISTINCT FROM b.n_rows)
+        |           OR (a.checksum IS DISTINCT FROM b.checksum)
+        |         THEN 'changed' END AS change
+        |  FROM a FULL OUTER JOIN b ON a.c_mktsegment = b.c_mktsegment
+        |)
+        |SELECT * FROM d WHERE change IS NOT NULL
+        |ORDER BY c_mktsegment""".stripMargin,
   )
 }

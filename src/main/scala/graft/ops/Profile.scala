@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling: the one-pass column summary a pipeline runs
@@ -117,18 +117,62 @@ object Profile {
     * slices ADD — partition-level digests roll up to table digests for
     * free (sum the decimals), the property sorting-based digests lack.
     */
-  def contentChecksum(df: DataFrame, groupCols: Seq[String],
-      cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "contentChecksum needs at least one column")
+  /** The 60-bit per-row digest [[contentChecksum]] sums: chr(1)-joined
+    * string render of `cols` (nulls marked chr(2)) through
+    * [[graft.ops.Relational.hashUnit]], widened to decimal(38,0) so
+    * sums never overflow. Shared with the streaming running digest
+    * ([[graft.streaming.StreamingChecksum]]) — one definition, two
+    * execution modes.
+    */
+  def rowDigest(cols: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types.DecimalType
     val key = concat_ws("\u0001",
       cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
-    val h = graft.ops.Relational.hashUnit(key).cast(DecimalType(38, 0))
+    graft.ops.Relational.hashUnit(key).cast(DecimalType(38, 0))
+  }
+
+  def contentChecksum(df: DataFrame, groupCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "contentChecksum needs at least one column")
+    val h = rowDigest(cols)
     val grouped =
       if (groupCols.isEmpty) df.select(h.as("__h")).groupBy()
       else df.withColumn("__h", h).groupBy(groupCols.map(col): _*)
     grouped
       .agg(count(lit(1)).as("n_rows"),
         sum(col("__h")).cast("string").as("checksum"))
+  }
+
+  /** Benford first-digit audit — the classic fabricated-numbers /
+    * broken-ETL tripwire: naturally-grown magnitudes (transaction
+    * amounts, populations, file sizes) put ~30.1% of first significant
+    * digits at 1, while generated or truncated data flattens the curve.
+    * Input is an exact LONG magnitude column (convert money through
+    * DECIMAL cents first — the established double→units discipline);
+    * null and non-positive values are excluded (no first significant
+    * digit). Output per group × digit 1–9 present: `n` and exact
+    * `share_ppm` = n·10⁶ div group total — compare against the Benford
+    * ppm table (301030, 176091, …) downstream; the log-free integer
+    * digit extraction (first char of the decimal string render) keeps
+    * the whole audit engine-portable.
+    *
+    * Scale shape: digit extraction is SCAN-LOCAL; counts collapse to
+    * (group × ≤9)-grain with map-side combine, and the group total
+    * rides a whole-partition window over that tiny frame — no second
+    * scan of the data.
+    */
+  def benford(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = if (groupCols.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__v", valueCol.cast("long"))
+      .filter(col("__v") > 0)
+      .withColumn("digit",
+        substring(col("__v").cast("string"), 1, 1).cast("int"))
+      .groupBy(groupCols.map(col) :+ col("digit"): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm", graft.functions.Exact.longDiv(
+        col("n") * 1000000L, sum(col("n")).over(part)))
   }
 }

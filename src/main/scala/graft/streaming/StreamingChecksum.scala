@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Running per-group content digest over an unbounded stream — the
+  * streaming face of [[graft.ops.Profile.contentChecksum]] (one row-hash
+  * definition, [[graft.ops.Profile.rowDigest]], two execution modes):
+  * an ingestion pipeline keeps a live digest of everything accepted so
+  * far, and a replica/consumer compares its own batch digest against it
+  * to detect loss or duplication WITHOUT rescanning the corpus — the
+  * anti-entropy check, continuously maintained.
+  *
+  * Because the digest is a commutative decimal SUM of 60-bit row
+  * hashes, Structured Streaming's incremental aggregation maintains it
+  * exactly: state per group is one (count, decimal sum) pair, arrival
+  * order is irrelevant, and the running value after processing any
+  * prefix equals the batch checksum of that prefix (spec-pinned by
+  * StreamingChecksumSpec). No watermark is needed — there is no
+  * event-time window to close; emit with Update/Complete output mode.
+  *
+  * Scale shape: hashing is scan-local in each micro-batch; state is
+  * |groups|-sized regardless of stream volume — the same property that
+  * makes the batch op's output broadcast-sized.
+  */
+object StreamingChecksum {
+
+  /** Running (n_rows, checksum) per group; same output schema and
+    * values as the batch [[graft.ops.Profile.contentChecksum]] over the
+    * rows seen so far.
+    */
+  def digest(df: DataFrame, groupCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "digest needs at least one column")
+    require(groupCols.nonEmpty, "digest needs at least one group column")
+    df.withColumn("__h", graft.ops.Profile.rowDigest(cols))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__h")).cast("string").as("checksum"))
+  }
+}

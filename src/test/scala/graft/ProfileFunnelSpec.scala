@@ -149,6 +149,16 @@ class ProfileFunnelSpec extends SparkSpec {
     assert(run(df.filter($"id" =!= 2L)).get("g") != got.get("g"))
   }
 
+  test("benford: first significant digit counts, exact ppm, " +
+      "non-positive excluded") {
+    val df = Seq(100L, 123L, 19L, 2L, 250L, 999L, 0L, -5L).toDF("v")
+    val got = graft.ops.Profile.benford(df, Nil, $"v")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(1 -> ((3L, 500000L)), 2 -> ((2L, 333333L)),
+      9 -> ((1L, 166666L))))
+  }
+
   test("funnelDepthWithin: conversion window bounds each step, " +
       "greedy-earliest anchor") {
     val gap = 10L

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingChecksum
+
+case class CRow(grp: String, id: Long, v: String)
+
+class StreamingChecksumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("running digest equals the batch checksum of the prefix seen " +
+      "so far, across micro-batches and arrival orders") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CRow]
+    val digested = StreamingChecksum.digest(in.toDF(), Seq("grp"),
+      Seq("id", "v"))
+    val q = digested.writeStream
+      .format("memory").queryName("digest_out")
+      .outputMode("complete").start()
+
+    def out() = spark.table("digest_out")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    def batchOf(rows: Seq[CRow]) =
+      graft.ops.Profile.contentChecksum(rows.toDF(), Seq("grp"),
+          Seq("id", "v"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getString(2)))).toMap
+
+    val b1 = Seq(CRow("g", 1L, "a"), CRow("g", 2L, "b"), CRow("h", 3L, "c"))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    assert(out() == batchOf(b1))
+
+    // a second batch, arriving in a different order than the batch op
+    // would scan it — the commutative digest doesn't care
+    val b2 = Seq(CRow("h", 5L, "e"), CRow("g", 4L, "d"))
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    assert(out() == batchOf(b2.reverse ++ b1))
+    q.stop()
+  }
+}
