@@ -1996,6 +1996,43 @@ object SparkEntry {
           Seq("c_mktsegment"), Seq("n_rows", "checksum"))
         .orderBy(col("c_mktsegment"))
     },
+
+    // X136 — referential-integrity audit: one anti-join per direction,
+    // fk side collapsed to distinct before probing the dimension
+    "q147_ref_audit" -> { (s, dir) =>
+      graft.ops.Profile.referentialAudit(
+        t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer").filter(col("c_custkey") % 13 =!= 0),
+        "c_custkey")
+    },
+
+    // X137 — CDC apply (lakehouse MERGE): base ∪ feed, one max(struct)
+    // collapse at key grain, latest change wins, D deletes
+    "q148_cdc_apply" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val ch1 = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit(1L).as("ord"), lit("U").as("op"),
+          concat(col("c_name"), lit("-v2")).as("c_name"),
+          col("c_mktsegment"))
+      val ch2 = c.filter(col("c_custkey") % 15 === 0)
+        .select(col("c_custkey"), lit(2L).as("ord"), lit("D").as("op"),
+          lit(null).cast("string").as("c_name"),
+          lit(null).cast("string").as("c_mktsegment"))
+      graft.ops.TimeSeries.applyCdc(
+          c.select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+          ch1.unionByName(ch2), Seq("c_custkey"), "ord", "op",
+          Seq("c_name", "c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // X138 — event-sequence trigram motifs: one key exchange, two lead
+    // windows over one sort, collapse to <= |types|^3 grain
+    "q149_seqpat" -> { (s, dir) =>
+      graft.ops.Funnel.sequencePatterns(
+          events(s, dir).withColumn("ts_us", nsToMicros(col("ts_ns"))),
+          "user_id", Seq("ts_us", "event_id"), "event_type", n = 3)
+        .orderBy(col("t1"), col("t2"), col("t3"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -5449,5 +5486,66 @@ object SparkEntry {
         |)
         |SELECT * FROM d WHERE change IS NOT NULL
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q147_ref_audit" ->
+      """WITH p AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 13 <> 0
+        |), c AS (
+        |  SELECT o_custkey FROM orders
+        |), o AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_orphan FROM c
+        |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.c_custkey = c.o_custkey)
+        |), cl AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_childless FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.o_custkey = p.c_custkey)
+        |)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_child,
+        |  o.n_orphan,
+        |  (o.n_orphan * 1000000)
+        |    // (SELECT CAST(count(*) AS BIGINT) FROM c) AS orphan_ppm,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_parent,
+        |  cl.n_childless
+        |FROM o, cl""".stripMargin,
+
+    "q148_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT c_custkey, CAST(1 AS BIGINT) AS ord, 'U' AS op,
+        |    c_name || '-v2' AS c_name, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(2 AS BIGINT), 'D', NULL, NULL
+        |  FROM customer WHERE c_custkey % 15 = 0
+        |), u AS (
+        |  SELECT c_custkey, CAST(-1 AS BIGINT) AS ord, 'U' AS op,
+        |    c_name, c_mktsegment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT * FROM ch
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY ord DESC) AS rk
+        |  FROM u
+        |)
+        |SELECT c_custkey, c_name, c_mktsegment
+        |FROM r WHERE rk = 1 AND op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q149_seqpat" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS t3
+        |  FROM e
+        |)
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_seq
+        |FROM s WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY t1, t2, t3""".stripMargin,
   )
 }

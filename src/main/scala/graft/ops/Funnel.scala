@@ -173,4 +173,31 @@ object Funnel {
         stepCols.map(c => when(c.isNotNull, 1).otherwise(0))
           .reduce(_ + _))
   }
+
+  /** Event-sequence n-gram counts — [[transitionCounts]] generalized
+    * from bigrams to length-`n` behavioral motifs ("view → view →
+    * purchase"): consecutive event-type runs per key, consecutive in
+    * (`orderCols`...) order (a TOTAL order within a key — add a unique
+    * id last), counted corpus-wide. Output: (`t1`..`tn`, `n_seq`); keys
+    * with fewer than `n` events contribute nothing.
+    *
+    * Scale shape: ONE exchange on the key; the n−1 lead windows share
+    * one sort, per-key state is n−1 pending values; the final count
+    * collapses to ≤ |types|ⁿ grain with map-side combine. `n` is a
+    * plan-time literal — the window chain is fixed-width codegen, not
+    * per-row recursion.
+    */
+  def sequencePatterns(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], typeCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2: $n")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    val steps = (1 until n).foldLeft(
+      df.withColumn("t1", col(typeCol))) { (acc, i) =>
+      acc.withColumn(s"t${i + 1}", lead(col(typeCol), i).over(w))
+    }
+    steps.filter(col(s"t$n").isNotNull)
+      .groupBy((1 to n).map(i => col(s"t$i")): _*)
+      .agg(count(lit(1)).as("n_seq"))
+  }
 }

@@ -175,4 +175,38 @@ object Profile {
       .withColumn("share_ppm", graft.functions.Exact.longDiv(
         col("n") * 1000000L, sum(col("n")).over(part)))
   }
+
+  /** Referential-integrity audit between a child (fact) and parent
+    * (dimension) table — the join-hygiene gate a lake runs before
+    * trusting a drop: orphan children (fk with no pk match — every
+    * inner join silently drops them) and childless parents (dead
+    * dimension rows). Null fks count as orphans (an inner join drops
+    * them too — that is what the audit measures). Output: one row —
+    * `n_child`, `n_orphan`, `orphan_ppm` (exact, n_orphan·10⁶ div
+    * n_child), `n_parent`, `n_childless`.
+    *
+    * Scale shape: one anti-join per direction, each shuffled on its
+    * key (broadcast when the dim side is small — Spark's choice); the
+    * fk-side distinct collapses BEFORE the childless anti-join so the
+    * dimension probes |distinct fks|, not fact volume. Zero-row output
+    * never happens (counts, not rows).
+    */
+  def referentialAudit(child: DataFrame, fkCol: String,
+      parent: DataFrame, pkCol: String): DataFrame = {
+    val c = child.select(col(fkCol).as("__fk"))
+    val p = parent.select(col(pkCol).as("__pk"))
+    val orphans = c.join(p, col("__fk") === col("__pk"), "left_anti")
+    val childless = p.join(c.distinct(),
+      col("__pk") === col("__fk"), "left_anti")
+    val cc = c.agg(count(lit(1)).as("n_child"))
+    val oc = orphans.agg(count(lit(1)).as("n_orphan"))
+    val pc = p.agg(count(lit(1)).as("n_parent"))
+    val lc = childless.agg(count(lit(1)).as("n_childless"))
+    cc.join(oc).join(pc).join(lc)
+      .withColumn("orphan_ppm", when(col("n_child") === 0, 0L)
+        .otherwise(graft.functions.Exact.longDiv(
+          col("n_orphan") * 1000000L, col("n_child"))))
+      .select(col("n_child"), col("n_orphan"), col("orphan_ppm"),
+        col("n_parent"), col("n_childless"))
+  }
 }

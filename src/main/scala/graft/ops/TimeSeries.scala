@@ -531,6 +531,45 @@ object TimeSeries {
     * and the argmax collapses to key grain via one max(struct) — per-key
     * state is a single running pair, never a materialized series.
     */
+  /** CDC apply — the lakehouse MERGE: fold a change feed (op ∈ I/U/D
+    * with a long ordering column, unique per key — the CDC sequence
+    * number) into a base snapshot, producing the new snapshot: each
+    * key's LATEST change wins (I/U → its values, D → key gone), keys
+    * without changes keep their base row. Inserts and updates are
+    * deliberately the same op here (upsert) — distinguishing them is a
+    * validation concern ([[snapshotDiff]] audits the result), not a
+    * merge concern. Output: keys + `valueCols`, one row per surviving
+    * key.
+    *
+    * Scale shape: base ∪ changes is ONE union (no join), collapsed by
+    * ONE map-side-combined max(struct) aggregation at key grain — the
+    * base never joins the feed, and a key's state is one row regardless
+    * of how many changes it accumulated. With base and output bucketed
+    * by key ([[graft.io.LakeLayout.saveBucketed]]) the exchange
+    * disappears and the merge is partition-local — the compaction shape
+    * LSM-ish lakehouses run continuously.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      orderCol: String, opCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "applyCdc needs at least one key")
+    require(valueCols.nonEmpty, "applyCdc needs at least one value column")
+    val payload = (c: Column, vs: Seq[Column]) =>
+      struct(c.as("__op") +: vs: _*)
+    val b = base.select(keys.map(col) ++ Seq(
+      lit(Long.MinValue).as("__ord"),
+      payload(lit("U"), valueCols.map(col)).as("__p")): _*)
+    val ch = changes.select(keys.map(col) ++ Seq(
+      col(orderCol).cast("long").as("__ord"),
+      payload(col(opCol), valueCols.map(col)).as("__p")): _*)
+    b.unionByName(ch)
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(col("__ord"), col("__p"))).as("__m"))
+      .filter(col("__m.__p.__op") =!= "D")
+      .select(keys.map(col) ++
+        valueCols.map(c => col(s"__m.__p.$c").as(c)): _*)
+  }
+
   def cusumChangepoint(df: DataFrame, keyCols: Seq[String],
       orderUs: Column, valueCol: Column): DataFrame = {
     require(keyCols.nonEmpty, "cusumChangepoint needs at least one key")

@@ -149,6 +149,30 @@ class ProfileFunnelSpec extends SparkSpec {
     assert(run(df.filter($"id" =!= 2L)).get("g") != got.get("g"))
   }
 
+  test("referentialAudit: orphans (incl. null fk) and childless parents") {
+    val child = Seq(Some(1L), Some(1L), Some(9L), None)
+      .toDF("fk") // 9 and null are orphans
+    val parent = Seq(1L, 2L).toDF("pk") // 2 is childless
+    val r = graft.ops.Profile.referentialAudit(child, "fk", parent, "pk")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 2L, 500000L, 2L, 1L)))
+  }
+
+  test("sequencePatterns: length-n motifs in key order, short keys " +
+      "contribute nothing") {
+    val ev = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"), ("u1", 4L, "b"),
+      ("u2", 1L, "a"), ("u2", 2L, "b"), ("u2", 3L, "a"),
+      ("u3", 1L, "x")) // too short for n=3
+      .toDF("k", "t", "tp")
+    val got = Funnel.sequencePatterns(ev, "k", Seq("t"), "tp", 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))
+        -> r.getLong(3)).toMap
+    assert(got == Map(("a", "b", "a") -> 2L, ("b", "a", "b") -> 1L))
+  }
+
   test("benford: first significant digit counts, exact ppm, " +
       "non-positive excluded") {
     val df = Seq(100L, 123L, 19L, 2L, 250L, 999L, 0L, -5L).toDF("v")

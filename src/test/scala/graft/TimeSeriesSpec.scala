@@ -306,6 +306,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.head.getString(1) == "second")
   }
 
+  test("applyCdc: latest change wins, D deletes, untouched keys keep " +
+      "their base row, late-arriving order respected") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val changes = Seq(
+      (1L, 10L, "U", "a2"), (1L, 20L, "U", "a3"), // latest U wins
+      (2L, 10L, "D", null.asInstanceOf[String]),  // deleted
+      (3L, 20L, "D", null.asInstanceOf[String]),  // D after U → gone
+      (3L, 10L, "U", "c2"),
+      (5L, 10L, "U", "e"))                        // insert (no base row)
+      .toDF("k", "ord", "op", "v")
+    val got = TimeSeries.applyCdc(base, changes, Seq("k"), "ord", "op",
+        Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a3", 4L -> "d", 5L -> "e"))
+  }
+
   test("cusumChangepoint: level shift found at the shift point, " +
       "earliest wins dev ties, partition-independent") {
     // key a: 0,0,0,10,10,10 — max |n*S_i - i*S_n| at i=3 (the last
