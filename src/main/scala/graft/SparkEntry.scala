@@ -2033,6 +2033,146 @@ object SparkEntry {
           "user_id", Seq("ts_us", "event_id"), "event_type", n = 3)
         .orderBy(col("t1"), col("t2"), col("t3"))
     },
+
+    // X139 — pairwise vocabulary Jaccard between language slices
+    "q150_vocab_overlap" -> { (s, dir) =>
+      graft.text.Corpus.vocabOverlap(t(s, dir, "documents"), "lang", "text")
+        .orderBy(col("slice_a"), col("slice_b"))
+    },
+
+    // X140 — chi-squared distinctive terms per language slice
+    "q151_distinctive" -> { (s, dir) =>
+      graft.text.Corpus.distinctiveTerms(
+          t(s, dir, "documents"), "lang", "text", "doc_id", topK = 5)
+        .orderBy(col("slice"), col("score").desc, col("term"))
+    },
+
+    // X141 — pre-join cardinality audit: events.user_id × orders.o_custkey
+    "q152_join_card" -> { (s, dir) =>
+      graft.ops.Relational.joinCardinality(
+        events(s, dir), "user_id", t(s, dir, "orders"), "o_custkey")
+    },
+
+    // X142 — reassemble documents from deterministic 40-char chunks
+    "q153_reassemble" -> { (s, dir) =>
+      val parts = t(s, dir, "documents").select(col("doc_id"),
+          posexplode(expr("transform(" +
+            "sequence(0, (length(text) - 1) div 40)," +
+            " i -> substring(text, cast(i * 40 + 1 as int), 40))")))
+        .withColumnRenamed("pos", "part_idx")
+        .withColumnRenamed("col", "part")
+      graft.text.Corpus.reassembleParts(parts, "doc_id", "part_idx", "part")
+        .orderBy(col("doc_id"))
+    },
+
+    // X143 — compaction plan over a synthetic file inventory (orders as
+    // files: priority = partition, orderkey = file, cents = bytes)
+    "q154_compaction" -> { (s, dir) =>
+      val inv = t(s, dir, "orders").select(
+        col("o_orderpriority").as("part"),
+        col("o_orderkey").as("file"),
+        dec(col("o_totalprice")).multiply(100).cast("long").as("bytes"))
+      graft.io.LakeLayout.compactionPlan(inv, Seq("part"), "file", "bytes",
+          targetBytes = 50000000L)
+        .orderBy(col("part"), col("bin"))
+    },
+
+    // X144 — last-touch attribution: purchases credited to the latest
+    // click/view within 1 h by the same user
+    "q155_last_touch" -> { (s, dir) =>
+      graft.ops.Funnel.lastTouchAttribution(
+          events(s, dir).select(col("user_id"),
+            nsToMicros(col("ts_ns")).as("ts_us"), col("event_id"),
+            col("event_type")),
+          "user_id", "ts_us", Seq("event_id"), "event_type",
+          touchTypes = Seq("click", "view"), convType = "purchase",
+          maxGap = 3600000000L)
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
+    // X1+X51 composition — duplicate-cluster size histogram (dedup
+    // telemetry: how much of the corpus is clones, at what multiplicity)
+    "q156_dupsize_hist" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val clusters = corpus
+        .groupBy(graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("size"))
+      clusters.groupBy(col("size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_rows", col("size") * col("n_clusters"))
+        .withColumn("excess_rows", (col("size") - 1) * col("n_clusters"))
+        .orderBy(col("size"))
+    },
+
+    // X146 — null-run profile: longest missing streak per user on a
+    // synthetically holed value column
+    "q157_null_runs" -> { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"),
+        nsToMicros(col("ts_ns")).as("ts_us"), col("event_id"),
+        when(col("event_id") % 5 =!= 0, col("value")).as("v"))
+      graft.ops.Profile.nullRunProfile(e, Seq("user_id"),
+          Seq("ts_us", "event_id"), "v")
+        .orderBy(col("user_id"))
+    },
+
+    // X147 — FD audit: nation does NOT determine market segment
+    "q158_fd_audit" -> { (s, dir) =>
+      graft.ops.Profile.functionalDependency(
+          t(s, dir, "customer"), Seq("c_nationkey"), "c_mktsegment")
+        .orderBy(col("c_nationkey"))
+    },
+
+    // X148 — dense global sequence ids without a single-reducer sort
+    // (bucket = event day, a deterministic coarsening of the ts order)
+    "q159_dense_ids" -> { (s, dir) =>
+      graft.ops.Relational.denseIds(
+          events(s, dir).select(col("user_id"),
+            nsToMicros(col("ts_ns")).as("ts_us"), col("event_id"),
+            col("event_type"))
+            .withColumn("bucket", expr("ts_us div 86400000000")),
+          "bucket", Seq("ts_us", "event_id"))
+        .orderBy(col("seq_id"))
+    },
+
+    // X149 — embedding hygiene audit over the embeddings table
+    "q160_embed_audit" -> { (s, dir) =>
+      graft.similarity.Similarity.embeddingAudit(
+        t(s, dir, "embeddings"), "embedding")
+    },
+
+    // X150 — markup stripping over synthetically-wrapped documents
+    "q161_strip_markup" -> { (s, dir) =>
+      val html = concat(
+        lit("<html><head><style>body { color: red }</style>" +
+          "<script type=\"text/javascript\">var a = \"</p>\";</script>" +
+          "</head><body><p class=\"main\">"),
+        col("text"),
+        lit("</p><!-- trailing\ncomment --> &amp;amp; &lt;i&gt; " +
+          "&quot;q&#39;s&quot;</body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.stripMarkup(html).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Composition — one-plan corpus summary card (docs, langs, tokens,
+    // exact-dup telemetry via fingerprint distinct)
+    "q162_corpus_card" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(graft.text.TextFunctions.tokenCount(col("text"))
+            .cast("long")).as("n_tokens"),
+          countDistinct(graft.text.TextFunctions.fingerprint(col("text")))
+            .as("__nfp"))
+        .withColumn("dup_rows", col("n_docs") - col("__nfp"))
+        .withColumn("dup_ppm", graft.functions.Exact.longDiv(
+          col("dup_rows") * 1000000L, col("n_docs")))
+        .drop("__nfp")
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -5547,5 +5687,282 @@ object SparkEntry {
         |FROM s WHERE t3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY t1, t2, t3""".stripMargin,
+
+    "q150_vocab_overlap" ->
+      """WITH tok AS (
+        |  SELECT lang AS slice, unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents
+        |), t AS (SELECT DISTINCT slice, term FROM tok
+        |), s AS (
+        |  SELECT slice, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1
+        |), i AS (
+        |  SELECT a.slice AS sa, b.slice AS sb, CAST(count(*) AS BIGINT) AS c
+        |  FROM t a JOIN t b ON a.term = b.term AND a.slice < b.slice
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s1.slice AS slice_a, s2.slice AS slice_b,
+        |  s1.n AS n_a, s2.n AS n_b,
+        |  coalesce(i.c, 0) AS n_common,
+        |  coalesce(i.c, 0) * 1000000
+        |    // (s1.n + s2.n - coalesce(i.c, 0)) AS jaccard_ppm
+        |FROM s s1 JOIN s s2 ON s1.slice < s2.slice
+        |LEFT JOIN i ON i.sa = s1.slice AND i.sb = s2.slice
+        |ORDER BY slice_a, slice_b""".stripMargin,
+
+    "q151_distinctive" ->
+      """WITH tok AS (
+        |  SELECT lang AS slice, doc_id, unnest(list_filter(
+        |    string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents
+        |), dt AS (SELECT DISTINCT slice, doc_id, term FROM tok
+        |), a AS (
+        |  SELECT slice, term, CAST(count(*) AS BIGINT) AS a,
+        |    CAST(sum(count(*)) OVER (PARTITION BY term) AS BIGINT) AS df_t
+        |  FROM dt GROUP BY 1, 2
+        |), ns AS (
+        |  SELECT slice, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_s
+        |  FROM dt GROUP BY 1
+        |), n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM dt
+        |), scored AS (
+        |  SELECT a.slice, a.term, a.a AS df_slice, a.df_t - a.a AS df_rest,
+        |    CAST(CAST(n.n AS HUGEINT)
+        |      * CAST(a.a * (n.n - ns.n_s - a.df_t + a.a)
+        |          - (a.df_t - a.a) * (ns.n_s - a.a) AS HUGEINT)
+        |      * CAST(a.a * (n.n - ns.n_s - a.df_t + a.a)
+        |          - (a.df_t - a.a) * (ns.n_s - a.a) AS HUGEINT) * 1000000
+        |      // (CAST(a.df_t AS HUGEINT) * CAST(n.n - a.df_t AS HUGEINT)
+        |        * CAST(ns.n_s AS HUGEINT) * CAST(n.n - ns.n_s AS HUGEINT))
+        |      AS BIGINT) AS score
+        |  FROM a JOIN ns ON a.slice = ns.slice, n
+        |  WHERE a.df_t < n.n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY slice
+        |    ORDER BY score DESC, term) AS rk
+        |  FROM scored
+        |)
+        |SELECT slice, term, df_slice, df_rest, score
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY slice, score DESC, term""".stripMargin,
+
+    "q152_join_card" ->
+      """WITH ca AS (
+        |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS nl
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), cb AS (
+        |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS nr
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+        |), la AS (
+        |  SELECT CAST(sum(nl) AS BIGINT) AS n_left,
+        |    CAST(count(*) AS BIGINT) AS n_keys_left FROM ca
+        |), lb AS (
+        |  SELECT CAST(sum(nr) AS BIGINT) AS n_right,
+        |    CAST(count(*) AS BIGINT) AS n_keys_right FROM cb
+        |), bt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys_both,
+        |    coalesce(CAST(sum(CAST(nl AS HUGEINT) * nr) AS BIGINT), 0)
+        |      AS est_rows,
+        |    coalesce(CAST(max(CAST(nl AS HUGEINT) * nr) AS BIGINT), 0)
+        |      AS max_key_rows
+        |  FROM ca JOIN cb ON ca.k = cb.k
+        |)
+        |SELECT la.n_left, lb.n_right, la.n_keys_left, lb.n_keys_right,
+        |  bt.n_keys_both, bt.est_rows, bt.max_key_rows,
+        |  CAST(CAST(bt.est_rows AS HUGEINT) * 1000000
+        |    // greatest(la.n_left, lb.n_right) AS BIGINT) AS blowup_ppm
+        |FROM la, lb, bt""".stripMargin,
+
+    "q153_reassemble" ->
+      """WITH parts AS (
+        |  SELECT doc_id, i AS part_idx,
+        |    substring(text, CAST(i * 40 + 1 AS INT), 40) AS part
+        |  FROM documents,
+        |    unnest(generate_series(0,
+        |      (length(text) - 1) // 40)) AS t(i)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_parts,
+        |  (min(part_idx) = 0 AND
+        |   max(part_idx) + 1 = count(*)) AS complete,
+        |  string_agg(part, '' ORDER BY part_idx) AS text
+        |FROM parts GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q154_compaction" ->
+      """WITH inv AS (
+        |  SELECT o_orderpriority AS part, o_orderkey AS file,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS bytes
+        |  FROM orders
+        |), runs AS (
+        |  SELECT part, file, bytes,
+        |    CAST(sum(bytes) OVER (PARTITION BY part ORDER BY file
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) - bytes AS prior
+        |  FROM inv
+        |)
+        |SELECT part, prior // 50000000 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  min(file) AS first_file, max(file) AS last_file,
+        |  (count(*) = 1 AND CAST(sum(bytes) AS BIGINT) >= 50000000)
+        |    AS already_compact
+        |FROM runs GROUP BY 1, 2
+        |ORDER BY part, bin""".stripMargin,
+
+    "q155_last_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events
+        |), a AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN ts_us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS lts,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS ltp
+        |  FROM e
+        |)
+        |SELECT user_id, ts_us, event_id,
+        |  CASE WHEN lts IS NOT NULL AND ts_us - lts <= 3600000000
+        |    THEN ltp END AS touch_type,
+        |  CASE WHEN lts IS NOT NULL AND ts_us - lts <= 3600000000
+        |    THEN lts END AS touch_ts,
+        |  CASE WHEN lts IS NOT NULL AND ts_us - lts <= 3600000000
+        |    THEN ts_us - lts END AS gap
+        |FROM a WHERE event_type = 'purchase'
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q156_dupsize_hist" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+        |), clusters AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |      AS fp,
+        |    CAST(count(*) AS BIGINT) AS size
+        |  FROM corpus GROUP BY 1
+        |)
+        |SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  size * CAST(count(*) AS BIGINT) AS n_rows,
+        |  (size - 1) * CAST(count(*) AS BIGINT) AS excess_rows
+        |FROM clusters GROUP BY size
+        |ORDER BY size""".stripMargin,
+
+    "q157_null_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_id % 5 <> 0 THEN value END AS v
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, v,
+        |    count(v) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, run, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nn
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(nn) AS BIGINT) AS n_null,
+        |  CAST(coalesce(max(nn), 0) AS BIGINT) AS max_null_run
+        |FROM g GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q158_fd_audit" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT c_mktsegment)
+        |    + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_distinct_dep
+        |FROM customer GROUP BY 1
+        |HAVING count(DISTINCT c_mktsegment)
+        |  + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) >= 2
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q159_dense_ids" ->
+      """SELECT epoch_us(ts) // 86400000000 AS bucket,
+        |  user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |  CAST(row_number()
+        |    OVER (ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT)
+        |    AS seq_id
+        |FROM events ORDER BY seq_id""".stripMargin,
+
+    "q160_embed_audit" ->
+      """WITH v AS (
+        |  SELECT embedding IS NULL AS nullv,
+        |    len(embedding) AS dim,
+        |    len(list_filter(embedding, x -> x <> 0.0)) = 0 AS zero,
+        |    len(list_filter(embedding,
+        |      x -> isnan(x) OR isinf(x))) > 0 AS bad,
+        |    list_sum(list_transform(embedding, x ->
+        |      CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT)
+        |      * CAST(floor(1000.0 * CAST(x AS DOUBLE)) AS BIGINT)))
+        |      AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN nullv THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(sum(CASE WHEN NOT nullv AND dim = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_empty,
+        |  min(CASE WHEN dim > 0 THEN dim END) AS dim_min,
+        |  max(CASE WHEN dim > 0 THEN dim END) AS dim_max,
+        |  CAST(count(DISTINCT CASE WHEN dim > 0 THEN dim END) AS BIGINT)
+        |    AS n_dims,
+        |  CAST(sum(CASE WHEN NOT nullv AND dim > 0 AND zero
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN NOT nullv AND bad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nonfinite,
+        |  CAST(sum(CASE WHEN NOT nullv AND dim > 0 AND NOT zero
+        |      AND NOT bad AND (nrm < 800000 OR nrm > 1210000)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unnormalized
+        |FROM v""".stripMargin,
+
+    "q161_strip_markup" -> {
+      // the SAME synthetic wrapper the q161 builder concatenates,
+      // single-quote-escaped for a DuckDB string literal
+      val pre = ("<html><head><style>body { color: red }</style>" +
+        "<script type=\"text/javascript\">var a = \"</p>\";</script>" +
+        "</head><body><p class=\"main\">").replace("'", "''")
+      val post = ("</p><!-- trailing\ncomment --> &amp;amp; &lt;i&gt; " +
+        "&quot;q&#39;s&quot;</body></html>").replace("'", "''")
+      val blockRe =
+        "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->"
+      s"WITH h AS (\n  SELECT doc_id, '$pre' || text || '$post' AS t\n" +
+        "  FROM documents\n" +
+        s"), b AS (\n  SELECT doc_id, regexp_replace(t, '$blockRe', ' ', " +
+        "'g') AS t FROM h\n" +
+        "), g AS (\n  SELECT doc_id, " +
+        "regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM b\n" +
+        "), e AS (\n  SELECT doc_id, " +
+        "replace(replace(replace(replace(replace(t, '&lt;', '<'), " +
+        "'&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&') " +
+        "AS t FROM g\n)\n" +
+        "SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean\n" +
+        "FROM e ORDER BY doc_id"
+    },
+
+    "q162_corpus_card" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> ''))) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) - count(DISTINCT
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+        |    AS BIGINT) AS dup_rows,
+        |  CAST((count(*) - count(DISTINCT
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))))
+        |    * 1000000 // count(*) AS BIGINT) AS dup_ppm
+        |FROM documents""".stripMargin,
   )
 }

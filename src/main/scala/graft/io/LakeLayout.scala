@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lake layout writers — the write-side half of the engine's scale story.
@@ -52,5 +53,43 @@ object LakeLayout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Small-files compaction plan — the maintenance pass every streaming
+    * or micro-batch lake needs (a 5-minute trigger writing 32 files/batch
+    * makes 3.4M files/year/table; listing, opening, and footer-reading
+    * them dominates scan time long before data volume does). From a file
+    * inventory (partition, file, bytes), greedily bin files — walked in
+    * `fileCol` order, DETERMINISTIC — into target groups:
+    * `bin = (running-bytes-before-this-file) div targetBytes`, so bins
+    * are contiguous runs and every bin but the last holds ≥ targetBytes
+    * once it closes. Output one row per (partition, bin): file count,
+    * total bytes, and the bin's first/last file — the compaction job's
+    * work list. Files ≥ targetBytes land alone in their bin's run and
+    * are flagged `already_compact` (rewriting them is wasted I/O).
+    *
+    * Scale shape: the inventory is METADATA (one row per file — millions
+    * of rows, not terabytes): one exchange on the partition key, the
+    * running sum and the bin collapse share its sort, output is
+    * bin-grain. The planner never touches the data files; the rewrite
+    * job it feeds does one read+write of exactly the bytes in play.
+    */
+  def compactionPlan(inventory: DataFrame, partCols: Seq[String],
+      fileCol: String, bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1: $targetBytes")
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inventory
+      .withColumn("__cum", sum(col(bytesCol)).over(w))
+      .withColumn("__bin", graft.functions.Exact.longDiv(
+        col("__cum") - col(bytesCol), lit(targetBytes)))
+      .groupBy(partCols.map(col) :+ col("__bin").as("bin"): _*)
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).as("bytes"),
+        min(col(fileCol)).as("first_file"),
+        max(col(fileCol)).as("last_file"))
+      .withColumn("already_compact",
+        col("n_files") === 1 && col("bytes") >= targetBytes)
   }
 }

@@ -200,4 +200,41 @@ object Funnel {
       .groupBy((1 to n).map(i => col(s"t$i")): _*)
       .agg(count(lit(1)).as("n_seq"))
   }
+
+  /** Last-touch attribution — for every conversion event, the most
+    * recent STRICTLY-PRECEDING touch event by the same key within
+    * `maxGap` time units (the default attribution model of every
+    * marketing/growth stack: "which campaign click gets credit for this
+    * purchase?"). Output: the conversion rows (key, order columns) plus
+    * `touch_type`, `touch_ts`, and `gap` — all three null when no touch
+    * precedes within the window (an "organic" conversion — kept, never
+    * dropped). Ties inside one timestamp are broken by the remaining
+    * `orderCols` (pass a unique id last — same contract as
+    * [[sequencePatterns]]).
+    *
+    * Scale shape: ONE exchange on the key, one sort; the "latest
+    * preceding touch" is a running `last(..., ignoreNulls)` over
+    * rows-unbounded-preceding-to-1-preceding — O(1) state per row, no
+    * self-join of conversions against touches (the naive plan, quadratic
+    * per hot key). The gap test happens AFTER the carry, scan-local.
+    */
+  def lastTouchAttribution(df: DataFrame, keyCol: String, tsCol: String,
+      orderCols: Seq[String], typeCol: String, touchTypes: Seq[String],
+      convType: String, maxGap: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "lastTouchAttribution needs touch types")
+    require(maxGap > 0, s"maxGap must be > 0: $maxGap")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((tsCol +: orderCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes.map(lit(_)): _*),
+      struct(col(tsCol).as("ts"), col(typeCol).as("tp")))
+    df.withColumn("__lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("__ok",
+        col("__lt").isNotNull && col(tsCol) - col("__lt.ts") <= maxGap)
+      .withColumn("touch_type", when(col("__ok"), col("__lt.tp")))
+      .withColumn("touch_ts", when(col("__ok"), col("__lt.ts")))
+      .withColumn("gap", when(col("__ok"), col(tsCol) - col("__lt.ts")))
+      .drop("__lt", "__ok", typeCol)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling: the one-pass column summary a pipeline runs
@@ -208,5 +209,68 @@ object Profile {
           col("n_orphan") * 1000000L, col("n_child"))))
       .select(col("n_child"), col("n_orphan"), col("orphan_ppm"),
         col("n_parent"), col("n_childless"))
+  }
+
+  /** Null-RUN profile — per key, the LONGEST consecutive stretch of
+    * missing values in `valueCol` (walked in `orderCols` order) plus row
+    * and null totals. A null *rate* hides structure a null *run*
+    * exposes: a sensor that drops 1% of readings uniformly interpolates
+    * fine (X53's limit param exists for exactly this); one that dropped
+    * a contiguous 3-day window is a gap no method should invent data
+    * across. This is the audit that decides gap-fill policy before
+    * anyone runs it. Output: key columns, `n_rows`, `n_null`,
+    * `max_null_run` (0 when the column is complete).
+    *
+    * Scale shape: ONE exchange on the key; the run-id (count of
+    * non-nulls so far — constant within a null run) rides a window over
+    * that sort, and BOTH downstream aggregations — (key, run) then
+    * (key) — reuse the key partitioning (hash on a subset satisfies the
+    * clustered distribution), so neither reshuffles. O(1) state per row.
+    */
+  /** Functional-dependency audit — does `detCols → depCol` actually
+    * hold in the data? The schema-inference / modeling gate: "order_id
+    * determines customer", "sku determines unit", "(site, sensor)
+    * determines units" are assumptions joins and dedups silently rely
+    * on; this emits every determinant key that VIOLATES them, with how
+    * many rows ride on the violation and how many conflicting dependent
+    * values exist (`n_distinct_dep ≥ 2`). Empty output = the FD holds.
+    * Nulls: a null dependent value counts as a value (two rows, one
+    * null one 'kg', IS a conflict a downstream `first()` would resolve
+    * arbitrarily).
+    *
+    * Scale shape: ONE aggregation at determinant grain (map-side
+    * combine); the exact distinct-dependent count plans via Expand —
+    * 2× the rows into the same single exchange, no second pass. Output
+    * is violation-sized, typically ≪ key count.
+    */
+  def functionalDependency(df: DataFrame, detCols: Seq[String],
+      depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "functionalDependency needs determinants")
+    df.groupBy(detCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(depCol)).as("__nd"),
+        max(when(col(depCol).isNull, 1L).otherwise(0L)).as("__hasnull"))
+      .withColumn("n_distinct_dep", col("__nd") + col("__hasnull"))
+      .filter(col("n_distinct_dep") >= 2)
+      .drop("__nd", "__hasnull")
+  }
+
+  def nullRunProfile(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "nullRunProfile needs key columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = df
+      .withColumn("__run",
+        count(col(valueCol)).over(w))  // count skips nulls
+      .withColumn("__isnull",
+        when(col(valueCol).isNull, 1L).otherwise(0L))
+      .groupBy((keyCols :+ "__run").map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__isnull")).as("__nn"))
+    runs.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__n")).as("n_rows"),
+        sum(col("__nn")).as("n_null"),
+        coalesce(max(col("__nn")), lit(0L)).as("max_null_run"))
   }
 }

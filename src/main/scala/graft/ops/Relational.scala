@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Relational scale patterns a 100 TB pipeline leans on daily: skew-safe
   * joins, per-group top-k, deterministic (reproducible) sampling, and
@@ -1073,6 +1074,95 @@ object Relational {
         nMatch.reduce(_ + _).as("n_match"),
         matches.reduce(_ + _).as("score"))
       .filter(col("score") >= minScore)
+  }
+
+  /** Dense global sequence ids 0..n−1 in (`bucketCol`, `orderCols`…)
+    * order — WITHOUT the single-reducer global sort that `row_number()
+    * OVER (ORDER BY …)` plans (one task sorting 100 TB is the
+    * canonical scale failure). Classic two-level rank: count rows per
+    * bucket (map-side, a bucket-count-sized frame), turn the counts
+    * into running offsets, broadcast them back, add the bucket-local
+    * rank. The result is EXACTLY `row_number() - 1` over the global
+    * order; bucket boundaries decide which task computes which ids,
+    * never the ids. `bucketCol` is any DETERMINISTIC coarsening whose
+    * sort order leads the global order (event day, crawl shard, id
+    * div N) — deliberately caller-supplied and in-plan, NOT
+    * `spark_partition_id()` over `repartitionByRange`: range-boundary
+    * SAMPLING is seeded per-RDD, and the two plan branches (counts,
+    * rank) re-instantiate the exchange with different column pruning,
+    * so their boundaries can disagree and emit duplicate ids. A value
+    * the data defines is consistent across any number of plan
+    * branches by construction. Determinism needs a unique tiebreaker
+    * last in `orderCols` — same contract as every windowed op here.
+    *
+    * Scale shape: ONE full-data exchange (the bucket-keyed window) +
+    * one map-side-combined count; per-task sort is bucket-sized, the
+    * offsets frame is |buckets| rows (its own window is a
+    * single-partition sort of that tiny frame), broadcast back. A hot
+    * bucket bounds parallelism — pick granularity so buckets ≈
+    * partition-sized. Used for training-example sequence numbers,
+    * stable shard files, and resumable cursors.
+    */
+  def denseIds(df: DataFrame, bucketCol: String, orderCols: Seq[String],
+      idName: String = "seq_id"): DataFrame = {
+    val offs = df.groupBy(col(bucketCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col(bucketCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(bucketCol), col("__off"))
+    df.join(broadcast(offs), Seq(bucketCol))
+      .withColumn(idName, col("__off") - 1L +
+        row_number().over(Window.partitionBy(col(bucketCol))
+          .orderBy(orderCols.map(col): _*)))
+      .drop("__off")
+  }
+
+  /** Join-cardinality estimate — the pre-flight audit run BEFORE a big
+    * join ships: exact inner-join output size Σ n_left(k)·n_right(k)
+    * from per-key histograms, the heaviest single key's contribution,
+    * and the blowup ratio vs the larger input in ppm. A join predicted
+    * to emit 40× its input is a modeling bug (wrong key, missing
+    * dedup) caught for the price of two aggregations instead of a
+    * spilled 100 TB shuffle; `max_key_rows` is the skew headline (that
+    * key is the [[saltedJoin]] candidate). One summary row:
+    * n_left, n_right, n_keys_left, n_keys_right, n_keys_both,
+    * est_rows, max_key_rows, blowup_ppm = est_rows·10⁶ div
+    * max(n_left, n_right). Null keys never match (SQL semantics) and
+    * are excluded from both histograms.
+    *
+    * Scale shape: each side collapses to key grain with map-side
+    * combine (the ONLY stages that see input volume), then a key-grain
+    * inner join and three tiny one-row aggregates cross-joined. Per-key
+    * products accumulate in decimal(38,0) — two 10¹²-row sides sharing
+    * one key is 10²⁴, past long range; est_rows/max_key_rows render as
+    * long (an estimate above 9.2·10¹⁸ output rows is not a join anyone
+    * runs, but the sum never overflows mid-flight).
+    */
+  def joinCardinality(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val ca = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__nl"))
+    val cb = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__nr"))
+    val la = ca.agg(sum(col("__nl")).as("n_left"),
+      count(lit(1)).as("n_keys_left"))
+    val lb = cb.agg(sum(col("__nr")).as("n_right"),
+      count(lit(1)).as("n_keys_right"))
+    val both = ca.join(cb, "__k")
+      .agg(count(lit(1)).as("n_keys_both"),
+        coalesce(sum((col("__nl") * col("__nr")).cast(d38)),
+          lit(0).cast(d38)).as("__est"),
+        coalesce(max((col("__nl") * col("__nr")).cast(d38)),
+          lit(0).cast(d38)).as("__max"))
+    la.join(lb).join(both)
+      .select(col("n_left"), col("n_right"), col("n_keys_left"),
+        col("n_keys_right"), col("n_keys_both"),
+        col("__est").cast("long").as("est_rows"),
+        col("__max").cast("long").as("max_key_rows"),
+        expr("cast(__est * 1000000 div greatest(n_left, n_right) as long)")
+          .as("blowup_ppm"))
   }
 
 }

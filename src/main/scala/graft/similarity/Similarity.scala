@@ -401,4 +401,53 @@ object Similarity {
         col("n_agree") * 1000000L, col("k_found")))
       .withColumn("suspect", col("agree_ppm") < minAgreePpm)
   }
+
+  /** Embedding-column hygiene audit — the gate an ANN/vector pipeline
+    * runs before indexing a new drop: ragged dimensions (one 512-d
+    * vector in a 768-d corpus corrupts every dot product silently),
+    * null/empty/zero vectors (cosine is undefined — [[cosineTopK]] and
+    * friends assume them away), non-finite elements (one NaN poisons a
+    * centroid), and unnormalized rows when the contract says unit
+    * vectors. One summary row: `n_vecs, n_null, n_empty, dim_min,
+    * dim_max, n_dims` (distinct lengths — anything but 1 is ragged),
+    * `n_zero, n_nonfinite, n_unnormalized`. The norm check is EXACT
+    * integer: Σ⌊1000·x⌋² per vector (float → double is exact, one IEEE
+    * multiply and floor — bit-identical on any engine), compared
+    * against the unit-norm value 10⁶ with `tolMilli²`-scaled slack; no
+    * engine-varying sqrt anywhere.
+    *
+    * Scale shape: entirely scan-local per-row folds (codegen'd
+    * higher-order functions) collapsing into ONE map-side-combined
+    * single-row aggregate — no shuffle beyond the one-row merge, runs
+    * at ingest speed.
+    */
+  def embeddingAudit(df: DataFrame, vecCol: String,
+      tolMilli: Long = 100L): DataFrame = {
+    require(tolMilli >= 0, s"tolMilli must be >= 0: $tolMilli")
+    val v = col(vecCol)
+    val dim = size(v)
+    val nonfinite = expr(
+      s"exists($vecCol, x -> isnan(x) or abs(x) = cast('Infinity' as double))")
+    val zero = expr(s"forall($vecCol, x -> x = 0.0d)")
+    val norm2Milli = expr(
+      s"aggregate($vecCol, 0L, (acc, x) -> " +
+        "acc + cast(floor(1000.0d * cast(x as double)) as bigint) * " +
+        "cast(floor(1000.0d * cast(x as double)) as bigint))")
+    val lo = 1000000L - 2000L * tolMilli // (1000−tol)² ≥ 1e6 − 2e3·tol
+    val hi = 1000000L + 2000L * tolMilli + tolMilli * tolMilli
+    df.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(v.isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(v.isNotNull && dim === 0, 1L).otherwise(0L)).as("n_empty"),
+      min(when(dim > 0, dim)).as("dim_min"),
+      max(when(dim > 0, dim)).as("dim_max"),
+      countDistinct(when(dim > 0, dim)).as("n_dims"),
+      sum(when(v.isNotNull && dim > 0 && zero, 1L).otherwise(0L))
+        .as("n_zero"),
+      sum(when(v.isNotNull && nonfinite, 1L).otherwise(0L))
+        .as("n_nonfinite"),
+      sum(when(v.isNotNull && dim > 0 && !zero && !nonfinite &&
+          (norm2Milli < lo || norm2Milli > hi), 1L).otherwise(0L))
+        .as("n_unnormalized"))
+  }
 }

@@ -834,4 +834,128 @@ object Corpus {
     df.select(col(idCol), grams.as("__h"))
       .select(col(idCol), explode(array_distinct(wmins)).as("fp"))
   }
+
+  /** Multi-part document reassembly — the ingest-side stitcher for
+    * corpora whose documents arrive SPLIT across records (crawl fetch
+    * chunks, message-size-capped queue payloads, page-per-row PDF dumps):
+    * per document, concatenate the parts in `idxCol` order into one text
+    * plus a part count and a contiguity flag (`complete` = indexes are
+    * exactly 0..n−1 — a missing middle chunk silently corrupting a
+    * document is THE failure mode this surfaces, so it's a column, not a
+    * doc).
+    *
+    * Scale shape: ONE exchange at document grain — parts collapse via
+    * collect_list into an in-memory array sorted per GROUP (array_sort
+    * on (idx, part) structs — no global sort, no window), so per-key
+    * state is one document's bytes: bounded by the largest document, not
+    * the shard. Map-side combine ships partial part-lists. The concat
+    * itself is a codegen'd higher-order fold.
+    */
+  def reassembleParts(df: DataFrame, idCol: String, idxCol: String,
+      partCol: String): DataFrame = {
+    val parts = array_sort(collect_list(
+      struct(col(idxCol).cast("long").as("i"), col(partCol).as("p"))))
+    df.groupBy(col(idCol))
+      .agg(parts.as("__ps"), count(lit(1)).as("n_parts"))
+      .withColumn("complete",
+        expr("forall(zip_with(__ps, sequence(0, n_parts - 1)," +
+          " (s, j) -> s.i = j), x -> x)"))
+      .withColumn("text",
+        expr(s"array_join(transform(__ps, s -> s.p), '')"))
+      .select(col(idCol), col("n_parts"), col("complete"), col("text"))
+  }
+
+  /** Pairwise vocabulary-overlap matrix between corpus slices — the
+    * "how much do these sub-corpora share a vocabulary?" planning signal
+    * behind data-mixing and domain-transfer decisions (two slices with
+    * jaccard ≈ 0 train different tokens; ≈ 10⁶ are near-duplicates at
+    * the vocabulary level). For every unordered slice pair (a < b):
+    * distinct-term set sizes, intersection size, and exact integer
+    * Jaccard ppm = |A∩B|·10⁶ div |A∪B| — no float an engine pair could
+    * disagree on. Pairs with empty intersection still appear (the matrix
+    * is complete over slices that produced at least one token).
+    *
+    * Scale shape: the corpus collapses to DISTINCT (slice, term) grain
+    * FIRST (map-side combine absorbs all token repetition — only this
+    * stage sees token volume), then a term-keyed self-join counts
+    * intersections at vocabulary grain (Heaps' law: ≪ corpus); a term
+    * shared by all S slices emits S(S−1)/2 pair rows, so join output is
+    * ≤ |vocab|·S²/2 — fine for the small slice counts (languages,
+    * sources, crawls) this matrix is for. Slice sizes are a tiny frame
+    * cross-paired and left-joined so zero-overlap pairs survive.
+    */
+  def vocabOverlap(df: DataFrame, sliceCol: String,
+      textCol: String): DataFrame = {
+    val terms = df.select(col(sliceCol).as("slice"),
+        explode(TextFunctions.tokens(
+          TextFunctions.normalized(col(textCol)))).as("term"))
+      .distinct()
+    val sizes = terms.groupBy(col("slice")).agg(count(lit(1)).as("n"))
+    val inter = terms.as("ta")
+      .join(terms.as("tb"), col("ta.term") === col("tb.term"))
+      .filter(col("ta.slice") < col("tb.slice"))
+      .groupBy(col("ta.slice").as("slice_a"), col("tb.slice").as("slice_b"))
+      .agg(count(lit(1)).as("n_common"))
+    sizes.as("sa").select(col("slice").as("slice_a"), col("n").as("n_a"))
+      .join(sizes.as("sb").select(col("slice").as("slice_b"),
+        col("n").as("n_b")), col("slice_a") < col("slice_b"))
+      .join(inter, Seq("slice_a", "slice_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .withColumn("jaccard_ppm",
+        expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+      .select(col("slice_a"), col("slice_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard_ppm"))
+  }
+
+  /** Chi-squared distinctive terms per slice — "which words characterize
+    * THIS sub-corpus against the rest?" (the slice-profiling sibling of
+    * TF-IDF: TF-IDF ranks terms within a document against the corpus;
+    * this ranks terms within a slice against the other slices, the
+    * standard feature-selection / corpus-comparison statistic). Per
+    * (slice, term) the 2×2 document-frequency table
+    * a = docs in slice with term, b = docs elsewhere with term,
+    * c = docs in slice without, d = docs elsewhere without, scored
+    * χ²·10⁶ = N(ad−bc)²·10⁶ div ((a+b)(c+d)(a+c)(b+d)) — EXACT integer
+    * arithmetic in decimal(38,0) (counts to ~10⁹ docs fit the 38-digit
+    * headroom; beyond that pre-scale the counts), final score a long.
+    * Terms present in EVERY document are excluded (c+d = 0 — and they
+    * distinguish nothing). Top `topK` per slice, ties by term.
+    *
+    * Scale shape: corpus → DISTINCT (slice, doc, term) grain map-side,
+    * then (slice, term) document frequencies; term totals ride a window
+    * over that vocabulary-grain frame (partitioned by term — no second
+    * corpus pass), slice totals are a tiny broadcast. Scoring is
+    * scan-local decimal arithmetic; per-slice top-k plans as
+    * WindowGroupLimit, so only k rows per slice survive the rank
+    * exchange. The corpus itself is touched exactly once.
+    */
+  def distinctiveTerms(df: DataFrame, sliceCol: String, textCol: String,
+      idCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val d38 = "decimal(38,0)"
+    val dt = df.select(col(sliceCol).as("slice"), col(idCol).as("__id"),
+        explode(TextFunctions.tokens(
+          TextFunctions.normalized(col(textCol)))).as("term"))
+      .distinct()
+    val a = dt.groupBy(col("slice"), col("term"))
+      .agg(count(lit(1)).as("a"))
+      .withColumn("df_t", sum(col("a")).over(
+        Window.partitionBy(col("term"))))
+    val ns = dt.groupBy(col("slice"))
+      .agg(countDistinct(col("__id")).as("n_s"))
+    val n = dt.agg(countDistinct(col("__id")).as("n"))
+    a.join(broadcast(ns), Seq("slice"))
+      .join(broadcast(n))
+      .filter(col("df_t") < col("n"))
+      .withColumn("score", expr(
+        s"""cast(cast(n as $d38) * cast(a * (n - n_s - df_t + a) - (df_t - a) * (n_s - a) as $d38)
+           |  * cast(a * (n - n_s - df_t + a) - (df_t - a) * (n_s - a) as $d38) * 1000000
+           | div (cast(df_t as $d38) * cast(n - df_t as $d38)
+           |  * cast(n_s as $d38) * cast(n - n_s as $d38)) as long)""".stripMargin))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("slice"))
+        .orderBy(col("score").desc, col("term"))))
+      .filter(col("__rk") <= topK)
+      .select(col("slice"), col("term"), col("a").as("df_slice"),
+        (col("df_t") - col("a")).as("df_rest"), col("score"))
+  }
 }

@@ -139,6 +139,35 @@ object TextFunctions {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** Strip HTML/XML markup down to visible text — the first pass over
+    * any crawled corpus (boilerplate removal and quality scoring both
+    * assume prose, not tag soup). Removes script/style/comment blocks
+    * WITH their content (code is not prose), then every remaining tag,
+    * decodes the five core entities (`&lt; &gt; &quot; &#39;` before
+    * `&amp;` last, so `&amp;lt;` round-trips as the literal text it is),
+    * and collapses the whitespace the removed markup leaves behind.
+    * Deliberately engine-portable regexes: non-greedy block matches and
+    * plain classes behave identically under Java regex and RE2 — no
+    * backreferences, no lookahead (RE2 has neither). This is a text
+    * cleaner, not an HTML parser: pathological nesting (a `</script>`
+    * inside a script string literal) ends the block early — acceptable
+    * for corpus hygiene, wrong for a browser.
+    *
+    * Entirely scan-local codegen'd `regexp_replace`/`replace` chain —
+    * zero shuffle, runs at ingest.
+    */
+  def stripMarkup(text: Column): Column = {
+    val blocks = regexp_replace(text,
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->",
+      " ")
+    val tags = regexp_replace(blocks, "<[^>]+>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(tags) { case (c, (e, ch)) =>
+        replace(c, lit(e), lit(ch)) } // literal replace — no regex dialect
+    trim(regexp_replace(entities, "\\s+", " "))
+  }
+
   /** Rabin–Karp rolling-hash fingerprint of the normalized text:
     * fold of `h = (h·257 + codepoint) mod (10^9+7)` over characters —
     * integer-exact in any engine, and the building block for windowed

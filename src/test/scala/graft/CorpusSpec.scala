@@ -479,4 +479,64 @@ class CorpusSpec extends SparkSpec {
       "y" -> (1L, 2L, 300000L, 1000000L, 1L),
       "z" -> (1L, 3L, 0L, 0L, 0L)))
   }
+
+  test("stripMarkup: blocks removed with content, tags removed, " +
+      "entities decoded in safe order, whitespace collapsed") {
+    val html = Seq(
+      "<html><head><style>p { x }</style><script>var a = \"</p>\";" +
+        "</script></head><body><p class=\"t\">Hello &amp; <b>world</b>" +
+        "</p><!-- note\nacross lines --> &amp;lt; stays &#39;quoted&#39;" +
+        "</body></html>")
+      .toDF("text")
+    val got = graft.text.TextFunctions.stripMarkup(col("text"))
+    val out = html.select(got.as("clean")).collect().head.getString(0)
+    // &amp;lt; decodes to the literal text "&lt;" (amp last), the script
+    // body including its fake </p> is gone, tags collapse to spaces
+    assert(out == "Hello & world &lt; stays 'quoted'")
+  }
+
+  test("reassembleParts: idx-order concat, missing middle chunk flags " +
+      "incomplete, order-of-arrival irrelevant") {
+    val parts = Seq(
+      (1L, 1L, "world"), (1L, 0L, "hello "),   // out of order
+      (2L, 0L, "a"), (2L, 2L, "c"))            // idx 1 missing
+      .toDF("doc_id", "part_idx", "part")
+    val got = Corpus.reassembleParts(parts, "doc_id", "part_idx", "part")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, true, "hello world")))
+    assert(got(2L) == ((2L, false, "ac")))
+  }
+
+  test("vocabOverlap: exact jaccard ppm, zero-overlap pairs present") {
+    val df = Seq(
+      ("a", "x y z"), ("a", "x"),      // vocab {x,y,z}
+      ("b", "x y w"),                  // vocab {x,y,w} → ∩=2, ∪=4
+      ("c", "q"))                      // vocab {q} → no overlap
+      .toDF("slice", "text")
+    val got = Corpus.vocabOverlap(df, "slice", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("a", "b")) == ((3L, 3L, 2L, 500000L)))
+    assert(got(("a", "c")) == ((3L, 1L, 0L, 0L)))
+    assert(got(("b", "c")) == ((3L, 1L, 0L, 0L)))
+    assert(got.size == 3)
+  }
+
+  test("distinctiveTerms: slice-exclusive term outranks shared; " +
+      "universal term excluded; capped at k") {
+    val df = Seq(
+      (1L, "a", "cat shared"), (2L, "a", "cat shared"),
+      (3L, "b", "dog shared"), (4L, "b", "dog shared"))
+      .toDF("doc_id", "slice", "text")
+    val rows = Corpus.distinctiveTerms(df, "slice", "text", "doc_id",
+      topK = 1).collect()
+    // "shared" is in every doc → excluded (c+d = 0); per-slice winner is
+    // the exclusive term with a perfect 2×2 table: χ²·1e6 = N·1e6 = 4e6
+    val got = rows.map(r => r.getString(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == (("cat", 2L, 0L, 4000000L)))
+    assert(got("b") == (("dog", 2L, 0L, 4000000L)))
+    assert(rows.length == 2)
+  }
 }

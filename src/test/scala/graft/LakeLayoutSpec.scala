@@ -66,4 +66,25 @@ class LakeLayoutSpec extends SparkSpec {
     }
     assert(back.count() == 4000L)
   }
+
+  test("compactionPlan: greedy contiguous bins, big files flagged, " +
+      "per-partition restart") {
+    val inv = Seq(
+      // part p: 30+30 closes bin 0 (60 ≥ 50), 80 alone in bin 1 (big),
+      // 10 starts bin 2
+      ("p", 1L, 30L), ("p", 2L, 30L), ("p", 3L, 80L), ("p", 4L, 10L),
+      // part q: single small file → its own open bin
+      ("q", 1L, 5L))
+      .toDF("part", "file", "bytes")
+    val got = LakeLayout.compactionPlan(inv, Seq("part"), "file", "bytes",
+        targetBytes = 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(got(("p", 0L)) == ((2L, 60L, 1L, 2L, false)))
+    assert(got(("p", 1L)) == ((1L, 80L, 3L, 3L, true)))
+    assert(got(("p", 2L)) == ((1L, 10L, 4L, 4L, false)))
+    assert(got(("q", 0L)) == ((1L, 5L, 1L, 1L, false)))
+    assert(got.size == 4)
+  }
 }

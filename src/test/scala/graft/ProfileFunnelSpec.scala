@@ -213,4 +213,65 @@ class ProfileFunnelSpec extends SparkSpec {
     assert(got == Map(("2024-01-01", 0) -> 2L, ("2024-01-01", 2) -> 1L,
       ("2024-01-02", 0) -> 1L))
   }
+
+  test("lastTouchAttribution: latest touch wins, gap enforced, organic " +
+      "kept with null credit, strictly preceding") {
+    val ev = Seq(
+      // u1: view@100, click@105, purchase@110 → click credited, gap 5
+      ("u1", 100L, 1L, "view"), ("u1", 105L, 2L, "click"),
+      ("u1", 110L, 3L, "purchase"),
+      // u1 second purchase@200: latest touch click@105, gap 95 > 50 → organic
+      ("u1", 200L, 4L, "purchase"),
+      // u2: purchase with no touch at all → organic
+      ("u2", 50L, 5L, "purchase"),
+      // u3: touch AT the same ts, earlier id → still "preceding" by order
+      ("u3", 10L, 6L, "click"), ("u3", 10L, 7L, "purchase"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = Funnel.lastTouchAttribution(ev, "user_id", "ts_us",
+        Seq("event_id"), "event_type", Seq("click", "view"), "purchase",
+        maxGap = 50L)
+      .collect().map(r => r.getLong(2) ->
+        ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(got(3L) == ((Some("click"), Some(105L), Some(5L))))
+    assert(got(4L) == ((None, None, None)))
+    assert(got(5L) == ((None, None, None)))
+    assert(got(7L) == ((Some("click"), Some(10L), Some(0L))))
+    assert(got.size == 4)
+  }
+
+  test("functionalDependency: holding FD -> empty, null counts as a " +
+      "conflicting value, violation carries row count") {
+    val df = Seq(
+      ("a", 1L, Some("kg")), ("a", 2L, Some("kg")),   // a→kg holds
+      ("b", 3L, Some("kg")), ("b", 4L, Some("lb")),   // conflict
+      ("c", 5L, Some("kg")), ("c", 6L, None))         // null conflicts
+      .toDF("sku", "row", "unit")
+    val got = Profile.functionalDependency(df, Seq("sku"), "unit")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("b" -> ((2L, 2L)), "c" -> ((2L, 2L))))
+    val holds = Profile.functionalDependency(
+      df.filter($"sku" === "a"), Seq("sku"), "unit")
+    assert(holds.count() == 0L)
+  }
+
+  test("nullRunProfile: longest consecutive-null streak, complete " +
+      "column -> 0, leading/trailing runs counted") {
+    val df = Seq(
+      // u1: n n v n n n v → max run 3
+      ("u1", 1L, None: Option[Double]), ("u1", 2L, None: Option[Double]),
+      ("u1", 3L, Some(1.0)), ("u1", 4L, None: Option[Double]),
+      ("u1", 5L, None: Option[Double]), ("u1", 6L, None: Option[Double]),
+      ("u1", 7L, Some(2.0)),
+      // u2: complete
+      ("u2", 1L, Some(3.0)),
+      // u3: all null
+      ("u3", 1L, None: Option[Double]), ("u3", 2L, None: Option[Double]))
+      .toDF("k", "t", "v")
+    val got = Profile.nullRunProfile(df, Seq("k"), Seq("t"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("u1" -> ((7L, 5L, 3L)), "u2" -> ((1L, 0L, 0L)),
+      "u3" -> ((2L, 2L, 2L))))
+  }
 }

@@ -661,4 +661,47 @@ class RelationalSpec extends SparkSpec {
     // (3,13) would score 7 but blocks differ → never a candidate
     assert(got == Map((1L, 11L) -> ((1L, 5L)), (2L, 12L) -> ((1L, 2L))))
   }
+
+  test("denseIds: exactly row_number over (bucket, order), ids " +
+      "independent of bucket granularity, no global data sort") {
+    val df = (1L to 500L).map(i => (i * 7 % 500, i))
+      .toDF("k", "id").withColumn("b", expr("k div 100"))
+    val expect = (1L to 500L).map(i => (i * 7 % 500, i))
+      .sortBy(t => (t._1, t._2)).zipWithIndex
+      .map { case ((k, id), ix) => (k, id, ix.toLong) }
+    val got = Relational.denseIds(df, "b", Seq("k", "id"))
+    val rows = got.orderBy($"seq_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == expect)
+    // a coarser bucketing yields the identical ids
+    val coarse = Relational.denseIds(
+        df.withColumn("b", expr("k div 250")),
+        "b", Seq("k", "id"))
+      .orderBy($"seq_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(coarse.toSeq == expect)
+    // the full data is exchanged on the bucket key, never globally
+    // sorted into one partition (only the tiny offsets frame is)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(b"), plan)
+  }
+
+  test("joinCardinality: exact Σ n·m, max key, nulls excluded, " +
+      "disjoint keys -> zero estimate") {
+    val l = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None)
+      .toDF("k") // k=1 ×3, k=2 ×1, null dropped
+    val r = Seq(Some(1L), Some(1L), Some(3L), None).toDF("j")
+    val got = Relational.joinCardinality(l, "k", r, "j").collect().head
+    // est = 3·2 (k=1) = 6; max key = 6; blowup = 6e6 div max(4,3)=4
+    assert((got.getLong(0), got.getLong(1)) == ((4L, 3L)))
+    assert((got.getLong(2), got.getLong(3), got.getLong(4)) ==
+      ((2L, 2L, 1L)))
+    assert((got.getLong(5), got.getLong(6), got.getLong(7)) ==
+      ((6L, 6L, 1500000L)))
+    // disjoint key spaces → 0 est rows, 0 blowup, still one row out
+    val none = Relational.joinCardinality(
+      l, "k", Seq(9L).toDF("j"), "j").collect().head
+    assert((none.getLong(4), none.getLong(5), none.getLong(7)) ==
+      ((0L, 0L, 0L)))
+  }
 }

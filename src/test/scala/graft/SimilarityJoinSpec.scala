@@ -132,4 +132,27 @@ class SimilarityJoinSpec extends SparkSpec {
       (1L, "A", 2L, 1L, 500000L, true),   // one of two neighbors agrees
       (2L, "A", 1L, 1L, 1000000L, false)))
   }
+
+  test("embeddingAudit: ragged dims, zero/nonfinite/unnormalized vectors " +
+      "each counted once, null and empty flagged") {
+    val vecs: Seq[(Long, Option[Array[Float]])] = Seq(
+      (1L, Some(Array(1.0f, 0.0f))),            // unit, dim 2
+      (2L, Some(Array(0.6f, 0.8f))),            // unit, dim 2
+      (3L, Some(Array(3.0f, 4.0f))),            // norm 5 → unnormalized
+      (4L, Some(Array(0.0f, 0.0f))),            // zero
+      (5L, Some(Array(Float.NaN, 1.0f))),       // nonfinite
+      (6L, Some(Array(1.0f))),                  // ragged dim 1 (unit)
+      (7L, Some(Array.empty[Float])),           // empty
+      (8L, None))                               // null
+    val df = vecs.toDF("vec_id", "embedding")
+    val r = Similarity.embeddingAudit(df, "embedding").collect().head
+    assert(r.getLong(0) == 8L)                  // n_vecs
+    assert(r.getLong(1) == 1L)                  // n_null
+    assert(r.getLong(2) == 1L)                  // n_empty
+    assert((r.getInt(3), r.getInt(4)) == ((1, 2)))  // dim min/max
+    assert(r.getLong(5) == 2L)                  // n_dims (ragged!)
+    assert(r.getLong(6) == 1L)                  // n_zero
+    assert(r.getLong(7) == 1L)                  // n_nonfinite
+    assert(r.getLong(8) == 1L)                  // n_unnormalized (id 3)
+  }
 }
