@@ -2158,6 +2158,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X153 — exact set-similarity join via prefix filtering (70%-token
+    // truncated variants are the planted near-dups)
+    "q163_prefix_jaccard" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .selectExpr("doc_id + 200000 AS doc_id",
+          "array_join(slice(filter(split(text, '\\\\s+'), x -> x != ''), " +
+            "1, (7 * size(filter(split(text, '\\\\s+'), x -> x != '')) " +
+            "+ 9) div 10), ' ') AS text")
+      graft.dedup.Dedup.prefixJaccardPairs(
+          docs.unionByName(variants), "text", "doc_id", threshold = 0.5,
+          shingleN = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // X154 — token-content-defined chunking (CDC at token grain)
+    "q164_cdc_chunks" -> { (s, dir) =>
+      graft.text.Corpus.cdcChunks(
+          t(s, dir, "documents"), "text", "doc_id", maskBits = 5)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // X155 — k-core of the customer—supplier interaction graph
+    "q165_kcore" -> { (s, dir) =>
+      val e = t(s, dir, "orders").as("o")
+        .join(t(s, dir, "lineitem").as("l"),
+          col("l.l_orderkey") === col("o.o_orderkey"))
+        .select(col("o.o_custkey").as("src"),
+          (col("l.l_suppkey") + 10000000L).as("dst"))
+      graft.ops.Graph.kCore(e, "src", "dst", k = 35)
+        .orderBy(col("node"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -5964,5 +5998,95 @@ object SparkEntry {
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))))
         |    * 1000000 // count(*) AS BIGINT) AS dup_ppm
         |FROM documents""".stripMargin,
+
+    // exact all-pairs reference for the prefix-filter join; the integer
+    // selection predicate (i·2e6 ≥ u·tNum) matches the engine's exactly
+    "q163_prefix_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    array_to_string(list_slice(tk, 1, (7 * len(tk) + 9) // 10),
+        |      ' ')
+        |  FROM (SELECT doc_id, list_filter(
+        |      string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |    FROM documents WHERE doc_id % 5 = 0)
+        |), s AS (
+        |  SELECT doc_id,
+        |    (WITH t2 AS (SELECT list_filter(string_split_regex(
+        |        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |        t -> t <> '') AS tk)
+        |     SELECT CASE WHEN len(tk) >= 3 THEN list_distinct(
+        |       list_transform(generate_series(1, len(tk) - 2),
+        |         i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+        |       ELSE [] END FROM t2) AS st
+        |  FROM corpus
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.st, b.st)) AS BIGINT) AS i,
+        |    CAST(len(a.st) + len(b.st)
+        |      - len(list_intersect(a.st, b.st)) AS BIGINT) AS u
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / u, 6) AS jaccard
+        |FROM pairs WHERE u > 0 AND i * 2000000 >= u * 999999
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q164_cdc_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, i, tk[i] AS t,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE WHEN ascii(substr(md5(tk[i]), ii, 1)) <= 57
+        |           THEN ascii(substr(md5(tk[i]), ii, 1)) - 48
+        |           ELSE ascii(substr(md5(tk[i]), ii, 1)) - 87 END
+        |        AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 32 = 0 AS bnd
+        |  FROM tok, unnest(generate_series(1, len(tk))) AS u(i)
+        |), cid AS (
+        |  SELECT doc_id, i, t,
+        |    CAST(coalesce(sum(CASE WHEN bnd THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS chunk_id
+        |  FROM pos
+        |)
+        |SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(t, ' ' ORDER BY i)) AS chunk_hash
+        |FROM cid GROUP BY 1, 2
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // synchronous-peeling fixpoint, unrolled 6 rounds (the probe graph
+    // converges in <= 2; extra rounds are no-ops at fixpoint)
+    "q165_kcore" -> {
+      val k = 35
+      val base =
+        """WITH e0 AS (
+          |  SELECT DISTINCT o.o_custkey AS src,
+          |    l.l_suppkey + 10000000 AS dst
+          |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |  WHERE o.o_custkey <> l.l_suppkey + 10000000
+          |), s0 AS (
+          |  SELECT src, dst FROM e0
+          |  UNION
+          |  SELECT dst, src FROM e0
+          |)""".stripMargin
+      val rounds = (1 to 6).map { r =>
+        s""", s$r AS (
+           |  SELECT e.src, e.dst FROM s${r - 1} e
+           |  WHERE e.src IN (SELECT src FROM s${r - 1}
+           |      GROUP BY src HAVING count(*) >= $k)
+           |    AND e.dst IN (SELECT src FROM s${r - 1}
+           |      GROUP BY src HAVING count(*) >= $k)
+           |)""".stripMargin
+      }.mkString
+      base + rounds +
+        "\nSELECT src AS node, CAST(count(*) AS BIGINT) AS degree" +
+        "\nFROM s6 GROUP BY 1 ORDER BY node"
+    },
   )
 }

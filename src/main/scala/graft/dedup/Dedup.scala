@@ -716,4 +716,74 @@ object Dedup {
           dp / (col("__na") * col("__nb"))).otherwise(0d), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** EXACT token-set Jaccard join via prefix filtering (the
+    * PPJoin-family candidate rule) — the principled exact path between
+    * the two existing regimes: [[blockedJaccardPairs]] needs a caller
+    * blocking key and pays O(B²) inside blocks; [[minhashLshPairs]] is
+    * probabilistic (recall < 1). Prefix filtering is exact AND
+    * sub-all-pairs with no blocking key: order every document's
+    * distinct tokens by a GLOBAL rarity order (document frequency asc,
+    * hash asc — a total order), keep only each document's first
+    * `|T| − ⌈t·|T|⌉ + 1` tokens as its prefix, and join documents on
+    * shared PREFIX tokens. Completeness: J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉,
+    * and if the globally-smallest element of A∩B sat outside A's
+    * prefix, ALL of A∩B would fit in the ⌈t·|A|⌉−1 suffix slots —
+    * contradiction; symmetrically for B, and it is the SAME element, so
+    * every qualifying pair shares a prefix token. Rare-first ordering
+    * makes hot tokens (in everyone's set, in no one's prefix) generate
+    * no candidates — the reason this stays near-linear where a naive
+    * token join explodes. Candidates verify with the engine's standard
+    * exact tier: sorted 60-bit hashed sets, native merge intersect,
+    * integer ppm predicate. Output (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * Scale shape: token grain twice (df counts map-side-combined, then
+    * a df-join back — vocabulary broadcast under Heaps' law), ONE
+    * id-clustered sort shared by the rank and size windows, a
+    * prefix-token equi-join whose fan-out is bounded by rare-token
+    * posting lists, distinct at pair grain, then two id-keyed joins
+    * fetch the sets for the verify predicate. ⌈t·n⌉ is computed in pure
+    * long ppm arithmetic — no float boundary disagreement.
+    */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.6, shingleN: Int = 1): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    require(shingleN >= 1, s"shingleN must be >= 1: $shingleN")
+    val tNum = 2L * math.round(threshold * 1e6) - 1 // 2e6·i >= tNum·u
+    val tPpm = math.round(threshold * 1e6)
+    val sets = df.select(col(idCol).as("__id"),
+      coalesce(hashedShingles(col(textCol), shingleN),
+        typedLit(Array.empty[Long])).as("__sh"))
+    val toks = sets.select(col("__id"), explode(col("__sh")).as("__t"))
+    val dfs = toks.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+    val prefix = toks.join(dfs, Seq("__t"))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__df"), col("__t"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      // p = n − ⌈t·n⌉ + 1, ceil in pure long ppm arithmetic
+      .filter(col("__rn") <=
+        col("__n") - expr(s"(__n * $tPpm + 999999) div 1000000") + 1)
+      .select(col("__id"), col("__t"))
+    val cands = prefix.select(col("__id").as("id_a"), col("__t"))
+      .join(prefix.select(col("__id").as("id_b"), col("__t")), Seq("__t"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val la = sets.select(col("__id").as("id_a"), col("__sh").as("sh_a"),
+      size(col("__sh")).cast("long").as("__na"))
+    val lb = sets.select(col("__id").as("id_b"), col("__sh").as("sh_b"),
+      size(col("__sh")).cast("long").as("__nb"))
+    val inter = graft.functions.VectorExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
+    val union = col("__na") + col("__nb") - inter
+    cands.join(la, Seq("id_a")).join(lb, Seq("id_b"))
+      .filter(col("__na") * 2000000L >= col("__nb") * tNum &&
+        col("__nb") * 2000000L >= col("__na") * tNum &&
+        union > 0 && inter * 2000000L >= union * tNum)
+      .select(col("id_a"), col("id_b"),
+        round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
+  }
 }

@@ -219,6 +219,60 @@ case class HashedSorted60(child: Expression)
       newChild: Expression): HashedSorted60 = copy(child = newChild)
 }
 
+/** Token-content-defined chunk split: partitions a token array into
+  * ordered chunks, cutting AFTER every token whose 60-bit md5 prefix
+  * (the [[HashedSorted60]] hash, identical to `conv(substring(md5(t),
+  * 1, 15), 16, 10)`) is ≡ 0 mod 2^maskBits. Returns array<array<
+  * string>>; a boundary on the last token opens no empty trailing
+  * chunk; an empty input yields an empty outer array. One JVM loop and
+  * one md5 per token — the interpreted-HOF formulation of the same
+  * thing re-inlines the hash chain under project collapse and runs two
+  * orders of magnitude slower (measured 405 s vs ~4 s at sf0.1).
+  */
+case class CdcChunkTokens(child: Expression, maskBits: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(maskBits >= 1 && maskBits <= 20,
+    s"maskBits must be in [1, 20]: $maskBits")
+
+  private val mask = (1L << maskBits) - 1L
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(ArrayType(StringType))
+  override def prettyName: String = "cdc_chunk_tokens"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val chunks = new scala.collection.mutable.ArrayBuffer[Any]()
+    var start = 0
+    var i = 0
+    while (i < n) {
+      val d = DigestUtils.md5(toks.getUTF8String(i).getBytes)
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      if (((v >>> 4) & mask) == 0L && i + 1 < n) {
+        chunks += sliceOf(toks, start, i + 1)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n) chunks += sliceOf(toks, start, n)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      chunks.toArray)
+  }
+
+  private def sliceOf(toks: ArrayData, from: Int, until: Int): Any = {
+    val out = new Array[Any](until - from)
+    var i = from
+    while (i < until) { out(i - from) = toks.getUTF8String(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcChunkTokens = copy(child = newChild)
+}
+
 /** Sum of payload byte values (unsigned) past the 8-byte header. */
 case class PayloadByteSum(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -342,6 +396,9 @@ object TextExpressions {
 
   def hashedSorted60(strings: Column): Column =
     bridge.column(HashedSorted60(bridge.expression(strings)))
+
+  def cdcChunkTokens(tokens: Column, maskBits: Int): Column =
+    bridge.column(CdcChunkTokens(bridge.expression(tokens), maskBits))
 
   def nfc(text: Column): Column =
     bridge.column(NfcNormalize(bridge.expression(text)))

@@ -459,4 +459,65 @@ object Graph {
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minSupport)
   }
+
+  /** k-core of an undirected graph — iteratively peel every vertex
+    * whose degree is below `k` until the survivors all have ≥ k
+    * neighbors INSIDE the survivor set. The standard graph-curation
+    * densifier: in a link/interaction/co-engagement graph the k-core
+    * strips leaf chains, drive-by accounts, and one-shot spam tails
+    * while keeping the mutually-dense community structure signals live
+    * in (and a spam FARM survives as its own dense core — the k-core is
+    * where to LOOK, [[triangleCounts]] and [[pageRank]] then rank
+    * within it). Peeling is SYNCHRONOUS rounds (all sub-k vertices of a
+    * round drop together — deterministic, engine-portable) and the
+    * fixpoint is independent of peeling order, so an early-converged
+    * run equals any longer one. Output: (node, degree) per surviving
+    * vertex, degree measured inside the core; an empty result means no
+    * k-core exists.
+    *
+    * Scale shape: each round is ONE degree aggregation (map-side
+    * combined) over the current edge frame plus two semi-joins
+    * filtering edges to surviving endpoints — O(|E|) per round, loop
+    * width sized to measured edge volume like [[connectedComponents]];
+    * the frame only shrinks. Rounds are O(peel depth) (the degeneracy
+    * ordering's layer count, typically ≪ 30 for social/link graphs —
+    * same empirical envelope as CC's O(log d) rounds); each round
+    * `localCheckpoint`s the shrunken edge frame to truncate lineage,
+    * and a free `count()` on that materialization doubles as the
+    * convergence check (edge count stable ⟹ fixpoint ⟹ stop).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    var sym = e0.union(e0.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var n = sym.count()
+    val p = loopWidth(n,
+      edges.sparkSession.sparkContext.defaultParallelism)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("src").as("__keep"))
+        .repartition(p, col("__keep"))
+      val next = sym
+        .join(keep, col("src") === col("__keep"), "left_semi")
+        .join(keep, col("dst") === col("__keep"), "left_semi")
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      sym = next
+      n = m
+      rounds += 1
+    }
+    sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming out-of-order / lateness monitor (`mapGroupsWithState`,
+  * SURVEY §2.7) — the telemetry that sizes WATERMARKS: every windowed
+  * streaming aggregation in the engine takes a watermark delay, and the
+  * honest way to pick one is to MEASURE how late the source actually
+  * runs, continuously. Per key, against the maximum event time seen so
+  * far: total events, late events (event time < max seen — exactly the
+  * rows a watermark of zero would drop), and the worst lag in the time
+  * unit of the input. Emitted in Update mode after every batch the key
+  * appears in.
+  *
+  * State per key is ONE (maxTs, n, nLate, maxLag) quadruple — O(1)
+  * regardless of stream length, no timeline buffered. Within a
+  * micro-batch the iterator is walked in source order, so an
+  * out-of-order pair INSIDE one batch counts as late too (matching the
+  * batch replay: fold events in arrival order). With event-time
+  * watermarked keys pass a timeout to drop closed keys; NoTimeout suits
+  * bounded replays.
+  */
+object StreamingLateness {
+
+  /** Running lateness state and report row: `maxTs` high-water mark,
+    * `n` events, `nLate` arrivals below the mark, `maxLag` worst
+    * observed (mark − event time).
+    */
+  final case class LateStats(maxTs: Long, n: Long, nLate: Long,
+      maxLag: Long)
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, Long],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[LateStats],
+      e: Encoder[(K, LateStats)]): Dataset[(K, LateStats)] =
+    grouped.mapGroupsWithState[LateStats, (K, LateStats)](timeout) {
+      (k: K, ts: Iterator[Long], state: GroupState[LateStats]) =>
+        var s = state.getOption.getOrElse(
+          LateStats(Long.MinValue, 0L, 0L, 0L))
+        ts.foreach { t =>
+          val late = s.n > 0 && t < s.maxTs
+          s = LateStats(
+            math.max(s.maxTs, t),
+            s.n + 1,
+            s.nLate + (if (late) 1L else 0L),
+            math.max(s.maxLag, if (late) s.maxTs - t else 0L))
+        }
+        state.update(s)
+        (k, s)
+    }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -480,6 +480,31 @@ class CorpusSpec extends SparkSpec {
       "z" -> (1L, 3L, 0L, 0L, 0L)))
   }
 
+  test("cdcChunks: lossless ordered partition, boundaries only on " +
+      "mask-hit tokens, prefix insertion only disturbs the head") {
+    val words = Vector.tabulate(80)(i => s"tok$i")
+    val text = words.mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Corpus.cdcChunks(df, "text", "doc_id", maskBits = 2)
+      .orderBy($"chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    // lossless: token counts sum to the doc; ids dense from 0
+    assert(chunks.map(_._2).sum == 80L)
+    assert(chunks.map(_._1).toSeq == chunks.indices.map(_.toLong))
+    assert(chunks.length > 1) // maskBits=2 → boundaries ~every 4 tokens
+    // shift resistance: prepend two tokens — every original chunk hash
+    // except (at most) the first still appears in the variant
+    val shifted = Corpus.cdcChunks(
+        Seq((2L, "zzz yyy " + text)).toDF("doc_id", "text"),
+        "text", "doc_id", maskBits = 2)
+      .collect().map(_.getString(3)).toSet
+    val origHashes = chunks.map(_._3)
+    assert(origHashes.tail.forall(shifted.contains))
+    // empty doc → no rows
+    assert(Corpus.cdcChunks(Seq((3L, "  ")).toDF("doc_id", "text"),
+      "text", "doc_id").count() == 0L)
+  }
+
   test("stripMarkup: blocks removed with content, tags removed, " +
       "entities decoded in safe order, whitespace collapsed") {
     val html = Seq(

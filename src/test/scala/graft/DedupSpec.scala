@@ -279,4 +279,37 @@ class DedupSpec extends SparkSpec {
     assert(fp(0) == fp(1) && fp(0) == fp(2) && fp(0) != fp(3))
     assert(fp(0).matches("[0-9a-f]{32}"))
   }
+
+  test("prefixJaccardPairs: complete and exact vs the brute-force " +
+      "token-set join on a seeded random corpus") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector.tabulate(60)(i => s"w$i")
+    // 40 base docs + truncated variants of every 4th (planted near-dups)
+    val base = Vector.tabulate(40) { i =>
+      (i.toLong, Seq.fill(12 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val variants = base.collect { case (id, tx) if id % 4 == 0 =>
+      (id + 1000L, tx.split(" ").dropRight(tx.split(" ").length / 4)
+        .mkString(" "))
+    }
+    val corpus = base ++ variants
+    val df = corpus.toDF("doc_id", "text")
+    val t = 0.6
+    val got = Dedup.prefixJaccardPairs(df, "text", "doc_id", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: exact Jaccard over distinct lowercased token sets with
+    // the engine's integer selection predicate
+    val sets = corpus.map { case (id, tx) =>
+      id -> tx.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet }
+    val tNum = 2L * math.round(t * 1e6) - 1
+    val expect = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      i = (sa & sb).size.toLong
+      u = sa.size + sb.size - i
+      if u > 0 && i * 2000000L >= u * tNum
+    } yield (ia, ib)).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty) // the planted variants actually qualify
+  }
 }

@@ -161,4 +161,24 @@ class GraphSpec extends SparkSpec {
     // basket 30's pairs never materialize (size 4 > cap 3)
     assert(got == Map((1L, 2L) -> 2L))
   }
+
+  test("kCore: cascade peels a chain into the clique core; degrees " +
+      "measured inside the core; no-core graph -> empty") {
+    import org.apache.spark.sql.functions.col
+    // K4 on 1-4, plus a pendant chain 4-5-6: k=3 peels 6 (deg 1), then
+    // 5 (deg 1 after 6 drops), leaving the clique with in-core degree 3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.kCore(edges, "a", "b", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a pure cycle has no 3-core
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    assert(Graph.kCore(cyc, "a", "b", k = 3).count() == 0L)
+    // duplicate and self edges are ignored
+    val messy = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("a", "b")
+    assert(Graph.kCore(messy, "a", "b", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L))
+  }
 }

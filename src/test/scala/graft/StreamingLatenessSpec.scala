@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingLateness
+import graft.streaming.StreamingLateness.LateStats
+
+class StreamingLatenessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lateness state tracks max-seen, late count, and worst lag " +
+      "across and within batches; first event is never late") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingLateness.monitor(in.toDS().groupByKey(_._1)
+        .mapValues(_._2))
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(StreamingLateness.outputMode)
+      .start()
+
+    // batch 1: k1 in order (100 then 200), k2 single event
+    in.addData(("k1", 100L), ("k1", 200L), ("k2", 50L))
+    q.processAllAvailable()
+    // batch 2: k1 gets a late arrival (150 < 200, lag 50) then a new
+    // high-water mark; k2 late by 10 within the SAME batch (60 then 50)
+    in.addData(("k1", 150L), ("k1", 300L), ("k2", 60L), ("k2", 50L))
+    q.processAllAvailable()
+
+    val last = spark.table("late_out").as[(String, LateStats)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.last._2 }
+    assert(last("k1") == LateStats(300L, 4L, 1L, 50L))
+    assert(last("k2") == LateStats(60L, 3L, 1L, 10L))
+    q.stop()
+  }
+}
