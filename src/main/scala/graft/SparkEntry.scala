@@ -2192,6 +2192,44 @@ object SparkEntry {
         .orderBy(col("node"))
     },
 
+    // X156 — OHLC bars: per event type, hourly first/last/extremes
+    "q166_ohlc" -> { (s, dir) =>
+      graft.ops.TimeSeries.ohlcResample(
+          events(s, dir).select(col("event_type"),
+            nsToMicros(col("ts_ns")).as("ts_us"), col("event_id"),
+            col("value")),
+          Seq("event_type"), col("ts_us"), col("value"), col("event_id"),
+          bucketUs = 3600000000L)
+        .orderBy(col("event_type"), col("bucket"))
+    },
+
+    // X157 — mergeable partial-aggregate artifact: three batch summaries
+    // merged ≡ the direct aggregate (the oracle computes it directly)
+    "q167_incremental_agg" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val parts = (0 until 3).map(i =>
+          graft.ops.Incremental.partialAggs(
+            li.filter(pmod(col("l_orderkey"), lit(3)) === i),
+            Seq("l_returnflag"), col("l_extendedprice")))
+        .reduce(_ unionByName _)
+      graft.ops.Incremental.mergePartials(parts, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"), col("n_nonnull"),
+          col("sum").cast("double").as("sum"), col("min"), col("max"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // X158 — winsorization: per-returnflag exact [p5, p95] clamp
+    "q168_winsorize" -> { (s, dir) =>
+      graft.ops.Features.winsorize(
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_linenumber"), col("l_returnflag"), col("l_quantity")),
+          Seq("l_returnflag"), col("l_quantity"), 0.05, 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"), col("lo"), col("hi"),
+          col("clamped"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -6088,5 +6126,66 @@ object SparkEntry {
         "\nSELECT src AS node, CAST(count(*) AS BIGINT) AS degree" +
         "\nFROM s6 GROUP BY 1 ORDER BY node"
     },
+
+    "q166_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id, value
+        |  FROM events WHERE value IS NOT NULL
+        |), b AS (
+        |  SELECT event_type, us // 3600000000 AS bucket, us, event_id,
+        |    value,
+        |    row_number() OVER (PARTITION BY event_type, us // 3600000000
+        |      ORDER BY us, event_id) AS ro,
+        |    row_number() OVER (PARTITION BY event_type, us // 3600000000
+        |      ORDER BY us DESC, event_id DESC) AS rc
+        |  FROM e
+        |)
+        |SELECT event_type, bucket,
+        |  CAST(max(CASE WHEN ro = 1 THEN value END) AS DOUBLE) AS open,
+        |  CAST(max(value) AS DOUBLE) AS high,
+        |  CAST(min(value) AS DOUBLE) AS low,
+        |  CAST(max(CASE WHEN rc = 1 THEN value END) AS DOUBLE) AS close,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vol
+        |FROM b GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q167_incremental_agg" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(l_extendedprice) AS BIGINT) AS n_nonnull,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS max
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q168_winsorize" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, l_quantity AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT l_returnflag, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY v)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM agg
+        |), qs AS (
+        |  SELECT l_returnflag,
+        |    CAST(min(CASE WHEN cum >= (50000 * n + 999999) // 1000000
+        |      AND cum - c < (50000 * n + 999999) // 1000000
+        |      THEN v END) AS DOUBLE) AS lo,
+        |    CAST(min(CASE WHEN cum >= (950000 * n + 999999) // 1000000
+        |      AND cum - c < (950000 * n + 999999) // 1000000
+        |      THEN v END) AS DOUBLE) AS hi
+        |  FROM ranked GROUP BY 1
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  l.l_quantity, qs.lo, qs.hi,
+        |  CAST(CASE WHEN l.l_quantity IS NULL THEN NULL
+        |    ELSE least(greatest(l.l_quantity, qs.lo), qs.hi) END
+        |    AS DOUBLE) AS clamped
+        |FROM lineitem l JOIN qs ON l.l_returnflag = qs.l_returnflag
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
   )
 }

@@ -460,4 +460,37 @@ object Features {
       .agg(sum(weight * v).cast("double").as("decayed_sum"),
         count(lit(1)).as("n"))
   }
+
+  /** Per-group winsorization — clamp values to the exact [pLo, pHi]
+    * per-group quantiles (the robust-statistics alternative to
+    * DROPPING outliers: an IQR filter ([[graft.ops.Relational
+    * .iqrFilter]]) deletes the rows and changes counts downstream;
+    * winsorizing keeps every row and caps the influence of the tails —
+    * the standard treatment before means/OLS/scaling on heavy-tailed
+    * pipeline metrics). Quantile picks are [[graft.ops.Relational
+    * .quantilesDisc]]'s exact ceil(q·n) order statistics — integer rank
+    * arithmetic, engine-identical, never an interpolated float. Output:
+    * the input rows plus `<out>` (clamped value), `lo`, `hi`. Null
+    * values pass through unclamped (they carry no tail influence).
+    *
+    * Scale shape: the quantile side aggregates to (group, distinct
+    * value) grain first (map-side combine absorbs row volume), produces
+    * ≤ 2 rows per group, and joins back broadcast; the data itself is
+    * touched once, scan-local clamp.
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      pLo: Double, pHi: Double, outCol: String = "clamped"): DataFrame = {
+    require(pLo > 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 < pLo < pHi <= 1: $pLo, $pHi")
+    val qs = graft.ops.Relational.quantilesDisc(df, groupCols, valueCol,
+        Seq(pLo, pHi))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("q") === pLo, col("value"))).as("lo"),
+        max(when(col("q") === pHi, col("value"))).as("hi"))
+    df.join(broadcast(qs), groupCols)
+      .withColumn(outCol,
+        when(valueCol.isNull, valueCol.cast("double"))
+          .otherwise(least(greatest(valueCol.cast("double"),
+            col("lo")), col("hi"))))
+  }
 }

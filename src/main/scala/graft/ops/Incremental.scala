@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Mergeable partial-aggregate artifacts — the incremental-rollup
+  * discipline that keeps a 100 TB metric table maintainable: aggregate
+  * each ingest batch/partition/day ONCE to a tiny per-group summary
+  * (count, non-null count, decimal-exact sum, min, max), STORE the
+  * summaries beside the data (the X43/X71 persistable-artifact pattern),
+  * and answer any later rollup — over any union of batches — by merging
+  * summaries, never rescanning rows. All five statistics form a
+  * commutative monoid, so merging is exact and order/partitioning-
+  * independent: merge(partials(A), partials(B)) ≡ partials(A ∪ B),
+  * bit-for-bit (sums ride decimal(38,2) — no float reassociation).
+  * Average and completeness ratios derive at read time (`sum/n`), which
+  * is why avg itself is never stored — it doesn't merge.
+  *
+  * Scale shape: [[partialAggs]] is ONE map-side-combined aggregation
+  * over the batch; [[mergePartials]] is the same shape over
+  * artifact-sized input (|groups| rows per batch, not row volume).
+  * Distinct counts deliberately NOT here — they don't merge exactly;
+  * that's what the X71 HLL sketches are for.
+  */
+object Incremental {
+
+  /** Per-group summary of `valueCol`: n, n_nonnull, decimal-exact sum,
+    * min, max — the artifact to persist per batch.
+    */
+  def partialAggs(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count(valueCol).as("n_nonnull"),
+        coalesce(sum(valueCol.cast(DecimalType(18, 2))),
+          lit(0).cast(DecimalType(18, 2))).cast(DecimalType(38, 2))
+          .as("sum"),
+        min(valueCol.cast("double")).as("min"),
+        max(valueCol.cast("double")).as("max"))
+
+  /** Merge any number of [[partialAggs]] outputs (stacked with
+    * unionByName) back to one summary per group; exactly equals
+    * [[partialAggs]] over the unioned raw data.
+    */
+  def mergePartials(partials: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("n_nonnull")).as("n_nonnull"),
+        sum(col("sum")).cast(DecimalType(38, 2)).as("sum"),
+        min(col("min")).as("min"),
+        max(col("max")).as("max"))
+}

@@ -596,4 +596,38 @@ object TimeSeries {
         col("__b.o").as("cp_at"), col("__b.i").as("cp_index"),
         col("__b.d").cast("long").as("max_dev")): _*)
   }
+
+  /** OHLC bar resampling — per (keys…, time bucket): `open` (value at
+    * the earliest row), `high`, `low`, `close` (value at the latest
+    * row), `n`, and `vol` (decimal-exact sum → double). The canonical
+    * market-data downsample, equally the right summary for any
+    * monitoring series where first/last matter as much as extremes
+    * (queue depth, replication lag, account balance). Bucketing is
+    * floor(ts div width) in exact long arithmetic; first/last are
+    * decided by (ts, `tieCol`) — pass a unique id, the engine-wide
+    * windowed-op contract — via single-pass `min_by`/`max_by` over a
+    * (ts, tie) ordering struct, so ties are deterministic and no sort
+    * exists anywhere in the plan. Null values are excluded from every
+    * statistic (a null open would just be a missing reading).
+    *
+    * Scale shape: ONE map-side-combined aggregation to (keys, bucket)
+    * grain — min_by/max_by carry O(1) state per group exactly like
+    * min/max, so the full-resolution series collapses in the map stage
+    * and only bar-grain rows shuffle. No window, no sort, no second
+    * pass.
+    */
+  def ohlcResample(df: DataFrame, keyCols: Seq[String], tsUs: Column,
+      valueCol: Column, tieCol: Column, bucketUs: Long): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1: $bucketUs")
+    val v = valueCol.cast("double")
+    val ord = struct(tsUs.cast("long"), tieCol)
+    val nn = df.filter(valueCol.isNotNull)
+      .withColumn("bucket", graft.functions.Exact.longDiv(
+        tsUs.cast("long"), bucketUs))
+    nn.groupBy((keyCols.map(col) :+ col("bucket")): _*)
+      .agg(min_by(v, ord).as("open"), max(v).as("high"),
+        min(v).as("low"), max_by(v, ord).as("close"),
+        count(lit(1)).as("n"),
+        sum(v.cast(DecimalType(18, 2))).cast("double").as("vol"))
+  }
 }

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval join (SURVEY §2.7) — the streaming
+  * form of the batch as-of/interval enrichment family (X16/X49/X76):
+  * join each LEFT event to the RIGHT events of the same key whose event
+  * time falls in `[leftTs − lagSeconds, leftTs]` — impressions to the
+  * click that followed, sensor readings to the calibration record
+  * preceding them — while BOTH streams keep flowing.
+  *
+  * The two watermarks are what make this bounded: Spark buffers each
+  * side's unmatched rows in state only until the other side's watermark
+  * passes the join window, then evicts — state is O(events in the lag
+  * window), not O(stream). That eviction bound is exactly why the time
+  * condition must appear in the JOIN predicate (a post-join filter would
+  * leave the state unbounded). Inner join: matches emit in Append mode
+  * as soon as both rows exist; use the batch operators for outer/as-of
+  * semantics over replays.
+  *
+  * Column contract: key and timestamp column names must differ between
+  * the sides (the left key survives as `keyCol`).
+  */
+object StreamingEnrich {
+
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      rightKeyCol: String, leftTsCol: String, rightTsCol: String,
+      lagSeconds: Long, watermark: String = "10 seconds"): DataFrame = {
+    require(lagSeconds >= 0, s"lagSeconds must be >= 0: $lagSeconds")
+    require(keyCol != rightKeyCol && leftTsCol != rightTsCol,
+      "left/right key and ts column names must differ")
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    l.join(r,
+      col(keyCol) === col(rightKeyCol) &&
+        col(rightTsCol) >= col(leftTsCol) -
+          expr(s"INTERVAL $lagSeconds SECONDS") &&
+        col(rightTsCol) <= col(leftTsCol),
+      "inner")
+      .drop(rightKeyCol)
+  }
+}

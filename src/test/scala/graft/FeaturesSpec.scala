@@ -235,4 +235,46 @@ class FeaturesSpec extends SparkSpec {
       halfLifeUs = 10L, anchorUs = 100L).collect()
     assert(g2(0).getLong(2) == 1L)
   }
+
+  test("winsorize: exact quantile clamp per group, nulls pass through, " +
+      "rows preserved") {
+    // group g: 1..10 → p(0.2) = ceil(2) = 2, p(0.9) = ceil(9) = 9
+    val df = ((1 to 10).map(i => ("g", Some(i.toDouble))) :+
+      ("g", Option.empty[Double]) :+ ("h", Some(5.0)))
+      .toDF("k", "v")
+    val got = Features.winsorize(df, Seq("k"), col("v"), 0.2, 0.9)
+    assert(got.count() == 12L)
+    val gRows = got.filter($"k" === "g" && $"v".isNotNull)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(4)).toMap
+    assert(gRows(1.0) == 2.0 && gRows(2.0) == 2.0)   // clamped up
+    assert(gRows(5.0) == 5.0)                         // untouched body
+    assert(gRows(9.0) == 9.0 && gRows(10.0) == 9.0)  // clamped down
+    // null value row keeps null clamped column
+    assert(got.filter($"k" === "g" && $"v".isNull)
+      .collect().head.isNullAt(4))
+    // singleton group: lo = hi = the value itself
+    assert(got.filter($"k" === "h").collect().head.getDouble(4) == 5.0)
+  }
+
+  test("mergePartials(partialAggs) == partialAggs of the union, " +
+      "decimal-exact, any split") {
+    import graft.ops.Incremental
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(300)(i =>
+      (s"g${i % 5}", if (i % 17 == 0) None else Some(rnd.nextDouble * 100)))
+    val df = rows.toDF("k", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k").collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getDecimal(3), r.getDouble(4), r.getDouble(5)))
+    val direct = canon(Incremental.partialAggs(df, Seq("k"), col("v")))
+    for (m <- Seq(2, 7)) {
+      val parts = (0 until m).map(i =>
+        Incremental.partialAggs(
+          rows.zipWithIndex.filter(_._2 % m == i).map(_._1)
+            .toDF("k", "v"), Seq("k"), col("v")))
+        .reduce(_ unionByName _)
+      val merged = canon(Incremental.mergePartials(parts, Seq("k")))
+      assert(merged.toSeq == direct.toSeq, s"split m=$m")
+    }
+  }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingEnrich
+
+case class Conv(user: String, cts: Timestamp)
+case class Touch(tuser: String, tts: Timestamp, channel: String)
+
+class StreamingEnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stream-stream interval join: matches within the lag window, " +
+      "across batches, outside-window rows never join") {
+    implicit val sqlCtx = spark.sqlContext
+    val convs = MemoryStream[Conv]
+    val touches = MemoryStream[Touch]
+    val joined = StreamingEnrich.intervalJoin(
+      convs.toDF(), touches.toDF(), "user", "tuser", "cts", "tts",
+      lagSeconds = 60, watermark = "5 seconds")
+    val q = joined.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+
+    // touch arrives FIRST (batch 1), conversion later (batch 2) —
+    // stream-stream state must hold the touch until the match lands
+    touches.addData(Touch("u1", ts("2024-01-01 10:00:00"), "email"))
+    q.processAllAvailable()
+    convs.addData(Conv("u1", ts("2024-01-01 10:00:30")))
+    // u2: conversion 90 s after its touch → outside the 60 s window
+    touches.addData(Touch("u2", ts("2024-01-01 10:00:00"), "ad"))
+    convs.addData(Conv("u2", ts("2024-01-01 10:01:30")))
+    // u3: touch AFTER the conversion → never matches (window is one-sided)
+    convs.addData(Conv("u3", ts("2024-01-01 10:02:00")))
+    touches.addData(Touch("u3", ts("2024-01-01 10:02:10"), "push"))
+    q.processAllAvailable()
+
+    val got = spark.table("enrich_out")
+      .select("user", "channel").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("u1", "email")))
+    q.stop()
+  }
+}

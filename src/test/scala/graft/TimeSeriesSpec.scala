@@ -342,4 +342,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(1) == ("b", 4L, 1L, 1L, 0L))
     assert(run(df.repartition(5)).toSeq == got.toSeq)
   }
+
+  test("ohlcResample: first/last by (ts, tie), extremes, nulls skipped, " +
+      "bucket floor division, partitioning-independent") {
+    import graft.ops.TimeSeries
+    val rows = Seq(
+      // key a, bucket 0 (ts 0-99): open=5 (ts 10), close=2 (ts 90)
+      ("a", 10L, 1L, Some(5.0)), ("a", 50L, 2L, Some(9.0)),
+      ("a", 90L, 3L, Some(2.0)),
+      ("a", 50L, 9L, Some(1.0)),   // same ts as id 2, higher tie → low
+      ("a", 70L, 4L, None),        // null: excluded everywhere
+      // key a, bucket 1: single row
+      ("a", 150L, 5L, Some(7.0)),
+      // key b: tie on ts at bucket start — lower id wins open
+      ("b", 0L, 7L, Some(3.0)), ("b", 0L, 6L, Some(4.0)))
+      .toDF("k", "ts", "id", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.ohlcResample(df, Seq("k"), col("ts"), col("v"),
+          col("id"), bucketUs = 100L)
+        .orderBy("k", "bucket").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6),
+          r.getDouble(7)))
+    val got = run(rows)
+    assert(got(0) == ("a", 0L, 5.0, 9.0, 1.0, 2.0, 4L, 17.0))
+    assert(got(1) == ("a", 1L, 7.0, 7.0, 7.0, 7.0, 1L, 7.0))
+    assert(got(2) == ("b", 0L, 4.0, 4.0, 3.0, 3.0, 2L, 7.0))
+    assert(run(rows.repartition(5)).toSeq == got.toSeq)
+  }
 }
