@@ -2230,6 +2230,34 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // X160 — URL canonicalization over synthetically-messy URLs
+    "q169_url_canon" -> { (s, dir) =>
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://WWW."), col("source"),
+          lit(".Example.COM:443/Docs/"), col("doc_id"),
+          lit("/?utm_source=feed&z=2&a=1&fbclid=XYZ#frag")).as("url"))
+      urls.select(col("doc_id"), col("url"),
+          graft.text.UrlFunctions.canonicalizeUrl(col("url")).as("canon"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X161 — domain blocklist with subdomain suffix semantics
+    "q170_domain_block" -> { (s, dir) =>
+      import s.implicits._
+      val hosts = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit("x."), col("source"), lit(".example.com")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("source"), lit(".example.com")))
+          .otherwise(concat(col("source"), lit(".other.org")))
+          .as("host"))
+      val block = Seq("src1.example.com", "other.org", "src4.example.com")
+        .toDF("domain")
+      graft.text.UrlFunctions.domainBlocklistFilter(
+          hosts, "doc_id", col("host"), block, "domain")
+        .orderBy(col("doc_id"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -6187,5 +6215,65 @@ object SparkEntry {
         |    AS DOUBLE) AS clamped
         |FROM lineitem l JOIN qs ON l.l_returnflag = qs.l_returnflag
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "q169_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'HTTPS://WWW.' || source || '.Example.COM:443'
+        |    || '/Docs/' || doc_id
+        |    || '/?utm_source=feed&z=2&a=1&fbclid=XYZ#frag' AS url
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+        |      1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+        |      2)) AS host0,
+        |    regexp_replace(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+        |      3), '/+$', '') AS path,
+        |    regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+        |      4) AS rawq
+        |  FROM u
+        |), c AS (
+        |  SELECT doc_id, url, scheme, path,
+        |    CASE
+        |      WHEN scheme = 'http' THEN regexp_replace(
+        |        regexp_replace(host0, '^www\.', ''), ':80$', '')
+        |      WHEN scheme = 'https' THEN regexp_replace(
+        |        regexp_replace(host0, '^www\.', ''), ':443$', '')
+        |      ELSE regexp_replace(host0, '^www\.', '') END AS host,
+        |    list_sort(list_filter(
+        |      string_split(regexp_replace(rawq, '^\?', ''), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[a-z]+|fbclid|gclid|msclkid)=.*$'))) AS params
+        |  FROM p
+        |)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host || path ||
+        |    CASE WHEN len(params) > 0
+        |      THEN '?' || array_to_string(params, '&') ELSE '' END
+        |    AS canon
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q170_domain_block" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |        THEN 'x.' || source || '.example.com'
+        |      WHEN doc_id % 3 = 1 THEN source || '.example.com'
+        |      ELSE source || '.other.org' END AS host
+        |  FROM documents
+        |), b(domain) AS (
+        |  VALUES ('src1.example.com'), ('other.org'), ('src4.example.com')
+        |), hit AS (
+        |  SELECT DISTINCT doc_id FROM d, b
+        |  WHERE d.host = b.domain OR d.host LIKE '%.' || b.domain
+        |)
+        |SELECT d.doc_id, d.host FROM d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM hit)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

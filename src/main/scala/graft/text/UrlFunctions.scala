@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for crawled corpora — the canonicalization that decides
+  * whether two fetches are "the same page" (the exact-dedup key for
+  * crawl frontiers and URL-level dedup) and the domain blocklisting
+  * every pipeline applies before anything else touches the bytes.
+  *
+  * All scan-local codegen'd string/regex work (engine-portable
+  * patterns: plain classes and alternation, no backreferences or
+  * lookarounds — identical under Java regex and RE2); the only
+  * higher-order functions run over per-URL query-parameter arrays
+  * (a handful of elements — interpreted evaluation is irrelevant at
+  * that size, unlike the per-token corpus loops that get native
+  * expressions).
+  */
+object UrlFunctions {
+
+  /** Tracking-parameter names dropped by [[canonicalizeUrl]]: the
+    * highest-yield click-tracking noise (utm_*, fbclid, gclid) that
+    * makes identical pages look distinct to an exact URL key.
+    */
+  val trackingParamRe = "(utm_[a-z]+|fbclid|gclid|msclkid)=.*"
+
+  /** Canonical form of an absolute http(s) URL:
+    *   - scheme and host lowercased; a leading `www.` dropped;
+    *   - default ports stripped (`:80` http, `:443` https);
+    *   - fragment dropped (never sent to the server);
+    *   - tracking query parameters removed ([[trackingParamRe]]),
+    *     remaining parameters SORTED (param order is not semantic),
+    *     `?` dropped when nothing survives;
+    *   - trailing slashes on the path dropped (`/a/` ≡ `/a`, root →
+    *     empty path).
+    * Non-URL-shaped strings (no `scheme://authority`) pass through
+    * unchanged — a cleaner, not a validator.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$"
+    val scheme = lower(regexp_extract(url, re, 1))
+    val host0 = lower(regexp_extract(url, re, 2))
+    val host1 = regexp_replace(host0, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host1, ":443$", ""))
+      .otherwise(host1)
+    val path = regexp_replace(regexp_extract(url, re, 3), "/+$", "")
+    val rawQ = regexp_extract(url, re, 4) // includes the leading '?'
+    val params = filter(
+      split(regexp_replace(rawQ, "^\\?", ""), "&"),
+      p => p =!= "" && !p.rlike("^" + trackingParamRe + "$"))
+    val query = when(size(params) > 0,
+      concat(lit("?"), array_join(array_sort(params), "&")))
+      .otherwise(lit(""))
+    when(regexp_extract(url, re, 2) =!= "",
+      concat(scheme, lit("://"), host, path, query))
+      .otherwise(url)
+  }
+
+  /** All dot-separated suffixes of a host that could match a blocklist
+    * entry: `a.b.co` → [`a.b.co`, `b.co`, `co`]. Work per host is
+    * O(labels) — bounded by DNS's 127-label ceiling, in practice ≤ 5.
+    */
+  def hostSuffixes(host: Column): Column =
+    transform(sequence(lit(0), size(split(host, "\\.")) - 1),
+      i => array_join(slice(split(host, "\\."), i + 1,
+        size(split(host, "\\."))), "."))
+
+  /** Drop every row whose host matches a blocked domain OR any of its
+    * subdomains (`blocked.com` blocks `a.blocked.com` — the suffix
+    * semantics every domain blocklist means). `blocklist` carries one
+    * lowercase domain per row in `domainCol`; rows are identified by
+    * `idCol` (unique — the engine-wide contract). A null host never
+    * matches (kept — absence of a URL is not a block reason).
+    *
+    * Scale shape: the corpus is NEVER shuffled. Hosts explode to ≤
+    * label-count suffix rows (DNS caps labels at 127, real hosts ≤ 5)
+    * which broadcast-HASH-semi-join the blocklist (thousands of
+    * entries — always tiny next to a crawl); the surviving hit-id set
+    * (block rates are small by construction — a list that kills half
+    * the corpus is a curation decision, not a filter) collapses
+    * distinct and broadcast-anti-joins back onto the corpus. Two
+    * broadcasts, one tiny distinct, zero corpus exchanges.
+    */
+  def domainBlocklistFilter(df: DataFrame, idCol: String, hostCol: Column,
+      blocklist: DataFrame, domainCol: String): DataFrame = {
+    val b = broadcast(
+      blocklist.select(lower(col(domainCol)).as("__blocked")).distinct())
+    val hitIds = df
+      .select(col(idCol).as("__hid"),
+        explode(hostSuffixes(lower(hostCol))).as("__sfx"))
+      .join(b, col("__sfx") === col("__blocked"), "left_semi")
+      .select(col("__hid")).distinct()
+    df.join(broadcast(hitIds), col(idCol) === col("__hid"), "left_anti")
+  }
+}

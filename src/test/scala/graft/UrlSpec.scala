@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.UrlFunctions
+
+class UrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(u: String): String =
+    Seq(u).toDF("u").select(UrlFunctions.canonicalizeUrl(col("u")))
+      .collect().head.getString(0)
+
+  test("canonicalizeUrl: case, www, default ports, fragments, tracking " +
+      "params, param order, trailing slashes") {
+    assert(canon("HTTPS://WWW.Ex.COM:443/A/b/?z=2&utm_source=x&a=1#top")
+      == "https://ex.com/A/b?a=1&z=2")
+    assert(canon("http://ex.com:80/") == "http://ex.com")
+    // non-default port survives; other schemes keep their port
+    assert(canon("http://ex.com:8080/p") == "http://ex.com:8080/p")
+    assert(canon("ftp://ex.com:80/p") == "ftp://ex.com:80/p")
+    // tracking-only query drops the '?'; fragment-only URL loses it
+    assert(canon("https://ex.com/p?fbclid=abc") == "https://ex.com/p")
+    assert(canon("https://ex.com/p#frag") == "https://ex.com/p")
+    // empty path root; duplicate params both kept, sorted
+    assert(canon("https://ex.com?b=1&a=2&a=1") == "https://ex.com?a=1&a=2&b=1")
+    // not URL-shaped → unchanged
+    assert(canon("not a url") == "not a url")
+    assert(canon("mailto:a@b.c") == "mailto:a@b.c")
+  }
+
+  test("domainBlocklistFilter: exact and subdomain suffix matches drop, " +
+      "lookalike hosts and null hosts survive") {
+    val df = Seq(
+      (1L, "bad.com"), (2L, "a.bad.com"), (3L, "deep.a.bad.com"),
+      (4L, "notbad.com"), (5L, "bad.com.evil.org"), (6L, "good.org"),
+      (7L, null.asInstanceOf[String]))
+      .toDF("id", "host")
+    val block = Seq("bad.com", "BLOCKED.net").toDF("domain")
+    val kept = UrlFunctions.domainBlocklistFilter(df, "id", col("host"),
+        block, "domain")
+      .collect().map(_.getLong(0)).toSet
+    // 1-3 match bad.com (exact + suffix); 4 is a lookalike (no dot
+    // boundary); 5's suffix list is [bad.com.evil.org, com.evil.org,
+    // evil.org, org] — bad.com is NOT a suffix; 7 null host kept
+    assert(kept == Set(4L, 5L, 6L, 7L))
+  }
+}
