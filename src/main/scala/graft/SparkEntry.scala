@@ -2258,6 +2258,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X163 — embedding projection: PCA/whitening APPLY with an exact
+    // power-of-two component matrix, exploded to (vec, dim, value)
+    "q171_project" -> { (s, dir) =>
+      val d = 8
+      val comps = (0 until 4).map(j =>
+        (0 until d).map(i => ((i + j) % 5 - 2) * 0.25))
+      graft.similarity.Similarity.projectEmbeddings(
+          t(s, dir, "embeddings").select(col("vec_id"),
+            expr(s"slice(embedding, 1, $d)").as("v8")),
+          "v8", comps)
+        .select(col("vec_id"),
+          posexplode(col("projected")).as(Seq("j", "y")))
+        .orderBy(col("vec_id"), col("j"))
+    },
+
+    // X132+X20+X42 composition — entity resolution end-to-end: blocked
+    // linkage scoring → connected components → best-survivor pick
+    "q172_er_pipeline" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val base = c.select(col("c_custkey").as("id"), col("c_nationkey"),
+        col("c_mktsegment"), col("c_name"), col("c_acctbal"))
+      val dirty = c.select((col("c_custkey") + 100000L).as("id"),
+        col("c_nationkey"), col("c_mktsegment"),
+        when(col("c_custkey") % 7 === 0, upper(col("c_name")))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("c_custkey") % 11 === 0, col("c_acctbal") + 1d)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      val corpus = base.unionByName(dirty)
+      val pairs = graft.ops.Relational.linkageScore(corpus, "id",
+          corpus, "id", Seq("c_nationkey", "c_mktsegment"),
+          Seq(("c_name", 5L), ("c_acctbal", 2L)), minScore = 5L)
+        .filter(col("id_a") < col("id_b"))
+      graft.ops.Graph.keepBest(corpus, "id", pairs, "id_a", "id_b",
+          col("c_acctbal"))
+        .select(col("id"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_name"), col("c_acctbal"), col("cluster_id"),
+          col("cluster_size"))
+        .orderBy(col("id"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -6257,6 +6297,67 @@ object SparkEntry {
         |      THEN '?' || array_to_string(params, '&') ELSE '' END
         |    AS canon
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same exact power-of-two matrix as the builder; list_prepend(0.0)
+    // gives DuckDB's fold the same (((0+x1)+x2)...) bracketing as
+    // Spark's aggregate, so doubles match bit-for-bit
+    "q171_project" -> {
+      val comps = (0 until 4).map(j =>
+        (0 until 8).map(i => ((i + j) % 5 - 2) * 0.25))
+      val rows = comps.zipWithIndex.map { case (c, j) =>
+        s"($j, [${c.mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH m(j, c) AS (VALUES $rows)
+         |SELECT e.vec_id, m.j,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(generate_series(1, 8),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * m.c[i])),
+         |    (a, b) -> a + b) AS y
+         |FROM embeddings e, m
+         |ORDER BY e.vec_id, m.j""".stripMargin
+    },
+
+    "q172_er_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT c_custkey AS id, c_nationkey, c_mktsegment, c_name,
+        |    c_acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, c_nationkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN upper(c_name)
+        |      ELSE c_name END,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 1
+        |      ELSE c_acctbal END
+        |  FROM customer
+        |), pairs AS (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM corpus a JOIN corpus b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment AND a.id < b.id
+        |  WHERE (CASE WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+        |      THEN 5 ELSE 0 END
+        |    + CASE WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+        |      THEN 2 ELSE 0 END) >= 5
+        |), lab AS (
+        |  -- generic CC unnecessary: the construction yields clusters of
+        |  -- size <= 2, where min(id, min partner) IS the component label
+        |  SELECT c.id, least(c.id, coalesce(min(
+        |    CASE WHEN p.ia = c.id THEN p.ib ELSE p.ia END), c.id))
+        |    AS cluster_id
+        |  FROM corpus c LEFT JOIN pairs p ON p.ia = c.id OR p.ib = c.id
+        |  GROUP BY c.id
+        |), ranked AS (
+        |  SELECT c.*, l.cluster_id,
+        |    CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+        |      AS cluster_size,
+        |    row_number() OVER (PARTITION BY l.cluster_id
+        |      ORDER BY c.c_acctbal DESC, c.id) AS rn
+        |  FROM corpus c JOIN lab l ON l.id = c.id
+        |)
+        |SELECT id, c_nationkey, c_mktsegment, c_name, c_acctbal,
+        |  cluster_id, cluster_size
+        |FROM ranked WHERE rn = 1
+        |ORDER BY id""".stripMargin,
 
     "q170_domain_block" ->
       """WITH d AS (

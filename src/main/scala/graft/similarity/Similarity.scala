@@ -402,6 +402,49 @@ object Similarity {
       .withColumn("suspect", col("agree_ppm") < minAgreePpm)
   }
 
+  /** Apply a dense linear projection to an embedding column — the
+    * serving-side half of [[covarianceMatrix]]'s PCA/whitening prep:
+    * once components are solved offline from the Gram matrix, every
+    * vector maps through `y_j = Σ_i v_i · C_j,i` to `k` dimensions —
+    * dimensionality reduction before indexing (a 768→128 projection is
+    * a 6× ANN memory/bandwidth cut), whitening, or a learned linear
+    * adapter. `components` is k rows × d columns, passed as a plan
+    * LITERAL (a k×d float block is kilobytes — it ships inside the
+    * serialized plan to every task; no join, no broadcast variable).
+    *
+    * Determinism: each output coordinate is ONE sequential left-to-right
+    * fold over the input dimensions — a fixed IEEE evaluation order both
+    * here and in any engine that folds lists sequentially — so results
+    * are bit-identical, not merely close. Input dimension mismatches
+    * fail fast in-plan (`raise_error`) rather than silently truncating
+    * a dot product.
+    *
+    * Scale shape: entirely scan-local, O(k·d) multiplies per row inside
+    * one codegen'd projection; the corpus is never shuffled — run it at
+    * ingest and persist the projected column beside (or instead of) the
+    * original.
+    */
+  def projectEmbeddings(df: DataFrame, vecCol: String,
+      components: Seq[Seq[Double]], outCol: String = "projected")
+      : DataFrame = {
+    require(components.nonEmpty, "projectEmbeddings needs components")
+    val d = components.head.size
+    require(d >= 1 && components.forall(_.size == d),
+      "components must be a rectangular k x d matrix")
+    val v = col(vecCol)
+    val guard = when(size(v) === d, v.cast("array<double>"))
+      .otherwise(expr(
+        s"raise_error(concat('projectEmbeddings: input dim ', " +
+          s"cast(size($vecCol) as string), ' != component dim $d'))"))
+    df.withColumn("__pv", guard)
+      .withColumn(outCol, array(components.map { c =>
+        aggregate(
+          zip_with(col("__pv"), typedLit(c), (x, w) => x * w),
+          lit(0.0d), (acc, x) => acc + x)
+      }: _*))
+      .drop("__pv")
+  }
+
   /** Embedding-column hygiene audit — the gate an ANN/vector pipeline
     * runs before indexing a new drop: ragged dimensions (one 512-d
     * vector in a 768-d corpus corrupts every dot product silently),

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming heavy hitters per key — Misra–Gries summaries maintained
+  * with `flatMapGroupsWithState` (SURVEY §2.7): the "what's trending
+  * right now" monitor (top URLs per site, top error messages per
+  * service, top queries per tenant) with HARD bounded state where a
+  * naive per-item count grows with the universe.
+  *
+  * State per key is ≤ k−1 (item, counter) pairs plus a total — the
+  * classic deterministic guarantee: after n items, every item with true
+  * frequency > n/k is IN the summary, and each reported estimate is an
+  * under-count by at most n/k (`est ≤ true ≤ est + n/k`). Exactly the
+  * contract a trending dashboard needs; for exact counts over a bounded
+  * window use the windowed batch aggregations. Summaries are emitted in
+  * Update mode after every batch the key appears in, heaviest first,
+  * with `n` alongside so the consumer can apply the error bound.
+  *
+  * In-batch items fold in source order (same convention as
+  * [[StreamingLateness]]); with watermarked keys pass a timeout to drop
+  * closed keys.
+  */
+object StreamingHeavyHitters {
+
+  /** Misra–Gries state: surviving counters and the total item count. */
+  final case class HHState(counters: Map[String, Long], n: Long)
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, String], k: Int,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[HHState],
+      e: Encoder[(K, String, Long, Long)])
+      : Dataset[(K, String, Long, Long)] = {
+    require(k >= 2, s"k must be >= 2: $k")
+    grouped.flatMapGroupsWithState[HHState, (K, String, Long, Long)](
+      OutputMode.Update, timeout) {
+      (key: K, items: Iterator[String], state: GroupState[HHState]) =>
+        var s = state.getOption.getOrElse(HHState(Map.empty, 0L))
+        items.foreach { it =>
+          val c = s.counters
+          s =
+            if (c.contains(it)) HHState(c.updated(it, c(it) + 1L), s.n + 1)
+            else if (c.size < k - 1) HHState(c.updated(it, 1L), s.n + 1)
+            else HHState(
+              c.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap, s.n + 1)
+        }
+        state.update(s)
+        s.counters.toSeq.sortBy { case (it, v) => (-v, it) }
+          .iterator.map { case (it, v) => (key, it, v, s.n) }
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -133,6 +133,22 @@ class SimilarityJoinSpec extends SparkSpec {
       (2L, "A", 1L, 1L, 1000000L, false)))
   }
 
+  test("projectEmbeddings: known matrix product, dim mismatch raises") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(0.0f, -1.0f, 1.0f))).toDF("vec_id", "v")
+    val comps = Seq(Seq(1.0, 0.0, 0.0), Seq(0.5, 0.5, -0.5))
+    val got = Similarity.projectEmbeddings(df, "v", comps)
+      .orderBy($"vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2))
+    assert(got(0) == 1L -> Seq(1.0, 0.0))   // [1, (0.5+1-1.5)=0]
+    assert(got(1) == 2L -> Seq(0.0, -1.0))  // [0, (0-0.5-0.5)]
+    val bad = Seq((3L, Array(1.0f))).toDF("vec_id", "v")
+    val err = intercept[Exception] {
+      Similarity.projectEmbeddings(bad, "v", comps).collect()
+    }
+    assert(err.getMessage.contains("projectEmbeddings"))
+  }
+
   test("embeddingAudit: ragged dims, zero/nonfinite/unnormalized vectors " +
       "each counted once, null and empty flagged") {
     val vecs: Seq[(Long, Option[Array[Float]])] = Seq(

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingHeavyHitters
+
+class StreamingHeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("misra-gries: bounded counters, heavy item survives across " +
+      "batches, estimates within n/k of truth") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val k = 4 // ≤ 3 counters per key; error bound n/4
+    val q = StreamingHeavyHitters.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2), k)
+      .toDF("key", "item", "est", "n")
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(StreamingHeavyHitters.outputMode)
+      .start()
+
+    // skewed stream: 'hot' is 10 of 16 items, noise spread over 6 values
+    val noise = Seq("a", "b", "c", "d", "e", "f")
+    in.addData((Seq.fill(5)("hot") ++ noise.take(3)).map("k1" -> _): _*)
+    q.processAllAvailable()
+    in.addData((Seq.fill(5)("hot") ++ noise.drop(3)).map("k1" -> _): _*)
+    q.processAllAvailable()
+
+    val rows = spark.table("hh_out").as[(String, String, Long, Long)]
+      .collect()
+    val last = rows.filter(_._4 == 16L) // final-batch emission
+    assert(last.nonEmpty && last.length <= k - 1) // bounded summary
+    val hot = last.find(_._2 == "hot").get
+    // true count 10, n/k = 4 → estimate in [6, 10]
+    assert(hot._3 <= 10L && hot._3 >= 10L - 16L / k)
+    // a frequency > n/k item is guaranteed present; it must lead
+    assert(last.maxBy(_._3)._2 == "hot")
+    q.stop()
+  }
+}
