@@ -2298,6 +2298,35 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    // X164 — Luhn-gated PII: valid card → <CARD>, invalid run → <NUM>
+    "q173_pii_luhn" -> { (s, dir) =>
+      val txt = concat(col("text"),
+        lit(" card 4539578763621486 notcard 1234567890123456" +
+          " mail a@b.io ip 10.0.0.1 num 9999999999"))
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.text.TextFunctions.redactPiiLuhn(txt).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X165 — field-level survivorship: each field independently from
+    // the highest-priority source that has it
+    "q174_survivorship" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val s1 = c.select(col("c_custkey").as("id"), lit(1L).as("prio"),
+        lit(1L).as("tie"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("name"),
+        col("c_acctbal").as("bal"))
+      val s2 = c.select(col("c_custkey").as("id"), lit(2L).as("prio"),
+        lit(2L).as("tie"),
+        concat(col("c_name"), lit("-crm")).as("name"),
+        when(col("c_custkey") % 2 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal") + 10d).as("bal"))
+      graft.ops.Relational.survivorshipMerge(s1.unionByName(s2),
+          Seq("id"), col("prio"), col("tie"), Seq("name", "bal"))
+        .orderBy(col("id"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -6358,6 +6387,69 @@ object SparkEntry {
         |  cluster_id, cluster_size
         |FROM ranked WHERE rn = 1
         |ORDER BY id""".stripMargin,
+
+    "q173_pii_luhn" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, text || ' card 4539578763621486 notcard' ||
+        |    ' 1234567890123456 mail a@b.io ip 10.0.0.1' ||
+        |    ' num 9999999999' AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, list_reduce(list_prepend(t,
+        |    list_filter(list_distinct(regexp_extract_all(t,
+        |      '[0-9]{13,19}')),
+        |      cd -> list_reduce(list_prepend(0, list_transform(
+        |          generate_series(1, length(cd)), i ->
+        |          CASE WHEN (length(cd) - i + 1) % 2 = 1
+        |            THEN CAST(substr(cd, i, 1) AS INT)
+        |            ELSE CASE
+        |              WHEN CAST(substr(cd, i, 1) AS INT) * 2 > 9
+        |              THEN CAST(substr(cd, i, 1) AS INT) * 2 - 9
+        |              ELSE CAST(substr(cd, i, 1) AS INT) * 2 END END)),
+        |          (a, b) -> a + b) % 10 = 0)),
+        |    (acc, x) -> replace(acc, x, '<CARD>')) AS t
+        |  FROM t0
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{9,}', '<NUM>', 'g') AS clean
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q174_survivorship" ->
+      """WITH cust AS (
+        |  SELECT c_custkey AS id, CAST(1 AS BIGINT) AS prio,
+        |    CAST(1 AS BIGINT) AS tie,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END
+        |      AS name,
+        |    c_acctbal AS bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 2, 2, c_name || '-crm',
+        |    CASE WHEN c_custkey % 2 = 0 THEN NULL
+        |      ELSE c_acctbal + 10 END
+        |  FROM customer
+        |), g AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM cust GROUP BY 1
+        |), nm AS (
+        |  SELECT id, name FROM (
+        |    SELECT id, name, row_number() OVER (PARTITION BY id
+        |      ORDER BY prio DESC, tie DESC) AS rn
+        |    FROM cust WHERE name IS NOT NULL)
+        |  WHERE rn = 1
+        |), bl AS (
+        |  SELECT id, bal FROM (
+        |    SELECT id, bal, row_number() OVER (PARTITION BY id
+        |      ORDER BY prio DESC, tie DESC) AS rn
+        |    FROM cust WHERE bal IS NOT NULL)
+        |  WHERE rn = 1
+        |)
+        |SELECT g.id, nm.name, bl.bal, g.n_sources
+        |FROM g LEFT JOIN nm ON nm.id = g.id LEFT JOIN bl ON bl.id = g.id
+        |ORDER BY g.id""".stripMargin,
 
     "q170_domain_block" ->
       """WITH d AS (

@@ -1118,6 +1118,33 @@ object Relational {
       .drop("__off")
   }
 
+  /** Field-level survivorship merge — the MDM/golden-record step after
+    * entity resolution: one output row per key where EACH FIELD
+    * independently takes its value from the highest-priority source
+    * that has it non-null ([[graft.ops.Graph.keepBest]] picks one whole
+    * ROW per cluster; survivorship composes the best fields across
+    * rows — CRM name, billing address, warehouse balance). Winner per
+    * field = max (priority, tie) among rows where the field is
+    * non-null; pass a unique tiebreaker (the engine-wide contract) for
+    * determinism. Output: keys, merged fields, `n_sources`.
+    *
+    * Scale shape: ONE map-side-combined aggregation — each field is a
+    * `max(struct(priority, tie, value))` over its non-null rows (null
+    * rows contribute a null struct, which max ignores), O(1) state per
+    * (key, field); no window, no self-join, no per-source pass.
+    */
+  def survivorshipMerge(df: DataFrame, keyCols: Seq[String],
+      priorityCol: Column, tieCol: Column,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "survivorshipMerge needs fields")
+    val aggs = fields.map { f =>
+      max(when(col(f).isNotNull,
+        struct(priorityCol.as("p"), tieCol.as("t"), col(f).as("v"))))
+        .getField("v").as(f)
+    } :+ count(lit(1)).as("n_sources")
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Join-cardinality estimate — the pre-flight audit run BEFORE a big
     * join ships: exact inner-join output size Σ n_left(k)·n_right(k)
     * from per-key histograms, the heaviest single key's contribution,

@@ -139,6 +139,48 @@ object TextFunctions {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** Luhn-checksum validation of a digit string — the precision upgrade
+    * for payment-card PII scrubbing: a bare "13–19 digits" regex
+    * ([[redactPii]]'s <NUM> pass) also hits order ids, timestamps, and
+    * hashes, while every real card number satisfies Luhn mod-10; gating
+    * the redaction on the checksum cuts the false-positive mass without
+    * losing a single well-formed card. Pure integer column arithmetic
+    * over the digit array (reversed-position doubling via the classic
+    * `d*2 > 9 → d*2 − 9` fold) — engine-portable, no UDF. Non-digit or
+    * empty input → false.
+    */
+  def luhnValid(digits: Column): Column = {
+    val ds = filter(split(digits, ""), c => c =!= "")
+    val n = size(ds)
+    val total = aggregate(
+      zip_with(ds, sequence(lit(1), greatest(n, lit(1))), (c, i) => {
+        val d = c.cast("int")
+        // position from the RIGHT, 1-based: odd → keep, even → double
+        val fromRight = n - i + 1
+        when(fromRight % 2 === 1, d)
+          .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+      }),
+      lit(0), (acc, x) => acc + x)
+    n > 0 && digits.rlike("^[0-9]+$") && total % 10 === 0
+  }
+
+  /** [[redactPii]] with Luhn-gated card redaction: 13–19 digit runs are
+    * replaced with `<CARD>` only when the checksum holds; everything
+    * else follows the standard pattern passes (emails first, then IPs,
+    * then long digit runs). The card pass runs BEFORE the generic
+    * number pass so surviving invalid runs still fall through to
+    * `<NUM>`. Scan-local: one regexp_extract_all + a per-candidate
+    * integer fold + one replace loop over the (few) candidates per row.
+    */
+  def redactPiiLuhn(text: Column): Column = {
+    val cards = filter(
+      array_distinct(regexp_extract_all(text, lit("[0-9]{13,19}"), lit(0))),
+      c => luhnValid(c))
+    val carded = aggregate(cards, text,
+      (acc, c) => replace(acc, c, lit("<CARD>")))
+    redactPii(carded)
+  }
+
   /** Strip HTML/XML markup down to visible text — the first pass over
     * any crawled corpus (boilerplate removal and quality scoring both
     * assume prose, not tag soup). Removes script/style/comment blocks

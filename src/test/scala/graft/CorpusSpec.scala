@@ -480,6 +480,20 @@ class CorpusSpec extends SparkSpec {
       "z" -> (1L, 3L, 0L, 0L, 0L)))
   }
 
+  test("luhnValid + redactPiiLuhn: checksum gates <CARD>, invalid runs " +
+      "fall through to <NUM>, other passes unchanged") {
+    import graft.text.TextFunctions
+    val v = Seq("4539578763621486", "1234567890123456", "79927398713", "")
+      .toDF("d").select(TextFunctions.luhnValid(col("d")))
+      .collect().map(_.getBoolean(0))
+    assert(v.toSeq == Seq(true, false, true, false))
+    val txt = Seq("pay 4539578763621486 or 1234567890123456 " +
+      "to x@y.zz at 1.2.3.4").toDF("text")
+    val out = txt.select(TextFunctions.redactPiiLuhn(col("text")))
+      .collect().head.getString(0)
+    assert(out == "pay <CARD> or <NUM> to <EMAIL> at <IP>")
+  }
+
   test("cdcChunks: lossless ordered partition, boundaries only on " +
       "mask-hit tokens, prefix insertion only disturbs the head") {
     val words = Vector.tabulate(80)(i => s"tok$i")

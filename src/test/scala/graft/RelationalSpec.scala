@@ -686,6 +686,25 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(b"), plan)
   }
 
+  test("survivorshipMerge: per-field best non-null source, priority " +
+      "then tie, all-null field stays null") {
+    val rows = Seq(
+      // key 1: name only in low-prio source, bal in both → bal from hi
+      (1L, 1L, 10L, Some("low-name"), Some(5.0)),
+      (1L, 2L, 20L, None: Option[String], Some(9.0)),
+      // key 2: equal priority → tie decides; bal nowhere → null
+      (2L, 1L, 10L, Some("a"), None: Option[Double]),
+      (2L, 1L, 11L, Some("b"), None: Option[Double]))
+      .toDF("id", "prio", "tie", "name", "bal")
+    val got = Relational.survivorshipMerge(rows, Seq("id"),
+        col("prio"), col("tie"), Seq("name", "bal"))
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)),
+        r.getLong(3)))
+    assert(got(0) == ((1L, "low-name", Some(9.0), 2L)))
+    assert(got(1) == ((2L, "b", None, 2L)))
+  }
+
   test("joinCardinality: exact Σ n·m, max key, nulls excluded, " +
       "disjoint keys -> zero estimate") {
     val l = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None)
