@@ -2327,6 +2327,50 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    // X166 — global concurrency of 30-min-gap user sessions (each
+    // active a trailing minute past its last event): the sweep-line
+    // change timeline, peak concurrency = max(conc)
+    "q175_concurrency" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val gapNs = col("ts_ns") - lag(col("ts_ns"), 1).over(w)
+      val newSession = when(
+        gapNs.isNull || gapNs > lit(30L * 60 * 1000 * 1000 * 1000), 1)
+        .otherwise(0)
+      val sessions = events(s, dir)
+        .withColumn("__sess", sum(newSession).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("__sess"))
+        .agg(nsToMicros(min(col("ts_ns"))).as("start_us"),
+          (nsToMicros(max(col("ts_ns"))) + 60000000L).as("end_us"))
+      graft.ops.TimeSeries.intervalConcurrency(sessions, Nil,
+          col("start_us"), col("end_us"), bucketUs = 86400000000L)
+        .orderBy(col("ts"))
+    },
+
+    // X167 — inverted index over documents, postings capped at 20 ids
+    "q176_inverted" -> { (s, dir) =>
+      graft.text.Corpus.invertedIndex(
+          t(s, dir, "documents"), "text", "doc_id", maxPostings = 20)
+        .orderBy(col("term"))
+    },
+
+    // X168 — purchase-value series linearly interpolated at each error
+    // event's timestamp, per user
+    "q177_interp_at" -> { (s, dir) =>
+      val e = events(s, dir)
+      val series = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), nsToMicros(col("ts_ns")).as("ts_us"),
+          col("value"))
+      val probes = e.filter(col("event_type") === "error")
+        .select(col("user_id"), nsToMicros(col("ts_ns")).as("ts_us"),
+          col("event_id"))
+      graft.ops.TimeSeries.interpolateAt(series, probes,
+          Seq("user_id"), "ts_us", "value")
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -6468,5 +6512,88 @@ object SparkEntry {
         |SELECT d.doc_id, d.host FROM d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM hit)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q175_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid,
+        |    ts_us
+        |  FROM g
+        |), iv AS (
+        |  SELECT min(ts_us) AS start_us, max(ts_us) + 60000000 AS end_us
+        |  FROM sess GROUP BY user_id, sid
+        |), b AS (
+        |  SELECT start_us AS ts, CAST(1 AS BIGINT) AS d FROM iv
+        |  UNION ALL
+        |  SELECT end_us, CAST(-1 AS BIGINT) FROM iv
+        |), grid AS (
+        |  SELECT ts, CAST(sum(d) AS BIGINT) AS delta
+        |  FROM b GROUP BY ts HAVING sum(d) <> 0
+        |)
+        |SELECT ts, delta,
+        |  CAST(sum(delta) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS conc
+        |FROM grid ORDER BY ts""".stripMargin,
+
+    "q176_inverted" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split_regex(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> ''))) AS term
+        |  FROM documents
+        |), p AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    list_sort(list(doc_id)) AS ids
+        |  FROM tok GROUP BY term
+        |)
+        |SELECT term, df,
+        |  array_to_string(list_slice(ids, 1, 20), ',') AS postings,
+        |  df > 20 AS truncated
+        |FROM p ORDER BY term""".stripMargin,
+
+    "q177_interp_at" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS tu, value AS v, 0 AS o,
+        |    CAST(NULL AS BIGINT) AS event_id
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), NULL, 1, event_id
+        |  FROM events WHERE event_type = 'error'
+        |), w AS (
+        |  SELECT user_id, tu, o, event_id,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY tu, o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tu, o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo_ts,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY tu DESC, o DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tu DESC, o DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi_ts
+        |  FROM u
+        |)
+        |SELECT user_id, tu AS ts_us, event_id, lo_ts, hi_ts,
+        |  CASE WHEN lo_ts = tu THEN lv
+        |       WHEN lv IS NOT NULL AND hv IS NOT NULL
+        |       THEN lv + (hv - lv)
+        |         * (CAST(tu - lo_ts AS DOUBLE)
+        |            / CAST(hi_ts - lo_ts AS DOUBLE))
+        |       ELSE NULL END AS interp
+        |FROM w WHERE o = 1
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
   )
 }

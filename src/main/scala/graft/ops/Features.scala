@@ -493,4 +493,106 @@ object Features {
           .otherwise(least(greatest(valueCol.cast("double"),
             col("lo")), col("hi"))))
   }
+
+  /** Exact per-group ROC AUC — the standard eval for every quality /
+    * toxicity / relevance classifier the pipeline gates on, computed
+    * EXACTLY via the Mann–Whitney rank-sum identity (AUC = U / n₊n₋)
+    * instead of a sampled or binned curve. Ties get textbook midrank
+    * treatment, kept integral by DOUBLING: a tied block of n values
+    * after c smaller ones has doubled-midrank 2c + n + 1, so
+    * 2U = Σ₊(2·midrank) − n₊(n₊+1) stays in integer arithmetic end to
+    * end and `auc_ppm = ⌊10⁶·2U / (2n₊n₋)⌋` is engine-portable — no
+    * float rank sums to disagree on. Output per group: `n_pos`,
+    * `n_neg`, `auc_ppm` (null when a group lacks both classes — AUC is
+    * undefined, not 0). Rows with null score or label are dropped
+    * (unscored rows can't rank). AUC of a random scorer ≈ 500000; 1e6 =
+    * perfect separation.
+    *
+    * Scale shape: rows collapse MAP-SIDE to (group, distinct score)
+    * grain with per-score (n, n₊) counts; the cumulative-count window
+    * runs over score-grain rows only (never raw rows), and the final
+    * per-group aggregate is map-side combined. Products route through
+    * decimal(38,0) — n up to 10¹² makes Σ n₊·rank ≈ 10²⁴, past long.
+    */
+  def groupAuc(df: DataFrame, groupCols: Seq[String], scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val perScore = df
+      .filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .groupBy(gs :+ scoreCol.cast("double").as("__s"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(labelCol.cast("boolean").cast("long")).as("__np"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val ranked = perScore.withColumn("__c",
+        coalesce(sum(col("__n")).over(wCum), lit(0L)))
+      .withColumn("__r2",
+        lit(2L) * col("__c") + col("__n") + lit(1L))
+    ranked.groupBy(gs: _*)
+      .agg(sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"),
+        sum(col("__np").cast(d38) * col("__r2").cast(d38)).as("__s2"))
+      .withColumn("auc_ppm",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          graft.functions.Exact.longDiv(
+            (col("__s2") - col("n_pos").cast(d38) *
+              (col("n_pos") + 1L).cast(d38)) * lit(1000000L),
+            lit(2L).cast(d38) * col("n_pos").cast(d38) *
+              col("n_neg").cast(d38)).cast("long")))
+      .select(gs ++ Seq(col("n_pos"), col("n_neg"), col("auc_ppm")): _*)
+  }
+
+  /** ECDF percentile-rank scoring against a REFERENCE distribution —
+    * "where does this value sit in last month's distribution?", the
+    * building block of drift gating, anomaly triage, and percentile
+    * normalization against a frozen baseline ([[rankNormalize]] ranks a
+    * table within ITSELF; this scores new rows against a different
+    * one). Each probe row gets `pct_ppm = ⌊10⁶ · |{ref ≤ v}| / n_ref⌋`
+    * per key — the exact empirical CDF, right-continuous, 0 below the
+    * reference minimum, 10⁶ at-or-above the maximum — plus `n_ref` (0
+    * ⇒ null pct: no distribution to rank in). Null probe values pass
+    * through with null pct.
+    *
+    * Scale shape: the reference collapses MAP-SIDE to (key, distinct
+    * value) grain, a window over value-grain rows only makes it a
+    * cumulative CDF table, and probes match via
+    * [[graft.ops.TimeSeries.asofJoinBackward]]'s union sort-merge (ONE
+    * key exchange, running-frame carry) — never a per-probe reference
+    * scan or a range join.
+    */
+  def ecdfScore(ref: DataFrame, probes: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val gs = keyCols.map(col)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val grain = ref.filter(col(valueCol).isNotNull)
+      .groupBy(gs :+ col(valueCol).cast("double").as(valueCol): _*)
+      .agg(count(lit(1)).as("__n"))
+    val steps = grain
+      .withColumn("__cum", sum(col("__n")).over(wCum))
+      .withColumn("__nref", sum(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)))
+      .select(gs ++ Seq(col(valueCol), col("__cum"), col("__nref")): _*)
+    // a −∞ sentinel per key gives below-minimum probes a match too:
+    // cum 0, n_ref carried — pct 0, never a spurious "no distribution"
+    val sentinel = grain.groupBy(gs: _*).agg(sum(col("__n")).as("__nref"))
+      .select(gs ++ Seq(lit(Double.NegativeInfinity).as(valueCol),
+        lit(0L).as("__cum"), col("__nref")): _*)
+    graft.ops.TimeSeries.asofJoinBackward(
+        probes.withColumn(valueCol, col(valueCol).cast("double")),
+        steps.unionByName(sentinel), valueCol, keyCols,
+        Seq("__cum", "__nref"))
+      .withColumn("n_ref", col("__nref"))
+      .withColumn("pct_ppm",
+        when(col(valueCol).isNull || col("n_ref").isNull,
+          lit(null).cast("long"))
+          .otherwise(graft.functions.Exact.longDiv(
+            col("__cum") * 1000000L, col("n_ref"))))
+      .drop("__cum", "__nref")
+  }
 }

@@ -630,4 +630,174 @@ object TimeSeries {
         count(lit(1)).as("n"),
         sum(v.cast(DecimalType(18, 2))).cast("double").as("vol"))
   }
+
+  /** Interval concurrency via sweep line — from (keys…, [start, end))
+    * intervals, the exact concurrency timeline: one row per (keys, ts)
+    * where the number of open intervals CHANGES, with `delta` (net
+    * opens − closes at that instant) and `conc` (open intervals on
+    * [ts, next ts)). Answers "how many sessions / shipments / jobs were
+    * open at once" — peak concurrency is `max(conc)` — without the
+    * O(n²) self-join that "count intervals overlapping each interval"
+    * naively writes. Intervals are half-open: an interval ending at t
+    * does not overlap one starting at t, and a zero-length interval
+    * (start == end) contributes nothing; callers wanting closed
+    * semantics pass `end + ε`. `end < start` is corrupt input and
+    * raises in-plan rather than silently producing negative
+    * concurrency.
+    *
+    * Scale shape: each interval explodes to exactly two (ts, ±1)
+    * boundary rows, which collapse MAP-SIDE to (keys, bucket, ts)
+    * grain before anything shuffles. The running sum is the denseIds
+    * two-phase prefix sum ([[graft.ops.Relational.denseIds]]), not one
+    * global-order window: a window partitioned by (keys, ts div
+    * `bucketUs`) computes bucket-local running sums in parallel, the
+    * |keys × buckets|-grain net-change frame gets its own tiny window
+    * for cross-bucket offsets, and the offsets broadcast back. One
+    * full-data exchange + one map-side-combined aggregate; per-task
+    * sort is bucket-sized. Pick `bucketUs` so buckets ≈ partition-sized
+    * (a day of boundaries, a crawl shard) — same granularity contract
+    * as denseIds.
+    */
+  def intervalConcurrency(df: DataFrame, keyCols: Seq[String],
+      startUs: Column, endUs: Column, bucketUs: Long): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1: $bucketUs")
+    val s = startUs.cast("long")
+    val e0 = endUs.cast("long")
+    val e = when(e0 < s, raise_error(concat(
+        lit("intervalConcurrency: end < start: "), e0.cast("string"),
+        lit(" < "), s.cast("string"))))
+      .otherwise(e0)
+    val keys = keyCols.map(col)
+    val bounds = df
+      .select(keys :+ explode(array(
+        struct(s.as("ts"), lit(1L).as("d")),
+        struct(e.as("ts"), lit(-1L).as("d")))).as("__b"): _*)
+      .select(keys ++ Seq(col("__b.ts").as("ts"), col("__b.d").as("__d"),
+        graft.functions.Exact.longDiv(col("__b.ts"), bucketUs)
+          .as("__bkt")): _*)
+    // boundary grain: net delta per instant (zero-length intervals and
+    // balanced open/close cancel here and are dropped — every output
+    // row is a real concurrency change)
+    val grid = bounds
+      .groupBy(keys ++ Seq(col("__bkt"), col("ts")): _*)
+      .agg(sum(col("__d")).as("delta"))
+      .filter(col("delta") =!= 0L)
+    val wLocal = Window.partitionBy(keys :+ col("__bkt"): _*)
+      .orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOff = Window.partitionBy(keys: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = grid.groupBy(keys :+ col("__bkt"): _*)
+      .agg(sum(col("delta")).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select(keys ++ Seq(col("__bkt"), col("__off")): _*)
+    grid.join(broadcast(offs), keyCols :+ "__bkt")
+      .withColumn("conc", col("__off") + sum(col("delta")).over(wLocal))
+      .select(keys ++ Seq(col("ts"), col("delta"), col("conc")): _*)
+  }
+
+  /** Linear interpolation AT probe timestamps — the sampled-enrichment
+    * sibling of [[asofJoinBackward]] (which carries the stale last
+    * value) and [[interpolate]] (which fills a series' own grid): for
+    * each probe row, the series value linearly interpolated between the
+    * bracketing samples of the same key. `lo_ts`/`hi_ts` report the
+    * bracket (lo inclusive — a probe landing exactly on a sample gets
+    * that sample's value, and IEEE gives it exactly: Δt = 0 ⇒
+    * v = lo_v); probes before the first or after the last sample emit
+    * null (interpolation, not extrapolation — LOCF semantics are
+    * [[asofJoinBackward]]'s job). Null series values are dropped first
+    * (a null reading is a missing point, not a zero). Series must be
+    * unique per (keys, ts) — the caller dedups upstream
+    * ([[dedupKeepMostComplete]]); probe rows pass through whole, any
+    * payload, any multiplicity. The arithmetic is
+    * `lo + (hi − lo) · ((t − t₀) / (t₁ − t₀))` — one rounding per
+    * operation, same bracketing on any IEEE engine, so results are
+    * bit-portable.
+    *
+    * Scale shape: the sort-merge trick every as-of here uses — union
+    * samples and probes, ONE exchange on the key, two windows over the
+    * same partitioning (ascending for the left bracket, descending for
+    * the right — second sort, no second shuffle); running `last(…,
+    * ignoreNulls)` frames, O(1) state per row, never a range join or
+    * per-probe scan.
+    */
+  def interpolateAt(series: DataFrame, probes: DataFrame,
+      keyCols: Seq[String], tsCol: String, valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val payload = probes.columns.filterNot(c =>
+      keyCols.contains(c) || c == tsCol)
+    require(payload.nonEmpty,
+      "interpolateAt: probes need at least one payload column " +
+        "(a unique probe id) beyond keys and the timestamp")
+    val pType = probes.select(struct(payload.map(col): _*)).schema.head
+      .dataType
+    val su = series.filter(col(valueCol).isNotNull)
+      .select(keys ++ Seq(col(tsCol).cast("long").as("__ts"),
+        col(valueCol).cast("double").as("__v"), lit(0).as("__o"),
+        lit(null).cast(pType).as("__p")): _*)
+    val pu = probes
+      .select(keys ++ Seq(col(tsCol).cast("long").as("__ts"),
+        lit(null).cast("double").as("__v"), lit(1).as("__o"),
+        struct(payload.map(col): _*).as("__p")): _*)
+    val sampleTs = when(col("__v").isNotNull, col("__ts"))
+    // at equal ts the sample sorts BEFORE the probe ascending (the left
+    // bracket includes it) and before it descending too (the right
+    // bracket excludes it) — one `__o` flag encodes both sides
+    val wLo = Window.partitionBy(keys: _*)
+      .orderBy(col("__ts"), col("__o"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wHi = Window.partitionBy(keys: _*)
+      .orderBy(col("__ts").desc, col("__o").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val interp = when(col("lo_ts") === col("__ts"), col("__lv"))
+      .otherwise(col("__lv") + (col("__hv") - col("__lv")) *
+        ((col("__ts") - col("lo_ts")).cast("double") /
+          (col("hi_ts") - col("lo_ts")).cast("double")))
+    su.unionByName(pu)
+      .withColumn("__lv", last(col("__v"), ignoreNulls = true).over(wLo))
+      .withColumn("lo_ts", last(sampleTs, ignoreNulls = true).over(wLo))
+      .withColumn("__hv", last(col("__v"), ignoreNulls = true).over(wHi))
+      .withColumn("hi_ts", last(sampleTs, ignoreNulls = true).over(wHi))
+      .filter(col("__o") === 1)
+      .withColumn("interp", interp)
+      .select(keys ++ Seq(col("__ts").as(tsCol)) ++
+        payload.map(c => col(s"__p.$c").as(c)) ++
+        Seq(col("lo_ts"), col("hi_ts"), col("interp")): _*)
+  }
+
+  /** Segmented running balance with reset markers — the running-total
+    * ledger pattern (inventory since last stocktake, spend since last
+    * top-up, error mass since last deploy) where a marker row RESTARTS
+    * the accumulation: `segment` counts resets so far (0 before the
+    * first — a segment id, stable for joins), `balance` is the
+    * decimal-exact running sum of `deltaCol` within the current
+    * segment, the reset row itself opening its segment with its own
+    * delta. Ordering is (ts, tie) per key — pass a unique tiebreaker,
+    * the engine-wide windowed-op contract. Null deltas contribute 0
+    * (a marker or annotation row, not a movement).
+    *
+    * Scale shape: ONE key exchange. The segment id is a running count
+    * over the key sort; the balance window partitions by (key,
+    * segment) — hash partitioning on the key SUBSET already satisfies
+    * that clustered distribution (the [[graft.ops.Profile]] null-run
+    * trick), so Spark plans a re-sort, never a second shuffle. O(1)
+    * state per row, any segment length.
+    */
+  def balanceWithResets(df: DataFrame, keyCols: Seq[String], tsUs: Column,
+      tieCol: Column, deltaCol: Column, resetCol: Column,
+      valueScale: Int = 2): DataFrame = {
+    val keys = keyCols.map(col)
+    val wKey = Window.partitionBy(keys: _*)
+      .orderBy(tsUs.cast("long"), tieCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val staged = df.withColumn("segment",
+      sum(resetCol.cast("boolean").cast("long")).over(wKey))
+    val wSeg = Window.partitionBy(keys :+ col("segment"): _*)
+      .orderBy(tsUs.cast("long"), tieCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    staged.withColumn("balance",
+      sum(coalesce(deltaCol.cast(DecimalType(38, valueScale)),
+        lit(0).cast(DecimalType(38, valueScale)))).over(wSeg)
+        .cast("double"))
+  }
 }

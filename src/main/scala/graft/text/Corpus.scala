@@ -995,4 +995,40 @@ object Corpus {
       .select(col("slice"), col("term"), col("a").as("df_slice"),
         (col("df_t") - col("a")).as("df_rest"), col("score"))
   }
+
+  /** Inverted-index posting lists — the retrieval artifact behind every
+    * lexical search / BM25 / decontamination-lookup tier: per term, its
+    * document frequency and a doc-id-ordered posting list capped at
+    * `maxPostings` ids (the smallest ids — a deterministic truncation),
+    * plus `truncated` telling the consumer the cap bit. Presence, not
+    * term frequency: a doc lists once however often the term repeats
+    * (the tf side is [[termFrequencies]]). Postings emit as a
+    * comma-joined string — the interchange-friendly shape (and
+    * hash-comparable across engines); split on ',' to consume.
+    *
+    * Scale shape: distinct (term, doc) pairs collapse map-side; the cap
+    * runs BEFORE any per-term collect via rank-limit pushdown
+    * (`row_number ≤ k` → WindowGroupLimit, executors keep ≤ k ids per
+    * term per partition pre-shuffle), so a hot term ("the", df ≈ N)
+    * never materializes its full posting stream anywhere — the classic
+    * posting-list skew. df comes from its own map-side-combined count
+    * branch; both branches aggregate on `term`, so the final join reuses
+    * the hash partitioning, no extra exchange.
+    */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+      maxPostings: Int): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1: $maxPostings")
+    val pairs = df.select(col(idCol).as("__id"),
+      explode(array_distinct(TextFunctions.tokens(
+        TextFunctions.normalized(col(textCol))))).as("term"))
+    val counts = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val postings = graft.ops.Relational
+      .topKPerGroup(pairs, Seq("term"), Seq(col("__id")), maxPostings)
+      .groupBy(col("term"))
+      .agg(array_join(sort_array(collect_list(col("__id"))), ",")
+        .as("postings"))
+    counts.join(postings, Seq("term"))
+      .select(col("term"), col("df"), col("postings"),
+        (col("df") > maxPostings).as("truncated"))
+  }
 }

@@ -93,4 +93,44 @@ object UrlFunctions {
       .select(col("__hid")).distinct()
     df.join(broadcast(hitIds), col(idCol) === col("__hid"), "left_anti")
   }
+
+  /** All absolute http(s) URLs in `text`, in order of appearance — a
+    * deliberately conservative token shape (letters/digits/dot/dash
+    * host, slash-path, `?query`) that stops at whitespace and at
+    * punctuation URLs don't legally contain, so prose like
+    * "(see https://a.com/x)." captures the URL without the `).`).
+    * Engine-portable: plain classes + non-capturing groups, no
+    * backreference/lookaround.
+    */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text,
+      lit("https?://[A-Za-z0-9][A-Za-z0-9.-]*" +
+        "(?:/[A-Za-z0-9%._/-]*)?(?:\\?[A-Za-z0-9%&=._-]*)?"), lit(0))
+
+  /** Per-document link profile — the crawl-quality signal family that
+    * link STRUCTURE carries and token statistics miss: link farms and
+    * boilerplate nav pages are link-dense with few distinct hosts,
+    * scraped link dumps are link-dense with many; both gate out on
+    * `link_ppm` (URLs per 10⁶ tokens) before any text model runs.
+    * Output per row: `n_urls`, `n_hosts` (distinct, case-folded),
+    * `hosts` (sorted, comma-joined — the interchange shape), and
+    * `link_ppm` (null for zero-token docs: no density without a
+    * denominator).
+    *
+    * Scale shape: entirely scan-local — one regex extraction per row,
+    * per-URL host parsing over the handful of matches via array HOFs
+    * (interpreted evaluation is irrelevant at that size), zero
+    * shuffle; runs at ingest next to [[TextFunctions.stripMarkup]].
+    */
+  def linkProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val urls = extractUrls(col(textCol))
+    val hosts = array_sort(array_distinct(transform(urls,
+      u => lower(regexp_extract(u, "^https?://([^/?#]+)", 1)))))
+    df.select(col(idCol), size(urls).as("n_urls"),
+        size(hosts).as("n_hosts"), array_join(hosts, ",").as("hosts"),
+        graft.functions.Exact.longDiv(
+          size(urls).cast("long") * 1000000L,
+          graft.text.TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .as("link_ppm"))
+  }
 }

@@ -578,4 +578,24 @@ class CorpusSpec extends SparkSpec {
     assert(got("b") == (("dog", 2L, 0L, 4000000L)))
     assert(rows.length == 2)
   }
+
+  test("invertedIndex: presence not tf, smallest-id cap, truncated flag, " +
+      "normalized tokens") {
+    val df = Seq(
+      (3L, "Cat cat DOG"),        // repeats list once; case-folded
+      (1L, "cat fish"),
+      (2L, "cat")).toDF("doc_id", "text")
+    val got = Corpus.invertedIndex(df, "text", "doc_id", maxPostings = 2)
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      ("cat", 3L, "1,2", true),   // df counts all 3; postings keep 1,2
+      ("dog", 1L, "3", false),
+      ("fish", 1L, "1", false)))
+    // the cap runs pre-shuffle: the plan carries a WindowGroupLimit
+    val plan = Corpus.invertedIndex(df, "text", "doc_id", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
 }

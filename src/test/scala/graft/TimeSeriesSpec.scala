@@ -370,4 +370,72 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(2) == ("b", 0L, 4.0, 4.0, 3.0, 3.0, 2L, 7.0))
     assert(run(rows.repartition(5)).toSeq == got.toSeq)
   }
+
+  test("intervalConcurrency: half-open touch, zero-length dropped, " +
+      "cross-bucket offsets, per-key isolation") {
+    import spark.implicits._
+    val iv = Seq(
+      // key a: [0,10) [5,20) overlap on [5,10); [20,30) touches — no overlap
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 30L),
+      ("a", 25L, 25L),          // zero-length: contributes nothing
+      // key a, far bucket (bucketUs=50 → bucket 2): conc restarts from
+      // the carried offset (0 here: all earlier intervals closed)
+      ("a", 100L, 120L), ("a", 110L, 130L),
+      ("b", 0L, 1000L))         // key b: one long interval, own timeline
+      .toDF("k", "s", "e")
+    val got = TimeSeries.intervalConcurrency(iv, Seq("k"), col("s"),
+        col("e"), bucketUs = 50L)
+      .orderBy($"k", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", 0L, 1L, 1L), ("a", 5L, 1L, 2L), ("a", 10L, -1L, 1L),
+      // at 20: one closes, one opens → net 0 → no row
+      ("a", 30L, -1L, 0L),
+      ("a", 100L, 1L, 1L), ("a", 110L, 1L, 2L), ("a", 120L, -1L, 1L),
+      ("a", 130L, -1L, 0L),
+      ("b", 0L, 1L, 1L), ("b", 1000L, -1L, 0L)))
+    // an interval spanning a bucket boundary: the offset carries the
+    // still-open count into the next bucket's running sum
+    val span = Seq(("x", 10L, 80L), ("x", 60L, 70L)).toDF("k", "s", "e")
+    val g2 = TimeSeries.intervalConcurrency(span, Seq("k"), col("s"),
+        col("e"), bucketUs = 50L)
+      .orderBy($"ts").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(g2.toSeq == Seq((10L, 1L), (60L, 2L), (70L, 1L), (80L, 0L)))
+    // corrupt input raises in-plan
+    val bad = Seq(("x", 10L, 5L)).toDF("k", "s", "e")
+    intercept[Exception] {
+      TimeSeries.intervalConcurrency(bad, Seq("k"), col("s"), col("e"),
+        50L).collect()
+    }
+  }
+
+  test("interpolateAt: bracketing interp, exact hit, no extrapolation, " +
+      "payload passthrough, partitioning-independent") {
+    import spark.implicits._
+    val series = Seq(
+      ("a", 10L, Some(1.0)), ("a", 20L, Some(3.0)), ("a", 40L, Some(2.0)),
+      ("a", 30L, None),           // null reading: not a point
+      ("b", 0L, Some(5.0)))
+      .toDF("k", "ts", "v")
+    val probes = Seq(
+      ("a", 15L, 101L),   // midpoint of (10,1)-(20,3) → 2.0
+      ("a", 20L, 102L),   // exact hit → 3.0
+      ("a", 35L, 103L),   // between (20,3)-(40,2): 3 + (-1)*(15/20)
+      ("a", 5L, 104L),    // before first → null
+      ("a", 45L, 105L),   // after last → null
+      ("b", 0L, 106L))    // exact hit on a lone point → 5.0
+      .toDF("k", "ts", "probe_id")
+    def run(s: org.apache.spark.sql.DataFrame) =
+      TimeSeries.interpolateAt(s, probes, Seq("k"), "ts", "v")
+        .orderBy($"k", $"ts").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))
+    val got = run(series)
+    assert(got.toSeq == Seq(
+      ("a", 5L, 104L, None), ("a", 15L, 101L, Some(2.0)),
+      ("a", 20L, 102L, Some(3.0)),
+      ("a", 35L, 103L, Some(3.0 + (2.0 - 3.0) * (15.0 / 20.0))),
+      ("a", 45L, 105L, None), ("b", 0L, 106L, Some(5.0))))
+    assert(run(series.repartition(5)).toSeq == got.toSeq)
+  }
 }
