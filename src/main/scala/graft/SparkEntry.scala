@@ -2371,6 +2371,138 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     },
 
+    // X169 — exact Mann-Whitney AUC per source: does document length
+    // separate English from the rest?
+    "q178_auc" -> { (s, dir) =>
+      graft.ops.Features.groupAuc(t(s, dir, "documents"),
+          Seq("source"), col("n_chars"), col("lang") === "en")
+        .orderBy(col("source"))
+    },
+
+    // X170 — late orders' prices scored against the pre-1998 price
+    // distribution of their priority class (exact ECDF ppm)
+    "q179_ecdf" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val cut = lit("1998-01-01").cast("timestamp")
+      val ref = o.filter(col("o_orderdate") < cut)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+      val probes = o.filter(col("o_orderdate") >= cut)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      graft.ops.Features.ecdfScore(ref, probes,
+          Seq("o_orderpriority"), "o_totalprice")
+        .orderBy(col("o_orderkey"))
+    },
+
+    // X171 — link profile over documents with synthetically planted
+    // URLs (¾ of docs get two; URL regex must stop at prose punctuation)
+    "q180_links" -> { (s, dir) =>
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 4 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" see https://"),
+            col("source"), lit(".example.com/p/"), col("doc_id"),
+            lit(" and (http://Mirror."), col("source"), lit(".org/p/"),
+            col("doc_id"), lit("?x=1&y=2)."))))
+      graft.text.UrlFunctions.linkProfile(planted, "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // X172 — per-user spend since last signup (purchases add, signups
+    // reset, other events ride along at delta 0)
+    "q181_balance" -> { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"),
+        nsToMicros(col("ts_ns")).as("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      graft.ops.TimeSeries.balanceWithResets(e, Seq("user_id"),
+          col("ts_us"), col("event_id"),
+          when(col("event_type") === "purchase", col("value")),
+          col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("segment"), col("balance"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
+    // X173 — leave-one-out customer-mean price encoding, prior m=10
+    "q182_target_encode" -> { (s, dir) =>
+      graft.ops.Features.targetEncode(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")),
+          Seq("o_custkey"), col("o_totalprice"), priorWeight = 10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("loo"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // X174 — grid-blocked proximity pairs over deterministic synthetic
+    // coordinates (the oracle brute-forces all pairs; the engine's grid
+    // must find exactly the same set)
+    "q183_proximity" -> { (s, dir) =>
+      // quadratic mixing, not linear: k·a mod m scatters keys on a
+      // LATTICE whose minimum gap exceeded the radius (zero pairs); the
+      // k² term breaks the lattice while staying exact long arithmetic
+      val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
+        pmod(col("c_custkey") * col("c_custkey") * 7919L +
+          col("c_custkey") * 104729L, lit(1000000L)).as("lat"),
+        pmod(col("c_custkey") * col("c_custkey") * 104729L +
+          col("c_custkey") * 7919L, lit(1000000L)).as("lng"))
+      graft.ops.Spatial.proximityJoin(pts, "id", col("lat"), col("lng"),
+          radius = 5000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // X175 — Gini concentration of order value per priority class
+    "q184_gini" -> { (s, dir) =>
+      graft.ops.Features.giniConcentration(t(s, dir, "orders"),
+          Seq("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // X176 — top-8 magnitude components of each embedding
+    "q185_sparsify" -> { (s, dir) =>
+      graft.similarity.Similarity.sparsifyTopM(
+          t(s, dir, "embeddings"), "vec_id", "embedding", m = 8)
+        .orderBy(col("vec_id"), col("rank"))
+    },
+
+    // X177 — Hampel despike of the value series per event type (±3
+    // neighbors, k = 3 MADs)
+    "q186_hampel" -> { (s, dir) =>
+      graft.ops.TimeSeries.hampelDespike(
+          events(s, dir).select(col("event_type"),
+            nsToMicros(col("ts_ns")).as("ts_us"), col("event_id"),
+            col("value")),
+          Seq("event_type"), col("ts_us"), col("event_id"), col("value"),
+          halfWindow = 3, kMilli = 3000L)
+        .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+    },
+
+    // X178 — hour-of-day-conditioned z-scores of event values per type
+    "q187_seasonal" -> { (s, dir) =>
+      graft.ops.Features.seasonalResiduals(
+          events(s, dir).select(col("event_id"), col("event_type"),
+            nsToMicros(col("ts_ns")).as("ts_us"), col("value")),
+          Seq("event_type"), col("ts_us"), col("value"),
+          periodUs = 86400000000L, slotUs = 3600000000L)
+        .select(col("event_id"), col("event_type"), col("phase"),
+          col("value"), col("zscore"), col("minmax"))
+        .orderBy(col("event_id"))
+    },
+
+    // composition probe: X133's windowed funnel → conversion deltas →
+    // X27's exact quantiles, one plan ("how fast do converters convert")
+    "q188_time_to_convert" -> { (s, dir) =>
+      val f = graft.ops.Funnel.funnelDepthWithin(
+          events(s, dir).select(col("user_id"),
+            nsToMicros(col("ts_ns")).as("ts_us"), col("event_type")),
+          "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase"), maxGap = 172800000000L)
+        .filter(col("steps_done") === 3)
+        .select((col("step_ts_3") - col("step_ts_1")).as("delta_us"))
+      graft.ops.Relational.quantilesDisc(f, Nil, col("delta_us"),
+          Seq(0.5, 0.9, 0.99))
+        .orderBy(col("q"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -6595,5 +6727,303 @@ object SparkEntry {
         |       ELSE NULL END AS interp
         |FROM w WHERE o = 1
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // doubled-midrank Mann-Whitney: integer end to end, engine-portable
+    "q178_auc" ->
+      """WITH ps AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS s,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np
+        |  FROM documents GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, s, n, np,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS c
+        |  FROM ps
+        |), g AS (
+        |  SELECT source,
+        |    CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(n - np) AS BIGINT) AS n_neg,
+        |    CAST(sum(np * (2 * c + n + 1)) AS BIGINT) AS s2
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT source, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN CAST((s2 - n_pos * (n_pos + 1)) * 1000000
+        |      // (2 * n_pos * n_neg) AS BIGINT) END AS auc_ppm
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q179_ecdf" ->
+      """WITH ref AS (
+        |  SELECT o_orderpriority AS pr, CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |), grain AS (
+        |  SELECT pr, v, CAST(count(*) AS BIGINT) AS n
+        |  FROM ref GROUP BY 1, 2
+        |), cdf AS (
+        |  SELECT pr, v,
+        |    CAST(sum(n) OVER (PARTITION BY pr ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY pr) AS BIGINT) AS nref
+        |  FROM grain
+        |  UNION ALL
+        |  SELECT pr, CAST('-infinity' AS DOUBLE), 0,
+        |    CAST(sum(n) AS BIGINT)
+        |  FROM grain GROUP BY pr
+        |), p AS (
+        |  SELECT o_orderkey, o_orderpriority AS pr,
+        |    CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |)
+        |SELECT p.o_orderkey, p.pr AS o_orderpriority,
+        |  p.v AS o_totalprice, cdf.nref AS n_ref,
+        |  CAST(cdf.cum * 1000000 // cdf.nref AS BIGINT) AS pct_ppm
+        |FROM p ASOF LEFT JOIN cdf ON p.pr = cdf.pr AND p.v >= cdf.v
+        |ORDER BY p.o_orderkey""".stripMargin,
+
+    "q180_links" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text
+        |      ELSE text || ' see https://' || source || '.example.com/p/'
+        |        || doc_id || ' and (http://Mirror.' || source || '.org/p/'
+        |        || doc_id || '?x=1&y=2).' END AS text
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(text,
+        |      'https?://[A-Za-z0-9][A-Za-z0-9.-]*(?:/[A-Za-z0-9%._/-]*)?(?:\?[A-Za-z0-9%&=._-]*)?')
+        |      AS urls
+        |  FROM planted
+        |), h AS (
+        |  SELECT doc_id, urls,
+        |    list_sort(list_distinct(list_transform(urls,
+        |      x -> lower(regexp_extract(x, '^https?://([^/?#]+)', 1)))))
+        |      AS hosts,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> '')) AS n_tok
+        |  FROM u
+        |)
+        |SELECT doc_id, len(urls) AS n_urls, len(hosts) AS n_hosts,
+        |  coalesce(array_to_string(hosts, ','), '') AS hosts,
+        |  CASE WHEN n_tok > 0
+        |    THEN CAST(len(urls) * 1000000 // n_tok AS BIGINT) END
+        |    AS link_ppm
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q181_balance" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(38,2))
+        |      ELSE CAST(0 AS DECIMAL(38,2)) END AS d,
+        |    CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS r
+        |  FROM events
+        |), seg AS (
+        |  SELECT user_id, ts_us, event_id, d,
+        |    CAST(sum(r) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS segment
+        |  FROM e
+        |)
+        |SELECT user_id, ts_us, event_id, segment,
+        |  CAST(sum(d) OVER (PARTITION BY user_id, segment
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |    AS DOUBLE) AS balance
+        |FROM seg ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // the float sequence mirrors the engine exactly:
+    // (dec-exact Σ−y → double) + m·(Σg/ng) then one division
+    "q182_target_encode" ->
+      """WITH k AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,2)))
+        |      AS DECIMAL(38,2)) AS sk,
+        |    CAST(count(o_totalprice) AS BIGINT) AS nk
+        |  FROM orders GROUP BY 1
+        |), g AS (
+        |  SELECT
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,2)))
+        |      AS DECIMAL(38,2)) AS sg,
+        |    CAST(count(o_totalprice) AS BIGINT) AS ng
+        |  FROM orders
+        |)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+        |  CASE WHEN nk - CASE WHEN o.o_totalprice IS NOT NULL
+        |      THEN 1 ELSE 0 END + 10 > 0
+        |    THEN (CAST(sk - coalesce(
+        |        CAST(o.o_totalprice AS DECIMAL(38,2)),
+        |        CAST(0 AS DECIMAL(38,2))) AS DOUBLE)
+        |      + 10.0 * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)))
+        |      / CAST(nk - CASE WHEN o.o_totalprice IS NOT NULL
+        |          THEN 1 ELSE 0 END + 10 AS DOUBLE) END AS loo
+        |FROM orders o JOIN k USING (o_custkey) CROSS JOIN g
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    // brute-force all-pairs reference; the engine's grid must emit the
+    // identical set
+    "q183_proximity" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    (c_custkey * c_custkey * 7919 + c_custkey * 104729)
+        |      % 1000000 AS lat,
+        |    (c_custkey * c_custkey * 104729 + c_custkey * 7919)
+        |      % 1000000 AS lng
+        |  FROM customer
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST((a.lat - b.lat) * (a.lat - b.lat)
+        |    + (a.lng - b.lng) * (a.lng - b.lng) AS BIGINT) AS d2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.lat - b.lat) * (a.lat - b.lat)
+        |  + (a.lng - b.lng) * (a.lng - b.lng) <= 25000000
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // cents-scaled HUGEINT intermediates (×100 cancels in the ratio);
+    // result columns stay BIGINT/DOUBLE
+    "q184_gini" ->
+      """WITH grain AS (
+        |  SELECT o_orderpriority AS pr,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS vc,
+        |    CAST(count(*) AS BIGINT) AS nv
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+        |), st AS (
+        |  SELECT pr, vc, nv,
+        |    CAST(coalesce(sum(nv) OVER (PARTITION BY pr ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS c
+        |  FROM st0
+        |), agg AS (
+        |  SELECT pr AS o_orderpriority,
+        |    CAST(sum(nv) AS BIGINT) AS n,
+        |    sum(vc * nv) AS tc,
+        |    sum(vc * (2 * c * nv + nv * (nv + 1))) AS s2c
+        |  FROM st GROUP BY 1
+        |)
+        |SELECT o_orderpriority, n,
+        |  CAST(CAST(tc AS DOUBLE) / 100 AS DOUBLE) AS total,
+        |  CASE WHEN tc > 0
+        |    THEN CAST((s2c - (n + 1) * tc) * 1000000 // (n * tc)
+        |      AS BIGINT) END AS gini_ppm
+        |FROM agg ORDER BY o_orderpriority""".stripMargin
+        .replace("FROM st0", "FROM grain"),
+
+    "q185_sparsify" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |    CAST(unnest(generate_series(1, len(embedding))) - 1
+        |      AS BIGINT) AS idx,
+        |    unnest(embedding) AS val
+        |  FROM embeddings
+        |), r AS (
+        |  SELECT vec_id, idx, val,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY abs(val) DESC, idx) AS rank
+        |  FROM u
+        |)
+        |SELECT vec_id, CAST(rank AS BIGINT) AS rank, idx, val
+        |FROM r WHERE rank <= 8 ORDER BY vec_id, rank""".stripMargin,
+
+    // discrete median/MAD picks over the windowed list — selections,
+    // not interpolation, so both engines agree bit-for-bit
+    "q186_hampel" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, ts_us, event_id, value,
+        |    list_sort(list_filter(list(value) OVER (
+        |      PARTITION BY event_type ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+        |      x -> x IS NOT NULL)) AS win
+        |  FROM e
+        |), m AS (
+        |  SELECT *, CASE WHEN len(win) > 0
+        |    THEN win[CAST((len(win) + 1) // 2 AS INTEGER)] END AS med
+        |  FROM w
+        |), d AS (
+        |  SELECT *,
+        |    list_sort(list_transform(win, x -> abs(x - med))) AS devs
+        |  FROM m
+        |), f AS (
+        |  SELECT *, CASE WHEN len(devs) > 0
+        |    THEN devs[CAST((len(devs) + 1) // 2 AS INTEGER)] END AS mad
+        |  FROM d
+        |)
+        |SELECT event_type, ts_us, event_id, value, med, mad,
+        |  CASE WHEN value IS NULL OR med IS NULL THEN NULL
+        |    ELSE abs(value - med) * 1000 > 3000 * mad END AS spike
+        |FROM f ORDER BY event_type, ts_us, event_id""".stripMargin,
+
+    "q187_seasonal" ->
+      """WITH p AS (
+        |  SELECT event_id, event_type,
+        |    CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT)
+        |      AS phase,
+        |    value
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, phase,
+        |    count(value) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))
+        |      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |    CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS mn,
+        |    CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS mx
+        |  FROM p GROUP BY 1, 2
+        |), mm AS (
+        |  SELECT event_type, phase, n, s / n AS mean,
+        |    sq / n - (s / n) * (s / n) AS var, mn, mx
+        |  FROM m
+        |)
+        |SELECT p.event_id, p.event_type, p.phase, p.value,
+        |  round(CASE WHEN var > 0 THEN
+        |    (CAST(p.value AS DOUBLE) - mean) / sqrt(var) END, 6)
+        |    AS zscore,
+        |  round(CASE WHEN mx > mn THEN
+        |    (CAST(p.value AS DOUBLE) - mn) / (mx - mn) END, 6)
+        |    AS minmax
+        |FROM p JOIN mm USING (event_type, phase)
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q188_time_to_convert" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |), s1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS t1
+        |  FROM e GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'click' AND s1.t1 IS NOT NULL
+        |      AND e.us > s1.t1 AND e.us <= s1.t1 + 172800000000
+        |      THEN e.us END) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN e.event_type = 'purchase' AND s2.t2 IS NOT NULL
+        |      AND e.us > s2.t2 AND e.us <= s2.t2 + 172800000000
+        |      THEN e.us END) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1
+        |), conv AS (
+        |  SELECT t3 - t1 AS delta_us
+        |  FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+        |    JOIN s3 ON s1.user_id = s3.user_id
+        |  WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
+        |), ranked AS (
+        |  SELECT delta_us, row_number() OVER (ORDER BY delta_us) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM conv
+        |), qs AS (
+        |  SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE), 500000),
+        |    (0.9, 900000), (0.99, 990000)) t(q, ppm)
+        |)
+        |SELECT q, CAST(delta_us AS DOUBLE) AS value
+        |FROM ranked, qs WHERE rn = (ppm * n + 999999) // 1000000
+        |ORDER BY q""".stripMargin,
   )
 }

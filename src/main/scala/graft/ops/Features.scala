@@ -587,12 +587,139 @@ object Features {
         probes.withColumn(valueCol, col(valueCol).cast("double")),
         steps.unionByName(sentinel), valueCol, keyCols,
         Seq("__cum", "__nref"))
-      .withColumn("n_ref", col("__nref"))
+      .withColumn("n_ref", col("__nref_asof"))
       .withColumn("pct_ppm",
         when(col(valueCol).isNull || col("n_ref").isNull,
           lit(null).cast("long"))
           .otherwise(graft.functions.Exact.longDiv(
-            col("__cum") * 1000000L, col("n_ref"))))
-      .drop("__cum", "__nref")
+            col("__cum_asof") * 1000000L, col("n_ref"))))
+      .drop("__cum_asof", "__nref_asof")
+  }
+
+  /** Leave-one-out target encoding with additive smoothing — the
+    * high-cardinality categorical feature ("domain", "publisher",
+    * "device model") as the mean outcome of the OTHER rows of its
+    * category: `loo = (Σ_k − yᵢ + m·ȳ) / (n_k − 1 + m)`, the classic
+    * leakage-safe encoding (using the row's own label would hand the
+    * model its answer). `m` (`priorWeight`) pseudo-counts of the global
+    * mean shrink rare categories toward it; rows with a NULL target get
+    * the non-LOO smoothed category mean (nothing of theirs to leave
+    * out), and a denominator of 0 (singleton category, m = 0) yields
+    * null. Category sums accumulate decimal-exact (order-independent);
+    * the final `(double + m·ȳ) / long` is a fixed IEEE sequence,
+    * engine-portable.
+    *
+    * Scale shape: one map-side-combined aggregation to category grain
+    * broadcast back, one single-row global aggregate broadcast, then a
+    * scan-local projection — the data is touched once and never
+    * shuffled; no window, no self-join.
+    */
+  def targetEncode(df: DataFrame, keyCols: Seq[String], targetCol: Column,
+      priorWeight: Int, valueScale: Int = 2): DataFrame = {
+    require(priorWeight >= 0, s"priorWeight must be >= 0: $priorWeight")
+    val d = DecimalType(38, valueScale)
+    val gs = keyCols.map(col)
+    val y = targetCol.cast(d)
+    val perKey = df.groupBy(gs: _*)
+      .agg(sum(y).as("__sk"), count(y).as("__nk"))
+    val global = df.agg(sum(y).as("__sg"), count(y).as("__ng"))
+    val gmean = col("__sg").cast("double") / col("__ng").cast("double")
+    val m = lit(priorWeight).cast("double")
+    val looNum = (col("__sk") - coalesce(y, lit(0).cast(d)))
+      .cast("double") + m * gmean
+    val looDen = (col("__nk") - when(targetCol.isNotNull, 1L)
+      .otherwise(0L) + priorWeight).cast("double")
+    df.join(broadcast(perKey), keyCols)
+      .join(broadcast(global))
+      .withColumn("loo", when(looDen > 0d, looNum / looDen))
+      .drop("__sk", "__nk", "__sg", "__ng")
+  }
+
+  /** Gini concentration index (Lorenz) per group, EXACT — "how
+    * concentrated is the mass?" for spend per customer, tokens per
+    * domain, requests per key: 0 = perfectly even, → 1 = one row holds
+    * everything. NOT [[giniImpurity]] (a classification label metric) —
+    * this is the inequality coefficient, via the rank identity
+    * `G = (2Σᵢ i·xᵢ − (n+1)Σx) / (n·Σx)` over ascending values, made
+    * engine-exact the [[groupAuc]] way: values collapse to (group,
+    * distinct value) grain, a tied block of n_v copies after c smaller
+    * rows contributes `x·(2c·n_v + n_v(n_v+1))` to the DOUBLED rank
+    * sum — integer/decimal end to end, tie-order-independent by
+    * construction. `gini_ppm = ⌊10⁶·(S₂ − (n+1)T) / (n·T)⌋`; null when
+    * the group's total is 0 (no mass to concentrate). Negative values
+    * are corrupt input (Lorenz is defined on non-negative mass) and
+    * raise in-plan.
+    *
+    * Scale shape: map-side collapse to value grain, one cumulative
+    * window over value-grain rows only, one map-side-combined final
+    * aggregate; rank products route through decimal(38,0) — n ≈ 10¹²
+    * puts 2Σi·xᵢ near 10²⁸, far past long.
+    */
+  def giniConcentration(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, valueScale: Int = 2): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    // values scale to INTEGER units (cents for scale 2) up front: every
+    // later product is decimal(38,0) × decimal(38,0), which Spark's
+    // precision clamp leaves exact at scale 0 — a (38,2)-typed product
+    // chain would silently ROUND when the clamp trims scale (cost q184
+    // a red cell in development); the unit factor cancels in the ratio
+    val v0 = (valueCol.cast(DecimalType(38, valueScale)) *
+      lit(math.pow(10, valueScale).toLong)).cast(d38)
+    val v = when(v0 < 0, raise_error(concat(
+        lit("giniConcentration: negative value: "), v0.cast("string"))))
+      .otherwise(v0)
+    val grain = df.filter(valueCol.isNotNull)
+      .groupBy(gs :+ v.as("__v"): _*)
+      .agg(count(lit(1)).as("__nv"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val staged = grain.withColumn("__c",
+      coalesce(sum(col("__nv")).over(wCum), lit(0L)))
+    val rankFactor = lit(2L).cast(d38) * col("__c").cast(d38) *
+      col("__nv").cast(d38) + col("__nv").cast(d38) *
+      (col("__nv") + 1L).cast(d38)
+    staged.groupBy(gs: _*)
+      .agg(sum(col("__nv")).as("n"),
+        sum(col("__v") * col("__nv").cast(d38)).as("__t"),
+        sum(col("__v") * rankFactor).as("__s2"))
+      .withColumn("total", col("__t").cast("double") /
+        lit(math.pow(10, valueScale)))
+      .withColumn("gini_ppm",
+        when(col("__t") > 0, graft.functions.Exact.longDiv(
+          (col("__s2") - (col("n") + 1L).cast(d38) * col("__t")) *
+            lit(1000000L),
+          col("n").cast(d38) * col("__t")).cast("long")))
+      .select(gs ++ Seq(col("n"), col("total"), col("gini_ppm")): _*)
+  }
+
+  /** Seasonal-baseline residuals — scores each reading against its
+    * CALENDAR PHASE's own distribution: `phase` = (ts mod period) div
+    * slot (hour-of-day for period = 1 day / slot = 1 h, hour-of-week
+    * for period = 7 days), then [[scaleFeatures]] conditioned on
+    * (keys…, phase). A 3 a.m. traffic dip is normal at 3 a.m. and an
+    * incident at 3 p.m. — a global z-score can't tell them apart, the
+    * phase-conditioned one is the whole point of seasonal anomaly
+    * scoring. Output: input rows + `phase`, `zscore`, `minmax` (6 dp,
+    * [[scaleFeatures]]' exactness contract: decimal moments, fixed
+    * IEEE tail). `pmod` keeps pre-epoch timestamps in [0, period).
+    *
+    * Scale shape: inherits [[scaleFeatures]] exactly — one map-side
+    * aggregation to (keys, phase) grain (|keys|·period/slot rows)
+    * broadcast back; the phase column itself is scan-local long
+    * arithmetic. Data touched once, never shuffled.
+    */
+  def seasonalResiduals(df: DataFrame, keyCols: Seq[String],
+      tsUs: Column, valueCol: Column, periodUs: Long, slotUs: Long,
+      scale: Int = 2): DataFrame = {
+    require(periodUs >= 1, s"periodUs must be >= 1: $periodUs")
+    require(slotUs >= 1 && periodUs % slotUs == 0,
+      s"slotUs must divide periodUs: $slotUs / $periodUs")
+    val phase = graft.functions.Exact.longDiv(
+      pmod(tsUs.cast("long"), lit(periodUs)), slotUs)
+    scaleFeatures(df.withColumn("phase", phase),
+      keyCols :+ "phase", valueCol, scale)
   }
 }

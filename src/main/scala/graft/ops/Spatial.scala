@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spatial proximity over integer micro-degree coordinates — the
+  * geo-dedup / store-coverage / sensor-neighborhood primitive ("which
+  * points lie within r of each other") done grid-blocked, never as the
+  * O(n²) cross join a naive distance filter plans.
+  *
+  * Coordinates are NON-NEGATIVE micro-degrees (callers shift:
+  * lat + 90e6, lng + 180e6) so grid cells come from truncating long
+  * division — no floor-vs-truncate disagreement at zero, no float
+  * anywhere. Distance is planar squared micro-degrees: exact long
+  * arithmetic, engine-portable, and the right local approximation at
+  * proximity radii (city-block scale) where great-circle trig would
+  * drag in libm ulp differences between engines for no accuracy gain.
+  * Squared magnitudes stay well inside long range (3.6e8² ≈ 1.3e17).
+  */
+object Spatial {
+
+  /** All unordered pairs (id_a < id_b) within `radius` micro-degrees
+    * (planar), with `d2` = squared distance. Grid-blocked: each point
+    * keys its OWN radius-sized cell once on the probe side and its 3×3
+    * cell NEIGHBORHOOD on the build side, so every qualifying pair
+    * meets in exactly one (own-cell, neighbor-cell) combination — an
+    * equi-join, no dedup pass, no distinct. Negative coordinates are
+    * corrupt input and raise in-plan (truncating division would fold
+    * cells across zero).
+    *
+    * Scale shape: ONE equi-join on the cell key after a 9× build-side
+    * explode (bounded, data-independent); per-cell work is
+    * density-bound — the grid pitch equals the radius, so candidates
+    * per point ≈ points within 3r, and the exact long filter prunes
+    * the corners. A hot cell (urban core) bounds a task the same way
+    * a hot join key does; at city-core densities shrink the radius or
+    * pre-aggregate to cell centroids.
+    */
+  def proximityJoin(points: DataFrame, idCol: String, latCol: Column,
+      lngCol: Column, radius: Long): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1 micro-degree: $radius")
+    def nonNeg(c: Column, name: String) =
+      when(c < 0L, raise_error(concat(
+        lit(s"proximityJoin: negative $name micro-degrees: "),
+        c.cast("string")))).otherwise(c)
+    val base = points.select(col(idCol).as("id"),
+      nonNeg(latCol.cast("long"), "lat").as("lat"),
+      nonNeg(lngCol.cast("long"), "lng").as("lng"))
+    val cellY = graft.functions.Exact.longDiv(col("lat"), radius)
+    val cellX = graft.functions.Exact.longDiv(col("lng"), radius)
+    val probe = base.withColumn("__cell",
+      struct(cellY.as("y"), cellX.as("x")))
+    val build = base
+      .withColumn("__dy", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("__dx", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("__cell", struct((cellY + col("__dy")).as("y"),
+        (cellX + col("__dx")).as("x")))
+      .select(col("id").as("id_b"), col("lat").as("lat_b"),
+        col("lng").as("lng_b"), col("__cell"))
+    val dLat = col("lat") - col("lat_b")
+    val dLng = col("lng") - col("lng_b")
+    probe.join(build, Seq("__cell"))
+      .filter(col("id") < col("id_b"))
+      .withColumn("d2", dLat * dLat + dLng * dLng)
+      .filter(col("d2") <= lit(radius) * lit(radius))
+      .select(col("id").as("id_a"), col("id_b"), col("d2"))
+  }
+}

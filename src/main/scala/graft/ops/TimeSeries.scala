@@ -800,4 +800,52 @@ object TimeSeries {
         lit(0).cast(DecimalType(38, valueScale)))).over(wSeg)
         .cast("double"))
   }
+
+  /** Hampel despiking — the standard sensor-QC spike detector
+    * (telemetry glitches, stuck-then-jump meters, cosmic-ray counts):
+    * per row, the DISCRETE median and MAD of the ±`halfWindow`
+    * neighborhood, and `spike` = |v − med| > (kMilli/1000)·MAD. Where
+    * a global z-score ([[graft.ops.Features.scaleFeatures]]) lets one
+    * wild value poison the mean it is judged against, median/MAD are
+    * outlier-immune — the same robustness argument as
+    * [[graft.ops.Features.robustScale]], made LOCAL so a slow drift
+    * doesn't mask a spike. Statistics are SELECTED values (lower
+    * middle of the sorted window; deviations are single IEEE
+    * subtractions), never interpolated — bit-identical on any engine;
+    * the threshold compares `|v−med|·1000 > kMilli·MAD` so the factor
+    * stays integral. Null values are excluded from every window and
+    * get null med/mad/spike; boundary rows judge against their
+    * (shorter) actual neighborhood. All-equal windows have MAD 0 —
+    * any deviation flags, the textbook Hampel caveat.
+    *
+    * Scale shape: ONE key exchange and one sort; each row carries an
+    * O(w) slice of its partition (w = 2·halfWindow+1, a small
+    * constant) and pays O(w log w) locally — no self-join, no
+    * per-row re-scan, state bounded by the window width.
+    */
+  def hampelDespike(df: DataFrame, keyCols: Seq[String], tsCol: Column,
+      tieCol: Column, valueCol: Column, halfWindow: Int,
+      kMilli: Long): DataFrame = {
+    require(halfWindow >= 1, s"halfWindow must be >= 1: $halfWindow")
+    require(kMilli >= 0, s"kMilli must be >= 0: $kMilli")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(tsCol, tieCol)
+      .rowsBetween(-halfWindow, halfWindow)
+    val v = valueCol.cast("double")
+    // all-null window → empty array → med/mad null (never an
+    // element_at(_, 0), which ANSI mode rejects)
+    val pick =
+      "CASE WHEN size(%s) > 0 THEN " +
+        "element_at(%s, cast((size(%s) + 1) div 2 as int)) END"
+    df.withColumn("__w", array_sort(collect_list(v).over(w)))
+      .withColumn("med", expr(pick.format("__w", "__w", "__w")))
+      .withColumn("__d", expr(
+        "array_sort(transform(__w, x -> abs(x - med)))"))
+      .withColumn("mad", expr(pick.format("__d", "__d", "__d")))
+      .withColumn("spike",
+        when(v.isNull || col("med").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(v - col("med")) * lit(1000d) >
+            lit(kMilli.toDouble) * col("mad")))
+      .drop("__w", "__d")
+  }
 }

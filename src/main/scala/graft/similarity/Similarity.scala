@@ -493,4 +493,36 @@ object Similarity {
           (norm2Milli < lo || norm2Milli > hi), 1L).otherwise(0L))
         .as("n_unnormalized"))
   }
+
+  /** Top-m sparsification of an embedding column — keep each vector's
+    * m largest-magnitude components as (rank, idx, val) rows: the
+    * sparse projection behind inverted-file ANN, sparse attention
+    * masks, and "which dimensions carry this vector" diagnostics (a
+    * 64→8 cut is an 8× index-memory win on top of X126's int8). The
+    * ordering is |val| desc with the INDEX breaking ties (and NaN
+    * sinking last) — total, engine-portable, no float arithmetic at
+    * all: values are selected and emitted verbatim, never transformed,
+    * so results are bit-identical anywhere. Ranks are 1-based; vectors
+    * shorter than m emit all their components.
+    *
+    * Scale shape: entirely scan-local — per-row index-tagging,
+    * comparator sort (O(d log d) on the row's own d elements), slice,
+    * and posexplode; zero shuffle, output bounded at m rows per
+    * vector.
+    */
+  def sparsifyTopM(df: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1: $m")
+    val sorted = expr(
+      s"""array_sort(transform($vecCol, (x, i) ->
+         |  named_struct('idx', i, 'v', x)), (l, r) -> CASE
+         |  WHEN isnan(l.v) AND isnan(r.v) THEN l.idx - r.idx
+         |  WHEN isnan(l.v) THEN 1 WHEN isnan(r.v) THEN -1
+         |  WHEN abs(l.v) > abs(r.v) THEN -1
+         |  WHEN abs(l.v) < abs(r.v) THEN 1
+         |  ELSE l.idx - r.idx END)""".stripMargin)
+    df.select(col(idCol), posexplode(slice(sorted, 1, m)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.idx").cast("long").as("idx"), col("col.v").as("val"))
+  }
 }

@@ -126,11 +126,11 @@ object UrlFunctions {
     val urls = extractUrls(col(textCol))
     val hosts = array_sort(array_distinct(transform(urls,
       u => lower(regexp_extract(u, "^https?://([^/?#]+)", 1)))))
+    val nTok = graft.text.TextFunctions.tokenCount(col(textCol))
+      .cast("long")
     df.select(col(idCol), size(urls).as("n_urls"),
         size(hosts).as("n_hosts"), array_join(hosts, ",").as("hosts"),
-        graft.functions.Exact.longDiv(
-          size(urls).cast("long") * 1000000L,
-          graft.text.TextFunctions.tokenCount(col(textCol)).cast("long"))
-          .as("link_ppm"))
+        when(nTok > 0L, graft.functions.Exact.longDiv(
+          size(urls).cast("long") * 1000000L, nTok)).as("link_ppm"))
   }
 }

@@ -277,4 +277,128 @@ class FeaturesSpec extends SparkSpec {
       assert(merged.toSeq == direct.toSeq, s"split m=$m")
     }
   }
+
+  test("groupAuc: perfect, inverted, tied, and single-class groups") {
+    import graft.ops.Features
+    val df = Seq(
+      // g1: scores separate perfectly → AUC 1
+      ("g1", 1.0, false), ("g1", 2.0, false), ("g1", 3.0, true),
+      ("g1", 4.0, true),
+      // g2: perfectly inverted → AUC 0
+      ("g2", 1.0, true), ("g2", 2.0, false),
+      // g3: all four tied → AUC exactly 1/2
+      ("g3", 5.0, true), ("g3", 5.0, false), ("g3", 5.0, true),
+      ("g3", 5.0, false),
+      // g4: one class only → undefined
+      ("g4", 1.0, true), ("g4", 2.0, true))
+      .toDF("g", "s", "y")
+    val got = Features.groupAuc(df, Seq("g"), col("s"), col("y"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      ("g1", 2L, 2L, Some(1000000L)), ("g2", 1L, 1L, Some(0L)),
+      ("g3", 2L, 2L, Some(500000L)), ("g4", 2L, 0L, None)))
+    // hand check a mixed case: scores 1,2,2,3 labels F,T,F,T →
+    // midranks 1, 2.5, 2.5, 4; R+ = 6.5, U = 6.5 - 3 = 3.5,
+    // AUC = 3.5/4 = 0.875
+    val m = Features.groupAuc(
+        Seq(("m", 1.0, false), ("m", 2.0, true), ("m", 2.0, false),
+          ("m", 3.0, true)).toDF("g", "s", "y"),
+        Seq("g"), col("s"), col("y")).collect()(0)
+    assert(m.getLong(3) == 875000L)
+  }
+
+  test("ecdfScore: exact ppm ranks, below-min, above-max, missing key, " +
+      "null value") {
+    import graft.ops.Features
+    val ref = Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 40.0),
+      ("b", 1.0)).toDF("k", "v")
+    val probes = Seq(
+      ("a", 5.0, 1L),    // below min → 0
+      ("a", 10.0, 2L),   // at min → 1/4
+      ("a", 25.0, 3L),   // between → 3/4
+      ("a", 99.0, 4L),   // above max → 1e6
+      ("c", 7.0, 5L))    // key absent from ref → null
+      .toDF("k", "v", "id")
+    val got = Features.ecdfScore(ref, probes, Seq("k"), "v")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      (1L, Some(4L), Some(0L)), (2L, Some(4L), Some(250000L)),
+      (3L, Some(4L), Some(750000L)), (4L, Some(4L), Some(1000000L)),
+      (5L, None, None)))
+  }
+
+  test("targetEncode: leave-one-out means, prior shrinkage, null target " +
+      "gets the non-LOO mean, singleton with m=0 undefined") {
+    import graft.ops.Features
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)), ("a", 3L, Some(30.0)),
+      ("a", 4L, None),       // null target: smoothed category mean
+      ("b", 5L, Some(100.0)))
+      .toDF("k", "id", "y")
+    // m = 0: pure LOO. global mean = 40; category a mean drops self
+    val got0 = Features.targetEncode(df, Seq("k"), col("y"), 0)
+      .orderBy("id").collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    assert(got0.toSeq == Seq(
+      Some(25.0), Some(20.0), Some(15.0),   // (60−y)/2
+      Some(20.0),                           // 60/3 — nothing left out
+      None))                                // singleton, m=0: n−1 = 0
+    // m = 2: shrinkage toward the global mean 40
+    val got2 = Features.targetEncode(df, Seq("k"), col("y"), 2)
+      .orderBy("id").collect().map(_.getDouble(3))
+    assert(got2(0) == (60.0 - 10.0 + 2.0 * 40.0) / 4.0)   // 32.5
+    assert(got2(4) == (0.0 + 2.0 * 40.0) / 2.0)           // 40: all prior
+  }
+
+  test("giniConcentration: uniform 0, extreme concentration, ties, " +
+      "exact small case, negatives raise") {
+    import graft.ops.Features
+    val df = Seq(
+      ("u", 5.0), ("u", 5.0), ("u", 5.0), ("u", 5.0),   // uniform → 0
+      ("c", 0.0), ("c", 0.0), ("c", 0.0), ("c", 12.0),  // one holds all
+      ("m", 1.0), ("m", 2.0), ("m", 3.0))
+      .toDF("g", "v")
+    val got = Features.giniConcentration(df, Seq("g"), col("v"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    // c: sorted 0,0,0,12 → 2Σi·x = 2·4·12 = 96; T=12, n=4 →
+    //    (96 − 5·12)/(4·12) = 36/48 = 0.75
+    // m: 2(1+4+9)=28; T=6, n=3 → (28 − 24)/18 = 0.2222…
+    assert(got.toSeq == Seq(
+      ("c", 4L, 12.0, Some(750000L)),
+      ("m", 3L, 6.0, Some(222222L)),
+      ("u", 4L, 20.0, Some(0L))))
+    intercept[Exception] {
+      Features.giniConcentration(Seq(("x", -1.0)).toDF("g", "v"),
+        Seq("g"), col("v")).collect()
+    }
+  }
+
+  test("seasonalResiduals: phase-conditioned scores differ from global, " +
+      "pre-epoch timestamps land in [0, period)") {
+    import graft.ops.Features
+    // period 100, slot 50 → two phases; phase 0 carries {10, 20},
+    // phase 1 carries {100, 200} — a global score would call 100 high,
+    // the phase-conditioned one centers each slot on its own mean
+    val df = Seq(
+      ("k", 0L, 10.0), ("k", 110L, 20.0),
+      ("k", 60L, 100.0), ("k", 170L, 200.0),
+      ("k", -40L, 15.0))   // pre-epoch: pmod(-40, 100) = 60 → phase 1
+      .toDF("g", "ts", "v")
+    val got = Features.seasonalResiduals(df, Seq("g"), col("ts"),
+        col("v"), periodUs = 100L, slotUs = 50L)
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getDouble(5)))
+    val phases = got.map(t => t._1 -> t._2).toMap
+    assert(phases == Map(-40L -> 1L, 0L -> 0L, 60L -> 1L, 110L -> 0L,
+      170L -> 1L))
+    // phase-1 minmax: values {100, 200, 15} → 15 → 0.0, 200 → 1.0
+    val mm = got.map(t => t._1 -> t._3).toMap
+    assert(mm(-40L) == 0.0 && mm(170L) == 1.0)
+  }
 }

@@ -171,4 +171,28 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(r.getLong(7) == 1L)                  // n_nonfinite
     assert(r.getLong(8) == 1L)                  // n_unnormalized (id 3)
   }
+
+  test("sparsifyTopM: magnitude order, index tiebreak, NaN sinks last, " +
+      "short vectors emit all, values verbatim") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.1f, -0.9f, 0.5f, -0.5f, 0.0f)),
+      (2L, Seq(Float.NaN, 0.2f)),
+      (3L, Seq(0.3f)))                     // shorter than m
+      .toDF("vec_id", "embedding")
+    val got = Similarity.sparsifyTopM(df, "vec_id", "embedding", 3)
+      .orderBy($"vec_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Float.floatToIntBits(r.getFloat(3))))
+    def b(f: Float) = java.lang.Float.floatToIntBits(f)
+    assert(got.toSeq == Seq(
+      // |−0.9| then the |0.5| tie broken by index, negative kept verbatim
+      (1L, 1L, 1L, b(-0.9f)), (1L, 2L, 2L, b(0.5f)),
+      (1L, 3L, 3L, b(-0.5f)), (2L, 1L, 1L, b(0.2f)),
+      (2L, 2L, 0L, b(Float.NaN)), (3L, 1L, 0L, b(0.3f))))
+    // scan-local: no exchange anywhere in the plan
+    val plan = Similarity.sparsifyTopM(df, "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

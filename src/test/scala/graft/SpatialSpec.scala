@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Spatial
+
+class SpatialSpec extends SparkSpec {
+
+  test("proximityJoin: grid finds exactly the brute-force pair set, " +
+      "boundary-straddling pairs included, each pair once") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 100L, 100L), (2L, 105L, 104L),   // d2 = 25+16 = 41
+      (3L, 100L, 111L),                     // 1-3: d2 = 121 > 100
+      // cells are radius-sized (10): 4 and 5 sit in adjacent cells but
+      // only 9 apart on lng — the neighbor explode must find them
+      (4L, 200L, 109L), (5L, 200L, 118L),
+      (6L, 5000L, 5000L))                   // far away: no partner
+      .toDF("id", "lat", "lng")
+    val got = Spatial.proximityJoin(pts, "id", col("lat"), col("lng"),
+        radius = 10L)
+      .orderBy($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 41L), (2L, 3L, 25L + 49L),
+      (4L, 5L, 81L)))
+    // negative coordinates are corrupt input
+    intercept[Exception] {
+      Spatial.proximityJoin(Seq((1L, -5L, 10L)).toDF("id", "lat", "lng"),
+        "id", col("lat"), col("lng"), 10L).collect()
+    }
+    // the plan is one equi-join on the cell key, never a cross join
+    val plan = Spatial.proximityJoin(pts, "id", col("lat"), col("lng"),
+      10L).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -438,4 +438,61 @@ class TimeSeriesSpec extends SparkSpec {
       ("a", 45L, 105L, None), ("b", 0L, 106L, Some(5.0))))
     assert(run(series.repartition(5)).toSeq == got.toSeq)
   }
+
+  test("balanceWithResets: segments restart the sum, reset row opens " +
+      "with its own delta, null deltas ride at 0, pre-reset segment 0") {
+    import spark.implicits._
+    val rows = Seq(
+      // key a: two deltas, then a reset carrying its own delta, then one
+      ("a", 1L, 1L, Some(10.0), false), ("a", 2L, 2L, Some(5.0), false),
+      ("a", 3L, 3L, Some(100.0), true), ("a", 4L, 4L, Some(1.0), false),
+      ("a", 5L, 5L, None, false),        // marker row: balance unchanged
+      ("a", 6L, 6L, Some(2.0), true),    // second reset
+      ("b", 1L, 7L, Some(3.0), false))   // key b isolated, never reset
+      .toDF("k", "ts", "id", "d", "rst")
+    val got = TimeSeries.balanceWithResets(rows, Seq("k"), col("ts"),
+        col("id"), col("d"), col("rst"))
+      .orderBy($"k", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(5),
+        r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 0L, 10.0), ("a", 2L, 0L, 15.0), ("a", 3L, 1L, 100.0),
+      ("a", 4L, 1L, 101.0), ("a", 5L, 1L, 101.0), ("a", 6L, 2L, 2.0),
+      ("b", 1L, 0L, 3.0)))
+    // one exchange only: the (k, segment) window reuses the k hash
+    val plan = TimeSeries.balanceWithResets(rows, Seq("k"), col("ts"),
+        col("id"), col("d"), col("rst"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+  }
+
+  test("hampelDespike: spike flagged against local median/MAD, " +
+      "boundary windows shrink, nulls excluded, MAD-0 plateau") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 1L, Some(10.0)), ("a", 2L, 2L, Some(11.0)),
+      ("a", 3L, 3L, Some(10.0)), ("a", 4L, 4L, Some(50.0)),   // spike
+      ("a", 5L, 5L, Some(11.0)), ("a", 6L, 6L, Some(10.0)),
+      ("a", 7L, 7L, None),                                    // null rides
+      ("b", 1L, 8L, Some(5.0)), ("b", 2L, 9L, Some(5.0)),
+      ("b", 3L, 10L, Some(5.0)), ("b", 4L, 11L, Some(6.0)))   // MAD 0
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.hampelDespike(rows, Seq("k"), col("ts"),
+        col("id"), col("v"), halfWindow = 2, kMilli = 3000L)
+      .orderBy($"k", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(6)).map(_.asInstanceOf[Boolean])))
+    val m = got.map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // row a/4: window [10,50,11,10,11] sorted [10,10,11,11,50] → med 11,
+    // devs [0,0,1,1,39] → mad 1; |50−11|·1000 > 3000·1 → spike
+    assert(m(("a", 4L)) == ((Some(11.0), Some(true))))
+    assert(m(("a", 1L))._2 == Some(false))  // boundary window of 3
+    // null value: neighbors still yield a median, but no verdict
+    assert(m(("a", 7L)) == ((Some(10.0), None)))
+    // b/4: plateau of 5s → med 5, mad 0 (window [5,5,5,6] devs
+    // [0,0,0,1] → mad 0) → any deviation flags
+    assert(m(("b", 4L)) == ((Some(5.0), Some(true))))
+    assert(m(("b", 2L))._2 == Some(false))
+  }
 }

@@ -44,4 +44,22 @@ class UrlSpec extends SparkSpec {
     // evil.org, org] — bad.com is NOT a suffix; 7 null host kept
     assert(kept == Set(4L, 5L, 6L, 7L))
   }
+
+  test("linkProfile: URL capture stops at prose punctuation, hosts " +
+      "case-folded and deduped, density ppm, no-URL and empty docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "go to https://A.com/x and (http://a.com/y?q=1&r=2). done"),
+      (2L, "plain prose only here"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = UrlFunctions.linkProfile(df, "text", "doc_id")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    // doc 1: 6 whitespace tokens, 2 urls, one distinct host after
+    // case-folding; the trailing ")." never enters either URL
+    assert(got(0) == ((1L, 2, 1, "a.com", Some(2000000L / 6))))
+    assert(got(1) == ((2L, 0, 0, "", Some(0L))))
+    assert(got(2) == ((3L, 0, 0, "", None)))   // zero tokens: no density
+  }
 }
