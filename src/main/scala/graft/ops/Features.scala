@@ -570,17 +570,22 @@ object Features {
       .partitionBy(gs: _*).orderBy(col(valueCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
-    val grain = ref.filter(col(valueCol).isNotNull)
+    // localCheckpoint: the CDF serves both the join side and the
+    // sentinel derivation — without the cut, exchange reuse can't
+    // dedup the branches (different pruning) and the reference scan +
+    // aggregation execute twice. The checkpointed frame is the CDF
+    // artifact itself: value grain, the thing worth materializing.
+    val steps = ref.filter(col(valueCol).isNotNull)
       .groupBy(gs :+ col(valueCol).cast("double").as(valueCol): _*)
       .agg(count(lit(1)).as("__n"))
-    val steps = grain
       .withColumn("__cum", sum(col("__n")).over(wCum))
       .withColumn("__nref", sum(col("__n")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)))
       .select(gs ++ Seq(col(valueCol), col("__cum"), col("__nref")): _*)
+      .localCheckpoint(false)
     // a −∞ sentinel per key gives below-minimum probes a match too:
     // cum 0, n_ref carried — pct 0, never a spurious "no distribution"
-    val sentinel = grain.groupBy(gs: _*).agg(sum(col("__n")).as("__nref"))
+    val sentinel = steps.groupBy(gs: _*).agg(max(col("__nref")).as("__nref"))
       .select(gs ++ Seq(lit(Double.NegativeInfinity).as(valueCol),
         lit(0L).as("__cum"), col("__nref")): _*)
     graft.ops.TimeSeries.asofJoinBackward(

@@ -677,11 +677,18 @@ object TimeSeries {
           .as("__bkt")): _*)
     // boundary grain: net delta per instant (zero-length intervals and
     // balanced open/close cancel here and are dropped — every output
-    // row is a real concurrency change)
+    // row is a real concurrency change). localCheckpoint: the grid
+    // feeds BOTH the offsets branch and the final join, and Spark's
+    // exchange reuse can't dedup them (column pruning differs per
+    // branch) — without the cut the caller's whole upstream pipeline
+    // executes twice (measured: the q175 probe's sessionization ran
+    // 2×). Boundary grain is already collapsed, so the materialized
+    // frame is small relative to the input.
     val grid = bounds
       .groupBy(keys ++ Seq(col("__bkt"), col("ts")): _*)
       .agg(sum(col("__d")).as("delta"))
       .filter(col("delta") =!= 0L)
+      .localCheckpoint(false)
     val wLocal = Window.partitionBy(keys :+ col("__bkt"): _*)
       .orderBy(col("ts"))
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -13,11 +13,11 @@ object NewOpPlans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q135_cov", "q137_int8", "q136_prop_split", "q134_cusum", "q132_cohort", "q131_snapshot_diff", "q138_label_agree")) {
+    for (q <- Seq("q175_concurrency", "q184_gini", "q179_ecdf", "q186_hampel", "q183_proximity", "q176_inverted")) {
       println(s"==== $q ====")
       val df = SparkEntry.queries(q)(spark, dir)
       println(df.queryExecution.executedPlan.toString
-        .linesIterator.map(_.take(120)).mkString("\n"))
+        .linesIterator.map(_.take(100)).mkString("\n"))
       println(s"rows=${df.count()}")
     }
     spark.stop()
