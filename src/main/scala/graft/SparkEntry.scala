@@ -2503,6 +2503,143 @@ object SparkEntry {
         .orderBy(col("q"))
     },
 
+    // X180 — reliability table of a synthetic scorer (first embedding
+    // coordinate squashed to [0,1]) against the even-label class
+    "q189_calibration" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val score = greatest(least(
+        (expr("CAST(embedding[0] AS DOUBLE)") + lit(1d)) / lit(2d),
+        lit(1d)), lit(0d))
+      graft.ops.Features.calibrationTable(
+          e.select(score.as("sc"), (col("label") % 2 === 0).as("y")),
+          Nil, col("sc"), col("y"), nBins = 10)
+        .orderBy(col("bin"))
+    },
+
+    // X181 — CIDR blocklist over synthetic dotted quads (every 13th
+    // row gets a non-IP string, which the cleaner keeps)
+    "q190_cidr" -> { (s, dir) =>
+      import s.implicits._
+      val ips = events(s, dir).select(col("event_id"),
+        when(col("event_id") % 13 === 0, lit("not-an-ip"))
+          .otherwise(concat(lit("10."),
+            pmod(col("user_id"), lit(256L)).cast("string"), lit("."),
+            pmod(col("event_id"), lit(256L)).cast("string"), lit("."),
+            pmod(graft.functions.Exact.longDiv(col("event_id"), 256L),
+              lit(256L)).cast("string"))).as("ip"))
+      val block = Seq("10.5.0.0/16", "10.12.0.0/14", "10.20.33.0/24")
+        .toDF("cidr")
+      graft.text.UrlFunctions.cidrBlocklistFilter(
+          ips, "event_id", col("ip"), block, "cidr")
+        .orderBy(col("event_id"))
+    },
+
+    // X182 — busy-period extraction: each supplier's 7-day shipment
+    // windows coalesced into maximal covered intervals (day grain)
+    "q191_coalesce" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1992-01-01").cast("date")).cast("long").as("d"))
+        .filter(col("d").isNotNull)
+      graft.ops.TimeSeries.coalesceIntervals(
+          li.select(col("l_suppkey"), col("d").as("s"),
+            (col("d") + 7L).as("e")),
+          Seq("l_suppkey"), col("s"), col("e"))
+        .orderBy(col("l_suppkey"), col("island"))
+    },
+
+    // X183 — Hamilton proration: a 1,000,000-token quota per language
+    // apportioned across its documents by character count, exact
+    "q192_prorate" -> { (s, dir) =>
+      graft.ops.Relational.prorate(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars")),
+          Seq("lang"), col("n_chars"), lit(1000000L), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("share"))
+        .orderBy(col("doc_id"))
+    },
+
+    // composition probe: X120's snapshot diff → per-field churn counts
+    // ("which columns actually change between versions")
+    "q193_field_churn" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val snapA = o.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val snapB = o.filter(col("o_orderkey") % 89 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.5d)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("o_orderkey") % 31 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      val d = graft.ops.Relational.snapshotDiff(snapA, snapB,
+        Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+      d.agg(
+        sum(when(col("change") === "added", 1L).otherwise(0L))
+          .as("n_added"),
+        sum(when(col("change") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("change") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("change") === "changed" &&
+            !(col("old_o_totalprice") <=> col("new_o_totalprice")), 1L)
+          .otherwise(0L)).as("churn_totalprice"),
+        sum(when(col("change") === "changed" &&
+            !(col("old_o_orderstatus") <=> col("new_o_orderstatus")), 1L)
+          .otherwise(0L)).as("churn_orderstatus"))
+    },
+
+    // X184 — salted pseudonymization with cross-table referential
+    // integrity: the same user tokenizes identically in events and
+    // orders, so the token-grain join still lines up
+    "q194_pseudonym" -> { (s, dir) =>
+      val ev = graft.ops.Profile.pseudonymize(
+        events(s, dir).select(col("user_id")), Seq("user_id"),
+        salt = "graft-r7", tokenLen = 16)
+      val or = graft.ops.Profile.pseudonymize(
+        t(s, dir, "orders").select(col("o_custkey")), Seq("o_custkey"),
+        salt = "graft-r7", tokenLen = 16)
+      ev.groupBy(col("user_id").as("token"))
+        .agg(count(lit(1)).as("n_events"))
+        .join(or.groupBy(col("o_custkey").as("token"))
+          .agg(count(lit(1)).as("n_orders")), Seq("token"), "left")
+        .orderBy(col("token"))
+    },
+
+    // X185 — counter-rate extraction over a synthetic wrapping meter
+    // (per-user cumulative cents mod 1e5 — wraps read as resets)
+    "q195_counter_rates" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val base = events(s, dir).select(col("user_id"),
+          nsToMicros(col("ts_ns")).as("ts_us"), col("event_id"),
+          (dec(col("value")) * 100).cast("long").as("cents"))
+        .withColumn("c", pmod(sum(col("cents")).over(w), lit(100000L)))
+      graft.ops.TimeSeries.counterRates(base, Seq("user_id"),
+          col("ts_us"), col("event_id"), col("c"))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("c"),
+          col("dt_us"), col("reset"), col("delta"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
+    // composition probe: per-type inter-arrival gaps → X27 exact
+    // quantiles ("how bursty is each event stream")
+    "q196_interarrival" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+      val gaps = events(s, dir).select(col("event_type"),
+          nsToMicros(col("ts_ns")).as("ts_us"), col("event_id"))
+        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .select(col("event_type"), col("gap"))
+      graft.ops.Relational.quantilesDisc(gaps, Seq("event_type"),
+          col("gap"), Seq(0.5, 0.9, 0.99))
+        .orderBy(col("event_type"), col("q"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -7025,5 +7162,203 @@ object SparkEntry {
         |SELECT q, CAST(delta_us AS DOUBLE) AS value
         |FROM ranked, qs WHERE rn = (ppm * n + 999999) // 1000000
         |ORDER BY q""".stripMargin,
+
+    "q189_calibration" ->
+      """WITH s AS (
+        |  SELECT greatest(least(
+        |      (CAST(embedding[1] AS DOUBLE) + 1) / 2, 1.0), 0.0) AS sc,
+        |    (label % 2 = 0) AS y
+        |  FROM embeddings
+        |), b AS (
+        |  SELECT least(CAST(floor(sc * 10) AS BIGINT), 9) AS bin, sc, y
+        |  FROM s
+        |)
+        |SELECT bin, CAST(bin AS DOUBLE) / 10 AS bin_lo,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(sc AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |    AS mean_score,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |    AS BIGINT) AS pos_ppm
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // prefix arithmetic on the same synthetic quads; the three blocks
+    // resolve to second-octet 5, second-octet 12-15, and (20, e%256=33)
+    "q190_cidr" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL
+        |      ELSE 10 * 16777216 + (user_id % 256) * 65536
+        |        + (event_id % 256) * 256 + ((event_id // 256) % 256)
+        |      END AS ipl,
+        |    CASE WHEN event_id % 13 = 0 THEN 'not-an-ip'
+        |      ELSE '10.' || (user_id % 256) || '.' || (event_id % 256)
+        |        || '.' || ((event_id // 256) % 256) END AS ip
+        |  FROM events
+        |), blocked AS (
+        |  SELECT event_id FROM r WHERE ipl IS NOT NULL AND (
+        |    ipl // 65536 = 10 * 256 + 5
+        |    OR ipl // 262144 = (10 * 16777216 + 12 * 65536) // 262144
+        |    OR ipl // 256 = (10 * 16777216 + 20 * 65536 + 33 * 256)
+        |      // 256)
+        |)
+        |SELECT r.event_id, r.ip FROM r
+        |WHERE event_id NOT IN (SELECT event_id FROM blocked)
+        |ORDER BY event_id""".stripMargin,
+
+    "q191_coalesce" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey,
+        |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |      AS s,
+        |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |      + 7 AS e
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL
+        |), h AS (
+        |  SELECT l_suppkey, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        IS NULL THEN 1
+        |      WHEN s > max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        THEN 1 ELSE 0 END AS head
+        |  FROM iv
+        |), isl AS (
+        |  SELECT l_suppkey, s, e,
+        |    CAST(sum(head) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM h
+        |)
+        |SELECT l_suppkey, island, CAST(min(s) AS BIGINT) AS start,
+        |  CAST(max(e) AS BIGINT) AS "end", count(*) AS n_merged
+        |FROM isl GROUP BY 1, 2 ORDER BY l_suppkey, island""".stripMargin,
+
+    "q192_prorate" ->
+      """WITH st AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS w
+        |  FROM documents
+        |), fl AS (
+        |  SELECT *,
+        |    CASE WHEN w > 0 THEN CAST(1000000 * n_chars // w AS BIGINT)
+        |      ELSE 0 END AS fl,
+        |    CASE WHEN w > 0 THEN CAST(1000000 * n_chars % w AS BIGINT)
+        |      ELSE 0 END AS rem
+        |  FROM st
+        |), lf AS (
+        |  SELECT *,
+        |    CASE WHEN w > 0 THEN 1000000
+        |      - CAST(sum(fl) OVER (PARTITION BY lang) AS BIGINT)
+        |      ELSE 0 END AS leftover,
+        |    row_number() OVER (PARTITION BY lang ORDER BY rem DESC,
+        |      doc_id) AS rk
+        |  FROM fl
+        |)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS share
+        |FROM lf ORDER BY doc_id""".stripMargin,
+
+    "q193_field_churn" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 97 <> 0
+        |), b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 31 = 0 THEN 'X'
+        |      ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 89 <> 0
+        |), j AS (
+        |  SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+        |    a.o_totalprice AS op, b.o_totalprice AS np,
+        |    a.o_orderstatus AS os, b.o_orderstatus AS ns
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        |), c AS (
+        |  SELECT *, CASE WHEN ka IS NULL THEN 'added'
+        |    WHEN kb IS NULL THEN 'removed'
+        |    WHEN op IS DISTINCT FROM np OR os IS DISTINCT FROM ns
+        |      THEN 'changed' END AS change
+        |  FROM j
+        |)
+        |SELECT
+        |  CAST(sum(CASE WHEN change = 'added' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN change = 'removed' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN change = 'changed' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN change = 'changed'
+        |      AND op IS DISTINCT FROM np THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS churn_totalprice,
+        |  CAST(sum(CASE WHEN change = 'changed'
+        |      AND os IS DISTINCT FROM ns THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS churn_orderstatus
+        |FROM c""".stripMargin,
+
+    "q194_pseudonym" ->
+      """WITH ev AS (
+        |  SELECT substr(md5('graft-r7:' || CAST(user_id AS VARCHAR)),
+        |      1, 16) AS token,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1
+        |), orr AS (
+        |  SELECT substr(md5('graft-r7:' || CAST(o_custkey AS VARCHAR)),
+        |      1, 16) AS token,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT ev.token, ev.n_events, orr.n_orders
+        |FROM ev LEFT JOIN orr USING (token)
+        |ORDER BY token""".stripMargin,
+
+    "q195_counter_rates" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, ts_us, event_id, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |      % 100000 AS BIGINT) AS c
+        |  FROM b
+        |), l AS (
+        |  SELECT user_id, ts_us, event_id, c,
+        |    lag(c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS pv,
+        |    lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS pt
+        |  FROM c
+        |)
+        |SELECT user_id, ts_us, event_id, c,
+        |  CASE WHEN pv IS NOT NULL THEN ts_us - pt END AS dt_us,
+        |  CASE WHEN pv IS NOT NULL THEN c < pv END AS reset,
+        |  CASE WHEN pv IS NULL THEN NULL
+        |    WHEN c < pv THEN c ELSE c - pv END AS delta
+        |FROM l ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q196_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+        |      AS gap
+        |  FROM events
+        |), gg AS (
+        |  SELECT event_type, gap FROM g WHERE gap IS NOT NULL
+        |), ranked AS (
+        |  SELECT event_type, gap,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM gg
+        |), qs AS (
+        |  SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE), 500000),
+        |    (0.9, 900000), (0.99, 990000)) t(q, ppm)
+        |)
+        |SELECT event_type, q, CAST(gap AS DOUBLE) AS value
+        |FROM ranked, qs WHERE rn = (ppm * n + 999999) // 1000000
+        |ORDER BY event_type, q""".stripMargin,
   )
 }

@@ -727,4 +727,45 @@ object Features {
     scaleFeatures(df.withColumn("phase", phase),
       keyCols :+ "phase", valueCol, scale)
   }
+
+  /** Calibration / reliability table — [[groupAuc]] tells you a
+    * classifier RANKS well; this tells you whether its scores MEAN
+    * what they say ("of rows scored ~0.8, did ~80% convert?"), the
+    * audit behind threshold picking and probability-consuming
+    * downstream logic. Scores in [0, 1] bin into `nBins` fixed-width
+    * buckets (the top edge folds into the last bin); per (group, bin):
+    * `n`, `mean_score` (decimal-exact sum at 6 dp → one IEEE
+    * division), `pos_ppm` (exact integer positive rate), and `bin_lo`.
+    * A calibrated model shows pos_ppm/10⁶ ≈ mean_score down the
+    * table. Rows with null score or label are dropped; out-of-[0,1]
+    * scores are corrupt input and raise in-plan (a probability that
+    * isn't one is an upstream bug, not a bin).
+    *
+    * Scale shape: scan-local binning, then ONE map-side-combined
+    * aggregation to (group, bin) grain — ≤ |groups|·nBins output rows,
+    * no window, no join, nothing shuffles but the bin table.
+    */
+  def calibrationTable(df: DataFrame, groupCols: Seq[String],
+      scoreCol: Column, labelCol: Column, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1: $nBins")
+    val gs = groupCols.map(col)
+    val s0 = scoreCol.cast("double")
+    val s = when(s0 < 0d || s0 > 1d, raise_error(concat(
+        lit("calibrationTable: score outside [0,1]: "),
+        s0.cast("string"))))
+      .otherwise(s0)
+    val bin = least(floor(s * nBins).cast("long"), lit(nBins - 1L))
+    df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .groupBy(gs :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(s.cast(DecimalType(18, 6))).cast("double").as("__sum"),
+        sum(labelCol.cast("boolean").cast("long")).as("__pos"))
+      .withColumn("mean_score", col("__sum") / col("n"))
+      .withColumn("pos_ppm", graft.functions.Exact.longDiv(
+        col("__pos") * 1000000L, col("n")))
+      .withColumn("bin_lo",
+        col("bin").cast("double") / lit(nBins.toDouble))
+      .select(gs ++ Seq(col("bin"), col("bin_lo"), col("n"),
+        col("mean_score"), col("pos_ppm")): _*)
+  }
 }

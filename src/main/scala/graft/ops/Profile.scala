@@ -273,4 +273,37 @@ object Profile {
         sum(col("__nn")).as("n_null"),
         coalesce(max(col("__nn")), lit(0L)).as("max_null_run"))
   }
+
+  /** Salted deterministic pseudonymization — replace identifier
+    * columns with `substring(md5(salt:value), tokenLen)` tokens: the
+    * privacy step between [[graft.text.TextFunctions.redactPii]]
+    * (free-text scrubbing) and [[kAnonymity]]/[[lDiversity]] (release
+    * audits). The SAME (salt, value) maps to the SAME token in every
+    * table of the release, so joins and groupings still line up —
+    * referential integrity survives tokenization, which is the whole
+    * reason to pseudonymize rather than drop the column; a different
+    * salt breaks linkage to any other release (and to anyone without
+    * it). Null stays null (absence is not an identity). `tokenLen`
+    * trades re-identification-resistant width against collision
+    * probability (16 hex chars = 64 bits: collisions expected past
+    * ~2³² distinct ids — audit with the q194 probe's
+    * distinct-token-vs-distinct-id check before shrinking it).
+    *
+    * Scale shape: entirely scan-local — one hash per cell, no
+    * shuffle, no dictionary to build, distribute, or leak (a lookup
+    * table IS re-identification material; a keyed hash never
+    * materializes the mapping).
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String,
+      tokenLen: Int = 16): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    require(tokenLen >= 1 && tokenLen <= 32,
+      s"tokenLen must be in [1, 32]: $tokenLen")
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNotNull, substring(
+          md5(concat(lit(salt), lit(":"), col(c).cast("string"))),
+          1, tokenLen)))
+    }
+  }
 }

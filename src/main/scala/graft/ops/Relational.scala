@@ -1192,4 +1192,66 @@ object Relational {
           .as("blowup_ppm"))
   }
 
+  /** Largest-remainder proration (Hamilton apportionment) — split an
+    * integer total across a group's rows proportionally to integer
+    * weights, EXACTLY: every row gets ⌊total·wᵢ/W⌋, and the leftover
+    * units (total − Σ floors < number of rows) go one each to the
+    * rows with the largest remainders (`total·wᵢ mod W` desc, `tie`
+    * asc — total order, engine-portable). The allocation every
+    * billing/ads/budget system means by "split proportionally":
+    * shares are integers, Σ shares == total EXACTLY per group — no
+    * float rounding that gains or loses a unit, which is an
+    * accounting bug, not an approximation. Token-budget splits across
+    * sources ([[graft.text.Corpus.selectToBudget]] truncates a
+    * ranking; this apportions a quota) and sample-count allocation
+    * use the same arithmetic. Zero-weight rows get 0 before
+    * remainders (their remainder is 0, ranked last among ties only if
+    * nothing else remains); negative weights raise in-plan; a group
+    * with W = 0 allocates nothing (shares 0 — there is no proportion
+    * to follow).
+    *
+    * Scale shape: ONE key exchange; the weight-sum and floor-sum
+    * windows and the remainder-rank window share its partitioning
+    * (two sort orders, one shuffle); products route through
+    * decimal(38,0) so 10¹²-scale totals × weights stay exact. O(1)
+    * state per row.
+    */
+  def prorate(df: DataFrame, keyCols: Seq[String], weightCol: Column,
+      totalCol: Column, tieCol: Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val keys = keyCols.map(col)
+    val w0 = weightCol.cast("long")
+    // null weight = no claim on the pool (weight 0), negative raises
+    val w = when(w0 < 0L, raise_error(concat(
+        lit("prorate: negative weight: "), w0.cast("string"))))
+      .otherwise(coalesce(w0, lit(0L)))
+    val wKey = Window.partitionBy(keys: _*)
+    val wRank = Window.partitionBy(keys: _*)
+      .orderBy(col("__rem").desc, col("__tie"))
+    val staged = df
+      .withColumn("__wt", w)
+      .withColumn("__tie", tieCol)
+      .withColumn("__total", totalCol.cast("long"))
+      .withColumn("__wsum", sum(col("__wt")).over(wKey))
+      .withColumn("__floor", when(col("__wsum") > 0L,
+          graft.functions.Exact.longDiv(
+            col("__total").cast(d38) * col("__wt").cast(d38),
+            col("__wsum").cast(d38)).cast("long"))
+        .otherwise(0L))
+      .withColumn("__rem", when(col("__wsum") > 0L,
+          (col("__total").cast(d38) * col("__wt").cast(d38) -
+            col("__floor").cast(d38) * col("__wsum").cast(d38))
+            .cast("long"))
+        .otherwise(0L))
+    staged
+      .withColumn("__left",
+        when(col("__wsum") > 0L, col("__total") -
+          sum(col("__floor")).over(wKey)).otherwise(0L))
+      .withColumn("__rk", row_number().over(wRank).cast("long"))
+      .withColumn("share",
+        col("__floor") + when(col("__rk") <= col("__left"), 1L)
+          .otherwise(0L))
+      .drop("__wt", "__tie", "__total", "__wsum", "__floor", "__rem",
+        "__left", "__rk")
+  }
 }

@@ -855,4 +855,89 @@ object TimeSeries {
             lit(kMilli.toDouble) * col("mad")))
       .drop("__w", "__d")
   }
+
+  /** Interval coalescing (gaps-and-islands union) — merge, per key,
+    * every run of intervals that overlap or sit within `minGap` of
+    * each other into one covering interval: SCD2 history compaction,
+    * busy-period extraction from job/session logs, outage windows
+    * from flapping alerts. Output: (keys…, `island` 1-based, `start`,
+    * `end`, `n_merged`). Touching intervals (end == next start) merge
+    * at minGap 0 — this is interval UNION, where
+    * [[intervalConcurrency]]'s half-open sweep counts them apart; a
+    * zero-length interval is a point that can bridge a gap. `end <
+    * start` raises in-plan.
+    *
+    * Scale shape: ONE key exchange; islands come from the classic
+    * two-window pass over the same sort — running `max(end)` over
+    * preceding rows flags island heads (`start > maxEnd + minGap`),
+    * a running sum of flags numbers them — and the final (keys,
+    * island) aggregation reuses the key-subset hash partitioning (no
+    * second shuffle). O(1) state per row, any island length.
+    */
+  def coalesceIntervals(df: DataFrame, keyCols: Seq[String],
+      startCol: Column, endCol: Column, minGap: Long = 0L): DataFrame = {
+    require(minGap >= 0, s"minGap must be >= 0: $minGap")
+    val keys = keyCols.map(col)
+    val s = startCol.cast("long")
+    val e0 = endCol.cast("long")
+    val e = when(e0 < s, raise_error(concat(
+        lit("coalesceIntervals: end < start: "), e0.cast("string"),
+        lit(" < "), s.cast("string"))))
+      .otherwise(e0)
+    val wPrev = Window.partitionBy(keys: _*).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(keys: _*).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(keys ++ Seq(s.as("__s"), e.as("__e")): _*)
+      .withColumn("__head",
+        when(col("__s") > max(col("__e")).over(wPrev) + minGap, 1L)
+          .when(max(col("__e")).over(wPrev).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("__head")).over(wRun))
+      .groupBy(keys :+ col("island"): _*)
+      .agg(min(col("__s")).as("start"), max(col("__e")).as("end"),
+        count(lit(1)).as("n_merged"))
+  }
+
+  /** Monotonic-counter rate extraction with reset detection — the
+    * Prometheus-counter discipline for any cumulative meter (bytes
+    * sent, requests served, odometer readings) that only grows until
+    * it WRAPS or the process restarts: per row, `delta` = increase
+    * since the previous reading of the same key, except a DROP
+    * (v < prev) is a reset and the new reading IS the delta (the
+    * counter restarted from zero and climbed to v — the standard
+    * under-estimate that never goes negative), flagged in `reset`.
+    * `dt_us` carries the gap for rate computation downstream
+    * (delta/dt — left to the caller: the exact integers are the
+    * portable part, the division is presentation). First reading per
+    * key has null delta/dt (nothing to difference against); null
+    * counter values pass through with null delta and don't disturb
+    * the chain (the previous NON-NULL reading stays the baseline).
+    *
+    * Scale shape: ONE key exchange, one sort, two running
+    * `last(…, ignoreNulls)` frames — O(1) state per row, the
+    * [[lagDiff]] family's shape with the reset branch on top.
+    */
+  def counterRates(df: DataFrame, keyCols: Seq[String], tsUs: Column,
+      tieCol: Column, counterCol: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val v = counterCol.cast("long")
+    val wPrev = Window.partitionBy(keys: _*)
+      .orderBy(tsUs.cast("long"), tieCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevV = last(when(v.isNotNull, v), ignoreNulls = true).over(wPrev)
+    val prevT = last(when(v.isNotNull, tsUs.cast("long")),
+      ignoreNulls = true).over(wPrev)
+    df.withColumn("__pv", prevV)
+      .withColumn("__pt", prevT)
+      .withColumn("dt_us",
+        when(v.isNotNull && col("__pv").isNotNull,
+          tsUs.cast("long") - col("__pt")))
+      .withColumn("reset",
+        when(v.isNotNull && col("__pv").isNotNull, v < col("__pv")))
+      .withColumn("delta",
+        when(v.isNotNull && col("__pv").isNotNull,
+          when(v < col("__pv"), v).otherwise(v - col("__pv"))))
+      .drop("__pv", "__pt")
+  }
 }

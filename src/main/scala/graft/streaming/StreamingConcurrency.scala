@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming interval-concurrency monitor (`mapGroupsWithState`,
+  * SURVEY §2.7) — the live form of
+  * [[graft.ops.TimeSeries.intervalConcurrency]]'s sweep line: per key,
+  * from completed-interval records (start, end), the number open NOW,
+  * the PEAK ever observed, and interval/late counts, updated every
+  * batch ("how many sessions are active this instant, and what was the
+  * worst"). Each batch's intervals are sorted by (start, end) and
+  * swept against a frontier; half-open [start, end) semantics match
+  * the batch operator exactly.
+  *
+  * State per key is the open-interval end list — bounded by the
+  * CURRENT concurrency, the answer itself, not by stream length (an
+  * interval leaves state as soon as a later start passes its end).
+  * Intervals arriving with start below the frontier count as `nLate`
+  * and still enter the sweep, but boundaries already swept past can't
+  * be revisited — on late data the peak is a LOWER bound, the same
+  * honesty contract as [[StreamingLateness]] (which is how you size
+  * the watermark that makes lateness rare). In-order input reproduces
+  * the batch sweep's peak exactly.
+  */
+object StreamingConcurrency {
+
+  /** Running sweep state and report row: `open` intervals spanning the
+    * frontier, `peak` concurrency observed, `n` intervals total,
+    * `nLate` arrivals whose start preceded the frontier, `frontier`
+    * the largest start swept.
+    */
+  final case class ConcStats(openEnds: Seq[Long], peak: Long, n: Long,
+      nLate: Long, frontier: Long) {
+    def open: Long = openEnds.size.toLong
+  }
+
+  /** Compact per-batch report (the emission row of [[monitor]]). */
+  final case class ConcReport(open: Long, peak: Long, n: Long,
+      nLate: Long, frontier: Long)
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, (Long, Long)],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[ConcStats],
+      e: Encoder[(K, ConcReport)]): Dataset[(K, ConcReport)] =
+    grouped.mapGroupsWithState[ConcStats, (K, ConcReport)](timeout) {
+      (k: K, ivs: Iterator[(Long, Long)], state: GroupState[ConcStats]) =>
+        var s = state.getOption.getOrElse(
+          ConcStats(Vector.empty, 0L, 0L, 0L, Long.MinValue))
+        ivs.toSeq.sortBy(identity).foreach { case (start, end) =>
+          val late = s.n > 0 && start < s.frontier
+          // sweep the frontier to this start: ends at-or-before it
+          // close (half-open — an interval ending AT start does not
+          // overlap one starting there); zero-length intervals count
+          // in `n` but never open, matching the batch operator
+          val kept = s.openEnds.filter(_ > start)
+          val open = if (end > start) kept :+ end else kept
+          s = ConcStats(open, math.max(s.peak, open.size.toLong),
+            s.n + 1, s.nLate + (if (late) 1L else 0L),
+            math.max(s.frontier, start))
+        }
+        state.update(s)
+        (k, ConcReport(s.open, s.peak, s.n, s.nLate, s.frontier))
+    }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -133,4 +133,65 @@ object UrlFunctions {
         when(nTok > 0L, graft.functions.Exact.longDiv(
           size(urls).cast("long") * 1000000L, nTok)).as("link_ppm"))
   }
+
+  /** Dotted-quad IPv4 → long, null for anything that isn't exactly
+    * four in-range octets (a cleaner's contract: garbage becomes null,
+    * never a wrong number). Pure string/long arithmetic — portable.
+    */
+  def ipv4ToLong(ip: Column): Column = {
+    val parts = split(ip, "\\.")
+    def oct(i: Int) = element_at(parts, i)
+    val valid = ip.rlike(
+      "^" + Seq.fill(4)("(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])")
+        .mkString("\\.") + "$")
+    when(valid,
+      oct(1).cast("long") * 16777216L + oct(2).cast("long") * 65536L +
+        oct(3).cast("long") * 256L + oct(4).cast("long"))
+  }
+
+  /** Drop every row whose IPv4 address falls inside a blocked CIDR
+    * range — the bot/abuse/datacenter-IP gate a crawl or clickstream
+    * pipeline applies at ingest, the network twin of
+    * [[domainBlocklistFilter]]'s suffix semantics. `blocklist` carries
+    * `a.b.c.d/k` strings in `cidrCol`; a row matches block `net/k` iff
+    * the top k bits agree (`ip div 2^(32−k) = net div 2^(32−k)`) —
+    * pure long arithmetic, no bit-twiddling an engine could disagree
+    * on. Rows with unparseable IPs are KEPT (absence of a valid
+    * address is not a block reason — the [[domainBlocklistFilter]]
+    * null contract). Malformed blocklist entries raise in-plan: a
+    * silently-dropped block rule is a security hole, the opposite of
+    * the null-host case.
+    *
+    * Scale shape: the corpus never shuffles. Each row expands only to
+    * the DISTINCT prefix widths the blocklist actually uses (≤ 32,
+    * real lists use 3-6) via a broadcast cross join, semi-joins the
+    * broadcast (width, prefix) block set, and the small hit-id set
+    * broadcast-anti-joins back — the X161 shape with prefix widths in
+    * place of label suffixes.
+    */
+  def cidrBlocklistFilter(df: DataFrame, idCol: String, ipCol: Column,
+      blocklist: DataFrame, cidrCol: String): DataFrame = {
+    val cidr = col(cidrCol)
+    val net = ipv4ToLong(regexp_extract(cidr, "^([0-9.]+)/", 1))
+    val k0 = regexp_extract(cidr, "/([0-9]+)$", 1)
+    val k = when(net.isNull || k0 === "" || k0.cast("long") > 32L,
+        raise_error(concat(lit("cidrBlocklistFilter: bad CIDR: "), cidr)))
+      .otherwise(k0.cast("long"))
+    def prefix(ipLong: Column, width: Column) =
+      graft.functions.Exact.longDiv(ipLong,
+        pow(lit(2d), lit(32L) - width).cast("long"))
+    val blocks = blocklist
+      .select(k.as("__k"), net.as("__net"))
+      .withColumn("__pfx", prefix(col("__net"), col("__k")))
+      .select(col("__k"), col("__pfx")).distinct()
+    val widths = blocks.select(col("__k")).distinct()
+    val hitIds = df
+      .select(col(idCol).as("__hid"), ipv4ToLong(ipCol).as("__ip"))
+      .filter(col("__ip").isNotNull)
+      .crossJoin(broadcast(widths))
+      .withColumn("__pfx", prefix(col("__ip"), col("__k")))
+      .join(broadcast(blocks), Seq("__k", "__pfx"), "left_semi")
+      .select(col("__hid")).distinct()
+    df.join(broadcast(hitIds), col(idCol) === col("__hid"), "left_anti")
+  }
 }

@@ -401,4 +401,27 @@ class FeaturesSpec extends SparkSpec {
     val mm = got.map(t => t._1 -> t._3).toMap
     assert(mm(-40L) == 0.0 && mm(170L) == 1.0)
   }
+
+  test("calibrationTable: bin edges, top edge folds into last bin, " +
+      "exact pos rate, null rows dropped, out-of-range raises") {
+    import graft.ops.Features
+    val df = Seq(
+      (0.05, Some(false)), (0.09, Some(true)),   // bin 0: 1/2 pos
+      (0.95, Some(true)), (1.0, Some(true)),     // 1.0 folds into bin 9
+      (0.55, None),                              // null label: dropped
+      (0.5, Some(true)))                         // exactly on edge: bin 5
+      .toDF("sc", "y")
+    val got = Features.calibrationTable(df, Nil, col("sc"), col("y"), 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 0.0, 2L, 0.07, 500000L),
+      (5L, 0.5, 1L, 0.5, 1000000L),
+      (9L, 0.9, 2L, (0.95 + 1.0) / 2, 1000000L)))
+    intercept[Exception] {
+      Features.calibrationTable(Seq((1.5, true)).toDF("sc", "y"),
+        Nil, col("sc"), col("y"), 10).collect()
+    }
+  }
 }

@@ -274,4 +274,20 @@ class ProfileFunnelSpec extends SparkSpec {
     assert(got == Map("u1" -> ((7L, 5L, 3L)), "u2" -> ((1L, 0L, 0L)),
       "u3" -> ((2L, 2L, 2L))))
   }
+
+  test("pseudonymize: same (salt, value) → same token across tables, " +
+      "different salt breaks linkage, null stays null, length honored") {
+    import spark.implicits._
+    val a = Seq(Some(7L), Some(8L), None).toDF("id")
+    val b = Seq(Some(7L), Some(9L)).toDF("id")
+    def tok(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Profile.pseudonymize(df, Seq("id"), salt, tokenLen = 12)
+        .collect().map(r => Option(r.getString(0)))
+    val ta = tok(a, "s1"); val tb = tok(b, "s1")
+    assert(ta(0) == tb(0))                    // 7 links across tables
+    assert(ta(0) != ta(1) && tb(0) != tb(1))  // distinct ids differ
+    assert(ta(2).isEmpty)                     // null stays null
+    assert(ta(0).get.length == 12)
+    assert(tok(a, "s2")(0) != ta(0))          // salt breaks linkage
+  }
 }

@@ -723,4 +723,38 @@ class RelationalSpec extends SparkSpec {
     assert((none.getLong(4), none.getLong(5), none.getLong(7)) ==
       ((0L, 0L, 0L)))
   }
+
+  test("prorate: shares sum exactly to the total, largest remainders " +
+      "win the leftover, zero/null weights get 0, W=0 allocates nothing") {
+    import spark.implicits._
+    // total 10 over weights 1,1,1 → floors 3,3,3, leftover 1 goes to
+    // the smallest tie (equal remainders)
+    val even = Relational.prorate(
+        Seq((1L, "a", 1L), (2L, "a", 1L), (3L, "a", 1L))
+          .toDF("id", "g", "w"),
+        Seq("g"), col("w"), lit(10L), col("id"))
+      .orderBy("id").collect().map(_.getLong(3))
+    assert(even.toSeq == Seq(4L, 3L, 3L))
+    // remainders decide: total 10, weights 2,3,5 → exact 2,3,5;
+    // weights 1,2,4 (W=7): floors 1,2,5; rems 3,6,5 → leftover 2 →
+    // ids 2 (rem 6) and 3 (rem 5) get +1
+    val rem = Relational.prorate(
+        Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 4L))
+          .toDF("id", "g", "w"),
+        Seq("g"), col("w"), lit(10L), col("id"))
+      .orderBy("id").collect().map(_.getLong(3))
+    assert(rem.toSeq == Seq(1L, 3L, 6L))
+    assert(rem.sum == 10L)
+    // null weight rides at 0; a group of only zero weights gets nothing
+    val z = Relational.prorate(
+        Seq((1L, "a", Some(5L)), (2L, "a", None),
+          (3L, "z", Some(0L))).toDF("id", "g", "w"),
+        Seq("g"), col("w"), lit(10L), col("id"))
+      .orderBy("id").collect().map(_.getLong(3))
+    assert(z.toSeq == Seq(10L, 0L, 0L))
+    intercept[Exception] {
+      Relational.prorate(Seq((1L, "a", -2L)).toDF("id", "g", "w"),
+        Seq("g"), col("w"), lit(10L), col("id")).collect()
+    }
+  }
 }

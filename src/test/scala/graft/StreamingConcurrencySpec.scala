@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingConcurrency
+import graft.streaming.StreamingConcurrency.ConcReport
+
+class StreamingConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sweep state: overlap peak, half-open touch, cross-batch close, " +
+      "state bounded by concurrency, late starts counted") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StreamingConcurrency.monitor(in.toDS()
+        .groupByKey(_._1).mapValues(t => (t._2, t._3)))
+      .writeStream.format("memory").queryName("conc_out")
+      .outputMode(StreamingConcurrency.outputMode)
+      .start()
+
+    // batch 1, key a: [0,100) [50,120) overlap (peak 2); [120,130)
+    // touches 120 — no overlap. key b: zero-length interval only.
+    in.addData(("a", 0L, 100L), ("a", 50L, 120L), ("a", 120L, 130L),
+      ("b", 5L, 5L))
+    q.processAllAvailable()
+    def last(): Map[String, ConcReport] =
+      spark.table("conc_out").as[(String, ConcReport)].collect()
+        .groupBy(_._1).map { case (k, rows) => k -> rows.last._2 }
+    val r1 = last()
+    assert(r1("a") == ConcReport(1L, 2L, 3L, 0L, 120L))
+    assert(r1("b") == ConcReport(0L, 0L, 1L, 0L, 5L))
+
+    // batch 2, key a: a start past every open end empties the state
+    // (open back to 1), then a LATE interval (start 10 < frontier)
+    // still counts and still sweeps
+    in.addData(("a", 500L, 600L), ("a", 10L, 560L))
+    q.processAllAvailable()
+    val r2 = last()
+    // sorted sweep inside the batch: (10,560) first (late), then
+    // (500,600) keeps 560 open → open 2, peak stays/updates
+    assert(r2("a") == ConcReport(2L, 2L, 5L, 1L, 500L))
+    q.stop()
+  }
+
+  test("in-order replay reproduces the batch sweep's peak") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val ivs = Seq((0L, 10L), (2L, 8L), (3L, 4L), (9L, 12L), (11L, 20L))
+    val batch = graft.ops.TimeSeries.intervalConcurrency(
+        ivs.toDF("s", "e").withColumn("k", lit("x")), Seq("k"),
+        col("s"), col("e"), bucketUs = 1000L)
+      .agg(max("conc")).collect()(0).getLong(0)
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StreamingConcurrency.monitor(in.toDS()
+        .groupByKey(_._1).mapValues(t => (t._2, t._3)))
+      .writeStream.format("memory").queryName("conc_replay")
+      .outputMode(StreamingConcurrency.outputMode)
+      .start()
+    ivs.foreach { iv => in.addData(("x", iv._1, iv._2)); }
+    q.processAllAvailable()
+    val peak = spark.table("conc_replay")
+      .as[(String, ConcReport)].collect().last._2.peak
+    assert(peak == batch)
+    q.stop()
+  }
+}

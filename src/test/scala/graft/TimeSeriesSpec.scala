@@ -495,4 +495,59 @@ class TimeSeriesSpec extends SparkSpec {
     assert(m(("b", 4L)) == ((Some(5.0), Some(true))))
     assert(m(("b", 2L))._2 == Some(false))
   }
+
+  test("coalesceIntervals: overlap and touch merge, gaps split, " +
+      "minGap bridges, point intervals bridge, contained absorbed") {
+    import spark.implicits._
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 8L),    // contained: absorbed
+      ("a", 10L, 20L),                  // touches 10: union merges
+      ("a", 25L, 30L),                  // gap of 5: new island
+      ("a", 30L, 30L),                  // point at 30: joins island 2
+      ("b", 0L, 1L), ("b", 100L, 101L)) // far apart
+      .toDF("k", "s", "e")
+    def run(gap: Long) =
+      TimeSeries.coalesceIntervals(iv, Seq("k"), col("s"), col("e"),
+          minGap = gap)
+        .orderBy($"k", $"island").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    assert(run(0L).toSeq == Seq(
+      ("a", 1L, 0L, 20L, 3L), ("a", 2L, 25L, 30L, 2L),
+      ("b", 1L, 0L, 1L, 1L), ("b", 2L, 100L, 101L, 1L)))
+    // minGap 5 bridges the 20→25 gap; b's 99-wide gap still splits
+    assert(run(5L).toSeq == Seq(
+      ("a", 1L, 0L, 30L, 5L),
+      ("b", 1L, 0L, 1L, 1L), ("b", 2L, 100L, 101L, 1L)))
+    intercept[Exception] {
+      TimeSeries.coalesceIntervals(Seq(("x", 9L, 3L)).toDF("k", "s", "e"),
+        Seq("k"), col("s"), col("e")).collect()
+    }
+  }
+
+  test("counterRates: increases diff, drops read as resets with v as " +
+      "delta, nulls don't break the chain, first reading undefined") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 1L, Some(100L)), ("a", 2L, 2L, Some(150L)),
+      ("a", 3L, 3L, None),                 // gap in the meter feed
+      ("a", 4L, 4L, Some(170L)),           // diffs vs 150, not null
+      ("a", 5L, 5L, Some(20L)),            // reset: delta = 20
+      ("b", 1L, 6L, Some(9L)))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.counterRates(rows, Seq("k"), col("ts"),
+        col("id"), col("v"))
+      .orderBy($"k", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Boolean]),
+        Option(r.get(6)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      ("a", 1L, None, None, None),
+      ("a", 2L, Some(1L), Some(false), Some(50L)),
+      ("a", 3L, None, None, None),
+      ("a", 4L, Some(2L), Some(false), Some(20L)),
+      ("a", 5L, Some(1L), Some(true), Some(20L)),
+      ("b", 1L, None, None, None)))
+  }
 }

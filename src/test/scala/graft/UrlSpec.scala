@@ -62,4 +62,44 @@ class UrlSpec extends SparkSpec {
     assert(got(1) == ((2L, 0, 0, "", Some(0L))))
     assert(got(2) == ((3L, 0, 0, "", None)))   // zero tokens: no density
   }
+
+  test("ipv4ToLong: valid quads, leading-zero-free octets only, " +
+      "range and shape garbage to null") {
+    import spark.implicits._
+    val got = Seq("0.0.0.0", "255.255.255.255", "10.5.0.1", "1.2.3",
+      "1.2.3.4.5", "256.1.1.1", "1.2.3.x", "not-an-ip", "1.2.3.04")
+      .toDF("ip")
+      .select(UrlFunctions.ipv4ToLong(col("ip"))).collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    assert(got.toSeq == Seq(Some(0L), Some(4294967295L),
+      Some(10L * 16777216 + 5L * 65536 + 1L), None, None, None, None,
+      None, None))
+  }
+
+  test("cidrBlocklistFilter: /32 exact, /24 subnet, /8 wide, boundary " +
+      "outside block survives, invalid IPs kept, bad CIDR raises") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "10.1.2.3"),     // hit /8 (10.0.0.0/8)
+      (2L, "11.1.2.3"),     // survives: 11 outside /8
+      (3L, "192.168.7.9"),  // hit /24 (192.168.7.0/24)
+      (4L, "192.168.8.9"),  // survives: next subnet
+      (5L, "8.8.8.8"),      // hit /32
+      (6L, "8.8.8.9"),      // survives: /32 is exact
+      (7L, "garbage"))      // unparseable: kept
+      .toDF("id", "ip")
+    val block = Seq("10.0.0.0/8", "192.168.7.0/24", "8.8.8.8/32")
+      .toDF("cidr")
+    val kept = UrlFunctions.cidrBlocklistFilter(rows, "id", col("ip"),
+      block, "cidr").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L, 7L))
+    intercept[Exception] {
+      UrlFunctions.cidrBlocklistFilter(rows, "id", col("ip"),
+        Seq("10.0.0.0/33").toDF("cidr"), "cidr").collect()
+    }
+    intercept[Exception] {
+      UrlFunctions.cidrBlocklistFilter(rows, "id", col("ip"),
+        Seq("banana").toDF("cidr"), "cidr").collect()
+    }
+  }
 }
