@@ -2640,6 +2640,14 @@ object SparkEntry {
         .orderBy(col("event_type"), col("q"))
     },
 
+    // X186 — Pareto frontier of (quantity, price) per return flag:
+    // the cheapest price at each quantity tier, minimized jointly
+    "q197_pareto" -> { (s, dir) =>
+      graft.ops.Relational.paretoFront(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"), col("x"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -7360,5 +7368,22 @@ object SparkEntry {
         |SELECT event_type, q, CAST(gap AS DOUBLE) AS value
         |FROM ranked, qs WHERE rn = (ppm * n + 999999) // 1000000
         |ORDER BY event_type, q""".stripMargin,
+
+    "q197_pareto" ->
+      """WITH pts AS (
+        |  SELECT l_returnflag, l_quantity AS x, l_extendedprice AS y,
+        |    count(*) AS n_dups
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1, 2, 3
+        |), m AS (
+        |  SELECT *, min(y) OVER (PARTITION BY l_returnflag
+        |    ORDER BY x, y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+        |  FROM pts
+        |)
+        |SELECT l_returnflag, x, y, n_dups FROM m
+        |WHERE mp IS NULL OR mp > y
+        |ORDER BY l_returnflag, x""".stripMargin,
   )
 }

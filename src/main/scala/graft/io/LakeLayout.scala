@@ -92,4 +92,37 @@ object LakeLayout {
       .withColumn("already_compact",
         col("n_files") === 1 && col("bytes") >= targetBytes)
   }
+
+  /** Physical file-order audit — is each parquet file of a lake path
+    * internally SORTED by `orderCol`? Zone-map/min-max pruning, sorted
+    * merge reads, and as-of scans all assume it, writers silently stop
+    * guaranteeing it (a repartition upstream of a write is enough),
+    * and nothing else checks. Per file: rows, `n_inversions` (adjacent
+    * pairs out of order in read order — 0 means sorted), value
+    * min/max (the zone-map the file would advertise), and the
+    * `sorted` verdict. Read order per file comes from
+    * `monotonically_increasing_id` — ascending within a scan
+    * partition, and a file's rows are contiguous in its partition.
+    * Caveat: a file SPLIT across tasks interleaves ids at the split
+    * boundary; run with `spark.sql.files.maxPartitionBytes` above the
+    * file size (the spec does) or read the verdict per-split.
+    *
+    * Scale shape: one scan projecting (file, value), one exchange at
+    * FILE grain (the audit's natural parallelism unit), a lag window
+    * per file, and a file-grain aggregate — output is |files| rows.
+    */
+  def fileOrderAudit(spark: org.apache.spark.sql.SparkSession,
+      path: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col("file")).orderBy(col("__pos"))
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(orderCol).as("v"),
+        monotonically_increasing_id().as("__pos"))
+      .withColumn("__prev", lag(col("v"), 1).over(w))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v") < col("__prev"), 1L).otherwise(0L))
+          .as("n_inversions"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      .withColumn("sorted", col("n_inversions") === 0L)
+  }
 }

@@ -1254,4 +1254,37 @@ object Relational {
       .drop("__wt", "__tie", "__total", "__wsum", "__floor", "__rem",
         "__left", "__rk")
   }
+
+  /** 2-D Pareto frontier per group (both objectives MINIMIZED — negate
+    * a benefit to use it): the multi-objective selection step of data
+    * curation ("keep the quality-loss-vs-token-cost frontier", "cheapest
+    * model per latency tier") — a point survives iff no other point is
+    * ≤ in both coordinates and < in one. Duplicates of a frontier
+    * point survive together (neither dominates the other); `n_dups`
+    * carries the multiplicity. Output: (keys…, x, y, n_dups) — the
+    * frontier at distinct-point grain, y strictly decreasing along
+    * ascending x.
+    *
+    * The naive form is the O(n²) "no other row dominates me"
+    * self-join; this is the sort-scan identity instead: collapse to
+    * distinct (x, y) MAP-SIDE, sort ascending (x, y), and a point is
+    * dominated exactly when the running min of y over PRECEDING points
+    * is ≤ its own y (a preceding point has smaller-or-equal x by the
+    * sort, and distinctness makes the equal-y case a genuine
+    * dominator). ONE key exchange, one window over distinct-point
+    * grain, O(1) state per row — never the self-join.
+    */
+  def paretoFront(df: DataFrame, keyCols: Seq[String], xCol: Column,
+      yCol: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val wPrev = Window.partitionBy(keys: _*)
+      .orderBy(col("x"), col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(keys ++ Seq(xCol.as("x"), yCol.as("y")): _*)
+      .agg(count(lit(1)).as("n_dups"))
+      .withColumn("__minPrevY", min(col("y")).over(wPrev))
+      .filter(col("__minPrevY").isNull || col("__minPrevY") > col("y"))
+      .drop("__minPrevY")
+  }
 }

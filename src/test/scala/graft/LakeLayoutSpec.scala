@@ -87,4 +87,25 @@ class LakeLayoutSpec extends SparkSpec {
     assert(got(("q", 0L)) == ((1L, 5L, 1L, 1L, false)))
     assert(got.size == 4)
   }
+
+  test("fileOrderAudit: sorted file passes, shuffled file's inversions " +
+      "counted, zone-map min/max right, one row per file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-order-audit").toString
+    // file A: sorted ascending; file B: a deliberate sawtooth
+    (1L to 100L).toDF("v").coalesce(1).write.parquet(s"$dir/p/a")
+    Seq(5L, 3L, 9L, 1L, 7L).toDF("v").coalesce(1)
+      .write.parquet(s"$dir/p/b")
+    val audit = LakeLayout.fileOrderAudit(spark, s"$dir/p/*", "v")
+      .collect().map(r => (r.getString(0).contains("/a/"),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toList
+    val Some(a) = audit.find(_._1)
+    val Some(b) = audit.find(!_._1)
+    assert(a == ((true, 100L, 0L, 1L, 100L, true)))
+    // sawtooth 5,3,9,1,7: inversions at 3(<5) and 1(<9) → 2
+    assert(b == ((false, 5L, 2L, 1L, 9L, false)))
+    assert(audit.size == 2)
+  }
 }

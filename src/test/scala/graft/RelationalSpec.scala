@@ -757,4 +757,29 @@ class RelationalSpec extends SparkSpec {
         Seq("g"), col("w"), lit(10L), col("id")).collect()
     }
   }
+
+  test("paretoFront: dominated points drop, ties on one axis resolved, " +
+      "duplicates survive together, per-group isolation, no self-join") {
+    import spark.implicits._
+    val pts = Seq(
+      ("g", 1.0, 9.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0),  // (3,7) dominated
+      ("g", 4.0, 5.0),   // same y as (2,5), larger x: dominated
+      ("g", 5.0, 1.0),
+      ("g", 5.0, 1.0),   // duplicate frontier point: survives, n_dups 2
+      ("g", 1.0, 12.0),  // same x as (1,9), larger y: dominated
+      ("h", 9.0, 9.0))   // other group keeps its own frontier
+      .toDF("k", "x", "y")
+    val got = Relational.paretoFront(pts, Seq("k"), col("x"), col("y"))
+      .orderBy($"k", $"x").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("g", 1.0, 9.0, 1L), ("g", 2.0, 5.0, 1L), ("g", 5.0, 1.0, 2L),
+      ("h", 9.0, 9.0, 1L)))
+    val plan = Relational.paretoFront(pts, Seq("k"), col("x"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"), plan)
+  }
 }
