@@ -2648,6 +2648,142 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("x"))
     },
 
+    // X188 — log-template mining over synthetic printf-shaped lines
+    // (uuid + ip + num variability from deterministic event columns):
+    // the masked templates collapse 10k lines to |event_type| shapes
+    "q198_log_template" -> { (s, dir) =>
+      val h = md5(col("event_id").cast("string"))
+      val line = concat(
+        lit("user "), col("user_id").cast("string"),
+        lit(" did "), col("event_type"),
+        lit(" req "), concat_ws("-",
+          substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+          substring(h, 17, 4), substring(h, 21, 12)),
+        lit(" from 10."), (col("user_id") % 200).cast("string"),
+        lit("."), (col("event_id") % 250).cast("string"), lit(".7"),
+        lit(" took "), (col("event_id") % 997).cast("string"),
+        lit(" ms"))
+      graft.text.Corpus.mineLogTemplates(
+          events(s, dir).select(line.as("line")), "line", minCount = 1L)
+        .orderBy(col("template"))
+    },
+
+    // X189 — state-machine conformance audit: per-user event protocol
+    // (signup/view start; purchase only after click; error is terminal)
+    // — emits only the violating transitions
+    "q199_conformance" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"),
+        nsToMicros(col("ts_ns")).as("ts_us"), col("event_id"),
+        col("event_type"))
+      graft.ops.Funnel.transitionConformance(ev, "user_id",
+          Seq("ts_us", "event_id"), "event_type",
+          allowed = Seq(("signup", "view"), ("view", "view"),
+            ("view", "click"), ("click", "view"), ("click", "click"),
+            ("click", "purchase"), ("purchase", "view"),
+            ("error", "view")),
+          initialStates = Seq("signup", "view"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("from_state"), col("to_state"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
+    // X190 — SCD-2 overlap repair over synthetic effective-dated
+    // intervals (each event opens a 1-5 minute validity window; dense
+    // per-user events overlap heavily) — next row wins the contested span
+    "q200_interval_repair" -> { (s, dir) =>
+      val iv = events(s, dir).select(col("user_id"),
+        nsToMicros(col("ts_ns")).as("vf"), col("event_id"))
+        .withColumn("vt",
+          col("vf") + (col("event_id") % 5 + 1) * 60000000L)
+      graft.ops.TimeSeries.repairIntervalOverlaps(iv, Seq("user_id"),
+          col("vf"), col("vt"))
+        .orderBy(col("user_id"), col("valid_from"), col("valid_to_raw"))
+    },
+
+    // X191 — schema-on-read type inference over deliberately mixed
+    // string columns (pure ints, dates with injected invalids, floats
+    // with junk, enum text)
+    "q201_infer_types" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val mixed = o.select(
+        col("o_orderkey").cast("string").as("as_int"),
+        when(col("o_orderkey") % 11 === 0,
+            concat(substring(col("o_orderdate").cast("string"), 1, 8),
+              lit("40")))
+          .otherwise(col("o_orderdate").cast("string")).as("as_date"),
+        when(col("o_orderkey") % 7 === 0, col("o_orderpriority"))
+          .otherwise(dec(col("o_totalprice")).cast("string"))
+          .as("as_num"),
+        col("o_orderstatus").as("as_text"))
+      graft.ops.Profile.inferTypes(mixed,
+          Seq("as_int", "as_date", "as_num", "as_text"))
+        .orderBy(col("column_name"))
+    },
+
+    // X192 — quantile normalization: per-returnflag price distributions
+    // mapped onto the part retail-price reference; per-group moments of
+    // the normalized output prove the full rank→reference mapping
+    "q202_quantile_norm" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").filter(col("l_extendedprice").isNotNull)
+      val norm = graft.ops.Features.quantileNormalize(li,
+        Seq("l_returnflag"), col("l_extendedprice"),
+        Seq(col("l_orderkey"), col("l_linenumber")),
+        t(s, dir, "part"), col("p_retailprice"))
+      norm.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sumd(col("normalized")).as("sum_norm"),
+          min(col("normalized")).as("min_norm"),
+          max(col("normalized")).as("max_norm"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // X193 — Kaplan–Meier life table: per-user observation span in
+    // seconds, "converted" = has a purchase event, cohorted by user hash
+    "q203_km" -> { (s, dir) =>
+      val spans = events(s, dir).groupBy(col("user_id"))
+        .agg(nsToMicros(max(col("ts_ns")) - min(col("ts_ns")))
+            .as("span_us"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+        .select((col("user_id") % 4).as("cohort"),
+          graft.functions.Exact.longDiv(col("span_us"), 1000000L)
+            .as("span_s"),
+          col("converted"))
+      graft.ops.Features.kmTable(spans, Seq("cohort"), col("span_s"),
+          col("converted") === 1L)
+        .orderBy(col("cohort"), col("t"))
+    },
+
+    // X194 — association rules over order baskets (items densified by
+    // partkey mod so supports are meaningful): exact-ppm confidence
+    // and lift per directed pair
+    "q204_assoc_rules" -> { (s, dir) =>
+      graft.ops.Graph.associationRules(t(s, dir, "lineitem"),
+          col("l_orderkey"), col("l_partkey") % 211,
+          minSupport = 2L, maxBasketSize = 20)
+        .orderBy(col("item_a"), col("item_b"))
+    },
+
+    // X195 — JSON top-level key profile over synthetic payloads with
+    // optional/null/typed fields (id always int, t always string, v
+    // int-or-null, score decimal, ok bool — each key partial coverage)
+    "q205_json_profile" -> { (s, dir) =>
+      val js = concat(lit("{\"id\":"), col("event_id").cast("string"),
+        lit(",\"t\":\""), col("event_type"), lit("\""),
+        when(col("event_id") % 5 === 0, lit(",\"v\":null"))
+          .when(col("event_id") % 5 === 1,
+            concat(lit(",\"v\":"), (col("event_id") % 97).cast("string")))
+          .when(col("event_id") % 5 === 2,
+            concat(lit(",\"score\":"),
+              (col("event_id") % 7).cast("string"), lit(".5")))
+          .when(col("event_id") % 5 === 3, lit(",\"ok\":true"))
+          .otherwise(lit("")),
+        lit("}"))
+      graft.ops.Profile.jsonKeyProfile(
+          events(s, dir).select(js.as("js")), col("js"))
+        .orderBy(col("key"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -7385,5 +7521,210 @@ object SparkEntry {
         |SELECT l_returnflag, x, y, n_dups FROM m
         |WHERE mp IS NULL OR mp > y
         |ORDER BY l_returnflag, x""".stripMargin,
+
+    "q198_log_template" ->
+      """WITH h AS (
+        |  SELECT *, md5(CAST(event_id AS VARCHAR)) AS hh FROM events
+        |), lines AS (
+        |  SELECT 'user ' || user_id || ' did ' || event_type ||
+        |    ' req ' || substr(hh, 1, 8) || '-' || substr(hh, 9, 4) ||
+        |    '-' || substr(hh, 13, 4) || '-' || substr(hh, 17, 4) ||
+        |    '-' || substr(hh, 21, 12) ||
+        |    ' from 10.' || (user_id % 200) || '.' || (event_id % 250) ||
+        |    '.7 took ' || (event_id % 997) || ' ms' AS line
+        |  FROM h
+        |), tpl AS (
+        |  SELECT line, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(line,
+        |      '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+        |      '<uuid>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |      '<ip>', 'g'),
+        |    '\b0x[0-9a-fA-F]+\b', '<hex>', 'g'),
+        |    '[0-9]+', '<num>', 'g') AS template
+        |  FROM lines WHERE line IS NOT NULL
+        |)
+        |SELECT template, count(*) AS n, min(line) AS example
+        |FROM tpl GROUP BY template ORDER BY template""".stripMargin,
+
+    "q199_conformance" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events
+        |), l AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS from_state
+        |  FROM b
+        |)
+        |SELECT user_id, ts_us, event_id, from_state,
+        |  event_type AS to_state
+        |FROM l
+        |WHERE CASE WHEN from_state IS NULL
+        |  THEN event_type NOT IN ('signup', 'view')
+        |  ELSE (from_state || '->' || event_type) NOT IN (
+        |    'signup->view', 'view->view', 'view->click', 'click->view',
+        |    'click->click', 'click->purchase', 'purchase->view',
+        |    'error->view') END
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q200_interval_repair" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS vf,
+        |    epoch_us(ts) + (event_id % 5 + 1) * 60000000 AS vt
+        |  FROM events
+        |), led AS (
+        |  SELECT user_id, vf AS valid_from, vt AS valid_to_raw,
+        |    lead(vf) OVER (PARTITION BY user_id ORDER BY vf, vt) AS nxt
+        |  FROM iv
+        |), clipped AS (
+        |  SELECT user_id, valid_from,
+        |    CASE WHEN nxt < valid_to_raw THEN nxt
+        |      ELSE valid_to_raw END AS valid_to,
+        |    valid_to_raw
+        |  FROM led
+        |)
+        |SELECT user_id, valid_from, valid_to, valid_to_raw,
+        |  valid_to < valid_to_raw AS clipped
+        |FROM clipped WHERE valid_from < valid_to
+        |ORDER BY user_id, valid_from, valid_to_raw""".stripMargin,
+
+    "q201_infer_types" ->
+      """WITH mixed AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS as_int,
+        |    CASE WHEN o_orderkey % 11 = 0
+        |      THEN substr(CAST(o_orderdate AS VARCHAR), 1, 8) || '40'
+        |      ELSE CAST(o_orderdate AS VARCHAR) END AS as_date,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority
+        |      ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+        |      END AS as_num,
+        |    o_orderstatus AS as_text
+        |  FROM orders
+        |), long AS (
+        |  SELECT 'as_int' AS column_name, as_int AS v FROM mixed
+        |  UNION ALL SELECT 'as_date', as_date FROM mixed
+        |  UNION ALL SELECT 'as_num', as_num FROM mixed
+        |  UNION ALL SELECT 'as_text', as_text FROM mixed
+        |), c AS (SELECT column_name, trim(v) AS v FROM long)
+        |SELECT column_name, count(*) AS n_rows, count(v) AS n_nonnull,
+        |  CAST(sum(CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+        |  CAST(sum(CASE WHEN regexp_matches(v,
+        |      '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_num,
+        |  CAST(sum(CASE WHEN regexp_matches(v,
+        |      '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+        |      AND TRY_CAST(v AS DATE) IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
+        |  CAST(sum(CASE WHEN lower(v) IN ('true', 'false')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bool
+        |FROM c GROUP BY column_name ORDER BY column_name""".stripMargin,
+
+    "q202_quantile_norm" ->
+      """WITH ref AS (
+        |  SELECT p_retailprice AS nv,
+        |    row_number() OVER (ORDER BY p_retailprice) AS idx
+        |  FROM part WHERE p_retailprice IS NOT NULL
+        |), m AS (SELECT max(idx) AS m FROM ref),
+        |base AS (
+        |  SELECT l_returnflag, l_extendedprice AS value,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS r,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), j AS (
+        |  SELECT b.l_returnflag, r2.nv
+        |  FROM base b, m, ref r2
+        |  WHERE r2.idx = (b.r * m.m + b.n - 1) // b.n
+        |)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(nv AS DECIMAL(18,2))) AS DOUBLE) AS sum_norm,
+        |  min(nv) AS min_norm, max(nv) AS max_norm
+        |FROM j GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q203_km" ->
+      """WITH spans AS (
+        |  SELECT user_id,
+        |    (epoch_ns(max(ts)) - epoch_ns(min(ts))) // 1000 AS span_us,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id
+        |), s2 AS (
+        |  SELECT user_id % 4 AS cohort, span_us // 1000000 AS span_s,
+        |    converted
+        |  FROM spans
+        |), g AS (
+        |  SELECT cohort, span_s AS t,
+        |    CAST(sum(converted) AS BIGINT) AS d,
+        |    CAST(sum(1 - converted) AS BIGINT) AS c
+        |  FROM s2 GROUP BY cohort, span_s
+        |)
+        |SELECT cohort, t,
+        |  CAST(sum(d + c) OVER (PARTITION BY cohort ORDER BY t DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk,
+        |  d, c
+        |FROM g ORDER BY cohort, t""".stripMargin,
+
+    "q204_assoc_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey % 211 AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), gb AS (
+        |  SELECT b FROM bi GROUP BY b
+        |  HAVING count(*) BETWEEN 2 AND 20
+        |), fi AS (
+        |  SELECT bi.b, bi.i FROM bi JOIN gb USING (b)
+        |), nn AS (SELECT count(*) AS N FROM gb),
+        |ni AS (SELECT i, count(*) AS n FROM fi GROUP BY i),
+        |pairs AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+        |  FROM fi a JOIN fi b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), dir AS (
+        |  SELECT item_a, item_b, n_ab FROM pairs
+        |  UNION ALL
+        |  SELECT item_b, item_a, n_ab FROM pairs
+        |)
+        |SELECT d.item_a, d.item_b, d.n_ab, na.n AS n_a, nb.n AS n_b,
+        |  (d.n_ab * 1000000) // na.n AS conf_ppm,
+        |  (d.n_ab * nn.N * 1000000) // (na.n * nb.n) AS lift_ppm
+        |FROM dir d
+        |JOIN ni na ON d.item_a = na.i
+        |JOIN ni nb ON d.item_b = nb.i, nn
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "q205_json_profile" ->
+      """WITH js AS (
+        |  SELECT '{"id":' || event_id || ',"t":"' || event_type ||
+        |    '"' ||
+        |    CASE WHEN event_id % 5 = 0 THEN ',"v":null'
+        |      WHEN event_id % 5 = 1 THEN ',"v":' || (event_id % 97)
+        |      WHEN event_id % 5 = 2
+        |        THEN ',"score":' || (event_id % 7) || '.5'
+        |      WHEN event_id % 5 = 3 THEN ',"ok":true'
+        |      ELSE '' END || '}' AS j
+        |  FROM events
+        |), kv AS (
+        |  SELECT j, unnest(json_keys(j)) AS key FROM js
+        |), vv AS (
+        |  SELECT key, trim(json_extract_string(j, '$.' || key)) AS v
+        |  FROM kv
+        |)
+        |SELECT key, count(*) AS n_present,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(sum(CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+        |  CAST(sum(CASE WHEN regexp_matches(v,
+        |      '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_num,
+        |  CAST(sum(CASE WHEN lower(v) IN ('true', 'false')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+        |  CAST(sum(CASE WHEN v IS NOT NULL
+        |      AND NOT regexp_matches(v,
+        |      '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+        |      AND lower(v) NOT IN ('true', 'false')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_str
+        |FROM vv GROUP BY key ORDER BY key""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -767,5 +768,82 @@ object Features {
         col("bin").cast("double") / lit(nBins.toDouble))
       .select(gs ++ Seq(col("bin"), col("bin_lo"), col("n"),
         col("mean_score"), col("pos_ppm")): _*)
+  }
+
+  /** Quantile normalization onto a REFERENCE distribution — the
+    * batch-effect corrector from bioinformatics that data pipelines
+    * reinvent as "make every slice's score distribution comparable":
+    * within each group, the rank-r value (of n, ties broken by
+    * `tieCols` for a total order) is REPLACED by the reference's
+    * type-1 quantile at the same fractional rank — reference sorted
+    * value #⌈r·m/n⌉ of m. After the map, every group has (a resampling
+    * of) the reference's distribution exactly; original values only
+    * determine order. All-integer index arithmetic — no float quantile
+    * interpolation to diverge across engines. Output: input keys +
+    * `value` (original) + `normalized` (reference value).
+    *
+    * Scale shape: the CORPUS pays one key exchange for the rank window;
+    * the REFERENCE is a distribution table (model-artifact-sized, ≪
+    * corpus — pass a quantile sketch of it, not raw data, when the
+    * reference is itself huge), indexed with a single-partition
+    * row_number and broadcast back onto the corpus by the join planner.
+    * The corpus never shuffles twice and never sorts globally.
+    */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, tieCols: Seq[Column], ref: DataFrame,
+      refCol: Column): DataFrame = {
+    val gs = groupCols.map(col)
+    val refIdx = ref.filter(refCol.isNotNull)
+      .select(refCol.as("normalized"))
+      .withColumn("__idx", row_number().over(
+        Window.orderBy(col("normalized"))))
+    val refM = refIdx.agg(max(col("__idx")).as("__m"))
+    val w = Window.partitionBy(gs: _*)
+      .orderBy(valueCol +: tieCols: _*)
+    val base = df.filter(valueCol.isNotNull)
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(gs: _*)))
+      .crossJoin(broadcast(refM))
+      .withColumn("__idx", graft.functions.Exact.longDiv(
+        col("__r").cast("long") * col("__m") + col("__n") - 1L,
+        col("__n").cast("long")))
+    base.join(broadcast(refIdx), Seq("__idx"))
+      .select(gs ++ Seq(valueCol.as("value"), col("normalized")): _*)
+  }
+
+  /** Kaplan–Meier life table under right-censoring — retention and
+    * time-to-event analysis done honestly: a key that merely hasn't
+    * converted YET (censored at its observation duration) is not a
+    * non-converter. Per group and distinct duration t (ascending):
+    * `n_risk` = subjects with duration ≥ t, `d` = events at t, `c` =
+    * censorings at t — the exact-integer table from which the survival
+    * curve is the running product Π(1 − d/n_risk); the product is
+    * derived arithmetic and left to the consumer so the stored artifact
+    * stays engine-exact. Null durations are dropped; negative
+    * durations raise in-plan (time doesn't run backwards).
+    *
+    * Scale shape: raw subjects collapse to (group, t) grain in ONE
+    * map-side-combined aggregation (the only stage that sees data
+    * volume), then `n_risk` is a running sum over t DESCENDING on the
+    * tiny distinct-duration table — one exchange, one window over
+    * aggregate grain, O(1) state per row.
+    */
+  def kmTable(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column): DataFrame = {
+    val gs = groupCols.map(col)
+    val d0 = durationCol.cast("long")
+    val dur = when(d0 < 0L, raise_error(concat(
+        lit("kmTable: negative duration: "), d0.cast("string"))))
+      .otherwise(d0)
+    val w = Window.partitionBy(gs: _*).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.filter(durationCol.isNotNull)
+      .groupBy(gs :+ dur.as("t"): _*)
+      .agg(sum(eventCol.cast("boolean").cast("long")).as("d"),
+        sum(when(eventCol.cast("boolean"), 0L).otherwise(1L)).as("c"))
+      .withColumn("n_risk", sum(col("d") + col("c")).over(w))
+      .select(gs ++ Seq(col("t"), col("n_risk"), col("d"),
+        col("c")): _*)
   }
 }

@@ -237,4 +237,46 @@ object Funnel {
       .withColumn("gap", when(col("__ok"), col(tsCol) - col("__lt.ts")))
       .drop("__lt", "__ok", typeCol)
   }
+
+  /** State-machine conformance audit — the data-quality gate for event
+    * streams with a protocol ("a purchase must follow a click", "a
+    * device can't go active → active"): against a declared set of legal
+    * `(from, to)` transitions and legal `initial` states, emit every
+    * VIOLATING event per key — consecutive in (`orderCols`...) order,
+    * which must be a TOTAL order within a key (unique id last). A key's
+    * first event violates iff its state is not a legal initial state
+    * (`from_state` null on those rows); every later event violates iff
+    * (prev, this) is not an allowed pair. Output: the input row plus
+    * (from_state, to_state) — violation-sized, feeding a quarantine
+    * sink or an alert count.
+    *
+    * The legal sets are part of the JOB, not the data — they compile to
+    * a scan-local `isin` membership test on a control-separator-joined pair key
+    * (states must not contain that separator; typical enum states
+    * never do), so conformance adds ZERO shuffles beyond the one lag
+    * window: no join against a rules table, nothing broadcast. At
+    * 100 TB the audit rides the same key exchange any per-key window
+    * already pays.
+    */
+  def transitionConformance(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], typeCol: String,
+      allowed: Seq[(String, String)],
+      initialStates: Seq[String]): DataFrame = {
+    require(allowed.nonEmpty, "transitionConformance needs allowed pairs")
+    val sep = "\u0001"
+    val pairKeys = allowed.map { case (f, t) => s"$f$sep$t" }
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    val from = lag(col(typeCol), 1).over(w)
+    df.withColumn("from_state", from)
+      .withColumn("__legal",
+        when(col("from_state").isNull,
+          if (initialStates.isEmpty) lit(false)
+          else col(typeCol).isin(initialStates: _*))
+          .otherwise(concat_ws(sep, col("from_state"), col(typeCol))
+            .isin(pairKeys: _*)))
+      .filter(!col("__legal"))
+      .withColumn("to_state", col(typeCol))
+      .drop("__legal")
+  }
 }

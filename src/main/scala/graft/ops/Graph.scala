@@ -520,4 +520,66 @@ object Graph {
     }
     sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Association rules from basket co-occurrence — the step after
+    * [[coOccurrence]] that turns raw pair counts into the DIRECTED
+    * "users who saw A also saw B" metrics recommenders rank by: for
+    * each ordered pair with joint support ≥ `minSupport`,
+    * `conf_ppm` = P(B|A) = n_ab/n_a and `lift_ppm` = P(A,B)/(P(A)·P(B))
+    * = n_ab·N/(n_a·n_b), both as exact integer parts-per-million
+    * (truncating division — engine-portable, no float ratios in the
+    * stored artifact; lift > 1e6 means positively associated). All
+    * counts are DISTINCT-basket counts over the baskets that survive
+    * the `maxBasketSize` guard (N, n_a, n_ab measured on the same
+    * population — mixing guarded pair counts with unguarded item counts
+    * would bias lift). Long arithmetic holds while n_ab·N ≤ ~9.2e12;
+    * beyond that (10⁷ baskets with 10⁶-basket pairs) move the two
+    * products to DECIMAL(38,0) — the documented scale switch.
+    *
+    * Scale shape: [[coOccurrence]]'s bounded pair generation (scan-local
+    * tail-slice, never all-pairs) plus one item-grain count off the same
+    * distinct (basket, item) frame; the item-count table is
+    * vocabulary-sized and broadcast onto the pair table twice, the tiny
+    * N rides a broadcast cross join — the pair table itself never
+    * re-shuffles.
+    */
+  def associationRules(df: DataFrame, basketCol: Column, itemCol: Column,
+      minSupport: Long, maxBasketSize: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
+    val pairs0 = df.select(basketCol.as("__b"), itemCol.as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_list(col("__i"))).as("__items"))
+      .filter(size(col("__items")).between(2, maxBasketSize))
+      .localCheckpoint(false) // guarded baskets feed pairs AND counts
+    val undirected = pairs0
+      .select(posexplode(col("__items")).as(Seq("__p", "item_a")),
+        col("__items"))
+      .select(col("item_a"),
+        explode(slice(col("__items"), col("__p") + 2,
+          greatest(size(col("__items")) - col("__p") - 1, lit(0))))
+          .as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val directed = undirected.union(undirected.select(
+      col("item_b"), col("item_a"), col("n_ab")))
+    val itemN = pairs0.select(explode(col("__items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("__n"))
+    val totalN = pairs0.agg(count(lit(1)).as("__N"))
+    import graft.functions.Exact.longDiv
+    directed
+      .join(broadcast(itemN.select(col("item").as("item_a"),
+        col("__n").as("n_a"))), Seq("item_a"))
+      .join(broadcast(itemN.select(col("item").as("item_b"),
+        col("__n").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(totalN))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        longDiv(col("n_ab") * 1000000L, col("n_a")).as("conf_ppm"),
+        longDiv(col("n_ab") * col("__N") * 1000000L,
+          col("n_a") * col("n_b")).as("lift_ppm"))
+  }
 }

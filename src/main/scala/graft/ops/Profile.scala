@@ -306,4 +306,90 @@ object Profile {
           1, tokenLen)))
     }
   }
+
+  /** Schema-on-read type inference audit for STRING columns — the ingest
+    * question "what is this CSV/JSON field, really?": per column, how
+    * many non-null values parse as integer, number, ISO date, or
+    * boolean, so a loader can promote (all-int → BIGINT), quarantine
+    * (99% int + 1% junk), or leave as text. Classes are syntactic and
+    * PORTABLE by construction — anchored regexes over the trimmed value
+    * (int `[+-]?digits`; number additionally allows decimal point and
+    * exponent, and counts every int too, so `n_int ≤ n_num`; bool is
+    * case-insensitive true/false only — the yes/y/1 family is
+    * engine-lore, not a contract; date is strict `YYYY-MM-DD` shape AND
+    * calendar-valid via try-parse, so 2021-02-30 is text). Output: one
+    * row per column — (column_name, n_rows, n_nonnull, n_int, n_num,
+    * n_date, n_bool).
+    *
+    * Scale shape: one scan; each row contributes |cols| literal-sized
+    * exploded entries (the same driver-free long-format pivot as
+    * [[profileColumns]], at row grain) into ONE map-side-combined
+    * aggregation on |cols| keys — output is |cols| rows, and partial
+    * audits merge by summing. The regexes are codegen'd row-local work;
+    * no window, no join, no shuffle beyond the |cols|-key collapse.
+    */
+  def inferTypes(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "inferTypes needs at least one column")
+    val entries = array(cols.map { c =>
+      struct(lit(c).as("column_name"),
+        trim(col(c).cast("string")).as("v"))
+    }: _*)
+    def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    val v = col("__e.v")
+    val isInt = v.rlike("^[+-]?[0-9]+$")
+    val isNum = v.rlike(
+      "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
+    val isDate = v.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$") &&
+      try_to_date(v, "yyyy-MM-dd").isNotNull
+    val isBool = lower(v).isin("true", "false")
+    df.select(explode(entries).as("__e"))
+      .groupBy(col("__e.column_name").as("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(v).as("n_nonnull"),
+        cnt(isInt).as("n_int"),
+        cnt(isNum).as("n_num"),
+        cnt(isDate).as("n_date"),
+        cnt(isBool).as("n_bool"))
+  }
+
+  /** Top-level schema profile of a JSON string column — the
+    * semi-structured twin of [[inferTypes]], for the "what fields does
+    * this payload actually carry, how often, and as what" question a
+    * pipeline answers before writing an extraction schema: per distinct
+    * top-level key — (key, n_present, n_null, n_int, n_num, n_bool,
+    * n_str) — where presence means the key appears in the object
+    * (including with a JSON `null` value, counted in `n_null`), and
+    * value classes are the same anchored-regex syntactic contract as
+    * [[inferTypes]] applied to the value's scalar rendering (`n_str` is
+    * the remainder: present, non-null, none of the above — strings and
+    * composites). Rows that don't parse as a JSON object contribute
+    * nothing (count them upstream if malformed-rate matters — this op
+    * profiles the schema, not the syntax).
+    *
+    * Scale shape: one scan; each row explodes into its own key-value
+    * entries (payload-width-sized, the data's own fan-out) feeding ONE
+    * map-side-combined aggregation on |distinct keys| — output is
+    * key-vocabulary-sized, partial profiles merge by summing. No
+    * window, no join.
+    */
+  def jsonKeyProfile(df: DataFrame, jsonCol: Column): DataFrame = {
+    val parsed = from_json(jsonCol,
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    val v = trim(col("__v"))
+    val isInt = v.rlike("^[+-]?[0-9]+$")
+    val isNum = v.rlike(
+      "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
+    val isBool = lower(v).isin("true", "false")
+    df.select(explode(parsed).as(Seq("key", "__v")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_present"),
+        cnt(col("__v").isNull).as("n_null"),
+        cnt(isInt).as("n_int"),
+        cnt(isNum).as("n_num"),
+        cnt(isBool).as("n_bool"),
+        cnt(col("__v").isNotNull && !isNum && !isBool).as("n_str"))
+  }
 }

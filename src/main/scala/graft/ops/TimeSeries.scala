@@ -940,4 +940,46 @@ object TimeSeries {
           when(v < col("__pv"), v).otherwise(v - col("__pv"))))
       .drop("__pv", "__pt")
   }
+
+  /** Overlap REPAIR for effective-dated (SCD-2-style) interval tables —
+    * the fix step after an audit finds a key whose history overlaps
+    * (late-arriving corrections, double-loaded batches): each half-open
+    * [start, end) interval is clipped to end no later than the key's
+    * next interval's start, restoring the per-key invariant "histories
+    * tile, never overlap". The NEXT row wins the contested span — the
+    * standard SCD convention that a newer effective-from supersedes the
+    * open tail of its predecessor. Where [[coalesceIntervals]] UNIONS
+    * overlapping intervals into one (losing row identity), this keeps
+    * every row and moves only the boundary. Duplicate-start rows clip
+    * to zero length and are dropped — except the longest, which
+    * survives (sort is (start, end), so ties clip all but the last).
+    * Inverted inputs (end < start) raise in-plan — they're corruption,
+    * not overlap. Output: (keys…, valid_from, valid_to, valid_to_raw,
+    * clipped) at surviving-row grain.
+    *
+    * Scale shape: ONE hash exchange on the key, one lead window over
+    * one sort, O(1) state per row, row-local clip arithmetic — never a
+    * self-join against the key's other intervals.
+    */
+  def repairIntervalOverlaps(df: DataFrame, keyCols: Seq[String],
+      startCol: Column, endCol: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val s = startCol.cast("long")
+    val e0 = endCol.cast("long")
+    val e = when(e0 < s, raise_error(concat(
+        lit("repairIntervalOverlaps: end < start: "), e0.cast("string"),
+        lit(" < "), s.cast("string"))))
+      .otherwise(e0)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col("valid_from"), col("valid_to_raw"))
+    df.select(keys ++ Seq(s.as("valid_from"), e.as("valid_to_raw")): _*)
+      .withColumn("__next", lead(col("valid_from"), 1).over(w))
+      .withColumn("valid_to",
+        when(col("__next") < col("valid_to_raw"), col("__next"))
+          .otherwise(col("valid_to_raw")))
+      .withColumn("clipped", col("valid_to") < col("valid_to_raw"))
+      .filter(col("valid_from") < col("valid_to"))
+      .select(keys ++ Seq(col("valid_from"), col("valid_to"),
+        col("valid_to_raw"), col("clipped")): _*)
+  }
 }

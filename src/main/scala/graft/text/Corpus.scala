@@ -1031,4 +1031,29 @@ object Corpus {
       .select(col("term"), col("df"), col("postings"),
         (col("df") > maxPostings).as("truncated"))
   }
+
+  /** Log-template mining (Drain-lite): collapse every line to its
+    * [[TextFunctions.logTemplate]] mask and aggregate to template grain
+    * — the operator behind "what are the distinct message shapes in
+    * 100 TB of logs, and which shape exploded today". Output per
+    * template with `n ≥ minCount`: occurrence count and the
+    * lexicographically smallest raw line as the deterministic
+    * `example` (an arbitrary-but-stable witness a human can read back;
+    * min, not first — "first" is partition-order luck).
+    *
+    * Scale shape: the mask is a scan-local codegen'd regex chain, then
+    * ONE map-side-combined hash aggregation to template grain — output
+    * is |templates|-sized (log corpora collapse 5-7 orders of
+    * magnitude), never line-sized. No window, no join; partial results
+    * merge by (sum n, min example), so per-day audits roll up.
+    */
+  def mineLogTemplates(df: DataFrame, lineCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    df.select(col(lineCol).as("__line"))
+      .filter(col("__line").isNotNull)
+      .groupBy(TextFunctions.logTemplate(col("__line")).as("template"))
+      .agg(count(lit(1)).as("n"), min(col("__line")).as("example"))
+      .filter(col("n") >= minCount)
+  }
 }

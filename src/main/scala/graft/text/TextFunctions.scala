@@ -210,6 +210,29 @@ object TextFunctions {
     trim(regexp_replace(entities, "\\s+", " "))
   }
 
+  /** Log-template mask (the core of Drain-style log template mining):
+    * collapse the variable parts of a log line — UUIDs, dotted-quad
+    * IPv4s, `0x…` hex runs, then any remaining digit runs — into
+    * `<uuid>`/`<ip>`/`<hex>`/`<num>` placeholders so lines produced by
+    * the same `printf` collapse to the same template string. Masking
+    * order matters and is part of the contract: a UUID contains digit
+    * runs and an IP contains both digits and dots, so the more
+    * structured patterns must claim their text first.
+    *
+    * Patterns are the RE2-safe common subset (no backreferences, no
+    * lookaround) so the same regexes run in any engine's scan.
+    * Entirely scan-local codegen'd `regexp_replace` chain.
+    */
+  def logTemplate(line: Column): Column = {
+    val uuid = regexp_replace(line,
+      "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}", "<uuid>")
+    val ip = regexp_replace(uuid,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<ip>")
+    val hex = regexp_replace(ip, "\\b0x[0-9a-fA-F]+\\b", "<hex>")
+    regexp_replace(hex, "[0-9]+", "<num>")
+  }
+
   /** Rabin–Karp rolling-hash fingerprint of the normalized text:
     * fold of `h = (h·257 + codepoint) mod (10^9+7)` over characters —
     * integer-exact in any engine, and the building block for windowed

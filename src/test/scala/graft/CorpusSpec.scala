@@ -598,4 +598,25 @@ class CorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"))
   }
+
+  test("logTemplate masks uuid/ip/hex/num in order; mineLogTemplates " +
+      "collapses to template grain with min example") {
+    import spark.implicits._
+    val lines = Seq(
+      "user 7 req 123e4567-e89b-12d3-a456-426614174000 from 10.0.3.7 " +
+        "took 42 ms",
+      "user 8 req 00000000-0000-0000-0000-000000000000 from 10.1.4.9 " +
+        "took 7 ms",
+      "ptr 0xDEADbeef at 1.2.3.4",
+      "no variables here").toDF("line")
+    val got = graft.text.Corpus.mineLogTemplates(lines, "line", 1L)
+      .orderBy("template").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("no variables here", 1L, "no variables here"),
+      ("ptr <hex> at <ip>", 1L, "ptr 0xDEADbeef at 1.2.3.4"),
+      ("user <num> req <uuid> from <ip> took <num> ms", 2L,
+        "user 7 req 123e4567-e89b-12d3-a456-426614174000 from " +
+          "10.0.3.7 took 42 ms")))
+  }
 }

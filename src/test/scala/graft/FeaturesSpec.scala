@@ -424,4 +424,48 @@ class FeaturesSpec extends SparkSpec {
         Nil, col("sc"), col("y"), 10).collect()
     }
   }
+
+  test("quantileNormalize: every group takes on the reference " +
+      "distribution, order preserved, type-1 index arithmetic") {
+    import spark.implicits._
+    // two groups with wildly different scales; reference = 1..4
+    val df = Seq(
+      ("a", 1000.0, 1L), ("a", 3000.0, 2L),
+      ("b", 0.1, 3L), ("b", 0.2, 4L), ("b", 0.3, 5L), ("b", 0.4, 6L)
+    ).toDF("g", "v", "id")
+    val ref = Seq(10.0, 20.0, 30.0, 40.0).toDF("r")
+    val got = Features.quantileNormalize(df, Seq("g"), col("v"),
+        Seq(col("id")), ref, col("r"))
+      .orderBy("g", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // n=2, m=4: rank 1 → ceil(4/2)=idx 2 → 20; rank 2 → idx 4 → 40
+    // n=4, m=4: identity mapping of ranks
+    assert(got.toSeq == Seq(
+      ("a", 1000.0, 20.0), ("a", 3000.0, 40.0),
+      ("b", 0.1, 10.0), ("b", 0.2, 20.0), ("b", 0.3, 30.0),
+      ("b", 0.4, 40.0)))
+  }
+
+  test("kmTable: n_risk counts duration >= t, events vs censorings " +
+      "split, negative duration raises") {
+    import spark.implicits._
+    val subj = Seq(
+      // cohort x: events at t=2 (×2), censored at t=2, event at t=5
+      ("x", 2L, true), ("x", 2L, true), ("x", 2L, false), ("x", 5L, true),
+      // cohort y: censored only
+      ("y", 1L, false)
+    ).toDF("g", "dur", "ev")
+    val got = Features.kmTable(subj, Seq("g"), col("dur"), col("ev"))
+      .orderBy("g", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("x", 2L, 4L, 2L, 1L),   // all 4 at risk at t=2
+      ("x", 5L, 1L, 1L, 0L),
+      ("y", 1L, 1L, 0L, 1L)))
+    intercept[Exception] {
+      Features.kmTable(Seq(("z", -1L, true)).toDF("g", "dur", "ev"),
+        Seq("g"), col("dur"), col("ev")).collect()
+    }
+  }
 }

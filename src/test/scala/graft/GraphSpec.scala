@@ -181,4 +181,25 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("associationRules: exact ppm confidence and lift, directed " +
+      "pairs, counts on the guarded basket population") {
+    import spark.implicits._
+    // 4 baskets: {A,B} ×2, {A,C}, {B,C}; N=4, nA=3, nB=3, nC=2, nAB=2
+    val rows = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B"), (4L, "C"),
+      (2L, "A") // duplicate line — distinct-basket counting ignores it
+    ).toDF("basket", "item")
+    val got = Graph.associationRules(rows, col("basket"), col("item"),
+        minSupport = 2L, maxBasketSize = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // only the A,B pair reaches support 2
+    //            n_ab n_a n_b conf_ppm             lift_ppm
+    assert(got == Map(
+      ("A", "B") -> ((2L, 3L, 3L, 666666L, 888888L)),
+      ("B", "A") -> ((2L, 3L, 3L, 666666L, 888888L))))
+  }
 }

@@ -290,4 +290,67 @@ class ProfileFunnelSpec extends SparkSpec {
     assert(ta(0).get.length == 12)
     assert(tok(a, "s2")(0) != ta(0))          // salt breaks linkage
   }
+
+  test("transitionConformance: illegal initial states and illegal " +
+      "pairs surface; legal rows don't") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: legal throughout (a is initial, a→b allowed)
+      (1L, 1L, "a"), (1L, 2L, "b"),
+      // u2: illegal initial (b), then legal b→a? not allowed → 2 rows
+      (2L, 1L, "b"), (2L, 2L, "a"),
+      // u3: legal initial, illegal a→a
+      (3L, 1L, "a"), (3L, 2L, "a")
+    ).toDF("k", "ts", "st")
+    val got = Funnel.transitionConformance(ev, "k", Seq("ts"), "st",
+        allowed = Seq(("a", "b")), initialStates = Seq("a"))
+      .select("k", "ts", "from_state", "to_state")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), r.getString(3))).toSet
+    assert(got == Set(
+      (2L, 1L, None, "b"),          // illegal initial
+      (2L, 2L, Some("b"), "a"),     // b→a not allowed
+      (3L, 2L, Some("a"), "a")))    // a→a not allowed
+  }
+
+  test("inferTypes: int ⊆ num, calendar-invalid dates are text, " +
+      "bool case-insensitive, trim applied, nulls counted") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(" 42 "), Some("2021-02-30"), Some("TRUE")),
+      (Some("-7"), Some("2021-02-28"), Some("false")),
+      (Some("3.5e2"), Some("not a date"), None),
+      (None, Some("2021-13-01"), Some("yes"))
+    ).toDF("a", "b", "c")
+    val got = Profile.inferTypes(df, Seq("a", "b", "c"))
+      .orderBy("column_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    //              name  rows nn  int num date bool
+    assert(got(0) == (("a", 4L, 3L, 2L, 3L, 0L, 0L)))
+    assert(got(1) == (("b", 4L, 4L, 0L, 0L, 1L, 0L)))
+    // 'yes' is engine-lore, not boolean — only true/false count
+    assert(got(2) == (("c", 4L, 3L, 0L, 0L, 0L, 2L)))
+  }
+
+  test("jsonKeyProfile: presence vs JSON null vs typed values, " +
+      "missing keys contribute nothing") {
+    import spark.implicits._
+    val rows = Seq(
+      """{"id":1,"v":null,"s":"hi"}""",
+      """{"id":2,"v":7,"f":1.5}""",
+      """{"id":true}""",
+      "not json at all"
+    ).toDF("j")
+    val got = Profile.jsonKeyProfile(rows, col("j"))
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    //             key  pres null int num bool str
+    assert(got.toSeq == Seq(
+      ("f", 1L, 0L, 0L, 1L, 0L, 0L),
+      ("id", 3L, 0L, 2L, 2L, 1L, 0L),
+      ("s", 1L, 0L, 0L, 0L, 0L, 1L),
+      ("v", 2L, 1L, 1L, 1L, 0L, 0L)))
+  }
 }

@@ -550,4 +550,43 @@ class TimeSeriesSpec extends SparkSpec {
       ("a", 5L, Some(1L), Some(true), Some(20L)),
       ("b", 1L, None, None, None)))
   }
+
+  test("repairIntervalOverlaps: next row wins the contested span, " +
+      "result tiles, duplicate starts keep the longest, inverted raises") {
+    import spark.implicits._
+    val iv = Seq(
+      // k1: [0,100) spans the two after it → clipped to [0,10)
+      ("k1", 0L, 100L), ("k1", 10L, 20L), ("k1", 30L, 40L),
+      // k2: duplicate start — only the longest survives, clipped to
+      // the follower's start
+      ("k2", 0L, 5L), ("k2", 0L, 50L), ("k2", 30L, 60L),
+      // k3: already tiling — untouched
+      ("k3", 0L, 10L), ("k3", 10L, 20L))
+      .toDF("k", "s", "e")
+    val got = TimeSeries.repairIntervalOverlaps(iv, Seq("k"),
+        col("s"), col("e"))
+      .orderBy($"k", $"valid_from").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("k1", 0L, 10L, 100L, true),
+      ("k1", 10L, 20L, 20L, false),
+      ("k1", 30L, 40L, 40L, false),
+      ("k2", 0L, 30L, 50L, true),
+      ("k2", 30L, 60L, 60L, false),
+      ("k3", 0L, 10L, 10L, false),
+      ("k3", 10L, 20L, 20L, false)))
+    // per-key non-overlap invariant holds on the output
+    got.groupBy(_._1).values.foreach { ks =>
+      ks.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _, _), (_, s2, _, _, _)) => assert(e1 <= s2)
+        case _ =>
+      }
+    }
+    intercept[Exception] {
+      TimeSeries.repairIntervalOverlaps(
+        Seq(("k", 5L, 1L)).toDF("k", "s", "e"),
+        Seq("k"), col("s"), col("e")).collect()
+    }
+  }
 }
