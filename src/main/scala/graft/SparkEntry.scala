@@ -2784,6 +2784,59 @@ object SparkEntry {
         .orderBy(col("key"))
     },
 
+    // X196 — hierarchical path-prefix rollup over synthetic URL paths
+    // (3 segments, maxDepth 2 so the cap semantics are exercised:
+    // depth-3 tails still count into their depth-2 ancestor)
+    "q206_path_rollup" -> { (s, dir) =>
+      val path = concat(lit("/"), col("event_type"),
+        lit("/u"), (col("user_id") % 50).cast("string"),
+        lit("/e"), (col("event_id") % 17).cast("string"))
+      graft.text.UrlFunctions.pathPrefixRollup(
+          events(s, dir).select(path.as("path")), col("path"),
+          maxDepth = 2)
+        .withColumn("depth", col("depth").cast("long"))
+        .orderBy(col("prefix"))
+    },
+
+    // X197 — mojibake detection over documents with deterministically
+    // injected artifacts (latin-1 digraphs, U+FFFD, a C0 control)
+    "q207_mojibake" -> { (s, dir) =>
+      val txt = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" caf\u00C3\u00A9")))
+        .when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" bad\uFFFDchar")))
+        .when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" ctl\u0007bell")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.mojibakeStats(txt).as("m"))
+        .select(col("doc_id"), col("m.n_replacement"), col("m.n_ctrl"),
+          col("m.n_mojibake"), col("m.clean"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X198 — value-spell RLE over per-user event-type runs (sequence
+    // axis = event_id, globally unique, so spell bounds are stable)
+    "q208_spells" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"),
+        nsToMicros(col("ts_ns")).as("ts_us"), col("event_id"),
+        col("event_type"))
+      graft.ops.TimeSeries.valueSpells(ev, Seq("user_id"),
+          Seq(col("ts_us"), col("event_id")), col("event_type"),
+          col("event_id"))
+        .orderBy(col("user_id"), col("t_start"))
+    },
+
+    // X199 — Theil–Sen robust slope of value over event sequence per
+    // user (small per-user series — the operator's documented regime)
+    "q209_theil_sen" -> { (s, dir) =>
+      graft.ops.Features.theilSenSlope(events(s, dir),
+          Seq("user_id"), col("event_id"), col("value"),
+          maxGroupSize = 500)
+        .orderBy(col("user_id"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -7726,5 +7779,88 @@ object SparkEntry {
         |      AND lower(v) NOT IN ('true', 'false')
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_str
         |FROM vv GROUP BY key ORDER BY key""".stripMargin,
+
+    "q206_path_rollup" ->
+      """WITH p AS (
+        |  SELECT '/' || event_type || '/u' || (user_id % 50) ||
+        |    '/e' || (event_id % 17) AS path
+        |  FROM events
+        |), segs AS (
+        |  SELECT string_split(regexp_replace(path, '^/', ''), '/') AS s
+        |  FROM p
+        |), pref AS (
+        |  SELECT '/' || array_to_string(s[1:d], '/') AS prefix,
+        |    d AS depth
+        |  FROM segs, (SELECT unnest(range(1, 3)) AS d) r
+        |  WHERE d <= least(len(s), 2)
+        |)
+        |SELECT prefix, CAST(depth AS BIGINT) AS depth, count(*) AS n
+        |FROM pref GROUP BY prefix, depth ORDER BY prefix""".stripMargin,
+
+    "q207_mojibake" ->
+      """WITH txt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' caf' ||
+        |        chr(195) || chr(169)
+        |      WHEN doc_id % 7 = 1 THEN text || ' bad' || chr(65533) ||
+        |        'char'
+        |      WHEN doc_id % 7 = 2 THEN text || ' ctl' || chr(7) ||
+        |        'bell'
+        |      ELSE text END AS t
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '\x{FFFD}', 0)) AS n_replacement,
+        |    len(regexp_extract_all(t,
+        |      '[\x{01}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]', 0)) AS n_ctrl,
+        |    len(regexp_extract_all(t,
+        |      '\x{C3}[\x{80}-\x{BF}]|\x{C2}[\x{A0}-\x{BF}]|\x{E2}[\x{20AC}\x{80}][\x{80}\x{98}\x{99}\x{9C}\x{9D}\x{A6}\x{2018}\x{2019}\x{201C}\x{201D}\x{2026}\x{2122}]',
+        |      0)) AS n_mojibake
+        |  FROM txt
+        |)
+        |SELECT doc_id, n_replacement, n_ctrl, n_mojibake,
+        |  (n_replacement = 0 AND n_ctrl = 0 AND n_mojibake = 0) AS clean
+        |FROM cnt ORDER BY doc_id""".stripMargin,
+
+    "q208_spells" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events
+        |), h AS (
+        |  SELECT *, CASE WHEN event_type IS NOT DISTINCT FROM
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id)
+        |    THEN 0 ELSE 1 END AS head
+        |  FROM b
+        |), i AS (
+        |  SELECT *, CAST(sum(head) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS island
+        |  FROM h
+        |)
+        |SELECT user_id, min(event_type) AS value,
+        |  min(event_id) AS t_start, max(event_id) AS t_end,
+        |  count(*) AS n_rows
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, t_start""".stripMargin,
+
+    "q209_theil_sen" ->
+      """WITH b AS (
+        |  SELECT user_id, CAST(event_id AS DOUBLE) AS x, value AS y
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |), p AS (
+        |  SELECT l.user_id, (r.y - l.y) / (r.x - l.x) AS slope,
+        |    l.x AS xl, l.y AS yl, r.x AS xr, r.y AS yr
+        |  FROM b l JOIN b r ON l.user_id = r.user_id AND l.x < r.x
+        |), s AS (
+        |  SELECT user_id, slope,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY slope, xl, yl, xr, yr) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS m
+        |  FROM p
+        |)
+        |SELECT user_id, slope, m AS n_pairs FROM s
+        |WHERE rn = (m + 1) // 2 ORDER BY user_id""".stripMargin,
   )
 }

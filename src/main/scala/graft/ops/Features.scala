@@ -846,4 +846,59 @@ object Features {
       .select(gs ++ Seq(col("t"), col("n_risk"), col("d"),
         col("c")): _*)
   }
+
+  /** Theil–Sen robust trend per group — the slope estimate that
+    * shrugs off the outliers that wreck [[groupOls]]' least squares (a
+    * single corrupt sensor reading moves OLS arbitrarily; Theil–Sen
+    * tolerates ~29% contamination): the LOWER MEDIAN of all pairwise
+    * slopes (y_j−y_i)/(x_j−x_i) over pairs with x_i < x_j. Median by
+    * ELEMENT SELECTION (row_number = ⌈m/2⌉ under a total order), never
+    * float averaging of two middles — the emitted slope is one actually
+    * computed IEEE quotient, identical in any engine. Equal-x pairs are
+    * excluded (vertical slope is undefined — the standard convention);
+    * groups with no x-distinct pair produce no row.
+    *
+    * The estimator is inherently O(n²) per group — this implementation
+    * is for SMALL groups (per-entity weekly series, per-device
+    * calibration runs), and `maxGroupSize` enforces that contract
+    * in-plan (raise, not silent truncation — a sampled Theil–Sen is a
+    * different estimator the caller must opt into by sampling
+    * upstream). Scale shape: groups hash to ONE key exchange, the
+    * pair join is an equi-join on the group key (both sides share the
+    * partitioning; pair fan-out ≤ maxGroupSize²/2 per group — bounded
+    * by the guard), then one window over pair grain for the selection.
+    * Parallelism is across groups, the 100 TB axis.
+    */
+  def theilSenSlope(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, maxGroupSize: Int): DataFrame = {
+    require(maxGroupSize >= 2, s"maxGroupSize must be >= 2: $maxGroupSize")
+    val gs = groupCols.map(col)
+    val cnt = count(lit(1)).over(Window.partitionBy(gs: _*))
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(gs ++ Seq(xCol.cast("double").as("__x"),
+        yCol.cast("double").as("__y")): _*)
+      .withColumn("__n", cnt)
+      .withColumn("__x",
+        when(col("__n") > maxGroupSize, raise_error(concat(
+          lit(s"theilSenSlope: group exceeds maxGroupSize=$maxGroupSize: "),
+          col("__n").cast("string")))).otherwise(col("__x")))
+      .drop("__n")
+    val l = base.select(gs ++ Seq(col("__x").as("__xl"),
+      col("__y").as("__yl")): _*)
+    val r = base.select(gs ++ Seq(col("__x").as("__xr"),
+      col("__y").as("__yr")): _*)
+    val pairs = l.join(r, groupCols)
+      .filter(col("__xl") < col("__xr"))
+      .withColumn("slope",
+        (col("__yr") - col("__yl")) / (col("__xr") - col("__xl")))
+    val wSel = Window.partitionBy(gs: _*)
+      .orderBy(col("slope"), col("__xl"), col("__yl"), col("__xr"),
+        col("__yr"))
+    val wN = Window.partitionBy(gs: _*)
+    pairs.withColumn("__rn", row_number().over(wSel))
+      .withColumn("n_pairs", count(lit(1)).over(wN))
+      .filter(col("__rn") === graft.functions.Exact.longDiv(
+        col("n_pairs") + 1L, 2L))
+      .select(gs ++ Seq(col("slope"), col("n_pairs")): _*)
+  }
 }

@@ -941,6 +941,46 @@ object TimeSeries {
       .drop("__pv", "__pt")
   }
 
+  /** Value run-length encoding to a per-key SPELL table — collapse each
+    * maximal run of consecutive equal values (consecutive in
+    * (`orderCols`...) order, which must be a TOTAL order within a key)
+    * into one row: (keys…, value, t_start, t_end, n_rows) with
+    * t_start/t_end the run's first/last order-axis value. The state
+    * HISTORY compressor behind device-status timelines, position
+    * snapshots, and feature-flag audit tables — [[counterRates]]' dwell
+    * sibling X112 aggregates total time per state, this keeps each
+    * episode's identity and boundaries. Equality is NULL-SAFE: null is
+    * a state, a run of nulls is one spell (sensor-offline episodes are
+    * exactly what the table is for).
+    *
+    * Scale shape: the gaps-and-islands identity — run heads flagged by
+    * a null-safe lag comparison, numbered by a running sum, collapsed
+    * by a (key, island) aggregation: ONE hash exchange, two windows
+    * sharing one sort, O(1) state per row, and the agg reuses the
+    * key-subset hash partitioning — no second exchange.
+    */
+  def valueSpells(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[Column], valueCol: Column,
+      tsCol: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(orderCols: _*)
+    val wRun = Window.partitionBy(keys: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__v", valueCol)
+      .withColumn("__t", tsCol)
+      .withColumn("__head",
+        when(col("__v") <=> lag(col("__v"), 1).over(w), 0L)
+          .otherwise(1L))
+      .withColumn("__island", sum(col("__head")).over(wRun))
+      .groupBy(keys :+ col("__island"): _*)
+      .agg(first(col("__v")).as("value"),
+        min(col("__t")).as("t_start"),
+        max(col("__t")).as("t_end"),
+        count(lit(1)).as("n_rows"))
+      .select(keys ++ Seq(col("value"), col("t_start"), col("t_end"),
+        col("n_rows")): _*)
+  }
+
   /** Overlap REPAIR for effective-dated (SCD-2-style) interval tables —
     * the fix step after an audit finds a key whose history overlaps
     * (late-arriving corrections, double-loaded batches): each half-open

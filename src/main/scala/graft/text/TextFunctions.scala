@@ -210,6 +210,39 @@ object TextFunctions {
     trim(regexp_replace(entities, "\\s+", " "))
   }
 
+  /** Encoding-artifact ("mojibake") statistics — the corpus-hygiene
+    * signal for text that survived a wrong decode: per row, counts of
+    * (a) U+FFFD replacement characters (a decoder already gave up),
+    * (b) C0 control characters other than tab/newline/carriage-return
+    * (binary bleed-through), and (c) classic UTF-8-read-as-Latin-1
+    * digraphs (Ã/Â/â€ sequences — 'é' mangled to 'Ã©', smart quotes to
+    * 'â€œ'), plus a `clean` verdict. The artifact list is a fixed,
+    * documented alternation of concrete digraphs — a detector with
+    * false-negative room, not a decoder: downstream either drops the
+    * row or routes it to a re-decode pass. Counts, not a boolean, so a
+    * single stray byte doesn't condemn a megabyte document.
+    *
+    * Entirely scan-local codegen'd `regexp_count`s; the patterns are
+    * literal-codepoint alternations (no classes that RE2 and Java
+    * disagree on), portable by construction.
+    */
+  def mojibakeStats(text: Column): Column = {
+    val repl = regexp_count(text, lit("\\uFFFD"))
+    val ctrl = regexp_count(text,
+      lit("[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F]"))
+    // the \u00E2\u20AC-x third char differs by decoder: latin-1 leaves
+    // the raw C1 control (\u0080-\u009F), cp1252 maps it (98 -> U+02DC,
+    // 99 -> U+2122, 9C -> U+0153) -- both families are in the class
+    val moji = regexp_count(text,
+      lit("\\u00C3[\\u0080-\\u00BF]|\\u00C2[\\u00A0-\\u00BF]|" +
+        "\\u00E2[\\u20AC\\u0080][\\u0080\\u0098\\u0099\\u009C\\u009D" +
+        "\\u00A6\\u0153\\u02DC\\u2018\\u2019\\u201C\\u201D\\u2026" +
+        "\\u2122]"))
+    struct(repl.as("n_replacement"), ctrl.as("n_ctrl"),
+      moji.as("n_mojibake"),
+      (repl === 0 && ctrl === 0 && moji === 0).as("clean"))
+  }
+
   /** Log-template mask (the core of Drain-style log template mining):
     * collapse the variable parts of a log line — UUIDs, dotted-quad
     * IPv4s, `0x…` hex runs, then any remaining digit runs — into

@@ -194,4 +194,43 @@ object UrlFunctions {
       .select(col("__hid")).distinct()
     df.join(broadcast(hitIds), col(idCol) === col("__hid"), "left_anti")
   }
+
+  /** Hierarchical path-prefix rollup — the "traffic by /docs, /docs/api,
+    * /docs/api/v2" aggregation crawl and clickstream analysis run over
+    * URL paths (and any other '/'-separated hierarchy: file trees,
+    * categories): each row contributes once to EVERY ancestor prefix of
+    * its path up to `maxDepth` segments, so a prefix's count is the
+    * subtree total — the string-hierarchy analog of ROLLUP, without a
+    * grouping-sets Expand over unbounded depth. Output: (prefix, depth,
+    * n) for prefixes with ≥ 1 row; leading '/' canonical, empty paths
+    * ("" or "/") contribute nothing. Depth is capped, not erroring —
+    * deeper segments simply stop splitting finer (their rows still
+    * count into the depth-`maxDepth` ancestor), which is the roll-up
+    * semantic a bounded report wants.
+    *
+    * Scale shape: prefix generation is SCAN-LOCAL (one split + a
+    * ≤ maxDepth-sized transform/explode per row — the data's own
+    * fan-out, bounded by the cap), then ONE map-side-combined
+    * aggregation on prefix grain; hot prefixes ("/", "/search") absorb
+    * into partial aggregates before the exchange. Never a self-join,
+    * never per-depth passes.
+    */
+  def pathPrefixRollup(df: DataFrame, pathCol: Column,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val segs = filter(
+      split(regexp_replace(pathCol, "^/", ""), "/"), s => s =!= "")
+    val prefixes = graft.text.TextFunctions.once(segs, ss =>
+      transform(sequence(lit(1), least(size(ss), lit(maxDepth))),
+        d => struct(
+          concat(lit("/"), array_join(slice(ss, lit(1), d), "/"))
+            .as("prefix"),
+          d.as("depth"))))
+    // size 0 must short-circuit: sequence(1, 0) is DESCENDING in Spark
+    df.filter(pathCol.isNotNull && size(segs) > 0)
+      .select(explode(prefixes).as("__p"))
+      .groupBy(col("__p.prefix").as("prefix"),
+        col("__p.depth").as("depth"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

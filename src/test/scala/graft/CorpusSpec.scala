@@ -619,4 +619,28 @@ class CorpusSpec extends SparkSpec {
         "user 7 req 123e4567-e89b-12d3-a456-426614174000 from " +
           "10.0.3.7 took 42 ms")))
   }
+
+  test("mojibakeStats: replacement chars, C0 controls (tab/newline " +
+      "exempt), latin-1 digraphs; clean text is clean") {
+    import spark.implicits._
+    val rows = Seq(
+      "perfectly clean text\twith tab\nand newline",
+      "lost \uFFFD twice \uFFFD here",
+      "bell \u0007 and escape \u001B",
+      // latin-1 e-acute digraph + cp1252 smart quotes + latin-1 C1 tail
+      "caf\u00C3\u00A9 and \u00E2\u20AC\u0153quoted\u00E2\u20AC\u009D",
+      "nbsp\u00C2\u00A0run").toDF("t")
+    val got = rows.select(
+        graft.text.TextFunctions.mojibakeStats($"t").as("m"))
+      .select($"m.n_replacement", $"m.n_ctrl", $"m.n_mojibake",
+        $"m.clean")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (0, 0, 0, true),
+      (2, 0, 0, false),
+      (0, 2, 0, false),
+      (0, 0, 3, false),
+      (0, 0, 1, false)))
+  }
 }

@@ -468,4 +468,29 @@ class FeaturesSpec extends SparkSpec {
         Seq("g"), col("dur"), col("ev")).collect()
     }
   }
+
+  test("theilSenSlope: outlier-immune lower-median slope, equal-x " +
+      "pairs excluded, oversize group raises") {
+    import spark.implicits._
+    // group a: y = 2x exactly except one wild outlier at x=4 —
+    // slopes: (1,2)(1,3)(2,3) give 2.0; pairs with x=4 give ~31.3, 46,
+    // 90 — sorted: 2,2,2,31.3,46,90 → lower median (rank 3) = 2.0
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+      ("a", 4.0, 96.0),
+      // group b: duplicate x — only the x-distinct pair counts
+      ("b", 1.0, 1.0), ("b", 1.0, 9.0), ("b", 2.0, 3.0))
+      .toDF("g", "x", "y")
+    val got = Features.theilSenSlope(df, Seq("g"), col("x"), col("y"),
+        maxGroupSize = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got("a") == ((2.0, 6L)))
+    // b: slopes (1,1→2,3)=2 and (1,9→2,3)=-6; lower median of 2 = -6
+    assert(got("b") == ((-6.0, 2L)))
+    intercept[Exception] {
+      Features.theilSenSlope(df, Seq("g"), col("x"), col("y"),
+        maxGroupSize = 3).collect()
+    }
+  }
 }

@@ -589,4 +589,25 @@ class TimeSeriesSpec extends SparkSpec {
         Seq("k"), col("s"), col("e")).collect()
     }
   }
+
+  test("valueSpells: maximal equal-value runs, null is a state, " +
+      "interleaving restarts a spell") {
+    import spark.implicits._
+    val rows = Seq(
+      ("k", 1L, Some("A")), ("k", 2L, Some("A")), ("k", 3L, None),
+      ("k", 4L, None), ("k", 5L, Some("A")), ("k", 6L, Some("B")),
+      ("j", 1L, Some("B")))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.valueSpells(rows, Seq("k"), Seq(col("ts")),
+        col("v"), col("ts"))
+      .orderBy($"k", $"t_start").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("j", Some("B"), 1L, 1L, 1L),
+      ("k", Some("A"), 1L, 2L, 2L),
+      ("k", None, 3L, 4L, 2L),      // null run is ONE spell
+      ("k", Some("A"), 5L, 5L, 1L), // A again: new spell, not merged
+      ("k", Some("B"), 6L, 6L, 1L)))
+  }
 }

@@ -102,4 +102,18 @@ class UrlSpec extends SparkSpec {
         Seq("banana").toDF("cidr"), "cidr").collect()
     }
   }
+
+  test("pathPrefixRollup: every ancestor counts the subtree, depth " +
+      "cap rolls deep tails into their ancestor, empty paths drop") {
+    import spark.implicits._
+    val rows = Seq("/a/b/c", "/a/b", "/a", "/x", "/", "",
+      "/a/b/c/d").toDF("p")
+    val got = UrlFunctions.pathPrefixRollup(rows, col("p"), maxDepth = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("/a", 1, 4L),      // /a, /a/b, /a/b/c, /a/b/c/d
+      ("/a/b", 2, 3L),    // /a/b, /a/b/c, /a/b/c/d (depth-3+ roll up)
+      ("/x", 1, 1L)))
+  }
 }
