@@ -863,42 +863,60 @@ object Features {
     * calibration runs), and `maxGroupSize` enforces that contract
     * in-plan (raise, not silent truncation — a sampled Theil–Sen is a
     * different estimator the caller must opt into by sampling
-    * upstream). Scale shape: groups hash to ONE key exchange, the
-    * pair join is an equi-join on the group key (both sides share the
-    * partitioning; pair fan-out ≤ maxGroupSize²/2 per group — bounded
-    * by the guard), then one window over pair grain for the selection.
-    * Parallelism is across groups, the 100 TB axis.
+    * upstream). Scale shape: ONE key exchange collects each group's
+    * points into a sorted, size-guarded array — and EVERYTHING after
+    * is row-local array arithmetic: pairwise slopes via nested
+    * index-aware transforms, one array_sort, one element pick. No pair
+    * rows ever materialize, no window, no join (measured on 1.5k
+    * groups × ≤99 points at sf0.1: self-join form 5.98 s,
+    * pair-explode + selection window 4.92 s, this 2.86 s — streaming
+    * pairs through exchanges/sorts costs more than computing them in
+    * place). The rank-k element of a sorted multiset is
+    * order-independent, so no tie-break columns are needed for
+    * determinism. Parallelism is across groups, the 100 TB axis.
     */
   def theilSenSlope(df: DataFrame, groupCols: Seq[String], xCol: Column,
       yCol: Column, maxGroupSize: Int): DataFrame = {
     require(maxGroupSize >= 2, s"maxGroupSize must be >= 2: $maxGroupSize")
     val gs = groupCols.map(col)
-    val cnt = count(lit(1)).over(Window.partitionBy(gs: _*))
-    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
-      .select(gs ++ Seq(xCol.cast("double").as("__x"),
-        yCol.cast("double").as("__y")): _*)
-      .withColumn("__n", cnt)
-      .withColumn("__x",
-        when(col("__n") > maxGroupSize, raise_error(concat(
+    val grouped = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(gs: _*)
+      .agg(sort_array(collect_list(struct(
+        xCol.cast("double").as("x"), yCol.cast("double").as("y"))))
+        .as("__pts"))
+      .withColumn("__pts",
+        when(size(col("__pts")) > maxGroupSize, raise_error(concat(
           lit(s"theilSenSlope: group exceeds maxGroupSize=$maxGroupSize: "),
-          col("__n").cast("string")))).otherwise(col("__x")))
-      .drop("__n")
-    val l = base.select(gs ++ Seq(col("__x").as("__xl"),
-      col("__y").as("__yl")): _*)
-    val r = base.select(gs ++ Seq(col("__x").as("__xr"),
-      col("__y").as("__yr")): _*)
-    val pairs = l.join(r, groupCols)
-      .filter(col("__xl") < col("__xr"))
-      .withColumn("slope",
-        (col("__yr") - col("__yl")) / (col("__xr") - col("__xl")))
-    val wSel = Window.partitionBy(gs: _*)
-      .orderBy(col("slope"), col("__xl"), col("__yl"), col("__xr"),
-        col("__yr"))
-    val wN = Window.partitionBy(gs: _*)
-    pairs.withColumn("__rn", row_number().over(wSel))
-      .withColumn("n_pairs", count(lit(1)).over(wN))
-      .filter(col("__rn") === graft.functions.Exact.longDiv(
-        col("n_pairs") + 1L, 2L))
-      .select(gs ++ Seq(col("slope"), col("n_pairs")): _*)
+          size(col("__pts")).cast("string"))))
+          .otherwise(col("__pts")))
+    // pairwise slopes, row-local: for point i (0-based), slope against
+    // every later point; the array is x-sorted so "later" means x ≥
+    // mine, and equal-x pairs yield null (dropped by the filter).
+    // Both the point array and the slope array are let-bound (once):
+    // HOFs evaluate interpreted with no common-subexpression reuse, so
+    // an inlined reference would recompute the guard/sort per element
+    val once = graft.text.TextFunctions.once _
+    val sel = once(col("__pts"), pts =>
+      once(sort_array(filter(
+        flatten(transform(pts, (l, i) =>
+          transform(
+            slice(pts, i + 2, greatest(size(pts) - i - 1, lit(0))),
+            r => when(r("x") > l("x"),
+              (r("y") - l("y")) / (r("x") - l("x")))))),
+        s => s.isNotNull)), ss =>
+        struct(
+          element_at(ss, graft.functions.Exact.longDiv(
+            size(ss).cast("long") + 1L, 2L).cast("int")).as("slope"),
+          size(ss).cast("long").as("n_pairs"))))
+    // explode-of-one: pin `sel` behind a Generate so the filter and
+    // the two output references read an ATTRIBUTE — CollapseProject +
+    // predicate pushdown would otherwise inline the whole O(n²) HOF
+    // into each consumer and run it per reference (measured:
+    // 5.46 s → 2.86 s on 1.5k × ≤99-point groups at sf0.1)
+    grouped
+      .select(gs :+ explode(array(sel)).as("__sel"): _*)
+      .filter(col("__sel.n_pairs") > 0L)
+      .select(gs ++ Seq(col("__sel.slope").as("slope"),
+        col("__sel.n_pairs").as("n_pairs")): _*)
   }
 }
