@@ -203,4 +203,46 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"residuals must not shuffle the data side:\n${plan.take(2500)}")
   }
+
+  test("round-7 batch: spell RLE one exchange; path rollup and " +
+      "inferTypes agg-only; Theil-Sen no join, no window") {
+    import spark.implicits._
+    def exchanges(plan: String): Int =
+      "Exchange ".r.findAllIn(plan).length
+    val ev = (1 to 300).map(i => (i % 7, i.toLong, s"s${i % 3}"))
+      .toDF("k", "ts", "v")
+    // valueSpells: the two windows and the island agg share ONE
+    // key exchange
+    val spells = graft.ops.TimeSeries.valueSpells(ev, Seq("k"),
+      Seq(col("ts")), col("v"), col("ts"))
+      .queryExecution.executedPlan.toString
+    assert(exchanges(spells) == 1,
+      s"valueSpells should plan exactly one exchange:\n${spells.take(2500)}")
+    // pathPrefixRollup: scan-local explode into one aggregation —
+    // one exchange (the agg's), no join, no window
+    val paths = (1 to 100).map(i => s"/a$i/b/c").toDF("p")
+    val roll = graft.text.UrlFunctions.pathPrefixRollup(paths,
+      col("p"), 3).queryExecution.executedPlan.toString
+    assert(exchanges(roll) == 1 && !roll.contains("Join") &&
+      !roll.contains("Window"),
+      s"pathPrefixRollup should be explode → one agg:\n${roll.take(2500)}")
+    // inferTypes: the long-format pivot is one Generate into one agg —
+    // no Union of per-column scans
+    val it = graft.ops.Profile.inferTypes(
+      Seq(("1", "x")).toDF("a", "b"), Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!it.contains("Union") && exchanges(it) == 1,
+      s"inferTypes should be one scan, no Union:\n${it.take(2500)}")
+    // theilSenSlope: everything after the collect aggregation is
+    // row-local — no join, no window, one exchange
+    val ts = graft.ops.Features.theilSenSlope(
+      (1 to 200).map(i => (i % 5, i.toDouble, i * 2.0))
+        .toDF("g", "x", "y"),
+      Seq("g"), col("x"), col("y"), 100)
+      .queryExecution.executedPlan.toString
+    assert(exchanges(ts) == 1 && !ts.contains("Join") &&
+      !ts.contains("Window"),
+      s"theilSenSlope should be one exchange, scan-local selection:\n" +
+        ts.take(2500))
+  }
 }
