@@ -2837,6 +2837,167 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // X200 — rolling trailing-8-event OLS slope of value per user
+    // (event_id is globally unique, so x alone totally orders the frame)
+    "q210_rolling_trend" -> { (s, dir) =>
+      graft.ops.Features.rollingTrend(events(s, dir),
+          Seq("user_id"), col("event_id"), col("value"),
+          windowRows = 8, yScale = 6)
+        .orderBy(col("user_id"), col("x"))
+    },
+
+    // X201 — sorted-neighborhood candidate pairs over customers ordered
+    // by account balance (bucket = balance div 1000, a deterministic
+    // coarsening of the sort order; no single-reducer sort anywhere)
+    "q211_sorted_neighborhood" -> { (s, dir) =>
+      graft.dedup.Dedup.sortedNeighborhoodPairs(
+          t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_acctbal"),
+              floor(col("c_acctbal") / 1000d).cast("long").as("bucket")),
+          "c_custkey", Seq("c_acctbal"), "bucket", window = 5)
+        .orderBy(col("id_l"), col("id_r"))
+    },
+
+    // X202 — day-of-year presence bitmap per user over the events table
+    // (366-slot grid, 32-bit chunks; one map-side-combined bit_or pass)
+    "q212_presence_bitmap" -> { (s, dir) =>
+      graft.ops.Profile.presenceBitmap(
+          events(s, dir).select(col("user_id"),
+            (dayofyear(timestamp_micros(nsToMicros(col("ts_ns")))) - 1)
+              .as("slot")),
+          Seq("user_id"), col("slot"), nSlots = 366)
+        .orderBy(col("user_id"))
+    },
+
+    // X203 — generalization ladder to k-anonymity on customer balances:
+    // whole dollars → hundreds → thousands; k=10 forces the ladder up
+    // to a coarse rung (suppression flags any class still below k)
+    "q213_generalize_k" -> { (s, dir) =>
+      val bal = col("c_acctbal")
+      graft.ops.Profile.generalizeToK(t(s, dir, "customer"),
+          Seq(floor(bal).cast("long"),
+            floor(bal / 100d).cast("long"),
+            floor(bal / 1000d).cast("long")),
+          k = 10L)
+        .orderBy(col("value"))
+    },
+
+    // X204 — Zipf-surprisal quality score vs the q62 vocabulary (V=24):
+    // integer bit-length surprisal, OOV pays bitlen(V)+1
+    "q214_surprisal" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val vocab = graft.text.Vocab.buildVocab(d, "text", vocabSize = 24)
+      graft.text.Vocab.surprisalScore(d, vocab, "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // X205 — batch greedy throttle: ≥6h between KEPT events per user
+    // (the stateful contract debounce's scaladoc routes to streaming,
+    // here as the batch mirror: sorted per-key array + aggregate fold)
+    "q215_throttle_batch" -> { (s, dir) =>
+      graft.ops.TimeSeries.throttleBatch(events(s, dir),
+          Seq("user_id"), nsToMicros(col("ts_ns")),
+          minGapUs = 21600000000L, maxGroupSize = 100000)
+        .orderBy(col("user_id"), col("ts_kept"))
+    },
+
+    // X206 — nearest-to-grid downsampling: one real reading per user
+    // per day, the one closest to midnight (struct-min picker, one agg)
+    "q216_resample_nearest" -> { (s, dir) =>
+      graft.ops.TimeSeries.resampleNearest(events(s, dir),
+          Seq("user_id"), nsToMicros(col("ts_ns")),
+          stepUs = 86400000000L, tie = col("event_id"),
+          valueCol = col("value"))
+        .orderBy(col("user_id"), col("anchor_us"))
+    },
+
+    // X207 — lag-1 autocorrelation of value per user (persistence
+    // signal; exact moments + one correctly-rounded sqrt)
+    "q217_autocorr" -> { (s, dir) =>
+      graft.ops.Features.autocorr(events(s, dir), Seq("user_id"),
+          nsToMicros(col("ts_ns")), col("value"), lagK = 1, scale = 6,
+          tieCols = Seq(col("event_id")))
+        .orderBy(col("user_id"))
+    },
+
+    // X208 — ABC classification of customers by order revenue within
+    // each priority (A ≤ 80% cumulative share, B ≤ 95%, else C)
+    "q218_abc" -> { (s, dir) =>
+      graft.ops.Relational.abcClassify(t(s, dir, "orders"),
+          Seq("o_orderpriority"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("cum_ppm"), col("item"))
+    },
+
+    // X209 — Cohen's kappa per source between the documents table's
+    // declared lang and the X10 detector (chance-corrected agreement)
+    "q219_kappa" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("source"), col("lang"),
+        graft.text.TextFunctions.langId(col("text")).as("lang_guess"))
+      graft.ops.Features.cohenKappa(d, Seq("source"), col("lang"),
+          col("lang_guess"))
+        .orderBy(col("source"))
+    },
+
+    // X210 — Spearman rank correlation per return flag (quantity has
+    // massive tie groups — exercises the doubled average-rank path)
+    "q220_spearman" -> { (s, dir) =>
+      graft.ops.Features.spearmanCorr(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // X211 — Flesch reading-ease over documents (exact integer counts,
+    // one fixed IEEE tree for the score)
+    "q221_readability" -> { (s, dir) =>
+      val txt = col("text")
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.text.TextFunctions.tokenCount(txt).cast("long")
+            .as("n_words"),
+          graft.text.TextFunctions.sentenceCount(txt).as("n_sentences"),
+          graft.text.TextFunctions.syllableCount(txt).as("n_syllables"),
+          graft.text.TextFunctions.fleschScore(txt).as("flesch"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X213 — joint quantity x price histogram (one map-side-combined
+    // aggregation; edge bins clamp, occupied cells only)
+    "q222_histogram2d" -> { (s, dir) =>
+      graft.ops.Features.histogram2d(t(s, dir, "lineitem"),
+          col("l_quantity"), col("l_extendedprice"),
+          xLo = 0d, xWidth = 10d, nBinsX = 5,
+          yLo = 0d, yWidth = 20000d, nBinsY = 5)
+        .orderBy(col("bin_x"), col("bin_y"))
+    },
+
+    // X214 — missing ranges in each user's event_id sequence (data-loss
+    // audit: the holes are the re-pull artifact)
+    "q223_sequence_gaps" -> { (s, dir) =>
+      graft.ops.TimeSeries.sequenceGaps(events(s, dir),
+          Seq("user_id"), col("event_id"))
+        .orderBy(col("user_id"), col("gap_lo"))
+    },
+
+    // X20+X77 composition — duplicate-cluster-aware dataset split: near
+    // -dup clusters assign as a UNIT (split keyed on the cluster id, so
+    // no near-duplicate pair ever straddles train/test — the leakage
+    // the plain per-doc hash split cannot prevent)
+    "q224_cluster_split" -> { (s, dir) =>
+      val c = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val clusters = graft.ops.Graph.canonicalize(
+        graft.ops.Graph.connectedComponents(
+          c.select(col("doc_id")), "doc_id",
+          graft.dedup.Dedup.blockedJaccardPairs(c, "text", "doc_id",
+            "source", shingleN = 1, threshold = 0.5,
+            maxBlockSize = Int.MaxValue),
+          "id_a", "id_b"))
+      graft.ops.Relational.splitAssign(
+          clusters.select(col("id").as("doc_id"), col("cluster_id")),
+          col("cluster_id"),
+          Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+        .orderBy(col("doc_id"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -7862,5 +8023,422 @@ object SparkEntry {
         |)
         |SELECT user_id, slope, m AS n_pairs FROM s
         |WHERE rn = (m + 1) // 2 ORDER BY user_id""".stripMargin,
+
+    "q210_rolling_trend" ->
+      """WITH b AS (
+        |  SELECT user_id, CAST(event_id AS BIGINT) AS x,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |), w AS (
+        |  SELECT user_id, x,
+        |    count(*) OVER win AS n_win,
+        |    sum(CAST(x AS HUGEINT)) OVER win AS sx,
+        |    sum(CAST(y AS HUGEINT)) OVER win AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) OVER win AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) OVER win AS sxy
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY x
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        |), d AS (
+        |  SELECT user_id, x, CAST(n_win AS BIGINT) AS n_win,
+        |    CAST(CAST(CAST(n_win AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+        |      AS DOUBLE) AS num,
+        |    CAST(CAST(CAST(n_win AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+        |      AS DOUBLE) AS den
+        |  FROM w
+        |)
+        |SELECT user_id, x, n_win,
+        |  CASE WHEN n_win >= 2 AND den <> 0
+        |    THEN num / den / 1000000.0 END AS slope
+        |FROM d ORDER BY user_id, x""".stripMargin,
+
+    "q211_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT c_custkey,
+        |    row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS rn
+        |  FROM customer
+        |)
+        |SELECT a.c_custkey AS id_l, b.c_custkey AS id_r,
+        |  CAST(b.rn - a.rn AS BIGINT) AS gap
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+        |ORDER BY id_l, id_r""".stripMargin,
+
+    "q212_presence_bitmap" ->
+      ("""WITH b AS (
+        |  SELECT user_id, CAST(dayofyear(ts) - 1 AS BIGINT) AS slot
+        |  FROM events WHERE ts IS NOT NULL
+        |), g AS (
+        |  SELECT user_id,
+        |""".stripMargin +
+        (0 until 12).map(i =>
+          s"    coalesce(bit_or(CASE WHEN slot // 32 = $i THEN " +
+            s"(1::BIGINT << CAST(slot % 32 AS INT)) END), 0) AS w$i")
+          .mkString(",\n") + "\n" +
+        """|  FROM b GROUP BY user_id
+        |)
+        |SELECT user_id,
+        |""".stripMargin +
+        (0 until 12).map(i => s"printf('%08x', w$i)")
+          .mkString("  ", " || ", " AS bitmap_hex,\n") +
+        (0 until 12).map(i => s"CAST(bit_count(w$i) AS BIGINT)")
+          .mkString("  ", " + ", " AS n_present,\n") +
+        "  (" + (0 until 12).map(i => s"CAST(bit_count(w$i) AS BIGINT)")
+          .mkString(" + ") + """) * 1000000 // 366 AS coverage_ppm
+        |FROM g ORDER BY user_id""".stripMargin),
+
+    "q213_generalize_k" ->
+      """WITH c AS (
+        |  SELECT level, value, count(*) AS n FROM (
+        |    SELECT CAST(0 AS BIGINT) AS level,
+        |      CAST(CAST(floor(c_acctbal) AS BIGINT) AS VARCHAR) AS value
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT CAST(1 AS BIGINT),
+        |      CAST(CAST(floor(c_acctbal / 100) AS BIGINT) AS VARCHAR)
+        |    FROM customer
+        |    UNION ALL
+        |    SELECT CAST(2 AS BIGINT),
+        |      CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)
+        |    FROM customer
+        |  ) GROUP BY level, value
+        |), lv AS (
+        |  SELECT level, min(n) AS mn FROM c GROUP BY level
+        |), ch AS (
+        |  SELECT coalesce(min(CASE WHEN mn >= 10 THEN level END),
+        |    max(level)) AS level
+        |  FROM lv
+        |)
+        |SELECT c.level, c.value, c.n, c.n < 10 AS suppressed
+        |FROM c JOIN ch ON c.level = ch.level
+        |ORDER BY value""".stripMargin,
+
+    "q214_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents
+        |), counts AS (
+        |  SELECT term, count(*) AS n FROM toks GROUP BY term
+        |), top AS (
+        |  SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 24
+        |), vocab AS (
+        |  SELECT term,
+        |    CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
+        |      AS token_id
+        |  FROM top
+        |), vmax AS (
+        |  SELECT max(token_id) AS vm FROM vocab
+        |), scored AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN v.token_id IS NOT NULL
+        |      THEN CAST(length(format('{:b}', v.token_id + 1)) AS BIGINT)
+        |      ELSE CAST(length(format('{:b}',
+        |        (SELECT vm FROM vmax) + 1)) AS BIGINT) + 1 END AS bits,
+        |    CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM toks t LEFT JOIN vocab v USING (term)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+        |  CAST(sum(bits) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+        |    AS mean_millibits
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q215_throttle_batch" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+        |  WHERE ts IS NOT NULL
+        |), k(user_id, t) AS (
+        |  SELECT user_id, min(t) FROM e GROUP BY user_id
+        |  UNION ALL
+        |  SELECT k.user_id,
+        |    (SELECT min(e.t) FROM e WHERE e.user_id = k.user_id
+        |      AND e.t >= k.t + 21600000000)
+        |  FROM k
+        |  WHERE EXISTS (SELECT 1 FROM e WHERE e.user_id = k.user_id
+        |    AND e.t >= k.t + 21600000000)
+        |)
+        |SELECT user_id, t AS ts_kept FROM k
+        |ORDER BY user_id, ts_kept""".stripMargin,
+
+    "q216_resample_nearest" ->
+      """WITH b AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    event_id, value
+        |  FROM events WHERE ts IS NOT NULL
+        |), a AS (
+        |  SELECT user_id, ts_us, value, event_id,
+        |    ((ts_us + 43200000000) // 86400000000) * 86400000000
+        |      AS anchor_us
+        |  FROM b
+        |), r AS (
+        |  SELECT user_id, anchor_us, ts_us, value,
+        |    row_number() OVER (PARTITION BY user_id, anchor_us
+        |      ORDER BY abs(ts_us - anchor_us), ts_us, event_id) AS rn
+        |  FROM a
+        |)
+        |SELECT user_id, anchor_us, ts_us, value FROM r WHERE rn = 1
+        |ORDER BY user_id, anchor_us""".stripMargin,
+
+    "q217_autocorr" ->
+      """WITH b AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    event_id,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), l AS (
+        |  SELECT user_id, v AS x,
+        |    lag(v, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS y
+        |  FROM b
+        |), p AS (
+        |  SELECT user_id, x, y FROM l WHERE y IS NOT NULL
+        |), m AS (
+        |  SELECT user_id, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM p GROUP BY 1
+        |), d AS (
+        |  SELECT user_id, n,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+        |      AS DOUBLE) AS num,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+        |      AS DOUBLE) AS den,
+        |    CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS VARCHAR)
+        |      AS DOUBLE) AS den2
+        |  FROM m
+        |)
+        |SELECT user_id, CAST(1 AS BIGINT) AS "lag", n,
+        |  CASE WHEN den <> 0 AND den2 <> 0 THEN
+        |    num / sqrt(den * den2) END AS corr
+        |FROM d ORDER BY user_id""".stripMargin,
+
+    "q218_abc" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority, o_custkey AS item,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS vs,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS HUGEINT) AS vsc
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT o_orderpriority, item, vs,
+        |    CAST((sum(vsc) OVER (PARTITION BY o_orderpriority
+        |        ORDER BY vs DESC, item
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      * 1000000)
+        |      // (sum(vsc) OVER (PARTITION BY o_orderpriority))
+        |      AS BIGINT) AS cum_ppm
+        |  FROM s
+        |)
+        |SELECT o_orderpriority, item,
+        |  CAST(CAST(vs AS VARCHAR) AS DOUBLE) AS value_sum, cum_ppm,
+        |  CASE WHEN cum_ppm <= 800000 THEN 'A'
+        |       WHEN cum_ppm <= 950000 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM w ORDER BY o_orderpriority, cum_ppm, item""".stripMargin,
+
+    "q219_kappa" ->
+      """WITH toks AS (
+        |  SELECT source, lang, text,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+        |      AS tk
+        |  FROM documents
+        |), scores AS (
+        |  SELECT source, lang, text,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_en,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['el','la','de','que','y','en','un','los','se','no'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_es,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['der','die','und','das','ist','ein','zu','den','mit','nicht'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_de,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['le','la','de','et','les','des','un','une','est','que'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_fr
+        |  FROM toks
+        |), lab AS (
+        |  SELECT source, lang AS a,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+        |           THEN 'zh'
+        |         WHEN s_en = greatest(s_en, s_es, s_de, s_fr)
+        |           AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
+        |         WHEN s_es = greatest(s_en, s_es, s_de, s_fr)
+        |           AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'es'
+        |         WHEN s_de = greatest(s_en, s_es, s_de, s_fr)
+        |           AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'de'
+        |         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr)
+        |           AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'fr'
+        |         ELSE 'und' END AS b
+        |  FROM scores WHERE lang IS NOT NULL
+        |), cells AS (
+        |  SELECT source, a, b, count(*) AS c FROM lab GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT source, CAST(sum(c) AS HUGEINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS HUGEINT)
+        |      AS agree
+        |  FROM cells GROUP BY 1
+        |), na AS (
+        |  SELECT source, a AS lab2, CAST(sum(c) AS HUGEINT) AS cna
+        |  FROM cells GROUP BY 1, 2
+        |), nb AS (
+        |  SELECT source, b AS lab2, CAST(sum(c) AS HUGEINT) AS cnb
+        |  FROM cells GROUP BY 1, 2
+        |), e AS (
+        |  SELECT na.source, sum(na.cna * nb.cnb) AS ee
+        |  FROM na JOIN nb ON na.source = nb.source AND na.lab2 = nb.lab2
+        |  GROUP BY 1
+        |), d AS (
+        |  SELECT t.source, t.n, t.agree,
+        |    CAST(CAST(t.agree * t.n - e.ee AS VARCHAR) AS DOUBLE) AS num,
+        |    CAST(CAST(t.n * t.n - e.ee AS VARCHAR) AS DOUBLE) AS den
+        |  FROM tot t JOIN e ON t.source = e.source
+        |)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CAST(agree AS BIGINT) AS agree,
+        |  CASE WHEN den <> 0 THEN num / den END AS kappa
+        |FROM d ORDER BY source""".stripMargin,
+
+    "q220_spearman" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, l_quantity AS xv, l_extendedprice AS yv
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), r AS (
+        |  SELECT l_returnflag,
+        |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY xv)
+        |      + count(*) OVER (PARTITION BY l_returnflag ORDER BY xv
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS x,
+        |    CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY yv)
+        |      + count(*) OVER (PARTITION BY l_returnflag ORDER BY yv
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS y
+        |  FROM b
+        |), m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM r GROUP BY 1
+        |), d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+        |      AS DOUBLE) AS num,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+        |      AS DOUBLE) AS den,
+        |    CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS VARCHAR)
+        |      AS DOUBLE) AS den2
+        |  FROM m
+        |)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN den <> 0 AND den2 <> 0 THEN
+        |    num / sqrt(den * den2) END AS rho
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    "q221_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> '')) AS BIGINT) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |    AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |    AS BIGINT) AS n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+        |      / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |      / CAST(n_words AS DOUBLE)) END AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q222_histogram2d" ->
+      """WITH b AS (
+        |  SELECT
+        |    least(greatest(CAST(floor((CAST(l_quantity AS DOUBLE) - 0.0)
+        |      / 10.0) AS BIGINT), 0), 4) AS bin_x,
+        |    least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE)
+        |      - 0.0) / 20000.0) AS BIGINT), 0), 4) AS bin_y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |)
+        |SELECT bin_x, bin_y,
+        |  0.0 + bin_x * 10.0 AS x_lo, 0.0 + bin_y * 20000.0 AS y_lo,
+        |  count(*) AS n
+        |FROM b GROUP BY bin_x, bin_y ORDER BY bin_x, bin_y""".stripMargin,
+
+    "q223_sequence_gaps" ->
+      """WITH b AS (
+        |  SELECT user_id, CAST(event_id AS BIGINT) AS s,
+        |    lag(CAST(event_id AS BIGINT), 1) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(event_id AS BIGINT))
+        |      AS prev
+        |  FROM events WHERE event_id IS NOT NULL
+        |)
+        |SELECT user_id, prev + 1 AS gap_lo, s - 1 AS gap_hi,
+        |  s - prev - 1 AS n_missing
+        |FROM b WHERE prev IS NOT NULL AND s - prev > 1
+        |ORDER BY user_id, gap_lo""".stripMargin,
+
+    "q224_cluster_split" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, source,
+        |    list_transform(list_distinct(list_filter(
+        |      string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ',
+        |        'g'))), '\s+'),
+        |      t -> t <> '')), x ->
+        |      list_reduce(list_transform(generate_series(1, 15), ii ->
+        |        CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |             THEN ascii(substr(md5(x), ii, 1)) - 48
+        |             ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b)) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS inter,
+        |    CAST(len(a.s) + len(b.s)
+        |      - len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS uni
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |), e0 AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6)
+        |    >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM e0
+        |  UNION SELECT id_b, id_a FROM e0
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        |), comp AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        |), h AS (
+        |  SELECT doc_id, cluster_id,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5(CAST(cluster_id AS VARCHAR)), ii, 1))
+        |          <= 57
+        |        THEN ascii(substr(md5(CAST(cluster_id AS VARCHAR)), ii, 1))
+        |          - 48
+        |        ELSE ascii(substr(md5(CAST(cluster_id AS VARCHAR)), ii, 1))
+        |          - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM comp
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CASE
+        |    WHEN (hv >> 20) * 1000000 < 800000 * 1099511627776
+        |      THEN 'train'
+        |    WHEN (hv >> 20) * 1000000 < 900000 * 1099511627776
+        |      THEN 'val'
+        |    WHEN (hv >> 20) * 1000000 < 1000000 * 1099511627776
+        |      THEN 'test'
+        |  END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
   )
 }

@@ -786,4 +786,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(inter.cast("double") / union.cast("double"), 6).as("jaccard"))
   }
+
+  /** Sorted-neighborhood candidate pairs — the classic record-linkage
+    * blocking alternative to equality blocking
+    * ([[graft.SparkEntry]] q132's hash blocks miss near-misses that
+    * straddle a block boundary; LSH needs a set/vector representation):
+    * order the whole corpus by a fuzzy sort key (name, address,
+    * rounded amount), then propose every pair within `window` positions
+    * of each other. Catches "Jon Smith"/"John Smith" adjacency that no
+    * exact blocking key produces, with candidate volume linear in n
+    * (n·window pairs) instead of per-block quadratic. Output:
+    * (`id_l`, `id_r`, `gap`) where gap = rank distance ∈ [1, window],
+    * each unordered pair emitted exactly once (l before r in sort
+    * order).
+    *
+    * The global order comes from [[graft.ops.Relational.denseIds]], so
+    * there is NO single-reducer sort: `bucketCol` must be a
+    * deterministic coarsening of the sort order (its leading prefix —
+    * e.g. the first letter of the name, the amount div 100), and
+    * `(sortCols, idCol)` must totally order rows so ranks (hence
+    * pairs) are engine- and partitioning-independent. Neighborhoods
+    * CROSS bucket boundaries — buckets only parallelize the ranking,
+    * they don't block the pairing (the whole point vs equality
+    * blocking).
+    *
+    * Scale shape: one count-per-bucket aggregate (tiny, broadcast
+    * back), one per-bucket window for ranks, then ONE equi-join on
+    * `rank div window`: the left side duplicates into its own and the
+    * next coarse block (2× — every pair within `window` spans at most
+    * two consecutive blocks), the right side stays single. No
+    * all-pairs product anywhere; skew is impossible by construction
+    * (blocks are exactly `window` ranks wide).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      sortCols: Seq[String], bucketCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val ranked = graft.ops.Relational.denseIds(
+      df.select(bucketCol, idCol +: sortCols: _*),
+      bucketCol, sortCols :+ idCol)
+    val wL = lit(window.toLong)
+    val l = ranked.select(col(idCol).as("id_l"), col("seq_id").as("__sl"))
+      .select(col("id_l"), col("__sl"), explode(array(
+        graft.functions.Exact.longDiv(col("__sl"), window.toLong),
+        graft.functions.Exact.longDiv(col("__sl"), window.toLong) + 1L))
+        .as("__blk"))
+    val r = ranked.select(col(idCol).as("id_r"), col("seq_id").as("__sr"),
+      graft.functions.Exact.longDiv(col("seq_id"), window.toLong)
+        .as("__blk"))
+    l.join(r, Seq("__blk"))
+      .filter(col("__sr") > col("__sl") && col("__sr") <= col("__sl") + wL)
+      .select(col("id_l"), col("id_r"),
+        (col("__sr") - col("__sl")).as("gap"))
+  }
 }

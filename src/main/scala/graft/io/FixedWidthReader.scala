@@ -1,0 +1,55 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-width flat-file ingestion — the other boundary format legacy
+  * enterprise data actually arrives in (mainframe extracts, Teradata
+  * FastExport, COBOL copybook dumps: no delimiters, each field a fixed
+  * byte range of the record). Like [[CorpusIO]]'s JSONL reader the
+  * layout is EXPLICIT — a copybook IS a schema, and inferring one from
+  * 100 TB of positional text is both a full extra pass and a guess that
+  * silently drifts — and parquet remains the working format; this is
+  * ingestion only.
+  *
+  * Parsing is pure column algebra over `spark.read.text` lines
+  * (`substring` → `trim` → `nullif` → `cast`): scan-local, codegen'd,
+  * zero shuffles, no UDF — a 100 TB load is exactly one pass at scan
+  * speed, and Spark's text source splits uncompressed files on line
+  * boundaries so parallelism is free. Records shorter than a field's
+  * range yield null for that field (substring past end → empty → null
+  * via the `nullToken` rule), the lenient convention short-padded tails
+  * need; a `cast` that fails (junk in a numeric column) is null per SQL
+  * semantics — run a [[graft.ops.Profile.inferTypes]]-style audit
+  * downstream if the feed is untrusted.
+  */
+object FixedWidthReader {
+
+  /** One field of the layout: 1-based byte `start`, `width`, and a
+    * Spark SQL `dataType` string (`"string"`, `"long"`, `"date"`,
+    * `"decimal(12,2)"`, ...).
+    */
+  final case class FwField(name: String, start: Int, width: Int,
+      dataType: String = "string") {
+    require(start >= 1, s"start is 1-based, got $start")
+    require(width >= 1, s"width must be >= 1: $width")
+  }
+
+  /** Read `path` as fixed-width text with the given layout. Values are
+    * trimmed (fixed-width pads with spaces by definition) and a trimmed
+    * value equal to `nullToken` (default: empty — i.e. an all-blank
+    * field) becomes null before the cast.
+    */
+  def read(spark: SparkSession, path: String, fields: Seq[FwField],
+      nullToken: String = ""): DataFrame = {
+    require(fields.nonEmpty, "FixedWidthReader needs at least one field")
+    val names = fields.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate field names: ${names.mkString(", ")}")
+    val cols: Seq[Column] = fields.map { f =>
+      nullif(trim(substring(col("value"), f.start, f.width)),
+        lit(nullToken)).cast(f.dataType).as(f.name)
+    }
+    spark.read.text(path).select(cols: _*)
+  }
+}

@@ -919,4 +919,226 @@ object Features {
       .select(gs ++ Seq(col("__sel.slope").as("slope"),
         col("__sel.n_pairs").as("n_pairs")): _*)
   }
+
+  /** Rolling trailing-window OLS slope — [[groupTrend]]'s closed form
+    * over the last `windowRows` observations ending at each row, the
+    * local-drift signal (is THIS sensor drifting NOW? is this source's
+    * quality decaying THIS week?) where the global fit only answers "did
+    * it drift ever". Appends `n_win` (rows actually in the frame — the
+    * leading edge of each group sees fewer) and `slope` (null while
+    * n_win < 2 or the frame has zero x-spread).
+    *
+    * Exactness: the same recipe as [[groupTrend]] — all five moments
+    * (Σx, Σy, Σx², Σxy, Σy²) accumulate in decimal(38,0) over the frame,
+    * the closed-form numerator/denominator are exact integers rendered to
+    * double through a decimal string, and the final quotient is one IEEE
+    * op — so the emitted slope is bit-identical in any engine. The frame
+    * CONTENTS must be deterministic for that to mean anything:
+    * `(xCol, tieCols)` must totally order rows within a group (the
+    * caller's contract; a globally-unique id as the last tie column
+    * always satisfies it). Same domain bounds as groupTrend
+    * (|x| ≤ 2^20, |y·10^yScale| ≤ 2^41 keeps per-row products in long).
+    *
+    * Scale shape: ONE exchange on the group key; all five moments share
+    * one window frame, so they evaluate in a single WindowExec pass with
+    * O(windowRows) state per partition — no self-join against the frame,
+    * no per-row re-scan. Parallelism is across groups; a trailing ROWS
+    * frame never blows up on skewed time density the way a RANGE frame
+    * can.
+    */
+  def rollingTrend(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, windowRows: Int, tieCols: Seq[Column] = Nil,
+      yScale: Int = 2): DataFrame = {
+    require(windowRows >= 2, s"windowRows must be >= 2: $windowRows")
+    val pow = math.pow(10, yScale).toLong
+    val gs = groupCols.map(col)
+    val d38 = DecimalType(38, 0)
+    val x = xCol.cast("long")
+    val yI = (yCol.cast(DecimalType(18, yScale)) * lit(pow)).cast("long")
+    val base = df.filter(x.isNotNull && yI.isNotNull)
+      .select(gs ++ Seq(x.as("__x"), yI.as("__y")) ++
+        tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
+    val w = Window.partitionBy(gs: _*)
+      .orderBy(col("__x") +: tieCols.indices.map(i => col(s"__t$i")): _*)
+      .rowsBetween(-(windowRows - 1), 0)
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    // one select, one shared frame: five window aggregates over the SAME
+    // spec collapse into a single WindowExec pass (chained withColumn
+    // would plan five stacked Window nodes instead)
+    val withMoments = base.select(gs ++ Seq(col("__x"),
+      count(lit(1)).over(w).as("n_win"),
+      sum(col("__x").cast(d38)).over(w).as("__sx"),
+      sum(col("__y").cast(d38)).over(w).as("__sy"),
+      sum((col("__x") * col("__x")).cast(d38)).over(w).as("__sxx"),
+      sum((col("__x") * col("__y")).cast(d38)).over(w).as("__sxy")): _*)
+    val nD = col("n_win").cast(d38)
+    val num = dbl(nD * col("__sxy") - col("__sx") * col("__sy"))
+    val den = dbl(nD * col("__sxx") - col("__sx") * col("__sx"))
+    withMoments.select(gs ++ Seq(col("__x").as("x"), col("n_win"),
+      when(col("n_win") >= 2L && den =!= 0d, num / den / lit(pow.toDouble))
+        .as("slope")): _*)
+  }
+
+  /** Per-group lag-k autocorrelation — the Pearson correlation of a
+    * series with itself `lagK` observations back, the classic
+    * periodicity / persistence detector (a daily-cyclic sensor shows
+    * high ACF at its daily lag; a near-zero ACF says yesterday doesn't
+    * predict today). Pairs are (v_t, v_{t−k}) under the
+    * `(orderCol, tieCols)` total order within each group; the first k
+    * observations have no partner and drop (the standard ACF
+    * convention). Output: group cols, `lag`, `n` (pairs), `corr` —
+    * null when fewer than 2 pairs or either margin has zero variance.
+    *
+    * Exactness rides [[groupCorr]]: all five pair moments accumulate in
+    * decimal(38,0), and the final arithmetic is exact-integer renders +
+    * one IEEE `sqrt` (correctly rounded by the IEEE 754 contract in
+    * every engine) — bit-identical anywhere.
+    *
+    * Scale shape: one key exchange + per-key sort feeds a single `lag`
+    * window (O(k) state), then [[groupCorr]]'s ONE map-side-combined
+    * aggregation to |groups| rows — the window reuses the same
+    * key-subset partitioning, so the aggregation adds no exchange.
+    */
+  def autocorr(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      valueCol: Column, lagK: Int, scale: Int = 2,
+      tieCols: Seq[Column] = Nil): DataFrame = {
+    require(lagK >= 1, s"lagK must be >= 1: $lagK")
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(orderCol +: tieCols: _*)
+    val lagged = df.filter(orderCol.isNotNull && valueCol.isNotNull)
+      .select(gs ++ Seq(valueCol.as("__v"),
+        lag(valueCol, lagK).over(w).as("__vl")): _*)
+      .filter(col("__vl").isNotNull)
+    groupCorr(lagged, groupCols, col("__v"), col("__vl"), scale, scale)
+      .select(gs ++ Seq(lit(lagK.toLong).as("lag"), col("n"),
+        col("corr")): _*)
+  }
+
+  /** Per-group Cohen's kappa — chance-corrected agreement between two
+    * categorical labelings of the same rows (metadata lang vs detector
+    * output, two model versions, annotator pairs): raw agreement
+    * overstates quality whenever the label distribution is skewed (two
+    * raters stamping "en" 95% of the time agree 90%+ by luck alone);
+    * kappa subtracts exactly that chance floor. Closed form in exact
+    * integers: κ = (agree·n − Σ_c nₐ(c)·n_b(c)) / (n² − Σ_c nₐ(c)·n_b(c))
+    * — observed-minus-expected over perfect-minus-expected with the
+    * 1/n² cleared, so both operands are exact decimal integers and the
+    * emitted kappa is ONE IEEE quotient (decimal-string rendered —
+    * bit-identical in any engine). Output per group: `n`, `agree`,
+    * `kappa` (null when the denominator is 0 — both margins
+    * concentrated on a single identical label, agreement is undefined,
+    * not 1.0). Rows with a null label on either side are excluded.
+    *
+    * Scale shape: ONE map-side-combined aggregation to
+    * (group, label_a, label_b) cell grain is the only stage that sees
+    * row volume; margins, the expected-agreement dot product (an
+    * equi-join on the label value at |labels|-grain), and the kappa
+    * algebra all run on the bounded contingency table. No distinct, no
+    * window over raw rows, no second data pass.
+    */
+  def cohenKappa(df: DataFrame, groupCols: Seq[String], aCol: Column,
+      bCol: Column): DataFrame = {
+    val gs = groupCols.map(col)
+    val d38 = DecimalType(38, 0)
+    val cells = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(gs ++ Seq(aCol.as("__a"), bCol.as("__b")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val totals = cells.groupBy(gs: _*)
+      .agg(sum(col("__c")).cast(d38).as("__n"),
+        sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+          .cast(d38).as("__agree"))
+    val na = cells.groupBy(gs :+ col("__a").as("__lab"): _*)
+      .agg(sum(col("__c")).cast(d38).as("__na"))
+    val nb = cells.groupBy(gs :+ col("__b").as("__lab"): _*)
+      .agg(sum(col("__c")).cast(d38).as("__nb"))
+    val joinKeys = groupCols :+ "__lab"
+    val expected = na.join(nb, joinKeys)
+      .groupBy(gs: _*)
+      .agg(sum(col("__na") * col("__nb")).as("__e"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val num = dbl(col("__agree") * col("__n") - col("__e"))
+    val den = dbl(col("__n") * col("__n") - col("__e"))
+    totals.join(expected, groupCols)
+      .select(gs ++ Seq(col("__n").cast("long").as("n"),
+        col("__agree").cast("long").as("agree"),
+        when(den =!= 0d, num / den).as("kappa")): _*)
+  }
+
+  /** Per-group Spearman rank correlation — [[groupCorr]]'s Pearson on
+    * the RANKS, the monotone-association detector that ignores scale
+    * and outlier magnitude (a sensor whose drift is nonlinear but
+    * monotone shows ρ ≈ 1 while Pearson decays; one wild spike barely
+    * moves ρ where it wrecks r). Ties take the standard AVERAGE rank —
+    * kept exact by correlating DOUBLED ranks (2·avg = first_rank +
+    * last_rank, an integer; Pearson is scale-invariant, so ρ is
+    * unchanged and no .5 ever touches the moments). Output per group:
+    * `n`, `rho` (null under 2 pairs or a zero-variance margin — a
+    * constant column has no rank order to correlate).
+    *
+    * Exactness: both doubled-rank columns are exact longs, so the
+    * moment algebra is [[groupCorr]]'s decimal(38,0) path verbatim —
+    * bit-identical in any engine.
+    *
+    * Scale shape: ONE exchange on the group key; each margin's
+    * first-rank (`rank()`) and last-rank (count over a RANGE frame —
+    * peers included, which is exactly the tie-group's last position)
+    * share one window spec, so the plan is two sorts (one per margin's
+    * ordering) over the same partitioning plus groupCorr's single
+    * map-side-combined aggregation. No joins, no distinct, no
+    * value-grain side table.
+    */
+  def spearmanCorr(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column): DataFrame = {
+    val gs = groupCols.map(col)
+    def ranks2(v: Column, out: String)(d: DataFrame): DataFrame = {
+      val w = Window.partitionBy(gs: _*).orderBy(v)
+      val wr = Window.partitionBy(gs: _*).orderBy(v)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn(out,
+        (rank().over(w) + count(lit(1)).over(wr)).cast("long"))
+    }
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(gs ++ Seq(xCol.as("__xv"), yCol.as("__yv")): _*)
+    val ranked = ranks2(col("__yv"), "__ry")(
+      ranks2(col("__xv"), "__rx")(base))
+    groupCorr(ranked, groupCols, col("__rx"), col("__ry"), 0, 0)
+      .select(gs ++ Seq(col("n"), col("corr").as("rho")): _*)
+  }
+
+  /** Fixed-grid 2-D histogram — [[histogram]]'s joint-distribution
+    * sibling: bin two columns on independent fixed grids and count each
+    * occupied cell, the exact table behind correlation heatmaps, joint
+    * drift monitors, and "is this relationship even monotone?" eyeball
+    * checks that a single correlation number ([[groupCorr]] /
+    * [[spearmanCorr]]) compresses away. Values clamp into the edge bins
+    * (same convention as [[histogram]] — mass outside the declared
+    * range is visible at the borders instead of silently dropped);
+    * rows with a null on either axis are excluded; only OCCUPIED cells
+    * emit (the empty-cell cross product is the consumer's rendering
+    * concern, not a 100 TB engine artifact). Output: `bin_x`, `bin_y`,
+    * `x_lo`, `y_lo`, `n`.
+    *
+    * Scale shape: ONE map-side-combined aggregation over one scan —
+    * cell state is a single counter, the reduce side is at most
+    * nBinsX·nBinsY rows. No window, no join, no second pass.
+    */
+  def histogram2d(df: DataFrame, xCol: Column, yCol: Column,
+      xLo: Double, xWidth: Double, nBinsX: Int,
+      yLo: Double, yWidth: Double, nBinsY: Int): DataFrame = {
+    require(xWidth > 0 && yWidth > 0,
+      s"widths must be positive: $xWidth, $yWidth")
+    require(nBinsX >= 1 && nBinsY >= 1,
+      s"bin counts must be >= 1: $nBinsX, $nBinsY")
+    def bin(v: Column, lo: Double, w: Double, n: Int): Column =
+      least(greatest(
+        floor((v.cast("double") - lit(lo)) / lit(w)).cast("long"),
+        lit(0L)), lit(n - 1L))
+    df.filter(xCol.isNotNull && yCol.isNotNull)
+      .groupBy(bin(xCol, xLo, xWidth, nBinsX).as("bin_x"),
+        bin(yCol, yLo, yWidth, nBinsY).as("bin_y"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin_x"), col("bin_y"),
+        (lit(xLo) + col("bin_x") * lit(xWidth)).as("x_lo"),
+        (lit(yLo) + col("bin_y") * lit(yWidth)).as("y_lo"), col("n"))
+  }
 }

@@ -392,4 +392,103 @@ object Profile {
         cnt(isBool).as("n_bool"),
         cnt(col("__v").isNotNull && !isNum && !isBool).as("n_str"))
   }
+
+  /** Per-key presence bitmap over a fixed slot grid — the compact
+    * coverage artifact behind "which days of the year does this
+    * sensor/user/source have data?" at lake scale: instead of storing
+    * (or re-scanning) the raw rows to answer a coverage question, each
+    * key collapses to ⌈nSlots/32⌉ longs. Output per key:
+    * `bitmap_hex` (the grid as hex, slot 0 = least-significant bit of
+    * the FIRST 8 hex digits; 8 digits per 32-slot chunk, chunk order
+    * ascending), `n_present` (distinct slots seen = popcount), and
+    * `coverage_ppm` = n_present·10⁶ div nSlots. A slot outside
+    * [0, nSlots) raises in-plan (a silently wrapped bit is a wrong
+    * answer that looks plausible); null slots are ignored.
+    *
+    * 32-bit chunks, not 64: DuckDB (the oracle engine) range-errors on
+    * `1::BIGINT << 63`, and a sign-bit-free chunk keeps every engine's
+    * shift/popcount/hex agreeing without two's-complement caveats.
+    *
+    * Scale shape: ONE map-side-combined aggregation — `bit_or` is
+    * commutative/associative with O(1) chunk state, so each executor
+    * collapses its rows to one partial bitmap per key before the
+    * exchange; the hex render and popcount run at key grain. No
+    * distinct, no window, no second pass.
+    */
+  /** Global generalization-ladder k-anonymization — [[kAnonymity]]
+    * DIAGNOSES re-identification risk; this operator RESOLVES it: given
+    * a ladder of progressively coarser renderings of the
+    * quasi-identifier (full phone → area prefix → country code), pick
+    * the FIRST rung where every equivalence class reaches size ≥ k and
+    * emit the generalized class table at that rung. Global recoding
+    * (one rung for the whole table — the auditable "we released at
+    * generality level L" contract), not per-class Mondrian recoding.
+    * If even the last rung leaves classes below k, that rung is chosen
+    * and the failing classes are flagged `suppressed` (drop them before
+    * release — the standard suppression step). Output:
+    * (`level`, `value`, `n`, `suppressed`).
+    *
+    * Scale shape: the ladder evaluates scan-local and `stack` fans each
+    * row to one (rung, value) pair per rung — a bounded ×L Generate, the
+    * same price GROUPING SETS pays through Expand — then ONE
+    * map-side-combined aggregation to class grain covers every rung in
+    * one pass over the data. Rung choice runs on the |classes|-sized
+    * aggregate (a per-rung min + a one-row reduce, broadcast back); the
+    * raw table is never re-scanned per rung, never joined, never
+    * windowed.
+    */
+  def generalizeToK(df: DataFrame, ladder: Seq[Column],
+      k: Long): DataFrame = {
+    require(ladder.nonEmpty, "generalizeToK needs a non-empty ladder")
+    require(k >= 2, s"k must be >= 2: $k")
+    val m = ladder.size
+    val base = df.select(ladder.zipWithIndex.map { case (c, i) =>
+      c.cast("string").as(s"__l$i")
+    }: _*)
+    val stackExpr = (0 until m).map(i => s"CAST($i AS BIGINT), __l$i")
+      .mkString(s"stack($m, ", ", ", ")")
+    val counts = base.select(expr(stackExpr).as(Seq("level", "value")))
+      .groupBy(col("level"), col("value")).agg(count(lit(1)).as("n"))
+    val chosen = counts.groupBy(col("level"))
+      .agg(min(col("n")).as("__min_n"))
+      .agg(coalesce(min(when(col("__min_n") >= k, col("level"))),
+        max(col("level"))).as("level"))
+    counts.join(broadcast(chosen), Seq("level"))
+      .select(col("level"), col("value"), col("n"),
+        (col("n") < k).as("suppressed"))
+  }
+
+  def presenceBitmap(df: DataFrame, keyCols: Seq[String], slotCol: Column,
+      nSlots: Int): DataFrame = {
+    require(nSlots >= 1 && nSlots <= 4096,
+      s"nSlots must be in [1, 4096]: $nSlots")
+    val nChunks = (nSlots + 31) / 32
+    val s0 = slotCol.cast("long")
+    val slot = when(s0 < 0L || s0 >= nSlots.toLong, raise_error(concat(
+        lit(s"presenceBitmap: slot outside [0, $nSlots): "),
+        s0.cast("string"))))
+      .otherwise(s0)
+    val base = df.filter(s0.isNotNull)
+      .select(keyCols.map(col) :+ slot.as("__slot"): _*)
+      .withColumn("__chunk", graft.functions.Exact.longDiv(
+        col("__slot"), 32L))
+      .withColumn("__bit", expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(__slot % 32 AS INT))"))
+    val chunkAggs = (0 until nChunks).map { i =>
+      coalesce(expr(s"bit_or(IF(__chunk = $i, __bit, NULL))"), lit(0L))
+        .as(s"__w$i")
+    }
+    val hexes = (0 until nChunks).map(i =>
+      lpad(lower(hex(col(s"__w$i"))), 8, "0"))
+    val present = (0 until nChunks)
+      .map(i => bit_count(col(s"__w$i")).cast("long"))
+      .reduce(_ + _)
+    base.groupBy(keyCols.map(col): _*)
+      .agg(chunkAggs.head, chunkAggs.tail: _*)
+      .select(keyCols.map(col) ++ Seq(
+        concat(hexes: _*).as("bitmap_hex"),
+        present.as("n_present"),
+        graft.functions.Exact.longDiv(present * 1000000L, nSlots.toLong)
+          .as("coverage_ppm")): _*)
+  }
 }

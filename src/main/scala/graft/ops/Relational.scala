@@ -1287,4 +1287,60 @@ object Relational {
       .filter(col("__minPrevY").isNull || col("__minPrevY") > col("y"))
       .drop("__minPrevY")
   }
+
+  /** ABC / Pareto-share classification — the inventory-analysis
+    * workhorse ("which 20% of SKUs carry 80% of revenue?"): per group,
+    * rank items by summed value descending, accumulate the running
+    * share of the group total, and class each item A while the running
+    * share stays ≤ `aPpm` (the item that crosses the line starts the
+    * next class), B while ≤ `bPpm`, else C. A zero group total has no
+    * shares to split: cum_ppm is null and every item classes C.
+    * [[graft.ops.Features.giniConcentration]] reports HOW concentrated
+    * a group is in one number; this emits the actionable per-item
+    * partition of that concentration. Output: group cols, `item`,
+    * `value_sum` (double), `cum_ppm`, `abc_class`. Rows with a null
+    * item or value are excluded; ranking ties break by item so the
+    * classing is a deterministic function of the data.
+    *
+    * Exactness: per-item sums and the running cumulative accumulate in
+    * decimal(38, scale) — order/partitioning-independent — and
+    * `cum_ppm` is an exact integral division of decimals
+    * (cum·10⁶ div total); the only double is the display render of the
+    * item sum (decimal-string → strtod, correctly rounded everywhere).
+    *
+    * Scale shape: ONE map-side-combined aggregation collapses the data
+    * to (group, item) grain — the only stage that sees row volume —
+    * then the running share and the group total are two window passes
+    * over the SAME (group-partitioned, value-sorted) order: one sort,
+    * no extra exchange, no join back. A group's item set must not be
+    * data-sized per key in pathological cases (items ≈ rows) — there
+    * the cumsum window is a per-group scan, still linear and parallel
+    * across groups.
+    */
+  def abcClassify(df: DataFrame, groupCols: Seq[String], itemCol: Column,
+      valueCol: Column, scale: Int = 2, aPpm: Long = 800000L,
+      bPpm: Long = 950000L): DataFrame = {
+    require(aPpm >= 0 && aPpm <= bPpm && bPpm <= 1000000L,
+      s"need 0 <= aPpm <= bPpm <= 1e6: $aPpm, $bPpm")
+    val gs = groupCols.map(col)
+    val v = valueCol.cast(DecimalType(18, scale))
+    val sums = df.filter(itemCol.isNotNull && v.isNotNull)
+      .groupBy(gs :+ itemCol.as("item"): _*)
+      .agg(sum(v).as("__vs"))
+    val ord = Seq(col("__vs").desc, col("item"))
+    val wCum = Window.partitionBy(gs: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(gs: _*)
+    val cumPpm = graft.functions.Exact.longDiv(
+      sum(col("__vs")).over(wCum) * lit(1000000L),
+      sum(col("__vs")).over(wAll))
+    sums
+      .withColumn("cum_ppm", cumPpm)
+      .select(gs ++ Seq(col("item"),
+        col("__vs").cast("string").cast("double").as("value_sum"),
+        col("cum_ppm"),
+        when(col("cum_ppm") <= aPpm, "A")
+          .when(col("cum_ppm") <= bPpm, "B")
+          .otherwise("C").as("abc_class")): _*)
+  }
 }

@@ -386,6 +386,124 @@ object TimeSeries {
       .drop("__prev_ts")
   }
 
+  /** Batch greedy throttle — the gap-from-last-KEPT suppression
+    * [[debounce]] explicitly does NOT provide (its scaladoc points the
+    * stateful contract at streaming; this is the BATCH mirror of
+    * [[graft.streaming.StreamingThrottle]]): keep an event iff its
+    * timestamp is ≥ the last KEPT event's timestamp + `minGapUs`,
+    * scanning each key's history in time order from its first event
+    * (always kept). A suppressed event does NOT reset the clock — the
+    * rate limit is exact (at most one kept event per gap window), where
+    * debounce's previous-RAW-event rule lets a chatter burst suppress
+    * everything including the event that should have been emitted.
+    * Output: keys + `ts_kept` (the kept emission instants).
+    *
+    * The kept set is inherently a sequential recursion (kept(i) depends
+    * on every prior keep decision — no window frame or closed form
+    * expresses it), so each key's timestamps collect into a sorted,
+    * size-guarded array and the greedy fold runs ROW-LOCALLY as one
+    * `aggregate` HOF — the [[graft.ops.Features.theilSenSlope]]
+    * small-groups pattern, contract enforced in-plan by a raise at
+    * `maxGroupSize` (a silently truncated history would emit a
+    * plausible-looking wrong kept set). For unbounded per-key streams
+    * use the streaming throttle — state there is O(1) per key.
+    *
+    * Scale shape: ONE exchange to key grain (map-side combine collapses
+    * nothing — every timestamp is needed — but the shuffle carries
+    * (key, ts) pairs only), then scan-local array sort + fold +
+    * explode. Parallelism across keys, the 100 TB axis; duplicate
+    * timestamps collapse to one kept emission (minGapUs ≥ 1).
+    */
+  def throttleBatch(df: DataFrame, keyCols: Seq[String], tsUs: Column,
+      minGapUs: Long, maxGroupSize: Int): DataFrame = {
+    require(minGapUs >= 1, s"minGapUs must be >= 1: $minGapUs")
+    require(maxGroupSize >= 1, s"maxGroupSize must be >= 1: $maxGroupSize")
+    val gs = keyCols.map(col)
+    val grouped = df.filter(tsUs.isNotNull)
+      .groupBy(gs: _*)
+      .agg(sort_array(collect_list(tsUs.cast("long"))).as("__ts"))
+      .withColumn("__ts",
+        when(size(col("__ts")) > maxGroupSize, raise_error(concat(
+          lit(s"throttleBatch: group exceeds maxGroupSize=$maxGroupSize: "),
+          size(col("__ts")).cast("string"))))
+          .otherwise(col("__ts")))
+    val kept = aggregate(col("__ts"),
+      typedLit(Array.empty[Long]),
+      (acc, x) => when(size(acc) === 0 ||
+          x >= element_at(acc, -1) + minGapUs,
+        concat(acc, array(x))).otherwise(acc))
+    grouped.select(gs :+ explode(kept).as("ts_kept"): _*)
+  }
+
+  /** Nearest-to-grid downsampling — regularize an irregular series by
+    * picking, for each `stepUs` grid anchor, the SINGLE nearest actual
+    * observation (ties → the earlier one, then `tie`): the resampler
+    * for "one reading per hour, the one closest to the top of the
+    * hour". Complements the grid family: [[regrid]]-style gap filling
+    * inserts nulls, [[interpolateAt]] manufactures values between
+    * readings, [[ohlcResample]] summarizes a bucket — this SELECTS a
+    * real row, so downstream sees only values that actually occurred
+    * (the contract calibration/audit pipelines need). Each observation
+    * competes only for its nearest anchor (bucket = ⌊(ts + step/2) /
+    * step⌋ — rounds to nearest), so every anchor with at least one
+    * observation in its half-open ±step/2 neighborhood emits exactly
+    * one row. Output: keys, `anchor_us`, `ts_us`, `value`.
+    *
+    * Scale shape: ONE map-side-combined aggregation — the picker is
+    * `min(struct(|ts − anchor|, ts, tie, value))` (lexicographic
+    * struct min, O(1) state per (key, anchor)); no window, no sort, no
+    * self-join. `tie` must complete a total order for same-instant
+    * readings so the picked row is engine-independent.
+    */
+  def resampleNearest(df: DataFrame, keyCols: Seq[String], tsUs: Column,
+      stepUs: Long, tie: Column, valueCol: Column): DataFrame = {
+    require(stepUs >= 1, s"stepUs must be >= 1: $stepUs")
+    val gs = keyCols.map(col)
+    val ts = tsUs.cast("long")
+    val anchor = graft.functions.Exact.longDiv(ts + stepUs / 2, stepUs) *
+      stepUs
+    df.filter(ts.isNotNull)
+      .select(gs ++ Seq(ts.as("__ts"), anchor.as("anchor_us"),
+        tie.as("__tie"), valueCol.as("__v")): _*)
+      .groupBy(gs :+ col("anchor_us"): _*)
+      .agg(min(struct(abs(col("__ts") - col("anchor_us")).as("d"),
+        col("__ts").as("t"), col("__tie").as("k"), col("__v").as("v")))
+        .as("__pick"))
+      .select(gs ++ Seq(col("anchor_us"),
+        col("__pick.t").as("ts_us"), col("__pick.v").as("value")): _*)
+  }
+
+  /** Integer-sequence gap detection — find the missing ranges in a
+    * per-key monotonically assigned sequence (RECORD numbers, kafka
+    * offsets, invoice ids): data loss in an append pipeline shows up
+    * as holes in the sequence long before any content check can see
+    * it, and the HOLES are the actionable artifact (what to re-pull
+    * from the source), not a count. Emits one row per maximal missing
+    * range: keys, `gap_lo`, `gap_hi` (inclusive bounds of the missing
+    * run), `n_missing`. Duplicate sequence values are harmless (the
+    * lag still sees the same neighbor); null sequences are excluded.
+    *
+    * Scale shape: one exchange on the keys + per-key sort, ONE `lag`
+    * window, filter to rows whose predecessor is more than 1 behind —
+    * output is |gaps|-sized, the input never re-scans. The reference
+    * eyeballs its RECORD column for exactly this (SURVEY §2.5 D1's
+    * nan_count sort is the same telemetry need); at lake scale the
+    * audit must be a linear scan, and this is.
+    */
+  def sequenceGaps(df: DataFrame, keyCols: Seq[String],
+      seqCol: Column): DataFrame = {
+    val gs = keyCols.map(col)
+    val s = seqCol.cast("long")
+    val w = Window.partitionBy(gs: _*).orderBy(col("__s"))
+    df.filter(s.isNotNull)
+      .select(gs :+ s.as("__s"): _*)
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__s") - col("__prev") > 1L)
+      .select(gs ++ Seq((col("__prev") + 1L).as("gap_lo"),
+        (col("__s") - 1L).as("gap_hi"),
+        (col("__s") - col("__prev") - 1L).as("n_missing")): _*)
+  }
+
   /** Per-key time-weighted average of an IRREGULARLY sampled series —
     * the statistic a plain `avg` gets wrong whenever sampling density
     * correlates with the value (sensors report faster when something is

@@ -98,6 +98,44 @@ object TextFunctions {
         lit(0.3) * punctScore, 6)
     })
 
+  /** Sentence count for [[fleschScore]]: maximal runs of terminal
+    * punctuation ([.!?]+ — an ellipsis or "?!" ends ONE sentence),
+    * floored at 1 so unterminated fragments still score. Scan-local,
+    * engine-portable regex.
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
+      .cast("long"), lit(1L))
+
+  /** Syllable proxy for [[fleschScore]]: vowel-group count ([aeiouy]+
+    * runs in the lowercased text) — the standard cheap estimator
+    * (hyphenation dictionaries don't distribute; vowel runs are within
+    * ~10% on running English text, and the DOWNSTREAM use is a
+    * threshold, not typography).
+    */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+
+  /** Flesch reading-ease score — the classic readability quality signal
+    * (206.835 − 1.015·words/sentences − 84.6·syllables/words): running
+    * prose lands ~60–80, keyboard-mash and minified markup crash
+    * negative, which is exactly the quality-filter separation a corpus
+    * pipeline thresholds on alongside [[qualityScore]]. All three
+    * counts are exact integers from portable regexes; the score is one
+    * fixed IEEE tree over their doubles — identical in any engine.
+    * Null (not 0 — a score of 0 is a legal "very hard" reading) when
+    * the text has no tokens. Scan-local, codegen'd, no UDF.
+    */
+  def fleschScore(text: Column): Column =
+    once(tokenCount(text).cast("long"), w =>
+      when(w > 0L,
+        lit(206.835) -
+          lit(1.015) * (w.cast("double") /
+            sentenceCount(text).cast("double")) -
+          lit(84.6) * (syllableCount(text).cast("double") /
+            w.cast("double"))))
+
   /** Whitespace/case-normalized form used by fingerprints and exact dedup. */
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))

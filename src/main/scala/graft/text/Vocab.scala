@@ -62,4 +62,48 @@ object Vocab {
         col("token_id"))), Seq("__term"), "left")
       .select(col(idCol), col("pos").cast("long").as("pos"),
         coalesce(col("token_id"), lit(-1L)).as("token_id"))
+
+  /** Zipf-surprisal quality score — the integer-exact stand-in for the
+    * KenLM-perplexity filter every web-corpus pipeline runs (CCNet/C4
+    * style): score each document by how SURPRISING its tokens are under
+    * a reference unigram model, where a token's surprisal is the BIT
+    * LENGTH of its frequency rank (⌊log₂ rank⌋ + 1 — exact integer via
+    * the binary string length, no transcendental whose last ulp differs
+    * across engines) and out-of-vocabulary tokens pay bitlen(V) + 1.
+    * Under Zipf's law rank-bit-length tracks −log₂ p(token) up to an
+    * additive constant, so the ORDERING this score induces — which is
+    * all a quality-filter threshold consumes — matches the LM
+    * cross-entropy ordering; boilerplate scores low, lorem-gibberish
+    * scores high. Output per document with ≥ 1 token: `n_tokens`,
+    * `n_oov`, `surprisal_bits` (Σ per-token bits), and
+    * `mean_millibits` = surprisal_bits·1000 div n_tokens (the
+    * length-normalized thresholding statistic, exact).
+    *
+    * Scale shape: tokenization explodes scan-local; the vocabulary
+    * join is broadcast-hash by construction (V is a model constant);
+    * the per-document reduce is ONE aggregation whose map-side combine
+    * collapses each document's tokens before the exchange (a document's
+    * tokens are born colocated), so the shuffle carries document grain,
+    * not token grain. The corpus is scanned once and never joined
+    * against anything data-sized.
+    */
+  def surprisalScore(docs: DataFrame, vocab: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val vmax = vocab.agg(max(col("token_id")).as("__vmax"))
+    val bits = when(col("token_id").isNotNull,
+        length(bin(col("token_id") + 1L)).cast("long"))
+      .otherwise(length(bin(col("__vmax") + 1L)).cast("long") + 1L)
+    docs.select(col(idCol), explode(TextFunctions.tokens(
+        TextFunctions.normalized(col(textCol)))).as("__term"))
+      .join(broadcast(vocab.select(col("term").as("__term"),
+        col("token_id"))), Seq("__term"), "left")
+      .crossJoin(broadcast(vmax))
+      .select(col(idCol), bits.as("__bits"),
+        col("token_id").isNull.cast("long").as("__oov"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__oov")).as("n_oov"),
+        sum(col("__bits")).as("surprisal_bits"))
+      .withColumn("mean_millibits", graft.functions.Exact.longDiv(
+        col("surprisal_bits") * 1000L, col("n_tokens")))
+  }
 }

@@ -312,4 +312,23 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
     assert(expect.nonEmpty) // the planted variants actually qualify
   }
+
+  test("sortedNeighborhoodPairs: every rank-distance<=w pair exactly " +
+      "once, neighborhoods cross bucket boundaries, gap is rank delta") {
+    import spark.implicits._
+    // ranks by v: ids 1..6 in order; buckets split 2/2/2 — pairs (2,3)
+    // and (4,5) straddle bucket boundaries and must still appear
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0),
+      (5L, 50.0), (6L, 60.0)).toDF("id", "v")
+      .withColumn("bucket", floor(col("v") / 25.0).cast("long"))
+    val got = Dedup.sortedNeighborhoodPairs(df, "id", Seq("v"), "bucket",
+        window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val expect = (for {
+      i <- 1L to 6L; j <- (i + 1L) to math.min(i + 2L, 6L)
+    } yield (i, j, j - i)).toSet
+    assert(got == expect)
+    assert(got.contains((2L, 3L, 1L)) && got.contains((4L, 5L, 1L)))
+  }
 }

@@ -493,4 +493,111 @@ class FeaturesSpec extends SparkSpec {
         maxGroupSize = 3).collect()
     }
   }
+
+  test("rollingTrend: exact trailing-window slopes, leading-edge n_win, " +
+      "zero-spread frame yields null, single WindowExec pass") {
+    import spark.implicits._
+    // group a: y = 2x exactly — every frame with n_win >= 2 slopes 2.0;
+    // the leading row (n_win = 1) has no slope
+    val a = (1 to 5).map(i => ("a", i.toLong, 2.0 * i))
+    // group b: 0, 0, 3 over x = 1, 2, 3 — closed form for the full
+    // 3-row frame: num = 3·900 − 6·300 = 900, den = 3·14 − 36 = 6,
+    // slope = 900/6/100 = 1.5 (yScale = 2)
+    val b = Seq(("b", 1L, 0.0), ("b", 2L, 0.0), ("b", 3L, 3.0))
+    val df = (a ++ b).toDF("g", "x", "y")
+    val got = Features.rollingTrend(df, Seq("g"), col("x"), col("y"),
+        windowRows = 3)
+      .orderBy("g", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3))))
+    assert(got.filter(_._1 == "a").map(_._3).toSeq ==
+      Seq(1L, 2L, 3L, 3L, 3L))
+    assert(got.filter(_._1 == "a").map(_._4).toSeq ==
+      Seq(None, Some(2.0), Some(2.0), Some(2.0), Some(2.0)))
+    assert(got.filter(_._1 == "b").map(_._4).toSeq ==
+      Seq(None, Some(0.0), Some(1.5)))
+    // duplicate x throughout the frame → den = 0 → null slope (the
+    // tie-column contract: equal-x rows still order via tieCols)
+    val dup = Seq(("c", 1L, 1, 1.0), ("c", 1L, 2, 9.0))
+      .toDF("g", "x", "id", "y")
+    val gotDup = Features.rollingTrend(dup, Seq("g"), col("x"), col("y"),
+        windowRows = 2, tieCols = Seq(col("id"))).collect()
+    assert(gotDup.forall(_.isNullAt(3)))
+    // all five moments share one frame → exactly one Window exec node
+    val plan = Features.rollingTrend(df, Seq("g"), col("x"), col("y"),
+      windowRows = 3).queryExecution.executedPlan.toString
+    assert(plan.split("Window \\[").length - 1 == 1, plan)
+  }
+
+  test("autocorr: alternating series gives ACF(1) = -1, ACF(2) = +1; " +
+      "constant margin yields null; first k rows drop") {
+    import spark.implicits._
+    val alt = (1 to 6).map(i => ("a", i.toLong,
+      if (i % 2 == 0) 1.0 else -1.0))
+    val const = (1 to 4).map(i => ("c", i.toLong, 7.0))
+    val df = (alt ++ const).toDF("g", "t", "v")
+    val a1 = Features.autocorr(df, Seq("g"), col("t"), col("v"), lagK = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(a1("a") == ((1L, 5L, Some(-1.0))))
+    assert(a1("c") == ((1L, 3L, None))) // zero variance
+    val a2 = Features.autocorr(df, Seq("g"), col("t"), col("v"), lagK = 2)
+      .collect().map(r => r.getString(0) -> Option(r.get(3))).toMap
+    assert(a2("a") == Some(1.0))
+  }
+
+  test("cohenKappa: textbook contingency gives 0.4; single shared " +
+      "label yields null (undefined, not 1.0)") {
+    import spark.implicits._
+    // cells: (x,x)=20 (x,y)=5 (y,x)=10 (y,y)=15 → n=50, agree=35,
+    // e = 25·30 + 25·20 = 1250 → κ = (1750−1250)/(2500−1250) = 0.4
+    val rows =
+      Seq.fill(20)(("g", "x", "x")) ++ Seq.fill(5)(("g", "x", "y")) ++
+      Seq.fill(10)(("g", "y", "x")) ++ Seq.fill(15)(("g", "y", "y")) ++
+      Seq.fill(4)(("h", "z", "z"))
+    val df = rows.toDF("k", "a", "b")
+    val got = Features.cohenKappa(df, Seq("k"), col("a"), col("b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got("g") == ((50L, 35L, Some(0.4))))
+    assert(got("h") == ((4L, 4L, None)))
+  }
+
+  test("spearmanCorr: monotone nonlinear is exactly 1, anti-monotone " +
+      "-1, ties take average ranks, constant margin null") {
+    import spark.implicits._
+    val mono = (1 to 5).map(i => ("m", i.toDouble, math.pow(i, 3)))
+    val anti = (1 to 5).map(i => ("a", i.toDouble, -math.exp(i)))
+    // ties: x = (1,1,2) → doubled avg ranks (3,3,6); y = (10,20,30) →
+    // (2,4,6); moments: num=18, den=18, den2=24
+    val tie = Seq(("t", 1.0, 10.0), ("t", 1.0, 20.0), ("t", 2.0, 30.0))
+    val const = Seq(("c", 1.0, 5.0), ("c", 2.0, 5.0))
+    val df = (mono ++ anti ++ tie ++ const).toDF("g", "x", "y")
+    val got = Features.spearmanCorr(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(got("m") == Some(1.0))
+    assert(got("a") == Some(-1.0))
+    assert(got("t") == Some(18.0 / math.sqrt(18.0 * 24.0)))
+    assert(got("c").isEmpty)
+  }
+
+  test("histogram2d: cell counts, edge-bin clamping both sides, nulls " +
+      "excluded, occupied cells only, one aggregation") {
+    import spark.implicits._
+    val df = Seq((0.5, 5.0), (0.7, 5.0), (-3.0, 99.0), (9.9, -1.0),
+      (1.5, 15.0)).toDF("x", "y") // grid: x [0,2)x2 bins, y [0,20)x2
+      .union(Seq((Option.empty[Double], Option(1.0))).toDF("x", "y"))
+    val got = Features.histogram2d(df, col("x"), col("y"),
+        0d, 1d, 2, 0d, 10d, 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got.size == 4)
+    assert(got((0L, 0L)) == ((0.0, 0.0, 2L))) // (.5,5) and (.7,5)
+    assert(got((0L, 1L)) == ((0.0, 10.0, 1L))) // (-3,99): x lo, y hi clamp
+    assert(got((1L, 0L)) == ((1.0, 0.0, 1L))) // (9.9,-1): x hi, y lo clamp
+    assert(got((1L, 1L)) == ((1.0, 10.0, 1L)))
+    val plan = Features.histogram2d(df, col("x"), col("y"),
+      0d, 1d, 2, 0d, 10d, 2).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.FixedWidthReader
+import graft.io.FixedWidthReader.FwField
+
+class FixedWidthSpec extends SparkSpec {
+
+  test("fixed-width read: positional slicing, trim, blank->null, typed " +
+      "casts, short records pad with nulls, scan stays shuffle-free") {
+    val dir = Files.createTempDirectory("fw").toFile
+    val f = new java.io.File(dir, "extract.txt")
+    // layout: id(1-4) name(5-12) amount(13-20) day(21-30); build the
+    // records positionally so the test can't drift from the layout
+    def rec(id: Int, name: String, amount: String, day: String) =
+      f"$id%04d" + name.padTo(8, ' ') +
+        (" " * (8 - amount.length)) + amount + day.padTo(10, ' ')
+    val lines = Seq(
+      rec(1, "ALPHA", "123.45", "2024-01-02"),
+      rec(2, "BETA", "-7.00", "2024-02-03"),
+      rec(3, "", "99.99", ""), // blank name + blank day
+      "0004GAMMA") // short record: amount/day ranges past end
+    Files.write(f.toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val layout = Seq(FwField("id", 1, 4, "long"),
+      FwField("name", 5, 8), FwField("amount", 13, 8, "decimal(8,2)"),
+      FwField("day", 21, 10, "date"))
+    val out = FixedWidthReader.read(spark, f.getAbsolutePath, layout)
+    val got = out.orderBy("id").collect().map(r => (r.getLong(0),
+      Option(r.get(1)), Option(r.get(2)).map(_.toString),
+      Option(r.get(3)).map(_.toString)))
+    assert(got.toSeq == Seq(
+      (1L, Some("ALPHA"), Some("123.45"), Some("2024-01-02")),
+      (2L, Some("BETA"), Some("-7.00"), Some("2024-02-03")),
+      (3L, None, Some("99.99"), None),
+      (4L, Some("GAMMA"), None, None)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

@@ -353,4 +353,44 @@ class ProfileFunnelSpec extends SparkSpec {
       ("s", 1L, 0L, 0L, 0L, 0L, 1L),
       ("v", 2L, 1L, 1L, 1L, 0L, 0L)))
   }
+
+  test("presenceBitmap: chunk layout, duplicate slots collapse, " +
+      "null slots ignored, out-of-range raises, one aggregation") {
+    import spark.implicits._
+    // slots 0, 1, 1, 33: chunk0 bits {0,1} → 3, chunk1 bit 1 → 2
+    val df = Seq(("a", Some(0L)), ("a", Some(1L)), ("a", Some(1L)),
+      ("a", Some(33L)), ("a", None)).toDF("k", "slot")
+    val got = Profile.presenceBitmap(df, Seq("k"), col("slot"), 366)
+      .collect().head
+    val hex = got.getString(1)
+    assert(hex.length == 12 * 8)
+    assert(hex.take(16) == "0000000300000002")
+    assert(hex.drop(16).forall(_ == '0'))
+    assert(got.getLong(2) == 3L) // n_present: duplicate slot 1 once
+    assert(got.getLong(3) == 3L * 1000000L / 366L)
+    intercept[Exception] {
+      Profile.presenceBitmap(Seq(("a", 366L)).toDF("k", "slot"),
+        Seq("k"), col("slot"), 366).collect()
+    }
+    // one map-side-combined aggregation: a single exchange in the plan
+    val plan = Profile.presenceBitmap(df, Seq("k"), col("slot"), 366)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
+
+  test("generalizeToK: first rung where every class reaches k; " +
+      "fallback to last rung flags suppression") {
+    import spark.implicits._
+    val df = Seq(1L, 1L, 2L).toDF("v")
+    val ladder = Seq(col("v"), graft.functions.Exact.longDiv(col("v"), 10L))
+    // k=2: rung 0 has a size-1 class {2}; rung 1 pools everything → 3
+    val got = Profile.generalizeToK(df, ladder, k = 2L).collect()
+    assert(got.length == 1)
+    assert((got.head.getLong(0), got.head.getString(1),
+      got.head.getLong(2), got.head.getBoolean(3)) == ((1L, "0", 3L, false)))
+    // k=5: no rung reaches 5 → last rung chosen, class flagged
+    val fb = Profile.generalizeToK(df, ladder, k = 5L).collect()
+    assert(fb.length == 1 && fb.head.getLong(0) == 1L &&
+      fb.head.getBoolean(3))
+  }
 }

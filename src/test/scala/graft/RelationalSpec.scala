@@ -782,4 +782,20 @@ class RelationalSpec extends SparkSpec {
       !plan.contains("SortMergeJoin") &&
       !plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("abcClassify: exact cumulative ppm, boundary items stay in the " +
+      "lower class, desc-value order with item tie-break") {
+    import spark.implicits._
+    // shares 50/30/15/5: cum 500000 A, 800000 A (boundary inclusive),
+    // 950000 B (boundary inclusive), 1000000 C
+    val df = Seq(("g", "a", 25.0), ("g", "a", 25.0), ("g", "b", 30.0),
+      ("g", "c", 15.0), ("g", "d", 5.0)).toDF("k", "item", "v")
+    val got = Relational.abcClassify(df, Seq("k"), col("item"), col("v"))
+      .orderBy("cum_ppm").collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(("a", 50.0, 500000L, "A"),
+      ("b", 30.0, 800000L, "A"), ("c", 15.0, 950000L, "B"),
+      ("d", 5.0, 1000000L, "C")))
+  }
 }

@@ -179,4 +179,30 @@ class TextSimilaritySpec extends SparkSpec {
       "embedding", "vec_id", 5).collect().map(_.getLong(0)).toSet
     assert(ivf == brute) // full probe ⇒ exact
   }
+
+  test("readability: exact sentence/syllable counts, Flesch formula, " +
+      "empty text scores null, prose beats mash") {
+    import spark.implicits._
+    // "Go now. Stop?!" → sentences 2 ([.?!]+ runs), words 3,
+    // syllable groups: go(1) now(1) stop(1) = 3
+    val df = Seq((1L, "Go now. Stop?!"), (2L, ""),
+      (3L, "The cat sat on the mat. It was flat."),
+      // minified-markup shape: one unterminated 300-word "sentence"
+      (4L, Seq.fill(300)("var a").mkString(" "))).toDF("id", "t")
+    val got = df.select(col("id"),
+        TextFunctions.tokenCount(col("t")).cast("long"),
+        TextFunctions.sentenceCount(col("t")),
+        TextFunctions.syllableCount(col("t")),
+        TextFunctions.fleschScore(col("t")))
+      .orderBy("id").collect()
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3)) ==
+      ((3L, 2L, 3L)))
+    assert(got(0).getDouble(4) ==
+      206.835 - 1.015 * (3.0 / 2.0) - 84.6 * (3.0 / 3.0))
+    assert(got(1).isNullAt(4) && got(1).getLong(2) == 1L) // floor 1
+    // a 600-word run with no terminator is one "sentence" — the
+    // words/sentence term alone drives the score far negative
+    assert(got(3).getDouble(4) < 0.0)
+    assert(got(2).getDouble(4) > got(3).getDouble(4))
+  }
 }

@@ -610,4 +610,55 @@ class TimeSeriesSpec extends SparkSpec {
       ("k", Some("A"), 5L, 5L, 1L), // A again: new spell, not merged
       ("k", Some("B"), 6L, 6L, 1L)))
   }
+
+  test("throttleBatch: greedy from-last-KEPT (suppressed events don't " +
+      "reset the clock), duplicates collapse, oversize group raises") {
+    import spark.implicits._
+    // gap 10: a keeps 0 (then 5, 9 suppressed), 20, 31; the debounce
+    // rule (gap-from-previous-RAW) would WRONGLY suppress 9's successor
+    // chain differently — 5 and 9 must not push the next keep past 20
+    val df = Seq(("a", 0L), ("a", 5L), ("a", 9L), ("a", 20L), ("a", 24L),
+      ("a", 31L), ("b", 3L), ("b", 3L), ("b", 4L)).toDF("k", "ts")
+    val got = TimeSeries.throttleBatch(df, Seq("k"), col("ts"),
+        minGapUs = 10L, maxGroupSize = 10)
+      .orderBy("k", "ts_kept").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 0L), ("a", 20L), ("a", 31L), ("b", 3L)))
+    intercept[Exception] {
+      TimeSeries.throttleBatch(df, Seq("k"), col("ts"), 10L,
+        maxGroupSize = 2).collect()
+    }
+  }
+
+  test("resampleNearest: nearest observation wins, ties go earlier, " +
+      "one map-side aggregation, empty anchors emit nothing") {
+    import spark.implicits._
+    // step 100 (anchors 0, 100, 200): ts 40 → anchor 0 (|40|), ts 60
+    // and 140 → anchor 100 (|40| each, tie → earlier 60); ts 260 →
+    // anchor 300 absent from [200] — emits under anchor 300
+    val df = Seq(("a", 40L, 1L, 1.0), ("a", 60L, 2L, 2.0),
+      ("a", 140L, 3L, 3.0), ("a", 260L, 4L, 4.0)).toDF("k", "ts", "id", "v")
+    val got = TimeSeries.resampleNearest(df, Seq("k"), col("ts"),
+        stepUs = 100L, tie = col("id"), valueCol = col("v"))
+      .orderBy("anchor_us").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 40L, 1.0), (100L, 60L, 2.0),
+      (300L, 260L, 4.0)))
+    val plan = TimeSeries.resampleNearest(df, Seq("k"), col("ts"), 100L,
+      col("id"), col("v")).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("sequenceGaps: maximal missing ranges, duplicates harmless, " +
+      "contiguous keys emit nothing") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 5L), ("a", 5L), ("a", 9L),
+      ("b", 10L), ("b", 11L)).toDF("k", "s")
+    val got = TimeSeries.sequenceGaps(df, Seq("k"), col("s"))
+      .orderBy("k", "gap_lo").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 3L, 4L, 2L), ("a", 6L, 8L, 3L)))
+  }
 }

@@ -61,4 +61,22 @@ class VocabSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("surprisalScore: rank bit-length sums, OOV penalty, exact " +
+      "mean_millibits, broadcast vocab join") {
+    import spark.implicits._
+    // counts: a=3, b=1, c=1 → V=2 vocab a(id 0), b(id 1); OOV pays
+    // bitlen(2)+1 = 3 bits
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val vocab = Vocab.buildVocab(docs, "text", vocabSize = 2)
+    val out = Vocab.surprisalScore(docs, vocab, "text", "doc_id")
+    val got = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // doc 1: a(1 bit) + a(1) + b(2 bits) = 4; doc 2: a(1) + OOV(3) = 4
+    assert(got.toSeq == Seq((1L, 3L, 0L, 4L, 1333L),
+      (2L, 2L, 1L, 4L, 2000L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
