@@ -2998,6 +2998,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X216 — FIFO pairing: nth click per user pairs with nth purchase
+    // (rank equi-join; negative waits surface discipline violations)
+    "q225_fifo_pair" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        nsToMicros(col("ts_ns")).as("ts_us"), col("event_id"))
+      graft.ops.Funnel.fifoPair(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          Seq("user_id"), col("ts_us"), col("event_id"))
+        .orderBy(col("user_id"), col("seq"))
+    },
+
+    // X217 — Gini-gain feature ranking: l_linestatus is informative
+    // for the return flag, l_linenumber is dead weight
+    "q226_gini_gain" -> { (s, dir) =>
+      graft.ops.Features.giniGain(t(s, dir, "lineitem"),
+          Seq("l_linestatus", "l_linenumber"), col("l_returnflag"))
+        .orderBy(col("feature"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -8440,5 +8460,60 @@ object SparkEntry {
         |      THEN 'test'
         |  END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q225_fifo_pair" ->
+      """WITH a AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_arrival,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+        |      AS BIGINT) AS seq
+        |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+        |), s AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_service,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+        |      AS BIGINT) AS seq
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |)
+        |SELECT a.user_id, a.seq, a.t_arrival, s.t_service,
+        |  s.t_service - a.t_arrival AS wait_us
+        |FROM a JOIN s ON a.user_id = s.user_id AND a.seq = s.seq
+        |ORDER BY a.user_id, a.seq""".stripMargin,
+
+    "q226_gini_gain" ->
+      """WITH cells AS (
+        |  SELECT feature, v, lab, count(*) AS c FROM (
+        |    SELECT 'l_linestatus' AS feature,
+        |      CAST(l_linestatus AS VARCHAR) AS v, l_returnflag AS lab
+        |    FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    UNION ALL
+        |    SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR),
+        |      l_returnflag
+        |    FROM lineitem WHERE l_returnflag IS NOT NULL
+        |  ) GROUP BY 1, 2, 3
+        |), one AS (
+        |  SELECT CAST(sum(nc) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(nc AS HUGEINT) * nc) AS HUGEINT) AS sc2
+        |  FROM (SELECT lab, sum(c) AS nc FROM cells
+        |    WHERE feature = 'l_linestatus' GROUP BY lab)
+        |), base AS (
+        |  SELECT n, CAST((n * n - sc2) * 1000000 // (n * n) AS BIGINT)
+        |    AS base_ppm
+        |  FROM one
+        |), pv AS (
+        |  SELECT feature, v, CAST(sum(c) AS HUGEINT) AS nv,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS svc2
+        |  FROM cells GROUP BY 1, 2
+        |), w AS (
+        |  SELECT feature, count(*) AS n_values,
+        |    CAST(sum((nv * nv - svc2) * 1000000
+        |      // (nv * (SELECT n FROM one))) AS BIGINT) AS weighted_ppm
+        |  FROM pv GROUP BY feature
+        |)
+        |SELECT feature, CAST((SELECT n FROM one) AS BIGINT) AS n,
+        |  n_values, (SELECT base_ppm FROM base) AS base_ppm,
+        |  weighted_ppm,
+        |  (SELECT base_ppm FROM base) - weighted_ppm AS gain_ppm
+        |FROM w ORDER BY feature""".stripMargin,
   )
 }

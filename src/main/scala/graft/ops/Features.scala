@@ -1141,4 +1141,69 @@ object Features {
         (lit(xLo) + col("bin_x") * lit(xWidth)).as("x_lo"),
         (lit(yLo) + col("bin_y") * lit(yWidth)).as("y_lo"), col("n"))
   }
+
+  /** Gini-gain feature ranking — the decision-tree split criterion as a
+    * standalone audit: for each CATEGORICAL candidate feature, how much
+    * does conditioning on it reduce the label's Gini impurity? The
+    * feature-selection pass before training (rank candidate columns by
+    * gain, drop the dead weight) and the target-LEAKAGE detector (a
+    * gain near the base impurity means the "feature" is the label in
+    * disguise — the thing to catch BEFORE the model memorizes it).
+    * Output per feature: `n` (labeled rows), `n_values`, `base_ppm`
+    * (label impurity), `weighted_ppm` (impurity after the split),
+    * `gain_ppm` = base − weighted.
+    *
+    * Exact-integer contract ([[giniImpurity]]'s convention, extended):
+    * base_ppm = (n² − Σ_c n_c²)·10⁶ div n², and weighted_ppm is defined
+    * as Σ_v (n_v² − Σ_c n_vc²)·10⁶ div (n_v·n) — the per-value integral
+    * division makes the sum engine-exact (every engine computes the
+    * identical integer); it undercounts the true weighted impurity by
+    * at most |values| ppm, a bias that cancels in the RANKING the
+    * operator exists to produce. Null labels are excluded everywhere;
+    * a null feature VALUE is a legitimate category (trees split on
+    * missingness).
+    *
+    * Scale shape: the feature list fans out scan-local through `stack`
+    * (×F, the Expand price), then ONE map-side-combined aggregation to
+    * (feature, value, label) cell grain is the only stage that sees
+    * row volume; the value-grain and feature-grain reductions plus the
+    * broadcast one-row label total all run on the bounded contingency
+    * table.
+    */
+  def giniGain(df: DataFrame, featureCols: Seq[String],
+      labelCol: Column): DataFrame = {
+    require(featureCols.nonEmpty, "giniGain needs at least one feature")
+    val d38 = DecimalType(38, 0)
+    val m = featureCols.size
+    val stackExpr = featureCols.zipWithIndex
+      .map { case (f, i) => s"'$f', CAST(`$f` AS STRING)" }
+      .mkString(s"stack($m, ", ", ", ")")
+    val cells = df.filter(labelCol.isNotNull)
+      .select(col("*"), labelCol.as("__label"))
+      .select(expr(stackExpr).as(Seq("feature", "__v")), col("__label"))
+      .groupBy(col("feature"), col("__v"), col("__label"))
+      .agg(count(lit(1)).as("__c"))
+    // label margin is feature-independent: read it off one feature's
+    // cells instead of a second data pass
+    val one = cells.filter(col("feature") === featureCols.head)
+      .groupBy(col("__label")).agg(sum(col("__c")).as("__nc"))
+      .agg(sum(col("__nc")).cast(d38).as("__n"),
+        sum(col("__nc").cast(d38) * col("__nc")).as("__sc2"))
+      .select(col("__n"), col("__sc2"),
+        graft.functions.Exact.longDiv(
+          (col("__n") * col("__n") - col("__sc2")) * 1000000L,
+          col("__n") * col("__n")).as("base_ppm"))
+    val perValue = cells.groupBy(col("feature"), col("__v"))
+      .agg(sum(col("__c")).cast(d38).as("__nv"),
+        sum(col("__c").cast(d38) * col("__c")).as("__svc2"))
+    perValue.crossJoin(broadcast(one))
+      .groupBy(col("feature"))
+      .agg(max(col("__n")).cast("long").as("n"),
+        count(lit(1)).as("n_values"),
+        max(col("base_ppm")).as("base_ppm"),
+        sum(graft.functions.Exact.longDiv(
+          (col("__nv") * col("__nv") - col("__svc2")) * 1000000L,
+          col("__nv") * col("__n"))).as("weighted_ppm"))
+      .withColumn("gain_ppm", col("base_ppm") - col("weighted_ppm"))
+  }
 }

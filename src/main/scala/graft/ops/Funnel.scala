@@ -279,4 +279,40 @@ object Funnel {
       .withColumn("to_state", col(typeCol))
       .drop("__legal")
   }
+
+  /** FIFO arrival–service pairing — queueing analytics for two event
+    * streams that lack an explicit correlation id (support tickets
+    * opened vs closed, requests vs responses, jobs submitted vs
+    * completed): under first-in-first-out discipline the n-th arrival
+    * per key is served by the n-th service completion, so the pairing
+    * IS the per-key rank equi-join, and the emitted wait is the queue
+    * latency the SLA dashboard tracks. Output per matched rank:
+    * keys, `seq` (1-based FIFO rank), `t_arrival`, `t_service`,
+    * `wait_us` = service − arrival (a NEGATIVE wait is the audit
+    * signal the streams violate FIFO — emitted, not hidden). Arrivals
+    * beyond the service count (still in queue) and vice versa drop —
+    * the unmatched tail is queue DEPTH, not latency; count it with a
+    * plain per-key count diff. `(ts, tie)` must totally order each
+    * side per key for a deterministic ranking.
+    *
+    * Scale shape: one exchange + sort per side for the rank windows
+    * (each the minimal keyed-window envelope), then the rank equi-join
+    * on (keys, seq) reuses the key-hash co-partitioning. No
+    * interval/as-of machinery, no state — FIFO turns a matching
+    * problem into a rank join.
+    */
+  def fifoPair(arrivals: DataFrame, services: DataFrame,
+      keyCols: Seq[String], tsUs: Column, tie: Column): DataFrame = {
+    val gs = keyCols.map(col)
+    def ranked(df: DataFrame, out: String): DataFrame = {
+      val w = Window.partitionBy(gs: _*).orderBy(tsUs, tie)
+      df.filter(tsUs.isNotNull)
+        .select(gs ++ Seq(tsUs.cast("long").as(out),
+          row_number().over(w).cast("long").as("seq")): _*)
+    }
+    ranked(arrivals, "t_arrival")
+      .join(ranked(services, "t_service"), keyCols :+ "seq")
+      .select(gs ++ Seq(col("seq"), col("t_arrival"), col("t_service"),
+        (col("t_service") - col("t_arrival")).as("wait_us")): _*)
+  }
 }

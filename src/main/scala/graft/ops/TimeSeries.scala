@@ -389,7 +389,11 @@ object TimeSeries {
   /** Batch greedy throttle — the gap-from-last-KEPT suppression
     * [[debounce]] explicitly does NOT provide (its scaladoc points the
     * stateful contract at streaming; this is the BATCH mirror of
-    * [[graft.streaming.StreamingThrottle]]): keep an event iff its
+    * [[graft.streaming.StreamingThrottle]] — boundary convention
+    * differs by one µs: batch keeps at spacing EXACTLY `minGapUs`
+    * (ts ≥ last + minGapUs) where streaming's predicate is strict
+    * (ts − last > windowUs), so streaming windowUs = W ≡ batch
+    * minGapUs = W+1 on the integer µs axis): keep an event iff its
     * timestamp is ≥ the last KEPT event's timestamp + `minGapUs`,
     * scanning each key's history in time order from its first event
     * (always kept). A suppressed event does NOT reset the clock — the

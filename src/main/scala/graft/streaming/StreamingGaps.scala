@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Streaming sequence-gap monitor (`flatMapGroupsWithState`, SURVEY
+  * §2.7) — the LIVE mirror of the batch
+  * [[graft.ops.TimeSeries.sequenceGaps]] audit: watch a per-key
+  * monotonically assigned sequence (kafka offsets, RECORD numbers,
+  * invoice ids) as it arrives and emit each hole the moment the
+  * sequence jumps past it — the alert that triggers a re-pull while
+  * the source still has the data, instead of a batch audit finding the
+  * loss days later.
+  *
+  * Append-mode contract: a gap row reports the hole AS OBSERVED when
+  * the sequence first jumped it. A late arrival INSIDE an
+  * earlier-reported range is not retracted (append mode cannot); it
+  * arrives below the high-water mark and is counted in `n_backfill` on
+  * the next report instead — the consumer reconciles, and the batch
+  * audit over the settled lake remains the ground truth. State per key
+  * is TWO longs (high-water mark, backfill count) — O(1) regardless of
+  * stream length, no sequence buffered. Within a micro-batch rows sort
+  * by sequence first, so intra-batch holes report exactly once with
+  * duplicates harmless — same normalization as the batch operator's
+  * sorted scan.
+  */
+object StreamingGaps {
+
+  /** One observed hole: `(key, gap_lo, gap_hi, n_missing, n_backfill)`
+    * — inclusive missing range at detection time, plus how many
+    * below-the-mark arrivals this key has accumulated so far (a
+    * nonzero `n_backfill` says earlier gap reports may have since
+    * filled).
+    */
+  final case class GapReport[K](key: K, gapLo: Long, gapHi: Long,
+      nMissing: Long, nBackfill: Long)
+
+  /** State: sequence high-water mark + count of arrivals at or below
+    * it (duplicates and late fills).
+    */
+  final case class GapState(maxSeq: Long, nBackfill: Long)
+
+  def monitor[K, T](
+      grouped: KeyValueGroupedDataset[K, T],
+      seq: T => Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[GapState],
+      e: Encoder[GapReport[K]]): Dataset[GapReport[K]] =
+    grouped.flatMapGroupsWithState[GapState, GapReport[K]](
+      OutputMode.Append(), timeout) {
+      (k: K, rows: Iterator[T], state: GroupState[GapState]) =>
+        var s = state.getOption.getOrElse(GapState(Long.MinValue, 0L))
+        val out = Seq.newBuilder[GapReport[K]]
+        rows.map(seq).toSeq.sorted.foreach { x =>
+          if (s.maxSeq == Long.MinValue) s = GapState(x, s.nBackfill)
+          else if (x <= s.maxSeq) s = s.copy(nBackfill = s.nBackfill + 1)
+          else {
+            if (x - s.maxSeq > 1L)
+              out += GapReport(k, s.maxSeq + 1L, x - 1L,
+                x - s.maxSeq - 1L, s.nBackfill)
+            s = s.copy(maxSeq = x)
+          }
+        }
+        state.update(s)
+        out.result().iterator
+    }
+
+  /** The append-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Append()
+}

@@ -600,4 +600,23 @@ class FeaturesSpec extends SparkSpec {
       0d, 1d, 2, 0d, 10d, 2).queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 == 1, plan)
   }
+
+  test("giniGain: perfect predictor gains the full base impurity, " +
+      "constant feature gains zero, null feature value is a category") {
+    import spark.implicits._
+    val df = Seq(
+      ("x", "a", "c", Some("m")), ("x", "a", "c", None),
+      ("y", "b", "c", Some("m")), ("y", "b", "c", None))
+      .toDF("lab", "f1", "f2", "f3")
+    val got = Features.giniGain(df, Seq("f1", "f2", "f3"), col("lab"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // base: (16-8)/16 = 500000 ppm
+    assert(got("f1") == ((4L, 2L, 500000L, 0L, 500000L)))
+    assert(got("f2") == ((4L, 1L, 500000L, 500000L, 0L)))
+    // f3: {m:(x,y), null:(x,y)} — null is a real split branch; each
+    // value is a coin flip → weighted = base, gain 0, n_values = 2
+    assert(got("f3") == ((4L, 2L, 500000L, 500000L, 0L)))
+  }
 }

@@ -393,4 +393,25 @@ class ProfileFunnelSpec extends SparkSpec {
     assert(fb.length == 1 && fb.head.getLong(0) == 1L &&
       fb.head.getBoolean(3))
   }
+
+  test("fifoPair: nth arrival pairs with nth service, FIFO violation " +
+      "emits negative wait, unmatched tail drops, rank join reuses " +
+      "key partitioning") {
+    import spark.implicits._
+    val arr = Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L),
+      ("b", 5L, 4L)).toDF("k", "ts_us", "id")
+    // service 2 completes BEFORE arrival 2 → negative wait surfaces;
+    // arrival 3 has no service yet → dropped
+    val svc = Seq(("a", 15L, 5L), ("a", 18L, 6L)).toDF("k", "ts_us", "id")
+    val out = Funnel.fifoPair(arr, svc, Seq("k"), col("ts_us"), col("id"))
+    val got = out.orderBy("k", "seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", 1L, 10L, 15L, 5L),
+      ("a", 2L, 20L, 18L, -2L)))
+    // two shuffle exchanges (one rank window per side); a broadcast of
+    // the tiny side is legitimate and not a shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 2, plan)
+  }
 }

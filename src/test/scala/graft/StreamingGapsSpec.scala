@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingGaps
+
+case class SeqEvent(key: String, seq: Long)
+
+class StreamingGapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("holes report the moment the sequence jumps them; state carries " +
+      "across batches; late fills count as backfill, not retraction") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SeqEvent]
+    val q = StreamingGaps.monitor(
+        in.toDS().groupByKey(_.key), (e: SeqEvent) => e.seq)
+      .writeStream.format("memory").queryName("gaps_out")
+      .outputMode(StreamingGaps.outputMode)
+      .start()
+
+    // batch 1 — key a sees 1, 2, 5 (out of order in the batch): the
+    // sorted scan reports hole [3,4] exactly once; key b is contiguous
+    in.addData(SeqEvent("a", 2L), SeqEvent("a", 5L), SeqEvent("a", 1L),
+      SeqEvent("b", 10L), SeqEvent("b", 11L))
+    q.processAllAvailable()
+    // batch 2 — a jumps 5 → 9 (hole [6,8]); a LATE 3 fills part of the
+    // first report: no retraction, but the next report carries
+    // n_backfill = 1; a duplicate 9 is also backfill
+    in.addData(SeqEvent("a", 3L), SeqEvent("a", 9L), SeqEvent("a", 9L),
+      SeqEvent("a", 12L))
+    q.processAllAvailable()
+
+    val got = spark.table("gaps_out")
+      .as[StreamingGaps.GapReport[String]].collect()
+      .map(r => (r.key, r.gapLo, r.gapHi, r.nMissing, r.nBackfill))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("a", 3L, 4L, 2L, 0L),
+      // batch 2's sorted scan: 3 backfills first, then 9 jumps 5
+      ("a", 6L, 8L, 3L, 1L),
+      // 12 jumps 9 after the duplicate 9 backfilled → n_backfill = 2
+      ("a", 10L, 11L, 2L, 2L)))
+    q.stop()
+  }
+}
