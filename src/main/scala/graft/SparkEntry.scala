@@ -1676,10 +1676,14 @@ object SparkEntry {
     // self-verify pattern): a broken estimator drops rows → rows_mismatch.
     // Oracle is the exact-Jaccard universe only. maxBlockSize explicit as
     // in q19 (source blocks grow with SF)
+    // deterministic quarter of the corpus: unigram shingles over this
+    // synthetic vocabulary make MOST pairs genuinely similar, so the
+    // all-pairs verify regime is dense by construction — the gate math
+    // is fully exercised on 1/16 of the pair volume
     "q119_minhash_gate" -> { (s, dir) =>
       graft.dedup.Dedup.minhashGatedPairs(
-          t(s, dir, "documents").select(col("doc_id"), col("source"),
-            col("text")),
+          t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+            .select(col("doc_id"), col("source"), col("text")),
           "text", "doc_id", "source", shingleN = 1, threshold = 0.3,
           numHashes = 64, tolPpm = 250000L, maxBlockSize = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b"))
@@ -3016,6 +3020,66 @@ object SparkEntry {
       graft.ops.Features.giniGain(t(s, dir, "lineitem"),
           Seq("l_linestatus", "l_linenumber"), col("l_returnflag"))
         .orderBy(col("feature"))
+    },
+
+    // X218 — declarative rule audit: whole rulebook in ONE scan, with
+    // per-rule violation telemetry and a pinned example offender
+    "q227_rules_audit" -> { (s, dir) =>
+      val rid = (col("l_orderkey") * 10L + col("l_linenumber"))
+        .cast("long")
+      graft.ops.Profile.rulesAudit(t(s, dir, "lineitem"), Seq(
+          "qty_le_40" -> (col("l_quantity") <= 40d),
+          "ship_before_1998" ->
+            (col("l_shipdate").cast("date") < to_date(lit("1998-01-01"))),
+          "tax_le_5pct" -> (col("l_tax") <= 0.05d)),
+          rid)
+        .orderBy(col("rule"))
+    },
+
+    // X219 — A/B summary: hash-assigned variants over event exposures,
+    // conversion = purchase; exact ppm rates/lift + pooled z
+    "q228_ab_test" -> { (s, dir) =>
+      val e = events(s, dir).select(
+        concat(lit("cohort_"), (col("user_id") % 2).cast("string"))
+          .as("cohort"),
+        when(col("user_id") % 3 === 0, "control")
+          .when(col("user_id") % 3 === 1, "a").otherwise("b")
+          .as("variant"),
+        (col("event_type") === "purchase").as("converted"))
+      graft.ops.Features.abTest(e, Seq("cohort"), col("variant"),
+          "control", col("converted"))
+        .orderBy(col("cohort"), col("variant"))
+    },
+
+    // X220 — rare-level collapsing on the order-date string (long tail
+    // of ~6-row dates vs a kept head at minCount=12)
+    "q229_rare_levels" -> { (s, dir) =>
+      graft.ops.Features.collapseRareLevels(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderdate").cast("string").as("odate")),
+          Seq("odate"), minCount = 12L)
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Composition — per-user lifetime summary card in ONE aggregation
+    // (exact distinct days/types ride the Expand plan)
+    "q230_lifetime" -> { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"),
+        nsToMicros(col("ts_ns")).as("ts_us"), col("event_type"),
+        col("value"))
+      e.groupBy(col("user_id")).agg(
+          min(col("ts_us")).as("first_us"),
+          max(col("ts_us")).as("last_us"),
+          count(lit(1)).as("n_events"),
+          countDistinct(expr("ts_us div 86400000000"))
+            .as("n_active_days"),
+          countDistinct(col("event_type")).as("n_types"),
+          sum(col("value").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+            .cast("string").cast("double").as("value_sum"))
+        .withColumn("span_days", graft.functions.Exact.longDiv(
+          col("last_us") - col("first_us"), 86400000000L))
+        .orderBy(col("user_id"))
     },
 
     // Composition — one-plan corpus summary card (docs, langs, tokens,
@@ -5862,7 +5926,7 @@ object SparkEntry {
         |             THEN ascii(substr(md5(x), ii, 1)) - 48
         |             ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
         |        (a, b) -> a * 16 + b)) AS s
-        |  FROM documents
+        |  FROM documents WHERE doc_id % 4 = 0
         |), pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
@@ -8515,5 +8579,112 @@ object SparkEntry {
         |  weighted_ppm,
         |  (SELECT base_ppm FROM base) - weighted_ppm AS gain_ppm
         |FROM w ORDER BY feature""".stripMargin,
+
+    "q227_rules_audit" ->
+      """WITH b AS (
+        |  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+        |    (l_quantity <= 40) AS p1,
+        |    (CAST(l_shipdate AS DATE) < DATE '1998-01-01') AS p2,
+        |    (l_tax <= 0.05) AS p3
+        |  FROM lineitem
+        |), u AS (
+        |  SELECT 'qty_le_40' AS rule,
+        |    CAST(count(*) FILTER (p1 IS NOT NULL) AS BIGINT)
+        |      AS n_checked,
+        |    CAST(count(*) FILTER (p1 = false) AS BIGINT) AS n_violated,
+        |    CAST(max(rid) FILTER (p1 = false) AS VARCHAR) AS example_id
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'ship_before_1998',
+        |    CAST(count(*) FILTER (p2 IS NOT NULL) AS BIGINT),
+        |    CAST(count(*) FILTER (p2 = false) AS BIGINT),
+        |    CAST(max(rid) FILTER (p2 = false) AS VARCHAR)
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'tax_le_5pct',
+        |    CAST(count(*) FILTER (p3 IS NOT NULL) AS BIGINT),
+        |    CAST(count(*) FILTER (p3 = false) AS BIGINT),
+        |    CAST(max(rid) FILTER (p3 = false) AS VARCHAR)
+        |  FROM b
+        |)
+        |SELECT rule, n_checked, n_violated,
+        |  CASE WHEN n_checked > 0
+        |    THEN n_violated * 1000000 // n_checked END AS violated_ppm,
+        |  example_id
+        |FROM u ORDER BY rule""".stripMargin,
+
+    "q228_ab_test" ->
+      """WITH e AS (
+        |  SELECT 'cohort_' || CAST(user_id % 2 AS VARCHAR) AS cohort,
+        |    CASE WHEN user_id % 3 = 0 THEN 'control'
+        |         WHEN user_id % 3 = 1 THEN 'a' ELSE 'b' END AS variant,
+        |    (event_type = 'purchase') AS converted
+        |  FROM events
+        |), arms AS (
+        |  SELECT cohort, variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS conv
+        |  FROM e GROUP BY 1, 2
+        |), ctl AS (
+        |  SELECT cohort, n AS nc, conv AS cc FROM arms
+        |  WHERE variant = 'control'
+        |), j AS (
+        |  SELECT a.cohort, a.variant, a.n, a.conv,
+        |    a.conv * 1000000 // a.n AS rate_ppm, c.nc, c.cc,
+        |    a.conv * c.nc - c.cc * a.n AS liftnum
+        |  FROM arms a LEFT JOIN ctl c ON a.cohort = c.cohort
+        |)
+        |SELECT cohort, variant, n, conv, rate_ppm,
+        |  CASE WHEN variant <> 'control' AND cc > 0 THEN
+        |    CASE WHEN liftnum >= 0
+        |      THEN (liftnum * 1000000) // (cc * n)
+        |      ELSE -((-liftnum * 1000000) // (cc * n)) END
+        |  END AS lift_ppm,
+        |  CASE WHEN variant <> 'control' AND nc IS NOT NULL AND
+        |    sqrt(((CAST(conv AS DOUBLE) + CAST(cc AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) + CAST(nc AS DOUBLE)))
+        |      * (1.0 - ((CAST(conv AS DOUBLE) + CAST(cc AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) + CAST(nc AS DOUBLE))))
+        |      * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)))
+        |      > 0
+        |  THEN (CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))
+        |    / sqrt(((CAST(conv AS DOUBLE) + CAST(cc AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) + CAST(nc AS DOUBLE)))
+        |      * (1.0 - ((CAST(conv AS DOUBLE) + CAST(cc AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) + CAST(nc AS DOUBLE))))
+        |      * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(nc AS DOUBLE)))
+        |  END AS z
+        |FROM j ORDER BY cohort, variant""".stripMargin,
+
+    "q229_rare_levels" ->
+      """WITH k AS (
+        |  SELECT CAST(o_orderdate AS VARCHAR) AS lvl
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |  GROUP BY 1 HAVING count(*) >= 12
+        |)
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderdate IS NULL THEN NULL
+        |    WHEN CAST(o_orderdate AS VARCHAR) IN (SELECT lvl FROM k)
+        |      THEN CAST(o_orderdate AS VARCHAR)
+        |    ELSE '__OTHER__' END AS odate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q230_lifetime" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    event_type, value
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |  min(ts_us) AS first_us, max(ts_us) AS last_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT ts_us // 86400000000) AS BIGINT)
+        |    AS n_active_days,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+        |    AS DOUBLE) AS value_sum,
+        |  (max(ts_us) - min(ts_us)) // 86400000000 AS span_days
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -1105,6 +1105,37 @@ object Features {
       .select(gs ++ Seq(col("n"), col("corr").as("rho")): _*)
   }
 
+  /** Rare-level collapsing — the categorical-feature hygiene pass
+    * before one-hot/target encoding: levels seen fewer than `minCount`
+    * times collapse into `otherToken`, so the encoded dimensionality is
+    * bounded and singleton levels stop being row fingerprints (both an
+    * overfitting and a privacy leak — a unique user-agent string IS an
+    * identifier). Nulls pass through as null (missingness is its own
+    * signal, [[giniGain]] treats it as a branch; collapsing it into
+    * OTHER would conflate "absent" with "rare").
+    *
+    * Scale shape: the level histogram is one map-side-combined
+    * aggregation per column, and the REPLACE joins against the KEPT
+    * list, not the rare list — kept levels number at most
+    * n/minCount (bounded by construction), so the join is always a
+    * broadcast hash join however long the rare tail is; the data is
+    * scanned once per column batch with no shuffle of the rows.
+    */
+  def collapseRareLevels(df: DataFrame, cols: Seq[String],
+      minCount: Long, otherToken: String = "__OTHER__"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    cols.foldLeft(df) { (d, c) =>
+      val kept = d.filter(col(c).isNotNull)
+        .groupBy(col(c).as("__lvl")).agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") >= minCount).select(col("__lvl"))
+      d.join(broadcast(kept), d(c) === kept("__lvl"), "left")
+        .withColumn(c, when(col(c).isNull, lit(null).cast("string"))
+          .when(col("__lvl").isNotNull, col(c).cast("string"))
+          .otherwise(lit(otherToken)))
+        .drop("__lvl")
+    }
+  }
+
   /** Fixed-grid 2-D histogram — [[histogram]]'s joint-distribution
     * sibling: bin two columns on independent fixed grids and count each
     * occupied cell, the exact table behind correlation heatmaps, joint
@@ -1140,6 +1171,59 @@ object Features {
       .select(col("bin_x"), col("bin_y"),
         (lit(xLo) + col("bin_x") * lit(xWidth)).as("x_lo"),
         (lit(yLo) + col("bin_y") * lit(yWidth)).as("y_lo"), col("n"))
+  }
+
+  /** A/B experiment summary — per (group, variant): exposures,
+    * conversions, exact conversion ppm, and vs the control variant the
+    * exact relative lift in ppm plus the pooled two-proportion z-score
+    * (the first-pass significance readout every experiment dashboard
+    * shows; take the z to your preferred table — the engine emits the
+    * statistic, not a p-value policy). Control rows carry null
+    * lift/z (a variant is compared TO control, control to nothing).
+    * Groups lacking a control row emit their variants with null
+    * comparisons rather than vanishing — a misconfigured experiment
+    * should be visible, not filtered away.
+    *
+    * Exactness: counts are exact longs; `rate_ppm` and `lift_ppm` are
+    * integral divisions (lift = (c_v·n_c − c_c·n_v)·10⁶ div (c_c·n_v),
+    * exact); the z-score is a FIXED IEEE tree over exact counts
+    * (pooled p̂, one sqrt — correctly rounded by IEEE 754 everywhere),
+    * so every engine emits bit-identical doubles. Null z when the
+    * pooled variance is 0 (all-convert or none-convert across both
+    * arms — no noise model to test against).
+    *
+    * Scale shape: ONE map-side-combined aggregation to
+    * (group, variant) grain is the only stage that sees exposure
+    * volume; the control join runs at variant grain (broadcast-sized
+    * by construction — variants are a design constant).
+    */
+  def abTest(df: DataFrame, groupCols: Seq[String], variantCol: Column,
+      controlValue: String, convCol: Column): DataFrame = {
+    val gs = groupCols.map(col)
+    val arms = df.filter(variantCol.isNotNull)
+      .groupBy(gs :+ variantCol.as("variant"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(convCol.cast("boolean").cast("long")).as("conv"))
+      .withColumn("rate_ppm", graft.functions.Exact.longDiv(
+        col("conv") * 1000000L, col("n")))
+    val ctl = arms.filter(col("variant") === controlValue)
+      .select(gs ++ Seq(col("n").as("__nc"), col("conv").as("__cc")): _*)
+    val joined = arms.join(broadcast(ctl), groupCols, "left")
+    def d(c: Column): Column = c.cast("double")
+    val pv = d(col("conv")) / d(col("n"))
+    val pc = d(col("__cc")) / d(col("__nc"))
+    val pp = (d(col("conv")) + d(col("__cc"))) /
+      (d(col("n")) + d(col("__nc")))
+    val se = sqrt(pp * (lit(1d) - pp) *
+      (lit(1d) / d(col("n")) + lit(1d) / d(col("__nc"))))
+    joined.select(gs ++ Seq(col("variant"), col("n"), col("conv"),
+      col("rate_ppm"),
+      when(col("variant") =!= controlValue && col("__cc") > 0L,
+        graft.functions.Exact.longDiv(
+          (col("conv") * col("__nc") - col("__cc") * col("n")) * 1000000L,
+          col("__cc") * col("n"))).as("lift_ppm"),
+      when(col("variant") =!= controlValue && col("__nc").isNotNull &&
+          se > 0d, (pv - pc) / se).as("z")): _*)
   }
 
   /** Gini-gain feature ranking — the decision-tree split criterion as a

