@@ -3082,6 +3082,24 @@ object SparkEntry {
         .orderBy(col("user_id"))
     },
 
+    // X221 — Wilson bounds per customer: high-value-order rate with
+    // the small-n-honest interval (sort by lo, not by raw rate)
+    "q231_wilson" -> { (s, dir) =>
+      graft.ops.Features.wilsonBounds(t(s, dir, "orders"),
+          Seq("o_custkey"), col("o_totalprice") > 150000d, z = 1.96)
+        .orderBy(col("o_custkey"))
+    },
+
+    // X222 — MoM/YoY revenue per priority on a true month INDEX
+    // (gaps compare against calendar predecessors, never "previous row")
+    "q232_pop" -> { (s, dir) =>
+      val d = col("o_orderdate").cast("date")
+      graft.ops.Relational.periodOverPeriod(t(s, dir, "orders"),
+          Seq("o_orderpriority"), year(d) * 12 + month(d),
+          col("o_totalprice"), Seq("mom" -> 1, "yoy" -> 12))
+        .orderBy(col("o_orderpriority"), col("period"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -8686,5 +8704,74 @@ object SparkEntry {
         |    AS DOUBLE) AS value_sum,
         |  (max(ts_us) - min(ts_us)) // 86400000000 AS span_days
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q231_wilson" ->
+      """WITH a AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |), b AS (
+        |  SELECT o_custkey, n, s,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS z2n
+        |  FROM a
+        |)
+        |SELECT o_custkey, n, s, s * 1000000 // n AS rate_ppm,
+        |  ((p + z2n / CAST(2 AS DOUBLE))
+        |    - CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1 AS DOUBLE) - p)
+        |        / CAST(n AS DOUBLE)
+        |      + z2n / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE))))
+        |    / (CAST(1 AS DOUBLE) + z2n) AS lo,
+        |  ((p + z2n / CAST(2 AS DOUBLE))
+        |    + CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1 AS DOUBLE) - p)
+        |        / CAST(n AS DOUBLE)
+        |      + z2n / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE))))
+        |    / (CAST(1 AS DOUBLE) + z2n) AS hi
+        |FROM b ORDER BY o_custkey""".stripMargin,
+
+    "q232_pop" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority,
+        |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+        |      + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS period,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT c.o_orderpriority, c.period, c.v,
+        |    m.v AS pm, y.v AS py
+        |  FROM s c
+        |  LEFT JOIN s m ON m.o_orderpriority = c.o_orderpriority
+        |    AND m.period + 1 = c.period
+        |  LEFT JOIN s y ON y.o_orderpriority = c.o_orderpriority
+        |    AND y.period + 12 = c.period
+        |)
+        |SELECT o_orderpriority, period,
+        |  CAST(CAST(v AS VARCHAR) AS DOUBLE) AS value,
+        |  CAST(CAST(pm AS VARCHAR) AS DOUBLE) AS mom_value,
+        |  CASE WHEN pm IS NOT NULL AND pm <> 0 THEN
+        |    CASE WHEN v >= pm
+        |      THEN CAST((CAST(v * 100 AS HUGEINT) - CAST(pm * 100
+        |        AS HUGEINT)) * 1000000
+        |        // abs(CAST(pm * 100 AS HUGEINT)) AS BIGINT)
+        |      ELSE -CAST((CAST(pm * 100 AS HUGEINT) - CAST(v * 100
+        |        AS HUGEINT)) * 1000000
+        |        // abs(CAST(pm * 100 AS HUGEINT)) AS BIGINT) END
+        |  END AS mom_delta_ppm,
+        |  CAST(CAST(py AS VARCHAR) AS DOUBLE) AS yoy_value,
+        |  CASE WHEN py IS NOT NULL AND py <> 0 THEN
+        |    CASE WHEN v >= py
+        |      THEN CAST((CAST(v * 100 AS HUGEINT) - CAST(py * 100
+        |        AS HUGEINT)) * 1000000
+        |        // abs(CAST(py * 100 AS HUGEINT)) AS BIGINT)
+        |      ELSE -CAST((CAST(py * 100 AS HUGEINT) - CAST(v * 100
+        |        AS HUGEINT)) * 1000000
+        |        // abs(CAST(py * 100 AS HUGEINT)) AS BIGINT) END
+        |  END AS yoy_delta_ppm
+        |FROM j ORDER BY o_orderpriority, period""".stripMargin,
   )
 }

@@ -1226,6 +1226,45 @@ object Features {
           se > 0d, (pv - pc) / se).as("z")): _*)
   }
 
+  /** Wilson-interval success bounds — the "sort by lower bound" fix for
+    * the classic rating-rank bug (an item with 2/2 positives must NOT
+    * outrank one with 95/100; the raw rate says it does, the Wilson
+    * lower bound says otherwise): per group, trials, successes, the
+    * exact success ppm, and the Wilson score interval [lo, hi] at
+    * confidence `z` (1.96 ≈ 95%). The interval is the binomial
+    * confidence region that stays inside [0,1] and behaves at small n —
+    * exactly where naive ±z·√(p(1−p)/n) breaks.
+    *
+    * Exactness: counts are exact longs; lo/hi are ONE fixed IEEE tree
+    * (center ± z·√(p(1−p)/n + z²/4n²), both over 1 + z²/n) with a
+    * single correctly-rounded sqrt — bit-identical in any engine.
+    * Zero-trial groups cannot occur (a group exists because rows do).
+    *
+    * Scale shape: ONE map-side-combined aggregation to group grain;
+    * the interval algebra is scan-local on the aggregate.
+    */
+  def wilsonBounds(df: DataFrame, groupCols: Seq[String],
+      successCol: Column, z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val gs = groupCols.map(col)
+    val agg = df.filter(successCol.isNotNull)
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(successCol.cast("boolean").cast("long")).as("s"))
+    def d(c: Column): Column = c.cast("double")
+    val p = d(col("s")) / d(col("n"))
+    val z2n = lit(z * z) / d(col("n"))
+    val denom = lit(1d) + z2n
+    val center = p + z2n / lit(2d)
+    val half = lit(z) * sqrt(p * (lit(1d) - p) / d(col("n")) +
+      z2n / (lit(4d) * d(col("n"))))
+    agg.select(gs ++ Seq(col("n"), col("s"),
+      graft.functions.Exact.longDiv(col("s") * 1000000L, col("n"))
+        .as("rate_ppm"),
+      ((center - half) / denom).as("lo"),
+      ((center + half) / denom).as("hi")): _*)
+  }
+
   /** Gini-gain feature ranking — the decision-tree split criterion as a
     * standalone audit: for each CATEGORICAL candidate feature, how much
     * does conditioning on it reduce the label's Gini impurity? The

@@ -1288,6 +1288,62 @@ object Relational {
       .drop("__minPrevY")
   }
 
+  /** Period-over-period comparison table — the BI staple (MoM, YoY,
+    * WoW): per (group, period) the exact decimal metric sum plus, for
+    * each named offset, the value `offset` periods back and the exact
+    * relative delta in ppm. `periodCol` must be an INTEGER period
+    * INDEX under which "k periods back" is subtraction — year·12 +
+    * month for months, an epoch-day for days, an ISO week index for
+    * weeks (NOT a yyyymm literal, where −1 crosses year boundaries
+    * into invalid codes; the caller owns the calendar, the operator
+    * owns the algebra). Comparison joins on the shifted index — gap
+    * periods compare against TRUE calendar predecessors or null,
+    * never against "whatever row came before" (the lag-window bug
+    * this shape exists to avoid).
+    *
+    * Exactness: sums accumulate in decimal(18+,scale);
+    * delta_ppm = (cur − prev)·10⁶ div |prev| carries the sign of the
+    * change (truncating division; prev = 0 → null — a delta from
+    * nothing is undefined, not infinite). The value render is the
+    * decimal-string → double path.
+    *
+    * Scale shape: ONE map-side-combined aggregation to
+    * (group, period) grain is the only stage that sees row volume;
+    * each offset is a self-equi-join AT AGGREGATE GRAIN on
+    * (group, period − k) — bounded by |groups|·|periods|, reusing the
+    * same hash keys.
+    */
+  def periodOverPeriod(df: DataFrame, groupCols: Seq[String],
+      periodCol: Column, valueCol: Column,
+      offsets: Seq[(String, Int)], scale: Int = 2): DataFrame = {
+    require(offsets.nonEmpty, "periodOverPeriod needs offsets")
+    require(offsets.forall(_._2 >= 1), s"offsets must be >= 1: $offsets")
+    require(offsets.map(_._1).distinct.size == offsets.size,
+      s"duplicate offset names: $offsets")
+    val gs = groupCols.map(col)
+    val v = valueCol.cast(DecimalType(18, scale))
+    val sums = df.filter(periodCol.isNotNull && v.isNotNull)
+      .groupBy(gs :+ periodCol.cast("long").as("period"): _*)
+      .agg(sum(v).as("__v"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val joined = offsets.foldLeft(sums) { case (acc, (name, k)) =>
+      val shifted = sums.select(
+        gs ++ Seq((col("period") + k.toLong).as("period"),
+          col("__v").as(s"__p_$name")): _*)
+      acc.join(shifted, groupCols :+ "period", "left")
+    }
+    val deltaCols = offsets.flatMap { case (name, _) =>
+      val prev = col(s"__p_$name")
+      Seq(dbl(prev).as(s"${name}_value"),
+        when(prev.isNotNull && prev =!= 0,
+          graft.functions.Exact.longDiv(
+            (col("__v") - prev) * 1000000L, abs(prev)))
+          .as(s"${name}_delta_ppm"))
+    }
+    joined.select(gs ++ Seq(col("period"), dbl(col("__v")).as("value")) ++
+      deltaCols: _*)
+  }
+
   /** ABC / Pareto-share classification — the inventory-analysis
     * workhorse ("which 20% of SKUs carry 80% of revenue?"): per group,
     * rank items by summed value descending, accumulate the running

@@ -655,4 +655,21 @@ class FeaturesSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("wilsonBounds: 2/2 ranks below 95/100 by lower bound — the " +
+      "rating-rank fix — and the interval stays inside [0,1]") {
+    import spark.implicits._
+    val rows = Seq.fill(2)(("small", true)) ++
+      Seq.fill(95)(("big", true)) ++ Seq.fill(5)(("big", false))
+    val got = Features.wilsonBounds(rows.toDF("k", "ok"), Seq("k"),
+        col("ok"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val (n2, s2, r2, lo2, hi2) = got("small")
+    val (_, _, _, loBig, _) = got("big")
+    assert((n2, s2, r2) == ((2L, 2L, 1000000L)))
+    assert(lo2 > 0.0 && hi2 <= 1.0)
+    assert(loBig > lo2) // 95/100 outranks 2/2 on the lower bound
+  }
 }

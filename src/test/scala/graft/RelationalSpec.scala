@@ -798,4 +798,22 @@ class RelationalSpec extends SparkSpec {
       ("b", 30.0, 800000L, "A"), ("c", 15.0, 950000L, "B"),
       ("d", 5.0, 1000000L, "C")))
   }
+
+  test("periodOverPeriod: deltas join true calendar predecessors " +
+      "(gaps give null, never previous-row), signed exact ppm") {
+    import spark.implicits._
+    val df = Seq(("g", 100L, 10.0), ("g", 101L, 15.0), ("g", 112L, 5.0))
+      .toDF("k", "p", "v")
+    val got = Relational.periodOverPeriod(df, Seq("k"), col("p"),
+        col("v"), Seq("mom" -> 1, "yoy" -> 12))
+      .orderBy("period").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), Option(r.get(4)),
+        Option(r.get(6))))
+    // period 101: mom vs 100 = +50%; period 112: mom null (111 absent
+    // — a lag window would have wrongly used 101), yoy vs 100 = -50%
+    assert(got.toSeq == Seq(
+      (100L, 10.0, None, None),
+      (101L, 15.0, Some(500000L), None),
+      (112L, 5.0, None, Some(-500000L))))
+  }
 }
