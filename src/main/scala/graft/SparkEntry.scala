@@ -3100,6 +3100,28 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("period"))
     },
 
+    // X223 — hierarchy flattening: synthetic binary tree over customer
+    // keys (parent = k div 2) resolves to (root=1, depth=floor(log2 k))
+    // in O(log depth) pointer-doubling rounds
+    "q233_hierarchy" -> { (s, dir) =>
+      val n = t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_custkey") > 1L,
+          graft.functions.Exact.longDiv(col("c_custkey"), 2L))
+          .as("parent"))
+      graft.ops.Graph.flattenHierarchy(n, "c_custkey", "parent",
+          maxDepth = 64L)
+        .orderBy(col("id"))
+    },
+
+    // X224 — date-spine dimension: one generated water-year-aware
+    // calendar artifact, broadcast-sized by construction
+    "q234_date_spine" -> { (s, dir) =>
+      graft.ops.Calendar.dateSpine(s, "2023-10-01", "2024-03-31")
+        .withColumn("d", col("d").cast("string")) // date→ISO string:
+        // pandas renders Spark DATE as object vs DuckDB datetime64
+        .orderBy(col("d"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -8773,5 +8795,33 @@ object SparkEntry {
         |        // abs(CAST(py * 100 AS HUGEINT)) AS BIGINT) END
         |  END AS yoy_delta_ppm
         |FROM j ORDER BY o_orderpriority, period""".stripMargin,
+
+    "q233_hierarchy" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    CASE WHEN c_custkey > 1 THEN CAST(c_custkey // 2 AS BIGINT)
+        |      END AS parent
+        |  FROM customer
+        |), walk(id, root, depth) AS (
+        |  SELECT id, id, CAST(0 AS BIGINT) FROM n WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT n.id, w.root, w.depth + 1
+        |  FROM n JOIN walk w ON n.parent = w.id
+        |)
+        |SELECT id, root, depth FROM walk ORDER BY id""".stripMargin,
+
+    "q234_date_spine" ->
+      """SELECT CAST(CAST(gs AS DATE) AS VARCHAR) AS d,
+        |  CAST(year(gs) AS INT) AS year, CAST(month(gs) AS INT) AS month,
+        |  CAST(day(gs) AS INT) AS day,
+        |  CAST(dayofyear(gs) AS INT) AS doy,
+        |  CAST(quarter(gs) AS INT) AS quarter,
+        |  CAST(isodow(gs) - 1 AS INT) AS weekday,
+        |  (isodow(gs) - 1 >= 5) AS is_weekend,
+        |  CAST(CASE WHEN month(gs) < 10 THEN year(gs)
+        |    ELSE year(gs) + 1 END AS INT) AS water_year
+        |FROM generate_series(DATE '2023-10-01', DATE '2024-03-31',
+        |  INTERVAL 1 DAY) t(gs)
+        |ORDER BY d""".stripMargin,
   )
 }

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Calendar dimension generation — the date spine every reporting join
+  * and gap-audit needs (a day with no rows must still exist as a day;
+  * deriving the calendar FROM the fact table silently drops it). The
+  * reference hardcodes its water-year calendar logic per script; here
+  * the spine is one generated, joinable artifact.
+  */
+object Calendar {
+
+  /** Inclusive day spine [startDate, endDate] with the standard
+    * attribute columns: `d` (date), `year`, `month`, `day`, `doy`,
+    * `quarter`, `weekday` (0 = Monday … 6 = Sunday — the ISO-derived
+    * convention that is portable across engines, unlike Spark's
+    * Sunday-1 `dayofweek` vs DuckDB's Sunday-0), `is_weekend`, and the
+    * reference domain's `water_year` (Oct 1 – Sep 30,
+    * [[WaterYear.waterYear]]).
+    *
+    * Scale shape: generation is one `sequence` + explode from a
+    * single literal row — no driver loop, no input scan; a spine is at
+    * most tens of thousands of rows for any realistic range, so spine
+    * joins are broadcast by construction. Bad ranges (end before
+    * start) fail at analysis with Spark's sequence contract.
+    */
+  def dateSpine(spark: SparkSession, startDate: String,
+      endDate: String): DataFrame = {
+    val d = col("d")
+    spark.range(1).select(explode(sequence(
+        to_date(lit(startDate)), to_date(lit(endDate)))).as("d"))
+      .select(d, year(d).as("year"), month(d).as("month"),
+        dayofmonth(d).as("day"), dayofyear(d).as("doy"),
+        quarter(d).as("quarter"), weekday(d).as("weekday"),
+        (weekday(d) >= 5).as("is_weekend"),
+        WaterYear.waterYear(d).as("water_year"))
+  }
+}

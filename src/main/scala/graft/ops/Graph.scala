@@ -582,4 +582,74 @@ object Graph {
         longDiv(col("n_ab") * col("__N") * 1000000L,
           col("n_a") * col("n_b")).as("lift_ppm"))
   }
+
+  /** Hierarchy flattening — parent-pointer forests (category trees, org
+    * charts, thread replies, file systems) resolved to
+    * (`id`, `root`, `depth`) in O(log depth) rounds of pointer
+    * DOUBLING: each round every node's cursor jumps to its ancestor's
+    * cursor and accumulates the hop distance, so a million-deep chain
+    * settles in 20 rounds — where the naive parent-walk join is
+    * O(depth) rounds and a recursive CTE doesn't distribute at all.
+    * [[connectedComponents]] answers "which tree?" for undirected
+    * pairs; this answers "which ROOT, how deep?" for directed
+    * parent edges — the lineage/rollup-path primitive. A null parent
+    * marks a root (depth 0); a parent id absent from the node set is
+    * an error surfaced by non-convergence, not silently treated as a
+    * root.
+    *
+    * CYCLE SAFETY: a parent cycle never reaches a root, so cursors in
+    * a cycle are still unresolved when the doubling budget
+    * (⌈log₂ maxDepth⌉ rounds) is exhausted — the loop then throws with
+    * the count of trapped nodes instead of looping forever or
+    * emitting wrong depths. maxDepth is a DECLARED bound, not a guess:
+    * size it to the deepest legitimate hierarchy plus slack.
+    *
+    * Scale shape: per round ONE self-equi-join of the cursor frame on
+    * the cursor column + a tiny all-done aggregate; the frame is
+    * |nodes| rows of three longs, checkpointed per round to truncate
+    * the self-join lineage (the [[connectedComponents]] discipline),
+    * loop width sized from the node count. Settled nodes stop moving
+    * but stay in the frame — the join is total either way and the
+    * done-flag keeps their rows constant.
+    */
+  def flattenHierarchy(nodes: DataFrame, idCol: String,
+      parentCol: String, maxDepth: Long = 1L << 20): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val base = nodes.select(col(idCol).cast("long").as("id"),
+      col(parentCol).cast("long").as("__par"))
+    var cur = base.select(col("id"),
+        coalesce(col("__par"), col("id")).as("anc"),
+        when(col("__par").isNull, 0L).otherwise(1L).as("dist"),
+        col("__par").isNull.as("done"))
+      .localCheckpoint(true)
+    val p = loopWidth(cur.count(),
+      nodes.sparkSession.sparkContext.defaultParallelism)
+    val maxRounds =
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxDepth)) + 1
+    var round = 0
+    var remaining = cur.filter(!col("done")).count()
+    while (remaining > 0 && round < maxRounds) {
+      val anc = cur.select(col("id").as("__aid"), col("anc").as("__aanc"),
+        col("dist").as("__adist"), col("done").as("__adone"))
+      cur = cur.repartition(p, col("anc"))
+        .join(anc.repartition(p, col("__aid")),
+          col("anc") === col("__aid"), "left")
+        .select(col("id"),
+          when(col("done") || col("__aid").isNull, col("anc"))
+            .otherwise(col("__aanc")).as("anc"),
+          when(col("done") || col("__aid").isNull, col("dist"))
+            .otherwise(col("dist") + col("__adist")).as("dist"),
+          (col("done") || (col("__aid").isNotNull && col("__adone")))
+            .as("done"))
+        .localCheckpoint(true)
+      remaining = cur.filter(!col("done")).count()
+      round += 1
+    }
+    if (remaining > 0)
+      throw new IllegalStateException(
+        s"flattenHierarchy: $remaining node(s) unresolved after " +
+          s"$maxRounds doubling rounds (depth > $maxDepth, a parent " +
+          "cycle, or a parent id missing from the node set)")
+    cur.select(col("id"), col("anc").as("root"), col("dist").as("depth"))
+  }
 }

@@ -202,4 +202,29 @@ class GraphSpec extends SparkSpec {
       ("A", "B") -> ((2L, 3L, 3L, 666666L, 888888L)),
       ("B", "A") -> ((2L, 3L, 3L, 666666L, 888888L))))
   }
+
+  test("flattenHierarchy: deep chain resolves in log rounds, forests " +
+      "keep separate roots, a parent cycle throws instead of looping") {
+    import spark.implicits._
+    // chain 1←2←…←40 (depth 39 forces ~6 doubling rounds) + a second
+    // tree 100←101, 100←102
+    val chain = (1L to 40L).map(k =>
+      (k, if (k == 1L) None else Some(k - 1)))
+    val tree = Seq((100L, None), (101L, Some(100L)), (102L, Some(100L)))
+    val df = (chain ++ tree).toDF("id", "parent")
+    val got = graft.ops.Graph.flattenHierarchy(df, "id", "parent",
+        maxDepth = 64L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((1L, 0L)) && got(40L) == ((1L, 39L)))
+    assert(got(20L) == ((1L, 19L)))
+    assert(got(101L) == ((100L, 1L)) && got(102L) == ((100L, 1L)))
+    // 2-cycle: 7 ↔ 8 never reaches a root
+    val cyc = Seq((7L, Some(8L)), (8L, Some(7L))).toDF("id", "parent")
+    val e = intercept[IllegalStateException] {
+      graft.ops.Graph.flattenHierarchy(cyc, "id", "parent",
+        maxDepth = 16L).collect()
+    }
+    assert(e.getMessage.contains("unresolved"))
+  }
 }

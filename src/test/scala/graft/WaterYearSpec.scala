@@ -45,3 +45,19 @@ class WaterYearSpec extends SparkSpec {
       LocalDate.of(2021, 9, 30))
   }
 }
+
+class CalendarSpec extends SparkSpec {
+  test("dateSpine: inclusive bounds, Monday-0 weekday, weekend flag, " +
+      "water-year rollover at Oct 1, no driver loop") {
+    val spine = graft.ops.Calendar.dateSpine(spark,
+      "2023-09-29", "2023-10-02")
+    val got = spine.orderBy("d").collect().map(r =>
+      (r.getDate(0).toString, r.getInt(6), r.getBoolean(7), r.getInt(8)))
+    assert(got.toSeq == Seq(
+      ("2023-09-29", 4, false, 2023), // Friday, WY2023 closes Sep 30
+      ("2023-09-30", 5, true, 2023),
+      ("2023-10-01", 6, true, 2024),  // Sunday, WY2024 opens
+      ("2023-10-02", 0, false, 2024)))
+    assert(spine.count() == 4L)
+  }
+}
