@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingDistinct
+
+case class DEvt(site: String, ts: Timestamp, user: Long)
+
+class StreamingDistinctSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("closed windows report distincts across micro-batches (dupes " +
+      "collapse, small counts exact) and match the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DEvt]
+    val counted = StreamingDistinct.windowedDistinct(in.toDF(), "ts",
+      "10 minutes", "5 minutes", Seq("site"), col("user"))
+    val q = counted.writeStream
+      .format("memory").queryName("dist_out")
+      .outputMode("append").start()
+
+    // window 10:00-10:10 site a: users 1,2,2,3 over TWO micro-batches
+    // (the sketch state must merge across batches); site b: user 9
+    in.addData(
+      DEvt("a", t("2021-03-01 10:01:00"), 1L),
+      DEvt("a", t("2021-03-01 10:02:00"), 2L),
+      DEvt("b", t("2021-03-01 10:03:00"), 9L))
+    q.processAllAvailable()
+    in.addData(
+      DEvt("a", t("2021-03-01 10:04:00"), 2L),
+      DEvt("a", t("2021-03-01 10:05:00"), 3L))
+    q.processAllAvailable()
+    // advance the watermark past 10:10 + 5 min to close the windows
+    in.addData(DEvt("a", t("2021-03-01 10:21:00"), 1L))
+    q.processAllAvailable()
+    in.addData(DEvt("b", t("2021-03-01 10:22:00"), 1L))
+    q.processAllAvailable()
+
+    val closed = spark.table("dist_out")
+      .select("win_start", "site", "n_distinct_est", "n_rows")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(closed.contains(("2021-03-01 10:00:00.0", "a", 3L, 4L)))
+    assert(closed.contains(("2021-03-01 10:00:00.0", "b", 1L, 1L)))
+    q.stop()
+
+    // mergeable-sketch contract: the closed-window count equals the
+    // batch sketch estimate over the same rows
+    val batch = graft.ops.Sketches.distinctSketch(
+      Seq(1L, 2L, 2L, 3L).toDF("user"), Nil, col("user"))
+      .select(graft.ops.Sketches.estimate(col("sketch")))
+      .collect().head.getLong(0)
+    assert(batch == 3L)
+  }
+}
