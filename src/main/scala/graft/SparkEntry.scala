@@ -3122,6 +3122,26 @@ object SparkEntry {
         .orderBy(col("d"))
     },
 
+    // X226 — image near-dup via perceptual hash: 16x16 fake images
+    // built from md5-hex payloads, planted variants perturb 4 of 256
+    // bytes; the text SimHash band machinery blocks the pairs
+    "q235_image_neardup" -> { (s, dir) =>
+      val payload = substring(repeat(md5(col("text")), 8), 1, 256)
+      val variant = concat(lit("aaaa"),
+        substring(repeat(md5(col("text")), 8), 5, 252))
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Multimodal.packFake(lit(16), lit(16),
+          payload.cast("binary")).as("img"))
+      val vars = t(s, dir, "documents").filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          graft.multimodal.Multimodal.packFake(lit(16), lit(16),
+            variant.cast("binary")).as("img"))
+      graft.multimodal.Multimodal.imageNearDups(
+          base.unionByName(vars), "img", "doc_id",
+          bands = 4, maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -8823,5 +8843,47 @@ object SparkEntry {
         |FROM generate_series(DATE '2023-10-01', DATE '2024-03-31',
         |  INTERVAL 1 DAY) t(gs)
         |ORDER BY d""".stripMargin,
+
+    "q235_image_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    substr(repeat(md5(text), 8), 1, 256) AS payload
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    'aaaa' || substr(repeat(md5(text), 8), 5, 252) AS payload
+        |  FROM documents WHERE doc_id % 9 = 0
+        |), samples AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), p ->
+        |      ascii(substr(payload,
+        |        32 * (p // 8) + 2 * (p % 8) + 1, 1))) AS s
+        |  FROM corpus
+        |), sums AS (
+        |  SELECT doc_id, s, list_reduce(s, (a, b) -> a + b) AS ssum
+        |  FROM samples
+        |), sims AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(s, b ->
+        |      CASE WHEN b * 64 > ssum THEN '1' ELSE '0' END), '') AS sim
+        |  FROM sums
+        |), banded AS (
+        |  SELECT doc_id, sim, b.band,
+        |    substr(sim, 16 * b.band + 1, 16) AS key
+        |  FROM sims, (SELECT unnest(generate_series(0, 3)) AS band) b
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.sim AS sa, b.sim AS sb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |), ham AS (
+        |  SELECT id_a, id_b,
+        |    len(list_filter(generate_series(1, 64),
+        |      i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS hamming
+        |  FROM cand
+        |)
+        |SELECT id_a, id_b, hamming
+        |FROM ham WHERE hamming <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

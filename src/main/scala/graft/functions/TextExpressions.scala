@@ -353,6 +353,47 @@ case class WinnowFingerprints(child: Expression, shingleN: Int,
       newChild: Expression): WinnowFingerprints = copy(child = newChild)
 }
 
+/** Average-hash bit string of an 8×8 fake-container image — the
+  * perceptual-hash kernel for image near-dup detection: after
+  * [[ResizeNearest]] to 8×8, bit p is '1' iff payload byte p is above
+  * the payload mean, compared in exact integers (b·64 > Σb — no
+  * division, no float, identical in any engine). The output is a
+  * 64-char '0'/'1' string deliberately shaped like [[SimHash64]]'s, so
+  * the existing banded Hamming machinery
+  * ([[graft.dedup.Dedup.simhashBandPairs]]) blocks image pairs with
+  * zero new join code. A payload that isn't exactly 64 bytes is a
+  * corrupt input (the resize contract guarantees 64) and throws — the
+  * [[graft.functions.FloatUnpack]] fail-fast convention.
+  */
+case class AHashBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ahash_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length != 72)
+      throw new IllegalArgumentException(
+        s"ahash_bits: expected an 8x8 container (72 bytes), got " +
+          s"${b.length} — resize to 8x8 first")
+    var sum = 0L
+    var i = 8
+    while (i < 72) { sum += (b(i) & 0xff); i += 1 }
+    val out = new Array[Char](64)
+    var p = 0
+    while (p < 64) {
+      out(p) = if ((b(8 + p) & 0xff).toLong * 64L > sum) '1' else '0'
+      p += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(new String(out))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AHashBits = copy(child = newChild)
+}
+
 /** Sum of payload byte values (unsigned) past the 8-byte header. */
 case class PayloadByteSum(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -484,6 +525,9 @@ object TextExpressions {
       window: Int): Column =
     bridge.column(WinnowFingerprints(bridge.expression(tokens), shingleN,
       window))
+
+  def ahashBits(bytes: Column): Column =
+    bridge.column(AHashBits(bridge.expression(bytes)))
 
   def nfc(text: Column): Column =
     bridge.column(NfcNormalize(bridge.expression(text)))

@@ -125,4 +125,35 @@ object Multimodal {
         it.map { case (id, bytes) => MediaFeature(id, c.decode(bytes)) }
       }
   }
+
+  /** Perceptual (average) hash of a fake-container image: nearest
+    * resize to 8×8 — exactly [[resizeNearest]], so the hash is
+    * invariant under exact integer upscales of the same image — then
+    * one bit per cell, set iff the cell is above the image mean
+    * (exact-integer compare, [[graft.functions.AHashBits]]). Emitted as
+    * a 64-char bit string shaped like the text SimHash, so the banded
+    * Hamming blocker is SHARED between modalities. The real-codec
+    * analog decodes + grayscales before this same resize/threshold
+    * boundary.
+    */
+  def perceptualHash(bytes: Column): Column =
+    graft.functions.TextExpressions.ahashBits(resizeNearest(bytes, 8, 8))
+
+  /** Image near-dup pairs: [[perceptualHash]] per image, then the
+    * existing [[graft.dedup.Dedup.simhashBandPairs]] band-blocked
+    * Hamming join — (id_a, id_b, hamming ≤ maxHamming), never
+    * all-pairs, with the same recall contract (guaranteed only for
+    * maxHamming ≤ bands − 1; beyond that the bands are an approximate
+    * LSH blocker).
+    *
+    * Scale shape: the hash is scan-local per image (one resize + one
+    * 64-byte pass); candidate generation is the banded equi-join at
+    * fingerprint grain — the corpus's binary payloads never enter the
+    * join, only (id, 64-char hash) rows do.
+    */
+  def imageNearDups(df: DataFrame, bytesCol: String, idCol: String,
+      bands: Int = 4, maxHamming: Int = 8): DataFrame =
+    graft.dedup.Dedup.simhashBandPairs(
+      df.select(col(idCol), perceptualHash(col(bytesCol)).as("__ph")),
+      "__ph", idCol, bands, maxHamming)
 }

@@ -42,4 +42,40 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]](0).length == 8 + 4)
     assert(r.getLong(1) == 0L)
   }
+
+  test("perceptualHash: invariant under exact 2x upscale, one-pixel " +
+      "edits stay near, corrupt (non-8x8) payload throws, near-dup " +
+      "pairs surface through the shared band machinery") {
+    import spark.implicits._
+    // 16x16 gradient image from repeated hex, 2x upscaled twin (every
+    // source pixel duplicated 2x2 — nearest resample picks the same
+    // pixels), and a 4-byte-edited variant
+    val p16 = "0123456789abcdef" * 16
+    val p32 = p16.grouped(16).flatMap { row =>
+      val wide = row.flatMap(c => s"$c$c")
+      Seq(wide, wide)
+    }.mkString
+    val edited = "zzzz" + p16.drop(4)
+    val df = Seq((1L, 16, 16, p16), (2L, 32, 32, p32),
+      (3L, 16, 16, edited)).toDF("id", "w", "h", "p")
+      .select(col("id"), Multimodal.packFake(col("w"), col("h"),
+        col("p").cast("binary")).as("img"))
+    val hashes = df.select(col("id"),
+        Multimodal.perceptualHash(col("img")).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashes(1L).length == 64)
+    assert(hashes(1L) == hashes(2L)) // scale invariance
+    val ham = hashes(1L).zip(hashes(3L)).count(t => t._1 != t._2)
+    assert(ham <= 8 && hashes(1L) != hashes(3L))
+    val pairs = Multimodal.imageNearDups(df, "img", "id",
+        bands = 4, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    intercept[Exception] {
+      Seq((1L, 3, 3, "abcdefghi")).toDF("id", "w", "h", "p")
+        .select(graft.functions.TextExpressions.ahashBits(
+          Multimodal.packFake(col("w"), col("h"),
+            col("p").cast("binary")))).collect()
+    }
+  }
 }
