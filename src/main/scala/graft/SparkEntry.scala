@@ -3142,6 +3142,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // X227 — audio activity segmentation: payloads alternate 32 loud
+    // hex bytes with 32 near-midline '~' bytes, so 32-byte frames
+    // alternate active/silent and collapse into alternating segments
+    "q236_audio_segments" -> { (s, dir) =>
+      val payload = repeat(
+        concat(md5(col("text")), repeat(lit("~"), 32)), 4)
+      val media = t(s, dir, "documents").select(col("doc_id"),
+        graft.multimodal.Multimodal.packFake(lit(16), lit(16),
+          payload.cast("binary")).as("audio"))
+      graft.multimodal.Multimodal.audioActivitySegments(media,
+          "doc_id", "audio", frameBytes = 32, energyThreshold = 10000L)
+        .orderBy(col("doc_id"), col("f_start"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -8885,5 +8899,34 @@ object SparkEntry {
         |SELECT id_a, id_b, hamming
         |FROM ham WHERE hamming <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q236_audio_segments" ->
+      """WITH m AS (
+        |  SELECT doc_id, repeat(md5(text) || repeat('~', 32), 4)
+        |    AS payload
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, fr.f AS f,
+        |    list_reduce(list_transform(generate_series(1, 32), j ->
+        |      (ascii(substr(payload, fr.f * 32 + j, 1)) - 128)
+        |        * (ascii(substr(payload, fr.f * 32 + j, 1)) - 128)),
+        |      (a, b) -> a + b) >= 10000 AS active
+        |  FROM m, (SELECT unnest(generate_series(0, 7)) AS f) fr
+        |), h AS (
+        |  SELECT *, CASE WHEN active IS NOT DISTINCT FROM
+        |      lag(active) OVER (PARTITION BY doc_id ORDER BY f)
+        |    THEN 0 ELSE 1 END AS head
+        |  FROM f
+        |), i AS (
+        |  SELECT *, CAST(sum(head) OVER (PARTITION BY doc_id
+        |    ORDER BY f ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM h
+        |)
+        |SELECT doc_id, min(active) AS active,
+        |  CAST(min(f) AS BIGINT) AS f_start,
+        |  CAST(max(f) AS BIGINT) AS f_end,
+        |  count(*) AS n_frames
+        |FROM i GROUP BY doc_id, island
+        |ORDER BY doc_id, f_start""".stripMargin,
   )
 }

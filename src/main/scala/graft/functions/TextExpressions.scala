@@ -394,6 +394,53 @@ case class AHashBits(child: Expression)
       newChild: Expression): AHashBits = copy(child = newChild)
 }
 
+/** Per-frame signal energy of a fake-container payload — the audio
+  * analog of the image kernels: the payload is read as unsigned 8-bit
+  * samples in fixed `frameBytes` frames (a short trailing frame keeps
+  * its actual length), and each frame reports Σ(b−128)² — exact
+  * integer "energy around the midline", the silence/activity statistic
+  * VAD-style segmentation thresholds. One JVM loop per row, no
+  * allocation beyond the output array; a real PCM decoder plugs in
+  * before this same boundary.
+  */
+case class FrameEnergies(child: Expression, frameBytes: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(frameBytes >= 1, s"frameBytes must be >= 1: $frameBytes")
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def prettyName: String = "frame_energies"
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < 8)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val payload = b.length - 8
+    val n = (payload + frameBytes - 1) / frameBytes
+    val out = new Array[Any](n)
+    var f = 0
+    while (f < n) {
+      val from = 8 + f * frameBytes
+      val until = math.min(8 + (f + 1) * frameBytes, b.length)
+      var e = 0L
+      var i = from
+      while (i < until) {
+        val d = (b(i) & 0xff) - 128
+        e += d.toLong * d
+        i += 1
+      }
+      out(f) = e
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FrameEnergies = copy(child = newChild)
+}
+
 /** Sum of payload byte values (unsigned) past the 8-byte header. */
 case class PayloadByteSum(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -528,6 +575,9 @@ object TextExpressions {
 
   def ahashBits(bytes: Column): Column =
     bridge.column(AHashBits(bridge.expression(bytes)))
+
+  def frameEnergies(bytes: Column, frameBytes: Int): Column =
+    bridge.column(FrameEnergies(bridge.expression(bytes), frameBytes))
 
   def nfc(text: Column): Column =
     bridge.column(NfcNormalize(bridge.expression(text)))

@@ -156,4 +156,39 @@ object Multimodal {
     graft.dedup.Dedup.simhashBandPairs(
       df.select(col(idCol), perceptualHash(col(bytesCol)).as("__ph")),
       "__ph", idCol, bands, maxHamming)
+
+  /** Audio-style activity segmentation — the VAD-shaped pass that
+    * turns an opaque media payload into typed segments: the payload is
+    * framed at `frameBytes` unsigned samples, each frame's
+    * exact-integer energy Σ(b−128)² ([[graft.functions.FrameEnergies]],
+    * one JVM loop per row) thresholds into active/silent, and
+    * consecutive same-state frames collapse into one segment row via
+    * the engine's own run-length machinery
+    * ([[graft.ops.TimeSeries.valueSpells]] — the same gaps-and-islands
+    * that compresses sensor state histories compresses audio
+    * activity). Output: (id, `active`, `f_start`, `f_end`,
+    * `n_frames`) — the artifact a speech pipeline uses to crop silence
+    * before a costly transcription pass. A real PCM decoder plugs in
+    * upstream of the same framing boundary.
+    *
+    * Scale shape: energies are scan-local (one native loop per row),
+    * the posexplode is frame grain, and the spell collapse is ONE key
+    * exchange + two windows sharing one sort — linear end to end, no
+    * self-joins.
+    */
+  def audioActivitySegments(df: DataFrame, idCol: String,
+      bytesCol: String, frameBytes: Int,
+      energyThreshold: Long): DataFrame = {
+    require(energyThreshold >= 0,
+      s"energyThreshold must be >= 0: $energyThreshold")
+    val frames = df.select(col(idCol),
+        posexplode(graft.functions.TextExpressions.frameEnergies(
+          col(bytesCol), frameBytes)).as(Seq("__f", "__e")))
+      .withColumn("__active", col("__e") >= energyThreshold)
+    graft.ops.TimeSeries.valueSpells(frames, Seq(idCol),
+        Seq(col("__f")), col("__active"), col("__f").cast("long"))
+      .select(col(idCol), col("value").cast("boolean").as("active"),
+        col("t_start").as("f_start"), col("t_end").as("f_end"),
+        col("n_rows").as("n_frames"))
+  }
 }

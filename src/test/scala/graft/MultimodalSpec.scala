@@ -78,4 +78,31 @@ class MultimodalSpec extends SparkSpec {
             col("p").cast("binary")))).collect()
     }
   }
+
+  test("audioActivitySegments: exact frame energies (short tail frame " +
+      "keeps its length), alternating loud/quiet collapses to runs") {
+    import spark.implicits._
+    // payload "ab~~~~ab c": frames of 2 -> energies
+    // 'a'=97,'b'=98: (31^2+30^2)=1861; '~'=126: 4+4=8
+    val df = Seq((1L, "ab~~~~ab")).toDF("id", "p")
+      .select(col("id"), Multimodal.packFake(lit(2), lit(4),
+        col("p").cast("binary")).as("a"))
+    val energies = df.select(graft.functions.TextExpressions
+        .frameEnergies(col("a"), 2)).collect().head.getSeq[Long](0)
+    assert(energies == Seq(1861L, 8L, 8L, 1861L))
+    // short trailing frame: 3 payload bytes at frameBytes=2
+    val tail = Seq((1L, "ab~")).toDF("id", "p")
+      .select(Multimodal.packFake(lit(3), lit(1),
+        col("p").cast("binary")).as("a"))
+      .select(graft.functions.TextExpressions.frameEnergies(col("a"), 2))
+      .collect().head.getSeq[Long](0)
+    assert(tail == Seq(1861L, 4L))
+    val segs = Multimodal.audioActivitySegments(df, "id", "a",
+        frameBytes = 2, energyThreshold = 100L)
+      .orderBy("f_start").collect()
+      .map(r => (r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(segs.toSeq == Seq((true, 0L, 0L, 1L), (false, 1L, 2L, 2L),
+      (true, 3L, 3L, 1L)))
+  }
 }
