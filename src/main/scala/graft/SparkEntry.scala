@@ -3156,6 +3156,38 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("f_start"))
     },
 
+    // X228 — secret scrubbing: planted AWS keys (doc_id % 7) and
+    // password assignments (doc_id % 11); by construction only those
+    // two patterns can fire on this corpus (md5-hex has no 'y'/'z'
+    // and no ghp_/xox/AIza/PEM shapes), so the oracle mirrors exactly
+    // those two replaces — the full pattern book is spec-pinned
+    "q237_redact_secrets" -> { (s, dir) =>
+      val planted = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" AKIA"), upper(substring(md5(col("text")), 1, 16))))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" password = '"),
+            substring(md5(col("text")), 1, 12), lit("'")))
+          .otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.text.TextFunctions.redactSecrets(planted).as("clean"),
+          graft.text.TextFunctions.piiCount(planted,
+            "AKIA[0-9A-Z]{16}").cast("long").as("n_aws"),
+          graft.text.TextFunctions.piiCount(planted,
+            "(?i)(password|passwd|secret|api_key|apikey|token)\\s*[=:]" +
+              "\\s*['\"][^'\"\\s]{6,}['\"]").cast("long").as("n_pw"))
+        .orderBy(col("doc_id"))
+    },
+
+    // X229 — 5% trimmed mean of extended price per return flag
+    "q238_trimmed_mean" -> { (s, dir) =>
+      graft.ops.Features.trimmedMean(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_extendedprice"),
+          trimPpm = 50000L)
+        .orderBy(col("l_returnflag"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -8928,5 +8960,55 @@ object SparkEntry {
         |  count(*) AS n_frames
         |FROM i GROUP BY doc_id, island
         |ORDER BY doc_id, f_start""".stripMargin,
+
+    "q237_redact_secrets" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' AKIA' || upper(substr(md5(text), 1, 16))
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' password = ''' || substr(md5(text), 1, 12) || ''''
+        |      ELSE '' END AS planted
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(planted,
+        |    'AKIA[0-9A-Z]{16}', '<AWS_KEY>', 'g'),
+        |    '(?i)(password|passwd|secret|api_key|apikey|token)\s*[=:]\s*[''"][^''"\s]{6,}[''"]',
+        |    '\1=<SECRET>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(planted, 'AKIA[0-9A-Z]{16}'))
+        |    AS BIGINT) AS n_aws,
+        |  CAST(len(regexp_extract_all(planted,
+        |    '(?i)(password|passwd|secret|api_key|apikey|token)\s*[=:]\s*[''"][^''"\s]{6,}[''"]'))
+        |    AS BIGINT) AS n_pw
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q238_trimmed_mean" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), r AS (
+        |  SELECT l_returnflag, v,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY v)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |      AS n
+        |  FROM b
+        |), k AS (
+        |  SELECT *, (n * 50000) // 1000000 AS kk FROM r
+        |)
+        |SELECT l_returnflag, max(n) AS n,
+        |  CAST(sum(CASE WHEN rn > kk AND rn <= n - kk THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_used,
+        |  CASE WHEN sum(CASE WHEN rn > kk AND rn <= n - kk
+        |      THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(CAST(sum(CASE WHEN rn > kk AND rn <= n - kk THEN v END)
+        |        AS VARCHAR) AS DOUBLE)
+        |      / CAST(sum(CASE WHEN rn > kk AND rn <= n - kk
+        |          THEN 1 ELSE 0 END) AS DOUBLE)
+        |  END AS trimmed_mean
+        |FROM k GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -1226,6 +1226,58 @@ object Features {
           se > 0d, (pv - pc) / se).as("z")): _*)
   }
 
+  /** Per-group trimmed mean — the robust location estimate between the
+    * mean (wrecked by one wild sensor reading) and the median (throws
+    * away most of the sample): drop the k lowest and k highest values,
+    * k = ⌊n·trimPpm/10⁶⌋ exactly, and average the rest. The standard
+    * de-spiking statistic for telemetry dashboards and judged-score
+    * aggregation. Output per group: `n`, `n_used`, `trimmed_mean`.
+    * Because trimPpm < 500000, k < n/2 always holds — every group
+    * keeps at least one row and the mean is never null (the remaining
+    * null-guard is defensive only).
+    *
+    * Exactness: k is exact integer arithmetic; WHICH rows are dropped
+    * under ties is rank-arbitrary but the kept MULTISET is not (equal
+    * values are interchangeable), so the decimal(38,scale) sum of kept
+    * values is engine- and partitioning-independent; the mean is that
+    * exact sum decimal-string-rendered over an exact count — one IEEE
+    * division.
+    *
+    * Scale shape: one key exchange; the rank and count windows share
+    * the same partitioning (one sort), then one map-side-combined
+    * aggregation back to group grain. No self-joins, no quantile
+    * machinery — trimming needs ranks, not quantile values.
+    */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, trimPpm: Long = 50000L,
+      scale: Int = 2): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000L,
+      s"trimPpm must be in [0, 500000): $trimPpm")
+    val gs = groupCols.map(col)
+    val v = valueCol.cast(DecimalType(18, scale))
+    val w = Window.partitionBy(gs: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(gs: _*)
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    df.filter(v.isNotNull)
+      .select(gs :+ v.as("__v"): _*)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__k", graft.functions.Exact.longDiv(
+        col("__n") * trimPpm, 1000000L))
+      .groupBy(gs: _*)
+      .agg(max(col("__n")).as("n"),
+        sum(when(col("__rn") > col("__k") &&
+          col("__rn") <= col("__n") - col("__k"), 1L).otherwise(0L))
+          .as("n_used"),
+        sum(when(col("__rn") > col("__k") &&
+          col("__rn") <= col("__n") - col("__k"), col("__v")))
+          .as("__sum"))
+      .select(gs ++ Seq(col("n"), col("n_used"),
+        when(col("n_used") > 0L,
+          dbl(col("__sum")) / col("n_used").cast("double"))
+          .as("trimmed_mean")): _*)
+  }
+
   /** Wilson-interval success bounds — the "sort by lower bound" fix for
     * the classic rating-rank bug (an item with 2/2 positives must NOT
     * outrank one with 95/100; the raw rate says it does, the Wilson

@@ -177,6 +177,44 @@ object TextFunctions {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** Credential patterns for [[redactSecrets]] — the scrub a public
+    * code/web corpus MUST run before training (leaked keys get
+    * memorized and regurgitated; scanning is also how leaked-credential
+    * takedowns are honored). High-yield, STRUCTURED prefixes only —
+    * AWS access key ids, GitHub fine-grained/classic tokens, Slack
+    * tokens, Google API keys, JWTs, PEM private-key blocks, and
+    * generic `password=`/`secret:` assignments — each an
+    * engine-portable regex (plain classes + bounded repetition,
+    * identical under Java regex and RE2). Order matters: PEM blocks
+    * first (their base64 body would otherwise be nibbled by the JWT
+    * pass), JWTs before generic assignments.
+    */
+  val secretPatterns: Seq[(String, String)] = Seq(
+    "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----[A-Za-z0-9+/=\\s]{0,4096}" +
+      "-----END [A-Z ]{0,20}PRIVATE KEY-----" -> "<PRIVATE_KEY>",
+    "eyJ[A-Za-z0-9_-]{4,}\\.[A-Za-z0-9_-]{4,}\\.[A-Za-z0-9_-]{4,}" ->
+      "<JWT>",
+    "AKIA[0-9A-Z]{16}" -> "<AWS_KEY>",
+    "ghp_[A-Za-z0-9]{36}" -> "<GITHUB_TOKEN>",
+    "github_pat_[A-Za-z0-9_]{22,255}" -> "<GITHUB_TOKEN>",
+    "xox[baprs]-[A-Za-z0-9-]{10,}" -> "<SLACK_TOKEN>",
+    "AIza[0-9A-Za-z_-]{35}" -> "<GOOGLE_KEY>",
+    "(?i)(password|passwd|secret|api_key|apikey|token)\\s*[=:]\\s*" +
+      "['\"][^'\"\\s]{6,}['\"]" -> "$1=<SECRET>")
+
+  /** Redact structured credentials with typed placeholders — the
+    * secret-scanning sibling of [[redactPii]] (emails/IPs/number runs
+    * are PRIVACY scrubbing; keys and tokens are SECURITY scrubbing,
+    * with a different pattern book and a zero-tolerance bar). Pure
+    * sequential `regexp_replace`, codegen'd, scan-local, no UDF; pair
+    * with [[piiCount]] over [[secretPatterns]] for the detection-rate
+    * telemetry a takedown pipeline reports.
+    */
+  def redactSecrets(text: Column): Column =
+    secretPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
   /** Luhn-checksum validation of a digit string — the precision upgrade
     * for payment-card PII scrubbing: a bare "13–19 digits" regex
     * ([[redactPii]]'s <NUM> pass) also hits order ids, timestamps, and

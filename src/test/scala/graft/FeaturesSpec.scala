@@ -672,4 +672,21 @@ class FeaturesSpec extends SparkSpec {
     assert(lo2 > 0.0 && hi2 <= 1.0)
     assert(loBig > lo2) // 95/100 outranks 2/2 on the lower bound
   }
+
+  test("trimmedMean: one wild outlier vanishes at 10% trim, ties keep " +
+      "an exact multiset, tiny groups keep at least one row") {
+    import spark.implicits._
+    val a = ((1 to 10).map(_.toDouble) :+ 1000.0).map(("a", _))
+    val ties = Seq.fill(4)(("t", 5.0))
+    val solo = Seq(("s", 42.0))
+    val df = (a ++ ties ++ solo).toDF("k", "v")
+    val got = Features.trimmedMean(df, Seq("k"), col("v"),
+        trimPpm = 100000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // a: n=11, k=1 → keep 2..10 → mean 6.0 (outlier 1000 gone)
+    assert(got("a") == ((11L, 9L, 6.0)))
+    assert(got("t") == ((4L, 4L, 5.0))) // k=0 at n=4, 10%
+    assert(got("s") == ((1L, 1L, 42.0)))
+  }
 }
