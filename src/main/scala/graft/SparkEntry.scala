@@ -3188,6 +3188,51 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     },
 
+    // X230 — BH false-discovery-rate flagging: discounts as pseudo
+    // p-values per flag; only the p=0 block qualifies at q=0.05
+    "q239_bh_fdr" -> { (s, dir) =>
+      val tid = (col("l_orderkey") * 10L + col("l_linenumber"))
+        .cast("long")
+      graft.ops.Features.bhFdr(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_discount"), q = 0.05,
+          tieCols = Seq(tid))
+        .orderBy(col("l_returnflag"), col("rank"))
+    },
+
+    // Composition — distinct-user growth curve: first-seen day per
+    // user, new users per day, running cumulative (the DAU onboarding
+    // chart in two aggregations and one window)
+    "q240_distinct_growth" -> { (s, dir) =>
+      val firstSeen = events(s, dir)
+        .select(col("user_id"), nsToMicros(col("ts_ns")).as("ts_us"))
+        .groupBy(col("user_id"))
+        .agg(min(expr("ts_us div 86400000000")).as("day"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_users", sum(col("n_new")).over(wCum))
+        .orderBy(col("day"))
+    },
+
+    // Composition — date spine x as-of: sample-and-hold (LOCF) each
+    // user's latest value at daily midnight grid instants (X224 spine
+    // as the probe side of the X16 as-of join)
+    "q241_grid_locf" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"),
+        nsToMicros(col("ts_ns")).as("ts_us"), col("value"))
+      val users = ev.select(col("user_id")).distinct()
+      val spine = graft.ops.Calendar.dateSpine(s,
+          "2024-01-08", "2024-01-14")
+        .select((unix_timestamp(col("d").cast("timestamp")) * 1000000L)
+          .as("ts_us"))
+      val grid = users.crossJoin(spine)
+      graft.ops.TimeSeries.asofJoinBackward(grid, ev, "ts_us",
+          Seq("user_id"), Seq("value"))
+        .orderBy(col("user_id"), col("ts_us"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9010,5 +9055,59 @@ object SparkEntry {
         |          THEN 1 ELSE 0 END) AS DOUBLE)
         |  END AS trimmed_mean
         |FROM k GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q239_bh_fdr" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(l_discount AS DOUBLE) AS p,
+        |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS tid
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |), r AS (
+        |  SELECT l_returnflag, p,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY p, tid) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |      AS m
+        |  FROM b
+        |), k AS (
+        |  SELECT *, max(CASE WHEN p * CAST(m AS DOUBLE)
+        |      <= CAST(rank AS DOUBLE) * CAST(0.05 AS DOUBLE)
+        |    THEN rank END) OVER (PARTITION BY l_returnflag) AS kmax
+        |  FROM r
+        |)
+        |SELECT l_returnflag, p, rank, m,
+        |  (kmax IS NOT NULL AND rank <= kmax) AS discovery
+        |FROM k ORDER BY l_returnflag, rank""".stripMargin,
+
+    "q240_distinct_growth" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CAST(epoch_us(ts) AS BIGINT) // 86400000000) AS day
+        |  FROM events GROUP BY 1
+        |), d AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f
+        |  GROUP BY 1
+        |)
+        |SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+
+    "q241_grid_locf" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+        |  FROM events
+        |), u AS (
+        |  SELECT DISTINCT user_id FROM ev
+        |), g AS (
+        |  SELECT u.user_id,
+        |    CAST(epoch_us(CAST(gs AS TIMESTAMP)) AS BIGINT) AS ts_us
+        |  FROM u, generate_series(DATE '2024-01-08', DATE '2024-01-14',
+        |    INTERVAL 1 DAY) t(gs)
+        |)
+        |SELECT g.user_id, g.ts_us,
+        |  (SELECT e.value FROM ev e
+        |   WHERE e.user_id = g.user_id AND e.ts_us <= g.ts_us
+        |   ORDER BY e.ts_us DESC LIMIT 1) AS value_asof
+        |FROM g ORDER BY g.user_id, g.ts_us""".stripMargin,
   )
 }

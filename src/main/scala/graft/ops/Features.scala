@@ -1226,6 +1226,50 @@ object Features {
           se > 0d, (pv - pc) / se).as("z")): _*)
   }
 
+  /** Benjamini–Hochberg FDR flagging — the multiple-testing correction
+    * an experiment/monitoring platform runs over a BATCH of p-values
+    * (thousands of metrics × segments tested daily: at α = 0.05, 5% of
+    * null metrics "alert" every day; BH bounds the FALSE DISCOVERY RATE
+    * instead): per group, sort the m p-values ascending, find the
+    * largest k with p₍ₖ₎·m ≤ k·q, and flag the k smallest as
+    * discoveries. Output: input keys + `p`, `rank`, `m`, `discovery`.
+    * Ties on p break by `tieCols` (deterministic ranks), but the
+    * DISCOVERY SET is tie-stable anyway: equal p-values are flagged or
+    * not together (the threshold compares p, and if p₍ₖ₎ qualifies at
+    * rank k every equal p at lower rank also qualifies at its own).
+    *
+    * Exactness: the qualifying test `p·m ≤ rank·q` is evaluated in
+    * doubles from exact inputs with one fixed multiply each side —
+    * identical IEEE comparisons in any engine (the oracle must write
+    * `q` as a DOUBLE literal product, not a decimal — the X221
+    * lesson); the "largest qualifying rank" is a window max of a
+    * conditional, no second pass.
+    *
+    * Scale shape: one key exchange; the rank window and the two
+    * group-frame windows (count, max qualifying rank) share the same
+    * partitioning and one sort. Parallelism across groups — the
+    * monitoring platform's natural axis (metric families, days).
+    */
+  def bhFdr(df: DataFrame, groupCols: Seq[String], pCol: Column,
+      q: Double, tieCols: Seq[Column] = Nil): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0, 1): $q")
+    val gs = groupCols.map(col)
+    val ties = tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }
+    val w = Window.partitionBy(gs: _*)
+      .orderBy(col("__p") +: tieCols.indices.map(i => col(s"__t$i")): _*)
+    val wAll = Window.partitionBy(gs: _*)
+    df.filter(pCol.isNotNull)
+      .select(gs ++ (pCol.cast("double").as("__p") +: ties): _*)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("__kmax", max(when(
+        col("__p") * col("m").cast("double") <=
+          col("rank").cast("double") * lit(q), col("rank"))).over(wAll))
+      .select(gs ++ Seq(col("__p").as("p"), col("rank"), col("m"),
+        (col("__kmax").isNotNull && col("rank") <= col("__kmax"))
+          .as("discovery")): _*)
+  }
+
   /** Per-group trimmed mean — the robust location estimate between the
     * mean (wrecked by one wild sensor reading) and the median (throws
     * away most of the sample): drop the k lowest and k highest values,

@@ -689,4 +689,25 @@ class FeaturesSpec extends SparkSpec {
     assert(got("t") == ((4L, 4L, 5.0))) // k=0 at n=4, 10%
     assert(got("s") == ((1L, 1L, 42.0)))
   }
+
+  test("bhFdr: step-up property — a p above its own rank threshold is " +
+      "still a discovery when a later rank qualifies; groups isolate") {
+    import spark.implicits._
+    // g at q=0.2, m=4: thresholds .05/.10/.15/.20 — 0.11 FAILS rank 2
+    // (0.11 > 0.10) but rank 3 qualifies (0.12 ≤ 0.15), so kmax=3 and
+    // 0.11 is flagged anyway (the defining BH step-up behavior)
+    val g = Seq(0.01, 0.11, 0.12, 0.9).zipWithIndex
+      .map { case (p, i) => ("g", p, i.toLong) }
+    // h: nothing qualifies
+    val h = Seq(0.5, 0.9).zipWithIndex
+      .map { case (p, i) => ("h", p, i.toLong) }
+    val df = (g ++ h).toDF("k", "p", "id")
+    val got = Features.bhFdr(df, Seq("k"), col("p"), q = 0.2,
+        tieCols = Seq(col("id")))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getBoolean(4)).toMap
+    assert(got(("g", 0.01)) && got(("g", 0.11)) && got(("g", 0.12)))
+    assert(!got(("g", 0.9)))
+    assert(!got(("h", 0.5)) && !got(("h", 0.9)))
+  }
 }
