@@ -3233,6 +3233,19 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_us"))
     },
 
+    // X231 — reprocessing planner: synthetic arrival day = event day +
+    // (event_id % 5); partitions with post-cutoff arrivals must re-run
+    "q242_reprocess_plan" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(nsToMicros(col("ts_ns")).as("ts_us"), col("event_id"))
+        .select(expr("ts_us div 86400000000").as("event_day"),
+          (expr("ts_us div 86400000000") + col("event_id") % 5L)
+            .as("arrival_day"))
+      graft.ops.Incremental.reprocessPlan(ev, col("event_day"),
+          col("arrival_day"), lastRunDay = 19733L)
+        .orderBy(col("event_day"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9109,5 +9122,22 @@ object SparkEntry {
         |   WHERE e.user_id = g.user_id AND e.ts_us <= g.ts_us
         |   ORDER BY e.ts_us DESC LIMIT 1) AS value_asof
         |FROM g ORDER BY g.user_id, g.ts_us""".stripMargin,
+
+    "q242_reprocess_plan" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000
+        |      AS event_day,
+        |    CAST(epoch_us(ts) AS BIGINT) // 86400000000
+        |      + event_id % 5 AS arrival_day
+        |  FROM events
+        |)
+        |SELECT event_day, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN arrival_day > 19733 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(max(greatest(arrival_day - event_day, 0)) AS BIGINT)
+        |    AS max_late_days,
+        |  sum(CASE WHEN arrival_day > 19733 THEN 1 ELSE 0 END) > 0
+        |    AS needs_reprocess
+        |FROM e GROUP BY event_day ORDER BY event_day""".stripMargin,
   )
 }

@@ -51,4 +51,35 @@ object Incremental {
         sum(col("sum")).cast(DecimalType(38, 2)).as("sum"),
         min(col("min")).as("min"),
         max(col("max")).as("max"))
+
+  /** Late-data reprocessing planner — the incremental pipeline's
+    * "which partitions must re-run?" question answered as data, not
+    * guesswork: facts carry an EVENT partition (the day they belong
+    * to) and an ARRIVAL mark (the day they landed); any partition
+    * holding arrivals after `lastRunDay` has data the previous run
+    * never saw and must recompute — and the lateness telemetry
+    * (how far back do arrivals reach?) is what sizes the standing
+    * reprocess window so the next run doesn't need this audit at all.
+    * Output per event partition: `n_total`, `n_new` (arrived after
+    * lastRunDay), `max_late_days` (worst arrival − event skew, 0 floor
+    * — a clock-skewed "early" arrival must not hide real lateness),
+    * and `needs_reprocess`. Rows with a null on either axis are
+    * excluded (they belong in a quarantine audit, not a schedule).
+    *
+    * Scale shape: ONE map-side-combined aggregation to partition grain
+    * — the only stage that sees fact volume; the plan table is
+    * |partitions| rows, broadcast-sized for the scheduler join that
+    * consumes it.
+    */
+  def reprocessPlan(df: DataFrame, eventDayCol: Column,
+      arrivalDayCol: Column, lastRunDay: Long): DataFrame = {
+    val ev = eventDayCol.cast("long")
+    val ar = arrivalDayCol.cast("long")
+    df.filter(ev.isNotNull && ar.isNotNull)
+      .groupBy(ev.as("event_day"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(ar > lastRunDay, 1L).otherwise(0L)).as("n_new"),
+        max(greatest(ar - ev, lit(0L))).as("max_late_days"))
+      .withColumn("needs_reprocess", col("n_new") > 0L)
+  }
 }

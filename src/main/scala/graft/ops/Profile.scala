@@ -500,6 +500,43 @@ object Profile {
         col("__r.example_id"))
   }
 
+  /** Schema-drift audit — the data-contract check before a drop of
+    * data is trusted: compare a live schema (e.g. a parquet footer via
+    * `spark.read.parquet(path).schema`) against the declared contract
+    * ([[graft.schema.Schemas]] is this engine's registry) and emit one
+    * row per column: `ok`, `type_changed` (the silent breaker —
+    * a column that inferred INT last month and LONG today), `missing`
+    * (in the contract, absent live), or `extra` (live, undeclared —
+    * usually fine, sometimes a misrouted feed). Pure METADATA — no
+    * data is scanned (the [[graft.io.LakeLayout.fileOrderAudit]]
+    * precedent: footers, not rows), so the audit is free at any scale.
+    * Name matching is case-sensitive (Spark's resolution default);
+    * nullability is reported, not judged (relaxing it is usually
+    * legal, tightening usually isn't — a policy for the caller).
+    */
+  def schemaDrift(spark: org.apache.spark.sql.SparkSession,
+      expected: org.apache.spark.sql.types.StructType,
+      actual: org.apache.spark.sql.types.StructType): DataFrame = {
+    val actualMap = actual.fields.map(f => f.name -> f).toMap
+    val expectedNames = expected.fieldNames.toSet
+    val rows = expected.fields.toSeq.map { ef =>
+      actualMap.get(ef.name) match {
+        case None =>
+          (ef.name, "missing", ef.dataType.simpleString, null: String)
+        case Some(af) if af.dataType != ef.dataType =>
+          (ef.name, "type_changed", ef.dataType.simpleString,
+            af.dataType.simpleString)
+        case Some(af) =>
+          (ef.name, "ok", ef.dataType.simpleString,
+            af.dataType.simpleString)
+      }
+    } ++ actual.fields.toSeq.filterNot(f => expectedNames(f.name))
+      .map(af => (af.name, "extra", null: String,
+        af.dataType.simpleString))
+    import spark.implicits._
+    rows.toDF("column_name", "status", "expected_type", "actual_type")
+  }
+
   def presenceBitmap(df: DataFrame, keyCols: Seq[String], slotCol: Column,
       nSlots: Int): DataFrame = {
     require(nSlots >= 1 && nSlots <= 4096,

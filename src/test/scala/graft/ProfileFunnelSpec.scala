@@ -438,4 +438,37 @@ class ProfileFunnelSpec extends SparkSpec {
       col("id")).queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 == 1, plan)
   }
+
+  test("schemaDrift: ok / type_changed / missing / extra statuses, " +
+      "contract order first, metadata only") {
+    import org.apache.spark.sql.types._
+    val expected = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType), StructField("c", DoubleType)))
+    val actual = StructType(Seq(StructField("a", LongType),
+      StructField("b", IntegerType), StructField("d", StringType)))
+    val got = Profile.schemaDrift(spark, expected, actual)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3))))
+    assert(got.toSeq == Seq(
+      ("a", "ok", Some("bigint"), Some("bigint")),
+      ("b", "type_changed", Some("string"), Some("int")),
+      ("c", "missing", Some("double"), None),
+      ("d", "extra", None, Some("string"))))
+  }
+
+  test("reprocessPlan: only post-cutoff arrivals trigger re-runs; " +
+      "early (clock-skew) arrivals floor lateness at zero") {
+    import spark.implicits._
+    val df = Seq((10L, 10L), (10L, 12L), (11L, 9L), (12L, 15L))
+      .toDF("ev", "ar")
+    val got = graft.ops.Incremental.reprocessPlan(df, col("ev"),
+        col("ar"), lastRunDay = 12L)
+      .orderBy("event_day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (10L, 2L, 0L, 2L, false),  // arrivals 10,12 both <= cutoff
+      (11L, 1L, 0L, 0L, false),  // early arrival: lateness floors at 0
+      (12L, 1L, 1L, 3L, true)))  // 15 > 12: must re-run
+  }
 }
