@@ -3246,6 +3246,33 @@ object SparkEntry {
         .orderBy(col("event_day"))
     },
 
+    // X233 — linear multi-touch attribution: clicks/views within 2
+    // days before each purchase share the credit equally (exact ppm)
+    "q243_linear_attr" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"),
+        nsToMicros(col("ts_ns")).as("ts_us"), col("event_type"))
+      graft.ops.Funnel.linearAttribution(ev, "user_id", "ts_us",
+          "event_type", Seq("click", "view"), "purchase",
+          maxGap = 172800000000L)
+        .orderBy(col("user_id"), col("ts_us"), col("channel"))
+    },
+
+    // X234 — missingness co-occurrence: value nulls every 7th event,
+    // props every 21st (a strict subset → strong positive lift),
+    // event_type on an independent user axis (lift ≈ 1e6)
+    "q244_missingness" -> { (s, dir) =>
+      val ev = events(s, dir).select(
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"),
+        when(col("event_id") % 21 === 0, lit(null).cast("string"))
+          .otherwise(col("props")).as("props"),
+        when(col("user_id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")).as("event_type"))
+      graft.ops.Profile.missingnessMatrix(ev,
+          Seq("value", "props", "event_type"))
+        .orderBy(col("col_a"), col("col_b"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9139,5 +9166,81 @@ object SparkEntry {
         |  sum(CASE WHEN arrival_day > 19733 THEN 1 ELSE 0 END) > 0
         |    AS needs_reprocess
         |FROM e GROUP BY event_day ORDER BY event_day""".stripMargin,
+
+    "q243_linear_attr" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    event_type
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, ts_us, event_type,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1
+        |      ELSE 0 END) OVER w, 0) AS BIGINT) AS c0,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1
+        |      ELSE 0 END) OVER w, 0) AS BIGINT) AS c1
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 172800000000 PRECEDING AND 1 PRECEDING)
+        |), conv AS (
+        |  SELECT user_id, ts_us, c0, c1, c0 + c1 AS tot FROM c
+        |  WHERE event_type = 'purchase'
+        |), x AS (
+        |  SELECT user_id, ts_us, 'click' AS channel, c0 AS n_ch, tot
+        |  FROM conv WHERE tot > 0 AND c0 > 0
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 'view', c1, tot
+        |  FROM conv WHERE tot > 0 AND c1 > 0
+        |  UNION ALL
+        |  SELECT user_id, ts_us, NULL, CAST(0 AS BIGINT), tot
+        |  FROM conv WHERE tot = 0
+        |)
+        |SELECT user_id, ts_us, channel, n_ch,
+        |  tot AS n_total,
+        |  CASE WHEN tot > 0 THEN n_ch * 1000000 // tot END
+        |    AS credit_ppm
+        |FROM x ORDER BY user_id, ts_us, channel""".stripMargin,
+
+    "q244_missingness" ->
+      """WITH e AS (
+        |  SELECT
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+        |      AS value,
+        |    CASE WHEN event_id % 21 = 0 THEN NULL ELSE props END
+        |      AS props,
+        |    CASE WHEN user_id % 10 = 0 THEN NULL ELSE event_type END
+        |      AS event_type
+        |  FROM events
+        |), w AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (value IS NULL) AS BIGINT) AS a0,
+        |    CAST(count(*) FILTER (props IS NULL) AS BIGINT) AS a1,
+        |    CAST(count(*) FILTER (event_type IS NULL) AS BIGINT) AS a2,
+        |    CAST(count(*) FILTER (value IS NULL AND props IS NULL)
+        |      AS BIGINT) AS b01,
+        |    CAST(count(*) FILTER (value IS NULL AND event_type IS NULL)
+        |      AS BIGINT) AS b02,
+        |    CAST(count(*) FILTER (props IS NULL AND event_type IS NULL)
+        |      AS BIGINT) AS b12
+        |  FROM e
+        |)
+        |SELECT 'value' AS col_a, 'props' AS col_b, n, a0 AS null_a,
+        |  a1 AS null_b, b01 AS null_both,
+        |  CASE WHEN a0 > 0 AND a1 > 0 THEN
+        |    CAST(CAST(b01 AS HUGEINT) * n * 1000000
+        |      // (CAST(a0 AS HUGEINT) * a1) AS BIGINT) END AS lift_ppm
+        |FROM w
+        |UNION ALL
+        |SELECT 'value', 'event_type', n, a0, a2, b02,
+        |  CASE WHEN a0 > 0 AND a2 > 0 THEN
+        |    CAST(CAST(b02 AS HUGEINT) * n * 1000000
+        |      // (CAST(a0 AS HUGEINT) * a2) AS BIGINT) END
+        |FROM w
+        |UNION ALL
+        |SELECT 'props', 'event_type', n, a1, a2, b12,
+        |  CASE WHEN a1 > 0 AND a2 > 0 THEN
+        |    CAST(CAST(b12 AS HUGEINT) * n * 1000000
+        |      // (CAST(a1 AS HUGEINT) * a2) AS BIGINT) END
+        |FROM w
+        |ORDER BY col_a, col_b""".stripMargin,
   )
 }

@@ -238,6 +238,60 @@ object Funnel {
       .drop("__lt", "__ok", typeCol)
   }
 
+  /** Linear-touch attribution — [[lastTouchAttribution]]'s
+    * multi-touch sibling: instead of crediting only the latest touch,
+    * every touch in the lookback window (strictly before the
+    * conversion, within `maxGap` time units) shares the conversion's
+    * credit equally. Per conversion and per channel with ≥ 1 touch:
+    * `n_ch`, `n_total`, and `credit_ppm` = n_ch·10⁶ div n_total —
+    * exact integral division, so a conversion's credits sum to at most
+    * 10⁶ with a floor remainder < |channels| ppm (route the credits
+    * through [[graft.ops.Relational]]'s largest-remainder proration if
+    * the report must sum exactly). Conversions with NO in-window touch
+    * emit one row with a null channel (organic — visible, not
+    * dropped).
+    *
+    * Scale shape: channels are a JOB constant, so per-channel in-window
+    * counts are conditional sums over ONE shared RANGE frame
+    * (value-based [−maxGap, −1] — strictly preceding) on one key
+    * exchange and one sort; no self-join of conversions against
+    * touches (the naive plan, quadratic per hot key). The per-row
+    * channel fan-out is a literal-sized explode.
+    */
+  def linearAttribution(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, touchTypes: Seq[String], convType: String,
+      maxGap: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "linearAttribution needs touch types")
+    require(maxGap > 0, s"maxGap must be > 0: $maxGap")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-maxGap, -1)
+    val counted = touchTypes.zipWithIndex.foldLeft(df) {
+      case (acc, (ch, i)) =>
+        // empty frame (a key's first event) sums to NULL, not 0
+        acc.withColumn(s"__c$i", coalesce(
+          sum(when(col(typeCol) === ch, 1L).otherwise(0L)).over(w),
+          lit(0L)))
+    }
+    val total = touchTypes.indices.map(i => col(s"__c$i"))
+      .reduce(_ + _)
+    val entries = touchTypes.zipWithIndex.map { case (ch, i) =>
+      struct(lit(ch).as("channel"), col(s"__c$i").as("n_ch"))
+    }
+    counted.filter(col(typeCol) === convType)
+      .withColumn("__tot", total)
+      .select(col(keyCol), col(tsCol), col("__tot"),
+        explode(when(col("__tot") > 0L, array(entries: _*))
+          .otherwise(array(struct(lit(null).cast("string").as("channel"),
+            lit(0L).as("n_ch"))))).as("__e"))
+      .filter(col("__e.channel").isNull || col("__e.n_ch") > 0L)
+      .select(col(keyCol), col(tsCol),
+        col("__e.channel").as("channel"), col("__e.n_ch").as("n_ch"),
+        col("__tot").as("n_total"),
+        when(col("__tot") > 0L, graft.functions.Exact.longDiv(
+          col("__e.n_ch") * 1000000L, col("__tot"))).as("credit_ppm"))
+  }
+
   /** State-machine conformance audit — the data-quality gate for event
     * streams with a protocol ("a purchase must follow a click", "a
     * device can't go active → active"): against a declared set of legal

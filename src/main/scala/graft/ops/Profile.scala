@@ -537,6 +537,60 @@ object Profile {
     rows.toDF("column_name", "status", "expected_type", "actual_type")
   }
 
+  /** Missingness co-occurrence matrix — [[profileColumns]] counts
+    * nulls per column; this asks whether columns go missing TOGETHER
+    * (one failing upstream join nulls a whole column family; a
+    * sensor outage nulls every channel of one device): for each
+    * unordered column pair, the joint-null count and the ppm lift
+    * n_both·n·10⁶ div (n_a·n_b) — 10⁶ ≈ independent, far above means
+    * the nulls share a cause and the FIX is one root cause, not |cols|
+    * imputations. Null lift when either column never nulls (no
+    * dependency to measure). Output per pair (a < b in the declared
+    * order): `col_a`, `col_b`, `n`, `null_a`, `null_b`, `null_both`,
+    * `lift_ppm`.
+    *
+    * Scale shape: ONE aggregation over one scan — |cols| + C(|cols|,2)
+    * conditional counters (a JOB-constant width); the pair table
+    * unpivots driver-free via a literal-sized explode (the
+    * [[rulesAudit]] pattern). Keep the column list to the suspect
+    * family — the counter width is quadratic in it by design.
+    */
+  def missingnessMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "missingnessMatrix needs at least 2 columns")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns: ${cols.mkString(", ")}")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (i, j)
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.zipWithIndex.map { case (c, i) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__a$i")
+      } ++
+      pairs.map { case (i, j) =>
+        sum(when(col(cols(i)).isNull && col(cols(j)).isNull, 1L)
+          .otherwise(0L)).as(s"__b${i}_$j")
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.map { case (i, j) =>
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col("__n").as("n"), col(s"__a$i").as("null_a"),
+        col(s"__a$j").as("null_b"), col(s"__b${i}_$j").as("null_both"),
+        when(col(s"__a$i") > 0L && col(s"__a$j") > 0L,
+          graft.functions.Exact.longDiv(
+            // decimal(38,0): n_both·n·10⁶ overflows long at lake scale
+            col(s"__b${i}_$j").cast(
+              org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
+              * col("__n") * 1000000L,
+            col(s"__a$i").cast(
+              org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
+              * col(s"__a$j"))).as("lift_ppm"))
+    }
+    wide.select(explode(array(entries: _*)).as("__r"))
+      .select(col("__r.col_a"), col("__r.col_b"), col("__r.n"),
+        col("__r.null_a"), col("__r.null_b"), col("__r.null_both"),
+        col("__r.lift_ppm"))
+  }
+
   def presenceBitmap(df: DataFrame, keyCols: Seq[String], slotCol: Column,
       nSlots: Int): DataFrame = {
     require(nSlots >= 1 && nSlots <= 4096,

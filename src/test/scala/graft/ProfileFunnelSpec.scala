@@ -471,4 +471,46 @@ class ProfileFunnelSpec extends SparkSpec {
       (11L, 1L, 0L, 0L, false),  // early arrival: lateness floors at 0
       (12L, 1L, 1L, 3L, true)))  // 15 > 12: must re-run
   }
+
+  test("linearAttribution: in-window touches share credit by exact " +
+      "ppm, same-instant touches are excluded (strictly preceding), " +
+      "organic conversions keep a null-channel row") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", 1L, "click"), ("a", 2L, "view"), ("a", 3L, "click"),
+      ("a", 5L, "purchase"),
+      ("a", 5L, "click"),        // same instant as the purchase: no credit
+      ("a", 100L, "purchase"))   // organic: nothing within gap 10
+      .toDF("k", "ts", "t")
+    val got = Funnel.linearAttribution(ev, "k", "ts", "t",
+        Seq("click", "view"), "purchase", maxGap = 10L)
+      .orderBy("ts", "channel").collect()
+      .map(r => (r.getLong(1), Option(r.getString(2)), r.getLong(3),
+        r.getLong(4), Option(r.get(5))))
+    assert(got.toSeq == Seq(
+      (5L, Some("click"), 2L, 3L, Some(666666L)),
+      (5L, Some("view"), 1L, 3L, Some(333333L)),
+      (100L, None, 0L, 0L, None)))
+  }
+
+  test("missingnessMatrix: joint-null lift in exact ppm — subset " +
+      "missingness lifts above 1e6, and a never-null column yields " +
+      "null lift") {
+    import spark.implicits._
+    val df = Seq(
+      (Option.empty[Double], Option.empty[String], Option("x")),
+      (Option.empty[Double], Option("p"), Option("x")),
+      (Option(1.0), Option.empty[String], Option("x")),
+      (Option(2.0), Option("p"), Option("x")))
+      .toDF("v", "p", "t")
+    val got = Profile.missingnessMatrix(df, Seq("v", "p", "t"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          Option(r.get(6))))).toMap
+    // v,p: n=4, null_v=2, null_p=2, both=1 → lift 1·4·1e6/4 = 1e6
+    assert(got(("v", "p")) == ((4L, 2L, 2L, 1L, Some(1000000L))))
+    // t never nulls → lift null
+    assert(got(("v", "t")) == ((4L, 2L, 0L, 0L, None)))
+    assert(got(("p", "t")) == ((4L, 2L, 0L, 0L, None)))
+  }
 }
