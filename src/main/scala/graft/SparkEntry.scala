@@ -3273,6 +3273,16 @@ object SparkEntry {
         .orderBy(col("col_a"), col("col_b"))
     },
 
+    // X235 — top-5 customers + OTHER revenue share per priority (the
+    // share table whose rows sum to the group total)
+    "q245_top_n_other" -> { (s, dir) =>
+      graft.ops.Relational.topNWithOther(t(s, dir, "orders"),
+          Seq("o_orderpriority"), col("o_custkey"), col("o_totalprice"),
+          n = 5)
+        .orderBy(col("o_orderpriority"), col("share_ppm").desc,
+          col("item"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9242,5 +9252,38 @@ object SparkEntry {
         |      // (CAST(a1 AS HUGEINT) * a2) AS BIGINT) END
         |FROM w
         |ORDER BY col_a, col_b""".stripMargin,
+
+    "q245_top_n_other" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority,
+        |    CAST(o_custkey AS VARCHAR) AS item,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS vs,
+        |    CAST(count(*) AS BIGINT) AS nr
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY vs DESC, item) <= 5
+        |      THEN item ELSE '__OTHER__' END AS item,
+        |    vs, nr
+        |  FROM s
+        |), g AS (
+        |  SELECT o_orderpriority, item, sum(vs) AS vs,
+        |    CAST(sum(nr) AS BIGINT) AS n_rows
+        |  FROM r GROUP BY 1, 2
+        |), t2 AS (
+        |  SELECT o_orderpriority, item, vs, n_rows,
+        |    CAST(sum(CAST(vs * 100 AS HUGEINT))
+        |      OVER (PARTITION BY o_orderpriority) AS HUGEINT) AS totc
+        |  FROM g
+        |)
+        |SELECT o_orderpriority, item,
+        |  CAST(CAST(vs AS VARCHAR) AS DOUBLE) AS value_sum, n_rows,
+        |  CAST(CAST(vs * 100 AS HUGEINT) * 1000000 // totc AS BIGINT)
+        |    AS share_ppm
+        |FROM t2
+        |ORDER BY o_orderpriority, share_ppm DESC, item""".stripMargin,
   )
 }

@@ -1344,6 +1344,54 @@ object Relational {
       deltaCols: _*)
   }
 
+  /** Top-N + OTHER share rollup — the report/chart prep behind every
+    * "top 10 domains, rest as Other" table: per group, the N largest
+    * items by summed value keep their identity, everything else
+    * collapses into one `otherToken` row, and every output row carries
+    * its share of the group total in ppm (floor division — shares can
+    * undercount 10⁶ by at most |rows|−1 ppm; route through the
+    * largest-remainder proration when a report must sum exactly).
+    * [[topKPerGroup]] DROPS the tail; this KEEPS it as one accountable
+    * row — a share table whose VALUE rows don't sum to the total is a
+    * wrong chart.
+    * Ranking ties break by item (deterministic); the OTHER row sorts
+    * wherever its mass puts it.
+    *
+    * Exactness: per-item and OTHER sums accumulate in
+    * decimal(38,scale); `share_ppm` is an exact integral division of
+    * decimals; the value render is the decimal-string → double path.
+    *
+    * Scale shape: ONE map-side-combined aggregation to (group, item)
+    * grain is the only stage that sees row volume; the keep/collapse
+    * decision is a rank window over aggregate grain, the OTHER
+    * re-collapse and the group total both reuse the same group
+    * partitioning — one sort, no join back, no second data pass.
+    */
+  def topNWithOther(df: DataFrame, groupCols: Seq[String],
+      itemCol: Column, valueCol: Column, n: Int,
+      otherToken: String = "__OTHER__", scale: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val gs = groupCols.map(col)
+    val v = valueCol.cast(DecimalType(18, scale))
+    val sums = df.filter(itemCol.isNotNull && v.isNotNull)
+      .groupBy(gs :+ itemCol.cast("string").as("item"): _*)
+      .agg(sum(v).as("__vs"), count(lit(1)).as("__n"))
+    val w = Window.partitionBy(gs: _*)
+      .orderBy(col("__vs").desc, col("item"))
+    val relabeled = sums
+      .withColumn("item", when(row_number().over(w) <= n, col("item"))
+        .otherwise(lit(otherToken)))
+      .groupBy(gs :+ col("item"): _*)
+      .agg(sum(col("__vs")).as("__vs"), sum(col("__n")).as("n_rows"))
+    val wAll = Window.partitionBy(gs: _*)
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    relabeled
+      .withColumn("share_ppm", graft.functions.Exact.longDiv(
+        col("__vs") * lit(1000000L), sum(col("__vs")).over(wAll)))
+      .select(gs ++ Seq(col("item"), dbl(col("__vs")).as("value_sum"),
+        col("n_rows"), col("share_ppm")): _*)
+  }
+
   /** ABC / Pareto-share classification — the inventory-analysis
     * workhorse ("which 20% of SKUs carry 80% of revenue?"): per group,
     * rank items by summed value descending, accumulate the running

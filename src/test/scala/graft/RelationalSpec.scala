@@ -816,4 +816,28 @@ class RelationalSpec extends SparkSpec {
       (101L, 15.0, Some(500000L), None),
       (112L, 5.0, None, Some(-500000L))))
   }
+
+  test("topNWithOther: tail collapses into one accountable row, shares " +
+      "sum to the group total, boundary ties break by item") {
+    import spark.implicits._
+    val df = Seq(("g", "a", 50.0), ("g", "b", 30.0), ("g", "c", 15.0),
+      ("g", "d", 5.0),
+      // h: boundary tie at rank 1 between x and y (10 each) — item
+      // order keeps x, folds y
+      ("h", "x", 10.0), ("h", "y", 10.0)).toDF("k", "item", "v")
+    val got = Relational.topNWithOther(df, Seq("k"), col("item"),
+        col("v"), n = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("g", "a")) == ((50.0, 1L, 500000L)))
+    assert(got(("g", "__OTHER__")) == ((50.0, 3L, 500000L)))
+    assert(got(("h", "x")) == ((10.0, 1L, 500000L)))
+    assert(got(("h", "__OTHER__")) == ((10.0, 1L, 500000L)))
+    // these halves divide exactly, so the floor shares sum to 1e6
+    val sums = Relational.topNWithOther(df, Seq("k"), col("item"),
+        col("v"), n = 1)
+      .groupBy("k").agg(sum("share_ppm")).collect()
+      .map(_.getLong(1))
+    assert(sums.forall(_ == 1000000L))
+  }
 }
