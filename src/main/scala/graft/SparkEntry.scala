@@ -3283,6 +3283,18 @@ object SparkEntry {
           col("item"))
     },
 
+    // X236 — per-user consecutive-active-day streaks (presence, not
+    // volume: distinct day grain, slot − row_number island constant)
+    "q246_streaks" -> { (s, dir) =>
+      graft.ops.TimeSeries.activityStreaks(
+          events(s, dir).select(col("user_id"),
+            nsToMicros(col("ts_ns")).as("ts_us"))
+            .select(col("user_id"),
+              expr("ts_us div 86400000000").as("day")),
+          Seq("user_id"), col("day"))
+        .orderBy(col("user_id"), col("streak_start"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9285,5 +9297,21 @@ object SparkEntry {
         |    AS share_ppm
         |FROM t2
         |ORDER BY o_orderpriority, share_ppm DESC, item""".stripMargin,
+
+    "q246_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS slot
+        |  FROM events
+        |), i AS (
+        |  SELECT user_id, slot,
+        |    slot - row_number() OVER (PARTITION BY user_id
+        |      ORDER BY slot) AS isl
+        |  FROM d
+        |)
+        |SELECT user_id, min(slot) AS streak_start,
+        |  max(slot) AS streak_end, count(*) AS len
+        |FROM i GROUP BY user_id, isl
+        |ORDER BY user_id, streak_start""".stripMargin,
   )
 }

@@ -508,6 +508,40 @@ object TimeSeries {
         (col("__s") - col("__prev") - 1L).as("n_missing")): _*)
   }
 
+  /** Activity-streak table — the engagement metric behind "longest
+    * streak" badges and retention-risk flags: per key, collapse the
+    * DISTINCT active slots (days, weeks — any integer grid) into
+    * maximal consecutive runs and report each streak's bounds and
+    * length. Multiple events in one slot count once (streaks measure
+    * presence, not volume). Output: keys, `streak_start`,
+    * `streak_end`, `len` — one row per streak; the consumer's "longest"
+    * or "current as of slot s" is a max over this |streaks|-sized
+    * table.
+    *
+    * Scale shape: raw events collapse to DISTINCT (key, slot) grain in
+    * ONE map-side-combined aggregation (the only stage that sees event
+    * volume), then the classic slot − row_number() island constant
+    * groups consecutive runs — one key exchange, one sort, one
+    * aggregate at streak grain. No self-joins, no calendar spine
+    * needed (absence is implied by the arithmetic, not materialized).
+    */
+  def activityStreaks(df: DataFrame, keyCols: Seq[String],
+      slotCol: Column): DataFrame = {
+    val gs = keyCols.map(col)
+    val s = slotCol.cast("long")
+    val w = Window.partitionBy(gs: _*).orderBy(col("slot"))
+    df.filter(s.isNotNull)
+      .select(gs :+ s.as("slot"): _*)
+      .distinct()
+      .withColumn("__isl", col("slot") - row_number().over(w))
+      .groupBy(gs :+ col("__isl"): _*)
+      .agg(min(col("slot")).as("streak_start"),
+        max(col("slot")).as("streak_end"),
+        count(lit(1)).as("len"))
+      .select(gs ++ Seq(col("streak_start"), col("streak_end"),
+        col("len")): _*)
+  }
+
   /** Per-key time-weighted average of an IRREGULARLY sampled series —
     * the statistic a plain `avg` gets wrong whenever sampling density
     * correlates with the value (sensors report faster when something is

@@ -661,4 +661,17 @@ class TimeSeriesSpec extends SparkSpec {
         r.getLong(3)))
     assert(got.toSeq == Seq(("a", 3L, 4L, 2L), ("a", 6L, 8L, 3L)))
   }
+
+  test("activityStreaks: duplicate slots count once, runs split on " +
+      "gaps, singleton streaks survive") {
+    import spark.implicits._
+    val df = Seq(("u", 1L), ("u", 1L), ("u", 2L), ("u", 3L), ("u", 7L),
+      ("u", 8L), ("v", 5L)).toDF("k", "slot")
+    val got = TimeSeries.activityStreaks(df, Seq("k"), col("slot"))
+      .orderBy("k", "streak_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(("u", 1L, 3L, 3L), ("u", 7L, 8L, 2L),
+      ("v", 5L, 5L, 1L)))
+  }
 }
