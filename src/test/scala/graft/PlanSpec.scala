@@ -245,4 +245,43 @@ class PlanSpec extends SparkSpec {
       s"theilSenSlope should be one exchange, scan-local selection:\n" +
         ts.take(2500))
   }
+
+  test("session batch: abc/topN windows reuse the agg partitioning; " +
+      "linear attribution never self-joins; streaks are agg+window") {
+    import spark.implicits._
+    def shuffles(plan: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    val sales = (1 to 300).map(i => (i % 3, s"i${i % 40}", i.toDouble))
+      .toDF("g", "item", "v")
+    // abcClassify: item-grain agg + the cum/total windows — the window
+    // partitioning (g) is a prefix of the agg keys (g, item), so the
+    // whole plan is two hash exchanges and ONE sort, no join back
+    val abc = graft.ops.Relational.abcClassify(sales, Seq("g"),
+      col("item"), col("v")).queryExecution.executedPlan.toString
+    assert(shuffles(abc) <= 2 && !abc.contains("Join"),
+      s"abcClassify should be agg + windows, no join:\n${abc.take(2500)}")
+    // topNWithOther: agg → rank window → re-agg → share window, still
+    // no join and no more than the agg/window exchanges
+    val tn = graft.ops.Relational.topNWithOther(sales, Seq("g"),
+      col("item"), col("v"), 5).queryExecution.executedPlan.toString
+    assert(!tn.contains("Join"),
+      s"topNWithOther should not join back:\n${tn.take(2500)}")
+    // linearAttribution: the naive plan self-joins conversions against
+    // touches — this one must be ONE key exchange, RANGE-frame windows,
+    // and a literal explode, with no join node at all
+    val ev = (1 to 300).map(i =>
+      (i % 5, i.toLong, if (i % 4 == 0) "buy" else "click"))
+      .toDF("k", "ts", "t")
+    val la = graft.ops.Funnel.linearAttribution(ev, "k", "ts", "t",
+      Seq("click"), "buy", 50L).queryExecution.executedPlan.toString
+    assert(shuffles(la) == 1 && !la.contains("Join"),
+      s"linearAttribution must not self-join:\n${la.take(2500)}")
+    // activityStreaks: distinct + island window + streak agg — one
+    // sort, no join, exchanges only on the key grain
+    val st = graft.ops.TimeSeries.activityStreaks(
+      ev.select(col("k"), col("ts")), Seq("k"), col("ts"))
+      .queryExecution.executedPlan.toString
+    assert(!st.contains("Join"),
+      s"activityStreaks is agg + window only:\n${st.take(2500)}")
+  }
 }
