@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout through RAW instead of relaying it via
+// sbt's logger: the logger prefixes every line with "[info] ", which
+// breaks any consumer that json-parses the benchmark's final JSON line
+// (BENCH_r01–r07 all captured `[info] {"metric":...}` and parsed null).
+// Suppressing the "[success] Total time ..." epilogue makes that JSON
+// line the LAST line of output.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -28,6 +28,23 @@ object Bench {
       bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
   }
 
+  /** Drop ALL block-manager state a finished sample left behind — cached
+    * plans (`persist`) via the catalog, and `localCheckpoint` RDDs (which
+    * the cache manager does NOT track) via the RDD-level registry. Without
+    * this, a long one-JVM session accumulates every query's checkpoint
+    * blocks: VERDICT round 7 measured ~2× inflation on late-running
+    * queries in the driver's 246-query session vs the same commit fresh
+    * (q57 8.09 s aged vs 3.72 s fresh). Each sample should measure the
+    * query, not the session's age. Runs OUTSIDE the timed window.
+    */
+  private def clearState(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    // blocking: a fire-and-forget unpersist races spark.stop() at session
+    // end (RejectedExecutionException noise from the block-manager pool)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   /** Multi-site multi-wateryear corpus → one-plan aggregate → partitioned
     * lake write, at a given corpus scale (`filesPerSite` TOA5 files per
     * site; Aug 15 start rolls over the Oct 1 water-year boundary so
@@ -67,6 +84,7 @@ object Bench {
       // or stage-completed events still queued here are silently dropped
       org.apache.spark.graft.corebridge.drainListenerBus(spark.sparkContext)
       spark.sparkContext.removeSparkListener(meter)
+      clearState(spark)
       (sec, meter.bytes.get, s"$dir/lake$i")
     }
     val (sec, bytes, lake) = (1 to runs).map(one).minBy(_._1)
@@ -247,6 +265,7 @@ object Bench {
           org.apache.spark.graft.corebridge
             .drainListenerBus(spark.sparkContext)
           spark.sparkContext.removeSparkListener(meter)
+          clearState(spark)
           (sec, meter.bytes.get, obs.get("rows").asInstanceOf[Long])
         }
         // short points are scheduler-noise-dominated (±50% swings flipped
@@ -305,7 +324,9 @@ object Bench {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      clearState(spark) // outside the timer: the next sample starts clean
+      sec
     }
 
     // min of two timed runs: a single sample conflates steady-state cost

@@ -31,6 +31,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop cached plans + localCheckpoint blocks the query left behind
+      // — a 246-query single-JVM session otherwise accumulates them all
+      // (the Bench.clearState rationale; correctness is unaffected, this
+      // is memory hygiene for the long dump session)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -214,6 +214,50 @@ case class SlotMatchCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Greedy gap-throttle keep-scan over a SORTED long timestamp array as
+  * ONE JVM loop per row — the [[graft.ops.TimeSeries.throttleBatch]]
+  * kernel (keep iff ts ≥ last KEPT + minGap, first always kept). The
+  * prior `aggregate` HOF fold rebuilt the accumulator with
+  * `concat(acc, array(x))` per element — O(n²) interpreted work and
+  * allocation per group (~5·10⁹ element copies at the q215
+  * maxGroupSize of 100 000, in a single row evaluation); this is the
+  * [[graft.functions.WinnowFingerprints]] discipline: the sequential
+  * recursion runs as a primitive one-pass loop, O(n) total, zero boxed
+  * intermediates. CodegenFallback: one call per row, the loop is the
+  * work.
+  */
+case class GreedyThrottleKeep(child: Expression, minGapUs: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(minGapUs >= 1, s"minGapUs must be >= 1: $minGapUs")
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "greedy_throttle_keep"
+
+  override def nullSafeEval(input: Any): Any = {
+    val ts = input.asInstanceOf[ArrayData]
+    val n = ts.numElements()
+    val out = new Array[Long](n)
+    var k = 0
+    var last = 0L
+    var i = 0
+    while (i < n) {
+      val t = ts.getLong(i)
+      if (k == 0 || t >= last + minGapUs) { out(k) = t; k += 1; last = t }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GreedyThrottleKeep = copy(child = newChild)
+}
+
 /** IEEE-754 byte packing of a float vector — the storage-boundary
   * primitive for embedding columns at scale: a Spark `array<float>`
   * stores per-element headers and nullability; a `binary` of 4·d
@@ -325,4 +369,8 @@ object VectorExpressions {
   def slotMatchCount(a: Column, b: Column): Column =
     bridge.column(SlotMatchCount(
       bridge.expression(a), bridge.expression(b)))
+
+  /** Greedy keep-scan over a sorted long array (see [[GreedyThrottleKeep]]). */
+  def greedyThrottleKeep(sortedTs: Column, minGapUs: Long): Column =
+    bridge.column(GreedyThrottleKeep(bridge.expression(sortedTs), minGapUs))
 }

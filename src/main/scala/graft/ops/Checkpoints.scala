@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Storage hygiene for the iterative operators ([[Graph]],
+  * [[graft.ops.TimeSeries]] callers, loops generally): an eager
+  * `localCheckpoint` persists its internal RDD in the block manager, and
+  * `Dataset.unpersist()` does NOT free it — that call only uncaches
+  * plan-level `persist()` entries through the cache manager, so a loop
+  * that checkpoints per round accumulates every superseded round's blocks
+  * for the life of the session. Harmless for a one-job cluster run (the
+  * executors die with the job), but measured at ~2× late-query inflation
+  * in a long single-JVM session (VERDICT round 7: q57 8.09 s session-aged
+  * vs 3.72 s fresh on the same commit).
+  *
+  * [[release]] frees the blocks behind a checkpointed frame by
+  * unpersisting the `LogicalRDD`'s underlying RDD directly. Only call it
+  * once no un-materialized consumer remains: a local checkpoint TRUNCATES
+  * lineage, so a released frame cannot be recomputed — a later read fails
+  * instead of silently recomputing.
+  */
+private[graft] object Checkpoints {
+
+  /** Free the block-manager storage behind `localCheckpoint` frames
+    * (eager, or lazy ones already materialized by an action). Frames that
+    * are not checkpoint-backed fall back to a plain non-blocking
+    * `unpersist()`, so the call is safe on any frame whose storage should
+    * be dropped.
+    */
+  def release(dfs: Dataset[_]*): Unit = dfs.foreach { df =>
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => df.unpersist(blocking = false)
+    }
+  }
+}

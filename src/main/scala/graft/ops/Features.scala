@@ -1114,21 +1114,33 @@ object Features {
     * signal, [[giniGain]] treats it as a branch; collapsing it into
     * OTHER would conflate "absent" with "rare").
     *
+    * The collapsed column is RETYPED TO STRING whatever its input type
+    * (`otherToken` must live in the same domain as the surviving
+    * levels, and the downstream consumers — one-hot, target encoding —
+    * key on string levels anyway); callers needing the original type
+    * elsewhere should collapse a copy of the column.
+    *
     * Scale shape: the level histogram is one map-side-combined
     * aggregation per column, and the REPLACE joins against the KEPT
-    * list, not the rare list — kept levels number at most
-    * n/minCount (bounded by construction), so the join is always a
-    * broadcast hash join however long the rare tail is; the data is
-    * scanned once per column batch with no shuffle of the rows.
+    * list, not the rare list — kept levels number at most n/minCount,
+    * so with a production-sized `minCount` the join is a broadcast hash
+    * join however long the rare tail is. That bound is ONLY as strong
+    * as minCount: at lake scale a small minCount makes n/minCount
+    * arbitrarily large, and a forced broadcast of it is a driver OOM —
+    * pass `broadcastKept = false` there and take the shuffle hash join
+    * (kept-side exchange at kept-level grain; the rows still scan
+    * once per column).
     */
   def collapseRareLevels(df: DataFrame, cols: Seq[String],
-      minCount: Long, otherToken: String = "__OTHER__"): DataFrame = {
+      minCount: Long, otherToken: String = "__OTHER__",
+      broadcastKept: Boolean = true): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
     cols.foldLeft(df) { (d, c) =>
       val kept = d.filter(col(c).isNotNull)
         .groupBy(col(c).as("__lvl")).agg(count(lit(1)).as("__cnt"))
         .filter(col("__cnt") >= minCount).select(col("__lvl"))
-      d.join(broadcast(kept), d(c) === kept("__lvl"), "left")
+      val keptSide = if (broadcastKept) broadcast(kept) else kept
+      d.join(keptSide, d(c) === kept("__lvl"), "left")
         .withColumn(c, when(col(c).isNull, lit(null).cast("string"))
           .when(col("__lvl").isNotNull, col(c).cast("string"))
           .otherwise(lit(otherToken)))

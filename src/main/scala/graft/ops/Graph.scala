@@ -148,6 +148,7 @@ object Graph {
     // join (and the separate initial-labels materialization) entirely
     var labels: DataFrame = null
     var stable: DataFrame = null
+    var prevUpd: DataFrame = null
     var lastSum: java.math.BigDecimal = null
     var round = 0
     var converged = false
@@ -184,6 +185,12 @@ object Graph {
         } else upd.agg(decSum("lbl")).head.getDecimal(0)
       converged = (s == null && lastSum == null) ||
         (s != null && lastSum != null && s.compareTo(lastSum) == 0)
+      // the agg action above materialized THIS round's upd (reading the
+      // previous round's through the lazy halving join), so the previous
+      // round's checkpoint blocks have no remaining consumer — free them
+      // now instead of leaking one frame per round for the session's life
+      if (prevUpd != null) Checkpoints.release(prevUpd)
+      prevUpd = upd
       if (converged) {
         stable = upd
       } else {
@@ -203,6 +210,7 @@ object Graph {
       tlog(s"round $round done (sum=$s, converged=$converged)")
     }
     sym.unpersist()
+    Checkpoints.release(e0) // sym (its only consumer) is materialized
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds " +
@@ -332,6 +340,7 @@ object Graph {
     val dangling = nodes.join(deg, nodes("node") === deg("__src"),
       "left_anti").localCheckpoint(true)
     var ranks = nodes.select(col("node"), lit(C).as("rank_mass"))
+    var prevRanks: DataFrame = null
     for (_ <- 1 to iterations) {
       val dang = dangling.join(ranks, Seq("node"))
         .agg(coalesce(sum(col("rank_mass")), lit(0L)).as("__dang"))
@@ -351,8 +360,16 @@ object Graph {
               s"(1000000 * $n)") +
             coalesce(col("__m"), lit(0L))).cast("long").as("rank_mass"))
         .localCheckpoint(true)
+      // the eager checkpoint just read the previous round's ranks — its
+      // blocks have no remaining consumer (round-frame leak discipline,
+      // see [[Checkpoints]])
+      if (prevRanks != null) Checkpoints.release(prevRanks)
+      prevRanks = ranks
     }
     withDeg.unpersist()
+    // the final ranks frame is checkpointed, so nothing downstream reads
+    // these again — free their blocks instead of leaking them
+    Checkpoints.release(e, nodes, dangling)
     ranks
   }
 
@@ -382,7 +399,8 @@ object Graph {
     * once (localCheckpoint) for its three wedge-join consumers.
     */
   def triangleCounts(edges: DataFrame, aCol: String,
-      bCol: String): DataFrame = {
+      bCol: String, peelRounds: Int = 2): DataFrame = {
+    require(peelRounds >= 0, s"peelRounds must be >= 0: $peelRounds")
     val e = edges
       .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
         col(aCol) =!= col(bCol))
@@ -393,22 +411,94 @@ object Graph {
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint(true) // consumers: two orientation joins + output
+      .localCheckpoint(true) // consumers: round-1 peel filter + output
+    // 2-CORE PEEL before orienting: a degree-<2 vertex is in no triangle,
+    // and removing it only lowers other degrees — so up to `peelRounds`
+    // synchronous sub-2 removals (degree agg + two semi-joins each, all
+    // O(|E|) equi-plans) shrink the wedge join's input while preserving
+    // every triangle. Full 2-core convergence isn't required for
+    // correctness — each round is triangle-preserving on its own — so the
+    // round budget is a cost dial, not a semantic one; the loop also
+    // stops early when a round removes nothing (counts on materialized
+    // frames are metadata-cheap jobs).
+    var core = e
+    var coreDeg = deg
+    var nEdges = e.count()
+    var spent = List.empty[DataFrame] // released once `o` materializes
+    var r = 0
+    var stable = false
+    while (r < peelRounds && !stable) {
+      // gate each round on a sub-2 vertex EXISTING — the check is a tiny
+      // aggregate over the (checkpointed, |V|-sized) degree frame, so a
+      // graph with no peelable vertices (dense co-occurrence projections:
+      // the sf0.1 order×part graph's MINIMUM degree is 38) pays ~nothing,
+      // where unconditionally running the round would re-shuffle the full
+      // edge list through two semi-joins for zero removals
+      if (coreDeg.filter(col("degree") < 2).limit(1).count() == 0L)
+        stable = true
+      else {
+        val keep = coreDeg.filter(col("degree") >= 2)
+          .select(col("node"))
+          .localCheckpoint(true) // consumed by both semi-joins
+        val next = core
+          .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+        nEdges = next.count()
+        spent ::= keep
+        if (core ne e) spent ::= core
+        if (coreDeg ne deg) spent ::= coreDeg
+        core = next
+        coreDeg = core.select(col("a").as("node"))
+          .union(core.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+          .localCheckpoint(true) // consumers: gate + next peel OR orientation
+      }
+      r += 1
+    }
+    // width for the oriented table: the wedge self-join EXPANDS each src
+    // partition by ~avg out-degree (up to O(√m)), so unlike the iterative
+    // loops this layout must fill the execution even for small edge
+    // frames — floor at the core count, grow with edge volume
+    val sc = edges.sparkSession.sparkContext
+    val pO = math.min(4096L, math.max(sc.defaultParallelism.toLong,
+      nEdges / 262144L)).toInt
     val lower = struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
-    val o = e
-      .join(deg.select(col("node").as("a"), col("degree").as("__da")),
+    // partitioned + sorted on src at materialization: BOTH wedge sides
+    // read that layout, so the self-join needs no exchange and no sort
+    val o = core
+      .join(coreDeg.select(col("node").as("a"), col("degree").as("__da")),
         Seq("a"))
-      .join(deg.select(col("node").as("b"), col("degree").as("__db")),
+      .join(coreDeg.select(col("node").as("b"), col("degree").as("__db")),
         Seq("b"))
       .select(when(lower, col("a")).otherwise(col("b")).as("src"),
         when(lower, col("b")).otherwise(col("a")).as("dst"),
         when(lower, col("__db")).otherwise(col("__da")).as("__dd"))
+      .repartition(pO, col("src"))
+      .sortWithinPartitions(col("src"))
       .localCheckpoint(true) // consumers: both wedge sides + closing edge
+    // every peel intermediate (and e itself — deg and o are separately
+    // checkpointed) is fully consumed now; free the blocks instead of
+    // leaking one frame per round (see [[Checkpoints]])
+    if (core ne e) spent ::= core
+    if (coreDeg ne deg) spent ::= coreDeg
+    Checkpoints.release(e :: spent.distinct: _*)
+    // closing-edge probe: the wedge stream is the EXPANDED side (Σ d_out²
+    // rows — ~60× the edge list on the sf0.1 projection), so shuffling it
+    // into a sort-merge join on (v, w) sorts tens of millions of rows to
+    // probe a million-row table. When the oriented edge list fits a
+    // broadcast (≤ ~4M rows ≈ 64 MB packed), hash-probe it INSIDE the
+    // wedge stage instead — the wedge stream never hits an exchange.
+    // Past that, the shuffled join is the scale-correct fallback (a
+    // 10⁹-edge graph's edge list must not land on one executor's heap).
+    val closing = o.select(col("src").as("v"), col("dst").as("w"))
+    val closingSide =
+      if (nEdges <= 4000000L) broadcast(closing) else closing
     val tris = o.select(col("src"), col("dst").as("v"), col("__dd").as("__dv"))
       .join(o.select(col("src"), col("dst").as("w"), col("__dd").as("__dw")),
         Seq("src"))
       .filter(struct(col("__dv"), col("v")) < struct(col("__dw"), col("w")))
-      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .join(closingSide, Seq("v", "w"))
     val cnt = tris
       .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
@@ -514,6 +604,9 @@ object Graph {
         .localCheckpoint(true)
       val m = next.count()
       converged = m == n
+      // next is materialized (eager checkpoint); the superseded round's
+      // frame has no remaining consumer (see [[Checkpoints]])
+      Checkpoints.release(sym)
       sym = next
       n = m
       rounds += 1
@@ -629,6 +722,7 @@ object Graph {
     var round = 0
     var remaining = cur.filter(!col("done")).count()
     while (remaining > 0 && round < maxRounds) {
+      val prev = cur
       val anc = cur.select(col("id").as("__aid"), col("anc").as("__aanc"),
         col("dist").as("__adist"), col("done").as("__adone"))
       cur = cur.repartition(p, col("anc"))
@@ -642,6 +736,10 @@ object Graph {
           (col("done") || (col("__aid").isNotNull && col("__adone")))
             .as("done"))
         .localCheckpoint(true)
+      // the doubling round's eager checkpoint read the previous cursor
+      // frame from both sides of the self-join; free its blocks now
+      // instead of accumulating one frame per round (see [[Checkpoints]])
+      Checkpoints.release(prev)
       remaining = cur.filter(!col("done")).count()
       round += 1
     }

@@ -511,30 +511,36 @@ object Profile {
     * data is scanned (the [[graft.io.LakeLayout.fileOrderAudit]]
     * precedent: footers, not rows), so the audit is free at any scale.
     * Name matching is case-sensitive (Spark's resolution default);
-    * nullability is reported, not judged (relaxing it is usually
-    * legal, tightening usually isn't — a policy for the caller).
+    * nullability is REPORTED (`expected_nullable` / `actual_nullable`,
+    * null where the side is absent), not judged — it never flips
+    * `status` (relaxing it is usually legal, tightening usually isn't —
+    * a policy for the caller, who has both flags in the row).
     */
   def schemaDrift(spark: org.apache.spark.sql.SparkSession,
       expected: org.apache.spark.sql.types.StructType,
       actual: org.apache.spark.sql.types.StructType): DataFrame = {
     val actualMap = actual.fields.map(f => f.name -> f).toMap
     val expectedNames = expected.fieldNames.toSet
+    def jb(b: Boolean): java.lang.Boolean = java.lang.Boolean.valueOf(b)
     val rows = expected.fields.toSeq.map { ef =>
       actualMap.get(ef.name) match {
         case None =>
-          (ef.name, "missing", ef.dataType.simpleString, null: String)
+          (ef.name, "missing", ef.dataType.simpleString, null: String,
+            jb(ef.nullable), null: java.lang.Boolean)
         case Some(af) if af.dataType != ef.dataType =>
           (ef.name, "type_changed", ef.dataType.simpleString,
-            af.dataType.simpleString)
+            af.dataType.simpleString, jb(ef.nullable), jb(af.nullable))
         case Some(af) =>
           (ef.name, "ok", ef.dataType.simpleString,
-            af.dataType.simpleString)
+            af.dataType.simpleString, jb(ef.nullable), jb(af.nullable))
       }
     } ++ actual.fields.toSeq.filterNot(f => expectedNames(f.name))
       .map(af => (af.name, "extra", null: String,
-        af.dataType.simpleString))
+        af.dataType.simpleString, null: java.lang.Boolean,
+        jb(af.nullable)))
     import spark.implicits._
-    rows.toDF("column_name", "status", "expected_type", "actual_type")
+    rows.toDF("column_name", "status", "expected_type", "actual_type",
+      "expected_nullable", "actual_nullable")
   }
 
   /** Missingness co-occurrence matrix — [[profileColumns]] counts

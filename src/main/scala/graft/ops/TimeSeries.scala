@@ -405,12 +405,14 @@ object TimeSeries {
     * The kept set is inherently a sequential recursion (kept(i) depends
     * on every prior keep decision — no window frame or closed form
     * expresses it), so each key's timestamps collect into a sorted,
-    * size-guarded array and the greedy fold runs ROW-LOCALLY as one
-    * `aggregate` HOF — the [[graft.ops.Features.theilSenSlope]]
-    * small-groups pattern, contract enforced in-plan by a raise at
-    * `maxGroupSize` (a silently truncated history would emit a
-    * plausible-looking wrong kept set). For unbounded per-key streams
-    * use the streaming throttle — state there is O(1) per key.
+    * size-guarded array and the greedy keep-scan runs ROW-LOCALLY as
+    * ONE native O(n) loop ([[graft.functions.GreedyThrottleKeep]] — the
+    * WinnowFingerprints discipline; the earlier `aggregate` HOF fold
+    * copied the accumulator per element, O(n²) per group), contract
+    * enforced in-plan by a raise at `maxGroupSize` (a silently
+    * truncated history would emit a plausible-looking wrong kept set).
+    * For unbounded per-key streams use the streaming throttle — state
+    * there is O(1) per key.
     *
     * Scale shape: ONE exchange to key grain (map-side combine collapses
     * nothing — every timestamp is needed — but the shuffle carries
@@ -431,11 +433,11 @@ object TimeSeries {
           lit(s"throttleBatch: group exceeds maxGroupSize=$maxGroupSize: "),
           size(col("__ts")).cast("string"))))
           .otherwise(col("__ts")))
-    val kept = aggregate(col("__ts"),
-      typedLit(Array.empty[Long]),
-      (acc, x) => when(size(acc) === 0 ||
-          x >= element_at(acc, -1) + minGapUs,
-        concat(acc, array(x))).otherwise(acc))
+    // native one-pass keep-scan (see [[graft.functions.GreedyThrottleKeep]]):
+    // the aggregate() HOF formulation copied the accumulator array per
+    // element — O(n²) interpreted work per group
+    val kept = graft.functions.VectorExpressions
+      .greedyThrottleKeep(col("__ts"), minGapUs)
     grouped.select(gs :+ explode(kept).as("ts_kept"): _*)
   }
 
@@ -464,8 +466,13 @@ object TimeSeries {
     require(stepUs >= 1, s"stepUs must be >= 1: $stepUs")
     val gs = keyCols.map(col)
     val ts = tsUs.cast("long")
-    val anchor = graft.functions.Exact.longDiv(ts + stepUs / 2, stepUs) *
-      stepUs
+    // FLOOR-multiple via pmod, not truncating IntegralDivide: for
+    // pre-epoch (negative) timestamps truncation rounds the anchor
+    // toward zero — a half-step mis-assignment that diverges from the
+    // documented ⌊(ts + step/2)/step⌋ contract (and from floor-division
+    // engines); t − pmod(t, step) is the floor multiple for any sign
+    val shifted = ts + stepUs / 2
+    val anchor = shifted - pmod(shifted, lit(stepUs))
     df.filter(ts.isNotNull)
       .select(gs ++ Seq(ts.as("__ts"), anchor.as("anchor_us"),
         tie.as("__tie"), valueCol.as("__v")): _*)

@@ -440,20 +440,26 @@ class ProfileFunnelSpec extends SparkSpec {
   }
 
   test("schemaDrift: ok / type_changed / missing / extra statuses, " +
-      "contract order first, metadata only") {
+      "contract order first, nullability reported not judged, " +
+      "metadata only") {
     import org.apache.spark.sql.types._
     val expected = StructType(Seq(StructField("a", LongType),
       StructField("b", StringType), StructField("c", DoubleType)))
-    val actual = StructType(Seq(StructField("a", LongType),
+    val actual = StructType(Seq(
+      StructField("a", LongType, nullable = false),
       StructField("b", IntegerType), StructField("d", StringType)))
     val got = Profile.schemaDrift(spark, expected, actual)
       .collect().map(r => (r.getString(0), r.getString(1),
-        Option(r.getString(2)), Option(r.getString(3))))
+        Option(r.getString(2)), Option(r.getString(3)),
+        Option(r.get(4)).map(_.asInstanceOf[Boolean]),
+        Option(r.get(5)).map(_.asInstanceOf[Boolean])))
     assert(got.toSeq == Seq(
-      ("a", "ok", Some("bigint"), Some("bigint")),
-      ("b", "type_changed", Some("string"), Some("int")),
-      ("c", "missing", Some("double"), None),
-      ("d", "extra", None, Some("string"))))
+      // a: nullability tightened live — reported, status stays ok
+      ("a", "ok", Some("bigint"), Some("bigint"), Some(true), Some(false)),
+      ("b", "type_changed", Some("string"), Some("int"), Some(true),
+        Some(true)),
+      ("c", "missing", Some("double"), None, Some(true), None),
+      ("d", "extra", None, Some("string"), None, Some(true))))
   }
 
   test("reprocessPlan: only post-cutoff arrivals trigger re-runs; " +
