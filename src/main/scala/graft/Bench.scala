@@ -191,10 +191,17 @@ object Bench {
             shingleN = 1, threshold = 0.5, maxBlockSize = Int.MaxValue),
           "id_a", "id_b"))
       },
+      // kNN join now measured through the ADAPTIVE ladder at IDENTICAL
+      // parameters per scale (r7 item 6: the fixed-plane variant needed
+      // its planes knob hand-scaled with log₄(n) — embsAt's second
+      // component — which is exactly the retuning the ladder exists to
+      // eliminate; label kept for round-over-round comparability, r8+
+      // numbers measure knnJoinLshAdaptive)
       "q43_knn_join" -> { scale =>
-        val (e, planes) = embsAt(scale)
-        Similarity.knnJoinLsh(e, "embedding", "vec_id",
-          dims = 64, k = 3, planes = planes)
+        val (e, _) = embsAt(scale)
+        Similarity.knnJoinLshAdaptive(e, "embedding", "vec_id",
+          dims = 64, k = 3, basePlanes = 4, maxPlanes = 16,
+          bucketCap = 512)
       },
       "q51_edit_distance" -> { scale =>
         val c = docsAt(scale)

@@ -3295,6 +3295,19 @@ object SparkEntry {
         .orderBy(col("user_id"), col("streak_start"))
     },
 
+    // X237 — occupancy-adaptive kNN join: the q43 LSH kNN with the X94
+    // ladder instead of a hand-scaled planes knob — candidate volume
+    // bounded by n·bucketCap/2 at FIXED parameters (the no-retuning
+    // scale path); cap 24 forces refinement past the 4-bit base on the
+    // sf corpus so the oracle exercises the whole ladder
+    "q247_knn_adaptive" -> { (s, dir) =>
+      graft.similarity.Similarity.knnJoinLshAdaptive(
+          t(s, dir, "embeddings"), "embedding", "vec_id",
+          dims = 64, k = 3, basePlanes = 4, maxPlanes = 16,
+          bucketCap = 24)
+        .orderBy(col("id_a"), col("rank"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9297,6 +9310,59 @@ object SparkEntry {
         |    AS share_ppm
         |FROM t2
         |ORDER BY o_orderpriority, share_ppm DESC, item""".stripMargin,
+
+    // q106's occupancy-ladder CTEs (16-bit code, histogram, first depth
+    // whose prefix bucket holds <= cap) with q43's directed ranking
+    "q247_knn_adaptive" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), codes AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_transform(generate_series(0, 15), j ->
+        |      CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
+        |          v[i + 1] * (CAST((j * 73856093 + i * 19349663) % 10007
+        |                      AS DOUBLE) / 10007.0 - 0.5)),
+        |        (a, b) -> a + b) >= 0
+        |      THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END),
+        |      (a, b) -> a + b) AS code
+        |  FROM e
+        |), ladder AS (
+        |  SELECT unnest([4, 6, 8, 10, 12, 14]) AS d
+        |), hist AS (
+        |  SELECT d, code % (CAST(1 AS BIGINT) << d) AS k, count(*) AS c
+        |  FROM codes, ladder GROUP BY 1, 2
+        |), vdepth AS (
+        |  SELECT c.vec_id, coalesce(min(h.d), 16) AS depth
+        |  FROM codes c LEFT JOIN hist h
+        |    ON h.c <= 24 AND h.k = c.code % (CAST(1 AS BIGINT) << h.d)
+        |  GROUP BY c.vec_id
+        |), assigned AS (
+        |  SELECT codes.vec_id, v, depth,
+        |    code % (CAST(1 AS BIGINT) << depth) AS bk
+        |  FROM codes JOIN vdepth USING (vec_id)
+        |), scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(list_zip(a.v, b.v),
+        |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (x, y) -> x + y) AS dp,
+        |    sqrt(list_reduce(list_transform(a.v, x -> x * x),
+        |      (x, y) -> x + y)) AS na,
+        |    sqrt(list_reduce(list_transform(b.v, x -> x * x),
+        |      (x, y) -> x + y)) AS nb
+        |  FROM assigned a JOIN assigned b
+        |    ON a.depth = b.depth AND a.bk = b.bk AND a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT id_a, id_b,
+        |    round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
+        |          ELSE 0.0 END, 6) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY id_a ORDER BY
+        |      round(CASE WHEN na > 0 AND nb > 0 THEN dp / (na * nb)
+        |            ELSE 0.0 END, 6) DESC, id_b) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT id_a, id_b, cos, rank FROM ranked WHERE rank <= 3
+        |ORDER BY id_a, rank""".stripMargin,
 
     "q246_streaks" ->
       """WITH d AS (

@@ -1,0 +1,281 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Micro-bench events (top-level: MemoryStream needs product encoders). */
+final case class SBKeyed(key: String, tsUs: Long, id: Long)
+final case class SBTimed(site: String, ts: Timestamp, user: Long,
+    value: Double)
+final case class SBConv(user: String, cts: Timestamp)
+final case class SBTouch(tuser: String, tts: Timestamp, channel: String)
+
+/** Streaming micro-bench: rows/sec through `MemoryStream` for every
+  * `graft.streaming` operator — the regression visibility tier the batch
+  * board has had since round 1 (each batch operator carries a BENCHLOG
+  * row; until this, a stateful-path slowdown in StreamingThrottle or
+  * StreamingGaps was invisible to any measurement). One JSON line:
+  * `{"metric":"stream","rows_per_sec":{...},"rows":{...},"sec":{...}}`.
+  *
+  * Method: each case drives its operator end-to-end — source batches via
+  * `addData` + `processAllAvailable` (micro-batch boundaries included:
+  * state store commit cost is part of the operator, not noise), noop
+  * sink so nothing accumulates driver-side. Wall time covers query start
+  * to last batch drain; rows/sec = input rows / wall. Numbers are
+  * single-machine `local[n]` throughputs for ROUND-OVER-ROUND comparison
+  * (the BENCHLOG contract), not cluster capacity claims.
+  */
+object StreamBench {
+
+  private val chunks = 4
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rowsPerCase =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "240000").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val nKeys = 200
+    val baseMs = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+    def keyed(i: Int): SBKeyed =
+      SBKeyed(s"k${i % nKeys}", (i / nKeys).toLong * 1000L + i % 7, i.toLong)
+    def timed(i: Int): SBTimed =
+      SBTimed(s"s${i % nKeys}", new Timestamp(baseMs + i.toLong * 20L),
+        (i % 1000).toLong, (i % 97).toDouble)
+
+    /** Drive `mk`'s streaming Dataset through a noop sink, feeding
+      * `feed(chunk)` per micro-batch; returns rows fed.
+      */
+    def drive[T](name: String,
+        mode: org.apache.spark.sql.streaming.OutputMode)(
+        mk: MemoryStream[T] => DataFrame)(
+        feed: (MemoryStream[T], Int) => Int)(
+        implicit e: org.apache.spark.sql.Encoder[T]): (String, Long, Double) = {
+      val in = MemoryStream[T]
+      val q = mk(in).writeStream.format("noop").outputMode(mode).start()
+      val t0 = System.nanoTime()
+      var fed = 0L
+      var c = 0
+      while (c < chunks) { fed += feed(in, c); q.processAllAvailable(); c += 1 }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.err.println(f"[streambench] $name%-22s $fed%8d rows " +
+        f"$sec%7.2f s  ${fed / sec}%,.0f rows/s")
+      (name, fed, sec)
+    }
+
+    def feedKeyed(in: MemoryStream[SBKeyed], c: Int): Int = {
+      val n = rowsPerCase / chunks
+      in.addData((0 until n).map(j => keyed(c * n + j)))
+      n
+    }
+    def feedTimed(in: MemoryStream[SBTimed], c: Int): Int = {
+      val n = rowsPerCase / chunks
+      in.addData((0 until n).map(j => timed(c * n + j)))
+      n
+    }
+
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Double)]
+
+    // ---- flatMapGroupsWithState / mapGroupsWithState family ----------
+    results += drive[SBKeyed]("throttle",
+      streaming.StreamingThrottle.outputMode) { in =>
+      streaming.StreamingThrottle.throttle(in.toDS().groupByKey(_.key),
+        (e: SBKeyed) => e.tsUs, (e: SBKeyed) => e.id,
+        windowUs = 5000L).toDF()
+    }(feedKeyed _)
+
+    results += drive[SBKeyed]("stateful_dedup",
+      streaming.StatefulDedup.outputMode) { in =>
+      streaming.StatefulDedup.keepBest(
+        in.toDS().groupByKey(e => (e.key, e.tsUs / 60000000L)),
+        (a: SBKeyed, b: SBKeyed) => if (a.id <= b.id) a else b).toDF()
+    }(feedKeyed _)
+
+    results += drive[SBKeyed]("gaps",
+      streaming.StreamingGaps.outputMode) { in =>
+      // seq jumps a 2-wide hole every 100 events per key
+      streaming.StreamingGaps.monitor(in.toDS().groupByKey(_.key),
+        (e: SBKeyed) => { val s = e.id / nKeys; s + 2L * (s / 100L) }).toDF()
+    }(feedKeyed _)
+
+    results += drive[SBKeyed]("lateness",
+      streaming.StreamingLateness.outputMode) { in =>
+      streaming.StreamingLateness.monitor(in.toDS().groupByKey(_.key)
+        // every 50th event replays 10 s behind the key's frontier
+        .mapValues(e => if (e.id % 50 == 0) e.tsUs - 10000000L else e.tsUs))
+        .toDF()
+    }(feedKeyed _)
+
+    results += drive[SBKeyed]("heavy_hitters",
+      streaming.StreamingHeavyHitters.outputMode) { in =>
+      // skewed tokens: half the stream on 3 hot items, rest spread
+      streaming.StreamingHeavyHitters.monitor(
+        in.toDS().groupByKey(_.key).mapValues(e =>
+          if (e.id % 2 == 0) s"hot${e.id % 3}" else s"t${e.id % 500}"),
+        k = 8).toDF()
+    }(feedKeyed _)
+
+    results += drive[SBKeyed]("concurrency",
+      streaming.StreamingConcurrency.outputMode) { in =>
+      streaming.StreamingConcurrency.monitor(
+        in.toDS().groupByKey(_.key)
+          .mapValues(e => (e.tsUs, e.tsUs + 1500L))).toDF()
+    }(feedKeyed _)
+
+    results += drive[SBTimed]("sessionize",
+      streaming.StreamingSessionize.outputMode) { in =>
+      streaming.StreamingSessionize.sessions(
+        in.toDS().withWatermark("ts", "0 seconds").groupByKey(_.user),
+        (e: SBTimed) => e.ts.getTime * 1000L,
+        (e: SBTimed) => e.value,
+        gapMs = 1000L).toDF()
+    }(feedTimed _)
+
+    // ---- watermarked aggregation / join family -----------------------
+    results += drive[SBTimed]("rollup",
+      org.apache.spark.sql.streaming.OutputMode.Append) { in =>
+      streaming.StreamingRollup.tumbling(in.toDF(), "ts", "1 minute",
+        "30 seconds", Seq("site"), col("value"))
+    }(feedTimed _)
+
+    results += drive[SBTimed]("windowed_distinct",
+      org.apache.spark.sql.streaming.OutputMode.Append) { in =>
+      streaming.StreamingDistinct.windowedDistinct(in.toDF(), "ts",
+        "1 minute", "30 seconds", Seq("site"), col("user"))
+    }(feedTimed _)
+
+    results += drive[SBTimed]("checksum",
+      org.apache.spark.sql.streaming.OutputMode.Complete) { in =>
+      streaming.StreamingChecksum.digest(in.toDF(), Seq("site"),
+        Seq("user", "value"))
+    }(feedTimed _)
+
+    // stream-stream interval join: conversions stream drives, one touch
+    // per 4 conversions within the lag window
+    locally {
+      val touches = MemoryStream[SBTouch]
+      results += drive[SBConv]("interval_join",
+      org.apache.spark.sql.streaming.OutputMode.Append) {
+        convs =>
+        streaming.StreamingEnrich.intervalJoin(convs.toDF(),
+          touches.toDF(), "user", "tuser", "cts", "tts",
+          lagSeconds = 60, watermark = "10 seconds")
+      } { (convs, c) =>
+        val n = rowsPerCase / chunks
+        touches.addData((0 until n / 4).map { j =>
+          val i = c * n + j * 4
+          SBTouch(s"u${i % nKeys}", new Timestamp(baseMs + i.toLong * 20L),
+            "ch")
+        })
+        convs.addData((0 until n).map { j =>
+          val i = c * n + j
+          SBConv(s"u${i % nKeys}",
+            new Timestamp(baseMs + i.toLong * 20L + 1000L))
+        })
+        n + n / 4
+      }
+    }
+
+    // ---- foreachBatch pipelines --------------------------------------
+    // near-dup screening: synthetic 2k-doc corpus, stream probes against
+    // its band table (LSH join + exact verify per micro-batch)
+    locally {
+      // 4096-token vocabulary: corpus docs are mutually novel, so only
+      // the PLANTED stream dups alert (a 12-word vocab made every doc a
+      // near-dup of every other and benchmarked alert fan-out instead)
+      def docText(i: Long): String =
+        (0 until 8).map(j =>
+          "w" + (((i * 2654435761L + j * 40503L) >>> 4) % 4096L))
+          .mkString(" ")
+      val corpus = (0L until 2000L).map(i => (i, docText(i)))
+        .toDF("doc_id", "text")
+      val corpusBands = dedup.Dedup.minhashBands(corpus, "text", "doc_id",
+        shingleN = 2, numHashes = 32, bands = 16).localCheckpoint(true)
+      val in = MemoryStream[(Long, String)]
+      val nDocs = math.max(400, rowsPerCase / 100)
+      var alerts = 0L
+      val t0 = System.nanoTime()
+      val q = streaming.StreamingDedup.run(
+        in.toDF().toDF("doc_id", "text"), corpusBands, corpus,
+        "text", "doc_id", shingleN = 2, numHashes = 32, bands = 16,
+        threshold = 0.5,
+        // NOT the AvailableNow default: that trigger drains what exists
+        // at start and TERMINATES, silently skipping later chunks
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+        onAlerts = (a: DataFrame, _: Long) => alerts += a.count())
+      var c = 0
+      while (c < chunks) {
+        val n = nDocs / chunks
+        in.addData((0 until n).map { j =>
+          val i = (c * n + j).toLong
+          // every 3rd probe is a planted near-dup of a corpus doc (one
+          // word swapped); the rest are novel
+          if (i % 3 == 0)
+            (100000L + i, docText(i % 2000) + " swapped")
+          else (100000L + i, docText(1000000L + i))
+        })
+        q.processAllAvailable()
+        c += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      corpusBands.unpersist()
+      val fed = (nDocs / chunks).toLong * chunks
+      System.err.println(f"[streambench] dedup_screen          $fed%8d rows " +
+        f"$sec%7.2f s  ${fed / sec}%,.0f rows/s ($alerts alerts)")
+      results += (("dedup_screen", fed, sec))
+    }
+
+    // TOA5 file-stream merge: files land, each batch merges into the
+    // running grid (the flagship's streaming variant)
+    locally {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-streambench").toString
+      val files = testkit.Toa5Fixture.writeMet(dir, nFiles = 12,
+        rowsPerFile = 960)
+      var state: Option[DataFrame] = None
+      val t0 = System.nanoTime()
+      val q = streaming.StreamingMerge.run(spark, dir,
+        schema.Schemas.metRaw, stepSeconds = 15 * 60,
+        mergeBatch = (batch, _) => {
+          val merged = streaming.StreamingMerge.finalize(state, batch,
+            15 * 60)
+          state = Some(merged.localCheckpoint(true))
+        },
+        maxFilesPerTrigger = 2)
+      q.processAllAvailable()
+      q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val fed = files.length.toLong * 960L
+      state.foreach(_.unpersist())
+      System.err.println(f"[streambench] file_merge            $fed%8d rows " +
+        f"$sec%7.2f s  ${fed / sec}%,.0f rows/s")
+      results += (("file_merge", fed, sec))
+    }
+
+    def jmap(f: ((String, Long, Double)) => String): String =
+      results.map(f).mkString("{", ",", "}")
+    println(s"""{"metric":"stream","rows_per_sec":${jmap { case (n, r, s) =>
+      s""""$n":${(r / s).toLong}""" }},"rows":${jmap { case (n, r, _) =>
+      s""""$n":$r""" }},"sec":${jmap { case (n, _, s) =>
+      s""""$n":${f"$s%.2f"}""" }}}""")
+    spark.stop()
+  }
+}

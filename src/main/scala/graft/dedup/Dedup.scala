@@ -683,44 +683,10 @@ object Dedup {
       idCol: String, dims: Int, basePlanes: Int = 4, maxPlanes: Int = 16,
       bucketCap: Int = 512, threshold: Double = 0.9): DataFrame = {
     import graft.similarity.Similarity
-    require(basePlanes >= 1 && basePlanes <= maxPlanes && maxPlanes <= 62,
-      s"embeddingNearDupsAdaptive: need 1 <= basePlanes <= maxPlanes " +
-        s"<= 62, got ($basePlanes, $maxPlanes)")
-    require((maxPlanes - basePlanes) % 2 == 0,
-      s"embeddingNearDupsAdaptive: ladder steps by 2, so maxPlanes - " +
-        s"basePlanes must be even: got ($basePlanes, $maxPlanes)")
-    require(bucketCap > 0,
-      s"embeddingNearDupsAdaptive: bucketCap must be > 0: $bucketCap")
-    // depths that can STOP a vector early; maxPlanes is the floor
-    val ladder = basePlanes until maxPlanes by 2
-    val b = df.select(col(idCol),
-        Similarity.asDouble(col(vecCol)).as("__vd"))
-      .select(col(idCol), col("__vd"),
-        Similarity.lshBucket(col("__vd"), dims, maxPlanes).as("__code"),
-        Similarity.l2Norm(col("__vd")).as("__norm"))
-    val hist = b.select(explode(array(ladder.map(d =>
-        struct(lit(d).as("__d"),
-          col("__code").bitwiseAND(lit((1L << d) - 1)).as("__k"))): _*))
-        .as("__dk"))
-      .select(col("__dk.__d").as("__d"), col("__dk.__k").as("__k"))
-      .groupBy(col("__d"), col("__k")).agg(count(lit(1)).as("__c"))
-    // per-depth counts ride broadcast joins onto the vector stream — the
-    // histogram is bucket-grain, the vectors never shuffle for this
-    var cur = b
-    for (d <- ladder) {
-      val h = broadcast(hist.filter(col("__d") === d)
-        .select(col("__k").as(s"__k$d"), col("__c").as(s"__c$d")))
-      cur = cur.join(h,
-        cur("__code").bitwiseAND(lit((1L << d) - 1)) === h(s"__k$d"))
-    }
-    val depth = ladder.foldRight(lit(maxPlanes): Column)((d, deeper) =>
-      when(col(s"__c$d") <= bucketCap, lit(d)).otherwise(deeper))
-    val bk = ladder.foldRight(
-        col("__code").bitwiseAND(lit((1L << maxPlanes) - 1)): Column)(
-      (d, deeper) => when(col(s"__c$d") <= bucketCap,
-        col("__code").bitwiseAND(lit((1L << d) - 1))).otherwise(deeper))
-    val assigned = cur.select(col(idCol), col("__vd"), col("__norm"),
-      depth.as("__depth"), bk.as("__bk"))
+    // the (depth, prefix) leaf assignment is the shared ladder —
+    // Similarity.adaptiveBuckets (also behind knnJoinLshAdaptive)
+    val assigned = Similarity.adaptiveBuckets(df, vecCol, idCol, dims,
+      basePlanes, maxPlanes, bucketCap)
     val l = assigned.select(col(idCol).as("id_a"), col("__vd").as("__va"),
       col("__depth"), col("__bk"), col("__norm").as("__na"))
     val r = assigned.select(col(idCol).as("id_b"), col("__vd").as("__vb"),

@@ -188,6 +188,94 @@ object Similarity {
     rankNeighbors(cand, k)
   }
 
+  /** Occupancy-adaptive (depth, bucket) assignment — the shared ladder
+    * behind [[graft.dedup.Dedup.embeddingNearDupsAdaptive]] and
+    * [[knnJoinLshAdaptive]]. Fixed-plane sign-LSH needs its `planes`
+    * knob hand-scaled with n (and on correlated embeddings even
+    * log₄(n) under-compensates — each hyperplane bit carries < 1 bit of
+    * bucket entropy); here every vector's `maxPlanes`-bit code is
+    * computed ONCE, a (ladder × prefix)-grain histogram rides broadcast
+    * joins back onto the vector stream, and each vector settles at the
+    * FIRST ladder depth whose global prefix-bucket count is ≤
+    * `bucketCap` (prefix counts are non-increasing in depth, so "first"
+    * is well-defined and the (depth, prefix) leaves partition the
+    * space). Dense regions refine deeper, sparse regions stay shallow;
+    * candidate volume in a downstream self-join is ≤ n·bucketCap/2 plus
+    * the maxPlanes floor — LINEAR in n at fixed parameters, no
+    * per-scale tuning. Output: idCol, `__vd` (double vector), `__norm`,
+    * `__depth`, `__bk`.
+    */
+  private[graft] def adaptiveBuckets(df: DataFrame, vecCol: String,
+      idCol: String, dims: Int, basePlanes: Int, maxPlanes: Int,
+      bucketCap: Int): DataFrame = {
+    require(basePlanes >= 1 && basePlanes <= maxPlanes && maxPlanes <= 62,
+      s"adaptiveBuckets: need 1 <= basePlanes <= maxPlanes <= 62, " +
+        s"got ($basePlanes, $maxPlanes)")
+    require((maxPlanes - basePlanes) % 2 == 0,
+      s"adaptiveBuckets: ladder steps by 2, so maxPlanes - basePlanes " +
+        s"must be even: got ($basePlanes, $maxPlanes)")
+    require(bucketCap > 0, s"adaptiveBuckets: bucketCap must be > 0: " +
+      s"$bucketCap")
+    // depths that can STOP a vector early; maxPlanes is the floor
+    val ladder = basePlanes until maxPlanes by 2
+    val b = df.select(col(idCol), asDouble(col(vecCol)).as("__vd"))
+      .select(col(idCol), col("__vd"),
+        lshBucket(col("__vd"), dims, maxPlanes).as("__code"),
+        l2Norm(col("__vd")).as("__norm"))
+    val hist = b.select(explode(array(ladder.map(d =>
+        struct(lit(d).as("__d"),
+          col("__code").bitwiseAND(lit((1L << d) - 1)).as("__k"))): _*))
+        .as("__dk"))
+      .select(col("__dk.__d").as("__d"), col("__dk.__k").as("__k"))
+      .groupBy(col("__d"), col("__k")).agg(count(lit(1)).as("__c"))
+    // per-depth counts ride broadcast joins onto the vector stream — the
+    // histogram is bucket-grain, the vectors never shuffle for this
+    var cur = b
+    for (d <- ladder) {
+      val h = broadcast(hist.filter(col("__d") === d)
+        .select(col("__k").as(s"__k$d"), col("__c").as(s"__c$d")))
+      cur = cur.join(h,
+        cur("__code").bitwiseAND(lit((1L << d) - 1)) === h(s"__k$d"))
+    }
+    val depth = ladder.foldRight(lit(maxPlanes): Column)((d, deeper) =>
+      when(col(s"__c$d") <= bucketCap, lit(d)).otherwise(deeper))
+    val bk = ladder.foldRight(
+        col("__code").bitwiseAND(lit((1L << maxPlanes) - 1)): Column)(
+      (d, deeper) => when(col(s"__c$d") <= bucketCap,
+        col("__code").bitwiseAND(lit((1L << d) - 1))).otherwise(deeper))
+    cur.select(col(idCol), col("__vd"), col("__norm"),
+      depth.as("__depth"), bk.as("__bk"))
+  }
+
+  /** Occupancy-adaptive kNN join — [[knnJoinLsh]] with the
+    * [[adaptiveBuckets]] ladder instead of a hand-scaled `planes` knob:
+    * neighbors rank within each (depth, prefix-bucket) leaf, so the
+    * candidate volume stays ≤ n·bucketCap/2 at FIXED caller parameters
+    * however large the corpus grows — the no-retuning scale path the
+    * bench sweep measures. Same output schema and ranking contract as
+    * [[knnJoinLsh]]; recall < 1 across leaf boundaries (the documented
+    * LSH trade), and leaves refined past a pair's common prefix lose
+    * that pair exactly as a globally-deeper `planes` would.
+    */
+  def knnJoinLshAdaptive(df: DataFrame, vecCol: String, idCol: String,
+      dims: Int, k: Int, basePlanes: Int = 4, maxPlanes: Int = 16,
+      bucketCap: Int = 512): DataFrame = {
+    val assigned = adaptiveBuckets(df, vecCol, idCol, dims, basePlanes,
+      maxPlanes, bucketCap)
+    val l = assigned.select(col(idCol).as("id_a"), col("__vd").as("__va"),
+      col("__depth"), col("__bk"))
+    val r = assigned.select(col(idCol).as("id_b"), col("__vd").as("__vb"),
+      col("__depth"), col("__bk"))
+    // probe repartitioned on the leaf keys — same rationale as
+    // [[knnJoinLsh]]: parallelism past the scan's split count when the
+    // right side broadcasts
+    val joined = l.repartition(col("__depth"), col("__bk"))
+      .join(r, Seq("__depth", "__bk"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+    rankNeighbors(joined, k)
+  }
+
   /** [[lshBucket]] over the plane family slice starting at `planeOffset`
     * — disjoint slices give independent bucketings for multi-probe.
     */

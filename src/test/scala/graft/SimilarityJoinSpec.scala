@@ -90,6 +90,32 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(got.get(1L).contains(2L) && got.get(2L).contains(1L))
   }
 
+  test("knnJoinLshAdaptive: equals fixed-plane kNN when no bucket " +
+      "exceeds the cap; refinement under a tight cap only drops pairs, " +
+      "never invents them") {
+    val many = (1L to 40L).map { i =>
+      val base = Array.fill(8)(0f)
+      base((i % 4).toInt) = 1f
+      base(((i % 4) + 4).toInt) = 0.1f * (i % 7)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap ≥ n: every vector settles at basePlanes, so the leaf
+    // partition IS the fixed-plane bucketing — outputs must be identical
+    val fixed = Similarity.knnJoinLsh(many, "embedding", "vec_id",
+      dims = 8, k = 40, planes = 3)
+    val loose = Similarity.knnJoinLshAdaptive(many, "embedding", "vec_id",
+      dims = 8, k = 40, basePlanes = 3, maxPlanes = 15, bucketCap = 40)
+    assert(pairSet(fixed) == pairSet(loose))
+    // a tight cap refines dense leaves deeper — the candidate universe
+    // can only SHRINK (the documented recall trade), never grow
+    val tight = Similarity.knnJoinLshAdaptive(many, "embedding", "vec_id",
+      dims = 8, k = 40, basePlanes = 3, maxPlanes = 15, bucketCap = 6)
+    assert(pairSet(tight).subsetOf(pairSet(loose)))
+  }
+
   test("covarianceMatrix: exact milli-quantized moments, upper triangle, " +
       "partition-independent") {
     val df = Seq(Tuple1(Array(1f, 2f)), Tuple1(Array(3f, -1f)))
