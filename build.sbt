@@ -1,6 +1,22 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "cafmeteorologyectower_azuredatalakeprocessingscriptsspark"
+// Publish-ready artifact metadata (library-shaped packaging; no remote
+// publishing happens in this zero-egress environment)
+ThisBuild / organization := "io.graft"
+ThisBuild / organizationName := "graft"
+ThisBuild / description :=
+  "Spark-native analytics engine for eddy-covariance tower time series " +
+    "(TOA5 ingestion, QC, incremental water-year aggregation) plus a " +
+    "training-data pipeline operator suite (dedup, similarity, text, " +
+    "profiling, streaming) — 247 oracle-verified probe queries"
+ThisBuild / licenses := Seq(
+  "Apache-2.0" -> url("https://www.apache.org/licenses/LICENSE-2.0"))
+ThisBuild / versionScheme := Some("early-semver")
+// Spark is a provided-style dependency (unmanagedBase below): consumers
+// bring their own Spark 4.x runtime, so the jar must not embed it
+Compile / packageBin / packageOptions +=
+  Package.ManifestAttributes("Implementation-Title" -> "graft")
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

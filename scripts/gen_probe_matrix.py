@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Regenerate README.md's probe matrix from SparkEntry.scala.
+
+The 247-query board IS the library's API surface: every operator has a
+probe query in `SparkEntry.queries` and (where SQL-expressible) a DuckDB
+oracle in `SparkEntry.oracleSql`. This script extracts, for each probe:
+its name, the leading `// X## — ...` comment (the operator it probes),
+the `graft.*` methods its builder calls, and whether an oracle exists —
+and rewrites the table between the BEGIN/END PROBE MATRIX markers in
+README.md. Run after adding a query:
+
+    python3 scripts/gen_probe_matrix.py
+
+Stdlib-only; fails loudly if the markers are missing or parsing finds
+nothing (a silent empty table would read as a deleted board).
+"""
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+ENTRY = ROOT / "src/main/scala/graft/SparkEntry.scala"
+README = ROOT / "README.md"
+
+BEGIN = "<!-- BEGIN PROBE MATRIX (scripts/gen_probe_matrix.py) -->"
+END = "<!-- END PROBE MATRIX -->"
+
+
+def parse_entries(src: str):
+    """Yield (query, comment, methods) per queries-map entry."""
+    # split the file: queries map ends where oracleSql begins
+    qsec = src[: src.index("def oracleSql")]
+    # entry starts: `"qNN_name" -> { (s, dir) =>` (4-space indent)
+    starts = [
+        (m.start(), m.group(1))
+        for m in re.finditer(r'^    "(q\w+)" -> \{', qsec, re.M)
+    ]
+    if not starts:
+        sys.exit("gen_probe_matrix: no query entries parsed")
+    out = []
+    for i, (pos, name) in enumerate(starts):
+        end = starts[i + 1][0] if i + 1 < len(starts) else len(qsec)
+        body = qsec[pos:end]
+        # the comment block immediately above the entry
+        above = qsec[:pos].rstrip("\n").split("\n")
+        comment_lines = []
+        for line in reversed(above):
+            s = line.strip()
+            if s.startswith("//"):
+                comment_lines.append(s[2:].strip())
+            else:
+                break
+        comment = " ".join(reversed(comment_lines))
+        # graft method calls inside the builder — both the
+        # fully-qualified style (graft.ops.Graph.triangleCounts) and the
+        # imported-object style (TimeSeries.regrid)
+        objs = ("TimeSeries|Relational|Features|Profile|Funnel|Graph|"
+                "Dedup|Similarity|Corpus|TextFunctions|UrlFunctions|"
+                "Vocab|Sketches|Multimodal|Calendar|Incremental|Spatial|"
+                "BloomJoin|WaterYear|Toa5Reader|CsvSink|LakeLayout|"
+                "FixedWidthReader|CorpusIO|Aggregate|ReportPrep|Qc|"
+                "GradeCs|MetQaqc|SiteConfig")
+        methods = []
+        for m in re.finditer(
+                rf"(?:graft\.(?:\w+\.)*)?\b({objs})\.(\w+)\(", body):
+            ref = f"{m.group(1)}.{m.group(2)}"
+            if ref not in methods:
+                methods.append(ref)
+        out.append((name, comment, methods))
+    return out
+
+
+def parse_oracles(src: str):
+    osec = src[src.index("def oracleSql"):]
+    return set(re.findall(r'"(q\w+)" ->', osec))
+
+
+def qkey(name: str):
+    m = re.match(r"q(\d+)", name)
+    return (int(m.group(1)) if m else 10**9, name)
+
+
+def short(comment: str, limit: int = 88) -> str:
+    # keep the operator id + first clause of the comment
+    c = comment.replace("|", "\\|")
+    if len(c) > limit:
+        cut = c[:limit]
+        c = cut[: cut.rfind(" ")] + " …"
+    return c or "—"
+
+
+def main():
+    src = ENTRY.read_text()
+    entries = sorted(parse_entries(src), key=lambda e: qkey(e[0]))
+    oracles = parse_oracles(src)
+    n_oracle = sum(1 for e in entries if e[0] in oracles)
+    rest = (" (the rest are verified by dedicated specs)"
+            if n_oracle < len(entries) else
+            "; operators with no SQL-probeable surface (streaming, I/O "
+            "layout, iterative state) live outside this board in "
+            "dedicated specs")
+    lines = [
+        BEGIN,
+        f"_{len(entries)} probes, {n_oracle} with DuckDB value-compare "
+        f"oracles{rest}. Regenerate with "
+        "`python3 scripts/gen_probe_matrix.py`._",
+        "",
+        "| probe | operator | methods | oracle |",
+        "|---|---|---|---|",
+    ]
+    for name, comment, methods in entries:
+        meth = "<br>".join(f"`{m}`" for m in methods) or "inline plan"
+        orc = "DuckDB" if name in oracles else "spec"
+        lines.append(f"| {name} | {short(comment)} | {meth} | {orc} |")
+    block = "\n".join(lines) + "\n" + END
+    readme = README.read_text()
+    if BEGIN in readme and END in readme:
+        pre = readme[: readme.index(BEGIN)]
+        post = readme[readme.index(END) + len(END):]
+        README.write_text(pre + block + post)
+    else:
+        sys.exit("gen_probe_matrix: README markers missing — add "
+                 f"'{BEGIN}' and '{END}' where the table belongs")
+    print(f"wrote {len(entries)} probes ({n_oracle} oracle-backed) "
+          "into README.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+package graft.examples
+
+import java.time.LocalDate
+import org.apache.spark.sql.SparkSession
+import graft.config.SiteConfig
+import graft.pipeline.Aggregate
+
+/** ADLS Gen2 deployment example — the compile-checked demonstration
+  * behind SURVEY §2.1's S5 claim ("not needed as code: Spark reads ADLS
+  * natively"). The reference hand-rolls a download client with
+  * client-secret auth and a month-directory walk
+  * (`AzureDataLakeAccess.py:108-188`, auth `:139-148`, month listing
+  * `:150-188`, filename-date filter `:164-170`) and copies files to
+  * local disk before processing; on Spark the SAME credentials become
+  * four Hadoop confs, the month walk becomes a path glob the scheduler
+  * prunes by, and the data is never copied — executors stream the byte
+  * ranges they need.
+  *
+  * Nothing here talks to Azure at build time: [[session]] only sets
+  * configuration, [[monthGlobs]] is pure path arithmetic, and
+  * [[aggregateTower]] is the one-plan multi-site pipeline already
+  * exercised against local paths by MultiSiteSpec/Bench (the path
+  * scheme is opaque to the plan — `abfss://` and `file://` read through
+  * the same scan operator).
+  */
+object AzureLakeExample {
+
+  /** A session wired for ADLS Gen2 OAuth client-credential auth — the
+    * Spark-native replacement for the reference's
+    * `ClientSecretCredential` + `DataLakeServiceClient` pair
+    * (`AzureDataLakeAccess.py:139-148`). Secrets should arrive from the
+    * deployment's secret store, never source; everything else is the
+    * engine's standard local/cluster config.
+    */
+  def session(account: String, tenantId: String, clientId: String,
+      clientSecret: String): SparkSession = {
+    val suffix = s"$account.dfs.core.windows.net"
+    SparkSession.builder()
+      .appName("graft-tower-aggregate")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(s"spark.hadoop.fs.azure.account.auth.type.$suffix", "OAuth")
+      .config(
+        s"spark.hadoop.fs.azure.account.oauth.provider.type.$suffix",
+        "org.apache.hadoop.fs.azurebfs.oauth2.ClientCredsTokenProvider")
+      .config(
+        s"spark.hadoop.fs.azure.account.oauth2.client.id.$suffix",
+        clientId)
+      .config(
+        s"spark.hadoop.fs.azure.account.oauth2.client.secret.$suffix",
+        clientSecret)
+      .config(
+        s"spark.hadoop.fs.azure.account.oauth2.client.endpoint.$suffix",
+        s"https://login.microsoftonline.com/$tenantId/oauth2/token")
+      .getOrCreate()
+  }
+
+  /** The reference's month walk (`AzureDataLakeAccess.py:150-188` lists
+    * `{path}{YYYY}/{MM}` per month between start and end) as pure path
+    * construction: one glob per month in the window, handed to
+    * `spark.read` as independent roots. Listing and pruning happen on
+    * the driver against directory metadata only — no file bytes move
+    * until the scan runs, and a month outside the window is never even
+    * listed (the path-level analog of partition pruning).
+    */
+  def monthGlobs(containerRoot: String, sitePath: String,
+      start: LocalDate, end: LocalDate): Seq[String] = {
+    require(!start.isAfter(end), s"start $start after end $end")
+    Iterator.iterate(start.withDayOfMonth(1))(_.plusMonths(1))
+      .takeWhile(!_.isAfter(end))
+      .map(m => f"$containerRoot/$sitePath/${m.getYear}%04d/" +
+        f"${m.getMonthValue}%02d/*.dat")
+      .toSeq
+  }
+
+  /** End-to-end: every site's month-pruned TOA5 corpus through the
+    * one-plan multi-site aggregate, written back to the lake partitioned
+    * by (site, wateryear). The reference runs this as four sequential
+    * per-site pandas loops over locally-downloaded copies
+    * (`AzureDataLakeAccess.py:425-470`); here it is ONE distributed plan
+    * whose scan parallelism is the file count and whose shuffle keys are
+    * the (site, timestamp) grain — the shape that holds at any site
+    * count.
+    */
+  def aggregateTower(spark: SparkSession, account: String,
+      container: String, sites: Seq[String], start: LocalDate,
+      end: LocalDate): Unit = {
+    val root = s"abfss://$container@$account.dfs.core.windows.net"
+    val paths = sites.flatMap(site =>
+      monthGlobs(root, s"raw/$site/Met", start, end))
+    val configs = sites.map(s => s -> SiteConfig(s)).toMap
+    val result = Aggregate.runMultiSite(spark, "Met", configs, paths,
+      endDate = end)
+    Aggregate.saveLake(result, s"$root/lake/met")
+  }
+}
