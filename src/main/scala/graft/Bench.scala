@@ -390,6 +390,11 @@ object Bench {
     // (same regime as exec's >=20 s rule, and its slot in the suite
     // budget is already the largest).
     val pipeline16x = pipelineAt("multisite_16x", 192, runs = 1)
+    // one full GC between the pipeline tier and the query loop: the 16x
+    // corpus leaves a heap's worth of short-lived garbage whose collection
+    // otherwise lands on whichever query runs next (r8 dry run: q101 hit
+    // 17.8 s first-run right here vs 1.3 s any other position)
+    System.gc()
 
     // SPARK_GRAFT_ONLY=q46_asof_forward,q38_salted_join — iterate on a
     // subset without paying for the whole suite
