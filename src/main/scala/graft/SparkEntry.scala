@@ -3308,6 +3308,47 @@ object SparkEntry {
         .orderBy(col("id_a"), col("rank"))
     },
 
+    // X238 — position-based (U-shaped) attribution: first/last 40/40,
+    // middles share 20 with the floor remainder on the first channel —
+    // credits sum to exactly 1e6 per conversion; same one-window shape
+    // as q243
+    "q248_position_attr" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"),
+        nsToMicros(col("ts_ns")).as("ts_us"), col("event_id"),
+        col("event_type"))
+      graft.ops.Funnel.positionAttribution(ev, "user_id", "ts_us",
+          "event_id", "event_type", Seq("click", "view"), "purchase",
+          maxGap = 172800000000L)
+        .orderBy(col("user_id"), col("ts_us"), col("channel"))
+    },
+
+    // X239 — per-group Kendall τ-b: hour-bucket x (ties by design) vs
+    // value rounded to 1dp (y ties); integer concordance via the
+    // O(n log n) mergesort kernel, O(n²) pair join on the oracle side
+    "q249_kendall" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("user_id"), nsToMicros(col("ts_ns")).as("ts_us"),
+          col("value"))
+        .select(col("user_id"), expr("ts_us div 3600000000").as("x"),
+          round(col("value"), 1).as("y"))
+      graft.ops.Features.kendallCorr(ev, Seq("user_id"), col("x"),
+          col("y"))
+        .orderBy(col("user_id"))
+    },
+
+    // X240 — blocked Jaro-Winkler name linkage over part names within
+    // (brand, size) blocks — the multi-attribute blocking a real linkage
+    // job uses (single-attribute blocks go quadratic: brand-only is 50×
+    // the pair volume here); the native kernel vs DuckDB's built-in
+    // jaro_winkler_similarity — the oracle compares the same statistic
+    "q250_jaro_linkage" -> { (s, dir) =>
+      graft.dedup.Dedup.jaroWinklerPairs(
+          t(s, dir, "part").select(col("p_partkey"), col("p_name"),
+            concat_ws("|", col("p_brand"), col("p_size")).as("blk")),
+          "p_name", "p_partkey", "blk", threshold = 0.88)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9310,6 +9351,131 @@ object SparkEntry {
         |    AS share_ppm
         |FROM t2
         |ORDER BY o_orderpriority, share_ppm DESC, item""".stripMargin,
+
+    // q243's one-window shape plus first/last touch structs; the exact
+    // U-shape credit arithmetic (40/40/20, floor middle shares, floor
+    // remainder onto the first channel) mirrored in integer SQL
+    "q248_position_attr" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    event_id, event_type
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, ts_us, event_type,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1
+        |      ELSE 0 END) OVER w, 0) AS BIGINT) AS c0,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1
+        |      ELSE 0 END) OVER w, 0) AS BIGINT) AS c1,
+        |    min(CASE WHEN event_type IN ('click', 'view')
+        |      THEN {'ts': ts_us, 'tie': event_id, 'ch': event_type} END)
+        |      OVER w AS f,
+        |    max(CASE WHEN event_type IN ('click', 'view')
+        |      THEN {'ts': ts_us, 'tie': event_id, 'ch': event_type} END)
+        |      OVER w AS l
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 172800000000 PRECEDING AND 1 PRECEDING)
+        |), conv AS (
+        |  SELECT user_id, ts_us, c0, c1, c0 + c1 AS tot,
+        |    struct_extract(f, 'ch') AS fch, struct_extract(l, 'ch') AS lch
+        |  FROM c WHERE event_type = 'purchase'
+        |), k AS (
+        |  SELECT *,
+        |    CASE WHEN fch = 'click' THEN 1 ELSE 0 END AS f0,
+        |    CASE WHEN lch = 'click' THEN 1 ELSE 0 END AS l0,
+        |    CASE WHEN fch = 'view' THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN lch = 'view' THEN 1 ELSE 0 END AS l1
+        |  FROM conv
+        |), b AS (
+        |  SELECT *,
+        |    CASE WHEN tot >= 3 THEN f0 * 400000 + l0 * 400000
+        |        + (200000 * (c0 - f0 - l0)) // (tot - 2)
+        |      WHEN tot = 2 THEN f0 * 500000 + l0 * 500000
+        |      WHEN tot = 1 THEN f0 * 1000000 ELSE 0 END AS b0,
+        |    CASE WHEN tot >= 3 THEN f1 * 400000 + l1 * 400000
+        |        + (200000 * (c1 - f1 - l1)) // (tot - 2)
+        |      WHEN tot = 2 THEN f1 * 500000 + l1 * 500000
+        |      WHEN tot = 1 THEN f1 * 1000000 ELSE 0 END AS b1
+        |  FROM k
+        |), r AS (
+        |  SELECT *, CASE WHEN tot >= 3 THEN 1000000 - b0 - b1 ELSE 0 END
+        |    AS rem
+        |  FROM b
+        |), x AS (
+        |  SELECT user_id, ts_us, 'click' AS channel, c0 AS n_ch, tot,
+        |    b0 + CASE WHEN f0 = 1 THEN rem ELSE 0 END AS credit
+        |  FROM r WHERE tot > 0 AND c0 > 0
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 'view', c1, tot,
+        |    b1 + CASE WHEN f1 = 1 THEN rem ELSE 0 END
+        |  FROM r WHERE tot > 0 AND c1 > 0
+        |  UNION ALL
+        |  SELECT user_id, ts_us, NULL, CAST(0 AS BIGINT), tot, NULL
+        |  FROM r WHERE tot = 0
+        |)
+        |SELECT user_id, ts_us, channel, n_ch, tot AS n_total,
+        |  CAST(credit AS BIGINT) AS credit_ppm
+        |FROM x ORDER BY user_id, ts_us, channel""".stripMargin,
+
+    // the O(n²) pair definition of τ-b — concordant/discordant/tie pair
+    // counts per group, tie-corrected denominator in double sqrt
+    "q249_kendall" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    event_id, value
+        |  FROM events WHERE value IS NOT NULL
+        |), b AS (
+        |  SELECT user_id,
+        |    CAST(ts_us // 3600000000 AS DOUBLE) AS x,
+        |    CAST(round(value, 1) AS DOUBLE) AS y,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS rid
+        |  FROM e
+        |), p AS (
+        |  SELECT a.user_id,
+        |    CAST(sum(CASE WHEN (a.x < c.x AND a.y < c.y)
+        |      OR (a.x > c.x AND a.y > c.y) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS con,
+        |    CAST(sum(CASE WHEN (a.x < c.x AND a.y > c.y)
+        |      OR (a.x > c.x AND a.y < c.y) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dis,
+        |    CAST(sum(CASE WHEN a.x = c.x THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN a.y = c.y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2
+        |  FROM b a JOIN b c ON a.user_id = c.user_id AND a.rid < c.rid
+        |  GROUP BY 1
+        |), g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+        |)
+        |SELECT g.user_id, g.n,
+        |  coalesce(p.con - p.dis, 0) AS cd,
+        |  coalesce(p.n1, 0) AS n_xtie,
+        |  coalesce(p.n2, 0) AS n_ytie,
+        |  CASE WHEN (g.n * (g.n - 1) // 2 - coalesce(p.n1, 0)) > 0
+        |        AND (g.n * (g.n - 1) // 2 - coalesce(p.n2, 0)) > 0
+        |    THEN round((p.con - p.dis) / sqrt(
+        |      CAST(g.n * (g.n - 1) // 2 - p.n1 AS DOUBLE) *
+        |      CAST(g.n * (g.n - 1) // 2 - p.n2 AS DOUBLE)), 6)
+        |  END AS tau
+        |FROM g LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // within-brand all-pairs over the engine-wide normalization; DuckDB's
+    // jaro_winkler_similarity IS the statistic the native kernel computes
+    "q250_jaro_linkage" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    p_brand || '|' || CAST(p_size AS VARCHAR) AS blk,
+        |    lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS nm
+        |  FROM part
+        |)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
+        |FROM p a JOIN p b
+        |  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE round(jaro_winkler_similarity(a.nm, b.nm), 6) >= 0.88
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // q106's occupancy-ladder CTEs (16-bit code, histogram, first depth
     // whose prefix bucket holds <= cap) with q43's directed ranking

@@ -258,6 +258,104 @@ case class GreedyThrottleKeep(child: Expression, minGapUs: Long)
       newChild: Expression): GreedyThrottleKeep = copy(child = newChild)
 }
 
+/** Kendall tie/inversion statistics over a (x, y)-SORTED pair array as
+  * ONE O(n log n) JVM pass — the τ-b kernel (Knight 1966): with the
+  * pairs sorted lexicographically by (x asc, y asc), concordance needs
+  * only tie-run sums and the INVERSION count of the y sequence, because
+  * C − D = n₀ − n₁ − n₂ + n₃ − 2S. Emits
+  * `struct(n1, n2, n3, s)`: x-tie pairs, y-tie pairs, joint-tie pairs,
+  * and the strict inversion count S (bottom-up mergesort on y — equal
+  * elements never count, and the fully-sorted y array it leaves behind
+  * yields n₂ in the same pass). The naive pair loop is O(n²) per group
+  * — 5·10⁹ comparisons at a 100k-row group; this is the
+  * [[WinnowFingerprints]] discipline: the sequential kernel runs as a
+  * primitive loop, O(n log n), zero boxed intermediates. CodegenFallback:
+  * one call per row, the loop is the work.
+  */
+case class KendallStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val pairType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("x",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("y",
+      org.apache.spark.sql.types.DoubleType)))
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(pairType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n1", "n2", "n3", "s").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "kendall_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val xs = new Array[Double](n)
+    val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      xs(i) = row.getDouble(0)
+      ys(i) = row.getDouble(1)
+      i += 1
+    }
+    // tie runs over the (x, y)-sorted input: x runs give n1, joint runs n3
+    var n1 = 0L; var n3 = 0L
+    var runX = 1L; var runXY = 1L
+    i = 1
+    while (i <= n) {
+      if (i < n && xs(i) == xs(i - 1)) {
+        runX += 1
+        if (ys(i) == ys(i - 1)) runXY += 1
+        else { n3 += runXY * (runXY - 1) / 2; runXY = 1 }
+      } else {
+        n1 += runX * (runX - 1) / 2
+        n3 += runXY * (runXY - 1) / 2
+        runX = 1; runXY = 1
+      }
+      i += 1
+    }
+    // strict inversions of y via bottom-up mergesort (equal → stable, no
+    // count); the sorted residue yields the y-tie pairs n2
+    var s = 0L
+    val buf = new Array[Double](n)
+    var width = 1
+    while (width < n) {
+      var lo = 0
+      while (lo < n - width) {
+        val mid = lo + width
+        val hi = math.min(lo + 2 * width, n)
+        var a = lo; var b = mid; var k = lo
+        while (a < mid && b < hi) {
+          if (ys(a) <= ys(b)) { buf(k) = ys(a); a += 1 }
+          else { buf(k) = ys(b); b += 1; s += (mid - a).toLong }
+          k += 1
+        }
+        while (a < mid) { buf(k) = ys(a); a += 1; k += 1 }
+        while (b < hi) { buf(k) = ys(b); b += 1; k += 1 }
+        System.arraycopy(buf, lo, ys, lo, hi - lo)
+        lo += 2 * width
+      }
+      width *= 2
+    }
+    var n2 = 0L
+    var runY = 1L
+    i = 1
+    while (i <= n) {
+      if (i < n && ys(i) == ys(i - 1)) runY += 1
+      else { n2 += runY * (runY - 1) / 2; runY = 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n1, n2, n3, s)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KendallStats = copy(child = newChild)
+}
+
 /** IEEE-754 byte packing of a float vector — the storage-boundary
   * primitive for embedding columns at scale: a Spark `array<float>`
   * stores per-element headers and nullability; a `binary` of 4·d
@@ -373,4 +471,10 @@ object VectorExpressions {
   /** Greedy keep-scan over a sorted long array (see [[GreedyThrottleKeep]]). */
   def greedyThrottleKeep(sortedTs: Column, minGapUs: Long): Column =
     bridge.column(GreedyThrottleKeep(bridge.expression(sortedTs), minGapUs))
+
+  /** Kendall tie/inversion stats over a (x,y)-sorted pair array (see
+    * [[KendallStats]]).
+    */
+  def kendallStats(sortedPairs: Column): Column =
+    bridge.column(KendallStats(bridge.expression(sortedPairs)))
 }

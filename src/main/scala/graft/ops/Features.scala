@@ -1105,6 +1105,61 @@ object Features {
       .select(gs ++ Seq(col("n"), col("corr").as("rho")): _*)
   }
 
+  /** Per-group Kendall τ-b rank correlation — the third member of the
+    * association family ([[groupCorr]] Pearson on values,
+    * [[spearmanCorr]] Pearson on ranks, this on concordant PAIRS): the
+    * probability-scale "if x went up, did y?" statistic, more robust to
+    * a few wild ranks than ρ and the standard choice for small-n
+    * monotonicity tests. τ-b applies the tie correction on both
+    * margins: with n₀ = n(n−1)/2 pairs, n₁/n₂/n₃ the x-/y-/joint-tie
+    * pair counts and S the strict y-inversion count of the
+    * (x, y)-sorted sequence, C − D = n₀ − n₁ − n₂ + n₃ − 2S and
+    * τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂)) — null when either margin
+    * is constant (denominator 0). Output per group: `n`, `cd` (= C−D,
+    * exact), `n_xtie`, `n_ytie`, `tau` (round 6).
+    *
+    * Exactness: every count is integer (the [[graft.functions.KendallStats]]
+    * kernel — O(n log n) mergesort inversions, not the O(n²) pair
+    * loop); the denominator product rides decimal(38,0) and converts
+    * through the decimal-string render ([[groupTrend]]'s discipline),
+    * and √ / ÷ are correctly-rounded IEEE ops — engine-portable at any
+    * group size the guard admits.
+    *
+    * Scale shape: ONE exchange to group grain (the collect carries
+    * (x, y) pairs only), then scan-local sort + kernel per group.
+    * Parallelism across groups — the 100 TB axis; the in-plan
+    * `maxGroupSize` raise enforces the bounded-group contract
+    * ([[theilSenSlope]]'s discipline) instead of silently truncating.
+    */
+  def kendallCorr(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, maxGroupSize: Int = 1000000): DataFrame = {
+    require(maxGroupSize >= 2, s"maxGroupSize must be >= 2: $maxGroupSize")
+    val gs = groupCols.map(col)
+    val grouped = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(gs :+ struct(xCol.cast("double").as("x"),
+        yCol.cast("double").as("y")).as("__p"): _*)
+      .groupBy(gs: _*)
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+      .withColumn("__ps",
+        when(size(col("__ps")) > maxGroupSize, raise_error(concat(
+          lit(s"kendallCorr: group exceeds maxGroupSize=$maxGroupSize: "),
+          size(col("__ps")).cast("string"))))
+          .otherwise(col("__ps")))
+      .withColumn("__st",
+        graft.functions.VectorExpressions.kendallStats(col("__ps")))
+      .withColumn("n", size(col("__ps")).cast("long"))
+    val n0 = expr("n * (n - 1) div 2")
+    val cd = n0 - col("__st.n1") - col("__st.n2") + col("__st.n3") -
+      lit(2L) * col("__st.s")
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val den = dbl(((n0 - col("__st.n1")).cast(DecimalType(38, 0)) *
+      (n0 - col("__st.n2")).cast(DecimalType(38, 0))))
+    grouped.select(gs ++ Seq(col("n"), cd.as("cd"),
+      col("__st.n1").as("n_xtie"), col("__st.n2").as("n_ytie"),
+      when(den > 0d, round(cd.cast("double") / sqrt(den), 6))
+        .as("tau")): _*)
+  }
+
   /** Rare-level collapsing — the categorical-feature hygiene pass
     * before one-hot/target encoding: levels seen fewer than `minCount`
     * times collapse into `otherToken`, so the encoded dimensionality is

@@ -292,6 +292,97 @@ object Funnel {
           col("__e.n_ch") * 1000000L, col("__tot"))).as("credit_ppm"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution —
+    * [[linearAttribution]]'s position-weighted sibling, the standard
+    * "introducer and closer matter most" model: the FIRST in-window
+    * touch earns `firstPpm`, the LAST earns `lastPpm`, and the middles
+    * share the remaining 10⁶ − firstPpm − lastPpm equally. Degenerate
+    * window sizes follow the standard conventions: one touch takes the
+    * full 10⁶, two touches split 10⁶ evenly between first and last
+    * (both exact — no middle pool exists to prorate). All arithmetic is
+    * exact integer ppm: the middle pool divides by floor, and the floor
+    * REMAINDER (< middle pool's channel count) goes to the first
+    * touch's channel — deterministic, and every conversion's credits
+    * sum to exactly 10⁶ (unlike linear's documented ≤ 10⁶). Organic
+    * conversions (no in-window touch) emit one null-channel row.
+    * Output per conversion × credited channel: keys, `channel`, `n_ch`,
+    * `n_total`, `credit_ppm`.
+    *
+    * Scale shape: identical to [[linearAttribution]] — the per-channel
+    * counts AND the first/last touch identities are aggregates over ONE
+    * shared value-range frame ([−maxGap, −1], strictly preceding) on
+    * one key exchange and one sort: `min(struct(ts, tie, channel))` /
+    * `max(...)` pick the boundary touches deterministically (tie must
+    * complete a total order for same-instant touches), no
+    * conversion×touch self-join anywhere. Channel fan-out is a
+    * literal-sized explode.
+    */
+  def positionAttribution(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, touchTypes: Seq[String],
+      convType: String, maxGap: Long, firstPpm: Long = 400000L,
+      lastPpm: Long = 400000L): DataFrame = {
+    require(touchTypes.nonEmpty, "positionAttribution needs touch types")
+    require(maxGap > 0, s"maxGap must be > 0: $maxGap")
+    require(firstPpm >= 0 && lastPpm >= 0 &&
+      firstPpm + lastPpm <= 1000000L,
+      s"ppm weights must be >= 0 and sum <= 1e6: $firstPpm, $lastPpm")
+    val midPool = 1000000L - firstPpm - lastPpm
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-maxGap, -1)
+    val touchStruct = when(
+      col(typeCol).isin(touchTypes.map(lit(_)): _*),
+      struct(col(tsCol).cast("long").as("ts"), col(tieCol).as("tie"),
+        col(typeCol).as("ch")))
+    val counted = touchTypes.zipWithIndex.foldLeft(df) {
+      case (acc, (ch, i)) =>
+        acc.withColumn(s"__c$i", coalesce(
+          sum(when(col(typeCol) === ch, 1L).otherwise(0L)).over(w),
+          lit(0L)))
+    }
+      .withColumn("__first", min(touchStruct).over(w))
+      .withColumn("__last", max(touchStruct).over(w))
+    val total = touchTypes.indices.map(i => col(s"__c$i"))
+      .reduce(_ + _)
+    import graft.functions.Exact.longDiv
+    val entries = touchTypes.zipWithIndex.map { case (ch, i) =>
+      val isFirst = col("__first.ch") === ch
+      val isLast = col("__last.ch") === ch
+      val mids = col(s"__c$i") - isFirst.cast("long") -
+        isLast.cast("long")
+      // n >= 3 credit; the n == 1 / n == 2 conventions override below
+      val midShare = longDiv(lit(midPool) * mids, col("__tot") - 2L)
+      val base = when(col("__tot") === 1L,
+          when(isFirst, lit(1000000L)).otherwise(lit(0L)))
+        .when(col("__tot") === 2L,
+          isFirst.cast("long") * 500000L + isLast.cast("long") * 500000L)
+        .otherwise(isFirst.cast("long") * firstPpm +
+          isLast.cast("long") * lastPpm + midShare)
+      struct(lit(ch).as("channel"), col(s"__c$i").as("n_ch"),
+        base.as("credit"), isFirst.as("isf"))
+    }
+    // floor remainder of the middle pool → the first touch's channel
+    val floorSum = entries.indices.map(i =>
+      element_at(col("__es"), i + 1).getField("credit")).reduce(_ + _)
+    counted.filter(col(typeCol) === convType)
+      .withColumn("__tot", total)
+      .withColumn("__es", array(entries: _*))
+      .withColumn("__rem", when(col("__tot") >= 3L,
+        lit(1000000L) - floorSum).otherwise(lit(0L)))
+      .select(col(keyCol), col(tsCol), col("__tot"), col("__rem"),
+        explode(when(col("__tot") > 0L, col("__es"))
+          .otherwise(array(struct(lit(null).cast("string").as("channel"),
+            lit(0L).as("n_ch"), lit(0L).as("credit"),
+            lit(false).as("isf"))))).as("__e"))
+      .filter(col("__e.channel").isNull || col("__e.n_ch") > 0L)
+      .select(col(keyCol), col(tsCol),
+        col("__e.channel").as("channel"), col("__e.n_ch").as("n_ch"),
+        col("__tot").as("n_total"),
+        when(col("__tot") > 0L, col("__e.credit") +
+          when(col("__e.isf"), col("__rem")).otherwise(lit(0L)))
+          .as("credit_ppm"))
+  }
+
   /** State-machine conformance audit — the data-quality gate for event
     * streams with a protocol ("a purchase must follow a click", "a
     * device can't go active → active"): against a declared set of legal

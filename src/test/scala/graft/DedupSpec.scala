@@ -245,6 +245,52 @@ class DedupSpec extends SparkSpec {
     assert(gated == exact)
   }
 
+  test("jaroWinkler: literature reference values, degenerate cases, " +
+      "DuckDB-parity pins") {
+    import graft.functions.TextExpressions.jaroWinkler
+    val cases = Seq(
+      // classic record-linkage literature pairs (also DuckDB
+      // jaro_winkler_similarity outputs, queried as pins)
+      ("martha", "marhta", 0.961111),
+      ("DWAYNE", "DUANE", 0.84),
+      ("dixon", "dicksonx", 0.813333),
+      ("jellyfish", "smellyfish", 0.896296),
+      // below the 0.7 boost threshold: prefix bonus must NOT apply
+      ("abcdef", "abwxyz", 0.555556),
+      ("crane", "atomic", 0.455556),
+      ("abc", "abc", 1.0),
+      ("", "", 1.0),
+      ("a", "", 0.0))
+    val got = cases.toDF("a", "b", "want")
+      .select(round(jaroWinkler(col("a"), col("b")), 6).as("jw"),
+        col("want"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    got.foreach { case (jw, want) => assert(jw == want, s"$jw != $want") }
+  }
+
+  test("jaroWinklerPairs: symmetric blocked pairs above threshold, " +
+      "normalization collapses formatting, block guard raises") {
+    val named = Seq(
+      (1L, "b1", "Jonathan  Smith"),
+      (2L, "b1", "jonathan smith"),   // formatting-only variant of 1
+      (3L, "b1", "johnathan smith"),  // typo variant
+      (4L, "b1", "completely different"),
+      (5L, "b2", "jonathan smith")    // other block: never pairs with b1
+    ).toDF("id", "blk", "name")
+    val got = Dedup.jaroWinklerPairs(named, "name", "id", "blk",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val err = intercept[Exception] {
+      Dedup.jaroWinklerPairs(named, "name", "id", "blk",
+        threshold = 0.9, maxBlockSize = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("maxBlockSize")))
+  }
+
   test("embeddingNearDups: scaled copy pairs at cos 1, orthogonal absent") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),

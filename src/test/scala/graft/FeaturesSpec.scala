@@ -581,6 +581,50 @@ class FeaturesSpec extends SparkSpec {
     assert(got("c").isEmpty)
   }
 
+  test("kendallCorr: perfect orders ±1, tie-corrected case exact, " +
+      "constant margin null, matches the O(n²) pair definition on " +
+      "random data") {
+    import spark.implicits._
+    val mono = (1 to 6).map(i => ("m", i.toDouble, math.pow(i, 3)))
+    val anti = (1 to 6).map(i => ("a", i.toDouble, -math.exp(i)))
+    // x = (1,1,2), y = (1,2,3): one x-tied pair, two concordant →
+    // τ_b = 2 / √(2·3)
+    val tie = Seq(("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0))
+    val const = Seq(("c", 1.0, 5.0), ("c", 2.0, 5.0))
+    val rnd = new scala.util.Random(11)
+    val fuzz = (1 to 200).map(_ =>
+      ("f", rnd.nextInt(12).toDouble, rnd.nextInt(9).toDouble))
+    val df = (mono ++ anti ++ tie ++ const ++ fuzz).toDF("g", "x", "y")
+    val got = Features.kendallCorr(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("m") == ((6L, 15L, 0L, 0L, Some(1.0))))
+    assert(got("a") == ((6L, -15L, 0L, 0L, Some(-1.0))))
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("t") == ((3L, 2L, 1L, 0L, Some(r6(2.0 / math.sqrt(6.0))))))
+    assert(got("c")._5.isEmpty)
+    // brute-force O(n²) reference on the random group — every count and
+    // the tie-corrected τ must agree with the mergesort kernel
+    val pts = fuzz.map(t => (t._2, t._3))
+    var c = 0L; var d = 0L; var n1 = 0L; var n2 = 0L
+    for (i <- pts.indices; j <- pts.indices if i < j) {
+      val ((xa, ya), (xb, yb)) = (pts(i), pts(j))
+      if (xa == xb) n1 += 1
+      if (ya == yb) n2 += 1
+      if ((xa < xb && ya < yb) || (xa > xb && ya > yb)) c += 1
+      else if ((xa < xb && ya > yb) || (xa > xb && ya < yb)) d += 1
+    }
+    val n0 = pts.length.toLong * (pts.length - 1) / 2
+    val (gn, gcd, gn1, gn2, gtau) = got("f")
+    assert(gn == pts.length.toLong && gcd == c - d &&
+      gn1 == n1 && gn2 == n2)
+    val want = (c - d).toDouble /
+      math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+    assert(gtau == Some(r6(want)))
+  }
+
   test("histogram2d: cell counts, edge-bin clamping both sides, nulls " +
       "excluded, occupied cells only, one aggregation") {
     import spark.implicits._

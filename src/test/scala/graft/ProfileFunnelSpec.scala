@@ -499,6 +499,38 @@ class ProfileFunnelSpec extends SparkSpec {
       (100L, None, 0L, 0L, None)))
   }
 
+  test("positionAttribution: U-shape credits sum to exactly 1e6 — " +
+      "first/last 40/40, middles share with the remainder going to the " +
+      "first channel; n=1 and n=2 conventions; organic row") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: 5 touches → first click@1 (400k + mid share + remainder),
+      // last view@5 (400k + mid share); mids: click@3, view@2, view@4
+      ("u1", 1L, 1L, "click"), ("u1", 2L, 2L, "view"),
+      ("u1", 3L, 3L, "click"), ("u1", 4L, 4L, "view"),
+      ("u1", 5L, 5L, "view"), ("u1", 6L, 6L, "purchase"),
+      // u2: single touch takes all 1e6
+      ("u2", 1L, 7L, "view"), ("u2", 2L, 8L, "purchase"),
+      // u3: two touches split evenly
+      ("u3", 1L, 9L, "view"), ("u3", 2L, 10L, "click"),
+      ("u3", 3L, 11L, "purchase"),
+      // u4: organic (touch outside the gap)
+      ("u4", 1L, 12L, "click"), ("u4", 100L, 13L, "purchase"))
+      .toDF("k", "ts", "id", "t")
+    val got = Funnel.positionAttribution(ev, "k", "ts", "id", "t",
+        Seq("click", "view"), "purchase", maxGap = 10L)
+      .collect().map(r => (r.getString(0), Option(r.getString(2))) ->
+        ((r.getLong(3), r.getLong(4), Option(r.get(5))))).toMap
+    // u1: click = 400000 + ⌊200000·1/3⌋ + rem 1 = 466667;
+    //     view = 400000 + ⌊200000·2/3⌋ = 533333 — sums to 1e6 exactly
+    assert(got(("u1", Some("click"))) == ((2L, 5L, Some(466667L))))
+    assert(got(("u1", Some("view"))) == ((3L, 5L, Some(533333L))))
+    assert(got(("u2", Some("view"))) == ((1L, 1L, Some(1000000L))))
+    assert(got(("u3", Some("view"))) == ((1L, 2L, Some(500000L))))
+    assert(got(("u3", Some("click"))) == ((1L, 2L, Some(500000L))))
+    assert(got(("u4", None)) == ((0L, 0L, None)))
+  }
+
   test("missingnessMatrix: joint-null lift in exact ppm — subset " +
       "missingness lifts above 1e6, and a never-null column yields " +
       "null lift") {
