@@ -3349,6 +3349,35 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // X241 — item-item Jaccard from basket co-occurrence: q140's guarded
+    // pair generation + broadcast item counts → symmetric exact-ppm
+    // affinity (the item-kNN / substitutability score)
+    "q251_item_jaccard" -> { (s, dir) =>
+      graft.ops.Graph.itemJaccard(
+          t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"),
+          minSupport = 2L, maxBasketSize = 20)
+        .orderBy(col("item_a"), col("item_b"))
+    },
+
+    // X242 — detector scorecard: SimHash near-dup pairs (restricted to
+    // same-source, where truth is defined) evaluated against the exact
+    // within-source Jaccard-0.5 tier — precision/recall/F1 in exact ppm
+    "q252_pair_metrics" -> { (s, dir) =>
+      val corpus = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val src = corpus.select(col("doc_id"), col("source"))
+      val predicted = graft.dedup.Dedup.simhashNearDups(corpus, "text",
+          "doc_id", bands = 4, maxHamming = 8)
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("__sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("__sb")), Seq("id_b"))
+        .filter(col("__sa") === col("__sb"))
+      val truth = graft.dedup.Dedup.blockedJaccardPairs(corpus, "text",
+        "doc_id", "source", shingleN = 1, threshold = 0.5)
+      graft.dedup.Dedup.pairMetrics(predicted, truth, "id_a", "id_b")
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9351,6 +9380,104 @@ object SparkEntry {
         |    AS share_ppm
         |FROM t2
         |ORDER BY o_orderpriority, share_ppm DESC, item""".stripMargin,
+
+    // q140's guarded-basket CTE + item counts + exact floor-ppm Jaccard
+    "q251_item_jaccard" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), sized AS (
+        |  SELECT b FROM d GROUP BY b HAVING count(*) BETWEEN 2 AND 20
+        |), g AS (
+        |  SELECT d.b, d.i FROM d JOIN sized s ON d.b = s.b
+        |), p AS (
+        |  SELECT a.i AS item_a, c.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM g a JOIN g c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), n AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1
+        |)
+        |SELECT item_a, item_b, n_ab, na.cnt AS n_a, nb.cnt AS n_b,
+        |  n_ab * 1000000 // (na.cnt + nb.cnt - n_ab) AS jaccard_ppm
+        |FROM p
+        |JOIN n na ON p.item_a = na.i
+        |JOIN n nb ON p.item_b = nb.i
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // q28's simhash CTEs (plain corpus, same-source restriction) as
+    // PREDICTED, q19's exact shingle-Jaccard CTE as TRUTH, then the
+    // exact-ppm scorecard (F1 via the Dice identity)
+    "q252_pair_metrics" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_transform(list_filter(string_split_regex(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |      t -> t <> ''), t -> md5(t)) AS hx
+        |  FROM documents
+        |), sims AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_transform(generate_series(0, 63), i ->
+        |      CASE WHEN (CASE WHEN len(hx) = 0 THEN 0 ELSE
+        |        list_reduce(list_transform(hx, h ->
+        |          CASE WHEN ((CASE WHEN ascii(substr(h, i // 4 + 1, 1)) <= 57
+        |                           THEN ascii(substr(h, i // 4 + 1, 1)) - 48
+        |                           ELSE ascii(substr(h, i // 4 + 1, 1)) - 87
+        |                      END >> (i % 4)) & 1) = 1
+        |          THEN 1 ELSE -1 END),
+        |          (a, b) -> a + b) END) > 0 THEN '1' ELSE '0' END), '')
+        |      AS sim
+        |  FROM toks
+        |), banded AS (
+        |  SELECT doc_id, source, sim, b.band,
+        |    substr(sim, 16 * b.band + 1, 16) AS key
+        |  FROM sims, (SELECT unnest(generate_series(0, 3)) AS band) b
+        |), pred AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |    AND a.source = b.source
+        |  WHERE len(list_filter(generate_series(1, 64),
+        |    i -> substr(a.sim, i, 1) <> substr(b.sim, i, 1))) <= 8
+        |), sh AS (
+        |  SELECT doc_id, source,
+        |    list_transform(list_distinct(list_filter(
+        |      string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ',
+        |        'g'))), '\s+'),
+        |      t -> t <> '')), x ->
+        |      list_reduce(list_transform(generate_series(1, 15), ii ->
+        |        CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |             THEN ascii(substr(md5(x), ii, 1)) - 48
+        |             ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b)) AS s
+        |  FROM documents
+        |), tp0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS inter,
+        |    CAST(len(a.s) + len(b.s)
+        |      - len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS uni
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |), truth AS (
+        |  SELECT id_a, id_b FROM tp0
+        |  WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6)
+        |    >= 0.5
+        |), c AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_predicted,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM pred
+        |      JOIN truth USING (id_a, id_b)) AS n_tp
+        |)
+        |SELECT n_predicted, n_truth, n_tp,
+        |  CASE WHEN n_predicted > 0
+        |    THEN n_tp * 1000000 // n_predicted END AS precision_ppm,
+        |  CASE WHEN n_truth > 0
+        |    THEN n_tp * 1000000 // n_truth END AS recall_ppm,
+        |  CASE WHEN n_predicted + n_truth > 0
+        |    THEN n_tp * 2000000 // (n_predicted + n_truth) END AS f1_ppm
+        |FROM c""".stripMargin,
 
     // q243's one-window shape plus first/last touch structs; the exact
     // U-shape credit arithmetic (40/40/20, floor middle shares, floor

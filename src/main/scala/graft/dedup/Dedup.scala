@@ -564,6 +564,56 @@ object Dedup {
       .filter(col("jw") >= threshold)
   }
 
+  /** Pair-set evaluation metrics — the detector scorecard: given a
+    * PREDICTED pair list (any near-dup/linkage detector output) and a
+    * TRUTH pair list (an exact tier, a labeled sample), one row of
+    * exact-integer quality: `n_predicted`, `n_truth`, `n_tp`, and
+    * precision / recall / F1 in floor ppm (F1 via the Dice identity
+    * 2·TP div (|P| + |T|) — exact, no float harmonic mean). Both
+    * inputs are canonicalized first (unordered: least/greatest, self
+    * and null-endpoint pairs dropped, duplicates collapsed), so
+    * detectors emitting either orientation compare fairly. Null ppm
+    * when the respective denominator is 0 (no predictions → precision
+    * undefined, not 100%).
+    *
+    * This closes the loop the engine's own dedup suite needs: the
+    * probabilistic tiers (SimHash bands, MinHash LSH, sign-LSH) make
+    * recall trades that should be MEASURED against the exact tiers on
+    * a bounded sample, not asserted — this is the measuring stick.
+    *
+    * Scale shape: pair frames are detector OUTPUT-sized (candidate
+    * scale, not corpus scale); two distinct aggregations + one
+    * pair-key equi-join, counts collapse map-side, and the three
+    * one-row count frames combine by broadcast — nothing corpus-sized
+    * moves.
+    */
+  def pairMetrics(predicted: DataFrame, truth: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+    val p = canon(predicted)
+    val t = canon(truth)
+    val nP = p.agg(count(lit(1)).as("n_predicted"))
+    val nT = t.agg(count(lit(1)).as("n_truth"))
+    val tp = p.join(t, Seq("a", "b")).agg(count(lit(1)).as("n_tp"))
+    import graft.functions.Exact.longDiv
+    nP.crossJoin(broadcast(nT)).crossJoin(broadcast(tp))
+      .select(col("n_predicted"), col("n_truth"), col("n_tp"),
+        when(col("n_predicted") > 0,
+          longDiv(col("n_tp") * 1000000L, col("n_predicted")))
+          .as("precision_ppm"),
+        when(col("n_truth") > 0,
+          longDiv(col("n_tp") * 1000000L, col("n_truth")))
+          .as("recall_ppm"),
+        when(col("n_predicted") + col("n_truth") > 0,
+          longDiv(col("n_tp") * 2000000L,
+            col("n_predicted") + col("n_truth"))).as("f1_ppm"))
+  }
+
   /** DataFrame-level SimHash: (idCol, simhash) with one 64-char bit string
     * per row. Same bit semantics as [[simhashBits]] (unit-tested
     * equivalent), computed by the native [[graft.functions.SimHash64]]

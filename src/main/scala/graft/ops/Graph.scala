@@ -676,6 +676,60 @@ object Graph {
           col("n_a") * col("n_b")).as("lift_ppm"))
   }
 
+  /** Item-item Jaccard similarity from basket co-occurrence — the
+    * collaborative-filtering primitive [[associationRules]]'s directed
+    * confidence/lift don't provide: a SYMMETRIC normalized affinity
+    * `jaccard_ppm = n_ab·10⁶ div (n_a + n_b − n_ab)` per unordered item
+    * pair, the "customers who engage with A engage with B" score
+    * item-kNN recommenders and substitutability analyses rank by
+    * (confidence is direction-biased toward rare items; lift explodes
+    * for low-support pairs — Jaccard is bounded, symmetric, and
+    * support-aware). All counts are DISTINCT-basket counts over the
+    * baskets surviving the `maxBasketSize` guard (the
+    * [[associationRules]] same-population discipline), division is
+    * exact floor ppm. Output: (`item_a` < `item_b`, `n_ab`, `n_a`,
+    * `n_b`, `jaccard_ppm`), pairs below `minSupport` dropped.
+    *
+    * Scale shape: [[coOccurrence]]'s bounded scan-local pair generation
+    * (tail-slice posexplode, never all-pairs) plus one vocabulary-sized
+    * item-count table broadcast onto the pair table twice — the pair
+    * table never re-shuffles after its one count exchange.
+    */
+  def itemJaccard(df: DataFrame, basketCol: Column, itemCol: Column,
+      minSupport: Long, maxBasketSize: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
+    val baskets = df.select(basketCol.as("__b"), itemCol.as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_list(col("__i"))).as("__items"))
+      .filter(size(col("__items")).between(2, maxBasketSize))
+      .localCheckpoint(false) // guarded baskets feed pairs AND counts
+    val pairs = baskets
+      .select(posexplode(col("__items")).as(Seq("__p", "item_a")),
+        col("__items"))
+      .select(col("item_a"),
+        explode(slice(col("__items"), col("__p") + 2,
+          greatest(size(col("__items")) - col("__p") - 1, lit(0))))
+          .as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val itemN = baskets.select(explode(col("__items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("__n"))
+    import graft.functions.Exact.longDiv
+    pairs
+      .join(broadcast(itemN.select(col("item").as("item_a"),
+        col("__n").as("n_a"))), Seq("item_a"))
+      .join(broadcast(itemN.select(col("item").as("item_b"),
+        col("__n").as("n_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        longDiv(col("n_ab") * 1000000L,
+          col("n_a") + col("n_b") - col("n_ab")).as("jaccard_ppm"))
+  }
+
   /** Hierarchy flattening — parent-pointer forests (category trees, org
     * charts, thread replies, file systems) resolved to
     * (`id`, `root`, `depth`) in O(log depth) rounds of pointer

@@ -291,6 +291,26 @@ class DedupSpec extends SparkSpec {
     assert(messages(err).exists(_.contains("maxBlockSize")))
   }
 
+  test("pairMetrics: canonicalization (orientation, dups, self-pairs), " +
+      "exact ppm, Dice F1, empty-side nulls") {
+    import spark.implicits._
+    val predicted = Seq((1L, 2L), (2L, 1L), (3L, 4L), (5L, 5L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val truth = Seq((1L, 2L), (4L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.pairMetrics(predicted, truth, "id_a", "id_b")
+      .collect().head
+    // canon pred {(1,2),(3,4),(6,7)}, truth {(1,2),(3,4),(8,9)}, tp 2
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((3L, 3L, 2L)))
+    assert((got.getLong(3), got.getLong(4), got.getLong(5)) ==
+      ((666666L, 666666L, 666666L)))
+    val empty = Dedup.pairMetrics(
+        truth.filter(lit(false)), truth, "id_a", "id_b")
+      .collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(3))
+    assert(empty.getLong(4) == 0L) // recall over 3 truth pairs: 0, not null
+  }
+
   test("embeddingNearDups: scaled copy pairs at cos 1, orthogonal absent") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),

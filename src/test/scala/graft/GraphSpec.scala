@@ -162,6 +162,29 @@ class GraphSpec extends SparkSpec {
     assert(got == Map((1L, 2L) -> 2L))
   }
 
+  test("itemJaccard: exact ppm over guarded-basket counts, symmetric, " +
+      "support filter") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L),
+      (30L, 7L))                          // singleton: excluded entirely
+      .toDF("b", "i")
+    val got = Graph.itemJaccard(rows, col("b"), col("i"),
+        minSupport = 1L, maxBasketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // over guarded baskets {10, 20}: n_1 = 2, n_2 = 2, n_3 = 1
+    assert(got == Map(
+      (1L, 2L) -> ((2L, 2L, 2L, 1000000L)), // 2/(2+2-2) = 1
+      (1L, 3L) -> ((1L, 2L, 1L, 500000L)),  // 1/(2+1-1)
+      (2L, 3L) -> ((1L, 2L, 1L, 500000L))))
+    val sup = Graph.itemJaccard(rows, col("b"), col("i"),
+        minSupport = 2L, maxBasketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sup.toSeq == Seq((1L, 2L)))
+  }
+
   test("kCore: cascade peels a chain into the clique core; degrees " +
       "measured inside the core; no-core graph -> empty") {
     import org.apache.spark.sql.functions.col
