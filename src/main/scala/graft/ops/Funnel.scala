@@ -334,14 +334,16 @@ object Funnel {
       col(typeCol).isin(touchTypes.map(lit(_)): _*),
       struct(col(tsCol).cast("long").as("ts"), col(tieCol).as("tie"),
         col(typeCol).as("ch")))
-    val counted = touchTypes.zipWithIndex.foldLeft(df) {
-      case (acc, (ch, i)) =>
-        acc.withColumn(s"__c$i", coalesce(
-          sum(when(col(typeCol) === ch, 1L).otherwise(0L)).over(w),
-          lit(0L)))
-    }
-      .withColumn("__first", min(touchStruct).over(w))
-      .withColumn("__last", max(touchStruct).over(w))
+    // ONE projection for every frame aggregate (counts + first/last):
+    // chained withColumns leave interleaved Projects that block
+    // CollapseWindow, and the plan grows one WindowExec pass per column
+    // instead of one total (caught by the PlanSpec pin)
+    val counted = df.select(df.columns.map(col) ++
+      touchTypes.indices.map(i => coalesce(
+        sum(when(col(typeCol) === touchTypes(i), 1L).otherwise(0L))
+          .over(w), lit(0L)).as(s"__c$i")) ++
+      Seq(min(touchStruct).over(w).as("__first"),
+        max(touchStruct).over(w).as("__last")): _*)
     val total = touchTypes.indices.map(i => col(s"__c$i"))
       .reduce(_ + _)
     import graft.functions.Exact.longDiv

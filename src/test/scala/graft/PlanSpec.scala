@@ -284,4 +284,42 @@ class PlanSpec extends SparkSpec {
     assert(!st.contains("Join"),
       s"activityStreaks is agg + window only:\n${st.take(2500)}")
   }
+
+  test("round-8 batch: positionAttribution shares linear's one window " +
+      "(no self-join); kendall is one exchange to group grain; " +
+      "itemJaccard's count joins broadcast") {
+    import spark.implicits._
+    def shuffles(plan: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    val ev = (1 to 300).map(i =>
+      (i % 5, i.toLong, i.toLong, if (i % 4 == 0) "buy" else "click"))
+      .toDF("k", "ts", "id", "t")
+    // positionAttribution adds first/last struct aggregates to the SAME
+    // range frame as the channel counts — still one key exchange, one
+    // WindowExec sort, a literal explode, and NO conversions×touches
+    // self-join anywhere
+    val pa = graft.ops.Funnel.positionAttribution(ev, "k", "ts", "id",
+        "t", Seq("click"), "buy", 50L)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(pa) == 1 && !pa.contains("Join"),
+      s"positionAttribution must not self-join:\n${pa.take(2500)}")
+    assert("Window".r.findAllIn(pa).length <= 2,
+      s"first/last/counts must share the frame:\n${pa.take(2500)}")
+    // kendallCorr: ONE exchange to group grain (collect_list agg); the
+    // sort + mergesort kernel are scan-local after it
+    val kc = graft.ops.Features.kendallCorr(
+        ev.select(col("k"), col("ts").as("x"), col("id").as("y")),
+        Seq("k"), col("x"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert(shuffles(kc) == 1 && !kc.contains("Join"),
+      s"kendallCorr is one group-grain agg:\n${kc.take(2500)}")
+    // itemJaccard: the vocabulary-sized item counts ride broadcast onto
+    // the pair table — no pair-table re-shuffle for the enrichment
+    val ij = graft.ops.Graph.itemJaccard(
+        ev.select(col("k").as("b"), col("id").as("i")),
+        col("b"), col("i"), 1L, 100)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(ij).length == 2,
+      s"item counts must broadcast twice:\n${ij.take(2500)}")
+  }
 }
