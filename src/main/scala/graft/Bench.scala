@@ -235,10 +235,12 @@ object Bench {
         val c = docsAt(scale)
         graft.text.Corpus.dedupSegments(c, "text", "doc_id", segTokens = 8)
       })
-    // the two cases whose 4× ratio ran closest to linear get a THIRD
-    // scale point: one point can't distinguish "sub-linear" from "got
-    // lucky once" — the 16× ratio-per-4×-step must also stay < 4
-    val threePoint = Set("q37_dedup_clusters", "q27_embedding_neardup")
+    // cases with a linearity CLAIM to defend get a THIRD scale point:
+    // one point can't distinguish "sub-linear" from "got lucky once" —
+    // the 16× ratio-per-4×-step must also stay ≲ 4. q43 joined in r8:
+    // the adaptive ladder's whole promise is fixed-parameter linearity
+    val threePoint = Set("q37_dedup_clusters", "q27_embedding_neardup",
+      "q43_knn_join")
     // SPARK_GRAFT_SWEEP_CASES=q37_dedup_clusters — iterate on a sweep
     // subset without paying for the other cases
     val caseFilter = sys.env.get("SPARK_GRAFT_SWEEP_CASES")
