@@ -650,6 +650,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("resampleNearest: PRE-EPOCH timestamps anchor by floor division " +
+      "— truncating div would round toward zero and mis-assign nearest") {
+    import spark.implicits._
+    // ts −260: shifted −210, FLOOR multiple −300 (anchor −300, |40|);
+    // truncation would give −200 (|60| — the wrong anchor). ts −40:
+    // shifted +10 → anchor 0. Mixed signs in one key must both be right.
+    val df = Seq(("a", -260L, 1L, 1.0), ("a", -40L, 2L, 2.0),
+      ("a", 140L, 3L, 3.0)).toDF("k", "ts", "id", "v")
+    val got = TimeSeries.resampleNearest(df, Seq("k"), col("ts"),
+        stepUs = 100L, tie = col("id"), valueCol = col("v"))
+      .orderBy("anchor_us").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((-300L, -260L, 1.0), (0L, -40L, 2.0),
+      (100L, 140L, 3.0)))
+  }
+
   test("sequenceGaps: maximal missing ranges, duplicates harmless, " +
       "contiguous keys emit nothing") {
     import spark.implicits._
