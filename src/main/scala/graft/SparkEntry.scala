@@ -3378,6 +3378,25 @@ object SparkEntry {
       graft.dedup.Dedup.pairMetrics(predicted, truth, "id_a", "id_b")
     },
 
+    // X243 — personalized PageRank: q116's bipartite user↔type graph
+    // with the teleport mass flowing to the trusted-user seed set
+    // (user_id % 7) — authority RELATIVE to the seeds, exact integer
+    "q253_ppr" -> { (s, dir) =>
+      val pairs = events(s, dir)
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
+          concat(lit("t:"), col("event_type")).as("t"))
+        .distinct()
+      val edges = pairs.select(col("u").as("src"), col("t").as("dst"))
+        .union(pairs.select(col("t").as("src"), col("u").as("dst")))
+      val seeds = events(s, dir).filter(col("user_id") % 7 === 0)
+        .select(concat(lit("u:"), col("user_id").cast("string"))
+          .as("node"))
+        .distinct()
+      graft.ops.Graph.personalizedPageRank(edges, "src", "dst", seeds,
+          "node", iterations = 4)
+        .orderBy(col("rank_mass").desc, col("node"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9380,6 +9399,71 @@ object SparkEntry {
         |    AS share_ppm
         |FROM t2
         |ORDER BY o_orderpriority, share_ppm DESC, item""".stripMargin,
+
+    // q116's unrolled-iteration CTEs with the teleport confined to the
+    // seed set: base = ⌊N·(10⁶−d)/|S|⌋ on seeds (the 10⁶ mass unit
+    // cancels exactly), 0 elsewhere; the symmetric graph has no
+    // dangling nodes so no redistribution term
+    "q253_ppr" ->
+      """WITH p AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+        |    't:' || event_type AS t
+        |  FROM events
+        |), ed AS (
+        |  SELECT u AS src, t AS dst FROM p
+        |  UNION ALL SELECT t, u FROM p
+        |), deg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY 1
+        |), n AS (
+        |  SELECT src AS node FROM deg
+        |), s AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS node
+        |  FROM events WHERE user_id % 7 = 0
+        |), b AS (
+        |  SELECT n.node,
+        |    CASE WHEN n.node IN (SELECT node FROM s)
+        |      THEN (SELECT CAST(count(*) AS BIGINT) FROM n) * 150000
+        |        // (SELECT CAST(count(*) AS BIGINT) FROM s)
+        |      ELSE CAST(0 AS BIGINT) END AS base
+        |  FROM n
+        |), r1 AS (
+        |  SELECT b.node, CAST(b.base + COALESCE(s1.m, 0) AS BIGINT) AS r
+        |  FROM b LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(sum(
+        |      CAST(1000000 AS HUGEINT) * 850000 // (1000000 * d.d))
+        |      AS BIGINT) AS m
+        |    FROM ed JOIN deg d ON d.src = ed.src
+        |    GROUP BY 1) s1 USING (node)
+        |), r2 AS (
+        |  SELECT b.node, CAST(b.base + COALESCE(s2.m, 0) AS BIGINT) AS r
+        |  FROM b LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(sum(
+        |      CAST(r.r AS HUGEINT) * 850000 // (1000000 * d.d))
+        |      AS BIGINT) AS m
+        |    FROM r1 r JOIN ed ON ed.src = r.node
+        |    JOIN deg d ON d.src = r.node
+        |    GROUP BY 1) s2 USING (node)
+        |), r3 AS (
+        |  SELECT b.node, CAST(b.base + COALESCE(s3.m, 0) AS BIGINT) AS r
+        |  FROM b LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(sum(
+        |      CAST(r.r AS HUGEINT) * 850000 // (1000000 * d.d))
+        |      AS BIGINT) AS m
+        |    FROM r2 r JOIN ed ON ed.src = r.node
+        |    JOIN deg d ON d.src = r.node
+        |    GROUP BY 1) s3 USING (node)
+        |), r4 AS (
+        |  SELECT b.node, CAST(b.base + COALESCE(s4.m, 0) AS BIGINT) AS r
+        |  FROM b LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(sum(
+        |      CAST(r.r AS HUGEINT) * 850000 // (1000000 * d.d))
+        |      AS BIGINT) AS m
+        |    FROM r3 r JOIN ed ON ed.src = r.node
+        |    JOIN deg d ON d.src = r.node
+        |    GROUP BY 1) s4 USING (node)
+        |)
+        |SELECT node, r AS rank_mass FROM r4
+        |ORDER BY rank_mass DESC, node""".stripMargin,
 
     // q140's guarded-basket CTE + item counts + exact floor-ppm Jaccard
     "q251_item_jaccard" ->

@@ -373,6 +373,102 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank in exact integer arithmetic — [[pageRank]]
+    * with the teleport (and dangling) mass flowing to a SEED SET
+    * instead of uniformly: authority is measured RELATIVE to trusted
+    * nodes, the curation prior behind "domains reachable from the
+    * allowlist", "entities salient to this user's history", and
+    * seed-expanded spam/quality propagation. Per round
+    *
+    * {{{
+    * r'(v) = base(v) + [v ∈ S]·(dampingPpm·dang) div (10⁶·|S|)
+    *       + Σ_{u→v} (r(u)·dampingPpm) div (10⁶·outdeg(u))
+    * }}}
+    *
+    * with `base(v) = [v ∈ S]·⌊N·C·(10⁶−dampingPpm) / (10⁶·|S|)⌋` — the
+    * nominal total mass N·C teleports to the seeds equally. Every term
+    * is the same FLOOR-division integer discipline as [[pageRank]]
+    * (bit-identical on any engine/partitioning; leaks ≤ 1 unit per term
+    * per round). Non-seed nodes hold only flow-through mass, so a rank
+    * of 0 means "unreachable from the seeds" — the semantic the uniform
+    * variant cannot express. Seeds not present as edge endpoints are
+    * ignored (they have no edges to propagate through); at least one
+    * seed must survive the intersection.
+    *
+    * Scale shape: identical to [[pageRank]] — the edge+outdeg table
+    * laid out once, k rounds of one ranks exchange + one node-grain
+    * map-side-combined aggregate, dangling scalar on a one-row
+    * broadcast; the seed flag is one extra broadcast semi-join at
+    * |nodes| grain, materialized once. Superseded round frames release
+    * their checkpoint blocks ([[Checkpoints]] discipline).
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String, iterations: Int,
+      dampingPpm: Long = 850000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100]: $iterations")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      s"dampingPpm must be in [0, 1000000]: $dampingPpm")
+    val C = 1000000L
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint(true)
+    val p = loopWidth(e.count(),
+      edges.sparkSession.sparkContext.defaultParallelism)
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__d"))
+    // node universe with the seed flag attached ONCE (broadcast
+    // semi-join at node grain); the flag rides every round's final
+    // projection for free
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+      .join(broadcast(seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("__seed", lit(true))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val nSeeds = nodes.filter(col("__seed")).count()
+    require(nSeeds > 0,
+      "personalizedPageRank: no seed is an edge endpoint")
+    // nominal-total teleport per seed, computed exactly driver-side
+    val basePerSeed = (BigInt(n) * C * (1000000L - dampingPpm) /
+      (BigInt(1000000L) * nSeeds))
+    require(basePerSeed.isValidLong, s"base overflows long: $basePerSeed")
+    val base = when(col("__seed"), lit(basePerSeed.toLong)).otherwise(0L)
+    val withDeg = e.join(deg, Seq("__src"))
+      .repartition(p, col("__src")).sortWithinPartitions(col("__src"))
+      .persist()
+    val dangling = nodes.select(col("node"))
+      .join(deg, col("node") === col("__src"), "left_anti")
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"), lit(C).as("rank_mass"))
+    var prevRanks: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val dang = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank_mass")), lit(0L)).as("__dang"))
+      val contrib = withDeg
+        .join(ranks.repartition(p, col("node")),
+          col("__src") === col("node"))
+        .select(col("__dst").as("node"),
+          expr(s"CAST(rank_mass AS DECIMAL(38,0)) * $dampingPpm div " +
+            "(1000000 * __d)").as("__m"))
+        .groupBy(col("node"))
+        .agg(sum(col("__m").cast("decimal(38,0)")).as("__m"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (base +
+            when(col("__seed"),
+              expr(s"CAST(__dang AS DECIMAL(38,0)) * $dampingPpm div " +
+                s"(1000000 * $nSeeds)")).otherwise(lit(0L)) +
+            coalesce(col("__m"), lit(0L))).cast("long").as("rank_mass"))
+        .localCheckpoint(true)
+      if (prevRanks != null) Checkpoints.release(prevRanks)
+      prevRanks = ranks
+    }
+    withDeg.unpersist()
+    Checkpoints.release(e, nodes, dangling)
+    ranks
+  }
+
   /** Exact per-node triangle counts by the degree-ordered FORWARD
     * algorithm (Schank & Wagner, "Finding, Counting and Listing All
     * Triangles in Large Graphs", WEA 2005) — the local-clustering /

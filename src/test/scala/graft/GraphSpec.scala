@@ -162,6 +162,32 @@ class GraphSpec extends SparkSpec {
     assert(got == Map((1L, 2L) -> 2L))
   }
 
+  test("personalizedPageRank: seeds carry the teleport, an unreachable " +
+      "component drains toward 0, exact hand-computed masses") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // two disjoint 2-cycles; seed = node 1. N = 4, |S| = 1 →
+    // base(1) = ⌊4·10⁶·150000/(10⁶·1)⌋ = 600000, base elsewhere 0.
+    // All out-degrees 1, so contrib(v) = ⌊r(pred)·0.85⌋:
+    //   r1: 1 → 600000+850000, others 850000
+    //   r2: 1 → 600000+⌊850000·0.85⌋ = 1322500; 2 → ⌊1450000·0.85⌋ =
+    //       1232500; 3,4 → 722500 (no teleport: draining)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPageRank(edges, "src", "dst", seeds,
+        "node", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1322500L, 2L -> 1232500L,
+      3L -> 722500L, 4L -> 722500L))
+    // a seed with no edges is not an endpoint → must raise, not hang
+    val err = intercept[Exception] {
+      Graph.personalizedPageRank(edges, "src", "dst",
+        Seq(99L).toDF("node"), "node", iterations = 1).collect()
+    }
+    assert(err.getMessage.contains("no seed"))
+  }
+
   test("itemJaccard: exact ppm over guarded-basket counts, symmetric, " +
       "support filter") {
     import org.apache.spark.sql.functions.col
