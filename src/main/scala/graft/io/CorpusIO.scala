@@ -56,4 +56,38 @@ object CorpusIO {
   def readJsonl(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC variant of [[writeJsonlShards]] — same deterministic
+    * hash-shard + in-shard-order layout, columnar container: the
+    * interchange format for Hive-ecosystem consumers (and the second
+    * columnar format after parquet that predicate/column pushdown must
+    * be PROVEN against, not assumed — the spec pins `PushedFilters`
+    * reaching the ORC scan). File-internal row order is preserved by
+    * ORC, so filename-order streaming replays the deterministic
+    * training order exactly as the JSONL path does.
+    */
+  def writeOrcShards(df: DataFrame, path: String, key: String,
+      nShards: Int, seed: String = ""): Unit = {
+    val sharded = graft.ops.Relational
+      .shuffleShard(df, col(key), nShards, seed)
+    sharded
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .drop("pos")
+      .write
+      .partitionBy("shard")
+      .mode("overwrite")
+      .orc(path)
+  }
+
+  /** Read an ORC corpus. Schema comes from the ORC footers (self-
+    * describing container — unlike JSONL there is no inference pass to
+    * avoid), but an EXPLICIT expected schema is still accepted and
+    * enforced for the data-contract discipline.
+    */
+  def readOrc(spark: SparkSession, path: String,
+      schema: StructType = null): DataFrame = {
+    val r = spark.read
+    (if (schema != null) r.schema(schema) else r).orc(path)
+  }
 }

@@ -48,6 +48,41 @@ class CorpusIOSpec extends SparkSpec {
     assert(files.nonEmpty, "expected gzip jsonl part files")
   }
 
+  test("ORC shard round trip: content + shard parity with JSONL, " +
+      "predicate AND column pushdown reach the ORC scan") {
+    val docs = (1L to 200L)
+      .map(i => (i, s"document number $i", s"src${i % 5}"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-orc").toString
+    CorpusIO.writeOrcShards(docs, dir, "doc_id", nShards = 4,
+      seed = "ep1")
+    val back = CorpusIO.readOrc(spark, dir)
+    assert(back.count() == 200L)
+    assert(back.select("shard").distinct().count() == 4L)
+    val got = back.select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.sorted.toSeq ==
+      docs.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq)
+    // same deterministic shard assignment as the JSONL path
+    val expected = graft.ops.Relational
+      .shuffleShard(docs, col("doc_id"), 4, "ep1")
+      .select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    back.select("doc_id", "shard").collect().foreach { r =>
+      assert(r.getInt(1).toLong == expected(r.getLong(0)))
+    }
+    // pushdown is PROVEN, not assumed: the filter must reach the ORC
+    // scan as PushedFilters and the projection must prune to one column
+    val plan = back.filter(col("doc_id") === 7L).select("text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "EqualTo(doc_id,7)]"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan)
+  }
+
   test("explicit schema surfaces corrupt lines instead of null-padding") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-jsonl-bad").toString
