@@ -3397,6 +3397,28 @@ object SparkEntry {
         .orderBy(col("rank_mass").desc, col("node"))
     },
 
+    // X244 — incremental CC: yesterday's labeling (CC over the parity-
+    // even half of the q37 pair universe) + today's pairs (odd half)
+    // folded in WITHOUT re-clustering from raw pairs; the oracle is the
+    // FROM-SCRATCH closure over the full history — the invariant the
+    // incremental path must preserve
+    "q254_incremental_cc" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = graft.dedup.Dedup.blockedJaccardPairs(
+        docs.select(col("doc_id"), col("source"), col("text")),
+        "text", "doc_id", "source", shingleN = 1, threshold = 0.5,
+        maxBlockSize = Int.MaxValue)
+      val prior = graft.ops.Graph.connectedComponents(
+        docs.select(col("doc_id")), "doc_id",
+        pairs.filter((col("id_a") + col("id_b")) % 2 === 0),
+        "id_a", "id_b")
+      graft.ops.Graph.incrementalComponents(prior,
+          pairs.filter((col("id_a") + col("id_b")) % 2 === 1),
+          "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9464,6 +9486,44 @@ object SparkEntry {
         |)
         |SELECT node, r AS rank_mass FROM r4
         |ORDER BY rank_mass DESC, node""".stripMargin,
+
+    // the from-scratch closure over the FULL pair history (q37's
+    // recursive CTE) — the invariant the incremental fold must equal
+    "q254_incremental_cc" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, source,
+        |    list_transform(list_distinct(list_filter(
+        |      string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ',
+        |        'g'))), '\s+'),
+        |      t -> t <> '')), x ->
+        |      list_reduce(list_transform(generate_series(1, 15), ii ->
+        |        CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |             THEN ascii(substr(md5(x), ii, 1)) - 48
+        |             ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b)) AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS inter,
+        |    CAST(len(a.s) + len(b.s)
+        |      - len(list_filter(a.s, x -> list_contains(b.s, x)))
+        |      AS DOUBLE) AS uni
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |), e0 AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6)
+        |    >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM e0
+        |  UNION SELECT id_b, id_a FROM e0
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
 
     // q140's guarded-basket CTE + item counts + exact floor-ppm Jaccard
     "q251_item_jaccard" ->

@@ -223,6 +223,40 @@ object Graph {
       .select(col("id"), coalesce(col("__lbl"), col("id")).as("cluster_id"))
   }
 
+  /** Incremental connected components — fold NEW pairs into a PRIOR
+    * labeling without re-clustering from raw pairs: a prior cluster
+    * {a, b, c} → L is fully captured by its label EDGES (a—L, b—L,
+    * c—L), so the merged closure is exactly
+    * `connectedComponents(prior label edges ∪ new pairs)`. This is the
+    * daily-increment shape at lake scale: yesterday's labeling is a
+    * persisted artifact, today's detector emits pairs touching a sliver
+    * of it, and the loop's cost is O(|prior non-singleton rows| +
+    * |new pairs|) per round — NOT corpus-sized (store the prior
+    * SPARSELY, non-singleton rows only; singleton rows cost nothing in
+    * the loop either way — self-edges are dropped and the edge-free
+    * majority rides the final left join, but they do ride the shuffle
+    * into that join, so a 10⁹-singleton artifact is 10⁹ wasted rows of
+    * I/O per increment).
+    *
+    * Labels stay CANONICAL (min reachable id), so a new pair bridging
+    * two prior clusters relabels both to the smaller minimum —
+    * deterministic, and identical to what a from-scratch run over the
+    * full pair history would produce (the probe's invariant). Output:
+    * (`id`, `cluster_id`) over prior ids ∪ new-pair endpoints.
+    */
+  def incrementalComponents(prior: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val pe = prior.select(col("id").cast("long").as("a"),
+        col("cluster_id").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val ne = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val vertices = prior.select(col("id"))
+      .union(pairs.select(col(aCol).as("id")))
+      .union(pairs.select(col(bCol).as("id")))
+    connectedComponents(vertices, "id", pe.unionByName(ne), "a", "b")
+  }
+
   /** End-to-end near-dup corpus dedup: given the corpus and its near-dup
     * PAIRS (from any detector — minhash LSH, SimHash bands, embedding
     * buckets), label components and keep exactly one document per

@@ -162,6 +162,37 @@ class GraphSpec extends SparkSpec {
     assert(got == Map((1L, 2L) -> 2L))
   }
 
+  test("incrementalComponents: bridges prior clusters, keeps untouched " +
+      "singletons, equals from-scratch CC on the full pair history") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // prior: {1,2} → 1, {3,4} → 3, singleton 9 → 9
+    val prior = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (9L, 9L))
+      .toDF("id", "cluster_id")
+    // a new pair bridging the two clusters + a brand-new doc pairing in
+    val newPairs = Seq((2L, 3L), (10L, 4L)).toDF("id_a", "id_b")
+    val got = Graph.incrementalComponents(prior, newPairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 1L, 9L -> 9L))
+    // invariant: incremental == from-scratch over the full history
+    val rnd = new scala.util.Random(5)
+    val all = (1 to 60).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val (oldP, newP) = all.partition(p => (p._1 + p._2) % 2 == 0)
+    val verts = (0L until 30L).toDF("id")
+    val fromScratch = Graph.connectedComponents(verts, "id",
+        all.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incr = Graph.incrementalComponents(
+        Graph.connectedComponents(verts, "id", oldP.toDF("a", "b"),
+          "a", "b"),
+        newP.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == fromScratch)
+  }
+
   test("personalizedPageRank: seeds carry the teleport, an unreachable " +
       "component drains toward 0, exact hand-computed masses") {
     import org.apache.spark.sql.functions.col
