@@ -3419,6 +3419,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X245 — per-document language-mix profile: sentence-ish segments,
+    // X10's langid per segment, majority share in exact ppm — the
+    // code-switch / concatenation-error triage document-level ID hides
+    "q255_language_mix" -> { (s, dir) =>
+      graft.text.Corpus.languageMix(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9486,6 +9496,58 @@ object SparkEntry {
         |)
         |SELECT node, r AS rank_mass FROM r4
         |ORDER BY rank_mass DESC, node""".stripMargin,
+
+    // q22's stopword-ratio CASE applied per sentence segment; majority
+    // via struct max (ties → lexicographically larger label, same as
+    // Spark's struct ordering); HUGEINT sums cast back to BIGINT
+    "q255_language_mix" ->
+      """WITH segs AS (
+        |  SELECT doc_id, seg FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(text, '[.!?]+')) AS seg
+        |    FROM documents)
+        |  WHERE trim(seg) <> ''
+        |), toks AS (
+        |  SELECT doc_id, seg,
+        |    list_filter(string_split_regex(seg, '\s+'), t -> t <> '') AS tk
+        |  FROM segs
+        |), scores AS (
+        |  SELECT doc_id, seg,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_en,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['el','la','de','que','y','en','un','los','se','no'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_es,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['der','die','und','das','ist','ein','zu','den','mit','nicht'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_de,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['le','la','de','et','les','des','un','une','est','que'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_fr
+        |  FROM toks
+        |), langs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN regexp_matches(seg, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN s_en = greatest(s_en, s_es, s_de, s_fr)
+        |           AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
+        |         WHEN s_es = greatest(s_en, s_es, s_de, s_fr)
+        |           AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'es'
+        |         WHEN s_de = greatest(s_en, s_es, s_de, s_fr)
+        |           AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'de'
+        |         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr)
+        |           AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'fr'
+        |         ELSE 'und' END AS lang
+        |  FROM scores
+        |), bylang AS (
+        |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM langs GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(n) AS BIGINT) AS n_segments,
+        |  CAST(count(*) AS BIGINT) AS n_langs,
+        |  struct_extract(max(struct_pack(n := n, lang := lang)), 'lang')
+        |    AS majority_lang,
+        |  struct_extract(max(struct_pack(n := n, lang := lang)), 'n')
+        |    * 1000000 // CAST(sum(n) AS BIGINT) AS majority_ppm
+        |FROM bylang GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // the from-scratch closure over the FULL pair history (q37's
     // recursive CTE) — the invariant the incremental fold must equal

@@ -1049,4 +1049,46 @@ object Corpus {
       .agg(count(lit(1)).as("n"), min(col("__line")).as("example"))
       .filter(col("n") >= minCount)
   }
+
+  /** Per-document language-mix profile — the multilingual-corpus triage
+    * step document-level language ID ([[TextFunctions.langId]], X10)
+    * cannot serve: a code-switched or wrongly-concatenated document
+    * looks like whatever language dominates, while the MIX is the
+    * signal (route to per-language pipelines? split? drop?). Documents
+    * split into sentence-ish segments on `[.!?]+` runs, each segment
+    * labeled by the same stopword heuristic as X10 (the engine-wide
+    * language-ID convention — profiles and document labels agree by
+    * construction), then per document: `n_segments`, `n_langs`
+    * (distinct labels incl. `und`), `majority_lang`, `majority_ppm`
+    * (floor ppm of segments carrying the majority label; ties break to
+    * the lexicographically larger label via a struct max —
+    * deterministic, engine-portable). Documents with no non-empty
+    * segment (null/empty/punctuation-only text) emit no row.
+    *
+    * Scale shape: one scan-local segment explode (fan-out = sentence
+    * count), the langId column algebra per segment (codegen'd stopword
+    * ratios, no UDF), then two map-side-combined aggregations —
+    * (doc, lang) grain, doc grain. No window, no join.
+    */
+  def languageMix(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    import graft.functions.Exact.longDiv
+    val segs = df
+      .select(col(idCol),
+        explode(split(col(textCol), "[.!?]+")).as("__seg"))
+      .filter(trim(col("__seg")) =!= "")
+    segs
+      .select(col(idCol), TextFunctions.langId(col("__seg")).as("__lang"))
+      .groupBy(col(idCol), col("__lang"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_segments"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("__n").as("n"), col("__lang").as("lang")))
+          .as("__best"))
+      .select(col(idCol), col("n_segments"), col("n_langs"),
+        col("__best.lang").as("majority_lang"),
+        longDiv(col("__best.n") * 1000000L, col("n_segments"))
+          .as("majority_ppm"))
+  }
 }

@@ -643,4 +643,27 @@ class CorpusSpec extends SparkSpec {
       (0, 0, 3, false),
       (0, 0, 1, false)))
   }
+
+  test("languageMix: per-segment langid, majority ppm, tie to larger " +
+      "label, zh override, empty docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      // 2 en segments + 1 es segment → majority en at 666666 ppm
+      (1L, "the cat is in the hat. el gato y la casa no se ve! " +
+        "it was a day of sun."),
+      // one zh segment (CJK override) + one en
+      (2L, "\u4e2d\u6587\u6587\u672c. the dog was here."),
+      // 1 en + 1 und segment (no stopwords): tie n=1 → 'und' > 'en'
+      (3L, "the cat was it. xyzzy plugh qwerty."),
+      (4L, "...!!!"),       // punctuation-only: no segments, no row
+      (5L, "")).toDF("doc_id", "text")
+    val got = graft.text.Corpus.languageMix(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((3L, 2L, "en", 666666L)))
+    assert(got(2L) == ((2L, 2L, "zh", 500000L)))
+    assert(got(3L) == ((2L, 2L, "und", 500000L)))
+    assert(!got.contains(4L) && !got.contains(5L))
+  }
 }
