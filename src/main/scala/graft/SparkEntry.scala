@@ -3429,6 +3429,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X246 — stepped-half-life decay attribution: 12h half-life over a
+    // 48h horizon = four power-of-two age buckets (8/4/2/1), exact
+    // integer credit — the recency-weighted fourth attribution model
+    "q256_decay_attr" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"),
+        nsToMicros(col("ts_ns")).as("ts_us"), col("event_type"))
+      graft.ops.Funnel.decayAttribution(ev, "user_id", "ts_us",
+          "event_type", Seq("click", "view"), "purchase",
+          maxGap = 172800000000L, halfLife = 43200000000L)
+        .orderBy(col("user_id"), col("ts_us"), col("channel"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9496,6 +9508,67 @@ object SparkEntry {
         |)
         |SELECT node, r AS rank_mass FROM r4
         |ORDER BY rank_mass DESC, node""".stripMargin,
+
+    // q243's shape with FOUR range frames (one per 12h age bucket) on
+    // the shared window; integer power-of-two weights 8/4/2/1
+    "q256_decay_attr" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    event_type
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, ts_us, event_type,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1
+        |      ELSE 0 END) OVER w0, 0) AS BIGINT) AS c00,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1
+        |      ELSE 0 END) OVER w1, 0) AS BIGINT) AS c01,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1
+        |      ELSE 0 END) OVER w2, 0) AS BIGINT) AS c02,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1
+        |      ELSE 0 END) OVER w3, 0) AS BIGINT) AS c03,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1
+        |      ELSE 0 END) OVER w0, 0) AS BIGINT) AS c10,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1
+        |      ELSE 0 END) OVER w1, 0) AS BIGINT) AS c11,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1
+        |      ELSE 0 END) OVER w2, 0) AS BIGINT) AS c12,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1
+        |      ELSE 0 END) OVER w3, 0) AS BIGINT) AS c13
+        |  FROM e
+        |  WINDOW
+        |    w0 AS (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 43200000000 PRECEDING AND 1 PRECEDING),
+        |    w1 AS (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 86400000000 PRECEDING
+        |        AND 43200000001 PRECEDING),
+        |    w2 AS (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 129600000000 PRECEDING
+        |        AND 86400000001 PRECEDING),
+        |    w3 AS (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 172800000000 PRECEDING
+        |        AND 129600000001 PRECEDING)
+        |), conv AS (
+        |  SELECT user_id, ts_us,
+        |    c00 + c01 + c02 + c03 AS n0,
+        |    c10 + c11 + c12 + c13 AS n1,
+        |    c00 * 8 + c01 * 4 + c02 * 2 + c03 AS m0,
+        |    c10 * 8 + c11 * 4 + c12 * 2 + c13 AS m1
+        |  FROM c WHERE event_type = 'purchase'
+        |), x AS (
+        |  SELECT user_id, ts_us, 'click' AS channel, n0 AS n_ch,
+        |    n0 + n1 AS tot, m0 AS num, m0 + m1 AS den
+        |  FROM conv WHERE n0 + n1 > 0 AND n0 > 0
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 'view', n1, n0 + n1, m1, m0 + m1
+        |  FROM conv WHERE n0 + n1 > 0 AND n1 > 0
+        |  UNION ALL
+        |  SELECT user_id, ts_us, NULL, CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), NULL, NULL
+        |  FROM conv WHERE n0 + n1 = 0
+        |)
+        |SELECT user_id, ts_us, channel, n_ch, tot AS n_total,
+        |  CASE WHEN den > 0 THEN num * 1000000 // den END AS credit_ppm
+        |FROM x ORDER BY user_id, ts_us, channel""".stripMargin,
 
     // q22's stopword-ratio CASE applied per sentence segment; majority
     // via struct max (ties → lexicographically larger label, same as

@@ -385,6 +385,76 @@ object Funnel {
           .as("credit_ppm"))
   }
 
+  /** Stepped-half-life decay attribution — the fourth standard model
+    * completing the family ([[lastTouchAttribution]], [[linearAttribution]],
+    * [[positionAttribution]]): recent touches matter more, weight
+    * halving per `halfLife` of age. The decay is DISCRETIZED to age
+    * buckets — a touch of age ∈ (j·halfLife, (j+1)·halfLife] carries
+    * weight 2^(nBuckets−1−j) — so every weight is an exact integer and
+    * the whole credit computation stays in the engine's floor-ppm
+    * discipline (the continuous 2^(−age/H) needs float `pow`, which is
+    * not bit-portable across engines; the stepped model is the same
+    * business statement — "a day-old touch counts half" — with exact
+    * arithmetic). Per conversion and channel:
+    * `credit_ppm = (Σ_j c_{ch,j}·w_j)·10⁶ div Σ_all`, floor remainder
+    * ≤ |channels|−1 ppm exactly as [[linearAttribution]] documents
+    * (route through largest-remainder proration for sum-exact reports).
+    * Organic conversions emit the null-channel row.
+    *
+    * Scale shape: channels × buckets are JOB constants, so every
+    * bucketed count is a conditional sum over a RANGE frame on the ONE
+    * shared (key-exchange, ts-sort) window — Spark's WindowExec
+    * evaluates all the frames in one node over one sort, no
+    * conversions×touches self-join. `nBuckets = ⌈maxGap/halfLife⌉` is
+    * capped at 32 (2³¹ weight headroom and a sane plan width).
+    */
+  def decayAttribution(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, touchTypes: Seq[String], convType: String,
+      maxGap: Long, halfLife: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "decayAttribution needs touch types")
+    require(maxGap > 0, s"maxGap must be > 0: $maxGap")
+    require(halfLife > 0, s"halfLife must be > 0: $halfLife")
+    val nB = ((maxGap + halfLife - 1) / halfLife).toInt
+    require(nB <= 32,
+      s"maxGap/halfLife yields $nB age buckets (> 32): widen halfLife")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).cast("long"))
+    // bucket j: ages in (j·H, (j+1)·H] clipped to the maxGap horizon,
+    // as a value-range frame [−min((j+1)H, maxGap), −(jH+1)]
+    def frame(j: Int) =
+      w.rangeBetween(-math.min((j.toLong + 1) * halfLife, maxGap),
+        -(j.toLong * halfLife + 1))
+    val counted = df.select(df.columns.map(col) ++
+      touchTypes.indices.flatMap(i => (0 until nB).map(j =>
+        coalesce(sum(when(col(typeCol) === touchTypes(i), 1L)
+          .otherwise(0L)).over(frame(j)), lit(0L)).as(s"__c${i}_$j"))): _*)
+    def num(i: Int): Column = (0 until nB).map(j =>
+      col(s"__c${i}_$j") * (1L << (nB - 1 - j))).reduce(_ + _)
+    def cnt(i: Int): Column = (0 until nB).map(j =>
+      col(s"__c${i}_$j")).reduce(_ + _)
+    val den = touchTypes.indices.map(num).reduce(_ + _)
+    val total = touchTypes.indices.map(cnt).reduce(_ + _)
+    import graft.functions.Exact.longDiv
+    val entries = touchTypes.zipWithIndex.map { case (ch, i) =>
+      struct(lit(ch).as("channel"), cnt(i).as("n_ch"),
+        num(i).as("num"))
+    }
+    counted.filter(col(typeCol) === convType)
+      .withColumn("__tot", total)
+      .withColumn("__den", den)
+      .select(col(keyCol), col(tsCol), col("__tot"), col("__den"),
+        explode(when(col("__tot") > 0L, array(entries: _*))
+          .otherwise(array(struct(lit(null).cast("string").as("channel"),
+            lit(0L).as("n_ch"), lit(0L).as("num"))))).as("__e"))
+      .filter(col("__e.channel").isNull || col("__e.n_ch") > 0L)
+      .select(col(keyCol), col(tsCol),
+        col("__e.channel").as("channel"), col("__e.n_ch").as("n_ch"),
+        col("__tot").as("n_total"),
+        when(col("__den") > 0L,
+          longDiv(col("__e.num") * 1000000L, col("__den")))
+          .as("credit_ppm"))
+  }
+
   /** State-machine conformance audit — the data-quality gate for event
     * streams with a protocol ("a purchase must follow a click", "a
     * device can't go active → active"): against a declared set of legal

@@ -531,6 +531,27 @@ class ProfileFunnelSpec extends SparkSpec {
     assert(got(("u4", None)) == ((0L, 0L, None)))
   }
 
+  test("decayAttribution: power-of-two bucket weights, exact ppm " +
+      "shares, horizon exclusion, bucket boundaries, organic row") {
+    import spark.implicits._
+    // maxGap 4, halfLife 2 → buckets: age 1-2 (w=2), age 3-4 (w=1).
+    // conv@6: click@2 (age 4, w1), click@5 (age 1, w2), view@3 (age 3,
+    // w1); click@1 is age 5 — outside the horizon entirely
+    val ev = Seq(
+      ("u", 1L, "click"), ("u", 2L, "click"), ("u", 3L, "view"),
+      ("u", 5L, "click"), ("u", 6L, "purchase"),
+      ("v", 1L, "click"), ("v", 20L, "purchase")) // organic
+      .toDF("k", "ts", "t")
+    val got = Funnel.decayAttribution(ev, "k", "ts", "t",
+        Seq("click", "view"), "purchase", maxGap = 4L, halfLife = 2L)
+      .collect().map(r => (r.getString(0), Option(r.getString(2))) ->
+        ((r.getLong(3), r.getLong(4), Option(r.get(5))))).toMap
+    // click num = 2+1 = 3, view num = 1, den = 4
+    assert(got(("u", Some("click"))) == ((2L, 3L, Some(750000L))))
+    assert(got(("u", Some("view"))) == ((1L, 3L, Some(250000L))))
+    assert(got(("v", None)) == ((0L, 0L, None)))
+  }
+
   test("missingnessMatrix: joint-null lift in exact ppm — subset " +
       "missingness lifts above 1e6, and a never-null column yields " +
       "null lift") {
