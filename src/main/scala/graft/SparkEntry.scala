@@ -3441,6 +3441,19 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_us"), col("channel"))
     },
 
+    // X247 — group-keyed k-fold (GroupKFold): every row of a user lands
+    // in one fold (fold = md5-60(seed, key) mod k — scan-local, zero
+    // shuffles for the assignment); probed at per-fold row/user grain
+    "q257_group_kfold" -> { (s, dir) =>
+      graft.ops.Relational.groupKFold(
+          events(s, dir).select(col("user_id"), col("event_id")),
+          col("user_id"), k = 5, seed = "cv1")
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("fold"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9508,6 +9521,28 @@ object SparkEntry {
         |)
         |SELECT node, r AS rank_mass FROM r4
         |ORDER BY rank_mass DESC, node""".stripMargin,
+
+    // q87's md5-60 macro on (seed, user_id) mod 5, then fold-grain
+    // counts — the oracle equality certifies identical fold assignment
+    "q257_group_kfold" ->
+      """WITH h AS (
+        |  SELECT user_id, event_id,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5('cv1' || chr(1) ||
+        |          CAST(user_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5('cv1' || chr(1) ||
+        |          CAST(user_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5('cv1' || chr(1) ||
+        |          CAST(user_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM events
+        |)
+        |SELECT hv % 5 AS fold,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM h GROUP BY 1 ORDER BY fold""".stripMargin,
 
     // q243's shape with FOUR range frames (one per 12h age bucket) on
     // the shared window; integer power-of-two weights 8/4/2/1

@@ -529,6 +529,31 @@ object Relational {
     * write every sharded export pays anyway; no global single-partition
     * sort. Hash-order ties break by the key itself (total order).
     */
+  /** Group-keyed k-fold assignment (GroupKFold) — the leakage-safe
+    * cross-validation splitter the ratio/proportion splitters can't
+    * provide: EVERY row of a group (user, session, patient, document
+    * cluster) lands in the SAME fold because the fold is a pure
+    * function of the group key — `fold = h(seed, key) mod k` over the
+    * engine's 60-bit md5 unit hash — so no entity ever straddles a
+    * train/validation boundary (row-wise splitting of correlated rows
+    * is the classic CV leak; the temporal variant of the same concern
+    * is [[temporalSplit]], the near-dup-cluster variant rides
+    * [[graft.ops.Graph]] components through the same keying). Fold
+    * SIZES are hash-proportional, not exact (groups are atomic — exact
+    * equality is impossible anyway when group sizes differ); `seed`
+    * re-randomizes the assignment per experiment. Appends `fold`
+    * (0..k−1). Scan-local: a pure column function, zero shuffles, and
+    * the predicate `fold = i` pushes to the scan like any
+    * deterministic-hash selection.
+    */
+  def groupKFold(df: DataFrame, groupKey: Column, k: Int,
+      seed: String = ""): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val h = hashUnit(concat(lit(seed), lit("\u0001"),
+      groupKey.cast("string")))
+    df.withColumn("fold", pmod(h, lit(k.toLong)))
+  }
+
   def shuffleShard(df: DataFrame, key: Column, nShards: Int,
       seed: String = ""): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1: $nShards")

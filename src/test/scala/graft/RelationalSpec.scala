@@ -453,6 +453,32 @@ class RelationalSpec extends SparkSpec {
     assert(moved.size > 120 && moved.size < 280, moved.size) // ~200
   }
 
+  test("groupKFold: every row of a group in ONE fold, seeded " +
+      "re-randomization, scan-local zero-shuffle assignment") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i => (i % 40, i)).toDF("user", "row_id")
+    val folded = graft.ops.Relational.groupKFold(rows, col("user"), 5,
+      seed = "cv1")
+    // leakage invariant: a group's rows never straddle folds
+    assert(folded.groupBy("user")
+      .agg(countDistinct("fold").as("nf"))
+      .filter(col("nf") > 1).count() == 0L)
+    // all folds populated on 40 groups, assignment total
+    assert(folded.select("fold").distinct().count() == 5L)
+    assert(folded.count() == 300L)
+    // a different seed re-deals at least one group
+    val re = graft.ops.Relational.groupKFold(rows, col("user"), 5,
+        seed = "cv2")
+      .select("user", "fold").distinct()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val orig = folded.select("user", "fold").distinct()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(orig != re)
+    // the assignment itself is scan-local — no exchange in the plan
+    val plan = folded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("shuffleShard: deterministic permutation, dense positions, seeded") {
     val df = (1L to 500L).toDF("id")
     def run(seed: String) = Relational.shuffleShard(df, col("id"), 4, seed)
