@@ -9,7 +9,8 @@ ThisBuild / description :=
   "Spark-native analytics engine for eddy-covariance tower time series " +
     "(TOA5 ingestion, QC, incremental water-year aggregation) plus a " +
     "training-data pipeline operator suite (dedup, similarity, text, " +
-    "profiling, streaming) — 253 oracle-verified probe queries"
+    "profiling, streaming) — every operator backed by an oracle-verified " +
+    "probe query (full matrix in README.md, regenerated per release)"
 ThisBuild / licenses := Seq(
   "Apache-2.0" -> url("https://www.apache.org/licenses/LICENSE-2.0"))
 ThisBuild / versionScheme := Some("early-semver")

@@ -208,7 +208,7 @@ object Bench {
         Dedup.editDistancePairs(c, "text", "doc_id", "source",
           maxDist = 4, prefixLen = 200)
       },
-      // the remaining two near-dup blockers. q27 runs the OCCUPANCY-
+      // the remaining near-dup blockers. q27 runs the OCCUPANCY-
       // CAPPED adaptive variant with IDENTICAL parameters at every scale
       // — that is the point being measured: the r7 diagnosis showed the
       // planes ~ log₄(n) knob under-compensates on correlated embeddings
@@ -228,12 +228,23 @@ object Bench {
         Dedup.simhashNearDups(c, "text", "doc_id",
           bands = 4, maxHamming = 8)
       },
-      // segment-level dedup: one window keyed by segment content (each
-      // partition is one segment's occurrence list) + one doc-grain agg
-      // — growth is in segment-key COUNT, not occurrence-list size
+      // segment-level dedup: first-occurrence marking is a map-side-
+      // combined min(struct) agg + a unique-key join back (r8 rework:
+      // the previous content-keyed window serialized each hot
+      // boilerplate segment's corpus-wide occurrence list in one task)
       "q64_segment_dedup" -> { scale =>
         val c = docsAt(scale)
         graft.text.Corpus.dedupSegments(c, "text", "doc_id", segTokens = 8)
+      },
+      // the flagship full-corpus dedup gate (SURVEY X120): estimate +
+      // exact-Jaccard verify within source blocks, measured at fixed
+      // parameters — docsNx grows block COUNT (per-replica source
+      // namespace), not block size, so the slope claim is ≲ 4/step
+      "q119_minhash_gate" -> { scale =>
+        val c = docsAt(scale)
+        Dedup.minhashGatedPairs(c, "text", "doc_id", "source",
+          shingleN = 1, threshold = 0.3, numHashes = 64,
+          tolPpm = 250000L, maxBlockSize = Int.MaxValue)
       })
     // cases with a linearity CLAIM to defend get a THIRD scale point:
     // one point can't distinguish "sub-linear" from "got lucky once" —
@@ -291,6 +302,10 @@ object Bench {
       // degrade per case (like exec's -1.0) — one failing case must not
       // discard the other cases' completed samples
       try {
+        // per-case GC barrier: each case's 16×/4× corpus leaves a heap
+        // of short-lived garbage that otherwise lands on the NEXT case's
+        // x1 sample and inverts its slope
+        System.gc()
         val (x1, b1, r1) = run(1)
         val (x4, b4, r4) = run(4)
         val x16 = if (threePoint.contains(name)) Some(run(16)) else None
@@ -388,10 +403,13 @@ object Bench {
     // third scale point: a 16× corpus turns the two-point slope into a
     // line — if rows/sec keeps rising (fixed overhead amortizing) or
     // holds, the claim "wall grows linearly in rows" is measured, not
-    // extrapolated. One sample: at ~13 s it amortizes noise on its own
-    // (same regime as exec's >=20 s rule, and its slot in the suite
-    // budget is already the largest).
-    val pipeline16x = pipelineAt("multisite_16x", 192, runs = 1)
+    // extrapolated. min-of-2 with a GC barrier first: the r8 driver run
+    // recorded 21.3 s here where the same-commit builder run recorded
+    // 11.7 s — a single sample of a ~12 s job in a session still
+    // carrying the 4× corpus's garbage is not noise-proof, and this is
+    // the headline point the linearity claim rests on.
+    System.gc()
+    val pipeline16x = pipelineAt("multisite_16x", 192, runs = 2)
     // one full GC between the pipeline tier and the query loop: the 16x
     // corpus leaves a heap's worth of short-lived garbage whose collection
     // otherwise lands on whichever query runs next (r8 dry run: q101 hit
@@ -419,8 +437,14 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_SKIP_SWEEP") ||
           (only.isDefined && !sys.env.contains("SPARK_GRAFT_FORCE_SWEEP")))
         "null"
-      else try scaleSweep(spark, sfDir)
-      catch { case e: Throwable =>
+      else try {
+        // same GC barrier discipline the query loop got after r7's
+        // phantom regressions: the sweep otherwise times in the oldest
+        // possible session state (r8: q64 x4 read 4.13 s driver-side vs
+        // 0.59 s on a fresh session of the same commit)
+        System.gc()
+        scaleSweep(spark, sfDir)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] scale sweep failed: ${e.getMessage}")
         "null"
       }

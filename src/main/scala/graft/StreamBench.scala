@@ -63,19 +63,29 @@ object StreamBench {
         mk: MemoryStream[T] => DataFrame)(
         feed: (MemoryStream[T], Int) => Int)(
         implicit e: org.apache.spark.sql.Encoder[T]): (String, Long, Double) = {
-      val in = MemoryStream[T]
-      val q = mk(in).writeStream.format("noop").outputMode(mode).start()
-      val t0 = System.nanoTime()
-      var fed = 0L
-      var c = 0
-      while (c < chunks) { fed += feed(in, c); q.processAllAvailable(); c += 1 }
-      val sec = (System.nanoTime() - t0) / 1e9
-      q.stop()
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      // min-of-2 full start→feed→drain cycles, fresh stream + query per
+      // cycle: r8's BENCHLOG flagged heavy_hitters 69k→29k and lateness
+      // 75k→43k rows/s at the 2× feed — both O(1)-state per row, so the
+      // swings were single-sample noise (run 1 additionally pays plan
+      // compilation + state-store setup), not regressions. Same rule as
+      // the batch bench's exec().
+      def one: (Long, Double) = {
+        val in = MemoryStream[T]
+        val q = mk(in).writeStream.format("noop").outputMode(mode).start()
+        val t0 = System.nanoTime()
+        var fed = 0L
+        var c = 0
+        while (c < chunks) { fed += feed(in, c); q.processAllAvailable(); c += 1 }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        (fed, sec)
+      }
+      val (fed, sec) = Seq(one, one).minBy(_._2)
       System.err.println(f"[streambench] $name%-22s $fed%8d rows " +
-        f"$sec%7.2f s  ${fed / sec}%,.0f rows/s")
+        f"$sec%7.2f s  ${fed / sec}%,.0f rows/s (min of 2)")
       (name, fed, sec)
     }
 

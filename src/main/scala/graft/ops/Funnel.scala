@@ -451,7 +451,12 @@ object Funnel {
         col("__e.channel").as("channel"), col("__e.n_ch").as("n_ch"),
         col("__tot").as("n_total"),
         when(col("__den") > 0L,
-          longDiv(col("__e.num") * 1000000L, col("__den")))
+          // the ×10⁶ credit product rides decimal(38,0) (the pageRank
+          // contrib discipline): num can reach touches·2^(nB−1) ≈ 2^43
+          // at the nB=32 cap, so num·10⁶ overflows a long — IntegralDivide
+          // on decimals still returns an exact long quotient
+          longDiv(col("__e.num").cast("decimal(38,0)") * lit(1000000L),
+            col("__den").cast("decimal(38,0)")))
           .as("credit_ppm"))
   }
 

@@ -291,28 +291,40 @@ object Corpus {
     *
     * For corpora with real separators (newlines, blank lines), split on
     * the separator instead of token windows — the dedup core (first-
-    * occurrence window on the normalized segment) is unchanged; fixed
+    * occurrence marking on the normalized segment) is unchanged; fixed
     * token windows are the separator-free fallback that keeps segment
     * size bounded either way.
     *
-    * Scale shape: segmentation is scan-local; the dedup is ONE window —
-    * partitioned by the normalized segment text (so each partition is
-    * one segment's occurrence list, usually length 1; heavy boilerplate
-    * segments are exactly the hot keys worth a single task) — then one
-    * hash aggregation back to document grain. collect_list holds one
-    * document's segments (bounded by document length), sorted in-memory
-    * per group, never a data-sized state.
+    * Scale shape: segmentation is scan-local; first-occurrence marking
+    * is a map-side-combinable `min(struct(id, ix))` aggregation per
+    * normalized segment — combiners collapse hot boilerplate keys
+    * ("all rights reserved…" repeated across millions of crawl pages)
+    * BEFORE the shuffle, so no task ever materializes one segment's
+    * corpus-wide occurrence list (the row_number-window formulation
+    * would) — followed by an equi-join back on the full
+    * (segment, id, ix) key, which is UNIQUE on both sides, so the join
+    * itself has no hot key either. Then one hash aggregation back to
+    * document grain. collect_list holds one document's segments
+    * (bounded by document length), sorted in-memory per group, never a
+    * data-sized state.
     */
   def dedupSegments(df: DataFrame, textCol: String, idCol: String,
       segTokens: Int): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1: $segTokens")
     val segs = chunkByTokens(df, textCol, idCol, segTokens, overlap = 0)
       .filter(col("n_tokens") > 0)
-    val firstW = org.apache.spark.sql.expressions.Window
-      .partitionBy(TextFunctions.normalized(col("chunk_text")))
-      .orderBy(col(idCol), col("chunk_ix"))
+      .withColumn("__seg", TextFunctions.normalized(col("chunk_text")))
+    // Smallest (id, ix) per normalized segment: struct ordering is
+    // field-wise, identical to the (idCol, chunk_ix) total order.
+    val firsts = segs
+      .groupBy(col("__seg"))
+      .agg(min(struct(col(idCol), col("chunk_ix"))).as("__f"))
+      .select(col("__seg"), col("__f").getField(idCol).as(idCol),
+        col("__f").getField("chunk_ix").as("chunk_ix"),
+        lit(true).as("__keep0"))
     segs
-      .withColumn("__keep", row_number().over(firstW) === 1)
+      .join(firsts, Seq("__seg", idCol, "chunk_ix"), "left")
+      .withColumn("__keep", coalesce(col("__keep0"), lit(false)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),

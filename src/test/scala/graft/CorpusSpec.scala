@@ -210,6 +210,27 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq("P Q", ""))
   }
 
+  test("dedupSegments: hot boilerplate segment across many docs") {
+    import org.apache.spark.sql.functions.col
+    // One boilerplate segment repeated in ~half the corpus — the crawl
+    // hot-key shape. Only the smallest (doc_id, chunk_ix) keeps it.
+    val rows = (1L to 40L).map { i =>
+      if (i % 2 == 0) (i, s"u$i v$i all rights reserved")
+      else (i, s"u$i v$i w$i x$i")
+    }
+    val df = rows.toDF("doc_id", "text")
+    val out = Corpus.dedupSegments(df, "text", "doc_id", segTokens = 2)
+      .orderBy(col("doc_id")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(2L) == (3L, "u2 v2 all rights reserved")) // first even doc
+    (4L to 40L by 2).foreach { i =>
+      assert(out(i) == (1L, s"u$i v$i"), s"doc $i should lose boilerplate")
+    }
+    (1L to 39L by 2).foreach { i =>
+      assert(out(i) == (2L, s"u$i v$i w$i x$i"))
+    }
+  }
+
   test("termDrift: exact ppm shares, absent terms at 0, top movers") {
     val a = Seq((1L, "x x x y"), (2L, "x z")).toDF("doc_id", "text")
     val b = Seq((3L, "y y z z z w")).toDF("doc_id", "text")

@@ -153,6 +153,27 @@ class PlanSpec extends SparkSpec {
       s"chunkByTokens introduced a shuffle:\n${plan.take(2000)}")
   }
 
+  test("dedupSegments plans no content-keyed Window: first-occurrence " +
+      "marking is a combinable agg + unique-key join") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, "all rights reserved"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Corpus.dedupSegments(df, "text", "doc_id",
+      segTokens = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    // A Window partitioned by the normalized segment text would funnel a
+    // hot boilerplate key's corpus-wide occurrence list into ONE task.
+    // The scale-safe plan marks first occurrences with min(struct(id,ix))
+    // per segment (map-side combined) and joins back on the UNIQUE
+    // (segment, id, ix) key — so the executed plan carries no Window at
+    // all and DOES carry a partial aggregation.
+    assert(!plan.contains("Window"),
+      s"dedupSegments must not plan a content-keyed Window:\n" +
+        plan.take(2500))
+    assert(plan.contains("HashAggregate"),
+      s"expected first-occurrence hash aggregation:\n${plan.take(2500)}")
+  }
+
   test("round-8 ops: scan-local labeling/sharding plan zero exchanges") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
