@@ -239,9 +239,18 @@ object Bench {
       // the flagship full-corpus dedup gate (SURVEY X120): estimate +
       // exact-Jaccard verify within source blocks, measured at fixed
       // parameters — docsNx grows block COUNT (per-replica source
-      // namespace), not block size, so the slope claim is ≲ 4/step
+      // namespace), not block size. Two scale points only, so the
+      // measured ratio is a TWO-POINT extrapolation of the slope (r9:
+      // 1.24), not a defended linearity claim like the threePoint set's.
+      // Sweep-tier input is a deterministic 30% of the corpus
+      // (doc_id mod 10 — docsNx's offsets are multiples of 10, so every
+      // replica keeps the SAME subset and output rows stay exactly
+      // n × base) at EVERY scale point: the ratio needs parameters
+      // fixed across scales, not this corpus size, and the full-size
+      // probe cost ~57 s of sweep wall for this one case (q119's own
+      // bench slot still measures the full corpus)
       "q119_minhash_gate" -> { scale =>
-        val c = docsAt(scale)
+        val c = docsAt(scale).filter(pmod(col("doc_id"), lit(10)) < 3)
         Dedup.minhashGatedPairs(c, "text", "doc_id", "source",
           shingleN = 1, threshold = 0.3, numHashes = 64,
           tolPpm = 250000L, maxBlockSize = Int.MaxValue)
@@ -425,7 +434,18 @@ object Bench {
         "matches no query — typo?")))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map(n => n -> exec(n))
+    // periodic GC barrier INSIDE the loop (every 25 queries), extending
+    // the sweep's per-case discipline: the r9 driver session read
+    // q25_fingerprint at 6.88 s min-of-2 where a fresh session of the
+    // same commit reads 0.65 s — both samples of exec's min-of-2 ran
+    // mid-session, so accumulated heap state inflated BOTH and the min
+    // couldn't reject it. A bounded-frequency full GC keeps each probe's
+    // samples measuring the query, not 200 predecessors' garbage, at
+    // ~10 × 0.1 s of added wall across the 257-query loop.
+    val results = names.zipWithIndex.map { case (n, i) =>
+      if (i % 25 == 0) System.gc()
+      n -> exec(n)
+    }
     def r3(v: Double): String = f"$v%.3f"
     def r2(v: Double): String = f"$v%.2f"
     val firsts = results.map { case (k, (f, _)) => "\"" + k + "\":" + r3(f) }

@@ -621,6 +621,101 @@ case class DeflateSize(child: Expression, level: Int)
     copy(child = newChild)
 }
 
+/** Rabin–Karp rolling hash of a string: fold of
+  * `h = (h·257 + codepoint) mod (10^9 + 7)` over the Unicode code points,
+  * decoded directly from the UTF-8 bytes — zero per-character allocation
+  * (the HOF formulation `aggregate(split(text, ""), ...)` materializes one
+  * UTF8String per character, an O(length) allocation storm per row that
+  * dominates a 100 TB scan). Empty string → 0. Code-point (not byte)
+  * folding is the cross-engine contract: it matches
+  * `ascii(substr(s, i, 1))` in DuckDB/ANSI engines for all of Unicode,
+  * including astral-plane characters a UTF-16 split would halve into
+  * surrogates. Fully codegen'd: the fold is inlined into whole-stage
+  * codegen, so the scan→project pipeline stays a single JVM loop.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.fold(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val b0 = ctx.freshName("b0")
+      val cp = ctx.freshName("cp")
+      val t1 = ctx.freshName("t1")
+      val t2 = ctx.freshName("t2")
+      val t3 = ctx.freshName("t3")
+      // continuation bytes go through locals: Janino misparses a
+      // parenthesized array access followed by `<<` as an array-type cast
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $bytes.length) {
+         |  int $b0 = $bytes[$i] & 0xff;
+         |  int $cp;
+         |  if ($b0 < 0x80) { $cp = $b0; $i += 1; }
+         |  else if (($b0 & 0xe0) == 0xc0) {
+         |    int $t1 = $bytes[$i + 1] & 0x3f;
+         |    $cp = (($b0 & 0x1f) << 6) | $t1; $i += 2;
+         |  } else if (($b0 & 0xf0) == 0xe0) {
+         |    int $t1 = $bytes[$i + 1] & 0x3f;
+         |    int $t2 = $bytes[$i + 2] & 0x3f;
+         |    $cp = (($b0 & 0x0f) << 12) | ($t1 << 6) | $t2; $i += 3;
+         |  } else {
+         |    int $t1 = $bytes[$i + 1] & 0x3f;
+         |    int $t2 = $bytes[$i + 2] & 0x3f;
+         |    int $t3 = $bytes[$i + 3] & 0x3f;
+         |    $cp = (($b0 & 0x07) << 18) | ($t1 << 12) | ($t2 << 6) | $t3;
+         |    $i += 4;
+         |  }
+         |  $h = ($h * 257L + $cp) % 1000000007L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  /** Interpreted-path fold; semantics identical to the generated code. */
+  def fold(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b0 = bytes(i) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if ((b0 & 0xe0) == 0xc0) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+      } else if ((b0 & 0xf0) == 0xe0) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
+      }
+      h = (h * 257L + cp) % 1000000007L
+    }
+    h
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.bridge
   import org.apache.spark.sql.Column
@@ -665,4 +760,7 @@ object TextExpressions {
 
   def jaroWinkler(a: Column, b: Column): Column =
     bridge.column(JaroWinkler(bridge.expression(a), bridge.expression(b)))
+
+  def rollingHash(text: Column): Column =
+    bridge.column(RollingHash(bridge.expression(text)))
 }

@@ -343,12 +343,13 @@ object TextFunctions {
   }
 
   /** Rabin–Karp rolling-hash fingerprint of the normalized text:
-    * fold of `h = (h·257 + codepoint) mod (10^9+7)` over characters —
+    * fold of `h = (h·257 + codepoint) mod (10^9+7)` over code points —
     * integer-exact in any engine, and the building block for windowed
-    * substring fingerprinting at scale.
+    * substring fingerprinting at scale. Native codegen'd expression
+    * ([[graft.functions.RollingHash]]) folding directly over the
+    * UTF8String bytes: zero per-character allocation, unlike the
+    * `aggregate(split(text, ""), ...)` HOF shape it replaced.
     */
   def rollingHash(text: Column): Column =
-    once(split(normalized(text), ""), cs =>
-      aggregate(cs, lit(0L),
-        (acc, c) => (acc * 257L + ascii(c)) % 1000000007L))
+    graft.functions.TextExpressions.rollingHash(normalized(text))
 }

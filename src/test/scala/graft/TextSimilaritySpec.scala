@@ -232,4 +232,30 @@ class TextSimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("rollingHash: native code-point fold — empty→0, ASCII, multibyte " +
+    "incl. astral plane, null→null; codegen and interpreted paths agree") {
+    // expected values are the hand fold h = (h*257 + codepoint) % (1e9+7)
+    // over the NORMALIZED text (lower/trim/ws-collapse)
+    val df = Seq(
+      ("a", "ab"),
+      ("b", ""),
+      ("c", "é😀"), // é + 😀 (U+1F600, 4-byte UTF-8)
+      ("d", null),
+      ("e", "  The  QUICK\tbrown fox 123 ")) // normalization exercises
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.rollingHash(col("text")).as("h"))
+    val got = df.collect().map(r =>
+      r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got("a") == 25027L)       // 97*257 + 98
+    assert(got("b") == 0L)
+    assert(got("c") == 188393L)      // 233*257 + 128512 — code points, not
+                                     // UTF-16 units or bytes
+    assert(got("d") == null)
+    assert(got("e") == 310282721L)   // "the quick brown fox 123"
+    // interpreted path (RollingHash.fold) matches the codegen'd plan
+    val bytes = "the quick brown fox 123"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(graft.functions.RollingHash.fold(bytes) == 310282721L)
+  }
 }
