@@ -519,14 +519,24 @@ object Graph {
     *
     * Scale shape: the orientation is WHY this scales — out-degree in the
     * oriented graph is bounded by O(√m) (a node beats only
-    * lower-(degree, id) neighbors), so the wedge self-join on src emits
-    * O(Σ d_out²) = O(m^1.5) candidates worst case and far fewer on
-    * power-law graphs, against the unoriented join's Σ d² blow-up
-    * (hub-quadratic). Everything is equi-joins and map-side-combined
-    * counts: canonicalize (one distinct), degree (one agg), orient (two
-    * degree joins), wedge join on src + closing-edge equi-join on
-    * (v, w), explode-by-3 + count. The oriented table is materialized
-    * once (localCheckpoint) for its three wedge-join consumers.
+    * lower-(degree, id) neighbors). Counting is by SORTED-ADJACENCY
+    * INTERSECTION, not wedge materialization: each oriented edge (u, v)
+    * probes N⁺(u) ∩ N⁺(v) with a native merge walk
+    * ([[graft.functions.SortedIntersectLongs]]) — the intersection lists
+    * exactly the third vertices of the triangles whose lowest-ordered
+    * edge is (u, v), so every triangle is found once with no wedge
+    * stream. Work is O(Σ_(u,v)∈E (d⁺(u)+d⁺(v))) = O(m^1.5) worst case —
+    * the same bound as the FORWARD wedge join — but the per-wedge cost
+    * is one long-compare inside a codegen'd loop instead of a
+    * materialized row through an exchange-free-but-60×-expanded
+    * self-join + hash probe, and the only exploded output is one row per
+    * TRIANGLE (credits), not per wedge. Everything else is equi-joins
+    * and map-side-combined sums: canonicalize (one distinct), degree
+    * (one agg), orient (two degree joins), adjacency build (one
+    * collect_list agg), two adjacency joins (broadcast when the graph's
+    * adjacency table fits — ≤ ~4M edges — shuffled equi-joins past
+    * that), explode + sum. The oriented table and adjacency table are
+    * each materialized once (localCheckpoint) for their two consumers.
     */
   def triangleCounts(edges: DataFrame, aCol: String,
       bCol: String, peelRounds: Int = 2): DataFrame = {
@@ -586,52 +596,63 @@ object Graph {
       }
       r += 1
     }
-    // width for the oriented table: the wedge self-join EXPANDS each src
-    // partition by ~avg out-degree (up to O(√m)), so unlike the iterative
-    // loops this layout must fill the execution even for small edge
-    // frames — floor at the core count, grow with edge volume
-    val sc = edges.sparkSession.sparkContext
-    val pO = math.min(4096L, math.max(sc.defaultParallelism.toLong,
-      nEdges / 262144L)).toInt
     val lower = struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
-    // partitioned + sorted on src at materialization: BOTH wedge sides
-    // read that layout, so the self-join needs no exchange and no sort
     val o = core
       .join(coreDeg.select(col("node").as("a"), col("degree").as("__da")),
         Seq("a"))
       .join(coreDeg.select(col("node").as("b"), col("degree").as("__db")),
         Seq("b"))
       .select(when(lower, col("a")).otherwise(col("b")).as("src"),
-        when(lower, col("b")).otherwise(col("a")).as("dst"),
-        when(lower, col("__db")).otherwise(col("__da")).as("__dd"))
-      .repartition(pO, col("src"))
-      .sortWithinPartitions(col("src"))
-      .localCheckpoint(true) // consumers: both wedge sides + closing edge
+        when(lower, col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint(true) // consumers: adjacency agg + per-edge probe
     // every peel intermediate (and e itself — deg and o are separately
     // checkpointed) is fully consumed now; free the blocks instead of
     // leaking one frame per round (see [[Checkpoints]])
     if (core ne e) spent ::= core
     if (coreDeg ne deg) spent ::= coreDeg
     Checkpoints.release(e :: spent.distinct: _*)
-    // closing-edge probe: the wedge stream is the EXPANDED side (Σ d_out²
-    // rows — ~60× the edge list on the sf0.1 projection), so shuffling it
-    // into a sort-merge join on (v, w) sorts tens of millions of rows to
-    // probe a million-row table. When the oriented edge list fits a
-    // broadcast (≤ ~4M rows ≈ 64 MB packed), hash-probe it INSIDE the
-    // wedge stage instead — the wedge stream never hits an exchange.
-    // Past that, the shuffled join is the scale-correct fallback (a
-    // 10⁹-edge graph's edge list must not land on one executor's heap).
-    val closing = o.select(col("src").as("v"), col("dst").as("w"))
-    val closingSide =
-      if (nEdges <= 4000000L) broadcast(closing) else closing
-    val tris = o.select(col("src"), col("dst").as("v"), col("__dd").as("__dv"))
-      .join(o.select(col("src"), col("dst").as("w"), col("__dd").as("__dw")),
-        Seq("src"))
-      .filter(struct(col("__dv"), col("v")) < struct(col("__dw"), col("w")))
-      .join(closingSide, Seq("v", "w"))
-    val cnt = tris
-      .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    // sorted out-adjacency per source: collect_list partially aggregates
+    // map-side (ObjectHashAggregate), total adjacency volume is exactly
+    // m entries — the oriented bound keeps every list ≤ O(√m)
+    val adj = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("__adj"))
+      .localCheckpoint(true) // consumers: src-side + dst-side joins
+    // per-edge closing probe: join each oriented edge to BOTH endpoints'
+    // adjacency lists and merge-intersect them. When the adjacency table
+    // fits a broadcast (≤ ~4M edges ≈ 64 MB packed), the edge stream
+    // never hits an exchange; past that, two shuffled equi-joins (on src
+    // then dst) move each edge + its two lists once — linear data
+    // motion, no wedge stream (a 10⁹-edge graph's adjacency must not
+    // land on one executor's heap). An endpoint absent from `adj` has no
+    // out-edges — the inner join drops it, which is exactly the empty
+    // intersection.
+    val adjSide = if (nEdges <= 4000000L) broadcast(adj) else adj
+    val nodeT = o.schema("src").dataType
+    val inter =
+      if (nodeT == org.apache.spark.sql.types.LongType)
+        graft.functions.VectorExpressions.sortedIntersectLongs(
+          col("__au"), col("__av"))
+      else array_intersect(col("__au"), col("__av")) // non-long node ids
+    val tri = o
+      .join(adjSide.select(col("src"), col("__adj").as("__au")), Seq("src"))
+      .join(adjSide.select(col("src").as("dst"), col("__adj").as("__av")),
+        Seq("dst"))
+      .select(col("src"), col("dst"), inter.as("__c"))
+      .filter(size(col("__c")) > 0)
+    // credit fan-out is one row per TRIANGLE plus two count rows per
+    // closing edge — strictly fewer rows than the 3-per-triangle explode,
+    // and sum() map-side-combines before its exchange
+    val cnt = tri
+      .select(explode(concat(
+        array(
+          struct(col("src").as("node"),
+            size(col("__c")).cast("long").as("w")),
+          struct(col("dst").as("node"),
+            size(col("__c")).cast("long").as("w"))),
+        transform(col("__c"), x =>
+          struct(x.as("node"), lit(1L).as("w"))))).as("__cr"))
+      .select(col("__cr.node").as("node"), col("__cr.w").as("w"))
+      .groupBy(col("node")).agg(sum(col("w")).as("triangles"))
     deg.join(cnt, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
