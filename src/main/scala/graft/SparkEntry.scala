@@ -3397,13 +3397,15 @@ object SparkEntry {
         .orderBy(col("rank_mass").desc, col("node"))
     },
 
-    // X244 — incremental CC: day-0 labeling (every doc its own singleton
-    // cluster — the empty-history base case) + the full q37 pair universe
+    // X244 — incremental CC: a NONTRIVIAL deterministic prior (odd docs
+    // pre-clustered with their even predecessor — doc_ids are contiguous
+    // from 0, so the partner always exists) + the full q37 pair universe
     // folded in as "today's pairs". ONE incrementalComponents run: the
-    // DuckDB recursive-CTE oracle IS the from-scratch closure, so it
-    // already asserts incremental == from-scratch — re-deriving a prior
-    // via a second in-engine CC run proved nothing the oracle doesn't
-    // (GraphSpec keeps the random-split invariant on a nontrivial prior)
+    // DuckDB recursive-CTE oracle computes the closure over prior edges
+    // ∪ new pairs, so it asserts end-to-end that folding new pairs into
+    // an existing nontrivial labeling equals the from-scratch run —
+    // without re-deriving the prior via a second in-engine CC pass
+    // (GraphSpec keeps the random-split invariant as well)
     "q254_incremental_cc" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val pairs = graft.dedup.Dedup.blockedJaccardPairs(
@@ -3411,7 +3413,7 @@ object SparkEntry {
         "text", "doc_id", "source", shingleN = 1, threshold = 0.5,
         maxBlockSize = Int.MaxValue)
       val prior = docs.select(col("doc_id").as("id"),
-        col("doc_id").as("cluster_id"))
+        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("cluster_id"))
       graft.ops.Graph.incrementalComponents(prior, pairs, "id_a", "id_b")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
@@ -9682,9 +9684,14 @@ object SparkEntry {
         |  SELECT id_a, id_b FROM pairs
         |  WHERE round(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END, 6)
         |    >= 0.5
+        |), pe AS (
+        |  SELECT doc_id AS id_a, doc_id - doc_id % 2 AS id_b
+        |  FROM documents WHERE doc_id % 2 = 1
         |), edges AS (
         |  SELECT id_a AS a, id_b AS b FROM e0
         |  UNION SELECT id_b, id_a FROM e0
+        |  UNION SELECT id_a, id_b FROM pe
+        |  UNION SELECT id_b, id_a FROM pe
         |), reach(id, r) AS (
         |  SELECT doc_id, doc_id FROM documents
         |  UNION

@@ -274,6 +274,15 @@ object Dedup {
     val d = df.select(col(blockCol).as("__blk"), col(idCol),
       coalesce(hashedShingles(col(textCol), shingleN),
         typedLit(Array.empty[Long])).as("sh"))
+    // AUDIT(content-keyed window): __blk IS a data-value key, so a hot
+    // block serializes through one window task — deliberately. This
+    // window exists to COUNT each block so the maxBlockSize guard below
+    // can raise in-plan before the O(block²) pair join, and its own cost
+    // is O(block) per task with no ordering. A block the guard accepts
+    // is by definition small enough for one task; one it rejects fails
+    // fast here instead of hanging there. Same shape at the three other
+    // __blk sites in this file (blockedContainmentPairs,
+    // minhashGatedPairs, jaroWinklerPairs).
     val l = d.withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__blk"))))
       .select(col("__blk"),
@@ -335,6 +344,8 @@ object Dedup {
     val d = df.select(col(blockCol).as("__blk"), col(idCol),
       coalesce(hashedShingles(col(textCol), shingleN),
         typedLit(Array.empty[Long])).as("sh"))
+    // AUDIT(content-keyed window): block-size count feeding the
+    // maxBlockSize guard — see the blockedJaccardPairs site note
     val l = d.withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__blk"))))
       .select(col("__blk"), col("__bn"), col(idCol).as("id_a"),
@@ -394,6 +405,8 @@ object Dedup {
         typedLit(Array.empty[Long])).as("sh"),
       coalesce(minhashSignature(shingles(col(textCol), shingleN), numHashes),
         typedLit(Array.empty[Long])).as("__sig"))
+    // AUDIT(content-keyed window): block-size count feeding the
+    // maxBlockSize guard — see the blockedJaccardPairs site note
     val l = d.withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__blk"))))
       .select(col("__blk"), col("__bn"), col(idCol).as("id_a"),
@@ -535,6 +548,8 @@ object Dedup {
       .select(col(blockCol).as("__blk"), col(idCol),
         coalesce(TextFunctions.normalized(col(textCol)), lit(""))
           .as("__norm"))
+    // AUDIT(content-keyed window): block-size count feeding the
+    // maxBlockSize guard — see the blockedJaccardPairs site note
     val l = d.withColumn("__bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__blk"))))
       .select(col("__blk"), col("__bn"), col(idCol).as("id_a"),

@@ -981,6 +981,11 @@ object Corpus {
       .distinct()
     val a = dt.groupBy(col("slice"), col("term"))
       .agg(count(lit(1)).as("a"))
+      // AUDIT(content-keyed window): `term` is a data value, but this
+      // window runs over the (slice, term) AGGREGATE grain — a term's
+      // partition holds at most one row per slice, so even the hottest
+      // stopword is bounded by the slice count (a handful), never by its
+      // corpus-wide document frequency
       .withColumn("df_t", sum(col("a")).over(
         Window.partitionBy(col("term"))))
     val ns = dt.groupBy(col("slice"))
@@ -994,6 +999,11 @@ object Corpus {
            |  * cast(a * (n - n_s - df_t + a) - (df_t - a) * (n_s - a) as $d38) * 1000000
            | div (cast(df_t as $d38) * cast(n - df_t as $d38)
            |  * cast(n_s as $d38) * cast(n - n_s as $d38)) as long)""".stripMargin))
+      // AUDIT(content-keyed window): rank-then-filter(rk <= topK) is the
+      // shape Spark 4's InferWindowGroupLimit rewrites to a
+      // WindowGroupLimit — each slice's partition buffers only topK rows
+      // through the rank exchange, regardless of vocabulary size
+      // (pinned by PlanSpec's distinctiveTerms WindowGroupLimit test)
       .withColumn("__rk", row_number().over(Window.partitionBy(col("slice"))
         .orderBy(col("score").desc, col("term"))))
       .filter(col("__rk") <= topK)

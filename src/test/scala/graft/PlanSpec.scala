@@ -165,13 +165,39 @@ class PlanSpec extends SparkSpec {
     // hot boilerplate key's corpus-wide occurrence list into ONE task.
     // The scale-safe plan marks first occurrences with min(struct(id,ix))
     // per segment (map-side combined) and joins back on the UNIQUE
-    // (segment, id, ix) key — so the executed plan carries no Window at
-    // all and DOES carry a partial aggregation.
-    assert(!plan.contains("Window"),
+    // (segment, id, ix) key — so the executed plan carries no Window
+    // exec node at all and DOES carry a partial aggregation. Matched on
+    // the exec node's own rendering ("Window [" / windowspecdefinition),
+    // not the bare substring, so an unrelated node whose NAME embeds
+    // "Window" (e.g. a WindowGroupLimit from a rank-limit rewrite)
+    // can't trip the pin.
+    assert(!plan.contains("Window [") &&
+        !plan.contains("windowspecdefinition"),
       s"dedupSegments must not plan a content-keyed Window:\n" +
         plan.take(2500))
     assert(plan.contains("HashAggregate"),
       s"expected first-occurrence hash aggregation:\n${plan.take(2500)}")
+  }
+
+  test("distinctiveTerms' per-slice top-K window plans as " +
+      "WindowGroupLimit: only topK rows per slice survive the rank " +
+      "exchange") {
+    import spark.implicits._
+    val df = (1 to 60).map { i =>
+      (i.toLong, if (i % 2 == 0) "even" else "odd",
+        s"common word plus token$i and token${i % 7}")
+    }.toDF("doc_id", "slice", "text")
+    val out = graft.text.Corpus.distinctiveTerms(df, "slice", "text",
+      "doc_id", topK = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // the rank-then-filter(rk <= topK) shape must trigger Spark 4's
+    // InferWindowGroupLimit — without it every slice buffers its FULL
+    // vocabulary through the rank window's sort
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a WindowGroupLimit cap on the per-slice rank window:\n" +
+        plan.take(2500))
+    assert(out.groupBy(col("slice")).count().collect()
+      .forall(_.getLong(1) <= 3))
   }
 
   test("round-8 ops: scan-local labeling/sharding plan zero exchanges") {

@@ -552,6 +552,25 @@ class ProfileFunnelSpec extends SparkSpec {
     assert(got(("v", None)) == ((0L, 0L, None)))
   }
 
+  test("decayAttribution: credit_ppm survives num*1e6 > Long.MaxValue " +
+      "at the nB=32 cap (decimal(38,0) IntegralDivide path)") {
+    import spark.implicits._
+    // halfLife 1, maxGap 32 → nB = 32, bucket-0 weight 2^31. 5000 click
+    // touches + 1 view touch, all at age 1 (max weight): click num =
+    // 5000·2^31 ≈ 1.07e13, so num·10^6 ≈ 1.07e19 > Long.MaxValue
+    // (9.22e18) — the old pure-long product wrapped negative here.
+    // Exact quotients: click = ⌊5000·10^6/5001⌋, view = ⌊10^6/5001⌋.
+    val ev = ((1 to 5000).map(_ => ("u", 9L, "click")) ++
+      Seq(("u", 9L, "view"), ("u", 10L, "purchase")))
+      .toDF("k", "ts", "t")
+    val got = Funnel.decayAttribution(ev, "k", "ts", "t",
+        Seq("click", "view"), "purchase", maxGap = 32L, halfLife = 1L)
+      .collect().map(r => (r.getString(0), Option(r.getString(2))) ->
+        ((r.getLong(3), r.getLong(4), Option(r.get(5))))).toMap
+    assert(got(("u", Some("click"))) == ((5000L, 5001L, Some(999800L))))
+    assert(got(("u", Some("view"))) == ((1L, 5001L, Some(199L))))
+  }
+
   test("missingnessMatrix: joint-null lift in exact ppm — subset " +
       "missingness lifts above 1e6, and a never-null column yields " +
       "null lift") {
