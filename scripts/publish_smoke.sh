@@ -1,0 +1,85 @@
+#!/usr/bin/env bash
+# Library packaging smoke: publishLocal the graft artifact, then build an
+# EMPTY downstream sbt project that resolves it from the local ivy repo
+# (offline — no remote publishing in this environment), starts a
+# SparkSession with graft.GraftExtensions, and exercises
+#   1. one operator API call   (graft.text.TextFunctions.rollingHash)
+#   2. one SQL-registered func (vec_dot via spark.sql)
+# Pass criterion: the downstream run prints SMOKE_OK with the expected
+# values computed through the published jar (not this repo's classes).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ARTIFACT=cafmeteorologyectower_azuredatalakeprocessingscriptsspark
+VERSION=0.1.0
+SMOKE_DIR="${SMOKE_DIR:-/tmp/graft_publish_smoke}"
+
+echo "[smoke] publishing $ARTIFACT $VERSION to the local ivy repo"
+sbt -batch publishLocal >/dev/null
+
+echo "[smoke] building downstream project in $SMOKE_DIR"
+rm -rf "$SMOKE_DIR"
+mkdir -p "$SMOKE_DIR/src/main/scala"
+
+cat > "$SMOKE_DIR/build.sbt" <<EOF
+scalaVersion := "2.13.17"
+name := "graft-smoke"
+// consumers bring their own Spark runtime, exactly as the library's
+// packaging intends (Spark is not embedded in the jar)
+unmanagedBase := file("/opt/spark/jars")
+libraryDependencies += "io.graft" %% "$ARTIFACT" % "$VERSION"
+run / fork := true
+run / outputStrategy := Some(StdoutOutput)
+javaOptions ++= Seq(
+  "java.base/java.lang", "java.base/java.lang.invoke",
+  "java.base/java.lang.reflect", "java.base/java.io",
+  "java.base/java.net", "java.base/java.nio",
+  "java.base/java.util", "java.base/java.util.concurrent",
+  "java.base/java.util.concurrent.atomic",
+  "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+  "java.base/sun.security.action", "java.base/sun.util.calendar",
+).flatMap(p => Seq("--add-opens", s"\$p=ALL-UNNAMED")) ++ Seq(
+  "-Dspark.ui.enabled=false", "-Xmx2g")
+EOF
+
+cat > "$SMOKE_DIR/src/main/scala/Smoke.scala" <<'EOF'
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-publish-smoke")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // operator API through the published jar
+    val h = Seq(("ab")).toDF("text")
+      .select(graft.text.TextFunctions.rollingHash(col("text")))
+      .collect()(0).getLong(0)
+    require(h == 25027L, s"rollingHash('ab') = $h, expected 25027")
+    // SQL-registered function through the injected extensions
+    val d = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    require(d == 11.0, s"vec_dot = $d, expected 11.0")
+    println(s"SMOKE_OK rollingHash=$h vec_dot=$d")
+    spark.stop()
+  }
+}
+EOF
+
+echo "[smoke] running downstream project"
+cd "$SMOKE_DIR"
+sbt -batch run > /tmp/graft_smoke_run.log 2>&1 || true
+if grep -q "SMOKE_OK" /tmp/graft_smoke_run.log; then
+  grep "SMOKE_OK" /tmp/graft_smoke_run.log
+  echo "[smoke] PASS: downstream project resolved the artifact, called an operator and a SQL-registered function"
+else
+  echo "[smoke] FAIL — downstream run output:"
+  tail -30 /tmp/graft_smoke_run.log
+  exit 1
+fi
