@@ -3454,6 +3454,16 @@ object SparkEntry {
         .orderBy(col("fold"))
     },
 
+    // X248 — duplicate trigram mass (Gopher's phrase-grain repetition
+    // signal; X39 sees only the single most repeated token): one
+    // scan-local JVM pass per doc — no gram explode, no shuffle
+    "q258_dup_grams" -> { (s, dir) =>
+      graft.text.Corpus.dupGramStats(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id", n = 3)
+        .orderBy(col("doc_id"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9543,6 +9553,46 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM h GROUP BY 1 ORDER BY fold""".stripMargin,
+
+    // gram keys are md5-hex prefixes — the same 60-bit equivalence
+    // classes as the engine's GramDupStats hash, so the count compare is
+    // exact (not merely collision-unlikely); every doc emits a row, ppm
+    // null below n tokens
+    "q258_dup_grams" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(regexp_replace(
+        |      text, '\s+', ' ', 'g'))), '\s+'), x -> x <> '') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+        |      i -> substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+        |        1, 15)) AS gs
+        |  FROM t
+        |), x AS (
+        |  SELECT doc_id, unnest(gs) AS gk FROM g
+        |), c AS (
+        |  SELECT doc_id, gk, count(*) AS c FROM x GROUP BY 1, 2
+        |), s AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_grams,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |      AS dup_gram_mass
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_grams, 0) AS n_grams,
+        |  coalesce(s.n_distinct_grams, 0) AS n_distinct_grams,
+        |  coalesce(s.dup_gram_mass, 0) AS dup_gram_mass,
+        |  CASE WHEN s.n_grams > 0 THEN
+        |    (s.n_grams - s.n_distinct_grams) * 1000000 // s.n_grams
+        |  END AS redundancy_ppm,
+        |  CASE WHEN s.n_grams > 0 THEN
+        |    s.dup_gram_mass * 1000000 // s.n_grams
+        |  END AS dup_mass_ppm
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q243's shape with FOUR range frames (one per 12h age bucket) on
     // the shared window; integer power-of-two weights 8/4/2/1

@@ -115,6 +115,72 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Occurrence-preserving word-n-gram duplication stats — the kernel of
+  * the Gopher/RefinedWeb "duplicate n-gram fraction" quality signal,
+  * which [[WordShingles]] (distinct-set semantics) cannot feed. One JVM
+  * pass per document: build every gram's 60-bit md5 prefix (the
+  * [[HashedSorted60]] hash — `conv(substring(md5(g),1,15),16,10)`)
+  * WITH duplicates, sort, then scan runs. Output `array<long>` of
+  * `[n_grams, n_distinct_grams, dup_mass]` where `dup_mass` counts the
+  * occurrences belonging to grams appearing ≥ 2 times (run length ≥ 2).
+  * Shorter-than-n docs → `[0, 0, 0]`. Hash equality stands in for gram
+  * equality (within-doc collision odds ~g²/2^61); an oracle replicating
+  * the same md5-prefix key is exact, not just w.h.p.-equal.
+  * CodegenFallback: one call per row, the md5 loop is the work.
+  */
+case class GramDupStats(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, s"gram width must be >= 1: $n")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "gram_dup_stats"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val g = m - n + 1
+    if (g <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(0L, 0L, 0L))
+    val h = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      var s = toks.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = UTF8String.concat(s, space, toks.getUTF8String(i + j))
+        j += 1
+      }
+      val d = DigestUtils.md5(s.getBytes)
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      h(i) = v >>> 4
+      i += 1
+    }
+    java.util.Arrays.sort(h)
+    var distinct = 0L
+    var dupMass = 0L
+    var i2 = 0
+    while (i2 < g) {
+      var j2 = i2 + 1
+      while (j2 < g && h(j2) == h(i2)) j2 += 1
+      distinct += 1
+      if (j2 - i2 >= 2) dupMass += (j2 - i2)
+      i2 = j2
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(g.toLong, distinct, dupMass))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramDupStats = copy(child = newChild)
+}
+
 /** Nearest-neighbor resize of a fake media container (big-endian uint32
   * w, h header + row-major byte payload; indexes past the payload read as
   * 0) to fixed (w2, h2). Emits a new container with the (w2, h2) header.
@@ -763,4 +829,7 @@ object TextExpressions {
 
   def rollingHash(text: Column): Column =
     bridge.column(RollingHash(bridge.expression(text)))
+
+  def gramDupStats(tokens: Column, n: Int): Column =
+    bridge.column(GramDupStats(bridge.expression(tokens), n))
 }

@@ -212,6 +212,45 @@ object Corpus {
         round(col("max_tf").cast("double") / col("n_tokens").cast("double"),
           6).as("repetition"))
 
+  /** Duplicate word-n-gram stats (the Gopher/RefinedWeb "duplicate
+    * n-gram fraction" family [[repetitionRatio]]'s single-token signal
+    * can't see — a document whose PHRASES repeat scores low there while
+    * being exactly the template spam the filter exists for). Per doc:
+    * `n_grams` (occurrence count, tokens − n + 1 floored at 0),
+    * `n_distinct_grams`, `dup_gram_mass` (occurrences belonging to grams
+    * appearing ≥ 2 times), and two exact floor-ppm shares —
+    * `redundancy_ppm` = 10⁶·(n − distinct) div n (share of occurrences
+    * that are re-sightings) and `dup_mass_ppm` = 10⁶·dup_mass div n (the
+    * Gopher fraction at token grain); both null when a doc is shorter
+    * than n tokens. Every document emits a row.
+    *
+    * Scale shape: ENTIRELY scan-local — tokenize, then ONE JVM pass per
+    * doc ([[graft.functions.GramDupStats]]: gram-hash with duplicates,
+    * sort, run-scan) collapses each document to three longs in the scan
+    * stage; no explode, no shuffle, no gram table. The
+    * (doc, gram)-grain groupBy alternative moves the corpus's full gram
+    * stream through an exchange to compute a per-doc scalar — at 100 TB
+    * that is the whole corpus re-keyed for nothing.
+    */
+  def dupGramStats(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"gram width must be >= 1: $n")
+    df.select(col(idCol),
+        graft.functions.TextExpressions.gramDupStats(
+          TextFunctions.tokens(TextFunctions.normalized(col(textCol))), n)
+          .as("__s"))
+      .select(col(idCol),
+        element_at(col("__s"), 1).as("n_grams"),
+        element_at(col("__s"), 2).as("n_distinct_grams"),
+        element_at(col("__s"), 3).as("dup_gram_mass"))
+      .withColumn("redundancy_ppm",
+        when(col("n_grams") > 0, expr(
+          "(n_grams - n_distinct_grams) * 1000000 div n_grams")))
+      .withColumn("dup_mass_ppm",
+        when(col("n_grams") > 0, expr(
+          "dup_gram_mass * 1000000 div n_grams")))
+  }
+
   /** Top-`k` characteristic terms per document, ranked by linear TF-IDF
     * (score desc, then term asc — total order). Output: (id, term, tf,
     * df, score, rank).

@@ -687,4 +687,30 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L) == ((2L, 2L, "und", 500000L)))
     assert(!got.contains(4L) && !got.contains(5L))
   }
+
+  test("dupGramStats: occurrence-preserving trigram counts, exact ppm, " +
+      "short docs emit zero-gram rows with null ppm, scan-local plan") {
+    import spark.implicits._
+    val docs = Seq(
+      // 8 tokens → 6 trigrams: (a b c)x2, (b c a)x2, (c a b)x2 — every
+      // occurrence is duplicate mass
+      (1L, "a b c a b c a b"),
+      (2L, "x y"),                 // shorter than n → [0, 0, 0]
+      (3L, "p q r s"),             // 2 grams, all unique
+      (4L, "A  B c a b\tC a b"))   // case/whitespace-normalized = doc 1
+      .toDF("doc_id", "text")
+    val got = Corpus.dupGramStats(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(got(1L) == ((6L, 3L, 6L, Some(500000L), Some(1000000L))))
+    assert(got(2L) == ((0L, 0L, 0L, None, None)))
+    assert(got(3L) == ((2L, 2L, 0L, Some(0L), Some(0L))))
+    assert(got(4L) == got(1L))
+    // the whole signal is scan-local: no exchange anywhere in the plan
+    val plan = Corpus.dupGramStats(docs, "text", "doc_id", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"dupGramStats must be scan-local:\n${plan.take(2000)}")
+  }
 }
