@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DeflateSize, DotProduct, FloatPack, FloatUnpack, HammingDistance, NfcNormalize, SimHash64}
+import graft.functions.{CosineSimilarity, DeflateSize, DotProduct, FloatPack, FloatUnpack, HammingDistance, NfcNormalize, RollingHash, SimHash64, SortedIntersectCount, SortedIntersectLongs}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use
@@ -17,6 +17,9 @@ import graft.functions.{CosineSimilarity, DeflateSize, DotProduct, FloatPack, Fl
   *   - `vec_unpack(b)`     — exact inverse of vec_pack
   *   - `nfc(s)`            — Unicode NFC canonical normalization
   *   - `deflate_size(s)`   — raw-DEFLATE byte length (level 6)
+  *   - `rolling_hash(s)`   — Rabin–Karp code-point fold mod 10⁹+7
+  *   - `sorted_intersect_count(a, b)` / `sorted_intersect(a, b)` —
+  *     merge-walk count / elements over sorted distinct long arrays
   *
   * The Scala API ([[graft.functions.VectorExpressions]] /
   * [[graft.functions.TextExpressions]]) builds the same expressions
@@ -73,5 +76,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "deflate_size(s) - raw-DEFLATE byte length of s's UTF-8 bytes " +
         "(level 6); the compression-ratio quality primitive",
       DeflateSize(_, 6))
+    unary("rolling_hash",
+      "rolling_hash(s) - Rabin-Karp fold (h*257 + codepoint) mod 1e9+7 " +
+        "over s's Unicode code points; empty string -> 0",
+      RollingHash(_))
+    ext.injectFunction(binary("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - |A intersect B| of two sorted " +
+        "distinct array<long> via a merge walk",
+      SortedIntersectCount(_, _)))
+    ext.injectFunction(binary("sorted_intersect",
+      "sorted_intersect(a, b) - common elements (ascending) of two " +
+        "sorted distinct array<long> via a merge walk",
+      SortedIntersectLongs(_, _)))
   }
 }

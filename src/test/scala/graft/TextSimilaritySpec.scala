@@ -257,5 +257,20 @@ class TextSimilaritySpec extends SparkSpec {
     val bytes = "the quick brown fox 123"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     assert(graft.functions.RollingHash.fold(bytes) == 310282721L)
+    // stays inside whole-stage codegen (nfc test's discipline): a
+    // CodegenFallback would print a bare, un-starred Project
+    val plan = spark.range(2)
+      .select(graft.functions.TextExpressions.rollingHash(
+        concat(lit("x"), col("id"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    // and the round's expressions are SQL-registered via GraftExtensions
+    assert(spark.sql("SELECT rolling_hash('ab')").head.getLong(0) == 25027L)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1L,3L,5L), array(3L,4L,5L))")
+      .head.getInt(0) == 2)
+    assert(spark.sql(
+      "SELECT sorted_intersect(array(1L,3L,5L), array(3L,4L,5L))")
+      .head.getSeq[Long](0) == Seq(3L, 5L))
   }
 }
