@@ -239,9 +239,8 @@ object Bench {
       // the flagship full-corpus dedup gate (SURVEY X120): estimate +
       // exact-Jaccard verify within source blocks, measured at fixed
       // parameters — docsNx grows block COUNT (per-replica source
-      // namespace), not block size. Two scale points only, so the
-      // measured ratio is a TWO-POINT extrapolation of the slope (r9:
-      // 1.24), not a defended linearity claim like the threePoint set's.
+      // namespace), not block size; the x1/x4/x16 points measure the
+      // slope at two consecutive 4× steps (r10: 1.08 on the first).
       // Sweep-tier input is a deterministic 30% of the corpus
       // (doc_id mod 10 — docsNx's offsets are multiples of 10, so every
       // replica keeps the SAME subset and output rows stay exactly
@@ -255,12 +254,14 @@ object Bench {
           shingleN = 1, threshold = 0.3, numHashes = 64,
           tolPpm = 250000L, maxBlockSize = Int.MaxValue)
       })
-    // cases with a linearity CLAIM to defend get a THIRD scale point:
-    // one point can't distinguish "sub-linear" from "got lucky once" —
-    // the 16× ratio-per-4×-step must also stay ≲ 4. q43 joined in r8:
-    // the adaptive ladder's whole promise is fixed-parameter linearity
-    val threePoint = Set("q37_dedup_clusters", "q27_embedding_neardup",
-      "q43_knn_join")
+    // EVERY case gets a THIRD scale point (r10): one step can't
+    // distinguish "sub-linear" from "got lucky once" — the 16×
+    // ratio-per-4×-step must also stay ≲ 4 for the slope to be a
+    // defended claim rather than a two-point extrapolation. This became
+    // affordable once q119 swept a 30% corpus subset (the full-size
+    // probe alone cost ~57 s of sweep wall; the whole three-point sweep
+    // now costs less than that).
+    val threePoint = cases.map(_._1).toSet
     // SPARK_GRAFT_SWEEP_CASES=q37_dedup_clusters — iterate on a sweep
     // subset without paying for the other cases
     val caseFilter = sys.env.get("SPARK_GRAFT_SWEEP_CASES")
