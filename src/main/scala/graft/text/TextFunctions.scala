@@ -224,6 +224,13 @@ object TextFunctions {
     * over the digit array (reversed-position doubling via the classic
     * `d*2 > 9 → d*2 − 9` fold) — engine-portable, no UDF. Non-digit or
     * empty input → false.
+    *
+    * AUDIT(per-char HOF): this is the split-on-"" shape [[rollingHash]]
+    * outlawed for document scans — here it is BOUNDED, not O(doc):
+    * inputs are 13–19-digit card candidates already extracted by the
+    * redaction regex, so the fold touches ≤ 19 elements per candidate,
+    * not per character of the corpus. A native expression would save
+    * ~nothing; the interpreted HOF is the right altitude.
     */
   def luhnValid(digits: Column): Column = {
     val ds = filter(split(digits, ""), c => c =!= "")
