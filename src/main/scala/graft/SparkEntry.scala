@@ -3464,6 +3464,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X249 — sequence-packing placement plan: the LM "concat the shard,
+    // cut every 512 tokens" step as per-doc offset arithmetic (rank +
+    // running sum share ONE sorted window; sequences never materialize)
+    "q259_pack_sequences" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.Relational.packSequences(
+          d.withColumn("n_ws",
+            graft.text.TextFunctions.tokenCount(col("text")))
+            .select(col("doc_id"), col("n_ws")),
+          col("doc_id"), col("n_ws"), seqTokens = 512L, nShards = 4,
+          seed = "ep1")
+        .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+          col("start_offset"), col("first_seq"), col("last_seq"),
+          col("n_seqs"), col("seq_offset"))
+        .orderBy(col("doc_id"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9593,6 +9610,45 @@ object SparkEntry {
         |  END AS dup_mass_ppm
         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q87's md5-60 shard/order macro + a running token sum over the
+    // same (hash, key) order; cut indexes are pure floor arithmetic
+    "q259_pack_sequences" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS n_tokens,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5('ep1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5('ep1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5('ep1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, hv % 4 AS shard, n_tokens,
+        |    CAST(row_number() OVER win - 1 AS BIGINT) AS pos,
+        |    CAST(coalesce(sum(n_tokens) OVER (win
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_offset
+        |  FROM h
+        |  WINDOW win AS (PARTITION BY hv % 4 ORDER BY hv, doc_id)
+        |)
+        |SELECT doc_id, shard, pos, n_tokens, start_offset,
+        |  start_offset // 512 AS first_seq,
+        |  CASE WHEN n_tokens > 0
+        |    THEN (start_offset + n_tokens - 1) // 512
+        |    ELSE start_offset // 512 END AS last_seq,
+        |  CASE WHEN n_tokens > 0
+        |    THEN (start_offset + n_tokens - 1) // 512
+        |    ELSE start_offset // 512 END - start_offset // 512 + 1
+        |    AS n_seqs,
+        |  start_offset % 512 AS seq_offset
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // q243's shape with FOUR range frames (one per 12h age bucket) on
     // the shared window; integer power-of-two weights 8/4/2/1

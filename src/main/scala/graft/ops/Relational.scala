@@ -601,6 +601,56 @@ object Relational {
       .drop("__h", "__r", "__n", "__frac")
   }
 
+  /** Sequence-packing placement plan — the LM-training "concatenate the
+    * corpus and cut every `seqTokens` tokens" step expressed as DATA
+    * rather than materialized sequences: for each document, which
+    * fixed-budget training sequence(s) of its shard it lands in and at
+    * what offset. Order is [[shuffleShard]]'s deterministic hash order
+    * (shard = hash mod nShards, stream order = (hash, key) within the
+    * shard), the shard's token stream is the concatenation of its docs
+    * in that order, and sequences are the consecutive `seqTokens`-sized
+    * cuts of the stream. Appends per doc: `shard`, `pos`, `n_tokens`,
+    * `start_offset` (tokens before it in the shard stream),
+    * `first_seq`/`last_seq` (cut indexes of its first/last token —
+    * equal when the doc fits inside one sequence), `n_seqs`, and
+    * `seq_offset` (where its first token sits inside `first_seq`). A
+    * zero-token doc occupies no stream space: it reports the sequence
+    * its boundary falls in and n_seqs = 1.
+    *
+    * Exactness: all arithmetic is long floor division on non-negative
+    * values — identical in any engine; the order is total (hash, key).
+    *
+    * Scale shape: shard assignment is scan-local; ONE exchange on the
+    * shard key carries BOTH windows (rank and running token sum share
+    * one ordered spec, so they collapse into a single sorted
+    * WindowExec — the [[graft.ops.Graph.keepBest]] pattern). Sequences
+    * are never materialized: 100 TB at seqTokens = 2048 is ~10¹⁰ cuts,
+    * but each exists only as arithmetic on offsets, and the writer that
+    * consumes this plan streams each shard independently — nShards is
+    * the parallelism dial, no global order anywhere.
+    */
+  def packSequences(df: DataFrame, key: Column, tokens: Column,
+      seqTokens: Long, nShards: Int, seed: String = ""): DataFrame = {
+    require(seqTokens >= 1, s"seqTokens must be >= 1: $seqTokens")
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val h = hashUnit(concat(lit(seed), lit("\u0001"), key.cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), key)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("start_offset", coalesce(
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding,
+          -1)), lit(0L)))
+      .withColumn("first_seq", expr(s"start_offset div ${seqTokens}L"))
+      .withColumn("last_seq", when(col("n_tokens") > 0,
+          expr(s"(start_offset + n_tokens - 1) div ${seqTokens}L"))
+        .otherwise(col("first_seq")))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+      .withColumn("seq_offset", expr(s"start_offset % ${seqTokens}L"))
+      .drop("__h")
+  }
+
   /** Null-safe broadcast join of a per-group statistics table back onto
     * the data — the shared shape behind [[iqrFilter]], [[bucketize]],
     * and [[graft.ops.Features]]' scalers. `stats` must hold exactly

@@ -866,4 +866,45 @@ class RelationalSpec extends SparkSpec {
       .map(_.getLong(1))
     assert(sums.forall(_ == 1000000L))
   }
+
+  test("packSequences: per-shard stream offsets are exact, straddling " +
+      "docs span the right cuts, zero-token docs occupy no space, and " +
+      "rank + running sum share ONE sorted window") {
+    import spark.implicits._
+    // 7-token docs against a 10-token budget force boundary straddles;
+    // one zero-token doc checks the no-space convention
+    val df = (1L to 40L).map(i => (i, if (i == 7L) 0L else 7L))
+      .toDF("id", "n")
+    val out = Relational.packSequences(df, col("id"), col("n"),
+      seqTokens = 10L, nShards = 3, seed = "s")
+    // plan pin BEFORE execution (a cached/AQE-finalized frame renders
+    // initial + final plans and double-counts every node)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert("Window \\[".r.findAllIn(plan).size == 1, plan)
+    val rows = out.collect().map(r => (
+      r.getAs[Long]("shard"), r.getAs[Long]("pos"), r.getAs[Long]("id"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"),
+      r.getAs[Long]("first_seq"), r.getAs[Long]("last_seq"),
+      r.getAs[Long]("n_seqs"), r.getAs[Long]("seq_offset")))
+    assert(rows.length == 40)
+    rows.groupBy(_._1).foreach { case (_, shard) =>
+      val s = shard.sortBy(_._2)
+      // dense 0-based positions; stream offsets are the exact running sum
+      assert(s.map(_._2).toSeq == s.indices.map(_.toLong))
+      var off = 0L
+      s.foreach { case (_, _, _, n, start, f, l, ns, so) =>
+        assert(start == off)
+        assert(f == start / 10 && so == start % 10)
+        if (n > 0) assert(l == (start + n - 1) / 10)
+        else assert(l == f) // zero-token doc: boundary sequence, no space
+        assert(ns == l - f + 1)
+        off += n
+      }
+    }
+    // 7-token docs at offsets not ≡ 0..3 (mod 10) must straddle a cut
+    assert(rows.exists(r => r._4 == 7L && r._8 == 2L))
+    assert(rows.exists(r => r._4 == 7L && r._8 == 1L))
+    assert(rows.exists(_._4 == 0L))
+  }
 }
