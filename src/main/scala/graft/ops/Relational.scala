@@ -617,6 +617,12 @@ object Relational {
     * zero-token doc occupies no stream space: it reports the sequence
     * its boundary falls in and n_seqs = 1.
     *
+    * DOC-grain sibling of [[graft.text.Corpus.packSequences]] (X31),
+    * which rolls the same construction up to PACK grain under a
+    * caller-provided shard/order and places each doc only by its first
+    * token; this one emits the full span — what a sequence writer or a
+    * boundary-loss masker consumes.
+    *
     * Exactness: all arithmetic is long floor division on non-negative
     * values — identical in any engine; the order is total (hash, key).
     *

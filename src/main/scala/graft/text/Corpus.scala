@@ -51,7 +51,12 @@ object Corpus {
     * document's pack id is the chunk its FIRST token lands in:
     * (cumulativeTokens − ownTokens) div capacity. Output: one row per
     * (shard, pack) with the documents starting there, their first doc id,
-    * and their token sum.
+    * and their token sum. PACK-grain summary with a caller-provided
+    * shard/order; when the writer needs the DOC-grain placement instead —
+    * every cut a straddling doc spans, offsets within the stream and
+    * sequence, hash shard/order built in — use
+    * [[graft.ops.Relational.packSequences]], this operator's per-doc
+    * sibling.
     *
     * Scale shape: one window (cumulative sum) partitioned by shard —
     * shards are the parallelism unit exactly as in a real packing run —
