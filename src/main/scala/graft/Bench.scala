@@ -115,6 +115,16 @@ object Bench {
     * replica r applies rotation r%7 of the first and r/7 of the second,
     * so any two replicas differ in at least one letter mapping. n ≤ 7
     * reduces to the single-alphabet construction (second rotation 0).
+    *
+    * Known artifact past n = 7 (measured r10, q17 at 16×): replica pairs
+    * sharing the FIRST alphabet's rotation (r ≡ r' mod 7) differ only in
+    * second-alphabet letters, so their shingle sets partially overlap
+    * and LSH band collisions rise — candidate/shuffle bytes grow
+    * super-linearly (q17 bytes16/4 ≈ 11 vs ~4 elsewhere) while the
+    * exact verify rejects every such candidate (output rows stay exactly
+    * n× base) and wall stays sub-linear. A corpus-construction artifact,
+    * not an operator property; a third disjoint alphabet would push it
+    * past n = 343 at the cost of further mangling the token distribution.
     */
   private def docsNx(d: DataFrame, n: Int): DataFrame = {
     val a1 = "etaoins"; val a2 = "rhldcum"
