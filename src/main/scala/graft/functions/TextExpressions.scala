@@ -724,7 +724,10 @@ case class RollingHash(child: Expression)
       val t2 = ctx.freshName("t2")
       val t3 = ctx.freshName("t3")
       // continuation bytes go through locals: Janino misparses a
-      // parenthesized array access followed by `<<` as an array-type cast
+      // parenthesized array access followed by `<<` as an array-type
+      // cast. Truncated/invalid lead bytes degrade to a single-unit fold
+      // (semantics of RollingHash.fold — one malformed row must not kill
+      // the scan); valid UTF-8 never takes that branch.
       s"""
          |byte[] $bytes = $c.getBytes();
          |long $h = 0L;
@@ -733,20 +736,20 @@ case class RollingHash(child: Expression)
          |  int $b0 = $bytes[$i] & 0xff;
          |  int $cp;
          |  if ($b0 < 0x80) { $cp = $b0; $i += 1; }
-         |  else if (($b0 & 0xe0) == 0xc0) {
+         |  else if (($b0 & 0xe0) == 0xc0 && $i + 1 < $bytes.length) {
          |    int $t1 = $bytes[$i + 1] & 0x3f;
          |    $cp = (($b0 & 0x1f) << 6) | $t1; $i += 2;
-         |  } else if (($b0 & 0xf0) == 0xe0) {
+         |  } else if (($b0 & 0xf0) == 0xe0 && $i + 2 < $bytes.length) {
          |    int $t1 = $bytes[$i + 1] & 0x3f;
          |    int $t2 = $bytes[$i + 2] & 0x3f;
          |    $cp = (($b0 & 0x0f) << 12) | ($t1 << 6) | $t2; $i += 3;
-         |  } else {
+         |  } else if (($b0 & 0xf0) == 0xf0 && $i + 3 < $bytes.length) {
          |    int $t1 = $bytes[$i + 1] & 0x3f;
          |    int $t2 = $bytes[$i + 2] & 0x3f;
          |    int $t3 = $bytes[$i + 3] & 0x3f;
          |    $cp = (($b0 & 0x07) << 18) | ($t1 << 12) | ($t2 << 6) | $t3;
          |    $i += 4;
-         |  }
+         |  } else { $cp = $b0; $i += 1; }
          |  $h = ($h * 257L + $cp) % 1000000007L;
          |}
          |${ev.value} = $h;
@@ -758,7 +761,12 @@ case class RollingHash(child: Expression)
 }
 
 object RollingHash {
-  /** Interpreted-path fold; semantics identical to the generated code. */
+  /** Interpreted-path fold; semantics identical to the generated code.
+    * A truncated multibyte sequence at end-of-input (possible only via
+    * binary-cast strings — Spark's own string ops emit valid UTF-8)
+    * folds its lead byte as a single code unit instead of reading past
+    * the array: one malformed row must not kill a 100 TB scan.
+    */
   def fold(bytes: Array[Byte]): Long = {
     var h = 0L
     var i = 0
@@ -767,15 +775,15 @@ object RollingHash {
       val b0 = bytes(i) & 0xff
       var cp = 0
       if (b0 < 0x80) { cp = b0; i += 1 }
-      else if ((b0 & 0xe0) == 0xc0) {
+      else if ((b0 & 0xe0) == 0xc0 && i + 1 < n) {
         cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
-      } else if ((b0 & 0xf0) == 0xe0) {
+      } else if ((b0 & 0xf0) == 0xe0 && i + 2 < n) {
         cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
           (bytes(i + 2) & 0x3f); i += 3
-      } else {
+      } else if ((b0 & 0xf0) == 0xf0 && i + 3 < n) {
         cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
           ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
-      }
+      } else { cp = b0; i += 1 } // truncated/invalid lead: degrade
       h = (h * 257L + cp) % 1000000007L
     }
     h

@@ -264,6 +264,16 @@ class TextSimilaritySpec extends SparkSpec {
         concat(lit("x"), col("id"))))
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan)
+    // truncated multibyte lead at end-of-input (reachable only via
+    // binary-cast strings) degrades to a single-unit fold instead of
+    // reading past the buffer — on BOTH paths
+    assert(graft.functions.RollingHash.fold(
+      Array(0x61.toByte, 0xc3.toByte)) == 97L * 257 + 0xc3)
+    val malformed = spark.range(1)
+      .select(graft.functions.TextExpressions.rollingHash(
+        lit(Array(0x61.toByte, 0xc3.toByte)).cast("string")))
+      .head.getLong(0)
+    assert(malformed == 97L * 257 + 0xc3)
     // and the round's expressions are SQL-registered via GraftExtensions
     assert(spark.sql("SELECT rolling_hash('ab')").head.getLong(0) == 25027L)
     assert(spark.sql(
