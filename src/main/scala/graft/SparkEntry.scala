@@ -8046,26 +8046,39 @@ object SparkEntry {
         |WHERE event_id NOT IN (SELECT event_id FROM blocked)
         |ORDER BY event_id""".stripMargin,
 
+    // the two windows (head-flag max and island running sum) live in
+    // separate CTEs, so their ORDER BY must be a TOTAL order — under
+    // bare (s, e), duplicate intervals at a head boundary can permute
+    // differently between the two sorts and one peer lands in the
+    // previous island (caught at sf0.1: supplier 26's twin (2364, 2371)
+    // rows split across islands 55/56). Spark is immune — both window
+    // functions share one WindowExec over one sort — and its output is
+    // peer-permutation-deterministic, so the unique (l_orderkey,
+    // l_linenumber) tiebreak only pins DuckDB's internal order, not the
+    // compared values.
     "q191_coalesce" ->
       """WITH iv AS (
-        |  SELECT l_suppkey,
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
         |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
         |      AS s,
         |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
         |      + 7 AS e
         |  FROM lineitem WHERE l_shipdate IS NOT NULL
         |), h AS (
-        |  SELECT l_suppkey, s, e,
-        |    CASE WHEN max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY l_suppkey
+        |        ORDER BY s, e, l_orderkey, l_linenumber
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |        IS NULL THEN 1
-        |      WHEN s > max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |      WHEN s > max(e) OVER (PARTITION BY l_suppkey
+        |        ORDER BY s, e, l_orderkey, l_linenumber
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |        THEN 1 ELSE 0 END AS head
         |  FROM iv
         |), isl AS (
         |  SELECT l_suppkey, s, e,
-        |    CAST(sum(head) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |    CAST(sum(head) OVER (PARTITION BY l_suppkey
+        |      ORDER BY s, e, l_orderkey, l_linenumber
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
         |  FROM h
         |)
