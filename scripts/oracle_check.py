@@ -51,6 +51,11 @@ def dtype_kind(s: pd.Series) -> str:
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # big-scale runs (the sf0.1 gate) need bounded memory + an absolute
+    # spill dir: the default cwd-relative ".tmp" plus unbounded memory
+    # made heavy recursive-CTE oracles die on transient disk pressure
+    con.execute("SET temp_directory='/tmp/duck_oracle_tmp'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
