@@ -2231,7 +2231,11 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("l_quantity"), col("lo"), col("hi"),
           col("clamped"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem (duplicate pairs with different flags/quantities) —
+        // the ORDER BY must be total or the row-order compare is luck
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
     },
 
     // X160 — URL canonicalization over synthetically-messy URLs
@@ -7437,7 +7441,8 @@ object SparkEntry {
         |    ELSE least(greatest(l.l_quantity, qs.lo), qs.hi) END
         |    AS DOUBLE) AS clamped
         |FROM lineitem l JOIN qs ON l.l_returnflag = qs.l_returnflag
-        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  l.l_quantity""".stripMargin,
 
     "q169_url_canon" ->
       """WITH u AS (
