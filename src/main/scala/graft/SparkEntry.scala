@@ -9424,7 +9424,7 @@ object SparkEntry {
         |  tot AS n_total,
         |  CASE WHEN tot > 0 THEN n_ch * 1000000 // tot END
         |    AS credit_ppm
-        |FROM x ORDER BY user_id, ts_us, channel""".stripMargin,
+        |FROM x ORDER BY user_id, ts_us, channel NULLS FIRST""".stripMargin,
 
     "q244_missingness" ->
       """WITH e AS (
@@ -9727,7 +9727,7 @@ object SparkEntry {
         |)
         |SELECT user_id, ts_us, channel, n_ch, tot AS n_total,
         |  CASE WHEN den > 0 THEN num * 1000000 // den END AS credit_ppm
-        |FROM x ORDER BY user_id, ts_us, channel""".stripMargin,
+        |FROM x ORDER BY user_id, ts_us, channel NULLS FIRST""".stripMargin,
 
     // q22's stopword-ratio CASE applied per sentence segment; majority
     // via struct max (ties → lexicographically larger label, same as
@@ -9985,7 +9985,7 @@ object SparkEntry {
         |)
         |SELECT user_id, ts_us, channel, n_ch, tot AS n_total,
         |  CAST(credit AS BIGINT) AS credit_ppm
-        |FROM x ORDER BY user_id, ts_us, channel""".stripMargin,
+        |FROM x ORDER BY user_id, ts_us, channel NULLS FIRST""".stripMargin,
 
     // the O(n²) pair definition of τ-b — concordant/discordant/tie pair
     // counts per group, tie-corrected denominator in double sqrt
