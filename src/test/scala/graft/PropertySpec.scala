@@ -448,4 +448,74 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("rollingHash: random Unicode strings match a BigInt reference " +
+      "fold over code points (both eval paths)") {
+    // reference: h = (h*257 + codepoint) mod 1e9+7, computed in BigInt
+    // so no long-arithmetic assumption of the kernel is shared
+    def ref(s: String): Long = {
+      val M = BigInt(1000000007L)
+      var h = BigInt(0)
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 257 + cp) mod M
+        i += Character.charCount(cp)
+      }
+      h.toLong
+    }
+    val pieceGen = Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(" ", "é", "ß", "中", "文", "😀", "Ω", "й"))
+    val strGen = Gen.listOf(pieceGen).map(_.mkString)
+    val cases = samples(strGen, 300)
+    // interpreted path
+    cases.foreach { s =>
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(graft.functions.RollingHash.fold(bytes) == ref(s), s)
+    }
+    // codegen path through a DataFrame (no normalization wrapper —
+    // the kernel itself is under test)
+    val got = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("i", "s")
+      .select(col("i"),
+        graft.functions.TextExpressions.rollingHash(col("s")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong) == ref(s), s"codegen: $s")
+    }
+  }
+
+  test("packSequences: random token lists — per-shard streams are " +
+      "gapless, spans cover exactly n_tokens, cuts are consistent") {
+    val listGen = Gen.listOfN(60,
+      Gen.frequency(6 -> Gen.choose(0L, 30L), 1 -> Gen.const(0L)))
+    samples(listGen, 20).zipWithIndex.foreach { case (tokens, ci) =>
+      val df = tokens.zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+      val B = 16L
+      val rows = graft.ops.Relational.packSequences(
+          df, col("id"), col("n"), seqTokens = B, nShards = 2,
+          seed = s"p$ci")
+        .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"),
+          r.getAs[Long]("first_seq"), r.getAs[Long]("last_seq"),
+          r.getAs[Long]("seq_offset")))
+      assert(rows.length == tokens.length)
+      rows.groupBy(_._1).foreach { case (_, sh) =>
+        val s = sh.sortBy(_._2)
+        var off = 0L
+        s.foreach { case (_, _, n, start, f, l, so) =>
+          assert(start == off)                       // gapless stream
+          assert(f == start / B && so == start % B)  // cut arithmetic
+          val expectL = if (n > 0) (start + n - 1) / B else f
+          assert(l == expectL)
+          // the span's token capacity covers the doc: tokens from
+          // seq_offset in first_seq through last_seq hold >= n
+          if (n > 0) assert((l - f + 1) * B - so >= n)
+          off += n
+        }
+      }
+    }
+  }
 }
