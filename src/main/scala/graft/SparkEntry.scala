@@ -7357,19 +7357,24 @@ object SparkEntry {
     // converges in <= 2; extra rounds are no-ops at fixpoint)
     "q165_kcore" -> {
       val k = 35
+      // every round reads its predecessor THREE times (FROM + two
+      // degree-filter INs); DuckDB inlines plain CTEs, so an unhinted
+      // 6-round chain re-evaluates s0 up to 3^6 times and spilled
+      // > 75 GB of temp at sf0.1 — MATERIALIZED pins each round to one
+      // evaluation (7 linear materializations)
       val base =
-        """WITH e0 AS (
+        """WITH e0 AS MATERIALIZED (
           |  SELECT DISTINCT o.o_custkey AS src,
           |    l.l_suppkey + 10000000 AS dst
           |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
           |  WHERE o.o_custkey <> l.l_suppkey + 10000000
-          |), s0 AS (
+          |), s0 AS MATERIALIZED (
           |  SELECT src, dst FROM e0
           |  UNION
           |  SELECT dst, src FROM e0
           |)""".stripMargin
       val rounds = (1 to 6).map { r =>
-        s""", s$r AS (
+        s""", s$r AS MATERIALIZED (
            |  SELECT e.src, e.dst FROM s${r - 1} e
            |  WHERE e.src IN (SELECT src FROM s${r - 1}
            |      GROUP BY src HAVING count(*) >= $k)
