@@ -7304,7 +7304,7 @@ object SparkEntry {
         |  FROM (SELECT doc_id, list_filter(
         |      string_split_regex(text, '\s+'), x -> x <> '') AS tk
         |    FROM documents WHERE doc_id % 5 = 0)
-        |), s AS (
+        |), s AS MATERIALIZED (
         |  SELECT doc_id,
         |    (WITH t2 AS (SELECT list_filter(string_split_regex(
         |        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
@@ -7317,12 +7317,14 @@ object SparkEntry {
         |), pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_intersect(a.st, b.st)) AS BIGINT) AS i,
-        |    CAST(len(a.st) + len(b.st)
-        |      - len(list_intersect(a.st, b.st)) AS BIGINT) AS u
+        |    CAST(len(a.st) AS BIGINT) AS la, CAST(len(b.st) AS BIGINT) AS lb
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |    AND least(len(a.st), len(b.st)) * 2000000
+        |      >= greatest(len(a.st), len(b.st)) * 999999
         |)
-        |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / u, 6) AS jaccard
-        |FROM pairs WHERE u > 0 AND i * 2000000 >= u * 999999
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (la + lb - i), 6) AS jaccard
+        |FROM pairs WHERE la + lb - i > 0 AND i * 2000000 >= (la + lb - i) * 999999
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q164_cdc_chunks" ->
