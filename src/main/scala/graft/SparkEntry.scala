@@ -3485,6 +3485,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X250 — deterministic Poisson-bootstrap mean CI: all 20 replicates
+    // are weighted sums over ONE scan (scan-local hash weights, one
+    // map-side-combined agg) — no resampled datasets, no extra shuffle
+    "q260_bootstrap" -> { (s, dir) =>
+      graft.ops.Features.poissonBootstrap(t(s, dir, "orders"),
+          Seq("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          nReps = 20, seed = "bs", alphaPpm = 50000L, scale = 2)
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Composition — one-plan corpus summary card (docs, langs, tokens,
     // exact-dup telemetry via fingerprint distinct)
     "q162_corpus_card" -> { (s, dir) =>
@@ -9674,6 +9684,76 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // Poisson(1) weights from the shared md5-60 macro compared against
+    // the SAME 2^60-scaled long thresholds the engine uses; replicate
+    // means ranked per group, percentile picks at ceil(0.05*20)=1 / 20
+    "q260_bootstrap" ->
+      """WITH r AS (
+        |  SELECT unnest(generate_series(0, 19)) AS rep
+        |), h AS (
+        |  SELECT o.o_orderstatus, r.rep,
+        |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS v,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5('bs' || chr(1) ||
+        |          CAST(r.rep AS VARCHAR) || chr(1) ||
+        |          CAST(o.o_orderkey AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5('bs' || chr(1) ||
+        |          CAST(r.rep AS VARCHAR) || chr(1) ||
+        |          CAST(o.o_orderkey AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5('bs' || chr(1) ||
+        |          CAST(r.rep AS VARCHAR) || chr(1) ||
+        |          CAST(o.o_orderkey AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM orders o CROSS JOIN r
+        |  WHERE o.o_totalprice IS NOT NULL
+        |), wt AS (
+        |  SELECT o_orderstatus, rep, v,
+        |    CAST((CASE WHEN hv >= 424136118829305330 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN hv >= 848272237658610659 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN hv >= 1060340297073263324 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN hv >= 1131029650211480879 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN hv >= 1148701988496035268 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN hv >= 1152236456152946146 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN hv >= 1152825534095764625 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN hv >= 1152909688087595837 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS w
+        |  FROM h
+        |), reps AS (
+        |  SELECT o_orderstatus, rep, CAST(sum(w) AS BIGINT) AS sw,
+        |    sum(w * v) AS sx
+        |  FROM wt GROUP BY 1, 2
+        |), rm AS (
+        |  SELECT o_orderstatus, rep,
+        |    CASE WHEN sw > 0 THEN
+        |      CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(sw AS DOUBLE)
+        |    END AS m,
+        |    CASE WHEN sw > 0 THEN 0 ELSE 1 END AS undef
+        |  FROM reps
+        |), rk AS (
+        |  SELECT o_orderstatus, m,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY m)
+        |      AS rnk,
+        |    CAST(sum(undef) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+        |      AS n_undef
+        |  FROM rm
+        |), base AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        |)
+        |SELECT b.o_orderstatus, b.n, b.mean,
+        |  max(CASE WHEN rk.rnk = 1 AND rk.n_undef = 0 THEN rk.m END)
+        |    AS ci_lo,
+        |  max(CASE WHEN rk.rnk = 20 AND rk.n_undef = 0 THEN rk.m END)
+        |    AS ci_hi,
+        |  CAST(20 AS INTEGER) AS n_reps
+        |FROM base b JOIN rk ON b.o_orderstatus = rk.o_orderstatus
+        |GROUP BY 1, 2, 3
+        |ORDER BY b.o_orderstatus""".stripMargin,
 
     // q243's shape with FOUR range frames (one per 12h age bucket) on
     // the shared window; integer power-of-two weights 8/4/2/1

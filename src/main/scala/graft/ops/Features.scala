@@ -1492,4 +1492,89 @@ object Features {
           col("__nv") * col("__n"))).as("weighted_ppm"))
       .withColumn("gain_ppm", col("base_ppm") - col("weighted_ppm"))
   }
+
+  /** Poisson(1) CDF thresholds scaled to [0, 2^60) — the 60-bit md5
+    * unit-hash range. `w = #{k : hash ≥ T(k)}` draws w ~ Poisson(1)
+    * (truncated at 8; P(w > 8) ≈ 1.1e-6 folds into w = 8). Long
+    * literals so every engine compares the SAME integers — no float
+    * CDF at runtime anywhere.
+    */
+  private[graft] val poissonThresholds60: Seq[Long] = Seq(
+    424136118829305330L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035268L, 1152236456152946146L,
+    1152825534095764625L, 1152909688087595837L)
+
+  /** Deterministic Poisson-bootstrap mean with percentile CI — the
+    * uncertainty estimate that scales: the classic bootstrap resamples
+    * n rows WITH replacement m times (m extra shuffles of the corpus);
+    * the Poisson bootstrap observes that each row's multiplicity in a
+    * resample is ≈ Poisson(1) independently, so ALL m replicates are m
+    * weighted sums over ONE scan — no resampled datasets ever exist.
+    * Per replicate r, each row's weight is the Poisson(1) inverse-CDF
+    * of the 60-bit md5 unit hash of (seed, r, key) — a pure function
+    * of (seed, r, key), so any engine (and any retry of any partition)
+    * deals identical weights. Emits per group: `n`, the plain point
+    * `mean`, and `[ci_lo, ci_hi]` = the ⌈α·m⌉-th / (m+1−⌈α·m⌉)-th
+    * order statistics of the m replicate means (percentile method).
+    *
+    * Exactness: weights are integer comparisons against fixed 60-bit
+    * long thresholds ([[poissonThresholds60]]); Σw and Σw·v accumulate
+    * in long / decimal(38,scale) (order-independent); each replicate
+    * mean is ONE IEEE division of exact operands, and the rank picks
+    * sort those bit-identical doubles — bit-portable end to end. A
+    * replicate with Σw = 0 (only possible for tiny groups; P ≈ e^−n)
+    * nulls the CI rather than inventing one — the caller sees
+    * "undersized group", not a fabricated interval.
+    *
+    * Scale shape: the m hashes and weights are SCAN-LOCAL column
+    * arithmetic (m md5s per row, no row multiplication — the explode
+    * alternative pushes m× the rows into the shuffle); ONE
+    * map-side-combined aggregation to group grain carries 2m+2
+    * counters; the replicate-mean array sort and rank picks run on
+    * |groups| rows. One exchange total, nothing quadratic anywhere.
+    */
+  def poissonBootstrap(df: DataFrame, groupCols: Seq[String],
+      keyCol: Column, valueCol: Column, nReps: Int = 20,
+      seed: String = "bs", alphaPpm: Long = 50000L,
+      scale: Int = 2): DataFrame = {
+    require(nReps >= 2 && nReps <= 64, s"nReps must be in [2, 64]: $nReps")
+    require(alphaPpm > 0 && alphaPpm < 500000L,
+      s"alphaPpm must be in (0, 500000): $alphaPpm")
+    val gs = groupCols.map(col)
+    val v = valueCol.cast(DecimalType(18, scale))
+    def w(r: Int): Column = {
+      val hv = graft.ops.Relational.hashUnit(
+        concat(lit(seed), lit("\u0001"), lit(r.toString), lit("\u0001"),
+          keyCol.cast("string")))
+      poissonThresholds60.map(t => when(hv >= t, 1L).otherwise(0L))
+        .reduce(_ + _)
+    }
+    val repAggs = (0 until nReps).flatMap { r =>
+      Seq(sum(col(s"__w$r")).as(s"__sw$r"),
+        sum(col(s"__w$r") * col("__v")).as(s"__sx$r"))
+    }
+    val iLo = math.max(1L,
+      -Math.floorDiv(-(alphaPpm * nReps), 1000000L)) // ceil
+    val iHi = nReps + 1 - iLo
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val means = array((0 until nReps).map(r =>
+      when(col(s"__sw$r") > 0L,
+        dbl(col(s"__sx$r")) / col(s"__sw$r").cast("double"))): _*)
+    df.filter(v.isNotNull)
+      .select(gs ++ (v.as("__v") +: (0 until nReps)
+        .map(r => w(r).as(s"__w$r"))): _*)
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__v")).as("__sv") +: repAggs): _*)
+      .withColumn("__means", array_sort(means))
+      .select(gs ++ Seq(col("n"),
+        (dbl(col("__sv")) / col("n").cast("double")).as("mean"),
+        when(!array_contains(transform(col("__means"), m => m.isNull),
+            true),
+          element_at(col("__means"), iLo.toInt)).as("ci_lo"),
+        when(!array_contains(transform(col("__means"), m => m.isNull),
+            true),
+          element_at(col("__means"), iHi.toInt)).as("ci_hi"),
+        lit(nReps).cast("int").as("n_reps")): _*)
+  }
 }

@@ -754,4 +754,63 @@ class FeaturesSpec extends SparkSpec {
     assert(!got(("g", 0.9)))
     assert(!got(("h", 0.5)) && !got(("h", 0.9)))
   }
+
+  test("poissonBootstrap: weights match a local md5 replay, CI brackets " +
+      "the mean, single-row groups with a zero-weight replicate null " +
+      "the CI, and the plan is one exchange") {
+    import spark.implicits._
+    // local replay of the engine's weight function for one (rep, key)
+    def weight(seed: String, rep: Int, key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((seed + "\u0001" + rep + "\u0001" + key)
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hv = java.lang.Long.parseLong(hex.take(15), 16)
+      Features.poissonThresholds60.count(hv >= _).toLong
+    }
+    val df = (1 to 200).map(i => ("g", i.toLong, i.toDouble)).toDF(
+      "k", "id", "v")
+    val got = Features.poissonBootstrap(df, Seq("k"), col("id"), col("v"),
+      nReps = 20, seed = "spec", alphaPpm = 50000L, scale = 2)
+    val row = got.collect().head
+    assert(row.getLong(1) == 200L)
+    assert(row.getDouble(2) == 100.5) // exact decimal sum / n
+    val lo = row.getDouble(3); val hi = row.getDouble(4)
+    assert(lo <= hi && lo >= 1.0 && hi <= 200.0,
+      s"CI [$lo, $hi] outside the value range")
+    // deterministic: a second run is bit-identical
+    val again = Features.poissonBootstrap(df, Seq("k"), col("id"),
+      col("v"), nReps = 20, seed = "spec").collect().head
+    assert(again.getDouble(3) == lo && again.getDouble(4) == hi)
+    // replay one replicate's weighted sum locally and compare
+    val sw = (1 to 200).map(i => weight("spec", 7, i.toString)).sum
+    val sx = (1 to 200).map(i =>
+      weight("spec", 7, i.toString) * i.toLong).sum
+    val engine = df.select(
+      graft.ops.Relational.hashUnit(concat(lit("spec"), lit("\u0001"),
+        lit("7"), lit("\u0001"), col("id").cast("string"))).as("hv"),
+      col("id"))
+      .collect().map { r =>
+        val w = Features.poissonThresholds60.count(r.getLong(0) >= _)
+        (w.toLong, w.toLong * r.getLong(1))
+      }
+    assert(engine.map(_._1).sum == sw && engine.map(_._2).sum == sx,
+      "engine md5-60 weights diverge from the local replay")
+    // a 1-row group: 20 replicates of a single Poisson(1) draw are
+    // essentially certain to contain a zero weight -> null CI (the
+    // undersized-group contract); deterministic for this seed/key
+    val solo = Seq(("s", 999L, 5.0)).toDF("k", "id", "v")
+    val sr = Features.poissonBootstrap(solo, Seq("k"), col("id"),
+      col("v"), nReps = 20, seed = "spec").collect().head
+    assert((0 until 20).exists(r => weight("spec", r, "999") == 0L),
+      "fixture assumption: some replicate weight is zero")
+    assert(sr.isNullAt(3) && sr.isNullAt(4))
+    // scale shape: scan-local weights, ONE exchange to group grain
+    // (fresh frame: after a collect, AQE's executedPlan echoes the
+    // initial plan too and double-counts Exchange lines)
+    val plan = Features.poissonBootstrap(df, Seq("k"), col("id"),
+      col("v"), nReps = 20, seed = "spec")
+      .queryExecution.executedPlan.toString
+    assert("Exchange ".r.findAllIn(plan).size == 1,
+      s"poissonBootstrap should shuffle once:\n${plan.take(1500)}")
+  }
 }
