@@ -3485,6 +3485,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X251 — length-bucketed batch plan: sorted batching per (shard,
+    // bucket) with exact pad-to-max waste accounting; the window and the
+    // batch-grain agg share ONE exchange
+    "q261_batch_plan" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).as("n_ws"))
+      graft.ops.Relational.lengthBatchPlan(d, col("doc_id"),
+          col("n_ws"), bounds = Seq(32L, 128L, 512L), batchSize = 16,
+          nShards = 4, seed = "bp")
+        .orderBy(col("shard"), col("bucket"), col("batch"))
+    },
+
     // X250 — deterministic Poisson-bootstrap mean CI: all 20 replicates
     // are weighted sums over ONE scan (scan-local hash weights, one
     // map-side-combined agg) — no resampled datasets, no extra shuffle
@@ -9684,6 +9696,52 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // q259's md5-60 shard macro with seed 'bp'; bucket = count of
+    // bounds at-or-below, batches cut every 16 ranks of the total
+    // (n_tokens, hv, doc_id) order
+    "q261_batch_plan" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS n_tokens,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5('bp' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5('bp' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5('bp' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, n_tokens, hv, hv % 4 AS shard,
+        |    CAST((CASE WHEN n_tokens >= 32 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN n_tokens >= 128 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN n_tokens >= 512 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM h
+        |), r AS (
+        |  SELECT shard, bucket, n_tokens,
+        |    (CAST(row_number() OVER (PARTITION BY shard, bucket
+        |      ORDER BY n_tokens, hv, doc_id) AS BIGINT) - 1) // 16
+        |      AS batch
+        |  FROM b
+        |)
+        |SELECT shard, bucket, batch,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(n_tokens) AS BIGINT) AS batch_max,
+        |  CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+        |  CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+        |    AS pad_tokens,
+        |  CASE WHEN max(n_tokens) > 0 THEN
+        |    CAST((max(n_tokens) * count(*) - sum(n_tokens)) * 1000000
+        |      // (max(n_tokens) * count(*)) AS BIGINT)
+        |  END AS waste_ppm
+        |FROM r GROUP BY 1, 2, 3
+        |ORDER BY shard, bucket, batch""".stripMargin,
 
     // Poisson(1) weights from the shared md5-60 macro compared against
     // the SAME 2^60-scaled long thresholds the engine uses; replicate

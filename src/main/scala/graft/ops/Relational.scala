@@ -657,6 +657,70 @@ object Relational {
       .drop("__h")
   }
 
+  /** Length-bucketed batch plan with exact padding-waste accounting —
+    * the dynamic-batching step an inference or fixed-shape training
+    * run does before padding: group documents of similar length so a
+    * batch's pad-to-max waste stays small (batching a 5-token doc with
+    * a 2000-token doc pads 1995 tokens of dead compute per row).
+    * Docs hash-shard deterministically (`shard = md5-60(seed, key) mod
+    * nShards` — [[shuffleShard]]'s dealing), land in the length bucket
+    * `#{b ∈ bounds : tokens ≥ b}`, and batch up in (tokens, hash, key)
+    * order — sorted batching, the order that minimizes within-batch
+    * spread — `batchSize` docs per batch (the last batch of a (shard,
+    * bucket) runs short). Emits the BATCH-grain plan: `n_docs`,
+    * `batch_max`, `token_sum`, `pad_tokens` = batch_max·n_docs −
+    * token_sum, and exact floor `waste_ppm` = pad·10⁶ div
+    * (batch_max·n_docs) — null for an all-zero-token batch (no
+    * compute to waste). Rows with a null token count are dropped: an
+    * unmeasured doc cannot be placed.
+    *
+    * Exactness: bucket/batch/pad arithmetic is long comparisons and
+    * floor division on non-negative values; the within-bucket order is
+    * total ((tokens, hash, key)) — bit-identical anywhere.
+    *
+    * Scale shape: shard/bucket assignment is scan-local; ONE exchange
+    * on (shard, bucket) carries the rank window AND the batch-grain
+    * aggregation (grouping keys are a superset of the partitioning, so
+    * the agg reuses the window's exchange — spec-pinned). `bucket`
+    * derives from a data value, so a skewed length distribution
+    * concentrates a bucket — `nShards` is the explicit anti-hot-key
+    * dial (the X249 discipline): parallelism = nShards × occupied
+    * buckets, and no shard ever sees more than ~1/nShards of the
+    * corpus. Output is batch-grain (≈ n/batchSize rows), the plan a
+    * sequence writer consumes shard-by-shard.
+    */
+  def lengthBatchPlan(df: DataFrame, key: Column, tokens: Column,
+      bounds: Seq[Long], batchSize: Int, nShards: Int,
+      seed: String = ""): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted &&
+      bounds.distinct == bounds && bounds.head >= 0,
+      s"bounds must be ascending distinct non-negative: $bounds")
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val h = hashUnit(concat(lit(seed), lit("\u0001"), key.cast("string")))
+    val t = tokens.cast("long")
+    val bucket = bounds.map(b => when(t >= b, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("n_tokens"), col("__h"), key)
+    df.filter(t.isNotNull)
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("n_tokens", t)
+      .withColumn("bucket", bucket)
+      .withColumn("__rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("batch", expr(s"__rn div ${batchSize}L"))
+      .groupBy(col("shard"), col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("batch_max"),
+        sum(col("n_tokens")).as("token_sum"))
+      .withColumn("pad_tokens",
+        col("batch_max") * col("n_docs") - col("token_sum"))
+      .withColumn("waste_ppm", when(col("batch_max") > 0L,
+        graft.functions.Exact.longDiv(col("pad_tokens") * 1000000L,
+          col("batch_max") * col("n_docs"))))
+  }
+
   /** Null-safe broadcast join of a per-group statistics table back onto
     * the data — the shared shape behind [[iqrFilter]], [[bucketize]],
     * and [[graft.ops.Features]]' scalers. `stats` must hold exactly

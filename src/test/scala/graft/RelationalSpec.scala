@@ -907,4 +907,52 @@ class RelationalSpec extends SparkSpec {
     assert(rows.exists(r => r._4 == 7L && r._8 == 1L))
     assert(rows.exists(_._4 == 0L))
   }
+
+  test("lengthBatchPlan: batches honor size and bucket walls, sorted " +
+      "batching keeps waste small, zero-token batches null waste_ppm, " +
+      "null tokens drop, and the window+agg share one exchange") {
+    import spark.implicits._
+    // one shard so the batching arithmetic is easy to eyeball
+    val docs = ((1 to 40).map(i => (i.toLong, i.toLong * 10)) ++
+      Seq((100L, 0L), (101L, 0L))).toDF("id", "n")
+      .union(Seq((200L, null.asInstanceOf[java.lang.Long]))
+        .toDF("id", "n"))
+    val got = Relational.lengthBatchPlan(docs, col("id"), col("n"),
+      bounds = Seq(100L, 250L), batchSize = 8, nShards = 1, seed = "t")
+    val rows = got.collect().map(r => (r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      if (r.isNullAt(7)) -1L else r.getLong(7)))
+    // every doc placed exactly once; the null-token row dropped
+    assert(rows.map(_._3).sum == 42L)
+    // no batch exceeds batchSize
+    assert(rows.forall(_._3 <= 8L))
+    // bucket walls: values 10..90 -> bucket 0 (plus the two zeros),
+    // 100..240 -> bucket 1, 250..400 -> bucket 2
+    val byBucket = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    assert(byBucket(0L) == 11L && byBucket(1L) == 15L &&
+      byBucket(2L) == 16L)
+    // waste identity: pad = max*n - sum, ppm = pad*1e6 div (max*n)
+    rows.filter(_._4 > 0L).foreach { case (_, _, n, mx, sm, pad, ppm) =>
+      assert(pad == mx * n - sm)
+      assert(ppm == pad * 1000000L / (mx * n))
+    }
+    // sorted batching: within bucket 1 (100..240 by tens, 15 docs at
+    // batchSize 8) the first batch is the 8 SMALLEST lengths -> its
+    // batch_max is 170, not 240
+    val b1 = rows.filter(r => r._1 == 1L && r._2 == 0L).head
+    assert(b1._4 == 170L && b1._3 == 8L)
+    // the two zero-token docs batch together (bucket 0's smallest
+    // ranks) inside a batch whose max comes from nonzero docs -- so no
+    // all-zero batch here; force one: zero-only input
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("id", "n")
+    val z = Relational.lengthBatchPlan(zeros, col("id"), col("n"),
+      bounds = Seq(10L), batchSize = 8, nShards = 1).collect().head
+    assert(z.isNullAt(7) && z.getLong(6) == 0L)
+    // plan: ONE exchange feeds both the rank window and the batch agg
+    val plan = Relational.lengthBatchPlan(docs, col("id"), col("n"),
+      bounds = Seq(100L), batchSize = 8, nShards = 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange ".r.findAllIn(plan).size == 1,
+      s"window and agg should share one exchange:\n${plan.take(1500)}")
+  }
 }
