@@ -3485,6 +3485,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X252 — ranked-retrieval scorecard: a recency ranker per customer
+    // evaluated against the returned-parts truth set (hit@5, MRR ppm,
+    // P@5, recall@5 — candidate-scale frames only)
+    "q262_ranking_eval" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val j = t(s, dir, "lineitem").join(ord,
+        col("l_orderkey") === col("o_orderkey"))
+      val pred = j.groupBy(col("o_custkey"), col("l_partkey"))
+        .agg(max(col("l_shipdate")).as("__last"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("__last").desc, col("l_partkey"))).cast("long"))
+      val truth = j.filter(col("l_returnflag") === "R")
+        .select(col("o_custkey"), col("l_partkey"))
+      graft.ops.Features.rankingEval(pred, truth, Seq("o_custkey"),
+          "l_partkey", col("rank"), k = 5)
+        .orderBy(col("o_custkey"))
+    },
+
     // X251 — length-bucketed batch plan: sorted batching per (shard,
     // bucket) with exact pad-to-max waste accounting; the window and the
     // batch-grain agg share ONE exchange
@@ -9696,6 +9717,52 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // recency ranking is total ((max shipdate DESC, partkey)); truth
+    // derives from the same join so every truth query has predictions
+    "q262_ranking_eval" ->
+      """WITH j AS (
+        |  SELECT o.o_custkey, l.l_partkey, l.l_shipdate, l.l_returnflag
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), pred AS (
+        |  SELECT o_custkey, l_partkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY max(l_shipdate) DESC, l_partkey) AS BIGINT)
+        |      AS rk
+        |  FROM j GROUP BY o_custkey, l_partkey
+        |), truth AS (
+        |  SELECT DISTINCT o_custkey, l_partkey FROM j
+        |  WHERE l_returnflag = 'R'
+        |), nrel AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_relevant
+        |  FROM truth GROUP BY 1
+        |), m AS (
+        |  SELECT p.o_custkey, p.rk,
+        |    CASE WHEN t.l_partkey IS NOT NULL THEN 1 ELSE 0 END AS rel
+        |  FROM pred p LEFT JOIN truth t
+        |    ON p.o_custkey = t.o_custkey AND p.l_partkey = t.l_partkey
+        |), pq AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_pred,
+        |    CAST(min(CASE WHEN rel = 1 THEN rk END) AS BIGINT)
+        |      AS first_rel_rank,
+        |    CAST(sum(CASE WHEN rel = 1 AND rk <= 5 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ratk
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT pq.o_custkey, pq.n_pred,
+        |  coalesce(nrel.n_relevant, 0) AS n_relevant,
+        |  pq.first_rel_rank,
+        |  CAST(CASE WHEN pq.ratk > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS hit_at_k,
+        |  CASE WHEN pq.first_rel_rank IS NOT NULL THEN
+        |    CAST(1000000 // pq.first_rel_rank AS BIGINT) END AS rr_ppm,
+        |  CAST(pq.ratk * 1000000 // 5 AS BIGINT)
+        |    AS precision_at_k_ppm,
+        |  CASE WHEN nrel.n_relevant > 0 THEN
+        |    CAST(pq.ratk * 1000000 // nrel.n_relevant AS BIGINT)
+        |  END AS recall_at_k_ppm
+        |FROM pq LEFT JOIN nrel ON pq.o_custkey = nrel.o_custkey
+        |ORDER BY pq.o_custkey""".stripMargin,
 
     // q259's md5-60 shard macro with seed 'bp'; bucket = count of
     // bounds at-or-below, batches cut every 16 ranks of the total

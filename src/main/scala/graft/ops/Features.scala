@@ -1577,4 +1577,79 @@ object Features {
           element_at(col("__means"), iHi.toInt)).as("ci_hi"),
         lit(nReps).cast("int").as("n_reps")): _*)
   }
+
+  /** Ranked-retrieval scorecard — the eval loop that closes every
+    * retrieval tier (ANN top-k, RRF-fused lists, recency rankers):
+    * given predicted rankings (`queryCols`, `itemCol`, `rankCol`,
+    * rank 1 = best) and a relevance truth set (`queryCols`,
+    * `itemCol`), emits per query: `n_pred`, `n_relevant`,
+    * `first_rel_rank`, `hit_at_k` (0/1), `rr_ppm` (reciprocal rank
+    * ⌊10⁶ / first_rel_rank⌋ — the MRR numerator; exact integer, unlike
+    * the log-discounted DCG family which is float by construction),
+    * `precision_at_k_ppm` = ⌊rel@k·10⁶ / k⌋ (k is the divisor even
+    * when fewer than k predictions exist — the standard P@k), and
+    * `recall_at_k_ppm` = ⌊rel@k·10⁶ / n_relevant⌋. Undefined is NULL,
+    * never a fabricated number: no relevant item found → null
+    * first_rel_rank / rr_ppm; a query with no truth rows → null
+    * recall (0/0). Queries that appear ONLY in the truth set still
+    * emit a row (n_pred 0, hit 0) — a retriever that returns nothing
+    * for a query must not vanish from its own scorecard. Duplicate
+    * (query, item) predictions collapse to their best rank; duplicate
+    * truth rows collapse once.
+    *
+    * Scale shape: both frames are candidate-scale (≈ queries × k),
+    * never corpus-scale; one groupBy each to collapse duplicates, one
+    * equi-join on (query, item) to mark relevance, one
+    * map-side-combined agg to query grain, and one query-grain outer
+    * join against the truth counts. Nothing touches raw corpus rows —
+    * the expensive part (producing the rankings) already happened
+    * upstream.
+    */
+  def rankingEval(pred: DataFrame, truth: DataFrame,
+      queryCols: Seq[String], itemCol: String, rankCol: Column,
+      k: Int): DataFrame = {
+    require(queryCols.nonEmpty, "rankingEval needs query columns")
+    require(k >= 1, s"k must be >= 1: $k")
+    val qs = queryCols.map(col)
+    val p = pred
+      .select(qs ++ Seq(col(itemCol), rankCol.cast("long").as("__rk")): _*)
+      .filter(col("__rk") >= 1L)
+      .groupBy(qs :+ col(itemCol): _*)
+      .agg(min(col("__rk")).as("__rk"))
+    val tr = truth.select(qs :+ col(itemCol): _*).distinct()
+    val nRel = tr.groupBy(qs: _*)
+      .agg(count(lit(1)).as("n_relevant"))
+    val tMark = tr.toDF(queryCols.map("__t_" + _) :+ "__t_item": _*)
+      .withColumn("__rel", lit(1L))
+    val joined = p.join(tMark,
+      queryCols.map(c => col(c) === col("__t_" + c))
+        .reduce(_ && _) && col(itemCol) === col("__t_item"), "left")
+    val perQ = joined.groupBy(qs: _*)
+      .agg(count(lit(1)).as("n_pred"),
+        min(when(col("__rel") === 1L, col("__rk")))
+          .as("first_rel_rank"),
+        sum(when(col("__rel") === 1L && col("__rk") <= k, 1L)
+          .otherwise(0L)).as("__ratk"))
+    val nr = nRel.toDF(queryCols.map("__n_" + _) :+ "n_relevant": _*)
+    perQ.join(nr,
+        queryCols.map(c => col(c) === col("__n_" + c)).reduce(_ && _),
+        "full_outer")
+      .select(queryCols.map(c =>
+          coalesce(col(c), col("__n_" + c)).as(c)) ++ Seq(
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        col("first_rel_rank"),
+        when(coalesce(col("__ratk"), lit(0L)) > 0L, 1L).otherwise(0L)
+          .as("hit_at_k"),
+        when(col("first_rel_rank").isNotNull,
+          graft.functions.Exact.longDiv(lit(1000000L),
+            col("first_rel_rank"))).as("rr_ppm"),
+        graft.functions.Exact.longDiv(
+          coalesce(col("__ratk"), lit(0L)) * 1000000L, k.toLong)
+          .as("precision_at_k_ppm"),
+        when(coalesce(col("n_relevant"), lit(0L)) > 0L,
+          graft.functions.Exact.longDiv(
+            coalesce(col("__ratk"), lit(0L)) * 1000000L,
+            col("n_relevant"))).as("recall_at_k_ppm")): _*)
+  }
 }

@@ -813,4 +813,38 @@ class FeaturesSpec extends SparkSpec {
     assert("Exchange ".r.findAllIn(plan).size == 1,
       s"poissonBootstrap should shuffle once:\n${plan.take(1500)}")
   }
+
+  test("rankingEval: exact hit/MRR/P@k/recall ppm, duplicate " +
+      "predictions keep the best rank, truth-only queries emit a row, " +
+      "truthless queries null recall") {
+    import spark.implicits._
+    val pred = Seq(
+      // q1: relevant item first seen at rank 3 (dup at rank 7 ignored)
+      ("q1", "a", 1L), ("q1", "b", 2L), ("q1", "r1", 3L),
+      ("q1", "r1", 7L), ("q1", "r2", 6L),
+      // q2: no truth rows at all
+      ("q2", "x", 1L), ("q2", "y", 2L)
+    ).toDF("q", "item", "rank")
+    val truth = Seq(
+      ("q1", "r1"), ("q1", "r2"), ("q1", "r1"), // dup truth row
+      ("q3", "z") // truth-only query: the retriever returned nothing
+    ).toDF("q", "item")
+    val got = Features.rankingEval(pred, truth, Seq("q"), "item",
+      col("rank"), k = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val q1 = got("q1")
+    assert(q1.getLong(1) == 4L && q1.getLong(2) == 2L) // n_pred dedup'd
+    assert(q1.getLong(3) == 3L)                 // first_rel_rank
+    assert(q1.getLong(4) == 1L)                 // hit@5
+    assert(q1.getLong(5) == 333333L)            // floor(1e6/3)
+    assert(q1.getLong(6) == 200000L)            // 1 of k=5
+    assert(q1.getLong(7) == 500000L)            // 1 of 2 relevant
+    val q2 = got("q2")
+    assert(q2.getLong(2) == 0L && q2.isNullAt(3) && q2.getLong(4) == 0L)
+    assert(q2.isNullAt(5) && q2.getLong(6) == 0L && q2.isNullAt(7))
+    val q3 = got("q3")
+    assert(q3.getLong(1) == 0L && q3.getLong(2) == 1L &&
+      q3.getLong(4) == 0L && q3.getLong(6) == 0L &&
+      q3.getLong(7) == 0L) // recall 0/1 = 0, defined
+  }
 }
