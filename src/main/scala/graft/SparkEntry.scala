@@ -3485,6 +3485,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X253 — multi-class scorecard: declared lang vs the X10 detector,
+    // per-class P/R/F1 exact ppm + __micro__/__macro__ summary rows
+    "q263_class_scorecard" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("lang"),
+        graft.text.TextFunctions.langId(col("text")).as("lang_guess"))
+      graft.ops.Features.classScorecard(d, col("lang"),
+          col("lang_guess"))
+        .orderBy(col("class"))
+    },
+
     // X252 — ranked-retrieval scorecard: a recency ranker per customer
     // evaluated against the returned-parts truth set (hit@5, MRR ppm,
     // P@5, recall@5 — candidate-scale frames only)
@@ -9717,6 +9727,101 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // q219's detector macro feeding the scorecard algebra; macro means
+    // average only the DEFINED per-class ppm values
+    "q263_class_scorecard" ->
+      """WITH toks AS (
+        |  SELECT lang, text,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+        |      AS tk
+        |  FROM documents WHERE lang IS NOT NULL
+        |), scores AS (
+        |  SELECT lang, text,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_en,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['el','la','de','que','y','en','un','los','se','no'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_es,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['der','die','und','das','ist','ein','zu','den','mit','nicht'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_de,
+        |    CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |      t -> list_contains(['le','la','de','et','les','des','un','une','est','que'], t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS s_fr
+        |  FROM toks
+        |), lab AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+        |           THEN 'zh'
+        |         WHEN s_en = greatest(s_en, s_es, s_de, s_fr)
+        |           AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
+        |         WHEN s_es = greatest(s_en, s_es, s_de, s_fr)
+        |           AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'es'
+        |         WHEN s_de = greatest(s_en, s_es, s_de, s_fr)
+        |           AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'de'
+        |         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr)
+        |           AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'fr'
+        |         ELSE 'und' END AS b
+        |  FROM scores
+        |), cells AS (
+        |  SELECT a, b, count(*) AS c FROM lab GROUP BY 1, 2
+        |), tt AS (
+        |  SELECT a AS cls, CAST(sum(c) AS BIGINT) AS n_true,
+        |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_tp
+        |  FROM cells GROUP BY 1
+        |), pp AS (
+        |  SELECT b AS cls, CAST(sum(c) AS BIGINT) AS n_pred
+        |  FROM cells GROUP BY 1
+        |), per AS (
+        |  SELECT coalesce(tt.cls, pp.cls) AS class,
+        |    coalesce(n_true, 0) AS n_true,
+        |    coalesce(n_pred, 0) AS n_pred,
+        |    coalesce(n_tp, 0) AS n_tp
+        |  FROM tt FULL OUTER JOIN pp ON tt.cls = pp.cls
+        |), m AS (
+        |  SELECT class, n_true, n_pred, n_tp,
+        |    CASE WHEN n_pred > 0 THEN
+        |      CAST(n_tp * 1000000 // n_pred AS BIGINT) END
+        |      AS precision_ppm,
+        |    CASE WHEN n_true > 0 THEN
+        |      CAST(n_tp * 1000000 // n_true AS BIGINT) END
+        |      AS recall_ppm,
+        |    CASE WHEN n_true + n_pred > 0 THEN
+        |      CAST(n_tp * 2000000 // (n_true + n_pred) AS BIGINT) END
+        |      AS f1_ppm
+        |  FROM per
+        |), micro AS (
+        |  SELECT '__micro__' AS class,
+        |    CAST(sum(c) AS BIGINT) AS n_true,
+        |    CAST(sum(c) AS BIGINT) AS n_pred,
+        |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_tp,
+        |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) * 1000000
+        |      // sum(c) AS BIGINT) AS precision_ppm,
+        |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) * 1000000
+        |      // sum(c) AS BIGINT) AS recall_ppm,
+        |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) * 1000000
+        |      // sum(c) AS BIGINT) AS f1_ppm
+        |  FROM cells
+        |), mac AS (
+        |  SELECT '__macro__' AS class,
+        |    CAST(NULL AS BIGINT) AS n_true,
+        |    CAST(NULL AS BIGINT) AS n_pred,
+        |    CAST(NULL AS BIGINT) AS n_tp,
+        |    CASE WHEN count(precision_ppm) > 0 THEN
+        |      CAST(sum(precision_ppm) // count(precision_ppm)
+        |        AS BIGINT) END AS precision_ppm,
+        |    CASE WHEN count(recall_ppm) > 0 THEN
+        |      CAST(sum(recall_ppm) // count(recall_ppm) AS BIGINT) END
+        |      AS recall_ppm,
+        |    CASE WHEN count(f1_ppm) > 0 THEN
+        |      CAST(sum(f1_ppm) // count(f1_ppm) AS BIGINT) END
+        |      AS f1_ppm
+        |  FROM m
+        |)
+        |SELECT * FROM m
+        |UNION ALL SELECT * FROM micro
+        |UNION ALL SELECT * FROM mac
+        |ORDER BY class""".stripMargin,
 
     // recency ranking is total ((max shipdate DESC, partkey)); truth
     // derives from the same join so every truth query has predictions

@@ -1652,4 +1652,74 @@ object Features {
             coalesce(col("__ratk"), lit(0L)) * 1000000L,
             col("n_relevant"))).as("recall_at_k_ppm")): _*)
   }
+
+  /** Multi-class classification scorecard — per-class precision /
+    * recall / F1 in exact floor ppm from (label, predicted) pairs,
+    * plus the two standard summary rows: `__micro__` (global counts —
+    * in single-label classification micro-P = micro-R = micro-F1 =
+    * accuracy) and `__macro__` (unweighted mean of the per-class ppm
+    * — the skew-honest average a dominant class can't buy). The
+    * pair-set sibling of X242's detector scorecard, for CLASSIFIERS
+    * (X10 language-ID, quality gates, routing models) rather than
+    * pair detectors. F1 uses the Dice identity 2·TP div (n_true +
+    * n_pred) — no float harmonic mean anywhere. Undefined is NULL,
+    * never fabricated: a class never predicted → null precision,
+    * never labeled → null recall; the macro means average only the
+    * DEFINED per-class values (the sklearn `zero_division` ambiguity,
+    * resolved explicitly). Rows with a null label or prediction are
+    * dropped — score only scoreable pairs. `__micro__`/`__macro__`
+    * are reserved class names; real labels must not collide.
+    *
+    * Scale shape: ONE map-side-combined aggregation to (label, pred)
+    * contingency-cell grain is the only stage that sees row volume
+    * (the X209 kappa discipline); the per-class margins, summary
+    * rows, and all ppm algebra run on the bounded cell table.
+    */
+  def classScorecard(df: DataFrame, labelCol: Column,
+      predCol: Column): DataFrame = {
+    val cells = df
+      .filter(labelCol.isNotNull && predCol.isNotNull)
+      .select(labelCol.cast("string").as("__a"),
+        predCol.cast("string").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+    val truePart = cells.groupBy(col("__a").as("class"))
+      .agg(sum(col("__c")).as("n_true"),
+        sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+          .as("n_tp"))
+    val predPart = cells.groupBy(col("__b").as("__class2"))
+      .agg(sum(col("__c")).as("n_pred"))
+    def ld(a: Column, b: Column): Column =
+      graft.functions.Exact.longDiv(a, b)
+    val per = truePart.join(predPart,
+        col("class") === col("__class2"), "full_outer")
+      .select(coalesce(col("class"), col("__class2")).as("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_tp"), lit(0L)).as("n_tp"))
+      .withColumn("precision_ppm", when(col("n_pred") > 0L,
+        ld(col("n_tp") * 1000000L, col("n_pred"))))
+      .withColumn("recall_ppm", when(col("n_true") > 0L,
+        ld(col("n_tp") * 1000000L, col("n_true"))))
+      .withColumn("f1_ppm", when(col("n_true") + col("n_pred") > 0L,
+        ld(col("n_tp") * 2000000L, col("n_true") + col("n_pred"))))
+    val micro = cells
+      .agg(sum(col("__c")).as("__n"),
+        sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+          .as("__tp"))
+      .select(lit("__micro__").as("class"), col("__n").as("n_true"),
+        col("__n").as("n_pred"), col("__tp").as("n_tp"),
+        ld(col("__tp") * 1000000L, col("__n")).as("precision_ppm"),
+        ld(col("__tp") * 1000000L, col("__n")).as("recall_ppm"),
+        ld(col("__tp") * 1000000L, col("__n")).as("f1_ppm"))
+    def mean(c: String): Column = when(count(col(c)) > 0L,
+      ld(sum(col(c)), count(col(c)))).as(c)
+    val macroRow = per.agg(mean("precision_ppm"), mean("recall_ppm"),
+        mean("f1_ppm"))
+      .select(lit("__macro__").as("class"),
+        lit(null).cast("long").as("n_true"),
+        lit(null).cast("long").as("n_pred"),
+        lit(null).cast("long").as("n_tp"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
+    per.unionByName(micro).unionByName(macroRow)
+  }
 }

@@ -847,4 +847,44 @@ class FeaturesSpec extends SparkSpec {
       q3.getLong(4) == 0L && q3.getLong(6) == 0L &&
       q3.getLong(7) == 0L) // recall 0/1 = 0, defined
   }
+
+  test("classScorecard: per-class P/R/F1 exact ppm, never-predicted " +
+      "class nulls precision, never-labeled class nulls recall, micro " +
+      "is accuracy, macro averages only defined values, nulls drop") {
+    import spark.implicits._
+    // labels: a,a,a,b,b,c  preds: a,a,b,b,b,d  (c never predicted,
+    // d never labeled)
+    val df = Seq(("a","a"), ("a","a"), ("a","b"), ("b","b"), ("b","b"),
+      ("c","d"), (null, "a"), ("b", null))
+      .toDF("y", "yhat")
+    val got = Features.classScorecard(df, col("y"), col("yhat"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def g(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) -1L else r.getLong(i)
+    val a = got("a")   // n_true 3, n_pred 2, tp 2
+    assert((g(a,1), g(a,2), g(a,3)) == ((3L, 2L, 2L)))
+    assert(g(a,4) == 1000000L && g(a,5) == 666666L && g(a,6) == 800000L)
+    val b = got("b")   // n_true 2, n_pred 3, tp 2
+    assert(g(b,4) == 666666L)  // precision 2/3
+    assert(g(b,5) == 1000000L) // recall 2/2
+    assert(g(b,6) == 800000L)  // f1 = 4/5
+    val c = got("c")   // labeled once, never predicted
+    assert((g(c,1), g(c,2), g(c,3)) == ((1L, 0L, 0L)))
+    assert(c.isNullAt(4) && g(c,5) == 0L && g(c,6) == 0L)
+    val d = got("d")   // predicted once, never labeled
+    assert((g(d,1), g(d,2), g(d,3)) == ((0L, 1L, 0L)))
+    assert(g(d,4) == 0L && d.isNullAt(5) && g(d,6) == 0L)
+    val micro = got("__micro__") // 6 scoreable rows, 4 correct
+    assert((g(micro,1), g(micro,3)) == ((6L, 4L)))
+    assert(g(micro,4) == 666666L && g(micro,5) == 666666L &&
+      g(micro,6) == 666666L)
+    val mac = got("__macro__")
+    // precision defined for a,b,d: (1000000+666666+0)/3 = 555555
+    assert(g(mac,4) == 555555L)
+    // recall defined for a,b,c: (666666+1000000+0)/3 = 555555
+    assert(g(mac,5) == 555555L)
+    // f1 defined for all four: (800000+800000+0+0)/4 = 400000
+    assert(g(mac,6) == 400000L)
+    assert(mac.isNullAt(1) && mac.isNullAt(2) && mac.isNullAt(3))
+  }
 }
