@@ -3485,6 +3485,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X254 — top-k churn: month-half user leaderboards per event type,
+    // entered/dropped/moved/held with signed rank deltas; each side's
+    // rank<=k filter plans as WindowGroupLimit
+    "q264_topk_churn" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val cutNs = 1705363200000000L * 1000L // 2024-01-16T00:00Z
+      graft.ops.Relational.topKChurn(
+          ev.filter(col("ts_ns") < cutNs),
+          ev.filter(col("ts_ns") >= cutNs),
+          Seq("event_type"), "user_id", lit(1L), k = 10)
+        .orderBy(col("event_type"), col("user_id"))
+    },
+
     // X253 — multi-class scorecard: declared lang vs the X10 detector,
     // per-class P/R/F1 exact ppm + __micro__/__macro__ summary rows
     "q263_class_scorecard" -> { (s, dir) =>
@@ -9727,6 +9740,44 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // total (count DESC, user_id) rank order on both halves; the
+    // full-outer join sees only the two k-sized lists
+    "q264_topk_churn" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events
+        |), p AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS w
+        |  FROM e WHERE us < 1705363200000000 GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT event_type, user_id, w,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY w DESC, user_id) AS BIGINT) AS r
+        |  FROM p
+        |), c AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS w
+        |  FROM e WHERE us >= 1705363200000000 GROUP BY 1, 2
+        |), cr AS (
+        |  SELECT event_type, user_id, w,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY w DESC, user_id) AS BIGINT) AS r
+        |  FROM c
+        |)
+        |SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |  coalesce(a.user_id, b.user_id) AS user_id,
+        |  CASE WHEN a.r IS NULL THEN 'entered'
+        |       WHEN b.r IS NULL THEN 'dropped'
+        |       WHEN a.r = b.r THEN 'held'
+        |       ELSE 'moved' END AS status,
+        |  a.r AS rank_prev, b.r AS rank_curr,
+        |  a.r - b.r AS rank_delta,
+        |  a.w AS weight_prev, b.w AS weight_curr
+        |FROM (SELECT * FROM pr WHERE r <= 10) a
+        |FULL OUTER JOIN (SELECT * FROM cr WHERE r <= 10) b
+        |  ON a.event_type = b.event_type AND a.user_id = b.user_id
+        |ORDER BY event_type, user_id""".stripMargin,
 
     // q219's detector macro feeding the scorecard algebra; macro means
     // average only the DEFINED per-class ppm values

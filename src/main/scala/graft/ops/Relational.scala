@@ -1592,4 +1592,62 @@ object Relational {
           .when(col("cum_ppm") <= bPpm, "B")
           .otherwise("C").as("abc_class")): _*)
   }
+
+  /** Top-k churn report — "what changed in the top 10?" between two
+    * snapshots of a leaderboard-shaped aggregate (top domains by
+    * tokens, top users by events, top SKUs by spend): each side
+    * collapses to (group, item) grain (duplicate rows sum), ranks by
+    * (weight DESC, item) — a TOTAL order, ties broken by item so both
+    * engines and both snapshots rank identically — keeps its top k,
+    * and the two top-k lists full-outer join into one report row per
+    * item that appears in EITHER list: `status` ∈ entered / dropped /
+    * moved / held, `rank_prev` / `rank_curr` (null outside that
+    * side's list), signed `rank_delta` = rank_prev − rank_curr
+    * (positive = climbed), and both weights. An item still present
+    * but BELOW the cut reads as dropped — the report is about the
+    * list, which is what dashboards and alerting watch. Weights are
+    * integer units (counts, cents — the engine's exact-unit
+    * discipline); null-keyed rows drop.
+    *
+    * Scale shape: each side is ONE map-side-combined aggregation to
+    * (group, item) grain followed by a rank window whose `rank ≤ k`
+    * filter plans as WindowGroupLimit (only k rows per group survive
+    * the rank exchange — the X22 pattern, spec-pinned); the join runs
+    * on two ≤ |groups|·k frames. Row volume is touched exactly once
+    * per side.
+    */
+  def topKChurn(prev: DataFrame, curr: DataFrame, groupCols: Seq[String],
+      itemCol: String, weightCol: Column, k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "topKChurn needs group columns")
+    require(k >= 1, s"k must be >= 1: $k")
+    def side(df: DataFrame, suffix: String): DataFrame = {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col("__w").desc, col(itemCol))
+      df.filter(groupCols.map(col(_).isNotNull).reduce(_ && _) &&
+          col(itemCol).isNotNull)
+        .groupBy(groupCols.map(col) :+ col(itemCol): _*)
+        .agg(sum(weightCol.cast("long")).as("__w"))
+        .withColumn("__r", row_number().over(w).cast("long"))
+        .filter(col("__r") <= k)
+        .select(groupCols.map(c => col(c).as(s"${suffix}_$c")) ++ Seq(
+          col(itemCol).as(s"${suffix}_item"),
+          col("__w").as(s"weight_$suffix"),
+          col("__r").as(s"rank_$suffix")): _*)
+    }
+    val p = side(prev, "prev")
+    val c = side(curr, "curr")
+    val cond = groupCols.map(g => col(s"prev_$g") === col(s"curr_$g"))
+      .reduce(_ && _) && col("prev_item") === col("curr_item")
+    p.join(c, cond, "full_outer")
+      .select(groupCols.map(g =>
+          coalesce(col(s"prev_$g"), col(s"curr_$g")).as(g)) ++ Seq(
+        coalesce(col("prev_item"), col("curr_item")).as(itemCol),
+        when(col("rank_prev").isNull, "entered")
+          .when(col("rank_curr").isNull, "dropped")
+          .when(col("rank_prev") === col("rank_curr"), "held")
+          .otherwise("moved").as("status"),
+        col("rank_prev"), col("rank_curr"),
+        (col("rank_prev") - col("rank_curr")).as("rank_delta"),
+        col("weight_prev"), col("weight_curr")): _*)
+  }
 }

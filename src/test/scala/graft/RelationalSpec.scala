@@ -955,4 +955,35 @@ class RelationalSpec extends SparkSpec {
     assert("Exchange ".r.findAllIn(plan).size == 1,
       s"window and agg should share one exchange:\n${plan.take(1500)}")
   }
+
+  test("topKChurn: entered/dropped/moved/held with signed deltas, " +
+      "duplicate rows sum, below-cut items read as dropped, and the " +
+      "rank<=k filter plans as WindowGroupLimit") {
+    import spark.implicits._
+    val prev = Seq(("g","a",6L), ("g","a",4L), ("g","b",8L),
+      ("g","c",5L), ("g","d",4L), ("g",null,99L)).toDF("k","i","w")
+    val curr = Seq(("g","b",12L), ("g","a",9L), ("g","e",7L),
+      ("g","c",1L)).toDF("k","i","w")
+    val got = Relational.topKChurn(prev, curr, Seq("k"), "i",
+      col("w"), k = 3)
+    val rows = got.collect().map(r => r.getString(1) -> ((r.getString(2),
+      if (r.isNullAt(3)) 0L else r.getLong(3),
+      if (r.isNullAt(4)) 0L else r.getLong(4),
+      if (r.isNullAt(5)) 999L else r.getLong(5)))).toMap
+    // prev ranks: a(10) 1, b(8) 2, c(5) 3 | d(4) below cut, null drops
+    // curr ranks: b(12) 1, a(9) 2, e(7) 3 | c below cut
+    assert(rows("a") == (("moved", 1L, 2L, -1L)))
+    assert(rows("b") == (("moved", 2L, 1L, 1L)))
+    assert(rows("c") == (("dropped", 3L, 0L, 999L)))
+    assert(rows("e") == (("entered", 0L, 3L, 999L)))
+    assert(!rows.contains("d") && !rows.contains(null))
+    // held: identical snapshots
+    val h = Relational.topKChurn(curr, curr, Seq("k"), "i", col("w"),
+      k = 2).collect()
+    assert(h.length == 2 && h.forall(_.getString(2) == "held"))
+    // the per-side rank<=k filter must cap rows BEFORE the join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k should plan as WindowGroupLimit:\n${plan.take(1500)}")
+  }
 }
