@@ -9972,24 +9972,30 @@ object SparkEntry {
     "q260_bootstrap" ->
       """WITH r AS (
         |  SELECT unnest(generate_series(0, 19)) AS rep
-        |), h AS (
-        |  SELECT o.o_orderstatus, r.rep,
-        |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS v,
+        |), k AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    md5('bs' || chr(1) || CAST(o_orderkey AS VARCHAR)) AS mx
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |), h2 AS (
+        |  SELECT o_orderstatus, v,
         |    list_reduce(list_transform(generate_series(1, 15), ii ->
-        |      CAST(CASE
-        |        WHEN ascii(substr(md5('bs' || chr(1) ||
-        |          CAST(r.rep AS VARCHAR) || chr(1) ||
-        |          CAST(o.o_orderkey AS VARCHAR)), ii, 1)) <= 57
-        |        THEN ascii(substr(md5('bs' || chr(1) ||
-        |          CAST(r.rep AS VARCHAR) || chr(1) ||
-        |          CAST(o.o_orderkey AS VARCHAR)), ii, 1)) - 48
-        |        ELSE ascii(substr(md5('bs' || chr(1) ||
-        |          CAST(r.rep AS VARCHAR) || chr(1) ||
-        |          CAST(o.o_orderkey AS VARCHAR)), ii, 1)) - 87
+        |      CAST(CASE WHEN ascii(substr(mx, ii, 1)) <= 57
+        |        THEN ascii(substr(mx, ii, 1)) - 48
+        |        ELSE ascii(substr(mx, ii, 1)) - 87
         |        END AS BIGINT)),
-        |      (a, b) -> a * 16 + b) AS hv
-        |  FROM orders o CROSS JOIN r
-        |  WHERE o.o_totalprice IS NOT NULL
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_transform(generate_series(16, 30), ii ->
+        |      CAST(CASE WHEN ascii(substr(mx, ii, 1)) <= 57
+        |        THEN ascii(substr(mx, ii, 1)) - 48
+        |        ELSE ascii(substr(mx, ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) // 64 AS h2p
+        |  FROM k
+        |), hv AS (
+        |  SELECT o_orderstatus, v, r.rep,
+        |    (h1 + r.rep * h2p) % 1152921504606846976 AS hv
+        |  FROM h2 CROSS JOIN r
         |), wt AS (
         |  SELECT o_orderstatus, rep, v,
         |    CAST((CASE WHEN hv >= 424136118829305330 THEN 1 ELSE 0 END)
@@ -10001,7 +10007,7 @@ object SparkEntry {
         |      + (CASE WHEN hv >= 1152825534095764625 THEN 1 ELSE 0 END)
         |      + (CASE WHEN hv >= 1152909688087595837 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS w
-        |  FROM h
+        |  FROM hv
         |), reps AS (
         |  SELECT o_orderstatus, rep, CAST(sum(w) AS BIGINT) AS sw,
         |    sum(w * v) AS sx

@@ -759,12 +759,15 @@ class FeaturesSpec extends SparkSpec {
       "the mean, single-row groups with a zero-weight replicate null " +
       "the CI, and the plan is one exchange") {
     import spark.implicits._
-    // local replay of the engine's weight function for one (rep, key)
+    // local replay of the engine's weight function: one md5 of
+    // (seed, key), two 60-bit halves, K-M double hash per replicate
     def weight(seed: String, rep: Int, key: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest((seed + "\u0001" + rep + "\u0001" + key)
+      val hex = md.digest((seed + "\u0001" + key)
         .getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val hv = java.lang.Long.parseLong(hex.take(15), 16)
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val h2p = java.lang.Long.parseLong(hex.substring(15, 30), 16) / 64L
+      val hv = (h1 + rep.toLong * h2p) % (1L << 60)
       Features.poissonThresholds60.count(hv >= _).toLong
     }
     val df = (1 to 200).map(i => ("g", i.toLong, i.toDouble)).toDF(
@@ -785,16 +788,19 @@ class FeaturesSpec extends SparkSpec {
     val sw = (1 to 200).map(i => weight("spec", 7, i.toString)).sum
     val sx = (1 to 200).map(i =>
       weight("spec", 7, i.toString) * i.toLong).sum
+    val hexc = md5(concat(lit("spec"), lit("\u0001"),
+      col("id").cast("string")))
     val engine = df.select(
-      graft.ops.Relational.hashUnit(concat(lit("spec"), lit("\u0001"),
-        lit("7"), lit("\u0001"), col("id").cast("string"))).as("hv"),
+      ((conv(substring(hexc, 1, 15), 16, 10).cast("long") +
+        lit(7L) * shiftright(conv(substring(hexc, 16, 15), 16, 10)
+          .cast("long"), 6)) % lit(1152921504606846976L)).as("hv"),
       col("id"))
       .collect().map { r =>
         val w = Features.poissonThresholds60.count(r.getLong(0) >= _)
         (w.toLong, w.toLong * r.getLong(1))
       }
     assert(engine.map(_._1).sum == sw && engine.map(_._2).sum == sx,
-      "engine md5-60 weights diverge from the local replay")
+      "engine K-M weights diverge from the local replay")
     // a 1-row group: 20 replicates of a single Poisson(1) draw are
     // essentially certain to contain a zero weight -> null CI (the
     // undersized-group contract); deterministic for this seed/key
@@ -804,14 +810,19 @@ class FeaturesSpec extends SparkSpec {
     assert((0 until 20).exists(r => weight("spec", r, "999") == 0L),
       "fixture assumption: some replicate weight is zero")
     assert(sr.isNullAt(3) && sr.isNullAt(4))
-    // scale shape: scan-local weights, ONE exchange to group grain
-    // (fresh frame: after a collect, AQE's executedPlan echoes the
-    // initial plan too and double-counts Exchange lines)
+    // scale shape: scan-local hashing, explode feeds a map-side-
+    // combined (group, rep) agg, then a tiny group-grain agg -- two
+    // exchanges, the first already at |groups|*m grain (fresh frame:
+    // after a collect, AQE's executedPlan echoes the initial plan too
+    // and double-counts Exchange lines)
     val plan = Features.poissonBootstrap(df, Seq("k"), col("id"),
       col("v"), nReps = 20, seed = "spec")
       .queryExecution.executedPlan.toString
-    assert("Exchange ".r.findAllIn(plan).size == 1,
-      s"poissonBootstrap should shuffle once:\n${plan.take(1500)}")
+    assert("Exchange ".r.findAllIn(plan).size == 2,
+      s"poissonBootstrap should shuffle only aggregate grains:\n" +
+        plan.take(1500))
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      "partial (map-side) aggregation missing")
   }
 
   test("rankingEval: exact hit/MRR/P@k/recall ppm, duplicate " +
