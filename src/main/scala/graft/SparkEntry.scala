@@ -3485,6 +3485,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X255 — PR curve at distinct thresholds: the quality-cut sweep
+    // (tie-heavy integer scores exercise the distinct-grain collapse)
+    "q265_pr_curve" -> { (s, dir) =>
+      graft.ops.Features.prCurve(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_quantity").cast("long"),
+          col("l_discount") >= 0.05)
+        .orderBy(col("l_returnflag"), col("score").desc)
+    },
+
     // X254 — top-k churn: month-half user leaderboards per event type,
     // entered/dropped/moved/held with signed rank deltas; each side's
     // rank<=k filter plans as WindowGroupLimit
@@ -9740,6 +9749,39 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // distinct-score grain first (X27 aggregate-first), cumulative
+    // windows over the tiny value-grain frame only
+    "q265_pr_curve" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS score,
+        |    CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |), g AS (
+        |  SELECT l_returnflag, score, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS p
+        |  FROM b GROUP BY 1, 2
+        |), c AS (
+        |  SELECT l_returnflag, score,
+        |    CAST(sum(n) OVER (PARTITION BY l_returnflag
+        |      ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_ge,
+        |    CAST(sum(p) OVER (PARTITION BY l_returnflag
+        |      ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(p) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |      AS npos
+        |  FROM g
+        |)
+        |SELECT l_returnflag, score, n_ge, tp,
+        |  CAST(tp * 1000000 // n_ge AS BIGINT) AS precision_ppm,
+        |  CASE WHEN npos > 0 THEN
+        |    CAST(tp * 1000000 // npos AS BIGINT) END AS recall_ppm
+        |FROM c ORDER BY l_returnflag, score DESC""".stripMargin,
 
     // total (count DESC, user_id) rank order on both halves; the
     // full-outer join sees only the two k-sized lists

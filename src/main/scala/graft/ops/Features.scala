@@ -1746,4 +1746,49 @@ object Features {
         col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
     per.unionByName(micro).unionByName(macroRow)
   }
+
+  /** Precision–recall curve at every DISTINCT score threshold — the
+    * threshold-sweep table behind "where do we set the quality-filter
+    * cut?": [[groupAuc]] scores the ranking as ONE number and
+    * [[classScorecard]] grades ONE chosen decision; this emits the
+    * whole frontier, per group and per distinct score t (decision
+    * rule: positive iff score ≥ t): `n_ge` rows at-or-above, `tp`
+    * true positives among them, exact floor `precision_ppm` = ⌊tp·10⁶
+    * / n_ge⌋ and `recall_ppm` = ⌊tp·10⁶ / n_pos⌋ (null when the group
+    * has no positives — 0/0, undefined not perfect). Scores are used
+    * ONLY for ordering and as the emitted threshold — no float
+    * arithmetic touches them; tied scores collapse to one row (the
+    * standard curve at distinct operating points). Null scores or
+    * labels drop: an unscored row is not an operating point.
+    *
+    * Scale shape: the only stage that sees row volume is ONE
+    * map-side-combined aggregation to (group, distinct score) grain
+    * (the X27 aggregate-first discipline); the cumulative tp/n_ge
+    * window and the per-group positives total then run over
+    * VALUE-GRAIN rows only (one further value-grain exchange to group
+    * partitioning, one sort). Output is |distinct scores| per group.
+    */
+  def prCurve(df: DataFrame, groupCols: Seq[String], scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*)
+      .orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gs: _*)
+    df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(gs ++ Seq(scoreCol.as("score"),
+        labelCol.cast("boolean").as("__y")): _*)
+      .groupBy(gs :+ col("score"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"))
+      .withColumn("n_ge", sum(col("__n")).over(w))
+      .withColumn("tp", sum(col("__p")).over(w))
+      .withColumn("__npos", sum(col("__p")).over(wAll))
+      .select(gs ++ Seq(col("score"), col("n_ge"), col("tp"),
+        graft.functions.Exact.longDiv(col("tp") * 1000000L,
+          col("n_ge")).as("precision_ppm"),
+        when(col("__npos") > 0L,
+          graft.functions.Exact.longDiv(col("tp") * 1000000L,
+            col("__npos"))).as("recall_ppm")): _*)
+  }
 }

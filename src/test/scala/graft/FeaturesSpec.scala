@@ -898,4 +898,34 @@ class FeaturesSpec extends SparkSpec {
     assert(g(mac,6) == 400000L)
     assert(mac.isNullAt(1) && mac.isNullAt(2) && mac.isNullAt(3))
   }
+
+  test("prCurve: exact frontier at distinct thresholds, ties collapse, " +
+      "no-positive groups null recall, nulls drop, value-grain windows") {
+    import spark.implicits._
+    val df = Seq(("g", 3L, true), ("g", 3L, false), ("g", 2L, true),
+      ("g", 1L, false), ("h", 5L, false), ("g", -1L, true))
+      .toDF("k", "s", "y")
+      .union(Seq(("g", null.asInstanceOf[java.lang.Long], true))
+        .toDF("k", "s", "y"))
+    val got = Features.prCurve(df, Seq("k"), col("s"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    // g positives: s=3 (one of two), s=2, s=-1 -> npos 3
+    assert(got(("g", 3L)) == ((2L, 1L, 500000L, 333333L)))
+    assert(got(("g", 2L)) == ((3L, 2L, 666666L, 666666L)))
+    assert(got(("g", 1L)) == ((4L, 2L, 500000L, 666666L)))
+    assert(got(("g", -1L)) == ((5L, 3L, 600000L, 1000000L)))
+    // h: no positives -> precision 0, recall null
+    assert(got(("h", 5L)) == ((1L, 0L, 0L, -1L)))
+    assert(got.size == 5) // the null-score row contributed nothing
+    // plan: one exchange to (group, score) agg grain, one value-grain
+    // exchange for the shared-partition windows -- row volume is
+    // touched only by the first, partial-aggregated stage
+    val plan = Features.prCurve(df, Seq("k"), col("s"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange ".r.findAllIn(plan).size == 2,
+      s"expected agg + window exchanges only:\n${plan.take(1500)}")
+    assert(plan.contains("partial_"), "map-side combine missing")
+  }
 }
