@@ -3485,6 +3485,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X256 — sequential filter-attrition funnel: the per-stage curation
+    // report (each stage charged only with survivors of its
+    // predecessors; one scan, one agg)
+    "q266_filter_funnel" -> { (s, dir) =>
+      graft.ops.Profile.filterFunnel(t(s, dir, "documents"), Seq(
+          "nonempty" -> (length(trim(col("text"))) > 0),
+          "min_chars" -> (col("n_chars") >= 200L),
+          "known_lang" -> col("lang").isin("en", "es", "de", "fr", "zh")))
+        .orderBy(col("stage_ix"))
+    },
+
     // X255 — PR curve at distinct thresholds: the quality-cut sweep
     // (tie-heavy integer scores exercise the distinct-grain collapse)
     "q265_pr_curve" -> { (s, dir) =>
@@ -9749,6 +9760,44 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // first-failing-stage CASE chain (null predicate passes), funnel
+    // algebra over the literal stage table
+    "q266_filter_funnel" ->
+      """WITH f AS (
+        |  SELECT CASE
+        |    WHEN NOT coalesce(length(trim(text)) > 0, TRUE) THEN 1
+        |    WHEN NOT coalesce(n_chars >= 200, TRUE) THEN 2
+        |    WHEN NOT coalesce(lang IN ('en','es','de','fr','zh'), TRUE)
+        |      THEN 3
+        |    ELSE 0 END AS ff
+        |  FROM documents
+        |), c AS (
+        |  SELECT ff, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total FROM c
+        |), st AS (
+        |  SELECT * FROM (VALUES (1, 'nonempty'), (2, 'min_chars'),
+        |    (3, 'known_lang')) AS v(ix, stage)
+        |), d AS (
+        |  SELECT st.ix, st.stage, coalesce(c.n, 0) AS n_dropped
+        |  FROM st LEFT JOIN c ON st.ix = c.ff
+        |), r AS (
+        |  SELECT ix, stage, n_dropped,
+        |    t.total - CAST(coalesce(sum(n_dropped) OVER (ORDER BY ix
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_in,
+        |    t.total AS total
+        |  FROM d CROSS JOIN t
+        |)
+        |SELECT stage, CAST(ix AS BIGINT) AS stage_ix, n_in, n_dropped,
+        |  n_in - n_dropped AS n_out,
+        |  CASE WHEN n_in > 0 THEN
+        |    CAST(n_dropped * 1000000 // n_in AS BIGINT) END AS drop_ppm,
+        |  CASE WHEN total > 0 THEN
+        |    CAST((n_in - n_dropped) * 1000000 // total AS BIGINT) END
+        |    AS kept_cum_ppm
+        |FROM r ORDER BY ix""".stripMargin,
 
     // distinct-score grain first (X27 aggregate-first), cumulative
     // windows over the tiny value-grain frame only

@@ -630,4 +630,65 @@ object Profile {
         graft.functions.Exact.longDiv(present * 1000000L, nSlots.toLong)
           .as("coverage_ppm")): _*)
   }
+
+  /** Sequential filter-attrition funnel — the per-stage report every
+    * curation pipeline publishes ("URL filter removed 12%, then the
+    * length gate 31% of what remained"): ordered row-level keep
+    * predicates where each stage sees only the SURVIVORS of the stages
+    * before it — [[rulesAudit]]'s independent per-rule counts cannot
+    * express this, because a row failing stages 1 AND 3 must be
+    * charged to stage 1 only. Emits one row per stage in declared
+    * order: `n_in`, `n_dropped`, `n_out`, exact floor `drop_ppm` (of
+    * that stage's n_in; null when n_in = 0 — an unreached stage has no
+    * rate) and `kept_cum_ppm` (survivors so far, of the total). A null
+    * predicate value PASSES its row (a gate that cannot evaluate must
+    * not silently eat the corpus — nulls surface in the stage built to
+    * test them).
+    *
+    * Scale shape: the first-failing-stage index is ONE scan-local CASE
+    * chain per row, collapsed by ONE map-side-combined aggregation to
+    * ≤ |stages|+1 counters; the funnel algebra (suffix sums, ppm) runs
+    * driver-free on the literal-sized stage table. No distinct, no
+    * window over data, no join touching row volume — 100 TB pays one
+    * read for the whole funnel.
+    */
+  def filterFunnel(df: DataFrame,
+      stages: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      s"duplicate stage names: ${stages.map(_._1).mkString(", ")}")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions._
+    // first failing stage, 1-based; 0 = survived the whole funnel
+    val firstFail = stages.zipWithIndex.foldRight(lit(0)) {
+      case (((_, pred), i), rest) =>
+        when(!coalesce(pred.cast("boolean"), lit(true)), i + 1)
+          .otherwise(rest)
+    }
+    val counts = df.select(firstFail.as("__ff"))
+      .groupBy(col("__ff")).agg(count(lit(1)).as("__n"))
+    import spark.implicits._
+    val stageTable = stages.map(_._1).zipWithIndex
+      .map { case (n, i) => (i + 1, n) }.toDF("__ix", "stage")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__ix"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ld = graft.functions.Exact.longDiv(_: org.apache.spark.sql.Column,
+      _: org.apache.spark.sql.Column)
+    stageTable
+      .join(counts.withColumnRenamed("__ff", "__ix"), Seq("__ix"), "left")
+      .withColumn("n_dropped", coalesce(col("__n"), lit(0L)))
+      .crossJoin(broadcast(counts.agg(sum(col("__n")).as("__total"))))
+      .withColumn("n_in",
+        col("__total") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+      .withColumn("n_out", col("n_in") - col("n_dropped"))
+      .select(col("stage"), col("__ix"), col("n_in"), col("n_dropped"),
+        col("n_out"),
+        when(col("n_in") > 0L,
+          ld(col("n_dropped") * 1000000L, col("n_in"))).as("drop_ppm"),
+        when(col("__total") > 0L,
+          ld(col("n_out") * 1000000L, col("__total")))
+          .as("kept_cum_ppm"))
+      .withColumn("stage_ix", col("__ix").cast("long")).drop("__ix")
+  }
 }

@@ -591,4 +591,45 @@ class ProfileFunnelSpec extends SparkSpec {
     assert(got(("v", "t")) == ((4L, 2L, 0L, 0L, None)))
     assert(got(("p", "t")) == ((4L, 2L, 0L, 0L, None)))
   }
+
+  test("filterFunnel: rows charge only their FIRST failing stage, null " +
+      "predicates pass, an emptied funnel nulls later drop rates, and " +
+      "the funnel algebra is exact") {
+    import spark.implicits._
+    // 10 rows: 4 fail s1; of the rest, 3 fail s2 (two of them would
+    // also fail s3 -- must NOT be charged there); 1 fails s3; 2 survive
+    val df = Seq(
+      ("a", 0, 0), ("b", 0, 0), ("c", 0, 1), ("d", 0, 1), // fail s1
+      ("e", 1, 0), ("f", 1, 0),                           // fail s2
+      ("g", 1, 0),                                        // fail s2 (+s3)
+      ("h", 1, 1), ("i", 1, 1),                           // survive
+      ("j", 1, 2)                                         // fail s3
+    ).toDF("id", "p2", "p3")
+    val got = Profile.filterFunnel(df, Seq(
+        "s1" -> (col("p2") === 1),
+        "s2" -> (col("p2") === 1), // survivors of s1 all pass: 0 drops
+        "s3" -> (col("p3") === 1)))
+      .orderBy(col("stage_ix"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getLong(5)))
+    assert(got(0) == (("s1", 10L, 4L, 6L, 400000L, 600000L)))
+    assert(got(1) == (("s2", 6L, 0L, 6L, 0L, 600000L)))
+    // s3 drops g? NO -- g failed s1 (p2=0): charged there. s3 drops j
+    // and g-like survivors with p3 != 1: of h,i,j,e,f,g... survivors of
+    // s2 are e,f,g,h,i,j (p2=1); p3=1 only h,i -> s3 drops 4
+    assert(got(2) == (("s3", 6L, 4L, 2L, 666666L, 200000L)))
+    // null predicate passes; a stage that annihilates the corpus makes
+    // the NEXT stage's rate null (n_in = 0), not zero
+    val g2 = Profile.filterFunnel(df, Seq(
+        "none" -> lit(null).cast("boolean"),
+        "kill" -> lit(false),
+        "after" -> lit(true)))
+      .orderBy(col("stage_ix"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(g2(0) == (("none", 10L, 0L, 0L)))
+    assert(g2(1) == (("kill", 10L, 10L, 1000000L)))
+    assert(g2(2) == (("after", 0L, 0L, -1L)))
+  }
 }
