@@ -3485,6 +3485,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X257 — forecast-error scorecard: naive last-value forecast per
+    // customer graded per order status (MAE/bias/RMSE + exact wMAPE
+    // and bias ppm)
+    "q267_forecast_errors" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val d = t(s, dir, "orders")
+        .withColumn("pred", lag(col("o_totalprice"), 1).over(w))
+      graft.ops.Features.forecastErrors(d, Seq("o_orderstatus"),
+          col("o_totalprice"), col("pred"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // X256 — sequential filter-attrition funnel: the per-stage curation
     // report (each stage charged only with survivors of its
     // predecessors; one scan, one agg)
@@ -9760,6 +9774,42 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // q184's integer-cent quantization; sums in HUGEINT, one IEEE
+    // division per statistic, one sqrt; ppm by truncating //
+    "q267_forecast_errors" ->
+      """WITH p AS (
+        |  SELECT o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS a,
+        |    CAST(CAST(lag(o_totalprice) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS pr
+        |  FROM orders
+        |), f AS (
+        |  SELECT o_orderstatus, a, pr, pr - a AS e
+        |  FROM p WHERE a IS NOT NULL AND pr IS NOT NULL
+        |), g AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(abs(e)) AS HUGEINT) AS sae,
+        |    CAST(sum(e) AS HUGEINT) AS se,
+        |    CAST(sum(abs(a)) AS HUGEINT) AS saa,
+        |    CAST(sum(CAST(e AS HUGEINT) * CAST(e AS HUGEINT))
+        |      AS HUGEINT) AS sse
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT o_orderstatus, n,
+        |  CAST(CAST(sae AS VARCHAR) AS DOUBLE)
+        |    / CAST(n * 100 AS DOUBLE) AS mae,
+        |  CAST(CAST(se AS VARCHAR) AS DOUBLE)
+        |    / CAST(n * 100 AS DOUBLE) AS bias,
+        |  sqrt(CAST(CAST(sse AS VARCHAR) AS DOUBLE)
+        |    / CAST(n * 10000 AS DOUBLE)) AS rmse,
+        |  CASE WHEN saa > 0 THEN
+        |    CAST(sae * 1000000 // saa AS BIGINT) END AS wmape_ppm,
+        |  CASE WHEN saa > 0 THEN
+        |    CAST(se * 1000000 // saa AS BIGINT) END AS bias_ppm
+        |FROM g ORDER BY o_orderstatus""".stripMargin,
 
     // first-failing-stage CASE chain (null predicate passes), funnel
     // algebra over the literal stage table

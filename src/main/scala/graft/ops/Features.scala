@@ -1791,4 +1791,58 @@ object Features {
           graft.functions.Exact.longDiv(col("tp") * 1000000L,
             col("__npos"))).as("recall_ppm")): _*)
   }
+
+  /** Forecast-error scorecard — the model-monitoring table behind
+    * every demand/traffic/capacity forecast review, per group: `n`,
+    * `mae`, `bias` (mean signed error — a fine MAE hiding systematic
+    * over-forecast is the classic trap), `rmse`, and the two exact
+    * integer rates: `wmape_ppm` = ⌊Σ|err|·10⁶ / Σ|actual|⌋ (weighted
+    * MAPE — the industry default precisely because per-row MAPE
+    * explodes at near-zero actuals) and `bias_ppm` = signed
+    * ⌊Σerr·10⁶ / Σ|actual|⌋. Both null when Σ|actual| = 0 (a
+    * zero-mass group has no rate). err = predicted − actual; rows
+    * missing either side drop (an unpaired row scores nothing).
+    *
+    * Exactness: values quantize to INTEGER units at `scale` up front
+    * (the [[giniConcentration]] discipline — decimal(38,0) products
+    * stay exact where a scaled-decimal chain would round under the
+    * precision clamp); every sum is order-independent exact; mae /
+    * bias / rmse are fixed IEEE trees over exact operands with one
+    * correctly-rounded sqrt; ppm rates are decimal(38,0) integral
+    * divisions (truncation toward zero — verified identical in DuckDB
+    * `//`).
+    *
+    * Scale shape: ONE map-side-combined aggregation to group grain
+    * over one scan; all scorecard algebra runs on |groups| rows.
+    */
+  def forecastErrors(df: DataFrame, groupCols: Seq[String],
+      actualCol: Column, predCol: Column, scale: Int = 2): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val unit = math.pow(10, scale).toLong
+    def iu(c: Column): Column =
+      (c.cast(DecimalType(38, scale)) * lit(unit)).cast(d38)
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    def ld(a: Column, b: Column): Column =
+      graft.functions.Exact.longDiv(a, b)
+    df.filter(actualCol.isNotNull && predCol.isNotNull)
+      .select(gs ++ Seq(iu(actualCol).as("__a"),
+        iu(predCol).as("__p")): _*)
+      .withColumn("__e", col("__p") - col("__a"))
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("__e"))).as("__sae"),
+        sum(col("__e")).as("__se"),
+        sum(abs(col("__a"))).as("__saa"),
+        sum((col("__e") * col("__e")).cast(d38)).as("__sse"))
+      .select(gs ++ Seq(col("n"),
+        (dbl(col("__sae")) / (col("n") * unit).cast("double")).as("mae"),
+        (dbl(col("__se")) / (col("n") * unit).cast("double")).as("bias"),
+        sqrt(dbl(col("__sse")) /
+          (col("n") * unit * unit).cast("double")).as("rmse"),
+        when(col("__saa") > 0,
+          ld(col("__sae") * 1000000L, col("__saa"))).as("wmape_ppm"),
+        when(col("__saa") > 0,
+          ld(col("__se") * 1000000L, col("__saa"))).as("bias_ppm")): _*)
+  }
 }

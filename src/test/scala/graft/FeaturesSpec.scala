@@ -928,4 +928,27 @@ class FeaturesSpec extends SparkSpec {
       s"expected agg + window exchanges only:\n${plan.take(1500)}")
     assert(plan.contains("partial_"), "map-side combine missing")
   }
+
+  test("forecastErrors: exact cent-grain scorecard, signed bias_ppm " +
+      "truncates toward zero, zero-mass groups null the rates, " +
+      "unpaired rows drop") {
+    import spark.implicits._
+    val df = Seq(("g", 10.00, 12.00), ("g", 20.00, 17.00),
+      ("z", 0.00, 5.00))
+      .toDF("k", "a", "p")
+      .union(Seq(("g", 99.0, null.asInstanceOf[java.lang.Double]))
+        .toDF("k", "a", "p"))
+    val got = Features.forecastErrors(df, Seq("k"), col("a"), col("p"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    assert(g.getLong(1) == 2L)
+    assert(g.getDouble(2) == 2.5)       // mae = 500 cents / 200
+    assert(g.getDouble(3) == -0.5)      // bias = -100 / 200
+    assert(g.getDouble(4) == math.sqrt(130000d / 20000d)) // rmse
+    assert(g.getLong(5) == 166666L)     // wmape = 5e8 div 3000
+    assert(g.getLong(6) == -33333L)     // TRUNCATED toward zero
+    val z = got("z")
+    assert(z.getLong(1) == 1L && z.getDouble(2) == 5.0)
+    assert(z.isNullAt(5) && z.isNullAt(6)) // no mass, no rate
+  }
 }
