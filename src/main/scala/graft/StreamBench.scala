@@ -177,6 +177,15 @@ object StreamBench {
         Seq("user", "value"))
     }(feedTimed _)
 
+    // running forecast scorecard: five exact accumulators per group;
+    // the synthetic prediction (value * 1.1) is scan-local so the
+    // measurement is the stateful aggregation, not a model
+    results += drive[SBTimed]("forecast_errors",
+      org.apache.spark.sql.streaming.OutputMode.Complete) { in =>
+      streaming.StreamingForecast.errors(in.toDF(), Seq("site"),
+        col("value"), col("value") * lit(1.1))
+    }(feedTimed _)
+
     // stream-stream interval join: conversions stream drives, one touch
     // per 4 conversions within the lag window
     locally {

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Running forecast-error scorecard over an unbounded stream — the
+  * streaming face of [[graft.ops.Features.forecastErrors]] (one
+  * definition, two execution modes): a serving pipeline that logs
+  * (actual, predicted) pairs keeps the live MAE / bias / RMSE / wMAPE
+  * per segment, and a drifting bias_ppm pages BEFORE the weekly batch
+  * report would have noticed.
+  *
+  * Because every statistic derives from five commutative exact
+  * accumulators per group (n, Σ|err|, Σerr, Σ|actual|, Σerr² — integer
+  * units, decimal(38,0)), Structured Streaming's incremental
+  * aggregation maintains the scorecard exactly: arrival order is
+  * irrelevant, state is five numbers per group however large the
+  * stream, and the running value after any prefix EQUALS the batch
+  * scorecard of that prefix (spec-pinned by StreamingForecastSpec). No
+  * watermark — there is no event-time window to close; emit with
+  * Update/Complete output mode. The derived MAE/RMSE/ppm algebra is
+  * stateless post-aggregation projection, so it rides the same plan.
+  *
+  * Scale shape: quantization is scan-local per micro-batch; state is
+  * |groups| × 5 exact numbers regardless of stream volume.
+  */
+object StreamingForecast {
+
+  /** Running scorecard per group; same output schema and values as the
+    * batch [[graft.ops.Features.forecastErrors]] over the rows seen so
+    * far. Works on a streaming OR batch frame — the plan is identical.
+    */
+  def errors(df: DataFrame, groupCols: Seq[String], actualCol: Column,
+      predCol: Column, scale: Int = 2): DataFrame =
+    graft.ops.Features.forecastErrors(df, groupCols, actualCol, predCol,
+      scale)
+}

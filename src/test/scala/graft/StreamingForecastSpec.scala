@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingForecast
+
+case class FRow(grp: String, a: Double, p: Double)
+
+class StreamingForecastSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("running forecast scorecard equals the batch scorecard of the " +
+      "prefix seen so far, across micro-batches and arrival orders") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FRow]
+    val scored = StreamingForecast.errors(in.toDF(), Seq("grp"),
+      col("a"), col("p"))
+    val q = scored.writeStream
+      .format("memory").queryName("forecast_out")
+      .outputMode("complete").start()
+
+    def norm(r: org.apache.spark.sql.Row) = r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))
+    def out() = spark.table("forecast_out").collect().map(norm).toMap
+    def batchOf(rows: Seq[FRow]) =
+      graft.ops.Features.forecastErrors(rows.toDF(), Seq("grp"),
+        col("a"), col("p")).collect().map(norm).toMap
+
+    val b1 = Seq(FRow("g", 10.00, 12.00), FRow("g", 20.00, 17.00),
+      FRow("h", 5.00, 5.00))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    assert(out() == batchOf(b1))
+    // exact spot value: g's bias_ppm truncates toward zero
+    assert(out()("g")._5 == 166666L && out()("g")._6 == -33333L)
+
+    // second batch in shuffled order — commutative state doesn't care
+    val b2 = Seq(FRow("h", 1.00, 3.00), FRow("g", 30.00, 30.00))
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    assert(out() == batchOf(b2.reverse ++ b1))
+    q.stop()
+  }
+}
