@@ -3485,6 +3485,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X259 — one-sided CUSUM drift alarm: the recursion
+    // g = max(0, g + x - target - slack) via the prefix-min identity,
+    // two window aggregates on one shared sort, exact integer units
+    "q268_cusum" -> { (s, dir) =>
+      graft.ops.TimeSeries.cusum(events(s, dir), Seq("event_type"),
+          Seq(col("ts_ns"), col("event_id")), col("value"),
+          target = 0.5, slack = 0.05, threshold = 20.0)
+        .select(col("event_type"), col("event_id"),
+          col("cusum_units"), col("alarm"))
+        .orderBy(col("event_type"), col("event_id"))
+    },
+
     // X257 — forecast-error scorecard: naive last-value forecast per
     // customer graded per order status (MAE/bias/RMSE + exact wMAPE
     // and bias ppm)
@@ -9774,6 +9786,34 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // prefix-min identity over one shared (type, ts, id) sort; all
+    // arithmetic integer cents
+    "q268_cusum" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      - 50 - 5 AS d
+        |  FROM events WHERE value IS NOT NULL
+        |), s AS (
+        |  SELECT event_type, event_id, us,
+        |    CAST(sum(d) OVER (PARTITION BY event_type
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cs
+        |  FROM b
+        |)
+        |SELECT event_type, event_id,
+        |  cs - least(CAST(0 AS BIGINT), CAST(min(cs) OVER (
+        |    PARTITION BY event_type ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT)) AS cusum_units,
+        |  cs - least(CAST(0 AS BIGINT), CAST(min(cs) OVER (
+        |    PARTITION BY event_type ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT)) > 2000 AS alarm
+        |FROM s ORDER BY event_type, event_id""".stripMargin,
 
     // q184's integer-cent quantization; sums in HUGEINT, one IEEE
     // division per statistic, one sqrt; ppm by truncating //

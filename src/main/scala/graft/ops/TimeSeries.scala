@@ -1185,4 +1185,60 @@ object TimeSeries {
       .select(keys ++ Seq(col("valid_from"), col("valid_to"),
         col("valid_to_raw"), col("clipped")): _*)
   }
+
+  /** One-sided CUSUM drift alarm — the sequential change detector
+    * behind "this sensor/metric has been running persistently high":
+    * a single spike is [[graft.ops.Features]]' despike territory, a
+    * distribution shift between two slices is ksDrift — CUSUM catches
+    * the SLOW leak both miss, a small persistent excess accumulating
+    * over many readings. Per key in `orderCols` order, the classic
+    * recursion g_t = max(0, g_{t-1} + x_t − target − slack) (slack =
+    * the excess considered noise; alarm when g_t > threshold) is
+    * evaluated EXACTLY via the prefix-min identity
+    * `g_t = S_t − min(0, min_{j≤t} S_j)` with S the running sum of
+    * (x − target − slack) — a recursion most engines can't express
+    * becomes two window aggregates over ONE shared sort. Appends
+    * `cusum_units` (integer units at `scale`) and `alarm`.
+    *
+    * Exactness: values AND the target/slack/threshold constants
+    * quantize to integer units at `scale` (the giniConcentration
+    * discipline), so the whole recursion is long arithmetic — no float
+    * accumulation drift over unbounded sequences, bit-identical in any
+    * engine. Null values drop (an unmeasured reading advances nothing).
+    * `orderCols` must totally order each key's rows (ties would make
+    * the recursion order-dependent) — pass a tiebreaker column.
+    *
+    * Scale shape: ONE exchange on the key; the running min CONSUMES
+    * the running sum, so they plan as two WindowExec nodes — but both
+    * require the same (key, order) sort, so the second adds no
+    * exchange and no re-sort (spec-pinned: 1 Exchange, 1 Sort,
+    * 2 Windows). Row-grain output. Offline sibling:
+    * [[cusumChangepoint]] locates a single level shift after the fact;
+    * this is the ONLINE monitor that alarms while the drift happens.
+    */
+  def cusum(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+      valueCol: Column, target: Double, slack: Double,
+      threshold: Double, scale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "cusum needs key columns")
+    require(orderCols.nonEmpty, "cusum needs order columns")
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val d38 = DecimalType(38, 0)
+    val unit = math.pow(10, scale).toLong
+    def iu(c: Column): Column =
+      (c.cast(DecimalType(38, scale)) * lit(unit)).cast(d38)
+    val tU = math.round(target * unit)
+    val sU = math.round(slack * unit)
+    val hU = math.round(threshold * unit)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(valueCol.isNotNull)
+      .withColumn("__d",
+        (iu(valueCol) - lit(tU) - lit(sU)).cast("long"))
+      .withColumn("__s", sum(col("__d")).over(w))
+      .withColumn("cusum_units",
+        col("__s") - least(lit(0L), min(col("__s")).over(w)))
+      .withColumn("alarm", col("cusum_units") > lit(hU))
+      .drop("__d", "__s")
+  }
 }

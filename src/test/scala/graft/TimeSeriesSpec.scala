@@ -690,4 +690,42 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("u", 1L, 3L, 3L), ("u", 7L, 8L, 2L),
       ("v", 5L, 5L, 1L)))
   }
+
+  test("cusum: prefix-min identity equals the direct recursion, drift " +
+      "alarms, recovery re-arms at zero, nulls drop, one WindowExec") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // noisy-flat then persistent +0.3 drift then recovery
+    val xs = Seq(0.5, 0.6, 0.4, 0.5, 0.8, 0.8, 0.8, 0.8, 0.8,
+      0.1, 0.1, 0.1, 0.5)
+    val rows = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+    val df = rows.toDF("k", "i", "v")
+      .union(Seq(("k", 99L, null.asInstanceOf[java.lang.Double]))
+        .toDF("k", "i", "v"))
+    val got = graft.ops.TimeSeries.cusum(df, Seq("k"), Seq(col("i")),
+        col("v"), target = 0.5, slack = 0.05, threshold = 0.6)
+      .orderBy(col("i"))
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    // direct recursion in integer units (cents)
+    var g = 0L
+    val want = xs.zipWithIndex.map { case (v, i) =>
+      g = math.max(0L, g + math.round(v * 100) - 50L - 5L)
+      (i.toLong, g, g > 60L)
+    }
+    assert(got.toSeq == want)
+    assert(want.exists(_._3))            // the drift run alarms
+    assert(want.last._2 == 0L)           // recovery re-arms at exactly 0
+    assert(got.length == xs.length)      // the null row dropped
+    val plan = graft.ops.TimeSeries.cusum(df, Seq("k"), Seq(col("i")),
+        col("v"), 0.5, 0.05, 0.6)
+      .queryExecution.executedPlan.toString
+    // the min window consumes the sum window (sequential
+    // dependency, two Window nodes) but both run on ONE exchange
+    // and ONE sort
+    assert("\\bWindow \\[".r.findAllIn(plan).size == 2 &&
+        "Exchange ".r.findAllIn(plan).size == 1 &&
+        "\\bSort \\[".r.findAllIn(plan).size == 1,
+      s"cusum must sort once behind one exchange:\\n" +
+        plan.take(1200))
+  }
 }
