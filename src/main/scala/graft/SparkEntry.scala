@@ -3485,6 +3485,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X260 — codepoint-range script mix: scan-local length-difference
+    // chain, explicit ranges (engine-portable where script classes
+    // track different Unicode tables)
+    "q269_script_mix" -> { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.text.TextFunctions.scriptMix(col("text")).as("m"))
+        .select(col("doc_id"), col("m.*"))
+        .orderBy(col("doc_id"))
+    },
+
     // X259 — one-sided CUSUM drift alarm: the recursion
     // g = max(0, g + x - target - slack) via the prefix-min identity,
     // two window aggregates on one shared sort, exact integer units
@@ -9786,6 +9796,35 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // the same explicit codepoint ranges; DuckDB needs the 'g' flag
+    // where Spark's regexp_replace is global by default
+    "q269_script_mix" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[A-Za-z]', '', 'g')) AS BIGINT) AS n_ascii_alpha,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[ \t\n\r]', '', 'g')) AS BIGINT) AS n_ws,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[\x{0080}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin_ext,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS n_cjk,
+        |  CAST(length(text)
+        |    - (length(text) - length(regexp_replace(text,
+        |        '[A-Za-z]', '', 'g')))
+        |    - (length(text) - length(regexp_replace(text,
+        |        '[0-9]', '', 'g')))
+        |    - (length(text) - length(regexp_replace(text,
+        |        '[ \t\n\r]', '', 'g')))
+        |    - (length(text) - length(regexp_replace(text,
+        |        '[\x{0080}-\x{024F}]', '', 'g')))
+        |    - (length(text) - length(regexp_replace(text,
+        |        '[\x{4e00}-\x{9fff}]', '', 'g')))
+        |    AS BIGINT) AS n_other
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // prefix-min identity over one shared (type, ts, id) sort; all
     // arithmetic integer cents

@@ -359,4 +359,39 @@ object TextFunctions {
     */
   def rollingHash(text: Column): Column =
     graft.functions.TextExpressions.rollingHash(normalized(text))
+
+  /** Codepoint-range script mix — the script-level triage [[langId]]'s
+    * stopword heuristic can't see (stopwords need WORDS; a
+    * transliterated, mixed-script, or digit-soup document defeats
+    * them): per text, exact counts of ASCII letters, digits,
+    * whitespace, extended-Latin (U+0080–U+024F), CJK (U+4E00–U+9FFF),
+    * and everything else. Explicit codepoint RANGES, deliberately not
+    * regex script classes — `\p{IsLatin}` vs RE2's `\p{Latin}` track
+    * different Unicode tables across engine versions, while a literal
+    * range means the same thing everywhere (the [[langId]] CJK-range
+    * precedent). Null text → null struct fields upstream semantics
+    * (counts of null are null).
+    *
+    * Scale shape: a codegen'd regexp_replace length-difference chain —
+    * entirely scan-local, no shuffle, no UDF; at 100 TB this rides the
+    * scan like any projection.
+    */
+  def scriptMix(text: Column): Column = {
+    val n = length(text)
+    def cnt(cls: String): Column =
+      n - length(regexp_replace(text, cls, ""))
+    val ascii = cnt("[A-Za-z]")
+    val digit = cnt("[0-9]")
+    val ws = cnt("[ \\t\\n\\r]")
+    val latinExt = cnt("[\\x{0080}-\\x{024F}]")
+    val cjk = cnt("[\\x{4e00}-\\x{9fff}]")
+    struct(n.cast("long").as("n_chars"),
+      ascii.cast("long").as("n_ascii_alpha"),
+      digit.cast("long").as("n_digit"),
+      ws.cast("long").as("n_ws"),
+      latinExt.cast("long").as("n_latin_ext"),
+      cjk.cast("long").as("n_cjk"),
+      (n - ascii - digit - ws - latinExt - cjk).cast("long")
+        .as("n_other"))
+  }
 }

@@ -283,4 +283,25 @@ class TextSimilaritySpec extends SparkSpec {
       "SELECT sorted_intersect(array(1L,3L,5L), array(3L,4L,5L))")
       .head.getSeq[Long](0) == Seq(3L, 5L))
   }
+
+  test("scriptMix: exact per-range counts on a mixed-script string, " +
+      "null text nulls every field, the plan is scan-local") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "Ab1 \u00e9\u4e2d?" = 2 ascii alpha, 1 digit, 1 space,
+    // 1 latin-ext (e-acute), 1 CJK, 1 other (?)
+    val df = Seq(Some("Ab1 \u00e9\u4e2d?"), None).toDF("text")
+    val got = df.select(
+        graft.text.TextFunctions.scriptMix(col("text")).as("m"))
+      .select(col("m.*")).collect()
+    val r = got.find(!_.isNullAt(0)).get
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((7L, 2L, 1L, 1L, 1L, 1L, 1L)))
+    val nl = got.find(_.isNullAt(0)).get
+    assert((0 to 6).forall(nl.isNullAt))
+    val plan = df.select(graft.text.TextFunctions.scriptMix(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "scriptMix must ride the scan")
+  }
 }
