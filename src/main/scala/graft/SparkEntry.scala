@@ -3485,6 +3485,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X261 — chat-template/instruction-contamination signals: the
+    // conversation-dump gate, three scan-local regexp_counts
+    "q270_chat_markers" -> { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.text.TextFunctions.chatMarkers(col("text")).as("m"))
+        .select(col("doc_id"), col("m.*"))
+        .orderBy(col("doc_id"))
+    },
+
     // X260 — codepoint-range script mix: scan-local length-difference
     // chain, explicit ranges (engine-portable where script classes
     // track different Unicode tables)
@@ -9796,6 +9805,28 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // the same RE2-safe pattern book; DuckDB counts via
+    // len(regexp_extract_all) where Spark has regexp_count
+    "q270_chat_markers" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '(?im)^[ ]*(system|user|assistant|human|ai)[ ]*:'))
+        |    AS BIGINT) AS n_role_markers,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\[INST\]|\[/INST\]|<\|im_start\|>|<\|im_end\|>|<\|endoftext\|>|<\|system\|>|<\|user\|>|<\|assistant\|>'))
+        |    AS BIGINT) AS n_template_tags,
+        |  CAST(len(regexp_extract_all(text,
+        |    '(?i)(ignore|disregard) (all )?(previous|prior|above|your) (instructions|prompts|rules)'))
+        |    AS BIGINT) AS n_override_phrases,
+        |  (len(regexp_extract_all(text,
+        |    '(?im)^[ ]*(system|user|assistant|human|ai)[ ]*:')) > 0
+        |   OR len(regexp_extract_all(text,
+        |    '\[INST\]|\[/INST\]|<\|im_start\|>|<\|im_end\|>|<\|endoftext\|>|<\|system\|>|<\|user\|>|<\|assistant\|>')) > 0
+        |   OR len(regexp_extract_all(text,
+        |    '(?i)(ignore|disregard) (all )?(previous|prior|above|your) (instructions|prompts|rules)')) > 0)
+        |    AS flagged
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the same explicit codepoint ranges; DuckDB needs the 'g' flag
     // where Spark's regexp_replace is global by default

@@ -394,4 +394,38 @@ object TextFunctions {
       (n - ascii - digit - ws - latinExt - cjk).cast("long")
         .as("n_other"))
   }
+
+  /** Chat-template / instruction-contamination signals — the
+    * pretraining-curation gate [[redactSecrets]]'s pattern-book style
+    * applied to a different leak: web scrapes increasingly contain
+    * LLM conversation dumps, and training on them teaches the model
+    * to emit template tokens and role headers verbatim. Per text:
+    * `n_role_markers` (line-leading `system:` / `user:` /
+    * `assistant:` / `human:` / `ai:`, case-insensitive),
+    * `n_template_tags` (literal `[INST]`, `[/INST]`, `<|im_start|>`,
+    * `<|im_end|>`, `<|endoftext|>`, `<|system|>`, `<|user|>`,
+    * `<|assistant|>`), `n_override_phrases` ("ignore previous
+    * instructions" and variants — the prompt-injection scaffold that
+    * also marks jailbreak-dump pages), and `flagged` (any > 0 — the
+    * routing bit; thresholds are the caller's policy). Patterns are
+    * the RE2-safe subset ((?i)/(?m) flags, no lookaround) so the same
+    * book runs in any engine.
+    *
+    * Scale shape: three codegen'd `regexp_count`s — entirely
+    * scan-local, no shuffle, no UDF; rides the scan like [[mojibake]].
+    */
+  def chatMarkers(text: Column): Column = {
+    val roles = regexp_count(text,
+      lit("(?im)^[ ]*(system|user|assistant|human|ai)[ ]*:"))
+    val tags = regexp_count(text,
+      lit("\\[INST\\]|\\[/INST\\]|<\\|im_start\\|>|<\\|im_end\\|>|" +
+        "<\\|endoftext\\|>|<\\|system\\|>|<\\|user\\|>|<\\|assistant\\|>"))
+    val overrides = regexp_count(text,
+      lit("(?i)(ignore|disregard) (all )?(previous|prior|above|your) " +
+        "(instructions|prompts|rules)"))
+    struct(roles.cast("long").as("n_role_markers"),
+      tags.cast("long").as("n_template_tags"),
+      overrides.cast("long").as("n_override_phrases"),
+      (roles > 0 || tags > 0 || overrides > 0).as("flagged"))
+  }
 }
