@@ -3485,6 +3485,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X262 — expected/maximum calibration error: the reliability
+    // scalar via the ratio-free identity, integer micro-units end
+    // to end
+    "q271_calibration_error" -> { (s, dir) =>
+      graft.ops.Features.calibrationError(t(s, dir, "lineitem"),
+          Seq("l_linestatus"),
+          least(lit(1.0), col("l_discount") * 10),
+          col("l_returnflag") === "R", nBins = 10)
+        .orderBy(col("l_linestatus"))
+    },
+
     // X261 — chat-template/instruction-contamination signals: the
     // conversation-dump gate, three scan-local regexp_counts
     "q270_chat_markers" -> { (s, dir) =>
@@ -9805,6 +9816,34 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // micro-unit quantization, ratio-free deviation per bin, floor
+    // rollups — all integer arithmetic
+    "q271_calibration_error" ->
+      """WITH b AS (
+        |  SELECT l_linestatus,
+        |    CAST(CAST(least(l_discount * 10, 1.0) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS p,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+        |), g AS (
+        |  SELECT l_linestatus,
+        |    least(9, (p * 10) // 1000000) AS bin,
+        |    CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(p) AS HUGEINT) AS sp,
+        |    CAST(sum(y) AS BIGINT) AS np
+        |  FROM b GROUP BY 1, 2
+        |), d AS (
+        |  SELECT l_linestatus, nb,
+        |    abs(CAST(np AS HUGEINT) * 1000000 - sp) AS dev
+        |  FROM g
+        |)
+        |SELECT l_linestatus, CAST(sum(nb) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_bins_occupied,
+        |  CAST(sum(dev) // sum(nb) AS BIGINT) AS ece_ppm,
+        |  CAST(max(dev // nb) AS BIGINT) AS mce_ppm
+        |FROM d GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
 
     // the same RE2-safe pattern book; DuckDB counts via
     // len(regexp_extract_all) where Spark has regexp_count

@@ -1845,4 +1845,53 @@ object Features {
         when(col("__saa") > 0,
           ld(col("__se") * 1000000L, col("__saa"))).as("bias_ppm")): _*)
   }
+
+  /** Expected / maximum calibration error — the scalar rollup of
+    * [[calibrationTable]]'s reliability diagram ("the model says 80%
+    * and is right 64% of the time"): probabilities bin into `nBins`
+    * equal-width bins (p = 1 joins the top bin) and
+    * `ece_ppm` = ⌊Σ_b \|n_pos_b − Σp_b\| · 10⁶ / n⌋,
+    * `mce_ppm` = max_b ⌊\|n_pos_b − Σp_b\| · 10⁶ / Σp-units_b-count⌋
+    * — via the identity Σ_b (n_b/n)·\|acc_b − conf_b\| =
+    * Σ_b \|n_pos_b − Σp_b\| / n, which removes every per-bin ratio:
+    * with probabilities quantized to exact micro-units the WHOLE
+    * statistic is integer arithmetic — no float accumulation anywhere,
+    * bit-identical in any engine. Emits per group: `n`,
+    * `n_bins_occupied`, `ece_ppm`, `mce_ppm`. Probabilities outside
+    * [0, 1] raise in-plan (corrupt scores must not silently fold into
+    * edge bins); null prob/label rows drop.
+    *
+    * Scale shape: ONE map-side-combined aggregation to (group, bin)
+    * grain (≤ nBins rows per group) is the only stage that sees row
+    * volume; the ECE/MCE rollup is a second tiny aggregation.
+    */
+  def calibrationError(df: DataFrame, groupCols: Seq[String],
+      probCol: Column, labelCol: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins in [2,1000]: $nBins")
+    val gs = groupCols.map(col)
+    val d38 = DecimalType(38, 0)
+    val pU0 = (probCol.cast(DecimalType(18, 6)) * lit(1000000L))
+      .cast(d38)
+    val pU = when(pU0 < 0 || pU0 > 1000000L, raise_error(concat(
+        lit("calibrationError: probability outside [0,1]: "),
+        probCol.cast("string")))).otherwise(pU0)
+    def ld(a: Column, b: Column): Column =
+      graft.functions.Exact.longDiv(a, b)
+    val bin = least(lit(nBins - 1L),
+      ld((pU * nBins).cast("long"), lit(1000000L)))
+    df.filter(probCol.isNotNull && labelCol.isNotNull)
+      .select(gs ++ Seq(pU.as("__p"), bin.as("__b"),
+        labelCol.cast("boolean").cast("long").as("__y")): _*)
+      .groupBy(gs :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__nb"), sum(col("__p")).as("__sp"),
+        sum(col("__y")).as("__np"))
+      .withColumn("__dev",
+        abs(col("__np").cast(d38) * 1000000L - col("__sp")))
+      .groupBy(gs: _*)
+      .agg(sum(col("__nb")).as("n"),
+        count(lit(1)).as("n_bins_occupied"),
+        ld(sum(col("__dev")), sum(col("__nb")).cast(d38))
+          .as("ece_ppm"),
+        max(ld(col("__dev"), col("__nb").cast(d38))).as("mce_ppm"))
+  }
 }

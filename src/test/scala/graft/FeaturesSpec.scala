@@ -951,4 +951,35 @@ class FeaturesSpec extends SparkSpec {
     assert(z.getLong(1) == 1L && z.getDouble(2) == 5.0)
     assert(z.isNullAt(5) && z.isNullAt(6)) // no mass, no rate
   }
+
+  test("calibrationError: exact micro-unit ECE/MCE via the ratio-free " +
+      "identity, p=1 joins the top bin, perfect calibration scores 0, " +
+      "out-of-range probabilities raise") {
+    import spark.implicits._
+    // bin width 0.1: p=0.85 x4 with 3 positives -> dev |3e6-3.4e6| =
+    // 400000; p=0.15 x2 with 0 positives -> dev 300000; p=1.0 joins
+    // bin 9 with p=0.95: dev |2e6 - 1.95e6| = 50000
+    val df = Seq(("g", 0.85, 1), ("g", 0.85, 1), ("g", 0.85, 1),
+      ("g", 0.85, 0), ("g", 0.15, 0), ("g", 0.15, 0),
+      ("g", 1.00, 1), ("g", 0.95, 1)).toDF("k", "p", "y")
+    val r = Features.calibrationError(df, Seq("k"), col("p"),
+      col("y") === 1, nBins = 10).collect().head
+    assert(r.getLong(1) == 8L && r.getLong(2) == 3L)
+    // ece = (400000 + 300000 + 50000) / 8 = 93750
+    assert(r.getLong(3) == 93750L)
+    // mce = max(400000/4, 300000/2, 50000/2) = 150000
+    assert(r.getLong(4) == 150000L)
+    // a perfectly calibrated bin: p=0.5 x2, one positive
+    val perfect = Seq(("h", 0.5, 1), ("h", 0.5, 0)).toDF("k", "p", "y")
+    val pr = Features.calibrationError(perfect, Seq("k"), col("p"),
+      col("y") === 1).collect().head
+    assert(pr.getLong(3) == 0L && pr.getLong(4) == 0L)
+    // corrupt probability raises in-plan
+    val bad = Seq(("b", 1.5, 1)).toDF("k", "p", "y")
+    val e = intercept[Exception] {
+      Features.calibrationError(bad, Seq("k"), col("p"),
+        col("y") === 1).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
