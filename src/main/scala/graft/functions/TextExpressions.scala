@@ -699,6 +699,55 @@ case class DeflateSize(child: Expression, level: Int)
   * surrogates. Fully codegen'd: the fold is inlined into whole-stage
   * codegen, so the scan→project pipeline stays a single JVM loop.
   */
+/** Single-pass codepoint-range counters for
+  * [[graft.text.TextFunctions.scriptMix]]: [n_chars, ascii_alpha,
+  * digit, whitespace, latin_ext (U+0080-U+024F), cjk (U+4E00-U+9FFF)]
+  * in ONE JVM loop over the UTF8String bytes (the [[RollingHash]]
+  * decode, same truncated-input degradation) — the regexp_replace
+  * length-difference chain it replaced walked the text five times and
+  * allocated a rewritten string per class per row.
+  */
+case class ScriptMixCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "script_mix_counts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var n = 0L; var alpha = 0L; var digit = 0L; var ws = 0L
+    var latinExt = 0L; var cjk = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if ((b0 & 0xe0) == 0xc0 && i + 1 < bytes.length) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+      } else if ((b0 & 0xf0) == 0xe0 && i + 2 < bytes.length) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f); i += 3
+      } else if ((b0 & 0xf0) == 0xf0 && i + 3 < bytes.length) {
+        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
+      } else { cp = b0; i += 1 }
+      n += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) alpha += 1
+      else if (cp >= '0' && cp <= '9') digit += 1
+      else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r') ws += 1
+      else if (cp >= 0x0080 && cp <= 0x024f) latinExt += 1
+      else if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(n, alpha, digit, ws, latinExt, cjk))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ScriptMixCounts = copy(child = newChild)
+}
+
 case class RollingHash(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 

@@ -372,28 +372,29 @@ object TextFunctions {
     * precedent). Null text → null struct fields upstream semantics
     * (counts of null are null).
     *
-    * Scale shape: a codegen'd regexp_replace length-difference chain —
-    * entirely scan-local, no shuffle, no UDF; at 100 TB this rides the
-    * scan like any projection.
+    * Scale shape: ONE JVM loop per row over the UTF8String bytes (the
+    * native [[graft.functions.ScriptMixCounts]] expression — the
+    * regexp_replace length-difference chain it replaced walked the
+    * text five times and allocated a rewritten string per class per
+    * row); entirely scan-local, no shuffle, no UDF; at 100 TB this
+    * rides the scan like any projection.
     */
   def scriptMix(text: Column): Column = {
-    val n = length(text)
-    def cnt(cls: String): Column =
-      n - length(regexp_replace(text, cls, ""))
-    val ascii = cnt("[A-Za-z]")
-    val digit = cnt("[0-9]")
-    val ws = cnt("[ \\t\\n\\r]")
-    val latinExt = cnt("[\\x{0080}-\\x{024F}]")
-    val cjk = cnt("[\\x{4e00}-\\x{9fff}]")
-    struct(n.cast("long").as("n_chars"),
-      ascii.cast("long").as("n_ascii_alpha"),
-      digit.cast("long").as("n_digit"),
-      ws.cast("long").as("n_ws"),
-      latinExt.cast("long").as("n_latin_ext"),
-      cjk.cast("long").as("n_cjk"),
-      (n - ascii - digit - ws - latinExt - cjk).cast("long")
-        .as("n_other"))
+    val counts = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.ScriptMixCounts(
+        org.apache.spark.sql.graft.bridge.expression(text)))
+    val c = element_at(counts, 1)
+    val ascii = element_at(counts, 2)
+    val digit = element_at(counts, 3)
+    val ws = element_at(counts, 4)
+    val latinExt = element_at(counts, 5)
+    val cjk = element_at(counts, 6)
+    struct(c.as("n_chars"), ascii.as("n_ascii_alpha"),
+      digit.as("n_digit"), ws.as("n_ws"),
+      latinExt.as("n_latin_ext"), cjk.as("n_cjk"),
+      (c - ascii - digit - ws - latinExt - cjk).as("n_other"))
   }
+
 
   /** Chat-template / instruction-contamination signals — the
     * pretraining-curation gate [[redactSecrets]]'s pattern-book style
