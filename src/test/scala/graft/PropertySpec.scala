@@ -518,4 +518,41 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("ScriptMixCounts agrees with a codePointAt reference on random " +
+      "mixed-script strings, including astral codepoints") {
+    def ref(str: String): Seq[Long] = {
+      var n = 0L; var al = 0L; var dg = 0L; var ws = 0L
+      var lx = 0L; var cj = 0L
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        n += 1
+        if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) al += 1
+        else if (cp >= '0' && cp <= '9') dg += 1
+        else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r')
+          ws += 1
+        else if (cp >= 0x0080 && cp <= 0x024f) lx += 1
+        else if (cp >= 0x4e00 && cp <= 0x9fff) cj += 1
+        i += Character.charCount(cp)
+      }
+      Seq(n, al, dg, ws, lx, cj)
+    }
+    val pieceGen = Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      3 -> Gen.oneOf(" ", "\t", "\n", "é", "ß", "中", "文", "😀", "Ω",
+        "й", "?", "7"))
+    val strGen = Gen.listOf(pieceGen).map(_.mkString)
+    val cases = samples(strGen, 300)
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("i", "t")
+      .select(col("i"), org.apache.spark.sql.graft.bridge.column(
+        graft.functions.ScriptMixCounts(
+          org.apache.spark.sql.graft.bridge.expression(col("t"))))
+        .as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"mismatch on: $t")
+    }
+  }
 }
