@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DeflateSize, DotProduct, FloatPack, FloatUnpack, HammingDistance, NfcNormalize, RollingHash, SimHash64, SortedIntersectCount, SortedIntersectLongs}
+import graft.functions.{CosineSimilarity, DeflateSize, DotProduct, FloatPack, FloatUnpack, HammingDistance, NfcNormalize, RollingHash, ScriptMixCounts, SimHash64, SortedIntersectCount, SortedIntersectLongs}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use
@@ -18,6 +18,7 @@ import graft.functions.{CosineSimilarity, DeflateSize, DotProduct, FloatPack, Fl
   *   - `nfc(s)`            — Unicode NFC canonical normalization
   *   - `deflate_size(s)`   — raw-DEFLATE byte length (level 6)
   *   - `rolling_hash(s)`   — Rabin–Karp code-point fold mod 10⁹+7
+  *   - `script_mix_counts(s)` — one-pass codepoint-range counters
   *   - `sorted_intersect_count(a, b)` / `sorted_intersect(a, b)` —
   *     merge-walk count / elements over sorted distinct long arrays
   *
@@ -80,6 +81,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "rolling_hash(s) - Rabin-Karp fold (h*257 + codepoint) mod 1e9+7 " +
         "over s's Unicode code points; empty string -> 0",
       RollingHash(_))
+    unary("script_mix_counts",
+      "script_mix_counts(s) - [n_chars, ascii_alpha, digit, " +
+        "whitespace, latin_ext, cjk] codepoint-range counts in one " +
+        "pass over s",
+      ScriptMixCounts(_))
     ext.injectFunction(binary("sorted_intersect_count",
       "sorted_intersect_count(a, b) - |A intersect B| of two sorted " +
         "distinct array<long> via a merge walk",

@@ -282,6 +282,8 @@ class TextSimilaritySpec extends SparkSpec {
     assert(spark.sql(
       "SELECT sorted_intersect(array(1L,3L,5L), array(3L,4L,5L))")
       .head.getSeq[Long](0) == Seq(3L, 5L))
+    assert(spark.sql("SELECT script_mix_counts('Ab1 \u00e9\u4e2d?')")
+      .head.getSeq[Long](0) == Seq(7L, 2L, 1L, 1L, 1L, 1L))
   }
 
   test("scriptMix: exact per-range counts on a mixed-script string, " +
