@@ -3485,6 +3485,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X263 — BPE merge-pair statistics: iteration-0 of byte-pair
+    // tokenizer training; corpus volume only touches the
+    // word-frequency agg, pair expansion runs at distinct-word grain
+    "q272_bpe_pairs" -> { (s, dir) =>
+      graft.text.Vocab.bpePairStats(t(s, dir, "documents"), "text",
+        topK = 30)
+    },
+
     // X262 — expected/maximum calibration error: the reliability
     // scalar via the ratio-free identity, integer micro-units end
     // to end
@@ -9816,6 +9824,30 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // word-frequency table first, then per-position char bigrams over
+    // distinct words only — the BPE-trainer shape
+    "q272_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS w
+        |  FROM documents
+        |), wf AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        |  GROUP BY w HAVING length(w) >= 2
+        |), ppos AS (
+        |  SELECT w, cnt,
+        |    unnest(generate_series(1, length(w) - 1)) AS i
+        |  FROM wf
+        |), p AS (
+        |  SELECT w, cnt, substring(w, CAST(i AS INTEGER), 2) AS pair
+        |  FROM ppos
+        |)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS n_words
+        |FROM p GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 30""".stripMargin,
 
     // micro-unit quantization, ratio-free deviation per bin, floor
     // rollups — all integer arithmetic

@@ -63,6 +63,46 @@ object Vocab {
       .select(col(idCol), col("pos").cast("long").as("pos"),
         coalesce(col("token_id"), lit(-1L)).as("token_id"))
 
+  /** BPE merge-pair statistics — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016), at iteration 0: count
+    * adjacent symbol pairs (character bigrams) across the corpus,
+    * weighted by word frequency; the top row IS the first merge a BPE
+    * trainer would perform. Words are the normalized whitespace tokens
+    * (the corpus-wide convention), so the statistics agree with
+    * [[buildVocab]] about what a word is. A pair occurring twice inside
+    * one word ("aaa" → "aa"×2) counts both positions, exactly as the
+    * reference BPE algorithm does. Output: (`pair`, `n_occurrences` =
+    * Σ word-count over positions, `n_words` = distinct words containing
+    * the pair), top `topK` by (n_occurrences desc, pair asc) — a total
+    * order, so the table is a deterministic function of the corpus.
+    *
+    * Scale shape: the ONLY stage that sees corpus volume is the
+    * word-frequency aggregation, whose map-side combine collapses each
+    * partition's repetitions before the exchange (reduce side is
+    * |vocabulary| ≪ corpus by Heaps' law). Pair expansion then runs at
+    * DISTINCT-WORD grain — O(word length) per distinct word, not per
+    * occurrence, which is precisely why real BPE trainers aggregate to
+    * the word-frequency table first. The final top-k plans as
+    * TakeOrderedAndProject, never a global sort. Driver-side BPE
+    * iteration (apply winning merge, recount) re-invokes this over the
+    * re-symbolized word table; the per-iteration cost stays
+    * vocabulary-sized.
+    */
+  def bpePairStats(df: DataFrame, textCol: String, topK: Int = 30): DataFrame = {
+    require(topK >= 1 && topK <= 100000, s"topK in [1,100000]: $topK")
+    df.select(explode(TextFunctions.tokens(
+        TextFunctions.normalized(col(textCol)))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+      .filter(length(col("__w")) >= 2)
+      .select(col("__w"), col("__cnt"), explode(expr(
+        "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("__cnt")).as("n_occurrences"),
+        countDistinct(col("__w")).as("n_words"))
+      .orderBy(col("n_occurrences").desc, col("pair")).limit(topK)
+  }
+
   /** Zipf-surprisal quality score — the integer-exact stand-in for the
     * KenLM-perplexity filter every web-corpus pipeline runs (CCNet/C4
     * style): score each document by how SURPRISING its tokens are under

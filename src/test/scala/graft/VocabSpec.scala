@@ -62,6 +62,29 @@ class VocabSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bpePairStats: frequency-weighted char bigrams at distinct-word " +
+      "grain, in-word repetition counted per position") {
+    import spark.implicits._
+    // word freq (case-folded): aaa=3, ab=2, b=1 (too short, no pairs)
+    val d = Seq((1L, "aaa ab AAA b"), (2L, "aaa ab")).toDF("doc_id", "text")
+    val got = Vocab.bpePairStats(d, "text", topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "aa" occurs at 2 positions of "aaa" (freq 3) → 6; "ab" once in
+    // "ab" (freq 2) → 2; single-char word "b" contributes nothing
+    assert(got.toSeq == Seq(("aa", 6L, 1L), ("ab", 2L, 1L)))
+  }
+
+  test("bpePairStats: top-k cut is (n_occurrences desc, pair asc) and " +
+      "plans TakeOrdered, never a global sort") {
+    import spark.implicits._
+    val d = Seq((1L, "xy xz xy")).toDF("doc_id", "text")
+    val out = Vocab.bpePairStats(d, "text", topK = 1)
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("xy", 2L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("surprisalScore: rank bit-length sums, OOV penalty, exact " +
       "mean_millibits, broadcast vocab join") {
     import spark.implicits._
