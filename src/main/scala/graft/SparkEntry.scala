@@ -3485,6 +3485,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X264 — split-conformal threshold + coverage: the ⌈(n+1)(1−α)⌉-th
+    // order statistic over the calibration split (aggregate-first),
+    // broadcast to the test split for the coverage audit
+    "q273_conformal" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      graft.ops.Features.conformalThreshold(
+          li.filter(col("l_orderkey") % 2 === 0),
+          li.filter(col("l_orderkey") % 2 === 1),
+          Seq("l_returnflag"), col("l_extendedprice"),
+          alphaPpm = 100000L)
+        .orderBy(col("l_returnflag"))
+    },
+
     // X263 — BPE merge-pair statistics: iteration-0 of byte-pair
     // tokenizer training; corpus volume only touches the
     // word-frequency agg, pair expansion runs at distinct-word grain
@@ -9824,6 +9837,45 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // distinct-score aggregate-first order statistic; the rank and the
+    // coverage ppm are pure integer arithmetic, scores only compared
+    "q273_conformal" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT g, v,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM c
+        |), kk AS (
+        |  SELECT g, v, cum, n,
+        |    CAST(((n + 1) * 900000 + 999999) // 1000000 AS BIGINT) AS k
+        |  FROM r
+        |), thr AS (
+        |  SELECT g, max(n) AS n_cal, max(k) AS k_rank,
+        |    min(CASE WHEN cum >= k THEN v END) AS qhat
+        |  FROM kk GROUP BY g
+        |), t AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS s
+        |  FROM lineitem
+        |  WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL
+        |)
+        |SELECT t.g AS l_returnflag, thr.n_cal, thr.k_rank, thr.qhat,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN thr.qhat IS NULL OR t.s <= thr.qhat
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST(sum(CASE WHEN thr.qhat IS NULL OR t.s <= thr.qhat
+        |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        |    AS coverage_ppm
+        |FROM t JOIN thr ON t.g = thr.g
+        |GROUP BY t.g, thr.n_cal, thr.k_rank, thr.qhat
+        |ORDER BY l_returnflag""".stripMargin,
 
     // word-frequency table first, then per-position char bigrams over
     // distinct words only — the BPE-trainer shape

@@ -1894,4 +1894,60 @@ object Features {
           .as("ece_ppm"),
         max(ld(col("__dev"), col("__nb").cast(d38))).as("mce_ppm"))
   }
+
+  /** Split-conformal prediction threshold + coverage audit (Vovk et al.;
+    * Angelopoulos & Bates 2021 survey) — the distribution-free way to
+    * turn any model's nonconformity score into a set predictor with a
+    * finite-sample guarantee: per group, q̂ is the
+    * ⌈(n+1)·(1−α)⌉-th smallest calibration score (the (n+1) is the
+    * finite-sample correction — a plain quantile under-covers), and on
+    * a disjoint test split, P(score ≤ q̂) ≥ 1−α in expectation. Emits
+    * per group: `n_cal`, `k_rank`, `qhat` (null = +∞, when k > n — the
+    * honest "predict everything" threshold of a too-small calibration
+    * set; all test rows count covered), `n_test`, `n_covered`,
+    * `coverage_ppm` (floor). The rank is pure long arithmetic
+    * (⌈(n+1)·tPpm/10⁶⌉ via (a+999999) div 10⁶, exact while
+    * (n+1)·tPpm < 2⁶³ ⇔ n ≲ 10¹³); scores are only ORDERED and
+    * COMPARED, never arithmetically combined, so double scores stay
+    * bit-exact across engines. Null scores drop on both splits; test
+    * groups with no calibration rows drop (no threshold exists).
+    *
+    * Scale shape: the calibration side aggregates to (group, distinct
+    * score) grain FIRST — map-side combine absorbs row volume — then
+    * the cumulative-count window picks the order statistic over
+    * distinct values only (the [[Relational.quantilesDisc]]
+    * aggregate-first shape, same distinct-heavy escape hatch). The
+    * test side joins the group-grain threshold table broadcast, so the
+    * big split never shuffles: one scan + one map-side-combined agg.
+    */
+  def conformalThreshold(cal: DataFrame, test: DataFrame,
+      groupCols: Seq[String], scoreCol: Column,
+      alphaPpm: Long = 100000L): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 999999,
+      s"alphaPpm in [1,999999]: $alphaPpm")
+    val gs = groupCols.map(col)
+    def ld(a: Column, b: Column): Column =
+      graft.functions.Exact.longDiv(a, b)
+    val pw = Window.partitionBy(gs: _*)
+    val counts = cal.filter(scoreCol.isNotNull)
+      .groupBy(gs :+ scoreCol.as("__val"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(pw.orderBy(col("__val"))))
+      .withColumn("__n", sum(col("__c")).over(pw))
+      .withColumn("__k", ld(
+        (col("__n") + 1L) * lit(1000000L - alphaPpm) + 999999L,
+        lit(1000000L)))
+    val thr = counts.groupBy(gs: _*)
+      .agg(max(col("__n")).as("n_cal"), max(col("__k")).as("k_rank"),
+        min(when(col("__cum") >= col("__k"), col("__val"))).as("qhat"))
+    test.filter(scoreCol.isNotNull)
+      .select(gs :+ scoreCol.as("__st"): _*)
+      .join(broadcast(thr), groupCols, "inner")
+      .groupBy(gs ++ Seq(col("n_cal"), col("k_rank"), col("qhat")): _*)
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("qhat").isNull || col("__st") <= col("qhat"))
+          .cast("long")).as("n_covered"))
+      .withColumn("coverage_ppm",
+        ld(col("n_covered") * 1000000L, col("n_test")))
+  }
 }

@@ -982,4 +982,36 @@ class FeaturesSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("conformalThreshold: (n+1)-corrected rank, ties resolved by " +
+      "value, k>n gives the infinite (null) threshold, exact coverage") {
+    import spark.implicits._
+    // n=9 cal scores 1..9, alpha=0.1 -> k = ceil(10*0.9) = 9 -> qhat=9
+    val cal = (1 to 9).map(i => ("a", i.toDouble)).toDF("g", "s")
+    val test = Seq(("a", 3.0), ("a", 9.0), ("a", 9.5), ("a", 20.0))
+      .toDF("g", "s")
+    val r = Features.conformalThreshold(cal, test, Seq("g"), col("s"),
+      alphaPpm = 100000L).collect().head
+    assert(r.getLong(1) == 9L && r.getLong(2) == 9L)   // n_cal, k_rank
+    assert(r.getDouble(3) == 9.0)                      // qhat
+    assert(r.getLong(4) == 4L && r.getLong(5) == 2L)   // 3.0, 9.0 covered
+    assert(r.getLong(6) == 500000L)                    // coverage ppm
+    // duplicate scores: the k-th ORDER STATISTIC, not the k-th row
+    val calD = Seq(("d", 1.0), ("d", 2.0), ("d", 2.0))
+      .toDF("g", "s") // n=3, k = ceil(4*0.9) = 4 > 3 -> infinite
+    val rd = Features.conformalThreshold(calD,
+      Seq(("d", 99.0)).toDF("g", "s"), Seq("g"), col("s")).collect().head
+    assert(rd.getLong(2) == 4L && rd.isNullAt(3))
+    assert(rd.getLong(5) == 1L && rd.getLong(6) == 1000000L)
+    // alpha=0.5 on the same: k = ceil(4*0.5) = 2 -> qhat = 2.0 (dup)
+    val rh = Features.conformalThreshold(calD,
+      Seq(("d", 2.0), ("d", 2.5)).toDF("g", "s"), Seq("g"), col("s"),
+      alphaPpm = 500000L).collect().head
+    assert(rh.getLong(2) == 2L && rh.getDouble(3) == 2.0)
+    assert(rh.getLong(5) == 1L && rh.getLong(6) == 500000L)
+    // test side never shuffles: threshold join is broadcast
+    val plan = Features.conformalThreshold(cal, test, Seq("g"), col("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
