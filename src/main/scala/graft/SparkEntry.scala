@@ -3485,6 +3485,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X265 — Fleiss' kappa: chance-corrected fixed-panel agreement via
+    // the integer identity; panel = the first 3 lineitems of each
+    // order that has them, category = returnflag, batch = orderkey%4
+    "q274_fleiss_kappa" -> { (s, dir) =>
+      val panel = t(s, dir, "lineitem")
+        .filter(col("l_linenumber") <= 3)
+        .select((col("l_orderkey") % 4).as("batch"),
+          col("l_orderkey").as("item"),
+          col("l_linenumber").as("rater"),
+          col("l_returnflag").as("cat"))
+      val eligible = panel.groupBy("batch", "item")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") === 3)
+        .select("batch", "item")
+      graft.ops.Features.fleissKappa(
+          panel.join(eligible, Seq("batch", "item")),
+          Seq("batch"), col("item"), col("rater"), col("cat"))
+        .orderBy(col("batch"))
+    },
+
     // X264 — split-conformal threshold + coverage: the ⌈(n+1)(1−α)⌉-th
     // order statistic over the calibration split (aggregate-first),
     // broadcast to the test split for the coverage audit
@@ -9837,6 +9856,50 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // cell grain first, then the cleared-denominator kappa identity in
+    // 128-bit integers; truncation toward zero matches IntegralDivide
+    "q274_fleiss_kappa" ->
+      """WITH panel AS (
+        |  SELECT l_orderkey % 4 AS batch, l_orderkey AS item,
+        |    l_linenumber AS rater, l_returnflag AS cat
+        |  FROM lineitem WHERE l_linenumber <= 3
+        |), eligible AS (
+        |  SELECT batch, item FROM panel
+        |  GROUP BY 1, 2 HAVING count(*) = 3
+        |), r AS (
+        |  SELECT p.* FROM panel p JOIN eligible e USING (batch, item)
+        |), cell AS (
+        |  SELECT batch, item, cat, CAST(count(*) AS BIGINT) AS nij
+        |  FROM r GROUP BY 1, 2, 3
+        |), per_item AS (
+        |  SELECT batch, item, CAST(sum(nij) AS BIGINT) AS ni,
+        |    CAST(sum(nij * nij) AS BIGINT) AS ai
+        |  FROM cell GROUP BY 1, 2
+        |), gstat AS (
+        |  SELECT batch, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(max(ni) AS BIGINT) AS n_raters,
+        |    CAST(sum(ai) AS HUGEINT) AS a
+        |  FROM per_item GROUP BY 1
+        |), cstat AS (
+        |  SELECT batch, CAST(count(*) AS BIGINT) AS n_categories,
+        |    CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS s
+        |  FROM (SELECT batch, cat, CAST(sum(nij) AS BIGINT) AS cj
+        |        FROM cell GROUP BY 1, 2) GROUP BY 1
+        |), j AS (
+        |  SELECT g.batch, g.n_items, g.n_raters, c.n_categories,
+        |    g.a, c.s,
+        |    CAST(g.n_items AS HUGEINT) * g.n_raters AS t,
+        |    CAST(g.n_raters - 1 AS HUGEINT) AS nm1
+        |  FROM gstat g JOIN cstat c USING (batch)
+        |)
+        |SELECT batch, n_items, n_raters, n_categories,
+        |  CAST((a - t) * 1000000 // (t * nm1) AS BIGINT) AS pbar_ppm,
+        |  CAST(s * 1000000 // (t * t) AS BIGINT) AS pe_ppm,
+        |  CAST(CASE WHEN nm1 * (t * t - s) <> 0 THEN
+        |    (t * (a - t) - nm1 * s) * 1000000 // (nm1 * (t * t - s))
+        |  END AS BIGINT) AS kappa_ppm
+        |FROM j ORDER BY batch""".stripMargin,
 
     // distinct-score aggregate-first order statistic; the rank and the
     // coverage ppm are pure integer arithmetic, scores only compared

@@ -1950,4 +1950,74 @@ object Features {
       .withColumn("coverage_ppm",
         ld(col("n_covered") * 1000000L, col("n_test")))
   }
+
+  /** Fleiss' kappa — chance-corrected agreement of a FIXED-SIZE rater
+    * panel over many items (Fleiss 1971), the annotation-QA statistic
+    * for labeling/preference pipelines where [[cohenKappa]]'s two-rater
+    * form doesn't apply. With n_ij = raters assigning item i to
+    * category j, A = Σ_ij n_ij², T = N·n raters-×-items, and
+    * S = Σ_j c_j² over category column totals, the whole statistic is
+    * the exact integer identity
+    * κ = [T·(A−T) − (n−1)·S] / [(n−1)·(T²−S)] — obtained by clearing
+    * P̄ = (A−T)/(T(n−1)) and P̄ₑ = S/T² of their denominators — so
+    * `kappa_ppm` (truncated toward zero, the engine-portable integral
+    * division), `pbar_ppm`, and `pe_ppm` are pure integer arithmetic
+    * through decimal(38,0) (T² overflows a long once T > 3·10⁹ ratings;
+    * decimal keeps the identity exact to T ≈ 10¹⁹). Emits per group:
+    * `n_items`, `n_raters`, `n_categories`, `pbar_ppm`, `pe_ppm`,
+    * `kappa_ppm` (null when P̄ₑ = 1 — a single-category panel has no
+    * chance-corrected agreement to measure). Classic Fleiss requires
+    * the SAME panel size per item: an unequal item raises in-plan
+    * (a ragged panel silently averaged is a wrong statistic, not an
+    * approximation). (item, rater) uniqueness is the caller's contract.
+    *
+    * Scale shape: the only stage that sees rating volume is the
+    * map-side-combined aggregation to (group, item, category) cell
+    * grain; per-item and per-category rollups then run at cell grain
+    * and collapse to group grain — one exchange chain, no window, no
+    * join against anything data-sized.
+    */
+  def fleissKappa(df: DataFrame, groupCols: Seq[String], itemCol: Column,
+      raterCol: Column, categoryCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "fleissKappa needs >= 1 group column " +
+      "(use a constant for a global panel)")
+    val gs = groupCols.map(col)
+    val d38 = DecimalType(38, 0)
+    def ld(a: Column, b: Column): Column =
+      graft.functions.Exact.longDiv(a, b)
+    val cell = df
+      .filter(itemCol.isNotNull && raterCol.isNotNull &&
+        categoryCol.isNotNull)
+      .groupBy(gs ++ Seq(itemCol.as("__item"), categoryCol.as("__cat")): _*)
+      .agg(count(lit(1)).as("__nij"))
+    val perItem = cell
+      .groupBy(gs :+ col("__item"): _*)
+      .agg(sum(col("__nij")).as("__ni"),
+        sum(col("__nij") * col("__nij")).as("__ai"))
+    val gstat = perItem.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_items"), min(col("__ni")).as("__nmin"),
+        max(col("__ni")).as("__nmax"), sum(col("__ai")).as("__a"))
+      .withColumn("n_raters", when(col("__nmin") =!= col("__nmax"),
+        raise_error(concat(lit("fleissKappa: unequal panel size: "),
+          col("__nmin").cast("string"), lit(" vs "),
+          col("__nmax").cast("string")))).otherwise(col("__nmax")))
+    val cstat = cell
+      .groupBy(gs :+ col("__cat"): _*)
+      .agg(sum(col("__nij")).as("__cj"))
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__cj").cast(d38) * col("__cj")).as("__s"))
+    val t = col("n_items").cast(d38) * col("n_raters")
+    val nm1 = (col("n_raters") - 1L).cast(d38)
+    val a = col("__a").cast(d38)
+    val s = col("__s").cast(d38)
+    val den = nm1 * (t * t - s)
+    gstat.join(broadcast(cstat), groupCols)
+      .select(gs ++ Seq(col("n_items"), col("n_raters"),
+        col("n_categories"),
+        ld((a - t) * 1000000L, t * nm1).as("pbar_ppm"),
+        ld(s * 1000000L, t * t).as("pe_ppm"),
+        when(den =!= 0,
+          ld((t * (a - t) - nm1 * s) * 1000000L, den)).as("kappa_ppm")): _*)
+  }
 }

@@ -1014,4 +1014,38 @@ class FeaturesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("fleissKappa: exact integer identity — perfect, fractional, and " +
+      "negative agreement; single-category null; ragged panel raises") {
+    import spark.implicits._
+    def k(rows: Seq[(String, Int, Int, String)]) =
+      Features.fleissKappa(rows.toDF("g", "item", "rater", "cat"),
+        Seq("g"), col("item"), col("rater"), col("cat"))
+    // perfect: every rater agrees per item, two categories across items
+    val perfect = k(Seq(("p", 1, 1, "x"), ("p", 1, 2, "x"), ("p", 1, 3, "x"),
+      ("p", 2, 1, "y"), ("p", 2, 2, "y"), ("p", 2, 3, "y"))).collect().head
+    assert(perfect.getLong(1) == 2L && perfect.getLong(2) == 3L &&
+      perfect.getLong(3) == 2L)
+    assert(perfect.getLong(4) == 1000000L)  // pbar
+    assert(perfect.getLong(5) == 500000L)   // pe
+    assert(perfect.getLong(6) == 1000000L)  // kappa
+    // fractional: P̄=1/3, P̄e=1/2 → κ = −1/3, truncated toward zero
+    val frac = k(Seq(("f", 1, 1, "x"), ("f", 1, 2, "x"), ("f", 1, 3, "y"),
+      ("f", 2, 1, "x"), ("f", 2, 2, "y"), ("f", 2, 3, "y"))).collect().head
+    assert(frac.getLong(4) == 333333L && frac.getLong(5) == 500000L)
+    assert(frac.getLong(6) == -333333L)
+    // systematic disagreement: κ = −1
+    val neg = k(Seq(("n", 1, 1, "x"), ("n", 1, 2, "y"),
+      ("n", 2, 1, "x"), ("n", 2, 2, "y"))).collect().head
+    assert(neg.getLong(6) == -1000000L)
+    // single category: P̄e = 1 → kappa undefined (null)
+    val mono = k(Seq(("m", 1, 1, "x"), ("m", 1, 2, "x"))).collect().head
+    assert(mono.getLong(5) == 1000000L && mono.isNullAt(6))
+    // ragged panel (2 vs 3 raters) raises in-plan
+    val e = intercept[Exception] {
+      k(Seq(("r", 1, 1, "x"), ("r", 1, 2, "x"),
+        ("r", 2, 1, "x"), ("r", 2, 2, "x"), ("r", 2, 3, "x"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
