@@ -3485,6 +3485,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X266 — product-quantization encode: nearest-centroid code per
+    // subspace against a broadcast one-row codebook (first 8 vectors'
+    // subvectors) — zero corpus shuffle
+    "q275_pq_encode" -> { (s, dir) =>
+      import graft.similarity.Similarity
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("emb"))
+      val cb = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("code"), explode(transform(
+          sequence(lit(0), lit(3)), m => struct(
+            m.cast("long").as("sub"),
+            slice(col("emb"), m * 16 + 1, lit(16)).as("centroid"))))
+          .as("sc"))
+        .select(col("sc.sub").as("sub"), col("code"),
+          col("sc.centroid").as("centroid"))
+      Similarity.pqEncode(e, cb, "vec_id", "emb", numSub = 4,
+          subDim = 16)
+        .orderBy(col("vec_id"), col("sub"))
+    },
+
     // X265 — Fleiss' kappa: chance-corrected fixed-panel agreement via
     // the integer identity; panel = the first 3 lineitems of each
     // order that has them, category = returnflag, batch = orderkey%4
@@ -9856,6 +9876,44 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // relational mirror of the scan-local argmin: same index-order
+    // folds (vv + cc - 2·dp), same (distance, code) tie order
+    "q275_pq_encode" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), subs AS (
+        |  SELECT unnest(generate_series(0, 3)) AS m
+        |), cbn AS (
+        |  SELECT m, vec_id AS code,
+        |    v[(m*16+1):(m*16+16)] AS c,
+        |    list_reduce(list_transform(v[(m*16+1):(m*16+16)],
+        |      x -> x * x), (a, b) -> a + b) AS cc
+        |  FROM e, subs WHERE vec_id < 8
+        |), evn AS (
+        |  SELECT vec_id, m, v[(m*16+1):(m*16+16)] AS sv,
+        |    list_reduce(list_transform(v[(m*16+1):(m*16+16)],
+        |      x -> x * x), (a, b) -> a + b) AS vv
+        |  FROM e, subs
+        |), scored AS (
+        |  SELECT evn.vec_id, evn.m, cbn.code,
+        |    evn.vv + cbn.cc - 2.0 * list_reduce(
+        |      list_transform(list_zip(evn.sv, cbn.c),
+        |        s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (x, y) -> x + y) AS d
+        |  FROM evn JOIN cbn ON evn.m = cbn.m
+        |), best AS (
+        |  SELECT vec_id, m, code, d,
+        |    row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d, code) AS rn
+        |  FROM scored
+        |)
+        |SELECT vec_id, CAST(m AS BIGINT) AS sub,
+        |  CAST(code AS BIGINT) AS code,
+        |  round(greatest(d, 0.0), 6) AS err6
+        |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
 
     // cell grain first, then the cleared-denominator kappa identity in
     // 128-bit integers; truncation toward zero matches IntegralDivide

@@ -598,6 +598,70 @@ object Similarity {
     * and posexplode; zero shuffle, output bounded at m rows per
     * vector.
     */
+  /** Product-quantization encode — the storage side of IVF-PQ ANN
+    * (Jégou et al. 2011): split each vector into `numSub` contiguous
+    * `subDim`-dim subvectors and replace each with the id of its
+    * nearest codebook centroid (squared L2, via the dot identity
+    * ‖v−c‖² = v·v + c·c − 2·v·c so the per-centroid cost is ONE
+    * [[dot]] — v·v hoisted per subvector, c·c precomputed per
+    * centroid). Emits scalar rows (id, `sub`, `code`, `err6` =
+    * round(max(dist², 0), 6) — the per-subspace reconstruction error,
+    * clamped because the dot identity can go −ε on near-identical
+    * pairs), ties on exact distance to the smallest code — engine-
+    * deterministic because both sides fold in index order. A vector
+    * whose length ≠ numSub·subDim raises in-plan (a silently
+    * mis-split vector encodes garbage). `codebook` columns:
+    * (sub, code, centroid); codes need not be dense — the emitted
+    * code is read from the codebook row, not the argmin position.
+    *
+    * Scale shape: the codebook collapses to ONE broadcast row (a map
+    * sub → centroid structs, built by a tiny aggregation over
+    * numSub·K rows — a model constant, never data-sized), so the
+    * encode is a BroadcastNestedLoopJoin with a single row followed
+    * by scan-local per-row loops: ZERO shuffle of the corpus, the
+    * 100-TB shape. K·numSub·subDim multiplies per row ride the scan;
+    * the fold inside is the native codegen'd [[dot]].
+    */
+  def pqEncode(emb: DataFrame, codebook: DataFrame, idCol: String,
+      embCol: String, numSub: Int, subDim: Int): DataFrame = {
+    require(numSub >= 1 && numSub <= 64, s"numSub in [1,64]: $numSub")
+    require(subDim >= 1 && subDim <= 4096, s"subDim in [1,4096]: $subDim")
+    def letC(v: Column, f: Column => Column): Column =
+      element_at(transform(array(v), f), 1)
+    val cb1 = codebook
+      .select(col("sub").cast("int").as("__sub"), col("code"),
+        asDouble(col("centroid")).as("__c"))
+      .withColumn("__cc", dot(col("__c"), col("__c")))
+      .groupBy(col("__sub"))
+      .agg(sort_array(collect_list(struct(col("code"),
+        col("__c").as("centroid"), col("__cc").as("cc")))).as("__cents"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(
+        struct(col("__sub"), col("__cents")))).as("__cb"))
+    val dim = numSub * subDim
+    val checked = when(size(col("__v")) =!= dim,
+      raise_error(concat(lit(s"pqEncode: vector length != $dim: "),
+        size(col("__v")).cast("string")))).otherwise(col("__v"))
+    val rows = transform(sequence(lit(0), lit(numSub - 1)), m =>
+      letC(slice(col("__v"), m * subDim + 1, lit(subDim)), sv =>
+        letC(element_at(col("__cb"), m), cents =>
+          letC(transform(cents, c =>
+              dot(sv, sv) + c.getField("cc") -
+                lit(2.0) * dot(sv, c.getField("centroid"))), dists =>
+            letC(array_min(dists), mind =>
+              struct(m.cast("long").as("sub"),
+                element_at(cents,
+                  array_position(dists, mind).cast("int"))
+                  .getField("code").cast("long").as("code"),
+                round(greatest(mind, lit(0.0)), 6).as("err6")))))))
+    emb.select(col(idCol), asDouble(col(embCol)).as("__v"))
+      .crossJoin(broadcast(cb1))
+      .select(col(idCol), checked.as("__v"), col("__cb"))
+      .select(col(idCol), explode(rows).as("__r"))
+      .select(col(idCol), col("__r.sub").as("sub"),
+        col("__r.code").as("code"), col("__r.err6").as("err6"))
+  }
+
   def sparsifyTopM(df: DataFrame, idCol: String, vecCol: String,
       m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1: $m")

@@ -221,4 +221,38 @@ class SimilarityJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("pqEncode: nearest centroid per subspace, exact-zero self " +
+      "distance, smallest-code tie, non-dense codes kept, bad dim " +
+      "raises, corpus side broadcast-joined") {
+    import spark.implicits._
+    // 2 subspaces × dim 2; codebook codes deliberately non-dense (5, 9)
+    val cb = Seq(
+      (0L, 5L, Seq(0.0, 0.0)), (0L, 9L, Seq(1.0, 1.0)),
+      (1L, 5L, Seq(2.0, 2.0)), (1L, 9L, Seq(-1.0, 0.0)))
+      .toDF("sub", "code", "centroid")
+    val vecs = Seq(
+      (1L, Seq(0.1, 0.1, 2.0, 2.0)),   // sub0 → 5 (0.02), sub1 → 5 (0.0)
+      (2L, Seq(0.5, 0.5, 0.5, 1.0)))   // sub0 tie (0.5 each) → code 5
+      .toDF("vec_id", "emb")
+    val got = Similarity.pqEncode(vecs, cb, "vec_id", "emb", 2, 2)
+      .orderBy($"vec_id", $"sub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 5L, 0.02), (1L, 1L, 5L, 0.0),
+      // sub0 of vec 2: d(5)=0.5, d(9)=0.5 exactly → smallest code
+      // sub1 of vec 2: d(5)=3.25, d(9)=3.25 exactly → smallest code
+      (2L, 0L, 5L, 0.5), (2L, 1L, 5L, 3.25)))
+    // a vector that IS a centroid reconstructs with exactly 0.0
+    assert(got(1)._4 == 0.0)
+    val plan = Similarity.pqEncode(vecs, cb, "vec_id", "emb", 2, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // wrong vector length raises in-plan
+    val e = intercept[Exception] {
+      Similarity.pqEncode(Seq((9L, Seq(1.0, 2.0, 3.0)))
+        .toDF("vec_id", "emb"), cb, "vec_id", "emb", 2, 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
