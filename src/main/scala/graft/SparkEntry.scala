@@ -3485,6 +3485,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X267 — PQ asymmetric-distance top-k: integer LUT over the
+    // broadcast codebook, ADC sums exact longs, TakeOrdered top-k —
+    // the corpus is scanned as codes, never as vectors
+    "q276_pq_adc" -> { (s, dir) =>
+      import graft.similarity.Similarity
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("emb"))
+      val cb = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("code"), explode(transform(
+          sequence(lit(0), lit(3)), m => struct(
+            m.cast("long").as("sub"),
+            slice(col("emb"), m * 16 + 1, lit(16)).as("centroid"))))
+          .as("sc"))
+        .select(col("sc.sub").as("sub"), col("code"),
+          col("sc.centroid").as("centroid"))
+      val codes = Similarity.pqEncode(e, cb, "vec_id", "emb",
+        numSub = 4, subDim = 16).select("vec_id", "sub", "code")
+      Similarity.pqAdcTopK(codes, cb,
+        e.filter(col("vec_id") === 42).select(col("emb").as("qvec")),
+        "vec_id", k = 10)
+    },
+
     // X266 — product-quantization encode: nearest-centroid code per
     // subspace against a broadcast one-row codebook (first 8 vectors'
     // subvectors) — zero corpus shuffle
@@ -9876,6 +9898,58 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // the q275 encode pipeline feeds an integer milli-quantized LUT;
+    // ADC sums are exact longs so aggregation order cannot matter
+    "q276_pq_adc" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), subs AS (
+        |  SELECT unnest(generate_series(0, 3)) AS m
+        |), cbn AS (
+        |  SELECT m, vec_id AS code,
+        |    v[(m*16+1):(m*16+16)] AS c,
+        |    list_reduce(list_transform(v[(m*16+1):(m*16+16)],
+        |      x -> x * x), (a, b) -> a + b) AS cc
+        |  FROM e, subs WHERE vec_id < 8
+        |), evn AS (
+        |  SELECT vec_id, m, v[(m*16+1):(m*16+16)] AS sv,
+        |    list_reduce(list_transform(v[(m*16+1):(m*16+16)],
+        |      x -> x * x), (a, b) -> a + b) AS vv
+        |  FROM e, subs
+        |), scored AS (
+        |  SELECT evn.vec_id, evn.m, cbn.code,
+        |    evn.vv + cbn.cc - 2.0 * list_reduce(
+        |      list_transform(list_zip(evn.sv, cbn.c),
+        |        s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (x, y) -> x + y) AS d
+        |  FROM evn JOIN cbn ON evn.m = cbn.m
+        |), best AS (
+        |  SELECT vec_id, m, code, d,
+        |    row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d, code) AS rn
+        |  FROM scored
+        |), codes AS (
+        |  SELECT vec_id, m AS sub, code FROM best WHERE rn = 1
+        |), qv AS (
+        |  SELECT list_transform(v,
+        |    x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+        |  FROM e WHERE vec_id = 42
+        |), lut AS (
+        |  SELECT m, code,
+        |    list_reduce(list_transform(
+        |      list_zip(qv.q[(m*16+1):(m*16+16)],
+        |        list_transform(c, x -> CAST(floor(x * 1000) AS BIGINT))),
+        |      s -> (struct_extract(s, 1) - struct_extract(s, 2)) *
+        |           (struct_extract(s, 1) - struct_extract(s, 2))),
+        |      (a, b) -> a + b) AS d
+        |  FROM cbn, qv
+        |)
+        |SELECT c.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_mu2
+        |FROM codes c JOIN lut l ON c.sub = l.m AND c.code = l.code
+        |GROUP BY 1 ORDER BY adc_mu2, vec_id LIMIT 10""".stripMargin,
 
     // relational mirror of the scan-local argmin: same index-order
     // folds (vv + cc - 2·dp), same (distance, code) tie order

@@ -662,6 +662,61 @@ object Similarity {
         col("__r.code").as("code"), col("__r.err6").as("err6"))
   }
 
+  /** PQ asymmetric-distance top-k — the search half of IVF-PQ
+    * ([[pqEncode]]'s counterpart): per query, a (sub, code) →
+    * distance lookup table over the codebook, then every encoded
+    * vector's approximate distance is the SUM of its codes' table
+    * entries — the corpus is never touched as vectors, only as
+    * integer codes. Distances are computed over milli-quantized
+    * components (q = ⌊1000·v⌋, exact for float-origin doubles — the
+    * [[covarianceMatrix]] precedent, and the integer-LUT discipline
+    * production ADC kernels use) so every LUT entry and every ADC sum
+    * is an exact long — order-independent and bit-identical on any
+    * partitioning or engine, where a double ADC sum would depend on
+    * aggregation order. Output: (id, `adc_mu2` — squared L2 in
+    * milli-unit², long) top `k` by (distance asc, id asc). A code
+    * missing from the codebook raises in-plan (a silently dropped
+    * subspace UNDERSTATES distance — corrupt, not approximate).
+    * Exact while numSub·subDim·(2000·max|v|)² < 2⁶³.
+    *
+    * Scale shape: the LUT is numSub·K rows built from two broadcast
+    * singletons; the codes table joins it BROADCAST (zero shuffle),
+    * the per-id sum is map-side combined (numSub rows per id collapse
+    * before the exchange), and the top-k plans TakeOrderedAndProject —
+    * each task keeps k rows. At 100 TB the query cost is one scan of
+    * the CODES (≈ numSub bytes/vector), not the vectors — the whole
+    * point of PQ.
+    */
+  def pqAdcTopK(codes: DataFrame, codebook: DataFrame, query: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def mq(v: Column): Column =
+      transform(asDouble(v), x => floor(x * 1000).cast("long"))
+    val lut = codebook
+      .select(col("sub").cast("long").as("sub"),
+        col("code").cast("long").as("code"),
+        mq(col("centroid")).as("__c"))
+      .crossJoin(broadcast(query.select(mq(col("qvec")).as("__q"))))
+      .select(col("sub"), col("code"),
+        aggregate(zip_with(
+          slice(col("__q"),
+            col("sub").cast("int") * size(col("__c")) + 1,
+            size(col("__c"))),
+          col("__c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("__d"))
+    val nSub = codebook.agg(countDistinct(col("sub")).as("__nsub"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__d")).as("__adc"), count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(nSub))
+      .select(col(idCol),
+        when(col("__cnt") =!= col("__nsub"), raise_error(concat(
+          lit("pqAdcTopK: code(s) missing from codebook for id "),
+          col(idCol).cast("string"))))
+          .otherwise(col("__adc")).as("adc_mu2"))
+      .orderBy(col("adc_mu2"), col(idCol)).limit(k)
+  }
+
   def sparsifyTopM(df: DataFrame, idCol: String, vecCol: String,
       m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1: $m")

@@ -255,4 +255,31 @@ class SimilarityJoinSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("pqAdcTopK: exact integer LUT sums, id tiebreak, missing code " +
+      "raises, TakeOrdered + broadcast plan") {
+    import spark.implicits._
+    val cb = Seq(
+      (0L, 5L, Seq(0.0, 0.0)), (0L, 9L, Seq(1.0, 1.0)),
+      (1L, 5L, Seq(2.0, 2.0)), (1L, 9L, Seq(-1.0, 0.0)))
+      .toDF("sub", "code", "centroid")
+    val codes = Seq((1L, 0L, 5L), (1L, 1L, 5L),
+      (2L, 0L, 9L), (2L, 1L, 9L), (3L, 0L, 5L), (3L, 1L, 5L))
+      .toDF("vec_id", "sub", "code")
+    val q = Seq(Tuple1(Seq(0.0, 0.0, 2.0, 2.0))).toDF("qvec")
+    val out = Similarity.pqAdcTopK(codes, cb, q, "vec_id", 3)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // vec1/vec3 codes (5,5): LUT 0 + 0 = 0, tie → id order;
+    // vec2 codes (9,9): 2·1000² + (3000² + 2000²) = 15,000,000
+    assert(got.toSeq == Seq((1L, 0L), (3L, 0L), (2L, 15000000L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // a code absent from the codebook must raise, not under-count
+    val bad = Seq((7L, 0L, 5L), (7L, 1L, 77L)).toDF("vec_id", "sub", "code")
+    val e = intercept[Exception] {
+      Similarity.pqAdcTopK(bad, cb, q, "vec_id", 3).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
