@@ -3485,6 +3485,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X268 — degree assortativity: the sqrt-free symmetrized Newman r
+    // over the user/event-type graph, exact integer ppm end to end
+    "q277_assortativity" -> { (s, dir) =>
+      val pairs = events(s, dir)
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
+          concat(lit("t:"), col("event_type")).as("t"))
+      graft.ops.Graph.degreeAssortativity(pairs, "u", "t")
+        .orderBy(col("n_nodes"))
+    },
+
     // X267 — PQ asymmetric-distance top-k: integer LUT over the
     // broadcast codebook, ADC sums exact longs, TakeOrdered top-k —
     // the corpus is scanned as codes, never as vectors
@@ -9898,6 +9908,38 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // degree moments from the degree table alone; only Sxy touches the
+    // edge-degree join; all 128-bit integer arithmetic
+    "q277_assortativity" ->
+      """WITH raw AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+        |    't:' || event_type AS t
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |), e AS (
+        |  SELECT DISTINCT least(u, t) AS a, greatest(u, t) AS b
+        |  FROM raw WHERE u <> t
+        |), deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY v
+        |), mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(CAST(d AS HUGEINT)) AS HUGEINT) AS m,
+        |    CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(d AS HUGEINT) * d * d) AS HUGEINT) AS sxx
+        |  FROM deg
+        |), s2 AS (
+        |  SELECT CAST(2 * sum(CAST(da.d AS HUGEINT) * db.d) AS HUGEINT)
+        |    AS sxy
+        |  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+        |)
+        |SELECT n_nodes, CAST(m // 2 AS BIGINT) AS n_edges,
+        |  CAST(CASE WHEN m * sxx - sx * sx <> 0 THEN
+        |    (m * sxy - sx * sx) * 1000000 // (m * sxx - sx * sx)
+        |  END AS BIGINT) AS r_ppm
+        |FROM mom, s2 ORDER BY n_nodes""".stripMargin,
 
     // the q275 encode pipeline feeds an integer milli-quantized LUT;
     // ADC sums are exact longs so aggregation order cannot matter

@@ -955,4 +955,63 @@ object Graph {
           "cycle, or a parent id missing from the node set)")
     cur.select(col("id"), col("anc").as("root"), col("dist").as("depth"))
   }
+
+  /** Degree assortativity (Newman 2002) — does the graph wire
+    * high-degree to high-degree (r > 0, social-network-like) or
+    * hub-to-leaf (r < 0, star/web-like)? The one-scalar wiring health
+    * check for the dedup/similarity graphs this module labels: a
+    * near-dup pair graph that suddenly turns strongly disassortative
+    * usually means one template document linking everything. Over the
+    * SYMMETRIZED edge list the Pearson correlation of endpoint degrees
+    * needs NO square root: Σx = Σy = Σ_v d², Σx² = Σy² = Σ_v d³,
+    * M = Σ_v d, so r = (M·Sxy − Sx²)/(M·Sxx − Sx²) with
+    * Sxy = 2·Σ_edges d(a)·d(b) — every term an exact integer, `r_ppm`
+    * exact through decimal(38,0) (truncated toward zero). Output one
+    * row: `n_nodes`, `n_edges`, `r_ppm` (null for a REGULAR graph —
+    * zero degree variance has no correlation to measure). Self-loops
+    * and duplicate/reversed edges collapse first; null endpoints drop.
+    *
+    * Scale shape: degree moments (M, Sx, Sxx, n_nodes) come from the
+    * degree table ALONE — no join; only Sxy joins the edge list with
+    * the node-grain degree table, twice, on the join key each side
+    * already shuffles by — the standard edge-degree annotate (the
+    * [[triangleCounts]] prep shape), linear and skew-tolerant because
+    * it carries one long per row. The canonical edge set and degree
+    * table are each checkpointed once ([[Checkpoints]] discipline) and
+    * released after the single-row result materializes.
+    */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def ld(a: Column, b: Column): Column =
+      graft.functions.Exact.longDiv(a, b)
+    val e = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val dd = col("d").cast(d38)
+    val mom = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("d")).cast(d38).as("__m"),
+      sum(dd * dd).as("__sx"), sum(dd * dd * dd).as("__sxx"))
+    val sxy = e
+      .join(deg.select(col("v").as("a"), col("d").as("__da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("__db")), "b")
+      .agg((sum(col("__da").cast(d38) * col("__db")) * 2L).as("__sxy"))
+    val den = col("__m") * col("__sxx") - col("__sx") * col("__sx")
+    val out = mom.crossJoin(sxy)
+      .select(col("n_nodes"), ld(col("__m"), lit(2L)).as("n_edges"),
+        when(den =!= 0, ld(
+          (col("__m") * col("__sxy") - col("__sx") * col("__sx")) *
+            1000000L, den)).as("r_ppm"))
+      .localCheckpoint(true)
+    Checkpoints.release(e, deg)
+    out
+  }
 }

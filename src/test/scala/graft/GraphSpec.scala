@@ -307,4 +307,27 @@ class GraphSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unresolved"))
   }
+
+  test("degreeAssortativity: star is −1, per-component-regular mix is " +
+      "+1, regular graph is null, dup/reversed/self edges collapse") {
+    import spark.implicits._
+    def r(edges: Seq[(Long, Long)]) =
+      graft.ops.Graph.degreeAssortativity(
+        edges.toDF("a", "b"), "a", "b").collect().head
+    // star K1,3 — perfectly disassortative
+    val star = r(Seq((10L, 1L), (10L, 2L), (10L, 3L)))
+    assert(star.getLong(0) == 4L && star.getLong(1) == 3L)
+    assert(star.getLong(2) == -1000000L)
+    // K2 + triangle: every edge joins equal degrees → r = 1
+    val mix = r(Seq((1L, 2L), (5L, 6L), (6L, 7L), (7L, 5L)))
+    assert(mix.getLong(2) == 1000000L)
+    // 4-cycle is 2-regular: zero degree variance → null
+    val square = r(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(square.isNullAt(2))
+    // duplicates, reversals, self-loops all collapse to the clean star
+    val messy = r(Seq((10L, 1L), (1L, 10L), (10L, 1L), (10L, 2L),
+      (10L, 3L), (7L, 7L)))
+    assert(messy.getLong(0) == 4L && messy.getLong(1) == 3L)
+    assert(messy.getLong(2) == -1000000L)
+  }
 }
