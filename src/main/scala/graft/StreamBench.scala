@@ -186,6 +186,16 @@ object StreamBench {
         col("value"), col("value") * lit(1.1))
     }(feedTimed _)
 
+    // running conformal-coverage monitor: stream-static broadcast join
+    // + two-long-per-group incremental aggregation
+    results += drive[SBTimed]("coverage_monitor",
+      org.apache.spark.sql.streaming.OutputMode.Complete) { in =>
+      val thr = (0 until nKeys).map(k => (s"s$k", 48.0))
+        .toDF("site", "qhat")
+      streaming.StreamingCoverage.monitor(in.toDF(), thr, Seq("site"),
+        col("value"), targetPpm = 500000L, slackPpm = 10000L)
+    }(feedTimed _)
+
     // stream-stream interval join: conversions stream drives, one touch
     // per 4 conversions within the lag window
     locally {

@@ -1940,10 +1940,39 @@ object Features {
     val thr = counts.groupBy(gs: _*)
       .agg(max(col("__n")).as("n_cal"), max(col("__k")).as("k_rank"),
         min(when(col("__cum") >= col("__k"), col("__val"))).as("qhat"))
+    coverageAudit(test, thr, groupCols, scoreCol)
+  }
+
+  /** Coverage audit of a FIXED threshold table — the second half of
+    * [[conformalThreshold]], exposed separately so a batch-computed
+    * q̂ table can audit any later scored frame, including an unbounded
+    * STREAM ([[graft.streaming.StreamingCoverage]]): per group,
+    * `n_test`, `n_covered` (score ≤ q̂; a null q̂ = +∞ covers
+    * everything), `coverage_ppm` (floor). `thresholds` must carry the
+    * group columns plus `qhat`; every other column (n_cal, k_rank, …)
+    * is carried through to the output. Null scores drop; groups
+    * without a threshold row drop (no contract to audit).
+    *
+    * Scale shape: the threshold table is group-grain and joins the
+    * scored frame BROADCAST; the count/covered rollup is one
+    * map-side-combined aggregation — the scored side never shuffles
+    * above group grain. Both accumulators are commutative exact
+    * integers, which is what lets Structured Streaming maintain the
+    * running value incrementally with |groups|-sized state.
+    */
+  def coverageAudit(test: DataFrame, thresholds: DataFrame,
+      groupCols: Seq[String], scoreCol: Column): DataFrame = {
+    require(thresholds.columns.contains("qhat"),
+      "thresholds must carry a qhat column")
+    val gs = groupCols.map(col)
+    def ld(a: Column, b: Column): Column =
+      graft.functions.Exact.longDiv(a, b)
+    val carried = thresholds.columns.filterNot(groupCols.contains)
+      .map(col).toSeq
     test.filter(scoreCol.isNotNull)
       .select(gs :+ scoreCol.as("__st"): _*)
-      .join(broadcast(thr), groupCols, "inner")
-      .groupBy(gs ++ Seq(col("n_cal"), col("k_rank"), col("qhat")): _*)
+      .join(broadcast(thresholds), groupCols, "inner")
+      .groupBy(gs ++ carried: _*)
       .agg(count(lit(1)).as("n_test"),
         sum((col("qhat").isNull || col("__st") <= col("qhat"))
           .cast("long")).as("n_covered"))

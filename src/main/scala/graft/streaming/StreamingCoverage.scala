@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Running conformal-coverage monitor over an unbounded stream — the
+  * streaming face of [[graft.ops.Features.conformalThreshold]]'s audit
+  * half (one definition, two execution modes): a serving pipeline whose
+  * prediction sets were calibrated offline (a batch-computed q̂ table)
+  * watches the LIVE coverage of every group, and an `alarm` fires the
+  * micro-batch coverage drops below `target − slack` — distribution
+  * shift surfacing as broken coverage BEFORE the next recalibration
+  * would have noticed.
+  *
+  * Because coverage derives from two commutative exact accumulators per
+  * group (n_test, n_covered — longs), Structured Streaming's
+  * incremental aggregation maintains it exactly: arrival order is
+  * irrelevant, state is two numbers per group however large the
+  * stream, and the running value after any prefix EQUALS the batch
+  * [[graft.ops.Features.coverageAudit]] of that prefix (spec-pinned by
+  * StreamingCoverageSpec). No watermark — there is no event-time
+  * window to close; emit with Update/Complete output mode. The alarm
+  * comparison is a stateless post-aggregation projection riding the
+  * same plan.
+  *
+  * Scale shape: the q̂ table is group-grain and joins the stream as a
+  * stream-static BROADCAST join (stateless); state is |groups| × 2
+  * longs regardless of stream volume.
+  */
+object StreamingCoverage {
+
+  /** Running coverage per group against a fixed `thresholds` table
+    * (group columns + `qhat`, extra columns carried through), plus
+    * `target_ppm` and `alarm` = coverage_ppm < targetPpm − slackPpm.
+    * Works on a streaming OR batch frame — the plan is identical.
+    */
+  def monitor(scored: DataFrame, thresholds: DataFrame,
+      groupCols: Seq[String], scoreCol: Column, targetPpm: Long,
+      slackPpm: Long = 0L): DataFrame = {
+    require(targetPpm >= 1 && targetPpm <= 1000000L,
+      s"targetPpm in [1,1000000]: $targetPpm")
+    require(slackPpm >= 0, s"slackPpm must be >= 0: $slackPpm")
+    graft.ops.Features.coverageAudit(scored, thresholds, groupCols,
+        scoreCol)
+      .withColumn("target_ppm", lit(targetPpm))
+      .withColumn("alarm", col("coverage_ppm") < targetPpm - slackPpm)
+  }
+}

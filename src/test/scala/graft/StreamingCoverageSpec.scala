@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingCoverage
+
+case class CovRow(grp: String, s: Double)
+
+class StreamingCoverageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("running coverage equals the batch audit of the prefix, alarm " +
+      "fires on the dip and clears on recovery, null qhat covers all") {
+    implicit val sqlCtx = spark.sqlContext
+    // g: finite threshold 5.0; h: infinite (null qhat — tiny cal set)
+    val thr = Seq(("g", Some(5.0)), ("h", None))
+      .toDF("grp", "qhat")
+    val in = MemoryStream[CovRow]
+    val mon = StreamingCoverage.monitor(in.toDF(), thr, Seq("grp"),
+      col("s"), targetPpm = 800000L, slackPpm = 50000L)
+    val q = mon.writeStream.format("memory").queryName("coverage_out")
+      .outputMode("complete").start()
+
+    def norm(r: org.apache.spark.sql.Row) = r.getString(0) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6)))
+    def out() = spark.table("coverage_out").collect().map(norm).toMap
+    def batchOf(rows: Seq[CovRow]) =
+      graft.ops.Features.coverageAudit(rows.toDF(), thr, Seq("grp"),
+        col("s")).withColumn("target_ppm", lit(800000L))
+        .withColumn("alarm", col("coverage_ppm") < 750000L)
+        .collect().map(norm).toMap
+
+    // batch 1: g covered 3/3, h (infinite) 2/2 — no alarm
+    val b1 = Seq(CovRow("g", 1.0), CovRow("g", 5.0), CovRow("g", 4.9),
+      CovRow("h", 1e9), CovRow("h", -1.0))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    assert(out() == batchOf(b1))
+    assert(out()("g") == ((3L, 3L, 1000000L, false)))
+    assert(out()("h") == ((2L, 2L, 1000000L, false)))
+
+    // batch 2: g takes 3 misses → 3/6 = 500000 < 750000 → alarm
+    val b2 = Seq(CovRow("g", 5.1), CovRow("g", 9.0), CovRow("g", 6.0))
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    assert(out() == batchOf(b1 ++ b2))
+    assert(out()("g") == ((6L, 3L, 500000L, true)))
+
+    // batch 3: recovery — 9 more covered → 12/15 = 800000, clears
+    val b3 = (1 to 9).map(i => CovRow("g", 0.5))
+    in.addData(b3: _*)
+    q.processAllAvailable()
+    assert(out() == batchOf(b1 ++ b2 ++ b3))
+    assert(out()("g") == ((15L, 12L, 800000L, false)))
+    q.stop()
+  }
+}
