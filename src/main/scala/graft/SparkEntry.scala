@@ -3485,6 +3485,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X270 — cross-correlation function: lead/lag Pearson profile of
+    // quantity vs price per returnflag, lags 0..3 in one window pass.
+    // The synthetic lineitem has duplicate (shipdate, orderkey,
+    // linenumber) keys, so the value columns join the tie chain to
+    // make the lag pairing a total order (the q191 lesson)
+    "q278_crosscorr" -> { (s, dir) =>
+      graft.ops.Features.crossCorr(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_shipdate"), col("l_quantity"),
+          col("l_extendedprice"), maxLag = 3,
+          tieCols = Seq(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice")))
+        .orderBy(col("l_returnflag"), col("lag"))
+    },
+
     // X268 — degree assortativity: the sqrt-free symmetrized Newman r
     // over the user/event-type graph, exact integer ppm end to end
     "q277_assortativity" -> { (s, dir) =>
@@ -9908,6 +9922,52 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // the window-lag pairing as a rn self-join; then the q101 corr
+    // algebra per (group, lag) — exact renders, one sqrt
+    "q278_crosscorr" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+        |    l_quantity AS xv, l_extendedprice AS yv
+        |  FROM lineitem
+        |  WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |), o AS (
+        |  SELECT l_returnflag, xv, yv,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber, xv, yv)
+        |      AS rn
+        |  FROM src
+        |), lags AS (
+        |  SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS lag
+        |), p AS (
+        |  SELECT a.l_returnflag, l.lag,
+        |    CAST(CAST(a.xv AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(b.yv AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM o a CROSS JOIN lags l
+        |    JOIN o b ON b.l_returnflag = a.l_returnflag
+        |      AND b.rn = a.rn - l.lag
+        |), m AS (
+        |  SELECT l_returnflag, lag, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM p GROUP BY 1, 2
+        |), d AS (
+        |  SELECT l_returnflag, lag, n,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+        |      AS DOUBLE) AS num,
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+        |      AS DOUBLE) AS den,
+        |    CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS VARCHAR)
+        |      AS DOUBLE) AS den2
+        |  FROM m
+        |)
+        |SELECT l_returnflag, lag, n,
+        |  CASE WHEN den <> 0 AND den2 <> 0 THEN
+        |    num / sqrt(den * den2) END AS corr
+        |FROM d ORDER BY l_returnflag, lag""".stripMargin,
 
     // degree moments from the degree table alone; only Sxy touches the
     // edge-degree join; all 128-bit integer arithmetic

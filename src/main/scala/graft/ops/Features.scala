@@ -1014,6 +1014,51 @@ object Features {
         col("corr")): _*)
   }
 
+  /** Per-group cross-correlation function (CCF) — [[autocorr]]'s
+    * bivariate sibling: for every lag 0..maxLag, the Pearson
+    * correlation of (x_t, y_{t−lag}) under the `(orderCol, tieCols)`
+    * total order — WHICH lag peaks is the lead/lag diagnostic (does
+    * radiation lead soil temperature by two readings? does a touch
+    * stream lead conversions by an hour?), the bivariate question
+    * X207's ACF cannot ask. Complete-case alignment: rows with a null
+    * x or y drop BEFORE lagging, so lag counts observations, not
+    * calendar slots; the first `lag` observations per group have no
+    * partner and drop (the ACF convention). Output: group cols,
+    * `lag`, `n` (pairs), `corr` — null under 2 pairs or zero variance
+    * on either margin. Exactness rides [[groupCorr]]: decimal(38,0)
+    * moments, exact-integer renders, one IEEE sqrt/quotient.
+    *
+    * Scale shape: ONE key exchange + per-key sort feeds a single
+    * WindowExec evaluating all maxLag+1 `lag` frames over the SAME
+    * window spec (one pass, O(maxLag) state); the explode to
+    * (row, lag) grain is scan-local and feeds [[groupCorr]]'s one
+    * map-side-combined aggregation to |groups|·(maxLag+1) rows, which
+    * reuses the key-subset partitioning — no extra exchange of data
+    * volume.
+    */
+  def crossCorr(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      xCol: Column, yCol: Column, maxLag: Int, scale: Int = 2,
+      tieCols: Seq[Column] = Nil): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 1000,
+      s"maxLag in [0,1000]: $maxLag")
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(orderCol +: tieCols: _*)
+    val lags = (0 to maxLag).map(l =>
+      lag(yCol, l).over(w).as(s"__yl$l"))
+    val base = df.filter(orderCol.isNotNull && xCol.isNotNull &&
+        yCol.isNotNull)
+      .select(gs ++ Seq(xCol.as("__x")) ++ lags: _*)
+    val stacked = base.select(gs ++ Seq(col("__x"),
+        explode(array((0 to maxLag).map(l =>
+          struct(lit(l.toLong).as("lag"),
+            col(s"__yl$l").as("yl"))): _*)).as("__e")): _*)
+      .select(gs ++ Seq(col("__e.lag").as("lag"), col("__x"),
+        col("__e.yl").as("__yl")): _*)
+      .filter(col("__yl").isNotNull)
+    groupCorr(stacked, groupCols :+ "lag", col("__x"), col("__yl"),
+      scale, scale)
+  }
+
   /** Per-group Cohen's kappa — chance-corrected agreement between two
     * categorical labelings of the same rows (metadata lang vs detector
     * output, two model versions, annotator pairs): raw agreement

@@ -1015,6 +1015,37 @@ class FeaturesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("crossCorr: lag-1 lead shows corr 1, n shrinks by lag, constant " +
+      "margin is null, complete-case alignment drops null rows first") {
+    import spark.implicits._
+    // x leads y by one observation: x_t == y_{t-1} exactly
+    val df = Seq(("g", 1, 9.0, 1.0), ("g", 2, 1.0, 2.0),
+      ("g", 3, 2.0, 1.0), ("g", 4, 1.0, 2.0), ("g", 5, 2.0, 1.0),
+      ("g", 6, 1.0, 2.0)).toDF("grp", "t", "x", "y")
+    val got = Features.crossCorr(df, Seq("grp"), col("t"), col("x"),
+      col("y"), maxLag = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, 6L), (1L, 5L), (2L, 4L)))
+    assert(got(1)._3 == 1.0)          // perfect lead at lag 1
+    assert(got(0)._3 < 1.0)           // same-time pairs are not aligned
+    // constant y margin → zero variance → null corr at every lag
+    val const = Seq(("c", 1, 1.0, 5.0), ("c", 2, 2.0, 5.0),
+      ("c", 3, 3.0, 5.0)).toDF("grp", "t", "x", "y")
+    val cg = Features.crossCorr(const, Seq("grp"), col("t"), col("x"),
+      col("y"), maxLag = 1).collect()
+    assert(cg.forall(_.isNullAt(3)))
+    // a null y row drops BEFORE lagging: lag pairs skip it entirely
+    val withNull = Seq(("n", 1, 1.0, Some(10.0)), ("n", 2, 5.0, None),
+      ("n", 3, 2.0, Some(20.0)), ("n", 4, 3.0, Some(30.0)))
+      .toDF("grp", "t", "x", "y")
+    val ng = Features.crossCorr(withNull, Seq("grp"), col("t"),
+      col("x"), col("y"), maxLag = 1).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(ng == Map(0L -> 3L, 1L -> 2L))
+  }
+
   test("fleissKappa: exact integer identity — perfect, fractional, and " +
       "negative agreement; single-category null; ragged panel raises") {
     import spark.implicits._
