@@ -3485,6 +3485,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X271 — bivariate OLS: price on (quantity, discount) per
+    // returnflag — Cramer on centered normal equations, exact to the
+    // two mirrored IEEE divisions
+    "q279_bivariate_ols" -> { (s, dir) =>
+      graft.ops.Features.bivariateOls(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_quantity"), col("l_discount"),
+          col("l_extendedprice"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // X270 — cross-correlation function: lead/lag Pearson profile of
     // quantity vs price per returnflag, lags 0..3 in one window pass.
     // The synthetic lineitem has duplicate (shipdate, orderkey,
@@ -9922,6 +9932,72 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // ten exact HUGEINT moments, Cramer determinants, VARCHAR-double
+    // renders; division order mirrors the engine verbatim
+    "q279_bivariate_ols" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x1,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x2,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |), m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(x1 AS HUGEINT)) AS s1,
+        |    sum(CAST(x2 AS HUGEINT)) AS s2,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+        |    sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM b GROUP BY 1
+        |), c AS (
+        |  SELECT l_returnflag, n, s1, s2, sy,
+        |    CAST(n AS HUGEINT) * s11 - s1 * s1 AS a,
+        |    CAST(n AS HUGEINT) * s22 - s2 * s2 AS bb,
+        |    CAST(n AS HUGEINT) * s12 - s1 * s2 AS cc,
+        |    CAST(n AS HUGEINT) * s1y - s1 * sy AS c1,
+        |    CAST(n AS HUGEINT) * s2y - s2 * sy AS c2,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS syyc
+        |  FROM m
+        |), d AS (
+        |  SELECT l_returnflag, n, s1, s2, sy, c1, c2, syyc,
+        |    a * bb - cc * cc AS det,
+        |    bb * c1 - cc * c2 AS n1,
+        |    a * c2 - cc * c1 AS n2
+        |  FROM c
+        |), e2 AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(CAST(det AS VARCHAR) AS DOUBLE) AS detd,
+        |    CAST(CAST(n1 AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS b1q,
+        |    CAST(CAST(n2 AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS b2q,
+        |    CAST(CAST(c1 AS VARCHAR) AS DOUBLE) AS c1d,
+        |    CAST(CAST(c2 AS VARCHAR) AS DOUBLE) AS c2d,
+        |    CAST(CAST(syyc AS VARCHAR) AS DOUBLE) AS syycd,
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd
+        |  FROM d
+        |)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN detd <> 0 THEN
+        |    ((syd - b1q * s1d - b2q * s2d) / CAST(n AS DOUBLE)) / 100.0
+        |  END AS b0,
+        |  CASE WHEN detd <> 0 THEN b1q * 100.0 / 100.0 END AS b1,
+        |  CASE WHEN detd <> 0 THEN b2q * 100.0 / 100.0 END AS b2,
+        |  CASE WHEN detd <> 0 AND syycd <> 0 THEN
+        |    (b1q * c1d + b2q * c2d) / syycd END AS r2
+        |FROM e2 ORDER BY l_returnflag""".stripMargin,
 
     // the window-lag pairing as a rn self-join; then the q101 corr
     // algebra per (group, lag) — exact renders, one sqrt

@@ -1059,6 +1059,81 @@ object Features {
       scale, scale)
   }
 
+  /** Per-group bivariate OLS — y = b0 + b1·x1 + b2·x2, the first
+    * multi-feature fit in the catalog (X60's trend and X114's
+    * residuals are single-feature): the two-knob attribution question
+    * ("how much of price moves with quantity vs discount, holding the
+    * other fixed?") that two separate simple regressions answer
+    * WRONGLY whenever x1 and x2 correlate. Closed form by Cramer's
+    * rule on the CENTERED normal equations: with exact quantized
+    * sums, A = n·Σx1² − (Σx1)², B = n·Σx2² − (Σx2)²,
+    * C = n·Σx1x2 − Σx1Σx2, c1 = n·Σx1y − Σx1Σy,
+    * c2 = n·Σx2y − Σx2Σy, D = A·B − C²:
+    * b1 = (B·c1 − C·c2)/D, b2 = (A·c2 − C·c1)/D — every operand an
+    * exact decimal(38,0) integer (decimal-string rendered to double,
+    * so the ONLY inexact steps are the final IEEE divisions, mirrored
+    * verbatim in the oracle), then one exact power-of-ten rescale
+    * back to caller units. Emits per group: `n`, `b0`, `b1`, `b2`,
+    * `r2` (fraction of centered y-variance explained,
+    * (b1·c1 + b2·c2)/(n·Σy² − (Σy)²)); all four null when D = 0 — a
+    * COLLINEAR design has no unique fit, and emitting one would hide
+    * the modeling bug. Exact while the Cramer products stay under
+    * 10³⁸ — n·(10^s·max|v|)⁴·n² in the worst term; past that,
+    * pre-aggregate or drop a quantization digit.
+    *
+    * Scale shape: ONE map-side-combined aggregation to ten exact
+    * moments per group is the only stage that sees row volume; the
+    * Cramer algebra runs on the |groups|-row table.
+    */
+  def bivariateOls(df: DataFrame, groupCols: Seq[String], x1Col: Column,
+      x2Col: Column, yCol: Column, x1Scale: Int = 2, x2Scale: Int = 2,
+      yScale: Int = 2): DataFrame = {
+    val gs = groupCols.map(col)
+    val d38 = DecimalType(38, 0)
+    def q(c: Column, s: Int): Column =
+      (c.cast(DecimalType(18, s)) * lit(math.pow(10, s).toLong))
+        .cast("long")
+    val x1 = q(x1Col, x1Scale)
+    val x2 = q(x2Col, x2Scale)
+    val y = q(yCol, yScale)
+    val base = df.filter(x1.isNotNull && x2.isNotNull && y.isNotNull)
+      .select(gs ++ Seq(x1.as("__x1"), x2.as("__x2"), y.as("__y")): _*)
+    val m = base.groupBy(gs: _*).agg(count(lit(1)).as("n"),
+      sum(col("__x1").cast(d38)).as("__s1"),
+      sum(col("__x2").cast(d38)).as("__s2"),
+      sum(col("__y").cast(d38)).as("__sy"),
+      sum((col("__x1") * col("__x1")).cast(d38)).as("__s11"),
+      sum((col("__x1") * col("__x2")).cast(d38)).as("__s12"),
+      sum((col("__x2") * col("__x2")).cast(d38)).as("__s22"),
+      sum((col("__x1") * col("__y")).cast(d38)).as("__s1y"),
+      sum((col("__x2") * col("__y")).cast(d38)).as("__s2y"),
+      sum((col("__y") * col("__y")).cast(d38)).as("__syy"))
+    val nD = col("n").cast(d38)
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val a = nD * col("__s11") - col("__s1") * col("__s1")
+    val b = nD * col("__s22") - col("__s2") * col("__s2")
+    val cc = nD * col("__s12") - col("__s1") * col("__s2")
+    val c1 = nD * col("__s1y") - col("__s1") * col("__sy")
+    val c2 = nD * col("__s2y") - col("__s2") * col("__sy")
+    val det = a * b - cc * cc
+    val syyC = nD * col("__syy") - col("__sy") * col("__sy")
+    val b1q = dbl(b * c1 - cc * c2) / dbl(det)
+    val b2q = dbl(a * c2 - cc * c1) / dbl(det)
+    val b0q = (dbl(col("__sy")) - b1q * dbl(col("__s1")) -
+      b2q * dbl(col("__s2"))) / dbl(nD)
+    val ok = dbl(det) =!= 0d
+    // unit rescale via exact integer-valued double constants (a
+    // negative power of ten is NOT an exact double; multiply-then-
+    // divide by 10^s keeps both engines on identical operands)
+    def p10(s: Int): Column = lit(math.pow(10, s).toLong.toDouble)
+    m.select(gs ++ Seq(col("n"),
+      when(ok, b0q / p10(yScale)).as("b0"),
+      when(ok, b1q * p10(x1Scale) / p10(yScale)).as("b1"),
+      when(ok, b2q * p10(x2Scale) / p10(yScale)).as("b2"),
+      when(ok && dbl(syyC) =!= 0d,
+        (b1q * dbl(c1) + b2q * dbl(c2)) / dbl(syyC)).as("r2")): _*)
+  }
+
   /** Per-group Cohen's kappa — chance-corrected agreement between two
     * categorical labelings of the same rows (metadata lang vs detector
     * output, two model versions, annotator pairs): raw agreement

@@ -1046,6 +1046,39 @@ class FeaturesSpec extends SparkSpec {
     assert(ng == Map(0L -> 3L, 1L -> 2L))
   }
 
+  test("bivariateOls: exact-fit plane recovered, r2 = 1, collinear " +
+      "design yields nulls, partial-correlation sign beats the naive " +
+      "univariate answer") {
+    import spark.implicits._
+    // y = 1 + 2·x1 + 3·x2, exactly
+    val fit = Seq(("g", 0.0, 0.0, 1.0), ("g", 1.0, 0.0, 3.0),
+      ("g", 0.0, 1.0, 4.0), ("g", 1.0, 1.0, 6.0), ("g", 2.0, 1.0, 8.0))
+      .toDF("grp", "x1", "x2", "y")
+    val r = Features.bivariateOls(fit, Seq("grp"), col("x1"), col("x2"),
+      col("y"), 0, 0, 0).collect().head
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 2.0 &&
+      r.getDouble(4) == 3.0)
+    assert(r.getDouble(5) == 1.0)
+    // collinear x2 = x1: no unique fit → all nulls
+    val coll = Seq(("c", 1.0, 1.0, 1.0), ("c", 2.0, 2.0, 2.0),
+      ("c", 3.0, 3.0, 3.0)).toDF("grp", "x1", "x2", "y")
+    val rc = Features.bivariateOls(coll, Seq("grp"), col("x1"),
+      col("x2"), col("y"), 0, 0, 0).collect().head
+    assert(rc.isNullAt(2) && rc.isNullAt(3) && rc.isNullAt(4) &&
+      rc.isNullAt(5))
+    // suppressor: y = x1 − x2 with x2 ≈ x1 + noise; the UNIVARIATE
+    // slope of y on x2 is positive (x2 proxies x1), but holding x1
+    // fixed the true b2 = −1 — the question only the joint fit answers
+    val sup = Seq(("s", 1.0, 2.0, -1.0), ("s", 2.0, 2.0, 0.0),
+      ("s", 2.0, 3.0, -1.0), ("s", 3.0, 3.0, 0.0),
+      ("s", 3.0, 4.0, -1.0), ("s", 4.0, 4.0, 0.0))
+      .toDF("grp", "x1", "x2", "y")
+    val rs = Features.bivariateOls(sup, Seq("grp"), col("x1"),
+      col("x2"), col("y"), 0, 0, 0).collect().head
+    assert(rs.getDouble(3) == 1.0 && rs.getDouble(4) == -1.0)
+  }
+
   test("fleissKappa: exact integer identity — perfect, fractional, and " +
       "negative agreement; single-category null; ragged panel raises") {
     import spark.implicits._
