@@ -3485,6 +3485,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X272 — stable dense-id remap: the even-docs vocabulary keeps its
+    // ids, terms new in the full corpus append after the prior max —
+    // the embedding-row stability contract across snapshots
+    "q280_stable_ids" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val prior = graft.text.Vocab.buildVocab(
+          docs.filter(col("doc_id") % 2 === 0), "text", 50)
+        .select(col("term"), col("token_id").as("id"))
+      val current = docs.select(explode(graft.text.TextFunctions.tokens(
+        graft.text.TextFunctions.normalized(col("text")))).as("term"))
+      graft.ops.Relational.stableIdRemap(prior, current, "term",
+          substring(col("term"), 1, 1))
+        .orderBy(col("term"))
+    },
+
     // X271 — bivariate OLS: price on (quantity, discount) per
     // returnflag — Cramer on centered normal equations, exact to the
     // two mirrored IEEE divisions
@@ -9932,6 +9947,45 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // the q63 vocabulary as the prior snapshot; fresh terms rank after
+    // the prior max in (first-char bucket, term) order
+    "q280_stable_ids" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents
+        |), counts AS (
+        |  SELECT term, count(*) AS n FROM toks
+        |  WHERE doc_id % 2 = 0 GROUP BY term
+        |), top AS (
+        |  SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 50
+        |), prior AS (
+        |  SELECT term,
+        |    CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
+        |      AS id
+        |  FROM top
+        |), curterms AS (
+        |  SELECT DISTINCT term FROM toks
+        |), mx AS (
+        |  SELECT coalesce(max(id), -1) AS m FROM prior
+        |), kept AS (
+        |  SELECT c.term, p.id, false AS is_new
+        |  FROM curterms c JOIN prior p USING (term)
+        |), fresh AS (
+        |  SELECT c.term FROM curterms c
+        |  LEFT JOIN prior p USING (term) WHERE p.id IS NULL
+        |), fidx AS (
+        |  SELECT term, CAST(row_number() OVER (
+        |    ORDER BY substring(term, 1, 1), term) - 1 AS BIGINT) AS seq
+        |  FROM fresh
+        |)
+        |SELECT term, id, is_new FROM kept
+        |UNION ALL
+        |SELECT f.term, CAST(mx.m + 1 + f.seq AS BIGINT), true
+        |FROM fidx f, mx
+        |ORDER BY term""".stripMargin,
 
     // ten exact HUGEINT moments, Cramer determinants, VARCHAR-double
     // renders; division order mirrors the engine verbatim

@@ -1263,6 +1263,47 @@ object Relational {
       .drop("__off")
   }
 
+  /** Stable dense-id remap across snapshots — the id-stability contract
+    * every versioned vocabulary / embedding table / entity dimension
+    * needs: keys present in `prior` KEEP their id verbatim (row k of
+    * the old embedding matrix still means the same token), keys new in
+    * `current` get fresh ids appended after the prior maximum, dense in
+    * (`bucketCol`, key) order; retired keys drop and their ids are
+    * never reused (a reused id silently re-labels old artifacts).
+    * Output: (key, `id`, `is_new`). Prior keys and prior ids must each
+    * be unique — the caller's contract (a duplicated prior key would
+    * fan the join out; this is the same caller-contract altitude as the
+    * engine-wide unique-tiebreaker rule).
+    *
+    * Scale shape: one distinct on current keys, one key-partitioned
+    * equi-join against the prior map (both shuffle on the SAME key —
+    * no extra exchange), and fresh-id assignment rides [[denseIds]]'s
+    * two-level rank — per-task sort is bucket-sized, never the
+    * single-reducer `row_number() OVER (ORDER BY …)` global sort. The
+    * prior max is one broadcast scalar. `bucketCol` follows the
+    * [[denseIds]] contract: a deterministic coarsening of the key
+    * whose sort order leads (bucket, key).
+    */
+  def stableIdRemap(prior: DataFrame, current: DataFrame,
+      keyCol: String, bucketCol: Column,
+      idName: String = "id"): DataFrame = {
+    val cur = current.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct()
+    val pri = prior.select(col(keyCol), col(idName).as("__pid"))
+    val joined = cur.join(pri, Seq(keyCol), "left")
+    val mx = prior.agg(coalesce(max(col(idName)), lit(-1L)).as("__mx"))
+    val kept = joined.filter(col("__pid").isNotNull)
+      .select(col(keyCol), col("__pid").as(idName),
+        lit(false).as("is_new"))
+    val fresh = joined.filter(col("__pid").isNull)
+      .select(col(keyCol), bucketCol.as("__bkt"))
+    val freshIds = denseIds(fresh, "__bkt", Seq(keyCol), "__seq")
+      .crossJoin(broadcast(mx))
+      .select(col(keyCol), (col("__mx") + 1L + col("__seq")).as(idName),
+        lit(true).as("is_new"))
+    kept.union(freshIds)
+  }
+
   /** Field-level survivorship merge — the MDM/golden-record step after
     * entity resolution: one output row per key where EACH FIELD
     * independently takes its value from the highest-priority source

@@ -986,4 +986,29 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"rank<=k should plan as WindowGroupLimit:\n${plan.take(1500)}")
   }
+
+  test("stableIdRemap: prior ids verbatim, fresh ids append after the " +
+      "prior max in (bucket, key) order, retired ids never reused, " +
+      "empty prior starts at 0") {
+    import spark.implicits._
+    val prior = Seq(("a", 0L), ("b", 1L), ("d", 5L)).toDF("k", "id")
+    // d retired; c, e, z1 new — fresh order by (first char, key)
+    val current = Seq("a", "b", "c", "e", "z1", "a", "e")
+      .toDF("k")
+    val got = graft.ops.Relational.stableIdRemap(prior, current, "k",
+        substring(col("k"), 1, 1))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 0L, false), ("b", 1L, false),
+      ("c", 6L, true), ("e", 7L, true), ("z1", 8L, true)))
+    // retired id 5 is absent and NOT reassigned
+    assert(!got.exists(_._2 == 5L))
+    // empty prior: dense from 0 in (bucket, key) order
+    val fromZero = graft.ops.Relational.stableIdRemap(
+        prior.filter(lit(false)), current, "k",
+        substring(col("k"), 1, 1))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(fromZero.toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L),
+      ("e", 3L), ("z1", 4L)))
+  }
 }
