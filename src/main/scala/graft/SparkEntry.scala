@@ -3485,6 +3485,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X273 — isotonic calibration: weighted PAVA through the minimax
+    // identity over reliability-table bins; monotone by construction
+    "q281_isotonic" -> { (s, dir) =>
+      graft.ops.Features.isotonicCalibrate(t(s, dir, "lineitem"),
+          Seq("l_linestatus"),
+          least(lit(1.0), col("l_discount") * 10),
+          col("l_returnflag") === "R", nBins = 10)
+        .orderBy(col("l_linestatus"), col("bin"))
+    },
+
     // X272 — stable dense-id remap: the even-docs vocabulary keeps its
     // ids, terms new in the full corpus append after the prior max —
     // the embedding-row stability contract across snapshots
@@ -9947,6 +9957,49 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // q271's binning, then the minimax PAVA identity as a relational
+    // triple at bin grain — one mirrored IEEE division
+    "q281_isotonic" ->
+      """WITH b AS (
+        |  SELECT l_linestatus AS g,
+        |    CAST(CAST(least(l_discount * 10, 1.0) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS p,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+        |), cell AS (
+        |  SELECT g, least(9, (p * 10) // 1000000) AS bin,
+        |    CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1, 2
+        |), pref AS (
+        |  SELECT g, bin, nb, pos,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY bin)
+        |      AS BIGINT) AS k,
+        |    CAST(sum(nb) OVER (PARTITION BY g ORDER BY bin)
+        |      AS BIGINT) AS cn,
+        |    CAST(sum(pos) OVER (PARTITION BY g ORDER BY bin)
+        |      AS BIGINT) AS cp
+        |  FROM cell
+        |), pairs AS (
+        |  SELECT a.g, a.k AS i, c.k AS j,
+        |    CAST(c.cp - coalesce(p.cp, 0) AS DOUBLE) /
+        |    CAST(c.cn - coalesce(p.cn, 0) AS DOUBLE) AS avgv
+        |  FROM pref a JOIN pref c ON c.g = a.g AND c.k >= a.k
+        |  LEFT JOIN pref p ON p.g = a.g AND p.k = a.k - 1
+        |), mins AS (
+        |  SELECT pr.g, pr.k, pa.i, min(pa.avgv) AS m
+        |  FROM pref pr JOIN pairs pa
+        |    ON pa.g = pr.g AND pa.i <= pr.k AND pa.j >= pr.k
+        |  GROUP BY 1, 2, 3
+        |), fit AS (
+        |  SELECT g, k, max(m) AS f FROM mins GROUP BY 1, 2
+        |)
+        |SELECT pref.g AS l_linestatus, pref.bin, pref.nb AS n,
+        |  pref.pos AS n_pos, round(fit.f, 6) AS fit6
+        |FROM pref JOIN fit ON fit.g = pref.g AND fit.k = pref.k
+        |ORDER BY l_linestatus, bin""".stripMargin,
 
     // the q63 vocabulary as the prior snapshot; fresh terms rank after
     // the prior max in (first-char bucket, term) order

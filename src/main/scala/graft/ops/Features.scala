@@ -2100,6 +2100,73 @@ object Features {
         ld(col("n_covered") * 1000000L, col("n_test")))
   }
 
+  /** Isotonic calibration via pool-adjacent-violators, computed through
+    * the MINIMAX identity — the other classic probability calibrator
+    * next to [[calibrationTable]]'s diagnosis and [[calibrationError]]'s
+    * scalar: fit the best MONOTONE map from score to positive-rate
+    * (Zadrozny & Elkan 2002; the sklearn `isotonic` every eval stack
+    * reaches for). Scores bin exactly as [[calibrationError]] (micro-
+    * unit quantization, p = 1 joins the top bin, out-of-range raises);
+    * the weighted PAVA fit over the occupied bins is the closed form
+    * fit_k = max_{i≤k} min_{j≥k} (P_j − P_{i−1})/(N_j − N_{i−1})
+    * over positive/count prefix sums — no iterative pooling, no
+    * order-dependent state, and every operand is an exact long until
+    * the ONE mirrored IEEE division, so the fit is bit-identical in
+    * any engine. Emits per (group, occupied bin): `n`, `n_pos`,
+    * `fit6` = round(fitted rate, 6) — monotone nondecreasing in bin
+    * by construction (spec-pinned). Empty bins are simply absent
+    * (weighted PAVA over present bins, the standard treatment).
+    *
+    * Scale shape: the ONLY stage that sees row volume is the
+    * map-side-combined aggregation to (group, bin ≤ nBins) grain; the
+    * O(B³) minimax then runs INSIDE the row over a ≤ nBins-element
+    * array (nBins ≤ 50 enforced → ≤ 125k scalar ops per group — a
+    * model constant, not a data-sized loop), so the fit adds zero
+    * exchanges beyond the cell aggregation.
+    */
+  def isotonicCalibrate(df: DataFrame, groupCols: Seq[String],
+      probCol: Column, labelCol: Column, nBins: Int = 20): DataFrame = {
+    require(nBins >= 2 && nBins <= 50, s"nBins in [2,50]: $nBins")
+    val gs = groupCols.map(col)
+    def letC(v: Column, f: Column => Column): Column =
+      element_at(transform(array(v), f), 1)
+    val pU0 = (probCol.cast(DecimalType(18, 6)) * lit(1000000L))
+      .cast(DecimalType(38, 0))
+    val pU = when(pU0 < 0 || pU0 > 1000000L, raise_error(concat(
+        lit("isotonicCalibrate: probability outside [0,1]: "),
+        probCol.cast("string")))).otherwise(pU0)
+    val bin = least(lit(nBins - 1L),
+      graft.functions.Exact.longDiv((pU * nBins).cast("long"),
+        lit(1000000L)))
+    val cells = df.filter(probCol.isNotNull && labelCol.isNotNull)
+      .groupBy(gs :+ bin.as("__bin"): _*)
+      .agg(count(lit(1)).as("__nb"),
+        sum(labelCol.cast("boolean").cast("long")).as("__pos"))
+    val rows = letC(sort_array(collect_list(struct(col("__bin"),
+        col("__nb"), col("__pos")))), a =>
+      letC(concat(array(lit(0L)), transform(sequence(lit(1), size(a)),
+          k => aggregate(slice(a, lit(1), k), lit(0L),
+            (acc, x) => acc + x.getField("__nb")))), cn0 =>
+        letC(concat(array(lit(0L)), transform(sequence(lit(1), size(a)),
+            k => aggregate(slice(a, lit(1), k), lit(0L),
+              (acc, x) => acc + x.getField("__pos")))), cp0 =>
+          transform(sequence(lit(1), size(a)), k =>
+            struct(element_at(a, k).getField("__bin").as("bin"),
+              element_at(a, k).getField("__nb").as("n"),
+              element_at(a, k).getField("__pos").as("n_pos"),
+              round(array_max(transform(sequence(lit(1), k), i =>
+                array_min(transform(sequence(k, size(a)), j =>
+                  (element_at(cp0, j + 1) - element_at(cp0, i))
+                    .cast("double") /
+                  (element_at(cn0, j + 1) - element_at(cn0, i))
+                    .cast("double"))))), 6).as("fit6"))))))
+    cells.groupBy(gs: _*)
+      .agg(rows.as("__rows"))
+      .select(gs :+ explode(col("__rows")).as("__r"): _*)
+      .select(gs ++ Seq(col("__r.bin").as("bin"), col("__r.n").as("n"),
+        col("__r.n_pos").as("n_pos"), col("__r.fit6").as("fit6")): _*)
+  }
+
   /** Fleiss' kappa — chance-corrected agreement of a FIXED-SIZE rater
     * panel over many items (Fleiss 1971), the annotation-QA statistic
     * for labeling/preference pipelines where [[cohenKappa]]'s two-rater

@@ -1079,6 +1079,31 @@ class FeaturesSpec extends SparkSpec {
     assert(rs.getDouble(3) == 1.0 && rs.getDouble(4) == -1.0)
   }
 
+  test("isotonicCalibrate: adjacent violators pool to the weighted " +
+      "mean, monotone output, already-monotone data unchanged") {
+    import spark.implicits._
+    // bin rates 0/2, 2/2, 1/2, 2/2 — the 1.0 → 0.5 violation pools
+    // bins 1+2 to (2+1)/(2+2) = 0.75
+    val df = Seq(("g", 0.05, 0), ("g", 0.05, 0), ("g", 0.15, 1),
+      ("g", 0.15, 1), ("g", 0.25, 1), ("g", 0.25, 0),
+      ("g", 0.35, 1), ("g", 0.35, 1)).toDF("k", "p", "y")
+    val got = Features.isotonicCalibrate(df, Seq("k"), col("p"),
+      col("y") === 1, nBins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((0L, 2L, 0L, 0.0), (1L, 2L, 2L, 0.75),
+      (2L, 2L, 1L, 0.75), (3L, 2L, 2L, 1.0)))
+    // monotone nondecreasing by construction
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
+    // already-monotone rates pass through untouched
+    val mono = Seq(("m", 0.05, 0), ("m", 0.15, 1), ("m", 0.15, 0),
+      ("m", 0.25, 1)).toDF("k", "p", "y")
+    val mg = Features.isotonicCalibrate(mono, Seq("k"), col("p"),
+      col("y") === 1, nBins = 10).orderBy("bin").collect()
+      .map(_.getDouble(4))
+    assert(mg.toSeq == Seq(0.0, 0.5, 1.0))
+  }
+
   test("fleissKappa: exact integer identity — perfect, fractional, and " +
       "negative agreement; single-category null; ragged panel raises") {
     import spark.implicits._
