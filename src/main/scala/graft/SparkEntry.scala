@@ -3485,6 +3485,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X274 — index of dispersion: per-event-type Fano factor over 6 h
+    // buckets of the exact ns axis — empty buckets count, the whole
+    // burstiness signal
+    "q282_dispersion" -> { (s, dir) =>
+      graft.ops.Features.dispersionIndex(events(s, dir),
+          Seq("event_type"), col("ts_ns"), 21600000000000L)
+        .orderBy(col("event_type"))
+    },
+
     // X273 — isotonic calibration: weighted PAVA through the minimax
     // identity over reliability-table bins; monotone by construction
     "q281_isotonic" -> { (s, dir) =>
@@ -9957,6 +9966,34 @@ object SparkEntry {
         |    AS n_seqs,
         |  start_offset % 512 AS seq_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // counts to (type, 6h-bucket) grain, then the exact variance/mean
+    // cross-multiplied identity with empty buckets in the span term
+    "q282_dispersion" ->
+      """WITH cell AS (
+        |  SELECT event_type, epoch_ns(ts) // 21600000000000 AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+        |    CAST(max(b) - min(b) + 1 AS BIGINT) AS n_buckets,
+        |    CAST(count(*) AS BIGINT) AS n_occupied,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+        |  FROM cell GROUP BY 1
+        |)
+        |SELECT event_type, n_events, n_buckets, n_occupied,
+        |  CAST(CASE WHEN n_buckets > 1 THEN
+        |    (n_buckets * q - CAST(n_events AS HUGEINT) * n_events)
+        |      * 1000000
+        |      // ((n_buckets - 1) * CAST(n_events AS HUGEINT)) END
+        |    AS BIGINT) AS fano_ppm,
+        |  CASE WHEN n_buckets > 1 THEN
+        |    CAST((n_buckets * q - CAST(n_events AS HUGEINT) * n_events)
+        |      * 1000000
+        |      // ((n_buckets - 1) * CAST(n_events AS HUGEINT))
+        |      AS BIGINT) > 1000000 END AS overdispersed
+        |FROM g ORDER BY event_type""".stripMargin,
 
     // q271's binning, then the minimax PAVA identity as a relational
     // triple at bin grain — one mirrored IEEE division

@@ -2236,4 +2236,61 @@ object Features {
         when(den =!= 0,
           ld((t * (a - t) - nm1 * s) * 1000000L, den)).as("kappa_ppm")): _*)
   }
+
+  /** Index of dispersion (Fano factor) of event arrivals — the
+    * burstiness scalar per key: bucket the numeric axis into fixed
+    * `bucketWidth` cells, then `fano = var(counts) / mean(counts)`
+    * over ALL cells spanning [min bucket, max bucket] — EMPTY buckets
+    * count as zero, which is the whole point: a stream that fires 100
+    * events in one bucket and nothing for a day is maximally bursty,
+    * and an operator that averages only occupied buckets would read it
+    * as perfectly steady. Poisson arrivals → fano ≈ 1; `overdispersed`
+    * flags fano > 1 (clumping/bursts), under-dispersion (< 1) is
+    * pacing/throttling. The inter-arrival quantile card (q196) sizes
+    * debounce windows; this is the one-number gate that decides whether
+    * a key needs one at all.
+    *
+    * Exactness: with S = n_events, B = n_buckets, Q = Σc² (occupied
+    * cells only — empty cells add 0), sample variance over the B cells
+    * is (B·Q − S²)/(B·(B−1)) and the mean is S/B, so
+    * `fano_ppm = ⌊(B·Q − S²)·10⁶ / ((B−1)·S)⌋` — non-negative by
+    * Cauchy–Schwarz (B·Q ≥ S²), so truncating [[graft.functions.Exact]]
+    * division equals floor and matches DuckDB `//`; products ride
+    * decimal(38,0). One-bucket keys → null (no variance exists), null
+    * axis rows drop. Bucket ids are floor multiples via
+    * `a − pmod(a, w)` (the X40/X156 discipline), correct for negative
+    * axes where truncating division would split a bucket at zero.
+    *
+    * Scale shape: bucket assignment is scan-local; ONE
+    * map-side-combined aggregation to (key, bucket) grain is the only
+    * stage that sees row volume; the per-key rollup runs over
+    * bucket-grain rows. No window, no sort, no join.
+    */
+  def dispersionIndex(df: DataFrame, groupCols: Seq[String],
+      axisCol: Column, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val d38 = DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val ax = axisCol.cast("long")
+    val b = graft.functions.Exact.longDiv(
+      ax - pmod(ax, lit(bucketWidth)), bucketWidth)
+    val cells = df.filter(ax.isNotNull)
+      .select(gs :+ b.as("__b"): _*)
+      .groupBy(gs :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val g = cells.groupBy(gs: _*)
+      .agg(sum(col("__c")).as("n_events"),
+        (max(col("__b")) - min(col("__b")) + 1L).as("n_buckets"),
+        count(lit(1)).as("n_occupied"),
+        sum((col("__c").cast(d38) * col("__c"))).as("__q"))
+    val num = (col("n_buckets").cast(d38) * col("__q") -
+      col("n_events").cast(d38) * col("n_events")) * 1000000L
+    val den = (col("n_buckets") - 1L).cast(d38) * col("n_events")
+    g.select(gs ++ Seq(col("n_events"), col("n_buckets"),
+        col("n_occupied"),
+        when(col("n_buckets") > 1L,
+          graft.functions.Exact.longDiv(num, den)).as("fano_ppm")): _*)
+      .withColumn("overdispersed",
+        when(col("fano_ppm").isNotNull, col("fano_ppm") > 1000000L))
+  }
 }

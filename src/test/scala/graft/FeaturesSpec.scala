@@ -1137,4 +1137,39 @@ class FeaturesSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("dispersionIndex: empty buckets counted, exact fano ppm, " +
+      "one-bucket null, negative-axis floor bucketing, nulls drop") {
+    import spark.implicits._
+    // key a, width 10: events at 0,1,2 (bucket 0) and 25 (bucket 2) →
+    // B = 3, counts (3, 0, 1): S = 4, Q = 10,
+    // fano = (3·10 − 16)·10⁶ / (2·4) = 1_750_000
+    val df = Seq(("a", 0L), ("a", 1L), ("a", 2L), ("a", 25L),
+      // key b: one event per bucket 0..3 → var 0 → fano 0
+      ("b", 5L), ("b", 15L), ("b", 25L), ("b", 35L),
+      // key c: all in one bucket → B = 1 → null
+      ("c", 3L), ("c", 7L))
+      .toDF("k", "t")
+    val got = Features.dispersionIndex(df, Seq("k"), col("t"), 10L)
+      .orderBy("k").collect()
+    val a = got(0)
+    assert(a.getLong(1) == 4L && a.getLong(2) == 3L && a.getLong(3) == 2L)
+    assert(a.getLong(4) == 1750000L && a.getBoolean(5))
+    val b = got(1)
+    assert(b.getLong(4) == 0L && !b.getBoolean(5))
+    val c = got(2)
+    assert(c.getLong(2) == 1L && c.isNullAt(4) && c.isNullAt(5))
+    // negative axis floors into the adjacent bucket: −5 → bucket −1,
+    // 5 → bucket 0 → B = 2, counts (1,1) → fano 0 (not a split at 0
+    // that truncating division toward zero would produce)
+    val neg = Features.dispersionIndex(
+      Seq(("n", -5L), ("n", 5L)).toDF("k", "t"), Seq("k"), col("t"), 10L)
+      .collect().head
+    assert(neg.getLong(2) == 2L && neg.getLong(4) == 0L)
+    // null axis rows drop
+    val withNull = Features.dispersionIndex(
+      Seq(("z", Some(1L)), ("z", None), ("z", Some(21L)))
+        .toDF("k", "t"), Seq("k"), col("t"), 10L).collect().head
+    assert(withNull.getLong(1) == 2L && withNull.getLong(2) == 3L)
+  }
 }
