@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# 10x-scale correctness gate: full Verify board at sf0.1 + DuckDB oracle
+# compare. Run ONCE per round (a standing ritual since r10, when it flushed
+# two parity bugs the sf0.01 gate structurally cannot see: q165's
+# un-materialized recursive-CTE spill and q191's non-total oracle sort —
+# tie-class and overflow-class configurations that first occur at scale).
+# Expected: "N ok, 0 bad" with N = the full SparkEntry.queries board size.
+# Record the N/N result in BENCHLOG.md's round addendum.
+#
+# Usage: scripts/gate_sf01.sh [outDir]   (default /tmp/verify_sf01)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OUT="${1:-/tmp/verify_sf01}"
+rm -rf "$OUT"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT" 2>&1 | tail -2
+python3 scripts/oracle_check.py /root/testdata/sf0.1 "$OUT"

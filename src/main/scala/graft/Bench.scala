@@ -110,28 +110,23 @@ object Bench {
     * overlap (replica copies are NOT near-dups of each other) and a
     * per-replica source namespace keeps block sizes constant — corpus
     * growth along the realistic axis (more domains, more distinct docs),
-    * the one a blocked near-dup path must stay linear on. Two DISJOINT
-    * rotation alphabets give 7×7 = 49 distinct transforms (n ≤ 49);
-    * replica r applies rotation r%7 of the first and r/7 of the second,
-    * so any two replicas differ in at least one letter mapping. n ≤ 7
-    * reduces to the single-alphabet construction (second rotation 0).
-    *
-    * Known artifact past n = 7 (measured r10, q17 at 16×): replica pairs
-    * sharing the FIRST alphabet's rotation (r ≡ r' mod 7) differ only in
-    * second-alphabet letters, so their shingle sets partially overlap
-    * and LSH band collisions rise — candidate/shuffle bytes grow
-    * super-linearly (q17 bytes16/4 ≈ 11 vs ~4 elsewhere) while the
-    * exact verify rejects every such candidate (output rows stay exactly
-    * n× base) and wall stays sub-linear. A corpus-construction artifact,
-    * not an operator property; a third disjoint alphabet would push it
-    * past n = 343 at the cost of further mangling the token distribution.
+    * the one a blocked near-dup path must stay linear on. The FIRST
+    * rotation alphabet carries 16 symbols (r10 fix: the earlier 7-letter
+    * alphabet wrapped at the 16× sweep point, so replica pairs with
+    * r ≡ r' mod 7 shared their primary rotation, partially overlapped in
+    * shingles, and inflated q17's LSH candidate bytes ~11×/4×-step —
+    * verify-rejected, rows exactly n× base, but the sweep measured the
+    * generator, not the operator). With 16 primary rotations every
+    * replica pair at n ≤ 16 differs in ALL 16 letter mappings; a second
+    * disjoint 6-letter alphabet (rotation r/16) extends distinctness to
+    * n ≤ 96.
     */
   private def docsNx(d: DataFrame, n: Int): DataFrame = {
-    val a1 = "etaoins"; val a2 = "rhldcum"
-    require(n <= 49, s"docsNx supports at most 49 replicas: $n")
+    val a1 = "etaoinshrdlcumwf"; val a2 = "gypbvk"
+    require(n <= 96, s"docsNx supports at most 96 replicas: $n")
     (0 until n).map { r =>
-      val rot1 = a1.drop(r % 7) + a1.take(r % 7)
-      val rot2 = a2.drop(r / 7) + a2.take(r / 7)
+      val rot1 = a1.drop(r % 16) + a1.take(r % 16)
+      val rot2 = a2.drop(r / 16) + a2.take(r / 16)
       d.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
         concat(col("source"), lit(s"_r$r")).as("source"),
         translate(translate(col("text"), a1, rot1), a2, rot2).as("text"))
@@ -391,11 +386,22 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return (-1.0, -1.0)
         }
-      // a transient failure on the re-run must not discard run 1's
-      // valid sample
+      // Allocation-heavy probes need a CLEAN-HEAP re-run, not just a
+      // re-run: the r10 driver session read q81_profile at 8.63 s and
+      // q235_image_neardup at 4.42 s (vs 2.40/0.71 s fresh) because BOTH
+      // of min-of-2's samples ran on a heap pre-poisoned by oracle churn
+      // — the min can't reject what inflates both samples, and the
+      // every-25-queries barrier is too coarse to protect the probe that
+      // allocates most. A full GC immediately before the re-run costs
+      // ~0.1 s and makes sample 2 measure the query on the heap state a
+      // fresh session would have; it's gated on first > 2 s so the ~250
+      // sub-2 s probes don't pay 25 s of added barrier wall.
       val dt =
         if (first >= 20.0) first
-        else try math.min(first, once(name)) catch { case _: Throwable => first }
+        else try {
+          if (first > 2.0) System.gc()
+          math.min(first, once(name))
+        } catch { case _: Throwable => first }
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       (first, dt)
     }

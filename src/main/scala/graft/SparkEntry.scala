@@ -9969,11 +9969,20 @@ object SparkEntry {
 
     // counts to (type, 6h-bucket) grain, then the exact variance/mean
     // cross-multiplied identity with empty buckets in the span term
+    // Bucket id mirrors the engine's FLOOR division (a - pmod(a,w))/w,
+    // not DuckDB's truncating `//` (-7//2 = -3): subtracting the
+    // non-negative pmod first makes the numerator an exact multiple of
+    // the width, so `//` and floor agree even on negative axes.
     "q282_dispersion" ->
-      """WITH cell AS (
-        |  SELECT event_type, epoch_ns(ts) // 21600000000000 AS b,
-        |    CAST(count(*) AS BIGINT) AS c
+      """WITH ax AS (
+        |  SELECT event_type, epoch_ns(ts) AS a
         |  FROM events WHERE ts IS NOT NULL
+        |), cell AS (
+        |  SELECT event_type,
+        |    (a - ((a % 21600000000000 + 21600000000000)
+        |      % 21600000000000)) // 21600000000000 AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM ax
         |  GROUP BY 1, 2
         |), g AS (
         |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
@@ -10639,6 +10648,7 @@ object SparkEntry {
         |  SELECT event_type, user_id,
         |    CAST(epoch_us(ts) AS BIGINT) AS us
         |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
         |), p AS (
         |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS w
         |  FROM e WHERE us < 1705363200000000 GROUP BY 1, 2

@@ -729,7 +729,7 @@ case class ScriptMixCounts(child: Expression)
       } else if ((b0 & 0xf0) == 0xe0 && i + 2 < bytes.length) {
         cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
           (bytes(i + 2) & 0x3f); i += 3
-      } else if ((b0 & 0xf0) == 0xf0 && i + 3 < bytes.length) {
+      } else if ((b0 & 0xf8) == 0xf0 && i + 3 < bytes.length) {
         cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
           ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
       } else { cp = b0; i += 1 }
@@ -792,7 +792,7 @@ case class RollingHash(child: Expression)
          |    int $t1 = $bytes[$i + 1] & 0x3f;
          |    int $t2 = $bytes[$i + 2] & 0x3f;
          |    $cp = (($b0 & 0x0f) << 12) | ($t1 << 6) | $t2; $i += 3;
-         |  } else if (($b0 & 0xf0) == 0xf0 && $i + 3 < $bytes.length) {
+         |  } else if (($b0 & 0xf8) == 0xf0 && $i + 3 < $bytes.length) {
          |    int $t1 = $bytes[$i + 1] & 0x3f;
          |    int $t2 = $bytes[$i + 2] & 0x3f;
          |    int $t3 = $bytes[$i + 3] & 0x3f;
@@ -829,7 +829,7 @@ object RollingHash {
       } else if ((b0 & 0xf0) == 0xe0 && i + 2 < n) {
         cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
           (bytes(i + 2) & 0x3f); i += 3
-      } else if ((b0 & 0xf0) == 0xf0 && i + 3 < n) {
+      } else if ((b0 & 0xf8) == 0xf0 && i + 3 < n) {
         cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
           ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
       } else { cp = b0; i += 1 } // truncated/invalid lead: degrade

@@ -998,6 +998,10 @@ object Features {
     * window (O(k) state), then [[groupCorr]]'s ONE map-side-combined
     * aggregation to |groups| rows — the window reuses the same
     * key-subset partitioning, so the aggregation adds no exchange.
+    * Parallelism is |groups|: a FEW-group key (q278 partitions on
+    * `l_returnflag` — 3 groups) serializes the window stage to ~3
+    * tasks by construction; when wall time matters, include a finer
+    * component in `groupCols` (device, shard, day) so tasks fan out.
     */
   def autocorr(df: DataFrame, groupCols: Seq[String], orderCol: Column,
       valueCol: Column, lagK: Int, scale: Int = 2,
@@ -1034,7 +1038,11 @@ object Features {
     * (row, lag) grain is scan-local and feeds [[groupCorr]]'s one
     * map-side-combined aggregation to |groups|·(maxLag+1) rows, which
     * reuses the key-subset partitioning — no extra exchange of data
-    * volume.
+    * volume. Parallelism is |groups| (the lag axis does NOT fan out —
+    * all maxLag+1 frames evaluate inside one per-group pass): a
+    * few-group key serializes the window stage to |groups| tasks
+    * (q278's `l_returnflag` = 3); include a finer key component when
+    * wall time matters.
     */
   def crossCorr(df: DataFrame, groupCols: Seq[String], orderCol: Column,
       xCol: Column, yCol: Column, maxLag: Int, scale: Int = 2,
@@ -1205,7 +1213,9 @@ object Features {
     * share one window spec, so the plan is two sorts (one per margin's
     * ordering) over the same partitioning plus groupCorr's single
     * map-side-combined aggregation. No joins, no distinct, no
-    * value-grain side table.
+    * value-grain side table. Parallelism is |groups| (the window
+    * stages run one task per group): with a few-group key, include a
+    * finer component in `groupCols` when wall time matters.
     */
   def spearmanCorr(df: DataFrame, groupCols: Seq[String], xCol: Column,
       yCol: Column): DataFrame = {

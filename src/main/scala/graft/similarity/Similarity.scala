@@ -705,9 +705,13 @@ object Similarity {
           col("__c"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x).as("__d"))
     val nSub = codebook.agg(countDistinct(col("sub")).as("__nsub"))
-    codes.join(broadcast(lut), Seq("sub", "code"))
+    // LEFT join + count of MATCHED rows: an id whose codes are ALL
+    // missing from the codebook must still reach the raise_error guard
+    // below (an inner join would drop its every row, silently
+    // understating the result set instead of failing).
+    codes.join(broadcast(lut), Seq("sub", "code"), "left")
       .groupBy(col(idCol))
-      .agg(sum(col("__d")).as("__adc"), count(lit(1)).as("__cnt"))
+      .agg(sum(col("__d")).as("__adc"), count(col("__d")).as("__cnt"))
       .crossJoin(broadcast(nSub))
       .select(col(idCol),
         when(col("__cnt") =!= col("__nsub"), raise_error(concat(

@@ -281,5 +281,14 @@ class SimilarityJoinSpec extends SparkSpec {
       Similarity.pqAdcTopK(bad, cb, q, "vec_id", 3).collect()
     }
     assert(e.getMessage != null)
+    // an id whose codes are ALL missing must also raise — the left
+    // join keeps its rows alive for the guard (an inner join would
+    // silently drop the id and understate the result set)
+    val allBad = Seq((8L, 0L, 77L), (8L, 1L, 88L))
+      .toDF("vec_id", "sub", "code")
+    val e2 = intercept[Exception] {
+      Similarity.pqAdcTopK(allBad, cb, q, "vec_id", 3).collect()
+    }
+    assert(e2.getMessage != null)
   }
 }

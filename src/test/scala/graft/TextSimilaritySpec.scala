@@ -274,6 +274,19 @@ class TextSimilaritySpec extends SparkSpec {
         lit(Array(0x61.toByte, 0xc3.toByte)).cast("string")))
       .head.getLong(0)
     assert(malformed == 97L * 257 + 0xc3)
+    // invalid lead bytes 0xf8–0xff are NOT 4-byte leads ((b&0xf8)==0xf0
+    // is the real test) — they too degrade to single units instead of
+    // swallowing three continuation bytes, on BOTH paths
+    val inv = Array(0xf8.toByte, 0x61.toByte, 0x62.toByte, 0x63.toByte)
+    val invExp = ((((0xf8L * 257 + 97) % 1000000007L) * 257 + 98)
+      % 1000000007L) * 257 + 99
+    assert(graft.functions.RollingHash.fold(inv) ==
+      invExp % 1000000007L)
+    val invGot = spark.range(1)
+      .select(graft.functions.TextExpressions.rollingHash(
+        lit(inv).cast("string")))
+      .head.getLong(0)
+    assert(invGot == invExp % 1000000007L)
     // and the round's expressions are SQL-registered via GraftExtensions
     assert(spark.sql("SELECT rolling_hash('ab')").head.getLong(0) == 25027L)
     assert(spark.sql(
