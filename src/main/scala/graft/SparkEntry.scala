@@ -3485,6 +3485,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X275 — BM25 lexical top-k retrieval: integer rank-preserving idf
+    // (bit length of N div df) + cleared-denominator saturation at
+    // k1=1.2, b=0.75 — exact longs end to end, five literal queries
+    "q283_bm25" -> { (s, dir) =>
+      import s.implicits._
+      val qs = Seq((1L, "hash join"), (2L, "window agg sort"),
+          (3L, "slow scan"), (4L, "customer order query"),
+          (5L, "vector stream"))
+        .toDF("query_id", "qtext")
+      graft.text.Corpus.bm25TopK(t(s, dir, "documents"), "text",
+          "doc_id", qs, "query_id", "qtext", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // X274 — index of dispersion: per-event-type Fano factor over 6 h
     // buckets of the exact ns axis — empty buckets count, the whole
     // burstiness signal
@@ -9969,6 +9983,64 @@ object SparkEntry {
 
     // counts to (type, 6h-bucket) grain, then the exact variance/mean
     // cross-multiplied identity with empty buckets in the span term
+    // BM25 in exact integers: idf = bit length of N div df (format
+    // '{:b}' mirrors Spark's bin()), saturation cleared to
+    // 22·tf·T // (10·tf·T + 3·T + 9·dl·N) — all operands positive, so
+    // DuckDB `//` = floor = Spark's IntegralDivide; HUGEINT products,
+    // BIGINT renders
+    "q283_bm25" ->
+      """WITH q(query_id, qtext) AS (
+        |  VALUES (1, 'hash join'), (2, 'window agg sort'),
+        |    (3, 'slow scan'), (4, 'customer order query'),
+        |    (5, 'vector stream')
+        |), base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(len(tk)), 0) AS BIGINT) AS t
+        |  FROM base
+        |), tok AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term
+        |  FROM base
+        |), tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2, 3
+        |), qt AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id,
+        |    unnest(list_distinct(list_filter(string_split_regex(
+        |      lower(trim(regexp_replace(qtext, '\s+', ' ', 'g'))), '\s+'),
+        |      t -> t <> ''))) AS term
+        |  FROM q
+        |), dfx AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1
+        |), contrib AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(length(format('{:b}', s.n // dfx.df)) AS BIGINT)
+        |      * CAST((CAST(tf.tf AS HUGEINT) * s.t * 22000000)
+        |        // (CAST(tf.tf AS HUGEINT) * s.t * 10
+        |           + CAST(s.t AS HUGEINT) * 3
+        |           + CAST(tf.dl AS HUGEINT) * s.n * 9) AS BIGINT) AS c
+        |  FROM tf
+        |  JOIN qt ON tf.term = qt.term
+        |  JOIN dfx ON tf.term = dfx.term
+        |  CROSS JOIN stats s
+        |), scored AS (
+        |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM contrib GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+        |    doc_id, score_micro, n_terms
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, doc_id, score_micro, n_terms FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // Bucket id mirrors the engine's FLOOR division (a - pmod(a,w))/w,
     // not DuckDB's truncating `//` (-7//2 = -3): subtracting the
     // non-negative pmod first makes the numerator an exact multiple of

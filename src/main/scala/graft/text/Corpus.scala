@@ -1157,4 +1157,99 @@ object Corpus {
         longDiv(col("__best.n") * 1000000L, col("n_segments"))
           .as("majority_ppm"))
   }
+
+  /** BM25 lexical top-k retrieval — the ranked-search counterpart of
+    * [[invertedIndex]] (X167 builds the artifact; this ANSWERS queries
+    * against the corpus): for each query, the top `k` documents by the
+    * Okapi BM25 score at the standard constants k1 = 1.2, b = 0.75
+    * (Robertson & Walker, SIGIR'94), the lexical baseline every hybrid
+    * retrieval / RAG pipeline pairs with dense ANN (X43) and fuses via
+    * X186's reciprocal-rank fusion.
+    *
+    * Exact integer end to end — no `ln`, no float sum. Two moves:
+    *
+    *   1. **Rank-preserving idf** (the X204 bit-length discipline):
+    *      `idf_bits = bitlen(N div df)` — ⌊log₂⌋+1 via the binary
+    *      string length, monotone non-increasing in df, so the
+    *      ORDERING — all a ranker consumes — tracks the Robertson idf
+    *      at bit grain with zero transcendental whose last ulp could
+    *      differ across engines.
+    *   2. **Cleared-denominator saturation**: with dl = doc tokens,
+    *      N = docs, T = total tokens (avgdl = T/N), the BM25 term
+    *      tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) multiplied through
+    *      by 10·T is exactly 22·tf·T / (10·tf·T + 3·T + 9·dl·N) — all
+    *      integer. Per-term contribution
+    *      `idf_bits · ⌊10⁶·22·tf·T / (10·tf·T + 3·T + 9·dl·N)⌋` floors
+    *      ONCE per (term, doc) in decimal(38,0) (exact while
+    *      22·10⁶·tf·T < 10³⁸), so the document score — the SUM of
+    *      per-term longs — is order-independent and bit-identical on
+    *      any partitioning or engine.
+    *
+    * Query tokens deduplicate (set-of-terms queries — the standard
+    * short-query convention); tokenization is the engine-wide
+    * [[TextFunctions.normalized]] + whitespace [[TextFunctions.tokens]],
+    * so index, query, and every other text operator agree on what a
+    * term is. Output: (queryId, `rank` 1..k, docId, `score_micro`,
+    * `n_terms` — matched query terms); ties break score-desc then docId
+    * asc (total — q191 discipline). Queries matching no document emit
+    * no rows; null-text documents don't count toward N.
+    *
+    * Scale shape: the CORPUS side is one scan-local explode + ONE
+    * map-side-combined aggregation to (doc, term) grain; everything
+    * query-shaped (term set, per-term df, N/T scalars) is broadcast, so
+    * the posting stream joins them with ZERO corpus shuffle — and the
+    * broadcast term-set semi-join prunes non-query terms BEFORE the df
+    * aggregation, so a 10⁶-term vocabulary costs |query terms| rows,
+    * not a vocabulary-grain exchange. The only shuffle carries
+    * (query, doc) candidate grain (map-side combined), and the top-k
+    * is a rank-limit window (row_number ≤ k → WindowGroupLimit:
+    * executors keep ≤ k rows per query per partition pre-shuffle).
+    * At 100 TB the cost is one pass over the corpus tokens — the same
+    * bound as building X167's index once.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import graft.functions.Exact.longDiv
+    val d38 = DecimalType(38, 0)
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
+          .as("__toks"))
+    val stats = base.agg(count(lit(1)).as("__n"),
+      coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("__t"))
+    val tf = base
+      .select(col("__id"), size(col("__toks")).cast("long").as("__dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("__id"), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val qterms = queries.select(col(queryIdCol).as("__qid"),
+      explode(array_distinct(TextFunctions.tokens(
+        TextFunctions.normalized(col(queryTextCol))))).as("term"))
+    // semi-join the posting stream down to query terms FIRST: df then
+    // aggregates |query terms| keys, not the vocabulary
+    val tfq = tf.join(broadcast(qterms.select(col("term")).distinct()),
+      Seq("term"))
+    val dfTab = tfq.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val tfT = col("__tf").cast(d38) * col("__t")
+    val contrib =
+      length(bin(longDiv(col("__n"), col("__df")))).cast("long") *
+        longDiv(tfT * 22000000L,
+          tfT * 10L + col("__t").cast(d38) * 3L +
+            col("__dl").cast(d38) * col("__n") * 9L)
+    val scored = tfq
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfTab), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("__qid"), col("__id"), contrib.as("__c"))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(sum(col("__c")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+    graft.ops.Relational.topKPerGroup(scored, Seq("__qid"),
+        Seq(col("score_micro").desc, col("__id")), k)
+      .select(col("__qid").as(queryIdCol),
+        col("rank").cast("long").as("rank"), col("__id").as(idCol),
+        col("score_micro"), col("n_terms"))
+  }
 }

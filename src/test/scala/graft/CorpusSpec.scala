@@ -713,4 +713,34 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"dupGramStats must be scan-local:\n${plan.take(2000)}")
   }
+
+  test("bm25TopK: exact integer scores hand-checked, rank order, " +
+      "k cap, unmatched query absent, broadcast + rank-limit plan") {
+    import spark.implicits._
+    // N=4, T=10; query terms apple (df=2), banana (df=2) →
+    // idf_bits = bitlen(4 div 2) = 2. satur_micro(tf,dl) =
+    // ⌊1e6·22·tf·10 / (10·tf·10 + 3·10 + 9·dl·4)⌋:
+    //   doc1 apple tf=2 dl=3: ⌊440e6/338⌋=1301775 ×2 = 2603550
+    //   doc1 banana tf=1 dl=3: ⌊220e6/238⌋=924369 ×2 = 1848738
+    //   doc2 apple tf=1 dl=2: ⌊220e6/202⌋=1089108 ×2 = 2178216
+    //   doc3 banana tf=4 dl=4: ⌊880e6/574⌋=1533101 ×2 = 3066202
+    val corpus = Seq((1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "banana banana banana banana"), (4L, "durian"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "apple banana"), (2L, "durian"), (3L, "zzz"))
+      .toDF("query_id", "qtext")
+    val out = Corpus.bm25TopK(corpus, "text", "doc_id",
+      qs, "query_id", "qtext", k = 2)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got((1L, 1L)) == ((1L, 4452288L, 2L))) // doc1 wins, 2 terms
+    assert(got((1L, 2L)) == ((3L, 3066202L, 1L))) // doc3 over doc2
+    assert(got((2L, 1L))._1 == 4L)                // durian → doc4 only
+    assert(got.size == 3)                         // k caps q1; q3 empty
+    val plan = out.queryExecution.executedPlan.toString
+    // query-shaped sides broadcast; the top-k is a rank-limit window
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
 }
