@@ -3485,6 +3485,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X277 — exact-duplicate coverage per doc: interval union of all
+    // repeated spans ≥ 8, floor ppm; even-doc split keeps the bench
+    // suite's suffix-tier wall bounded (q284 measures the full corpus)
+    "q285_span_coverage" -> { (s, dir) =>
+      graft.text.SuffixSpans.repeatedSpanCoverage(
+          t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 0),
+          "text", "doc_id", minTokens = 8, maxSpan = 128)
+        .orderBy(col("doc_id"))
+    },
+
+    // X278 — ExactSubstr removal: every token covered by a repeated
+    // span ≥ 8 drops, survivors rejoin; same even-doc split as q285
+    "q286_span_removal" -> { (s, dir) =>
+      graft.text.SuffixSpans.removeRepeatedSpans(
+          t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 0),
+          "text", "doc_id", minTokens = 8, maxSpan = 128)
+        .orderBy(col("doc_id"))
+    },
+
+    // X276 — distributed suffix array (prefix doubling) → longest
+    // exactly-repeated token span per document, the any-length upgrade
+    // of X45/X58's fixed-n gram passes
+    "q284_suffix_spans" -> { (s, dir) =>
+      graft.text.SuffixSpans.longestRepeatedSpans(
+          t(s, dir, "documents"), "text", "doc_id",
+          minTokens = 8, maxSpan = 128)
+        .orderBy(col("doc_id"))
+    },
+
     // X275 — BM25 lexical top-k retrieval: integer rank-preserving idf
     // (bit length of N div df) + cleared-denominator saturation at
     // k1=1.2, b=0.75 — exact longs end to end, five literal queries
@@ -9983,6 +10012,147 @@ object SparkEntry {
 
     // counts to (type, 6h-bucket) grain, then the exact variance/mean
     // cross-multiplied identity with empty buckets in the span term
+    // coverage = interval union of per-position max repeated lengths —
+    // same sweep as the engine (running max of ends over starts ≤ s);
+    // even-doc subset mirrors the probe; 1-based s shifts both interval
+    // endpoints equally, so the union size is index-base-invariant
+    "q285_span_coverage" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        |), eligible AS (
+        |  SELECT doc_id, tk, len(tk) AS n FROM base WHERE len(tk) >= 8
+        |), pos AS (
+        |  SELECT doc_id, tk, n, unnest(generate_series(1, n)) AS s
+        |  FROM eligible
+        |), g AS (
+        |  SELECT p.doc_id, p.s, L.L,
+        |    array_to_string(list_slice(p.tk, p.s, p.s + L.L - 1), ' ')
+        |      AS gram
+        |  FROM pos p
+        |  CROSS JOIN (SELECT unnest(generate_series(8, 128)) AS L) L
+        |  WHERE p.s + L.L - 1 <= p.n
+        |), rep AS (
+        |  SELECT L, gram FROM g GROUP BY L, gram HAVING count(*) >= 2
+        |), sl AS (
+        |  SELECT g.doc_id, g.s, CAST(max(g.L) AS BIGINT) AS sl
+        |  FROM g JOIN rep ON g.L = rep.L AND g.gram = rep.gram
+        |  GROUP BY g.doc_id, g.s
+        |), iv AS (
+        |  SELECT doc_id, s, sl,
+        |    coalesce(max(s + sl) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS runb
+        |  FROM sl
+        |), cov AS (
+        |  SELECT doc_id, CAST(sum(greatest(0,
+        |    s + sl - greatest(s, runb))) AS BIGINT) AS covered
+        |  FROM iv GROUP BY doc_id
+        |)
+        |SELECT e.doc_id, CAST(e.n AS BIGINT) AS n_tokens,
+        |  coalesce(c.covered, 0) AS covered_tokens,
+        |  CAST(coalesce(c.covered, 0) * 1000000 // e.n AS BIGINT)
+        |    AS coverage_ppm
+        |FROM eligible e LEFT JOIN cov c USING (doc_id)
+        |ORDER BY e.doc_id""".stripMargin,
+
+    // removal = the same running-max sweep on the FULL position axis:
+    // q covered iff max over s ≤ q of (s + sl(s)) > q; survivors
+    // string_agg in position order
+    "q286_span_removal" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        |), eligible AS (
+        |  SELECT doc_id, tk, len(tk) AS n FROM base WHERE len(tk) >= 8
+        |), pos AS (
+        |  SELECT doc_id, tk, n, unnest(generate_series(1, n)) AS s
+        |  FROM eligible
+        |), g AS (
+        |  SELECT p.doc_id, p.s, L.L,
+        |    array_to_string(list_slice(p.tk, p.s, p.s + L.L - 1), ' ')
+        |      AS gram
+        |  FROM pos p
+        |  CROSS JOIN (SELECT unnest(generate_series(8, 128)) AS L) L
+        |  WHERE p.s + L.L - 1 <= p.n
+        |), rep AS (
+        |  SELECT L, gram FROM g GROUP BY L, gram HAVING count(*) >= 2
+        |), sl AS (
+        |  SELECT g.doc_id, g.s, CAST(max(g.L) AS BIGINT) AS sl
+        |  FROM g JOIN rep ON g.L = rep.L AND g.gram = rep.gram
+        |  GROUP BY g.doc_id, g.s
+        |), axis AS (
+        |  SELECT doc_id, unnest(generate_series(1, n)) AS q
+        |  FROM eligible
+        |), runx AS (
+        |  SELECT a.doc_id, a.q,
+        |    max(a.q + coalesce(t.sl, 0)) OVER (PARTITION BY a.doc_id
+        |      ORDER BY a.q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rune
+        |  FROM axis a LEFT JOIN sl t
+        |    ON a.doc_id = t.doc_id AND a.q = t.s
+        |), sel AS (
+        |  SELECT r.doc_id, r.q, e.tk[r.q] AS tok
+        |  FROM runx r JOIN eligible e USING (doc_id)
+        |  WHERE r.rune <= r.q
+        |), agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY q) AS text_clean,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM sel GROUP BY doc_id
+        |)
+        |SELECT e.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  CAST(e.n AS BIGINT) AS n_tokens,
+        |  CAST(e.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM eligible e LEFT JOIN agg a USING (doc_id)
+        |ORDER BY e.doc_id""".stripMargin,
+
+    // brute-force mirror of the suffix-array answer: enumerate EVERY
+    // (start, length) token gram in 8..128, keep those occurring >= 2
+    // times corpus-wide (same-doc overlaps count), per doc max length
+    // then smallest start — O(n·L) where the engine is O(n log L)
+    "q284_suffix_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), eligible AS (
+        |  SELECT doc_id, tk, len(tk) AS n FROM base WHERE len(tk) >= 8
+        |), pos AS (
+        |  SELECT doc_id, tk, n, unnest(generate_series(1, n)) AS s
+        |  FROM eligible
+        |), g AS (
+        |  SELECT p.doc_id, p.s, L.L,
+        |    array_to_string(list_slice(p.tk, p.s, p.s + L.L - 1), ' ')
+        |      AS gram
+        |  FROM pos p
+        |  CROSS JOIN (SELECT unnest(generate_series(8, 128)) AS L) L
+        |  WHERE p.s + L.L - 1 <= p.n
+        |), rep AS (
+        |  SELECT L, gram FROM g GROUP BY L, gram HAVING count(*) >= 2
+        |), cand AS (
+        |  SELECT g.doc_id, g.s, g.L
+        |  FROM g JOIN rep ON g.L = rep.L AND g.gram = rep.gram
+        |), bl AS (
+        |  SELECT doc_id, CAST(max(L) AS BIGINT) AS span_len
+        |  FROM cand GROUP BY doc_id
+        |), bs AS (
+        |  SELECT c.doc_id, b.span_len,
+        |    CAST(min(c.s) - 1 AS BIGINT) AS start_pos
+        |  FROM cand c JOIN bl b ON c.doc_id = b.doc_id
+        |    AND c.L = b.span_len
+        |  GROUP BY c.doc_id, b.span_len
+        |)
+        |SELECT e.doc_id, bs.start_pos, bs.span_len,
+        |  array_to_string(list_slice(e.tk, CAST(bs.start_pos + 1 AS INT),
+        |    CAST(bs.start_pos + bs.span_len AS INT)), ' ') AS span
+        |FROM bs JOIN eligible e USING (doc_id)
+        |ORDER BY e.doc_id""".stripMargin,
+
     // BM25 in exact integers: idf = bit length of N div df (format
     // '{:b}' mirrors Spark's bin()), saturation cleared to
     // 22·tf·T // (10·tf·T + 3·T + 9·dl·N) — all operands positive, so

@@ -1,0 +1,413 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact.longDiv
+
+/** Exact repeated-substring detection via a DISTRIBUTED SUFFIX ARRAY —
+  * the tier above X45/X58's fixed-n positional grams: those answer "is
+  * this exact n-gram repeated?" at one configured n; this answers "what
+  * is the LONGEST exactly-repeated token span here?" for every position
+  * at once, the question behind suffix-array training-data dedup
+  * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  * Better" — their ExactSubstr dedup builds exactly this artifact).
+  *
+  * Method: Manber–Myers prefix doubling, re-expressed relationally —
+  * the textbook distributed suffix-array construction (O(log) rounds of
+  * join + rank, each linear in the token stream; no single-node suffix
+  * automaton, no driver-side text):
+  *
+  *   1. Documents concatenate into one global token stream with a
+  *      UNIQUE sentinel token per document boundary, so no repeated
+  *      span can cross documents (a match would need two equal
+  *      sentinels, which never exist). Each position carries its next
+  *      p0 = 2^⌊log₂ minTokens⌋ tokens as a scan-local gram column.
+  *   2. rank_p0 = one two-level consistent rank of the p0-gram content
+  *      (any order-consistent relabeling preserves repeated-substring
+  *      structure) — starting at p0 skips every sub-p0 doubling round.
+  *   3. Doubling rounds to maxSpan, BROADCAST-FREE: rank is a growing
+  *      long array — rank₂ₖ = rankₖ ++ [rank() within the rankₖ-group
+  *      ordered by the g+k partner's rankₖ]. Lexicographic array order
+  *      is order-consistent by construction (equal prefix ⟹ same
+  *      group ⟹ ordered by the appended element) and array equality
+  *      is gram equality by induction, so no global offset pass — and
+  *      hence no per-round broadcast job: with lazy localCheckpoints
+  *      (constant plan depth, shared self-join RDDs — the X37/X159
+  *      loop discipline minus the per-round action a convergence test
+  *      would force) the whole loop executes inside the caller's one
+  *      action. Array length is log₂(maxSpan/p0)+1 longs — a log
+  *      factor on shuffle bytes, not a row blow-up. The per-round
+  *      window partitions by the rankₖ array: task sizes are
+  *      duplicate-group sizes, which shrink every round.
+  *   4. Suffix-order adjacency WITHOUT a global window: sequence ids
+  *      over (rank, position) ride [[graft.ops.Relational.denseIds]]'
+  *      two-level rank; adjacency is a self-join on seq = seq+1, and
+  *      pairs whose rank-array HEADS differ (lcp < p0 ≤ minTokens)
+  *      drop in-row — the descent below only ever sees pairs inside
+  *      repeated regions, which AQE joins by broadcasting the pair
+  *      side instead of shuffling the rank tables.
+  *   5. Per surviving pair, the LCP by sparse-table descent over the
+  *      kept round tables (highest power first: if rankₖ matches at
+  *      the current frontier, advance k) — log₂(maxSpan/p0)+1 INNER
+  *      joins (sound: the frontier can never cross a sentinel, so the
+  *      lookup position always exists), then the final sub-p0
+  *      extension IN-ROW as the common-prefix length of the two
+  *      frontier gram columns (a full-gram match there is impossible —
+  *      the p0-level descent step would have advanced instead). The
+  *      classic suffix-array fact turns neighbor LCPs into the answer:
+  *      a suffix's longest repeated prefix equals the max of the LCPs
+  *      with its two suffix-order neighbors.
+  *
+  * Output per document with any result: (`idCol`, `start_pos` 0-based
+  * token index, `span_len` tokens, `span` — the tokens space-joined),
+  * where `span_len` = the longest token span starting in this document
+  * that occurs at ≥ 2 distinct positions corpus-wide (same-document
+  * and overlapping repeats count — the suffix array sees positions,
+  * not documents), `span_len >= minTokens`, ties broken to the
+  * smallest start. Lengths clamp at `maxSpan` (exact below it).
+  * Tokenization is the engine-wide [[TextFunctions.normalized]] +
+  * whitespace [[TextFunctions.tokens]].
+  *
+  * Scale shape: every stage is token-stream-grain with key-partitioned
+  * equi-joins or gram-group windows — no global sort, no driver-side
+  * loop state beyond the fixed round count. Document offsets ride a
+  * TWO-LEVEL prefix sum (per-bucket totals → |buckets|-row running
+  * offsets → broadcast back), never a partition-less window over the
+  * doc table. At 100 TB this is O(n log(maxSpan/p0)) shuffle volume —
+  * the price of EXACT any-length repeats; the fixed-n X45 pass remains
+  * the cheap screen.
+  */
+object SuffixSpans {
+
+  /** Floor multiple division — correct for negative ids, where
+    * truncating division would split a bucket at zero (X40/X156).
+    */
+  private def floorDivC(a: Column, w: Long): Column =
+    longDiv(a - pmod(a, lit(w)), w)
+
+  /** Shared suffix-array core for the X276-X278 tier: returns
+    * (`base`, `spans`) where `base` is (__doc, __tk) for every in-scope
+    * document (non-null text, >= minTokens tokens) and `spans` has one
+    * row per POSITION whose longest exactly-repeated span reaches
+    * minTokens: (__doc, __p 0-based, __sl <= maxSpan). All heavy
+    * machinery (sentinel stream, prefix doubling, adjacency, in-row
+    * LCP) lives here once; the public operators are cheap shapes over
+    * the two frames.
+    */
+  private def spanCore(docs: DataFrame, textCol: String,
+      idCol: String, minTokens: Int,
+      maxSpan: Int): (DataFrame, DataFrame) = {
+    require(minTokens >= 2, s"minTokens must be >= 2: $minTokens")
+    require(maxSpan >= minTokens && maxSpan <= 4096,
+      s"maxSpan in [$minTokens, 4096]: $maxSpan")
+    import graft.ops.Relational.denseIds
+    // diagnostic stage log (SaDiag); unset in production
+    val debug = sys.env.contains("GRAFT_SA_DEBUG")
+    def tlog(msg: => String): Unit = if (debug) System.err.println(
+      f"[sa] ${System.nanoTime() / 1e9}%.3f $msg")
+    val p0 = java.lang.Long.highestOneBit(minTokens.toLong)
+
+    // AQE OFF while this operator BUILDS its lazy checkpoints: under
+    // AQE, `localCheckpoint(false).toRdd` materializes every upstream
+    // query stage eagerly (AdaptiveSparkPlanExec resolves its final
+    // plan on RDD construction), which turns the fixed-round loop into
+    // ~25 sequential stage-materialization barriers of ~0.3 s each —
+    // measured 10 s of pure barrier wall at sf0.1 for ~2 s of actual
+    // work. With AQE off at build time the checkpoints stay genuinely
+    // lazy and the whole structure executes as ONE pipelined job at the
+    // caller's action. The caller's own queries are unaffected — the
+    // flag is restored before returning, and the returned frame's
+    // leaves are already-planned RDD scans.
+    val sess = docs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = sess.conf.get(aqeKey, "true")
+    sess.conf.set(aqeKey, "false")
+    // With AQE off, every exchange in the ~35-stage structure would run
+    // at the session shuffle width regardless of the stream's size —
+    // pure task-launch wall on small inputs (the CC loopWidth lesson).
+    // Derive the build-time width from the INPUT's own partitioning
+    // (scan partitions track bytes), bounded below so a one-file input
+    // still parallelizes; restored with the AQE flag.
+    val spKey = "spark.sql.shuffle.partitions"
+    val spWas = sess.conf.get(spKey)
+    val width = math.max(8, math.min(spWas.toInt,
+      2 * docs.rdd.getNumPartitions))
+    sess.conf.set(spKey, width.toString)
+    try {
+
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
+          .as("__tk"))
+      .filter(size(col("__tk")) >= minTokens)
+      .localCheckpoint(false)
+
+    // document offsets: two-level prefix sum over (len+1) in __doc
+    // order — the +1 reserves the sentinel slot
+    val lens = base.select(col("__doc"),
+      (size(col("__tk")) + 1L).as("__len1"),
+      floorDivC(col("__doc"), 4096L).as("__bk"))
+    val bucketOffs = lens.groupBy(col("__bk"))
+      .agg(sum(col("__len1")).as("__bn"))
+      .withColumn("__boff", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bk"), col("__boff"))
+    val offs = lens.join(broadcast(bucketOffs), Seq("__bk"))
+      .withColumn("__off", col("__boff") +
+        coalesce(sum(col("__len1")).over(
+          Window.partitionBy(col("__bk")).orderBy(col("__doc"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__doc"), col("__off"))
+
+    // one row per position INCLUDING the sentinel slot; __gram is the
+    // next p0 tokens (shorter near the document end, and containing
+    // the unique sentinel whenever it crosses the boundary -- so
+    // boundary grams never collide across positions)
+    val stream = base.join(offs, Seq("__doc"))
+      .select(col("__doc"), col("__off"),
+        concat(col("__tk"), array(concat(lit(" "),
+          col("__doc").cast("string")))).as("__tks"))
+      .select(col("__doc"), col("__off"), col("__tks"),
+        posexplode(col("__tks")).as(Seq("__p", "__tok")))
+      .select(col("__doc"), col("__p").cast("long").as("__p"),
+        (col("__off") + col("__p")).as("__g"),
+        slice(col("__tks"), col("__p") + 1, lit(p0.toInt)).as("__gram"))
+      .localCheckpoint(false)
+    tlog("stream built")
+
+    // rank_p0: one two-level consistent rank over p0-gram content --
+    // rank() (not row_number: equal grams must share the value) inside
+    // a bucket the gram derives (equal grams always co-bucket; the
+    // first token's first char leads the gram order), plus broadcast
+    // running bucket offsets. This is the operator's ONLY pre-answer
+    // broadcast. NOTE the rank covers EVERY position: an earlier
+    // version pruned unique-gram positions before the doubling and
+    // padded their partner lookups, which preserved rank EQUALITY but
+    // broke rank ORDER -- the suffix order stopped being lexicographic,
+    // the between-suffixes argument behind "max LCP is at a neighbor"
+    // failed, and the sf0.01 oracle gate caught spans one token short.
+    // Order-correct pruning needs partner ranks at up to maxSpan reach
+    // (a dilated candidate set); not worth it at current scale.
+    val withBk = stream.select(col("__g"), col("__gram"))
+      .withColumn("__bk", substring(element_at(col("__gram"), 1), 1, 1))
+    val offs1 = withBk.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__boff1", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bk"), col("__boff1"))
+    var r = withBk.join(broadcast(offs1), Seq("__bk"))
+      .withColumn("__r1", col("__boff1") + rank().over(
+        Window.partitionBy(col("__bk")).orderBy(col("__gram"))))
+      .select(col("__g"), array(col("__r1")).as("__r"))
+      .localCheckpoint(false)
+    tlog(s"rank p0=$p0 built")
+
+    // doubling rounds (see scaladoc step 3). The g+k partner fetch is
+    // NOT a self-join: the position axis is DENSE (every g in
+    // [0, total) exists -- offsets count every slot), so lead(r, k)
+    // over g-buckets of width C, with each bucket's first k rows ALSO
+    // emitted into the previous bucket as padding, reads the partner in
+    // ONE exchange where a join would pay two. The -1 partner pad (past
+    // the stream end) never forges an equality OR a misorder: equal
+    // rank_k means an equal k-gram free of sentinels, so both partners
+    // exist in-stream, and the only padded rows are the stream's last
+    // k positions, whose sentinel-bearing grams are singleton groups
+    // where within-group order is moot.
+    val C = 65536L
+    var k = p0
+    while (k < maxSpan) {
+      val w = Window.partitionBy(col("__bk2")).orderBy(col("__g"))
+      val orig = r.select(col("__g"), col("__r"),
+        floorDivC(col("__g"), C).as("__bk2"), lit(true).as("__own"))
+      val pad = r.filter(pmod(col("__g"), lit(C)) < k)
+        .select(col("__g"), col("__r"),
+          (floorDivC(col("__g"), C) - 1L).as("__bk2"),
+          lit(false).as("__own"))
+      r = orig.unionByName(pad)
+        .withColumn("__rb", lead(col("__r"), k.toInt).over(w))
+        .filter(col("__own"))
+        .select(col("__g"), col("__r").as("__ra"),
+          coalesce(col("__rb"), array(lit(-1L))).as("__rb"))
+        .withColumn("__lr", rank().over(
+          Window.partitionBy(col("__ra")).orderBy(col("__rb"))))
+        .select(col("__g"),
+          concat(col("__ra"), array(col("__lr"))).as("__r"))
+        .localCheckpoint(false)
+      k *= 2
+      tlog(s"round k=$k built")
+    }
+
+    // suffix-order adjacency + in-row lcp >= p0 prefilter (scaladoc
+    // step 4): bucket = the rank array's FIRST element, which leads
+    // the lexicographic order; equal arrays co-bucket by construction.
+    // Each endpoint carries its (doc, pos) so the LCP step below needs
+    // no join back to the stream.
+    val seqd = denseIds(
+      r.join(stream.select(col("__g"), col("__doc"), col("__p")),
+          Seq("__g"))
+        .withColumn("__bk",
+          floorDivC(element_at(col("__r"), 1), 65536L)),
+      "__bk", Seq("__r", "__g"), "__seq")
+      .select(col("__g"), col("__seq"), col("__doc"), col("__p"),
+        element_at(col("__r"), 1).as("__h"))
+      .localCheckpoint(false)
+    tlog("adjacency built")
+    val pairs = seqd
+      .select(col("__seq"), col("__g").as("__gi"), col("__h").as("__hi"),
+        col("__doc").as("__di"), col("__p").as("__pi"))
+      .join(seqd.select((col("__seq") - 1L).as("__seq"),
+        col("__g").as("__gj"), col("__h").as("__hj"),
+        col("__doc").as("__dj"), col("__p").as("__pj")), Seq("__seq"))
+      .filter(col("__hi") === col("__hj"))
+
+    // LCP IN-ROW (scaladoc step 5): the surviving pairs live inside
+    // repeated regions, so fetch both documents' token arrays (two
+    // doc-keyed joins with the pair side hinted broadcast — the doc
+    // table STREAMS) and compare the two suffix slices directly,
+    // capped at maxSpan. O(lcp) CPU per pair, ZERO extra barriers —
+    // where a sparse-table descent would cost 2*log(maxSpan/p0)
+    // sequential join barriers for the same answer. Shuffle/broadcast
+    // bytes on the pair side are O(|pairs|*maxSpan) tokens — bounded
+    // by the repeated-region mass the p0 prefilter admits, the
+    // deliberate trade against the descent's barrier count.
+    // array_position returns 0 (not null) when no element matches —
+    // an all-true zip means the shorter slice matched entirely
+    def cpLen(a: Column, b: Column): Column = {
+      val firstFalse = array_position(zip_with(a, b,
+        (x, y) => coalesce(x === y, lit(false))), false)
+      when(firstFalse === 0L, least(size(a), size(b)).cast("long"))
+        .otherwise(firstFalse - 1L)
+    }
+    val ta = base.select(col("__doc").as("__di"), col("__tk").as("__ti"))
+    val tb = base.select(col("__doc").as("__dj"), col("__tk").as("__tj"))
+    val lcp = pairs.hint("broadcast")
+      .join(ta, Seq("__di"))
+      .join(tb, Seq("__dj"))
+      .select(col("__gi"), col("__gj"),
+        cpLen(
+          slice(col("__ti"), (col("__pi") + 1L).cast("int"),
+            lit(maxSpan)),
+          slice(col("__tj"), (col("__pj") + 1L).cast("int"),
+            lit(maxSpan))).as("__lcp"))
+      .localCheckpoint(false)
+    tlog("lcp built")
+
+    // a suffix's longest repeated prefix = max LCP with its two
+    // suffix-order neighbors (the slice cap IS the maxSpan clamp)
+    val perPos = lcp.select(col("__gi").as("__g"), col("__lcp"))
+      .unionByName(lcp.select(col("__gj").as("__g"), col("__lcp")))
+      .groupBy(col("__g"))
+      .agg(max(col("__lcp")).as("__sl"))
+
+    val spans = stream.select(col("__g"), col("__doc"), col("__p"))
+      .join(perPos, Seq("__g"))
+      .filter(col("__sl") >= minTokens)
+      .select(col("__doc"), col("__p"), col("__sl"))
+    // NO release here: the checkpoints are LAZY -- nothing is persisted
+    // until the caller's action runs, so an unpersist now would strip
+    // the persistence the shared reads rely on. The session-level
+    // cleanup (Bench.clearState / clearCache) drops the blocks after
+    // the query materializes.
+    (base, spans)
+    } finally {
+      sess.conf.set(aqeKey, aqeWas)
+      sess.conf.set(spKey, spWas)
+    }
+  }
+
+  /** Longest exactly-repeated token span per document (X276 -- see the
+    * object scaladoc): (`idCol`, `start_pos` 0-based, `span_len`,
+    * `span`), ties to the smallest start, only documents with a span
+    * >= minTokens emit.
+    */
+  def longestRepeatedSpans(docs: DataFrame, textCol: String,
+      idCol: String, minTokens: Int, maxSpan: Int = 128): DataFrame = {
+    val (base, spans) = spanCore(docs, textCol, idCol, minTokens, maxSpan)
+    spans
+      .groupBy(col("__doc"))
+      .agg(max(struct(col("__sl").as("l"), (-col("__p")).as("np")))
+        .as("__b"))
+      .join(base, Seq("__doc"))
+      .select(col("__doc").as(idCol),
+        (-col("__b.np")).as("start_pos"),
+        col("__b.l").as("span_len"),
+        array_join(slice(col("__tk"),
+          (-col("__b.np") + 1L).cast("int"),
+          col("__b.l").cast("int")), " ").as("span"))
+  }
+
+  /** Exact-duplicate COVERAGE per document -- the corpus-health metric
+    * of ExactSubstr dedup ("what fraction of this document is text that
+    * occurs verbatim elsewhere?"): `covered_tokens` = the size of the
+    * UNION of all repeated spans >= minTokens starting in the document
+    * (classic interval sweep: spans sorted by start inside one per-doc
+    * window, each contributing max(0, end - max(start, running max
+    * end)) -- overlapping spans never double-count), `coverage_ppm` the
+    * exact floor ppm. EVERY in-scope document emits (zero coverage
+    * included) -- a curation dashboard needs the clean mass too.
+    * Documents shorter than minTokens are out of scope (their coverage
+    * is 0 by construction). Scale shape: [[spanCore]] + one span-grain
+    * window + one map-side-combined doc agg.
+    */
+  def repeatedSpanCoverage(docs: DataFrame, textCol: String,
+      idCol: String, minTokens: Int, maxSpan: Int = 128): DataFrame = {
+    val (base, spans) = spanCore(docs, textCol, idCol, minTokens, maxSpan)
+    val w = Window.partitionBy(col("__doc")).orderBy(col("__p"))
+    val cov = spans
+      .withColumn("__runb", coalesce(max(col("__p") + col("__sl")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__doc"),
+        greatest(lit(0L), col("__p") + col("__sl") -
+          greatest(col("__p"), col("__runb"))).as("__inc"))
+      .groupBy(col("__doc"))
+      .agg(sum(col("__inc")).as("__cov"))
+    base.join(cov, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        coalesce(col("__cov"), lit(0L)).as("covered_tokens"),
+        longDiv(coalesce(col("__cov"), lit(0L)) * 1000000L,
+          size(col("__tk")).cast("long")).as("coverage_ppm"))
+  }
+
+  /** Exact-duplicate REMOVAL -- the ACTION of ExactSubstr dedup (Lee et
+    * al. 2022): every token covered by some repeated span >= minTokens
+    * is dropped, survivors rejoin in order. The covered flag rides the
+    * same interval sweep as [[repeatedSpanCoverage]], evaluated on the
+    * full position axis: position q is covered iff the running max of
+    * span ends over starts <= q exceeds q. Output per in-scope
+    * document: (`idCol`, `text_clean` -- possibly empty, `n_tokens`,
+    * `n_removed`); untouched documents emit with n_removed = 0 (their
+    * text_clean is the normalized token join -- this operator's output
+    * is token-grain text, the X58 convention). Scale shape:
+    * [[spanCore]] + one position-grain window + the doc-grain rebuild
+    * (sorted kept-position list sliced against the doc's own array).
+    */
+  def removeRepeatedSpans(docs: DataFrame, textCol: String,
+      idCol: String, minTokens: Int, maxSpan: Int = 128): DataFrame = {
+    val (base, spans) = spanCore(docs, textCol, idCol, minTokens, maxSpan)
+    val w = Window.partitionBy(col("__doc")).orderBy(col("__p"))
+    val axis = base
+      .select(col("__doc"), posexplode(col("__tk")).as(Seq("__p", "__t")))
+      .select(col("__doc"), col("__p").cast("long").as("__p"))
+    val kept = axis.join(spans, Seq("__doc", "__p"), "left")
+      .withColumn("__rune", max(col("__p") + coalesce(col("__sl"),
+        lit(0L))).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__rune") <= col("__p"))
+      .groupBy(col("__doc"))
+      .agg(sort_array(collect_list(col("__p"))).as("__keep"))
+    base.join(kept, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol),
+        array_join(transform(
+          coalesce(col("__keep"), array().cast("array<bigint>")),
+          i => element_at(col("__tk"), (i + 1L).cast("int"))), " ")
+          .as("text_clean"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        (size(col("__tk")).cast("long") -
+          coalesce(size(col("__keep")), lit(0)).cast("long"))
+          .as("n_removed"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: per-phase timing of the suffix-span probe at sf0.1. */
+object SaDiag {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SA_DIR", "/root/testdata/sf0.1")
+    def clock[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val v = f
+      System.err.println(f"[sa] $label%-22s ${(System.nanoTime()-t0)/1e9}%7.2f s")
+      v
+    }
+    // warm-up
+    spark.read.parquet(s"$dir/documents.parquet").count()
+    for (i <- 1 to 2) {
+      val out = clock(s"full run $i") {
+        graft.text.SuffixSpans.longestRepeatedSpans(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          "text", "doc_id", minTokens = 8, maxSpan = 128)
+      }
+      clock(s"materialize $i") {
+        out.write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    spark.stop()
+  }
+}

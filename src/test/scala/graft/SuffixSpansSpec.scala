@@ -1,0 +1,85 @@
+package graft
+
+import graft.text.SuffixSpans
+
+class SuffixSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("longestRepeatedSpans: cross-doc span, overlapping within-doc " +
+      "repeat, short/unrepeated docs absent, smallest-start tie") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),        // shares 8-gram with doc 2
+      (2L, "q r a b c d e f g h z"),      // ... at start_pos 2
+      (3L, "m n o p q"),                  // only 1-token overlap → no row
+      (4L, "t t t t t t"),                // overlapping self-repeat: len 5
+      (5L, "u v"),                        // shorter than minTokens: dropped
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = SuffixSpans.longestRepeatedSpans(docs, "text", "doc_id",
+      minTokens = 3, maxSpan = 16)
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((0L, 8L, "a b c d e f g h")))
+    assert(got(2L) == ((2L, 8L, "a b c d e f g h")))
+    assert(got(4L) == ((0L, 5L, "t t t t t")))
+    assert(got.size == 3, got.toString)
+  }
+
+  test("longestRepeatedSpans: maxSpan clamps, sentinel blocks " +
+      "cross-doc continuation, identical docs repeat whole-length") {
+    // two identical 12-token docs: true repeated span = 12, clamped at 8
+    val dup = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val docs = Seq((10L, dup), (11L, dup)).toDF("doc_id", "text")
+    val out = SuffixSpans.longestRepeatedSpans(docs, "text", "doc_id",
+        minTokens = 4, maxSpan = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // every position's span clamps at 8; best start is 0
+    assert(out(10L) == ((0L, 8L)))
+    assert(out(11L) == ((0L, 8L)))
+    // unclamped: the full 12-token doc repeats; NOT 13+ (the sentinel
+    // would have to match across docs, and sentinels are unique)
+    val exact = SuffixSpans.longestRepeatedSpans(docs, "text", "doc_id",
+        minTokens = 4, maxSpan = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact(10L) == 12L && exact(11L) == 12L)
+  }
+
+  test("repeatedSpanCoverage: interval union, zero-coverage docs emit, " +
+      "full coverage, exact floor ppm") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),        // spans [0,8) ∪ [1,8) ∪ … = 8
+      (2L, "q r a b c d e f g h z"),      // [2,10) = 8 of 11
+      (3L, "m n o p q"),                  // nothing repeated ≥ 3
+      (4L, "t t t t t t"),                // overlap union [0,6) = all 6
+      (5L, "u v"))                        // < minTokens: out of scope
+      .toDF("doc_id", "text")
+    val got = SuffixSpans.repeatedSpanCoverage(docs, "text", "doc_id",
+        minTokens = 3, maxSpan = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((10L, 8L, 800000L)))
+    assert(got(2L) == ((11L, 8L, 727272L)))
+    assert(got(3L) == ((5L, 0L, 0L)))      // zero-coverage doc still emits
+    assert(got(4L) == ((6L, 6L, 1000000L)))
+    assert(!got.contains(5L) && got.size == 4)
+  }
+
+  test("removeRepeatedSpans: covered tokens drop, survivors rejoin in " +
+      "order, untouched and fully-covered docs both emit") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),
+      (2L, "q r a b c d e f g h z"),
+      (3L, "m n o p q"),
+      (4L, "t t t t t t"))
+      .toDF("doc_id", "text")
+    val got = SuffixSpans.removeRepeatedSpans(docs, "text", "doc_id",
+        minTokens = 3, maxSpan = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("x y", 10L, 8L)))
+    assert(got(2L) == (("q r z", 11L, 8L)))
+    assert(got(3L) == (("m n o p q", 5L, 0L))) // untouched passes through
+    assert(got(4L) == (("", 6L, 6L)))          // fully covered → empty
+  }
+}
