@@ -3485,6 +3485,64 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X281 — blocking-quality scorecard: a source-scoped 3-token
+    // prefix blocker scored against 20-token-prefix near-dup truth —
+    // the corpus's near-dups cross sources, which is exactly the miss
+    // class the completeness metric exposes
+    "q289_blocking_quality" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .filter(col("text").isNotNull)
+      val toks = graft.text.TextFunctions.tokens(
+        graft.text.TextFunctions.normalized(col("text")))
+      val keyed = docs.select(col("doc_id"),
+        concat(col("source"), lit("|"),
+          array_join(slice(toks, 1, 3), " ")).as("__blk"),
+        array_join(slice(toks, 1, 20), " ").as("__p20"))
+      val cand = keyed.as("x").join(keyed.as("y"),
+          col("x.__blk") === col("y.__blk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      val truth = keyed.as("x").join(keyed.as("y"),
+          col("x.__p20") === col("y.__p20") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      graft.dedup.Dedup.blockingQuality(docs, "doc_id", cand, truth,
+        "id_a", "id_b")
+    },
+
+    // X280 — Welch unequal-variance t per linestatus: does extended
+    // price differ between returned ('R') and other lineitems?
+    "q288_welch_t" -> { (s, dir) =>
+      graft.ops.Features.welchT(
+          t(s, dir, "lineitem").filter(col("l_returnflag").isNotNull),
+          Seq("l_linestatus"), col("l_extendedprice"),
+          col("l_returnflag") === "R", scale = 2)
+        .orderBy(col("l_linestatus"))
+    },
+
+    // X279 — Kaplan–Meier survival per cohort: time from a user's
+    // first event to their first error (right-censored at last
+    // activity), exact floor-ppm sequential product
+    "q287_kaplan_meier" -> { (s, dir) =>
+      val u = events(s, dir)
+        .select(col("user_id"), nsToMicros(col("ts_ns")).as("us"),
+          col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("t0"),
+          min(when(col("event_type") === "error", col("us")))
+            .as("terr"),
+          max(col("us")).as("tmax"))
+      val subj = u.select(pmod(col("user_id"), lit(4)).as("cohort"),
+        graft.functions.Exact.longDiv(
+          coalesce(col("terr"), col("tmax")) - col("t0"), 1000000L)
+          .as("dur"),
+        col("terr").isNotNull.as("ev"))
+      graft.ops.Features.kaplanMeier(subj, Seq("cohort"), col("dur"),
+          col("ev"))
+        .orderBy(col("cohort"), col("t"))
+    },
+
     // X277 — exact-duplicate coverage per doc: interval union of all
     // repeated spans ≥ 8, floor ppm; even-doc split keeps the bench
     // suite's suffix-tier wall bounded (q284 measures the full corpus)
@@ -10012,6 +10070,154 @@ object SparkEntry {
 
     // counts to (type, 6h-bucket) grain, then the exact variance/mean
     // cross-multiplied identity with empty buckets in the span term
+    // prefix-block candidates and 20-token-prefix truth as distinct
+    // unordered pairs; the two ratios as floor divisions (both
+    // operands positive)
+    "q289_blocking_quality" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |      t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), keyed AS (
+        |  SELECT doc_id,
+        |    source || '|' || array_to_string(list_slice(tk, 1, 3), ' ')
+        |      AS blk,
+        |    array_to_string(list_slice(tk, 1, 20), ' ') AS p20
+        |  FROM docs
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM keyed x JOIN keyed y
+        |    ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |), truth AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM keyed x JOIN keyed y
+        |    ON x.p20 = y.p20 AND x.doc_id < y.doc_id
+        |), hit AS (
+        |  SELECT count(*) AS n_hit FROM truth t
+        |  WHERE EXISTS (SELECT 1 FROM cand c
+        |    WHERE c.a = t.a AND c.b = t.b)
+        |), agg AS (
+        |  SELECT
+        |    (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM docs)
+        |      AS n_records,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        |    (SELECT CAST(n_hit AS BIGINT) FROM hit) AS n_hit
+        |)
+        |SELECT n_records, n_candidates, n_truth, n_hit,
+        |  CASE WHEN n_truth > 0 THEN
+        |    CAST(n_hit * 1000000 // n_truth AS BIGINT) END
+        |    AS completeness_ppm,
+        |  CASE WHEN n_records >= 2 THEN
+        |    CAST(1000000 - CAST(n_candidates AS HUGEINT) * 2000000
+        |      // (CAST(n_records AS HUGEINT) * (n_records - 1))
+        |      AS BIGINT) END AS reduction_ppm
+        |FROM agg""".stripMargin,
+
+    // Welch t mirrored op-for-op: exact HUGEINT moments, VARCHAR-double
+    // renders, then the IDENTICAL IEEE expression tree (one division
+    // per side variance, one add, one sqrt; Welch–Satterthwaite df from
+    // the same doubles)
+    "q288_welch_t" ->
+      """WITH b AS (
+        |  SELECT l_linestatus,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS q,
+        |    l_returnflag = 'R' AS sd
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+        |), m AS (
+        |  SELECT l_linestatus,
+        |    CAST(sum(CASE WHEN sd THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT sd THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    sum(CASE WHEN sd THEN CAST(q AS HUGEINT) ELSE 0 END) AS s1,
+        |    sum(CASE WHEN NOT sd THEN CAST(q AS HUGEINT) ELSE 0 END)
+        |      AS s2,
+        |    sum(CASE WHEN sd THEN CAST(q AS HUGEINT) * q ELSE 0 END)
+        |      AS ss1,
+        |    sum(CASE WHEN NOT sd THEN CAST(q AS HUGEINT) * q ELSE 0 END)
+        |      AS ss2
+        |  FROM b GROUP BY 1
+        |), d AS (
+        |  SELECT l_linestatus, n_a, n_b, s1, s2,
+        |    CAST(CAST(CAST(n_a AS HUGEINT) * ss1 - s1 * s1 AS VARCHAR)
+        |        AS DOUBLE)
+        |      / CAST(CAST(CAST(n_a AS HUGEINT) * n_a * (n_a - 1)
+        |        AS VARCHAR) AS DOUBLE) AS d1,
+        |    CAST(CAST(CAST(n_b AS HUGEINT) * ss2 - s2 * s2 AS VARCHAR)
+        |        AS DOUBLE)
+        |      / CAST(CAST(CAST(n_b AS HUGEINT) * n_b * (n_b - 1)
+        |        AS VARCHAR) AS DOUBLE) AS d2,
+        |    CAST(CAST(s1 * n_b - s2 * n_a AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS VARCHAR)
+        |        AS DOUBLE) AS mdiff
+        |  FROM m
+        |)
+        |SELECT l_linestatus, n_a, n_b,
+        |  CASE WHEN n_a >= 1 THEN CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(n_a AS HUGEINT) * 100 AS VARCHAR)
+        |      AS DOUBLE) END AS mean_a,
+        |  CASE WHEN n_b >= 1 THEN CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(n_b AS HUGEINT) * 100 AS VARCHAR)
+        |      AS DOUBLE) END AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND d1 + d2 > 0 THEN
+        |    mdiff / sqrt(d1 + d2) END AS t,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND d1 + d2 > 0 THEN
+        |    ((d1 + d2) * (d1 + d2))
+        |      / (d1 * d1 / CAST(CAST(n_a - 1 AS VARCHAR) AS DOUBLE)
+        |       + d2 * d2 / CAST(CAST(n_b - 1 AS VARCHAR) AS DOUBLE))
+        |    END AS df
+        |FROM d ORDER BY l_linestatus""".stripMargin,
+
+    // the KM floor-ppm product is a sequential recursion — a recursive
+    // CTE stepping rank i → i+1 per cohort; at-risk via the same two
+    // window sums as the engine
+    "q287_kaplan_meier" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id % 4 AS cohort,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+        |    CAST(min(CASE WHEN event_type = 'error'
+        |      THEN epoch_us(ts) END) AS BIGINT) AS terr,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS tmax
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, user_id
+        |), subj AS (
+        |  SELECT cohort,
+        |    (coalesce(terr, tmax) - t0) // 1000000 AS dur,
+        |    terr IS NOT NULL AS ev
+        |  FROM u
+        |), grain AS (
+        |  SELECT cohort, dur AS t,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2
+        |), risk AS (
+        |  SELECT cohort, t, d, c,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort)
+        |      - coalesce(sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM grain
+        |), ev2 AS (
+        |  SELECT cohort, t, n_risk, d, c,
+        |    CAST(row_number() OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS i
+        |  FROM risk WHERE d >= 1
+        |), km AS (
+        |  SELECT cohort, i, t, n_risk, d, c,
+        |    CAST(1000000 * (n_risk - d) // n_risk AS BIGINT) AS s
+        |  FROM ev2 WHERE i = 1
+        |  UNION ALL
+        |  SELECT e.cohort, e.i, e.t, e.n_risk, e.d, e.c,
+        |    CAST(k.s * (e.n_risk - e.d) // e.n_risk AS BIGINT)
+        |  FROM km k JOIN ev2 e ON e.cohort = k.cohort AND e.i = k.i + 1
+        |)
+        |SELECT cohort, t, n_risk, d AS n_events, c AS n_censored,
+        |  s AS survival_ppm
+        |FROM km ORDER BY cohort, t""".stripMargin,
+
     // coverage = interval union of per-position max repeated lengths —
     // same sweep as the engine (running max of ends over starts ≤ s);
     // even-doc subset mirrors the probe; 1-based s shifts both interval

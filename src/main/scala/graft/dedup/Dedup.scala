@@ -946,4 +946,60 @@ object Dedup {
       .select(col("id_l"), col("id_r"),
         (col("__sr") - col("__sl")).as("gap"))
   }
+
+  /** Blocking-quality scorecard — the eval loop for every blocker in
+    * this module (LSH bands, simhash bands, source blocks, prefix
+    * blocks): a blocking scheme trades RECALL (does every true
+    * duplicate pair share a block?) against WORK (how many candidate
+    * pairs survive vs the n·(n−1)/2 cross join it replaces). Given the
+    * record set, a blocker's candidate pairs, and a truth pair set,
+    * emits ONE row: `n_records`, `n_candidates`, `n_truth`, `n_hit`
+    * (truth pairs the blocker surfaces), `completeness_ppm` =
+    * ⌊hit·10⁶/truth⌋ (pairs completeness — the blocker's recall; null
+    * when no truth pairs), `reduction_ppm` = 10⁶ − ⌊cand·2·10⁶ /
+    * (n·(n−1))⌋ (reduction ratio — the fraction of the cross join
+    * never materialized; null under 2 records). Both sides normalize
+    * to unordered distinct pairs (self-pairs and duplicates collapse),
+    * so orientation conventions can't skew the score.
+    *
+    * Exactness: counts are longs; the two ratios are floor divisions
+    * with the n·(n−1) product in decimal(38,0) — exact to 10¹⁹
+    * records. Scale shape: two pair-grain distincts + one pair-keyed
+    * LEFT SEMI join; the four counts are map-side-combined singletons
+    * crossJoined at one row each — no corpus-grain shuffle beyond the
+    * pair tables themselves.
+    */
+  def blockingQuality(records: DataFrame, idCol: String,
+      candidates: DataFrame, truth: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    import graft.functions.Exact.longDiv
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .distinct()
+    val c = canon(candidates)
+    val t = canon(truth)
+    val nRec = records.select(col(idCol))
+      .filter(col(idCol).isNotNull).distinct()
+      .agg(count(lit(1)).as("n_records"))
+    val nC = c.agg(count(lit(1)).as("n_candidates"))
+    val nT = t.agg(count(lit(1)).as("n_truth"))
+    val nH = t.join(c, Seq("__a", "__b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nRec.crossJoin(nC).crossJoin(nT).crossJoin(nH)
+      .select(col("n_records"), col("n_candidates"), col("n_truth"),
+        col("n_hit"),
+        when(col("n_truth") > 0L,
+          longDiv(col("n_hit") * 1000000L, col("n_truth")))
+          .as("completeness_ppm"),
+        when(col("n_records") >= 2L,
+          lit(1000000L) - longDiv(
+            col("n_candidates").cast(d38) * 2000000L,
+            col("n_records").cast(d38) * (col("n_records") - 1L)))
+          .as("reduction_ppm"))
+  }
 }

@@ -2303,4 +2303,145 @@ object Features {
       .withColumn("overdispersed",
         when(col("fano_ppm").isNotNull, col("fano_ppm") > 1000000L))
   }
+
+  /** Welch two-sample t — the unequal-variance location test per
+    * group, the parametric sibling of X169's Mann–Whitney AUC ("are
+    * these two arms' MEANS different, without assuming equal
+    * variances?" — the A/B default, since pooled-variance Student's t
+    * is anti-conservative exactly when arm variances differ): per
+    * (group), sides split by `sideCol` (true = A), emitting `n_a`,
+    * `n_b`, `mean_a`, `mean_b`, `t`, `df` (Welch–Satterthwaite).
+    *
+    * Exactness: values quantize to `scale` decimals ([[groupCorr]]'s
+    * convention), ALL moments accumulate in decimal(38,0), and every
+    * inexact step is a fixed, mirrorable chain of IEEE ops on
+    * exact-decimal string renders: dᵢ = (nᵢ·SSᵢ − Sᵢ²)/(nᵢ²(nᵢ−1)) is
+    * one division of exact operands, se² = d₁ + d₂ one add,
+    * t = ((S₁n₂ − S₂n₁)/(n₁n₂)) / √se², df = se²²/(d₁²/(n₁−1) +
+    * d₂²/(n₂−1)) — the oracle writes the identical expression tree, so
+    * doubles agree bit-for-bit. t and df are quantization-scale
+    * INVARIANT (numerator and denominator scale together). Null t/df
+    * when either side has n < 2 or both variances are zero.
+    *
+    * Scale shape: ONE map-side-combined aggregation to |groups| rows
+    * (sides split by conditional sums — no second pass, no join); the
+    * t algebra runs on that bounded table.
+    */
+  def welchT(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      sideCol: Column, scale: Int = 2): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val q = (valueCol.cast(DecimalType(18, scale)) *
+      lit(math.pow(10, scale).toLong)).cast("long")
+    val gs = groupCols.map(col)
+    val base = df.filter(q.isNotNull && sideCol.isNotNull)
+      .select(gs ++ Seq(q.as("__q"),
+        sideCol.cast("boolean").as("__sd")): _*)
+    def side(b: Boolean, c: Column): Column =
+      sum(when(col("__sd") === b, c).otherwise(lit(0L)).cast(d38))
+    val m = base.groupBy(gs: _*).agg(
+      sum(when(col("__sd"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__sd"), 1L).otherwise(0L)).as("n_b"),
+      side(true, col("__q")).as("__s1"),
+      side(false, col("__q")).as("__s2"),
+      side(true, col("__q") * col("__q")).as("__ss1"),
+      side(false, col("__q") * col("__q")).as("__ss2"))
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val n1 = col("n_a").cast(d38)
+    val n2 = col("n_b").cast(d38)
+    val d1 = dbl(n1 * col("__ss1") - col("__s1") * col("__s1")) /
+      dbl(n1 * n1 * (n1 - 1))
+    val d2 = dbl(n2 * col("__ss2") - col("__s2") * col("__s2")) /
+      dbl(n2 * n2 * (n2 - 1))
+    val se2 = d1 + d2
+    val mdiff = dbl(col("__s1") * n2 - col("__s2") * n1) / dbl(n1 * n2)
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L && se2 > 0d
+    val scaleD = lit(math.pow(10, scale).toLong)
+    m.select(gs ++ Seq(col("n_a"), col("n_b"),
+      when(col("n_a") >= 1L,
+        dbl(col("__s1")) / dbl(n1 * scaleD)).as("mean_a"),
+      when(col("n_b") >= 1L,
+        dbl(col("__s2")) / dbl(n2 * scaleD)).as("mean_b"),
+      when(ok, mdiff / sqrt(se2)).as("t"),
+      when(ok, (se2 * se2) / (d1 * d1 / dbl(n1 - 1) +
+        d2 * d2 / dbl(n2 - 1))).as("df")): _*)
+  }
+
+  /** Kaplan–Meier survival curve per group — the time-to-event
+    * estimator under RIGHT CENSORING (churn/retention, hardware
+    * lifetime, time-to-conversion: subjects still alive at observation
+    * end must not count as deaths, and dropping them biases survival
+    * low): at each distinct time with ≥ 1 event,
+    * S(tᵢ) = Π_{j≤i} (nⱼ − dⱼ)/nⱼ with nⱼ = subjects whose duration
+    * ≥ tⱼ (censored-at-t subjects are still at risk AT t — the
+    * standard convention). Output per (group, event time):
+    * `t`, `n_risk`, `n_events`, `n_censored` (censorings at exactly
+    * that time), `survival_ppm`.
+    *
+    * Exactness: the product is a NON-ASSOCIATIVE sequential floor
+    * recursion sᵢ = ⌊sᵢ₋₁·(nᵢ−dᵢ)/nᵢ⌋ in ppm units, starting at 10⁶ —
+    * exact longs, deterministic in the ascending-time order,
+    * bit-identical anywhere (a float product would be order-dependent
+    * and ln is not bit-portable — the X79 discipline; the ≤ 10⁻⁶
+    * per-step floor bias is the quantization contract, not noise).
+    * The recursion evaluates INSIDE one row via an `aggregate` fold
+    * over the group's sorted step array; `maxTimes` bounds that array
+    * in-plan (raise, not truncate — the q209 contract: a group too
+    * wide for the fold is a modeling error to surface, not silently
+    * degrade).
+    *
+    * Scale shape: raw rows collapse to (group, time) grain in ONE
+    * map-side-combined agg; at-risk counts ride two window aggregates
+    * over one per-group sort; the fold touches |groups| rows of
+    * ≤ maxTimes steps. Parallelism is |groups| at the fold — the
+    * survival curve itself is a per-group sequential object.
+    */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column,
+      maxTimes: Int = 10000): DataFrame = {
+    require(maxTimes >= 1, s"maxTimes must be >= 1: $maxTimes")
+    import graft.functions.Exact.longDiv
+    val gs = groupCols.map(col)
+    val grain = df
+      .filter(durationCol.isNotNull && eventCol.isNotNull)
+      .select(gs :+ durationCol.cast("long").as("__t") :+
+        eventCol.cast("boolean").as("__e"): _*)
+      .groupBy(gs :+ col("__t"): _*)
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__e"), 0L).otherwise(1L)).as("__c"))
+    val wAll = Window.partitionBy(gs: _*)
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col("__t"))
+    val steps = grain
+      .withColumn("__nrisk",
+        sum(col("__d") + col("__c")).over(wAll) -
+          coalesce(sum(col("__d") + col("__c")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__d") >= 1L)
+    val folded = steps
+      .groupBy(gs: _*)
+      .agg(sort_array(collect_list(struct(col("__t"),
+        col("__nrisk").as("n"), col("__d").as("d"),
+        col("__c").as("c")))).as("__steps0"))
+      .withColumn("__steps",
+        when(size(col("__steps0")) > maxTimes, raise_error(concat(
+          lit(s"kaplanMeier: group exceeds maxTimes=$maxTimes: "),
+          size(col("__steps0")).cast("string"))))
+          .otherwise(col("__steps0")))
+      .withColumn("__surv", aggregate(col("__steps"),
+        struct(lit(1000000L).as("s"),
+          array().cast("array<bigint>").as("out")),
+        (acc, x) => {
+          val s2 = longDiv(acc.getField("s") *
+            (x.getField("n") - x.getField("d")), x.getField("n"))
+          struct(s2.as("s"),
+            concat(acc.getField("out"), array(s2)).as("out"))
+        }).getField("out"))
+    folded
+      .select(gs :+ posexplode(arrays_zip(col("__steps"),
+        col("__surv"))): _*)
+      .select(gs ++ Seq(col("col.__steps.__t").as("t"),
+        col("col.__steps.n").as("n_risk"),
+        col("col.__steps.d").as("n_events"),
+        col("col.__steps.c").as("n_censored"),
+        col("col.__surv").as("survival_ppm")): _*)
+  }
 }

@@ -423,4 +423,27 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
     assert(got.contains((2L, 3L, 1L)) && got.contains((4L, 5L, 1L)))
   }
+
+  test("blockingQuality: pair canonicalization (orientation dups and " +
+      "self-pairs collapse), exact ppm metrics, null under no truth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val records = (1L to 5L).map(Tuple1(_)).toDF("id")
+    // (1,2) twice in both orientations + a self-pair + (4,5)
+    val cand = Seq((1L, 2L), (2L, 1L), (3L, 3L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val truth = Seq((1L, 2L), (3L, 1L)).toDF("id_a", "id_b")
+    val r = graft.dedup.Dedup.blockingQuality(records, "id",
+      cand, truth, "id_a", "id_b").collect().head
+    // n_records=5, n_candidates=2, n_truth=2, n_hit=1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 2L, 2L, 1L)))
+    assert(r.getLong(4) == 500000L)      // 1 of 2 truth pairs surfaced
+    assert(r.getLong(5) == 800000L)      // 1e6 - 2*2e6/(5*4)
+    // empty truth: completeness null, reduction still defined
+    val r2 = graft.dedup.Dedup.blockingQuality(records, "id",
+      cand, truth.filter(col("id_a") < 0), "id_a", "id_b")
+      .collect().head
+    assert(r2.isNullAt(4) && r2.getLong(5) == 800000L)
+  }
 }

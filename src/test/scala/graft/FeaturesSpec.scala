@@ -1172,4 +1172,58 @@ class FeaturesSpec extends SparkSpec {
         .toDF("k", "t"), Seq("k"), col("t"), 10L).collect().head
     assert(withNull.getLong(1) == 2L && withNull.getLong(2) == 3L)
   }
+
+  test("welchT: hand-checked unequal-variance t and Satterthwaite df, " +
+      "nulls under n<2 or zero spread") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A=[1,2,3] (mean 2, var 1), B=[2,4] (mean 3, var 2):
+    // t = -1/sqrt(1/3 + 1) = -0.8660..., df = (4/3)^2/((1/3)^2/2 + 1)
+    val df = Seq(("g", 1.0, true), ("g", 2.0, true), ("g", 3.0, true),
+      ("g", 2.0, false), ("g", 4.0, false),
+      ("h", 5.0, true), ("h", 5.0, false))  // n<2 per side → null t
+      .toDF("k", "v", "side")
+    val got = graft.ops.Features.welchT(df, Seq("k"), col("v"),
+      col("side")).collect().map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    assert(g.getLong(1) == 3L && g.getLong(2) == 2L)
+    assert(math.abs(g.getDouble(3) - 2.0) < 1e-12)
+    assert(math.abs(g.getDouble(4) - 3.0) < 1e-12)
+    assert(math.abs(g.getDouble(5) - (-1.0 / math.sqrt(1.0 / 3 + 1))) < 1e-9)
+    assert(math.abs(g.getDouble(6) -
+      math.pow(4.0 / 3, 2) / (math.pow(1.0 / 3, 2) / 2 + 1.0)) < 1e-9)
+    assert(got("h").isNullAt(5) && got("h").isNullAt(6))
+  }
+
+  test("kaplanMeier: textbook curve — censoring keeps at-risk mass, " +
+      "floor-ppm product, event-times-only rows, maxTimes raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // n=7: events at 1, 3(x2), 5; censored at 2, 4, 6
+    // at-risk 7,5,2 at the event times →
+    // s(1)=⌊1e6·6/7⌋=857142; s(3)=⌊857142·3/5⌋=514285;
+    // s(5)=⌊514285·1/2⌋=257142
+    val df = Seq(
+      ("g", 1L, true), ("g", 2L, false), ("g", 3L, true),
+      ("g", 3L, true), ("g", 4L, false), ("g", 5L, true),
+      ("g", 6L, false),
+      ("h", 9L, false))   // censor-only group: no curve rows
+      .toDF("k", "dur", "ev")
+    val got = graft.ops.Features.kaplanMeier(df, Seq("k"),
+        col("dur"), col("ev"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(("g", 1L)) == ((7L, 1L, 0L, 857142L)))
+    assert(got(("g", 3L)) == ((5L, 2L, 0L, 514285L)))
+    assert(got(("g", 5L)) == ((2L, 1L, 0L, 257142L)))
+    assert(got.size == 3) // no rows at pure-censoring times or for h
+    // a group wider than maxTimes raises instead of truncating
+    val e = intercept[Exception] {
+      graft.ops.Features.kaplanMeier(
+        (1L to 5L).map(i => ("w", i, true)).toDF("k", "dur", "ev"),
+        Seq("k"), col("dur"), col("ev"), maxTimes = 3).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
