@@ -3485,6 +3485,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X282 — two-sample log-rank over the q287 durations: does the
+    // user-id bit-1 "arm" change time-to-first-error, per parity
+    // cohort? (independent id bits → arms should NOT differ)
+    "q290_logrank" -> { (s, dir) =>
+      val u = events(s, dir)
+        .select(col("user_id"), nsToMicros(col("ts_ns")).as("us"),
+          col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("t0"),
+          min(when(col("event_type") === "error", col("us")))
+            .as("terr"),
+          max(col("us")).as("tmax"))
+      val subj = u.select(pmod(col("user_id"), lit(2)).as("cohort2"),
+        (pmod(graft.functions.Exact.longDiv(col("user_id"), 2L),
+          lit(2)) === 0L).as("arm"),
+        graft.functions.Exact.longDiv(
+          coalesce(col("terr"), col("tmax")) - col("t0"), 1000000L)
+          .as("dur"),
+        col("terr").isNotNull.as("ev"))
+      graft.ops.Features.logRank(subj, Seq("cohort2"), col("dur"),
+          col("ev"), col("arm"))
+        .orderBy(col("cohort2"))
+    },
+
     // X281 — blocking-quality scorecard: a source-scoped 3-token
     // prefix blocker scored against 20-token-prefix near-dup truth —
     // the corpus's near-dups cross sources, which is exactly the miss
@@ -10070,6 +10094,91 @@ object SparkEntry {
 
     // counts to (type, 6h-bucket) grain, then the exact variance/mean
     // cross-multiplied identity with empty buckets in the span term
+    // log-rank O−E and V terms mirrored op-for-op (HUGEINT products,
+    // VARCHAR-double renders, one division each), accumulated in time
+    // order by a rank-stepping recursion — the engine's fold verbatim
+    "q290_logrank" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+        |    CAST(min(CASE WHEN event_type = 'error'
+        |      THEN epoch_us(ts) END) AS BIGINT) AS terr,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS tmax
+        |  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+        |), subj AS (
+        |  SELECT user_id % 2 AS cohort2,
+        |    (user_id // 2) % 2 = 0 AS arm,
+        |    (coalesce(terr, tmax) - t0) // 1000000 AS dur,
+        |    terr IS NOT NULL AS ev
+        |  FROM u
+        |), grain AS (
+        |  SELECT cohort2, dur AS t,
+        |    CAST(sum(CASE WHEN arm AND ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(sum(CASE WHEN NOT arm AND ev THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a2
+        |  FROM subj GROUP BY 1, 2
+        |), risk AS (
+        |  SELECT cohort2, t, d1, d2,
+        |    CAST(sum(a1) OVER (PARTITION BY cohort2)
+        |      - coalesce(sum(a1) OVER (PARTITION BY cohort2 ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(a2) OVER (PARTITION BY cohort2)
+        |      - coalesce(sum(a2) OVER (PARTITION BY cohort2 ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n2
+        |  FROM grain
+        |), ev2 AS (
+        |  SELECT cohort2, t, n1, n2, d1, d2,
+        |    CAST(row_number() OVER (PARTITION BY cohort2 ORDER BY t)
+        |      AS BIGINT) AS i
+        |  FROM risk WHERE d1 + d2 >= 1
+        |), acc AS (
+        |  SELECT cohort2, i,
+        |    0 + CASE WHEN n1 + n2 > 1 THEN
+        |      CAST(CAST(CAST(d1 AS HUGEINT) * (n1 + n2)
+        |        - CAST(d1 + d2 AS HUGEINT) * n1 AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(n1 + n2 AS VARCHAR) AS DOUBLE)
+        |      ELSE 0 END AS so,
+        |    0 + CASE WHEN n1 + n2 > 1 THEN
+        |      CAST(CAST(CAST(d1 + d2 AS HUGEINT) * n1 * n2
+        |        * ((n1 + n2) - (d1 + d2)) AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
+        |        * ((n1 + n2) - 1) AS VARCHAR) AS DOUBLE)
+        |      ELSE 0 END AS sv
+        |  FROM ev2 WHERE i = 1
+        |  UNION ALL
+        |  SELECT e.cohort2, e.i,
+        |    k.so + CASE WHEN e.n1 + e.n2 > 1 THEN
+        |      CAST(CAST(CAST(e.d1 AS HUGEINT) * (e.n1 + e.n2)
+        |        - CAST(e.d1 + e.d2 AS HUGEINT) * e.n1 AS VARCHAR)
+        |        AS DOUBLE)
+        |      / CAST(CAST(e.n1 + e.n2 AS VARCHAR) AS DOUBLE)
+        |      ELSE 0 END,
+        |    k.sv + CASE WHEN e.n1 + e.n2 > 1 THEN
+        |      CAST(CAST(CAST(e.d1 + e.d2 AS HUGEINT) * e.n1 * e.n2
+        |        * ((e.n1 + e.n2) - (e.d1 + e.d2)) AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(CAST(e.n1 + e.n2 AS HUGEINT) * (e.n1 + e.n2)
+        |        * ((e.n1 + e.n2) - 1) AS VARCHAR) AS DOUBLE)
+        |      ELSE 0 END
+        |  FROM acc k JOIN ev2 e
+        |    ON e.cohort2 = k.cohort2 AND e.i = k.i + 1
+        |), fin AS (
+        |  SELECT a.cohort2, a.i AS n_times, a.so, a.sv
+        |  FROM acc a
+        |  JOIN (SELECT cohort2, max(i) AS mi FROM acc GROUP BY 1) m
+        |    ON a.cohort2 = m.cohort2 AND a.i = m.mi
+        |)
+        |SELECT cohort2, n_times,
+        |  CASE WHEN sv > 0 THEN so / sqrt(sv) END AS z,
+        |  CASE WHEN sv > 0 THEN (so / sqrt(sv)) * (so / sqrt(sv)) END
+        |    AS chi2
+        |FROM fin ORDER BY cohort2""".stripMargin,
+
     // prefix-block candidates and 20-token-prefix truth as distinct
     // unordered pairs; the two ratios as floor divisions (both
     // operands positive)

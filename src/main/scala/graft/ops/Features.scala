@@ -2304,6 +2304,92 @@ object Features {
         when(col("fano_ppm").isNotNull, col("fano_ppm") > 1000000L))
   }
 
+  /** Two-sample log-rank test per group — [[kaplanMeier]]'s hypothesis
+    * test ("do these two arms' survival CURVES differ?" — the standard
+    * churn-experiment / reliability-comparison gate, which a mean- or
+    * median-duration test gets wrong under censoring): at each distinct
+    * event time, observed side-A events d1ᵢ against the hypergeometric
+    * expectation d·n1/n and variance d·n1·n2·(n−d)/(n²(n−1)), then
+    * Z = Σ(d1ᵢ − E1ᵢ)/√ΣVᵢ and chi2 = Z². Output per group:
+    * `n_times`, `z`, `chi2` (null when total variance is 0).
+    *
+    * Exactness: each time's O−E and V terms are ONE IEEE division of
+    * exact decimal(38,0) integer renders, and the two running sums
+    * accumulate in ASCENDING TIME ORDER inside an `aggregate` fold
+    * over the group's sorted step array — deterministic and mirrored
+    * term-for-term by the oracle's rank-stepping recursive CTE, so the
+    * doubles agree bit-for-bit (a plain SUM over doubles would be
+    * partitioning-dependent). Single-subject times contribute exactly
+    * 0 and are skipped on both sides. `maxTimes` raises in-plan (the
+    * q209 contract).
+    *
+    * Scale shape: raw rows collapse to (group, time) grain in ONE
+    * map-side-combined agg carrying per-side event/at-risk deltas;
+    * at-risk counts ride two window sums over one per-group sort; the
+    * fold touches |groups| rows.
+    */
+  def logRank(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column, sideCol: Column,
+      maxTimes: Int = 10000): DataFrame = {
+    require(maxTimes >= 1, s"maxTimes must be >= 1: $maxTimes")
+    val d38 = DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val grain = df
+      .filter(durationCol.isNotNull && eventCol.isNotNull &&
+        sideCol.isNotNull)
+      .select(gs ++ Seq(durationCol.cast("long").as("__t"),
+        eventCol.cast("boolean").as("__e"),
+        sideCol.cast("boolean").as("__sd")): _*)
+      .groupBy(gs :+ col("__t"): _*)
+      .agg(sum(when(col("__sd") && col("__e"), 1L).otherwise(0L))
+          .as("__d1"),
+        sum(when(!col("__sd") && col("__e"), 1L).otherwise(0L))
+          .as("__d2"),
+        sum(when(col("__sd"), 1L).otherwise(0L)).as("__a1"),
+        sum(when(!col("__sd"), 1L).otherwise(0L)).as("__a2"))
+    val wAll = Window.partitionBy(gs: _*)
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col("__t"))
+    def atRisk(c: String): Column =
+      sum(col(c)).over(wAll) - coalesce(sum(col(c)).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val steps = grain
+      .withColumn("__n1", atRisk("__a1"))
+      .withColumn("__n2", atRisk("__a2"))
+      .filter(col("__d1") + col("__d2") >= 1L)
+    def dbl(c: Column): Column = c.cast("string").cast("double")
+    val folded = steps
+      .groupBy(gs: _*)
+      .agg(sort_array(collect_list(struct(col("__t"),
+        col("__n1"), col("__n2"), col("__d1"), col("__d2"))))
+        .as("__steps0"))
+      .withColumn("__steps",
+        when(size(col("__steps0")) > maxTimes, raise_error(concat(
+          lit(s"logRank: group exceeds maxTimes=$maxTimes: "),
+          size(col("__steps0")).cast("string"))))
+          .otherwise(col("__steps0")))
+      .withColumn("__acc", aggregate(col("__steps"),
+        struct(lit(0d).as("so"), lit(0d).as("sv")),
+        (acc, x) => {
+          val n1 = x.getField("__n1"); val n2 = x.getField("__n2")
+          val d1 = x.getField("__d1"); val d2 = x.getField("__d2")
+          val n = n1 + n2; val d = d1 + d2
+          val oTerm = dbl(d1.cast(d38) * n - d.cast(d38) * n1) / dbl(n)
+          val vTerm = dbl(d.cast(d38) * n1 * n2 * (n - d)) /
+            dbl(n.cast(d38) * n * (n - 1))
+          struct(
+            (acc.getField("so") +
+              when(n > 1L, oTerm).otherwise(0d)).as("so"),
+            (acc.getField("sv") +
+              when(n > 1L, vTerm).otherwise(0d)).as("sv"))
+        }))
+    val so = col("__acc").getField("so")
+    val sv = col("__acc").getField("sv")
+    folded.select(gs ++ Seq(
+      size(col("__steps")).cast("long").as("n_times"),
+      when(sv > 0d, so / sqrt(sv)).as("z"),
+      when(sv > 0d, (so / sqrt(sv)) * (so / sqrt(sv))).as("chi2")): _*)
+  }
+
   /** Welch two-sample t — the unequal-variance location test per
     * group, the parametric sibling of X169's Mann–Whitney AUC ("are
     * these two arms' MEANS different, without assuming equal

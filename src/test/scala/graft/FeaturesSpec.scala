@@ -1195,6 +1195,32 @@ class FeaturesSpec extends SparkSpec {
     assert(got("h").isNullAt(5) && got("h").isNullAt(6))
   }
 
+  test("logRank: hand-checked O-E/variance terms in time order, " +
+      "singleton times contribute zero, sv=0 → null z") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A: events at 1, 3; B: event at 2, censored at 3 →
+    // t=1: n1=2,n2=2,d=1 → o=+1/2, v=1/4
+    // t=2: n1=1,n2=2,d=1 → o=-1/3, v=2/9
+    // t=3: n1=1,n2=1,d=1 → o=+1/2, v=1/4
+    val df = Seq(
+      ("g", 1L, true, true), ("g", 3L, true, true),
+      ("g", 2L, true, false), ("g", 3L, false, false),
+      ("h", 1L, true, true))  // single subject: n=1 times skip → sv=0
+      .toDF("k", "dur", "ev", "side")
+    val got = graft.ops.Features.logRank(df, Seq("k"), col("dur"),
+      col("ev"), col("side")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    val so = (0.0 + 2.0 / 4.0) + (-1.0 / 3.0) + 2.0 / 4.0
+    val sv = (0.0 + 12.0 / 48.0) + 4.0 / 18.0 + 4.0 / 16.0
+    assert(g.getLong(1) == 3L)
+    assert(math.abs(g.getDouble(2) - so / math.sqrt(sv)) < 1e-12)
+    assert(math.abs(g.getDouble(3) -
+      (so / math.sqrt(sv)) * (so / math.sqrt(sv))) < 1e-12)
+    assert(got("h").getLong(1) == 1L && got("h").isNullAt(2))
+  }
+
   test("kaplanMeier: textbook curve — censoring keeps at-risk mass, " +
       "floor-ppm product, event-times-only rows, maxTimes raises") {
     import spark.implicits._
