@@ -3485,6 +3485,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X283 — iterative BPE tokenizer training, six merge rounds over
+    // the corpus vocabulary: the merge table IS the tokenizer
+    "q291_bpe_train" -> { (s, dir) =>
+      graft.text.Vocab.bpeTrain(t(s, dir, "documents"), "text", k = 6)
+        .orderBy(col("merge_rank"))
+    },
+
     // X282 — two-sample log-rank over the q287 durations: does the
     // user-id bit-1 "arm" change time-to-first-error, per parity
     // cohort? (independent id bits → arms should NOT differ)
@@ -10094,6 +10101,52 @@ object SparkEntry {
 
     // counts to (type, 6h-bucket) grain, then the exact variance/mean
     // cross-multiplied identity with empty buckets in the span term
+    // six UNROLLED merge rounds (the q165 kcore precedent): each round
+    // re-derives symbol lists from the chr(31)-wrapped state, counts
+    // adjacent pairs weighted by word frequency, takes the (n desc, l,
+    // r) top-1 as scalar subqueries, and string-replaces the merge —
+    // left-to-right non-overlapping on both engines
+    "q291_bpe_train" -> {
+      val round = (j: Int) =>
+        s""", px$j AS (
+           |  SELECT f, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+           |  FROM (SELECT f, string_split(trim(s, chr(31)),
+           |    chr(31) || chr(31)) AS sy FROM w${j - 1}) t
+           |  WHERE len(sy) >= 2
+           |), p$j AS (
+           |  SELECT sy[i] AS l, sy[i + 1] AS r,
+           |    CAST(sum(f) AS BIGINT) AS n
+           |  FROM px$j GROUP BY 1, 2
+           |), t$j AS (
+           |  SELECT l, r, n FROM p$j ORDER BY n DESC, l, r LIMIT 1
+           |), w$j AS (
+           |  SELECT f, replace(s,
+           |    chr(31) || (SELECT l FROM t$j) || chr(31) || chr(31)
+           |      || (SELECT r FROM t$j) || chr(31),
+           |    chr(31) || (SELECT l FROM t$j) || (SELECT r FROM t$j)
+           |      || chr(31)) AS s
+           |  FROM w${j - 1}
+           |), o$j AS (
+           |  SELECT CAST($j AS BIGINT) AS merge_rank, l AS "left",
+           |    r AS "right", n AS n_occurrences
+           |  FROM t$j
+           |)""".stripMargin
+      """WITH w0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS f,
+        |    chr(31) || array_to_string(string_split(w, ''),
+        |      chr(31) || chr(31)) || chr(31) AS s
+        |  FROM (SELECT unnest(list_filter(string_split_regex(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |      '\s+'), t -> t <> '')) AS w
+        |    FROM documents WHERE text IS NOT NULL) t
+        |  GROUP BY w
+        |)""".stripMargin +
+        (1 to 6).map(round).mkString +
+        "\nSELECT * FROM (" +
+        (1 to 6).map(j => s"SELECT * FROM o$j").mkString(" UNION ALL ") +
+        ") ORDER BY merge_rank"
+    },
+
     // log-rank O−E and V terms mirrored op-for-op (HUGEINT products,
     // VARCHAR-double renders, one division each), accumulated in time
     // order by a rank-stepping recursion — the engine's fold verbatim

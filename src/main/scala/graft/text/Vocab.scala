@@ -146,4 +146,78 @@ object Vocab {
       .withColumn("mean_millibits", graft.functions.Exact.longDiv(
         col("surprisal_bits") * 1000L, col("n_tokens")))
   }
+
+  /** Iterative BPE tokenizer TRAINING — the full merge loop whose
+    * iteration 0 is [[bpePairStats]] (Sennrich et al. 2016): `k`
+    * rounds of (count adjacent symbol pairs weighted by word
+    * frequency → take the most frequent pair, ties (count desc, left
+    * asc, right asc) → merge it greedily left-to-right in every word),
+    * emitting the MERGE TABLE (`merge_rank` 1..k, `left`, `right`,
+    * `n_occurrences` — the pre-merge pair count) — the artifact a BPE
+    * tokenizer IS. Counting is per adjacent position ("aaa" counts
+    * (a,a) twice — the reference convention); merging is
+    * non-overlapping left-to-right ("aaa" → ["aa","a"]), which string
+    * `replace` implements exactly over a delimiter-wrapped symbol
+    * encoding ("␟a␟␟a␟␟a␟", pattern "␟a␟␟a␟" → "␟aa␟") — symbols never
+    * contain the U+001F separator, so a pattern can never match across
+    * a symbol boundary. Stops early when no pair remains.
+    *
+    * Scale shape: corpus volume touches ONLY the initial word-frequency
+    * aggregation (reduce side |vocabulary| by Heaps' law — the same
+    * move real BPE trainers make); every round then runs at
+    * distinct-word grain: one pair explode + map-side-combined count,
+    * one ≤-pair-vocabulary top-1, one scan-local merge rewrite. The
+    * loop takes k driver-visible actions (the top pair must become the
+    * next round's literal rewrite pattern — the CC-loop discipline),
+    * each over the vocabulary-sized frame, per-round state
+    * `localCheckpoint`'d so plan depth stays constant.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k in [1,1000]: $k")
+    val S = ""
+    val spark = df.sparkSession
+    var words = df.select(explode(TextFunctions.tokens(
+        TextFunctions.normalized(col(textCol)))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .select(col("__f"), concat(lit(S),
+        array_join(split(col("__w"), ""), S + S), lit(S)).as("__s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val syms = split(regexp_replace(col("__s"),
+        "^" + S + "|" + S + "$", ""), S + S)
+      val top = words
+        .select(col("__f"), syms.as("__sy"))
+        .filter(size(col("__sy")) >= 2)
+        .select(col("__f"), explode(zip_with(
+          slice(col("__sy"), lit(1), size(col("__sy")) - 1),
+          slice(col("__sy"), lit(2), size(col("__sy")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__f")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val row = top.head
+        val (l, r, n) = (row.getString(0), row.getString(1),
+          row.getLong(2))
+        merges += ((round.toLong, l, r, n))
+        val next = words.select(col("__f"),
+          replace(col("__s"), lit(S + l + S + S + r + S),
+            lit(S + l + r + S)).as("__s"))
+          .localCheckpoint(true)
+        graft.ops.Checkpoints.release(words)
+        words = next
+        round += 1
+      }
+    }
+    graft.ops.Checkpoints.release(words)
+    import spark.implicits._
+    merges.toSeq
+      .toDF("merge_rank", "left", "right", "n_occurrences")
+  }
 }

@@ -102,4 +102,23 @@ class VocabSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("bpeTrain: hand-checked merge sequence — overlapping counts, " +
+      "greedy left-to-right merge, early stop when no pairs remain") {
+    import spark.implicits._
+    // words: aaab ×3, ab ×2
+    // r1: (a,a)=6 (two positions in aaab) beats (a,b)=5 → merge
+    //     aaab → [aa,a,b] (greedy: "aaa" merges once at the left)
+    // r2: (a,b)=5 (3 from aaab + 2 from ab) beats (aa,a)=3 → merge
+    // r3: (aa,ab)=3 → merge; r4: no pairs anywhere → stop early
+    val docs = Seq((1L, "aaab ab aaab"), (2L, "aaab ab"))
+      .toDF("id", "text")
+    val got = graft.text.Vocab.bpeTrain(docs, "text", k = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", 6L),
+      (2L, "a", "b", 5L),
+      (3L, "aa", "ab", 3L)))
+  }
 }
