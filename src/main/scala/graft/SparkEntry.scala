@@ -3492,6 +3492,15 @@ object SparkEntry {
         .orderBy(col("merge_rank"))
     },
 
+    // X284 — BPE apply: encode the corpus with the six trained merges;
+    // token counts are the budget-planner's number
+    "q292_bpe_apply" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Vocab.bpeTrain(docs, "text", k = 6)
+      graft.text.Vocab.bpeApply(docs, "text", "doc_id", merges)
+        .orderBy(col("doc_id"))
+    },
+
     // X282 — two-sample log-rank over the q287 durations: does the
     // user-id bit-1 "arm" change time-to-first-error, per parity
     // cohort? (independent id bits → arms should NOT differ)
@@ -3929,6 +3938,49 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracles — same semantics in ANSI SQL (column names must match)
   // ---------------------------------------------------------------------
+
+  /** Shared q291/q292 oracle prelude: the word-frequency table and six
+    * unrolled BPE merge rounds (the q165 kcore precedent) — each round
+    * re-derives symbol lists from the chr(31)-wrapped state, counts
+    * adjacent pairs weighted by word frequency, takes the (n desc, l,
+    * r) top-1 as scalar subqueries, and string-replaces the merge.
+    */
+  private def bpeRoundsSql(rounds: Int): String = {
+    val round = (j: Int) =>
+      s""", px$j AS (
+         |  SELECT f, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+         |  FROM (SELECT f, string_split(trim(s, chr(31)),
+         |    chr(31) || chr(31)) AS sy FROM w${j - 1}) t
+         |  WHERE len(sy) >= 2
+         |), p$j AS (
+         |  SELECT sy[i] AS l, sy[i + 1] AS r,
+         |    CAST(sum(f) AS BIGINT) AS n
+         |  FROM px$j GROUP BY 1, 2
+         |), t$j AS MATERIALIZED (
+         |  SELECT l, r, n FROM p$j ORDER BY n DESC, l, r LIMIT 1
+         |), w$j AS MATERIALIZED (
+         |  SELECT f, replace(s,
+         |    chr(31) || (SELECT l FROM t$j) || chr(31) || chr(31)
+         |      || (SELECT r FROM t$j) || chr(31),
+         |    chr(31) || (SELECT l FROM t$j) || (SELECT r FROM t$j)
+         |      || chr(31)) AS s
+         |  FROM w${j - 1}
+         |), o$j AS (
+         |  SELECT CAST($j AS BIGINT) AS merge_rank, l AS "left",
+         |    r AS "right", n AS n_occurrences
+         |  FROM t$j
+         |)""".stripMargin
+    """WITH w0 AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS f,
+      |    chr(31) || array_to_string(string_split(w, ''),
+      |      chr(31) || chr(31)) || chr(31) AS s
+      |  FROM (SELECT unnest(list_filter(string_split_regex(
+      |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+      |      '\s+'), t -> t <> '')) AS w
+      |    FROM documents WHERE text IS NOT NULL) t
+      |  GROUP BY w
+      |)""".stripMargin + (1 to rounds).map(round).mkString
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -10101,50 +10153,54 @@ object SparkEntry {
 
     // counts to (type, 6h-bucket) grain, then the exact variance/mean
     // cross-multiplied identity with empty buckets in the span term
-    // six UNROLLED merge rounds (the q165 kcore precedent): each round
-    // re-derives symbol lists from the chr(31)-wrapped state, counts
-    // adjacent pairs weighted by word frequency, takes the (n desc, l,
-    // r) top-1 as scalar subqueries, and string-replaces the merge —
-    // left-to-right non-overlapping on both engines
+    // six unrolled merge rounds via bpeRoundsSql (shared with q292)
     "q291_bpe_train" -> {
-      val round = (j: Int) =>
-        s""", px$j AS (
-           |  SELECT f, sy, unnest(generate_series(1, len(sy) - 1)) AS i
-           |  FROM (SELECT f, string_split(trim(s, chr(31)),
-           |    chr(31) || chr(31)) AS sy FROM w${j - 1}) t
-           |  WHERE len(sy) >= 2
-           |), p$j AS (
-           |  SELECT sy[i] AS l, sy[i + 1] AS r,
-           |    CAST(sum(f) AS BIGINT) AS n
-           |  FROM px$j GROUP BY 1, 2
-           |), t$j AS (
-           |  SELECT l, r, n FROM p$j ORDER BY n DESC, l, r LIMIT 1
-           |), w$j AS (
-           |  SELECT f, replace(s,
-           |    chr(31) || (SELECT l FROM t$j) || chr(31) || chr(31)
-           |      || (SELECT r FROM t$j) || chr(31),
-           |    chr(31) || (SELECT l FROM t$j) || (SELECT r FROM t$j)
-           |      || chr(31)) AS s
-           |  FROM w${j - 1}
-           |), o$j AS (
-           |  SELECT CAST($j AS BIGINT) AS merge_rank, l AS "left",
-           |    r AS "right", n AS n_occurrences
-           |  FROM t$j
-           |)""".stripMargin
-      """WITH w0 AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS f,
-        |    chr(31) || array_to_string(string_split(w, ''),
-        |      chr(31) || chr(31)) || chr(31) AS s
-        |  FROM (SELECT unnest(list_filter(string_split_regex(
-        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
-        |      '\s+'), t -> t <> '')) AS w
-        |    FROM documents WHERE text IS NOT NULL) t
-        |  GROUP BY w
-        |)""".stripMargin +
-        (1 to 6).map(round).mkString +
+      bpeRoundsSql(6) +
         "\nSELECT * FROM (" +
         (1 to 6).map(j => s"SELECT * FROM o$j").mkString(" UNION ALL ") +
         ") ORDER BY merge_rank"
+    },
+
+    // the q291 rounds regenerate the merge table, then every word's
+    // wrapped symbol string folds through the packed merge list in
+    // rank order via list_reduce (accumulator = the state string,
+    // prepended as the fold seed) -- the engine's aggregate() verbatim
+    "q292_bpe_apply" -> {
+      bpeRoundsSql(6) +
+        """, ml AS (
+        |  SELECT list(m ORDER BY merge_rank) AS ms FROM (
+        |    SELECT merge_rank, "left" || chr(1) || "right" AS m FROM (
+        |""".stripMargin +
+        (1 to 6).map(j => s"      SELECT * FROM o$j").mkString(" UNION ALL\n") +
+        """
+        |    )
+        |  )
+        |), dw AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |), enc AS (
+        |  SELECT doc_id, ws,
+        |    list_transform(ws, w -> list_reduce(
+        |      list_prepend(chr(31) || array_to_string(
+        |        string_split(w, ''), chr(31) || chr(31)) || chr(31),
+        |        ml.ms),
+        |      (a, b) -> replace(a,
+        |        chr(31) || split_part(b, chr(1), 1) || chr(31) || chr(31)
+        |          || split_part(b, chr(1), 2) || chr(31),
+        |        chr(31) || split_part(b, chr(1), 1)
+        |          || split_part(b, chr(1), 2) || chr(31)))) AS ew
+        |  FROM dw, ml
+        |)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(ew, e ->
+        |    len(string_split(trim(e, chr(31)), chr(31) || chr(31)))))
+        |    AS BIGINT) AS n_bpe_tokens,
+        |  array_to_string(list_transform(ew, e ->
+        |    replace(trim(e, chr(31)), chr(31) || chr(31), ' ')), ' ')
+        |    AS bpe_text
+        |FROM enc ORDER BY doc_id""".stripMargin
     },
 
     // log-rank O−E and V terms mirrored op-for-op (HUGEINT products,

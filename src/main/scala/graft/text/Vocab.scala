@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -181,9 +181,16 @@ object Vocab {
       .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
       .select(col("__f"), concat(lit(S),
         array_join(split(col("__w"), ""), S + S), lit(S)).as("__s"))
-      .localCheckpoint(true)
+      // LAZY: the first round's top-1 collect materializes it — no
+      // separate checkpoint job (and likewise per round below)
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
+    // the PREVIOUS round's state releases only after this round's
+    // collect has materialized the current one — a lazy checkpoint's
+    // blocks come from its parent, and a truncated-lineage RDD whose
+    // parent was unpersisted first cannot recompute
+    var prev: DataFrame = null
     var round = 1
     var done = false
     while (round <= k && !done) {
@@ -200,6 +207,8 @@ object Vocab {
         .agg(sum(col("__f")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
+      // this round's collect materialized `words`; its parent is done
+      if (prev != null) { graft.ops.Checkpoints.release(prev); prev = null }
       if (top.isEmpty) done = true
       else {
         val row = top.head
@@ -209,15 +218,72 @@ object Vocab {
         val next = words.select(col("__f"),
           replace(col("__s"), lit(S + l + S + S + r + S),
             lit(S + l + r + S)).as("__s"))
-          .localCheckpoint(true)
-        graft.ops.Checkpoints.release(words)
+          .localCheckpoint(false)
+        prev = words
         words = next
         round += 1
       }
     }
-    graft.ops.Checkpoints.release(words)
+    // the final state was never materialized (nothing collects it), so
+    // only the last MATERIALIZED round needs its blocks dropped
+    if (prev != null) graft.ops.Checkpoints.release(prev)
     import spark.implicits._
     merges.toSeq
       .toDF("merge_rank", "left", "right", "n_occurrences")
+  }
+
+  /** BPE ENCODING with a trained merge table — [[bpeTrain]]'s apply
+    * side, the tokenize step every training-data pipeline runs at full
+    * corpus scale once the (tiny) merge table exists: each word's
+    * character symbols fold through the merges IN RANK ORDER (the BPE
+    * inference rule) via the same U+001F-wrapped `replace` encoding as
+    * training — greedy left-to-right per merge, no cross-boundary
+    * matches. Output per document: `n_words`, `n_bpe_tokens` (the
+    * number a token-budget planner actually needs), and `bpe_text`
+    * (the encoded token sequence, space-joined — merged symbols are
+    * multi-char tokens).
+    *
+    * Scale shape: the merge table collapses to ONE sorted array row
+    * and broadcasts; everything else is scan-local per-row expression
+    * work (a transform over the doc's words, each folding the merge
+    * array) — zero shuffles beyond the broadcast, the shape an
+    * apply-side tokenizer must have at 100 TB. Cost is
+    * O(words · merges) string rewrites per row; the merge count is a
+    * model constant.
+    */
+  def bpeApply(df: DataFrame, textCol: String, idCol: String,
+      merges: DataFrame): DataFrame = {
+    val S = ""
+    val mArr = merges
+      .select(struct(col("merge_rank"), col("left"), col("right"))
+        .as("__m"))
+      .agg(sort_array(collect_list(col("__m"))).as("__ms0"))
+      .select(transform(col("__ms0"), m =>
+        concat(m.getField("left"), lit(""),
+          m.getField("right"))).as("__ms"))
+    val enc = transform(col("__ws"), w => aggregate(col("__ms"),
+      concat(lit(S), array_join(split(w, ""), S + S), lit(S)),
+      (acc, m) => {
+        val l = substring_index(m, "", 1)
+        val r = substring_index(m, "", -1)
+        replace(acc, concat(lit(S), l, lit(S + S), r, lit(S)),
+          concat(lit(S), l, r, lit(S)))
+      }))
+    def unwrap(e: Column): Column =
+      regexp_replace(e, "^" + S + "|" + S + "$", "")
+    df.filter(col(textCol).isNotNull)
+      .crossJoin(broadcast(mArr))
+      .select(col(idCol),
+        TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
+          .as("__ws"), col("__ms"))
+      .select(col(idCol), col("__ws"), enc.as("__enc"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        aggregate(transform(col("__enc"), e =>
+          size(split(unwrap(e), S + S)).cast("long")), lit(0L),
+          (a, x) => a + x).as("n_bpe_tokens"),
+        array_join(transform(col("__enc"), e =>
+          replace(unwrap(e), lit(S + S), lit(" "))), " ")
+          .as("bpe_text"))
   }
 }

@@ -121,4 +121,26 @@ class VocabSpec extends SparkSpec {
       (2L, "a", "b", 5L),
       (3L, "aa", "ab", 3L)))
   }
+
+  test("bpeApply: merges fold in rank order, partial tables leave " +
+      "partial symbols, token counts at document grain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "aaab ab aaab"), (2L, "aaab ab"))
+      .toDF("id", "text")
+    val merges = graft.text.Vocab.bpeTrain(docs, "text", k = 10)
+    val full = graft.text.Vocab.bpeApply(docs, "text", "id", merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // all three merges collapse both words to single tokens
+    assert(full(1L) == ((3L, 3L, "aaab ab aaab")))
+    assert(full(2L) == ((2L, 2L, "aaab ab")))
+    // only the first merge: aaab → [aa,a,b], ab stays [a,b]
+    val part = graft.text.Vocab.bpeApply(docs, "text", "id",
+        merges.filter(col("merge_rank") === 1L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(part(1L) == ((8L, "aa a b a b aa a b")))
+    assert(part(2L) == ((5L, "aa a b a b")))
+  }
 }
