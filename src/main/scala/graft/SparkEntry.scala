@@ -3485,6 +3485,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X285 — classical additive seasonal decomposition: daily event
+    // counts per type, weekly period — trend/seasonal/residual as
+    // exact micro-unit longs, x = t + s + r exactly on emitted columns
+    "q293_seasonal_decompose" -> { (s, dir) =>
+      val daily = events(s, dir)
+        .select(col("event_type"),
+          graft.functions.Exact.longDiv(nsToMicros(col("ts_ns")),
+            86400000000L).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Features.seasonalDecompose(daily, Seq("event_type"),
+          col("day"), col("n"), period = 7, scale = 0)
+        .orderBy(col("event_type"), col("idx"))
+    },
+
     // X283 — iterative BPE tokenizer training, six merge rounds over
     // the corpus vocabulary: the merge table IS the tokenizer
     "q291_bpe_train" -> { (s, dir) =>
@@ -10153,6 +10168,47 @@ object SparkEntry {
 
     // counts to (type, 6h-bucket) grain, then the exact variance/mean
     // cross-multiplied identity with empty buckets in the span term
+    // odd-period centered MA (2·sum over ±3 when the window is full),
+    // exact detrended numerators n·14 − tn, phase means as one
+    // truncating division — truncation on negatives matches Spark's
+    // IntegralDivide (both toward zero)
+    "q293_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), idxed AS (
+        |  SELECT event_type, day, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) - 1 AS BIGINT) AS idx,
+        |    CASE WHEN count(n) OVER w7 = 7
+        |      THEN 2 * sum(n) OVER w7 END AS tn
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), ph AS (
+        |  SELECT *, idx % 7 AS phase, n * 14 - tn AS dn FROM idxed
+        |), sm AS (
+        |  SELECT *, sum(dn) OVER (PARTITION BY event_type, phase) AS sn,
+        |    count(dn) OVER (PARTITION BY event_type, phase) AS sc
+        |  FROM ph
+        |)
+        |SELECT event_type, idx, CAST(phase AS BIGINT) AS phase,
+        |  CAST(n * 1000000 AS BIGINT) AS x_micro,
+        |  CAST(CAST(tn AS HUGEINT) * 1000000 // 14 AS BIGINT)
+        |    AS trend_micro,
+        |  CASE WHEN sc > 0 THEN
+        |    CAST(CAST(sn AS HUGEINT) * 1000000
+        |      // (CAST(sc AS HUGEINT) * 14) AS BIGINT) END
+        |    AS seasonal_micro,
+        |  CAST(n * 1000000 AS BIGINT)
+        |    - CAST(CAST(tn AS HUGEINT) * 1000000 // 14 AS BIGINT)
+        |    - CASE WHEN sc > 0 THEN
+        |        CAST(CAST(sn AS HUGEINT) * 1000000
+        |          // (CAST(sc AS HUGEINT) * 14) AS BIGINT) END
+        |    AS residual_micro
+        |FROM sm ORDER BY event_type, idx""".stripMargin,
+
     // six unrolled merge rounds via bpeRoundsSql (shared with q292)
     "q291_bpe_train" -> {
       bpeRoundsSql(6) +

@@ -2304,6 +2304,90 @@ object Features {
         when(col("fano_ppm").isNotNull, col("fano_ppm") > 1000000L))
   }
 
+  /** Classical additive seasonal decomposition per group — the
+    * trend/seasonal/residual SPLIT behind every capacity / demand /
+    * telemetry review ("is the series growing, or is that just
+    * Mondays?"), the artifact X178's phase-scaled residuals score
+    * against but never emit: index-based decomposition of a REGULAR
+    * series (gaps are [[TimeSeries]] regrid's job first) with
+    *
+    *   - `trend` = centered moving average over one full period
+    *     (odd p: plain p-window; even p: the classic half-weighted
+    *     2×MA with ½·x_{t−p/2} and ½·x_{t+p/2}), null at the edges
+    *     where the window is incomplete — never extrapolated;
+    *   - `seasonal` = per (group, index mod p) mean of the EXACT
+    *     detrended rationals (numerators carried unreduced — no
+    *     intermediate floor bias), null for phases with no interior
+    *     row;
+    *   - `residual` = x − trend − seasonal over the EMITTED columns,
+    *     so the identity x = trend + seasonal + residual holds
+    *     EXACTLY on the output (micro-unit integers), null where
+    *     either component is.
+    *
+    * All columns are exact micro-unit longs: values quantize to
+    * `scale` decimals, window numerators are exact longs, each output
+    * is ONE truncating division of decimal(38,0) products (truncation
+    * matches DuckDB `//` on negatives too — both truncate toward
+    * zero). `(orderCol, tieCols)` must totally order each group.
+    *
+    * Scale shape: ONE exchange on the group key; row_number, the MA
+    * frame, and the lag/lead ends share that sort; the phase means
+    * ride a second exchange on (group, phase) — two exchanges total,
+    * no joins, no collect. Parallelism is |groups|·p at the phase
+    * stage, |groups| at the ordered stage.
+    */
+  def seasonalDecompose(df: DataFrame, groupCols: Seq[String],
+      orderCol: Column, valueCol: Column, period: Int,
+      scale: Int = 2, tieCols: Seq[Column] = Nil): DataFrame = {
+    require(period >= 2 && period <= 10000,
+      s"period in [2,10000]: $period")
+    require(scale >= 0 && scale <= 6, s"scale in [0,6]: $scale")
+    val d38 = DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val p = period
+    val h = p / 2
+    val q = (valueCol.cast(DecimalType(18, scale)) *
+      lit(math.pow(10, scale).toLong)).cast("long")
+    val f6 = math.pow(10, 6 - scale).toLong // micro-unit render factor
+    val w = Window.partitionBy(gs: _*).orderBy(orderCol +: tieCols: _*)
+    val base = df.filter(orderCol.isNotNull && q.isNotNull)
+      .select(gs ++ Seq(orderCol.as("__o"), q.as("__q")) ++
+        tieCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
+    val ord = col("__o") +: tieCols.indices.map(i => col(s"__t$i"))
+    val w2 = Window.partitionBy(gs: _*).orderBy(ord: _*)
+    // t_num = Σ weights·q over one period with weights summing 2p
+    val tNum =
+      if (p % 2 == 1) {
+        val fr = w2.rowsBetween(-h, h)
+        when(count(col("__q")).over(fr) === p,
+          sum(col("__q")).over(fr) * 2L)
+      } else {
+        val fr = w2.rowsBetween(-(h - 1), h - 1)
+        when(count(col("__q")).over(fr) === (p - 1),
+          sum(col("__q")).over(fr) * 2L +
+            lag(col("__q"), h).over(w2) + lead(col("__q"), h).over(w2))
+      }
+    val idxed = base.select(gs ++ Seq(col("__q"),
+      (row_number().over(w2) - 1L).cast("long").as("idx"),
+      tNum.as("__tn")) ++ ord: _*)
+      .withColumn("__ph", pmod(col("idx"), lit(p.toLong)))
+      // exact detrended numerator in q·2p units — no intermediate floor
+      .withColumn("__dn", col("__q") * (2L * p) - col("__tn"))
+    val wPh = Window.partitionBy(gs :+ col("__ph"): _*)
+    import graft.functions.Exact.longDiv
+    idxed
+      .withColumn("__sn", sum(col("__dn")).over(wPh))
+      .withColumn("__sc", count(col("__dn")).over(wPh))
+      .select(gs ++ Seq(col("idx"), col("__ph").as("phase"),
+        (col("__q") * f6).as("x_micro"),
+        longDiv(col("__tn").cast(d38) * f6, 2L * p).as("trend_micro"),
+        when(col("__sc") > 0L,
+          longDiv(col("__sn").cast(d38) * f6,
+            col("__sc").cast(d38) * (2L * p))).as("seasonal_micro")): _*)
+      .withColumn("residual_micro",
+        col("x_micro") - col("trend_micro") - col("seasonal_micro"))
+  }
+
   /** Two-sample log-rank test per group — [[kaplanMeier]]'s hypothesis
     * test ("do these two arms' survival CURVES differ?" — the standard
     * churn-experiment / reliability-comparison gate, which a mean- or

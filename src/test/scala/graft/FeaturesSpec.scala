@@ -1195,6 +1195,36 @@ class FeaturesSpec extends SparkSpec {
     assert(got("h").isNullAt(5) && got("h").isNullAt(6))
   }
 
+  test("seasonalDecompose: odd and even periods hand-checked — exact " +
+      "x = trend + seasonal + residual on emitted columns, null edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // pure period-3 signal [1,2,3]*3: trend ≡ 2, seasonal −1/0/+1,
+    // residual ≡ 0 on interior rows; edges null
+    val s3 = (0 until 9).map(i => ("g", i.toLong, ((i % 3) + 1).toDouble))
+      .toDF("k", "o", "v")
+    val got3 = graft.ops.Features.seasonalDecompose(s3, Seq("k"),
+        col("o"), col("v"), period = 3, scale = 0)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(got3(3L) == ((Some(2000000L), Some(-1000000L), Some(0L))))
+    assert(got3(4L) == ((Some(2000000L), Some(0L), Some(0L))))
+    assert(got3(5L) == ((Some(2000000L), Some(1000000L), Some(0L))))
+    assert(got3(0L)._1.isEmpty && got3(0L)._3.isEmpty) // edge: no trend
+    assert(got3(0L)._2 == Some(-1000000L))             // phase mean still
+    // even period 4: classic half-weighted 2xMA → trend 2.5, seasonal
+    // x − 2.5, residual 0 on the 8 interior rows
+    val s4 = (0 until 12).map(i => ("g", i.toLong, ((i % 4) + 1).toDouble))
+      .toDF("k", "o", "v")
+    val got4 = graft.ops.Features.seasonalDecompose(s4, Seq("k"),
+        col("o"), col("v"), period = 4, scale = 0)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(got4(2L) == ((Some(2500000L), Some(500000L), Some(0L))))
+    assert(got4(7L) == ((Some(2500000L), Some(1500000L), Some(0L))))
+    assert(got4(1L)._1.isEmpty) // lag(q,2) missing at idx 1
+  }
+
   test("logRank: hand-checked O-E/variance terms in time order, " +
       "singleton times contribute zero, sv=0 → null z") {
     import spark.implicits._
