@@ -3485,6 +3485,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X286 — restricted mean survival time at a 500,000 s horizon over
+    // the q287 cohorts: the one-number effect-size summary of the curve
+    "q294_rmst" -> { (s, dir) =>
+      val u = events(s, dir)
+        .select(col("user_id"), nsToMicros(col("ts_ns")).as("us"),
+          col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("t0"),
+          min(when(col("event_type") === "error", col("us")))
+            .as("terr"),
+          max(col("us")).as("tmax"))
+      val subj = u.select(pmod(col("user_id"), lit(4)).as("cohort"),
+        graft.functions.Exact.longDiv(
+          coalesce(col("terr"), col("tmax")) - col("t0"), 1000000L)
+          .as("dur"),
+        col("terr").isNotNull.as("ev"))
+      graft.ops.Features.rmst(subj, Seq("cohort"), col("dur"),
+          col("ev"), tau = 500000L)
+        .orderBy(col("cohort"))
+    },
+
     // X285 — classical additive seasonal decomposition: daily event
     // counts per type, weekly period — trend/seasonal/residual as
     // exact micro-unit longs, x = t + s + r exactly on emitted columns
@@ -10168,6 +10189,60 @@ object SparkEntry {
 
     // counts to (type, 6h-bucket) grain, then the exact variance/mean
     // cross-multiplied identity with empty buckets in the span term
+    // the KM recursion carrying (survival, area, prev-time): each step
+    // adds s·(min(t,τ) − min(tp,τ)) BEFORE updating s; the tail adds
+    // the last level to the horizon
+    "q294_rmst" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id % 4 AS cohort,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+        |    CAST(min(CASE WHEN event_type = 'error'
+        |      THEN epoch_us(ts) END) AS BIGINT) AS terr,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS tmax
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, user_id
+        |), subj AS (
+        |  SELECT cohort,
+        |    (coalesce(terr, tmax) - t0) // 1000000 AS dur,
+        |    terr IS NOT NULL AS ev
+        |  FROM u
+        |), grain AS (
+        |  SELECT cohort, dur AS t,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2
+        |), risk AS (
+        |  SELECT cohort, t, d, c,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort)
+        |      - coalesce(sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM grain
+        |), ev2 AS (
+        |  SELECT cohort, t, n_risk, d,
+        |    CAST(row_number() OVER (PARTITION BY cohort ORDER BY t)
+        |      AS BIGINT) AS i
+        |  FROM risk WHERE d >= 1
+        |), km AS (
+        |  SELECT cohort, i, t,
+        |    CAST(1000000 * (n_risk - d) // n_risk AS BIGINT) AS s,
+        |    CAST(1000000 * least(t, 500000) AS BIGINT) AS area
+        |  FROM ev2 WHERE i = 1
+        |  UNION ALL
+        |  SELECT e.cohort, e.i, e.t,
+        |    CAST(k.s * (e.n_risk - e.d) // e.n_risk AS BIGINT),
+        |    k.area + k.s * (least(e.t, 500000) - least(k.t, 500000))
+        |  FROM km k JOIN ev2 e ON e.cohort = k.cohort AND e.i = k.i + 1
+        |), fin AS (
+        |  SELECT a.cohort, a.i AS n_times,
+        |    a.area + a.s * (500000 - least(a.t, 500000)) AS rmst
+        |  FROM km a
+        |  JOIN (SELECT cohort, max(i) AS mi FROM km GROUP BY 1) m
+        |    ON a.cohort = m.cohort AND a.i = m.mi
+        |)
+        |SELECT cohort, CAST(500000 AS BIGINT) AS tau, n_times,
+        |  CAST(rmst AS BIGINT) AS rmst_area_ppm
+        |FROM fin ORDER BY cohort""".stripMargin,
+
     // odd-period centered MA (2·sum over ±3 when the window is full),
     // exact detrended numerators n·14 − tn, phase means as one
     // truncating division — truncation on negatives matches Spark's

@@ -2565,11 +2565,14 @@ object Features {
     * ≤ maxTimes steps. Parallelism is |groups| at the fold — the
     * survival curve itself is a per-group sequential object.
     */
-  def kaplanMeier(df: DataFrame, groupCols: Seq[String],
-      durationCol: Column, eventCol: Column,
-      maxTimes: Int = 10000): DataFrame = {
+  /** Shared survival machinery for [[kaplanMeier]] and [[rmst]]:
+    * (group, event time) step rows with at-risk counts, folded to one
+    * sorted step array per group, `maxTimes`-guarded in-plan.
+    */
+  private def survivalSteps(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column, maxTimes: Int,
+      opName: String): DataFrame = {
     require(maxTimes >= 1, s"maxTimes must be >= 1: $maxTimes")
-    import graft.functions.Exact.longDiv
     val gs = groupCols.map(col)
     val grain = df
       .filter(durationCol.isNotNull && eventCol.isNotNull)
@@ -2580,22 +2583,30 @@ object Features {
         sum(when(col("__e"), 0L).otherwise(1L)).as("__c"))
     val wAll = Window.partitionBy(gs: _*)
     val wOrd = Window.partitionBy(gs: _*).orderBy(col("__t"))
-    val steps = grain
+    grain
       .withColumn("__nrisk",
         sum(col("__d") + col("__c")).over(wAll) -
           coalesce(sum(col("__d") + col("__c")).over(
             wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .filter(col("__d") >= 1L)
-    val folded = steps
       .groupBy(gs: _*)
       .agg(sort_array(collect_list(struct(col("__t"),
         col("__nrisk").as("n"), col("__d").as("d"),
         col("__c").as("c")))).as("__steps0"))
       .withColumn("__steps",
         when(size(col("__steps0")) > maxTimes, raise_error(concat(
-          lit(s"kaplanMeier: group exceeds maxTimes=$maxTimes: "),
+          lit(s"$opName: group exceeds maxTimes=$maxTimes: "),
           size(col("__steps0")).cast("string"))))
           .otherwise(col("__steps0")))
+  }
+
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column,
+      maxTimes: Int = 10000): DataFrame = {
+    import graft.functions.Exact.longDiv
+    val gs = groupCols.map(col)
+    val folded = survivalSteps(df, groupCols, durationCol, eventCol,
+      maxTimes, "kaplanMeier")
       .withColumn("__surv", aggregate(col("__steps"),
         struct(lit(1000000L).as("s"),
           array().cast("array<bigint>").as("out")),
@@ -2613,5 +2624,48 @@ object Features {
         col("col.__steps.d").as("n_events"),
         col("col.__steps.c").as("n_censored"),
         col("col.__surv").as("survival_ppm")): _*)
+  }
+
+  /** Restricted mean survival time — [[kaplanMeier]]'s ONE-NUMBER
+    * summary, the standard effect-size companion to [[logRank]]'s
+    * p-value (log-rank says WHETHER the arms differ; RMST(τ) says by
+    * HOW MUCH, in time units: the area under the survival curve up to
+    * the horizon τ — mean event-free time over the first τ units,
+    * well-defined under censoring where the plain mean is not).
+    * Output per group: `tau`, `n_times` (curve steps), and
+    * `rmst_area_ppm` = RMST·10⁶ — the EXACT integral of the ppm step
+    * function: Σ s_{i−1}·(min(tᵢ,τ) − min(tᵢ₋₁,τ)) plus the
+    * s_last·(τ − t_last) tail, all long arithmetic over the same
+    * floor-ppm survival recursion as [[kaplanMeier]] (exact while
+    * 10⁶·τ < 2⁶³). Groups with zero event times emit no row — same
+    * contract as the curve itself (S ≡ 1 there; RMST = τ trivially).
+    *
+    * Scale shape: identical to [[kaplanMeier]] — the shared
+    * [[survivalSteps]] machinery plus a |groups|-row fold.
+    */
+  def rmst(df: DataFrame, groupCols: Seq[String], durationCol: Column,
+      eventCol: Column, tau: Long, maxTimes: Int = 10000): DataFrame = {
+    require(tau > 0L, s"tau must be positive: $tau")
+    import graft.functions.Exact.longDiv
+    val gs = groupCols.map(col)
+    val folded = survivalSteps(df, groupCols, durationCol, eventCol,
+      maxTimes, "rmst")
+      .withColumn("__acc", aggregate(col("__steps"),
+        struct(lit(1000000L).as("s"), lit(0L).as("area"),
+          lit(0L).as("tp")),
+        (acc, x) => {
+          val seg = least(x.getField("__t"), lit(tau)) -
+            least(acc.getField("tp"), lit(tau))
+          val area2 = acc.getField("area") + acc.getField("s") * seg
+          val s2 = longDiv(acc.getField("s") *
+            (x.getField("n") - x.getField("d")), x.getField("n"))
+          struct(s2.as("s"), area2.as("area"),
+            x.getField("__t").as("tp"))
+        }))
+    folded.select(gs ++ Seq(lit(tau).as("tau"),
+      size(col("__steps")).cast("long").as("n_times"),
+      (col("__acc").getField("area") + col("__acc").getField("s") *
+        (lit(tau) - least(col("__acc").getField("tp"), lit(tau))))
+        .as("rmst_area_ppm")): _*)
   }
 }

@@ -1225,6 +1225,27 @@ class FeaturesSpec extends SparkSpec {
     assert(got4(1L)._1.isEmpty) // lag(q,2) missing at idx 1
   }
 
+  test("rmst: exact step-function area — horizon inside and beyond " +
+      "the curve, tail segment carries the last survival level") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("g", 1L, true), ("g", 2L, false), ("g", 3L, true),
+      ("g", 3L, true), ("g", 4L, false), ("g", 5L, true),
+      ("g", 6L, false))
+      .toDF("k", "dur", "ev")
+    // curve: s=1e6 on [0,1), 857142 on [1,3), 514285 on [3,5), 257142 on
+    // τ=4: 1e6·1 + 857142·2 + 514285·1 = 3228569
+    val a4 = graft.ops.Features.rmst(df, Seq("k"), col("dur"),
+      col("ev"), tau = 4L).collect().head
+    assert(a4.getLong(1) == 4L && a4.getLong(2) == 3L)
+    assert(a4.getLong(3) == 3228569L)
+    // τ=10: ... + 514285·2 + 257142·(10−5) = 5028564
+    val a10 = graft.ops.Features.rmst(df, Seq("k"), col("dur"),
+      col("ev"), tau = 10L).collect().head
+    assert(a10.getLong(3) == 5028564L)
+  }
+
   test("logRank: hand-checked O-E/variance terms in time order, " +
       "singleton times contribute zero, sv=0 → null z") {
     import spark.implicits._
