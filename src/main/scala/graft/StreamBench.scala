@@ -142,6 +142,15 @@ object StreamBench {
         k = 8).toDF()
     }(feedKeyed _)
 
+    results += drive[SBKeyed]("bottomk_sample",
+      streaming.StreamingSample.outputMode) { in =>
+      // value universe of 2000 per key: the k-sample churns early,
+      // stabilizes as the bottom hashes saturate
+      streaming.StreamingSample.monitor(
+        in.toDS().groupByKey(_.key).mapValues(e => s"v${e.id % 2000}"),
+        k = 16).toDF()
+    }(feedKeyed _)
+
     results += drive[SBKeyed]("concurrency",
       streaming.StreamingConcurrency.outputMode) { in =>
       streaming.StreamingConcurrency.monitor(

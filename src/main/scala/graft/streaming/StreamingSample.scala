@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming bottom-k uniform sample per key — the streaming face of
+  * the batch X25 sampler (`Relational.stratifiedSample`), maintained
+  * with `flatMapGroupsWithState` (SURVEY §2.7): a live, REPRODUCIBLE
+  * k-item uniform sample of each key's DISTINCT values with hard
+  * bounded state, the primitive behind "show me example URLs per
+  * error class, updating as the stream runs" and behind mergeable
+  * distinct-sketch estimation.
+  *
+  * The sample is the k smallest values under the engine-wide 60-bit
+  * md5 hash order ([[graft.ops.Relational.hashUnit]]'s exact
+  * convention: first 15 hex chars of md5, base-16) — a deterministic
+  * function of the SET of values seen, independent of arrival order,
+  * batching, or partitioning: the running sample after any prefix
+  * equals the batch bottom-k over that prefix's distinct values (the
+  * X135/X258 one-definition-two-modes discipline). Repeated values
+  * collapse (set semantics — this samples the VALUE population;
+  * row-weighted sampling is the batch windowed job's business).
+  * State per key is ≤ k (hash, value) pairs plus the total row count
+  * `n`, emitted hash-ascending in Update mode after every batch the
+  * key appears in.
+  */
+object StreamingSample {
+
+  /** Bottom-k state: the k smallest (hash, value) pairs + rows seen. */
+  final case class BkState(sample: Vector[(Long, String)], n: Long)
+
+  /** [[graft.ops.Relational.hashUnit]] computed JVM-side: first 15 hex
+    * chars of the md5 of the UTF-8 value, as a long in [0, 2^60).
+    */
+  def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, String], k: Int,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[BkState],
+      e: Encoder[(K, String, Long, Long)])
+      : Dataset[(K, String, Long, Long)] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    grouped.flatMapGroupsWithState[BkState, (K, String, Long, Long)](
+      OutputMode.Update, timeout) {
+      (key: K, items: Iterator[String], state: GroupState[BkState]) =>
+        var s = state.getOption.getOrElse(BkState(Vector.empty, 0L))
+        items.foreach { it =>
+          val pair = (hash60(it), it)
+          val withNew =
+            if (s.sample.contains(pair)) s.sample
+            else (s.sample :+ pair).sorted.take(k)
+          s = BkState(withNew, s.n + 1)
+        }
+        state.update(s)
+        s.sample.iterator.map { case (h, it) => (key, it, h, s.n) }
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingSample
+
+class StreamingSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bottom-k sample: running sample ≡ batch bottom-k of the " +
+      "prefix's distinct values, bounded state, duplicates collapse, " +
+      "hash matches Relational.hashUnit") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val k = 3
+    val q = StreamingSample.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2), k)
+      .toDF("key", "item", "h", "n")
+      .writeStream.format("memory").queryName("bk_out")
+      .outputMode(StreamingSample.outputMode)
+      .start()
+
+    val batch1 = Seq("u1", "u2", "u3", "u4", "u2") // dup u2
+    val batch2 = Seq("u5", "u6", "u1", "u7")       // dup u1 across batches
+    in.addData(batch1.map("k1" -> _): _*)
+    q.processAllAvailable()
+    in.addData(batch2.map("k1" -> _): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // expected: batch bottom-k by the engine-wide md5 hash order
+    def expect(vals: Seq[String]) = vals.distinct
+      .map(v => (StreamingSample.hash60(v), v)).sorted.take(k)
+    val rows = spark.table("bk_out").as[(String, String, Long, Long)]
+      .collect()
+    val afterB1 = rows.filter(_._4 == batch1.size.toLong)
+      .map(r => (r._3, r._2)).sorted.toSeq
+    val afterB2 = rows.filter(_._4 == (batch1.size + batch2.size).toLong)
+      .map(r => (r._3, r._2)).sorted.toSeq
+    assert(afterB1 == expect(batch1))
+    assert(afterB2 == expect(batch1 ++ batch2))
+    assert(afterB2.size <= k) // hard bounded state
+    // the JVM-side hash IS Relational.hashUnit's value
+    val sparkH = spark.range(1)
+      .select(graft.ops.Relational.hashUnit(lit("u1")))
+      .head.getLong(0)
+    assert(sparkH == StreamingSample.hash60("u1"))
+  }
+}
