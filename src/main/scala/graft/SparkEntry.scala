@@ -3485,6 +3485,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X288 — categorical total-variation drift: token-mix shift between
+    // even and odd documents per language, exact cross-multiplied ppm
+    "q295_categorical_drift" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("even"))
+            .otherwise(lit("odd")).as("half"),
+          explode(graft.text.TextFunctions.tokens(
+            graft.text.TextFunctions.normalized(col("text"))))
+            .as("tok"))
+      graft.ops.Features.categoricalDrift(toks, Seq("lang"),
+          col("tok"), col("half"), "even", "odd")
+        .orderBy(col("lang"))
+    },
+
     // X286 — restricted mean survival time at a 500,000 s horizon over
     // the q287 cohorts: the one-number effect-size summary of the curve
     "q294_rmst" -> { (s, dir) =>
@@ -10189,6 +10205,52 @@ object SparkEntry {
 
     // counts to (type, 6h-bucket) grain, then the exact variance/mean
     // cross-multiplied identity with empty buckets in the span term
+    // TVD as exact cross-multiplied HUGEINT deviations; top mover via
+    // (d desc, tok desc) row_number — the engine's struct-max verbatim
+    "q295_categorical_drift" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS half,
+        |    unnest(list_filter(string_split_regex(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |      '\s+'), t -> t <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        |), counts AS (
+        |  SELECT lang, tok,
+        |    CAST(count(CASE WHEN half = 'even' THEN 1 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(count(CASE WHEN half = 'odd' THEN 1 END) AS BIGINT)
+        |      AS cb
+        |  FROM toks GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT lang, tok, ca, cb,
+        |    CAST(sum(ca) OVER (PARTITION BY lang) AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER (PARTITION BY lang) AS BIGINT) AS nb
+        |  FROM counts
+        |), dv AS (
+        |  SELECT lang, tok, na, nb,
+        |    abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+        |      AS d
+        |  FROM tot
+        |), ag AS (
+        |  SELECT lang, max(na) AS n_a, max(nb) AS n_b,
+        |    CAST(count(*) AS BIGINT) AS n_categories, sum(d) AS sd
+        |  FROM dv GROUP BY 1
+        |), tm AS (
+        |  SELECT lang, tok AS top_mover FROM (
+        |    SELECT lang, tok, row_number() OVER (PARTITION BY lang
+        |      ORDER BY d DESC, tok DESC) AS rn FROM dv) t
+        |  WHERE rn = 1
+        |)
+        |SELECT a.lang, a.n_a, a.n_b, a.n_categories,
+        |  CASE WHEN a.n_a > 0 AND a.n_b > 0 THEN
+        |    CAST(a.sd * 1000000
+        |      // (CAST(a.n_a AS HUGEINT) * a.n_b * 2) AS BIGINT) END
+        |    AS tvd_ppm,
+        |  t.top_mover
+        |FROM ag a JOIN tm t USING (lang)
+        |ORDER BY a.lang""".stripMargin,
+
     // the KM recursion carrying (survival, area, prev-time): each step
     // adds s·(min(t,τ) − min(tp,τ)) BEFORE updating s; the tail adds
     // the last level to the horizon

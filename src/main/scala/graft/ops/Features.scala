@@ -2565,6 +2565,61 @@ object Features {
     * ≤ maxTimes steps. Parallelism is |groups| at the fold — the
     * survival curve itself is a per-group sequential object.
     */
+  /** Categorical total-variation drift — [[ksDrift]]'s sibling for
+    * UNORDERED distributions, where an empirical-CDF sup gap has no
+    * meaning (token mixes between corpus snapshots, event-type mixes
+    * between releases, source mixes between crawls): per group,
+    * TVD = ½·Σ_cat |p_A(cat) − p_B(cat)| over the union of observed
+    * categories, in exact cross-multiplied ppm
+    * ⌊Σ|c_A·N_B − c_B·N_A|·10⁶ / (2·N_A·N_B)⌋ — decimal(38,0)
+    * products, no float probability ever exists. TVD is the tightest
+    * bound on how much ANY event's probability moved — the right
+    * scalar for "did the mix shift", with `top_mover` (the category
+    * with the largest |·| contribution, ties to the lexicographically
+    * LARGEST category — a struct-max, deterministic and
+    * engine-portable) as the attached diagnostic. A category absent
+    * from one
+    * side contributes its full other-side mass — missing mass IS
+    * drift. Missing slice entirely → null tvd, not agreement (the
+    * X115 contract).
+    *
+    * Scale shape: raw rows collapse to (group, category) grain in ONE
+    * map-side-combined agg; totals ride whole-partition window sums
+    * over that grain; the rollup is a second tiny agg. No joins.
+    */
+  def categoricalDrift(df: DataFrame, groupCols: Seq[String],
+      catCol: Column, sliceCol: Column, aVal: String,
+      bVal: String): DataFrame = {
+    require(aVal != bVal, s"slices must differ: $aVal")
+    import graft.functions.Exact.longDiv
+    val d38 = DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val counts = df
+      .filter(catCol.isNotNull &&
+        (sliceCol === aVal || sliceCol === bVal))
+      .groupBy(gs :+ catCol.as("__cat"): _*)
+      .agg(count(when(sliceCol === aVal, 1)).as("__ca"),
+        count(when(sliceCol === bVal, 1)).as("__cb"))
+    val wAll = Window.partitionBy(gs: _*)
+    val dev = counts
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__d", abs(col("__ca").cast(d38) * col("__nb") -
+        col("__cb").cast(d38) * col("__na")))
+    dev.groupBy(gs: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        count(lit(1)).as("n_categories"),
+        sum(col("__d")).as("__sd"),
+        max(struct(col("__d").as("d"), col("__cat").as("c")))
+          .as("__big"))
+      .withColumn("tvd_ppm",
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          longDiv(col("__sd") * 1000000L,
+            col("n_a").cast(d38) * col("n_b") * 2L)))
+      .select(gs ++ Seq(col("n_a"), col("n_b"), col("n_categories"),
+        col("tvd_ppm"), col("__big.c").as("top_mover")): _*)
+  }
+
   /** Shared survival machinery for [[kaplanMeier]] and [[rmst]]:
     * (group, event time) step rows with at-risk counts, folded to one
     * sorted step array per group, `maxTimes`-guarded in-plan.

@@ -1225,6 +1225,28 @@ class FeaturesSpec extends SparkSpec {
     assert(got4(1L)._1.isEmpty) // lag(q,2) missing at idx 1
   }
 
+  test("categoricalDrift: exact cross-multiplied TVD, absent-category " +
+      "mass counts, top mover picked, missing slice → null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A: x,x,y,z (N=4); B: x,y,y,y,w (N=5) →
+    // TVD = ½(0.3 + 0.35 + 0.25 + 0.2) = 0.55; y moves most
+    val df = Seq(
+      ("g", "x", "A"), ("g", "x", "A"), ("g", "y", "A"), ("g", "z", "A"),
+      ("g", "x", "B"), ("g", "y", "B"), ("g", "y", "B"), ("g", "y", "B"),
+      ("g", "w", "B"),
+      ("h", "x", "A"))
+      .toDF("k", "cat", "slice")
+    val got = graft.ops.Features.categoricalDrift(df, Seq("k"),
+        col("cat"), col("slice"), "A", "B")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    assert((g.getLong(1), g.getLong(2), g.getLong(3)) == ((4L, 5L, 4L)))
+    assert(g.getLong(4) == 550000L)
+    assert(g.getString(5) == "y")
+    assert(got("h").isNullAt(4))
+  }
+
   test("rmst: exact step-function area — horizon inside and beyond " +
       "the curve, tail segment carries the last survival level") {
     import spark.implicits._
