@@ -110,26 +110,31 @@ object Bench {
     * overlap (replica copies are NOT near-dups of each other) and a
     * per-replica source namespace keeps block sizes constant — corpus
     * growth along the realistic axis (more domains, more distinct docs),
-    * the one a blocked near-dup path must stay linear on. The FIRST
-    * rotation alphabet carries 16 symbols (r10 fix: the earlier 7-letter
-    * alphabet wrapped at the 16× sweep point, so replica pairs with
-    * r ≡ r' mod 7 shared their primary rotation, partially overlapped in
-    * shingles, and inflated q17's LSH candidate bytes ~11×/4×-step —
-    * verify-rejected, rows exactly n× base, but the sweep measured the
-    * generator, not the operator). With 16 primary rotations every
-    * replica pair at n ≤ 16 differs in ALL 16 letter mappings; a second
-    * disjoint 6-letter alphabet (rotation r/16) extends distinctness to
-    * n ≤ 96.
+    * the one a blocked near-dup path must stay linear on. Replica r
+    * rotates the FULL 26-letter alphabet by r, so for any two replicas
+    * EVERY letter maps differently and no shingle survives untranslated.
+    *
+    * q17 bytes16/4 ≈ 11 POST-MORTEM (r10 flagged it as a generator
+    * artifact; r11 metered the stages and closed it): the generator is
+    * clean — band-table shuffle 0.9→3.6→14.5 MB (4.00×/step),
+    * pre-distinct pair hits 5.6k→23.6k→94k (3.97×), candidates
+    * 1.9k→8.0k→31k (3.9×), ALL exactly linear. The byte jump is a
+    * PLAN-REGIME TRANSITION: at 1×/4× the LSH band self-join broadcasts
+    * the build side (broadcast bytes aren't shuffle writes), and at 16×
+    * the 14.5 MB band table crosses the 10 MB threshold so both join
+    * branches exchange — the at-scale-correct plan, with bytes linear
+    * in n from that point on. The sweep's bytes column compares two
+    * regimes at that boundary; wall and rows are the like-for-like
+    * columns there.
     */
   private def docsNx(d: DataFrame, n: Int): DataFrame = {
-    val a1 = "etaoinshrdlcumwf"; val a2 = "gypbvk"
-    require(n <= 96, s"docsNx supports at most 96 replicas: $n")
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    require(n <= 26, s"docsNx supports at most 26 replicas: $n")
     (0 until n).map { r =>
-      val rot1 = a1.drop(r % 16) + a1.take(r % 16)
-      val rot2 = a2.drop(r / 16) + a2.take(r / 16)
+      val rot = az.drop(r) + az.take(r)
       d.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
         concat(col("source"), lit(s"_r$r")).as("source"),
-        translate(translate(col("text"), a1, rot1), a2, rot2).as("text"))
+        translate(col("text"), az, rot).as("text"))
     }.reduce(_ unionByName _)
   }
 
