@@ -3485,6 +3485,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X289 — robots.txt-style longest-match path gate (RFC 9309):
+    // synthetic event paths against a six-rule allow/deny table
+    "q296_robots_filter" -> { (s, dir) =>
+      import s.implicits._
+      val urls = events(s, dir).select(col("event_id"),
+        concat(lit("/"), col("event_type"), lit("/u"),
+          pmod(col("user_id"), lit(20L)).cast("string"), lit("/item"),
+          pmod(col("event_id"), lit(50L)).cast("string")).as("path"))
+      val rules = Seq(("/", true), ("/click", false),
+          ("/click/u7", true), ("/view/u3", false),
+          ("/purchase", false), ("/purchase/u1", true))
+        .toDF("pfx", "alw")
+      graft.text.UrlFunctions.robotsFilter(urls, "event_id",
+          col("path"), rules, "pfx", "alw")
+        .orderBy(col("event_id"))
+    },
+
     // X288 — categorical total-variation drift: token-mix shift between
     // even and odd documents per language, exact cross-multiplied ppm
     "q295_categorical_drift" -> { (s, dir) =>
@@ -10205,6 +10222,32 @@ object SparkEntry {
 
     // counts to (type, 6h-bucket) grain, then the exact variance/mean
     // cross-multiplied identity with empty buckets in the span term
+    // longest-prefix precedence as (length desc, allow desc, prefix
+    // desc) row_number — the engine's struct-max verbatim; unmatched
+    // paths default allowed
+    "q296_robots_filter" ->
+      """WITH urls AS (
+        |  SELECT event_id,
+        |    '/' || event_type || '/u' || CAST(user_id % 20 AS VARCHAR)
+        |      || '/item' || CAST(event_id % 50 AS VARCHAR) AS path
+        |  FROM events
+        |), rules(pfx, alw) AS (
+        |  VALUES ('/', true), ('/click', false), ('/click/u7', true),
+        |    ('/view/u3', false), ('/purchase', false),
+        |    ('/purchase/u1', true)
+        |), m AS (
+        |  SELECT u.event_id, r.pfx, r.alw,
+        |    row_number() OVER (PARTITION BY u.event_id
+        |      ORDER BY length(r.pfx) DESC, r.alw DESC, r.pfx DESC)
+        |      AS rn
+        |  FROM urls u JOIN rules r ON starts_with(u.path, r.pfx)
+        |)
+        |SELECT u.event_id, u.path,
+        |  coalesce(m.alw, true) AS allowed, m.pfx AS matched_prefix
+        |FROM urls u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        |  USING (event_id)
+        |ORDER BY u.event_id""".stripMargin,
+
     // TVD as exact cross-multiplied HUGEINT deviations; top mover via
     // (d desc, tok desc) row_number — the engine's struct-max verbatim
     "q295_categorical_drift" ->

@@ -233,4 +233,43 @@ object UrlFunctions {
         col("__p.depth").as("depth"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** robots.txt-style longest-match path gate (RFC 9309 §2.2.2 — the
+    * crawl-compliance primitive next to X161's domain and X181's CIDR
+    * gates): given a rule table (path prefix, allow) already resolved
+    * for one user agent, each URL path is decided by the LONGEST
+    * matching prefix; ALLOW WINS length ties (the RFC's
+    * least-restrictive rule) and an unmatched path is allowed (the
+    * RFC's default). Output: the input row plus `allowed` and
+    * `matched_prefix` (null when no rule matched). A rule row with a
+    * null prefix or verdict RAISES in-plan — a silently dropped deny
+    * rule is a compliance hole, the X181 asymmetry contract.
+    *
+    * Scale shape: the rule table broadcasts (real robots files are
+    * tens of rules); matching is a broadcast nested-loop prefix join
+    * whose fan-out is matches-per-path (bounded by the rule count),
+    * collapsed back to row grain by ONE map-side-combined struct-max
+    * argmax — (length, allow, prefix) lexicographic max IS the RFC
+    * precedence — and one row-keyed left join back. The corpus never
+    * shuffles beyond that id-keyed join.
+    */
+  def robotsFilter(df: DataFrame, idCol: String, pathCol: Column,
+      rules: DataFrame, prefixCol: String,
+      allowCol: String): DataFrame = {
+    val checked = rules.select(
+      when(col(prefixCol).isNull || col(allowCol).isNull,
+        raise_error(lit("robotsFilter: rule with null prefix/verdict")))
+        .otherwise(col(prefixCol).cast("string")).as("__pfx"),
+      col(allowCol).cast("boolean").as("__alw"))
+    val verdicts = df
+      .select(col(idCol).as("__rid"), pathCol.as("__path"))
+      .join(broadcast(checked), col("__path").startsWith(col("__pfx")))
+      .groupBy(col("__rid"))
+      .agg(max(struct(length(col("__pfx")).as("l"),
+        col("__alw").as("a"), col("__pfx").as("p"))).as("__m"))
+    df.join(verdicts, col(idCol) === col("__rid"), "left")
+      .withColumn("allowed", coalesce(col("__m.a"), lit(true)))
+      .withColumn("matched_prefix", col("__m.p"))
+      .drop("__rid", "__m")
+  }
 }

@@ -116,4 +116,36 @@ class UrlSpec extends SparkSpec {
       ("/a/b", 2, 3L),    // /a/b, /a/b/c, /a/b/c/d (depth-3+ roll up)
       ("/x", 1, 1L)))
   }
+
+  test("robotsFilter: longest match wins, allow beats deny on ties, " +
+      "unmatched defaults to allowed, null rule raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rules = Seq(
+      ("/", true), ("/private", false), ("/private/open", true),
+      ("/ab", false), ("/ab", true))  // same-length tie → allow
+      .toDF("pfx", "alw")
+    val urls = Seq(
+      (1L, "/public/x"),        // "/" allow
+      (2L, "/private/x"),       // "/private" deny beats "/"
+      (3L, "/private/open/y"),  // longest match re-allows
+      (4L, "/abc"),             // tie at len 3 → allow
+      (5L, "relative"))         // no match → allowed, null prefix
+      .toDF("id", "path")
+    val got = graft.text.UrlFunctions.robotsFilter(urls, "id",
+        col("path"), rules, "pfx", "alw")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(got(1L) == ((true, Some("/"))))
+    assert(got(2L) == ((false, Some("/private"))))
+    assert(got(3L) == ((true, Some("/private/open"))))
+    assert(got(4L) == ((true, Some("/ab"))))
+    assert(got(5L) == ((true, None)))
+    val e = intercept[Exception] {
+      graft.text.UrlFunctions.robotsFilter(urls, "id", col("path"),
+        Seq((null.asInstanceOf[String], true)).toDF("pfx", "alw"),
+        "pfx", "alw").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
