@@ -3485,6 +3485,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X290 — prefix-filtered set-similarity self-join (PPJoin family):
+    // EXACT-RECALL 3-shingle Jaccard ≥ 0.5 pairs — the guarantee the
+    // LSH tiers trade away
+    "q297_prefix_join" -> { (s, dir) =>
+      graft.dedup.Dedup.prefixFilterJaccardPairs(
+          t(s, dir, "documents"), "text", "doc_id",
+          thresholdPpm = 500000L, shingleN = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // X289 — robots.txt-style longest-match path gate (RFC 9309):
     // synthetic event paths against a six-rule allow/deny table
     "q296_robots_filter" -> { (s, dir) =>
@@ -10222,6 +10232,42 @@ object SparkEntry {
 
     // counts to (type, 6h-bucket) grain, then the exact variance/mean
     // cross-multiplied identity with empty buckets in the span term
+    // shares-a-shingle is implied by J > 0, so the candidate join is a
+    // SOUND oracle prefilter (no engine-theorem sharing); verify by
+    // exact list_intersect with the cross-multiplied threshold
+    "q297_prefix_join" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), pos AS (
+        |  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2))
+        |    AS i
+        |  FROM base WHERE len(tk) >= 3
+        |), s AS (
+        |  SELECT doc_id, list_distinct(list(array_to_string(
+        |    list_slice(tk, i, i + 2), ' '))) AS sh
+        |  FROM pos GROUP BY doc_id, tk
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) AS g FROM s
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+        |)
+        |SELECT c.a AS id_a, c.b AS id_b,
+        |  CAST(len(list_intersect(sa.sh, sb.sh)) * 1000000
+        |    // (len(sa.sh) + len(sb.sh)
+        |       - len(list_intersect(sa.sh, sb.sh))) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM cand c
+        |JOIN s sa ON sa.doc_id = c.a
+        |JOIN s sb ON sb.doc_id = c.b
+        |WHERE len(list_intersect(sa.sh, sb.sh)) * 1000000 >=
+        |  500000 * (len(sa.sh) + len(sb.sh)
+        |    - len(list_intersect(sa.sh, sb.sh)))
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // longest-prefix precedence as (length desc, allow desc, prefix
     // desc) row_number — the engine's struct-max verbatim; unmatched
     // paths default allowed

@@ -424,6 +424,22 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((2L, 3L, 1L)) && got.contains((4L, 5L, 1L)))
   }
 
+  test("prefixFilterJaccardPairs: exact-recall candidates, verify " +
+      "rejects sub-threshold, exact ppm, multi-prefix pairs dedupe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "a b x y"),
+      (4L, "z w"), (5L, "a b c d"))   // 5 duplicates 1
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.prefixFilterJaccardPairs(
+        docs, "text", "doc_id", thresholdPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // J(1,2)=3/5, J(1,5)=1, J(2,5)=3/5; (1,3)/(2,3) at 1/3 rejected
+    assert(got == Map((1L, 2L) -> 600000L, (1L, 5L) -> 1000000L,
+      (2L, 5L) -> 600000L))
+  }
+
   test("blockingQuality: pair canonicalization (orientation dups and " +
       "self-pairs collapse), exact ppm metrics, null under no truth") {
     import spark.implicits._
