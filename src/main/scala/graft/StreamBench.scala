@@ -142,6 +142,15 @@ object StreamBench {
         k = 8).toDF()
     }(feedKeyed _)
 
+    results += drive[SBKeyed]("cusum_monitor",
+      streaming.StreamingCusum.outputMode) { in =>
+      // values oscillate around the target with a mild positive bias
+      streaming.StreamingCusum.monitor(
+        in.toDS().groupByKey(_.key)
+          .mapValues(e => 10.0 + (e.id % 5) * 0.3),
+        target = 10.0, slack = 0.5, threshold = 50.0).toDF()
+    }(feedKeyed _)
+
     results += drive[SBKeyed]("bottomk_sample",
       streaming.StreamingSample.outputMode) { in =>
       // value universe of 2000 per key: the k-sample churns early,

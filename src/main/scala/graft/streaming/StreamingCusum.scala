@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming one-sided CUSUM drift alarm per key — the batch X259
+  * recursion g_t = max(0, g_{t−1} + x_t − target − slack) as LIVE
+  * state (SURVEY §2.7): a small persistent excess accumulating over
+  * many readings pages NOW instead of in the nightly batch scan — the
+  * X257/X258 one-definition-two-modes discipline applied to the
+  * sequential change monitor. State per key is TWO longs (the running
+  * statistic and the row count); values and the target/slack/threshold
+  * constants quantize to integer `scale`-units (the X175 discipline),
+  * so the unbounded accumulation is exact long arithmetic with zero
+  * float drift and the running value after any prefix ≡ the batch
+  * [[graft.ops.TimeSeries.cusum]] of that prefix in arrival order
+  * (spec-pinned, including alarm fire and re-arm at exactly 0).
+  * In-batch rows fold in source order (the [[StreamingLateness]]
+  * convention — streaming CUSUM is inherently order-sensitive; feed it
+  * per-key-ordered streams). Emits (key, n, cusum_units, alarm) in
+  * Update mode after every batch the key appears in.
+  */
+object StreamingCusum {
+
+  /** Running CUSUM state: the statistic in integer units + rows seen. */
+  final case class CusumState(g: Long, n: Long)
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, Double],
+      target: Double, slack: Double, threshold: Double, scale: Int = 2,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[CusumState],
+      e: Encoder[(K, Long, Long, Boolean)])
+      : Dataset[(K, Long, Long, Boolean)] = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val unit = math.pow(10, scale).toLong
+    val tU = math.round(target * unit)
+    val sU = math.round(slack * unit)
+    val hU = math.round(threshold * unit)
+    grouped.flatMapGroupsWithState[CusumState, (K, Long, Long, Boolean)](
+      OutputMode.Update, timeout) {
+      (key: K, values: Iterator[Double], state: GroupState[CusumState]) =>
+        var s = state.getOption.getOrElse(CusumState(0L, 0L))
+        values.foreach { v =>
+          // HALF_UP at `scale` decimals — the exact convention of the
+          // batch side's DecimalType(38, scale) cast
+          val vU = BigDecimal(v)
+            .setScale(scale, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .*(BigDecimal(unit)).toLongExact
+          s = CusumState(math.max(0L, s.g + vU - tU - sU), s.n + 1)
+        }
+        state.update(s)
+        Iterator.single((key, s.n, s.g, s.g > hU))
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

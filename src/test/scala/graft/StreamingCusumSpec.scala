@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingCusum
+
+class StreamingCusumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming cusum: running value ≡ batch cusum of the prefix, " +
+      "alarm fires on persistent excess and re-arms at exactly 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    // target 10, slack 0.5, threshold 3: readings of 11 add +0.5 each
+    val q = StreamingCusum.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2),
+        target = 10.0, slack = 0.5, threshold = 3.0)
+      .toDF("key", "n", "cusum_units", "alarm")
+      .writeStream.format("memory").queryName("cu_out")
+      .outputMode(StreamingCusum.outputMode)
+      .start()
+
+    val b1 = Seq(11.0, 11.0, 11.0, 11.0)        // g → 200 units
+    val b2 = Seq(11.0, 11.0, 11.0)              // g → 350 > 300: alarm
+    val b3 = Seq(2.0, 11.0)                     // crash re-arms to 0, +50
+    in.addData(b1.map("k1" -> _): _*); q.processAllAvailable()
+    in.addData(b2.map("k1" -> _): _*); q.processAllAvailable()
+    in.addData(b3.map("k1" -> _): _*); q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("cu_out")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(rows(4L) == ((200L, false)))
+    assert(rows(7L) == ((350L, true)))
+    assert(rows(9L) == ((50L, false)))   // re-armed at 0 then one +0.5
+    // streaming ≡ batch over the same prefix, arrival order
+    val prefix = (b1 ++ b2 ++ b3).zipWithIndex
+      .map { case (v, i) => ("k1", i.toLong, v) }
+      .toDF("k", "o", "v")
+    val batch = graft.ops.TimeSeries.cusum(prefix, Seq("k"),
+        Seq(col("o")), col("v"), target = 10.0, slack = 0.5,
+        threshold = 3.0)
+      .orderBy(col("o")).collect()
+    val lastBatch = batch.last
+    assert(lastBatch.getLong(lastBatch.fieldIndex("cusum_units")) == 50L)
+    assert(!lastBatch.getBoolean(lastBatch.fieldIndex("alarm")))
+  }
+}
