@@ -3485,6 +3485,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // X292 — Allan variance at a 6 h averaging time: per-event-type
+    // sensor-stability scalar over the value series, gaps excluded
+    "q298_allan_variance" -> { (s, dir) =>
+      graft.ops.Features.allanVariance(events(s, dir),
+          Seq("event_type"), nsToMicros(col("ts_ns")), col("value"),
+          tauUs = 21600000000L, scale = 2)
+        .orderBy(col("event_type"))
+    },
+
     // X290 — prefix-filtered set-similarity self-join (PPJoin family):
     // EXACT-RECALL 3-shingle Jaccard ≥ 0.5 pairs — the guarantee the
     // LSH tiers trade away
@@ -10232,6 +10241,40 @@ object SparkEntry {
 
     // counts to (type, 6h-bucket) grain, then the exact variance/mean
     // cross-multiplied identity with empty buckets in the span term
+    // adjacent-bin lead over the (type, 6h-bin) grain; one HUGEINT
+    // floor per pair, a plain sum, one final floor division
+    "q298_allan_variance" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 21600000000 AS bin,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS q
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s
+        |  FROM b GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_type, bin, n, s,
+        |    lead(bin) OVER w AS b2, lead(n) OVER w AS n2,
+        |    lead(s) OVER w AS s2
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY bin)
+        |), t AS (
+        |  SELECT event_type,
+        |    CASE WHEN b2 = bin + 1 THEN
+        |      CAST((CAST(s2 AS HUGEINT) * n - CAST(s AS HUGEINT) * n2)
+        |        * (CAST(s2 AS HUGEINT) * n - CAST(s AS HUGEINT) * n2)
+        |        * 1000000
+        |        // ((CAST(n AS HUGEINT) * n2)
+        |           * (CAST(n AS HUGEINT) * n2)) AS BIGINT) END AS term
+        |  FROM p
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(count(term) AS BIGINT) AS n_pairs,
+        |  CASE WHEN count(term) >= 1 THEN
+        |    CAST(CAST(sum(term) AS HUGEINT)
+        |      // (count(term) * 2) AS BIGINT) END AS avar_micro
+        |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // shares-a-shingle is implied by J > 0, so the candidate join is a
     // SOUND oracle prefilter (no engine-theorem sharing); verify by
     // exact list_intersect with the cross-multiplied threshold

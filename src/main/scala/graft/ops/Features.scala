@@ -2565,6 +2565,68 @@ object Features {
     * ≤ maxTimes steps. Parallelism is |groups| at the fold — the
     * survival curve itself is a per-group sequential object.
     */
+  /** Non-overlapping Allan variance per group — THE sensor/clock
+    * stability statistic (IEEE 1139; the flux-tower QC literature's
+    * drift-vs-noise separator, directly in this engine's home domain):
+    * at averaging time τ, AVAR(τ) = Σ(ȳᵢ₊₁ − ȳᵢ)²/(2M') over ADJACENT
+    * τ-bin means — white noise falls as 1/τ, random-walk drift RISES,
+    * so the τ-sweep's shape names the noise regime where a plain
+    * variance conflates them. Bin pairs with a gap between them (bᵢ₊₁
+    * ≠ bᵢ+1) are excluded, never bridged — a data hole must not
+    * manufacture a "jump". Output per group: `n_bins`, `n_pairs`
+    * (adjacent only), `avar_micro` (units²·10⁶; null under 1 pair).
+    *
+    * Exactness: values quantize to `scale` decimals; each pair's
+    * squared mean-difference is ⌊(s₂n₁ − s₁n₂)²·10⁶/(n₁n₂)²⌋ — ONE
+    * floor per pair over decimal(38,0) products — so the group result
+    * is a SUM OF LONGS divided once: order-independent, partition-
+    * independent, bit-identical anywhere (the ≤ 10⁻⁶-per-pair floor
+    * bias is the quantization contract; no float accumulates, no fold
+    * needed — unlike the survival recursions this statistic is
+    * associative once each pair is floored).
+    *
+    * Scale shape: raw rows collapse to (group, bin) grain in ONE
+    * map-side-combined agg; the adjacent pair is one `lead` window
+    * over the bin-grain frame (O(1) state); the rollup is a second
+    * tiny agg. No joins, no collect.
+    */
+  def allanVariance(df: DataFrame, groupCols: Seq[String],
+      tsUsCol: Column, valueCol: Column, tauUs: Long,
+      scale: Int = 2): DataFrame = {
+    require(tauUs > 0L, s"tauUs must be positive: $tauUs")
+    import graft.functions.Exact.longDiv
+    val d38 = DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val q = (valueCol.cast(DecimalType(18, scale)) *
+      lit(math.pow(10, scale).toLong)).cast("long")
+    val ts = tsUsCol.cast("long")
+    val b = longDiv(ts - pmod(ts, lit(tauUs)), tauUs)
+    val bins = df.filter(ts.isNotNull && q.isNotNull)
+      .select(gs ++ Seq(b.as("__b"), q.as("__q")): _*)
+      .groupBy(gs :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__s"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("__b"))
+    val dNum = col("__s2").cast(d38) * col("__n") -
+      col("__s").cast(d38) * col("__n2")
+    val paired = bins
+      .withColumn("__b2", lead(col("__b"), 1).over(w))
+      .withColumn("__n2", lead(col("__n"), 1).over(w))
+      .withColumn("__s2", lead(col("__s"), 1).over(w))
+      .withColumn("__term",
+        when(col("__b2") === col("__b") + 1L,
+          longDiv(dNum * dNum * 1000000L,
+            (col("__n").cast(d38) * col("__n2")) *
+              (col("__n").cast(d38) * col("__n2")))))
+    paired.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_bins"),
+        count(col("__term")).as("n_pairs"),
+        sum(col("__term")).as("__st"))
+      .withColumn("avar_micro",
+        when(col("n_pairs") >= 1L,
+          longDiv(col("__st"), col("n_pairs") * 2L)))
+      .drop("__st")
+  }
+
   /** Categorical total-variation drift — [[ksDrift]]'s sibling for
     * UNORDERED distributions, where an empirical-CDF sup gap has no
     * meaning (token mixes between corpus snapshots, event-type mixes

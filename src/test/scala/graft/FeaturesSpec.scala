@@ -1225,6 +1225,26 @@ class FeaturesSpec extends SparkSpec {
     assert(got4(1L)._1.isEmpty) // lag(q,2) missing at idx 1
   }
 
+  test("allanVariance: adjacent-bin mean diffs, gaps excluded not " +
+      "bridged, exact micro floor, null under one pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // τ=10: bin means 3, 5, 2, then a GAP, then bin4 —
+    // AVAR = ((5−3)² + (2−5)²)/(2·2) = 3.25
+    val df = Seq(
+      ("g", 1L, 2.0), ("g", 5L, 4.0), ("g", 12L, 5.0),
+      ("g", 25L, 1.0), ("g", 27L, 3.0), ("g", 45L, 7.0),
+      ("h", 3L, 9.0))  // single bin → no pairs → null
+      .toDF("k", "ts", "v")
+    val got = graft.ops.Features.allanVariance(df, Seq("k"),
+        col("ts"), col("v"), tauUs = 10L, scale = 0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    assert(g.getLong(1) == 4L && g.getLong(2) == 2L)
+    assert(g.getLong(3) == 3250000L)
+    assert(got("h").getLong(2) == 0L && got("h").isNullAt(3))
+  }
+
   test("categoricalDrift: exact cross-multiplied TVD, absent-category " +
       "mass counts, top mover picked, missing slice → null") {
     import spark.implicits._
