@@ -10519,9 +10519,11 @@ object SparkEntry {
         |  FROM dw, ml
         |)
         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-        |  CAST(list_sum(list_transform(ew, e ->
-        |    len(string_split(trim(e, chr(31)), chr(31) || chr(31)))))
-        |    AS BIGINT) AS n_bpe_tokens,
+        |  -- coalesce pins the empty-doc case: DuckDB list_sum over an
+        |  -- empty list is NULL; the engine's aggregate(..., 0L, +) is 0
+        |  CAST(coalesce(list_sum(list_transform(ew, e ->
+        |    len(string_split(trim(e, chr(31)), chr(31) || chr(31))))),
+        |    0) AS BIGINT) AS n_bpe_tokens,
         |  array_to_string(list_transform(ew, e ->
         |    replace(trim(e, chr(31)), chr(31) || chr(31), ' ')), ' ')
         |    AS bpe_text

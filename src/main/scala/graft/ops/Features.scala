@@ -2536,35 +2536,6 @@ object Features {
         d2 * d2 / dbl(n2 - 1))).as("df")): _*)
   }
 
-  /** Kaplan–Meier survival curve per group — the time-to-event
-    * estimator under RIGHT CENSORING (churn/retention, hardware
-    * lifetime, time-to-conversion: subjects still alive at observation
-    * end must not count as deaths, and dropping them biases survival
-    * low): at each distinct time with ≥ 1 event,
-    * S(tᵢ) = Π_{j≤i} (nⱼ − dⱼ)/nⱼ with nⱼ = subjects whose duration
-    * ≥ tⱼ (censored-at-t subjects are still at risk AT t — the
-    * standard convention). Output per (group, event time):
-    * `t`, `n_risk`, `n_events`, `n_censored` (censorings at exactly
-    * that time), `survival_ppm`.
-    *
-    * Exactness: the product is a NON-ASSOCIATIVE sequential floor
-    * recursion sᵢ = ⌊sᵢ₋₁·(nᵢ−dᵢ)/nᵢ⌋ in ppm units, starting at 10⁶ —
-    * exact longs, deterministic in the ascending-time order,
-    * bit-identical anywhere (a float product would be order-dependent
-    * and ln is not bit-portable — the X79 discipline; the ≤ 10⁻⁶
-    * per-step floor bias is the quantization contract, not noise).
-    * The recursion evaluates INSIDE one row via an `aggregate` fold
-    * over the group's sorted step array; `maxTimes` bounds that array
-    * in-plan (raise, not truncate — the q209 contract: a group too
-    * wide for the fold is a modeling error to surface, not silently
-    * degrade).
-    *
-    * Scale shape: raw rows collapse to (group, time) grain in ONE
-    * map-side-combined agg; at-risk counts ride two window aggregates
-    * over one per-group sort; the fold touches |groups| rows of
-    * ≤ maxTimes steps. Parallelism is |groups| at the fold — the
-    * survival curve itself is a per-group sequential object.
-    */
   /** Non-overlapping Allan variance per group — THE sensor/clock
     * stability statistic (IEEE 1139; the flux-tower QC literature's
     * drift-vs-noise separator, directly in this engine's home domain):
@@ -2717,6 +2688,35 @@ object Features {
           .otherwise(col("__steps0")))
   }
 
+  /** Kaplan–Meier survival curve per group — the time-to-event
+    * estimator under RIGHT CENSORING (churn/retention, hardware
+    * lifetime, time-to-conversion: subjects still alive at observation
+    * end must not count as deaths, and dropping them biases survival
+    * low): at each distinct time with ≥ 1 event,
+    * S(tᵢ) = Π_{j≤i} (nⱼ − dⱼ)/nⱼ with nⱼ = subjects whose duration
+    * ≥ tⱼ (censored-at-t subjects are still at risk AT t — the
+    * standard convention). Output per (group, event time):
+    * `t`, `n_risk`, `n_events`, `n_censored` (censorings at exactly
+    * that time), `survival_ppm`.
+    *
+    * Exactness: the product is a NON-ASSOCIATIVE sequential floor
+    * recursion sᵢ = ⌊sᵢ₋₁·(nᵢ−dᵢ)/nᵢ⌋ in ppm units, starting at 10⁶ —
+    * exact longs, deterministic in the ascending-time order,
+    * bit-identical anywhere (a float product would be order-dependent
+    * and ln is not bit-portable — the X79 discipline; the ≤ 10⁻⁶
+    * per-step floor bias is the quantization contract, not noise).
+    * The recursion evaluates INSIDE one row via an `aggregate` fold
+    * over the group's sorted step array; `maxTimes` bounds that array
+    * in-plan (raise, not truncate — the q209 contract: a group too
+    * wide for the fold is a modeling error to surface, not silently
+    * degrade).
+    *
+    * Scale shape: raw rows collapse to (group, time) grain in ONE
+    * map-side-combined agg; at-risk counts ride two window aggregates
+    * over one per-group sort; the fold touches |groups| rows of
+    * ≤ maxTimes steps. Parallelism is |groups| at the fold — the
+    * survival curve itself is a per-group sequential object.
+    */
   def kaplanMeier(df: DataFrame, groupCols: Seq[String],
       durationCol: Column, eventCol: Column,
       maxTimes: Int = 10000): DataFrame = {

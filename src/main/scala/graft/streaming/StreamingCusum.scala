@@ -32,6 +32,7 @@ object StreamingCusum {
       e: Encoder[(K, Long, Long, Boolean)])
       : Dataset[(K, Long, Long, Boolean)] = {
     require(threshold > 0, s"threshold must be positive: $threshold")
+    require(scale >= 0 && scale <= 6, s"scale in [0, 6]: $scale")
     val unit = math.pow(10, scale).toLong
     val tU = math.round(target * unit)
     val sU = math.round(slack * unit)
@@ -42,11 +43,20 @@ object StreamingCusum {
         var s = state.getOption.getOrElse(CusumState(0L, 0L))
         values.foreach { v =>
           // HALF_UP at `scale` decimals — the exact convention of the
-          // batch side's DecimalType(38, scale) cast
-          val vU = BigDecimal(v)
-            .setScale(scale, scala.math.BigDecimal.RoundingMode.HALF_UP)
-            .*(BigDecimal(unit)).toLongExact
-          s = CusumState(math.max(0L, s.g + vU - tU - sU), s.n + 1)
+          // batch side's DecimalType(38, scale) cast. NaN/Infinity and
+          // beyond-long magnitudes contribute NOTHING, exactly like the
+          // batch side's double→decimal→long cast chain nulling out
+          // (the row is still seen: n advances, g holds) — a poisoned
+          // reading must not crash the stream or desync parity
+          if (java.lang.Double.isFinite(v)) {
+            val bd = BigDecimal(v)
+              .setScale(scale, scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .*(BigDecimal(unit))
+            if (bd.isValidLong) {
+              val vU = bd.toLongExact
+              s = CusumState(math.max(0L, s.g + vU - tU - sU), s.n + 1)
+            } else s = CusumState(s.g, s.n + 1)
+          } else s = CusumState(s.g, s.n + 1)
         }
         state.update(s)
         Iterator.single((key, s.n, s.g, s.g > hU))

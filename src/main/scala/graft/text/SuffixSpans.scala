@@ -120,9 +120,21 @@ object SuffixSpans {
     // caller's action. The caller's own queries are unaffected — the
     // flag is restored before returning, and the returned frame's
     // leaves are already-planned RDD scans.
+    // Both conf values are CAPTURED before anything mutates or
+    // computes, and every set happens inside the try — a failure in
+    // width derivation (an unparsable shuffle-partitions value, a
+    // planning error on docs.rdd) must not leave the session with AQE
+    // off. The build-scoped mutation is still session-global while it
+    // lasts: the operator assumes no CONCURRENT queries plan on this
+    // SparkSession during the (sub-second) build window — the standard
+    // single-query-at-a-time contract of every conf-scoped Spark
+    // operator.
     val sess = docs.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
     val aqeWas = sess.conf.get(aqeKey, "true")
+    val spWas = sess.conf.get(spKey)
+    try {
     sess.conf.set(aqeKey, "false")
     // With AQE off, every exchange in the ~35-stage structure would run
     // at the session shuffle width regardless of the stream's size —
@@ -130,12 +142,10 @@ object SuffixSpans {
     // Derive the build-time width from the INPUT's own partitioning
     // (scan partitions track bytes), bounded below so a one-file input
     // still parallelizes; restored with the AQE flag.
-    val spKey = "spark.sql.shuffle.partitions"
-    val spWas = sess.conf.get(spKey)
-    val width = math.max(8, math.min(spWas.toInt,
+    val width = math.max(8, math.min(
+      scala.util.Try(spWas.toInt).getOrElse(32),
       2 * docs.rdd.getNumPartitions))
     sess.conf.set(spKey, width.toString)
-    try {
 
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__doc"),
@@ -144,11 +154,17 @@ object SuffixSpans {
       .filter(size(col("__tk")) >= minTokens)
       .localCheckpoint(false)
 
-    // document offsets: two-level prefix sum over (len+1) in __doc
-    // order — the +1 reserves the sentinel slot
+    // document offsets: two-level prefix sum over (len+1) in (bucket,
+    // __doc) order — the +1 reserves the sentinel slot. The bucket is
+    // a HASH of the id (not a floor-divide): any disjoint dense range
+    // assignment works (the suffix structure is stream-order
+    // invariant — sentinels isolate documents and ranks are
+    // content-ordered), and hashing keeps string/decimal ids in scope
+    // where a numeric floor-divide would null out and silently drop
+    // every row at the offset join.
     val lens = base.select(col("__doc"),
       (size(col("__tk")) + 1L).as("__len1"),
-      floorDivC(col("__doc"), 4096L).as("__bk"))
+      pmod(hash(col("__doc")), lit(4096)).as("__bk"))
     val bucketOffs = lens.groupBy(col("__bk"))
       .agg(sum(col("__len1")).as("__bn"))
       .withColumn("__boff", coalesce(sum(col("__bn")).over(
@@ -319,6 +335,46 @@ object SuffixSpans {
     }
   }
 
+  /** The suffix tier's PERSISTABLE ARTIFACT (the X43 band-table /
+    * X167 inverted-index discipline applied to X276-X278): one row per
+    * position whose longest exactly-repeated span reaches `minTokens`
+    * — (`idCol`, `start_pos` 0-based token index, `span_len` tokens,
+    * clamped at `maxSpan`). The prefix-doubling build is the tier's
+    * entire cost (O(n log(maxSpan/p0)) shuffle); at 100 TB you run it
+    * ONCE, write this frame to parquet, and serve every downstream
+    * question — longest span ([[longestRepeatedSpansFrom]]), coverage
+    * ([[repeatedSpanCoverageFrom]]), removal
+    * ([[removeRepeatedSpansFrom]]) — from the persisted table plus a
+    * cheap re-tokenization scan of the corpus, instead of paying the
+    * build per question the way the self-contained operators below do.
+    * The consumers are exact: `xFrom(docs, spanTable(docs, ...), ...)`
+    * ≡ `x(docs, ...)` row-for-row (pinned by SuffixSpansSpec).
+    */
+  def spanTable(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int, maxSpan: Int = 128): DataFrame = {
+    val (_, spans) = spanCore(docs, textCol, idCol, minTokens, maxSpan)
+    spans.select(col("__doc").as(idCol),
+      col("__p").as("start_pos"), col("__sl").as("span_len"))
+  }
+
+  /** Re-derives [[spanCore]]'s `base` frame (tokenized in-scope
+    * documents) for the artifact-consuming paths — one scan-local
+    * projection, no shuffle, no checkpoint (the artifact path runs
+    * under the session's own AQE settings).
+    */
+  private def baseOf(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
+          .as("__tk"))
+      .filter(size(col("__tk")) >= minTokens)
+
+  private def fromArtifact(spanTable: DataFrame,
+      idCol: String): DataFrame =
+    spanTable.select(col(idCol).as("__doc"),
+      col("start_pos").as("__p"), col("span_len").as("__sl"))
+
   /** Longest exactly-repeated token span per document (X276 -- see the
     * object scaladoc): (`idCol`, `start_pos` 0-based, `span_len`,
     * `span`), ties to the smallest start, only documents with a span
@@ -327,6 +383,20 @@ object SuffixSpans {
   def longestRepeatedSpans(docs: DataFrame, textCol: String,
       idCol: String, minTokens: Int, maxSpan: Int = 128): DataFrame = {
     val (base, spans) = spanCore(docs, textCol, idCol, minTokens, maxSpan)
+    longestShape(base, spans, idCol)
+  }
+
+  /** [[longestRepeatedSpans]] served from a persisted [[spanTable]]
+    * artifact — no suffix-array build; `minTokens` must match the
+    * build's.
+    */
+  def longestRepeatedSpansFrom(docs: DataFrame, spanTable: DataFrame,
+      textCol: String, idCol: String, minTokens: Int): DataFrame =
+    longestShape(baseOf(docs, textCol, idCol, minTokens),
+      fromArtifact(spanTable, idCol), idCol)
+
+  private def longestShape(base: DataFrame, spans: DataFrame,
+      idCol: String): DataFrame =
     spans
       .groupBy(col("__doc"))
       .agg(max(struct(col("__sl").as("l"), (-col("__p")).as("np")))
@@ -338,7 +408,6 @@ object SuffixSpans {
         array_join(slice(col("__tk"),
           (-col("__b.np") + 1L).cast("int"),
           col("__b.l").cast("int")), " ").as("span"))
-  }
 
   /** Exact-duplicate COVERAGE per document -- the corpus-health metric
     * of ExactSubstr dedup ("what fraction of this document is text that
@@ -356,6 +425,20 @@ object SuffixSpans {
   def repeatedSpanCoverage(docs: DataFrame, textCol: String,
       idCol: String, minTokens: Int, maxSpan: Int = 128): DataFrame = {
     val (base, spans) = spanCore(docs, textCol, idCol, minTokens, maxSpan)
+    coverageShape(base, spans, idCol)
+  }
+
+  /** [[repeatedSpanCoverage]] served from a persisted [[spanTable]]
+    * artifact — no suffix-array build; `minTokens` must match the
+    * build's.
+    */
+  def repeatedSpanCoverageFrom(docs: DataFrame, spanTable: DataFrame,
+      textCol: String, idCol: String, minTokens: Int): DataFrame =
+    coverageShape(baseOf(docs, textCol, idCol, minTokens),
+      fromArtifact(spanTable, idCol), idCol)
+
+  private def coverageShape(base: DataFrame, spans: DataFrame,
+      idCol: String): DataFrame = {
     val w = Window.partitionBy(col("__doc")).orderBy(col("__p"))
     val cov = spans
       .withColumn("__runb", coalesce(max(col("__p") + col("__sl")).over(
@@ -389,6 +472,20 @@ object SuffixSpans {
   def removeRepeatedSpans(docs: DataFrame, textCol: String,
       idCol: String, minTokens: Int, maxSpan: Int = 128): DataFrame = {
     val (base, spans) = spanCore(docs, textCol, idCol, minTokens, maxSpan)
+    removeShape(base, spans, idCol)
+  }
+
+  /** [[removeRepeatedSpans]] served from a persisted [[spanTable]]
+    * artifact — no suffix-array build; `minTokens` must match the
+    * build's.
+    */
+  def removeRepeatedSpansFrom(docs: DataFrame, spanTable: DataFrame,
+      textCol: String, idCol: String, minTokens: Int): DataFrame =
+    removeShape(baseOf(docs, textCol, idCol, minTokens),
+      fromArtifact(spanTable, idCol), idCol)
+
+  private def removeShape(base: DataFrame, spans: DataFrame,
+      idCol: String): DataFrame = {
     val w = Window.partitionBy(col("__doc")).orderBy(col("__p"))
     val axis = base
       .select(col("__doc"), posexplode(col("__tk")).as(Seq("__p", "__t")))

@@ -236,23 +236,55 @@ object Vocab {
     * side, the tokenize step every training-data pipeline runs at full
     * corpus scale once the (tiny) merge table exists: each word's
     * character symbols fold through the merges IN RANK ORDER (the BPE
-    * inference rule) via the same U+001F-wrapped `replace` encoding as
-    * training — greedy left-to-right per merge, no cross-boundary
-    * matches. Output per document: `n_words`, `n_bpe_tokens` (the
-    * number a token-budget planner actually needs), and `bpe_text`
-    * (the encoded token sequence, space-joined — merged symbols are
-    * multi-char tokens).
+    * inference rule) — greedy left-to-right non-overlapping per merge,
+    * no cross-word matches. Output per document: `n_words`,
+    * `n_bpe_tokens` (the number a token-budget planner actually
+    * needs), and `bpe_text` (the encoded token sequence, space-joined
+    * — merged symbols are multi-char tokens).
     *
-    * Scale shape: the merge table collapses to ONE sorted array row
-    * and broadcasts; everything else is scan-local per-row expression
-    * work (a transform over the doc's words, each folding the merge
-    * array) — zero shuffles beyond the broadcast, the shape an
-    * apply-side tokenizer must have at 100 TB. Cost is
-    * O(words · merges) string rewrites per row; the merge count is a
-    * model constant.
+    * Scale shape: the merge table is a bounded model artifact (k
+    * rows); it is collected ONCE on the driver here and shipped as a
+    * plan constant inside the native
+    * [[graft.functions.BpeEncodeWords]] kernel — the expression-level
+    * equivalent of broadcasting it (note this makes the call eager on
+    * the `merges` frame, which a trained merge table already is).
+    * Everything else is scan-local per-row JVM work — zero shuffles,
+    * the shape an apply-side tokenizer must have at 100 TB. The former
+    * higher-order-function formulation (kept as [[bpeApplyHof]] for
+    * the parity spec) paid one interpreted `replace` allocation per
+    * merge per word — 6.0 s at sf0.1 vs ~an order less for the native
+    * loop (the CdcChunkTokens/X154 kernel-tier lesson).
     */
   def bpeApply(df: DataFrame, textCol: String, idCol: String,
       merges: DataFrame): DataFrame = {
+    val mergeSeq: Seq[(String, String)] = merges
+      .select(col("merge_rank").cast("long").as("__k"), col("left"),
+        col("right"))
+      .orderBy(col("__k"))
+      .collect().toSeq
+      .map(r => (r.getString(1), r.getString(2)))
+    val enc = graft.functions.TextExpressions.bpeEncodeWords(
+      col("__ws"), mergeSeq)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
+          .as("__ws"))
+      .select(col(idCol), col("__ws"), enc.as("__enc"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        size(flatten(col("__enc"))).cast("long").as("n_bpe_tokens"),
+        array_join(flatten(col("__enc")), " ").as("bpe_text"))
+  }
+
+  /** The pre-native higher-order-function formulation of [[bpeApply]]
+    * (U+001F-wrapped string-replace fold over the broadcast merge
+    * array). Retained ONLY as the semantics reference for the
+    * native-vs-HOF parity spec — do not use in pipelines: it is
+    * ~an order of magnitude slower (interpreted `replace` per merge
+    * per word).
+    */
+  private[graft] def bpeApplyHof(df: DataFrame, textCol: String,
+      idCol: String, merges: DataFrame): DataFrame = {
     val S = ""
     val mArr = merges
       .select(struct(col("merge_rank"), col("left"), col("right"))

@@ -46,4 +46,30 @@ class StreamingCusumSpec extends SparkSpec {
     assert(lastBatch.getLong(lastBatch.fieldIndex("cusum_units")) == 50L)
     assert(!lastBatch.getBoolean(lastBatch.fieldIndex("alarm")))
   }
+
+  test("non-finite readings contribute nothing (batch null-cast " +
+      "parity) instead of crashing the query; scale is validated") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingCusum.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2),
+        target = 10.0, slack = 0.5, threshold = 3.0)
+      .toDF("key", "n", "cusum_units", "alarm")
+      .writeStream.format("memory").queryName("cu_nan")
+      .outputMode(StreamingCusum.outputMode)
+      .start()
+    in.addData(("k1", 11.0), ("k1", Double.NaN),
+      ("k1", Double.PositiveInfinity), ("k1", 1e18), ("k1", 11.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cu_nan")
+      .as[(String, Long, Long, Boolean)].collect()
+    // 5 rows seen; only the two finite in-range 11.0s moved g: 2 × +50
+    assert(rows.toSeq == Seq(("k1", 5L, 100L, false)))
+    intercept[IllegalArgumentException] {
+      StreamingCusum.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2),
+        target = 10.0, slack = 0.5, threshold = 3.0, scale = 19)
+    }
+  }
 }

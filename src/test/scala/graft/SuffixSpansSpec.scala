@@ -82,4 +82,50 @@ class SuffixSpansSpec extends SparkSpec {
     assert(got(3L) == (("m n o p q", 5L, 0L))) // untouched passes through
     assert(got(4L) == (("", 6L, 6L)))          // fully covered → empty
   }
+
+  test("spanTable: persisted artifact serves longest/coverage/removal " +
+      "row-identical to the from-scratch operators") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),
+      (2L, "q r a b c d e f g h z"),
+      (3L, "m n o p q"),
+      (4L, "t t t t t t"),
+      (5L, "u v"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("spantab").toString
+    SuffixSpans.spanTable(docs, "text", "doc_id",
+      minTokens = 3, maxSpan = 16).write.mode("overwrite").parquet(dir)
+    val art = spark.read.parquet(dir)
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.columns.toSeq == b.columns.toSeq)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+    same(SuffixSpans.longestRepeatedSpansFrom(docs, art, "text",
+        "doc_id", 3),
+      SuffixSpans.longestRepeatedSpans(docs, "text", "doc_id", 3, 16))
+    same(SuffixSpans.repeatedSpanCoverageFrom(docs, art, "text",
+        "doc_id", 3),
+      SuffixSpans.repeatedSpanCoverage(docs, "text", "doc_id", 3, 16))
+    same(SuffixSpans.removeRepeatedSpansFrom(docs, art, "text",
+        "doc_id", 3),
+      SuffixSpans.removeRepeatedSpans(docs, "text", "doc_id", 3, 16))
+  }
+
+  test("string document ids stay in scope (hash bucketing, not a " +
+      "numeric floor-divide)") {
+    val docs = Seq(
+      ("doc-a", "a b c d e f g h x y"),
+      ("doc-b", "q r a b c d e f g h z"),
+      ("doc-c", "m n o p q"))
+      .toDF("doc_id", "text")
+    val got = SuffixSpans.longestRepeatedSpans(docs, "text", "doc_id",
+        minTokens = 3, maxSpan = 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got("doc-a") == ((0L, 8L, "a b c d e f g h")))
+    assert(got("doc-b") == ((2L, 8L, "a b c d e f g h")))
+    assert(got.size == 2)
+  }
 }

@@ -143,4 +143,32 @@ class VocabSpec extends SparkSpec {
     assert(part(1L) == ((8L, "aa a b a b aa a b")))
     assert(part(2L) == ((5L, "aa a b a b")))
   }
+
+  test("bpeApply: native kernel row-identical to the HOF reference " +
+      "formulation on the sf0.001 documents corpus") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = graft.text.Vocab.bpeTrain(corpus, "text", k = 6)
+    val nat = graft.text.Vocab
+      .bpeApply(corpus, "text", "doc_id", merges)
+    val hof = graft.text.Vocab
+      .bpeApplyHof(corpus, "text", "doc_id", merges)
+    assert(nat.count() == hof.count())
+    assert(nat.exceptAll(hof).isEmpty && hof.exceptAll(nat).isEmpty)
+  }
+
+  test("bpeApply: multi-char (code point) safety and non-overlapping " +
+      "resume-after-merge rule") {
+    import spark.implicits._
+    // merge (b,a) over "babab": greedy left-to-right non-overlap →
+    // [ba, ba, b]; a supplementary code point must stay one symbol
+    val docs = Seq((1L, "babab"), (2L, "a😀b")).toDF("id", "text")
+    val merges = Seq((1L, "b", "a", 9L))
+      .toDF("merge_rank", "left", "right", "n_occurrences")
+    val got = graft.text.Vocab.bpeApply(docs, "text", "id", merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, "ba ba b")))
+    assert(got(2L)._1 == 3L)
+  }
 }
