@@ -4021,6 +4021,87 @@ object SparkEntry {
           col("dup_rows") * 1000000L, col("n_docs")))
         .drop("__nfp")
     },
+
+    // X293 — Aho–Corasick phrase-book scan: every occurrence of a
+    // literal blocklist phrase counted in ONE automaton pass per doc
+    "q299_phrase_scan" -> { (s, dir) =>
+      graft.text.Corpus.phraseScan(t(s, dir, "documents"), "text",
+          "doc_id", Seq("agg join", "fast key", "query big query",
+            "table table", "value table"))
+        .orderBy(col("doc_id"), col("phrase"))
+    },
+
+    // X294 — synchronous label-propagation communities over the
+    // user/event-type bipartite graph, 4 deterministic rounds
+    "q300_label_prop" -> { (s, dir) =>
+      val pairs = events(s, dir)
+        .select(concat(lit("u:"), col("user_id").cast("string"))
+          .as("src"), concat(lit("t:"), col("event_type")).as("dst"))
+        .distinct()
+      graft.ops.Graph.labelPropagation(pairs, "src", "dst", rounds = 4)
+        .orderBy(col("node"))
+    },
+
+    // X295 — split-conformal intervals: hold-out residual quantile of
+    // a floor-to-hundreds price model, 90% marginal coverage on the
+    // orderkey-mod-5 probe split
+    "q301_conformal" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("__y"))
+        .withColumn("__yhat", floor(col("__y") / 100.0) * 100.0)
+        .withColumn("__cal", pmod(col("o_orderkey"), lit(5)) =!= 0)
+      graft.ops.Features.conformalInterval(o, Seq("o_orderpriority"),
+          "o_orderkey", col("__y"), col("__yhat"), col("__cal"),
+          alphaPpm = 100000L)
+        .orderBy(col("o_orderkey"))
+    },
+
+    // X296 — Benjamini–Hochberg step-up over deterministic
+    // per-supplier p-values, FDR 5% within nation-mod-4 families
+    "q302_bh_fdr" -> { (s, dir) =>
+      val tests = t(s, dir, "supplier")
+        .select(pmod(col("s_nationkey"), lit(4)).cast("long").as("grp"),
+          col("s_suppkey"),
+          pmod(col("s_suppkey") * 104729L, lit(1000000L)).as("__p"))
+      graft.ops.Features.bhFdr(tests, Seq("grp"), "s_suppkey",
+          col("__p"), alphaPpm = 50000L)
+        .orderBy(col("grp"), col("rank"))
+    },
+
+    // X297 — bigram stupid-backoff surprisal: odd docs scored against
+    // the even-doc reference LM (backoff + OOV paths live)
+    "q303_bigram_surprisal" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.text.Vocab.bigramSurprisal(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // X298 — Holt double-exponential level+trend forecast of daily
+    // event volume per type, 7 days ahead
+    "q304_holt_forecast" -> { (s, dir) =>
+      val daily = events(s, dir)
+        .select(col("event_type"),
+          graft.functions.Exact.longDiv(nsToMicros(col("ts_ns")),
+            86400000000L).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Features.holtForecast(daily, Seq("event_type"),
+          col("day"), col("n"), alphaPpm = 300000L, betaPpm = 100000L,
+          horizon = 7, scale = 0)
+        .orderBy(col("event_type"))
+    },
+
+    // X299 — next-fit training-shard packing: documents pack in id
+    // order into 4000-char shards per source, never split
+    "q305_shard_pack" -> { (s, dir) =>
+      graft.text.Corpus.packShards(t(s, dir, "documents"),
+          Seq("source"), "doc_id", col("n_chars"), budget = 4000L)
+        .orderBy(col("source"), col("doc_id"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -12383,5 +12464,256 @@ object SparkEntry {
         |  max(slot) AS streak_end, count(*) AS len
         |FROM i GROUP BY user_id, isl
         |ORDER BY user_id, streak_start""".stripMargin,
+
+    // X293 phrase scan: per (doc, phrase) all-start-offsets occurrence
+    // count over the normalized text -- the position-stepped definition
+    "q299_phrase_scan" ->
+      """WITH ph(phrase) AS (VALUES ('agg join'), ('fast key'),
+        |  ('query big query'), ('table table'), ('value table')
+        |), d AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT doc_id, phrase, n_occurrences FROM (
+        |  SELECT d.doc_id, ph.phrase,
+        |    CAST(len(list_filter(range(1, len(d.t) - len(ph.phrase) + 2),
+        |      i -> substr(d.t, CAST(i AS BIGINT), len(ph.phrase))
+        |        = ph.phrase)) AS BIGINT) AS n_occurrences
+        |  FROM d, ph
+        |)
+        |WHERE n_occurrences > 0
+        |ORDER BY doc_id, phrase""".stripMargin,
+
+    // X294 LPA: four unrolled synchronous rounds, argmax by
+    // (count desc, label asc) row_number -- ties to the smallest label
+    "q300_label_prop" ->
+      """WITH p AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+        |    't:' || event_type AS tt
+        |  FROM events
+        |), und AS (
+        |  SELECT DISTINCT least(u, tt) AS a, greatest(u, tt) AS b
+        |  FROM p WHERE u <> tt
+        |), adj AS (
+        |  SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+        |), l0 AS (
+        |  SELECT DISTINCT a AS v, a AS lab FROM adj
+        |), l1 AS (
+        |  SELECT a AS v, lab FROM (
+        |    SELECT e.a, l.lab, row_number() OVER (PARTITION BY e.a
+        |      ORDER BY count(*) DESC, l.lab) AS rn
+        |    FROM adj e JOIN l0 l ON e.b = l.v GROUP BY e.a, l.lab)
+        |  WHERE rn = 1
+        |), l2 AS (
+        |  SELECT a AS v, lab FROM (
+        |    SELECT e.a, l.lab, row_number() OVER (PARTITION BY e.a
+        |      ORDER BY count(*) DESC, l.lab) AS rn
+        |    FROM adj e JOIN l1 l ON e.b = l.v GROUP BY e.a, l.lab)
+        |  WHERE rn = 1
+        |), l3 AS (
+        |  SELECT a AS v, lab FROM (
+        |    SELECT e.a, l.lab, row_number() OVER (PARTITION BY e.a
+        |      ORDER BY count(*) DESC, l.lab) AS rn
+        |    FROM adj e JOIN l2 l ON e.b = l.v GROUP BY e.a, l.lab)
+        |  WHERE rn = 1
+        |), l4 AS (
+        |  SELECT a AS v, lab FROM (
+        |    SELECT e.a, l.lab, row_number() OVER (PARTITION BY e.a
+        |      ORDER BY count(*) DESC, l.lab) AS rn
+        |    FROM adj e JOIN l3 l ON e.b = l.v GROUP BY e.a, l.lab)
+        |  WHERE rn = 1
+        |)
+        |SELECT v AS node, lab AS label FROM l4 ORDER BY node""".stripMargin,
+
+    // X295 conformal: k = ceil-div mirrored exactly; the k-th smallest
+    // residual by row_number element selection; unbounded -> null
+    "q301_conformal" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(o_totalprice AS DOUBLE) AS y,
+        |    floor(CAST(o_totalprice AS DOUBLE) / 100) * 100 AS yhat,
+        |    o_orderkey % 5 <> 0 AS is_cal
+        |  FROM orders
+        |), cal AS (
+        |  SELECT o_orderpriority, abs(y - yhat) AS r
+        |  FROM o WHERE is_cal
+        |), nc AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_cal
+        |  FROM cal GROUP BY 1
+        |), q AS (
+        |  SELECT o_orderpriority, r AS q_width FROM (
+        |    SELECT o_orderpriority, r,
+        |      row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY r) AS rn,
+        |      count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |    FROM cal)
+        |  WHERE rn = ((n + 1) * 900000 + 999999) // 1000000
+        |)
+        |SELECT p.o_orderpriority, p.o_orderkey, p.yhat,
+        |  coalesce(nc.n_cal, 0) AS n_cal, q.q_width,
+        |  p.yhat - q.q_width AS lo, p.yhat + q.q_width AS hi
+        |FROM (SELECT * FROM o WHERE NOT is_cal) p
+        |LEFT JOIN nc USING (o_orderpriority)
+        |LEFT JOIN q USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // X296 BH: exact cross-multiplied step-up, kmax per family
+    "q302_bh_fdr" ->
+      """WITH tests AS (
+        |  SELECT CAST(s_nationkey % 4 AS BIGINT) AS grp, s_suppkey,
+        |    CAST((s_suppkey * 104729) % 1000000 AS BIGINT) AS p_ppm
+        |  FROM supplier
+        |), r AS (
+        |  SELECT grp, s_suppkey, p_ppm,
+        |    CAST(row_number() OVER (PARTITION BY grp
+        |      ORDER BY p_ppm, s_suppkey) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS m
+        |  FROM tests
+        |), k AS (
+        |  SELECT grp, max(CASE WHEN p_ppm * m <= rank * 50000
+        |    THEN rank END) AS kmax
+        |  FROM r GROUP BY grp
+        |)
+        |SELECT r.grp, r.s_suppkey, r.p_ppm, r.rank,
+        |  (r.rank * 50000) // r.m AS crit_ppm,
+        |  coalesce(r.rank <= k.kmax, false) AS discovered
+        |FROM r JOIN k USING (grp)
+        |ORDER BY grp, rank""".stripMargin,
+
+    // X297 bigram surprisal: unigram/bigram count tables from the
+    // even-doc reference, bit-length charges mirrored term for term
+    "q303_bigram_surprisal" ->
+      """WITH dz AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), ref AS (
+        |  SELECT tk FROM dz WHERE doc_id % 2 = 0
+        |), base AS (
+        |  SELECT doc_id, tk FROM dz WHERE doc_id % 2 = 1 AND len(tk) >= 1
+        |), uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w
+        |), nn AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS nt FROM uni
+        |), refbi AS (
+        |  SELECT p.u, p.w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> struct_pack(u := tk[CAST(i AS BIGINT)],
+        |        w2 := tk[CAST(i + 1 AS BIGINT)]))) AS p
+        |    FROM ref)
+        |  GROUP BY p.u, p.w2
+        |), dp AS (
+        |  SELECT doc_id, p.u AS u, p.w2 AS w2,
+        |    CAST(count(*) AS BIGINT) AS k FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |      i -> struct_pack(u := tk[CAST(i AS BIGINT)],
+        |        w2 := tk[CAST(i + 1 AS BIGINT)]))) AS p
+        |    FROM base)
+        |  GROUP BY doc_id, p.u, p.w2
+        |), fb AS (
+        |  SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+        |    CASE WHEN u.c1 IS NOT NULL
+        |      THEN CAST(len(format('{:b}',
+        |        (SELECT nt FROM nn) // u.c1)) AS BIGINT)
+        |      ELSE CAST(len(format('{:b}',
+        |        (SELECT nt FROM nn))) AS BIGINT) + 1 END AS fbits
+        |  FROM base b LEFT JOIN uni u ON b.tk[1] = u.w
+        |), pb AS (
+        |  SELECT dp.doc_id, CAST(sum(dp.k) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CASE WHEN rb.c2 IS NULL THEN dp.k ELSE 0 END)
+        |      AS BIGINT) AS n_backoff,
+        |    CAST(sum(dp.k * CASE WHEN rb.c2 IS NOT NULL
+        |      THEN len(format('{:b}', u1.c1 // rb.c2))
+        |      ELSE 2 + CASE WHEN u2.c1 IS NOT NULL
+        |        THEN len(format('{:b}', (SELECT nt FROM nn) // u2.c1))
+        |        ELSE len(format('{:b}', (SELECT nt FROM nn))) + 1 END
+        |      END) AS BIGINT) AS pbsum
+        |  FROM dp
+        |  LEFT JOIN refbi rb ON dp.u = rb.u AND dp.w2 = rb.w2
+        |  LEFT JOIN uni u1 ON dp.u = u1.w
+        |  LEFT JOIN uni u2 ON dp.w2 = u2.w
+        |  GROUP BY dp.doc_id
+        |)
+        |SELECT fb.doc_id, fb.n_tokens,
+        |  coalesce(pb.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(pb.n_backoff, 0) AS n_backoff,
+        |  fb.fbits + coalesce(pb.pbsum, 0) AS surprisal_bits,
+        |  ((fb.fbits + coalesce(pb.pbsum, 0)) * 1000) // fb.n_tokens
+        |    AS mean_millibits
+        |FROM fb LEFT JOIN pb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // X298 Holt: the integer recursion stepped rank-by-rank (the q287
+    // recursive-CTE discipline), HUGEINT products, truncating //
+    "q304_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), d AS (
+        |  SELECT event_type, n AS x,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS rn
+        |  FROM daily
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, rn, x AS l, CAST(0 AS BIGINT) AS b
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.rn,
+        |    CAST((300000::HUGEINT * d.x + 700000::HUGEINT *
+        |      (f.l + CASE WHEN d.rn = 2 THEN d.x - f.l ELSE f.b END))
+        |      // 1000000 AS BIGINT),
+        |    CAST((100000::HUGEINT *
+        |      (CAST((300000::HUGEINT * d.x + 700000::HUGEINT *
+        |        (f.l + CASE WHEN d.rn = 2 THEN d.x - f.l ELSE f.b END))
+        |        // 1000000 AS BIGINT) - f.l) +
+        |      900000::HUGEINT *
+        |        CASE WHEN d.rn = 2 THEN d.x - f.l ELSE f.b END)
+        |      // 1000000 AS BIGINT)
+        |  FROM f JOIN d ON d.event_type = f.event_type
+        |    AND d.rn = f.rn + 1
+        |)
+        |SELECT m.event_type, m.cnt AS n,
+        |  CASE WHEN m.cnt >= 2 THEN fl.l END AS level_units,
+        |  CASE WHEN m.cnt >= 2 THEN fl.b END AS trend_units,
+        |  CASE WHEN m.cnt >= 2 THEN fl.l + 7 * fl.b END
+        |    AS forecast_units
+        |FROM m JOIN (
+        |  SELECT f.event_type, f.l, f.b
+        |  FROM f JOIN m ON f.event_type = m.event_type AND f.rn = m.cnt
+        |) fl ON fl.event_type = m.event_type
+        |ORDER BY m.event_type""".stripMargin,
+
+    // X299 shard packing: the next-fit recursion stepped row-by-row;
+    // the run > 0 guard keeps an oversized doc in its own fresh shard
+    "q305_shard_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents
+        |), f AS (
+        |  SELECT source, doc_id, w, rn, CAST(0 AS BIGINT) AS sh,
+        |    CAST(0 AS BIGINT) AS off, w AS run
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.w, d.rn,
+        |    CASE WHEN f.run + d.w > 4000 AND f.run > 0
+        |      THEN f.sh + 1 ELSE f.sh END,
+        |    CASE WHEN f.run + d.w > 4000 AND f.run > 0
+        |      THEN CAST(0 AS BIGINT) ELSE f.run END,
+        |    CASE WHEN f.run + d.w > 4000 AND f.run > 0
+        |      THEN d.w ELSE f.run + d.w END
+        |  FROM f JOIN d ON d.source = f.source AND d.rn = f.rn + 1
+        |)
+        |SELECT source, doc_id, w AS weight, sh AS shard_id,
+        |  off AS offset FROM f
+        |ORDER BY source, doc_id""".stripMargin,
   )
 }

@@ -2785,4 +2785,193 @@ object Features {
         (lit(tau) - least(col("__acc").getField("tp"), lit(tau))))
         .as("rmst_area_ppm")): _*)
   }
+
+  /** Split-conformal prediction intervals (X295) — Vovk's
+    * distribution-free uncertainty wrapper, the finite-sample-valid
+    * interval every regression QC gate wants around a point
+    * prediction: a held-out CALIBRATION set supplies the residual
+    * quantile q = the k-th smallest |y − ŷ| with
+    * k = ⌈(n_cal+1)·(1−α)⌉, and every PROBE row gets
+    * [ŷ − q, ŷ + q] — guaranteed ≥ 1−α marginal coverage with no
+    * distributional assumption (Papadakis/Vovk split-conformal, the
+    * industrial default). k > n_cal (α too small for the calibration
+    * mass) → the interval is formally unbounded: null bounds, never a
+    * fabricated finite one; groups with no calibration rows likewise.
+    *
+    * Exactness: k is exact integer arithmetic on `alphaPpm`; q is
+    * ELEMENT SELECTION under a total order — an actually-computed IEEE
+    * |y − ŷ|, never an average of two middles (the X199 median
+    * discipline) — and the bounds are one IEEE subtract/add each:
+    * bit-identical on any engine. Output per probe row: group cols,
+    * `idCol`, `yhat`, `n_cal`, `q_width` (null = unbounded), `lo`,
+    * `hi`.
+    *
+    * Scale shape: calibration rows take ONE key exchange shared by the
+    * row_number/count windows; the |groups|-row quantile table joins
+    * back to probes on the group key (AQE broadcasts it when small).
+    * Probe volume never sorts globally.
+    */
+  def conformalInterval(df: DataFrame, groupCols: Seq[String],
+      idCol: String, yCol: Column, yhatCol: Column, isCalCol: Column,
+      alphaPpm: Long): DataFrame = {
+    require(groupCols.nonEmpty, "conformalInterval needs group columns")
+    require(alphaPpm > 0L && alphaPpm < 1000000L,
+      s"alphaPpm in (0, 1000000): $alphaPpm")
+    import graft.functions.Exact.longDiv
+    val gs = groupCols.map(col)
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col("__r"))
+    val wAll = Window.partitionBy(gs: _*)
+    val q = df.filter(isCalCol && yCol.isNotNull && yhatCol.isNotNull)
+      .select(gs :+ abs(yCol.cast("double") - yhatCol.cast("double"))
+        .as("__r"): _*)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__k", longDiv((col("__n") + 1L) *
+        lit(1000000L - alphaPpm) + 999999L, 1000000L))
+      .filter(col("__rn") === col("__k"))
+      .select(gs :+ col("__n").as("n_cal") :+ col("__r").as("q_width"): _*)
+    val nCal = df.filter(isCalCol && yCol.isNotNull && yhatCol.isNotNull)
+      .groupBy(gs: _*).agg(count(lit(1)).as("__ncal_all"))
+    df.filter(!isCalCol && yhatCol.isNotNull)
+      .select(gs :+ col(idCol) :+ yhatCol.cast("double").as("yhat"): _*)
+      .join(nCal, groupCols, "left")
+      .join(q, groupCols, "left")
+      .select(gs ++ Seq(col(idCol), col("yhat"),
+        coalesce(col("__ncal_all"), lit(0L)).as("n_cal"),
+        col("q_width"),
+        (col("yhat") - col("q_width")).as("lo"),
+        (col("yhat") + col("q_width")).as("hi")): _*)
+  }
+
+  /** Benjamini–Hochberg FDR control (X296) — the multiple-testing
+    * gate for every per-group test this engine emits (X280 Welch t,
+    * X282 log-rank, X288 drift): testing 10,000 slices at α = 0.05
+    * "discovers" 500 nulls by construction; BH bounds the FALSE
+    * DISCOVERY RATE instead: sort p ascending, find the largest k with
+    * p_(k) ≤ k·α/m, declare ranks ≤ k discoveries (Benjamini &
+    * Hochberg 1995 step-up). The comparison is EXACT integer
+    * cross-multiplication — `p_ppm·m ≤ rank·alphaPpm` — no float
+    * threshold ever exists; tied p-values share a fate by construction
+    * (the discovery set depends only on the cutoff value). Output per
+    * test: group cols, `idCol`, `p_ppm`, `rank` (1-based ascending p,
+    * id-tiebroken), `crit_ppm` = ⌊rank·α/m⌋ (the step-up line, for
+    * audit), `discovered`. Null p-values are not tests — dropped.
+    *
+    * Scale shape: ONE key exchange shared by the rank/count/max
+    * windows; no joins, no collect. m per group is the window count —
+    * partial-aggregation-free by necessity (ranks need the sort) but
+    * the sort is per-group, never global.
+    */
+  def bhFdr(df: DataFrame, groupCols: Seq[String], idCol: String,
+      pPpmCol: Column, alphaPpm: Long): DataFrame = {
+    require(groupCols.nonEmpty, "bhFdr needs group columns")
+    require(alphaPpm > 0L && alphaPpm <= 1000000L,
+      s"alphaPpm in (0, 1000000]: $alphaPpm")
+    import graft.functions.Exact.longDiv
+    val gs = groupCols.map(col)
+    val wOrd = Window.partitionBy(gs: _*)
+      .orderBy(col("p_ppm"), col(idCol))
+    val wAll = Window.partitionBy(gs: _*)
+    df.filter(pPpmCol.isNotNull)
+      .select(gs :+ col(idCol) :+ pPpmCol.cast("long").as("p_ppm"): _*)
+      .withColumn("rank", row_number().over(wOrd).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__ok",
+        col("p_ppm") * col("__m") <= col("rank") * lit(alphaPpm))
+      .withColumn("__kmax",
+        max(when(col("__ok"), col("rank"))).over(wAll))
+      .select(gs ++ Seq(col(idCol), col("p_ppm"), col("rank"),
+        longDiv(col("rank") * lit(alphaPpm), col("__m")).as("crit_ppm"),
+        coalesce(col("rank") <= col("__kmax"), lit(false))
+          .as("discovered")): _*)
+  }
+
+  /** Holt double-exponential smoothing + h-step forecast (X297/X298
+    * family — the level-plus-TREND upgrade of a plain EWMA, the
+    * workhorse short-horizon forecaster for capacity and telemetry:
+    * an EWMA lags a trending series by construction; Holt carries a
+    * trend state that closes the lag): per key, over rows in
+    * `orderCol` order,
+    *
+    * {{{
+    * l₁ = x₁,  b₁ = x₂ − x₁
+    * lₜ = (α·xₜ + (10⁶−α)·(lₜ₋₁+bₜ₋₁)) div 10⁶
+    * bₜ = (β·(lₜ−lₜ₋₁) + (10⁶−β)·bₜ₋₁) div 10⁶   (t ≥ 2)
+    * }}}
+    *
+    * in integer `scale`-decimal units (values quantize through
+    * DecimalType — the X175 discipline), every step ONE truncating
+    * `div` on decimal(38,0) products — a deterministic, engine-
+    * portable recursion where a float fold is partitioning-dependent.
+    * Output per key: `n`, `level_units`, `trend_units`,
+    * `forecast_units` = level + horizon·trend (the Holt h-step
+    * forecast ŷ(t+h) = l + h·b, exact longs). Keys with < 2 rows emit
+    * with null level/trend/forecast — a trend needs two points; rows
+    * with null value/order are skipped.
+    *
+    * Scale shape: the recursion is NON-ASSOCIATIVE and sequential by
+    * nature, so it evaluates INSIDE one row via an `aggregate` fold
+    * over the key's sorted value array — `maxRows` bounds the array
+    * in-plan (raise, not truncate: the q209 contract). Parallelism is
+    * |keys|; raw rows collapse map-side to (key, sorted array) in one
+    * exchange.
+    */
+  def holtForecast(df: DataFrame, keyCols: Seq[String],
+      orderCol: Column, valueCol: Column, alphaPpm: Long, betaPpm: Long,
+      horizon: Int, scale: Int = 2, maxRows: Int = 100000): DataFrame = {
+    require(keyCols.nonEmpty, "holtForecast needs key columns")
+    require(alphaPpm >= 0L && alphaPpm <= 1000000L,
+      s"alphaPpm in [0, 1000000]: $alphaPpm")
+    require(betaPpm >= 0L && betaPpm <= 1000000L,
+      s"betaPpm in [0, 1000000]: $betaPpm")
+    require(horizon >= 1 && horizon <= 100000,
+      s"horizon in [1, 100000]: $horizon")
+    require(scale >= 0 && scale <= 6, s"scale in [0, 6]: $scale")
+    require(maxRows >= 2, s"maxRows must be >= 2: $maxRows")
+    import graft.functions.Exact.longDiv
+    val d38 = DecimalType(38, 0)
+    val gs = keyCols.map(col)
+    val unit = math.pow(10, scale).toLong
+    val vU = (valueCol.cast(DecimalType(18, scale)) * lit(unit))
+      .cast(d38).cast("long")
+    val arr = df.filter(valueCol.isNotNull && orderCol.isNotNull)
+      .select(gs :+ orderCol.as("__o") :+ vU.as("__v"): _*)
+      .groupBy(gs: _*)
+      .agg(sort_array(collect_list(struct(col("__o"), col("__v"))))
+        .as("__xs0"))
+      .withColumn("__xs",
+        when(size(col("__xs0")) > maxRows, raise_error(concat(
+          lit(s"holtForecast: key exceeds maxRows=$maxRows: "),
+          size(col("__xs0")).cast("string"))))
+          .otherwise(transform(col("__xs0"), x => x.getField("__v"))))
+    def step(l: Column, b: Column, x: Column): (Column, Column) = {
+      val l2 = longDiv(lit(alphaPpm).cast(d38) * x +
+        lit(1000000L - alphaPpm).cast(d38) * (l + b), 1000000L)
+        .cast("long")
+      val b2 = longDiv(lit(betaPpm).cast(d38) * (l2 - l) +
+        lit(1000000L - betaPpm).cast(d38) * b, 1000000L)
+        .cast("long")
+      (l2, b2)
+    }
+    arr
+      .withColumn("__st", aggregate(col("__xs"),
+        struct(lit(0L).as("i"), lit(0L).as("l"), lit(0L).as("b")),
+        (acc, x) => {
+          val i = acc.getField("i")
+          val (lU, bU) = (acc.getField("l"), acc.getField("b"))
+          val b0 = x - lU
+          val (l1, b1) = step(lU, b0, x)
+          val (l2, b2) = step(lU, bU, x)
+          struct((i + 1L).as("i"),
+            when(i === 0L, x).when(i === 1L, l1).otherwise(l2).as("l"),
+            when(i === 0L, lit(0L)).when(i === 1L, b1).otherwise(b2)
+              .as("b"))
+        }))
+      .select(gs ++ Seq(col("__st.i").as("n"),
+        when(col("__st.i") >= 2L, col("__st.l")).as("level_units"),
+        when(col("__st.i") >= 2L, col("__st.b")).as("trend_units"),
+        when(col("__st.i") >= 2L,
+          col("__st.l") + lit(horizon.toLong) * col("__st.b"))
+          .as("forecast_units")): _*)
+  }
 }

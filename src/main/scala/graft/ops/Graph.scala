@@ -1014,4 +1014,69 @@ object Graph {
     Checkpoints.release(e, deg)
     out
   }
+
+  /** Synchronous label-propagation communities (X294) — Raghavan et
+    * al. 2007's near-linear community detection, the coarser sibling of
+    * [[connectedComponents]] (which answers reachability) and the
+    * cheap alternative to modularity optimizers: every vertex starts
+    * labeled with its own id; each of `rounds` SYNCHRONOUS rounds every
+    * vertex adopts the most frequent label among its NEIGHBORS (not
+    * itself), ties broken to the SMALLEST label — fully deterministic
+    * and engine-portable, unlike the papers' random-order asynchronous
+    * sweep (determinism is the contract here: a curation pipeline must
+    * produce the same communities on every run and engine; synchronous
+    * LPA's possible two-label oscillation on bipartite-ish structure is
+    * the known, accepted trade). The graph is undirected and simple:
+    * edges canonicalize + dedup, self-loops drop, isolated vertices
+    * never appear (edge-derived vertex set). Output: (`node`, `label`)
+    * after exactly `rounds` rounds.
+    *
+    * Scale shape: adjacency (both orientations) lays out ONCE
+    * partitioned by source and persists for the k reads; each round is
+    * one neighbor-label equi-join + one map-side-combined (node, label)
+    * count + one min(struct(-n, label)) argmax agg — no window sort.
+    * Per-round eager checkpoint with round-frame release (the
+    * [[pageRank]] loop discipline). Labels ride min/max-able types
+    * (long node ids or strings both work).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50]: $rounds")
+    val und = edges
+      .select(col(srcCol).as("__x"), col(dstCol).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
+      .distinct()
+    val adj = und.select(col("__a"), col("__b"))
+      .unionByName(und.select(col("__b").as("__a"), col("__a").as("__b")))
+      .localCheckpoint(true)
+    val p = loopWidth(adj.count(),
+      edges.sparkSession.sparkContext.defaultParallelism)
+    val laid = adj.repartition(p, col("__a"))
+      .sortWithinPartitions(col("__a")).persist()
+    var labels = adj.select(col("__a").as("node"))
+      .distinct().withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var prev: DataFrame = null
+    for (_ <- 1 to rounds) {
+      labels = laid
+        .join(labels.repartition(p, col("node")),
+          col("__b") === col("node"))
+        .groupBy(col("__a"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("__a"))
+        .agg(min(struct((-col("__n")).as("nn"), col("label").as("l")))
+          .as("__best"))
+        .select(col("__a").as("node"), col("__best.l").as("label"))
+        .localCheckpoint(true)
+      if (prev != null) Checkpoints.release(prev)
+      prev = labels
+    }
+    laid.unpersist()
+    Checkpoints.release(adj)
+    labels
+  }
 }

@@ -1252,4 +1252,103 @@ object Corpus {
         col("rank").cast("long").as("rank"), col("__id").as(idCol),
         col("score_micro"), col("n_terms"))
   }
+
+  /** Phrase-book scan (X293) — blocklist / contamination-phrase
+    * screening as ONE Aho–Corasick automaton pass per document (the
+    * [[graft.functions.PhraseMatchCounts]] kernel): per (document,
+    * phrase) with at least one hit, the exact number of occurrences of
+    * the literal phrase in the [[TextFunctions.normalized]] text — ALL
+    * start offsets counted (overlapping matches and phrases nested in
+    * longer phrases each count; the per-phrase position-stepped
+    * definition the oracle mirrors). Phrases must be distinct,
+    * non-empty, and already in normalized form (lowercase,
+    * single-spaced) — matching is literal.
+    *
+    * Scale shape: the phrase book is a bounded plan constant; the scan
+    * is O(len + matches) per document regardless of phrase count —
+    * P separate `regexp_count` passes read the corpus P times, the
+    * automaton reads it once. Everything is scan-local until the final
+    * hit rows (documents × matched phrases only) — no shuffle, no UDF,
+    * no join. At 100 TB this is the only affordable shape for a
+    * thousand-phrase safety book.
+    */
+  def phraseScan(df: DataFrame, textCol: String, idCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phraseScan needs at least one phrase")
+    val counts = graft.functions.TextExpressions.phraseMatchCounts(
+      TextFunctions.normalized(col(textCol)), phrases)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(counts).as(Seq("__i", "__n")))
+      .filter(col("__n") > 0L)
+      .select(col(idCol),
+        element_at(lit(phrases.toArray), col("__i") + 1).as("phrase"),
+        col("__n").as("n_occurrences"))
+  }
+
+  /** Training-shard packing (X299) — next-fit document packing into
+    * fixed-budget shards, the step that turns a curated corpus into
+    * the fixed-size training files a data loader streams: documents
+    * pack in `idCol` order (deterministic, resumable) into consecutive
+    * shards, each holding as many whole documents as fit within
+    * `budget` weight units (tokens, chars, bytes — whatever
+    * `weightCol` measures; documents never split — sequence
+    * boundaries are sacred). A document alone heavier than the budget
+    * gets its own (oversized) shard rather than being dropped or
+    * split — surfacing it is the caller's curation decision. Output
+    * per document: group cols, `idCol`, `weight`, `shard_id` (0-based
+    * within the group), `offset` (running weight before the document
+    * within its shard). Null/negative weights raise in-plan — a
+    * silently mis-weighted pack produces wrong shards everywhere
+    * downstream.
+    *
+    * Scale shape: packing is inherently SEQUENTIAL within a group
+    * (next-fit's running remainder), so the fold evaluates in-row over
+    * the group's sorted (id, weight) array with `maxDocs` raising
+    * in-plan (the q209 contract); parallelism is |groups| — and the
+    * natural grouping (source, date-partition) IS the realistic
+    * sharding unit at 100 TB, where one group's manifest is exactly
+    * what fits a packing task. Raw rows collapse map-side to one
+    * array row per group in a single exchange.
+    */
+  def packShards(df: DataFrame, groupCols: Seq[String], idCol: String,
+      weightCol: Column, budget: Long,
+      maxDocs: Int = 1000000): DataFrame = {
+    require(groupCols.nonEmpty, "packShards needs group columns")
+    require(budget >= 1L, s"budget must be >= 1: $budget")
+    require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
+    val gs = groupCols.map(col)
+    val w = when(weightCol.isNull || weightCol.cast("long") < 0L,
+        raise_error(concat(lit("packShards: null/negative weight for "),
+          col(idCol).cast("string"))))
+      .otherwise(weightCol.cast("long"))
+    val arr = df
+      .select(gs :+ struct(col(idCol).as("id"), w.as("w")).as("__x"): _*)
+      .groupBy(gs: _*)
+      .agg(sort_array(collect_list(col("__x"))).as("__xs0"))
+      .withColumn("__xs",
+        when(size(col("__xs0")) > maxDocs, raise_error(concat(
+          lit(s"packShards: group exceeds maxDocs=$maxDocs: "),
+          size(col("__xs0")).cast("string"))))
+          .otherwise(col("__xs0")))
+    val packed = arr.withColumn("__st", aggregate(col("__xs"),
+      struct(lit(0L).as("sh"), lit(0L).as("run"),
+        array().cast("array<struct<sh:bigint,off:bigint>>").as("out")),
+      (acc, x) => {
+        val wx = x.getField("w")
+        val opens = acc.getField("run") + wx > lit(budget) &&
+          acc.getField("run") > 0L
+        val sh = when(opens, acc.getField("sh") + 1L)
+          .otherwise(acc.getField("sh"))
+        val off = when(opens, lit(0L)).otherwise(acc.getField("run"))
+        struct(sh.as("sh"), (off + wx).as("run"),
+          concat(acc.getField("out"),
+            array(struct(sh.as("sh"), off.as("off")))).as("out"))
+      }).getField("out"))
+    packed
+      .select(gs :+ posexplode(arrays_zip(col("__xs"), col("__st"))): _*)
+      .select(gs ++ Seq(col("col.__xs.id").as(idCol),
+        col("col.__xs.w").as("weight"),
+        col("col.__st.sh").as("shard_id"),
+        col("col.__st.off").as("offset")): _*)
+  }
 }

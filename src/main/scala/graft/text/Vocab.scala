@@ -147,6 +147,109 @@ object Vocab {
         col("surprisal_bits") * 1000L, col("n_tokens")))
   }
 
+  /** Bigram stupid-backoff surprisal (X297) — the CONTEXT-AWARE
+    * upgrade of [[surprisalScore]]'s unigram filter, the integer-exact
+    * stand-in for the KenLM-perplexity gate at the next model order:
+    * a word-salad document scores fluent under any unigram model (all
+    * its words are common); only a sequence model sees that the
+    * TRANSITIONS are improbable. Per document over the reference
+    * corpus `ref`'s counts:
+    *
+    *  - first token w: `bitlen(N div c₁(w))` bits (frequency
+    *    surprisal at bit grain — the X204 discipline: bit length
+    *    tracks −log₂p up to a constant with no transcendental), OOV
+    *    pays `bitlen(N)+1`;
+    *  - each adjacent pair (u,w): seen bigram → conditional surprisal
+    *    `bitlen(c₁(u) div c₂(u,w))`; unseen → STUPID BACKOFF
+    *    (Brants et al. 2007): a flat 2-bit back-off charge (the
+    *    integer rendering of the 0.4 factor) + the unigram bits of w.
+    *
+    * Output per document: `n_tokens`, `n_bigrams`, `n_backoff` (unseen
+    * transitions — itself a strong template/salad signal),
+    * `surprisal_bits`, `mean_millibits` (exact floor, per token).
+    * Documents with null text are out; a one-token document has zero
+    * bigrams and only its first-token charge. All arithmetic is
+    * integer-exact and engine-portable.
+    *
+    * Scale shape: the reference collapses to unigram and bigram COUNT
+    * tables (vocabulary / pair-vocabulary grain — Heaps' law, not
+    * corpus grain); the scored corpus collapses map-side to (doc,
+    * pair) grain before any exchange, joins the count tables on
+    * key-partitioned equi-joins (pair vocabulary is far smaller than
+    * the corpus; AQE broadcasts when it fits), and reduces to doc
+    * grain in one map-side-combined agg. No window over corpus rows,
+    * no collect.
+    */
+  def bigramSurprisal(docs: DataFrame, ref: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    import graft.functions.Exact.longDiv
+    def toks(c: Column): Column =
+      TextFunctions.tokens(TextFunctions.normalized(c))
+    val refToks = ref.filter(col(textCol).isNotNull)
+      .select(explode(toks(col(textCol))).as("__w"))
+    val uni = refToks.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__c1"))
+    val nTotal = uni.agg(sum(col("__c1")).as("__N"))
+    val refPairs = ref.filter(col(textCol).isNotNull)
+      .select(toks(col(textCol)).as("__tk"))
+      .select(explode(zip_with(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+        (a, b) => struct(a.as("u"), b.as("w")))).as("__p"))
+      .groupBy(col("__p.u").as("__u"), col("__p.w").as("__w2"))
+      .agg(count(lit(1)).as("__c2"))
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    // first-token charge at doc grain
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 1)
+    val firstBits = base
+      .select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"),
+        element_at(col("__tk"), 1).as("__w"))
+      .join(uni, Seq("__w"), "left")
+      .crossJoin(broadcast(nTotal))
+      .select(col(idCol), col("n_tokens"),
+        when(col("__c1").isNotNull, bitlen(longDiv(col("__N"),
+          col("__c1")))).otherwise(bitlen(col("__N")) + 1L)
+          .as("__fb"))
+    // transition charges at (doc, pair) grain
+    val pairBits = base
+      .select(col(idCol), explode(zip_with(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+        (a, b) => struct(a.as("u"), b.as("w")))).as("__p"))
+      .groupBy(col(idCol), col("__p.u").as("__u"),
+        col("__p.w").as("__w2"))
+      .agg(count(lit(1)).as("__k"))
+      .join(refPairs, Seq("__u", "__w2"), "left")
+      .join(uni.select(col("__w").as("__u"), col("__c1").as("__c1u")),
+        Seq("__u"), "left")
+      .join(uni.select(col("__w").as("__w2"), col("__c1").as("__c1w")),
+        Seq("__w2"), "left")
+      .crossJoin(broadcast(nTotal))
+      .select(col(idCol), col("__k"),
+        col("__c2").isNull.as("__back"),
+        when(col("__c2").isNotNull,
+          bitlen(longDiv(col("__c1u"), col("__c2"))))
+          .otherwise(lit(2L) +
+            when(col("__c1w").isNotNull, bitlen(longDiv(col("__N"),
+              col("__c1w")))).otherwise(bitlen(col("__N")) + 1L))
+          .as("__bits"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_bigrams"),
+        sum(when(col("__back"), col("__k")).otherwise(0L))
+          .as("n_backoff"),
+        sum(col("__bits") * col("__k")).as("__pb"))
+    firstBits.join(pairBits, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        (col("__fb") + coalesce(col("__pb"), lit(0L)))
+          .as("surprisal_bits"))
+      .withColumn("mean_millibits",
+        longDiv(col("surprisal_bits") * 1000L, col("n_tokens")))
+  }
+
   /** Iterative BPE tokenizer TRAINING — the full merge loop whose
     * iteration 0 is [[bpePairStats]] (Sennrich et al. 2016): `k`
     * rounds of (count adjacent symbol pairs weighted by word

@@ -743,4 +743,30 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
+
+  test("packShards: next-fit in id order, exact-fit stays, oversized " +
+      "doc gets its own shard, null weight raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(("g", 1L, 3L), ("g", 2L, 4L), ("g", 3L, 2L),
+      ("g", 4L, 6L), ("g", 5L, 1L), ("h", 10L, 9L))
+      .toDF("src", "doc_id", "w")
+    val out = graft.text.Corpus.packShards(docs, Seq("src"), "doc_id",
+        col("w"), budget = 6L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("g", 1L)) == ((3L, 0L, 0L)))
+    assert(out(("g", 2L)) == ((4L, 1L, 0L)))   // 3+4 > 6 opens shard 1
+    assert(out(("g", 3L)) == ((2L, 1L, 4L)))   // 4+2 = 6 exact fit stays
+    assert(out(("g", 4L)) == ((6L, 2L, 0L)))
+    assert(out(("g", 5L)) == ((1L, 3L, 0L)))
+    assert(out(("h", 10L)) == ((9L, 0L, 0L)))  // oversized: own shard
+    val bad = Seq(("g", 1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("src", "doc_id", "w")
+    val e = intercept[Exception] {
+      graft.text.Corpus.packShards(bad, Seq("src"), "doc_id",
+        col("w"), budget = 6L).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -1345,4 +1345,69 @@ class FeaturesSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("conformalInterval: element-selection quantile, unbounded when " +
+      "alpha too small, no-calibration group nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group g: calibration residuals |y - yhat| = 1..5
+    val rows = (1 to 5).map(i => ("g", s"c$i", 10.0 + i, 10.0, true)) ++
+      Seq(("g", "p1", 0.0, 10.0, false), ("h", "p2", 0.0, 7.0, false))
+    val df = rows.toDF("grp", "id", "y", "yhat", "is_cal")
+    // alpha = 0.2: k = ceil(6 * 0.8) = 5 -> q = 5
+    val out = graft.ops.Features.conformalInterval(df, Seq("grp"), "id",
+        col("y"), col("yhat"), col("is_cal"), alphaPpm = 200000L)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(3), Option(r.get(4)), Option(r.get(5)),
+          Option(r.get(6))))).toMap
+    assert(out("p1") == ((5L, Some(5.0), Some(5.0), Some(15.0))))
+    assert(out("p2") == ((0L, None, None, None)))   // no calibration rows
+    // alpha = 0.05: k = ceil(6 * 0.95) = 6 > 5 -> unbounded
+    val tight = graft.ops.Features.conformalInterval(df, Seq("grp"),
+        "id", col("y"), col("yhat"), col("is_cal"), alphaPpm = 50000L)
+      .collect().map(r => r.getString(1) -> Option(r.get(5))).toMap
+    assert(tight("p1").isEmpty)
+  }
+
+  test("bhFdr: textbook step-up — kmax from the largest passing rank, " +
+      "everything at or below discovered, integer cross-multiply") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", "t1", 10000L), ("a", "t2", 20000L),
+      ("a", "t3", 30000L), ("a", "t4", 40000L), ("a", "t5", 900000L),
+      ("b", "u1", 300000L))
+      .toDF("grp", "test_id", "p_ppm")
+    val out = graft.ops.Features.bhFdr(df, Seq("grp"), "test_id",
+        col("p_ppm"), alphaPpm = 50000L)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // thresholds i*50000/5 = 10000 i: all of t1..t4 pass, t5 fails
+    assert(out("t1") == ((1L, 10000L, true)))
+    assert(out("t4") == ((4L, 40000L, true)))
+    assert(out("t5") == ((5L, 50000L, false)))
+    // group b: single test at p=0.3 > 0.05 -> no discoveries
+    assert(out("u1") == ((1L, 50000L, false)))
+  }
+
+  test("holtForecast: hand-stepped level/trend, truncation toward zero " +
+      "on negative trend, < 2 rows emit nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("up", 1L, 10.0), ("up", 2L, 12.0), ("up", 3L, 14.0),
+      ("dn", 1L, 10.0), ("dn", 2L, 8.0), ("dn", 3L, 5.0),
+      ("one", 1L, 42.0))
+      .toDF("k", "o", "v")
+    val out = graft.ops.Features.holtForecast(df, Seq("k"), col("o"),
+        col("v"), alphaPpm = 500000L, betaPpm = 500000L, horizon = 3,
+        scale = 0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4))))).toMap
+    // up: l=14, b=2, forecast 14+3*2=20
+    assert(out("up") == ((3L, Some(14L), Some(2L), Some(20L))))
+    // dn: l3 = (0.5*5 + 0.5*6) = 5 (5500000 div 1e6), b3 = -2500000
+    // div 1e6 = -2 (truncation toward zero), forecast 5 - 6 = -1
+    assert(out("dn") == ((3L, Some(5L), Some(-2L), Some(-1L))))
+    assert(out("one") == ((1L, None, None, None)))
+  }
 }

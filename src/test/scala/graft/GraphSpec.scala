@@ -330,4 +330,28 @@ class GraphSpec extends SparkSpec {
     assert(messy.getLong(0) == 4L && messy.getLong(1) == 3L)
     assert(messy.getLong(2) == -1000000L)
   }
+
+  test("labelPropagation: two bridged triangles settle into two " +
+      "communities; deterministic min-label ties; dedup/self-loop " +
+      "canonicalization") {
+    import spark.implicits._
+    // triangles 1-2-3 and 4-5-6 bridged by 3-4; duplicate + reversed +
+    // self-loop edges must not change anything. Hand-stepped rounds:
+    // r1 (2,1,1,3,4,4) r2 (1,1,1,4,3,3) r3 (1,1,1,3,3,3) r4 stable.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L), (4L, 3L), (2L, 1L), (5L, 5L))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.labelPropagation(edges, "src", "dst",
+        rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // intermediate-round determinism: after round 1 exactly the
+    // hand-stepped labels
+    val r1 = graft.ops.Graph.labelPropagation(edges, "src", "dst",
+        rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L))
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.text.Corpus
+
+class PhraseScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("phraseScan: overlapping occurrences, nested phrases count " +
+      "independently, only hits emit, normalization applies") {
+    val docs = Seq(
+      (1L, "The  Table TABLE table zone"),  // "table table" x2 overlap-free?
+      (2L, "ab ab ab"),
+      (3L, "nothing here"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // normalized doc 1: "the table table table zone"
+    //   "table table": starts at offsets 4 and 10 → 2 (overlapping runs)
+    //   "table": 3 occurrences (nested inside the longer phrase)
+    val out = Corpus.phraseScan(docs, "text", "doc_id",
+        Seq("table table", "table", "ab ab", "zone"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out((1L, "table table")) == 2L)
+    assert(out((1L, "table")) == 3L)
+    assert(out((1L, "zone")) == 1L)
+    assert(out((2L, "ab ab")) == 2L)    // "ab ab ab": starts 0 and 3
+    assert(!out.keySet.exists(_._1 == 3L))
+    assert(!out.keySet.exists(_._1 == 4L))
+    assert(out.size == 4)
+  }
+
+  test("phraseScan kernel agrees with per-phrase position-stepped " +
+      "counting on the real corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val phrases = Seq("table", "fast key", "value table", "agg join",
+      "query big query")
+    val got = Corpus.phraseScan(docs, "text", "doc_id", phrases)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // independent reference count on the driver
+    val ref = docs.select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1))
+      .flatMap { r =>
+        val t = r.getString(1).trim.replaceAll("\\s+", " ").toLowerCase
+        phrases.flatMap { p =>
+          val n = (0 to t.length - p.length)
+            .count(i => t.regionMatches(i, p, 0, p.length))
+          if (n > 0) Some((r.getLong(0), p) -> n.toLong) else None
+        }
+      }.toMap
+    assert(got == ref)
+    assert(got.nonEmpty)
+  }
+}

@@ -369,4 +369,45 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(ij).length == 2,
       s"item counts must broadcast twice:\n${ij.take(2500)}")
   }
+
+  test("round-12 batch: bhFdr one key exchange, no join; holtForecast " +
+      "and packShards one map-side agg each, no window; phraseScan " +
+      "scan-local until the hit rows") {
+    import spark.implicits._
+    def shuffles(plan: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    val tests = (1 to 200).map(i => (i % 3, i.toLong, (i * 7919L) % 997))
+      .toDF("grp", "id", "p")
+    // bhFdr: rank/count/max windows share ONE key exchange; no joins
+    val bh = graft.ops.Features.bhFdr(tests, Seq("grp"), "id",
+        col("p"), alphaPpm = 50000L)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(bh) == 1 && !bh.contains("Join"),
+      s"bhFdr is one exchange, no join:\n${bh.take(2500)}")
+    // holtForecast: one map-side-combined collect_list agg to key
+    // grain; the recursion is in-row — no window, no join
+    val hf = graft.ops.Features.holtForecast(
+        tests.select(col("grp"), col("id").as("o"),
+          col("p").cast("double").as("v")),
+        Seq("grp"), col("o"), col("v"), 300000L, 100000L, 7, 0)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(hf) == 1 && !hf.contains("Join") &&
+      !hf.contains("WindowExec"),
+      s"holtForecast is one group agg, fold in-row:\n${hf.take(2500)}")
+    // packShards: same shape — one exchange to group grain, in-row fold
+    val ps = graft.text.Corpus.packShards(
+        tests.select(col("grp"), col("id"), col("p").as("w")),
+        Seq("grp"), "id", col("w"), budget = 100L)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(ps) == 1 && !ps.contains("Join") &&
+      !ps.contains("WindowExec"),
+      s"packShards is one group agg, fold in-row:\n${ps.take(2500)}")
+    // phraseScan: no exchange at all — scan-local kernel + explode
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val sc = graft.text.Corpus.phraseScan(docs, "text", "doc_id",
+        Seq("a b", "c"))
+      .queryExecution.executedPlan.toString
+    assert(shuffles(sc) == 0 && !sc.contains("Join"),
+      s"phraseScan must stay scan-local:\n${sc.take(2500)}")
+  }
 }

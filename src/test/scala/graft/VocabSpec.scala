@@ -171,4 +171,32 @@ class VocabSpec extends SparkSpec {
     assert(got(1L) == ((3L, "ba ba b")))
     assert(got(2L)._1 == 3L)
   }
+
+  test("bigramSurprisal: hand-checked bits — seen transitions, stupid " +
+      "backoff on unseen, OOV unigram charge, one-token doc") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b a b"), (2L, "a a c")).toDF("doc_id", "text")
+    // unigrams a=4 b=2 c=1 N=7; bigrams (a,b)=2 (b,a)=1 (a,a)=1 (a,c)=1
+    val self = graft.text.Vocab.bigramSurprisal(ref, ref, "text",
+        "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // doc1: first a = bitlen(7 div 4)=1; (a,b)x2 -> bitlen(4 div 2)=2
+    // each; (b,a) -> bitlen(2 div 1)=2; total 7; mean 7000/4=1750
+    assert(self(1L) == ((4L, 3L, 0L, 7L, 1750L)))
+    // doc2: 1 + bitlen(4)x2 = 7; mean 7*1000/3 = 2333
+    assert(self(2L) == ((3L, 2L, 0L, 7L, 2333L)))
+    val probes = Seq((3L, "b z"), (4L, "q")).toDF("doc_id", "text")
+    val cross = graft.text.Vocab.bigramSurprisal(probes, ref, "text",
+        "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // doc3: first b = bitlen(7 div 2)=2; (b,z) unseen -> 2 + OOV z
+    // (bitlen(7)+1=4) = 6; total 8, one backoff
+    assert(cross(3L) == ((2L, 1L, 1L, 8L)))
+    // doc4: lone OOV token: bitlen(7)+1 = 4
+    assert(cross(4L) == ((1L, 0L, 0L, 4L)))
+  }
 }
