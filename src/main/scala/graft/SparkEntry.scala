@@ -4102,6 +4102,39 @@ object SparkEntry {
           Seq("source"), "doc_id", col("n_chars"), budget = 4000L)
         .orderBy(col("source"), col("doc_id"))
     },
+
+    // X300 — HITS hubs & authorities over the directed user -> type
+    // graph, 4 max-normalized integer rounds
+    "q306_hits" -> { (s, dir) =>
+      val e = events(s, dir)
+        .select(concat(lit("u:"), col("user_id").cast("string"))
+          .as("src"), concat(lit("t:"), col("event_type")).as("dst"))
+        .distinct()
+      graft.ops.Graph.hits(e, "src", "dst", rounds = 4)
+        .orderBy(col("node"))
+    },
+
+    // X302 — trigram-pruned exact substring search (scan-local
+    // prefilter + verify; the posting-table artifact path is
+    // spec-pinned identical)
+    "q307_trigram_search" -> { (s, dir) =>
+      graft.text.Corpus.substringSearch(t(s, dir, "documents"),
+          "text", "doc_id", "value table part")
+        .orderBy(col("doc_id"))
+    },
+
+    // X303 — Hilbert clustering key over (partkey mod 256, size mod
+    // 256): adjacent cells adjacent in key order, the Z-order upgrade
+    "q308_hilbert" -> { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          pmod(col("p_partkey"), lit(256)).cast("long").as("x"),
+          pmod(col("p_size"), lit(256)).cast("long").as("y"))
+        .select(col("p_partkey"), col("x"), col("y"),
+          graft.ops.Relational.hilbertKey(col("x"), col("y"), bits = 8)
+            .as("hkey"))
+        .orderBy(col("p_partkey"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -12715,5 +12748,242 @@ object SparkEntry {
         |SELECT source, doc_id, w AS weight, sh AS shard_id,
         |  off AS offset FROM f
         |ORDER BY source, doc_id""".stripMargin,
+
+    // X300 HITS: four unrolled rounds of auth/hub half-steps, each
+    // max-normalized with HUGEINT products and truncating //
+    "q306_hits" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS s,
+        |    't:' || event_type AS d
+        |  FROM events
+        |), nodes AS MATERIALIZED (
+        |  SELECT s AS node FROM p UNION SELECT d FROM p
+        |), h0 AS MATERIALIZED (
+        |  SELECT node, CAST(1000000 AS BIGINT) AS m FROM nodes
+        |), a1r AS MATERIALIZED (
+        |  SELECT e.d AS node, sum(h.m) AS raw
+        |  FROM p e JOIN h0 h ON e.s = h.node GROUP BY e.d
+        |), a1rx AS MATERIALIZED (
+        |  SELECT max(raw) AS mx FROM a1r
+        |), a1 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    CASE WHEN (SELECT mx FROM a1rx) > 0
+        |      THEN CAST(CAST(coalesce(r.raw, 0) AS HUGEINT) * 1000000
+        |        // (SELECT mx FROM a1rx) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS m
+        |  FROM nodes n LEFT JOIN a1r r ON n.node = r.node
+        |), h1r AS MATERIALIZED (
+        |  SELECT e.s AS node, sum(h.m) AS raw
+        |  FROM p e JOIN a1 h ON e.d = h.node GROUP BY e.s
+        |), h1rx AS MATERIALIZED (
+        |  SELECT max(raw) AS mx FROM h1r
+        |), h1 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    CASE WHEN (SELECT mx FROM h1rx) > 0
+        |      THEN CAST(CAST(coalesce(r.raw, 0) AS HUGEINT) * 1000000
+        |        // (SELECT mx FROM h1rx) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS m
+        |  FROM nodes n LEFT JOIN h1r r ON n.node = r.node
+        |), a2r AS MATERIALIZED (
+        |  SELECT e.d AS node, sum(h.m) AS raw
+        |  FROM p e JOIN h1 h ON e.s = h.node GROUP BY e.d
+        |), a2rx AS MATERIALIZED (
+        |  SELECT max(raw) AS mx FROM a2r
+        |), a2 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    CASE WHEN (SELECT mx FROM a2rx) > 0
+        |      THEN CAST(CAST(coalesce(r.raw, 0) AS HUGEINT) * 1000000
+        |        // (SELECT mx FROM a2rx) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS m
+        |  FROM nodes n LEFT JOIN a2r r ON n.node = r.node
+        |), h2r AS MATERIALIZED (
+        |  SELECT e.s AS node, sum(h.m) AS raw
+        |  FROM p e JOIN a2 h ON e.d = h.node GROUP BY e.s
+        |), h2rx AS MATERIALIZED (
+        |  SELECT max(raw) AS mx FROM h2r
+        |), h2 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    CASE WHEN (SELECT mx FROM h2rx) > 0
+        |      THEN CAST(CAST(coalesce(r.raw, 0) AS HUGEINT) * 1000000
+        |        // (SELECT mx FROM h2rx) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS m
+        |  FROM nodes n LEFT JOIN h2r r ON n.node = r.node
+        |), a3r AS MATERIALIZED (
+        |  SELECT e.d AS node, sum(h.m) AS raw
+        |  FROM p e JOIN h2 h ON e.s = h.node GROUP BY e.d
+        |), a3rx AS MATERIALIZED (
+        |  SELECT max(raw) AS mx FROM a3r
+        |), a3 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    CASE WHEN (SELECT mx FROM a3rx) > 0
+        |      THEN CAST(CAST(coalesce(r.raw, 0) AS HUGEINT) * 1000000
+        |        // (SELECT mx FROM a3rx) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS m
+        |  FROM nodes n LEFT JOIN a3r r ON n.node = r.node
+        |), h3r AS MATERIALIZED (
+        |  SELECT e.s AS node, sum(h.m) AS raw
+        |  FROM p e JOIN a3 h ON e.d = h.node GROUP BY e.s
+        |), h3rx AS MATERIALIZED (
+        |  SELECT max(raw) AS mx FROM h3r
+        |), h3 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    CASE WHEN (SELECT mx FROM h3rx) > 0
+        |      THEN CAST(CAST(coalesce(r.raw, 0) AS HUGEINT) * 1000000
+        |        // (SELECT mx FROM h3rx) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS m
+        |  FROM nodes n LEFT JOIN h3r r ON n.node = r.node
+        |), a4r AS MATERIALIZED (
+        |  SELECT e.d AS node, sum(h.m) AS raw
+        |  FROM p e JOIN h3 h ON e.s = h.node GROUP BY e.d
+        |), a4rx AS MATERIALIZED (
+        |  SELECT max(raw) AS mx FROM a4r
+        |), a4 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    CASE WHEN (SELECT mx FROM a4rx) > 0
+        |      THEN CAST(CAST(coalesce(r.raw, 0) AS HUGEINT) * 1000000
+        |        // (SELECT mx FROM a4rx) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS m
+        |  FROM nodes n LEFT JOIN a4r r ON n.node = r.node
+        |), h4r AS MATERIALIZED (
+        |  SELECT e.s AS node, sum(h.m) AS raw
+        |  FROM p e JOIN a4 h ON e.d = h.node GROUP BY e.s
+        |), h4rx AS MATERIALIZED (
+        |  SELECT max(raw) AS mx FROM h4r
+        |), h4 AS MATERIALIZED (
+        |  SELECT n.node,
+        |    CASE WHEN (SELECT mx FROM h4rx) > 0
+        |      THEN CAST(CAST(coalesce(r.raw, 0) AS HUGEINT) * 1000000
+        |        // (SELECT mx FROM h4rx) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS m
+        |  FROM nodes n LEFT JOIN h4r r ON n.node = r.node
+        |)
+        |SELECT h.node, h.m AS hub_mass, a.m AS auth_mass
+        |FROM h4 h JOIN a4 a ON h.node = a.node
+        |ORDER BY h.node""".stripMargin,
+
+    // X302 substring search: the ground-truth contains scan the
+    // trigram prefilter must exactly reproduce (sound prefilter)
+    "q307_trigram_search" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT doc_id,
+        |  CAST(strpos(t, 'value table part') AS BIGINT) AS first_pos
+        |FROM d WHERE strpos(t, 'value table part') > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // X303 Hilbert: the xy2d bit descent unrolled level-by-level --
+    // reflect-and-swap rotation with the 255-complement, xor() step
+    "q308_hilbert" ->
+      """WITH l0 AS (
+        |  SELECT p_partkey, CAST(p_partkey % 256 AS BIGINT) AS x,
+        |    CAST(p_size % 256 AS BIGINT) AS y, CAST(0 AS BIGINT) AS d
+        |  FROM part
+        |), l1 AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN (y & 128) = 0
+        |      THEN CASE WHEN (x & 128) > 0 THEN 255 - y ELSE y END
+        |      ELSE x END AS x,
+        |    CASE WHEN (y & 128) = 0
+        |      THEN CASE WHEN (x & 128) > 0 THEN 255 - x ELSE x END
+        |      ELSE y END AS y,
+        |    d + 16384 * xor(
+        |      3 * (CASE WHEN (x & 128) > 0 THEN 1 ELSE 0 END),
+        |      CASE WHEN (y & 128) > 0 THEN 1 ELSE 0 END) AS d
+        |  FROM l0
+        |), l2 AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN (y & 64) = 0
+        |      THEN CASE WHEN (x & 64) > 0 THEN 255 - y ELSE y END
+        |      ELSE x END AS x,
+        |    CASE WHEN (y & 64) = 0
+        |      THEN CASE WHEN (x & 64) > 0 THEN 255 - x ELSE x END
+        |      ELSE y END AS y,
+        |    d + 4096 * xor(
+        |      3 * (CASE WHEN (x & 64) > 0 THEN 1 ELSE 0 END),
+        |      CASE WHEN (y & 64) > 0 THEN 1 ELSE 0 END) AS d
+        |  FROM l1
+        |), l3 AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN (y & 32) = 0
+        |      THEN CASE WHEN (x & 32) > 0 THEN 255 - y ELSE y END
+        |      ELSE x END AS x,
+        |    CASE WHEN (y & 32) = 0
+        |      THEN CASE WHEN (x & 32) > 0 THEN 255 - x ELSE x END
+        |      ELSE y END AS y,
+        |    d + 1024 * xor(
+        |      3 * (CASE WHEN (x & 32) > 0 THEN 1 ELSE 0 END),
+        |      CASE WHEN (y & 32) > 0 THEN 1 ELSE 0 END) AS d
+        |  FROM l2
+        |), l4 AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN (y & 16) = 0
+        |      THEN CASE WHEN (x & 16) > 0 THEN 255 - y ELSE y END
+        |      ELSE x END AS x,
+        |    CASE WHEN (y & 16) = 0
+        |      THEN CASE WHEN (x & 16) > 0 THEN 255 - x ELSE x END
+        |      ELSE y END AS y,
+        |    d + 256 * xor(
+        |      3 * (CASE WHEN (x & 16) > 0 THEN 1 ELSE 0 END),
+        |      CASE WHEN (y & 16) > 0 THEN 1 ELSE 0 END) AS d
+        |  FROM l3
+        |), l5 AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN (y & 8) = 0
+        |      THEN CASE WHEN (x & 8) > 0 THEN 255 - y ELSE y END
+        |      ELSE x END AS x,
+        |    CASE WHEN (y & 8) = 0
+        |      THEN CASE WHEN (x & 8) > 0 THEN 255 - x ELSE x END
+        |      ELSE y END AS y,
+        |    d + 64 * xor(
+        |      3 * (CASE WHEN (x & 8) > 0 THEN 1 ELSE 0 END),
+        |      CASE WHEN (y & 8) > 0 THEN 1 ELSE 0 END) AS d
+        |  FROM l4
+        |), l6 AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN (y & 4) = 0
+        |      THEN CASE WHEN (x & 4) > 0 THEN 255 - y ELSE y END
+        |      ELSE x END AS x,
+        |    CASE WHEN (y & 4) = 0
+        |      THEN CASE WHEN (x & 4) > 0 THEN 255 - x ELSE x END
+        |      ELSE y END AS y,
+        |    d + 16 * xor(
+        |      3 * (CASE WHEN (x & 4) > 0 THEN 1 ELSE 0 END),
+        |      CASE WHEN (y & 4) > 0 THEN 1 ELSE 0 END) AS d
+        |  FROM l5
+        |), l7 AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN (y & 2) = 0
+        |      THEN CASE WHEN (x & 2) > 0 THEN 255 - y ELSE y END
+        |      ELSE x END AS x,
+        |    CASE WHEN (y & 2) = 0
+        |      THEN CASE WHEN (x & 2) > 0 THEN 255 - x ELSE x END
+        |      ELSE y END AS y,
+        |    d + 4 * xor(
+        |      3 * (CASE WHEN (x & 2) > 0 THEN 1 ELSE 0 END),
+        |      CASE WHEN (y & 2) > 0 THEN 1 ELSE 0 END) AS d
+        |  FROM l6
+        |), l8 AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN (y & 1) = 0
+        |      THEN CASE WHEN (x & 1) > 0 THEN 255 - y ELSE y END
+        |      ELSE x END AS x,
+        |    CASE WHEN (y & 1) = 0
+        |      THEN CASE WHEN (x & 1) > 0 THEN 255 - x ELSE x END
+        |      ELSE y END AS y,
+        |    d + 1 * xor(
+        |      3 * (CASE WHEN (x & 1) > 0 THEN 1 ELSE 0 END),
+        |      CASE WHEN (y & 1) > 0 THEN 1 ELSE 0 END) AS d
+        |  FROM l7
+        |), pts AS (
+        |  SELECT p_partkey, CAST(p_partkey % 256 AS BIGINT) AS x,
+        |    CAST(p_size % 256 AS BIGINT) AS y
+        |  FROM part
+        |)
+        |SELECT pts.p_partkey, pts.x, pts.y, CAST(l8.d AS BIGINT) AS hkey
+        |FROM pts JOIN l8 ON pts.p_partkey = l8.p_partkey
+        |ORDER BY pts.p_partkey""".stripMargin,
   )
 }

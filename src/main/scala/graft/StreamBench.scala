@@ -151,6 +151,15 @@ object StreamBench {
         target = 10.0, slack = 0.5, threshold = 50.0).toDF()
     }(feedKeyed _)
 
+    results += drive[SBKeyed]("holt_forecast",
+      streaming.StreamingHolt.outputMode) { in =>
+      // a drifting level with sawtooth noise: the trend state tracks
+      streaming.StreamingHolt.monitor(
+        in.toDS().groupByKey(_.key)
+          .mapValues(e => e.id * 0.05 + (e.id % 7) * 0.4),
+        alphaPpm = 300000L, betaPpm = 100000L, horizon = 7).toDF()
+    }(feedKeyed _)
+
     results += drive[SBKeyed]("bottomk_sample",
       streaming.StreamingSample.outputMode) { in =>
       // value universe of 2000 per key: the k-sample churns early,

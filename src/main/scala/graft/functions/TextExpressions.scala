@@ -1024,6 +1024,40 @@ case class PhraseMatchCounts(child: Expression, phrases: Seq[String])
       newChild: Expression): PhraseMatchCounts = copy(child = newChild)
 }
 
+/** DISTINCT character trigrams of a string, first-occurrence order —
+  * the X302 substring-index gram kernel as ONE JVM pass per row: the
+  * higher-order `array_distinct(transform(sequence(...), substring))`
+  * formulation pays an interpreted lambda dispatch + string allocation
+  * per POSITION (measured 30.8 s at sf0.1 for the posting build — the
+  * X154 lesson, caught by the probe's own bench), this loop pays one
+  * dispatch per ROW. Trigrams are 3 consecutive UTF-16 code units —
+  * the same unit `String.sliding(3)` gives the pattern side, so the
+  * prefilter's necessary condition stays sound. Strings shorter than
+  * 3 chars yield an empty array; a null string yields null.
+  */
+case class CharTrigrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "char_trigrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + 3 <= s.length) {
+      out.add(UTF8String.fromString(s.substring(i, i + 3)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharTrigrams = copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.bridge
   import org.apache.spark.sql.Column
@@ -1081,4 +1115,7 @@ object TextExpressions {
 
   def phraseMatchCounts(text: Column, phrases: Seq[String]): Column =
     bridge.column(PhraseMatchCounts(bridge.expression(text), phrases))
+
+  def charTrigrams(text: Column): Column =
+    bridge.column(CharTrigrams(bridge.expression(text)))
 }

@@ -191,4 +191,41 @@ object Multimodal {
         col("t_start").as("f_start"), col("t_end").as("f_end"),
         col("n_rows").as("n_frames"))
   }
+
+  /** Keyframe selection by frame-energy delta (X304) — the
+    * shot-boundary heuristic of video pipelines rendered on the fake
+    * container (the real-codec analog plugs a frame decoder into the
+    * same [[graft.functions.FrameEnergies]] expression boundary):
+    * frame 0 is always a keyframe; frame i ≥ 1 is one iff
+    * |eᵢ − eᵢ₋₁| ≥ `threshold` — a jump in frame energy marks a
+    * content change worth sampling, while near-identical consecutive
+    * frames (static shots) are skipped; the complement of
+    * [[frameSample]]'s blind every-Kth stride. Output per asset:
+    * `n_frames`, `n_keyframes`, `keyframe_idx` (0-based, ascending).
+    * Exact integer energies — deterministic anywhere. Scan-local per
+    * row: one energies kernel call + one in-row delta pass, no
+    * shuffle, no UDF.
+    */
+  def keyFrames(df: DataFrame, idCol: String, bytesCol: String,
+      frameBytes: Int, threshold: Long): DataFrame = {
+    require(threshold >= 0L, s"threshold must be >= 0: $threshold")
+    val e = col("__e")
+    val deltas = filter(transform(
+      sequence(lit(2), size(e)),
+      i => when(abs(element_at(e, i) - element_at(e, i - 1))
+        >= threshold, (i - 1).cast("long"))),
+      x => x.isNotNull)
+    df.filter(col(bytesCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.TextExpressions.frameEnergies(col(bytesCol),
+          frameBytes).as("__e"))
+      .select(col(idCol), size(e).cast("long").as("n_frames"),
+        when(size(e) === 0, array().cast("array<bigint>"))
+          .when(size(e) === 1, array(lit(0L)))
+          .otherwise(concat(array(lit(0L)), deltas))
+          .as("keyframe_idx"))
+      .select(col(idCol), col("n_frames"),
+        size(col("keyframe_idx")).cast("long").as("n_keyframes"),
+        col("keyframe_idx"))
+  }
 }

@@ -2934,8 +2934,12 @@ object Features {
     val unit = math.pow(10, scale).toLong
     val vU = (valueCol.cast(DecimalType(18, scale)) * lit(unit))
       .cast(d38).cast("long")
+    // the quantizing cast nulls out NaN/Infinity/beyond-decimal values;
+    // filtering on the QUANTIZED value (not the raw one) skips those
+    // rows cleanly instead of poisoning the whole fold with one null
     val arr = df.filter(valueCol.isNotNull && orderCol.isNotNull)
       .select(gs :+ orderCol.as("__o") :+ vU.as("__v"): _*)
+      .filter(col("__v").isNotNull)
       .groupBy(gs: _*)
       .agg(sort_array(collect_list(struct(col("__o"), col("__v"))))
         .as("__xs0"))

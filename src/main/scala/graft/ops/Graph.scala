@@ -1079,4 +1079,94 @@ object Graph {
     Checkpoints.release(adj)
     labels
   }
+
+  /** HITS hubs & authorities (X300) — Kleinberg 1999's mutual-
+    * reinforcement ranking, the DIRECTED-role complement of X104's
+    * PageRank (one authority score): a good HUB points at good
+    * authorities, a good AUTHORITY is pointed at by good hubs — the
+    * two-sided structure of link/citation/endorsement graphs that a
+    * single score conflates (curation reading: authority = trusted
+    * content, hub = good directory/aggregator — different keep
+    * decisions). Power iteration in exact integer mass units
+    * (C = 10⁶): each round auth(v) = Σ_{u→v} hub(u) then hub(v) =
+    * Σ_{v→w} auth(w), each half-step MAX-NORMALIZED —
+    * `m·C div max(m)` — so the iteration can never overflow and the
+    * division is the one truncating `div` per node per half-step
+    * (deterministic and engine-portable where the textbook L2
+    * normalization's sqrt is not; max-normalization preserves the
+    * ranking exactly). Edges dedup; self-loops kept (a self-citation
+    * is a real edge); nodes are all endpoints, with no in-edges →
+    * auth 0, no out-edges → hub 0 after round 1. Output after
+    * `rounds` full rounds: (`node`, `hub_mass`, `auth_mass`).
+    *
+    * Scale shape: edges lay out ONCE in both orientations (partitioned
+    * + sorted, persisted for 2k reads); per half-step one score
+    * exchange + one map-side-combined endpoint agg + a one-row max
+    * broadcast; scores localCheckpoint'd per round with round-frame
+    * release (the [[pageRank]] loop discipline).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50]: $rounds")
+    val C = 1000000L
+    val e = edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val p = loopWidth(e.count(),
+      edges.sparkSession.sparkContext.defaultParallelism)
+    val bySrc = e.repartition(p, col("__s"))
+      .sortWithinPartitions(col("__s")).persist()
+    val byDst = e.repartition(p, col("__d"))
+      .sortWithinPartitions(col("__d")).persist()
+    val nodes = e.select(col("__s").as("node"))
+      .union(e.select(col("__d").as("node"))).distinct()
+      .localCheckpoint(true)
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      // raw: (node, __raw); missing nodes = 0. One-row max broadcast;
+      // max >= 1 whenever any mass flowed (an all-zero side stays 0).
+      val mx = raw.agg(coalesce(max(col("__raw")), lit(0L)).as("__mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("__mx") > 0L, expr(
+            "CAST(CAST(coalesce(__raw, 0) AS DECIMAL(38,0)) " +
+              s"* $C div __mx AS BIGINT)"))
+            .otherwise(0L).as(out))
+    }
+    var hub = nodes.select(col("node"), lit(C).as("hub_mass"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    var prevHub: DataFrame = null
+    var prevAuth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val aRaw = bySrc
+        .join(hub.repartition(p, col("node")), col("__s") === col("node"))
+        .groupBy(col("__d"))
+        .agg(sum(col("hub_mass")).as("__raw"))
+        .select(col("__d").as("node"), col("__raw"))
+      val aNew = normalized(aRaw, "auth_mass").localCheckpoint(true)
+      if (prevAuth != null) Checkpoints.release(prevAuth)
+      prevAuth = aNew
+      auth = aNew
+      val hRaw = byDst
+        .join(auth.repartition(p, col("node")),
+          col("__d") === col("node"))
+        .groupBy(col("__s"))
+        .agg(sum(col("auth_mass")).as("__raw"))
+        .select(col("__s").as("node"), col("__raw"))
+      val hNew = normalized(hRaw, "hub_mass").localCheckpoint(true)
+      if (prevHub != null) Checkpoints.release(prevHub)
+      prevHub = hNew
+      hub = hNew
+    }
+    val out = hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub_mass"), col("auth_mass"))
+    bySrc.unpersist()
+    byDst.unpersist()
+    Checkpoints.release(e, nodes)
+    out
+  }
 }

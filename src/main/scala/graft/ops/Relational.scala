@@ -995,6 +995,54 @@ object Relational {
     terms.reduce(_ + _)
   }
 
+  /** Hilbert-curve clustering key (X303) — the locality upgrade of
+    * [[zOrderKey]]: both interleave dimensions into one sort key, but
+    * the Z-curve's quadrant jumps leave long diagonal seams where
+    * spatially-near points land far apart in key order; the Hilbert
+    * curve visits every cell of the 2^bits × 2^bits grid with
+    * ADJACENT cells adjacent in key order, so range-partitioned files
+    * cover tighter (x, y) rectangles and multi-dimensional min/max
+    * skipping prunes strictly better — the reason modern lakehouse
+    * clustering moved from Z-order to Hilbert. Exact integer
+    * rendering of the classic xy2d bit descent (rx/ry quadrant bits,
+    * d += s²·((3rx)⊕ry), reflect-and-swap rotation with the full-grid
+    * n−1−x complement): evaluated as an in-row fold over the `bits`
+    * levels — scan-local, no UDF, engine-portable bit arithmetic,
+    * mirrored term-for-term by the DuckDB oracle's packed-state
+    * list_reduce. Inputs must already be quantized to [0, 2^bits)
+    * (rank/bucket them first, as with [[zOrderKey]]); out-of-range or
+    * null coordinates RAISE in-plan — a silently-wrong clustering key
+    * mis-sorts every file it touches.
+    */
+  def hilbertKey(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits in [1, 31]: $bits")
+    val n = 1L << bits
+    def checked(c: Column, name: String): Column =
+      when(c.isNull || c.cast("long") < 0L || c.cast("long") >= n,
+        raise_error(concat(lit(s"hilbertKey: $name out of [0, $n): "),
+          c.cast("string"))))
+        .otherwise(c.cast("long"))
+    val levels = (bits - 1 to 0 by -1).map(i => 1L << i).toArray
+    aggregate(lit(levels),
+      struct(checked(x, "x").as("x"), checked(y, "y").as("y"),
+        lit(0L).as("d")),
+      (acc, s) => {
+        val xx = acc.getField("x")
+        val yy = acc.getField("y")
+        val d = acc.getField("d")
+        val rx = when(xx.bitwiseAND(s) > 0L, 1L).otherwise(0L)
+        val ry = when(yy.bitwiseAND(s) > 0L, 1L).otherwise(0L)
+        val d2 = d + s * s * (rx * 3L).bitwiseXOR(ry)
+        val xr = when(ry === 0L && rx === 1L, lit(n - 1L) - xx)
+          .otherwise(xx)
+        val yr = when(ry === 0L && rx === 1L, lit(n - 1L) - yy)
+          .otherwise(yy)
+        val xn = when(ry === 0L, yr).otherwise(xr)
+        val yn = when(ry === 0L, xr).otherwise(yr)
+        struct(xn.as("x"), yn.as("y"), d2.as("d"))
+      }).getField("d")
+  }
+
   /** Deterministic in-batch negative sampling — the contrastive-training
     * step that pairs every anchor with `k` pseudo-random non-matching
     * partners (triplet/InfoNCE negatives, hard-negative seeding,

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming Holt double-exponential smoothing per key — the batch
+  * X298 recursion as LIVE state (SURVEY §2.7, the X257/X258
+  * one-definition-two-modes discipline applied to the trend
+  * forecaster): the level/trend pair updates on every reading and the
+  * current h-step forecast is always available, instead of waiting for
+  * the nightly batch fold. State per key is THREE longs (row count,
+  * level, trend in integer `scale`-units); values quantize HALF_UP to
+  * `scale` decimals exactly like the batch side's DecimalType cast,
+  * every recursion step is one truncating division on exact integer
+  * products (BigInt where the product could exceed a long), so the
+  * running (level, trend, forecast) after any prefix ≡ the batch
+  * [[graft.ops.Features.holtForecast]] of that prefix in arrival order
+  * (spec-pinned). Non-finite / beyond-quantization readings are
+  * SKIPPED ENTIRELY — n does not advance — matching the batch side's
+  * quantized-value filter. In-batch rows fold in source order (the
+  * [[StreamingLateness]] convention — the recursion is inherently
+  * order-sensitive; feed per-key-ordered streams). Emits (key, n,
+  * level_units, trend_units, forecast_units) in Update mode after
+  * every batch the key appears in; level/trend/forecast are None until
+  * two readings exist (a trend needs two points — the batch contract).
+  */
+object StreamingHolt {
+
+  /** Running Holt state: rows seen, level and trend in integer units. */
+  final case class HoltState(i: Long, l: Long, b: Long)
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, Double],
+      alphaPpm: Long, betaPpm: Long, horizon: Int, scale: Int = 2,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[HoltState],
+      e: Encoder[(K, Long, Option[Long], Option[Long], Option[Long])])
+      : Dataset[(K, Long, Option[Long], Option[Long], Option[Long])] = {
+    require(alphaPpm >= 0L && alphaPpm <= 1000000L,
+      s"alphaPpm in [0, 1000000]: $alphaPpm")
+    require(betaPpm >= 0L && betaPpm <= 1000000L,
+      s"betaPpm in [0, 1000000]: $betaPpm")
+    require(horizon >= 1 && horizon <= 100000,
+      s"horizon in [1, 100000]: $horizon")
+    require(scale >= 0 && scale <= 6, s"scale in [0, 6]: $scale")
+    val unit = math.pow(10, scale).toLong
+    val a = BigInt(alphaPpm)
+    val a1 = BigInt(1000000L - alphaPpm)
+    val bw = BigInt(betaPpm)
+    val bw1 = BigInt(1000000L - betaPpm)
+    val M = BigInt(1000000L)
+    def step(l: Long, b: Long, x: Long): (Long, Long) = {
+      // BigInt '/' truncates toward zero — the batch div's semantics
+      val l2 = ((a * x + a1 * (BigInt(l) + BigInt(b))) / M).toLong
+      val b2 = ((bw * (BigInt(l2) - BigInt(l)) + bw1 * b) / M).toLong
+      (l2, b2)
+    }
+    grouped.flatMapGroupsWithState[HoltState,
+      (K, Long, Option[Long], Option[Long], Option[Long])](
+      OutputMode.Update, timeout) {
+      (key: K, values: Iterator[Double],
+          state: GroupState[HoltState]) =>
+        var s = state.getOption.getOrElse(HoltState(0L, 0L, 0L))
+        values.foreach { v =>
+          if (java.lang.Double.isFinite(v)) {
+            val bd = BigDecimal(v)
+              .setScale(scale,
+                scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .*(BigDecimal(unit))
+            if (bd.isValidLong) {
+              val x = bd.toLongExact
+              s =
+                if (s.i == 0L) HoltState(1L, x, 0L)
+                else if (s.i == 1L) {
+                  val b0 = x - s.l
+                  val (l2, b2) = step(s.l, b0, x)
+                  HoltState(2L, l2, b2)
+                } else {
+                  val (l2, b2) = step(s.l, s.b, x)
+                  HoltState(s.i + 1L, l2, b2)
+                }
+            }
+          }
+        }
+        state.update(s)
+        val ready = s.i >= 2L
+        Iterator.single((key, s.i,
+          if (ready) Some(s.l) else None,
+          if (ready) Some(s.b) else None,
+          if (ready) Some(s.l + horizon.toLong * s.b) else None))
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

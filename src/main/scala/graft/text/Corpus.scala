@@ -1351,4 +1351,83 @@ object Corpus {
         col("col.__st.sh").as("shard_id"),
         col("col.__st.off").as("offset")): _*)
   }
+
+  /** Character-trigram posting table (X302 artifact) — the pg_trgm-
+    * style substring-search index: one row per DISTINCT (trigram,
+    * document) over the normalized text. Build ONCE, persist, and
+    * serve arbitrary `LIKE '%pattern%'` queries through
+    * [[substringSearchFrom]] without rescanning the corpus text — at
+    * 100 TB a substring query against raw text is a full scan per
+    * query; against the posting table it is a |pattern-trigram|-keyed
+    * lookup plus verification on the candidate docs only. Scale
+    * shape: the gram fan-out is scan-local (transform over a
+    * sequence, array_distinct before the explode keeps per-doc
+    * duplicates out of the shuffle); one exchange to (gram, doc)
+    * grain.
+    */
+  def trigramPostings(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.normalized(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= 3)
+      .select(col("doc_id"), explode(
+        graft.functions.TextExpressions.charTrigrams(col("__t")))
+        .as("gram"))
+      .distinct()
+
+  /** Exact substring search, index-shaped (X302): all documents whose
+    * normalized text contains the literal `pattern` (itself already
+    * normalized, >= 3 chars), with `first_pos` (1-based char offset).
+    * Candidates are pruned by the trigram NECESSARY condition — a doc
+    * can only match if it contains EVERY trigram of the pattern —
+    * then verified exactly; recall is total (the prefilter is sound),
+    * precision comes from the verify. This self-contained form keeps
+    * the prefilter SCAN-LOCAL (array_intersect against the pattern's
+    * own trigrams — zero exchanges, no index build); the
+    * [[trigramPostings]] + [[substringSearchFrom]] pair is the
+    * many-queries-one-index scale path (spec-pinned identical).
+    */
+  def substringSearch(df: DataFrame, textCol: String, idCol: String,
+      pattern: String): DataFrame = {
+    val grams = patternGrams(pattern)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextFunctions.normalized(col(textCol))
+        .as("__t"))
+      .filter(size(array_intersect(
+        graft.functions.TextExpressions.charTrigrams(col("__t")),
+        lit(grams.toArray))) === grams.size)
+      .filter(instr(col("__t"), pattern) > 0)
+      .select(col(idCol),
+        instr(col("__t"), pattern).cast("long").as("first_pos"))
+  }
+
+  /** [[substringSearch]] served from a persisted [[trigramPostings]]
+    * artifact: the pattern's trigrams prune the posting table, docs
+    * holding ALL of them are the candidates (count == k over the
+    * distinct posting rows), and only those docs' text is read for
+    * the exact verify — the corpus never rescans.
+    */
+  def substringSearchFrom(docs: DataFrame, postings: DataFrame,
+      textCol: String, idCol: String, pattern: String): DataFrame = {
+    val grams = patternGrams(pattern)
+    val cand = postings
+      .filter(col("gram").isin(grams: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__k"))
+      .filter(col("__k") === grams.size)
+      .select(col("doc_id").as(idCol))
+    docs.join(cand, Seq(idCol), "left_semi")
+      .select(col(idCol), TextFunctions.normalized(col(textCol))
+        .as("__t"))
+      .filter(instr(col("__t"), pattern) > 0)
+      .select(col(idCol),
+        instr(col("__t"), pattern).cast("long").as("first_pos"))
+  }
+
+  private def patternGrams(pattern: String): Seq[String] = {
+    require(pattern != null && pattern.length >= 3,
+      s"pattern must be >= 3 chars: '$pattern'")
+    pattern.sliding(3).toSeq.distinct
+  }
 }

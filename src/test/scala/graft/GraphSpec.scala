@@ -354,4 +354,24 @@ class GraphSpec extends SparkSpec {
     assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
       4L -> 3L, 5L -> 4L, 6L -> 4L))
   }
+
+  test("hits: hand-stepped two rounds on a bipartite graph — max " +
+      "normalization, truncating div, zero-in/out sides at 0") {
+    import spark.implicits._
+    val edges = Seq(("u1", "t1"), ("u2", "t1"), ("u2", "t2"),
+      ("u3", "t2"), ("u1", "t2"), ("u1", "t1"))  // dup edge dedups
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.hits(edges, "src", "dst", rounds = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // r1: a = (t1 2C, t2 3C) -> (666666, C); h_raw = (u1 1666666,
+    // u2 1666666, u3 1000000) -> (C, C, 600000)
+    // r2: a_raw = (t1 2000000, t2 2600000) -> (769230, C);
+    // h_raw = (u1 1769230, u2 1769230, u3 1000000) -> (C, C, 565217)
+    assert(got("u1") == ((1000000L, 0L)))
+    assert(got("u2") == ((1000000L, 0L)))
+    assert(got("u3") == ((565217L, 0L)))
+    assert(got("t1") == ((0L, 769230L)))
+    assert(got("t2") == ((0L, 1000000L)))
+  }
 }

@@ -105,4 +105,23 @@ class MultimodalSpec extends SparkSpec {
     assert(segs.toSeq == Seq((true, 0L, 0L, 1L), (false, 1L, 2L, 2L),
       (true, 3L, 3L, 1L)))
   }
+
+  test("keyFrames: frame 0 always kept, energy jumps mark keyframes, " +
+      "static runs skipped, single-frame and empty assets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // energies "ab~~~~ab" @2 = [1861, 8, 8, 1861]: deltas 1853, 0,
+    // 1853 -> with threshold 100 keyframes at 0, 1, 3
+    val df = Seq((1L, "ab~~~~ab"), (2L, "ab"), (3L, ""))
+      .toDF("id", "p")
+      .select(col("id"), Multimodal.packFake(lit(2), lit(4),
+        col("p").cast("binary")).as("a"))
+    val got = Multimodal.keyFrames(df, "id", "a", frameBytes = 2,
+        threshold = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(got(1L) == ((4L, 3L, Seq(0L, 1L, 3L))))
+    assert(got(2L) == ((1L, 1L, Seq(0L))))     // single frame: itself
+    assert(got(3L) == ((0L, 0L, Seq())))       // headers only: none
+  }
 }

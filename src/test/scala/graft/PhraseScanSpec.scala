@@ -52,4 +52,38 @@ class PhraseScanSpec extends SparkSpec {
     assert(got == ref)
     assert(got.nonEmpty)
   }
+
+  test("substringSearch: equals a contains scan on the real corpus; " +
+      "the posting-table path equals the scan-local path; prefilter " +
+      "stays scan-local") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val pattern = "value table"
+    val out = Corpus.substringSearch(docs, "text", "doc_id", pattern)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = docs.select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1))
+      .flatMap { r =>
+        val t = r.getString(1).trim.replaceAll("\\s+", " ").toLowerCase
+        val i = t.indexOf(pattern)
+        if (i >= 0) Some(r.getLong(0) -> (i + 1).toLong) else None
+      }.toMap
+    assert(got == ref)
+    assert(got.nonEmpty)
+    // scan-local: no exchange anywhere in the self-contained plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"substringSearch must be scan-local:\n${plan.take(2000)}")
+    // artifact path: persisted postings serve the identical result
+    val dir = java.nio.file.Files
+      .createTempDirectory("trigram").toString
+    Corpus.trigramPostings(docs, "text", "doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val fromIdx = Corpus.substringSearchFrom(docs,
+        spark.read.parquet(dir), "text", "doc_id", pattern)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromIdx == got)
+  }
 }

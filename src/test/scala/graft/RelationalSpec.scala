@@ -1011,4 +1011,56 @@ class RelationalSpec extends SparkSpec {
     assert(fromZero.toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L),
       ("e", 3L), ("z1", 4L)))
   }
+
+  test("hilbertKey: matches the reference xy2d on the full 8x8 grid, " +
+      "is a bijection, consecutive keys are grid-adjacent, " +
+      "out-of-range raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def rot(n: Long, x0: Long, y0: Long, rx: Long,
+        ry: Long): (Long, Long) =
+      if (ry == 0L) {
+        val (x1, y1) =
+          if (rx == 1L) (n - 1 - x0, n - 1 - y0) else (x0, y0)
+        (y1, x1)
+      } else (x0, y0)
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      val n = 1L << bits
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        val (x2, y2) = rot(n, x, y, rx, ry)
+        x = x2; y = y2
+        s /= 2
+      }
+      d
+    }
+    val grid = (for { x <- 0 to 7; y <- 0 to 7 } yield (x.toLong,
+      y.toLong)).toDF("x", "y")
+    val got = grid.select(col("x"), col("y"),
+        graft.ops.Relational.hilbertKey(col("x"), col("y"), bits = 3)
+          .as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    got.foreach { case ((x, y), d) => assert(d == xy2d(3, x, y),
+      s"($x,$y): got $d want ${xy2d(3, x, y)}") }
+    // bijection over the grid and curve adjacency (the property that
+    // beats Z-order: every consecutive pair of keys is one grid step)
+    assert(got.values.toSeq.sorted == (0L until 64L))
+    val byD = got.map(_.swap)
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L,
+        s"keys $d,${d + 1} not adjacent: ($x1,$y1) ($x2,$y2)")
+    }
+    val e = intercept[Exception] {
+      Seq((8L, 0L)).toDF("x", "y").select(
+        graft.ops.Relational.hilbertKey(col("x"), col("y"), bits = 3))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

