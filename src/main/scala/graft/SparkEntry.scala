@@ -4135,6 +4135,50 @@ object SparkEntry {
             .as("hkey"))
         .orderBy(col("p_partkey"))
     },
+
+    // X305 — multi-source BFS hop distance from the user-id-mod-97
+    // seed set over the undirected bipartite graph, capped at 4 hops
+    "q309_bfs_depth" -> { (s, dir) =>
+      val pairs = events(s, dir)
+        .select(concat(lit("u:"), col("user_id").cast("string"))
+          .as("u"), concat(lit("t:"), col("event_type")).as("tt"))
+        .distinct()
+      val edges = pairs
+        .select(col("u").as("src"), col("tt").as("dst"))
+        .unionByName(pairs.select(col("tt").as("src"),
+          col("u").as("dst")))
+      val seeds = events(s, dir).select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(97)) === 0)
+        .select(concat(lit("u:"), col("user_id").cast("string"))
+          .as("seed"))
+      graft.ops.Graph.bfsDistance(edges, "src", "dst", seeds, "seed",
+          maxHops = 4)
+        .orderBy(col("node"))
+    },
+
+    // X306 — hashing-trick sparse features: vocabulary-free signed
+    // token counts into 64 dims, exact md5-derived dim/sign
+    "q310_hashing_trick" -> { (s, dir) =>
+      graft.text.Vocab.hashingTrickFeatures(t(s, dir, "documents"),
+          "text", "doc_id", dims = 64)
+        .orderBy(col("doc_id"), col("dim"))
+    },
+
+    // X307 — greedy max-coverage: 4 rounds of marginal-gain argmax
+    // over distinct tokens (the submodular eval-subset picker)
+    "q311_max_coverage" -> { (s, dir) =>
+      graft.text.Corpus.greedyMaxCoverage(t(s, dir, "documents"),
+          "text", "doc_id", k = 4, shingleN = 3)
+        .orderBy(col("rank"))
+    },
+
+    // X308 — sampled-pair diversity: deterministic hash-order pairing,
+    // 3-shingle Jaccard ppm rollup per source (mode-collapse signal)
+    "q312_pair_diversity" -> { (s, dir) =>
+      graft.text.Corpus.pairDiversity(t(s, dir, "documents"),
+          "text", "doc_id", "source")
+        .orderBy(col("source"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -12985,5 +13029,158 @@ object SparkEntry {
         |SELECT pts.p_partkey, pts.x, pts.y, CAST(l8.d AS BIGINT) AS hkey
         |FROM pts JOIN l8 ON pts.p_partkey = l8.p_partkey
         |ORDER BY pts.p_partkey""".stripMargin,
+
+    // X305 BFS: bounded recursive reachability with UNION dedup,
+    // min-hop per node
+    "q309_bfs_depth" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+        |    't:' || event_type AS tt
+        |  FROM events
+        |), e AS MATERIALIZED (
+        |  SELECT u AS s, tt AS d FROM p
+        |  UNION ALL SELECT tt AS s, u AS d FROM p
+        |), seeds AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS node
+        |  FROM events WHERE user_id % 97 = 0
+        |), r AS (
+        |  SELECT node, 0 AS dd FROM seeds
+        |  UNION
+        |  SELECT e.d AS node, r.dd + 1 AS dd
+        |  FROM r JOIN e ON e.s = r.node WHERE r.dd < 4
+        |)
+        |SELECT node, CAST(min(dd) AS BIGINT) AS dist
+        |FROM r GROUP BY node ORDER BY node""".stripMargin,
+
+    // X306 hashing trick: the 60-bit md5 prefix parsed as hex, dim =
+    // (h div 2) mod 64, sign from the low bit, zero sums dropped
+    "q310_hashing_trick" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '')) AS w
+        |  FROM documents WHERE text IS NOT NULL
+        |), hashed AS (
+        |  SELECT doc_id,
+        |    (CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) // 2) % 64
+        |      AS dim,
+        |    CASE WHEN CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+        |      % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM toks
+        |)
+        |SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS weight
+        |FROM hashed GROUP BY doc_id, dim
+        |HAVING sum(sgn) <> 0
+        |ORDER BY doc_id, dim""".stripMargin,
+
+    // X307 greedy max-coverage: four unrolled rounds (gain anti-join,
+    // (g desc, doc) argmax, covered union), cum by window sum
+    "q311_max_coverage" ->
+      """WITH dg AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(tk) - 1, 1)),
+        |      i -> array_to_string(
+        |        tk[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' '))) AS g
+        |    FROM (
+        |      SELECT doc_id, list_filter(string_split_regex(
+        |        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |        '\s+'), t -> t <> '') AS tk
+        |      FROM documents WHERE text IS NOT NULL))
+        |), cov0 AS MATERIALIZED (
+        |  SELECT CAST(NULL AS VARCHAR) AS g WHERE false
+        |), gains1 AS MATERIALIZED (
+        |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS g
+        |  FROM dg d LEFT JOIN cov0 c ON d.g = c.g
+        |  WHERE c.g IS NULL GROUP BY d.doc_id
+        |), pick1 AS MATERIALIZED (
+        |  SELECT doc_id, g FROM gains1 WHERE g > 0
+        |  ORDER BY g DESC, doc_id LIMIT 1
+        |), cov1 AS MATERIALIZED (
+        |  SELECT g FROM cov0
+        |  UNION SELECT d.g FROM dg d
+        |  WHERE d.doc_id IN (SELECT doc_id FROM pick1)
+        |), gains2 AS MATERIALIZED (
+        |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS g
+        |  FROM dg d LEFT JOIN cov1 c ON d.g = c.g
+        |  WHERE c.g IS NULL GROUP BY d.doc_id
+        |), pick2 AS MATERIALIZED (
+        |  SELECT doc_id, g FROM gains2 WHERE g > 0
+        |  ORDER BY g DESC, doc_id LIMIT 1
+        |), cov2 AS MATERIALIZED (
+        |  SELECT g FROM cov1
+        |  UNION SELECT d.g FROM dg d
+        |  WHERE d.doc_id IN (SELECT doc_id FROM pick2)
+        |), gains3 AS MATERIALIZED (
+        |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS g
+        |  FROM dg d LEFT JOIN cov2 c ON d.g = c.g
+        |  WHERE c.g IS NULL GROUP BY d.doc_id
+        |), pick3 AS MATERIALIZED (
+        |  SELECT doc_id, g FROM gains3 WHERE g > 0
+        |  ORDER BY g DESC, doc_id LIMIT 1
+        |), cov3 AS MATERIALIZED (
+        |  SELECT g FROM cov2
+        |  UNION SELECT d.g FROM dg d
+        |  WHERE d.doc_id IN (SELECT doc_id FROM pick3)
+        |), gains4 AS MATERIALIZED (
+        |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS g
+        |  FROM dg d LEFT JOIN cov3 c ON d.g = c.g
+        |  WHERE c.g IS NULL GROUP BY d.doc_id
+        |), pick4 AS MATERIALIZED (
+        |  SELECT doc_id, g FROM gains4 WHERE g > 0
+        |  ORDER BY g DESC, doc_id LIMIT 1
+        |), cov4 AS MATERIALIZED (
+        |  SELECT g FROM cov3
+        |  UNION SELECT d.g FROM dg d
+        |  WHERE d.doc_id IN (SELECT doc_id FROM pick4)
+        |), picks AS (
+        |  SELECT 1 AS rank, doc_id, g FROM pick1
+        |  UNION ALL SELECT 2, doc_id, g FROM pick2
+        |  UNION ALL SELECT 3, doc_id, g FROM pick3
+        |  UNION ALL SELECT 4, doc_id, g FROM pick4
+        |)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, g AS gain,
+        |  CAST(sum(g) OVER (ORDER BY rank) AS BIGINT) AS covered_cum
+        |FROM picks ORDER BY rank""".stripMargin,
+
+    // X308 pair diversity: hash-order pairing + hashed-shingle-set
+    // jaccard mirrored term for term
+    "q312_pair_diversity" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), sh AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS hv,
+        |    list_transform(list_distinct(list_transform(
+        |      range(1, greatest(len(tk) - 1, 1)),
+        |      i -> array_to_string(tk[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)],
+        |        ' '))),
+        |      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+        |  FROM d
+        |), st AS (
+        |  SELECT source, hs,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn,
+        |    lead(hs, 1) OVER (PARTITION BY source ORDER BY hv, doc_id) AS hs2
+        |  FROM sh
+        |), pr AS (
+        |  SELECT source,
+        |    CASE WHEN len(hs) + len(hs2)
+        |        - len(list_intersect(hs, hs2)) > 0
+        |      THEN (CAST(len(list_intersect(hs, hs2)) AS BIGINT) * 1000000)
+        |        // CAST(len(hs) + len(hs2)
+        |          - len(list_intersect(hs, hs2)) AS BIGINT)
+        |      END AS jac
+        |  FROM st WHERE rn % 2 = 1 AND hs2 IS NOT NULL
+        |)
+        |SELECT source, CAST(count(jac) AS BIGINT) AS n_pairs,
+        |  CASE WHEN count(jac) > 0
+        |    THEN CAST(sum(jac) // count(jac) AS BIGINT) END
+        |    AS mean_jaccard_ppm,
+        |  CAST(max(jac) AS BIGINT) AS max_jaccard_ppm
+        |FROM pr GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -1169,4 +1169,78 @@ object Graph {
     Checkpoints.release(e, nodes)
     out
   }
+
+  /** Multi-source BFS hop distance (X305) — "how many hops from the
+    * trusted set is this node?": the crawl-frontier / trust-radius
+    * primitive (seed domains → link depth; X106 personalized PageRank
+    * weights reachability by mass, this reports the exact minimum HOP
+    * COUNT, the number a depth-capped crawler actually enforces).
+    * Directed edges, `seeds` at distance 0, each round extends the
+    * frontier one hop along edge direction; distances are final on
+    * first discovery (BFS invariant), so each round propagates ONLY
+    * the newly-discovered frontier and anti-joins out already-settled
+    * nodes — total work O(|E reachable| + rounds) regardless of
+    * `maxHops`. Stops early when the frontier empties (the per-round
+    * count IS the convergence check, the X155 discipline). Output:
+    * (`node`, `dist`) for REACHED nodes only — absence means "beyond
+    * maxHops or unreachable", never a fabricated sentinel. Seeds not
+    * appearing in the edge set still emit at 0.
+    *
+    * Scale shape: per round one frontier-keyed equi-join + one
+    * map-side-combined dst dedup + one anti-join against the settled
+    * set; settled/frontier localCheckpoint'd per round with
+    * round-frame release. Parallelism follows the edge layout (laid
+    * out once by source, persisted for k reads).
+    */
+  def bfsDistance(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 1000,
+      s"maxHops in [0, 1000]: $maxHops")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val p = loopWidth(e.count(),
+      edges.sparkSession.sparkContext.defaultParallelism)
+    val laid = e.repartition(p, col("__s"))
+      .sortWithinPartitions(col("__s")).persist()
+    var settled = seeds
+      .select(col(seedCol).as("node")).filter(col("node").isNotNull)
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = settled
+    var prevSettled: DataFrame = null
+    var prevFrontier: DataFrame = null
+    var h = 1L
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = laid
+        .join(frontier.repartition(p, col("node")),
+          col("__s") === col("node"))
+        .select(col("__d").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint(true)
+      if (next.isEmpty) { done = true; Checkpoints.release(next) }
+      else {
+        val merged = settled.unionByName(next).localCheckpoint(true)
+        if (prevSettled != null) Checkpoints.release(prevSettled)
+        if (prevFrontier != null) Checkpoints.release(prevFrontier)
+        prevSettled = settled
+        prevFrontier = next
+        settled = merged
+        frontier = next
+        h += 1L
+      }
+    }
+    laid.unpersist()
+    // the final settled frame is the result; everything older was
+    // consumed by the last merge's materialization
+    if (prevSettled != null) Checkpoints.release(prevSettled)
+    if (prevFrontier != null && !(prevFrontier eq settled))
+      Checkpoints.release(prevFrontier)
+    Checkpoints.release(e)
+    settled
+  }
 }

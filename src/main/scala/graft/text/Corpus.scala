@@ -1430,4 +1430,142 @@ object Corpus {
       s"pattern must be >= 3 chars: '$pattern'")
     pattern.sliding(3).toSeq.distinct
   }
+
+  /** Greedy max-coverage subset selection (X307) — the classic
+    * submodular (1 − 1/e) greedy over vocabulary coverage: pick k
+    * documents that together cover as many distinct token n-grams as
+    * possible — the eval-set / annotation-budget / probe-suite
+    * construction step ("which 50 docs exercise the most of this
+    * corpus?") where top-k-by-length just picks k near-duplicates.
+    * Round r selects the document with the most grams NOT yet covered
+    * (ties: smallest id), adds its grams to the covered set, emits
+    * (`rank`, `idCol`, `gain`, `covered_cum`); stops early when the
+    * best marginal gain is 0 (full coverage). Deterministic and
+    * engine-portable; the oracle unrolls the same k rounds.
+    *
+    * Scale shape: the (doc, gram) table builds ONCE (scan-local gram
+    * fan-out, one distinct) and persists for the k rounds; each round
+    * is one gram-keyed anti-join against the covered set + one
+    * map-side-combined doc-grain count + a TakeOrdered(1) — and ONE
+    * driver-visible top-1 collect per round (the X283 BPE-loop
+    * altitude: a k-round artifact loop collecting one row per round
+    * off an aggregate, never corpus rows). The covered set grows by
+    * union-distinct with round-frame checkpoint/release.
+    */
+  def greedyMaxCoverage(df: DataFrame, textCol: String, idCol: String,
+      k: Int, shingleN: Int = 1): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k in [1, 10000]: $k")
+    require(shingleN >= 1 && shingleN <= 16,
+      s"shingleN in [1, 16]: $shingleN")
+    val spark = df.sparkSession
+    val toks = TextFunctions.tokens(TextFunctions.normalized(
+      col(textCol)))
+    val grams =
+      if (shingleN == 1) toks
+      else graft.functions.TextExpressions.wordShingles(toks, shingleN)
+    val dg = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        explode(array_distinct(grams)).as("__g"))
+      .distinct()
+      .localCheckpoint(true)
+    var covered: DataFrame = null
+    var prevCovered: DataFrame = null
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Any, Long, Long)]
+    var cum = 0L
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val live =
+        if (covered == null) dg
+        else dg.join(covered, Seq("__g"), "left_anti")
+      val top = live.groupBy(col("__doc"))
+        .agg(count(lit(1)).as("__gain"))
+        .orderBy(col("__gain").desc, col("__doc"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(1) == 0L) done = true
+      else {
+        val doc = top.head.get(0)
+        val gain = top.head.getLong(1)
+        cum += gain
+        picked += ((r.toLong, doc, gain, cum))
+        val newCov = dg.filter(col("__doc") === lit(doc))
+          .select(col("__g"))
+        val merged = (if (covered == null) newCov
+          else covered.unionByName(newCov).distinct())
+          .localCheckpoint(true)
+        if (prevCovered != null) graft.ops.Checkpoints.release(prevCovered)
+        prevCovered = covered
+        covered = merged
+        r += 1
+      }
+    }
+    if (prevCovered != null) graft.ops.Checkpoints.release(prevCovered)
+    if (covered != null) graft.ops.Checkpoints.release(covered)
+    graft.ops.Checkpoints.release(dg)
+    val schema = df.select(col(idCol)).schema.head.dataType
+    import org.apache.spark.sql.types._
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(picked.toSeq.map { case (a, b, c, d) =>
+        org.apache.spark.sql.Row(a, b, c, d) }, 1),
+      StructType(Seq(StructField("rank", LongType, nullable = false),
+        StructField(idCol, schema),
+        StructField("gain", LongType, nullable = false),
+        StructField("covered_cum", LongType, nullable = false))))
+    out
+  }
+
+  /** Sampled-pair corpus diversity scorecard (X308) — the self-BLEU
+    * proxy that catches MODE COLLAPSE in synthetic/augmented corpora
+    * ("the generator emitted ten thousand paraphrases of one page"),
+    * which per-document quality gates cannot see: documents pair with
+    * a content-blind pseudorandom partner (adjacent rows in the
+    * deterministic 60-bit-id-hash order — same pairing on any engine,
+    * any partitioning), and each pair scores its n-gram-shingle set
+    * Jaccard in exact ppm. High mean similarity across RANDOM pairs is
+    * the corpus-level redundancy signal the pairwise dedup tiers
+    * (which only look at near-identical pairs) do not report. Output
+    * per group: `n_pairs` (scored), `mean_jaccard_ppm` (floor of the
+    * per-pair-floored sum — exact), `max_jaccard_ppm`; both null when
+    * no pair scored (all empty shingle sets). Odd row out pairs with
+    * nobody and is skipped.
+    *
+    * Scale shape: shingle hashing is the scan-local
+    * [[graft.dedup.Dedup.hashedShingles]] kernel; pairing is ONE key
+    * exchange + one lead() window (no self-join — the pairing IS the
+    * sampling, O(n) not O(n²)); the intersect is the zero-allocation
+    * sorted-merge kernel; rollup map-side-combines to group grain.
+    */
+  def pairDiversity(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, shingleN: Int = 3): DataFrame = {
+    require(shingleN >= 1 && shingleN <= 16,
+      s"shingleN in [1, 16]: $shingleN")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exact.longDiv
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h"), col(idCol))
+    val staged = df.filter(col(textCol).isNotNull)
+      .select(col(groupCol), col(idCol),
+        graft.ops.Relational.hashUnit(col(idCol)).as("__h"),
+        graft.dedup.Dedup.hashedShingles(col(textCol), shingleN)
+          .as("__hs"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__hs2", lead(col("__hs"), 1).over(w))
+    val pairs = staged
+      .filter(pmod(col("__rn"), lit(2)) === 1 && col("__hs2").isNotNull)
+      .select(col(groupCol),
+        graft.functions.VectorExpressions
+          .sortedIntersectCount(col("__hs"), col("__hs2")).as("__i"),
+        (size(col("__hs")) + size(col("__hs2"))).as("__ab"))
+      .select(col(groupCol),
+        when(col("__ab") - col("__i") > 0,
+          longDiv(col("__i").cast("long") * 1000000L,
+            (col("__ab") - col("__i")).cast("long"))).as("__jac"))
+    pairs.groupBy(col(groupCol))
+      .agg(count(col("__jac")).as("n_pairs"),
+        when(count(col("__jac")) > 0,
+          longDiv(sum(col("__jac")), count(col("__jac"))))
+          .as("mean_jaccard_ppm"),
+        max(col("__jac")).as("max_jaccard_ppm"))
+  }
 }

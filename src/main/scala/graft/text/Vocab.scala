@@ -147,6 +147,43 @@ object Vocab {
         col("surprisal_bits") * 1000L, col("n_tokens")))
   }
 
+  /** Hashing-trick sparse features (X306) — Weinberger et al. 2009's
+    * vocabulary-free vectorizer, the fixed-width featurizer behind
+    * linear classifiers / quality gates at corpus scale: each token
+    * maps straight to `dim = (h div 2) mod dims` with sign
+    * `(−1)^(h mod 2)` from the engine-wide 60-bit md5
+    * [[graft.ops.Relational.hashUnit]] — NO vocabulary table exists,
+    * so there is no vocabulary build, no broadcast, and no OOV: the
+    * property that makes the trick the default at 100 TB, where a
+    * fitted vocabulary is a moving artifact. The signed sum makes
+    * collisions cancel in expectation (the paper's unbiasedness
+    * trick). Output per (document, dimension) with non-zero weight:
+    * `dim`, `weight` (signed token count; exact longs, fully
+    * deterministic, engine-portable — the oracle reproduces the md5
+    * arithmetic bit-for-bit). Zero-sum dimensions are absent — the
+    * sparse contract.
+    *
+    * Scale shape: tokenize + hash is scan-local; rows collapse
+    * map-side to (doc, dim) grain before the ONE exchange. Nothing
+    * else: no join, no window, no vocabulary anywhere.
+    */
+  def hashingTrickFeatures(docs: DataFrame, textCol: String,
+      idCol: String, dims: Int): DataFrame = {
+    require(dims >= 2 && dims <= (1 << 30), s"dims in [2, 2^30]: $dims")
+    import graft.functions.Exact.longDiv
+    val h = graft.ops.Relational.hashUnit(col("__w"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(TextFunctions.tokens(
+        TextFunctions.normalized(col(textCol)))).as("__w"))
+      .select(col(idCol),
+        pmod(longDiv(h, 2L), lit(dims.toLong)).as("dim"),
+        when(pmod(h, lit(2L)) === 0L, lit(1L)).otherwise(lit(-1L))
+          .as("__sign"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum(col("__sign")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
+
   /** Bigram stupid-backoff surprisal (X297) — the CONTEXT-AWARE
     * upgrade of [[surprisalScore]]'s unigram filter, the integer-exact
     * stand-in for the KenLM-perplexity gate at the next model order:

@@ -769,4 +769,56 @@ class CorpusSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("greedyMaxCoverage: marginal-gain argmax with min-id ties, " +
+      "early stop at zero gain, cumulative coverage") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b"), (3L, "c d e f"),
+      (4L, "g")).toDF("doc_id", "text")
+    val got = graft.text.Corpus.greedyMaxCoverage(docs, "text",
+        "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // r1: docs 1 and 3 both gain 4 -> min id 1; r2: doc 3 adds {e,f};
+    // r3: doc 4 adds {g}; r4: all gains 0 -> stop (doc 2 never picked)
+    assert(got.toSeq == Seq((1L, 1L, 4L, 4L), (2L, 3L, 2L, 6L),
+      (3L, 4L, 1L, 7L)))
+  }
+
+  test("pairDiversity: deterministic hash-order pairing, exact ppm " +
+      "jaccard, odd doc skipped, empty-set pairs null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "g", "a b c d e"), (2L, "g", "a b c d e"),
+      (3L, "g", "v w x y z"), (4L, "g", "a b c x y"),
+      (5L, "g", "solo doc here"),          // odd one out after pairing
+      (10L, "h", "xx"), (11L, "h", "yy"))  // < 3 tokens: empty sets
+      .toDF("doc_id", "grp", "text")
+    def h(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(md5, 16)
+    }
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = Map(1L -> "a b c d e", 2L -> "a b c d e",
+      3L -> "v w x y z", 4L -> "a b c x y", 5L -> "solo doc here")
+    val order = texts.keys.toSeq.sortBy(id => (h(id), id))
+    val expected = order.grouped(2).filter(_.size == 2).map { p =>
+      val (a, b) = (sh(texts(p(0))), sh(texts(p(1))))
+      val i = (a & b).size.toLong
+      val u = a.size + b.size - i
+      i * 1000000L / u
+    }.toSeq
+    val got = graft.text.Corpus
+      .pairDiversity(docs, "text", "doc_id", "grp")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got("g")._1 == 2L)
+    assert(got("g")._2 == Some(expected.sum / expected.size))
+    assert(got("g")._3 == Some(expected.max))
+    // group h: one pair, both empty shingle sets -> nulls
+    assert(got("h") == ((0L, None, None)))
+  }
 }

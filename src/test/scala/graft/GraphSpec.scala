@@ -374,4 +374,24 @@ class GraphSpec extends SparkSpec {
     assert(got("t1") == ((0L, 769230L)))
     assert(got("t2") == ((0L, 1000000L)))
   }
+
+  test("bfsDistance: min-hop over a cycle, early frontier stop, " +
+      "unreachable absent, off-graph seed at 0, direction respected") {
+    import spark.implicits._
+    // 1->2->3->4->2 (cycle), 5->1, isolated 9 unreachable; seed 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (5L, 1L),
+      (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq(1L, 100L).toDF("seed")   // 100 is off-graph
+    val got = graft.ops.Graph.bfsDistance(edges, "src", "dst", seeds,
+        "seed", maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // direction: 5 points AT 1, never reached; 8/9 disconnected
+    assert(got == Map(1L -> 0L, 100L -> 0L, 2L -> 1L, 3L -> 2L,
+      4L -> 3L))
+    // maxHops clamps
+    val capped = graft.ops.Graph.bfsDistance(edges, "src", "dst",
+        seeds, "seed", maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 100L -> 0L, 2L -> 1L))
+  }
 }

@@ -199,4 +199,31 @@ class VocabSpec extends SparkSpec {
     // doc4: lone OOV token: bitlen(7)+1 = 4
     assert(cross(4L) == ((1L, 0L, 0L, 4L)))
   }
+
+  test("hashingTrickFeatures: md5-derived dim/sign reproduced " +
+      "exactly, signed counts aggregate, zero-sum dims absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma"))
+      .toDF("doc_id", "text")
+    val dims = 16
+    def ref(tok: String): (Long, Long) = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(md5, 16)
+      ((h / 2) % dims, if (h % 2 == 0) 1L else -1L)
+    }
+    val got = graft.text.Vocab
+      .hashingTrickFeatures(docs, "text", "doc_id", dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val expected = Seq(1L -> Seq("alpha", "beta", "alpha"),
+        2L -> Seq("gamma"))
+      .flatMap { case (id, toks) =>
+        toks.map(ref).groupBy(_._1).map { case (d, xs) =>
+          (id, d) -> xs.map(_._2).sum }
+      }.filter(_._2 != 0L).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
