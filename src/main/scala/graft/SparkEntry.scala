@@ -4179,6 +4179,14 @@ object SparkEntry {
           "text", "doc_id", "source")
         .orderBy(col("source"))
     },
+
+    // X309 — first-fit-decreasing packing: heaviest-first placement
+    // into the first shard with room (tighter than q305's next-fit)
+    "q313_ffd_pack" -> { (s, dir) =>
+      graft.text.Corpus.packShardsFfd(t(s, dir, "documents"),
+          Seq("source"), "doc_id", col("n_chars"), budget = 4000L)
+        .orderBy(col("source"), col("doc_id"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -13182,5 +13190,39 @@ object SparkEntry {
         |    AS mean_jaccard_ppm,
         |  CAST(max(jac) AS BIGINT) AS max_jaccard_ppm
         |FROM pr GROUP BY source ORDER BY source""".stripMargin,
+
+    // X309 FFD: the first-fit recursion stepped row-by-row in
+    // (weight desc, id) order, open-shard loads carried as a LIST
+    "q313_ffd_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+        |  FROM documents
+        |), f AS (
+        |  SELECT source, doc_id, w, rn, [w] AS bins,
+        |    CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS off
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.w, d.rn,
+        |    CASE WHEN fit.i IS NULL THEN list_append(f.bins, d.w)
+        |      ELSE list_transform(range(1, len(f.bins) + 1),
+        |        j -> CASE WHEN j = fit.i
+        |          THEN f.bins[CAST(j AS BIGINT)] + d.w
+        |          ELSE f.bins[CAST(j AS BIGINT)] END) END,
+        |    CASE WHEN fit.i IS NULL THEN CAST(len(f.bins) AS BIGINT)
+        |      ELSE CAST(fit.i - 1 AS BIGINT) END,
+        |    CASE WHEN fit.i IS NULL THEN CAST(0 AS BIGINT)
+        |      ELSE f.bins[CAST(fit.i AS BIGINT)] END
+        |  FROM f
+        |  JOIN d ON d.source = f.source AND d.rn = f.rn + 1,
+        |  LATERAL (SELECT list_min(list_filter(list_transform(
+        |    range(1, len(f.bins) + 1),
+        |    j -> CASE WHEN f.bins[CAST(j AS BIGINT)] + d.w <= 4000
+        |      THEN j END), v -> v IS NOT NULL)) AS i) fit
+        |)
+        |SELECT source, doc_id, w AS weight, bin AS shard_id,
+        |  off AS offset FROM f
+        |ORDER BY source, doc_id""".stripMargin,
   )
 }

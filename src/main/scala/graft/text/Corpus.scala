@@ -1568,4 +1568,75 @@ object Corpus {
           .as("mean_jaccard_ppm"),
         max(col("__jac")).as("max_jaccard_ppm"))
   }
+
+  /** First-fit-decreasing shard packing (X309) — [[packShards]]'s
+    * TIGHTER sibling: next-fit preserves id order but leaves holes
+    * (a 4001-char doc after a 3999-char one opens a fresh shard);
+    * FFD sorts documents heaviest-first and places each in the FIRST
+    * shard with room, the classic 11/9·OPT + 6/9 bin-packing
+    * guarantee — the discipline length-sorted training packers use to
+    * cut padding waste. Deterministic: order is (weight desc, id asc),
+    * ties and placement both exact integer arithmetic. Oversized
+    * documents (weight > budget) open their own shard. Output per
+    * document: group cols, `idCol`, `weight`, `shard_id` (0-based in
+    * shard-creation order), `offset` (load before placement).
+    * Null/negative weights raise in-plan (the [[packShards]]
+    * contract).
+    *
+    * Scale shape: like all bin packing the placement is inherently
+    * sequential within a group — an in-row fold over the sorted array
+    * with `maxDocs` raising in-plan; the fold carries the open-shard
+    * load vector, so cost is O(docs · shards) per group — the price
+    * of first-FIT; parallelism is |groups|, the realistic sharding
+    * unit (the X299 contract).
+    */
+  def packShardsFfd(df: DataFrame, groupCols: Seq[String],
+      idCol: String, weightCol: Column, budget: Long,
+      maxDocs: Int = 1000000): DataFrame = {
+    require(groupCols.nonEmpty, "packShardsFfd needs group columns")
+    require(budget >= 1L, s"budget must be >= 1: $budget")
+    require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
+    val gs = groupCols.map(col)
+    val w = when(weightCol.isNull || weightCol.cast("long") < 0L,
+        raise_error(concat(
+          lit("packShardsFfd: null/negative weight for "),
+          col(idCol).cast("string"))))
+      .otherwise(weightCol.cast("long"))
+    val arr = df
+      .select(gs :+ struct((-w).as("nw"), col(idCol).as("id"),
+        w.as("w")).as("__x"): _*)
+      .groupBy(gs: _*)
+      .agg(sort_array(collect_list(col("__x"))).as("__xs0"))
+      .withColumn("__xs",
+        when(size(col("__xs0")) > maxDocs, raise_error(concat(
+          lit(s"packShardsFfd: group exceeds maxDocs=$maxDocs: "),
+          size(col("__xs0")).cast("string"))))
+          .otherwise(col("__xs0")))
+    val packed = arr.withColumn("__st", aggregate(col("__xs"),
+      struct(array().cast("array<bigint>").as("bins"),
+        array().cast("array<struct<bin:bigint,off:bigint>>").as("out")),
+      (acc, x) => {
+        val wx = x.getField("w")
+        val bins = acc.getField("bins")
+        val pos = array_position(
+          transform(bins, b => b + wx <= lit(budget)), lit(true))
+        val isNew = pos === 0L
+        val binIdx = when(isNew, size(bins).cast("long"))
+          .otherwise(pos - 1L)
+        val off = when(isNew, lit(0L))
+          .otherwise(element_at(bins, pos.cast("int")))
+        val bins2 = when(isNew, concat(bins, array(wx)))
+          .otherwise(transform(bins, (b, i) =>
+            when(i.cast("long") === pos - 1L, b + wx).otherwise(b)))
+        struct(bins2.as("bins"),
+          concat(acc.getField("out"),
+            array(struct(binIdx.as("bin"), off.as("off")))).as("out"))
+      }).getField("out"))
+    packed
+      .select(gs :+ posexplode(arrays_zip(col("__xs"), col("__st"))): _*)
+      .select(gs ++ Seq(col("col.__xs.id").as(idCol),
+        col("col.__xs.w").as("weight"),
+        col("col.__st.bin").as("shard_id"),
+        col("col.__st.off").as("offset")): _*)
+  }
 }

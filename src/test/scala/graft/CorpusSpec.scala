@@ -821,4 +821,27 @@ class CorpusSpec extends SparkSpec {
     // group h: one pair, both empty shingle sets -> nulls
     assert(got("h") == ((0L, None, None)))
   }
+
+  test("packShardsFfd: heaviest-first first-fit, holes get filled, " +
+      "oversized opens its own shard, exact offsets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // weights sorted desc: 6, 4, 3, 2, 1 with budget 7:
+    //   6 -> shard0 (load 6); 4 -> shard1 (4); 3 -> shard1 (4+3=7);
+    //   2 -> shard2? no: first fit = shard0 (6+2>7) -> shard1 full ->
+    //        shard2 new (2); 1 -> shard0 (6+1=7)
+    val docs = Seq(("g", 1L, 3L), ("g", 2L, 4L), ("g", 3L, 2L),
+      ("g", 4L, 6L), ("g", 5L, 1L), ("h", 10L, 9L))
+      .toDF("src", "doc_id", "w")
+    val got = graft.text.Corpus.packShardsFfd(docs, Seq("src"),
+        "doc_id", col("w"), budget = 7L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("g", 4L)) == ((6L, 0L, 0L)))
+    assert(got(("g", 2L)) == ((4L, 1L, 0L)))
+    assert(got(("g", 1L)) == ((3L, 1L, 4L)))
+    assert(got(("g", 3L)) == ((2L, 2L, 0L)))
+    assert(got(("g", 5L)) == ((1L, 0L, 6L)))
+    assert(got(("h", 10L)) == ((9L, 0L, 0L)))  // oversized: own shard
+  }
 }
