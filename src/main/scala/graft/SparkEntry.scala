@@ -4187,6 +4187,32 @@ object SparkEntry {
           Seq("source"), "doc_id", col("n_chars"), budget = 4000L)
         .orderBy(col("source"), col("doc_id"))
     },
+
+    // X310 — additive Holt-Winters: weekly-seasonal daily event volume
+    // per type, level+trend+season state, 7 days ahead
+    "q314_holt_winters" -> { (s, dir) =>
+      val daily = events(s, dir)
+        .select(col("event_type"),
+          graft.functions.Exact.longDiv(nsToMicros(col("ts_ns")),
+            86400000000L).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Features.holtWinters(daily, Seq("event_type"),
+          col("day"), col("n"), alphaPpm = 300000L, betaPpm = 100000L,
+          gammaPpm = 200000L, period = 7, horizon = 7, scale = 0)
+        .orderBy(col("event_type"))
+    },
+
+    // X312 — Benford first-digit audit over exact order-total cents
+    // per priority class (fraud / unit-mixup screen)
+    "q315_benford" -> { (s, dir) =>
+      graft.ops.Profile.benfordAudit(
+          t(s, dir, "orders").select(col("o_orderpriority"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents")),
+          Seq("o_orderpriority"), col("cents"))
+        .orderBy(col("o_orderpriority"), col("digit"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -13224,5 +13250,104 @@ object SparkEntry {
         |SELECT source, doc_id, w AS weight, bin AS shard_id,
         |  off AS offset FROM f
         |ORDER BY source, doc_id""".stripMargin,
+
+    // X310 Holt-Winters: the triple recursion stepped rank-by-rank,
+    // seasonal vector carried as a LIST, HUGEINT products truncating //
+    "q314_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), d AS (
+        |  SELECT event_type, n AS x,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS rn
+        |  FROM daily
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, rn, x AS acc, CAST(0 AS BIGINT) AS l,
+        |    CAST(0 AS BIGINT) AS b, [x] AS s
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.rn,
+        |    CASE WHEN d.rn <= 7 THEN f.acc + d.x ELSE f.acc END,
+        |    CASE WHEN d.rn < 7 THEN CAST(0 AS BIGINT)
+        |      WHEN d.rn = 7 THEN (f.acc + d.x) // 7
+        |      ELSE st.l2 END,
+        |    CASE WHEN d.rn <= 7 THEN CAST(0 AS BIGINT) ELSE st.b2 END,
+        |    CASE WHEN d.rn < 7 THEN list_append(f.s, d.x)
+        |      WHEN d.rn = 7 THEN list_transform(list_append(f.s, d.x),
+        |        e -> e - (f.acc + d.x) // 7)
+        |      ELSE list_transform(range(1, 8), j ->
+        |        CASE WHEN j = st.slot THEN st.s2
+        |          ELSE f.s[CAST(j AS BIGINT)] END) END
+        |  FROM f
+        |  JOIN d ON d.event_type = f.event_type AND d.rn = f.rn + 1,
+        |  LATERAL (
+        |    SELECT slot, sOld,
+        |      CAST((300000::HUGEINT * (d.x - sOld) + 700000::HUGEINT
+        |        * (f.l + f.b)) // 1000000 AS BIGINT) AS l2
+        |    FROM (SELECT ((d.rn - 1) % 7) + 1 AS slot,
+        |      f.s[CAST(((d.rn - 1) % 7) + 1 AS BIGINT)] AS sOld)
+        |  ) st0,
+        |  LATERAL (
+        |    SELECT st0.slot AS slot, st0.l2 AS l2,
+        |      CAST((100000::HUGEINT * (st0.l2 - f.l) + 900000::HUGEINT
+        |        * f.b) // 1000000 AS BIGINT) AS b2,
+        |      CAST((200000::HUGEINT * (d.x - st0.l2) + 800000::HUGEINT
+        |        * st0.sOld) // 1000000 AS BIGINT) AS s2
+        |  ) st
+        |)
+        |SELECT m.event_type, m.cnt AS n,
+        |  CASE WHEN m.cnt > 7 THEN fl.l END AS level_units,
+        |  CASE WHEN m.cnt > 7 THEN fl.b END AS trend_units,
+        |  CASE WHEN m.cnt > 7 THEN fl.l + 7 * fl.b +
+        |    fl.s[CAST((m.cnt + 7 - 1) % 7 + 1 AS BIGINT)] END
+        |    AS forecast_units
+        |FROM m JOIN (
+        |  SELECT f.event_type, f.l, f.b, f.s
+        |  FROM f JOIN m ON f.event_type = m.event_type AND f.rn = m.cnt
+        |) fl ON fl.event_type = m.event_type
+        |ORDER BY m.event_type""".stripMargin,
+
+    // X312 Benford: decimal-exact cents, string first digit, literal
+    // expectation table, floored shares, 9-row-group TVD window
+    "q315_benford" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v
+        |  FROM orders
+        |), counts AS (
+        |  SELECT o_orderpriority,
+        |    CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_digit
+        |  FROM base WHERE v IS NOT NULL AND v > 0 GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT o_orderpriority, sum(n_digit) AS n
+        |  FROM counts GROUP BY 1
+        |), digits AS (
+        |  SELECT o_orderpriority, n,
+        |    unnest(range(1, 10)) AS digit
+        |  FROM totals
+        |), j AS (
+        |  SELECT d.o_orderpriority, CAST(d.digit AS BIGINT) AS digit,
+        |    coalesce(c.n_digit, 0) AS n_digit,
+        |    CAST((coalesce(c.n_digit, 0) * 1000000) // d.n AS BIGINT)
+        |      AS observed_ppm,
+        |    ([301029, 176091, 124938, 96910, 79181, 66946, 57991,
+        |      51152, 45757])[CAST(d.digit AS BIGINT)] AS benford_ppm
+        |  FROM digits d LEFT JOIN counts c
+        |    ON d.o_orderpriority = c.o_orderpriority
+        |    AND d.digit = c.digit
+        |)
+        |SELECT o_orderpriority, digit, n_digit, observed_ppm,
+        |  CAST(benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(sum(abs(observed_ppm - benford_ppm))
+        |    OVER (PARTITION BY o_orderpriority) // 2 AS BIGINT)
+        |    AS tvd_ppm
+        |FROM j ORDER BY o_orderpriority, digit""".stripMargin,
   )
 }

@@ -151,6 +151,16 @@ object StreamBench {
         target = 10.0, slack = 0.5, threshold = 50.0).toDF()
     }(feedKeyed _)
 
+    results += drive[SBKeyed]("snapshot_latest",
+      streaming.StreamingSnapshot.outputMode) { in =>
+      // two sparse columns updating at different cadences
+      streaming.StreamingSnapshot.monitor(
+        in.toDS().groupByKey(_.key).mapValues(e => (e.tsUs,
+          Seq(if (e.id % 2 == 0) Some(s"a${e.id}") else None,
+            if (e.id % 3 == 0) Some(s"b${e.id}") else None))),
+        width = 2).toDF()
+    }(feedKeyed _)
+
     results += drive[SBKeyed]("holt_forecast",
       streaming.StreamingHolt.outputMode) { in =>
       // a drifting level with sawtooth noise: the trend state tracks

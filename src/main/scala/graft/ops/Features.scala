@@ -2978,4 +2978,113 @@ object Features {
           col("__st.l") + lit(horizon.toLong) * col("__st.b"))
           .as("forecast_units")): _*)
   }
+
+  /** Additive Holt–Winters triple-exponential smoothing + h-step
+    * forecast (X310) — [[holtForecast]] plus the SEASONAL state, the
+    * classic workhorse for daily/weekly-patterned capacity and
+    * telemetry series where plain Holt chases the weekly wave as
+    * trend. Deterministic integer convention (mirrored exactly by the
+    * oracle): the first `period` observations initialize
+    * l = ⌊Σx/p⌋ (truncating), b = 0, sᵢ = xᵢ − l; from t = p+1,
+    *
+    * {{{
+    * lₜ = (α(xₜ − sₜ₋ₚ) + (10⁶−α)(lₜ₋₁+bₜ₋₁)) div 10⁶
+    * bₜ = (β(lₜ − lₜ₋₁) + (10⁶−β)bₜ₋₁) div 10⁶
+    * sₜ = (γ(xₜ − lₜ) + (10⁶−γ)sₜ₋ₚ) div 10⁶
+    * }}}
+    *
+    * in integer `scale`-decimal units, one truncating div per term —
+    * engine-portable where a float fold is partitioning-dependent.
+    * Forecast ŷ(t+h) = l + h·b + s_{(t+h−1) mod p + matching phase}:
+    * exactly the seasonal slot the horizon lands on. Keys with
+    * ≤ `period` usable rows emit null level/trend/forecast (the
+    * initialization needs one full season plus a step). Output per
+    * key: `n`, `level_units`, `trend_units`, `forecast_units`.
+    *
+    * Scale shape: [[holtForecast]]'s — NON-ASSOCIATIVE sequential
+    * recursion as an in-row fold over the key's sorted array (the
+    * seasonal vector rides the fold state as a `period`-length
+    * array), `maxRows` raises in-plan, parallelism |keys|, one
+    * map-side exchange.
+    */
+  def holtWinters(df: DataFrame, keyCols: Seq[String],
+      orderCol: Column, valueCol: Column, alphaPpm: Long, betaPpm: Long,
+      gammaPpm: Long, period: Int, horizon: Int, scale: Int = 2,
+      maxRows: Int = 100000): DataFrame = {
+    require(keyCols.nonEmpty, "holtWinters needs key columns")
+    Seq(("alphaPpm", alphaPpm), ("betaPpm", betaPpm),
+      ("gammaPpm", gammaPpm)).foreach { case (n, v) =>
+      require(v >= 0L && v <= 1000000L, s"$n in [0, 1000000]: $v") }
+    require(period >= 2 && period <= 10000,
+      s"period in [2, 10000]: $period")
+    require(horizon >= 1 && horizon <= 100000,
+      s"horizon in [1, 100000]: $horizon")
+    require(scale >= 0 && scale <= 6, s"scale in [0, 6]: $scale")
+    require(maxRows > period, s"maxRows must exceed period: $maxRows")
+    import graft.functions.Exact.longDiv
+    val d38 = DecimalType(38, 0)
+    val gs = keyCols.map(col)
+    val unit = math.pow(10, scale).toLong
+    val vU = (valueCol.cast(DecimalType(18, scale)) * lit(unit))
+      .cast(d38).cast("long")
+    val p = period
+    val arr = df.filter(valueCol.isNotNull && orderCol.isNotNull)
+      .select(gs :+ orderCol.as("__o") :+ vU.as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(gs: _*)
+      .agg(sort_array(collect_list(struct(col("__o"), col("__v"))))
+        .as("__xs0"))
+      .withColumn("__xs",
+        when(size(col("__xs0")) > maxRows, raise_error(concat(
+          lit(s"holtWinters: key exceeds maxRows=$maxRows: "),
+          size(col("__xs0")).cast("string"))))
+          .otherwise(transform(col("__xs0"), x => x.getField("__v"))))
+    def dv(x: Column): Column =
+      longDiv(x, 1000000L).cast("long")
+    arr
+      .withColumn("__st", aggregate(col("__xs"),
+        struct(lit(0L).as("i"), lit(0L).as("acc"), lit(0L).as("l"),
+          lit(0L).as("b"), array().cast("array<bigint>").as("s")),
+        (acc, x) => {
+          val i = acc.getField("i")
+          val l = acc.getField("l")
+          val b = acc.getField("b")
+          val sv = acc.getField("s")
+          // warm-up: accumulate the first period's raw values in `s`
+          // and their sum in `acc`; at i == p-1 close the season:
+          // l = sum div p, s := x_j - l, b = 0
+          val warm = i < p
+          val sum2 = acc.getField("acc") + x
+          val closing = i === (p - 1).toLong
+          val lInit = longDiv(sum2, p.toLong).cast("long")
+          val sInit = transform(concat(sv, array(x)), e => e - lInit)
+          // update step (i >= p): seasonal slot is (i mod p), 1-based
+          val slot = (pmod(i, lit(p.toLong)) + 1L).cast("int")
+          val sOld = element_at(sv, slot)
+          val l2 = dv(lit(alphaPpm).cast(d38) * (x - sOld) +
+            lit(1000000L - alphaPpm).cast(d38) * (l + b))
+          val b2 = dv(lit(betaPpm).cast(d38) * (l2 - l) +
+            lit(1000000L - betaPpm).cast(d38) * b)
+          val s2 = dv(lit(gammaPpm).cast(d38) * (x - l2) +
+            lit(1000000L - gammaPpm).cast(d38) * sOld)
+          val sUpd = transform(sv, (e, j) =>
+            when(j === slot - 1, s2).otherwise(e))
+          struct((i + 1L).as("i"),
+            when(warm, sum2).otherwise(acc.getField("acc")).as("acc"),
+            when(closing, lInit).when(warm, lit(0L)).otherwise(l2)
+              .as("l"),
+            when(i < p, lit(0L)).otherwise(b2).as("b"),
+            when(closing, sInit).when(warm, concat(sv, array(x)))
+              .otherwise(sUpd).as("s"))
+        }))
+      .select(gs ++ Seq(col("__st.i").as("n"),
+        when(col("__st.i") > p, col("__st.l")).as("level_units"),
+        when(col("__st.i") > p, col("__st.b")).as("trend_units"),
+        when(col("__st.i") > p,
+          col("__st.l") + lit(horizon.toLong) * col("__st.b") +
+            element_at(col("__st.s"),
+              (pmod(col("__st.i") + horizon - 1L, lit(p.toLong)) + 1L)
+                .cast("int")))
+          .as("forecast_units")): _*)
+  }
 }

@@ -691,4 +691,55 @@ object Profile {
           .as("kept_cum_ppm"))
       .withColumn("stage_ix", col("__ix").cast("long")).drop("__ix")
   }
+
+  /** Benford first-digit audit (X312) — the fraud / fabricated-data /
+    * unit-mixup screen: naturally-occurring positive magnitudes
+    * spanning orders of magnitude follow Benford's law
+    * (P(d) = log₁₀(1+1/d)); invented numbers, capped fields, and
+    * unit-glued merges do not. Per (group, digit 1–9): `n_digit`,
+    * exact `observed_ppm` = ⌊n_d·10⁶/n⌋, the Benford expectation
+    * `benford_ppm` (a shared literal table — floor ppm of the exact
+    * logs, identical on both engines by construction), and the
+    * group-level `tvd_ppm` = ⌊Σ|obs−exp|⌋ div 2 over the FLOORED
+    * observed shares (deterministic; the ≤ 9-ppm floor bias is the
+    * quantization contract). ALL nine digits emit — a digit with zero
+    * mass is evidence, not absence. First digits come from the LONG's
+    * decimal string (integer rendering is engine-portable where float
+    * formatting is not); rows with null or ≤ 0 values are out of
+    * scope (Benford applies to positive magnitudes — feed integer
+    * units, e.g. cents). Groups with no in-scope rows emit nothing.
+    *
+    * Scale shape: raw rows collapse in ONE map-side-combined agg to
+    * (group, digit) grain ≤ 9·|groups|; the digit frame is a literal
+    * explode crossed with the |groups|-row totals (broadcast); the
+    * TVD rides a 9-row-group window. The corpus is read once.
+    */
+  def benfordAudit(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "benfordAudit needs group columns")
+    import graft.functions.Exact.longDiv
+    val gs = groupCols.map(col)
+    val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val v = valueCol.cast("long")
+    val counts = df.filter(v.isNotNull && v > 0L)
+      .select(gs :+ substring(v.cast("string"), 1, 1).cast("long")
+        .as("digit"): _*)
+      .groupBy(gs :+ col("digit"): _*)
+      .agg(count(lit(1)).as("n_digit"))
+    val totals = counts.groupBy(gs: _*)
+      .agg(sum(col("n_digit")).as("__n"))
+    val digits = totals.select(gs :+ col("__n") :+
+      explode(lit((1L to 9L).toArray)).as("digit"): _*)
+    val w = Window.partitionBy(gs: _*)
+    digits.join(counts, groupCols :+ "digit", "left")
+      .select(gs ++ Seq(col("digit"),
+        coalesce(col("n_digit"), lit(0L)).as("n_digit"),
+        longDiv(coalesce(col("n_digit"), lit(0L)) * 1000000L,
+          col("__n")).as("observed_ppm"),
+        element_at(lit(benford.toArray), col("digit").cast("int"))
+          .as("benford_ppm")): _*)
+      .withColumn("tvd_ppm", longDiv(
+        sum(abs(col("observed_ppm") - col("benford_ppm"))).over(w), 2L))
+  }
 }

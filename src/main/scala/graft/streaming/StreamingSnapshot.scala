@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming latest-non-null snapshot per key — the batch X102
+  * `TimeSeries.snapshotLatest` as LIVE state (SURVEY §2.7, the
+  * one-definition-two-modes discipline): the CDC-compaction /
+  * feature-store "current state" maintained on every micro-batch
+  * instead of rebuilt nightly. Each key's state is one (order, value)
+  * pair PER COLUMN — sparse streams update different columns at
+  * different times, so neither keep-latest-row dedup nor plain last()
+  * gives this; a column only advances when a row carries a NON-NULL
+  * value for it with order ≥ the column's current best (ties take the
+  * larger value — the batch max(struct(order, v)) rule; the batch
+  * contract assumes a unique order per key anyway). Values ride as an
+  * Option[String] vector of fixed `width` (the streaming tier's
+  * payload convention); rows with a wrong-width vector RAISE — a
+  * misaligned column vector is corruption, not data. Running snapshot
+  * after any prefix ≡ the batch snapshotLatest of that prefix
+  * (spec-pinned across batches). Emits (key, n_rows, values) in
+  * Update mode after every batch the key appears in.
+  */
+object StreamingSnapshot {
+
+  /** Per-key state: rows seen; per-column best (order, value). */
+  final case class SnapState(n: Long, ords: Seq[Long],
+      vals: Seq[Option[String]])
+
+  def monitor[K](
+      grouped: KeyValueGroupedDataset[K, (Long, Seq[Option[String]])],
+      width: Int,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[SnapState],
+      e: Encoder[(K, Long, Seq[Option[String]])])
+      : Dataset[(K, Long, Seq[Option[String]])] = {
+    require(width >= 1 && width <= 1000, s"width in [1, 1000]: $width")
+    grouped.flatMapGroupsWithState[SnapState,
+      (K, Long, Seq[Option[String]])](OutputMode.Update, timeout) {
+      (key: K, values: Iterator[(Long, Seq[Option[String]])],
+          state: GroupState[SnapState]) =>
+        var s = state.getOption.getOrElse(SnapState(0L,
+          Seq.fill(width)(Long.MinValue), Seq.fill(width)(None)))
+        values.foreach { case (ord, vs) =>
+          require(vs.length == width,
+            s"StreamingSnapshot: row width ${vs.length} != $width")
+          val ords = s.ords.toArray
+          val vals = s.vals.toArray
+          var j = 0
+          while (j < width) {
+            vs(j) match {
+              case Some(v) if ord > ords(j) ||
+                  (ord == ords(j) &&
+                    vals(j).forall(_.compareTo(v) < 0)) =>
+                ords(j) = ord
+                vals(j) = Some(v)
+              case _ =>
+            }
+            j += 1
+          }
+          s = SnapState(s.n + 1L, ords.toSeq, vals.toSeq)
+        }
+        state.update(s)
+        Iterator.single((key, s.n, s.vals))
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -1410,4 +1410,25 @@ class FeaturesSpec extends SparkSpec {
     assert(out("dn") == ((3L, Some(5L), Some(-2L), Some(-1L))))
     assert(out("one") == ((1L, None, None, None)))
   }
+
+  test("holtWinters: hand-stepped init and updates at period 2, " +
+      "seasonal slot arithmetic, <= period rows null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("k", 1L, 10.0), ("k", 2L, 14.0), ("k", 3L, 13.0),
+      ("k", 4L, 17.0), ("short", 1L, 5.0), ("short", 2L, 6.0))
+      .toDF("g", "o", "v")
+    def run(h: Int) = graft.ops.Features.holtWinters(df, Seq("g"),
+        col("o"), col("v"), 500000L, 500000L, 500000L, period = 2,
+        horizon = h, scale = 0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4))))).toMap
+    // init: l=12, s=[-2,2], b=0; t3: l=13,b=0,s1=-1; t4: l=14,b=0,s2=2
+    val h1 = run(1)
+    assert(h1("k") == ((4L, Some(14L), Some(0L), Some(13L))))
+    assert(h1("short") == ((2L, None, None, None)))  // needs p+1 rows
+    val h2 = run(2)
+    assert(h2("k")._4 == Some(16L))  // slot 2 season = +2
+  }
 }

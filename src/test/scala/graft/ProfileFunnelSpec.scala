@@ -632,4 +632,31 @@ class ProfileFunnelSpec extends SparkSpec {
     assert(g2(1) == (("kill", 10L, 10L, 1000000L)))
     assert(g2(2) == (("after", 0L, 0L, -1L)))
   }
+
+  test("benfordAudit: string-derived first digits, all nine digits " +
+      "emit, exact floored shares and TVD, non-positive out of scope") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group g: digits 1,1,1,2,9 over 5 rows; zeros/negatives/null out
+    val df = Seq(("g", 123L), ("g", 19L), ("g", 1L), ("g", 250L),
+      ("g", 900L), ("g", 0L), ("g", -5L))
+      .toDF("grp", "cents")
+      .unionByName(Seq(("g", null.asInstanceOf[java.lang.Long]))
+        .toDF("grp", "cents"))
+    val got = graft.ops.Profile.benfordAudit(df, Seq("grp"),
+        col("cents"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet == (1L to 9L).toSet)
+    // digit 1: 3/5 -> 600000 ppm; digit 2: 1/5 -> 200000; 9: 200000
+    assert(got(1L)._1 == 3L && got(1L)._2 == 600000L)
+    assert(got(2L)._2 == 200000L && got(9L)._2 == 200000L)
+    assert(got(3L) == ((0L, 0L, 124938L, got(3L)._4)))
+    // TVD = (|600000-301029| + |200000-176091| + 124938 + 96910 +
+    //   79181 + 66946 + 57991 + 51152 + |200000-45757|) / 2
+    val tvd = (298971L + 23909L + 124938L + 96910L + 79181L + 66946L +
+      57991L + 51152L + 154243L) / 2L
+    assert(got(1L)._4 == tvd)
+  }
 }

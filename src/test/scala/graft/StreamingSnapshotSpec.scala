@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingSnapshot
+
+class StreamingSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming snapshot: per-column independent latest-non-null " +
+      "across batches ≡ batch snapshotLatest of the prefix; " +
+      "out-of-order rows never regress a column") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Seq[Option[String]])]
+    val q = StreamingSnapshot.monitor(
+        in.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3)),
+        width = 2)
+      .toDF("key", "n", "vals")
+      .writeStream.format("memory").queryName("snap_out")
+      .outputMode(StreamingSnapshot.outputMode)
+      .start()
+
+    // batch 1: t1 sets (a1, null); t3 sets (null, b3)
+    in.addData(("k", 1L, Seq(Some("a1"), None)),
+      ("k", 3L, Seq(None, Some("b3"))))
+    q.processAllAvailable()
+    // batch 2: t2 is LATE — col a newer than t1 stays a2? no: t2 > t1
+    // so col a advances to a2; col b at t2 must NOT beat t3's b3
+    in.addData(("k", 2L, Seq(Some("a2"), Some("b2"))))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("snap_out")
+      .as[(String, Long, Seq[Option[String]])].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(rows(2L) == Seq(Some("a1"), Some("b3")))
+    assert(rows(3L) == Seq(Some("a2"), Some("b3")))
+    // batch parity on the same prefix
+    val prefix = Seq(("k", 1L, "a1", null), ("k", 3L, null, "b3"),
+      ("k", 2L, "a2", "b2"))
+      .map(t => (t._1, t._2, Option(t._3), Option(t._4)))
+      .toDF("k", "o", "va", "vb")
+    val batch = graft.ops.TimeSeries.snapshotLatest(prefix, Seq("k"),
+        Seq(col("o")), Seq("va", "vb"))
+      .collect().head
+    assert(Option(batch.getString(1)) == rows(3L)(0) &&
+      Option(batch.getString(2)) == rows(3L)(1))
+  }
+}
