@@ -4213,6 +4213,30 @@ object SparkEntry {
           Seq("o_orderpriority"), col("cents"))
         .orderBy(col("o_orderpriority"), col("digit"))
     },
+
+    // X313 — empirical Markov chain: event-type transition ppm per
+    // user sequence, 4-step distribution from the empirical start
+    "q316_markov" -> { (s, dir) =>
+      val ev = events(s, dir)
+      graft.ops.Graph.markovKStep(ev, col("user_id"),
+          struct(nsToMicros(col("ts_ns")), col("event_id")),
+          col("event_type"), steps = 4)
+        .orderBy(col("state"))
+    },
+
+    // X314 — quantile normalization: supplier balances mapped onto
+    // each nation's customer-balance distribution, rank-exact
+    "q317_quantile_norm" -> { (s, dir) =>
+      val a = t(s, dir, "supplier")
+        .select(col("s_nationkey").cast("long").as("grp"),
+          col("s_suppkey"), col("s_acctbal").cast("double").as("v"))
+      val b = t(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("grp"),
+          col("c_acctbal").cast("double").as("v"))
+      graft.ops.Features.quantileNormalize(a, b, Seq("grp"),
+          "s_suppkey", col("v"))
+        .orderBy(col("grp"), col("s_suppkey"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -13349,5 +13373,103 @@ object SparkEntry {
         |    OVER (PARTITION BY o_orderpriority) // 2 AS BIGINT)
         |    AS tvd_ppm
         |FROM j ORDER BY o_orderpriority, digit""".stripMargin,
+
+    // X313 Markov: four unrolled k-step rounds, dangling mass held,
+    // every term one floor — AS MATERIALIZED (q165/q306 discipline)
+    "q316_markov" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) AS o, event_id, event_type AS s
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |), nxt AS MATERIALIZED (
+        |  SELECT s, lead(s) OVER (PARTITION BY user_id
+        |    ORDER BY o, event_id) AS t
+        |  FROM base
+        |), freq AS MATERIALIZED (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS n_obs FROM nxt GROUP BY s
+        |), tot AS MATERIALIZED (
+        |  SELECT sum(n_obs) AS n FROM freq
+        |), pi0 AS MATERIALIZED (
+        |  SELECT s, CAST((n_obs * 1000000) // (SELECT n FROM tot) AS BIGINT)
+        |    AS p
+        |  FROM freq
+        |), tr AS MATERIALIZED (
+        |  SELECT s, t, CAST((c * 1000000) // sum_c AS BIGINT) AS tp FROM (
+        |    SELECT s, t, CAST(count(*) AS BIGINT) AS c,
+        |      sum(count(*)) OVER (PARTITION BY s) AS sum_c
+        |    FROM nxt WHERE t IS NOT NULL GROUP BY s, t)
+        |), dang AS MATERIALIZED (
+        |  SELECT f.s FROM freq f
+        |  LEFT JOIN (SELECT DISTINCT s FROM tr) o ON f.s = o.s
+        |  WHERE o.s IS NULL
+        |), pi1 AS MATERIALIZED (
+        |  SELECT s, CAST(sum(m) AS BIGINT) AS p FROM (
+        |    SELECT tr.t AS s, (pi0.p * tr.tp) // 1000000 AS m
+        |    FROM pi0 JOIN tr ON pi0.s = tr.s
+        |    UNION ALL
+        |    SELECT d.s, pi0.p AS m
+        |    FROM pi0 JOIN dang d ON pi0.s = d.s
+        |  ) GROUP BY s
+        |), pi2 AS MATERIALIZED (
+        |  SELECT s, CAST(sum(m) AS BIGINT) AS p FROM (
+        |    SELECT tr.t AS s, (pi1.p * tr.tp) // 1000000 AS m
+        |    FROM pi1 JOIN tr ON pi1.s = tr.s
+        |    UNION ALL
+        |    SELECT d.s, pi1.p AS m
+        |    FROM pi1 JOIN dang d ON pi1.s = d.s
+        |  ) GROUP BY s
+        |), pi3 AS MATERIALIZED (
+        |  SELECT s, CAST(sum(m) AS BIGINT) AS p FROM (
+        |    SELECT tr.t AS s, (pi2.p * tr.tp) // 1000000 AS m
+        |    FROM pi2 JOIN tr ON pi2.s = tr.s
+        |    UNION ALL
+        |    SELECT d.s, pi2.p AS m
+        |    FROM pi2 JOIN dang d ON pi2.s = d.s
+        |  ) GROUP BY s
+        |), pi4 AS MATERIALIZED (
+        |  SELECT s, CAST(sum(m) AS BIGINT) AS p FROM (
+        |    SELECT tr.t AS s, (pi3.p * tr.tp) // 1000000 AS m
+        |    FROM pi3 JOIN tr ON pi3.s = tr.s
+        |    UNION ALL
+        |    SELECT d.s, pi3.p AS m
+        |    FROM pi3 JOIN dang d ON pi3.s = d.s
+        |  ) GROUP BY s
+        |)
+        |SELECT f.s AS state, f.n_obs, p0.p AS p0_ppm,
+        |  coalesce(p4.p, 0) AS pk_ppm
+        |FROM freq f
+        |JOIN pi0 p0 ON f.s = p0.s
+        |LEFT JOIN pi4 p4 ON f.s = p4.s
+        |ORDER BY state""".stripMargin,
+
+    // X314 quantile normalization: ceil-rank lookup mirrored exactly
+    "q317_quantile_norm" ->
+      """WITH a AS (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS grp, s_suppkey,
+        |    CAST(s_acctbal AS DOUBLE) AS v
+        |  FROM supplier WHERE s_acctbal IS NOT NULL
+        |), ar AS (
+        |  SELECT grp, s_suppkey, v,
+        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY v, s_suppkey)
+        |      AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS na
+        |  FROM a
+        |), b AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS grp,
+        |    CAST(c_acctbal AS DOUBLE) AS bv
+        |  FROM customer WHERE c_acctbal IS NOT NULL
+        |), br AS (
+        |  SELECT grp, bv,
+        |    CAST(row_number() OVER (PARTITION BY grp ORDER BY bv) AS BIGINT)
+        |      AS rb
+        |  FROM b
+        |), nb AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS nbn FROM b GROUP BY grp
+        |)
+        |SELECT ar.grp, ar.s_suppkey, ar.v AS value, br.bv AS mapped
+        |FROM ar
+        |LEFT JOIN nb ON nb.grp = ar.grp
+        |LEFT JOIN br ON br.grp = ar.grp
+        |  AND br.rb = (ar.r * nb.nbn + ar.na - 1) // ar.na
+        |ORDER BY ar.grp, ar.s_suppkey""".stripMargin,
   )
 }

@@ -3087,4 +3087,57 @@ object Features {
                 .cast("int")))
           .as("forecast_units")): _*)
   }
+
+  /** Rank-based quantile normalization (X314) — map every value of
+    * frame `a` onto the DISTRIBUTION of frame `b`, per group: row r of
+    * nA (ranked by value) takes b's ⌈r·nB/nA⌉-th smallest value — the
+    * classic quantile-normalization / distribution-matching step
+    * (microarray normalization, cross-model score alignment, "rescale
+    * vendor scores onto the customer scale") that preserves ranks
+    * EXACTLY while adopting the reference's shape, where a mean/σ
+    * affine map preserves neither tails nor support. Pure integer
+    * rank arithmetic (⌈·⌉ as (r·nB + nA − 1) div nA) plus ELEMENT
+    * SELECTION — the mapped value is an actually-occurring b value,
+    * never an interpolated float (the X27/X199 discipline); ties in
+    * `a` order by (value, id) for a deterministic rank, ties in `b`
+    * are harmless (tied ranks hold equal values). Groups absent from
+    * `b` map to null — no reference, no fabricated value. Output:
+    * group cols, `idCol`, `value` (original), `mapped`.
+    *
+    * Scale shape: one key exchange + row_number window per side, then
+    * one (group, rank) equi-join — never a per-row quantile probe or
+    * range join; both frames are read once.
+    */
+  def quantileNormalize(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String], idCol: String,
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "quantileNormalize needs group columns")
+    import graft.functions.Exact.longDiv
+    val gs = groupCols.map(col)
+    val ranked = a.filter(valueCol.isNotNull)
+      .select(gs :+ col(idCol) :+ valueCol.as("value"): _*)
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(gs: _*).orderBy(col("value"), col(idCol)))
+        .cast("long"))
+      .withColumn("__na", count(lit(1)).over(
+        Window.partitionBy(gs: _*)))
+    val bClean = b.filter(valueCol.isNotNull)
+      .select(gs :+ valueCol.as("__bv"): _*)
+    val nB = bClean.groupBy(gs: _*).agg(count(lit(1)).as("__nb"))
+    val bRanked = bClean
+      .withColumn("__rb", row_number().over(
+        Window.partitionBy(gs: _*).orderBy(col("__bv"))).cast("long"))
+      .select(gs :+ col("__rb") :+ col("__bv"): _*)
+    // target rank computed on the a side FIRST (the |groups|-row nB
+    // table broadcasts), then ONE (group, rank) equi-join — never a
+    // per-group cross join
+    ranked
+      .join(broadcast(nB), groupCols, "left")
+      .withColumn("__rb", when(col("__nb").isNotNull,
+        longDiv(col("__r") * col("__nb") + col("__na") - 1L,
+          col("__na"))))
+      .join(bRanked, groupCols :+ "__rb", "left")
+      .select(gs ++ Seq(col(idCol), col("value"),
+        col("__bv").as("mapped")): _*)
+  }
 }

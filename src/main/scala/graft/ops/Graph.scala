@@ -1243,4 +1243,85 @@ object Graph {
     Checkpoints.release(e)
     settled
   }
+
+  /** Empirical Markov chain + k-step distribution (X313) — the
+    * behavioral sequence model behind "where does traffic END UP":
+    * consecutive same-key observations define the transition counts,
+    * row-normalized to exact ppm probabilities, and the EMPIRICAL
+    * initial distribution π₀ (state frequency ppm) is pushed k steps:
+    * πₖ₊₁(s') = Σₛ ⌊πₖ(s)·P(s,s')/10⁶⌋, each term ONE floor — the
+    * X104 integer-mass discipline, deterministic and engine-portable
+    * with a ≤ |states|-ppm leak per step (the quantization contract).
+    * States with NO out-transitions are absorbing: their mass stays
+    * put (implicit self-loop) — silently leaking a sink state's mass
+    * would misreport exactly the states that matter. Output per
+    * state: `n_obs` (occurrences), `p0_ppm`, `pk_ppm`. A 4-step πₖ
+    * already separates transient entry states from sinks on
+    * clickstream-shaped data.
+    *
+    * Scale shape: observation volume touches ONE lag window (per-key
+    * sort) + one map-side-combined (from, to) count; everything after
+    * runs at |states| / |states|² grain — the k-round loop joins
+    * tiny frames with per-round eager checkpoint + release (the
+    * [[pageRank]] loop discipline at toy cardinality).
+    */
+  def markovKStep(df: DataFrame, keyCol: Column, orderCol: Column,
+      stateCol: Column, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 100, s"steps in [1, 100]: $steps")
+    val base = df.filter(stateCol.isNotNull && orderCol.isNotNull)
+      .select(keyCol.as("__k"), orderCol.as("__o"),
+        stateCol.as("__s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__o"))
+    val withNext = base
+      .withColumn("__t", lead(col("__s"), 1).over(w))
+      .localCheckpoint(true)
+    val freq = withNext.groupBy(col("__s"))
+      .agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint(true)
+    val total = freq.agg(sum(col("n_obs")).as("__n"))
+    val pi0 = freq.crossJoin(broadcast(total))
+      .select(col("__s"),
+        graft.functions.Exact.longDiv(col("n_obs") * 1000000L,
+          col("__n")).as("__p"))
+      .localCheckpoint(true)
+    val trans = withNext.filter(col("__t").isNotNull)
+      .groupBy(col("__s"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__out", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__s"))))
+      .select(col("__s"), col("__t"),
+        graft.functions.Exact.longDiv(col("__c") * 1000000L,
+          col("__out")).as("__tp"))
+      .localCheckpoint(true)
+    val states = freq.select(col("__s")).localCheckpoint(true)
+    val dangling = states.join(
+      trans.select(col("__s")).distinct(), Seq("__s"), "left_anti")
+      .localCheckpoint(true)
+    var pi = pi0
+    var prev: DataFrame = null
+    for (_ <- 1 to steps) {
+      val flowed = pi.join(trans, Seq("__s"))
+        .select(col("__t").as("__s"),
+          graft.functions.Exact.longDiv(col("__p") * col("__tp"),
+            1000000L).as("__m"))
+      val held = pi.join(dangling, Seq("__s"), "left_semi")
+        .select(col("__s"), col("__p").as("__m"))
+      val next = flowed.unionByName(held)
+        .groupBy(col("__s")).agg(sum(col("__m")).as("__p0"))
+      pi = states.join(next, Seq("__s"), "left")
+        .select(col("__s"), coalesce(col("__p0"), lit(0L)).as("__p"))
+        .localCheckpoint(true)
+      if (prev != null) Checkpoints.release(prev)
+      prev = pi
+    }
+    val out = freq
+      .join(pi0.select(col("__s"), col("__p").as("p0_ppm")), Seq("__s"))
+      .join(pi.select(col("__s"), col("__p").as("pk_ppm")), Seq("__s"))
+      .select(col("__s").as("state"), col("n_obs"), col("p0_ppm"),
+        col("pk_ppm"))
+    Checkpoints.release(withNext)
+    out
+  }
 }

@@ -1431,4 +1431,23 @@ class FeaturesSpec extends SparkSpec {
     val h2 = run(2)
     assert(h2("k")._4 == Some(16L))  // slot 2 season = +2
   }
+
+  test("quantileNormalize: ceil-rank mapping onto the reference " +
+      "distribution, rank preserved, no-reference group null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = Seq(("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 30.0),
+      ("h", 9L, 5.0)).toDF("grp", "id", "v")
+    val b = Seq(("g", 100.0), ("g", 200.0), ("g", 300.0), ("g", 400.0),
+      ("g", 500.0), ("g", 600.0)).toDF("grp", "v")
+    val got = graft.ops.Features.quantileNormalize(a, b, Seq("grp"),
+        "id", col("v"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), Option(r.get(3))))).toMap
+    // nA=3, nB=6: ranks 1,2,3 -> b ranks 2,4,6 -> 200, 400, 600
+    assert(got(1L) == ((10.0, Some(200.0))))
+    assert(got(2L) == ((20.0, Some(400.0))))
+    assert(got(3L) == ((30.0, Some(600.0))))
+    assert(got(9L) == ((5.0, None)))
+  }
 }

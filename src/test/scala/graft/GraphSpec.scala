@@ -394,4 +394,23 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped == Map(1L -> 0L, 100L -> 0L, 2L -> 1L))
   }
+
+  test("markovKStep: hand-stepped two steps — row-normalized ppm " +
+      "transitions, absorbing state holds mass, floor leak bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val obs = Seq(("k1", 1L, "A"), ("k1", 2L, "B"), ("k1", 3L, "A"),
+      ("k1", 4L, "B"), ("k2", 1L, "A"), ("k2", 2L, "C"))
+      .toDF("k", "o", "s")
+    val got = graft.ops.Graph.markovKStep(obs, col("k"), col("o"),
+        col("s"), steps = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // freq: A 3, B 2, C 1; P(A,B)=2/3, P(A,C)=1/3, P(B,A)=1, C sink
+    assert(got("A") == ((3L, 500000L, 333333L)))
+    assert(got("B") == ((2L, 333333L, 222221L)))
+    assert(got("C") == ((1L, 166666L, 444442L)))
+    // floor leak only: total within a few ppm of 1e6
+    assert(1000000L - got.values.map(_._3).sum <= 6L)
+  }
 }
