@@ -4237,6 +4237,25 @@ object SparkEntry {
           "s_suppkey", col("v"))
         .orderBy(col("grp"), col("s_suppkey"))
     },
+
+    // Composition — the round-12 curation pipeline in ONE plan:
+    // X293 blocklist gate -> X297 self-referenced LM quality gate ->
+    // X299 next-fit shard packing of the survivors
+    "q318_curate_pack" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val blocked = graft.text.Corpus.phraseScan(docs, "text",
+          "doc_id", Seq("query big query", "table table table"))
+        .select(col("doc_id")).distinct()
+      val clean = docs.join(blocked, Seq("doc_id"), "left_anti")
+      val keep = graft.text.Vocab
+        .bigramSurprisal(clean, clean, "text", "doc_id")
+        .filter(col("mean_millibits") <= 5360L)
+        .select(col("doc_id"))
+      graft.text.Corpus.packShards(
+          docs.join(keep, Seq("doc_id"), "left_semi"),
+          Seq("source"), "doc_id", col("n_chars"), budget = 4000L)
+        .orderBy(col("source"), col("doc_id"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -13471,5 +13490,89 @@ object SparkEntry {
         |LEFT JOIN br ON br.grp = ar.grp
         |  AND br.rb = (ar.r * nb.nbn + ar.na - 1) // ar.na
         |ORDER BY ar.grp, ar.s_suppkey""".stripMargin,
+
+    // Composition q318: blocklist presence gate + the q303 surprisal
+    // chain self-referenced on the clean set + the q305 pack recursion
+    "q318_curate_pack" ->
+      """WITH RECURSIVE dz AS MATERIALIZED (
+        |  SELECT doc_id, source, n_chars,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t,
+        |    list_filter(string_split_regex(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), clean AS MATERIALIZED (
+        |  SELECT doc_id, source, n_chars, tk FROM dz
+        |  WHERE strpos(t, 'query big query') = 0
+        |    AND strpos(t, 'table table table') = 0
+        |), base AS MATERIALIZED (
+        |  SELECT doc_id, source, n_chars, tk FROM clean WHERE len(tk) >= 1
+        |), uni AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(tk) AS w FROM clean) GROUP BY w
+        |), nn AS MATERIALIZED (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS nt FROM uni
+        |), refbi AS MATERIALIZED (
+        |  SELECT p.u, p.w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> struct_pack(u := tk[CAST(i AS BIGINT)],
+        |        w2 := tk[CAST(i + 1 AS BIGINT)]))) AS p
+        |    FROM clean)
+        |  GROUP BY p.u, p.w2
+        |), dp AS MATERIALIZED (
+        |  SELECT doc_id, p.u AS u, p.w2 AS w2,
+        |    CAST(count(*) AS BIGINT) AS k FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |      i -> struct_pack(u := tk[CAST(i AS BIGINT)],
+        |        w2 := tk[CAST(i + 1 AS BIGINT)]))) AS p
+        |    FROM base)
+        |  GROUP BY doc_id, p.u, p.w2
+        |), fb AS MATERIALIZED (
+        |  SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+        |    CASE WHEN u.c1 IS NOT NULL
+        |      THEN CAST(len(format('{:b}',
+        |        (SELECT nt FROM nn) // u.c1)) AS BIGINT)
+        |      ELSE CAST(len(format('{:b}',
+        |        (SELECT nt FROM nn))) AS BIGINT) + 1 END AS fbits
+        |  FROM base b LEFT JOIN uni u ON b.tk[1] = u.w
+        |), pb AS MATERIALIZED (
+        |  SELECT dp.doc_id,
+        |    CAST(sum(dp.k * CASE WHEN rb.c2 IS NOT NULL
+        |      THEN len(format('{:b}', u1.c1 // rb.c2))
+        |      ELSE 2 + CASE WHEN u2.c1 IS NOT NULL
+        |        THEN len(format('{:b}', (SELECT nt FROM nn) // u2.c1))
+        |        ELSE len(format('{:b}', (SELECT nt FROM nn))) + 1 END
+        |      END) AS BIGINT) AS pbsum
+        |  FROM dp
+        |  LEFT JOIN refbi rb ON dp.u = rb.u AND dp.w2 = rb.w2
+        |  LEFT JOIN uni u1 ON dp.u = u1.w
+        |  LEFT JOIN uni u2 ON dp.w2 = u2.w
+        |  GROUP BY dp.doc_id
+        |), kept AS MATERIALIZED (
+        |  SELECT fb.doc_id FROM fb LEFT JOIN pb USING (doc_id)
+        |  WHERE ((fb.fbits + coalesce(pb.pbsum, 0)) * 1000)
+        |    // fb.n_tokens <= 5360
+        |), d AS MATERIALIZED (
+        |  SELECT dz.source, dz.doc_id, CAST(dz.n_chars AS BIGINT) AS w,
+        |    CAST(row_number() OVER (PARTITION BY dz.source
+        |      ORDER BY dz.doc_id) AS BIGINT) AS rn
+        |  FROM dz JOIN kept ON dz.doc_id = kept.doc_id
+        |), f AS (
+        |  SELECT source, doc_id, w, rn, CAST(0 AS BIGINT) AS sh,
+        |    CAST(0 AS BIGINT) AS off, w AS run
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.w, d.rn,
+        |    CASE WHEN f.run + d.w > 4000 AND f.run > 0
+        |      THEN f.sh + 1 ELSE f.sh END,
+        |    CASE WHEN f.run + d.w > 4000 AND f.run > 0
+        |      THEN CAST(0 AS BIGINT) ELSE f.run END,
+        |    CASE WHEN f.run + d.w > 4000 AND f.run > 0
+        |      THEN d.w ELSE f.run + d.w END
+        |  FROM f JOIN d ON d.source = f.source AND d.rn = f.rn + 1
+        |)
+        |SELECT source, doc_id, w AS weight, sh AS shard_id,
+        |  off AS offset FROM f
+        |ORDER BY source, doc_id""".stripMargin,
   )
 }
