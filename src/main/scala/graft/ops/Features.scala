@@ -2932,11 +2932,14 @@ object Features {
     val d38 = DecimalType(38, 0)
     val gs = keyCols.map(col)
     val unit = math.pow(10, scale).toLong
-    val vU = (valueCol.cast(DecimalType(18, scale)) * lit(unit))
+    val vU = (valueCol.try_cast(DecimalType(18, scale)) * lit(unit))
       .cast(d38).cast("long")
-    // the quantizing cast nulls out NaN/Infinity/beyond-decimal values;
-    // filtering on the QUANTIZED value (not the raw one) skips those
-    // rows cleanly instead of poisoning the whole fold with one null
+    // the quantizing TRY-cast nulls out NaN/Infinity/beyond-decimal
+    // values (a plain cast would RAISE under Spark 4's ANSI default —
+    // the skip contract here is load-bearing: [[StreamingHolt]] pins
+    // prefix parity against exactly this skip-set); filtering on the
+    // QUANTIZED value (not the raw one) skips those rows cleanly
+    // instead of poisoning the whole fold with one null
     val arr = df.filter(valueCol.isNotNull && orderCol.isNotNull)
       .select(gs :+ orderCol.as("__o") :+ vU.as("__v"): _*)
       .filter(col("__v").isNotNull)

@@ -1060,7 +1060,10 @@ object Graph {
     var labels = adj.select(col("__a").as("node"))
       .distinct().withColumn("label", col("node"))
       .localCheckpoint(true)
-    var prev: DataFrame = null
+    // seed the release chain with the initial frame (the bfsDistance /
+    // pageRank discipline) so round 1's checkpoint frees it — leaving it
+    // out pins the initial label blocks for the session
+    var prev: DataFrame = labels
     for (_ <- 1 to rounds) {
       labels = laid
         .join(labels.repartition(p, col("node")),
@@ -1136,8 +1139,11 @@ object Graph {
               s"* $C div __mx AS BIGINT)"))
             .otherwise(0L).as(out))
     }
+    // initial hubs are a constant projection of the already-checkpointed
+    // node set — checkpointing it would orphan a frame outside the
+    // prevHub release chain (round 1 seeds prevHub with its RESULT, so a
+    // pre-loop checkpoint here would pin its blocks for the session)
     var hub = nodes.select(col("node"), lit(C).as("hub_mass"))
-      .localCheckpoint(true)
     var auth: DataFrame = null
     var prevHub: DataFrame = null
     var prevAuth: DataFrame = null
@@ -1162,11 +1168,16 @@ object Graph {
       prevHub = hNew
       hub = hNew
     }
+    // materialize the (node, hub, auth) result so the two final
+    // half-step checkpoints can be released here — a lazy join of two
+    // checkpointed frames is storage the CALLER could never free
+    // (Checkpoints.release on it would see a Join, not a LogicalRDD)
     val out = hub.join(auth, Seq("node"))
       .select(col("node"), col("hub_mass"), col("auth_mass"))
+      .localCheckpoint(true)
     bySrc.unpersist()
     byDst.unpersist()
-    Checkpoints.release(e, nodes)
+    Checkpoints.release(e, nodes, hub, auth)
     out
   }
 
@@ -1316,12 +1327,17 @@ object Graph {
       if (prev != null) Checkpoints.release(prev)
       prev = pi
     }
+    // materialize the |states|-row result eagerly so EVERY intermediate
+    // checkpoint (loop scaffolding and the lazy-consumed freq/pi0/pi
+    // alike) can be released here instead of pinning blocks for the
+    // session — the assortativity exit discipline
     val out = freq
       .join(pi0.select(col("__s"), col("__p").as("p0_ppm")), Seq("__s"))
       .join(pi.select(col("__s"), col("__p").as("pk_ppm")), Seq("__s"))
       .select(col("__s").as("state"), col("n_obs"), col("p0_ppm"),
         col("pk_ppm"))
-    Checkpoints.release(withNext)
+      .localCheckpoint(true)
+    Checkpoints.release(withNext, freq, pi0, trans, states, dangling, pi)
     out
   }
 }

@@ -66,7 +66,14 @@ object StreamingHolt {
               .setScale(scale,
                 scala.math.BigDecimal.RoundingMode.HALF_UP)
               .*(BigDecimal(unit))
-            if (bd.isValidLong) {
+            // fits-a-Long is NOT the batch bound: the batch cast chain
+            // goes through DecimalType(18, scale), whose unscaled value
+            // caps at 18 digits (|units| <= 10^18 - 1) — readings in the
+            // (10^18, ~9.2e18] gap must be skipped here too or the
+            // streaming skip-set diverges from batch
+            if (bd.isValidLong &&
+                bd.toLongExact > -1000000000000000000L &&
+                bd.toLongExact < 1000000000000000000L) {
               val x = bd.toLongExact
               s =
                 if (s.i == 0L) HoltState(1L, x, 0L)

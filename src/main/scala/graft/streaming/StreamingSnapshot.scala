@@ -48,10 +48,19 @@ object StreamingSnapshot {
           val vals = s.vals.toArray
           var j = 0
           while (j < width) {
+            // order ties compare values in UTF-8 BYTE order (Spark's
+            // UTF8String binary comparator — what the batch
+            // max(struct(order, v)) actually runs), NOT Java's UTF-16
+            // code-unit compareTo: the two disagree for supplementary
+            // code points vs U+E000..U+FFFF, and the contract here is
+            // exact prefix parity with the batch snapshot
             vs(j) match {
               case Some(v) if ord > ords(j) ||
-                  (ord == ords(j) &&
-                    vals(j).forall(_.compareTo(v) < 0)) =>
+                  (ord == ords(j) && vals(j).forall(old =>
+                    org.apache.spark.unsafe.types.UTF8String
+                      .fromString(old).compareTo(
+                        org.apache.spark.unsafe.types.UTF8String
+                          .fromString(v)) < 0)) =>
                 ords(j) = ord
                 vals(j) = Some(v)
               case _ =>

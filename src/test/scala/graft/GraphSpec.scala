@@ -413,4 +413,33 @@ class GraphSpec extends SparkSpec {
     // floor leak only: total within a few ppm of 1e6
     assert(1000000L - got.values.map(_._3).sum <= 6L)
   }
+
+  test("checkpoint hygiene: labelPropagation / hits / markovKStep " +
+      "leave ONLY their released-on-request result behind — the " +
+      "pre-loop seed frames enter the release chain (round-12 advice)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val obs = Seq(("k1", 1L, "A"), ("k1", 2L, "B"), ("k1", 3L, "A"),
+      ("k2", 1L, "A"), ("k2", 2L, "C")).toDF("k", "o", "s")
+    def persisted(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def check(name: String)(run: => org.apache.spark.sql.DataFrame):
+        Unit = {
+      val before = persisted()
+      val out = run
+      out.collect()
+      graft.ops.Checkpoints.release(out)
+      val leaked = persisted() -- before
+      assert(leaked.isEmpty,
+        s"$name leaked ${leaked.size} persistent RDD(s): $leaked")
+    }
+    check("labelPropagation")(
+      graft.ops.Graph.labelPropagation(edges, "src", "dst", rounds = 3))
+    check("hits")(
+      graft.ops.Graph.hits(edges, "src", "dst", rounds = 2))
+    check("markovKStep")(
+      graft.ops.Graph.markovKStep(obs, col("k"), col("o"), col("s"),
+        steps = 2))
+  }
 }

@@ -46,4 +46,38 @@ class StreamingHoltSpec extends SparkSpec {
     assert(rows(5L) == want,
       s"streaming ${rows(5L)} != batch $want")
   }
+
+  test("streaming holt: readings in the (10^18, Long-range] magnitude " +
+      "gap are skipped exactly like the batch DecimalType(18,scale) " +
+      "null-out — skip-sets stay identical (round-12 advice)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingHolt.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2),
+        alphaPpm = 300000L, betaPpm = 100000L, horizon = 7, scale = 0)
+      .toDF("key", "n", "level_units", "trend_units", "forecast_units")
+      .writeStream.format("memory").queryName("holt_gap_out")
+      .outputMode(StreamingHolt.outputMode)
+      .start()
+    // 2e18 fits a Long (< 9.2e18) but NOT DecimalType(18,0) — batch
+    // nulls it out; pre-fix streaming folded it
+    in.addData(("k1", 10.0), ("k1", 2.0e18), ("k1", 12.0),
+      ("k1", 14.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("holt_gap_out")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().maxBy(_._2)
+    assert(got._2 == 3L, s"gap value folded: n = ${got._2}")
+    val prefix = Seq(10.0, 2.0e18, 12.0, 14.0).zipWithIndex
+      .map { case (v, i) => ("k1", i.toLong, v) }
+      .toDF("k", "o", "v")
+    val batch = graft.ops.Features.holtForecast(prefix, Seq("k"),
+        col("o"), col("v"), 300000L, 100000L, 7, 0)
+      .collect().head
+    assert(batch.getLong(1) == 3L)
+    assert((got._3, got._4, got._5) ==
+      ((Option(batch.getLong(2)), Option(batch.getLong(3)),
+        Option(batch.getLong(4)))))
+  }
 }

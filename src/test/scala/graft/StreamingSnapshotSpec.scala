@@ -46,4 +46,39 @@ class StreamingSnapshotSpec extends SparkSpec {
     assert(Option(batch.getString(1)) == rows(3L)(0) &&
       Option(batch.getString(2)) == rows(3L)(1))
   }
+
+  test("streaming snapshot: order ties resolve in UTF-8 byte order " +
+      "(the batch max(struct) comparator), not UTF-16 code units — " +
+      "supplementary plane beats U+E000 (round-12 advice)") {
+    implicit val sqlCtx = spark.sqlContext
+    // U+E000 is one UTF-16 unit 0xE000 but UTF-8 bytes EE 80 80;
+    // U+10000 is the surrogate pair 0xD800 0xDC00 but UTF-8 F0 90 80
+    // 80 — Java compareTo says U+E000 wins the tie, UTF-8 byte order
+    // (and therefore the batch UTF8String comparator) says U+10000 does
+    val lo = "\uE000"
+    val hi = new String(Character.toChars(0x10000))
+    val in = MemoryStream[(String, Long, Seq[Option[String]])]
+    val q = StreamingSnapshot.monitor(
+        in.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3)),
+        width = 1)
+      .toDF("key", "n", "vals")
+      .writeStream.format("memory").queryName("snap_tie_out")
+      .outputMode(StreamingSnapshot.outputMode)
+      .start()
+    in.addData(("k", 5L, Seq(Some(lo))))
+    q.processAllAvailable()
+    in.addData(("k", 5L, Seq(Some(hi))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("snap_tie_out")
+      .as[(String, Long, Seq[Option[String]])].collect()
+      .maxBy(_._2)._3
+    assert(got == Seq(Some(hi)), s"tie kept $got, want $hi")
+    val prefix = Seq(("k", 5L, lo), ("k", 5L, hi))
+      .map(t => (t._1, t._2, Option(t._3)))
+      .toDF("k", "o", "va")
+    val batch = graft.ops.TimeSeries.snapshotLatest(prefix, Seq("k"),
+        Seq(col("o")), Seq("va")).collect().head
+    assert(Option(batch.getString(1)) == got(0))
+  }
 }
