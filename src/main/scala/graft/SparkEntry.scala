@@ -4256,6 +4256,55 @@ object SparkEntry {
           Seq("source"), "doc_id", col("n_chars"), budget = 4000L)
         .orderBy(col("source"), col("doc_id"))
     },
+
+    // X315 — mergeable KLL quantile sketches, self-verifying like
+    // q85/q95: the FULL artifact path (per-(group, shard) build →
+    // merge-from-bytes → query) runs in-plan, and a row only survives
+    // if (a) the merged sketch's update count equals the exact group
+    // count (conservation — KLL tracks n losslessly, so this half is
+    // deterministic) and (b) the sketch's pick lands within the exact
+    // [q−eps, q+eps] quantile bounds (rank gate at ~3× the k=200
+    // normalized rank error; KLL compaction is randomized, so the
+    // BOUND is the contract, not the bytes). Only exact picks surface,
+    // so DuckDB (which has no DataSketches) can hash-match.
+    "q319_kll_quantiles" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val qs = Seq(0.5, 0.9)
+      val eps = 0.05
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_orderkey"))
+      val sharded = li.withColumn("__shard",
+        pmod(hash(col("l_orderkey")), lit(8)))
+      val merged = Sketches.mergeQuantileSketches(
+        Sketches.quantileSketch(sharded, Seq("l_returnflag", "__shard"),
+          col("l_quantity")),
+        Seq("l_returnflag"))
+      val allQs = qs.flatMap(q => Seq(q - eps, q, q + eps)).distinct
+      val exact = graft.ops.Relational.quantilesDisc(li,
+          Seq("l_returnflag"), col("l_quantity"), allQs)
+        .groupBy(col("l_returnflag"))
+        .agg(map_from_entries(collect_list(
+          struct(col("q"), col("value")))).as("__m"))
+      val counts = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("__n"))
+      val rows = array(qs.map { q =>
+        struct(lit(q).as("q"),
+          element_at(col("__m"), lit(q)).as("value"),
+          element_at(col("__m"), lit(q - eps)).as("lo"),
+          element_at(col("__m"), lit(q + eps)).as("hi"),
+          Sketches.sketchQuantile(col("sketch"), lit(q)).as("approx"))
+      }: _*)
+      exact.join(merged, Seq("l_returnflag"))
+        .join(counts, Seq("l_returnflag"))
+        .filter(Sketches.sketchN(col("sketch")) === col("__n"))
+        .select(col("l_returnflag"), explode(rows).as("__r"))
+        .filter(col("__r.approx") >= col("__r.lo") &&
+          col("__r.approx") <= col("__r.hi"))
+        .select(col("l_returnflag"), col("__r.q").as("q"),
+          col("__r.value").as("value"))
+        .orderBy(col("l_returnflag"), col("q"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -13574,5 +13623,24 @@ object SparkEntry {
         |SELECT source, doc_id, w AS weight, sh AS shard_id,
         |  off AS offset FROM f
         |ORDER BY source, doc_id""".stripMargin,
+
+    // oracle covers only the EXACT picks — the KLL sketch gates rows
+    // on the Spark side (count conservation + rank-error bound) and
+    // never surfaces (q85/q95 pattern)
+    "q319_kll_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), qs AS (
+        |  SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE), 500000),
+        |    (0.9, 900000)) AS t(q, ppm)
+        |)
+        |SELECT l_returnflag, q, CAST(l_quantity AS DOUBLE) AS value
+        |FROM ranked, qs
+        |WHERE rn = (ppm * n + 999999) // 1000000
+        |ORDER BY l_returnflag, q""".stripMargin,
   )
 }

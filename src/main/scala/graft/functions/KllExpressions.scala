@@ -1,0 +1,248 @@
+package graft.functions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
+
+/** Mergeable KLL quantile sketches (X315) — the third leg of the
+  * persisted-sketch family: X71's HLL answers "how many distinct",
+  * X93's CMS answers "how often does THIS value occur", and KLL answers
+  * "what value sits at rank q" — all three as small binary artifacts
+  * built once per shard/day, stored next to the data, and merged at
+  * query time without rescanning. Spark ships HLL and CMS aggregates
+  * but NO mergeable quantile aggregate (`percentile_approx` is in-plan
+  * only — its KLL-float state is not exposed as a storable column), so
+  * build and merge are [[TypedImperativeAggregate]]s over the public
+  * Apache DataSketches KLL doubles sketch (already on every Spark 4
+  * classpath — Spark's own `hll_sketch_agg` ships the same library).
+  *
+  * Accuracy contract: for sketch parameter k, the INCLUSIVE-rank query
+  * returns a value whose true rank is within
+  * `KllSketch.getNormalizedRankError(k, false)` of q (~1.65% at k=200,
+  * 99% confidence), and merging never degrades the bound beyond the
+  * smallest k among the operands. Compaction makes the sketch BYTES
+  * run-dependent (KLL's level compactions flip fair coins), so probes
+  * gate the sketch answer against exact picks in RANK space and emit
+  * only exact values (the q85/q95 self-verification discipline); with
+  * fewer than ~3k updates nothing compacts and the sketch is exact.
+  *
+  * NaN and null updates are skipped (quantiles of the non-null finite
+  * population — the [[graft.ops.Relational.quantilesDisc]] convention).
+  */
+object KllExpressions {
+  /** Valid KLL k range (DataSketches bounds: [8, 65535]). */
+  def requireK(k: Int): Unit =
+    require(k >= 8 && k <= 65535, s"KLL k must be in [8, 65535]: $k")
+
+  private[functions] def emptySketch(k: Int): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  private[functions] def read(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+}
+
+/** Per-group KLL build aggregate: doubles in, compact sketch bytes out.
+  * Partial aggregation works map-side like any agg — `serialize` ships
+  * the compact byte image between stages, `merge` is the KLL merge.
+  */
+case class KllSketchAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch]
+    with UnaryLike[Expression] {
+  KllExpressions.requireK(k)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_sketch_agg: value must be DOUBLE, got ${child.dataType}")
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllExpressions.emptySketch(k)
+
+  override def update(buffer: KllDoublesSketch,
+      input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = v.asInstanceOf[Double]
+      if (!java.lang.Double.isNaN(d)) buffer.update(d)
+    }
+    buffer
+  }
+
+  override def merge(buffer: KllDoublesSketch,
+      other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any =
+    buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] =
+    buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllExpressions.read(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_sketch_agg"
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): KllSketchAgg = copy(child = newChild)
+}
+
+/** Union aggregate over stored KLL sketch bytes — the query-time step
+  * of the artifact path: |groups × shards| tiny binary rows in, one
+  * merged sketch per group out, the data never rescanned. Null inputs
+  * (e.g. from outer joins against missing shards) are skipped.
+  */
+case class KllMergeAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch]
+    with UnaryLike[Expression] {
+  KllExpressions.requireK(k)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_merge_agg: sketch must be BINARY, got ${child.dataType}")
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllExpressions.emptySketch(k)
+
+  override def update(buffer: KllDoublesSketch,
+      input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      buffer.merge(KllExpressions.read(v.asInstanceOf[Array[Byte]]))
+    }
+    buffer
+  }
+
+  override def merge(buffer: KllDoublesSketch,
+      other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any =
+    buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] =
+    buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllExpressions.read(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_merge_agg"
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): KllMergeAgg = copy(child = newChild)
+}
+
+/** Shared deserialize-once plumbing for the scalar KLL readers: probes
+  * run at GROUP grain (a handful of rows against the same sketch
+  * column), so CodegenFallback + a one-slot parse cache is the right
+  * tier — the [[CmsEstimate]] argument verbatim.
+  */
+trait KllScalarReader { self: BinaryExpression =>
+  @transient private var cachedRef: AnyRef = _
+  @transient private var cachedSketch: KllDoublesSketch = _
+  protected def sketchOf(bytes: Array[Byte]): KllDoublesSketch = {
+    if (!(bytes.asInstanceOf[AnyRef] eq cachedRef)) {
+      cachedSketch = KllExpressions.read(bytes)
+      cachedRef = bytes
+    }
+    cachedSketch
+  }
+  protected def checkSketchAnd(other: DataType,
+      name: String): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$name: sketch must be BINARY, got ${left.dataType}")
+    else if (right.dataType != other)
+      TypeCheckResult.TypeCheckFailure(
+        s"$name: argument must be $other, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+}
+
+/** `kll_quantile(sketch, q)` — the value at inclusive normalized rank
+  * q ∈ [0, 1]: the smallest retained value whose rank ≥ q, i.e. the
+  * sketch analog of the discrete (type-1) quantile pick. Null for an
+  * empty sketch (quantile of nothing is not a number, not a sentinel).
+  */
+case class KllQuantile(left: Expression, right: Expression)
+    extends BinaryExpression with KllScalarReader with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkSketchAnd(DoubleType, "kll_quantile")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_quantile"
+  override def nullSafeEval(sketchBytes: Any, q: Any): Any = {
+    val rank = q.asInstanceOf[Double]
+    require(rank >= 0.0 && rank <= 1.0,
+      s"kll_quantile: rank must be in [0, 1]: $rank")
+    val s = sketchOf(sketchBytes.asInstanceOf[Array[Byte]])
+    if (s.isEmpty) null
+    else s.getQuantile(rank, QuantileSearchCriteria.INCLUSIVE)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllQuantile =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `kll_rank(sketch, v)` — the estimated inclusive normalized rank of
+  * value v (fraction of the population ≤ v). Null for an empty sketch.
+  */
+case class KllRank(left: Expression, right: Expression)
+    extends BinaryExpression with KllScalarReader with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkSketchAnd(DoubleType, "kll_rank")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_rank"
+  override def nullSafeEval(sketchBytes: Any, v: Any): Any = {
+    val s = sketchOf(sketchBytes.asInstanceOf[Array[Byte]])
+    if (s.isEmpty) null
+    else s.getRank(v.asInstanceOf[Double],
+      QuantileSearchCriteria.INCLUSIVE)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllRank =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `kll_n(sketch)` — the EXACT number of updates the sketch has
+  * absorbed (KLL tracks n losslessly; 0 for an empty sketch). The
+  * cheap artifact-side sanity count: merged-sketch n must equal the
+  * sum of shard counts, before any accuracy question is asked.
+  */
+case class KllN(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_n: sketch must be BINARY, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_n"
+  override def nullSafeEval(sketchBytes: Any): Any =
+    KllExpressions.read(sketchBytes.asInstanceOf[Array[Byte]]).getN
+  override protected def withNewChildInternal(
+      newChild: Expression): KllN = copy(child = newChild)
+}

@@ -72,4 +72,72 @@ object Sketches {
     bridge.column(graft.functions.CmsEstimate(
       bridge.expression(sketch), bridge.expression(value)))
   }
+
+  // ——— KLL quantile sketches (X315) — the third mergeable artifact:
+  // HLL = distinct, CMS = frequency, KLL = rank/quantile. Spark has no
+  // storable quantile aggregate (percentile_approx's state never
+  // surfaces as a column), so build/merge are the engine's own
+  // TypedImperativeAggregates over the public DataSketches KLL doubles
+  // sketch ([[graft.functions.KllSketchAgg]] — accuracy and merge
+  // contracts documented there).
+
+  /** Per-group KLL quantile sketch of `valueCol` (cast to double) as a
+    * binary column `sketch` — the ~O(k·log n)-byte artifact to persist
+    * next to each shard. One map-side-combined aggregation.
+    */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val agg = bridge.column(graft.functions.KllSketchAgg(
+      bridge.expression(valueCol.cast("double")), k)
+      .toAggregateExpression()).as("sketch")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Merge per-shard KLL sketch tables back to one sketch per group —
+    * query-time cost is |groups × shards| small binary rows, never the
+    * data. `k` must match the build-side k (merging never upgrades
+    * accuracy beyond the smallest operand k).
+    */
+  def mergeQuantileSketches(sketches: DataFrame, groupCols: Seq[String],
+      k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val agg = bridge.column(graft.functions.KllMergeAgg(
+      bridge.expression(col("sketch")), k)
+      .toAggregateExpression()).as("sketch")
+    if (groupCols.isEmpty) sketches.agg(agg)
+    else sketches.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Value at inclusive normalized rank `q` of a KLL sketch column
+    * (null for an empty sketch). */
+  def sketchQuantile(sketch: Column, q: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.KllQuantile(
+      bridge.expression(sketch), bridge.expression(q.cast("double"))))
+  }
+
+  /** Estimated inclusive normalized rank of `value` in a KLL sketch
+    * column (null for an empty sketch). */
+  def sketchRank(sketch: Column, value: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.KllRank(
+      bridge.expression(sketch),
+      bridge.expression(value.cast("double"))))
+  }
+
+  /** Exact update count a KLL sketch has absorbed (KLL tracks n
+    * losslessly — the artifact-side conservation check). */
+  def sketchN(sketch: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.KllN(bridge.expression(sketch)))
+  }
+
+  /** The two-sided normalized rank error bound of a KLL sketch with
+    * parameter `k` at 99% confidence (~0.0165 at the default k=200) —
+    * the epsilon probes should gate against.
+    */
+  def kllRankError(k: Int): Double =
+    org.apache.datasketches.kll.KllSketch.getNormalizedRankError(k, false)
 }

@@ -79,4 +79,86 @@ class SketchesSpec extends SparkSpec {
       .orderBy("k").collect().map(r => r.getString(0) -> r.getLong(1))
     assert(got.toSeq == Seq("g1" -> 2L, "g2" -> 1L))
   }
+
+  test("kll: small-n sketch is EXACT — inclusive quantile = type-1 " +
+      "order statistic; n tracked losslessly; rank round-trips") {
+    // 40 values, k = 200: nothing compacts, every value is retained
+    val df = (1L to 40L).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val sk = Sketches.quantileSketch(df, Seq("k"), col("v"))
+    val got = sk.select(
+        Sketches.sketchN(col("sketch")).as("n"),
+        Sketches.sketchQuantile(col("sketch"), lit(0.5)).as("q50"),
+        Sketches.sketchQuantile(col("sketch"), lit(0.9)).as("q90"),
+        Sketches.sketchQuantile(col("sketch"), lit(1.0)).as("q100"),
+        Sketches.sketchRank(col("sketch"), lit(20.0)).as("r20"))
+      .head
+    assert(got.getLong(0) == 40L)
+    // inclusive rank q picks the smallest value with rank >= q:
+    // ceil(0.5*40) = 20th, ceil(0.9*40) = 36th, max for 1.0
+    assert(got.getDouble(1) == 20.0 && got.getDouble(2) == 36.0 &&
+      got.getDouble(3) == 40.0)
+    assert(got.getDouble(4) == 0.5)
+  }
+
+  test("kll: shard-merge conservation (exact n) and accuracy (rank " +
+      "error bound) vs the exact quantile over 50k skewed values") {
+    val n = 50000
+    // skewed: v = i^2 so ranks and values decouple
+    val data = (1 to n).map(i => ("g", i.toDouble * i)).toDF("k", "v")
+    val shards = (0 until 4).map(s =>
+      Sketches.quantileSketch(
+        data.filter(pmod(col("v").cast("long"), lit(4)) === s),
+        Seq("k"), col("v")))
+    val merged = Sketches.mergeQuantileSketches(
+      shards.reduce(_ unionByName _), Seq("k"))
+    val got = merged.select(
+        Sketches.sketchN(col("sketch")).as("n"),
+        Sketches.sketchQuantile(col("sketch"), lit(0.5)).as("q50"))
+      .head
+    // n is exact under merge — the conservation half of the contract
+    assert(got.getLong(0) == n.toLong)
+    // accuracy half: the pick's TRUE rank within the k=200 bound (use
+    // 2x the 99%-confidence epsilon to keep the test non-flaky)
+    val eps = Sketches.kllRankError(200)
+    val pickRank = math.sqrt(got.getDouble(1)) / n
+    assert(math.abs(pickRank - 0.5) <= 2 * eps,
+      s"pick ${got.getDouble(1)} has rank $pickRank, want 0.5 ± $eps")
+  }
+
+  test("kll: sketch bytes survive a parquet round trip and merge " +
+      "from storage (the persisted artifact path)") {
+    val df = (1L to 1000L).map(i => (s"s${i % 2}", i.toDouble))
+      .toDF("k", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kll").toString
+    Sketches.quantileSketch(df, Seq("k"), col("v"))
+      .write.mode("overwrite").parquet(dir)
+    val back = Sketches.mergeQuantileSketches(
+        spark.read.parquet(dir), Seq.empty)
+      .select(Sketches.sketchN(col("sketch")).as("n"),
+        Sketches.sketchQuantile(col("sketch"), lit(0.25)).as("q25"))
+      .head
+    assert(back.getLong(0) == 1000L)
+    val eps = Sketches.kllRankError(200)
+    assert(math.abs(back.getDouble(1) / 1000.0 - 0.25) <= 2 * eps)
+  }
+
+  test("kll: null and NaN updates are skipped; empty sketch reads " +
+      "null quantile/rank and n = 0") {
+    val df = Seq(Some(1.0), None, Some(Double.NaN), Some(3.0))
+      .toDF("v")
+    val sk = Sketches.quantileSketch(df, Seq.empty, col("v"))
+    val got = sk.select(Sketches.sketchN(col("sketch")).as("n"),
+        Sketches.sketchQuantile(col("sketch"), lit(1.0)).as("mx"))
+      .head
+    assert(got.getLong(0) == 2L && got.getDouble(1) == 3.0)
+    val empty = Sketches.quantileSketch(
+        df.filter(col("v") < 0), Seq.empty, col("v"))
+      .select(Sketches.sketchN(col("sketch")).as("n"),
+        Sketches.sketchQuantile(col("sketch"), lit(0.5)).as("q"),
+        Sketches.sketchRank(col("sketch"), lit(1.0)).as("r"))
+      .head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) &&
+      empty.isNullAt(2))
+  }
 }
