@@ -4305,6 +4305,20 @@ object SparkEntry {
           col("__r.value").as("value"))
         .orderBy(col("l_returnflag"), col("q"))
     },
+
+    // X316 — deterministic weighted-without-replacement sample
+    // (priority sampling): 200 documents weighted by length, the
+    // integer priority and 1-based rank both surfacing so the oracle
+    // verifies the FULL sort key, not just the selected set
+    "q320_priority_sample" -> { (s, dir) =>
+      graft.ops.Relational.prioritySample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          col("doc_id"),
+          least(col("n_chars") + 1L, lit(1000000L)),
+          n = 200, seed = "wrs1")
+        .select(col("doc_id"), col("priority"), col("sample_rank"))
+        .orderBy(col("sample_rank"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -13642,5 +13656,35 @@ object SparkEntry {
         |FROM ranked, qs
         |WHERE rn = (ppm * n + 999999) // 1000000
         |ORDER BY l_returnflag, q""".stripMargin,
+
+    // priority = (w·2^40) div (h40+1) in pure BIGINT arithmetic on
+    // both sides (the md5-unit-hash idiom of q87); top-200 by
+    // (priority desc, doc_id)
+    "q320_priority_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    least(CAST(n_chars AS BIGINT) + 1, 1000000) AS w,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5('wrs1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5('wrs1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5('wrs1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id,
+        |    (w * 1099511627776) // ((hv >> 20) + 1) AS priority
+        |  FROM h
+        |)
+        |SELECT doc_id, priority,
+        |  CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+        |    AS BIGINT) AS sample_rank
+        |FROM p
+        |ORDER BY priority DESC, doc_id
+        |LIMIT 200""".stripMargin,
   )
 }

@@ -847,6 +847,55 @@ object Relational {
       .drop("__copies")
   }
 
+  /** Deterministic weighted-without-replacement sample of exactly
+    * min(n, |rows|) rows (X316) — priority sampling (Duffield–Lund–
+    * Thorup, JACM 2007), the member of the Efraimidis–Spirakis
+    * weighted-reservoir family whose sort key is RATIONAL and therefore
+    * exact in integer arithmetic (A-ES's uᵢ^(1/wᵢ) key needs
+    * ln/pow, which no two engines round identically — the no-`ln`
+    * oracle-parity rule): each row draws uniform u from the engine's
+    * md5 unit hash of (seed, key) and gets priority w/u; the sample is
+    * the top n priorities. Inclusion probability ∝ weight (for small
+    * samples; exactly min(1, w/τ) in general), and the scheme supports
+    * unbiased subset-sum estimation: run with n+1 and the (n+1)-th
+    * priority is the threshold τ, ŵᵢ = max(wᵢ, τ) for sampled rows —
+    * the reason `priority` is emitted.
+    *
+    * Exactness (the cross-engine contract): u = (h₄₀+1)/2⁴⁰ from the
+    * TOP 40 bits of the 60-bit md5 hash, so
+    * `priority = (w·2⁴⁰) div (h₄₀+1)` is pure long arithmetic — weights
+    * are bounded to (0, 10⁶] (relative, only ratios matter — the
+    * [[rebalanceToTarget]] ppm convention, enforced in-plan with
+    * raise_error), keeping w·2⁴⁰ < 2⁶³. Identical integers in every
+    * engine; floor ties break by key. `sample_rank` is the 1-based
+    * position in (priority desc, key) order.
+    *
+    * Scale shape: the priority is a row-local projection (no shuffle,
+    * no RNG state — reproducible on any partitioning); top-n is ONE
+    * TakeOrderedAndProject (per-partition heaps of n, then a single
+    * n-row merge on the driver-side reduce — never a global sort); the
+    * final rank window runs over the n-row result only. n is a sample
+    * size: keep it ≤ 10⁷ (the result must fit one partition — the
+    * TakeOrdered contract).
+    */
+  def prioritySample(df: DataFrame, key: Column, weightCol: Column,
+      n: Int, seed: String = ""): DataFrame = {
+    require(n >= 1 && n <= 10000000, s"n must be in [1, 1e7]: $n")
+    val wRaw = weightCol.cast("long")
+    val w = when(wRaw.isNull || wRaw <= 0L || wRaw > 1000000L,
+      raise_error(concat(lit("prioritySample: weight out of (0, 1e6]: "),
+        coalesce(wRaw.cast("string"), lit("null")))))
+      .otherwise(wRaw)
+    val h40 = shiftright(
+      hashUnit(concat(lit(seed), lit("\u0001"), key.cast("string"))), 20)
+    val prio = graft.functions.Exact.longDiv(w * (1L << 40), h40 + 1L)
+    df.withColumn("priority", prio)
+      .orderBy(col("priority").desc, key)
+      .limit(n)
+      .withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("priority").desc, key)).cast("long"))
+  }
+
   /** Point-in-interval range join: rows of `points` matched to every
     * interval `[loCol, hiCol]` (inclusive) of `intervals` that contains
     * `pointCol`. Spark plans a bare inequality join as

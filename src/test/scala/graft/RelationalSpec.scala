@@ -1063,4 +1063,55 @@ class RelationalSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("prioritySample: priorities match the independent md5 formula " +
+      "exactly; partitioning-invariant; weight bounds raise in-plan") {
+    import spark.implicits._
+    // independent reimplementation of the priority: md5 first-15-hex
+    // as a 60-bit long, top 40 bits, floor(w * 2^40 / (h40 + 1))
+    def prioOf(seed: String, key: String, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((seed + "\u0001" + key)
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h60 = java.lang.Long.parseLong(hex.take(15), 16)
+      val h40 = h60 >> 20
+      // w * 2^40 stays < 2^63 for the ppm-bounded weights
+      (w * (1L << 40)) / (h40 + 1L)
+    }
+    val rows = (1L to 50L).map(i => (s"d$i", i * 137L % 999L + 1L))
+    val df = rows.toDF("id", "w")
+    val got = graft.ops.Relational.prioritySample(
+        df, col("id"), col("w"), n = 10, seed = "s7")
+      .select(col("id"), col("priority"), col("sample_rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the expected top-10 from the formula run over all 50 rows
+    val want = rows.map { case (id, w) => (id, prioOf("s7", id, w)) }
+      .sortBy { case (id, p) => (-p, id) }.take(10)
+      .zipWithIndex.map { case ((id, p), i) => (id, p, i + 1L) }
+    assert(got.sortBy(_._3).toSeq == want.toSeq)
+    // partitioning invariance: same sample and ranks at any layout
+    val re = graft.ops.Relational.prioritySample(
+        df.repartition(7), col("id"), col("w"), n = 10, seed = "s7")
+      .select(col("id"), col("priority"), col("sample_rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(re.sortBy(_._3).toSeq == want.toSeq)
+    // n >= |rows| degrades to a full weighted ranking
+    assert(graft.ops.Relational.prioritySample(
+      df, col("id"), col("w"), n = 100, seed = "s7").count() == 50L)
+    // weight 0 and > 1e6 are caller bugs and raise in-plan
+    Seq(0L, 1000001L).foreach { bad =>
+      val e = intercept[Exception] {
+        graft.ops.Relational.prioritySample(
+          Seq(("x", bad)).toDF("id", "w"), col("id"), col("w"),
+          n = 1).collect()
+      }
+      assert(e.getMessage != null)
+    }
+    // plan shape: top-n is TakeOrderedAndProject (per-partition heaps),
+    // never a global sort of the corpus
+    val plan = graft.ops.Relational.prioritySample(
+        df, col("id"), col("w"), n = 10, seed = "s7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
