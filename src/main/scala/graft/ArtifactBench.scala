@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Artifact-path benchmark (round-13 verdict item 3): the suffix-tier
+  * (X276–X278 `SuffixSpans.spanTable` + `*From` consumers) and the
+  * trigram-index tier (X302 `Corpus.trigramPostings` +
+  * `substringSearchFrom`) both claim persist-once economics — build
+  * the artifact one time, answer every later query from it without
+  * repeating the expensive build — but the per-round bench only times
+  * the self-contained forms. This main measures BOTH sides at sf0.1:
+  *
+  *   - `build`: artifact construction + parquet write (paid once)
+  *   - `consumer`: each consumer query served FROM the stored artifact
+  *   - `self`: the same query in its self-contained form (what the
+  *     per-round bench reports)
+  *
+  * Prints one JSON line; numbers land in BENCHLOG.md next to the
+  * self-contained ones. Uses the Bench session/config conventions.
+  */
+object ArtifactBench {
+  private def clearState(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
+      "/tmp/graft_artifacts")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      clearState(spark)
+      sec
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // min-of-2 like Bench: sample 1 carries plan compilation
+    def best(label: String)(body: => Unit): Double = {
+      val a = time(body); val b = time(body)
+      val m = math.min(a, b)
+      System.err.println(f"[artifact] $label%-28s $m%8.2f s (first $a%.2f)")
+      m
+    }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+
+    import graft.text.{Corpus, SuffixSpans}
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // ——— suffix tier: q284 analog (full corpus) ———
+    results("q284_self") = best("q284 self-contained") {
+      noop(SuffixSpans.longestRepeatedSpans(docs, "text", "doc_id",
+        minTokens = 8, maxSpan = 128))
+    }
+    results("span_build_full") = best("spanTable build+write (full)") {
+      SuffixSpans.spanTable(docs, "text", "doc_id",
+          minTokens = 8, maxSpan = 128)
+        .write.mode("overwrite").parquet(s"$out/span_full")
+    }
+    val spanFull = spark.read.parquet(s"$out/span_full")
+    results("q284_consumer") = best("q284 from artifact") {
+      noop(SuffixSpans.longestRepeatedSpansFrom(docs, spanFull,
+        "text", "doc_id", minTokens = 8))
+    }
+
+    // ——— suffix tier: q285/q286 analogs (even-doc split, the probes'
+    // exact scope) served from ONE even-split artifact ———
+    results("q285_self") = best("q285 self-contained") {
+      noop(SuffixSpans.repeatedSpanCoverage(even, "text", "doc_id",
+        minTokens = 8, maxSpan = 128))
+    }
+    results("q286_self") = best("q286 self-contained") {
+      noop(SuffixSpans.removeRepeatedSpans(even, "text", "doc_id",
+        minTokens = 8, maxSpan = 128))
+    }
+    results("span_build_even") = best("spanTable build+write (even)") {
+      SuffixSpans.spanTable(even, "text", "doc_id",
+          minTokens = 8, maxSpan = 128)
+        .write.mode("overwrite").parquet(s"$out/span_even")
+    }
+    val spanEven = spark.read.parquet(s"$out/span_even")
+    results("q285_consumer") = best("q285 from artifact") {
+      noop(SuffixSpans.repeatedSpanCoverageFrom(even, spanEven,
+        "text", "doc_id", minTokens = 8))
+    }
+    results("q286_consumer") = best("q286 from artifact") {
+      noop(SuffixSpans.removeRepeatedSpansFrom(even, spanEven,
+        "text", "doc_id", minTokens = 8))
+    }
+
+    // ——— trigram tier: q307 analog, five patterns against one index
+    // (the many-queries-one-index case the artifact exists for) ———
+    val patterns = Seq("value table part", "customer order",
+      "window agg sort", "hash join", "slow scan")
+    results("q307_self_5pat") = best("q307 self-contained x5 patterns") {
+      patterns.foreach(p =>
+        noop(Corpus.substringSearch(docs, "text", "doc_id", p)))
+    }
+    results("postings_build") = best("trigramPostings build+write") {
+      Corpus.trigramPostings(docs, "text", "doc_id")
+        .write.mode("overwrite").parquet(s"$out/postings")
+    }
+    val postings = spark.read.parquet(s"$out/postings")
+    results("q307_consumer_5pat") = best("q307 from postings x5") {
+      patterns.foreach(p =>
+        noop(Corpus.substringSearchFrom(docs, postings,
+          "text", "doc_id", p)))
+    }
+
+    val json = results.map { case (k, v) => s""""$k":$v""" }
+      .mkString(",")
+    println(s"""{"metric":"artifact","sf":"${sfDir.split('/').last}","cpus":$cpus,$json}""")
+    spark.stop()
+  }
+}
