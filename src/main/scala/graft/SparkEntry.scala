@@ -4319,6 +4319,63 @@ object SparkEntry {
         .select(col("doc_id"), col("priority"), col("sample_rank"))
         .orderBy(col("sample_rank"))
     },
+
+    // X317 — per-stratum weighted sample: 50 docs per source, same
+    // exact integer priority, ranked within the stratum
+    "q321_stratified_priority" -> { (s, dir) =>
+      graft.ops.Relational.prioritySampleStratified(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("n_chars")),
+          Seq("source"), col("doc_id"),
+          least(col("n_chars") + 1L, lit(1000000L)),
+          n = 50, seed = "wrs2")
+        .select(col("source"), col("doc_id"), col("priority"),
+          col("sample_rank"))
+        .orderBy(col("source"), col("sample_rank"))
+    },
+
+    // X318 — Newman modularity of a labeled partition over the
+    // user–event-type bipartite graph; every-10th user left unlabeled
+    // so the coverage accounting (n_dropped) is exercised, labels are
+    // engine-portable arithmetic of the node itself
+    "q322_modularity" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val e = ev.select(
+          concat(lit("u:"), col("user_id").cast("string")).as("src"),
+          concat(lit("t:"), col("event_type")).as("dst"))
+        .distinct()
+      val lab = ev.select(
+          concat(lit("u:"), col("user_id").cast("string")).as("node"),
+          pmod(col("user_id"), lit(3L)).as("label"))
+        .filter(pmod(col("user_id"), lit(10L)) =!= 0L)
+        .unionByName(ev.select(
+          concat(lit("t:"), col("event_type")).as("node"),
+          pmod(length(col("event_type")).cast("long"), lit(3L))
+            .as("label")))
+        .distinct()
+      graft.ops.Graph.modularity(e, "src", "dst", lab, "node", "label")
+        .orderBy(col("n_edges"))
+    },
+
+    // X319 — per-community conductance over the same labeled graph
+    "q323_conductance" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val e = ev.select(
+          concat(lit("u:"), col("user_id").cast("string")).as("src"),
+          concat(lit("t:"), col("event_type")).as("dst"))
+        .distinct()
+      val lab = ev.select(
+          concat(lit("u:"), col("user_id").cast("string")).as("node"),
+          pmod(col("user_id"), lit(3L)).as("label"))
+        .filter(pmod(col("user_id"), lit(10L)) =!= 0L)
+        .unionByName(ev.select(
+          concat(lit("t:"), col("event_type")).as("node"),
+          pmod(length(col("event_type")).cast("long"), lit(3L))
+            .as("label")))
+        .distinct()
+      graft.ops.Graph.conductance(e, "src", "dst", lab, "node", "label")
+        .orderBy(col("label"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -13686,5 +13743,129 @@ object SparkEntry {
         |FROM p
         |ORDER BY priority DESC, doc_id
         |LIMIT 200""".stripMargin,
+
+    "q321_stratified_priority" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    least(CAST(n_chars AS BIGINT) + 1, 1000000) AS w,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5('wrs2' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5('wrs2' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5('wrs2' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents
+        |), p AS (
+        |  SELECT source, doc_id,
+        |    (w * 1099511627776) // ((hv >> 20) + 1) AS priority
+        |  FROM h
+        |), r AS (
+        |  SELECT source, doc_id, priority,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY priority DESC, doc_id) AS BIGINT) AS sample_rank
+        |  FROM p
+        |)
+        |SELECT source, doc_id, priority, sample_rank
+        |FROM r WHERE sample_rank <= 50
+        |ORDER BY source, sample_rank""".stripMargin,
+
+    // modularity cleared to ONE rational: Q = Σc(4m·e_c − d_c²)/4m²,
+    // HUGEINT intermediates, BIGINT result — truncation toward zero
+    // matches Spark's div (verified: -7 // 2 = -3 in DuckDB)
+    "q322_modularity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS s,
+        |    't:' || event_type AS d
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM e0 WHERE s <> d
+        |), lab AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS n,
+        |    CAST(user_id % 3 AS BIGINT) AS l
+        |  FROM events WHERE user_id % 10 <> 0
+        |  UNION
+        |  SELECT DISTINCT 't:' || event_type,
+        |    CAST(length(event_type) % 3 AS BIGINT)
+        |  FROM events
+        |), el AS (
+        |  SELECT e.a, e.b, la.l AS la, lb.l AS lb
+        |  FROM e
+        |  LEFT JOIN lab la ON e.a = la.n
+        |  LEFT JOIN lab lb ON e.b = lb.n
+        |), tot AS (
+        |  SELECT CAST(sum(CASE WHEN la IS NOT NULL AND lb IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN la IS NULL OR lb IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+        |  FROM el
+        |), ends AS (
+        |  SELECT la AS c, la = lb AS isin FROM el
+        |  WHERE la IS NOT NULL AND lb IS NOT NULL
+        |  UNION ALL
+        |  SELECT lb, la = lb FROM el
+        |  WHERE la IS NOT NULL AND lb IS NOT NULL
+        |), stats AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS d_c,
+        |    CAST(sum(CASE WHEN isin THEN 1 ELSE 0 END) // 2
+        |      AS BIGINT) AS e_c
+        |  FROM ends GROUP BY c
+        |)
+        |SELECT tot.m AS n_edges, tot.dropped AS n_dropped,
+        |  CAST(count(*) AS BIGINT) AS n_communities,
+        |  CASE WHEN tot.m > 0 THEN
+        |    CAST(((4 * tot.m * CAST(sum(e_c) AS HUGEINT) -
+        |      sum(CAST(d_c AS HUGEINT) * d_c)) * 1000000)
+        |      // (4 * CAST(tot.m AS HUGEINT) * tot.m) AS BIGINT)
+        |  END AS q_ppm
+        |FROM stats, tot
+        |GROUP BY tot.m, tot.dropped
+        |ORDER BY n_edges""".stripMargin,
+
+    "q323_conductance" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS s,
+        |    't:' || event_type AS d
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM e0 WHERE s <> d
+        |), lab AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS n,
+        |    CAST(user_id % 3 AS BIGINT) AS l
+        |  FROM events WHERE user_id % 10 <> 0
+        |  UNION
+        |  SELECT DISTINCT 't:' || event_type,
+        |    CAST(length(event_type) % 3 AS BIGINT)
+        |  FROM events
+        |), el AS (
+        |  SELECT e.a, e.b, la.l AS la, lb.l AS lb
+        |  FROM e
+        |  JOIN lab la ON e.a = la.n
+        |  JOIN lab lb ON e.b = lb.n
+        |), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
+        |ends AS (
+        |  SELECT la AS c, a AS v, la = lb AS isin FROM el
+        |  UNION ALL
+        |  SELECT lb, b, la = lb FROM el
+        |)
+        |SELECT c AS label,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_nodes,
+        |  CAST(sum(CASE WHEN isin THEN 1 ELSE 0 END) // 2 AS BIGINT)
+        |    AS internal_edges,
+        |  CAST(sum(CASE WHEN isin THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS cut_edges,
+        |  CAST(count(*) AS BIGINT) AS volume,
+        |  CASE WHEN least(count(*), 2 * m.m - count(*)) > 0 THEN
+        |    CAST(sum(CASE WHEN isin THEN 0 ELSE 1 END) * 1000000
+        |      // least(count(*), 2 * m.m - count(*)) AS BIGINT)
+        |  END AS conductance_ppm
+        |FROM ends, m
+        |GROUP BY c, m.m
+        |ORDER BY label""".stripMargin,
   )
 }

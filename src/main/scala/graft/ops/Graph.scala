@@ -1340,4 +1340,134 @@ object Graph {
     Checkpoints.release(withNext, freq, pi0, trans, states, dangling, pi)
     out
   }
+
+  /** Shared per-community edge statistics for [[modularity]] /
+    * [[conductance]]: canonicalize to a simple undirected graph
+    * (dedup, drop self-loops), attach a label to BOTH endpoints
+    * (edges with an unlabeled endpoint are DROPPED and counted —
+    * scoring a partition that doesn't cover the graph should be
+    * visible, not fatal), then ONE endpoint-explode aggregation to
+    * community grain: `d_c` (volume = sum of member degrees), `e_c`
+    * (internal edges), `cut_c` (edges leaving c), `n_nodes` (labeled
+    * members present in the graph). A node with two DIFFERENT labels
+    * raises in-plan — a multi-labeled partition is a caller bug that
+    * would silently double-count edges through the label join.
+    *
+    * Returns (per-community stats, one-row totals (m, dropped)).
+    */
+  private def communityEdgeStats(edges: DataFrame, aCol: String,
+      bCol: String, labels: DataFrame, nodeCol: String,
+      labelCol: String): (DataFrame, DataFrame) = {
+    val e = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"))
+      .distinct()
+    val lab = labels
+      .filter(col(nodeCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(nodeCol).as("__n"))
+      .agg(when(countDistinct(col(labelCol)) > 1, raise_error(concat(
+          lit("communityEdgeStats: node with multiple labels: "),
+          col(nodeCol).cast("string"))))
+        .otherwise(max(col(labelCol))).as("__l"))
+    val el = e
+      .join(lab.select(col("__n").as("__a"), col("__l").as("__la")),
+        Seq("__a"), "left")
+      .join(lab.select(col("__n").as("__b"), col("__l").as("__lb")),
+        Seq("__b"), "left")
+    val totals = el.agg(
+      sum(when(col("__la").isNotNull && col("__lb").isNotNull, 1L)
+        .otherwise(0L)).as("m"),
+      sum(when(col("__la").isNull || col("__lb").isNull, 1L)
+        .otherwise(0L)).as("dropped"))
+    val scored = el.filter(col("__la").isNotNull && col("__lb").isNotNull)
+    val ends = scored.select(col("__la").as("__c"), col("__a").as("__v"),
+        (col("__la") === col("__lb")).as("__in"))
+      .unionByName(scored.select(col("__lb").as("__c"),
+        col("__b").as("__v"), (col("__la") === col("__lb")).as("__in")))
+    val stats = ends.groupBy(col("__c"))
+      .agg(count(lit(1)).as("d_c"),
+        // each internal edge contributed one __in row per endpoint —
+        // exact halving via integral divide (a double `/` would lose
+        // ulps past 2^53 edges)
+        graft.functions.Exact.longDiv(
+          sum(when(col("__in"), 1L).otherwise(0L)), 2L).as("e_c"),
+        sum(when(col("__in"), 0L).otherwise(1L)).as("cut_c"),
+        countDistinct(col("__v")).as("n_nodes"))
+    (stats, totals)
+  }
+
+  /** Newman modularity of a labeled partition (X318) — the one-scalar
+    * quality score for ANY community assignment this module produces
+    * ([[labelPropagation]] labels, [[connectedComponents]] clusters,
+    * domain/source attributes): Q = Σ_c [e_c/m − (d_c/2m)²], the
+    * intra-community edge excess over the degree-preserving random
+    * null model; Q ≈ 0 means the partition explains nothing, higher
+    * is denser-than-chance. Exact: the whole sum clears to ONE
+    * rational, Q = Σ_c(4m·e_c − d_c²) / 4m², numerator and
+    * denominator exact decimal(38,0) integers (d_c ≤ 2m so every term
+    * is bounded by 4m² < 10³⁸ up to m ~ 10¹⁸ edges), `q_ppm` one
+    * truncating division — bit-identical in any engine, no float ever.
+    * Self-loops drop, duplicate/reversed edges collapse (simple-graph
+    * convention, matching [[degreeAssortativity]]); edges with an
+    * unlabeled endpoint are dropped and surfaced as `n_dropped`.
+    * Output one row: `n_edges`, `n_dropped`, `n_communities`, `q_ppm`
+    * (null when no edge survives).
+    *
+    * Scale shape: edge volume touches one canonicalize-distinct, two
+    * node-grain label joins (standard edge annotate, linear), and one
+    * endpoint-explode map-side-combined agg to community grain; the
+    * modularity algebra runs on |communities| rows with two one-row
+    * broadcasts. No window, no loop, no collect.
+    */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, nodeCol: String,
+      labelCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val (stats, totals) = communityEdgeStats(edges, aCol, bCol,
+      labels, nodeCol, labelCol)
+    val num = stats.agg(count(lit(1)).as("n_communities"),
+      sum(col("e_c")).as("__sumE"),
+      sum(col("d_c").cast(d38) * col("d_c")).as("__sumD2"))
+    num.crossJoin(broadcast(totals))
+      .select(col("m").as("n_edges"), col("dropped").as("n_dropped"),
+        coalesce(col("n_communities"), lit(0L)).cast("long")
+          .as("n_communities"),
+        when(col("m") > 0L, graft.functions.Exact.longDiv(
+          (col("m").cast(d38) * 4L * coalesce(col("__sumE"), lit(0L)) -
+            coalesce(col("__sumD2"), lit(0).cast(d38))) * 1000000L,
+          col("m").cast(d38) * col("m") * 4L).cast("long"))
+          .as("q_ppm"))
+  }
+
+  /** Per-community conductance (X319) — the boundary-quality
+    * companion to [[modularity]]'s global scalar: for each community,
+    * φ(c) = cut(c) / min(vol(c), vol(V∖c)) — the fraction of the
+    * smaller side's edge volume that crosses the boundary; low φ =
+    * well-separated, φ near 1 = the "community" is a random slice.
+    * The per-community report that tells WHICH communities of a
+    * labeling are real. Exact integers end-to-end; `conductance_ppm`
+    * one truncating division, null when min(vol, 2m−vol) = 0 (an
+    * isolated or all-absorbing community has no defined boundary
+    * quality — null, never a fabricated 0 or 1). Same simple-graph
+    * canonicalization, label-coverage, and scale shape as
+    * [[modularity]] (the shared [[communityEdgeStats]] pass); output
+    * per community: `n_nodes`, `internal_edges`, `cut_edges`,
+    * `volume`, `conductance_ppm`.
+    */
+  def conductance(edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, nodeCol: String,
+      labelCol: String): DataFrame = {
+    val (stats, totals) = communityEdgeStats(edges, aCol, bCol,
+      labels, nodeCol, labelCol)
+    stats.crossJoin(broadcast(totals))
+      .select(col("__c").as("label"), col("n_nodes"),
+        col("e_c").as("internal_edges"), col("cut_c").as("cut_edges"),
+        col("d_c").as("volume"),
+        when(least(col("d_c"), col("m") * 2L - col("d_c")) > 0L,
+          graft.functions.Exact.longDiv(col("cut_c") * 1000000L,
+            least(col("d_c"), col("m") * 2L - col("d_c"))))
+          .as("conductance_ppm"))
+  }
 }

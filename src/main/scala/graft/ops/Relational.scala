@@ -881,19 +881,59 @@ object Relational {
   def prioritySample(df: DataFrame, key: Column, weightCol: Column,
       n: Int, seed: String = ""): DataFrame = {
     require(n >= 1 && n <= 10000000, s"n must be in [1, 1e7]: $n")
-    val wRaw = weightCol.cast("long")
-    val w = when(wRaw.isNull || wRaw <= 0L || wRaw > 1000000L,
-      raise_error(concat(lit("prioritySample: weight out of (0, 1e6]: "),
-        coalesce(wRaw.cast("string"), lit("null")))))
-      .otherwise(wRaw)
-    val h40 = shiftright(
-      hashUnit(concat(lit(seed), lit("\u0001"), key.cast("string"))), 20)
-    val prio = graft.functions.Exact.longDiv(w * (1L << 40), h40 + 1L)
-    df.withColumn("priority", prio)
+    df.withColumn("priority",
+        priorityOf(key, weightCol, seed, "prioritySample"))
       .orderBy(col("priority").desc, key)
       .limit(n)
       .withColumn("sample_rank", row_number().over(
         Window.orderBy(col("priority").desc, key)).cast("long"))
+  }
+
+  /** The shared exact priority: ⌊w·2⁴⁰ / (h₄₀+1)⌋ with w ppm-bounded,
+    * in-plan raise_error on out-of-range weights (see
+    * [[prioritySample]] for the full contract).
+    */
+  private def priorityOf(key: Column, weightCol: Column, seed: String,
+      caller: String): Column = {
+    val wRaw = weightCol.cast("long")
+    val w = when(wRaw.isNull || wRaw <= 0L || wRaw > 1000000L,
+      raise_error(concat(lit(s"$caller: weight out of (0, 1e6]: "),
+        coalesce(wRaw.cast("string"), lit("null")))))
+      .otherwise(wRaw)
+    val h40 = shiftright(
+      hashUnit(concat(lit(seed), lit("\u0001"), key.cast("string"))), 20)
+    graft.functions.Exact.longDiv(w * (1L << 40), h40 + 1L)
+  }
+
+  /** Per-STRATUM weighted-without-replacement sample (X317) — the
+    * [[prioritySample]] priority ranked WITHIN each group instead of
+    * globally: exactly min(n, |stratum|) rows per stratum, inclusion
+    * within a stratum ∝ weight. The weighted generalization of
+    * [[stratifiedSample]] (which is the uniform w = const case) — the
+    * curation shape "per source, keep n docs favoring the long/high-
+    * quality ones, deterministically". Same exact-integer priority
+    * (identical in every engine), same DLT estimator support per
+    * stratum (run n+1; the (n+1)-th priority is that stratum's τ).
+    *
+    * Scale shape: priority is a row-local projection; per-group top-n
+    * is ONE row_number window that Spark caps at n rows of state per
+    * group BEFORE the shuffle (WindowGroupLimit — the
+    * [[stratifiedSample]] plan, pinned in RelationalSpec), so a giant
+    * stratum costs its scan, never its size. No global sort anywhere.
+    */
+  def prioritySampleStratified(df: DataFrame, groupCols: Seq[String],
+      key: Column, weightCol: Column, n: Int,
+      seed: String = ""): DataFrame = {
+    require(groupCols.nonEmpty,
+      "prioritySampleStratified needs group columns (use " +
+        "prioritySample for the global form)")
+    require(n >= 1 && n <= 10000000, s"n must be in [1, 1e7]: $n")
+    df.withColumn("priority",
+        priorityOf(key, weightCol, seed, "prioritySampleStratified"))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("priority").desc, key)).cast("long"))
+      .filter(col("sample_rank") <= n)
   }
 
   /** Point-in-interval range join: rows of `points` matched to every

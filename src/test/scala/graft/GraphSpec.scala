@@ -414,6 +414,57 @@ class GraphSpec extends SparkSpec {
     assert(1000000L - got.values.map(_._3).sum <= 6L)
   }
 
+  test("modularity: hand-computed two-triangle bridge, unlabeled " +
+      "endpoint drops with accounting, multi-label raises") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: m=7, e_c=3 each,
+    // d_c=7 each -> Q = 2*(3/7 - (7/14)^2) = 5/14 -> 357142 ppm
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node", "label")
+    val got = graft.ops.Graph.modularity(edges, "a", "b", labels,
+      "node", "label").collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) == ((7L, 0L, 2L, 357142L)))
+    // an extra edge to unlabeled node 7 drops and is counted
+    val edges2 = edges.unionByName(Seq((6L, 7L)).toDF("a", "b"))
+    val got2 = graft.ops.Graph.modularity(edges2, "a", "b", labels,
+      "node", "label").collect().head
+    assert(got2.getLong(0) == 7L && got2.getLong(1) == 1L &&
+      got2.getLong(3) == 357142L)
+    // a node with two different labels is a caller bug and raises
+    val bad = labels.unionByName(Seq((1L, 99L)).toDF("node", "label"))
+    val e = intercept[Exception] {
+      graft.ops.Graph.modularity(edges, "a", "b", bad,
+        "node", "label").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("conductance: hand-computed boundary ratios; single-community " +
+      "partition reads null (no defined boundary)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node", "label")
+    // each community: 3 nodes, 3 internal, 1 cut, vol 7, min(7,7)=7
+    // -> 142857 ppm
+    val got = graft.ops.Graph.conductance(edges, "a", "b", labels,
+        "node", "label")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.get(5)))).toMap
+    assert(got(10L) == ((3L, 3L, 1L, 7L, 142857L)))
+    assert(got(20L) == ((3L, 3L, 1L, 7L, 142857L)))
+    // one community holding the whole graph: vol = 2m, min side 0
+    val one = labels.select(col("node"), lit(1L).as("label"))
+    val all = graft.ops.Graph.conductance(edges, "a", "b", one,
+      "node", "label").collect().head
+    assert(all.getLong(2) == 7L && all.getLong(3) == 0L &&
+      all.isNullAt(5))
+  }
+
   test("checkpoint hygiene: labelPropagation / hits / markovKStep " +
       "leave ONLY their released-on-request result behind — the " +
       "pre-loop seed frames enter the release chain (round-12 advice)") {

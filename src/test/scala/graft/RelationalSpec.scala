@@ -1114,4 +1114,38 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("prioritySampleStratified: per-stratum top-n agrees with the " +
+      "global priorities restricted to the stratum; WindowGroupLimit " +
+      "caps state; short strata return whole") {
+    import spark.implicits._
+    val rows = (1L to 60L).map(i =>
+      (s"g${i % 3}", s"d$i", i % 7L * 100L + 1L))
+    val df = rows.toDF("g", "id", "w")
+    val got = graft.ops.Relational.prioritySampleStratified(
+        df, Seq("g"), col("id"), col("w"), n = 4, seed = "st1")
+      .select(col("g"), col("id"), col("sample_rank"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2)))
+    assert(got.length == 12 &&
+      got.groupBy(_._1).forall(_._2.length == 4))
+    // the same rows the GLOBAL operator picks when run per-stratum
+    rows.map(_._1).distinct.foreach { g =>
+      val solo = graft.ops.Relational.prioritySample(
+          df.filter(col("g") === g), col("id"), col("w"), n = 4,
+          seed = "st1")
+        .select(col("id"), col("sample_rank"))
+        .collect().map(r => (g, r.getString(0), r.getLong(1))).toSet
+      assert(got.filter(_._1 == g).toSet == solo)
+    }
+    // a stratum smaller than n returns whole
+    val small = graft.ops.Relational.prioritySampleStratified(
+      df.filter(col("g") === "g1"), Seq("g"), col("id"), col("w"),
+      n = 100, seed = "st1")
+    assert(small.count() == 20L)
+    val plan = graft.ops.Relational.prioritySampleStratified(
+        df, Seq("g"), col("id"), col("w"), n = 4, seed = "st1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
