@@ -4376,6 +4376,36 @@ object SparkEntry {
       graft.ops.Graph.conductance(e, "src", "dst", lab, "node", "label")
         .orderBy(col("label"))
     },
+
+    // X320 — SAX symbol words (empirical-quantile variant) per event
+    // type: equal-count PAA over the µs-ordered value series,
+    // breakpoints at the key's own exact quantile ranks, symbols by
+    // cross-multiplied mean-vs-breakpoint comparison — no division,
+    // no float, no Gaussian table
+    "q324_sax" -> { (s, dir) =>
+      graft.ops.TimeSeries.saxWords(
+          events(s, dir).select(col("event_type"),
+            nsToMicros(col("ts_ns")).as("ts_us"), col("value")),
+          Seq("event_type"), col("ts_us"), col("value"),
+          segments = 8, alphabet = 4, scale = 2)
+        .orderBy(col("event_type"))
+    },
+
+    // X321 — ROUGE-2 overlap eval over adjacent same-source document
+    // pairs (candidate = doc, reference = next doc): clipped multiset
+    // bigram match with exact ppm precision/recall/Dice-F1
+    "q325_rouge" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val pairs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+        .withColumn("ref_text", lead(col("text"), 1).over(w))
+        .filter(col("ref_text").isNotNull)
+        .select(col("doc_id"), col("text"), col("ref_text"))
+      graft.text.Corpus.ngramOverlapEval(pairs, "doc_id", "text",
+          "ref_text", n = 2)
+        .orderBy(col("doc_id"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -13867,5 +13897,105 @@ object SparkEntry {
         |FROM ends, m
         |GROUP BY c, m.m
         |ORDER BY label""".stripMargin,
+
+    // SAX mirrored step-for-step: quantize via the q268 decimal idiom,
+    // rank ties break by the quantized value, breakpoint ranks
+    // ⌈i·n/4⌉ via (i·n + 3) // 4, segment ⌊r·8/n⌋, symbol =
+    // breakpoints strictly below the mean by cross-multiplication
+    "q324_sax" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, epoch_us(ts) AS o,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT k, v,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY o, v)
+        |      AS BIGINT) - 1 AS r,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |  FROM b
+        |), bp AS (
+        |  SELECT k, list(v ORDER BY i) AS bps
+        |  FROM (
+        |    SELECT r.k, i.i AS i, r.v
+        |    FROM r, (SELECT unnest(generate_series(1, 3)) AS i) i
+        |    WHERE (i.i * r.n + 3) // 4 = r.r + 1
+        |  ) GROUP BY k
+        |), seg AS (
+        |  SELECT k, (r * 8) // n AS seg,
+        |    CAST(sum(v) AS HUGEINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS c,
+        |    max(n) AS n
+        |  FROM r GROUP BY k, (r * 8) // n
+        |), sym AS (
+        |  SELECT seg.k, seg.seg, seg.n,
+        |    len(list_filter(bp.bps,
+        |      b -> CAST(b AS HUGEINT) * seg.c < seg.s)) AS sym
+        |  FROM seg JOIN bp ON seg.k = bp.k
+        |)
+        |SELECT k AS event_type, max(n) AS n,
+        |  string_agg(chr(CAST(97 + sym AS INTEGER)), '' ORDER BY seg) AS sax_word
+        |FROM sym GROUP BY k
+        |ORDER BY event_type""".stripMargin,
+
+    // string bigrams where Spark hashes to 60-bit longs — counts agree
+    // w.h.p. and a collision fails this very gate (the q73 precedent)
+    "q325_rouge" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, text,
+        |    lead(text) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS ref_text
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT doc_id, text, ref_text FROM d
+        |  WHERE ref_text IS NOT NULL
+        |), gc AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+        |    SELECT doc_id,
+        |      lower(array_to_string(tk[p:(p + 1)], ' ')) AS g
+        |    FROM (
+        |      SELECT doc_id, tk,
+        |        unnest(generate_series(1, len(tk) - 1)) AS p
+        |      FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'),
+        |            x -> x <> '') AS tk
+        |        FROM pairs)
+        |      WHERE len(tk) >= 2)
+        |  ) GROUP BY doc_id, g
+        |), gr AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cr FROM (
+        |    SELECT doc_id,
+        |      lower(array_to_string(tk[p:(p + 1)], ' ')) AS g
+        |    FROM (
+        |      SELECT doc_id, tk,
+        |        unnest(generate_series(1, len(tk) - 1)) AS p
+        |      FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(ref_text, '\s+'),
+        |            x -> x <> '') AS tk
+        |        FROM pairs)
+        |      WHERE len(tk) >= 2)
+        |  ) GROUP BY doc_id, g
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(sum(coalesce(cc, 0)) AS BIGINT) AS n_cand,
+        |    CAST(sum(coalesce(cr, 0)) AS BIGINT) AS n_ref,
+        |    CAST(sum(least(coalesce(cc, 0), coalesce(cr, 0)))
+        |      AS BIGINT) AS n_match
+        |  FROM gc FULL JOIN gr USING (doc_id, g)
+        |  GROUP BY doc_id
+        |)
+        |SELECT p.doc_id,
+        |  coalesce(m.n_cand, 0) AS n_cand,
+        |  coalesce(m.n_ref, 0) AS n_ref,
+        |  coalesce(m.n_match, 0) AS n_match,
+        |  CASE WHEN coalesce(m.n_cand, 0) > 0 THEN
+        |    m.n_match * 1000000 // m.n_cand END AS precision_ppm,
+        |  CASE WHEN coalesce(m.n_ref, 0) > 0 THEN
+        |    m.n_match * 1000000 // m.n_ref END AS recall_ppm,
+        |  CASE WHEN coalesce(m.n_cand, 0) + coalesce(m.n_ref, 0) > 0
+        |    THEN m.n_match * 2000000
+        |      // (m.n_cand + m.n_ref) END AS f1_ppm
+        |FROM pairs p LEFT JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1241,4 +1241,84 @@ object TimeSeries {
       .withColumn("alarm", col("cusum_units") > lit(hU))
       .drop("__d", "__s")
   }
+
+  /** SAX symbolization, empirical-quantile variant (X320) — each key's
+    * series compressed to a short SYMBOL WORD for indexing, motif
+    * grouping, and cheap shape comparison (Lin/Keogh's Symbolic
+    * Aggregate approXimation): the series splits into `segments`
+    * equal-count pieces (row at 0-based rank r joins segment
+    * ⌊r·segments/n⌋), each piece reduces to its mean (PAA), and the
+    * mean maps to one of `alphabet` symbols. Two deliberate departures
+    * from the textbook, both for engine-portable exactness: the
+    * breakpoints are the key's OWN empirical quantiles at ranks
+    * ⌈i·n/a⌉ (the X27 exact-rank discipline) instead of Gaussian
+    * N(0,1) table values — no z-normalization, no irrational
+    * constants, and the equal-frequency property SAX assumes from
+    * normality holds by construction on ANY distribution; and the
+    * mean-vs-breakpoint comparison is cross-multiplied
+    * (`sum > bp·count`), so no division ever happens. Symbol =
+    * number of breakpoints STRICTLY below the segment mean (0-based,
+    * rendered 'a'..'z'); the word concatenates segments in order
+    * (length min(n, segments) — short series produce short words).
+    * Values quantize to `scale` decimals (try-cast: NaN/Inf/overflow
+    * rows drop — the holtForecast skip contract); rank ties break by
+    * the quantized value so the segmentation is total.
+    *
+    * Scale shape: ONE key exchange shared by the rank window and both
+    * aggregations (segment grain, then key grain); breakpoints ride a
+    * per-key array built from ≤ a−1 picked rows and join back at
+    * GROUP grain. No in-row fold over the series, no maxRows bound —
+    * a million-point key is fine. Output per key: `n`, `sax_word`.
+    */
+  def saxWords(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+      valueCol: Column, segments: Int, alphabet: Int,
+      scale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "saxWords needs key columns")
+    require(segments >= 1 && segments <= 1000,
+      s"segments in [1, 1000]: $segments")
+    require(alphabet >= 2 && alphabet <= 26,
+      s"alphabet in [2, 26]: $alphabet")
+    require(scale >= 0 && scale <= 6, s"scale in [0, 6]: $scale")
+    import graft.functions.Exact.longDiv
+    val gs = keyCols.map(col)
+    val unit = math.pow(10, scale).toLong
+    val vU = (valueCol.try_cast(DecimalType(18, scale)) * lit(unit))
+      .cast(DecimalType(38, 0)).cast("long")
+    val base = df.filter(orderCol.isNotNull)
+      .select(gs :+ orderCol.as("__o") :+ vU.as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val wk = Window.partitionBy(gs: _*)
+      .orderBy(col("__o"), col("__v"))
+    val ranked = base
+      .withColumn("__r", row_number().over(wk).cast("long") - 1L)
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(gs: _*)))
+    // per-key breakpoint array: value at rank ⌈i·n/a⌉ for i = 1..a−1
+    // (several i can pick the same rank when n < a−1 — each emits)
+    val bpIdx = array((1 until alphabet).map(i => lit(i)): _*)
+    val bps = ranked
+      .withColumn("__i", explode(filter(bpIdx, i =>
+        longDiv(i.cast("long") * col("__n") + (alphabet - 1).toLong,
+          alphabet.toLong) === col("__r") + 1L)))
+      .groupBy(gs: _*)
+      .agg(transform(array_sort(collect_list(
+        struct(col("__i"), col("__v")))), x => x.getField("__v"))
+        .as("__bps"))
+    val segs = ranked
+      .withColumn("__seg",
+        longDiv(col("__r") * segments.toLong, col("__n")))
+      .groupBy(gs :+ col("__seg"): _*)
+      .agg(sum(col("__v").cast(DecimalType(38, 0))).as("__sum"),
+        count(lit(1)).as("__c"), max(col("__n")).as("__n"))
+      // symbol: breakpoints strictly below the segment mean,
+      // cross-multiplied (sum > bp·c ⇔ mean > bp) — no division
+      .join(bps, keyCols)
+      .withColumn("__sym", size(filter(col("__bps"), b =>
+        b.cast(DecimalType(38, 0)) * col("__c") < col("__sum"))))
+    segs.groupBy(gs: _*)
+      .agg(max(col("__n")).as("n"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("__seg"), col("__sym")))),
+          x => char(x.getField("__sym") + 97L)), "").as("sax_word"))
+  }
 }

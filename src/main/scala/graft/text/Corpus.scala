@@ -432,6 +432,66 @@ object Corpus {
           " ").as("cleaned_text"))
   }
 
+  /** ROUGE-N n-gram overlap eval (X321) — the reference-based overlap
+    * scorecard for paired texts (summary vs source, paraphrase vs
+    * original, near-dup audit, distillation output vs teacher): per
+    * pair, the MULTISET n-gram overlap match = Σ_g min(count_cand(g),
+    * count_ref(g)) — the clipping that stops a candidate repeating one
+    * reference gram from buying credit — with `precision_ppm`
+    * (ROUGE-N precision), `recall_ppm` (ROUGE-N as usually reported),
+    * and `f1_ppm` via the Dice identity 2·match div (n_cand + n_ref)
+    * (no float harmonic mean — the X253 discipline). Exact integer
+    * floors; a side with no grams (text shorter than n) nulls the
+    * ratios that divide by it, never fabricates 0 or 10⁶. Grams are
+    * case-folded positional word n-grams traveling as 60-bit md5
+    * longs (the [[removeRepeatedPassages]] w.h.p.-exactness argument —
+    * a collision would fail the oracle gate, none ever has).
+    *
+    * Scale shape: both sides explode to (pair, gram) grain and
+    * collapse map-side to (pair, gram, count) — the only row-volume
+    * stages; the clip is ONE full-outer equi-join at that grain
+    * (co-partitioned by the same key, no skew beyond a pair's own
+    * gram counts), then a map-side-combined rollup to pair grain.
+    * No window, no cross join, no per-pair state beyond counters.
+    */
+  def ngramOverlapEval(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame = {
+    require(n >= 1 && n <= 16, s"n in [1, 16]: $n")
+    import graft.functions.Exact.longDiv
+    def counts(textCol: String, out: String): DataFrame =
+      pairs.select(col(idCol),
+          TextFunctions.tokens(col(textCol)).as("__tk"))
+        .withColumn("__np", size(col("__tk")) - (n - 1))
+        .filter(col("__np") >= 1)
+        .select(col(idCol),
+          explode(sequence(lit(1), col("__np"))).as("__p"), col("__tk"))
+        .select(col(idCol),
+          conv(substring(md5(lower(array_join(
+            slice(col("__tk"), col("__p"), lit(n)), " "))), 1, 15),
+            16, 10).cast("long").as("__g"))
+        .groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).as(out))
+    val merged = counts(candCol, "__cc")
+      .join(counts(refCol, "__cr"), Seq(idCol, "__g"), "full_outer")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("__cc"), lit(0L))).as("n_cand"),
+        sum(coalesce(col("__cr"), lit(0L))).as("n_ref"),
+        sum(least(coalesce(col("__cc"), lit(0L)),
+          coalesce(col("__cr"), lit(0L)))).as("n_match"))
+    pairs.select(col(idCol)).join(merged, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+      .withColumn("precision_ppm", when(col("n_cand") > 0L,
+        longDiv(col("n_match") * 1000000L, col("n_cand"))))
+      .withColumn("recall_ppm", when(col("n_ref") > 0L,
+        longDiv(col("n_match") * 1000000L, col("n_ref"))))
+      .withColumn("f1_ppm", when(col("n_cand") + col("n_ref") > 0L,
+        longDiv(col("n_match") * 2000000L,
+          col("n_cand") + col("n_ref"))))
+  }
+
   /** Context-window chunking: split each document's whitespace token
     * stream into `maxTokens`-token windows advancing by
     * stride = maxTokens − overlap, so consecutive chunks share `overlap`

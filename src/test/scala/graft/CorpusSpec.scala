@@ -844,4 +844,29 @@ class CorpusSpec extends SparkSpec {
     assert(got(("g", 5L)) == ((1L, 0L, 6L)))
     assert(got(("h", 10L)) == ((9L, 0L, 0L)))  // oversized: own shard
   }
+
+  test("ngramOverlapEval: clipped multiset bigram match, exact ppm " +
+      "ratios, null on empty sides, repetition cannot buy credit") {
+    import spark.implicits._
+    val pairs = Seq(
+      // cand bigrams {ab:2, ba:1, bc:1}, ref {ab:2, bc:1, ca:1} ->
+      // match 3, p = r = f1 = 750000
+      (1L, "a b a b c", "a b c a b"),
+      // clipping: cand "t t"x3 vs ref "t t"x1 -> match 1
+      (2L, "t t t t", "t t"),
+      // cand too short for bigrams: n_cand 0 -> precision null,
+      // recall 0, f1 0 (denominator 0+1)
+      (3L, "x", "p q"),
+      // both empty: every ratio null
+      (4L, "x", "y"))
+      .toDF("id", "cand", "ref")
+    val got = graft.text.Corpus.ngramOverlapEval(pairs, "id", "cand",
+        "ref", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.get(4), r.get(5), r.get(6)))).toMap
+    assert(got(1L) == ((4L, 4L, 3L, 750000L, 750000L, 750000L)))
+    assert(got(2L) == ((3L, 1L, 1L, 333333L, 1000000L, 500000L)))
+    assert(got(3L) == ((0L, 1L, 0L, null, 0L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L, null, null, null)))
+  }
 }

@@ -728,4 +728,39 @@ class TimeSeriesSpec extends SparkSpec {
       s"cusum must sort once behind one exchange:\\n" +
         plan.take(1200))
   }
+
+  test("saxWords: hand-stepped equal-count PAA + empirical-quantile " +
+      "breakpoints; short series; skip contract; per-key isolation") {
+    import spark.implicits._
+    // k1 = 1..8: breakpoints at ranks ceil(i*8/4) = 2,4,6 -> values
+    // 2,4,6; segment means 1.5/3.5/5.5/7.5 -> symbols 0,1,2,3 "abcd"
+    // k2 constant 5 x4: breakpoints all 5, means 5, never strictly
+    // above -> "aaaa" at its own length
+    val rows = (1 to 8).map(i => ("k1", i.toLong, i.toDouble)) ++
+      (1 to 4).map(i => ("k2", i.toLong, 5.0))
+    val df = rows.toDF("k", "o", "v")
+    val got = graft.ops.TimeSeries.saxWords(df, Seq("k"), col("o"),
+        col("v"), segments = 4, alphabet = 4, scale = 0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(got("k1") == ((8L, "abcd")))
+    assert(got("k2") == ((4L, "aaaa")))
+    // series shorter than segments: word shrinks to n symbols
+    val short = Seq(("k3", 1L, 1.0), ("k3", 2L, 9.0))
+      .toDF("k", "o", "v")
+    val w3 = graft.ops.TimeSeries.saxWords(short, Seq("k"), col("o"),
+        col("v"), segments = 4, alphabet = 3, scale = 0)
+      .collect().head
+    // n=2: breakpoints ceil(2/3)=1, ceil(4/3)=2 -> values 1, 9;
+    // segments r*4/2 -> 0 and 2: means 1 (0 bps strictly below ->
+    // 'a') and 9 (1 strictly below: bp 1 < 9, bp 9 not -> 'b')
+    assert(w3.getLong(1) == 2L && w3.getString(2) == "ab")
+    // NaN and null values drop (the quantize skip contract)
+    val gappy = Seq(("k4", 1L, Some(1.0)), ("k4", 2L, None),
+      ("k4", 3L, Some(Double.NaN)), ("k4", 4L, Some(2.0)))
+      .toDF("k", "o", "v")
+    val w4 = graft.ops.TimeSeries.saxWords(gappy, Seq("k"), col("o"),
+      col("v"), segments = 2, alphabet = 2, scale = 0).collect().head
+    assert(w4.getLong(1) == 2L && w4.getString(2).length == 2)
+  }
 }
