@@ -179,6 +179,17 @@ object StreamBench {
         k = 16).toDF()
     }(feedKeyed _)
 
+    results += drive[SBKeyed]("priority_sample",
+      streaming.StreamingPrioritySample.outputMode) { in =>
+      // item universe of 2000 per key, weights cycling 1..1000: the
+      // weighted reservoir churns early, stabilizes as top priorities
+      // saturate (every md5 computed per arrival — the honest cost)
+      streaming.StreamingPrioritySample.monitor(
+        in.toDS().groupByKey(_.key)
+          .mapValues(e => (s"d${e.id % 2000}", e.id % 1000L + 1L)),
+        n = 16, seed = "sb").toDF()
+    }(feedKeyed _)
+
     results += drive[SBKeyed]("concurrency",
       streaming.StreamingConcurrency.outputMode) { in =>
       streaming.StreamingConcurrency.monitor(

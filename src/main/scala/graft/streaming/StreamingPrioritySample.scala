@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming weighted reservoir per key — the batch X316/X317 priority
+  * sample as LIVE state (SURVEY §2.7, the one-definition-two-modes
+  * discipline): a continuously-maintained weighted-without-replacement
+  * sample of everything seen so far, per stream key — "the current
+  * 100 representative documents per source", always available, never
+  * rebuilt. State per key is the top-n (priority, item, weight)
+  * triples and a seen-counter: O(n) longs+strings, independent of
+  * stream length — the reservoir property. The priority is the SAME
+  * exact integer the batch side computes
+  * (⌊w·2⁴⁰ / (h₄₀+1)⌋ from the top 40 bits of the md5 unit hash of
+  * seed\u0001item, [[graft.ops.Relational.prioritySample]]), so the
+  * running sample after any prefix ≡ the batch
+  * `prioritySampleStratified` of that prefix (spec-pinned) — arrival
+  * order CANNOT matter, because membership depends only on the item's
+  * own priority vs the top-n threshold. Re-observations of an item are
+  * idempotent (same deterministic priority; the counter still
+  * advances). Weights outside (0, 10⁶] throw — the batch side's
+  * in-plan raise_error contract. Emits (key, n_seen, items in rank
+  * order) in Update mode after every batch the key appears in.
+  */
+object StreamingPrioritySample {
+
+  /** Reservoir state: items seen; top-n (priority, item, weight). */
+  final case class ResState(seen: Long, prios: Seq[Long],
+      items: Seq[String], weights: Seq[Long])
+
+  /** The batch priority, computed row-locally in the JVM: 60-bit md5
+    * unit hash (first 15 hex chars), top 40 bits, one floor division.
+    */
+  def priorityOf(seed: String, item: String, weight: Long): Long = {
+    require(weight > 0L && weight <= 1000000L,
+      s"StreamingPrioritySample: weight out of (0, 1e6]: $weight")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((seed + "\u0001" + item).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h40 = java.lang.Long.parseLong(hex.take(15), 16) >> 20
+    (weight * (1L << 40)) / (h40 + 1L)
+  }
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, (String, Long)],
+      n: Int, seed: String = "",
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[ResState],
+      e: Encoder[(K, Long, Seq[String])])
+      : Dataset[(K, Long, Seq[String])] = {
+    require(n >= 1 && n <= 100000, s"n in [1, 100000]: $n")
+    grouped.flatMapGroupsWithState[ResState, (K, Long, Seq[String])](
+      OutputMode.Update, timeout) {
+      (key: K, values: Iterator[(String, Long)],
+          state: GroupState[ResState]) =>
+        val s0 = state.getOption.getOrElse(
+          ResState(0L, Seq.empty, Seq.empty, Seq.empty))
+        var seen = s0.seen
+        // (priority desc, item asc) — the batch tie order
+        val ord = Ordering.by[(Long, String, Long), (Long, String)](
+          t => (-t._1, t._2))
+        var top = (s0.prios, s0.items, s0.weights).zipped.toVector
+          .sorted(ord)
+        values.foreach { case (item, w) =>
+          seen += 1L
+          if (!top.exists(_._2 == item)) {
+            val p = priorityOf(seed, item, w)
+            if (top.length < n) top = (top :+ ((p, item, w))).sorted(ord)
+            else {
+              val last = top.last
+              if (ord.compare((p, item, w), last) < 0)
+                top = (top.dropRight(1) :+ ((p, item, w))).sorted(ord)
+            }
+          }
+        }
+        state.update(ResState(seen, top.map(_._1), top.map(_._2),
+          top.map(_._3)))
+        Iterator.single((key, seen, top.map(_._2)))
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

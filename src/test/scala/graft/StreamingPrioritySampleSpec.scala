@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingPrioritySample
+
+class StreamingPrioritySampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming priority sample: running reservoir ≡ batch " +
+      "prioritySampleStratified of the prefix across batches; " +
+      "re-observation idempotent; weight bounds throw") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Long)]
+    val q = StreamingPrioritySample.monitor(
+        in.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3)),
+        n = 3, seed = "sp1")
+      .toDF("key", "n_seen", "items")
+      .writeStream.format("memory").queryName("psamp_out")
+      .outputMode(StreamingPrioritySample.outputMode)
+      .start()
+
+    val batch1 = Seq(("g1", "d1", 100L), ("g1", "d2", 500L),
+      ("g1", "d3", 50L), ("g1", "d4", 900L), ("g2", "e1", 10L))
+    val batch2 = Seq(("g1", "d5", 700L), ("g1", "d6", 5L),
+      ("g1", "d2", 500L), // re-observation: idempotent, counter moves
+      ("g2", "e2", 999L))
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+
+    def batchSample(prefix: Seq[(String, String, Long)]) =
+      graft.ops.Relational.prioritySampleStratified(
+          prefix.distinct.toDF("k", "item", "w"), Seq("k"),
+          col("item"), col("w"), n = 3, seed = "sp1")
+        .select(col("k"), col("item"), col("sample_rank"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rs) =>
+          k -> rs.sortBy(_.getLong(2)).map(_.getString(1)).toSeq }
+
+    val rows = spark.table("psamp_out")
+      .as[(String, Long, Seq[String])].collect()
+    // after batch 1
+    val after1 = rows.filter(r => r._1 == "g1" && r._2 == 4L).head._3
+    assert(after1 == batchSample(batch1)("g1"))
+    // after batch 2 (n_seen counts the re-observation)
+    val after2 = rows.filter(r => r._1 == "g1" && r._2 == 7L).head._3
+    assert(after2 == batchSample(batch1 ++ batch2)("g1"))
+    val g2 = rows.filter(r => r._1 == "g2" && r._2 == 2L).head._3
+    assert(g2 == batchSample(batch1 ++ batch2)("g2"))
+
+    // weight bound matches the batch raise_error contract
+    intercept[IllegalArgumentException] {
+      StreamingPrioritySample.priorityOf("s", "x", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingPrioritySample.priorityOf("s", "x", 1000001L)
+    }
+  }
+}
