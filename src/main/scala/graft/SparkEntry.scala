@@ -4406,6 +4406,36 @@ object SparkEntry {
           "ref_text", n = 2)
         .orderBy(col("doc_id"))
     },
+
+    // Composition probe: the Duffield–Lund–Thorup subset-sum estimator
+    // X316's scaladoc promises — sample n+1 by priority, τ = the
+    // (n+1)-th priority (the priority w·2⁴⁰ div (h₄₀+1) IS w/u in
+    // natural weight units — the 2⁴⁰ cancels against u's denominator),
+    // ŵᵢ = max(wᵢ, τ) for the top n, Σŵ estimates the corpus total
+    // weight from 200 of its rows; the whole chain is deterministic
+    // integers (the hash fixes every u), so the oracle computes the
+    // IDENTICAL estimate and the exact total it estimates, side by
+    // side — at sf0.01 the estimate lands within ~2% of the truth
+    "q326_priority_estimator" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          least(col("n_chars") + 1L, lit(1000000L)).as("w"))
+      val nTop = 200
+      val sampled = graft.ops.Relational.prioritySample(
+        docs, col("doc_id"), col("w"), n = nTop + 1, seed = "wrs1")
+      val tau = sampled.filter(col("sample_rank") === (nTop + 1).toLong)
+        .select(col("priority").as("__tau"))
+      val est = sampled.filter(col("sample_rank") <= nTop.toLong)
+        .crossJoin(broadcast(tau))
+        .agg(sum(greatest(col("w"), col("__tau"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("est_total_w"))
+      val exact = docs.agg(sum(col("w")).as("exact_total_w"),
+        count(lit(1)).as("n_docs"))
+      est.crossJoin(broadcast(exact))
+        .select(col("n_docs"), col("exact_total_w"),
+          col("est_total_w"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -13997,5 +14027,41 @@ object SparkEntry {
         |      // (m.n_cand + m.n_ref) END AS f1_ppm
         |FROM pairs p LEFT JOIN m USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q326_priority_estimator" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    least(CAST(n_chars AS BIGINT) + 1, 1000000) AS w,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5('wrs1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5('wrs1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5('wrs1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, w,
+        |    (w * 1099511627776) // ((hv >> 20) + 1) AS priority
+        |  FROM h
+        |), r AS (
+        |  SELECT doc_id, w, priority,
+        |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+        |  FROM p
+        |), tau AS (
+        |  SELECT priority AS tau FROM r WHERE rn = 201
+        |), est AS (
+        |  SELECT CAST(sum(greatest(CAST(w AS HUGEINT),
+        |      CAST(tau AS HUGEINT))) AS BIGINT) AS est_total_w
+        |  FROM r, tau WHERE rn <= 200
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS exact_total_w,
+        |  est.est_total_w
+        |FROM p, est
+        |GROUP BY est.est_total_w""".stripMargin,
   )
 }
