@@ -4436,6 +4436,20 @@ object SparkEntry {
         .select(col("n_docs"), col("exact_total_w"),
           col("est_total_w"))
     },
+
+    // X323 — per-row exact EWMA smoothing of the daily event-count
+    // series per type (α = 0.3): the denoised column, every position
+    // emitted, one native JVM scan per key
+    "q327_ewma" -> { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          graft.functions.Exact.longDiv(nsToMicros(col("ts_ns")),
+            86400000000L).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.TimeSeries.ewmaSeries(daily, Seq("event_type"),
+          col("day"), col("n"), alphaPpm = 300000L, scale = 0)
+        .orderBy(col("event_type"), col("o"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14063,5 +14077,31 @@ object SparkEntry {
         |  est.est_total_w
         |FROM p, est
         |GROUP BY est.est_total_w""".stripMargin,
+
+    // the EWMA recursion stepped rank-by-rank (the q304 holt
+    // discipline): HUGEINT products, one truncating `//` per step
+    "q327_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), d AS (
+        |  SELECT event_type, day, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day, n) AS BIGINT) AS rn
+        |  FROM daily
+        |), rec AS (
+        |  SELECT event_type, day, n, rn, n AS e FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.day, d.n, d.rn,
+        |    CAST((300000 * CAST(d.n AS HUGEINT) +
+        |      700000 * CAST(rec.e AS HUGEINT)) // 1000000 AS BIGINT)
+        |  FROM rec JOIN d ON d.event_type = rec.event_type
+        |    AND d.rn = rec.rn + 1
+        |)
+        |SELECT event_type, day AS o, n AS value_units,
+        |  CAST(e AS BIGINT) AS ewma_units
+        |FROM rec
+        |ORDER BY event_type, o""".stripMargin,
   )
 }

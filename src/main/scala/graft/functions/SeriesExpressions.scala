@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native per-series scan kernels — sequential recursions over one
+  * key's sorted value array that a window frame cannot express and an
+  * interpreted HOF fold would quadratic-copy (Catalyst arrays are
+  * immutable, so `aggregate`-with-append moves O(n²) bytes; one JVM
+  * loop writes the result array once).
+  */
+object SeriesExpressions {
+  /** [[EwmaScan]] as a Column. */
+  def ewmaScan(values: Column, alphaPpm: Long): Column =
+    bridge.column(EwmaScan(bridge.expression(values), alphaPpm))
+}
+
+/** Exact integer EWMA prefix scan: given the series as integer units
+  * x₁..xₙ, emits e₁..eₙ with e₁ = x₁ and
+  * eₜ = (α·xₜ + (10⁶−α)·eₜ₋₁) div 10⁶ — one truncating division per
+  * step on exact products (BigInt where α·x could exceed a long), the
+  * [[graft.ops.Features.holtForecast]] step with β = 0 but emitting
+  * EVERY position instead of the final state. Null elements are not
+  * allowed (quantize-and-filter upstream — the saxWords contract);
+  * a null array returns null. One JVM loop per series, O(n).
+  */
+case class EwmaScan(child: Expression, alphaPpm: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(alphaPpm >= 0L && alphaPpm <= 1000000L,
+    s"alphaPpm in [0, 1000000]: $alphaPpm")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, true) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"ewma_scan: input must be ARRAY<BIGINT>, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ewma_scan"
+
+  private val a = java.math.BigInteger.valueOf(alphaPpm)
+  private val a1 = java.math.BigInteger.valueOf(1000000L - alphaPpm)
+  private val M = java.math.BigInteger.valueOf(1000000L)
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    var prev = 0L
+    while (i < n) {
+      if (xs.isNullAt(i))
+        throw new IllegalArgumentException(
+          "ewma_scan: null element (quantize and filter upstream)")
+      val x = xs.getLong(i)
+      prev =
+        if (i == 0) x
+        else a.multiply(java.math.BigInteger.valueOf(x))
+          .add(a1.multiply(java.math.BigInteger.valueOf(prev)))
+          .divide(M).longValueExact()
+      out(i) = prev
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): EwmaScan = copy(child = newChild)
+}

@@ -1270,6 +1270,62 @@ object TimeSeries {
     * GROUP grain. No in-row fold over the series, no maxRows bound —
     * a million-point key is fine. Output per key: `n`, `sax_word`.
     */
+  /** Per-row exact EWMA smoothing (X323) — the denoised COLUMN the
+    * monitoring family reads ([[hampelDespike]] flags spikes,
+    * [[cusum]] flags drift; this emits the smoothed series itself for
+    * charts, thresholds, and residual features): per key in
+    * (order, value) total order, e₁ = x₁ and
+    * eₜ = (α·xₜ + (10⁶−α)·eₜ₋₁) div 10⁶ in integer `scale`-units —
+    * the [[graft.ops.Features.holtForecast]] recursion with β = 0 but
+    * emitting EVERY position, one truncating division per step on
+    * exact products, bit-identical in any engine (a float window fold
+    * would be partitioning-dependent and no window frame expresses
+    * the recursion at all). Values quantize via try-cast
+    * (NaN/Inf/overflow rows drop — the holt skip contract). Output
+    * per surviving row: keys, `o` (the order value), `value_units`,
+    * `ewma_units`.
+    *
+    * Scale shape: the non-associative scan runs as ONE JVM loop per
+    * key over the sorted array (native [[graft.functions.EwmaScan]] —
+    * an interpreted fold would quadratic-copy Catalyst's immutable
+    * arrays), parallelism |keys|, maxRows raises in-plan; one key
+    * exchange, no window, no join.
+    */
+  def ewmaSeries(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+      valueCol: Column, alphaPpm: Long, scale: Int = 2,
+      maxRows: Int = 1000000): DataFrame = {
+    require(keyCols.nonEmpty, "ewmaSeries needs key columns")
+    require(alphaPpm >= 0L && alphaPpm <= 1000000L,
+      s"alphaPpm in [0, 1000000]: $alphaPpm")
+    require(scale >= 0 && scale <= 6, s"scale in [0, 6]: $scale")
+    require(maxRows >= 1, s"maxRows must be >= 1: $maxRows")
+    val gs = keyCols.map(col)
+    val unit = math.pow(10, scale).toLong
+    val vU = (valueCol.try_cast(DecimalType(18, scale)) * lit(unit))
+      .cast(DecimalType(38, 0)).cast("long")
+    val base = df.filter(orderCol.isNotNull)
+      .select(gs :+ orderCol.as("__o") :+ vU.as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val agg = base.groupBy(gs: _*)
+      .agg(sort_array(collect_list(struct(col("__o"), col("__v"))))
+        .as("__xs0"))
+      .withColumn("__xs",
+        when(size(col("__xs0")) > maxRows, raise_error(concat(
+          lit(s"ewmaSeries: key exceeds maxRows=$maxRows: "),
+          size(col("__xs0")).cast("string"))))
+          .otherwise(col("__xs0")))
+      .withColumn("__es", graft.functions.SeriesExpressions.ewmaScan(
+        transform(col("__xs"), x => x.getField("__v")), alphaPpm))
+    agg
+      .select(gs ++ Seq(col("__xs"),
+        posexplode(col("__es")).as(Seq("__i", "ewma_units"))): _*)
+      .select(gs ++ Seq(
+        element_at(col("__xs"), col("__i") + 1).getField("__o").as("o"),
+        element_at(col("__xs"), col("__i") + 1).getField("__v")
+          .as("value_units"),
+        col("ewma_units")): _*)
+  }
+
   def saxWords(df: DataFrame, keyCols: Seq[String], orderCol: Column,
       valueCol: Column, segments: Int, alphabet: Int,
       scale: Int = 2): DataFrame = {

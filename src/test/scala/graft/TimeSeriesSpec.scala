@@ -729,6 +729,38 @@ class TimeSeriesSpec extends SparkSpec {
         plan.take(1200))
   }
 
+  test("ewmaSeries: hand-stepped recursion, truncation toward zero " +
+      "on negatives, skip contract, maxRows raises") {
+    import spark.implicits._
+    // alpha = 0.5, scale 0: e = 10, (20+10)/2 = 15, (30+15)/2 = 22
+    // (22.5 truncates); k2 negative: -10, (-21-10)/2 = -15.5 -> -15
+    val df = Seq(("k1", 1L, 10.0), ("k1", 2L, 20.0), ("k1", 3L, 30.0),
+      ("k2", 1L, -10.0), ("k2", 2L, -21.0)).toDF("k", "o", "v")
+    val got = graft.ops.TimeSeries.ewmaSeries(df, Seq("k"), col("o"),
+        col("v"), alphaPpm = 500000L, scale = 0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("k1", 1L)) == ((10L, 10L)))
+    assert(got(("k1", 2L)) == ((20L, 15L)))
+    assert(got(("k1", 3L)) == ((30L, 22L)))
+    assert(got(("k2", 2L)) == ((-21L, -15L)))
+    // NaN and null drop before the scan
+    val gappy = Seq(("k", 1L, Some(4.0)), ("k", 2L, None),
+      ("k", 3L, Some(Double.NaN)), ("k", 4L, Some(8.0)))
+      .toDF("k", "o", "v")
+    val g = graft.ops.TimeSeries.ewmaSeries(gappy, Seq("k"), col("o"),
+        col("v"), alphaPpm = 500000L, scale = 0)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(g == Map(1L -> 4L, 4L -> 6L))
+    // maxRows raises in-plan
+    val e = intercept[Exception] {
+      graft.ops.TimeSeries.ewmaSeries(df, Seq("k"), col("o"),
+        col("v"), alphaPpm = 500000L, scale = 0, maxRows = 2)
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("saxWords: hand-stepped equal-count PAA + empirical-quantile " +
       "breakpoints; short series; skip contract; per-key isolation") {
     import spark.implicits._
