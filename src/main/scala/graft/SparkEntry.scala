@@ -4450,6 +4450,23 @@ object SparkEntry {
           col("day"), col("n"), alphaPpm = 300000L, scale = 0)
         .orderBy(col("event_type"), col("o"))
     },
+
+    // X324 — Bradley–Terry strength ratings over within-session duels:
+    // each consecutive event pair per user is a duel the LATER event
+    // type wins (the "what displaces what" preference signal); four
+    // integer MM rounds
+    "q328_bradley_terry" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val duels = events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"))
+        .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      graft.ops.Graph.bradleyTerry(duels, "event_type", "__prev",
+          rounds = 4)
+        .orderBy(col("item"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14103,5 +14120,76 @@ object SparkEntry {
         |  CAST(e AS BIGINT) AS ewma_units
         |FROM rec
         |ORDER BY event_type, o""".stripMargin,
+
+    "q328_bradley_terry" -> btOracleSql(4),
   )
+
+  /** q328 oracle: the Bradley–Terry MM iteration unrolled to `rounds`
+    * materialized CTE blocks (the q306 HITS precedent) — all-HUGEINT
+    * floor arithmetic mirroring [[graft.ops.Graph.bradleyTerry]]'s
+    * decimal(38,0)/IntegralDivide chain term for term (every operand
+    * is non-negative, so floor = truncate on both engines).
+    */
+  private def btOracleSql(rounds: Int): String = {
+    val round = (j: Int) => {
+      val prev = if (j == 1) "p0" else s"p${j - 1}"
+      s""", t$j AS MATERIALIZED (
+         |  SELECT pr.a, pr.b,
+         |    CAST(pr.n AS HUGEINT) * 10000000000
+         |      // greatest(pa.p + pb.p, 1) AS t
+         |  FROM pair pr
+         |  JOIN $prev pa ON pr.a = pa.item
+         |  JOIN $prev pb ON pr.b = pb.item
+         |), d$j AS MATERIALIZED (
+         |  SELECT item, sum(t) AS d FROM (
+         |    SELECT a AS item, t FROM t$j
+         |    UNION ALL SELECT b, t FROM t$j
+         |  ) GROUP BY item
+         |), raw$j AS MATERIALIZED (
+         |  SELECT s.item,
+         |    CASE WHEN s.n_wins = 0 THEN CAST(0 AS HUGEINT)
+         |      ELSE CAST(s.n_wins AS HUGEINT) * 10000000000
+         |        // greatest(d.d, 1) END AS raw
+         |  FROM stats s JOIN d$j d ON s.item = d.item
+         |), mx$j AS MATERIALIZED (
+         |  SELECT max(raw) AS mx FROM raw$j
+         |), p$j AS MATERIALIZED (
+         |  SELECT item,
+         |    CASE WHEN (SELECT mx FROM mx$j) > 0
+         |      THEN CAST(raw * 1000000 // (SELECT mx FROM mx$j)
+         |        AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS p
+         |  FROM raw$j
+         |)""".stripMargin
+    }
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev
+       |  FROM events
+       |), duel AS MATERIALIZED (
+       |  SELECT event_type AS w, prev AS l FROM ev
+       |  WHERE prev IS NOT NULL AND event_type IS NOT NULL
+       |    AND event_type <> prev
+       |), pair AS MATERIALIZED (
+       |  SELECT least(w, l) AS a, greatest(w, l) AS b,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN w <= l THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS wa
+       |  FROM duel GROUP BY 1, 2
+       |), stats AS MATERIALIZED (
+       |  SELECT item, CAST(sum(n) AS BIGINT) AS n_games,
+       |    CAST(sum(wv) AS BIGINT) AS n_wins
+       |  FROM (
+       |    SELECT a AS item, n, wa AS wv FROM pair
+       |    UNION ALL SELECT b, n, n - wa FROM pair
+       |  ) GROUP BY item
+       |), p0 AS MATERIALIZED (
+       |  SELECT item, CAST(1000000 AS BIGINT) AS p FROM stats
+       |)${(1 to rounds).map(round).mkString}
+       |SELECT s.item, s.n_wins, s.n_games,
+       |  CAST(p.p AS BIGINT) AS rating_mass
+       |FROM stats s JOIN p$rounds p ON s.item = p.item
+       |ORDER BY s.item""".stripMargin
+  }
 }

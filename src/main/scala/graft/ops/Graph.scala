@@ -1441,6 +1441,111 @@ object Graph {
           .as("q_ppm"))
   }
 
+  /** Bradley–Terry preference rating (X324) — the strength scores
+    * behind pairwise-preference data (human A/B preference logs, match
+    * outcomes, LLM-judge duels): P(i beats j) = πᵢ/(πᵢ+πⱼ), fit by
+    * `rounds` synchronous MM iterations (Hunter 2004's minorization —
+    * monotone likelihood ascent, no learning rate):
+    * πᵢ' = Wᵢ / Σⱼ nᵢⱼ/(πᵢ+πⱼ), with every division a FLOOR over
+    * integer mass units (π starts at C = 10⁶; per-pair terms
+    * ⌊nᵢⱼ·10¹²/(πᵢ+πⱼ)⌋ sum in decimal(38,0); πᵢ' = ⌊Wᵢ·10¹²/Dᵢ⌋,
+    * then max-normalized ⌊π'·C div max(π')⌋ — the [[hits]] discipline,
+    * so the iteration can never overflow and is bit-identical in any
+    * engine). Zero-win items rate 0 (the MM fixed point sends them
+    * there; emitting their Wᵢ = 0 makes the why visible); the ranking
+    * is the deliverable — curation reads "which source/model/variant
+    * wins", not a calibrated probability (rounds quantization keeps
+    * ratios within ppm of the float MM at realistic counts). Pairs
+    * with equal winner and loser drop (a self-game carries no
+    * information). Output per item: `n_wins`, `n_games`,
+    * `rating_mass` (≤ 10⁶, max-normalized).
+    *
+    * Scale shape: outcome volume collapses ONCE to the unordered-pair
+    * grain (map-side-combined count + win split); each round is two
+    * group-grain rating joins onto that pair table + one
+    * endpoint-explode map-side-combined sum + a one-row max broadcast
+    * — the [[pageRank]]/[[hits]] loop discipline with per-round
+    * checkpoint/release. Item and pair tables are rating-model-sized
+    * (|items|, |item pairs|), never outcome-row-sized, after the
+    * first aggregation.
+    */
+  def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50]: $rounds")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val C = 1000000L
+    // term precision: with ratings capped at C by the max-norm,
+    // pa+pb ≤ 2C, so a term is ≥ n·S/2C = n·5000 (D gets a FLOOR and
+    // raw = ⌊W·S/D⌋ stays long-safe) and ≤ n·S (long-safe under the
+    // per-pair game cap below)
+    val S = 10000000000L // 10^10
+    def ld(a: Column, b: Column): Column =
+      graft.functions.Exact.longDiv(a, b)
+    val pair = df
+      .select(col(winnerCol).as("__w"), col(loserCol).as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+      .select(least(col("__w"), col("__l")).as("__a"),
+        greatest(col("__w"), col("__l")).as("__b"),
+        when(col("__w") <= col("__l"), 1L).otherwise(0L).as("__aw"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n0"), sum(col("__aw")).as("__wa"))
+      // 9·10⁸ duels of ONE unordered pair would overflow the term's
+      // n·10¹⁰ product — an in-plan raise, not a silent wrap
+      .withColumn("__n", when(col("__n0") > 900000000L,
+        raise_error(concat(
+          lit("bradleyTerry: pair exceeds 9e8 games: "),
+          col("__n0").cast("string")))).otherwise(col("__n0")))
+      .drop("__n0")
+      .localCheckpoint(true)
+    val stats = pair
+      .select(col("__a").as("item"), col("__n"), col("__wa").as("__w"))
+      .unionByName(pair.select(col("__b").as("item"), col("__n"),
+        (col("__n") - col("__wa")).as("__w")))
+      .groupBy(col("item"))
+      .agg(sum(col("__n")).as("n_games"), sum(col("__w")).as("n_wins"))
+      .localCheckpoint(true)
+    var pi = stats.select(col("item"), lit(C).as("__p"))
+    var prev: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val joined = pair
+        .join(pi.select(col("item").as("__a"), col("__p").as("__pa")),
+          Seq("__a"))
+        .join(pi.select(col("item").as("__b"), col("__p").as("__pb")),
+          Seq("__b"))
+        .withColumn("__t", ld(col("__n").cast(d38) * S,
+          greatest(col("__pa") + col("__pb"), lit(1L))))
+      val d = joined
+        .select(explode(array(
+          struct(col("__a").as("item"), col("__t").as("t")),
+          struct(col("__b").as("item"), col("__t").as("t"))))
+          .as("__e"))
+        .groupBy(col("__e.item").as("item"))
+        .agg(sum(col("__e.t").cast(d38)).as("__d"))
+      val raw = stats.join(d, Seq("item"))
+        .select(col("item"),
+          when(col("n_wins") === 0L, 0L)
+            .otherwise(ld(col("n_wins").cast(d38) * S,
+              greatest(col("__d"), lit(1).cast(d38)))).as("__raw"))
+      val mx = raw.agg(max(col("__raw")).as("__mx"))
+      val next = raw.crossJoin(broadcast(mx))
+        .select(col("item"),
+          when(col("__mx") > 0L, ld(col("__raw") * C, col("__mx")))
+            .otherwise(0L).as("__p"))
+        .localCheckpoint(true)
+      if (prev != null) Checkpoints.release(prev)
+      prev = next
+      pi = next
+    }
+    val out = stats.join(pi, Seq("item"))
+      .select(col("item"), col("n_wins"), col("n_games"),
+        col("__p").as("rating_mass"))
+      .localCheckpoint(true)
+    Checkpoints.release(pair, stats, pi)
+    out
+  }
+
   /** Per-community conductance (X319) — the boundary-quality
     * companion to [[modularity]]'s global scalar: for each community,
     * φ(c) = cut(c) / min(vol(c), vol(V∖c)) — the fraction of the

@@ -465,6 +465,38 @@ class GraphSpec extends SparkSpec {
       all.isNullAt(5))
   }
 
+  test("bradleyTerry: hand-computed one MM round — floor arithmetic, " +
+      "zero-win item rates 0, self-duels and nulls drop") {
+    import spark.implicits._
+    // duels (winner, loser): A>B x2, B>A, A>C, C>B x2, B>C, A>D,
+    // plus a self-duel and a null row that must drop
+    val duels = Seq(
+      Some("A") -> Some("B"), Some("A") -> Some("B"),
+      Some("B") -> Some("A"), Some("A") -> Some("C"),
+      Some("C") -> Some("B"), Some("C") -> Some("B"),
+      Some("B") -> Some("C"), Some("A") -> Some("D"),
+      Some("A") -> Some("A"), (None: Option[String]) -> Some("B")
+    ).toDF("w", "l")
+    // round 1 by hand (p0 = 1e6 everywhere, S = 1e10):
+    //   t(A,B)=15000 t(A,C)=5000 t(B,C)=15000 t(A,D)=5000
+    //   D_A=25000 D_B=30000 D_C=20000 D_D=5000
+    //   raw_A=1600000 raw_B=666666 raw_C=1000000 raw_D=0 (0 wins)
+    //   max-norm by 1600000 -> 1000000 / 416666 / 625000 / 0
+    val got = graft.ops.Graph.bradleyTerry(duels, "w", "l", rounds = 1)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got("A") == ((4L, 5L, 1000000L)))
+    assert(got("B") == ((2L, 6L, 416666L)))
+    assert(got("C") == ((2L, 4L, 625000L)))
+    assert(got("D") == ((0L, 1L, 0L)))
+    // more rounds keep the strength order A > C > B > D
+    val r5 = graft.ops.Graph.bradleyTerry(duels, "w", "l", rounds = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(r5("A") > r5("C") && r5("C") > r5("B") && r5("B") > r5("D"))
+    assert(r5("A") == 1000000L && r5("D") == 0L)
+  }
+
   test("checkpoint hygiene: labelPropagation / hits / markovKStep " +
       "leave ONLY their released-on-request result behind — the " +
       "pre-loop seed frames enter the release chain (round-12 advice)") {
@@ -492,5 +524,9 @@ class GraphSpec extends SparkSpec {
     check("markovKStep")(
       graft.ops.Graph.markovKStep(obs, col("k"), col("o"), col("s"),
         steps = 2))
+    check("bradleyTerry")(
+      graft.ops.Graph.bradleyTerry(
+        Seq(("A", "B"), ("B", "C"), ("A", "C")).toDF("w", "l"),
+        "w", "l", rounds = 2))
   }
 }
