@@ -4467,6 +4467,17 @@ object SparkEntry {
           rounds = 4)
         .orderBy(col("item"))
     },
+
+    // X325 — chi-square contingency: is language independent of
+    // source, within each document-length class?
+    "q329_chi_square" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("len_class",
+          when(col("n_chars") >= 300L, "long").otherwise("short"))
+      graft.ops.Features.chiSquare(docs, Seq("len_class"),
+          col("lang"), col("source"))
+        .orderBy(col("len_class"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14122,6 +14133,48 @@ object SparkEntry {
         |ORDER BY event_type, o""".stripMargin,
 
     "q328_bradley_terry" -> btOracleSql(4),
+
+    "q329_chi_square" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short'
+        |    END AS len_class, lang, source
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |), cells AS (
+        |  SELECT len_class, lang AS a, source AS b,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM base GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT len_class, a, b, o,
+        |    sum(o) OVER (PARTITION BY len_class, a) AS r,
+        |    sum(o) OVER (PARTITION BY len_class, b) AS c,
+        |    sum(o) OVER (PARTITION BY len_class) AS n
+        |  FROM cells
+        |), terms AS (
+        |  SELECT len_class, a, b, n,
+        |    CAST(o AS HUGEINT) * o * 1000000000000
+        |      // (CAST(r AS HUGEINT) * c) AS t
+        |  FROM tot
+        |), agg AS (
+        |  SELECT len_class, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS n_cols,
+        |    sum(t) AS tt
+        |  FROM terms GROUP BY len_class
+        |)
+        |SELECT len_class, n, n_rows, n_cols,
+        |  (n_rows - 1) * (n_cols - 1) AS dof,
+        |  CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 THEN
+        |    CAST(greatest(CAST(n AS HUGEINT) *
+        |      (tt - 1000000000000) // 1000000, 0) AS BIGINT)
+        |    END AS chi2_ppm,
+        |  CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 THEN
+        |    CAST(greatest((tt - 1000000000000) //
+        |      (CAST(least(n_rows, n_cols) - 1 AS HUGEINT) * 1000000),
+        |      0) AS BIGINT)
+        |    END AS v2_ppm
+        |FROM agg
+        |ORDER BY len_class""".stripMargin,
   )
 
   /** q328 oracle: the Bradley–Terry MM iteration unrolled to `rounds`

@@ -2653,6 +2653,75 @@ object Features {
         col("tvd_ppm"), col("__big.c").as("top_mover")): _*)
   }
 
+  /** Pearson chi-square contingency audit (X325) — the ASSOCIATION
+    * companion to [[categoricalDrift]]'s two-slice TVD: per group, is
+    * categorical `a` independent of categorical `b` (language × source,
+    * event type × cohort, label × shard)? Emits the chi-square
+    * statistic and Cramér's V², both in exact integer ppm via the
+    * expected-count-free identity χ² = N·(Σ_cells O²/(Rᵢ·Cⱼ) − 1):
+    * per observed cell `term = ⌊O²·10¹² div (Rᵢ·Cⱼ)⌋` (absent cells
+    * contribute O² = 0 — no dense r×c materialization ever),
+    * `T = Σ term`, `chi2_ppm = ⌊N·(T − 10¹²) div 10⁶⌋` and
+    * `v2_ppm = ⌊(T − 10¹²) div (10⁶·min(r−1, c−1))⌋` (V² = χ²/(N·m) —
+    * V itself is an irrational sqrt, V² carries the same ordering),
+    * each clamped at 0 (per-term floors can land T a few units under
+    * 10¹² on exactly-independent data; χ² ≥ 0 is the algebraic truth).
+    * Single-row or single-column groups emit null chi2/v2 with dof 0 —
+    * independence is undefined, not confirmed. Null categories drop
+    * (the [[categoricalDrift]] contract). No p-value by design: the
+    * χ² CDF is an incomplete gamma (irrational); the statistic + dof
+    * is the engine-portable surface, and rank-ordering groups by
+    * chi2_ppm at equal dof IS the triage the audit exists for.
+    *
+    * Exactness bound: Σ O²/(Rᵢ·Cⱼ) ≤ c, so T ≤ c·10¹² and the widest
+    * product N·(T − 10¹²) needs N·c < 10²⁶ — decimal(38,0)-safe up to
+    * ~10¹² rows × 10¹⁴ columns per group, far past 100 TB.
+    *
+    * Scale shape: raw rows collapse to (group, a, b) cell grain in ONE
+    * map-side-combined agg; R/C/N totals ride three window sums over
+    * that grain (one (group, a) exchange, one (group, b), one group —
+    * all on the cell table, never the raw rows); the rollup is a tiny
+    * final agg. No joins, nothing row-volume-sized after the first agg.
+    */
+  def chiSquare(df: DataFrame, groupCols: Seq[String], aCol: Column,
+      bCol: Column): DataFrame = {
+    import graft.functions.Exact.longDiv
+    val d38 = DecimalType(38, 0)
+    val S = lit(1000000000000L).cast(d38) // 10^12
+    val gs = groupCols.map(col)
+    val cells = df
+      .filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(gs :+ aCol.as("__a") :+ bCol.as("__b"): _*)
+      .agg(count(lit(1)).as("__o"))
+    val wA = Window.partitionBy(gs :+ col("__a"): _*)
+    val wB = Window.partitionBy(gs :+ col("__b"): _*)
+    val wAll = Window.partitionBy(gs: _*)
+    val terms = cells
+      .withColumn("__r", sum(col("__o")).over(wA))
+      .withColumn("__c", sum(col("__o")).over(wB))
+      .withColumn("__n", sum(col("__o")).over(wAll))
+      .withColumn("__t", longDiv(
+        col("__o").cast(d38) * col("__o") * S,
+        col("__r").cast(d38) * col("__c")).cast(d38))
+    terms.groupBy(gs: _*)
+      .agg(max(col("__n")).as("n"),
+        countDistinct(col("__a")).as("n_rows"),
+        countDistinct(col("__b")).as("n_cols"),
+        sum(col("__t")).as("__T"))
+      .withColumn("dof",
+        (col("n_rows") - 1L) * (col("n_cols") - 1L))
+      .withColumn("__m",
+        least(col("n_rows"), col("n_cols")) - 1L)
+      .withColumn("chi2_ppm", when(col("dof") > 0L,
+        greatest(longDiv(col("n").cast(d38) * (col("__T") - S),
+          1000000L), lit(0L))))
+      .withColumn("v2_ppm", when(col("dof") > 0L,
+        greatest(longDiv(col("__T") - S,
+          col("__m").cast(d38) * 1000000L), lit(0L))))
+      .select(gs ++ Seq(col("n"), col("n_rows"), col("n_cols"),
+        col("dof"), col("chi2_ppm"), col("v2_ppm")): _*)
+  }
+
   /** Shared survival machinery for [[kaplanMeier]] and [[rmst]]:
     * (group, event time) step rows with at-risk counts, folded to one
     * sorted step array per group, `maxTimes`-guarded in-plan.

@@ -1450,4 +1450,28 @@ class FeaturesSpec extends SparkSpec {
     assert(got(3L) == ((30.0, Some(600.0))))
     assert(got(9L) == ((5.0, None)))
   }
+
+  test("chiSquare: perfect association reads chi2 = N / V2 = 1, exact " +
+      "independence clamps to 0, degenerate table nulls with dof 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // k=assoc: diagonal 2x2 (10 + 10) -> chi2 = N = 20, V2 = 1
+    // k=indep: uniform 2x2 (5 each)   -> chi2 = 0, V2 = 0
+    // k=flat:  one b level only       -> dof 0, null stats
+    val rows =
+      Seq.fill(10)(("assoc", "a1", "b1")) ++
+      Seq.fill(10)(("assoc", "a2", "b2")) ++
+      (for (a <- Seq("a1", "a2"); b <- Seq("b1", "b2");
+            _ <- 1 to 5) yield ("indep", a, b)) ++
+      Seq.fill(4)(("flat", "a1", "b1")) ++
+      Seq.fill(3)(("flat", "a2", "b1"))
+    val df = rows.toDF("k", "a", "b")
+    val got = graft.ops.Features.chiSquare(df, Seq("k"), col("a"),
+        col("b"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(4), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(got("assoc") == ((20L, 1L, Some(20000000L), Some(1000000L))))
+    assert(got("indep") == ((20L, 1L, Some(0L), Some(0L))))
+    assert(got("flat") == ((7L, 0L, None, None)))
+  }
 }
