@@ -4478,6 +4478,14 @@ object SparkEntry {
           col("lang"), col("source"))
         .orderBy(col("len_class"))
     },
+
+    // X326 — farthest-point (Gonzalez k-center) diverse exemplars
+    "q330_farthest" -> { (s, dir) =>
+      graft.similarity.Similarity.farthestPoints(
+          t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          k = 8)
+        .orderBy(col("sel_rank"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14175,7 +14183,59 @@ object SparkEntry {
         |    END AS v2_ppm
         |FROM agg
         |ORDER BY len_class""".stripMargin,
+
+    "q330_farthest" -> fpOracleSql(8),
   )
+
+  /** q330 oracle: Gonzalez farthest-point selection unrolled to k
+    * materialized CTE rounds; squared L2 via the same fold-left double
+    * dot products as [[graft.similarity.Similarity.farthestPoints]]
+    * (`(x·x − 2·x·c) + c·c`), so selection order is bit-identical
+    * through ties. A round whose pick sits at distance² ≤ 0 is
+    * filtered from the output — the operator's early stop.
+    */
+  private def fpOracleSql(k: Int): String = {
+    def dotSql(a: String, b: String): String =
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+         |      (x, y) -> x + y)""".stripMargin
+    def d2Sql(v: String, c: String): String =
+      s"""(${dotSql(v, v)} - 2 * ${dotSql(v, c)})
+         |      + ${dotSql(c, c)}""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s""", s$r AS MATERIALIZED (
+         |  SELECT vec_id, v, d2 FROM m${r - 1}
+         |  ORDER BY d2 DESC, vec_id LIMIT 1
+         |), m$r AS MATERIALIZED (
+         |  SELECT m.vec_id, m.v,
+         |    least(m.d2, ${d2Sql("m.v", "c.v")}) AS d2
+         |  FROM m${r - 1} m, s$r c
+         |)""".stripMargin
+    }.mkString
+    val out = (2 to k).map { r =>
+      s"""  UNION ALL SELECT $r, vec_id,
+         |    round(greatest(d2, 0.0) + 0.0, 6) FROM s$r
+         |  WHERE d2 > 0.0""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+       |    AND len(embedding) > 0
+       |), s1 AS MATERIALIZED (
+       |  SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1
+       |), m1 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, ${d2Sql("e.v", "c.v")} AS d2
+       |  FROM e, s1 c
+       |)$rounds
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS sel_rank,
+       |    (SELECT vec_id FROM s1) AS item,
+       |    CAST(NULL AS DOUBLE) AS d2_r6
+       |$out
+       |) ORDER BY sel_rank""".stripMargin
+  }
 
   /** q328 oracle: the Bradley–Terry MM iteration unrolled to `rounds`
     * materialized CTE blocks (the q306 HITS precedent) — all-HUGEINT

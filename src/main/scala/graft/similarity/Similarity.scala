@@ -736,4 +736,88 @@ object Similarity {
       .select(col(idCol), (col("pos") + 1).cast("long").as("rank"),
         col("col.idx").cast("long").as("idx"), col("col.v").as("val"))
   }
+
+  /** Farthest-point (Gonzalez k-center) exemplar selection (X326) —
+    * the deterministic "k maximally diverse examples" pick the
+    * curation stack needs for few-shot pools, eval panels, k-means
+    * seeding, and coverage-first labeling budgets (2-approximation of
+    * the optimal k-center cover — Gonzalez 1985): seed with the
+    * minimum-id row, then k−1 rounds of "farthest remaining point from
+    * everything chosen so far" — argmax over min-distance, ties to the
+    * smallest id. Squared L2 in fold-left double arithmetic via three
+    * codegen'd [[dot]] products `(x·x − 2·x·c) + c·c` — bit-identical
+    * in any engine, so selection order is engine-portable even through
+    * distance TIES. Emits one row per pick: `sel_rank`, the id,
+    * `d2_r6` = its min-distance² at selection time (round-6, clamped
+    * to +0.0 against cancellation negatives; null for the seed — it
+    * was not chosen by distance) — the trailing pick's d2 IS the
+    * current covering radius², the stop-deciding diagnostic. Stops
+    * early once max min-distance hits 0 (k exceeds the distinct point
+    * set — re-picking a covered point would emit duplicates).
+    *
+    * Scale shape: the point table is scanned once per round (map-only:
+    * one broadcast-literal center vector, one `least`), and each round
+    * moves ONE row to the driver (TakeOrderedAndProject argmax — the
+    * X283 altitude); the running min-distance frame is eagerly
+    * checkpointed per round and the predecessor released (the
+    * pageRank loop discipline), so lineage stays O(1) and total work
+    * is k scans — never a k×n join, never a collect of data rows.
+    */
+  def farthestPoints(df: DataFrame, idCol: Column, vecCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 256, s"k in [1, 256]: $k")
+    val spark = df.sparkSession
+    val base = df
+      .filter(idCol.isNotNull && vecCol.isNotNull &&
+        size(vecCol) > 0)
+      .select(idCol.as("__id"), asDouble(vecCol).as("__v"))
+      .localCheckpoint(true)
+    def d2To(center: Array[Double]): Column = {
+      val c = typedLit(center)
+      (dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__v"), c)) +
+        dot(c, c)
+    }
+    val seedRows = base.orderBy(col("__id")).limit(1).collect()
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Any, Option[Double])]
+    if (seedRows.nonEmpty) {
+      val seed = seedRows.head
+      picked += ((1L, seed.get(0), None))
+      var mind = base
+        .withColumn("__d", d2To(seed.getSeq[Double](1).toArray))
+        .localCheckpoint(true)
+      var r = 2
+      var done = false
+      while (r <= k && !done) {
+        val top = mind.orderBy(col("__d").desc, col("__id"))
+          .limit(1).collect()
+        if (top.isEmpty || top.head.getDouble(2) <= 0.0) done = true
+        else {
+          val row = top.head
+          picked += ((r.toLong, row.get(0), Some(row.getDouble(2))))
+          val next = mind
+            .withColumn("__d", least(col("__d"),
+              d2To(row.getSeq[Double](1).toArray)))
+            .localCheckpoint(true)
+          graft.ops.Checkpoints.release(mind)
+          mind = next
+          r += 1
+        }
+      }
+      graft.ops.Checkpoints.release(mind)
+    }
+    graft.ops.Checkpoints.release(base)
+    val idType = df.select(idCol).schema.head.dataType
+    import org.apache.spark.sql.types._
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(picked.toSeq.map { case (a, b, d) =>
+        org.apache.spark.sql.Row(a, b,
+          d.map(v => math.max(v, 0.0) + 0.0).orNull)
+      }, 1),
+      StructType(Seq(StructField("sel_rank", LongType, nullable = false),
+        StructField("item", idType),
+        StructField("__d2", DoubleType))))
+    out.select(col("sel_rank"), col("item"),
+      round(col("__d2"), 6).as("d2_r6"))
+  }
 }

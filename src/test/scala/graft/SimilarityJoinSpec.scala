@@ -291,4 +291,36 @@ class SimilarityJoinSpec extends SparkSpec {
     }
     assert(e2.getMessage != null)
   }
+
+  test("farthestPoints: hand-stepped Gonzalez selection — min-id seed, " +
+      "argmax-of-min-distance rounds, smallest-id tiebreak, early stop " +
+      "at radius 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(10f, 0f)), (3L, Array(0f, 1f)),
+      (4L, Array(5f, 0f)), (5L, Array(10f, 1f))
+    ).toDF("vec_id", "embedding")
+    // seed=1 (min id); then 5 (d2=101), 4 (25), 2 (tie 1 vs 3 -> min
+    // id), 3 (1); a 6th round would see radius 0 and stop
+    val got = Similarity.farthestPoints(pts, col("vec_id"),
+        col("embedding"), k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2))))
+    assert(got.toSeq == Seq(
+      (1L, 1L, None), (2L, 5L, Some(101.0)), (3L, 4L, Some(25.0)),
+      (4L, 2L, Some(1.0)), (5L, 3L, Some(1.0))))
+    // all-duplicate points: only the seed emits
+    val dup = Seq((7L, Array(1f, 1f)), (8L, Array(1f, 1f)),
+      (9L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val one = Similarity.farthestPoints(dup, col("vec_id"),
+      col("embedding"), k = 3).collect()
+    assert(one.length == 1 && one.head.getLong(1) == 7L)
+    // checkpoint hygiene: nothing persistent left behind
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.farthestPoints(pts, col("vec_id"), col("embedding"),
+      k = 3).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked: $leaked")
+  }
 }
