@@ -4486,6 +4486,19 @@ object SparkEntry {
           k = 8)
         .orderBy(col("sel_rank"))
     },
+
+    // X327 — banded DTW shape distance between the daily event-count
+    // series of every event-type pair
+    "q331_dtw" -> { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          graft.functions.Exact.longDiv(nsToMicros(col("ts_ns")),
+            86400000000L).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.TimeSeries.dtwPairs(daily, col("event_type"),
+          col("day"), col("n"), band = 5, scale = 0)
+        .orderBy(col("key_a"), col("key_b"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14185,6 +14198,62 @@ object SparkEntry {
         |ORDER BY len_class""".stripMargin,
 
     "q330_farthest" -> fpOracleSql(8),
+
+    // DTW DP unrolled as an anti-diagonal recursion: the working set
+    // carries the last TWO diagonals (age 0/1); each step min-folds
+    // the three predecessors onto the next diagonal through the
+    // banded cell table. Infeasible pairs (|n−m| > band) never reach
+    // the corner cell and read null through the LEFT JOIN.
+    "q331_dtw" ->
+      """WITH RECURSIVE ser AS MATERIALIZED (
+        |  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS o,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), idx AS MATERIALIZED (
+        |  SELECT k, v,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY o, v) - 1
+        |      AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |  FROM ser
+        |), pairs AS MATERIALIZED (
+        |  SELECT a.k AS ka, b.k AS kb, a.n AS na, b.n AS nb
+        |  FROM (SELECT DISTINCT k, n FROM idx) a
+        |  JOIN (SELECT DISTINCT k, n FROM idx) b ON a.k < b.k
+        |), cells AS MATERIALIZED (
+        |  SELECT p.ka, p.kb, a.i AS i, b.i AS j, abs(a.v - b.v) AS c
+        |  FROM pairs p
+        |  JOIN idx a ON a.k = p.ka
+        |  JOIN idx b ON b.k = p.kb
+        |  WHERE abs(a.i - b.i) <= 5 AND abs(p.na - p.nb) <= 5
+        |), rec AS (
+        |  SELECT ka, kb, i, j, c AS v, 0 AS age FROM cells
+        |  WHERE i = 0 AND j = 0
+        |  UNION ALL
+        |  (
+        |    SELECT n.ka, n.kb, n.i, n.j, n.v, 0 AS age FROM (
+        |      SELECT ce.ka, ce.kb, ce.i, ce.j, min(s.v) + ce.c AS v
+        |      FROM (
+        |        SELECT ka, kb, i + 1 AS i, j, v FROM rec WHERE age = 0
+        |        UNION ALL
+        |        SELECT ka, kb, i, j + 1, v FROM rec WHERE age = 0
+        |        UNION ALL
+        |        SELECT ka, kb, i + 1, j + 1, v FROM rec WHERE age = 1
+        |      ) s
+        |      JOIN cells ce ON ce.ka = s.ka AND ce.kb = s.kb
+        |        AND ce.i = s.i AND ce.j = s.j
+        |      GROUP BY ce.ka, ce.kb, ce.i, ce.j, ce.c
+        |    ) n
+        |    UNION ALL
+        |    SELECT ka, kb, i, j, v, 1 AS age FROM rec WHERE age = 0
+        |  )
+        |)
+        |SELECT p.ka AS key_a, p.kb AS key_b, p.na AS n_a, p.nb AS n_b,
+        |  r.v AS dtw_units
+        |FROM pairs p LEFT JOIN
+        |  (SELECT ka, kb, i, j, v FROM rec WHERE age = 0) r
+        |  ON r.ka = p.ka AND r.kb = p.kb
+        |  AND r.i = p.na - 1 AND r.j = p.nb - 1
+        |ORDER BY key_a, key_b""".stripMargin,
   )
 
   /** q330 oracle: Gonzalez farthest-point selection unrolled to k

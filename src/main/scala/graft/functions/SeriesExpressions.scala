@@ -18,6 +18,11 @@ object SeriesExpressions {
   /** [[EwmaScan]] as a Column. */
   def ewmaScan(values: Column, alphaPpm: Long): Column =
     bridge.column(EwmaScan(bridge.expression(values), alphaPpm))
+
+  /** [[DtwBand]] as a Column. */
+  def dtwBand(a: Column, b: Column, band: Int): Column =
+    bridge.column(DtwBand(bridge.expression(a), bridge.expression(b),
+      band))
 }
 
 /** Exact integer EWMA prefix scan: given the series as integer units
@@ -72,4 +77,81 @@ case class EwmaScan(child: Expression, alphaPpm: Long)
 
   override protected def withNewChildInternal(
       newChild: Expression): EwmaScan = copy(child = newChild)
+}
+
+/** Banded dynamic-time-warping distance between two integer-unit
+  * series: min over monotone warp paths (steps →, ↓, ↘ from (0,0) to
+  * (n−1,m−1), Sakoe–Chiba constraint |i−j| ≤ band) of Σ|aᵢ−bⱼ| along
+  * the path — the classic elastic shape distance
+  * (Sakoe & Chiba 1978), exact in long arithmetic (`addExact` /
+  * `subtractExact`: an overflowing cost raises instead of wrapping).
+  * Returns null when no path exists: |n−m| > band (the band cannot
+  * reach the corner) or either side empty. Null elements throw — the
+  * [[EwmaScan]] quantize-and-filter-upstream contract. One O(n·band)
+  * JVM loop over two reusable rows — a window/HOF formulation cannot
+  * express the 2-D recurrence and would quadratic-copy.
+  */
+case class DtwBand(left: Expression, right: Expression, band: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  require(band >= 0 && band <= 1000000, s"band in [0, 1000000]: $band")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dtw_band: inputs must be ARRAY<BIGINT>, got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dtw_band"
+
+  override def nullSafeEval(la: Any, ra: Any): Any = {
+    val xs = la.asInstanceOf[ArrayData]
+    val ys = ra.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val m = ys.numElements()
+    if (n == 0 || m == 0 || math.abs(n - m) > band) return null
+    def at(a: ArrayData, i: Int): Long = {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          "dtw_band: null element (quantize and filter upstream)")
+      a.getLong(i)
+    }
+    // -1 = unreachable; costs are non-negative so the sentinel is safe
+    var prev = Array.fill[Long](m)(-1L)
+    var cur = Array.fill[Long](m)(-1L)
+    var i = 0
+    while (i < n) {
+      val xi = at(xs, i)
+      val jLo = math.max(0, i - band)
+      val jHi = math.min(m - 1, i + band)
+      java.util.Arrays.fill(cur, -1L)
+      var j = jLo
+      while (j <= jHi) {
+        val c = math.abs(Math.subtractExact(xi, at(ys, j)))
+        if (i == 0 && j == 0) cur(0) = c
+        else {
+          var best = -1L
+          def consider(v: Long): Unit =
+            if (v >= 0L && (best < 0L || v < best)) best = v
+          if (i > 0) {
+            consider(prev(j))
+            if (j > 0) consider(prev(j - 1))
+          }
+          if (j > jLo) consider(cur(j - 1))
+          if (best >= 0L) cur(j) = Math.addExact(best, c)
+        }
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(m - 1) < 0L) null else java.lang.Long.valueOf(prev(m - 1))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DtwBand =
+    copy(left = newLeft, right = newRight)
 }

@@ -1377,4 +1377,69 @@ object TimeSeries {
           struct(col("__seg"), col("__sym")))),
           x => char(x.getField("__sym") + 97L)), "").as("sax_word"))
   }
+
+  /** All-pairs banded DTW distance between per-key series (X327) — the
+    * ELASTIC shape distance [[saxWords]]'s symbol equality cannot
+    * grade: which metric streams / daily activity curves / load
+    * profiles have the same shape, allowing local time stretch? For
+    * every unordered key pair, the Sakoe–Chiba banded dynamic-time-
+    * warping cost min_paths Σ|aᵢ−bⱼ| (|i−j| ≤ band) over the
+    * [[graft.functions.DtwBand]] kernel — exact long arithmetic,
+    * overflow raises, bit-identical anywhere. Values quantize via
+    * try-cast DecimalType(18, scale) (NaN/Inf/overflow rows drop — the
+    * [[ewmaSeries]] skip contract); order ties break by quantized
+    * value. `dtw_units` is null when the band cannot reach the corner
+    * (|n−m| > band) — infeasible, not zero. Output per pair: key_a,
+    * key_b (key_a < key_b), n_a, n_b, dtw_units.
+    *
+    * Scale shape: row volume collapses ONCE to |keys| series rows (one
+    * key exchange: sort_array(collect_list) with an in-plan maxRows
+    * raise); the pair grid is an explicit |keys|² self-join gated by
+    * an in-plan maxKeys raise — DTW is a MODEL-grain operator (compare
+    * hundreds of metric streams, not millions of rows; for corpus-
+    * scale shape search, prune candidates with [[saxWords]] equality
+    * first and feed the survivors here). Each pair's DP is one
+    * O(n·band) kernel call; parallelism = |pairs|.
+    */
+  def dtwPairs(df: DataFrame, keyCol: Column, orderCol: Column,
+      valueCol: Column, band: Int, scale: Int = 2,
+      maxRows: Int = 100000, maxKeys: Int = 2000): DataFrame = {
+    require(band >= 0 && band <= 1000000, s"band in [0, 1000000]: $band")
+    require(scale >= 0 && scale <= 6, s"scale in [0, 6]: $scale")
+    require(maxRows >= 1, s"maxRows must be >= 1: $maxRows")
+    require(maxKeys >= 2, s"maxKeys must be >= 2: $maxKeys")
+    val unit = math.pow(10, scale).toLong
+    val vU = (valueCol.try_cast(DecimalType(18, scale)) * lit(unit))
+      .cast(DecimalType(38, 0)).cast("long")
+    val base = df.filter(orderCol.isNotNull && keyCol.isNotNull)
+      .select(keyCol.as("__k"), orderCol.as("__o"), vU.as("__v"))
+      .filter(col("__v").isNotNull)
+    val series = base.groupBy(col("__k"))
+      .agg(transform(sort_array(collect_list(
+          struct(col("__o"), col("__v")))), x => x.getField("__v"))
+        .as("__xs0"))
+      .withColumn("__xs",
+        when(size(col("__xs0")) > maxRows, raise_error(concat(
+          lit(s"dtwPairs: key exceeds maxRows=$maxRows: "),
+          size(col("__xs0")).cast("string"))))
+          .otherwise(col("__xs0")))
+      .select(col("__k"), col("__xs"))
+    // the raise rides the KEPT series column — a dropped gate column
+    // would be pruned by the optimizer and never fire
+    val gated = series
+      .crossJoin(broadcast(series.agg(count(lit(1)).as("__nk"))))
+      .select(col("__k"),
+        when(col("__nk") > maxKeys.toLong, raise_error(concat(
+          lit(s"dtwPairs: key count exceeds maxKeys=$maxKeys: "),
+          col("__nk").cast("string"))))
+          .otherwise(col("__xs")).as("__xs"))
+    val a = gated.select(col("__k").as("key_a"), col("__xs").as("__a"))
+    val b = gated.select(col("__k").as("key_b"), col("__xs").as("__b"))
+    a.join(b, col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        size(col("__a")).cast("long").as("n_a"),
+        size(col("__b")).cast("long").as("n_b"),
+        graft.functions.SeriesExpressions.dtwBand(col("__a"),
+          col("__b"), band).as("dtw_units"))
+  }
 }

@@ -795,4 +795,38 @@ class TimeSeriesSpec extends SparkSpec {
       col("v"), segments = 2, alphabet = 2, scale = 0).collect().head
     assert(w4.getLong(1) == 2L && w4.getString(2).length == 2)
   }
+
+  test("dtwPairs: hand-computed banded DTW — warping absorbs a shifted " +
+      "spike, band 0 degrades to L1, infeasible length gap nulls, " +
+      "maxKeys raises") {
+    import spark.implicits._
+    val rows =
+      Seq(1, 5, 1, 1).zipWithIndex.map { case (v, i) =>
+        ("A", i.toLong, v.toDouble) } ++
+      Seq(1, 1, 5, 1).zipWithIndex.map { case (v, i) =>
+        ("B", i.toLong, v.toDouble) } ++
+      Seq(("C", 0L, 1.0))
+    val df = rows.toDF("k", "o", "v")
+    def run(band: Int) = graft.ops.TimeSeries.dtwPairs(df, col("k"),
+        col("o"), col("v"), band = band, scale = 0)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    // band 1: path (0,0)(0,1)(1,2)(2,3)(3,3) is all zero cost; the
+    // 3-vs-1 length gap to C exceeds the band on both pairs
+    val b1 = run(1)
+    assert(b1(("A", "B")) == Some(0L))
+    assert(b1(("A", "C")) == None && b1(("B", "C")) == None)
+    // band 0: diagonal-only = plain L1 distance = 4 + 4
+    assert(run(0)(("A", "B")) == Some(8L))
+    // band 3 reaches C: warp all of A onto the single point
+    val b3 = run(3)
+    assert(b3(("A", "C")) == Some(0L + 4L + 0L + 0L))
+    // maxKeys gate raises in-plan
+    val e = intercept[Exception] {
+      graft.ops.TimeSeries.dtwPairs(df, col("k"), col("o"), col("v"),
+        band = 1, scale = 0, maxKeys = 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
