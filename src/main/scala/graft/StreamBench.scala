@@ -170,6 +170,16 @@ object StreamBench {
         alphaPpm = 300000L, betaPpm = 100000L, horizon = 7).toDF()
     }(feedKeyed _)
 
+    results += drive[SBKeyed]("ewma_monitor",
+      streaming.StreamingEwma.outputMode) { in =>
+      // the holt_forecast feed without the trend state: one smoothed
+      // value per key, two longs of state
+      streaming.StreamingEwma.monitor(
+        in.toDS().groupByKey(_.key)
+          .mapValues(e => e.id * 0.05 + (e.id % 7) * 0.4),
+        alphaPpm = 300000L).toDF()
+    }(feedKeyed _)
+
     results += drive[SBKeyed]("bottomk_sample",
       streaming.StreamingSample.outputMode) { in =>
       // value universe of 2000 per key: the k-sample churns early,

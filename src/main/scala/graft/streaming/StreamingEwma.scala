@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming EWMA smoothing per key — the batch X323 recursion as LIVE
+  * state (SURVEY §2.7, the one-definition-two-modes discipline): the
+  * denoised current value every monitoring dashboard reads, updated on
+  * every reading instead of waiting for the nightly batch scan. State
+  * per key is TWO longs (row count, running EWMA in integer
+  * `scale`-units); values quantize HALF_UP to `scale` decimals exactly
+  * like the batch side's DecimalType(18, scale) cast — readings beyond
+  * the 18-digit unscaled bound are SKIPPED ENTIRELY (n does not
+  * advance), the [[StreamingHolt]] magnitude-gap contract — and each
+  * step is e ← (α·x + (10⁶−α)·e) div 10⁶, one truncating division on
+  * exact BigInt products, so the running value after any prefix ≡ the
+  * LAST row of the batch
+  * [[graft.ops.TimeSeries.ewmaSeries]] over that prefix in arrival
+  * order (spec-pinned). In-batch rows fold in source order (the
+  * recursion is order-sensitive; feed per-key-ordered streams). Emits
+  * (key, n, ewma_units) in Update mode after every batch the key
+  * appears in; ewma is None until the first accepted reading.
+  */
+object StreamingEwma {
+
+  /** Running EWMA state: rows seen, smoothed value in integer units. */
+  final case class EwmaState(i: Long, e: Long)
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, Double],
+      alphaPpm: Long, scale: Int = 2,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[EwmaState],
+      e: Encoder[(K, Long, Option[Long])])
+      : Dataset[(K, Long, Option[Long])] = {
+    require(alphaPpm >= 0L && alphaPpm <= 1000000L,
+      s"alphaPpm in [0, 1000000]: $alphaPpm")
+    require(scale >= 0 && scale <= 6, s"scale in [0, 6]: $scale")
+    val unit = math.pow(10, scale).toLong
+    val a = BigInt(alphaPpm)
+    val a1 = BigInt(1000000L - alphaPpm)
+    val M = BigInt(1000000L)
+    grouped.flatMapGroupsWithState[EwmaState, (K, Long, Option[Long])](
+      OutputMode.Update, timeout) {
+      (key: K, values: Iterator[Double],
+          state: GroupState[EwmaState]) =>
+        var s = state.getOption.getOrElse(EwmaState(0L, 0L))
+        values.foreach { v =>
+          if (java.lang.Double.isFinite(v)) {
+            val bd = BigDecimal(v)
+              .setScale(scale,
+                scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .*(BigDecimal(unit))
+            // the batch cast chain goes through DecimalType(18, scale):
+            // |units| must stay under 10^18 or the row nulls out there —
+            // skip here too so the skip-sets match (StreamingHolt gate)
+            if (bd.isValidLong &&
+                bd.toLongExact > -1000000000000000000L &&
+                bd.toLongExact < 1000000000000000000L) {
+              val x = bd.toLongExact
+              s =
+                if (s.i == 0L) EwmaState(1L, x)
+                else EwmaState(s.i + 1L,
+                  ((a * x + a1 * s.e) / M).toLong)
+            }
+          }
+        }
+        state.update(s)
+        Iterator.single((key, s.i,
+          if (s.i >= 1L) Some(s.e) else None))
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

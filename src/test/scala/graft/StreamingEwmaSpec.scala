@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingEwma
+
+class StreamingEwmaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming ewma: running state ≡ last row of batch ewmaSeries " +
+      "over the prefix across batches; NaN and magnitude-gap readings " +
+      "skipped like the batch quantize") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingEwma.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2),
+        alphaPpm = 300000L, scale = 0)
+      .toDF("key", "n", "ewma_units")
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(StreamingEwma.outputMode)
+      .start()
+
+    in.addData(("k1", 10.0)); q.processAllAvailable()
+    // NaN and the (10^18, Long-range] magnitude gap both skip — n
+    // advances only for the finite in-bound reading
+    in.addData(("k1", Double.NaN), ("k1", 2.0e18), ("k1", 20.0))
+    q.processAllAvailable()
+    in.addData(("k1", 5.0), ("k1", 15.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ewma_out")
+      .as[(String, Long, Option[Long])]
+      .collect().map(r => r._2 -> r._3).toMap
+    // e1 = x1 = 10; e2 = (0.3*20 + 0.7*10) = 13; e3 = (0.3*5 +
+    // 0.7*13) div 1 = 10 (10.6 truncates); e4 = (0.3*15 + 0.7*10) =
+    // 11 (11.5 truncates)
+    assert(rows(1L) == Some(10L))
+    assert(rows(2L) == Some(13L))
+    assert(rows(4L) == Some(11L))
+    // pin against the batch fold of the full accepted prefix
+    val prefix = Seq(10.0, Double.NaN, 2.0e18, 20.0, 5.0, 15.0)
+      .zipWithIndex.map { case (v, i) => ("k1", i.toLong, v) }
+      .toDF("k", "o", "v")
+    val batch = graft.ops.TimeSeries.ewmaSeries(prefix, Seq("k"),
+        col("o"), col("v"), alphaPpm = 300000L, scale = 0)
+      .orderBy(col("o").desc).limit(1).collect().head
+    assert(rows(4L) == Some(batch.getLong(3)),
+      s"streaming ${rows(4L)} != batch ${batch.getLong(3)}")
+  }
+}
