@@ -4499,6 +4499,25 @@ object SparkEntry {
           col("day"), col("n"), band = 5, scale = 0)
         .orderBy(col("key_a"), col("key_b"))
     },
+
+    // X329 — binned Wasserstein-1 drift: the q127 KS probe's integral
+    // companion on the same bins and slices
+    "q332_emd_drift" -> { (s, dir) =>
+      graft.ops.Features.emdDrift(
+          events(s, dir), Nil, col("value"), col("event_type"),
+          "click", "purchase", lo = 0.0, width = 10.0, nBins = 50)
+    },
+
+    // X330 — Kruskal–Wallis: does the event-value distribution differ
+    // across event types, within each day-of-week?
+    "q333_kruskal" -> { (s, dir) =>
+      val ev = events(s, dir).withColumn("dow",
+        pmod(graft.functions.Exact.longDiv(nsToMicros(col("ts_ns")),
+          86400000000L), lit(7L)))
+      graft.ops.Features.kruskalWallis(ev, Seq("dow"), col("value"),
+          col("event_type"))
+        .orderBy(col("dow"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14254,6 +14273,93 @@ object SparkEntry {
         |  ON r.ka = p.ka AND r.kb = p.kb
         |  AND r.i = p.na - 1 AND r.j = p.nb - 1
         |ORDER BY key_a, key_b""".stripMargin,
+
+    "q332_emd_drift" ->
+      """WITH f AS (
+        |  SELECT least(greatest(
+        |      CAST(floor((value - 0.0) / 10.0) AS BIGINT), 0), 49) AS bin,
+        |    event_type
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+        |), c AS (
+        |  SELECT bin,
+        |    CAST(count(*) FILTER (WHERE event_type = 'click')
+        |      AS BIGINT) AS ca,
+        |    CAST(count(*) FILTER (WHERE event_type = 'purchase')
+        |      AS BIGINT) AS cb
+        |  FROM f GROUP BY 1
+        |), g AS (
+        |  SELECT
+        |    sum(ca) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    sum(ca) OVER () AS na,
+        |    sum(cb) OVER () AS nb,
+        |    lead(bin) OVER (ORDER BY bin) - bin AS run
+        |  FROM c
+        |)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(sum(abs(CAST(cuma AS HUGEINT) * nb -
+        |      CAST(cumb AS HUGEINT) * na) * coalesce(run, 0)) * 1000000
+        |    // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT)
+        |    AS emd_bin_ppm
+        |FROM g""".stripMargin,
+
+    "q333_kruskal" ->
+      """WITH base AS (
+        |  SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |    event_type AS s, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), cells AS (
+        |  SELECT dow, s, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT dow, s, v, c,
+        |    sum(c) OVER (PARTITION BY dow ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum,
+        |    sum(c) OVER (PARTITION BY dow, v) AS t,
+        |    sum(c) OVER (PARTITION BY dow) AS n
+        |  FROM cells
+        |), slices AS (
+        |  SELECT dow, s,
+        |    sum(CAST(2 * cum - t + 1 AS HUGEINT) * c) AS r2,
+        |    CAST(sum(c) AS BIGINT) AS ns,
+        |    CAST(max(n) AS BIGINT) AS n
+        |  FROM ranked GROUP BY 1, 2
+        |), terms AS (
+        |  SELECT dow, s, n, ns,
+        |    (r2 * r2 * 1000000) // ns AS term
+        |  FROM slices
+        |), ties AS (
+        |  SELECT dow, sum(CAST(tt AS HUGEINT) * tt * tt - tt)
+        |    AS tcube
+        |  FROM (SELECT dow, v, CAST(max(t) AS BIGINT) AS tt
+        |    FROM ranked GROUP BY 1, 2)
+        |  GROUP BY dow
+        |), agg AS (
+        |  SELECT t.dow, CAST(max(t.n) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT t.s) AS BIGINT) AS n_slices,
+        |    sum(t.term) AS tt, max(ti.tcube) AS tcube
+        |  FROM terms t JOIN ties ti ON t.dow = ti.dow
+        |  GROUP BY t.dow
+        |), h AS (
+        |  SELECT dow, n, n_slices, n_slices - 1 AS dof,
+        |    (tt * 3) // (CAST(n AS HUGEINT) * (n + 1))
+        |      - 3 * (CAST(n AS HUGEINT) + 1) * 1000000 AS hppm,
+        |    CAST(n AS HUGEINT) * n * n - n - tcube AS den,
+        |    CAST(n AS HUGEINT) * n * n - n AS ncube
+        |  FROM agg
+        |)
+        |SELECT dow, n, n_slices, dof,
+        |  CASE WHEN dof >= 1 AND den > 0 THEN
+        |    CAST(greatest((hppm * ncube) // den, 0) AS BIGINT)
+        |    END AS h_c_ppm
+        |FROM h
+        |ORDER BY dow""".stripMargin,
   )
 
   /** q330 oracle: Gonzalez farthest-point selection unrolled to k

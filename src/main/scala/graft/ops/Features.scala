@@ -303,6 +303,162 @@ object Features {
             "* max(__nb)) AS BIGINT)")).as("ks_ppm"))
   }
 
+  /** Binned Wasserstein-1 (earth-mover) drift in EXACT integer ppm of
+    * a bin width (X329) — [[ksDrift]]'s integral companion: KS reads
+    * the WORST CDF gap, W₁ reads the TOTAL transport — how far mass
+    * actually moved — so a broad small shift (every value nudged one
+    * bin) and a narrow spike score differently here and identically
+    * there; the pair is the standard numeric-drift dashboard. Same
+    * clamped fixed-width bins, same slices: over bin boundaries
+    * b = 0..nBins−2, W₁ = Σ|cdfA(b) − cdfB(b)| in BIN-WIDTH units,
+    * cross-multiplied exact:
+    * `emd_bin_ppm = ⌊Σ_b |cumA·nB − cumB·nA| · 10⁶ div (nA·nB)⌋`
+    * (multiply by your bin width to read value units — the width never
+    * enters the integer math). Unoccupied bins carry the previous
+    * boundary's gap, so each OCCUPIED bin contributes its gap times
+    * the run length to the next occupied bin (`lead(bin) − bin`) and
+    * the empty grid never materializes. A group missing either slice
+    * reads null (no comparison, not agreement).
+    *
+    * Scale shape: identical to [[ksDrift]] — one map-side-combined
+    * count agg to (group, bin) grain (≤ nBins rows per group), two
+    * cumulative windows and a lead over that bounded table, one final
+    * rollup; the raw rows are scanned once and never re-shuffled.
+    */
+  def emdDrift(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      sliceCol: Column, aVal: String, bVal: String, lo: Double,
+      width: Double, nBins: Int): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    require(nBins >= 1, s"nBins must be >= 1: $nBins")
+    require(aVal != bVal, s"slices must differ: $aVal")
+    val gs = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+    val bin = least(greatest(
+      floor((valueCol.cast("double") - lit(lo)) / lit(width)).cast("long"),
+      lit(0L)), lit(nBins - 1L))
+    val counts = df
+      .filter(valueCol.isNotNull && (sliceCol === aVal || sliceCol === bVal))
+      .groupBy((gs :+ bin.as("bin")): _*)
+      .agg(count(when(sliceCol === aVal, 1)).as("__ca"),
+        count(when(sliceCol === bVal, 1)).as("__cb"))
+    val wCum = w.partitionBy(gs: _*).orderBy(col("bin"))
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val wLead = w.partitionBy(gs: _*).orderBy(col("bin"))
+    val wAll = w.partitionBy(gs: _*)
+    val d38 = DecimalType(38, 0)
+    val gap = counts
+      .withColumn("__cuma", sum(col("__ca")).over(wCum))
+      .withColumn("__cumb", sum(col("__cb")).over(wCum))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__run",
+        lead(col("bin"), 1, null).over(wLead) - col("bin"))
+      .withColumn("__g", when(col("__na") > 0 && col("__nb") > 0,
+        abs(col("__cuma").cast(d38) * col("__nb") -
+          col("__cumb").cast(d38) * col("__na")) *
+          coalesce(col("__run"), lit(0L))))
+    gap.groupBy(gs: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        when(max(col("__na")) > 0 && max(col("__nb")) > 0,
+          graft.functions.Exact.longDiv(sum(col("__g")) * 1000000L,
+            max(col("__na")).cast(d38) * max(col("__nb"))))
+          .as("emd_bin_ppm"))
+  }
+
+  /** Kruskal–Wallis H over k slices in EXACT integer ppm (X330) — the
+    * NONPARAMETRIC k-group "did any slice shift" test completing the
+    * hypothesis family ([[welchT]] parametric two-group,
+    * [[chiSquare]] categorical, [[logRank]] survival, [[groupAuc]] =
+    * two-group Mann–Whitney): rank all values in the group jointly
+    * (ties take midranks), then
+    * H = 12/(N(N+1))·Σ_slices Rᵢ²/nᵢ − 3(N+1), tie-corrected
+    * H_c = H / (1 − Σ(t³−t)/(N³−N)). Every quantity is rational in
+    * integer counts: midranks ride DOUBLED units (2·midrank =
+    * min_rank + max_rank of the tie class — integer always), and the
+    * floor recipe is fixed — per slice `term = ⌊R2ᵢ²·10⁶ div nᵢ⌋`
+    * (R2ᵢ = Σ 2·midrank), `H_ppm = ⌊3·Σterm div (N(N+1))⌋ −
+    * 3(N+1)·10⁶`, `h_c_ppm = ⌊H_ppm·(N³−N) div (N³−N−Σ(t³−t))⌋`,
+    * clamped at 0 — engine-portable, no float rank ever exists. A
+    * group whose values are ALL tied (correction denominator 0) or
+    * with fewer than 2 slices reads null — the test is undefined, not
+    * passed. No p-value by design (the χ²_{k−1} CDF is an incomplete
+    * gamma): H_c with `dof` = k−1 ranks groups at equal dof, which is
+    * the triage the audit exists for ([[chiSquare]] contract).
+    * Exact while N ≲ 5·10⁷ rows per group (R2² ≤ 4N⁴ at 38 digits) —
+    * beyond that, pre-aggregate to value grain (ranks only need
+    * counts).
+    *
+    * Scale shape: raw rows collapse ONCE to (group, slice, value)
+    * grain map-side; midranks ride two cumulative windows over the
+    * (group, value) rollup of that table (never the raw rows); the
+    * slice rank-sums and the H algebra are two tiny aggs. One key
+    * exchange, no joins beyond the value-grain merge.
+    */
+  def kruskalWallis(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, sliceCol: Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "kruskalWallis needs group columns (use a literal for one group)")
+    val gs = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    import graft.functions.Exact.longDiv
+    // (group, slice, value) grain, then (group, value) tie classes
+    val cells = df
+      .filter(valueCol.isNotNull && sliceCol.isNotNull)
+      .groupBy(gs :+ sliceCol.as("__s") :+
+        valueCol.cast("double").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = w.partitionBy(gs: _*).orderBy(col("__v"))
+      .rangeBetween(w.unboundedPreceding, w.currentRow)
+    val wAll = w.partitionBy(gs: _*)
+    val wTie = w.partitionBy(gs :+ col("__v"): _*)
+    // 2·midrank of a tie class = (cum-count-before + 1) +
+    // (cum-count-through) = 2·cumThrough − t + 1
+    val ranked = cells
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__t", sum(col("__c")).over(wTie))
+      .withColumn("__r2",
+        lit(2L) * col("__cum") - col("__t") + 1L)
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val slices = ranked
+      .groupBy(gs :+ col("__s"): _*)
+      .agg(sum(col("__r2").cast(d38) * col("__c")).as("__R2"),
+        sum(col("__c")).as("__ns"),
+        max(col("__n")).as("__n"))
+      .withColumn("__term",
+        longDiv(col("__R2") * col("__R2") * 1000000L,
+          col("__ns").cast(d38)).cast(d38))
+    // tie-cubes ride the value-grain table (one row per tie class)
+    val ties = ranked
+      .groupBy(gs :+ col("__v"): _*)
+      .agg(max(col("__t")).as("__tt"))
+      .groupBy(gs: _*)
+      .agg(sum(col("__tt").cast(d38) * col("__tt") * col("__tt") -
+        col("__tt")).as("__tcube"))
+    slices.groupBy(gs: _*)
+      .agg(max(col("__n")).as("n"),
+        countDistinct(col("__s")).as("n_slices"),
+        sum(col("__term")).as("__T"))
+      .join(ties, groupCols)
+      .withColumn("dof", col("n_slices") - 1L)
+      // T carries DOUBLED-rank squares = 4·ΣRᵢ²·10⁶/nᵢ, so the
+      // classic 12/(N(N+1)) factor reads 3/(N(N+1)) here
+      .withColumn("__hppm",
+        longDiv(col("__T") * 3L,
+          col("n").cast(d38) * (col("n") + 1L)) -
+          lit(3L) * (col("n") + 1L) * 1000000L)
+      .withColumn("__den",
+        col("n").cast(d38) * col("n") * col("n") - col("n") -
+          col("__tcube"))
+      .withColumn("h_c_ppm",
+        when(col("dof") >= 1L && col("__den") > 0L,
+          greatest(longDiv(col("__hppm").cast(d38) *
+            (col("n").cast(d38) * col("n") * col("n") - col("n")),
+            col("__den")), lit(0L))))
+      .select(gs ++ Seq(col("n"), col("n_slices"), col("dof"),
+        col("h_c_ppm")): _*)
+  }
+
   /** Per-group Gini impurity of a label column in EXACT integer ppm —
     * the class-balance signal over training labels (a stratum whose
     * impurity collapsed is one class repeated; one whose impurity

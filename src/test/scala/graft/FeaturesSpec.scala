@@ -1474,4 +1474,51 @@ class FeaturesSpec extends SparkSpec {
     assert(got("indep") == ((20L, 1L, Some(0L), Some(0L))))
     assert(got("flat") == ((7L, 0L, None, None)))
   }
+
+  test("emdDrift: hand-computed transport — a two-bin shift reads " +
+      "2e6 ppm, unoccupied-bin runs carry the gap, one-slice group " +
+      "nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("shift", "a", 0.0), ("shift", "a", 1.0),
+      ("shift", "b", 2.0), ("shift", "b", 3.0),
+      ("gap", "a", 0.0), ("gap", "a", 0.0),
+      ("gap", "b", 3.0), ("gap", "b", 3.0),
+      ("solo", "a", 1.0), ("solo", "a", 2.0)
+    ).toDF("k", "s", "v")
+    val got = graft.ops.Features.emdDrift(rows, Seq("k"), col("v"),
+        col("s"), "a", "b", lo = 0.0, width = 1.0, nBins = 4)
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // every value moves exactly 2 bins -> W1 = 2 bin widths
+    assert(got("shift") == Some(2000000L))
+    // all mass jumps 3 bins across two unoccupied ones
+    assert(got("gap") == Some(3000000L))
+    assert(got("solo") == None)
+  }
+
+  test("kruskalWallis: textbook no-tie H, midrank tie correction, " +
+      "all-tied group nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("clean", "x", 1.0), ("clean", "x", 2.0),
+      ("clean", "y", 3.0), ("clean", "y", 4.0),
+      ("tied", "x", 1.0), ("tied", "x", 2.0), ("tied", "x", 2.0),
+      ("tied", "y", 2.0), ("tied", "y", 5.0),
+      ("const", "x", 7.0), ("const", "y", 7.0)
+    ).toDF("k", "s", "v")
+    val got = graft.ops.Features.kruskalWallis(rows, Seq("k"),
+        col("v"), col("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]))))
+      .toMap
+    // H = 12/(4*5)*(9/2 + 49/2) - 3*5 = 2.4, no ties
+    assert(got("clean") == ((4L, 1L, Some(2400000L))))
+    // midranks: 2s rank 3 each; H = 1.333333, C = 0.8 -> 1.666666
+    assert(got("tied") == ((5L, 1L, Some(1666666L))))
+    // every value tied: correction denominator 0 -> undefined
+    assert(got("const") == ((2L, 1L, None)))
+  }
 }
