@@ -4518,6 +4518,22 @@ object SparkEntry {
           col("event_type"))
         .orderBy(col("dow"))
     },
+
+    // X331 — token-level banded edit verify over the q28 simhash
+    // candidate tier: blocking proposes, alignment confirms (the
+    // planted twins read edit_tokens = 2 — ' zzz extra')
+    "q334_token_edit" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val mut = d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zzz extra")).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(mut)
+      val cand = graft.dedup.Dedup.simhashNearDups(corpus, "text",
+        "doc_id", bands = 4, maxHamming = 8)
+      graft.dedup.Dedup.tokenEditPairs(corpus, "text", "doc_id", cand,
+          band = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14360,6 +14376,113 @@ object SparkEntry {
         |    END AS h_c_ppm
         |FROM h
         |ORDER BY dow""".stripMargin,
+
+    "q334_token_edit" ->
+      """WITH RECURSIVE corpus AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' zzz extra' AS text
+        |  FROM documents WHERE doc_id % 9 = 0
+        |), toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(string_split_regex(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |      t -> t <> ''), t -> md5(t)) AS hx
+        |  FROM corpus
+        |), sims AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(generate_series(0, 63), i ->
+        |      CASE WHEN (CASE WHEN len(hx) = 0 THEN 0 ELSE
+        |        list_reduce(list_transform(hx, h ->
+        |          CASE WHEN ((CASE WHEN ascii(substr(h, i // 4 + 1, 1)) <= 57
+        |                           THEN ascii(substr(h, i // 4 + 1, 1)) - 48
+        |                           ELSE ascii(substr(h, i // 4 + 1, 1)) - 87
+        |                      END >> (i % 4)) & 1) = 1
+        |          THEN 1 ELSE -1 END),
+        |          (a, b) -> a + b) END) > 0 THEN '1' ELSE '0' END), '')
+        |      AS sim
+        |  FROM toks
+        |), banded AS MATERIALIZED (
+        |  SELECT doc_id, sim, b.band,
+        |    substr(sim, 16 * b.band + 1, 16) AS key
+        |  FROM sims, (SELECT unnest(generate_series(0, 3)) AS band) b
+        |), cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.sim AS sa, b.sim AS sb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |), ham AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      len(list_filter(generate_series(1, 64),
+        |        i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS hamming
+        |    FROM cand) WHERE hamming <= 8
+        |), toka AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(string_split_regex(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |      t -> t <> ''), x ->
+        |      list_reduce(list_transform(generate_series(1, 15), ii ->
+        |        CAST(CASE WHEN ascii(substr(md5(x), ii, 1)) <= 57
+        |             THEN ascii(substr(md5(x), ii, 1)) - 48
+        |             ELSE ascii(substr(md5(x), ii, 1)) - 87 END AS BIGINT)),
+        |        (a, b) -> a * 16 + b)) AS tk
+        |  FROM corpus
+        |), pr AS MATERIALIZED (
+        |  SELECT p.id_a, p.id_b, a.tk AS ta, b.tk AS tb,
+        |    CAST(len(a.tk) AS BIGINT) AS n_a, CAST(len(b.tk) AS BIGINT) AS n_b
+        |  FROM ham p
+        |  JOIN toka a ON a.doc_id = p.id_a
+        |  JOIN toka b ON b.doc_id = p.id_b
+        |), ri AS MATERIALIZED (
+        |  SELECT id_a, id_b, ta, tb, n_b,
+        |    unnest(generate_series(0, n_a)) AS i
+        |  FROM pr
+        |), cj AS MATERIALIZED (
+        |  SELECT id_a, id_b, ta, tb, i,
+        |    unnest(generate_series(greatest(0, i - 8),
+        |      least(n_b, i + 8))) AS j
+        |  FROM ri
+        |), cells AS MATERIALIZED (
+        |  SELECT id_a, id_b, i, j,
+        |    CASE WHEN i >= 1 AND j >= 1 THEN
+        |      CASE WHEN ta[i] = tb[j] THEN 0 ELSE 1 END END AS sub
+        |  FROM cj
+        |), rec AS (
+        |  SELECT id_a, id_b, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+        |    CAST(0 AS BIGINT) AS v, 0 AS age
+        |  FROM pr
+        |  UNION ALL
+        |  (
+        |    SELECT nn.id_a, nn.id_b, nn.i, nn.j, nn.v, 0 AS age FROM (
+        |      SELECT ce.id_a, ce.id_b, ce.i, ce.j,
+        |        min(s.v + CASE WHEN s.diag = 1 THEN ce.sub ELSE 1 END) AS v
+        |      FROM (
+        |        SELECT id_a, id_b, i + 1 AS i, j, v, 0 AS diag FROM rec
+        |        WHERE age = 0
+        |        UNION ALL
+        |        SELECT id_a, id_b, i, j + 1, v, 0 FROM rec WHERE age = 0
+        |        UNION ALL
+        |        SELECT id_a, id_b, i + 1, j + 1, v, 1 FROM rec WHERE age = 1
+        |      ) s
+        |      JOIN cells ce ON ce.id_a = s.id_a AND ce.id_b = s.id_b
+        |        AND ce.i = s.i AND ce.j = s.j
+        |      GROUP BY ce.id_a, ce.id_b, ce.i, ce.j
+        |    ) nn
+        |    UNION ALL
+        |    SELECT id_a, id_b, i, j, v, 1 AS age FROM rec WHERE age = 0
+        |  )
+        |)
+        |SELECT p.id_a, p.id_b, p.n_a, p.n_b,
+        |  CASE WHEN r.v <= 8 THEN r.v END AS edit_tokens,
+        |  CASE WHEN r.v <= 8 AND greatest(p.n_a, p.n_b) > 0
+        |    THEN CAST(r.v * 1000000 // greatest(p.n_a, p.n_b) AS BIGINT)
+        |    END AS edit_ppm
+        |FROM pr p LEFT JOIN
+        |  (SELECT id_a, id_b, i, j, v FROM rec WHERE age = 0) r
+        |  ON r.id_a = p.id_a AND r.id_b = p.id_b
+        |  AND r.i = p.n_a AND r.j = p.n_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
   )
 
   /** q330 oracle: Gonzalez farthest-point selection unrolled to k

@@ -1087,4 +1087,59 @@ object Dedup {
             col("n_records").cast(d38) * (col("n_records") - 1L)))
           .as("reduction_ppm"))
   }
+
+  /** Token-level banded edit distance over CANDIDATE pairs (X331) —
+    * the verify tier that makes alignment-grade near-dup confirmation
+    * scale to LONG documents: char-level Levenshtein on a 10k-char doc
+    * is 10⁸ DP cells, token-level with a Sakoe–Chiba band is
+    * n_tokens·band (the [[graft.functions.BandedEditDistance]]
+    * kernel — exact when distance ≤ band, null = "more than band
+    * edits apart", which for a dedup gate is all a threshold reads).
+    * Tokens are the whitespace tokens of the normalized text as 60-bit
+    * md5 longs (the X58 w.h.p.-exactness discipline — the oracle
+    * hashes identically). Emits per candidate pair: id_a, id_b,
+    * n_a/n_b (token counts), `edit_tokens` (null beyond band),
+    * `edit_ppm` = ⌊edit·10⁶ div max(n_a, n_b)⌋ — the length-normalized
+    * threshold statistic.
+    *
+    * Scale shape: the corpus tokenizes ONCE scan-local into id-keyed
+    * arrays (maxTokens in-plan raise); candidates — produced by any
+    * blocking tier ([[simhashNearDups]], [[minhashLshPairs]],
+    * [[sortedNeighborhoodPairs]]) — join those arrays twice by id
+    * (hash joins at candidate grain, never all-pairs), then each pair
+    * pays one O(n·band) kernel call. The verify cost is
+    * candidate-bounded, the discipline the whole dedup family shares.
+    */
+  def tokenEditPairs(df: DataFrame, textCol: String, idCol: String,
+      candidates: DataFrame, band: Int,
+      maxTokens: Int = 100000): DataFrame = {
+    require(band >= 0 && band <= 1000000, s"band in [0, 1000000]: $band")
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    val toks = transform(
+      graft.text.TextFunctions.tokens(
+        graft.text.TextFunctions.normalized(col(textCol))),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val docs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), toks.as("__tk0"))
+      .select(col("__id"),
+        when(size(col("__tk0")) > maxTokens, raise_error(concat(
+          lit(s"tokenEditPairs: doc exceeds maxTokens=$maxTokens: "),
+          size(col("__tk0")).cast("string"))))
+          .otherwise(col("__tk0")).as("__tk"))
+    val a = docs.select(col("__id").as("id_a"), col("__tk").as("__ta"))
+    val b = docs.select(col("__id").as("id_b"), col("__tk").as("__tb"))
+    candidates.select(col("id_a"), col("id_b"))
+      .join(a, Seq("id_a"))
+      .join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("__ta")).cast("long").as("n_a"),
+        size(col("__tb")).cast("long").as("n_b"),
+        graft.functions.SeriesExpressions.bandedEdit(col("__ta"),
+          col("__tb"), band).as("edit_tokens"))
+      .withColumn("edit_ppm",
+        when(col("edit_tokens").isNotNull &&
+          greatest(col("n_a"), col("n_b")) > 0L,
+          graft.functions.Exact.longDiv(col("edit_tokens") * 1000000L,
+            greatest(col("n_a"), col("n_b")))))
+  }
 }

@@ -23,6 +23,11 @@ object SeriesExpressions {
   def dtwBand(a: Column, b: Column, band: Int): Column =
     bridge.column(DtwBand(bridge.expression(a), bridge.expression(b),
       band))
+
+  /** [[BandedEditDistance]] as a Column. */
+  def bandedEdit(a: Column, b: Column, band: Int): Column =
+    bridge.column(BandedEditDistance(bridge.expression(a),
+      bridge.expression(b), band))
 }
 
 /** Exact integer EWMA prefix scan: given the series as integer units
@@ -153,5 +158,88 @@ case class DtwBand(left: Expression, right: Expression, band: Int)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DtwBand =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Banded Levenshtein distance between two token-id sequences —
+  * [[DtwBand]]'s alignment cousin with unit insert/delete/substitute
+  * costs: the token-level edit distance that makes near-duplicate
+  * verification scale to LONG documents (char-level Levenshtein on a
+  * 10k-char doc is 10⁸ DP cells; token-level with a band is
+  * n_tokens·band). Returns the exact distance when it is ≤ band, null
+  * otherwise ("more than band edits apart" — when the true distance is
+  * ≤ band the optimal path stays inside |i−j| ≤ distance ≤ band, so
+  * the banded value IS exact; beyond that the band only overestimates,
+  * and the contract nulls it). |n−m| > band short-circuits to null
+  * (distance ≥ length gap). Null elements throw (hash upstream). One
+  * O(n·band) JVM loop over two reusable rows.
+  */
+case class BandedEditDistance(left: Expression, right: Expression,
+    band: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  require(band >= 0 && band <= 1000000, s"band in [0, 1000000]: $band")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"banded_edit: inputs must be ARRAY<BIGINT>, got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "banded_edit"
+
+  override def nullSafeEval(la: Any, ra: Any): Any = {
+    val xs = la.asInstanceOf[ArrayData]
+    val ys = ra.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val m = ys.numElements()
+    if (math.abs(n - m) > band) return null
+    def at(a: ArrayData, i: Int): Long = {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          "banded_edit: null element (hash and filter upstream)")
+      a.getLong(i)
+    }
+    // rows are consumed-prefix lengths 0..n over columns 0..m;
+    // -1 = outside the band (unreachable)
+    var prev = Array.fill[Long](m + 1)(-1L)
+    var cur = Array.fill[Long](m + 1)(-1L)
+    var j0 = 0
+    while (j0 <= math.min(m, band)) { prev(j0) = j0.toLong; j0 += 1 }
+    var i = 1
+    while (i <= n) {
+      val xi = at(xs, i - 1)
+      val jLo = math.max(0, i - band)
+      val jHi = math.min(m, i + band)
+      java.util.Arrays.fill(cur, -1L)
+      var j = jLo
+      while (j <= jHi) {
+        if (j == 0) cur(0) = i.toLong
+        else {
+          var best = -1L
+          def consider(v: Long): Unit =
+            if (v >= 0L && (best < 0L || v < best)) best = v
+          if (prev(j) >= 0L) consider(prev(j) + 1L) // delete
+          if (j > jLo && cur(j - 1) >= 0L)
+            consider(cur(j - 1) + 1L) // insert
+          if (prev(j - 1) >= 0L)
+            consider(prev(j - 1) +
+              (if (xi == at(ys, j - 1)) 0L else 1L)) // substitute
+          cur(j) = best
+        }
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    val d = if (n == 0) m.toLong else prev(m)
+    if (d < 0L || d > band.toLong) null else java.lang.Long.valueOf(d)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BandedEditDistance =
     copy(left = newLeft, right = newRight)
 }

@@ -462,4 +462,34 @@ class DedupSpec extends SparkSpec {
       .collect().head
     assert(r2.isNullAt(4) && r2.getLong(5) == 800000L)
   }
+
+  test("tokenEditPairs: hand-computed banded token Levenshtein — " +
+      "insert/substitute count, beyond-band nulls, band-0 degrades " +
+      "to Hamming-or-null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha XXX gamma delta"),
+      (4L, "completely different words here now")
+    ).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    def run(band: Int) = graft.dedup.Dedup.tokenEditPairs(docs, "text",
+        "doc_id", cand, band = band)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    val b2 = run(2)
+    assert(b2((1L, 2L)) == ((Some(1L), Some(200000L)))) // one insert
+    assert(b2((1L, 3L)) == ((Some(1L), Some(250000L)))) // one sub
+    assert(b2((2L, 3L)) == ((Some(2L), Some(400000L)))) // sub + insert
+    assert(b2((1L, 4L)) == ((None, None))) // 5 edits > band
+    // band 0: only equal-length diagonal survives, and only if the
+    // Hamming distance is 0 — d1/d3 differ in one token -> null
+    val b0 = run(0)
+    assert(b0((1L, 2L)) == ((None, None))) // length gap > 0
+    assert(b0((1L, 3L)) == ((None, None))) // distance 1 > band 0
+  }
 }
