@@ -4534,6 +4534,23 @@ object SparkEntry {
           band = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
+
+    // Composition — the round-13 curation pick in ONE plan: X316
+    // weighted priority sample (64 docs, length-weighted) → X326
+    // farthest-point exemplars over their embeddings (6 maximally
+    // diverse representatives of the sampled pool)
+    "q335_sample_exemplars" -> { (s, dir) =>
+      val sampled = graft.ops.Relational.prioritySample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          col("doc_id"), least(col("n_chars") + 1L, lit(1000000L)),
+          n = 64, seed = "wrs1")
+        .select(col("doc_id"))
+      val vecs = t(s, dir, "embeddings")
+        .join(sampled, col("vec_id") === col("doc_id"), "left_semi")
+      graft.similarity.Similarity.farthestPoints(vecs, col("vec_id"),
+          col("embedding"), k = 6)
+        .orderBy(col("sel_rank"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14483,6 +14500,34 @@ object SparkEntry {
         |  ON r.id_a = p.id_a AND r.id_b = p.id_b
         |  AND r.i = p.n_a AND r.j = p.n_b
         |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    "q335_sample_exemplars" -> fpOracleSql(6,
+      prelude = """h AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    least(CAST(n_chars AS BIGINT) + 1, 1000000) AS w,
+        |    list_reduce(list_transform(generate_series(1, 15), ii ->
+        |      CAST(CASE
+        |        WHEN ascii(substr(md5('wrs1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) <= 57
+        |        THEN ascii(substr(md5('wrs1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 48
+        |        ELSE ascii(substr(md5('wrs1' || chr(1) ||
+        |          CAST(doc_id AS VARCHAR)), ii, 1)) - 87
+        |        END AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM documents
+        |), samp AS MATERIALIZED (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      (w * 1099511627776) // ((hv >> 20) + 1) AS priority
+        |    FROM h)
+        |  ORDER BY priority DESC, doc_id LIMIT 64
+        |), """.stripMargin,
+      eSelect = """SELECT em.vec_id,
+        |    list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings em JOIN samp sp ON em.vec_id = sp.doc_id
+        |  WHERE em.vec_id IS NOT NULL AND em.embedding IS NOT NULL
+        |    AND len(em.embedding) > 0""".stripMargin),
   )
 
   /** q330 oracle: Gonzalez farthest-point selection unrolled to k
@@ -14492,7 +14537,13 @@ object SparkEntry {
     * through ties. A round whose pick sits at distance² ≤ 0 is
     * filtered from the output — the operator's early stop.
     */
-  private def fpOracleSql(k: Int): String = {
+  private def fpOracleSql(k: Int, prelude: String = "",
+      eSelect: String =
+        """SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings
+          |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+          |    AND len(embedding) > 0""".stripMargin): String = {
     def dotSql(a: String, b: String): String =
       s"""list_reduce(list_transform(list_zip($a, $b),
          |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
@@ -14515,12 +14566,8 @@ object SparkEntry {
          |    round(greatest(d2, 0.0) + 0.0, 6) FROM s$r
          |  WHERE d2 > 0.0""".stripMargin
     }.mkString("\n")
-    s"""WITH e AS MATERIALIZED (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings
-       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-       |    AND len(embedding) > 0
+    s"""WITH ${prelude}e AS MATERIALIZED (
+       |  $eSelect
        |), s1 AS MATERIALIZED (
        |  SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1
        |), m1 AS MATERIALIZED (
