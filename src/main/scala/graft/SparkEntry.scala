@@ -4551,6 +4551,43 @@ object SparkEntry {
           col("embedding"), k = 6)
         .orderBy(col("sel_rank"))
     },
+
+    // X332 — PCA, self-verifying in the q319/q335 gate style: a
+    // FULL-RANK projection is a rotation, so score-space pairwise
+    // distances must reproduce raw distances. Each consecutive
+    // vec-id pair survives ONLY if |d²_proj − d²_raw| ≤ 1e-6·d²_raw;
+    // the emitted value is the RAW distance² (exact fold-left
+    // doubles), which DuckDB recomputes independently — a dropped
+    // pair would fail the row-count compare, so the isometry gate IS
+    // the assertion.
+    "q336_pca_rotation" -> { (s, dir) =>
+      val em = t(s, dir, "embeddings")
+      val proj = graft.similarity.Similarity.pcaProject(em,
+        col("vec_id"), "embedding", k = 64)
+      val dproj = proj
+        .join(proj.select((col("id") - 1L).as("id"), col("component"),
+          col("score").as("__sb")), Seq("id", "component"))
+        .groupBy(col("id"))
+        .agg(sum((col("score") - col("__sb")) *
+          (col("score") - col("__sb"))).as("__d2p"))
+      val v = graft.similarity.Similarity.asDouble(col("embedding"))
+      val ea = em.select(col("vec_id").as("id"), v.as("__va"))
+      val eb = em.select((col("vec_id") - 1L).as("id"), v.as("__vb"))
+      val draw = ea.join(eb, Seq("id"))
+        .select(col("id"),
+          ((graft.similarity.Similarity.dot(col("__va"), col("__va")) -
+            lit(2.0) * graft.similarity.Similarity.dot(col("__va"),
+              col("__vb"))) +
+            graft.similarity.Similarity.dot(col("__vb"), col("__vb")))
+            .as("__d2o"))
+      draw.join(dproj, Seq("id"))
+        .filter(abs(col("__d2p") - col("__d2o")) <=
+          lit(1e-6) * greatest(col("__d2o"), lit(1.0)))
+        .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"),
+          round(greatest(col("__d2o"), lit(0.0)) + lit(0.0), 6)
+            .as("d2_r6"))
+        .orderBy(col("id_a"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14528,6 +14565,26 @@ object SparkEntry {
         |  FROM embeddings em JOIN samp sp ON em.vec_id = sp.doc_id
         |  WHERE em.vec_id IS NOT NULL AND em.embedding IS NOT NULL
         |    AND len(em.embedding) > 0""".stripMargin),
+
+    "q336_pca_rotation" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, a.vec_id + 1 AS id_b,
+        |  round(greatest(
+        |    (list_reduce(list_transform(list_zip(a.v, a.v),
+        |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (x, y) -> x + y)
+        |     - 2 * list_reduce(list_transform(list_zip(a.v, b.v),
+        |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (x, y) -> x + y))
+        |     + list_reduce(list_transform(list_zip(b.v, b.v),
+        |      s -> struct_extract(s, 1) * struct_extract(s, 2)),
+        |      (x, y) -> x + y), 0.0) + 0.0, 6) AS d2_r6
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        |ORDER BY id_a""".stripMargin,
   )
 
   /** q330 oracle: Gonzalez farthest-point selection unrolled to k

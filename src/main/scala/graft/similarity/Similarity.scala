@@ -737,6 +737,154 @@ object Similarity {
         col("col.idx").cast("long").as("idx"), col("col.v").as("val"))
   }
 
+  /** Shared PCA core: exact integer moments via [[covarianceMatrix]]
+    * collected to the driver (d(d+1)/2 rows — MODEL-sized, never data
+    * rows), covariance assembled in double, then a deterministic
+    * cyclic-sweep Jacobi eigensolver (fixed (p,q) visit order, fixed
+    * convergence threshold, eigenvalue-desc/index-asc ordering,
+    * largest-|entry|-positive sign convention — every tie broken, so
+    * the spectrum is reproducible run-over-run and machine-over-
+    * machine up to float determinism of the same op sequence).
+    * Returns (dims, n, mean, eigenvalues, eigenvectors-as-rows).
+    */
+  private def pcaCore(df: DataFrame, vecCol: String,
+      maxDims: Int): (Int, Long, Array[Double], Array[Double],
+        Array[Array[Double]]) = {
+    val rows = covarianceMatrix(df, vecCol).collect()
+    require(rows.nonEmpty, "pca: empty input")
+    def idx(r: org.apache.spark.sql.Row, c0: Int): Int =
+      r.get(c0).asInstanceOf[Number].intValue
+    val d = rows.map(idx(_, 1)).max
+    require(d >= 1 && d <= maxDims, s"pca: dims $d exceeds $maxDims")
+    val n = rows.head.getLong(5) // (i, j, s_xy, s_x, s_y, n)
+    require(rows.forall(_.getLong(5) == n),
+      "pca: ragged vector lengths (filter to one dimensionality first)")
+    require(n >= 2L, s"pca: needs >= 2 rows, got $n")
+    val c = Array.ofDim[Double](d, d)
+    val mean = new Array[Double](d)
+    rows.foreach { r =>
+      val i = idx(r, 0) - 1
+      val j = idx(r, 1) - 1
+      val sxy = r.getLong(2).toDouble
+      val sx = r.getLong(3).toDouble
+      val sy = r.getLong(4).toDouble
+      val nn = r.getLong(5).toDouble
+      // quantized milli-units -> value units^2: /1e6
+      val cov = (nn * sxy - sx * sy) / (nn * nn) / 1e6
+      c(i)(j) = cov; c(j)(i) = cov
+      if (i == j) mean(i) = sx / nn / 1e3
+    }
+    // cyclic Jacobi with explicit rotation of V (init identity)
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = c(p)(q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > 1e-18) {
+            val theta = (c(q)(q) - c(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                case x => x
+              }
+            val cs = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * cs
+            var i = 0
+            while (i < d) {
+              val cip = c(i)(p); val ciq = c(i)(q)
+              c(i)(p) = cs * cip - sn * ciq
+              c(i)(q) = sn * cip + cs * ciq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val cpi = c(p)(i); val cqi = c(q)(i)
+              c(p)(i) = cs * cpi - sn * cqi
+              c(q)(i) = sn * cpi + cs * cqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = cs * vip - sn * viq
+              v(i)(q) = sn * vip + cs * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-c(i)(i), i))
+    val evals = order.map(i => c(i)(i)).toArray
+    val evecs = order.map { oi =>
+      val col0 = Array.tabulate(d)(r => v(r)(oi))
+      // sign convention: largest-|entry| component positive (first
+      // such index on ties)
+      val mi = col0.indices.maxBy(i => (math.abs(col0(i)), -i))
+      if (col0(mi) < 0.0) col0.map(-_) else col0
+    }.toArray
+    (d, n, mean, evals, evecs)
+  }
+
+  /** PCA spectrum (X332, analysis half) — eigenvalues + eigenvectors
+    * of the corpus covariance: one row per component with `component`
+    * (1-based, eigenvalue-desc), `eigenvalue` (variance along it, in
+    * value units²) and `vec` (the unit direction). Deterministic end
+    * to end: the moment pass is exact integer ([[covarianceMatrix]]),
+    * the Jacobi sweep order/thresholds/sign convention are fixed.
+    * Driver work is O(d³) on the d×d matrix — model-sized;
+    * `maxDims` (default 512) raises before an oversized collect.
+    */
+  def pcaComponents(df: DataFrame, vecCol: String, k: Int,
+      maxDims: Int = 512): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    val (d, n, _, evals, evecs) = pcaCore(df, vecCol, maxDims)
+    val kk = math.min(k, d)
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until kk).map { i =>
+        org.apache.spark.sql.Row((i + 1).toLong, n, evals(i),
+          evecs(i).toSeq) }, 1),
+      StructType(Seq(
+        StructField("component", LongType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("eigenvalue", DoubleType, nullable = false),
+        StructField("vec", ArrayType(DoubleType, containsNull = false),
+          nullable = false))))
+  }
+
+  /** PCA projection (X332, apply half) — score every vector on the
+    * top-k principal directions: score_c = (x − mean)·v_c, computed as
+    * one codegen'd [[dot]] against the broadcast-literal component
+    * minus a precomputed scalar offset (mean·v_c) — the centering
+    * never materializes a per-row temp array. Output long form:
+    * (id, component, score). The model (mean + k directions) is
+    * driver-resident and broadcast as plan literals — at 100 TB the
+    * scoring pass is scan-local, zero exchange.
+    */
+  def pcaProject(df: DataFrame, idCol: Column, vecCol: String, k: Int,
+      maxDims: Int = 512): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val (d, _, mean, _, evecs) = pcaCore(df, vecCol, maxDims)
+    val kk = math.min(k, d)
+    val comps = (0 until kk).map { i =>
+      val vLit = typedLit(evecs(i))
+      val offset = evecs(i).zip(mean).map { case (a, b) => a * b }.sum
+      struct(lit((i + 1).toLong).as("component"),
+        (dot(asDouble(col(vecCol)), vLit) - lit(offset)).as("score"))
+    }
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === d)
+      .select(idCol.as("id"), explode(array(comps: _*)).as("__c"))
+      .select(col("id"), col("__c.component").as("component"),
+        col("__c.score").as("score"))
+  }
+
   /** Farthest-point (Gonzalez k-center) exemplar selection (X326) —
     * the deterministic "k maximally diverse examples" pick the
     * curation stack needs for few-shot pools, eval panels, k-means

@@ -323,4 +323,44 @@ class SimilarityJoinSpec extends SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked: $leaked")
   }
+
+  test("pca: axis-aligned covariance recovers exact unit components " +
+      "and eigenvalues; 45-degree data recovers 1/sqrt(2) directions, " +
+      "orthonormal, scores = centered projections") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val axis = Seq((1L, Array(2f, 1f)), (2L, Array(2f, -1f)),
+      (3L, Array(-2f, 1f)), (4L, Array(-2f, -1f)))
+      .toDF("vec_id", "embedding")
+    val comps = Similarity.pcaComponents(axis, "embedding", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getSeq[Double](3)))).toMap
+    assert(comps(1L)._1 == 4.0 && comps(2L)._1 == 1.0)
+    assert(comps(1L)._2 == Seq(1.0, 0.0))
+    assert(comps(2L)._2 == Seq(0.0, 1.0))
+    val scores = Similarity.pcaProject(axis, col("vec_id"),
+        "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores == Map(1L -> 2.0, 2L -> 2.0, 3L -> -2.0, 4L -> -2.0))
+    // 45°: eigenvalues (5, 0), first direction (1/√2, 1/√2)
+    val diag = Seq((1L, Array(1f, 1f)), (2L, Array(-1f, -1f)),
+      (3L, Array(2f, 2f)), (4L, Array(-2f, -2f)))
+      .toDF("vec_id", "embedding")
+    val c2 = Similarity.pcaComponents(diag, "embedding", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getSeq[Double](3)))).toMap
+    assert(math.abs(c2(1L)._1 - 5.0) < 1e-9)
+    assert(math.abs(c2(2L)._1) < 1e-9)
+    val v1 = c2(1L)._2; val v2 = c2(2L)._2
+    val s2 = 1.0 / math.sqrt(2.0)
+    assert(math.abs(v1(0) - s2) < 1e-9 && math.abs(v1(1) - s2) < 1e-9)
+    // orthonormality
+    assert(math.abs(v1.zip(v2).map { case (a, b) => a * b }.sum) < 1e-9)
+    assert(math.abs(v1.map(x => x * x).sum - 1.0) < 1e-9)
+    // projection of (2,2) on v1 is 2√2
+    val sc2 = Similarity.pcaProject(diag, col("vec_id"), "embedding",
+        k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(sc2(3L) - 2.0 * math.sqrt(2.0)) < 1e-9)
+  }
 }
