@@ -4588,6 +4588,15 @@ object SparkEntry {
             .as("d2_r6"))
         .orderBy(col("id_a"))
     },
+
+    // X333 — exact integer Lloyd k-means: the whole fit (not just the
+    // reduce step, which was X37's limit) is oracle-checkable
+    "q337_kmeans_exact" -> { (s, dir) =>
+      graft.similarity.Similarity.kmeansExact(t(s, dir, "embeddings"),
+          "embedding", "vec_id", k = 4, rounds = 3)
+        .orderBy(col("__id"))
+        .withColumnRenamed("__id", "vec_id")
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14585,7 +14594,62 @@ object SparkEntry {
         |      (x, y) -> x + y), 0.0) + 0.0, 6) AS d2_r6
         |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    "q337_kmeans_exact" -> kmeansOracleSql(4, 3),
   )
+
+  /** q337 oracle: the exact-integer Lloyd iteration unrolled to
+    * `rounds` CTE blocks — all-integer milli-unit arithmetic mirrors
+    * [[graft.similarity.Similarity.kmeansExact]] term for term
+    * (assignment = min (d2, cid) over the k centers at (vec, cid)
+    * grain; update = per-(cluster, dim) long sum with a FLOOR
+    * division, empty clusters carried by the left-join coalesce).
+    */
+  private def kmeansOracleSql(k: Int, rounds: Int): String = {
+    val round = (r: Int) => {
+      val prev = s"cen${r - 1}"
+      s""", d$r AS MATERIALIZED (
+         |  SELECT e.vec_id, c.cid,
+         |    sum((e.q[c.pos] - c.c) * (e.q[c.pos] - c.c)) AS d2
+         |  FROM e, $prev c
+         |  GROUP BY e.vec_id, c.cid
+         |), a$r AS MATERIALIZED (
+         |  SELECT d.vec_id, e.q, d.cid, d.d2 FROM (
+         |    SELECT vec_id, cid, d2,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d2, cid) AS rn
+         |    FROM d$r) d JOIN e USING (vec_id)
+         |  WHERE d.rn = 1
+         |), s$r AS MATERIALIZED (
+         |  SELECT cid, pos, CAST(sum(q[pos]) // count(*) AS BIGINT) AS c
+         |  FROM (SELECT cid, q,
+         |      unnest(generate_series(1, len(q))) AS pos FROM a$r)
+         |  GROUP BY cid, pos
+         |), cen$r AS MATERIALIZED (
+         |  SELECT p.cid, p.pos, coalesce(s.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN s$r s
+         |    ON s.cid = p.cid AND s.pos = p.pos
+         |)""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+       |    AND len(embedding) > 0
+       |), seeds AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+       |    AS BIGINT) AS cid, q
+       |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT $k)
+       |), cen0 AS MATERIALIZED (
+       |  SELECT cid, pos, q[pos] AS c
+       |  FROM (SELECT cid, q,
+       |    unnest(generate_series(1, len(q))) AS pos FROM seeds)
+       |)${(1 to rounds).map(round).mkString}
+       |SELECT vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS d2_units
+       |FROM a$rounds
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** q330 oracle: Gonzalez farthest-point selection unrolled to k
     * materialized CTE rounds; squared L2 via the same fold-left double

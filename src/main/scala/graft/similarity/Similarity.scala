@@ -377,6 +377,102 @@ object Similarity {
     assigned.select(col(idCol), col("cluster"))
   }
 
+  /** Exact integer Lloyd k-means (X333) — the [[kmeansAssign]]
+    * iteration with every engine-specific float removed, so the WHOLE
+    * fit (not just the reduce step) is bit-identical on any engine,
+    * any partitioning, any cluster size — the property that makes a
+    * 100 TB clustering re-run auditable: vectors quantize to integer
+    * milli-units (`⌊1000·double(v)⌋`, exact for floats; an in-plan
+    * raise if |q| > 10⁶ — beyond that d·(2q)² could leave the 2⁵³
+    * integer-exact double range), centroids live in integer
+    * milli-units too (`Σq div n` per dimension — a TRUNCATING integer
+    * division, the IntegralDivide convention every graft `div` shares,
+    * and the sums are longs, so the update is ORDER-FREE where
+    * a float mean is partition-order-dependent), and each assignment
+    * round picks argmin of the exact integer distance²
+    * (x·x − 2·x·c) + c·c — computed by the codegen'd [[dot]] on
+    * double-cast arrays whose every intermediate is an integer below
+    * 2⁵³, i.e. exact — ties to the LOWEST cluster id. Seeds = the k
+    * smallest ids' vectors (deterministic and oracle-trivial; feed
+    * [[farthestPoints]] ids through a semi-join upstream when you
+    * want spread seeding). Empty clusters keep their previous center.
+    * Output per row: (id, cluster 0-based, d2_units = exact integer
+    * distance² in milli-unit²).
+    *
+    * Scale shape: per round ONE broadcast-literal assignment scan
+    * (zero exchange) + ONE map-side-combined (cluster, dim) long-sum
+    * agg collapsing to k·d rows collected at MODEL grain (the X283
+    * altitude — never data rows); rounds are bounded by the argument,
+    * lineage stays O(1) via per-round checkpoint/release of nothing —
+    * the scan re-reads the (checkpointed once) quantized base.
+    */
+  def kmeansExact(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      rounds: Int, maxDims: Int = 2048): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k in [1, 4096]: $k")
+    require(rounds >= 1 && rounds <= 100, s"rounds in [1, 100]: $rounds")
+    val qRaw = transform(col(vecCol),
+      x => floor(x.cast("double") * 1000d).cast("long"))
+    val q = transform(qRaw, v =>
+      when(abs(v) > 1000000L, raise_error(concat(
+        lit("kmeansExact: |milli-unit| > 1e6 breaks 2^53 exactness: "),
+        v.cast("string")))).otherwise(v))
+    val base = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) > 0)
+      .select(col(idCol).as("__id"), q.as("__q"))
+      .localCheckpoint(true)
+    val dims = base.select(size(col("__q"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dims >= 1 && dims <= maxDims,
+      s"kmeansExact: dims $dims outside [1, $maxDims]")
+    def d2To(center: Array[Long]): Column = {
+      val c = typedLit(center.map(_.toDouble))
+      val v = transform(col("__q"), x => x.cast("double"))
+      (dot(v, v) - lit(2.0) * dot(v, c)) + dot(c, c)
+    }
+    var centers: IndexedSeq[Array[Long]] = base
+      .orderBy(col("__id")).limit(k).collect()
+      .map(_.getSeq[Long](1).toArray).toIndexedSeq
+    require(centers.nonEmpty, "kmeansExact: empty input")
+    var out: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val scored = centers.zipWithIndex.map { case (c, i) =>
+        struct(d2To(c).as("d"), lit(i.toLong).as("cid"))
+      }
+      val assigned = base.withColumn("__best",
+        array_min(array(scored: _*)))
+      val sums = assigned
+        .select(col("__best.cid").as("cluster"),
+          posexplode(col("__q")).as(Seq("__p", "__x")))
+        .groupBy(col("cluster"), col("__p"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getLong(0))
+      centers = centers.indices.map { i =>
+        byCluster.get(i.toLong) match {
+          case Some(rows) =>
+            val c = centers(i).clone()
+            rows.foreach { r =>
+              val p = r.get(1).asInstanceOf[Number].intValue
+              // truncating division — the IntegralDivide convention
+              // every graft `div` shares (DuckDB's // truncates too)
+              c(p) = r.getLong(2) / r.getLong(3)
+            }
+            c
+          case None => centers(i) // empty cluster holds position
+        }
+      }
+      out = assigned.select(col("__id"), col("__best.cid").as("cluster"),
+        col("__best.d").cast("long").as("d2_units"))
+    }
+    // materialize the result before releasing the base it reads from
+    // (a released localCheckpoint cannot be recomputed); the caller
+    // releases the returned frame (the labelPropagation convention)
+    val ck = out.localCheckpoint(true)
+    graft.ops.Checkpoints.release(base)
+    ck
+  }
+
   /** Shared tail of the kNN joins: score candidate pairs, keep the top-k
     * per `id_a` (cos desc, id_b asc — total order).
     */

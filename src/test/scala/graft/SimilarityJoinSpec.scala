@@ -324,6 +324,39 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked: $leaked")
   }
 
+  test("kmeansExact: hand-stepped two rounds — floor-div centroids, " +
+      "lowest-cid ties, exact integer distances; out-of-range raises; " +
+      "no leaked blocks after release") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = Seq((1L, Array(0f, 0f)), (2L, Array(0.5f, 0f)),
+      (3L, Array(10f, 0f)), (4L, Array(10.5f, 0f)),
+      (5L, Array(5.25f, 0f))).toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Similarity.kmeansExact(pts, "embedding", "vec_id",
+      k = 2, rounds = 2)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // seeds (0,0)/(500,0); round 1 sends 2..5 to c1 -> c1 = 6562;
+    // round 2: 1,2 -> c0, 3,4,5 -> c1 with exact milli-unit d2
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((0L, 250000L)))
+    assert(got(3L) == ((1L, 11819844L)))
+    assert(got(4L) == ((1L, 15507844L)))
+    assert(got(5L) == ((1L, 1721344L)))
+    graft.ops.Checkpoints.release(out)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked: $leaked")
+    // |milli-units| > 1e6 breaks the 2^53 exactness bound -> raise
+    val big = Seq((1L, Array(2000000f, 0f)), (2L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.kmeansExact(big, "embedding", "vec_id", k = 1,
+        rounds = 1).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("pca: axis-aligned covariance recovers exact unit components " +
       "and eigenvalues; 45-degree data recovers 1/sqrt(2) directions, " +
       "orthonormal, scores = centered projections") {
