@@ -4597,6 +4597,14 @@ object SparkEntry {
         .orderBy(col("__id"))
         .withColumnRenamed("__id", "vec_id")
     },
+
+    // X334 — t-closeness: does any nation's market-segment mix leak
+    // against the global distribution?
+    "q338_tcloseness" -> { (s, dir) =>
+      graft.ops.Profile.tCloseness(t(s, dir, "customer"),
+          Seq("c_nationkey"), "c_mktsegment", tPpm = 100000L)
+        .orderBy(col("c_nationkey"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14596,6 +14604,32 @@ object SparkEntry {
         |ORDER BY id_a""".stripMargin,
 
     "q337_kmeans_exact" -> kmeansOracleSql(4, 3),
+
+    "q338_tcloseness" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey, c_mktsegment AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2
+        |), dev AS (
+        |  SELECT c_nationkey, v, c,
+        |    sum(c) OVER (PARTITION BY v) AS g,
+        |    sum(c) OVER (PARTITION BY c_nationkey) AS ne,
+        |    sum(c) OVER () AS n
+        |  FROM cells
+        |), agg AS (
+        |  SELECT c_nationkey, CAST(max(ne) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT v) AS BIGINT) AS n_values,
+        |    CAST((sum(abs(CAST(c AS HUGEINT) * n
+        |        - CAST(g AS HUGEINT) * ne))
+        |      + (CAST(max(n) AS HUGEINT) - sum(g)) * max(ne)) * 1000000
+        |      // (CAST(max(ne) AS HUGEINT) * max(n) * 2) AS BIGINT)
+        |      AS tvd_ppm
+        |  FROM dev GROUP BY c_nationkey
+        |)
+        |SELECT c_nationkey, n, n_values, tvd_ppm,
+        |  tvd_ppm > 100000 AS at_risk
+        |FROM agg
+        |ORDER BY c_nationkey""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

@@ -95,6 +95,61 @@ object Profile {
       .withColumn("at_risk", col("n_sensitive") < l)
   }
 
+  /** t-closeness audit (X334) — the third leg of the privacy family
+    * ([[kAnonymity]] "is the class big enough", [[lDiversity]] "are
+    * there enough distinct sensitive values", this: "does the class's
+    * sensitive DISTRIBUTION leak"): per equivalence class E, the total
+    * variation distance between E's sensitive-value distribution and
+    * the GLOBAL one (Li et al. 2007's categorical EMD), in exact
+    * cross-multiplied ppm —
+    * `tvd_ppm = ⌊(Σ_{v∈E} |c_v·N − g_v·N_E| + (N − G_E)·N_E)·10⁶
+    * div (2·N_E·N)⌋` where `G_E = Σ_{v∈E} g_v`: the closed-form
+    * second term is the mass of global values ABSENT from E, so the
+    * dense |classes|×|values| grid never materializes (the
+    * categoricalDrift discipline — a value the class never shows still
+    * leaks when the class is all one segment). `at_risk` = tvd_ppm >
+    * tPpm. Null sensitive values drop. A homogeneous class scores the
+    * global weight of everything it is not — the attack t-closeness
+    * exists to flag.
+    *
+    * Scale shape: raw rows collapse ONCE map-side to (class, value)
+    * cell grain; the global/class/value totals ride three window sums
+    * over that bounded cell table (the one global window runs at cell
+    * grain, never row grain), one final rollup. No joins.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tPpm: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one column")
+    require(tPpm >= 0L && tPpm <= 1000000L,
+      s"tPpm in [0, 1000000]: $tPpm")
+    import graft.functions.Exact.longDiv
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val qs = quasiCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+    val cells = df.filter(col(sensitiveCol).isNotNull)
+      .groupBy(qs :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val dev = cells
+      .withColumn("__g", sum(col("__c")).over(w.partitionBy(col("__v"))))
+      .withColumn("__ne", sum(col("__c")).over(w.partitionBy(qs: _*)))
+      .withColumn("__n", sum(col("__c")).over(w.partitionBy()))
+      .withColumn("__d", abs(col("__c").cast(d38) * col("__n") -
+        col("__g").cast(d38) * col("__ne")))
+    dev.groupBy(qs: _*)
+      .agg(max(col("__ne")).as("n"),
+        countDistinct(col("__v")).as("n_values"),
+        max(col("__n")).as("__N"),
+        sum(col("__d")).as("__sd"),
+        sum(col("__g")).as("__ge"))
+      .withColumn("tvd_ppm", longDiv(
+        (col("__sd") + (col("__N") - col("__ge")).cast(d38) *
+          col("n")) * 1000000L,
+        col("n").cast(d38) * col("__N") * 2L))
+      .withColumn("at_risk", col("tvd_ppm") > tPpm)
+      .select(qs ++ Seq(col("n"), col("n_values"), col("tvd_ppm"),
+        col("at_risk")): _*)
+  }
+
   /** Order-independent content checksum per group — the replication /
     * migration / versioning integrity gate ("is the copy byte-equal to
     * the source?") that never needs a sort: each row hashes to a 60-bit

@@ -659,4 +659,30 @@ class ProfileFunnelSpec extends SparkSpec {
       57991L + 51152L + 154243L) / 2L
     assert(got(1L)._4 == tvd)
   }
+
+  test("tCloseness: hand-computed class-vs-global TVD — homogeneous " +
+      "class pays the absent global mass, matched class reads 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // global: A=4, B=4 (N=8); c1 = AAAB, c2 = ABB, c3 = B
+    val rows = Seq(("c1", "A"), ("c1", "A"), ("c1", "A"), ("c1", "B"),
+      ("c2", "A"), ("c2", "B"), ("c2", "B"), ("c3", "B"))
+      .toDF("cls", "s")
+    val got = graft.ops.Profile.tCloseness(rows, Seq("cls"), "s",
+        tPpm = 300000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // c1: (|24-16| + |8-16|)/(2*4*8) = 16/64 -> 250000
+    assert(got("c1") == ((4L, 2L, 250000L, false)))
+    // c2: (|8-12| + |16-12|)/(2*3*8) = 8/48 -> 166666
+    assert(got("c2") == ((3L, 2L, 166666L, false)))
+    // c3 (all B): |8-4| + absent-A mass (8-4)*1 = 8 over 16 -> 500000
+    assert(got("c3") == ((1L, 1L, 500000L, true)))
+    // a class distributed exactly like the global reads 0
+    val even = Seq(("d1", "A"), ("d1", "B"), ("d2", "A"), ("d2", "B"))
+      .toDF("cls", "s")
+    val z = graft.ops.Profile.tCloseness(even, Seq("cls"), "s", 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(z == Map("d1" -> 0L, "d2" -> 0L))
+  }
 }
