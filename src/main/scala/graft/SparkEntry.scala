@@ -4605,6 +4605,45 @@ object SparkEntry {
           Seq("c_nationkey"), "c_mktsegment", tPpm = 100000L)
         .orderBy(col("c_nationkey"))
     },
+
+    // X335 — HLL set-algebra estimate: |A∩B| by inclusion–exclusion
+    // over three mergeable sketches (the persisted-artifact overlap
+    // question — "how many users did BOTH?" — answered without
+    // rescanning either side). Self-verifying in the q85 gate style:
+    // the row survives only if the estimate lands within 5% of the
+    // exact union size; only exact values are emitted.
+    "q339_hll_intersect" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("user_id"))
+      val sharded = ev.withColumn("shard",
+        pmod(hash(col("user_id")), lit(8)))
+      val perType = Sketches.mergeSketches(
+        Sketches.distinctSketch(sharded, Seq("event_type", "shard"),
+          col("user_id")),
+        Seq("event_type"))
+      val ests = perType
+        .agg(sum(when(col("event_type") === "click",
+            Sketches.estimate(col("sketch")))).as("__ea"),
+          sum(when(col("event_type") === "purchase",
+            Sketches.estimate(col("sketch")))).as("__eb"))
+      val estU = Sketches.mergeSketches(
+          perType.select(lit(1L).as("__g"), col("sketch")), Seq("__g"))
+        .select(Sketches.estimate(col("sketch")).as("__eu"))
+      val exact = ev
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "click", 1L))
+            .as("__c"),
+          max(when(col("event_type") === "purchase", 1L)).as("__p"))
+        .agg(count(lit(1)).as("exact_union"),
+          count(when(col("__c") === 1L && col("__p") === 1L, 1L))
+            .as("exact_intersect"))
+      exact.crossJoin(broadcast(ests)).crossJoin(broadcast(estU))
+        .where(abs((col("__ea") + col("__eb") - col("__eu")) -
+          col("exact_intersect")) <= col("exact_union") * lit(0.05))
+        .select(col("exact_intersect"), col("exact_union"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14630,6 +14669,21 @@ object SparkEntry {
         |  tvd_ppm > 100000 AS at_risk
         |FROM agg
         |ORDER BY c_nationkey""".stripMargin,
+
+    "q339_hll_intersect" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS p
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY user_id
+        |)
+        |SELECT CAST(count(CASE WHEN c = 1 AND p = 1 THEN 1 END)
+        |    AS BIGINT) AS exact_intersect,
+        |  CAST(count(*) AS BIGINT) AS exact_union
+        |FROM u""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to
