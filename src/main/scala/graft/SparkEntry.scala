@@ -4644,6 +4644,28 @@ object SparkEntry {
           col("exact_intersect")) <= col("exact_union") * lit(0.05))
         .select(col("exact_intersect"), col("exact_union"))
     },
+
+    // X336 — Wald–Wolfowitz runs test: is each event type's value
+    // stream random in time, or clustered/oscillating?
+    "q340_runs_test" -> { (s, dir) =>
+      graft.ops.Features.runsTest(events(s, dir), Seq("event_type"),
+          col("ts_ns"), col("value"))
+        .orderBy(col("event_type"))
+    },
+
+    // Composition — per-cluster inertia scorecard (the elbow/quality
+    // readout) over the X333 exact k-means fit: every number an exact
+    // integer, so the WHOLE clustering pipeline hash-matches
+    "q341_kmeans_inertia" -> { (s, dir) =>
+      graft.similarity.Similarity.kmeansExact(t(s, dir, "embeddings"),
+          "embedding", "vec_id", k = 4, rounds = 3)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("d2_units")).as("sse_units"),
+          graft.functions.Exact.longDiv(sum(col("d2_units")),
+            count(lit(1))).as("mean_d2_units"))
+        .orderBy(col("cluster"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14684,6 +14706,61 @@ object SparkEntry {
         |    AS BIGINT) AS exact_intersect,
         |  CAST(count(*) AS BIGINT) AS exact_union
         |FROM u""".stripMargin,
+
+    "q340_runs_test" ->
+      """WITH base AS (
+        |  SELECT event_type AS k, ts AS o,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), med AS (
+        |  SELECT k, min(v) AS med FROM (
+        |    SELECT k, v,
+        |      row_number() OVER (PARTITION BY k ORDER BY v, o) AS r,
+        |      count(*) OVER (PARTITION BY k) AS n0
+        |    FROM base) WHERE r = (n0 + 1) // 2
+        |  GROUP BY k
+        |), s AS (
+        |  SELECT b.k, b.o, b.v,
+        |    CASE WHEN b.v > m.med THEN 1 ELSE -1 END AS sg
+        |  FROM base b JOIN med m ON b.k = m.k WHERE b.v <> m.med
+        |), c AS (
+        |  SELECT k, sg,
+        |    CASE WHEN lag(sg) OVER (PARTITION BY k ORDER BY o, v)
+        |        IS NULL THEN 1
+        |      WHEN lag(sg) OVER (PARTITION BY k ORDER BY o, v) <> sg
+        |        THEN 1 ELSE 0 END AS chg
+        |  FROM s
+        |), agg AS (
+        |  SELECT k, CAST(sum(chg) AS BIGINT) AS runs,
+        |    CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_below
+        |  FROM c GROUP BY k
+        |), h AS (
+        |  SELECT k, runs, n_above, n_below,
+        |    CAST(n_above + n_below AS HUGEINT) AS n,
+        |    2 * CAST(n_above AS HUGEINT) * n_below AS m,
+        |    CAST(runs AS HUGEINT) * (n_above + n_below)
+        |      - (n_above + n_below)
+        |      - 2 * CAST(n_above AS HUGEINT) * n_below AS num
+        |  FROM agg
+        |)
+        |SELECT k AS event_type, runs, n_above, n_below,
+        |  CASE WHEN n_above > 0 AND n_below > 0 AND m > n THEN
+        |    CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |      ((num * num * (n - 1) * 1000000)
+        |        // (n * m * (m - n))) AS BIGINT)
+        |    END AS z2_ppm
+        |FROM h
+        |ORDER BY event_type""".stripMargin,
+
+    "q341_kmeans_inertia" -> kmeansOracleSql(4, 3, Some(
+      """SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(d2) AS BIGINT) AS sse_units,
+        |  CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2_units
+        |FROM a3 GROUP BY cid
+        |ORDER BY cluster""".stripMargin)),
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to
@@ -14693,7 +14770,8 @@ object SparkEntry {
     * grain; update = per-(cluster, dim) long sum with a FLOOR
     * division, empty clusters carried by the left-join coalesce).
     */
-  private def kmeansOracleSql(k: Int, rounds: Int): String = {
+  private def kmeansOracleSql(k: Int, rounds: Int,
+      finalSql: Option[String] = None): String = {
     val round = (r: Int) => {
       val prev = s"cen${r - 1}"
       s""", d$r AS MATERIALIZED (
@@ -14734,9 +14812,10 @@ object SparkEntry {
        |  FROM (SELECT cid, q,
        |    unnest(generate_series(1, len(q))) AS pos FROM seeds)
        |)${(1 to rounds).map(round).mkString}
-       |SELECT vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS d2_units
-       |FROM a$rounds
-       |ORDER BY vec_id""".stripMargin
+       |${finalSql.getOrElse(
+            s"""SELECT vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS d2_units
+               |FROM a$rounds
+               |ORDER BY vec_id""".stripMargin)}""".stripMargin
   }
 
   /** q330 oracle: Gonzalez farthest-point selection unrolled to k

@@ -459,6 +459,80 @@ object Features {
         col("h_c_ppm")): _*)
   }
 
+  /** Wald–Wolfowitz runs test (X336) — the randomness audit the
+    * monitoring family reads over residuals and QC flags: is the
+    * above/below-median sign sequence random in time, or does it
+    * cluster (drift, regime) / alternate (overcorrection,
+    * oscillation)? Per group, values in `orderCol` order sign against
+    * the group's exact lower median (the rank-⌈N/2⌉ value ascending,
+    * ties by value — X27 exact-rank discipline; equal-to-median rows
+    * DROP, the classic treatment), `runs` = sign changes + 1, and the
+    * effect size is the SIGNED squared z in exact ppm:
+    * z² = (R−μ)²/σ² with μ = 1 + 2n₁n₂/N and
+    * σ² = 2n₁n₂(2n₁n₂−N)/(N²(N−1)) — all rational in counts, so
+    * `z2_ppm = sign(RN − N − 2n₁n₂) · ⌊(RN−N−2n₁n₂)²·(N−1)·10⁶ div
+    * (N·2n₁n₂·(2n₁n₂−N))⌋` — wait-free exact integers end to end
+    * (negative = fewer runs than chance → clustering; positive =
+    * more → alternation). Degenerate groups (n₁ = 0, n₂ = 0, or
+    * 2n₁n₂ ≤ N — σ undefined) emit null z2_ppm with the counts still
+    * visible. No p-value by design (normal CDF is irrational; |z²| at
+    * equal sign IS the triage — the [[chiSquare]] contract).
+    *
+    * Scale shape: ONE key exchange shared by the median rank window
+    * and the lag window (same partitioning, same sort), medians ride
+    * a ≤1-row-per-group frame joined back at group grain, the rollup
+    * is map-side-combined. Exact while N ≲ 10⁷ rows per group
+    * ((RN)²·N·10⁶ inside 38 digits).
+    */
+  def runsTest(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "runsTest needs group columns (use a literal for one group)")
+    import graft.functions.Exact.longDiv
+    val d38 = DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(orderCol.isNotNull && valueCol.isNotNull)
+      .select(gs :+ orderCol.as("__o") :+
+        valueCol.cast("double").as("__v"): _*)
+    val wRank = w.partitionBy(gs: _*).orderBy(col("__v"), col("__o"))
+    val wAll = w.partitionBy(gs: _*)
+    val med = base
+      .withColumn("__r", row_number().over(wRank).cast("long"))
+      .withColumn("__n0", count(lit(1)).over(wAll))
+      .filter(col("__r") === longDiv(col("__n0") + 1L, 2L))
+      .groupBy(gs: _*)
+      .agg(min(col("__v")).as("__med"))
+    val wOrd = w.partitionBy(gs: _*).orderBy(col("__o"), col("__v"))
+    val signed = base.join(med, groupCols)
+      .filter(col("__v") =!= col("__med"))
+      .withColumn("__s", when(col("__v") > col("__med"), 1L)
+        .otherwise(-1L))
+      .withColumn("__chg",
+        when(lag(col("__s"), 1).over(wOrd).isNull, 1L)
+          .when(lag(col("__s"), 1).over(wOrd) =!= col("__s"), 1L)
+          .otherwise(0L))
+    signed.groupBy(gs: _*)
+      .agg(sum(col("__chg")).as("runs"),
+        sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("__s") === -1L, 1L).otherwise(0L)).as("n_below"))
+      .withColumn("__N", col("n_above") + col("n_below"))
+      .withColumn("__m", lit(2L) * col("n_above") * col("n_below"))
+      .withColumn("__num",
+        col("runs").cast(d38) * col("__N") - col("__N") - col("__m"))
+      .withColumn("z2_ppm",
+        when(col("n_above") > 0L && col("n_below") > 0L &&
+          col("__m") > col("__N"),
+          when(col("__num") < 0L, lit(-1L)).otherwise(lit(1L)) *
+            longDiv(col("__num") * col("__num") * (col("__N") - 1L) *
+              1000000L,
+              col("__N").cast(d38) * col("__m") *
+                (col("__m") - col("__N")))))
+      .select(gs ++ Seq(col("runs"), col("n_above"), col("n_below"),
+        col("z2_ppm")): _*)
+  }
+
   /** Per-group Gini impurity of a label column in EXACT integer ppm —
     * the class-balance signal over training labels (a stratum whose
     * impurity collapsed is one class repeated; one whose impurity

@@ -1521,4 +1521,29 @@ class FeaturesSpec extends SparkSpec {
     // every value tied: correction denominator 0 -> undefined
     assert(got("const") == ((2L, 1L, None)))
   }
+
+  test("runsTest: hand-computed runs and signed z² — alternation " +
+      "positive, clustering negative, one-sided group nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def series(k: String, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) => (k, i.toLong, v) }
+    val rows = series("alt", Seq(4, 1, 5, 2, 6, 3).map(_.toDouble)) ++
+      series("clus", Seq(1, 2, 3, 7, 8, 9).map(_.toDouble)) ++
+      series("mono", Seq(1, 2, 3, 4).map(_.toDouble)) ++
+      series("onesided", Seq(1, 1, 1, 2).map(_.toDouble))
+    val got = graft.ops.Features.runsTest(rows.toDF("k", "o", "v"),
+        Seq("k"), col("o"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // alt: median 3 drops; signs + - + - + : runs 5, z² = 256e6/420
+    assert(got("alt") == ((5L, 3L, 2L, Some(609523L))))
+    // clus: median 3 drops; signs - - + + + : runs 2, z² = -196e6/420
+    assert(got("clus") == ((2L, 3L, 2L, Some(-466666L))))
+    // mono: median 2 drops; - + + : runs 2, z² = -2e6/12
+    assert(got("mono") == ((2L, 2L, 1L, Some(-166666L))))
+    // onesided: all remaining rows above the median -> undefined
+    assert(got("onesided") == ((1L, 1L, 0L, None)))
+  }
 }
