@@ -410,4 +410,50 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(sc) == 0 && !sc.contains("Join"),
       s"phraseScan must stay scan-local:\n${sc.take(2500)}")
   }
+
+  test("round-13 stats family plans: chiSquare/emdDrift never join, " +
+      "runsTest's median attaches by broadcast, tokenEditPairs " +
+      "verifies at candidate grain with hash joins only") {
+    import spark.implicits._
+    def shuffles(plan: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    val docs = (1 to 60).map(i => (s"s${i % 3}", s"l${i % 2}",
+      (i % 40) * 30L)).toDF("source", "lang", "n_chars")
+    // chiSquare: cell agg + window re-exchange over the CELL table,
+    // R/C/N all window sums — a join-free contingency pass
+    val chi = graft.ops.Features.chiSquare(docs, Seq(), col("lang"),
+      col("source")).queryExecution.executedPlan.toString
+    assert(shuffles(chi) == 2 && !chi.contains("Join"),
+      s"chiSquare should be 2 bounded-grain shuffles, no join:\n" +
+        chi.take(2500))
+    // emdDrift: the ksDrift shape — bin agg + group windows, no join
+    val emd = graft.ops.Features.emdDrift(
+      (1 to 200).map(i => (s"g${i % 2}", if (i % 2 == 0) "a" else "b",
+        (i % 50).toDouble)).toDF("g", "s", "v"),
+      Seq("g"), col("v"), col("s"), "a", "b", 0.0, 5.0, 10)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(emd) == 2 && !emd.contains("Join"),
+      s"emdDrift should match the ksDrift 2-shuffle shape:\n" +
+        emd.take(2500))
+    // runsTest: ONE key exchange feeds both windows (the rank and lag
+    // windows share partitioning), the 1-row-per-group median comes
+    // back as a broadcast join, the rollup map-side-combines
+    val ev = (1 to 500).map(i => (s"t${i % 4}", i.toLong,
+      (i % 97).toDouble)).toDF("k", "o", "v")
+    val runs = graft.ops.Features.runsTest(ev, Seq("k"), col("o"),
+      col("v")).queryExecution.executedPlan.toString
+    assert(shuffles(runs) == 2 &&
+      "BroadcastHashJoin".r.findAllIn(runs).length == 1 &&
+      !runs.contains("SortMergeJoin"),
+      s"runsTest should broadcast its median frame:\n${runs.take(2500)}")
+    // tokenEditPairs: candidates join the token arrays twice by id —
+    // hash joins only, never a nested-loop/cartesian verify
+    val ted = graft.dedup.Dedup.tokenEditPairs(
+      (1 to 20).map(i => (i.toLong, "a b c d")).toDF("doc_id", "text"),
+      "text", "doc_id", Seq((1L, 2L)).toDF("id_a", "id_b"), band = 2)
+      .queryExecution.executedPlan.toString
+    assert("Join".r.findAllIn(ted).length == 2 &&
+      !ted.contains("NestedLoop") && !ted.contains("Cartesian"),
+      s"tokenEditPairs must verify at candidate grain:\n${ted.take(2500)}")
+  }
 }

@@ -555,4 +555,70 @@ class PropertySpec extends SparkSpec {
       assert(got(i.toLong) == ref(t), s"mismatch on: $t")
     }
   }
+
+  test("banded kernels: BandedEditDistance at full band == the built-in " +
+      "levenshtein on the same strings; DtwBand is symmetric and at " +
+      "band 0 degrades to the L1 distance") {
+    val charGen = Gen.choose(0, 3).map(i => ('a' + i).toChar)
+    val strGen = for {
+      n <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    val pairs = samples(strGen, 80).grouped(2)
+      .collect { case Seq(a, b) => (a, b) }.toSeq
+    val df = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    def charToks(c: org.apache.spark.sql.Column) =
+      transform(split(c, ""), t => conv(substring(md5(t), 1, 15), 16,
+        10).cast("long"))
+    val got = df.select(col("id"),
+        graft.functions.SeriesExpressions.bandedEdit(
+          when(length(col("a")) > 0, charToks(col("a")))
+            .otherwise(array().cast("array<bigint>")),
+          when(length(col("b")) > 0, charToks(col("b")))
+            .otherwise(array().cast("array<bigint>")), band = 24)
+          .as("d"),
+        levenshtein(col("a"), col("b")).as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(1) && r.getLong(1) == r.getInt(2).toLong,
+        s"edit mismatch on pair ${r.getLong(0)}: " +
+          s"${Option(r.get(1))} vs ${r.getInt(2)}")
+    }
+    // DTW: symmetry under operand swap, and L1 at band 0
+    val arrGen = for {
+      n <- Gen.choose(1, 10)
+      xs <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield xs
+    val apairs = samples(arrGen, 60).grouped(2)
+      .collect { case Seq(a, b) => (a, b) }.toSeq
+    val adf = apairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    val sym = adf.select(
+        graft.functions.SeriesExpressions.dtwBand(col("a"), col("b"),
+          band = 16).as("ab"),
+        graft.functions.SeriesExpressions.dtwBand(col("b"), col("a"),
+          band = 16).as("ba"),
+        graft.functions.SeriesExpressions.dtwBand(col("a"), col("a"),
+          band = 0).as("self"))
+      .collect()
+    sym.foreach { r =>
+      assert(r.get(0) == r.get(1), s"dtw not symmetric: $r")
+      assert(r.getLong(2) == 0L, s"dtw(a,a) at band 0 must be 0: $r")
+    }
+    val l1 = adf.filter(size(col("a")) === size(col("b")))
+      .select(
+        graft.functions.SeriesExpressions.dtwBand(col("a"), col("b"),
+          band = 0).as("d0"),
+        aggregate(zip_with(col("a"), col("b"),
+          (x, y) => abs(x - y)), lit(0L), (acc, z) => acc + z)
+          .as("l1"))
+      .collect()
+    l1.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"band-0 dtw must equal L1: $r")
+    }
+  }
 }
