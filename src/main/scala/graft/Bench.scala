@@ -126,15 +126,39 @@ object Bench {
     * in n from that point on. The sweep's bytes column compares two
     * regimes at that boundary; wall and rows are the like-for-like
     * columns there.
+    *
+    * Replicas past the 26 rotations (the r13-verdict x64 point) use a
+    * deterministic seeded Fisher–Yates permutation of the alphabet
+    * instead — still a per-char bijection (intra-replica Jaccard exactly
+    * preserved, the isomorphic-copy property the sweep rests on), still
+    * collision-free cross-replica in expectation (two independent
+    * permutations agree on a whole token only by chance). Replicas
+    * 0–25 keep the historical rotation so x1/x4/x16 points stay
+    * byte-comparable round-over-round.
     */
   private def docsNx(d: DataFrame, n: Int): DataFrame = {
     val az = "abcdefghijklmnopqrstuvwxyz"
-    require(n <= 26, s"docsNx supports at most 26 replicas: $n")
+    require(n <= 64, s"docsNx supports at most 64 replicas: $n")
+    def permOf(r: Int): String =
+      if (r < 26) az.drop(r) + az.take(r)
+      else {
+        // splitmix-style LCG shuffle: fixed seed per replica, no
+        // Math.random (determinism is the sweep's comparability)
+        val arr = az.toCharArray
+        var s = 0x9E3779B97F4A7C15L * (r + 1)
+        var i = arr.length - 1
+        while (i > 0) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          val j = java.lang.Math.floorMod(s >>> 33, (i + 1).toLong).toInt
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+          i -= 1
+        }
+        new String(arr)
+      }
     (0 until n).map { r =>
-      val rot = az.drop(r) + az.take(r)
       d.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
         concat(col("source"), lit(s"_r$r")).as("source"),
-        translate(col("text"), az, rot).as("text"))
+        translate(col("text"), az, permOf(r)).as("text"))
     }.reduce(_ unionByName _)
   }
 
@@ -277,6 +301,24 @@ object Bench {
     val caseFilter = sys.env.get("SPARK_GRAFT_SWEEP_CASES")
       .map(_.split(",").map(_.trim).toSet)
     val active = cases.filter(c => caseFilter.forall(_.contains(c._1)))
+    // SPARK_GRAFT_SWEEP_X64=q17_minhash_lsh,q37_dedup_clusters — adds a
+    // FOURTH (64×) point to the named cases, the r13-verdict notch
+    // toward the 100× design claim. Opt-in: a 64× corpus point costs
+    // ~1 min/case, too much for every driver round.
+    val x64set = sys.env.get("SPARK_GRAFT_SWEEP_X64")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // r13-verdict #1 instrumentation: the driver's in-session sweep read
+    // q37 x16 at 64.6 s where the solo run reads 13.9 s with IDENTICAL
+    // bytes/rows — session state, not the operator. Log what the
+    // preceding ~340-query session left behind (residual persisted RDDs
+    // escape clearState only through a leak; storage-memory-in-use is
+    // the blunter symptom) so the next anomaly is attributable from the
+    // captured BENCH stderr alone.
+    val resid = spark.sparkContext.getPersistentRDDs.size
+    val memUsed = spark.sparkContext.getExecutorMemoryStatus.values
+      .map { case (max, rem) => max - rem }.sum
+    System.err.println(s"[bench] sweep session-state: $resid residual " +
+      s"persisted RDDs, $memUsed bytes storage memory in use")
     val entries = active.map { case (name, mk) =>
       // min of two runs per scale point, same rationale as exec(): the
       // r5 sweep reported q51 x1=7.9 s (cold codegen on a fresh plan) vs
@@ -329,15 +371,24 @@ object Bench {
         val (x1, b1, r1) = run(1)
         val (x4, b4, r4) = run(4)
         val x16 = if (threePoint.contains(name)) Some(run(16)) else None
+        val x64 = if (x64set.contains(name) && x16.isDefined)
+          Some(run(64)) else None
         val tail = x16.map { case (v, b16, r16) =>
           s""","x16":$v,"ratio16":${v / x4},"bytes_x16":$b16""" +
-            s""","rows_x16":$r16""" }
+            s""","rows_x16":$r16""" +
+            x64.map { case (w, b64, r64) =>
+              s""","x64":$w,"ratio64":${w / v},"bytes_x64":$b64""" +
+                s""","rows_x64":$r64""" }.getOrElse("") }
           .getOrElse("")
         System.err.println(f"[bench] sweep $name%-24s x1=$x1%6.2f s  " +
           f"x4=$x4%6.2f s  ratio=${x4 / x1}%5.2f  rows=$r1%d/$r4%d" +
           x16.map { case (v, b16, r16) =>
             f"  x16=$v%6.2f s  ratio16=${v / x4}%5.2f  " +
-              f"bytes16/4=${b16.toDouble / b4}%5.2f  rows16=$r16%d" }
+              f"bytes16/4=${b16.toDouble / b4}%5.2f  rows16=$r16%d" +
+              x64.map { case (w, b64, r64) =>
+                f"  x64=$w%6.2f s  ratio64=${w / v}%5.2f  " +
+                  f"bytes64/16=${b64.toDouble / b16}%5.2f  rows64=$r64%d" }
+                .getOrElse("") }
             .getOrElse("") +
           " (linear=4, quadratic=16)")
         s""""$name":{"x1":$x1,"x4":$x4,"ratio":${x4 / x1},""" +

@@ -4594,8 +4594,8 @@ object SparkEntry {
     "q337_kmeans_exact" -> { (s, dir) =>
       graft.similarity.Similarity.kmeansExact(t(s, dir, "embeddings"),
           "embedding", "vec_id", k = 4, rounds = 3)
-        .orderBy(col("__id"))
-        .withColumnRenamed("__id", "vec_id")
+        .orderBy(col("id"))
+        .withColumnRenamed("id", "vec_id")
     },
 
     // X334 — t-closeness: does any nation's market-segment mix leak

@@ -1109,6 +1109,12 @@ object Dedup {
     * (hash joins at candidate grain, never all-pairs), then each pair
     * pays one O(n·band) kernel call. The verify cost is
     * candidate-bounded, the discipline the whole dedup family shares.
+    *
+    * A candidate id with NO resolvable tokens (missing from `df`, or
+    * null text) survives with null n/edit columns rather than vanishing
+    * — for a verify gate a dropped pair would read as "not a near-dup"
+    * when the truth is "unverifiable" (ADVICE r13). Downstream
+    * thresholds must treat null edit_ppm as unverified, not clean.
     */
   def tokenEditPairs(df: DataFrame, textCol: String, idCol: String,
       candidates: DataFrame, band: Int,
@@ -1129,8 +1135,8 @@ object Dedup {
     val a = docs.select(col("__id").as("id_a"), col("__tk").as("__ta"))
     val b = docs.select(col("__id").as("id_b"), col("__tk").as("__tb"))
     candidates.select(col("id_a"), col("id_b"))
-      .join(a, Seq("id_a"))
-      .join(b, Seq("id_b"))
+      .join(a, Seq("id_a"), "left")
+      .join(b, Seq("id_b"), "left")
       .select(col("id_a"), col("id_b"),
         size(col("__ta")).cast("long").as("n_a"),
         size(col("__tb")).cast("long").as("n_b"),

@@ -481,8 +481,12 @@ object Features {
     * Scale shape: ONE key exchange shared by the median rank window
     * and the lag window (same partitioning, same sort), medians ride
     * a ≤1-row-per-group frame joined back at group grain, the rollup
-    * is map-side-combined. Exact while N ≲ 10⁷ rows per group
-    * ((RN)²·N·10⁶ inside 38 digits).
+    * is map-side-combined. Exact while N ≲ 2.5·10⁶ rows per group:
+    * the numerator (RN−N−2n₁n₂)² can reach ~N⁴, and ×(N−1)·10⁶ makes
+    * ~N⁵·10⁶, which crosses decimal(38,0) near N ≈ 2.5·10⁶ (ADVICE
+    * r13 corrected the earlier ~10⁷ claim — it read the bound off
+    * (RN)²·N·10⁶ with a dropped factor). Past the envelope the ANSI
+    * decimal overflow RAISES; it never ships a corrupted z².
     */
   def runsTest(df: DataFrame, groupCols: Seq[String], orderCol: Column,
       valueCol: Column): DataFrame = {

@@ -1242,34 +1242,6 @@ object TimeSeries {
       .drop("__d", "__s")
   }
 
-  /** SAX symbolization, empirical-quantile variant (X320) — each key's
-    * series compressed to a short SYMBOL WORD for indexing, motif
-    * grouping, and cheap shape comparison (Lin/Keogh's Symbolic
-    * Aggregate approXimation): the series splits into `segments`
-    * equal-count pieces (row at 0-based rank r joins segment
-    * ⌊r·segments/n⌋), each piece reduces to its mean (PAA), and the
-    * mean maps to one of `alphabet` symbols. Two deliberate departures
-    * from the textbook, both for engine-portable exactness: the
-    * breakpoints are the key's OWN empirical quantiles at ranks
-    * ⌈i·n/a⌉ (the X27 exact-rank discipline) instead of Gaussian
-    * N(0,1) table values — no z-normalization, no irrational
-    * constants, and the equal-frequency property SAX assumes from
-    * normality holds by construction on ANY distribution; and the
-    * mean-vs-breakpoint comparison is cross-multiplied
-    * (`sum > bp·count`), so no division ever happens. Symbol =
-    * number of breakpoints STRICTLY below the segment mean (0-based,
-    * rendered 'a'..'z'); the word concatenates segments in order
-    * (length min(n, segments) — short series produce short words).
-    * Values quantize to `scale` decimals (try-cast: NaN/Inf/overflow
-    * rows drop — the holtForecast skip contract); rank ties break by
-    * the quantized value so the segmentation is total.
-    *
-    * Scale shape: ONE key exchange shared by the rank window and both
-    * aggregations (segment grain, then key grain); breakpoints ride a
-    * per-key array built from ≤ a−1 picked rows and join back at
-    * GROUP grain. No in-row fold over the series, no maxRows bound —
-    * a million-point key is fine. Output per key: `n`, `sax_word`.
-    */
   /** Per-row exact EWMA smoothing (X323) — the denoised COLUMN the
     * monitoring family reads ([[hampelDespike]] flags spikes,
     * [[cusum]] flags drift; this emits the smoothed series itself for
@@ -1326,6 +1298,34 @@ object TimeSeries {
         col("ewma_units")): _*)
   }
 
+  /** SAX symbolization, empirical-quantile variant (X320) — each key's
+    * series compressed to a short SYMBOL WORD for indexing, motif
+    * grouping, and cheap shape comparison (Lin/Keogh's Symbolic
+    * Aggregate approXimation): the series splits into `segments`
+    * equal-count pieces (row at 0-based rank r joins segment
+    * ⌊r·segments/n⌋), each piece reduces to its mean (PAA), and the
+    * mean maps to one of `alphabet` symbols. Two deliberate departures
+    * from the textbook, both for engine-portable exactness: the
+    * breakpoints are the key's OWN empirical quantiles at ranks
+    * ⌈i·n/a⌉ (the X27 exact-rank discipline) instead of Gaussian
+    * N(0,1) table values — no z-normalization, no irrational
+    * constants, and the equal-frequency property SAX assumes from
+    * normality holds by construction on ANY distribution; and the
+    * mean-vs-breakpoint comparison is cross-multiplied
+    * (`sum > bp·count`), so no division ever happens. Symbol =
+    * number of breakpoints STRICTLY below the segment mean (0-based,
+    * rendered 'a'..'z'); the word concatenates segments in order
+    * (length min(n, segments) — short series produce short words).
+    * Values quantize to `scale` decimals (try-cast: NaN/Inf/overflow
+    * rows drop — the holtForecast skip contract); rank ties break by
+    * the quantized value so the segmentation is total.
+    *
+    * Scale shape: ONE key exchange shared by the rank window and both
+    * aggregations (segment grain, then key grain); breakpoints ride a
+    * per-key array built from ≤ a−1 picked rows and join back at
+    * GROUP grain. No in-row fold over the series, no maxRows bound —
+    * a million-point key is fine. Output per key: `n`, `sax_word`.
+    */
   def saxWords(df: DataFrame, keyCols: Seq[String], orderCol: Column,
       valueCol: Column, segments: Int, alphabet: Int,
       scale: Int = 2): DataFrame = {

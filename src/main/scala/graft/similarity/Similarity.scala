@@ -397,7 +397,11 @@ object Similarity {
     * [[farthestPoints]] ids through a semi-join upstream when you
     * want spread seeding). Empty clusters keep their previous center.
     * Output per row: (id, cluster 0-based, d2_units = exact integer
-    * distance² in milli-unit²).
+    * distance² in milli-unit²). Dims are fixed by the first row and
+    * every other vector is CHECKED against them in-plan (ragged input
+    * raises, like the milli-unit bound — ADVICE r13: silently
+    * mis-scored distances are the one failure an exactness-first fit
+    * must not have).
     *
     * Scale shape: per round ONE broadcast-literal assignment scan
     * (zero exchange) + ONE map-side-combined (cluster, dim) long-sum
@@ -425,12 +429,17 @@ object Similarity {
       .headOption.map(_.getInt(0)).getOrElse(0)
     require(dims >= 1 && dims <= maxDims,
       s"kmeansExact: dims $dims outside [1, $maxDims]")
+    // every scan revalidates: a ragged vector must raise, not mis-score
+    val checked = base.withColumn("__q",
+      when(size(col("__q")) =!= dims, raise_error(concat(
+        lit(s"kmeansExact: ragged input — expected $dims dims, got "),
+        size(col("__q")).cast("string")))).otherwise(col("__q")))
     def d2To(center: Array[Long]): Column = {
       val c = typedLit(center.map(_.toDouble))
       val v = transform(col("__q"), x => x.cast("double"))
       (dot(v, v) - lit(2.0) * dot(v, c)) + dot(c, c)
     }
-    var centers: IndexedSeq[Array[Long]] = base
+    var centers: IndexedSeq[Array[Long]] = checked
       .orderBy(col("__id")).limit(k).collect()
       .map(_.getSeq[Long](1).toArray).toIndexedSeq
     require(centers.nonEmpty, "kmeansExact: empty input")
@@ -439,7 +448,7 @@ object Similarity {
       val scored = centers.zipWithIndex.map { case (c, i) =>
         struct(d2To(c).as("d"), lit(i.toLong).as("cid"))
       }
-      val assigned = base.withColumn("__best",
+      val assigned = checked.withColumn("__best",
         array_min(array(scored: _*)))
       val sums = assigned
         .select(col("__best.cid").as("cluster"),
@@ -462,7 +471,8 @@ object Similarity {
           case None => centers(i) // empty cluster holds position
         }
       }
-      out = assigned.select(col("__id"), col("__best.cid").as("cluster"),
+      out = assigned.select(col("__id").as("id"),
+        col("__best.cid").as("cluster"),
         col("__best.d").cast("long").as("d2_units"))
     }
     // materialize the result before releasing the base it reads from

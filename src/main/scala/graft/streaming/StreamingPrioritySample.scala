@@ -17,9 +17,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * running sample after any prefix ≡ the batch
   * `prioritySampleStratified` of that prefix (spec-pinned) — arrival
   * order CANNOT matter, because membership depends only on the item's
-  * own priority vs the top-n threshold. Re-observations of an item are
-  * idempotent (same deterministic priority; the counter still
-  * advances). Weights outside (0, 10⁶] throw — the batch side's
+  * own priority vs the top-n threshold. Re-observations of an item at
+  * the SAME weight are idempotent (same deterministic priority; the
+  * counter still advances); a re-observation at a DIFFERENT weight
+  * upgrades the item to its max-weight priority (priority is monotone
+  * in weight at fixed hash, so keep-max-priority ≡ keep-max-weight,
+  * and a once-rejected candidate could never have qualified under the
+  * only-increasing top-n threshold — the end state is exactly the
+  * top-n over per-item MAX-weight priorities, still order-free; ADVICE
+  * r13: keeping the stale priority broke that the moment weights
+  * varied). Batch-prefix parity therefore holds against the batch
+  * sample of the prefix's distinct (item → max weight) observations.
+  * Weights outside (0, 10⁶] throw — the batch side's
   * in-plan raise_error contract. Emits (key, n_seen, items in rank
   * order) in Update mode after every batch the key appears in.
   */
@@ -63,8 +72,14 @@ object StreamingPrioritySample {
           .sorted(ord)
         values.foreach { case (item, w) =>
           seen += 1L
-          if (!top.exists(_._2 == item)) {
-            val p = priorityOf(seed, item, w)
+          val p = priorityOf(seed, item, w)
+          val idx = top.indexWhere(_._2 == item)
+          if (idx >= 0) {
+            // known item: keep the max-weight observation (same weight
+            // -> same priority -> no-op; the idempotency contract)
+            if (p > top(idx)._1)
+              top = top.updated(idx, (p, item, w)).sorted(ord)
+          } else {
             if (top.length < n) top = (top :+ ((p, item, w))).sorted(ord)
             else {
               val last = top.last

@@ -355,6 +355,14 @@ class SimilarityJoinSpec extends SparkSpec {
         rounds = 1).collect()
     }
     assert(e.getMessage != null)
+    // ragged dims raise in-plan instead of mis-scoring (ADVICE r13)
+    val ragged = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Similarity.kmeansExact(ragged, "embedding", "vec_id", k = 1,
+        rounds = 1).collect()
+    }
+    assert(e2.getMessage != null)
   }
 
   test("pca: axis-aligned covariance recovers exact unit components " +

@@ -58,4 +58,37 @@ class StreamingPrioritySampleSpec extends SparkSpec {
       StreamingPrioritySample.priorityOf("s", "x", 1000001L)
     }
   }
+
+  test("streaming priority sample: re-observation at a HIGHER weight " +
+      "upgrades the item's priority (keep-max, ADVICE r13); lower " +
+      "weight is a no-op; end state ≡ batch over max-weight distincts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Long)]
+    val q = StreamingPrioritySample.monitor(
+        in.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3)),
+        n = 2, seed = "sp2")
+      .toDF("key", "n_seen", "items")
+      .writeStream.format("memory").queryName("psamp_rw_out")
+      .outputMode(StreamingPrioritySample.outputMode)
+      .start()
+    // d1 enters weak, then gets upgraded past d2/d3; d2 later re-arrives
+    // WEAKER (no-op). Max-weight view: d1->900, d2->500, d3->400.
+    in.addData(("g", "d1", 10L), ("g", "d2", 500L), ("g", "d3", 400L))
+    q.processAllAvailable()
+    in.addData(("g", "d1", 900L), ("g", "d2", 100L))
+    q.processAllAvailable()
+    q.stop()
+    val maxView = Seq(("g", "d1", 900L), ("g", "d2", 500L),
+      ("g", "d3", 400L))
+    val expect = graft.ops.Relational.prioritySampleStratified(
+        maxView.toDF("k", "item", "w"), Seq("k"),
+        col("item"), col("w"), n = 2, seed = "sp2")
+      .orderBy(col("sample_rank"))
+      .select(col("item")).as[String].collect().toSeq
+    val got = spark.table("psamp_rw_out")
+      .as[(String, Long, Seq[String])].collect()
+      .filter(r => r._1 == "g" && r._2 == 5L).head._3
+    assert(got == expect,
+      s"streaming end state $got != batch-over-max-weights $expect")
+  }
 }
