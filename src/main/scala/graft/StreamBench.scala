@@ -180,6 +180,16 @@ object StreamBench {
         alphaPpm = 300000L).toDF()
     }(feedKeyed _)
 
+    results += drive[SBKeyed]("quantile_monitor",
+      streaming.StreamingQuantile.outputMode) { in =>
+      // the ewma_monitor feed through a live KLL sketch: per-arrival
+      // sketch update + one serialize/deserialize per key per batch
+      streaming.StreamingQuantile.monitor(
+        in.toDS().groupByKey(_.key)
+          .mapValues(e => e.id * 0.05 + (e.id % 7) * 0.4),
+        qs = Seq(0.5, 0.95, 0.99)).toDF()
+    }(feedKeyed _)
+
     results += drive[SBKeyed]("bottomk_sample",
       streaming.StreamingSample.outputMode) { in =>
       // value universe of 2000 per key: the k-sample churns early,

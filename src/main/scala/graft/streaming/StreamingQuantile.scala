@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming quantile monitor per key — the X315 mergeable KLL sketch
+  * as LIVE state (SURVEY §2.7, the one-definition-two-modes
+  * discipline): "current p50/p95/p99 per key", the primitive a latency
+  * or quality dashboard actually polls, maintained incrementally
+  * instead of rebuilt by the nightly batch scan. State per key is ONE
+  * compact KLL byte image (~O(k·log n) bytes, independent of stream
+  * length in practice — the sketch property), deserialized, updated
+  * with the batch's readings, and re-serialized each micro-batch; the
+  * batch face of the same bytes is
+  * [[graft.ops.Sketches.quantileSketch]] /
+  * [[graft.ops.Sketches.mergeQuantileSketches]] — below KLL's first
+  * compaction (~3k updates at k=200) sketch AND quantiles are EXACT,
+  * so the running monitor after any prefix emits exactly the batch
+  * build's answers over that prefix (spec-pinned); beyond compaction
+  * the answers carry the documented KLL bound (true rank within
+  * [[graft.ops.Sketches.kllRankError]] of q at 99% confidence — the
+  * spec gates a 10k-row feed in RANK space, the q319 discipline,
+  * because compaction randomizes the byte image itself).
+  *
+  * Null never arrives (Double stream); NaN updates are SKIPPED (n does
+  * not advance) — the batch [[graft.functions.KllSketchAgg]] skip rule,
+  * so the populations match exactly. Quantiles use INCLUSIVE rank
+  * semantics, the [[graft.ops.Sketches.sketchQuantile]] convention.
+  * Emits (key, n, values at the requested `qs` in order — empty until
+  * the first accepted reading) in Update mode after every batch the
+  * key appears in.
+  */
+object StreamingQuantile {
+
+  /** Monitor state: the compact KLL byte image. */
+  final case class KllState(bytes: Array[Byte])
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, Double],
+      qs: Seq[Double], k: Int = 200,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[KllState],
+      e: Encoder[(K, Long, Seq[Double])])
+      : Dataset[(K, Long, Seq[Double])] = {
+    require(qs.nonEmpty, "StreamingQuantile: at least one rank")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0,
+      s"StreamingQuantile: rank out of [0, 1]: $q"))
+    graft.functions.KllExpressions.requireK(k)
+    grouped.flatMapGroupsWithState[KllState, (K, Long, Seq[Double])](
+      OutputMode.Update, timeout) {
+      (key: K, values: Iterator[Double],
+          state: GroupState[KllState]) =>
+        val sk = state.getOption
+          .map(s => KllDoublesSketch.heapify(Memory.wrap(s.bytes)))
+          .getOrElse(KllDoublesSketch.newHeapInstance(k))
+        values.foreach { v =>
+          if (!java.lang.Double.isNaN(v)) sk.update(v)
+        }
+        state.update(KllState(sk.toByteArray))
+        val out =
+          if (sk.isEmpty) Seq.empty[Double]
+          else qs.map(q =>
+            sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
+        Iterator.single((key, sk.getN, out))
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+import graft.streaming.StreamingQuantile
+
+class StreamingQuantileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming quantile monitor: below compaction the running " +
+      "sketch is exact — emitted p50/p95 equal the exact inclusive-" +
+      "rank picks of the prefix AND the batch quantileSketch answers; " +
+      "NaN skipped; n tracks") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingQuantile.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2),
+        qs = Seq(0.5, 0.95), k = 200)
+      .toDF("key", "n", "quants")
+      .writeStream.format("memory").queryName("squant_out")
+      .outputMode(StreamingQuantile.outputMode)
+      .start()
+    // batch 1: 1..40 (shuffled arrival); batch 2: 41..80 + a NaN
+    val rnd = new scala.util.Random(42)
+    val b1 = rnd.shuffle((1 to 40).toList)
+      .map(i => ("g", i.toDouble))
+    val b2 = rnd.shuffle((41 to 80).toList)
+      .map(i => ("g", i.toDouble)) :+ (("g", Double.NaN))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("squant_out")
+      .as[(String, Long, Seq[Double])].collect()
+    // exact inclusive-rank pick over 1..n: smallest value with
+    // normalized rank >= q, i.e. ceil(q*n)
+    def pick(n: Int, p: Double): Double = math.ceil(p * n)
+    val after1 = rows.filter(r => r._2 == 40L).head._3
+    assert(after1 == Seq(pick(40, 0.5), pick(40, 0.95)),
+      s"prefix-40 quantiles: $after1")
+    // NaN skipped: n = 80, not 81
+    val after2 = rows.filter(r => r._2 == 80L).head._3
+    assert(rows.forall(_._2 != 81L), "NaN must not advance n")
+    assert(after2 == Seq(pick(80, 0.5), pick(80, 0.95)),
+      s"prefix-80 quantiles: $after2")
+    // batch face of the same bytes: quantileSketch over the full feed
+    // (below compaction -> exact, so the two modes must agree exactly)
+    val batch = Sketches.quantileSketch(
+        (1 to 80).map(i => ("g", i.toDouble)).toDF("k", "v"),
+        Seq("k"), col("v"), k = 200)
+      .select(
+        Sketches.sketchQuantile(col("sketch"), lit(0.5)).as("p50"),
+        Sketches.sketchQuantile(col("sketch"), lit(0.95)).as("p95"),
+        Sketches.sketchN(col("sketch")).as("n"))
+      .as[(Double, Double, Long)].head()
+    assert(batch == ((after2.head, after2(1), 80L)),
+      s"batch face $batch != streaming $after2")
+  }
+
+  test("streaming quantile monitor: past compaction the emitted " +
+      "quantiles hold the KLL rank bound on a 10k feed (rank-space " +
+      "gate, q319 discipline); rank/k bounds throw") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingQuantile.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2),
+        qs = Seq(0.5, 0.99), k = 200)
+      .toDF("key", "n", "quants")
+      .writeStream.format("memory").queryName("squant_big_out")
+      .outputMode(StreamingQuantile.outputMode)
+      .start()
+    val n = 10000
+    val data = new scala.util.Random(7).shuffle((1 to n).toList)
+    data.grouped(2500).foreach { chunk =>
+      in.addData(chunk.map(i => ("g", i.toDouble)): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val fin = spark.table("squant_big_out")
+      .as[(String, Long, Seq[Double])].collect()
+      .filter(_._2 == n.toLong).head._3
+    // values are 1..n, so the true normalized rank of emitted v is v/n;
+    // gate at 3x the 99% bound (~1.65% at k=200) — flake-proof headroom
+    val eps = 3.0 * Sketches.kllRankError(200)
+    Seq(0.5, 0.99).zip(fin).foreach { case (p, v) =>
+      val rank = v / n
+      assert(math.abs(rank - p) <= eps,
+        s"p$p emitted $v (rank $rank) outside +-$eps")
+    }
+    intercept[IllegalArgumentException] {
+      StreamingQuantile.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2), qs = Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      StreamingQuantile.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2), qs = Seq(0.5), k = 4)
+    }
+  }
+}
