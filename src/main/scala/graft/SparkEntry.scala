@@ -4666,6 +4666,40 @@ object SparkEntry {
             count(lit(1))).as("mean_d2_units"))
         .orderBy(col("cluster"))
     },
+
+    // X338 — CMS reader-side merge: per-shard count-min sketches
+    // united into one sketch per group WITHOUT rescanning the data
+    // (the artifact-path step Spark's count_min_sketch agg lacks;
+    // HLL and KLL already had theirs). Self-verifying in the q85 gate
+    // style: each probed supplier's row survives only if the
+    // merged-sketch estimate respects the CMS contract against the
+    // exact count (est ≥ exact always; est ≤ exact + ⌈ε·N⌉ here by
+    // width ≫ distinct keys); only exact values are emitted.
+    "q342_cms_merge" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_suppkey"), col("l_orderkey"))
+      val sharded = li.withColumn("__shard",
+        pmod(hash(col("l_orderkey")), lit(8)))
+      val merged = Sketches.mergeFreqSketches(
+        Sketches.freqSketch(sharded, Seq("l_returnflag", "__shard"),
+          col("l_suppkey"), eps = 0.0001, confidence = 0.99, seed = 7),
+        Seq("l_returnflag"), eps = 0.0001, confidence = 0.99, seed = 7)
+      val exact = li.filter(col("l_suppkey") <= 25L)
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(count(lit(1)).as("exact_n"))
+      val totals = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("__N"))
+      exact.join(broadcast(merged), Seq("l_returnflag"))
+        .join(broadcast(totals), Seq("l_returnflag"))
+        .withColumn("__est",
+          Sketches.estimateFreq(col("sketch"), col("l_suppkey")))
+        .where(col("__est") >= col("exact_n") &&
+          col("__est") <= col("exact_n") +
+            ceil(col("__N") * lit(0.0001)).cast("long"))
+        .select(col("l_returnflag"), col("l_suppkey"), col("exact_n"))
+        .orderBy(col("l_returnflag"), col("l_suppkey"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14761,6 +14795,15 @@ object SparkEntry {
         |  CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2_units
         |FROM a3 GROUP BY cid
         |ORDER BY cluster""".stripMargin)),
+
+    // the gate admits every probed supplier (width ≫ distinct keys ⇒
+    // the merged CMS estimate is the exact count), so the oracle is
+    // the exact per-supplier tally the Spark side emits
+    "q342_cms_merge" ->
+      """SELECT l_returnflag, l_suppkey, count(*) AS exact_n
+        |FROM lineitem WHERE l_suppkey <= 25
+        |GROUP BY l_returnflag, l_suppkey
+        |ORDER BY l_returnflag, l_suppkey""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

@@ -63,3 +63,78 @@ case class CmsEstimate(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CmsEstimate =
     copy(left = newLeft, right = newRight)
 }
+
+/** Union aggregate over STORED count-min sketch bytes (X338) — the
+  * merge step Spark's `count_min_sketch` aggregate does not expose
+  * (the agg merges its own partials in-plan, but a PERSISTED per-shard
+  * sketch column has no reader-side union), completing the
+  * artifact-path triple: HLL has `hll_union_agg`, KLL has
+  * [[KllMergeAgg]], and this is CMS's. Query-time cost is
+  * |groups × shards| small binary rows — the data is never rescanned.
+  *
+  * CMS merge is exact cell-wise addition, so a merge of per-shard
+  * sketches is CELL-IDENTICAL to the sketch of the unioned data (the
+  * same (eps, confidence, seed) ⇒ same depth/width/hash family ⇒ the
+  * estimate after merging is bit-equal to a one-pass build —
+  * SketchesSpec pins it). The (eps, confidence, seed) parameters must
+  * match the build side's: Spark's `CountMinSketch.mergeInPlace`
+  * raises on incompatible geometry rather than mixing registers, and
+  * the empty-group identity element is built from these parameters.
+  * Null inputs (outer joins against missing shards) are skipped.
+  */
+case class CmsMergeAgg(child: Expression, eps: Double,
+    confidence: Double, seed: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[CountMinSketch]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(eps > 0d && eps < 1d, s"cms_merge_agg: eps in (0, 1): $eps")
+  require(confidence > 0d && confidence < 1d,
+    s"cms_merge_agg: confidence in (0, 1): $confidence")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_merge_agg: input must be BINARY sketch bytes, got " +
+        s"${child.dataType}")
+
+  override def createAggregationBuffer(): CountMinSketch =
+    CountMinSketch.create(eps, confidence, seed)
+
+  override def update(buffer: CountMinSketch,
+      input: org.apache.spark.sql.catalyst.InternalRow): CountMinSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      val other = CountMinSketch.readFrom(
+        new ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      buffer.mergeInPlace(other)
+    }
+    buffer
+  }
+
+  override def merge(buffer: CountMinSketch,
+      other: CountMinSketch): CountMinSketch = {
+    buffer.mergeInPlace(other)
+    buffer
+  }
+
+  override def eval(buffer: CountMinSketch): Any = serialize(buffer)
+
+  override def serialize(buffer: CountMinSketch): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    buffer.writeTo(bos)
+    bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): CountMinSketch =
+    CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_merge_agg"
+  override def withNewMutableAggBufferOffset(o: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): CmsMergeAgg = copy(child = newChild)
+}

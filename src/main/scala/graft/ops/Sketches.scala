@@ -62,6 +62,25 @@ object Sketches {
     else df.groupBy(groupCols.map(col): _*).agg(agg)
   }
 
+  /** Merge per-shard CMS sketch tables back to one sketch per group
+    * (X338) — the query-time step CMS lacked while HLL and KLL had
+    * theirs; |groups × shards| small binary rows, the data never
+    * rescanned. CMS merge is exact cell-wise addition, so the merged
+    * sketch is CELL-IDENTICAL to a one-pass build over the unioned
+    * data (same (eps, confidence, seed) required — mismatched geometry
+    * raises in [[graft.functions.CmsMergeAgg]]).
+    */
+  def mergeFreqSketches(sketches: DataFrame, groupCols: Seq[String],
+      eps: Double = 0.0001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val agg = bridge.column(graft.functions.CmsMergeAgg(
+      bridge.expression(col("sketch")), eps, confidence, seed)
+      .toAggregateExpression()).as("sketch")
+    if (groupCols.isEmpty) sketches.agg(agg)
+    else sketches.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
   /** CMS point query: estimated occurrence count of `value` in the data
     * `sketch` was built over. Always ≥ the true count; ≤ true + ε·N with
     * the sketch's configured confidence. Runs at candidate grain via the

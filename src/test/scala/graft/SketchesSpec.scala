@@ -80,6 +80,36 @@ class SketchesSpec extends SparkSpec {
     assert(got.toSeq == Seq("g1" -> 2L, "g2" -> 1L))
   }
 
+  test("cms: reader-side shard merge (X338) — merged estimates are " +
+      "BIT-IDENTICAL to a one-pass build (cell-wise addition), bytes " +
+      "survive parquet, geometry mismatch raises") {
+    val data = (1L to 5000L).map(i => ("g", i % 700)).toDF("k", "v")
+    val probes = (0L until 700L by 31L).toSeq
+    def ests(sk: org.apache.spark.sql.DataFrame): Seq[Long] =
+      probes.map(p => sk.select(
+        Sketches.estimateFreq(col("sketch"), lit(p))).head.getLong(0))
+    val whole = Sketches.freqSketch(data, Seq("k"), col("v"),
+      eps = 0.01, confidence = 0.9, seed = 11)
+    // shard three ways, build per shard, persist, merge reader-side
+    val shards = (0 until 3).map(s =>
+      Sketches.freqSketch(data.filter(col("v") % 3 === s),
+        Seq("k"), col("v"), eps = 0.01, confidence = 0.9, seed = 11))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cms-artifact").toString
+    shards.reduce(_ unionByName _).write.mode("overwrite").parquet(dir)
+    val merged = Sketches.mergeFreqSketches(spark.read.parquet(dir),
+      Seq("k"), eps = 0.01, confidence = 0.9, seed = 11)
+    assert(ests(merged) == ests(whole),
+      "merged CMS must answer bit-identically to the one-pass build")
+    // mismatched geometry must raise, never mix registers
+    val e = intercept[Exception] {
+      Sketches.mergeFreqSketches(spark.read.parquet(dir),
+        Seq("k"), eps = 0.05, confidence = 0.9, seed = 11)
+        .select(Sketches.estimateFreq(col("sketch"), lit(1L))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("kll: small-n sketch is EXACT — inclusive quantile = type-1 " +
       "order statistic; n tracked losslessly; rank round-trips") {
     // 40 values, k = 200: nothing compacts, every value is retained
