@@ -4700,6 +4700,17 @@ object SparkEntry {
         .select(col("l_returnflag"), col("l_suppkey"), col("exact_n"))
         .orderBy(col("l_returnflag"), col("l_suppkey"))
     },
+
+    // X339 — Mann–Kendall: is each event type's value series trending,
+    // rank-wise? (the significance pre-test before quoting q209's
+    // Theil–Sen slope). Sampled to keep the oracle's pair CTE at
+    // probe-bounded grain; the operator itself is O(n log n)/group.
+    "q343_mann_kendall" -> { (s, dir) =>
+      graft.ops.Features.mannKendall(
+          events(s, dir).filter(pmod(col("event_id"), lit(20)) === 0),
+          Seq("event_type"), col("ts_ns"), col("value"))
+        .orderBy(col("event_type"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14804,6 +14815,48 @@ object SparkEntry {
         |FROM lineitem WHERE l_suppkey <= 25
         |GROUP BY l_returnflag, l_suppkey
         |ORDER BY l_returnflag, l_suppkey""".stripMargin,
+
+    // S from the raw pair definition (the probe subset keeps it
+    // bounded); z2 via HUGEINT cross-multiplication, floor-div, the
+    // signed continuity-corrected form
+    "q343_mann_kendall" ->
+      """WITH e AS (
+        |  SELECT event_type, ts, value FROM events
+        |  WHERE event_id % 20 = 0 AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |), sagg AS (
+        |  SELECT a.event_type, CAST(sum(CASE
+        |      WHEN b.value > a.value THEN 1
+        |      WHEN b.value < a.value THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM e a JOIN e b
+        |    ON a.event_type = b.event_type AND a.ts < b.ts
+        |  GROUP BY a.event_type
+        |), nn AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY event_type
+        |), tt AS (
+        |  SELECT event_type,
+        |    CAST(coalesce(sum(c*(c-1)*(2*c+5)), 0) AS BIGINT) AS tsum
+        |  FROM (SELECT event_type, value, count(*) AS c
+        |        FROM e GROUP BY event_type, value)
+        |  GROUP BY event_type
+        |)
+        |SELECT nn.event_type, nn.n,
+        |  coalesce(sagg.s, 0) AS s,
+        |  CAST(nn.n*(nn.n-1)*(2*nn.n+5) - tt.tsum AS BIGINT) AS var18,
+        |  CASE WHEN nn.n >= 2
+        |      AND nn.n*(nn.n-1)*(2*nn.n+5) - tt.tsum > 0 THEN
+        |    CASE WHEN coalesce(sagg.s, 0) = 0 THEN 0 ELSE
+        |      (CASE WHEN sagg.s < 0 THEN -1 ELSE 1 END) *
+        |      CAST((CAST(abs(sagg.s) - 1 AS HUGEINT) *
+        |            (abs(sagg.s) - 1) * 18000000) //
+        |           (nn.n*(nn.n-1)*(2*nn.n+5) - tt.tsum) AS BIGINT)
+        |    END
+        |  END AS z2_ppm
+        |FROM nn
+        |LEFT JOIN sagg ON nn.event_type = sagg.event_type
+        |JOIN tt ON nn.event_type = tt.event_type
+        |ORDER BY nn.event_type""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

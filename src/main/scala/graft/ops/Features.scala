@@ -537,6 +537,92 @@ object Features {
         col("z2_ppm")): _*)
   }
 
+  /** Mann–Kendall trend test (X339) — the monotonic-trend SIGNIFICANCE
+    * the monitoring family lacked: [[theilSenSlope]] says how steep,
+    * [[groupTrend]] fits a line, [[runsTest]] asks "random at all?" —
+    * this asks the ranked question "is the series going somewhere,
+    * ignoring magnitude?", the standard pre-test before quoting a
+    * Theil–Sen slope. Per group in `orderCol` time order:
+    * S = Σ_{tᵢ<tⱼ} sign(xⱼ − xᵢ) (value-tied pairs contribute 0,
+    * time-tied pairs are EXCLUDED — both fall out of the τ-b identity
+    * S = n₀ − n₁ − n₂ + n₃ − 2·inv over the
+    * [[graft.functions.KendallStats]] kernel, O(n log n) mergesort
+    * inversions, never the O(n²) pair loop), variance with the classic
+    * value-ties correction 18·Var = n(n−1)(2n+5) − Σt(t−1)(2t+5), and
+    * the effect size is the SIGNED squared z in exact ppm with the
+    * continuity correction:
+    * `z2_ppm = sign(S) · ⌊(|S|−1)²·18·10⁶ div var18⌋` (S = 0 → 0;
+    * positive = upward trend, negative = downward — no p-value by
+    * design, the [[chiSquare]] no-CDF contract). Degenerate groups
+    * (n < 2 or all values tied, var18 = 0) emit null z2_ppm with S and
+    * counts still visible. Time order is ranked per group (dense_rank,
+    * ≤ n ≤ maxGroupSize, exact in a double) so a huge epoch-nanos
+    * order column can never manufacture rank ties by double rounding.
+    * The variance's TIME-tie cross-correction is omitted (exact when
+    * times are unique per group — the regridded/deduped norm; S itself
+    * handles tied times correctly either way).
+    *
+    * Scale shape: ONE key exchange shared by the rank window and the
+    * pair collect (scan-local kernel per group, in-plan maxGroupSize
+    * raise — the [[kendallCorr]] discipline), plus one map-side
+    * (group, value) tie rollup joined back at group grain. Exact while
+    * (|S|−1)²·18·10⁶ fits 38 digits — n ≲ 10⁸/group, far past the
+    * group bound; past it ANSI overflow raises, never corrupts.
+    */
+  def mannKendall(df: DataFrame, groupCols: Seq[String],
+      orderCol: Column, valueCol: Column,
+      maxGroupSize: Int = 1000000): DataFrame = {
+    require(groupCols.nonEmpty,
+      "mannKendall needs group columns (use a literal for one group)")
+    require(maxGroupSize >= 2, s"maxGroupSize must be >= 2: $maxGroupSize")
+    import graft.functions.Exact.longDiv
+    val d38 = DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__o"))
+    val base = df
+      .filter(orderCol.isNotNull && valueCol.isNotNull)
+      .select(gs :+ orderCol.as("__o") :+
+        valueCol.cast("double").as("__v"): _*)
+      .withColumn("__t", dense_rank().over(w).cast("double"))
+    val grouped = base
+      .groupBy(gs: _*)
+      .agg(sort_array(collect_list(struct(col("__t").as("x"),
+        col("__v").as("y")))).as("__ps"))
+      .withColumn("__ps",
+        when(size(col("__ps")) > maxGroupSize, raise_error(concat(
+          lit(s"mannKendall: group exceeds maxGroupSize=$maxGroupSize: "),
+          size(col("__ps")).cast("string"))))
+          .otherwise(col("__ps")))
+      .withColumn("__st",
+        graft.functions.VectorExpressions.kendallStats(col("__ps")))
+      .withColumn("n", size(col("__ps")).cast("long"))
+    val ties = base
+      .groupBy(gs :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(gs: _*)
+      .agg(sum(col("__c") * (col("__c") - 1L) *
+        (lit(2L) * col("__c") + 5L)).as("__tsum"))
+    val n0 = expr("n * (n - 1) div 2")
+    val sMk = n0 - col("__st.n1") - col("__st.n2") + col("__st.n3") -
+      lit(2L) * col("__st.s")
+    grouped.join(ties, groupCols)
+      .withColumn("s", sMk)
+      .withColumn("var18",
+        col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+          col("__tsum"))
+      .withColumn("z2_ppm",
+        when(col("n") >= 2L && col("var18") > 0L,
+          when(col("s") === 0L, 0L).otherwise(
+            when(col("s") < 0L, lit(-1L)).otherwise(lit(1L)) *
+              longDiv(
+                (abs(col("s")) - 1L).cast(d38) * (abs(col("s")) - 1L) *
+                  18000000L,
+                col("var18")))))
+      .select(gs ++ Seq(col("n"), col("s"), col("var18"),
+        col("z2_ppm")): _*)
+  }
+
   /** Per-group Gini impurity of a label column in EXACT integer ppm —
     * the class-balance signal over training labels (a stratum whose
     * impurity collapsed is one class repeated; one whose impurity

@@ -1546,4 +1546,46 @@ class FeaturesSpec extends SparkSpec {
     // onesided: all remaining rows above the median -> undefined
     assert(got("onesided") == ((1L, 1L, 0L, None)))
   }
+
+  test("mannKendall: hand-computed S / var18 / signed z² — value ties " +
+      "contribute 0 and correct the variance, time ties are excluded " +
+      "from S, all-tied group nulls, group bound raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def series(k: String, vs: Seq[(Long, Double)]) =
+      vs.map { case (o, v) => (k, o, v) }
+    val rows =
+      // up: 1,3,2,4,5 -> S = 9-1 = 8, var18 = 5*4*15 = 300,
+      // z2 = floor(49*18e6/300) = 2_940_000
+      series("up", Seq(0L -> 1d, 1L -> 3d, 2L -> 2d, 3L -> 4d,
+        4L -> 5d)) ++
+      // down: 5,4,3,2,1 -> S = -10, z2 = -floor(81*18e6/300)
+      series("down", Seq(0L -> 5d, 1L -> 4d, 2L -> 3d, 3L -> 2d,
+        4L -> 1d)) ++
+      // vtie: 1,2,2,3 -> S = 5, tie run t=2: tsum = 2*1*9 = 18,
+      // var18 = 4*3*13 - 18 = 138, z2 = floor(16*18e6/138) = 2_086_956
+      series("vtie", Seq(0L -> 1d, 1L -> 2d, 2L -> 2d, 3L -> 3d)) ++
+      // ttie: times (0,0,1) values (1,2,3): the (1,2) pair is
+      // time-tied -> excluded; S = sign(3-1)+sign(3-2) = 2
+      series("ttie", Seq(0L -> 1d, 0L -> 2d, 1L -> 3d)) ++
+      // const: all values tied -> var18 = 0 -> null z2
+      series("const", Seq(0L -> 7d, 1L -> 7d, 2L -> 7d))
+    val got = graft.ops.Features.mannKendall(rows.toDF("k", "o", "v"),
+        Seq("k"), col("o"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(got("up") == ((5L, 8L, 300L, Some(2940000L))))
+    assert(got("down") == ((5L, -10L, 300L, Some(-4860000L))))
+    assert(got("vtie") == ((4L, 5L, 138L, Some(2086956L))))
+    // var18 = 3*2*11 = 66, z2 = floor(1*18e6/66) = 272_727
+    assert(got("ttie") == ((3L, 2L, 66L, Some(272727L))))
+    assert(got("const") == ((3L, 0L, 0L, None)))
+    val big = (1 to 11).map(i => ("g", i.toLong, i.toDouble))
+    val e = intercept[Exception] {
+      graft.ops.Features.mannKendall(big.toDF("k", "o", "v"),
+        Seq("k"), col("o"), col("v"), maxGroupSize = 10).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
