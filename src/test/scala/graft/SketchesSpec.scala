@@ -191,4 +191,60 @@ class SketchesSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.isNullAt(1) &&
       empty.isNullAt(2))
   }
+
+  test("hll inclusion–exclusion gate (q339): planted ~1% overlap trips " +
+      "the gate to DETECTION (rows drop), never a silently-wrong number") {
+    // A = {1..10000}·7919, B = {9901..19900}·7919 → |A∩B| = 100,
+    // |A∪B| = 19900 (0.5% overlap; the prime stride decorrelates the
+    // register hits — consecutive longs happen to give partially
+    // cancelling register errors at tiny lgK). Inclusion–exclusion
+    // |A∩B| ≈ estA + estB − estU combines THREE sketch errors, each
+    // O(rse·|set|) — relative to a 100-row intersection that explodes.
+    // The q339 discipline: the row survives only if the estimate lands
+    // within 5% of the exact union, and only exact values are ever
+    // emitted — so when the sketch is too coarse for the overlap, the
+    // observable failure is an EMPTY frame (detection), not a shipped
+    // wrong estimate.
+    val ev = ((1L to 10000L).map(i => ("a", i * 7919L)) ++
+      (9901L to 19900L).map(i => ("b", i * 7919L))).toDF("tag", "v")
+    def gate(lgK: Int): (Long, Long) = {
+      val perTag = Sketches.distinctSketch(ev, Seq("tag"), col("v"), lgK)
+      val ests = perTag.agg(
+        sum(when(col("tag") === "a",
+          Sketches.estimate(col("sketch")))).as("ea"),
+        sum(when(col("tag") === "b",
+          Sketches.estimate(col("sketch")))).as("eb"))
+      val estU = Sketches.mergeSketches(
+          perTag.select(lit(1L).as("g"), col("sketch")), Seq("g"))
+        .select(Sketches.estimate(col("sketch")).as("eu"))
+      val exact = ev.groupBy(col("v"))
+        .agg(max(when(col("tag") === "a", 1L)).as("a"),
+          max(when(col("tag") === "b", 1L)).as("b"))
+        .agg(count(lit(1)).as("exact_union"),
+          count(when(col("a") === 1L && col("b") === 1L, 1L))
+            .as("exact_intersect"))
+      val est = col("ea") + col("eb") - col("eu")
+      val joined = exact.crossJoin(broadcast(ests))
+        .crossJoin(broadcast(estU))
+      val surviving = joined
+        .where(abs(est - col("exact_intersect")) <=
+          col("exact_union") * lit(0.05))
+        .count()
+      val absErr = joined
+        .select(abs(est - col("exact_intersect")).cast("long"))
+        .head.getLong(0)
+      (surviving, absErr)
+    }
+    // coarse sketch (16 registers, rse ~26%): the estimate misses the
+    // 100-row intersection by far more than 5% of the union → the gate
+    // trips and the frame is empty
+    val (rowsCoarse, errCoarse) = gate(4)
+    assert(errCoarse > 19900L * 0.05,
+      s"fixture must overwhelm the bound, err=$errCoarse")
+    assert(rowsCoarse == 0L, "coarse-sketch low-overlap row must DROP")
+    // production lgK=12 (rse ~1.6%): same fixture passes the gate
+    val (rowsProd, errProd) = gate(12)
+    assert(rowsProd == 1L, s"lgK=12 must hold the 5%-of-union bound " +
+      s"on the same fixture (err=$errProd)")
+  }
 }
