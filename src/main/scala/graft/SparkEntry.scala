@@ -4711,6 +4711,59 @@ object SparkEntry {
           Seq("event_type"), col("ts_ns"), col("value"))
         .orderBy(col("event_type"))
     },
+
+    // X340 — theta set algebra: the q339 overlap question answered by
+    // DIRECT sketch intersection instead of inclusion–exclusion. The
+    // sketches ride the same per-shard build/merge artifact path; the
+    // gate asserts each exact answer sits inside the RESULT'S OWN
+    // 3σ certificate (theta's getLowerBound/getUpperBound — the
+    // per-query interval I–E cannot provide, q339's negative spec);
+    // only exact values are emitted.
+    "q344_theta_intersect" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("user_id"))
+      val sharded = ev.withColumn("shard",
+        pmod(hash(col("user_id")), lit(8)))
+      val perType = Sketches.mergeThetaSketches(
+        Sketches.thetaSketch(sharded, Seq("event_type", "shard"),
+          col("user_id")),
+        Seq("event_type"))
+      val one = perType.select(lit(1L).as("__g"), col("sketch"))
+      val uniB = Sketches.mergeThetaSketches(one, Seq("__g"))
+        .select(Sketches.thetaBound(col("sketch"), -3).as("__ulb"),
+          Sketches.thetaBound(col("sketch"), 3).as("__uub"))
+      val intB = Sketches.intersectThetaSketches(one, Seq("__g"))
+        .select(Sketches.thetaBound(col("sketch"), -3).as("__ilb"),
+          Sketches.thetaBound(col("sketch"), 3).as("__iub"))
+      val diffB = perType.groupBy()
+        .agg(max(when(col("event_type") === "click",
+            col("sketch"))).as("__sa"),
+          max(when(col("event_type") === "purchase",
+            col("sketch"))).as("__sb"))
+        .select(Sketches.thetaANotB(col("__sa"), col("__sb")).as("__d"))
+        .select(Sketches.thetaBound(col("__d"), -3).as("__dlb"),
+          Sketches.thetaBound(col("__d"), 3).as("__dub"))
+      val exact = ev
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "click", 1L)).as("__c"),
+          max(when(col("event_type") === "purchase", 1L)).as("__p"))
+        .agg(count(lit(1)).as("exact_union"),
+          count(when(col("__c") === 1L && col("__p") === 1L, 1L))
+            .as("exact_intersect"),
+          count(when(col("__c") === 1L && col("__p").isNull, 1L))
+            .as("exact_click_only"))
+      exact.crossJoin(broadcast(uniB)).crossJoin(broadcast(intB))
+        .crossJoin(broadcast(diffB))
+        .where(col("exact_union").between(col("__ulb"), col("__uub")) &&
+          col("exact_intersect")
+            .between(col("__ilb"), col("__iub")) &&
+          col("exact_click_only")
+            .between(col("__dlb"), col("__dub")))
+        .select(col("exact_intersect"), col("exact_click_only"),
+          col("exact_union"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14857,6 +14910,25 @@ object SparkEntry {
         |LEFT JOIN sagg ON nn.event_type = sagg.event_type
         |JOIN tt ON nn.event_type = tt.event_type
         |ORDER BY nn.event_type""".stripMargin,
+
+    // the theta 3σ certificates gate the Spark side; the oracle is the
+    // exact set algebra the surviving row must carry
+    "q344_theta_intersect" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS p
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY user_id
+        |)
+        |SELECT CAST(count(CASE WHEN c = 1 AND p = 1 THEN 1 END)
+        |    AS BIGINT) AS exact_intersect,
+        |  CAST(count(CASE WHEN c = 1 AND p = 0 THEN 1 END)
+        |    AS BIGINT) AS exact_click_only,
+        |  CAST(count(*) AS BIGINT) AS exact_union
+        |FROM u""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

@@ -1,0 +1,317 @@
+package graft.functions
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, Intersection, SetOperation, Sketch, Union}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable theta sketches (X344) — the set-ALGEBRA face of the
+  * persisted-sketch family. HLL (X71/X335) answers "how many distinct"
+  * and can only reach an intersection through inclusion–exclusion,
+  * whose absolute error is the SUM of three sketch errors — relative
+  * to a small intersection it explodes (pinned by the q339 planted
+  * low-overlap spec). A theta sketch keeps an actual uniform hash
+  * SAMPLE of the set (the k smallest hashes under threshold θ), so
+  * union / intersection / difference are computed directly on the
+  * retained hashes and every result carries its own getLowerBound /
+  * getUpperBound interval — the failure mode at low overlap is a WIDE
+  * reported interval, never a silently-wrong point estimate. That is
+  * the property the 100 TB overlap questions ("how many users did
+  * both?", "how many new ids in today's shard?") actually need.
+  *
+  * Wrapped as [[TypedImperativeAggregate]]s in the KLL style
+  * (KllExpressions.scala): build and union aggregates ship compact
+  * ordered sketch images between stages, so partials merge map-side
+  * like any agg and the |groups × shards| artifact path works
+  * unchanged. Theta updates are seed-deterministic (default seed,
+  * hash-based, no coin flips — unlike KLL's compaction), so the
+  * compact ORDERED byte image is a canonical function of the input
+  * SET: same set, any order or duplication → bit-identical artifact
+  * (spec-pinned; stronger than the HLL register identity).
+  *
+  * Value types: LONG and STRING (hashed as UTF-8 bytes). Nulls are
+  * skipped. Below ~2·2^lgK retained entries the sketch is in exact
+  * mode (θ = 1): estimates are exact integers and set ops are exact
+  * set algebra.
+  */
+object ThetaExpressions {
+  /** Valid lgK range (DataSketches theta bounds: [4, 26]). */
+  def requireLgK(lgK: Int): Unit =
+    require(lgK >= 4 && lgK <= 26, s"theta lgK must be in [4, 26]: $lgK")
+
+  private[functions] def newUnion(lgK: Int): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  private[functions] def read(bytes: Array[Byte]): Sketch =
+    CompactSketch.heapify(Memory.wrap(bytes))
+
+  /** Canonical compact ordered image — the stored artifact form. */
+  private[functions] def imageOf(u: Union): Array[Byte] =
+    u.getResult.toByteArray
+}
+
+/** Per-group theta build aggregate: long or string values in, compact
+  * ordered sketch bytes out. The buffer is a theta Union (which
+  * absorbs both raw updates and partial sketches), so map-side
+  * combine and stage-boundary merge reuse one code path.
+  */
+case class ThetaSketchAgg(child: Expression, lgK: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union]
+    with UnaryLike[Expression] {
+  ThetaExpressions.requireLgK(lgK)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType | StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"theta_sketch_agg: value must be BIGINT or STRING, got $other")
+    }
+
+  override def createAggregationBuffer(): Union =
+    ThetaExpressions.newUnion(lgK)
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) v match {
+      case l: java.lang.Long => buffer.update(l.longValue())
+      case s: UTF8String => buffer.update(s.getBytes)
+      case other => throw new IllegalStateException(
+        s"theta_sketch_agg: unexpected value $other")
+    }
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+
+  override def eval(buffer: Union): Any = ThetaExpressions.imageOf(buffer)
+
+  override def serialize(buffer: Union): Array[Byte] =
+    ThetaExpressions.imageOf(buffer)
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = ThetaExpressions.newUnion(lgK)
+    u.union(ThetaExpressions.read(bytes))
+    u
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_sketch_agg"
+  override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): ThetaSketchAgg = copy(child = newChild)
+}
+
+/** Union aggregate over stored theta sketch bytes — the artifact
+  * query-time step (|groups × shards| tiny rows, data never
+  * rescanned). Null inputs (outer joins against missing shards) skip.
+  */
+case class ThetaUnionAgg(child: Expression, lgK: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union]
+    with UnaryLike[Expression] {
+  ThetaExpressions.requireLgK(lgK)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"theta_union_agg: sketch must be BINARY, got ${child.dataType}")
+
+  override def createAggregationBuffer(): Union =
+    ThetaExpressions.newUnion(lgK)
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) {
+      buffer.union(ThetaExpressions.read(v.asInstanceOf[Array[Byte]]))
+    }
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+
+  override def eval(buffer: Union): Any = ThetaExpressions.imageOf(buffer)
+
+  override def serialize(buffer: Union): Array[Byte] =
+    ThetaExpressions.imageOf(buffer)
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = ThetaExpressions.newUnion(lgK)
+    u.union(ThetaExpressions.read(bytes))
+    u
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_union_agg"
+  override def withNewMutableAggBufferOffset(o: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): ThetaUnionAgg = copy(child = newChild)
+}
+
+/** Intersection aggregate over stored theta sketch bytes: ∩ of every
+  * non-null sketch in the group, computed directly on the retained
+  * hashes. The buffer wraps a DataSketches Intersection plus a
+  * has-input flag (the ∩ of ZERO operands is the universal set, which
+  * has no finite image — an empty group evals to null rather than
+  * inventing one). Serialization between stages stores the current
+  * result image; a no-input buffer serializes to an empty marker and
+  * merges as the identity.
+  */
+case class ThetaIntersectAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ThetaIntersectAgg.Buf]
+    with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"theta_intersect_agg: sketch must be BINARY, got ${child.dataType}")
+
+  override def createAggregationBuffer(): ThetaIntersectAgg.Buf =
+    new ThetaIntersectAgg.Buf(
+      SetOperation.builder().buildIntersection())
+
+  override def update(buffer: ThetaIntersectAgg.Buf,
+      input: InternalRow): ThetaIntersectAgg.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      buffer.inter.intersect(
+        ThetaExpressions.read(v.asInstanceOf[Array[Byte]]))
+      buffer.hasInput = true
+    }
+    buffer
+  }
+
+  override def merge(buffer: ThetaIntersectAgg.Buf,
+      other: ThetaIntersectAgg.Buf): ThetaIntersectAgg.Buf = {
+    if (other.hasInput) {
+      buffer.inter.intersect(other.inter.getResult)
+      buffer.hasInput = true
+    }
+    buffer
+  }
+
+  override def eval(buffer: ThetaIntersectAgg.Buf): Any =
+    if (!buffer.hasInput) null
+    else buffer.inter.getResult.toByteArray
+
+  override def serialize(buffer: ThetaIntersectAgg.Buf): Array[Byte] =
+    if (!buffer.hasInput) Array.emptyByteArray
+    else buffer.inter.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): ThetaIntersectAgg.Buf = {
+    val buf = createAggregationBuffer()
+    if (bytes.nonEmpty) {
+      buf.inter.intersect(ThetaExpressions.read(bytes))
+      buf.hasInput = true
+    }
+    buf
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "theta_intersect_agg"
+  override def withNewMutableAggBufferOffset(o: Int): ThetaIntersectAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaIntersectAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): ThetaIntersectAgg = copy(child = newChild)
+}
+
+object ThetaIntersectAgg {
+  /** Intersection state: the ∩-so-far plus whether anything arrived. */
+  final class Buf(val inter: Intersection, var hasInput: Boolean = false)
+}
+
+/** `theta_a_not_b(a, b)` — sketch of A ∖ B as compact bytes (scalar,
+  * runs at whatever grain the two sketch columns meet at). Null if
+  * either side is null.
+  */
+case class ThetaANotB(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"theta_a_not_b: both sides must be BINARY, got " +
+        s"${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "theta_a_not_b"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val op = SetOperation.builder().buildANotB()
+    op.setA(ThetaExpressions.read(a.asInstanceOf[Array[Byte]]))
+    op.notB(ThetaExpressions.read(b.asInstanceOf[Array[Byte]]))
+    op.getResult(true).toByteArray
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaANotB =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `theta_estimate(sketch)` — the point estimate of the distinct count
+  * (exact integer while the sketch is in exact mode, θ = 1). */
+case class ThetaEstimate(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"theta_estimate: sketch must be BINARY, got ${child.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "theta_estimate"
+  override def nullSafeEval(bytes: Any): Any =
+    ThetaExpressions.read(bytes.asInstanceOf[Array[Byte]]).getEstimate
+  override protected def withNewChildInternal(
+      newChild: Expression): ThetaEstimate = copy(child = newChild)
+}
+
+/** `theta_bound(sketch, numStdDev)` — the result's own error interval:
+  * positive numStdDev → upper bound, negative → lower bound (|n| ∈
+  * {1,2,3}). This is what HLL inclusion–exclusion cannot provide: a
+  * per-QUERY certificate that either brackets the truth tightly or
+  * visibly refuses to (wide interval at low overlap / coarse k).
+  */
+case class ThetaBound(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"theta_bound: sketch must be BINARY, got ${left.dataType}")
+    else if (right.dataType != org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"theta_bound: numStdDev must be INT, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "theta_bound"
+  override def nullSafeEval(bytes: Any, n: Any): Any = {
+    val sd = n.asInstanceOf[Int]
+    require(sd != 0 && math.abs(sd) <= 3,
+      s"theta_bound: numStdDev must be in {-3..-1, 1..3}: $sd")
+    val s = ThetaExpressions.read(bytes.asInstanceOf[Array[Byte]])
+    if (sd > 0) s.getUpperBound(sd) else s.getLowerBound(-sd)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaBound =
+    copy(left = newLeft, right = newRight)
+}

@@ -159,4 +159,78 @@ object Sketches {
     */
   def kllRankError(k: Int): Double =
     org.apache.datasketches.kll.KllSketch.getNormalizedRankError(k, false)
+
+  // ——— Theta sketches (X344) — the set-ALGEBRA artifact: where HLL
+  // reaches an intersection only through inclusion–exclusion (error =
+  // sum of three sketch errors — explodes at low overlap, pinned by
+  // the q339 negative spec), theta keeps a uniform hash sample and
+  // computes ∪ / ∩ / ∖ directly on it, with per-result lower/upper
+  // bounds. Contracts in [[graft.functions.ThetaExpressions]].
+
+  /** Per-group theta sketch of `valueCol` (long or string) as binary
+    * column `sketch` — compact ORDERED image, a canonical function of
+    * the input set (same set → bit-identical bytes). One map-side-
+    * combined aggregation; the artifact to persist per shard.
+    */
+  def thetaSketch(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, lgK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val agg = bridge.column(graft.functions.ThetaSketchAgg(
+      bridge.expression(valueCol), lgK)
+      .toAggregateExpression()).as("sketch")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Union per-shard theta sketch tables back to one sketch per group
+    * — |groups × shards| tiny binary rows, the data never rescanned.
+    */
+  def mergeThetaSketches(sketches: DataFrame, groupCols: Seq[String],
+      lgK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val agg = bridge.column(graft.functions.ThetaUnionAgg(
+      bridge.expression(col("sketch")), lgK)
+      .toAggregateExpression()).as("sketch")
+    if (groupCols.isEmpty) sketches.agg(agg)
+    else sketches.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Intersect every sketch in each group (the "did BOTH/ALL"
+    * question, answered directly on the retained hashes — never
+    * through inclusion–exclusion). Null for an empty group.
+    */
+  def intersectThetaSketches(sketches: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val agg = bridge.column(graft.functions.ThetaIntersectAgg(
+      bridge.expression(col("sketch")))
+      .toAggregateExpression()).as("sketch")
+    if (groupCols.isEmpty) sketches.agg(agg)
+    else sketches.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Sketch of A ∖ B (scalar over two sketch columns). */
+  def thetaANotB(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.ThetaANotB(
+      bridge.expression(a), bridge.expression(b)))
+  }
+
+  /** Point estimate of a theta sketch's distinct count (exact while
+    * the sketch is in exact mode, θ = 1). */
+  def thetaEstimate(sketch: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.ThetaEstimate(
+      bridge.expression(sketch)))
+  }
+
+  /** The result's own error interval: `numStdDev` ∈ {1,2,3} → upper
+    * bound, negative → lower bound. The per-query certificate gates
+    * assert against (`exact ∈ [lb, ub]`).
+    */
+  def thetaBound(sketch: Column, numStdDev: Int): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.ThetaBound(
+      bridge.expression(sketch), bridge.expression(lit(numStdDev))))
+  }
 }

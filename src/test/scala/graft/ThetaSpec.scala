@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+
+/** Theta sketch set algebra (X344) — exact-mode identities, canonical
+  * artifact bytes, and the low-overlap behavior that motivates theta
+  * over HLL inclusion–exclusion (the q339 negative spec's fixture).
+  */
+class ThetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def est(df: org.apache.spark.sql.DataFrame): Double =
+    df.select(Sketches.thetaEstimate(col("sketch"))).head.getDouble(0)
+
+  test("exact mode: union / intersection / a-not-b are exact set " +
+      "algebra below the nominal entry count") {
+    // A = 1..1000, B = 901..1900: |A∪B| = 1900, |A∩B| = 100,
+    // |A∖B| = 900 — all below 2^12 nominal entries, so θ = 1 and
+    // every estimate is the exact integer.
+    val a = (1L to 1000L).map(("a", _))
+    val b = (901L to 1900L).map(("b", _))
+    val ev = (a ++ b).toDF("tag", "v")
+    val perTag = Sketches.thetaSketch(ev, Seq("tag"), col("v"))
+    val union = Sketches.mergeThetaSketches(
+      perTag.select(lit(1L).as("g"), col("sketch")), Seq("g"))
+    val inter = Sketches.intersectThetaSketches(
+      perTag.select(lit(1L).as("g"), col("sketch")), Seq("g"))
+    assert(est(union) == 1900.0)
+    assert(est(inter) == 100.0)
+    val wide = perTag.groupBy()
+      .agg(max(when(col("tag") === "a", col("sketch"))).as("sa"),
+        max(when(col("tag") === "b", col("sketch"))).as("sb"))
+    val aNotB = wide.select(Sketches.thetaEstimate(
+      Sketches.thetaANotB(col("sa"), col("sb"))).as("e"))
+    assert(aNotB.head.getDouble(0) == 900.0)
+    // in exact mode the bounds collapse onto the estimate
+    val bounds = inter.select(
+      Sketches.thetaBound(col("sketch"), -2).as("lb"),
+      Sketches.thetaBound(col("sketch"), 2).as("ub")).head
+    assert(bounds.getDouble(0) == 100.0 && bounds.getDouble(1) == 100.0)
+  }
+
+  test("canonical artifact: shard-merge bytes are BIT-IDENTICAL to the " +
+      "whole build, and invariant to order and duplication") {
+    val data = (1L to 5000L).map(i => ("g", i % 1300)).toDF("k", "v")
+    val whole = Sketches.thetaSketch(data, Seq("k"), col("v"))
+      .select(col("sketch")).head.getAs[Array[Byte]](0)
+    val shards = (0 until 3).map(s =>
+      Sketches.thetaSketch(data.filter(col("v") % 3 === s),
+        Seq("k"), col("v")))
+    val merged = Sketches.mergeThetaSketches(
+        shards.reduce(_ unionByName _), Seq("k"))
+      .select(col("sketch")).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, merged))
+    // duplication changes nothing: the sketch is a function of the SET
+    val doubled = Sketches.thetaSketch(
+        data.unionAll(data), Seq("k"), col("v"))
+      .select(col("sketch")).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, doubled))
+  }
+
+  test("sketch bytes survive a parquet round trip (the stored artifact)") {
+    val data = (1L to 100L).map(i => (s"s${i % 2}", i)).toDF("k", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-theta").toString
+    Sketches.thetaSketch(data, Seq("k"), col("v"))
+      .write.mode("overwrite").parquet(dir)
+    val back = Sketches.mergeThetaSketches(
+        spark.read.parquet(dir), Seq("k"))
+      .select(col("k"), Sketches.thetaEstimate(col("sketch")).as("est"))
+      .orderBy("k").collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(back.length == 2 && back.forall(_._2 == 50.0))
+  }
+
+  test("low overlap (the q339 fixture): direct intersection carries " +
+      "its own certificate — tight when the sketch can answer, " +
+      "visibly wide when it cannot") {
+    // the exact fixture that trips the HLL inclusion–exclusion gate:
+    // |A∩B| = 100 against a 19900 union, prime-strided values
+    val ev = ((1L to 10000L).map(i => ("a", i * 7919L)) ++
+      (9901L to 19900L).map(i => ("b", i * 7919L))).toDF("tag", "v")
+    def interval(lgK: Int, sd: Int): (Double, Double, Double) = {
+      val perTag = Sketches.thetaSketch(ev, Seq("tag"), col("v"), lgK)
+      val r = Sketches.intersectThetaSketches(
+          perTag.select(lit(1L).as("g"), col("sketch")), Seq("g"))
+        .select(Sketches.thetaBound(col("sketch"), -sd).as("lb"),
+          Sketches.thetaEstimate(col("sketch")).as("e"),
+          Sketches.thetaBound(col("sketch"), sd).as("ub")).head
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    // production lgK=12 (10k values > 4096 entries → estimation mode):
+    // the interval BRACKETS the truth and is far tighter than the
+    // 5%-of-union slack HLL I-E needed (err there was gated at 995)
+    val (lb, e, ub) = interval(12, 2)
+    assert(lb <= 100.0 && 100.0 <= ub, s"[$lb, $ub] must bracket 100")
+    assert(ub - lb < 200.0, s"interval must be tight, got [$lb, $ub]")
+    assert(math.abs(e - 100.0) < 100.0, s"estimate $e")
+    // coarse lgK=4 (16 retained entries): the answer is NOT silently
+    // wrong — the reported 3σ interval blows wide open relative to the
+    // production one (uncertainty lives in the result itself; bounds
+    // are CONFIDENCE intervals, and with 16 entries the 2σ Gaussian
+    // approximation itself frays — which is exactly what the visible
+    // width warns the consumer about)
+    val (lb4, _, ub4) = interval(4, 3)
+    assert(ub4 - lb4 > 1000.0,
+      s"coarse sketch must report visible uncertainty, got [$lb4, $ub4]")
+  }
+
+  test("string values, null skipping, empty-group intersection") {
+    val df = Seq(Some("x"), Some("y"), None, Some("x"))
+      .map(v => ("g", v)).toDF("k", "v")
+    val sk = Sketches.thetaSketch(df, Seq("k"), col("v"))
+    assert(est(sk) == 2.0)
+    // intersection over an all-null sketch column → null (∩ of zero
+    // operands is the universal set — refuse, don't invent)
+    val noIn = Sketches.intersectThetaSketches(
+      Seq(("g", null: Array[Byte])).toDF("k", "sketch"), Seq("k"))
+    assert(noIn.select(col("sketch")).head.isNullAt(0))
+  }
+}
