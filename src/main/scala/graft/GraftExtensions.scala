@@ -94,5 +94,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "sorted_intersect(a, b) - common elements (ascending) of two " +
         "sorted distinct array<long> via a merge walk",
       SortedIntersectLongs(_, _)))
+    // contains-OR blocklist chains → one Aho–Corasick pass
+    // (graft.plans.ContainsOrRewrite scaladoc has the exact contract;
+    // spark.graft.rewriteContainsOr=false disables)
+    ext.injectOptimizerRule(_ => graft.plans.ContainsOrRewrite)
   }
 }

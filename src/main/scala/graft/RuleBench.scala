@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Micro-bench for [[graft.plans.ContainsOrRewrite]]: the same
+  * blocklist filter over sf documents, rule ON (one Aho–Corasick pass)
+  * vs rule OFF (codegen'd contains chain), at growing term counts.
+  * Prints one JSON line; numbers land in BENCHLOG.md and back the
+  * rule's MinTerms choice.
+  */
+object RuleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // SPARK_GRAFT_RULE_X row-replicates the corpus (identical copies;
+    // per-doc work unchanged, aggregate scan cost xN) for stabler wall
+    // times than the 5k-doc base
+    val xRep = sys.env.getOrElse("SPARK_GRAFT_RULE_X", "1").toInt
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val docs =
+      if (xRep == 1) base
+      else base.withColumn("__r",
+          explode(sequence(lit(0), lit(xRep - 1)))).drop("__r")
+        .repartition(cpus.toInt)
+
+    // a realistic blocklist is MISS-heavy: most docs are clean, so the
+    // contains chain pays n full scans per clean doc while the
+    // automaton pays one. Terms are n−1 absent phrases plus one rare
+    // real phrase ("value table part" — low hit rate), ordered misses
+    // first, exactly how the worst case (and the common case) lands.
+    def terms(n: Int): Seq[String] =
+      (1 to n - 1).map(i => s"blocked phrase $i") :+ "value table part"
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def best(label: String)(body: => Unit): Double = {
+      val a = time(body); val b = time(body)
+      val m = math.min(a, b)
+      System.err.println(f"[rulebench] $label%-24s $m%8.3f s")
+      m
+    }
+    def run(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // JIT/scan warmup outside the measured cases — both plan shapes
+    val warm = terms(8).map(t => col("text").contains(t)).reduce(_ || _)
+    spark.conf.set("spark.graft.rewriteContainsOr", "true")
+    run(docs.filter(warm))
+    spark.conf.set("spark.graft.rewriteContainsOr", "false")
+    run(docs.filter(warm))
+    for (n <- Seq(4, 10, 20, 60)) {
+      val pred = terms(n).map(t => col("text").contains(t))
+        .reduce(_ || _)
+      spark.conf.set("spark.graft.rewriteContainsOr", "true")
+      val on = docs.filter(pred)
+      assert(on.queryExecution.optimizedPlan.toString
+        .contains("phrase_match_any"), s"rule must fire at n=$n")
+      results(s"ac_$n") = best(s"aho-corasick n=$n") { run(on) }
+      spark.conf.set("spark.graft.rewriteContainsOr", "false")
+      val off = docs.filter(pred)
+      assert(!off.queryExecution.optimizedPlan.toString
+        .contains("phrase_match_any"))
+      results(s"chain_$n") = best(s"contains chain n=$n") { run(off) }
+      val a = on.count(); val b = off.count()
+      assert(a == b, s"row parity at n=$n: $a vs $b")
+      results(s"rows_$n") = a.toDouble
+    }
+    val json = results.map { case (k, v) => s""""$k":$v""" }
+      .mkString(",")
+    println(s"""{"metric":"contains_or_rewrite","sf":"${sfDir.split('/').last}","cpus":$cpus,$json}""")
+    spark.stop()
+  }
+}

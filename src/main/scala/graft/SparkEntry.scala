@@ -4764,6 +4764,26 @@ object SparkEntry {
         .select(col("exact_intersect"), col("exact_click_only"),
           col("exact_union"))
     },
+
+    // X341 — blocklist curation via the contains-OR → Aho–Corasick
+    // optimizer rule: the filter is WRITTEN as the natural 8-term OR
+    // chain and EXECUTED as one automaton pass per document
+    // (ContainsOrRewrite fires at ≥8 distinct literal terms —
+    // PlanSpec pins phrase_match_any in this exact plan). Null text
+    // drops on both sides (null OR-chain ≠ true; NULL LIKE ≠ true).
+    "q345_blocklist_filter" -> { (s, dir) =>
+      val terms = Seq("hash join", "slow scan", "value table part",
+        "merge batch", "order data", "window agg", "warp speed",
+        "zebra")
+      val blocked = terms.map(t => col("text").contains(t))
+        .reduce(_ || _)
+      t(s, dir, "documents")
+        .filter(!blocked)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14929,6 +14949,21 @@ object SparkEntry {
         |    AS BIGINT) AS exact_click_only,
         |  CAST(count(*) AS BIGINT) AS exact_union
         |FROM u""".stripMargin,
+
+    "q345_blocklist_filter" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE NOT (text LIKE '%hash join%'
+        |  OR text LIKE '%slow scan%'
+        |  OR text LIKE '%value table part%'
+        |  OR text LIKE '%merge batch%'
+        |  OR text LIKE '%order data%'
+        |  OR text LIKE '%window agg%'
+        |  OR text LIKE '%warp speed%'
+        |  OR text LIKE '%zebra%')
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

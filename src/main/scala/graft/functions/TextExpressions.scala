@@ -969,7 +969,41 @@ case class PhraseMatchCounts(child: Expression, phrases: Seq[String])
   override def prettyName: String = "phrase_match_counts"
 
   // trie: children per node; fail links; out = aggregated phrase ids
-  @transient private lazy val (acChildren, acFail, acOut) = {
+  @transient private lazy val (acChildren, acFail, acOut) =
+    AhoCorasick.build(phrases)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new Array[Long](phrases.size)
+    var state = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      while (state != 0 && !acChildren(state).contains(c))
+        state = acFail(state)
+      state = acChildren(state).getOrElse(c, 0)
+      val o = acOut(state)
+      var j = 0
+      while (j < o.length) { counts(o(j)) += 1L; j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PhraseMatchCounts = copy(child = newChild)
+}
+
+/** Shared Aho–Corasick automaton build: goto maps per node, BFS
+  * failure links, and per-node aggregated matched-phrase ids
+  * (outputs of the node plus everything its failure chain matches).
+  * Built once per executor behind each expression's `@transient
+  * lazy val`; matching is over UTF-16 code units on both build and
+  * scan sides, so surrogate pairs can never half-match.
+  */
+private[functions] object AhoCorasick {
+  def build(phrases: Seq[String])
+      : (Array[Map[Char, Int]], Array[Int], Array[Array[Int]]) = {
     import scala.collection.mutable
     val ch = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
     val ends = mutable.ArrayBuffer(List.empty[Int])
@@ -1001,10 +1035,36 @@ case class PhraseMatchCounts(child: Expression, phrases: Seq[String])
     }
     (ch.map(m => m.toMap).toArray, f, agg)
   }
+}
+
+/** `phrase_match_any(text)` against a bounded phrase book: true iff
+  * ANY phrase occurs as a substring — the predicate form of
+  * [[PhraseMatchCounts]], with an early exit on the first hit. One
+  * automaton pass at O(len) regardless of phrase count, where the
+  * equivalent `contains(c, p1) OR contains(c, p2) OR ...` chain scans
+  * the text once per phrase. [[graft.plans.ContainsOrRewrite]]
+  * rewrites exactly such chains into this expression; null text
+  * yields null (identical to the OR chain, where every leaf is null).
+  */
+case class PhraseMatchAny(child: Expression, phrases: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(phrases.nonEmpty && phrases.size <= 100000,
+    s"phrases size in [1, 100000]: ${phrases.size}")
+  require(phrases.forall(p => p != null && p.nonEmpty),
+    "phrases must be non-null and non-empty")
+  require(phrases.distinct.size == phrases.size,
+    "phrases must be distinct")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "phrase_match_any"
+
+  @transient private lazy val (acChildren, acFail, acOut) =
+    AhoCorasick.build(phrases)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val counts = new Array[Long](phrases.size)
     var state = 0
     var i = 0
     while (i < s.length) {
@@ -1012,16 +1072,14 @@ case class PhraseMatchCounts(child: Expression, phrases: Seq[String])
       while (state != 0 && !acChildren(state).contains(c))
         state = acFail(state)
       state = acChildren(state).getOrElse(c, 0)
-      val o = acOut(state)
-      var j = 0
-      while (j < o.length) { counts(o(j)) += 1L; j += 1 }
+      if (acOut(state).length > 0) return true
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+    false
   }
 
   override protected def withNewChildInternal(
-      newChild: Expression): PhraseMatchCounts = copy(child = newChild)
+      newChild: Expression): PhraseMatchAny = copy(child = newChild)
 }
 
 /** DISTINCT character trigrams of a string, first-occurrence order —

@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, Contains, Expression, Literal, Not, Or, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.PhraseMatchAny
+
+/** Rewrites literal multi-term `contains` chains into ONE
+  * [[graft.functions.PhraseMatchAny]] Aho–Corasick pass — the
+  * blocklist predicate a curation pipeline writes naturally, executed
+  * as it should run at 100 TB: each document scanned once at O(len),
+  * not once per term. Both polarities are handled, because the
+  * optimizer itself normalizes one into the other (BooleanSimplification
+  * De-Morgans `NOT (a OR b)` into `NOT a AND NOT b` in the same
+  * fixed-point batch):
+  *
+  *   - disjuncts: `contains(c,'p1') OR contains(c,'p2') OR ...`
+  *     → `phrase_match_any(c, [p1, p2, ...])`
+  *   - conjuncts: `NOT contains(c,'p1') AND NOT contains(c,'p2') ...`
+  *     (the keep-clean-docs filter) → `NOT phrase_match_any(c, ...)`
+  *
+  * Grouping is per text expression within the conjunct/disjunct list,
+  * so mixed predicates (`isnotnull(text) AND NOT contains...`) keep
+  * their other terms untouched. Semantics are preserved exactly:
+  * AND/OR results are order-insensitive in three-valued logic, a null
+  * text makes both the chain and the automaton null, and a non-null
+  * text makes the chain true iff some pattern occurs — the automaton's
+  * definition. A group only collapses when
+  *
+  *   - it has at least [[ContainsOrRewrite.MinTerms]] DISTINCT
+  *     patterns (below that the codegen'd chain wins — measured, see
+  *     MinTerms);
+  *   - the text side is deterministic (the chain evaluates it once per
+  *     leaf; collapsing would change evaluation counts);
+  *   - every pattern is a non-empty string literal
+  *     (`contains(c, '')` is constant-true on non-null text — left
+  *     for constant folding).
+  *
+  * Disable with `spark.graft.rewriteContainsOr=false`.
+  */
+object ContainsOrRewrite extends Rule[LogicalPlan] with PredicateHelper {
+  /** Minimum distinct patterns before the automaton beats the
+    * codegen'd contains chain. RuleBench (BENCHLOG round 14, miss-
+    * heavy blocklist over sf0.1 docs ×16/×64): parity at 4–10 terms,
+    * automaton 1.3× ahead at 20 and 2–2.5× at 60, flat in term count
+    * while the chain grows linearly — 8 sits on the conservative side
+    * of the crossover (PhraseMatchAny is CodegenFallback, so the
+    * rewrite also costs the filter its whole-stage codegen span).
+    */
+  val MinTerms = 8
+
+  /** contains(c, 'lit') with a deterministic c and non-empty pattern. */
+  private object ContainsLit {
+    def unapply(e: Expression): Option[(Expression, String)] = e match {
+      case Contains(c, Literal(s: UTF8String, StringType))
+          if c.deterministic && s.numChars() > 0 =>
+        Some((c, s.toString))
+      case _ => None
+    }
+  }
+
+  /** Collapse per-text-expression groups of ≥ MinTerms contains leaves
+    * inside a conjunct/disjunct list; `wrap` is identity for the OR
+    * form and Not(_) for the AND-of-negations form.
+    */
+  private def collapse(parts: Seq[Expression],
+      leaf: Expression => Option[(Expression, String)],
+      wrap: Expression => Expression,
+      rebuild: (Expression, Expression) => Expression)
+      : Option[Expression] = {
+    val tagged = parts.map(p => (p, leaf(p)))
+    val groups = tagged.flatMap(_._2).groupBy(_._1.canonicalized)
+      .filter { case (_, ps) =>
+        ps.map(_._2).distinct.size >= MinTerms }
+    if (groups.isEmpty) None
+    else {
+      val out = Vector.newBuilder[Expression]
+      val done = scala.collection.mutable.Set.empty[Expression]
+      tagged.foreach {
+        case (_, Some((c, _))) if groups.contains(c.canonicalized) =>
+          if (!done.contains(c.canonicalized)) {
+            done += c.canonicalized
+            val ps = groups(c.canonicalized).map(_._2).distinct
+            out += wrap(PhraseMatchAny(c, ps))
+          }
+        case (p, _) => out += p
+      }
+      Some(out.result().reduceLeft(rebuild))
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.rewriteContainsOr", "true")
+        .toBoolean) plan
+    else plan.transformAllExpressions {
+      case or @ Or(_, _) =>
+        collapse(splitDisjunctivePredicates(or),
+          { case ContainsLit(c, p) => Some((c, p)); case _ => None },
+          identity, Or(_, _)).getOrElse(or)
+      case and @ And(_, _) =>
+        collapse(splitConjunctivePredicates(and),
+          { case Not(ContainsLit(c, p)) => Some((c, p))
+            case _ => None },
+          Not(_), And(_, _)).getOrElse(and)
+    }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.PhraseMatchAny
+import org.apache.spark.sql.graft.bridge
+
+/** X341 — the contains-OR → Aho–Corasick optimizer rule
+  * ([[graft.plans.ContainsOrRewrite]]) and the PhraseMatchAny
+  * predicate it rewrites to.
+  */
+class PhraseRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  // parquet-backed so ConvertToLocalRelation cannot fold the filter
+  // away before the rewrite is observable in the optimized plan
+  private lazy val docs = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-phrase").toString
+    Seq(
+      (1L, "the quick brown fox"),
+      (2L, "slow scan over the table"),
+      (3L, "hash join beats nested loop"),
+      (4L, null: String),
+      (5L, "nothing of note"),
+      (6L, "quick quick quick")).toDF("id", "text")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private def chain(terms: Seq[String]) =
+    terms.map(t => col("text").contains(t)).reduce(_ || _)
+
+  test("rule fires at >= 8 distinct literal terms: one " +
+      "phrase_match_any replaces the OR chain, results identical") {
+    val terms = Seq("quick", "hash join", "scan", "zebra", "qux",
+      "warp", "emu", "okapi")
+    val df = docs.filter(chain(terms))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("phrase_match_any"), opt)
+    assert(!opt.contains("Contains"), opt)
+    assert(df.select("id").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L, 3L, 6L)))
+  }
+
+  test("rule does NOT fire below the term threshold, across different " +
+      "columns, on non-literal patterns, or when disabled by conf") {
+    val seven = docs.filter(chain(Seq("quick", "scan", "zebra",
+      "qux", "warp", "emu", "okapi")))
+    assert(!seven.queryExecution.optimizedPlan.toString
+      .contains("phrase_match_any"))
+
+    val mixedCols = docs.filter(
+      Seq("a", "b", "c", "d", "e", "f", "g")
+        .map(t => col("text").contains(t)).reduce(_ || _) ||
+      concat(col("text"), lit("!")).contains("h"))
+    assert(!mixedCols.queryExecution.optimizedPlan.toString
+      .contains("phrase_match_any"))
+
+    val nonLit = docs.filter(
+      Seq("quick", "scan", "zebra", "qux", "warp", "emu", "okapi")
+        .map(t => col("text").contains(t)).reduce(_ || _) ||
+      col("text").contains(col("id").cast("string")))
+    assert(!nonLit.queryExecution.optimizedPlan.toString
+      .contains("phrase_match_any"))
+
+    spark.conf.set("spark.graft.rewriteContainsOr", "false")
+    try {
+      val off = docs.filter(chain(Seq("quick", "hash join", "scan",
+        "zebra", "qux", "warp", "emu", "okapi")))
+      assert(!off.queryExecution.optimizedPlan.toString
+        .contains("phrase_match_any"))
+    } finally spark.conf.unset("spark.graft.rewriteContainsOr")
+  }
+
+  test("duplicate terms are deduped before the threshold count") {
+    // 10 leaves, 7 distinct → no rewrite (dedup first, then threshold)
+    val dup = docs.filter(chain(Seq("quick", "scan", "quick", "zebra",
+      "scan", "qux", "warp", "emu", "okapi", "zebra")))
+    assert(!dup.queryExecution.optimizedPlan.toString
+      .contains("phrase_match_any"))
+  }
+
+  test("null semantics match the OR chain: null text is dropped by " +
+      "the filter either way, and projected values agree") {
+    val terms = Seq("quick", "hash join", "scan", "zebra", "qux",
+      "warp", "emu", "okapi")
+    val viaRule = docs.select(col("id"), chain(terms).as("hit"))
+    assert(viaRule.queryExecution.optimizedPlan.toString
+      .contains("phrase_match_any"))
+    spark.conf.set("spark.graft.rewriteContainsOr", "false")
+    val plain =
+      try docs.select(col("id"), chain(terms).as("hit"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
+      finally spark.conf.unset("spark.graft.rewriteContainsOr")
+    val got = viaRule.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
+    assert(got == plain)
+    assert(got(4L) == null)
+  }
+
+  test("partial groups collapse: unrelated disjuncts/conjuncts " +
+      "survive next to the automaton (the De Morgan'd blocklist case)") {
+    val terms = Seq("quick", "hash join", "scan", "zebra", "qux",
+      "warp", "emu", "okapi")
+    // OR form with a non-contains disjunct
+    val or = docs.filter(chain(terms) || col("id") === 5L)
+    val orPlan = or.queryExecution.optimizedPlan.toString
+    assert(orPlan.contains("phrase_match_any") && !orPlan.contains("Contains"),
+      orPlan)
+    assert(or.select("id").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L, 3L, 5L, 6L)))
+    // keep-clean filter: NOT(chain) De-Morgans to AND-of-NOT-contains
+    // plus the isnotnull conjunct — the group still collapses
+    val keep = docs.filter(!chain(terms))
+    val keepPlan = keep.queryExecution.optimizedPlan.toString
+    assert(keepPlan.contains("phrase_match_any") &&
+      !keepPlan.contains("Contains"), keepPlan)
+    assert(keep.select("id").as[Long].collect().sorted
+      .sameElements(Array(5L)))
+  }
+
+  test("phrase_match_any agrees with OR-of-contains on randomized " +
+      "fixtures including overlapping and nested phrases") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab "
+    val texts = (1 to 300).map(_ =>
+      (1 to 30).map(_ => alphabet(rnd.nextInt(3))).mkString)
+    val phrases = Seq("aba", "ab", "ba b", "aa", "b a")
+    val df = texts.toDF("text")
+    val ac = df.select(bridge.column(PhraseMatchAny(
+      bridge.expression(col("text")), phrases)).as("hit"))
+      .as[Boolean].collect()
+    val expect = texts.map(t => phrases.exists(t.contains))
+    assert(ac.toSeq == expect)
+  }
+}

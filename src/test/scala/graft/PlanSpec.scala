@@ -456,4 +456,22 @@ class PlanSpec extends SparkSpec {
       !ted.contains("NestedLoop") && !ted.contains("Cartesian"),
       s"tokenEditPairs must verify at candidate grain:\n${ted.take(2500)}")
   }
+
+  test("q345 executes its 8-term blocklist as ONE phrase_match_any " +
+      "pass (ContainsOrRewrite fired), filter still above the scan") {
+    val sf = java.nio.file.Files
+      .createTempDirectory("graft-q345").toString
+    import spark.implicits._
+    Seq((1L, "hash join here", "en", 14L),
+      (2L, "clean doc", "en", 9L), (3L, null: String, "de", 0L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    val plan = SparkEntry.queries("q345_blocklist_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("phrase_match_any"),
+      s"blocklist chain must collapse to the automaton:\n" +
+        plan.take(2500))
+    assert(!plan.contains(" Contains("),
+      s"no residual per-term contains:\n${plan.take(2500)}")
+  }
 }
