@@ -3532,4 +3532,74 @@ object Features {
       .select(gs ++ Seq(col(idCol), col("value"),
         col("__bv").as("mapped")): _*)
   }
+
+  /** Mantel–Haenszel pooled odds ratio (X342) — the stratified A/B
+    * answer the experimentation family lacked: [[Funnel]]-style A/B
+    * comparisons (q228) pool everything, but when strata (region,
+    * device, cohort) differ in BOTH exposure mix and base rate, the
+    * pooled 2×2 inverts under Simpson's paradox. MH pools the
+    * per-stratum 2×2 tables the canonical way:
+    *
+    *   OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ)
+    *
+    * with a=exposed∧outcome, b=exposed∧¬, c=¬∧outcome, d=neither,
+    * n=a+b+c+d per stratum. All-rational and emitted in exact ppm
+    * with a DOCUMENTED rounding contract (the oracle mirrors it
+    * digit-for-digit): each stratum term is floored at ppm precision
+    * — `num_ppm = Σ ⌊aᵢdᵢ·10⁶ div nᵢ⌋`, `den_ppm` likewise — so the
+    * absolute error vs the unrounded sum is < n_strata ppm, and
+    * `or_mh_ppm = ⌊num_ppm·10⁶ div den_ppm⌋` (null when den_ppm = 0:
+    * no exposed-control evidence — refuse, don't divide). No p-value
+    * by design (the [[chiSquare]] no-CDF contract); rows with null
+    * exposure/outcome are dropped, null strata are a real stratum.
+    * Exact to ~10¹⁶ rows/stratum (decimal(38,0) headroom; ANSI raises
+    * past it, never corrupts).
+    *
+    * Scale shape: ONE map-side-combined rollup to stratum grain
+    * (|strata| rows), then a second tiny rollup to the group grain —
+    * no joins, no windows, never row-grain after the first agg.
+    */
+  def mantelHaenszel(df: DataFrame, groupCols: Seq[String],
+      strataCol: Column, exposedCol: Column,
+      outcomeCol: Column): DataFrame = {
+    import graft.functions.Exact.longDiv
+    val d38 = DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val cells = df
+      .filter(exposedCol.isNotNull && outcomeCol.isNotNull)
+      .select(gs :+ strataCol.as("__s") :+
+        exposedCol.cast("boolean").as("__e") :+
+        outcomeCol.cast("boolean").as("__y"): _*)
+      .groupBy(gs :+ col("__s"): _*)
+      .agg(
+        sum(when(col("__e") && col("__y"), 1L).otherwise(0L))
+          .as("__a"),
+        sum(when(col("__e") && !col("__y"), 1L).otherwise(0L))
+          .as("__b"),
+        sum(when(!col("__e") && col("__y"), 1L).otherwise(0L))
+          .as("__c"),
+        sum(when(!col("__e") && !col("__y"), 1L).otherwise(0L))
+          .as("__d"))
+      .withColumn("__n",
+        col("__a") + col("__b") + col("__c") + col("__d"))
+    val rolled = cells.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("__a")).as("n_eo"),
+        sum(col("__b")).as("n_ex"),
+        sum(col("__c")).as("n_co"),
+        sum(col("__d")).as("n_cx"),
+        sum(longDiv(col("__a").cast(d38) * col("__d") * 1000000L,
+          col("__n"))).as("__num"),
+        sum(longDiv(col("__b").cast(d38) * col("__c") * 1000000L,
+          col("__n"))).as("__den"))
+    rolled
+      .withColumn("num_ppm", col("__num").cast("long"))
+      .withColumn("den_ppm", col("__den").cast("long"))
+      .withColumn("or_mh_ppm", when(col("__den") > 0,
+        longDiv(col("__num").cast(d38) * 1000000L, col("__den"))
+          .cast("long")))
+      .select(gs ++ Seq(col("n_strata"), col("n_eo"), col("n_ex"),
+        col("n_co"), col("n_cx"), col("num_ppm"), col("den_ppm"),
+        col("or_mh_ppm")): _*)
+  }
 }

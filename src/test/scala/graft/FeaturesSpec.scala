@@ -1588,4 +1588,55 @@ class FeaturesSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("mantelHaenszel: hand-stepped strata, Simpson inversion " +
+      "handled, zero-denominator refuses, null rows dropped") {
+    import spark.implicits._
+    def cells(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+      Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    // stratum 1: a3 b1 c2 d4 (n10): num ⌊12e6/10⌋=1_200_000,
+    //   den ⌊2e6/10⌋=200_000
+    // stratum 2: a1 b2 c3 d6 (n12): num ⌊6e6/12⌋=500_000,
+    //   den ⌊6e6/12⌋=500_000
+    // → num 1_700_000, den 700_000, OR ⌊1.7e12/7e5⌋ = 2_428_571
+    val df = (cells("s1", 3, 1, 2, 4) ++ cells("s2", 1, 2, 3, 6))
+      .toDF("s", "e", "y")
+    val r = graft.ops.Features.mantelHaenszel(df, Seq(),
+      col("s"), col("e"), col("y")).head
+    assert(r.getLong(0) == 2L)                 // n_strata
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((4L, 3L, 5L, 10L)))                  // pooled cells
+    assert(r.getLong(5) == 1700000L && r.getLong(6) == 700000L)
+    assert(r.getLong(7) == 2428571L)
+    // Simpson: within each stratum exposure HALVES the odds (OR=0.5),
+    // but pooling the tables naively inverts to OR > 1 because
+    // exposure concentrates in the high-rate stratum. MH must stay
+    // below 1 (or_ppm < 1e6) while the pooled 2×2 sits above.
+    val simpson = (cells("hi", 80, 20, 16, 2) ++
+      cells("lo", 2, 16, 20, 80)).toDF("s", "e", "y")
+    val mh = graft.ops.Features.mantelHaenszel(simpson, Seq(),
+      col("s"), col("e"), col("y")).head.getLong(7)
+    assert(mh < 1000000L, s"MH must resist Simpson inversion: $mh")
+    val pooled = graft.ops.Features.mantelHaenszel(
+      simpson.withColumn("one", lit("all")), Seq(),
+      col("one"), col("e"), col("y")).head.getLong(7)
+    assert(pooled > 1000000L,
+      s"fixture must actually invert when pooled: $pooled")
+    // zero denominator (no b·c evidence anywhere) → null OR
+    val degen = cells("s1", 3, 0, 0, 4).toDF("s", "e", "y")
+    val dr = graft.ops.Features.mantelHaenszel(degen, Seq(),
+      col("s"), col("e"), col("y")).head
+    assert(dr.isNullAt(7) && dr.getLong(6) == 0L)
+    // null exposure/outcome rows drop; null stratum is a stratum
+    val withNulls = (cells("s1", 3, 1, 2, 4) ++ cells(null, 1, 1, 1, 1))
+      .toDF("s", "e", "y")
+      .unionByName(Seq(("s1", null.asInstanceOf[java.lang.Boolean],
+        java.lang.Boolean.TRUE)).toDF("s", "e", "y"))
+    val nr = graft.ops.Features.mantelHaenszel(withNulls, Seq(),
+      col("s"), col("e"), col("y")).head
+    assert(nr.getLong(0) == 2L &&
+      (nr.getLong(1), nr.getLong(2), nr.getLong(3), nr.getLong(4))
+        == ((4L, 2L, 3L, 5L)))
+  }
 }
