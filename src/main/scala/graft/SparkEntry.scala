@@ -4784,6 +4784,42 @@ object SparkEntry {
           sum(col("n_chars")).as("chars"))
         .orderBy(col("lang"))
     },
+
+    // X342 — Mantel–Haenszel pooled odds ratio: does the BUILDING
+    // segment order more (≥3 orders), controlling for region? The
+    // stratified A/B answer immune to Simpson inversion; exact-ppm
+    // rounding contract in Features.mantelHaenszel's scaladoc.
+    "q346_mantel_haenszel" -> { (s, dir) =>
+      val ord = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("__no"))
+      val base = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      graft.ops.Features.mantelHaenszel(base, Seq(), col("r_name"),
+        col("c_mktsegment") === "BUILDING",
+        coalesce(col("__no"), lit(0L)) >= 3L)
+    },
+
+    // X343 — 2-D Pareto frontier per segment: customers no other
+    // customer beats on BOTH balance and order volume (the "best
+    // trade-offs" skyline) — one window, never the dominance join.
+    "q347_pareto_frontier" -> { (s, dir) =>
+      val ord = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("__no"))
+      val base = t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment"),
+          (dec(col("c_acctbal")) * 100).cast("long").as("__bal"),
+          coalesce(col("__no"), lit(0L)).as("__n"))
+      graft.ops.Relational.paretoFrontier2D(base,
+          Seq("c_mktsegment"), col("__bal"), col("__n"))
+        .select(col("c_mktsegment"), col("x").as("bal_cents"),
+          col("y").as("n_orders"))
+        .orderBy(col("c_mktsegment"), col("bal_cents"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -14964,6 +15000,70 @@ object SparkEntry {
         |  OR text LIKE '%zebra%')
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // the documented per-stratum ppm-floor contract, mirrored in
+    // HUGEINT floor division
+    "q346_mantel_haenszel" ->
+      """WITH o AS (
+        |  SELECT o_custkey, count(*) AS no FROM orders
+        |  GROUP BY o_custkey
+        |), b AS (
+        |  SELECT r.r_name AS s,
+        |    (c.c_mktsegment = 'BUILDING') AS e,
+        |    (coalesce(o.no, 0) >= 3) AS y
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  LEFT JOIN o ON c.c_custkey = o.o_custkey
+        |), cells AS (
+        |  SELECT s,
+        |    CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS a,
+        |    CAST(sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS bb,
+        |    CAST(sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS c,
+        |    CAST(sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS d
+        |  FROM b GROUP BY s
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(a) AS BIGINT) AS n_eo,
+        |    CAST(sum(bb) AS BIGINT) AS n_ex,
+        |    CAST(sum(c) AS BIGINT) AS n_co,
+        |    CAST(sum(d) AS BIGINT) AS n_cx,
+        |    sum((a * d * 1000000) // (a + bb + c + d)) AS num,
+        |    sum((bb * c * 1000000) // (a + bb + c + d)) AS den
+        |  FROM cells
+        |)
+        |SELECT n_strata, n_eo, n_ex, n_co, n_cx,
+        |  CAST(num AS BIGINT) AS num_ppm,
+        |  CAST(den AS BIGINT) AS den_ppm,
+        |  CASE WHEN den > 0
+        |    THEN CAST((num * 1000000) // den AS BIGINT)
+        |  END AS or_mh_ppm
+        |FROM t""".stripMargin,
+
+    // the RAW dominance definition (NOT EXISTS over distinct pairs) —
+    // independent of the engine's window formulation
+    "q347_pareto_frontier" ->
+      """WITH o AS (
+        |  SELECT o_custkey, count(*) AS no FROM orders
+        |  GROUP BY o_custkey
+        |), pts AS (
+        |  SELECT DISTINCT c.c_mktsegment AS g,
+        |    CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x,
+        |    CAST(coalesce(o.no, 0) AS BIGINT) AS y
+        |  FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+        |)
+        |SELECT g AS c_mktsegment, x AS bal_cents, y AS n_orders
+        |FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.g = p.g AND q.x >= p.x AND q.y >= p.y
+        |    AND (q.x > p.x OR q.y > p.y))
+        |ORDER BY c_mktsegment, bal_cents""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

@@ -1828,4 +1828,43 @@ object Relational {
         (col("rank_prev") - col("rank_curr")).as("rank_delta"),
         col("weight_prev"), col("weight_curr")): _*)
   }
+
+  /** 2-D Pareto frontier (skyline, X343) per group: the DISTINCT
+    * (x, y) value pairs not strictly dominated by any other pair in
+    * the group, both dimensions maximized — "best trade-offs" for
+    * curation picks (quality vs length), supplier choice (balance vs
+    * volume), model selection (score vs cost, negate the minimized
+    * dim). Dominance is the standard strict form: (x', y') dominates
+    * (x, y) iff x' ≥ x ∧ y' ≥ y ∧ (x' > x ∨ y' > y); duplicate raw
+    * rows collapse to one candidate (a pair can never dominate
+    * itself).
+    *
+    * The 2-D structure makes the all-pairs definition collapsible to
+    * ONE window: after keeping max(y) per (group, x), a candidate
+    * survives iff its y strictly exceeds every y at strictly greater
+    * x — a running max over x-descending order. Null x/y rows drop
+    * (no order against null). Output: groupCols, x, y, frontier rows
+    * only, ascending x within group.
+    *
+    * Scale shape: one map-side-combined (group, x) agg, then one
+    * window over the deduped candidates on the SAME key exchange
+    * (partitionBy group) — never the O(n²) dominance join; |frontier|
+    * ≤ |distinct x|, and the window input is already collapsed to
+    * distinct-x grain.
+    */
+  def paretoFrontier2D(df: DataFrame, groupCols: Seq[String],
+      xCol: Column, yCol: Column): DataFrame = {
+    val gs = groupCols.map(col)
+    val cands = df
+      .filter(xCol.isNotNull && yCol.isNotNull)
+      .select(gs :+ xCol.as("x") :+ yCol.as("y"): _*)
+      .groupBy(gs :+ col("x"): _*)
+      .agg(max(col("y")).as("y"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cands
+      .withColumn("__my", max(col("y")).over(w))
+      .filter(col("__my").isNull || col("y") > col("__my"))
+      .select(gs :+ col("x") :+ col("y"): _*)
+  }
 }

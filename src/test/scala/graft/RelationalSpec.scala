@@ -1148,4 +1148,41 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("paretoFrontier2D: hand case, brute-force dominance parity on " +
+      "random fixtures, duplicates/ties, one-exchange plan") {
+    import spark.implicits._
+    // hand case: (1,9) (3,7) (3,5) (5,5) (7,1) (6,0); (3,5) dominated
+    // by (3,7), (5,5) kills nothing above it, (6,0) dominated by (7,1)
+    val hand = Seq((1, 9), (3, 7), (3, 5), (5, 5), (7, 1), (6, 0))
+      .map { case (x, y) => ("g", x.toLong, y.toLong) }
+      .toDF("g", "x", "y")
+    val got = graft.ops.Relational.paretoFrontier2D(hand, Seq("g"),
+        col("x"), col("y"))
+      .orderBy("x").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 9L), (3L, 7L), (5L, 5L), (7L, 1L)))
+
+    // brute-force parity: strict dominance over distinct pairs
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 400).map(_ => (s"g${rnd.nextInt(3)}",
+      rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val expect = pts.distinct.groupBy(_._1).flatMap { case (g, ps) =>
+      val pairs = ps.map(p => (p._2, p._3)).distinct
+      pairs.filterNot(p => pairs.exists(q =>
+        q._1 >= p._1 && q._2 >= p._2 && (q._1 > p._1 || q._2 > p._2)))
+        .map(p => (g, p._1, p._2))
+    }.toSet
+    val gotR = graft.ops.Relational.paretoFrontier2D(
+        pts.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(gotR == expect)
+
+    // one key exchange: the dedup agg and the window share it
+    val plan = graft.ops.Relational.paretoFrontier2D(
+        pts.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2 &&
+      !plan.contains("Join"), plan.take(2000))
+  }
 }
