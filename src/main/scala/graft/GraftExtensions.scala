@@ -98,5 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (graft.plans.ContainsOrRewrite scaladoc has the exact contract;
     // spark.graft.rewriteContainsOr=false disables)
     ext.injectOptimizerRule(_ => graft.plans.ContainsOrRewrite)
+    // bounded levenshtein predicates → the banded threshold kernel
+    // (graft.plans.LevenshteinThresholdRewrite;
+    // spark.graft.rewriteLevenshteinThreshold=false disables)
+    ext.injectOptimizerRule(_ =>
+      graft.plans.LevenshteinThresholdRewrite)
   }
 }

@@ -65,10 +65,18 @@ object RuleBench {
     for (n <- Seq(4, 10, 20, 60)) {
       val pred = terms(n).map(t => col("text").contains(t))
         .reduce(_ || _)
+      // AC side built DIRECTLY (the calibration must measure the
+      // automaton below MinTerms too); the rule's own firing contract
+      // is checked against MinTerms on the chain plan
+      import org.apache.spark.sql.graft.bridge
+      val on = docs.filter(bridge.column(
+        graft.functions.PhraseMatchAny(
+          bridge.expression(col("text")), terms(n))))
       spark.conf.set("spark.graft.rewriteContainsOr", "true")
-      val on = docs.filter(pred)
-      assert(on.queryExecution.optimizedPlan.toString
-        .contains("phrase_match_any"), s"rule must fire at n=$n")
+      val fired = docs.filter(pred).queryExecution.optimizedPlan
+        .toString.contains("phrase_match_any")
+      assert(fired == (n >= graft.plans.ContainsOrRewrite.MinTerms),
+        s"rule firing at n=$n must match MinTerms: fired=$fired")
       results(s"ac_$n") = best(s"aho-corasick n=$n") { run(on) }
       spark.conf.set("spark.graft.rewriteContainsOr", "false")
       val off = docs.filter(pred)
@@ -79,6 +87,26 @@ object RuleBench {
       assert(a == b, s"row parity at n=$n: $a vs $b")
       results(s"rows_$n") = a.toDouble
     }
+    // ——— LevenshteinThresholdRewrite: bounded fuzzy-match predicate
+    // over long strings (400-char prefixes vs a 4-char-shifted copy of
+    // themselves — high distance, so the banded kernel's early exit
+    // does maximal work avoidance), rule ON (O(len·k)) vs OFF
+    // (O(len²) full DP then compare) ———
+    val levPairs = docs
+      .select(substring(col("text"), 1, 400).as("a"),
+        substring(col("text"), 5, 400).as("b"))
+    for (k <- Seq(2, 8)) {
+      spark.conf.set("spark.graft.rewriteLevenshteinThreshold", "true")
+      val on = levPairs.filter(levenshtein(col("a"), col("b")) <= k)
+      results(s"lev_banded_k$k") = best(s"lev banded k=$k") { run(on) }
+      spark.conf.set("spark.graft.rewriteLevenshteinThreshold", "false")
+      val off = levPairs.filter(levenshtein(col("a"), col("b")) <= k)
+      results(s"lev_full_k$k") = best(s"lev full-DP k=$k") { run(off) }
+      val (x, y) = (on.count(), off.count())
+      assert(x == y, s"lev row parity at k=$k: $x vs $y")
+      spark.conf.unset("spark.graft.rewriteLevenshteinThreshold")
+    }
+
     val json = results.map { case (k, v) => s""""$k":$v""" }
       .mkString(",")
     println(s"""{"metric":"contains_or_rewrite","sf":"${sfDir.split('/').last}","cpus":$cpus,$json}""")

@@ -4820,6 +4820,23 @@ object SparkEntry {
           col("y").as("n_orders"))
         .orderBy(col("c_mktsegment"), col("bal_cents"))
     },
+
+    // X344 — fuzzy entity match written as the natural bounded-edit
+    // predicate `levenshtein(name, probe) <= 2`; the
+    // LevenshteinThresholdRewrite rule executes it on the banded
+    // O(len·k) kernel (27× at k=2 over the full DP, BENCHLOG r14 —
+    // LevenshteinRewriteSpec pins the rewrite + parity).
+    "q348_fuzzy_match" -> { (s, dir) =>
+      import s.implicits._
+      val probes = Seq("Supplier#00000001", "Suplier#000000012",
+        "Supplier#0000O0042", "Supplier#00000103x",
+        "Supplier#000000777").toDF("probe")
+      t(s, dir, "supplier")
+        .crossJoin(broadcast(probes))
+        .filter(levenshtein(col("s_name"), col("probe")) <= 2)
+        .select(col("probe"), col("s_name"), col("s_suppkey"))
+        .orderBy(col("probe"), col("s_suppkey"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15064,6 +15081,16 @@ object SparkEntry {
         |  WHERE q.g = p.g AND q.x >= p.x AND q.y >= p.y
         |    AND (q.x > p.x OR q.y > p.y))
         |ORDER BY c_mktsegment, bal_cents""".stripMargin,
+
+    "q348_fuzzy_match" ->
+      """WITH probes(probe) AS (VALUES
+        |  ('Supplier#00000001'), ('Suplier#000000012'),
+        |  ('Supplier#0000O0042'), ('Supplier#00000103x'),
+        |  ('Supplier#000000777'))
+        |SELECT p.probe, s.s_name, s.s_suppkey
+        |FROM supplier s CROSS JOIN probes p
+        |WHERE levenshtein(s.s_name, p.probe) <= 2
+        |ORDER BY probe, s_suppkey""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

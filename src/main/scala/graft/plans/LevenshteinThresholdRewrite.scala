@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Rewrites bounded edit-distance predicates onto Spark's THRESHOLD
+  * Levenshtein kernel. `levenshtein(a, b) <= k` computes the full
+  * O(|a|·|b|) DP matrix and then compares; the 3-arg
+  * `levenshtein(a, b, k)` runs the banded O(min(|a|,|b|)·k) algorithm
+  * with early exit and returns −1 past the threshold — the form every
+  * fuzzy-match verify stage should execute, since dedup thresholds
+  * are tiny (k ≤ a handful) while documents are not. The predicate
+  * algebra (3-arg result ∈ {−1} ∪ [0, k]):
+  *
+  *   - `lev(a,b) <= k`  →  `lev(a,b,k) >= 0`
+  *   - `lev(a,b) <  k`  →  `lev(a,b,k−1) >= 0`      (k ≥ 1)
+  *   - `lev(a,b) >  k`  →  `lev(a,b,k) < 0`
+  *   - `lev(a,b) >= k`  →  `lev(a,b,k−1) < 0`       (k ≥ 1)
+  *   - `lev(a,b) == k`  →  `lev(a,b,k) == k`
+  *
+  * plus the literal-on-the-left mirror images. Null propagation is
+  * identical (null input → null distance → null predicate in both
+  * forms). Only non-negative INT literals rewrite; expressions already
+  * carrying a threshold are left alone. Disable with
+  * `spark.graft.rewriteLevenshteinThreshold=false`.
+  */
+object LevenshteinThresholdRewrite extends Rule[LogicalPlan] {
+
+  private def withT(l: Levenshtein, k: Int): Levenshtein =
+    Levenshtein(l.left, l.right, Some(Literal(k)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.rewriteLevenshteinThreshold",
+        "true").toBoolean) plan
+    else plan.transformAllExpressions {
+      // lev <= k   |   k >= lev
+      case LessThanOrEqual(l @ Levenshtein(_, _, None),
+          Literal(k: Int, IntegerType)) if k >= 0 =>
+        GreaterThanOrEqual(withT(l, k), Literal(0))
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType),
+          l @ Levenshtein(_, _, None)) if k >= 0 =>
+        GreaterThanOrEqual(withT(l, k), Literal(0))
+      // lev < k    |   k > lev
+      case LessThan(l @ Levenshtein(_, _, None),
+          Literal(k: Int, IntegerType)) if k >= 1 =>
+        GreaterThanOrEqual(withT(l, k - 1), Literal(0))
+      case GreaterThan(Literal(k: Int, IntegerType),
+          l @ Levenshtein(_, _, None)) if k >= 1 =>
+        GreaterThanOrEqual(withT(l, k - 1), Literal(0))
+      // lev > k    |   k < lev
+      case GreaterThan(l @ Levenshtein(_, _, None),
+          Literal(k: Int, IntegerType)) if k >= 0 =>
+        LessThan(withT(l, k), Literal(0))
+      case LessThan(Literal(k: Int, IntegerType),
+          l @ Levenshtein(_, _, None)) if k >= 0 =>
+        LessThan(withT(l, k), Literal(0))
+      // lev >= k   |   k <= lev
+      case GreaterThanOrEqual(l @ Levenshtein(_, _, None),
+          Literal(k: Int, IntegerType)) if k >= 1 =>
+        LessThan(withT(l, k - 1), Literal(0))
+      case LessThanOrEqual(Literal(k: Int, IntegerType),
+          l @ Levenshtein(_, _, None)) if k >= 1 =>
+        LessThan(withT(l, k - 1), Literal(0))
+      // lev == k (either side)
+      case EqualTo(l @ Levenshtein(_, _, None),
+          Literal(k: Int, IntegerType)) if k >= 0 =>
+        EqualTo(withT(l, k), Literal(k))
+      case EqualTo(Literal(k: Int, IntegerType),
+          l @ Levenshtein(_, _, None)) if k >= 0 =>
+        EqualTo(withT(l, k), Literal(k))
+    }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Levenshtein
+import org.apache.spark.sql.functions._
+
+/** X344 — the bounded-edit-distance → threshold-kernel optimizer rule
+  * ([[graft.plans.LevenshteinThresholdRewrite]]).
+  */
+class LevenshteinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val pairs = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lev").toString
+    val words = Seq("kitten", "sitting", "kitchen", "mitten", "bat",
+      "cart", "", "saturday", "sunday")
+    val rows = for (a <- words; b <- words) yield (a, b)
+    (rows ++ Seq(("kitten", null), (null, "cart"), (null, null)))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private def thresholds(df: DataFrame): Seq[Option[Int]] =
+    df.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case l: Levenshtein => l.threshold.map(_.toString.toInt)
+    })
+
+  private def parity(mk: DataFrame => DataFrame,
+      expectThreshold: Int): Unit = {
+    val on = mk(pairs)
+    assert(thresholds(on) == Seq(Some(expectThreshold)),
+      s"expected threshold $expectThreshold: ${thresholds(on)}")
+    spark.conf.set("spark.graft.rewriteLevenshteinThreshold", "false")
+    val off =
+      try mk(pairs).collect().map(r => (r.getString(0), r.getString(1)))
+        .toSet
+      finally spark.conf
+        .unset("spark.graft.rewriteLevenshteinThreshold")
+    val got = on.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(got == off, s"parity: got $got expected $off")
+  }
+
+  test("all five predicate forms and their mirrors rewrite to the " +
+      "banded kernel with identical results (nulls included)") {
+    parity(_.filter(levenshtein(col("a"), col("b")) <= 2), 2)
+    parity(_.filter(lit(2) >= levenshtein(col("a"), col("b"))), 2)
+    parity(_.filter(levenshtein(col("a"), col("b")) < 3), 2)
+    parity(_.filter(lit(3) > levenshtein(col("a"), col("b"))), 2)
+    parity(_.filter(levenshtein(col("a"), col("b")) > 2), 2)
+    parity(_.filter(lit(2) < levenshtein(col("a"), col("b"))), 2)
+    parity(_.filter(levenshtein(col("a"), col("b")) >= 3), 2)
+    parity(_.filter(lit(3) <= levenshtein(col("a"), col("b"))), 2)
+    parity(_.filter(levenshtein(col("a"), col("b")) === 2), 2)
+    parity(_.filter(lit(2) === levenshtein(col("a"), col("b"))), 2)
+  }
+
+  test("no rewrite: negative literal, non-literal bound, projection " +
+      "value use, conf off") {
+    // lev < 0 is constant-false territory but k−1 would be invalid —
+    // left alone
+    val neg = pairs.filter(levenshtein(col("a"), col("b")) < 0)
+    assert(thresholds(neg) == Seq(None))
+    val nonLit = pairs.filter(
+      levenshtein(col("a"), col("b")) <= length(col("a")))
+    assert(thresholds(nonLit) == Seq(None))
+    // projected VALUE (no comparison) keeps the exact distance
+    val proj = pairs.select(levenshtein(col("a"), col("b")).as("d"))
+    assert(thresholds(proj) == Seq(None))
+    spark.conf.set("spark.graft.rewriteLevenshteinThreshold", "false")
+    try {
+      val off = pairs.filter(levenshtein(col("a"), col("b")) <= 2)
+      assert(thresholds(off) == Seq(None))
+    } finally spark.conf
+      .unset("spark.graft.rewriteLevenshteinThreshold")
+  }
+
+  test("an expression already carrying a threshold is left alone") {
+    val df = pairs.filter(
+      levenshtein(col("a"), col("b"), 5) <= 2)
+    assert(thresholds(df) == Seq(Some(5)))
+  }
+}
