@@ -190,6 +190,14 @@ object StreamBench {
         qs = Seq(0.5, 0.95, 0.99)).toDF()
     }(feedKeyed _)
 
+    results += drive[SBKeyed]("novelty_monitor",
+      streaming.StreamingNovelty.outputMode) { in =>
+      // id % 4000 per key: heavy re-observation traffic — the live
+      // theta union absorbs every arrival, one serialize per key/batch
+      streaming.StreamingNovelty.monitor(
+        in.toDS().groupByKey(_.key).mapValues(_.id % 4000L)).toDF()
+    }(feedKeyed _)
+
     results += drive[SBKeyed]("bottomk_sample",
       streaming.StreamingSample.outputMode) { in =>
       // value universe of 2000 per key: the k-sample churns early,

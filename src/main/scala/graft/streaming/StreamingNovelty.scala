@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, SetOperation}
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming novelty monitor per key — the X340 theta sketch as LIVE
+  * state (SURVEY §2.7, the one-definition-two-modes discipline): "how
+  * many ids in this batch were NEVER seen before, and how many
+  * distinct ever?" — the ingest-dedup health readout ("are we
+  * re-crawling the same documents?") maintained incrementally instead
+  * of re-scanned nightly. State per key is ONE compact ordered theta
+  * image (≤ ~8·2^lgK bytes, bounded whatever the stream cardinality);
+  * each micro-batch heapifies it into a union, absorbs the batch's
+  * ids, and emits
+  *
+  *   (key, n_rows, new_distinct, total_distinct)
+  *
+  * with `new_distinct = est(after) − est(before)`. The batch face of
+  * the same bytes is [[graft.ops.Sketches.thetaSketch]]: theta updates
+  * are seed-deterministic and the compact ordered image is a CANONICAL
+  * function of the id set, so after any prefix the state bytes are
+  * BIT-IDENTICAL to the batch build over that prefix (spec-pinned via
+  * totals) — and below ~2^lgK distinct ids the sketch is in exact mode
+  * (θ = 1), making `new_distinct` an exact integer: a re-observed id
+  * counts exactly zero new. Beyond exact mode both counters carry
+  * theta's documented bounds (the X340 certificate discipline —
+  * [[graft.ops.Sketches.thetaBound]] over the persisted artifact when
+  * a gate is needed). Update-mode emission after every batch the key
+  * appears in.
+  */
+object StreamingNovelty {
+
+  /** Monitor state: the compact ordered theta byte image. */
+  final case class ThetaState(bytes: Array[Byte])
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, Long],
+      lgK: Int = 12,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[ThetaState],
+      e: Encoder[(K, Long, Double, Double)])
+      : Dataset[(K, Long, Double, Double)] = {
+    graft.functions.ThetaExpressions.requireLgK(lgK)
+    grouped.flatMapGroupsWithState[ThetaState,
+        (K, Long, Double, Double)](OutputMode.Update, timeout) {
+      (key: K, values: Iterator[Long],
+          state: GroupState[ThetaState]) =>
+        val union = SetOperation.builder().setLogNominalEntries(lgK)
+          .buildUnion()
+        val before = state.getOption.map { s =>
+          val sk = CompactSketch.heapify(Memory.wrap(s.bytes))
+          union.union(sk)
+          sk.getEstimate
+        }.getOrElse(0.0)
+        var n = 0L
+        values.foreach { v => union.update(v); n += 1 }
+        val after = union.getResult
+        state.update(ThetaState(after.toByteArray))
+        Iterator.single(
+          (key, n, after.getEstimate - before, after.getEstimate))
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

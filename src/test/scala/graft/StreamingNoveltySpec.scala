@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+import graft.streaming.StreamingNovelty
+
+class StreamingNoveltySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming novelty monitor: exact-mode new/total counts per " +
+      "batch, re-observed ids count zero new, per-key isolation, " +
+      "batch-face parity over every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingNovelty.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2), lgK = 12)
+      .toDF("key", "n_rows", "new_distinct", "total_distinct")
+      .writeStream.format("memory").queryName("snov_out")
+      .outputMode(StreamingNovelty.outputMode)
+      .start()
+    // batch 1: a: ids 1..50 (25 duplicated once → 75 rows, 50 new);
+    //          b: ids 1..10 (same numbers, DIFFERENT key space)
+    val b1 = ((1L to 50L) ++ (1L to 25L)).map(("a", _)) ++
+      (1L to 10L).map(("b", _))
+    // batch 2: a: 26..60 (26..50 re-observed, 51..60 new → 10 new)
+    val b2 = (26L to 60L).map(("a", _))
+    // batch 3: a: all re-observations → zero new
+    val b3 = (1L to 60L).map(("a", _))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("snov_out")
+      .as[(String, Long, Double, Double)].collect()
+    val a = rows.filter(_._1 == "a").sortBy(_._4)
+    assert(a.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((75L, 50.0, 50.0), (35L, 10.0, 60.0), (60L, 0.0, 60.0)),
+      s"key a trajectory: ${a.toSeq}")
+    val b = rows.filter(_._1 == "b")
+    assert(b.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((10L, 10.0, 10.0)), s"key b: ${b.toSeq}")
+
+    // batch face: the running total after each prefix equals
+    // thetaSketch over that prefix (canonical-bytes contract)
+    val prefixes = Seq(b1, b1 ++ b2, b1 ++ b2 ++ b3)
+    val totals = a.map(_._4).toSeq
+    prefixes.zip(totals).foreach { case (p, t) =>
+      val est = Sketches.thetaSketch(
+          p.filter(_._1 == "a").toDF("k", "v"), Seq("k"), col("v"))
+        .select(Sketches.thetaEstimate(col("sketch"))).head.getDouble(0)
+      assert(est == t, s"batch face $est != streaming $t")
+    }
+  }
+}
