@@ -4837,6 +4837,42 @@ object SparkEntry {
         .select(col("probe"), col("s_name"), col("s_suppkey"))
         .orderBy(col("probe"), col("s_suppkey"))
     },
+
+    // X346 — CMS inner-product join-size estimate: "how many rows
+    // would lineitem(R) ⋈ lineitem(A) on suppkey produce?" answered
+    // from two persisted frequency sketches, no join executed. The
+    // Cormode–Muthukrishnan contract gates it (est ≥ exact always,
+    // est ≤ exact + ε·Nₐ·N_b at the sketches' confidence); only exact
+    // values are emitted. Neither side materializes the join — the
+    // exact answer itself is the count-product rollup at key grain.
+    "q349_join_size" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_suppkey"))
+      val eps = 0.0001
+      def side(flag: String, nm: String) =
+        Sketches.freqSketch(li.filter(col("l_returnflag") === flag),
+            Seq(), col("l_suppkey"), eps)
+          .withColumnRenamed("sketch", nm)
+      val est = side("R", "__sa").crossJoin(broadcast(side("A", "__sb")))
+        .select(
+          Sketches.cmsInnerProduct(col("__sa"), col("__sb"))
+            .as("__est"),
+          Sketches.cmsTotal(col("__sa")).as("__na"),
+          Sketches.cmsTotal(col("__sb")).as("__nb"))
+      def counts(flag: String, nm: String) =
+        li.filter(col("l_returnflag") === flag)
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as(nm))
+      val exact = counts("R", "__ca").join(counts("A", "__cb"),
+          "l_suppkey")
+        .agg(sum(col("__ca") * col("__cb")).as("exact_join_rows"))
+      exact.crossJoin(broadcast(est))
+        .where(col("__est") >= col("exact_join_rows") &&
+          col("__est") <= col("exact_join_rows") +
+            ceil(lit(eps) * col("__na") * col("__nb")))
+        .select(col("exact_join_rows"), col("__na").as("n_left"),
+          col("__nb").as("n_right"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15091,6 +15127,24 @@ object SparkEntry {
         |FROM supplier s CROSS JOIN probes p
         |WHERE levenshtein(s.s_name, p.probe) <= 2
         |ORDER BY probe, s_suppkey""".stripMargin,
+
+    // the exact join size = Σ_k count_R(k)·count_A(k); the CMS gate
+    // lives on the Spark side
+    "q349_join_size" ->
+      """WITH a AS (
+        |  SELECT l_suppkey AS k, count(*) AS c FROM lineitem
+        |  WHERE l_returnflag = 'R' GROUP BY 1
+        |), b AS (
+        |  SELECT l_suppkey AS k, count(*) AS c FROM lineitem
+        |  WHERE l_returnflag = 'A' GROUP BY 1
+        |)
+        |SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
+        |    AS exact_join_rows,
+        |  (SELECT count(*) FROM lineitem WHERE l_returnflag = 'R')
+        |    AS n_left,
+        |  (SELECT count(*) FROM lineitem WHERE l_returnflag = 'A')
+        |    AS n_right
+        |FROM a JOIN b ON a.k = b.k""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

@@ -138,3 +138,118 @@ case class CmsMergeAgg(child: Expression, eps: Double,
   override protected def withNewChildInternal(
       newChild: Expression): CmsMergeAgg = copy(child = newChild)
 }
+
+/** Parsed CMS cell table. Spark's `CountMinSketch` exposes no cell
+  * access, but its serialized form is a versioned stable format
+  * (version INT = 1, totalCount LONG, depth INT, width INT, the
+  * per-row hash coefficients hashA LONG[depth], then the depth×width
+  * LONG table row-major — verified against the emitted bytes).
+  * [[CmsTable.parse]] reads it and VALIDATES against the library's
+  * own getters plus the CMS invariant that every row sums to
+  * totalCount — a layout drift in some future Spark would fail loudly
+  * here, never mis-multiply. The hashA coefficients are also returned:
+  * two sketches only share cell GEOMETRY meaningfully if they share
+  * hash functions (same seed), and comparing hashA is the direct test.
+  */
+private[functions] object CmsTable {
+  final case class Parsed(total: Long, depth: Int, width: Int,
+      hashA: Array[Long], rows: Array[Array[Long]])
+
+  def parse(bytes: Array[Byte]): Parsed = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    val version = in.readInt()
+    require(version == 1, s"cms: unknown serial format version $version")
+    val total = in.readLong()
+    val depth = in.readInt()
+    val width = in.readInt()
+    require(depth > 0 && width > 0, s"cms: bad geometry $depth x $width")
+    val hashA = Array.fill(depth)(in.readLong())
+    val rows = Array.ofDim[Long](depth, width)
+    var i = 0
+    while (i < depth) {
+      var j = 0
+      while (j < width) { rows(i)(j) = in.readLong(); j += 1 }
+      // the invariant check: each CMS row counts every update once
+      var s = 0L; var k = 0
+      while (k < width) { s += rows(i)(k); k += 1 }
+      require(s == total,
+        s"cms row $i sums to $s != totalCount $total — layout drift?")
+      i += 1
+    }
+    val lib = CountMinSketch.readFrom(bytes)
+    require(lib.depth() == depth && lib.width() == width &&
+      lib.totalCount() == total, "cms: parsed header disagrees with " +
+      s"library: ${lib.depth()}x${lib.width()}/${lib.totalCount()} " +
+      s"vs ${depth}x$width/$total")
+    Parsed(total, depth, width, hashA, rows)
+  }
+}
+
+/** `cms_inner_product(a, b)` — the Cormode–Muthukrishnan join-size
+  * estimate: with fa/fb the per-key frequency vectors the two sketches
+  * summarize, returns an estimate of the inner product Σ_k fa(k)·fb(k)
+  * — the EXACT row count of an equi-join between the two sides — as
+  * `min over rows d of Σ_w a[d][w]·b[d][w]`. One-sided like the point
+  * query: always ≥ the true inner product, and ≤ true + ε·Nₐ·N_b with
+  * the sketches' confidence — the "how big will this join be?"
+  * answer from two persisted artifacts, no data touched. Both sketches
+  * must share (eps, confidence, seed) geometry (raises otherwise, the
+  * [[CmsMergeAgg]] rule). Accumulation uses Math.multiplyExact /
+  * addExact — overflow raises (safe while Nₐ·N_b ≲ 9·10¹⁸/width),
+  * never wraps.
+  */
+case class CmsInnerProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_inner_product: both sides must be BINARY, got " +
+        s"${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_inner_product"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val pa = CmsTable.parse(a.asInstanceOf[Array[Byte]])
+    val pb = CmsTable.parse(b.asInstanceOf[Array[Byte]])
+    require(pa.depth == pb.depth && pa.width == pb.width &&
+      java.util.Arrays.equals(pa.hashA, pb.hashA),
+      s"cms_inner_product: geometry/seed mismatch " +
+        s"${pa.depth}x${pa.width} vs ${pb.depth}x${pb.width}")
+    var best = Long.MaxValue
+    var d = 0
+    while (d < pa.depth) {
+      var s = 0L; var w = 0
+      while (w < pa.width) {
+        s = Math.addExact(s,
+          Math.multiplyExact(pa.rows(d)(w), pb.rows(d)(w)))
+        w += 1
+      }
+      if (s < best) best = s
+      d += 1
+    }
+    best
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsInnerProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `cms_total(sketch)` — the EXACT number of updates the sketch
+  * absorbed (CMS tracks totalCount losslessly); the Nₐ·N_b factor in
+  * the inner-product slack and the conservation check on merged
+  * artifacts.
+  */
+case class CmsTotal(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_total: sketch must be BINARY, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_total"
+  override def nullSafeEval(bytes: Any): Any =
+    CountMinSketch.readFrom(bytes.asInstanceOf[Array[Byte]]).totalCount()
+  override protected def withNewChildInternal(
+      newChild: Expression): CmsTotal = copy(child = newChild)
+}

@@ -160,6 +160,24 @@ object Sketches {
   def kllRankError(k: Int): Double =
     org.apache.datasketches.kll.KllSketch.getNormalizedRankError(k, false)
 
+  /** CMS inner product (X346) — the Cormode–Muthukrishnan JOIN-SIZE
+    * estimate Σ_k fa(k)·fb(k) from two persisted frequency sketches:
+    * always ≥ the true equi-join row count, ≤ true + ε·Nₐ·N_b at the
+    * sketches' confidence. Geometry must match; overflow raises.
+    */
+  def cmsInnerProduct(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.CmsInnerProduct(
+      bridge.expression(a), bridge.expression(b)))
+  }
+
+  /** Exact update count a CMS sketch absorbed (the N in the
+    * inner-product slack ε·Nₐ·N_b). */
+  def cmsTotal(sketch: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.CmsTotal(bridge.expression(sketch)))
+  }
+
   // ——— Theta sketches (X344) — the set-ALGEBRA artifact: where HLL
   // reaches an intersection only through inclusion–exclusion (error =
   // sum of three sketch errors — explodes at low overlap, pinned by

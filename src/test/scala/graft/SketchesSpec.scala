@@ -192,6 +192,47 @@ class SketchesSpec extends SparkSpec {
       empty.isNullAt(2))
   }
 
+  test("cms inner product: join-size estimate is one-sided within " +
+      "eps*Na*Nb, exact on a single-key fixture, merge-invariant, " +
+      "and raises on geometry mismatch") {
+    def sk(rows: Seq[Long], eps: Double = 0.001) =
+      Sketches.freqSketch(rows.toDF("v"), Seq.empty, col("v"), eps)
+        .withColumnRenamed("sketch", "s")
+    def ip(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Long =
+      a.crossJoin(b.withColumnRenamed("s", "s2"))
+        .select(Sketches.cmsInnerProduct(col("s"), col("s2")))
+        .head.getLong(0)
+    // single key: every row has one nonzero cell → exactly 5*3
+    assert(ip(sk(Seq.fill(5)(42L)), sk(Seq.fill(3)(42L))) == 15L)
+    // multi-key: exact inner product = sum over keys of fa*fb
+    val aRows = (1L to 60L).flatMap(k => Seq.fill((k % 4).toInt)(k))
+    val bRows = (31L to 90L).flatMap(k => Seq.fill((k % 3).toInt)(k))
+    val exact = (1L to 90L).map(k =>
+      aRows.count(_ == k).toLong * bRows.count(_ == k)).sum
+    val est = ip(sk(aRows), sk(bRows))
+    assert(est >= exact, s"CMS inner product must not undercount: " +
+      s"$est < $exact")
+    val slack = math.ceil(0.001 * aRows.size * bRows.size).toLong
+    assert(est <= exact + slack, s"$est > $exact + $slack")
+    // merged shards estimate EXACTLY like the one-pass build
+    // (cell-wise-addition merge ⇒ identical tables)
+    val shards = (0 until 3).map(i =>
+      sk(aRows.filter(_ % 3 == i)).withColumnRenamed("s", "sketch"))
+    val merged = Sketches.mergeFreqSketches(
+        shards.reduce(_ unionByName _), Seq.empty, eps = 0.001)
+      .withColumnRenamed("sketch", "s")
+    assert(ip(merged, sk(bRows)) == est)
+    // totals are exact
+    assert(sk(aRows).select(Sketches.cmsTotal(col("s")))
+      .head.getLong(0) == aRows.size.toLong)
+    // geometry mismatch raises
+    val e = intercept[Exception] {
+      ip(sk(aRows, eps = 0.001), sk(bRows, eps = 0.01))
+    }
+    assert(e.getMessage != null)
+  }
+
   test("hll inclusion–exclusion gate (q339): planted ~1% overlap trips " +
       "the gate to DETECTION (rows drop), never a silently-wrong number") {
     // A = {1..10000}·7919, B = {9901..19900}·7919 → |A∩B| = 100,
