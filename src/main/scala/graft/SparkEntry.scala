@@ -4873,6 +4873,23 @@ object SparkEntry {
         .select(col("exact_join_rows"), col("__na").as("n_left"),
           col("__nb").as("n_right"))
     },
+
+    // X347 — Johnson–Lindenstrauss random projection onto k = 8
+    // pseudo-random ±1 directions: integer-exact (milli-units ×
+    // explicit murmur-style sign mixer, no RNG state), scan-local.
+    // Emitted at (vec_id, dim) grain so the oracle mirrors the mixer
+    // digit for digit.
+    "q350_random_projection" -> { (s, dir) =>
+      val pr = graft.similarity.Similarity.randomProjection(
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(20)) === 0),
+        "vec_id", "embedding", k = 8)
+      pr.select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("dim", "val")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("val"))
+        .orderBy(col("vec_id"), col("dim"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15145,6 +15162,40 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem WHERE l_returnflag = 'A')
         |    AS n_right
         |FROM a JOIN b ON a.k = b.k""".stripMargin,
+
+    // the sign mixer mirrored stage by stage (mod-2^31 arithmetic:
+    // every product fits BIGINT on both engines)
+    "q350_random_projection" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |), xi AS (
+        |  SELECT vec_id, q,
+        |    unnest(generate_series(0, len(q) - 1)) AS i
+        |  FROM e
+        |), cell AS (
+        |  SELECT vec_id, i, q[i + 1] AS v,
+        |    unnest(generate_series(0, 7)) AS j
+        |  FROM xi
+        |), s0 AS (
+        |  SELECT vec_id, j, v,
+        |    (i * 486187739 + j * 443 + 1) % 2147483648 AS x
+        |  FROM cell
+        |), s1 AS (
+        |  SELECT vec_id, j, v,
+        |    (xor(x, x >> 15) * 661583783) % 2147483648 AS x
+        |  FROM s0
+        |), s2 AS (
+        |  SELECT vec_id, j, v,
+        |    (xor(x, x >> 13) * 1274126177) % 2147483648 AS x
+        |  FROM s1
+        |)
+        |SELECT vec_id, CAST(j AS BIGINT) AS dim,
+        |  CAST(sum(v * (CASE WHEN xor(x, x >> 16) % 2 = 1
+        |    THEN 1 ELSE -1 END)) AS BIGINT) AS val
+        |FROM s2 GROUP BY vec_id, j
+        |ORDER BY vec_id, dim""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

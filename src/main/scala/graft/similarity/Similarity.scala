@@ -1074,4 +1074,64 @@ object Similarity {
     out.select(col("sel_rank"), col("item"),
       round(col("__d2"), 6).as("d2_r6"))
   }
+
+  /** Johnson–Lindenstrauss random projection (X347) — the standard
+    * dimensionality-reduction front end for embedding work at scale:
+    * project d-dim vectors onto k ≪ d pseudo-random ±1 directions
+    * (the Achlioptas sign construction — JL distance preservation
+    * holds with the same guarantees as Gaussian projections and the
+    * arithmetic stays INTEGER-exact). Everything is deterministic
+    * plan constants: vectors quantize to milli-units
+    * (⌊1000·double(v)⌋, the kmeansExact discipline) and the sign of
+    * direction j at input dim i comes from an explicit murmur-style
+    * integer mixer shared VERBATIM with the DuckDB oracle —
+    *
+    *   x₀ = (i·486187739 + j·443 + seed) mod 2³¹, then three
+    *   xor-shift/multiply-mod-2³¹ rounds (15/661583783,
+    *   13/1274126177 — constants below), s = +1 iff the final state
+    *   is odd
+    *
+    * (an AFFINE formula is not enough: affine maps carry the (i,j)
+    * state differences multiplicatively, so different directions j
+    * come out near-identical and the JL property silently dies —
+    * caught by the spec's distance-preservation gate; the xor rounds
+    * are the nonlinearity, and every intermediate stays < 2³¹ so all
+    * products fit a BIGINT on both engines). No RNG state anywhere —
+    * a 100 TB projection re-run is bit-reproducible shard by shard.
+    * Output: (idCol, `proj` array<long> of length k) with
+    * proj[j] = Σᵢ qᵢ·s(i,j); null/empty vectors yield an empty array.
+    *
+    * Scale shape: strictly SCAN-LOCAL — one projection of the plan,
+    * zero exchanges (plan-pinned); downstream ANN/dedup then runs in
+    * k dims. Exact while d·max|q| < 2⁶³/k (embeddings at milli-units
+    * are ~10³, so astronomically safe).
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long = 1L): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k in [1, 4096]: $k")
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * 1000d).cast("long"))
+    val m31 = lit(2147483648L)
+    def jlSign(i: Column, j: Column): Column = {
+      val x0 = pmod(i * lit(486187739L) + j * lit(443L) + lit(seed),
+        m31)
+      val x1 = x0.bitwiseXOR(shiftright(x0, 15))
+      val x2 = pmod(x1 * lit(661583783L), m31)
+      val x3 = x2.bitwiseXOR(shiftright(x2, 13))
+      val x4 = pmod(x3 * lit(1274126177L), m31)
+      val x5 = x4.bitwiseXOR(shiftright(x4, 16))
+      when(pmod(x5, lit(2L)) === 1L, 1L).otherwise(-1L)
+    }
+    val proj = transform(sequence(lit(0L), lit(k - 1L)), j =>
+      aggregate(
+        zip_with(col("__q"),
+          sequence(lit(0L), size(col("__q")).cast("long") - 1L),
+          (v, i) => v * jlSign(i, j)),
+        lit(0L), (acc, x) => acc + x))
+    df.select(col(idCol), q.as("__q"))
+      .select(col(idCol),
+        when(col("__q").isNull || size(col("__q")) === 0,
+          array().cast("array<long>"))
+          .otherwise(proj).as("proj"))
+  }
 }

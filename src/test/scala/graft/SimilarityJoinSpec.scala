@@ -404,4 +404,55 @@ class SimilarityJoinSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(math.abs(sc2(3L) - 2.0 * math.sqrt(2.0)) < 1e-9)
   }
+
+  test("randomProjection: integer-exact vs a Scala replica, empty " +
+      "vector lane, JL distance preservation, scan-local plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val d = 48
+    val vecs = (0L until 40L).map(id =>
+      (id, Array.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 12
+    val got = Similarity.randomProjection(df, "vec_id", "embedding", k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // Scala replica of the exact integer contract (seed = 1)
+    def sign(i: Long, j: Long): Long = {
+      val m = 2147483648L
+      val x0 = (i * 486187739L + j * 443L + 1L) % m
+      val x1 = x0 ^ (x0 >> 15)
+      val x2 = (x1 * 661583783L) % m
+      val x3 = x2 ^ (x2 >> 13)
+      val x4 = (x3 * 1274126177L) % m
+      val x5 = x4 ^ (x4 >> 16)
+      if (x5 % 2 == 1) 1L else -1L
+    }
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000d).toLong)
+    vecs.foreach { case (id, v) =>
+      val q = quant(v)
+      val expect = (0 until k).map(j =>
+        q.zipWithIndex.map { case (x, i) => x * sign(i, j) }.sum)
+      assert(got(id) == expect, s"vec $id")
+    }
+    // empty vector → empty projection
+    val empty = Similarity.randomProjection(
+      Seq((9L, Array.empty[Float])).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k)
+    assert(empty.head.getSeq[Long](1).isEmpty)
+    // JL property: projected squared distance / k tracks the original
+    // squared distance (milli-units) within a generous band
+    val q0 = quant(vecs(0)._2); val q1 = quant(vecs(1)._2)
+    val trueD2 = q0.zip(q1).map { case (a, b) =>
+      (a - b).toDouble * (a - b) }.sum
+    val p0 = got(0L); val p1 = got(1L)
+    val projD2 = p0.zip(p1).map { case (a, b) =>
+      (a - b).toDouble * (a - b) }.sum / k
+    assert(projD2 > 0.2 * trueD2 && projD2 < 5.0 * trueD2,
+      s"JL: $projD2 vs $trueD2")
+    // scan-local: no exchange anywhere in the plan
+    val plan = Similarity.randomProjection(df, "vec_id", "embedding",
+      k).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
 }
