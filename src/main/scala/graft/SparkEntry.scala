@@ -4890,6 +4890,24 @@ object SparkEntry {
           col("val"))
         .orderBy(col("vec_id"), col("dim"))
     },
+
+    // X348 — EXACT mergeable distinct via bucketed bitmaps (the
+    // error-free member of the distinct family): per-shard bitmap
+    // artifacts OR-merged per (flag, bucket), then popcounted — the
+    // answer is exactly count(DISTINCT), no gate needed.
+    "q351_bitmap_distinct" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"),
+          pmod(col("l_orderkey"), lit(8)).as("__shard"))
+      val shards = Sketches.bitmapDistinct(li,
+        Seq("l_returnflag", "__shard"), col("l_partkey"))
+      Sketches.bitmapDistinctCount(
+          Sketches.mergeBitmaps(shards.drop("__shard"),
+            Seq("l_returnflag")),
+          Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15196,6 +15214,13 @@ object SparkEntry {
         |    THEN 1 ELSE -1 END)) AS BIGINT) AS val
         |FROM s2 GROUP BY vec_id, j
         |ORDER BY vec_id, dim""".stripMargin,
+
+    "q351_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

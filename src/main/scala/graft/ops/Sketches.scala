@@ -160,6 +160,46 @@ object Sketches {
   def kllRankError(k: Int): Double =
     org.apache.datasketches.kll.KllSketch.getNormalizedRankError(k, false)
 
+  // ——— Bitmap distinct artifacts (X348) — the EXACT member of the
+  // distinct-count family: where HLL (X71) trades error for constant
+  // size, a roaring-style bitmap pays size proportional to the id
+  // range for an answer that is exactly right and still MERGEABLE
+  // (bitwise OR). Spark 4 ships the whole algebra as codegen'd
+  // built-ins (bitmap_bucket_number / bitmap_bit_position /
+  // bitmap_construct_agg / bitmap_or_agg / bitmap_count); the value
+  // add here is the artifact SHAPE: one 32768-bit bitmap per
+  // (group, bucket) cell, so sparse id spaces cost only the buckets
+  // they touch and shard-merge is |groups × buckets × shards| tiny
+  // rows. Non-negative integral ids only (the bucket math is
+  // id-range arithmetic).
+
+  /** Per-group bucketed bitmaps of `valueCol` — the exact-distinct
+    * artifact to persist per shard: (groupCols..., `bucket`,
+    * `bitmap`). One map-side-combined aggregation.
+    */
+  def bitmapDistinct(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame =
+    df.groupBy(groupCols.map(col) :+
+        bitmap_bucket_number(valueCol).as("bucket"): _*)
+      .agg(bitmap_construct_agg(bitmap_bit_position(valueCol))
+        .as("bitmap"))
+
+  /** OR per-shard bitmap tables back to one bitmap per (group,
+    * bucket) — exact merge, the artifact query-time step. */
+  def mergeBitmaps(bitmaps: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    bitmaps.groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(bitmap_or_agg(col("bitmap")).as("bitmap"))
+
+  /** EXACT distinct count per group from a (merged) bitmap table:
+    * Σ over buckets of the bitmap popcount. */
+  def bitmapDistinctCount(bitmaps: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val agg = sum(bitmap_count(col("bitmap"))).as("n_distinct")
+    if (groupCols.isEmpty) bitmaps.agg(agg)
+    else bitmaps.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
   /** CMS inner product (X346) — the Cormode–Muthukrishnan JOIN-SIZE
     * estimate Σ_k fa(k)·fb(k) from two persisted frequency sketches:
     * always ≥ the true equi-join row count, ≤ true + ε·Nₐ·N_b at the

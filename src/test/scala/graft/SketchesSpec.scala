@@ -192,6 +192,37 @@ class SketchesSpec extends SparkSpec {
       empty.isNullAt(2))
   }
 
+  test("bitmap distinct artifacts: EXACT counts, shard-merge " +
+      "identity, parquet round trip, sparse buckets stay sparse") {
+    val data = (1L to 5000L).map(i => ("g" + (i % 2), i % 1300))
+      .toDF("k", "v")
+    // exact count per group (values 0..1299 present in both groups)
+    val whole = Sketches.bitmapDistinctCount(
+        Sketches.bitmapDistinct(data, Seq("k"), col("v")), Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = data.select("k", "v").distinct().groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(whole == exact)
+    // shard-merge: OR of shard bitmaps counts exactly like the whole
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bitmap").toString
+    (0 until 3).foreach(s =>
+      Sketches.bitmapDistinct(data.filter(col("v") % 3 === s),
+          Seq("k"), col("v"))
+        .write.mode("append").parquet(dir))
+    val merged = Sketches.bitmapDistinctCount(
+        Sketches.mergeBitmaps(spark.read.parquet(dir), Seq("k")),
+        Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == exact)
+    // sparse id space: two far-apart ids cost exactly two buckets
+    val sparse = Seq(("g", 5L), ("g", 40000000L)).toDF("k", "v")
+    val cells = Sketches.bitmapDistinct(sparse, Seq("k"), col("v"))
+    assert(cells.count() == 2L)
+    assert(Sketches.bitmapDistinctCount(cells, Seq("k"))
+      .head.getLong(1) == 2L)
+  }
+
   test("cms inner product: join-size estimate is one-sided within " +
       "eps*Na*Nb, exact on a single-key fixture, merge-invariant, " +
       "and raises on geometry mismatch") {
