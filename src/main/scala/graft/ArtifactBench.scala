@@ -209,6 +209,54 @@ object ArtifactBench {
       }
     }
 
+    // Theta: same distinct question as HLL, answered by the
+    // set-algebra artifact (exact below 2^lgK, certificates beyond).
+    results("theta_self_3q") = best("theta self-contained x3") {
+      (1 to 3).foreach { _ =>
+        noop(Sketches.thetaSketch(li, Seq("l_returnflag"),
+            col("l_partkey"))
+          .select(col("l_returnflag"),
+            Sketches.thetaEstimate(col("sketch")).as("nd")))
+      }
+    }
+    results("theta_build") = best("theta shard build+write") {
+      Sketches.thetaSketch(liSharded, Seq("l_returnflag", "shard"),
+          col("l_partkey"))
+        .write.mode("overwrite").parquet(s"$out/theta_shards")
+    }
+    results("theta_consumer_3q") = best("theta from shards x3") {
+      (1 to 3).foreach { _ =>
+        val shards = spark.read.parquet(s"$out/theta_shards")
+        noop(Sketches.mergeThetaSketches(shards, Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            Sketches.thetaEstimate(col("sketch")).as("nd")))
+      }
+    }
+
+    // Bitmap: the same question answered EXACTLY (per-bucket 32768-bit
+    // bitmaps, OR-merge) — price of exactness vs the sketches above.
+    results("bitmap_self_3q") = best("bitmap self-contained x3") {
+      (1 to 3).foreach { _ =>
+        noop(Sketches.bitmapDistinctCount(
+          Sketches.bitmapDistinct(li, Seq("l_returnflag"),
+            col("l_partkey")), Seq("l_returnflag")))
+      }
+    }
+    results("bitmap_build") = best("bitmap shard build+write") {
+      Sketches.bitmapDistinct(liSharded,
+          Seq("l_returnflag", "shard"), col("l_partkey"))
+        .write.mode("overwrite").parquet(s"$out/bitmap_shards")
+    }
+    results("bitmap_consumer_3q") = best("bitmap from shards x3") {
+      (1 to 3).foreach { _ =>
+        val shards = spark.read.parquet(s"$out/bitmap_shards")
+          .drop("shard")
+        noop(Sketches.bitmapDistinctCount(
+          Sketches.mergeBitmaps(shards, Seq("l_returnflag")),
+          Seq("l_returnflag")))
+      }
+    }
+
     // CMS: occurrence counts for three probe suppliers per
     // l_returnflag (point queries — the frequency artifact's use).
     val probes = Seq(1L, 7L, 13L)
