@@ -4908,6 +4908,48 @@ object SparkEntry {
           Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))
     },
+
+    // Composition — JL-projected ANN vs exact: recall@5 of the X347
+    // 16-dim projection against the exact 64-dim top-5 per query,
+    // everything integer-exact (milli-units, ties broken by vec_id)
+    // so both rankings and their overlap are deterministic on both
+    // engines. The measured answer to "is k=16 enough for this
+    // corpus?" — the question a 100 TB ANN deployment asks before
+    // committing to the reduced dimension.
+    "q352_jl_recall" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000d).cast("long")).as("q"))
+      val proj = graft.similarity.Similarity.randomProjection(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 16)
+      val cand = base.join(proj, "vec_id")
+      val queries = cand.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("qid"), col("q").as("__qq"),
+          col("proj").as("__qp"))
+      def d2(a: Column, b: Column) = aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+      val scored = cand.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          d2(col("q"), col("__qq")).as("__df"),
+          d2(col("proj"), col("__qp")).as("__dp"))
+      val topF = scored.withColumn("__r", row_number().over(
+          w.partitionBy(col("qid"))
+            .orderBy(col("__df"), col("vec_id"))))
+        .filter(col("__r") <= 5).select(col("qid"), col("vec_id"))
+      val topP = scored.withColumn("__r", row_number().over(
+          w.partitionBy(col("qid"))
+            .orderBy(col("__dp"), col("vec_id"))))
+        .filter(col("__r") <= 5).select(col("qid"), col("vec_id"))
+      val inter = topF.join(topP, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("recall5"))
+      queries.select(col("qid")).join(inter, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("recall5"), lit(0L)).as("recall5"))
+        .orderBy(col("qid"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15221,6 +15263,78 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // the q350 mixer at k = 16, then both rankings and the overlap —
+    // ties broken by vec_id on both engines
+    "q352_jl_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |), xi AS (
+        |  SELECT vec_id, q,
+        |    unnest(generate_series(0, len(q) - 1)) AS i
+        |  FROM e
+        |), cell AS (
+        |  SELECT vec_id, i, q[i + 1] AS v,
+        |    unnest(generate_series(0, 15)) AS j
+        |  FROM xi
+        |), s0 AS (
+        |  SELECT vec_id, j, v,
+        |    (i * 486187739 + j * 443 + 1) % 2147483648 AS x
+        |  FROM cell
+        |), s1 AS (
+        |  SELECT vec_id, j, v,
+        |    (xor(x, x >> 15) * 661583783) % 2147483648 AS x
+        |  FROM s0
+        |), s2 AS (
+        |  SELECT vec_id, j, v,
+        |    (xor(x, x >> 13) * 1274126177) % 2147483648 AS x
+        |  FROM s1
+        |), pj AS (
+        |  SELECT vec_id, j,
+        |    sum(v * (CASE WHEN xor(x, x >> 16) % 2 = 1
+        |      THEN 1 ELSE -1 END)) AS pv
+        |  FROM s2 GROUP BY vec_id, j
+        |), p AS (
+        |  SELECT vec_id, list(pv ORDER BY j) AS proj
+        |  FROM pj GROUP BY vec_id
+        |), pairs AS MATERIALIZED (
+        |  SELECT qe.vec_id AS qid, ce.vec_id AS cid,
+        |    list_reduce(list_transform(list_zip(qe.q, ce.q),
+        |      s -> (struct_extract(s, 1) - struct_extract(s, 2)) *
+        |           (struct_extract(s, 1) - struct_extract(s, 2))),
+        |      (a, b) -> a + b) AS df,
+        |    list_reduce(list_transform(list_zip(qp.proj, cp.proj),
+        |      s -> (struct_extract(s, 1) - struct_extract(s, 2)) *
+        |           (struct_extract(s, 1) - struct_extract(s, 2))),
+        |      (a, b) -> a + b) AS dp
+        |  FROM e qe
+        |  JOIN e ce ON ce.vec_id <> qe.vec_id
+        |  JOIN p qp ON qp.vec_id = qe.vec_id
+        |  JOIN p cp ON cp.vec_id = ce.vec_id
+        |  WHERE qe.vec_id % 100 = 0
+        |), topf AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY df, cid)
+        |        AS r
+        |    FROM pairs) WHERE r <= 5
+        |), topp AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dp, cid)
+        |        AS r
+        |    FROM pairs) WHERE r <= 5
+        |)
+        |SELECT q.qid, CAST(coalesce(n.c, 0) AS BIGINT) AS recall5
+        |FROM (SELECT DISTINCT qid FROM pairs) q
+        |LEFT JOIN (
+        |  SELECT f.qid, count(*) AS c
+        |  FROM topf f JOIN topp p2
+        |    ON f.qid = p2.qid AND f.cid = p2.cid
+        |  GROUP BY f.qid) n ON q.qid = n.qid
+        |ORDER BY q.qid""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to
