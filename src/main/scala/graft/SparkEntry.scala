@@ -4950,6 +4950,48 @@ object SparkEntry {
           coalesce(col("recall5"), lit(0L)).as("recall5"))
         .orderBy(col("qid"))
     },
+
+    // X349 — heavy hitters from merged per-shard frequent-items
+    // artifacts: a synthetic fat-head key (3 keys carry ~70% of rows
+    // over a ~1000-key tail) recovered from 8 stored 32-counter
+    // sketches. Gate: threshold (15% of n) must sit ABOVE the
+    // sketch's maxError (so the caller threshold is honored), every
+    // truly-frequent key must be in the NO_FALSE_NEGATIVES list, and
+    // its exact count must sit inside the item's [lb, ub]; only
+    // exact values are emitted.
+    "q353_heavy_hitters_artifact" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val keyed = t(s, dir, "lineitem").select(
+        pmod(col("l_orderkey"), lit(8)).as("__shard"),
+        when(pmod(col("l_partkey"), lit(10)) < 7,
+          pmod(col("l_partkey"), lit(3)))
+          .otherwise(lit(100L) + pmod(col("l_partkey"), lit(997)))
+          .cast("long").as("__key"))
+      val merged = Sketches.mergeItemsSketches(
+        Sketches.itemsSketch(keyed, Seq("__shard"), col("__key"),
+          maxMapSize = 32),
+        Seq.empty, maxMapSize = 32)
+      val scalar = merged.select(
+        Sketches.itemsStreamLength(col("sketch")).as("__n"),
+        Sketches.itemsMaxError(col("sketch")).as("__err"),
+        col("sketch"))
+      val withThr = scalar
+        .withColumn("__thr", graft.functions.Exact.longDiv(
+          col("__n") * 15L, 100L))
+        .where(col("__err") < col("__thr"))
+      val found = withThr.select(explode(
+          Sketches.frequentItems(col("sketch"), col("__thr")))
+          .as("__f"), col("__thr"))
+        .select(col("__f.item").as("__key"), col("__f.lb"),
+          col("__f.ub"), col("__thr"))
+      val exact = keyed.groupBy(col("__key"))
+        .agg(count(lit(1)).as("exact_n"))
+      exact.join(found, "__key")
+        .where(col("exact_n") > col("__thr") &&
+          col("lb") <= col("exact_n") && col("exact_n") <= col("ub"))
+        .select(col("__key").as("key"), col("exact_n"))
+        .orderBy(col("key"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15335,6 +15377,22 @@ object SparkEntry {
         |    ON f.qid = p2.qid AND f.cid = p2.cid
         |  GROUP BY f.qid) n ON q.qid = n.qid
         |ORDER BY q.qid""".stripMargin,
+
+    // the truly-frequent keys above the caller threshold — the Spark
+    // side's sketch membership + [lb, ub] gates live in-plan
+    "q353_heavy_hitters_artifact" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN l_partkey % 10 < 7 THEN l_partkey % 3
+        |    ELSE 100 + (l_partkey % 997) END AS key
+        |  FROM lineitem
+        |), c AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS exact_n
+        |  FROM keyed GROUP BY key
+        |), t AS (SELECT count(*) AS n FROM keyed)
+        |SELECT c.key, c.exact_n
+        |FROM c, t
+        |WHERE c.exact_n > (t.n * 15) // 100
+        |ORDER BY c.key""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

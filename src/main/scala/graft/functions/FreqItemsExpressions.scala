@@ -1,0 +1,215 @@
+package graft.functions
+
+import org.apache.datasketches.frequencies.{ErrorType, LongsSketch}
+import org.apache.datasketches.memory.Memory
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StructField, StructType}
+
+/** Mergeable frequent-items sketches (X349) — the HEAVY-HITTER
+  * artifact completing the persisted-sketch family: HLL/theta answer
+  * "how many distinct", KLL "what value at rank q", CMS "how often
+  * does THIS value occur" — this answers "WHICH values are frequent"
+  * without knowing them in advance, in bounded memory. Wraps the
+  * public Apache DataSketches LongsSketch (Misra–Gries/Space-Saving
+  * family): ≤ ~0.75·maxMapSize counters whatever the universe, purges
+  * deterministic (no randomness — merged artifacts reproduce
+  * bit-for-bit given the same inputs), merge via counter addition +
+  * re-purge. The classic deterministic contracts hold after any
+  * shard-merge:
+  *
+  *   - NO_FALSE_NEGATIVES: every item with true count > threshold is
+  *     returned (a superset — false positives possible, never misses);
+  *   - per item, lb ≤ true count ≤ ub with
+  *     ub − lb ≤ getMaximumError ≤ n/maxMapSize.
+  *
+  * Probes gate on those (emit exact values, require membership +
+  * bracket) — the q85 self-verification discipline.
+  */
+object FreqItemsExpressions {
+  def requireMapSize(m: Int): Unit =
+    require(m >= 8 && (m & (m - 1)) == 0,
+      s"maxMapSize must be a power of 2 >= 8: $m")
+
+  private[functions] def read(bytes: Array[Byte]): LongsSketch =
+    LongsSketch.getInstance(Memory.wrap(bytes))
+}
+
+/** Per-group build aggregate: long items in, sketch bytes out. */
+case class ItemsSketchAgg(child: Expression, maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[LongsSketch]
+    with UnaryLike[Expression] {
+  FreqItemsExpressions.requireMapSize(maxMapSize)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"items_sketch_agg: item must be BIGINT, got ${child.dataType}")
+
+  override def createAggregationBuffer(): LongsSketch =
+    new LongsSketch(maxMapSize)
+
+  override def update(buffer: LongsSketch,
+      input: InternalRow): LongsSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: LongsSketch,
+      other: LongsSketch): LongsSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: LongsSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: LongsSketch): Array[Byte] =
+    buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): LongsSketch =
+    FreqItemsExpressions.read(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "items_sketch_agg"
+  override def withNewMutableAggBufferOffset(o: Int): ItemsSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ItemsSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): ItemsSketchAgg = copy(child = newChild)
+}
+
+/** Merge aggregate over stored sketch bytes — the artifact query-time
+  * step; null inputs skip. */
+case class ItemsMergeAgg(child: Expression, maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[LongsSketch]
+    with UnaryLike[Expression] {
+  FreqItemsExpressions.requireMapSize(maxMapSize)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"items_merge_agg: sketch must be BINARY, got ${child.dataType}")
+
+  override def createAggregationBuffer(): LongsSketch =
+    new LongsSketch(maxMapSize)
+
+  override def update(buffer: LongsSketch,
+      input: InternalRow): LongsSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      buffer.merge(FreqItemsExpressions.read(
+        v.asInstanceOf[Array[Byte]]))
+    }
+    buffer
+  }
+
+  override def merge(buffer: LongsSketch,
+      other: LongsSketch): LongsSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: LongsSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: LongsSketch): Array[Byte] =
+    buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): LongsSketch =
+    FreqItemsExpressions.read(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "items_merge_agg"
+  override def withNewMutableAggBufferOffset(o: Int): ItemsMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ItemsMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): ItemsMergeAgg = copy(child = newChild)
+}
+
+/** `frequent_items(sketch, threshold)` — the NO_FALSE_NEGATIVES item
+  * list: array of (item, est, lb, ub). The library CLAMPS the
+  * threshold to `max(threshold, getMaximumError)` (a threshold below
+  * the current error is unanswerable), so the no-miss guarantee is:
+  * every item whose true count exceeds the EFFECTIVE threshold is
+  * present (false positives possible — the gate's job). Callers who
+  * need a caller-chosen threshold honored must pick it above
+  * [[ItemsMaxError]] (the q353 probe gates on exactly that). Null for
+  * a null sketch.
+  */
+case class FreqItemsRows(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"frequent_items: sketch must be BINARY, got ${left.dataType}")
+    else if (right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"frequent_items: threshold must be BIGINT, got " +
+          s"${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", LongType, nullable = false),
+    StructField("est", LongType, nullable = false),
+    StructField("lb", LongType, nullable = false),
+    StructField("ub", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "frequent_items"
+
+  override def nullSafeEval(bytes: Any, threshold: Any): Any = {
+    val sk = FreqItemsExpressions.read(bytes.asInstanceOf[Array[Byte]])
+    val rows = sk.getFrequentItems(threshold.asInstanceOf[Long],
+      ErrorType.NO_FALSE_NEGATIVES)
+    new GenericArrayData(rows.map(r => InternalRow(
+      r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound)))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FreqItemsRows =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `items_stream_length(sketch)` — exact absorbed weight (the
+  * conservation check; merge must sum shard lengths). */
+case class ItemsStreamLength(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"items_stream_length: sketch must be BINARY, got " +
+        s"${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "items_stream_length"
+  override def nullSafeEval(bytes: Any): Any =
+    FreqItemsExpressions.read(bytes.asInstanceOf[Array[Byte]])
+      .getStreamLength
+  override protected def withNewChildInternal(
+      newChild: Expression): ItemsStreamLength = copy(child = newChild)
+}
+
+/** `items_max_error(sketch)` — the current ub−lb bound (0 in exact
+  * mode: fewer active items than the map holds). */
+case class ItemsMaxError(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"items_max_error: sketch must be BINARY, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "items_max_error"
+  override def nullSafeEval(bytes: Any): Any =
+    FreqItemsExpressions.read(bytes.asInstanceOf[Array[Byte]])
+      .getMaximumError
+  override protected def withNewChildInternal(
+      newChild: Expression): ItemsMaxError = copy(child = newChild)
+}

@@ -200,6 +200,60 @@ object Sketches {
     else bitmaps.groupBy(groupCols.map(col): _*).agg(agg)
   }
 
+  // ——— Frequent-items sketches (X349) — the heavy-hitter artifact:
+  // "WHICH values are frequent" in bounded memory, mergeable, with
+  // the deterministic NO_FALSE_NEGATIVES + lb≤true≤ub contracts.
+  // Contracts in [[graft.functions.FreqItemsExpressions]].
+
+  /** Per-group frequent-items sketch of long `itemCol` as binary
+    * `sketch` — ≤ ~0.75·maxMapSize counters per group whatever the
+    * universe; the artifact to persist per shard. */
+  def itemsSketch(df: DataFrame, groupCols: Seq[String],
+      itemCol: Column, maxMapSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val agg = bridge.column(graft.functions.ItemsSketchAgg(
+      bridge.expression(itemCol), maxMapSize)
+      .toAggregateExpression()).as("sketch")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Merge per-shard frequent-items sketch tables back to one sketch
+    * per group — counter addition + deterministic re-purge. */
+  def mergeItemsSketches(sketches: DataFrame, groupCols: Seq[String],
+      maxMapSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val agg = bridge.column(graft.functions.ItemsMergeAgg(
+      bridge.expression(col("sketch")), maxMapSize)
+      .toAggregateExpression()).as("sketch")
+    if (groupCols.isEmpty) sketches.agg(agg)
+    else sketches.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** NO_FALSE_NEGATIVES frequent-item list above `threshold`: array
+    * of (item, est, lb, ub) — a superset of the truly-frequent set,
+    * never a miss. */
+  def frequentItems(sketch: Column, threshold: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.FreqItemsRows(
+      bridge.expression(sketch),
+      bridge.expression(threshold.cast("long"))))
+  }
+
+  /** Exact absorbed weight of a frequent-items sketch. */
+  def itemsStreamLength(sketch: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.ItemsStreamLength(
+      bridge.expression(sketch)))
+  }
+
+  /** Current ub−lb error bound (0 while in exact mode). */
+  def itemsMaxError(sketch: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.ItemsMaxError(
+      bridge.expression(sketch)))
+  }
+
   /** CMS inner product (X346) — the Cormode–Muthukrishnan JOIN-SIZE
     * estimate Σ_k fa(k)·fb(k) from two persisted frequency sketches:
     * always ≥ the true equi-join row count, ≤ true + ε·Nₐ·N_b at the

@@ -223,6 +223,79 @@ class SketchesSpec extends SparkSpec {
       .head.getLong(1) == 2L)
   }
 
+  test("frequent-items sketch: exact mode, NO_FALSE_NEGATIVES + " +
+      "bracket contracts under purging, shard-merge conservation, " +
+      "parquet round trip, determinism") {
+    // exact mode: 5 distinct items in a 64-map → everything exact
+    val small = Seq.fill(30)(1L) ++ Seq.fill(20)(2L) ++
+      Seq.fill(10)(3L) ++ Seq(4L, 5L)
+    val sk0 = Sketches.itemsSketch(small.toDF("v"), Seq.empty,
+      col("v"))
+    val r0 = sk0.select(
+        Sketches.itemsMaxError(col("sketch")).as("e"),
+        Sketches.itemsStreamLength(col("sketch")).as("n"),
+        Sketches.frequentItems(col("sketch"), lit(15L)).as("f"))
+      .head
+    assert(r0.getLong(0) == 0L && r0.getLong(1) == small.size.toLong)
+    val f0 = r0.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f0 == Map(1L -> 30L, 2L -> 20L))
+
+    // estimation mode: 3 fat head keys (~17% of mass each) over a
+    // ~490-key tail, tiny 16-map forces purging; the deterministic
+    // contracts must survive a 3-way shard-merge of stored artifacts
+    val rows = (1L to 20000L).map { i =>
+      val v = (i * 37L) % 1000L
+      val key = if (v < 510L) v % 3L else 100L + v
+      (i % 3, key)
+    }
+    val exact = rows.groupBy(_._2).map { case (k, v) =>
+      k -> v.size.toLong }
+    val n = rows.size.toLong
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-items").toString
+    (0L until 3L).foreach(s =>
+      Sketches.itemsSketch(
+          rows.filter(_._1 == s).map(_._2).toDF("v"), Seq.empty,
+          col("v"), maxMapSize = 16)
+        .write.mode("append").parquet(dir))
+    val merged = Sketches.mergeItemsSketches(
+      spark.read.parquet(dir), Seq.empty, maxMapSize = 16)
+    val thr = (n / 25).toLong
+    val m = merged.select(
+        Sketches.itemsStreamLength(col("sketch")).as("n"),
+        Sketches.itemsMaxError(col("sketch")).as("e"),
+        Sketches.frequentItems(col("sketch"), lit(thr)).as("f"))
+      .head
+    assert(m.getLong(0) == n, "merge must conserve stream length")
+    // the library's own apriori bound: eps(maxMapSize) = 3.5/m
+    val bound = (org.apache.datasketches.frequencies.LongsSketch
+      .getEpsilon(16) * n).toLong
+    assert(m.getLong(1) > 0L && m.getLong(1) <= bound,
+      s"maxError ${m.getLong(1)} out of band ($bound)")
+    val found = m.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val foundItems = found.map(_._1).toSet
+    // the library clamps the threshold to max(threshold, maxError) —
+    // the no-miss guarantee is relative to the EFFECTIVE threshold
+    val effThr = math.max(thr, m.getLong(1))
+    val trulyFrequent = exact.filter(_._2 > effThr).keySet
+    assert(trulyFrequent.nonEmpty, "fixture must have heavy hitters")
+    assert(trulyFrequent.subsetOf(foundItems),
+      s"NO_FALSE_NEGATIVES violated: missing " +
+        s"${trulyFrequent -- foundItems}")
+    found.foreach { case (item, lb, ub) =>
+      val t = exact.getOrElse(item, 0L)
+      assert(lb <= t && t <= ub, s"item $item: true $t not in [$lb, $ub]")
+    }
+    // purge order is deterministic: a rebuild merges to the same bytes
+    val again = Sketches.mergeItemsSketches(
+        spark.read.parquet(dir), Seq.empty, maxMapSize = 16)
+      .select(col("sketch")).head.getAs[Array[Byte]](0)
+    val first = merged.select(col("sketch")).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(first, again))
+  }
+
   test("cms inner product: join-size estimate is one-sided within " +
       "eps*Na*Nb, exact on a single-key fixture, merge-invariant, " +
       "and raises on geometry mismatch") {
