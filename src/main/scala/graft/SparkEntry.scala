@@ -4943,9 +4943,10 @@ object SparkEntry {
           w.partitionBy(col("qid"))
             .orderBy(col("__dp"), col("vec_id"))))
         .filter(col("__r") <= 5).select(col("qid"), col("vec_id"))
-      val inter = topF.join(topP, Seq("qid", "vec_id"))
+      val inter = topF.join(broadcast(topP), Seq("qid", "vec_id"))
         .groupBy(col("qid")).agg(count(lit(1)).as("recall5"))
-      queries.select(col("qid")).join(inter, Seq("qid"), "left")
+      queries.select(col("qid")).join(broadcast(inter), Seq("qid"),
+          "left")
         .select(col("qid"),
           coalesce(col("recall5"), lit(0L)).as("recall5"))
         .orderBy(col("qid"))

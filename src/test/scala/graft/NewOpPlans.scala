@@ -13,7 +13,7 @@ object NewOpPlans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q175_concurrency", "q184_gini", "q179_ecdf", "q186_hampel", "q183_proximity", "q176_inverted")) {
+    for (q <- Seq("q344_theta_intersect", "q346_mantel_haenszel", "q349_join_size", "q351_bitmap_distinct", "q353_heavy_hitters_artifact")) {
       println(s"==== $q ====")
       val df = SparkEntry.queries(q)(spark, dir)
       println(df.queryExecution.executedPlan.toString

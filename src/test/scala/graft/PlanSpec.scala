@@ -457,6 +457,40 @@ class PlanSpec extends SparkSpec {
       s"tokenEditPairs must verify at candidate grain:\n${ted.take(2500)}")
   }
 
+  test("round-14 sketch/probe plans: cross joins are 1-row scalar " +
+      "attachments only, sketch tiers collapse at agg grains, " +
+      "bitmap path is join-free") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(q: String): String =
+      SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+    // theta: three gate scalars attach by broadcast; no cartesian,
+    // no sort-merge — the data side never joins at row grain
+    val p344 = plan("q344_theta_intersect")
+    assert(!p344.contains("CartesianProduct") &&
+      !p344.contains("SortMergeJoin") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(p344).length <= 4, p344.take(2000))
+    // MH: three broadcast dims/agg joins, stratum rollup — no SMJ
+    val p346 = plan("q346_mantel_haenszel")
+    assert("BroadcastHashJoin".r.findAllIn(p346).length == 3 &&
+      !p346.contains("SortMergeJoin"), p346.take(2000))
+    // join-size: key-grain count join broadcasts; scalars attach 1×1
+    val p349 = plan("q349_join_size")
+    assert(!p349.contains("SortMergeJoin") &&
+      !p349.contains("CartesianProduct"), p349.take(2000))
+    // bitmap distinct: pure agg chain, never a join
+    val p351 = plan("q351_bitmap_distinct")
+    assert(!p351.contains("Join"), p351.take(2000))
+    // heavy hitters: ONE broadcast join (found items → exact counts)
+    val p353 = plan("q353_heavy_hitters_artifact")
+    assert("BroadcastHashJoin".r.findAllIn(p353).length == 1 &&
+      !p353.contains("SortMergeJoin"), p353.take(2000))
+    // JL recall: windows + broadcast query attach — no SMJ/cartesian
+    val p352 = plan("q352_jl_recall")
+    assert(!p352.contains("SortMergeJoin") &&
+      !p352.contains("CartesianProduct"), p352.take(2000))
+  }
+
   test("q345 executes its 8-term blocklist as ONE phrase_match_any " +
       "pass (ContainsOrRewrite fired), filter still above the scan") {
     val sf = java.nio.file.Files
