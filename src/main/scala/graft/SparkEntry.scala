@@ -4993,6 +4993,54 @@ object SparkEntry {
         .select(col("__key").as("key"), col("exact_n"))
         .orderBy(col("key"))
     },
+
+    // X350 — tuple sketch set algebra with summaries: "how much did
+    // the users who did BOTH spend on clicks?" from per-shard
+    // artifacts — theta answers WHO, this answers HOW MUCH. Gate:
+    // all three sketches in exact mode (θ = 1 — 1.5k users ≪ 4096
+    // nominal) and the sketch count AND sum equal to the exact
+    // pivot's; only exact values emitted.
+    "q354_tuple_spend" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_type"), col("user_id"),
+          (dec(col("value")) * 100).cast("long").cast("double")
+            .as("__cents"))
+      val sharded = ev.withColumn("__shard",
+        pmod(hash(col("user_id")), lit(8)))
+      val perType = Sketches.mergeTupleSketches(
+        Sketches.tupleSketch(sharded, Seq("event_type", "__shard"),
+          col("user_id"), col("__cents")),
+        Seq("event_type"))
+      val stats = perType.groupBy()
+        .agg(max(when(col("event_type") === "click", col("sketch")))
+            .as("__sa"),
+          max(when(col("event_type") === "purchase", col("sketch")))
+            .as("__sb"))
+        .select(Sketches.tupleTheta(col("__sa")).as("__ta"),
+          Sketches.tupleTheta(col("__sb")).as("__tb"),
+          Sketches.tupleIntersectLeft(col("__sa"), col("__sb"))
+            .as("__i"))
+        .select(col("__ta"), col("__tb"),
+          Sketches.tupleTheta(col("__i")).as("__ti"),
+          Sketches.tupleEstimate(col("__i")).as("__n"),
+          Sketches.tupleValueSum(col("__i")).as("__s"))
+      val exact = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", col("__cents")))
+            .as("__c"),
+          max(when(col("event_type") === "purchase", 1L)).as("__p"))
+        .filter(col("__c").isNotNull && col("__p") === 1L)
+        .agg(count(lit(1)).as("n_both"),
+          sum(col("__c")).cast("long").as("both_click_cents"))
+      exact.crossJoin(broadcast(stats))
+        .where(col("__ta") === 1.0 && col("__tb") === 1.0 &&
+          col("__ti") === 1.0 &&
+          col("__n") === col("n_both").cast("double") &&
+          col("__s") === col("both_click_cents").cast("double"))
+        .select(col("n_both"), col("both_click_cents"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15394,6 +15442,27 @@ object SparkEntry {
         |FROM c, t
         |WHERE c.exact_n > (t.n * 15) // 100
         |ORDER BY c.key""".stripMargin,
+
+    // the exact both-users click total; the θ=1 + equality gates live
+    // on the Spark side
+    "q354_tuple_spend" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL AND NOT isnan(value)
+        |), u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN cents END) AS c,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS p
+        |  FROM e GROUP BY user_id
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_both,
+        |  CAST(sum(c) AS BIGINT) AS both_click_cents
+        |FROM u WHERE c IS NOT NULL AND p = 1""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

@@ -1,0 +1,269 @@
+package graft.functions
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.tuple.arrayofdoubles.{ArrayOfDoublesCombiner, ArrayOfDoublesSetOperationBuilder, ArrayOfDoublesSketch, ArrayOfDoublesSketches, ArrayOfDoublesUnion, ArrayOfDoublesUpdatableSketch, ArrayOfDoublesUpdatableSketchBuilder}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
+
+/** Mergeable TUPLE sketches (X350) — the distinct-KEYED-summary
+  * artifact: theta (X340) answers set questions about WHO ("how many
+  * users did both?"); a tuple sketch carries a numeric summary per
+  * retained key, so the same artifact answers set questions about
+  * HOW MUCH — "total click spend of the users who ALSO purchased",
+  * from persisted per-shard sketches, no user-grain join or rescan.
+  * Wraps the public DataSketches ArrayOfDoubles tuple family
+  * (numberOfValues = 1): update(key, value) ADDS into the key's
+  * summary, union adds summaries of common keys, intersection keeps
+  * common keys with a caller-chosen combiner. Updates are
+  * seed-deterministic (theta discipline — no coin flips).
+  *
+  * Exactness contract: while retained entries ≤ nominal (θ = 1,
+  * exact mode) the retained set IS the key set, so `tuple_value_sum`
+  * equals the exact per-distinct-key total and the intersection is
+  * exact set algebra — probes gate on θ = 1 and emit exact values
+  * (the q85 discipline). Beyond exact mode the standard tuple
+  * estimators apply (sum/θ unbiased; estimate/bounds as theta).
+  * Summaries should be INTEGER-valued doubles (e.g. cents) — exact
+  * to 2⁵³.
+  */
+object TupleExpressions {
+  def requireLgK(lgK: Int): Unit =
+    require(lgK >= 4 && lgK <= 26, s"tuple lgK must be in [4, 26]: $lgK")
+
+  private[functions] def newSketch(lgK: Int): ArrayOfDoublesUpdatableSketch =
+    new ArrayOfDoublesUpdatableSketchBuilder()
+      .setNominalEntries(1 << lgK).setNumberOfValues(1).build()
+
+  private[functions] def newUnion(lgK: Int): ArrayOfDoublesUnion =
+    new ArrayOfDoublesSetOperationBuilder()
+      .setNominalEntries(1 << lgK).setNumberOfValues(1).buildUnion()
+
+  private[functions] def read(bytes: Array[Byte]): ArrayOfDoublesSketch =
+    ArrayOfDoublesSketches.heapifySketch(Memory.wrap(bytes))
+
+  /** Aggregation buffer: raw updates land in an updatable sketch;
+    * partial/stored sketches accumulate in a lazily-created union;
+    * `result` folds both. Lifecycle-safe: updates only precede the
+    * first serialize, merges only follow deserialize.
+    */
+  final class Buf(val lgK: Int) {
+    val upd: ArrayOfDoublesUpdatableSketch = newSketch(lgK)
+    var uni: ArrayOfDoublesUnion = _
+    def absorb(sk: ArrayOfDoublesSketch): Unit = {
+      if (uni == null) uni = newUnion(lgK)
+      uni.union(sk)
+    }
+    def result(): ArrayOfDoublesSketch =
+      if (uni == null) upd.compact()
+      else { uni.union(upd.compact()); uni.getResult }
+  }
+}
+
+/** Per-group tuple build aggregate: (long key, double value) in,
+  * compact sketch bytes out; a re-observed key ADDS into its summary.
+  * Null key or value skips. */
+case class TupleSketchAgg(left: Expression, right: Expression,
+    lgK: Int, mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TupleExpressions.Buf]
+    with BinaryLike[Expression] {
+  TupleExpressions.requireLgK(lgK)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"tuple_sketch_agg: key must be BIGINT, got ${left.dataType}")
+    else if (right.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"tuple_sketch_agg: value must be DOUBLE, got " +
+          s"${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): TupleExpressions.Buf =
+    new TupleExpressions.Buf(lgK)
+
+  override def update(buffer: TupleExpressions.Buf,
+      input: InternalRow): TupleExpressions.Buf = {
+    val k = left.eval(input)
+    val v = right.eval(input)
+    if (k != null && v != null) {
+      val d = v.asInstanceOf[Double]
+      if (!java.lang.Double.isNaN(d)) {
+        buffer.upd.update(k.asInstanceOf[Long], Array(d))
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: TupleExpressions.Buf,
+      other: TupleExpressions.Buf): TupleExpressions.Buf = {
+    buffer.absorb(other.result())
+    buffer
+  }
+
+  override def eval(buffer: TupleExpressions.Buf): Any =
+    buffer.result().toByteArray
+
+  override def serialize(buffer: TupleExpressions.Buf): Array[Byte] =
+    buffer.result().toByteArray
+  override def deserialize(bytes: Array[Byte]): TupleExpressions.Buf = {
+    val buf = new TupleExpressions.Buf(lgK)
+    buf.absorb(TupleExpressions.read(bytes))
+    buf
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "tuple_sketch_agg"
+  override def withNewMutableAggBufferOffset(o: Int): TupleSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TupleSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): TupleSketchAgg =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Union aggregate over stored tuple sketch bytes — common keys'
+  * summaries ADD. Null inputs skip. */
+case class TupleMergeAgg(child: Expression, lgK: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TupleExpressions.Buf]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  TupleExpressions.requireLgK(lgK)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tuple_merge_agg: sketch must be BINARY, got ${child.dataType}")
+
+  override def createAggregationBuffer(): TupleExpressions.Buf =
+    new TupleExpressions.Buf(lgK)
+
+  override def update(buffer: TupleExpressions.Buf,
+      input: InternalRow): TupleExpressions.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      buffer.absorb(TupleExpressions.read(v.asInstanceOf[Array[Byte]]))
+    }
+    buffer
+  }
+
+  override def merge(buffer: TupleExpressions.Buf,
+      other: TupleExpressions.Buf): TupleExpressions.Buf = {
+    buffer.absorb(other.result())
+    buffer
+  }
+
+  override def eval(buffer: TupleExpressions.Buf): Any =
+    buffer.result().toByteArray
+
+  override def serialize(buffer: TupleExpressions.Buf): Array[Byte] =
+    buffer.result().toByteArray
+  override def deserialize(bytes: Array[Byte]): TupleExpressions.Buf = {
+    val buf = new TupleExpressions.Buf(lgK)
+    buf.absorb(TupleExpressions.read(bytes))
+    buf
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "tuple_merge_agg"
+  override def withNewMutableAggBufferOffset(o: Int): TupleMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TupleMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(
+      newChild: Expression): TupleMergeAgg = copy(child = newChild)
+}
+
+/** `tuple_intersect_left(a, b)` — sketch of keys in BOTH, each
+  * keeping its summary from A ("A-side spend of the users who also
+  * appear in B"). Null if either side is null. */
+case class TupleIntersectLeft(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tuple_intersect_left: both sides must be BINARY, got " +
+        s"${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "tuple_intersect_left"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val inter = new ArrayOfDoublesSetOperationBuilder()
+      .setNumberOfValues(1).buildIntersection()
+    val keepA: ArrayOfDoublesCombiner = (sa, _) => sa
+    inter.intersect(TupleExpressions.read(a.asInstanceOf[Array[Byte]]),
+      keepA)
+    inter.intersect(TupleExpressions.read(b.asInstanceOf[Array[Byte]]),
+      keepA)
+    inter.getResult.toByteArray
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TupleIntersectLeft =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `tuple_value_sum(sketch)` — the unbiased total of summary column 0
+  * over the sketched key population: Σ retained summaries / θ (the
+  * EXACT per-distinct-key total while θ = 1). Null for null input. */
+case class TupleValueSum(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tuple_value_sum: sketch must be BINARY, got ${child.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "tuple_value_sum"
+  override def nullSafeEval(bytes: Any): Any = {
+    val sk = TupleExpressions.read(bytes.asInstanceOf[Array[Byte]])
+    var s = 0.0
+    val it = sk.iterator()
+    while (it.next()) s += it.getValues()(0)
+    s / sk.getTheta
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): TupleValueSum = copy(child = newChild)
+}
+
+/** `tuple_estimate(sketch)` — distinct-key estimate (exact at θ=1). */
+case class TupleEstimate(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tuple_estimate: sketch must be BINARY, got ${child.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "tuple_estimate"
+  override def nullSafeEval(bytes: Any): Any =
+    TupleExpressions.read(bytes.asInstanceOf[Array[Byte]]).getEstimate
+  override protected def withNewChildInternal(
+      newChild: Expression): TupleEstimate = copy(child = newChild)
+}
+
+/** `tuple_theta(sketch)` — the sampling threshold (1.0 ⇔ exact mode;
+  * the gate probes assert before trusting exact semantics). */
+case class TupleTheta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tuple_theta: sketch must be BINARY, got ${child.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "tuple_theta"
+  override def nullSafeEval(bytes: Any): Any =
+    TupleExpressions.read(bytes.asInstanceOf[Array[Byte]]).getTheta
+  override protected def withNewChildInternal(
+      newChild: Expression): TupleTheta = copy(child = newChild)
+}

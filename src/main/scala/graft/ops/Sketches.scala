@@ -254,6 +254,68 @@ object Sketches {
       bridge.expression(sketch)))
   }
 
+  // ——— Tuple sketches (X350) — distinct-KEYED summaries: theta says
+  // how many users did both; this says HOW MUCH those users spent,
+  // from the same persisted-artifact discipline. Contracts in
+  // [[graft.functions.TupleExpressions]].
+
+  /** Per-group tuple sketch of (long `keyCol` → summed double
+    * `valueCol`) as binary `sketch` — the distinct-keyed-summary
+    * artifact to persist per shard. */
+  def tupleSketch(df: DataFrame, groupCols: Seq[String],
+      keyCol: Column, valueCol: Column, lgK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val agg = bridge.column(graft.functions.TupleSketchAgg(
+      bridge.expression(keyCol),
+      bridge.expression(valueCol.cast("double")), lgK)
+      .toAggregateExpression()).as("sketch")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Union per-shard tuple sketch tables (common keys' summaries
+    * ADD) back to one sketch per group. */
+  def mergeTupleSketches(sketches: DataFrame, groupCols: Seq[String],
+      lgK: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val agg = bridge.column(graft.functions.TupleMergeAgg(
+      bridge.expression(col("sketch")), lgK)
+      .toAggregateExpression()).as("sketch")
+    if (groupCols.isEmpty) sketches.agg(agg)
+    else sketches.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Keys in BOTH sketches, summaries kept from the LEFT ("A-side
+    * spend of the users who also appear in B"). */
+  def tupleIntersectLeft(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.TupleIntersectLeft(
+      bridge.expression(a), bridge.expression(b)))
+  }
+
+  /** Unbiased total of the summary over the sketched population
+    * (EXACT while θ = 1). */
+  def tupleValueSum(sketch: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.TupleValueSum(
+      bridge.expression(sketch)))
+  }
+
+  /** Distinct-key estimate of a tuple sketch (exact at θ = 1). */
+  def tupleEstimate(sketch: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.TupleEstimate(
+      bridge.expression(sketch)))
+  }
+
+  /** The sketch's sampling threshold θ (1.0 ⇔ exact mode — gate
+    * before trusting exact semantics). */
+  def tupleTheta(sketch: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.TupleTheta(
+      bridge.expression(sketch)))
+  }
+
   /** CMS inner product (X346) — the Cormode–Muthukrishnan JOIN-SIZE
     * estimate Σ_k fa(k)·fb(k) from two persisted frequency sketches:
     * always ≥ the true equi-join row count, ≤ true + ε·Nₐ·N_b at the

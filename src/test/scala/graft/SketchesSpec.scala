@@ -296,6 +296,57 @@ class SketchesSpec extends SparkSpec {
     assert(java.util.Arrays.equals(first, again))
   }
 
+  test("tuple sketch: exact-mode sums per distinct key, shard-merge " +
+      "adds common keys' summaries, left-intersection answers " +
+      "'A-spend of keys also in B', parquet round trip") {
+    // A: key k appears k times with value 10k → summary(k) = 10k²
+    val a = (1L to 50L).flatMap(k => Seq.fill(k.toInt)((k, k * 10.0)))
+    val skA = Sketches.tupleSketch(a.toDF("k", "v"), Seq.empty,
+      col("k"), col("v"))
+    val rA = skA.select(Sketches.tupleTheta(col("sketch")).as("t"),
+        Sketches.tupleEstimate(col("sketch")).as("e"),
+        Sketches.tupleValueSum(col("sketch")).as("s"))
+      .head
+    assert(rA.getDouble(0) == 1.0 && rA.getDouble(1) == 50.0)
+    val exactA = (1L to 50L).map(k => 10.0 * k * k).sum
+    assert(rA.getDouble(2) == exactA)
+
+    // shard-merge via parquet: summaries of common keys ADD
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tuple").toString
+    (0 until 2).foreach(s =>
+      Sketches.tupleSketch(
+          a.zipWithIndex.filter(_._2 % 2 == s).map(_._1)
+            .toDF("k", "v"), Seq.empty, col("k"), col("v"))
+        .write.mode("append").parquet(dir))
+    val merged = Sketches.mergeTupleSketches(
+      spark.read.parquet(dir), Seq.empty)
+    assert(merged.select(Sketches.tupleValueSum(col("sketch")))
+      .head.getDouble(0) == exactA, "merge must conserve the total")
+
+    // left-intersection: B = keys 40..80; A∩B = 40..50, A-side sums
+    val b = (40L to 80L).map(k => (k, 1.0))
+    val skB = Sketches.tupleSketch(b.toDF("k", "v"), Seq.empty,
+      col("k"), col("v"))
+    val both = skA.crossJoin(skB.withColumnRenamed("sketch", "s2"))
+      .select(Sketches.tupleIntersectLeft(col("sketch"), col("s2"))
+        .as("i"))
+      .select(Sketches.tupleEstimate(col("i")).as("n"),
+        Sketches.tupleValueSum(col("i")).as("s"))
+      .head
+    assert(both.getDouble(0) == 11.0)
+    assert(both.getDouble(1) == (40L to 50L).map(k => 10.0 * k * k).sum)
+
+    // null / NaN updates skip
+    val withBad = Seq((Some(1L), Some(5.0)), (None, Some(9.0)),
+      (Some(2L), None), (Some(3L), Some(Double.NaN)))
+      .toDF("k", "v")
+    val skBad = Sketches.tupleSketch(withBad, Seq.empty, col("k"),
+      col("v"))
+    assert(skBad.select(Sketches.tupleEstimate(col("sketch")))
+      .head.getDouble(0) == 1.0)
+  }
+
   test("cms inner product: join-size estimate is one-sided within " +
       "eps*Na*Nb, exact on a single-key fixture, merge-invariant, " +
       "and raises on geometry mismatch") {
