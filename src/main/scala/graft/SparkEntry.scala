@@ -5041,6 +5041,35 @@ object SparkEntry {
           col("__s") === col("both_click_cents").cast("double"))
         .select(col("n_both"), col("both_click_cents"))
     },
+
+    // Composition — EXACT audience overlap from X348 bitmap
+    // artifacts: |A∩B| = |A| + |B| − |A∪B| where every term is an
+    // exact popcount over OR-merged bitmaps (the error-free
+    // counterpart of q344's theta estimates; inclusion–exclusion is
+    // SAFE here because nothing is approximate). No gate needed.
+    "q355_bitmap_overlap" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("user_id"))
+      val perType = Sketches.bitmapDistinct(ev, Seq("event_type"),
+        col("user_id"))
+      val counts = Sketches.bitmapDistinctCount(perType,
+          Seq("event_type"))
+        .groupBy()
+        .agg(max(when(col("event_type") === "click",
+            col("n_distinct"))).as("n_click"),
+          max(when(col("event_type") === "purchase",
+            col("n_distinct"))).as("n_purchase"))
+      val union = Sketches.bitmapDistinctCount(
+          Sketches.mergeBitmaps(perType.drop("event_type"), Seq.empty),
+          Seq.empty)
+        .select(col("n_distinct").as("n_union"))
+      counts.crossJoin(broadcast(union))
+        .select(col("n_click"), col("n_purchase"), col("n_union"),
+          (col("n_click") + col("n_purchase") - col("n_union"))
+            .as("n_intersect"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15463,6 +15492,25 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_both,
         |  CAST(sum(c) AS BIGINT) AS both_click_cents
         |FROM u WHERE c IS NOT NULL AND p = 1""".stripMargin,
+
+    "q355_bitmap_overlap" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS c,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS p
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY user_id
+        |)
+        |SELECT CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT)
+        |    AS n_click,
+        |  CAST(count(CASE WHEN p = 1 THEN 1 END) AS BIGINT)
+        |    AS n_purchase,
+        |  CAST(count(*) AS BIGINT) AS n_union,
+        |  CAST(count(CASE WHEN c = 1 AND p = 1 THEN 1 END) AS BIGINT)
+        |    AS n_intersect
+        |FROM u""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to
