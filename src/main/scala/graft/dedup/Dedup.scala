@@ -1148,4 +1148,53 @@ object Dedup {
           graft.functions.Exact.longDiv(col("edit_tokens") * 1000000L,
             greatest(col("n_a"), col("n_b")))))
   }
+
+  /** Normalized compression distance (X351) over candidate pairs —
+    * the parameter-free near-dup verify (Cilibrasi–Vitányi): with
+    * C(x) the DEFLATE byte size ([[graft.functions.DeflateSize]],
+    * level 6, deterministic),
+    *
+    *   ncd_ppm = ⌊10⁶ · (C(a‖b) − min(C(a), C(b)))
+    *                  / max(C(a), C(b))⌋
+    *
+    * ~0 for near-identical texts (the shared content compresses
+    * away), → 10⁶ for unrelated ones — no tokenizer, no shingle
+    * width, no threshold family to tune, which is why it's the
+    * cross-check verify tier next to token edit distance (X331):
+    * the two fail differently (NCD sees REORDERED duplication that
+    * banded edit distance rejects). All-integer arithmetic; not
+    * symmetric in general (deflate isn't), so callers wanting a
+    * symmetric score order the pair deterministically first.
+    *
+    * Unresolvable candidates (missing id or null text) surface with
+    * null sizes/ncd rather than vanishing — the tokenEditPairs
+    * left-join rule. Scale shape: candidate-grain hash joins + a
+    * per-row codec kernel; cost is O(len) per pair at the documented
+    * candidate grain, never corpus × corpus.
+    */
+  def ncdPairs(df: DataFrame, textCol: String, idCol: String,
+      candidates: DataFrame, level: Int = 6): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    def dsize(c: Column): Column =
+      bridge.column(graft.functions.DeflateSize(
+        bridge.expression(c), level)).cast("long")
+    val docs = df.select(col(idCol), col(textCol))
+    val a = docs.select(col(idCol).as("id_a"),
+      col(textCol).as("__ta"))
+    val b = docs.select(col(idCol).as("id_b"),
+      col(textCol).as("__tb"))
+    candidates.select(col("id_a"), col("id_b"))
+      .join(a, Seq("id_a"), "left")
+      .join(b, Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        dsize(col("__ta")).as("c_a"),
+        dsize(col("__tb")).as("c_b"),
+        dsize(concat(col("__ta"), col("__tb"))).as("c_ab"))
+      .withColumn("ncd_ppm",
+        when(col("c_ab").isNotNull &&
+          greatest(col("c_a"), col("c_b")) > 0L,
+          graft.functions.Exact.longDiv(
+            (col("c_ab") - least(col("c_a"), col("c_b"))) * 1000000L,
+            greatest(col("c_a"), col("c_b")))))
+  }
 }

@@ -492,4 +492,37 @@ class DedupSpec extends SparkSpec {
     assert(b0((1L, 2L)) == ((None, None))) // length gap > 0
     assert(b0((1L, 3L)) == ((None, None))) // distance 1 > band 0
   }
+
+  test("ncdPairs (X351): near-identical pairs score near 0, " +
+      "unrelated pairs near 1e6, reordered duplication caught, " +
+      "unresolvable candidates surface as null") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def randText(n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val base = randText(2000)
+    val shuffledHalves = base.substring(1000) + base.substring(0, 1000)
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                       // identical
+      (3L, shuffledHalves),             // same content, reordered
+      (4L, randText(2000)),             // unrelated, same length
+      (5L, null: String)).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 9L))
+      .toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup.ncdPairs(docs, "text", "doc_id", cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.get(5)).map(_.asInstanceOf[Long])).toMap
+    val same = got((1L, 2L)).get
+    val reord = got((1L, 3L)).get
+    val unrel = got((1L, 4L)).get
+    assert(same < 100000L, s"identical pair must be near 0: $same")
+    assert(reord < 500000L,
+      s"reordered duplication must stay well below unrelated: $reord")
+    assert(unrel > 800000L, s"unrelated pair must be near 1e6: $unrel")
+    assert(same < reord && reord < unrel)
+    // null text and missing id surface, never vanish
+    assert(got.contains((1L, 5L)) && got((1L, 5L)).isEmpty)
+    assert(got.contains((1L, 9L)) && got((1L, 9L)).isEmpty)
+  }
 }
