@@ -103,5 +103,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.graft.rewriteLevenshteinThreshold=false disables)
     ext.injectOptimizerRule(_ =>
       graft.plans.LevenshteinThresholdRewrite)
+    // size(array_intersect) comparisons → early-exit arrays_overlap
+    // (graft.plans.ArrayOverlapRewrite — null-element guard inside;
+    // spark.graft.rewriteArrayOverlap=false disables)
+    ext.injectOptimizerRule(_ => graft.plans.ArrayOverlapRewrite)
   }
 }

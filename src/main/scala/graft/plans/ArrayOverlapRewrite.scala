@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, ArrayIntersect, ArraysOverlap, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Not, PredicateHelper, Size}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+/** Rewrites `size(array_intersect(a, b)) > 0` (and its =0 / >=1 / <=0
+  * / <1 / literal-mirrored forms) into `arrays_overlap(a, b)` — the
+  * tag-matching predicate as it should execute: one hash-set probe
+  * with an early exit on the first common element, instead of
+  * materializing the whole intersection array and then counting it.
+  *
+  * Null-element semantics differ between the two forms:
+  * `array_intersect([null],[null])` is `[null]` (size 1, predicate
+  * TRUE) while `arrays_overlap` reports NULL for a null-only match —
+  * and with a null element on just one side the intersect form says
+  * FALSE where overlap says NULL. So the rewrite fires at two tiers:
+  *
+  *   - **everywhere** (projections included) when BOTH element types
+  *     carry `containsNull = false` — the forms are then identical;
+  *   - **inside Filter/Join conditions** for the POSITIVE forms
+  *     (> 0, >= 1) even with nullable elements: a filter treats FALSE
+  *     and NULL identically, and the positive forms only disagree
+  *     between those two. (Parquet widens array elements to nullable
+  *     on the round trip, so without this tier the rule would almost
+  *     never fire on real tables.) The NEGATED forms (= 0, <= 0, < 1
+  *     → `NOT overlap`) can flip FALSE to TRUE, so they always demand
+  *     the containsNull guard.
+  *
+  * A null ARRAY input agrees in both forms; the legacy
+  * `size(null) = -1` mode changes the algebra, so only non-legacy
+  * Size nodes rewrite. Disable with
+  * `spark.graft.rewriteArrayOverlap=false`.
+  */
+object ArrayOverlapRewrite extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  /** size(array_intersect(a, b)) with modern null-size semantics. */
+  private object SizeOfIntersect {
+    def unapply(e: Expression): Option[(Expression, Expression)] =
+      e match {
+        case Size(ArrayIntersect(a, b), false) => Some((a, b))
+        case _ => None
+      }
+  }
+
+  private def noNullElements(e: Expression): Boolean =
+    e.dataType match {
+      case ArrayType(_, containsNull) => !containsNull
+      case _ => false
+    }
+
+  /** Positive (overlap) forms; safe under filter semantics. */
+  private def positive(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case GreaterThan(SizeOfIntersect(a, b),
+        Literal(0, IntegerType)) => Some((a, b))
+      case GreaterThanOrEqual(SizeOfIntersect(a, b),
+        Literal(1, IntegerType)) => Some((a, b))
+      case LessThan(Literal(0, IntegerType),
+        SizeOfIntersect(a, b)) => Some((a, b))
+      case LessThanOrEqual(Literal(1, IntegerType),
+        SizeOfIntersect(a, b)) => Some((a, b))
+      case _ => None
+    }
+
+  /** Negated (no-overlap) forms; need the null-element guard. */
+  private def negative(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case EqualTo(SizeOfIntersect(a, b),
+        Literal(0, IntegerType)) => Some((a, b))
+      case EqualTo(Literal(0, IntegerType),
+        SizeOfIntersect(a, b)) => Some((a, b))
+      case LessThanOrEqual(SizeOfIntersect(a, b),
+        Literal(0, IntegerType)) => Some((a, b))
+      case LessThan(SizeOfIntersect(a, b),
+        Literal(1, IntegerType)) => Some((a, b))
+      case GreaterThanOrEqual(Literal(0, IntegerType),
+        SizeOfIntersect(a, b)) => Some((a, b))
+      case GreaterThan(Literal(1, IntegerType),
+        SizeOfIntersect(a, b)) => Some((a, b))
+      case _ => None
+    }
+
+  /** Strict tier: both polarities, both sides null-element-free. */
+  private def strict(e: Expression): Expression = e.transformUp {
+    case p if positive(p).exists { case (a, b) =>
+        noNullElements(a) && noNullElements(b) } =>
+      val (a, b) = positive(p).get
+      ArraysOverlap(a, b)
+    case p if negative(p).exists { case (a, b) =>
+        noNullElements(a) && noNullElements(b) } =>
+      val (a, b) = negative(p).get
+      Not(ArraysOverlap(a, b))
+  }
+
+  /** Filter tier: positive forms fire regardless of element
+    * nullability — FALSE ≡ NULL under a condition. Applied per
+    * conjunct so unrelated predicates pass through `strict`. */
+  private def condition(e: Expression): Expression =
+    splitConjunctivePredicates(e).map { c =>
+      positive(c) match {
+        case Some((a, b)) => ArraysOverlap(a, b)
+        case None => strict(c)
+      }
+    }.reduceLeft(And(_, _))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.rewriteArrayOverlap", "true")
+        .toBoolean) plan
+    else {
+      val conditioned = plan.transform {
+        case f @ Filter(cond, _) =>
+          f.copy(condition = condition(cond))
+        case j: Join if j.condition.isDefined =>
+          j.copy(condition = j.condition.map(condition))
+      }
+      conditioned.transformAllExpressions {
+        case e if positive(e).isDefined || negative(e).isDefined =>
+          strict(e)
+      }
+    }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X352 — the size(array_intersect) → arrays_overlap optimizer rule
+  * ([[graft.plans.ArrayOverlapRewrite]]): strict tier everywhere on
+  * null-element-free arrays, filter tier for positive forms on
+  * anything (FALSE ≡ NULL under a condition).
+  */
+class ArrayOverlapRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  // parquet widens elements to nullable — exactly the real-table case
+  private lazy val docs = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-overlap").toString
+    Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(3L, 4L)), (3L, Seq(9L)),
+      (4L, Seq.empty[Long]))
+      .toDF("id", "tags").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+  // containsNull=false via a non-null lambda
+  private def solid = docs.select(col("id"),
+    transform(col("tags"), t => coalesce(t, lit(0L))).as("tags"))
+
+  private def fired(df: DataFrame): Boolean = {
+    val p = df.queryExecution.optimizedPlan.toString
+    p.contains("arrays_overlap") && !p.contains("array_intersect")
+  }
+
+  test("filter tier: positive forms fire on parquet's NULLABLE " +
+      "elements (FALSE = NULL under a condition), results identical") {
+    val probe = array(lit(2L), lit(4L))
+    val pos = Seq[DataFrame => DataFrame](
+      _.filter(size(array_intersect(col("tags"), probe)) > 0),
+      _.filter(size(array_intersect(col("tags"), probe)) >= 1),
+      _.filter(lit(0) < size(array_intersect(col("tags"), probe))),
+      _.filter(lit(1) <= size(array_intersect(col("tags"), probe))))
+    pos.foreach { mk =>
+      val df = mk(docs)
+      assert(fired(df), df.queryExecution.optimizedPlan.toString)
+      assert(df.select("id").as[Long].collect().sorted
+        .sameElements(Array(1L, 2L)))
+    }
+    // mixed conjunct: the other predicate survives next to the rewrite
+    val mixed = docs.filter(
+      size(array_intersect(col("tags"), probe)) > 0 && col("id") < 2L)
+    assert(fired(mixed))
+    assert(mixed.select("id").as[Long].collect()
+      .sameElements(Array(1L)))
+  }
+
+  test("negated forms demand the null-element guard: blocked on " +
+      "nullable elements, fire on solid ones — everywhere") {
+    val probe = array(lit(2L), lit(4L))
+    val negNullable = docs.filter(
+      size(array_intersect(col("tags"), probe)) === 0)
+    assert(!fired(negNullable),
+      negNullable.queryExecution.optimizedPlan.toString)
+    val negSolid = solid.filter(
+      size(array_intersect(col("tags"), probe)) === 0)
+    assert(fired(negSolid),
+      negSolid.queryExecution.optimizedPlan.toString)
+    assert(negSolid.select("id").as[Long].collect().sorted
+      .sameElements(Array(3L, 4L)))
+    // projection context: nullable blocks even the positive form
+    // (FALSE vs NULL is visible there), solid rewrites it
+    val projNullable = docs.select(
+      (size(array_intersect(col("tags"), probe)) > 0).as("p"))
+    assert(!fired(projNullable))
+    val projSolid = solid.select(
+      (size(array_intersect(col("tags"), probe)) > 0).as("p"))
+    assert(fired(projSolid))
+  }
+
+  test("no rewrite on non-boundary literals or with the conf off; " +
+      "the null-element semantics gap is real") {
+    val two = docs.filter(
+      size(array_intersect(col("tags"), array(lit(2L), lit(3L)))) > 1)
+    assert(!fired(two))
+    assert(two.select("id").as[Long].collect().sameElements(Array(1L)))
+    spark.conf.set("spark.graft.rewriteArrayOverlap", "false")
+    try {
+      val off = docs.filter(
+        size(array_intersect(col("tags"), array(lit(2L)))) > 0)
+      assert(!off.queryExecution.optimizedPlan.toString
+        .contains("arrays_overlap"))
+    } finally spark.conf.unset("spark.graft.rewriteArrayOverlap")
+    // the gap the guard exists for: null-only "overlap"
+    val a = Seq(Seq(Option.empty[Long])).toDF("x")
+    val viaIntersect = a.select(
+      (size(array_intersect(col("x"), col("x"))) > 0).as("p")).head
+    val viaOverlap = a.select(
+      arrays_overlap(col("x"), col("x")).as("p")).head
+    assert(!viaIntersect.isNullAt(0) && viaIntersect.getBoolean(0))
+    assert(viaOverlap.isNullAt(0))
+  }
+}
