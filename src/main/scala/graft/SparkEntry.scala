@@ -5070,6 +5070,15 @@ object SparkEntry {
           (col("n_click") + col("n_purchase") - col("n_union"))
             .as("n_intersect"))
     },
+
+    // X353 — Cochran–Armitage trend: does the finished-order rate
+    // move monotonically with the priority class (1-URGENT … 5-LOW)?
+    // Ordered-dose counterpart of chi-square/CMH; exact signed ppm.
+    "q356_trend_test" -> { (s, dir) =>
+      graft.ops.Features.cochranArmitage(t(s, dir, "orders"), Seq(),
+        substring(col("o_orderpriority"), 1, 1).cast("long"),
+        col("o_orderstatus") === "F")
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15511,6 +15520,33 @@ object SparkEntry {
         |  CAST(count(CASE WHEN c = 1 AND p = 1 THEN 1 END) AS BIGINT)
         |    AS n_intersect
         |FROM u""".stripMargin,
+
+    // the raw CA identity in HUGEINT floor-div, degenerate lanes as
+    // the three factor checks
+    "q356_trend_test" ->
+      """WITH cells AS (
+        |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS a
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_categories,
+        |    sum(n) AS nn, sum(a) AS aa,
+        |    sum(s * n) AS sn, sum(s * s * n) AS s2n, sum(s * a) AS sa
+        |  FROM cells
+        |)
+        |SELECT n_categories,
+        |  CAST(nn AS BIGINT) AS n_trials,
+        |  CAST(aa AS BIGINT) AS n_successes,
+        |  CASE WHEN aa > 0 AND aa < nn
+        |      AND (nn * s2n - sn * sn) > 0 THEN
+        |    (CASE WHEN (nn * sa - aa * sn) < 0 THEN -1 ELSE 1 END) *
+        |    CAST((nn * (nn * sa - aa * sn) * (nn * sa - aa * sn)
+        |        * 1000000)
+        |      // (aa * (nn - aa) * (nn * s2n - sn * sn)) AS BIGINT)
+        |  END AS z2_ppm
+        |FROM r""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

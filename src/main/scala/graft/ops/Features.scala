@@ -3559,6 +3559,71 @@ object Features {
     * (|strata| rows), then a second tiny rollup to the group grain —
     * no joins, no windows, never row-grain after the first agg.
     */
+  /** Cochran–Armitage trend test (X353) — the ORDERED third leg of
+    * the categorical family: [[chiSquare]] asks "associated at all?"
+    * (order-blind), [[mantelHaenszel]] pools 2×2 tables across
+    * strata, this asks "does the success RATE move monotonically with
+    * an ordered dose?" — conversion by spend tier, defect rate by
+    * batch age, positive rate by priority class. With integer scores
+    * sᵢ (caller-supplied order), nᵢ trials and aᵢ successes per
+    * category, N = Σnᵢ, A = Σaᵢ:
+    *
+    *   T  = N·Σsᵢaᵢ − A·Σsᵢnᵢ          (signed trend numerator ×N)
+    *   D  = A·(N−A)·(N·Σsᵢ²nᵢ − (Σsᵢnᵢ)²)
+    *   z² = N·T² / D
+    *
+    * (hand-checked on the perfectly-separated 2×2, where z² = N),
+    * all-rational, so the emitted effect is the SIGNED exact ppm
+    * `z2_ppm = sign(T)·⌊N·T²·10⁶ div D⌋` — no p-value by design
+    * (the [[chiSquare]] no-CDF contract; |z²| ≳ 3.84·10⁶ ≈ the 5%
+    * line for one degree of freedom). Degenerate groups (all
+    * successes, all failures, or a single effective category,
+    * D = 0) emit null z2_ppm with the margins still visible. Null
+    * score/outcome rows drop. Exact to ~10⁶ rows per group at
+    * single-digit scores (N·T²·10⁶ ≤ s²_max·N⁵·10⁶ must stay inside
+    * decimal(38,0) — the [[runsTest]] N⁵ class; ANSI raises past it,
+    * never corrupts).
+    *
+    * Scale shape: ONE map-side rollup to (group, score) cell grain,
+    * then a tiny group-grain rollup — no joins, no windows, the
+    * [[mantelHaenszel]] shape.
+    */
+  def cochranArmitage(df: DataFrame, groupCols: Seq[String],
+      scoreCol: Column, outcomeCol: Column): DataFrame = {
+    import graft.functions.Exact.longDiv
+    val d38 = DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val cells = df
+      .filter(scoreCol.isNotNull && outcomeCol.isNotNull)
+      .select(gs :+ scoreCol.cast("long").as("__s") :+
+        outcomeCol.cast("boolean").as("__y"): _*)
+      .groupBy(gs :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__a"))
+    val rolled = cells.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__n")).as("n_trials"),
+        sum(col("__a")).as("n_successes"),
+        sum(col("__s").cast(d38) * col("__n")).as("__sn"),
+        sum(col("__s").cast(d38) * col("__s") * col("__n"))
+          .as("__s2n"),
+        sum(col("__s").cast(d38) * col("__a")).as("__sa"))
+    rolled
+      .withColumn("__N", col("n_trials").cast(d38))
+      .withColumn("__A", col("n_successes").cast(d38))
+      .withColumn("__T",
+        col("__sa") * col("__N") - col("__A") * col("__sn"))
+      .withColumn("__VN",
+        col("__A") * (col("__N") - col("__A")) *
+          (col("__N") * col("__s2n") - col("__sn") * col("__sn")))
+      .withColumn("z2_ppm", when(col("__VN") > 0,
+        when(col("__T") < 0, lit(-1L)).otherwise(lit(1L)) *
+          longDiv(col("__N") * col("__T") * col("__T") * 1000000L,
+            col("__VN")).cast("long")))
+      .select(gs ++ Seq(col("n_categories"), col("n_trials"),
+        col("n_successes"), col("z2_ppm")): _*)
+  }
+
   def mantelHaenszel(df: DataFrame, groupCols: Seq[String],
       strataCol: Column, exposedCol: Column,
       outcomeCol: Column): DataFrame = {

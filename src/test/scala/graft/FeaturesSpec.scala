@@ -1589,6 +1589,37 @@ class FeaturesSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("cochranArmitage: hand-stepped trend, sign, degenerate lanes") {
+    import spark.implicits._
+    def rows(s: Long, n: Int, a: Int) =
+      Seq.fill(a)((s, true)) ++ Seq.fill(n - a)((s, false))
+    def run(data: Seq[(Long, Boolean)]) =
+      graft.ops.Features.cochranArmitage(data.toDF("s", "y"), Seq(),
+        col("s"), col("y")).head
+    // perfectly separated 2×2: z² = N = 20 → +20e6 ppm
+    val perfect = run(rows(0L, 10, 0) ++ rows(1L, 10, 10))
+    assert((perfect.getLong(0), perfect.getLong(1),
+      perfect.getLong(2)) == ((2L, 20L, 10L)))
+    assert(perfect.getLong(3) == 20000000L)
+    // reversed direction flips the sign
+    assert(run(rows(0L, 10, 10) ++ rows(1L, 10, 0))
+      .getLong(3) == -20000000L)
+    // 3 categories, rates 1/4, 2/4, 3/4: T=24, D=3456,
+    // z² = 12·24²/3456 = 2.0 exactly
+    val tri = run(rows(0L, 4, 1) ++ rows(1L, 4, 2) ++ rows(2L, 4, 3))
+    assert(tri.getLong(0) == 3L && tri.getLong(3) == 2000000L)
+    // degenerate: all successes → D = 0 → null; one category → null
+    assert(run(rows(0L, 5, 5) ++ rows(1L, 5, 5)).isNullAt(3))
+    assert(run(rows(2L, 10, 4)).isNullAt(3))
+    // null score/outcome rows drop
+    val withNulls = (rows(0L, 10, 0) ++ rows(1L, 10, 10))
+      .map { case (s, y) => (Option(s), Option(y)) } ++
+      Seq((None, Some(true)), (Some(1L), None))
+    val n = graft.ops.Features.cochranArmitage(
+      withNulls.toDF("s", "y"), Seq(), col("s"), col("y")).head
+    assert(n.getLong(1) == 20L && n.getLong(3) == 20000000L)
+  }
+
   test("mantelHaenszel: hand-stepped strata, Simpson inversion " +
       "handled, zero-denominator refuses, null rows dropped") {
     import spark.implicits._
