@@ -5079,6 +5079,25 @@ object SparkEntry {
         substring(col("o_orderpriority"), 1, 1).cast("long"),
         col("o_orderstatus") === "F")
     },
+
+    // X354 — 6-truss of the sampled part-co-occurrence graph: the
+    // edges embedded in ≥ 4 triangles WITH other surviving edges —
+    // community cores, not hubs (kCore's node grain can't express
+    // this). Fixpoint ≤ 4 synchronous peels at both scales; the
+    // oracle unrolls 5 materialized rounds (extra rounds are no-ops
+    // at fixpoint — the q165 discipline).
+    "q357_ktruss" -> { (s, dir) =>
+      val op = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(op.select(col("l_orderkey"),
+          col("l_partkey").as("pb")), Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb")).distinct()
+      graft.ops.Graph.kTruss(e, "pa", "pb", k = 6)
+        .orderBy(col("a"), col("b"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15547,6 +15566,43 @@ object SparkEntry {
         |      // (aa * (nn - aa) * (nn * s2n - sn * sn)) AS BIGINT)
         |  END AS z2_ppm
         |FROM r""".stripMargin,
+
+    // 5 materialized peel rounds (fixpoint by 4 at both scales; extra
+    // rounds are identity), then the fixpoint support — the q165
+    // MATERIALIZED discipline so DuckDB never re-inlines a round
+    "q357_ktruss" -> {
+      val base =
+        """WITH op AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          |  WHERE l_orderkey % 10 = 0
+          |), e0 AS MATERIALIZED (
+          |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+          |    AND a.l_partkey < b.l_partkey
+          |)""".stripMargin
+      val round = (r: Int) =>
+        s""", e$r AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e${r - 1} e
+           |  JOIN (SELECT a, b FROM e${r - 1}
+           |        UNION ALL SELECT b, a FROM e${r - 1}) x
+           |    ON x.a = e.a
+           |  JOIN (SELECT a, b FROM e${r - 1}
+           |        UNION ALL SELECT b, a FROM e${r - 1}) y
+           |    ON y.a = e.b AND y.b = x.b
+           |  GROUP BY e.a, e.b
+           |  HAVING count(*) >= 4
+           |)""".stripMargin
+      base + (1 to 5).map(round).mkString +
+        """
+          |SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+          |FROM e5 e
+          |JOIN (SELECT a, b FROM e5 UNION ALL SELECT b, a FROM e5) x
+          |  ON x.a = e.a
+          |JOIN (SELECT a, b FROM e5 UNION ALL SELECT b, a FROM e5) y
+          |  ON y.a = e.b AND y.b = x.b
+          |GROUP BY e.a, e.b
+          |ORDER BY e.a, e.b""".stripMargin
+    },
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

@@ -765,6 +765,86 @@ object Graph {
     sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** k-truss (X354) — the EDGE-grain cohesion mine [[kCore]] cannot
+    * express: the maximal subgraph where every surviving edge closes
+    * ≥ k−2 triangles WITH OTHER SURVIVING EDGES. Degree says a node
+    * is busy; truss membership says a tie is EMBEDDED — the
+    * difference between a hub that touches everyone once and a
+    * community that actually interlocks (the community-core filter
+    * before mining co-occurrence graphs). Synchronous peel to a
+    * fixpoint: per round, each edge's support = |N(a) ∩ N(b)| within
+    * the CURRENT edge set (one wedge self-join at edge grain — never
+    * the all-triangles enumeration), edges under k−2 drop, degrees
+    * implicitly recompute next round; each round is checkpointed and
+    * the superseded frame released (the [[kCore]]/[[connectedComponents]]
+    * loop discipline). Converges in ≤ |E| rounds, practically a
+    * handful; `maxRounds` raises if exceeded (refuse, don't return a
+    * non-fixpoint). Output: surviving canonical edges with their
+    * in-truss support — every support ≥ k−2 by construction.
+    *
+    * Scale shape: per round ONE |E|-grain wedge join (sym×sym on the
+    * shared endpoint, both sides the same checkpointed frame) + a
+    * left-semi filter; no node-grain collect, no all-pairs. Input
+    * self-loops and duplicate/reversed edges collapse canonically.
+    */
+  def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      maxRounds: Int = 30): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    var cur = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var n = cur.count()
+    var rounds = 0
+    var converged = n == 0L
+    var lastSupport: DataFrame = null
+    while (!converged && rounds < maxRounds) {
+      val sym = cur.union(cur.select(col("b").as("a"),
+        col("a").as("b")))
+      // support(a,b) = common neighbors of a and b in the current
+      // graph: wedge join on the far endpoint
+      val support = cur.as("e")
+        .join(sym.as("x"), col("x.a") === col("e.a"))
+        .join(sym.as("y"), col("y.a") === col("e.b") &&
+          col("y.b") === col("x.b"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .localCheckpoint(true)
+      val next = support.filter(col("support") >= (k - 2).toLong)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      if (lastSupport != null) Checkpoints.release(lastSupport)
+      if (converged) {
+        lastSupport = support
+        Checkpoints.release(cur)
+        cur = next
+      } else {
+        lastSupport = null
+        Checkpoints.release(support)
+        Checkpoints.release(cur)
+        cur = next
+        n = m
+      }
+      rounds += 1
+    }
+    require(converged, s"kTruss: no fixpoint after $maxRounds rounds")
+    if (lastSupport == null) {
+      // n was 0 on entry: empty truss, support column by contract
+      cur.withColumn("support", lit(0L)).filter(lit(false))
+        .select(col("a"), col("b"), col("support"))
+    } else {
+      val out = cur.join(lastSupport, Seq("a", "b"))
+        .select(col("a"), col("b"), col("support"))
+      out
+    }
+  }
+
   /** Association rules from basket co-occurrence — the step after
     * [[coOccurrence]] that turns raw pair counts into the DIRECTED
     * "users who saw A also saw B" metrics recommenders rank by: for

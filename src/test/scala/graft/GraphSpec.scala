@@ -529,4 +529,47 @@ class GraphSpec extends SparkSpec {
         Seq(("A", "B"), ("B", "C"), ("A", "C")).toDF("w", "l"),
         "w", "l", rounds = 2))
   }
+
+  test("kTruss: K4 survives k=4, pendant and lone triangles peel, " +
+      "cascades cross rounds, canonicalization, empty and raise lanes") {
+    import spark.implicits._
+    def k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    // K4 + tail (4,5) + lone triangle {5,6,7}
+    val g1 = (k4 ++ Seq((4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L)))
+      .toDF("a", "b")
+    def run(df: org.apache.spark.sql.DataFrame, k: Int,
+        max: Int = 30) =
+      graft.ops.Graph.kTruss(df, "a", "b", k, maxRounds = max)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getLong(2)).toMap
+    // k=3: any edge in >= 1 surviving triangle stays — tail drops
+    val t3 = run(g1, 3)
+    assert(t3.keySet == (k4 ++
+      Seq((5L, 6L), (5L, 7L), (6L, 7L))).toSet)
+    assert(k4.forall(e => t3(e) == 2L) && t3((6L, 7L)) == 1L)
+    // k=4: lone triangle drops too; K4 exactly survives, support 2
+    val t4 = run(g1, 4)
+    assert(t4.keySet == k4.toSet && t4.values.forall(_ == 2L))
+    // cascade: two triangles sharing edge (11,12) — k=4 starts by
+    // dropping the side edges (support 1), which strands (11,12)
+    // (support 2 in round 1!) for round 2: multi-round peel required
+    val chain = Seq((10L, 11L), (10L, 12L), (11L, 12L), (11L, 13L),
+      (12L, 13L)).toDF("a", "b")
+    assert(run(chain, 4).isEmpty)
+    val e = intercept[Exception] {
+      graft.ops.Graph.kTruss(chain, "a", "b", 4, maxRounds = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    // reversed duplicates and self-loops collapse canonically
+    val messy = Seq((2L, 1L), (1L, 2L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("a", "b")
+    assert(run(messy, 3).keySet ==
+      Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    // empty input → empty truss with the contracted schema
+    val empty = graft.ops.Graph.kTruss(
+      chain.filter(lit(false)), "a", "b", 3)
+    assert(empty.columns.toSeq == Seq("a", "b", "support") &&
+      empty.count() == 0L)
+  }
 }
