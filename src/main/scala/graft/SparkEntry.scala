@@ -4918,23 +4918,34 @@ object SparkEntry {
     // committing to the reduced dimension.
     "q352_jl_recall" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
+      import graft.similarity.Similarity.{asDouble, dot}
+      // distances on the codegen'd dot kernel via the polarization
+      // identity d² = |a|² + |b|² − 2a·b — exact in doubles here
+      // (milli-unit coordinates, |terms| ≪ 2⁵³). Measured neutral on
+      // wall time at this grain (stage overhead dominates 40k pairs),
+      // kept for the per-row cost at larger query sets
       val base = t(s, dir, "embeddings").select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * 1000d).cast("long")).as("q"))
+        asDouble(transform(col("embedding"),
+          x => floor(x.cast("double") * 1000d).cast("long"))).as("q"))
       val proj = graft.similarity.Similarity.randomProjection(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 16)
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 16)
+        .select(col("vec_id"), asDouble(col("proj")).as("proj"))
       val cand = base.join(proj, "vec_id")
+        .withColumn("__n2q", dot(col("q"), col("q")))
+        .withColumn("__n2p", dot(col("proj"), col("proj")))
       val queries = cand.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id").as("qid"), col("q").as("__qq"),
-          col("proj").as("__qp"))
-      def d2(a: Column, b: Column) = aggregate(
-        zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
+          col("proj").as("__qp"), col("__n2q").as("__m2q"),
+          col("__n2p").as("__m2p"))
       val scored = cand.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          d2(col("q"), col("__qq")).as("__df"),
-          d2(col("proj"), col("__qp")).as("__dp"))
+          (col("__n2q") + col("__m2q") -
+            lit(2d) * dot(col("q"), col("__qq")))
+            .cast("long").as("__df"),
+          (col("__n2p") + col("__m2p") -
+            lit(2d) * dot(col("proj"), col("__qp")))
+            .cast("long").as("__dp"))
       val topF = scored.withColumn("__r", row_number().over(
           w.partitionBy(col("qid"))
             .orderBy(col("__df"), col("vec_id"))))
