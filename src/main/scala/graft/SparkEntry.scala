@@ -5109,6 +5109,39 @@ object SparkEntry {
       graft.ops.Graph.kTruss(e, "pa", "pb", k = 6)
         .orderBy(col("a"), col("b"))
     },
+
+    // X355 — decile lift table: the model-eval scorecard the ranking
+    // family lacked (AUC says "orders well overall", this says "the
+    // top decile converts at N× base" — the number a campaign sizes
+    // by). Deciles by deterministic (score, id) order; lift in exact
+    // ppm via cross-multiplied floor division.
+    "q358_decile_lift" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val scored = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderstatus") === "F").cast("long").as("__y"))
+        .withColumn("__r", row_number().over(w).cast("long"))
+      val n = scored.groupBy()
+        .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+      scored.crossJoin(broadcast(n))
+        .withColumn("decile",
+          graft.functions.Exact.longDiv((col("__r") - 1L) * 10L,
+            col("__n")) + 1L)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("__y")).as("n_pos"),
+          max(col("__n")).as("__nn"), max(col("__pos")).as("__tp"))
+        .withColumn("rate_ppm", graft.functions.Exact.longDiv(
+          col("n_pos") * 1000000L, col("n_rows")))
+        .withColumn("lift_ppm", when(col("__tp") > 0L,
+          graft.functions.Exact.longDiv(
+            col("n_pos") * col("__nn") * 1000000L,
+            col("n_rows") * col("__tp"))))
+        .select(col("decile"), col("n_rows"), col("n_pos"),
+          col("rate_ppm"), col("lift_ppm"))
+        .orderBy(col("decile"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15614,6 +15647,37 @@ object SparkEntry {
           |GROUP BY e.a, e.b
           |ORDER BY e.a, e.b""".stripMargin
     },
+
+    // deciles by the same (score desc, id) rank; lift via HUGEINT
+    // cross-multiplied floor division
+    "q358_decile_lift" ->
+      """WITH s AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    row_number() OVER (ORDER BY o_totalprice DESC,
+        |      o_orderkey) AS r
+        |  FROM orders
+        |), t AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(y) AS HUGEINT) AS pos
+        |  FROM s
+        |), d AS (
+        |  SELECT ((s.r - 1) * 10) // t.n + 1 AS decile, s.y
+        |  FROM s, t
+        |)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST((CAST(sum(y) AS HUGEINT) * 1000000) // count(*)
+        |    AS BIGINT) AS rate_ppm,
+        |  CASE WHEN (SELECT pos FROM t) > 0 THEN
+        |    CAST((CAST(sum(y) AS HUGEINT) * (SELECT n FROM t)
+        |        * 1000000)
+        |      // (CAST(count(*) AS HUGEINT) * (SELECT pos FROM t))
+        |      AS BIGINT)
+        |  END AS lift_ppm
+        |FROM d GROUP BY decile
+        |ORDER BY decile""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to
