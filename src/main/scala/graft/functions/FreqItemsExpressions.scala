@@ -19,15 +19,18 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, St
   * without knowing them in advance, in bounded memory. Wraps the
   * public Apache DataSketches LongsSketch (Misra–Gries/Space-Saving
   * family): ≤ ~0.75·maxMapSize counters whatever the universe, purges
-  * deterministic (no randomness — merged artifacts reproduce
-  * bit-for-bit given the same inputs), merge via counter addition +
-  * re-purge. The classic deterministic contracts hold after any
-  * shard-merge:
+  * deterministic in the sense of NO RANDOMNESS: purges are a pure
+  * function of the update/merge SEQUENCE (the spec's same-order
+  * rebuild reproduces bytes exactly), but a DIFFERENT distributed
+  * merge order may retain a different counter set — which is why
+  * probes gate on the contracts below and never on the byte image.
+  * Merge is counter addition + re-purge, and the classic contracts
+  * hold after any shard-merge IN ANY ORDER:
   *
   *   - NO_FALSE_NEGATIVES: every item with true count > threshold is
   *     returned (a superset — false positives possible, never misses);
   *   - per item, lb ≤ true count ≤ ub with
-  *     ub − lb ≤ getMaximumError ≤ n/maxMapSize.
+  *     ub − lb ≤ getMaximumError (apriori ≤ 3.5·n/maxMapSize).
   *
   * Probes gate on those (emit exact values, require membership +
   * bracket) — the q85 self-verification discipline.

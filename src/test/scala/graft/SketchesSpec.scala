@@ -288,7 +288,9 @@ class SketchesSpec extends SparkSpec {
       val t = exact.getOrElse(item, 0L)
       assert(lb <= t && t <= ub, s"item $item: true $t not in [$lb, $ub]")
     }
-    // purge order is deterministic: a rebuild merges to the same bytes
+    // no randomness: a SAME-ORDER rebuild (same files, same plan)
+    // merges to the same bytes — different merge orders may not, which
+    // is why nothing above gates on the byte image
     val again = Sketches.mergeItemsSketches(
         spark.read.parquet(dir), Seq.empty, maxMapSize = 16)
       .select(col("sketch")).head.getAs[Array[Byte]](0)
