@@ -31,10 +31,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * ordered sketch images between stages, so partials merge map-side
   * like any agg and the |groups × shards| artifact path works
   * unchanged. Theta updates are seed-deterministic (default seed,
-  * hash-based, no coin flips — unlike KLL's compaction), so the
-  * compact ORDERED byte image is a canonical function of the input
-  * SET: same set, any order or duplication → bit-identical artifact
-  * (spec-pinned; stronger than the HLL register identity).
+  * hash-based, no coin flips — unlike KLL's compaction), so IN EXACT
+  * MODE (θ = 1 — every input hash retained) the compact ORDERED byte
+  * image is a canonical function of the input SET: same set, any
+  * order or duplication → bit-identical artifact (spec-pinned;
+  * stronger than the HLL register identity). Past exact mode the
+  * union gadget's purge history makes the RETAINED SAMPLE depend on
+  * merge order — estimates and bounds hold regardless, so gates
+  * assert against [[ThetaBound]] certificates, never byte images.
   *
   * Value types: LONG and STRING (hashed as UTF-8 bytes). Nulls are
   * skipped. Below ~2·2^lgK retained entries the sketch is in exact

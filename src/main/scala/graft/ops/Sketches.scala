@@ -342,8 +342,10 @@ object Sketches {
   // bounds. Contracts in [[graft.functions.ThetaExpressions]].
 
   /** Per-group theta sketch of `valueCol` (long or string) as binary
-    * column `sketch` — compact ORDERED image, a canonical function of
-    * the input set (same set → bit-identical bytes). One map-side-
+    * column `sketch` — compact ORDERED image, canonical in exact
+    * mode (θ = 1: same set → bit-identical bytes; past it the
+    * retained sample is merge-order-dependent — gate on
+    * [[thetaBound]], not bytes). One map-side-
     * combined aggregation; the artifact to persist per shard.
     */
   def thetaSketch(df: DataFrame, groupCols: Seq[String],

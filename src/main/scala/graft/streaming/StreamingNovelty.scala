@@ -20,10 +20,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * with `new_distinct = est(after) − est(before)`. The batch face of
   * the same bytes is [[graft.ops.Sketches.thetaSketch]]: theta updates
-  * are seed-deterministic and the compact ordered image is a CANONICAL
-  * function of the id set, so after any prefix the state bytes are
-  * BIT-IDENTICAL to the batch build over that prefix (spec-pinned via
-  * totals) — and below ~2^lgK distinct ids the sketch is in exact mode
+  * are seed-deterministic, and IN EXACT MODE (θ = 1) the compact
+  * ordered image is a canonical function of the id set, so after any
+  * prefix the state bytes equal the batch build over that prefix
+  * (spec-pinned via totals; past exact mode the sample is
+  * order-dependent and only the estimates/bounds carry over) — and
+  * below ~2^lgK distinct ids the sketch is in exact mode
   * (θ = 1), making `new_distinct` an exact integer: a re-observed id
   * counts exactly zero new. Beyond exact mode both counters carry
   * theta's documented bounds (the X340 certificate discipline —
