@@ -107,6 +107,34 @@ object RuleBench {
       spark.conf.unset("spark.graft.rewriteLevenshteinThreshold")
     }
 
+    // ——— ArrayOverlapRewrite: tag-overlap filter over token arrays,
+    // rule ON (early-exit arrays_overlap) vs OFF (materialize the
+    // intersection, then count). Probe tags mostly MISS so the
+    // intersection is usually empty — the realistic blocklist-tag
+    // case where the overlap probe's early exit can't help but the
+    // skipped array materialization still can. ———
+    val tagged = docs.select(
+      split(col("text"), " ").as("tags"))
+    val probeTags = array((Seq("zzz1", "zzz2", "zzz3", "zzz4",
+      "value") ++ (1 to 27).map(i => s"miss$i")).map(lit): _*)
+    for (label <- Seq("overlap")) {
+      spark.conf.set("spark.graft.rewriteArrayOverlap", "true")
+      val on = tagged.filter(
+        size(array_intersect(col("tags"), probeTags)) > 0)
+      assert(on.queryExecution.optimizedPlan.toString
+        .contains("arrays_overlap"))
+      results(s"${label}_on") = best(s"$label rule ON") { run(on) }
+      spark.conf.set("spark.graft.rewriteArrayOverlap", "false")
+      val off = tagged.filter(
+        size(array_intersect(col("tags"), probeTags)) > 0)
+      assert(!off.queryExecution.optimizedPlan.toString
+        .contains("arrays_overlap"))
+      results(s"${label}_off") = best(s"$label rule OFF") { run(off) }
+      val (x, y) = (on.count(), off.count())
+      assert(x == y, s"overlap row parity: $x vs $y")
+      spark.conf.unset("spark.graft.rewriteArrayOverlap")
+    }
+
     val json = results.map { case (k, v) => s""""$k":$v""" }
       .mkString(",")
     println(s"""{"metric":"contains_or_rewrite","sf":"${sfDir.split('/').last}","cpus":$cpus,$json}""")
