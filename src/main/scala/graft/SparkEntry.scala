@@ -5142,6 +5142,25 @@ object SparkEntry {
           col("rate_ppm"), col("lift_ppm"))
         .orderBy(col("decile"))
     },
+
+    // X356 — redirect-chain resolution by pointer doubling over a
+    // derived functional map on customer keys: per 100-block, keys
+    // x0..x5 chain to the x6 terminal, and block 46 closes a 7-cycle
+    // (…45→46→40). Max chain length 6 by construction, so the
+    // oracle's 4 unrolled doubling rounds (reach 16) provably
+    // resolve every chain; Spark self-sizes to ⌈log₂n⌉+1 rounds and
+    // the done-set fixpoint is round-count-independent.
+    "q359_resolve_chains" -> { (s, dir) =>
+      val m = t(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(100)) === 46 ||
+          pmod(col("c_custkey"), lit(10)) < 6)
+        .select(col("c_custkey").as("src"),
+          when(pmod(col("c_custkey"), lit(100)) === 46,
+            col("c_custkey") - 6L)
+            .otherwise(col("c_custkey") + 1L).as("dst"))
+      graft.ops.Graph.resolveChains(m, "src", "dst")
+        .orderBy(col("src"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15678,6 +15697,40 @@ object SparkEntry {
         |  END AS lift_ppm
         |FROM d GROUP BY decile
         |ORDER BY decile""".stripMargin,
+
+    // 4 unrolled doubling rounds (reach 16 > the constructed max
+    // chain of 6); unresolved-after = the planted cycles
+    "q359_resolve_chains" -> {
+      val base =
+        """WITH m AS MATERIALIZED (
+          |  SELECT c_custkey AS src,
+          |    CASE WHEN c_custkey % 100 = 46 THEN c_custkey - 6
+          |      ELSE c_custkey + 1 END AS dst
+          |  FROM customer
+          |  WHERE c_custkey % 100 = 46 OR c_custkey % 10 < 6
+          |), r0 AS MATERIALIZED (
+          |  SELECT m.src, m.dst AS cur, CAST(1 AS BIGINT) AS steps,
+          |    (m.dst NOT IN (SELECT src FROM m)) AS done
+          |  FROM m
+          |)""".stripMargin
+      val round = (k: Int) =>
+        s""", r$k AS MATERIALIZED (
+           |  SELECT a.src,
+           |    CASE WHEN a.done OR b.src IS NULL THEN a.cur
+           |      ELSE b.cur END AS cur,
+           |    CASE WHEN a.done OR b.src IS NULL THEN a.steps
+           |      ELSE a.steps + b.steps END AS steps,
+           |    (a.done OR b.src IS NULL OR b.done) AS done
+           |  FROM r${k - 1} a LEFT JOIN r${k - 1} b ON a.cur = b.src
+           |)""".stripMargin
+      base + (1 to 4).map(round).mkString +
+        """
+          |SELECT src,
+          |  CASE WHEN done THEN cur END AS final_dst,
+          |  CASE WHEN done THEN steps END AS hops,
+          |  CASE WHEN done THEN 'resolved' ELSE 'cycle' END AS status
+          |FROM r4 ORDER BY src""".stripMargin
+    },
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

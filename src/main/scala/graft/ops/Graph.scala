@@ -765,6 +765,90 @@ object Graph {
     sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Redirect-chain resolution by pointer DOUBLING (X356) — the crawl
+    * hygiene primitive: given a FUNCTIONAL mapping src → dst (301
+    * maps, alias tables, symlink forests — duplicate sources RAISE,
+    * they are data errors, not ties to break), resolve every source
+    * to its terminal target with the exact hop count, and flag the
+    * members of redirect CYCLES instead of looping on them. Doubling
+    * composes the partial resolution with itself each round —
+    * x→y (a hops) ∘ y→z (b hops) ⇒ x→z (a+b hops) — so a chain of
+    * length L resolves in ⌈log₂L⌉ rounds, not L: the difference
+    * between 3 joins and 40 on a crawl frontier. The round count is
+    * SELF-SIZING: ⌈log₂n⌉+1 rounds (n = mapping rows) resolve every
+    * acyclic chain — a simple path cannot be longer than n — so
+    * whatever remains unresolved is PROVABLY on or feeding a cycle. (A
+    * stop-when-no-progress loop would be wrong here: a gap in the
+    * chain-length distribution — lengths 2 and 100, nothing between —
+    * stalls the resolved count for a round and would mislabel the
+    * long chains as cycles.) Cycle rows emit status='cycle' with NULL
+    * target/hops (their in-flight cursor is round-dependent) while
+    * resolved rows emit exact (final_dst, hops). `maxRounds` raises
+    * UP FRONT when n needs more doublings than allowed — refuse,
+    * don't mislabel.
+    *
+    * Scale shape: each round is ONE |sources|-grain self-join on the
+    * cursor (checkpointed, superseded frames released — the kCore
+    * loop discipline); ⌈log₂Lmax⌉+1 rounds total, never
+    * chain-length-many.
+    */
+  def resolveChains(mapping: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val m0 = mapping
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .withColumn("__dups", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))))
+      .select(col("src"),
+        when(col("__dups") > 1L, raise_error(concat(
+          lit("resolveChains: duplicate source "),
+          col("src").cast("string"),
+          lit(" — mapping must be functional")))
+          .cast("long")).otherwise(col("dst")).as("dst"))
+    // R: src → (cur, steps, done); done ⇔ cur is not itself a source
+    val srcs = m0.select(col("src").as("__s")).localCheckpoint(true)
+    var r = m0
+      .join(srcs, col("dst") === col("__s"), "left")
+      .select(col("src"), col("dst").as("cur"), lit(1L).as("steps"),
+        col("__s").isNull.as("done"))
+      .localCheckpoint(true)
+    val n = r.count()
+    val rounds =
+      if (n <= 1L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(n - 1L) + 1
+    require(rounds <= maxRounds,
+      s"resolveChains: $n sources need $rounds doubling rounds > " +
+        s"maxRounds=$maxRounds — refuse rather than mislabel chains " +
+        "as cycles")
+    var k = 0
+    while (k < rounds) {
+      val b = r.select(col("src").as("__bs"), col("cur").as("__bc"),
+        col("steps").as("__bt"), col("done").as("__bd"))
+      val next = r.as("a")
+        .join(b, col("a.cur") === col("__bs"), "left")
+        .select(col("a.src").as("src"),
+          when(col("a.done") || col("__bs").isNull, col("a.cur"))
+            .otherwise(col("__bc")).as("cur"),
+          when(col("a.done") || col("__bs").isNull, col("a.steps"))
+            .otherwise(col("a.steps") + col("__bt")).as("steps"),
+          (col("a.done") || col("__bs").isNull || col("__bd"))
+            .as("done"))
+        .localCheckpoint(true)
+      Checkpoints.release(r)
+      r = next
+      k += 1
+    }
+    Checkpoints.release(srcs)
+    r.select(col("src"),
+      when(col("done"), col("cur")).as("final_dst"),
+      when(col("done"), col("steps")).as("hops"),
+      when(col("done"), lit("resolved")).otherwise(lit("cycle"))
+        .as("status"))
+  }
+
   /** k-truss (X354) — the EDGE-grain cohesion mine [[kCore]] cannot
     * express: the maximal subgraph where every surviving edge closes
     * ≥ k−2 triangles WITH OTHER SURVIVING EDGES. Degree says a node

@@ -572,4 +572,43 @@ class GraphSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("a", "b", "support") &&
       empty.count() == 0L)
   }
+
+  test("resolveChains: exact hops, the chain-length-gap case the " +
+      "naive stop gets wrong, cycles and cycle-feeders flagged, " +
+      "functional violation and round-budget raises") {
+    import spark.implicits._
+    // chains 1→2→3→4 (terminal 4) and a 40-hop chain 100→...→140,
+    // NOTHING of intermediate length — the distribution gap that
+    // stalls a stop-on-no-progress loop for a round
+    val long = (0 until 40).map(i => (100L + i, 101L + i))
+    val m = (Seq((1L, 2L), (2L, 3L), (3L, 4L)) ++ long ++
+      Seq((10L, 11L), (11L, 12L), (12L, 10L),  // 3-cycle
+        (20L, 20L),                            // self-loop
+        (30L, 31L), (31L, 32L), (32L, 31L)))   // tail feeding 2-cycle
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.resolveChains(m, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getString(3)))).toMap
+    assert(got(1L) == ((Some(4L), Some(3L), "resolved")))
+    assert(got(2L) == ((Some(4L), Some(2L), "resolved")))
+    assert(got(3L) == ((Some(4L), Some(1L), "resolved")))
+    assert(got(100L) == ((Some(140L), Some(40L), "resolved")))
+    assert(got(139L) == ((Some(140L), Some(1L), "resolved")))
+    Seq(10L, 11L, 12L, 20L, 30L, 31L, 32L).foreach(c =>
+      assert(got(c) == ((None, None, "cycle")), s"node $c"))
+    assert(got.size == m.count())
+    // duplicate source raises (functional contract)
+    val dup = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val e1 = intercept[Exception] {
+      graft.ops.Graph.resolveChains(dup, "src", "dst").collect()
+    }
+    assert(e1.getMessage != null)
+    // insufficient round budget raises UP FRONT, never mislabels
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Graph.resolveChains(m, "src", "dst", maxRounds = 2)
+    }
+    assert(e2.getMessage.contains("refuse"))
+  }
 }
