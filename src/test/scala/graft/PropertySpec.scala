@@ -621,4 +621,129 @@ class PropertySpec extends SparkSpec {
         s"band-0 dtw must equal L1: $r")
     }
   }
+
+  test("kTruss agrees with a brute-force iterative peel on random " +
+      "graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 4).foreach { trial =>
+      val n = 12 + rnd.nextInt(8)
+      val edges = (for (a <- 1 to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.35) yield (a.toLong, b.toLong)).toSet
+      val k = 3 + rnd.nextInt(3)
+      // reference: recompute per-edge support and peel to fixpoint
+      var cur = edges
+      var changed = true
+      while (changed) {
+        val adj = cur.toSeq.flatMap { case (a, b) =>
+          Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+        val next = cur.filter { case (a, b) =>
+          (adj(a) & adj(b)).size >= k - 2 }
+        changed = next != cur
+        cur = next
+      }
+      val expect = cur.map { case (a, b) =>
+        val adj = cur.toSeq.flatMap { case (x, y) =>
+          Seq(x -> y, y -> x) }
+          .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+        (a, b) -> (adj(a) & adj(b)).size.toLong
+      }.toMap
+      val got =
+        if (edges.isEmpty) Map.empty[(Long, Long), Long]
+        else graft.ops.Graph.kTruss(edges.toSeq.toDF("a", "b"),
+            "a", "b", k)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expect, s"trial $trial (n=$n, k=$k)")
+    }
+  }
+
+  test("resolveChains agrees with a direct chain-walk reference on " +
+      "random functional graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    (1 to 4).foreach { trial =>
+      val n = 30 + rnd.nextInt(30)
+      // random functional mapping over a sparse id space: ~70% of ids
+      // are sources; targets uniform (chains, merges, cycles arise
+      // naturally)
+      val ids = (1L to n.toLong).filter(_ => rnd.nextDouble() < 0.7)
+      val m = ids.map(i => i -> (1L + rnd.nextInt(n)).toLong).toMap
+      // reference walk with visited-set cycle detection
+      val expect = m.keys.map { s =>
+        var cur = s
+        var steps = 0L
+        var seen = Set.empty[Long]
+        var out: (Option[Long], Option[Long], String) = null
+        while (out == null) {
+          if (!m.contains(cur)) out = (Some(cur), Some(steps),
+            "resolved") // terminal: not a source
+          else if (seen.contains(cur)) out = (None, None, "cycle")
+          else { seen += cur; cur = m(cur); steps += 1L }
+        }
+        s -> out
+      }.toMap
+      val got = graft.ops.Graph.resolveChains(
+          m.toSeq.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long]),
+            r.getString(3)))).toMap
+      assert(got == expect, s"trial $trial (n=$n): " +
+        s"${got.toSet.diff(expect.toSet).take(3)} vs " +
+        s"${expect.toSet.diff(got.toSet).take(3)}")
+    }
+  }
+
+  test("mantelHaenszel and cochranArmitage agree with direct rational " +
+      "references on random contingency fixtures") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    (1 to 3).foreach { trial =>
+      val strata = 2 + rnd.nextInt(4)
+      val rows = (0 until strata).flatMap { st =>
+        (1 to 40 + rnd.nextInt(40)).map { _ =>
+          (s"s$st", rnd.nextBoolean(), rnd.nextDouble() <
+            (0.2 + 0.15 * st)) }
+      }
+      // MH reference with per-stratum ppm floor terms
+      val cells = rows.groupBy(_._1).map { case (s, xs) =>
+        val a = xs.count(x => x._2 && x._3).toLong
+        val b = xs.count(x => x._2 && !x._3).toLong
+        val c = xs.count(x => !x._2 && x._3).toLong
+        val d = xs.count(x => !x._2 && !x._3).toLong
+        (a, b, c, d)
+      }
+      val num = cells.map { case (a, b, c, d) =>
+        a * d * 1000000L / (a + b + c + d) }.sum
+      val den = cells.map { case (a, b, c, d) =>
+        b * c * 1000000L / (a + b + c + d) }.sum
+      val r = graft.ops.Features.mantelHaenszel(
+        rows.toDF("s", "e", "y"), Seq(), col("s"), col("e"),
+        col("y")).head
+      assert(r.getLong(5) == num && r.getLong(6) == den,
+        s"MH trial $trial")
+      if (den > 0)
+        assert(r.getLong(7) == num * 1000000L / den, s"MH or $trial")
+      // CA reference on the same rows with stratum index as dose
+      val ca = graft.ops.Features.cochranArmitage(
+        rows.map(x => (x._1.drop(1).toLong, x._3)).toDF("s", "y"),
+        Seq(), col("s"), col("y")).head
+      val byS = rows.groupBy(_._1.drop(1).toLong).map { case (sv, xs) =>
+        (sv, xs.size.toLong, xs.count(_._3).toLong) }.toSeq
+      val nn = BigInt(byS.map(_._2).sum)
+      val aa = BigInt(byS.map(_._3).sum)
+      val sn = byS.map(x => BigInt(x._1) * x._2).sum
+      val s2n = byS.map(x => BigInt(x._1 * x._1) * x._2).sum
+      val sa = byS.map(x => BigInt(x._1) * x._3).sum
+      val tT = nn * sa - aa * sn
+      val dD = aa * (nn - aa) * (nn * s2n - sn * sn)
+      if (dD > 0) {
+        val z2 = (if (tT < 0) BigInt(-1) else BigInt(1)) *
+          ((nn * tT * tT * 1000000) / dD)
+        assert(ca.getLong(3) == z2.toLong, s"CA trial $trial")
+      }
+    }
+  }
 }
