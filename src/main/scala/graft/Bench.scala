@@ -340,10 +340,27 @@ object Bench {
           // answer size rides an Observation (CollectMetrics inside the
           // same action — no second job, unlike a .count())
           val obs = org.apache.spark.sql.Observation(s"sweep_$name")
+          // per-sample GC telemetry (round-14 follow-up: the x16
+          // in-session inflation left ZERO residual RDDs, so the next
+          // suspect is collector pressure — measure it where it acts)
+          def gc(): (Long, Long) = {
+            import scala.jdk.CollectionConverters._
+            val bs = java.lang.management.ManagementFactory
+              .getGarbageCollectorMXBeans.asScala
+            (bs.map(_.getCollectionTime).sum,
+              bs.map(_.getCollectionCount).sum)
+          }
+          val (g0, c0) = gc()
           val t0 = System.nanoTime()
           mk(scale).observe(obs, count(lit(1)).as("rows"))
             .write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
+          val (g1, c1) = gc()
+          val heap = java.lang.management.ManagementFactory
+            .getMemoryMXBean.getHeapMemoryUsage
+          System.err.println(f"[sweep-gc] $name%-24s x$scale%-3d " +
+            f"wall=$sec%7.2fs gc=${g1 - g0}%6dms (${c1 - c0}%4d " +
+            f"colls) heapUsed=${heap.getUsed / (1 << 20)}%6dMB")
           org.apache.spark.graft.corebridge
             .drainListenerBus(spark.sparkContext)
           spark.sparkContext.removeSparkListener(meter)
