@@ -5161,6 +5161,29 @@ object SparkEntry {
       graft.ops.Graph.resolveChains(m, "src", "dst")
         .orderBy(col("src"))
     },
+
+    // Composition — one curation filter written three natural ways
+    // (8-term NOT-blocklist chain, tag-overlap via intersect-size,
+    // bounded-edit language match) and executed by all THREE
+    // optimizer rules in ONE plan: phrase_match_any + arrays_overlap
+    // + threshold levenshtein (PlanSpec pins all three markers).
+    "q360_curation_gate" -> { (s, dir) =>
+      val blockTerms = Seq("hash join", "slow scan",
+        "value table part", "merge batch", "order data",
+        "window agg", "warp speed", "zebra")
+      val blocked = blockTerms.map(t => col("text").contains(t))
+        .reduce(_ || _)
+      val required = array(lit("data"), lit("value"), lit("customer"))
+      t(s, dir, "documents")
+        .filter(!blocked &&
+          size(array_intersect(split(col("text"), " "),
+            required)) > 0 &&
+          levenshtein(col("lang"), lit("es")) <= 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15731,6 +15754,24 @@ object SparkEntry {
           |  CASE WHEN done THEN 'resolved' ELSE 'cycle' END AS status
           |FROM r4 ORDER BY src""".stripMargin
     },
+
+    "q360_curation_gate" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE NOT (text LIKE '%hash join%'
+        |    OR text LIKE '%slow scan%'
+        |    OR text LIKE '%value table part%'
+        |    OR text LIKE '%merge batch%'
+        |    OR text LIKE '%order data%'
+        |    OR text LIKE '%window agg%'
+        |    OR text LIKE '%warp speed%'
+        |    OR text LIKE '%zebra%')
+        |  AND len(list_intersect(string_split(text, ' '),
+        |    ['data', 'value', 'customer'])) > 0
+        |  AND levenshtein(lang, 'es') <= 1
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

@@ -491,6 +491,25 @@ class PlanSpec extends SparkSpec {
       !p352.contains("CartesianProduct"), p352.take(2000))
   }
 
+  test("q360 fires all THREE optimizer rules in one plan: automaton " +
+      "blocklist, early-exit tag overlap, banded levenshtein") {
+    val sf = java.nio.file.Files
+      .createTempDirectory("graft-q360").toString
+    import spark.implicits._
+    Seq((1L, "clean data doc", "en", 14L),
+      (2L, "hash join here", "es", 14L), (3L, "value doc", "zh", 9L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    val plan = SparkEntry.queries("q360_curation_gate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("phrase_match_any"), plan.take(2500))
+    assert(plan.contains("arrays_overlap"), plan.take(2500))
+    assert(plan.contains("Some(1)"), // levenshtein(lang, es, Some(1))
+      plan.take(2500))
+    assert(!plan.contains(" Contains(") &&
+      !plan.contains("array_intersect"), plan.take(2500))
+  }
+
   test("q345 executes its 8-term blocklist as ONE phrase_match_any " +
       "pass (ContainsOrRewrite fired), filter still above the scan") {
     val sf = java.nio.file.Files
