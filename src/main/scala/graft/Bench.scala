@@ -196,6 +196,13 @@ object Bench {
     * a 64-bit space; the blocked paths grow in block COUNT, not block
     * size).
     */
+  /** One measured sweep sample: wall seconds, shuffle bytes, output
+    * rows, and the sample's own GC time/collections + end-of-sample
+    * heap — the telemetry that adjudicates an inflated point from the
+    * artifact alone (r14-verdict #1). */
+  private final case class Pt(sec: Double, bytes: Long, rows: Long,
+      gcMs: Long, gcN: Long, heapMB: Long)
+
   private def scaleSweep(spark: SparkSession, sfDir: String): String = {
     import graft.dedup.Dedup
     import graft.ops.Graph
@@ -307,13 +314,16 @@ object Bench {
     // ~1 min/case, too much for every driver round.
     val x64set = sys.env.get("SPARK_GRAFT_SWEEP_X64")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    // r13-verdict #1 instrumentation: the driver's in-session sweep read
-    // q37 x16 at 64.6 s where the solo run reads 13.9 s with IDENTICAL
-    // bytes/rows — session state, not the operator. Log what the
-    // preceding ~340-query session left behind (residual persisted RDDs
-    // escape clearState only through a leak; storage-memory-in-use is
-    // the blunter symptom) so the next anomaly is attributable from the
-    // captured BENCH stderr alone.
+    // r13-verdict #1 instrumentation, r14-verdict #1 placement: the
+    // driver's in-session sweep read q37 x16 at 64.6–88.2 s where the
+    // solo run reads 13.9 s with IDENTICAL bytes/rows — session state,
+    // not the operator. Log what the preceding ~360-query session left
+    // behind (residual persisted RDDs escape clearState only through a
+    // leak; storage-memory-in-use is the blunter symptom) — and carry
+    // it IN THE SWEEP JSON itself (a "session" block next to "cases"),
+    // not just stderr: BENCH_r14.json captured only the stdout tail, so
+    // three rounds of x16 inflation stayed unadjudicable from the
+    // artifact alone.
     val resid = spark.sparkContext.getPersistentRDDs.size
     val memUsed = spark.sparkContext.getExecutorMemoryStatus.values
       .map { case (max, rem) => max - rem }.sum
@@ -333,8 +343,8 @@ object Bench {
       // output-size growth from operator overhead (the r7 q27 lesson:
       // a replica construction that manufactures near-dups makes any
       // correct detector look superlinear)
-      def run(scale: Int): (Double, Long, Long) = {
-        def one: (Double, Long, Long) = {
+      def run(scale: Int): Pt = {
+        def one: Pt = {
           val meter = new ShuffleMeter
           spark.sparkContext.addSparkListener(meter)
           // answer size rides an Observation (CollectMetrics inside the
@@ -342,7 +352,8 @@ object Bench {
           val obs = org.apache.spark.sql.Observation(s"sweep_$name")
           // per-sample GC telemetry (round-14 follow-up: the x16
           // in-session inflation left ZERO residual RDDs, so the next
-          // suspect is collector pressure — measure it where it acts)
+          // suspect is collector pressure — measure it where it acts,
+          // and carry it in the sweep JSON, not just stderr)
           def gc(): (Long, Long) = {
             import scala.jdk.CollectionConverters._
             val bs = java.lang.management.ManagementFactory
@@ -365,17 +376,18 @@ object Bench {
             .drainListenerBus(spark.sparkContext)
           spark.sparkContext.removeSparkListener(meter)
           clearState(spark)
-          (sec, meter.bytes.get, obs.get("rows").asInstanceOf[Long])
+          Pt(sec, meter.bytes.get, obs.get("rows").asInstanceOf[Long],
+            g1 - g0, c1 - c0, heap.getUsed >> 20)
         }
         // short points are scheduler-noise-dominated (±50% swings flipped
         // a 4× ratio past linear in r6 dry runs) — buy them a third
         // sample; long points amortize noise on their own (exec's >=20 s
         // rule), so a 16× CC run doesn't pay for two extra ~25 s samples
         val first = one
-        if (first._1 >= 20.0) first
+        if (first.sec >= 20.0) first
         else {
-          val m = Seq(first, one).minBy(_._1)
-          if (m._1 < 3.0) Seq(m, one).minBy(_._1) else m
+          val m = Seq(first, one).minBy(_.sec)
+          if (m.sec < 3.0) Seq(m, one).minBy(_.sec) else m
         }
       }
       // degrade per case (like exec's -1.0) — one failing case must not
@@ -385,38 +397,63 @@ object Bench {
         // of short-lived garbage that otherwise lands on the NEXT case's
         // x1 sample and inverts its slope
         System.gc()
-        val (x1, b1, r1) = run(1)
-        val (x4, b4, r4) = run(4)
-        val x16 = if (threePoint.contains(name)) Some(run(16)) else None
-        val x64 = if (x64set.contains(name) && x16.isDefined)
+        val p1 = run(1)
+        val p4 = run(4)
+        val p16 = if (threePoint.contains(name)) Some(run(16)) else None
+        val p64 = if (x64set.contains(name) && p16.isDefined)
           Some(run(64)) else None
-        val tail = x16.map { case (v, b16, r16) =>
-          s""","x16":$v,"ratio16":${v / x4},"bytes_x16":$b16""" +
-            s""","rows_x16":$r16""" +
-            x64.map { case (w, b64, r64) =>
-              s""","x64":$w,"ratio64":${w / v},"bytes_x64":$b64""" +
-                s""","rows_x64":$r64""" }.getOrElse("") }
+        // per-point self-diagnosis fields ride next to the wall/bytes/
+        // rows keys (which keep their historical names for
+        // round-over-round comparability)
+        def diag(tag: String, p: Pt): String =
+          s""","gc_ms_x$tag":${p.gcMs},"gc_n_x$tag":${p.gcN},""" +
+            s""""heap_mb_x$tag":${p.heapMB}"""
+        val tail = p16.map { q =>
+          s""","x16":${q.sec},"ratio16":${q.sec / p4.sec},""" +
+            s""""bytes_x16":${q.bytes},"rows_x16":${q.rows}""" +
+            diag("16", q) +
+            p64.map { w =>
+              s""","x64":${w.sec},"ratio64":${w.sec / q.sec},""" +
+                s""""bytes_x64":${w.bytes},"rows_x64":${w.rows}""" +
+                diag("64", w) }.getOrElse("") }
           .getOrElse("")
-        System.err.println(f"[bench] sweep $name%-24s x1=$x1%6.2f s  " +
-          f"x4=$x4%6.2f s  ratio=${x4 / x1}%5.2f  rows=$r1%d/$r4%d" +
-          x16.map { case (v, b16, r16) =>
-            f"  x16=$v%6.2f s  ratio16=${v / x4}%5.2f  " +
-              f"bytes16/4=${b16.toDouble / b4}%5.2f  rows16=$r16%d" +
-              x64.map { case (w, b64, r64) =>
-                f"  x64=$w%6.2f s  ratio64=${w / v}%5.2f  " +
-                  f"bytes64/16=${b64.toDouble / b16}%5.2f  rows64=$r64%d" }
+        System.err.println(f"[bench] sweep $name%-24s x1=${p1.sec}%6.2f s  " +
+          f"x4=${p4.sec}%6.2f s  ratio=${p4.sec / p1.sec}%5.2f  " +
+          f"rows=${p1.rows}%d/${p4.rows}%d" +
+          p16.map { q =>
+            f"  x16=${q.sec}%6.2f s  ratio16=${q.sec / p4.sec}%5.2f  " +
+              f"bytes16/4=${q.bytes.toDouble / p4.bytes}%5.2f  " +
+              f"rows16=${q.rows}%d" +
+              p64.map { w =>
+                f"  x64=${w.sec}%6.2f s  ratio64=${w.sec / q.sec}%5.2f  " +
+                  f"bytes64/16=${w.bytes.toDouble / q.bytes}%5.2f  " +
+                  f"rows64=${w.rows}%d" }
                 .getOrElse("") }
             .getOrElse("") +
           " (linear=4, quadratic=16)")
-        s""""$name":{"x1":$x1,"x4":$x4,"ratio":${x4 / x1},""" +
-          s""""bytes_x1":$b1,"bytes_x4":$b4,""" +
-          s""""rows_x1":$r1,"rows_x4":$r4$tail}"""
+        s""""$name":{"x1":${p1.sec},"x4":${p4.sec},""" +
+          s""""ratio":${p4.sec / p1.sec},""" +
+          s""""bytes_x1":${p1.bytes},"bytes_x4":${p4.bytes},""" +
+          s""""rows_x1":${p1.rows},"rows_x4":${p4.rows}""" +
+          diag("1", p1) + diag("4", p4) + tail + "}"
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sweep $name failed: ${e.getMessage}")
         s""""$name":null"""
       }
     }
-    entries.mkString("{", ",", "}")
+    // session block first: the state the preceding query loop left for
+    // the sweep to time in — the fields the r14 verdict asked the
+    // artifact itself to carry
+    s"""{"session":{"resid_rdds":$resid,"storage_bytes":$memUsed,""" +
+      s""""loadavg":${loadAvg1m()}},"cases":""" +
+      entries.mkString("{", ",", "}") + "}"
+  }
+
+  /** 1-minute load average at call time (−1.0 when unavailable). */
+  private def loadAvg1m(): Double = {
+    val l = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    if (l.isNaN) -1.0 else l
   }
 
   def main(args: Array[String]): Unit = {
@@ -431,6 +468,22 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // machine-band header (r14-verdict #7): the ~1.3–3× driver-vs-fresh
+    // band keeps generating confirm-or-clear work — start drift triage
+    // from data carried in the artifact: load average + CPU count + JVM
+    // flags at session start
+    val loadStart = loadAvg1m()
+    val envHeader = {
+      import scala.jdk.CollectionConverters._
+      val flags = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.mkString(" ")
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"loadavg_start":$loadStart,""" +
+        s""""cpus":${Runtime.getRuntime.availableProcessors()},""" +
+        s""""heap_max_mb":${Runtime.getRuntime.maxMemory() >> 20},""" +
+        s""""jvm_args":"$flags"}"""
+    }
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()
@@ -565,7 +618,7 @@ object Bench {
     // survive that window intact (warn loudly if it ever outgrows it)
     val mins = results.map { case (k, (_, v)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"detail","runs":2,"stat":"min","min":$mins,"first_run":$firsts,"pipeline":${pipeline._3},"pipeline_4x":${pipeline4x._3},"pipeline_16x":${pipeline16x._3},"scale_sweep":$sweep}""")
+    println(s"""{"metric":"detail","runs":2,"stat":"min","env":$envHeader,"min":$mins,"first_run":$firsts,"pipeline":${pipeline._3},"pipeline_4x":${pipeline4x._3},"pipeline_16x":${pipeline16x._3},"scale_sweep":$sweep}""")
     // The harness tail keeps exactly 2000 chars (incl. a ~75-char sbt
     // epilogue); a full per-query map stopped fitting at ~85 probes and
     // every added probe re-fought the window. The summary line instead
@@ -583,7 +636,7 @@ object Bench {
     // corpus must be distinguishable in the captured tail
     val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    val line = s"""{"metric":"total","sf":"$sfBase","total_sec":${r2(totalSec)},"n_queries":${results.length},"pipeline_sec":$pipeSummary,"slowest":$slow,"per_query":"see BENCHLOG.md"}"""
+    val line = s"""{"metric":"total","sf":"$sfBase","total_sec":${r2(totalSec)},"n_queries":${results.length},"pipeline_sec":$pipeSummary,"load_start":$loadStart,"load_end":${loadAvg1m()},"slowest":$slow,"per_query":"see BENCHLOG.md"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line is ${line.length}" +
         " chars — may exceed the harness's 2 KB tail capture; trim fields")

@@ -5184,6 +5184,27 @@ object SparkEntry {
           sum(col("n_chars")).as("chars"))
         .orderBy(col("lang"))
     },
+
+    // X348 dictionary front end — exact mergeable distinct over the
+    // corpus's NATURAL keys, which are strings (urls / doc keys), not
+    // the integral ids the bitmap bucket math needs: keyDictionary
+    // assigns dense ids 0..n−1 over the distinct keys (denseIds
+    // two-level rank — no single-reducer global sort), then the
+    // bucketed-bitmap artifact popcounts to count(DISTINCT key)
+    // EXACTLY per group. The synthetic key (source + text prefix) has
+    // real cardinality; nulls drop, the COUNT DISTINCT convention.
+    "q361_bitmap_dict" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val d = t(s, dir, "documents")
+        .select(col("lang"),
+          concat(col("source"), lit("/"),
+            substring(col("text"), 1, 12)).as("key"))
+      val dict = Sketches.keyDictionary(d, "key", buckets = 64)
+      Sketches.bitmapDistinctCount(
+          Sketches.bitmapDistinctByDict(d, Seq("lang"), "key", dict),
+          Seq("lang"))
+        .orderBy(col("lang"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15770,6 +15791,14 @@ object SparkEntry {
         |  AND len(list_intersect(string_split(text, ' '),
         |    ['data', 'value', 'customer'])) > 0
         |  AND levenshtein(lang, 'es') <= 1
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q361_bitmap_dict" ->
+      """SELECT lang,
+        |  CAST(count(DISTINCT source || '/' || substr(text, 1, 12))
+        |    AS BIGINT) AS n_distinct
+        |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
   )

@@ -49,8 +49,11 @@ object TupleExpressions {
 
   /** Aggregation buffer: raw updates land in an updatable sketch;
     * partial/stored sketches accumulate in a lazily-created union;
-    * `result` folds both. Lifecycle-safe: updates only precede the
-    * first serialize, merges only follow deserialize.
+    * `result` folds both WITHOUT mutating either — it builds a fresh
+    * union per call, so repeated `result()` calls (and interleaved
+    * update/result sequences, e.g. a TypedImperativeAggregate
+    * re-evaluated over a growing window frame) never double-add the
+    * summaries of common keys.
     */
   final class Buf(val lgK: Int) {
     val upd: ArrayOfDoublesUpdatableSketch = newSketch(lgK)
@@ -61,7 +64,12 @@ object TupleExpressions {
     }
     def result(): ArrayOfDoublesSketch =
       if (uni == null) upd.compact()
-      else { uni.union(upd.compact()); uni.getResult }
+      else {
+        val fold = newUnion(lgK)
+        fold.union(uni.getResult)
+        fold.union(upd.compact())
+        fold.getResult
+      }
   }
 }
 

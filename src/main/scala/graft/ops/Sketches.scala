@@ -200,6 +200,52 @@ object Sketches {
     else bitmaps.groupBy(groupCols.map(col): _*).agg(agg)
   }
 
+  /** Dictionary for the bitmap family's STRING front end: dense ids
+    * 0..n−1 over the distinct non-null values of `keyCol` — the encode
+    * step that lets urls/doc-ids (the natural 100 TB corpus keys) use
+    * the exact bucketed-bitmap artifact, whose bucket math is id-range
+    * arithmetic and whose size is proportional to the id RANGE (dense
+    * ids make it proportional to the id COUNT). Output: (keyCol,
+    * `key_id`). Persist this next to the bitmap shards — the same
+    * dictionary must encode every shard, or ids collide
+    * (the [[graft.ops.Relational.stableIdRemap]] discipline extends it
+    * across snapshots: old keys keep ids, new keys append).
+    *
+    * Scale shape: one distinct on the key (map-side combined) +
+    * [[graft.ops.Relational.denseIds]]' two-level rank — per-task sort
+    * is bucket-sized, never the single-reducer global `row_number()`.
+    * `buckets` coarsens a hash of the key; pick it so n/buckets rows
+    * fit a task (the denseIds contract).
+    */
+  def keyDictionary(df: DataFrame, keyCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    graft.ops.Relational.denseIds(
+      df.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+        .withColumn("__bkt", pmod(crc32(col(keyCol)), lit(buckets))),
+      "__bkt", Seq(keyCol), "key_id")
+      .select(col(keyCol), col("key_id"))
+  }
+
+  /** Per-group bucketed bitmaps over STRING keys via a
+    * [[keyDictionary]]: encode, then [[bitmapDistinct]] on the dense
+    * id. Exactness carries through — the dictionary is a bijection on
+    * distinct keys, so `bitmapDistinctCount` over this artifact equals
+    * `count(DISTINCT key)` exactly (null keys drop, the COUNT DISTINCT
+    * convention). Shards built against the SAME dictionary merge with
+    * [[mergeBitmaps]] as usual.
+    *
+    * Scale shape: one key-keyed equi-join (corpus and dictionary both
+    * shuffle on the key — a dictionary of all distinct urls is not
+    * broadcast-able and this does not pretend it is) + the one
+    * map-side-combined bitmap aggregation.
+    */
+  def bitmapDistinctByDict(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, dict: DataFrame): DataFrame =
+    bitmapDistinct(
+      df.join(dict.select(col(keyCol), col("key_id")), Seq(keyCol)),
+      groupCols, col("key_id"))
+
   // ——— Frequent-items sketches (X349) — the heavy-hitter artifact:
   // "WHICH values are frequent" in bounded memory, mergeable, with
   // the deterministic NO_FALSE_NEGATIVES + lb≤true≤ub contracts.

@@ -20,13 +20,21 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType}
   *   - **everywhere** (projections included) when BOTH element types
   *     carry `containsNull = false` — the forms are then identical;
   *   - **inside Filter/Join conditions** for the POSITIVE forms
-  *     (> 0, >= 1) even with nullable elements: a filter treats FALSE
-  *     and NULL identically, and the positive forms only disagree
-  *     between those two. (Parquet widens array elements to nullable
-  *     on the round trip, so without this tier the rule would almost
-  *     never fire on real tables.) The NEGATED forms (= 0, <= 0, < 1
-  *     → `NOT overlap`) can flip FALSE to TRUE, so they always demand
-  *     the containsNull guard.
+  *     (> 0, >= 1) when AT LEAST ONE side carries
+  *     `containsNull = false`: a filter treats FALSE and NULL
+  *     identically, and with one null-free side the forms can only
+  *     disagree between those two — a TRUE intersect-size needs a
+  *     common element, and a common *null* element needs nulls on
+  *     BOTH sides. (Parquet widens array elements to nullable on the
+  *     round trip, but the probe side is typically a literal/
+  *     `transform`-built array with `containsNull = false`, so this
+  *     tier still fires on the motivating column-vs-probe case.)
+  *     With nullable elements on both sides the positive forms can
+  *     flip TRUE → NULL when null is the only common element —
+  *     `size(array_intersect([null],[null])) > 0` is TRUE while
+  *     `arrays_overlap` says NULL — so that case never rewrites.
+  *     The NEGATED forms (= 0, <= 0, < 1 → `NOT overlap`) can flip
+  *     FALSE to TRUE, so they always demand the guard on both sides.
   *
   * A null ARRAY input agrees in both forms; the legacy
   * `size(null) = -1` mode changes the algebra, so only non-legacy
@@ -95,14 +103,18 @@ object ArrayOverlapRewrite extends Rule[LogicalPlan]
       Not(ArraysOverlap(a, b))
   }
 
-  /** Filter tier: positive forms fire regardless of element
-    * nullability — FALSE ≡ NULL under a condition. Applied per
-    * conjunct so unrelated predicates pass through `strict`. */
+  /** Filter tier: positive forms fire when at least one side is
+    * null-element-free — FALSE ≡ NULL under a condition, and a
+    * common null element (the one TRUE → NULL flip) needs nulls on
+    * both sides. Applied per conjunct so unrelated predicates pass
+    * through `strict`. */
   private def condition(e: Expression): Expression =
     splitConjunctivePredicates(e).map { c =>
       positive(c) match {
-        case Some((a, b)) => ArraysOverlap(a, b)
-        case None => strict(c)
+        case Some((a, b))
+            if noNullElements(a) || noNullElements(b) =>
+          ArraysOverlap(a, b)
+        case _ => strict(c)
       }
     }.reduceLeft(And(_, _))
 

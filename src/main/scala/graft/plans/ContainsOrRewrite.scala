@@ -30,9 +30,9 @@ import graft.functions.PhraseMatchAny
   * text makes the chain true iff some pattern occurs — the automaton's
   * definition. A group only collapses when
   *
-  *   - it has at least [[ContainsOrRewrite.MinTerms]] DISTINCT
-  *     patterns (below that the codegen'd chain wins — measured, see
-  *     MinTerms);
+  *   - it has at least `spark.graft.containsOrMinTerms` DISTINCT
+  *     patterns (default [[ContainsOrRewrite.MinTerms]]; below that
+  *     the codegen'd chain wins — measured, see MinTerms);
   *   - the text side is deterministic (the chain evaluates it once per
   *     leaf; collapsing would change evaluation counts);
   *   - every pattern is a non-empty string literal
@@ -42,13 +42,16 @@ import graft.functions.PhraseMatchAny
   * Disable with `spark.graft.rewriteContainsOr=false`.
   */
 object ContainsOrRewrite extends Rule[LogicalPlan] with PredicateHelper {
-  /** Minimum distinct patterns before the automaton beats the
+  /** Default minimum distinct patterns before the automaton beats the
     * codegen'd contains chain. RuleBench (BENCHLOG round 14, miss-
     * heavy blocklist over sf0.1 docs ×16/×64): parity at 4–10 terms,
     * automaton 1.3× ahead at 20 and 2–2.5× at 60, flat in term count
-    * while the chain grows linearly — 8 sits on the conservative side
-    * of the crossover (PhraseMatchAny is CodegenFallback, so the
-    * rewrite also costs the filter its whole-stage codegen span).
+    * while the chain grows linearly. 8 sits inside the measured
+    * parity band — the rewrite there is roughly wall-neutral while
+    * costing the filter its whole-stage codegen span (PhraseMatchAny
+    * is CodegenFallback) — so deployments that value the codegen span
+    * can raise `spark.graft.containsOrMinTerms` to 10–12 and only
+    * collapse chains that clearly lose.
     */
   val MinTerms = 8
 
@@ -69,12 +72,13 @@ object ContainsOrRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def collapse(parts: Seq[Expression],
       leaf: Expression => Option[(Expression, String)],
       wrap: Expression => Expression,
-      rebuild: (Expression, Expression) => Expression)
+      rebuild: (Expression, Expression) => Expression,
+      minTerms: Int)
       : Option[Expression] = {
     val tagged = parts.map(p => (p, leaf(p)))
     val groups = tagged.flatMap(_._2).groupBy(_._1.canonicalized)
       .filter { case (_, ps) =>
-        ps.map(_._2).distinct.size >= MinTerms }
+        ps.map(_._2).distinct.size >= minTerms }
     if (groups.isEmpty) None
     else {
       val out = Vector.newBuilder[Expression]
@@ -95,15 +99,20 @@ object ContainsOrRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString("spark.graft.rewriteContainsOr", "true")
         .toBoolean) plan
-    else plan.transformAllExpressions {
-      case or @ Or(_, _) =>
-        collapse(splitDisjunctivePredicates(or),
-          { case ContainsLit(c, p) => Some((c, p)); case _ => None },
-          identity, Or(_, _)).getOrElse(or)
-      case and @ And(_, _) =>
-        collapse(splitConjunctivePredicates(and),
-          { case Not(ContainsLit(c, p)) => Some((c, p))
-            case _ => None },
-          Not(_), And(_, _)).getOrElse(and)
+    else {
+      val minTerms = conf
+        .getConfString("spark.graft.containsOrMinTerms",
+          MinTerms.toString).toInt
+      plan.transformAllExpressions {
+        case or @ Or(_, _) =>
+          collapse(splitDisjunctivePredicates(or),
+            { case ContainsLit(c, p) => Some((c, p)); case _ => None },
+            identity, Or(_, _), minTerms).getOrElse(or)
+        case and @ And(_, _) =>
+          collapse(splitConjunctivePredicates(and),
+            { case Not(ContainsLit(c, p)) => Some((c, p))
+              case _ => None },
+            Not(_), And(_, _), minTerms).getOrElse(and)
+      }
     }
 }

@@ -1,5 +1,8 @@
 package graft.streaming
 
+import org.apache.datasketches.frequencies.{ErrorType, LongsSketch}
+import org.apache.datasketches.memory.Memory
+
 import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -48,6 +51,69 @@ object StreamingHeavyHitters {
         state.update(s)
         s.counters.toSeq.sortBy { case (it, v) => (-v, it) }
           .iterator.map { case (it, v) => (key, it, v, s.n) }
+    }
+  }
+
+  /** Sketch state for [[monitorSketch]]: one serialized X349
+    * frequent-items (LongsSketch) image. */
+  final case class ItemsState(bytes: Array[Byte])
+
+  /** The per-batch state transition [[monitorSketch]] applies — one
+    * definition for the live and replay faces: absorb a batch of items
+    * into an optional prior state image, producing the next image
+    * (parity-spec surface, and the batch-backfill entry point: replay
+    * history through this and the state a live monitor would hold
+    * falls out). */
+  def absorbItems(prior: Option[Array[Byte]], items: Iterator[Long],
+      maxMapSize: Int): Array[Byte] = {
+    val sk = prior.map(b => LongsSketch.getInstance(Memory.wrap(b)))
+      .getOrElse(new LongsSketch(maxMapSize))
+    items.foreach(sk.update)
+    sk.toByteArray
+  }
+
+  /** Sketch-backed mode — the X349 mergeable frequent-items artifact
+    * as LIVE state (the StreamingNovelty/theta one-definition-two-
+    * modes discipline): per-key state is ONE serialized LongsSketch
+    * image, the SAME bytes [[graft.ops.Sketches.itemsSketch]] builds
+    * in batch — so a monitor's live state unions with stored per-shard
+    * sketches via [[graft.ops.Sketches.mergeItemsSketches]] with no
+    * translation, and all the X349 contracts carry over verbatim:
+    * NO_FALSE_NEGATIVES (an item with true count > n/maxMapSize is
+    * never missing from the emitted set) and lb ≤ true ≤ ub per item;
+    * in exact mode (distinct items ≤ ~0.75·maxMapSize, no purge yet)
+    * estimates are exact counts. Emits the NO_FALSE_NEGATIVES
+    * frequent set after every batch the key appears in, heaviest
+    * first: (key, item, est, lb, ub, n). Items are LONGS here (ids
+    * from the X46 vocabulary / q361 dictionary encode step) — the
+    * string-item [[monitor]] above keeps the hand-rolled summary for
+    * un-encoded streams. A timed-out key drops its state silently.
+    */
+  def monitorSketch[K](grouped: KeyValueGroupedDataset[K, Long],
+      maxMapSize: Int = 64,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[ItemsState],
+      e: Encoder[(K, Long, Long, Long, Long, Long)])
+      : Dataset[(K, Long, Long, Long, Long, Long)] = {
+    graft.functions.FreqItemsExpressions.requireMapSize(maxMapSize)
+    grouped.flatMapGroupsWithState[ItemsState,
+        (K, Long, Long, Long, Long, Long)](OutputMode.Update, timeout) {
+      (key: K, items: Iterator[Long],
+          state: GroupState[ItemsState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val bytes = absorbItems(state.getOption.map(_.bytes), items,
+            maxMapSize)
+          val sk = LongsSketch.getInstance(Memory.wrap(bytes))
+          state.update(ItemsState(bytes))
+          val n = sk.getStreamLength
+          sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+            .toSeq.sortBy(r => (-r.getEstimate, r.getItem))
+            .iterator.map(r => (key, r.getItem, r.getEstimate,
+              r.getLowerBound, r.getUpperBound, n))
+        }
     }
   }
 

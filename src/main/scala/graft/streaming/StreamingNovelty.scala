@@ -30,8 +30,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * counts exactly zero new. Beyond exact mode both counters carry
   * theta's documented bounds (the X340 certificate discipline —
   * [[graft.ops.Sketches.thetaBound]] over the persisted artifact when
-  * a gate is needed). Update-mode emission after every batch the key
-  * appears in.
+  * a gate is needed). Past exact mode `est(after) − est(before)` is
+  * not monotone under union and can come out slightly negative — the
+  * emitted `new_distinct` is clamped at 0. Update-mode emission after
+  * every batch the key appears in; if a caller configures a
+  * non-NoTimeout `GroupStateTimeout` (and arranges the timeout
+  * timestamps on the state), a timed-out key drops its state silently
+  * — no spurious (key, 0, 0, total) row.
   */
 object StreamingNovelty {
 
@@ -49,19 +54,25 @@ object StreamingNovelty {
         (K, Long, Double, Double)](OutputMode.Update, timeout) {
       (key: K, values: Iterator[Long],
           state: GroupState[ThetaState]) =>
-        val union = SetOperation.builder().setLogNominalEntries(lgK)
-          .buildUnion()
-        val before = state.getOption.map { s =>
-          val sk = CompactSketch.heapify(Memory.wrap(s.bytes))
-          union.union(sk)
-          sk.getEstimate
-        }.getOrElse(0.0)
-        var n = 0L
-        values.foreach { v => union.update(v); n += 1 }
-        val after = union.getResult
-        state.update(ThetaState(after.toByteArray))
-        Iterator.single(
-          (key, n, after.getEstimate - before, after.getEstimate))
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val union = SetOperation.builder().setLogNominalEntries(lgK)
+            .buildUnion()
+          val before = state.getOption.map { s =>
+            val sk = CompactSketch.heapify(Memory.wrap(s.bytes))
+            union.union(sk)
+            sk.getEstimate
+          }.getOrElse(0.0)
+          var n = 0L
+          values.foreach { v => union.update(v); n += 1 }
+          val after = union.getResult
+          state.update(ThetaState(after.toByteArray))
+          Iterator.single((key, n,
+            math.max(0.0, after.getEstimate - before),
+            after.getEstimate))
+        }
     }
   }
 

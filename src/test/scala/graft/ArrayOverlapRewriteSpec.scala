@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** X352 — the size(array_intersect) → arrays_overlap optimizer rule
   * ([[graft.plans.ArrayOverlapRewrite]]): strict tier everywhere on
-  * null-element-free arrays, filter tier for positive forms on
-  * anything (FALSE ≡ NULL under a condition).
+  * null-element-free arrays, filter tier for positive forms when at
+  * least one side is null-element-free (FALSE ≡ NULL under a
+  * condition; the TRUE → NULL flip needs a common null, i.e. nulls
+  * on both sides).
   */
 class ArrayOverlapRewriteSpec extends SparkSpec {
   import spark.implicits._
@@ -29,8 +31,28 @@ class ArrayOverlapRewriteSpec extends SparkSpec {
     p.contains("arrays_overlap") && !p.contains("array_intersect")
   }
 
-  test("filter tier: positive forms fire on parquet's NULLABLE " +
-      "elements (FALSE = NULL under a condition), results identical") {
+  test("filter tier: positive forms with BOTH sides nullable do not " +
+      "rewrite — null-only overlap rows must survive the filter") {
+    // both sides read from parquet (containsNull=true); row 1's only
+    // common element between x and y is null, so the intersect form
+    // keeps it and arrays_overlap would drop it (NULL)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-overlap-nn").toString
+    Seq((1L, Seq(Option.empty[Long], Some(7L)),
+          Seq(Option.empty[Long], Some(8L))),
+        (2L, Seq(Some(5L)), Seq(Some(5L))),
+        (3L, Seq(Some(5L)), Seq(Some(6L))))
+      .toDF("id", "x", "y").write.mode("overwrite").parquet(dir)
+    val both = spark.read.parquet(dir)
+    val kept = both.filter(
+      size(array_intersect(col("x"), col("y"))) > 0)
+    assert(!fired(kept), kept.queryExecution.optimizedPlan.toString)
+    assert(kept.select("id").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L)))
+  }
+
+  test("filter tier: positive forms fire with parquet's NULLABLE " +
+      "column against a null-free probe, results identical") {
     val probe = array(lit(2L), lit(4L))
     val pos = Seq[DataFrame => DataFrame](
       _.filter(size(array_intersect(col("tags"), probe)) > 0),

@@ -72,6 +72,27 @@ class PhraseRewriteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rewriteContainsOr")
   }
 
+  test("threshold is configurable via spark.graft.containsOrMinTerms: " +
+      "raised, an 8-term chain keeps its codegen'd form; lowered, a " +
+      "5-term chain collapses with identical results") {
+    val eight = Seq("quick", "hash join", "scan", "zebra", "qux",
+      "warp", "emu", "okapi")
+    spark.conf.set("spark.graft.containsOrMinTerms", "10")
+    try {
+      val kept = docs.filter(chain(eight))
+      assert(!kept.queryExecution.optimizedPlan.toString
+        .contains("phrase_match_any"))
+    } finally spark.conf.unset("spark.graft.containsOrMinTerms")
+    spark.conf.set("spark.graft.containsOrMinTerms", "4")
+    try {
+      val five = docs.filter(chain(eight.take(5)))
+      assert(five.queryExecution.optimizedPlan.toString
+        .contains("phrase_match_any"))
+      assert(five.select("id").as[Long].collect().sorted
+        .sameElements(Array(1L, 2L, 3L, 6L)))
+    } finally spark.conf.unset("spark.graft.containsOrMinTerms")
+  }
+
   test("duplicate terms are deduped before the threshold count") {
     // 10 leaves, 7 distinct → no rewrite (dedup first, then threshold)
     val dup = docs.filter(chain(Seq("quick", "scan", "quick", "zebra",

@@ -223,6 +223,45 @@ class SketchesSpec extends SparkSpec {
       .head.getLong(1) == 2L)
   }
 
+  test("bitmap dictionary front end: bitmap(distinct(encode(s))) " +
+      "equals count(DISTINCT s) on string keys, nulls drop, shards " +
+      "built on one dictionary merge exactly") {
+    val rows = (1L to 4000L).map(i =>
+      ("g" + (i % 3), s"https://d${i % 17}.example/p${i % 530}")) ++
+      Seq(("g0", null: String), ("g1", null: String))
+    val data = rows.toDF("k", "url")
+    val dict = Sketches.keyDictionary(data, "url", buckets = 8)
+    // bijection on distinct non-null keys, ids dense 0..n−1
+    val n = data.filter(col("url").isNotNull)
+      .select("url").distinct().count()
+    assert(dict.count() == n)
+    assert(dict.agg(min("key_id"), max("key_id"),
+      countDistinct("key_id")).head match {
+      case r => r.getLong(0) == 0L && r.getLong(1) == n - 1 &&
+        r.getLong(2) == n
+    })
+    val got = Sketches.bitmapDistinctCount(
+        Sketches.bitmapDistinctByDict(data, Seq("k"), "url", dict),
+        Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = data.groupBy("k").agg(countDistinct("url").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+    // per-shard artifacts against the SAME dictionary merge exactly
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bitmap-dict").toString
+    (0 until 2).foreach(s =>
+      Sketches.bitmapDistinctByDict(
+          data.filter(crc32(col("url")) % 2 === s), Seq("k"), "url",
+          dict)
+        .write.mode("append").parquet(dir))
+    val merged = Sketches.bitmapDistinctCount(
+        Sketches.mergeBitmaps(spark.read.parquet(dir), Seq("k")),
+        Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == exact)
+  }
+
   test("frequent-items sketch: exact mode, NO_FALSE_NEGATIVES + " +
       "bracket contracts under purging, shard-merge conservation, " +
       "parquet round trip, determinism") {
@@ -347,6 +386,27 @@ class SketchesSpec extends SparkSpec {
       col("v"))
     assert(skBad.select(Sketches.tupleEstimate(col("sketch")))
       .head.getDouble(0) == 1.0)
+  }
+
+  test("tuple aggregation buffer: result() is idempotent and " +
+      "non-destructive — repeated folds never double-add common-key " +
+      "summaries, and updates after a fold still land") {
+    import graft.functions.TupleExpressions
+    def sum(sk: org.apache.datasketches.tuple.arrayofdoubles
+        .ArrayOfDoublesSketch): Double =
+      sk.getValues.map(_(0)).sum
+    val buf = new TupleExpressions.Buf(12)
+    buf.upd.update(1L, Array(5.0))
+    buf.upd.update(2L, Array(7.0))
+    val other = new TupleExpressions.Buf(12)
+    other.upd.update(1L, Array(3.0))
+    buf.absorb(other.result())
+    assert(sum(buf.result()) == 15.0)
+    assert(sum(buf.result()) == 15.0,
+      "second result() must not re-add upd into the union")
+    buf.upd.update(3L, Array(1.0))
+    assert(sum(buf.result()) == 16.0,
+      "an update between folds must reach the next result()")
   }
 
   test("cms inner product: join-size estimate is one-sided within " +

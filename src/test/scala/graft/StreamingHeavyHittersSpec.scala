@@ -36,4 +36,57 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(last.maxBy(_._3)._2 == "hot")
     q.stop()
   }
+
+  test("sketch-backed mode: live state IS the X349 artifact — " +
+      "exact-mode emissions match the batch build over the same " +
+      "prefix, and the live image merges with stored per-shard " +
+      "sketches via mergeItemsSketches") {
+    import graft.ops.Sketches
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(1L, 1L, 2L)
+    val b2 = Seq(1L, 3L, 3L, 3L)
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingHeavyHitters.monitorSketch(
+        in.toDS().groupByKey(_._1).mapValues(_._2), maxMapSize = 64)
+      .toDF("key", "item", "est", "lb", "ub", "n")
+      .writeStream.format("memory").queryName("hh_sk_out")
+      .outputMode(StreamingHeavyHitters.outputMode)
+      .start()
+    in.addData(b1.map("k1" -> _): _*)
+    q.processAllAvailable()
+    in.addData(b2.map("k1" -> _): _*)
+    q.processAllAvailable()
+    q.stop()
+    // exact mode (3 distinct ≪ 64): est exact, lb = ub = est
+    val live = spark.table("hh_sk_out")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .filter(_._6 == 7L)
+    assert(live.forall(r => r._3 == r._4 && r._3 == r._5))
+    val liveCounts = live.map(r => r._2 -> r._3).toMap
+    assert(liveCounts == Map(1L -> 3L, 2L -> 1L, 3L -> 3L))
+    // batch face of the same prefix answers identically
+    val batch = Sketches.itemsSketch((b1 ++ b2).toDF("v"), Seq.empty,
+        col("v"), maxMapSize = 64)
+      .select(explode(Sketches.frequentItems(col("sketch"), lit(0L)))
+        .as("f"))
+      .select(col("f.item"), col("f.est")).as[(Long, Long)]
+      .collect().toMap
+    assert(batch == liveCounts)
+    // the live image (replayed through the SAME transition the
+    // operator applies) unions with a stored shard sketch — no
+    // translation, exact combined counts
+    val liveBytes = StreamingHeavyHitters.absorbItems(
+      Some(StreamingHeavyHitters.absorbItems(None, b1.iterator, 64)),
+      b2.iterator, 64)
+    val shard = Sketches.itemsSketch(Seq(2L, 2L, 2L).toDF("v"),
+      Seq.empty, col("v"), maxMapSize = 64)
+    val merged = Sketches.mergeItemsSketches(
+        shard.union(Seq(liveBytes).toDF("sketch")), Seq.empty)
+      .select(explode(Sketches.frequentItems(col("sketch"), lit(0L)))
+        .as("f"))
+      .select(col("f.item"), col("f.est")).as[(Long, Long)]
+      .collect().toMap
+    assert(merged == Map(1L -> 3L, 2L -> 4L, 3L -> 3L))
+  }
 }
