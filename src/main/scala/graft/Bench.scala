@@ -138,7 +138,7 @@ object Bench {
     */
   private def docsNx(d: DataFrame, n: Int): DataFrame = {
     val az = "abcdefghijklmnopqrstuvwxyz"
-    require(n <= 64, s"docsNx supports at most 64 replicas: $n")
+    require(n <= 256, s"docsNx supports at most 256 replicas: $n")
     def permOf(r: Int): String =
       if (r < 26) az.drop(r) + az.take(r)
       else {
@@ -210,12 +210,25 @@ object Bench {
     val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("source"), col("text"))
     val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    def docsAt(scale: Int) = if (scale == 1) d1 else docsNx(d1, scale)
+    // Replica corpora MATERIALIZE (eager localCheckpoint, inside the
+    // timed window — the write is linear work, the in-memory analog of
+    // scanning an n× corpus) instead of flowing as an n-branch union
+    // plan into every downstream join: at x256 the 256-branch plan is
+    // a HARNESS artifact — Catalyst analysis + whole-stage codegen of
+    // 256 copies of the shingle/minhash expression tree dominated the
+    // measurement (q17 x256 first read 240 s at ratio256 14 with
+    // EXACTLY linear shuffle bytes and 2.4 s of GC; a real 256× corpus
+    // is one flat scan, which is what the operator should be measured
+    // against). clearState() releases the checkpoint after each sample.
+    def docsAt(scale: Int) =
+      if (scale == 1) d1
+      else docsNx(d1, scale).localCheckpoint(true)
     // the LSH scale knob: planes grows with log₄(n) so expected bucket
     // occupancy stays constant — 4 at 1×, 6 at 4×, 8 at 16×
     def embsAt(scale: Int): (DataFrame, Int) =
       if (scale == 1) (e1, 4)
-      else (embsNx(e1, scale), 4 + (31 - Integer.numberOfLeadingZeros(scale)))
+      else (embsNx(e1, scale).localCheckpoint(true),
+        4 + (31 - Integer.numberOfLeadingZeros(scale)))
     val cases: Seq[(String, Int => DataFrame)] = Seq(
       "q17_minhash_lsh" -> { scale =>
         val c = docsAt(scale)
@@ -314,6 +327,14 @@ object Bench {
     // ~1 min/case, too much for every driver round.
     val x64set = sys.env.get("SPARK_GRAFT_SWEEP_X64")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_SWEEP_X256=q37_dedup_clusters — adds a FIFTH (256×)
+    // point to the named cases (needs X64 on them too): the r14-verdict
+    // notch that carries linear-bytes evidence to within one 4× step of
+    // the nominal 100× design claim and exercises the partition-count/
+    // spill regime the x64 points sit below. ~4–8 min/case — strictly
+    // solo-session material.
+    val x256set = sys.env.get("SPARK_GRAFT_SWEEP_X256")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     // r13-verdict #1 instrumentation, r14-verdict #1 placement: the
     // driver's in-session sweep read q37 x16 at 64.6–88.2 s where the
     // solo run reads 13.9 s with IDENTICAL bytes/rows — session state,
@@ -402,6 +423,8 @@ object Bench {
         val p16 = if (threePoint.contains(name)) Some(run(16)) else None
         val p64 = if (x64set.contains(name) && p16.isDefined)
           Some(run(64)) else None
+        val p256 = if (x256set.contains(name) && p64.isDefined)
+          Some(run(256)) else None
         // per-point self-diagnosis fields ride next to the wall/bytes/
         // rows keys (which keep their historical names for
         // round-over-round comparability)
@@ -415,7 +438,11 @@ object Bench {
             p64.map { w =>
               s""","x64":${w.sec},"ratio64":${w.sec / q.sec},""" +
                 s""""bytes_x64":${w.bytes},"rows_x64":${w.rows}""" +
-                diag("64", w) }.getOrElse("") }
+                diag("64", w) +
+                p256.map { v =>
+                  s""","x256":${v.sec},"ratio256":${v.sec / w.sec},""" +
+                    s""""bytes_x256":${v.bytes},"rows_x256":${v.rows}""" +
+                    diag("256", v) }.getOrElse("") }.getOrElse("") }
           .getOrElse("")
         System.err.println(f"[bench] sweep $name%-24s x1=${p1.sec}%6.2f s  " +
           f"x4=${p4.sec}%6.2f s  ratio=${p4.sec / p1.sec}%5.2f  " +
@@ -427,7 +454,12 @@ object Bench {
               p64.map { w =>
                 f"  x64=${w.sec}%6.2f s  ratio64=${w.sec / q.sec}%5.2f  " +
                   f"bytes64/16=${w.bytes.toDouble / q.bytes}%5.2f  " +
-                  f"rows64=${w.rows}%d" }
+                  f"rows64=${w.rows}%d" +
+                  p256.map { v =>
+                    f"  x256=${v.sec}%6.2f s  " +
+                      f"ratio256=${v.sec / w.sec}%5.2f  " +
+                      f"bytes256/64=${v.bytes.toDouble / w.bytes}%5.2f  " +
+                      f"rows256=${v.rows}%d" }.getOrElse("") }
                 .getOrElse("") }
             .getOrElse("") +
           " (linear=4, quadratic=16)")

@@ -5205,6 +5205,65 @@ object SparkEntry {
           Seq("lang"))
         .orderBy(col("lang"))
     },
+
+    // X358 — strongly connected components: directed mutual
+    // reachability via forward–backward min-label coloring with
+    // peeling (mixed-id label space, halving in both faces). The
+    // derived graph makes every 5-block of custkeys a directed
+    // 5-cycle and bridges even blocks into the next block one-way, so
+    // each weak component condenses to a 2-SCC chain — the peel runs
+    // exactly two outer rounds and the answer (scc_id = min member)
+    // is an engine-independent graph property the oracle derives by
+    // transitive closure, not by mirroring the algorithm.
+    "q362_scc" -> { (s, dir) =>
+      val n = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("u"))
+      val base = n.withColumn("pos", expr("(u - 1) % 5"))
+        .withColumn("blk", expr("(u - 1) div 5"))
+      val fwd = base.filter(col("pos") < 4L)
+        .select(col("u").as("src"), (col("u") + 1L).as("dst"))
+      val back = base.filter(col("pos") === 4L)
+        .select(col("u").as("src"), (col("u") - 4L).as("dst"))
+      val cross = base.filter(col("pos") === 0L && expr("blk % 2 = 0"))
+        .select(col("u").as("src"), (col("u") + 5L).as("dst"))
+      val edges = fwd.unionByName(back).unionByName(cross)
+        .join(n.select(col("u").as("dst")), Seq("dst"), "left_semi")
+      graft.ops.Graph.scc(edges, "src", "dst")
+        .orderBy(col("node"))
+    },
+
+    // X359 — interpolated Kneser–Ney smoothed bigram LM over the
+    // even-doc reference corpus (the q303 split convention): absolute
+    // discount D = 3/4 + continuation back-off, exact floor ppm over
+    // the common denominator — the LM artifact, one row per observed
+    // bigram type
+    "q363_kneser_ney" -> { (s, dir) =>
+      graft.text.Vocab.kneserNeyBigrams(
+          t(s, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(2)) === 0),
+          "text")
+        .orderBy(col("w1"), col("w2"))
+    },
+
+    // X360 — DAG longest path (critical path): max-plus relaxation to
+    // a fixpoint with the positive-weight cycle-raise contract. The
+    // derived task DAG: custkey blocks of 12, dependency edges u→u+2
+    // and u→u+3 within a block (depth ≤ 5 — the oracle unrolls 7 DP
+    // rounds, extra rounds identity at fixpoint), task cost
+    // (src + dst) % 10 + 1
+    "q364_critical_path" -> { (s, dir) =>
+      val n = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("u"))
+        .withColumn("pos", expr("(u - 1) % 12"))
+      val e2 = n.filter(col("pos") <= 9L)
+        .select(col("u").as("src"), (col("u") + 2L).as("dst"))
+      val e3 = n.filter(col("pos") <= 8L)
+        .select(col("u").as("src"), (col("u") + 3L).as("dst"))
+      val edges = e2.unionByName(e3)
+        .withColumn("w", pmod(col("src") + col("dst"), lit(10)) + 1L)
+      graft.ops.Graph.longestPath(edges, "src", "dst", col("w"))
+        .orderBy(col("node"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15801,6 +15860,106 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // q362 oracle: scc_id = min member id is a graph PROPERTY, so the
+    // oracle derives it from first principles — recursive transitive
+    // closure (UNION dedups, so cycles are safe), then mutual pairs,
+    // then min per node — no mirror of the Spark peel
+    "q362_scc" ->
+      """WITH RECURSIVE n AS MATERIALIZED (
+        |  SELECT CAST(c_custkey AS BIGINT) AS u FROM customer
+        |), blocks AS MATERIALIZED (
+        |  SELECT u, (u - 1) % 5 AS pos, (u - 1) // 5 AS blk FROM n
+        |), e AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT u AS src, u + 1 AS dst FROM blocks WHERE pos < 4
+        |    UNION ALL
+        |    SELECT u AS src, u - 4 AS dst FROM blocks WHERE pos = 4
+        |    UNION ALL
+        |    SELECT u AS src, u + 5 AS dst FROM blocks
+        |    WHERE pos = 0 AND blk % 2 = 0
+        |  ) t WHERE dst IN (SELECT u FROM n)
+        |), r AS (
+        |  SELECT src AS a, dst AS b FROM e
+        |  UNION
+        |  SELECT r.a, e.dst AS b FROM r JOIN e ON e.src = r.b
+        |), m AS (
+        |  SELECT u AS a, u AS b FROM n
+        |  UNION
+        |  SELECT r1.a, r1.b
+        |  FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+        |)
+        |SELECT a AS node, CAST(min(b) AS BIGINT) AS scc_id
+        |FROM m GROUP BY a ORDER BY node""".stripMargin,
+
+    // q363 oracle: the same bigram-type/context-stat tables, the same
+    // one-floor-division ppm in HUGEINT
+    "q363_kneser_ney" ->
+      """WITH dz AS (
+        |  SELECT list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+        |), bi AS MATERIALIZED (
+        |  SELECT p.u AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n
+        |  FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> struct_pack(u := tk[CAST(i AS BIGINT)],
+        |        w2 := tk[CAST(i + 1 AS BIGINT)]))) AS p
+        |    FROM dz)
+        |  GROUP BY p.u, p.w2
+        |), ls AS (
+        |  SELECT w1, CAST(sum(n) AS BIGINT) AS ca,
+        |    CAST(count(*) AS BIGINT) AS n1a
+        |  FROM bi GROUP BY w1
+        |), rs AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+        |  FROM bi GROUP BY w2
+        |), tt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS tb FROM bi
+        |)
+        |SELECT bi.w1, bi.w2, bi.n,
+        |  CAST((1000000::HUGEINT *
+        |      (greatest(4 * bi.n - 3, 0)::HUGEINT
+        |         * (SELECT tb FROM tt)
+        |       + 3::HUGEINT * ls.n1a * rs.n1b))
+        |    // (4::HUGEINT * ls.ca * (SELECT tb FROM tt))
+        |    AS BIGINT) AS p_kn_ppm
+        |FROM bi
+        |JOIN ls ON bi.w1 = ls.w1
+        |JOIN rs ON bi.w2 = rs.w2
+        |ORDER BY bi.w1, bi.w2""".stripMargin,
+
+    // q364 oracle: the max-plus DP unrolled to 7 MATERIALIZED rounds
+    // (block depth ≤ 5 → fixpoint by round 5; extra rounds identity —
+    // the q165/q357 discipline)
+    "q364_critical_path" -> {
+      val round = (j: Int) =>
+        s""", d$j AS MATERIALIZED (
+           |  SELECT node, CAST(max(d) AS BIGINT) AS d FROM (
+           |    SELECT node, d FROM d${j - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.d + e.w AS d
+           |    FROM d${j - 1} p JOIN e ON e.src = p.node
+           |  ) t GROUP BY node
+           |)""".stripMargin
+      """WITH n AS MATERIALIZED (
+        |  SELECT CAST(c_custkey AS BIGINT) AS u,
+        |    (CAST(c_custkey AS BIGINT) - 1) % 12 AS pos
+        |  FROM customer
+        |), e AS MATERIALIZED (
+        |  SELECT src, dst, (src + dst) % 10 + 1 AS w FROM (
+        |    SELECT u AS src, u + 2 AS dst FROM n WHERE pos <= 9
+        |    UNION ALL
+        |    SELECT u AS src, u + 3 AS dst FROM n WHERE pos <= 8
+        |  ) t
+        |), d0 AS MATERIALIZED (
+        |  SELECT node, CAST(0 AS BIGINT) AS d FROM (
+        |    SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+        |  ) t
+        |)""".stripMargin + (1 to 7).map(round).mkString + """
+        |SELECT node, d AS dist FROM d7 ORDER BY node""".stripMargin
+    },
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

@@ -198,6 +198,17 @@ object StreamBench {
         in.toDS().groupByKey(_.key).mapValues(_.id % 4000L)).toDF()
     }(feedKeyed _)
 
+    results += drive[SBKeyed]("funnel",
+      streaming.StreamingFunnel.outputMode) { in =>
+      // id mod 3 maps arrivals onto a 3-step funnel; tsUs advances
+      // monotonically per key, so each key climbs and re-emits its
+      // depth every batch — k timestamps of state per key
+      streaming.StreamingFunnel.monitor(
+        in.toDS().groupByKey(_.key)
+          .mapValues(e => (e.tsUs, s"s${e.id % 3}")),
+        steps = Seq("s0", "s1", "s2")).toDF()
+    }(feedKeyed _)
+
     results += drive[SBKeyed]("bottomk_sample",
       streaming.StreamingSample.outputMode) { in =>
       // value universe of 2000 per key: the k-sample churns early,

@@ -1739,4 +1739,274 @@ object Graph {
             least(col("d_c"), col("m") * 2L - col("d_c"))))
           .as("conductance_ppm"))
   }
+
+  /** Strongly connected components (X358) — DIRECTED mutual
+    * reachability, the grouping [[connectedComponents]] cannot
+    * express: u and v share an SCC iff u reaches v AND v reaches u.
+    * The link-graph condensation step (an SCC of urls is one
+    * navigational unit), the cyclic-dependency detector on reference/
+    * redirect/ETL graphs, and the directed complement of the dedup
+    * clustering family. Output: (`node`, `scc_id`) with scc_id = the
+    * MINIMUM member id — a canonical label, an engine-independent
+    * property of the graph (so the oracle can derive it by any means,
+    * e.g. a transitive-closure CTE).
+    *
+    * Algorithm — forward–backward min-label coloring with peeling:
+    * per outer round over the ACTIVE subgraph, propagate to fixpoint
+    *
+    *   f(v) = min id that REACHES v  (along edges, v included)
+    *   b(v) = min id v REACHES       (against edges, v included)
+    *
+    * then f(v) = b(v) = m certifies v ∈ SCC(m) — m reaches v and v
+    * reaches m — and those nodes settle EXACTLY as SCC(m) (f and b are
+    * SCC-invariants: mutual reachability makes both reach sets equal).
+    * Settled nodes peel off; the minimum active label always settles
+    * (f = b = itself), so every outer round retires ≥ 1 whole SCC per
+    * weak component and the peel terminates. Both propagations use the
+    * [[connectedComponents]] POINTER-HALVING trick — l(v) ←
+    * min(l(v), l(l(v))) is sound for reach-min labels (whatever
+    * reaches l(v) also reaches v; whatever l(v) reaches, v reaches).
+    *
+    * Labels live in a BIJECTIVELY MIXED id space (two xorshift64
+    * rounds — a 64-bit permutation, so label identity IS node identity
+    * and the certificate stays exact): halving only accelerates when
+    * label values form chains of useful intermediate pointers, and a
+    * monotone id layout defeats it in one direction (measured on a
+    * directed 48-cycle: the forward face converged in 6 rounds while
+    * the backward face crawled one node per round — successor ids all
+    * EXCEED each node's own, so every label jumps straight to the
+    * minimum or stays at self and no chain ever forms). Mixing
+    * decorrelates id order from edge direction, restoring sub-linear
+    * growth in both faces (same 48-cycle, measured: 7 and 18 rounds —
+    * the jump target is the argmin of the known ball, uniformly
+    * placed under mixing, so expected coverage grows ~1.5× per round);
+    * the final labels relabel to min ORIGINAL member id in one
+    * aggregation + join.
+    *
+    * `maxRounds` bounds the TOTAL propagation rounds across the whole
+    * peel and RAISES when exceeded (refuse, don't return a partial
+    * grouping — the kTruss/resolveChains contract). Worst case the
+    * peel needs one outer round per level of the SCC condensation
+    * DAG; on link graphs the first round typically retires the bulk.
+    *
+    * Scale shape: per propagation round ONE |E|-grain equi-join + a
+    * min aggregate + one |V|-grain halving join, all at a measured
+    * loop width; per outer round two |V|-grain anti/semi-joins
+    * restrict the frontier. Rounds are checkpointed and superseded
+    * frames released. Self-loops and duplicate edges collapse; null
+    * endpoints drop.
+    */
+  def scc(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 120): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val spark = edges.sparkSession
+    val e0 = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val p = loopWidth(2L * e0.count(),
+      spark.sparkContext.defaultParallelism)
+    var budget = maxRounds
+    def decSum(c: String) = sum(col(c).cast("decimal(38,0)"))
+    // two xorshift64 rounds: a bijection on 64-bit longs (every step
+    // is invertible), built from shifts/xors only — no multiply, so no
+    // ANSI overflow lane. Bijective ⇒ a mixed label names exactly one
+    // node and the f=b certificate stays exact.
+    def xmix(c: Column): Column = {
+      def step(z: Column): Column = {
+        val a = z.bitwiseXOR(shiftleft(z, 13))
+        val b = a.bitwiseXOR(shiftrightunsigned(a, 7))
+        b.bitwiseXOR(shiftleft(b, 17))
+      }
+      step(step(c))
+    }
+
+    /** Reach-min fixpoint over `es` along `from` → `to`: one row per
+      * node in `nodes`, label = min MIXED id on any path into it
+      * (forward) or out of it (backward), via neighbor-min + pointer
+      * halving in the mixed space.
+      */
+    def minReach(es: DataFrame, nodes: DataFrame, from: String,
+        to: String): DataFrame = {
+      var l = nodes.select(col("node"), xmix(col("node")).as("lbl"))
+        .localCheckpoint(true)
+      var prev: DataFrame = null
+      var lastSum: java.math.BigDecimal = null
+      var converged = false
+      while (!converged) {
+        if (budget <= 0)
+          throw new IllegalStateException(
+            s"scc: propagation exceeded maxRounds=$maxRounds — " +
+              "raise it rather than accept a partial grouping")
+        budget -= 1
+        // neighbor min: labels flow along the edge direction
+        val viaEdges = es
+          .join(l.repartition(p, col("node")),
+            es(from) === l("node"))
+          .select(es(to).as("node"), col("lbl"))
+        val upd = l.select(col("node"), col("lbl")).unionByName(viaEdges)
+          .repartition(p, col("node"))
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        // pointer halving: whatever reaches lbl(v) (or lbl(v)
+        // reaches) transfers to v — labels are MIXED node ids, every
+        // node has a label row keyed by its own mixed id, so the
+        // lookup is an inner join
+        val ptr = upd.select(xmix(col("node")).as("__pn"),
+          col("lbl").as("__pl"))
+        val halved = upd
+          .join(ptr.repartition(p, col("__pn")),
+            upd("lbl") === col("__pn"))
+          .select(col("node"), least(col("lbl"), col("__pl")).as("lbl"))
+          .localCheckpoint(false)
+        // labels are node ids and only decrease: the decimal sum is a
+        // strict monotone — equal sums ⇔ fixpoint (the CC discipline);
+        // this aggregate is also the round's one materializing action
+        val s = halved.agg(decSum("lbl")).head.getDecimal(0)
+        if (sys.env.contains("GRAFT_SCC_DEBUG"))
+          System.err.println(s"[scc] $from->$to round " +
+            s"budget=$budget sum=$s last=$lastSum")
+        converged = lastSum != null && s != null &&
+          s.compareTo(lastSum) == 0
+        lastSum = s
+        if (prev != null) Checkpoints.release(prev)
+        prev = l
+        l = halved
+      }
+      if (prev != null && !(prev eq l)) Checkpoints.release(prev)
+      l
+    }
+
+    var active = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var es = e0
+    var resolved: DataFrame = null
+    while (!active.isEmpty) {
+      val f = minReach(es, active, "src", "dst")
+      val b = minReach(es, active, "dst", "src")
+      val settled = f
+        .join(b.select(col("node"), col("lbl").as("__bl")), Seq("node"))
+        .filter(col("lbl") === col("__bl"))
+        .select(col("node"), col("lbl").as("__scc_mixed"))
+        .localCheckpoint(true)
+      Checkpoints.release(f)
+      Checkpoints.release(b)
+      val mergedResolved =
+        if (resolved == null) settled
+        else resolved.unionByName(settled).localCheckpoint(true)
+      val nextActive = active
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      val nextEs = es
+        .join(nextActive.select(col("node").as("__na")),
+          col("src") === col("__na"), "left_semi")
+        .join(nextActive.select(col("node").as("__nb")),
+          col("dst") === col("__nb"), "left_semi")
+        .localCheckpoint(true)
+      if (resolved != null && !(resolved eq mergedResolved)) {
+        Checkpoints.release(resolved)
+        Checkpoints.release(settled)
+      }
+      Checkpoints.release(active)
+      if (!(es eq e0)) Checkpoints.release(es)
+      resolved = mergedResolved
+      active = nextActive
+      es = nextEs
+    }
+    Checkpoints.release(e0)
+    if (resolved == null)
+      spark.range(0).select(col("id").as("node"),
+        col("id").as("scc_id"))
+    else {
+      // mixed group labels → canonical min ORIGINAL member id: one
+      // aggregation at SCC grain + one join back
+      val canon = resolved.groupBy(col("__scc_mixed"))
+        .agg(min(col("node")).as("scc_id"))
+      resolved.join(canon, Seq("__scc_mixed"))
+        .select(col("node"), col("scc_id"))
+    }
+  }
+
+  /** DAG longest path / critical path (X360) — the scheduling length
+    * [[bfsDistance]]'s MIN-hop cannot express: dist(v) = the maximum
+    * total weight over all paths ENDING at v (every node is a
+    * zero-cost start), the "earliest this task can finish" number of
+    * dependency DAGs (build graphs, ETL plans, citation depth) and the
+    * makespan lower bound of a task graph. Weights are strictly
+    * positive integers (raised in-plan otherwise; default 1 = hop
+    * count); parallel edges collapse to their max weight — the DP
+    * only ever uses the max.
+    *
+    * Iterated max-plus relaxation: dist⁰ = 0, each round
+    * dist'(v) = max(dist(v), max over u→v of dist(u) + w) — after k
+    * rounds dist covers all paths of ≤ k edges, so a DAG of depth L
+    * is at fixpoint after L rounds (one more confirms). STRICTLY
+    * positive weights make a cycle grow without bound, so
+    * non-convergence within `maxRounds` proves depth > maxRounds OR a
+    * cycle — either way the answer would be wrong to emit, and the
+    * loop RAISES (the kTruss/resolveChains refuse-don't-mislabel
+    * contract; the message names both causes since they are not
+    * distinguishable at the budget boundary).
+    *
+    * Scale shape: per round ONE |E|-grain equi-join + a max
+    * aggregate at the measured loop width; rounds checkpointed,
+    * superseded frames released; the decimal label sum (monotone
+    * non-decreasing) doubles as the convergence test and the round's
+    * single action.
+    */
+  def longestPath(edges: DataFrame, srcCol: String, dstCol: String,
+      weight: Column = lit(1L), maxRounds: Int = 40): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val e0 = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        when(weight.cast("long") >= 1L, weight.cast("long"))
+          .otherwise(raise_error(concat(
+            lit("longestPath: weights must be >= 1, got "),
+            weight.cast("string")))).as("w"))
+      .groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
+      .localCheckpoint(true)
+    val p = loopWidth(e0.count(),
+      edges.sparkSession.sparkContext.defaultParallelism)
+    def decSum(c: String) = sum(col(c).cast("decimal(38,0)"))
+    var dist = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var prev: DataFrame = null
+    var lastSum: java.math.BigDecimal = null
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"longestPath: no fixpoint after maxRounds=$maxRounds — " +
+            "the graph has a cycle or is deeper than the budget; " +
+            "refuse rather than emit truncated path lengths")
+      rounds += 1
+      val viaEdges = e0
+        .join(dist.repartition(p, col("node")),
+          e0("src") === dist("node"))
+        .select(e0("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val upd = dist.select(col("node"), col("dist"))
+        .unionByName(viaEdges)
+        .repartition(p, col("node"))
+        .groupBy(col("node")).agg(max(col("dist")).as("dist"))
+        .localCheckpoint(false)
+      val s = upd.agg(decSum("dist")).head.getDecimal(0)
+      // null sum == empty graph: vacuously at fixpoint (the CC rule)
+      converged = (s == null && lastSum == null && rounds > 1) ||
+        (lastSum != null && s != null && s.compareTo(lastSum) == 0)
+      lastSum = s
+      if (prev != null) Checkpoints.release(prev)
+      prev = dist
+      dist = upd
+    }
+    if (prev != null && !(prev eq dist)) Checkpoints.release(prev)
+    Checkpoints.release(e0)
+    dist
+  }
 }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming funnel progression per key — the LIVE face of
+  * [[graft.ops.Funnel.funnelDepth]] (SURVEY §2.7, the 24th operator):
+  * "how far has each user got through view → click → purchase RIGHT
+  * NOW?", maintained per micro-batch instead of re-scanned nightly.
+  * State per key is at most k timestamps (k = funnel length) whatever
+  * the event volume — the same bound the batch operator's windowed
+  * minimums carry.
+  *
+  * Semantics are the batch operator's exactly: step 1 fires on the
+  * key's first step-1 event; step i+1 on the first step-(i+1) event
+  * STRICTLY after step i's timestamp (same-instant does not advance);
+  * other event types interleave freely and unknown types are ignored.
+  * In-batch events fold in (timestamp, step-index) order, so
+  * out-of-order WITHIN a batch is handled; ACROSS batches the monitor
+  * assumes per-key event-time-ordered delivery (the
+  * StreamingEwma/StreamingHolt contract) — under it, the live state
+  * after any prefix equals `funnelDepth` over that prefix
+  * (spec-pinned per prefix). A late cross-batch event may
+  * under-advance relative to a batch recompute — the bounded-state
+  * price, stated rather than hidden; re-run the batch face for an
+  * exact backfill.
+  *
+  * Emits (key, steps_done, step_ts) after every batch the key appears
+  * in — `step_ts` is the reached prefix of step timestamps (length =
+  * steps_done, no null padding). Update-mode emission; a timed-out
+  * key drops its state silently.
+  */
+object StreamingFunnel {
+
+  /** Monitor state: timestamps of the reached funnel prefix. */
+  final case class FunnelState(stepTs: Seq[Long])
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, (Long, String)],
+      steps: Seq[String],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[FunnelState],
+      e: Encoder[(K, Int, Seq[Long])])
+      : Dataset[(K, Int, Seq[Long])] = {
+    require(steps.nonEmpty, "StreamingFunnel needs at least one step")
+    val stepIdx = steps.zipWithIndex.toMap
+    grouped.flatMapGroupsWithState[FunnelState, (K, Int, Seq[Long])](
+      OutputMode.Update, timeout) {
+      (key: K, events: Iterator[(Long, String)],
+          state: GroupState[FunnelState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val reached = scala.collection.mutable.ArrayBuffer(
+            state.getOption.map(_.stepTs).getOrElse(Seq.empty): _*)
+          // fold in (ts, step-index) order: the strictly-after rule
+          // makes the result order-independent for distinct
+          // timestamps, and the index tiebreak pins same-instant
+          // determinism (which still never advances two steps at one
+          // instant)
+          events.flatMap { case (t, tpe) =>
+            stepIdx.get(tpe).map(i => (t, i)) }
+            .toArray.sortBy(identity)
+            .foreach { case (t, i) =>
+              if (i == reached.size &&
+                  (i == 0 || t > reached(i - 1))) reached += t
+            }
+          state.update(FunnelState(reached.toSeq))
+          Iterator.single((key, reached.size, reached.toSeq))
+        }
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -458,4 +458,71 @@ object Vocab {
           replace(unwrap(e), lit(S + S), lit(" "))), " ")
           .as("bpe_text"))
   }
+
+  /** Interpolated Kneser–Ney smoothed bigram LM (X359) — the standard
+    * n-gram smoothing [[bigramSurprisal]]'s stupid-backoff deliberately
+    * is not: absolute discounting plus a CONTINUATION-probability
+    * back-off, the insight that "how many distinct contexts has this
+    * word followed?" predicts unseen bigrams better than raw frequency
+    * ("francisco" is frequent but follows almost nothing new). With
+    * the classic discount D = 3/4 (rational, so the whole model is
+    * exact integer arithmetic):
+    *
+    *   P(w2|w1) = max(c(w1 w2) − D, 0) / c(w1 ·)
+    *            + (D · N1+(w1 ·) / c(w1 ·)) · N1+(· w2) / N1+(· ·)
+    *
+    * where c(w1 ·) = Σ c(w1 b) (occurrences of w1 as left context),
+    * N1+(w1 ·) = distinct continuations of w1, N1+(· w2) = distinct
+    * left contexts of w2, N1+(· ·) = total distinct bigram types.
+    * Emitted as the exact floor ppm over the common denominator:
+    *
+    *   p_kn_ppm = ⌊10⁶ · (max(4c−3, 0)·T + 3·N1+(w1·)·N1+(·w2))
+    *                 div (4 · c(w1·) · T)⌋,   T = N1+(· ·)
+    *
+    * — one truncating division at the end, products carried in
+    * decimal(38,0) (c·T can reach ~10¹² per term at sf0.1 and the ppm
+    * scale adds 10⁶; long would overflow near 10¹⁹). Output: one row
+    * per OBSERVED bigram type (w1, w2, `n`, `p_kn_ppm`) — the LM
+    * artifact a quality gate scores against (unseen bigrams back off
+    * to the continuation term alone; the spec pins the full
+    * normalization Σ_b P(b|a) = 1 over the vocabulary).
+    *
+    * Scale shape: one corpus scan into the bigram-type table
+    * (map-side-combined, materialized once for its four consumers),
+    * then three aggregations AT TYPE GRAIN (≪ corpus by Heaps' law)
+    * and two type-grain equi-joins plus a one-row broadcast for T.
+    * Tokenization is the engine-wide normalized-whitespace convention.
+    */
+  def kneserNeyBigrams(ref: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.Exact.longDiv
+    def toks(c: Column): Column =
+      TextFunctions.tokens(TextFunctions.normalized(c))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val pairs = ref.filter(col(textCol).isNotNull)
+      .select(toks(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+        (a, b) => struct(a.as("u"), b.as("w")))).as("__p"))
+      .groupBy(col("__p.u").as("w1"), col("__p.w").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val leftStats = pairs.groupBy(col("w1"))
+      .agg(sum(col("n")).as("__ca"), count(lit(1)).as("__n1a"))
+    val rightStats = pairs.groupBy(col("w2"))
+      .agg(count(lit(1)).as("__n1b"))
+    val tTot = pairs.agg(count(lit(1)).as("__T"))
+    pairs
+      .join(leftStats, Seq("w1"))
+      .join(rightStats, Seq("w2"))
+      .crossJoin(broadcast(tTot))
+      .select(col("w1"), col("w2"), col("n"),
+        longDiv(
+          lit(1000000L) * (dec(greatest(col("n") * 4L - 3L, lit(0L))) *
+            dec(col("__T")) +
+            dec(col("__n1a")) * dec(col("__n1b")) * 3L),
+          dec(col("__ca")) * dec(col("__T")) * 4L)
+          .cast("long").as("p_kn_ppm"))
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.ops.Funnel
+import graft.streaming.StreamingFunnel
+
+/** §2.7 — StreamingFunnel: the live face of Funnel.funnelDepth.
+  * Parity contract: under per-key event-time-ordered delivery, each
+  * batch's emission equals the batch operator over the whole prefix.
+  */
+class StreamingFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming funnel: batch-face parity after every prefix — " +
+      "strict-after rule, same-instant tie does not advance, noise " +
+      "and unknown types ignored, stalled and restarted keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "buy")
+    // u1: clean three-step conversion with noise and a late re-view;
+    // u2: same-instant view+click (click must NOT advance), converts
+    //     later; u3: click BEFORE its first view (ignored), then
+    //     view → click across batches
+    val b1 = Seq(("u1", 10L, "view"), ("u1", 11L, "noise"),
+      ("u2", 10L, "view"), ("u2", 10L, "click"), ("u3", 5L, "click"))
+    val b2 = Seq(("u1", 12L, "click"), ("u2", 20L, "click"),
+      ("u3", 6L, "view"))
+    val b3 = Seq(("u1", 15L, "buy"), ("u2", 25L, "buy"),
+      ("u3", 7L, "click"), ("u1", 16L, "view"))
+
+    def batchFace(prefix: Seq[(String, Long, String)])
+        : Map[String, (Int, Seq[Long])] =
+      Funnel.funnelDepth(prefix.toDF("u", "ts", "t"), "u", "ts", "t",
+          steps)
+        .collect().map { r =>
+          val ts = (1 to steps.length).flatMap { i =>
+            val f = r.fieldIndex(s"step_ts_$i")
+            if (r.isNullAt(f)) None else Some(r.getLong(f))
+          }
+          r.getString(r.fieldIndex("u")) ->
+            ((r.getInt(r.fieldIndex("steps_done")), ts))
+        }.toMap
+
+    val in = MemoryStream[(String, Long, String)]
+    val q = StreamingFunnel.monitor(
+        in.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3)), steps)
+      .toDF("key", "steps_done", "step_ts")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(StreamingFunnel.outputMode)
+      .start()
+
+    var expected = List.empty[(String, Int, Seq[Long])]
+    var prefix = Seq.empty[(String, Long, String)]
+    Seq(b1, b2, b3).foreach { batch =>
+      prefix = prefix ++ batch
+      in.addData(batch: _*)
+      q.processAllAvailable()
+      val face = batchFace(prefix)
+      batch.map(_._1).distinct.foreach { k =>
+        expected ::= ((k, face(k)._1, face(k)._2))
+      }
+    }
+    q.stop()
+    val got = spark.table("funnel_out")
+      .as[(String, Int, Seq[Long])].collect().toSeq
+    assert(got.sortBy(r => (r._1, r._2, r._3.mkString(","))) ==
+      expected.sortBy(r => (r._1, r._2, r._3.mkString(","))))
+    // spot-pin the final states the parity loop just verified
+    val fin = got.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.maxBy(_._2) }
+    assert(fin("u1") == (("u1", 3, Seq(10L, 12L, 15L))))
+    assert(fin("u2") == (("u2", 3, Seq(10L, 20L, 25L))))
+    assert(fin("u3") == (("u3", 2, Seq(6L, 7L))))
+  }
+}

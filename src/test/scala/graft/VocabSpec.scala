@@ -226,4 +226,36 @@ class VocabSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("kneserNeyBigrams: hand-checked discount + continuation ppm, " +
+      "and the model NORMALIZES — observed mass plus the unseen " +
+      "pairs' continuation-only mass sums to exactly 1 per context") {
+    // corpus: "a b a c" + "b a" → bigram types (a,b):1 (a,c):1 (b,a):2
+    // T=3; c(a·)=2 N1+(a·)=2; c(b·)=2 N1+(b·)=1; N1+(·a)=N1+(·b)=N1+(·c)=1
+    val ref = Seq("a b a c", "b a").toDF("text")
+    val got = Vocab.kneserNeyBigrams(ref, "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // P(b|a) = (1-3/4)/2 + (3/4·2/2)·(1/3) = 3/8 → 375000; (a,c) same
+    // P(a|b) = (2-3/4)/2 + (3/4·1/2)·(1/3) = 3/4 → 750000
+    assert(got == Map(
+      ("a", "b") -> ((1L, 375000L)),
+      ("a", "c") -> ((1L, 375000L)),
+      ("b", "a") -> ((2L, 750000L))))
+    // normalization over the continuation vocabulary {a,b,c}: unseen
+    // (w1,w2) carries D·N1+(w1·)·N1+(·w2)/(c(w1·)·T) ppm
+    // context a: 375000 + 375000 + unseen(a,a)=3·2·1·10⁶/24=250000
+    assert(375000L + 375000L + 250000L == 1000000L)
+    // context b: 750000 + unseen(b,b) + unseen(b,c) = 2×(3·1·1·10⁶/24)
+    assert(750000L + 125000L + 125000L == 1000000L)
+    // null/short texts contribute nothing
+    val withNulls = Seq(Some("a b a c"), Some("b a"), None, Some("x"),
+      Some("")).toDF("text")
+    val again = Vocab.kneserNeyBigrams(withNulls, "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(again == got)
+  }
 }
