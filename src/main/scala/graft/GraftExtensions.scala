@@ -107,5 +107,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (graft.plans.ArrayOverlapRewrite — null-element guard inside;
     // spark.graft.rewriteArrayOverlap=false disables)
     ext.injectOptimizerRule(_ => graft.plans.ArrayOverlapRewrite)
+    // literal-alternation regexes → the same Aho–Corasick pass (the
+    // regex spelling of a blocklist; graft.plans.RegexAlternationRewrite;
+    // spark.graft.rewriteRegexAlternation=false disables)
+    ext.injectOptimizerRule(_ => graft.plans.RegexAlternationRewrite)
   }
 }

@@ -5264,6 +5264,45 @@ object SparkEntry {
       graft.ops.Graph.longestPath(edges, "src", "dst", col("w"))
         .orderBy(col("node"))
     },
+
+    // X361 — Naive Bayes language classifier, the model-based
+    // curation filter: train per-lang unigram models on even docs,
+    // classify odd docs by argmin integer surprisal (bit-length
+    // convention, exact on any engine), margins alongside
+    "q365_naive_bayes" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      graft.text.Classify.naiveBayes(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "text", "lang", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // X362 — Markov removal-effect attribution over user journeys:
+    // purchase converts, the other event types are channels; 8-round
+    // truncated-horizon absorption probability, floor ppm per round
+    "q366_markov_attribution" -> { (s, dir) =>
+      graft.ops.Funnel.markovRemovalAttribution(
+          events(s, dir).filter(col("user_id").isNotNull),
+          "user_id", Seq("ts_ns", "event_id"), "event_type",
+          convType = "purchase", rounds = 8)
+        .orderBy(col("channel"))
+    },
+
+    // X363 — the regex spelling of the q345 blocklist: one
+    // 8-alternative literal rlike, executed by the
+    // RegexAlternationRewrite rule as a single Aho–Corasick pass
+    // (exact three-valued equivalence — fires under the NOT too)
+    "q367_regex_blocklist" -> { (s, dir) =>
+      val pattern = "hash join|slow scan|value table part|" +
+        "merge batch|order data|window agg|warp speed|zebra"
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && !col("text").rlike(pattern))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -15960,6 +15999,168 @@ object SparkEntry {
         |)""".stripMargin + (1 to 7).map(round).mkString + """
         |SELECT node, d AS dist FROM d7 ORDER BY node""".stripMargin
     },
+
+    // q365 oracle: the same count tables and bit-length charges, the
+    // same (bits, label) argmin and runner-up margin
+    "q365_naive_bayes" ->
+      """WITH tr AS (
+        |  SELECT lang AS k, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL
+        |    AND lang IS NOT NULL
+        |), tc AS MATERIALIZED (
+        |  SELECT k, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT k, unnest(tk) AS w FROM tr) GROUP BY k, w
+        |), ct AS (
+        |  SELECT k, CAST(sum(c) AS BIGINT) AS nk FROM tc GROUP BY k
+        |), dc AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS dk FROM tr GROUP BY k
+        |), dd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS d FROM tr
+        |), cls AS MATERIALIZED (
+        |  SELECT dc.k, coalesce(ct.nk, 1) AS nk,
+        |    CAST(len(format('{:b}', (SELECT d FROM dd) // dc.dk))
+        |      AS BIGINT) AS prior
+        |  FROM dc LEFT JOIN ct ON dc.k = ct.k
+        |), ap AS (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
+        |), dt AS MATERIALIZED (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS w FROM ap)
+        |  GROUP BY doc_id, w
+        |), lane1 AS (
+        |  SELECT dt.doc_id, cls.k,
+        |    cls.prior + sum(dt.tf * CASE WHEN tc.c IS NOT NULL
+        |      THEN len(format('{:b}', cls.nk // tc.c))
+        |      ELSE len(format('{:b}', cls.nk)) + 1 END) AS bits
+        |  FROM dt CROSS JOIN cls
+        |  LEFT JOIN tc ON tc.k = cls.k AND tc.w = dt.w
+        |  GROUP BY dt.doc_id, cls.k, cls.prior
+        |), lane0 AS (
+        |  SELECT ap.doc_id, cls.k, cls.prior AS bits
+        |  FROM ap CROSS JOIN cls
+        |  WHERE ap.doc_id NOT IN (SELECT doc_id FROM dt)
+        |), lanes AS (
+        |  SELECT doc_id, k, CAST(bits AS BIGINT) AS bits FROM lane1
+        |  UNION ALL
+        |  SELECT doc_id, k, CAST(bits AS BIGINT) AS bits FROM lane0
+        |), rk AS (
+        |  SELECT doc_id, k, bits, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY bits, k) AS rn
+        |  FROM lanes
+        |)
+        |SELECT a.doc_id, a.k AS predicted, a.bits,
+        |  CAST(coalesce(b.bits - a.bits, 0) AS BIGINT) AS margin_bits
+        |FROM rk a LEFT JOIN rk b
+        |  ON a.doc_id = b.doc_id AND b.rn = 2
+        |WHERE a.rn = 1
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // q366 oracle: the same journey/transition derivation, the same
+    // 8 floor-ppm rounds unrolled per removal variant
+    "q366_markov_attribution" -> {
+      val round = (j: Int) =>
+        s""", p$j AS MATERIALIZED (
+           |  SELECT t.v, t.src AS s,
+           |    CAST(sum(t.n * CASE WHEN t.dst = 'CONV' THEN 1000000
+           |      WHEN t.dst = 'DROP' THEN 0
+           |      ELSE coalesce(pp.p, 0) END) // tt.nt AS BIGINT) AS p
+           |  FROM vtrans t
+           |  JOIN tot tt ON tt.v = t.v AND tt.src = t.src
+           |  LEFT JOIN p${j - 1} pp ON pp.v = t.v AND pp.s = t.dst
+           |  GROUP BY t.v, t.src, tt.nt
+           |)""".stripMargin
+      """WITH ord AS (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL
+        |), cv AS (
+        |  SELECT user_id, min(rn) AS crn FROM ord
+        |  WHERE event_type = 'purchase' GROUP BY user_id
+        |), tch AS MATERIALIZED (
+        |  SELECT o.user_id, o.event_type, row_number() OVER (
+        |    PARTITION BY o.user_id ORDER BY o.rn) AS tn
+        |  FROM ord o LEFT JOIN cv ON o.user_id = cv.user_id
+        |  WHERE o.event_type <> 'purchase'
+        |    AND (cv.crn IS NULL OR o.rn < cv.crn)
+        |), outc AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN cv.crn IS NOT NULL THEN 'CONV' ELSE 'DROP' END
+        |      AS oc
+        |  FROM (SELECT DISTINCT user_id FROM ord) u
+        |  LEFT JOIN cv ON u.user_id = cv.user_id
+        |), mx AS (
+        |  SELECT user_id, max(tn) AS mt FROM tch GROUP BY user_id
+        |), trans_raw AS (
+        |  SELECT 'START' AS src, event_type AS dst FROM tch
+        |  WHERE tn = 1
+        |  UNION ALL
+        |  SELECT a.event_type, b.event_type FROM tch a
+        |  JOIN tch b ON a.user_id = b.user_id AND b.tn = a.tn + 1
+        |  UNION ALL
+        |  SELECT t.event_type, o.oc FROM tch t
+        |  JOIN mx ON t.user_id = mx.user_id AND t.tn = mx.mt
+        |  JOIN outc o ON t.user_id = o.user_id
+        |  UNION ALL
+        |  SELECT 'START', o.oc FROM outc o
+        |  WHERE o.user_id NOT IN (SELECT user_id FROM tch)
+        |), trans AS MATERIALIZED (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        |  FROM trans_raw GROUP BY src, dst
+        |), var AS (
+        |  SELECT '__base__' AS v
+        |  UNION ALL
+        |  SELECT DISTINCT src AS v FROM trans WHERE src <> 'START'
+        |), vtrans AS MATERIALIZED (
+        |  SELECT var.v, t.src,
+        |    CASE WHEN t.dst = var.v THEN 'DROP' ELSE t.dst END AS dst,
+        |    CAST(sum(t.n) AS BIGINT) AS n
+        |  FROM var JOIN trans t ON t.src <> var.v
+        |  GROUP BY var.v, t.src,
+        |    CASE WHEN t.dst = var.v THEN 'DROP' ELSE t.dst END
+        |), tot AS MATERIALIZED (
+        |  SELECT v, src, CAST(sum(n) AS BIGINT) AS nt
+        |  FROM vtrans GROUP BY v, src
+        |), p0 AS (
+        |  SELECT v, src AS s, CAST(0 AS BIGINT) AS p FROM tot
+        |)""".stripMargin + (1 to 8).map(round).mkString + """
+        |, fin AS (
+        |  SELECT v, p FROM p8 WHERE s = 'START'
+        |), eff AS (
+        |  SELECT f.v AS channel,
+        |    (SELECT p FROM fin WHERE v = '__base__') AS p_base_ppm,
+        |    f.p AS p_removed_ppm,
+        |    CASE WHEN (SELECT p FROM fin WHERE v = '__base__') > 0
+        |      THEN ((SELECT p FROM fin WHERE v = '__base__') - f.p)
+        |        * 1000000
+        |        // (SELECT p FROM fin WHERE v = '__base__') END
+        |      AS removal_effect_ppm
+        |  FROM fin f WHERE f.v <> '__base__'
+        |)
+        |SELECT channel, p_base_ppm, p_removed_ppm,
+        |  CAST(removal_effect_ppm AS BIGINT) AS removal_effect_ppm,
+        |  CAST(CASE WHEN sum(removal_effect_ppm) OVER () > 0
+        |    THEN removal_effect_ppm * 1000000
+        |      // sum(removal_effect_ppm) OVER () END AS BIGINT)
+        |    AS share_ppm
+        |FROM eff ORDER BY channel""".stripMargin
+    },
+
+    "q367_regex_blocklist" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE text IS NOT NULL
+        |  AND NOT regexp_matches(text,
+        |    'hash join|slow scan|value table part|merge batch|' ||
+        |    'order data|window agg|warp speed|zebra')
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

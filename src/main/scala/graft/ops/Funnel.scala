@@ -537,4 +537,131 @@ object Funnel {
       .select(gs ++ Seq(col("seq"), col("t_arrival"), col("t_service"),
         (col("t_service") - col("t_arrival")).as("wait_us")): _*)
   }
+
+  /** Markov removal-effect attribution (X362) — the DATA-DRIVEN
+    * member of the attribution family: X209/X212/X216 split credit by
+    * caller-chosen rules (linear, position, decay); this one asks the
+    * journeys themselves — "how much does conversion probability DROP
+    * if channel c disappears?" — the standard first-order-Markov
+    * attribution (Anderl et al.). Per user, events in (`orderCols`…)
+    * order (unique tiebreaker last — the engine-wide contract) form
+    * one journey: the touches strictly before the first `convType`
+    * event (outcome CONV) or all touches (outcome DROP); a journey
+    * whose first event converts contributes START → CONV directly.
+    * Transition counts over states {START, channels…, CONV, DROP}
+    * define the chain; the conversion metric is the TRUNCATED-HORIZON
+    * absorption probability — P(reach CONV from START within
+    * `rounds` transitions) — iterated as
+    *   p'(s) = ⌊Σ_t n(s,t)·p(t) / n(s,·)⌋   (p(CONV) = 10⁶ fixed,
+    *   p(DROP) = 0), floor ppm each round, so the number is exactly
+    * specified and engine-identical (the per-round floor makes it a
+    * lower bound of the rational value; both engines floor alike).
+    * Removal of channel c: transitions INTO c re-target DROP (the
+    * journey dies where it would have touched c), rows OUT of c drop
+    * (unreachable); same denominators, so by induction every state's
+    * p under removal ≤ the base chain's and effects are never
+    * negative. Output per channel: `p_base_ppm`, `p_removed_ppm`,
+    * `removal_effect_ppm` = (p−p_c)·10⁶ div p (null when p = 0), and
+    * `share_ppm` = effect·10⁶ div Σ effects (null when the sum is 0).
+    *
+    * Scale shape: ONLY the two window passes + the transition count
+    * see event volume (one exchange on the user key); the chain,
+    * its |channels|+1 removal variants, and all `rounds` iterations
+    * live at model grain (≤ (|states|·|variants|) rows), checkpointed
+    * per round.
+    */
+  def markovRemovalAttribution(df: DataFrame, userCol: String,
+      orderCols: Seq[String], typeCol: String, convType: String,
+      rounds: Int = 8): DataFrame = {
+    import graft.functions.Exact.longDiv
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = df.sparkSession
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(orderCols.map(col): _*)
+    val ord = df
+      .withColumn("__rn", row_number().over(w))
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col("__rn"))
+    val cv = ord.filter(col("__t") === convType)
+      .groupBy(col("__u")).agg(min(col("__rn")).as("__crn"))
+    val tch = ord.join(cv, Seq("__u"), "left")
+      .filter(col("__t") =!= convType &&
+        (col("__crn").isNull || col("__rn") < col("__crn")))
+      .withColumn("__tn", row_number().over(
+        Window.partitionBy(col("__u")).orderBy(col("__rn"))))
+    val outc = ord.select(col("__u")).distinct()
+      .join(cv, Seq("__u"), "left")
+      .select(col("__u"), when(col("__crn").isNotNull, lit("CONV"))
+        .otherwise(lit("DROP")).as("__oc"))
+    val seq = tch.withColumn("__next", lead(col("__t"), 1).over(
+      Window.partitionBy(col("__u")).orderBy(col("__tn"))))
+    val startT = seq.filter(col("__tn") === 1)
+      .select(lit("START").as("src"), col("__t").as("dst"))
+    val midT = seq.filter(col("__next").isNotNull)
+      .select(col("__t").as("src"), col("__next").as("dst"))
+    val lastT = seq.filter(col("__next").isNull)
+      .join(outc, Seq("__u"))
+      .select(col("__t").as("src"), col("__oc").as("dst"))
+    val emptyT = outc
+      .join(tch.select(col("__u")).distinct(), Seq("__u"), "left_anti")
+      .select(lit("START").as("src"), col("__oc").as("dst"))
+    val trans = startT.unionByName(midT).unionByName(lastT)
+      .unionByName(emptyT)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    // one variant per channel + the base chain; everything below is
+    // model-grain
+    val variants = spark.range(1).select(lit("__base__").as("v"))
+      .unionByName(trans.filter(col("src") =!= "START")
+        .select(col("src").as("v")).distinct())
+      .localCheckpoint(true)
+    val vtrans = variants.join(trans, col("src") =!= col("v"))
+      .select(col("v"), col("src"),
+        when(col("dst") === col("v"), lit("DROP")).otherwise(col("dst"))
+          .as("dst"),
+        col("n"))
+      .groupBy(col("v"), col("src"), col("dst"))
+      .agg(sum(col("n")).as("n"))
+      .localCheckpoint(true)
+    val tot = vtrans.groupBy(col("v"), col("src"))
+      .agg(sum(col("n")).as("nt"))
+      .localCheckpoint(true)
+    var p = tot.select(col("v"), col("src").as("s"), lit(0L).as("p"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val pn = vtrans
+        .join(p.select(col("v"), col("s").as("dst"),
+          col("p").as("__pd")), Seq("v", "dst"), "left")
+        .select(col("v"), col("src"),
+          (col("n") * when(col("dst") === "CONV", lit(1000000L))
+            .when(col("dst") === "DROP", lit(0L))
+            .otherwise(coalesce(col("__pd"), lit(0L))))
+            .as("__contrib"))
+        .groupBy(col("v"), col("src"))
+        .agg(sum(col("__contrib")).as("__num"))
+        .join(tot, Seq("v", "src"))
+        .select(col("v"), col("src").as("s"),
+          longDiv(col("__num"), col("nt")).cast("long").as("p"))
+        .localCheckpoint(true)
+      Checkpoints.release(p)
+      p = pn
+    }
+    val pf = p.filter(col("s") === "START")
+    val base = pf.filter(col("v") === "__base__")
+      .select(col("p").as("p_base_ppm"))
+    val eff = pf.filter(col("v") =!= "__base__")
+      .select(col("v").as("channel"), col("p").as("p_removed_ppm"))
+      .crossJoin(broadcast(base))
+      .withColumn("removal_effect_ppm",
+        when(col("p_base_ppm") > 0,
+          longDiv((col("p_base_ppm") - col("p_removed_ppm")) * 1000000L,
+            col("p_base_ppm")).cast("long")))
+    val totEff = eff.agg(sum(col("removal_effect_ppm")).as("__te"))
+    eff.crossJoin(broadcast(totEff))
+      .select(col("channel"), col("p_base_ppm"),
+        col("p_removed_ppm"), col("removal_effect_ppm"),
+        when(col("__te") > 0,
+          longDiv(col("removal_effect_ppm") * 1000000L, col("__te"))
+            .cast("long")).as("share_ppm"))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, RLike}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.PhraseMatchAny
+
+/** Rewrites literal-alternation regexes — `text RLIKE 'p1|p2|...'`
+  * where every alternative is a plain string — into ONE
+  * [[graft.functions.PhraseMatchAny]] Aho–Corasick pass: the REGEX
+  * spelling of a blocklist, which curation pipelines write as often
+  * as the contains-OR chain [[ContainsOrRewrite]] handles. Java's
+  * regex engine backtracks per alternative at every start position
+  * (worst case O(len·terms)); the automaton scans each document once
+  * at O(len).
+  *
+  * The equivalence is EXACT at all three values (unlike the overlap
+  * rule's tiers): Spark's RLIKE is unanchored find semantics, so a
+  * pure-literal alternation is true iff some alternative occurs as a
+  * substring — the automaton's definition; a null text is null in
+  * both forms, and the pattern is a literal so there is no evaluation-
+  * count concern. The rewrite therefore fires ANYWHERE in the plan —
+  * filters, joins, projections.
+  *
+  * A pattern qualifies only when
+  *
+  *   - every character is '|' or in the conservative literal
+  *     allowlist (letters, digits, space, and punctuation that java
+  *     regex treats literally OUTSIDE character classes:
+  *     `_ - , ; : / @ # % & ! ~ = < > ' "`); anything else — `.`,
+  *     anchors, classes, quantifiers, escapes, flags — disqualifies;
+  *   - no alternative is empty (an empty alternative matches
+  *     everything — semantics the automaton does not reproduce);
+  *   - it has at least `spark.graft.containsOrMinTerms` DISTINCT
+  *     alternatives (default [[ContainsOrRewrite.MinTerms]] — the
+  *     same kernel, the same measured crossover).
+  *
+  * Disable with `spark.graft.rewriteRegexAlternation=false`.
+  */
+object RegexAlternationRewrite extends Rule[LogicalPlan] {
+
+  private val LiteralChars: Set[Char] =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toSet ++
+      " _-,;:/@#%&!~=<>'\"".toSet
+
+  /** The distinct alternatives of a pure-literal alternation, or None
+    * when any regex machinery is present. */
+  private[graft] def literalAlternatives(p: String): Option[Seq[String]] =
+    if (p.isEmpty || !p.forall(c => c == '|' || LiteralChars(c))) None
+    else {
+      // -1 keeps trailing empty alternatives visible ("a|" splits to
+      // ["a", ""]) so they disqualify like interior ones
+      val alts = p.split("\\|", -1).toSeq
+      if (alts.exists(_.isEmpty)) None else Some(alts.distinct)
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.rewriteRegexAlternation",
+        "true").toBoolean) plan
+    else {
+      val minTerms = conf
+        .getConfString("spark.graft.containsOrMinTerms",
+          ContainsOrRewrite.MinTerms.toString).toInt
+      plan.transformAllExpressions {
+        case r @ RLike(text, Literal(p: UTF8String, StringType))
+            if text.deterministic =>
+          literalAlternatives(p.toString) match {
+            case Some(alts) if alts.size >= minTerms =>
+              PhraseMatchAny(text, alts)
+            case _ => r
+          }
+      }
+    }
+}

@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document classification — the curation pattern behind
+  * every large-corpus quality/language filter: train a cheap
+  * generative model on labeled documents, score the stream, gate on
+  * the score. fastText-style pipelines do exactly this at 100 TB; the
+  * engine's variant is a multinomial Naive Bayes whose log-space is
+  * the INTEGER bit-length convention shared with
+  * [[Vocab.bigramSurprisal]] (bits(x) = ⌊log₂ x⌋ + 1 via binary
+  * string length — exact, engine-portable, no float log anywhere), so
+  * scores and argmins are bit-identical on any engine.
+  */
+object Classify {
+
+  /** Multinomial Naive Bayes, integer-surprisal scoring (X361): train
+    * per-label unigram models on `train`, score every `apply`
+    * document against every label, predict the argmin-surprisal
+    * label. Charges per document d and label k:
+    *
+    *   bits(d,k) = bits(D div D_k)                       — prior
+    *             + Σ_w tf(w,d) · [ bits(N_k div c(w,k))  — seen in k
+    *                             | bits(N_k) + 1 ]       — unseen in k
+    *
+    * with D = labeled docs, D_k = docs of label k, N_k = token mass
+    * of label k, c(w,k) = count of w under k; bits(x) = ⌊log₂ x⌋ + 1
+    * (the [[Vocab.bigramSurprisal]] OOV-penalty convention — an
+    * unseen token costs one bit more than the rarest possible seen
+    * token). Ties break toward the lexicographically smaller label —
+    * deterministic. Tokenless documents score prior-only (the priors
+    * still rank). Output: (idCol, `predicted`, `bits`,
+    * `margin_bits` = runner-up − best, 0 when only one label).
+    *
+    * Scale shape: training collapses to the (label, term) count table
+    * (map-side-combined, ≪ corpus by Heaps' law) + a |labels|-row
+    * totals frame (broadcast); scoring is the doc-term table joined
+    * against |labels| broadcast-replicated model columns — rows =
+    * doc-terms × |labels|, one exchange on the doc id for the final
+    * collapse. No iteration, no driver loop.
+    */
+  def naiveBayes(train: DataFrame, apply: DataFrame, textCol: String,
+      labelCol: String, idCol: String): DataFrame = {
+    import graft.functions.Exact.longDiv
+    def toks(c: Column): Column =
+      TextFunctions.tokens(TextFunctions.normalized(c))
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    val labeled = train
+      .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("__k"), toks(col(textCol)).as("__tk"))
+    // (label, term) counts and per-label totals; D/D_k at doc grain
+    val tc = labeled
+      .select(col("__k"), explode(col("__tk")).as("__w"))
+      .groupBy(col("__k"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val classTotals = tc.groupBy(col("__k"))
+      .agg(sum(col("__c")).as("__nk"))
+    val docCounts = labeled.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__dk"))
+    val dTot = labeled.agg(count(lit(1)).as("__D"))
+    val classes = docCounts.join(classTotals, Seq("__k"), "left")
+      .crossJoin(broadcast(dTot))
+      .select(col("__k"),
+        // a label whose docs are all tokenless has no token mass;
+        // its unseen charge still needs a defined N_k — 1 keeps the
+        // bit-length lanes total (bits(1)=1)
+        coalesce(col("__nk"), lit(1L)).as("__nk"),
+        bitlen(longDiv(col("__D"), col("__dk"))).as("__prior"))
+    // doc-term frequencies for the apply side
+    val base = apply.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks(col(textCol)).as("__tk"))
+    val dt = base
+      .select(col(idCol), explode(col("__tk")).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    // score at (doc, term, label) grain: |labels| is model-sized, so
+    // the replication is a broadcast nested-loop by construction
+    val perLabel = dt.crossJoin(broadcast(classes))
+      .join(tc, Seq("__k", "__w"), "left")
+      .groupBy(col(idCol), col("__k"), col("__prior"))
+      .agg(sum(col("__tf") *
+        when(col("__c").isNotNull, bitlen(longDiv(col("__nk"), col("__c"))))
+          .otherwise(bitlen(col("__nk")) + 1L)).as("__tb"))
+      .select(col(idCol), col("__k"),
+        (col("__prior") + col("__tb")).as("__bits"))
+    // tokenless docs: prior-only lanes so every apply doc predicts
+    val empty = base.join(dt.select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .crossJoin(broadcast(classes))
+      .select(col(idCol), col("__k"), col("__prior").as("__bits"))
+    val lanes = perLabel.unionByName(empty)
+    lanes
+      .groupBy(col(idCol))
+      .agg(
+        min(struct(col("__bits"), col("__k"))).as("__best"),
+        sort_array(collect_list(struct(col("__bits"), col("__k"))))
+          .as("__all"))
+      .select(col(idCol),
+        col("__best.__k").as("predicted"),
+        col("__best.__bits").as("bits"),
+        when(size(col("__all")) > 1,
+          element_at(col("__all"), 2).getField("__bits") -
+            col("__best.__bits")).otherwise(0L).as("margin_bits"))
+  }
+}

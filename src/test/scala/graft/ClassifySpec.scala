@@ -1,0 +1,33 @@
+package graft
+
+import graft.text.Classify
+
+/** X361 — multinomial Naive Bayes with integer bit-length surprisal
+  * ([[graft.text.Classify.naiveBayes]]).
+  */
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("naiveBayes: hand-checked bit charges — seen terms, per-class " +
+      "OOV penalty, priors, margins, tokenless docs, deterministic " +
+      "ties toward the smaller label") {
+    // train: A = "x x y" (N_A=3, c(x)=2, c(y)=1), B = "y z" (N_B=2)
+    // D=2, D_A=D_B=1 → prior bits(2 div 1) = 2 for both
+    val train = Seq(("A", "x x y"), ("B", "y z")).toDF("lbl", "text")
+    val apply = Seq((1L, "x y"), (2L, "z z"), (3L, ""),
+      (4L, null: String)).toDF("id", "text")
+    val got = Classify.naiveBayes(train, apply, "text", "lbl", "id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 "x y": A = 2 + bits(3 div 2=1)=1 + bits(3 div 1=3)=2 → 5
+    //              B = 2 + (bits(2)+1=3) + bits(2 div 1=2)=2   → 7
+    assert(got(1L) == (("A", 5L, 2L)))
+    // doc 2 "z z": A = 2 + 2·(bits(3)+1=3) → 8; B = 2 + 2·2 → 6
+    assert(got(2L) == (("B", 6L, 2L)))
+    // doc 3 tokenless: prior-only lanes tie at 2 → smaller label wins
+    assert(got(3L) == (("A", 2L, 0L)))
+    // null text never scores
+    assert(!got.contains(4L))
+  }
+}

@@ -685,4 +685,33 @@ class ProfileFunnelSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(z == Map("d1" -> 0L, "d2" -> 0L))
   }
+
+  test("markovRemovalAttribution: hand-iterated 4-round chain — " +
+      "floor ppm per round, removal re-targets into-edges to DROP, " +
+      "effects non-negative, shares floor-sum to <= 1e6") {
+    // journeys: u1 view→click→buy (CONV), u2 view (DROP),
+    // u3 buy-first (START→CONV direct), u4 click→view (DROP)
+    // transitions: START→view 2, START→click 1, START→CONV 1,
+    // view→click 1, view→DROP 2, click→CONV 1, click→view 1
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "buy"),
+      (2L, 1L, "view"),
+      (3L, 1L, "buy"),
+      (4L, 1L, "click"), (4L, 2L, "view"))
+      .toDF("u", "ts", "t")
+    val got = graft.ops.Funnel.markovRemovalAttribution(
+        ev, "u", Seq("ts"), "t", convType = "buy", rounds = 4)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // hand iteration (floors each round): base p(START) after 4
+    // rounds = 479166; remove view → 375000; remove click → 250000
+    // effects: (479166−375000)·1e6 div 479166 = 217390,
+    //          (479166−250000)·1e6 div 479166 = 478260
+    // shares over Σ=695650: 312499 and 687500 (floor-sum 999999)
+    assert(got == Map(
+      "view" -> ((479166L, 375000L, 217390L, 312499L)),
+      "click" -> ((479166L, 250000L, 478260L, 687500L))))
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** X363 — the literal-alternation-regex → Aho–Corasick optimizer rule
+  * ([[graft.plans.RegexAlternationRewrite]]): exact three-valued
+  * equivalence, so it fires anywhere in the plan.
+  */
+class RegexRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rx").toString
+    Seq(
+      (1L, "the quick brown fox"),
+      (2L, "slow scan over the table"),
+      (3L, "hash join beats nested loop"),
+      (4L, null: String),
+      (5L, "nothing of note")).toDF("id", "text")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+  private val eight = "quick|hash join|scan|zebra|qux|warp|emu|okapi"
+
+  private def fired(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val p = df.queryExecution.optimizedPlan.toString
+    p.contains("phrase_match_any") && !p.toLowerCase.contains("rlike")
+  }
+
+  test("fires at >= 8 distinct literal alternatives — filter AND " +
+      "projection (exact equivalence), results identical, null text " +
+      "stays null") {
+    val f = docs.filter(col("text").rlike(eight))
+    assert(fired(f), f.queryExecution.optimizedPlan.toString)
+    assert(f.select("id").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L, 3L)))
+    val proj = docs.select(col("id"), col("text").rlike(eight).as("hit"))
+    assert(fired(proj), proj.queryExecution.optimizedPlan.toString)
+    val got = proj.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
+    spark.conf.set("spark.graft.rewriteRegexAlternation", "false")
+    val plain =
+      try docs.select(col("id"), col("text").rlike(eight).as("hit"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
+      finally spark.conf.unset("spark.graft.rewriteRegexAlternation")
+    assert(got == plain)
+    assert(got(4L) == null)
+  }
+
+  test("disqualifiers: any regex metachar, empty alternatives, " +
+      "duplicate-collapsed count below threshold, conf off") {
+    def blocked(pattern: String): Unit = {
+      val df = docs.filter(col("text").rlike(pattern))
+      assert(!df.queryExecution.optimizedPlan.toString
+        .contains("phrase_match_any"), pattern)
+    }
+    blocked("quick|hash join|scan|zebra|qux|warp|emu|oka.i") // metachar
+    blocked("quick|hash join|scan|zebra|qux|warp|emu|^okapi") // anchor
+    blocked("quick|hash join|scan|zebra|qux|warp|emu|")    // empty alt
+    blocked("quick||scan|zebra|qux|warp|emu|okapi")        // empty alt
+    blocked("quick|scan|zebra|qux|warp|emu|okapi")         // 7 terms
+    blocked("quick|quick|scan|zebra|qux|warp|emu|okapi")   // 7 distinct
+    spark.conf.set("spark.graft.rewriteRegexAlternation", "false")
+    try blocked(eight)
+    finally spark.conf.unset("spark.graft.rewriteRegexAlternation")
+  }
+
+  test("literalAlternatives: the parser itself") {
+    import graft.plans.RegexAlternationRewrite.literalAlternatives
+    assert(literalAlternatives("a|b|a") == Some(Seq("a", "b")))
+    assert(literalAlternatives("a-b|c d|x:y/z|it's|a&b") ==
+      Some(Seq("a-b", "c d", "x:y/z", "it's", "a&b")))
+    assert(literalAlternatives("") == None)
+    assert(literalAlternatives("a|") == None)
+    assert(literalAlternatives("a(b|c") == None)
+    assert(literalAlternatives("a+|b") == None)
+    assert(literalAlternatives("a\\|b") == None) // backslash escape
+  }
+}
