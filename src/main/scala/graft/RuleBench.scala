@@ -135,6 +135,29 @@ object RuleBench {
       spark.conf.unset("spark.graft.rewriteArrayOverlap")
     }
 
+    // ——— RegexAlternationRewrite: the SAME miss-heavy blocklist
+    // spelled as one literal-alternation rlike — rule ON (one
+    // Aho–Corasick pass) vs OFF (java regex, which backtracks per
+    // alternative at every start position) ———
+    for (n <- Seq(8, 20, 60)) {
+      val pattern = terms(n).mkString("|")
+      spark.conf.set("spark.graft.rewriteRegexAlternation", "true")
+      val on = docs.filter(col("text").rlike(pattern))
+      val fired = on.queryExecution.optimizedPlan.toString
+        .contains("phrase_match_any")
+      assert(fired == (n >= graft.plans.ContainsOrRewrite.MinTerms),
+        s"regex rule firing at n=$n must match MinTerms: fired=$fired")
+      results(s"rx_ac_$n") = best(s"regex->AC n=$n") { run(on) }
+      spark.conf.set("spark.graft.rewriteRegexAlternation", "false")
+      val off = docs.filter(col("text").rlike(pattern))
+      assert(!off.queryExecution.optimizedPlan.toString
+        .contains("phrase_match_any"))
+      results(s"rx_regex_$n") = best(s"java regex n=$n") { run(off) }
+      val (x, y) = (on.count(), off.count())
+      assert(x == y, s"regex row parity at n=$n: $x vs $y")
+      spark.conf.unset("spark.graft.rewriteRegexAlternation")
+    }
+
     val json = results.map { case (k, v) => s""""$k":$v""" }
       .mkString(",")
     println(s"""{"metric":"contains_or_rewrite","sf":"${sfDir.split('/').last}","cpus":$cpus,$json}""")

@@ -5303,6 +5303,24 @@ object SparkEntry {
           sum(col("n_chars")).as("chars"))
         .orderBy(col("lang"))
     },
+
+    // X364 — deterministic random walks over the symmetrized
+    // user↔event-type bipartite graph: 2 walks × 3 steps per node,
+    // every step an md5-hash pick over the sorted neighbor list —
+    // the walk corpus is a pure function of (graph, seed), so the
+    // oracle derives the identical corpus
+    "q368_walks" -> { (s, dir) =>
+      val pairs = events(s, dir).filter(col("user_id").isNotNull)
+        .select(concat(lit("u:"), col("user_id").cast("string"))
+          .as("u"), concat(lit("t:"), col("event_type")).as("tt"))
+        .distinct()
+      val edges = pairs.select(col("u").as("src"), col("tt").as("dst"))
+        .unionByName(pairs.select(col("tt").as("src"),
+          col("u").as("dst")))
+      graft.ops.Graph.deterministicWalks(edges, "src", "dst",
+          walksPerNode = 2, length = 3, seed = "wk")
+        .orderBy(col("start"), col("walk_id"), col("step"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -16161,6 +16179,47 @@ object SparkEntry {
         |    'order data|window agg|warp speed|zebra')
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // q368 oracle: the identical md5-pick walk derivation, three
+    // unrolled step CTEs
+    "q368_walks" -> {
+      val step = (j: Int) =>
+        s""", s$j AS MATERIALIZED (
+           |  SELECT f.start, f.walk_id, CAST($j AS BIGINT) AS step,
+           |    a.d AS node
+           |  FROM s${j - 1} f
+           |  JOIN deg g ON g.s = f.node
+           |  JOIN adj a ON a.s = f.node AND a.idx =
+           |    CAST('0x' || substr(md5('wk:' || f.start || ':' ||
+           |      CAST(f.walk_id AS VARCHAR) || ':$j'), 1, 15)
+           |      AS BIGINT) % g.deg
+           |)""".stripMargin
+      """WITH p AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+        |    't:' || event_type AS tt
+        |  FROM events WHERE user_id IS NOT NULL
+        |), e AS MATERIALIZED (
+        |  SELECT u AS s, tt AS d FROM p
+        |  UNION
+        |  SELECT tt AS s, u AS d FROM p
+        |), adj AS MATERIALIZED (
+        |  SELECT s, d, CAST(row_number() OVER (
+        |    PARTITION BY s ORDER BY d) - 1 AS BIGINT) AS idx
+        |  FROM e
+        |), deg AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY s
+        |), n AS (
+        |  SELECT s AS node FROM e UNION SELECT d AS node FROM e
+        |), s0 AS MATERIALIZED (
+        |  SELECT n.node AS start, CAST(w.w AS BIGINT) AS walk_id,
+        |    CAST(0 AS BIGINT) AS step, n.node AS node
+        |  FROM n CROSS JOIN (SELECT unnest(range(0, 2)) AS w) w
+        |)""".stripMargin + (1 to 3).map(step).mkString + """
+        |SELECT start, walk_id, step, node FROM (
+        |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        |) t ORDER BY start, walk_id, step""".stripMargin
+    },
   )
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to

@@ -2009,4 +2009,74 @@ object Graph {
     Checkpoints.release(e0)
     dist
   }
+
+  /** Deterministic random walks (X364) — the training-data generator
+    * behind DeepWalk/node2vec-style graph embeddings: `walksPerNode`
+    * walks of up to `length` steps from EVERY node, each step choosing
+    * a neighbor by a 60-bit md5 hash of (seed, start, walk_id, step)
+    * mod out-degree over the ASCENDING-sorted neighbor list — so the
+    * whole walk corpus is a pure function of (graph, seed): same walks
+    * on any cluster, any partitioning, any engine (the
+    * [[graft.ops.Relational.hashUnit]] reproducible-sampling
+    * discipline — `df.sample`'s per-partition RNG would change corpus
+    * content with partition count, which poisons embedding
+    * comparability across runs). Output at POSITION grain — (`start`,
+    * `walk_id`, `step`, `node`), step 0 = the start itself — ready for
+    * the X110 skip-gram pairing or X299 packing downstream. A walk
+    * reaching a node with no out-edges stops (rows simply end; no
+    * padding, no teleport — restarts are the caller's composition).
+    *
+    * Scale shape: the neighbor index is ONE row_number window over the
+    * edge list (out-degree-sized per-task sorts), materialized once;
+    * each of the `length` rounds is two walks-grain equi-joins
+    * (frontier ⋈ degree, then (node, idx) ⋈ adjacency) — never a
+    * per-node collect, never a driver loop over nodes; total output is
+    * exactly |V|·walksPerNode·(length+1) rows minus dead-end
+    * truncations.
+    */
+  def deterministicWalks(edges: DataFrame, srcCol: String,
+      dstCol: String, walksPerNode: Int, length: Int,
+      seed: String): DataFrame = {
+    require(walksPerNode >= 1, s"walksPerNode >= 1: $walksPerNode")
+    require(length >= 1 && length <= 64, s"length in [1, 64]: $length")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d"))
+      .distinct()
+    val adj = e.withColumn("__idx", (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__s")).orderBy(col("__d"))) - 1)
+        .cast("long"))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("__s").as("__dn"))
+      .agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(true)
+    val starts = e.select(col("__s").as("node"))
+      .union(e.select(col("__d").as("node"))).distinct()
+      .select(col("node").as("start"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L)))
+          .as("walk_id"))
+      .select(col("start"), col("walk_id"), lit(0L).as("step"),
+        col("start").as("node"))
+      .localCheckpoint(true)
+    var acc = starts
+    var frontier = starts
+    (1 to length).foreach { t =>
+      val next = frontier
+        .join(deg, frontier("node") === deg("__dn"))
+        .withColumn("__pick", pmod(
+          graft.ops.Relational.hashUnit(concat_ws(":", lit(seed),
+            col("start"), col("walk_id"), lit(t))),
+          col("__deg")))
+        .join(adj, frontier("node") === adj("__s") &&
+          col("__pick") === adj("__idx"))
+        .select(col("start"), col("walk_id"), lit(t.toLong).as("step"),
+          adj("__d").as("node"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(next)
+      frontier = next
+    }
+    acc
+  }
 }

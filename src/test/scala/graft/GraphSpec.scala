@@ -696,4 +696,37 @@ class GraphSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("weights must be >= 1"))
   }
+
+  test("deterministicWalks: every hop is a real edge, dead ends " +
+      "truncate, exact row accounting, pure function of (graph, seed)") {
+    import spark.implicits._
+    // {a,b,c} strongly connected (walks never die), x→y a dead end
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("x", "y")).toDF("s", "d")
+    val edgeSet = Set(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("x", "y"))
+    def run(seed: String) = Graph.deterministicWalks(
+        edges, "s", "d", walksPerNode = 3, length = 4, seed = seed)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val rows = run("t")
+    // a/b/c walks run the full 5 rows; x gets 2 (x, then y); y gets 1
+    assert(rows.count(_._3 == 0L) == 15)
+    assert(rows.length == 3 * (3 * 5) + 3 * 2 + 3 * 1)
+    assert(rows.filter(_._1 == "y").forall(_._3 == 0L))
+    assert(rows.filter(_._1 == "x").map(_._3).max == 1L)
+    // consecutive positions within a walk are edges of the graph
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, ws) =>
+      ws.sortBy(_._3).map(_._4).toSeq.sliding(2).foreach {
+        case Seq(u, v) => assert(edgeSet((u, v)), s"$u->$v")
+        case _ =>
+      }
+    }
+    // step 0 is the start itself
+    assert(rows.filter(_._3 == 0L).forall(r => r._1 == r._4))
+    // same seed → identical corpus; a different seed diverges
+    assert(run("t").sorted.sameElements(rows.sorted))
+    assert(!run("u").sorted.sameElements(rows.sorted))
+  }
 }
