@@ -5321,6 +5321,53 @@ object SparkEntry {
           walksPerNode = 2, length = 3, seed = "wk")
         .orderBy(col("start"), col("walk_id"), col("step"))
     },
+
+    // Composition — the X357 dictionary's CROSS-SNAPSHOT story: the
+    // v1 dictionary is built on snapshot 1, X280 stableIdRemap
+    // extends it for snapshot 2 (old keys KEEP their ids, new keys
+    // append after the prior max), each snapshot's bitmap shard is
+    // built against its own dictionary era, and the OR-merge still
+    // counts exactly — the id-stability contract is precisely what
+    // makes per-era artifacts compatible
+    "q369_dict_snapshot" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(col("source"), lit("/"),
+            substring(col("text"), 1, 12)).as("key"))
+      val snap1 = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val snap2 = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val dict1 = Sketches.keyDictionary(snap1, "key", buckets = 64)
+      val dict2 = graft.ops.Relational.stableIdRemap(
+        dict1.withColumnRenamed("key_id", "id"), snap2, "key",
+        pmod(crc32(col("key")), lit(64)))
+      val shard1 = Sketches.bitmapDistinct(
+        snap1.join(dict1, Seq("key")), Seq("lang"), col("key_id"))
+      val shard2 = Sketches.bitmapDistinct(
+        snap2.join(dict2.select(col("key"), col("id")), Seq("key")),
+        Seq("lang"), col("id"))
+      Sketches.bitmapDistinctCount(
+          Sketches.mergeBitmaps(shard1.unionByName(shard2),
+            Seq("lang")),
+          Seq("lang"))
+        .orderBy(col("lang"))
+    },
+
+    // X365 — Sinkhorn–Knopp normalization of the event-type × weekday
+    // traffic matrix toward doubly-stochastic, 4 alternating floor-ppm
+    // rounds — the balancing step before soft assignment / OT-style
+    // matching, exactly specified integers
+    "q370_sinkhorn" -> { (s, dir) =>
+      val cells = events(s, dir)
+        .select(col("event_type"),
+          pmod(graft.functions.Exact.longDiv(nsToMicros(col("ts_ns")),
+            86400000000L), lit(7)).as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Features.sinkhorn(cells, "event_type", "dow",
+          col("n"), rounds = 4)
+        .orderBy(col("event_type"), col("dow"))
+    },
   )
 
   // ---------------------------------------------------------------------
@@ -16219,6 +16266,42 @@ object SparkEntry {
         |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
         |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
         |) t ORDER BY start, walk_id, step""".stripMargin
+    },
+
+    // q369 oracle: the whole dictionary/remap/merge machinery must
+    // land on plain count(DISTINCT) over both snapshots
+    "q369_dict_snapshot" ->
+      """SELECT lang,
+        |  CAST(count(DISTINCT source || '/' || substr(text, 1, 12))
+        |    AS BIGINT) AS n_distinct
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    // q370 oracle: 4 unrolled (row, column) floor-ppm normalization
+    // rounds over the same traffic matrix
+    "q370_sinkhorn" -> {
+      val round = (j: Int) =>
+        s""", r$j AS MATERIALIZED (
+           |  SELECT t.r, t.c, CAST(t.w * 1000000 // s.rs AS BIGINT) AS w
+           |  FROM c${j - 1} t JOIN (
+           |    SELECT r, CAST(sum(w) AS BIGINT) AS rs FROM c${j - 1}
+           |    GROUP BY r) s ON s.r = t.r
+           |), c$j AS MATERIALIZED (
+           |  SELECT t.r, t.c, CAST(t.w * 1000000 // s.cs AS BIGINT) AS w
+           |  FROM r$j t JOIN (
+           |    SELECT c, CAST(sum(w) AS BIGINT) AS cs FROM r$j
+           |    GROUP BY c) s ON s.c = t.c
+           |)""".stripMargin
+      """WITH c0 AS MATERIALIZED (
+        |  SELECT event_type AS r,
+        |    (epoch_us(ts) // 86400000000) % 7 AS c,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM events GROUP BY 1, 2
+        |)""".stripMargin + (1 to 4).map(round).mkString + """
+        |SELECT r AS event_type, CAST(c AS BIGINT) AS dow,
+        |  w AS w_ppm
+        |FROM c4 ORDER BY event_type, dow""".stripMargin
     },
   )
 

@@ -198,6 +198,14 @@ object StreamBench {
         in.toDS().groupByKey(_.key).mapValues(_.id % 4000L)).toDF()
     }(feedKeyed _)
 
+    results += drive[SBKeyed]("interarrival",
+      streaming.StreamingInterarrival.outputMode) { in =>
+      // monotone per-key tsUs: every arrival completes a gap — five
+      // longs of state per key, the cheapest monitor in the tier
+      streaming.StreamingInterarrival.monitor(
+        in.toDS().groupByKey(_.key).mapValues(_.tsUs)).toDF()
+    }(feedKeyed _)
+
     results += drive[SBKeyed]("funnel",
       streaming.StreamingFunnel.outputMode) { in =>
       // id mod 3 maps arrivals onto a 3-step funnel; tsUs advances

@@ -3667,4 +3667,64 @@ object Features {
         col("n_co"), col("n_cx"), col("num_ppm"), col("den_ppm"),
         col("or_mh_ppm")): _*)
   }
+
+  /** Sinkhorn–Knopp row/column normalization (X365) — iterate a
+    * non-negative weight matrix toward DOUBLY-STOCHASTIC (every row
+    * and column summing to 1): the classic balancing step before
+    * soft assignment / optimal-transport-style matching and the
+    * de-biasing of co-occurrence matrices whose raw row/column
+    * masses differ by orders of magnitude. Exactly `rounds`
+    * alternating (row, column) normalizations in floor ppm —
+    * w ← ⌊w·10⁶ / rowsum⌋ then w ← ⌊w·10⁶ / colsum⌋ — so the result
+    * is a fully specified integer matrix, identical on any engine
+    * (the X362 fixed-horizon discipline: Sinkhorn converges linearly
+    * for strictly positive matrices, and for zero patterns that
+    * prevent a doubly-stochastic limit the fixed-round semantics stay
+    * well-defined where "iterate to convergence" would not). Negative
+    * weights raise in-plan; zero cells drop (they are fixed points
+    * and carry no mass); duplicate (row, col) cells sum. Output:
+    * (`rowCol`, `colCol`, `w_ppm`) — after the final column step
+    * every column sums to 10⁶ minus its floor losses (< n_rows),
+    * rows approach 10⁶ as rounds grow.
+    *
+    * Scale shape: ONE map-side-combined collapse to cell grain is the
+    * only stage that sees row volume; each round is two cell-grain
+    * aggregations + joins on the row/column keys (the matrix is
+    * model-sized: |rows|·|cols| cells), checkpointed per round.
+    */
+  def sinkhorn(df: DataFrame, rowCol: String, colCol: String,
+      value: Column, rounds: Int = 8): DataFrame = {
+    import graft.functions.Exact.longDiv
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val cells = df.select(col(rowCol).as("__r"), col(colCol).as("__c"),
+        when(value.cast("long") >= 0L, value.cast("long"))
+          .otherwise(raise_error(concat(
+            lit("sinkhorn: weights must be >= 0, got "),
+            value.cast("string")))).as("__v"))
+      .filter(col("__r").isNotNull && col("__c").isNotNull)
+      .groupBy(col("__r"), col("__c")).agg(sum(col("__v")).as("__w"))
+      .filter(col("__w") > 0L)
+      .localCheckpoint(true)
+    var w = cells
+    var prev: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val rs = w.groupBy(col("__r")).agg(sum(col("__w")).as("__rs"))
+      val rowStep = w.join(rs, Seq("__r"))
+        .select(col("__r"), col("__c"),
+          longDiv(col("__w") * 1000000L, col("__rs")).cast("long")
+            .as("__w"))
+      val cs = rowStep.groupBy(col("__c"))
+        .agg(sum(col("__w")).as("__cs"))
+      val next = rowStep.join(cs, Seq("__c"))
+        .select(col("__r"), col("__c"),
+          longDiv(col("__w") * 1000000L, col("__cs")).cast("long")
+            .as("__w"))
+        .localCheckpoint(true)
+      if (prev != null) Checkpoints.release(prev)
+      prev = w
+      w = next
+    }
+    w.select(col("__r").as(rowCol), col("__c").as(colCol),
+      col("__w").as("w_ppm"))
+  }
 }

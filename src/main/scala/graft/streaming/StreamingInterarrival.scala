@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming inter-arrival monitor per key — the live feed-health
+  * readout (SURVEY §2.7, the 25th operator): "is this stream still
+  * arriving at its usual cadence?" maintained per micro-batch instead
+  * of re-derived by the nightly lag-window scan (the q196 batch
+  * face). State per key is FIVE longs — last timestamp, gap count,
+  * gap sum, min gap, max gap — whatever the event volume.
+  *
+  * Gaps are consecutive-arrival differences in the per-key timestamp
+  * order: in-batch events sort by timestamp before folding (in-batch
+  * disorder is handled); ACROSS batches the monitor assumes per-key
+  * event-time-ordered delivery (the StreamingFunnel/Ewma contract) —
+  * under it, the emitted stats after any prefix equal the batch
+  * lag-window gap stats over that prefix exactly (spec-pinned per
+  * prefix; a late cross-batch event would register one out-of-order
+  * gap where a batch recompute would re-sort — the bounded-state
+  * price, stated). Emits after every batch the key appears in:
+  * (key, n_gaps, min_gap, max_gap, mean_gap, last_ts) with mean the
+  * exact floor of sum/n (null-free: keys with no completed gap yet
+  * emit n_gaps = 0 with −1 sentinels for min/max/mean — the
+  * dashboards-never-crash convention). Update mode; timed-out keys
+  * drop state silently.
+  */
+object StreamingInterarrival {
+
+  /** Monitor state: last ts + the four gap accumulators. */
+  final case class GapState(lastTs: Long, n: Long, sum: Long,
+      mn: Long, mx: Long)
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, Long],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[GapState],
+      e: Encoder[(K, Long, Long, Long, Long, Long)])
+      : Dataset[(K, Long, Long, Long, Long, Long)] = {
+    grouped.flatMapGroupsWithState[GapState,
+        (K, Long, Long, Long, Long, Long)](OutputMode.Update, timeout) {
+      (key: K, tss: Iterator[Long], state: GroupState[GapState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val sorted = tss.toArray.sorted
+          var s = state.getOption.getOrElse(
+            GapState(Long.MinValue, 0L, 0L, Long.MaxValue, Long.MinValue))
+          sorted.foreach { t =>
+            if (s.lastTs == Long.MinValue) s = s.copy(lastTs = t)
+            else {
+              val g = t - s.lastTs
+              s = GapState(t, s.n + 1L, s.sum + g,
+                math.min(s.mn, g), math.max(s.mx, g))
+            }
+          }
+          state.update(s)
+          Iterator.single((key, s.n,
+            if (s.n == 0L) -1L else s.mn,
+            if (s.n == 0L) -1L else s.mx,
+            if (s.n == 0L) -1L else s.sum / s.n,
+            s.lastTs))
+        }
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -1670,4 +1670,47 @@ class FeaturesSpec extends SparkSpec {
       (nr.getLong(1), nr.getLong(2), nr.getLong(3), nr.getLong(4))
         == ((4L, 2L, 3L, 5L)))
   }
+
+  test("sinkhorn: exactly matches a pure-Scala floor-ppm reference " +
+      "iteration, columns sum to 1e6 minus floor losses, zero cells " +
+      "and dup cells handled, negatives raise") {
+    import spark.implicits._
+    import graft.ops.Features
+    // dup cell (a,x) sums 1+2; zero cell (c,x) drops
+    val rows = Seq(("a", "x", 1L), ("a", "x", 2L), ("a", "y", 1L),
+      ("b", "x", 1L), ("b", "y", 3L), ("c", "y", 2L), ("c", "x", 0L))
+    def reference(rounds: Int): Map[(String, String), Long] = {
+      var w = rows.groupBy(r => (r._1, r._2))
+        .map { case (k, vs) => k -> vs.map(_._3).sum }
+        .filter(_._2 > 0L)
+      (1 to rounds).foreach { _ =>
+        val rs = w.groupBy(_._1._1).map { case (k, m) =>
+          k -> m.values.sum }
+        w = w.map { case ((r, c), v) => (r, c) -> v * 1000000L / rs(r) }
+        val cs = w.groupBy(_._1._2).map { case (k, m) =>
+          k -> m.values.sum }
+        w = w.map { case ((r, c), v) => (r, c) -> v * 1000000L / cs(c) }
+      }
+      w
+    }
+    for (rounds <- Seq(1, 4)) {
+      val got = Features.sinkhorn(rows.toDF("r", "c", "v"), "r", "c",
+          col("v"), rounds)
+        .collect()
+        .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+        .toMap
+      assert(got == reference(rounds), s"rounds=$rounds")
+      // after the final column step: per-column sum in
+      // (1e6 − n_rows, 1e6]
+      got.groupBy(_._1._2).foreach { case (c, cells) =>
+        val s = cells.values.sum
+        assert(s <= 1000000L && s > 1000000L - 4, s"col $c sum $s")
+      }
+    }
+    val e = intercept[Exception] {
+      Features.sinkhorn(Seq(("a", "x", -1L)).toDF("r", "c", "v"),
+        "r", "c", col("v"), 2).collect()
+    }
+    assert(e.getMessage.contains("weights must be >= 0"))
+  }
 }

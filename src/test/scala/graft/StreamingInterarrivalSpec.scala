@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingInterarrival
+
+/** §2.7 — StreamingInterarrival: the live face of the q196 batch
+  * lag-window gap statistics; per-prefix parity under in-order
+  * delivery.
+  */
+class StreamingInterarrivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming interarrival: per-prefix parity with the batch " +
+      "lag-window stats, in-batch disorder sorted, gap-free keys " +
+      "emit sentinels, exact floor means") {
+    implicit val sqlCtx = spark.sqlContext
+    // k1 steady cadence; k2 bursty with an in-batch out-of-order
+    // pair; k3 appears once (no gap yet)
+    val b1 = Seq(("k1", 10L), ("k1", 20L), ("k2", 7L), ("k3", 5L))
+    val b2 = Seq(("k1", 35L), ("k2", 9L), ("k2", 8L)) // k2 disorder
+    val b3 = Seq(("k1", 40L), ("k2", 100L))
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingInterarrival.monitor(
+        in.toDS().groupByKey(_._1).mapValues(_._2))
+      .toDF("key", "n_gaps", "min_gap", "max_gap", "mean_gap",
+        "last_ts")
+      .writeStream.format("memory").queryName("gap_out")
+      .outputMode(StreamingInterarrival.outputMode)
+      .start()
+
+    def batchFace(prefix: Seq[(String, Long)])
+        : Map[String, (Long, Long, Long, Long, Long)] = {
+      val w = Window.partitionBy(col("k")).orderBy(col("ts"))
+      val gaps = prefix.toDF("k", "ts")
+        .withColumn("g", col("ts") - lag(col("ts"), 1).over(w))
+      gaps.groupBy(col("k"))
+        .agg(count(col("g")).as("n"),
+          coalesce(min(col("g")), lit(-1L)).as("mn"),
+          coalesce(max(col("g")), lit(-1L)).as("mx"),
+          coalesce(graft.functions.Exact.longDiv(sum(col("g")),
+            count(col("g"))), lit(-1L)).as("mean"),
+          max(col("ts")).as("last"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+    }
+
+    var expected = List.empty[(String, Long, Long, Long, Long, Long)]
+    var prefix = Seq.empty[(String, Long)]
+    Seq(b1, b2, b3).foreach { batch =>
+      prefix = prefix ++ batch
+      in.addData(batch: _*)
+      q.processAllAvailable()
+      val face = batchFace(prefix)
+      batch.map(_._1).distinct.foreach { k =>
+        val (n, mn, mx, mean, last) = face(k)
+        expected ::= ((k, n, mn, mx, mean, last))
+      }
+    }
+    q.stop()
+    val got = spark.table("gap_out")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.sorted == expected.sorted)
+    // spot-pin finals: k1 gaps 10,15,5 → n 3, min 5, max 15, mean 10
+    val fin = got.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.maxBy(_._6) }
+    assert(fin("k1") == (("k1", 3L, 5L, 15L, 10L, 40L)))
+    // k2: sorted arrivals 7,8,9,100 → gaps 1,1,91: mean 31
+    assert(fin("k2") == (("k2", 3L, 1L, 91L, 31L, 100L)))
+    assert(fin("k3") == (("k3", 0L, -1L, -1L, -1L, 5L)))
+  }
+}
