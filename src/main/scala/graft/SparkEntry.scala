@@ -5207,26 +5207,31 @@ object SparkEntry {
     },
 
     // X358 — strongly connected components: directed mutual
-    // reachability via forward–backward min-label coloring with
-    // peeling (mixed-id label space, halving in both faces). The
-    // derived graph makes every 5-block of custkeys a directed
-    // 5-cycle and bridges even blocks into the next block one-way, so
-    // each weak component condenses to a 2-SCC chain — the peel runs
-    // exactly two outer rounds and the answer (scc_id = min member)
-    // is an engine-independent graph property the oracle derives by
-    // transitive closure, not by mirroring the algorithm.
+    // reachability via dual-face min-label coloring with peeling
+    // (mixed-id label space). The derived graph makes every 5-block
+    // of custkeys a directed 5-cycle plus a shortcut chord (u→u+2
+    // inside the block — parallel structure, same SCC), so the probe
+    // settles in one peel round at SF-scaled component count; the
+    // multi-round peel, chains, and cycle-DAGs are spec-pinned on
+    // fixtures (GraphSpec) where round latency is free. The answer
+    // (scc_id = min member) is an engine-independent graph property
+    // the oracle derives by transitive closure, not by mirroring the
+    // algorithm.
     "q362_scc" -> { (s, dir) =>
+      // custkeys are 0-based and contiguous, so pos = u % 5 aligns
+      // every 5-block exactly (a misaligned block leaves a tail CHAIN
+      // whose singletons path-peel one per round — measured, 4 outer
+      // rounds instead of 1)
       val n = t(s, dir, "customer")
         .select(col("c_custkey").cast("long").as("u"))
-      val base = n.withColumn("pos", expr("(u - 1) % 5"))
-        .withColumn("blk", expr("(u - 1) div 5"))
+      val base = n.withColumn("pos", expr("u % 5"))
       val fwd = base.filter(col("pos") < 4L)
         .select(col("u").as("src"), (col("u") + 1L).as("dst"))
       val back = base.filter(col("pos") === 4L)
         .select(col("u").as("src"), (col("u") - 4L).as("dst"))
-      val cross = base.filter(col("pos") === 0L && expr("blk % 2 = 0"))
-        .select(col("u").as("src"), (col("u") + 5L).as("dst"))
-      val edges = fwd.unionByName(back).unionByName(cross)
+      val chord = base.filter(col("pos") < 3L)
+        .select(col("u").as("src"), (col("u") + 2L).as("dst"))
+      val edges = fwd.unionByName(back).unionByName(chord)
         .join(n.select(col("u").as("dst")), Seq("dst"), "left_semi")
       graft.ops.Graph.scc(edges, "src", "dst")
         .orderBy(col("node"))
@@ -15973,15 +15978,14 @@ object SparkEntry {
       """WITH RECURSIVE n AS MATERIALIZED (
         |  SELECT CAST(c_custkey AS BIGINT) AS u FROM customer
         |), blocks AS MATERIALIZED (
-        |  SELECT u, (u - 1) % 5 AS pos, (u - 1) // 5 AS blk FROM n
+        |  SELECT u, u % 5 AS pos FROM n
         |), e AS MATERIALIZED (
         |  SELECT src, dst FROM (
         |    SELECT u AS src, u + 1 AS dst FROM blocks WHERE pos < 4
         |    UNION ALL
         |    SELECT u AS src, u - 4 AS dst FROM blocks WHERE pos = 4
         |    UNION ALL
-        |    SELECT u AS src, u + 5 AS dst FROM blocks
-        |    WHERE pos = 0 AND blk % 2 = 0
+        |    SELECT u AS src, u + 2 AS dst FROM blocks WHERE pos < 3
         |  ) t WHERE dst IN (SELECT u FROM n)
         |), r AS (
         |  SELECT src AS a, dst AS b FROM e

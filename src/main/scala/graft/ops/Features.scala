@@ -3705,24 +3705,20 @@ object Features {
       .groupBy(col("__r"), col("__c")).agg(sum(col("__v")).as("__w"))
       .filter(col("__w") > 0L)
       .localCheckpoint(true)
+    // each normalization is ONE whole-partition window sum (no join,
+    // no per-round materialization): the rounds compose lazily into a
+    // single plan — 2·rounds windows alternating between the row and
+    // column exchanges — and the whole iteration costs one action
     var w = cells
-    var prev: DataFrame = null
+    val rowW = Window.partitionBy(col("__r"))
+    val colW = Window.partitionBy(col("__c"))
     (1 to rounds).foreach { _ =>
-      val rs = w.groupBy(col("__r")).agg(sum(col("__w")).as("__rs"))
-      val rowStep = w.join(rs, Seq("__r"))
-        .select(col("__r"), col("__c"),
-          longDiv(col("__w") * 1000000L, col("__rs")).cast("long")
-            .as("__w"))
-      val cs = rowStep.groupBy(col("__c"))
-        .agg(sum(col("__w")).as("__cs"))
-      val next = rowStep.join(cs, Seq("__c"))
-        .select(col("__r"), col("__c"),
-          longDiv(col("__w") * 1000000L, col("__cs")).cast("long")
-            .as("__w"))
-        .localCheckpoint(true)
-      if (prev != null) Checkpoints.release(prev)
-      prev = w
-      w = next
+      w = w.withColumn("__w",
+        longDiv(col("__w") * 1000000L, sum(col("__w")).over(rowW))
+          .cast("long"))
+      w = w.withColumn("__w",
+        longDiv(col("__w") * 1000000L, sum(col("__w")).over(colW))
+          .cast("long"))
     }
     w.select(col("__r").as(rowCol), col("__c").as(colCol),
       col("__w").as("w_ppm"))

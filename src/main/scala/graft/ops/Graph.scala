@@ -1823,50 +1823,66 @@ object Graph {
       step(step(c))
     }
 
-    /** Reach-min fixpoint over `es` along `from` → `to`: one row per
-      * node in `nodes`, label = min MIXED id on any path into it
-      * (forward) or out of it (backward), via neighbor-min + pointer
-      * halving in the mixed space.
+    /** BOTH reach-min fixpoints in ONE loop over a dual-direction
+      * frame — dir 'f' labels flow along edges (min mixed id that
+      * reaches v), dir 'b' against them (min mixed id v reaches) — so
+      * a round of wall-clock latency advances both faces and the loop
+      * runs max(face rounds), not their sum. One pointer jump per
+      * round (a second jump was measured to cost more in per-round
+      * exchanges than it saved in rounds). One row per (dir, node) at
+      * the fixpoint. Explicit repartitions apply only when the
+      * measured loop width exceeds one partition — on a small graph
+      * the forced exchange is pure latency; at scale it is the width
+      * discipline every loop here follows.
       */
-    def minReach(es: DataFrame, nodes: DataFrame, from: String,
-        to: String): DataFrame = {
-      var l = nodes.select(col("node"), xmix(col("node")).as("lbl"))
+    def minReachDual(es: DataFrame, nodes: DataFrame): DataFrame = {
+      def rep(df: DataFrame, cols: Column*): DataFrame =
+        if (p > 1) df.repartition(p, cols: _*) else df
+      val dual = es.select(lit("f").as("__dir"),
+          col("src").as("__from"), col("dst").as("__to"))
+        .unionByName(es.select(lit("b").as("__dir"),
+          col("dst").as("__from"), col("src").as("__to")))
+        .localCheckpoint(true)
+      var l = nodes.select(
+          explode(array(lit("f"), lit("b"))).as("__dir"),
+          col("node"), xmix(col("node")).as("lbl"))
         .localCheckpoint(true)
       var prev: DataFrame = null
       var lastSum: java.math.BigDecimal = null
       var converged = false
+      def jump(t: DataFrame): DataFrame = {
+        val ptr = t.select(col("__dir").as("__pd"),
+          xmix(col("node")).as("__pn"), col("lbl").as("__pl"))
+        t.join(rep(ptr, col("__pd"), col("__pn")),
+            t("__dir") === col("__pd") && t("lbl") === col("__pn"))
+          .select(col("__dir"), col("node"),
+            least(t("lbl"), col("__pl")).as("lbl"))
+      }
       while (!converged) {
         if (budget <= 0)
           throw new IllegalStateException(
             s"scc: propagation exceeded maxRounds=$maxRounds — " +
               "raise it rather than accept a partial grouping")
         budget -= 1
-        // neighbor min: labels flow along the edge direction
-        val viaEdges = es
-          .join(l.repartition(p, col("node")),
-            es(from) === l("node"))
-          .select(es(to).as("node"), col("lbl"))
-        val upd = l.select(col("node"), col("lbl")).unionByName(viaEdges)
-          .repartition(p, col("node"))
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        // pointer halving: whatever reaches lbl(v) (or lbl(v)
-        // reaches) transfers to v — labels are MIXED node ids, every
-        // node has a label row keyed by its own mixed id, so the
-        // lookup is an inner join
-        val ptr = upd.select(xmix(col("node")).as("__pn"),
-          col("lbl").as("__pl"))
-        val halved = upd
-          .join(ptr.repartition(p, col("__pn")),
-            upd("lbl") === col("__pn"))
-          .select(col("node"), least(col("lbl"), col("__pl")).as("lbl"))
-          .localCheckpoint(false)
-        // labels are node ids and only decrease: the decimal sum is a
-        // strict monotone — equal sums ⇔ fixpoint (the CC discipline);
+        // neighbor min: labels flow along each face's edge direction
+        val viaEdges = dual
+          .join(rep(l, col("__dir"), col("node")),
+            dual("__dir") === l("__dir") &&
+              dual("__from") === l("node"))
+          .select(dual("__dir").as("__dir"), dual("__to").as("node"),
+            col("lbl"))
+        val upd = rep(l.select(col("__dir"), col("node"), col("lbl"))
+            .unionByName(viaEdges), col("__dir"), col("node"))
+          .groupBy(col("__dir"), col("node"))
+          .agg(min(col("lbl")).as("lbl"))
+        val halved = jump(upd).localCheckpoint(false)
+        // labels only decrease: the decimal sum is a strict monotone —
+        // equal sums ⇔ BOTH faces at fixpoint (the CC discipline);
         // this aggregate is also the round's one materializing action
         val s = halved.agg(decSum("lbl")).head.getDecimal(0)
         if (sys.env.contains("GRAFT_SCC_DEBUG"))
-          System.err.println(s"[scc] $from->$to round " +
-            s"budget=$budget sum=$s last=$lastSum")
+          System.err.println(s"[scc] dual round budget=$budget " +
+            s"sum=$s last=$lastSum")
         converged = lastSum != null && s != null &&
           s.compareTo(lastSum) == 0
         lastSum = s
@@ -1875,45 +1891,49 @@ object Graph {
         l = halved
       }
       if (prev != null && !(prev eq l)) Checkpoints.release(prev)
+      Checkpoints.release(dual)
       l
     }
 
     var active = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
+    var activeCnt = active.count()
     var es = e0
     var resolved: DataFrame = null
-    while (!active.isEmpty) {
-      val f = minReach(es, active, "src", "dst")
-      val b = minReach(es, active, "dst", "src")
-      val settled = f
-        .join(b.select(col("node"), col("lbl").as("__bl")), Seq("node"))
-        .filter(col("lbl") === col("__bl"))
-        .select(col("node"), col("lbl").as("__scc_mixed"))
+    while (activeCnt > 0L) {
+      val lab = minReachDual(es, active)
+      // f = b certifies the SCC: one conditional agg per node (each
+      // (dir, node) has exactly one row), no join
+      val settled = lab.groupBy(col("node"))
+        .agg(min(when(col("__dir") === "f", col("lbl"))).as("__f"),
+          min(when(col("__dir") === "b", col("lbl"))).as("__b"))
+        .filter(col("__f") === col("__b"))
+        .select(col("node"), col("__f").as("__scc_mixed"))
         .localCheckpoint(true)
-      Checkpoints.release(f)
-      Checkpoints.release(b)
-      val mergedResolved =
+      Checkpoints.release(lab)
+      activeCnt -= settled.count()
+      // resolved accumulates as a LAZY union of the (checkpointed)
+      // per-round settled frames — each is consumed once at the end,
+      // so no merge materialization is needed
+      resolved =
         if (resolved == null) settled
-        else resolved.unionByName(settled).localCheckpoint(true)
-      val nextActive = active
-        .join(settled.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      val nextEs = es
-        .join(nextActive.select(col("node").as("__na")),
-          col("src") === col("__na"), "left_semi")
-        .join(nextActive.select(col("node").as("__nb")),
-          col("dst") === col("__nb"), "left_semi")
-        .localCheckpoint(true)
-      if (resolved != null && !(resolved eq mergedResolved)) {
-        Checkpoints.release(resolved)
-        Checkpoints.release(settled)
+        else resolved.unionByName(settled)
+      if (activeCnt > 0L) {
+        val nextActive = active
+          .join(settled.select(col("node")), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        val nextEs = es
+          .join(nextActive.select(col("node").as("__na")),
+            col("src") === col("__na"), "left_semi")
+          .join(nextActive.select(col("node").as("__nb")),
+            col("dst") === col("__nb"), "left_semi")
+          .localCheckpoint(true)
+        Checkpoints.release(active)
+        if (!(es eq e0)) Checkpoints.release(es)
+        active = nextActive
+        es = nextEs
       }
-      Checkpoints.release(active)
-      if (!(es eq e0)) Checkpoints.release(es)
-      resolved = mergedResolved
-      active = nextActive
-      es = nextEs
     }
     Checkpoints.release(e0)
     if (resolved == null)

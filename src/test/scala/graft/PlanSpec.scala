@@ -527,4 +527,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains(" Contains("),
       s"no residual per-term contains:\n${plan.take(2500)}")
   }
+
+  test("q367 executes its 8-alternative literal rlike as ONE " +
+      "phrase_match_any pass (RegexAlternationRewrite fired, under " +
+      "the NOT)") {
+    val sf = java.nio.file.Files
+      .createTempDirectory("graft-q367").toString
+    import spark.implicits._
+    Seq((1L, "hash join here", "en", 14L),
+      (2L, "clean doc", "en", 9L), (3L, null: String, "de", 0L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    val plan = SparkEntry.queries("q367_regex_blocklist")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("phrase_match_any"),
+      s"literal alternation must collapse to the automaton:\n" +
+        plan.take(2500))
+    assert(!plan.toLowerCase.contains("rlike"),
+      s"no residual regex:\n${plan.take(2500)}")
+  }
 }
