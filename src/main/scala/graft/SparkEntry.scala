@@ -5315,16 +5315,42 @@ object SparkEntry {
     // the walk corpus is a pure function of (graph, seed), so the
     // oracle derives the identical corpus
     "q368_walks" -> { (s, dir) =>
-      val pairs = events(s, dir).filter(col("user_id").isNotNull)
-        .select(concat(lit("u:"), col("user_id").cast("string"))
-          .as("u"), concat(lit("t:"), col("event_type")).as("tt"))
-        .distinct()
-      val edges = pairs.select(col("u").as("src"), col("tt").as("dst"))
-        .unionByName(pairs.select(col("tt").as("src"),
-          col("u").as("dst")))
-      graft.ops.Graph.deterministicWalks(edges, "src", "dst",
-          walksPerNode = 2, length = 3, seed = "wk")
+      walkCorpus(s, dir)
         .orderBy(col("start"), col("walk_id"), col("step"))
+    },
+
+    // Composition — the X364 walk corpus into skip-gram pairs (the
+    // DeepWalk training-pair shape end-to-end): co-occurrences within
+    // a window of 2 positions along each walk, counted corpus-wide,
+    // singleton pairs dropped
+    "q371_walk_skipgrams" -> { (s, dir) =>
+      val w = walkCorpus(s, dir)
+      val a = w.select(col("start"), col("walk_id"),
+        col("step").as("sa"), col("node").as("term_a"))
+      val b = w.select(col("start"), col("walk_id"),
+        col("step").as("sb"), col("node").as("term_b"))
+      a.join(b, Seq("start", "walk_id"))
+        .filter(col("sb") > col("sa") && col("sb") <= col("sa") + 2L)
+        .groupBy(col("term_a"), col("term_b"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2L)
+        .orderBy(col("term_a"), col("term_b"))
+    },
+
+    // Composition — the X361 classifier EVALUATED: confusion matrix
+    // of predicted vs actual lang over the odd-doc apply set (the
+    // "is the quality gate good enough to deploy" readout)
+    "q372_nb_confusion" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      graft.text.Classify.naiveBayes(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "text", "lang", "doc_id")
+        .join(d.select(col("doc_id"), col("lang").as("actual")),
+          Seq("doc_id"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("actual"), col("predicted"))
     },
 
     // Composition — the X357 dictionary's CROSS-SNAPSHOT story: the
@@ -16070,65 +16096,11 @@ object SparkEntry {
     },
 
     // q365 oracle: the same count tables and bit-length charges, the
-    // same (bits, label) argmin and runner-up margin
-    "q365_naive_bayes" ->
-      """WITH tr AS (
-        |  SELECT lang AS k, list_filter(string_split_regex(
-        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
-        |    t -> t <> '') AS tk
-        |  FROM documents
-        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL
-        |    AND lang IS NOT NULL
-        |), tc AS MATERIALIZED (
-        |  SELECT k, w, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT k, unnest(tk) AS w FROM tr) GROUP BY k, w
-        |), ct AS (
-        |  SELECT k, CAST(sum(c) AS BIGINT) AS nk FROM tc GROUP BY k
-        |), dc AS (
-        |  SELECT k, CAST(count(*) AS BIGINT) AS dk FROM tr GROUP BY k
-        |), dd AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS d FROM tr
-        |), cls AS MATERIALIZED (
-        |  SELECT dc.k, coalesce(ct.nk, 1) AS nk,
-        |    CAST(len(format('{:b}', (SELECT d FROM dd) // dc.dk))
-        |      AS BIGINT) AS prior
-        |  FROM dc LEFT JOIN ct ON dc.k = ct.k
-        |), ap AS (
-        |  SELECT doc_id, list_filter(string_split_regex(
-        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
-        |    t -> t <> '') AS tk
-        |  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
-        |), dt AS MATERIALIZED (
-        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(tk) AS w FROM ap)
-        |  GROUP BY doc_id, w
-        |), lane1 AS (
-        |  SELECT dt.doc_id, cls.k,
-        |    cls.prior + sum(dt.tf * CASE WHEN tc.c IS NOT NULL
-        |      THEN len(format('{:b}', cls.nk // tc.c))
-        |      ELSE len(format('{:b}', cls.nk)) + 1 END) AS bits
-        |  FROM dt CROSS JOIN cls
-        |  LEFT JOIN tc ON tc.k = cls.k AND tc.w = dt.w
-        |  GROUP BY dt.doc_id, cls.k, cls.prior
-        |), lane0 AS (
-        |  SELECT ap.doc_id, cls.k, cls.prior AS bits
-        |  FROM ap CROSS JOIN cls
-        |  WHERE ap.doc_id NOT IN (SELECT doc_id FROM dt)
-        |), lanes AS (
-        |  SELECT doc_id, k, CAST(bits AS BIGINT) AS bits FROM lane1
-        |  UNION ALL
-        |  SELECT doc_id, k, CAST(bits AS BIGINT) AS bits FROM lane0
-        |), rk AS (
-        |  SELECT doc_id, k, bits, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY bits, k) AS rn
-        |  FROM lanes
-        |)
-        |SELECT a.doc_id, a.k AS predicted, a.bits,
-        |  CAST(coalesce(b.bits - a.bits, 0) AS BIGINT) AS margin_bits
-        |FROM rk a LEFT JOIN rk b
-        |  ON a.doc_id = b.doc_id AND b.rn = 2
-        |WHERE a.rn = 1
-        |ORDER BY a.doc_id""".stripMargin,
+    // same (bits, label) argmin and runner-up margin (shared prelude
+    // with q372)
+    "q365_naive_bayes" -> (nbOracleSql + """
+        |SELECT doc_id, predicted, bits, margin_bits FROM pred
+        |ORDER BY doc_id""".stripMargin),
 
     // q366 oracle: the same journey/transition derivation, the same
     // 8 floor-ppm rounds unrolled per removal variant
@@ -16232,45 +16204,31 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin,
 
     // q368 oracle: the identical md5-pick walk derivation, three
-    // unrolled step CTEs
-    "q368_walks" -> {
-      val step = (j: Int) =>
-        s""", s$j AS MATERIALIZED (
-           |  SELECT f.start, f.walk_id, CAST($j AS BIGINT) AS step,
-           |    a.d AS node
-           |  FROM s${j - 1} f
-           |  JOIN deg g ON g.s = f.node
-           |  JOIN adj a ON a.s = f.node AND a.idx =
-           |    CAST('0x' || substr(md5('wk:' || f.start || ':' ||
-           |      CAST(f.walk_id AS VARCHAR) || ':$j'), 1, 15)
-           |      AS BIGINT) % g.deg
-           |)""".stripMargin
-      """WITH p AS (
-        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
-        |    't:' || event_type AS tt
-        |  FROM events WHERE user_id IS NOT NULL
-        |), e AS MATERIALIZED (
-        |  SELECT u AS s, tt AS d FROM p
-        |  UNION
-        |  SELECT tt AS s, u AS d FROM p
-        |), adj AS MATERIALIZED (
-        |  SELECT s, d, CAST(row_number() OVER (
-        |    PARTITION BY s ORDER BY d) - 1 AS BIGINT) AS idx
-        |  FROM e
-        |), deg AS (
-        |  SELECT s, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY s
-        |), n AS (
-        |  SELECT s AS node FROM e UNION SELECT d AS node FROM e
-        |), s0 AS MATERIALIZED (
-        |  SELECT n.node AS start, CAST(w.w AS BIGINT) AS walk_id,
-        |    CAST(0 AS BIGINT) AS step, n.node AS node
-        |  FROM n CROSS JOIN (SELECT unnest(range(0, 2)) AS w) w
-        |)""".stripMargin + (1 to 3).map(step).mkString + """
-        |SELECT start, walk_id, step, node FROM (
-        |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
-        |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
-        |) t ORDER BY start, walk_id, step""".stripMargin
-    },
+    // unrolled step CTEs (shared prelude with q371)
+    "q368_walks" -> (walksOracleSql + """
+        |SELECT start, walk_id, step, node FROM corpus
+        |ORDER BY start, walk_id, step""".stripMargin),
+
+    // q371 oracle: the shared walk corpus self-joined into window-2
+    // pairs
+    "q371_walk_skipgrams" -> (walksOracleSql + """
+        |SELECT a.node AS term_a, b.node AS term_b,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM corpus a JOIN corpus b
+        |  ON a.start = b.start AND a.walk_id = b.walk_id
+        |  AND b.step > a.step AND b.step <= a.step + 2
+        |GROUP BY a.node, b.node
+        |HAVING count(*) >= 2
+        |ORDER BY term_a, term_b""".stripMargin),
+
+    // q372 oracle: the shared per-doc prediction joined back to the
+    // actual label, collapsed to the confusion grid
+    "q372_nb_confusion" -> (nbOracleSql + """
+        |SELECT d.lang AS actual, p.predicted,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+        |GROUP BY d.lang, p.predicted
+        |ORDER BY actual, predicted""".stripMargin),
 
     // q369 oracle: the whole dictionary/remap/merge machinery must
     // land on plain count(DISTINCT) over both snapshots
@@ -16308,6 +16266,129 @@ object SparkEntry {
         |FROM c4 ORDER BY event_type, dow""".stripMargin
     },
   )
+
+  /** Shared q368/q371 builder: the deterministic-walk corpus over the
+    * symmetrized user↔event-type bipartite graph (2 walks × 3 steps,
+    * seed "wk").
+    */
+  private def walkCorpus(s: SparkSession, dir: String): DataFrame = {
+    val pairs = events(s, dir).filter(col("user_id").isNotNull)
+      .select(concat(lit("u:"), col("user_id").cast("string"))
+        .as("u"), concat(lit("t:"), col("event_type")).as("tt"))
+      .distinct()
+    val edges = pairs.select(col("u").as("src"), col("tt").as("dst"))
+      .unionByName(pairs.select(col("tt").as("src"),
+        col("u").as("dst")))
+    graft.ops.Graph.deterministicWalks(edges, "src", "dst",
+      walksPerNode = 2, length = 3, seed = "wk")
+  }
+
+  /** Shared q365/q372 oracle prelude: the Naive Bayes count tables,
+    * bit-length charges, and (bits, label) argmin, ending in a `pred`
+    * CTE at (doc_id, predicted, bits, margin_bits) grain.
+    */
+  private def nbOracleSql: String =
+    """WITH tr AS (
+      |  SELECT lang AS k, list_filter(string_split_regex(
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+      |    t -> t <> '') AS tk
+      |  FROM documents
+      |  WHERE doc_id % 2 = 0 AND text IS NOT NULL
+      |    AND lang IS NOT NULL
+      |), tc AS MATERIALIZED (
+      |  SELECT k, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT k, unnest(tk) AS w FROM tr) GROUP BY k, w
+      |), ct AS (
+      |  SELECT k, CAST(sum(c) AS BIGINT) AS nk FROM tc GROUP BY k
+      |), dc AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS dk FROM tr GROUP BY k
+      |), dd AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS d FROM tr
+      |), cls AS MATERIALIZED (
+      |  SELECT dc.k, coalesce(ct.nk, 1) AS nk,
+      |    CAST(len(format('{:b}', (SELECT d FROM dd) // dc.dk))
+      |      AS BIGINT) AS prior
+      |  FROM dc LEFT JOIN ct ON dc.k = ct.k
+      |), ap AS (
+      |  SELECT doc_id, list_filter(string_split_regex(
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+      |    t -> t <> '') AS tk
+      |  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
+      |), dt AS MATERIALIZED (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(tk) AS w FROM ap)
+      |  GROUP BY doc_id, w
+      |), lane1 AS (
+      |  SELECT dt.doc_id, cls.k,
+      |    cls.prior + sum(dt.tf * CASE WHEN tc.c IS NOT NULL
+      |      THEN len(format('{:b}', cls.nk // tc.c))
+      |      ELSE len(format('{:b}', cls.nk)) + 1 END) AS bits
+      |  FROM dt CROSS JOIN cls
+      |  LEFT JOIN tc ON tc.k = cls.k AND tc.w = dt.w
+      |  GROUP BY dt.doc_id, cls.k, cls.prior
+      |), lane0 AS (
+      |  SELECT ap.doc_id, cls.k, cls.prior AS bits
+      |  FROM ap CROSS JOIN cls
+      |  WHERE ap.doc_id NOT IN (SELECT doc_id FROM dt)
+      |), lanes AS (
+      |  SELECT doc_id, k, CAST(bits AS BIGINT) AS bits FROM lane1
+      |  UNION ALL
+      |  SELECT doc_id, k, CAST(bits AS BIGINT) AS bits FROM lane0
+      |), rk AS (
+      |  SELECT doc_id, k, bits, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY bits, k) AS rn
+      |  FROM lanes
+      |), pred AS MATERIALIZED (
+      |  SELECT a.doc_id, a.k AS predicted, a.bits,
+      |    CAST(coalesce(b.bits - a.bits, 0) AS BIGINT) AS margin_bits
+      |  FROM rk a LEFT JOIN rk b
+      |    ON a.doc_id = b.doc_id AND b.rn = 2
+      |  WHERE a.rn = 1
+      |)""".stripMargin
+
+  /** Shared q368/q371 oracle prelude: the deterministic-walk corpus —
+    * sorted adjacency + md5-pick step CTEs over the symmetrized
+    * user↔event-type bipartite graph, unioned into `corpus` at
+    * (start, walk_id, step, node) grain.
+    */
+  private def walksOracleSql: String = {
+    val step = (j: Int) =>
+      s""", s$j AS MATERIALIZED (
+         |  SELECT f.start, f.walk_id, CAST($j AS BIGINT) AS step,
+         |    a.d AS node
+         |  FROM s${j - 1} f
+         |  JOIN deg g ON g.s = f.node
+         |  JOIN adj a ON a.s = f.node AND a.idx =
+         |    CAST('0x' || substr(md5('wk:' || f.start || ':' ||
+         |      CAST(f.walk_id AS VARCHAR) || ':$j'), 1, 15)
+         |      AS BIGINT) % g.deg
+         |)""".stripMargin
+    """WITH p AS (
+      |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+      |    't:' || event_type AS tt
+      |  FROM events WHERE user_id IS NOT NULL
+      |), e AS MATERIALIZED (
+      |  SELECT u AS s, tt AS d FROM p
+      |  UNION
+      |  SELECT tt AS s, u AS d FROM p
+      |), adj AS MATERIALIZED (
+      |  SELECT s, d, CAST(row_number() OVER (
+      |    PARTITION BY s ORDER BY d) - 1 AS BIGINT) AS idx
+      |  FROM e
+      |), deg AS (
+      |  SELECT s, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY s
+      |), n AS (
+      |  SELECT s AS node FROM e UNION SELECT d AS node FROM e
+      |), s0 AS MATERIALIZED (
+      |  SELECT n.node AS start, CAST(w.w AS BIGINT) AS walk_id,
+      |    CAST(0 AS BIGINT) AS step, n.node AS node
+      |  FROM n CROSS JOIN (SELECT unnest(range(0, 2)) AS w) w
+      |)""".stripMargin + (1 to 3).map(step).mkString + """
+      |, corpus AS MATERIALIZED (
+      |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
+      |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+      |)""".stripMargin
+  }
 
   /** q337 oracle: the exact-integer Lloyd iteration unrolled to
     * `rounds` CTE blocks — all-integer milli-unit arithmetic mirrors
