@@ -5337,6 +5337,28 @@ object SparkEntry {
         .orderBy(col("term_a"), col("term_b"))
     },
 
+    // X367 — earliest-arrival temporal reachability over the
+    // timestamped user↔type event graph: an edge is usable only at or
+    // after the path's arrival (information flow, not static
+    // reachability), 4 hops from the u%97 seed users
+    "q373_temporal_reach" -> { (s, dir) =>
+      val ev = events(s, dir).filter(col("user_id").isNotNull)
+        .select(concat(lit("u:"), col("user_id").cast("string"))
+          .as("u"), concat(lit("t:"), col("event_type")).as("tt"),
+          nsToMicros(col("ts_ns")).as("ts_us"))
+      val edges = ev.select(col("u").as("src"), col("tt").as("dst"),
+          col("ts_us"))
+        .unionByName(ev.select(col("tt").as("src"), col("u").as("dst"),
+          col("ts_us")))
+      val seeds = events(s, dir)
+        .filter(pmod(col("user_id"), lit(97)) === 0)
+        .select(concat(lit("u:"), col("user_id").cast("string"))
+          .as("seed")).distinct()
+      graft.ops.Graph.temporalReachability(edges, "src", "dst",
+          col("ts_us"), seeds, "seed", hops = 4)
+        .orderBy(col("node"))
+    },
+
     // Composition — the X361 classifier EVALUATED: confusion matrix
     // of predicted vs actual lang over the odd-doc apply set (the
     // "is the quality gate good enough to deploy" readout)
@@ -16229,6 +16251,36 @@ object SparkEntry {
         |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
         |GROUP BY d.lang, p.predicted
         |ORDER BY actual, predicted""".stripMargin),
+
+    // q373 oracle: the earliest-arrival DP unrolled to 4 rounds over
+    // the timestamped bipartite edges
+    "q373_temporal_reach" -> {
+      val round = (j: Int) =>
+        s""", a$j AS MATERIALIZED (
+           |  SELECT node, CAST(min(arrival) AS BIGINT) AS arrival
+           |  FROM (
+           |    SELECT node, arrival FROM a${j - 1}
+           |    UNION ALL
+           |    SELECT e.d AS node, e.t AS arrival
+           |    FROM e JOIN a${j - 1} p ON e.s = p.node
+           |    WHERE e.t >= p.arrival
+           |  ) t GROUP BY node
+           |)""".stripMargin
+      """WITH e AS MATERIALIZED (
+        |  SELECT 'u:' || CAST(user_id AS VARCHAR) AS s,
+        |    't:' || event_type AS d, epoch_us(ts) AS t
+        |  FROM events WHERE user_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT 't:' || event_type AS s,
+        |    'u:' || CAST(user_id AS VARCHAR) AS d, epoch_us(ts) AS t
+        |  FROM events WHERE user_id IS NOT NULL
+        |), a0 AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS node,
+        |    CAST(0 AS BIGINT) AS arrival
+        |  FROM events WHERE user_id % 97 = 0
+        |)""".stripMargin + (1 to 4).map(round).mkString + """
+        |SELECT node, arrival FROM a4 ORDER BY node""".stripMargin
+    },
 
     // q369 oracle: the whole dictionary/remap/merge machinery must
     // land on plain count(DISTINCT) over both snapshots

@@ -2030,6 +2030,61 @@ object Graph {
     dist
   }
 
+  /** Earliest-arrival temporal reachability (X367) — reachability the
+    * static [[bfsDistance]] gets WRONG on timestamped edges: an edge
+    * (u → v, t) can only extend a path that ARRIVES at u by t
+    * (information/contagion/influence flow over event logs — a retweet
+    * can't precede the tweet). arrival(v) = the minimum last-edge
+    * timestamp over TIME-RESPECTING paths from any seed using at most
+    * `hops` edges (seeds arrive at 0; the hop bound makes the answer
+    * exactly specified with no fixpoint detection — the X362
+    * truncated-horizon discipline). Keeping only the MIN arrival per
+    * node is lossless for this objective — the classic
+    * earliest-arrival argument: an earlier arrival enables every edge
+    * a later one does. Output: (`node`, `arrival`) for nodes reached
+    * within the bound; unreached nodes emit nothing.
+    *
+    * Scale shape: each of the `hops` rounds is ONE edge-grain
+    * equi-join against the (node, arrival) frontier + a min collapse,
+    * checkpointed (the frontier fans out into the join and the
+    * union); never a per-path enumeration — the min-per-node frame is
+    * the whole state.
+    */
+  def temporalReachability(edges: DataFrame, srcCol: String,
+      dstCol: String, tsCol: Column, seeds: DataFrame, seedCol: String,
+      hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 100, s"hops in [1, 100]: $hops")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        tsCol.isNotNull)
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d"),
+        tsCol.cast("long").as("__t"))
+      .localCheckpoint(true)
+    var arr = seeds
+      .select(col(seedCol).cast("string").as("node"))
+      .filter(col("node").isNotNull).distinct()
+      .select(col("node"), lit(0L).as("arrival"))
+      .localCheckpoint(true)
+    var prev: DataFrame = null
+    (1 to hops).foreach { _ =>
+      val cand = e
+        .join(arr, e("__s") === arr("node"))
+        .filter(col("__t") >= col("arrival"))
+        .select(col("__d").as("node"), col("__t").as("arrival"))
+      val next = arr.select(col("node"), col("arrival"))
+        .unionByName(cand)
+        .groupBy(col("node")).agg(min(col("arrival")).as("arrival"))
+        .localCheckpoint(true)
+      if (prev != null) Checkpoints.release(prev)
+      prev = arr
+      arr = next
+    }
+    if (prev != null && !(prev eq arr)) Checkpoints.release(prev)
+    Checkpoints.release(e)
+    arr
+  }
+
   /** Deterministic random walks (X364) — the training-data generator
     * behind DeepWalk/node2vec-style graph embeddings: `walksPerNode`
     * walks of up to `length` steps from EVERY node, each step choosing

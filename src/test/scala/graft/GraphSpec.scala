@@ -729,4 +729,25 @@ class GraphSpec extends SparkSpec {
     assert(run("t").sorted.sameElements(rows.sorted))
     assert(!run("u").sorted.sameElements(rows.sorted))
   }
+
+  test("temporalReachability: time-respecting only — a later hop " +
+      "cannot use an earlier edge, min arrival enables more, the hop " +
+      "bound truncates") {
+    import spark.implicits._
+    // a→b at 5 AND 2 (min arrival 2 re-enables b→c at 3, which the
+    // t=5 arrival alone would block); d→e at 0 < arrival(d)=1 is
+    // blocked forever; c→f at 10 needs the third hop
+    val edges = Seq(("a", "b", 5L), ("a", "b", 2L), ("b", "c", 3L),
+      ("a", "d", 1L), ("d", "e", 0L), ("c", "f", 10L))
+      .toDF("s", "d", "t")
+    val seeds = Seq("a").toDF("n")
+    def run(hops: Int) = Graph.temporalReachability(
+        edges, "s", "d", col("t"), seeds, "n", hops)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(3) == Map("a" -> 0L, "b" -> 2L, "d" -> 1L, "c" -> 3L,
+      "f" -> 10L))
+    assert(run(2) == Map("a" -> 0L, "b" -> 2L, "d" -> 1L, "c" -> 3L))
+    // static reachability would claim e; the temporal one never does
+    assert(!run(3).contains("e"))
+  }
 }
