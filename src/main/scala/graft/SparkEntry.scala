@@ -5359,6 +5359,64 @@ object SparkEntry {
         .orderBy(col("node"))
     },
 
+    // Composition — the X359 Kneser–Ney LM consumed as a QUALITY
+    // GATE: score every odd doc's bigrams against the even-doc
+    // smoothed model — n_bigrams, OOV count (bigram type absent from
+    // the LM), and the floor-mean smoothed probability of the seen
+    // ones; the "does this doc look like the reference corpus"
+    // readout the artifact exists for
+    "q374_kn_gate" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val lm = graft.text.Vocab.kneserNeyBigrams(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "text")
+      def toks(c: Column) = graft.text.TextFunctions.tokens(
+        graft.text.TextFunctions.normalized(c))
+      val pairs = d.filter(pmod(col("doc_id"), lit(2)) === 1 &&
+          col("text").isNotNull)
+        .select(col("doc_id"), toks(col("text")).as("__tk"))
+        .filter(size(col("__tk")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+          slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
+        .select(col("doc_id"), col("__p.w1").as("w1"),
+          col("__p.w2").as("w2"))
+      pairs.join(lm.select(col("w1"), col("w2"), col("p_kn_ppm")),
+          Seq("w1", "w2"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("p_kn_ppm").isNull, 1L).otherwise(0L))
+            .as("n_oov"),
+          coalesce(graft.functions.Exact.longDiv(
+            sum(col("p_kn_ppm")),
+            sum(when(col("p_kn_ppm").isNotNull, 1L).otherwise(0L))),
+            lit(-1L)).as("mean_p_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Composition — right-to-be-forgotten cascade plan: given delete
+    // requests at the customer grain, the per-table purge counts
+    // through the FK cascade (customer → orders → lineitem) — the
+    // compliance sizing readout before running the deletes
+    "q375_delete_cascade" -> { (s, dir) =>
+      val victims = t(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(199)) === 0)
+        .select(col("c_custkey").cast("long").as("k"))
+      val ords = t(s, dir, "orders")
+        .join(victims, col("o_custkey") === col("k"), "left_semi")
+        .select(col("o_orderkey"))
+      val li = t(s, dir, "lineitem")
+        .join(ords.select(col("o_orderkey").as("ok")),
+          col("l_orderkey") === col("ok"), "left_semi")
+      victims.agg(count(lit(1)).as("n")).select(
+          lit("customer").as("tbl"), col("n"))
+        .unionByName(ords.agg(count(lit(1)).as("n"))
+          .select(lit("orders").as("tbl"), col("n")))
+        .unionByName(li.agg(count(lit(1)).as("n"))
+          .select(lit("lineitem").as("tbl"), col("n")))
+        .orderBy(col("tbl"))
+    },
+
     // Composition — the X361 classifier EVALUATED: confusion matrix
     // of predicted vs actual lang over the odd-doc apply set (the
     // "is the quality gate good enough to deploy" readout)
@@ -16049,42 +16107,56 @@ object SparkEntry {
         |FROM m GROUP BY a ORDER BY node""".stripMargin,
 
     // q363 oracle: the same bigram-type/context-stat tables, the same
-    // one-floor-division ppm in HUGEINT
-    "q363_kneser_ney" ->
-      """WITH dz AS (
-        |  SELECT list_filter(string_split_regex(
-        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
-        |    t -> t <> '') AS tk
-        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
-        |), bi AS MATERIALIZED (
-        |  SELECT p.u AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n
-        |  FROM (
-        |    SELECT unnest(list_transform(range(1, len(tk)),
+    // one-floor-division ppm in HUGEINT (shared prelude with q374)
+    "q363_kneser_ney" -> (knOracleSql + """
+        |SELECT w1, w2, n, p_kn_ppm FROM lm
+        |ORDER BY w1, w2""".stripMargin),
+
+    // q374 oracle: odd-doc bigrams scored against the shared LM —
+    // OOV = absent bigram type, floor mean over the seen ones
+    "q374_kn_gate" -> (knOracleSql + """
+        |, docpairs AS MATERIALIZED (
+        |  SELECT doc_id, p.u AS w1, p.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
         |      i -> struct_pack(u := tk[CAST(i AS BIGINT)],
         |        w2 := tk[CAST(i + 1 AS BIGINT)]))) AS p
-        |    FROM dz)
-        |  GROUP BY p.u, p.w2
-        |), ls AS (
-        |  SELECT w1, CAST(sum(n) AS BIGINT) AS ca,
-        |    CAST(count(*) AS BIGINT) AS n1a
-        |  FROM bi GROUP BY w1
-        |), rs AS (
-        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1b
-        |  FROM bi GROUP BY w2
-        |), tt AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS tb FROM bi
+        |    FROM (
+        |      SELECT doc_id, list_filter(string_split_regex(
+        |        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |        '\s+'), t -> t <> '') AS tk
+        |      FROM documents
+        |      WHERE text IS NOT NULL AND doc_id % 2 = 1) z
+        |    WHERE len(tk) >= 2)
         |)
-        |SELECT bi.w1, bi.w2, bi.n,
-        |  CAST((1000000::HUGEINT *
-        |      (greatest(4 * bi.n - 3, 0)::HUGEINT
-        |         * (SELECT tb FROM tt)
-        |       + 3::HUGEINT * ls.n1a * rs.n1b))
-        |    // (4::HUGEINT * ls.ca * (SELECT tb FROM tt))
-        |    AS BIGINT) AS p_kn_ppm
-        |FROM bi
-        |JOIN ls ON bi.w1 = ls.w1
-        |JOIN rs ON bi.w2 = rs.w2
-        |ORDER BY bi.w1, bi.w2""".stripMargin,
+        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN lm.p_kn_ppm IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oov,
+        |  CAST(coalesce(sum(lm.p_kn_ppm) //
+        |    nullif(sum(CASE WHEN lm.p_kn_ppm IS NOT NULL THEN 1
+        |      ELSE 0 END), 0), -1) AS BIGINT) AS mean_p_ppm
+        |FROM docpairs d
+        |LEFT JOIN lm ON lm.w1 = d.w1 AND lm.w2 = d.w2
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // q375 oracle: the FK cascade sized by plain semijoin counts
+    "q375_delete_cascade" ->
+      """WITH v AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        |  WHERE c_custkey % 199 = 0
+        |), o AS MATERIALIZED (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM v)
+        |)
+        |SELECT tbl, n FROM (
+        |  SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n
+        |  FROM v
+        |  UNION ALL
+        |  SELECT 'orders', CAST(count(*) AS BIGINT) FROM o
+        |  UNION ALL
+        |  SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+        |) t ORDER BY tbl""".stripMargin,
 
     // q364 oracle: the max-plus DP unrolled to 7 MATERIALIZED rounds
     // (block depth ≤ 5 → fixpoint by round 5; extra rounds identity —
@@ -16334,6 +16406,45 @@ object SparkEntry {
     graft.ops.Graph.deterministicWalks(edges, "src", "dst",
       walksPerNode = 2, length = 3, seed = "wk")
   }
+
+  /** Shared q363/q374 oracle prelude: the Kneser–Ney bigram-type and
+    * context-stat tables, ending in an `lm` CTE at (w1, w2, n,
+    * p_kn_ppm) grain. */
+  private def knOracleSql: String =
+    """WITH dz AS (
+      |  SELECT list_filter(string_split_regex(
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+      |    t -> t <> '') AS tk
+      |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+      |), bi AS MATERIALIZED (
+      |  SELECT p.u AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT unnest(list_transform(range(1, len(tk)),
+      |      i -> struct_pack(u := tk[CAST(i AS BIGINT)],
+      |        w2 := tk[CAST(i + 1 AS BIGINT)]))) AS p
+      |    FROM dz)
+      |  GROUP BY p.u, p.w2
+      |), ls AS (
+      |  SELECT w1, CAST(sum(n) AS BIGINT) AS ca,
+      |    CAST(count(*) AS BIGINT) AS n1a
+      |  FROM bi GROUP BY w1
+      |), rs AS (
+      |  SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+      |  FROM bi GROUP BY w2
+      |), tt AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS tb FROM bi
+      |), lm AS MATERIALIZED (
+      |  SELECT bi.w1, bi.w2, bi.n,
+      |    CAST((1000000::HUGEINT *
+      |        (greatest(4 * bi.n - 3, 0)::HUGEINT
+      |           * (SELECT tb FROM tt)
+      |         + 3::HUGEINT * ls.n1a * rs.n1b))
+      |      // (4::HUGEINT * ls.ca * (SELECT tb FROM tt))
+      |      AS BIGINT) AS p_kn_ppm
+      |  FROM bi
+      |  JOIN ls ON bi.w1 = ls.w1
+      |  JOIN rs ON bi.w2 = rs.w2
+      |)""".stripMargin
 
   /** Shared q365/q372 oracle prelude: the Naive Bayes count tables,
     * bit-length charges, and (bits, label) argmin, ending in a `pred`
