@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Property tests for the round-15 graph/journey operators against
+  * independent brute-force references on seeded random inputs (the
+  * PropertySpec discipline: deterministic seeds, no scalatest-check
+  * bridge).
+  */
+class GraphPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scc agrees with the Floyd–Warshall mutual-reach reference " +
+      "on random digraphs") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 8 + rnd.nextInt(5)
+      val edges = for {
+        u <- 0 until n; v <- 0 until n
+        if u != v && rnd.nextDouble() < 0.18
+      } yield (u.toLong, v.toLong)
+      if (edges.nonEmpty) {
+        val reach = Array.fill(n, n)(false)
+        edges.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+        for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+          if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.map { u =>
+          u -> (u +: nodes.filter(v => v != u &&
+            reach(u.toInt)(v.toInt) && reach(v.toInt)(u.toInt))).min
+        }.toMap
+        val got = Graph.scc(edges.toDF("s", "d"), "s", "d")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
+  test("longestPath agrees with the memoized-DP reference on random " +
+      "weighted DAGs") {
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 8 + rnd.nextInt(5)
+      // i < j keeps it a DAG by construction
+      val edges = (for {
+        u <- 0 until n; v <- u + 1 until n
+        if rnd.nextDouble() < 0.25
+      } yield (u.toLong, v.toLong, 1L + rnd.nextInt(5))).toSeq
+      if (edges.nonEmpty) {
+        val inc = edges.groupBy(_._2)
+        val memo = scala.collection.mutable.Map.empty[Long, Long]
+        def dist(v: Long): Long = memo.getOrElseUpdate(v,
+          inc.get(v).map(_.map(e => dist(e._1) + e._3).max)
+            .getOrElse(0L))
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.map(v => v -> dist(v)).toMap
+        val got = Graph.longestPath(edges.toDF("s", "d", "w"),
+            "s", "d", col("w"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
+  test("temporalReachability agrees with exhaustive time-respecting " +
+      "path enumeration on random temporal graphs") {
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(200 + seed)
+      val n = 7 + rnd.nextInt(4)
+      val edges = (for {
+        u <- 0 until n; v <- 0 until n
+        if u != v && rnd.nextDouble() < 0.2
+      } yield (u.toLong, v.toLong, rnd.nextInt(20).toLong)).toSeq
+      val seedNodes = Seq(0L, 3L)
+      val hops = 3
+      if (edges.nonEmpty) {
+        // exhaustive DFS over time-respecting paths of <= hops edges
+        val best = scala.collection.mutable.Map.empty[Long, Long]
+        def explore(v: Long, arr: Long, left: Int): Unit = {
+          if (arr < best.getOrElse(v, Long.MaxValue)) best(v) = arr
+          if (left > 0)
+            edges.filter(e => e._1 == v && e._3 >= arr)
+              .foreach(e => explore(e._2, e._3, left - 1))
+        }
+        seedNodes.foreach(explore(_, 0L, hops))
+        val expected = best.map { case (k, v) =>
+          k.toString -> v }.toMap
+        val got = Graph.temporalReachability(edges.toDF("s", "d", "t"),
+            "s", "d", col("t"), seedNodes.toDF("n"), "n", hops)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
+  test("markovRemovalAttribution agrees with a pure-Scala floor-ppm " +
+      "reference on random journey sets") {
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(300 + seed)
+      val channels = Seq("a", "b", "c")
+      val rounds = 5
+      val journeys = (1 to 12).map { u =>
+        val len = 1 + rnd.nextInt(5)
+        val evs = (1 to len).map(_ =>
+          if (rnd.nextDouble() < 0.2) "conv"
+          else channels(rnd.nextInt(channels.length)))
+        u.toLong -> evs
+      }
+      // reference: journeys → transitions → R floor-ppm rounds, per
+      // removal variant, in plain Scala longs
+      def transitions: Map[(String, String), Long] = {
+        val t = scala.collection.mutable.Map
+          .empty[(String, String), Long].withDefaultValue(0L)
+        journeys.foreach { case (_, evs) =>
+          val ci = evs.indexOf("conv")
+          val touches =
+            if (ci >= 0) evs.take(ci) else evs
+          val outcome = if (ci >= 0) "CONV" else "DROP"
+          if (touches.isEmpty) t(("START", outcome)) += 1L
+          else {
+            t(("START", touches.head)) += 1L
+            touches.sliding(2).foreach {
+              case Seq(x, y) => t((x, y)) += 1L
+              case _ =>
+            }
+            t((touches.last, outcome)) += 1L
+          }
+        }
+        t.toMap
+      }
+      val trans = transitions
+      val chans = trans.keys.map(_._1).filter(_ != "START").toSeq
+      def pStart(removed: Option[String]): Long = {
+        val vt = trans.toSeq
+          .filter { case ((s, _), _) => !removed.contains(s) }
+          .map { case ((s, d), c) =>
+            ((s, if (removed.contains(d)) "DROP" else d), c) }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        val tot = vt.groupBy(_._1._1)
+          .map { case (s, m) => s -> m.values.sum }
+        var p = tot.keys.map(_ -> 0L).toMap
+        (1 to rounds).foreach { _ =>
+          p = tot.keys.map { s =>
+            val num = vt.collect { case ((`s`, d), c) =>
+              c * (d match {
+                case "CONV" => 1000000L
+                case "DROP" => 0L
+                case t2 => p.getOrElse(t2, 0L)
+              })
+            }.sum
+            s -> num / tot(s)
+          }.toMap
+        }
+        p.getOrElse("START", 0L)
+      }
+      val pb = pStart(None)
+      val expected = chans.map { c =>
+        val pr = pStart(Some(c))
+        val eff = if (pb > 0) Some((pb - pr) * 1000000L / pb) else None
+        c -> ((pb, pr, eff))
+      }.toMap
+      val effSum = expected.values.flatMap(_._3).sum
+      val df = journeys.flatMap { case (u, evs) =>
+        evs.zipWithIndex.map { case (t2, i) => (u, i.toLong, t2) }
+      }.toDF("u", "ts", "t")
+      val got = graft.ops.Funnel.markovRemovalAttribution(
+          df, "u", Seq("ts"), "t", convType = "conv", rounds = rounds)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+        .toMap
+      expected.foreach { case (c, (b, pr, eff)) =>
+        val g = got(c)
+        assert(g._1 == b && g._2 == pr && g._3 == eff,
+          s"seed=$seed channel=$c got=$g want=${(b, pr, eff)}")
+        val wantShare = eff.filter(_ => effSum > 0)
+          .map(_ * 1000000L / effSum)
+        assert(g._4 == wantShare, s"seed=$seed share $c")
+      }
+      assert(got.keySet == expected.keySet, s"seed=$seed")
+    }
+  }
+}
