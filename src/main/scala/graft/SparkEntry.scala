@@ -5417,6 +5417,32 @@ object SparkEntry {
         .orderBy(col("tbl"))
     },
 
+    // Composition — the X121 transition model DEPLOYED and scored:
+    // train argmax next-event per type on even users, evaluate top-1
+    // prediction accuracy on odd users' transitions (weighted by
+    // occurrence), exact floor ppm
+    "q376_markov_predict" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).filter(col("user_id").isNotNull)
+      def trans(parity: Int) = graft.ops.Funnel.transitionCounts(
+        ev.filter(pmod(col("user_id"), lit(2)) === parity),
+        "user_id", Seq("ts_ns", "event_id"), "event_type")
+      val model = trans(0)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("from_type"))
+            .orderBy(col("n").desc, col("to_type"))))
+        .filter(col("__rn") === 1)
+        .select(col("from_type"), col("to_type").as("predicted"))
+      trans(1).join(model, Seq("from_type"), "left")
+        .groupBy(col("from_type"), col("predicted"))
+        .agg(sum(col("n")).as("n_transitions"),
+          sum(when(col("to_type") === col("predicted"), col("n"))
+            .otherwise(0L)).as("n_correct"))
+        .withColumn("acc_ppm", graft.functions.Exact.longDiv(
+          col("n_correct") * 1000000L, col("n_transitions")))
+        .orderBy(col("from_type"))
+    },
+
     // Composition — the X361 classifier EVALUATED: confusion matrix
     // of predicted vs actual lang over the odd-doc apply set (the
     // "is the quality gate good enough to deploy" readout)
@@ -16138,6 +16164,45 @@ object SparkEntry {
         |LEFT JOIN lm ON lm.w1 = d.w1 AND lm.w2 = d.w2
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin),
+
+    // q376 oracle: the same train/apply split, argmax window, and
+    // weighted floor-ppm accuracy
+    "q376_markov_predict" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE user_id IS NOT NULL
+        |), tr0 AS (
+        |  SELECT event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM ev WHERE user_id % 2 = 0
+        |), m0 AS (
+        |  SELECT prev AS from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM tr0 WHERE prev IS NOT NULL GROUP BY 1, 2
+        |), model AS (
+        |  SELECT from_type, to_type AS predicted FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY from_type
+        |      ORDER BY n DESC, to_type) AS rn
+        |    FROM m0) t WHERE rn = 1
+        |), tr1 AS (
+        |  SELECT event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM ev WHERE user_id % 2 = 1
+        |), m1 AS (
+        |  SELECT prev AS from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM tr1 WHERE prev IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT m1.from_type, model.predicted,
+        |  CAST(sum(m1.n) AS BIGINT) AS n_transitions,
+        |  CAST(sum(CASE WHEN m1.to_type = model.predicted
+        |    THEN m1.n ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN m1.to_type = model.predicted
+        |    THEN m1.n ELSE 0 END) * 1000000 // sum(m1.n) AS BIGINT)
+        |    AS acc_ppm
+        |FROM m1 LEFT JOIN model ON m1.from_type = model.from_type
+        |GROUP BY m1.from_type, model.predicted
+        |ORDER BY m1.from_type""".stripMargin,
 
     // q375 oracle: the FK cascade sized by plain semijoin counts
     "q375_delete_cascade" ->
