@@ -5443,6 +5443,48 @@ object SparkEntry {
         .orderBy(col("from_type"))
     },
 
+    // Composition — hash-partition balance audit: the skew-diagnosis
+    // readout behind every bucketed shuffle (X74's portable 60-bit
+    // md5 hash mod 1024 buckets over document keys → the bucket-size
+    // histogram; a balanced hash reads as a tight Poisson band, a hot
+    // key as a fat tail)
+    "q377_hash_balance" -> { (s, dir) =>
+      val keyed = t(s, dir, "documents")
+        .select(concat(col("source"), lit("/"),
+          col("doc_id").cast("string")).as("key"))
+      val buckets = keyed
+        .select(pmod(graft.ops.Relational.hashUnit(col("key")),
+          lit(1024)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
+      buckets.groupBy(col("bucket_size"))
+        .agg(count(lit(1)).as("n_buckets"))
+        .orderBy(col("bucket_size"))
+    },
+
+    // X368 — HyperBall-style ≤2-hop in-neighborhood size per node
+    // over the q362 cycle+chord graph: one HLL sketch per node
+    // advanced by union-along-edges; at this sparsity every
+    // neighborhood sits in HLL exact mode, so the estimates ARE the
+    // exact counts and the oracle derives them by brute 2-hop
+    // distinct counting
+    "q378_neighborhood" -> { (s, dir) =>
+      val n = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("u"))
+      val base = n.withColumn("pos", expr("u % 5"))
+      val fwd = base.filter(col("pos") < 4L)
+        .select(col("u").as("src"), (col("u") + 1L).as("dst"))
+      val back = base.filter(col("pos") === 4L)
+        .select(col("u").as("src"), (col("u") - 4L).as("dst"))
+      val chord = base.filter(col("pos") < 3L)
+        .select(col("u").as("src"), (col("u") + 2L).as("dst"))
+      val edges = fwd.unionByName(back).unionByName(chord)
+        .join(n.select(col("u").as("dst")), Seq("dst"), "left_semi")
+      graft.ops.Graph.neighborhoodSketch(edges, "src", "dst",
+          hops = 2)
+        .withColumn("node", col("node").cast("long"))
+        .orderBy(col("node"))
+    },
+
     // Composition — the X361 classifier EVALUATED: confusion matrix
     // of predicted vs actual lang over the odd-doc apply set (the
     // "is the quality gate good enough to deploy" readout)
@@ -16203,6 +16245,48 @@ object SparkEntry {
         |FROM m1 LEFT JOIN model ON m1.from_type = model.from_type
         |GROUP BY m1.from_type, model.predicted
         |ORDER BY m1.from_type""".stripMargin,
+
+    // q377 oracle: the same md5 hash, the same histogram
+    "q377_hash_balance" ->
+      """WITH b AS (
+        |  SELECT CAST('0x' || substr(md5(source || '/' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1024
+        |    AS bucket
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_size
+        |  FROM b GROUP BY bucket
+        |)
+        |SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+        |FROM sizes GROUP BY bucket_size
+        |ORDER BY bucket_size""".stripMargin,
+
+    // q378 oracle: brute ≤2-hop in-neighborhood distinct counts over
+    // the q362 graph construction (self included)
+    "q378_neighborhood" ->
+      """WITH n AS MATERIALIZED (
+        |  SELECT CAST(c_custkey AS BIGINT) AS u FROM customer
+        |), blocks AS MATERIALIZED (
+        |  SELECT u, u % 5 AS pos FROM n
+        |), e AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT u AS src, u + 1 AS dst FROM blocks WHERE pos < 4
+        |    UNION ALL
+        |    SELECT u AS src, u - 4 AS dst FROM blocks WHERE pos = 4
+        |    UNION ALL
+        |    SELECT u AS src, u + 2 AS dst FROM blocks WHERE pos < 3
+        |  ) t WHERE dst IN (SELECT u FROM n)
+        |), ball AS (
+        |  SELECT dst AS v, src AS u FROM e
+        |  UNION
+        |  SELECT b.dst AS v, a.src AS u
+        |  FROM e a JOIN e b ON a.dst = b.src
+        |  UNION
+        |  SELECT u AS v, u FROM n
+        |)
+        |SELECT v AS node, CAST(count(DISTINCT u) AS BIGINT)
+        |  AS n_in_neighbors
+        |FROM ball GROUP BY v ORDER BY node""".stripMargin,
 
     // q375 oracle: the FK cascade sized by plain semijoin counts
     "q375_delete_cascade" ->

@@ -2085,6 +2085,59 @@ object Graph {
     arr
   }
 
+  /** HyperBall-style neighborhood-size estimation (X368) — the
+    * neighborhood function at 100 TB link-graph scale: per node, the
+    * (estimated) number of DISTINCT nodes within `hops` IN-edges
+    * (self included), maintained as one HLL sketch per node and
+    * advanced by h rounds of union-along-edges — the Boldi–Vigna
+    * HyperBall idea, which turns "count my ≤h-hop neighborhood"
+    * (exact form: h self-joins with an exploding distinct) into
+    * O(h·|E|) sketch merges with O(2^lgK) state per node. While a
+    * node's true neighborhood stays under the HLL exact-mode
+    * threshold the estimate IS the exact count (the q129/q339 gate
+    * discipline — the probe's sparse graph keeps every neighborhood
+    * exact; at web scale the estimates carry HLL's documented error).
+    * Output: (`node`, `n_in_neighbors`).
+    *
+    * Scale shape: per hop ONE |E|-grain join shipping sketches to
+    * their out-endpoint + an hll-union aggregate, checkpointed;
+    * sketch size bounds per-node state whatever the neighborhood —
+    * the entire point vs the exact multi-join.
+    */
+  def neighborhoodSketch(edges: DataFrame, srcCol: String,
+      dstCol: String, hops: Int, lgK: Int = 12): DataFrame = {
+    require(hops >= 1 && hops <= 16, s"hops in [1, 16]: $hops")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d"))
+      .distinct()
+      .localCheckpoint(true)
+    var sk = e.select(col("__s").as("node"))
+      .union(e.select(col("__d").as("node"))).distinct()
+      .groupBy(col("node"))
+      .agg(hll_sketch_agg(col("node"), lit(lgK)).as("sketch"))
+      .localCheckpoint(true)
+    var prev: DataFrame = null
+    (1 to hops).foreach { _ =>
+      val shipped = e
+        .join(sk, e("__s") === sk("node"))
+        .select(e("__d").as("node"), col("sketch"))
+      val next = sk.select(col("node"), col("sketch"))
+        .unionByName(shipped)
+        .groupBy(col("node"))
+        .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+        .localCheckpoint(true)
+      if (prev != null) Checkpoints.release(prev)
+      prev = sk
+      sk = next
+    }
+    if (prev != null && !(prev eq sk)) Checkpoints.release(prev)
+    Checkpoints.release(e)
+    sk.select(col("node"),
+      hll_sketch_estimate(col("sketch")).as("n_in_neighbors"))
+  }
+
   /** Deterministic random walks (X364) — the training-data generator
     * behind DeepWalk/node2vec-style graph embeddings: `walksPerNode`
     * walks of up to `length` steps from EVERY node, each step choosing

@@ -94,6 +94,39 @@ class GraphPropertySpec extends SparkSpec {
     }
   }
 
+  test("neighborhoodSketch: exact-mode estimates equal the " +
+      "brute-force <=h-hop in-neighborhood counts on random digraphs") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(400 + seed)
+      val n = 8 + rnd.nextInt(5)
+      val edges = (for {
+        u <- 0 until n; v <- 0 until n
+        if u != v && rnd.nextDouble() < 0.15
+      } yield (u.toLong, v.toLong)).toSeq
+      if (edges.nonEmpty) {
+        for (hops <- Seq(1, 2)) {
+          // brute force: BFS backwards up to hops
+          val inc = edges.groupBy(_._2)
+          val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          def ball(v: Long): Long = {
+            var cur = Set(v)
+            (1 to hops).foreach { _ =>
+              cur = cur ++ cur.flatMap(x =>
+                inc.getOrElse(x, Seq.empty).map(_._1))
+            }
+            cur.size.toLong
+          }
+          val expected = nodes.map(v => v -> ball(v)).toMap
+          val got = Graph.neighborhoodSketch(edges.toDF("s", "d"),
+              "s", "d", hops)
+            .collect().map(r => r.getString(0).toLong -> r.getLong(1))
+            .toMap
+          assert(got == expected, s"seed=$seed hops=$hops")
+        }
+      }
+    }
+  }
+
   test("markovRemovalAttribution agrees with a pure-Scala floor-ppm " +
       "reference on random journey sets") {
     (1 to 4).foreach { seed =>
