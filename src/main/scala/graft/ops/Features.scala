@@ -3696,12 +3696,18 @@ object Features {
       value: Column, rounds: Int = 8): DataFrame = {
     import graft.functions.Exact.longDiv
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    // null weights carry no mass and DROP (the COUNT/SUM convention);
+    // the raise lane is only for genuinely negative values — the
+    // condition must test nullability first or nulls would fall into
+    // the otherwise branch and raise with a misleading message
     val cells = df.select(col(rowCol).as("__r"), col(colCol).as("__c"),
-        when(value.cast("long") >= 0L, value.cast("long"))
+        when(value.cast("long").isNull, lit(null).cast("long"))
+          .when(value.cast("long") >= 0L, value.cast("long"))
           .otherwise(raise_error(concat(
             lit("sinkhorn: weights must be >= 0, got "),
             value.cast("string")))).as("__v"))
-      .filter(col("__r").isNotNull && col("__c").isNotNull)
+      .filter(col("__r").isNotNull && col("__c").isNotNull &&
+        col("__v").isNotNull)
       .groupBy(col("__r"), col("__c")).agg(sum(col("__v")).as("__w"))
       .filter(col("__w") > 0L)
       .localCheckpoint(true)

@@ -1979,8 +1979,12 @@ object Graph {
   def longestPath(edges: DataFrame, srcCol: String, dstCol: String,
       weight: Column = lit(1L), maxRounds: Int = 40): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    // a null-weight edge is dropped like a null endpoint (no defined
+    // cost); the raise lane is only for genuinely sub-1 values — test
+    // nullability first so nulls don't fall into the raise branch
     val e0 = edges
-      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        weight.cast("long").isNotNull)
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         when(weight.cast("long") >= 1L, weight.cast("long"))

@@ -1712,5 +1712,12 @@ class FeaturesSpec extends SparkSpec {
         "r", "c", col("v"), 2).collect()
     }
     assert(e.getMessage.contains("weights must be >= 0"))
+    // a NULL weight carries no mass and drops silently — it must not
+    // fall into the raise lane
+    val withNull = Seq(("a", "x", Some(2L)), ("a", "y", None),
+      ("b", "x", Some(2L))).toDF("r", "c", "v")
+    val gotN = Features.sinkhorn(withNull, "r", "c", col("v"), 1)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(gotN == Set(("a", "x"), ("b", "x")))
   }
 }

@@ -695,6 +695,12 @@ class GraphSpec extends SparkSpec {
       Graph.longestPath(bad, "s", "d", col("w")).collect()
     }
     assert(e2.getMessage.contains("weights must be >= 1"))
+    // a NULL-weight edge drops like a null endpoint — never the raise
+    val withNull = Seq((1L, 2L, Some(3L)), (2L, 3L, None))
+      .toDF("s", "d", "w")
+    val gotN = Graph.longestPath(withNull, "s", "d", col("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotN == Map(1L -> 0L, 2L -> 3L))
   }
 
   test("deterministicWalks: every hop is a real edge, dead ends " +
