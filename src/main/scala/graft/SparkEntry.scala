@@ -5485,6 +5485,25 @@ object SparkEntry {
         .orderBy(col("node"))
     },
 
+    // X92 extended — WEIGHTED PageRank: mass splits by out-weight
+    // share, the form link-graph authority actually uses (a domain
+    // linked 50 times outranks one linked once); edge weight = event
+    // multiplicity on the user↔type graph, 4 exact integer rounds,
+    // weight 1 degenerates to the historical q116 equal split
+    "q379_weighted_pagerank" -> { (s, dir) =>
+      val counts = events(s, dir).filter(col("user_id").isNotNull)
+        .groupBy(concat(lit("u:"), col("user_id").cast("string"))
+          .as("u"), concat(lit("t:"), col("event_type")).as("tt"))
+        .agg(count(lit(1)).as("w"))
+      val edges = counts.select(col("u").as("src"), col("tt").as("dst"),
+          col("w"))
+        .unionByName(counts.select(col("tt").as("src"),
+          col("u").as("dst"), col("w")))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 4,
+          weight = col("w"))
+        .orderBy(col("node"))
+    },
+
     // Composition — the X361 classifier EVALUATED: confusion matrix
     // of predicted vs actual lang over the odd-doc apply set (the
     // "is the quality gate good enough to deploy" readout)
@@ -16245,6 +16264,41 @@ object SparkEntry {
         |FROM m1 LEFT JOIN model ON m1.from_type = model.from_type
         |GROUP BY m1.from_type, model.predicted
         |ORDER BY m1.from_type""".stripMargin,
+
+    // q379 oracle: 4 unrolled weighted rounds — per-edge floor of
+    // r·damping·w div (1e6·W_src), the q116 shape with weights
+    "q379_weighted_pagerank" -> {
+      val round = (j: Int) =>
+        s""", r$j AS (
+           |  SELECT n.node, CAST(150000 + COALESCE(s.m, 0) AS BIGINT)
+           |    AS r
+           |  FROM n LEFT JOIN (
+           |    SELECT ed.dst AS node, CAST(sum(
+           |      CAST(p.r AS HUGEINT) * 850000 * ed.w
+           |        // (1000000 * wd.wsum)) AS BIGINT) AS m
+           |    FROM r${j - 1} p
+           |    JOIN ed ON ed.src = p.node
+           |    JOIN wd ON wd.src = p.node
+           |    GROUP BY ed.dst) s USING (node)
+           |)""".stripMargin
+      """WITH c AS (
+        |  SELECT 'u:' || CAST(user_id AS VARCHAR) AS u,
+        |    't:' || event_type AS t, CAST(count(*) AS BIGINT) AS w
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY 1, 2
+        |), ed AS MATERIALIZED (
+        |  SELECT u AS src, t AS dst, w FROM c
+        |  UNION ALL SELECT t, u, w FROM c
+        |), wd AS (
+        |  SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM ed
+        |  GROUP BY src
+        |), n AS (
+        |  SELECT src AS node FROM wd
+        |), r0 AS (
+        |  SELECT node, CAST(1000000 AS BIGINT) AS r FROM n
+        |)""".stripMargin + (1 to 4).map(round).mkString + """
+        |SELECT node, r AS rank_mass FROM r4 ORDER BY node""".stripMargin
+    },
 
     // q377 oracle: the same md5 hash, the same histogram
     "q377_hash_balance" ->

@@ -351,18 +351,29 @@ object Graph {
     * node-grain aggregate exchange — the minimum for synchronous PR.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, dampingPpm: Long = 850000L): DataFrame = {
+      iterations: Int, dampingPpm: Long = 850000L,
+      weight: Column = lit(1L)): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100]: $iterations")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"dampingPpm must be in [0, 1000000]: $dampingPpm")
     val C = 1000000L
     val base = C * (1000000L - dampingPpm) / 1000000L
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    // weighted mass split: each edge carries rank·damping·w div
+    // (10⁶·W_src) with W_src = Σ out-weights — at the default weight 1
+    // this is bit-identical to the historical equal split (count ==
+    // sum(1)). Weights are strictly positive integers (raise
+    // in-plan); a null-weight edge drops like a null endpoint.
+    val e = edges.filter(weight.cast("long").isNotNull)
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        when(weight.cast("long") >= 1L, weight.cast("long"))
+          .otherwise(raise_error(concat(
+            lit("pageRank: weights must be >= 1, got "),
+            weight.cast("string")))).as("__w"))
       .localCheckpoint(true)
     val p = loopWidth(e.count(),
       edges.sparkSession.sparkContext.defaultParallelism)
-    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__d"))
+    val deg = e.groupBy(col("__src")).agg(sum(col("__w")).as("__d"))
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -382,8 +393,8 @@ object Graph {
         .join(ranks.repartition(p, col("node")),
           col("__src") === col("node"))
         .select(col("__dst").as("node"),
-          expr(s"CAST(rank_mass AS DECIMAL(38,0)) * $dampingPpm div " +
-            "(1000000 * __d)").as("__m"))
+          expr(s"CAST(rank_mass AS DECIMAL(38,0)) * $dampingPpm * __w" +
+            " div (1000000 * __d)").as("__m"))
         .groupBy(col("node"))
         .agg(sum(col("__m").cast("decimal(38,0)")).as("__m"))
       ranks = nodes.join(contrib, Seq("node"), "left")

@@ -118,6 +118,46 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(run(3).values.sum - 4000000L) <= 8)
   }
 
+  test("pageRank weighted: mass splits by out-weight share — " +
+      "hand-checked one round, conservation holds, weight 1 equals " +
+      "the historical equal split, bad weights raise") {
+    import spark.implicits._
+    // a→b (3), a→c (1), b→a (1), c→a (1): W_a = 4, no dangling
+    val e = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 1L)).toDF("s", "d", "w")
+    val got = Graph.pageRank(e, "s", "d", iterations = 1,
+        weight = col("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r1(a) = 150000 + 850000 (from b) + 850000 (from c) = 1850000
+    // r1(b) = 150000 + 1e6·850000·3 div (1e6·4) = 787500
+    // r1(c) = 150000 + 1e6·850000·1 div (1e6·4) = 362500
+    assert(got == Map("a" -> 1850000L, "b" -> 787500L,
+      "c" -> 362500L))
+    assert(got.values.sum == 3000000L) // conservation: n·C
+    // weight 1 ≡ the historical equal split (count == sum(1))
+    val plain = Graph.pageRank(e.select(col("s"), col("d")), "s", "d",
+        iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w1 = Graph.pageRank(e, "s", "d", iterations = 3,
+        weight = lit(1L))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == w1)
+    // null weight drops the edge; sub-1 raises
+    val withNull = Seq(("a", "b", Some(2L)), ("b", "a", Some(1L)),
+      ("a", "c", None)).toDF("s", "d", "w")
+    val gotN = Graph.pageRank(withNull, "s", "d", iterations = 1,
+        weight = col("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the null edge drops entirely: c never appears as a node
+    assert(!gotN.contains("c"))
+    val bad = Seq(("a", "b", 0L)).toDF("s", "d", "w")
+    val eb = intercept[Exception] {
+      Graph.pageRank(bad, "s", "d", iterations = 1,
+        weight = col("w")).collect()
+    }
+    assert(eb.getMessage.contains("weights must be >= 1"))
+  }
+
   test("pageRank: damping 0 is pure teleport — uniform base mass") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
     val got = Graph.pageRank(edges, "s", "d", 2, dampingPpm = 0L)
