@@ -21,11 +21,39 @@ import java.util.concurrent.atomic.AtomicLong
   */
 object Bench {
 
-  /** Sums shuffle write bytes across all completed stages. */
+  /** Sums shuffle write bytes across all completed stages, and tracks
+    * per-TASK shuffle-write bytes per stage so each sample can report a
+    * partition-balance figure (r15-verdict #7: measure skew in the
+    * sweep, don't assume it). `balance` = max task bytes / mean task
+    * bytes within the HEAVIEST shuffle stage of the sample — 1.0 is
+    * perfectly even, ≥ ~3 means one partition carries the stage.
+    */
   private final class ShuffleMeter extends SparkListener {
     val bytes = new AtomicLong(0L)
+    // stageId -> (sum, max, nTasks) of task shuffle-write bytes
+    private val perStage =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
       bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        val w = m.shuffleWriteMetrics.bytesWritten
+        if (w > 0) perStage.merge(t.stageId, (w, w, 1L),
+          (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
+      }
+    }
+    /** (max/mean ratio, task count) of the heaviest shuffle stage;
+      * (1.0, 0) when the sample shuffled nothing. */
+    def balance: (Double, Long) = {
+      import scala.jdk.CollectionConverters._
+      perStage.values.asScala.toSeq.sortBy(-_._1).headOption match {
+        case Some((sum, max, n)) if sum > 0 && n > 0 =>
+          (max.toDouble * n / sum, n)
+        case _ => (1.0, 0L)
+      }
+    }
   }
 
   /** Drop ALL block-manager state a finished sample left behind — cached
@@ -201,7 +229,8 @@ object Bench {
     * heap — the telemetry that adjudicates an inflated point from the
     * artifact alone (r14-verdict #1). */
   private final case class Pt(sec: Double, bytes: Long, rows: Long,
-      gcMs: Long, gcN: Long, heapMB: Long)
+      gcMs: Long, gcN: Long, heapMB: Long, balance: Double,
+      balanceTasks: Long)
 
   private def scaleSweep(spark: SparkSession, sfDir: String): String = {
     import graft.dedup.Dedup
@@ -397,8 +426,9 @@ object Bench {
             .drainListenerBus(spark.sparkContext)
           spark.sparkContext.removeSparkListener(meter)
           clearState(spark)
+          val (bal, balN) = meter.balance
           Pt(sec, meter.bytes.get, obs.get("rows").asInstanceOf[Long],
-            g1 - g0, c1 - c0, heap.getUsed >> 20)
+            g1 - g0, c1 - c0, heap.getUsed >> 20, bal, balN)
         }
         // short points are scheduler-noise-dominated (±50% swings flipped
         // a 4× ratio past linear in r6 dry runs) — buy them a third
@@ -430,7 +460,9 @@ object Bench {
         // round-over-round comparability)
         def diag(tag: String, p: Pt): String =
           s""","gc_ms_x$tag":${p.gcMs},"gc_n_x$tag":${p.gcN},""" +
-            s""""heap_mb_x$tag":${p.heapMB}"""
+            s""""heap_mb_x$tag":${p.heapMB},""" +
+            f""""balance_x$tag":${p.balance}%.2f,""" +
+            s""""balance_tasks_x$tag":${p.balanceTasks}"""
         val tail = p16.map { q =>
           s""","x16":${q.sec},"ratio16":${q.sec / p4.sec},""" +
             s""""bytes_x16":${q.bytes},"rows_x16":${q.rows}""" +
@@ -655,10 +687,33 @@ object Bench {
     // epilogue); a full per-query map stopped fitting at ~85 probes and
     // every added probe re-fought the window. The summary line instead
     // carries the headline aggregates and the 12 slowest queries (the
-    // actionable tail), and the FULL per-query table lives in the
-    // committed BENCHLOG.md (builder-refreshed each round from this
-    // same binary, ms precision) plus this run's detail line above.
+    // actionable tail); the FULL machine-readable per-query map is the
+    // committed BENCH_PER_QUERY.json written above (plus the human
+    // table in BENCHLOG.md and this run's detail line).
     val totalSec = results.map(_._2._2).filter(_ >= 0).sum
+    // r15-verdict #1: the full {query: seconds} map, MACHINE-READABLE.
+    // It cannot ride the summary line (the harness keeps only the final
+    // ~2 KB of stdout and ~380 entries need ~7 KB), so it lands in a
+    // committed file next to the artifact: {name: {"first": s, "min": s}}
+    // plus the same env header the summary carries. Round-over-round
+    // regression detection is then a one-line JSON diff of this file.
+    val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_PER_QUERY_OUT",
+      "BENCH_PER_QUERY.json")
+    try {
+      val body = results.map { case (k, (f, v)) =>
+        "\"" + k + "\":{\"first\":" + r3(f) + ",\"min\":" + r3(v) + "}"
+      }.mkString(",\n  ")
+      java.nio.file.Files.write(java.nio.file.Paths.get(perQueryPath),
+        (s"""{"sf":"${sfDir.split('/').filter(_.nonEmpty).lastOption
+            .getOrElse(sfDir)}","env":$envHeader,""" +
+          s""""n_queries":${results.length},""" +
+          s""""per_query":{\n  $body\n}}\n""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] per-query map written to $perQueryPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] per-query file write failed: " +
+        e.getMessage)
+    }
     val pipeSummary =
       if (pipeline._1 < 0) "null" else r2(pipeline._1)
     val slow = results.sortBy(-_._2._2).take(12)
@@ -668,7 +723,7 @@ object Bench {
     // corpus must be distinguishable in the captured tail
     val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    val line = s"""{"metric":"total","sf":"$sfBase","total_sec":${r2(totalSec)},"n_queries":${results.length},"pipeline_sec":$pipeSummary,"load_start":$loadStart,"load_end":${loadAvg1m()},"slowest":$slow,"per_query":"see BENCHLOG.md"}"""
+    val line = s"""{"metric":"total","sf":"$sfBase","total_sec":${r2(totalSec)},"n_queries":${results.length},"pipeline_sec":$pipeSummary,"load_start":$loadStart,"load_end":${loadAvg1m()},"slowest":$slow,"per_query_file":"$perQueryPath"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line is ${line.length}" +
         " chars — may exceed the harness's 2 KB tail capture; trim fields")

@@ -4774,7 +4774,7 @@ object SparkEntry {
     "q345_blocklist_filter" -> { (s, dir) =>
       val terms = Seq("hash join", "slow scan", "value table part",
         "merge batch", "order data", "window agg", "warp speed",
-        "zebra")
+        "zebra", "okapi", "ibex ridge", "lynx", "vole den")
       val blocked = terms.map(t => col("text").contains(t))
         .reduce(_ || _)
       t(s, dir, "documents")
@@ -5170,7 +5170,8 @@ object SparkEntry {
     "q360_curation_gate" -> { (s, dir) =>
       val blockTerms = Seq("hash join", "slow scan",
         "value table part", "merge batch", "order data",
-        "window agg", "warp speed", "zebra")
+        "window agg", "warp speed", "zebra", "okapi", "ibex ridge",
+        "lynx", "vole den")
       val blocked = blockTerms.map(t => col("text").contains(t))
         .reduce(_ || _)
       val required = array(lit("data"), lit("value"), lit("customer"))
@@ -5300,7 +5301,8 @@ object SparkEntry {
     // (exact three-valued equivalence — fires under the NOT too)
     "q367_regex_blocklist" -> { (s, dir) =>
       val pattern = "hash join|slow scan|value table part|" +
-        "merge batch|order data|window agg|warp speed|zebra"
+        "merge batch|order data|window agg|warp speed|zebra|" +
+        "okapi|ibex ridge|lynx|vole den"
       t(s, dir, "documents")
         .filter(col("text").isNotNull && !col("text").rlike(pattern))
         .groupBy(col("lang"))
@@ -5502,6 +5504,31 @@ object SparkEntry {
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 4,
           weight = col("w"))
         .orderBy(col("node"))
+    },
+
+    // Q1 INTENT mode oracle-backed (r15-verdict #5): Met_QAQC with
+    // `dayChangeIntent = true` — the daily mean vs previous calendar
+    // day's, one partition-window + one range-window, no join. Tair is
+    // derived so day PAIRS share an exact integral mean (0/0/10/10/…):
+    // both branches of `coalesce(dm != prev_dm, true)` fire, and the
+    // means are IEEE-exact in any engine (integer sums / exact divide),
+    // so the boolean is hash-comparable. Runs the REAL code path
+    // (qc/MetQaqc.scala dayChange), not an analog.
+    "q380_day_change_intent" -> { (s, dir) =>
+      import graft.qc.MetQaqc
+      val daynum = datediff(col("ts"), lit("1970-01-01"))
+      val df = events(s, dir).select(
+        col("event_id"),
+        concat(lit("s"), pmod(coalesce(col("user_id"), lit(3L)), lit(4L))
+          .cast("string")).as("site"),
+        col("ts").as("TIMESTAMP"),
+        (floor(daynum / 2) % 2 * 10).cast("double").as("Tair"))
+      MetQaqc(df, MetQaqc.MetColumns(tair = Some("Tair")),
+          tsCol = "TIMESTAMP", keys = Seq("site"),
+          dayChangeIntent = true)
+        .select(col("event_id"), col("site"), col("Tair").as("tair"),
+          col("Tair_Day_Change").as("day_change"))
+        .orderBy(col("event_id"))
     },
 
     // Composition — the X361 classifier EVALUATED: confusion matrix
@@ -15743,7 +15770,11 @@ object SparkEntry {
         |  OR text LIKE '%order data%'
         |  OR text LIKE '%window agg%'
         |  OR text LIKE '%warp speed%'
-        |  OR text LIKE '%zebra%')
+        |  OR text LIKE '%zebra%'
+        |  OR text LIKE '%okapi%'
+        |  OR text LIKE '%ibex ridge%'
+        |  OR text LIKE '%lynx%'
+        |  OR text LIKE '%vole den%')
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 
@@ -16148,7 +16179,11 @@ object SparkEntry {
         |    OR text LIKE '%order data%'
         |    OR text LIKE '%window agg%'
         |    OR text LIKE '%warp speed%'
-        |    OR text LIKE '%zebra%')
+        |    OR text LIKE '%zebra%'
+        |    OR text LIKE '%okapi%'
+        |    OR text LIKE '%ibex ridge%'
+        |    OR text LIKE '%lynx%'
+        |    OR text LIKE '%vole den%')
         |  AND len(list_intersect(string_split(text, ' '),
         |    ['data', 'value', 'customer'])) > 0
         |  AND levenshtein(lang, 'es') <= 1
@@ -16184,8 +16219,13 @@ object SparkEntry {
         |  SELECT src AS a, dst AS b FROM e
         |  UNION
         |  SELECT r.a, e.dst AS b FROM r JOIN e ON e.src = r.b
+        |), en AS MATERIALIZED (
+        |  -- node universe = nodes of the FILTERED edge list, exactly
+        |  -- as the engine derives it (ADVICE r15: seeding from ALL of
+        |  -- n would emit an edge-free tail node the engine never sees)
+        |  SELECT src AS u FROM e UNION SELECT dst AS u FROM e
         |), m AS (
-        |  SELECT u AS a, u AS b FROM n
+        |  SELECT u AS a, u AS b FROM en
         |  UNION
         |  SELECT r1.a, r1.b
         |  FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
@@ -16300,6 +16340,31 @@ object SparkEntry {
         |SELECT node, r AS rank_mass FROM r4 ORDER BY node""".stripMargin
     },
 
+    // q380 oracle: the intent-mode Day_Change from first principles —
+    // per-(site, day) mean vs the previous calendar day's via a RANGE
+    // frame; absent previous day → TRUE (the coalesce lane)
+    "q380_day_change_intent" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    's' || CAST(coalesce(user_id, 3) % 4 AS VARCHAR) AS site,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS daynum
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, site, daynum,
+        |    CAST((daynum // 2) % 2 * 10 AS DOUBLE) AS tair
+        |  FROM e
+        |), a AS (
+        |  SELECT event_id, site, tair,
+        |    avg(tair) OVER (PARTITION BY site, daynum) AS dm,
+        |    avg(tair) OVER (PARTITION BY site ORDER BY daynum
+        |      RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS prev_dm
+        |  FROM w
+        |)
+        |SELECT event_id, site, tair,
+        |  COALESCE(dm <> prev_dm, TRUE) AS day_change
+        |FROM a ORDER BY event_id""".stripMargin,
+
     // q377 oracle: the same md5 hash, the same histogram
     "q377_hash_balance" ->
       """WITH b AS (
@@ -16330,13 +16395,17 @@ object SparkEntry {
         |    UNION ALL
         |    SELECT u AS src, u + 2 AS dst FROM blocks WHERE pos < 3
         |  ) t WHERE dst IN (SELECT u FROM n)
+        |), en AS MATERIALIZED (
+        |  -- node universe = nodes of the FILTERED edge list, exactly
+        |  -- as the engine derives it (ADVICE r15)
+        |  SELECT src AS u FROM e UNION SELECT dst AS u FROM e
         |), ball AS (
         |  SELECT dst AS v, src AS u FROM e
         |  UNION
         |  SELECT b.dst AS v, a.src AS u
         |  FROM e a JOIN e b ON a.dst = b.src
         |  UNION
-        |  SELECT u AS v, u FROM n
+        |  SELECT u AS v, u FROM en
         |)
         |SELECT v AS node, CAST(count(DISTINCT u) AS BIGINT)
         |  AS n_in_neighbors
@@ -16496,7 +16565,8 @@ object SparkEntry {
         |WHERE text IS NOT NULL
         |  AND NOT regexp_matches(text,
         |    'hash join|slow scan|value table part|merge batch|' ||
-        |    'order data|window agg|warp speed|zebra')
+        |    'order data|window agg|warp speed|zebra|' ||
+        |    'okapi|ibex ridge|lynx|vole den')
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 

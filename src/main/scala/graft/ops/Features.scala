@@ -3688,9 +3688,11 @@ object Features {
     * rows approach 10⁶ as rounds grow.
     *
     * Scale shape: ONE map-side-combined collapse to cell grain is the
-    * only stage that sees row volume; each round is two cell-grain
-    * aggregations + joins on the row/column keys (the matrix is
-    * model-sized: |rows|·|cols| cells), checkpointed per round.
+    * only stage that sees row volume (and is checkpointed once); the
+    * rounds then compose LAZILY into a single plan — 2·rounds window
+    * sums alternating between the row and column exchanges over the
+    * model-sized |rows|·|cols| cell table — so the whole iteration
+    * costs one action with no per-round materialization.
     */
   def sinkhorn(df: DataFrame, rowCol: String, colCol: String,
       value: Column, rounds: Int = 8): DataFrame = {
@@ -3718,12 +3720,19 @@ object Features {
     var w = cells
     val rowW = Window.partitionBy(col("__r"))
     val colW = Window.partitionBy(col("__c"))
+    // the numerator routes through decimal(38,0) (the kneserNeyBigrams
+    // pattern): raw first-round cell masses are unbounded longs, and a
+    // row whose sum exceeds ~9.2e12 would silently overflow `__w * 1e6`
+    // in LongType under non-ANSI Spark — later rounds are safe (__w ≤
+    // 10⁶) but the first one sees user-scale mass
     (1 to rounds).foreach { _ =>
       w = w.withColumn("__w",
-        longDiv(col("__w") * 1000000L, sum(col("__w")).over(rowW))
+        longDiv(col("__w").cast("decimal(38,0)") * 1000000L,
+          sum(col("__w")).over(rowW).cast("decimal(38,0)"))
           .cast("long"))
       w = w.withColumn("__w",
-        longDiv(col("__w") * 1000000L, sum(col("__w")).over(colW))
+        longDiv(col("__w").cast("decimal(38,0)") * 1000000L,
+          sum(col("__w")).over(colW).cast("decimal(38,0)"))
           .cast("long"))
     }
     w.select(col("__r").as(rowCol), col("__c").as(colCol),

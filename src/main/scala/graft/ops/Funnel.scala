@@ -584,9 +584,20 @@ object Funnel {
         col("__rn"))
     val cv = ord.filter(col("__t") === convType)
       .groupBy(col("__u")).agg(min(col("__rn")).as("__crn"))
+    // reserved-label guard (ADVICE r15): the chain keys channels in
+    // the same value space as the START/CONV/DROP absorbing states and
+    // the __base__ variant sentinel — a channel literally named one of
+    // those would be silently conflated with them, so RAISE in-plan
+    // instead (the raise-don't-mislabel contract used elsewhere)
+    val reserved = Seq("START", "CONV", "DROP", "__base__")
     val tch = ord.join(cv, Seq("__u"), "left")
       .filter(col("__t") =!= convType &&
         (col("__crn").isNull || col("__rn") < col("__crn")))
+      .withColumn("__t", when(col("__t").isin(reserved: _*),
+          raise_error(concat(lit("markovRemovalAttribution: channel " +
+            "name collides with a reserved label " +
+            "(START/CONV/DROP/__base__): "), col("__t"))))
+        .otherwise(col("__t")))
       .withColumn("__tn", row_number().over(
         Window.partitionBy(col("__u")).orderBy(col("__rn"))))
     val outc = ord.select(col("__u")).distinct()

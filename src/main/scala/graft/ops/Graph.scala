@@ -1796,9 +1796,18 @@ object Graph {
     *
     * `maxRounds` bounds the TOTAL propagation rounds across the whole
     * peel and RAISES when exceeded (refuse, don't return a partial
-    * grouping — the kTruss/resolveChains contract). Worst case the
-    * peel needs one outer round per level of the SCC condensation
-    * DAG; on link graphs the first round typically retires the bulk.
+    * grouping — the kTruss/resolveChains contract). Worst case: an SCC
+    * only settles when its (mixed) minimum label is also the min it
+    * REACHES, so a chain-shaped condensation peels roughly one SCC per
+    * weak component per outer round — O(#SCCs) outer rounds in the
+    * worst case, not one per condensation level (the q362 board-query
+    * comment measured exactly this). Expected behavior under the label
+    * mixing is far better (each round the settled prefix grows by
+    * every active SCC whose min-reach equals its own min — O(log)
+    * rounds on mixing graphs), and on link graphs the first round
+    * typically retires the bulk; size `maxRounds` to the DIAMETER of
+    * the condensation times its chain length when the input may be a
+    * long pipeline DAG.
     *
     * Scale shape: per propagation round ONE |E|-grain equi-join + a
     * min aggregate + one |V|-grain halving join, all at a measured
@@ -2221,5 +2230,196 @@ object Graph {
       frontier = next
     }
     acc
+  }
+
+  /** Weisfeiler–Lehman color refinement (X369) — structural node
+    * fingerprints: after `rounds` rounds two nodes share a color iff
+    * their ≤rounds-hop IN-neighborhood trees are isomorphic (the 1-WL
+    * test — the standard structural signature for graph dedup,
+    * role discovery, and GNN expressiveness audits). Each round every
+    * node's color becomes `md5(ownColor # sorted in-neighbor colors)`
+    * truncated to 16 hex chars; colors start uniform, so round r
+    * encodes exactly the depth-r unfolding. The hash chain is a pure
+    * string function — same colors on any engine, any partitioning
+    * (the deterministicWalks reproducibility discipline); at 16 hex
+    * chars (64 bits) a collision among |V| classes is ~|V|²/2⁶⁵ —
+    * negligible and, being content-addressed, identical everywhere.
+    * Self-loops count as in-neighbors; duplicate edges collapse;
+    * null endpoints drop. Output: (`node`, `wl_color`).
+    *
+    * Scale shape: per round ONE |E|-grain equi-join shipping colors
+    * along edges + one node-grain sorted-list aggregate (per-task
+    * sort is in-degree-sized), checkpointed per round with superseded
+    * frames released — the CC loop discipline. In-degree hubs bound
+    * the aggregate's task size exactly as they bound the true neighbor
+    * list; no driver-side state.
+    */
+  def wlRefinement(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds in [1, 32]: $rounds")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("__s").as("node"))
+      .union(e.select(col("__d").as("node"))).distinct()
+      .localCheckpoint(true)
+    var colors = nodes.select(col("node"), lit("0").as("wl_color"))
+    var prev: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val nb = e
+        .join(colors, e("__s") === colors("node"))
+        .groupBy(e("__d").as("node"))
+        .agg(array_join(sort_array(collect_list(col("wl_color"))), ",")
+          .as("__nb"))
+      val next = colors.select(col("node"), col("wl_color"))
+        .join(nb, Seq("node"), "left")
+        .select(col("node"),
+          substring(md5(concat(col("wl_color"), lit("#"),
+            coalesce(col("__nb"), lit("")))), 1, 16).as("wl_color"))
+        .localCheckpoint(true)
+      if (prev != null) Checkpoints.release(prev)
+      prev = colors
+      colors = next
+    }
+    Checkpoints.release(e, nodes)
+    colors
+  }
+
+  /** Resource-allocation link prediction (X370) — the classic
+    * common-neighbor score for "which edges are MISSING": for every
+    * non-adjacent pair (a, b) of an undirected graph sharing at least
+    * one neighbor, `ra_ppm = Σ_w floor(10⁶ / deg(w))` over common
+    * neighbors w — Zhou–Lü–Zhang's resource-allocation index, the
+    * member of the common-neighbor family (CN, Adamic–Adar, RA) that
+    * is BOTH top-performing in the published benchmarks and exactly
+    * computable in integer arithmetic (Adamic–Adar's 1/log deg would
+    * hash differently across libm builds; 10⁶ div deg is bit-identical
+    * anywhere — the X79/X104 discipline). Edges symmetrize and dedupe;
+    * self-loops drop; output pairs are canonical (a < b).
+    *
+    * Wedges through a center w cost deg(w)² — the triangleCounts
+    * lesson — so centers with deg(w) > `hubCap` are EXCLUDED, which is
+    * the standard practice AND nearly free in score terms: a hub past
+    * cap c contributes < 10⁶/c per pair, vanishing exactly where the
+    * quadratic cost explodes. The cap bounds wedge volume at
+    * hubCap·|E| by construction; pass Int.MaxValue to disable on
+    * bounded-degree graphs. Output: (`node_a`, `node_b`, `ra_ppm`).
+    *
+    * Scale shape: degree is one map-side-combined aggregate; the wedge
+    * generation is ONE self-equi-join on the center key (capped as
+    * above); the existing-edge removal is one anti-join on the
+    * canonical pair key. No driver-side state, no all-pairs lane.
+    */
+  def resourceAllocation(edges: DataFrame, aCol: String, bCol: String,
+      hubCap: Int = 1000): DataFrame = {
+    require(hubCap >= 1, s"hubCap must be >= 1: $hubCap")
+    val raw = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+    val und = raw
+      .select(col("__a").as("__s"), col("__b").as("__d"))
+      .union(raw.select(col("__b").as("__s"), col("__a").as("__d")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("__s")).agg(count(lit(1)).as("__deg"))
+    val centers = und.join(deg, Seq("__s"))
+      .filter(col("__deg") <= hubCap)
+    val wedges = centers.as("l")
+      .join(centers.as("r"),
+        col("l.__s") === col("r.__s") && col("l.__d") < col("r.__d"))
+      .select(col("l.__d").as("node_a"), col("r.__d").as("node_b"),
+        graft.functions.Exact.longDiv(lit(1000000L), col("l.__deg"))
+          .as("__c"))
+    wedges
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(sum(col("__c")).as("ra_ppm"))
+      .join(und.select(col("__s").as("node_a"), col("__d").as("node_b")),
+        Seq("node_a", "node_b"), "left_anti")
+  }
+
+  /** Harmonic centrality over bounded-reach digraphs (X371) —
+    * `harmonic_ppm(v) = Σ_{u ≠ v reachable from v} floor(10⁶ / d(v,u))`
+    * with d the hop distance: the closeness variant that handles
+    * disconnection gracefully (unreachable nodes contribute 0 instead
+    * of poisoning a sum-of-distances denominator — Boldi–Vigna's
+    * axiom-clean pick). Exact all-pairs-within-`maxHops` BFS keyed by
+    * (source, node): intended for BOUNDED-REACH graphs — ego networks,
+    * block/session graphs, DAG fan-outs — where per-source reach is
+    * small; the (source, node) state is audited per round and RAISES
+    * past `maxPairs` (refuse, don't OOM — the kTruss budget contract).
+    * For unbounded link graphs use [[neighborhoodSketch]]'s HLL face
+    * instead: this operator is the exact-form complement, kept exact
+    * because centrality RANKS are the product. Output: (`node`,
+    * `n_reached`, `harmonic_ppm`).
+    *
+    * Scale shape: per hop ONE |pairs|-grain equi-join extending
+    * frontiers along edges + one anti-join against settled pairs (BFS
+    * layering makes first-arrival = min distance, no re-relaxation);
+    * pairs are partitioned by source so the final aggregate is
+    * map-side combined.
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String,
+      dstCol: String, maxHops: Int,
+      maxPairs: Long = 100000000L): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops in [1, 64]: $maxHops")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("__s").as("node"))
+      .union(e.select(col("__d").as("node"))).distinct()
+      .localCheckpoint(true)
+    var settled = nodes
+      .select(col("node").as("__src"), col("node").as("__n"),
+        lit(0L).as("__dist"))
+      .localCheckpoint(true)
+    var frontier = settled
+    var prevSettled: DataFrame = null
+    var prevFrontier: DataFrame = null
+    var h = 1L
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = e
+        .join(frontier, e("__s") === frontier("__n"))
+        .select(col("__src"), e("__d").as("__n"),
+          lit(h).as("__dist"))
+        .distinct()
+        .join(settled.select(col("__src"), col("__n")),
+          Seq("__src", "__n"), "left_anti")
+        .localCheckpoint(true)
+      if (prevFrontier != null) Checkpoints.release(prevFrontier)
+      prevFrontier = frontier
+      frontier = next
+      if (frontier.isEmpty) done = true
+      else {
+        val grown = settled.unionByName(frontier).localCheckpoint(true)
+        if (prevSettled != null) Checkpoints.release(prevSettled)
+        prevSettled = settled
+        settled = grown
+        val n = settled.count()
+        if (n > maxPairs) throw new IllegalStateException(
+          s"harmonicCentrality: (source, node) state $n exceeds " +
+            s"maxPairs=$maxPairs at hop $h — this exact form is for " +
+            "bounded-reach graphs; use neighborhoodSketch for " +
+            "unbounded link graphs")
+      }
+      h += 1
+    }
+    val out = settled.filter(col("__dist") > 0L)
+      .groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(graft.functions.Exact.longDiv(lit(1000000L), col("__dist")))
+          .as("harmonic_ppm"))
+    nodes.join(out, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("harmonic_ppm"), lit(0L)).as("harmonic_ppm"))
   }
 }

@@ -65,4 +65,62 @@ object Spatial {
       .filter(col("d2") <= lit(radius) * lit(radius))
       .select(col("id").as("id_a"), col("id_b"), col("d2"))
   }
+
+  /** Grid-blocked DBSCAN (X374) — density clustering without the O(n²)
+    * lane: ε-neighbor pairs come from [[proximityJoin]] (radius-sized
+    * grid cells, exact long distances), CORE points are those with
+    * ≥ `minPts` points within ε (self included — Ester et al.'s
+    * convention), clusters are connected components over the core–core
+    * ε-graph ([[graft.ops.Graph.connectedComponents]] pointer-halving,
+    * cluster id = min member id), BORDER points attach to the minimum
+    * cluster id among their core neighbors, everything else is NOISE.
+    * The border tie-break makes the output a pure function of the
+    * point set — textbook DBSCAN's border assignment is scan-order-
+    * dependent, which a distributed engine must not be; min-id is the
+    * canonical deterministic choice and is DOCUMENTED divergence, not
+    * hidden (core/noise labels and the core clustering itself are
+    * order-independent in the original algorithm and exactly
+    * reproduced). Output: (`id`, `role` ∈ core|border|noise,
+    * `cluster_id` — null for noise).
+    *
+    * Scale shape: the pair generation is the proximityJoin equi-join
+    * (density-bound per cell); the degree count and border attach are
+    * pair-grain map-side-combined aggregates; the only iteration is
+    * CC's log-round pointer halving over the CORE subgraph (≤ the
+    * pair count). No stage sees more than the ε-pair volume.
+    */
+  def dbscan(points: DataFrame, idCol: String, latCol: Column,
+      lngCol: Column, eps: Long, minPts: Long): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val ids = points.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(true)
+    val pairs = proximityJoin(points, idCol, latCol, lngCol, eps)
+      .localCheckpoint(true)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("id"),
+        col("id_a").as("nb")))
+    val degree = sym.groupBy(col("id")).agg(count(lit(1)).as("__deg"))
+    val core = ids.join(degree, Seq("id"), "left")
+      .filter(coalesce(col("__deg"), lit(0L)) + 1L >= minPts)
+      .select(col("id"))
+      .localCheckpoint(true)
+    val coreEdges = pairs
+      .join(core.select(col("id").as("id_a")), Seq("id_a"))
+      .join(core.select(col("id").as("id_b")), Seq("id_b"))
+    val clusters = graft.ops.Graph.connectedComponents(
+      core, "id", coreEdges, "id_a", "id_b")
+    val borderPick = sym
+      .join(clusters.select(col("id").as("nb"),
+        col("cluster_id").as("__bc")), Seq("nb"))
+      .groupBy(col("id")).agg(min(col("__bc")).as("__borderCluster"))
+    ids
+      .join(clusters.select(col("id"), col("cluster_id").as("__cc")),
+        Seq("id"), "left")
+      .join(borderPick, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__cc").isNotNull, lit("core"))
+          .when(col("__borderCluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__cc"), col("__borderCluster")).as("cluster_id"))
+  }
 }

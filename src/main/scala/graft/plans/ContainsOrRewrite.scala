@@ -46,14 +46,25 @@ object ContainsOrRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * codegen'd contains chain. RuleBench (BENCHLOG round 14, miss-
     * heavy blocklist over sf0.1 docs ×16/×64): parity at 4–10 terms,
     * automaton 1.3× ahead at 20 and 2–2.5× at 60, flat in term count
-    * while the chain grows linearly. 8 sits inside the measured
-    * parity band — the rewrite there is roughly wall-neutral while
-    * costing the filter its whole-stage codegen span (PhraseMatchAny
-    * is CodegenFallback) — so deployments that value the codegen span
-    * can raise `spark.graft.containsOrMinTerms` to 10–12 and only
-    * collapse chains that clearly lose.
+    * while the chain grows linearly. The default sits just PAST the
+    * measured parity band (r16 RuleBench re-measured 8/10/12: all
+    * three within noise of the chain, first clear automaton win at
+    * 20) — inside the band the rewrite is wall-neutral while costing
+    * the filter its whole-stage codegen span (PhraseMatchAny is
+    * CodegenFallback), so we only collapse chains that clearly win.
+    * Tune with `spark.graft.containsOrMinTerms` (a malformed or < 1
+    * value falls back here rather than failing the optimizer).
     */
-  val MinTerms = 8
+  val MinTerms = 12
+
+  /** Parses `spark.graft.containsOrMinTerms` defensively: a malformed
+    * or non-positive value degrades to [[MinTerms]] instead of
+    * throwing NumberFormatException inside the optimizer rule (which
+    * would fail every query in the session).
+    */
+  def minTermsConf(raw: String): Int =
+    scala.util.Try(raw.trim.toInt).toOption.filter(_ >= 1)
+      .getOrElse(MinTerms)
 
   /** contains(c, 'lit') with a deterministic c and non-empty pattern. */
   private object ContainsLit {
@@ -100,9 +111,9 @@ object ContainsOrRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (!conf.getConfString("spark.graft.rewriteContainsOr", "true")
         .toBoolean) plan
     else {
-      val minTerms = conf
+      val minTerms = minTermsConf(conf
         .getConfString("spark.graft.containsOrMinTerms",
-          MinTerms.toString).toInt
+          MinTerms.toString))
       plan.transformAllExpressions {
         case or @ Or(_, _) =>
           collapse(splitDisjunctivePredicates(or),

@@ -61,9 +61,9 @@ object RegexAlternationRewrite extends Rule[LogicalPlan] {
     if (!conf.getConfString("spark.graft.rewriteRegexAlternation",
         "true").toBoolean) plan
     else {
-      val minTerms = conf
+      val minTerms = ContainsOrRewrite.minTermsConf(conf
         .getConfString("spark.graft.containsOrMinTerms",
-          ContainsOrRewrite.MinTerms.toString).toInt
+          ContainsOrRewrite.MinTerms.toString))
       plan.transformAllExpressions {
         case r @ RLike(text, Literal(p: UTF8String, StringType))
             if text.deterministic =>

@@ -1134,4 +1134,74 @@ object Similarity {
           array().cast("array<long>"))
           .otherwise(proj).as("proj"))
   }
+
+  /** Exact integer silhouette score per cluster (X375) — the clustering
+    * quality readout the graph side already has (X260 modularity, X261
+    * conductance) for VECTOR clusterings: per point, `a` = mean
+    * squared-L2 dissimilarity to its own cluster, `b` = min over other
+    * clusters of the mean dissimilarity, `s_ppm = (b−a)·10⁶ div
+    * max(a,b)` (0 for singletons — Rousseeuw's convention), rolled up
+    * to (`cluster`, `n`, `mean_s_ppm`). Vectors arrive PRE-QUANTIZED
+    * as integer arrays (`quantizeCol`, the X126/X124 int-grid
+    * discipline) so every distance, sum, and floor mean is exact long
+    * arithmetic — identical in any engine; squared L2 is the standard
+    * silhouette dissimilarity choice that keeps it that way (a √
+    * would leave IEEE-exactness).
+    *
+    * Silhouette is inherently all-pairs, so this EXACT form budgets:
+    * `maxRows` raises past its bound (refuse, don't OOM — the
+    * Theil–Sen contract; sampled silhouette at scale is the caller's
+    * X24 deterministic-sample composition upstream). The sums
+    * aggregate at (point, cluster) grain map-side, so the pair volume
+    * streams through one equi-free blocked join without materializing.
+    */
+  def silhouette(df: DataFrame, idCol: String, quantizeCol: Column,
+      clusterCol: Column, maxRows: Long = 200000L): DataFrame = {
+    require(maxRows >= 2, s"maxRows must be >= 2: $maxRows")
+    val base = df.select(col(idCol).as("__id"),
+        quantizeCol.cast("array<long>").as("__v"),
+        clusterCol.cast("string").as("__c"))
+      .filter(col("__id").isNotNull && col("__v").isNotNull &&
+        col("__c").isNotNull)
+      .localCheckpoint(true)
+    val n = base.count()
+    if (n > maxRows) throw new IllegalStateException(
+      s"silhouette: $n rows exceeds maxRows=$maxRows — exact " +
+        "silhouette is all-pairs; sample deterministically upstream " +
+        "(X24) or raise the budget")
+    val sizes = base.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+    val other = base.select(col("__id").as("__id2"),
+      col("__v").as("__v2"), col("__c").as("__c2"))
+    val d2 = aggregate(zip_with(col("__v"), col("__v2"),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    // (point, peer-cluster) mean dissimilarities: the pair volume
+    // streams through the join into a map-side-combined aggregate
+    val means = base.join(other, col("__id") =!= col("__id2"))
+      .select(col("__id"), col("__c"), col("__c2"), d2.as("__d2"))
+      .groupBy(col("__id"), col("__c"), col("__c2"))
+      .agg(sum(col("__d2").cast("decimal(38,0)")).as("__s"),
+        count(lit(1)).as("__k"))
+      .select(col("__id"), col("__c"), col("__c2"),
+        graft.functions.Exact.longDiv(col("__s"), col("__k"))
+          .cast("long").as("__m"))
+    val a = means.filter(col("__c") === col("__c2"))
+      .select(col("__id"), col("__m").as("__a"))
+    val b = means.filter(col("__c") =!= col("__c2"))
+      .groupBy(col("__id")).agg(min(col("__m")).as("__b"))
+    val s = base.select(col("__id"), col("__c"))
+      .join(a, Seq("__id"), "left")
+      .join(b, Seq("__id"), "left")
+      .select(col("__c"),
+        when(col("__a").isNull || col("__b").isNull ||
+            greatest(col("__a"), col("__b")) === 0L, lit(0L))
+          .otherwise(graft.functions.Exact.longDiv(
+            (col("__b") - col("__a")) * 1000000L,
+            greatest(col("__a"), col("__b"))).cast("long"))
+          .as("__s"))
+    s.groupBy(col("__c").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.longDiv(
+          sum(col("__s").cast("decimal(38,0)")), count(lit(1)))
+          .cast("long").as("mean_s_ppm"))
+  }
 }

@@ -7,23 +7,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[graft.ops.Funnel.funnelDepth]] (SURVEY §2.7, the 24th operator):
   * "how far has each user got through view → click → purchase RIGHT
   * NOW?", maintained per micro-batch instead of re-scanned nightly.
-  * State per key is at most k timestamps (k = funnel length) whatever
-  * the event volume — the same bound the batch operator's windowed
-  * minimums carry.
   *
   * Semantics are the batch operator's exactly: step 1 fires on the
   * key's first step-1 event; step i+1 on the first step-(i+1) event
   * STRICTLY after step i's timestamp (same-instant does not advance);
   * other event types interleave freely and unknown types are ignored.
-  * In-batch events fold in (timestamp, step-index) order, so
-  * out-of-order WITHIN a batch is handled; ACROSS batches the monitor
-  * assumes per-key event-time-ordered delivery (the
-  * StreamingEwma/StreamingHolt contract) — under it, the live state
-  * after any prefix equals `funnelDepth` over that prefix
-  * (spec-pinned per prefix). A late cross-batch event may
+  *
+  * OUT-OF-ORDER TOLERANCE (r15-verdict #4). Events reorder freely
+  * WITHIN a batch (the fold sorts). Across batches the monitor keeps a
+  * bounded-lateness buffer: an event is only FINALIZED into the
+  * reached prefix once the key's event-time frontier (max event time
+  * seen minus `lateness`) passes it; younger events wait in a pending
+  * buffer and re-fold in full timestamp order each batch. Any
+  * cross-batch reordering bounded by `lateness` in event time is
+  * therefore corrected EXACTLY — the finalized prefix equals
+  * `funnelDepth` over all events at or below the frontier, and the
+  * emitted (speculative) view folds the pending tail on top, so under
+  * in-order delivery it equals `funnelDepth` over the whole prefix
+  * after every batch (spec-pinned both ways). An event older than the
+  * frontier on arrival (late beyond `lateness`) still folds
+  * best-effort on top of the already-finalized prefix and may
   * under-advance relative to a batch recompute — the bounded-state
   * price, stated rather than hidden; re-run the batch face for an
-  * exact backfill.
+  * exact backfill. `lateness = 0` (the default) finalizes everything
+  * immediately — the original in-order contract, zero buffer.
+  *
+  * State per key is the reached prefix (≤ k timestamps, k = funnel
+  * length) plus, when `lateness > 0`, the step-typed events inside the
+  * lateness window (exact duplicates collapse — they cannot change the
+  * fold). That buffer is bounded by the key's event volume per
+  * lateness window, not by k, so `maxPending` caps it and RAISES when
+  * exceeded (refuse, don't silently drop a buffered event — the
+  * raise-don't-mislabel contract): size `lateness` to the source's
+  * real disorder, not above it.
   *
   * Emits (key, steps_done, step_ts) after every batch the key appears
   * in — `step_ts` is the reached prefix of step timestamps (length =
@@ -32,16 +48,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingFunnel {
 
-  /** Monitor state: timestamps of the reached funnel prefix. */
-  final case class FunnelState(stepTs: Seq[Long])
+  /** Monitor state: timestamps of the FINALIZED funnel prefix, the
+    * pending (timestamp, step-index) events still inside the lateness
+    * window, and the max event time seen (the frontier's anchor;
+    * Long.MinValue until the first step-typed event).
+    */
+  final case class FunnelState(stepTs: Seq[Long],
+      pending: Seq[(Long, Int)], maxSeen: Long)
 
   def monitor[K](grouped: KeyValueGroupedDataset[K, (Long, String)],
       steps: Seq[String],
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      lateness: Long = 0L, maxPending: Int = 1 << 16)(
       implicit se: Encoder[FunnelState],
       e: Encoder[(K, Int, Seq[Long])])
       : Dataset[(K, Int, Seq[Long])] = {
     require(steps.nonEmpty, "StreamingFunnel needs at least one step")
+    require(lateness >= 0L, s"lateness must be >= 0: $lateness")
+    require(maxPending >= 1, s"maxPending must be >= 1: $maxPending")
     val stepIdx = steps.zipWithIndex.toMap
     grouped.flatMapGroupsWithState[FunnelState, (K, Int, Seq[Long])](
       OutputMode.Update, timeout) {
@@ -51,22 +75,51 @@ object StreamingFunnel {
           state.remove()
           Iterator.empty
         } else {
-          val reached = scala.collection.mutable.ArrayBuffer(
-            state.getOption.map(_.stepTs).getOrElse(Seq.empty): _*)
+          val st = state.getOption
+            .getOrElse(FunnelState(Seq.empty, Seq.empty, Long.MinValue))
+          val incoming = events
+            .flatMap { case (t, tpe) => stepIdx.get(tpe).map(i => (t, i)) }
+            .toArray
+          val maxSeen =
+            if (incoming.isEmpty) st.maxSeen
+            else math.max(st.maxSeen, incoming.map(_._1).max)
+          // frontier = maxSeen - lateness, guarded against underflow
+          // (maxSeen is MinValue until the first step event)
+          val frontier =
+            if (maxSeen == Long.MinValue ||
+              maxSeen < Long.MinValue + lateness) Long.MinValue
+            else maxSeen - lateness
+          // exact duplicates collapse: a repeated (t, i) can never
+          // advance twice (after the first fires, i != reached.size),
+          // so distinct is semantics-free and bounds the buffer
+          val all = (st.pending ++ incoming).distinct.sorted
+          val (ripe, pending) = all.partition(_._1 <= frontier)
+          if (pending.length > maxPending)
+            throw new IllegalStateException("StreamingFunnel: pending " +
+              s"buffer for key $key exceeds maxPending=$maxPending " +
+              s"(${pending.length} events within lateness=$lateness); " +
+              "size lateness to the source's real disorder or raise " +
+              "maxPending")
           // fold in (ts, step-index) order: the strictly-after rule
           // makes the result order-independent for distinct
           // timestamps, and the index tiebreak pins same-instant
           // determinism (which still never advances two steps at one
           // instant)
-          events.flatMap { case (t, tpe) =>
-            stepIdx.get(tpe).map(i => (t, i)) }
-            .toArray.sortBy(identity)
-            .foreach { case (t, i) =>
+          def fold(base: Seq[Long], evs: Seq[(Long, Int)]): Seq[Long] = {
+            val reached = scala.collection.mutable.ArrayBuffer(base: _*)
+            evs.foreach { case (t, i) =>
               if (i == reached.size &&
-                  (i == 0 || t > reached(i - 1))) reached += t
+                (i == 0 || t > reached(i - 1))) reached += t
             }
-          state.update(FunnelState(reached.toSeq))
-          Iterator.single((key, reached.size, reached.toSeq))
+            reached.toSeq
+          }
+          val finalized = fold(st.stepTs, ripe)
+          state.update(FunnelState(finalized, pending, maxSeen))
+          // the emitted view speculates past the frontier: exact under
+          // in-order delivery, superseded by a later update-mode
+          // emission if a within-lateness straggler reorders the tail
+          val live = fold(finalized, pending)
+          Iterator.single((key, live.size, live))
         }
     }
   }

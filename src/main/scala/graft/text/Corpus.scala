@@ -1699,4 +1699,93 @@ object Corpus {
         col("col.__st.bin").as("shard_id"),
         col("col.__st.off").as("offset")): _*)
   }
+
+  /** Vocabulary-growth (Heaps' law) curve (X372) — "how fast does the
+    * corpus stop teaching the tokenizer new types?": distinct
+    * vocabulary size after the first N tokens of the corpus in
+    * document order, at geometric checkpoints N ∈ {1, 2, 4, …} ∪
+    * {total}. The curve's slope is the Heaps exponent — the standard
+    * evidence for sizing vocabularies and for spotting corpora whose
+    * tail is machine noise (vocab keeps growing linearly) or
+    * boilerplate (curve flatlines early). Token order is (document
+    * `idCol` ascending, position within document) — a pure function of
+    * the corpus, so the curve is identical on any engine or
+    * partitioning. Output: (`checkpoint_tokens`, `vocab`).
+    *
+    * Scale shape: the global token prefix order is the X148 two-phase
+    * prefix sum — per-doc token counts aggregate map-side, `bucketCol`
+    * (a deterministic ORDER-PREFIX coarsening of `idCol`, e.g.
+    * `id div 1000`) keys the one full-doc-grain exchange, the
+    * |buckets|-grain offsets window is a tiny single-partition frame
+    * broadcast back — never a single-reducer sort of the corpus. First
+    * occurrence per type is one map-side-combined min; the checkpoint
+    * readout is a broadcast theta-join of |types| rows against the
+    * ~log₂(total) checkpoint frame.
+    */
+  def vocabularyGrowth(df: DataFrame, textCol: String, idCol: String,
+      bucketCol: Column): DataFrame = {
+    val toks = df
+      .filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), bucketCol.cast("long").as("__bk"),
+        TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
+          .as("__ts"))
+      .filter(size(col("__ts")) > 0)
+    val docs = toks.select(col("__id"), col("__bk"),
+      size(col("__ts")).cast("long").as("__n"))
+    val bkOffs = docs.groupBy(col("__bk"))
+      .agg(sum(col("__n")).as("__bn"))
+      .withColumn("__boff", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bk"), col("__boff"))
+    val docStart = docs.join(broadcast(bkOffs), Seq("__bk"))
+      .withColumn("__start", col("__boff") +
+        coalesce(sum(col("__n")).over(
+          Window.partitionBy(col("__bk")).orderBy(col("__id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__id"), col("__start"))
+    val firsts = toks.join(docStart, Seq("__id"))
+      .select(col("__start"), posexplode(col("__ts")).as(Seq("__p", "__t")))
+      .select(col("__t"), (col("__start") + col("__p") + 1L).as("__g"))
+      .groupBy(col("__t")).agg(min(col("__g")).as("__first"))
+    val total = docs.agg(sum(col("__n")).as("__total"))
+    val cps = total
+      .select(explode(sequence(lit(0), lit(62))).as("__k"),
+        col("__total"))
+      .select(when(expr("CAST(1 AS BIGINT) << __k") <= col("__total"),
+          expr("CAST(1 AS BIGINT) << __k"))
+        .otherwise(col("__total")).as("checkpoint_tokens"))
+      .distinct()
+    firsts.join(broadcast(cps),
+        col("__first") <= col("checkpoint_tokens"))
+      .groupBy(col("checkpoint_tokens"))
+      .agg(count(lit(1)).as("vocab"))
+  }
+
+  /** Church–Gale burstiness table (X373) — per term, collection
+    * frequency, document frequency, and `burst_ppm = cf·10⁶ div df`
+    * (average repeat count per containing document, in ppm): topical
+    * content words BURST (high cf/df — a doc that mentions them
+    * mentions them repeatedly) while function words and boilerplate
+    * spread evenly (cf/df ≈ 1) — the classic signal separating the
+    * two that raw frequency can't, used for stopword triage,
+    * boilerplate detection, and keyword weighting. Integer-exact
+    * (counts + one floor division — the X79 no-log discipline). Terms
+    * with df < `minDf` drop (singleton-dominated tail carries no
+    * evidence). Output: (`term`, `cf`, `df`, `burst_ppm`).
+    *
+    * Scale shape: one (doc, term) map-side-combined aggregate (the
+    * [[termFrequencies]] explode) + one term-grain aggregate; the
+    * corpus text never shuffles — only (term, count) pairs do.
+    */
+  def burstiness(df: DataFrame, textCol: String, idCol: String,
+      minDf: Long = 2L): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    termFrequencies(df, textCol, idCol)
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("cf"), col("df"),
+        expr("cf * 1000000 div df").as("burst_ppm"))
+  }
 }

@@ -215,4 +215,45 @@ class GraphPropertySpec extends SparkSpec {
       assert(got.keySet == expected.keySet, s"seed=$seed")
     }
   }
+
+  test("weighted pageRank agrees bit-for-bit with a dense integer " +
+      "power-iteration reference on random weighted digraphs " +
+      "(dangling nodes, varied damping)") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(400 + seed)
+      val n = 8 + rnd.nextInt(5)
+      val edges = (for {
+        u <- 0 until n; v <- 0 until n
+        if u != v && rnd.nextDouble() < 0.22
+      } yield (u.toLong, v.toLong, 1L + rnd.nextInt(5))).toSeq
+      if (edges.nonEmpty) {
+        val damp = Seq(850000L, 700000L)(seed % 2)
+        val iters = 3 + seed % 2
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val nn = nodes.length.toLong
+        val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+          .toMap
+        // the operator's exact recurrence: every term FLOOR-divides
+        // independently in integer arithmetic (BigInt here only to rule
+        // out reference-side overflow, values stay well inside long)
+        val base = 1000000L * (1000000L - damp) / 1000000L
+        var r = nodes.map(_ -> BigInt(1000000L)).toMap
+        (1 to iters).foreach { _ =>
+          val dang = nodes.filterNot(outW.contains).map(r).sum
+          val contrib = edges.groupBy(_._2).view.mapValues(_.map {
+            case (u, _, w) =>
+              r(u) * damp * w / (BigInt(1000000L) * outW(u))
+          }.sum).toMap
+          r = nodes.map(v => v -> (BigInt(base) +
+            dang * damp / (BigInt(1000000L) * nn) +
+            contrib.getOrElse(v, BigInt(0)))).toMap
+        }
+        val got = Graph.pageRank(edges.toDF("s", "d", "w"), "s", "d",
+            iterations = iters, dampingPpm = damp, weight = col("w"))
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        assert(got == r.map { case (k, v) => k -> v.toLong },
+          s"seed=$seed damp=$damp edges=$edges")
+      }
+    }
+  }
 }

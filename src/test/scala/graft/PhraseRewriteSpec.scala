@@ -30,10 +30,10 @@ class PhraseRewriteSpec extends SparkSpec {
   private def chain(terms: Seq[String]) =
     terms.map(t => col("text").contains(t)).reduce(_ || _)
 
-  test("rule fires at >= 8 distinct literal terms: one " +
+  test("rule fires at >= 12 distinct literal terms: one " +
       "phrase_match_any replaces the OR chain, results identical") {
     val terms = Seq("quick", "hash join", "scan", "zebra", "qux",
-      "warp", "emu", "okapi")
+      "warp", "emu", "okapi", "ibex", "lynx", "newt", "vole")
     val df = docs.filter(chain(terms))
     val opt = df.queryExecution.optimizedPlan.toString
     assert(opt.contains("phrase_match_any"), opt)
@@ -73,19 +73,30 @@ class PhraseRewriteSpec extends SparkSpec {
   }
 
   test("threshold is configurable via spark.graft.containsOrMinTerms: " +
-      "raised, an 8-term chain keeps its codegen'd form; lowered, a " +
-      "5-term chain collapses with identical results") {
-    val eight = Seq("quick", "hash join", "scan", "zebra", "qux",
-      "warp", "emu", "okapi")
-    spark.conf.set("spark.graft.containsOrMinTerms", "10")
+      "raised, a 12-term chain keeps its codegen'd form; lowered, a " +
+      "5-term chain collapses; malformed/negative conf degrades to " +
+      "the default instead of failing the optimizer") {
+    val twelve = Seq("quick", "hash join", "scan", "zebra", "qux",
+      "warp", "emu", "okapi", "ibex", "lynx", "newt", "vole")
+    spark.conf.set("spark.graft.containsOrMinTerms", "14")
     try {
-      val kept = docs.filter(chain(eight))
+      val kept = docs.filter(chain(twelve))
       assert(!kept.queryExecution.optimizedPlan.toString
         .contains("phrase_match_any"))
     } finally spark.conf.unset("spark.graft.containsOrMinTerms")
+    for (bad <- Seq("banana", "-3", "")) {
+      spark.conf.set("spark.graft.containsOrMinTerms", bad)
+      try {
+        // default (12) still governs: 12 terms fire, 11 do not
+        assert(docs.filter(chain(twelve)).queryExecution.optimizedPlan
+          .toString.contains("phrase_match_any"), bad)
+        assert(!docs.filter(chain(twelve.take(11))).queryExecution
+          .optimizedPlan.toString.contains("phrase_match_any"), bad)
+      } finally spark.conf.unset("spark.graft.containsOrMinTerms")
+    }
     spark.conf.set("spark.graft.containsOrMinTerms", "4")
     try {
-      val five = docs.filter(chain(eight.take(5)))
+      val five = docs.filter(chain(twelve.take(5)))
       assert(five.queryExecution.optimizedPlan.toString
         .contains("phrase_match_any"))
       assert(five.select("id").as[Long].collect().sorted
@@ -104,7 +115,7 @@ class PhraseRewriteSpec extends SparkSpec {
   test("null semantics match the OR chain: null text is dropped by " +
       "the filter either way, and projected values agree") {
     val terms = Seq("quick", "hash join", "scan", "zebra", "qux",
-      "warp", "emu", "okapi")
+      "warp", "emu", "okapi", "ibex", "lynx", "newt", "vole")
     val viaRule = docs.select(col("id"), chain(terms).as("hit"))
     assert(viaRule.queryExecution.optimizedPlan.toString
       .contains("phrase_match_any"))
@@ -123,7 +134,7 @@ class PhraseRewriteSpec extends SparkSpec {
   test("partial groups collapse: unrelated disjuncts/conjuncts " +
       "survive next to the automaton (the De Morgan'd blocklist case)") {
     val terms = Seq("quick", "hash join", "scan", "zebra", "qux",
-      "warp", "emu", "okapi")
+      "warp", "emu", "okapi", "ibex", "lynx", "newt", "vole")
     // OR form with a non-contains disjunct
     val or = docs.filter(chain(terms) || col("id") === 5L)
     val orPlan = or.queryExecution.optimizedPlan.toString

@@ -510,7 +510,7 @@ class PlanSpec extends SparkSpec {
       !plan.contains("array_intersect"), plan.take(2500))
   }
 
-  test("q345 executes its 8-term blocklist as ONE phrase_match_any " +
+  test("q345 executes its 12-term blocklist as ONE phrase_match_any " +
       "pass (ContainsOrRewrite fired), filter still above the scan") {
     val sf = java.nio.file.Files
       .createTempDirectory("graft-q345").toString
@@ -528,7 +528,7 @@ class PlanSpec extends SparkSpec {
       s"no residual per-term contains:\n${plan.take(2500)}")
   }
 
-  test("q367 executes its 8-alternative literal rlike as ONE " +
+  test("q367 executes its 12-alternative literal rlike as ONE " +
       "phrase_match_any pass (RegexAlternationRewrite fired, under " +
       "the NOT)") {
     val sf = java.nio.file.Files

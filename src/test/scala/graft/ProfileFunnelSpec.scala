@@ -714,4 +714,22 @@ class ProfileFunnelSpec extends SparkSpec {
       "view" -> ((479166L, 375000L, 217390L, 312499L)),
       "click" -> ((479166L, 250000L, 478260L, 687500L))))
   }
+
+  test("markovRemovalAttribution: a channel named like a reserved " +
+      "label (START/CONV/DROP/__base__) raises in-plan instead of " +
+      "silently conflating with the sentinel states (ADVICE r15)") {
+    Seq("START", "CONV", "DROP", "__base__").foreach { bad =>
+      val ev = Seq((1L, 1L, bad), (1L, 2L, "buy"), (2L, 1L, "view"))
+        .toDF("u", "ts", "t")
+      val e = intercept[Exception] {
+        graft.ops.Funnel.markovRemovalAttribution(
+          ev, "u", Seq("ts"), "t", convType = "buy", rounds = 2)
+          .collect()
+      }
+      def all(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: all(t.getCause)
+      assert(all(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("reserved label")), s"$bad: $e")
+    }
+  }
 }

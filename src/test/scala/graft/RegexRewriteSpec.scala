@@ -21,27 +21,28 @@ class RegexRewriteSpec extends SparkSpec {
       .write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
   }
-  private val eight = "quick|hash join|scan|zebra|qux|warp|emu|okapi"
+  private val twelve =
+    "quick|hash join|scan|zebra|qux|warp|emu|okapi|ibex|lynx|newt|vole"
 
   private def fired(df: org.apache.spark.sql.DataFrame): Boolean = {
     val p = df.queryExecution.optimizedPlan.toString
     p.contains("phrase_match_any") && !p.toLowerCase.contains("rlike")
   }
 
-  test("fires at >= 8 distinct literal alternatives — filter AND " +
+  test("fires at >= 12 distinct literal alternatives — filter AND " +
       "projection (exact equivalence), results identical, null text " +
       "stays null") {
-    val f = docs.filter(col("text").rlike(eight))
+    val f = docs.filter(col("text").rlike(twelve))
     assert(fired(f), f.queryExecution.optimizedPlan.toString)
     assert(f.select("id").as[Long].collect().sorted
       .sameElements(Array(1L, 2L, 3L)))
-    val proj = docs.select(col("id"), col("text").rlike(eight).as("hit"))
+    val proj = docs.select(col("id"), col("text").rlike(twelve).as("hit"))
     assert(fired(proj), proj.queryExecution.optimizedPlan.toString)
     val got = proj.collect().map(r => r.getLong(0) ->
       (if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
     spark.conf.set("spark.graft.rewriteRegexAlternation", "false")
     val plain =
-      try docs.select(col("id"), col("text").rlike(eight).as("hit"))
+      try docs.select(col("id"), col("text").rlike(twelve).as("hit"))
         .collect().map(r => r.getLong(0) ->
           (if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
       finally spark.conf.unset("spark.graft.rewriteRegexAlternation")
@@ -56,14 +57,18 @@ class RegexRewriteSpec extends SparkSpec {
       assert(!df.queryExecution.optimizedPlan.toString
         .contains("phrase_match_any"), pattern)
     }
-    blocked("quick|hash join|scan|zebra|qux|warp|emu|oka.i") // metachar
-    blocked("quick|hash join|scan|zebra|qux|warp|emu|^okapi") // anchor
-    blocked("quick|hash join|scan|zebra|qux|warp|emu|")    // empty alt
-    blocked("quick||scan|zebra|qux|warp|emu|okapi")        // empty alt
-    blocked("quick|scan|zebra|qux|warp|emu|okapi")         // 7 terms
-    blocked("quick|quick|scan|zebra|qux|warp|emu|okapi")   // 7 distinct
+    blocked(
+      "quick|hash join|scan|zebra|qux|warp|emu|ibex|lynx|newt|vole|oka.i") // metachar
+    blocked(
+      "quick|hash join|scan|zebra|qux|warp|emu|ibex|lynx|newt|vole|^okapi") // anchor
+    blocked(
+      "quick|hash join|scan|zebra|qux|warp|emu|ibex|lynx|newt|vole|") // empty alt
+    blocked("quick||scan|zebra|qux|warp|emu|okapi|ibex|lynx|newt|vole") // empty alt
+    blocked("quick|scan|zebra|qux|warp|emu|okapi|ibex|lynx|newt") // 11 terms
+    blocked(
+      "quick|quick|scan|zebra|qux|warp|emu|okapi|ibex|lynx|newt|vole") // 11 distinct
     spark.conf.set("spark.graft.rewriteRegexAlternation", "false")
-    try blocked(eight)
+    try blocked(twelve)
     finally spark.conf.unset("spark.graft.rewriteRegexAlternation")
   }
 

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Features
+
+/** Property tests for Sinkhorn–Knopp normalization (X365,
+  * `Features.sinkhorn`) against a driver-side BigInt reference of the
+  * exact floor-ppm recurrence, plus the doubly-stochastic marginal
+  * bounds the operator's contract states (r15-verdict #6).
+  */
+class SinkhornPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The operator's exact semantics, driver-side: collapse duplicate
+    * cells, drop nulls/zeros, then `rounds` alternating floor-ppm
+    * normalizations (row step reads current w; col step reads the
+    * post-row w). BigInt rules out reference-side overflow.
+    */
+  private def reference(cells: Seq[(String, String, Long)],
+      rounds: Int): Map[(String, String), Long] = {
+    var w = cells.groupBy(c => (c._1, c._2)).view
+      .mapValues(_.map(_._3).sum).filter(_._2 > 0)
+      .mapValues(BigInt(_)).toMap
+    (1 to rounds).foreach { _ =>
+      val rs = w.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      w = w.map { case ((r, c), v) => (r, c) -> v * 1000000 / rs(r) }
+      val cs = w.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      w = w.map { case ((r, c), v) => (r, c) -> v * 1000000 / cs(c) }
+    }
+    w.map { case (k, v) => k -> v.toLong }
+  }
+
+  private def run(cells: Seq[(String, String, Long)],
+      rounds: Int): Map[(String, String), Long] =
+    Features.sinkhorn(cells.toDF("r", "c", "v"), "r", "c", col("v"),
+        rounds = rounds)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+
+  test("sinkhorn agrees bit-for-bit with the BigInt floor-ppm " +
+      "reference on random positive matrices, and the final column " +
+      "marginals land within the floor-loss bound of 10^6") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(500 + seed)
+      val nr = 3 + rnd.nextInt(4)
+      val nc = 3 + rnd.nextInt(4)
+      val cells = for {
+        i <- 0 until nr; j <- 0 until nc
+        if rnd.nextDouble() < 0.8
+      } yield (s"r$i", s"c$j", 1L + rnd.nextInt(100))
+      val rounds = 2 + seed % 3
+      val got = run(cells, rounds)
+      assert(got == reference(cells, rounds), s"seed=$seed cells=$cells")
+      // contract: after the final column step every column sums to 10^6
+      // minus its floor losses (< rows present in that column)
+      got.groupBy(_._1._2).foreach { case (c, m) =>
+        val s = m.values.sum
+        assert(s <= 1000000L && s > 1000000L - m.size,
+          s"seed=$seed col=$c sum=$s")
+      }
+    }
+  }
+
+  test("first-round numerator rides decimal(38,0): cell masses past " +
+      "the long-overflow line (w > ~9.2e12) normalize exactly " +
+      "(ADVICE r15)") {
+    val cells = Seq(
+      ("r0", "c0", 9300000000000000L), // 9.3e15: w*1e6 far past 2^63
+      ("r0", "c1", 3100000000000000L),
+      ("r1", "c0", 5L),
+      ("r1", "c1", 15L))
+    val got = run(cells, rounds = 3)
+    assert(got == reference(cells, rounds = 3), got.toString)
+    // sanity: the r0 row split is 3:1 after the first row step, so c0
+    // holds the larger r0 share — overflow would have nulled or
+    // garbled it
+    assert(got(("r0", "c0")) > got(("r0", "c1")))
+  }
+
+  test("duplicate cells sum, zero/null-weight cells drop, negative " +
+      "weights raise in-plan") {
+    val dup = Seq(("a", "x", 2L), ("a", "x", 3L), ("a", "y", 5L),
+      ("b", "x", 10L), ("b", "y", 0L))
+    val got = run(dup, rounds = 1)
+    assert(got == reference(dup, rounds = 1))
+    assert(!got.contains(("b", "y")))
+    val withNull = Seq(("a", "x", java.lang.Long.valueOf(4L)),
+      ("a", "y", null: java.lang.Long), ("b", "y", java.lang.Long.valueOf(6L)))
+      .toDF("r", "c", "v")
+    val g2 = Features.sinkhorn(withNull, "r", "c", col("v"), rounds = 1)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(g2 == Set(("a", "x"), ("b", "y")))
+    val neg = intercept[Exception] {
+      Features.sinkhorn(Seq(("a", "x", -1L)).toDF("r", "c", "v"),
+        "r", "c", col("v")).collect()
+    }
+    assert(neg.getMessage.contains("weights must be >= 0") ||
+      neg.getCause != null)
+  }
+}

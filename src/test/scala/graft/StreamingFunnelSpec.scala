@@ -71,4 +71,75 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(fin("u2") == (("u2", 3, Seq(10L, 20L, 25L))))
     assert(fin("u3") == (("u3", 2, Seq(6L, 7L))))
   }
+
+  test("bounded-lateness buffer corrects CROSS-BATCH reordering " +
+      "(r15-verdict #4): within-lateness stragglers re-fold exactly, " +
+      "a beyond-lateness straggler folds best-effort, zero lateness " +
+      "keeps the original in-order contract") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "buy")
+    // u1: buy arrives a batch BEFORE its click (reorder span 3 ≤
+    //     lateness 10) — the buffer must re-fold to the full funnel;
+    // u2: in-order control under the same lateness;
+    // u3: a click 18 time-units late (> lateness 10) after a younger
+    //     click already advanced — best-effort keeps the younger ts
+    val b1 = Seq(("u1", 10L, "view"), ("u2", 10L, "view"),
+      ("u3", 10L, "view"))
+    val b2 = Seq(("u1", 15L, "buy"), ("u2", 12L, "click"),
+      ("u3", 30L, "click"))
+    val b3 = Seq(("u1", 12L, "click"), ("u2", 14L, "buy"),
+      ("u3", 12L, "click"))
+
+    val in = MemoryStream[(String, Long, String)]
+    val q = StreamingFunnel.monitor(
+        in.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3)), steps,
+        lateness = 10L)
+      .toDF("key", "steps_done", "step_ts")
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode(StreamingFunnel.outputMode)
+      .start()
+    Seq(b1, b2, b3).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val fin = spark.table("funnel_ooo")
+      .as[(String, Int, Seq[Long])].collect().toSeq
+      .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+    // u1 equals the batch face over ALL events despite the reorder
+    val face = Funnel.funnelDepth(
+        (b1 ++ b2 ++ b3).toDF("u", "ts", "t"), "u", "ts", "t", steps)
+      .collect().map { r =>
+        r.getString(r.fieldIndex("u")) ->
+          r.getInt(r.fieldIndex("steps_done")) }.toMap
+    assert(fin("u1") == (("u1", 3, Seq(10L, 12L, 15L))))
+    assert(face("u1") == 3)
+    assert(fin("u2") == (("u2", 3, Seq(10L, 12L, 14L))))
+    // u3: the ts-30 click advanced the frontier to 20 before the ts-12
+    // click arrived — beyond lateness, so the best-effort fold lands it
+    // AFTER the finalized view: here that still matches the batch face
+    // (first click after view(10) is 12), demonstrating best-effort
+    // folding rather than a drop. Both depth-2 emissions (speculative
+    // [10,30], corrected [10,12]) are update-mode rows, so assert the
+    // full emission set
+    assert(spark.table("funnel_ooo")
+      .as[(String, Int, Seq[Long])].collect().toSeq
+      .filter(_._1 == "u3").map(r => (r._2, r._3)).toSet ==
+      Set((1, Seq(10L)), (2, Seq(10L, 30L)), (2, Seq(10L, 12L))))
+
+    // zero lateness (the default) on the same reordered feed:
+    // u1's late click can no longer insert before the finalized buy —
+    // the original in-order contract, pinned
+    val in0 = MemoryStream[(String, Long, String)]
+    val q0 = StreamingFunnel.monitor(
+        in0.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3)), steps)
+      .toDF("key", "steps_done", "step_ts")
+      .writeStream.format("memory").queryName("funnel_ooo0")
+      .outputMode(StreamingFunnel.outputMode)
+      .start()
+    Seq(b1, b2, b3).foreach { b =>
+      in0.addData(b: _*); q0.processAllAvailable() }
+    q0.stop()
+    val fin0 = spark.table("funnel_ooo0")
+      .as[(String, Int, Seq[Long])].collect().toSeq
+      .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+    assert(fin0("u1") == (("u1", 2, Seq(10L, 12L))))
+  }
 }
