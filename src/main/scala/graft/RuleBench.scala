@@ -62,7 +62,7 @@ object RuleBench {
     run(docs.filter(warm))
     spark.conf.set("spark.graft.rewriteContainsOr", "false")
     run(docs.filter(warm))
-    for (n <- Seq(4, 10, 20, 60)) {
+    for (n <- Seq(4, 8, 10, 12, 20, 60)) {
       val pred = terms(n).map(t => col("text").contains(t))
         .reduce(_ || _)
       // AC side built DIRECTLY (the calibration must measure the

@@ -58,6 +58,39 @@ object SparkEntry {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private def sumd(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** The q362 5-block digraph (directed 5-cycle + u→u+2 chords per
+    * custkey block) — shared by the scc/WL/harmonic probes.
+    */
+  private def blockEdges(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("u"))
+    val base = n.withColumn("pos", expr("u % 5"))
+    val fwd = base.filter(col("pos") < 4L)
+      .select(col("u").as("src"), (col("u") + 1L).as("dst"))
+    val back = base.filter(col("pos") === 4L)
+      .select(col("u").as("src"), (col("u") - 4L).as("dst"))
+    val chord = base.filter(col("pos") < 3L)
+      .select(col("u").as("src"), (col("u") + 2L).as("dst"))
+    fwd.unionByName(back).unionByName(chord)
+      .join(n.select(col("u").as("dst")), Seq("dst"), "left_semi")
+  }
+
+  /** q386's designed DBSCAN point field: 24 quadratically-jittered
+    * blobs spaced 40k micro-degrees apart along lat (≫ eps) at a
+    * fixed lng, plus a scattered noise lane every 29th key.
+    */
+  private def dbscanPoints(s: SparkSession, dir: String): DataFrame = {
+    val u = col("c_custkey").cast("long")
+    val noise = pmod(u, lit(29L)) === 0L
+    t(s, dir, "customer").select(u.as("id"),
+      when(noise, pmod(u * u * 104729L + 17L, lit(999983L)))
+        .otherwise(lit(50000L) + pmod(u, lit(24L)) * 40000L +
+          pmod(u * u * 7919L + u * 31L, lit(3000L))).as("lat"),
+      when(noise, pmod(u * u * 7919L + 13L, lit(999983L)))
+        .otherwise(lit(500000L) +
+          pmod(u * u * 104729L + u * 13L, lit(3000L))).as("lng"))
+  }
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the full
     * reference pipeline — TOA5 scan → union → dedup-most-complete →
     * time-grid fill → Met QC — over a deterministic synthetic logger
@@ -5222,19 +5255,9 @@ object SparkEntry {
       // custkeys are 0-based and contiguous, so pos = u % 5 aligns
       // every 5-block exactly (a misaligned block leaves a tail CHAIN
       // whose singletons path-peel one per round — measured, 4 outer
-      // rounds instead of 1)
-      val n = t(s, dir, "customer")
-        .select(col("c_custkey").cast("long").as("u"))
-      val base = n.withColumn("pos", expr("u % 5"))
-      val fwd = base.filter(col("pos") < 4L)
-        .select(col("u").as("src"), (col("u") + 1L).as("dst"))
-      val back = base.filter(col("pos") === 4L)
-        .select(col("u").as("src"), (col("u") - 4L).as("dst"))
-      val chord = base.filter(col("pos") < 3L)
-        .select(col("u").as("src"), (col("u") + 2L).as("dst"))
-      val edges = fwd.unionByName(back).unionByName(chord)
-        .join(n.select(col("u").as("dst")), Seq("dst"), "left_semi")
-      graft.ops.Graph.scc(edges, "src", "dst")
+      // rounds instead of 1); edge construction shared with the
+      // WL/harmonic probes via blockEdges
+      graft.ops.Graph.scc(blockEdges(s, dir), "src", "dst")
         .orderBy(col("node"))
     },
 
@@ -5529,6 +5552,124 @@ object SparkEntry {
         .select(col("event_id"), col("site"), col("Tair").as("tair"),
           col("Tair_Day_Change").as("day_change"))
         .orderBy(col("event_id"))
+    },
+
+    // X369 — Weisfeiler–Lehman color refinement over the 5-block
+    // digraph: every block is isomorphic, so after any number of
+    // rounds the color classes are exactly the 5 within-block ROLES —
+    // the structural-fingerprint contract the oracle recomputes from
+    // the same md5 chain
+    "q381_wl_colors" -> { (s, dir) =>
+      graft.ops.Graph.wlRefinement(blockEdges(s, dir), "src", "dst",
+          rounds = 3)
+        .orderBy(col("node"))
+    },
+
+    // X371 — harmonic centrality on the block digraph: per node, the
+    // floor-ppm sum of 1/hop-distance over everything it reaches
+    // (each node reaches exactly its own 5-block)
+    "q382_harmonic" -> { (s, dir) =>
+      graft.ops.Graph.harmonicCentrality(blockEdges(s, dir),
+          "src", "dst", maxHops = 6)
+        .orderBy(col("node"))
+    },
+
+    // X370 — resource-allocation link prediction over the symmetrized
+    // user↔event-type bipartite graph: hubCap=64 keeps USERS as wedge
+    // centers (deg ≤ |types|) and excludes the type hubs — the
+    // documented cap semantics — so the scores predict type–type
+    // affinity through shared users
+    "q383_link_predict" -> { (s, dir) =>
+      val counts = events(s, dir).filter(col("user_id").isNotNull)
+        .select(concat(lit("u:"), col("user_id").cast("string"))
+          .as("u"), concat(lit("t:"), col("event_type")).as("tt"))
+      graft.ops.Graph.resourceAllocation(
+          counts, "u", "tt", hubCap = 64)
+        .orderBy(col("node_a"), col("node_b"))
+    },
+
+    // X372 — Heaps vocabulary-growth curve: distinct token types
+    // within the first N corpus tokens (document order), N at powers
+    // of two plus the corpus total
+    "q384_heaps_curve" -> { (s, dir) =>
+      graft.text.Corpus.vocabularyGrowth(t(s, dir, "documents"),
+          "text", "doc_id",
+          graft.functions.Exact.longDiv(col("doc_id"), 256L))
+        .orderBy(col("checkpoint_tokens"))
+    },
+
+    // X373 — Church–Gale burstiness: cf·10⁶ div df per term, df ≥ 3
+    "q385_burstiness" -> { (s, dir) =>
+      graft.text.Corpus.burstiness(t(s, dir, "documents"),
+          "text", "doc_id", minDf = 3L)
+        .orderBy(col("term"))
+    },
+
+    // X374 — grid-blocked DBSCAN over a designed point field: 24
+    // dense blobs 40k micro-degrees apart (≫ eps) + a scattered
+    // noise lane; eps=1500, minPts=5. The oracle brute-forces the
+    // ε-graph and the closure; the engine must reproduce roles and
+    // min-id clusters exactly
+    "q386_dbscan" -> { (s, dir) =>
+      graft.ops.Spatial.dbscan(dbscanPoints(s, dir), "id",
+          col("lat"), col("lng"), eps = 1500L, minPts = 5L)
+        .orderBy(col("id"))
+    },
+
+    // X376 — interval difference: 30-day availability windows per
+    // order minus the key's blackout union ([d+7, d+14) of every
+    // third order) — the remaining coverage sub-intervals, exact
+    // epoch-day integers; base restricted to every 7th order (the
+    // day-grain oracle's volume knob, the q119 30%-corpus discipline)
+    "q389_interval_diff" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val d = datediff(col("o_orderdate"), lit("1970-01-01"))
+        .cast("long")
+      val base = o.filter(pmod(col("o_orderkey"), lit(7L)) === 0L)
+        .select(pmod(col("o_custkey"), lit(2000L)).as("k"),
+          col("o_orderkey").as("id"), d.as("s"), (d + 30L).as("e"))
+      val minus = o.filter(pmod(col("o_orderkey"), lit(3L)) === 0L)
+        .select(pmod(col("o_custkey"), lit(2000L)).as("k"),
+          (d + 7L).as("ms"), (d + 14L).as("me"))
+      graft.ops.TimeSeries.intervalDifference(base, Seq("k"),
+          col("id"), col("s"), col("e"), minus, Seq("k"),
+          col("ms"), col("me"))
+        .orderBy(col("k"), col("interval_id"), col("seg_start"))
+    },
+
+    // X341 LIKE lane — the same 12-term blocklist spelled half as
+    // SQL LIKE '%term%': the rule recognizes the %-wrapped-literal
+    // idiom as contains, so the MIXED chain still collapses into one
+    // automaton pass (PlanSpec pins the plan; this probe pins results)
+    "q388_like_gate" -> { (s, dir) =>
+      val containsHalf = Seq("hash join", "slow scan",
+        "value table part", "merge batch", "order data", "window agg")
+        .map(t => col("text").contains(t))
+      val likeHalf = Seq("warp speed", "zebra", "okapi", "ibex ridge",
+        "lynx", "vole den")
+        .map(t => col("text").like(s"%$t%"))
+      t(s, dir, "documents")
+        .filter(!(containsHalf ++ likeHalf).reduce(_ || _))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    },
+
+    // X375 — exact integer silhouette of the sign-quadrant clustering
+    // of the embedding table (dims 1–2 pick the quadrant, dims 1–4
+    // quantized to a 10⁻³ grid carry the distances)
+    "q387_silhouette" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      val q4 = transform(slice(col("embedding"), 1, 4),
+        x => floor(x.cast("double") * 1000d).cast("long"))
+      val cluster = (when(element_at(col("embedding"), 1)
+            .cast("double") >= 0d, 2L).otherwise(0L) +
+          when(element_at(col("embedding"), 2)
+            .cast("double") >= 0d, 1L).otherwise(0L)).cast("string")
+      graft.similarity.Similarity.silhouette(e, "vec_id", q4, cluster)
+        .orderBy(col("cluster"))
     },
 
     // Composition — the X361 classifier EVALUATED: confusion matrix
@@ -16364,6 +16505,317 @@ object SparkEntry {
         |SELECT event_id, site, tair,
         |  COALESCE(dm <> prev_dm, TRUE) AS day_change
         |FROM a ORDER BY event_id""".stripMargin,
+
+    // q381 oracle: the identical md5 color chain, three unrolled
+    // rounds over the shared block-graph prelude (string node ids —
+    // the engine's cast — so ORDER BY agrees bytewise)
+    "q381_wl_colors" -> {
+      val round = (j: Int) =>
+        s""", nb$j AS (
+           |  SELECT e.dst AS node, string_agg(c.c, ',' ORDER BY c.c)
+           |    AS nb
+           |  FROM e JOIN c${j - 1} c ON c.node = e.src
+           |  GROUP BY e.dst
+           |), c$j AS MATERIALIZED (
+           |  SELECT p.node,
+           |    substr(md5(p.c || '#' || coalesce(n2.nb, '')), 1, 16)
+           |      AS c
+           |  FROM c${j - 1} p LEFT JOIN nb$j n2 USING (node)
+           |)""".stripMargin
+      """WITH n AS MATERIALIZED (
+        |  SELECT CAST(c_custkey AS BIGINT) AS u FROM customer
+        |), blocks AS MATERIALIZED (
+        |  SELECT u, u % 5 AS pos FROM n
+        |), e0 AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT u AS src, u + 1 AS dst FROM blocks WHERE pos < 4
+        |    UNION ALL
+        |    SELECT u AS src, u - 4 AS dst FROM blocks WHERE pos = 4
+        |    UNION ALL
+        |    SELECT u AS src, u + 2 AS dst FROM blocks WHERE pos < 3
+        |  ) t WHERE dst IN (SELECT u FROM n)
+        |), e AS MATERIALIZED (
+        |  SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst
+        |  FROM e0
+        |), en AS MATERIALIZED (
+        |  SELECT src AS u FROM e UNION SELECT dst AS u FROM e
+        |), c0 AS (
+        |  SELECT u AS node, '0' AS c FROM en
+        |)""".stripMargin + (1 to 3).map(round).mkString + """
+        |SELECT node, c AS wl_color FROM c3 ORDER BY node""".stripMargin
+    },
+
+    // q382 oracle: unrolled min-plus hop distances per source over the
+    // same block graph, then the floor-ppm harmonic sum
+    "q382_harmonic" -> {
+      val round = (j: Int) =>
+        s""", d$j AS MATERIALIZED (
+           |  SELECT src, node, CAST(min(d) AS BIGINT) AS d FROM (
+           |    SELECT src, node, d FROM d${j - 1}
+           |    UNION ALL
+           |    SELECT p.src, e.dst AS node, p.d + 1 AS d
+           |    FROM d${j - 1} p JOIN e ON e.src = p.node
+           |  ) t GROUP BY src, node
+           |)""".stripMargin
+      """WITH n AS MATERIALIZED (
+        |  SELECT CAST(c_custkey AS BIGINT) AS u FROM customer
+        |), blocks AS MATERIALIZED (
+        |  SELECT u, u % 5 AS pos FROM n
+        |), e0 AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT u AS src, u + 1 AS dst FROM blocks WHERE pos < 4
+        |    UNION ALL
+        |    SELECT u AS src, u - 4 AS dst FROM blocks WHERE pos = 4
+        |    UNION ALL
+        |    SELECT u AS src, u + 2 AS dst FROM blocks WHERE pos < 3
+        |  ) t WHERE dst IN (SELECT u FROM n)
+        |), e AS MATERIALIZED (
+        |  SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst
+        |  FROM e0
+        |), en AS MATERIALIZED (
+        |  SELECT src AS u FROM e UNION SELECT dst AS u FROM e
+        |), d0 AS MATERIALIZED (
+        |  SELECT u AS src, u AS node, CAST(0 AS BIGINT) AS d FROM en
+        |)""".stripMargin + (1 to 6).map(round).mkString + """
+        |SELECT en.u AS node,
+        |  CAST(coalesce(a.nr, 0) AS BIGINT) AS n_reached,
+        |  CAST(coalesce(a.h, 0) AS BIGINT) AS harmonic_ppm
+        |FROM en LEFT JOIN (
+        |  SELECT src, count(*) AS nr,
+        |    CAST(sum(1000000 // d) AS BIGINT) AS h
+        |  FROM d6 WHERE d > 0 GROUP BY src) a ON a.src = en.u
+        |ORDER BY node""".stripMargin
+    },
+
+    // q383 oracle: the same symmetrized bipartite graph, the same
+    // hubCap-filtered wedge join and floor-ppm resource split
+    "q383_link_predict" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+        |    't:' || event_type AS t
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |), und AS MATERIALIZED (
+        |  SELECT u AS s, t AS d FROM c UNION SELECT t, u FROM c
+        |), deg AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS dg FROM und GROUP BY s
+        |), ctr AS MATERIALIZED (
+        |  SELECT und.s, und.d, deg.dg FROM und JOIN deg USING (s)
+        |  WHERE deg.dg <= 64
+        |), w AS (
+        |  SELECT l.d AS node_a, r.d AS node_b,
+        |    CAST(sum(1000000 // l.dg) AS BIGINT) AS ra_ppm
+        |  FROM ctr l JOIN ctr r ON l.s = r.s AND l.d < r.d
+        |  GROUP BY 1, 2
+        |)
+        |SELECT node_a, node_b, ra_ppm FROM w
+        |WHERE NOT EXISTS (SELECT 1 FROM und
+        |  WHERE und.s = w.node_a AND und.d = w.node_b)
+        |ORDER BY node_a, node_b""".stripMargin,
+
+    // q384 oracle: the same tokenizer, document-order global token
+    // positions, first occurrence per type, powers-of-two checkpoints
+    "q384_heaps_curve" ->
+      """WITH z AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split_regex(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |      '\s+'), x -> x <> '') AS tk
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        |), d AS MATERIALIZED (
+        |  SELECT doc_id, tk, len(tk) AS nt FROM z WHERE len(tk) > 0
+        |), offs AS MATERIALIZED (
+        |  SELECT doc_id, tk,
+        |    coalesce(sum(nt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start
+        |  FROM d
+        |), firsts AS MATERIALIZED (
+        |  SELECT tk[CAST(i AS BIGINT)] AS w,
+        |    CAST(min(start + i) AS BIGINT) AS first
+        |  FROM (SELECT tk, start,
+        |          unnest(range(1, len(tk) + 1)) AS i
+        |        FROM offs) t
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(nt) AS BIGINT) AS total FROM d
+        |), cps AS (
+        |  SELECT DISTINCT CASE
+        |      WHEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) <= total
+        |      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+        |      ELSE total END AS checkpoint_tokens
+        |  FROM range(0, 63) r(k), tot
+        |)
+        |SELECT cp.checkpoint_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab
+        |FROM cps cp JOIN firsts f
+        |  ON f.first <= cp.checkpoint_tokens
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q385 oracle: per-term collection/document frequency + floor-ppm
+    // burstiness over the same tokenizer
+    "q385_burstiness" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w AS term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split_regex(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |      '\s+'), x -> x <> '')) AS w
+        |    FROM documents) t
+        |  GROUP BY doc_id, w
+        |)
+        |SELECT term, CAST(sum(tf) AS BIGINT) AS cf,
+        |  CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) * 1000000 // count(*) AS BIGINT) AS burst_ppm
+        |FROM tf GROUP BY term HAVING count(*) >= 3
+        |ORDER BY term""".stripMargin,
+
+    // q386 oracle: brute-force ε-graph over the same designed point
+    // field, core by degree, clusters by recursive closure (min-id),
+    // border by min core-neighbor cluster
+    "q386_dbscan" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    CASE WHEN c_custkey % 29 = 0
+        |      THEN (c_custkey*c_custkey*104729 + 17) % 999983
+        |      ELSE 50000 + (c_custkey % 24) * 40000 +
+        |        (c_custkey*c_custkey*7919 + c_custkey*31) % 3000
+        |    END AS lat,
+        |    CASE WHEN c_custkey % 29 = 0
+        |      THEN (c_custkey*c_custkey*7919 + 13) % 999983
+        |      ELSE 500000 +
+        |        (c_custkey*c_custkey*104729 + c_custkey*13) % 3000
+        |    END AS lng
+        |  FROM customer
+        |), pr AS MATERIALIZED (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM p a JOIN p b ON a.id < b.id
+        |   AND (a.lat-b.lat)*(a.lat-b.lat) +
+        |       (a.lng-b.lng)*(a.lng-b.lng) <= 1500*1500
+        |), sym AS MATERIALIZED (
+        |  SELECT ia AS id, ib AS nb FROM pr
+        |  UNION ALL SELECT ib, ia FROM pr
+        |), deg AS (
+        |  SELECT id, count(*) AS dg FROM sym GROUP BY id
+        |), core AS MATERIALIZED (
+        |  SELECT p.id FROM p LEFT JOIN deg USING (id)
+        |  WHERE coalesce(dg, 0) + 1 >= 5
+        |), ce AS MATERIALIZED (
+        |  SELECT ia AS a, ib AS b FROM pr
+        |  WHERE ia IN (SELECT id FROM core)
+        |    AND ib IN (SELECT id FROM core)
+        |), edges AS MATERIALIZED (
+        |  SELECT a, b FROM ce UNION SELECT b, a FROM ce
+        |), reach(id, r) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        |), comp AS MATERIALIZED (
+        |  SELECT id, CAST(min(r) AS BIGINT) AS cid FROM reach GROUP BY id
+        |), border AS (
+        |  SELECT s.id, CAST(min(c.cid) AS BIGINT) AS bcid
+        |  FROM sym s JOIN comp c ON c.id = s.nb GROUP BY s.id
+        |)
+        |SELECT p.id,
+        |  CASE WHEN comp.cid IS NOT NULL THEN 'core'
+        |       WHEN border.bcid IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  coalesce(comp.cid, border.bcid) AS cluster_id
+        |FROM p LEFT JOIN comp USING (id) LEFT JOIN border USING (id)
+        |ORDER BY id""".stripMargin,
+
+    // q389 oracle: day-grain expansion — every base day not covered
+    // by a same-key blackout, re-islanded per base row (independent
+    // derivation; the engine walks exact interval gaps instead)
+    "q389_interval_diff" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT o_custkey % 2000 AS k, o_orderkey AS id,
+        |    datediff('day', DATE '1970-01-01', o_orderdate) AS s
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |), m AS MATERIALIZED (
+        |  SELECT o_custkey % 2000 AS k,
+        |    datediff('day', DATE '1970-01-01', o_orderdate) + 7 AS ms,
+        |    datediff('day', DATE '1970-01-01', o_orderdate) + 14 AS me
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), days AS MATERIALIZED (
+        |  SELECT k, id, s + r.i AS day
+        |  FROM b, range(0, 30) r(i)
+        |), kept AS MATERIALIZED (
+        |  SELECT k, id, day FROM days d
+        |  WHERE NOT EXISTS (SELECT 1 FROM m
+        |    WHERE m.k = d.k AND d.day >= m.ms AND d.day < m.me)
+        |), isl AS (
+        |  SELECT k, id, day,
+        |    day - row_number() OVER (PARTITION BY id ORDER BY day)
+        |      AS g
+        |  FROM kept
+        |)
+        |SELECT k AS k, CAST(id AS BIGINT) AS interval_id,
+        |  CAST(min(day) AS BIGINT) AS seg_start,
+        |  CAST(max(day) + 1 AS BIGINT) AS seg_end
+        |FROM isl GROUP BY k, id, g
+        |ORDER BY k, interval_id, seg_start""".stripMargin,
+
+    // q388 oracle: the same 12-term blocklist, all-LIKE form (LIKE
+    // and contains are the same substring predicate)
+    "q388_like_gate" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE NOT (text LIKE '%hash join%'
+        |  OR text LIKE '%slow scan%'
+        |  OR text LIKE '%value table part%'
+        |  OR text LIKE '%merge batch%'
+        |  OR text LIKE '%order data%'
+        |  OR text LIKE '%window agg%'
+        |  OR text LIKE '%warp speed%'
+        |  OR text LIKE '%zebra%'
+        |  OR text LIKE '%okapi%'
+        |  OR text LIKE '%ibex ridge%'
+        |  OR text LIKE '%lynx%'
+        |  OR text LIKE '%vole den%')
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    // q387 oracle: the same 10⁻³ quantization, squared-L2 floor means,
+    // Rousseeuw silhouette in exact integer ppm
+    "q387_silhouette" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id AS id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+        |      AS x1,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)
+        |      AS x2,
+        |    CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000) AS BIGINT)
+        |      AS x3,
+        |    CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000) AS BIGINT)
+        |      AS x4,
+        |    CAST(CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN 2
+        |          ELSE 0 END +
+        |         CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN 1
+        |          ELSE 0 END AS VARCHAR) AS c
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |), m AS MATERIALIZED (
+        |  SELECT a.id, a.c, b.c AS c2,
+        |    CAST(sum((a.x1-b.x1)*(a.x1-b.x1) + (a.x2-b.x2)*(a.x2-b.x2) +
+        |             (a.x3-b.x3)*(a.x3-b.x3) + (a.x4-b.x4)*(a.x4-b.x4))
+        |      // count(*) AS BIGINT) AS mu
+        |  FROM e a JOIN e b ON a.id <> b.id
+        |  GROUP BY a.id, a.c, b.c
+        |), ab AS (
+        |  SELECT id, c,
+        |    max(CASE WHEN c = c2 THEN mu END) AS av,
+        |    min(CASE WHEN c <> c2 THEN mu END) AS bv
+        |  FROM m GROUP BY id, c
+        |), s AS (
+        |  SELECT c, CASE WHEN av IS NULL OR bv IS NULL
+        |      OR greatest(av, bv) = 0 THEN 0
+        |    ELSE (bv - av) * 1000000 // greatest(av, bv) END AS sv
+        |  FROM ab
+        |)
+        |SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(sv) // count(*) AS BIGINT) AS mean_s_ppm
+        |FROM s GROUP BY c ORDER BY cluster""".stripMargin,
 
     // q377 oracle: the same md5 hash, the same histogram
     "q377_hash_balance" ->

@@ -142,6 +142,25 @@ object StreamBench {
         k = 8).toDF()
     }(feedKeyed _)
 
+    results += drive[SBKeyed]("spike_monitor",
+      streaming.StreamingSpike.outputMode) { in =>
+      // steady band with a 40x outlier every 97 events per key
+      streaming.StreamingSpike.monitor(
+        in.toDS().groupByKey(_.key).mapValues(e =>
+          (e.tsUs, if (e.id % 97 == 0) 400L else 10L + e.id % 3)),
+        kSigma = 4).toDF()
+    }(feedKeyed _)
+
+    results += drive[SBKeyed]("stuck_monitor",
+      streaming.StreamingStuck.outputMode) { in =>
+      // channels freeze for 20-event spells every 200 events
+      streaming.StreamingStuck.monitor(
+        in.toDS().groupByKey(_.key).mapValues(e =>
+          (e.tsUs, if ((e.id / nKeys) % 200 < 20) 5.0
+          else (e.id % 11).toDouble)),
+        threshold = 10L).toDF()
+    }(feedKeyed _)
+
     results += drive[SBKeyed]("cusum_monitor",
       streaming.StreamingCusum.outputMode) { in =>
       // values oscillate around the target with a mild positive bias

@@ -1062,6 +1062,87 @@ object TimeSeries {
         count(lit(1)).as("n_merged"))
   }
 
+  /** Interval DIFFERENCE (X376) — subtract, per key, the union of
+    * `minus` intervals from each `base` interval and emit the
+    * remaining sub-intervals: availability minus blackout windows,
+    * sensor uptime minus maintenance, on-call coverage minus PTO —
+    * the third leg of the interval algebra next to
+    * [[intervalConcurrency]] (sweep) and [[coalesceIntervals]]
+    * (union). Half-open [start, end) throughout; `end < start` raises
+    * in-plan (the X166 contract); a zero-length base emits nothing
+    * and a zero-length minus cuts nothing (it covers no measure —
+    * deliberately NOT a split point). Subtraction is at BASE-ROW
+    * grain — overlapping base intervals each keep their own remainder
+    * (coalesce first via [[coalesceIntervals]] for set semantics).
+    * Output: (keys…, `idCol`, `seg_start`, `seg_end`), fully-covered
+    * base rows absent.
+    *
+    * Scale shape: the minus side coalesces once (one key exchange),
+    * then ONE key-equi range join attaches each base row's
+    * overlapping minus islands and one map-side-combined aggregate
+    * collects them sorted — per-base state is its own overlap count,
+    * bounded by the coalesced (disjoint) island count inside the base
+    * span, not the raw minus volume; the gap walk is a per-row array
+    * fold (no second exchange, no driver state).
+    */
+  def intervalDifference(base: DataFrame, keyCols: Seq[String],
+      idCol: Column, startCol: Column, endCol: Column,
+      minus: DataFrame, mKeyCols: Seq[String], mStartCol: Column,
+      mEndCol: Column): DataFrame = {
+    require(keyCols.length == mKeyCols.length && keyCols.nonEmpty,
+      "base and minus key lists must align and be non-empty")
+    val bs = startCol.cast("long")
+    val be0 = endCol.cast("long")
+    val be = when(be0 < bs, raise_error(concat(
+        lit("intervalDifference: base end < start: "),
+        be0.cast("string"), lit(" < "), bs.cast("string"))))
+      .otherwise(be0)
+    val b = base.select(
+      keyCols.map(col) ++ Seq(idCol.as("__id"), bs.as("__bs"),
+        be.as("__be")): _*)
+    // minus side: validate + UNION first (coalesceIntervals raises on
+    // end < start), then drop zero-length islands — a point covers
+    // nothing and must not split
+    val m = coalesceIntervals(minus, mKeyCols, mStartCol, mEndCol)
+      .filter(col("end") > col("start"))
+      .select((mKeyCols.map(col).zip(keyCols).map { case (c, n) =>
+        c.as(n) }) ++
+        Seq(col("start").as("__ms"), col("end").as("__me")): _*)
+    val joined = b.join(m,
+      keyCols.map(k => b(k) === m(k)).reduce(_ && _) &&
+        col("__ms") < col("__be") && col("__me") > col("__bs"),
+      "left")
+    val grouped = joined
+      .groupBy(keyCols.map(b(_)) ++
+        Seq(col("__id"), col("__bs"), col("__be")): _*)
+      .agg(sort_array(collect_list(when(col("__ms").isNotNull,
+        struct(col("__ms").as("ms"), col("__me").as("me")))))
+        .as("__m"))
+    // gap walk: cursor starts at base start; each (sorted, disjoint)
+    // island emits the gap before it and advances the cursor; the
+    // finisher emits the tail. Islands are coalesced, so ms > cur
+    // exactly when a gap exists; ms < __be is the join predicate.
+    val gaps = grouped.withColumn("__gaps", expr(
+      """aggregate(__m,
+        |  named_struct('cur', CAST(__bs AS BIGINT),
+        |    'out', CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)),
+        |  (acc, iv) -> named_struct(
+        |    'cur', greatest(acc.cur, iv.me),
+        |    'out', CASE WHEN iv.ms > acc.cur
+        |      THEN concat(acc.out, array(named_struct('s', acc.cur,
+        |        'e', iv.ms)))
+        |      ELSE acc.out END),
+        |  acc -> CASE WHEN acc.cur < __be
+        |    THEN concat(acc.out, array(named_struct('s', acc.cur,
+        |      'e', CAST(__be AS BIGINT))))
+        |    ELSE acc.out END)""".stripMargin.replace("\n", " ")))
+    gaps
+      .select(keyCols.map(col) ++ Seq(col("__id"),
+        explode(col("__gaps")).as("__g")): _*)
+      .select(keyCols.map(col) ++ Seq(col("__id").as("interval_id"),
+        col("__g.s").as("seg_start"), col("__g.e").as("seg_end")): _*)
+  }
+
   /** Monotonic-counter rate extraction with reset detection — the
     * Prometheus-counter discipline for any cumulative meter (bytes
     * sent, requests served, odometer readings) that only grows until

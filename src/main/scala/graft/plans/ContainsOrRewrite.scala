@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Contains, Expression, Literal, Not, Or, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, Contains, Expression, Like, Literal, Not, Or, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
@@ -21,6 +21,9 @@ import graft.functions.PhraseMatchAny
   *     → `phrase_match_any(c, [p1, p2, ...])`
   *   - conjuncts: `NOT contains(c,'p1') AND NOT contains(c,'p2') ...`
   *     (the keep-clean-docs filter) → `NOT phrase_match_any(c, ...)`
+  *   - either idiom spelled as SQL `LIKE '%p%'` (a %-wrapped literal
+  *     with no interior wildcards is exactly `contains`) joins the
+  *     same group — mixed contains/LIKE chains collapse together
   *
   * Grouping is per text expression within the conjunct/disjunct list,
   * so mixed predicates (`isnotnull(text) AND NOT contains...`) keep
@@ -66,12 +69,26 @@ object ContainsOrRewrite extends Rule[LogicalPlan] with PredicateHelper {
     scala.util.Try(raw.trim.toInt).toOption.filter(_ >= 1)
       .getOrElse(MinTerms)
 
-  /** contains(c, 'lit') with a deterministic c and non-empty pattern. */
+  /** contains(c, 'lit') with a deterministic c and non-empty pattern —
+    * and its SQL-flavored twin `c LIKE '%lit%'` (a %-wrapped literal
+    * with NO interior wildcard/escape characters is exactly a
+    * substring test, same three-valued null semantics), so blocklists
+    * written in either idiom collapse into the same automaton.
+    */
   private object ContainsLit {
     def unapply(e: Expression): Option[(Expression, String)] = e match {
       case Contains(c, Literal(s: UTF8String, StringType))
           if c.deterministic && s.numChars() > 0 =>
         Some((c, s.toString))
+      case Like(c, Literal(p: UTF8String, StringType), esc)
+          if c.deterministic =>
+        val s = p.toString
+        if (s.length > 2 && s.startsWith("%") && s.endsWith("%")) {
+          val inner = s.substring(1, s.length - 1)
+          if (inner.exists(ch => ch == '%' || ch == '_' || ch == esc))
+            None
+          else Some((c, inner))
+        } else None
       case _ => None
     }
   }

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming spike detector per key (SURVEY §2.7, the 26th operator) —
+  * the live face of the batch robust-outlier passes (X41/X177): flag
+  * each reading whose deviation from the key's RUNNING mean exceeds
+  * `kSigma` standard deviations, using EXACT integer arithmetic — the
+  * test `|x − μ| > k·σ` is evaluated as its cross-multiplied integer
+  * form
+  *
+  * {{{ (n·x − S)² > k² · (n·Q − S²) }}}
+  *
+  * with (n, S = Σx, Q = Σx²) the PRIOR event count / sum / sum of
+  * squares (the arriving point is excluded from its own baseline, so
+  * a spike cannot dilute the σ that judges it). No division, no
+  * float: the same reading flags identically on any engine, any
+  * partitioning — the X79/X104 exactness discipline applied to the
+  * one streaming operator where a float-tolerance bug hides easiest
+  * (a borderline spike flickering across restarts). The squared terms
+  * are compared in BigInt (driver-side per event, state stays three
+  * longs); the ACCUMULATORS raise on long overflow via addExact
+  * (refuse, don't wrap — a silently wrapped Σx² inverts the test),
+  * which bounds input values at |x| ≲ 3·10⁹ over ~10⁹ events per key.
+  *
+  * Readings fold in (ts, value) order within a batch; across batches
+  * the usual per-key event-time-ordered delivery contract applies
+  * (the StreamingEwma/Funnel convention). Keys emit one row PER SPIKE
+  * (key, ts, value, n_prior) — the bounded-output monitor shape; the
+  * first `minN` readings of a key are warm-up and never flag. State
+  * per key is three longs whatever the event volume. Update mode;
+  * timed-out keys drop state silently.
+  */
+object StreamingSpike {
+
+  /** Detector state: prior count, sum, and sum of squares. */
+  final case class SpikeState(n: Long, s: Long, q: Long)
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, (Long, Long)],
+      kSigma: Int, minN: Long = 8L,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[SpikeState],
+      e: Encoder[(K, Long, Long, Long)])
+      : Dataset[(K, Long, Long, Long)] = {
+    require(kSigma >= 1, s"kSigma must be >= 1: $kSigma")
+    require(minN >= 2, s"minN must be >= 2: $minN")
+    grouped.flatMapGroupsWithState[SpikeState, (K, Long, Long, Long)](
+      OutputMode.Update, timeout) {
+      (key: K, events: Iterator[(Long, Long)],
+          state: GroupState[SpikeState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption.getOrElse(SpikeState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(K, Long, Long, Long)]
+          events.toArray.sortBy(identity).foreach { case (t, x) =>
+            if (st.n >= minN) {
+              val lhs = (BigInt(st.n) * x - st.s).pow(2)
+              val rhs = BigInt(kSigma) * kSigma *
+                (BigInt(st.n) * st.q - BigInt(st.s) * st.s)
+              if (lhs > rhs) out += ((key, t, x, st.n))
+            }
+            // accumulate AFTER the test: the point never judges itself.
+            // addExact/multiplyExact raise on overflow rather than wrap
+            st = SpikeState(Math.addExact(st.n, 1L),
+              Math.addExact(st.s, x),
+              Math.addExact(st.q, Math.multiplyExact(x, x)))
+          }
+          state.update(st)
+          out.iterator
+        }
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

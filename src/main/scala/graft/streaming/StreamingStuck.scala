@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming stuck-sensor detector per key (SURVEY §2.7, the 27th
+  * operator) — the live face of the reference pipeline's oldest
+  * failure mode: a logger channel that keeps reporting the SAME value
+  * (iced anemometer, failed PAR sensor, wedged ADC) passes every
+  * hard-limit and step-change QC gate while being pure noise. The
+  * batch face is X198's run-length spell table; this monitor keeps
+  * (last value, current run length) per key and flags once the run
+  * reaches `threshold` consecutive identical readings.
+  *
+  * Values compare by EXACT bit equality (a genuinely stuck channel
+  * repeats the identical reading; any jitter breaks the run — that is
+  * the definition, not a tolerance knob; NaN never equals itself, so
+  * a NaN-spewing channel is the lateness/novelty monitors' problem,
+  * not a "stuck" one). Readings fold in (ts, value) order within a
+  * batch; across batches the per-key event-time-ordered delivery
+  * contract applies (the StreamingEwma/Funnel convention). Emits
+  * after every batch the key appears in: (key, last_ts, last_value,
+  * run_len, stuck) — the current run, so a dashboard shows both the
+  * alarm and how deep it is. State per key is three fields whatever
+  * the volume. Update mode; timed-out keys drop state silently.
+  */
+object StreamingStuck {
+
+  /** Monitor state: last timestamp, last value, current run length. */
+  final case class StuckState(lastTs: Long, lastV: Double, run: Long)
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, (Long, Double)],
+      threshold: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[StuckState],
+      e: Encoder[(K, Long, Double, Long, Boolean)])
+      : Dataset[(K, Long, Double, Long, Boolean)] = {
+    require(threshold >= 2, s"threshold must be >= 2: $threshold")
+    grouped.flatMapGroupsWithState[StuckState,
+        (K, Long, Double, Long, Boolean)](OutputMode.Update, timeout) {
+      (key: K, events: Iterator[(Long, Double)],
+          state: GroupState[StuckState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption
+            .getOrElse(StuckState(Long.MinValue, Double.NaN, 0L))
+          events.toArray.sortBy(_._1).foreach { case (t, v) =>
+            st =
+              if (st.run > 0L && v == st.lastV)
+                StuckState(t, v, st.run + 1L)
+              else StuckState(t, v, 1L)
+          }
+          state.update(st)
+          Iterator.single((key, st.lastTs, st.lastV, st.run,
+            st.run >= threshold))
+        }
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, upper}
+import org.apache.spark.sql.functions.{col, lit, upper}
 import graft.text.Corpus
 
 class CorpusSpec extends SparkSpec {
@@ -868,5 +868,38 @@ class CorpusSpec extends SparkSpec {
     assert(got(2L) == ((3L, 1L, 1L, 333333L, 1000000L, 500000L)))
     assert(got(3L) == ((0L, 1L, 0L, null, 0L, 0L)))
     assert(got(4L) == ((0L, 0L, 0L, null, null, null)))
+  }
+
+  test("vocabularyGrowth: exact Heaps curve at powers-of-two " +
+      "checkpoints plus the total, document order over buckets, " +
+      "empty docs skipped") {
+    import spark.implicits._
+    // token stream in doc order: a b a c | b d  -> firsts at 1,2,4,6
+    val docs = Seq((0L, "a b a c"), (1L, ""), (2L, "b d"))
+      .toDF("doc_id", "text")
+    val got = graft.text.Corpus.vocabularyGrowth(docs, "text",
+        "doc_id", graft.functions.Exact.longDiv(col("doc_id"), 2L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // N=1 -> {a}; N=2 -> {a,b}; N=4 -> {a,b,c}; N=6 (total) -> +d
+    assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 3L, 6L -> 4L))
+    // bucket granularity must not change the curve (order-prefix
+    // coarsening contract)
+    val one = graft.text.Corpus.vocabularyGrowth(docs, "text",
+        "doc_id", lit(0L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == got)
+  }
+
+  test("burstiness: cf*1e6 div df per term, minDf filters the tail") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "b b b c"))
+      .toDF("doc_id", "text")
+    val got = graft.text.Corpus.burstiness(docs, "text", "doc_id",
+        minDf = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // a: cf 3, df 2 -> 1500000; b: cf 5, df 3 -> 1666666; c: df 1 cut
+    assert(got == Map("a" -> ((3L, 2L, 1500000L)),
+      "b" -> ((5L, 3L, 1666666L))))
   }
 }

@@ -796,4 +796,65 @@ class GraphSpec extends SparkSpec {
     // static reachability would claim e; the temporal one never does
     assert(!run(3).contains("e"))
   }
+
+  test("wlRefinement: colors separate structural roles, isomorphic " +
+      "components share colors, duplicate edges collapse") {
+    import spark.implicits._
+    // two isomorphic directed 3-paths + one 2-cycle; the duplicate
+    // a→b edge must not double a's color in b's neighbor list
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "c"),
+      ("x", "y"), ("y", "z"), ("p", "q"), ("q", "p")).toDF("s", "d")
+    val got = Graph.wlRefinement(edges, "s", "d", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // path heads, middles, tails align across isomorphic components
+    assert(got("a") == got("x") && got("b") == got("y") &&
+      got("c") == got("z"))
+    assert(Set(got("a"), got("b"), got("c")).size == 3)
+    // the 2-cycle is its own structure: both members match each other
+    // and nothing in the paths
+    assert(got("p") == got("q"))
+    assert(!Set(got("a"), got("b"), got("c")).contains(got("p")))
+  }
+
+  test("resourceAllocation: hand-computed scores, existing edges " +
+      "excluded, hubCap drops wedge centers past the cap") {
+    import spark.implicits._
+    // star: h—a, h—b, h—c (deg(h)=3) plus a—b edge already present
+    // and a private a—d edge (deg(a)=3: h, b, d)
+    val edges = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("a", "b"),
+      ("a", "d")).toDF("x", "y")
+    val got = Graph.resourceAllocation(edges, "x", "y")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (a,c) and (b,c) share only h (deg 3): 333333; (a,b) is an
+    // existing edge — excluded despite sharing h; (b,d) and (d,h)
+    // share a (deg 3): 333333; (c,*) via nothing else
+    assert(got == Map(("a", "c") -> 333333L, ("b", "c") -> 333333L,
+      ("b", "d") -> 333333L, ("d", "h") -> 333333L))
+    // hubCap 2 removes both deg-3 centers -> no wedges survive
+    assert(Graph.resourceAllocation(edges, "x", "y", hubCap = 2)
+      .isEmpty)
+  }
+
+  test("harmonicCentrality: exact hop-distance ppm sums, unreachable " +
+      "nodes contribute zero, sinks emit zero rows, maxPairs raises") {
+    import spark.implicits._
+    // a→b→c→d chain plus isolated-pair e→f
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"))
+      .toDF("s", "d")
+    val got = Graph.harmonicCentrality(edges, "s", "d", maxHops = 5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a reaches b(1), c(2), d(3): 1e6 + 5e5 + 333333
+    assert(got("a") == ((3L, 1833333L)))
+    assert(got("b") == ((2L, 1500000L)))
+    assert(got("c") == ((1L, 1000000L)))
+    assert(got("d") == ((0L, 0L)))
+    assert(got("e") == ((1L, 1000000L)))
+    assert(got("f") == ((0L, 0L)))
+    intercept[IllegalStateException] {
+      Graph.harmonicCentrality(edges, "s", "d", maxHops = 5,
+        maxPairs = 3L).collect()
+    }
+  }
 }

@@ -104,6 +104,46 @@ class PhraseRewriteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.containsOrMinTerms")
   }
 
+  test("SQL LIKE '%lit%' joins the contains group: mixed chains " +
+      "collapse, interior wildcards/escapes disqualify the leaf") {
+    import org.apache.spark.sql.functions.expr
+    // 6 contains + 6 %-wrapped LIKEs = 12 leaves, one group
+    val mixed = docs.filter(
+      Seq("quick", "hash join", "scan", "zebra", "qux", "warp")
+        .map(t => col("text").contains(t)).reduce(_ || _) ||
+      expr("text LIKE '%emu%' OR text LIKE '%okapi%' OR " +
+        "text LIKE '%ibex%' OR text LIKE '%lynx%' OR " +
+        "text LIKE '%newt%' OR text LIKE '%vole%'"))
+    val mp = mixed.queryExecution.optimizedPlan.toString
+    assert(mp.contains("phrase_match_any") && !mp.contains("Contains") &&
+      !mp.toLowerCase.contains("like"), mp)
+    assert(mixed.select("id").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L, 3L, 6L)))
+    // a LIKE with an interior wildcard or a non-%-wrapped shape is NOT
+    // a substring test — those leaves must survive untouched
+    for (bad <- Seq("'%a_b%'", "'%a%b%'", "'abc%'", "'%%'")) {
+      val kept = docs.filter(
+        Seq("quick", "hash join", "scan", "zebra", "qux", "warp",
+          "emu", "okapi", "ibex", "lynx", "newt")
+          .map(t => col("text").contains(t)).reduce(_ || _) ||
+        expr(s"text LIKE $bad"))
+      assert(!kept.queryExecution.optimizedPlan.toString
+        .contains("phrase_match_any"), bad)
+    }
+    // NOT LIKE conjuncts (the keep-clean filter) collapse too
+    val keep = docs.filter(
+      Seq("quick", "hash join", "scan", "zebra", "qux", "warp")
+        .map(t => !col("text").contains(t)).reduce(_ && _) &&
+      expr("text NOT LIKE '%emu%' AND text NOT LIKE '%okapi%' AND " +
+        "text NOT LIKE '%ibex%' AND text NOT LIKE '%lynx%' AND " +
+        "text NOT LIKE '%newt%' AND text NOT LIKE '%vole%'"))
+    val kp = keep.queryExecution.optimizedPlan.toString
+    assert(kp.contains("phrase_match_any") && !kp.contains("Contains"),
+      kp)
+    assert(keep.select("id").as[Long].collect().sorted
+      .sameElements(Array(5L)))
+  }
+
   test("duplicate terms are deduped before the threshold count") {
     // 10 leaves, 7 distinct → no rewrite (dedup first, then threshold)
     val dup = docs.filter(chain(Seq("quick", "scan", "quick", "zebra",

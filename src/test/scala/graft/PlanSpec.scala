@@ -528,6 +528,23 @@ class PlanSpec extends SparkSpec {
       s"no residual per-term contains:\n${plan.take(2500)}")
   }
 
+  test("q388's mixed contains/LIKE 12-term blocklist collapses to " +
+      "ONE phrase_match_any pass (the LIKE lane of ContainsOrRewrite)") {
+    val sf = java.nio.file.Files
+      .createTempDirectory("graft-q388").toString
+    import spark.implicits._
+    Seq((1L, "hash join here", "en", 14L),
+      (2L, "zebra crossing", "en", 14L),
+      (3L, "clean doc", "de", 9L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$sf/documents.parquet")
+    val plan = SparkEntry.queries("q388_like_gate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("phrase_match_any"), plan.take(2500))
+    assert(!plan.contains(" Contains(") && !plan.contains(" LIKE "),
+      plan.take(2500))
+  }
+
   test("q367 executes its 12-alternative literal rlike as ONE " +
       "phrase_match_any pass (RegexAlternationRewrite fired, under " +
       "the NOT)") {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.similarity.Similarity
+import org.apache.spark.sql.functions.col
 
 class SimilarityJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -454,5 +455,34 @@ class SimilarityJoinSpec extends SparkSpec {
     val plan = Similarity.randomProjection(df, "vec_id", "embedding",
       k).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
+  test("silhouette: exact integer ppm against hand-computed a/b " +
+      "means, singleton cluster scores 0, maxRows raises") {
+    import spark.implicits._
+    // 1-D points quantized as single-element arrays; clusters:
+    // A = {0, 2}, B = {10, 12}, C = {100} (singleton)
+    val df = Seq(
+      (1L, Seq(0L), "A"), (2L, Seq(2L), "A"),
+      (3L, Seq(10L), "B"), (4L, Seq(12L), "B"),
+      (5L, Seq(100L), "C")).toDF("id", "q", "c")
+    val got = graft.similarity.Similarity.silhouette(df, "id",
+        col("q"), col("c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // point 1: a = 4 (to 2); b = min(mean d2 to B = (100+144)/2 = 122,
+    //   mean to C = 10000) = 122 -> s = (122-4)*1e6 div 122 = 967213
+    // point 2: a = 4; b = min((64+100)/2 = 82, 9604) = 82
+    //   -> s = (82-4)*1e6 div 82 = 951219 ; mean A = 959216
+    // point 3: a = 4; b = min((100+64)/2 = 82, 8100) = 82 -> 951219
+    // point 4: a = 4; b = min((144+100)/2 = 122, 7744) = 122 -> 967213
+    //   mean B = 959216
+    // point 5 (singleton): a null -> 0
+    assert(got == Map("A" -> ((2L, 959216L)), "B" -> ((2L, 959216L)),
+      "C" -> ((1L, 0L))))
+    intercept[IllegalStateException] {
+      graft.similarity.Similarity.silhouette(df, "id", col("q"),
+        col("c"), maxRows = 3L)
+    }
   }
 }

@@ -33,4 +33,30 @@ class SpatialSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("dbscan: core by eps-degree (self included), clusters = " +
+      "min-id components over core-core edges, border attaches to " +
+      "min core-neighbor cluster, noise gets null") {
+    import spark.implicits._
+    // blob A: 1,2,3 mutually within eps (core at minPts=3);
+    // 4 is within eps of 3 only (degree 2 < 3 -> border into A);
+    // blob B: 10,11,12 mutually close (second cluster);
+    // 20 is alone (noise)
+    val pts = Seq(
+      (1L, 100L, 100L), (2L, 104L, 100L), (3L, 104L, 104L),
+      (4L, 110L, 108L),
+      (10L, 500L, 500L), (11L, 505L, 500L), (12L, 505L, 505L),
+      (20L, 900L, 900L)).toDF("id", "lat", "lng")
+    val got = Spatial.dbscan(pts, "id", col("lat"), col("lng"),
+        eps = 8L, minPts = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) null else r.getLong(2))))
+      .toMap
+    assert(got(1L) == (("core", 1L)) && got(2L) == (("core", 1L)) &&
+      got(3L) == (("core", 1L)))
+    assert(got(4L) == (("border", 1L)))
+    assert(got(10L) == (("core", 10L)) && got(11L) == (("core", 10L)) &&
+      got(12L) == (("core", 10L)))
+    assert(got(20L) == (("noise", null)))
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingSpike
+
+/** §2.7 — StreamingSpike: exact integer k-sigma spike detection
+  * against the key's prior running stats.
+  */
+class StreamingSpikeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(batches: Seq[Seq[(String, Long, Long)]], k: Int,
+      minN: Long, name: String): Seq[(String, Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StreamingSpike.monitor(
+        in.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3)),
+        kSigma = k, minN = minN)
+      .toDF("key", "ts", "value", "n_prior")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(StreamingSpike.outputMode)
+      .start()
+    batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).as[(String, Long, Long, Long)].collect().toSeq
+  }
+
+  test("spike fires exactly when (n·x−S)² > k²(nQ−S²) against PRIOR " +
+      "stats: warm-up never flags, within-k deviations pass, the " +
+      "point never judges itself, state persists across batches") {
+    // warm-up 9,11,9,11 (mean 10, sigma 1); then 10 and 12 are within
+    // 3 sigma, 14 is past it; 14 itself then joins the baseline
+    val b1 = Seq(("a", 1L, 9L), ("a", 2L, 11L), ("a", 3L, 9L),
+      ("a", 4L, 11L))
+    val b2 = Seq(("a", 5L, 10L), ("a", 6L, 12L))
+    val b3 = Seq(("a", 7L, 14L))
+    val got = run(Seq(b1, b2, b3), k = 3, minN = 4L, "spike_basic")
+    assert(got == Seq(("a", 7L, 14L, 6L)), got.toString)
+  }
+
+  test("zero-variance baseline flags ANY deviation; equal readings " +
+      "never flag; in-batch events fold in (ts, value) order") {
+    // all-10 warm-up: sigma 0 — another 10 passes, an 11 flags.
+    // The 11 arrives in the SAME batch as a later 10 but with an
+    // earlier ts: the sort must judge it against the pure baseline
+    val b1 = Seq(("c", 1L, 10L), ("c", 2L, 10L), ("c", 3L, 10L),
+      ("c", 4L, 10L))
+    val b2 = Seq(("c", 6L, 10L), ("c", 5L, 11L))
+    val got = run(Seq(b1, b2), k = 3, minN = 4L, "spike_zerovar")
+    assert(got == Seq(("c", 5L, 11L, 4L)), got.toString)
+  }
+
+  test("accumulator overflow raises instead of wrapping") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StreamingSpike.monitor(
+        in.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3)),
+        kSigma = 3, minN = 2L)
+      .toDF("key", "ts", "value", "n_prior")
+      .writeStream.format("noop")
+      .outputMode(StreamingSpike.outputMode)
+      .start()
+    val e = intercept[Exception] {
+      in.addData(("x", 1L, 4000000000L), ("x", 2L, 4000000000L))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def all(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: all(t.getCause)
+    assert(all(e).exists(_.isInstanceOf[ArithmeticException]), e.toString)
+  }
+}

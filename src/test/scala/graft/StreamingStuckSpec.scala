@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingStuck
+
+/** §2.7 — StreamingStuck: per-key identical-reading run lengths with
+  * a threshold alarm (the iced-anemometer detector).
+  */
+class StreamingStuckSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("runs grow across batches on exact equality, any change " +
+      "resets, threshold flips the alarm, NaN never chains, in-batch " +
+      "disorder sorts by ts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val q = StreamingStuck.monitor(
+        in.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3)),
+        threshold = 3L)
+      .toDF("key", "last_ts", "last_value", "run_len", "stuck")
+      .writeStream.format("memory").queryName("stuck_out")
+      .outputMode(StreamingStuck.outputMode)
+      .start()
+    // s1 freezes at 5.0 for 3 readings, then recovers;
+    // s2 arrives out of order in one batch: sorted 4.0, 5.0, 5.0;
+    // s3 spews NaN — runs never chain
+    val b1 = Seq(("s1", 1L, 5.0), ("s1", 2L, 5.0),
+      ("s2", 3L, 5.0), ("s2", 1L, 4.0), ("s2", 2L, 5.0),
+      ("s3", 1L, Double.NaN), ("s3", 2L, Double.NaN))
+    val b2 = Seq(("s1", 3L, 5.0), ("s3", 3L, Double.NaN))
+    val b3 = Seq(("s1", 4L, 6.0))
+    Seq(b1, b2, b3).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("stuck_out")
+      .as[(String, Long, Double, Long, Boolean)].collect().toSeq
+    val s1 = got.filter(_._1 == "s1").sortBy(_._2)
+    assert(s1 == Seq(("s1", 2L, 5.0, 2L, false),
+      ("s1", 3L, 5.0, 3L, true), ("s1", 4L, 6.0, 1L, false)))
+    val s2 = got.filter(_._1 == "s2")
+    assert(s2 == Seq(("s2", 3L, 5.0, 2L, false)))
+    val s3 = got.filter(_._1 == "s3").sortBy(_._2).map(r => (r._4, r._5))
+    assert(s3 == Seq((1L, false), (1L, false)))
+  }
+}

@@ -829,4 +829,32 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("intervalDifference: gaps around coalesced minus islands, " +
+      "full coverage emits nothing, zero-length minus never splits, " +
+      "per-base-row grain, end < start raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // key a: base [0,30); minus [5,10) + [8,12) (coalesce to [5,12)),
+    //   [20,20) (point: no cut), [25,40) (clips the tail)
+    // key a: second base [6,11) fully inside the [5,12) island
+    // key b: base [0,10), no minus at all
+    val base = Seq(("a", 1L, 0L, 30L), ("a", 2L, 6L, 11L),
+      ("b", 3L, 0L, 10L)).toDF("k", "id", "s", "e")
+    val minus = Seq(("a", 5L, 10L), ("a", 8L, 12L), ("a", 20L, 20L),
+      ("a", 25L, 40L)).toDF("k", "ms", "me")
+    val got = graft.ops.TimeSeries.intervalDifference(
+        base, Seq("k"), col("id"), col("s"), col("e"),
+        minus, Seq("k"), col("ms"), col("me"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("a", 1L, 0L, 5L), ("a", 1L, 12L, 25L),
+      ("b", 3L, 0L, 10L)))
+    intercept[Exception] {
+      graft.ops.TimeSeries.intervalDifference(
+        Seq(("a", 1L, 10L, 5L)).toDF("k", "id", "s", "e"),
+        Seq("k"), col("id"), col("s"), col("e"),
+        minus, Seq("k"), col("ms"), col("me")).collect()
+    }
+  }
 }
