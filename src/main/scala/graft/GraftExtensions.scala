@@ -111,5 +111,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // regex spelling of a blocklist; graft.plans.RegexAlternationRewrite;
     // spark.graft.rewriteRegexAlternation=false disables)
     ext.injectOptimizerRule(_ => graft.plans.RegexAlternationRewrite)
+    // year(date) predicates → pushable date ranges (partition/row-group
+    // pruning on the natural-but-unsargable form;
+    // graft.plans.YearRangeRewrite; spark.graft.rewriteYearRange=false
+    // disables)
+    ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
   }
 }

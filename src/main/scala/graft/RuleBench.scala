@@ -158,6 +158,72 @@ object RuleBench {
       spark.conf.unset("spark.graft.rewriteRegexAlternation")
     }
 
+    // ——— YearRangeRewrite: the natural year(date) predicate, rule ON
+    // (pushed date range) vs OFF (year() per row after a full scan),
+    // measured on BOTH layouts: the raw unsorted testdata file (stats
+    // can't prune — the rewrite is wall-neutral there, stated) and a
+    // date-SORTED small-row-group copy, the layout a time-keyed lake
+    // actually has, where the pushed range prunes row groups before a
+    // byte decodes — the instrument for the rule's actual claim
+    // (partition pruning on a date-partitioned lake is the same
+    // mechanism one level up). The sorted copy is written once,
+    // outside every timer. ———
+    // the sorted copy carries a DATE-typed order date (the layout a
+    // date-keyed lake actually has; parquet translates date range
+    // filters into row-group stats predicates, which it does NOT do
+    // for the raw file's TIMESTAMP_NTZ — there the rewrite pushes but
+    // prunes nothing, and the wall stays neutral, stated honestly)
+    val rawOrders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val sortedDir = java.nio.file.Files
+      .createTempDirectory("graft-rulebench-orders").toString
+    rawOrders
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+      .orderBy(col("o_orderdate"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", 256 * 1024)
+      .parquet(sortedDir)
+    // rows LEAVING the parquet scan are the noise-proof instrument
+    // (sub-second walls on a 150k-row file are machine mood): with
+    // the pushed range, non-matching row groups never decode, so the
+    // scan emits ~the match count; with year(), the scan emits the
+    // whole file and the filter does the work per row
+    def scanRows(df: DataFrame): Long = {
+      df.collect() // this df's OWN plan must run (write() plans anew)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case l if l.children.isEmpty => Seq(l)
+        case o => o.children.flatMap(leaves)
+      }
+      leaves(df.queryExecution.executedPlan)
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    }
+    for ((label, orders) <- Seq(
+        ("year", rawOrders),
+        ("year_sorted", spark.read.parquet(sortedDir)))) {
+      spark.conf.set("spark.graft.rewriteYearRange", "true")
+      val on = orders.filter(year(col("o_orderdate")) === 1997)
+      assert(!on.queryExecution.optimizedPlan.toString.contains("year("))
+      results(s"${label}_range_on") = best(s"$label range ON") { run(on) }
+      results(s"${label}_scan_rows_on") = scanRows(
+        orders.filter(year(col("o_orderdate")) === 1997)).toDouble
+      spark.conf.set("spark.graft.rewriteYearRange", "false")
+      val off = orders.filter(year(col("o_orderdate")) === 1997)
+      assert(off.queryExecution.optimizedPlan.toString.contains("year("))
+      results(s"${label}_scan_off") = best(s"$label scan OFF") { run(off) }
+      results(s"${label}_scan_rows_off") = scanRows(
+        orders.filter(year(col("o_orderdate")) === 1997)).toDouble
+      val (x, y) = (on.count(), off.count())
+      assert(x == y, s"$label row parity: $x vs $y")
+      System.err.println(f"[rulebench] $label%-12s scan rows " +
+        f"on=${results(s"${label}_scan_rows_on")}%,.0f " +
+        f"off=${results(s"${label}_scan_rows_off")}%,.0f " +
+        f"(matches=$x)")
+      spark.conf.unset("spark.graft.rewriteYearRange")
+    }
+
     val json = results.map { case (k, v) => s""""$k":$v""" }
       .mkString(",")
     println(s"""{"metric":"contains_or_rewrite","sf":"${sfDir.split('/').last}","cpus":$cpus,$json}""")

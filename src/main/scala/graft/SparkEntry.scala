@@ -5616,6 +5616,60 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    // Composition — diversity-capped global top-k: the best 50 docs
+    // by length with at most 12 per lang (X22's per-group rank + a
+    // global TakeOrderedAndProject) — the "no source dominates the
+    // pick" curation selector
+    "q391_capped_topk" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 12)
+        .drop("__rn")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(50)
+        .orderBy(col("doc_id"))
+    },
+
+    // Composition — the X365 Sinkhorn matrix CONSUMED as a soft
+    // assignment: after balancing, each event type's argmax weekday
+    // (ties to the smaller day) and its w_ppm — the OT-style matching
+    // readout the normalization exists for
+    "q392_ot_assign" -> { (s, dir) =>
+      val cells = events(s, dir)
+        .select(col("event_type"),
+          pmod(graft.functions.Exact.longDiv(nsToMicros(col("ts_ns")),
+            86400000000L), lit(7)).as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"))
+      val bal = graft.ops.Features.sinkhorn(cells, "event_type", "dow",
+        col("n"), rounds = 4)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("w_ppm").desc, col("dow"))
+      bal.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("event_type"), col("dow").as("assigned_dow"),
+          col("w_ppm"))
+        .orderBy(col("event_type"))
+    },
+
+    // X377 — the year-sargability rule end-to-end: the natural
+    // `year(o_orderdate) = 1997` / `>= 1999` predicates execute as
+    // pushed date ranges (PlanSpec pins PushedFilters with zero
+    // residual year()); results vs the oracle's own year() form
+    "q390_year_gate" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1997 ||
+          year(col("o_orderdate")) >= 1999)
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+        .orderBy(col("y"))
+    },
+
     // X376 — interval difference: 30-day availability windows per
     // order minus the key's blackout union ([d+7, d+14) of every
     // third order) — the remaining coverage sub-intervals, exact
@@ -16722,6 +16776,61 @@ object SparkEntry {
         |  coalesce(comp.cid, border.bcid) AS cluster_id
         |FROM p LEFT JOIN comp USING (id) LEFT JOIN border USING (id)
         |ORDER BY id""".stripMargin,
+
+    // q391 oracle: the same two-stage pick — per-lang rank cap, then
+    // the global top-50 under the identical total order
+    "q391_capped_topk" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM r WHERE rn <= 12
+        |  ORDER BY n_chars DESC, doc_id LIMIT 50
+        |) t ORDER BY doc_id""".stripMargin,
+
+    // q392 oracle: the shared q370 floor-ppm rounds + the argmax pick
+    "q392_ot_assign" -> {
+      val round = (j: Int) =>
+        s""", r$j AS MATERIALIZED (
+           |  SELECT t.r, t.c, CAST(t.w * 1000000 // s.rs AS BIGINT) AS w
+           |  FROM c${j - 1} t JOIN (
+           |    SELECT r, CAST(sum(w) AS BIGINT) AS rs FROM c${j - 1}
+           |    GROUP BY r) s ON s.r = t.r
+           |), c$j AS MATERIALIZED (
+           |  SELECT t.r, t.c, CAST(t.w * 1000000 // s.cs AS BIGINT) AS w
+           |  FROM r$j t JOIN (
+           |    SELECT c, CAST(sum(w) AS BIGINT) AS cs FROM r$j
+           |    GROUP BY c) s ON s.c = t.c
+           |)""".stripMargin
+      """WITH c0 AS MATERIALIZED (
+        |  SELECT event_type AS r,
+        |    (epoch_us(ts) // 86400000000) % 7 AS c,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM events GROUP BY 1, 2
+        |)""".stripMargin + (1 to 4).map(round).mkString + """
+        |, pick AS (
+        |  SELECT r, c, w,
+        |    row_number() OVER (PARTITION BY r ORDER BY w DESC, c)
+        |      AS rn
+        |  FROM c4
+        |)
+        |SELECT r AS event_type, CAST(c AS BIGINT) AS assigned_dow,
+        |  w AS w_ppm
+        |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin
+    },
+
+    // q390 oracle: the same predicate in its natural year() form
+    "q390_year_gate" ->
+      """SELECT year(o_orderdate) AS y, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE year(o_orderdate) = 1997 OR year(o_orderdate) >= 1999
+        |GROUP BY 1 ORDER BY y""".stripMargin,
 
     // q389 oracle: day-grain expansion — every base day not covered
     // by a same-key blackout, re-islanded per base row (independent

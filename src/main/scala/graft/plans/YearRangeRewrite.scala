@@ -1,0 +1,105 @@
+package graft.plans
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Year}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DateType, IntegerType, TimestampNTZType}
+
+/** Rewrites the natural-but-UNSARGABLE year predicate —
+  * `year(d) <op> literal` over a DateType column — into the
+  * equivalent raw date-range comparison, the fifth optimizer rule and
+  * the one aimed squarely at the 100 TB scan path: a predicate on
+  * `year(d)` is opaque to every pruning layer (parquet row-group
+  * stats, partition pruning, min/max data skipping all see a function
+  * of the column, not the column), while the rewritten
+  * `d >= DATE '1994-01-01' AND d < DATE '1995-01-01'` pushes down
+  * verbatim (`PushedFilters` in the scan, PlanSpec-pinned) and prunes
+  * a date-partitioned lake to the matching year before a byte is
+  * read. All five comparison shapes rewrite, both literal sides:
+  *
+  *   - `year(d) =  y`  → `d >= Jan1(y)  AND d < Jan1(y+1)`
+  *   - `year(d) >  y`  → `d >= Jan1(y+1)`
+  *   - `year(d) >= y`  → `d >= Jan1(y)`
+  *   - `year(d) <  y`  → `d <  Jan1(y)`
+  *   - `year(d) <= y`  → `d <  Jan1(y+1)`
+  *
+  * Exactness: `year` on DateType is a pure calendar-field read, so
+  * the range form holds for EVERY DateType expression `d` — including
+  * the `Cast(timestamp AS DATE)` the analyzer inserts under
+  * `year(timestamp)`: the zone-dependence lives inside that cast,
+  * which the rewrite preserves verbatim, and Spark's own
+  * UnwrapCastInBinaryComparison then turns the cast-vs-date-literal
+  * comparison into a pushable TIMESTAMP range in the session zone
+  * (spec pins boundary-second parity). A null date makes both forms
+  * null (each comparison null-propagates, and `AND(null, null)` is
+  * null). Only non-null integer literals in [1, 9998] rewrite
+  * (headroom for the y+1 boundary inside the proleptic calendar);
+  * only deterministic date children (evaluation-count discipline).
+  * Disable with `spark.graft.rewriteYearRange=false`.
+  */
+object YearRangeRewrite extends Rule[LogicalPlan] {
+
+  private def jan1(y: Int): Expression =
+    Literal(LocalDate.of(y, 1, 1).toEpochDay.toInt, DateType)
+
+  private def jan1Ntz(y: Int): Expression =
+    Literal(LocalDate.of(y, 1, 1).atStartOfDay
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L,
+      TimestampNTZType)
+
+  /** `d >= Jan1(y)` — except when d is the analyzer's
+    * `Cast(ntz AS DATE)`: Spark's UnwrapCastInBinaryComparison
+    * unwraps the LTZ cast but NOT the NTZ one, and a residual cast
+    * blocks parquet pushdown entirely, so emit the equivalent direct
+    * NTZ boundary (zone-free, and cast-to-date truncation is
+    * monotone: date(ntz) >= Jan1(y) ⟺ ntz >= Jan1(y)T00:00).
+    */
+  private def ge(d: Expression, y: Int): Expression = d match {
+    case Cast(c, DateType, _, _) if c.dataType == TimestampNTZType =>
+      GreaterThanOrEqual(c, jan1Ntz(y))
+    case _ => GreaterThanOrEqual(d, jan1(y))
+  }
+
+  /** `d < Jan1(y)`, with the same NTZ-cast unwrapping as [[ge]]. */
+  private def lt(d: Expression, y: Int): Expression = d match {
+    case Cast(c, DateType, _, _) if c.dataType == TimestampNTZType =>
+      LessThan(c, jan1Ntz(y))
+    case _ => LessThan(d, jan1(y))
+  }
+
+  /** year(d) over a deterministic DateType child, literal year. */
+  private object YearOf {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Year(d) if d.dataType == DateType && d.deterministic =>
+        Some(d)
+      case _ => None
+    }
+  }
+
+  private object Yr {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(y: Int, IntegerType) if y >= 1 && y <= 9998 =>
+        Some(y)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.rewriteYearRange", "true")
+        .toBoolean) plan
+    else plan.transformAllExpressions {
+      case EqualTo(YearOf(d), Yr(y)) => And(ge(d, y), lt(d, y + 1))
+      case EqualTo(Yr(y), YearOf(d)) => And(ge(d, y), lt(d, y + 1))
+      case GreaterThan(YearOf(d), Yr(y)) => ge(d, y + 1)
+      case GreaterThanOrEqual(YearOf(d), Yr(y)) => ge(d, y)
+      case LessThan(YearOf(d), Yr(y)) => lt(d, y)
+      case LessThanOrEqual(YearOf(d), Yr(y)) => lt(d, y + 1)
+      // literal-on-the-left mirrors: flip the comparison
+      case GreaterThan(Yr(y), YearOf(d)) => lt(d, y)
+      case GreaterThanOrEqual(Yr(y), YearOf(d)) => lt(d, y + 1)
+      case LessThan(Yr(y), YearOf(d)) => ge(d, y + 1)
+      case LessThanOrEqual(Yr(y), YearOf(d)) => ge(d, y)
+    }
+}

@@ -545,6 +545,31 @@ class PlanSpec extends SparkSpec {
       plan.take(2500))
   }
 
+  test("q390 executes its year() predicates as pushed date ranges " +
+      "(YearRangeRewrite): PushedFilters carries the range, no " +
+      "residual year() in the filter") {
+    val sf = java.nio.file.Files
+      .createTempDirectory("graft-q390").toString
+    import spark.implicits._
+    Seq((1L, 101L, "1997-03-01", 10.0), (2L, 102L, "1998-06-01", 20.0),
+      (3L, 103L, "1999-09-01", 30.0))
+      .toDF("o_orderkey", "o_custkey", "ds", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("ds").cast("date").as("o_orderdate"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$sf/orders.parquet")
+    val plan = SparkEntry.queries("q390_year_gate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_orderdate,1997-01-01)"),
+      plan.take(2500))
+    // the FILTER must not compute year(); the aggregate's projection
+    // still may (that year() runs on already-pruned rows)
+    val filterLines = plan.linesIterator
+      .filter(l => l.contains("Filter") || l.contains("PushedFilters"))
+      .mkString("\n")
+    assert(!filterLines.contains("year("), filterLines)
+  }
+
   test("q367 executes its 12-alternative literal rlike as ONE " +
       "phrase_match_any pass (RegexAlternationRewrite fired, under " +
       "the NOT)") {

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** X377 — the year(date) → date-range optimizer rule
+  * ([[graft.plans.YearRangeRewrite]]): sargability for the natural
+  * year predicate.
+  */
+class YearRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  // parquet-backed so the rewrite's pushdown is observable in the scan
+  private lazy val dates = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-year").toString
+    Seq((1L, "1993-12-31"), (2L, "1994-01-01"), (3L, "1994-07-15"),
+      (4L, "1994-12-31"), (5L, "1995-01-01"), (6L, null: String))
+      .toDF("id", "ds")
+      .select(col("id"), col("ds").cast("date").as("d"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  test("all five comparison shapes rewrite to ranges with identical " +
+      "results incl. year-boundary dates and nulls; the plan carries " +
+      "no Year() and the scan pushes the range") {
+    val cases: Seq[(org.apache.spark.sql.Column, Seq[Long])] = Seq(
+      (year(col("d")) === 1994, Seq(2L, 3L, 4L)),
+      (year(col("d")) > 1994, Seq(5L)),
+      (year(col("d")) >= 1994, Seq(2L, 3L, 4L, 5L)),
+      (year(col("d")) < 1994, Seq(1L)),
+      (year(col("d")) <= 1994, Seq(1L, 2L, 3L, 4L)),
+      (lit(1994) === year(col("d")), Seq(2L, 3L, 4L)),
+      (lit(1994) > year(col("d")), Seq(1L)),
+      (lit(1994) <= year(col("d")), Seq(2L, 3L, 4L, 5L)))
+    cases.foreach { case (pred, want) =>
+      val df = dates.filter(pred)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("year("), s"$pred:\n$opt")
+      assert(ids(df) == want, pred.toString)
+      // parity with the un-rewritten form
+      spark.conf.set("spark.graft.rewriteYearRange", "false")
+      try {
+        val off = dates.filter(pred)
+        assert(off.queryExecution.optimizedPlan.toString
+          .contains("year("), pred.toString)
+        assert(ids(off) == want, s"off: $pred")
+      } finally spark.conf.unset("spark.graft.rewriteYearRange")
+    }
+    // the equality shape reaches the parquet scan as a pushed range
+    val plan = dates.filter(year(col("d")) === 1994)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(d,1994-01-01)") &&
+      plan.contains("LessThan(d,1995-01-01)"), plan.take(2000))
+  }
+
+  test("timestamp columns rewrite THROUGH the analyzer's cast (zone " +
+      "preserved inside it; Spark's own cast-unwrapping then yields a " +
+      "pushable timestamp range) with identical results; non-literal " +
+      "and out-of-range years keep year()") {
+    val tsDir = java.nio.file.Files
+      .createTempDirectory("graft-year-ts").toString
+    Seq("2020-12-31 23:59:59", "2021-01-01 00:00:00",
+      "2021-06-01 12:00:00", "2021-12-31 23:59:59",
+      "2022-01-01 00:00:00").toDF("s")
+      .select(col("s").cast("timestamp").as("t"))
+      .write.mode("overwrite").parquet(tsDir)
+    val ts = spark.read.parquet(tsDir)
+    val on = ts.filter(year(col("t")) === 2021)
+    assert(!on.queryExecution.optimizedPlan.toString.contains("year("))
+    val want = Seq("2021-01-01 00:00:00", "2021-06-01 12:00:00",
+      "2021-12-31 23:59:59")
+    assert(on.select(date_format(col("t"), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].collect().sorted.toSeq == want)
+    spark.conf.set("spark.graft.rewriteYearRange", "false")
+    try assert(ts.filter(year(col("t")) === 2021)
+      .select(date_format(col("t"), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].collect().sorted.toSeq == want)
+    finally spark.conf.unset("spark.graft.rewriteYearRange")
+    assert(dates.filter(year(col("d")) === col("id").cast("int"))
+      .queryExecution.optimizedPlan.toString.contains("year("))
+    assert(dates.filter(year(col("d")) === 9999).queryExecution
+      .optimizedPlan.toString.contains("year("))
+  }
+
+  test("TIMESTAMP_NTZ columns get a DIRECT ntz range (Spark does not " +
+      "unwrap the ntz cast, and a residual cast blocks parquet " +
+      "pruning): no cast, no year() in the optimized plan, results " +
+      "match the rule-off form at the year boundary") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-year-ntz").toString
+    Seq("2020-12-31 23:59:59", "2021-01-01 00:00:00",
+      "2021-12-31 23:59:59", "2022-01-01 00:00:00").toDF("s")
+      .select(col("s").cast("timestamp_ntz").as("t"))
+      .write.mode("overwrite").parquet(dir)
+    val ts = spark.read.parquet(dir)
+    val on = ts.filter(year(col("t")) === 2021)
+    val opt = on.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("year(") && !opt.toLowerCase.contains("cast("),
+      opt)
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.select(date_format(col("t"), "yyyy-MM-dd HH:mm:ss"))
+        .as[String].collect().sorted.toSeq
+    val want = Seq("2021-01-01 00:00:00", "2021-12-31 23:59:59")
+    assert(vals(on) == want)
+    spark.conf.set("spark.graft.rewriteYearRange", "false")
+    try assert(vals(ts.filter(year(col("t")) === 2021)) == want)
+    finally spark.conf.unset("spark.graft.rewriteYearRange")
+  }
+}
