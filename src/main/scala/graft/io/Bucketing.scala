@@ -1,0 +1,64 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout (X378) — the shuffle you pay ONCE at write
+  * time instead of on every join: `bucketBy(n, key)` hash-partitions
+  * the table into n files-per-partition buckets and records the
+  * layout in the catalog, so every subsequent equi-join or
+  * aggregation ON THAT KEY between same-bucketed tables plans with
+  * NO ShuffleExchange — at 100 TB the difference between re-shuffling
+  * the fact table per pipeline run and never shuffling it again.
+  * `sortBy` additionally pre-sorts within buckets, which lets
+  * SortMergeJoin skip its per-task sorts too — Spark ≥ 3 only trusts
+  * that order under
+  * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` AND one
+  * file per bucket (multi-file buckets would break it), which
+  * [[saveBucketed]] guarantees by construction (zero-exchange,
+  * zero-sort joins; BucketingSpec pins both plan shapes and result
+  * parity vs the unbucketed join).
+  *
+  * This is deliberately Spark's NATIVE bucketing (catalog-recorded,
+  * `spark.sql.sources.bucketing.enabled`), not a hand-rolled
+  * repartition: the catalog is what lets the PLANNER trust the layout
+  * across sessions and queries — a `repartition()` co-locates one
+  * plan, a bucketed table co-locates every future plan. Joins avoid
+  * the exchange when both sides bucket on the join key with the SAME
+  * bucket count (use one count per key domain across the lake — the
+  * documented operational contract); a mismatched count falls back to
+  * a normal shuffle, correct but unco-located.
+  */
+object Bucketing {
+
+  /** Writes `df` as a catalog-managed parquet table bucketed (and
+    * optionally sorted) on `bucketCols`. Overwrites any existing
+    * table of the same name.
+    */
+  def saveBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    // one FILE per bucket: Spark only trusts sortBy metadata (and
+    // skips the SMJ's per-task sorts) when each bucket is a single
+    // file — per-file order isn't a per-bucket order otherwise. A
+    // repartition on the bucket key with numPartitions = buckets uses
+    // the same murmur3 hash as the bucketing, so each write task
+    // holds exactly one bucket's rows. This IS the write-once shuffle
+    // the layout exists to amortize.
+    val laid = df.repartition(buckets,
+      bucketCols.map(org.apache.spark.sql.functions.col): _*)
+    val w = laid.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty)
+      w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
+
+  /** Equi-join of two same-bucketed tables on `keys` — plans with no
+    * exchange when the bucket layouts match (the point); results are
+    * identical either way.
+    */
+  def coLocatedJoin(spark: SparkSession, left: String, right: String,
+      keys: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), keys, joinType)
+}

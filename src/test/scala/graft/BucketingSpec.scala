@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Bucketing
+
+/** X378 — bucketed co-located layout: the write-once shuffle. Pins
+  * the PLAN contract (no exchange on same-bucketed joins and
+  * aggregations, no per-task sort when buckets are pre-sorted) and
+  * result parity vs the unbucketed plan.
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exchanges(plan: String): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(plan).length
+
+  test("same-bucketed, same-count tables join with ZERO exchange and " +
+      "(pre-sorted) zero per-task sort; aggregation on the bucket key " +
+      "needs no exchange; results equal the unbucketed join") {
+    val facts = (1L to 2000L).map(k => (k % 97, k, (k * 7 % 100).toDouble))
+      .toDF("k", "id", "v")
+    val dims = (0L until 97L).map(k => (k, s"name$k")).toDF("k", "name")
+    Bucketing.saveBucketed(facts, "bkt_facts", buckets = 8,
+      bucketCols = Seq("k"), sortCols = Seq("k"))
+    Bucketing.saveBucketed(dims, "bkt_dims", buckets = 8,
+      bucketCols = Seq("k"), sortCols = Seq("k"))
+    try {
+      // broadcast would hide the exchange question — force SMJ lane
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketing.coLocatedJoin(spark, "bkt_facts", "bkt_dims",
+        Seq("k"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(exchanges(plan) == 0, plan.take(2500))
+      assert(plan.contains("SortMergeJoin"), plan.take(2500))
+      assert(plan.contains("Bucketed: true"), plan.take(2500))
+      // sorted buckets: with one file per bucket AND the scan-ordering
+      // conf (Spark >= 3 stopped trusting sortBy order by default —
+      // multi-file buckets would break it; saveBucketed guarantees one
+      // file per bucket exactly so this conf is sound) the SMJ needs
+      // no per-task sort either
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val js = Bucketing.coLocatedJoin(spark, "bkt_facts", "bkt_dims",
+        Seq("k"))
+      val planSorted = js.queryExecution.executedPlan.toString
+      assert(exchanges(planSorted) == 0 &&
+        !planSorted.contains("Sort ["), planSorted.take(2500))
+      spark.conf.unset(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering")
+      // parity vs the plain (shuffled) join
+      val plainPlan = facts.join(dims, Seq("k"))
+        .queryExecution.executedPlan.toString
+      assert(exchanges(plainPlan) > 0, plainPlan.take(2000))
+      val got = j.groupBy(col("k")).agg(sum(col("v")).as("s"),
+        first(col("name")).as("n"))
+      assert(exchanges(got.queryExecution.executedPlan.toString) <= 1,
+        got.queryExecution.executedPlan.toString.take(2500))
+      val want = facts.join(dims, Seq("k"))
+        .groupBy(col("k")).agg(sum(col("v")).as("s"),
+          first(col("name")).as("n"))
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1),
+          r.getString(2)))).toMap
+      val have = got.collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getString(2)))).toMap
+      assert(have == want)
+      // aggregation directly on the bucket key: no exchange at all
+      val agg = spark.table("bkt_facts").groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+      assert(exchanges(agg.queryExecution.executedPlan.toString) == 0,
+        agg.queryExecution.executedPlan.toString.take(2000))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS bkt_dims")
+    }
+  }
+
+  test("mismatched bucket counts fall back to a correct (shuffled) " +
+      "join — unco-located, never wrong") {
+    val a = (1L to 500L).map(k => (k % 13, k)).toDF("k", "id")
+    val b = (0L until 13L).map(k => (k, s"v$k")).toDF("k", "v")
+    Bucketing.saveBucketed(a, "bkt_a", buckets = 8, Seq("k"), Seq("k"))
+    Bucketing.saveBucketed(b, "bkt_b", buckets = 4, Seq("k"), Seq("k"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketing.coLocatedJoin(spark, "bkt_a", "bkt_b", Seq("k"))
+      assert(j.count() == 500L)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
