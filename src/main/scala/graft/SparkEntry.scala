@@ -5616,6 +5616,17 @@ object SparkEntry {
         .orderBy(col("id"))
     },
 
+    // X379 — RAKE keyphrase extraction: stopword-delimited candidate
+    // phrases scored by summed member-word deg·10⁶ div freq; the top
+    // 40 corpus keyphrases under the (score desc, phrase) total order
+    "q393_rake_keywords" -> { (s, dir) =>
+      graft.text.Corpus.rakeKeywords(t(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy(col("score_ppm").desc, col("phrase"))
+        .limit(40)
+        .orderBy(col("phrase"))
+    },
+
     // Composition — diversity-capped global top-k: the best 50 docs
     // by length with at most 12 per lang (X22's per-group rank + a
     // global TakeOrderedAndProject) — the "no source dominates the
@@ -16776,6 +16787,50 @@ object SparkEntry {
         |  coalesce(comp.cid, border.bcid) AS cluster_id
         |FROM p LEFT JOIN comp USING (id) LEFT JOIN border USING (id)
         |ORDER BY id""".stripMargin,
+
+    // q393 oracle: the same islands, word stats, and floor-ppm scores
+    "q393_rake_keywords" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, i, tk[CAST(i AS BIGINT)] AS w FROM (
+        |    SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+        |    FROM (
+        |      SELECT doc_id, list_filter(string_split_regex(
+        |        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |        '\s+'), x -> x <> '') AS tk
+        |      FROM documents
+        |      WHERE text IS NOT NULL AND doc_id IS NOT NULL) z) t
+        |), ns AS MATERIALIZED (
+        |  SELECT doc_id, i, w,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |      AS g
+        |  FROM tok
+        |  WHERE w NOT IN ('the','a','of','and','to','in','is','it',
+        |    'that','was')
+        |), phr AS MATERIALIZED (
+        |  SELECT doc_id, g, string_agg(w, ' ' ORDER BY i) AS phrase,
+        |    count(*) AS len
+        |  FROM ns GROUP BY doc_id, g
+        |), wstat AS MATERIALIZED (
+        |  SELECT ns.w,
+        |    CAST(sum(phr.len) * 1000000 // count(*) AS BIGINT) AS ws
+        |  FROM ns JOIN phr USING (doc_id, g)
+        |  GROUP BY ns.w
+        |), scored AS (
+        |  SELECT ns.doc_id, ns.g,
+        |    CAST(sum(wstat.ws) AS BIGINT) AS ps
+        |  FROM ns JOIN wstat USING (w)
+        |  GROUP BY ns.doc_id, ns.g
+        |), corpus AS (
+        |  SELECT phr.phrase,
+        |    CAST(count(*) AS BIGINT) AS n_occurrences,
+        |    CAST(min(scored.ps) AS BIGINT) AS score_ppm
+        |  FROM scored JOIN phr USING (doc_id, g)
+        |  GROUP BY phr.phrase
+        |)
+        |SELECT phrase, n_occurrences, score_ppm FROM (
+        |  SELECT * FROM corpus
+        |  ORDER BY score_ppm DESC, phrase LIMIT 40
+        |) t ORDER BY phrase""".stripMargin,
 
     // q391 oracle: the same two-stage pick — per-lang rank cap, then
     // the global top-50 under the identical total order

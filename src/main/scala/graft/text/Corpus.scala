@@ -1762,6 +1762,70 @@ object Corpus {
       .agg(count(lit(1)).as("vocab"))
   }
 
+  /** RAKE keyphrase extraction (X379) — Rose et al.'s Rapid Automatic
+    * Keyword Extraction, the classic unsupervised keyphrase miner:
+    * candidate phrases are maximal runs of non-delimiter tokens
+    * (delimiters = the stopword list — content never crosses a
+    * stopword), each word scores `deg·10⁶ div freq` (deg = summed
+    * length of phrases containing it, freq = its occurrence count —
+    * degree rewards words living in LONG collocations, the signal
+    * frequency alone misses), and a phrase scores the SUM of its
+    * member-word scores. All integer-exact (counts and one floor
+    * division per word — the X79 no-log discipline), so scores are
+    * bit-identical in any engine. The delimiter lexicon is
+    * caller-supplied (default [[TextFunctions.stopwords]]'s "en"
+    * list — deliberately small and fixed, the X10 langId discipline:
+    * the OPERATOR's shape is what scales, not the lexicon). Output at
+    * corpus grain: (`phrase`, `n_occurrences`, `score_ppm`) — equal
+    * phrase texts share one row (their score is a pure function of
+    * member words, so occurrences agree by construction).
+    *
+    * Scale shape: one corpus-grain token explode → ONE doc-keyed
+    * window (per-task sort is document-sized) segments phrases as
+    * position islands; word stats are a map-side-combined aggregate
+    * at vocabulary grain (broadcast back onto the phrase words —
+    * Heaps' law keeps it small); phrase scoring is one more
+    * map-side aggregate at phrase grain. The corpus text shuffles
+    * once (the island window), everything after is phrase/vocab
+    * grain.
+    */
+  def rakeKeywords(df: DataFrame, textCol: String, idCol: String,
+      delimiters: Seq[String] =
+        TextFunctions.stopwords.toMap.apply("en")): DataFrame = {
+    require(delimiters.nonEmpty, "delimiters must be non-empty")
+    val toks = df
+      .filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(TextFunctions.tokens(
+          TextFunctions.normalized(col(textCol)))).as(Seq("__p", "__w")))
+      .filter(!col("__w").isin(delimiters: _*))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    val isl = toks.withColumn("__g",
+      col("__p") - row_number().over(w))
+    val phr = isl.groupBy(col("__id"), col("__g"))
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("__p"), col("__w")))), s => s.getField("__w")), " ")
+          .as("__phrase"),
+        count(lit(1)).as("__len"))
+    val words = isl.join(phr, Seq("__id", "__g"))
+      .select(col("__id"), col("__g"), col("__w"), col("__len"))
+    val wstat = words.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("__w"),
+        // decimal(38,0) numerator: deg is corpus-token-bounded and
+        // deg·10⁶ would cross long range near 9.2e12 total tokens
+        graft.functions.Exact.longDiv(
+          col("__deg").cast("decimal(38,0)") * 1000000L,
+          col("__freq")).cast("long").as("__ws"))
+    val scored = words.join(broadcast(wstat), Seq("__w"))
+      .groupBy(col("__id"), col("__g"))
+      .agg(sum(col("__ws")).as("__ps"))
+      .join(phr, Seq("__id", "__g"))
+    scored.groupBy(col("__phrase").as("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("__ps")).as("score_ppm"))
+  }
+
   /** Church–Gale burstiness table (X373) — per term, collection
     * frequency, document frequency, and `burst_ppm = cf·10⁶ div df`
     * (average repeat count per containing document, in ppm): topical

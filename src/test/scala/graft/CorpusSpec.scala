@@ -902,4 +902,22 @@ class CorpusSpec extends SparkSpec {
     assert(got == Map("a" -> ((3L, 2L, 1500000L)),
       "b" -> ((5L, 3L, 1666666L))))
   }
+
+  test("rakeKeywords: stopword-delimited phrases, deg*1e6 div freq " +
+      "word scores, phrase = sum of member scores, equal texts " +
+      "share a row — hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "deep learning of the deep net"),
+      (2L, "deep net in a deep learning run")).toDF("doc_id", "text")
+    val got = graft.text.Corpus.rakeKeywords(docs, "text", "doc_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // deep: freq 4, deg 2+2+2+3=9 -> 2250000; learning: 5/2 -> 2500000
+    // net: 4/2 -> 2000000; run: 3/1 -> 3000000
+    assert(got == Map(
+      "deep learning" -> ((1L, 4750000L)),
+      "deep net" -> ((2L, 4250000L)),
+      "deep learning run" -> ((1L, 7750000L))))
+  }
 }
