@@ -336,6 +336,30 @@ object Bench {
         Dedup.minhashGatedPairs(c, "text", "doc_id", "source",
           shingleN = 1, threshold = 0.3, numHashes = 64,
           tolPpm = 250000L, maxBlockSize = Int.MaxValue)
+      },
+      // the spatial family's sweep line (r16-verdict #6): DBSCAN over
+      // the q386 designed field at FIXED per-cell density — replicas
+      // shift along lng by 2e6 µdeg (≫ eps·cell reach, so replicas
+      // never share a grid cell and the true answer is exactly n ×
+      // base) with ids offset by the docsNx 1e7 stride (min-id cluster
+      // labels stay within their replica). Sweep-tier input is the
+      // q119 discipline — a deterministic 30% of the field (id mod 10
+      // < 3; same subset at every scale, the slope needs parameters
+      // fixed, not the board's full density stress) — measuring BOTH
+      // stages: proximityJoin's celled equi-join and CC's log rounds
+      // over the core graph.
+      "q386_dbscan" -> { scale =>
+        val base = SparkEntry.dbscanPoints(spark, sfDir)
+          .filter(pmod(col("id"), lit(10)) < 3)
+        val p =
+          if (scale == 1) base
+          else (0 until scale).map { r =>
+            base.select((col("id") + lit(r * 10000000L)).as("id"),
+              col("lat"),
+              (col("lng") + lit(r * 2000000L)).as("lng"))
+          }.reduce(_ unionByName _).localCheckpoint(true)
+        graft.ops.Spatial.dbscan(p, "id", col("lat"), col("lng"),
+          eps = 1500L, minPts = 5L)
       })
     // EVERY case gets a THIRD scale point (r10): one step can't
     // distinguish "sub-linear" from "got lucky once" — the 16×

@@ -116,5 +116,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.YearRangeRewrite; spark.graft.rewriteYearRange=false
     // disables)
     ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
+    // trunc/date_trunc predicates → pushable ranges over the whole
+    // truncation lattice (the YearRange generalization; DATE + NTZ
+    // lanes only — zoned boundaries move with DST;
+    // graft.plans.TruncRangeRewrite;
+    // spark.graft.rewriteTruncRange=false disables)
+    ext.injectOptimizerRule(_ => graft.plans.TruncRangeRewrite)
   }
 }

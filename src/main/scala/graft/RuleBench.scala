@@ -224,6 +224,38 @@ object RuleBench {
       spark.conf.unset("spark.graft.rewriteYearRange")
     }
 
+    // ——— TruncRangeRewrite: the natural "that month" spelling,
+    // trunc(d,'mon') = L, rule ON (pushed date range, row groups
+    // prune) vs OFF (trunc per row after a full scan) — measured on
+    // the same date-sorted small-row-group copy as the year lane (the
+    // instrument is scan rows, not sub-second walls) ———
+    {
+      val sorted = spark.read.parquet(sortedDir)
+      val pred = (d: org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.functions.trunc(d, "mon") === "1997-03-01"
+      spark.conf.set("spark.graft.rewriteTruncRange", "true")
+      val on = sorted.filter(pred(col("o_orderdate")))
+      assert(!on.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("trunc"))
+      results("trunc_sorted_range_on") = best("trunc range ON") { run(on) }
+      results("trunc_sorted_scan_rows_on") =
+        scanRows(sorted.filter(pred(col("o_orderdate")))).toDouble
+      spark.conf.set("spark.graft.rewriteTruncRange", "false")
+      val off = sorted.filter(pred(col("o_orderdate")))
+      assert(off.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("trunc"))
+      results("trunc_sorted_scan_off") = best("trunc scan OFF") { run(off) }
+      results("trunc_sorted_scan_rows_off") =
+        scanRows(sorted.filter(pred(col("o_orderdate")))).toDouble
+      val (x, y) = (on.count(), off.count())
+      assert(x == y, s"trunc row parity: $x vs $y")
+      System.err.println(f"[rulebench] trunc_sorted scan rows " +
+        f"on=${results("trunc_sorted_scan_rows_on")}%,.0f " +
+        f"off=${results("trunc_sorted_scan_rows_off")}%,.0f " +
+        f"(matches=$x)")
+      spark.conf.unset("spark.graft.rewriteTruncRange")
+    }
+
     val json = results.map { case (k, v) => s""""$k":$v""" }
       .mkString(",")
     println(s"""{"metric":"contains_or_rewrite","sf":"${sfDir.split('/').last}","cpus":$cpus,$json}""")

@@ -79,7 +79,7 @@ object SparkEntry {
     * blobs spaced 40k micro-degrees apart along lat (≫ eps) at a
     * fixed lng, plus a scattered noise lane every 29th key.
     */
-  private def dbscanPoints(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dbscanPoints(s: SparkSession, dir: String): DataFrame = {
     val u = col("c_custkey").cast("long")
     val noise = pmod(u, lit(29L)) === 0L
     t(s, dir, "customer").select(u.as("id"),
@@ -5627,6 +5627,85 @@ object SparkEntry {
         .orderBy(col("phrase"))
     },
 
+    // X380 — Pettitt change-point per event type: the nonparametric
+    // single-break locator via the exact mid-rank identity (two
+    // windows, no pair scan); the oracle recomputes U_t from the same
+    // rank algebra in DuckDB windows
+    "q394_pettitt" -> { (s, dir) =>
+      graft.ops.Features.pettitt(events(s, dir), Seq("event_type"),
+          col("ts_ns"), col("value"))
+        .orderBy(col("event_type"))
+    },
+
+    // X381 — seasonal Mann–Kendall: per (type, weekday) MK kernels
+    // summed Hirsch–Slack style (S and var18 add), z² from the
+    // totals. Sampled to keep the oracle's per-stratum pair CTE at
+    // probe grain; the operator is O(n log n)/stratum
+    "q395_seasonal_mk" -> { (s, dir) =>
+      graft.ops.Features.seasonalMannKendall(
+          events(s, dir).filter(pmod(col("event_id"), lit(20)) === 0),
+          Seq("event_type"),
+          pmod(graft.functions.Exact.longDiv(nsToMicros(col("ts_ns")),
+            86400000000L), lit(7)),
+          col("ts_ns"), col("value"))
+        .orderBy(col("event_type"))
+    },
+
+    // X382 — eccentricity over the 5-block digraph: per node the max
+    // hop distance it reaches (each reaches only its own block, so
+    // ecc ∈ [0, 4] by construction); radius/diameter are one rollup
+    // away on this frame
+    "q396_eccentricity" -> { (s, dir) =>
+      graft.ops.Graph.eccentricity(blockEdges(s, dir), "src", "dst",
+          maxHops = 6)
+        .orderBy(col("node"))
+    },
+
+    // X383 — MMR diversified top-k over the embedding table: greedy
+    // λ·rel − (1−λ)·maxsim in exact integer ppm over milli-quantized
+    // vectors; the oracle unrolls the same greedy six rounds
+    "q397_mmr" -> { (s, dir) =>
+      graft.similarity.Similarity.mmrSelect(
+          t(s, dir, "embeddings")
+            .filter(pmod(col("vec_id"), lit(7)) === 0),
+          col("vec_id"), col("embedding"),
+          col("label").cast("long") * 1000L +
+            pmod(col("vec_id"), lit(997)),
+          k = 6)
+        .orderBy(col("sel_rank"))
+    },
+
+    // Composition — the X380 Pettitt break CONSUMED as a level-shift
+    // readout: per event type, the detected split's before/after mean
+    // levels (the "what moved, and by how much" a homogenization run
+    // acts on). Means ride the DECIMAL(18,2)-sum oracle discipline;
+    // the prefix index re-derives from the same (ts, value) order the
+    // operator ranks by
+    "q398_level_shift" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .filter(col("ts_ns").isNotNull && col("value").isNotNull)
+      val cp = graft.ops.Features.pettitt(ev, Seq("event_type"),
+        col("ts_ns"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("ts_ns"), col("value"))
+      ev.select(col("event_type"), col("ts_ns"), col("value"))
+        .withColumn("__t", row_number().over(w).cast("long"))
+        .join(cp.select(col("event_type"), col("t_star"), col("k_abs")),
+          Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("t_star")).as("t_star"), max(col("k_abs")).as("k_abs"),
+          (sum(when(col("__t") <= col("t_star"), dec(col("value"))))
+            .cast("double")
+            / count(when(col("__t") <= col("t_star"), lit(1))))
+            .as("mean_before"),
+          (sum(when(col("__t") > col("t_star"), dec(col("value"))))
+            .cast("double")
+            / count(when(col("__t") > col("t_star"), lit(1))))
+            .as("mean_after"))
+        .orderBy(col("event_type"))
+    },
+
     // Composition — diversity-capped global top-k: the best 50 docs
     // by length with at most 12 per lang (X22's per-group rank + a
     // global TakeOrderedAndProject) — the "no source dominates the
@@ -5679,6 +5758,23 @@ object SparkEntry {
         .groupBy(year(col("o_orderdate")).as("y"))
         .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
         .orderBy(col("y"))
+    },
+
+    // X384 — the trunc-range rule's oracle gate: date_trunc
+    // day-equality and hour-range predicates (the natural "that day"
+    // / "since that hour" spellings) rewrite to pushable instant
+    // ranges (PlanSpec pins the pushed filters; TruncRewriteSpec pins
+    // shape coverage + rule-off parity); the oracle computes the same
+    // filter un-rewritten in DuckDB
+    "q399_trunc_gate" -> { (s, dir) =>
+      events(s, dir)
+        .filter(date_trunc("day", col("ts")) ===
+            lit("2024-01-10 00:00:00").cast("timestamp") ||
+          date_trunc("hour", col("ts")) >=
+            lit("2024-01-28 12:00:00").cast("timestamp"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("total"))
+        .orderBy(col("day"))
     },
 
     // X376 — interval difference: 30-day availability windows per
@@ -16573,18 +16669,21 @@ object SparkEntry {
 
     // q381 oracle: the identical md5 color chain, three unrolled
     // rounds over the shared block-graph prelude (string node ids —
-    // the engine's cast — so ORDER BY agrees bytewise)
+    // the engine's cast — so ORDER BY agrees bytewise); the neighbor
+    // fold is the engine's commutative 60-bit hash sum — DuckDB's
+    // '0x…'::BIGINT parse mirrors Spark's conv(…,16,10), and its
+    // hugeint sum mirrors the decimal(38,0) sum exactly
     "q381_wl_colors" -> {
       val round = (j: Int) =>
         s""", nb$j AS (
-           |  SELECT e.dst AS node, string_agg(c.c, ',' ORDER BY c.c)
-           |    AS nb
+           |  SELECT e.dst AS node,
+           |    sum(('0x' || substr(md5(c.c), 1, 15))::BIGINT) AS nb
            |  FROM e JOIN c${j - 1} c ON c.node = e.src
            |  GROUP BY e.dst
            |), c$j AS MATERIALIZED (
            |  SELECT p.node,
-           |    substr(md5(p.c || '#' || coalesce(n2.nb, '')), 1, 16)
-           |      AS c
+           |    substr(md5(p.c || '#' ||
+           |      coalesce(CAST(n2.nb AS VARCHAR), '')), 1, 16) AS c
            |  FROM c${j - 1} p LEFT JOIN nb$j n2 USING (node)
            |)""".stripMargin
       """WITH n AS MATERIALIZED (
@@ -16832,6 +16931,210 @@ object SparkEntry {
         |  ORDER BY score_ppm DESC, phrase LIMIT 40
         |) t ORDER BY phrase""".stripMargin,
 
+    // q394 oracle: U_t from the same mid-rank identity in DuckDB
+    // windows (2·mr = 2·rank + ties − 1; U_t = Σ2mr − t(n+1)), max
+    // |U| with the smallest-t tie-break, t = n excluded
+    "q394_pettitt" ->
+      """WITH e AS (
+        |  SELECT event_type AS k, epoch_ns(ts) AS o, value AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT k, o, v,
+        |    2 * rank() OVER (PARTITION BY k ORDER BY v)
+        |      + count(*) OVER (PARTITION BY k, v) - 1 AS mr2,
+        |    row_number() OVER (PARTITION BY k ORDER BY o, v) AS t,
+        |    count(*) OVER (PARTITION BY k) AS n
+        |  FROM e
+        |), u AS (
+        |  SELECT k, o, t, n,
+        |    sum(mr2) OVER (PARTITION BY k ORDER BY o, v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - t * (n + 1) AS uu
+        |  FROM r
+        |), best AS (
+        |  SELECT k, n, t, o, uu,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY abs(uu) DESC, t) AS rn
+        |  FROM u WHERE t < n
+        |)
+        |SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(t AS BIGINT) AS t_star, o AS change_at,
+        |  CAST(uu AS BIGINT) AS u_stat, CAST(abs(uu) AS BIGINT) AS k_abs
+        |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // q395 oracle: q343's raw pair S per (type, weekday) stratum,
+    // Hirsch–Slack summed, z² from the totals via HUGEINT
+    // cross-multiplication
+    "q395_seasonal_mk" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow, ts, value
+        |  FROM events
+        |  WHERE event_id % 20 = 0 AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |), sagg AS (
+        |  SELECT a.event_type, a.dow, CAST(sum(CASE
+        |      WHEN b.value > a.value THEN 1
+        |      WHEN b.value < a.value THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM e a JOIN e b
+        |    ON a.event_type = b.event_type AND a.dow = b.dow
+        |      AND a.ts < b.ts
+        |  GROUP BY a.event_type, a.dow
+        |), nn AS (
+        |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY event_type, dow
+        |), tt AS (
+        |  SELECT event_type, dow,
+        |    CAST(coalesce(sum(c*(c-1)*(2*c+5)), 0) AS BIGINT) AS tsum
+        |  FROM (SELECT event_type, dow, value, count(*) AS c
+        |        FROM e GROUP BY event_type, dow, value)
+        |  GROUP BY event_type, dow
+        |), per AS (
+        |  SELECT nn.event_type, nn.dow, nn.n, coalesce(sagg.s, 0) AS s,
+        |    nn.n*(nn.n-1)*(2*nn.n+5) - tt.tsum AS var18
+        |  FROM nn
+        |  LEFT JOIN sagg ON nn.event_type = sagg.event_type
+        |    AND nn.dow = sagg.dow
+        |  JOIN tt ON nn.event_type = tt.event_type AND nn.dow = tt.dow
+        |), tot AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_seasons,
+        |    CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+        |    CAST(sum(var18) AS BIGINT) AS var18
+        |  FROM per GROUP BY event_type
+        |)
+        |SELECT event_type, n_seasons, n, s, var18,
+        |  CASE WHEN n >= 2 AND var18 > 0 THEN
+        |    CASE WHEN s = 0 THEN 0 ELSE
+        |      (CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+        |      CAST((CAST(abs(s) - 1 AS HUGEINT) * (abs(s) - 1)
+        |            * 18000000) // var18 AS BIGINT)
+        |    END
+        |  END AS z2_ppm
+        |FROM tot ORDER BY event_type""".stripMargin,
+
+    // q396 oracle: q382's unrolled min-plus hop distances, rolled up
+    // as max(d)/count per source instead of the harmonic sum
+    "q396_eccentricity" -> {
+      val round = (j: Int) =>
+        s""", d$j AS MATERIALIZED (
+           |  SELECT src, node, CAST(min(d) AS BIGINT) AS d FROM (
+           |    SELECT src, node, d FROM d${j - 1}
+           |    UNION ALL
+           |    SELECT p.src, e.dst AS node, p.d + 1 AS d
+           |    FROM d${j - 1} p JOIN e ON e.src = p.node
+           |  ) t GROUP BY src, node
+           |)""".stripMargin
+      """WITH n AS MATERIALIZED (
+        |  SELECT CAST(c_custkey AS BIGINT) AS u FROM customer
+        |), blocks AS MATERIALIZED (
+        |  SELECT u, u % 5 AS pos FROM n
+        |), e0 AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT u AS src, u + 1 AS dst FROM blocks WHERE pos < 4
+        |    UNION ALL
+        |    SELECT u AS src, u - 4 AS dst FROM blocks WHERE pos = 4
+        |    UNION ALL
+        |    SELECT u AS src, u + 2 AS dst FROM blocks WHERE pos < 3
+        |  ) t WHERE dst IN (SELECT u FROM n)
+        |), e AS MATERIALIZED (
+        |  SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst
+        |  FROM e0
+        |), en AS MATERIALIZED (
+        |  SELECT src AS u FROM e UNION SELECT dst AS u FROM e
+        |), d0 AS MATERIALIZED (
+        |  SELECT u AS src, u AS node, CAST(0 AS BIGINT) AS d FROM en
+        |)""".stripMargin + (1 to 6).map(round).mkString + """
+        |SELECT en.u AS node,
+        |  CAST(coalesce(a.ecc, 0) AS BIGINT) AS ecc,
+        |  CAST(coalesce(a.nr, 0) AS BIGINT) AS n_reached
+        |FROM en LEFT JOIN (
+        |  SELECT src, max(d) AS ecc, count(*) AS nr
+        |  FROM d6 WHERE d > 0 GROUP BY src
+        |) a ON a.src = en.u
+        |ORDER BY node""".stripMargin
+    },
+
+    // q397 oracle: the same greedy unrolled six rounds — λ·rel −
+    // (1−λ)·max-dot-to-selected in BIGINT over the identical
+    // milli-quantized lists, ties to the smaller id
+    "q397_mmr" -> {
+      val k = 6
+      def dotQ(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), " +
+          "z -> struct_extract(z, 1) * struct_extract(z, 2)), " +
+          "(x, y) -> x + y)"
+      val rounds = (1 to k).map { r =>
+        val sel =
+          if (r == 1)
+            "SELECT NULL::BIGINT AS id, NULL::BIGINT[] AS q WHERE FALSE"
+          else (1 until r).map(i => s"SELECT id, q FROM p$i")
+            .mkString(" UNION ALL ")
+        s""", sel$r AS ($sel)
+           |, p$r AS MATERIALIZED (
+           |  SELECT b.id, b.q, CAST($r AS BIGINT) AS sel_rank,
+           |    CAST(700000 * b.rel - 300000 * coalesce((
+           |      SELECT max(${dotQ("b.q", "s.q")}) FROM sel$r s), 0)
+           |      AS BIGINT) AS mmr_score
+           |  FROM base b
+           |  WHERE b.id NOT IN (SELECT id FROM sel$r)
+           |  ORDER BY mmr_score DESC, b.id LIMIT 1
+           |)""".stripMargin
+      }.mkString
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q,
+         |    CAST(label AS BIGINT) * 1000 + vec_id % 997 AS rel
+         |  FROM embeddings
+         |  WHERE vec_id % 7 = 0 AND vec_id IS NOT NULL
+         |    AND embedding IS NOT NULL AND len(embedding) > 0
+         |    AND label IS NOT NULL
+         |)$rounds
+         |SELECT sel_rank, id AS item, mmr_score FROM (${(1 to k)
+            .map(i => s"SELECT sel_rank, id, mmr_score FROM p$i")
+            .mkString(" UNION ALL ")}) t
+         |ORDER BY sel_rank""".stripMargin
+    },
+
+    // q398 oracle: the q394 prelude + the split-segment rollup; means
+    // as DECIMAL(18,2) sums cast double over exact integer counts
+    "q398_level_shift" ->
+      """WITH e AS (
+        |  SELECT event_type AS k, epoch_ns(ts) AS o, value AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT k, o, v,
+        |    2 * rank() OVER (PARTITION BY k ORDER BY v)
+        |      + count(*) OVER (PARTITION BY k, v) - 1 AS mr2,
+        |    row_number() OVER (PARTITION BY k ORDER BY o, v) AS t,
+        |    count(*) OVER (PARTITION BY k) AS n
+        |  FROM e
+        |), u AS (
+        |  SELECT k, o, t, n,
+        |    sum(mr2) OVER (PARTITION BY k ORDER BY o, v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - t * (n + 1) AS uu
+        |  FROM r
+        |), best AS (
+        |  SELECT k, t AS t_star, abs(uu) AS k_abs,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY abs(uu) DESC, t) AS rn
+        |  FROM u WHERE t < n
+        |)
+        |SELECT r.k AS event_type,
+        |  CAST(max(best.t_star) AS BIGINT) AS t_star,
+        |  CAST(max(best.k_abs) AS BIGINT) AS k_abs,
+        |  CAST(sum(CASE WHEN r.t <= best.t_star
+        |      THEN CAST(r.v AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / count(CASE WHEN r.t <= best.t_star THEN 1 END)
+        |    AS mean_before,
+        |  CAST(sum(CASE WHEN r.t > best.t_star
+        |      THEN CAST(r.v AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / count(CASE WHEN r.t > best.t_star THEN 1 END)
+        |    AS mean_after
+        |FROM r JOIN best ON best.k = r.k AND best.rn = 1
+        |GROUP BY r.k ORDER BY event_type""".stripMargin,
+
     // q391 oracle: the same two-stage pick — per-lang rank cap, then
     // the global top-50 under the identical total order
     "q391_capped_topk" ->
@@ -16886,6 +17189,17 @@ object SparkEntry {
         |FROM orders
         |WHERE year(o_orderdate) = 1997 OR year(o_orderdate) >= 1999
         |GROUP BY 1 ORDER BY y""".stripMargin,
+
+    // q399 oracle: the same trunc predicates evaluated directly
+    // (DuckDB's date_trunc on a zone-free timestamp ≡ Spark's under
+    // the pinned UTC session)
+    "q399_trunc_gate" ->
+      """SELECT date_trunc('day', ts) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-10 00:00:00'
+        |   OR date_trunc('hour', ts) >= TIMESTAMP '2024-01-28 12:00:00'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     // q389 oracle: day-grain expansion — every base day not covered
     // by a same-key blackout, re-islanded per base row (independent

@@ -623,6 +623,121 @@ object Features {
         col("z2_ppm")): _*)
   }
 
+  /** Pettitt change-point test (X380) — the nonparametric
+    * single-break locator that is the standard first tool in climate
+    * series homogenization (station moves, sensor swaps, shield
+    * changes — exactly the breaks the reference's tower record
+    * accumulates): per group, over the `orderCol` time order,
+    * U_t = Σ_{i≤t} Σ_{j>t} sign(xᵢ − xⱼ), and the candidate break is
+    * the t maximizing |U_t|. Computed WITHOUT the textbook O(n²) pair
+    * scan via the exact mid-rank identity
+    * `U_t = Σ_{i≤t} 2·mr(xᵢ) − t(n+1)` (2·mr = 2·rank + ties − 1 is
+    * always integral; the i,j≤t half cancels by antisymmetry), so the
+    * whole test is two window sorts over ONE key exchange — integer
+    * arithmetic end to end, bit-identical in any engine. Ties in
+    * |U_t| break to the SMALLEST t (deterministic, the dbscan min-id
+    * discipline); order ties within a group break by value (document
+    * upstream regrid if exact reproducibility across engines matters
+    * there). Groups with n < 2 have no interior split and drop; null
+    * order/value rows drop. No p-value by design (the chiSquare
+    * no-CDF contract — 2·exp(−6K²/(n³+n²)) needs libm); `k_abs` and
+    * `n` carry everything a threshold needs. Output: (group…, `n`,
+    * `t_star` 1-based, `change_at` = orderCol value at t*, `u_stat` =
+    * U_{t*} signed, `k_abs` = |U_{t*}|).
+    *
+    * Scale shape: one hash exchange on the group key shared by the
+    * value-rank window, the time-prefix window, and the final
+    * aggregate; prefix sums ride decimal(38,0) (Σ2mr ≤ n(2n+1) —
+    * LongType would wrap past n ≈ 2·10⁹/group), outputs cast back to
+    * long (exact while |U| < 2⁶³, i.e. n ≲ 3·10⁹/group). O(1) state
+    * per row, no pair materialization, no driver-side loop.
+    */
+  def pettitt(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty,
+      "pettitt needs group columns (use a literal for one group)")
+    val d38 = DecimalType(38, 0)
+    val gs = groupCols.map(col)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__v"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs :+ col("__v"): _*)
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__o"), col("__v"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*)
+    val ranked = df
+      .filter(orderCol.isNotNull && valueCol.isNotNull)
+      .select(gs :+ orderCol.as("__o") :+
+        valueCol.cast("double").as("__v"): _*)
+      // 2·midrank = 2·rank + ties − 1: integral even where the
+      // mid-rank itself is x.5
+      .withColumn("__mr2", lit(2L) * rank().over(wv).cast("long") +
+        count(lit(1)).over(wt) - 1L)
+      .withColumn("__t", row_number().over(wo).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wg))
+      // ROWS frame, not the default RANGE: duplicate (o, v) rows are
+      // interchangeable (equal __mr2) but must count once each
+      .withColumn("__u", sum(col("__mr2").cast(d38)).over(
+          wo.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow))
+        - col("__t").cast(d38) * (col("__n") + 1L))
+    ranked
+      .filter(col("__t") < col("__n")) // t = n: U_n ≡ 0, not a split
+      .groupBy(gs: _*)
+      .agg(max(col("__n")).as("n"),
+        // max |U|, smallest t on ties: lexicographic struct min
+        min(struct((-abs(col("__u"))).as("nk"), col("__t").as("t"),
+          col("__u").as("u"), col("__o").as("o"))).as("__best"))
+      .select(gs ++ Seq(col("n"),
+        col("__best.t").as("t_star"),
+        col("__best.o").as("change_at"),
+        col("__best.u").cast("long").as("u_stat"),
+        abs(col("__best.u")).cast("long").as("k_abs")): _*)
+  }
+
+  /** Seasonal Mann–Kendall (X381) — Hirsch–Slack's fix for the
+    * failure mode that invalidates plain [[mannKendall]] on
+    * meteorological series: an annual cycle manufactures rank trend
+    * within the year, so compare only LIKE WITH LIKE — run MK
+    * separately inside each season stratum (month, hour-of-day, …)
+    * and sum the per-season S and var18 (independent under the null,
+    * so both add exactly), then the same signed continuity-corrected
+    * `z2_ppm = sign(S)·⌊(|S|−1)²·18·10⁶ div Σvar18⌋`. All integer —
+    * the per-season kernels are [[mannKendall]]'s O(n log n)
+    * mergesort form, never the pair loop. Degenerate totals (n < 2 or
+    * Σvar18 ≤ 0) emit null z2_ppm with the counts still visible.
+    * Output: (group…, `n_seasons`, `n`, `s`, `var18`, `z2_ppm`).
+    *
+    * Scale shape: exactly [[mannKendall]]'s — one key exchange at
+    * (group, season) grain, whose in-plan maxGroupSize guard now
+    * bounds the SEASON stratum (each is ~n/#seasons), plus one
+    * group-grain rollup. The rollup reuses nothing bigger than
+    * |groups|·|seasons| rows.
+    */
+  def seasonalMannKendall(df: DataFrame, groupCols: Seq[String],
+      seasonCol: Column, orderCol: Column, valueCol: Column,
+      maxGroupSize: Int = 1000000): DataFrame = {
+    import graft.functions.Exact.longDiv
+    val d38 = DecimalType(38, 0)
+    val per = mannKendall(
+      df.filter(seasonCol.isNotNull)
+        .withColumn("__season", seasonCol),
+      groupCols :+ "__season", orderCol, valueCol, maxGroupSize)
+    per.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_seasons"), sum(col("n")).as("n"),
+        sum(col("s")).as("s"), sum(col("var18")).as("var18"))
+      .withColumn("z2_ppm",
+        when(col("n") >= 2L && col("var18") > 0L,
+          when(col("s") === 0L, 0L).otherwise(
+            when(col("s") < 0L, lit(-1L)).otherwise(lit(1L)) *
+              longDiv(
+                (abs(col("s")) - 1L).cast(d38) * (abs(col("s")) - 1L) *
+                  18000000L,
+                col("var18")))))
+  }
+
   /** Per-group Gini impurity of a label column in EXACT integer ppm —
     * the class-balance signal over training labels (a stratum whose
     * impurity collapsed is one class repeated; one whose impurity

@@ -2237,22 +2237,26 @@ object Graph {
     * their ≤rounds-hop IN-neighborhood trees are isomorphic (the 1-WL
     * test — the standard structural signature for graph dedup,
     * role discovery, and GNN expressiveness audits). Each round every
-    * node's color becomes `md5(ownColor # sorted in-neighbor colors)`
-    * truncated to 16 hex chars; colors start uniform, so round r
-    * encodes exactly the depth-r unfolding. The hash chain is a pure
-    * string function — same colors on any engine, any partitioning
-    * (the deterministicWalks reproducibility discipline); at 16 hex
-    * chars (64 bits) a collision among |V| classes is ~|V|²/2⁶⁵ —
-    * negligible and, being content-addressed, identical everywhere.
+    * node's color becomes `md5(ownColor # fold(in-neighbor colors))`
+    * truncated to 16 hex chars, where the fold is a COMMUTATIVE hash
+    * sum — each neighbor color hashes to the 60-bit integer
+    * `conv(substr(md5(color),1,15),16,10)` and the per-node state is
+    * the exact decimal(38,0) SUM of those values. Equal multisets sum
+    * equal ALWAYS (1-WL never over-refines); distinct multisets
+    * collide with probability ~2⁻⁶⁰ per comparison (w.h.p.
+    * 1-WL-distinguishing), and being content-addressed the chain is
+    * identical on any engine, any partitioning (the
+    * deterministicWalks reproducibility discipline). Colors start
+    * uniform, so round r encodes exactly the depth-r unfolding.
     * Self-loops count as in-neighbors; duplicate edges collapse;
     * null endpoints drop. Output: (`node`, `wl_color`).
     *
     * Scale shape: per round ONE |E|-grain equi-join shipping colors
-    * along edges + one node-grain sorted-list aggregate (per-task
-    * sort is in-degree-sized), checkpointed per round with superseded
-    * frames released — the CC loop discipline. In-degree hubs bound
-    * the aggregate's task size exactly as they bound the true neighbor
-    * list; no driver-side state.
+    * along edges + one node-grain map-side-combined SUM — O(1) state
+    * per node, so a 10⁸-in-degree hub costs one accumulator, not a
+    * multi-GB sorted-list row (the fat-row failure mode the sorted
+    * collect_list form had) — checkpointed per round with superseded
+    * frames released, the CC loop discipline. No driver-side state.
     */
   def wlRefinement(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
@@ -2269,21 +2273,29 @@ object Graph {
     var colors = nodes.select(col("node"), lit("0").as("wl_color"))
     var prev: DataFrame = null
     (1 to rounds).foreach { _ =>
+      // commutative O(1)-state fold: 60-bit hash per neighbor color,
+      // exact decimal(38,0) sum (no LongType wrap — DuckDB's hugeint
+      // sum agrees bit-for-bit); map-side combines, hub-safe
       val nb = e
         .join(colors, e("__s") === colors("node"))
         .groupBy(e("__d").as("node"))
-        .agg(array_join(sort_array(collect_list(col("wl_color"))), ",")
-          .as("__nb"))
+        .agg(sum(conv(substring(md5(col("wl_color")), 1, 15), 16, 10)
+          .cast("decimal(38,0)")).as("__nb"))
       val next = colors.select(col("node"), col("wl_color"))
         .join(nb, Seq("node"), "left")
         .select(col("node"),
           substring(md5(concat(col("wl_color"), lit("#"),
-            coalesce(col("__nb"), lit("")))), 1, 16).as("wl_color"))
+            coalesce(col("__nb").cast("string"), lit("")))), 1, 16)
+            .as("wl_color"))
         .localCheckpoint(true)
       if (prev != null) Checkpoints.release(prev)
       prev = colors
       colors = next
     }
+    // colors is eagerly checkpointed — prev (the penultimate round)
+    // and e/nodes are all safe to release; only the returned final
+    // frame stays pinned
+    if (prev != null) Checkpoints.release(prev)
     Checkpoints.release(e, nodes)
     colors
   }
@@ -2366,6 +2378,61 @@ object Graph {
   def harmonicCentrality(edges: DataFrame, srcCol: String,
       dstCol: String, maxHops: Int,
       maxPairs: Long = 100000000L): DataFrame = {
+    val (nodes, settled) = allPairsSettled(edges, srcCol, dstCol,
+      maxHops, maxPairs, "harmonicCentrality")
+    val out = settled.filter(col("__dist") > 0L)
+      .groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(graft.functions.Exact.longDiv(lit(1000000L), col("__dist")))
+          .as("harmonic_ppm"))
+    nodes.join(out, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("harmonic_ppm"), lit(0L)).as("harmonic_ppm"))
+  }
+
+  /** Eccentricity profile over bounded-reach digraphs (X382) — per
+    * node, `ecc` = the maximum hop distance to anything it reaches
+    * within `maxHops` and `n_reached` = how much that is: the
+    * all-pairs face of the radius/diameter question ("how deep is
+    * this dependency DAG / session graph / ego network from here"),
+    * with graph radius = min ecc and diameter = max ecc over nodes
+    * that reach the whole component — derivable by the caller from
+    * this frame. Same exact BFS state as [[harmonicCentrality]]
+    * (shared loop: (source, node) first-arrival layering, per-round
+    * `maxPairs` audit that RAISES rather than OOMs), same
+    * bounded-reach contract; nodes reaching nothing emit (0, 0).
+    * Output: (`node`, `ecc`, `n_reached`).
+    *
+    * Scale shape: [[harmonicCentrality]]'s — per hop one pairs-grain
+    * equi-join + one anti-join, source-partitioned so the max/count
+    * rollup is map-side combined.
+    */
+  def eccentricity(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int, maxPairs: Long = 100000000L): DataFrame = {
+    val (nodes, settled) = allPairsSettled(edges, srcCol, dstCol,
+      maxHops, maxPairs, "eccentricity")
+    val out = settled.filter(col("__dist") > 0L)
+      .groupBy(col("__src").as("node"))
+      .agg(max(col("__dist")).as("ecc"),
+        count(lit(1)).as("n_reached"))
+    nodes.join(out, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("ecc"), lit(0L)).as("ecc"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"))
+  }
+
+  /** Shared exact-BFS state for [[harmonicCentrality]] and
+    * [[eccentricity]]: first-arrival (source, node, dist) pairs within
+    * `maxHops`, self at distance 0 included. Returns (nodes, settled),
+    * both eagerly checkpointed and left pinned (they back the caller's
+    * returned frame); every superseded per-round frame is released
+    * before returning — the bfsDistances loop discipline
+    * (Graph.scala:1411-1429).
+    */
+  private def allPairsSettled(edges: DataFrame, srcCol: String,
+      dstCol: String, maxHops: Int, maxPairs: Long,
+      opName: String): (DataFrame, DataFrame) = {
     require(maxHops >= 1 && maxHops <= 64, s"maxHops in [1, 64]: $maxHops")
     val e = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
@@ -2405,21 +2472,20 @@ object Graph {
         settled = grown
         val n = settled.count()
         if (n > maxPairs) throw new IllegalStateException(
-          s"harmonicCentrality: (source, node) state $n exceeds " +
+          s"$opName: (source, node) state $n exceeds " +
             s"maxPairs=$maxPairs at hop $h — this exact form is for " +
             "bounded-reach graphs; use neighborhoodSketch for " +
             "unbounded link graphs")
       }
       h += 1
     }
-    val out = settled.filter(col("__dist") > 0L)
-      .groupBy(col("__src").as("node"))
-      .agg(count(lit(1)).as("n_reached"),
-        sum(graft.functions.Exact.longDiv(lit(1000000L), col("__dist")))
-          .as("harmonic_ppm"))
-    nodes.join(out, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
-        coalesce(col("harmonic_ppm"), lit(0L)).as("harmonic_ppm"))
+    // release everything the caller's frame will not reference:
+    // e, the superseded settled/frontier, and the final (empty)
+    // frontier — keeping settled and nodes, which back the output
+    Checkpoints.release(e)
+    if (prevSettled != null) Checkpoints.release(prevSettled)
+    if (prevFrontier != null) Checkpoints.release(prevFrontier)
+    if (frontier ne settled) Checkpoints.release(frontier)
+    (nodes, settled)
   }
 }

@@ -81,7 +81,11 @@ object ContainsOrRewrite extends Rule[LogicalPlan] with PredicateHelper {
           if c.deterministic && s.numChars() > 0 =>
         Some((c, s.toString))
       case Like(c, Literal(p: UTF8String, StringType), esc)
-          if c.deterministic =>
+          if c.deterministic && esc != '%' =>
+        // esc == '%' would make the wrapping percents ESCAPE chars,
+        // not wildcards — '%a%' ESCAPE '%' is an invalid pattern that
+        // Spark raises on; rewriting it to contains() would silently
+        // turn that error into a result
         val s = p.toString
         if (s.length > 2 && s.startsWith("%") && s.endsWith("%")) {
           val inner = s.substring(1, s.length - 1)

@@ -1,0 +1,267 @@
+package graft.plans
+
+import java.time.{DayOfWeek, LocalDate, LocalDateTime, ZoneOffset}
+import java.time.temporal.TemporalAdjusters
+
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, TruncDate, TruncTimestamp}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DataType, DateType, StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rewrites the natural-but-UNSARGABLE truncation predicate —
+  * `trunc(d, unit) <op> literal` / `date_trunc(unit, ts) <op>
+  * literal` — into the equivalent raw range comparison: the SIXTH
+  * optimizer rule, generalizing [[YearRangeRewrite]] from the year
+  * field to the whole truncation lattice. `date_trunc('day', ts) =
+  * TIMESTAMP '2021-08-15 00:00:00'` is how analysts spell "that day",
+  * and like `year(d)` it is opaque to every pruning layer (partition
+  * pruning, parquet row-group stats, min/max skipping all see a
+  * function of the column); the rewritten
+  * `ts >= T '2021-08-15' AND ts < T '2021-08-16'` pushes down
+  * verbatim and prunes before a byte is read.
+  *
+  * Truncation T is monotone and idempotent onto unit-aligned values,
+  * so with `floor(L)` = the aligned floor of the literal,
+  * `next(·)` = +1 unit, and `ceil(L)` = L if aligned else
+  * next(floor(L)):
+  *
+  *   - `T(x) =  L` → `x >= L AND x < next(L)`   (aligned L only —
+  *     an unaligned equality is vacuous-or-null and is left alone)
+  *   - `T(x) >  L` → `x >= next(floor(L))`
+  *   - `T(x) >= L` → `x >= ceil(L)`
+  *   - `T(x) <  L` → `x <  ceil(L)`
+  *   - `T(x) <= L` → `x <  next(floor(L))`
+  *
+  * (mirrors for the literal on the left). A null x makes both forms
+  * null — every comparison null-propagates and `AND(null, null)` is
+  * null — so three-valued semantics are preserved anywhere in the
+  * expression tree.
+  *
+  * Exactness without timezone risk: the DATE lane
+  * (`trunc(d, 'year'|'quarter'|'month'|'week')`) is pure calendar
+  * arithmetic. The TIMESTAMP lane fires only when `date_trunc`'s
+  * resolved zone is a FIXED OFFSET (UTC, +05:30, …): there truncation
+  * boundaries are a constant shift of wall time and the range form is
+  * exact for every instant, while under a DST zone the boundaries
+  * move twice a year — a rule exact in UTC but wrong one hour a year
+  * in America/Santiago is not a rewrite, it is a bug factory, so
+  * region zones are deliberately NOT rewritten. Within the fixed lane
+  * both children rewrite: a plain TIMESTAMP column compares against
+  * instant literals, and the `Cast(ntz AS TIMESTAMP)` the analyzer
+  * inserts under `date_trunc(ntz)` unwraps to a DIRECT ntz wall-clock
+  * boundary (same fixed offset required on the cast; the cast is
+  * monotone bijective there, and Spark will not unwrap an ntz cast
+  * itself — the YearRangeRewrite lesson: a residual cast blocks
+  * parquet pushdown entirely). Literal years are bounded to [1, 9998]
+  * (headroom for next()); unit strings follow Spark's aliases
+  * (YEAR/YYYY/YY, QUARTER, MONTH/MON/MM, WEEK, DAY/DD, HOUR, MINUTE,
+  * SECOND, MILLISECOND, MICROSECOND — sub-day units on the timestamp
+  * lane only, matching date_trunc itself); unknown units (where trunc
+  * returns null) are left alone. Only deterministic children rewrite.
+  * Disable with `spark.graft.rewriteTruncRange=false`.
+  */
+object TruncRangeRewrite extends Rule[LogicalPlan] {
+
+  private val usPer = Map(
+    "microsecond" -> 1L, "millisecond" -> 1000L,
+    "second" -> 1000000L, "minute" -> 60000000L,
+    "hour" -> 3600000000L, "day" -> 86400000000L)
+
+  private def canon(fmt: String): Option[String] =
+    fmt.toLowerCase(java.util.Locale.ROOT) match {
+      case "year" | "yyyy" | "yy" => Some("year")
+      case "quarter" => Some("quarter")
+      case "month" | "mon" | "mm" => Some("month")
+      case "week" => Some("week")
+      case "day" | "dd" => Some("day")
+      case "hour" => Some("hour")
+      case "minute" => Some("minute")
+      case "second" => Some("second")
+      case "millisecond" => Some("millisecond")
+      case "microsecond" => Some("microsecond")
+      case _ => None
+    }
+
+  /** Aligned floor and its successor for a DateType literal (epoch
+    * days), calendar units only. None outside the year guard.
+    */
+  private def dateFloorNext(days: Int, unit: String): Option[(Int, Int)] = {
+    val d = LocalDate.ofEpochDay(days.toLong)
+    if (d.getYear < 1 || d.getYear > 9998) return None
+    val f = unit match {
+      case "year" => d.withDayOfYear(1)
+      case "quarter" => d.withDayOfMonth(1)
+        .withMonth(d.getMonthValue - ((d.getMonthValue - 1) % 3))
+      case "month" => d.withDayOfMonth(1)
+      case "week" => d.`with`(TemporalAdjusters
+        .previousOrSame(DayOfWeek.MONDAY))
+      case _ => return None
+    }
+    val n = unit match {
+      case "year" => f.plusYears(1)
+      case "quarter" => f.plusMonths(3)
+      case "month" => f.plusMonths(1)
+      case "week" => f.plusWeeks(1)
+    }
+    Some((f.toEpochDay.toInt, n.toEpochDay.toInt))
+  }
+
+  /** Aligned floor and successor for a TIMESTAMP_NTZ literal (wall
+    * micros): mod arithmetic for sub-day units, calendar arithmetic
+    * above. None outside the year guard.
+    */
+  private def ntzFloorNext(us: Long, unit: String): Option[(Long, Long)] =
+    usPer.get(unit) match {
+      case Some(step) =>
+        val f = Math.floorDiv(us, step) * step
+        Some((f, f + step))
+      case None =>
+        val sec = Math.floorDiv(us, 1000000L)
+        val ldt = LocalDateTime.ofEpochSecond(sec,
+          (Math.floorMod(us, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+        if (ldt.getYear < 1 || ldt.getYear > 9998) return None
+        val d = ldt.toLocalDate
+        dateFloorNext(d.toEpochDay.toInt, unit).map { case (fd, nd) =>
+          (fd.toLong * 86400000000L, nd.toLong * 86400000000L)
+        }
+    }
+
+  /** The zone string, resolved to a fixed offset when it is one
+    * (UTC, Z, +05:30, Etc/GMT+n, …) — None for region zones whose
+    * offset moves with DST.
+    */
+  private def fixedOffset(zid: String): Option[ZoneOffset] =
+    try java.time.ZoneId.of(zid).normalized() match {
+      case o: ZoneOffset => Some(o)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One rewritable truncation: `x` is the raw column the range lands
+    * on, `lit2bounds` maps the comparand's raw value to
+    * (floor, next, aligned) literals of x's comparison type.
+    */
+  private final case class Lane(x: Expression, litType: DataType,
+      toBounds: Any => Option[(Expression, Expression, Boolean)])
+
+  /** trunc/date_trunc of a deterministic child with a known literal
+    * unit, on the exactly-rewritable lanes (date; timestamp under a
+    * fixed-offset zone, incl. the analyzer's ntz cast — unwrapped).
+    */
+  private object TruncOf {
+    def unapply(e: Expression): Option[Lane] = e match {
+      case TruncDate(d, Literal(f: UTF8String, StringType))
+          if d.dataType == DateType && d.deterministic =>
+        canon(f.toString)
+          .filter(u => Set("year", "quarter", "month", "week")(u))
+          .map { u =>
+            Lane(d, DateType, {
+              case days: Int =>
+                dateFloorNext(days, u).map { case (fl, nx) =>
+                  (Literal(fl, DateType), Literal(nx, DateType),
+                    fl == days)
+                }
+              case _ => None
+            })
+          }
+      case t @ TruncTimestamp(Literal(f: UTF8String, StringType),
+          child, _) if child.deterministic =>
+        for {
+          u <- canon(f.toString)
+          off <- fixedOffset(t.timeZoneId
+            .getOrElse(conf.sessionLocalTimeZone))
+          offUs = off.getTotalSeconds.toLong * 1000000L
+          lane <- child match {
+            case Cast(ntz, TimestampType, castZid, _)
+                if ntz.dataType == TimestampNTZType &&
+                  // the cast must shift by the SAME fixed offset
+                  fixedOffset(castZid
+                    .getOrElse(conf.sessionLocalTimeZone))
+                    .contains(off) =>
+              // direct wall-clock boundary on the unwrapped ntz
+              // column (cast ntz→ltz at a fixed offset is monotone
+              // bijective; Spark never unwraps the ntz cast itself)
+              Some(Lane(ntz, TimestampType, {
+                case us: Long =>
+                  ntzFloorNext(us + offUs, u).map { case (fl, nx) =>
+                    (Literal(fl, TimestampNTZType),
+                      Literal(nx, TimestampNTZType),
+                      fl == us + offUs)
+                  }
+                case _ => None
+              }))
+            case ts if ts.dataType == TimestampType =>
+              Some(Lane(ts, TimestampType, {
+                case us: Long =>
+                  ntzFloorNext(us + offUs, u).map { case (fl, nx) =>
+                    (Literal(fl - offUs, TimestampType),
+                      Literal(nx - offUs, TimestampType),
+                      fl == us + offUs)
+                  }
+                case _ => None
+              }))
+            case _ => None
+          }
+        } yield lane
+      case _ => None
+    }
+  }
+
+  /** The five shapes on (T(x), L); None when no exact rewrite exists
+    * (unaligned equality, unmappable literal).
+    */
+  private def rewrite(lane: Lane, lit: Any,
+      shape: String): Option[Expression] =
+    lane.toBounds(lit).flatMap { case (fl, nx, aligned) =>
+      val ceil = if (aligned) fl else nx
+      shape match {
+        case "eq" =>
+          if (aligned)
+            Some(And(GreaterThanOrEqual(lane.x, fl),
+              LessThan(lane.x, nx)))
+          else None
+        case "gt" => Some(GreaterThanOrEqual(lane.x, nx))
+        case "ge" => Some(GreaterThanOrEqual(lane.x, ceil))
+        case "lt" => Some(LessThan(lane.x, ceil))
+        case "le" => Some(LessThan(lane.x, nx))
+      }
+    }
+
+  private object Lit {
+    def unapply(e: Expression): Option[(Any, DataType)] = e match {
+      case Literal(v, t) if v != null => Some((v, t))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.rewriteTruncRange", "true")
+        .toBoolean) plan
+    else plan.transformAllExpressions {
+      case e @ EqualTo(TruncOf(l), Lit(v, t)) if t == l.litType =>
+        rewrite(l, v, "eq").getOrElse(e)
+      case e @ EqualTo(Lit(v, t), TruncOf(l)) if t == l.litType =>
+        rewrite(l, v, "eq").getOrElse(e)
+      case e @ GreaterThan(TruncOf(l), Lit(v, t)) if t == l.litType =>
+        rewrite(l, v, "gt").getOrElse(e)
+      case e @ GreaterThanOrEqual(TruncOf(l), Lit(v, t))
+          if t == l.litType =>
+        rewrite(l, v, "ge").getOrElse(e)
+      case e @ LessThan(TruncOf(l), Lit(v, t)) if t == l.litType =>
+        rewrite(l, v, "lt").getOrElse(e)
+      case e @ LessThanOrEqual(TruncOf(l), Lit(v, t))
+          if t == l.litType =>
+        rewrite(l, v, "le").getOrElse(e)
+      // literal-on-the-left mirrors: flip the comparison
+      case e @ GreaterThan(Lit(v, t), TruncOf(l)) if t == l.litType =>
+        rewrite(l, v, "lt").getOrElse(e)
+      case e @ GreaterThanOrEqual(Lit(v, t), TruncOf(l))
+          if t == l.litType =>
+        rewrite(l, v, "le").getOrElse(e)
+      case e @ LessThan(Lit(v, t), TruncOf(l)) if t == l.litType =>
+        rewrite(l, v, "gt").getOrElse(e)
+      case e @ LessThanOrEqual(Lit(v, t), TruncOf(l))
+          if t == l.litType =>
+        rewrite(l, v, "ge").getOrElse(e)
+    }
+}

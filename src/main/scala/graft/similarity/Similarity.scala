@@ -1075,6 +1075,94 @@ object Similarity {
       round(col("__d2"), 6).as("d2_r6"))
   }
 
+  /** Maximal Marginal Relevance selection (X383) — Carbonell–
+    * Goldstein's greedy diversified top-k, the standard re-ranker
+    * between retrieval and a context window ("most relevant results
+    * that are not copies of each other" — RAG context packing,
+    * deduped search results, diverse few-shot pools): repeatedly pick
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` until k items are
+    * selected. EXACT integer arithmetic end to end: λ arrives in ppm,
+    * relevance is a caller-supplied integer column, similarity is the
+    * long dot product over milli-quantized vectors (⌊1000·v⌋ — the
+    * kmeansExact grid), `max over ∅ = 0` (the seed is pure
+    * relevance — the MMR convention), and ties break to the smallest
+    * id — so the selection ORDER, the product here, is bit-identical
+    * in any engine (the farthestPoints portability contract). Exact
+    * while λppm·|rel| and (10⁶−λppm)·|sim| stay under 2⁶²: |rel|,
+    * |sim| ≲ 4·10¹² — far past milli-quantized embedding dots.
+    * Output one row per pick: (`sel_rank`, `item`, `mmr_score`).
+    *
+    * Scale shape: [[farthestPoints]]'s exactly — k map-only scans of
+    * the point table (one broadcast-literal picked vector + one
+    * `greatest` per round maintains max-sim-to-selected in O(1) per
+    * row), each round moving ONE row to the driver
+    * (TakeOrderedAndProject argmax); the running frame is
+    * checkpointed per round with the predecessor released. Never a
+    * k×n join, never a data collect. k is budgeted at 256 — MMR is a
+    * context-window re-ranker, not a clustering.
+    */
+  def mmrSelect(df: DataFrame, idCol: Column, vecCol: Column,
+      relCol: Column, k: Int, lambdaPpm: Long = 700000L): DataFrame = {
+    require(k >= 1 && k <= 256, s"k in [1, 256]: $k")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      s"lambdaPpm in [0, 1000000]: $lambdaPpm")
+    val spark = df.sparkSession
+    val mu = 1000000L - lambdaPpm
+    var cur = df
+      .filter(idCol.isNotNull && vecCol.isNotNull && relCol.isNotNull &&
+        size(vecCol) > 0)
+      .select(idCol.as("__id"),
+        transform(vecCol,
+          x => floor(x.cast("double") * 1000.0d).cast("long"))
+          .as("__q"),
+        relCol.cast("long").as("__rel"))
+      // nullable running max-sim: null = "nothing selected yet", so a
+      // NEGATIVE max similarity survives (greatest() skips nulls; a 0
+      // seed would silently clamp anti-correlated candidates to 0)
+      .withColumn("__ms", lit(null).cast("long"))
+      .localCheckpoint(true)
+    def simTo(picked: Array[Long]): Column =
+      aggregate(zip_with(col("__q"), typedLit(picked), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Any, Long)]
+    val pickedIds = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val top = cur
+        .filter(if (pickedIds.isEmpty) lit(true)
+          else !col("__id").isin(pickedIds.toSeq: _*))
+        .withColumn("__score",
+          lit(lambdaPpm) * col("__rel") -
+            lit(mu) * coalesce(col("__ms"), lit(0L)))
+        .orderBy(col("__score").desc, col("__id"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val row = top.head
+        picked += ((r.toLong, row.get(0), row.getLong(4)))
+        pickedIds += row.get(0)
+        val next = cur
+          .withColumn("__ms", greatest(col("__ms"),
+            simTo(row.getSeq[Long](1).toArray)))
+          .localCheckpoint(true)
+        graft.ops.Checkpoints.release(cur)
+        cur = next
+        r += 1
+      }
+    }
+    graft.ops.Checkpoints.release(cur)
+    val idType = df.select(idCol).schema.head.dataType
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(picked.toSeq.map {
+        case (a, b, s) => org.apache.spark.sql.Row(a, b, s) }, 1),
+      StructType(Seq(StructField("sel_rank", LongType, nullable = false),
+        StructField("item", idType),
+        StructField("mmr_score", LongType, nullable = false))))
+  }
+
   /** Johnson–Lindenstrauss random projection (X347) — the standard
     * dimensionality-reduction front end for embedding work at scale:
     * project d-dim vectors onto k ≪ d pseudo-random ±1 directions
@@ -1148,16 +1236,20 @@ object Similarity {
     * silhouette dissimilarity choice that keeps it that way (a √
     * would leave IEEE-exactness).
     *
-    * Silhouette is inherently all-pairs, so this EXACT form budgets:
-    * `maxRows` raises past its bound (refuse, don't OOM — the
-    * Theil–Sen contract; sampled silhouette at scale is the caller's
-    * X24 deterministic-sample composition upstream). The sums
-    * aggregate at (point, cluster) grain map-side, so the pair volume
-    * streams through one equi-free blocked join without materializing.
+    * Silhouette is inherently all-pairs — the `__id =!= __id2` join
+    * plans as a nested loop — so this EXACT form budgets on the PAIR
+    * count, the quantity that is actually quadratic: `maxPairs`
+    * raises once n·n exceeds it (refuse, don't OOM — the Theil–Sen
+    * contract; sampled silhouette at scale is the caller's X24
+    * deterministic-sample composition upstream). The default 10⁸
+    * pairs ≈ 10 000 rows — a row budget would admit a 4×10¹⁰-pair
+    * nested loop long before its own guard fired. The sums aggregate
+    * at (point, cluster) grain map-side, so the pair volume streams
+    * through one equi-free blocked join without materializing.
     */
   def silhouette(df: DataFrame, idCol: String, quantizeCol: Column,
-      clusterCol: Column, maxRows: Long = 200000L): DataFrame = {
-    require(maxRows >= 2, s"maxRows must be >= 2: $maxRows")
+      clusterCol: Column, maxPairs: Long = 100000000L): DataFrame = {
+    require(maxPairs >= 4, s"maxPairs must be >= 4: $maxPairs")
     val base = df.select(col(idCol).as("__id"),
         quantizeCol.cast("array<long>").as("__v"),
         clusterCol.cast("string").as("__c"))
@@ -1165,10 +1257,12 @@ object Similarity {
         col("__c").isNotNull)
       .localCheckpoint(true)
     val n = base.count()
-    if (n > maxRows) throw new IllegalStateException(
-      s"silhouette: $n rows exceeds maxRows=$maxRows — exact " +
-        "silhouette is all-pairs; sample deterministically upstream " +
-        "(X24) or raise the budget")
+    // overflow-safe n·n > maxPairs (n can exceed sqrt(Long.MaxValue))
+    if (n > 1L && n > maxPairs / n) throw new IllegalStateException(
+      s"silhouette: $n rows = ${java.math.BigInteger.valueOf(n).pow(2)}" +
+        s" pairs exceeds maxPairs=$maxPairs — exact silhouette is " +
+        "all-pairs; sample deterministically upstream (X24) or raise " +
+        "the budget")
     val sizes = base.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
     val other = base.select(col("__id").as("__id2"),
       col("__v").as("__v2"), col("__c").as("__c2"))
@@ -1194,8 +1288,11 @@ object Similarity {
       .select(col("__c"),
         when(col("__a").isNull || col("__b").isNull ||
             greatest(col("__a"), col("__b")) === 0L, lit(0L))
+          // decimal(38,0) numerator: a/b are mean squared-L2 values
+          // that can exceed ~9.2e12 on high-dim/coarse grids, where
+          // (b−a)·10⁶ would silently wrap in LongType (non-ANSI)
           .otherwise(graft.functions.Exact.longDiv(
-            (col("__b") - col("__a")) * 1000000L,
+            (col("__b").cast("decimal(38,0)") - col("__a")) * 1000000L,
             greatest(col("__a"), col("__b"))).cast("long"))
           .as("__s"))
     s.groupBy(col("__c").as("cluster"))

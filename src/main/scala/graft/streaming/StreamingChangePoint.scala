@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming mean-shift detector per key (SURVEY §2.7, the 28th
+  * operator) — the live face of [[graft.ops.Features.pettitt]]: a
+  * sensor swap, shield change, or datum shift moves a channel's LEVEL
+  * without tripping any per-reading gate (each new value is
+  * individually plausible — hard limits and spike tests both pass).
+  * The Pettitt statistic over a trailing window catches exactly this:
+  * per key, keep the most recent `window` readings and compute
+  * U_t = Σ_{i≤t} Σ_{j>t} sign(xᵢ − xⱼ) via the exact mid-rank
+  * identity (U_t = Σ_{i≤t} 2·mr(xᵢ) − t(n+1) — integer arithmetic
+  * end to end, the batch operator's algebra verbatim), flagging when
+  * the normalized peak `k_ppm = ⌊max|U_t|·4·10⁶ / n²⌋` (max |U| over
+  * a clean split is ~n²/4, so k_ppm ∈ [0, 10⁶]) reaches
+  * `thresholdPpm`.
+  *
+  * Readings fold in (ts, value) order within a batch; across batches
+  * the per-key event-time-ordered delivery contract applies (the
+  * StreamingEwma/Funnel convention). Emits after every batch the key
+  * appears in: (key, n, change_ts — the last timestamp of the
+  * pre-shift segment at the maximizing split (largest-|U| then
+  * smallest-t tie-break, the batch operator's rule; the last seen ts
+  * while n < 2), k_ppm, shifted). State per key is the bounded
+  * ring buffer — `window` (ts, value) pairs whatever the stream
+  * volume, the StreamingQuantile bounded-state discipline. Update
+  * mode; timed-out keys drop state silently.
+  */
+object StreamingChangePoint {
+
+  /** Monitor state: the trailing readings, newest-last, ≤ window. */
+  final case class CpState(buf: List[(Long, Double)])
+
+  /** Exact Pettitt over a time-ordered array: (tStar index 1-based,
+    * changeTs, |U| max). Mid-rank identity, long arithmetic — exact
+    * for n ≤ 2²⁰ (Σ2mr ≤ n(2n+1)).
+    */
+  private[graft] def pettittK(
+      vals: Array[(Long, Double)]): (Int, Long, Long) = {
+    val n = vals.length
+    // 2·midrank = 2·rank + ties − 1 over the value order
+    val sorted = vals.map(_._2).sorted
+    def lowerBound(x: Double): Int = {
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sorted(mid) < x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    def upperBound(x: Double): Int = {
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sorted(mid) <= x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    var pre = 0L
+    var bestT = 1
+    var bestTs = vals.head._1
+    var bestK = -1L
+    var t = 0
+    while (t < n - 1) {
+      val v = vals(t)._2
+      val less = lowerBound(v).toLong
+      val ties = upperBound(v).toLong - less
+      pre += 2L * (less + 1L) + ties - 1L // 2·rank + ties − 1
+      val u = pre - (t + 1L) * (n + 1L)
+      val k = math.abs(u)
+      if (k > bestK) { bestK = k; bestT = t + 1; bestTs = vals(t)._1 }
+      t += 1
+    }
+    (bestT, bestTs, bestK)
+  }
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, (Long, Double)],
+      window: Int, thresholdPpm: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[CpState],
+      e: Encoder[(K, Long, Long, Long, Boolean)])
+      : Dataset[(K, Long, Long, Long, Boolean)] = {
+    require(window >= 4 && window <= 65536,
+      s"window in [4, 65536]: $window")
+    require(thresholdPpm >= 0L && thresholdPpm <= 1000000L,
+      s"thresholdPpm in [0, 1000000]: $thresholdPpm")
+    grouped.flatMapGroupsWithState[CpState,
+        (K, Long, Long, Long, Boolean)](OutputMode.Update, timeout) {
+      (key: K, events: Iterator[(Long, Double)],
+          state: GroupState[CpState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val incoming = events.toArray.sortBy(_._1)
+          val merged = (state.getOption.map(_.buf).getOrElse(Nil) ++
+            incoming).takeRight(window)
+          state.update(CpState(merged))
+          val arr = merged.toArray
+          val n = arr.length.toLong
+          if (n < 2L)
+            Iterator.single((key, n, arr.last._1, 0L, false))
+          else {
+            val (_, changeTs, kAbs) = pettittK(arr)
+            val kPpm = kAbs * 4000000L / (n * n)
+            Iterator.single((key, n, changeTs, kPpm,
+              kPpm >= thresholdPpm))
+          }
+        }
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

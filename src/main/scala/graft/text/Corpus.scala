@@ -1783,8 +1783,11 @@ object Corpus {
     * Scale shape: one corpus-grain token explode → ONE doc-keyed
     * window (per-task sort is document-sized) segments phrases as
     * position islands; word stats are a map-side-combined aggregate
-    * at vocabulary grain (broadcast back onto the phrase words —
-    * Heaps' law keeps it small); phrase scoring is one more
+    * at vocabulary grain, joined back onto the phrase words WITHOUT
+    * a broadcast hint — the distinct-word table is Heaps-small on a
+    * book but unbounded on a web corpus (hundreds of millions of
+    * terms at 100 TB), so AQE picks broadcast when it measures small
+    * and a plain shuffle join otherwise; phrase scoring is one more
     * map-side aggregate at phrase grain. The corpus text shuffles
     * once (the island window), everything after is phrase/vocab
     * grain.
@@ -1817,7 +1820,7 @@ object Corpus {
         graft.functions.Exact.longDiv(
           col("__deg").cast("decimal(38,0)") * 1000000L,
           col("__freq")).cast("long").as("__ws"))
-    val scored = words.join(broadcast(wstat), Seq("__w"))
+    val scored = words.join(wstat, Seq("__w"))
       .groupBy(col("__id"), col("__g"))
       .agg(sum(col("__ws")).as("__ps"))
       .join(phr, Seq("__id", "__g"))

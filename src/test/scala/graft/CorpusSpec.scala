@@ -920,4 +920,18 @@ class CorpusSpec extends SparkSpec {
       "deep net" -> ((2L, 4250000L)),
       "deep learning run" -> ((1L, 7750000L))))
   }
+
+  test("rakeKeywords: no forced broadcast of the vocabulary join — " +
+      "AQE owns the word-stats join strategy") {
+    import spark.implicits._
+    // the per-distinct-word stats table is unbounded at corpus scale
+    // (hundreds of millions of terms on a web corpus): a broadcast()
+    // hint there overrides AQE's size logic into a driver OOM. Pin
+    // that the plan carries NO join hint anywhere.
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val plan = graft.text.Corpus.rakeKeywords(docs, "text", "doc_id")
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("ResolvedHint") &&
+      !plan.contains("UnresolvedHint"), plan.take(2000))
+  }
 }

@@ -1589,6 +1589,56 @@ class FeaturesSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("pettitt: hand-computed U via the mid-rank identity, max |U| " +
+      "with smallest-t tie-break, ties in value handled, n<2 groups " +
+      "drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows =
+      // x: 1,2,1,2,8,9,8 — 2mr: 1→3, 2→7, 8→11, 9→14; prefix
+      // 3,10,13,20,31,45; U_t = pre − 8t = −5,−6,−11,−12,−9,−3
+      // → K=12 at t=4 (change_at = o of the 4th reading)
+      Seq(("x", 10L, 1d), ("x", 20L, 2d), ("x", 30L, 1d),
+        ("x", 40L, 2d), ("x", 50L, 8d), ("x", 60L, 9d),
+        ("x", 70L, 8d)) ++
+      // flat: all tied → U_t = 0 everywhere, smallest t wins
+      Seq(("flat", 1L, 5d), ("flat", 2L, 5d), ("flat", 3L, 5d)) ++
+      // solo: n = 1 → no interior split, group drops
+      Seq(("solo", 1L, 9d))
+    val got = graft.ops.Features.pettitt(rows.toDF("k", "o", "v"),
+        Seq("k"), col("o"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got("x") == ((7L, 4L, 40L, -12L, 12L)))
+    assert(got("flat") == ((3L, 1L, 1L, 0L, 0L)))
+    assert(!got.contains("solo"))
+  }
+
+  test("seasonalMannKendall: per-season S and var18 add exactly, z2 " +
+      "from the totals, opposing seasonal trends cancel to S=0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows =
+      // g: season A 1,2,3,4 (S=6, var18=4·3·13=156), season B 2,3,5
+      // (S=3, var18=66) → S=9, var18=222, n=7,
+      // z2 = floor(64·18e6/222) = 5_189_189
+      Seq(("g", "A", 0L, 1d), ("g", "A", 1L, 2d), ("g", "A", 2L, 3d),
+        ("g", "A", 3L, 4d),
+        ("g", "B", 0L, 2d), ("g", "B", 1L, 3d), ("g", "B", 2L, 5d)) ++
+      // cancel: A up 1,2,3 (S=3) vs B down 5,4,3 (S=−3) → S=0 → z2=0
+      Seq(("c", "A", 0L, 1d), ("c", "A", 1L, 2d), ("c", "A", 2L, 3d),
+        ("c", "B", 0L, 5d), ("c", "B", 1L, 4d), ("c", "B", 2L, 3d))
+    val got = graft.ops.Features.seasonalMannKendall(
+        rows.toDF("k", "season", "o", "v"),
+        Seq("k"), col("season"), col("o"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    assert(got("g") == ((2L, 7L, 9L, 222L, Some(5189189L))))
+    assert(got("c") == ((2L, 6L, 0L, 132L, Some(0L))))
+  }
+
   test("cochranArmitage: hand-stepped trend, sign, degenerate lanes") {
     import spark.implicits._
     def rows(s: Long, n: Int, a: Int) =

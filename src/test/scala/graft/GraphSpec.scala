@@ -816,6 +816,22 @@ class GraphSpec extends SparkSpec {
     assert(!Set(got("a"), got("b"), got("c")).contains(got("p")))
   }
 
+  test("wlRefinement: 10^6-in-degree hub refines with O(1) per-node " +
+      "state (commutative hash fold, no fat collect_list row)") {
+    // one node with a million in-neighbors — the sorted-list form
+    // materialized a multi-MB row here; the fold keeps one decimal
+    // accumulator per node
+    val leaves = spark.range(1000000L)
+      .selectExpr("concat('n', id) AS s", "'hub' AS d")
+    val got = Graph.wlRefinement(leaves, "s", "d", rounds = 2)
+      .filter(col("node").isin("hub", "n0", "n1"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the hub (10^6 in-neighbors) and the in-degree-0 leaves refine
+    // to different classes; leaves agree with each other
+    assert(got("n0") == got("n1"))
+    assert(got("hub") != got("n0"))
+  }
+
   test("resourceAllocation: hand-computed scores, existing edges " +
       "excluded, hubCap drops wedge centers past the cap") {
     import spark.implicits._
@@ -854,6 +870,29 @@ class GraphSpec extends SparkSpec {
     assert(got("f") == ((0L, 0L)))
     intercept[IllegalStateException] {
       Graph.harmonicCentrality(edges, "s", "d", maxHops = 5,
+        maxPairs = 3L).collect()
+    }
+  }
+
+  test("eccentricity: max hop distance per node, sinks emit (0,0), " +
+      "maxHops truncates the horizon, maxPairs raises") {
+    import spark.implicits._
+    // a→b→c→d chain plus isolated-pair e→f
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"))
+      .toDF("s", "d")
+    val got = Graph.eccentricity(edges, "s", "d", maxHops = 5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((3L, 3L)), "b" -> ((2L, 2L)),
+      "c" -> ((1L, 1L)), "d" -> ((0L, 0L)), "e" -> ((1L, 1L)),
+      "f" -> ((0L, 0L))))
+    // horizon cut: with maxHops = 2, a no longer sees d
+    val cut = Graph.eccentricity(edges, "s", "d", maxHops = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cut("a") == ((2L, 2L)))
+    intercept[IllegalStateException] {
+      Graph.eccentricity(edges, "s", "d", maxHops = 5,
         maxPairs = 3L).collect()
     }
   }

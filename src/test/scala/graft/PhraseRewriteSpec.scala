@@ -130,6 +130,18 @@ class PhraseRewriteSpec extends SparkSpec {
       assert(!kept.queryExecution.optimizedPlan.toString
         .contains("phrase_match_any"), bad)
     }
+    // ESCAPE '%' makes the wrapping percents escape chars — the
+    // pattern is INVALID (Spark raises at evaluation); the rewrite
+    // must leave the leaf alone rather than silently convert the
+    // error into a contains() result
+    val badEsc = docs.filter(
+      Seq("quick", "hash join", "scan", "zebra", "qux", "warp",
+        "emu", "okapi", "ibex", "lynx", "newt")
+        .map(t => col("text").contains(t)).reduce(_ || _) ||
+      expr("text LIKE '%vole%' ESCAPE '%'"))
+    assert(!badEsc.queryExecution.optimizedPlan.toString
+      .contains("phrase_match_any"))
+    intercept[Exception] { badEsc.collect() }
     // NOT LIKE conjuncts (the keep-clean filter) collapse too
     val keep = docs.filter(
       Seq("quick", "hash join", "scan", "zebra", "qux", "warp")

@@ -570,6 +570,33 @@ class PlanSpec extends SparkSpec {
     assert(!filterLines.contains("year("), filterLines)
   }
 
+  test("q399 executes its date_trunc predicates as pushed instant " +
+      "ranges (TruncRangeRewrite): PushedFilters carries timestamp " +
+      "bounds, no residual date_trunc in the filter") {
+    val sf = java.nio.file.Files
+      .createTempDirectory("graft-q399").toString
+    import spark.implicits._
+    Seq((1L, "2024-01-10 08:00:00", 10.0),
+      (2L, "2024-01-15 09:00:00", 20.0),
+      (3L, "2024-01-29 10:00:00", 30.0))
+      .toDF("event_id", "s", "value")
+      .select(col("event_id"),
+        col("s").cast("timestamp").as("ts"), col("value"),
+        lit("click").as("event_type"), lit(1L).as("user_id"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$sf/events.parquet")
+    val plan = SparkEntry.queries("q399_trunc_gate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts,2024-01-10"), plan.take(2500))
+    // the FILTER must not compute date_trunc(); the aggregate's
+    // projection still may (it runs on already-pruned rows)
+    val filterLines = plan.linesIterator
+      .filter(l => l.contains("Filter") || l.contains("PushedFilters"))
+      .mkString("\n")
+    assert(!filterLines.contains("date_trunc"), filterLines)
+  }
+
   test("q367 executes its 12-alternative literal rlike as ONE " +
       "phrase_match_any pass (RegexAlternationRewrite fired, under " +
       "the NOT)") {

@@ -458,7 +458,8 @@ class SimilarityJoinSpec extends SparkSpec {
   }
 
   test("silhouette: exact integer ppm against hand-computed a/b " +
-      "means, singleton cluster scores 0, maxRows raises") {
+      "means, singleton cluster scores 0, pair budget raises at the " +
+      "boundary") {
     import spark.implicits._
     // 1-D points quantized as single-element arrays; clusters:
     // A = {0, 2}, B = {10, 12}, C = {100} (singleton)
@@ -480,9 +481,42 @@ class SimilarityJoinSpec extends SparkSpec {
     // point 5 (singleton): a null -> 0
     assert(got == Map("A" -> ((2L, 959216L)), "B" -> ((2L, 959216L)),
       "C" -> ((1L, 0L))))
+    // pair budget boundary: n = 5 → 25 pairs; 25 is within a 25-pair
+    // budget (n·n ≤ maxPairs admits), 24 raises
+    val atBudget = graft.similarity.Similarity.silhouette(df, "id",
+      col("q"), col("c"), maxPairs = 25L).collect()
+    assert(atBudget.length == 3)
     intercept[IllegalStateException] {
       graft.similarity.Similarity.silhouette(df, "id", col("q"),
-        col("c"), maxRows = 3L)
+        col("c"), maxPairs = 24L)
     }
+  }
+
+  test("mmrSelect: seed is pure relevance, round 2 prefers the " +
+      "diverse item over the near-duplicate, ties break to the " +
+      "smallest id, k past the pool stops early") {
+    import spark.implicits._
+    // ids 1 and 2 are near-identical high-relevance vectors; id 3
+    // points the other way with lower relevance — MMR at λ=0.5 must
+    // pick 1 (relevance), then 3 (diversity), then 2
+    val df = Seq(
+      (1L, Seq(1.0f), 100L), (2L, Seq(1.0f), 99L),
+      (3L, Seq(-1.0f), 50L)).toDF("id", "v", "rel")
+    val got = graft.similarity.Similarity.mmrSelect(df, col("id"),
+        col("v"), col("rel"), k = 5, lambdaPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // q(v) = ±1000; sim(1,2) = 1e6, sim(·,3) = −1e6
+    // r1: 5e5·100 = 5.0e7 → id 1
+    // r2: id2 = 5e5·99 − 5e5·1e6 = −499_950_500_000;
+    //     id3 = 5e5·50 + 5e5·1e6 = 500_025_000_000 → id 3
+    // r3: id2 with ms = max(1e6, −1e6) = 1e6
+    assert(got.toSeq == Seq((1L, 1L, 50000000L),
+      (2L, 3L, 500025000000L), (3L, 2L, -499950500000L)))
+    // exact ties (same rel, same vector) break to the smaller id
+    val ties = Seq((7L, Seq(2.0f), 10L), (5L, Seq(2.0f), 10L))
+      .toDF("id", "v", "rel")
+    val t = graft.similarity.Similarity.mmrSelect(ties, col("id"),
+        col("v"), col("rel"), k = 1).collect()
+    assert(t.head.getLong(1) == 5L)
   }
 }

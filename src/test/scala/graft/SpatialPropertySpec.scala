@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Spatial
+
+/** Property tests for the grid-blocked spatial operators against
+  * O(n²) in-memory references on seeded random point sets (the
+  * PropertySpec discipline: deterministic seeds, no scalatest-check
+  * bridge). The reference implements the documented contracts
+  * exactly: planar squared micro-degree distance, core = ≥ minPts
+  * within ε INCLUDING self, cluster id = min core member id, border
+  * attaches to the MIN cluster id among core ε-neighbors.
+  */
+class SpatialPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomPoints(seed: Int): Seq[(Long, Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    val n = 18 + rnd.nextInt(18)
+    // a few dense blob centers + uniform background so every role
+    // (core / border / noise) actually occurs
+    val centers = Seq.fill(2 + rnd.nextInt(2))(
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    (0 until n).map { i =>
+      if (rnd.nextDouble() < 0.7) {
+        val (cy, cx) = centers(rnd.nextInt(centers.length))
+        (i.toLong, cy + rnd.nextInt(9), cx + rnd.nextInt(9))
+      } else (i.toLong, rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+    }
+  }
+
+  private def bruteEpsPairs(pts: Seq[(Long, Long, Long)], eps: Long) =
+    for {
+      a <- pts; b <- pts
+      if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= eps * eps
+    } yield (a._1, b._1, d2)
+
+  test("proximityJoin agrees with the all-pairs reference on random " +
+      "point sets (every pair exactly once, exact d2)") {
+    (1 to 6).foreach { seed =>
+      val pts = randomPoints(seed)
+      val eps = 3L + seed % 5
+      val expected = bruteEpsPairs(pts, eps).toSet
+      val got = Spatial.proximityJoin(pts.toDF("id", "lat", "lng"),
+          "id", col("lat"), col("lng"), eps)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"seed=$seed eps=$eps pts=$pts")
+    }
+  }
+
+  test("dbscan agrees with the O(n^2) reference (roles, clusters, " +
+      "min-id border rule) on random point sets") {
+    (1 to 6).foreach { seed =>
+      val pts = randomPoints(100 + seed)
+      val eps = 4L + seed % 4
+      val minPts = 2L + seed % 3
+      val ids = pts.map(_._1)
+      val nbrs: Map[Long, Seq[Long]] = {
+        val p = bruteEpsPairs(pts, eps)
+        val m = p.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        ids.map(i => i -> m.getOrElse(i, Seq.empty)).toMap
+      }
+      val core = ids.filter(i => nbrs(i).length + 1 >= minPts).toSet
+      // CC over core–core ε-edges by label propagation to fixpoint
+      val label = scala.collection.mutable.Map(
+        core.toSeq.map(i => i -> i): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        for (i <- core; j <- nbrs(i) if core(j)) {
+          val m = math.min(label(i), label(j))
+          if (label(i) != m) { label(i) = m; changed = true }
+          if (label(j) != m) { label(j) = m; changed = true }
+        }
+      }
+      val expected = ids.map { i =>
+        if (core(i)) i -> (("core", Some(label(i))))
+        else {
+          val coreNb = nbrs(i).filter(core).map(label)
+          if (coreNb.nonEmpty) i -> (("border", Some(coreNb.min)))
+          else i -> (("noise", None))
+        }
+      }.toMap
+      val got = Spatial.dbscan(pts.toDF("id", "lat", "lng"), "id",
+          col("lat"), col("lng"), eps, minPts)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      assert(got == expected,
+        s"seed=$seed eps=$eps minPts=$minPts pts=$pts")
+    }
+  }
+}

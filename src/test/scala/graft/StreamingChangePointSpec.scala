@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingChangePoint
+
+/** §2.7 — StreamingChangePoint: trailing-window Pettitt mean-shift
+  * detector (the live sensor-swap / datum-shift alarm).
+  */
+class StreamingChangePointSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pettittK kernel: hand-computed U on the clean shift, tie " +
+      "handling via mid-ranks, smallest-t tie-break") {
+    // 1,1,1,9,9,9: 2mr(1)=4, 2mr(9)=10; U = -3,-6,-9,-6,-3 -> K=9@t=3
+    assert(StreamingChangePoint.pettittK(
+      Array((10L, 1.0), (20L, 1.0), (30L, 1.0),
+        (40L, 9.0), (50L, 9.0), (60L, 9.0))) == ((3, 30L, 9L)))
+    // flat series: every U_t = 0, smallest t wins
+    assert(StreamingChangePoint.pettittK(
+      Array((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0))) ==
+      ((1, 1L, 0L)))
+    // symmetric V: 1,3,1 -> 2mr: 1s=2·1+2−1=3, 3=2·3+1−1=6
+    // U1 = 3−4 = −1; U2 = 9−8 = 1 -> tie on |U|, t=1 wins
+    assert(StreamingChangePoint.pettittK(
+      Array((1L, 1.0), (2L, 3.0), (3L, 1.0))) == ((1, 1L, 1L)))
+  }
+
+  test("mean shift accumulates across batches to k_ppm=1e6, flat " +
+      "series stays 0, window trims state, n<2 emits the sentinel, " +
+      "in-batch disorder sorts by ts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val q = StreamingChangePoint.monitor(
+        in.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3)),
+        window = 4, thresholdPpm = 500000L)
+      .toDF("key", "n", "change_ts", "k_ppm", "shifted")
+      .writeStream.format("memory").queryName("cp_out")
+      .outputMode(StreamingChangePoint.outputMode)
+      .start()
+    // "a" shifts 1->9 with the window trimming to the last 4 readings
+    // (1,9,9,9 -> K=3, n=4 -> k_ppm = 3*4e6/16 = 750000);
+    // "flat" never moves; "solo" has one reading (sentinel);
+    // batch 2 for "a" arrives out of ts order inside the batch
+    val b1 = Seq(("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 1.0),
+      ("flat", 1L, 7.0), ("flat", 2L, 7.0), ("flat", 3L, 7.0),
+      ("solo", 1L, 2.0))
+    val b2 = Seq(("a", 6L, 9.0), ("a", 4L, 9.0), ("a", 5L, 9.0),
+      ("flat", 4L, 7.0))
+    Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("cp_out")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    // batch 1: a = 1,1,1 -> all tied -> K=0
+    assert(got.filter(r => r._1 == "a" && r._2 == 3L) ==
+      Seq(("a", 3L, 1L, 0L, false)))
+    // batch 2: buffer trimmed to (3,1.0),(4,9.0),(5,9.0),(6,9.0):
+    // 2mr(1)=2, 2mr(9)=6; U = 2−5=−3, 8−10=−2, 14−15=−1 -> K=3@t=1
+    // k_ppm = 3*4e6/16 = 750000 >= threshold
+    assert(got.filter(r => r._1 == "a" && r._2 == 4L) ==
+      Seq(("a", 4L, 3L, 750000L, true)))
+    assert(got.filter(_._1 == "flat").map(r => (r._4, r._5)).distinct ==
+      Seq((0L, false)))
+    assert(got.filter(_._1 == "solo") ==
+      Seq(("solo", 1L, 1L, 0L, false)))
+  }
+}

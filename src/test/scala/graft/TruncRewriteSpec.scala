@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** X384 — the trunc/date_trunc → range optimizer rule
+  * ([[graft.plans.TruncRangeRewrite]]): sargability for the whole
+  * truncation lattice (the YearRangeRewrite generalization).
+  */
+class TruncRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  // parquet-backed so the rewrite's pushdown is observable in the scan
+  private lazy val dates = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-trunc").toString
+    Seq((1L, "2021-07-31"), (2L, "2021-08-01"), (3L, "2021-08-15"),
+      (4L, "2021-08-31"), (5L, "2021-09-01"), (6L, null: String))
+      .toDF("id", "ds")
+      .select(col("id"), col("ds").cast("date").as("d"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private lazy val ntz = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-trunc-ntz").toString
+    Seq((1L, "2021-08-14 23:59:59"), (2L, "2021-08-15 00:00:00"),
+      (3L, "2021-08-15 13:30:00"), (4L, "2021-08-15 23:59:59"),
+      (5L, "2021-08-16 00:00:00"))
+      .toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp_ntz").as("t"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  test("date lane: all five shapes + mirrors rewrite to ranges with " +
+      "identical results on aligned AND unaligned literals; plan " +
+      "carries no trunc and the scan pushes the range") {
+    val cases: Seq[(org.apache.spark.sql.Column, Seq[Long])] = Seq(
+      (trunc(col("d"), "mon") === "2021-08-01", Seq(2L, 3L, 4L)),
+      (trunc(col("d"), "month") > lit("2021-08-01").cast("date"), Seq(5L)),
+      (trunc(col("d"), "mm") >= lit("2021-08-01").cast("date"),
+        Seq(2L, 3L, 4L, 5L)),
+      (trunc(col("d"), "mon") < lit("2021-08-01").cast("date"), Seq(1L)),
+      (trunc(col("d"), "mon") <= lit("2021-08-01").cast("date"),
+        Seq(1L, 2L, 3L, 4L)),
+      // unaligned literal: ceil = next month start for >=/<, and
+      // </<= coincide
+      (trunc(col("d"), "mon") >= lit("2021-08-15").cast("date"), Seq(5L)),
+      (trunc(col("d"), "mon") < lit("2021-08-15").cast("date"),
+        Seq(1L, 2L, 3L, 4L)),
+      // literal-left mirrors
+      (lit("2021-08-01").cast("date") === trunc(col("d"), "mon"),
+        Seq(2L, 3L, 4L)),
+      (lit("2021-08-01").cast("date") > trunc(col("d"), "mon"), Seq(1L)),
+      (lit("2021-08-01").cast("date") <= trunc(col("d"), "mon"),
+        Seq(2L, 3L, 4L, 5L)),
+      // week truncates to Monday: 2021-08-15 is a Sunday in the week
+      // of Mon 2021-08-09 — only id 3 lands there
+      (trunc(col("d"), "week") === "2021-08-09", Seq(3L)),
+      // quarter: everything here is Q3 2021
+      (trunc(col("d"), "quarter") === "2021-07-01",
+        Seq(1L, 2L, 3L, 4L, 5L)))
+    cases.foreach { case (pred, want) =>
+      val df = dates.filter(pred)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.toLowerCase.contains("trunc"), s"$pred:\n$opt")
+      assert(ids(df) == want, pred.toString)
+      spark.conf.set("spark.graft.rewriteTruncRange", "false")
+      try {
+        val off = dates.filter(pred)
+        assert(off.queryExecution.optimizedPlan.toString
+          .toLowerCase.contains("trunc"), pred.toString)
+        assert(ids(off) == want, s"off: $pred")
+      } finally spark.conf.unset("spark.graft.rewriteTruncRange")
+    }
+    val plan = dates.filter(trunc(col("d"), "mon") === "2021-08-01")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(d,2021-08-01)") &&
+      plan.contains("LessThan(d,2021-09-01)"), plan.take(2000))
+  }
+
+  test("ntz lane: day/hour/minute units rewrite with identical " +
+      "results; sub-day mod arithmetic agrees with date_trunc at " +
+      "boundaries") {
+    val cases: Seq[(org.apache.spark.sql.Column, Seq[Long])] = Seq(
+      (date_trunc("day", col("t")) ===
+        lit("2021-08-15 00:00:00").cast("timestamp_ntz"),
+        Seq(2L, 3L, 4L)),
+      (date_trunc("hour", col("t")) <=
+        lit("2021-08-15 13:00:00").cast("timestamp_ntz"),
+        Seq(1L, 2L, 3L)),
+      (date_trunc("minute", col("t")) >
+        lit("2021-08-15 13:30:00").cast("timestamp_ntz"),
+        Seq(4L, 5L)),
+      // unaligned day literal: no exact range for =, gt still rewrites
+      (date_trunc("day", col("t")) >
+        lit("2021-08-15 12:00:00").cast("timestamp_ntz"), Seq(5L)))
+    cases.foreach { case (pred, want) =>
+      val df = ntz.filter(pred)
+      assert(!df.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("trunc"), pred.toString)
+      assert(ids(df) == want, pred.toString)
+      spark.conf.set("spark.graft.rewriteTruncRange", "false")
+      try assert(ids(ntz.filter(pred)) == want, s"off: $pred")
+      finally spark.conf.unset("spark.graft.rewriteTruncRange")
+    }
+  }
+
+  test("zone gate: LTZ rewrites under a fixed-offset session zone " +
+      "(UTC) with identical results, but a DST region zone keeps " +
+      "date_trunc; unaligned equality, unknown units, and non-literal " +
+      "comparands keep the truncation call") {
+    val ltzDir = java.nio.file.Files
+      .createTempDirectory("graft-trunc-ltz").toString
+    Seq((1L, "2021-08-14 23:59:59"), (2L, "2021-08-15 10:00:00"),
+      (3L, "2021-08-16 00:00:00")).toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp").as("t"))
+      .write.mode("overwrite").parquet(ltzDir)
+    val ltz = spark.read.parquet(ltzDir)
+    val pred = date_trunc("day", col("t")) ===
+      lit("2021-08-15 00:00:00").cast("timestamp")
+    // session zone is UTC (fixed offset): rewrite fires, instant range
+    val on = ltz.filter(pred)
+    assert(!on.queryExecution.optimizedPlan.toString
+      .contains("date_trunc"))
+    assert(ids(on) == Seq(2L))
+    // a DST region zone: boundaries move twice a year — no rewrite
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try assert(ltz.filter(date_trunc("day", col("t")) ===
+        lit("2021-08-15 00:00:00").cast("timestamp"))
+      .queryExecution.optimizedPlan.toString.contains("date_trunc"))
+    finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // unaligned equality is vacuous-or-null: left alone, result empty
+    val uneq = dates.filter(trunc(col("d"), "mon") === "2021-08-15")
+    assert(uneq.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("trunc") || ids(uneq).isEmpty)
+    assert(ids(uneq).isEmpty)
+    // unknown unit -> trunc returns null -> never rewritten
+    assert(dates.filter(trunc(col("d"), "decade") === "2021-08-01")
+      .queryExecution.optimizedPlan.toString.isEmpty ||
+      ids(dates.filter(trunc(col("d"), "decade") === "2021-08-01"))
+        .isEmpty)
+    // non-literal comparand keeps trunc
+    assert(dates.filter(trunc(col("d"), "mon") === col("d"))
+      .queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("trunc"))
+  }
+}
