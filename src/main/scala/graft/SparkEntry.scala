@@ -5675,6 +5675,47 @@ object SparkEntry {
         .orderBy(col("sel_rank"))
     },
 
+    // X388 — rich-club curve over the 5-block digraph read as an
+    // undirected simple graph: every block is isomorphic so the
+    // curve is a pure function of the block topology — hub
+    // interconnection density at thresholds 1/2/3
+    "q403_rich_club" -> { (s, dir) =>
+      graft.ops.Graph.richClub(blockEdges(s, dir), "src", "dst",
+          thresholds = Seq(1L, 2L, 3L))
+        .orderBy(col("k"))
+    },
+
+    // X385 — von Neumann successive-difference ratio per event type:
+    // the level-free randomness screen next to the break locators
+    // (white noise ≈ 2e6; below = autocorrelation/shift, above =
+    // alternation), integer-exact over cent-quantized values
+    "q400_von_neumann" -> { (s, dir) =>
+      graft.ops.Features.vonNeumannRatio(events(s, dir),
+          Seq("event_type"), col("ts_ns"), col("value"))
+        .orderBy(col("event_type"))
+    },
+
+    // X386 — double-mass consistency per user cohort: cumulative
+    // |value| against the uniform event-count reference — the gauge
+    // recalibration bend as exact cross-multiplied ppm with its
+    // earliest maximizing row
+    "q401_double_mass" -> { (s, dir) =>
+      graft.ops.TimeSeries.doubleMass(
+          events(s, dir).withColumn("__coh",
+            pmod(col("user_id"), lit(5L))),
+          Seq("__coh"), col("ts_ns"), abs(col("value")), lit(1.0d))
+        .withColumnRenamed("__coh", "cohort")
+        .orderBy(col("cohort"))
+    },
+
+    // X387 — Yule's K per language: the length-invariant repeat-rate
+    // constant next to q59's TTR (templated boilerplate reads high,
+    // randomized spam reads near 0 while TTR looks healthy)
+    "q402_yule_k" -> { (s, dir) =>
+      graft.text.Corpus.yuleK(t(s, dir, "documents"), "text", "lang")
+        .orderBy(col("lang"))
+    },
+
     // Composition — the X380 Pettitt break CONSUMED as a level-shift
     // readout: per event type, the detected split's before/after mean
     // levels (the "what moved, and by how much" a homogenization run
@@ -17095,6 +17136,133 @@ object SparkEntry {
             .mkString(" UNION ALL ")}) t
          |ORDER BY sel_rank""".stripMargin
     },
+
+    // q403 oracle: the shared block-graph prelude symmetrized to
+    // canonical pairs, degree CTE, then club counts per threshold
+    "q403_rich_club" ->
+      """WITH n AS MATERIALIZED (
+        |  SELECT CAST(c_custkey AS BIGINT) AS u FROM customer
+        |), blocks AS MATERIALIZED (
+        |  SELECT u, u % 5 AS pos FROM n
+        |), e0 AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT u AS src, u + 1 AS dst FROM blocks WHERE pos < 4
+        |    UNION ALL
+        |    SELECT u AS src, u - 4 AS dst FROM blocks WHERE pos = 4
+        |    UNION ALL
+        |    SELECT u AS src, u + 2 AS dst FROM blocks WHERE pos < 3
+        |  ) t WHERE dst IN (SELECT u FROM n)
+        |), p AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    least(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,
+        |    greatest(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b
+        |  FROM e0 WHERE src <> dst
+        |), d AS MATERIALIZED (
+        |  SELECT nn, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS nn FROM p UNION ALL SELECT b AS nn FROM p
+        |  ) t GROUP BY nn
+        |), ks AS (SELECT unnest([1, 2, 3]) AS k)
+        |SELECT CAST(ks.k AS BIGINT) AS k,
+        |  CAST(coalesce(nc.n_nodes, 0) AS BIGINT) AS n_nodes,
+        |  CAST(coalesce(ec.n_edges, 0) AS BIGINT) AS n_edges,
+        |  CASE WHEN coalesce(nc.n_nodes, 0) >= 2 THEN
+        |    CAST(coalesce(ec.n_edges, 0) * 2000000 //
+        |      (nc.n_nodes * (nc.n_nodes - 1)) AS BIGINT)
+        |  END AS phi_ppm
+        |FROM ks
+        |LEFT JOIN (
+        |  SELECT ks.k, count(*) AS n_nodes FROM ks JOIN d
+        |    ON d.deg > ks.k GROUP BY ks.k) nc ON nc.k = ks.k
+        |LEFT JOIN (
+        |  SELECT ks.k, count(*) AS n_edges
+        |  FROM ks JOIN (
+        |    SELECT least(da.deg, db.deg) AS md FROM p
+        |    JOIN d da ON da.nn = p.a JOIN d db ON db.nn = p.b) m
+        |    ON m.md > ks.k GROUP BY ks.k) ec ON ec.k = ks.k
+        |ORDER BY k""".stripMargin,
+
+    // q400 oracle: the same cent-quantized n-scaled ratio —
+    // n·Σd²·10⁶ // (n·Σv² − S²) in HUGEINT, lag over (ts, v) order
+    "q400_von_neumann" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, epoch_ns(ts) AS o,
+        |    CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), w AS (
+        |  SELECT k, v,
+        |    v - lag(v) OVER (PARTITION BY k ORDER BY o, v) AS d
+        |  FROM b
+        |), a AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2,
+        |    CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sd2
+        |  FROM w GROUP BY k
+        |)
+        |SELECT k AS event_type, n,
+        |  CASE WHEN n >= 2 AND n * s2 - s * s > 0 THEN
+        |    CAST((n * sd2 * 1000000) // (n * s2 - s * s) AS BIGINT)
+        |  END AS vn_ppm
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // q401 oracle: the same cross-multiplied proportionality distance
+    // over cent-quantized running sums, earliest max, floor ppm
+    "q401_double_mass" ->
+      """WITH b AS (
+        |  SELECT user_id % 5 AS cohort, epoch_ns(ts) AS o,
+        |    CAST(CAST(abs(value) AS DECIMAL(38,2)) * 100 AS BIGINT)
+        |      AS x,
+        |    CAST(100 AS BIGINT) AS r
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), w AS (
+        |  SELECT cohort, o,
+        |    CAST(row_number() OVER (PARTITION BY cohort ORDER BY o)
+        |      AS BIGINT) AS i,
+        |    CAST(sum(x) OVER (PARTITION BY cohort ORDER BY o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS HUGEINT) AS cx,
+        |    CAST(sum(r) OVER (PARTITION BY cohort ORDER BY o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS HUGEINT) AS cr,
+        |    CAST(sum(x) OVER (PARTITION BY cohort) AS HUGEINT) AS tx,
+        |    CAST(sum(r) OVER (PARTITION BY cohort) AS HUGEINT) AS tr
+        |  FROM b
+        |), r2 AS (
+        |  SELECT cohort, o, i, tx, tr,
+        |    abs(cx * tr - cr * tx) AS dev,
+        |    count(*) OVER (PARTITION BY cohort) AS n,
+        |    row_number() OVER (PARTITION BY cohort
+        |      ORDER BY abs(cx * tr - cr * tx) DESC, i) AS rk
+        |  FROM w
+        |)
+        |SELECT cohort, CAST(n AS BIGINT) AS n, o AS break_at,
+        |  i AS break_index,
+        |  CASE WHEN tx > 0 AND tr > 0 THEN
+        |    CAST(dev * 1000000 // (tx * tr) AS BIGINT)
+        |  END AS d_ppm
+        |FROM r2 WHERE rk = 1 ORDER BY cohort""".stripMargin,
+
+    // q402 oracle: the shared whitespace tokenizer, (lang, type)
+    // counts, then (Σn² − N)·10⁶ // N² in HUGEINT
+    "q402_yule_k" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(list_filter(string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |    '\s+'), x -> x <> '')) AS term
+        |  FROM documents WHERE text IS NOT NULL
+        |), tc AS (
+        |  SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+        |  FROM tok GROUP BY lang, term
+        |), a AS (
+        |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2
+        |  FROM tc GROUP BY lang
+        |)
+        |SELECT lang, n_tokens, n_types,
+        |  CAST((s2 - n_tokens) * 1000000 //
+        |    (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS k_x1e6
+        |FROM a ORDER BY lang""".stripMargin,
 
     // q398 oracle: the q394 prelude + the split-segment rollup; means
     // as DECIMAL(18,2) sums cast double over exact integer counts

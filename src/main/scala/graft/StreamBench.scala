@@ -161,6 +161,16 @@ object StreamBench {
         threshold = 10L).toDF()
     }(feedKeyed _)
 
+    results += drive[SBKeyed]("von_neumann",
+      streaming.StreamingVonNeumann.outputMode) { in =>
+      // oscillating band with a slow drift — the gauge the monitor
+      // watches; six longs of state per key
+      streaming.StreamingVonNeumann.monitor(
+        in.toDS().groupByKey(_.key).mapValues(e =>
+          (e.tsUs, 10.0 + (e.id % 5) * 0.3 + (e.id / 5000) * 0.01)))
+        .toDF()
+    }(feedKeyed _)
+
     results += drive[SBKeyed]("change_point",
       streaming.StreamingChangePoint.outputMode) { in =>
       // per-key level shifts every 400 events; the trailing-window

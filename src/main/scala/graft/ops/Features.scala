@@ -738,6 +738,60 @@ object Features {
                 col("var18")))))
   }
 
+  /** Von Neumann ratio (X385) — the classic successive-difference
+    * randomness test, the level-free companion to [[pettitt]] and
+    * [[mannKendall]] in the homogenization toolkit: per group in time
+    * order, `vn_ppm = ⌊10⁶ · n·Σdᵢ² / (n·Σxᵢ² − S²)⌋` with
+    * dᵢ = xᵢ₊₁ − xᵢ — the n-scaled exact form of
+    * Σd²/Σ(x−x̄)² (η ≈ 2·10⁶ for white noise; well below = positive
+    * autocorrelation/trend/shift, well above = alternation — the
+    * standard absolute-homogeneity screen run next to the break
+    * locators). Values HALF_UP-quantize to integer units at `scale`
+    * decimals (the cusum DecimalType discipline — double summation
+    * order would leak engine differences; the quantization scale
+    * cancels in the ratio), so the statistic is bit-identical
+    * anywhere. Degenerate groups (n < 2 or zero variance) emit null
+    * vn_ppm with n visible. Order ties break by value (the pettitt
+    * convention). Output: (group…, `n`, `vn_ppm`).
+    *
+    * Scale shape: ONE key exchange shared by the lag window and the
+    * aggregates; all sums decimal(38,0) map-side-combined; O(1)
+    * state per row.
+    */
+  def vonNeumannRatio(df: DataFrame, groupCols: Seq[String],
+      orderCol: Column, valueCol: Column, scale: Int = 2): DataFrame = {
+    require(groupCols.nonEmpty,
+      "vonNeumannRatio needs group columns (use a literal for one group)")
+    require(scale >= 0 && scale <= 6, s"scale in [0, 6]: $scale")
+    import graft.functions.Exact.longDiv
+    val d38 = DecimalType(38, 0)
+    val unit = math.pow(10, scale).toLong
+    val gs = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__o"), col("__v"))
+    val staged = df
+      .filter(orderCol.isNotNull && valueCol.isNotNull)
+      .select(gs :+ orderCol.as("__o") :+
+        (valueCol.cast(DecimalType(38, scale)) * unit).cast(d38)
+          .as("__v"): _*)
+      // non-quantizable readings (NaN/Inf -> null decimal) drop
+      // entirely — the StreamingHolt/StreamingVonNeumann skip rule,
+      // so the live monitor's prefix parity holds exactly
+      .filter(col("__v").isNotNull)
+      .withColumn("__d", col("__v") - lag(col("__v"), 1).over(w))
+    staged.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__s2"),
+        sum(col("__d") * col("__d")).as("__sd2"))
+      .withColumn("__den",
+        col("n").cast(d38) * col("__s2") - col("__s") * col("__s"))
+      .select(gs ++ Seq(col("n"),
+        when(col("n") >= 2L && col("__den") > 0L,
+          longDiv(col("n").cast(d38) * col("__sd2") * 1000000L,
+            col("__den")).cast("long")).as("vn_ppm")): _*)
+  }
+
   /** Per-group Gini impurity of a label column in EXACT integer ppm —
     * the class-balance signal over training labels (a stratum whose
     * impurity collapsed is one class repeated; one whose impurity

@@ -2422,6 +2422,77 @@ object Graph {
         coalesce(col("n_reached"), lit(0L)).as("n_reached"))
   }
 
+  /** Rich-club coefficient curve (X388) — "do the hubs stick
+    * together": for each degree threshold k,
+    * `phi_ppm = ⌊2·E_k·10⁶ / (n_k·(n_k−1))⌋` where n_k counts nodes
+    * of degree > k and E_k counts edges with BOTH endpoints above —
+    * the density of the subgraph induced by the club. The classic
+    * topology audit (Colizza et al.): infrastructure/collaboration
+    * networks read high (hub backbone), many social/biological
+    * networks read flat — and for pipeline graphs a hub backbone is
+    * a scheduling hotspot. Undirected simple-graph semantics: edges
+    * symmetrize and dedupe to canonical a<b pairs, self-loops drop,
+    * null endpoints drop; clubs with n_k < 2 emit null phi_ppm with
+    * the counts visible. Exact integer throughout (counts and one
+    * floor division — no normalization against a randomized null
+    * model, which would need RNG: consume the curve comparatively).
+    * Output: (`k`, `n_nodes`, `n_edges`, `phi_ppm`), one row per
+    * requested threshold.
+    *
+    * Scale shape: degree is one map-side-combined aggregate over the
+    * canonical pair table; two node-grain equi-joins attach both
+    * endpoint degrees; the curve is ONE bounded |T|-way explode
+    * (|edges|·|T| and |nodes|·|T| rows, |T| ≤ 32) into map-side
+    * counts. No all-pairs lane, no iteration.
+    */
+  def richClub(edges: DataFrame, aCol: String, bCol: String,
+      thresholds: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+      : DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 32,
+      s"1..32 thresholds: ${thresholds.size}")
+    val raw = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__x"),
+        col(bCol).cast("string").as("__y"))
+      .filter(col("__x") =!= col("__y"))
+    val pairs = raw
+      .select(least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = pairs.select(col("__a").as("__n"))
+      .unionAll(pairs.select(col("__b").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__deg"))
+    val ts = typedLit(thresholds)
+    val nodeCounts = deg
+      .select(col("__deg"), explode(ts).as("k"))
+      .filter(col("__deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    val edgeCounts = pairs
+      .join(deg.select(col("__n").as("__a"), col("__deg").as("__da")),
+        Seq("__a"))
+      .join(deg.select(col("__n").as("__b"), col("__deg").as("__db")),
+        Seq("__b"))
+      .select(least(col("__da"), col("__db")).as("__md"),
+        explode(ts).as("k"))
+      .filter(col("__md") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    // anchor frame: every requested threshold emits a row even when
+    // its club is empty
+    edges.sparkSession.range(1).select(explode(ts).as("k"))
+      .join(nodeCounts, Seq("k"), "left")
+      .join(edgeCounts, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi_ppm",
+        when(col("n_nodes") >= 2L,
+          graft.functions.Exact.longDiv(
+            col("n_edges").cast(org.apache.spark.sql.types
+              .DecimalType(38, 0)) * 2000000L,
+            col("n_nodes") * (col("n_nodes") - 1L)).cast("long")))
+  }
+
   /** Shared exact-BFS state for [[harmonicCentrality]] and
     * [[eccentricity]]: first-arrival (source, node, dist) pairs within
     * `maxHops`, self at distance 0 included. Returns (nodes, settled),

@@ -760,6 +760,65 @@ object TimeSeries {
         col("__b.d").cast("long").as("max_dev")): _*)
   }
 
+  /** Double-mass consistency test (X386) — THE classic field check
+    * for gauge records (precipitation, runoff, any accumulating
+    * quantity): plot a station's cumulative total against a trusted
+    * reference's cumulative total; a consistent record traces a
+    * straight line, a gauge move/recalibration bends it. The exact
+    * break readout without floats: per key in time order, with
+    * cumx_t/cumref_t the running quantized sums and totx/totref the
+    * group totals, `dev_t = |cumx_t·totref − cumref_t·totx|` (the
+    * cross-multiplied distance from proportionality — the
+    * [[cusumChangepoint]] identity generalized from "vs own mean" to
+    * "vs a reference series") and the break candidate maximizes it:
+    * `d_ppm = ⌊10⁶·max dev / (totx·totref)⌋ ∈ [0, 10⁶]`, break at
+    * the earliest maximizing row (the smallest-t discipline). Values
+    * HALF_UP-quantize at `scale` decimals (the cusum DecimalType
+    * discipline) so the whole test is integer-exact anywhere.
+    * Intended for non-negative accumulating series (the classical
+    * premise); zero totals on either side emit null d_ppm with n
+    * visible. Output: (keys…, `n`, `break_at`, `break_index`,
+    * `d_ppm`).
+    *
+    * Scale shape: ONE key exchange shared by the running-sum window
+    * and the final aggregate; decimal(38,0) algebra, O(1) state per
+    * row, no second pass.
+    */
+  def doubleMass(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+      xCol: Column, refCol: Column, scale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "doubleMass needs key columns")
+    require(scale >= 0 && scale <= 6, s"scale in [0, 6]: $scale")
+    val d38 = DecimalType(38, 0)
+    val unit = math.pow(10, scale).toLong
+    def iu(c: Column): Column =
+      (c.cast(DecimalType(38, scale)) * unit).cast(d38)
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val run = part.orderBy(col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = df
+      .filter(orderCol.isNotNull && xCol.isNotNull && refCol.isNotNull)
+      .select(keyCols.map(col) :+ orderCol.as("__o") :+
+        iu(xCol).as("__x") :+ iu(refCol).as("__r"): _*)
+      .withColumn("__i", row_number().over(part.orderBy(col("__o")))
+        .cast("long"))
+      .withColumn("__cx", sum(col("__x")).over(run))
+      .withColumn("__cr", sum(col("__r")).over(run))
+      .withColumn("__tx", sum(col("__x")).over(part))
+      .withColumn("__tr", sum(col("__r")).over(part))
+      .withColumn("__dev",
+        abs(col("__cx") * col("__tr") - col("__cr") * col("__tx")))
+    staged.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("__dev").as("d"), (-col("__i")).as("ni"),
+          col("__o").as("o"), col("__i").as("i"))).as("__b"),
+        max(col("__tx")).as("__txm"), max(col("__tr")).as("__trm"))
+      .select(keyCols.map(col) ++ Seq(col("n"),
+        col("__b.o").as("break_at"), col("__b.i").as("break_index"),
+        when(col("__txm") > 0L && col("__trm") > 0L,
+          graft.functions.Exact.longDiv(col("__b.d") * 1000000L,
+            col("__txm") * col("__trm")).cast("long")).as("d_ppm")): _*)
+  }
+
   /** OHLC bar resampling — per (keys…, time bucket): `open` (value at
     * the earliest row), `high`, `low`, `close` (value at the latest
     * row), `n`, and `vol` (decimal-exact sum → double). The canonical

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming von Neumann ratio per key (SURVEY §2.7, the 29th
+  * operator) — the live face of
+  * [[graft.ops.Features.vonNeumannRatio]]: the successive-difference
+  * randomness gauge `vn_ppm = ⌊10⁶·n·Σd²/(n·Σx²−S²)⌋` maintained on
+  * every reading, so a channel sliding into autocorrelation (icing,
+  * clogging, drift — vn well below 2·10⁶) or oscillation (loose
+  * coupling, ADC instability — well above) pages NOW instead of in
+  * the nightly homogenization scan. The X257/X258
+  * one-definition-two-modes discipline: values HALF_UP-quantize to
+  * integer `scale`-units exactly like the batch DecimalType cast, the
+  * five accumulators (prev, n, Σx, Σx², Σd²) are exact longs with
+  * addExact/multiplyExact overflow raises (the StreamingSpike
+  * contract — a silent wrap would corrupt the statistic), and the
+  * ratio is assembled per emission in BigInt so `n·Σx²` can never
+  * wrap. Running value after any prefix ≡ the batch operator of that
+  * prefix in arrival order (spec-pinned). In-batch rows fold in
+  * (ts, value) order — the batch side's exact tie rule; across
+  * batches the per-key event-time-ordered delivery contract applies
+  * (the StreamingEwma/Funnel convention). Non-finite readings are
+  * SKIPPED entirely (no n advance — the batch filter drops the row).
+  * Emits (key, n, vn_ppm — −1 while degenerate: n < 2 or zero
+  * variance) in Update mode after every batch the key appears in;
+  * state is six fields per key whatever the volume.
+  */
+object StreamingVonNeumann {
+
+  /** Accumulator state: previous quantized value (valid when
+    * `hasPrev`), rows folded, Σx, Σx², Σd².
+    */
+  final case class VnState(hasPrev: Boolean, prev: Long, n: Long,
+      s: Long, s2: Long, sd2: Long)
+
+  def monitor[K](grouped: KeyValueGroupedDataset[K, (Long, Double)],
+      scale: Int = 2,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit se: Encoder[VnState],
+      e: Encoder[(K, Long, Long)]): Dataset[(K, Long, Long)] = {
+    require(scale >= 0 && scale <= 6, s"scale in [0, 6]: $scale")
+    val unit = math.pow(10, scale).toLong
+    grouped.flatMapGroupsWithState[VnState, (K, Long, Long)](
+      OutputMode.Update, timeout) {
+      (key: K, events: Iterator[(Long, Double)],
+          state: GroupState[VnState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption
+            .getOrElse(VnState(hasPrev = false, 0L, 0L, 0L, 0L, 0L))
+          events.toArray.sortBy(ev => (ev._1, ev._2)).foreach {
+            case (_, v) =>
+              if (java.lang.Double.isFinite(v)) {
+                val bd = BigDecimal(v).setScale(scale,
+                  scala.math.BigDecimal.RoundingMode.HALF_UP)
+                  .*(BigDecimal(unit))
+                if (bd.isValidLong) {
+                  val q = bd.toLongExact
+                  val sd2 =
+                    if (st.hasPrev) {
+                      val d = Math.subtractExact(q, st.prev)
+                      Math.addExact(st.sd2, Math.multiplyExact(d, d))
+                    } else st.sd2
+                  st = VnState(hasPrev = true, q,
+                    Math.addExact(st.n, 1L),
+                    Math.addExact(st.s, q),
+                    Math.addExact(st.s2, Math.multiplyExact(q, q)),
+                    sd2)
+                }
+              }
+          }
+          state.update(st)
+          val vn =
+            if (st.n < 2L) -1L
+            else {
+              val den = BigInt(st.n) * BigInt(st.s2) -
+                BigInt(st.s) * BigInt(st.s)
+              if (den <= 0) -1L
+              else (BigInt(st.n) * BigInt(st.sd2) * BigInt(1000000) /
+                den).toLong
+            }
+          Iterator.single((key, st.n, vn))
+        }
+    }
+  }
+
+  /** The update-mode output contract this operator pairs with. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -175,6 +175,46 @@ object Corpus {
       .withColumn("hapax_ppm", expr("n_hapax * 1000000 div n_types"))
   }
 
+  /** Yule's K characteristic (X387) — the repeat-rate vocabulary
+    * constant next to [[lexicalStats]]'s TTR: K measures how
+    * concentrated token mass is on repeated types and, unlike TTR, is
+    * approximately LENGTH-INVARIANT (Yule's original point — the
+    * authorship/register constant you can compare across slices of
+    * different sizes without the Heaps-law correction TTR needs).
+    * Exact micro-units form over the frequency spectrum:
+    * `k_x1e6 = ⌊10⁶·(Σ_t n_t² − N) / N²⌋` with n_t the per-type
+    * counts and N = Σn_t (identical to the textbook
+    * 10⁴·(Σm²V(m)−N)/N² up to the fixed 10² unit change) — pure
+    * integer counts, no float, bit-identical anywhere. High K =
+    * templated/boilerplate (mass on few types), low K = rich prose;
+    * machine spam with randomized tokens drives K toward 0 while TTR
+    * looks "healthy". Groups with no tokens are absent; N = 1 emits
+    * 0 (no pair evidence). Output: (group, `n_tokens`, `n_types`,
+    * `k_x1e6`).
+    *
+    * Scale shape: [[lexicalStats]]' exactly — tokens collapse to
+    * (group, type) grain map-side (Heaps-small), then one aggregation
+    * to |groups| rows with decimal(38,0) algebra; the corpus never
+    * shuffles.
+    */
+  def yuleK(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val toks = TextFunctions.tokens(TextFunctions.normalized(col(textCol)))
+    df.select(col(groupCol), explode(toks).as("__term"))
+      .groupBy(col(groupCol), col("__term"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__n").cast(d38) * col("__n")).as("__s2"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        graft.functions.Exact.longDiv(
+          (col("__s2") - col("n_tokens")) * 1000000L,
+          col("n_tokens").cast(d38) * col("n_tokens"))
+          .cast("long").as("k_x1e6"))
+  }
+
   /** Compression-ratio quality signal: per-document DEFLATE size over
     * raw UTF-8 size in exact integer ppm — the whole-document
     * redundancy gauge the token-level signals miss ([[repetitionRatio]]

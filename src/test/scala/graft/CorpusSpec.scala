@@ -421,6 +421,24 @@ class CorpusSpec extends SparkSpec {
     assert(!got.contains("s3"))
   }
 
+  test("yuleK: repeat mass in exact micro-units — repeated types " +
+      "read high, all-distinct reads 0, single token reads 0, empty " +
+      "group absent") {
+    val df = Seq(
+      ("rep", "a a a b"),   // counts 3,1: (10−4)·1e6/16 = 375000
+      ("uni", "a b c d"),   // (4−4)/16 = 0
+      ("one", "a"),         // (1−1)/1 = 0
+      ("emp", "")
+    ).toDF("src", "text")
+    val got = Corpus.yuleK(df, "text", "src")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("rep") == ((4L, 2L, 375000L)))
+    assert(got("uni") == ((4L, 4L, 0L)))
+    assert(got("one") == ((1L, 1L, 0L)))
+    assert(!got.contains("emp"))
+  }
+
   test("skipgrams: window-bounded directed pairs, exact counts") {
     // "a b a b c": d=1 → (a,b),(b,a),(a,b),(b,c); d=2 → (a,a),(b,b),(a,c)
     val corpus = Seq((1L, "a b a b c")).toDF("doc_id", "text")

@@ -1639,6 +1639,32 @@ class FeaturesSpec extends SparkSpec {
     assert(got("c") == ((2L, 6L, 0L, 132L, Some(0L))))
   }
 
+  test("vonNeumannRatio: alternation reads above 2e6, trend below, " +
+      "zero variance and n<2 null — hand-computed on cent-quantized " +
+      "values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows =
+      // alt 1,3,1,3,1: Σd²=160000, den=5·210000−810000=240000
+      // → 1e6·5·160000/240000 = 3_333_333
+      Seq(("alt", 1L, 1d), ("alt", 2L, 3d), ("alt", 3L, 1d),
+        ("alt", 4L, 3d), ("alt", 5L, 1d)) ++
+      // trend 1..5: Σd²=40000, den=5·550000−2250000=500000
+      // → 1e6·5·40000/500000 = 400000
+      Seq(("tr", 1L, 1d), ("tr", 2L, 2d), ("tr", 3L, 3d),
+        ("tr", 4L, 4d), ("tr", 5L, 5d)) ++
+      Seq(("const", 1L, 7d), ("const", 2L, 7d)) ++
+      Seq(("solo", 1L, 9d))
+    val got = graft.ops.Features.vonNeumannRatio(
+        rows.toDF("k", "o", "v"), Seq("k"), col("o"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(got("alt") == ((5L, Some(3333333L))))
+    assert(got("tr") == ((5L, Some(400000L))))
+    assert(got("const") == ((2L, None)))
+    assert(got("solo") == ((1L, None)))
+  }
+
   test("cochranArmitage: hand-stepped trend, sign, degenerate lanes") {
     import spark.implicits._
     def rows(s: Long, n: Int, a: Int) =

@@ -874,6 +874,26 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("richClub: hand-computed club density on clique+leaf, " +
+      "duplicate/reversed edges collapse, empty clubs null, every " +
+      "threshold emits") {
+    import spark.implicits._
+    // clique {a,b,c,d} (6 edges) + leaf e–a; deg: a=4, b=c=d=3, e=1
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d"), ("e", "a")).toDF("x", "y")
+    val got = Graph.richClub(edges, "x", "y",
+        thresholds = Seq(0L, 1L, 3L, 9L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    // k=0: all 5 nodes, 7 edges -> 14e6/20 = 700000
+    assert(got(0L) == ((5L, 7L, Some(700000L))))
+    // k=1: club {a,b,c,d}, the 6 clique edges -> 12e6/12 = 1e6
+    assert(got(1L) == ((4L, 6L, Some(1000000L))))
+    // k=3: club {a} alone -> null
+    assert(got(3L) == ((1L, 0L, None)))
+    assert(got(9L) == ((0L, 0L, None)))
+  }
+
   test("eccentricity: max hop distance per node, sinks emit (0,0), " +
       "maxHops truncates the horizon, maxPairs raises") {
     import spark.implicits._

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import graft.streaming.StreamingVonNeumann
+
+/** §2.7 — StreamingVonNeumann: the live successive-difference
+  * randomness gauge (batch X385's one-definition-two-modes face).
+  */
+class StreamingVonNeumannSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("running vn_ppm equals the batch operator after every prefix; " +
+      "degenerate sentinel before two readings and on zero variance; " +
+      "in-batch disorder sorts by (ts, value); NaN skipped entirely") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val q = StreamingVonNeumann.monitor(
+        in.toDS().groupByKey(_._1).mapValues(r => (r._2, r._3)))
+      .toDF("key", "n", "vn_ppm")
+      .writeStream.format("memory").queryName("vn_out")
+      .outputMode(StreamingVonNeumann.outputMode)
+      .start()
+    // "alt" receives the spec fixture 1,3,1,3,1 split across batches
+    // (prefix 1,3,1 then the rest, batch 2 deliberately out of ts
+    // order); "flat" never moves; "nan" interleaves a NaN that must
+    // not advance n
+    val b1 = Seq(("alt", 1L, 1.0), ("alt", 2L, 3.0), ("alt", 3L, 1.0),
+      ("flat", 1L, 7.0), ("flat", 2L, 7.0),
+      ("nan", 1L, 2.0), ("nan", 2L, Double.NaN))
+    val b2 = Seq(("alt", 5L, 1.0), ("alt", 4L, 3.0),
+      ("nan", 3L, 4.0))
+    Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("vn_out")
+      .as[(String, Long, Long)].collect().toSeq
+    // prefix 1,3,1 (cents 100,300,100): Σd²=80000,
+    // den=3·110000−250000=80000 → 3e6; full fixture → 3_333_333
+    assert(got.filter(_._1 == "alt").sortBy(_._2) ==
+      Seq(("alt", 3L, 3000000L), ("alt", 5L, 3333333L)))
+    assert(got.filter(_._1 == "flat") == Seq(("flat", 2L, -1L)))
+    // NaN never folded: n=1 then n=2 with variance
+    assert(got.filter(_._1 == "nan").sortBy(_._2).map(t => (t._2, t._3))
+      == Seq((1L, -1L), (2L, 1000000L * 2L)))
+    // cross-check both prefixes against the batch operator
+    def batch(rows: Seq[(String, Long, Double)]) =
+      graft.ops.Features.vonNeumannRatio(rows.toDF("k", "o", "v"),
+        Seq("k"), col("o"), col("v"))
+        .collect().map(r => r.getString(0) ->
+          Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(batch(b1.filter(_._1 == "alt"))("alt") == Some(3000000L))
+    assert(batch((b1 ++ b2).filter(_._1 == "alt"))("alt") ==
+      Some(3333333L))
+  }
+}

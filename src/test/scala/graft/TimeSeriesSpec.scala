@@ -343,6 +343,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(run(df.repartition(5)).toSeq == got.toSeq)
   }
 
+  test("doubleMass: gauge recalibration bends the cumulative pair — " +
+      "hand-computed ppm and earliest maximizing row; zero totals " +
+      "null; partition-independent") {
+    // g: x = 10,10,10,20,20 vs uniform ref 10 — cent units tot
+    // x=7000, ref=5000; dev_t = |cx·5000 − cr·7000| =
+    // 2e6,4e6,6e6,3e6,0 → max 6e6 at i=3;
+    // d_ppm = 6e6·1e6 // 3.5e7 = 171428
+    val g = Seq(10d, 10d, 10d, 20d, 20d).zipWithIndex
+      .map { case (v, i) => ("g", (i + 1).toLong, v, 10d) }
+    // z: zero reference total — null d_ppm, n still visible
+    val z = Seq(("z", 1L, 5d, 0d), ("z", 2L, 5d, 0d))
+    val df = (g ++ z).toDF("k", "t", "x", "r")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.doubleMass(d, Seq("k"), $"t", $"x", $"r")
+        .orderBy($"k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+    val got = run(df)
+    assert(got(0) == ("g", 5L, 3L, 3L, Some(171428L)))
+    assert(got(1) == ("z", 2L, 1L, 1L, None))
+    assert(run(df.repartition(5)).toSeq == got.toSeq)
+  }
+
   test("ohlcResample: first/last by (ts, tie), extremes, nulls skipped, " +
       "bucket floor division, partitioning-independent") {
     import graft.ops.TimeSeries
