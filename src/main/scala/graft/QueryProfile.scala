@@ -1,0 +1,106 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerJobStart}
+import scala.collection.mutable
+
+/** Dev-only stage profiler (optimization round tooling, guide §1):
+  * runs the named queries (args, or SPARK_GRAFT_ONLY) through the noop
+  * sink with a stage listener, and prints per-stage wall/task time,
+  * shuffle bytes, and record counts so optimization targets the stage
+  * that actually costs, not the one that looks expensive in source.
+  * Optionally dumps `.explain("formatted")` per query to
+  * `plans/r17/<name>_<tag>.txt` when SPARK_GRAFT_PLAN_TAG is set.
+  * Never invoked by the driver; measurement only.
+  */
+object QueryProfile {
+  private final case class St(id: Int, name: String, wallMs: Long,
+      taskMs: Long, inRec: Long, shRead: Long, shWrite: Long,
+      tasks: Int, gcMs: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names: Seq[String] =
+      if (args.nonEmpty) args.toSeq
+      else sys.env.get("SPARK_GRAFT_ONLY").toSeq
+        .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+    val planTag = sys.env.get("SPARK_GRAFT_PLAN_TAG")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "2").toInt
+
+    def clearState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      planTag.foreach { tag =>
+        val dir = java.nio.file.Paths.get("plans", "r17")
+        java.nio.file.Files.createDirectories(dir)
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(dir.resolve(s"${name}_$tag.txt"),
+          plan.getBytes("UTF-8"))
+        clearState()
+        System.err.println(s"[profile] wrote plans/r17/${name}_$tag.txt")
+      }
+      var last: Seq[St] = Nil
+      var lastSec = 0.0
+      (1 to runs).foreach { i =>
+        val stages = mutable.ArrayBuffer.empty[St]
+        val listener = new SparkListener {
+          override def onStageCompleted(
+              s: SparkListenerStageCompleted): Unit = {
+            val si = s.stageInfo
+            val m = si.taskMetrics
+            val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+              yield a - b).getOrElse(0L)
+            stages += St(si.stageId, si.name.takeWhile(_ != '\n').take(90),
+              wall, m.executorRunTime, m.inputMetrics.recordsRead,
+              m.shuffleReadMetrics.totalBytesRead,
+              m.shuffleWriteMetrics.bytesWritten,
+              si.numTasks, m.jvmGCTime)
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.corebridge.drainListenerBus(
+          spark.sparkContext)
+        spark.sparkContext.removeSparkListener(listener)
+        clearState()
+        System.err.println(f"[profile] $name run$i: $sec%.2f s, " +
+          s"${stages.size} stages")
+        last = stages.toSeq
+        lastSec = sec
+        if (i < runs) System.gc()
+      }
+      println(f"== $name  last-run wall ${lastSec}%.2f s ==")
+      println(f"${"stage"}%6s ${"wall_ms"}%8s ${"task_ms"}%8s " +
+        f"${"gc_ms"}%6s ${"tasks"}%6s ${"in_rec"}%10s ${"sh_read"}%10s " +
+        f"${"sh_write"}%10s  name")
+      last.sortBy(-_.wallMs).take(25).foreach { s =>
+        println(f"${s.id}%6d ${s.wallMs}%8d ${s.taskMs}%8d ${s.gcMs}%6d " +
+          f"${s.tasks}%6d ${s.inRec}%10d ${s.shRead}%10d " +
+          f"${s.shWrite}%10d  ${s.name}")
+      }
+      val totWall = last.map(_.wallMs).sum
+      println(f"   sum stage wall ${totWall}ms over ${last.size} stages " +
+        f"(driver/gaps = ${math.max(0, (lastSec * 1000).toLong - totWall)}ms)")
+    }
+    spark.stop()
+  }
+}

@@ -58,13 +58,24 @@ object Dedup {
   /** k-element MinHash signature of a shingle array (array-form API; the
     * scale path is [[minhashLshPairs]]'s exploded row pipeline). Empty
     * shingle arrays yield an all-null signature.
+    *
+    * The md5 is hoisted OUT of the per-seed loop (let-bound (h1, h2)
+    * pairs per shingle, then k cheap modular evaluations): the inlined
+    * form re-hashed every shingle once per seed — k× the scan's hash
+    * work, and HOF lambdas evaluate interpreted with no
+    * common-subexpression reuse, so at k = 64 the hash dominated the
+    * whole minhashGatedPairs probe. Values are identical (same (h1 +
+    * j·h2) mod p permutation over the same per-shingle hash halves).
     */
   def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(sh, x => {
+    TextFunctions.once(
+      transform(sh, x => {
         val (a, b) = cwHash(md5(x))
-        (a + j.cast("long") * b) % MinhashP
-      })))
+        struct(a.as("h1"), b.as("h2"))
+      }),
+      hs => transform(sequence(lit(0), lit(k - 1)),
+        j => array_min(transform(hs,
+          p => (p("h1") + j.cast("long") * p("h2")) % MinhashP))))
 
   /** Candidate pairs from MinHash-LSH: shingle → sign → band → self-join.
     * Returns distinct (id_a < id_b) pairs.
@@ -156,6 +167,21 @@ object Dedup {
       .join(r, Seq("band", "band_key"))
       .select(col("id_new"), col("id_corpus"))
       .distinct()
+  }
+
+  /** Explicit exchange width for the blocked-verify tier: the session's
+    * shuffle width capped at the machine's cores. User-SPECIFIED counts
+    * are exempt from AQE partition coalescing — which is the point: the
+    * blocked pair stages shuffle few BYTES (hashed sets) but do O(B²)
+    * work per block, and byte-based coalescing otherwise folds the
+    * whole verify into one task (measured at q57/q119).
+    */
+  private def blockWidth(df: DataFrame): Int = {
+    val sess = df.sparkSession
+    math.max(1, math.min(
+      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(sess.sparkContext.defaultParallelism),
+      sess.sparkContext.defaultParallelism))
   }
 
   /** Distinct shingles hashed to 60-bit longs (first 15 hex chars of md5).
@@ -271,9 +297,25 @@ object Dedup {
     // predicates and push it below the projection — where predicate
     // inlining re-expands the whole shingle HOF and the corpus pays the
     // md5 scan twice on that side (measured in the q19 plan)
+    // Spread-then-materialize (opt r17, guide §2.5): the explicit
+    // block-keyed repartition runs BEFORE the shingle-hash projection,
+    // and the hashed artifact checkpoints once for both join sides —
+    // lazily each side re-hashed the whole corpus, and the O(B²) pair
+    // stage otherwise inherited whatever partitioning AQE left: the
+    // shuffle BYTES here are small (hashed sets), so byte-based
+    // coalescing folded the pair stage into ONE task while the work is
+    // per PAIR (measured at q57: the entire 625 k-pair intersect ran
+    // single-task). A user-specified partition count is exempt from
+    // AQE coalescing, and the window + join below reuse the
+    // checkpoint's clustering, so the B² tier runs block-parallel.
+    val pWidth = blockWidth(df)
     val d = df.select(col(blockCol).as("__blk"), col(idCol),
-      coalesce(hashedShingles(col(textCol), shingleN),
-        typedLit(Array.empty[Long])).as("sh"))
+        col(textCol))
+      .repartition(pWidth, col("__blk"))
+      .select(col("__blk"), col(idCol),
+        coalesce(hashedShingles(col(textCol), shingleN),
+          typedLit(Array.empty[Long])).as("sh"))
+      .localCheckpoint(true)
     // AUDIT(content-keyed window): __blk IS a data-value key, so a hot
     // block serializes through one window task — deliberately. This
     // window exists to COUNT each block so the maxBlockSize guard below
@@ -340,10 +382,16 @@ object Dedup {
     val tNum = 2L * math.round(threshold * 1e6) - 1 // 2e6·i >= tNum·m
     // non-null empty-set coalesce: same optimizer trap as
     // blockedJaccardPairs (nullable sh re-derives IsNotNull below the
-    // projection and predicate inlining doubles the md5 scan)
+    // projection and predicate inlining doubles the md5 scan); same
+    // spread-then-materialize prelude too (one hash pass, AQE-exempt
+    // width for the O(B²) stage)
     val d = df.select(col(blockCol).as("__blk"), col(idCol),
-      coalesce(hashedShingles(col(textCol), shingleN),
-        typedLit(Array.empty[Long])).as("sh"))
+        col(textCol))
+      .repartition(blockWidth(df), col("__blk"))
+      .select(col("__blk"), col(idCol),
+        coalesce(hashedShingles(col(textCol), shingleN),
+          typedLit(Array.empty[Long])).as("sh"))
+      .localCheckpoint(true)
     // AUDIT(content-keyed window): block-size count feeding the
     // maxBlockSize guard — see the blockedJaccardPairs site note
     val l = d.withColumn("__bn", count(lit(1)).over(
@@ -400,11 +448,25 @@ object Dedup {
     require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
     require(tolPpm >= 0, s"tolPpm must be >= 0: $tolPpm")
     val tNum = 2L * math.round(threshold * 1e6) - 1
+    // The per-doc projection (shingle hash + k-permutation signature)
+    // is the probe's expensive scan work, and BOTH join sides consume
+    // it — lazily each side would recompute it over the whole corpus
+    // (measured at q119: two ~5 s single-task stages, one per side).
+    // Materialize it ONCE, spread first by the BLOCK key (the explicit
+    // width is exempt from AQE coalescing, and the guard window + pair
+    // join below reuse the clustering — no further exchange): a small
+    // parquet scan is one partition, so without the repartition the
+    // signature pass runs on one core. The checkpoint stores only
+    // (blk, id, sh, sig) — the text stays behind in the scan.
     val d = df.select(col(blockCol).as("__blk"), col(idCol),
-      coalesce(hashedShingles(col(textCol), shingleN),
-        typedLit(Array.empty[Long])).as("sh"),
-      coalesce(minhashSignature(shingles(col(textCol), shingleN), numHashes),
-        typedLit(Array.empty[Long])).as("__sig"))
+        col(textCol))
+      .repartition(blockWidth(df), col("__blk"))
+      .select(col("__blk"), col(idCol),
+        coalesce(hashedShingles(col(textCol), shingleN),
+          typedLit(Array.empty[Long])).as("sh"),
+        coalesce(minhashSignature(shingles(col(textCol), shingleN),
+          numHashes), typedLit(Array.empty[Long])).as("__sig"))
+      .localCheckpoint(true)
     // AUDIT(content-keyed window): block-size count feeding the
     // maxBlockSize guard — see the blockedJaccardPairs site note
     val l = d.withColumn("__bn", count(lit(1)).over(

@@ -223,6 +223,68 @@ case class SortedIntersectLongs(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ (aᵢ−bᵢ)² over two long arrays — the exact integer squared-L2
+  * kernel behind silhouette's all-pairs dissimilarity, where the
+  * `aggregate(zip_with(...))` HOF form evaluates its lambdas
+  * interpreted per PAIR (25 M evaluations at the q387 probe's 5 k
+  * points). Tight codegen'd loop, zero allocation. Null semantics
+  * mirror the HOF exactly: `zip_with` pads the shorter array with
+  * nulls and `(x−y)²` of a null is null, which nullifies the fold —
+  * so unequal lengths or any null element yield NULL, not a partial
+  * sum. Overflow wraps like non-ANSI long arithmetic (callers keep
+  * quantized grids well inside range).
+  */
+case class SquaredL2Long(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType),
+      ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_sql2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |long $s = 0L;
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2Long =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Positional slot-match count over two long arrays — the MinHash
   * signature-agreement kernel: matching components / k IS the Jaccard
   * estimate, and in an all-pairs verify block it runs once per PAIR,
@@ -530,6 +592,11 @@ object VectorExpressions {
 
   def slotMatchCount(a: Column, b: Column): Column =
     bridge.column(SlotMatchCount(
+      bridge.expression(a), bridge.expression(b)))
+
+  /** Σ (aᵢ−bᵢ)² over two long arrays (codegen'd; HOF null semantics). */
+  def squaredL2Long(a: Column, b: Column): Column =
+    bridge.column(SquaredL2Long(
       bridge.expression(a), bridge.expression(b)))
 
   /** Greedy keep-scan over a sorted long array (see [[GreedyThrottleKeep]]). */

@@ -43,9 +43,18 @@ object Spatial {
       when(c < 0L, raise_error(concat(
         lit(s"proximityJoin: negative $name micro-degrees: "),
         c.cast("string")))).otherwise(c)
-    val base = points.select(col(idCol).as("id"),
+    val pre = points.select(col(idCol).as("id"),
       nonNeg(latCol.cast("long"), "lat").as("lat"),
       nonNeg(lngCol.cast("long"), "lng").as("lng"))
+    // spread a narrow scan before the 9× explode + pair join: the cell
+    // join broadcasts the smaller side at probe scale, so the whole
+    // candidate volume otherwise evaluates at the SCAN's partitioning —
+    // a one-partition parquet input put the entire q386 pair pass
+    // (15 k points → 2.1 M ε-pairs) in one 2 s task. Deterministic hash
+    // on the id; skipped when the input is already wide enough.
+    val dp = points.sparkSession.sparkContext.defaultParallelism
+    val base = if (pre.rdd.getNumPartitions < dp)
+      pre.repartition(dp, col("id")) else pre
     val cellY = graft.functions.Exact.longDiv(col("lat"), radius)
     val cellX = graft.functions.Exact.longDiv(col("lng"), radius)
     val probe = base.withColumn("__cell",
@@ -107,9 +116,53 @@ object Spatial {
     val coreEdges = pairs
       .join(core.select(col("id").as("id_a")), Seq("id_a"))
       .join(core.select(col("id").as("id_b")), Seq("id_b"))
+    // Connectivity-preserving edge REDUCTION before CC (guide §2.4 —
+    // remove shuffle volume outright): a dense field's core ε-graph is
+    // near-clique per neighborhood and CC pays O(rounds · |E|), so
+    // shrink |E| with component-exact surgery. Sub-cells of pitch `s`
+    // with 2(s−1)² ≤ ε² make any two same-sub-cell points ε-neighbors
+    // by construction, so (1) each sub-cell's core clique collapses to
+    // a STAR on its min core id (star edges are genuine ε-pairs —
+    // subset of the original closure), and (2) each sub-cell PAIR
+    // keeps ONE representative core–core ε-edge (min (id_a, id_b)) —
+    // any dropped cross-pair (u, v) is implied by
+    // u ~ star ~ rep_a ~ rep_b ~ star ~ v. Components — hence the
+    // min-id cluster labels — are EXACTLY those of the full core
+    // ε-graph (pinned by SpatialPropertySpec's brute-force compare);
+    // at the q386 density stress this feeds CC ~17 k edges instead of
+    // 2.13 M.
+    val s = math.floor(eps / math.sqrt(2d)).toLong + 1L
+    val coords = points.select(col(idCol).as("id"),
+      latCol.cast("long").as("lat"), lngCol.cast("long").as("lng"))
+    val coreCell = core
+      .join(coords, Seq("id"))
+      .select(col("id"), struct(
+        graft.functions.Exact.longDiv(col("lat"), s).as("y"),
+        graft.functions.Exact.longDiv(col("lng"), s).as("x")).as("__sc"))
+      .localCheckpoint(true) // consumers: star agg+join, two rep joins
+    val cellMin = coreCell.groupBy(col("__sc"))
+      .agg(min(col("id")).as("__m"))
+    val stars = coreCell.join(cellMin, Seq("__sc"))
+      .filter(col("id") =!= col("__m"))
+      .select(col("__m").as("id_a"), col("id").as("id_b"))
+    val reps = coreEdges
+      .join(coreCell.select(col("id").as("id_a"), col("__sc").as("__sca")),
+        Seq("id_a"))
+      .join(coreCell.select(col("id").as("id_b"), col("__sc").as("__scb")),
+        Seq("id_b"))
+      .filter(col("__sca") =!= col("__scb"))
+      .groupBy(col("__sca"), col("__scb"))
+      .agg(min(struct(col("id_a"), col("id_b"))).as("__r"))
+      .select(col("__r.id_a").as("id_a"), col("__r.id_b").as("id_b"))
     val clusters = graft.ops.Graph.connectedComponents(
-      core, "id", coreEdges, "id_a", "id_b")
+      core, "id", stars.unionByName(reps), "id_a", "id_b")
+    // border attach: only NON-core points ever read their pick (core
+    // rows coalesce to their own cluster first), and in a dense field
+    // core points own almost all of the ε-pair mass — the anti-join
+    // prunes that mass before the cluster join + agg instead of
+    // shuffling every pair endpoint through it
     val borderPick = sym
+      .join(core, Seq("id"), "left_anti")
       .join(clusters.select(col("id").as("nb"),
         col("cluster_id").as("__bc")), Seq("nb"))
       .groupBy(col("id")).agg(min(col("__bc")).as("__borderCluster"))

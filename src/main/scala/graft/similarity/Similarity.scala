@@ -1250,11 +1250,22 @@ object Similarity {
   def silhouette(df: DataFrame, idCol: String, quantizeCol: Column,
       clusterCol: Column, maxPairs: Long = 100000000L): DataFrame = {
     require(maxPairs >= 4, s"maxPairs must be >= 4: $maxPairs")
-    val base = df.select(col(idCol).as("__id"),
+    // spread BEFORE the checkpoint: a small parquet scan is often one
+    // partition, and the all-pairs nested-loop join below runs at the
+    // STREAM side's partitioning — unrepartitioned, 25 M pair rows
+    // evaluate in a single task while 31 cores idle (measured: the
+    // whole q387 probe was one 4 s task; in a fat bench session that
+    // one task wore all the heap pressure and read 28 s). Hash on the
+    // id (deterministic, no round-robin pre-sort); skipped when the
+    // input is already wider than the session's parallelism.
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    val pre = df.select(col(idCol).as("__id"),
         quantizeCol.cast("array<long>").as("__v"),
         clusterCol.cast("string").as("__c"))
       .filter(col("__id").isNotNull && col("__v").isNotNull &&
         col("__c").isNotNull)
+    val base = (if (pre.rdd.getNumPartitions < dp)
+        pre.repartition(dp, col("__id")) else pre)
       .localCheckpoint(true)
     val n = base.count()
     // overflow-safe n·n > maxPairs (n can exceed sqrt(Long.MaxValue))
@@ -1266,8 +1277,12 @@ object Similarity {
     val sizes = base.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
     val other = base.select(col("__id").as("__id2"),
       col("__v").as("__v2"), col("__c").as("__c2"))
-    val d2 = aggregate(zip_with(col("__v"), col("__v2"),
-      (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    // codegen'd squared-L2 kernel: the interpreted aggregate(zip_with)
+    // form costs ~an interpreted lambda per element per PAIR — at the
+    // q387 probe (5 k points → 25 M pairs × 24 dims) it dominated the
+    // query; SquaredL2Long mirrors its null semantics exactly
+    val d2 = graft.functions.VectorExpressions
+      .squaredL2Long(col("__v"), col("__v2"))
     // (point, peer-cluster) mean dissimilarities: the pair volume
     // streams through the join into a map-side-combined aggregate
     val means = base.join(other, col("__id") =!= col("__id2"))

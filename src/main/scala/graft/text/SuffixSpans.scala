@@ -141,7 +141,10 @@ object SuffixSpans {
     // pure task-launch wall on small inputs (the CC loopWidth lesson).
     // Derive the build-time width from the INPUT's own partitioning
     // (scan partitions track bytes), bounded below so a one-file input
-    // still parallelizes; restored with the AQE flag.
+    // still parallelizes; restored with the AQE flag. (r17 A/B:
+    // widening to the session's 32 was measured SLOWER — the ~38-stage
+    // chain is barrier-bound and extra tasks only add scheduling to
+    // every barrier; 8 stays.)
     val width = math.max(8, math.min(
       scala.util.Try(spWas.toInt).getOrElse(32),
       2 * docs.rdd.getNumPartitions))
@@ -233,6 +236,10 @@ object SuffixSpans {
     // exist in-stream, and the only padded rows are the stream's last
     // k positions, whose sentinel-bearing grams are singleton groups
     // where within-group order is moot.
+    // C is result-invariant for any C > k; 65536 measured best in the
+    // r17 A/B (8192 widened the per-round windows 5 → 34 buckets but
+    // LOST ~1.5 s — the loop is stage-BARRIER-bound, not CPU-bound, and
+    // more tasks per barrier only lengthened the critical path).
     val C = 65536L
     var k = p0
     while (k < maxSpan) {

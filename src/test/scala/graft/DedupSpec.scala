@@ -525,4 +525,31 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 5L)) && got((1L, 5L)).isEmpty)
     assert(got.contains((1L, 9L)) && got((1L, 9L)).isEmpty)
   }
+
+  test("minhashSignature: hash-hoisted form equals the per-seed-md5 " +
+      "reference value-for-value (incl. empty-shingle all-null rows)") {
+    // reference = the pre-r17 inlined form: md5 re-evaluated inside the
+    // seed loop; the shipped form hoists the (h1, h2) pair per shingle.
+    // Both must produce the SAME (h1 + j*h2) mod p signature.
+    val p = Dedup.MinhashP
+    def ref(sh: org.apache.spark.sql.Column, k: Int) =
+      transform(sequence(lit(0), lit(k - 1)),
+        j => array_min(transform(sh, x => {
+          val h = md5(x)
+          val a = conv(substring(h, 1, 15), 16, 10).cast("long") % p
+          val b = conv(substring(h, 16, 15), 16, 10).cast("long") % p
+          (a + j.cast("long") * b) % p
+        })))
+    val withEmpty = docs.unionByName(
+      Seq((9L, "a b")).toDF("doc_id", "text")) // 3-shingles: empty
+    val sh = Dedup.shingles(col("text"), 3)
+    val rows = withEmpty.select(col("doc_id"),
+        Dedup.minhashSignature(sh, 16).as("got"), ref(sh, 16).as("want"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2),
+        s"doc ${r.getLong(0)}: ${r.getSeq[Any](1)} vs ${r.getSeq[Any](2)}")
+    }
+    assert(rows.length == 6)
+  }
 }

@@ -519,4 +519,35 @@ class SimilarityJoinSpec extends SparkSpec {
         col("v"), col("rel"), k = 1).collect()
     assert(t.head.getLong(1) == 5L)
   }
+
+  test("squaredL2Long: equals the aggregate(zip_with) HOF form, " +
+      "including null semantics (unequal lengths and null elements " +
+      "yield null, null arrays propagate)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{aggregate, zip_with, lit}
+    val rows = Seq(
+      (1L, Some(Seq[java.lang.Long](1L, 2L, 3L)),
+        Some(Seq[java.lang.Long](4L, 6L, 3L))),      // 9+16 = 25
+      (2L, Some(Seq[java.lang.Long](-5L, 0L)),
+        Some(Seq[java.lang.Long](5L, 0L))),          // 100
+      (3L, Some(Seq[java.lang.Long](1L, 2L)),
+        Some(Seq[java.lang.Long](1L))),              // len mismatch -> null
+      (4L, Some(Seq[java.lang.Long](1L, null)),
+        Some(Seq[java.lang.Long](1L, 2L))),          // null elem -> null
+      (5L, None, Some(Seq[java.lang.Long](1L))),     // null array -> null
+      (6L, Some(Seq.empty[java.lang.Long]),
+        Some(Seq.empty[java.lang.Long])))            // empty -> 0
+      .toDF("id", "a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    val native = graft.functions.VectorExpressions
+      .squaredL2Long(col("a"), col("b"))
+    val got = rows.select(col("id"), hof.as("h"), native.as("n"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)))).toSeq.sortBy(_._1)
+    got.foreach { case (id, h, n) =>
+      assert(h == n, s"id=$id: hof=$h native=$n") }
+    assert(got.map(_._3) == Seq(Some(25L), Some(100L), None, None,
+      None, Some(0L)))
+  }
 }
