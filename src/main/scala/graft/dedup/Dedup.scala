@@ -1074,8 +1074,15 @@ object Dedup {
     val L = (col("__n") -
       longDiv(col("__n") * thresholdPpm + 999999L, 1000000L) + 1L)
       .cast("int")
+    // one computation of the prefix table for both join sides, at an
+    // AQE-exempt explicit width on the join key (r17): lazily each
+    // side re-ran the rank join + agg, and byte-based coalescing
+    // folded the candidate-verify join into one task (the shuffles are
+    // ~1 MB of rank arrays; the work is per candidate PAIR)
     val pref = ranked.select(col("__id"), col("__rs"), col("__n"),
-      explode(slice(col("__rs"), lit(1), L)).as("__p"))
+        explode(slice(col("__rs"), lit(1), L)).as("__p"))
+      .repartition(blockWidth(df), col("__p"))
+      .localCheckpoint(true)
     val a = pref.select(col("__p"), col("__id").as("id_a"),
       col("__rs").as("__ra"), col("__n").as("__na"))
     val b = pref.select(col("__p"), col("__id").as("id_b"),

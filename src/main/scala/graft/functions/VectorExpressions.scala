@@ -285,6 +285,72 @@ case class SquaredL2Long(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Johnson–Lindenstrauss ±1 projection of a quantized long vector onto
+  * `k` pseudo-random directions — the compiled kernel behind
+  * [[graft.similarity.Similarity.randomProjection]]. The sign mixer is
+  * REPLICATED VERBATIM from the operator's documented integer contract
+  * (three xor-shift/multiply-mod-2³¹ rounds; every intermediate is
+  * non-negative < 2⁶³, `floorMod` mirrors Spark's `pmod`), so outputs
+  * are bit-identical to the HOF formulation and to the DuckDB oracle —
+  * the interpreted `transform(aggregate(zip_with(...)))` form
+  * re-evaluated the whole mixer expression tree per (dim, direction)
+  * pair (measured: the q352 projection stage was a 4.2 s single task).
+  * Null-element semantics mirror the HOF: any null input element
+  * nullifies every output component (k nulls), matching the
+  * `v * sign` → null → null-absorbing fold.
+  */
+case class JlProject(child: Expression, k: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+  override def prettyName: String = "jl_project"
+
+  override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.fill[Any](k)(null))
+      i += 1
+    }
+    val qa = new Array[Long](n)
+    i = 0
+    while (i < n) { qa(i) = q.getLong(i); i += 1 }
+    val m = 2147483648L
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var s = 0L
+      i = 0
+      while (i < n) {
+        val x0 = java.lang.Math.floorMod(
+          i * 486187739L + j * 443L + seed, m)
+        val x1 = x0 ^ (x0 >> 15)
+        val x2 = java.lang.Math.floorMod(x1 * 661583783L, m)
+        val x3 = x2 ^ (x2 >> 13)
+        val x4 = java.lang.Math.floorMod(x3 * 1274126177L, m)
+        val x5 = x4 ^ (x4 >> 16)
+        s += (if (java.lang.Math.floorMod(x5, 2L) == 1L) qa(i) else -qa(i))
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): JlProject = copy(child = newChild)
+}
+
 /** Positional slot-match count over two long arrays — the MinHash
   * signature-agreement kernel: matching components / k IS the Jaccard
   * estimate, and in an all-pairs verify block it runs once per PAIR,
@@ -598,6 +664,10 @@ object VectorExpressions {
   def squaredL2Long(a: Column, b: Column): Column =
     bridge.column(SquaredL2Long(
       bridge.expression(a), bridge.expression(b)))
+
+  /** JL ±1 projection of a quantized long vector (see [[JlProject]]). */
+  def jlProject(q: Column, k: Int, seed: Long): Column =
+    bridge.column(JlProject(bridge.expression(q), k, seed))
 
   /** Greedy keep-scan over a sorted long array (see [[GreedyThrottleKeep]]). */
   def greedyThrottleKeep(sortedTs: Column, minGapUs: Long): Column =

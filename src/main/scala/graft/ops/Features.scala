@@ -1401,8 +1401,22 @@ object Features {
     // the two output references read an ATTRIBUTE — CollapseProject +
     // predicate pushdown would otherwise inline the whole O(n²) HOF
     // into each consumer and run it per reference (measured:
-    // 5.46 s → 2.86 s on 1.5k × ≤99-point groups at sf0.1)
+    // 5.46 s → 2.86 s on 1.5k × ≤99-point groups at sf0.1).
+    // Explicit width on the group frame (r17): the agg's shuffle is
+    // tiny (point arrays) so AQE's byte-based coalescing folded the
+    // O(n²)-per-group HOF stage into ONE task; a user-specified count
+    // is exempt, and the per-group work is embarrassingly parallel.
+    // Keyed on hash(gs) — NOT gs itself: a same-key same-width
+    // repartition duplicates the agg's output partitioning and the
+    // optimizer removes it (verified in the q209 plan), putting the
+    // HOF back on the coalesced single task.
+    val sess = df.sparkSession
+    val hofWidth = math.max(1, math.min(
+      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(sess.sparkContext.defaultParallelism),
+      sess.sparkContext.defaultParallelism))
     grouped
+      .repartition(hofWidth, hash(gs: _*))
       .select(gs :+ explode(array(sel)).as("__sel"): _*)
       .filter(col("__sel.n_pairs") > 0L)
       .select(gs ++ Seq(col("__sel.slope").as("slope"),
@@ -1552,8 +1566,22 @@ object Features {
       .select(gs ++ Seq(col("__e.lag").as("lag"), col("__x"),
         col("__e.yl").as("__yl")): _*)
       .filter(col("__yl").isNotNull)
+    // terminal |groups·lags|-grain repartition (r17): the agg's
+    // clustering is satisfied by the window's key-subset partitioning,
+    // so partial+final agg collapse INTO the window stage — and a
+    // caller's closing orderBy then range-SAMPLES that stage, i.e.
+    // re-runs the whole sort+window+explode pipeline a second time
+    // (measured at q278: two identical 1.8 s window stages). A tiny
+    // exchange on the output grain materializes the result once; the
+    // sampler and the sort each re-read ~|groups·lags| rows instead.
+    val sess = df.sparkSession
+    val outWidth = math.max(1, math.min(
+      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(sess.sparkContext.defaultParallelism),
+      sess.sparkContext.defaultParallelism))
     groupCorr(stacked, groupCols :+ "lag", col("__x"), col("__yl"),
       scale, scale)
+      .repartition(outWidth, (gs :+ col("lag")): _*)
   }
 
   /** Per-group bivariate OLS — y = b0 + b1·x1 + b2·x2, the first
