@@ -908,10 +908,27 @@ object Features {
     val num = dbl(nD * col("__sxy") - col("__sx") * col("__sy"))
     val den = dbl(nD * col("__sxx") - col("__sx") * col("__sx"))
     val den2 = dbl(nD * col("__syy") - col("__sy") * col("__sy"))
+    // terminal |groups|-grain boundary (r17): when the moment agg's
+    // clustering is already satisfied upstream (rank windows in
+    // spearman, the lag window in crossCorr/autocorr), partial+final
+    // agg collapse INTO that expensive stage, and a caller's closing
+    // orderBy range-SAMPLES it — re-running the whole window pipeline
+    // a second time (measured: two identical 1.2 s rank stages at
+    // q220, two 1.8 s lag-window stages at q278). One tiny exchange on
+    // the output grain materializes the result once; keyed on
+    // hash(gs) so it cannot be elided as redundant with the agg's own
+    // partitioning.
+    val sess = df.sparkSession
+    val outWidth = math.max(1, math.min(
+      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(sess.sparkContext.defaultParallelism),
+      sess.sparkContext.defaultParallelism))
     m.select(groupCols.map(col) ++ Seq(
       col("n"),
       when(den =!= 0d && den2 =!= 0d, num / sqrt(den * den2))
         .as("corr")): _*)
+      .repartition(outWidth,
+        if (groupCols.isEmpty) lit(0) else hash(groupCols.map(col): _*))
   }
 
   /** Exponential time-decay aggregate per group: Σ v·2^(−age/halfLife),
@@ -1566,22 +1583,12 @@ object Features {
       .select(gs ++ Seq(col("__e.lag").as("lag"), col("__x"),
         col("__e.yl").as("__yl")): _*)
       .filter(col("__yl").isNotNull)
-    // terminal |groups·lags|-grain repartition (r17): the agg's
-    // clustering is satisfied by the window's key-subset partitioning,
-    // so partial+final agg collapse INTO the window stage — and a
-    // caller's closing orderBy then range-SAMPLES that stage, i.e.
-    // re-runs the whole sort+window+explode pipeline a second time
-    // (measured at q278: two identical 1.8 s window stages). A tiny
-    // exchange on the output grain materializes the result once; the
-    // sampler and the sort each re-read ~|groups·lags| rows instead.
-    val sess = df.sparkSession
-    val outWidth = math.max(1, math.min(
-      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toInt)
-        .getOrElse(sess.sparkContext.defaultParallelism),
-      sess.sparkContext.defaultParallelism))
+    // the terminal output-grain boundary that stops a closing orderBy
+    // from range-sampling (= re-running) the collapsed window+agg
+    // stage now lives in groupCorr itself (r17) — it covers this
+    // caller, autocorr, and spearman alike
     groupCorr(stacked, groupCols :+ "lag", col("__x"), col("__yl"),
       scale, scale)
-      .repartition(outWidth, (gs :+ col("lag")): _*)
   }
 
   /** Per-group bivariate OLS — y = b0 + b1·x1 + b2·x2, the first

@@ -443,15 +443,27 @@ object Corpus {
     require(n >= 1, s"n must be >= 1: $n")
     require(minCount >= 2, s"minCount must be >= 2: $minCount")
     val toks = TextFunctions.tokens(col(textCol))
+    // spread-then-materialize (r17): the per-position gram-hash table
+    // is consumed TWICE (repeat count + cover join) and a 1-partition
+    // scan ran both md5 passes single-task; one explicit-width pass,
+    // checkpointed (the pattern measured at q119/q57 — see
+    // OPTIMIZATION_r17.md)
+    val sess = df.sparkSession
+    val pWidth = math.max(1, math.min(
+      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(sess.sparkContext.defaultParallelism),
+      sess.sparkContext.defaultParallelism))
     val base = df.select(col(idCol), toks.as("__tk"))
       .withColumn("__np", size(col("__tk")) - (n - 1))
       .filter(col("__np") >= 1)
+      .repartition(pWidth, col(idCol))
       .select(col(idCol), col("__tk"),
         explode(sequence(lit(1), col("__np"))).as("__p"))
       .select(col(idCol), col("__p"),
         conv(substring(md5(lower(array_join(
           slice(col("__tk"), col("__p"), lit(n)), " "))), 1, 15), 16, 10)
           .cast("long").as("__g"))
+      .localCheckpoint(true)
     val repeated = base.groupBy(col("__g"))
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
