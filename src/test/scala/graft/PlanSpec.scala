@@ -281,16 +281,21 @@ class PlanSpec extends SparkSpec {
     assert(!it.contains("Union") && exchanges(it) == 1,
       s"inferTypes should be one scan, no Union:\n${it.take(2500)}")
     // theilSenSlope: everything after the collect aggregation is
-    // row-local — no join, no window, one exchange
+    // row-local — no join, no window. TWO exchanges since r17: the
+    // agg's own plus the deliberate hash(gs)-keyed spread that keeps
+    // the O(n²)-per-group HOF stage off AQE's byte-coalesced single
+    // task (see Features.theilSenSlope; the spread must survive in
+    // the plan — ONE exchange would mean it was elided again and the
+    // HOF re-serialized).
     val ts = graft.ops.Features.theilSenSlope(
       (1 to 200).map(i => (i % 5, i.toDouble, i * 2.0))
         .toDF("g", "x", "y"),
       Seq("g"), col("x"), col("y"), 100)
       .queryExecution.executedPlan.toString
-    assert(exchanges(ts) == 1 && !ts.contains("Join") &&
+    assert(exchanges(ts) == 2 && !ts.contains("Join") &&
       !ts.contains("Window"),
-      s"theilSenSlope should be one exchange, scan-local selection:\n" +
-        ts.take(2500))
+      s"theilSenSlope should be agg exchange + HOF spread exchange, " +
+        s"scan-local selection:\n" + ts.take(2500))
   }
 
   test("session batch: abc/topN windows reuse the agg partitioning; " +
